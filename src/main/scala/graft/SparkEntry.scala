@@ -1,13 +1,389 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.dsl.Selection
+import graft.functions.{Derived, Geo}
+import graft.operators.{Dedup, DownloadStats, MergeUpdate, StationSearch, SyncTable}
+import graft.tables.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry exercises one operator family from SURVEY.md §2
+  * through the graft library, on the driver's TPC-H-ish parquet tables, and
+  * has an equivalent DuckDB oracle in `oracleSql`. Every computed column is
+  * aliased identically on both sides; float aggregates are rounded so the
+  * hash compare is robust to summation order.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * DSL-filtered lineitem joined through orders→customer→nation→region,
+    * revenue per region (the SegmentView-style FK chain of SURVEY §1.5).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val li = Selection.filter(
+      t(spark, dir, "lineitem"),
+      Map("l_quantity" -> "[1, 45)", "l_returnflag" -> "!=R"))
+    li.join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(spark, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("r_name"))
+  }
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // §2.6 aggregation + §2.2 filter pushdown (TPC-H Q1 shape)
+    "q01_agg_filter" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-01 00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // §2.3 FK-chain equi-joins (SegmentView analog: segment→event→webservice)
+    "q02_join_chain" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(round(sum(col("o_totalprice")), 2).as("total_price"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // §2.3 broadcast dimension join
+    "q03_broadcast_join" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("p_brand"))
+    }),
+
+    // §2.7 anti-join (append-mode resume / failed-insert exclusion)
+    "q04_anti_join" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // §2.3 left-semi join (station-for-inventory EXISTS filter)
+    "q05_semi_join" -> ((s, dir) => {
+      t(s, dir, "supplier")
+        .join(t(s, dir, "lineitem").filter(col("l_quantity") > 45),
+          col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // §2.2 selection-expression DSL: intervals + != + datetime parse
+    "q06_dsl_filter" -> ((s, dir) => {
+      Selection.filter(t(s, dir, "lineitem"), Map(
+        "l_quantity" -> "[5, 10)",
+        "l_returnflag" -> "!=R",
+        "l_shipdate" -> "<1997-01-01T00:00:00"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // §2.2 DSL: IN-list (= with multiple values) + left-open interval
+    "q07_dsl_in_interval" -> ((s, dir) => {
+      Selection.filter(t(s, dir, "orders"), Map(
+        "o_orderpriority" -> "=1-URGENT 2-HIGH",
+        "o_totalprice" -> "(1000, 200000]"))
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // §2.3 spatial theta-join (merge_events_stations): great-circle radius
+    // join on synthesized coordinates, broadcast small side, codegen'd trig
+    "q08_theta_geo_join" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .withColumn("lat", (col("c_custkey") % 120 - 60).cast("double") + 0.5)
+        .withColumn("lon", (col("c_custkey") * 7 % 360 - 180).cast("double") + 0.5)
+      val supp = t(s, dir, "supplier")
+        .withColumn("slat", (col("s_suppkey") % 100 - 50).cast("double") + 0.25)
+        .withColumn("slon", (col("s_suppkey") * 13 % 360 - 180).cast("double") + 0.25)
+      StationSearch.radiusJoin(cust, supp,
+        col("lat"), col("lon"), col("slat"), col("slon"),
+        maxRadius = lit(15.0), distCol = "dist_deg")
+        .select(col("c_custkey"), col("s_suppkey"),
+          round(col("dist_deg"), 4).as("dist_deg"),
+          round(Geo.deg2km(col("dist_deg")), 2).as("dist_km"))
+        .orderBy(col("c_custkey"), col("s_suppkey"))
+    }),
+
+    // §2.3 mergeupdate: left-join + matched-takes-theirs column update
+    "q09_mergeupdate" -> ((s, dir) => {
+      val nationAvg = t(s, dir, "supplier")
+        .groupBy(col("s_nationkey").as("c_nationkey"))
+        .agg(avg(col("s_acctbal")).as("c_acctbal"))
+      MergeUpdate(t(s, dir, "customer"), nationAvg,
+        keys = Seq("c_nationkey"), mergeCols = Seq("c_acctbal"))
+        .select(col("c_custkey"), round(col("c_acctbal"), 2).as("bal"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // §2.4 sync/upsert: dedup → id resolution → insert/update split → merge
+    "q10_sync_upsert" -> ((s, dir) => {
+      val target = t(s, dir, "customer")
+        .select(col("c_custkey").as("id"), col("c_name").as("name"),
+          col("c_acctbal").as("bal"))
+      val updates = target.filter(col("id") % 3 === 0)
+        .withColumn("bal", col("bal") + 100.0)
+      val inserts = t(s, dir, "supplier")
+        .select(concat(lit("NEW_"), col("s_name")).as("name"),
+          col("s_acctbal").as("bal"))
+        .withColumn("id", lit(null).cast("long"))
+        .select(col("id"), col("name"), col("bal"))
+      val result = SyncTable.sync(updates.unionByName(inserts), target,
+        matchCols = Seq("name"), idCol = "id")
+      SyncTable.merged(target, result, "id")
+        .select(col("id"), col("name"), round(col("bal"), 2).as("bal"))
+        .orderBy(col("id"))
+    }),
+
+    // §2.6 download-stats pivot shape: group-long + conditional-sum wide
+    "q11_pivot_stats" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .count()
+        .na.fill(0L, Seq("F", "O", "P"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // §2.7 top-k per group (GUI pagination / ordering analog)
+    "q12_topk_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_orderpriority"), col("rn"), col("o_orderkey"),
+          col("o_totalprice"))
+        .orderBy(col("o_orderpriority"), col("rn"))
+    }),
+
+    // §2.5 exact dedup (count distinct payloads per group)
+    "q13_dedup_exact" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(countDistinct(col("text")).as("n_distinct"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("lang"), col("source"))
+    }),
+
+    // §2.7 union + §2.2 retry-policy-style code-class disjunction filter
+    "q14_union_retry" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val slice1 = ev.filter(col("event_type") === "click")
+      val slice2 = ev.filter(col("value") > 90.0)
+      slice1.unionByName(slice2)
+        .dropDuplicates("event_id")
+        .select(col("event_id"), col("event_type"))
+        .orderBy(col("event_id"))
+    }),
+
+    // §2.6/§2.10 event-time tumbling window aggregation (hourly)
+    "q15_time_window" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(unix_millis(date_trunc("hour", col("ts"))).as("hour_ms"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("hour_ms"), col("event_type"))
+    }),
+
+    // §2.8 derived hybrid columns: duration_sec between two timestamps
+    "q16_derived_duration" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          Derived.durationSec(col("o_orderdate"), col("l_shipdate")).as("dur_sec"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // §2.3 self-join siblings (same key, excluding self → sibling count)
+    "q17_siblings" -> ((s, dir) => {
+      val w = Window.partitionBy(col("p_brand"), col("p_size"))
+      t(s, dir, "part")
+        .withColumn("n_siblings", count(lit(1)).over(w) - 1)
+        .select(col("p_partkey"), col("n_siblings"))
+        .orderBy(col("p_partkey"))
+    })
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q01_agg_filter" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_join_chain" ->
+      """SELECT r_name, n_name,
+        |  round(sum(o_totalprice), 2) AS total_price,
+        |  count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+    "q03_broadcast_join" ->
+      """SELECT p_brand,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
+    "q04_anti_join" ->
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "q05_semi_join" ->
+      """SELECT s_suppkey, s_name
+        |FROM supplier
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_suppkey = s_suppkey AND l_quantity > 45)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q06_dsl_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity
+        |FROM lineitem
+        |WHERE l_quantity >= 5 AND l_quantity < 10
+        |  AND l_returnflag != 'R'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q07_dsl_in_interval" ->
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders
+        |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |  AND o_totalprice > 1000 AND o_totalprice <= 200000
+        |ORDER BY o_orderkey""".stripMargin,
+    "q08_theta_geo_join" ->
+      """WITH cust AS (
+        |  SELECT c_custkey,
+        |    CAST(c_custkey % 120 - 60 AS DOUBLE) + 0.5 AS lat,
+        |    CAST(c_custkey * 7 % 360 - 180 AS DOUBLE) + 0.5 AS lon
+        |  FROM customer),
+        |supp AS (
+        |  SELECT s_suppkey,
+        |    CAST(s_suppkey % 100 - 50 AS DOUBLE) + 0.25 AS slat,
+        |    CAST(s_suppkey * 13 % 360 - 180 AS DOUBLE) + 0.25 AS slon
+        |  FROM supplier),
+        |joined AS (
+        |  SELECT c_custkey, s_suppkey,
+        |    degrees(atan2(
+        |      sqrt(pow(cos(radians(slat)) * sin(radians(slon) - radians(lon)), 2)
+        |         + pow(cos(radians(lat)) * sin(radians(slat))
+        |             - sin(radians(lat)) * cos(radians(slat))
+        |               * cos(radians(slon) - radians(lon)), 2)),
+        |      sin(radians(lat)) * sin(radians(slat))
+        |        + cos(radians(lat)) * cos(radians(slat))
+        |          * cos(radians(slon) - radians(lon)))) AS d
+        |  FROM cust CROSS JOIN supp)
+        |SELECT c_custkey, s_suppkey,
+        |  round(d, 4) AS dist_deg,
+        |  round(d * 2 * pi() * 6371 / 360, 2) AS dist_km
+        |FROM joined WHERE d <= 15.0
+        |ORDER BY c_custkey, s_suppkey""".stripMargin,
+    "q09_mergeupdate" ->
+      """SELECT c_custkey,
+        |  round(CASE WHEN t.k IS NOT NULL THEN t.a ELSE c_acctbal END, 2) AS bal
+        |FROM customer
+        |LEFT JOIN (SELECT s_nationkey AS k, avg(s_acctbal) AS a
+        |           FROM supplier GROUP BY s_nationkey) t
+        |  ON c_nationkey = t.k
+        |ORDER BY c_custkey""".stripMargin,
+    "q10_sync_upsert" ->
+      """WITH maxid AS (SELECT max(c_custkey) AS m FROM customer),
+        |inserts AS (
+        |  SELECT (SELECT m FROM maxid)
+        |         + row_number() OVER (ORDER BY 'NEW_' || s_name) AS id,
+        |    'NEW_' || s_name AS name, s_acctbal AS bal
+        |  FROM supplier)
+        |SELECT id, name, round(bal, 2) AS bal FROM (
+        |  SELECT c_custkey AS id, c_name AS name,
+        |    c_acctbal + CASE WHEN c_custkey % 3 = 0 THEN 100.0 ELSE 0.0 END AS bal
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT id, name, bal FROM inserts)
+        |ORDER BY id""".stripMargin,
+    "q11_pivot_stats" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q12_topk_window" ->
+      """SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3
+        |ORDER BY o_orderpriority, rn""".stripMargin,
+    "q13_dedup_exact" ->
+      """SELECT lang, source,
+        |  count(DISTINCT text) AS n_distinct,
+        |  count(*) AS n_rows
+        |FROM documents
+        |GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin,
+    "q14_union_retry" ->
+      """SELECT event_id, any_value(event_type) AS event_type FROM (
+        |  SELECT event_id, event_type FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT event_id, event_type FROM events WHERE value > 90.0)
+        |GROUP BY event_id
+        |ORDER BY event_id""".stripMargin,
+    "q15_time_window" ->
+      """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY hour_ms, event_type""".stripMargin,
+    "q16_derived_duration" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round((epoch_ms(l_shipdate) - epoch_ms(o_orderdate)) / 1000.0, 3) AS dur_sec
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q17_siblings" ->
+      """SELECT p_partkey,
+        |  count(*) OVER (PARTITION BY p_brand, p_size) - 1 AS n_siblings
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin
+  )
 }

@@ -1,0 +1,217 @@
+package graft.dsl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.sql.Timestamp
+import java.time.{LocalDate, LocalDateTime}
+import java.time.format.DateTimeFormatter
+import scala.collection.mutable.ArrayBuffer
+
+/** Selection-expression DSL compiler: the reference's string mini-language
+  * (`stream2segment/process/db/sqlevalexpr.py:266-412`) re-expressed as a
+  * `String => Column` compiler. No Catalyst extension is needed — every
+  * grammar production maps onto built-in `Column` operators, so the filter
+  * stays fully push-down-able and codegen'd.
+  *
+  * Grammar (per attribute expression string):
+  *   - relational prefix: `=`, `==`, `!=`, `<`, `<=`, `>`, `>=`
+  *     (`sqlevalexpr.py:312-341`); no prefix means `=`
+  *   - `=`/`==` with a list of space-separated values → IN
+  *     (`sqlevalexpr.py:285-288`); `!=` with a list → NOT IN
+  *   - `<`,`<=`,`>`,`>=` with a list → AND-conjunction of comparisons
+  *   - intervals: `[a, b]` closed, `(a, b)` open, `(a, b]` left-open,
+  *     `[a, b)` right-open → BETWEEN ± endpoint exclusion
+  *     (`sqlevalexpr.py:296-309`); `]a, b[` also accepted as open bounds
+  *   - values are shlex-tokenized (quotes group words, `sqlevalexpr.py:344+`)
+  *     and parsed by the column's type: int / float / bool / ISO datetime /
+  *     string; literal `null`/`NULL` → SQL NULL (`= null` → IS NULL)
+  */
+object Selection {
+
+  /** Filter `df` with a selection map `{attr -> expression}`, AND-combined.
+    * Dotted attribute paths (`event.magnitude`) resolve to the prejoined
+    * view's flattened columns (`event_magnitude`) — the reference instead
+    * auto-adds a join per path (`sqlevalexpr.py:68-236`); prejoining makes
+    * that static and lets Catalyst prune unused branches.
+    */
+  def filter(df: DataFrame, selection: Map[String, String]): DataFrame =
+    if (selection.isEmpty) df
+    else df.filter(compile(df, selection))
+
+  def compile(df: DataFrame, selection: Map[String, String]): Column =
+    selection.toSeq
+      .sortBy(_._1) // deterministic plan regardless of map ordering
+      .map { case (attr, expr) => compileOne(df, attr, expr) }
+      .reduce(_ && _)
+
+  def compileOne(df: DataFrame, attr: String, expr: String): Column = {
+    val colName = resolve(df, attr)
+    val dt = df.schema(colName).dataType
+    binexpr(col(colName), dt, expr)
+  }
+
+  /** `event.magnitude` → `event_magnitude` if the flattened name exists,
+    * else the literal column name.
+    */
+  def resolve(df: DataFrame, attr: String): String = {
+    val flat = attr.replace('.', '_')
+    val names = df.schema.fieldNames.toSet
+    if (names.contains(attr)) attr
+    else if (names.contains(flat)) flat
+    else throw new IllegalArgumentException(
+      s"Unknown selection attribute '$attr' (no column '$attr' or '$flat')")
+  }
+
+  // --- grammar --------------------------------------------------------------
+
+  private[dsl] sealed trait Op
+  private[dsl] case object Eq extends Op
+  private[dsl] case object Neq extends Op
+  private[dsl] case object Lt extends Op
+  private[dsl] case object Le extends Op
+  private[dsl] case object Gt extends Op
+  private[dsl] case object Ge extends Op
+  private[dsl] final case class Interval(loOpen: Boolean, hiOpen: Boolean) extends Op
+
+  /** Split an expression into (operator, remainder) — `sqlevalexpr.py:312-341`. */
+  private[dsl] def split(raw: String): (Op, String) = {
+    val expr = raw.trim
+    require(expr.nonEmpty, "empty selection expression")
+    expr.take(2) match {
+      case "<=" => return (Le, expr.drop(2).trim)
+      case ">=" => return (Ge, expr.drop(2).trim)
+      case "==" => return (Eq, expr.drop(2).trim)
+      case "!=" => return (Neq, expr.drop(2).trim)
+      case _ =>
+    }
+    expr.head match {
+      case '<' => (Lt, expr.tail.trim)
+      case '>' => (Gt, expr.tail.trim)
+      case '=' => (Eq, expr.tail.trim)
+      case c if c == '[' || c == '(' || c == ']' =>
+        val last = expr.last
+        require(last == ']' || last == ')' || last == '[',
+          s"interval expression must end with ']', ')' or '[': $expr")
+        val inner = expr.substring(1, expr.length - 1).replace(",", " ")
+        val loOpen = c != '['
+        val hiOpen = last != ']'
+        (Interval(loOpen, hiOpen), inner)
+      case _ => (Eq, expr)
+    }
+  }
+
+  /** shlex-style tokenizer: whitespace-separated, quotes group words. */
+  private[dsl] def shlexSplit(s: String): Seq[String] = {
+    val out = ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inQuote: Char = 0
+    var hasTok = false
+    s.foreach { ch =>
+      if (inQuote != 0) {
+        if (ch == inQuote) inQuote = 0 else cur.append(ch)
+      } else if (ch == '\'' || ch == '"') { inQuote = ch; hasTok = true }
+      else if (ch.isWhitespace) {
+        if (hasTok) { out += cur.toString; cur.clear(); hasTok = false }
+      } else { cur.append(ch); hasTok = true }
+    }
+    require(inQuote == 0, s"unterminated quote in: $s")
+    if (hasTok) out += cur.toString
+    out.toSeq
+  }
+
+  private val Nones = Set("null", "NULL")
+
+  /** Parse one token by Spark column type — `sqlevalexpr.py:344-412`. */
+  private[dsl] def parseValue(dt: DataType, tok: String): Any =
+    if (Nones.contains(tok)) null
+    else dt match {
+      case LongType | IntegerType | ShortType | ByteType => tok.toLong
+      case DoubleType | FloatType => tok.toDouble
+      case BooleanType => tok match {
+        case "false" | "False" | "FALSE" => false
+        case "true" | "True" | "TRUE" => true
+        case other => other.nonEmpty
+      }
+      case TimestampType | TimestampNTZType => parseIsoTimestamp(tok)
+      case DateType => java.sql.Date.valueOf(LocalDate.parse(tok))
+      case _: StringType => tok
+      case other =>
+        throw new IllegalArgumentException(s"Unsupported selection type $other")
+    }
+
+  private val isoFormats = Seq(
+    DateTimeFormatter.ISO_LOCAL_DATE_TIME,
+    DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"),
+    DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+
+  private[dsl] def parseIsoTimestamp(tok: String): Timestamp = {
+    if (tok.length == 10) // date-only
+      return Timestamp.valueOf(LocalDate.parse(tok).atStartOfDay())
+    isoFormats.view
+      .flatMap { f =>
+        try Some(Timestamp.valueOf(LocalDateTime.parse(tok, f)))
+        catch { case _: Exception => None }
+      }
+      .headOption
+      .getOrElse(throw new IllegalArgumentException(s"Bad ISO datetime: $tok"))
+  }
+
+  /** Build the filter `Column` — `sqlevalexpr.py:266-309`. */
+  private[dsl] def binexpr(c: Column, dt: DataType, expr: String): Column = {
+    val (op, rest) = split(expr)
+    val values = shlexSplit(rest).map(parseValue(dt, _))
+    require(values.nonEmpty, s"no values in selection expression: $expr")
+    op match {
+      case Eq =>
+        if (values.size == 1) eqNullSafe(c, values.head)
+        else inList(c, values, negate = false)
+      case Neq =>
+        if (values.size == 1) neqNullSafe(c, values.head)
+        else inList(c, values, negate = true)
+      case Gt => values.map(v => c > lit(v)).reduce(_ && _)
+      case Lt => values.map(v => c < lit(v)).reduce(_ && _)
+      case Ge => values.map(v => c >= lit(v)).reduce(_ && _)
+      case Le => values.map(v => c <= lit(v)).reduce(_ && _)
+      case Interval(loOpen, hiOpen) =>
+        require(values.size == 2, s"interval needs two endpoints: $expr")
+        val (lo, hi) = (lit(values(0)), lit(values(1)))
+        var cond = c.between(lo, hi)
+        if (loOpen) cond = cond && (c =!= lo)
+        if (hiOpen) cond = cond && (c =!= hi)
+        cond
+    }
+  }
+
+  /** `= null` compiles to IS NULL (SQLAlchemy's `column == None` behavior). */
+  private def eqNullSafe(c: Column, v: Any): Column =
+    if (v == null) c.isNull else c === lit(v)
+
+  private def neqNullSafe(c: Column, v: Any): Column =
+    if (v == null) c.isNotNull else c =!= lit(v)
+
+  private def inList(c: Column, values: Seq[Any], negate: Boolean): Column = {
+    val (nulls, nonNulls) = values.partition(_ == null)
+    val base =
+      if (nonNulls.isEmpty) lit(false)
+      else c.isin(nonNulls.map(lit): _*)
+    if (negate) {
+      var cond = !base
+      if (nulls.nonEmpty) cond = cond && c.isNotNull else cond = cond
+      cond
+    } else {
+      if (nulls.isEmpty) base else base || c.isNull
+    }
+  }
+
+  // --- order-by support (`sqlevalexpr.py:215-236`) --------------------------
+
+  /** Apply `(attr, "asc"|"desc")` ordering, dotted paths resolved. */
+  def orderBy(df: DataFrame, keys: Seq[(String, String)]): DataFrame =
+    if (keys.isEmpty) df
+    else df.orderBy(keys.map { case (attr, dir) =>
+      val c = col(resolve(df, attr))
+      if (dir.equalsIgnoreCase("desc")) c.desc else c.asc
+    }: _*)
+}

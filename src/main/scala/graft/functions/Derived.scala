@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The reference's cross-dialect SQL constructs and hybrid-property
+  * expressions (`stream2segment/io/db/sqlconstructs.py:14-181`,
+  * `stream2segment/process/db/models.py:99-315`), re-expressed as plain
+  * `Column` builders (codegen'd, pushdown-friendly — no UDFs).
+  */
+object Derived {
+
+  /** `end - start` in float seconds, 3-decimal rounded
+    * (`io/db/sqlconstructs.py:51-77`).
+    */
+  def durationSec(start: Column, end: Column): Column =
+    round(unixMicros(end) / lit(1e6) - unixMicros(start) / lit(1e6), 3)
+
+  /** Requested minus received span in seconds
+    * (`io/db/sqlconstructs.py:80-113`).
+    */
+  def missingDataSec(start: Column, end: Column,
+                     requestStart: Column, requestEnd: Column): Column =
+    round((unixMicros(requestEnd) - unixMicros(requestStart)
+      - (unixMicros(end) - unixMicros(start))) / lit(1e6), 3)
+
+  /** 1 − received/requested (`io/db/sqlconstructs.py:116-149`). */
+  def missingDataRatio(start: Column, end: Column,
+                       requestStart: Column, requestEnd: Column): Column =
+    round(lit(1.0) - (unixMicros(end) - unixMicros(start)).cast("double") /
+      (unixMicros(requestEnd) - unixMicros(requestStart)).cast("double"), 3)
+
+  // cast handles TIMESTAMP_NTZ parquet columns (session tz is UTC, so the
+  // NTZ→LTZ cast is value-preserving)
+  private def unixMicros(ts: Column): Column = unix_micros(ts.cast("timestamp"))
+
+  /** Non-empty binary payload — `withdata` (`io/db/models.py:128-146`). */
+  def hasData(blob: Column): Column =
+    blob.isNotNull && length(blob) > 0
+
+  /** `has_data AND download_code IS NOT NULL AND download_code != -2`
+    * (`io/db/models.py:410-423`, MINISEED_READ_ERROR_CODE = -2).
+    */
+  def hasValidData(blob: Column, downloadCode: Column): Column =
+    hasData(blob) && downloadCode.isNotNull && downloadCode =!= lit(-2)
+
+  /** SEED channel code decomposition (`process/db/models.py:99-151`). */
+  def bandCode(channel: Column): Column = substring(channel, 1, 1)
+  def instrumentCode(channel: Column): Column = substring(channel, 2, 1)
+  def orientationCode(channel: Column): Column = substring(channel, 3, 1)
+  def bandInstrumentCode(channel: Column): Column = substring(channel, 1, 2)
+
+  /** `network.station` (`process/db/models.py:157-166`). */
+  def netstaCode(network: Column, station: Column): Column =
+    concat_ws(".", network, station)
+
+  /** seed id: `coalesce(data_seed_id, net.sta.loc.cha)` — replaces the
+    * reference's correlated LIMIT-1 subquery (`process/db/models.py:554-584`)
+    * with a plain expression over the prejoined view.
+    */
+  def seedId(dataSeedId: Column, net: Column, sta: Column,
+             loc: Column, cha: Column): Column =
+    coalesce(dataSeedId, concat(net, lit("."), sta, lit("."), loc, lit("."), cha))
+}

@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Geodesy column expressions — all native `Column` math so they stay inside
+  * whole-stage codegen (no UDFs), per the reference's vectorized kernels.
+  */
+object Geo {
+
+  /** Great-circle distance in degrees (Vincenty on a sphere), the
+    * events×stations theta-join predicate
+    * (`stream2segment/download/modules/stationsearch.py:157-189`).
+    */
+  def locations2Degrees(lat1: Column, lon1: Column,
+                        lat2: Column, lon2: Column): Column = {
+    val la1 = radians(lat1)
+    val la2 = radians(lat2)
+    val dLon = radians(lon2) - radians(lon1)
+    val y = sqrt(
+      pow(cos(la2) * sin(dLon), 2) +
+      pow(cos(la1) * sin(la2) - sin(la1) * cos(la2) * cos(dLon), 2))
+    val x = sin(la1) * sin(la2) + cos(la1) * cos(la2) * cos(dLon)
+    degrees(atan2(y, x))
+  }
+
+  /** Degrees of arc → km on the Earth's surface
+    * (`stream2segment/io/db/sqlconstructs.py:152-163`): deg · 2π·6371/360.
+    */
+  def deg2km(deg: Column): Column = deg * lit(2.0 * math.Pi * 6371.0 / 360.0)
+
+  /** Magnitude-dependent search radius: piecewise-linear ramp between
+    * (minMag, minRadius) and (maxMag, maxRadius), clamped
+    * (`stream2segment/download/modules/stationsearch.py:206-244`).
+    */
+  def magDepSearchRadius(mag: Column, minMag: Double, maxMag: Double,
+                         minRadius: Double, maxRadius: Double): Column =
+    if (minMag == maxMag)
+      when(mag < minMag, lit(minRadius)).otherwise(lit(maxRadius))
+    else {
+      val ramp = lit(minRadius) +
+        (mag - lit(minMag)) * lit((maxRadius - minRadius) / (maxMag - minMag))
+      least(greatest(ramp, lit(minRadius)), lit(maxRadius))
+    }
+}

@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Filesystem-wildcard ↔ SQL-LIKE ↔ regex conversions and the NSLC filter
+  * compiler (`stream2segment/download/modules/utils.py:786+` `strconvert`,
+  * `download/modules/channels.py:287-336`).
+  *
+  * NSLC filter semantics: per field (network/station/location/channel) a
+  * comma-separated list of patterns; `*` / `?` wildcards; a leading `!`
+  * negates; OR within a field, AND across fields; negated patterns compile
+  * to `NOT LIKE` conjunctions.
+  */
+object Wildcards {
+
+  def sql2wild(s: String): String = s.replace("%", "*").replace("_", "?")
+  def wild2sql(s: String): String = s.replace("*", "%").replace("?", "_")
+
+  def wild2re(s: String): String = {
+    val sb = new StringBuilder
+    s.foreach {
+      case '*' => sb.append(".*")
+      case '?' => sb.append('.')
+      case c if "\\^$.|+()[]{}".indexOf(c) >= 0 => sb.append('\\').append(c)
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  /** One pattern (maybe `!`-negated, maybe wildcarded) → predicate on `c`.
+    * Mirrors `to_like_condition` logic in `channels.py:299-336`: plain
+    * values use equality, wildcarded values use LIKE.
+    */
+  def patternFilter(c: Column, pattern: String): Column = {
+    val (neg, p) = if (pattern.startsWith("!")) (true, pattern.tail) else (false, pattern)
+    val base =
+      if (p.contains('*') || p.contains('?')) c.like(wild2sql(p))
+      else c === lit(p)
+    if (neg) !base else base
+  }
+
+  /** OR within a field, AND across fields; negated patterns are AND-combined
+    * with the positives (a negation constrains, it does not widen).
+    */
+  def nslcFilter(c: Column, patterns: Seq[String]): Column = {
+    val (negs, poss) = patterns.partition(_.startsWith("!"))
+    val posCond = if (poss.isEmpty) None else Some(poss.map(patternFilter(c, _)).reduce(_ || _))
+    val negCond = if (negs.isEmpty) None else Some(negs.map(patternFilter(c, _)).reduce(_ && _))
+    (posCond, negCond) match {
+      case (Some(p), Some(n)) => p && n
+      case (Some(p), None) => p
+      case (None, Some(n)) => n
+      case (None, None) => lit(true)
+    }
+  }
+}

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Keyed deduplication with the reference's keep policies and the
+  * cross-datacenter conflict-resolution split.
+  */
+object Dedup {
+
+  sealed trait Keep
+  /** Keep the first row per key under `order` (syncdf `keep_duplicates='first'`,
+    * `stream2segment/io/db/pdsql.py:324-332`). */
+  case object KeepFirst extends Keep
+  /** Keep the last row per key under `order`. */
+  case object KeepLast extends Keep
+  /** Drop every row of any key that has duplicates (pandas `keep=False`,
+    * used for within-group channel dups, `download/modules/channels.py:462+`). */
+  case object KeepNone extends Keep
+
+  /** Window-based keyed dedup. `order` gives the deterministic tie-break the
+    * reference gets implicitly from pandas row order.
+    */
+  def apply(df: DataFrame, keys: Seq[String], keep: Keep, order: Seq[Column]): DataFrame = {
+    val part = Window.partitionBy(keys.map(col): _*)
+    keep match {
+      case KeepNone =>
+        df.withColumn("__cnt", count(lit(1)).over(part))
+          .filter(col("__cnt") === 1).drop("__cnt")
+      case KeepFirst | KeepLast =>
+        require(order.nonEmpty, "KeepFirst/KeepLast need an ordering")
+        val ord = if (keep == KeepFirst) order else order.map(_.desc)
+        df.withColumn("__rn", row_number().over(part.orderBy(ord: _*)))
+          .filter(col("__rn") === 1).drop("__rn")
+    }
+  }
+
+  /** Result of the station conflict resolution
+    * (`download/modules/channels.py:428-544`): rows whose (network, station,
+    * start_time) group is claimed by a single datacenter are `ok`; groups
+    * claimed by >1 datacenter go to `conflicts` (the reference then consults
+    * the routing service / DB for the authoritative datacenter).
+    */
+  final case class ConflictSplit(ok: DataFrame, conflicts: DataFrame)
+
+  def splitConflicts(df: DataFrame, groupKeys: Seq[String], claimCol: String): ConflictSplit = {
+    val part = Window.partitionBy(groupKeys.map(col): _*)
+    val tagged = df.withColumn("__ndc",
+      size(collect_set(col(claimCol)).over(part)))
+    ConflictSplit(
+      ok = tagged.filter(col("__ndc") === 1).drop("__ndc"),
+      conflicts = tagged.filter(col("__ndc") > 1).drop("__ndc"))
+  }
+
+  /** Resolve multi-claim groups with an authority mapping (the broadcast
+    * routing-service index): keep conflict rows whose claim matches the
+    * authoritative one; groups with no authority entry are discarded
+    * (`channels.py:487-520`).
+    */
+  def resolveWithAuthority(conflicts: DataFrame, authority: DataFrame,
+                           groupKeys: Seq[String], claimCol: String): DataFrame = {
+    val authCol = "__auth_" + claimCol
+    val auth = authority
+      .withColumnRenamed(claimCol, authCol)
+      .dropDuplicates(groupKeys)
+    conflicts.join(broadcast(auth), groupKeys, "inner")
+      .filter(col(claimCol) === col(authCol))
+      .drop(authCol)
+  }
+}

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Download-stats pivot (`stream2segment/download/db/inspection/main.py:
+  * 337-416`, rendering `download/modules/utils.py:507-709`): one GROUP BY
+  * over segments → a datacenter×download_code matrix with a custom code
+  * ordering and TOTAL row/column.
+  *
+  * Spark-first: `groupBy(rowKey).pivot(codeCol, values).count()` — the pivot
+  * value list is collected once (small: HTTP-code taxonomy), keeping the
+  * job a single shuffle; the custom code sort order becomes a rank column.
+  */
+object DownloadStats {
+
+  /** `maxgap_numsamples < -0.5 OR > 0.5` — the "has gaps/overlaps" class
+    * (`download/db/inspection/main.py:517-531`).
+    */
+  def gapOverlapExpr(maxgap: Column): Column = maxgap < -0.5 || maxgap > 0.5
+
+  /** Reference code taxonomy rank (`download/modules/utils.py:580-619`):
+    * 2xx first, then OK-with-gaps (-2000), out-of-window (-200), no-data
+    * (-204), mseed-err (-2), url-err (-1), null, then 4xx, 5xx, unknown last.
+    */
+  def codeRank(code: Column): Column =
+    when(code.isNull, lit(99.9))
+      .when(code === -2000, lit(0.5))
+      .when(code >= 200 && code < 300, code.cast("double") / 1000.0)
+      .when(code === -200, lit(0.6))
+      .when(code === -204, lit(99.1))
+      .when(code === -2, lit(99.2))
+      .when(code === -1, lit(99.3))
+      .when(code >= 400 && code < 500, lit(100.0) + code)
+      .when(code >= 500 && code < 600, lit(1000.0) + code)
+      .otherwise(lit(10000.0))
+
+  /** The long-form stats aggregation: counts per (rowKeys, code), with
+    * successful-but-gappy segments recoded to the synthetic -2000 code.
+    */
+  def statsLong(segments: DataFrame, rowKeys: Seq[String],
+                codeCol: String = "download_code",
+                maxgapCol: String = "maxgap_numsamples"): DataFrame = {
+    val recoded = segments.withColumn("__code",
+      when(col(codeCol) === 200 && gapOverlapExpr(col(maxgapCol)), lit(-2000))
+        .otherwise(col(codeCol)))
+    recoded.groupBy((rowKeys.map(col) :+ col("__code").as("code")): _*)
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Wide pivot matrix with deterministic code-ranked column order. */
+  def pivot(segments: DataFrame, rowKeys: Seq[String],
+            codeCol: String = "download_code",
+            maxgapCol: String = "maxgap_numsamples"): DataFrame = {
+    val long = statsLong(segments, rowKeys, codeCol, maxgapCol)
+    val codes = long.select("code").distinct().collect()
+      .map(r => if (r.isNullAt(0)) null else r.get(0))
+    // rank order computed on the driver over the tiny code list
+    def rank(c: Any): Double = c match {
+      case null => 99.9
+      case i: Int => rankInt(i.toLong)
+      case l: Long => rankInt(l)
+      case other => 10000.0
+    }
+    val ordered = codes.sortBy(rank)
+    long.groupBy(rowKeys.map(col): _*)
+      .pivot("code", ordered.toSeq)
+      .sum("n")
+      .na.fill(0L, ordered.filter(_ != null).map(String.valueOf))
+  }
+
+  private def rankInt(i: Long): Double =
+    if (i == -2000) 0.5
+    else if (i >= 200 && i < 300) i / 1000.0
+    else if (i == -200) 0.6
+    else if (i == -204) 99.1
+    else if (i == -2) 99.2
+    else if (i == -1) 99.3
+    else if (i >= 400 && i < 500) 100.0 + i
+    else if (i >= 500 && i < 600) 1000.0 + i
+    else 10000.0
+}

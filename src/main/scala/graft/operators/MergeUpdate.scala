@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** `mergeupdate` (`stream2segment/io/db/pdsql.py:971-1085`): left-join
+  * `other` on `keys` and, for each merge column, take `other`'s value where
+  * the keys matched (even if null there), else keep `df`'s own value.
+  *
+  * Used by the reference to pull DB-resolved ids into in-flight frames and
+  * to propagate computed columns across stages. Spark-first shape: a single
+  * left join + per-column `when(matched, theirs).otherwise(ours)` — Catalyst
+  * picks broadcast vs shuffle join on its own; `other` is deduped on the
+  * keys first so the join can't explode (`pdsql.py` `drop_other_duplicates`).
+  */
+object MergeUpdate {
+
+  private val MatchedCol = "__mu_matched"
+  private val Prefix = "__mu_"
+
+  def apply(df: DataFrame, other: DataFrame, keys: Seq[String],
+            mergeCols: Seq[String], dropOtherDuplicates: Boolean = true): DataFrame = {
+    val proj = other.select((keys ++ mergeCols).map(col): _*)
+    val deduped = if (dropOtherDuplicates) proj.dropDuplicates(keys) else proj
+    val renamed = mergeCols.foldLeft(deduped)((d, c) => d.withColumnRenamed(c, Prefix + c))
+      .withColumn(MatchedCol, lit(true))
+    val joined = df.join(renamed, keys, "left")
+    val updated = mergeCols.foldLeft(joined) { (d, c) =>
+      d.withColumn(c, when(col(MatchedCol), col(Prefix + c)).otherwise(col(c)))
+    }
+    updated.drop(MatchedCol).drop(mergeCols.map(Prefix + _): _*)
+  }
+
+  /** `syncdfcol` (`io/db/pdsql.py:917-968`): resolve `df`'s id column from
+    * the target table by natural key; rows absent from `target` keep a null
+    * id (the "not in DB yet" marker the sync operator splits on).
+    */
+  def resolveId(df: DataFrame, target: DataFrame, matchCols: Seq[String],
+                idCol: String = "id"): DataFrame = {
+    val base =
+      if (df.schema.fieldNames.contains(idCol)) df
+      else df.withColumn(idCol, lit(null).cast("long"))
+    apply(base, target, matchCols, Seq(idCol))
+  }
+}

@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.functions.Geo
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The events×stations spatial theta-join (`merge_events_stations`,
+  * `stream2segment/download/modules/stationsearch.py:26-154`): for every
+  * event, find stations within a (possibly magnitude-dependent) great-circle
+  * radius whose operating window covers the event time, and emit one row per
+  * match carrying the distance.
+  *
+  * Spark-first shape: `events JOIN broadcast(stations) ON distExpr BETWEEN`.
+  * Stations/channels are orders of magnitude smaller than events×stations,
+  * so the small side is broadcast and the predicate evaluates inside
+  * whole-stage codegen — no shuffle at all. At 100 TB of events the join
+  * stays a map-only stage; if the station side ever outgrew broadcast range
+  * the fallback is a geohash-bucketed equi-join on a coarse grid cell.
+  */
+object StationSearch {
+
+  /** Generic radius theta-join. `right` must be broadcast-sized.
+    *
+    * @param distCol  name for the emitted great-circle distance (degrees)
+    * @param maxRadius max distance in degrees (Column over the joined row,
+    *                  e.g. a constant or `Geo.magDepSearchRadius(mag,...)`)
+    * @param minRadius optional minimum distance
+    * @param extraPred optional additional join predicate (e.g. the station
+    *                  validity window, `stationsearch.py:84-94`)
+    */
+  def radiusJoin(left: DataFrame, right: DataFrame,
+                 latL: Column, lonL: Column, latR: Column, lonR: Column,
+                 maxRadius: Column, minRadius: Option[Column] = None,
+                 distCol: String = "dist_deg",
+                 extraPred: Option[Column] = None): DataFrame = {
+    val dist = Geo.locations2Degrees(latL, lonL, latR, lonR)
+    var pred: Column = dist <= maxRadius
+    minRadius.foreach(mr => pred = pred && dist >= mr)
+    extraPred.foreach(p => pred = pred && p)
+    left.join(broadcast(right), pred, "inner").withColumn(distCol, dist)
+  }
+
+  /** Station validity at event time: open before the event, not closed until
+    * at least one day after (`stationsearch.py:84-94`).
+    */
+  def validityWindow(evTime: Column, staStart: Column, staEnd: Column): Column =
+    staStart <= evTime &&
+      (staEnd.isNull || staEnd >= evTime + expr("INTERVAL 1 DAY"))
+}

@@ -1,0 +1,42 @@
+package graft.tables
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.LongType
+
+/** Loaders for the driver-provided parquet tables (TESTDATA.md) and for
+  * engine-managed stores.
+  *
+  * The reference keeps all entities in a relational store (SQLite/Postgres,
+  * `stream2segment/io/db/models.py:1-30`); our engine's storage layer is
+  * parquet directories, one per table, read lazily so Catalyst can push
+  * filters/prune columns into the scan.
+  */
+object Tables {
+
+  val testTableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  /** Read one table from a scale-factor directory.
+    *
+    * The `events` table carries TIMESTAMP(NANOS) parquet timestamps, which
+    * Spark's vectorized reader rejects; we read them as raw int64 via the
+    * legacy conf and convert to microsecond timestamps (`ts div 1000`) so
+    * downstream event-time logic sees a plain TimestampType column.
+    */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
+
+  /** Register every test table as a temp view so `spark.sql` works too. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    testTableNames.foreach { n =>
+      load(spark, dir, n).createOrReplaceTempView(n)
+    }
+}

@@ -1,0 +1,79 @@
+package graft.dsl
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import java.sql.Timestamp
+
+/** DSL grammar corpus from the reference's `tests/process/test_sqlevalexpr.py`
+  * and FIXTURES.md §9.
+  */
+class SelectionSpec extends SparkSpec {
+
+  private lazy val df = {
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("mag", DoubleType),
+      StructField("code", LongType),
+      StructField("name", StringType),
+      StructField("ok", BooleanType),
+      StructField("ts", TimestampType),
+      StructField("event_magnitude", DoubleType)))
+    val rows = Seq(
+      Row(1L, 4.5, 200L, "alpha", true, Timestamp.valueOf("2006-01-01 00:00:00"), 5.5),
+      Row(2L, 5.0, null, "beta gamma", false, Timestamp.valueOf("2005-06-01 12:00:00"), 3.0),
+      Row(3L, -0.4, -204L, "delta", true, null, 7.0),
+      Row(4L, 0.5, 404L, null, null, Timestamp.valueOf("2007-01-01 00:00:00"), null))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+  }
+
+  private def ids(sel: Map[String, String]): Set[Long] =
+    Selection.filter(df, sel).select("id").collect().map(_.getLong(0)).toSet
+
+  test(">= numeric") { assert(ids(Map("mag" -> ">=5")) == Set(2L)) }
+  test("plain value = equality") { assert(ids(Map("mag" -> "4.5")) == Set(1L)) }
+  test("== is =") { assert(ids(Map("mag" -> "==4.5")) == Set(1L)) }
+  test("!= single") { assert(ids(Map("mag" -> "!=4.5")) == Set(2L, 3L, 4L)) }
+  test("< datetime ISO") {
+    assert(ids(Map("ts" -> "<2006-01-01T00:00:00")) == Set(2L))
+  }
+  test("date-only ISO") { assert(ids(Map("ts" -> "<2006-01-01")) == Set(2L)) }
+  test("closed interval") { assert(ids(Map("mag" -> "[4.5, 5]")) == Set(1L, 2L)) }
+  test("right-open interval") { assert(ids(Map("mag" -> "[4.5, 5)")) == Set(1L)) }
+  test("open interval") { assert(ids(Map("mag" -> "(-0.5, 0.5)")) == Set(3L)) }
+  test("left-open interval") { assert(ids(Map("mag" -> "(0.5, 5]")) == Set(1L, 2L)) }
+  test("IN list") { assert(ids(Map("code" -> "200 -204")) == Set(1L, 3L)) }
+  test("NOT IN list") { assert(ids(Map("code" -> "!=200 -204")) == Set(4L)) }
+  test("null literal =") { assert(ids(Map("code" -> "null")) == Set(2L)) }
+  test("null literal !=") { assert(ids(Map("code" -> "!=null")) == Set(1L, 3L, 4L)) }
+  test("bool true") { assert(ids(Map("ok" -> "true")) == Set(1L, 3L)) }
+  test("bool false") { assert(ids(Map("ok" -> "false")) == Set(2L)) }
+  test("quoted string with space") {
+    assert(ids(Map("name" -> "='beta gamma'")) == Set(2L))
+  }
+  test("string IN with quotes") {
+    assert(ids(Map("name" -> "alpha 'beta gamma'")) == Set(1L, 2L))
+  }
+  test("multi-attr AND") {
+    assert(ids(Map("mag" -> ">=0", "ok" -> "true")) == Set(1L))
+  }
+  test("multi-value relational op = AND-conjunction (binexpr semantics)") {
+    // reference: ">" + list → and_(col > v for v in values)
+    assert(ids(Map("mag" -> "<5 4")) == Set(3L, 4L))
+  }
+  test("dotted path resolves to flattened col") {
+    assert(ids(Map("event.magnitude" -> ">=5")) == Set(1L, 3L))
+  }
+  test("unknown attr raises") {
+    intercept[IllegalArgumentException] {
+      Selection.filter(df, Map("nope" -> ">=5")).collect()
+    }
+  }
+  test("orderBy asc/desc with dotted path") {
+    val got = Selection.orderBy(
+      df.filter(df("event_magnitude").isNotNull),
+      Seq(("event.magnitude", "desc"))).select("id").collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(3L, 1L, 2L))
+  }
+}

@@ -1,0 +1,148 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.{Geo, Wildcards}
+import org.apache.spark.sql.functions._
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --- MergeUpdate ----------------------------------------------------------
+
+  test("mergeupdate: matched rows take other's value, unmatched keep own") {
+    val df = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "v")
+    val other = Seq((1L, 100.0), (3L, 300.0)).toDF("k", "v")
+    val got = MergeUpdate(df, other, Seq("k"), Seq("v"))
+      .orderBy("k").select("v").as[Double].collect().toSeq
+    assert(got == Seq(100.0, 20.0, 300.0))
+  }
+
+  test("mergeupdate: other deduped on keys before join (no row explosion)") {
+    val df = Seq((1L, 1.0)).toDF("k", "v")
+    val other = Seq((1L, 5.0), (1L, 6.0)).toDF("k", "v")
+    assert(MergeUpdate(df, other, Seq("k"), Seq("v")).count() == 1)
+  }
+
+  test("resolveId: null id marks rows not in target") {
+    val df = Seq(("a", 1), ("x", 2)).toDF("name", "payload")
+    val target = Seq((10L, "a"), (20L, "b")).toDF("id", "name")
+    val got = MergeUpdate.resolveId(df, target, Seq("name"))
+      .orderBy("name").select("id").collect()
+    assert(got(0).getLong(0) == 10L && got(1).isNullAt(0))
+  }
+
+  // --- Dedup ----------------------------------------------------------------
+
+  private lazy val dup = Seq(
+    ("k1", 1, "first"), ("k1", 2, "second"), ("k2", 3, "only"))
+    .toDF("k", "ord", "tag")
+
+  test("dedup keep first") {
+    val got = Dedup(dup, Seq("k"), Dedup.KeepFirst, Seq(col("ord")))
+      .orderBy("k").select("tag").as[String].collect().toSeq
+    assert(got == Seq("first", "only"))
+  }
+  test("dedup keep last") {
+    val got = Dedup(dup, Seq("k"), Dedup.KeepLast, Seq(col("ord")))
+      .orderBy("k").select("tag").as[String].collect().toSeq
+    assert(got == Seq("second", "only"))
+  }
+  test("dedup keep none drops all dup rows") {
+    val got = Dedup(dup, Seq("k"), Dedup.KeepNone, Nil)
+      .select("tag").as[String].collect().toSeq
+    assert(got == Seq("only"))
+  }
+
+  test("conflict split by claim count + authority resolution") {
+    val ch = Seq(
+      ("N1", "S1", 1L), ("N1", "S1", 2L), // conflicting claim
+      ("N2", "S2", 1L))
+      .toDF("net", "sta", "dc")
+    val split = Dedup.splitConflicts(ch, Seq("net", "sta"), "dc")
+    assert(split.ok.count() == 1 && split.conflicts.count() == 2)
+    val authority = Seq(("N1", "S1", 2L)).toDF("net", "sta", "dc")
+    val resolved = Dedup.resolveWithAuthority(
+      split.conflicts, authority, Seq("net", "sta"), "dc")
+    assert(resolved.select("dc").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  // --- SyncTable ------------------------------------------------------------
+
+  test("sync: update/insert split, sequential ids, merged contents") {
+    val target = Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "name", "v")
+    val incoming = Seq(("a", 10.0), ("c", 3.0), ("c", 99.0)) // dup on key
+      .toDF("name", "v")
+    val res = SyncTable.sync(incoming, target, Seq("name"),
+      order = Seq(col("v")))
+    val (ins, upd) = res.stats()
+    assert((ins, upd) == (1L, 1L))
+    val merged = SyncTable.merged(target, res)
+      .orderBy("id").as[(Long, String, Double)].collect().toSeq
+    assert(merged == Seq((1L, "a", 10.0), (2L, "b", 2.0), (3L, "c", 3.0)))
+  }
+
+  test("sync with surrogate ids is deterministic across runs") {
+    val target = Seq((0L, "z", 0.0)).toDF("id", "name", "v")
+    val incoming = Seq(("a", 1.0), ("b", 2.0)).toDF("name", "v")
+    val r1 = SyncTable.sync(incoming, target, Seq("name"), surrogateIds = true)
+      .inserts.select("id", "name").as[(Long, String)].collect().toMap
+    val r2 = SyncTable.sync(incoming, target, Seq("name"), surrogateIds = true)
+      .inserts.select("id", "name").as[(Long, String)].collect().toMap
+    assert(r1 == r2 && r1.size == 2)
+  }
+
+  // --- DownloadStats --------------------------------------------------------
+
+  test("download stats: gap recode + pivot with ranked code order") {
+    val segs = Seq(
+      (1L, 200, 0.0), (1L, 200, 0.9), // second recodes to -2000
+      (1L, 404, 0.0), (2L, 200, 0.0), (2L, -204, 0.0))
+      .toDF("dc", "download_code", "maxgap_numsamples")
+    val wide = DownloadStats.pivot(segs, Seq("dc"))
+    // ranked order: 200, -2000, -204, 404
+    assert(wide.columns.toSeq == Seq("dc", "200", "-2000", "-204", "404"))
+    val row = wide.filter($"dc" === 1L).collect()(0)
+    assert(Seq(1, 2, 3, 4).map(row.getLong) == Seq(1L, 1L, 0L, 1L))
+  }
+
+  // --- Geo / StationSearch --------------------------------------------------
+
+  test("locations2degrees matches known values") {
+    val df = Seq((0.0, 0.0, 0.0, 90.0), (0.0, 0.0, 90.0, 0.0),
+      (10.0, 20.0, 10.0, 20.0)).toDF("la1", "lo1", "la2", "lo2")
+    val got = df.select(Geo.locations2Degrees($"la1", $"lo1", $"la2", $"lo2"))
+      .as[Double].collect()
+    assert(math.abs(got(0) - 90.0) < 1e-9)
+    assert(math.abs(got(1) - 90.0) < 1e-9)
+    assert(math.abs(got(2)) < 1e-9)
+  }
+
+  test("magDepSearchRadius ramps and clamps") {
+    val df = Seq(2.0, 5.0, 9.0).toDF("mag")
+    val got = df.select(Geo.magDepSearchRadius($"mag", 3, 7, 1, 5))
+      .as[Double].collect().toSeq
+    assert(got == Seq(1.0, 3.0, 5.0))
+  }
+
+  test("radius join with validity window") {
+    val ev = Seq((1L, 0.0, 0.0)).toDF("eid", "elat", "elon")
+    val st = Seq((10L, 0.0, 5.0), (20L, 0.0, 60.0)).toDF("sid", "slat", "slon")
+    val got = StationSearch.radiusJoin(ev, st,
+      $"elat", $"elon", $"slat", $"slon", maxRadius = lit(10.0))
+    assert(got.select("sid").as[Long].collect().toSeq == Seq(10L))
+  }
+
+  // --- Wildcards ------------------------------------------------------------
+
+  test("nslc wildcard filter: OR positives AND negations") {
+    val df = Seq("HHZ", "HHN", "BHZ", "LHZ").toDF("cha")
+    val got = df.filter(Wildcards.nslcFilter($"cha", Seq("HH?", "BH?", "!*N")))
+      .as[String].collect().toSet
+    assert(got == Set("HHZ", "BHZ"))
+  }
+
+  test("wild2re escapes regex metachars") {
+    assert(Wildcards.wild2re("A.B*C?") == "A\\.B.*C.")
+  }
+}

@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Local dev harness approximating the driver's correctness gate:
+run graft.Verify (spark) into OUT, then run each oracle_sql.json entry in
+DuckDB over the same parquet tables and compare (schema: sorted column
+names; values: row-sorted cell-by-cell).
+
+Usage: python3 tools/oracle_check.py [sfdir] [outdir]
+"""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+
+sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for p in glob.glob(f"{sfdir}/*.parquet"):
+    name = os.path.basename(p)[:-len(".parquet")]
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+
+oracle = json.load(open(f"{out}/oracle_sql.json"))
+fail = 0
+for qname, sql in sorted(oracle.items()):
+    spark_dir = f"{out}/{qname}"
+    files = glob.glob(f"{spark_dir}/*.parquet")
+    if not files:
+        print(f"FAIL {qname}: no spark output")
+        fail += 1
+        continue
+    try:
+        sdf = con.execute(
+            f"SELECT * FROM read_parquet({files!r})").fetchdf()
+        ddf = con.execute(sql).fetchdf()
+    except Exception as e:
+        print(f"FAIL {qname}: {e}")
+        fail += 1
+        continue
+    scols, dcols = sorted(sdf.columns), sorted(ddf.columns)
+    if scols != dcols:
+        print(f"FAIL {qname}: columns spark={scols} duck={dcols}")
+        fail += 1
+        continue
+    sdf = sdf[scols].sort_values(scols).reset_index(drop=True)
+    ddf = ddf[dcols].sort_values(dcols).reset_index(drop=True)
+    if len(sdf) != len(ddf):
+        print(f"FAIL {qname}: rows spark={len(sdf)} duck={len(ddf)}")
+        fail += 1
+        continue
+    # dtype report (driver checks schema too)
+    dtype_mismatch = [
+        (c, str(sdf[c].dtype), str(ddf[c].dtype))
+        for c in scols if str(sdf[c].dtype) != str(ddf[c].dtype)]
+    try:
+        pd.testing.assert_frame_equal(sdf, ddf, check_dtype=False,
+                                      check_exact=True)
+        ok = True
+    except AssertionError as e:
+        ok = False
+        msg = str(e).split("\n")[0:4]
+    if ok:
+        extra = f" [dtypes differ: {dtype_mismatch}]" if dtype_mismatch else ""
+        print(f"OK   {qname}: {len(sdf)} rows{extra}")
+    else:
+        print(f"FAIL {qname}: values differ: {msg}")
+        fail += 1
+print(("ALL OK" if fail == 0 else f"{fail} FAILURES"))
+sys.exit(1 if fail else 0)
