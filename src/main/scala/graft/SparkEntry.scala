@@ -2,8 +2,11 @@ package graft
 
 import graft.dsl.Selection
 import graft.functions.{Derived, Geo}
+import graft.multimodal.Multimodal
 import graft.operators.{Dedup, DownloadStats, MergeUpdate, StationSearch, SyncTable}
+import graft.sim.Cosine
 import graft.tables.Tables
+import graft.textops.{MinHashLSH, SimHash, TextFunctions}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -231,6 +234,97 @@ object SparkEntry {
         .withColumn("n_siblings", count(lit(1)).over(w) - 1)
         .select(col("p_partkey"), col("n_siblings"))
         .orderBy(col("p_partkey"))
+    }),
+
+    // text analysis: token counts, distinct tokens, mean token length,
+    // stopword ratio — all codegen'd higher-order functions
+    "q18_text_stats" -> ((s, dir) => {
+      val stops = Seq("the", "a", "and", "of", "to")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.distinctTokenCount(col("text")).as("n_distinct"),
+        round(TextFunctions.avgTokenLen(col("text")), 4).as("avg_tok_len"),
+        length(col("text")).as("len_chars"),
+        round(TextFunctions.stopwordRatio(col("text"), stops), 6).as("stop_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // exact n-gram Jaccard near-dup pairs via inverted shingle index
+    "q19_jaccard_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.wordShingles(col("text"), 3).as("sh"))
+      MinHashLSH.jaccardPairsExact(docs, "doc_id", "sh", 0.6)
+        .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id1"), col("id2"))
+    }),
+
+    // document fingerprinting: xxhash64 of normalized text; distinct
+    // fingerprints == distinct normalized payloads
+    "q20_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(TextFunctions.fingerprint64(col("text"))).as("n_unique"))
+        .orderBy(col("source"))
+    }),
+
+    // ANN baseline: brute-force cosine top-5 for 3 query vectors
+    "q21_knn_cosine" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      Cosine.bruteForceTopK(emb, queries, 5,
+        idCol = "vec_id", vecCol = "embedding",
+        qIdCol = "q_id", qVecCol = "q_emb")
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+
+    // MinHash + banded LSH near-dup detection, exact-Jaccard verified;
+    // oracle = the exact all-pairs Jaccard (LSH recall at j>=0.6 is
+    // 1-(1-0.6^2)^32 > 0.999993 per pair)
+    "q22_minhash_lsh" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.wordShingles(col("text"), 3).as("sh"))
+      MinHashLSH.nearDupPairs(docs, "doc_id", "sh", 0.6)
+        .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id1"), col("id2"))
+    }),
+
+    // SimHash near-dup (no SQL oracle: JVM murmur3 hashing) — rows-only
+    "q23_simhash" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      SimHash.nearDupPairs(docs, "doc_id",
+        TextFunctions.tokens(col("text")), maxHamming = 3)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
+    // language-ID heuristic (no SQL oracle: argmax over stopword lists)
+    "q24_langid" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.langId(col("text")).as("pred_lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // multimodal plumbing: binary payload + typed metadata through the
+    // batch-shaped mapPartitions feature extractor (codec stubbed)
+    "q25_multimodal_features" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val kind = (id % 3) match {
+            case 0 => "image"; case 1 => "audio"; case _ => "video"
+          }
+          Multimodal.MediaRow(id,
+            Multimodal.MediaMeta(kind, 32, 32, 16000, 1000L),
+            text.getBytes("UTF-8"))
+        }
+      Multimodal.extractFeatures(media)
+        .select(col("id").as("doc_id"), col("kind"),
+          col("nBytes").as("n_bytes"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -384,6 +478,84 @@ object SparkEntry {
       """SELECT p_partkey,
         |  count(*) OVER (PARTITION BY p_brand, p_size) - 1 AS n_siblings
         |FROM part
-        |ORDER BY p_partkey""".stripMargin
+        |ORDER BY p_partkey""".stripMargin,
+    "q18_text_stats" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN trim(text) = '' THEN []
+        |         ELSE string_split_regex(trim(text), '\s+') END AS t,
+        |    CASE WHEN trim(text) = '' THEN []
+        |         ELSE string_split_regex(lower(trim(text)), '\s+') END AS tl
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(t) AS INTEGER) AS n_tokens,
+        |  CAST(len(list_distinct(t)) AS INTEGER) AS n_distinct,
+        |  round(CAST(list_aggregate(list_transform(t, x -> len(x)), 'sum')
+        |    AS DOUBLE) / len(t), 4) AS avg_tok_len,
+        |  CAST(length(text) AS INTEGER) AS len_chars,
+        |  round(CAST(len(list_filter(tl,
+        |    x -> x IN ('the', 'a', 'and', 'of', 'to'))) AS DOUBLE) / len(tl), 6)
+        |    AS stop_ratio
+        |FROM toks
+        |ORDER BY doc_id""".stripMargin,
+    "q19_jaccard_pairs" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(string_split_regex(trim(text), '\s+')) - 1, 1)),
+        |    i -> string_split_regex(trim(text), '\s+')[i] || ' ' ||
+        |         string_split_regex(trim(text), '\s+')[i+1] || ' ' ||
+        |         string_split_regex(trim(text), '\s+')[i+2])) AS sh
+        |  FROM documents)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6
+        |ORDER BY id1, id2""".stripMargin,
+    "q20_fingerprint" ->
+      """SELECT source, count(*) AS n_docs,
+        |  count(DISTINCT lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+        |    AS n_unique
+        |FROM documents
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
+    "q21_knn_cosine" ->
+      """SELECT q_id, rnk, vec_id, cos FROM (
+        |  SELECT q.vec_id AS q_id, n.vec_id AS vec_id,
+        |    round(list_cosine_similarity(
+        |      list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+        |      list_transform(n.embedding, x -> CAST(x AS DOUBLE))), 6) AS cos,
+        |    CAST(row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(list_cosine_similarity(
+        |        list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+        |        list_transform(n.embedding, x -> CAST(x AS DOUBLE))), 6) DESC,
+        |      n.vec_id) AS INTEGER) AS rnk
+        |  FROM embeddings q JOIN embeddings n ON n.vec_id != q.vec_id
+        |  WHERE q.vec_id < 3)
+        |WHERE rnk <= 5
+        |ORDER BY q_id, rnk""".stripMargin,
+    "q22_minhash_lsh" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(string_split_regex(trim(text), '\s+')) - 1, 1)),
+        |    i -> string_split_regex(trim(text), '\s+')[i] || ' ' ||
+        |         string_split_regex(trim(text), '\s+')[i+1] || ' ' ||
+        |         string_split_regex(trim(text), '\s+')[i+2])) AS sh
+        |  FROM documents)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6
+        |ORDER BY id1, id2""".stripMargin,
+    "q25_multimodal_features" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |    ELSE 'video' END AS kind,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -1,0 +1,112 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal payload plumbing: image/audio/video as opaque `BinaryType`
+  * columns with typed metadata, and batch-shaped per-partition transforms
+  * for decode / feature-extract / resize / frame-sample.
+  *
+  * The actual codec calls are STUBBED (no image/audio libraries in this
+  * environment) behind `Codecs` — each stub is deterministic on the input
+  * bytes so the pipeline is testable end-to-end. The Spark-side contract
+  * (schema, partitioning, batch shape) is real:
+  *  - media rows flow as `Dataset[MediaRow]` (binary + metadata struct);
+  *  - transforms run via `mapPartitions`, amortizing per-batch codec setup
+  *    exactly like an Arrow-batch UDF would — one codec instance per
+  *    partition, not per row;
+  *  - partitioning: media tables should be repartitioned by a size-balanced
+  *    key (e.g. hash of id) rather than source order, since payload sizes
+  *    are heavy-tailed; see `repartitionBySize`.
+  */
+object Multimodal {
+
+  final case class MediaMeta(kind: String, width: Int, height: Int,
+                             sampleRateHz: Int, durationMs: Long)
+  final case class MediaRow(id: Long, meta: MediaMeta, payload: Array[Byte])
+  final case class MediaFeatures(id: Long, kind: String, nBytes: Long,
+                                 checksum: Long, features: Array[Double])
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("meta", StructType(Seq(
+      StructField("kind", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("sampleRateHz", IntegerType),
+      StructField("durationMs", LongType))), nullable = false),
+    StructField("payload", BinaryType, nullable = true)))
+
+  /** Stubbed codecs — deterministic fakes on the raw bytes. A real
+    * deployment swaps these for an image/audio library; the signatures
+    * (bytes in, arrays out, batch-amortized construction) are the contract.
+    */
+  object Codecs {
+    /** "Decode" to an nBins-dim feature vector: byte histogram, L1-normed. */
+    def decodeFeatures(payload: Array[Byte], nBins: Int = 16): Array[Double] = {
+      val hist = new Array[Double](nBins)
+      if (payload == null || payload.isEmpty) return hist
+      payload.foreach(b => hist((b & 0xff) * nBins / 256) += 1.0)
+      val total = payload.length.toDouble
+      hist.map(_ / total)
+    }
+
+    /** "Resize": deterministic subsample of the payload to <= maxBytes. */
+    def resize(payload: Array[Byte], maxBytes: Int): Array[Byte] = {
+      if (payload == null || payload.length <= maxBytes) return payload
+      val step = payload.length.toDouble / maxBytes
+      Array.tabulate(maxBytes)(i => payload((i * step).toInt))
+    }
+
+    /** "Frame-sample": split payload into nFrames equal slices, return the
+      * first byte offset of each (a stand-in for video keyframe indices).
+      */
+    def frameOffsets(payload: Array[Byte], nFrames: Int): Array[Long] = {
+      if (payload == null || payload.isEmpty) return Array.empty
+      Array.tabulate(nFrames)(i => (i.toLong * payload.length) / nFrames)
+    }
+
+    def checksum(payload: Array[Byte]): Long = {
+      if (payload == null) return 0L
+      var h = 1125899906842597L
+      payload.foreach(b => h = 31 * h + b)
+      h
+    }
+  }
+
+  /** Batch feature extraction: one codec "instance" per partition (the
+    * mapInPandas/Arrow-batch execution shape, minus python).
+    */
+  def extractFeatures(media: Dataset[MediaRow], nBins: Int = 16): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition setup happens here (codec init in a real deployment)
+      rows.map { r =>
+        MediaFeatures(r.id, r.meta.kind,
+          if (r.payload == null) 0L else r.payload.length.toLong,
+          Codecs.checksum(r.payload),
+          Codecs.decodeFeatures(r.payload, nBins))
+      }
+    }
+  }
+
+  /** Size-balanced repartitioning for heavy-tailed payloads: hash of id,
+    * not source order, so one huge video per input file can't skew a task.
+    */
+  def repartitionBySize(df: DataFrame, partitions: Int): DataFrame =
+    df.repartition(partitions, xxhash64(col("id")))
+
+  /** Deterministic synthetic media table (for tests/bench: no media libs
+    * in this environment, payload = seeded pseudo-random bytes).
+    */
+  def syntheticMedia(spark: SparkSession, n: Int, kind: String = "image"): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n.toLong).map { i =>
+      val rnd = new scala.util.Random(i * 2654435761L)
+      val size = 64 + rnd.nextInt(192)
+      val payload = Array.fill[Byte](size)(rnd.nextInt(256).toByte)
+      MediaRow(i, MediaMeta(kind, 32, 32, 16000, 1000L), payload)
+    }
+  }
+}

@@ -1,0 +1,88 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search over `ArrayType(FloatType)` columns.
+  *
+  * Baseline: brute-force cosine top-k — a broadcast of the (small) query
+  * set against a full scan of the corpus; all math is `zip_with` /
+  * `aggregate` higher-order expressions, so it runs inside codegen with no
+  * shuffle except the final per-query top-k.
+  *
+  * Scale path: random-hyperplane LSH bucketing — each vector folds to an
+  * n-bit signature; the corpus is grouped by signature and queries probe
+  * only their own bucket (plus optional neighboring buckets), turning a
+  * corpus-wide scan into an equality join.
+  */
+object Cosine {
+
+  def asDouble(v: Column): Column = transform(v, _.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force top-k neighbors for each query vector.
+    * Output: (qId, rank, id, cos). `queries` must be broadcast-sized.
+    * Ranking is on the rounded cosine (6 dp) with the neighbor id as
+    * tie-break, so results are stable across summation orders.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String, vecCol: String,
+                     qIdCol: String, qVecCol: String): DataFrame = {
+    val joined = corpus.join(broadcast(queries), col(qIdCol) =!= col(idCol))
+      .withColumn("cos",
+        round(cosine(asDouble(col(vecCol)), asDouble(col(qVecCol))), 6))
+    val w = Window.partitionBy(col(qIdCol))
+      .orderBy(col("cos").desc, col(idCol))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qIdCol), col("rank"), col(idCol), col("cos"))
+  }
+
+  /** n-bit random-hyperplane signature. Plane h's d-th component is a
+    * deterministic ±1 derived from xxhash64(h, d) — no stored model, the
+    * "planes" regenerate identically on every executor.
+    */
+  def hyperplaneSig(vec: Column, nBits: Int): Column = {
+    require(nBits >= 1 && nBits <= 63)
+    val dims = sequence(lit(0), size(vec) - 1)
+    val bits = (0 until nBits).map { h =>
+      val proj = aggregate(
+        zip_with(vec, dims,
+          (x, d) => x * (pmod(xxhash64(lit(h), d), lit(2)) * 2 - 1).cast("double")),
+        lit(0.0), _ + _)
+      when(proj >= 0, shiftleft(lit(1L), h)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** LSH-bucketed approximate top-k: candidates share the query's
+    * hyperplane bucket; exact cosine re-ranks within the bucket. Trades
+    * recall for a corpus-size-independent probe cost; `nBits` tunes bucket
+    * granularity (recall ~ P(no hyperplane separates near pair) ≈
+    * (1 − θ/π)^nBits).
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              idCol: String, vecCol: String,
+              qIdCol: String, qVecCol: String, nBits: Int = 12): DataFrame = {
+    val c = corpus.withColumn("__sig", hyperplaneSig(asDouble(col(vecCol)), nBits))
+    val q = queries.withColumn("__qsig", hyperplaneSig(asDouble(col(qVecCol)), nBits))
+    val joined = c.join(broadcast(q),
+      col("__sig") === col("__qsig") && col(qIdCol) =!= col(idCol))
+      .drop("__sig", "__qsig")
+      .withColumn("cos",
+        round(cosine(asDouble(col(vecCol)), asDouble(col(qVecCol))), 6))
+    val w = Window.partitionBy(col(qIdCol))
+      .orderBy(col("cos").desc, col(idCol))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qIdCol), col("rank"), col(idCol), col("cos"))
+  }
+}

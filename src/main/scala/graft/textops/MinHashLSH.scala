@@ -1,0 +1,99 @@
+package graft.textops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MinHash + banded LSH near-duplicate detection at corpus scale.
+  *
+  * Pipeline: shingle → k-permutation minhash signature (pure higher-order
+  * Column expressions, one scan, no shuffle) → band buckets → equality
+  * self-join on bucket id (the ONLY shuffle, on 8-byte keys) → exact
+  * Jaccard verification of candidates.
+  *
+  * Scale notes for the 100 TB path:
+  *  - the signature stage is embarrassingly parallel and codegen'd;
+  *  - candidate generation shuffles `docs × bands` rows of (bucket, id) —
+  *    tiny compared to the corpus — and never materializes all pairs;
+  *  - pathological buckets (boilerplate shingles) are capped via
+  *    `maxBucketSize` to bound the within-bucket pair blow-up, trading a
+  *    little recall on mega-clusters for a hard skew bound.
+  */
+object MinHashLSH {
+
+  /** k minhashes: sig[i] = min over shingles of xxhash64(shingle, i). */
+  def signature(shingles: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(shingles, s => xxhash64(s, i))))
+
+  /** Band bucket ids: hash of (band index, the band's signature slice). */
+  def bandBuckets(sig: Column, bands: Int, rows: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      j => xxhash64(j, slice(sig, j * rows + lit(1), lit(rows))))
+
+  /** Candidate id pairs (id1 < id2) sharing at least one LSH bucket. */
+  def candidatePairs(df: DataFrame, idCol: String, shinglesCol: String,
+                     k: Int = 64, bands: Int = 32, rows: Int = 2,
+                     maxBucketSize: Int = 10000): DataFrame = {
+    require(bands * rows <= k, s"bands*rows (${bands * rows}) must be <= k ($k)")
+    val banded = df
+      .filter(size(col(shinglesCol)) > 0)
+      .select(col(idCol),
+        explode(bandBuckets(signature(col(shinglesCol), k), bands, rows)).as("__bucket"))
+    val capped = banded
+      .withColumn("__bsize", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__bucket"))))
+      .filter(col("__bsize") <= maxBucketSize)
+      .drop("__bsize")
+    capped.as("a")
+      .join(capped.as("b"),
+        col("a.__bucket") === col("b.__bucket") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"))
+      .distinct()
+  }
+
+  /** Exact Jaccard over two shingle arrays. */
+  def jaccard(sh1: Column, sh2: Column): Column =
+    size(array_intersect(sh1, sh2)).cast("double") /
+      (size(sh1) + size(sh2) - size(array_intersect(sh1, sh2)))
+
+  /** LSH candidates verified with exact Jaccard >= threshold.
+    * Output: (id1, id2, jaccard).
+    */
+  def nearDupPairs(df: DataFrame, idCol: String, shinglesCol: String,
+                   threshold: Double, k: Int = 64, bands: Int = 32,
+                   rows: Int = 2): DataFrame = {
+    val cands = candidatePairs(df, idCol, shinglesCol, k, bands, rows)
+    val sh = df.select(col(idCol), col(shinglesCol))
+    cands
+      .join(sh.select(col(idCol).as("id1"), col(shinglesCol).as("__sh1")), "id1")
+      .join(sh.select(col(idCol).as("id2"), col(shinglesCol).as("__sh2")), "id2")
+      .withColumn("jaccard", jaccard(col("__sh1"), col("__sh2")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
+  /** Exact all-pairs Jaccard >= threshold via an inverted shingle index
+    * (explode + equality self-join + count), the oracle-checkable exact
+    * variant: common-shingle counting instead of a quadratic cross join.
+    * Still O(Σ bucket²) in the shingle index — prefer the LSH variant above
+    * beyond ~10⁶ docs.
+    */
+  def jaccardPairsExact(df: DataFrame, idCol: String, shinglesCol: String,
+                        threshold: Double): DataFrame = {
+    val withN = df.select(col(idCol), col(shinglesCol))
+      .withColumn("__nsh", size(col(shinglesCol)))
+      .filter(col("__nsh") > 0)
+      .select(col(idCol), col("__nsh"), explode(col(shinglesCol)).as("__sh"))
+    withN.as("a")
+      .join(withN.as("b"),
+        col("a.__sh") === col("b.__sh") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"),
+        col("a.__nsh").as("__n1"), col("b.__nsh").as("__n2"))
+      .agg(count(lit(1)).as("__common"))
+      .withColumn("jaccard", col("__common").cast("double") /
+        (col("__n1") + col("__n2") - col("__common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+}

@@ -1,0 +1,75 @@
+package graft.textops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import scala.util.hashing.MurmurHash3
+
+/** SimHash near-duplicate detection: each document folds to one signed
+  * 64-bit signature; near-dups are signatures within a small Hamming
+  * distance. Candidate generation blocks on 16-bit signature chunks
+  * (pigeonhole: Hamming <= 3 over 4 chunks guarantees one equal chunk), so
+  * the only shuffle is an equality join on (chunk index, chunk value).
+  */
+object SimHash {
+
+  /** Deterministic 64-bit token hash from two murmur3 runs (stable across
+    * JVMs — scala.util.hashing is specified, not identity-based).
+    */
+  def hash64(s: String): Long = {
+    val h1 = MurmurHash3.stringHash(s, 0x9747b28c)
+    val h2 = MurmurHash3.stringHash(s, 0x85ebca6b)
+    (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+  }
+
+  /** SimHash of a token multiset: per-bit vote of all token hashes. */
+  def simhash64(toks: Seq[String]): Long = {
+    if (toks == null || toks.isEmpty) return 0L
+    val votes = new Array[Int](64)
+    toks.foreach { t =>
+      val h = hash64(t)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** UDF wrapper (the bit-vote loop has no higher-order-function
+    * equivalent that stays readable; the UDF is per-row, no state).
+    */
+  val simhashUdf = udf(simhash64 _)
+
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** 16-bit chunk blocks of a simhash column, chunk index salted in. */
+  def chunks(sim: Column): Column =
+    array((0 until 4).map { i =>
+      struct(lit(i).as("i"),
+        (shiftrightunsigned(sim, i * 16) % 65536).as("v"))
+    }: _*)
+
+  /** Near-dup pairs (id1 < id2) with Hamming distance <= maxHamming.
+    * Recall is exact for maxHamming <= 3 (pigeonhole over 4 chunks);
+    * larger thresholds may miss pairs with no equal chunk.
+    */
+  def nearDupPairs(df: DataFrame, idCol: String, textToks: Column,
+                   maxHamming: Int = 3): DataFrame = {
+    val sims = df.select(col(idCol), simhashUdf(textToks).as("__sim"))
+    val blocked = sims.select(col(idCol), col("__sim"),
+      explode(chunks(col("__sim"))).as("__chunk"))
+    blocked.as("a")
+      .join(blocked.as("b"),
+        col("a.__chunk") === col("b.__chunk") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"),
+        hamming(col("a.__sim"), col("b.__sim")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

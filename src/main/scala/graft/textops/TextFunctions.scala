@@ -1,0 +1,138 @@
+package graft.textops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column builders for large-scale training-data pipelines:
+  * tokenization, quality signals, language-ID and fingerprinting. Everything
+  * is built from `org.apache.spark.sql.functions` higher-order functions so
+  * the hot path stays inside whole-stage codegen — no UDFs, no shuffles; a
+  * 100 TB corpus maps through these as a pure scan stage.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens; empty/blank text → empty array (split would yield
+    * a single empty-string token).
+    */
+  def tokens(text: Column): Column = {
+    val tr = trim(text)
+    when(length(tr) === 0, array().cast("array<string>"))
+      .otherwise(split(tr, "\\s+"))
+  }
+
+  /** BPE-ish subword-boundary tokens: splits on whitespace AND at
+    * letter/digit/punctuation boundaries (a cheap stand-in for a real BPE
+    * vocab, stable + deterministic).
+    */
+  def bpeishTokens(text: Column): Column = {
+    val tr = trim(text)
+    when(length(tr) === 0, array().cast("array<string>"))
+      .otherwise(filter(
+        split(tr, "(?<=\\p{L})(?=\\p{N})|(?<=\\p{N})(?=\\p{L})|(?<=[\\p{L}\\p{N}])(?=\\p{Punct})|(?<=\\p{Punct})(?=[\\p{L}\\p{N}])|\\s+"),
+        t => length(t) > 0))
+  }
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+  def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
+
+  /** Mean token length in characters (null-safe: 0 tokens → null). */
+  def avgTokenLen(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) === 0, lit(null).cast("double"))
+      .otherwise(aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") / size(t))
+  }
+
+  private val PunctClass = "[!\"#$%&'()*+,\\-./:;<=>?@\\[\\]^_`{|}~]"
+
+  /** Fraction of characters that are ASCII punctuation. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      (length(text) - length(regexp_replace(text, PunctClass, ""))).cast("double")
+        / length(text))
+
+  /** Fraction of (lowercased) tokens found in `stopwords`. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val t = tokens(lower(text))
+    when(size(t) === 0, lit(0.0)).otherwise(
+      size(filter(t, w => w.isin(stopwords.map(lit): _*))).cast("double") / size(t))
+  }
+
+  /** Composite quality score in [0,1] from length / punctuation / stopword
+    * signals (the usual pre-training heuristics: too-short docs, punctuation
+    * soup and stopword-free token streams all score low).
+    */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / 100.0, lit(1.0))
+    val punctScore = lit(1.0) - least(punctRatio(text) * 5.0, lit(1.0))
+    val stopScore = least(stopwordRatio(text, stopwords) * 5.0, lit(1.0))
+    round((lenScore + punctScore + stopScore) / 3.0, 6)
+  }
+
+  /** Lowercase + collapse whitespace: the canonical form for exact-dup
+    * fingerprinting.
+    */
+  def normalized(text: Column): Column =
+    lower(regexp_replace(trim(text), "\\s+", " "))
+
+  /** 64-bit document fingerprint = xxhash64 of the normalized text.
+    * Exact-dedup then is a plain hash groupBy — one shuffle of 8-byte keys
+    * instead of full documents.
+    */
+  def fingerprint64(text: Column): Column = xxhash64(normalized(text))
+
+  /** Word n-gram shingles (distinct), the unit for Jaccard/MinHash dedup. */
+  def wordShingles(text: Column, n: Int): Column = {
+    require(n >= 1)
+    val t = tokens(text)
+    val cnt = size(t)
+    when(cnt < n, array().cast("array<string>")).otherwise(
+      array_distinct(transform(sequence(lit(1), cnt - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(t, i + k)): _*))))
+  }
+
+  /** Character n-gram shingles (distinct) over the normalized text. */
+  def charShingles(text: Column, n: Int): Column = {
+    require(n >= 1)
+    val norm = normalized(text)
+    val cnt = length(norm)
+    when(cnt < n, array().cast("array<string>")).otherwise(
+      array_distinct(transform(sequence(lit(1), cnt - (n - 1)),
+        i => norm.substr(i, lit(n)))))
+  }
+
+  /** Per-language stopword marker lists for the n-gram/stopword language-ID
+    * heuristic (tiny on purpose: broadcast-free, codegen'd IN-lists).
+    */
+  val langStopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "von"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "des", "du", "dans", "pour"),
+    "es" -> Seq("el", "los", "las", "y", "es", "una", "de", "que", "no", "por"),
+    "it" -> Seq("il", "lo", "gli", "e", "che", "di", "non", "per", "con", "sono"))
+
+  /** Language-ID: argmax of stopword hits per language; ties break to the
+    * lexicographically larger code; 0 hits → "und" (undetermined).
+    */
+  def langId(text: Column,
+             lists: Map[String, Seq[String]] = langStopwords): Column = {
+    val t = tokens(lower(text))
+    val scored = lists.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(size(filter(t, w => w.isin(words.map(lit): _*))).as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("score") === 0, lit("und")).otherwise(best.getField("lang"))
+  }
+
+  /** Rolling position-sensitive hash fingerprint over tokens — a cheap
+    * content signature robust to surrounding-whitespace noise; pure Column
+    * math: h = Σ xxhash64(token_i, i) (wrap-around addition).
+    */
+  def rollingTokenHash(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) === 0, lit(0L)).otherwise(aggregate(
+      zip_with(t, sequence(lit(0), greatest(size(t) - 1, lit(0))),
+        (tok, i) => xxhash64(tok, i)),
+      lit(0L), (acc, x) => acc + x))
+  }
+}

@@ -1,0 +1,69 @@
+package graft.sim
+
+import graft.SparkSpec
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.functions._
+
+class CosineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)), // near 0
+    (2L, Array(0.0f, 1.0f, 0.0f)), // orthogonal to 0
+    (3L, Array(-1.0f, 0.0f, 0.0f))) // opposite of 0
+    .toDF("vec_id", "embedding")
+
+  test("cosine column math") {
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0))).toDF("a", "b")
+    val got = df.select(Cosine.cosine($"a", $"b")).as[Double].collect()(0)
+    val want = 32.0 / (math.sqrt(14) * math.sqrt(77))
+    assert(math.abs(got - want) < 1e-12)
+  }
+
+  test("brute-force topK ranks by cosine desc") {
+    val q = vecs.filter($"vec_id" === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val got = Cosine.bruteForceTopK(vecs, q, 3,
+      "vec_id", "embedding", "q_id", "q_emb")
+      .orderBy("rank").select("vec_id").as[Long].collect()
+    assert(got.toSeq == Seq(1L, 2L, 3L)) // cos: 0.994, 0, -1
+  }
+
+  test("lsh topK: same-direction vector lands in query's bucket") {
+    val q = vecs.filter($"vec_id" === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val got = Cosine.lshTopK(vecs, q, 3,
+      "vec_id", "embedding", "q_id", "q_emb", nBits = 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got.contains(1L)) // 8° apart: must share all 4 hyperplane bits whp
+    assert(!got.contains(3L)) // opposite vector differs in every bit
+  }
+
+  test("hyperplane signature is deterministic") {
+    val s1 = vecs.select(Cosine.hyperplaneSig(Cosine.asDouble($"embedding"), 12))
+      .as[Long].collect()
+    val s2 = vecs.select(Cosine.hyperplaneSig(Cosine.asDouble($"embedding"), 12))
+      .as[Long].collect()
+    assert(s1.toSeq == s2.toSeq)
+  }
+
+  test("multimodal: batch feature extraction preserves schema + determinism") {
+    val media = Multimodal.syntheticMedia(spark, 20)
+    val feats = Multimodal.extractFeatures(media).collect().sortBy(_.id)
+    assert(feats.length == 20)
+    assert(feats.forall(_.features.length == 16))
+    assert(feats.forall(f => math.abs(f.features.sum - 1.0) < 1e-9)) // L1-normed
+    val again = Multimodal.extractFeatures(Multimodal.syntheticMedia(spark, 20))
+      .collect().sortBy(_.id)
+    assert(feats.map(_.checksum).toSeq == again.map(_.checksum).toSeq)
+  }
+
+  test("multimodal codec stubs: resize bounds and frame offsets") {
+    val payload = Array.tabulate[Byte](1000)(i => (i % 251).toByte)
+    val small = Multimodal.Codecs.resize(payload, 100)
+    assert(small.length == 100)
+    val offs = Multimodal.Codecs.frameOffsets(payload, 4)
+    assert(offs.toSeq == Seq(0L, 250L, 500L, 750L))
+  }
+}

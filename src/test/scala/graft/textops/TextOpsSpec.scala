@@ -1,0 +1,107 @@
+package graft.textops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "completely different words appear here now always"),
+    (4L, ""),
+    (5L, "  spaced   out   tokens  "))
+    .toDF("doc_id", "text")
+
+  test("tokens: empty text yields empty array; whitespace collapsed") {
+    val got = docs.select(TextFunctions.tokenCount($"text")).as[Int].collect()
+    assert(got.toSeq == Seq(9, 9, 7, 0, 3))
+  }
+
+  test("distinct tokens and avg token length") {
+    val r = docs.filter($"doc_id" === 1)
+      .select(TextFunctions.distinctTokenCount($"text"),
+        round(TextFunctions.avgTokenLen($"text"), 4))
+      .as[(Int, Double)].collect()(0)
+    assert(r._1 == 8) // "the" twice
+    assert(r._2 == 3.8889) // 35 chars / 9 tokens
+  }
+
+  test("punct and stopword ratios") {
+    val df = Seq("a, b. c!").toDF("text")
+    val p = df.select(TextFunctions.punctRatio($"text")).as[Double].collect()(0)
+    assert(math.abs(p - 3.0 / 8.0) < 1e-9)
+    val s = docs.filter($"doc_id" === 1)
+      .select(TextFunctions.stopwordRatio($"text", Seq("the", "over")))
+      .as[Double].collect()(0)
+    assert(math.abs(s - 3.0 / 9.0) < 1e-9)
+  }
+
+  test("fingerprint: normalization collapses case/whitespace") {
+    val df = Seq("Hello  World", "hello world", "other").toDF("text")
+    val fps = df.select(TextFunctions.fingerprint64($"text")).as[Long].collect()
+    assert(fps(0) == fps(1) && fps(0) != fps(2))
+  }
+
+  test("word shingles: distinct n-grams, short docs empty") {
+    val sh = docs.select(TextFunctions.wordShingles($"text", 3).as("sh"))
+      .select(size($"sh")).as[Int].collect()
+    assert(sh.toSeq == Seq(7, 7, 5, 0, 1))
+  }
+
+  test("char shingles over normalized text") {
+    val df = Seq("abcd").toDF("text")
+    val sh = df.select(TextFunctions.charShingles($"text", 2)).collect()(0)
+      .getSeq[String](0)
+    assert(sh == Seq("ab", "bc", "cd"))
+  }
+
+  test("langId picks stopword-majority language, und for no hits") {
+    val df = Seq("the cat is in the house", "der hund ist nicht das",
+      "xyz qqq zzz").toDF("text")
+    val got = df.select(TextFunctions.langId($"text")).as[String].collect()
+    assert(got.toSeq == Seq("en", "de", "und"))
+  }
+
+  test("jaccardPairsExact finds the near-dup pair only") {
+    val sh = docs.select($"doc_id",
+      TextFunctions.wordShingles($"text", 2).as("sh"))
+    val pairs = MinHashLSH.jaccardPairsExact(sh, "doc_id", "sh", 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("minhash LSH near-dup agrees with exact jaccard") {
+    val sh = docs.select($"doc_id",
+      TextFunctions.wordShingles($"text", 2).as("sh"))
+    val lsh = MinHashLSH.nearDupPairs(sh, "doc_id", "sh", 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(lsh == Set((1L, 2L)))
+  }
+
+  test("minhash signature: identical shingles → identical signature") {
+    val df = Seq((1L, Seq("a b", "b c")), (2L, Seq("a b", "b c")),
+      (3L, Seq("x y"))).toDF("id", "sh")
+    val sigs = df.select($"id", MinHashLSH.signature($"sh", 16).as("sig"))
+      .orderBy("id").collect().map(_.getSeq[Long](1))
+    assert(sigs(0) == sigs(1) && sigs(0) != sigs(2))
+  }
+
+  test("simhash: near-dup docs within small hamming, different docs far") {
+    val h1 = SimHash.simhash64("the quick brown fox jumps over the lazy dog".split(" ").toSeq)
+    val h2 = SimHash.simhash64("the quick brown fox jumps over the lazy cat".split(" ").toSeq)
+    val h3 = SimHash.simhash64("completely different words appear here now".split(" ").toSeq)
+    assert(java.lang.Long.bitCount(h1 ^ h2) < java.lang.Long.bitCount(h1 ^ h3))
+    assert(SimHash.simhash64(Nil) == 0L)
+  }
+
+  test("simhash blocked pairs find identical docs at hamming 0") {
+    val df = Seq((1L, "aaa bbb ccc ddd"), (2L, "aaa bbb ccc ddd"),
+      (3L, "zzz yyy xxx www")).toDF("doc_id", "text")
+    val pairs = SimHash.nearDupPairs(df, "doc_id",
+      TextFunctions.tokens(col("text")), maxHamming = 3)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}
