@@ -1,0 +1,154 @@
+package graft
+
+import graft.dsp.{Filters, RespSpectrum, Spectra, Trace, Traces}
+import graft.model.{Schemas, SegmentView}
+import graft.process.SegmentProcessor
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.sql.Timestamp
+
+/** End-to-end processing-engine demo + throughput benchmark: the SURVEY §7.2
+  * minimum slice ("select segments with valid data, magnitude >= M, channel
+  * HH?, compute SNR + PGA features, write table") against an in-memory
+  * segment store with synthetic waveforms — the paramtable feature job
+  * (`/root/reference/resources/templates/paramtable.py:39-266`) re-expressed
+  * on the graft engine.
+  *
+  * Prints JSON with rows processed and segments/second — the reference
+  * processes 0.024 s/segment (~41 seg/s) single-core
+  * (`stream2segment/process/main.py:607-609`); this engine should beat that
+  * per core and scale with executors.
+  */
+object ProcessBench {
+
+  def doublesToBytes(xs: Array[Double]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(xs.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+    xs.foreach(bb.putDouble)
+    bb.array()
+  }
+
+  def bytesToDoubles(b: Array[Byte]): Array[Double] = {
+    val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+    Array.fill(b.length / 8)(bb.getDouble)
+  }
+
+  /** Deterministic synthetic store: nSegments waveforms (noise + P-wave
+    * burst), nSegments/10 stations, one event.
+    */
+  def buildStore(spark: SparkSession, nSegments: Int): Map[String, org.apache.spark.sql.DataFrame] = {
+    val fs = 100.0
+    val nSamples = 3000 // 30 s
+    val t0 = Timestamp.valueOf("2020-01-01 00:00:00")
+
+    val segRows = (0 until nSegments).map { i =>
+      val rnd = new scala.util.Random(i)
+      val arrivalIdx = 1000 + rnd.nextInt(200)
+      val wave = Array.tabulate(nSamples) { j =>
+        val noise = rnd.nextGaussian() * 0.1
+        if (j >= arrivalIdx)
+          noise + 3.0 * math.exp(-(j - arrivalIdx) / 500.0) *
+            math.sin(2 * math.Pi * 5.0 * (j - arrivalIdx) / fs)
+        else noise
+      }
+      Row(i.toLong, 1L, (i % (nSegments / 10 + 1)).toLong + 1L, 1L, 1L,
+        null, 1.0 + i * 0.001, doublesToBytes(wave), 200L,
+        t0, new Timestamp(t0.getTime + arrivalIdx * 10), // arrival at idx/fs
+        new Timestamp(t0.getTime + 30000), fs, 0.0,
+        t0, new Timestamp(t0.getTime + 30000), false)
+    }
+    val channels = (1 to nSegments / 10 + 1).map { c =>
+      Row(c.toLong, c.toLong, "", "HHZ", 0.0, 0.0, -90.0, null, null, null, null, 100.0)
+    }
+    val stations = (1 to nSegments / 10 + 1).map { s =>
+      Row(s.toLong, 1L, "GE", f"ST$s%03d", 10.0 + s * 0.1, 20.0 + s * 0.1,
+        100.0, null, Timestamp.valueOf("2010-01-01 00:00:00"), null, null)
+    }
+    def df(schema: StructType, rows: Seq[Row]) =
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 32), schema)
+    Map(
+      "segments" -> df(Schemas.segments, segRows),
+      "channels" -> df(Schemas.channels, channels),
+      "stations" -> df(Schemas.stations, stations),
+      "events" -> df(Schemas.events, Seq(Row(1L, 1L, "ev1",
+        Timestamp.valueOf("2020-01-01 00:00:00"), 10.0, 20.0, 10.0,
+        null, null, null, null, "Mw", 6.0, null, null, null))),
+      "data_centers" -> df(Schemas.dataCenters,
+        Seq(Row(1L, "http://sta", "http://ds", "ORG"))))
+  }
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("snr", DoubleType), StructField("snr_db", DoubleType),
+    StructField("cum_t05", DoubleType), StructField("cum_t95", DoubleType),
+    StructField("pga", DoubleType), StructField("pgv", DoubleType),
+    StructField("sa_0_3s", DoubleType), StructField("sa_1s", DoubleType),
+    StructField("dist_deg", DoubleType), StructField("mag", DoubleType)))
+
+  /** The paramtable-style feature function over one segment. */
+  def featureJob(ctx: SegmentProcessor.SegmentCtx): Either[String, Seq[Any]] = {
+    val row = ctx.row
+    def idx(n: String) = row.fieldIndex(n)
+    val data = row.getAs[Array[Byte]](idx("data"))
+    if (data == null || data.isEmpty) return Left("empty data")
+    val wave = bytesToDoubles(data)
+    if (wave.length < 100) return Left("too few samples")
+    val fs = row.getDouble(idx("sample_rate"))
+    val start = row.getTimestamp(idx("start_time"))
+    val arrival = row.getTimestamp(idx("arrival_time"))
+
+    val trace = Trace(wave, fs, start)
+    val bp = Traces.bandpass(trace, freqMin = 1.0, freqMax = 30.0,
+      corners = 2, zerophase = true)
+    val (noise, signal) = Traces.snSplit(bp, arrival, windowSec = 10.0)
+    if (signal.data.length < 10 || noise.data.length < 10)
+      return Left("short s/n windows")
+    val snr = Spectra.snr(signal.data, noise.data,
+      deltaSignal = 1 / fs, deltaNoise = 1 / fs)
+    val snrDb = 10 * math.log10(snr)
+    val cum = Spectra.cumsumsq(signal.data)
+    val t05 = Spectra.cumQuantileIndex(cum, 0.05) / fs
+    val t95 = Spectra.cumQuantileIndex(cum, 0.95) / fs
+    val (pga, _, pgv, _) = Traces.peakGroundMotion(signal)
+    val spec = RespSpectrum.nigamJennings(signal.data, 1 / fs, Array(0.3, 1.0))
+    Right(Seq(snr, snrDb, t05, t95, pga, pgv, spec.sa(0), spec.sa(1),
+      row.getDouble(idx("event_distance_deg")),
+      row.getDouble(idx("event_magnitude"))))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = sys.env.getOrElse("SPARK_GRAFT_NSEG", "2000").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    implicit val spark: SparkSession = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-process-bench")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val store = buildStore(spark, n)
+    val view = SegmentView.build(store("segments"), store("events"),
+      store("channels"), store("stations"), store("data_centers"))
+
+    val t0 = System.nanoTime()
+    val (out, skipped) = SegmentProcessor.run(
+      view,
+      selection = Map(
+        "has_valid_data" -> "true",
+        "event.magnitude" -> ">=5",
+        "channel.channel" -> "HH?".replace("?", "Z"), // exact set for demo
+        "maxgap_numsamples" -> "(-0.5, 0.5)"),
+      outSchema = featureSchema,
+      f = featureJob)
+    out.persist()
+    val nOut = out.count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val nSkip = skipped.count()
+    out.show(5, truncate = false)
+    println(f"""{"metric":"process_throughput","segments":$nOut,"skipped":$nSkip,"sec":$sec%.3f,"seg_per_sec":${nOut / sec}%.1f}""")
+    spark.stop()
+  }
+}

@@ -1,0 +1,169 @@
+package graft.dsp
+
+/** Complex FFT for arbitrary lengths: iterative radix-2 Cooley-Tukey for
+  * powers of two, Bluestein's chirp-z otherwise — so `rfft` matches
+  * numpy's no-padding semantics (`np.fft.rfft`, used by the reference's
+  * spectral kernels `stream2segment/process/funclib/ndarrays.py:50-60`)
+  * for every input length.
+  *
+  * Standard textbook algorithms (Cooley–Tukey 1965; Bluestein 1970),
+  * implemented on flat double arrays for JIT-friendliness inside UDFs.
+  */
+object Fft {
+
+  /** In-place radix-2 FFT over interleaved [re0, im0, re1, im1, ...]. */
+  private def fftRadix2(a: Array[Double], inverse: Boolean): Unit = {
+    val n = a.length / 2
+    require((n & (n - 1)) == 0, "radix-2 length must be a power of 2")
+    if (n <= 1) return
+    // bit-reversal permutation
+    var i = 1
+    var j = 0
+    while (i < n) {
+      var bit = n >> 1
+      while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+      j |= bit
+      if (i < j) {
+        val tr = a(2 * i); val ti = a(2 * i + 1)
+        a(2 * i) = a(2 * j); a(2 * i + 1) = a(2 * j + 1)
+        a(2 * j) = tr; a(2 * j + 1) = ti
+      }
+      i += 1
+    }
+    var len = 2
+    while (len <= n) {
+      val ang = (if (inverse) 2.0 else -2.0) * math.Pi / len
+      val wr = math.cos(ang); val wi = math.sin(ang)
+      var blk = 0
+      while (blk < n) {
+        var cwr = 1.0; var cwi = 0.0
+        var k = 0
+        while (k < len / 2) {
+          val p = 2 * (blk + k)
+          val q = 2 * (blk + k + len / 2)
+          val ur = a(p); val ui = a(p + 1)
+          val vr = a(q) * cwr - a(q + 1) * cwi
+          val vi = a(q) * cwi + a(q + 1) * cwr
+          a(p) = ur + vr; a(p + 1) = ui + vi
+          a(q) = ur - vr; a(q + 1) = ui - vi
+          val nwr = cwr * wr - cwi * wi
+          cwi = cwr * wi + cwi * wr
+          cwr = nwr
+          k += 1
+        }
+        blk += len
+      }
+      len <<= 1
+    }
+  }
+
+  private def nextPow2(n: Int): Int = {
+    var p = 1
+    while (p < n) p <<= 1
+    p
+  }
+
+  /** Forward complex DFT of arbitrary length (Bluestein when not pow-2).
+    * Input/output interleaved complex.
+    */
+  def dft(x: Array[Double], inverse: Boolean = false): Array[Double] = {
+    val n = x.length / 2
+    if (n == 0) return Array.empty
+    if ((n & (n - 1)) == 0) {
+      val a = x.clone()
+      fftRadix2(a, inverse)
+      if (inverse) {
+        var i = 0
+        while (i < a.length) { a(i) /= n; i += 1 }
+      }
+      return a
+    }
+    // Bluestein: x_k * chirp → convolution with conjugate chirp
+    val m = nextPow2(2 * n + 1)
+    val sign = if (inverse) 1.0 else -1.0
+    val a = new Array[Double](2 * m)
+    val b = new Array[Double](2 * m)
+    var k = 0
+    while (k < n) {
+      // angle = sign * pi * k^2 / n  (mod 2n to keep precision)
+      val kk = (k.toLong * k) % (2L * n)
+      val ang = sign * math.Pi * kk / n
+      val cr = math.cos(ang); val ci = math.sin(ang)
+      a(2 * k) = x(2 * k) * cr - x(2 * k + 1) * ci
+      a(2 * k + 1) = x(2 * k) * ci + x(2 * k + 1) * cr
+      b(2 * k) = cr; b(2 * k + 1) = -ci
+      if (k > 0) { b(2 * (m - k)) = cr; b(2 * (m - k) + 1) = -ci }
+      k += 1
+    }
+    fftRadix2(a, inverse = false)
+    fftRadix2(b, inverse = false)
+    // pointwise multiply
+    var i = 0
+    while (i < m) {
+      val re = a(2 * i) * b(2 * i) - a(2 * i + 1) * b(2 * i + 1)
+      val im = a(2 * i) * b(2 * i + 1) + a(2 * i + 1) * b(2 * i)
+      a(2 * i) = re; a(2 * i + 1) = im
+      i += 1
+    }
+    fftRadix2(a, inverse = true)
+    val out = new Array[Double](2 * n)
+    k = 0
+    while (k < n) {
+      val kk = (k.toLong * k) % (2L * n)
+      val ang = sign * math.Pi * kk / n
+      val cr = math.cos(ang); val ci = math.sin(ang)
+      val re = a(2 * k) / m; val im = a(2 * k + 1) / m
+      out(2 * k) = re * cr - im * ci
+      out(2 * k + 1) = re * ci + im * cr
+      if (inverse) { out(2 * k) /= n; out(2 * k + 1) /= n }
+      k += 1
+    }
+    out
+  }
+
+  /** Real-input FFT: returns n/2+1 interleaved complex values, matching
+    * `np.fft.rfft` (no padding, no scaling).
+    */
+  def rfft(x: Array[Double]): Array[Double] = {
+    val n = x.length
+    if (n == 0) return Array.empty
+    val cx = new Array[Double](2 * n)
+    var i = 0
+    while (i < n) { cx(2 * i) = x(i); i += 1 }
+    val full = dft(cx)
+    java.util.Arrays.copyOfRange(full, 0, 2 * (n / 2 + 1))
+  }
+
+  /** Inverse of `rfft` for a known even/odd original length. */
+  def irfft(spec: Array[Double], n: Int): Array[Double] = {
+    val full = new Array[Double](2 * n)
+    val half = n / 2 + 1
+    var i = 0
+    while (i < half) {
+      full(2 * i) = spec(2 * i); full(2 * i + 1) = spec(2 * i + 1)
+      i += 1
+    }
+    i = half
+    while (i < n) { // hermitian symmetry
+      full(2 * i) = spec(2 * (n - i))
+      full(2 * i + 1) = -spec(2 * (n - i) + 1)
+      i += 1
+    }
+    val inv = dft(full, inverse = true)
+    val out = new Array[Double](n)
+    i = 0
+    while (i < n) { out(i) = inv(2 * i); i += 1 }
+    out
+  }
+
+  /** Amplitudes |X_k| of an interleaved complex spectrum. */
+  def abs(spec: Array[Double]): Array[Double] = {
+    val out = new Array[Double](spec.length / 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = math.hypot(spec(2 * i), spec(2 * i + 1))
+      i += 1
+    }
+    out
+  }
+}

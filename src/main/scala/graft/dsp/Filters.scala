@@ -1,0 +1,193 @@
+package graft.dsp
+
+/** IIR Butterworth band-pass + zero-phase filtering and tapering — the JVM
+  * equivalents of the scipy/ObsPy primitives the reference builds on
+  * (`stream2segment/process/funclib/traces.py:50-101` bandpass;
+  * ObsPy `zerophase=True` = filter, reverse, filter, reverse).
+  *
+  * Design pipeline (standard DSP, scipy-compatible): analog Butterworth
+  * prototype → low-pass→band-pass transform → bilinear transform →
+  * second-order sections, then cascade `sosfilt`.
+  */
+object Filters {
+
+  final case class Sos(b0: Double, b1: Double, b2: Double,
+                       a1: Double, a2: Double)
+
+  private final case class C(re: Double, im: Double) {
+    def +(o: C) = C(re + o.re, im + o.im)
+    def -(o: C) = C(re - o.re, im - o.im)
+    def *(o: C) = C(re * o.re - im * o.im, re * o.im + im * o.re)
+    def /(o: C) = {
+      val d = o.re * o.re + o.im * o.im
+      C((re * o.re + im * o.im) / d, (im * o.re - re * o.im) / d)
+    }
+    def unary_- = C(-re, -im)
+    def sqrt: C = {
+      val r = math.hypot(re, im)
+      val a = math.sqrt((r + re) / 2)
+      val b = math.signum(if (im == 0) 1.0 else im) * math.sqrt((r - re) / 2)
+      C(a, b)
+    }
+  }
+
+  /** Butterworth band-pass SOS cascade + overall gain.
+    *
+    * @param order   number of pole pairs ("corners" in ObsPy terms)
+    * @param lowHz   lower corner frequency
+    * @param highHz  upper corner frequency
+    * @param fs      sampling rate
+    */
+  def butterBandpass(order: Int, lowHz: Double, highHz: Double,
+                     fs: Double): (Array[Sos], Double) = {
+    require(order >= 1 && lowHz > 0 && highHz > lowHz && highHz < fs / 2)
+    // normalized (0..1 of Nyquist) then pre-warped analog frequencies
+    // (scipy iirfilter: warped = 2*fs'*tan(pi*Wn/fs') with fs'=2)
+    val wLow = lowHz / (fs / 2)
+    val wHigh = highHz / (fs / 2)
+    val warpedLo = 4.0 * math.tan(math.Pi * wLow / 2.0)
+    val warpedHi = 4.0 * math.tan(math.Pi * wHigh / 2.0)
+    val bw = warpedHi - warpedLo
+    val w0 = math.sqrt(warpedLo * warpedHi)
+
+    // analog low-pass prototype poles (unit circle, left half-plane)
+    val proto = (0 until order).map { k =>
+      val theta = math.Pi * (2.0 * k + 1.0) / (2.0 * order) + math.Pi / 2.0
+      C(math.cos(theta), math.sin(theta))
+    }
+
+    // lp→bp: each pole p → p*bw/2 ± sqrt((p*bw/2)² − w0²); zeros: N at 0
+    val bpPoles = proto.flatMap { p =>
+      val pb = C(p.re * bw / 2, p.im * bw / 2)
+      val disc = (pb * pb - C(w0 * w0, 0)).sqrt
+      Seq(pb + disc, pb - disc)
+    }
+    // analog gain: k = bw^order
+    val analogGain = math.pow(bw, order)
+
+    // bilinear transform with fs'=2 → fs2 = 2*fs' = 4
+    val fs2 = 4.0
+    def bilin(s: C): C = (C(fs2, 0) + s) / (C(fs2, 0) - s)
+    val zPoles = bpPoles.map(bilin)
+    // analog zeros: `order` zeros at s=0 → z=1; degree diff adds z=-1 zeros
+    val zZeros = Array.fill(order)(C(1, 0)) ++ Array.fill(order)(C(-1, 0))
+    // gain correction: k * Re[ prod(fs2 - zeros) / prod(fs2 - poles) ]
+    val numer = Array.fill(order)(C(fs2, 0)).foldLeft(C(1, 0))(_ * _) // (fs2-0)^order
+    val denom = bpPoles.foldLeft(C(1, 0))((acc, p) => acc * (C(fs2, 0) - p))
+    val digitalGain = analogGain * (numer / denom).re
+
+    // pair conjugate poles (sorted by |p| desc = closest to unit circle
+    // first) with one (z=1, z=-1) zero pair each → SOS
+    val upper = zPoles.filter(_.im >= 0).sortBy(p => -(p.re * p.re + p.im * p.im))
+    val sos = upper.map { p =>
+      // (1 - z^-1)(1 + z^-1) = 1 - z^-2 ; poles: 1 - 2Re(p)z^-1 + |p|² z^-2
+      Sos(1.0, 0.0, -1.0, -2.0 * p.re, p.re * p.re + p.im * p.im)
+    }.toArray
+    (sos, digitalGain)
+  }
+
+  /** Direct-form-II-transposed cascade (scipy `sosfilt`), gain applied to
+    * the first section.
+    */
+  def sosfilt(sos: Array[Sos], gain: Double, x: Array[Double]): Array[Double] = {
+    var y = x.clone()
+    var first = true
+    sos.foreach { s =>
+      val g = if (first) gain else 1.0
+      first = false
+      var z1 = 0.0
+      var z2 = 0.0
+      var i = 0
+      while (i < y.length) {
+        val xi = y(i) * g
+        val yi = s.b0 * xi + z1
+        z1 = s.b1 * xi - s.a1 * yi + z2
+        z2 = s.b2 * xi - s.a2 * yi
+        y(i) = yi
+        i += 1
+      }
+    }
+    y
+  }
+
+  /** ObsPy-style zero-phase: filter, reverse, filter, reverse. */
+  def filtfilt(sos: Array[Sos], gain: Double, x: Array[Double]): Array[Double] = {
+    val fwd = sosfilt(sos, gain, x)
+    reverseInPlace(fwd)
+    val back = sosfilt(sos, gain, fwd)
+    reverseInPlace(back)
+    back
+  }
+
+  private def reverseInPlace(a: Array[Double]): Unit = {
+    var i = 0
+    var j = a.length - 1
+    while (i < j) {
+      val t = a(i); a(i) = a(j); a(j) = t
+      i += 1; j -= 1
+    }
+  }
+
+  /** Band-pass convenience matching the ObsPy semantics the reference
+    * wraps: corners=`order`, optional zero-phase.
+    */
+  def bandpass(x: Array[Double], lowHz: Double, highHz: Double, fs: Double,
+               corners: Int = 4, zerophase: Boolean = false): Array[Double] = {
+    val (sos, gain) = butterBandpass(corners, lowHz, highHz, fs)
+    if (zerophase) filtfilt(sos, gain, x) else sosfilt(sos, gain, x)
+  }
+
+  /** Cosine (Tukey) taper over fraction `p` of each end — ObsPy
+    * `Trace.taper(max_percentage=p/2, type='cosine')` shape.
+    */
+  def cosineTaper(n: Int, p: Double): Array[Double] = {
+    val w = Array.fill(n)(1.0)
+    val taperLen = math.min((p * n / 2).toInt, n / 2)
+    var i = 0
+    while (i < taperLen) {
+      val f = 0.5 * (1.0 - math.cos(math.Pi * (i + 1) / (taperLen + 1)))
+      w(i) = f
+      w(n - 1 - i) = f
+      i += 1
+    }
+    w
+  }
+
+  def applyTaper(x: Array[Double], p: Double): Array[Double] = {
+    val w = cosineTaper(x.length, p)
+    val out = new Array[Double](x.length)
+    var i = 0
+    while (i < x.length) { out(i) = x(i) * w(i); i += 1 }
+    out
+  }
+
+  /** Linear detrend (least-squares line removal), the ObsPy
+    * `detrend('linear')` primitive.
+    */
+  def detrendLinear(x: Array[Double]): Array[Double] = {
+    val n = x.length
+    if (n < 2) return x.clone()
+    var sx = 0.0; var sy = 0.0; var sxx = 0.0; var sxy = 0.0
+    var i = 0
+    while (i < n) { sx += i; sy += x(i); sxx += i.toDouble * i; sxy += i * x(i); i += 1 }
+    val denom = n * sxx - sx * sx
+    val slope = (n * sxy - sx * sy) / denom
+    val icept = (sy - slope * sx) / n
+    Array.tabulate(n)(j => x(j) - (icept + slope * j))
+  }
+
+  /** Cumulative trapezoid integration with sample spacing dt (ObsPy
+    * `Trace.integrate` / scipy `cumtrapz` with initial=0).
+    */
+  def integrate(x: Array[Double], dt: Double): Array[Double] = {
+    val out = new Array[Double](x.length)
+    var acc = 0.0
+    var i = 1
+    while (i < x.length) {
+      acc += 0.5 * (x(i) + x(i - 1)) * dt
+      out(i) = acc
+      i += 1
+    }
+    out
+  }
+}

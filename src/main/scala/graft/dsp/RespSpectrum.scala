@@ -1,0 +1,150 @@
+package graft.dsp
+
+/** Single-degree-of-freedom oscillator response spectra — the reference's
+  * `ResponseSpectrum` hierarchy (`stream2segment/process/funclib/ndarrays
+  * .py:305-594`): given a ground-acceleration record, compute peak
+  * responses over a set of oscillator periods.
+  *
+  * Two classical integrators (both published algorithms):
+  *  - Newmark-β (constant average acceleration, β=1/4 γ=1/2)
+  *  - Nigam & Jennings (1969) exact piecewise-linear recurrence
+  *
+  * Output per period: spectral displacement/velocity/acceleration plus the
+  * pseudo-spectra PSV = ω·SD, PSA = ω²·SD; and record peaks PGA/PGV/PGD.
+  */
+object RespSpectrum {
+
+  final case class Result(periods: Array[Double], sd: Array[Double],
+                          sv: Array[Double], sa: Array[Double],
+                          psv: Array[Double], psa: Array[Double],
+                          pga: Double, pgv: Double, pgd: Double)
+
+  /** Integrate acceleration twice for PGV/PGD. */
+  private def peaks(acc: Array[Double], dt: Double): (Double, Double, Double) = {
+    val vel = Filters.integrate(acc, dt)
+    val dis = Filters.integrate(vel, dt)
+    (maxAbs(acc), maxAbs(vel), maxAbs(dis))
+  }
+
+  private def maxAbs(x: Array[Double]): Double = {
+    var m = 0.0
+    var i = 0
+    while (i < x.length) { val a = math.abs(x(i)); if (a > m) m = a; i += 1 }
+    m
+  }
+
+  /** Newmark-β constant-average-acceleration method
+    * (`ndarrays.py` NewmarkBeta).
+    */
+  def newmarkBeta(acc: Array[Double], dt: Double, periods: Array[Double],
+                  damping: Double = 0.05): Result = {
+    val n = periods.length
+    val sd = new Array[Double](n)
+    val sv = new Array[Double](n)
+    val sa = new Array[Double](n)
+    var p = 0
+    while (p < n) {
+      val omega = 2.0 * math.Pi / periods(p)
+      val k = omega * omega // unit mass
+      val c = 2.0 * damping * omega
+      val beta = 0.25
+      val gamma = 0.5
+      val kHat = k + gamma / (beta * dt) * c + 1.0 / (beta * dt * dt)
+      var u = 0.0; var v = 0.0
+      var a = if (acc.nonEmpty) -acc(0) else 0.0
+      var maxU = 0.0; var maxV = 0.0; var maxA = 0.0
+      var i = 1
+      while (i < acc.length) {
+        // incremental Newmark form, unit mass, dp = −Δag
+        val dp = -(acc(i) - acc(i - 1))
+        val a1 = 1.0 / (beta * dt) + gamma / beta * c
+        val a2 = 1.0 / (2 * beta) + dt * (gamma / (2 * beta) - 1.0) * c
+        val du = (dp + a1 * v + a2 * a) / kHat
+        val dv = gamma / (beta * dt) * du - gamma / beta * v +
+          dt * (1.0 - gamma / (2.0 * beta)) * a
+        val da = 1.0 / (beta * dt * dt) * du - 1.0 / (beta * dt) * v -
+          1.0 / (2.0 * beta) * a
+        u += du; v += dv; a += da
+        if (math.abs(u) > maxU) maxU = math.abs(u)
+        if (math.abs(v) > maxV) maxV = math.abs(v)
+        val totalA = math.abs(-(c * v + k * u)) // unit mass: ü_total = −(cv+ku)
+        if (totalA > maxA) maxA = totalA
+        i += 1
+      }
+      sd(p) = maxU; sv(p) = maxV; sa(p) = maxA
+      p += 1
+    }
+    val (pga, pgv, pgd) = peaks(acc, dt)
+    Result(periods, sd, sv, sa,
+      periods.indices.map(i => 2 * math.Pi / periods(i) * sd(i)).toArray,
+      periods.indices.map(i => math.pow(2 * math.Pi / periods(i), 2) * sd(i)).toArray,
+      pga, pgv, pgd)
+  }
+
+  /** Nigam & Jennings (1969): exact solution for piecewise-linear ground
+    * acceleration — the reference's default (`ndarrays.py` NigamJennings).
+    */
+  def nigamJennings(acc: Array[Double], dt: Double, periods: Array[Double],
+                    damping: Double = 0.05): Result = {
+    val n = periods.length
+    val sd = new Array[Double](n)
+    val sv = new Array[Double](n)
+    val sa = new Array[Double](n)
+    var p = 0
+    while (p < n) {
+      val omega = 2.0 * math.Pi / periods(p)
+      val omega2 = omega * omega
+      val omegaD = omega * math.sqrt(1.0 - damping * damping)
+      val xi = damping
+      val e = math.exp(-xi * omega * dt)
+      val sinWd = math.sin(omegaD * dt)
+      val cosWd = math.cos(omegaD * dt)
+
+      val a11 = e * (xi * omega / omegaD * sinWd + cosWd)
+      val a12 = e / omegaD * sinWd
+      val a21 = -e * omega2 / omegaD * sinWd
+      val a22 = e * (cosWd - xi * omega / omegaD * sinWd)
+
+      val t1 = (2.0 * xi * xi - 1.0) / (omega2 * dt)
+      val t2 = 2.0 * xi / (omega2 * omega * dt)
+      val b11 = e * ((t1 + xi / omega) * sinWd / omegaD +
+        (t2 + 1.0 / omega2) * cosWd) - t2
+      val b12 = -e * (t1 * sinWd / omegaD + t2 * cosWd) - 1.0 / omega2 + t2
+      val b21 = e * ((t1 + xi / omega) * (cosWd - xi * omega / omegaD * sinWd) -
+        (t2 + 1.0 / omega2) * (omegaD * sinWd + xi * omega * cosWd)) +
+        1.0 / (omega2 * dt)
+      val b22 = -e * (t1 * (cosWd - xi * omega / omegaD * sinWd) -
+        t2 * (omegaD * sinWd + xi * omega * cosWd)) - 1.0 / (omega2 * dt)
+
+      var u = 0.0; var v = 0.0
+      var maxU = 0.0; var maxV = 0.0; var maxA = 0.0
+      var i = 1
+      while (i < acc.length) {
+        val uNext = a11 * u + a12 * v + b11 * acc(i - 1) + b12 * acc(i)
+        val vNext = a21 * u + a22 * v + b21 * acc(i - 1) + b22 * acc(i)
+        u = uNext; v = vNext
+        val totalA = -(2.0 * xi * omega * v + omega2 * u)
+        if (math.abs(u) > maxU) maxU = math.abs(u)
+        if (math.abs(v) > maxV) maxV = math.abs(v)
+        if (math.abs(totalA) > maxA) maxA = math.abs(totalA)
+        i += 1
+      }
+      sd(p) = maxU; sv(p) = maxV; sa(p) = maxA
+      p += 1
+    }
+    val (pga, pgv, pgd) = peaks(acc, dt)
+    Result(periods, sd, sv, sa,
+      periods.indices.map(i => 2 * math.Pi / periods(i) * sd(i)).toArray,
+      periods.indices.map(i => math.pow(2 * math.Pi / periods(i), 2) * sd(i)).toArray,
+      pga, pgv, pgd)
+  }
+
+  /** Dispatch by method name (`ndarrays.py:597-648`, `respspec`). */
+  def respspec(method: String, acc: Array[Double], dt: Double,
+               periods: Array[Double], damping: Double = 0.05): Result =
+    method.toLowerCase match {
+      case "newmarkbeta" | "newmark" => newmarkBeta(acc, dt, periods, damping)
+      case "nigamjennings" | "nigam" => nigamJennings(acc, dt, periods, damping)
+      case other => throw new IllegalArgumentException(s"Unknown method $other")
+    }
+}

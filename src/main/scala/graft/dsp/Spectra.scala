@@ -1,0 +1,137 @@
+package graft.dsp
+
+/** Spectral kernels of the reference's funclib
+  * (`stream2segment/process/funclib/ndarrays.py:16-167`): amplitude/power
+  * spectra, frequency axis helpers and signal-to-noise ratio.
+  */
+object Spectra {
+
+  /** `fft` of a signal, optionally over a trimmed window — the reference's
+    * entry point returns the complex rfft (`ndarrays.py:50-60`).
+    */
+  def fft(signal: Array[Double]): Array[Double] = Fft.rfft(signal)
+
+  /** |rfft| (`ndarrays.py:16-30`, `ampspec`). If `signalIsFft`, the input
+    * is already a complex spectrum.
+    */
+  def ampspec(signal: Array[Double], signalIsFft: Boolean = false): Array[Double] =
+    Fft.abs(if (signalIsFft) signal else fft(signal))
+
+  /** |rfft|² (`ndarrays.py:33-47`, `powspec`). */
+  def powspec(signal: Array[Double], signalIsFft: Boolean = false): Array[Double] =
+    ampspec(signal, signalIsFft).map(a => a * a)
+
+  /** Frequency resolution 1/(N·dt) (`ndarrays.py:63-73`, `dfreq`). */
+  def dfreq(signalLength: Int, dt: Double): Double = 1.0 / (signalLength * dt)
+
+  /** Frequency axis 0, df, 2df, ... for a spectrum of `n` points
+    * (`ndarrays.py:76-91`, `freqs`).
+    */
+  def freqs(n: Int, df: Double): Array[Double] =
+    Array.tabulate(n)(i => i * df)
+
+  /** Signal-to-noise ratio on power spectra (`ndarrays.py:94-167`):
+    * forms: "fft" (inputs are complex spectra), "amp" (amplitude spectra),
+    * "pow" (power spectra), anything else = time-domain signals.
+    * Optional band [fminIndex, fmaxIndex] via frequency bounds; `inDb`
+    * returns 10·log10. Square-root-of-N normalization compensates for
+    * different window lengths (the reference divides each power sum by its
+    * signal length before the ratio).
+    */
+  def snr(signal: Array[Double], noise: Array[Double],
+          signalsForm: String = "", fminHz: Double = Double.NaN,
+          fmaxHz: Double = Double.NaN, deltaSignal: Double = 1.0,
+          deltaNoise: Double = 1.0, inDb: Boolean = false): Double = {
+    val (sigPow, sigN, dfS) = toPow(signal, signalsForm, deltaSignal)
+    val (noiPow, noiN, dfN) = toPow(noise, signalsForm, deltaNoise)
+
+    def bandSum(pow: Array[Double], df: Double): Double = {
+      var lo = 0
+      var hi = pow.length - 1
+      if (!fminHz.isNaN) lo = math.max(0, math.ceil(fminHz / df - 1e-12).toInt)
+      if (!fmaxHz.isNaN) hi = math.min(pow.length - 1, math.floor(fmaxHz / df + 1e-12).toInt)
+      var s = 0.0
+      var i = lo
+      while (i <= hi) { s += pow(i); i += 1 }
+      s
+    }
+
+    val s = bandSum(sigPow, dfS) / sigN
+    val n = bandSum(noiPow, dfN) / noiN
+    if (n == 0.0) return Double.NaN
+    val ratio = s / n
+    if (inDb) 10.0 * math.log10(ratio) else ratio
+  }
+
+  /** → (power spectrum, original length for normalization, df). */
+  private def toPow(x: Array[Double], form: String, delta: Double): (Array[Double], Int, Double) =
+    form match {
+      case "fft" =>
+        val p = Fft.abs(x).map(a => a * a)
+        val n = (x.length / 2 - 1) * 2 // conservative original length
+        (p, math.max(n, 1), dfreq(math.max(n, 1), delta))
+      case "amp" => (x.map(a => a * a), math.max((x.length - 1) * 2, 1),
+        dfreq(math.max((x.length - 1) * 2, 1), delta))
+      case "pow" => (x, math.max((x.length - 1) * 2, 1),
+        dfreq(math.max((x.length - 1) * 2, 1), delta))
+      case _ =>
+        (powspec(x), math.max(x.length, 1), dfreq(math.max(x.length, 1), delta))
+    }
+
+  /** Normalized cumulative energy Σx²/total (`ndarrays.py:220-238`,
+    * `cumsumsq`).
+    */
+  def cumsumsq(signal: Array[Double], normalize: Boolean = true): Array[Double] = {
+    val out = new Array[Double](signal.length)
+    var acc = 0.0
+    var i = 0
+    while (i < signal.length) {
+      acc += signal(i) * signal(i)
+      out(i) = acc
+      i += 1
+    }
+    if (normalize && acc > 0) {
+      i = 0
+      while (i < out.length) { out(i) /= acc; i += 1 }
+    }
+    out
+  }
+
+  /** Index where the cumulative energy crosses quantile q (the reference's
+    * cumulative-time pick, `process/funclib/traces.py` usage).
+    */
+  def cumQuantileIndex(cum: Array[Double], q: Double): Int = {
+    var i = 0
+    while (i < cum.length && cum(i) < q) i += 1
+    math.min(i, cum.length - 1)
+  }
+
+  /** Frequency-dependent triangular smoothing (`ndarrays.py:241-302`,
+    * `triangsmooth`): smooth spectrum[i] with a triangular window whose
+    * half-width is `alpha · freq_i` in frequency bins; vectorized matlab
+    * port in the reference, direct loop here (runs inside a UDF).
+    */
+  def triangsmooth(spectrum: Array[Double], alpha: Double): Array[Double] = {
+    val n = spectrum.length
+    val out = spectrum.clone()
+    var i = 0
+    while (i < n) {
+      val halfWidth = (alpha * i / 2.0).toInt
+      if (halfWidth >= 1) {
+        var num = 0.0
+        var den = 0.0
+        var j = math.max(0, i - halfWidth)
+        val jMax = math.min(n - 1, i + halfWidth)
+        while (j <= jMax) {
+          val w = 1.0 - math.abs(j - i).toDouble / (halfWidth + 1)
+          num += w * spectrum(j)
+          den += w
+          j += 1
+        }
+        out(i) = num / den
+      }
+      i += 1
+    }
+    out
+  }
+}

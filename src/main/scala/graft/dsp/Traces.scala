@@ -1,0 +1,109 @@
+package graft.dsp
+
+import java.sql.Timestamp
+
+/** The trace-level operations of the reference's funclib
+  * (`stream2segment/process/funclib/traces.py`): a `Trace` is an
+  * evenly-sampled signal with a start time — the decoded payload of a
+  * segment's miniSEED blob.
+  */
+final case class Trace(data: Array[Double], fs: Double, startTime: Timestamp) {
+  def dt: Double = 1.0 / fs
+  def endTime: Timestamp = timeof(data.length - 1)
+
+  /** Time of the i-th sample (`traces.py:259-270`, `timeof`). */
+  def timeof(i: Int): Timestamp =
+    new Timestamp(startTime.getTime + math.round(i * 1000.0 / fs))
+
+  /** Slice samples between [t0, t1] (inclusive, nearest-sample). */
+  def slice(t0: Timestamp, t1: Timestamp): Trace = {
+    val i0 = math.max(0,
+      math.ceil((t0.getTime - startTime.getTime) / 1000.0 * fs - 1e-9).toInt)
+    val i1 = math.min(data.length - 1,
+      math.floor((t1.getTime - startTime.getTime) / 1000.0 * fs + 1e-9).toInt)
+    if (i1 < i0) Trace(Array.empty, fs, t0)
+    else Trace(java.util.Arrays.copyOfRange(data, i0, i1 + 1), fs, timeof(i0))
+  }
+}
+
+object Traces {
+
+  /** Reference `bandpass` (`traces.py:50-101`): linear detrend → cosine
+    * taper → zero-pad to 1.5·corners/freqMin seconds (Convers & Brady 1992)
+    * → Butterworth band-pass (optionally zero-phase), fmax clipped to
+    * 0.9·Nyquist.
+    */
+  def bandpass(trace: Trace, freqMin: Double, freqMax: Double,
+               corners: Int = 4, taperP: Double = 0.05,
+               zerophase: Boolean = true): Trace = {
+    val nyquist = trace.fs / 2.0
+    val fMax = math.min(freqMax, 0.9 * nyquist)
+    val detrended = Filters.detrendLinear(trace.data)
+    val tapered = Filters.applyTaper(detrended, taperP)
+    val padSec = 1.5 * corners / freqMin
+    val padSamples = math.ceil(padSec * trace.fs).toInt
+    val padded = tapered ++ new Array[Double](padSamples)
+    val filtered = Filters.bandpass(padded, freqMin, fMax, trace.fs,
+      corners, zerophase)
+    Trace(java.util.Arrays.copyOf(filtered, trace.data.length),
+      trace.fs, trace.startTime)
+  }
+
+  /** Split a trace into (noise, signal) windows around the P-arrival
+    * (`traces.py:104-169`, `sn_split`): `windowSec` > 0 → fixed windows of
+    * that length each side of the arrival; otherwise cumulative-energy
+    * quantile bounds [q0, q1] define the signal window and the noise window
+    * mirrors its length before the arrival.
+    */
+  def snSplit(trace: Trace, arrival: Timestamp, windowSec: Double = 0.0,
+              quantiles: (Double, Double) = (0.05, 0.95)): (Trace, Trace) = {
+    val aIdx = math.max(0, math.min(trace.data.length - 1,
+      math.round((arrival.getTime - trace.startTime.getTime) / 1000.0 * trace.fs).toInt))
+    if (windowSec > 0) {
+      val w = math.round(windowSec * trace.fs).toInt
+      val sig = Trace(sliceIdx(trace.data, aIdx, aIdx + w), trace.fs, trace.timeof(aIdx))
+      val noi = Trace(sliceIdx(trace.data, aIdx - w, aIdx), trace.fs,
+        trace.timeof(math.max(0, aIdx - w)))
+      (noi, sig)
+    } else {
+      val after = java.util.Arrays.copyOfRange(trace.data, aIdx, trace.data.length)
+      val cum = Spectra.cumsumsq(after)
+      val i0 = Spectra.cumQuantileIndex(cum, quantiles._1)
+      val i1 = Spectra.cumQuantileIndex(cum, quantiles._2)
+      val sig = Trace(sliceIdx(after, i0, i1 + 1), trace.fs, trace.timeof(aIdx + i0))
+      val len = sig.data.length
+      val noi = Trace(sliceIdx(trace.data, aIdx - len, aIdx), trace.fs,
+        trace.timeof(math.max(0, aIdx - len)))
+      (noi, sig)
+    }
+  }
+
+  private def sliceIdx(a: Array[Double], from: Int, until: Int): Array[Double] = {
+    val f = math.max(0, from)
+    val u = math.min(a.length, math.max(f, until))
+    java.util.Arrays.copyOfRange(a, f, u)
+  }
+
+  /** Amplitude spectrum of a trace window (trim+taper+fft wrapper,
+    * `traces.py:172-256`).
+    */
+  def ampspec(trace: Trace, taperP: Double = 0.05): Array[Double] =
+    Spectra.ampspec(Filters.applyTaper(trace.data, taperP))
+
+  def powspec(trace: Trace, taperP: Double = 0.05): Array[Double] =
+    ampspec(trace, taperP).map(a => a * a)
+
+  /** PGA/PGV and their sample times: peak of |acc| and |∫acc|. */
+  def peakGroundMotion(trace: Trace): (Double, Timestamp, Double, Timestamp) = {
+    val acc = trace.data
+    val vel = Filters.integrate(acc, trace.dt)
+    var iA = 0; var iV = 0
+    var i = 0
+    while (i < acc.length) {
+      if (math.abs(acc(i)) > math.abs(acc(iA))) iA = i
+      if (math.abs(vel(i)) > math.abs(vel(iV))) iV = i
+      i += 1
+    }
+    (math.abs(acc(iA)), trace.timeof(iA), math.abs(vel(iV)), trace.timeof(iV))
+  }
+}

@@ -1,0 +1,152 @@
+package graft.model
+
+import org.apache.spark.sql.types._
+
+/** The 9-table relational data model of the reference
+  * (`stream2segment/io/db/models.py:149-478`), as Spark `StructType`s over
+  * parquet. SQLAlchemy types map per SURVEY.md §1.5: Integer→Long,
+  * Float→Double, DateTime→Timestamp, LargeBinary→Binary.
+  *
+  * Surrogate `id` primary keys are Long; UNIQUE constraints are listed in
+  * `naturalKeys` and enforced by the sync operator (`graft.operators
+  * .SyncTable`) since parquet enforces nothing.
+  */
+object Schemas {
+
+  private def f(name: String, dt: DataType, nullable: Boolean = true) =
+    StructField(name, dt, nullable)
+
+  /** `downloads` (`io/db/models.py:149-175`). */
+  val downloads: StructType = StructType(Seq(
+    f("id", LongType, nullable = false),
+    f("run_time", TimestampType, nullable = false),
+    f("log", StringType),
+    f("warnings", LongType),
+    f("errors", LongType),
+    f("config", StringType),
+    f("program_version", StringType)))
+
+  /** `web_services` (`io/db/models.py:216-234`). UNIQUE(url). */
+  val webServices: StructType = StructType(Seq(
+    f("id", LongType, nullable = false),
+    f("name", StringType),
+    f("type", StringType),
+    f("url", StringType, nullable = false)))
+
+  /** `events` (`io/db/models.py:178-213`). UNIQUE(webservice_id, event_id). */
+  val events: StructType = StructType(Seq(
+    f("id", LongType, nullable = false),
+    f("webservice_id", LongType, nullable = false),
+    f("event_id", StringType, nullable = false),
+    f("time", TimestampType, nullable = false),
+    f("latitude", DoubleType, nullable = false),
+    f("longitude", DoubleType, nullable = false),
+    f("depth_km", DoubleType, nullable = false),
+    f("author", StringType),
+    f("catalog", StringType),
+    f("contributor", StringType),
+    f("contributor_id", StringType),
+    f("mag_type", StringType),
+    f("magnitude", DoubleType, nullable = false),
+    f("mag_author", StringType),
+    f("event_location_name", StringType),
+    f("event_type", StringType)))
+
+  /** `data_centers` (`io/db/models.py:237-248`).
+    * UNIQUE(station_url, dataselect_url).
+    */
+  val dataCenters: StructType = StructType(Seq(
+    f("id", LongType, nullable = false),
+    f("station_url", StringType, nullable = false),
+    f("dataselect_url", StringType, nullable = false),
+    f("organization_name", StringType)))
+
+  /** `stations` (`io/db/models.py:278-317`).
+    * UNIQUE(network, station, start_time); inventory_xml = gzipped StationXML.
+    */
+  val stations: StructType = StructType(Seq(
+    f("id", LongType, nullable = false),
+    f("datacenter_id", LongType, nullable = false),
+    f("network", StringType, nullable = false),
+    f("station", StringType, nullable = false),
+    f("latitude", DoubleType, nullable = false),
+    f("longitude", DoubleType, nullable = false),
+    f("elevation", DoubleType),
+    f("site_name", StringType),
+    f("start_time", TimestampType, nullable = false),
+    f("end_time", TimestampType),
+    f("inventory_xml", BinaryType)))
+
+  /** `channels` (`io/db/models.py:320-347`).
+    * UNIQUE(station_id, location, channel).
+    */
+  val channels: StructType = StructType(Seq(
+    f("id", LongType, nullable = false),
+    f("station_id", LongType, nullable = false),
+    f("location", StringType, nullable = false),
+    f("channel", StringType, nullable = false),
+    f("depth", DoubleType),
+    f("azimuth", DoubleType),
+    f("dip", DoubleType),
+    f("sensor_description", StringType),
+    f("scale", DoubleType),
+    f("scale_freq", DoubleType),
+    f("scale_units", StringType),
+    f("sample_rate", DoubleType, nullable = false)))
+
+  /** `segments` (`io/db/models.py:353-444`). UNIQUE(channel_id, event_id);
+    * data = raw miniSEED bytes.
+    */
+  val segments: StructType = StructType(Seq(
+    f("id", LongType, nullable = false),
+    f("event_id", LongType, nullable = false),
+    f("channel_id", LongType, nullable = false),
+    f("datacenter_id", LongType, nullable = false),
+    f("download_id", LongType, nullable = false),
+    f("data_seed_id", StringType),
+    f("event_distance_deg", DoubleType, nullable = false),
+    f("data", BinaryType),
+    f("download_code", LongType),
+    f("start_time", TimestampType),
+    f("arrival_time", TimestampType, nullable = false),
+    f("end_time", TimestampType),
+    f("sample_rate", DoubleType),
+    f("maxgap_numsamples", DoubleType),
+    f("request_start", TimestampType, nullable = false),
+    f("request_end", TimestampType, nullable = false),
+    f("queryauth", BooleanType, nullable = false)))
+
+  /** `classes` (`io/db/models.py:447-456`). UNIQUE(label). */
+  val classes: StructType = StructType(Seq(
+    f("id", LongType, nullable = false),
+    f("label", StringType),
+    f("description", StringType)))
+
+  /** `class_labellings` (`io/db/models.py:459-478`).
+    * UNIQUE(segment_id, class_id).
+    */
+  val classLabellings: StructType = StructType(Seq(
+    f("id", LongType, nullable = false),
+    f("segment_id", LongType, nullable = false),
+    f("class_id", LongType, nullable = false),
+    f("is_hand_labelled", BooleanType),
+    f("annotator", StringType)))
+
+  val all: Map[String, StructType] = Map(
+    "downloads" -> downloads, "web_services" -> webServices,
+    "events" -> events, "data_centers" -> dataCenters,
+    "stations" -> stations, "channels" -> channels,
+    "segments" -> segments, "classes" -> classes,
+    "class_labellings" -> classLabellings)
+
+  /** UNIQUE constraints per table, enforced via SyncTable/Dedup. */
+  val naturalKeys: Map[String, Seq[String]] = Map(
+    "web_services" -> Seq("url"),
+    "events" -> Seq("webservice_id", "event_id"),
+    "data_centers" -> Seq("station_url", "dataselect_url"),
+    "stations" -> Seq("network", "station", "start_time"),
+    "channels" -> Seq("station_id", "location", "channel"),
+    "segments" -> Seq("channel_id", "event_id"),
+    "classes" -> Seq("label"),
+    "class_labellings" -> Seq("segment_id", "class_id"))
+}

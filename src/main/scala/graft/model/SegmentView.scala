@@ -1,0 +1,100 @@
+package graft.model
+
+import graft.functions.{Derived, Geo}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The prejoined segment view: replaces the reference's lazy ORM
+  * relationship walking (`segment.event.magnitude`,
+  * `process/db/models.py:634-652`) and its auto-join DSL resolution
+  * (`process/db/sqlevalexpr.py:68-236`) with ONE statically-joined DataFrame
+  * whose columns are prefixed (`event_magnitude`, `station_latitude`, …).
+  *
+  * Catalyst prunes every branch a query doesn't touch — selecting only
+  * `seg_id, event_magnitude` compiles to a 2-table join on pruned scans, so
+  * the "join everything" view costs nothing until used. Dimension tables
+  * (events, stations, channels, data_centers) are orders of magnitude
+  * smaller than segments and joined via `broadcast`, keeping the segment
+  * scan shuffle-free at any scale.
+  *
+  * Derived (hybrid-property) columns follow SURVEY.md §1.4:
+  * `has_data`, `has_valid_data`, `band/instrument/orientation_code`,
+  * `netsta_code`, `event_distance_km`, `duration_sec`, `missing_data_sec`,
+  * `missing_data_ratio`, `seed_id`, `classlabels_count`.
+  */
+object SegmentView {
+
+  /** Prefix every column; the surrogate `id` gets a join-scratch alias
+    * (positional select, so `id` → `event_id` can't collide with an
+    * original `event_id` column).
+    */
+  private def prefixed(df: DataFrame, prefix: String, idAlias: String): DataFrame =
+    df.select(df.columns.map {
+      case "id" => col("id").as(idAlias)
+      case c => col(c).as(prefix + c)
+    }.toSeq: _*)
+
+  def build(segments: DataFrame, events: DataFrame, channels: DataFrame,
+            stations: DataFrame, dataCenters: DataFrame,
+            classLabellings: Option[DataFrame] = None): DataFrame = {
+
+    // dimension ids collide with the segment's FK columns by design
+    // (`segment.event.id == segment.event_id`): alias each dim's `id` to a
+    // join-scratch name, join on the FK, then drop the scratch column.
+    val ev = prefixed(events, "event_", "__ev_id")
+    val ch = prefixed(channels, "channel_", "__ch_id")
+    val st = prefixed(stations, "station_", "__st_id")
+    val dc = prefixed(dataCenters, "datacenter_", "__dc_id")
+
+    // segment columns keep their reference names; FK-chain joins:
+    // segment→channel→station is the reference's 3-table path
+    // (`io/db/models.py:426-440`)
+    var v = segments
+      .join(broadcast(ch), segments("channel_id") === ch("__ch_id"), "left")
+      .join(broadcast(st), ch("channel_station_id") === st("__st_id"), "left")
+      .join(broadcast(ev), segments("event_id") === ev("__ev_id"), "left")
+      .join(broadcast(dc), segments("datacenter_id") === dc("__dc_id"), "left")
+      .withColumnRenamed("channel_station_id", "station_id")
+      .drop("__ev_id", "__ch_id", "__st_id", "__dc_id")
+
+    // classlabels_count: the reference's correlated scalar subquery
+    // (`process/db/models.py:307-315`) becomes a pre-aggregated left join
+    v = classLabellings match {
+      case Some(cl) =>
+        val counts = cl.groupBy(col("segment_id").as("__cl_segment_id"))
+          .agg(count(lit(1)).as("classlabels_count"))
+        v.join(broadcast(counts), v("id") === counts("__cl_segment_id"), "left")
+          .withColumn("classlabels_count", coalesce(col("classlabels_count"), lit(0L)))
+          .drop("__cl_segment_id")
+      case None => v.withColumn("classlabels_count", lit(0L))
+    }
+
+    v.withColumn("has_data", Derived.hasData(col("data")))
+      .withColumn("has_valid_data",
+        Derived.hasValidData(col("data"), col("download_code")))
+      .withColumn("station_has_inventory",
+        Derived.hasData(col("station_inventory_xml")))
+      .withColumn("channel_band_code", Derived.bandCode(col("channel_channel")))
+      .withColumn("channel_instrument_code",
+        Derived.instrumentCode(col("channel_channel")))
+      .withColumn("channel_orientation_code",
+        Derived.orientationCode(col("channel_channel")))
+      .withColumn("channel_band_instrument_code",
+        Derived.bandInstrumentCode(col("channel_channel")))
+      .withColumn("station_netsta_code",
+        Derived.netstaCode(col("station_network"), col("station_station")))
+      .withColumn("event_distance_km", Geo.deg2km(col("event_distance_deg")))
+      .withColumn("duration_sec",
+        Derived.durationSec(col("start_time"), col("end_time")))
+      .withColumn("missing_data_sec",
+        Derived.missingDataSec(col("start_time"), col("end_time"),
+          col("request_start"), col("request_end")))
+      .withColumn("missing_data_ratio",
+        Derived.missingDataRatio(col("start_time"), col("end_time"),
+          col("request_start"), col("request_end")))
+      .withColumn("seed_id",
+        Derived.seedId(col("data_seed_id"), col("station_network"),
+          col("station_station"), col("channel_location"),
+          col("channel_channel")))
+  }
+}

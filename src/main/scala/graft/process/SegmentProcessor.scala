@@ -1,0 +1,98 @@
+package graft.process
+
+import graft.dsl.Selection
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** The per-segment map engine (`stream2segment/process/main.py:46-182`):
+  * apply a user function to every segment matching a selection, collecting
+  * one output row per segment, skip-or-abort error semantics, and
+  * append-mode resume.
+  *
+  * Spark-first shape:
+  *   view.filter(DSL) → repartition(station_id).sortWithinPartitions →
+  *   mapPartitions(user f) → output rows + skip-log side channel
+  *
+  * Design notes vs the reference:
+  *  - chunking (`main.py:450-470`) → partitions; the 600-segment chunk is
+  *    replaced by `spark.sql.files.maxPartitionBytes`-sized parquet splits;
+  *  - per-station cache locality (`main.py:652-661`: ORDER BY station_id so
+  *    the inventory parse amortizes) → `repartition($"station_id")` +
+  *    `sortWithinPartitions`, so each task sees a station's segments
+  *    consecutively and a per-partition lazy cache decodes each station's
+  *    inventory once — same effect, distributed; skew from a mega-station
+  *    is bounded because repartition hashes station_id across 32+ buckets;
+  *  - SkipSegment (`main.py:581-631`) → `Left(reason)` per row, collected
+  *    as a side output instead of a log file; any other exception still
+  *    fails the job (deliberately: same abort semantics);
+  *  - multiprocessing.Pool (`main.py:473-505`) → executors, for free;
+  *  - append-mode resume (`main.py:386-434`) → left_anti join against the
+  *    already-written segment ids.
+  */
+object SegmentProcessor {
+
+  /** One processed segment: the raw row (prejoined view columns) and a
+    * station-scoped cache shared by all segments of the same partition —
+    * the reference's session-cache analog for inventory decoding.
+    */
+  final case class SegmentCtx(row: Row, stationCache: scala.collection.mutable.Map[Long, Any])
+
+  final case class SkipReason(segmentId: Long, reason: String)
+
+  /** Run `f` over every selected segment.
+    *
+    * @param view       prejoined segment view (`graft.model.SegmentView`)
+    * @param selection  DSL selection map (`graft.dsl.Selection`)
+    * @param outSchema  schema of the rows `f` emits
+    * @param f          segment function: Right(values) = output row,
+    *                   Left(reason) = skip (logged, not fatal)
+    * @param alreadyDone optional ids already in the output (append resume)
+    * @return (output DataFrame, skipped DataFrame(segment_id, reason))
+    */
+  def run(view: DataFrame, selection: Map[String, String],
+          outSchema: StructType,
+          f: SegmentCtx => Either[String, Seq[Any]],
+          alreadyDone: Option[DataFrame] = None,
+          idCol: String = "id", stationCol: String = "station_id")
+         (implicit spark: SparkSession): (DataFrame, DataFrame) = {
+
+    var selected = Selection.filter(view, selection)
+    alreadyDone.foreach { done =>
+      selected = selected.join(
+        done.select(col(done.columns.head).as(idCol)), Seq(idCol), "left_anti")
+    }
+    val partitions = selected.sparkSession.sessionState.conf.numShufflePartitions
+    val arranged = selected
+      .repartition(partitions, col(stationCol))
+      .sortWithinPartitions(col(stationCol), col(idCol))
+
+    val idIdx = arranged.schema.fieldIndex(idCol)
+    val resultSchema = new StructType(
+      (Seq(org.apache.spark.sql.types.StructField("segment_id",
+        org.apache.spark.sql.types.LongType, nullable = false)) ++
+        outSchema.fields :+
+        org.apache.spark.sql.types.StructField("__skip",
+          org.apache.spark.sql.types.StringType, nullable = true)).toArray)
+
+    implicit val enc: Encoder[Row] = Encoders.row(resultSchema)
+
+    val mapped: Dataset[Row] = arranged.mapPartitions { rows =>
+      // one cache per partition = per co-located station group
+      val cache = scala.collection.mutable.Map.empty[Long, Any]
+      rows.map { row =>
+        val segId = row.getLong(idIdx)
+        f(SegmentCtx(row, cache)) match {
+          case Right(values) => Row.fromSeq(segId +: values :+ null)
+          case Left(reason) =>
+            Row.fromSeq(segId +: Seq.fill[Any](outSchema.length)(null) :+ reason)
+        }
+      }
+    }
+
+    val ok = mapped.filter(col("__skip").isNull).drop("__skip")
+    val skipped = mapped.filter(col("__skip").isNotNull)
+      .select(col("segment_id"), col("__skip").as("reason"))
+    (ok, skipped)
+  }
+}

@@ -1,0 +1,100 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** FDSN `format=text` response parsing (`|`-separated, `#` comments) into
+  * typed DataFrames — the reference's all-string read → positional rename →
+  * missing-nullable-column fill → typed harmonization → non-nullable null
+  * drop pipeline (`stream2segment/download/modules/utils.py:251-382`).
+  *
+  * Spark-first: `spark.read.option("sep","|").option("comment","#").csv`
+  * with an explicit all-string schema, then `cast`/`to_timestamp` per the
+  * target schema and `na.drop` on the non-nullable subset. Fully
+  * distributed: a 10⁹-row station dump parses as a normal CSV scan.
+  */
+object FdsnText {
+
+  /** Event text columns, positional (FIXTURES.md §1; ORM order of
+    * `io/db/models.py:178-199`). `event_type` is a newer optional 14th col.
+    */
+  val eventCols: Seq[(String, DataType, Boolean)] = Seq(
+    ("event_id", StringType, false), ("time", TimestampType, false),
+    ("latitude", DoubleType, false), ("longitude", DoubleType, false),
+    ("depth_km", DoubleType, false), ("author", StringType, true),
+    ("catalog", StringType, true), ("contributor", StringType, true),
+    ("contributor_id", StringType, true), ("mag_type", StringType, true),
+    ("magnitude", DoubleType, false), ("mag_author", StringType, true),
+    ("event_location_name", StringType, true), ("event_type", StringType, true))
+
+  /** Station `level=channel` text columns (FIXTURES.md §3,
+    * `download/modules/utils.py:309-326`). Location may be empty string —
+    * NOT null.
+    */
+  val channelCols: Seq[(String, DataType, Boolean)] = Seq(
+    ("network", StringType, false), ("station", StringType, false),
+    ("location", StringType, false), ("channel", StringType, false),
+    ("latitude", DoubleType, false), ("longitude", DoubleType, false),
+    ("elevation", DoubleType, true), ("depth", DoubleType, true),
+    ("azimuth", DoubleType, true), ("dip", DoubleType, true),
+    ("sensor_description", StringType, true), ("scale", DoubleType, true),
+    ("scale_freq", DoubleType, true), ("scale_units", StringType, true),
+    ("sample_rate", DoubleType, false), ("start_time", TimestampType, false),
+    ("end_time", TimestampType, true))
+
+  def parseEvents(spark: SparkSession, path: String): DataFrame =
+    parse(spark, spark.read.option("sep", "|").option("comment", "#")
+      .schema(rawSchema(eventCols.size)).csv(path), eventCols)
+
+  def parseChannels(spark: SparkSession, path: String): DataFrame =
+    parse(spark, spark.read.option("sep", "|").option("comment", "#")
+      .schema(rawSchema(channelCols.size)).csv(path), channelCols)
+
+  /** Parse an in-memory response body (one string per line) — the unit-test
+    * and fetch-stage entry point (responses arrive as strings from HTTP).
+    */
+  def parseEventLines(spark: SparkSession, lines: Seq[String]): DataFrame =
+    parse(spark, splitLines(spark, lines, eventCols.size), eventCols)
+
+  def parseChannelLines(spark: SparkSession, lines: Seq[String]): DataFrame =
+    parse(spark, splitLines(spark, lines, channelCols.size), channelCols)
+
+  private def rawSchema(n: Int): StructType =
+    StructType((0 until n).map(i => StructField(s"_c$i", StringType)))
+
+  private def splitLines(spark: SparkSession, lines: Seq[String], n: Int): DataFrame = {
+    import spark.implicits._
+    val df = lines.toDF("line")
+      .filter(length(trim(col("line"))) > 0 && !col("line").startsWith("#"))
+      .withColumn("__p", split(col("line"), "\\|"))
+    (0 until n).foldLeft(df)((d, i) =>
+      d.withColumn(s"_c$i", try_element_at(col("__p"), lit(i + 1))))
+      .drop("line", "__p")
+  }
+
+  /** Positional rename → typed cast → drop rows with nulls in non-nullable
+    * columns (`utils.py:359-382`). A missing trailing nullable column
+    * (e.g. `event_type` from older servers) fills with nulls.
+    */
+  private def parse(spark: SparkSession, raw: DataFrame,
+                    cols: Seq[(String, DataType, Boolean)]): DataFrame = {
+    var df = raw
+    val typed = cols.zipWithIndex.map { case ((name, dt, _), i) =>
+      val src = col(s"_c$i")
+      val trimmed = trim(src)
+      (dt match {
+        // try_* variants: malformed values become nulls (then na.drop'd if
+        // the column is required) instead of failing the scan under ANSI
+        case TimestampType => try_to_timestamp(when(trimmed === "", null).otherwise(trimmed))
+        case DoubleType => expr(s"try_cast(trim(_c$i) AS DOUBLE)")
+        case _ =>
+          // empty location code is a real value, not null
+          when(src.isNull, lit(null).cast(StringType)).otherwise(trimmed)
+      }).as(name)
+    }
+    df = df.select(typed: _*)
+    val required = cols.filter(!_._3).map(_._1)
+    df.na.drop(required)
+  }
+}

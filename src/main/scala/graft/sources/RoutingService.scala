@@ -1,0 +1,67 @@
+package graft.sources
+
+import graft.functions.Wildcards
+
+import java.sql.Timestamp
+import java.time.LocalDateTime
+
+/** EIDA routing-service response parsing and the wildcard matcher index
+  * (`stream2segment/download/modules/datacenters.py:99-267`): blocks of
+  * `url\n(net sta loc cha stime etime)+` separated by blank lines; `*`/`?`
+  * wildcards, `--` = empty location, `*` = open time bound.
+  *
+  * The parsed index is a small driver-side structure meant to be broadcast
+  * (`sparkContext.broadcast(index)`) and consulted inside conflict
+  * resolution (`graft.operators.Dedup.resolveWithAuthority`) — it is the
+  * authority mapping for which datacenter owns a (net, sta, loc, cha) tuple.
+  */
+object RoutingService {
+
+  final case class Rule(net: String, sta: String, loc: String, cha: String,
+                        start: Option[Timestamp], end: Option[Timestamp]) {
+    private val netRe = Wildcards.wild2re(net).r
+    private val staRe = Wildcards.wild2re(sta).r
+    private val locRe = Wildcards.wild2re(if (loc == "--") "" else loc).r
+    private val chaRe = Wildcards.wild2re(cha).r
+
+    def matches(n: String, s: String, l: String, c: String): Boolean =
+      netRe.matches(n) && staRe.matches(s) && locRe.matches(l) && chaRe.matches(c)
+  }
+
+  final case class Index(rules: Map[String, Seq[Rule]]) {
+    /** Datacenter urls whose rules match the tuple (usually 0 or 1). */
+    def datacentersFor(net: String, sta: String, loc: String, cha: String): Seq[String] =
+      rules.collect {
+        case (url, rs) if rs.exists(_.matches(net, sta, loc, cha)) => url
+      }.toSeq.sorted
+  }
+
+  private def parseTime(tok: String): Option[Timestamp] =
+    if (tok == "*" || tok.isEmpty) None
+    else
+      try Some(Timestamp.valueOf(LocalDateTime.parse(tok.stripSuffix("Z"))))
+      catch { case _: Exception => None }
+
+  /** Parse the `format=post` response body into the matcher index. */
+  def parse(body: String): Index = {
+    val blocks = body.split("\n\\s*\n").map(_.trim).filter(_.nonEmpty)
+    val ruleMap = blocks.flatMap { block =>
+      val lines = block.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+      if (lines.isEmpty) None
+      else {
+        val url = lines.head
+        val rules = lines.tail.flatMap { line =>
+          line.split("\\s+") match {
+            case Array(n, s, l, c, st, et) =>
+              Some(Rule(n, s, l, c, parseTime(st), parseTime(et)))
+            case Array(n, s, l, c) =>
+              Some(Rule(n, s, l, c, None, None))
+            case _ => None
+          }
+        }
+        Some(url -> rules)
+      }
+    }.toMap
+    Index(ruleMap)
+  }
+}

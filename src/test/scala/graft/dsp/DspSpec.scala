@@ -1,0 +1,214 @@
+package graft.dsp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+class DspSpec extends AnyFunSuite {
+
+  private def assertClose(got: Double, want: Double, tol: Double = 1e-9): Unit =
+    assert(math.abs(got - want) < tol, s"$got != $want (tol $tol)")
+
+  // --- FFT (goldens from numpy.fft.rfft) ------------------------------------
+
+  test("rfft power-of-2 matches numpy") {
+    val x = Array(1.0, 2.0, -1.0, 0.5, 3.0, -2.0, 0.0, 1.5)
+    val got = Fft.rfft(x)
+    val want = Array( // (re, im) pairs
+      5.0, 0.0, 1.53553391, -1.12132034, 5.0, 2.0,
+      -5.53553391, -3.12132034, 1.0, 0.0)
+    want.indices.foreach(i => assertClose(got(i), want(i), 1e-7))
+  }
+
+  test("rfft non-power-of-2 (Bluestein) matches numpy") {
+    val x = Array(-3.0, -2.3, -1.6, -0.9, -0.2, 2.5, 1.2, 1.9, 2.6, 3.3, 4.0, 4.7)
+    val got = Fft.rfft(x)
+    val want = Array(
+      12.2, 0.0, -5.93205081, 14.67461339, -3.2, 9.0066642,
+      -4.2, 2.2, -5.2, 4.15692194, -2.46794919, 0.12538661, -6.2, 0.0)
+    want.indices.foreach(i => assertClose(got(i), want(i), 1e-7))
+  }
+
+  test("irfft inverts rfft (even and odd lengths)") {
+    for (n <- Seq(16, 15, 12, 7)) {
+      val x = Array.tabulate(n)(i => math.sin(0.7 * i) + 0.3 * i)
+      val back = Fft.irfft(Fft.rfft(x), n)
+      x.indices.foreach(i => assertClose(back(i), x(i), 1e-9))
+    }
+  }
+
+  // --- Spectra --------------------------------------------------------------
+
+  test("ampspec peak at the signal frequency; dfreq/freqs axis") {
+    val fs = 100.0
+    val n = 200
+    val f0 = 10.0
+    val x = Array.tabulate(n)(i => math.sin(2 * math.Pi * f0 * i / fs))
+    val amp = Spectra.ampspec(x)
+    val df = Spectra.dfreq(n, 1.0 / fs)
+    assertClose(df, 0.5)
+    val peakIdx = amp.indices.maxBy(amp)
+    assertClose(peakIdx * df, f0, 1e-9)
+    assert(Spectra.freqs(amp.length, df).last == (amp.length - 1) * df)
+  }
+
+  test("snr: pure tone vs white-ish noise > 1; reversed < 1") {
+    val fs = 100.0
+    val rnd = new scala.util.Random(42)
+    val sig = Array.tabulate(256)(i => 5.0 * math.sin(2 * math.Pi * 10 * i / fs))
+    val noi = Array.fill(256)(rnd.nextGaussian() * 0.5)
+    val s = Spectra.snr(sig, noi, deltaSignal = 1 / fs, deltaNoise = 1 / fs)
+    assert(s > 10.0)
+    val inv = Spectra.snr(noi, sig, deltaSignal = 1 / fs, deltaNoise = 1 / fs)
+    assert(inv < 0.1)
+    val db = Spectra.snr(sig, noi, inDb = true, deltaSignal = 1 / fs, deltaNoise = 1 / fs)
+    assertClose(db, 10 * math.log10(s), 1e-9)
+  }
+
+  test("cumsumsq normalized ends at 1; quantile index is monotone") {
+    val x = Array.tabulate(100)(i => math.sin(0.3 * i))
+    val cum = Spectra.cumsumsq(x)
+    assertClose(cum.last, 1.0)
+    val q05 = Spectra.cumQuantileIndex(cum, 0.05)
+    val q95 = Spectra.cumQuantileIndex(cum, 0.95)
+    assert(q05 <= q95 && cum(q05) >= 0.05 && (q95 == 0 || cum(q95 - 1) < 0.95))
+  }
+
+  test("triangsmooth preserves a constant spectrum") {
+    val spec = Array.fill(64)(3.5)
+    val sm = Spectra.triangsmooth(spec, alpha = 0.5)
+    sm.foreach(v => assertClose(v, 3.5, 1e-12))
+  }
+
+  // --- Filters --------------------------------------------------------------
+
+  private def steadyAmp(y: Array[Double], skip: Int): Double =
+    y.drop(skip).map(math.abs).max
+
+  test("butterworth bandpass: passband ~unity, stopbands rejected") {
+    val fs = 100.0
+    val n = 2000
+    def tone(f: Double) = Array.tabulate(n)(i => math.sin(2 * math.Pi * f * i / fs))
+    def gainAt(f: Double): Double =
+      steadyAmp(Filters.bandpass(tone(f), 2.0, 20.0, fs, corners = 4), n / 2)
+    assert(math.abs(gainAt(7.0) - 1.0) < 0.05, s"passband gain ${gainAt(7.0)}")
+    assert(gainAt(0.2) < 0.02, s"low stopband ${gainAt(0.2)}")
+    assert(gainAt(45.0) < 0.02, s"high stopband ${gainAt(45.0)}")
+  }
+
+  test("zero-phase filtering preserves the phase of a passband tone") {
+    val fs = 100.0
+    val n = 1000
+    val f0 = 8.0
+    val x = Array.tabulate(n)(i => math.sin(2 * math.Pi * f0 * i / fs))
+    val y = Filters.bandpass(x, 2.0, 20.0, fs, corners = 4, zerophase = true)
+    // mid-signal samples should align with the input (no lag)
+    val mid = n / 2
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    ((mid - 100) until (mid + 100)).foreach { i =>
+      dot += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i)
+    }
+    val corr = dot / math.sqrt(nx * ny)
+    assert(corr > 0.99, s"zero-phase correlation $corr")
+  }
+
+  test("detrend removes a linear ramp; integrate of constant is a ramp") {
+    val ramp = Array.tabulate(100)(i => 2.0 + 0.5 * i)
+    Filters.detrendLinear(ramp).foreach(v => assertClose(v, 0.0, 1e-9))
+    val ones = Array.fill(11)(1.0)
+    val integ = Filters.integrate(ones, 0.1)
+    assertClose(integ.last, 1.0, 1e-12) // 10 intervals × 0.1 × 1.0
+  }
+
+  test("cosine taper: ends damped, middle untouched") {
+    val w = Filters.cosineTaper(100, 0.1)
+    assert(w(0) < 0.6 && w(99) < 0.6)
+    assertClose(w(50), 1.0)
+    assert(w(0) == w(99)) // symmetric
+  }
+
+  // --- Response spectra -----------------------------------------------------
+
+  test("response spectrum peaks at the resonant period (both methods)") {
+    val fs = 100.0
+    val n = 2000
+    val fDrive = 2.0 // Hz → resonant period 0.5 s
+    val acc = Array.tabulate(n)(i => math.sin(2 * math.Pi * fDrive * i / fs))
+    val periods = Array(0.1, 0.25, 0.5, 1.0, 2.0)
+    for (m <- Seq("NigamJennings", "NewmarkBeta")) {
+      val r = RespSpectrum.respspec(m, acc, 1 / fs, periods)
+      assert(r.periods.indices.maxBy(r.sd) == 2, s"$m SD peak at resonance")
+      assertClose(r.pga, acc.map(math.abs).max, 1e-12)
+      // pseudo-spectral relations
+      r.periods.indices.foreach { i =>
+        val w = 2 * math.Pi / periods(i)
+        assertClose(r.psa(i), w * w * r.sd(i), 1e-9)
+        assertClose(r.psv(i), w * r.sd(i), 1e-9)
+      }
+    }
+  }
+
+  test("NigamJennings and NewmarkBeta agree within a few percent") {
+    val fs = 200.0
+    val rnd = new scala.util.Random(3)
+    val acc = Array.fill(3000)(rnd.nextGaussian())
+    val periods = Array(0.2, 0.5, 1.0)
+    val nj = RespSpectrum.nigamJennings(acc, 1 / fs, periods)
+    val nb = RespSpectrum.newmarkBeta(acc, 1 / fs, periods)
+    periods.indices.foreach { i =>
+      val rel = math.abs(nj.sd(i) - nb.sd(i)) / nj.sd(i)
+      assert(rel < 0.05, s"SD mismatch at ${periods(i)}s: $rel")
+    }
+  }
+
+  // --- Traces ---------------------------------------------------------------
+
+  private val t0 = Timestamp.valueOf("2020-01-01 00:00:00")
+
+  test("trace timeof/slice arithmetic") {
+    val tr = Trace(Array.tabulate(100)(_.toDouble), fs = 10.0, startTime = t0)
+    assert(tr.timeof(10) == Timestamp.valueOf("2020-01-01 00:00:01"))
+    val sl = tr.slice(Timestamp.valueOf("2020-01-01 00:00:01"),
+      Timestamp.valueOf("2020-01-01 00:00:02"))
+    assert(sl.data.head == 10.0 && sl.data.last == 20.0 && sl.data.length == 11)
+  }
+
+  test("snSplit fixed windows around arrival") {
+    val tr = Trace(Array.tabulate(100)(_.toDouble), fs = 10.0, startTime = t0)
+    val arrival = Timestamp.valueOf("2020-01-01 00:00:05")
+    val (noise, signal) = Traces.snSplit(tr, arrival, windowSec = 2.0)
+    assert(noise.data.head == 30.0 && noise.data.length == 20)
+    assert(signal.data.head == 50.0 && signal.data.length == 20)
+  }
+
+  test("snSplit cumulative-quantile windows cover the energy burst") {
+    val data = Array.fill(50)(0.01) ++ Array.fill(30)(5.0) ++ Array.fill(20)(0.01)
+    val tr = Trace(data, fs = 10.0, startTime = t0)
+    val arrival = tr.timeof(50)
+    val (noise, signal) = Traces.snSplit(tr, arrival, windowSec = 0.0)
+    assert(signal.data.length > 20 && signal.data.length <= 35)
+    assert(signal.data.max == 5.0)
+    assert(noise.data.forall(_ == 0.01))
+  }
+
+  test("peak ground motion picks the largest |acc| sample and its time") {
+    val data = Array.tabulate(100)(i => if (i == 42) -9.0 else math.sin(i * 0.1))
+    val tr = Trace(data, fs = 10.0, startTime = t0)
+    val (pga, tPga, pgv, _) = Traces.peakGroundMotion(tr)
+    assert(pga == 9.0 && tPga == tr.timeof(42) && pgv > 0)
+  }
+
+  test("trace bandpass keeps length and damps out-of-band energy") {
+    val fs = 100.0
+    val x = Array.tabulate(1000)(i =>
+      math.sin(2 * math.Pi * 8 * i / fs) + math.sin(2 * math.Pi * 0.1 * i / fs))
+    val tr = Trace(x, fs, t0)
+    val bp = Traces.bandpass(tr, freqMin = 2.0, freqMax = 20.0)
+    assert(bp.data.length == x.length)
+    val amp = Spectra.ampspec(bp.data)
+    val df = Spectra.dfreq(bp.data.length, 1 / fs)
+    val at8 = amp(math.round(8.0 / df).toInt)
+    val atDc = amp(math.round(0.1 / df).toInt)
+    assert(at8 / atDc > 20.0, s"in-band/out-band ${at8 / atDc}")
+  }
+}

@@ -1,0 +1,92 @@
+package graft.model
+
+import graft.SparkSpec
+import graft.dsl.Selection
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.sql.Timestamp
+
+class SegmentViewSpec extends SparkSpec {
+
+  private def df(schema: StructType, rows: Row*) =
+    spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private lazy val view = {
+    val events = df(Schemas.events,
+      Row(1L, 1L, "ev1", ts("2020-01-01 00:00:00"), 10.0, 20.0, 5.0,
+        null, null, null, null, "Mw", 5.5, null, null, null))
+    val stations = df(Schemas.stations,
+      Row(1L, 1L, "GE", "APE", 11.0, 21.0, 100.0, null,
+        ts("2010-01-01 00:00:00"), null, "<xml/>".getBytes))
+    val channels = df(Schemas.channels,
+      Row(1L, 1L, "", "HHZ", 0.0, 0.0, -90.0, null, null, null, null, 100.0))
+    val dcs = df(Schemas.dataCenters,
+      Row(1L, "http://sta", "http://data", "ORG"))
+    val segments = df(Schemas.segments,
+      Row(1L, 1L, 1L, 1L, 1L, null, 1.0, "MSEEDDATA".getBytes, 200L,
+        ts("2020-01-01 00:00:00"), ts("2020-01-01 00:00:30"),
+        ts("2020-01-01 00:02:00"), 100.0, 0.0,
+        ts("2020-01-01 00:00:00"), ts("2020-01-01 00:04:00"), false),
+      Row(2L, 1L, 1L, 1L, 1L, "GE.APE..HHN", 1.0, Array.empty[Byte], -2L,
+        null, ts("2020-01-01 00:00:30"), null, null, null,
+        ts("2020-01-01 00:00:00"), ts("2020-01-01 00:04:00"), false))
+    val labellings = df(Schemas.classLabellings,
+      Row(1L, 1L, 1L, true, "me"), Row(2L, 1L, 2L, true, "me"))
+    SegmentView.build(segments, events, channels, stations, dcs, Some(labellings))
+  }
+
+  test("FK chain flattens with prefixes; 3-table station path works") {
+    val r = view.filter(col("id") === 1L)
+      .select("event_magnitude", "station_network", "station_station",
+        "channel_channel", "datacenter_organization_name", "station_id")
+      .collect()(0)
+    assert(r.getDouble(0) == 5.5 && r.getString(1) == "GE" &&
+      r.getString(2) == "APE" && r.getString(3) == "HHZ" &&
+      r.getString(4) == "ORG" && r.getLong(5) == 1L)
+  }
+
+  test("derived hybrid columns") {
+    val r = view.filter(col("id") === 1L).select(
+      "has_data", "has_valid_data", "channel_band_code",
+      "channel_band_instrument_code", "station_netsta_code",
+      "event_distance_km", "duration_sec", "missing_data_sec",
+      "missing_data_ratio", "seed_id", "classlabels_count",
+      "station_has_inventory").collect()(0)
+    assert(r.getBoolean(0) && r.getBoolean(1))
+    assert(r.getString(2) == "H" && r.getString(3) == "HH")
+    assert(r.getString(4) == "GE.APE")
+    assert(math.abs(r.getDouble(5) - 111.19492664455873) < 1e-9)
+    assert(r.getDouble(6) == 120.0) // 2 min received
+    assert(r.getDouble(7) == 120.0) // of 4 min requested
+    assert(r.getDouble(8) == 0.5)
+    assert(r.getString(9) == "GE.APE..HHZ") // coalesced from join
+    assert(r.getLong(10) == 2L)
+    assert(r.getBoolean(11))
+  }
+
+  test("empty-data segment: has_data false, has_valid_data false, seed_id kept") {
+    val r = view.filter(col("id") === 2L)
+      .select("has_data", "has_valid_data", "seed_id", "classlabels_count")
+      .collect()(0)
+    assert(!r.getBoolean(0) && !r.getBoolean(1))
+    assert(r.getString(2) == "GE.APE..HHN") // data_seed_id wins
+    assert(r.getLong(3) == 0L)
+  }
+
+  test("selection DSL runs against the view (default selection)") {
+    val got = Selection.filter(view, Map(
+      "has_valid_data" -> "true",
+      "maxgap_numsamples" -> "(-0.5, 0.5)"))
+    assert(got.select("id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("dotted-path selection resolves against flattened columns") {
+    val got = Selection.filter(view, Map(
+      "event.magnitude" -> ">=5", "channel.channel" -> "HHZ HHN"))
+    assert(got.count() == 2)
+  }
+}

@@ -1,0 +1,56 @@
+package graft.sources
+
+import graft.SparkSpec
+
+class SourcesSpec extends SparkSpec {
+
+  test("FDSN event text parse: typed columns, comment/malformed dropped") {
+    val lines = Seq(
+      "#EventID|Time|Latitude|Longitude|Depth/km|Author|Catalog|Contributor|ContributorID|MagType|Magnitude|MagAuthor|EventLocationName",
+      "ev1|2020-01-01T10:00:00|10.5|20.25|12.0|AUTH|CAT|CTR|id1|Mw|5.5|MA|SOMEWHERE",
+      "ev2|2020-02-01T00:00:00|-3.25|100.0|600.0||||||6.1||ELSEWHERE",
+      "bad|not-a-date|x|y|z||||||nan||oops", // malformed → dropped
+      "")
+    val df = FdsnText.parseEventLines(spark, lines)
+    assert(df.count() == 2)
+    val r = df.filter(df("event_id") === "ev1").collect()(0)
+    assert(r.getAs[Double]("magnitude") == 5.5)
+    assert(r.getAs[java.sql.Timestamp]("time").toString == "2020-01-01 10:00:00.0")
+    assert(r.getAs[String]("event_type") == null) // missing 14th col filled
+  }
+
+  test("FDSN channel text parse: empty location preserved, required-null dropped") {
+    val lines = Seq(
+      "#Network|Station|Location|Channel|Latitude|Longitude|Elevation|Depth|Azimuth|Dip|SensorDescription|Scale|ScaleFreq|ScaleUnits|SampleRate|StartTime|EndTime",
+      "GE|APE||HHZ|37.07|25.52|620.0|0.0|0.0|-90.0|STS-2|6.0E8|0.02|M/S|100.0|2007-01-01T00:00:00|",
+      "GE|APE|00|HHN|37.07|25.52|620.0|0.0|0.0|0.0|STS-2|6.0E8|0.02|M/S|100.0|2007-01-01T00:00:00|2011-01-01T00:00:00",
+      "XX|YYY||HHZ|1.0|2.0|||||||||  |2007-01-01T00:00:00|") // null sample_rate → dropped
+    val df = FdsnText.parseChannelLines(spark, lines)
+    assert(df.count() == 2)
+    val r = df.filter(df("channel") === "HHZ").collect()(0)
+    assert(r.getAs[String]("location") == "") // empty ≠ null
+    assert(r.getAs[Double]("sample_rate") == 100.0)
+    assert(r.getAs[java.sql.Timestamp]("end_time") == null)
+  }
+
+  test("EIDA routing parse + wildcard matcher authority") {
+    val body =
+      """http://dc1.example.org/fdsnws/dataselect/1/query
+        |GE * * HH? 2000-01-01T00:00:00 *
+        |GE APE -- BH? * *
+        |
+        |http://dc2.example.org/fdsnws/dataselect/1/query
+        |XX * * * * *
+        |""".stripMargin
+    val idx = RoutingService.parse(body)
+    assert(idx.rules.size == 2)
+    assert(idx.datacentersFor("GE", "APE", "", "HHZ") ==
+      Seq("http://dc1.example.org/fdsnws/dataselect/1/query"))
+    assert(idx.datacentersFor("XX", "ANY", "00", "LHZ") ==
+      Seq("http://dc2.example.org/fdsnws/dataselect/1/query"))
+    assert(idx.datacentersFor("YY", "S", "", "HHZ").isEmpty)
+    // `--` matches only the empty location
+    assert(idx.datacentersFor("GE", "APE", "", "BHZ").nonEmpty)
+    assert(idx.datacentersFor("GE", "APE", "00", "BHZ").isEmpty)
+  }
+}
