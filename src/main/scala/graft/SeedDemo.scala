@@ -1,0 +1,34 @@
+package graft
+
+import graft.dsp.{Spectra, Traces}
+import graft.sources.{MiniSeed, TravelTimes}
+
+import java.nio.file.{Files, Paths}
+
+/** CLI demo: decode real miniSEED waveforms (reference fixtures) through the
+  * full library path — unpack → STEIM decode → Trace → bandpass → spectra —
+  * and interpolate a travel time. Run: `sbt "runMain graft.SeedDemo [file]"`.
+  */
+object SeedDemo {
+  def main(args: Array[String]): Unit = {
+    val path = args.headOption.getOrElse(
+      "/root/reference/tests/data/GE.FLT1..HH?.mseed")
+    val data = Files.readAllBytes(Paths.get(path))
+    println(s"$path: ${data.length} bytes")
+    MiniSeed.unpack(data).toSeq.sortBy(_._1).foreach { case (id, r) =>
+      if (r.error.nonEmpty) println(f"$id%-16s ERROR: ${r.error}")
+      else {
+        val trace = MiniSeed.toTrace(r)
+        val bp = Traces.bandpass(trace, 1.0, 20.0, corners = 2)
+        val amp = Spectra.ampspec(bp.data)
+        val df = Spectra.dfreq(bp.data.length, 1 / trace.fs)
+        val peakHz = amp.indices.drop(1).maxBy(amp) * df
+        println(f"$id%-16s n=${trace.data.length}%6d fs=${trace.fs}%5.1f " +
+          f"gap=${r.maxGapOverlapRatio}%9.6f t0=${r.startTime} " +
+          f"peakAmpFreq=$peakHz%6.2fHz max=${trace.data.max}%12.1f")
+      }
+    }
+    val tt = TravelTimes.load("/root/reference/tests/data/ak135_ttp+_5.npz")
+    println(f"ak135 tt(depth=10km, dist=5deg) = ${tt.minTravelTime(10, 5)}%.3f s")
+  }
+}

@@ -1,0 +1,100 @@
+package graft.operators
+
+import graft.sources.TravelTimeTable
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The download dataflow's pure relational stages
+  * (`stream2segment/download/modules/segments.py`), as Column/DataFrame
+  * transforms with injected fetch functions — network I/O stays outside the
+  * plan (driver-side planner / `mapPartitions` fetchers), so everything
+  * here is testable and Catalyst-optimizable.
+  */
+object DownloadFlow {
+
+  /** Download code taxonomy (`download/modules/utils.py:385-393`). */
+  object Codes {
+    val UrlErr = -1L
+    val MseedErr = -2L
+    val TimespanErr = -204L
+    val TimespanWarn = -200L
+    val SegNotFound: Option[Long] = None // null download_code
+  }
+
+  /** Retry-policy mask over previously-downloaded segments
+    * (`segments.py:163-196`): OR of per-class flags.
+    */
+  def retryMask(code: Column,
+                retrySegNotFound: Boolean = true,
+                retryUrlErr: Boolean = true,
+                retryMseedErr: Boolean = false,
+                retryClientErr: Boolean = false,
+                retryServerErr: Boolean = false,
+                retryTimespanErr: Boolean = false,
+                retryTimespanWarn: Boolean = false): Column = {
+    var mask: Column = lit(false)
+    if (retrySegNotFound) mask = mask || code.isNull
+    if (retryUrlErr) mask = mask || code === Codes.UrlErr
+    if (retryMseedErr) mask = mask || code === Codes.MseedErr
+    if (retryClientErr) mask = mask || (code >= 400 && code < 500)
+    if (retryServerErr) mask = mask || (code >= 500 && code < 600)
+    if (retryTimespanErr) mask = mask || code === Codes.TimespanErr
+    if (retryTimespanWarn) mask = mask || code === Codes.TimespanWarn
+    mask
+  }
+
+  /** Requested time bounds from the arrival time (`segments.py:198-227`):
+    * `[arrival + minusMinutes, arrival + plusMinutes]`, rounded to whole
+    * seconds (pandas `.dt.round('s')` = half-up on the millisecond).
+    */
+  def requestTimebounds(arrival: Column, startOffsetMin: Double,
+                        endOffsetMin: Double): (Column, Column) = {
+    def roundSec(ts: Column): Column =
+      timestamp_seconds(round(unix_micros(ts.cast("timestamp")) / 1e6, 0))
+    (roundSec(timestamp_micros(
+      unix_micros(arrival.cast("timestamp")) + lit((startOffsetMin * 60e6).toLong))),
+      roundSec(timestamp_micros(
+        unix_micros(arrival.cast("timestamp")) + lit((endOffsetMin * 60e6).toLong))))
+  }
+
+  /** Flag segments whose stored request bounds differ from the recomputed
+    * ones (timespan config changed → retry).
+    */
+  def timeboundsChanged(oldStart: Column, oldEnd: Column,
+                        newStart: Column, newEnd: Column): Column =
+    oldStart.isNotNull && (oldStart =!= newStart || oldEnd =!= newEnd)
+
+  /** Arrival time = event time + minimum travel time(depth, distance) via a
+    * broadcast travel-time grid (`stationsearch.py:118-144` +
+    * `traveltimes/ttloader.py:62-128`). The UDF reads the broadcast table —
+    * one driver-side load, zero per-row I/O.
+    */
+  def arrivalTimeUdf(table: Broadcast[TravelTimeTable]) =
+    udf { (evTimeMicros: Long, depthKm: Double, distDeg: Double) =>
+      val tt = table.value.minTravelTime(depthKm, distDeg)
+      if (tt.isNaN) None
+      else Some(evTimeMicros + math.round(tt * 1e6))
+    }
+
+  /** Attach `arrival_time` to segment candidates. `evTime` must be a
+    * timestamp column; emits a timestamp column.
+    */
+  def withArrivalTime(candidates: DataFrame, table: Broadcast[TravelTimeTable],
+                      evTime: Column, depthKm: Column, distDeg: Column,
+                      outCol: String = "arrival_time"): DataFrame =
+    candidates.withColumn(outCol,
+      timestamp_micros(arrivalTimeUdf(table)(
+        unix_micros(evTime.cast("timestamp")), depthKm, distDeg)))
+
+  /** Suspicious duplicates: same (channel_id, request_start, request_end)
+    * appearing more than once — log-only metric in the reference
+    * (`segments.py:230-250`).
+    */
+  def suspiciousDuplicates(segments: DataFrame,
+                           cols: Seq[String] = Seq("channel_id", "request_start", "request_end")): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(cols.map(col): _*)
+    segments.withColumn("__n", count(lit(1)).over(w))
+      .filter(col("__n") > 1).drop("__n")
+  }
+}

@@ -1,0 +1,374 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.sql.Timestamp
+import java.time.LocalDateTime
+import scala.collection.mutable
+
+/** Pure-JVM miniSEED reader: record-level parsing with the same splitting /
+  * gap-statistics contract as the reference's pure-python module
+  * (`stream2segment/download/modules/mseedlite.py:500-630` `unpack`), plus
+  * actual sample decoding (STEIM1/2, INT16/32, FLOAT32/64) which the
+  * reference delegates to ObsPy — our processing engine needs the samples
+  * natively.
+  *
+  * Format per the public FDSN SEED 2.4 manual: 48-byte fixed header,
+  * blockette 1000 (encoding/byteorder/record-length), blockette 1001
+  * (microseconds), and 64-byte STEIM compression frames.
+  *
+  * All entry points are plain byte-array functions usable inside UDFs /
+  * `mapPartitions` — no I/O, no shared state.
+  */
+object MiniSeed {
+
+  final val FixheadLen = 48
+  final val MaxReclen = 4096
+
+  final case class MSeedException(msg: String) extends RuntimeException(msg)
+
+  /** One parsed record: `raw` is the exact original record slice. */
+  final case class Record(seedId: String, net: String, sta: String,
+                          loc: String, cha: String, nsamp: Int, fsamp: Double,
+                          encoding: Int, bigEndian: Boolean, size: Int,
+                          beginTime: Timestamp, endTime: Timestamp,
+                          error: String, raw: Array[Byte])
+
+  /** Per-seed-id unpack result (the reference's 7-tuple). */
+  final case class UnpackResult(error: String, data: Array[Byte],
+                                sampleRate: Double, maxGapOverlapRatio: Double,
+                                startTime: Timestamp, endTime: Timestamp,
+                                outOfBoundsChunks: Boolean)
+
+  private val doyTable = Array(0, 31, 59, 90, 120, 151, 181, 212, 243, 273, 304, 334, 365)
+
+  private def isLeap(y: Int) = (y % 400 == 0) || (y % 4 == 0 && y % 100 != 0)
+
+  private def dayOfYearToDate(year: Int, doy: Int): (Int, Int) = {
+    def ldoy(m: Int) = doyTable(m) + (if (isLeap(year) && m >= 2) 1 else 0)
+    var month = 1
+    while (doy > ldoy(month)) month += 1
+    (month, doy - ldoy(month - 1))
+  }
+
+  /** Parse one record starting at `off`; returns (record, nextOffset). */
+  def parseRecord(data: Array[Byte], off: Int): (Record, Int) = {
+    if (off + FixheadLen > data.length)
+      throw MSeedException("unexpected end of header")
+    val bb = ByteBuffer.wrap(data, off, data.length - off).order(ByteOrder.BIG_ENDIAN)
+
+    def str(n: Int): String = {
+      val b = new Array[Byte](n)
+      bb.get(b)
+      new String(b, "ASCII")
+    }
+    str(6) // recno
+    val rectype = bb.get().toChar
+    bb.get() // reserved
+    val sta = str(5).trim
+    val loc = str(2).trim
+    val cha = str(3).trim
+    val net = str(2).trim
+    val btYear = bb.getShort() & 0xffff
+    val btDoy = bb.getShort() & 0xffff
+    val btHour = bb.get() & 0xff
+    val btMin = bb.get() & 0xff
+    var btSec = bb.get() & 0xff
+    bb.get() // unused
+    val btTms = bb.getShort() & 0xffff
+    val nsamp = bb.getShort() & 0xffff
+    val srFactor = bb.getShort().toInt
+    val srMult = bb.getShort().toInt
+    bb.get(); bb.get(); bb.get(); bb.get() // aflgs cflgs qflgs numblk
+    bb.getInt() // time correction
+    val pdata = bb.getShort() & 0xffff
+    val pblk = bb.getShort() & 0xffff
+
+    val seedId = s"$net.$sta.$loc.$cha"
+
+    if (rectype != 'D' && rectype != 'R' && rectype != 'Q' && rectype != 'M')
+      return (Record(seedId, net, sta, loc, cha, 0, 0, 0, bigEndian = true,
+        MaxReclen, null, null, "non-data record",
+        slice(data, off, MaxReclen)), off + MaxReclen)
+
+    if (pdata < FixheadLen || pdata >= MaxReclen ||
+      (pblk != 0 && (pblk < FixheadLen || pblk >= pdata)))
+      return (Record(seedId, net, sta, loc, cha, 0, 0, 0, bigEndian = true,
+        MaxReclen, null, null, "invalid pointers",
+        slice(data, off, MaxReclen)), off + MaxReclen)
+
+    // blockettes
+    var encoding = 11
+    var byteorder = 1
+    var recLenExp = 12
+    var micros = 0
+    var pos = pblk
+    var nextblk = pblk
+    var blkErr: String = null
+    while (nextblk != 0 && blkErr == null) {
+      if (off + nextblk + 4 > data.length) { blkErr = "unexpected end of blockettes" }
+      else {
+        val hb = ByteBuffer.wrap(data, off + nextblk, 4).order(ByteOrder.BIG_ENDIAN)
+        val blktype = hb.getShort() & 0xffff
+        val nb = hb.getShort() & 0xffff
+        val bodyOff = off + nextblk + 4
+        if (blktype == 1000) {
+          if (bodyOff + 4 > data.length) blkErr = "unexpected end of blockettes"
+          else {
+            encoding = data(bodyOff) & 0xff
+            byteorder = data(bodyOff + 1) & 0xff
+            recLenExp = data(bodyOff + 2) & 0xff
+          }
+        } else if (blktype == 1001) {
+          if (bodyOff + 4 > data.length) blkErr = "unexpected end of blockettes"
+          else micros = data(bodyOff + 1) // signed byte
+        }
+        if (nb != 0 && (nb <= nextblk || nb >= pdata)) blkErr = "invalid pointers"
+        nextblk = if (blkErr == null) nb else 0
+        pos = nextblk
+      }
+    }
+
+    val size = 1 << recLenExp
+    if (size < FixheadLen || size > MaxReclen)
+      throw MSeedException("invalid record size")
+    if (off + size > data.length)
+      return (Record(seedId, net, sta, loc, cha, nsamp, 0, encoding,
+        byteorder == 1, size, null, null, "unexpected end of data",
+        slice(data, off, data.length - off)), data.length)
+
+    // sample rate (`mseedlite.py:241-258`)
+    val fsamp: Double =
+      if (srFactor > 0 && srMult > 0) srFactor.toDouble * srMult
+      else if (srFactor > 0 && srMult < 0) srFactor.toDouble / -srMult
+      else if (srFactor < 0 && srMult > 0) srMult.toDouble / -srFactor
+      else if (srFactor < 0 && srMult < 0) 1.0 / (srFactor.toDouble * srMult)
+      else 0.0
+
+    var leap = 0
+    if (btSec > 59) { leap = btSec - 59; btSec = 59 }
+    var error = blkErr
+    var begin: Timestamp = null
+    var end: Timestamp = null
+    try {
+      val (month, day) = dayOfYearToDate(btYear, btDoy)
+      val ldt = LocalDateTime.of(btYear, month, day, btHour, btMin, btSec)
+        .plusNanos((btTms * 100L + micros) * 1000L)
+      begin = Timestamp.valueOf(ldt)
+      end =
+        if (nsamp != 0 && fsamp != 0)
+          Timestamp.valueOf(ldt.plusNanos(math.round(1e9 * (nsamp - 1) / fsamp)))
+        else begin
+    } catch {
+      case e: Exception => if (error == null) error = s"invalid time: ${e.getMessage}"
+    }
+
+    (Record(seedId, net, sta, loc, cha, nsamp, fsamp, encoding,
+      byteorder == 1, size, begin, end,
+      if (error == null) "" else error, slice(data, off, size)), off + size)
+  }
+
+  private def slice(a: Array[Byte], off: Int, len: Int): Array[Byte] =
+    java.util.Arrays.copyOfRange(a, off, math.min(a.length, off + len))
+
+  /** Epoch microseconds (Timestamp.getTime truncates to ms — gap ratios
+    * need the full microsecond precision of blockette 1001).
+    */
+  private def micros(t: Timestamp): Long =
+    (t.getTime - t.getNanos / 1000000) * 1000L + t.getNanos / 1000
+
+  /** Iterate all records in a (possibly multiplexed) byte payload. */
+  def records(data: Array[Byte]): Iterator[Record] = new Iterator[Record] {
+    private var off = 0
+    def hasNext: Boolean = off < data.length
+    def next(): Record = {
+      val (r, nextOff) = parseRecord(data, off)
+      off = nextOff
+      r
+    }
+  }
+
+  /** The reference `unpack` contract: split a multiplexed payload by seed
+    * id; per id: sort records by begin time, re-concatenate their raw
+    * bytes, compute sample rate, max gap/overlap ratio
+    * `(t_i.begin − t_{i−1}.end)·fsamp − 1`, start/end times; drop records
+    * fully outside [starttime, endtime]; first record error poisons its id.
+    */
+  def unpack(data: Array[Byte], starttime: Option[Timestamp] = None,
+             endtime: Option[Timestamp] = None): Map[String, UnpackResult] = {
+    val toRead = mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[Record]]
+    val done = mutable.LinkedHashMap.empty[String, UnpackResult]
+    val outOfBounds = mutable.Set.empty[String]
+
+    records(data).foreach { rec =>
+      val id = rec.seedId
+      if (!done.contains(id)) {
+        if (rec.error.nonEmpty) {
+          done(id) = UnpackResult(rec.error, null, 0, 0, null, null, outOfBoundsChunks = false)
+          toRead.remove(id)
+        } else {
+          val oob = (starttime.exists(st => rec.endTime != null && st.after(rec.endTime))) ||
+            (endtime.exists(et => rec.beginTime != null && et.before(rec.beginTime)))
+          if (oob) outOfBounds += id
+          else toRead.getOrElseUpdate(id, mutable.ArrayBuffer.empty) += rec
+        }
+      }
+    }
+
+    toRead.foreach { case (id, recs) =>
+      if (recs.isEmpty)
+        done(id) = UnpackResult("", Array.empty, 0, 0, null, null, outOfBounds.contains(id))
+      else {
+        val sorted = recs.sortBy(r => r.beginTime.getTime)
+        val fsamp = sorted.head.fsamp
+        if (sorted.exists(_.fsamp != fsamp))
+          done(id) = UnpackResult("records sample rate mismatch", null, 0, 0,
+            null, null, outOfBoundsChunks = false)
+        else {
+          var maxGap = 0.0
+          var i = 1
+          while (i < sorted.length) {
+            val gap = (micros(sorted(i).beginTime) - micros(sorted(i - 1).endTime)) /
+              1e6 * fsamp - 1
+            if (math.abs(gap) > math.abs(maxGap)) maxGap = gap
+            i += 1
+          }
+          val bytes = sorted.iterator.map(_.raw).reduce(_ ++ _)
+          done(id) = UnpackResult("", bytes, fsamp, maxGap,
+            sorted.head.beginTime, sorted.last.endTime,
+            outOfBounds.contains(id))
+        }
+      }
+    }
+    // ids whose every record was out of bounds
+    outOfBounds.foreach { id =>
+      if (!done.contains(id))
+        done(id) = UnpackResult("", Array.empty, 0, 0, null, null, outOfBoundsChunks = true)
+    }
+    done.toMap
+  }
+
+  // --- sample decoding ------------------------------------------------------
+
+  /** Decode the samples of a single-seed-id payload (concatenated records,
+    * as produced by `unpack`) into doubles, time-ascending.
+    */
+  def decodeSamples(data: Array[Byte]): Array[Double] = {
+    val out = mutable.ArrayBuffer.empty[Double]
+    records(data).foreach { rec =>
+      if (rec.error.nonEmpty) throw MSeedException(rec.error)
+      out ++= decodeRecordSamples(rec)
+    }
+    out.toArray
+  }
+
+  /** Decode one record's data section per its blockette-1000 encoding. */
+  def decodeRecordSamples(rec: Record): Array[Double] = {
+    val pdata = {
+      // re-read the data pointer from the raw header
+      val bb = ByteBuffer.wrap(rec.raw, 44, 2).order(ByteOrder.BIG_ENDIAN)
+      bb.getShort() & 0xffff
+    }
+    val body = java.util.Arrays.copyOfRange(rec.raw, pdata, rec.raw.length)
+    val order = if (rec.bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
+    rec.encoding match {
+      case 1 => // INT16
+        val bb = ByteBuffer.wrap(body).order(order)
+        Array.fill(math.min(rec.nsamp, body.length / 2))(bb.getShort().toDouble)
+      case 3 => // INT32
+        val bb = ByteBuffer.wrap(body).order(order)
+        Array.fill(math.min(rec.nsamp, body.length / 4))(bb.getInt().toDouble)
+      case 4 => // FLOAT32
+        val bb = ByteBuffer.wrap(body).order(order)
+        Array.fill(math.min(rec.nsamp, body.length / 4))(bb.getFloat().toDouble)
+      case 5 => // FLOAT64
+        val bb = ByteBuffer.wrap(body).order(order)
+        Array.fill(math.min(rec.nsamp, body.length / 8))(bb.getDouble())
+      case 10 => decodeSteim(body, rec.nsamp, steim2 = false)
+      case 11 => decodeSteim(body, rec.nsamp, steim2 = true)
+      case other => throw MSeedException(s"unsupported encoding $other")
+    }
+  }
+
+  /** STEIM1/2 decompression over 64-byte frames (SEED 2.4 appendix B). */
+  private def decodeSteim(body: Array[Byte], nsamp: Int, steim2: Boolean): Array[Double] = {
+    val diffs = mutable.ArrayBuffer.empty[Int]
+    var x0 = 0
+    var xn = 0
+    var frame = 0
+    val nFrames = body.length / 64
+    while (frame < nFrames && diffs.length <= nsamp) {
+      val base = frame * 64
+      val bb = ByteBuffer.wrap(body, base, 64).order(ByteOrder.BIG_ENDIAN)
+      val w0 = bb.getInt(base)
+      var w = 1
+      while (w < 16) {
+        val nib = (w0 >>> (2 * (15 - w))) & 0x3
+        val word = ByteBuffer.wrap(body, base + 4 * w, 4)
+          .order(ByteOrder.BIG_ENDIAN).getInt()
+        if (frame == 0 && w == 1) x0 = word
+        else if (frame == 0 && w == 2) xn = word
+        else nib match {
+          case 0 => // no data
+          case 1 => // 4 × 8-bit
+            var k = 0
+            while (k < 4) { diffs += (word << (8 * k) >> 24); k += 1 }
+          case 2 =>
+            if (!steim2) { // 2 × 16-bit
+              diffs += (word >> 16)
+              diffs += (word << 16 >> 16)
+            } else {
+              val dnib = (word >>> 30) & 0x3
+              dnib match {
+                case 1 => diffs += (word << 2 >> 2) // 1 × 30-bit
+                case 2 => // 2 × 15-bit
+                  diffs += (word << 2 >> 17)
+                  diffs += (word << 17 >> 17)
+                case 3 => // 3 × 10-bit
+                  diffs += (word << 2 >> 22)
+                  diffs += (word << 12 >> 22)
+                  diffs += (word << 22 >> 22)
+                case _ => throw MSeedException("bad STEIM2 dnib")
+              }
+            }
+          case 3 =>
+            if (!steim2) diffs += word // 1 × 32-bit
+            else {
+              val dnib = (word >>> 30) & 0x3
+              dnib match {
+                case 0 => // 5 × 6-bit
+                  var k = 0
+                  while (k < 5) { diffs += (word << (2 + 6 * k) >> 26); k += 1 }
+                case 1 => // 6 × 5-bit
+                  var k = 0
+                  while (k < 6) { diffs += (word << (2 + 5 * k) >> 27); k += 1 }
+                case 2 => // 7 × 4-bit
+                  var k = 0
+                  while (k < 7) { diffs += (word << (4 + 4 * k) >> 28); k += 1 }
+                case _ => throw MSeedException("bad STEIM2 dnib")
+              }
+            }
+        }
+        w += 1
+      }
+      frame += 1
+    }
+    if (nsamp == 0) return Array.empty
+    val out = new Array[Double](nsamp)
+    out(0) = x0
+    var i = 1
+    while (i < nsamp && i < diffs.length) {
+      out(i) = out(i - 1) + diffs(i)
+      i += 1
+    }
+    if (i < nsamp) throw MSeedException(s"STEIM: expected $nsamp samples, decoded $i")
+    if (math.round(out(nsamp - 1)) != xn)
+      throw MSeedException(s"STEIM: last sample ${out(nsamp - 1)} != Xn $xn")
+    out
+  }
+
+  /** Decode a single-id payload into a `graft.dsp.Trace`. */
+  def toTrace(result: UnpackResult): graft.dsp.Trace = {
+    require(result.error.isEmpty, s"cannot decode errored payload: ${result.error}")
+    graft.dsp.Trace(decodeSamples(result.data), result.sampleRate, result.startTime)
+  }
+}

@@ -1,0 +1,150 @@
+package graft.sources
+
+import java.io.{ByteArrayOutputStream, InputStream}
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.file.{Files, Paths}
+import java.util.zip.ZipInputStream
+
+/** Travel-time lookup table: precomputed (source_depth × distance) grid of
+  * minimum seismic-phase travel times, interpolated per segment candidate —
+  * the reference's `TTTable` (`stream2segment/traveltimes/ttloader.py:17-128`,
+  * grids in numpy `.npz` files).
+  *
+  * Differences from the reference, on purpose:
+  *  - scipy `griddata(method='linear')` triangulates the grid (piecewise-
+  *    linear on Delaunay triangles); we interpolate bilinearly on the
+  *    rectangular grid — identical at grid nodes, at least as accurate
+  *    inside cells, and far cheaper (two binary searches + 4 reads);
+  *  - the table is a plain serializable object: broadcast it once
+  *    (`sparkContext.broadcast`) and call `minTravelTime` inside a UDF /
+  *    codegen'd expression over millions of candidates.
+  *
+  * Clamping semantics match `ttloader.py:96-122`: negative depths → 0,
+  * distances folded mod 360 at 180°, source depth above the grid bound →
+  * NaN.
+  */
+final case class TravelTimeTable(sourceDepthsKm: Array[Double],
+                                 distancesDeg: Array[Double],
+                                 times: Array[Array[Float]],
+                                 sourceDepthBoundKm: Double,
+                                 modelName: String) extends Serializable {
+
+  /** Minimum travel time in seconds; NaN if out of grid bounds. */
+  def minTravelTime(sourceDepthKm: Double, distanceDeg: Double): Double = {
+    var depth = if (sourceDepthKm < 0) 0.0 else sourceDepthKm
+    if (depth > sourceDepthBoundKm) return Double.NaN
+    var dist = distanceDeg % 360
+    if (dist < 0) dist += 360
+    if (dist > 180) dist = 360 - dist
+
+    val di = bracket(sourceDepthsKm, depth)
+    val xi = bracket(distancesDeg, dist)
+    val (d0, d1) = (sourceDepthsKm(di), sourceDepthsKm(di + 1))
+    val (x0, x1) = (distancesDeg(xi), distancesDeg(xi + 1))
+    val fd = if (d1 == d0) 0.0 else (depth - d0) / (d1 - d0)
+    val fx = if (x1 == x0) 0.0 else (dist - x0) / (x1 - x0)
+    val t00 = times(di)(xi); val t01 = times(di)(xi + 1)
+    val t10 = times(di + 1)(xi); val t11 = times(di + 1)(xi + 1)
+    (1 - fd) * ((1 - fx) * t00 + fx * t01) + fd * ((1 - fx) * t10 + fx * t11)
+  }
+
+  /** Index i such that a(i) <= v <= a(i+1), clamped to valid cells. */
+  private def bracket(a: Array[Double], v: Double): Int = {
+    var lo = 0
+    var hi = a.length - 2
+    if (v <= a(0)) return 0
+    if (v >= a(a.length - 1)) return a.length - 2
+    while (lo < hi) {
+      val mid = (lo + hi + 1) / 2
+      if (a(mid) <= v) lo = mid else hi = mid - 1
+    }
+    lo
+  }
+}
+
+object TravelTimes {
+
+  /** Load a travel-time table from a numpy `.npz` archive. */
+  def load(path: String): TravelTimeTable = {
+    val entries = readNpz(Files.newInputStream(Paths.get(path)))
+    val depths = toDoubles(entries("sourcedepths.npy"))
+    val dists = toDoubles(entries("distances.npy"))
+    val ttFlat = entries("traveltimes.npy")
+    val grid = Array.tabulate(depths.length) { d =>
+      Array.tabulate(dists.length) { x =>
+        ttFlat.floats(d * dists.length + x)
+      }
+    }
+    val bound = toDoubles(entries("sourcedepth_bounds_km" + ".npy"))(1)
+    TravelTimeTable(depths, dists, grid, bound,
+      entries.get("modelname.npy").map(_.string).getOrElse(""))
+  }
+
+  // --- minimal npy/npz reading ---------------------------------------------
+
+  final case class Npy(descr: String, shape: Seq[Int], data: Array[Byte]) {
+    private def order =
+      if (descr.startsWith(">")) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
+    def doubles: Array[Double] = {
+      val bb = ByteBuffer.wrap(data).order(order)
+      descr.drop(1) match {
+        case "f8" => Array.fill(data.length / 8)(bb.getDouble())
+        case "f4" => Array.fill(data.length / 4)(bb.getFloat().toDouble)
+        case "i8" => Array.fill(data.length / 8)(bb.getLong().toDouble)
+        case "i4" => Array.fill(data.length / 4)(bb.getInt().toDouble)
+        case other => throw new IllegalArgumentException(s"npy dtype $other")
+      }
+    }
+    def floats: Array[Float] = {
+      val bb = ByteBuffer.wrap(data).order(order)
+      descr.drop(1) match {
+        case "f4" => Array.fill(data.length / 4)(bb.getFloat())
+        case "f8" => Array.fill(data.length / 8)(bb.getDouble().toFloat)
+        case other => throw new IllegalArgumentException(s"npy dtype $other")
+      }
+    }
+    def string: String = new String(data, "ASCII").trim
+  }
+
+  private def toDoubles(n: Npy): Array[Double] = n.doubles
+
+  /** Read every .npy member of an npz (zip) stream. */
+  def readNpz(in: InputStream): Map[String, Npy] = {
+    val zip = new ZipInputStream(in)
+    val out = scala.collection.mutable.Map.empty[String, Npy]
+    var entry = zip.getNextEntry
+    while (entry != null) {
+      val bytes = readAll(zip)
+      out(entry.getName) = parseNpy(bytes)
+      entry = zip.getNextEntry
+    }
+    zip.close()
+    out.toMap
+  }
+
+  private def readAll(in: InputStream): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    var n = in.read(buf)
+    while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
+    bos.toByteArray
+  }
+
+  /** Parse the npy v1.0/2.0 header (magic, header dict) + payload. */
+  def parseNpy(bytes: Array[Byte]): Npy = {
+    require(bytes.length > 10 && bytes(0) == 0x93.toByte &&
+      new String(bytes, 1, 5, "ASCII") == "NUMPY", "not an npy file")
+    val major = bytes(6)
+    val (headerLen, headerOff) =
+      if (major == 1) ((bytes(8) & 0xff) | ((bytes(9) & 0xff) << 8), 10)
+      else (ByteBuffer.wrap(bytes, 8, 4).order(ByteOrder.LITTLE_ENDIAN).getInt(), 12)
+    val header = new String(bytes, headerOff, headerLen, "ASCII")
+    val descr = """'descr':\s*'([^']+)'""".r.findFirstMatchIn(header)
+      .map(_.group(1)).getOrElse(throw new IllegalArgumentException("no descr"))
+    val shape = """'shape':\s*\(([^)]*)\)""".r.findFirstMatchIn(header)
+      .map(_.group(1).split(",").map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq)
+      .getOrElse(Seq.empty)
+    Npy(descr, shape,
+      java.util.Arrays.copyOfRange(bytes, headerOff + headerLen, bytes.length))
+  }
+}

@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.TravelTimes
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+class DownloadFlowSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("retry mask classes OR-combine per flags") {
+    val df = Seq[(Long, Option[Long])](
+      (1L, None), (2L, Some(-1L)), (3L, Some(-2L)), (4L, Some(404L)),
+      (5L, Some(503L)), (6L, Some(-204L)), (7L, Some(-200L)), (8L, Some(200L)))
+      .toDF("id", "download_code")
+    def ids(mask: org.apache.spark.sql.Column): Set[Long] =
+      df.filter(mask).select("id").as[Long].collect().toSet
+
+    assert(ids(DownloadFlow.retryMask($"download_code")) == Set(1L, 2L))
+    assert(ids(DownloadFlow.retryMask($"download_code",
+      retryClientErr = true, retryServerErr = true)) == Set(1L, 2L, 4L, 5L))
+    assert(ids(DownloadFlow.retryMask($"download_code",
+      retrySegNotFound = false, retryUrlErr = false, retryMseedErr = true,
+      retryTimespanErr = true, retryTimespanWarn = true)) == Set(3L, 6L, 7L))
+  }
+
+  test("request timebounds: arrival ± minutes rounded to seconds") {
+    val df = Seq(Timestamp.valueOf("2020-01-01 10:00:30.624")).toDF("arrival")
+    val (s, e) = DownloadFlow.requestTimebounds($"arrival", -1.0, 5.0)
+    val r = df.select(s.as("s"), e.as("e")).collect()(0)
+    assert(r.getTimestamp(0) == Timestamp.valueOf("2020-01-01 09:59:31"))
+    assert(r.getTimestamp(1) == Timestamp.valueOf("2020-01-01 10:05:31"))
+  }
+
+  test("timebounds change detection: null old bounds never retrigger") {
+    val df = Seq(
+      (Some(Timestamp.valueOf("2020-01-01 00:00:00")), Timestamp.valueOf("2020-01-01 01:00:00"), false),
+      (None, Timestamp.valueOf("2020-01-01 01:00:00"), false))
+      .toDF("old_start", "new_start", "dummy")
+    val changed = DownloadFlow.timeboundsChanged(
+      $"old_start", $"old_start", $"new_start", $"new_start")
+    assert(df.filter(changed).count() == 1)
+  }
+
+  test("arrival time via broadcast travel-time grid") {
+    val table = spark.sparkContext.broadcast(
+      TravelTimes.load("/root/reference/tests/data/ak135_ttp+_5.npz"))
+    val df = Seq(
+      (1L, Timestamp.valueOf("2020-01-01 00:00:00"), 10.0, 5.0),
+      (2L, Timestamp.valueOf("2020-01-01 00:00:00"), 900.0, 5.0)) // out of grid
+      .toDF("id", "ev_time", "depth", "dist")
+    val got = DownloadFlow.withArrivalTime(df, table, $"ev_time", $"depth", $"dist")
+      .orderBy("id").select("arrival_time").collect()
+    // tt(10, 5) = 75.17112084744645 s
+    assert(got(0).getTimestamp(0) == Timestamp.valueOf("2020-01-01 00:01:15.171121"))
+    assert(got(1).isNullAt(0)) // NaN → null arrival
+  }
+
+  test("suspicious duplicate detection") {
+    val t = Timestamp.valueOf("2020-01-01 00:00:00")
+    val df = Seq((1L, 1L, t, t), (2L, 1L, t, t), (3L, 2L, t, t))
+      .toDF("id", "channel_id", "request_start", "request_end")
+    val dups = DownloadFlow.suspiciousDuplicates(df)
+    assert(dups.select("id").as[Long].collect().toSet == Set(1L, 2L))
+  }
+}

@@ -1,0 +1,98 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.{Files, Paths}
+import java.security.MessageDigest
+
+/** Golden tests against the reference's own miniSEED fixtures under
+  * /root/reference/tests/data/ ; expected values produced by the reference
+  * implementation (`stream2segment/download/modules/mseedlite.py` `unpack`)
+  * run on the same files.
+  */
+class MiniSeedSpec extends AnyFunSuite {
+
+  private def load(name: String): Array[Byte] =
+    Files.readAllBytes(Paths.get(s"/root/reference/tests/data/$name"))
+
+  private def md5(b: Array[Byte]): String =
+    MessageDigest.getInstance("MD5").digest(b)
+      .map("%02x".format(_)).mkString.take(12)
+
+  test("single-trace file: one id, byte-identical re-concatenation") {
+    val res = MiniSeed.unpack(load("trace_GE.APE.mseed"))
+    assert(res.keySet == Set("GE.APE..HHE"))
+    val r = res("GE.APE..HHE")
+    assert(r.error.isEmpty)
+    assert(r.data.length == 94208 && md5(r.data) == "67118dc3bf8f")
+    assert(r.sampleRate == 100.0)
+    assert(r.maxGapOverlapRatio == 0.0)
+    assert(r.startTime.toString == "2016-07-14 08:42:20.25")
+    assert(r.endTime.toString == "2016-07-14 08:54:21.26")
+    assert(!r.outOfBoundsChunks)
+  }
+
+  test("3-component multiplexed file: split, sort, overlap stats") {
+    val res = MiniSeed.unpack(load("GE.FLT1..HH?.mseed"))
+    assert(res.keySet == Set("GE.FLT1..HHE", "GE.FLT1..HHN", "GE.FLT1..HHZ"))
+    val e = res("GE.FLT1..HHE")
+    assert(e.data.length == 32768 && md5(e.data) == "478f8c0cdad6")
+    assert(math.abs(e.maxGapOverlapRatio - -1.0000000000010001e-4) < 1e-15)
+    assert(e.startTime.toString == "2011-09-03 16:38:05.550001")
+    val z = res("GE.FLT1..HHZ")
+    assert(z.data.length == 33280 && md5(z.data) == "cb2693fe10bc")
+    assert(z.endTime.toString == "2011-09-03 16:42:09.67")
+  }
+
+  test("42-station response file: all ids split correctly") {
+    val res = MiniSeed.unpack(load("BS.*.*.*.2016-06-05.21:05-09.47.mseed"))
+    assert(res.size == 42)
+    assert(res.values.forall(_.error.isEmpty))
+    val r = res("BS.BLKB..HHZ")
+    assert(r.data.length == 34816 && md5(r.data) == "a0272692e65f")
+    assert(r.sampleRate == 100.0)
+    // total bytes preserved across the split
+    assert(res.values.map(_.data.length).sum == 916992)
+  }
+
+  test("time-bounds filtering drops whole out-of-window ids") {
+    val data = load("trace_GE.APE.mseed")
+    val res = MiniSeed.unpack(data,
+      starttime = Some(java.sql.Timestamp.valueOf("2017-01-01 00:00:00")))
+    val r = res("GE.APE..HHE")
+    assert(r.data.isEmpty && r.outOfBoundsChunks)
+  }
+
+  test("STEIM decode: internal Xn checksum passes on every fixture record") {
+    for (name <- Seq("trace_GE.APE.mseed", "GE.FLT1..HH?.mseed",
+      "BS.*.*.*.2016-06-05.21:05-09.47.mseed")) {
+      val res = MiniSeed.unpack(load(name))
+      res.values.filter(_.error.isEmpty).foreach { r =>
+        val samples = MiniSeed.decodeSamples(r.data) // throws if Xn mismatch
+        val expected = MiniSeed.records(r.data).map(_.nsamp).sum
+        assert(samples.length == expected, s"$name sample count")
+        assert(samples.exists(_ != 0.0))
+      }
+    }
+  }
+
+  test("decoded trace plugs into the DSP layer") {
+    val res = MiniSeed.unpack(load("trace_GE.APE.mseed"))("GE.APE..HHE")
+    val trace = MiniSeed.toTrace(res)
+    assert(trace.fs == 100.0)
+    assert(trace.data.length > 70000) // ~12 min at 100 Hz
+    val bp = graft.dsp.Traces.bandpass(trace, 1.0, 20.0, corners = 2)
+    assert(bp.data.length == trace.data.length)
+    assert(bp.data.exists(_ != 0.0))
+  }
+
+  test("garbage input raises, truncated record flagged as error") {
+    intercept[MiniSeed.MSeedException] {
+      MiniSeed.unpack(Array.fill[Byte](10)(42))
+    }
+    val good = load("trace_GE.APE.mseed")
+    val truncated = java.util.Arrays.copyOf(good, 94208 - 100)
+    val res = MiniSeed.unpack(truncated)
+    assert(res("GE.APE..HHE").error.nonEmpty)
+  }
+}

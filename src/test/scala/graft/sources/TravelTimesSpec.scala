@@ -1,0 +1,48 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden tests against the reference's own grid fixture
+  * ak135_ttp+_5.npz (bilinear expectations computed with numpy on the same
+  * grid; node values are exact lookups).
+  */
+class TravelTimesSpec extends AnyFunSuite {
+
+  private lazy val tt = TravelTimes.load("/root/reference/tests/data/ak135_ttp+_5.npz")
+
+  test("npz loads: grid dimensions and model name") {
+    assert(tt.sourceDepthsKm.length == 17)
+    assert(tt.distancesDeg.length == 801)
+    assert(tt.times.length == 17 && tt.times(0).length == 801)
+    assert(tt.modelName == "ak135")
+    assert(tt.sourceDepthBoundKm == 700.0)
+  }
+
+  test("grid nodes interpolate exactly") {
+    assert(tt.minTravelTime(0.0, 0.0) == 0.0)
+    assert(math.abs(tt.minTravelTime(109.5, 22.5) - 290.4768) < 1e-3)
+  }
+
+  test("bilinear interior values match numpy") {
+    assert(math.abs(tt.minTravelTime(10.0, 5.0) - 75.17112084744645) < 1e-9)
+    assert(math.abs(tt.minTravelTime(75.3, 44.4) - 483.0624812451939) < 1e-9)
+    assert(math.abs(tt.minTravelTime(650.0, 179.9) - 1137.4622959048838) < 1e-9)
+    assert(math.abs(tt.minTravelTime(0.0, 0.1) - 1.9171524047851565) < 1e-9)
+  }
+
+  test("clamping: negative depth → 0; distance folds mod 360 at 180") {
+    assert(tt.minTravelTime(-5.0, 10.0) == tt.minTravelTime(0.0, 10.0))
+    assert(tt.minTravelTime(10.0, 190.0) == tt.minTravelTime(10.0, 170.0))
+    assert(tt.minTravelTime(10.0, 370.0) == tt.minTravelTime(10.0, 10.0))
+    assert(tt.minTravelTime(10.0, -10.0) == tt.minTravelTime(10.0, 10.0))
+  }
+
+  test("out-of-bounds source depth → NaN") {
+    assert(tt.minTravelTime(701.0, 10.0).isNaN)
+  }
+
+  test("travel time increases with distance at fixed depth") {
+    val ts = (0 until 150 by 10).map(d => tt.minTravelTime(10.0, d.toDouble))
+    assert(ts == ts.sorted)
+  }
+}
