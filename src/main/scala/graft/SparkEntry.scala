@@ -307,6 +307,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // event-time sessionization (batch form of the streaming operator:
+    // gap > 30 min starts a new session)
+    "q26_sessions" -> ((s, dir) => {
+      graft.streaming.EventStreams.sessionizeBatch(t(s, dir, "events"), 30)
+        .select(col("user_id"), col("session_no"),
+          unix_millis(col("session_start").cast("timestamp")).as("start_ms"),
+          unix_millis(col("session_end").cast("timestamp")).as("end_ms"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("session_no"))
+    }),
+
     // multimodal plumbing: binary payload + typed metadata through the
     // batch-shaped mapPartitions feature extractor (codec stubbed)
     "q25_multimodal_features" -> ((s, dir) => {
@@ -550,6 +561,27 @@ object SparkEntry {
         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6
         |ORDER BY id1, id2""".stripMargin,
+    "q26_sessions" ->
+      """WITH lagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |flags AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN prev IS NULL
+        |           OR epoch_us(ts) - epoch_us(prev) > 30*60*1000000
+        |         THEN 1 ELSE 0 END AS f
+        |  FROM lagged),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(f) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+        |  FROM flags)
+        |SELECT user_id, session_no,
+        |  epoch_ms(min(ts)) AS start_ms, epoch_ms(max(ts)) AS end_ms,
+        |  count(*) AS n_events
+        |FROM sess GROUP BY user_id, session_no
+        |ORDER BY user_id, session_no""".stripMargin,
     "q25_multimodal_features" ->
       """SELECT doc_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

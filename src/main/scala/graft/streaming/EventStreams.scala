@@ -1,0 +1,132 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Open-session state for streaming sessionization (top-level: nested case
+  * classes trip whole-stage codegen's constructor lookup in state encoders).
+  */
+final case class SessionState(start: Long, end: Long, n: Long)
+
+/** Structured Streaming over the `events` table — the beyond-parity
+  * streaming layer (the reference is batch-only, SURVEY.md §2.10): the same
+  * event-time operators exposed in both batch and streaming form so a
+  * backfill and a live pipeline share semantics.
+  *
+  * Scale notes: watermarks bound state; windowed aggregations shuffle on
+  * (window, key) — with thousands of event types the state store stays
+  * small; sessionization state is per-user and evicted by timeout.
+  */
+object EventStreams {
+
+  /** The events schema as stored (ns timestamps arrive as long via the
+    * nanos-as-long reader conf; `tsCol` converts).
+    */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // TIMESTAMP(NANOS) read as long
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming read of a directory of events parquet files (the file-stream
+    * source requires a directory; new files appearing there become
+    * micro-batches).
+    */
+  def readStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(rawSchema)
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Tumbling/sliding window counts + sums with a watermark (late data
+    * bounded by `watermark`).
+    */
+  def windowedStats(events: DataFrame, windowLen: String, slide: String,
+                    watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  // --- sessionization -------------------------------------------------------
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+  final case class Session(user_id: Long, session_start: java.sql.Timestamp,
+                           session_end: java.sql.Timestamp, n_events: Long)
+  /** Batch sessionization: a session break is a gap > `gapMinutes` between
+    * a user's consecutive events; session id = running count of breaks.
+    * Pure window functions → oracle-checkable SQL.
+    */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int): DataFrame = {
+    // deterministic ordering: tie-break equal timestamps on event_id
+    val ord =
+      if (events.columns.contains("event_id")) Seq(col("ts"), col("event_id"))
+      else Seq(col("ts"))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(ord: _*)
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .withColumn("__prev", lag(col("ts"), 1).over(byUser))
+      .withColumn("__new_session",
+        when(col("__prev").isNull ||
+          unix_micros(col("ts").cast("timestamp")) -
+            unix_micros(col("__prev").cast("timestamp")) > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_no", sum(col("__new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .drop("__prev", "__new_session")
+  }
+
+  /** Streaming sessionization via `flatMapGroupsWithState`: per-user state
+    * holds the open session; a processing-time timeout flushes idle
+    * sessions. Emits closed sessions (Append mode).
+    */
+  def sessionizeStream(events: Dataset[Event], gapMinutes: Int): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+
+    def fn(userId: Long, rows: Iterator[Event],
+           state: GroupState[SessionState]): Iterator[Session] = {
+      val sorted = rows.toSeq.sortBy(_.ts.getTime)
+      var closed = List.empty[Session]
+      var cur = state.getOption
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.end <= gapMs =>
+            cur = Some(s.copy(end = math.max(s.end, t), n = s.n + 1))
+          case Some(s) =>
+            closed ::= Session(userId, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.end), s.n)
+            cur = Some(SessionState(t, t, 1))
+          case None =>
+            cur = Some(SessionState(t, t, 1))
+        }
+      }
+      if (state.hasTimedOut) {
+        cur.foreach { s =>
+          closed ::= Session(userId, new java.sql.Timestamp(s.start),
+            new java.sql.Timestamp(s.end), s.n)
+        }
+        state.remove()
+      } else {
+        cur.foreach(state.update)
+        state.setTimeoutDuration(gapMs)
+      }
+      closed.reverseIterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.ProcessingTimeTimeout)(fn)
+  }
+}

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.tables.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import java.sql.Timestamp
+
+class EventStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("batch sessionization: gap splits sessions, counts correct") {
+    def t(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, t("2020-01-01 10:00:00"), 7L, "click", 1.0, ""),
+      (2L, t("2020-01-01 10:10:00"), 7L, "view", 1.0, ""),
+      (3L, t("2020-01-01 11:30:00"), 7L, "click", 1.0, ""), // gap 80 min → new
+      (4L, t("2020-01-01 10:05:00"), 8L, "click", 1.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventStreams.sessionizeBatch(ev, 30)
+      .orderBy("user_id", "session_no")
+      .select("user_id", "session_no", "n_events")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((7L, 1L, 2L), (7L, 2L, 1L), (8L, 1L, 1L)))
+  }
+
+  test("streaming windowed stats over the events table reach the sink") {
+    // file-stream source needs a directory: stage the parquet in a temp dir
+    val dir = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val q = EventStreams.windowedStats(
+      EventStreams.readStream(spark, dir.toString),
+      windowLen = "1 hour", slide = "1 hour", watermark = "1 hour")
+      .writeStream.outputMode("update")
+      .format("memory").queryName("win_stats")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val rows = spark.sql("SELECT * FROM win_stats")
+    assert(rows.count() > 0)
+    // totals must match the batch count
+    val streamTotal = rows.agg(sum("n")).collect()(0).getLong(0)
+    val batchTotal = Tables.load(spark, "/root/testdata/sf0.001", "events").count()
+    assert(streamTotal == batchTotal)
+  }
+
+  test("streaming sessionization emits closed sessions") {
+    def t(s: String) = Timestamp.valueOf(s)
+    val events = Seq(
+      EventStreams.Event(1L, t("2020-01-01 10:00:00"), 7L, "click", 1.0),
+      EventStreams.Event(2L, t("2020-01-01 10:10:00"), 7L, "view", 1.0),
+      EventStreams.Event(3L, t("2020-01-01 12:00:00"), 7L, "click", 1.0))
+      .toDS()
+    // batch Dataset drive of the stateful function via groupByKey path:
+    // run through the streaming API with a memory source
+    implicit val sqlCtx = spark.sqlContext
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStreams.Event]
+    source.addData(events.collect().toSeq: _*)
+    val q = EventStreams.sessionizeStream(source.toDS(), 30)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions")
+      .start()
+    try {
+      // processAllAvailable can block under state-cleanup batches with
+      // ProcessingTimeTimeout — poll the sink with a deadline instead
+      val deadline = System.currentTimeMillis() + 60000
+      while (spark.sql("SELECT * FROM sessions").isEmpty &&
+        q.exception.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(300)
+      assert(q.exception.isEmpty, s"stream failed: ${q.exception}")
+      // the 80-min gap closes session 1 immediately
+      val closed = spark.sql("SELECT * FROM sessions")
+        .as[EventStreams.Session].collect()
+      assert(closed.length == 1)
+      assert(closed(0).user_id == 7L && closed(0).n_events == 2L)
+    } finally q.stop()
+  }
+}
