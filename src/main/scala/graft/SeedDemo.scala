@@ -1,7 +1,7 @@
 package graft
 
 import graft.dsp.{Spectra, Traces}
-import graft.sources.{MiniSeed, TravelTimes}
+import graft.sources.{Inventory, MiniSeed, TravelTimes}
 
 import java.nio.file.{Files, Paths}
 
@@ -30,5 +30,25 @@ object SeedDemo {
     }
     val tt = TravelTimes.load("/root/reference/tests/data/ak135_ttp+_5.npz")
     println(f"ak135 tt(depth=10km, dist=5deg) = ${tt.minTravelTime(10, 5)}%.3f s")
+
+    // full preprocess chain on real data: counts → remove_response → WA
+    val inv = Inventory.parse(
+      Files.readAllBytes(Paths.get("/root/reference/tests/data/GE.FLT1.xml")))
+    println(s"GE.FLT1 inventory: ${inv.size} channel responses")
+    MiniSeed.unpack(Files.readAllBytes(
+      Paths.get("/root/reference/tests/data/GE.FLT1..HH?.mseed")))
+      .toSeq.sortBy(_._1).foreach { case (id, r) =>
+        val Array(net, sta, loc, cha) = id.split("\\.", -1)
+        Inventory.responseFor(inv, net, sta, loc, cha) match {
+          case Some(resp) =>
+            val counts = MiniSeed.toTrace(r)
+            val vel = graft.dsp.Response.removeResponse(counts, resp, "VEL", 60)
+            val wa = graft.dsp.Response.simulate(vel, graft.dsp.Response.WoodAnderson)
+            println(f"$id%-14s sens=${resp.sensitivity}%.3g counts->vel " +
+              f"peakVel=${vel.data.map(math.abs).max}%.3e m/s " +
+              f"maxWA=${wa.data.map(math.abs).max}%.3e")
+          case None => println(s"$id: no response in inventory")
+        }
+      }
   }
 }

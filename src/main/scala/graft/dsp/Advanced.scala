@@ -1,0 +1,262 @@
+package graft.dsp
+
+/** The remaining funclib kernels: Savitzky-Golay smoothing
+  * (`resources/templates/paramtable.py:314-381`), classic STA/LTA, envelope
+  * smoothing and coda-decay analysis (`process/funclib/coda.py:19-165`),
+  * and the double-event detector (`paramtable.py:384-444`). All plain
+  * array kernels for use inside segment functions.
+  */
+object Advanced {
+
+  /** Savitzky-Golay filter: least-squares local polynomial smoothing with
+    * mirror-padding at the ends (the template's numpy implementation).
+    * `deriv` returns the smoothed n-th derivative.
+    */
+  def savitzkyGolay(y: Array[Double], windowSize: Int, order: Int,
+                    deriv: Int = 0, rate: Double = 1.0): Array[Double] = {
+    require(windowSize % 2 == 1 && windowSize >= 1, "window must be odd")
+    require(windowSize >= order + 2, "window too small for polynomial order")
+    val half = windowSize / 2
+    // Vandermonde pseudo-inverse row for the derivative of interest:
+    // solve (AᵀA) c = Aᵀ e_k  per output coefficient — here we build the
+    // convolution kernel from the pinv row directly.
+    val a = Array.tabulate(windowSize, order + 1)((i, j) => math.pow(i - half, j))
+    val ata = Array.tabulate(order + 1, order + 1) { (r, c) =>
+      var s = 0.0
+      var i = 0
+      while (i < windowSize) { s += a(i)(r) * a(i)(c); i += 1 }
+      s
+    }
+    // solve ata · x = e_deriv (Gaussian elimination, tiny system)
+    val rhs = Array.tabulate(order + 1)(i => if (i == deriv) 1.0 else 0.0)
+    val x = solve(ata, rhs)
+    // kernel: m(i) = Σ_j x(j)·(i−half)^j ; then scale deriv! · rate^deriv
+    val factorial = (1 to deriv).product.toDouble.max(1.0)
+    val m = Array.tabulate(windowSize) { i =>
+      var s = 0.0
+      var j = 0
+      while (j <= order) { s += x(j) * a(i)(j); j += 1 }
+      s * factorial * math.pow(rate, deriv)
+    }
+    // mirror-pad the signal (template: firstvals/lastvals reflection)
+    val n = y.length
+    val padded = new Array[Double](n + 2 * half)
+    var i = 0
+    while (i < half) {
+      padded(i) = y(0) - math.abs(y(half - i) - y(0))
+      padded(n + half + i) = y(n - 1) + math.abs(y(n - 2 - i) - y(n - 1))
+      i += 1
+    }
+    System.arraycopy(y, 0, padded, half, n)
+    // correlate (kernel reversed convolution, matching np.convolve(m[::-1]))
+    val out = new Array[Double](n)
+    i = 0
+    while (i < n) {
+      var s = 0.0
+      var k = 0
+      while (k < windowSize) { s += m(k) * padded(i + k); k += 1 }
+      out(i) = s
+      i += 1
+    }
+    out
+  }
+
+  private def solve(aIn: Array[Array[Double]], bIn: Array[Double]): Array[Double] = {
+    val n = bIn.length
+    val a = aIn.map(_.clone())
+    val b = bIn.clone()
+    var col = 0
+    while (col < n) {
+      var piv = col
+      var r = col + 1
+      while (r < n) { if (math.abs(a(r)(col)) > math.abs(a(piv)(col))) piv = r; r += 1 }
+      val tmp = a(col); a(col) = a(piv); a(piv) = tmp
+      val tb = b(col); b(col) = b(piv); b(piv) = tb
+      val d = a(col)(col)
+      r = col + 1
+      while (r < n) {
+        val f = a(r)(col) / d
+        var c = col
+        while (c < n) { a(r)(c) -= f * a(col)(c); c += 1 }
+        b(r) -= f * b(col)
+        r += 1
+      }
+      col += 1
+    }
+    val x = new Array[Double](n)
+    var r = n - 1
+    while (r >= 0) {
+      var s = b(r)
+      var c = r + 1
+      while (c < n) { s -= a(r)(c) * x(c); c += 1 }
+      x(r) = s / a(r)(r)
+      r -= 1
+    }
+    x
+  }
+
+  /** Classic STA/LTA characteristic function (ObsPy
+    * `classic_sta_lta` semantics, used by the coda noise check).
+    */
+  def classicStaLta(x: Array[Double], nsta: Int, nlta: Int): Array[Double] = {
+    val n = x.length
+    val sq = x.map(v => v * v)
+    val sta = new Array[Double](n)
+    val lta = new Array[Double](n)
+    var accS = 0.0
+    var accL = 0.0
+    var i = 0
+    while (i < n) {
+      accS += sq(i)
+      if (i >= nsta) accS -= sq(i - nsta)
+      sta(i) = accS / nsta
+      accL += sq(i)
+      if (i >= nlta) accL -= sq(i - nlta)
+      lta(i) = accL / nlta
+      i += 1
+    }
+    // zero-out the unstable warm-up region, avoid div by zero
+    val out = new Array[Double](n)
+    i = nlta
+    while (i < n) {
+      out(i) = if (lta(i) == 0) 0.0 else sta(i) / lta(i)
+      i += 1
+    }
+    out
+  }
+
+  /** Moving-average envelope smoothing with undersampling
+    * (`coda.py:19-49` `mysmooth`): window = cycles/fm seconds, hop =
+    * half-window; returns (smoothed, timesOfCenters).
+    */
+  def envelopeSmooth(energy: Array[Double], dt: Double, fm: Double,
+                     cycles: Double): (Array[Double], Array[Double]) = {
+    val npts = ((cycles / fm) / dt).toInt
+    val half = npts / 2
+    if (half == 0) return (energy.clone(), Array.tabulate(energy.length)(_ * dt))
+    val sm = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val tm = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var i = 0
+    while (i < energy.length - half) {
+      val end = math.min(energy.length, i + npts)
+      var s = 0.0
+      var k = i
+      while (k < end) { s += energy(k); k += 1 }
+      sm += s / (end - i)
+      tm += (i + half) * dt
+      i += half
+    }
+    (sm.toArray, tm.toArray)
+  }
+
+  final case class CodaResult(slopeStartSec: Double, slope: Double,
+                              intercept: Double, r: Double)
+
+  /** Coda-decay analysis (`coda.py:80-165` `analyze_coda`): bandpass 4–8 Hz
+    * → energy envelope smoothing → STA/LTA noise-window sanity check →
+    * ratio-over-noise gate → log-linear regression of the coda slope.
+    * Returns None when no clean coda is detected (same gates as the
+    * reference).
+    */
+  def analyzeCoda(trace: Trace, fm: Double = 6, cycles: Double = 10,
+                  noiseLevel: Double = 16, lwSec: Double = 50,
+                  noiseDurationSec: Double = 5, subwdwSec: Double = 5,
+                  subwdwRecSec: Double = 2.5): Option[CodaResult] = {
+    if (trace.data.length * trace.dt <= 100) return None
+    val filtered = Filters.bandpass(trace.data, 4, 8, trace.fs, corners = 2)
+    val mean = filtered.sum / filtered.length
+    val demeaned = filtered.map(_ - mean)
+    val energy = demeaned.map(v => v * v)
+    val (sm, tm) = envelopeSmooth(energy, trace.dt, fm, cycles)
+    if (sm.length < 4) return None
+    val imax = sm.indices.maxBy(sm)
+    val newDt = math.rint((tm(1) - tm(0)) * 100) / 100
+    val noiseN = math.min(sm.length, (noiseDurationSec / newDt).toInt)
+    val noise = sm.take(noiseN)
+    val cft = classicStaLta(noise, 2, 5)
+    if (cft.exists(_ > 3)) return None // noise window contaminated
+    val noiseMean = noise.sum / noise.length
+    if (noiseMean == 0) return None
+
+    val codaLen = math.min(sm.length - imax, (lwSec / newDt).toInt)
+    if (codaLen <= 0) return None
+    val wdw = math.max(1, (subwdwSec / newDt).toInt)
+    val hop = math.max(1, (subwdwRecSec / newDt).toInt)
+    // ratio-over-noise gate across the coda window
+    var start = imax
+    val ratios = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var j = 0
+    while (j < codaLen) {
+      val end = math.min(sm.length, start + wdw)
+      if (start >= sm.length || end <= start) { j = codaLen }
+      else {
+        var s = 0.0
+        var k = start
+        while (k < end) { s += sm(k); k += 1 }
+        ratios += (s / (end - start)) / noiseMean
+        j += hop
+        start += hop
+      }
+    }
+    if (!ratios.exists(_ > noiseLevel)) return None
+
+    val coda = sm.slice(imax, imax + codaLen).map(v => math.log10(math.max(v, 1e-300)))
+    val nMax = coda.length / wdw
+    if (nMax < 2) return None
+    val means = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var st = 0
+    var en = wdw
+    while (en < nMax * wdw) {
+      var s = 0.0
+      var k = st
+      while (k < en) { s += coda(k); k += 1 }
+      means += s / wdw
+      st += hop
+      en += hop
+    }
+    if (means.length < 2) return None
+    val (slope, icept, r) = linregress(means.indices.map(_.toDouble).toArray, means.toArray)
+    Some(CodaResult(tm(imax), slope, icept, r))
+  }
+
+  /** Least-squares line fit: (slope, intercept, correlation r). */
+  def linregress(x: Array[Double], y: Array[Double]): (Double, Double, Double) = {
+    val n = x.length
+    val mx = x.sum / n
+    val my = y.sum / n
+    var sxy = 0.0; var sxx = 0.0; var syy = 0.0
+    var i = 0
+    while (i < n) {
+      sxy += (x(i) - mx) * (y(i) - my)
+      sxx += (x(i) - mx) * (x(i) - mx)
+      syy += (y(i) - my) * (y(i) - my)
+      i += 1
+    }
+    val slope = sxy / sxx
+    val r = if (sxx == 0 || syy == 0) 0.0 else sxy / math.sqrt(sxx * syy)
+    (slope, my - slope * mx, r)
+  }
+
+  /** Double-event detector (`paramtable.py:384-444` `get_multievent_sg`):
+    * peaks of the Savitzky-Golay-smoothed second derivative of the
+    * normalized cumulative energy above a threshold, grouped; >1 group in
+    * the signal window = suspected second event.
+    * Returns (nGroups, secondEventIndices).
+    */
+  def multiEvent(cumNorm: Array[Double], threshold: Double = 0.05,
+                 sgWindow: Int = 31, sgOrder: Int = 4): (Int, Seq[(Int, Int)]) = {
+    if (cumNorm.length < sgWindow) return (0, Nil)
+    val d2 = savitzkyGolay(cumNorm, sgWindow, sgOrder, deriv = 2)
+    val hits = d2.indices.filter(i => math.abs(d2(i)) >= threshold)
+    if (hits.isEmpty) return (0, Nil)
+    val groups = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var first = hits.head
+    var last = hits.head
+    hits.tail.foreach { h =>
+      if (h == last + 1) last = h
+      else { groups += ((first, last)); first = h; last = h }
+    }
+    groups += ((first, last))
+    (groups.length, groups.toSeq)
+  }
+}

@@ -1,0 +1,154 @@
+package graft.dsp
+
+import graft.sources.Inventory.{ChannelResponse, Complex, PzStage}
+
+/** Instrument-response handling: frequency-domain deconvolution with water
+  * level (ObsPy `Trace.remove_response` semantics, used by the reference's
+  * preprocess step `resources/templates/paramtable.py:280-299`) and
+  * poles-zeros simulation (Wood-Anderson synthesis,
+  * `paramtable.py:447-474`).
+  */
+object Response {
+
+  /** Wood-Anderson torsion seismometer PAZ
+    * (`resources/templates/paramtable.yaml:38-46`).
+    */
+  val WoodAnderson: PzStage = PzStage("LAPLACE (RADIANS/SECOND)",
+    normFactor = 1.0, normFreqHz = 1.0,
+    zeros = Seq(Complex(0, 0)),
+    poles = Seq(Complex(-6.2832, -4.7124), Complex(-6.2832, 4.7124)))
+  val WoodAndersonSensitivity = 2800.0
+
+  /** Magnitude-dependent minimum bandpass frequency
+    * (`paramtable.py:302-311`, `mag2freq`).
+    */
+  def mag2freq(magnitude: Double): Double =
+    if (magnitude <= 4.5) 0.4
+    else if (magnitude <= 5.5) 0.2
+    else if (magnitude <= 6.5) 0.1
+    else 0.05
+
+  /** Evaluate one PAZ stage at frequency f (Hz): A0·Π(s−z)/Π(s−p) with
+    * s = iω for LAPLACE (RADIANS/SECOND), s = if for LAPLACE (HERTZ).
+    */
+  def stageAt(stage: PzStage, fHz: Double): (Double, Double) = {
+    val s =
+      if (stage.pzType.contains("HERTZ")) (0.0, fHz)
+      else (0.0, 2 * math.Pi * fHz)
+    var numRe = 1.0; var numIm = 0.0
+    stage.zeros.foreach { z =>
+      val (ar, ai) = (s._1 - z.re, s._2 - z.im)
+      val (nr, ni) = (numRe * ar - numIm * ai, numRe * ai + numIm * ar)
+      numRe = nr; numIm = ni
+    }
+    var denRe = 1.0; var denIm = 0.0
+    stage.poles.foreach { p =>
+      val (ar, ai) = (s._1 - p.re, s._2 - p.im)
+      val (nr, ni) = (denRe * ar - denIm * ai, denRe * ai + denIm * ar)
+      denRe = nr; denIm = ni
+    }
+    val d = denRe * denRe + denIm * denIm
+    if (d == 0) return (0.0, 0.0)
+    val re = (numRe * denRe + numIm * denIm) / d
+    val im = (numIm * denRe - numRe * denIm) / d
+    (stage.normFactor * re, stage.normFactor * im)
+  }
+
+  /** Full channel response at f: product of PAZ stages × sensitivity. */
+  def responseAt(resp: ChannelResponse, fHz: Double): (Double, Double) = {
+    var re = resp.sensitivity
+    var im = 0.0
+    resp.stages.foreach { st =>
+      val (sr, si) = stageAt(st, fHz)
+      val (nr, ni) = (re * sr - im * si, re * si + im * sr)
+      re = nr; im = ni
+    }
+    (re, im)
+  }
+
+  /** Remove the instrument response from a trace by spectral division with
+    * a water level (`remove_response(output=..., water_level=...)`):
+    * `output` converts the deconvolved ground motion between displacement /
+    * velocity / acceleration by ±(iω) factors relative to the response's
+    * input units (assumed velocity, M/S, the overwhelmingly common case).
+    */
+  def removeResponse(trace: Trace, resp: ChannelResponse,
+                     output: String = "VEL", waterLevelDb: Double = 60.0): Trace = {
+    val n = trace.data.length
+    if (n == 0) return trace
+    val spec = Fft.rfft(trace.data)
+    val nf = spec.length / 2
+    val df = trace.fs / n
+
+    // response at each rfft frequency
+    val respSpec = new Array[Double](2 * nf)
+    var maxAmp = 0.0
+    var i = 0
+    while (i < nf) {
+      val (re, im) = responseAt(resp, i * df)
+      respSpec(2 * i) = re; respSpec(2 * i + 1) = im
+      val a = math.hypot(re, im)
+      if (a > maxAmp) maxAmp = a
+      i += 1
+    }
+    // water level: lift response amplitudes below max·10^(−wl/20)
+    val wl = maxAmp * math.pow(10.0, -waterLevelDb / 20.0)
+    i = 0
+    while (i < nf) {
+      val a = math.hypot(respSpec(2 * i), respSpec(2 * i + 1))
+      if (a < wl && a > 0) {
+        val k = wl / a
+        respSpec(2 * i) *= k; respSpec(2 * i + 1) *= k
+      } else if (a == 0) {
+        respSpec(2 * i) = wl
+      }
+      i += 1
+    }
+    // divide spectrum, then unit conversion (input assumed velocity):
+    // DISP: ÷(iω) ; VEL: ×1 ; ACC: ×(iω)
+    val outSpec = new Array[Double](spec.length)
+    i = 0
+    while (i < nf) {
+      val (xr, xi) = (spec(2 * i), spec(2 * i + 1))
+      val (hr, hi) = (respSpec(2 * i), respSpec(2 * i + 1))
+      val d = hr * hr + hi * hi
+      var yr = (xr * hr + xi * hi) / d
+      var yi = (xi * hr - xr * hi) / d
+      val w = 2 * math.Pi * i * df
+      output.toUpperCase match {
+        case "DISP" =>
+          if (w == 0) { yr = 0; yi = 0 }
+          else { val (r2, i2) = (yi / w, -yr / w); yr = r2; yi = i2 } // ÷ iω
+        case "ACC" =>
+          val (r2, i2) = (-yi * w, yr * w) // × iω
+          yr = r2; yi = i2
+        case _ => // VEL
+      }
+      outSpec(2 * i) = yr; outSpec(2 * i + 1) = yi
+      i += 1
+    }
+    Trace(Fft.irfft(outSpec, n), trace.fs, trace.startTime)
+  }
+
+  /** Apply (simulate) a PAZ instrument — Wood-Anderson synthesis: multiply
+    * the spectrum by the instrument's response × sensitivity.
+    */
+  def simulate(trace: Trace, paz: PzStage,
+               sensitivity: Double = WoodAndersonSensitivity): Trace = {
+    val n = trace.data.length
+    if (n == 0) return trace
+    val spec = Fft.rfft(trace.data)
+    val nf = spec.length / 2
+    val df = trace.fs / n
+    var i = 0
+    while (i < nf) {
+      val (hr0, hi0) = stageAt(paz, i * df)
+      val (hr, hi) = (hr0 * sensitivity, hi0 * sensitivity)
+      val (xr, xi) = (spec(2 * i), spec(2 * i + 1))
+      spec(2 * i) = xr * hr - xi * hi
+      spec(2 * i + 1) = xr * hi + xi * hr
+      i += 1
+    }
+    Trace(Fft.irfft(spec, n), trace.fs, trace.startTime)
+  }
+}

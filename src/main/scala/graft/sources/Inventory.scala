@@ -1,0 +1,137 @@
+package graft.sources
+
+import java.io.ByteArrayInputStream
+import java.util.zip.{GZIPInputStream, InflaterInputStream, ZipInputStream}
+import javax.xml.parsers.DocumentBuilderFactory
+import org.w3c.dom.{Element, NodeList}
+import scala.collection.mutable
+
+/** Station inventory decoding: compression auto-detect
+  * (`stream2segment/process/db/models.py:203-252`: gzip/bz2/zip/zlib) and a
+  * minimal StationXML parser extracting exactly what response removal and
+  * Wood-Anderson simulation need — per-channel poles/zeros stages and the
+  * overall instrument sensitivity (the reference delegates to ObsPy's full
+  * Inventory; only Response metadata is consumed downstream).
+  */
+object Inventory {
+
+  final case class Complex(re: Double, im: Double)
+
+  /** One PolesZeros response stage. */
+  final case class PzStage(pzType: String, normFactor: Double,
+                           normFreqHz: Double, zeros: Seq[Complex],
+                           poles: Seq[Complex])
+
+  final case class ChannelResponse(network: String, station: String,
+                                   location: String, channel: String,
+                                   sensitivity: Double, sensFreqHz: Double,
+                                   inputUnits: String, stages: Seq[PzStage]) {
+    def seedId: String = s"$network.$station.$location.$channel"
+  }
+
+  /** Decompress with magic-number auto-detect (gzip, zlib, zip, bz2 via
+    * commons-compress which ships with Spark; plain bytes pass through).
+    */
+  def decompress(bytes: Array[Byte]): Array[Byte] = {
+    if (bytes.length < 4) return bytes
+    val b0 = bytes(0) & 0xff
+    val b1 = bytes(1) & 0xff
+    if (b0 == 0x1f && b1 == 0x8b)
+      readAll(new GZIPInputStream(new ByteArrayInputStream(bytes)))
+    else if (b0 == 'P' && b1 == 'K') {
+      val zip = new ZipInputStream(new ByteArrayInputStream(bytes))
+      zip.getNextEntry
+      readAll(zip)
+    } else if (b0 == 'B' && b1 == 'Z' && (bytes(2) & 0xff) == 'h')
+      readAll(new org.apache.commons.compress.compressors.bzip2
+        .BZip2CompressorInputStream(new ByteArrayInputStream(bytes)))
+    else if (b0 == 0x78 && (b1 == 0x01 || b1 == 0x9c || b1 == 0xda))
+      readAll(new InflaterInputStream(new ByteArrayInputStream(bytes)))
+    else bytes
+  }
+
+  private def readAll(in: java.io.InputStream): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    var n = in.read(buf)
+    while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
+    bos.toByteArray
+  }
+
+  /** Parse (possibly compressed) StationXML into per-channel responses. */
+  def parse(bytes: Array[Byte]): Seq[ChannelResponse] = {
+    val xml = decompress(bytes)
+    val dbf = DocumentBuilderFactory.newInstance()
+    dbf.setNamespaceAware(false)
+    val doc = dbf.newDocumentBuilder().parse(new ByteArrayInputStream(xml))
+    val out = mutable.ArrayBuffer.empty[ChannelResponse]
+
+    foreachElem(doc.getDocumentElement.getElementsByTagName("Network")) { netEl =>
+      val net = netEl.getAttribute("code")
+      foreachElem(netEl.getElementsByTagName("Station")) { staEl =>
+        val sta = staEl.getAttribute("code")
+        foreachElem(staEl.getElementsByTagName("Channel")) { chaEl =>
+          val cha = chaEl.getAttribute("code")
+          val loc = chaEl.getAttribute("locationCode")
+          firstElem(chaEl, "Response").foreach { respEl =>
+            val (sens, sensFreq, inUnits) = firstElem(respEl, "InstrumentSensitivity")
+              .map { s =>
+                (textOf(s, "Value").map(_.toDouble).getOrElse(1.0),
+                  textOf(s, "Frequency").map(_.toDouble).getOrElse(1.0),
+                  firstElem(s, "InputUnits").flatMap(u => textOf(u, "Name")).getOrElse(""))
+              }.getOrElse((1.0, 1.0, ""))
+            val stages = mutable.ArrayBuffer.empty[PzStage]
+            foreachElem(respEl.getElementsByTagName("PolesZeros")) { pzEl =>
+              stages += PzStage(
+                textOf(pzEl, "PzTransferFunctionType").getOrElse("LAPLACE (RADIANS/SECOND)"),
+                textOf(pzEl, "NormalizationFactor").map(_.toDouble).getOrElse(1.0),
+                textOf(pzEl, "NormalizationFrequency").map(_.toDouble).getOrElse(1.0),
+                complexChildren(pzEl, "Zero"),
+                complexChildren(pzEl, "Pole"))
+            }
+            out += ChannelResponse(net, sta, loc, cha, sens, sensFreq, inUnits,
+              stages.toSeq)
+          }
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** Find the response for a seed id (empty location matches ""). */
+  def responseFor(responses: Seq[ChannelResponse], net: String, sta: String,
+                  loc: String, cha: String): Option[ChannelResponse] =
+    responses.find(r => r.network == net && r.station == sta &&
+      r.location == loc && r.channel == cha)
+
+  // --- DOM helpers ----------------------------------------------------------
+
+  private def foreachElem(nl: NodeList)(f: Element => Unit): Unit = {
+    var i = 0
+    while (i < nl.getLength) {
+      nl.item(i) match {
+        case e: Element => f(e)
+        case _ =>
+      }
+      i += 1
+    }
+  }
+
+  private def firstElem(parent: Element, tag: String): Option[Element] = {
+    val nl = parent.getElementsByTagName(tag)
+    if (nl.getLength == 0) None else Some(nl.item(0).asInstanceOf[Element])
+  }
+
+  private def textOf(parent: Element, tag: String): Option[String] =
+    firstElem(parent, tag).map(_.getTextContent.trim).filter(_.nonEmpty)
+
+  private def complexChildren(parent: Element, tag: String): Seq[Complex] = {
+    val out = mutable.ArrayBuffer.empty[Complex]
+    foreachElem(parent.getElementsByTagName(tag)) { el =>
+      val re = textOf(el, "Real").map(_.toDouble).getOrElse(0.0)
+      val im = textOf(el, "Imaginary").map(_.toDouble).getOrElse(0.0)
+      out += Complex(re, im)
+    }
+    out.toSeq
+  }
+}

@@ -1,0 +1,76 @@
+package graft.dsp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+class AdvancedSpec extends AnyFunSuite {
+
+  test("savitzky-golay smooths noise but preserves a smooth signal") {
+    val rnd = new scala.util.Random(11)
+    val clean = Array.tabulate(500)(i => math.exp(-math.pow((i - 250) / 60.0, 2)))
+    val noisy = clean.map(_ + rnd.nextGaussian() * 0.05)
+    val sg = Advanced.savitzkyGolay(noisy, 31, 4)
+    val errNoisy = clean.indices.map(i => math.pow(noisy(i) - clean(i), 2)).sum
+    val errSg = clean.indices.map(i => math.pow(sg(i) - clean(i), 2)).sum
+    assert(errSg < errNoisy / 3, s"SG did not denoise: $errSg vs $errNoisy")
+  }
+
+  test("savitzky-golay derivative of a parabola is its true derivative") {
+    val y = Array.tabulate(101)(i => 0.5 * i * i)
+    val d1 = Advanced.savitzkyGolay(y, 11, 3, deriv = 1)
+    // interior points: dy/di = i
+    (20 until 80).foreach(i => assert(math.abs(d1(i) - i) < 1e-6, s"at $i: ${d1(i)}"))
+  }
+
+  test("classic STA/LTA spikes at a burst onset") {
+    val x = Array.fill(200)(0.1) ++ Array.fill(50)(5.0) ++ Array.fill(100)(0.1)
+    val cft = Advanced.classicStaLta(x, 5, 50)
+    val onset = cft.indices.maxBy(cft)
+    assert(onset >= 198 && onset <= 215, s"onset at $onset")
+    assert(cft(onset) > 8) // ≈ nlta/nsta = 10 at a clean step, minus leakage
+  }
+
+  test("linregress recovers a known line") {
+    val x = Array.tabulate(50)(_.toDouble)
+    val y = x.map(v => 3.0 - 0.25 * v)
+    val (slope, icept, r) = Advanced.linregress(x, y)
+    assert(math.abs(slope + 0.25) < 1e-12 && math.abs(icept - 3.0) < 1e-12)
+    assert(math.abs(math.abs(r) - 1.0) < 1e-12)
+  }
+
+  test("analyzeCoda finds a decaying coda slope on a synthetic event") {
+    val fs = 50.0
+    val n = (150 * fs).toInt // 150 s
+    val onset = (30 * fs).toInt
+    val rnd = new scala.util.Random(5)
+    val data = Array.tabulate(n) { i =>
+      val noise = rnd.nextGaussian() * 0.001
+      if (i >= onset)
+        noise + 50.0 * math.exp(-(i - onset) / (20 * fs)) *
+          math.sin(2 * math.Pi * 6.0 * i / fs)
+      else noise
+    }
+    val tr = Trace(data, fs, Timestamp.valueOf("2020-01-01 00:00:00"))
+    val res = Advanced.analyzeCoda(tr)
+    assert(res.isDefined, "no coda found")
+    assert(res.get.slope < 0, s"coda slope should decay: ${res.get.slope}")
+    assert(math.abs(res.get.r) > 0.9, s"log-linear fit r ${res.get.r}")
+  }
+
+  test("analyzeCoda rejects contaminated noise windows and short traces") {
+    val fs = 50.0
+    val short = Trace(Array.fill(100)(1.0), fs, Timestamp.valueOf("2020-01-01 00:00:00"))
+    assert(Advanced.analyzeCoda(short).isEmpty)
+  }
+
+  test("multiEvent detects two energy steps") {
+    val n = 2000
+    val cum = Array.tabulate(n) { i =>
+      (if (i < 500) 0.0 else if (i < 600) (i - 500) / 200.0 else 0.5) +
+        (if (i < 1200) 0.0 else if (i < 1300) (i - 1200) / 200.0 else 0.5)
+    }
+    val (groups, spans) = Advanced.multiEvent(cum, threshold = 1e-4)
+    assert(groups >= 2, s"found $groups groups ($spans)")
+  }
+}

@@ -1,0 +1,81 @@
+package graft.dsp
+
+import graft.sources.Inventory
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+
+class ResponseSpec extends AnyFunSuite {
+
+  private lazy val inv = Inventory.parse(
+    Files.readAllBytes(Paths.get("/root/reference/tests/data/inventory_GE.APE.xml")))
+
+  test("StationXML parses channels with sensitivity and PAZ stages") {
+    assert(inv.nonEmpty)
+    val hhz = Inventory.responseFor(inv, "GE", "APE", "", "HHZ")
+    assert(hhz.isDefined)
+    val r = hhz.get
+    assert(r.sensitivity > 1e8) // STS-2 + digitizer ≈ 6e8 counts/(m/s)
+    assert(r.stages.nonEmpty)
+    assert(r.stages.head.poles.nonEmpty)
+  }
+
+  test("gzip/zlib/plain auto-detect round-trips") {
+    val raw = Files.readAllBytes(Paths.get("/root/reference/tests/data/inventory_GE.APE.xml"))
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(raw); gz.close()
+    assert(Inventory.decompress(bos.toByteArray).sameElements(raw))
+    val bos2 = new java.io.ByteArrayOutputStream()
+    val dos = new java.util.zip.DeflaterOutputStream(bos2)
+    dos.write(raw); dos.close()
+    assert(Inventory.decompress(bos2.toByteArray).sameElements(raw))
+    assert(Inventory.decompress(raw).sameElements(raw))
+  }
+
+  test("response amplitude is ~sensitivity in the passband, small at DC") {
+    val r = Inventory.responseFor(inv, "GE", "APE", "", "HHZ").get
+    val (re1, im1) = Response.responseAt(r, 1.0) // passband
+    val amp1 = math.hypot(re1, im1)
+    assert(amp1 > 0.3 * r.sensitivity && amp1 < 3.0 * r.sensitivity)
+    val (re0, im0) = Response.responseAt(r, 0.001) // below corner
+    assert(math.hypot(re0, im0) < 0.1 * amp1)
+  }
+
+  test("removeResponse recovers ground motion amplitude from counts") {
+    val r = Inventory.responseFor(inv, "GE", "APE", "", "HHZ").get
+    val fs = 100.0
+    val f0 = 1.0
+    val amp = 1e-6 // 1 µm/s ground velocity
+    val (hr, hi) = Response.responseAt(r, f0)
+    val gain = math.hypot(hr, hi)
+    // synthetic counts = ground velocity × response gain at f0
+    val counts = Array.tabulate(4000)(i =>
+      amp * gain * math.sin(2 * math.Pi * f0 * i / fs))
+    val tr = Trace(counts, fs, Timestamp.valueOf("2020-01-01 00:00:00"))
+    val vel = Response.removeResponse(tr, r, output = "VEL", waterLevelDb = 60)
+    val recovered = vel.data.drop(500).dropRight(500).map(math.abs).max
+    assert(math.abs(recovered - amp) / amp < 0.05,
+      s"recovered $recovered vs $amp")
+  }
+
+  test("Wood-Anderson simulation matches the analytic PAZ gain") {
+    // obspy WA convention: single zero at 0, applied to VELOCITY traces
+    val fs = 100.0
+    val f0 = 5.0
+    val vel = Array.tabulate(4000)(i => 1e-6 * math.sin(2 * math.Pi * f0 * i / fs))
+    val tr = Trace(vel, fs, Timestamp.valueOf("2020-01-01 00:00:00"))
+    val wa = Response.simulate(tr, Response.WoodAnderson)
+    val peak = wa.data.drop(500).dropRight(500).map(math.abs).max
+    // |H(5Hz)| = |s| / (|s−p1|·|s−p2|) = 31.42/(36.66·27.43) = 0.03125
+    val expected = 1e-6 * 2800.0 * 0.031249
+    assert(math.abs(peak - expected) / expected < 0.05,
+      s"WA peak $peak vs $expected")
+  }
+
+  test("mag2freq piecewise values") {
+    assert(Response.mag2freq(4.0) == 0.4 && Response.mag2freq(5.0) == 0.2 &&
+      Response.mag2freq(6.0) == 0.1 && Response.mag2freq(7.5) == 0.05)
+  }
+}
