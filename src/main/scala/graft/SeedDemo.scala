@@ -1,7 +1,7 @@
 package graft
 
 import graft.dsp.{Spectra, Traces}
-import graft.sources.{Inventory, MiniSeed, TravelTimes}
+import graft.sources.{Inventory, IsfEvents, MiniSeed, TravelTimes}
 
 import java.nio.file.{Files, Paths}
 
@@ -30,6 +30,19 @@ object SeedDemo {
     }
     val tt = TravelTimes.load("/root/reference/tests/data/ak135_ttp+_5.npz")
     println(f"ak135 tt(depth=10km, dist=5deg) = ${tt.minTravelTime(10, 5)}%.3f s")
+
+    // ISF bulletin → typed events (requires a SparkSession)
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").appName("graft-seed-demo")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val isf = new String(Files.readAllBytes(
+      Paths.get("/root/reference/tests/data/event_request_sample_isc.isf")))
+    val events = IsfEvents.parse(spark, isf)
+    println(s"ISF events parsed: ${events.count()}")
+    events.select("event_id", "time", "latitude", "longitude", "magnitude")
+      .show(5, truncate = false)
 
     // full preprocess chain on real data: counts → remove_response → WA
     val inv = Inventory.parse(

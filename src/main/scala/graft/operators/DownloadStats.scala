@@ -69,6 +69,32 @@ object DownloadStats {
       .na.fill(0L, ordered.filter(_ != null).map(String.valueOf))
   }
 
+  /** Render the pivot matrix as the reference's fixed-width text report
+    * with a TOTAL column and a TOTAL row (`download/modules/utils.py:
+    * 621-709`, `DownloadStats.__str__`). The matrix is datacenter×code —
+    * always tiny — so a driver-side collect is correct here.
+    */
+  def render(pivoted: DataFrame, rowKeys: Seq[String]): String = {
+    val cols = pivoted.columns
+    val codeCols = cols.drop(rowKeys.length)
+    val rows = pivoted.collect()
+    val header = cols :+ "TOTAL"
+    val body = rows.map { r =>
+      val keys = rowKeys.indices.map(i => String.valueOf(r.get(i)))
+      val counts = codeCols.indices.map(i => r.getLong(rowKeys.length + i))
+      (keys ++ counts.map(_.toString)) :+ counts.sum.toString
+    }
+    val totals = codeCols.indices.map(i =>
+      rows.map(_.getLong(rowKeys.length + i)).sum)
+    val totalRow = (Seq("TOTAL") ++ Seq.fill(rowKeys.length - 1)("") ++
+      totals.map(_.toString)) :+ totals.sum.toString
+    val all = Seq(header.toSeq) ++ body.map(_.toSeq) :+ totalRow
+    val widths = header.indices.map(c => all.map(_(c).length).max)
+    all.map(row => row.zipWithIndex.map { case (v, i) =>
+      v.reverse.padTo(widths(i), ' ').reverse
+    }.mkString("  ")).mkString("\n")
+  }
+
   private def rankInt(i: Long): Double =
     if (i == -2000) 0.5
     else if (i >= 200 && i < 300) i / 1000.0

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Output writers with append-mode resume — the reference's CSV/HDF writers
+  * (`stream2segment/process/writers.py:127-336`): append mode reads back
+  * the already-written segment ids and skips them, so an interrupted
+  * processing job resumes instead of duplicating work.
+  *
+  * Spark-first: "skip already done" is a `left_anti` join against the
+  * existing output's id column (the reference loads the id set into memory
+  * — fine for 10⁶ rows, not for 10¹⁰; the anti-join scales and lets
+  * Catalyst prune the existing output scan to the single id column).
+  * Parquet replaces HDF (no Spark HDF sink; columnar + splittable).
+  */
+object Writers {
+
+  /** Ids already present in an existing output (empty frame if none). */
+  def alreadyDone(spark: SparkSession, path: String, idCol: String): DataFrame = {
+    val exists =
+      try {
+        val p = new org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+      } catch { case _: Exception => false }
+    if (!exists)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(idCol,
+            org.apache.spark.sql.types.LongType))))
+    else {
+      val reader = spark.read
+      val df = if (path.endsWith(".csv") || path.endsWith("_csv"))
+        reader.option("header", "true").csv(path)
+      else reader.parquet(path)
+      df.select(col(idCol).cast("long"))
+    }
+  }
+
+  /** Drop rows whose id is already in the output (append resume). */
+  def resumeFilter(df: DataFrame, path: String, idCol: String): DataFrame =
+    df.join(alreadyDone(df.sparkSession, path, idCol), Seq(idCol), "left_anti")
+
+  /** Append-write parquet with resume (idempotent re-runs). */
+  def appendParquet(df: DataFrame, path: String, idCol: String): Unit =
+    resumeFilter(df, path, idCol).write.mode(SaveMode.Append).parquet(path)
+
+  /** Append-write CSV (header, one directory of part files) with resume. */
+  def appendCsv(df: DataFrame, path: String, idCol: String): Unit =
+    resumeFilter(df, path, idCol).write.mode(SaveMode.Append)
+      .option("header", "true").csv(path)
+}

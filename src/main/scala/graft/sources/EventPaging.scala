@@ -1,0 +1,68 @@
+package graft.sources
+
+import java.sql.Timestamp
+
+/** Adaptive event-request planner: when a catalog request fails with
+  * HTTP 413 (payload too large) / 504, split it into smaller requests —
+  * first by magnitude using the theoretical frequency-magnitude
+  * distribution `f(mag) = 10^(9−mag)` (Gutenberg-Richter-like), then by
+  * halving the time span (`stream2segment/download/modules/events.py:
+  * 193-244` loop, `:306-374` split + distribution).
+  *
+  * This is DRIVER-side planning (stateful retry loops never belong in a
+  * lazy Spark plan): the planner yields a work list of requests which the
+  * fetch layer executes via `parallelize(requests).mapPartitions(httpGet)`.
+  */
+object EventPaging {
+
+  final case class EventRequest(start: Timestamp, end: Timestamp,
+                                minMag: Double, maxMag: Double)
+
+  /** Expected relative event count in [m1, m2] under f(mag)=10^(9−mag). */
+  def expectedEvents(m1: Double, m2: Double): Double = {
+    // ∫ 10^(9−m) dm = 10^9 (10^(−m1) − 10^(−m2)) / ln10
+    (math.pow(10, 9 - m1) - math.pow(10, 9 - m2)) / math.log(10)
+  }
+
+  /** Magnitude m splitting [m1, m2] into two halves of equal expected
+    * event count.
+    */
+  def magnitudeMidpoint(m1: Double, m2: Double): Double = {
+    val half = (math.pow(10, -m1) + math.pow(10, -m2)) / 2.0
+    -math.log10(half)
+  }
+
+  /** Split a too-large request: by magnitude when the mag span is still
+    * meaningful (> minMagSpan), else by time halving.
+    */
+  def split(req: EventRequest, minMagSpan: Double = 0.1): Seq[EventRequest] = {
+    if (req.maxMag - req.minMag > minMagSpan) {
+      val mid = magnitudeMidpoint(req.minMag, req.maxMag)
+      Seq(req.copy(maxMag = mid), req.copy(minMag = mid))
+    } else {
+      val midMs = (req.start.getTime + req.end.getTime) / 2
+      val mid = new Timestamp(midMs)
+      Seq(req.copy(end = mid), req.copy(start = mid))
+    }
+  }
+
+  /** Full planning loop: run `fetch` on each request; on a retryable
+    * failure (`Left(retryable = true)`) split and recurse; collect results
+    * and hard failures. `maxDepth` bounds the recursion.
+    */
+  def fetchAll[T](initial: EventRequest,
+                  fetch: EventRequest => Either[Boolean, T],
+                  maxDepth: Int = 10): (Seq[T], Seq[EventRequest]) = {
+    val results = scala.collection.mutable.ArrayBuffer.empty[T]
+    val failed = scala.collection.mutable.ArrayBuffer.empty[EventRequest]
+    def go(req: EventRequest, depth: Int): Unit =
+      fetch(req) match {
+        case Right(t) => results += t
+        case Left(retryable) =>
+          if (retryable && depth < maxDepth) split(req).foreach(go(_, depth + 1))
+          else failed += req
+      }
+    go(initial, 0)
+    (results.toSeq, failed.toSeq)
+  }
+}

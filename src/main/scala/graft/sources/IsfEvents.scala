@@ -1,0 +1,91 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** ISC "ISF" bulletin → FDSN-text event rows: the stateful block parser of
+  * the reference (`stream2segment/download/modules/events.py:381-474`):
+  * `Event <id> <location>` line → origin sub-block header → origin row
+  * (fixed column positions) → magnitude sub-block header → magnitude row.
+  * Events with comments/malformed blocks are discarded, like the reference.
+  */
+object IsfEvents {
+
+  private val OriginHeader =
+    "Date       Time        Err   RMS Latitude Longitude  " +
+      "Smaj  Smin  Az Depth   Err Ndef Nsta Gap  mdist  Mdist " +
+      "Qual   Author      OrigID"
+  private val MagHeader = "Magnitude  Err Nsta Author      OrigID"
+
+  /** Parse ISF text into 13-element FDSN-text field rows
+    * (event_id|time|lat|lon|depth|author|catalog|contributor|
+    * contributor_id|mag_type|magnitude|mag_author|location_name).
+    */
+  def parseToRows(isf: String, catalog: String = "ISC",
+                  contributor: String = "ISC"): Seq[Array[String]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[String]]
+    var buf: Array[String] = null
+    var expects = 0
+
+    def cut(line: String, from: Int, until: Int): String =
+      if (line.length <= from) ""
+      else line.substring(from, math.min(until, line.length)).trim
+
+    def flush(): Unit = {
+      if (buf != null) out += buf
+      buf = null
+    }
+
+    val lines = isf.linesIterator ++ Iterator.single("STOP")
+    lines.foreach { line =>
+      val isStop = line == "STOP"
+      if (isStop || line.startsWith("Event ")) {
+        flush()
+        if (!isStop) {
+          buf = Array.fill(13)("")
+          buf(0) = cut(line, 6, 16) // event id
+          buf(12) = if (line.length > 16) line.substring(16).trim else ""
+          buf(6) = catalog
+          buf(7) = contributor
+          buf(8) = buf(0)
+          expects = 1
+        }
+      } else if (line.trim.nonEmpty && buf != null) {
+        expects match {
+          case 1 =>
+            if (line.trim == OriginHeader) expects = 2 else buf = null
+          case 2 =>
+            val dat = cut(line, 0, 10).replace('/', '-')
+            val tme = cut(line, 11, 22)
+            buf(1) =
+              try {
+                val t = java.time.LocalDateTime.parse(
+                  dat + "T" + (if (tme.contains('.')) tme.takeWhile(_ != '.') else tme))
+                t.format(java.time.format.DateTimeFormatter.ISO_LOCAL_DATE_TIME)
+              } catch { case _: Exception => "" }
+            buf(2) = cut(line, 36, 44) // latitude
+            buf(3) = cut(line, 45, 54) // longitude
+            buf(4) = cut(line, 71, 76) // depth
+            buf(5) = cut(line, 118, 127) // author
+            expects = 3
+          case 3 =>
+            if (line.trim == MagHeader) expects = 4 else buf = null
+          case 4 =>
+            buf(9) = cut(line, 0, 5) // magnitude type
+            buf(10) = cut(line, 6, 10) // magnitude
+            buf(11) = cut(line, 20, 29) // mag author
+            expects = 5
+          case _ =>
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** ISF text → typed events DataFrame (via the FDSN-text pipeline, so the
+    * same harmonization/null-dropping applies).
+    */
+  def parse(spark: SparkSession, isf: String, catalog: String = "ISC",
+            contributor: String = "ISC"): DataFrame =
+    FdsnText.parseEventLines(spark,
+      parseToRows(isf, catalog, contributor).map(_.mkString("|")))
+}

@@ -1,0 +1,76 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.operators.{DownloadStats, Writers}
+
+import java.sql.Timestamp
+
+class IsfAndPagingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ISF bulletin parses the reference fixture into typed events") {
+    val isf = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/tests/data/event_request_sample_isc.isf")))
+    // raw block parse: all 4 events (matches the reference's isf2text_iter)
+    val raw = IsfEvents.parseToRows(isf)
+    assert(raw.length == 4)
+    assert(raw.exists(_(0) == "15916121")) // Poland: depth "0.0f", no mag row
+    // typed parse: Poland drops (unparseable depth + missing magnitude are
+    // both NOT NULL), as in the reference's harmonization
+    val df = IsfEvents.parse(spark, isf)
+    val rows = df.orderBy("event_id").collect()
+    assert(rows.length == 3)
+    val honshu = rows.find(_.getAs[String]("event_id") == "600516598").get
+    assert(honshu.getAs[Double]("latitude") == 34.24)
+    assert(honshu.getAs[Double]("depth_km") == 5.0)
+    assert(honshu.getAs[String]("catalog") == "ISC")
+    val greece = rows.find(_.getAs[String]("event_id") == "16868827").get
+    assert(greece.getAs[String]("mag_type") == "ML")
+    assert(greece.getAs[Double]("magnitude") == 2.1)
+    assert(greece.getAs[String]("event_location_name") == "Southern Greece")
+    assert(greece.getAs[Timestamp]("time").toString == "2011-01-08 00:03:54.0")
+  }
+
+  test("magnitude split halves the expected event count") {
+    val mid = EventPaging.magnitudeMidpoint(3.0, 7.0)
+    val lo = EventPaging.expectedEvents(3.0, mid)
+    val hi = EventPaging.expectedEvents(mid, 7.0)
+    assert(math.abs(lo - hi) / lo < 1e-9)
+    assert(mid > 3.0 && mid < 4.0) // low mags dominate 10^(9-m)
+  }
+
+  test("planner recurses on retryable failures, keeps hard failures") {
+    val t0 = Timestamp.valueOf("2020-01-01 00:00:00")
+    val t1 = Timestamp.valueOf("2020-01-03 00:00:00")
+    val req = EventPaging.EventRequest(t0, t1, 0.05, 0.1) // mag span too small
+    var calls = 0
+    val (ok, failed) = EventPaging.fetchAll[String](req, r => {
+      calls += 1
+      if (r.end.getTime - r.start.getTime > 24 * 3600 * 1000L) Left(true)
+      else Right(s"${r.start}")
+    })
+    assert(ok.length == 2 && failed.isEmpty) // split once by time
+    assert(calls == 3)
+  }
+
+  test("writers append resume skips already-written ids") {
+    val dir = java.nio.file.Files.createTempDirectory("writers").toString + "/out"
+    val batch1 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    Writers.appendParquet(batch1, dir, "id")
+    val batch2 = Seq((2L, "b2"), (3L, "c")).toDF("id", "v") // 2 already done
+    Writers.appendParquet(batch2, dir, "id")
+    val got = spark.read.parquet(dir).orderBy("id")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("download stats renders with ranked codes and TOTAL row/col") {
+    val segs = Seq((1L, 200, 0.0), (1L, 404, 0.0), (2L, 200, 0.9), (2L, -204, 0.0))
+      .toDF("dc", "download_code", "maxgap_numsamples")
+    val txt = DownloadStats.render(DownloadStats.pivot(segs, Seq("dc")), Seq("dc"))
+    val lines = txt.split("\n")
+    assert(lines.head.trim.split("\\s+").toSeq == Seq("dc", "200", "-2000", "-204", "404", "TOTAL"))
+    assert(lines.last.contains("TOTAL"))
+    assert(lines.last.trim.endsWith("4")) // grand total
+  }
+}
