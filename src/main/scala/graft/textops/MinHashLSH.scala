@@ -30,9 +30,15 @@ object MinHashLSH {
     transform(sequence(lit(0), lit(bands - 1)),
       j => xxhash64(j, slice(sig, j * rows + lit(1), lit(rows))))
 
-  /** Candidate id pairs (id1 < id2) sharing at least one LSH bucket. */
+  /** Candidate id pairs (id1 < id2) sharing at least one LSH bucket.
+    *
+    * Default banding r=3/b=21: detection probability 1−(1−j³)²¹ is
+    * 3·10⁻⁷ miss at j=0.8 and >0.95 at j=0.6, while near-miss pairs
+    * (j≈0.15, common in low-entropy corpora) collide in <7% of cases —
+    * r=2 banding floods the verifier with such pairs at corpus scale.
+    */
   def candidatePairs(df: DataFrame, idCol: String, shinglesCol: String,
-                     k: Int = 64, bands: Int = 32, rows: Int = 2,
+                     k: Int = 63, bands: Int = 21, rows: Int = 3,
                      maxBucketSize: Int = 10000): DataFrame = {
     require(bands * rows <= k, s"bands*rows (${bands * rows}) must be <= k ($k)")
     val banded = df
@@ -61,8 +67,8 @@ object MinHashLSH {
     * Output: (id1, id2, jaccard).
     */
   def nearDupPairs(df: DataFrame, idCol: String, shinglesCol: String,
-                   threshold: Double, k: Int = 64, bands: Int = 32,
-                   rows: Int = 2): DataFrame = {
+                   threshold: Double, k: Int = 63, bands: Int = 21,
+                   rows: Int = 3): DataFrame = {
     val cands = candidatePairs(df, idCol, shinglesCol, k, bands, rows)
     val sh = df.select(col(idCol), col(shinglesCol))
     cands

@@ -90,6 +90,20 @@ object TextFunctions {
         i => concat_ws(" ", (0 until n).map(k => element_at(t, i + k)): _*))))
   }
 
+  /** Word n-gram shingles hashed to 64-bit longs (distinct) — the scale
+    * form: join keys and set operations on 8-byte longs instead of n-word
+    * strings (hash collisions are ~1e-10 at 10⁶ distinct shingles, far
+    * below any dedup tolerance).
+    */
+  def wordShingleHashes(text: Column, n: Int): Column = {
+    require(n >= 1)
+    val t = tokens(text)
+    val cnt = size(t)
+    when(cnt < n, array().cast("array<long>")).otherwise(
+      array_distinct(transform(sequence(lit(1), cnt - (n - 1)),
+        i => xxhash64(concat_ws(" ", (0 until n).map(k => element_at(t, i + k)): _*)))))
+  }
+
   /** Character n-gram shingles (distinct) over the normalized text. */
   def charShingles(text: Column, n: Int): Column = {
     require(n >= 1)
