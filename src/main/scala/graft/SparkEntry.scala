@@ -253,7 +253,7 @@ object SparkEntry {
     // exact n-gram Jaccard near-dup pairs via inverted shingle index
     "q19_jaccard_pairs" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-        .select(col("doc_id"), TextFunctions.wordShingleHashes(col("text"), 3).as("sh"))
+        .select(col("doc_id"), TextFunctions.wordShingleHashesFast(col("text"), 3).as("sh"))
       MinHashLSH.jaccardPairsExact(docs, "doc_id", "sh", 0.6)
         .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("id1"), col("id2"))
@@ -286,7 +286,7 @@ object SparkEntry {
     // 1-(1-0.6^2)^32 > 0.999993 per pair)
     "q22_minhash_lsh" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-        .select(col("doc_id"), TextFunctions.wordShingleHashes(col("text"), 3).as("sh"))
+        .select(col("doc_id"), TextFunctions.wordShingleHashesFast(col("text"), 3).as("sh"))
       MinHashLSH.nearDupPairs(docs, "doc_id", "sh", 0.6)
         .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("id1"), col("id2"))

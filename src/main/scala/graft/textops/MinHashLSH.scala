@@ -30,6 +30,16 @@ object MinHashLSH {
     transform(sequence(lit(0), lit(bands - 1)),
       j => xxhash64(j, slice(sig, j * rows + lit(1), lit(rows))))
 
+  /** Single-pass JVM fast path for `bandBuckets(signature(sh, k), b, r)`
+    * (bit-exact same bucket ids). The nested-HOF Column form re-evaluates
+    * its shingle input O(k·bands) times per row once `CollapseProject`
+    * inlines it into the lambdas; the UDF boundary evaluates the shingle
+    * array exactly once (see [[TextKernels]]).
+    */
+  def bandBucketsFast(shingles: Column, k: Int, bands: Int, rows: Int): Column =
+    udf((sh: Array[Long]) => TextKernels.bandBuckets(sh, k, bands, rows))
+      .apply(shingles)
+
   /** Candidate id pairs (id1 < id2) sharing at least one LSH bucket.
     *
     * Default banding r=3/b=21: detection probability 1−(1−j³)²¹ is
@@ -41,10 +51,16 @@ object MinHashLSH {
                      k: Int = 63, bands: Int = 21, rows: Int = 3,
                      maxBucketSize: Int = 10000): DataFrame = {
     require(bands * rows <= k, s"bands*rows (${bands * rows}) must be <= k ($k)")
+    // hashed (long) shingles take the one-pass kernel; string shingles the
+    // generic Column form (same bucket values for the same hashed input)
+    val buckets = df.schema(shinglesCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, _) =>
+        bandBucketsFast(col(shinglesCol), k, bands, rows)
+      case _ => bandBuckets(signature(col(shinglesCol), k), bands, rows)
+    }
     val banded = df
       .filter(size(col(shinglesCol)) > 0)
-      .select(col(idCol),
-        explode(bandBuckets(signature(col(shinglesCol), k), bands, rows)).as("__bucket"))
+      .select(col(idCol), explode(buckets).as("__bucket"))
     val capped = banded
       .withColumn("__bsize", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("__bucket"))))

@@ -104,6 +104,18 @@ object TextFunctions {
         i => xxhash64(concat_ws(" ", (0 until n).map(k => element_at(t, i + k)): _*)))))
   }
 
+  /** Single-pass JVM fast path for [[wordShingleHashes]] (same values,
+    * bit-exact). Use this form when the shingles feed nested higher-order
+    * consumers (minhash, banding): the UDF boundary guarantees one
+    * tokenization per row, where the pure-Column form gets inlined by
+    * `CollapseProject` into downstream lambdas and re-tokenizes O(k·bands)
+    * times per document (see [[TextKernels]]).
+    */
+  def wordShingleHashesFast(text: Column, n: Int): Column = {
+    require(n >= 1)
+    udf((s: String) => TextKernels.shingleHashes(s, n)).apply(text)
+  }
+
   /** Character n-gram shingles (distinct) over the normalized text. */
   def charShingles(text: Column, n: Int): Column = {
     require(n >= 1)

