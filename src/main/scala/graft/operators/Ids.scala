@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed sequential-id assignment — the scalable form of the
+  * reference's `syncdfseq` (`stream2segment/io/db/pdsql.py:637-696`), which
+  * pre-assigns `max(id)+1 .. max(id)+n` in a chosen order.
+  *
+  * A naive `row_number().over(Window.orderBy(...))` moves every row to ONE
+  * partition (Spark even warns) — fatal at cluster scale. This helper keeps
+  * the exact same output values with a range-partitioned two-pass scheme:
+  *
+  *  1. `repartitionByRange(ord)` — a parallel global sort (sampled range
+  *     boundaries, the same machinery as `orderBy`);
+  *  2. count rows per range partition (one lightweight job), prefix-sum the
+  *     counts on the driver (numPartitions entries, not rows);
+  *  3. number rows within each partition and add the partition's offset.
+  *
+  * Ids depend only on the global `ord` order, not on where the sampled range
+  * boundaries fall, so the result is deterministic for any unique `ord`
+  * (ties are nondeterministic — exactly as in the single-window form).
+  *
+  * Cost: the input is computed twice (count pass + numbering pass) — callers
+  * feeding an expensive upstream should persist it first. Both passes are
+  * fully parallel.
+  */
+object Ids {
+
+  private val PidCol = "__ids_pid"
+
+  /** Assign `idCol = start, start+1, ...` in global `ord` order. */
+  def contiguous(df: DataFrame, ord: Seq[Column], idCol: String,
+                 start: Long): DataFrame = {
+    require(ord.nonEmpty, "contiguous id assignment needs an ordering")
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.drop(idCol)
+      .repartitionByRange(n, ord: _*)
+      .withColumn(PidCol, spark_partition_id())
+    val counts = ranged.groupBy(PidCol).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until n).scanLeft(0L)((acc, p) => acc + counts.getOrElse(p, 0L))
+    val offsetCol = element_at(array(offsets.take(n).map(lit): _*), col(PidCol) + 1)
+    ranged
+      .withColumn(idCol,
+        row_number().over(Window.partitionBy(PidCol).orderBy(ord: _*)).cast("long")
+          + offsetCol + lit(start - 1L))
+      .drop(PidCol)
+  }
+}

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The reference's upsert/sync core (`syncdf`,
@@ -16,11 +15,12 @@ import org.apache.spark.sql.functions._
   * replicated by the dedup step (no DB enforces them here).
   *
   * Scale notes: id resolution is one equi-join (broadcast if target's key
-  * projection is small, else shuffle — Catalyst/AQE decide); the sequential
-  * id assignment uses a single global window ONLY over the inserted slice.
+  * projection is small, else shuffle — Catalyst/AQE decide); sequential id
+  * assignment for the inserted slice goes through [[Ids.contiguous]] — a
+  * range-partitioned parallel numbering, never a single-partition window.
   * For 100 TB pipelines prefer `surrogateIds = true`, which derives the id
   * as `xxhash64(natural key)` — fully parallel, no max(id) action, no
-  * global window, stable across re-runs.
+  * second pass, stable across re-runs.
   */
 object SyncTable {
 
@@ -43,8 +43,7 @@ object SyncTable {
         missing.withColumn(idCol, xxhash64(matchCols.map(col): _*))
       else {
         val maxId: Long = target.agg(coalesce(max(col(idCol)), lit(0L))).head.getLong(0)
-        missing.withColumn(idCol,
-          row_number().over(Window.orderBy(matchCols.map(col): _*)).cast("long") + lit(maxId))
+        Ids.contiguous(missing, matchCols.map(col), idCol, maxId + 1L)
       }
     val cols = resolved.schema.fieldNames.map(col).toSeq
     SyncResult(updates.select(cols: _*).unionByName(inserts.select(cols: _*)),

@@ -5,13 +5,13 @@ import org.apache.spark.sql.functions._
 
 /** MinHash + banded LSH near-duplicate detection at corpus scale.
   *
-  * Pipeline: shingle → k-permutation minhash signature (pure higher-order
-  * Column expressions, one scan, no shuffle) → band buckets → equality
-  * self-join on bucket id (the ONLY shuffle, on 8-byte keys) → exact
-  * Jaccard verification of candidates.
+  * Pipeline: shingle → k-permutation minhash signature + band buckets (one
+  * scan, no shuffle; JVM kernel fast path) → groupBy bucket id (the ONLY
+  * candidate-generation shuffle, on 8-byte keys) → in-bucket pair expansion
+  * → exact Jaccard verification of candidates.
   *
   * Scale notes for the 100 TB path:
-  *  - the signature stage is embarrassingly parallel and codegen'd;
+  *  - the signature stage is embarrassingly parallel, one pass per document;
   *  - candidate generation shuffles `docs × bands` rows of (bucket, id) —
   *    tiny compared to the corpus — and never materializes all pairs;
   *  - pathological buckets (boilerplate shingles) are capped via
@@ -61,16 +61,18 @@ object MinHashLSH {
     val banded = df
       .filter(size(col(shinglesCol)) > 0)
       .select(col(idCol), explode(buckets).as("__bucket"))
-    val capped = banded
-      .withColumn("__bsize", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("__bucket"))))
-      .filter(col("__bsize") <= maxBucketSize)
-      .drop("__bsize")
-    capped.as("a")
-      .join(capped.as("b"),
-        col("a.__bucket") === col("b.__bucket") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"))
+    // one shuffle: group ids per bucket, expand sorted in-bucket pairs with
+    // higher-order functions (no self-join, no window). Buckets above
+    // maxBucketSize (boilerplate shingles) are dropped whole — a hard bound
+    // on the quadratic expansion, trading recall on mega-clusters.
+    banded.groupBy(col("__bucket"))
+      .agg(sort_array(collect_list(col(idCol))).as("__ids"),
+        count(lit(1)).as("__n"))
+      .filter(col("__n") > 1 && col("__n") <= maxBucketSize)
+      .select(explode(flatten(transform(col("__ids"), x =>
+        transform(filter(col("__ids"), y => y > x),
+          y => struct(x.as("id1"), y.as("id2")))))).as("__p"))
+      .select(col("__p.id1").as("id1"), col("__p.id2").as("id2"))
       .distinct()
   }
 

@@ -69,6 +69,19 @@ class OperatorsSpec extends SparkSpec {
 
   // --- SyncTable ------------------------------------------------------------
 
+  test("contiguous ids: dense max+1.. sequence in order, across partitions") {
+    val df = spark.range(0, 1000).toDF("x")
+      .repartition(7) // scatter input so range repartition really runs
+      .withColumn("name", concat(lit("k"), format_string("%04d", col("x"))))
+    val got = Ids.contiguous(df, Seq(col("name")), "id", start = 501L)
+      .orderBy("name").select("id").as[Long].collect().toSeq
+    assert(got == (501L until 1501L))
+    // and the id order follows the requested ordering, not input order
+    val pairs = Ids.contiguous(df, Seq(col("name").desc), "id", 1L)
+      .orderBy("name").select("id").as[Long].collect().toSeq
+    assert(pairs == (1000L to 1L by -1L))
+  }
+
   test("sync: update/insert split, sequential ids, merged contents") {
     val target = Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "name", "v")
     val incoming = Seq(("a", 10.0), ("c", 3.0), ("c", 99.0)) // dup on key
