@@ -336,6 +336,81 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("kind"),
           col("nBytes").as("n_bytes"))
         .orderBy(col("doc_id"))
+    }),
+
+    // embedding-cosine near-duplicate pairs, exact all-pairs baseline
+    "q27_cosine_dedup" -> ((s, dir) => {
+      Cosine.cosineDupsExact(t(s, dir, "embeddings"), "vec_id", "embedding", 0.5)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
+    // ANN scale path: random-hyperplane LSH bucketing + in-bucket exact
+    // re-rank (no SQL oracle: hash-derived hyperplanes) — rows-only
+    "q28_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      Cosine.lshTopK(emb, queries, 5,
+        idCol = "vec_id", vecCol = "embedding",
+        qIdCol = "q_id", qVecCol = "q_emb", nBits = 6)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+
+    // §2.8 DSP feature job (paramtable shape): deterministic synthetic
+    // waveform per event → bandpass → S/N split → SNR dB → PGA/PGV →
+    // cumulative-energy t95 (no SQL oracle: IIR filtering) — rows-only
+    "q29_feature_dsp" -> ((s, dir) => {
+      import s.implicits._
+      import graft.dsp.{Spectra, Trace, Traces}
+      val fs = 50.0
+      val epoch = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+      t(s, dir, "events")
+        .filter(col("event_id") % 100 === 0)
+        .select(col("event_id"), col("value")).as[(Long, Double)]
+        .map { case (id, value) =>
+          val n = 400
+          val f1 = 2.0 + (math.abs(id / 100) % 7)
+          val amp = 1.0 + math.abs(value % 10)
+          val wave = Array.tabulate(n) { i =>
+            val onset = if (i >= 100) 1.0 else 0.05
+            val noise = (((id * 6364136223846793005L + i * 1442695040888963407L)
+              >>> 11).toDouble / (1L << 53).toDouble - 0.5) * 0.1
+            onset * amp * math.sin(2 * math.Pi * f1 * i / fs) + noise
+          }
+          val trace = Trace(wave, fs, epoch)
+          val bp = Traces.bandpass(trace, 1.0, 15.0, corners = 2)
+          val arrival = new java.sql.Timestamp(epoch.getTime + 2000L)
+          val (noise, signal) = Traces.snSplit(bp, arrival, windowSec = 2.0)
+          val snrDb = Spectra.snr(signal.data, noise.data,
+            deltaSignal = 1 / fs, deltaNoise = 1 / fs, inDb = true)
+          val (pga, _, pgv, _) = Traces.peakGroundMotion(bp)
+          val cum = Spectra.cumsumsq(bp.data)
+          val t95 = Spectra.cumQuantileIndex(cum, 0.95) / fs
+          (id, math.round(snrDb * 100) / 100.0, math.round(pga * 1e6) / 1e6,
+            math.round(pgv * 1e6) / 1e6, t95)
+        }
+        .toDF("event_id", "snr_db", "pga", "pgv", "t95_sec")
+        .orderBy(col("event_id"))
+    }),
+
+    // §2.8 travel-time grid: broadcast table + bilinear interpolation UDF
+    // (grid values float32, interpolation double — mirrored in the oracle)
+    "q30_traveltime" -> ((s, dir) => {
+      val depths = (0 to 700 by 50).map(_.toDouble).toArray
+      val dists = (0 to 180 by 2).map(_.toDouble).toArray
+      val times = depths.map(z => dists.map(x =>
+        (math.sqrt(x * 111.0 * x * 111.0 + z * z) / 8.0).toFloat))
+      val table = graft.sources.TravelTimeTable(depths, dists, times, 700.0, "synth")
+      val bc = s.sparkContext.broadcast(table)
+      val tt = udf((depth: Double, dist: Double) => bc.value.minTravelTime(depth, dist))
+      t(s, dir, "events")
+        .filter(col("event_id") % 100 === 0)
+        .select(col("event_id"),
+          round(abs(col("value")) % 690.0, 3).as("depth_km"),
+          round((col("event_id") % 1780L).cast("double") / 10.0, 3).as("dist_deg"))
+        .withColumn("tt_sec", round(tt(col("depth_km"), col("dist_deg")), 4))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -588,6 +663,45 @@ object SparkEntry {
         |    ELSE 'video' END AS kind,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         |FROM documents
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    "q27_cosine_dedup" ->
+      """SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |  round(list_cosine_similarity(
+        |    list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+        |    list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(
+        |    list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+        |    list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6) >= 0.5
+        |ORDER BY id1, id2""".stripMargin,
+    "q30_traveltime" ->
+      """WITH pts AS (
+        |  SELECT event_id,
+        |    round(fmod(abs("value"), 690.0), 3) AS depth_km,
+        |    round((event_id % 1780) / 10.0, 3) AS dist_deg
+        |  FROM events WHERE event_id % 100 = 0),
+        |cells AS (
+        |  SELECT *,
+        |    CAST(floor(depth_km / 50.0) AS INTEGER) AS i,
+        |    CAST(floor(dist_deg / 2.0) AS INTEGER) AS j,
+        |    (depth_km - floor(depth_km / 50.0) * 50.0) / 50.0 AS fd,
+        |    (dist_deg - floor(dist_deg / 2.0) * 2.0) / 2.0 AS fx
+        |  FROM pts),
+        |interp AS (
+        |  SELECT event_id, depth_km, dist_deg, fd, fx,
+        |    CAST(CAST(sqrt((j*2*111.0)*(j*2*111.0) + (i*50.0)*(i*50.0)) / 8.0
+        |      AS REAL) AS DOUBLE) AS t00,
+        |    CAST(CAST(sqrt(((j+1)*2*111.0)*((j+1)*2*111.0) + (i*50.0)*(i*50.0)) / 8.0
+        |      AS REAL) AS DOUBLE) AS t01,
+        |    CAST(CAST(sqrt((j*2*111.0)*(j*2*111.0) + ((i+1)*50.0)*((i+1)*50.0)) / 8.0
+        |      AS REAL) AS DOUBLE) AS t10,
+        |    CAST(CAST(sqrt(((j+1)*2*111.0)*((j+1)*2*111.0) + ((i+1)*50.0)*((i+1)*50.0)) / 8.0
+        |      AS REAL) AS DOUBLE) AS t11
+        |  FROM cells)
+        |SELECT event_id, depth_km, dist_deg,
+        |  round((1-fd) * ((1-fx)*t00 + fx*t01) + fd * ((1-fx)*t10 + fx*t11), 4)
+        |    AS tt_sec
+        |FROM interp
+        |ORDER BY event_id""".stripMargin
   )
 }

@@ -28,6 +28,15 @@ object Cosine {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Native codegen cosine over float vectors — identical double arithmetic
+    * to the Column form (left-to-right accumulation, cast-then-multiply), so
+    * results are bit-equal, but orders of magnitude faster in all-pairs
+    * joins (no per-call array deserialization, stays in whole-stage
+    * codegen). See [[graft.functions.CosineSimilarityFloat]].
+    */
+  def cosineF(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarityFloat(a, b)
+
   /** Brute-force top-k neighbors for each query vector.
     * Output: (qId, rank, id, cos). `queries` must be broadcast-sized.
     * Ranking is on the rounded cosine (6 dp) with the neighbor id as
@@ -37,13 +46,44 @@ object Cosine {
                      idCol: String, vecCol: String,
                      qIdCol: String, qVecCol: String): DataFrame = {
     val joined = corpus.join(broadcast(queries), col(qIdCol) =!= col(idCol))
-      .withColumn("cos",
-        round(cosine(asDouble(col(vecCol)), asDouble(col(qVecCol))), 6))
+      .withColumn("cos", round(cosineF(col(vecCol), col(qVecCol)), 6))
     val w = Window.partitionBy(col(qIdCol))
       .orderBy(col("cos").desc, col(idCol))
     joined.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(qIdCol), col("rank"), col(idCol), col("cos"))
+  }
+
+  /** Exact embedding-cosine near-duplicate pairs (id1 < id2, cosine >=
+    * threshold) — the correctness baseline: an all-pairs comparison
+    * (Catalyst picks broadcast-nested-loop while one side broadcasts).
+    * Quadratic; beyond ~10⁵ vectors use [[nearDupPairsLsh]].
+    */
+  def cosineDupsExact(corpus: DataFrame, idCol: String, vecCol: String,
+                      threshold: Double): DataFrame = {
+    val a = corpus.select(col(idCol).as("id1"), col(vecCol).as("__v1"))
+    val b = corpus.select(col(idCol).as("id2"), col(vecCol).as("__v2"))
+    a.join(b, col("id1") < col("id2"))
+      .withColumn("cos", round(cosineF(col("__v1"), col("__v2")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("id1"), col("id2"), col("cos"))
+  }
+
+  /** LSH-bucketed near-duplicate pairs: only vectors sharing a hyperplane
+    * bucket are compared, then exact-cosine verified — the 100 TB path: one
+    * shuffle on the 8-byte signature, in-bucket pair expansion, never an
+    * all-pairs join. Recall per pair ≈ (1 − θ/π)^nBits.
+    */
+  def nearDupPairsLsh(corpus: DataFrame, idCol: String, vecCol: String,
+                      threshold: Double, nBits: Int = 8,
+                      maxBucketSize: Int = 10000): DataFrame = {
+    val sig = corpus.withColumn("__sig", hyperplaneSig(asDouble(col(vecCol)), nBits))
+    val a = sig.select(col(idCol).as("id1"), col(vecCol).as("__v1"), col("__sig"))
+    val b = sig.select(col(idCol).as("id2"), col(vecCol).as("__v2"), col("__sig"))
+    a.join(b, Seq("__sig")).filter(col("id1") < col("id2"))
+      .withColumn("cos", round(cosineF(col("__v1"), col("__v2")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("id1"), col("id2"), col("cos"))
   }
 
   /** n-bit random-hyperplane signature. Plane h's d-th component is a
@@ -77,8 +117,7 @@ object Cosine {
     val joined = c.join(broadcast(q),
       col("__sig") === col("__qsig") && col(qIdCol) =!= col(idCol))
       .drop("__sig", "__qsig")
-      .withColumn("cos",
-        round(cosine(asDouble(col(vecCol)), asDouble(col(qVecCol))), 6))
+      .withColumn("cos", round(cosineF(col(vecCol), col(qVecCol)), 6))
     val w = Window.partitionBy(col(qIdCol))
       .orderBy(col("cos").desc, col(idCol))
     joined.withColumn("rank", row_number().over(w))

@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Access bridge to `private[sql]` Column↔Expression conversion, so graft's
+  * native Catalyst expressions (e.g. `graft.functions.CosineSimilarityFloat`)
+  * can be exposed as ordinary `Column`s. Standard technique for Spark
+  * extension libraries; no Spark internals are modified.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

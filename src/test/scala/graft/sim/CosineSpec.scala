@@ -48,6 +48,31 @@ class CosineSpec extends SparkSpec {
     assert(s1.toSeq == s2.toSeq)
   }
 
+  test("cosineDupsExact finds near-parallel pairs only, once, id1<id2") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.1f, 0.0f)), // near-parallel to 1
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(-1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val pairs = Cosine.cosineDupsExact(vecs, "vec_id", "embedding", 0.9)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("nearDupPairsLsh agrees with exact pairs on separable clusters") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.02f, 0.0f)),
+      (2L, Array(0.99f, 0.0f, 0.01f)),
+      (3L, Array(0.0f, 1.0f, 0.03f)),
+      (4L, Array(0.01f, 0.98f, 0.0f))).toDF("vec_id", "embedding")
+    val exact = Cosine.cosineDupsExact(vecs, "vec_id", "embedding", 0.9)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val lsh = Cosine.nearDupPairsLsh(vecs, "vec_id", "embedding", 0.9, nBits = 2)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact)) // LSH never invents pairs
+    assert(lsh.nonEmpty)
+  }
+
   test("multimodal: batch feature extraction preserves schema + determinism") {
     val media = Multimodal.syntheticMedia(spark, 20)
     val feats = Multimodal.extractFeatures(media).collect().sortBy(_.id)
