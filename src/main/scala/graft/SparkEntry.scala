@@ -127,9 +127,9 @@ object SparkEntry {
       val supp = t(s, dir, "supplier")
         .withColumn("slat", (col("s_suppkey") % 100 - 50).cast("double") + 0.25)
         .withColumn("slon", (col("s_suppkey") * 13 % 360 - 180).cast("double") + 0.25)
-      StationSearch.radiusJoin(cust, supp,
+      StationSearch.bandedRadiusJoin(cust, supp,
         col("lat"), col("lon"), col("slat"), col("slon"),
-        maxRadius = lit(15.0), distCol = "dist_deg")
+        maxRadiusDeg = 15.0, distCol = "dist_deg")
         .select(col("c_custkey"), col("s_suppkey"),
           round(col("dist_deg"), 4).as("dist_deg"),
           round(Geo.deg2km(col("dist_deg")), 2).as("dist_km"))

@@ -40,6 +40,43 @@ object StationSearch {
     left.join(broadcast(right), pred, "inner").withColumn(distCol, dist)
   }
 
+  /** Latitude-banded radius join — the scale form of [[radiusJoin]].
+    *
+    * Great-circle distance (deg) is always >= |Δlat| (deg), so a pair within
+    * `maxRadiusDeg` must fall in the same or an adjacent lat band of width
+    * `maxRadiusDeg`. Each left row probes its up-to-3 candidate bands
+    * (exploded), each right row lands in exactly one band (so no duplicate
+    * pairs), and the bands equi-join — a hash join instead of a nested-loop
+    * over all pairs, evaluating the trig predicate only on same-band
+    * candidates (~3·r/180 of all pairs). Unlike longitude gridding this
+    * stays correct at the poles, where small great-circle distances span
+    * huge longitude differences.
+    *
+    * `maxRadiusDeg` must be a constant here (it fixes the band width); a
+    * magnitude-dependent radius goes in `radiusPred` as an exact filter with
+    * `maxRadiusDeg` = its upper bound.
+    */
+  def bandedRadiusJoin(left: DataFrame, right: DataFrame,
+                       latL: Column, lonL: Column, latR: Column, lonR: Column,
+                       maxRadiusDeg: Double, minRadius: Option[Column] = None,
+                       distCol: String = "dist_deg",
+                       extraPred: Option[Column] = None,
+                       radiusPred: Option[Column] = None): DataFrame = {
+    require(maxRadiusDeg > 0, "maxRadiusDeg must be positive")
+    val r = lit(maxRadiusDeg)
+    val dist = Geo.locations2Degrees(latL, lonL, latR, lonR)
+    var pred: Column = dist <= radiusPred.getOrElse(r)
+    minRadius.foreach(mr => pred = pred && dist >= mr)
+    extraPred.foreach(p => pred = pred && p)
+    val leftB = left.withColumn("__band",
+      explode(sequence(floor((latL - r) / r).cast("int"),
+        floor((latL + r) / r).cast("int"))))
+    val rightB = right.withColumn("__band", floor(latR / r).cast("int"))
+    leftB.join(rightB, leftB("__band") === rightB("__band") && pred, "inner")
+      .drop("__band")
+      .withColumn(distCol, dist)
+  }
+
   /** Station validity at event time: open before the event, not closed until
     * at least one day after (`stationsearch.py:84-94`).
     */

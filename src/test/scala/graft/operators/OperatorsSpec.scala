@@ -146,6 +146,24 @@ class OperatorsSpec extends SparkSpec {
     assert(got.select("sid").as[Long].collect().toSeq == Seq(10L))
   }
 
+  test("banded radius join matches the nested-loop join, incl. poles/wrap") {
+    // scattered points incl. near-pole and dateline-wrapping coordinates
+    val left = (0 until 200).map { i =>
+      (i.toLong, (i * 37 % 178 - 89).toDouble + 0.5, (i * 91 % 360 - 180).toDouble)
+    }.toDF("lid", "lat", "lon")
+    val right = (0 until 100).map { i =>
+      (i.toLong, (i * 53 % 178 - 89).toDouble, (i * 17 % 360 - 180).toDouble + 0.3)
+    }.toDF("rid", "rlat", "rlon")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("lid", "rid").as[(Long, Long)].collect().toSet
+    val plain = pairs(StationSearch.radiusJoin(left, right,
+      $"lat", $"lon", $"rlat", $"rlon", maxRadius = lit(12.0)))
+    val banded = pairs(StationSearch.bandedRadiusJoin(left, right,
+      $"lat", $"lon", $"rlat", $"rlon", maxRadiusDeg = 12.0))
+    assert(banded == plain)
+    assert(plain.nonEmpty)
+  }
+
   // --- Wildcards ------------------------------------------------------------
 
   test("nslc wildcard filter: OR positives AND negations") {
