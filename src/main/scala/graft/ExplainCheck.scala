@@ -1,0 +1,24 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object ExplainCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.01"
+    val names = if (args.nonEmpty) args.toSeq else Seq("q01_agg_filter", "q06_dsl_filter", "q16_derived_duration", "q15_time_window")
+    for (n <- names) {
+      println(s"========== $n ==========")
+      val plan = SparkEntry.queries(n)(spark, dir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      // keep scan + codegen-relevant lines
+      plan.linesIterator.foreach { l =>
+        if (l.contains("PushedFilters") || l.contains("ReadSchema") ||
+            l.contains("Scan parquet") || l.contains("WholeStageCodegen") ||
+            l.contains("Exchange") || l.contains("Join") || l.contains("DataFilters"))
+          println(l.take(220))
+      }
+    }
+  }
+}

@@ -411,6 +411,30 @@ object SparkEntry {
           round((col("event_id") % 1780L).cast("double") / 10.0, 3).as("dist_deg"))
         .withColumn("tt_sec", round(tt(col("depth_km"), col("dist_deg")), 4))
         .orderBy(col("event_id"))
+    }),
+
+    // §2.1 FDSN text source: build '|'-separated response lines from
+    // supplier, parse distributed (typed cast + malformed-row drop); rows
+    // with an unparsable magnitude (every 97th) must be dropped
+    "q31_fdsn_parse" -> ((s, dir) => {
+      val lines = t(s, dir, "supplier").select(concat_ws("|",
+        concat(lit("ev"), col("s_suppkey")),
+        date_format(expr("timestamp'2020-01-01 00:00:00' " +
+          "+ make_interval(0, 0, 0, 0, CAST(s_suppkey % 100 AS INT), 0, 0)"),
+          "yyyy-MM-dd'T'HH:mm:ss"),
+        (col("s_suppkey") % 120 - 60).cast("double") + 0.5,
+        (col("s_suppkey") * 7 % 360 - 180).cast("double") + 0.5,
+        (col("s_suppkey") % 600).cast("double"),
+        lit("auth"), lit("cat"), lit("contrib"), lit("cid"), lit("ML"),
+        when(col("s_suppkey") % 97 === 0, lit("bad"))
+          .otherwise(((col("s_suppkey") % 80).cast("double") / 10.0).cast("string")),
+        lit("ma"), lit("locname")).as("line"))
+      graft.sources.FdsnText.parseEventsDf(lines)
+        .select(col("event_id"),
+          unix_millis(col("time").cast("timestamp")).as("time_ms"),
+          col("latitude"), col("longitude"), col("depth_km"),
+          round(col("magnitude"), 1).as("magnitude"))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -702,6 +726,17 @@ object SparkEntry {
         |  round((1-fd) * ((1-fx)*t00 + fx*t01) + fd * ((1-fx)*t10 + fx*t11), 4)
         |    AS tt_sec
         |FROM interp
+        |ORDER BY event_id""".stripMargin,
+    "q31_fdsn_parse" ->
+      """SELECT 'ev' || s_suppkey AS event_id,
+        |  epoch_ms(TIMESTAMP '2020-01-01 00:00:00'
+        |    + to_hours(s_suppkey % 100)) AS time_ms,
+        |  CAST(s_suppkey % 120 - 60 AS DOUBLE) + 0.5 AS latitude,
+        |  CAST(s_suppkey * 7 % 360 - 180 AS DOUBLE) + 0.5 AS longitude,
+        |  CAST(s_suppkey % 600 AS DOUBLE) AS depth_km,
+        |  round(CAST(s_suppkey % 80 AS DOUBLE) / 10.0, 1) AS magnitude
+        |FROM supplier
+        |WHERE s_suppkey % 97 != 0
         |ORDER BY event_id""".stripMargin
   )
 }

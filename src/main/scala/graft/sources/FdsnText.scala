@@ -60,12 +60,26 @@ object FdsnText {
   def parseChannelLines(spark: SparkSession, lines: Seq[String]): DataFrame =
     parse(spark, splitLines(spark, lines, channelCols.size), channelCols)
 
+  /** Parse a DataFrame of raw response lines (column `line`) — fully
+    * distributed: the fetch stage yields one row per body line and the parse
+    * stays a scan-side projection, no driver materialization.
+    */
+  def parseEventsDf(raw: DataFrame): DataFrame =
+    parse(raw.sparkSession, splitLinesDf(raw, eventCols.size), eventCols)
+
+  def parseChannelsDf(raw: DataFrame): DataFrame =
+    parse(raw.sparkSession, splitLinesDf(raw, channelCols.size), channelCols)
+
   private def rawSchema(n: Int): StructType =
     StructType((0 until n).map(i => StructField(s"_c$i", StringType)))
 
   private def splitLines(spark: SparkSession, lines: Seq[String], n: Int): DataFrame = {
     import spark.implicits._
-    val df = lines.toDF("line")
+    splitLinesDf(lines.toDF("line"), n)
+  }
+
+  private def splitLinesDf(raw: DataFrame, n: Int): DataFrame = {
+    val df = raw
       .filter(length(trim(col("line"))) > 0 && !col("line").startsWith("#"))
       .withColumn("__p", split(col("line"), "\\|"))
     (0 until n).foldLeft(df)((d, i) =>
