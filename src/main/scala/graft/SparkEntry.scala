@@ -254,7 +254,7 @@ object SparkEntry {
     "q19_jaccard_pairs" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), TextFunctions.wordShingleHashesFast(col("text"), 3).as("sh"))
-      MinHashLSH.jaccardPairsExact(docs, "doc_id", "sh", 0.6)
+      MinHashLSH.jaccardPairsPrefix(docs, "doc_id", "sh", 0.6)
         .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("id1"), col("id2"))
     }),

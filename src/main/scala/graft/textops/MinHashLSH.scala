@@ -97,11 +97,52 @@ object MinHashLSH {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /** Exact all-pairs Jaccard >= threshold with prefix filtering (the
+    * AllPairs/PPJoin principle): order shingles by ascending global document
+    * frequency; two sets with Jaccard >= t MUST share at least one of each
+    * other's first `n - ceil(t*n) + 1` shingles under any common total
+    * order, so only those prefixes are indexed and self-joined. Rare
+    * shingles land in prefixes, so candidate buckets stay small where the
+    * naive inverted index blows up on boilerplate shingles; frequency order
+    * is what makes the bound effective. Candidates are then verified on the
+    * full arrays. Exact — same result set as [[jaccardPairsExact]].
+    */
+  def jaccardPairsPrefix(df: DataFrame, idCol: String, shinglesCol: String,
+                         threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0,1]")
+    val base = df.select(col(idCol), col(shinglesCol))
+      .withColumn("__nsh", size(col(shinglesCol)))
+      .filter(col("__nsh") > 0)
+    val postings = base.select(col(idCol), col("__nsh"),
+      explode(col(shinglesCol)).as("__sh"))
+    val dfreq = postings.groupBy(col("__sh")).agg(count(lit(1)).as("__df"))
+    val prefixLen = (col("__nsh") - ceil(lit(threshold) * col("__nsh")) + 1).cast("int")
+    val prefix = postings.join(dfreq, "__sh")
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(idCol)).orderBy(col("__df"), col("__sh"))))
+      .filter(col("__rn") <= prefixLen)
+      .select(col(idCol), col("__sh"))
+    val cands = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.__sh") === col("b.__sh") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"))
+      .distinct()
+    val sh = df.select(col(idCol), col(shinglesCol))
+    cands
+      .join(sh.select(col(idCol).as("id1"), col(shinglesCol).as("__sh1")), "id1")
+      .join(sh.select(col(idCol).as("id2"), col(shinglesCol).as("__sh2")), "id2")
+      .withColumn("jaccard", jaccard(col("__sh1"), col("__sh2")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
   /** Exact all-pairs Jaccard >= threshold via an inverted shingle index
     * (explode + equality self-join + count), the oracle-checkable exact
     * variant: common-shingle counting instead of a quadratic cross join.
-    * Still O(Σ bucket²) in the shingle index — prefer the LSH variant above
-    * beyond ~10⁶ docs.
+    * Still O(Σ bucket²) in the shingle index — prefer [[jaccardPairsPrefix]]
+    * (frequency-ordered prefix filtering) or the LSH variant above at
+    * corpus scale.
     */
   def jaccardPairsExact(df: DataFrame, idCol: String, shinglesCol: String,
                         threshold: Double): DataFrame = {

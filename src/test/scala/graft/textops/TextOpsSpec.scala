@@ -96,6 +96,23 @@ class TextOpsSpec extends SparkSpec {
     assert(SimHash.simhash64(Nil) == 0L)
   }
 
+  test("prefix-filtered exact jaccard equals the inverted-index form") {
+    val corpus = (0 until 60).map { i =>
+      val base = s"alpha beta gamma delta epsilon zeta eta theta iota w$i"
+      val dup = if (i % 7 == 0) s"alpha beta gamma delta epsilon zeta eta theta iota w${i + 1}"
+                else base
+      (i.toLong, if (i % 2 == 0) base else dup)
+    }.toDF("doc_id", "text")
+      .select($"doc_id", TextFunctions.wordShingleHashesFast($"text", 2).as("sh"))
+    def collectPairs(d: org.apache.spark.sql.DataFrame) =
+      d.select($"id1", $"id2", round($"jaccard", 9)).as[(Long, Long, Double)]
+        .collect().toSet
+    val exact = collectPairs(MinHashLSH.jaccardPairsExact(corpus, "doc_id", "sh", 0.5))
+    val prefix = collectPairs(MinHashLSH.jaccardPairsPrefix(corpus, "doc_id", "sh", 0.5))
+    assert(prefix == exact)
+    assert(exact.nonEmpty)
+  }
+
   test("fast shingle-hash kernel is bit-exact with the Column form") {
     val edge = docs.union(Seq((6L, "  \ttab\nnewline  mixed nbsp end "),
       (7L, "one two"), (8L, "repeat gram repeat gram repeat gram x"))
