@@ -435,6 +435,30 @@ object SparkEntry {
           col("latitude"), col("longitude"), col("depth_km"),
           round(col("magnitude"), 1).as("magnitude"))
         .orderBy(col("event_id"))
+    }),
+
+    // §2.1 miniSEED codec roundtrip: deterministic waveform → INT32 record
+    // encode → multiplexed unpack (gap stats) → sample decode; the oracle
+    // recomputes the waveform stats without touching the codec
+    "q32_mseed_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      import graft.sources.MiniSeed
+      val t0 = java.sql.Timestamp.valueOf("2021-06-01 12:00:00")
+      t(s, dir, "events")
+        .filter(col("event_id") % 100 === 0)
+        .select(col("event_id")).as[Long]
+        .map { id =>
+          val samples = Array.tabulate(300)(j => ((id * 31 + j * 7) % 1000 - 500).toInt)
+          val bytes = MiniSeed.encodeInt32("GR", "S" + (id % 100), "", "BHZ",
+            50.0, t0, samples)
+          val r = MiniSeed.unpack(bytes).valuesIterator.next()
+          val decoded = MiniSeed.decodeSamples(r.data)
+          (id, decoded.length, r.sampleRate,
+            math.round(r.maxGapOverlapRatio * 1000) / 1000.0,
+            r.startTime.getTime, r.endTime.getTime, decoded.sum.toLong)
+        }
+        .toDF("event_id", "n_samp", "fs", "max_gap", "start_ms", "end_ms", "sum_counts")
+        .orderBy(col("event_id"))
     })
   )
 
@@ -737,6 +761,19 @@ object SparkEntry {
         |  round(CAST(s_suppkey % 80 AS DOUBLE) / 10.0, 1) AS magnitude
         |FROM supplier
         |WHERE s_suppkey % 97 != 0
+        |ORDER BY event_id""".stripMargin,
+    "q32_mseed_roundtrip" ->
+      """SELECT event_id,
+        |  CAST(300 AS INTEGER) AS n_samp,
+        |  CAST(50.0 AS DOUBLE) AS fs,
+        |  CAST(0.0 AS DOUBLE) AS max_gap,
+        |  epoch_ms(TIMESTAMP '2021-06-01 12:00:00') AS start_ms,
+        |  epoch_ms(TIMESTAMP '2021-06-01 12:00:00'
+        |    + INTERVAL 5980 MILLISECOND) AS end_ms,
+        |  CAST(list_aggregate(list_transform(range(0, 300),
+        |    j -> (event_id * 31 + j * 7) % 1000 - 500), 'sum') AS BIGINT)
+        |    AS sum_counts
+        |FROM events WHERE event_id % 100 = 0
         |ORDER BY event_id""".stripMargin
   )
 }

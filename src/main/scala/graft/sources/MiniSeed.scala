@@ -51,6 +51,53 @@ object MiniSeed {
   }
 
   /** Parse one record starting at `off`; returns (record, nextOffset). */
+  /** Encode integer samples as 512-byte INT32 big-endian miniSEED records
+    * (fixed header + blockette 1000) — the minimal writer counterpart of
+    * [[parseRecord]], for roundtrip verification and binary sinks. `fs` must
+    * be a positive integer rate (stored as srFactor, srMult = 1).
+    */
+  def encodeInt32(net: String, sta: String, loc: String, cha: String,
+                  fs: Double, t0: Timestamp, samples: Array[Int]): Array[Byte] = {
+    require(fs > 0 && fs == math.rint(fs) && fs <= Short.MaxValue,
+      s"fs must be a positive integer rate, got $fs")
+    val recLen = 512
+    val dataOff = 64
+    val perRec = (recLen - dataOff) / 4
+    val nRec = math.max(1, (samples.length + perRec - 1) / perRec)
+    val out = ByteBuffer.allocate(nRec * recLen).order(ByteOrder.BIG_ENDIAN)
+    def pad(s: String, n: Int): Array[Byte] =
+      (s.take(n) + " " * (n - math.min(s.length, n))).getBytes("ASCII")
+    var rec = 0
+    while (rec < nRec) {
+      val first = rec * perRec
+      val n = math.min(perRec, samples.length - first)
+      val ldt = t0.toLocalDateTime.plusNanos(math.round(first / fs * 1e9))
+      out.put(pad(f"${rec + 1}%06d", 6)).put('D'.toByte).put(' '.toByte)
+      out.put(pad(sta, 5)).put(pad(loc, 2)).put(pad(cha, 3)).put(pad(net, 2))
+      out.putShort(ldt.getYear.toShort)
+      out.putShort(ldt.getDayOfYear.toShort)
+      out.put(ldt.getHour.toByte).put(ldt.getMinute.toByte)
+        .put(ldt.getSecond.toByte).put(0.toByte)
+      out.putShort((ldt.getNano / 100000).toShort) // 0.1 ms ticks
+      out.putShort(math.max(n, 0).toShort)
+      out.putShort(fs.toInt.toShort).putShort(1.toShort) // srFactor, srMult
+      out.put(0.toByte).put(0.toByte).put(0.toByte).put(1.toByte) // flags, numblk
+      out.putInt(0) // time correction
+      out.putShort(dataOff.toShort).putShort(FixheadLen.toShort) // pdata, pblk
+      // blockette 1000: type, next=0, encoding=3 (INT32), big-endian, 2^9
+      out.putShort(1000.toShort).putShort(0.toShort)
+      out.put(3.toByte).put(1.toByte).put(9.toByte).put(0.toByte)
+      out.position(rec * recLen + dataOff)
+      var i = 0
+      while (i < perRec) {
+        out.putInt(if (i < n) samples(first + i) else 0)
+        i += 1
+      }
+      rec += 1
+    }
+    out.array()
+  }
+
   def parseRecord(data: Array[Byte], off: Int): (Record, Int) = {
     if (off + FixheadLen > data.length)
       throw MSeedException("unexpected end of header")

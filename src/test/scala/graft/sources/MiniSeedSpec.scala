@@ -86,6 +86,22 @@ class MiniSeedSpec extends AnyFunSuite {
     assert(bp.data.exists(_ != 0.0))
   }
 
+  test("INT32 encoder roundtrips through unpack + decode, gapless") {
+    val t0 = java.sql.Timestamp.valueOf("2021-06-01 12:00:00")
+    val samples = Array.tabulate(300)(i => (i * 13 % 1000) - 500)
+    val bytes = MiniSeed.encodeInt32("GR", "TST", "", "BHZ", 50.0, t0, samples)
+    assert(bytes.length == 3 * 512) // 112 samples per record
+    val res = MiniSeed.unpack(bytes)
+    assert(res.keySet == Set("GR.TST..BHZ"))
+    val r = res("GR.TST..BHZ")
+    assert(r.error.isEmpty)
+    assert(r.sampleRate == 50.0)
+    assert(math.abs(r.maxGapOverlapRatio) < 1e-6)
+    assert(r.startTime == t0)
+    val decoded = MiniSeed.decodeSamples(r.data)
+    assert(decoded.toSeq == samples.map(_.toDouble).toSeq)
+  }
+
   test("garbage input raises, truncated record flagged as error") {
     intercept[MiniSeed.MSeedException] {
       MiniSeed.unpack(Array.fill[Byte](10)(42))
