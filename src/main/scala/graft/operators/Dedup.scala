@@ -26,8 +26,14 @@ object Dedup {
     val part = Window.partitionBy(keys.map(col): _*)
     keep match {
       case KeepNone =>
-        df.withColumn("__cnt", count(lit(1)).over(part))
-          .filter(col("__cnt") === 1).drop("__cnt")
+        // aggregate + semi-join instead of a count window: WindowExec
+        // buffers each key group in memory, the aggregate streams (partial
+        // map-side combine) — same shuffle count, skew-safe
+        val singles = df.groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).as("__cnt"))
+          .filter(col("__cnt") === 1)
+          .select(keys.map(col): _*)
+        df.join(singles, keys, "left_semi")
       case KeepFirst | KeepLast =>
         require(order.nonEmpty, "KeepFirst/KeepLast need an ordering")
         val ord = if (keep == KeepFirst) order else order.map(_.desc)
