@@ -31,10 +31,18 @@ object SyncTable {
 
   def sync(df: DataFrame, target: DataFrame, matchCols: Seq[String],
            idCol: String = "id", keep: Dedup.Keep = Dedup.KeepFirst,
-           order: Seq[Column] = Nil, surrogateIds: Boolean = false): SyncResult = {
+           order: Seq[Column] = Nil, surrogateIds: Boolean = false,
+           persistIntermediate: Boolean = true): SyncResult = {
     val ord = if (order.nonEmpty) order else matchCols.map(col)
     val deduped = Dedup(df.drop(idCol), matchCols, keep, ord)
-    val resolved = MergeUpdate.resolveId(deduped, target, matchCols, idCol)
+    val resolvedPlan = MergeUpdate.resolveId(deduped, target, matchCols, idCol)
+    // the dedup+resolve join feeds the update slice, the id-assignment
+    // passes AND the merged output — persist it once instead of recomputing
+    // per consumer (storage is evictable; pass false to keep the plan pure)
+    val resolved =
+      if (persistIntermediate)
+        resolvedPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else resolvedPlan
 
     val updates = resolved.filter(col(idCol).isNotNull)
     val missing = resolved.filter(col(idCol).isNull)
