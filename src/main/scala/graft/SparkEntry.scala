@@ -459,6 +459,19 @@ object SparkEntry {
         }
         .toDF("event_id", "n_samp", "fs", "max_gap", "start_ms", "end_ms", "sum_counts")
         .orderBy(col("event_id"))
+    }),
+
+    // §2.10 streaming layer, batch-checked: the same windowedStats operator
+    // runs under readStream with a watermark; batch execution makes its
+    // event-time semantics oracle-verifiable
+    "q33_windowed_stats" -> ((s, dir) => {
+      graft.streaming.EventStreams.windowedStats(
+        t(s, dir, "events").withColumn("ts", col("ts").cast("timestamp")),
+        "1 hour", "1 hour", "1 minute")
+        .select(unix_millis(col("window.start")).as("win_start_ms"),
+          col("event_type"), col("n"),
+          round(col("sum_value"), 2).as("sum_value"))
+        .orderBy(col("win_start_ms"), col("event_type"))
     })
   )
 
@@ -774,6 +787,13 @@ object SparkEntry {
         |    j -> (event_id * 31 + j * 7) % 1000 - 500), 'sum') AS BIGINT)
         |    AS sum_counts
         |FROM events WHERE event_id % 100 = 0
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+    "q33_windowed_stats" ->
+      """SELECT epoch_ms(time_bucket(INTERVAL '1 hour', ts)) AS win_start_ms,
+        |  event_type, count(*) AS n,
+        |  round(sum("value"), 2) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY win_start_ms, event_type""".stripMargin
   )
 }
