@@ -1,0 +1,44 @@
+package graft.plans
+
+import graft.functions.CosineSimilarityFloat
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL surface for graft's native Catalyst expressions.
+  *
+  * Two registration paths:
+  *  - cluster-wide: `--conf spark.sql.extensions=graft.plans.GraftExtensions`
+  *    (applied at session build time);
+  *  - existing session: `GraftExtensions.register(spark)`.
+  *
+  * After either, `spark.sql("SELECT cosine_similarity_float(a, b) ...")`
+  * resolves to the codegen expression — usable from pure-SQL pipelines, not
+  * just the Scala DSL.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def info(name: String, clazz: Class[_]) =
+    new ExpressionInfo(clazz.getName, name)
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq((
+      FunctionIdentifier("cosine_similarity_float"),
+      info("cosine_similarity_float", classOf[CosineSimilarityFloat]),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"cosine_similarity_float expects 2 arguments, got ${children.length}")
+        CosineSimilarityFloat(children.head, children(1))
+      }))
+
+  /** Register into an already-built session. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (id, inf, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, inf, builder)
+    }
+}

@@ -73,6 +73,16 @@ class CosineSpec extends SparkSpec {
     assert(lsh.nonEmpty)
   }
 
+  test("cosine_similarity_float registers as a SQL function") {
+    graft.plans.GraftExtensions.register(spark)
+    val got = spark.sql(
+      """SELECT round(cosine_similarity_float(
+        |  array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |  array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))), 6) AS c""".stripMargin)
+      .as[Double].collect()(0)
+    assert(got == 1.0)
+  }
+
   test("multimodal: batch feature extraction preserves schema + determinism") {
     val media = Multimodal.syntheticMedia(spark, 20)
     val feats = Multimodal.extractFeatures(media).collect().sortBy(_.id)
