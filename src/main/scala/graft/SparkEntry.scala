@@ -472,6 +472,91 @@ object SparkEntry {
           col("event_type"), col("n"),
           round(col("sum_value"), 2).as("sum_value"))
         .orderBy(col("win_start_ms"), col("event_type"))
+    }),
+
+    // §1 data model end-to-end: the TPC-H tables mapped onto the 9-table
+    // seismic schema, prejoined SegmentView with every derived hybrid
+    // column, filtered through the selection DSL (prefixed dotted paths)
+    "q34_segment_view" -> ((s, dir) => {
+      val base = "2020-01-01 00:00:00"
+      val ev = t(s, dir, "orders").select(
+        col("o_orderkey").as("id"), lit(1L).as("webservice_id"),
+        concat(lit("ev"), col("o_orderkey")).as("event_id"),
+        col("o_orderdate").cast("timestamp").as("time"),
+        ((col("o_orderkey") % 120 - 60).cast("double") + 0.5).as("latitude"),
+        ((col("o_orderkey") * 7 % 360 - 180).cast("double") + 0.5).as("longitude"),
+        (col("o_orderkey") % 600).cast("double").as("depth_km"),
+        lit(null).cast("string").as("author"),
+        lit(null).cast("string").as("catalog"),
+        lit(null).cast("string").as("contributor"),
+        lit(null).cast("string").as("contributor_id"),
+        lit("Mw").as("mag_type"),
+        ((col("o_orderkey") % 80).cast("double") / 10.0).as("magnitude"),
+        lit(null).cast("string").as("mag_author"),
+        lit(null).cast("string").as("event_location_name"),
+        lit(null).cast("string").as("event_type"))
+      val st = t(s, dir, "supplier").select(
+        col("s_suppkey").as("id"), col("s_nationkey").cast("long").as("datacenter_id"),
+        concat(lit("N"), col("s_nationkey")).as("network"),
+        concat(lit("S"), col("s_suppkey")).as("station"),
+        ((col("s_suppkey") % 100 - 50).cast("double") + 0.25).as("latitude"),
+        ((col("s_suppkey") * 13 % 360 - 180).cast("double") + 0.25).as("longitude"),
+        lit(0.0).as("elevation"), lit(null).cast("string").as("site_name"),
+        lit(base).cast("timestamp").as("start_time"),
+        lit(null).cast("timestamp").as("end_time"),
+        when(col("s_suppkey") % 2 === 0, lit("<xml/>".getBytes))
+          .otherwise(lit(null).cast("binary")).as("inventory_xml"))
+      val ch = t(s, dir, "supplier").select(
+        col("s_suppkey").as("id"), col("s_suppkey").as("station_id"),
+        lit("").as("location"),
+        element_at(array(lit("HHZ"), lit("HHN"), lit("BHE")),
+          (col("s_suppkey") % 3 + 1).cast("int")).as("channel"),
+        lit(null).cast("double").as("depth"),
+        lit(null).cast("double").as("azimuth"),
+        lit(null).cast("double").as("dip"),
+        lit(null).cast("string").as("sensor_description"),
+        lit(null).cast("double").as("scale"),
+        lit(null).cast("double").as("scale_freq"),
+        lit(null).cast("string").as("scale_units"),
+        lit(100.0).as("sample_rate"))
+      val dc = t(s, dir, "nation").select(
+        col("n_nationkey").cast("long").as("id"),
+        concat(lit("http://sta/"), col("n_name")).as("station_url"),
+        concat(lit("http://data/"), col("n_name")).as("dataselect_url"),
+        col("n_name").as("organization_name"))
+      val ship = col("l_shipdate").cast("timestamp")
+      val seg = t(s, dir, "lineitem").select(
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
+        col("l_orderkey").as("event_id"),
+        col("l_suppkey").as("channel_id"),
+        (col("l_suppkey") % 25).cast("long").as("datacenter_id"),
+        lit(1L).as("download_id"),
+        when(col("l_linenumber") % 2 === 0,
+          concat(lit("SEED."), col("l_orderkey"), lit("."), col("l_linenumber")))
+          .otherwise(lit(null).cast("string")).as("data_seed_id"),
+        col("l_quantity").as("event_distance_deg"),
+        when(col("l_discount") > 0.02, lit("DATA".getBytes))
+          .otherwise(lit(Array.empty[Byte])).as("data"),
+        when(col("l_tax") > 0.05, lit(-2L)).otherwise(lit(200L)).as("download_code"),
+        ship.as("start_time"), ship.as("arrival_time"),
+        (ship + expr("INTERVAL 4 MINUTE")).as("end_time"),
+        lit(100.0).as("sample_rate"), lit(0.0).as("maxgap_numsamples"),
+        ship.as("request_start"),
+        (ship + expr("INTERVAL 5 MINUTE")).as("request_end"),
+        lit(false).as("queryauth"))
+      val view = graft.model.SegmentView.build(seg, ev, ch, st, dc)
+      Selection.filter(view, Map(
+        "event_magnitude" -> "[4, 7)",
+        "channel_band_code" -> "=H",
+        "has_valid_data" -> "=true",
+        "event_distance_deg" -> "<30"))
+        .select(col("id"), col("seed_id"),
+          col("station_netsta_code").as("netsta"),
+          round(col("event_distance_km"), 2).as("dist_km"),
+          col("duration_sec"), col("missing_data_ratio"),
+          round(col("event_magnitude"), 1).as("mag"),
+          col("datacenter_organization_name").as("dc_org"))
+        .orderBy(col("id"))
     })
   )
 
@@ -794,6 +879,41 @@ object SparkEntry {
         |  round(sum("value"), 2) AS sum_value
         |FROM events
         |GROUP BY 1, 2
-        |ORDER BY win_start_ms, event_type""".stripMargin
+        |ORDER BY win_start_ms, event_type""".stripMargin,
+    "q34_segment_view" ->
+      """WITH seg AS (
+        |  SELECT l_orderkey * 10 + l_linenumber AS id,
+        |    l_orderkey AS ev_id, l_suppkey AS ch_id, l_suppkey % 25 AS dc_id,
+        |    CASE WHEN l_linenumber % 2 = 0
+        |         THEN 'SEED.' || l_orderkey || '.' || l_linenumber END AS data_seed_id,
+        |    l_quantity AS dist_deg,
+        |    (l_discount > 0.02) AS has_data,
+        |    CASE WHEN l_tax > 0.05 THEN -2 ELSE 200 END AS code
+        |  FROM lineitem),
+        |cha AS (
+        |  SELECT s_suppkey, s_nationkey,
+        |    CASE s_suppkey % 3 WHEN 0 THEN 'HHZ' WHEN 1 THEN 'HHN'
+        |      ELSE 'BHE' END AS channel
+        |  FROM supplier)
+        |SELECT s.id,
+        |  coalesce(s.data_seed_id,
+        |    'N' || c.s_nationkey || '.S' || c.s_suppkey || '..' || c.channel)
+        |    AS seed_id,
+        |  'N' || c.s_nationkey || '.S' || c.s_suppkey AS netsta,
+        |  round(s.dist_deg * 2 * pi() * 6371 / 360, 2) AS dist_km,
+        |  CAST(240.0 AS DOUBLE) AS duration_sec,
+        |  CAST(0.2 AS DOUBLE) AS missing_data_ratio,
+        |  round(CAST(o.o_orderkey % 80 AS DOUBLE) / 10.0, 1) AS mag,
+        |  n.n_name AS dc_org
+        |FROM seg s
+        |JOIN cha c ON s.ch_id = c.s_suppkey
+        |JOIN orders o ON s.ev_id = o.o_orderkey
+        |JOIN nation n ON s.dc_id = n.n_nationkey
+        |WHERE CAST(o.o_orderkey % 80 AS DOUBLE) / 10.0 >= 4
+        |  AND CAST(o.o_orderkey % 80 AS DOUBLE) / 10.0 < 7
+        |  AND substring(c.channel, 1, 1) = 'H'
+        |  AND s.has_data AND s.code != -2
+        |  AND s.dist_deg < 30
+        |ORDER BY id""".stripMargin
   )
 }
