@@ -557,6 +557,22 @@ object SparkEntry {
           round(col("event_magnitude"), 1).as("mag"),
           col("datacenter_organization_name").as("dc_org"))
         .orderBy(col("id"))
+    }),
+
+    // §2.2 NSLC wildcard filter compiler: OR within field, AND'd negations
+    // (wildcards → LIKE, `!` → NOT LIKE)
+    "q35_nslc_filter" -> ((s, dir) => {
+      val chans = t(s, dir, "part").select(col("p_partkey"),
+        element_at(array(lit("HHZ"), lit("HHN"), lit("BHE"), lit("LHZ"), lit("HDF")),
+          (col("p_partkey") % 5 + 1).cast("int")).as("channel"),
+        element_at(array(lit("GE"), lit("IU"), lit("NL")),
+          (col("p_partkey") % 3 + 1).cast("int")).as("network"))
+      chans
+        .filter(graft.functions.Wildcards.nslcFilter(col("channel"),
+          Seq("HH?", "BH?", "!*N")))
+        .filter(graft.functions.Wildcards.nslcFilter(col("network"), Seq("!NL")))
+        .select(col("p_partkey"), col("network"), col("channel"))
+        .orderBy(col("p_partkey"))
     })
   )
 
@@ -914,6 +930,19 @@ object SparkEntry {
         |  AND substring(c.channel, 1, 1) = 'H'
         |  AND s.has_data AND s.code != -2
         |  AND s.dist_deg < 30
-        |ORDER BY id""".stripMargin
+        |ORDER BY id""".stripMargin,
+    "q35_nslc_filter" ->
+      """WITH chans AS (
+        |  SELECT p_partkey,
+        |    ['HHZ','HHN','BHE','LHZ','HDF'][CAST(p_partkey % 5 AS INTEGER) + 1]
+        |      AS channel,
+        |    ['GE','IU','NL'][CAST(p_partkey % 3 AS INTEGER) + 1] AS network
+        |  FROM part)
+        |SELECT p_partkey, network, channel
+        |FROM chans
+        |WHERE (channel LIKE 'HH_' OR channel LIKE 'BH_')
+        |  AND channel NOT LIKE '%N'
+        |  AND network != 'NL'
+        |ORDER BY p_partkey""".stripMargin
   )
 }
