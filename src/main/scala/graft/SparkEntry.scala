@@ -573,6 +573,19 @@ object SparkEntry {
         .filter(graft.functions.Wildcards.nslcFilter(col("network"), Seq("!NL")))
         .select(col("p_partkey"), col("network"), col("channel"))
         .orderBy(col("p_partkey"))
+    }),
+
+    // IVF ANN: deterministic k-means coarse quantizer, nProbe-cell probe,
+    // exact in-cell re-rank (no SQL oracle: iterative quantizer) — rows-only
+    "q36_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      graft.sim.Ivf.topK(emb, queries, 5,
+        idCol = "vec_id", vecCol = "embedding",
+        qIdCol = "q_id", qVecCol = "q_emb", nCells = 16, nProbe = 2)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("q_id"), col("rnk"))
     })
   )
 

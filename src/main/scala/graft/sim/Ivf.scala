@@ -1,0 +1,89 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest-neighbor search: a coarse
+  * k-means quantizer partitions the corpus into cells; queries probe only
+  * the `nProbe` nearest cells and re-rank exactly inside them.
+  *
+  * Spark-first shape:
+  *  - training = `nIters` Lloyd steps as DataFrame aggregations (assign =
+  *    broadcast-centroid argmin scan, update = groupBy mean) — fully
+  *    distributed, deterministic (seeds = lowest-id vectors, ties broken by
+  *    id, no RNG);
+  *  - index = one `cell` column on the corpus (the partition/bucket key a
+  *    100 TB deployment would also use as a storage partition);
+  *  - search = explode each query to its `nProbe` nearest cells → equality
+  *    join on cell → exact cosine top-k ([[Cosine.cosineF]], codegen).
+  *
+  * Probe cost scales with corpus/k · nProbe instead of the whole corpus.
+  */
+object Ivf {
+
+  /** Train centroids: rows of (cell: Int, centroid: Array[Float]). */
+  def train(corpus: DataFrame, idCol: String, vecCol: String,
+            k: Int, nIters: Int = 3): Array[(Int, Array[Float])] = {
+    val spark = corpus.sparkSession
+    var centroids: Array[(Int, Array[Float])] = corpus
+      .orderBy(col(idCol)).limit(k)
+      .select(col(vecCol)).collect()
+      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Float](0).toArray) }
+    var it = 0
+    while (it < nIters) {
+      val assigned = assign(corpus, vecCol, centroids)
+      val means = assigned
+        .select(col("__cell"), posexplode(col(vecCol)).as(Seq("__d", "__x")))
+        .groupBy(col("__cell"), col("__d"))
+        .agg(avg(col("__x")).as("__m"))
+        .groupBy(col("__cell"))
+        .agg(array_sort(collect_list(struct(col("__d"), col("__m")))).as("__ms"))
+        .select(col("__cell"),
+          transform(col("__ms"), m => m.getField("__m").cast("float")).as("__c"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      // cells that lost every vector keep their previous centroid
+      val kept = means.toMap
+      centroids = centroids.map { case (c, v) => (c, kept.getOrElse(c, v)) }
+      it += 1
+    }
+    centroids
+  }
+
+  /** Nearest-centroid cell id for every row (broadcast argmin scan). */
+  private def cellExpr(vec: Column, centroids: Array[(Int, Array[Float])],
+                       n: Int): Column = {
+    // struct(cos DESC, cell ASC) ordering via array_sort on (-cos, cell)
+    val scored = array(centroids.map { case (cell, cv) =>
+      struct((-Cosine.cosineF(vec,
+        typedlit(cv))).as("negcos"), lit(cell).as("cell"))
+    }.toIndexedSeq: _*)
+    slice(transform(array_sort(scored), s => s.getField("cell")), 1, n)
+  }
+
+  def assign(corpus: DataFrame, vecCol: String,
+             centroids: Array[(Int, Array[Float])]): DataFrame =
+    corpus.withColumn("__cell",
+      element_at(cellExpr(col(vecCol), centroids, 1), 1))
+
+  /** Approximate top-k: probe the query's `nProbe` nearest cells, exact
+    * cosine re-rank within them. Output: (qId, rank, id, cos).
+    */
+  def topK(corpus: DataFrame, queries: DataFrame, k: Int,
+           idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
+           nCells: Int = 16, nProbe: Int = 2, nIters: Int = 3): DataFrame = {
+    val centroids = train(corpus, idCol, vecCol, nCells, nIters)
+    val indexed = assign(corpus, vecCol, centroids)
+    val probed = queries.withColumn("__cell",
+      explode(cellExpr(col(qVecCol), centroids, nProbe)))
+    val joined = indexed.join(broadcast(probed), Seq("__cell"))
+      .filter(col(qIdCol) =!= col(idCol))
+      .withColumn("cos", round(Cosine.cosineF(col(vecCol), col(qVecCol)), 6))
+    val w = Window.partitionBy(col(qIdCol))
+      .orderBy(col("cos").desc, col(idCol))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qIdCol), col("rank"), col(idCol), col("cos"))
+  }
+}

@@ -73,6 +73,26 @@ class CosineSpec extends SparkSpec {
     assert(lsh.nonEmpty)
   }
 
+  test("IVF topK: high recall vs brute force on clustered vectors") {
+    // three well-separated direction clusters with jitter
+    val dirs = Seq(Array(1f, 0f, 0f), Array(0f, 1f, 0f), Array(0f, 0f, 1f))
+    val vecs = (0 until 90).map { i =>
+      val d = dirs(i % 3)
+      (i.toLong, d.map(x => x + (i % 7) * 0.01f))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" < 3)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(Cosine.bruteForceTopK(vecs, queries, 5,
+      "vec_id", "embedding", "q_id", "q_emb"))
+    val ivf = pairs(Ivf.topK(vecs, queries, 5,
+      "vec_id", "embedding", "q_id", "q_emb", nCells = 3, nProbe = 1))
+    // clusters are separable: probing 1 of 3 cells still finds every
+    // exact neighbor (all top-5 live in the query's own cluster)
+    assert(ivf == exact)
+  }
+
   test("cosine_similarity_float registers as a SQL function") {
     graft.plans.GraftExtensions.register(spark)
     val got = spark.sql(
