@@ -586,6 +586,36 @@ object SparkEntry {
         qIdCol = "q_id", qVecCol = "q_emb", nCells = 16, nProbe = 2)
         .withColumnRenamed("rank", "rnk")
         .orderBy(col("q_id"), col("rnk"))
+    }),
+
+    // §2.1 adaptive event-request planner: a simulated catalog rejects
+    // requests above a row cap; the planner splits by Gutenberg-Richter
+    // magnitude midpoint then time halving. Oracle = the unsplit query:
+    // the split requests must cover the space exactly once (no dup/loss
+    // at half-open boundaries)
+    "q37_event_paging" -> ((s, dir) => {
+      import graft.sources.EventPaging
+      // Gutenberg-Richter-ish magnitudes (density ∝ 10^-m), the
+      // distribution the planner's split model assumes
+      val ev = t(s, dir, "orders").select(
+        col("o_orderkey").as("id"),
+        (-log10((col("o_orderkey") % 9999 + 1).cast("double") / 10000.0)).as("mag"),
+        col("o_orderdate").cast("timestamp").as("time")).cache()
+      val cap = math.max(2000L, ev.count() / 8)
+      def slice(r: EventPaging.EventRequest) =
+        ev.filter(col("mag") >= r.minMag && col("mag") < r.maxMag &&
+          col("time") >= lit(r.start) && col("time") < lit(r.end))
+      val init = EventPaging.EventRequest(
+        java.sql.Timestamp.valueOf("1990-01-01 00:00:00"),
+        java.sql.Timestamp.valueOf("2005-01-01 00:00:00"), 0.0, 10.0)
+      val (frames, failed) = EventPaging.fetchAll[DataFrame](init, r => {
+        val f = slice(r)
+        if (f.count() > cap) Left(true) else Right(f)
+      })
+      require(failed.isEmpty, s"paging left ${failed.size} unsatisfied requests")
+      frames.reduce(_ unionByName _)
+        .select(col("id"))
+        .orderBy(col("id"))
     })
   )
 
@@ -956,6 +986,8 @@ object SparkEntry {
         |WHERE (channel LIKE 'HH_' OR channel LIKE 'BH_')
         |  AND channel NOT LIKE '%N'
         |  AND network != 'NL'
-        |ORDER BY p_partkey""".stripMargin
+        |ORDER BY p_partkey""".stripMargin,
+    "q37_event_paging" ->
+      """SELECT o_orderkey AS id FROM orders ORDER BY id""".stripMargin
   )
 }
