@@ -616,6 +616,44 @@ object SparkEntry {
       frames.reduce(_ unionByName _)
         .select(col("id"))
         .orderBy(col("id"))
+    }),
+
+    // §2.1 inventory decode: gzipped StationXML blob → compression sniff →
+    // poles/zeros + sensitivity parse; the oracle recomputes the planted
+    // values without touching XML or gzip
+    "q38_inventory_decode" -> ((s, dir) => {
+      import s.implicits._
+      import graft.sources.Inventory
+      t(s, dir, "supplier").select(col("s_suppkey")).as[Long]
+        .map { k =>
+          val sens = 1e9 + k * 1000.0
+          val nPoles = (k % 3 + 2).toInt
+          val poles = (1 to nPoles)
+            .map(i => s"<Pole><Real>-$i.5</Real><Imaginary>$i.0</Imaginary></Pole>")
+            .mkString
+          val xml =
+            s"""<FDSNStationXML><Network code="N${k % 25}">
+               |<Station code="S$k"><Channel code="HHZ" locationCode="">
+               |<Response><InstrumentSensitivity><Value>$sens</Value>
+               |<Frequency>1.0</Frequency><InputUnits><Name>M/S</Name></InputUnits>
+               |</InstrumentSensitivity><Stage><PolesZeros>
+               |<PzTransferFunctionType>LAPLACE (RADIANS/SECOND)</PzTransferFunctionType>
+               |<NormalizationFactor>1.0</NormalizationFactor>
+               |<NormalizationFrequency>1.0</NormalizationFrequency>
+               |<Zero><Real>0.0</Real><Imaginary>0.0</Imaginary></Zero>
+               |$poles
+               |</PolesZeros></Stage></Response></Channel></Station>
+               |</Network></FDSNStationXML>""".stripMargin
+          val bos = new java.io.ByteArrayOutputStream()
+          val gz = new java.util.zip.GZIPOutputStream(bos)
+          gz.write(xml.getBytes("UTF-8")); gz.close()
+          val r = Inventory.parse(bos.toByteArray).head
+          (k, r.seedId, r.sensitivity, r.inputUnits,
+            r.stages.head.poles.length, r.stages.head.zeros.length)
+        }
+        .toDF("s_suppkey", "seed_id", "sensitivity", "input_units",
+          "n_poles", "n_zeros")
+        .orderBy(col("s_suppkey"))
     })
   )
 
@@ -988,6 +1026,15 @@ object SparkEntry {
         |  AND network != 'NL'
         |ORDER BY p_partkey""".stripMargin,
     "q37_event_paging" ->
-      """SELECT o_orderkey AS id FROM orders ORDER BY id""".stripMargin
+      """SELECT o_orderkey AS id FROM orders ORDER BY id""".stripMargin,
+    "q38_inventory_decode" ->
+      """SELECT s_suppkey,
+        |  'N' || (s_suppkey % 25) || '.S' || s_suppkey || '..HHZ' AS seed_id,
+        |  1e9 + s_suppkey * 1000.0 AS sensitivity,
+        |  'M/S' AS input_units,
+        |  CAST(s_suppkey % 3 + 2 AS INTEGER) AS n_poles,
+        |  CAST(1 AS INTEGER) AS n_zeros
+        |FROM supplier
+        |ORDER BY s_suppkey""".stripMargin
   )
 }
