@@ -583,7 +583,7 @@ object SparkEntry {
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       graft.sim.Ivf.topK(emb, queries, 5,
         idCol = "vec_id", vecCol = "embedding",
-        qIdCol = "q_id", qVecCol = "q_emb", nCells = 16, nProbe = 2)
+        qIdCol = "q_id", qVecCol = "q_emb", nCells = 16, nProbe = 2, nIters = 2)
         .withColumnRenamed("rank", "rnk")
         .orderBy(col("q_id"), col("rnk"))
     }),
@@ -601,7 +601,7 @@ object SparkEntry {
         col("o_orderkey").as("id"),
         (-log10((col("o_orderkey") % 9999 + 1).cast("double") / 10000.0)).as("mag"),
         col("o_orderdate").cast("timestamp").as("time")).cache()
-      val cap = math.max(2000L, ev.count() / 8)
+      val cap = math.max(2000L, ev.count() / 4)
       def slice(r: EventPaging.EventRequest) =
         ev.filter(col("mag") >= r.minMag && col("mag") < r.maxMag &&
           col("time") >= lit(r.start) && col("time") < lit(r.end))
