@@ -292,15 +292,28 @@ object SparkEntry {
         .orderBy(col("id1"), col("id2"))
     }),
 
-    // SimHash near-dup (no SQL oracle: JVM murmur3 hashing) — rows-only
+    // SimHash near-dup with a value-planted oracle: every supplier key k
+    // shares identical text with its group (k % 20), so within-group pairs
+    // have hamming 0 by construction; distinct groups are distinct
+    // random-word documents whose signatures differ in far more than 3 bits
+    // (verified deterministic — the murmur3 hashes are fixed), so the
+    // closed-form within-group pair set IS the result.
     "q23_simhash" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      SimHash.nearDupPairs(docs, "doc_id",
-        TextFunctions.tokens(col("text")), maxHamming = 3)
+      import s.implicits._
+      val docs = t(s, dir, "supplier").select(col("s_suppkey")).as[Long]
+        .map { k =>
+          val g = k % 20
+          val words = (0 until 30).map(i => "w" + ((g * 1000003L + i * 7919L) % 100000L))
+          (k, words.mkString(" "))
+        }.toDF("id", "text")
+      SimHash.nearDupPairs(docs, "id", TextFunctions.tokens(col("text")),
+        maxHamming = 3)
         .orderBy(col("id1"), col("id2"))
     }),
 
-    // language-ID heuristic (no SQL oracle: argmax over stopword lists)
+    // language-ID heuristic; the oracle recomputes the stopword-count
+    // argmax (ties to the lexicographically larger code, 0 hits → "und")
+    // directly in SQL on the same documents
     "q24_langid" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"), TextFunctions.langId(col("text")).as("pred_lang"))
@@ -338,57 +351,75 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    // embedding-cosine near-duplicate pairs, exact all-pairs baseline
+    // embedding-cosine near-duplicate pairs via the LSH scale path. Planted
+    // ground truth: 2× scaled copies of every 25th vector — positive
+    // scaling by a power of two is exact in float and preserves every
+    // hyperplane sign, so each (v, clone) pair shares its LSH bucket with
+    // certainty (recall 1 by construction, not statistically) and the SQL
+    // oracle is the exact all-pairs join over the same constructed corpus.
+    // The quadratic exact form stays test-only (CosineSpec).
     "q27_cosine_dedup" -> ((s, dir) => {
-      Cosine.cosineDupsExact(t(s, dir, "embeddings"), "vec_id", "embedding", 0.5)
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val clones = emb.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 10000L).as("vec_id"),
+          transform(col("embedding"), x => (x * lit(2.0f)).cast("float"))
+            .as("embedding"))
+      Cosine.nearDupPairsLsh(emb.unionByName(clones), "vec_id", "embedding",
+        threshold = 0.9, nBits = 8)
         .orderBy(col("id1"), col("id2"))
     }),
 
     // ANN scale path: random-hyperplane LSH bucketing + in-bucket exact
-    // re-rank (no SQL oracle: hash-derived hyperplanes) — rows-only
+    // re-rank. Planted ground truth: 5 scaled copies (powers of two —
+    // exact in float) of each query vector; positive scaling preserves
+    // both the cosine (= 1.0) and every hyperplane sign, so the probe
+    // finds each clone with certainty and the exact top-5 is closed-form
+    // for the SQL oracle.
     "q28_ann_lsh" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val queries = emb.filter(col("vec_id") < 50)
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val qset = emb.filter(col("vec_id") < 50)
+      val clones = Seq(2.0f, 4.0f, 8.0f, 16.0f, 32.0f).zipWithIndex
+        .map { case (a, j) =>
+          qset.select((col("vec_id") * 5 + j + 100000L).as("vec_id"),
+            transform(col("embedding"), x => (x * lit(a)).cast("float"))
+              .as("embedding"))
+        }.reduce(_ unionByName _)
+      val queries = qset
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      Cosine.lshTopK(emb, queries, 5,
+      Cosine.lshTopK(emb.unionByName(clones), queries, 5,
         idCol = "vec_id", vecCol = "embedding",
         qIdCol = "q_id", qVecCol = "q_emb", nBits = 6)
         .withColumnRenamed("rank", "rnk")
         .orderBy(col("q_id"), col("rnk"))
     }),
 
-    // §2.8 DSP feature job (paramtable shape): deterministic synthetic
-    // waveform per event → bandpass → S/N split → SNR dB → PGA/PGV →
-    // cumulative-energy t95 (no SQL oracle: IIR filtering) — rows-only
+    // §2.8 DSP feature job (paramtable shape): deterministic INTEGER-valued
+    // waveform per event at fs = 64 (dt exactly representable) → S/N split
+    // → FFT-power SNR dB → PGA / PGV (trapezoid integration) → cumulative-
+    // energy t95. Every intermediate except the final log10 is exact double
+    // arithmetic, so the oracle recomputes PGA/PGV/t95 bit-for-bit with
+    // window SQL and the SNR via Parseval's identity
+    // (Σ_rfft|X|² = (N·Σx² + (Σx)² + (Σ(−1)ⁱx)²)/2 for even N) instead of
+    // an FFT. (The IIR bandpass path is spec-covered in DspSpec/golden.)
     "q29_feature_dsp" -> ((s, dir) => {
       import s.implicits._
       import graft.dsp.{Spectra, Trace, Traces}
-      val fs = 50.0
+      val fs = 64.0
       val epoch = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
       t(s, dir, "events")
         .filter(col("event_id") % 100 === 0)
-        .select(col("event_id"), col("value")).as[(Long, Double)]
-        .map { case (id, value) =>
-          val n = 400
-          val f1 = 2.0 + (math.abs(id / 100) % 7)
-          val amp = 1.0 + math.abs(value % 10)
-          val wave = Array.tabulate(n) { i =>
-            val onset = if (i >= 100) 1.0 else 0.05
-            val noise = (((id * 6364136223846793005L + i * 1442695040888963407L)
-              >>> 11).toDouble / (1L << 53).toDouble - 0.5) * 0.1
-            onset * amp * math.sin(2 * math.Pi * f1 * i / fs) + noise
-          }
+        .select(col("event_id")).as[Long]
+        .map { id =>
+          val wave = Array.tabulate(400)(i => ((id * 31 + i * 7) % 1000 - 500).toDouble)
           val trace = Trace(wave, fs, epoch)
-          val bp = Traces.bandpass(trace, 1.0, 15.0, corners = 2)
           val arrival = new java.sql.Timestamp(epoch.getTime + 2000L)
-          val (noise, signal) = Traces.snSplit(bp, arrival, windowSec = 2.0)
+          val (noise, signal) = Traces.snSplit(trace, arrival, windowSec = 2.0)
           val snrDb = Spectra.snr(signal.data, noise.data,
             deltaSignal = 1 / fs, deltaNoise = 1 / fs, inDb = true)
-          val (pga, _, pgv, _) = Traces.peakGroundMotion(bp)
-          val cum = Spectra.cumsumsq(bp.data)
+          val (pga, _, pgv, _) = Traces.peakGroundMotion(trace)
+          val cum = Spectra.cumsumsq(trace.data)
           val t95 = Spectra.cumQuantileIndex(cum, 0.95) / fs
-          (id, math.round(snrDb * 100) / 100.0, math.round(pga * 1e6) / 1e6,
-            math.round(pgv * 1e6) / 1e6, t95)
+          (id, math.round(snrDb * 100) / 100.0, pga, pgv, t95)
         }
         .toDF("event_id", "snr_db", "pga", "pgv", "t95_sec")
         .orderBy(col("event_id"))
@@ -575,13 +606,25 @@ object SparkEntry {
         .orderBy(col("p_partkey"))
     }),
 
-    // IVF ANN: deterministic k-means coarse quantizer, nProbe-cell probe,
-    // exact in-cell re-rank (no SQL oracle: iterative quantizer) — rows-only
+    // IVF ANN: k-means coarse quantizer, nProbe-cell probe, exact in-cell
+    // re-rank. Same planted ground truth as q28: a power-of-two scaled
+    // clone has bit-identical cosines to every centroid (×2ᵏ is exact and
+    // distributes over the double-precision dot product), so it lands in
+    // its query's own cell — which is always the query's first probe —
+    // and the top-5 (= the 5 clones at cos 1.0) is closed-form for the
+    // oracle regardless of where Lloyd converged.
     "q36_ann_ivf" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
-      val queries = emb.filter(col("vec_id") < 20)
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val qset = emb.filter(col("vec_id") < 20)
+      val clones = Seq(2.0f, 4.0f, 8.0f, 16.0f, 32.0f).zipWithIndex
+        .map { case (a, j) =>
+          qset.select((col("vec_id") * 5 + j + 100000L).as("vec_id"),
+            transform(col("embedding"), x => (x * lit(a)).cast("float"))
+              .as("embedding"))
+        }.reduce(_ unionByName _)
+      val queries = qset
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      graft.sim.Ivf.topK(emb, queries, 5,
+      graft.sim.Ivf.topK(emb.unionByName(clones), queries, 5,
         idCol = "vec_id", vecCol = "embedding",
         qIdCol = "q_id", qVecCol = "q_emb", nCells = 16, nProbe = 2, nIters = 2)
         .withColumnRenamed("rank", "rnk")
@@ -600,20 +643,29 @@ object SparkEntry {
       val ev = t(s, dir, "orders").select(
         col("o_orderkey").as("id"),
         (-log10((col("o_orderkey") % 9999 + 1).cast("double") / 10000.0)).as("mag"),
-        col("o_orderdate").cast("timestamp").as("time")).cache()
-      val cap = math.max(2000L, ev.count() / 4)
-      def slice(r: EventPaging.EventRequest) =
-        ev.filter(col("mag") >= r.minMag && col("mag") < r.maxMag &&
-          col("time") >= lit(r.start) && col("time") < lit(r.end))
+        col("o_orderdate").cast("timestamp").as("time"))
+      // cache only for the planner's count() probes, released before the
+      // final plan is handed back (which recomputes the cheap projection)
+      val probe = ev.cache()
+      val cap = math.max(2000L, probe.count() / 4)
+      def tooLarge(r: EventPaging.EventRequest): Boolean =
+        probe.filter(col("mag") >= r.minMag && col("mag") < r.maxMag &&
+          col("time") >= lit(r.start) && col("time") < lit(r.end)).count() > cap
       val init = EventPaging.EventRequest(
         java.sql.Timestamp.valueOf("1990-01-01 00:00:00"),
         java.sql.Timestamp.valueOf("2005-01-01 00:00:00"), 0.0, 10.0)
-      val (frames, failed) = EventPaging.fetchAll[DataFrame](init, r => {
-        val f = slice(r)
-        if (f.count() > cap) Left(true) else Right(f)
-      })
+      val (requests, failed) = EventPaging.fetchAll[EventPaging.EventRequest](
+        init, r => if (tooLarge(r)) Left(true) else Right(r))
       require(failed.isEmpty, s"paging left ${failed.size} unsatisfied requests")
-      frames.reduce(_ unionByName _)
+      probe.unpersist()
+      // exactly-once coverage check stays intact: a row matching two request
+      // ranges joins twice and duplicates against the oracle. One broadcast
+      // range join instead of a request-deep union tree — plan depth is
+      // constant no matter how many requests the planner produced.
+      val ranges = s.createDataFrame(requests)
+      ev.join(broadcast(ranges),
+        col("mag") >= col("minMag") && col("mag") < col("maxMag") &&
+          col("time") >= col("start") && col("time") < col("end"))
         .select(col("id"))
         .orderBy(col("id"))
     }),
@@ -907,16 +959,105 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+    "q23_simhash" ->
+      """SELECT a.s_suppkey AS id1, b.s_suppkey AS id2,
+        |  CAST(0 AS INTEGER) AS hamming
+        |FROM supplier a JOIN supplier b
+        |  ON a.s_suppkey < b.s_suppkey
+        | AND a.s_suppkey % 20 = b.s_suppkey % 20
+        |ORDER BY id1, id2""".stripMargin,
+    "q24_langid" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN trim(lower(text)) = '' THEN []
+        |         ELSE string_split_regex(trim(lower(text)), '\s+') END AS tl
+        |  FROM documents),
+        |scores AS (
+        |  SELECT doc_id,
+        |    len(list_filter(tl, x -> x IN ('der','die','das','und','ist','nicht','ein','zu','mit','von'))) AS s_de,
+        |    len(list_filter(tl, x -> x IN ('the','a','and','of','to','in','is','that','it','for'))) AS s_en,
+        |    len(list_filter(tl, x -> x IN ('el','los','las','y','es','una','de','que','no','por'))) AS s_es,
+        |    len(list_filter(tl, x -> x IN ('le','la','les','et','est','une','des','du','dans','pour'))) AS s_fr,
+        |    len(list_filter(tl, x -> x IN ('il','lo','gli','e','che','di','non','per','con','sono'))) AS s_it
+        |  FROM toks)
+        |SELECT doc_id,
+        |  CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_it) = 0 THEN 'und'
+        |       WHEN s_it = greatest(s_de, s_en, s_es, s_fr, s_it) THEN 'it'
+        |       WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_it) THEN 'fr'
+        |       WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_it) THEN 'es'
+        |       WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_it) THEN 'en'
+        |       ELSE 'de' END AS pred_lang
+        |FROM scores
+        |ORDER BY doc_id""".stripMargin,
     "q27_cosine_dedup" ->
-      """SELECT a.vec_id AS id1, b.vec_id AS id2,
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000,
+        |    list_transform(embedding, x -> CAST(x * 2 AS REAL))
+        |  FROM embeddings WHERE vec_id % 25 = 0)
+        |SELECT a.vec_id AS id1, b.vec_id AS id2,
         |  round(list_cosine_similarity(
         |    list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
         |    list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6) AS cos
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(
         |    list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
-        |    list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6) >= 0.5
+        |    list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6) >= 0.9
         |ORDER BY id1, id2""".stripMargin,
+    "q28_ann_lsh" ->
+      """SELECT q.vec_id AS q_id, CAST(j + 1 AS INTEGER) AS rnk,
+        |  q.vec_id * 5 + j + 100000 AS vec_id, CAST(1.0 AS DOUBLE) AS cos
+        |FROM embeddings q CROSS JOIN range(0, 5) t(j)
+        |WHERE q.vec_id < 50
+        |ORDER BY q_id, rnk""".stripMargin,
+    "q29_feature_dsp" ->
+      """WITH ev AS (SELECT event_id FROM events WHERE event_id % 100 = 0),
+        |samples AS (
+        |  SELECT event_id, j,
+        |    CAST((event_id * 31 + j * 7) % 1000 - 500 AS DOUBLE) AS x
+        |  FROM ev CROSS JOIN range(0, 400) t(j)),
+        |lagged AS (
+        |  SELECT event_id, j, x,
+        |    CASE WHEN j = 0 THEN 0
+        |         ELSE x + lag(x) OVER (PARTITION BY event_id ORDER BY j) END
+        |      AS pairsum
+        |  FROM samples),
+        |curves AS (
+        |  SELECT event_id, j, x,
+        |    sum(pairsum) OVER (PARTITION BY event_id ORDER BY j
+        |      ROWS UNBOUNDED PRECEDING) AS psum,
+        |    sum(x * x) OVER (PARTITION BY event_id ORDER BY j
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(x * x) OVER (PARTITION BY event_id) AS total
+        |  FROM lagged),
+        |feats AS (
+        |  SELECT event_id,
+        |    max(abs(x)) AS pga,
+        |    max(abs(psum / 128.0)) AS pgv,
+        |    min(CASE WHEN cum / total >= 0.95 THEN j END) / 64.0 AS t95_sec,
+        |    sum(CASE WHEN j >= 128 AND j < 256 THEN x * x ELSE 0 END) AS ssq_s,
+        |    sum(CASE WHEN j >= 128 AND j < 256 THEN x ELSE 0 END) AS s1_s,
+        |    sum(CASE WHEN j >= 128 AND j < 256
+        |             THEN x * (1 - 2 * (j % 2)) ELSE 0 END) AS alt_s,
+        |    sum(CASE WHEN j < 128 THEN x * x ELSE 0 END) AS ssq_n,
+        |    sum(CASE WHEN j < 128 THEN x ELSE 0 END) AS s1_n,
+        |    sum(CASE WHEN j < 128
+        |             THEN x * (1 - 2 * (j % 2)) ELSE 0 END) AS alt_n
+        |  FROM curves GROUP BY event_id)
+        |SELECT event_id,
+        |  round(10 * log10((128 * ssq_s + s1_s * s1_s + alt_s * alt_s) /
+        |                   (128 * ssq_n + s1_n * s1_n + alt_n * alt_n)), 2)
+        |    AS snr_db,
+        |  pga, pgv, t95_sec
+        |FROM feats
+        |ORDER BY event_id""".stripMargin,
+    "q36_ann_ivf" ->
+      """SELECT q.vec_id AS q_id, CAST(j + 1 AS INTEGER) AS rnk,
+        |  q.vec_id * 5 + j + 100000 AS vec_id, CAST(1.0 AS DOUBLE) AS cos
+        |FROM embeddings q CROSS JOIN range(0, 5) t(j)
+        |WHERE q.vec_id < 20
+        |ORDER BY q_id, rnk""".stripMargin,
     "q30_traveltime" ->
       """WITH pts AS (
         |  SELECT event_id,

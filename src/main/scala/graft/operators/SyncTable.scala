@@ -24,9 +24,16 @@ import org.apache.spark.sql.functions._
   */
 object SyncTable {
 
-  final case class SyncResult(synced: DataFrame, inserts: DataFrame, updates: DataFrame) {
+  final case class SyncResult(synced: DataFrame, inserts: DataFrame, updates: DataFrame,
+                              cached: Option[DataFrame] = None) {
     /** (inserted, updated) row counts — one action each. */
     def stats(): (Long, Long) = (inserts.count(), updates.count())
+
+    /** Release the persisted resolve join. Call after the consuming action
+      * (the merged write) — a long-running pipeline that never releases it
+      * evicts useful blocks from the storage pool.
+      */
+    def unpersist(): Unit = cached.foreach(_.unpersist())
   }
 
   def sync(df: DataFrame, target: DataFrame, matchCols: Seq[String],
@@ -55,7 +62,8 @@ object SyncTable {
       }
     val cols = resolved.schema.fieldNames.map(col).toSeq
     SyncResult(updates.select(cols: _*).unionByName(inserts.select(cols: _*)),
-      inserts.select(cols: _*), updates.select(cols: _*))
+      inserts.select(cols: _*), updates.select(cols: _*),
+      cached = if (persistIntermediate) Some(resolved) else None)
   }
 
   /** New target-table contents after the sync: target rows never touched,

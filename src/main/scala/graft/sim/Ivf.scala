@@ -1,7 +1,7 @@
 package graft.sim
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
 /** IVF (inverted-file) approximate nearest-neighbor search: a coarse
@@ -22,27 +22,60 @@ import org.apache.spark.sql.functions._
   */
 object Ivf {
 
+  /** Per-cell running (element-wise sum, count) for the Lloyd update. */
+  final case class CellSum(var sum: Array[Double], var n: Long)
+
+  /** Element-wise mean of all vectors in a cell in ONE aggregation pass:
+    * partial (map-side) sums per partition, one shuffle of k×dim buffers —
+    * never a per-dimension row explosion. At 100 TB the shuffle payload is
+    * `partitions × k × dim` doubles, independent of the corpus size.
+    */
+  private class VecMean extends Aggregator[(Int, Seq[Float]), CellSum, Seq[Float]] {
+    def zero: CellSum = CellSum(null, 0L)
+    def reduce(b: CellSum, a: (Int, Seq[Float])): CellSum = {
+      val v = a._2
+      if (b.sum == null) b.sum = new Array[Double](v.length)
+      var i = 0
+      while (i < v.length) { b.sum(i) += v(i); i += 1 }
+      b.n += 1
+      b
+    }
+    def merge(x: CellSum, y: CellSum): CellSum =
+      if (x.sum == null) y
+      else if (y.sum == null) x
+      else {
+        var i = 0
+        while (i < x.sum.length) { x.sum(i) += y.sum(i); i += 1 }
+        x.n += y.n
+        x
+      }
+    def finish(b: CellSum): Seq[Float] =
+      if (b.sum == null) Seq.empty
+      else b.sum.toSeq.map(x => (x / b.n).toFloat)
+    def bufferEncoder: Encoder[CellSum] = Encoders.product[CellSum]
+    def outputEncoder: Encoder[Seq[Float]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
   /** Train centroids: rows of (cell: Int, centroid: Array[Float]). */
   def train(corpus: DataFrame, idCol: String, vecCol: String,
             k: Int, nIters: Int = 3): Array[(Int, Array[Float])] = {
     val spark = corpus.sparkSession
+    import spark.implicits._
     var centroids: Array[(Int, Array[Float])] = corpus
       .orderBy(col(idCol)).limit(k)
       .select(col(vecCol)).collect()
       .zipWithIndex.map { case (r, i) => (i, r.getSeq[Float](0).toArray) }
+    val meanAgg = new VecMean().toColumn
     var it = 0
     while (it < nIters) {
-      val assigned = assign(corpus, vecCol, centroids)
-      val means = assigned
-        .select(col("__cell"), posexplode(col(vecCol)).as(Seq("__d", "__x")))
-        .groupBy(col("__cell"), col("__d"))
-        .agg(avg(col("__x")).as("__m"))
-        .groupBy(col("__cell"))
-        .agg(array_sort(collect_list(struct(col("__d"), col("__m")))).as("__ms"))
-        .select(col("__cell"),
-          transform(col("__ms"), m => m.getField("__m").cast("float")).as("__c"))
+      val means = assign(corpus, vecCol, centroids)
+        .select(col("__cell").cast("int").as("_1"), col(vecCol).as("_2"))
+        .as[(Int, Seq[Float])]
+        .groupByKey(_._1)
+        .agg(meanAgg)
         .collect()
-        .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+        .map { case (c, m) => (c, m.toArray) }
       // cells that lost every vector keep their previous centroid
       val kept = means.toMap
       centroids = centroids.map { case (c, v) => (c, kept.getOrElse(c, v)) }
