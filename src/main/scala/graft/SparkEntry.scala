@@ -706,6 +706,175 @@ object SparkEntry {
         .toDF("s_suppkey", "seed_id", "sensitivity", "input_units",
           "n_poles", "n_zeros")
         .orderBy(col("s_suppkey"))
+    }),
+
+    // §2.1 ISF bulletin parse: a well-formed fixed-column ISF block per
+    // supplier key (every 13th block corrupted → discarded, like the
+    // reference drops malformed events), parsed distributed through the
+    // stateful block parser, then the FDSN-text harmonization pipeline.
+    // The oracle recomputes the planted values straight from the keys.
+    "q39_isf_parse" -> ((s, dir) => {
+      import s.implicits._
+      import graft.sources.IsfEvents
+      import java.util.Locale
+      def put(sb: StringBuilder, pos: Int, v: String): Unit = {
+        var i = 0
+        while (i < v.length) { sb.setCharAt(pos + i, v.charAt(i)); i += 1 }
+      }
+      val lines = t(s, dir, "supplier").select(col("s_suppkey")).as[Long]
+        .flatMap { k =>
+          val ev = new StringBuilder(" " * 24)
+          put(ev, 0, "Event")
+          put(ev, 6, "ev" + k)
+          put(ev, 16, "LOC" + (k % 7))
+          val origin = new StringBuilder(" " * 128)
+          put(origin, 0, "2020/01/%02d".formatLocal(Locale.ROOT, k % 28 + 1))
+          put(origin, 11, "%02d:30:00.0".formatLocal(Locale.ROOT, k % 24))
+          put(origin, 36, "%.1f".formatLocal(Locale.ROOT, (k % 120 - 60) + 0.5))
+          put(origin, 45, "%.1f".formatLocal(Locale.ROOT, (k * 7 % 360 - 180) + 0.5))
+          put(origin, 71, "%.1f".formatLocal(Locale.ROOT, (k % 600).toDouble))
+          put(origin, 118, "AUTH")
+          val mag = new StringBuilder(" " * 30)
+          put(mag, 0, "ML")
+          put(mag, 6, "%.1f".formatLocal(Locale.ROOT, (k % 80) / 10.0))
+          put(mag, 20, "MAUTH")
+          val originHeader =
+            if (k % 13 == 0) "corrupted header" else IsfEvents.OriginHeader
+          val block = Seq(ev.result(), originHeader, origin.result(),
+            IsfEvents.MagHeader, mag.result()).mkString("\n")
+          IsfEvents.parseToRows(block).map(_.mkString("|"))
+        }.toDF("line")
+      graft.sources.FdsnText.parseEventsDf(lines)
+        .select(col("event_id"),
+          unix_millis(col("time").cast("timestamp")).as("time_ms"),
+          col("latitude"), col("longitude"), col("depth_km"),
+          col("mag_type"), round(col("magnitude"), 1).as("magnitude"),
+          col("mag_author"), col("catalog"),
+          col("event_location_name").as("loc_name"))
+        .orderBy(col("event_id"))
+    }),
+
+    // §2.5 cross-datacenter conflict resolution: (network, station) groups
+    // claimed by one datacenter pass through; multi-claim groups keep only
+    // the rows matching the authoritative datacenter (broadcast routing
+    // index), exactly `channels.py:428-544`'s split + resolve.
+    "q40_conflict_resolution" -> ((s, dir) => {
+      import graft.operators.Dedup
+      val chans = t(s, dir, "part").select(col("p_partkey"),
+        concat(lit("N"), col("p_partkey") % 400 % 5).as("network"),
+        concat(lit("S"), col("p_partkey") % 400).as("station"),
+        when(col("p_partkey") % 400 % 2 === 1, lit(0L))
+          .otherwise((col("p_partkey") / 400).cast("long") % 3)
+          .as("datacenter_id"))
+      val split = Dedup.splitConflicts(chans, Seq("network", "station"),
+        "datacenter_id")
+      val authority = t(s, dir, "part")
+        .select(concat(lit("N"), col("p_partkey") % 400 % 5).as("network"),
+          concat(lit("S"), col("p_partkey") % 400).as("station"),
+          (col("p_partkey") % 400 % 3).as("datacenter_id"))
+        .dropDuplicates("network", "station")
+      val resolved = Dedup.resolveWithAuthority(split.conflicts, authority,
+        Seq("network", "station"), "datacenter_id")
+      split.ok.unionByName(resolved)
+        .select(col("p_partkey"), col("network"), col("station"),
+          col("datacenter_id"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // §2.8 request timebounds (half-up second rounding of arrival ±
+    // offsets) + the changed-timespan retry flag (`segments.py:198-227`)
+    "q41_timebounds" -> ((s, dir) => {
+      import graft.operators.DownloadFlow
+      val ev = t(s, dir, "events")
+        .withColumn("arrival", col("ts").cast("timestamp"))
+        .withColumn("stored_start", date_trunc("minute", col("ts").cast("timestamp")))
+        .withColumn("stored_end",
+          date_trunc("minute", col("ts").cast("timestamp")) + expr("INTERVAL 6 MINUTE"))
+      val (newStart, newEnd) =
+        DownloadFlow.requestTimebounds(col("arrival"), -1.0, 6.5)
+      ev.withColumn("new_start", newStart)
+        .withColumn("new_end", newEnd)
+        .select(col("event_id"),
+          unix_millis(col("new_start")).as("start_ms"),
+          unix_millis(col("new_end")).as("end_ms"),
+          DownloadFlow.timeboundsChanged(col("stored_start"), col("stored_end"),
+            col("new_start"), col("new_end")).as("changed"))
+        .orderBy(col("event_id"))
+    }),
+
+    // §2.9 writer append-resume: half the rows are already on disk; the
+    // resume filter (anti-join against the existing output's id column)
+    // must emit exactly the missing half (`process/writers.py:82-87`)
+    "q42_append_resume" -> ((s, dir) => {
+      import graft.operators.Writers
+      val out = new java.io.File(
+        s"/tmp/graft_q42_${Integer.toHexString(dir.hashCode)}")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(); ()
+      }
+      rm(out) // deterministic start: wipe any previous run's output
+      val full = t(s, dir, "customer")
+        .select(col("c_custkey").as("id"), col("c_name").as("name"))
+      Writers.appendParquet(full.filter(col("id") % 2 === 0), out.getPath, "id")
+      Writers.resumeFilter(full, out.getPath, "id")
+        .select(col("id"), col("name"))
+        .orderBy(col("id"))
+    }),
+
+    // §2.1 EIDA routing-service matcher: parse a format=post body into the
+    // wildcard rule index, broadcast it, and resolve each channel tuple to
+    // its owning datacenter urls (`datacenters.py:141-244`)
+    "q43_routing" -> ((s, dir) => {
+      import graft.sources.RoutingService
+      val body =
+        """http://dc1/fdsnws/dataselect/1/query
+          |GE * * HH? * *
+          |IU ANMO * * * *
+          |
+          |http://dc2/fdsnws/dataselect/1/query
+          |* * * BH? * *
+          |NL * * * * *
+          |""".stripMargin
+      val bc = s.sparkContext.broadcast(RoutingService.parse(body))
+      val dcsFor = udf((n: String, st: String, l: String, c: String) =>
+        bc.value.datacentersFor(n, st, l, c))
+      t(s, dir, "part").select(col("p_partkey"),
+        element_at(array(lit("GE"), lit("IU"), lit("NL"), lit("XX")),
+          (col("p_partkey") % 4 + 1).cast("int")).as("network"),
+        element_at(array(lit("ANMO"), lit("S1"), lit("S2")),
+          (col("p_partkey") % 3 + 1).cast("int")).as("station"),
+        lit("").as("location"),
+        element_at(array(lit("HHZ"), lit("HHN"), lit("BHE"), lit("BHZ"), lit("LHZ")),
+          (col("p_partkey") % 5 + 1).cast("int")).as("channel"))
+        .withColumn("dcs",
+          dcsFor(col("network"), col("station"), col("location"), col("channel")))
+        .select(col("p_partkey"), col("network"), col("station"), col("channel"),
+          size(col("dcs")).as("n_dc"), element_at(col("dcs"), 1).as("dc_url"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // §2.8 magnitude-dependent search radius driving the banded spatial
+    // join: per-event radius from the clamped magnitude ramp, stations kept
+    // within it (`stationsearch.py:206-244` + the q08 join geometry)
+    "q44_mag_radius" -> ((s, dir) => {
+      val ev = t(s, dir, "customer")
+        .withColumn("lat", (col("c_custkey") % 120 - 60).cast("double") + 0.5)
+        .withColumn("lon", (col("c_custkey") * 7 % 360 - 180).cast("double") + 0.5)
+        .withColumn("mag", (col("c_custkey") % 80).cast("double") / 10.0)
+        .withColumn("radius",
+          Geo.magDepSearchRadius(col("mag"), 3.0, 7.0, 5.0, 30.0))
+      val st = t(s, dir, "supplier")
+        .withColumn("slat", (col("s_suppkey") % 100 - 50).cast("double") + 0.25)
+        .withColumn("slon", (col("s_suppkey") * 13 % 360 - 180).cast("double") + 0.25)
+      StationSearch.bandedRadiusJoin(ev, st,
+        col("lat"), col("lon"), col("slat"), col("slon"),
+        maxRadiusDeg = 30.0, distCol = "dist_deg")
+        .filter(col("dist_deg") <= col("radius"))
+        .select(col("c_custkey"), col("s_suppkey"),
+          round(col("radius"), 4).as("radius_deg"),
+          round(col("dist_deg"), 4).as("dist_deg"))
+        .orderBy(col("c_custkey"), col("s_suppkey"))
     })
   )
 

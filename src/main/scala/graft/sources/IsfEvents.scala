@@ -10,11 +10,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object IsfEvents {
 
-  private val OriginHeader =
+  /** The exact sub-block header lines the parser keys on (public so tests
+    * and fixture builders can emit well-formed blocks).
+    */
+  val OriginHeader: String =
     "Date       Time        Err   RMS Latitude Longitude  " +
       "Smaj  Smin  Az Depth   Err Ndef Nsta Gap  mdist  Mdist " +
       "Qual   Author      OrigID"
-  private val MagHeader = "Magnitude  Err Nsta Author      OrigID"
+  val MagHeader: String = "Magnitude  Err Nsta Author      OrigID"
 
   /** Parse ISF text into 13-element FDSN-text field rows
     * (event_id|time|lat|lon|depth|author|catalog|contributor|
