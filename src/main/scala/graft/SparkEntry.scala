@@ -850,7 +850,10 @@ object SparkEntry {
         .withColumn("dcs",
           dcsFor(col("network"), col("station"), col("location"), col("channel")))
         .select(col("p_partkey"), col("network"), col("station"), col("channel"),
-          size(col("dcs")).as("n_dc"), element_at(col("dcs"), 1).as("dc_url"))
+          size(col("dcs")).as("n_dc"),
+          // try_element_at: unmatched tuples have an empty dcs array and ANSI
+          // element_at would abort the whole job on them
+          try_element_at(col("dcs"), lit(1)).as("dc_url"))
         .orderBy(col("p_partkey"))
     }),
 
@@ -1287,6 +1290,106 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY win_start_ms, event_type""".stripMargin,
+    "q39_isf_parse" ->
+      """SELECT 'ev' || s_suppkey AS event_id,
+        |  epoch_ms(TIMESTAMP '2020-01-01 00:30:00'
+        |    + to_days(CAST(s_suppkey % 28 AS INTEGER))
+        |    + to_hours(CAST(s_suppkey % 24 AS INTEGER))) AS time_ms,
+        |  CAST(s_suppkey % 120 - 60 AS DOUBLE) + 0.5 AS latitude,
+        |  CAST(s_suppkey * 7 % 360 - 180 AS DOUBLE) + 0.5 AS longitude,
+        |  CAST(s_suppkey % 600 AS DOUBLE) AS depth_km,
+        |  'ML' AS mag_type,
+        |  round(CAST(s_suppkey % 80 AS DOUBLE) / 10.0, 1) AS magnitude,
+        |  'MAUTH' AS mag_author,
+        |  'ISC' AS catalog,
+        |  'LOC' || (s_suppkey % 7) AS loc_name
+        |FROM supplier
+        |WHERE s_suppkey % 13 != 0
+        |ORDER BY event_id""".stripMargin,
+    "q40_conflict_resolution" ->
+      """WITH chans AS (
+        |  SELECT p_partkey,
+        |    'N' || (p_partkey % 400 % 5) AS network,
+        |    'S' || (p_partkey % 400) AS station,
+        |    CASE WHEN p_partkey % 400 % 2 = 1 THEN 0
+        |         ELSE CAST(floor(p_partkey / 400.0) AS BIGINT) % 3
+        |    END AS datacenter_id
+        |  FROM part),
+        |g AS (
+        |  SELECT network, station, count(DISTINCT datacenter_id) AS ndc
+        |  FROM chans GROUP BY network, station)
+        |SELECT c.p_partkey, c.network, c.station, c.datacenter_id
+        |FROM chans c JOIN g USING (network, station)
+        |WHERE g.ndc = 1 OR c.datacenter_id = (c.p_partkey % 400) % 3
+        |ORDER BY p_partkey""".stripMargin,
+    "q41_timebounds" ->
+      """SELECT event_id,
+        |  CAST(round((epoch_us(ts) - 60000000) / 1000000.0, 0) AS BIGINT)
+        |    * 1000 AS start_ms,
+        |  CAST(round((epoch_us(ts) + 390000000) / 1000000.0, 0) AS BIGINT)
+        |    * 1000 AS end_ms,
+        |  (epoch_us(date_trunc('minute', ts)) !=
+        |     CAST(round((epoch_us(ts) - 60000000) / 1000000.0, 0) AS BIGINT)
+        |       * 1000000
+        |   OR epoch_us(date_trunc('minute', ts)) + 360000000 !=
+        |     CAST(round((epoch_us(ts) + 390000000) / 1000000.0, 0) AS BIGINT)
+        |       * 1000000) AS changed
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
+    "q42_append_resume" ->
+      """SELECT c_custkey AS id, c_name AS name
+        |FROM customer
+        |WHERE c_custkey % 2 = 1
+        |ORDER BY id""".stripMargin,
+    "q43_routing" ->
+      """WITH t AS (
+        |  SELECT p_partkey,
+        |    ['GE','IU','NL','XX'][CAST(p_partkey % 4 AS INTEGER) + 1] AS network,
+        |    ['ANMO','S1','S2'][CAST(p_partkey % 3 AS INTEGER) + 1] AS station,
+        |    ['HHZ','HHN','BHE','BHZ','LHZ'][CAST(p_partkey % 5 AS INTEGER) + 1]
+        |      AS channel
+        |  FROM part),
+        |m AS (
+        |  SELECT *,
+        |    ((network = 'GE' AND channel LIKE 'HH_')
+        |      OR (network = 'IU' AND station = 'ANMO')) AS m1,
+        |    (channel LIKE 'BH_' OR network = 'NL') AS m2
+        |  FROM t)
+        |SELECT p_partkey, network, station, channel,
+        |  CAST(m1 AS INTEGER) + CAST(m2 AS INTEGER) AS n_dc,
+        |  CASE WHEN m1 THEN 'http://dc1/fdsnws/dataselect/1/query'
+        |       WHEN m2 THEN 'http://dc2/fdsnws/dataselect/1/query' END AS dc_url
+        |FROM m
+        |ORDER BY p_partkey""".stripMargin,
+    "q44_mag_radius" ->
+      """WITH ev AS (
+        |  SELECT c_custkey,
+        |    CAST(c_custkey % 120 - 60 AS DOUBLE) + 0.5 AS lat,
+        |    CAST(c_custkey * 7 % 360 - 180 AS DOUBLE) + 0.5 AS lon,
+        |    least(greatest(5.0 + (CAST(c_custkey % 80 AS DOUBLE) / 10.0 - 3.0)
+        |      * 6.25, 5.0), 30.0) AS radius
+        |  FROM customer),
+        |st AS (
+        |  SELECT s_suppkey,
+        |    CAST(s_suppkey % 100 - 50 AS DOUBLE) + 0.25 AS slat,
+        |    CAST(s_suppkey * 13 % 360 - 180 AS DOUBLE) + 0.25 AS slon
+        |  FROM supplier),
+        |joined AS (
+        |  SELECT c_custkey, s_suppkey, radius,
+        |    degrees(atan2(
+        |      sqrt(pow(cos(radians(slat)) * sin(radians(slon) - radians(lon)), 2)
+        |         + pow(cos(radians(lat)) * sin(radians(slat))
+        |             - sin(radians(lat)) * cos(radians(slat))
+        |               * cos(radians(slon) - radians(lon)), 2)),
+        |      sin(radians(lat)) * sin(radians(slat))
+        |        + cos(radians(lat)) * cos(radians(slat))
+        |          * cos(radians(slon) - radians(lon)))) AS d
+        |  FROM ev CROSS JOIN st)
+        |SELECT c_custkey, s_suppkey,
+        |  round(radius, 4) AS radius_deg,
+        |  round(d, 4) AS dist_deg
+        |FROM joined WHERE d <= radius
+        |ORDER BY c_custkey, s_suppkey""".stripMargin,
     "q34_segment_view" ->
       """WITH seg AS (
         |  SELECT l_orderkey * 10 + l_linenumber AS id,
