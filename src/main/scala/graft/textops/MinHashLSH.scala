@@ -81,6 +81,35 @@ object MinHashLSH {
     size(array_intersect(sh1, sh2)).cast("double") /
       (size(sh1) + size(sh2) - size(array_intersect(sh1, sh2)))
 
+  /** Exact-Jaccard verification of candidate pairs WITHOUT moving shingle
+    * arrays through a shuffle: explode the corpus into narrow (id, nsh,
+    * shingle) postings, restrict them to the two sides of the candidate
+    * pairs, and count common shingles per pair — |A∩B| as a streaming
+    * aggregate of scalar rows, |A∪B| = nsh1 + nsh2 − common. Same result
+    * set as the array_intersect form (shingle arrays are distinct-element
+    * by construction), but every shuffled row is a fixed-width scalar
+    * tuple instead of a whole document's shingle array.
+    */
+  private def verifyByCounts(cands: DataFrame, base: DataFrame, idCol: String,
+                             shinglesCol: String, threshold: Double): DataFrame = {
+    val postings = base.select(col(idCol), col(shinglesCol))
+      .withColumn("__nsh", size(col(shinglesCol)))
+      .filter(col("__nsh") > 0)
+      .select(col(idCol), col("__nsh"), explode(col(shinglesCol)).as("__sh"))
+    val a = postings.select(col(idCol).as("id1"), col("__nsh").as("__n1"),
+      col("__sh"))
+    val b = postings.select(col(idCol).as("id2"), col("__nsh").as("__n2"),
+      col("__sh"))
+    cands.join(a, "id1")
+      .join(b, Seq("id2", "__sh"))
+      .groupBy(col("id1"), col("id2"), col("__n1"), col("__n2"))
+      .agg(count(lit(1)).as("__common"))
+      .withColumn("jaccard", col("__common").cast("double") /
+        (col("__n1") + col("__n2") - col("__common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
   /** LSH candidates verified with exact Jaccard >= threshold.
     * Output: (id1, id2, jaccard).
     */
@@ -88,13 +117,7 @@ object MinHashLSH {
                    threshold: Double, k: Int = 63, bands: Int = 21,
                    rows: Int = 3): DataFrame = {
     val cands = candidatePairs(df, idCol, shinglesCol, k, bands, rows)
-    val sh = df.select(col(idCol), col(shinglesCol))
-    cands
-      .join(sh.select(col(idCol).as("id1"), col(shinglesCol).as("__sh1")), "id1")
-      .join(sh.select(col(idCol).as("id2"), col(shinglesCol).as("__sh2")), "id2")
-      .withColumn("jaccard", jaccard(col("__sh1"), col("__sh2")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id1"), col("id2"), col("jaccard"))
+    verifyByCounts(cands, df, idCol, shinglesCol, threshold)
   }
 
   /** Exact all-pairs Jaccard >= threshold with prefix filtering (the
@@ -117,24 +140,36 @@ object MinHashLSH {
       explode(col(shinglesCol)).as("__sh"))
     val dfreq = postings.groupBy(col("__sh")).agg(count(lit(1)).as("__df"))
     val prefixLen = (col("__nsh") - ceil(lit(threshold) * col("__nsh")) + 1).cast("int")
+    // __rn = the shingle's 1-based position in the record under the global
+    // (df, shingle) total order — kept past the prefix cut because the
+    // positional filter below needs it
     val prefix = postings.join(dfreq, "__sh")
       .withColumn("__rn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col(idCol)).orderBy(col("__df"), col("__sh"))))
       .filter(col("__rn") <= prefixLen)
-      .select(col(idCol), col("__sh"))
+      .select(col(idCol), col("__nsh"), col("__rn"), col("__sh"))
+    // PPJoin filters on the candidate join — both prune with zero recall
+    // loss for J >= t:
+    //  - length: t·|x| <= |y| (else even full containment misses t);
+    //  - positional: a pair needs overlap α = ⌈t/(1+t)·(|x|+|y|)⌉, and a
+    //    match at sorted positions (i, j) bounds the overlap by
+    //    1 + min(|x|−i, |y|−j). The pair's FIRST common token under the
+    //    global order is in both prefixes and has the largest bound, so
+    //    requiring the bound >= α on the joined match never drops a true
+    //    pair (the EXISTS is realized by distinct()).
+    val tt = threshold / (1.0 + threshold)
     val cands = prefix.as("a")
       .join(prefix.as("b"),
-        col("a.__sh") === col("b.__sh") && col(s"a.$idCol") < col(s"b.$idCol"))
+        col("a.__sh") === col("b.__sh") && col(s"a.$idCol") < col(s"b.$idCol") &&
+          col("b.__nsh") >= lit(threshold) * col("a.__nsh") &&
+          col("a.__nsh") >= lit(threshold) * col("b.__nsh") &&
+          lit(1) + least(col("a.__nsh") - col("a.__rn"),
+            col("b.__nsh") - col("b.__rn")) >=
+            ceil(lit(tt) * (col("a.__nsh") + col("b.__nsh"))))
       .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"))
       .distinct()
-    val sh = df.select(col(idCol), col(shinglesCol))
-    cands
-      .join(sh.select(col(idCol).as("id1"), col(shinglesCol).as("__sh1")), "id1")
-      .join(sh.select(col(idCol).as("id2"), col(shinglesCol).as("__sh2")), "id2")
-      .withColumn("jaccard", jaccard(col("__sh1"), col("__sh2")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id1"), col("id2"), col("jaccard"))
+    verifyByCounts(cands, df, idCol, shinglesCol, threshold)
   }
 
   /** Exact all-pairs Jaccard >= threshold via an inverted shingle index
