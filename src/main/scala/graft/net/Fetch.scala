@@ -1,0 +1,258 @@
+package graft.net
+
+import java.sql.Timestamp
+import java.util.concurrent.{Callable, Executors, TimeUnit}
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.MiniSeed
+
+/** Executor-side HTTP fetching + the waveform download loop.
+  *
+  * The reference downloads with a driver-local thread pool
+  * (`stream2segment/download/url.py:104-206` `read_async`) and re-queues
+  * 429/503 responses at reduced concurrency
+  * (`download/modules/segments.py:277-282,336-412`). Graft keeps the same
+  * two levels but maps them onto Spark's execution model:
+  *
+  *  - WITHIN a task: `mapPartitions` + a bounded thread pool, so each task
+  *    overlaps its partition's request latencies (the `read_async` role —
+  *    network wait, not CPU, dominates);
+  *  - ACROSS the cluster: the number of partitions bounds parallel tasks, so
+  *    global concurrency = partitions × `concurrency` and is explicit;
+  *  - the RETRY loop stays on the driver (it is inherently iterative state):
+  *    groups answered 429/503 are re-fetched with the pool shrunk to 2 then
+  *    1 thread and one partition per datacenter, mirroring the reference's
+  *    `max_thread_workers = 2 if > 2 else 1` backoff.
+  */
+object Fetch {
+
+  /** One HTTP request row; `key` ties the response back to the caller's
+    * row. POST when `body` is non-null.
+    */
+  final case class Request(key: Long, url: String, body: Option[String],
+                           headers: Map[String, String] = Map.empty)
+
+  final case class Response(key: Long, data: Option[Array[Byte]],
+                            error: Option[String], code: Option[Int])
+
+  /** Fetch a Dataset of requests, `concurrency` parallel requests per task.
+    * Pure executor-side I/O: rows never visit the driver.
+    */
+  def fetchAll(requests: Dataset[Request], transport: Transport,
+               concurrency: Int = 8, timeoutMs: Int = 30000): Dataset[Response] = {
+    import requests.sparkSession.implicits._
+    requests.mapPartitions { it =>
+      val reqs = it.toVector
+      if (reqs.isEmpty) Iterator.empty
+      else {
+        val pool = Executors.newFixedThreadPool(math.max(1, math.min(concurrency, reqs.size)))
+        try {
+          val futures = reqs.map { r =>
+            pool.submit(new Callable[Response] {
+              override def call(): Response = {
+                val res = transport.fetch(r.url, r.body, timeoutMs, r.headers)
+                Response(r.key, res.data, res.error, res.code)
+              }
+            })
+          }
+          futures.map(_.get()).iterator
+        } finally {
+          pool.shutdown()
+          pool.awaitTermination(1, TimeUnit.MILLISECONDS)
+          ()
+        }
+      }
+    }
+  }
+
+  // ---- waveform (dataselect) download -----------------------------------
+
+  /** A segment's identity within a request group. */
+  final case class SegRef(segId: Long, net: String, sta: String,
+                          loc: String, cha: String)
+
+  /** One dataselect POST = one (url, timespan, datacenter) group of
+    * segments (`segments.py:426-435` `get_download_iterator`).
+    */
+  final case class SegRequest(url: String, dcId: Long, start: Timestamp,
+                              end: Timestamp, auth: Option[(String, String)],
+                              segs: Seq[SegRef])
+
+  /** Per-segment download outcome (`segments.py:525-607`
+    * `populate_dataframe` semantics): `code` null = segment not in the
+    * response (seg-not-found), -2 = unreadable miniSEED, -200/-204 =
+    * out-of-timespan with/without data, -1 = connection-level error,
+    * else the HTTP status.
+    */
+  final case class SegResult(segId: Long, dcId: Long, seedId: String,
+                             code: Option[Long], data: Array[Byte],
+                             sampleRate: Option[Double], maxGap: Option[Double],
+                             startTime: Option[Timestamp], endTime: Option[Timestamp],
+                             retryable: Boolean)
+
+  private val isoFmt = java.time.format.DateTimeFormatter.ISO_LOCAL_DATE_TIME
+
+  private def iso(t: Timestamp): String =
+    t.toLocalDateTime.format(isoFmt)
+
+  /** FDSN dataselect `format=post` body: one `net sta loc cha start end`
+    * line per segment, empty location as `--`.
+    */
+  def postBody(r: SegRequest): String =
+    r.segs.map { s =>
+      val loc = if (s.loc == null || s.loc.isEmpty) "--" else s.loc
+      s"${s.net} ${s.sta} $loc ${s.cha} ${iso(r.start)} ${iso(r.end)}"
+    }.mkString("\n")
+
+  /** HTTP codes that re-queue the whole group at reduced concurrency; the
+    * mapped int is the minimum worker count at which a retry still makes
+    * sense (`segments.py:277-282` `_RETRY_CODES`).
+    */
+  val RetryCodes: Map[Int, Int] = Map(429 -> 1, 503 -> 2)
+
+  private def fetchGroups(groups: Dataset[SegRequest], transport: Transport,
+                          concurrency: Int, timeoutMs: Int,
+                          workers: Int): Dataset[SegResult] = {
+    import groups.sparkSession.implicits._
+    groups.mapPartitions { it =>
+      val reqs = it.toVector
+      if (reqs.isEmpty) Iterator.empty
+      else {
+        val pool = Executors.newFixedThreadPool(math.max(1, math.min(concurrency, reqs.size)))
+        try {
+          val futures = reqs.map { r =>
+            pool.submit(new Callable[Seq[SegResult]] {
+              override def call(): Seq[SegResult] = {
+                val headers = r.auth.map { case (u, p) => Map(Transport.basicAuth(u, p)) }
+                  .getOrElse(Map.empty[String, String])
+                val res = transport.fetch(r.url, Some(postBody(r)), timeoutMs, headers)
+                toSegResults(r, res, workers)
+              }
+            })
+          }
+          futures.iterator.flatMap(_.get())
+        } finally {
+          pool.shutdown()
+          pool.awaitTermination(1, TimeUnit.MILLISECONDS)
+          ()
+        }
+      }
+    }
+  }
+
+  /** Map one group response onto its segments. */
+  private[net] def toSegResults(r: SegRequest, res: FetchResult,
+                                workers: Int): Seq[SegResult] = {
+    def seedId(s: SegRef) = s"${s.net}.${s.sta}.${s.loc}.${s.cha}"
+    res match {
+      case FetchResult(Some(bytes), None, Some(code)) if bytes.nonEmpty =>
+        val resdict = MiniSeed.unpack(bytes, Some(r.start), Some(r.end))
+        r.segs.map { s =>
+          val id = seedId(s)
+          resdict.get(id) match {
+            case None => // not in response: seg-not-found, code stays null
+              SegResult(s.segId, r.dcId, id, None, null, None, None, None, None,
+                retryable = false)
+            case Some(u) if u.error != null && u.error.nonEmpty =>
+              SegResult(s.segId, r.dcId, id,
+                Some(graft.operators.DownloadFlow.Codes.MseedErr), null,
+                None, None, None, None, retryable = false)
+            case Some(u) =>
+              val c =
+                if (u.outOfBoundsChunks)
+                  if (u.data != null && u.data.nonEmpty)
+                    graft.operators.DownloadFlow.Codes.TimespanWarn
+                  else graft.operators.DownloadFlow.Codes.TimespanErr
+                else code.toLong
+              SegResult(s.segId, r.dcId, id, Some(c), u.data,
+                Some(u.sampleRate), Some(u.maxGapOverlapRatio),
+                Option(u.startTime), Option(u.endTime), retryable = false)
+          }
+        }
+      case other =>
+        // error, empty body, or no-HTTP failure: every segment of the group
+        // gets the response code (-1 when the failure was below HTTP);
+        // 429/503 re-queue while the worker count still allows it
+        val code = other.code
+        val retry = code.exists(c =>
+          RetryCodes.get(c).exists(_ < workers))
+        val stored: Option[Long] = code match {
+          case Some(c) => Some(c.toLong)
+          case None => Some(graft.operators.DownloadFlow.Codes.UrlErr)
+        }
+        r.segs.map { s =>
+          SegResult(s.segId, r.dcId, seedId(s), stored, null, None, None,
+            None, None, retryable = retry)
+        }
+    }
+  }
+
+  /** A finished download pass. Each attempt's results are persisted so the
+    * accumulated union never re-fires HTTP requests on recompute; call
+    * [[DownloadRun.unpersist]] after the consuming action (same contract as
+    * `SyncTable.SyncResult`).
+    */
+  final case class DownloadRun(results: Dataset[SegResult],
+                               attempts: Int,
+                               private val cached: Seq[Dataset[SegResult]]) {
+    def unpersist(): Unit = cached.foreach { d => d.unpersist(); () }
+  }
+
+  /** Download all groups with the reference's backoff ladder: a full-
+    * concurrency pass, then 429/503 groups again at 2 threads, then 1.
+    * Returns every segment's final outcome (one row per segment).
+    */
+  def downloadSegments(groups: Dataset[SegRequest], transport: Transport,
+                       concurrency: Int = 8, timeoutMs: Int = 30000): DownloadRun = {
+    import groups.sparkSession.implicits._
+    val spark = groups.sparkSession
+
+    var workers = math.max(1, concurrency)
+    var pending = groups
+    var acc: Dataset[SegResult] = spark.emptyDataset[SegResult]
+    val cached = scala.collection.mutable.ArrayBuffer.empty[Dataset[SegResult]]
+    var attempts = 0
+    var done = false
+    while (!done) {
+      val results = fetchGroups(pending, transport, workers, timeoutMs, workers)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cached += results
+      attempts += 1
+      val retryIds = results.filter(col("retryable"))
+        .select(col("segId")).distinct().as[Long].collect().toSet
+      acc = acc.unionByName(results.filter(!col("retryable")))
+      if (retryIds.isEmpty) done = true
+      else {
+        val idSet = spark.sparkContext.broadcast(retryIds)
+        pending = pending
+          .filter(r => r.segs.exists(s => idSet.value.contains(s.segId)))
+          // one partition per datacenter so the reduced pool is a real
+          // per-datacenter bound, not per-task
+          .groupByKey(_.dcId).flatMapGroups((_, it) => it)
+        workers = if (workers > 2) 2 else 1
+      }
+    }
+    DownloadRun(acc, attempts, cached.toSeq)
+  }
+
+  /** Build dataselect request groups from a segment-candidate DataFrame
+    * with columns (seg_id, net, sta, loc, cha, datacenter_id,
+    * dataselect_url, request_start, request_end): one group per
+    * (url, timespan, datacenter), like `get_download_iterator`.
+    */
+  def requestGroups(candidates: DataFrame,
+                    authFor: Long => Option[(String, String)] = _ => None): Dataset[SegRequest] = {
+    import candidates.sparkSession.implicits._
+    candidates
+      .groupBy(col("dataselect_url"), col("datacenter_id"),
+        col("request_start"), col("request_end"))
+      .agg(collect_list(struct(col("seg_id").as("segId"), col("net"),
+        col("sta"), col("loc"), col("cha"))).as("segs"))
+      .as[(String, Long, Timestamp, Timestamp, Seq[SegRef])]
+      .map { case (url, dc, start, end, segs) =>
+        SegRequest(url, dc, start, end, authFor(dc), segs)
+      }
+  }
+}

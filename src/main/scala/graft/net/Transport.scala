@@ -1,0 +1,140 @@
+package graft.net
+
+/** HTTP transport abstraction for the download layer.
+  *
+  * The reference does all I/O through one choke point
+  * (`stream2segment/download/url.py:40-102` `urlread`: returns
+  * `(data, error, code)` where exactly one of data/error is set and
+  * `code` may be None on connection-level failures). Graft keeps that
+  * contract but makes the transport a serializable strategy object so
+  *  - executors can fetch in `mapPartitions` (the object ships with the
+  *    closure, one instance per JVM is fine — it holds no state);
+  *  - tests inject [[FixtureTransport]] and exercise the whole download
+  *    DAG deterministically from golden response bytes, no sockets.
+  */
+trait Transport extends Serializable {
+
+  /** GET (body = None) or POST (body = Some) `url`.
+    *
+    * Exactly one of `data`/`error` is defined. `code` is the HTTP status
+    * when a response arrived (including error statuses), None when the
+    * failure happened below HTTP (connect/timeout/DNS).
+    */
+  def fetch(url: String, body: Option[String] = None, timeoutMs: Int = 30000,
+            headers: Map[String, String] = Map.empty): FetchResult
+}
+
+final case class FetchResult(data: Option[Array[Byte]], error: Option[String],
+                             code: Option[Int]) {
+  def isSuccess: Boolean = error.isEmpty
+}
+
+object Transport {
+  /** `Authorization: Basic` header value for restricted dataselect
+    * (`download/modules/segments.py:609-737` `DcDataselectManager`).
+    */
+  def basicAuth(user: String, password: String): (String, String) =
+    "Authorization" -> ("Basic " + java.util.Base64.getEncoder
+      .encodeToString(s"$user:$password".getBytes("UTF-8")))
+}
+
+/** JDK-only transport on `java.net.HttpURLConnection` — no extra
+  * dependencies, safe on executors. Reads the response in `blockSize`
+  * chunks like the reference's `urlread`.
+  */
+final class HttpTransport(blockSize: Int = 1024 * 1024) extends Transport {
+
+  override def fetch(url: String, body: Option[String], timeoutMs: Int,
+                     headers: Map[String, String]): FetchResult = {
+    var conn: java.net.HttpURLConnection = null
+    try {
+      conn = new java.net.URI(url).toURL.openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      conn.setConnectTimeout(timeoutMs)
+      conn.setReadTimeout(timeoutMs)
+      headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+      body.foreach { b =>
+        conn.setRequestMethod("POST")
+        conn.setDoOutput(true)
+        val os = conn.getOutputStream
+        try os.write(b.getBytes("UTF-8")) finally os.close()
+      }
+      val code = conn.getResponseCode
+      val stream = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      val bytes =
+        if (stream == null) Array.empty[Byte]
+        else
+          try readAll(stream) finally stream.close()
+      if (code >= 400)
+        FetchResult(None, Some(s"HTTP $code"), Some(code))
+      else FetchResult(Some(bytes), None, Some(code))
+    } catch {
+      case e: java.io.IOException =>
+        FetchResult(None, Some(Option(e.getMessage).getOrElse(e.getClass.getName)), None)
+    } finally {
+      if (conn != null) conn.disconnect()
+    }
+  }
+
+  private def readAll(in: java.io.InputStream): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](blockSize)
+    var n = in.read(buf)
+    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    out.toByteArray
+  }
+}
+
+/** Deterministic in-memory transport for tests: url → scripted response.
+  * `byUrl` maps a url (exact match) to a function of the POST body so a
+  * fixture can react to the requested channels; unknown urls 404.
+  *
+  * NOTE on state: Spark serializes task closures even in local mode, so a
+  * per-instance counter would be silently copied into every task and never
+  * observed by the test. Hit counts and `failThenOk` countdowns therefore
+  * live in a JVM-global registry keyed by the transport's `id` — correct
+  * for `local[n]` tests (one JVM), which is this class's only audience.
+  */
+final class FixtureTransport(
+    id: String,
+    byUrl: Map[String, Option[String] => FetchResult]) extends Transport {
+
+  /** How many times `url` was fetched (assertable in tests). */
+  def hits(url: String): Int =
+    Option(FixtureTransport.hitCounts.get(s"$id|$url")).map(_.get).getOrElse(0)
+
+  override def fetch(url: String, body: Option[String], timeoutMs: Int,
+                     headers: Map[String, String]): FetchResult = {
+    FixtureTransport.hitCounts
+      .computeIfAbsent(s"$id|$url", _ => new java.util.concurrent.atomic.AtomicInteger())
+      .incrementAndGet()
+    byUrl.get(url) match {
+      case Some(f) => f(body)
+      case None => FetchResult(None, Some("HTTP 404"), Some(404))
+    }
+  }
+}
+
+object FixtureTransport {
+  private val hitCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicInteger]()
+  private val countdowns =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicInteger]()
+
+  /** Always the same 200 payload. */
+  def ok(bytes: Array[Byte]): Option[String] => FetchResult =
+    _ => FetchResult(Some(bytes), None, Some(200))
+
+  /** Fail with `code` for the first `n` calls (JVM-globally, keyed by
+    * `key`), then succeed — drives the reduced-concurrency retry loop in
+    * tests without relying on closure state surviving serialization.
+    */
+  def failThenOk(key: String, code: Int, n: Int,
+                 bytes: Array[Byte]): Option[String] => FetchResult = {
+    countdowns.put(key, new java.util.concurrent.atomic.AtomicInteger(n))
+    _ =>
+      if (countdowns.get(key).getAndDecrement() > 0)
+        FetchResult(None, Some(s"HTTP $code"), Some(code))
+      else FetchResult(Some(bytes), None, Some(200))
+  }
+}

@@ -1,0 +1,223 @@
+package graft.net
+
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.Geo
+import graft.operators.{DownloadFlow, DownloadStats, StationSearch, Writers}
+import graft.sources.{FdsnText, MiniSeed, RoutingService}
+
+/** End-to-end download DAG on the reference's golden fixtures
+  * (`/root/reference/tests/data/`): events (FDSN text) → EIDA routing →
+  * channels (FDSN station text) → spatial candidate join + request
+  * timebounds → dataselect POST fetch (miniSEED multiplexed response) →
+  * per-segment codes → stats, all through [[FixtureTransport]] — no
+  * sockets, byte-deterministic.
+  */
+class DownloadE2ESpec extends SparkSpec {
+
+  private def fixture(name: String): Array[Byte] =
+    Files.readAllBytes(Paths.get(s"/root/reference/tests/data/$name"))
+
+  private val eventsUrl = "http://evsvc/fdsnws/event/1/query"
+  private val routingUrl = "http://routing/eidaws/routing/1/query"
+  private val geofonBase = "http://geofon.gfz-potsdam.de/fdsnws"
+  private val stationUrl = s"$geofonBase/station/1/query"
+  private val dataselectUrl = s"$geofonBase/dataselect/1/query"
+
+  private def transport(id: String) = new FixtureTransport(id, Map(
+    eventsUrl -> FixtureTransport.ok(fixture("event_request_sample_iris.txt")),
+    routingUrl -> FixtureTransport.ok(fixture("eida_routing_service_response.txt")),
+    stationUrl -> FixtureTransport.ok(fixture("channel_query_response.txt")),
+    dataselectUrl -> DownloadE2ESpec.dataselectResponder))
+
+  test("download DAG end-to-end from fixture bytes to parquet") {
+    import spark.implicits._
+    val tp = transport("e2e")
+
+    // 1. events: one catalog request, body parsed distributed
+    val evBody = tp.fetch(eventsUrl).data.map(new String(_, "UTF-8")).get
+    val events = FdsnText.parseEventLines(spark, evBody.linesIterator.toSeq)
+    assert(events.count() == 4)
+
+    // 2. routing: driver-side index, broadcastable
+    val routing = RoutingService.parse(
+      new String(tp.fetch(routingUrl).data.get, "UTF-8"))
+
+    // 3. channels: distributed fetch (one request per station service) + parse
+    val chanReqs = Seq(Fetch.Request(0L, stationUrl, None)).toDS()
+    val chanLines = Fetch.fetchAll(chanReqs, tp)
+      .flatMap(r => new String(r.data.getOrElse(Array.empty), "UTF-8").linesIterator)
+      .toDF("line")
+    val channels = FdsnText.parseChannelsDf(chanLines)
+    assert(channels.count() == 36)
+
+    // 4. route each channel to its datacenter (1G → geofon in the fixture)
+    val bc = spark.sparkContext.broadcast(routing)
+    val dcFor = udf((n: String, s: String, l: String, c: String) =>
+      bc.value.datacentersFor(n, s, l, c).headOption.orNull)
+    val routed = channels
+      .withColumn("dataselect_url", dcFor(col("network"), col("station"),
+        col("location"), col("channel")))
+      .filter(col("dataselect_url").isNotNull)
+    assert(routed.filter(col("network") === "1G").count() == 6)
+
+    // 5. spatial candidates: events within 25° of a station, request
+    //    timebounds from arrival (= event time + 60 s here)
+    val evSide = events.select(col("event_id"), col("time"),
+      col("latitude").as("ev_lat"), col("longitude").as("ev_lon"))
+    val stSide = routed.select(col("network"), col("station"), col("location"),
+      col("channel"), col("dataselect_url"),
+      col("latitude").as("st_lat"), col("longitude").as("st_lon"))
+    val joined = StationSearch.bandedRadiusJoin(evSide, stSide,
+      col("ev_lat"), col("ev_lon"), col("st_lat"), col("st_lon"),
+      maxRadiusDeg = 25.0, distCol = "dist_deg")
+    val arrival = (col("time").cast("timestamp") + expr("INTERVAL 60 SECONDS"))
+    val (reqStart, reqEnd) = DownloadFlow.requestTimebounds(arrival, -1.0, 5.0)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("event_id"), col("network"), col("station"), col("channel"))
+    val candidates = joined
+      .withColumn("request_start", reqStart)
+      .withColumn("request_end", reqEnd)
+      .withColumn("seg_id", row_number().over(w).cast("long"))
+      .withColumn("datacenter_id", lit(1L))
+      .select(col("seg_id"), col("network").as("net"), col("station").as("sta"),
+        col("location").as("loc"), col("channel").as("cha"),
+        col("datacenter_id"), col("dataselect_url"),
+        col("request_start"), col("request_end"))
+    // Poland event × 6 1G channels + one Japan event × 3 2F channels
+    assert(candidates.count() == 9)
+
+    // 6-7. group into dataselect POSTs, fetch, map responses to segments
+    val groups = Fetch.requestGroups(candidates)
+    assert(groups.count() == 2) // one POST per (url, timespan, datacenter)
+    val run = Fetch.downloadSegments(groups, tp)
+    val bySeed = run.results.collect().map(r => r.seedId -> r).toMap
+    assert(bySeed.size == 9)
+    assert(bySeed("1G.SA03..BHN").code.isEmpty) // omitted → seg-not-found
+    assert(bySeed("1G.SA03..BHE").code.contains(DownloadFlow.Codes.MseedErr))
+    val ok = bySeed.view.filterKeys(k => k != "1G.SA03..BHN" && k != "1G.SA03..BHE")
+    assert(ok.values.forall(r => r.code.contains(200L) && r.data.nonEmpty))
+    assert(bySeed("1G.SA05..HHZ").sampleRate.contains(100.0))
+    assert(bySeed("1G.SA03..BHZ").sampleRate.contains(20.0))
+    assert(bySeed("2F.CAPIN..BHZ").sampleRate.contains(20.0))
+    assert(run.attempts == 1)
+    assert(tp.hits(dataselectUrl) == 2)
+
+    // 8. stats + sink: response-code counts and the parquet segment table
+    val segDf = run.results.select(col("segId").as("seg_id"),
+      col("seedId").as("data_seed_id"), col("code").as("download_code"),
+      col("data"), col("sampleRate").as("sample_rate"))
+    val stats = segDf.groupBy(col("download_code")).count()
+      .collect().map(r => Option(r.get(0)).map(_.toString).orNull -> r.getLong(1)).toMap
+    assert(stats(("200")) == 7 && stats("-2") == 1 && stats(null) == 1)
+    val outDir = Files.createTempDirectory("graft_e2e").toString + "/segments"
+    Writers.appendParquet(segDf, outDir, "seg_id")
+    assert(spark.read.parquet(outDir).count() == 9)
+    run.unpersist()
+  }
+
+  test("backoff ladder: 429 group re-fetched at reduced concurrency until success") {
+    import spark.implicits._
+    val payload = MiniSeed.encodeInt32("GE", "S1", "", "BHZ", 20.0,
+      Timestamp.valueOf("2015-01-01 00:00:00"), Array.tabulate(32)(_ * 2))
+    val url = "http://dc429/fdsnws/dataselect/1/query"
+    val tp = new FixtureTransport("retry429", Map(
+      url -> FixtureTransport.failThenOk("retry429", 429, 2, payload)))
+    val group = Seq(Fetch.SegRequest(url, 7L,
+      Timestamp.valueOf("2015-01-01 00:00:00"),
+      Timestamp.valueOf("2015-01-01 00:10:00"), None,
+      Seq(Fetch.SegRef(1L, "GE", "S1", "", "BHZ")))).toDS()
+    val run = Fetch.downloadSegments(group, tp, concurrency = 8)
+    val r = run.results.collect()
+    // 429 retries while workers > RetryCodes(429)=1: 8 → 2 → 1, success on
+    // the third call
+    assert(run.attempts == 3)
+    assert(tp.hits(url) == 3)
+    assert(r.length == 1 && r.head.code.contains(200L) && r.head.data.nonEmpty)
+    run.unpersist()
+  }
+
+  test("backoff ladder: 503 gives up once concurrency reaches 2") {
+    import spark.implicits._
+    val url = "http://dc503/fdsnws/dataselect/1/query"
+    val tp = new FixtureTransport("retry503", Map(
+      url -> FixtureTransport.failThenOk("retry503", 503, 99, Array.empty)))
+    val group = Seq(Fetch.SegRequest(url, 7L,
+      Timestamp.valueOf("2015-01-01 00:00:00"),
+      Timestamp.valueOf("2015-01-01 00:10:00"), None,
+      Seq(Fetch.SegRef(1L, "GE", "S1", "", "BHZ")))).toDS()
+    val run = Fetch.downloadSegments(group, tp, concurrency = 8)
+    val r = run.results.collect()
+    // 503 needs workers > 2 to retry: one retry (8 → 2), then final 503
+    assert(run.attempts == 2)
+    assert(r.length == 1 && r.head.code.contains(503L) && r.head.data == null)
+    run.unpersist()
+  }
+
+  test("connection-level failure maps to url_err and auth header is emitted") {
+    import spark.implicits._
+    val reqs = Seq(Fetch.Request(1L, "http://nowhere/query", None)).toDS()
+    val tp = new FixtureTransport("conn", Map(
+      "http://nowhere/query" -> (_ => FetchResult(None, Some("connect timed out"), None))))
+    val group = Seq(Fetch.SegRequest("http://nowhere/query", 1L,
+      Timestamp.valueOf("2015-01-01 00:00:00"),
+      Timestamp.valueOf("2015-01-01 00:10:00"),
+      Some(("user", "pw")), Seq(Fetch.SegRef(1L, "GE", "S1", "", "BHZ")))).toDS()
+    val run = Fetch.downloadSegments(group, tp)
+    assert(run.results.collect().head.code.contains(DownloadFlow.Codes.UrlErr))
+    run.unpersist()
+    val hdr = Transport.basicAuth("user", "pw")
+    assert(hdr._1 == "Authorization")
+    assert(new String(java.util.Base64.getDecoder.decode(
+      hdr._2.stripPrefix("Basic ")), "UTF-8") == "user:pw")
+    assert(Fetch.fetchAll(reqs, tp).collect().head.code.isEmpty)
+  }
+
+  test("dataselect POST body format: -- for empty location, ISO times") {
+    val r = Fetch.SegRequest("u", 1L,
+      Timestamp.valueOf("2015-01-02 03:04:05"),
+      Timestamp.valueOf("2015-01-02 03:14:05"), None,
+      Seq(Fetch.SegRef(1L, "GE", "S1", "", "BHZ"),
+        Fetch.SegRef(2L, "IU", "ANMO", "00", "BH1")))
+    val body = Fetch.postBody(r)
+    assert(body ==
+      "GE S1 -- BHZ 2015-01-02T03:04:05 2015-01-02T03:14:05\n" +
+        "IU ANMO 00 BH1 2015-01-02T03:04:05 2015-01-02T03:14:05")
+  }
+}
+
+/** Responders live OUTSIDE the suite: a method of the spec captures `this`
+  * (with scalatest's non-serializable Engine) and dies at task serialization.
+  */
+object DownloadE2ESpec {
+  import java.sql.Timestamp
+  import graft.sources.MiniSeed
+
+  /** Dataselect responder: one miniSEED record per requested line; SA03 BHN
+    * is omitted (→ seg-not-found) and SA03 BHE answers with two records at
+    * mismatched sample rates (→ mseed error), like a real mixed response.
+    */
+  val dataselectResponder: Option[String] => FetchResult = { body =>
+    val out = new java.io.ByteArrayOutputStream()
+    body.getOrElse("").linesIterator.filter(_.nonEmpty).foreach { line =>
+      val Array(net, sta, loc0, cha, start, _) = line.split(" ")
+      val loc = if (loc0 == "--") "" else loc0
+      val t0 = Timestamp.valueOf(java.time.LocalDateTime.parse(start))
+      val fs = if (cha.startsWith("H")) 100.0 else 20.0
+      val samples = Array.tabulate(64)(i => i * 3 + cha.length)
+      (net, sta, cha) match {
+        case (_, "SA03", "BHN") => // not in response
+        case (_, "SA03", "BHE") =>
+          out.write(MiniSeed.encodeInt32(net, sta, loc, cha, 20.0, t0, samples))
+          out.write(MiniSeed.encodeInt32(net, sta, loc, cha, 40.0, t0, samples))
+        case _ =>
+          out.write(MiniSeed.encodeInt32(net, sta, loc, cha, fs, t0, samples))
+      }
+    }
+    FetchResult(Some(out.toByteArray), None, Some(200))
+  }
+}
