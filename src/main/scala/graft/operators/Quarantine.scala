@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Reject isolation for writers and syncs.
+  *
+  * The reference's buffered DB writer commits in chunks and, when a chunk
+  * raises, rolls it back, hands the offending rows to an error callback and
+  * keeps going (`stream2segment/io/db/pdsql.py:522-563,715-795`) — one
+  * poisoned row never kills the job, it costs at most its chunk.
+  *
+  * Spark-first, the DB's constraint surface is declared instead of
+  * discovered via exceptions: each constraint is a named Column predicate,
+  * violating rows split off into a quarantine DataFrame carrying the first
+  * failed constraint's name, and the clean rows continue into the sync /
+  * write. This is strictly finer-grained than the reference (row-level, not
+  * chunk-level) and fully distributed — no driver round-trip per batch.
+  */
+object Quarantine {
+
+  val ReasonCol = "__reject_reason"
+
+  final case class Split(ok: DataFrame, rejected: DataFrame) {
+    /** (clean, rejected) row counts — one action each. */
+    def stats(): (Long, Long) = (ok.count(), rejected.count())
+  }
+
+  /** Named constraint: rows where the predicate is false OR NULL are
+    * rejected (a null check result means the constraint could not be
+    * established — treat like a violation, as the DB would).
+    */
+  def split(df: DataFrame, checks: Seq[(String, Column)]): Split = {
+    require(checks.nonEmpty, "at least one constraint")
+    val reason = checks.foldRight(lit(null).cast("string")) {
+      case ((name, pred), acc) =>
+        when(!coalesce(pred, lit(false)), lit(name)).otherwise(acc)
+    }
+    val tagged = df.withColumn(ReasonCol, reason)
+    Split(
+      ok = tagged.filter(col(ReasonCol).isNull).drop(ReasonCol),
+      rejected = tagged.filter(col(ReasonCol).isNotNull))
+  }
+
+  /** NOT NULL constraints for `cols` (one named check per column). */
+  def notNull(cols: Seq[String]): Seq[(String, Column)] =
+    cols.map(c => s"$c is null" -> col(c).isNotNull)
+
+  /** The value must cast to `dataType` (or be null): catches the rows that
+    * would poison a typed insert.
+    */
+  def castable(c: String, dataType: String): (String, Column) =
+    s"$c not castable to $dataType" ->
+      (col(c).isNull || expr(s"try_cast($c AS $dataType)").isNotNull)
+}

@@ -66,6 +66,21 @@ object SyncTable {
       cached = if (persistIntermediate) Some(resolved) else None)
   }
 
+  /** [[sync]] with reject isolation (`DbManager`'s per-chunk
+    * reject-and-continue, `pdsql.py:522-563`, done row-level): rows
+    * violating `checks` (default: non-null natural key) land in the
+    * returned quarantine DataFrame with a reason column; the sync proceeds
+    * on the clean rows and still commits.
+    */
+  def syncQuarantined(df: DataFrame, target: DataFrame, matchCols: Seq[String],
+                      idCol: String = "id", keep: Dedup.Keep = Dedup.KeepFirst,
+                      order: Seq[Column] = Nil, surrogateIds: Boolean = false,
+                      checks: Seq[(String, Column)] = Nil): (SyncResult, DataFrame) = {
+    val allChecks = if (checks.nonEmpty) checks else Quarantine.notNull(matchCols)
+    val s = Quarantine.split(df, allChecks)
+    (sync(s.ok, target, matchCols, idCol, keep, order, surrogateIds), s.rejected)
+  }
+
   /** New target-table contents after the sync: target rows never touched,
     * plus updated rows (df wins on shared ids), plus inserts — the parquet
     * equivalent of `MERGE INTO ... WHEN MATCHED UPDATE WHEN NOT MATCHED

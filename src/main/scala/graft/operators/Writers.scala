@@ -49,4 +49,26 @@ object Writers {
   def appendCsv(df: DataFrame, path: String, idCol: String): Unit =
     resumeFilter(df, path, idCol).write.mode(SaveMode.Append)
       .option("header", "true").csv(path)
+
+  /** Append-write with reject isolation: rows violating `checks` go to
+    * `<path>_rejected` (with [[Quarantine.ReasonCol]]) instead of failing
+    * the job; clean rows append to `path` with resume. Returns
+    * (written, rejected) counts — `DbManager`'s reject-and-continue
+    * (`io/db/pdsql.py:522-563`) as a sink property.
+    */
+  def appendParquetQuarantined(df: DataFrame, path: String, idCol: String,
+                               checks: Seq[(String, org.apache.spark.sql.Column)]): (Long, Long) = {
+    val s = Quarantine.split(df, checks)
+    val clean = resumeFilter(s.ok, path, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      clean.write.mode(SaveMode.Append).parquet(path)
+      val nRejected = s.rejected.count()
+      if (nRejected > 0)
+        s.rejected.write.mode(SaveMode.Append).parquet(path + "_rejected")
+      (clean.count(), nRejected)
+    } finally {
+      clean.unpersist(); ()
+    }
+  }
 }

@@ -33,6 +33,17 @@ class DownloadFlowSpec extends SparkSpec {
     assert(r.getTimestamp(1) == Timestamp.valueOf("2020-01-01 10:05:31"))
   }
 
+  test("request timebounds: exact half-second rounds up (pandas .dt.round('s') half-up)") {
+    val df = Seq(
+      Timestamp.valueOf("2020-01-01 10:00:30.5"),   // .500 -> 31
+      Timestamp.valueOf("2020-01-01 10:00:30.499")) // .499 -> 30
+      .toDF("arrival")
+    val (s0, _) = DownloadFlow.requestTimebounds($"arrival", 0.0, 5.0)
+    val got = df.select(s0.as("s")).orderBy("s").collect().map(_.getTimestamp(0))
+    assert(got(0) == Timestamp.valueOf("2020-01-01 10:00:30"))
+    assert(got(1) == Timestamp.valueOf("2020-01-01 10:00:31"))
+  }
+
   test("timebounds change detection: null old bounds never retrigger") {
     val df = Seq(
       (Some(Timestamp.valueOf("2020-01-01 00:00:00")), Timestamp.valueOf("2020-01-01 01:00:00"), false),

@@ -1,0 +1,68 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Reject isolation (`io/db/pdsql.py:522-563` reject-and-continue). */
+class QuarantineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("poisoned row lands in quarantine and the sync still commits") {
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0))
+      .toDF("id", "name", "bal")
+    val incoming = Seq(
+      (Some("a"), 11.0), // update
+      (None, 99.0),      // poisoned: null natural key
+      (Some("c"), 30.0)  // insert
+    ).toDF("name", "bal").withColumn("id", lit(null).cast("long"))
+      .select(col("id"), col("name"), col("bal"))
+    val (result, rejected) = SyncTable.syncQuarantined(
+      incoming, target, matchCols = Seq("name"))
+    assert(rejected.count() == 1)
+    assert(rejected.select(Quarantine.ReasonCol).as[String].head() == "name is null")
+    val merged = SyncTable.merged(target, result)
+      .select(col("name"), col("bal")).as[(String, Double)].collect().toMap
+    result.unpersist()
+    assert(merged == Map("a" -> 11.0, "b" -> 20.0, "c" -> 30.0))
+  }
+
+  test("first failing named check wins as the reason") {
+    val df = Seq((null.asInstanceOf[String], "xx"), ("v", "xx"), ("v", "7"))
+      .toDF("a", "n")
+    val s = Quarantine.split(df,
+      Quarantine.notNull(Seq("a")) :+ Quarantine.castable("n", "INT"))
+    val reasons = s.rejected.select(col("a"), col(Quarantine.ReasonCol))
+      .as[(String, String)].collect().toMap
+    assert(reasons == Map(
+      (null: String) -> "a is null", "v" -> "n not castable to INT"))
+    assert(s.ok.count() == 1)
+  }
+
+  test("null check result counts as a violation") {
+    val df = Seq((Some(5), 1), (None, 2)).toDF("v", "k")
+    // v > 3 is NULL for the None row — must reject, like a DB constraint
+    val s = Quarantine.split(df, Seq("v too small" -> (col("v") > 3)))
+    assert(s.ok.count() == 1 && s.rejected.count() == 1)
+  }
+
+  test("quarantined parquet append: clean rows written, rejects to _rejected") {
+    val dir = Files.createTempDirectory("graft_quar").toString + "/out"
+    val df = Seq((1L, "x"), (2L, null.asInstanceOf[String]), (3L, "z"))
+      .toDF("id", "name")
+    val (written, rejectedN) = Writers.appendParquetQuarantined(
+      df, dir, "id", Quarantine.notNull(Seq("name")))
+    assert(written == 2 && rejectedN == 1)
+    assert(spark.read.parquet(dir).count() == 2)
+    val rej = spark.read.parquet(dir + "_rejected")
+    assert(rej.count() == 1 &&
+      rej.select("id").as[Long].head() == 2L)
+    // idempotent re-run: resume filter skips the already-written rows
+    val (w2, r2) = Writers.appendParquetQuarantined(
+      df, dir, "id", Quarantine.notNull(Seq("name")))
+    assert(w2 == 0 && r2 == 1)
+    assert(spark.read.parquet(dir).count() == 2)
+  }
+}

@@ -31,6 +31,41 @@ class IsfAndPagingSpec extends SparkSpec {
     assert(greece.getAs[Timestamp]("time").toString == "2011-01-08 00:03:54.0")
   }
 
+  test("ISF corrupted sub-block headers discard only their own event") {
+    def block(id: String, originHeader: String, magHeader: String): String = {
+      val origin = " " * 128
+      val o = new StringBuilder(origin)
+      def put(sb: StringBuilder, pos: Int, v: String): Unit =
+        v.zipWithIndex.foreach { case (c, i) => sb.setCharAt(pos + i, c) }
+      put(o, 0, "2020/01/05"); put(o, 11, "01:30:00.0")
+      put(o, 36, "10.5"); put(o, 45, "20.5"); put(o, 71, "33.0")
+      put(o, 118, "AUTH")
+      val m = new StringBuilder(" " * 30)
+      put(m, 0, "ML"); put(m, 6, "4.5"); put(m, 20, "MAUTH")
+      // id occupies columns [6, 16); the location name starts at 16
+      Seq("Event " + id.padTo(10, ' ') + "LOC",
+        originHeader, o.result(), magHeader, m.result())
+        .mkString("\n")
+    }
+    val good = block("ev1", IsfEvents.OriginHeader, IsfEvents.MagHeader)
+    val badOrigin = block("ev2", "garbled header", IsfEvents.MagHeader)
+    val badMag = block("ev3", IsfEvents.OriginHeader, "garbled header")
+    val good2 = block("ev4", IsfEvents.OriginHeader, IsfEvents.MagHeader)
+    val rows = IsfEvents.parseToRows(
+      Seq(good, badOrigin, badMag, good2).mkString("\n"))
+    // corrupted origin header and corrupted magnitude header each drop ONLY
+    // their event (the reference discards the whole block on a parse break)
+    assert(rows.map(_(0)) == Seq("ev1", "ev4"))
+    assert(rows.forall(_(10) == "4.5"))
+  }
+
+  test("resume filter on a missing output dir keeps every row") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val missing = java.nio.file.Files.createTempDirectory("graft_missing")
+      .toString + "/never_written"
+    assert(Writers.resumeFilter(df, missing, "id").count() == 2)
+  }
+
   test("magnitude split halves the expected event count") {
     val mid = EventPaging.magnitudeMidpoint(3.0, 7.0)
     val lo = EventPaging.expectedEvents(3.0, mid)

@@ -1,0 +1,50 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** EIDA routing response parsing + wildcard matching
+  * (`download/modules/datacenters.py:99-267`).
+  */
+class RoutingServiceSpec extends AnyFunSuite {
+
+  private val body =
+    """http://dc1/fdsnws/dataselect/1/query
+      |GE * * HH? * *
+      |IU ANMO -- BH? 2010-01-01T00:00:00 *
+      |
+      |http://dc2/fdsnws/dataselect/1/query
+      |* * * BH? * *
+      |NL HGN 02 * * *
+      |""".stripMargin
+
+  test("parse: blocks keyed by url, 6- and 4-token rule lines") {
+    val idx = RoutingService.parse(body)
+    assert(idx.rules.keySet ==
+      Set("http://dc1/fdsnws/dataselect/1/query", "http://dc2/fdsnws/dataselect/1/query"))
+    assert(idx.rules("http://dc1/fdsnws/dataselect/1/query").size == 2)
+    val iu = idx.rules("http://dc1/fdsnws/dataselect/1/query")(1)
+    assert(iu.start.nonEmpty && iu.end.isEmpty) // '*' end = open bound
+  }
+
+  test("wildcards: ? is one char, * any run, -- matches the empty location") {
+    val idx = RoutingService.parse(body)
+    // GE HH? on dc1; BH? catch-all on dc2
+    assert(idx.datacentersFor("GE", "S1", "", "HHZ") ==
+      Seq("http://dc1/fdsnws/dataselect/1/query"))
+    assert(idx.datacentersFor("GE", "S1", "", "HHZZ").isEmpty) // ? = exactly one
+    // IU ANMO with empty location: `--` rule matches "" AND dc2's BH? matches
+    // → both, sorted
+    assert(idx.datacentersFor("IU", "ANMO", "", "BHZ") ==
+      Seq("http://dc1/fdsnws/dataselect/1/query", "http://dc2/fdsnws/dataselect/1/query"))
+    // but a non-empty location fails the -- rule, dc2 still matches
+    assert(idx.datacentersFor("IU", "ANMO", "00", "BHZ") ==
+      Seq("http://dc2/fdsnws/dataselect/1/query"))
+  }
+
+  test("unmatched tuples resolve to no datacenter") {
+    val idx = RoutingService.parse(body)
+    assert(idx.datacentersFor("XX", "S1", "", "LHZ").isEmpty)
+    assert(idx.datacentersFor("NL", "HGN", "02", "LHZ") ==
+      Seq("http://dc2/fdsnws/dataselect/1/query"))
+  }
+}
