@@ -331,8 +331,12 @@ object SparkEntry {
         .orderBy(col("user_id"), col("session_no"))
     }),
 
-    // multimodal plumbing: binary payload + typed metadata through the
-    // batch-shaped mapPartitions feature extractor (codec stubbed)
+    // multimodal: REAL container codecs through the batch-shaped
+    // mapPartitions extractor. Payloads are planted from doc_id (PNG/JPEG
+    // headers with known dims, canonical 16-bit PCM WAV with known
+    // samples), decoded by the spec-derived parsers, and the oracle
+    // recomputes every decoded fact from the id arithmetic — a wrong
+    // byte-order or chunk walk breaks the hash
     "q25_multimodal_features" -> ((s, dir) => {
       import s.implicits._
       val media = t(s, dir, "documents")
@@ -341,13 +345,26 @@ object SparkEntry {
           val kind = (id % 3) match {
             case 0 => "image"; case 1 => "audio"; case _ => "video"
           }
+          val payload = (id % 3) match {
+            case 0 =>
+              val (w, h) = ((id % 512 + 1).toInt, (id % 256 + 1).toInt)
+              if (id % 2 == 0) Multimodal.Codecs.pngBytes(w, h)
+              else Multimodal.Codecs.jpegBytes(w, h)
+            case 1 =>
+              val n = (64 + id % 64).toInt
+              val pcm = Array.tabulate(n)(i => ((id * 31 + i * 7) % 1000 - 500).toShort)
+              Multimodal.Codecs.wavBytes((8000 + (id % 8) * 1000).toInt, pcm)
+            case _ => text.getBytes("UTF-8")
+          }
           Multimodal.MediaRow(id,
-            Multimodal.MediaMeta(kind, 32, 32, 16000, 1000L),
-            text.getBytes("UTF-8"))
+            Multimodal.MediaMeta(kind, 32, 32, 16000, 1000L), payload)
         }
       Multimodal.extractFeatures(media)
         .select(col("id").as("doc_id"), col("kind"),
-          col("nBytes").as("n_bytes"))
+          col("nBytes").as("n_bytes"), col("imgFormat").as("img_format"),
+          col("width"), col("height"), col("sampleRateHz").as("sr_hz"),
+          col("nSamples").as("n_samp"), col("pcmSum").as("pcm_sum"),
+          col("pcmPeak").as("pcm_peak"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1128,7 +1145,28 @@ object SparkEntry {
       """SELECT doc_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
         |    ELSE 'video' END AS kind,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN
+        |         CASE WHEN doc_id % 2 = 0 THEN 33 ELSE 15 END
+        |       WHEN doc_id % 3 = 1 THEN 44 + 2 * (64 + doc_id % 64)
+        |       ELSE octet_length(encode(text)) END AS BIGINT) AS n_bytes,
+        |  CASE WHEN doc_id % 3 = 0 THEN
+        |    CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END END AS img_format,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 512 + 1 END AS INTEGER)
+        |    AS width,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 256 + 1 END AS INTEGER)
+        |    AS height,
+        |  CAST(CASE WHEN doc_id % 3 = 1 THEN 8000 + (doc_id % 8) * 1000 END
+        |    AS INTEGER) AS sr_hz,
+        |  CAST(CASE WHEN doc_id % 3 = 1 THEN 64 + doc_id % 64 END AS INTEGER)
+        |    AS n_samp,
+        |  CAST(CASE WHEN doc_id % 3 = 1 THEN list_aggregate(
+        |    list_transform(range(0, 64 + doc_id % 64),
+        |      i -> (doc_id * 31 + i * 7) % 1000 - 500), 'sum') END AS BIGINT)
+        |    AS pcm_sum,
+        |  CAST(CASE WHEN doc_id % 3 = 1 THEN list_aggregate(
+        |    list_transform(range(0, 64 + doc_id % 64),
+        |      i -> abs((doc_id * 31 + i * 7) % 1000 - 500)), 'max') END
+        |    AS INTEGER) AS pcm_peak
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
     "q23_simhash" ->

@@ -8,10 +8,12 @@ import org.apache.spark.sql.types._
   * columns with typed metadata, and batch-shaped per-partition transforms
   * for decode / feature-extract / resize / frame-sample.
   *
-  * The actual codec calls are STUBBED (no image/audio libraries in this
-  * environment) behind `Codecs` — each stub is deterministic on the input
-  * bytes so the pipeline is testable end-to-end. The Spark-side contract
-  * (schema, partitioning, batch shape) is real:
+  * `Codecs` implements the container formats from their public specs:
+  * PNG/JPEG/GIF header dimension parsing and RIFF/WAVE PCM decode (plus the
+  * matching minimal writers for planting test payloads). Pixel/DCT decode
+  * and video demux stay deterministic stand-ins — those belong to a batch
+  * media library behind the same per-partition seam. The Spark-side
+  * contract (schema, partitioning, batch shape) is real:
   *  - media rows flow as `Dataset[MediaRow]` (binary + metadata struct);
   *  - transforms run via `mapPartitions`, amortizing per-batch codec setup
   *    exactly like an Arrow-batch UDF would — one codec instance per
@@ -25,8 +27,16 @@ object Multimodal {
   final case class MediaMeta(kind: String, width: Int, height: Int,
                              sampleRateHz: Int, durationMs: Long)
   final case class MediaRow(id: Long, meta: MediaMeta, payload: Array[Byte])
+  /** Decoded container facts (None where the payload isn't that modality)
+    * plus the modality-agnostic byte features.
+    */
   final case class MediaFeatures(id: Long, kind: String, nBytes: Long,
-                                 checksum: Long, features: Array[Double])
+                                 checksum: Long,
+                                 imgFormat: Option[String],
+                                 width: Option[Int], height: Option[Int],
+                                 sampleRateHz: Option[Int], nSamples: Option[Int],
+                                 pcmSum: Option[Long], pcmPeak: Option[Int],
+                                 features: Array[Double])
 
   val mediaSchema: StructType = StructType(Seq(
     StructField("id", LongType, nullable = false),
@@ -38,11 +48,144 @@ object Multimodal {
       StructField("durationMs", LongType))), nullable = false),
     StructField("payload", BinaryType, nullable = true)))
 
-  /** Stubbed codecs — deterministic fakes on the raw bytes. A real
-    * deployment swaps these for an image/audio library; the signatures
-    * (bytes in, arrays out, batch-amortized construction) are the contract.
+  /** Container-level codecs implemented from the public format specs —
+    * PNG (RFC 2083 §3: 8-byte signature, IHDR first chunk, big-endian
+    * dims), JPEG (ISO/IEC 10918 SOFn segment carries precision, height,
+    * width), GIF (87a/89a logical screen descriptor, little-endian dims)
+    * and RIFF/WAVE canonical PCM (fmt + data chunks, little-endian).
+    * Deep decode (DEFLATE pixel data, DCT) stays out of scope — a training
+    * pipeline shards on dimensions/duration and hands pixel decode to a
+    * batch library; frame extraction for video remains a deterministic
+    * stand-in ([[Codecs.frameOffsets]]).
     */
   object Codecs {
+
+    final case class ImageDims(format: String, width: Int, height: Int)
+    final case class WavAudio(sampleRateHz: Int, channels: Int,
+                              bitsPerSample: Int, pcm: Array[Short]) {
+      def nSamples: Int = pcm.length / math.max(1, channels)
+      /** Normalized mono-interleaved float view, [-1, 1). */
+      def toFloat: Array[Float] = pcm.map(_ / 32768.0f)
+    }
+
+    private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+    private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+    private def be32(b: Array[Byte], i: Int): Int =
+      (u8(b, i) << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+    private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+    private def le32(b: Array[Byte], i: Int): Int =
+      u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) | (u8(b, i + 3) << 24)
+
+    private val PngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+    /** Pixel dimensions from the container header: PNG IHDR / JPEG SOFn /
+      * GIF logical screen descriptor. None when the payload is not a
+      * recognizable image.
+      */
+    def imageDimensions(b: Array[Byte]): Option[ImageDims] = {
+      if (b == null || b.length < 10) None
+      else if (b.take(8).sameElements(PngSig) && b.length >= 24 &&
+        new String(b, 12, 4, "US-ASCII") == "IHDR")
+        Some(ImageDims("png", be32(b, 16), be32(b, 20)))
+      else if (u8(b, 0) == 0xff && u8(b, 1) == 0xd8) { // JPEG SOI
+        var i = 2
+        while (i + 9 < b.length) {
+          if (u8(b, i) != 0xff) return None // lost marker sync
+          val marker = u8(b, i + 1)
+          // SOF0..SOF15 except DHT(C4)/JPG(C8)/DAC(CC) carry the frame dims
+          if (marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc)
+            return Some(ImageDims("jpeg", be16(b, i + 7), be16(b, i + 5)))
+          else if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd9 && marker != 0xd8))
+            i += 2 // standalone markers
+          else i += 2 + be16(b, i + 2) // segment with 2-byte length
+        }
+        None
+      } else if (b.length >= 10 && (new String(b, 0, 6, "US-ASCII") == "GIF87a" ||
+        new String(b, 0, 6, "US-ASCII") == "GIF89a"))
+        Some(ImageDims("gif", le16(b, 6), le16(b, 8)))
+      else None
+    }
+
+    /** Canonical RIFF/WAVE PCM decode (format tag 1, 8- or 16-bit).
+      * Walks the chunk list, so extra chunks (LIST, fact…) are fine.
+      */
+    def decodeWavPcm(b: Array[Byte]): Option[WavAudio] = {
+      if (b == null || b.length < 44 ||
+        new String(b, 0, 4, "US-ASCII") != "RIFF" ||
+        new String(b, 8, 4, "US-ASCII") != "WAVE") return None
+      var i = 12
+      var sr = 0; var ch = 0; var bits = 0; var fmtOk = false
+      var pcm: Array[Short] = null
+      while (i + 8 <= b.length) {
+        val cid = new String(b, i, 4, "US-ASCII")
+        val len = le32(b, i + 4)
+        if (cid == "fmt " && i + 8 + 16 <= b.length) {
+          fmtOk = le16(b, i + 8) == 1 // PCM
+          ch = le16(b, i + 10)
+          sr = le32(b, i + 12)
+          bits = le16(b, i + 22)
+        } else if (cid == "data" && fmtOk) {
+          val end = math.min(b.length, i + 8 + len)
+          if (bits == 16) {
+            val n = (end - (i + 8)) / 2
+            pcm = Array.tabulate(n)(j =>
+              (u8(b, i + 8 + 2 * j) | (b(i + 8 + 2 * j + 1) << 8)).toShort)
+          } else if (bits == 8) {
+            val n = end - (i + 8)
+            // 8-bit WAV is unsigned, center 128 → signed 16-bit
+            pcm = Array.tabulate(n)(j => ((u8(b, i + 8 + j) - 128) << 8).toShort)
+          }
+        }
+        i += 8 + len + (len & 1) // chunks are word-aligned
+      }
+      if (fmtOk && pcm != null && (bits == 8 || bits == 16))
+        Some(WavAudio(sr, ch, bits, pcm))
+      else None
+    }
+
+    // ---- planting-side writers (tests + oracle queries build payloads
+    //      with these, then decode through the parsers above) ----
+
+    /** Minimal valid-enough PNG: signature + IHDR (CRC not computed — the
+      * dimension parser doesn't verify it, as most samplers don't).
+      */
+    def pngBytes(width: Int, height: Int): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(33).order(java.nio.ByteOrder.BIG_ENDIAN)
+      out.put(PngSig)
+      out.putInt(13).put("IHDR".getBytes("US-ASCII"))
+      out.putInt(width).putInt(height)
+      out.put(8.toByte).put(6.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      out.putInt(0) // CRC placeholder
+      out.array()
+    }
+
+    /** Minimal JPEG: SOI + SOF0 frame header with the dimensions. */
+    def jpegBytes(width: Int, height: Int): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(2 + 2 + 2 + 9).order(java.nio.ByteOrder.BIG_ENDIAN)
+      out.put(0xff.toByte).put(0xd8.toByte) // SOI
+      out.put(0xff.toByte).put(0xc0.toByte) // SOF0
+      out.putShort(11.toShort) // segment length (incl. itself): 2+1+2+2+1+3
+      out.put(8.toByte) // precision
+      out.putShort(height.toShort).putShort(width.toShort)
+      out.put(1.toByte).put(1.toByte).put(0x11.toByte).put(0.toByte) // 1 component
+      out.array()
+    }
+
+    /** Canonical 16-bit mono PCM WAV. */
+    def wavBytes(sampleRateHz: Int, pcm: Array[Short]): Array[Byte] = {
+      val dataLen = pcm.length * 2
+      val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      out.put("WAVE".getBytes("US-ASCII"))
+      out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      out.putShort(1).putShort(1).putInt(sampleRateHz)
+      out.putInt(sampleRateHz * 2).putShort(2).putShort(16)
+      out.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      pcm.foreach(out.putShort)
+      out.array()
+    }
     /** "Decode" to an nBins-dim feature vector: byte histogram, L1-normed. */
     def decodeFeatures(payload: Array[Byte], nBins: Int = 16): Array[Double] = {
       val hist = new Array[Double](nBins)
@@ -83,9 +226,15 @@ object Multimodal {
     media.mapPartitions { rows =>
       // per-partition setup happens here (codec init in a real deployment)
       rows.map { r =>
+        val dims = Codecs.imageDimensions(r.payload)
+        val wav = if (dims.isEmpty) Codecs.decodeWavPcm(r.payload) else None
         MediaFeatures(r.id, r.meta.kind,
           if (r.payload == null) 0L else r.payload.length.toLong,
           Codecs.checksum(r.payload),
+          dims.map(_.format), dims.map(_.width), dims.map(_.height),
+          wav.map(_.sampleRateHz), wav.map(_.nSamples),
+          wav.map(_.pcm.foldLeft(0L)(_ + _)),
+          wav.map(_.pcm.foldLeft(0)((m, v) => math.max(m, math.abs(v.toInt)))),
           Codecs.decodeFeatures(r.payload, nBins))
       }
     }

@@ -1,0 +1,67 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.Multimodal.Codecs
+
+/** Container codecs against their public specs (PNG RFC 2083, JPEG
+  * ISO/IEC 10918 markers, GIF 87a/89a, RIFF/WAVE canonical PCM).
+  */
+class CodecsSpec extends AnyFunSuite {
+
+  test("png dimensions roundtrip (big-endian IHDR)") {
+    val dims = Codecs.imageDimensions(Codecs.pngBytes(640, 123))
+    assert(dims.contains(Codecs.ImageDims("png", 640, 123)))
+  }
+
+  test("jpeg dimensions found behind skipped segments") {
+    // SOI + APP0 (len 6, junk) + SOF0: the parser must walk, not assume
+    val sof = Codecs.jpegBytes(300, 200).drop(2) // strip its SOI
+    val app0 = Array(0xff, 0xe0, 0x00, 0x06, 1, 2, 3, 4).map(_.toByte)
+    val bytes = Array(0xff.toByte, 0xd8.toByte) ++ app0 ++ sof
+    assert(Codecs.imageDimensions(bytes).contains(Codecs.ImageDims("jpeg", 300, 200)))
+  }
+
+  test("gif logical screen descriptor (little-endian)") {
+    val b = "GIF89a".getBytes("US-ASCII") ++
+      Array((320 & 0xff).toByte, (320 >> 8).toByte,
+        (64 & 0xff).toByte, (64 >> 8).toByte, 0.toByte, 0.toByte)
+    assert(Codecs.imageDimensions(b).contains(Codecs.ImageDims("gif", 320, 64)))
+  }
+
+  test("non-image bytes yield no dimensions") {
+    assert(Codecs.imageDimensions("not an image at all".getBytes).isEmpty)
+    assert(Codecs.imageDimensions(null).isEmpty)
+    assert(Codecs.imageDimensions(Array[Byte](0xff.toByte, 0xd8.toByte)).isEmpty)
+  }
+
+  test("wav 16-bit PCM roundtrip: rate, samples, values, negative amplitudes") {
+    val pcm = Array[Short](0, 100, -100, 32767, -32768, 7)
+    val wav = Codecs.decodeWavPcm(Codecs.wavBytes(16000, pcm)).get
+    assert(wav.sampleRateHz == 16000 && wav.channels == 1 && wav.bitsPerSample == 16)
+    assert(wav.pcm.toSeq == pcm.toSeq)
+    assert(wav.nSamples == 6)
+    assert(wav.toFloat(3) == 32767 / 32768.0f)
+  }
+
+  test("wav chunk walk skips unknown chunks and honors word alignment") {
+    // RIFF [LIST(len 5, odd → pad byte)] [fmt ] [data]
+    val base = Codecs.wavBytes(8000, Array[Short](5, -5))
+    val listChunk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](5, 0, 0, 0) ++ "abcde".getBytes ++ Array[Byte](0) // pad
+    val patched = base.take(12) ++ listChunk ++ base.drop(12)
+    // fix RIFF size field (bytes 4..8, little-endian)
+    val bb = java.nio.ByteBuffer.wrap(patched).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(4, patched.length - 8)
+    val wav = Codecs.decodeWavPcm(patched).get
+    assert(wav.pcm.toSeq == Seq[Short](5, -5))
+  }
+
+  test("non-wav and non-PCM payloads decode to None") {
+    assert(Codecs.decodeWavPcm("RIFFxxxxNOPE".getBytes).isEmpty)
+    assert(Codecs.decodeWavPcm(Codecs.pngBytes(4, 4)).isEmpty)
+    val wav = Codecs.wavBytes(8000, Array[Short](1))
+    wav(20) = 3 // format tag != 1 (PCM)
+    assert(Codecs.decodeWavPcm(wav).isEmpty)
+  }
+}
