@@ -93,6 +93,25 @@ object Traces {
   def powspec(trace: Trace, taperP: Double = 0.05): Array[Double] =
     ampspec(trace, taperP).map(a => a * a)
 
+  /** numpy-`nanmean` of the (optionally sliced) trace; NaN when the slice
+    * has fewer than `nptMin` samples or only NaNs
+    * (`resources/templates/paramtable.py:520-529` `meanslice`).
+    */
+  def meanslice(trace: Trace, nptMin: Int = 100,
+                start: Option[Timestamp] = None,
+                end: Option[Timestamp] = None): Double = {
+    val t =
+      if (start.nonEmpty || end.nonEmpty)
+        trace.slice(start.getOrElse(trace.startTime), end.getOrElse(trace.endTime))
+      else trace
+    if (t.data.length < nptMin) Double.NaN
+    else {
+      var s = 0.0; var n = 0
+      t.data.foreach(v => if (!v.isNaN) { s += v; n += 1 })
+      if (n == 0) Double.NaN else s / n
+    }
+  }
+
   /** PGA/PGV and their sample times: peak of |acc| and |∫acc|. */
   def peakGroundMotion(trace: Trace): (Double, Timestamp, Double, Timestamp) = {
     val acc = trace.data

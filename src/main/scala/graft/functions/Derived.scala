@@ -16,6 +16,25 @@ object Derived {
   def durationSec(start: Column, end: Column): Column =
     round(unixMicros(end) / lit(1e6) - unixMicros(start) / lit(1e6), 3)
 
+  /** SeisComP SDS archive path for a segment's miniSEED
+    * (`process/db/models.py:323-347`):
+    * `root/EID/YEAR/NET/STA/LOC/CHA.D/NET.STA.LOC.CHA.D.YEAR.DOY` with the
+    * day-of-year zero-padded to 3. Pure `Column` string/date ops — the
+    * billion-segment sink layout computes inside codegen. An empty location
+    * collapses as a path segment (like `os.path.join('')`) but stays in the
+    * dotted filename.
+    */
+  def sdsPath(root: Column, eventId: Column, net: Column, sta: Column,
+              loc: Column, cha: Column, t: Column): Column = {
+    val ts = t.cast("timestamp")
+    val doy = lpad(dayofyear(ts).cast("string"), 3, "0")
+    concat_ws("/", root, eventId.cast("string"), year(ts).cast("string"),
+      net, sta, when(loc === "", lit(null)).otherwise(loc),
+      concat(cha, lit(".D")),
+      concat_ws(".", net, sta, loc, cha, lit("D"),
+        year(ts).cast("string"), doy))
+  }
+
   /** Requested minus received span in seconds
     * (`io/db/sqlconstructs.py:80-113`).
     */

@@ -211,4 +211,19 @@ class DspSpec extends AnyFunSuite {
     val atDc = amp(math.round(0.1 / df).toInt)
     assert(at8 / atDc > 20.0, s"in-band/out-band ${at8 / atDc}")
   }
+
+  test("meanslice: optional slicing, nptMin floor, nan-mean semantics") {
+    val t0 = Timestamp.valueOf("2020-01-01 00:00:00")
+    val tr = Trace(Array.tabulate(10)(_.toDouble), fs = 1.0, t0)
+    assertClose(Traces.meanslice(tr, nptMin = 5), 4.5)
+    assert(Traces.meanslice(tr, nptMin = 100).isNaN) // too few samples
+    // slice [2 s, 6 s] -> samples 2..6, mean 4
+    val s2 = new Timestamp(t0.getTime + 2000)
+    val s6 = new Timestamp(t0.getTime + 6000)
+    assertClose(Traces.meanslice(tr, nptMin = 1, Some(s2), Some(s6)), 4.0)
+    // NaNs are excluded, like numpy.nanmean
+    val withNan = Trace(Array(1.0, Double.NaN, 3.0), 1.0, t0)
+    assertClose(Traces.meanslice(withNan, nptMin = 1), 2.0)
+    assert(Traces.meanslice(Trace(Array(Double.NaN), 1.0, t0), 1).isNaN)
+  }
 }

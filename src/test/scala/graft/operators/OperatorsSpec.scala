@@ -176,4 +176,17 @@ class OperatorsSpec extends SparkSpec {
   test("wild2re escapes regex metachars") {
     assert(Wildcards.wild2re("A.B*C?") == "A\\.B.*C.")
   }
+
+  test("sds archive path: layout, zero-padded day-of-year, empty location") {
+    import graft.functions.Derived
+    val df = Seq(
+      (7L, "GE", "APE", "", "BHZ", java.sql.Timestamp.valueOf("2016-01-04 12:00:00")),
+      (8L, "IU", "ANMO", "00", "BH1", java.sql.Timestamp.valueOf("2015-12-31 00:00:00")))
+      .toDF("eid", "net", "sta", "loc", "cha", "t")
+    val got = df.select(Derived.sdsPath(lit("/arch"), $"eid", $"net", $"sta",
+      $"loc", $"cha", $"t").as("p")).as[String].collect().toSet
+    assert(got == Set(
+      "/arch/7/2016/GE/APE/BHZ.D/GE.APE..BHZ.D.2016.004",
+      "/arch/8/2015/IU/ANMO/00/BH1.D/IU.ANMO.00.BH1.D.2015.365"))
+  }
 }
