@@ -24,6 +24,30 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(spark, dir, name)
 
+  /** q45's dataselect responder (top-level so task serialization never
+    * drags query-local state along): one 40-sample INT32 record per
+    * requested line, every 23rd station omitted, every 29th answered with
+    * rate-mismatched records.
+    */
+  private[graft] val q45Responder
+      : Option[String] => graft.net.FetchResult = { body =>
+    import graft.sources.MiniSeed
+    val out = new java.io.ByteArrayOutputStream()
+    body.getOrElse("").linesIterator.filter(_.nonEmpty).foreach { line =>
+      val Array(net, sta, _, cha, start, _) = line.split(" ")
+      val k = sta.drop(1).toLong
+      val t0 = java.sql.Timestamp.valueOf(java.time.LocalDateTime.parse(start))
+      val samples = Array.tabulate(40)(i => (((k * 31 + i * 7) % 1000) - 500).toInt)
+      if (k % 23 == 0) () // omitted → seg-not-found
+      else if (k % 29 == 0) {
+        out.write(MiniSeed.encodeInt32(net, sta, "", cha, 20.0, t0, samples))
+        out.write(MiniSeed.encodeInt32(net, sta, "", cha, 40.0, t0, samples))
+      } else
+        out.write(MiniSeed.encodeInt32(net, sta, "", cha, 20.0, t0, samples))
+    }
+    graft.net.FetchResult(Some(out.toByteArray), None, Some(200))
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * DSL-filtered lineitem joined through orders→customer→nation→region,
     * revenue per region (the SegmentView-style FK chain of SURVEY §1.5).
@@ -874,6 +898,49 @@ object SparkEntry {
         .orderBy(col("p_partkey"))
     }),
 
+    // §2.1 dataselect download flow end-to-end THROUGH the transport seam:
+    // planted candidates group into FDSN POST requests, a deterministic
+    // in-memory transport answers with multiplexed miniSEED built from the
+    // request body (every 23rd station omitted → seg-not-found, every 29th
+    // answered with rate-mismatched records → mseed error −2), and the
+    // per-segment outcome table (code, decoded sample count/sum) is
+    // recomputed arithmetically by the oracle
+    "q45_download_flow" -> ((s, dir) => {
+      import s.implicits._
+      import graft.net.{Fetch, FixtureTransport}
+      val urls = (0 until 4).map(d => s"http://dc$d/fdsnws/dataselect/1/query")
+      val tp = new FixtureTransport("q45",
+        urls.map(_ -> SparkEntry.q45Responder).toMap)
+      val candidates = t(s, dir, "supplier").select(
+        col("s_suppkey").as("seg_id"),
+        concat(lit("N"), col("s_suppkey") % 5).as("net"),
+        concat(lit("S"), col("s_suppkey")).as("sta"),
+        lit("").as("loc"),
+        element_at(array(lit("HHZ"), lit("BHZ"), lit("LHE")),
+          (col("s_suppkey") % 3 + 1).cast("int")).as("cha"),
+        (col("s_suppkey") % 4).as("datacenter_id"),
+        concat(lit("http://dc"), col("s_suppkey") % 4,
+          lit("/fdsnws/dataselect/1/query")).as("dataselect_url"),
+        expr("timestamp'2020-01-01 00:00:00' " +
+          "+ make_interval(0, 0, 0, 0, CAST(s_suppkey % 12 AS INT), 0, 0)")
+          .as("request_start"),
+        expr("timestamp'2020-01-01 00:10:00' " +
+          "+ make_interval(0, 0, 0, 0, CAST(s_suppkey % 12 AS INT), 0, 0)")
+          .as("request_end"))
+      val run = Fetch.downloadSegments(Fetch.requestGroups(candidates), tp)
+      val out = run.results.map { r =>
+        val decoded =
+          if (r.data == null || r.data.isEmpty) null
+          else graft.sources.MiniSeed.decodeSamples(r.data)
+        (r.segId, r.code,
+          if (decoded == null) None else Some(decoded.length),
+          if (decoded == null) None else Some(decoded.sum.toLong),
+          r.sampleRate)
+      }.toDF("seg_id", "code", "n_samp", "sum_counts", "fs")
+        .orderBy(col("seg_id"))
+      out
+    }),
+
     // §2.8 magnitude-dependent search radius driving the banded spatial
     // join: per-event radius from the clamped magnitude ramp, stations kept
     // within it (`stationsearch.py:206-244` + the q08 join geometry)
@@ -1379,6 +1446,20 @@ object SparkEntry {
         |FROM customer
         |WHERE c_custkey % 2 = 1
         |ORDER BY id""".stripMargin,
+    "q45_download_flow" ->
+      """SELECT s_suppkey AS seg_id,
+        |  CAST(CASE WHEN s_suppkey % 23 = 0 THEN NULL
+        |       WHEN s_suppkey % 29 = 0 THEN -2 ELSE 200 END AS BIGINT) AS code,
+        |  CAST(CASE WHEN s_suppkey % 23 != 0 AND s_suppkey % 29 != 0
+        |       THEN 40 END AS INTEGER) AS n_samp,
+        |  CAST(CASE WHEN s_suppkey % 23 != 0 AND s_suppkey % 29 != 0
+        |       THEN list_aggregate(list_transform(range(0, 40),
+        |         i -> (s_suppkey * 31 + i * 7) % 1000 - 500), 'sum')
+        |       END AS BIGINT) AS sum_counts,
+        |  CAST(CASE WHEN s_suppkey % 23 != 0 AND s_suppkey % 29 != 0
+        |       THEN 20.0 END AS DOUBLE) AS fs
+        |FROM supplier
+        |ORDER BY seg_id""".stripMargin,
     "q43_routing" ->
       """WITH t AS (
         |  SELECT p_partkey,
