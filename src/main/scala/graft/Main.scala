@@ -1,0 +1,243 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.config.DownloadConfig
+import graft.functions.{Geo, Wildcards}
+import graft.net.{Fetch, HttpTransport, Transport}
+import graft.operators.{DownloadFlow, Quarantine, StationSearch, Writers}
+import graft.sources.{FdsnText, IsfEvents, RoutingService}
+
+/** Runnable entry points — the reference's `s2s download` / `s2s process`
+  * CLI (`stream2segment/cli.py:437-527`) over the graft engine: validated
+  * YAML config in, parquet tables out. The transport is injectable so the
+  * whole CLI path is testable offline; `main` uses the real
+  * [[graft.net.HttpTransport]].
+  */
+object Main {
+
+  final case class DownloadReport(nEvents: Long, nChannels: Long,
+                                  nCandidates: Long, nSegments: Long,
+                                  codeCounts: Map[String, Long])
+
+  def main(args: Array[String]): Unit = {
+    val (cmd, cfgPath, overrides) = parseArgs(args) match {
+      case Right(t) => t
+      case Left(msg) =>
+        System.err.println(msg)
+        System.err.println(
+          "usage: graft.Main (download|process) -c <config.yaml> [-o key=value ...]")
+        sys.exit(2)
+    }
+    val raw = graft.config.YamlLite.parse(new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(cfgPath)), "UTF-8"))
+    val cfg = DownloadConfig.from(raw ++ overrides.map {
+      case (k, v) => k -> graft.config.YamlLite.scalar(v, 0)
+    }) match {
+      case Right(c) => c
+      case Left(errors) =>
+        errors.foreach(e => System.err.println(s"config error: $e"))
+        sys.exit(2)
+    }
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    try cmd match {
+      case "download" =>
+        val report = download(spark, cfg, new HttpTransport())
+        println(s"events=${report.nEvents} channels=${report.nChannels} " +
+          s"candidates=${report.nCandidates} segments=${report.nSegments}")
+        report.codeCounts.toSeq.sortBy(_._1).foreach { case (c, n) =>
+          println(f"  code $c%-6s $n%d")
+        }
+      case "process" =>
+        val (n, skipped) = process(spark, cfg)
+        println(s"processed=$n skipped=$skipped")
+    } finally spark.stop()
+  }
+
+  private def parseArgs(args: Array[String])
+      : Either[String, (String, String, Map[String, String])] = {
+    if (args.isEmpty || !Set("download", "process").contains(args(0)))
+      return Left("expected subcommand: download | process")
+    var cfg: String = null
+    val overrides = scala.collection.mutable.Map.empty[String, String]
+    var i = 1
+    while (i < args.length) {
+      args(i) match {
+        case "-c" if i + 1 < args.length => cfg = args(i + 1); i += 2
+        case "-o" if i + 1 < args.length =>
+          args(i + 1).split("=", 2) match {
+            case Array(k, v) => overrides(k) = v; i += 2
+            case _ => return Left(s"bad override '${args(i + 1)}' (want key=value)")
+          }
+        case other => return Left(s"unknown argument '$other'")
+      }
+    }
+    if (cfg == null) Left("missing -c <config.yaml>") else Right((args(0), cfg, overrides.toMap))
+  }
+
+  private val iso = java.time.format.DateTimeFormatter.ISO_LOCAL_DATE_TIME
+
+  /** The 8-step download DAG from a validated config. */
+  def download(spark: SparkSession, cfg: DownloadConfig,
+               transport: Transport): DownloadReport = {
+    import spark.implicits._
+    val timeoutMs = cfg.timeoutSec * 1000
+
+    // 1. events (FDSN text, ISF fallback — `download/modules/events.py`)
+    val evUrl = cfg.eventsUrl +
+      s"?format=text&starttime=${cfg.starttime.toLocalDateTime.format(iso)}" +
+      s"&endtime=${cfg.endtime.toLocalDateTime.format(iso)}"
+    val evRes = transport.fetch(evUrl, None, timeoutMs)
+    val evBody = new String(evRes.data.getOrElse(
+      throw new RuntimeException(s"event fetch failed: ${evRes.error.getOrElse("")}")),
+      "UTF-8")
+    val events =
+      (if (evBody.linesIterator.exists(_.startsWith("Event ")))
+        IsfEvents.parse(spark, evBody)
+      else FdsnText.parseEventLines(spark, evBody.linesIterator.toSeq))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // 2. datacenters: EIDA routing service or a single fdsnws base
+    //    (`download/modules/datacenters.py`)
+    val routingIdx =
+      if (cfg.dataUrl.contains("/routing/"))
+        Some(RoutingService.parse(new String(transport.fetch(
+          cfg.dataUrl, None, timeoutMs).data.getOrElse(Array.empty), "UTF-8")))
+      else None
+    val stationUrls: Seq[String] = routingIdx match {
+      case Some(idx) => idx.rules.keys.toSeq.sorted
+        .map(_.replace("/dataselect/", "/station/"))
+      case None => Seq(stationUrlOf(cfg.dataUrl))
+    }
+
+    // 3. channels: distributed fetch of every station service + text parse
+    val chanReqs = stationUrls.zipWithIndex
+      .map { case (u, i) => Fetch.Request(i.toLong, u + "?level=channel&format=text", None) }
+      .toDS()
+    val chanLines = Fetch.fetchAll(chanReqs, transport,
+      cfg.maxConcurrentDownloads, timeoutMs)
+      .flatMap { r =>
+        val base = stationUrls(r.key.toInt)
+        new String(r.data.getOrElse(Array.empty), "UTF-8").linesIterator
+          .map(l => (base.replace("/station/", "/dataselect/"), l))
+      }.toDF("dataselect_url", "line")
+    val channels = FdsnText.parseChannelsDf(chanLines, keep = Seq("dataselect_url"))
+
+    // 4. NSLC wildcard + sample-rate filters (`download/modules/channels.py`)
+    val filtered = channels
+      .filter(Wildcards.nslcFilter(col("network"), cfg.network) &&
+        Wildcards.nslcFilter(col("station"), cfg.station) &&
+        Wildcards.nslcFilter(col("location"), cfg.location) &&
+        Wildcards.nslcFilter(col("channel"), cfg.channel) &&
+        col("sample_rate") >= cfg.minSampleRate)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // 5. event×station search: fixed or magnitude-dependent radius
+    val r = cfg.searchRadius
+    val maxR = r.fixed.getOrElse(math.max(r.minRadius, r.maxRadius))
+    val evSide = events.select(col("event_id"), col("time"), col("magnitude"),
+      col("latitude").as("ev_lat"), col("longitude").as("ev_lon"))
+    val stSide = filtered.select(col("network"), col("station"), col("location"),
+      col("channel"), col("dataselect_url"),
+      col("latitude").as("st_lat"), col("longitude").as("st_lon"))
+    val radiusCol = r.fixed.map(lit).getOrElse(
+      Geo.magDepSearchRadius(col("magnitude"), r.minMag, r.maxMag,
+        r.minRadius, r.maxRadius))
+    val joined = StationSearch.bandedRadiusJoin(evSide, stSide,
+      col("ev_lat"), col("ev_lon"), col("st_lat"), col("st_lon"),
+      maxRadiusDeg = maxR, distCol = "dist_deg")
+      .filter(col("dist_deg") <= radiusCol)
+
+    // 6. request timebounds around the arrival (= event time; plug a
+    //    travel-time grid via DownloadFlow.withArrivalTime when configured)
+    val (reqStart, reqEnd) = DownloadFlow.requestTimebounds(
+      col("time").cast("timestamp"), -cfg.timespan._1, cfg.timespan._2)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("event_id"), col("network"), col("station"),
+        col("location"), col("channel"))
+    val candidates = joined
+      .withColumn("request_start", reqStart)
+      .withColumn("request_end", reqEnd)
+      .withColumn("seg_id", row_number().over(w).cast("long"))
+      .withColumn("datacenter_id",
+        xxhash64(col("dataselect_url")))
+      .select(col("seg_id"), col("network").as("net"), col("station").as("sta"),
+        col("location").as("loc"), col("channel").as("cha"),
+        col("datacenter_id"), col("dataselect_url"),
+        col("request_start"), col("request_end"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // 7. grouped dataselect POSTs with the backoff ladder; credentials per
+    //    datacenter url (`DcDataselectManager`, `segments.py:609-737`)
+    val urlByDc = candidates.select(col("datacenter_id"), col("dataselect_url"))
+      .distinct().as[(Long, String)].collect().toMap
+    val creds = cfg.restrictedData
+    val run = Fetch.downloadSegments(
+      Fetch.requestGroups(candidates,
+        authFor = dc => urlByDc.get(dc).flatMap(creds.get)),
+      transport, cfg.maxConcurrentDownloads, timeoutMs)
+
+    // 8. sinks: segments/events/channels parquet under outdir + code stats
+    val segDf = run.results.toDF().select(
+      col("segId").as("seg_id"), col("dcId").as("datacenter_id"),
+      col("seedId").as("data_seed_id"), col("code").as("download_code"),
+      col("data"), col("sampleRate").as("sample_rate"),
+      col("maxGap").as("maxgap_ratio"),
+      col("startTime").as("start_time"), col("endTime").as("end_time"))
+    Writers.appendParquetQuarantined(segDf, s"${cfg.outdir}/segments", "seg_id",
+      Quarantine.notNull(Seq("seg_id", "data_seed_id")))
+    events.write.mode("overwrite").parquet(s"${cfg.outdir}/events")
+    filtered.write.mode("overwrite").parquet(s"${cfg.outdir}/channels")
+
+    val codeCounts = segDf.groupBy(col("download_code")).count()
+      .collect()
+      .map(row => Option(row.get(0)).map(_.toString).getOrElse("null") -> row.getLong(1))
+      .toMap
+    val report = DownloadReport(events.count(), filtered.count(),
+      candidates.count(), segDf.count(), codeCounts)
+    run.unpersist(); events.unpersist(); filtered.unpersist(); candidates.unpersist()
+    report
+  }
+
+  private def stationUrlOf(dataUrl: String): String =
+    if (dataUrl.contains("/dataselect/")) dataUrl.replace("/dataselect/", "/station/")
+    else dataUrl.stripSuffix("/") + "/fdsnws/station/1/query"
+
+  /** Minimal processing job (`s2s process`): decode downloaded waveforms,
+    * compute per-segment features, append with resume.
+    */
+  def process(spark: SparkSession, cfg: DownloadConfig): (Long, Long) = {
+    import spark.implicits._
+    val segs = spark.read.parquet(s"${cfg.outdir}/segments")
+      .filter(col("download_code") === 200 && col("data").isNotNull)
+    val resumed = Writers.resumeFilter(segs, s"${cfg.outdir}/features", "seg_id")
+    val feats = resumed
+      .select(col("seg_id"), col("data"), col("sample_rate"),
+        col("start_time")).as[(Long, Array[Byte], Option[Double], java.sql.Timestamp)]
+      .map { case (id, bytes, fsOpt, t0) =>
+        try {
+          val samples = graft.sources.MiniSeed.decodeSamples(bytes)
+          val fs = fsOpt.getOrElse(1.0)
+          val trace = graft.dsp.Trace(samples, fs,
+            Option(t0).getOrElse(new java.sql.Timestamp(0)))
+          val (pga, _, pgv, _) = graft.dsp.Traces.peakGroundMotion(trace)
+          val mean = graft.dsp.Traces.meanslice(trace, nptMin = 1)
+          (id, samples.length, pga, pgv, mean, null.asInstanceOf[String])
+        } catch {
+          case e: Exception => (id, 0, 0.0, 0.0, 0.0, e.getMessage)
+        }
+      }.toDF("seg_id", "n_samp", "pga", "pgv", "mean", "skip_reason")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ok = feats.filter(col("skip_reason").isNull).drop("skip_reason")
+    ok.write.mode("append").parquet(s"${cfg.outdir}/features")
+    val res = (ok.count(), feats.filter(col("skip_reason").isNotNull).count())
+    feats.unpersist()
+    res
+  }
+}

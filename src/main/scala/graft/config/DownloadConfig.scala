@@ -1,0 +1,199 @@
+package graft.config
+
+import java.sql.Timestamp
+import java.time.LocalDateTime
+
+/** Validated download configuration — the reference's
+  * `download/inputvalidation.py:load_config_for_download` semantics: every
+  * parameter is checked with a per-parameter error message, unknown keys
+  * are rejected (typos never silently no-op), and either a fixed search
+  * radius or a magnitude-dependent ramp must be given. `dburl` becomes
+  * `outdir` (parquet tables replace the RDBMS).
+  */
+final case class SearchRadius(minMag: Double, maxMag: Double,
+                              minRadius: Double, maxRadius: Double,
+                              fixed: Option[Double]) {
+  def isFixed: Boolean = fixed.nonEmpty
+}
+
+final case class DownloadConfig(
+    outdir: String,
+    starttime: Timestamp,
+    endtime: Timestamp,
+    eventsUrl: String,
+    dataUrl: String,
+    searchRadius: SearchRadius,
+    timespan: (Double, Double), // minutes before/after arrival
+    network: Seq[String], station: Seq[String],
+    location: Seq[String], channel: Seq[String],
+    minSampleRate: Double,
+    retrySegNotFound: Boolean, retryUrlErr: Boolean, retryMseedErr: Boolean,
+    retryClientErr: Boolean, retryServerErr: Boolean,
+    retryTimespanErr: Boolean,
+    maxConcurrentDownloads: Int,
+    timeoutSec: Int,
+    restrictedData: Map[String, (String, String)])
+
+object DownloadConfig {
+
+  private val Known = Set(
+    "outdir", "starttime", "endtime", "events_url", "data_url",
+    "search_radius", "timespan", "network", "station", "location", "channel",
+    "min_sample_rate", "retry_seg_not_found", "retry_url_err",
+    "retry_mseed_err", "retry_client_err", "retry_server_err",
+    "retry_timespan_err", "max_concurrent_downloads", "timeout",
+    "restricted_data", "events_extra_params")
+
+  /** Parse + validate; Left = every problem found (not just the first). */
+  def from(raw: Map[String, Any]): Either[Seq[String], DownloadConfig] = {
+    val errs = scala.collection.mutable.ArrayBuffer.empty[String]
+    def err[T](msg: String, fallback: T): T = { errs += msg; fallback }
+
+    val unknown = raw.keySet.diff(Known)
+    if (unknown.nonEmpty)
+      errs += s"unknown parameter(s): ${unknown.toSeq.sorted.mkString(", ")}"
+
+    def req(key: String): Any = raw.get(key) match {
+      case Some(v) if v != null => v
+      case _ => err(s"missing parameter: $key", null)
+    }
+    def str(key: String): String = req(key) match {
+      case s: String if s.nonEmpty => s
+      case null => ""
+      case other => err(s"$key: expected string, got '$other'", "")
+    }
+    def num(v: Any, key: String): Double = v match {
+      case d: java.lang.Double => d
+      case l: java.lang.Long => l.toDouble
+      case other => err(s"$key: expected number, got '$other'", 0.0)
+    }
+    def bool(key: String, default: Boolean): Boolean = raw.get(key) match {
+      case Some(b: java.lang.Boolean) => b
+      case Some(null) | None => default
+      case Some(other) => err(s"$key: expected boolean, got '$other'", default)
+    }
+
+    /** ISO date(-time) or an integer = days relative to today at 00:00
+      * (`inputvalidation.py valid_date`: 0 = today, 1 = yesterday).
+      */
+    var datesOk = true
+    def date(key: String): Timestamp = req(key) match {
+      case null => datesOk = false; new Timestamp(0)
+      case l: java.lang.Long =>
+        Timestamp.valueOf(java.time.LocalDate.now().minusDays(l).atStartOfDay())
+      case s: String =>
+        try
+          if (s.length == 10) Timestamp.valueOf(LocalDateTime.parse(s + "T00:00:00"))
+          else Timestamp.valueOf(LocalDateTime.parse(s))
+        catch {
+          case _: Exception =>
+            datesOk = false
+            err(s"$key: not an ISO date or integer day offset: '$s'", new Timestamp(0))
+        }
+      case other =>
+        datesOk = false
+        err(s"$key: not an ISO date or integer day offset: '$other'",
+          new Timestamp(0))
+    }
+
+    val radius = req("search_radius") match {
+      case m: Map[_, _] =>
+        val mm = m.asInstanceOf[Map[String, Any]]
+        if (mm.contains("radius"))
+          SearchRadius(0, 0, 0, 0, Some(num(mm("radius"), "search_radius.radius")))
+        else {
+          val need = Seq("minmag", "maxmag", "minmag_radius", "maxmag_radius")
+          val missing = need.filterNot(mm.contains)
+          if (missing.nonEmpty)
+            err(s"search_radius: missing ${missing.mkString(", ")}",
+              SearchRadius(0, 0, 0, 0, None))
+          else {
+            val r = SearchRadius(num(mm("minmag"), "minmag"), num(mm("maxmag"), "maxmag"),
+              num(mm("minmag_radius"), "minmag_radius"),
+              num(mm("maxmag_radius"), "maxmag_radius"), None)
+            if (r.minMag > r.maxMag)
+              errs += "search_radius: minmag must be <= maxmag"
+            if (r.minRadius <= 0 || r.maxRadius <= 0)
+              errs += "search_radius: radii must be positive"
+            r
+          }
+        }
+      case null => SearchRadius(0, 0, 0, 0, None)
+      case other => err(s"search_radius: expected mapping, got '$other'",
+        SearchRadius(0, 0, 0, 0, None))
+    }
+
+    val timespan = req("timespan") match {
+      case s: Seq[_] if s.length == 2 =>
+        (num(s.head, "timespan[0]"), num(s(1), "timespan[1]"))
+      case null => (0.0, 0.0)
+      case other => err(s"timespan: expected [minutesBefore, minutesAfter], got '$other'",
+        (0.0, 0.0))
+    }
+
+    def nslc(key: String): Seq[String] = raw.get(key) match {
+      case Some(s: Seq[_]) => s.map(_.toString)
+      case Some(s: String) if s.nonEmpty => s.split(",").toSeq.map(_.trim)
+      case Some(null) | None => Seq("*")
+      case Some(other) => err(s"$key: expected list or comma string, got '$other'", Seq("*"))
+    }
+
+    val restricted: Map[String, (String, String)] = raw.get("restricted_data") match {
+      case Some(m: Map[_, _]) =>
+        m.asInstanceOf[Map[String, Any]].flatMap {
+          case (dc, cred: String) => cred.split(":", 2) match {
+            case Array(u, p) => Some(dc -> (u, p))
+            case _ => err(s"restricted_data.$dc: expected 'user:password'", None); None
+          }
+          case (dc, other) =>
+            err(s"restricted_data.$dc: expected 'user:password', got '$other'", None); None
+        }
+      case Some(null) | None => Map.empty
+      case Some(other) => err(s"restricted_data: expected mapping, got '$other'", Map.empty)
+    }
+
+    val maxConc = raw.get("max_concurrent_downloads") match {
+      case Some(l: java.lang.Long) if l > 0 => l.toInt
+      case Some(null) | None => 8
+      case Some(other) => err(s"max_concurrent_downloads: expected positive int, got '$other'", 8)
+    }
+    val timeout = raw.get("timeout") match {
+      case Some(l: java.lang.Long) if l > 0 => l.toInt
+      case Some(null) | None => 30
+      case Some(other) => err(s"timeout: expected positive int seconds, got '$other'", 30)
+    }
+    val minSr = raw.get("min_sample_rate") match {
+      case Some(v) if v != null => num(v, "min_sample_rate")
+      case _ => 0.0
+    }
+
+    val cfg = DownloadConfig(
+      outdir = str("outdir"),
+      starttime = date("starttime"), endtime = date("endtime"),
+      eventsUrl = str("events_url"), dataUrl = str("data_url"),
+      searchRadius = radius, timespan = timespan,
+      network = nslc("network"), station = nslc("station"),
+      location = nslc("location"), channel = nslc("channel"),
+      minSampleRate = minSr,
+      retrySegNotFound = bool("retry_seg_not_found", default = true),
+      retryUrlErr = bool("retry_url_err", default = true),
+      retryMseedErr = bool("retry_mseed_err", default = false),
+      retryClientErr = bool("retry_client_err", default = false),
+      retryServerErr = bool("retry_server_err", default = false),
+      retryTimespanErr = bool("retry_timespan_err", default = false),
+      maxConcurrentDownloads = maxConc, timeoutSec = timeout,
+      restrictedData = restricted)
+
+    if (datesOk && !cfg.starttime.before(cfg.endtime))
+      errs += "starttime must be before endtime"
+    if (errs.nonEmpty) Left(errs.toSeq) else Right(cfg)
+  }
+
+  def load(path: String): Either[Seq[String], DownloadConfig] =
+    try from(YamlLite.parse(
+      new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")))
+    catch {
+      case e: YamlLite.YamlError => Left(Seq(s"config parse error: ${e.getMessage}"))
+      case e: java.io.IOException => Left(Seq(s"cannot read config: ${e.getMessage}"))
+    }
+}

@@ -1,0 +1,142 @@
+package graft.config
+
+/** Minimal YAML-subset parser for graft config files — no external
+  * dependency (zero-egress build), implemented from the public YAML core
+  * spec for the subset the reference's config templates actually use
+  * (`stream2segment/resources/templates/download.yaml`): nested mappings by
+  * indentation, block sequences (`- item`), flow sequences (`[a, b]`),
+  * quoted/plain scalars, `null`/`~`, booleans, ints, floats, `#` comments.
+  *
+  * Not supported (and not needed by the templates): anchors, multi-line
+  * scalars, flow mappings, tags, multiple documents.
+  */
+object YamlLite {
+
+  final case class YamlError(msg: String, line: Int)
+    extends RuntimeException(s"line $line: $msg")
+
+  /** Parse into nested `Map[String, Any]` / `Seq[Any]` / scalar values
+    * (String, Long, Double, Boolean, null).
+    */
+  def parse(text: String): Map[String, Any] = {
+    val lines = text.linesIterator.zipWithIndex
+      .map { case (l, i) => (stripComment(l), i + 1) }
+      .filter { case (l, _) => l.trim.nonEmpty }
+      .toVector
+    val (m, rest) = parseMap(lines, 0, indentOf(lines.headOption.map(_._1).getOrElse("")))
+    if (rest.nonEmpty)
+      throw YamlError(s"unexpected content '${rest.head._1.trim}'", rest.head._2)
+    m
+  }
+
+  private def indentOf(l: String): Int = l.takeWhile(_ == ' ').length
+
+  /** Strip a `#` comment, respecting single/double quotes. */
+  private def stripComment(l: String): String = {
+    var inS = false; var inD = false
+    var i = 0
+    while (i < l.length) {
+      l.charAt(i) match {
+        case '\'' if !inD => inS = !inS
+        case '"' if !inS => inD = !inD
+        case '#' if !inS && !inD => return l.substring(0, i)
+        case _ =>
+      }
+      i += 1
+    }
+    l
+  }
+
+  private def parseMap(lines: Vector[(String, Int)], from: Int,
+                       indent: Int): (Map[String, Any], Vector[(String, Int)]) = {
+    var i = from
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, Any]
+    while (i < lines.length && indentOf(lines(i)._1) == indent &&
+      !lines(i)._1.trim.startsWith("- ")) {
+      val (line, ln) = lines(i)
+      val t = line.trim
+      val colon = findColon(t)
+      if (colon < 0) throw YamlError(s"expected 'key: value', got '$t'", ln)
+      val key = unquote(t.substring(0, colon).trim, ln)
+      val rhs = t.substring(colon + 1).trim
+      if (rhs.nonEmpty) {
+        out(key) = scalar(rhs, ln)
+        i += 1
+      } else {
+        // nested block: mapping or sequence at deeper indentation
+        val childIdx = i + 1
+        if (childIdx >= lines.length || indentOf(lines(childIdx)._1) <= indent) {
+          out(key) = null // `key:` with no body = null
+          i += 1
+        } else {
+          val childIndent = indentOf(lines(childIdx)._1)
+          if (lines(childIdx)._1.trim.startsWith("- ")) {
+            val (seq, rest) = parseSeq(lines, childIdx, childIndent)
+            out(key) = seq
+            i = lines.length - rest.length
+          } else {
+            val (m, rest) = parseMap(lines, childIdx, childIndent)
+            out(key) = m
+            i = lines.length - rest.length
+          }
+        }
+      }
+    }
+    (out.toMap, lines.drop(i))
+  }
+
+  private def parseSeq(lines: Vector[(String, Int)], from: Int,
+                       indent: Int): (Seq[Any], Vector[(String, Int)]) = {
+    var i = from
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    while (i < lines.length && indentOf(lines(i)._1) == indent &&
+      lines(i)._1.trim.startsWith("- ")) {
+      val (line, ln) = lines(i)
+      out += scalar(line.trim.drop(2).trim, ln)
+      i += 1
+    }
+    (out.toSeq, lines.drop(i))
+  }
+
+  /** First unquoted colon followed by space-or-EOL (urls contain `://`). */
+  private def findColon(t: String): Int = {
+    var inS = false; var inD = false
+    var i = 0
+    while (i < t.length) {
+      t.charAt(i) match {
+        case '\'' if !inD => inS = !inS
+        case '"' if !inS => inD = !inD
+        case ':' if !inS && !inD &&
+          (i + 1 == t.length || t.charAt(i + 1) == ' ') => return i
+        case _ =>
+      }
+      i += 1
+    }
+    -1
+  }
+
+  private def unquote(s: String, ln: Int): String =
+    if (s.length >= 2 && ((s.head == '\'' && s.last == '\'') ||
+      (s.head == '"' && s.last == '"'))) s.substring(1, s.length - 1)
+    else s
+
+  /** Parse one scalar token (also used for CLI `-o key=value` overrides). */
+  def scalar(s: String, ln: Int): Any = {
+    if (s == "null" || s == "~" || s == "Null" || s == "NULL") null
+    else if (s == "true" || s == "True") java.lang.Boolean.TRUE
+    else if (s == "false" || s == "False") java.lang.Boolean.FALSE
+    else if (s.startsWith("[")) {
+      if (!s.endsWith("]")) throw YamlError(s"unterminated flow sequence '$s'", ln)
+      val inner = s.substring(1, s.length - 1).trim
+      if (inner.isEmpty) Seq.empty
+      else inner.split(",").toSeq.map(x => scalar(x.trim, ln))
+    } else if (s.head == '\'' || s.head == '"') unquote(s, ln)
+    else
+      try java.lang.Long.valueOf(java.lang.Long.parseLong(s))
+      catch {
+        case _: NumberFormatException =>
+          try java.lang.Double.valueOf(java.lang.Double.parseDouble(s))
+          catch { case _: NumberFormatException => s }
+      }
+  }
+}

@@ -67,8 +67,12 @@ object FdsnText {
   def parseEventsDf(raw: DataFrame): DataFrame =
     parse(raw.sparkSession, splitLinesDf(raw, eventCols.size), eventCols)
 
-  def parseChannelsDf(raw: DataFrame): DataFrame =
-    parse(raw.sparkSession, splitLinesDf(raw, channelCols.size), channelCols)
+  /** `keep`: passthrough columns of `raw` carried untouched alongside the
+    * parsed fields (e.g. the datacenter url a response line came from).
+    */
+  def parseChannelsDf(raw: DataFrame, keep: Seq[String] = Nil): DataFrame =
+    parse(raw.sparkSession, splitLinesDf(raw, channelCols.size, keep),
+      channelCols, keep)
 
   private def rawSchema(n: Int): StructType =
     StructType((0 until n).map(i => StructField(s"_c$i", StringType)))
@@ -78,7 +82,8 @@ object FdsnText {
     splitLinesDf(lines.toDF("line"), n)
   }
 
-  private def splitLinesDf(raw: DataFrame, n: Int): DataFrame = {
+  private def splitLinesDf(raw: DataFrame, n: Int,
+                           keep: Seq[String] = Nil): DataFrame = {
     val df = raw
       .filter(length(trim(col("line"))) > 0 && !col("line").startsWith("#"))
       .withColumn("__p", split(col("line"), "\\|"))
@@ -92,7 +97,8 @@ object FdsnText {
     * (e.g. `event_type` from older servers) fills with nulls.
     */
   private def parse(spark: SparkSession, raw: DataFrame,
-                    cols: Seq[(String, DataType, Boolean)]): DataFrame = {
+                    cols: Seq[(String, DataType, Boolean)],
+                    keep: Seq[String] = Nil): DataFrame = {
     var df = raw
     val typed = cols.zipWithIndex.map { case ((name, dt, _), i) =>
       val src = col(s"_c$i")
@@ -107,7 +113,7 @@ object FdsnText {
           when(src.isNull, lit(null).cast(StringType)).otherwise(trimmed)
       }).as(name)
     }
-    df = df.select(typed: _*)
+    df = df.select(typed ++ keep.map(col): _*)
     val required = cols.filter(!_._3).map(_._1)
     df.na.drop(required)
   }

@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.config.DownloadConfig
+import graft.net.{FetchResult, FixtureTransport}
+
+/** Config-driven CLI path (`s2s download` / `s2s process` analog): YAML →
+  * validated config → the full download DAG over a fixture transport →
+  * parquet sinks → processing with append resume.
+  */
+class MainSpec extends SparkSpec {
+
+  private def fixture(name: String): Array[Byte] =
+    Files.readAllBytes(Paths.get(s"/root/reference/tests/data/$name"))
+
+  test("download + process from a YAML config over fixture transport") {
+    val outdir = Files.createTempDirectory("graft_cli").toString
+    val yaml =
+      s"""# graft download config
+         |outdir: '$outdir'
+         |starttime: 2011-01-01T00:00:00
+         |endtime: 2011-02-01T00:00:00
+         |events_url: 'http://evsvc/fdsnws/event/1/query'
+         |data_url: 'http://routing/eidaws/routing/1/query'
+         |search_radius:
+         |  radius: 25.0
+         |timespan: [1.0, 5.0]
+         |min_sample_rate: 0
+         |""".stripMargin
+    val cfgPath = Files.createTempFile("graft_cfg", ".yaml")
+    Files.writeString(cfgPath, yaml)
+    val cfg = DownloadConfig.load(cfgPath.toString).toOption.get
+
+    val eventsUrl = "http://evsvc/fdsnws/event/1/query" +
+      "?format=text&starttime=2011-01-01T00:00:00&endtime=2011-02-01T00:00:00"
+    val stationUrl = "http://geofon.gfz-potsdam.de/fdsnws/station/1/query" +
+      "?level=channel&format=text"
+    val dataselectUrl = "http://geofon.gfz-potsdam.de/fdsnws/dataselect/1/query"
+    val tp = new FixtureTransport("cli", Map(
+      eventsUrl -> FixtureTransport.ok(fixture("event_request_sample_iris.txt")),
+      "http://routing/eidaws/routing/1/query" ->
+        FixtureTransport.ok(fixture("eida_routing_service_response.txt")),
+      stationUrl -> FixtureTransport.ok(fixture("channel_query_response.txt")),
+      dataselectUrl -> graft.net.DownloadE2ESpec.dataselectResponder))
+
+    val report = Main.download(spark, cfg, tp)
+    // same planted truth as DownloadE2ESpec: 4 events, 36 channels (only
+    // geofon's station service answers), 9 in-radius candidates, of which
+    // 7 download, 1 seg-not-found, 1 mseed error
+    assert(report.nEvents == 4)
+    assert(report.nChannels == 36)
+    assert(report.nCandidates == 9)
+    assert(report.nSegments == 9)
+    assert(report.codeCounts == Map("200" -> 7L, "-2" -> 1L, "null" -> 1L))
+    assert(spark.read.parquet(s"$outdir/segments").count() == 9)
+    assert(spark.read.parquet(s"$outdir/events").count() == 4)
+    assert(spark.read.parquet(s"$outdir/channels").count() == 36)
+
+    // processing: features for the 7 downloaded segments, resume on re-run
+    val (n1, skipped1) = Main.process(spark, cfg)
+    assert(n1 == 7 && skipped1 == 0)
+    assert(spark.read.parquet(s"$outdir/features").count() == 7)
+    val (n2, _) = Main.process(spark, cfg)
+    assert(n2 == 0) // append resume: nothing left to do
+  }
+
+  test("invalid config reports every error instead of the first") {
+    val cfgPath = Files.createTempFile("graft_badcfg", ".yaml")
+    Files.writeString(cfgPath,
+      """outdir: '/tmp/x'
+        |starttime: 2011-01-01
+        |endtime: 2010-01-01
+        |events_url: 'http://ev/q'
+        |data_url: 'http://dc/fdsnws/dataselect/1/query'
+        |search_radius:
+        |  radius: 10.0
+        |timespan: [1.0, 5.0]
+        |surprise_key: 1
+        |""".stripMargin)
+    val Left(errs) = DownloadConfig.load(cfgPath.toString): @unchecked
+    assert(errs.exists(_.contains("unknown parameter(s): surprise_key")))
+    assert(errs.exists(_.contains("starttime must be before endtime")))
+  }
+}

@@ -1,0 +1,82 @@
+package graft.config
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class ConfigSpec extends AnyFunSuite {
+
+  test("yaml subset: nested maps, lists, scalars, comments, urls") {
+    val m = YamlLite.parse(
+      """# top comment
+        |outdir: '/tmp/x'   # inline comment
+        |events_url: 'http://seismicportal.eu/fdsnws/event/1/query'
+        |minmag: 4.0
+        |n: 3
+        |flag: true
+        |nothing: null
+        |empty_key:
+        |timespan: [1.0, 6.5]
+        |search_radius:
+        |  minmag: 3.0
+        |  maxmag: 7.0
+        |channels:
+        |  - 'HH?'
+        |  - BH?
+        |""".stripMargin)
+    assert(m("outdir") == "/tmp/x")
+    assert(m("events_url") == "http://seismicportal.eu/fdsnws/event/1/query")
+    assert(m("minmag") == 4.0 && m("n") == 3L && m("flag") == true)
+    assert(m("nothing") == null && m("empty_key") == null)
+    assert(m("timespan") == Seq(1.0, 6.5))
+    assert(m("search_radius") == Map("minmag" -> 3.0, "maxmag" -> 7.0))
+    assert(m("channels") == Seq("HH?", "BH?"))
+  }
+
+  private def base: Map[String, Any] = Map(
+    "outdir" -> "/tmp/dl",
+    "starttime" -> "2011-01-01",
+    "endtime" -> "2011-02-01T00:00:00",
+    "events_url" -> "http://ev/query",
+    "data_url" -> "http://dc/fdsnws/dataselect/1/query",
+    "search_radius" -> Map("minmag" -> 3.0, "maxmag" -> 7.0,
+      "minmag_radius" -> 5.0, "maxmag_radius" -> 30.0),
+    "timespan" -> Seq(1.0, 5.0))
+
+  test("config: valid mag-dependent radius config parses") {
+    val cfg = DownloadConfig.from(base).toOption.get
+    assert(cfg.starttime == java.sql.Timestamp.valueOf("2011-01-01 00:00:00"))
+    assert(cfg.searchRadius.maxRadius == 30.0 && !cfg.searchRadius.isFixed)
+    assert(cfg.timespan == (1.0, 5.0))
+    assert(cfg.network == Seq("*")) // NSLC defaults to match-all
+    assert(cfg.retrySegNotFound && !cfg.retryMseedErr)
+  }
+
+  test("config: unknown keys, missing params and bad radius all reported") {
+    val bad = base - "outdir" +
+      ("serch_radius" -> 1) + // typo must not silently no-op
+      ("search_radius" -> Map("minmag" -> 7.0, "maxmag" -> 3.0,
+        "minmag_radius" -> 5.0, "maxmag_radius" -> 30.0))
+    val Left(errs) = DownloadConfig.from(bad): @unchecked
+    assert(errs.exists(_.contains("unknown parameter")), errs)
+    assert(errs.exists(_.contains("missing parameter: outdir")), errs)
+    assert(errs.exists(_.contains("minmag must be <= maxmag")), errs)
+  }
+
+  test("config: integer dates are day offsets; start must precede end") {
+    val cfg = DownloadConfig.from(base +
+      ("starttime" -> 1L) + ("endtime" -> 0L)).toOption.get
+    assert(cfg.starttime.before(cfg.endtime))
+    val Left(errs) = DownloadConfig.from(base +
+      ("starttime" -> "2012-01-01") + ("endtime" -> "2011-01-01")): @unchecked
+    assert(errs == Seq("starttime must be before endtime"))
+  }
+
+  test("config: restricted_data credentials and fixed radius") {
+    val cfg = DownloadConfig.from(base +
+      ("search_radius" -> Map("radius" -> 10.0)) +
+      ("restricted_data" -> Map(
+        "http://dc/fdsnws/dataselect/1/query" -> "user:pa:ss"))).toOption.get
+    assert(cfg.searchRadius.fixed.contains(10.0))
+    // password may itself contain ':' (split limit 2)
+    assert(cfg.restrictedData("http://dc/fdsnws/dataselect/1/query") == ("user", "pa:ss"))
+  }
+}
