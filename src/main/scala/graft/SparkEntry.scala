@@ -616,7 +616,18 @@ object SparkEntry {
         ship.as("request_start"),
         (ship + expr("INTERVAL 5 MINUTE")).as("request_end"),
         lit(false).as("queryauth"))
-      val view = graft.model.SegmentView.build(seg, ev, ch, st, dc)
+      // class labellings: every 7th segment twice, every 13th once — the
+      // classlabels_count pre-aggregated outer join (models.py:307-315).
+      // distinct() because the synthetic lineitem repeats (orderkey, line)
+      // pairs, and a labelling exists once per (segment, label)
+      val segIds = t(s, dir, "lineitem")
+        .select((col("l_orderkey") * 10 + col("l_linenumber")).as("segment_id"))
+        .distinct()
+      val labels = segIds.filter(col("segment_id") % 7 === 0)
+        .select(col("segment_id"), explode(array(lit("a"), lit("b"))).as("label"))
+        .unionByName(segIds.filter(col("segment_id") % 13 === 0)
+          .select(col("segment_id"), lit("c").as("label")))
+      val view = graft.model.SegmentView.build(seg, ev, ch, st, dc, Some(labels))
       Selection.filter(view, Map(
         "event_magnitude" -> "[4, 7)",
         "channel_band_code" -> "=H",
@@ -627,6 +638,7 @@ object SparkEntry {
           round(col("event_distance_km"), 2).as("dist_km"),
           col("duration_sec"), col("missing_data_ratio"),
           round(col("event_magnitude"), 1).as("mag"),
+          col("classlabels_count").as("n_labels"),
           col("datacenter_organization_name").as("dc_org"))
         .orderBy(col("id"))
     }),
@@ -939,6 +951,42 @@ object SparkEntry {
       }.toDF("seg_id", "code", "n_samp", "sum_counts", "fs")
         .orderBy(col("seg_id"))
       out
+    }),
+
+    // §2.2 station-validity window filter (`stationsearch.py:84-94`): the
+    // station must open before the event and not close until at least one
+    // day after; null end_time = still open
+    "q46_station_validity" -> ((s, dir) => {
+      import graft.operators.StationSearch
+      val st = t(s, dir, "supplier").select(col("s_suppkey"),
+        expr("timestamp'1992-01-01 00:00:00' " +
+          "+ make_interval(0, 0, 0, CAST(s_suppkey % 3000 AS INT), 0, 0, 0)")
+          .as("sta_start"))
+        .withColumn("sta_end",
+          when(col("s_suppkey") % 3 === 0, lit(null).cast("timestamp"))
+            .otherwise(expr("sta_start " +
+              "+ make_interval(0, 0, 0, CAST(s_suppkey % 500 + 2 AS INT), 0, 0, 0)")))
+      val ev = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate").cast("timestamp").as("time"))
+      ev.join(st, col("o_orderkey") % 25 === col("s_suppkey") % 25 &&
+        StationSearch.validityWindow(col("time"), col("sta_start"), col("sta_end")))
+        .select(col("o_orderkey"), col("s_suppkey"))
+        .orderBy(col("o_orderkey"), col("s_suppkey"))
+    }),
+
+    // §2.5 suspicious-duplicate detection (`segments.py:230-250`): same
+    // (channel, requested timespan) appearing more than once
+    "q47_suspicious_dups" -> ((s, dir) => {
+      import graft.operators.DownloadFlow
+      val segs = t(s, dir, "lineitem").select(
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("seg_id"),
+        col("l_suppkey").as("channel_id"),
+        date_trunc("day", col("l_shipdate").cast("timestamp")).as("request_start"))
+        .withColumn("request_end", col("request_start") + expr("INTERVAL 5 MINUTE"))
+      DownloadFlow.suspiciousDuplicates(segs)
+        .select(col("seg_id"), col("channel_id"),
+          unix_millis(col("request_start")).as("start_ms"))
+        .orderBy(col("seg_id"))
     }),
 
     // §2.8 magnitude-dependent search radius driving the banded spatial
@@ -1446,6 +1494,27 @@ object SparkEntry {
         |FROM customer
         |WHERE c_custkey % 2 = 1
         |ORDER BY id""".stripMargin,
+    "q46_station_validity" ->
+      """SELECT o_orderkey, s_suppkey
+        |FROM orders JOIN supplier ON o_orderkey % 25 = s_suppkey % 25
+        |WHERE TIMESTAMP '1992-01-01 00:00:00'
+        |    + to_days(CAST(s_suppkey % 3000 AS INTEGER)) <= o_orderdate
+        |  AND (s_suppkey % 3 = 0 OR
+        |    TIMESTAMP '1992-01-01 00:00:00'
+        |      + to_days(CAST(s_suppkey % 3000 AS INTEGER))
+        |      + to_days(CAST(s_suppkey % 500 + 2 AS INTEGER))
+        |      >= o_orderdate + INTERVAL 1 DAY)
+        |ORDER BY o_orderkey, s_suppkey""".stripMargin,
+    "q47_suspicious_dups" ->
+      """SELECT seg_id, channel_id, start_ms FROM (
+        |  SELECT l_orderkey * 10 + l_linenumber AS seg_id,
+        |    l_suppkey AS channel_id,
+        |    epoch_ms(date_trunc('day', l_shipdate)) AS start_ms,
+        |    count(*) OVER (PARTITION BY l_suppkey, date_trunc('day', l_shipdate))
+        |      AS n
+        |  FROM lineitem)
+        |WHERE n > 1
+        |ORDER BY seg_id""".stripMargin,
     "q45_download_flow" ->
       """SELECT s_suppkey AS seg_id,
         |  CAST(CASE WHEN s_suppkey % 23 = 0 THEN NULL
@@ -1533,6 +1602,8 @@ object SparkEntry {
         |  CAST(240.0 AS DOUBLE) AS duration_sec,
         |  CAST(0.2 AS DOUBLE) AS missing_data_ratio,
         |  round(CAST(o.o_orderkey % 80 AS DOUBLE) / 10.0, 1) AS mag,
+        |  CAST(CASE WHEN s.id % 7 = 0 THEN 2 ELSE 0 END
+        |     + CASE WHEN s.id % 13 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_labels,
         |  n.n_name AS dc_org
         |FROM seg s
         |JOIN cha c ON s.ch_id = c.s_suppkey

@@ -237,6 +237,34 @@ object Fetch {
     DownloadRun(acc, attempts, cached.toSeq)
   }
 
+  /** Per-station StationXML `level=response` fetch → gzip-compressed blob
+    * (`download/modules/stations.py:102-151` `save_inventories`): one
+    * request per station, executor-side, the response stored compressed
+    * exactly like the reference keeps its inventory_xml column. Failed
+    * fetches are dropped (the reference logs and skips them).
+    */
+  def fetchInventories(stations: Dataset[(Long, String)], transport: Transport,
+                       concurrency: Int = 8,
+                       timeoutMs: Int = 30000): Dataset[(Long, Array[Byte])] = {
+    import stations.sparkSession.implicits._
+    val reqs = stations.map { case (id, url) => Request(id, url, None) }
+    fetchAll(reqs, transport, concurrency, timeoutMs)
+      .flatMap { r =>
+        r.data.filter(_.nonEmpty).map { bytes =>
+          val gz =
+            if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f &&
+              (bytes(1) & 0xff) == 0x8b) bytes // already gzip
+            else {
+              val bos = new java.io.ByteArrayOutputStream()
+              val out = new java.util.zip.GZIPOutputStream(bos)
+              out.write(bytes); out.close()
+              bos.toByteArray
+            }
+          (r.key, gz)
+        }
+      }
+  }
+
   /** Build dataselect request groups from a segment-candidate DataFrame
     * with columns (seg_id, net, sta, loc, cha, datacenter_id,
     * dataselect_url, request_start, request_end): one group per

@@ -66,6 +66,20 @@ object SyncTable {
       cached = if (persistIntermediate) Some(resolved) else None)
   }
 
+  /** The `dbsyncdf` report line (`io/db/pdsql.py:214-260` logs inserted /
+    * updated / discarded): rejected = constraint quarantine, dropped =
+    * removed by the natural-key dedup step.
+    */
+  final case class SyncMetrics(inserted: Long, updated: Long,
+                               rejected: Long, droppedDuplicates: Long)
+
+  def metrics(input: DataFrame, result: SyncResult,
+              rejected: Option[DataFrame] = None): SyncMetrics = {
+    val (ins, upd) = result.stats()
+    val rej = rejected.map(_.count()).getOrElse(0L)
+    SyncMetrics(ins, upd, rej, input.count() - rej - ins - upd)
+  }
+
   /** [[sync]] with reject isolation (`DbManager`'s per-chunk
     * reject-and-continue, `pdsql.py:522-563`, done row-level): rows
     * violating `checks` (default: non-null natural key) land in the

@@ -177,6 +177,23 @@ class DownloadE2ESpec extends SparkSpec {
     assert(Fetch.fetchAll(reqs, tp).collect().head.code.isEmpty)
   }
 
+  test("inventory fetch: per-station responses stored as gzip blobs, failures dropped") {
+    import spark.implicits._
+    val xml = fixture("inventory_GE.APE.xml")
+    val url = "http://inv/fdsnws/station/1/query?sta=APE&level=response"
+    val tp = new FixtureTransport("inv", Map(url -> FixtureTransport.ok(xml)))
+    val stations = Seq((7L, url), (8L, "http://inv/unknown")).toDS()
+    val got = Fetch.fetchInventories(stations, tp).collect().toMap
+    assert(got.keySet == Set(7L)) // the 404 station is dropped
+    val blob = got(7L)
+    assert((blob(0) & 0xff) == 0x1f && (blob(1) & 0xff) == 0x8b) // gzip magic
+    // stored blob roundtrips through the decompress-sniffing parser
+    val resp = graft.sources.Inventory.parse(blob)
+    assert(resp.nonEmpty)
+    assert(resp.exists(r => r.network == "GE" && r.station == "APE"))
+    assert(resp.head.stages.nonEmpty)
+  }
+
   test("dataselect POST body format: -- for empty location, ISO times") {
     val r = Fetch.SegRequest("u", 1L,
       Timestamp.valueOf("2015-01-02 03:04:05"),

@@ -29,6 +29,21 @@ class QuarantineSpec extends SparkSpec {
     assert(merged == Map("a" -> 11.0, "b" -> 20.0, "c" -> 30.0))
   }
 
+  test("sync metrics: inserted / updated / rejected / dropped-duplicate counts") {
+    val target = Seq((1L, "a", 10.0)).toDF("id", "name", "bal")
+    val incoming = Seq(
+      (Some("a"), 11.0), (Some("a"), 12.0), // second is a dropped duplicate
+      (None, 99.0),                         // rejected (null key)
+      (Some("c"), 30.0)                     // insert
+    ).toDF("name", "bal").withColumn("id", lit(null).cast("long"))
+      .select(col("id"), col("name"), col("bal"))
+    val (result, rejected) = SyncTable.syncQuarantined(
+      incoming, target, matchCols = Seq("name"))
+    val m = SyncTable.metrics(incoming, result, Some(rejected))
+    result.unpersist()
+    assert(m == SyncTable.SyncMetrics(1, 1, 1, 1))
+  }
+
   test("first failing named check wins as the reason") {
     val df = Seq((null.asInstanceOf[String], "xx"), ("v", "xx"), ("v", "7"))
       .toDF("a", "n")
