@@ -50,11 +50,18 @@ object SegmentProcessor {
     * @param alreadyDone optional ids already in the output (append resume)
     * @return (output DataFrame, skipped DataFrame(segment_id, reason))
     */
+  /** `clustered = true`: the input is already clustered by `stationCol`
+    * (e.g. a `Bucketing.writeBucketed` table) — skip the per-job
+    * repartition+sort and map the scan partitions directly. At the 100 TB
+    * operating point this removes the one full-data shuffle of every
+    * processing run.
+    */
   def run(view: DataFrame, selection: Map[String, String],
           outSchema: StructType,
           f: SegmentCtx => Either[String, Seq[Any]],
           alreadyDone: Option[DataFrame] = None,
-          idCol: String = "id", stationCol: String = "station_id")
+          idCol: String = "id", stationCol: String = "station_id",
+          clustered: Boolean = false)
          (implicit spark: SparkSession): (DataFrame, DataFrame) = {
 
     var selected = Selection.filter(view, selection)
@@ -63,9 +70,11 @@ object SegmentProcessor {
         done.select(col(done.columns.head).as(idCol)), Seq(idCol), "left_anti")
     }
     val partitions = selected.sparkSession.sessionState.conf.numShufflePartitions
-    val arranged = selected
-      .repartition(partitions, col(stationCol))
-      .sortWithinPartitions(col(stationCol), col(idCol))
+    val arranged =
+      if (clustered) selected
+      else selected
+        .repartition(partitions, col(stationCol))
+        .sortWithinPartitions(col(stationCol), col(idCol))
 
     val idIdx = arranged.schema.fieldIndex(idCol)
     val resultSchema = new StructType(

@@ -1,0 +1,41 @@
+package graft.tables
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed storage for the station-locality operating point.
+  *
+  * At the 100 TB scale the dominant repeated cost is re-clustering segments
+  * by station for every processing run (`SegmentProcessor.run` repartitions
+  * + sorts per job). Writing the segment table bucketed+sorted by
+  * `station_id` pays that shuffle ONCE at ingest: every later groupBy /
+  * equi-join / mapPartitions pass keyed on the bucket column reads
+  * pre-clustered files with no Exchange in the plan (Spark's bucketing
+  * transfers the hash distribution to the scan), and
+  * `SegmentProcessor.run(clustered = true)` skips its repartition+sort.
+  *
+  * The reference gets the same locality from its `ORDER BY station_id`
+  * server-side cursor (`process/main.py:285-334`); bucketing is the
+  * storage-level equivalent that also survives across jobs.
+  */
+object Bucketing {
+
+  /** Write as a bucketed, per-bucket-sorted table in the session catalog.
+    * `nBuckets` should match the downstream parallelism target.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    nBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val sorted = if (sortCols.isEmpty) Seq(bucketCol) else sortCols
+    df.write
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(sorted.head, sorted.tail: _*)
+      .mode("overwrite")
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** True when `plan` contains no shuffle Exchange (bucketing satisfied the
+    * required distribution) — assertable in tests and ops checks.
+    */
+  def shuffleFree(df: DataFrame): Boolean =
+    !df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+}

@@ -1,0 +1,42 @@
+package graft.model
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.tables.Bucketing
+
+/** Bucketed storage removes the per-job station shuffle. */
+class BucketingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("groupBy and self-join on the bucket column plan without a shuffle") {
+    val segs = (1L to 1000L).map(i => (i, i % 37, i * 2.0))
+      .toDF("id", "station_id", "v")
+    Bucketing.writeBucketed(segs, "segs_bucketed", "station_id", 4,
+      sortCols = Seq("station_id", "id"))
+    try {
+      val t = spark.table("segs_bucketed")
+
+      val agg = t.groupBy("station_id").agg(sum("v").as("sv"))
+      assert(Bucketing.shuffleFree(agg),
+        agg.queryExecution.executedPlan.toString)
+      // and the result is still right
+      assert(agg.count() == 37)
+
+      // co-located equi-join: both sides read the same bucketing → no
+      // exchange on either side
+      val joined = t.as("a").join(spark.table("segs_bucketed").as("b"),
+        col("a.station_id") === col("b.station_id") && col("a.id") === col("b.id"))
+      assert(Bucketing.shuffleFree(joined),
+        joined.queryExecution.executedPlan.toString)
+      assert(joined.count() == 1000)
+
+      // the unbucketed plan DOES shuffle — the assertion above is meaningful
+      val plain = segs.groupBy("station_id").agg(sum("v"))
+      assert(!Bucketing.shuffleFree(plain))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS segs_bucketed")
+      ()
+    }
+  }
+}
