@@ -183,13 +183,20 @@ object Main {
         authFor = dc => urlByDc.get(dc).flatMap(creds.get)),
       transport, cfg.maxConcurrentDownloads, timeoutMs)
 
-    // 8. sinks: segments/events/channels parquet under outdir + code stats
+    // 8. sinks: segments/events/channels parquet under outdir + code stats.
+    // queryauth records which rows went through a credentialed request
+    // (`segments.py:303-310`)
+    val restrictedDcIds = urlByDc.collect {
+      case (dc, url) if creds.contains(url) => dc
+    }.toSet
     val segDf = run.results.toDF().select(
       col("segId").as("seg_id"), col("dcId").as("datacenter_id"),
       col("seedId").as("data_seed_id"), col("code").as("download_code"),
       col("data"), col("sampleRate").as("sample_rate"),
       col("maxGap").as("maxgap_ratio"),
       col("startTime").as("start_time"), col("endTime").as("end_time"))
+      .withColumn("queryauth",
+        col("datacenter_id").isin(restrictedDcIds.toSeq: _*))
     Writers.appendParquetQuarantined(segDf, s"${cfg.outdir}/segments", "seg_id",
       Quarantine.notNull(Seq("seg_id", "data_seed_id")))
     events.write.mode("overwrite").parquet(s"${cfg.outdir}/events")

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Key-salting for skewed shuffles — the manual complement to AQE's
+  * skew-join splitting, for the cases AQE doesn't cover (skewed
+  * aggregations; joins where runtime stats arrive too late). A hot key
+  * (one station with 10⁹ segments, one boilerplate fingerprint) otherwise
+  * serializes into a single reducer at the 100 TB operating point.
+  */
+object Salt {
+
+  /** Deterministic per-row salt in [0, nSalts): spreads each key's rows
+    * over `nSalts` reducers. Partition-offset based, so no rand() —
+    * deterministic under task retries.
+    */
+  def saltCol(nSalts: Int): Column =
+    pmod(xxhash64(monotonically_increasing_id()), lit(nSalts.toLong))
+
+  /** Skew-safe sum/count aggregation: pre-aggregate on (keys, salt) —
+    * bounding any reducer's input to ~|hottest group|/nSalts — then
+    * finish on the keys. Emits `sum_<col>` per summed column and `cnt`.
+    * Same result as the direct groupBy for these algebraic aggregates.
+    */
+  def saltedAgg(df: DataFrame, keys: Seq[String], nSalts: Int,
+                sums: Seq[String]): DataFrame = {
+    val partial = df.withColumn("__salt", saltCol(nSalts))
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(count(lit(1)).as("cnt"),
+        sums.map(c => sum(col(c)).as(s"sum_$c")): _*)
+    partial.groupBy(keys.map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"),
+        sums.map(c => sum(col(s"sum_$c")).as(s"sum_$c")): _*)
+  }
+
+  /** Skew-safe inner equi-join: salt the big side's rows, replicate the
+    * small side once per salt value, join on (keys, salt). Row-identical
+    * to the plain join; the hot key's probe rows spread over `nSalts`
+    * tasks instead of one.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+                 nSalts: Int): DataFrame = {
+    val b = big.withColumn("__salt", saltCol(nSalts))
+    val s = small.withColumn("__salt",
+      explode(sequence(lit(0L), lit(nSalts.toLong - 1))))
+    b.join(s, keys :+ "__salt").drop("__salt")
+  }
+}

@@ -84,21 +84,32 @@ object Ivf {
     centroids
   }
 
-  /** Nearest-centroid cell id for every row (broadcast argmin scan). */
-  private def cellExpr(vec: Column, centroids: Array[(Int, Array[Float])],
-                       n: Int): Column = {
-    // struct(cos DESC, cell ASC) ordering via array_sort on (-cos, cell)
-    val scored = array(centroids.map { case (cell, cv) =>
+  private def scoredArray(vec: Column,
+                          centroids: Array[(Int, Array[Float])]): Column =
+    array(centroids.map { case (cell, cv) =>
       struct((-Cosine.cosineF(vec,
         typedlit(cv))).as("negcos"), lit(cell).as("cell"))
     }.toIndexedSeq: _*)
-    slice(transform(array_sort(scored), s => s.getField("cell")), 1, n)
-  }
+
+  /** Nearest-`n` centroid cell ids (probe list; n small, sort is fine). */
+  private def cellExpr(vec: Column, centroids: Array[(Int, Array[Float])],
+                       n: Int): Column =
+    // struct(cos DESC, cell ASC) ordering via array_sort on (-cos, cell)
+    slice(transform(array_sort(scoredArray(vec, centroids)),
+      s => s.getField("cell")), 1, n)
 
   def assign(corpus: DataFrame, vecCol: String,
-             centroids: Array[(Int, Array[Float])]): DataFrame =
-    corpus.withColumn("__cell",
-      element_at(cellExpr(col(vecCol), centroids, 1), 1))
+             centroids: Array[(Int, Array[Float])]): DataFrame = {
+    // the per-row assign is argmin, not top-n: an O(k) fold instead of the
+    // O(k log k) struct sort — centroids are in ascending-cell order and
+    // the strict `<` keeps the first on ties, matching the sort's
+    // (negcos, cell) tie-break
+    val best = aggregate(scoredArray(col(vecCol), centroids),
+      struct(lit(Double.MaxValue).as("negcos"), lit(-1).as("cell")),
+      (acc, s) => when(s.getField("negcos") < acc.getField("negcos"), s)
+        .otherwise(acc))
+    corpus.withColumn("__cell", best.getField("cell"))
+  }
 
   /** Approximate top-k: probe the query's `nProbe` nearest cells, exact
     * cosine re-rank within them. Output: (qId, rank, id, cos).

@@ -63,6 +63,30 @@ class QuarantineSpec extends SparkSpec {
     assert(s.ok.count() == 1 && s.rejected.count() == 1)
   }
 
+  test("salted aggregation and join match their unsalted plans row-for-row") {
+    import graft.operators.Salt
+    // skewed: key 1 has 900 of 1000 rows
+    val big = (1 to 1000).map(i => (if (i <= 900) 1L else (i % 7).toLong, i * 1.5))
+      .toDF("k", "v")
+    val dim = Seq((0L, "z"), (1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"),
+      (5L, "e"), (6L, "f")).toDF("k", "name")
+
+    val salted = Salt.saltedAgg(big, Seq("k"), nSalts = 8, sums = Seq("v"))
+      .select(col("k"), col("cnt"), round(col("sum_v"), 6).as("sum_v"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    val plain = big.groupBy("k")
+      .agg(count(lit(1)).as("cnt"), round(sum("v"), 6).as("sum_v"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(salted == plain)
+
+    val js = Salt.saltedJoin(big, dim, Seq("k"), nSalts = 8)
+      .groupBy("name").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val jp = big.join(dim, Seq("k")).groupBy("name").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(js == jp && js("a") == 914) // 900 hot + 14 with i % 7 == 1
+  }
+
   test("quarantined parquet append: clean rows written, rejects to _rejected") {
     val dir = Files.createTempDirectory("graft_quar").toString + "/out"
     val df = Seq((1L, "x"), (2L, null.asInstanceOf[String]), (3L, "z"))
