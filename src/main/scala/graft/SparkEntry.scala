@@ -38,7 +38,7 @@ object SparkEntry {
       val k = sta.drop(1).toLong
       val t0 = java.sql.Timestamp.valueOf(java.time.LocalDateTime.parse(start))
       val samples = Array.tabulate(40)(i => (((k * 31 + i * 7) % 1000) - 500).toInt)
-      if (k % 23 == 0) () // omitted → seg-not-found
+      if (k % 23 == 22) () // omitted → seg-not-found
       else if (k % 29 == 0) {
         out.write(MiniSeed.encodeInt32(net, sta, "", cha, 20.0, t0, samples))
         out.write(MiniSeed.encodeInt32(net, sta, "", cha, 40.0, t0, samples))
@@ -913,10 +913,13 @@ object SparkEntry {
     // §2.1 dataselect download flow end-to-end THROUGH the transport seam:
     // planted candidates group into FDSN POST requests, a deterministic
     // in-memory transport answers with multiplexed miniSEED built from the
-    // request body (every 23rd station omitted → seg-not-found, every 29th
-    // answered with rate-mismatched records → mseed error −2), and the
-    // per-segment outcome table (code, decoded sample count/sum) is
-    // recomputed arithmetically by the oracle
+    // request body (stations ≡22 mod 23 omitted → seg-not-found, ≡0 mod 29
+    // answered with rate-mismatched records → mseed error −2; the omit rule
+    // avoids k=0, which sits ALONE in its group at sf0.001 — an all-omitted
+    // group means an empty 200 response, which stores the HTTP code like
+    // the reference, not seg-not-found), and the per-segment outcome table
+    // (code, decoded sample count/sum) is recomputed arithmetically by the
+    // oracle
     "q45_download_flow" -> ((s, dir) => {
       import s.implicits._
       import graft.net.{Fetch, FixtureTransport}
@@ -1517,15 +1520,15 @@ object SparkEntry {
         |ORDER BY seg_id""".stripMargin,
     "q45_download_flow" ->
       """SELECT s_suppkey AS seg_id,
-        |  CAST(CASE WHEN s_suppkey % 23 = 0 THEN NULL
+        |  CAST(CASE WHEN s_suppkey % 23 = 22 THEN NULL
         |       WHEN s_suppkey % 29 = 0 THEN -2 ELSE 200 END AS BIGINT) AS code,
-        |  CAST(CASE WHEN s_suppkey % 23 != 0 AND s_suppkey % 29 != 0
+        |  CAST(CASE WHEN s_suppkey % 23 != 22 AND s_suppkey % 29 != 0
         |       THEN 40 END AS INTEGER) AS n_samp,
-        |  CAST(CASE WHEN s_suppkey % 23 != 0 AND s_suppkey % 29 != 0
+        |  CAST(CASE WHEN s_suppkey % 23 != 22 AND s_suppkey % 29 != 0
         |       THEN list_aggregate(list_transform(range(0, 40),
         |         i -> (s_suppkey * 31 + i * 7) % 1000 - 500), 'sum')
         |       END AS BIGINT) AS sum_counts,
-        |  CAST(CASE WHEN s_suppkey % 23 != 0 AND s_suppkey % 29 != 0
+        |  CAST(CASE WHEN s_suppkey % 23 != 22 AND s_suppkey % 29 != 0
         |       THEN 20.0 END AS DOUBLE) AS fs
         |FROM supplier
         |ORDER BY seg_id""".stripMargin,
