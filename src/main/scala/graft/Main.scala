@@ -213,8 +213,10 @@ object Main {
   }
 
   private def stationUrlOf(dataUrl: String): String =
-    if (dataUrl.contains("/dataselect/")) dataUrl.replace("/dataselect/", "/station/")
-    else dataUrl.stripSuffix("/") + "/fdsnws/station/1/query"
+    graft.sources.Fdsnws.parse(dataUrl, strictPath = false) match {
+      case Right(ws) => ws.stationUrl
+      case Left(_) => dataUrl.stripSuffix("/") + "/fdsnws/station/1/query"
+    }
 
   /** Minimal processing job (`s2s process`): decode downloaded waveforms,
     * compute per-segment features, append with resume.

@@ -1,0 +1,64 @@
+package graft.sources
+
+/** FDSN web-service URL normalizer
+  * (`stream2segment/io/__init__.py:7-140` `Fdsnws`): accepts any spelling
+  * of `[site]/fdsnws/<service>/<majorversion>[/method]`, validates it, and
+  * derives every sibling service/method url — the piece that turns one
+  * configured datacenter url into its station/dataselect/queryauth
+  * endpoints.
+  */
+final case class Fdsnws(site: String, service: String, majorVersion: String) {
+  def url(service: String = this.service,
+          method: String = Fdsnws.Query): String =
+    s"$site/fdsnws/$service/$majorVersion/$method"
+  def stationUrl: String = url(Fdsnws.Station)
+  def dataselectUrl: String = url(Fdsnws.Dataselect)
+  def queryauthUrl: String = url(Fdsnws.Dataselect, Fdsnws.QueryAuth)
+}
+
+object Fdsnws {
+  val Station = "station"
+  val Dataselect = "dataselect"
+  val Event = "event"
+  val Query = "query"
+  val QueryAuth = "queryauth"
+
+  private val Services = Set(Station, Dataselect, Event)
+  private val Methods =
+    Set(Query, QueryAuth, "auth", "version", "application.wadl")
+
+  private val PathRe = "^(.*/)fdsnws/([^/]+)/([^/]+)(.*)$".r
+
+  /** Parse + validate; scheme defaults to http, trailing `/`/`?` ignored.
+    * `strictPath = false` allows a path before `/fdsnws` (kept in `site`).
+    */
+  def parse(url: String, strictPath: Boolean = true): Either[String, Fdsnws] = {
+    val withScheme = if (url.contains("://")) url else "http://" + url
+    val uri =
+      try new java.net.URI(withScheme)
+      catch { case e: Exception => return Left(s"invalid url: ${e.getMessage}") }
+    if (uri.getAuthority == null || uri.getAuthority.isEmpty)
+      return Left("no domain specified or invalid scheme, check typos")
+    val site = s"${uri.getScheme}://${uri.getAuthority}"
+    val path = Option(uri.getPath).getOrElse("").stripSuffix("?")
+    path match {
+      case PathRe(prefix, service, version, methodRaw) =>
+        if (!Services.contains(service))
+          Left(s"invalid service '$service' in '$path'")
+        else if (version.toDoubleOption.isEmpty)
+          Left(s"invalid major version '$version' in '$path'")
+        else {
+          val method = methodRaw.stripPrefix("/").stripSuffix("/")
+          if (method.nonEmpty && !Methods.contains(method))
+            Left(s"invalid method '$method' in '$path'")
+          else {
+            val pre = prefix.stripSuffix("/")
+            if (pre.nonEmpty && strictPath)
+              Left(s"invalid '$pre' before 'fdsnws'")
+            else Right(Fdsnws(site + pre, service, version))
+          }
+        }
+      case _ => Left(s"invalid FDSN url path: '$path'")
+    }
+  }
+}

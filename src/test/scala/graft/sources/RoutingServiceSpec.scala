@@ -47,4 +47,27 @@ class RoutingServiceSpec extends AnyFunSuite {
     assert(idx.datacentersFor("NL", "HGN", "02", "LHZ") ==
       Seq("http://dc2/fdsnws/dataselect/1/query"))
   }
+
+  test("fdsnws url normalizer: parse, derive siblings, validate") {
+    val ws = Fdsnws.parse("http://geofon.gfz-potsdam.de/fdsnws/dataselect/1/query")
+      .toOption.get
+    assert(ws.site == "http://geofon.gfz-potsdam.de")
+    assert(ws.service == "dataselect" && ws.majorVersion == "1")
+    assert(ws.stationUrl == "http://geofon.gfz-potsdam.de/fdsnws/station/1/query")
+    assert(ws.queryauthUrl ==
+      "http://geofon.gfz-potsdam.de/fdsnws/dataselect/1/queryauth")
+    // scheme defaults to http; bare service root (no method) is valid
+    val ws2 = Fdsnws.parse("mysite.org/fdsnws/station/1").toOption.get
+    assert(ws2.site == "http://mysite.org" && ws2.service == "station")
+    // invalids: bad service, bad version, bad method, prefixed path (strict)
+    assert(Fdsnws.parse("http://x.org/fdsnws/nope/1/query").isLeft)
+    assert(Fdsnws.parse("http://x.org/fdsnws/station/abc/query").isLeft)
+    assert(Fdsnws.parse("http://x.org/fdsnws/station/1/destroy").isLeft)
+    assert(Fdsnws.parse("http://x.org/extra/fdsnws/station/1/query").isLeft)
+    // non-strict keeps the prefix in the site
+    val ws3 = Fdsnws.parse("http://x.org/extra/fdsnws/station/1/query",
+      strictPath = false).toOption.get
+    assert(ws3.site == "http://x.org/extra")
+    assert(ws3.dataselectUrl == "http://x.org/extra/fdsnws/dataselect/1/query")
+  }
 }
