@@ -1,0 +1,70 @@
+package graft.net
+
+import java.net.InetSocketAddress
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The real JDK transport against a local ephemeral-port HTTP server
+  * (no egress): GET/POST bodies, error statuses, connection failures.
+  */
+class HttpTransportSpec extends AnyFunSuite {
+
+  private def withServer(test: (String, HttpTransport) => Unit): Unit = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/ok", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+        val resp = (s"${ex.getRequestMethod}:$body:" +
+          Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("-"))
+          .getBytes("UTF-8")
+        ex.sendResponseHeaders(200, resp.length.toLong)
+        ex.getResponseBody.write(resp)
+        ex.close()
+      }
+    })
+    server.createContext("/missing", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val resp = "not here".getBytes("UTF-8")
+        ex.sendResponseHeaders(404, resp.length.toLong)
+        ex.getResponseBody.write(resp)
+        ex.close()
+      }
+    })
+    server.start()
+    try test(s"http://127.0.0.1:${server.getAddress.getPort}", new HttpTransport())
+    finally server.stop(0)
+  }
+
+  test("GET returns body and 200") {
+    withServer { (base, tp) =>
+      val r = tp.fetch(s"$base/ok")
+      assert(r.code.contains(200) && r.error.isEmpty)
+      assert(new String(r.data.get, "UTF-8") == "GET::-")
+    }
+  }
+
+  test("POST sends the body and auth header") {
+    withServer { (base, tp) =>
+      val r = tp.fetch(s"$base/ok", Some("GE S1 -- BHZ a b"),
+        headers = Map(Transport.basicAuth("u", "p")))
+      assert(r.code.contains(200))
+      val got = new String(r.data.get, "UTF-8")
+      assert(got.startsWith("POST:GE S1 -- BHZ a b:Basic "))
+    }
+  }
+
+  test("HTTP error status maps to (error, code), not an exception") {
+    withServer { (base, tp) =>
+      val r = tp.fetch(s"$base/missing")
+      assert(r.code.contains(404) && r.data.isEmpty)
+      assert(r.error.contains("HTTP 404"))
+    }
+  }
+
+  test("connection-level failure yields error with no code") {
+    // an unroutable port on localhost: connect refused, below HTTP
+    val r = new HttpTransport().fetch("http://127.0.0.1:1/q", timeoutMs = 2000)
+    assert(r.code.isEmpty && r.data.isEmpty && r.error.nonEmpty)
+  }
+}
