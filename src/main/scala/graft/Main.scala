@@ -90,13 +90,30 @@ object Main {
     val timeoutMs = cfg.timeoutSec * 1000
 
     // 1. events (FDSN text, ISF fallback — `download/modules/events.py`)
-    val evUrl = cfg.eventsUrl +
-      s"?format=text&starttime=${cfg.starttime.toLocalDateTime.format(iso)}" +
-      s"&endtime=${cfg.endtime.toLocalDateTime.format(iso)}"
-    val evRes = transport.fetch(evUrl, None, timeoutMs)
-    val evBody = new String(evRes.data.getOrElse(
-      throw new RuntimeException(s"event fetch failed: ${evRes.error.getOrElse("")}")),
-      "UTF-8")
+    // through the adaptive planner: a 413/504 splits the request by the
+    // Gutenberg-Richter magnitude midpoint, then by time halving
+    // (`events.py:193-244`), exactly-once over the (time, magnitude) space
+    import graft.sources.EventPaging
+    def evUrl(r: EventPaging.EventRequest): String =
+      cfg.eventsUrl +
+        s"?format=text&starttime=${r.start.toLocalDateTime.format(iso)}" +
+        s"&endtime=${r.end.toLocalDateTime.format(iso)}" +
+        s"&minmagnitude=${r.minMag}&maxmagnitude=${r.maxMag}"
+    val (bodies, failedReqs) = EventPaging.fetchAll[String](
+      EventPaging.EventRequest(cfg.starttime, cfg.endtime, 0.0, 10.0),
+      r => {
+        val res = transport.fetch(evUrl(r), None, timeoutMs)
+        res.code match {
+          case Some(413) | Some(504) => Left(true) // too large: split
+          case Some(c) if c >= 200 && c < 300 =>
+            Right(new String(res.data.getOrElse(Array.empty), "UTF-8"))
+          case _ => Left(false)
+        }
+      })
+    if (failedReqs.nonEmpty)
+      throw new RuntimeException(
+        s"event fetch failed for ${failedReqs.size} request(s)")
+    val evBody = bodies.mkString("\n")
     val events =
       (if (evBody.linesIterator.exists(_.startsWith("Event ")))
         IsfEvents.parse(spark, evBody)
@@ -223,8 +240,14 @@ object Main {
     */
   def process(spark: SparkSession, cfg: DownloadConfig): (Long, Long) = {
     import spark.implicits._
-    val segs = spark.read.parquet(s"${cfg.outdir}/segments")
-      .filter(col("download_code") === 200 && col("data").isNotNull)
+    // segments_selection: the reference's process-config DSL filter
+    // (`process/main.py:369-439`); defaults to the downloaded-with-data set
+    val base = spark.read.parquet(s"${cfg.outdir}/segments")
+    val segs =
+      if (cfg.segmentsSelection.nonEmpty)
+        graft.dsl.Selection.filter(base, cfg.segmentsSelection)
+          .filter(col("data").isNotNull)
+      else base.filter(col("download_code") === 200 && col("data").isNotNull)
     val resumed = Writers.resumeFilter(segs, s"${cfg.outdir}/features", "seg_id")
     val feats = resumed
       .select(col("seg_id"), col("data"), col("sample_rate"),

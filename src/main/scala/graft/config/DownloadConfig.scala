@@ -32,7 +32,8 @@ final case class DownloadConfig(
     retryTimespanErr: Boolean,
     maxConcurrentDownloads: Int,
     timeoutSec: Int,
-    restrictedData: Map[String, (String, String)])
+    restrictedData: Map[String, (String, String)],
+    segmentsSelection: Map[String, String])
 
 object DownloadConfig {
 
@@ -42,7 +43,7 @@ object DownloadConfig {
     "min_sample_rate", "retry_seg_not_found", "retry_url_err",
     "retry_mseed_err", "retry_client_err", "retry_server_err",
     "retry_timespan_err", "max_concurrent_downloads", "timeout",
-    "restricted_data", "events_extra_params")
+    "restricted_data", "events_extra_params", "segments_selection")
 
   /** Parse + validate; Left = every problem found (not just the first). */
   def from(raw: Map[String, Any]): Either[Seq[String], DownloadConfig] = {
@@ -182,7 +183,12 @@ object DownloadConfig {
       retryServerErr = bool("retry_server_err", default = false),
       retryTimespanErr = bool("retry_timespan_err", default = false),
       maxConcurrentDownloads = maxConc, timeoutSec = timeout,
-      restrictedData = restricted)
+      restrictedData = restricted,
+      segmentsSelection = raw.get("segments_selection") match {
+        case Some(m: Map[_, _]) =>
+          m.asInstanceOf[Map[String, Any]].map { case (k, v) => k -> String.valueOf(v) }
+        case _ => Map.empty
+      })
 
     if (datesOk && !cfg.starttime.before(cfg.endtime))
       errs += "starttime must be before endtime"

@@ -33,7 +33,8 @@ class MainSpec extends SparkSpec {
     val cfg = DownloadConfig.load(cfgPath.toString).toOption.get
 
     val eventsUrl = "http://evsvc/fdsnws/event/1/query" +
-      "?format=text&starttime=2011-01-01T00:00:00&endtime=2011-02-01T00:00:00"
+      "?format=text&starttime=2011-01-01T00:00:00&endtime=2011-02-01T00:00:00" +
+      "&minmagnitude=0.0&maxmagnitude=10.0"
     val stationUrl = "http://geofon.gfz-potsdam.de/fdsnws/station/1/query" +
       "?level=channel&format=text"
     val dataselectUrl = "http://geofon.gfz-potsdam.de/fdsnws/dataselect/1/query"
@@ -63,6 +64,50 @@ class MainSpec extends SparkSpec {
     assert(spark.read.parquet(s"$outdir/features").count() == 7)
     val (n2, _) = Main.process(spark, cfg)
     assert(n2 == 0) // append resume: nothing left to do
+  }
+
+  test("event fetch splits on 413 by magnitude midpoint (adaptive paging over HTTP)") {
+    val outdir = Files.createTempDirectory("graft_cli413").toString
+    val yaml =
+      s"""outdir: '$outdir'
+         |starttime: 2011-01-01T00:00:00
+         |endtime: 2011-02-01T00:00:00
+         |events_url: 'http://evsvc/fdsnws/event/1/query'
+         |data_url: 'http://geofon.gfz-potsdam.de/fdsnws/dataselect/1/query'
+         |search_radius:
+         |  radius: 25.0
+         |timespan: [1.0, 5.0]
+         |""".stripMargin
+    val cfgPath = Files.createTempFile("graft_cfg413", ".yaml")
+    Files.writeString(cfgPath, yaml)
+    val cfg = DownloadConfig.load(cfgPath.toString).toOption.get
+
+    val evBytes = fixture("event_request_sample_iris.txt")
+    val inner = new FixtureTransport("cli413", Map(
+      "http://geofon.gfz-potsdam.de/fdsnws/station/1/query?level=channel&format=text" ->
+        FixtureTransport.ok(fixture("channel_query_response.txt")),
+      "http://geofon.gfz-potsdam.de/fdsnws/dataselect/1/query" ->
+        graft.net.DownloadE2ESpec.dataselectResponder))
+    // the full-range request is "too large"; the low-magnitude half carries
+    // all events, the high half is empty. Event fetches stay driver-side so
+    // the counter needs no cross-task state.
+    val evHits = new java.util.concurrent.atomic.AtomicInteger()
+    val tp: graft.net.Transport = new graft.net.Transport {
+      override def fetch(url: String, body: Option[String], timeoutMs: Int,
+                         headers: Map[String, String]): FetchResult =
+        if (url.startsWith("http://evsvc/")) {
+          evHits.incrementAndGet()
+          if (url.contains("minmagnitude=0.0&maxmagnitude=10.0"))
+            FetchResult(None, Some("HTTP 413"), Some(413))
+          else if (url.contains("minmagnitude=0.0"))
+            FetchResult(Some(evBytes), None, Some(200))
+          else FetchResult(Some(Array.empty), None, Some(200))
+        } else inner.fetch(url, body, timeoutMs, headers)
+    }
+    val report = Main.download(spark, cfg, tp)
+    assert(evHits.get == 3) // full (413) + two magnitude halves
+    assert(report.nEvents == 4)
+    assert(report.nCandidates == 9)
   }
 
   test("invalid config reports every error instead of the first") {
