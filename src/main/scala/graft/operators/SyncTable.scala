@@ -57,7 +57,7 @@ object SyncTable {
       if (surrogateIds)
         missing.withColumn(idCol, xxhash64(matchCols.map(col): _*))
       else {
-        val maxId: Long = target.agg(coalesce(max(col(idCol)), lit(0L))).head.getLong(0)
+        val maxId: Long = target.agg(coalesce(max(col(idCol)), lit(0L))).head().getLong(0)
         Ids.contiguous(missing, matchCols.map(col), idCol, maxId + 1L)
       }
     val cols = resolved.schema.fieldNames.map(col).toSeq
