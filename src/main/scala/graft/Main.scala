@@ -133,18 +133,39 @@ object Main {
       case None => Seq(stationUrlOf(cfg.dataUrl))
     }
 
-    // 3. channels: distributed fetch of every station service + text parse
+    // 3. channels: distributed fetch of every station service + text parse.
+    // Datacenters whose station service fails fall back to the PREVIOUS
+    // run's channels table, like the reference's DB fallback
+    // (`download/modules/channels.py:242-284`)
     val chanReqs = stationUrls.zipWithIndex
       .map { case (u, i) => Fetch.Request(i.toLong, u + "?level=channel&format=text", None) }
       .toDS()
-    val chanLines = Fetch.fetchAll(chanReqs, transport,
+    val chanResponses = Fetch.fetchAll(chanReqs, transport,
       cfg.maxConcurrentDownloads, timeoutMs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val failedDcUrls = chanResponses.filter(_.error.nonEmpty)
+      .map(r => stationUrls(r.key.toInt).replace("/station/", "/dataselect/"))
+      .collect().toSet
+    val chanLines = chanResponses
       .flatMap { r =>
         val base = stationUrls(r.key.toInt)
         new String(r.data.getOrElse(Array.empty), "UTF-8").linesIterator
           .map(l => (base.replace("/station/", "/dataselect/"), l))
       }.toDF("dataselect_url", "line")
-    val channels = FdsnText.parseChannelsDf(chanLines, keep = Seq("dataselect_url"))
+    val fetched = FdsnText.parseChannelsDf(chanLines, keep = Seq("dataselect_url"))
+    val channels =
+      if (failedDcUrls.isEmpty) fetched
+      else {
+        val prev =
+          try Some(spark.read.parquet(s"${cfg.outdir}/channels"))
+          catch { case _: org.apache.spark.sql.AnalysisException => None }
+        prev match {
+          case Some(p) => fetched.unionByName(
+            p.select(fetched.columns.map(col).toSeq: _*)
+              .filter(col("dataselect_url").isin(failedDcUrls.toSeq: _*)))
+          case None => fetched
+        }
+      }
 
     // 4. NSLC wildcard + sample-rate filters (`download/modules/channels.py`)
     val filtered = channels
@@ -216,8 +237,9 @@ object Main {
         col("datacenter_id").isin(restrictedDcIds.toSeq: _*))
     Writers.appendParquetQuarantined(segDf, s"${cfg.outdir}/segments", "seg_id",
       Quarantine.notNull(Seq("seg_id", "data_seed_id")))
-    events.write.mode("overwrite").parquet(s"${cfg.outdir}/events")
-    filtered.write.mode("overwrite").parquet(s"${cfg.outdir}/channels")
+    Writers.overwriteParquetVia(events, s"${cfg.outdir}/events")
+    // via-temp: on a fallback run the channels plan READS outdir/channels
+    Writers.overwriteParquetVia(channels, s"${cfg.outdir}/channels")
 
     val codeCounts = segDf.groupBy(col("download_code")).count()
       .collect()
@@ -225,7 +247,8 @@ object Main {
       .toMap
     val report = DownloadReport(events.count(), filtered.count(),
       candidates.count(), segDf.count(), codeCounts)
-    run.unpersist(); events.unpersist(); filtered.unpersist(); candidates.unpersist()
+    run.unpersist(); events.unpersist(); filtered.unpersist()
+    candidates.unpersist(); chanResponses.unpersist()
     report
   }
 

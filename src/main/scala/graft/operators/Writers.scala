@@ -50,6 +50,22 @@ object Writers {
     resumeFilter(df, path, idCol).write.mode(SaveMode.Append)
       .option("header", "true").csv(path)
 
+  /** Overwrite `path` even when `df`'s lineage READS from `path` (Spark
+    * refuses a direct self-overwrite): write to a sibling temp dir, then
+    * swap with two filesystem renames — no driver materialization, works
+    * at any size.
+    */
+  def overwriteParquetVia(df: DataFrame, path: String): Unit = {
+    val tmp = path + "__tmp"
+    df.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val t = new org.apache.hadoop.fs.Path(tmp)
+    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    fs.rename(t, p)
+    ()
+  }
+
   /** Append-write with reject isolation: rows violating `checks` go to
     * `<path>_rejected` (with [[Quarantine.ReasonCol]]) instead of failing
     * the job; clean rows append to `path` with resume. Returns

@@ -26,13 +26,22 @@ object RoutingService {
 
     def matches(n: String, s: String, l: String, c: String): Boolean =
       netRe.matches(n) && staRe.matches(s) && locRe.matches(l) && chaRe.matches(c)
+
+    /** The rule's validity window contains `t` (`*` bounds are open). */
+    def covers(t: Timestamp): Boolean =
+      start.forall(!_.after(t)) && end.forall(!_.before(t))
   }
 
   final case class Index(rules: Map[String, Seq[Rule]]) {
-    /** Datacenter urls whose rules match the tuple (usually 0 or 1). */
-    def datacentersFor(net: String, sta: String, loc: String, cha: String): Seq[String] =
+    /** Datacenter urls whose rules match the tuple (usually 0 or 1);
+      * `at` additionally requires the rule's validity window to contain the
+      * instant (the reference's epoch check, `datacenters.py:205-223`).
+      */
+    def datacentersFor(net: String, sta: String, loc: String, cha: String,
+                       at: Option[Timestamp] = None): Seq[String] =
       rules.collect {
-        case (url, rs) if rs.exists(_.matches(net, sta, loc, cha)) => url
+        case (url, rs) if rs.exists(r => r.matches(net, sta, loc, cha) &&
+          at.forall(r.covers)) => url
       }.toSeq.sorted
   }
 

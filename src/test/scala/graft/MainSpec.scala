@@ -66,6 +66,42 @@ class MainSpec extends SparkSpec {
     assert(n2 == 0) // append resume: nothing left to do
   }
 
+  test("station-service failure falls back to the previous run's channels table") {
+    val outdir = Files.createTempDirectory("graft_cli_fb").toString
+    val yaml =
+      s"""outdir: '$outdir'
+         |starttime: 2011-01-01T00:00:00
+         |endtime: 2011-02-01T00:00:00
+         |events_url: 'http://evsvc/fdsnws/event/1/query'
+         |data_url: 'http://geofon.gfz-potsdam.de/fdsnws/dataselect/1/query'
+         |search_radius:
+         |  radius: 25.0
+         |timespan: [1.0, 5.0]
+         |""".stripMargin
+    val cfgPath = Files.createTempFile("graft_cfg_fb", ".yaml")
+    Files.writeString(cfgPath, yaml)
+    val cfg = DownloadConfig.load(cfgPath.toString).toOption.get
+    val eventsUrl413 = "http://evsvc/fdsnws/event/1/query" +
+      "?format=text&starttime=2011-01-01T00:00:00&endtime=2011-02-01T00:00:00" +
+      "&minmagnitude=0.0&maxmagnitude=10.0"
+    val stationUrl = "http://geofon.gfz-potsdam.de/fdsnws/station/1/query" +
+      "?level=channel&format=text"
+    val dataselectUrl = "http://geofon.gfz-potsdam.de/fdsnws/dataselect/1/query"
+    // first run: station service up → channels parquet written
+    val tp1 = new FixtureTransport("fb1", Map(
+      eventsUrl413 -> FixtureTransport.ok(fixture("event_request_sample_iris.txt")),
+      stationUrl -> FixtureTransport.ok(fixture("channel_query_response.txt")),
+      dataselectUrl -> graft.net.DownloadE2ESpec.dataselectResponder))
+    assert(Main.download(spark, cfg, tp1).nChannels == 36)
+    // second run: station service DOWN (404) → previous channels reused
+    val tp2 = new FixtureTransport("fb2", Map(
+      eventsUrl413 -> FixtureTransport.ok(fixture("event_request_sample_iris.txt")),
+      dataselectUrl -> graft.net.DownloadE2ESpec.dataselectResponder))
+    val report2 = Main.download(spark, cfg, tp2)
+    assert(report2.nChannels == 36)
+    assert(report2.nCandidates == 9)
+  }
+
   test("event fetch splits on 413 by magnitude midpoint (adaptive paging over HTTP)") {
     val outdir = Files.createTempDirectory("graft_cli413").toString
     val yaml =

@@ -48,6 +48,19 @@ class RoutingServiceSpec extends AnyFunSuite {
       Seq("http://dc2/fdsnws/dataselect/1/query"))
   }
 
+  test("rule validity windows: `at` filters rules whose epoch excludes the instant") {
+    val idx = RoutingService.parse(body)
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // dc1's "IU ANMO -- BH?" rule starts 2010-01-01, open-ended
+    assert(idx.datacentersFor("IU", "ANMO", "", "BHZ", Some(ts("2015-06-01 00:00:00")))
+      .contains("http://dc1/fdsnws/dataselect/1/query"))
+    assert(!idx.datacentersFor("IU", "ANMO", "", "BHZ", Some(ts("2005-06-01 00:00:00")))
+      .contains("http://dc1/fdsnws/dataselect/1/query"))
+    // dc2's catch-all BH? rule has * bounds: matches at any instant
+    assert(idx.datacentersFor("IU", "ANMO", "", "BHZ", Some(ts("2005-06-01 00:00:00")))
+      == Seq("http://dc2/fdsnws/dataselect/1/query"))
+  }
+
   test("fdsnws url normalizer: parse, derive siblings, validate") {
     val ws = Fdsnws.parse("http://geofon.gfz-potsdam.de/fdsnws/dataselect/1/query")
       .toOption.get
