@@ -98,7 +98,9 @@ object Main {
       cfg.eventsUrl +
         s"?format=text&starttime=${r.start.toLocalDateTime.format(iso)}" +
         s"&endtime=${r.end.toLocalDateTime.format(iso)}" +
-        s"&minmagnitude=${r.minMag}&maxmagnitude=${r.maxMag}"
+        s"&minmagnitude=${r.minMag}&maxmagnitude=${r.maxMag}" +
+        cfg.eventsExtraParams.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"&$k=$v" }.mkString
     val (bodies, failedReqs) = EventPaging.fetchAll[String](
       EventPaging.EventRequest(cfg.starttime, cfg.endtime, 0.0, 10.0),
       r => {
@@ -240,6 +242,32 @@ object Main {
     Writers.overwriteParquetVia(events, s"${cfg.outdir}/events")
     // via-temp: on a fallback run the channels plan READS outdir/channels
     Writers.overwriteParquetVia(channels, s"${cfg.outdir}/channels")
+
+    // optional STEP 8: per-station StationXML fetch for stations that
+    // produced data, stored gzip-compressed (`stations.py:102-151`)
+    if (cfg.inventory) {
+      val okSegIds = run.results.filter(_.code.contains(200L))
+        .map(_.segId).toDF("seg_id")
+      val stations = candidates.join(okSegIds, "seg_id")
+        .select(col("net"), col("sta"), col("dataselect_url")).distinct()
+        .as[(String, String, String)].collect()
+      val reqs = stations.zipWithIndex.map { case ((net, sta, dsUrl), i) =>
+        (i.toLong, dsUrl.replace("/dataselect/", "/station/") +
+          s"?net=$net&sta=$sta&level=response")
+      }.toSeq.toDS()
+      val blobs = Fetch.fetchInventories(reqs, transport,
+        cfg.maxConcurrentDownloads, timeoutMs)
+      val byIdx = stations.zipWithIndex.map { case ((net, sta, _), i) =>
+        i.toLong -> (net, sta)
+      }.toMap
+      val bcIdx = spark.sparkContext.broadcast(byIdx)
+      Writers.overwriteParquetVia(
+        blobs.map { case (i, gz) =>
+          val (net, sta) = bcIdx.value(i)
+          (net, sta, gz)
+        }.toDF("network", "station", "inventory_xml"),
+        s"${cfg.outdir}/inventories")
+    }
 
     val codeCounts = segDf.groupBy(col("download_code")).count()
       .collect()

@@ -33,7 +33,9 @@ final case class DownloadConfig(
     maxConcurrentDownloads: Int,
     timeoutSec: Int,
     restrictedData: Map[String, (String, String)],
-    segmentsSelection: Map[String, String])
+    segmentsSelection: Map[String, String],
+    eventsExtraParams: Map[String, String],
+    inventory: Boolean)
 
 object DownloadConfig {
 
@@ -43,7 +45,8 @@ object DownloadConfig {
     "min_sample_rate", "retry_seg_not_found", "retry_url_err",
     "retry_mseed_err", "retry_client_err", "retry_server_err",
     "retry_timespan_err", "max_concurrent_downloads", "timeout",
-    "restricted_data", "events_extra_params", "segments_selection")
+    "restricted_data", "events_extra_params", "segments_selection",
+    "inventory")
 
   /** Parse + validate; Left = every problem found (not just the first). */
   def from(raw: Map[String, Any]): Either[Seq[String], DownloadConfig] = {
@@ -188,7 +191,13 @@ object DownloadConfig {
         case Some(m: Map[_, _]) =>
           m.asInstanceOf[Map[String, Any]].map { case (k, v) => k -> String.valueOf(v) }
         case _ => Map.empty
-      })
+      },
+      eventsExtraParams = raw.get("events_extra_params") match {
+        case Some(m: Map[_, _]) =>
+          m.asInstanceOf[Map[String, Any]].map { case (k, v) => k -> String.valueOf(v) }
+        case _ => Map.empty
+      },
+      inventory = bool("inventory", default = false))
 
     if (datesOk && !cfg.starttime.before(cfg.endtime))
       errs += "starttime must be before endtime"

@@ -27,6 +27,7 @@ class MainSpec extends SparkSpec {
          |  radius: 25.0
          |timespan: [1.0, 5.0]
          |min_sample_rate: 0
+         |inventory: true
          |""".stripMargin
     val cfgPath = Files.createTempFile("graft_cfg", ".yaml")
     Files.writeString(cfgPath, yaml)
@@ -38,10 +39,17 @@ class MainSpec extends SparkSpec {
     val stationUrl = "http://geofon.gfz-potsdam.de/fdsnws/station/1/query" +
       "?level=channel&format=text"
     val dataselectUrl = "http://geofon.gfz-potsdam.de/fdsnws/dataselect/1/query"
+    def invUrl(net: String, sta: String) =
+      "http://geofon.gfz-potsdam.de/fdsnws/station/1/query" +
+        s"?net=$net&sta=$sta&level=response"
+    val invXml = fixture("inventory_GE.APE.xml")
     val tp = new FixtureTransport("cli", Map(
       eventsUrl -> FixtureTransport.ok(fixture("event_request_sample_iris.txt")),
       "http://routing/eidaws/routing/1/query" ->
         FixtureTransport.ok(fixture("eida_routing_service_response.txt")),
+      invUrl("1G", "SA03") -> FixtureTransport.ok(invXml),
+      invUrl("1G", "SA05") -> FixtureTransport.ok(invXml),
+      invUrl("2F", "CAPIN") -> FixtureTransport.ok(invXml),
       stationUrl -> FixtureTransport.ok(fixture("channel_query_response.txt")),
       dataselectUrl -> graft.net.DownloadE2ESpec.dataselectResponder))
 
@@ -57,6 +65,13 @@ class MainSpec extends SparkSpec {
     assert(spark.read.parquet(s"$outdir/segments").count() == 9)
     assert(spark.read.parquet(s"$outdir/events").count() == 4)
     assert(spark.read.parquet(s"$outdir/channels").count() == 36)
+
+    // STEP 8: one gzip StationXML blob per station that produced data
+    val inv = spark.read.parquet(s"$outdir/inventories")
+    assert(inv.count() == 3)
+    val blob = inv.filter(org.apache.spark.sql.functions.col("station") === "SA05")
+      .select("inventory_xml").collect().head.getAs[Array[Byte]](0)
+    assert(graft.sources.Inventory.parse(blob).nonEmpty)
 
     // processing: features for the 7 downloaded segments, resume on re-run
     val (n1, skipped1) = Main.process(spark, cfg)

@@ -70,6 +70,15 @@ class ConfigSpec extends AnyFunSuite {
     assert(errs == Seq("starttime must be before endtime"))
   }
 
+  test("config: events_extra_params and inventory flag") {
+    val cfg = DownloadConfig.from(base +
+      ("events_extra_params" -> Map("minradius" -> 1.5, "catalog" -> "ISC")) +
+      ("inventory" -> java.lang.Boolean.TRUE)).toOption.get
+    assert(cfg.eventsExtraParams == Map("minradius" -> "1.5", "catalog" -> "ISC"))
+    assert(cfg.inventory)
+    assert(!DownloadConfig.from(base).toOption.get.inventory)
+  }
+
   test("config: restricted_data credentials and fixed radius") {
     val cfg = DownloadConfig.from(base +
       ("search_radius" -> Map("radius" -> 10.0)) +
