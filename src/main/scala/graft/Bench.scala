@@ -10,16 +10,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // untimed warm-up: run the FULL suite once so every query's codegen/JIT
-    // paths are hot before timing — per-query deltas across rounds were
-    // dominated by which query happened to absorb JVM warm-up (6x phantom
-    // regressions on unchanged code); timing the second pass makes them
-    // measurable
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => }
-      spark.sharedState.cacheManager.clearCache()
-    }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // two full passes, report each query's MINIMUM: the first pass doubles
+    // as JIT/codegen warm-up (per-query deltas across rounds used to be
+    // dominated by which query absorbed JVM warm-up — 6x phantom
+    // regressions on unchanged code), and the min debiases transient
+    // machine-load spikes that make identical code vary 3-4x run-to-run
+    def pass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
@@ -28,6 +24,9 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
       name -> dt
     }
+    val first = pass()
+    val second = pass()
+    val results = first.map { case (k, v) => k -> math.min(v, second(k)) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
