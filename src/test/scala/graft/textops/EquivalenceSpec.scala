@@ -1,0 +1,77 @@
+package graft.textops
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop}
+import org.scalacheck.rng.Seed
+
+import graft.SparkSpec
+
+/** Randomized equivalence properties: the optimized operators must agree
+  * with their reference-shaped baselines on arbitrary inputs, not just the
+  * planted contract corpora. Seeds are fixed so failures reproduce.
+  */
+class EquivalenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic sample of `n` values from a Gen. */
+  private def sample[T](gen: Gen[T], n: Int, seed: Long): Seq[T] =
+    (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(seed + i)))
+
+  private val docGen: Gen[String] = for {
+    n <- Gen.choose(4, 40)
+    words <- Gen.listOfN(n, Gen.oneOf(
+      "alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"))
+  } yield words.mkString(" ")
+
+  test("prefix-filtered Jaccard equals the exact inverted-index join on random corpora") {
+    for (trial <- 0 until 3) {
+      val texts = sample(docGen, 60, seed = 1000L * trial)
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+        .select(col("doc_id"),
+          TextFunctions.wordShingleHashesFast(col("text"), 2).as("sh"))
+      def toSet(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("id1"), col("id2"), round(col("jaccard"), 9).as("j"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val prefix = toSet(MinHashLSH.jaccardPairsPrefix(docs, "doc_id", "sh", 0.5))
+      val exact = toSet(MinHashLSH.jaccardPairsExact(docs, "doc_id", "sh", 0.5))
+      assert(prefix == exact, s"trial $trial: prefix=$prefix exact=$exact")
+    }
+  }
+
+  test("salted aggregation equals plain aggregation on random skew") {
+    import graft.operators.Salt
+    val rowGen: Gen[(Long, Double)] = for {
+      k <- Gen.frequency(5 -> Gen.const(1L), 1 -> Gen.choose(2L, 6L))
+      v <- Gen.choose(-100, 100).map(_.toDouble)
+    } yield (k, v)
+    for (trial <- 0 until 2) {
+      val rows = sample(rowGen, 300, seed = 77L * (trial + 1))
+      val df = rows.toDF("k", "v")
+      def m(res: org.apache.spark.sql.DataFrame) =
+        res.select(col("k"), col("cnt"), round(col("sum_v"), 6).as("s"))
+          .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+      val salted = m(Salt.saltedAgg(df, Seq("k"), nSalts = 5, sums = Seq("v")))
+      val plain = m(df.groupBy("k")
+        .agg(count(lit(1)).as("cnt"), sum("v").as("sum_v")))
+      assert(salted == plain, s"trial $trial")
+    }
+  }
+
+  test("minhash LSH finds every >=threshold pair the exact join finds (planted dups)") {
+    // near-dup recall on a corpus with known duplicates: clones share all
+    // shingles, so every exact pair must be recovered by the banded LSH
+    val base = sample(docGen, 30, seed = 31337L)
+    val docs = (base.zipWithIndex.map { case (t, i) => (i.toLong, t) } ++
+      base.take(10).zipWithIndex.map { case (t, i) => (100L + i, t) })
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TextFunctions.wordShingleHashesFast(col("text"), 2).as("sh"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(MinHashLSH.jaccardPairsExact(docs, "doc_id", "sh", 0.9))
+    val lsh = pairs(MinHashLSH.nearDupPairs(docs, "doc_id", "sh", 0.9))
+    assert(exact.subsetOf(lsh) && lsh.subsetOf(exact))
+    assert(exact.size >= 10) // the planted clone pairs are in there
+  }
+}
