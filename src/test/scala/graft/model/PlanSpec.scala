@@ -1,0 +1,50 @@
+package graft.model
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Plan-shape regressions: the scale claims (pushdown, pruning, broadcast)
+  * asserted against the executed plans of real contract queries, so an
+  * innocent refactor can't silently turn a pruned broadcast plan into a
+  * full-scan shuffle.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
+  test("DSL-compiled filters push down to the parquet scan and prune columns") {
+    // formatted explain: AQE's toString hides the scan metadata
+    val p = SparkEntry.queries("q06_dsl_filter")(spark, dir)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("PushedFilters"), p.take(500))
+    // the interval bounds reach the scan as pushed data filters
+    assert(p.contains("GreaterThanOrEqual(l_quantity,5.0)"), p.take(3000))
+    assert(p.contains("LessThanOrEqual(l_quantity,10.0)"), p.take(3000))
+    // projection pruning: untouched wide columns never leave the reader
+    assert(!p.contains("l_comment"))
+  }
+
+  test("dimension joins broadcast, fact side never shuffles for them") {
+    val p = plan("q03_broadcast_join")
+    assert(p.contains("BroadcastHashJoin"), p.take(500))
+    assert(!p.contains("SortMergeJoin"), p.take(500))
+  }
+
+  test("banded spatial join stays a hash equi-join on the band key") {
+    val p = plan("q08_theta_geo_join")
+    // the theta condition must ride an equi-join (banded), never a
+    // cartesian/BNL product
+    assert(!p.contains("CartesianProduct"), p.take(500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(500))
+  }
+
+  test("jaccard verification shuffles no array columns") {
+    val p = SparkEntry.queries("q19_jaccard_pairs")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.toLowerCase.contains("array")), p.take(2000))
+  }
+}
