@@ -119,6 +119,15 @@ object Ivf {
            nCells: Int = 16, nProbe: Int = 2, nIters: Int = 3): DataFrame = {
     val centroids = train(corpus, idCol, vecCol, nCells, nIters)
     val indexed = assign(corpus, vecCol, centroids)
+    probeTopK(indexed, centroids, queries, k, idCol, vecCol, qIdCol, qVecCol,
+      nProbe)
+  }
+
+  private def probeTopK(indexed: DataFrame,
+                        centroids: Array[(Int, Array[Float])],
+                        queries: DataFrame, k: Int, idCol: String,
+                        vecCol: String, qIdCol: String, qVecCol: String,
+                        nProbe: Int): DataFrame = {
     val probed = queries.withColumn("__cell",
       explode(cellExpr(col(qVecCol), centroids, nProbe)))
     val joined = indexed.join(broadcast(probed), Seq("__cell"))
@@ -129,5 +138,49 @@ object Ivf {
     joined.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(qIdCol), col("rank"), col(idCol), col("cos"))
+  }
+
+  // ---- persisted index ---------------------------------------------------
+
+  /** Train once, store forever: the assigned corpus written as parquet
+    * PARTITIONED BY the cell id (so a probe scans only its `nProbe` cells'
+    * files — storage-level partition pruning, the whole point of IVF at
+    * 100 TB) plus a small centroids table. Query with [[topKIndexed]]
+    * without re-training.
+    */
+  def writeIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                 path: String, nCells: Int = 16, nIters: Int = 3): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = train(corpus, idCol, vecCol, nCells, nIters)
+    assign(corpus, vecCol, centroids)
+      .write.mode("overwrite").partitionBy("__cell")
+      .parquet(s"$path/vectors")
+    centroids.toSeq.map { case (c, v) => (c, v.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Probe a stored index: loads the (k × dim) centroids to the driver,
+    * computes the union of every query's probe cells (one driver-sized
+    * action) and filters the partitioned vector table on `__cell` with a
+    * STATIC isin — guaranteed storage-level partition pruning, no reliance
+    * on dynamic pruning kicking in. I/O is proportional to
+    * `probedCells × cellSize`, not the corpus.
+    */
+  def topKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                  queries: DataFrame, k: Int, idCol: String, vecCol: String,
+                  qIdCol: String, qVecCol: String, nProbe: Int = 2): DataFrame = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .select(col("cell"), col("centroid")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val probeCells = queries
+      .select(explode(cellExpr(col(qVecCol), centroids, nProbe)).as("__cell"))
+      .distinct().collect().map(_.getInt(0))
+    val indexed = spark.read.parquet(s"$path/vectors")
+      .filter(col("__cell").isin(probeCells.toSeq: _*))
+    probeTopK(indexed, centroids, queries, k, idCol, vecCol, qIdCol, qVecCol,
+      nProbe)
   }
 }

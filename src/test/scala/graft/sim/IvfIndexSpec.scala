@@ -1,0 +1,51 @@
+package graft.sim
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Persisted IVF index: train/assign once, probe forever with storage-level
+  * partition pruning.
+  */
+class IvfIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stored index recovers planted clones probe-only, with partition pruning") {
+    // deterministic corpus + power-of-two clones of the queries (exact in
+    // float, preserve every centroid cosine — the q36 planting argument)
+    // 101 is invertible mod 256, so no two ids < 100 share a vector (a
+    // periodic formula here created exact duplicates that outranked the
+    // planted clones)
+    val base = (0L until 100L).map { i =>
+      (i, Array.tabulate(8)(d => (((i * 101 + d * 37) % 256) - 128).toFloat / 32f).toSeq)
+    }
+    val clones = for {
+      (i, v) <- base.take(5)
+      (a, j) <- Seq(2f, 4f, 8f, 16f, 32f).zipWithIndex
+    } yield (1000L + i * 5 + j, v.map(_ * a))
+    val corpus = (base ++ clones).toDF("vec_id", "embedding")
+    val queries = base.take(5).toDF("q_id", "q_emb")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    Ivf.writeIndex(corpus, "vec_id", "embedding", dir, nCells = 8, nIters = 2)
+
+    val res = Ivf.topKIndexed(spark, dir, queries, k = 5,
+      idCol = "vec_id", vecCol = "embedding",
+      qIdCol = "q_id", qVecCol = "q_emb", nProbe = 2)
+
+    // every query's top-5 is exactly its 5 clones at cosine 1.0
+    val got = res.collect().map(r =>
+      (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(got.length == 25)
+    assert(got.forall { case (q, id, cos) =>
+      cos == 1.0 && id >= 1000L + q * 5 && id < 1000L + q * 5 + 5
+    }, got.mkString(", "))
+
+    // the vectors scan is statically pruned to the probed cells
+    val p = res.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("__cell"), p.take(2000))
+    assert(pf.contains("IN") || pf.contains("isnotnull"), pf)
+  }
+}
