@@ -115,12 +115,19 @@ object Main {
     if (failedReqs.nonEmpty)
       throw new RuntimeException(
         s"event fetch failed for ${failedReqs.size} request(s)")
-    val evBody = bodies.mkString("\n")
-    val events =
-      (if (evBody.linesIterator.exists(_.startsWith("Event ")))
-        IsfEvents.parse(spark, evBody)
-      else FdsnText.parseEventLines(spark, evBody.linesIterator.toSeq))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // each paged body becomes its own Dataset row and lines flatMap out on
+    // executors — the driver never concatenates responses into one string
+    // (at 10⁷ events that's GBs of driver heap). Format detection only needs
+    // the first non-empty body: a service answers in one format.
+    val isIsf = bodies.find(_.trim.nonEmpty)
+      .exists(_.linesIterator.exists(_.startsWith("Event ")))
+    val bodiesDs = spark.createDataset(bodies)
+    val eventLines =
+      if (isIsf)
+        bodiesDs.flatMap(b => IsfEvents.parseToRows(b).map(_.mkString("|")))
+      else bodiesDs.flatMap(_.linesIterator)
+    val events = FdsnText.parseEventsDf(eventLines.toDF("line"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // 2. datacenters: EIDA routing service or a single fdsnws base
     //    (`download/modules/datacenters.py`)
@@ -178,39 +185,8 @@ object Main {
         col("sample_rate") >= cfg.minSampleRate)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // 5. event×station search: fixed or magnitude-dependent radius
-    val r = cfg.searchRadius
-    val maxR = r.fixed.getOrElse(math.max(r.minRadius, r.maxRadius))
-    val evSide = events.select(col("event_id"), col("time"), col("magnitude"),
-      col("latitude").as("ev_lat"), col("longitude").as("ev_lon"))
-    val stSide = filtered.select(col("network"), col("station"), col("location"),
-      col("channel"), col("dataselect_url"),
-      col("latitude").as("st_lat"), col("longitude").as("st_lon"))
-    val radiusCol = r.fixed.map(lit).getOrElse(
-      Geo.magDepSearchRadius(col("magnitude"), r.minMag, r.maxMag,
-        r.minRadius, r.maxRadius))
-    val joined = StationSearch.bandedRadiusJoin(evSide, stSide,
-      col("ev_lat"), col("ev_lon"), col("st_lat"), col("st_lon"),
-      maxRadiusDeg = maxR, distCol = "dist_deg")
-      .filter(col("dist_deg") <= radiusCol)
-
-    // 6. request timebounds around the arrival (= event time; plug a
-    //    travel-time grid via DownloadFlow.withArrivalTime when configured)
-    val (reqStart, reqEnd) = DownloadFlow.requestTimebounds(
-      col("time").cast("timestamp"), -cfg.timespan._1, cfg.timespan._2)
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("event_id"), col("network"), col("station"),
-        col("location"), col("channel"))
-    val candidates = joined
-      .withColumn("request_start", reqStart)
-      .withColumn("request_end", reqEnd)
-      .withColumn("seg_id", row_number().over(w).cast("long"))
-      .withColumn("datacenter_id",
-        xxhash64(col("dataselect_url")))
-      .select(col("seg_id"), col("network").as("net"), col("station").as("sta"),
-        col("location").as("loc"), col("channel").as("cha"),
-        col("datacenter_id"), col("dataselect_url"),
-        col("request_start"), col("request_end"))
+    // 5+6. event×station search + request timebounds + candidate identity
+    val candidates = buildCandidates(events, filtered, cfg)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // 7. grouped dataselect POSTs with the backoff ladder; credentials per
@@ -246,27 +222,32 @@ object Main {
     // optional STEP 8: per-station StationXML fetch for stations that
     // produced data, stored gzip-compressed (`stations.py:102-151`)
     if (cfg.inventory) {
+      // stations-with-data stay a Dataset end-to-end: the request key is a
+      // hash of the station identity and the fetched blobs join back on it —
+      // no driver collect, no broadcast index map, station-count-scalable
       val okSegIds = run.results.filter(_.code.contains(200L))
         .map(_.segId).toDF("seg_id")
       val stations = candidates.join(okSegIds, "seg_id")
         .select(col("net"), col("sta"), col("dataselect_url")).distinct()
-        .as[(String, String, String)].collect()
-      val reqs = stations.zipWithIndex.map { case ((net, sta, dsUrl), i) =>
-        (i.toLong, dsUrl.replace("/dataselect/", "/station/") +
-          s"?net=$net&sta=$sta&level=response")
-      }.toSeq.toDS()
+        .withColumn("inv_key", xxhash64(col("net"), col("sta"), col("dataselect_url")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val reqs = stations
+        .select(col("inv_key"), col("net"), col("sta"), col("dataselect_url"))
+        .as[(Long, String, String, String)]
+        .map { case (key, net, sta, dsUrl) =>
+          (key, dsUrl.replace("/dataselect/", "/station/") +
+            s"?net=$net&sta=$sta&level=response")
+        }
       val blobs = Fetch.fetchInventories(reqs, transport,
         cfg.maxConcurrentDownloads, timeoutMs)
-      val byIdx = stations.zipWithIndex.map { case ((net, sta, _), i) =>
-        i.toLong -> (net, sta)
-      }.toMap
-      val bcIdx = spark.sparkContext.broadcast(byIdx)
       Writers.overwriteParquetVia(
-        blobs.map { case (i, gz) =>
-          val (net, sta) = bcIdx.value(i)
-          (net, sta, gz)
-        }.toDF("network", "station", "inventory_xml"),
+        blobs.toDF("inv_key", "inventory_xml")
+          .join(stations.select(col("inv_key"), col("net").as("network"),
+            col("sta").as("station")), "inv_key")
+          .select(col("network"), col("station"), col("inventory_xml")),
         s"${cfg.outdir}/inventories")
+      stations.unpersist()
+      ()
     }
 
     val codeCounts = segDf.groupBy(col("download_code")).count()
@@ -278,6 +259,53 @@ object Main {
     run.unpersist(); events.unpersist(); filtered.unpersist()
     candidates.unpersist(); chanResponses.unpersist()
     report
+  }
+
+  /** Steps 5–6 of the download DAG: event×channel radius search (fixed or
+    * magnitude-dependent), request timebounds around the arrival, and the
+    * per-candidate identity. Package-visible so plan tests can assert the
+    * candidate plan stays window- and single-partition-free.
+    *
+    * `seg_id` is a deterministic xxhash64 surrogate over the candidate's
+    * natural key (event × channel, `download/modules/segments.py:124-160`) —
+    * embarrassingly parallel, and stable across campaigns so append-resume
+    * (`Writers.resumeFilter`) lines up run-to-run. A
+    * `row_number().over(Window.orderBy(...))` here would funnel every
+    * candidate through ONE partition (see [[graft.operators.Ids]]) — fatal
+    * when candidates = events × channels at cluster scale.
+    */
+  private[graft] def buildCandidates(events: DataFrame, channels: DataFrame,
+                                     cfg: DownloadConfig): DataFrame = {
+    val r = cfg.searchRadius
+    val maxR = r.fixed.getOrElse(math.max(r.minRadius, r.maxRadius))
+    val evSide = events.select(col("event_id"), col("time"), col("magnitude"),
+      col("latitude").as("ev_lat"), col("longitude").as("ev_lon"))
+    val stSide = channels.select(col("network"), col("station"), col("location"),
+      col("channel"), col("dataselect_url"),
+      col("latitude").as("st_lat"), col("longitude").as("st_lon"))
+    val radiusCol = r.fixed.map(lit).getOrElse(
+      Geo.magDepSearchRadius(col("magnitude"), r.minMag, r.maxMag,
+        r.minRadius, r.maxRadius))
+    val joined = StationSearch.bandedRadiusJoin(evSide, stSide,
+      col("ev_lat"), col("ev_lon"), col("st_lat"), col("st_lon"),
+      maxRadiusDeg = maxR, distCol = "dist_deg")
+      .filter(col("dist_deg") <= radiusCol)
+    // request timebounds around the arrival (= event time; plug a
+    // travel-time grid via DownloadFlow.withArrivalTime when configured)
+    val (reqStart, reqEnd) = DownloadFlow.requestTimebounds(
+      col("time").cast("timestamp"), -cfg.timespan._1, cfg.timespan._2)
+    joined
+      .withColumn("request_start", reqStart)
+      .withColumn("request_end", reqEnd)
+      .withColumn("seg_id",
+        xxhash64(col("event_id"), col("network"), col("station"),
+          col("location"), col("channel")))
+      .withColumn("datacenter_id",
+        xxhash64(col("dataselect_url")))
+      .select(col("seg_id"), col("network").as("net"), col("station").as("sta"),
+        col("location").as("loc"), col("channel").as("cha"),
+        col("datacenter_id"), col("dataselect_url"),
+        col("request_start"), col("request_end"))
   }
 
   private def stationUrlOf(dataUrl: String): String =

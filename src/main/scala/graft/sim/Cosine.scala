@@ -73,13 +73,26 @@ object Cosine {
     * bucket are compared, then exact-cosine verified — the 100 TB path: one
     * shuffle on the 8-byte signature, in-bucket pair expansion, never an
     * all-pairs join. Recall per pair ≈ (1 − θ/π)^nBits.
+    *
+    * `maxBucketSize` is a hard skew cap, mirroring
+    * [[graft.textops.MinHashLSH.candidatePairs]]: a degenerate bucket (e.g.
+    * a zero/constant-vector cluster — every such vector folds to the SAME
+    * signature) would otherwise expand quadratically in the self-join.
+    * Oversized buckets are dropped whole, trading recall on mega-clusters
+    * for a bounded candidate count; singleton buckets are pruned too (they
+    * cannot form a pair). The cap filter groups on the same `__sig` key the
+    * join shuffles on, so the signature exchange is reused, not doubled.
     */
   def nearDupPairsLsh(corpus: DataFrame, idCol: String, vecCol: String,
                       threshold: Double, nBits: Int = 8,
                       maxBucketSize: Int = 10000): DataFrame = {
     val sig = corpus.withColumn("__sig", hyperplaneSig(asDouble(col(vecCol)), nBits))
-    val a = sig.select(col(idCol).as("id1"), col(vecCol).as("__v1"), col("__sig"))
-    val b = sig.select(col(idCol).as("id2"), col(vecCol).as("__v2"), col("__sig"))
+    val okSigs = sig.groupBy(col("__sig")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1 && col("__n") <= maxBucketSize)
+      .select(col("__sig"))
+    val capped = sig.join(okSigs, Seq("__sig"))
+    val a = capped.select(col(idCol).as("id1"), col(vecCol).as("__v1"), col("__sig"))
+    val b = capped.select(col(idCol).as("id2"), col(vecCol).as("__v2"), col("__sig"))
     a.join(b, Seq("__sig")).filter(col("id1") < col("id2"))
       .withColumn("cos", round(cosineF(col("__v1"), col("__v2")), 6))
       .filter(col("cos") >= threshold)

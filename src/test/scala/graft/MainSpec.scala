@@ -161,6 +161,43 @@ class MainSpec extends SparkSpec {
     assert(report.nCandidates == 9)
   }
 
+  test("candidate identity is window-free: no single-partition stage in the plan") {
+    import spark.implicits._
+    val yaml =
+      """outdir: '/tmp/x'
+        |starttime: 2011-01-01T00:00:00
+        |endtime: 2011-02-01T00:00:00
+        |events_url: 'http://ev/fdsnws/event/1/query'
+        |data_url: 'http://dc/fdsnws/dataselect/1/query'
+        |search_radius:
+        |  radius: 25.0
+        |timespan: [1.0, 5.0]
+        |""".stripMargin
+    val cfgPath = Files.createTempFile("graft_cfg_plan", ".yaml")
+    Files.writeString(cfgPath, yaml)
+    val cfg = DownloadConfig.load(cfgPath.toString).toOption.get
+    val t0 = java.sql.Timestamp.valueOf("2011-01-15 00:00:00")
+    val events = Seq(("e1", t0, 3.0, 10.0, 20.0), ("e2", t0, 4.0, 11.0, 21.0))
+      .toDF("event_id", "time", "magnitude", "latitude", "longitude")
+    val channels = Seq(
+      ("GE", "APE", "", "BHZ", 10.1, 20.1, "http://dc/fdsnws/dataselect/1/query"),
+      ("GE", "ISP", "00", "BHN", 11.1, 21.1, "http://dc/fdsnws/dataselect/1/query"))
+      .toDF("network", "station", "location", "channel",
+        "latitude", "longitude", "dataselect_url")
+    val df = Main.buildCandidates(events, channels, cfg)
+    val plan = df.queryExecution.executedPlan.toString
+    // seg_id assignment must not funnel candidates through one partition:
+    // no window operator, no SinglePartition exchange anywhere in the plan
+    assert(!plan.contains("Window"), plan.take(2000))
+    assert(!plan.contains("SinglePartition"), plan.take(2000))
+    // surrogate ids are unique and deterministic across runs
+    val ids = df.select("seg_id").as[Long].collect()
+    assert(ids.distinct.length == ids.length && ids.nonEmpty)
+    val again = Main.buildCandidates(events, channels, cfg)
+      .select("seg_id").as[Long].collect()
+    assert(ids.sorted.toSeq == again.sorted.toSeq)
+  }
+
   test("invalid config reports every error instead of the first") {
     val cfgPath = Files.createTempFile("graft_badcfg", ".yaml")
     Files.writeString(cfgPath,

@@ -73,6 +73,22 @@ class CosineSpec extends SparkSpec {
     assert(lsh.nonEmpty)
   }
 
+  test("nearDupPairsLsh drops degenerate buckets whole (maxBucketSize skew cap)") {
+    // every identical vector folds to the SAME hyperplane signature: one
+    // hot bucket that would expand quadratically (here 2000² / 2 pairs)
+    val clones = (1 to 2000).map(i => (i.toLong, Array(1.0f, 2.0f, 3.0f)))
+      .toDF("vec_id", "embedding")
+    val capped = Cosine.nearDupPairsLsh(clones, "vec_id", "embedding", 0.9,
+      nBits = 2, maxBucketSize = 100)
+    assert(capped.count() == 0) // bucket of 2000 > cap 100: dropped whole
+    // under the cap the same corpus pairs normally (10 choose 2)
+    val few = (1 to 10).map(i => (i.toLong, Array(1.0f, 2.0f, 3.0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Cosine.nearDupPairsLsh(few, "vec_id", "embedding", 0.9,
+      nBits = 2, maxBucketSize = 100)
+    assert(pairs.count() == 45)
+  }
+
   test("IVF topK: high recall vs brute force on clustered vectors") {
     // three well-separated direction clusters with jitter
     val dirs = Seq(Array(1f, 0f, 0f), Array(0f, 1f, 0f), Array(0f, 0f, 1f))
