@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.config.DownloadConfig
 import graft.functions.{Geo, Wildcards}
 import graft.net.{Fetch, HttpTransport, Transport}
-import graft.operators.{DownloadFlow, Quarantine, StationSearch, Writers}
+import graft.operators.{DownloadFlow, DownloadRecords, Quarantine, StationSearch, Writers}
 import graft.sources.{FdsnText, IsfEvents, RoutingService}
 
 /** Runnable entry points — the reference's `s2s download` / `s2s process`
@@ -27,11 +27,13 @@ object Main {
       case Left(msg) =>
         System.err.println(msg)
         System.err.println(
-          "usage: graft.Main (download|process) -c <config.yaml> [-o key=value ...]")
+          "usage: graft.Main (download|process|summary|log|config|stats) " +
+            "-c <config.yaml> [-o key=value ...]")
         sys.exit(2)
     }
-    val raw = graft.config.YamlLite.parse(new String(
-      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(cfgPath)), "UTF-8"))
+    val cfgText = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(cfgPath)), "UTF-8")
+    val raw = graft.config.YamlLite.parse(cfgText)
     val cfg = DownloadConfig.from(raw ++ overrides.map {
       case (k, v) => k -> graft.config.YamlLite.scalar(v, 0)
     }) match {
@@ -48,7 +50,7 @@ object Main {
       .getOrCreate()
     try cmd match {
       case "download" =>
-        val report = download(spark, cfg, new HttpTransport())
+        val report = download(spark, cfg, new HttpTransport(), cfgText)
         println(s"events=${report.nEvents} channels=${report.nChannels} " +
           s"candidates=${report.nCandidates} segments=${report.nSegments}")
         report.codeCounts.toSeq.sortBy(_._1).foreach { case (c, n) =>
@@ -57,13 +59,22 @@ object Main {
       case "process" =>
         val (n, skipped) = process(spark, cfg)
         println(s"processed=$n skipped=$skipped")
+      // `s2s dl summary/log/config/stats` — run inspection over the
+      // persisted downloads table (`download/db/inspection/main.py`)
+      case "summary" => println(DownloadRecords.summary(spark, cfg.outdir))
+      case "log" => println(DownloadRecords.logs(spark, cfg.outdir))
+      case "config" => println(DownloadRecords.configs(spark, cfg.outdir))
+      case "stats" => println(DownloadRecords.stats(spark, cfg.outdir))
     } finally spark.stop()
   }
 
+  private val Subcommands =
+    Set("download", "process", "summary", "log", "config", "stats")
+
   private def parseArgs(args: Array[String])
       : Either[String, (String, String, Map[String, String])] = {
-    if (args.isEmpty || !Set("download", "process").contains(args(0)))
-      return Left("expected subcommand: download | process")
+    if (args.isEmpty || !Subcommands.contains(args(0)))
+      return Left("expected subcommand: " + Subcommands.toSeq.sorted.mkString(" | "))
     var cfg: String = null
     val overrides = scala.collection.mutable.Map.empty[String, String]
     var i = 1
@@ -83,9 +94,35 @@ object Main {
 
   private val iso = java.time.format.DateTimeFormatter.ISO_LOCAL_DATE_TIME
 
-  /** The 8-step download DAG from a validated config. */
-  def download(spark: SparkSession, cfg: DownloadConfig,
-               transport: Transport): DownloadReport = {
+  /** The 8-step download DAG from a validated config, recorded as one row
+    * of the `downloads` table (run_time, config snapshot, log text,
+    * warning/error counts — `download/main.py:369-382`). The record is
+    * written in a `finally`, so an aborted campaign still leaves a
+    * queryable trace with the error in its log.
+    */
+  def download(spark: SparkSession, cfg: DownloadConfig, transport: Transport,
+               configText: String = ""): DownloadReport = {
+    val runTime = new java.sql.Timestamp(System.currentTimeMillis())
+    val runId = DownloadRecords.nextId(spark, cfg.outdir)
+    val log = new DownloadRecords.RunLog
+    log.info(s"download run $runId starting")
+    try {
+      val report = runDownload(spark, cfg, transport, runId, log)
+      log.info(s"segments: ${report.nSegments} " +
+        report.codeCounts.toSeq.sortBy(_._1)
+          .map { case (c, n) => s"$c=$n" }.mkString("(", " ", ")"))
+      report
+    } catch {
+      case e: Throwable =>
+        log.error(s"download aborted: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        throw e
+    } finally
+      DownloadRecords.append(spark, cfg.outdir, runId, runTime, configText, log)
+  }
+
+  private def runDownload(spark: SparkSession, cfg: DownloadConfig,
+                          transport: Transport, runId: Long,
+                          log: DownloadRecords.RunLog): DownloadReport = {
     import spark.implicits._
     val timeoutMs = cfg.timeoutSec * 1000
 
@@ -155,6 +192,9 @@ object Main {
     val failedDcUrls = chanResponses.filter(_.error.nonEmpty)
       .map(r => stationUrls(r.key.toInt).replace("/station/", "/dataselect/"))
       .collect().toSet
+    if (failedDcUrls.nonEmpty)
+      log.warn(s"station service failed for ${failedDcUrls.size} " +
+        s"datacenter(s); falling back to the previous run's channels")
     val chanLines = chanResponses
       .flatMap { r =>
         val base = stationUrls(r.key.toInt)
@@ -189,21 +229,25 @@ object Main {
     val candidates = buildCandidates(events, filtered, cfg)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // 7. grouped dataselect POSTs with the backoff ladder; credentials per
-    //    datacenter url (`DcDataselectManager`, `segments.py:609-737`)
+    // 7. grouped dataselect POSTs with the backoff ladder; per-datacenter
+    //    access via EIDA token exchange, static user:pass, or open
+    //    (`DcDataselectManager`, `segments.py:609-737`)
     val urlByDc = candidates.select(col("datacenter_id"), col("dataselect_url"))
       .distinct().as[(Long, String)].collect().toMap
-    val creds = cfg.restrictedData
+    val access = graft.net.DcAuth.resolve(urlByDc, cfg.eidaToken,
+      cfg.restrictedData, transport, timeoutMs, log.warn)
     val run = Fetch.downloadSegments(
       Fetch.requestGroups(candidates,
-        authFor = dc => urlByDc.get(dc).flatMap(creds.get)),
+        authFor = dc => access.get(dc).flatMap(_.creds))
+        // credentialed datacenters switch to their queryauth endpoint
+        .map(g => access.get(g.dcId).map(a => g.copy(url = a.url)).getOrElse(g)),
       transport, cfg.maxConcurrentDownloads, timeoutMs)
 
     // 8. sinks: segments/events/channels parquet under outdir + code stats.
     // queryauth records which rows went through a credentialed request
     // (`segments.py:303-310`)
-    val restrictedDcIds = urlByDc.collect {
-      case (dc, url) if creds.contains(url) => dc
+    val restrictedDcIds = access.collect {
+      case (dc, a) if a.queryauth => dc
     }.toSet
     val segDf = run.results.toDF().select(
       col("segId").as("seg_id"), col("dcId").as("datacenter_id"),
@@ -213,11 +257,24 @@ object Main {
       col("startTime").as("start_time"), col("endTime").as("end_time"))
       .withColumn("queryauth",
         col("datacenter_id").isin(restrictedDcIds.toSeq: _*))
+      .withColumn("download_id", lit(runId))
     Writers.appendParquetQuarantined(segDf, s"${cfg.outdir}/segments", "seg_id",
       Quarantine.notNull(Seq("seg_id", "data_seed_id")))
     Writers.overwriteParquetVia(events, s"${cfg.outdir}/events")
     // via-temp: on a fallback run the channels plan READS outdir/channels
     Writers.overwriteParquetVia(channels, s"${cfg.outdir}/channels")
+    // data_centers: id ↔ url mapping so inspection renders readable stats
+    // rows (`io/db/models.py:237-248`); merged with previous runs' rows
+    // (datacenter ids are stable hashes of the url, so distinct() suffices)
+    val dcRows = urlByDc.toSeq.map { case (id, dsUrl) =>
+      (id, dsUrl.replace("/dataselect/", "/station/"), dsUrl)
+    }.toDF("id", "station_url", "dataselect_url")
+    val dcAll =
+      try dcRows.unionByName(spark.read
+        .parquet(s"${cfg.outdir}/data_centers")
+        .select(col("id"), col("station_url"), col("dataselect_url"))).distinct()
+      catch { case _: org.apache.spark.sql.AnalysisException => dcRows }
+    Writers.overwriteParquetVia(dcAll, s"${cfg.outdir}/data_centers")
 
     // optional STEP 8: per-station StationXML fetch for stations that
     // produced data, stored gzip-compressed (`stations.py:102-151`)
@@ -256,6 +313,8 @@ object Main {
       .toMap
     val report = DownloadReport(events.count(), filtered.count(),
       candidates.count(), segDf.count(), codeCounts)
+    log.info(s"events: ${report.nEvents}; channels: ${report.nChannels}; " +
+      s"candidates: ${report.nCandidates} (${run.attempts} download attempt(s))")
     run.unpersist(); events.unpersist(); filtered.unpersist()
     candidates.unpersist(); chanResponses.unpersist()
     report

@@ -33,6 +33,7 @@ final case class DownloadConfig(
     maxConcurrentDownloads: Int,
     timeoutSec: Int,
     restrictedData: Map[String, (String, String)],
+    eidaToken: Option[String],
     segmentsSelection: Map[String, String],
     eventsExtraParams: Map[String, String],
     inventory: Boolean)
@@ -45,8 +46,8 @@ object DownloadConfig {
     "min_sample_rate", "retry_seg_not_found", "retry_url_err",
     "retry_mseed_err", "retry_client_err", "retry_server_err",
     "retry_timespan_err", "max_concurrent_downloads", "timeout",
-    "restricted_data", "events_extra_params", "segments_selection",
-    "inventory")
+    "restricted_data", "eida_token", "events_extra_params",
+    "segments_selection", "inventory")
 
   /** Parse + validate; Left = every problem found (not just the first). */
   def from(raw: Map[String, Any]): Either[Seq[String], DownloadConfig] = {
@@ -156,6 +157,25 @@ object DownloadConfig {
       case Some(other) => err(s"restricted_data: expected mapping, got '$other'", Map.empty)
     }
 
+    // the token may be given inline or as a path to a token file
+    // (the reference's Authorizer accepts both); mutually exclusive with
+    // static user:password credentials, like the reference's restricted_data
+    val eidaToken: Option[String] = raw.get("eida_token") match {
+      case Some(s: String) if s.nonEmpty =>
+        val read =
+          try {
+            val p = java.nio.file.Paths.get(s)
+            if (java.nio.file.Files.isRegularFile(p))
+              new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+            else s
+          } catch { case _: Exception => s }
+        Some(read)
+      case Some(null) | None => None
+      case Some(other) => err(s"eida_token: expected string, got '$other'", None)
+    }
+    if (eidaToken.nonEmpty && restricted.nonEmpty)
+      errs += "eida_token and restricted_data are mutually exclusive"
+
     val maxConc = raw.get("max_concurrent_downloads") match {
       case Some(l: java.lang.Long) if l > 0 => l.toInt
       case Some(null) | None => 8
@@ -187,6 +207,7 @@ object DownloadConfig {
       retryTimespanErr = bool("retry_timespan_err", default = false),
       maxConcurrentDownloads = maxConc, timeoutSec = timeout,
       restrictedData = restricted,
+      eidaToken = eidaToken,
       segmentsSelection = raw.get("segments_selection") match {
         case Some(m: Map[_, _]) =>
           m.asInstanceOf[Map[String, Any]].map { case (k, v) => k -> String.valueOf(v) }

@@ -1,0 +1,71 @@
+package graft.net
+
+import graft.sources.Fdsnws
+
+/** Per-datacenter dataselect access resolution — the reference's
+  * `DcDataselectManager` (`download/modules/segments.py:609-737`):
+  *
+  *  - EIDA token: POST the token to each datacenter's `auth` endpoint
+  *    (upgraded to https like the reference); the response body is
+  *    `user:password`, which is then used as basic auth against the
+  *    `queryauth` method URL. A failed exchange (error, or a body without
+  *    `:` — "could be a data-center bug") falls back to open data for that
+  *    datacenter with a warning.
+  *  - static per-datacenter `user:password` from the config: `queryauth`
+  *    directly, no exchange;
+  *  - neither: the open `query` endpoint, no credentials.
+  *
+  * Driver-side by design: one tiny HTTP exchange per datacenter (the
+  * datacenter list is metadata-scale), resolved once per campaign; the
+  * resulting map rides the download closures as a value.
+  */
+object DcAuth {
+
+  /** Resolved dataselect access for one datacenter. */
+  final case class Access(url: String, creds: Option[(String, String)]) {
+    /** True when requests to this datacenter carry credentials (recorded
+      * per segment as `queryauth`, `segments.py:303-310`).
+      */
+    def queryauth: Boolean = creds.nonEmpty
+  }
+
+  /** The reference's https upgrade for auth endpoints
+    * (`segments.py:710-716`): tokens must never travel over plain http.
+    */
+  private[net] def httpsify(url: String): String = {
+    val lower = url.toLowerCase
+    if (lower.startsWith("http:")) "https:" + url.substring(5)
+    else if (lower.startsWith("https:")) url
+    else "https://" + url.stripPrefix("//")
+  }
+
+  def resolve(urlByDc: Map[Long, String], token: Option[String],
+              userpass: Map[String, (String, String)], transport: Transport,
+              timeoutMs: Int, warn: String => Unit): Map[Long, Access] =
+    urlByDc.map { case (dc, dsUrl) =>
+      val ws = Fdsnws.parse(dsUrl, strictPath = false).toOption
+      def method(m: String): String =
+        ws.map(_.url(Fdsnws.Dataselect, m)).getOrElse(dsUrl)
+      val access = token match {
+        case Some(tok) =>
+          val res = transport.fetch(httpsify(method("auth")), Some(tok), timeoutMs)
+          res.data.map(new String(_, "UTF-8").trim) match {
+            case Some(cred) if res.error.isEmpty && cred.contains(':') =>
+              val Array(u, p) = cred.split(":", 2)
+              Access(method(Fdsnws.QueryAuth), Some((u, p)))
+            case _ =>
+              val why = res.error
+                .orElse(res.code.map(c => s"HTTP $c"))
+                .getOrElse("invalid user and password returned")
+              warn(s"downloading open data only from $dsUrl: " +
+                s"unable to acquire credentials for restricted data ($why)")
+              Access(method(Fdsnws.Query), None)
+          }
+        case None => userpass.get(dsUrl) match {
+          case Some(cred) => Access(method(Fdsnws.QueryAuth), Some(cred))
+          case None => Access(dsUrl, None)
+        }
+      }
+      dc -> access
+    }
+}

@@ -1,0 +1,135 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-run download bookkeeping — the reference's `downloads` table row
+  * (`stream2segment/download/main.py:369-382` `new_db_download`, log
+  * finalize `:158-165`) and the `s2s dl summary/log/config/stats`
+  * inspection commands (`download/db/inspection/main.py:29-89,231-300`).
+  *
+  * Every campaign appends exactly one row to `<outdir>/downloads` —
+  * run_time, the YAML config snapshot, the run's log text and its
+  * warning/error counts — written in a `finally`, so a FAILED campaign
+  * still leaves a queryable trace (the reference writes a placeholder row
+  * up-front and finalizes the log for the same reason). The table is
+  * run-count-sized: driver-side id assignment (max(id)+1) and text
+  * rendering are correct here by construction.
+  */
+object DownloadRecords {
+
+  val ProgramVersion = "graft-0.4"
+
+  /** Driver-side run log: ordered lines + warning/error counts, the
+    * queryable equivalent of the reference's logger-to-DB handler.
+    */
+  final class RunLog {
+    private val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    private var nWarn = 0L
+    private var nErr = 0L
+    def info(msg: String): Unit = { buf += s"[INFO] $msg"; () }
+    def warn(msg: String): Unit = { nWarn += 1; buf += s"[WARNING] $msg"; () }
+    def error(msg: String): Unit = { nErr += 1; buf += s"[ERROR] $msg"; () }
+    def text: String = buf.mkString("\n")
+    def warnings: Long = nWarn
+    def errors: Long = nErr
+  }
+
+  private def tableOpt(spark: SparkSession, outdir: String,
+                       name: String): Option[DataFrame] =
+    try Some(spark.read.parquet(s"$outdir/$name"))
+    catch { case _: org.apache.spark.sql.AnalysisException => None }
+
+  /** Next run id: max(id)+1 over the existing downloads table, 1 if none.
+    * The table has one row per campaign — the driver-side max is over a
+    * run-count-sized scan, pruned to the id column.
+    */
+  def nextId(spark: SparkSession, outdir: String): Long =
+    tableOpt(spark, outdir, "downloads") match {
+      case Some(df) =>
+        df.agg(max(col("id"))).collect().headOption
+          .flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+          .getOrElse(0L) + 1L
+      case None => 1L
+    }
+
+  /** Append this run's record (schema: [[graft.model.Schemas.downloads]]). */
+  def append(spark: SparkSession, outdir: String, id: Long, runTime: Timestamp,
+             configText: String, log: RunLog): Unit = {
+    import spark.implicits._
+    Seq((id, runTime, log.text, log.warnings, log.errors, configText,
+      ProgramVersion))
+      .toDF("id", "run_time", "log", "warnings", "errors", "config",
+        "program_version")
+      .write.mode(SaveMode.Append).parquet(s"$outdir/downloads")
+  }
+
+  /** `s2s dl summary`: one line per run — id, execution time, index —
+    * ordered by run time (`inspection/main.py:231-255` `DSummary`).
+    */
+  def summary(spark: SparkSession, outdir: String): String =
+    tableOpt(spark, outdir, "downloads") match {
+      case None => "(no downloads)"
+      case Some(df) =>
+        val rows = df.select(col("id"), col("run_time"))
+          .orderBy(col("run_time"), col("id"))
+          .collect()
+        val header = f"${"Download id"}%11s  ${"Execution time"}%19s  Index"
+        val body = rows.zipWithIndex.map { case (r, i) =>
+          f"${r.getLong(0)}%11d  ${r.getTimestamp(1).toString.take(19)}%19s  $i%5d"
+        }
+        (header +: body).mkString("\n")
+    }
+
+  private def perRun(spark: SparkSession, outdir: String, field: String,
+                     banner: Char, endTag: Option[String] = None): String =
+    tableOpt(spark, outdir, "downloads") match {
+      case None => "(no downloads)"
+      case Some(df) =>
+        df.select(col("id"), col("run_time"), col(field))
+          .orderBy(col("run_time"), col("id"))
+          .collect()
+          .flatMap { r =>
+            val head = s"Download id: ${r.getLong(0)} (${r.getTimestamp(1)})"
+            val bar = banner.toString * head.length
+            Seq(bar, head, bar, Option(r.getString(2)).getOrElse("")) ++
+              endTag.toSeq
+          }.mkString("\n")
+    }
+
+  /** `s2s dl log`: each run's log text (`DLog`). */
+  def logs(spark: SparkSession, outdir: String): String =
+    perRun(spark, outdir, "log", '=', endTag = Some("[Log file end]"))
+
+  /** `s2s dl config`: each run's YAML config snapshot (`DConfig`). */
+  def configs(spark: SparkSession, outdir: String): String =
+    perRun(spark, outdir, "config", '#')
+
+  /** `s2s dl stats`: the datacenter×code matrix per run — the
+    * [[DownloadStats]] pivot over segments keyed by (download_id,
+    * dataselect_url), gap-recode driven by the stored maxgap ratio
+    * (`DStats`, `inspection/main.py:337-416`). Scales: one shuffle over
+    * segments; only the tiny matrix is collected for rendering.
+    */
+  def stats(spark: SparkSession, outdir: String): String = {
+    val segs = tableOpt(spark, outdir, "segments") match {
+      case None => return "(no segments)"
+      case Some(df) => df
+    }
+    val withUrl = tableOpt(spark, outdir, "data_centers") match {
+      case Some(dcs) => segs.join(
+        broadcast(dcs.select(col("id").as("datacenter_id"),
+          col("dataselect_url"))), Seq("datacenter_id"), "left")
+      case None => segs.withColumn("dataselect_url",
+        col("datacenter_id").cast("string"))
+    }
+    val pivoted = DownloadStats.pivot(withUrl,
+      Seq("download_id", "dataselect_url"),
+      codeCol = "download_code", maxgapCol = "maxgap_ratio")
+      .na.fill(0L) // incl. the "null"-code column, which pivot leaves nullable
+      .orderBy(col("download_id"), col("dataselect_url"))
+    DownloadStats.render(pivoted, Seq("download_id", "dataselect_url"))
+  }
+}

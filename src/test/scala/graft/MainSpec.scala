@@ -161,6 +161,165 @@ class MainSpec extends SparkSpec {
     assert(report.nCandidates == 9)
   }
 
+  test("EIDA token exchange: credentials acquired, queryauth used and flagged") {
+    import org.apache.spark.sql.functions.col
+    val outdir = Files.createTempDirectory("graft_cli_eida").toString
+    val yaml =
+      s"""outdir: '$outdir'
+         |starttime: 2011-01-01T00:00:00
+         |endtime: 2011-02-01T00:00:00
+         |events_url: 'http://evsvc/fdsnws/event/1/query'
+         |data_url: 'http://geofon.gfz-potsdam.de/fdsnws/dataselect/1/query'
+         |search_radius:
+         |  radius: 25.0
+         |timespan: [1.0, 5.0]
+         |eida_token: 'TOKEN123'
+         |""".stripMargin
+    val cfgPath = Files.createTempFile("graft_cfg_eida", ".yaml")
+    Files.writeString(cfgPath, yaml)
+    val cfg = DownloadConfig.load(cfgPath.toString).toOption.get
+    assert(cfg.eidaToken.contains("TOKEN123"))
+    val eventsUrl = "http://evsvc/fdsnws/event/1/query" +
+      "?format=text&starttime=2011-01-01T00:00:00&endtime=2011-02-01T00:00:00" +
+      "&minmagnitude=0.0&maxmagnitude=10.0"
+    val stationUrl = "http://geofon.gfz-potsdam.de/fdsnws/station/1/query" +
+      "?level=channel&format=text"
+    // token POSTs go to the https auth endpoint; data to queryauth with the
+    // exchanged basic-auth header; the open query endpoint must stay unused
+    val authUrl = "https://geofon.gfz-potsdam.de/fdsnws/dataselect/1/auth"
+    val queryauthUrl = "http://geofon.gfz-potsdam.de/fdsnws/dataselect/1/queryauth"
+    val inner = new FixtureTransport("eida", Map(
+      eventsUrl -> FixtureTransport.ok(fixture("event_request_sample_iris.txt")),
+      stationUrl -> FixtureTransport.ok(fixture("channel_query_response.txt"))))
+    val expectedAuth = graft.net.Transport.basicAuth("user1", "pw1")._2
+    val tp: graft.net.Transport = new graft.net.Transport {
+      override def fetch(url: String, body: Option[String], timeoutMs: Int,
+                         headers: Map[String, String]): FetchResult =
+        url match {
+          case u if u == authUrl =>
+            if (body.contains("TOKEN123"))
+              FetchResult(Some("user1:pw1".getBytes("UTF-8")), None, Some(200))
+            else FetchResult(None, Some("HTTP 401"), Some(401))
+          case u if u == queryauthUrl =>
+            if (headers.get("Authorization").contains(expectedAuth))
+              graft.net.DownloadE2ESpec.dataselectResponder(body)
+            else FetchResult(None, Some("HTTP 401"), Some(401))
+          case other => inner.fetch(other, body, timeoutMs, headers)
+        }
+    }
+    val report = Main.download(spark, cfg, tp)
+    assert(report.codeCounts == Map("200" -> 7L, "-2" -> 1L, "null" -> 1L))
+    // every segment of the credentialed datacenter is flagged queryauth
+    val segs = spark.read.parquet(s"$outdir/segments")
+    assert(segs.filter(col("queryauth") === false).count() == 0)
+    assert(segs.count() == 9)
+  }
+
+  test("EIDA token exchange failure falls back to open data with a warning") {
+    import org.apache.spark.sql.functions.col
+    val outdir = Files.createTempDirectory("graft_cli_eida_fb").toString
+    val yaml =
+      s"""outdir: '$outdir'
+         |starttime: 2011-01-01T00:00:00
+         |endtime: 2011-02-01T00:00:00
+         |events_url: 'http://evsvc/fdsnws/event/1/query'
+         |data_url: 'http://geofon.gfz-potsdam.de/fdsnws/dataselect/1/query'
+         |search_radius:
+         |  radius: 25.0
+         |timespan: [1.0, 5.0]
+         |eida_token: 'TOKEN123'
+         |""".stripMargin
+    val cfgPath = Files.createTempFile("graft_cfg_eida_fb", ".yaml")
+    Files.writeString(cfgPath, yaml)
+    val cfg = DownloadConfig.load(cfgPath.toString).toOption.get
+    val eventsUrl = "http://evsvc/fdsnws/event/1/query" +
+      "?format=text&starttime=2011-01-01T00:00:00&endtime=2011-02-01T00:00:00" +
+      "&minmagnitude=0.0&maxmagnitude=10.0"
+    val stationUrl = "http://geofon.gfz-potsdam.de/fdsnws/station/1/query" +
+      "?level=channel&format=text"
+    val dataselectUrl = "http://geofon.gfz-potsdam.de/fdsnws/dataselect/1/query"
+    // auth endpoint down (404 from the fixture map): open data only
+    val tp = new FixtureTransport("eida_fb", Map(
+      eventsUrl -> FixtureTransport.ok(fixture("event_request_sample_iris.txt")),
+      stationUrl -> FixtureTransport.ok(fixture("channel_query_response.txt")),
+      dataselectUrl -> graft.net.DownloadE2ESpec.dataselectResponder))
+    val report = Main.download(spark, cfg, tp)
+    assert(report.codeCounts == Map("200" -> 7L, "-2" -> 1L, "null" -> 1L))
+    val segs = spark.read.parquet(s"$outdir/segments")
+    assert(segs.filter(col("queryauth") === true).count() == 0)
+    // the fallback is recorded as a warning in the run log
+    val dls = spark.read.parquet(s"$outdir/downloads")
+    assert(dls.select("warnings").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().head == 1L)
+    assert(dls.select("log").collect().head.getString(0)
+      .contains("unable to acquire credentials"))
+  }
+
+  test("downloads table: per-run record, summary/config/stats inspection, failure trace") {
+    import spark.implicits._
+    import graft.operators.DownloadRecords
+    val outdir = Files.createTempDirectory("graft_cli_rec").toString
+    val yaml =
+      s"""outdir: '$outdir'
+         |starttime: 2011-01-01T00:00:00
+         |endtime: 2011-02-01T00:00:00
+         |events_url: 'http://evsvc/fdsnws/event/1/query'
+         |data_url: 'http://geofon.gfz-potsdam.de/fdsnws/dataselect/1/query'
+         |search_radius:
+         |  radius: 25.0
+         |timespan: [1.0, 5.0]
+         |""".stripMargin
+    val cfgPath = Files.createTempFile("graft_cfg_rec", ".yaml")
+    Files.writeString(cfgPath, yaml)
+    val cfg = DownloadConfig.load(cfgPath.toString).toOption.get
+    val eventsUrl = "http://evsvc/fdsnws/event/1/query" +
+      "?format=text&starttime=2011-01-01T00:00:00&endtime=2011-02-01T00:00:00" +
+      "&minmagnitude=0.0&maxmagnitude=10.0"
+    val stationUrl = "http://geofon.gfz-potsdam.de/fdsnws/station/1/query" +
+      "?level=channel&format=text"
+    val dataselectUrl = "http://geofon.gfz-potsdam.de/fdsnws/dataselect/1/query"
+    val tp = new FixtureTransport("dlrec", Map(
+      eventsUrl -> FixtureTransport.ok(fixture("event_request_sample_iris.txt")),
+      stationUrl -> FixtureTransport.ok(fixture("channel_query_response.txt")),
+      dataselectUrl -> graft.net.DownloadE2ESpec.dataselectResponder))
+
+    Main.download(spark, cfg, tp, "run: 'one'")
+    Main.download(spark, cfg, tp, "run: 'two'")
+    val dls = spark.read.parquet(s"$outdir/downloads")
+    assert(dls.count() == 2)
+    assert(dls.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    // summary: header + one line per run, in run order
+    val summary = DownloadRecords.summary(spark, outdir)
+    assert(summary.linesIterator.size == 3, summary)
+    assert(summary.contains("Download id"))
+    // config snapshots round-trip verbatim
+    val cfgs = DownloadRecords.configs(spark, outdir)
+    assert(cfgs.contains("run: 'one'") && cfgs.contains("run: 'two'"))
+    assert(DownloadRecords.logs(spark, outdir).contains("[Log file end]"))
+    // stats: hand-computed matrix. Run 1 wrote 9 segments (7×200, 1×-2
+    // mseed error, 1×null seg-not-found, no gappy ones); run 2 found the
+    // same candidates already present (stable surrogate seg_ids + append
+    // resume) so it contributes no row.
+    val stats = DownloadRecords.stats(spark, outdir)
+    val dataRow = stats.linesIterator.find(_.contains("dataselect")).toSeq
+    assert(stats.linesIterator.size == 3, stats) // header + 1 data row + TOTAL
+    val run1 = stats.linesIterator.drop(1).next()
+    assert(run1.trim.startsWith("1"), stats)
+    assert(run1.split("\\s+").takeRight(4).toSeq == Seq("7", "1", "1", "9"), stats)
+    assert(stats.linesIterator.toSeq.last.split("\\s+").takeRight(4).toSeq ==
+      Seq("7", "1", "1", "9"), stats)
+    assert(dataRow.nonEmpty)
+    // an aborted campaign still leaves a queryable trace with the error
+    val tpFail = new FixtureTransport("dlrec_fail", Map.empty)
+    intercept[RuntimeException] { Main.download(spark, cfg, tpFail, "run: 'three'") }
+    val after = spark.read.parquet(s"$outdir/downloads")
+    assert(after.count() == 3)
+    val failRow = after.filter($"id" === 3L)
+    assert(failRow.select("log").as[String].collect().head
+      .contains("[ERROR] download aborted"))
+    assert(failRow.select("errors").as[Long].collect().head == 1L)
+  }
+
   test("candidate identity is window-free: no single-partition stage in the plan") {
     import spark.implicits._
     val yaml =
