@@ -1013,6 +1013,51 @@ object SparkEntry {
           round(col("radius"), 4).as("radius_deg"),
           round(col("dist_deg"), 4).as("dist_deg"))
         .orderBy(col("c_custkey"), col("s_suppkey"))
+    }),
+
+    // §2.8 response chain end-to-end (`paramtable.py:39-266` response-
+    // removal path): planted flat-sensitivity inventory → water-level
+    // deconvolution in all three output units (VEL / ACC / DISP ±iω
+    // conversions) → Wood-Anderson PAZ simulation (complex pole-zero
+    // evaluation). Waveforms are EXACT-DFT-bin sinusoids, so every spectral
+    // amplitude in the chain has a leak-free closed form the oracle
+    // recomputes in SQL: |X_vel[k]| = N/2·amp, |X_acc[k]| = N/2·amp·ω,
+    // |X_wa[k]| = N/2·amp·2800/(|s−p1||s−p2|) (the WA zero at 0 cancels
+    // the DISP 1/ω). The FFT/closed-form agreement is ~1e-13 relative;
+    // rounding at 6-7 dp makes the hash comparison exact.
+    "q48_response_wa" -> ((s, dir) => {
+      import s.implicits._
+      import graft.dsp.{Response, Spectra, Trace}
+      import graft.sources.Inventory.ChannelResponse
+      val fs = 64.0
+      val n = 256
+      val gain = 6.0e8
+      val epoch = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+      t(s, dir, "events")
+        .filter(col("event_id") % 100 === 0)
+        .select(col("event_id")).as[Long]
+        .map { id =>
+          val k = 2 + (id % 13).toInt // exact DFT bin: no spectral leakage
+          val amp = 1e-6 * (1 + (id % 5))
+          val counts = Array.tabulate(n)(i =>
+            amp * gain * math.sin(2 * math.Pi * k * i / n))
+          val resp = ChannelResponse("GE", s"T$id", "", "HHZ",
+            sensitivity = gain, sensFreqHz = 1.0, inputUnits = "M/S",
+            stages = Seq.empty)
+          val tr = Trace(counts, fs, epoch)
+          def binAmp(t: Trace): Double = Spectra.ampspec(t.data)(k)
+          val vel = Response.removeResponse(tr, resp, "VEL", 60)
+          val acc = Response.removeResponse(tr, resp, "ACC", 60)
+          val disp = Response.removeResponse(tr, resp, "DISP", 60)
+          val wa = Response.simulate(disp, Response.WoodAnderson)
+          val w = 2 * math.Pi * (k * fs / n)
+          (id,
+            math.round(binAmp(vel) / (n / 2) / amp * 1e6) / 1e6,
+            math.round(binAmp(acc) / (n / 2) / amp / w * 1e6) / 1e6,
+            math.round(binAmp(wa) * 1e7) / 1e7)
+        }
+        .toDF("event_id", "vel_ratio", "acc_ratio", "wa_amp")
+        .orderBy(col("event_id"))
     })
   )
 
@@ -1641,6 +1686,21 @@ object SparkEntry {
         |  CAST(s_suppkey % 3 + 2 AS INTEGER) AS n_poles,
         |  CAST(1 AS INTEGER) AS n_zeros
         |FROM supplier
-        |ORDER BY s_suppkey""".stripMargin
+        |ORDER BY s_suppkey""".stripMargin,
+    "q48_response_wa" ->
+      """WITH ev AS (
+        |  SELECT event_id,
+        |    1e-6 * (1 + event_id % 5) AS amp,
+        |    2 * pi() * ((2 + event_id % 13) * 64.0 / 256) AS w
+        |  FROM events WHERE event_id % 100 = 0)
+        |SELECT event_id,
+        |  1.0 AS vel_ratio,
+        |  1.0 AS acc_ratio,
+        |  round(128 * amp * 2800.0 /
+        |    (sqrt(6.2832 * 6.2832 + (w - 4.7124) * (w - 4.7124)) *
+        |     sqrt(6.2832 * 6.2832 + (w + 4.7124) * (w + 4.7124))), 7)
+        |    AS wa_amp
+        |FROM ev
+        |ORDER BY event_id""".stripMargin
   )
 }

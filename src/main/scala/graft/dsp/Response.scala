@@ -130,6 +130,39 @@ object Response {
     Trace(Fft.irfft(outSpec, n), trace.fs, trace.startTime)
   }
 
+  /** The reference's canonical preprocess step `bandpass_remresp`
+    * (`resources/templates/paramtable.py:280-299`): magnitude-dependent
+    * Butterworth band-pass (fmin = [[mag2freq]], fmax clipped to
+    * 0.9·Nyquist inside [[Traces.bandpass]]) followed by instrument
+    * response removal with a water level. Defaults are the template
+    * config's (`paramtable.yaml`: freq_max 30, corners 2, output ACC,
+    * water level 60 dB).
+    */
+  def bandpassRemresp(trace: Trace, magnitude: Double, resp: ChannelResponse,
+                      freqMax: Double = 30.0, corners: Int = 2,
+                      output: String = "ACC",
+                      waterLevelDb: Double = 60.0): Trace =
+    removeResponse(
+      Traces.bandpass(trace, mag2freq(magnitude), freqMax, corners = corners),
+      resp, output, waterLevelDb)
+
+  /** `synth_wood_anderson` (`paramtable.py:447-474`): integrate the
+    * response-removed trace back to displacement (once from VEL, twice
+    * from ACC — cumulative trapezoid, like ObsPy `Trace.integrate`), then
+    * simulate the Wood-Anderson torsion instrument.
+    */
+  def synthWoodAnderson(trace: Trace, inputType: String = "ACC",
+                        paz: PzStage = WoodAnderson,
+                        sensitivity: Double = WoodAndersonSensitivity): Trace = {
+    val disp = inputType.toUpperCase match {
+      case "VEL" => trace.copy(data = Filters.integrate(trace.data, trace.dt))
+      case "ACC" => trace.copy(data = Filters.integrate(
+        Filters.integrate(trace.data, trace.dt), trace.dt))
+      case _ => trace
+    }
+    simulate(disp, paz, sensitivity)
+  }
+
   /** Apply (simulate) a PAZ instrument — Wood-Anderson synthesis: multiply
     * the spectrum by the instrument's response × sensitivity.
     */

@@ -104,4 +104,118 @@ object SegmentProcessor {
       .select(col("segment_id"), col("__skip").as("reason"))
     (ok, skipped)
   }
+
+  /** One plot-ready trace (`core.py:456-473` `stream2plotly`): `x0Ms` start
+    * of the x axis (epoch ms for time series, 0 for spectra), `dxMs` x step
+    * (ms per sample, or Hz per bin for spectra), `y` the values, `name` the
+    * display label (seed id).
+    */
+  final case class PlotTrace(x0Ms: Double, dxMs: Double, y: Array[Double],
+                             name: String)
+
+  /** GUI-style single-segment evaluation — the reference's plot layer
+    * (`process/gui/webapp/mainapp/core.py:354-473`): evaluate
+    * `f(segment) → arrays` on ONE segment of the prejoined view, with the
+    * `@gui.preprocess` double-track (raw vs preprocessed trace) and
+    * per-plot error isolation (`get_plot` returns the exception text
+    * instead of failing the page).
+    *
+    * Caching mirrors the reference's session caches: the fetched row and
+    * decoded trace are cached while the segment id doesn't change
+    * (`segment._stream` / `_p_p_stream`), and [[stationSlot]] is a
+    * station-keyed slot that SURVIVES segment switches — the inventory
+    * cache that makes browsing a station's segments cheap, same role as
+    * [[SegmentCtx.stationCache]] in the batch engine.
+    *
+    * Scale: the point lookup is `view.filter(id === x)` — the predicate
+    * pushes down to the segment scan (parquet row-group pruning), and the
+    * dimension joins of the view are broadcasts, so fetching one segment
+    * from a 100 TB table touches only the row groups whose id range covers
+    * it, never a full scan.
+    */
+  final class EvalSession(view: DataFrame,
+                          preprocess: graft.dsp.Trace => graft.dsp.Trace = identity,
+                          idCol: String = "id", stationCol: String = "station_id",
+                          dataCol: String = "data", fsCol: String = "sample_rate",
+                          startCol: String = "start_time", nameCol: String = "seed_id") {
+    import graft.dsp.{Spectra, Trace, Traces}
+
+    private val stationCache = scala.collection.mutable.Map.empty[Long, Any]
+    private var cachedRow: Option[(Long, Row)] = None
+    private var cachedTrace: Option[(Long, Boolean, Trace)] = None
+
+    /** The segment's view row (point lookup, cached per id). */
+    def row(id: Long): Row = cachedRow match {
+      case Some((i, r)) if i == id => r
+      case _ =>
+        val rows = view.filter(col(idCol) === id).limit(2).collect()
+        require(rows.length == 1,
+          s"segment $id: expected 1 row, got ${rows.length}")
+        cachedRow = Some((id, rows(0)))
+        rows(0)
+    }
+
+    /** Station-keyed cache slot (inventory decode etc.): built once per
+      * station, reused across segments and evalOne calls.
+      */
+    def stationSlot[A](id: Long)(build: Row => A): A = {
+      val r = row(id)
+      stationCache.getOrElseUpdate(
+        r.getLong(r.fieldIndex(stationCol)), build(r)).asInstanceOf[A]
+    }
+
+    /** The decoded (and optionally preprocessed) trace, cached per
+      * (id, preprocessed) like `_stream` / `_p_p_stream`.
+      */
+    def trace(id: Long, preprocessed: Boolean = false): Trace =
+      cachedTrace match {
+        case Some((i, p, t)) if i == id && p == preprocessed => t
+        case _ =>
+          val r = row(id)
+          val bytes = r.getAs[Array[Byte]](r.fieldIndex(dataCol))
+          val samples = graft.sources.MiniSeed.decodeSamples(bytes)
+          val fs = Option(r.get(r.fieldIndex(fsCol)))
+            .map(v => v.asInstanceOf[Number].doubleValue()).getOrElse(1.0)
+          val t0 = Option(r.getAs[java.sql.Timestamp](r.fieldIndex(startCol)))
+            .getOrElse(new java.sql.Timestamp(0L))
+          val raw = Trace(samples, fs, t0)
+          val t = if (preprocessed) preprocess(raw) else raw
+          cachedTrace = Some((id, preprocessed, t))
+          t
+      }
+
+    /** Evaluate one plot function with the reference's error isolation:
+      * an exception becomes Left(message), never a page failure.
+      */
+    def eval[A](id: Long, preprocessed: Boolean = false)
+               (f: Trace => A): Either[String, A] =
+      try Right(f(trace(id, preprocessed)))
+      catch { case e: Exception =>
+        Left(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
+
+    private def name(id: Long): String = {
+      val r = row(id)
+      val i = r.fieldIndex(nameCol)
+      if (r.isNullAt(i)) s"segment $id" else String.valueOf(r.get(i))
+    }
+
+    /** The default plot set (`core.py` main/spectra/cumulative): the trace
+      * itself, its amplitude spectrum (x axis in Hz per bin), and the
+      * normalized cumulative energy.
+      */
+    def defaultPlots(id: Long,
+                     preprocessed: Boolean = false): Map[String, Either[String, PlotTrace]] = {
+      val lbl = name(id)
+      Map(
+        "trace" -> eval(id, preprocessed)(t =>
+          PlotTrace(t.startTime.getTime.toDouble, 1000.0 / t.fs, t.data, lbl)),
+        "spectra" -> eval(id, preprocessed) { t =>
+          PlotTrace(0.0, Spectra.dfreq(t.data.length, t.dt),
+            Traces.ampspec(t), lbl)
+        },
+        "cumulative" -> eval(id, preprocessed)(t =>
+          PlotTrace(t.startTime.getTime.toDouble, 1000.0 / t.fs,
+            Spectra.cumsumsq(t.data), lbl)))
+    }
+  }
 }

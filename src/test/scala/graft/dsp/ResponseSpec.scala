@@ -74,6 +74,42 @@ class ResponseSpec extends AnyFunSuite {
       s"WA peak $peak vs $expected")
   }
 
+  test("bandpassRemresp: composed preprocess recovers in-band ground acceleration") {
+    val r = Inventory.responseFor(inv, "GE", "APE", "", "HHZ").get
+    val fs = 100.0
+    val f0 = 2.0 // inside the mag-6 passband [0.1, 30] Hz, exact bin of 8000
+    val amp = 1e-6 // 1 µm/s ground velocity
+    val (hr, hi) = Response.responseAt(r, f0)
+    val gain = math.hypot(hr, hi)
+    val counts = Array.tabulate(8000)(i =>
+      amp * gain * math.sin(2 * math.Pi * f0 * i / fs))
+    val tr = Trace(counts, fs, Timestamp.valueOf("2020-01-01 00:00:00"))
+    val acc = Response.bandpassRemresp(tr, magnitude = 6.0, resp = r,
+      freqMax = 30.0, corners = 2, output = "ACC")
+    // acceleration = velocity × ω at a single frequency
+    val expected = amp * 2 * math.Pi * f0
+    val peak = acc.data.drop(1000).dropRight(1000).map(math.abs).max
+    assert(math.abs(peak - expected) / expected < 0.1,
+      s"bandpassRemresp peak $peak vs $expected")
+  }
+
+  test("synthWoodAnderson (time-domain integrate) matches the analytic WA amplitude") {
+    val fs = 100.0
+    val f0 = 5.0 // exact bin
+    val amp = 1e-6
+    val vel = Array.tabulate(8000)(i => amp * math.sin(2 * math.Pi * f0 * i / fs))
+    val tr = Trace(vel, fs, Timestamp.valueOf("2020-01-01 00:00:00"))
+    val wa = Response.synthWoodAnderson(tr, inputType = "VEL")
+    // disp amplitude amp/ω; the WA zero at 0 contributes ω back:
+    // peak = amp·2800 / (|s−p1|·|s−p2|), s = iω
+    val w = 2 * math.Pi * f0
+    val expected = amp * 2800.0 /
+      (math.hypot(6.2832, w - 4.7124) * math.hypot(6.2832, w + 4.7124))
+    val peak = wa.data.drop(1000).dropRight(1000).map(math.abs).max
+    assert(math.abs(peak - expected) / expected < 0.05,
+      s"synthWoodAnderson peak $peak vs $expected")
+  }
+
   test("mag2freq piecewise values") {
     assert(Response.mag2freq(4.0) == 0.4 && Response.mag2freq(5.0) == 0.2 &&
       Response.mag2freq(6.0) == 0.1 && Response.mag2freq(7.5) == 0.05)

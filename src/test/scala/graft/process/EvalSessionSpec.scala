@@ -1,0 +1,96 @@
+package graft.process
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import graft.model.{Schemas, SegmentView}
+import graft.sources.MiniSeed
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types.StructType
+
+/** Single-segment GUI evaluation (`core.py:354-473` analog): point lookup
+  * → decode → preprocess double-track → plot arrays, with the station
+  * cache surviving segment switches.
+  */
+class EvalSessionSpec extends SparkSpec {
+
+  private def df(schema: StructType, rows: Row*) =
+    spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val fs = 50.0
+  private val t0 = ts("2020-01-01 00:00:00")
+  private val samples = Array.tabulate(64)(i => (i * 3 % 41 - 20))
+  private val mseed =
+    MiniSeed.encodeInt32("GE", "APE", "", "HHZ", fs, t0, samples)
+
+  private lazy val view = {
+    val events = df(Schemas.events,
+      Row(1L, 1L, "ev1", t0, 10.0, 20.0, 5.0,
+        null, null, null, null, "Mw", 5.5, null, null, null))
+    val stations = df(Schemas.stations,
+      Row(1L, 1L, "GE", "APE", 11.0, 21.0, 100.0, null,
+        ts("2010-01-01 00:00:00"), null, "<xml/>".getBytes))
+    val channels = df(Schemas.channels,
+      Row(1L, 1L, "", "HHZ", 0.0, 0.0, -90.0, null, null, null, null, fs))
+    val dcs = df(Schemas.dataCenters,
+      Row(1L, "http://sta", "http://data", "ORG"))
+    def seg(id: Long, data: Array[Byte]) =
+      Row(id, 1L, 1L, 1L, 1L, null, 1.0, data, 200L,
+        t0, ts("2020-01-01 00:00:01"), ts("2020-01-01 00:00:30"), fs, 0.0,
+        t0, ts("2020-01-01 00:04:00"), false)
+    SegmentView.build(
+      df(Schemas.segments, seg(1L, mseed), seg(2L, mseed),
+        seg(3L, Array.fill[Byte](7)(42))),
+      events, channels, stations, dcs)
+  }
+
+  test("defaultPlots: trace, spectra and cumulative arrays for one segment") {
+    val s = new SegmentProcessor.EvalSession(view)
+    val plots = s.defaultPlots(1L)
+    val Right(tr) = plots("trace"): @unchecked
+    assert(tr.y.toSeq == samples.map(_.toDouble).toSeq)
+    assert(tr.x0Ms == t0.getTime.toDouble)
+    assert(tr.dxMs == 1000.0 / fs)
+    assert(tr.name == "GE.APE..HHZ")
+    val Right(sp) = plots("spectra"): @unchecked
+    assert(sp.y.length == samples.length / 2 + 1) // one-sided rfft bins
+    assert(sp.dxMs == graft.dsp.Spectra.dfreq(samples.length, 1.0 / fs))
+    val Right(cum) = plots("cumulative"): @unchecked
+    assert(cum.y.length == samples.length)
+    assert(math.abs(cum.y.last - 1.0) < 1e-12) // normalized cumulative energy
+    assert(cum.y.toSeq == cum.y.sorted.toSeq) // monotone
+  }
+
+  test("preprocess double-track: raw and preprocessed traces are both cached") {
+    val s = new SegmentProcessor.EvalSession(view,
+      preprocess = t => t.copy(data = t.data.map(_ * 2.0)))
+    val raw = s.trace(1L).data.toSeq
+    val pp = s.trace(1L, preprocessed = true).data.toSeq
+    assert(pp == raw.map(_ * 2.0))
+    // switching back re-decodes the raw form, untouched by the preprocess
+    assert(s.trace(1L).data.toSeq == raw)
+  }
+
+  test("per-plot error isolation: a failing function returns Left, not a crash") {
+    val s = new SegmentProcessor.EvalSession(view)
+    val got = s.eval(1L)(_ => throw new IllegalStateException("boom"))
+    assert(got == Left("IllegalStateException: boom"))
+    // undecodable data: every default plot reports the error per-plot
+    val plots = s.defaultPlots(3L)
+    assert(plots.values.forall(_.isLeft))
+  }
+
+  test("station cache slot survives switching between segments of a station") {
+    val s = new SegmentProcessor.EvalSession(view)
+    var builds = 0
+    def inv(id: Long) = s.stationSlot(id) { r =>
+      builds += 1
+      new String(r.getAs[Array[Byte]](r.fieldIndex("station_inventory_xml")), "UTF-8")
+    }
+    assert(inv(1L) == "<xml/>")
+    assert(inv(2L) == "<xml/>") // same station: cache hit, no rebuild
+    assert(builds == 1)
+  }
+}
