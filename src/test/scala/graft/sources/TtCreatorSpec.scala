@@ -1,0 +1,84 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Offline grid builder + 1-D ray tracer: npz round-trip through
+  * [[TravelTimes.load]], adaptive-refinement tolerance, closed-form
+  * constant-velocity-sphere checks, and agreement with the reference's
+  * ak135 ttp+ fixture grid.
+  */
+class TtCreatorSpec extends AnyFunSuite {
+
+  // the q30-style analytic time function: smooth, cheap, exactly known
+  private def synthTT(depthKm: Double, distDeg: Double): Double =
+    math.sqrt(distDeg * 111.0 * distDeg * 111.0 + depthKm * depthKm) / 8.0
+
+  test("adaptive grid meets its interpolation tolerance on an analytic model") {
+    val tol = 0.5
+    val table = TtCreator.buildGrid(synthTT, "synth",
+      maxSourceDepthKm = 700.0, maxDistDeg = 180.0, tolSec = tol)
+    // probe off-grid points: bilinear lookup vs the true function
+    val errs = for {
+      d <- Seq(13.0, 111.7, 345.2, 633.3)
+      x <- Seq(0.41, 7.77, 33.33, 91.2, 179.1)
+    } yield math.abs(table.minTravelTime(d, x) - synthTT(d, x))
+    assert(errs.max <= tol, s"max interp error ${errs.max}")
+  }
+
+  test("npz write → TravelTimes.load round-trip preserves the table") {
+    val table = TtCreator.buildGrid(synthTT, "synth700",
+      maxSourceDepthKm = 700.0, maxDistDeg = 180.0, tolSec = 2.0)
+    val path = java.nio.file.Files.createTempFile("graft_tt", ".npz").toString
+    TtCreator.writeNpz(table, path)
+    val back = TravelTimes.load(path)
+    assert(back.modelName == "synth700")
+    assert(back.sourceDepthBoundKm == 700.0)
+    assert(back.sourceDepthsKm.toSeq == table.sourceDepthsKm.toSeq)
+    assert(back.distancesDeg.toSeq == table.distancesDeg.toSeq)
+    val same = for (i <- table.sourceDepthsKm.indices;
+                    j <- table.distancesDeg.indices)
+      yield back.times(i)(j) == table.times(i)(j)
+    assert(same.forall(identity))
+    // and the loaded table interpolates identically
+    assert(back.minTravelTime(123.4, 56.7) == table.minTravelTime(123.4, 56.7))
+  }
+
+  test("ray tracer: constant-velocity sphere matches the chord closed form") {
+    val v = 8.0
+    val r = 6371.0
+    // dense knots: the earth-flattened velocity exp(z/R) is approximated
+    // piecewise-linearly between them
+    val model = Layered1D((0 to 2200 by 25).map(d => d.toDouble -> v))
+    for (dist <- Seq(10.0, 30.0, 60.0, 90.0)) {
+      val expected = 2 * r * math.sin(math.toRadians(dist) / 2) / v
+      val got = model.travelTime(0.0, dist)
+      assert(math.abs(got - expected) / expected < 0.002,
+        s"dist $dist: got $got expected $expected")
+    }
+    // buried source: straight chord from depth h to the surface point
+    val h = 100.0
+    for (dist <- Seq(5.0, 20.0, 45.0)) {
+      val chord = math.sqrt(r * r + (r - h) * (r - h) -
+        2 * r * (r - h) * math.cos(math.toRadians(dist)))
+      val got = model.travelTime(h, dist)
+      assert(math.abs(got - chord / v) / (chord / v) < 0.003,
+        s"depth $h dist $dist: got $got expected ${chord / v}")
+    }
+  }
+
+  test("ak135 tracer reproduces the reference ttp+ fixture grid within 1%") {
+    val fix = TravelTimes.load("/root/reference/tests/data/ak135_ttp+_5.npz")
+    assert(fix.modelName == "ak135")
+    // fixture depth knots (no depth interpolation error) × mantle-P range
+    val depths = Seq(0.0, 30.1, 109.5, 191.0)
+    val dists = Seq(20.0, 35.0, 50.0, 65.0, 80.0, 88.0)
+    for (d <- depths; x <- dists) {
+      val want = fix.minTravelTime(d, x)
+      val got = Layered1D.Ak135P.travelTime(d, x)
+      assert(got.isFinite, s"no arrival at depth $d dist $x")
+      assert(math.abs(got - want) / want < 0.01,
+        s"depth $d dist $x: got $got fixture $want " +
+          f"(${100 * (got - want) / want}%.2f%%)")
+    }
+  }
+}
