@@ -1058,6 +1058,99 @@ object SparkEntry {
         }
         .toDF("event_id", "vel_ratio", "acc_ratio", "wa_amp")
         .orderBy(col("event_id"))
+    }),
+
+    // §2.8 SDS archive path builder (`process/db/models.py:323-347`): the
+    // billion-segment sink layout as pure codegen string/date Columns —
+    // empty location collapses as a path segment but stays in the dotted
+    // filename; day-of-year zero-pads to 3
+    "q49_sds_path" -> ((s, dir) => {
+      val chans = t(s, dir, "part").select(col("p_partkey"),
+        concat(lit("N"), (col("p_partkey") % 4).cast("string")).as("net"),
+        concat(lit("S"), (col("p_partkey") % 7).cast("string")).as("sta"),
+        when(col("p_partkey") % 3 === 0, lit("")).otherwise(lit("00")).as("loc"),
+        lit("HHZ").as("cha"),
+        expr("date_add(DATE'2020-01-01', CAST(p_partkey % 400 AS INT))").as("t"))
+      chans.select(col("p_partkey"),
+        Derived.sdsPath(lit("/archive"), col("p_partkey"), col("net"),
+          col("sta"), col("loc"), col("cha"), col("t")).as("sds_path"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // §2.6 per-station download-stats variant: the same gap-recode +
+    // code-ranked pivot as q11's datacenter matrix, keyed by station
+    // (`DownloadStats.pivot` with a station row key)
+    "q50_station_stats" -> ((s, dir) => {
+      import graft.operators.DownloadStats
+      val segs = t(s, dir, "lineitem").select(
+        concat(lit("S"), lpad((col("l_suppkey") % 50).cast("string"), 2, "0"))
+          .as("station"),
+        when(col("l_orderkey") % 11 === 0, lit(null).cast("long"))
+          .when(col("l_orderkey") % 7 === 0, lit(-204L))
+          .when(col("l_orderkey") % 5 === 0, lit(404L))
+          .when(col("l_orderkey") % 3 === 0, lit(500L))
+          .otherwise(lit(200L)).as("download_code"),
+        ((col("l_partkey") % 21 - 10).cast("double") / 10.0)
+          .as("maxgap_numsamples"))
+      DownloadStats.pivot(segs, Seq("station"))
+        .na.fill(0L)
+        .orderBy(col("station"))
+    }),
+
+    // §2.8 meanslice (`paramtable.py:520-529`): nanmean over a sliced
+    // window; the slice is sized to a power-of-two sample count so the
+    // mean is exact double arithmetic the oracle reproduces bit-for-bit,
+    // and an under-populated slice (npts < nptMin) goes NaN
+    "q51_meanslice" -> ((s, dir) => {
+      import s.implicits._
+      import graft.dsp.{Trace, Traces}
+      val epoch = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+      t(s, dir, "supplier").select(col("s_suppkey")).as[Long]
+        .map { id =>
+          val fs = 20.0
+          val wave = Array.tabulate(200)(i =>
+            ((id * 17 + i * 13) % 997 - 498).toDouble)
+          val tr = Trace(wave, fs, epoch)
+          // [2 s, 8.35 s] → samples 40..167 = 128 points (exact /2⁷ mean)
+          val m = Traces.meanslice(tr, nptMin = 50,
+            start = Some(new java.sql.Timestamp(epoch.getTime + 2000)),
+            end = Some(new java.sql.Timestamp(epoch.getTime + 8350)))
+          val short = Traces.meanslice(tr, nptMin = 201)
+          (id, m, short.isNaN)
+        }.toDF("s_suppkey", "mean_slice", "short_is_nan")
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // §2.4 dbsyncdf metrics (`io/db/pdsql.py:214-260`): one sync with all
+    // four outcome classes planted — matched updates, new inserts, rows
+    // quarantined by the natural-key constraint, and exact-duplicate rows
+    // dropped by the keyed dedup — reported as the reference's
+    // inserted/updated/rejected/discarded counts
+    "q52_sync_metrics" -> ((s, dir) => {
+      import s.implicits._
+      val target = t(s, dir, "customer")
+        .select(col("c_custkey").as("id"), col("c_name").as("name"),
+          col("c_acctbal").as("bal"))
+      val updates = target.filter(col("id") % 4 === 0)
+        .withColumn("bal", col("bal") + 1.0)
+        .select(col("name"), col("bal"))
+      val inserts = t(s, dir, "supplier")
+        .select(concat(lit("NEW_"), col("s_name")).as("name"),
+          col("s_acctbal").as("bal"))
+      val dupCopies = inserts.filter(col("name").isNotNull)
+        .join(t(s, dir, "supplier").filter(col("s_suppkey") % 2 === 0)
+          .select(concat(lit("NEW_"), col("s_name")).as("name")), Seq("name"))
+      val rejects = t(s, dir, "supplier").filter(col("s_suppkey") % 5 === 0)
+        .select(lit(null).cast("string").as("name"),
+          col("s_acctbal").as("bal"))
+      val input = updates.unionByName(inserts).unionByName(dupCopies)
+        .unionByName(rejects)
+      val (result, rejected) = SyncTable.syncQuarantined(
+        input, target, matchCols = Seq("name"), idCol = "id")
+      val m = SyncTable.metrics(input, result, Some(rejected))
+      result.unpersist()
+      Seq((m.inserted, m.updated, m.rejected, m.droppedDuplicates))
+        .toDF("inserted", "updated", "rejected", "dropped")
     })
   )
 
