@@ -106,6 +106,7 @@ object Main {
     val runId = DownloadRecords.nextId(spark, cfg.outdir)
     val log = new DownloadRecords.RunLog
     log.info(s"download run $runId starting")
+    var failure: Throwable = null
     try {
       val report = runDownload(spark, cfg, transport, runId, log)
       log.info(s"segments: ${report.nSegments} " +
@@ -114,10 +115,21 @@ object Main {
       report
     } catch {
       case e: Throwable =>
+        failure = e
         log.error(s"download aborted: ${e.getClass.getSimpleName}: ${e.getMessage}")
         throw e
-    } finally
-      DownloadRecords.append(spark, cfg.outdir, runId, runTime, configText, log)
+    } finally {
+      // the run record must never MASK the campaign's own failure: if the
+      // append itself throws (unwritable outdir, stopped session) with a
+      // download exception in flight, log the secondary and let the
+      // original propagate; with no failure in flight it is the failure
+      try DownloadRecords.append(spark, cfg.outdir, runId, runTime, configText, log)
+      catch {
+        case e2: Throwable if failure != null =>
+          System.err.println(s"failed to record download run $runId " +
+            s"(original failure propagates): ${e2.getClass.getSimpleName}: ${e2.getMessage}")
+      }
+    }
   }
 
   private def runDownload(spark: SparkSession, cfg: DownloadConfig,
@@ -311,8 +323,18 @@ object Main {
       .collect()
       .map(row => Option(row.get(0)).map(_.toString).getOrElse("null") -> row.getLong(1))
       .toMap
+    // Collision audit: candidates are distinct by natural key (events join
+    // epoch-deduped channels), so a 64-bit seg_id birthday collision shows
+    // up as countDistinct(seg_id) < count(*). A collision would make the
+    // resume anti-join silently skip a distinct candidate — make it loud.
+    val (nCandidates, nSegIds) = candidates
+      .agg(count(lit(1)), countDistinct(col("seg_id"))).as[(Long, Long)].head()
+    if (nSegIds != nCandidates)
+      log.warn(s"seg_id hash collision: $nCandidates candidates map to " +
+        s"$nSegIds distinct ids; colliding candidates resume-filter as " +
+        "already downloaded — narrow the campaign or widen the id")
     val report = DownloadReport(events.count(), filtered.count(),
-      candidates.count(), segDf.count(), codeCounts)
+      nCandidates, segDf.count(), codeCounts)
     log.info(s"events: ${report.nEvents}; channels: ${report.nChannels}; " +
       s"candidates: ${report.nCandidates} (${run.attempts} download attempt(s))")
     run.unpersist(); events.unpersist(); filtered.unpersist()
@@ -339,9 +361,21 @@ object Main {
     val maxR = r.fixed.getOrElse(math.max(r.minRadius, r.maxRadius))
     val evSide = events.select(col("event_id"), col("time"), col("magnitude"),
       col("latitude").as("ev_lat"), col("longitude").as("ev_lon"))
+    // One row per channel IDENTITY, not per epoch: the station query is not
+    // time-bounded, so a channel with N epochs arrives N times and would
+    // yield N candidate rows sharing one seg_id (the reference dedups in
+    // `download/modules/channels.py` via drop_duplicates). Latest epoch wins;
+    // the lexicographic struct max is deterministic even on start_time ties.
     val stSide = channels.select(col("network"), col("station"), col("location"),
       col("channel"), col("dataselect_url"),
-      col("latitude").as("st_lat"), col("longitude").as("st_lon"))
+      col("latitude"), col("longitude"), col("start_time"))
+      .groupBy(col("network"), col("station"), col("location"),
+        col("channel"), col("dataselect_url"))
+      .agg(max(struct(col("start_time"), col("latitude"), col("longitude")))
+        .as("__epoch"))
+      .select(col("network"), col("station"), col("location"), col("channel"),
+        col("dataselect_url"),
+        col("__epoch.latitude").as("st_lat"), col("__epoch.longitude").as("st_lon"))
     val radiusCol = r.fixed.map(lit).getOrElse(
       Geo.magDepSearchRadius(col("magnitude"), r.minMag, r.maxMag,
         r.minRadius, r.maxRadius))

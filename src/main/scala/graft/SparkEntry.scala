@@ -1794,6 +1794,72 @@ object SparkEntry {
         |     sqrt(6.2832 * 6.2832 + (w + 4.7124) * (w + 4.7124))), 7)
         |    AS wa_amp
         |FROM ev
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+    // mirrors Derived.sdsPath: loc "" collapses as a path segment (concat_ws
+    // skips the null) but stays an empty dotted field in the filename
+    "q49_sds_path" ->
+      """WITH c AS (
+        |  SELECT p_partkey,
+        |    'N' || CAST(p_partkey % 4 AS VARCHAR) AS net,
+        |    'S' || CAST(p_partkey % 7 AS VARCHAR) AS sta,
+        |    CASE WHEN p_partkey % 3 = 0 THEN '' ELSE '00' END AS loc,
+        |    DATE '2020-01-01' + CAST(p_partkey % 400 AS INT) AS t
+        |  FROM part)
+        |SELECT p_partkey,
+        |  '/archive/' || CAST(p_partkey AS VARCHAR) || '/' ||
+        |  CAST(year(t) AS VARCHAR) || '/' || net || '/' || sta || '/' ||
+        |  CASE WHEN loc = '' THEN '' ELSE loc || '/' END ||
+        |  'HHZ.D/' || net || '.' || sta || '.' || loc || '.HHZ.D.' ||
+        |  CAST(year(t) AS VARCHAR) || '.' ||
+        |  lpad(CAST(dayofyear(t) AS VARCHAR), 3, '0') AS sds_path
+        |FROM c
+        |ORDER BY p_partkey""".stripMargin,
+    // the gap recode (200 & |maxgap|>0.5 → -2000) and the code-ranked pivot
+    // column set written out as one CASE aggregation per code column
+    "q50_station_stats" ->
+      """WITH segs AS (
+        |  SELECT 'S' || lpad(CAST(l_suppkey % 50 AS VARCHAR), 2, '0') AS station,
+        |    CASE WHEN l_orderkey % 11 = 0 THEN NULL
+        |         WHEN l_orderkey % 7 = 0 THEN -204
+        |         WHEN l_orderkey % 5 = 0 THEN 404
+        |         WHEN l_orderkey % 3 = 0 THEN 500
+        |         ELSE 200 END AS code0,
+        |    (CAST(l_partkey % 21 AS DOUBLE) - 10) / 10.0 AS maxgap
+        |  FROM lineitem),
+        | recoded AS (
+        |  SELECT station,
+        |    CASE WHEN code0 = 200 AND (maxgap < -0.5 OR maxgap > 0.5) THEN -2000
+        |         ELSE code0 END AS code
+        |  FROM segs)
+        |SELECT station,
+        |  CAST(sum(CASE WHEN code = 200 THEN 1 ELSE 0 END) AS BIGINT) AS "200",
+        |  CAST(sum(CASE WHEN code = -2000 THEN 1 ELSE 0 END) AS BIGINT) AS "-2000",
+        |  CAST(sum(CASE WHEN code = -204 THEN 1 ELSE 0 END) AS BIGINT) AS "-204",
+        |  CAST(sum(CASE WHEN code IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS "null",
+        |  CAST(sum(CASE WHEN code = 404 THEN 1 ELSE 0 END) AS BIGINT) AS "404",
+        |  CAST(sum(CASE WHEN code = 500 THEN 1 ELSE 0 END) AS BIGINT) AS "500"
+        |FROM recoded
+        |GROUP BY station
+        |ORDER BY station""".stripMargin,
+    // the slice is samples 40..167 (128 = 2⁷ points) of an integer-valued
+    // wave, so sum/128 is exact double arithmetic on both sides; the
+    // 200-sample trace can never satisfy nptMin=201 → NaN is constant true
+    "q51_meanslice" ->
+      """SELECT s_suppkey,
+        |  (SELECT sum((s_suppkey * 17 + i * 13) % 997 - 498)
+        |     FROM generate_series(40, 167) AS t(i)) / 128.0 AS mean_slice,
+        |  true AS short_is_nan
+        |FROM supplier
+        |ORDER BY s_suppkey""".stripMargin,
+    // closed forms of the four planted outcome classes: every supplier name
+    // is new (NEW_ prefix, names unique) → inserted; matched customers
+    // (id%4=0) → updated; null names → rejected; the second copy of each
+    // even-suppkey insert → dropped by the keyed dedup
+    "q52_sync_metrics" ->
+      """SELECT
+        |  CAST((SELECT count(*) FROM supplier) AS BIGINT) AS inserted,
+        |  CAST((SELECT count(*) FROM customer WHERE c_custkey % 4 = 0) AS BIGINT) AS updated,
+        |  CAST((SELECT count(*) FROM supplier WHERE s_suppkey % 5 = 0) AS BIGINT) AS rejected,
+        |  CAST((SELECT count(*) FROM supplier WHERE s_suppkey % 2 = 0) AS BIGINT) AS dropped""".stripMargin
   )
 }

@@ -47,6 +47,14 @@ object DcAuth {
       def method(m: String): String =
         ws.map(_.url(Fdsnws.Dataselect, m)).getOrElse(dsUrl)
       val access = token match {
+        // An unparseable ws URL means method("auth") would fall back to the
+        // dataselect query endpoint itself — POSTing the secret token to a
+        // data endpoint, whose 200 body with a ':' would be misread as
+        // credentials. Skip the exchange and use open data instead.
+        case Some(_) if ws.isEmpty =>
+          warn(s"downloading open data only from $dsUrl: not a parseable " +
+            "FDSN web-service URL; skipping the token exchange")
+          Access(dsUrl, None)
         case Some(tok) =>
           val res = transport.fetch(httpsify(method("auth")), Some(tok), timeoutMs)
           res.data.map(new String(_, "UTF-8").trim) match {

@@ -215,6 +215,27 @@ class MainSpec extends SparkSpec {
     assert(segs.count() == 9)
   }
 
+  test("unparseable ws URL skips the token exchange — the token never leaves") {
+    // a URL Fdsnws can't parse must NOT receive the token POST (the method()
+    // fallback would be the data endpoint itself); expect open-data fallback
+    val dsUrl = "http://opaque.example.org/some/custom/endpoint"
+    val posted = new java.util.concurrent.atomic.AtomicInteger()
+    val tp: graft.net.Transport = new graft.net.Transport {
+      override def fetch(url: String, body: Option[String], timeoutMs: Int,
+                         headers: Map[String, String]): FetchResult = {
+        if (body.exists(_.contains("SECRET")))
+          posted.incrementAndGet()
+        FetchResult(Some("u:p".getBytes("UTF-8")), None, Some(200))
+      }
+    }
+    var warned: List[String] = Nil
+    val access = graft.net.DcAuth.resolve(Map(7L -> dsUrl), Some("SECRET"),
+      Map.empty, tp, 1000, w => warned ::= w)
+    assert(posted.get() == 0, "token must not be POSTed anywhere")
+    assert(access(7L).url == dsUrl && access(7L).creds.isEmpty)
+    assert(warned.exists(_.contains("skipping the token exchange")))
+  }
+
   test("EIDA token exchange failure falls back to open data with a warning") {
     import org.apache.spark.sql.functions.col
     val outdir = Files.createTempDirectory("graft_cli_eida_fb").toString
@@ -338,12 +359,20 @@ class MainSpec extends SparkSpec {
     val t0 = java.sql.Timestamp.valueOf("2011-01-15 00:00:00")
     val events = Seq(("e1", t0, 3.0, 10.0, 20.0), ("e2", t0, 4.0, 11.0, 21.0))
       .toDF("event_id", "time", "magnitude", "latitude", "longitude")
+    // GE.APE..BHZ has TWO epochs (the station query is not time-bounded):
+    // the identity must collapse to one candidate row per event, with the
+    // latest epoch's coordinates winning
+    val e1 = java.sql.Timestamp.valueOf("2001-01-01 00:00:00")
+    val e2 = java.sql.Timestamp.valueOf("2009-06-01 00:00:00")
     val channels = Seq(
-      ("GE", "APE", "", "BHZ", 10.1, 20.1, "http://dc/fdsnws/dataselect/1/query"),
-      ("GE", "ISP", "00", "BHN", 11.1, 21.1, "http://dc/fdsnws/dataselect/1/query"))
+      ("GE", "APE", "", "BHZ", 10.1, 20.1, "http://dc/fdsnws/dataselect/1/query", e1),
+      ("GE", "APE", "", "BHZ", 10.2, 20.2, "http://dc/fdsnws/dataselect/1/query", e2),
+      ("GE", "ISP", "00", "BHN", 11.1, 21.1, "http://dc/fdsnws/dataselect/1/query", e1))
       .toDF("network", "station", "location", "channel",
-        "latitude", "longitude", "dataselect_url")
+        "latitude", "longitude", "dataselect_url", "start_time")
     val df = Main.buildCandidates(events, channels, cfg)
+    // 2 events × 2 channel identities — epoch duplicates collapsed
+    assert(df.count() == 4)
     val plan = df.queryExecution.executedPlan.toString
     // seg_id assignment must not funnel candidates through one partition:
     // no window operator, no SinglePartition exchange anywhere in the plan

@@ -67,7 +67,12 @@ class TtCreatorSpec extends AnyFunSuite {
   }
 
   test("ak135 tracer reproduces the reference ttp+ fixture grid within 1%") {
-    val fix = TravelTimes.load("/root/reference/tests/data/ak135_ttp+_5.npz")
+    // fixture lives in the reference checkout; skip (don't fail) elsewhere
+    val fixPath = sys.env.getOrElse("GRAFT_REFERENCE_ROOT", "/root/reference") +
+      "/tests/data/ak135_ttp+_5.npz"
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(fixPath)),
+      s"reference fixture not present: $fixPath")
+    val fix = TravelTimes.load(fixPath)
     assert(fix.modelName == "ak135")
     // fixture depth knots (no depth interpolation error) × mantle-P range
     val depths = Seq(0.0, 30.1, 109.5, 191.0)
