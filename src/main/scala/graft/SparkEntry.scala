@@ -1145,8 +1145,11 @@ object SparkEntry {
           col("s_acctbal").as("bal"))
       val input = updates.unionByName(inserts).unionByName(dupCopies)
         .unionByName(rejects)
+      // surrogateIds: the operator's recommended cluster-scale shape — no
+      // max(id) action, no second numbering pass; the metrics are id-free
       val (result, rejected) = SyncTable.syncQuarantined(
-        input, target, matchCols = Seq("name"), idCol = "id")
+        input, target, matchCols = Seq("name"), idCol = "id",
+        surrogateIds = true)
       val m = SyncTable.metrics(input, result, Some(rejected))
       result.unpersist()
       Seq((m.inserted, m.updated, m.rejected, m.droppedDuplicates))

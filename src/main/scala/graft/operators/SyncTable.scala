@@ -25,9 +25,21 @@ import org.apache.spark.sql.functions._
 object SyncTable {
 
   final case class SyncResult(synced: DataFrame, inserts: DataFrame, updates: DataFrame,
-                              cached: Option[DataFrame] = None) {
-    /** (inserted, updated) row counts — one action each. */
-    def stats(): (Long, Long) = (inserts.count(), updates.count())
+                              cached: Option[DataFrame] = None,
+                              idColName: String = "id") {
+    /** (inserted, updated) row counts. With the resolve join persisted this
+      * is ONE aggregation over the cached blocks (insert/update is just
+      * id-nullness there); otherwise one count per slice.
+      */
+    def stats(): (Long, Long) = cached match {
+      case Some(resolved) =>
+        val r = resolved.agg(
+          sum(when(col(idColName).isNull, 1L).otherwise(0L)),
+          sum(when(col(idColName).isNotNull, 1L).otherwise(0L))).head()
+        (if (r.isNullAt(0)) 0L else r.getLong(0),
+          if (r.isNullAt(1)) 0L else r.getLong(1))
+      case None => (inserts.count(), updates.count())
+    }
 
     /** Release the persisted resolve join. Call after the consuming action
       * (the merged write) — a long-running pipeline that never releases it
@@ -63,7 +75,8 @@ object SyncTable {
     val cols = resolved.schema.fieldNames.map(col).toSeq
     SyncResult(updates.select(cols: _*).unionByName(inserts.select(cols: _*)),
       inserts.select(cols: _*), updates.select(cols: _*),
-      cached = if (persistIntermediate) Some(resolved) else None)
+      cached = if (persistIntermediate) Some(resolved) else None,
+      idColName = idCol)
   }
 
   /** The `dbsyncdf` report line (`io/db/pdsql.py:214-260` logs inserted /
