@@ -1154,6 +1154,87 @@ object SparkEntry {
       result.unpersist()
       Seq((m.inserted, m.updated, m.rejected, m.droppedDuplicates))
         .toDF("inserted", "updated", "rejected", "dropped")
+    }),
+
+    // §2.7 exprquery orderby (`sqlevalexpr.py:215-236`): DSL filter + typed
+    // (attr, direction) ordering. The limit makes the ORDER observable to
+    // the row-set oracle (top-N by the sort key), and compiles to
+    // TakeOrderedAndProject — per-partition heaps, no global sort at scale
+    "q53_dsl_orderby" -> ((s, dir) => {
+      Selection.orderBy(
+        Selection.filter(t(s, dir, "lineitem"), Map(
+          "l_quantity" -> ">=45",
+          "l_linestatus" -> "=F")),
+        Seq(("l_extendedprice", "desc"), ("l_orderkey", "asc"),
+          ("l_linenumber", "asc")))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .limit(100)
+    }),
+
+    // §2.8 ampspec/powspec/dfreq/freqs (`ndarrays.py:33-91`) on exact-DFT-
+    // bin sinusoids: |X[k]| = N/2·amp leak-free, adjacent bin ~0, and the
+    // frequency axis is exact binary arithmetic (fs/N = 0.25) — every
+    // output has a closed form the oracle recomputes
+    "q54_spectra" -> ((s, dir) => {
+      import s.implicits._
+      import graft.dsp.Spectra
+      val fs = 32.0
+      val n = 128
+      t(s, dir, "supplier").select(col("s_suppkey")).as[Long]
+        .map { id =>
+          val k = 2 + (id % 13).toInt
+          val amp = (1 + id % 7).toDouble
+          val wave = Array.tabulate(n)(i => amp * math.sin(2 * math.Pi * k * i / n))
+          val sp = Spectra.ampspec(wave)
+          val pw = Spectra.powspec(wave)
+          val df = Spectra.dfreq(n, 1.0 / fs)
+          val fr = Spectra.freqs(sp.length, df)
+          (id,
+            math.round(sp(k) * 1e6) / 1e6,
+            math.round(pw(k) * 1e4) / 1e4,
+            math.round(math.abs(sp(k + 1)) * 1e6) / 1e6,
+            df, fr(k))
+        }.toDF("s_suppkey", "amp_k", "pow_k", "leak", "dfreq", "freq_k")
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // §2.8 savitzky_golay (`ndarrays.py`, cookbook SG): an order-3 kernel
+    // REPRODUCES cubic polynomials exactly away from the mirror-padded
+    // edges, and its deriv=1 kernel returns rate·p′ — both closed forms
+    "q55_savgol" -> ((s, dir) => {
+      import s.implicits._
+      import graft.dsp.Advanced
+      t(s, dir, "customer").select(col("c_custkey")).as[Long]
+        .map { id =>
+          val b = (id % 5 + 1).toDouble
+          val c = (id % 7).toDouble * 0.5
+          val d = (id % 3).toDouble * 0.25
+          val y = Array.tabulate(64)(i => 10.0 + b * i + c * i * i + d * i * i * i)
+          val sm = Advanced.savitzkyGolay(y, windowSize = 7, order = 3)
+          val dv = Advanced.savitzkyGolay(y, windowSize = 7, order = 3,
+            deriv = 1, rate = 2.0)
+          (id, math.round(sm(31) * 1e6) / 1e6, math.round(dv(31) * 1e6) / 1e6)
+        }.toDF("c_custkey", "sg_mid", "sg_deriv_mid")
+        .orderBy(col("c_custkey"))
+    }),
+
+    // §2.8 classic STA/LTA (`obspy trigger` port, `Advanced.classicStaLta`)
+    // on a planted step: integer-valued squares make every running sum
+    // exact, so the sta/lta ratio is bit-reproducible from window-overlap
+    // counting — warm-up region 0, full-b tail exactly 1
+    "q56_stalta" -> ((s, dir) => {
+      import s.implicits._
+      import graft.dsp.Advanced
+      t(s, dir, "events").filter(col("event_id") % 200 === 0)
+        .select(col("event_id")).as[Long]
+        .map { id =>
+          val m = 30 + (id % 20).toInt
+          val b = (2 + id % 3).toDouble
+          val x = Array.tabulate(100)(i => if (i < m) 1.0 else b)
+          val r = Advanced.classicStaLta(x, nsta = 5, nlta = 20)
+          (id, r(10), r(50), r(90))
+        }.toDF("event_id", "r_warmup", "r_mid", "r_tail")
+        .orderBy(col("event_id"))
     })
   )
 
@@ -1863,6 +1944,55 @@ object SparkEntry {
         |  CAST((SELECT count(*) FROM supplier) AS BIGINT) AS inserted,
         |  CAST((SELECT count(*) FROM customer WHERE c_custkey % 4 = 0) AS BIGINT) AS updated,
         |  CAST((SELECT count(*) FROM supplier WHERE s_suppkey % 5 = 0) AS BIGINT) AS rejected,
-        |  CAST((SELECT count(*) FROM supplier WHERE s_suppkey % 2 = 0) AS BIGINT) AS dropped""".stripMargin
+        |  CAST((SELECT count(*) FROM supplier WHERE s_suppkey % 2 = 0) AS BIGINT) AS dropped""".stripMargin,
+    "q53_dsl_orderby" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem
+        |WHERE l_quantity >= 45 AND l_linestatus = 'F'
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        |LIMIT 100""".stripMargin,
+    "q54_spectra" ->
+      """SELECT s_suppkey,
+        |  round(64.0 * (1 + s_suppkey % 7), 6) AS amp_k,
+        |  round(64.0 * (1 + s_suppkey % 7) * 64.0 * (1 + s_suppkey % 7), 4) AS pow_k,
+        |  0.0 AS leak,
+        |  0.25 AS dfreq,
+        |  (2 + s_suppkey % 13) * 0.25 AS freq_k
+        |FROM supplier
+        |ORDER BY s_suppkey""".stripMargin,
+    // SG(order 3) is exact on cubics in the interior; deriv=1 returns
+    // rate·p′(i) (kernel scaled by deriv!·rate^deriv)
+    "q55_savgol" ->
+      """WITH p AS (
+        |  SELECT c_custkey,
+        |    CAST(c_custkey % 5 + 1 AS DOUBLE) AS b,
+        |    CAST(c_custkey % 7 AS DOUBLE) * 0.5 AS c,
+        |    CAST(c_custkey % 3 AS DOUBLE) * 0.25 AS d
+        |  FROM customer)
+        |SELECT c_custkey,
+        |  round(10.0 + b*31 + c*31*31 + d*31*31*31, 6) AS sg_mid,
+        |  round(2.0 * (b + 2*c*31 + 3*d*31*31), 6) AS sg_deriv_mid
+        |FROM p
+        |ORDER BY c_custkey""".stripMargin,
+    // window-overlap counting: nbs/nbl = how many of the last 5/20 samples
+    // at i=50 are past the step at m; the ratio divides the same exact
+    // integer sums the kernel accumulates
+    "q56_stalta" ->
+      """WITH e AS (
+        |  SELECT event_id,
+        |    30 + event_id % 20 AS m,
+        |    CAST(2 + event_id % 3 AS DOUBLE) AS b
+        |  FROM events WHERE event_id % 200 = 0),
+        | c AS (
+        |  SELECT event_id, b*b AS b2,
+        |    GREATEST(0, 50 - GREATEST(m, 46) + 1) AS nbs,
+        |    GREATEST(0, 50 - GREATEST(m, 31) + 1) AS nbl
+        |  FROM e)
+        |SELECT event_id,
+        |  0.0 AS r_warmup,
+        |  ((nbs*b2 + (5-nbs))/5.0) / ((nbl*b2 + (20-nbl))/20.0) AS r_mid,
+        |  1.0 AS r_tail
+        |FROM c
+        |ORDER BY event_id""".stripMargin
   )
 }
