@@ -421,22 +421,7 @@ object Main {
           .filter(col("data").isNotNull)
       else base.filter(col("download_code") === 200 && col("data").isNotNull)
     val resumed = Writers.resumeFilter(segs, s"${cfg.outdir}/features", "seg_id")
-    val feats = resumed
-      .select(col("seg_id"), col("data"), col("sample_rate"),
-        col("start_time")).as[(Long, Array[Byte], Option[Double], java.sql.Timestamp)]
-      .map { case (id, bytes, fsOpt, t0) =>
-        try {
-          val samples = graft.sources.MiniSeed.decodeSamples(bytes)
-          val fs = fsOpt.getOrElse(1.0)
-          val trace = graft.dsp.Trace(samples, fs,
-            Option(t0).getOrElse(new java.sql.Timestamp(0)))
-          val (pga, _, pgv, _) = graft.dsp.Traces.peakGroundMotion(trace)
-          val mean = graft.dsp.Traces.meanslice(trace, nptMin = 1)
-          (id, samples.length, pga, pgv, mean, null.asInstanceOf[String])
-        } catch {
-          case e: Exception => (id, 0, 0.0, 0.0, 0.0, e.getMessage)
-        }
-      }.toDF("seg_id", "n_samp", "pga", "pgv", "mean", "skip_reason")
+    val feats = graft.process.Features.compute(resumed)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ok = feats.filter(col("skip_reason").isNull).drop("skip_reason")
     ok.write.mode("append").parquet(s"${cfg.outdir}/features")

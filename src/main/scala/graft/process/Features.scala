@@ -1,0 +1,41 @@
+package graft.process
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The per-segment feature kernel shared by the batch `s2s process` job
+  * ([[graft.Main.process]]) and the continuous form
+  * ([[graft.streaming.SegmentStream]]) — one definition, so a backfill and
+  * a live pipeline cannot drift (the reference runs the same `imap`
+  * function either way, `process/main.py:369-439`).
+  *
+  * Stateless per-row map: decode the miniSEED blob, compute PGA/PGV and the
+  * trace mean; a decode failure becomes a `skip_reason` row instead of
+  * aborting the job (the reference's skip-vs-abort error model).
+  */
+object Features {
+
+  /** segments → (seg_id, n_samp, pga, pgv, mean, skip_reason). Works on a
+    * batch OR streaming DataFrame (no shuffle, no state).
+    */
+  def compute(segments: DataFrame): DataFrame = {
+    val spark = segments.sparkSession
+    import spark.implicits._
+    segments
+      .select(col("seg_id"), col("data"), col("sample_rate"), col("start_time"))
+      .as[(Long, Array[Byte], Option[Double], java.sql.Timestamp)]
+      .map { case (id, bytes, fsOpt, t0) =>
+        try {
+          val samples = graft.sources.MiniSeed.decodeSamples(bytes)
+          val fs = fsOpt.getOrElse(1.0)
+          val trace = graft.dsp.Trace(samples, fs,
+            Option(t0).getOrElse(new java.sql.Timestamp(0)))
+          val (pga, _, pgv, _) = graft.dsp.Traces.peakGroundMotion(trace)
+          val mean = graft.dsp.Traces.meanslice(trace, nptMin = 1)
+          (id, samples.length, pga, pgv, mean, null.asInstanceOf[String])
+        } catch {
+          case e: Exception => (id, 0, 0.0, 0.0, 0.0, e.getMessage)
+        }
+      }.toDF("seg_id", "n_samp", "pga", "pgv", "mean", "skip_reason")
+  }
+}

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.process.Features
+
+/** Continuous processing of downloaded segments — the streaming form of
+  * `s2s process` (SURVEY.md §2.10, beyond-parity: the reference reprocesses
+  * in batch, `process/main.py:369-439`). Each download campaign appends
+  * parquet files under `outdir/segments`; the file-stream source turns
+  * every new file into a micro-batch, the SAME [[Features]] kernel maps it
+  * (stateless, no shuffle), and the parquet sink + checkpoint give
+  * exactly-once appends to `features` — the streaming equivalent of
+  * `Writers.resumeFilter`'s batch resume.
+  *
+  * Scale notes: per-file micro-batches keep state at zero (no watermark
+  * needed — the map is stateless); `maxFilesPerTrigger` bounds a backlog
+  * catch-up; the sink partitions by nothing (features rows are tiny) but
+  * inherits the source file parallelism for the decode work.
+  */
+object SegmentStream {
+
+  /** Schema of the segments table as [[graft.Main]] writes it (the
+    * file-stream source cannot infer schemas).
+    */
+  val segmentsSchema: StructType = StructType(Seq(
+    StructField("seg_id", LongType),
+    StructField("datacenter_id", LongType),
+    StructField("data_seed_id", StringType),
+    StructField("download_code", LongType),
+    StructField("data", BinaryType),
+    StructField("sample_rate", DoubleType),
+    StructField("maxgap_ratio", DoubleType),
+    StructField("start_time", TimestampType),
+    StructField("end_time", TimestampType),
+    StructField("queryauth", BooleanType),
+    StructField("download_id", LongType)))
+
+  /** Streaming read of `outdir/segments`; `maxFilesPerTrigger` bounds the
+    * catch-up micro-batch size when the stream starts over a backlog.
+    */
+  def readStream(spark: SparkSession, segmentsDir: String,
+                 maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream
+      .schema(segmentsSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(segmentsDir)
+
+  /** The processable slice (same default as `Main.process`): downloaded OK
+    * and non-empty payload.
+    */
+  def processable(segments: DataFrame): DataFrame =
+    segments.filter(col("download_code") === 200 && col("data").isNotNull)
+
+  /** segments stream → features stream via the shared batch kernel; decode
+    * failures stay in the stream as `skip_reason` rows (filter downstream).
+    */
+  def features(segments: DataFrame): DataFrame =
+    Features.compute(processable(segments))
+
+  /** Start the continuous job: parquet sink + checkpoint = exactly-once.
+    * `Trigger.AvailableNow` drains the current backlog then stops (a
+    * catch-up run); pass a processing-time trigger for a live tail.
+    */
+  def start(spark: SparkSession, segmentsDir: String, featuresDir: String,
+            checkpointDir: String,
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    features(readStream(spark, segmentsDir))
+      .filter(col("skip_reason").isNull).drop("skip_reason")
+      .writeStream
+      .format("parquet")
+      .option("path", featuresDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(trigger)
+      .start()
+}

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.process.Features
+import graft.sources.MiniSeed
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+/** The continuous `s2s process` form: the streaming pipeline over a
+  * segments directory must produce EXACTLY the batch kernel's rows
+  * (batch ≡ stream), restart from its checkpoint without duplicating
+  * output, and keep decode failures as skip rows rather than dying.
+  */
+class SegmentStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val t0 = Timestamp.valueOf("2020-03-01 00:00:00")
+
+  private def segRow(id: Long, code: Long, fs: Double,
+                     broken: Boolean = false): (Long, Long, String, Long,
+      Array[Byte], Double, Double, Timestamp, Timestamp, Boolean, Long) = {
+    val samples = Array.tabulate(200)(i => ((id * 31 + i * 7) % 211 - 105).toInt)
+    val payload =
+      if (broken) Array.fill[Byte](64)(0x5a)
+      else MiniSeed.encodeInt32("GE", s"S$id", "", "HHZ", fs, t0, samples)
+    (id, 1L, s"GE.S$id..HHZ", code, payload, fs, 0.0, t0,
+      new Timestamp(t0.getTime + (200 * 1000 / fs).toLong), false, 1L)
+  }
+
+  private val cols = Seq("seg_id", "datacenter_id", "data_seed_id",
+    "download_code", "data", "sample_rate", "maxgap_ratio", "start_time",
+    "end_time", "queryauth", "download_id")
+
+  test("streaming features == batch features over the same segments") {
+    val dir = java.nio.file.Files.createTempDirectory("segstream").toString
+    val rows = (1L to 12L).map(i => segRow(i, if (i % 4 == 0) 404L else 200L, 20.0))
+    rows.toDF(cols: _*).write.parquet(s"$dir/segments")
+
+    val batch = Features.compute(
+      SegmentStream.processable(spark.read.parquet(s"$dir/segments")))
+      .filter(col("skip_reason").isNull).drop("skip_reason")
+      .as[(Long, Int, Double, Double, Double)].collect().toSet
+
+    val q = SegmentStream.start(spark, s"$dir/segments", s"$dir/features",
+      s"$dir/ckpt")
+    q.awaitTermination(60000)
+    val streamed = spark.read.parquet(s"$dir/features")
+      .as[(Long, Int, Double, Double, Double)].collect().toSet
+
+    assert(streamed == batch)
+    // only the download_code==200 slice is processed
+    assert(streamed.map(_._1) == (1L to 12L).filter(_ % 4 != 0).toSet)
+  }
+
+  test("checkpoint restart: new files only, no duplicate rows") {
+    val dir = java.nio.file.Files.createTempDirectory("segstream_ckpt").toString
+    (1L to 5L).map(segRow(_, 200L, 20.0)).toDF(cols: _*)
+      .write.parquet(s"$dir/segments")
+    val q1 = SegmentStream.start(spark, s"$dir/segments", s"$dir/features",
+      s"$dir/ckpt")
+    q1.awaitTermination(60000)
+
+    // a second campaign appends more segment files; the restarted stream
+    // must pick up ONLY those (exactly-once through the checkpoint)
+    (6L to 9L).map(segRow(_, 200L, 40.0)).toDF(cols: _*)
+      .write.mode("append").parquet(s"$dir/segments")
+    val q2 = SegmentStream.start(spark, s"$dir/segments", s"$dir/features",
+      s"$dir/ckpt")
+    q2.awaitTermination(60000)
+
+    val ids = spark.read.parquet(s"$dir/features")
+      .select("seg_id").as[Long].collect().toSeq
+    assert(ids.sorted == (1L to 9L).toSeq, s"got $ids")
+  }
+
+  test("a corrupt payload becomes a skip_reason row, not a dead stream") {
+    val dir = java.nio.file.Files.createTempDirectory("segstream_skip").toString
+    Seq(segRow(1L, 200L, 20.0), segRow(2L, 200L, 20.0, broken = true))
+      .toDF(cols: _*).write.parquet(s"$dir/segments")
+    val feats = SegmentStream.features(
+      spark.readStream.schema(SegmentStream.segmentsSchema)
+        .parquet(s"$dir/segments"))
+    val q = feats.writeStream.format("memory").queryName("seg_skip")
+      .outputMode("append").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val out = spark.table("seg_skip")
+      .select("seg_id", "skip_reason").as[(Long, Option[String])]
+      .collect().toMap
+    assert(out(1L).isEmpty && out(2L).nonEmpty)
+  }
+}
