@@ -1235,6 +1235,57 @@ object SparkEntry {
           (id, r(10), r(50), r(90))
         }.toDF("event_id", "r_warmup", "r_mid", "r_tail")
         .orderBy(col("event_id"))
+    }),
+
+    // §2.8 triangsmooth (`ndarrays.py:170-232`): frequency-proportional
+    // triangular smoothing. Two bit-exact probes: the half-width-0 region
+    // is an identity copy, and a window-wise CONSTANT equal to a power of
+    // two survives the weighted mean exactly (scaling by 2^k commutes with
+    // float rounding, so num ≡ c·den at every accumulation step)
+    "q57_triangsmooth" -> ((s, dir) => {
+      import s.implicits._
+      import graft.dsp.Spectra
+      t(s, dir, "customer").select(col("c_custkey")).as[Long]
+        .map { id =>
+          val c = math.pow(2.0, (id % 3).toDouble)
+          val spec = Array.tabulate(64) { j =>
+            if (j < 10) ((id * 7 + j * 29) % 13).toDouble
+            else if (j < 40) c
+            else (j % 5).toDouble
+          }
+          val sm = Spectra.triangsmooth(spec, alpha = 0.2)
+          val i1 = 4 + (id % 6).toInt  // halfWidth 0 → identity
+          val i2 = 20 + (id % 10).toInt // halfWidth 2, window inside [10,40)
+          (id, sm(i1), sm(i2))
+        }.toDF("c_custkey", "sm_id", "sm_const")
+        .orderBy(col("c_custkey"))
+    }),
+
+    // §2.1 FDSN ws URL normalizer (`io/__init__.py:7-140`): five spellings
+    // per datacenter — schemeless, method-less, trailing slash, prefix
+    // path, invalid service — each resolved to its sibling station and
+    // queryauth endpoints (or rejected), all pure string logic the oracle
+    // replays
+    "q58_fdsnws_urls" -> ((s, dir) => {
+      import s.implicits._
+      import graft.sources.Fdsnws
+      t(s, dir, "part").filter(col("p_partkey") % 10 === 0)
+        .select(col("p_partkey")).as[Long]
+        .map { id =>
+          val host = s"dc${id % 97}.example.org"
+          val raw = (id % 5) match {
+            case 0 => s"$host/fdsnws/dataselect/1/query"
+            case 1 => s"https://$host/fdsnws/station/1"
+            case 2 => s"http://$host/fdsnws/dataselect/1/"
+            case 3 => s"http://$host/path/fdsnws/event/1/query"
+            case _ => s"$host/fdsnws/bogus/1/query"
+          }
+          Fdsnws.parse(raw, strictPath = false) match {
+            case Right(ws) => (id, raw, ws.stationUrl, ws.queryauthUrl, true)
+            case Left(_) => (id, raw, null: String, null: String, false)
+          }
+        }.toDF("p_partkey", "raw", "station_url", "queryauth_url", "ok")
+        .orderBy(col("p_partkey"))
     })
   )
 
@@ -1993,6 +2044,35 @@ object SparkEntry {
         |  ((nbs*b2 + (5-nbs))/5.0) / ((nbl*b2 + (20-nbl))/20.0) AS r_mid,
         |  1.0 AS r_tail
         |FROM c
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+    "q57_triangsmooth" ->
+      """SELECT c_custkey,
+        |  CAST((c_custkey * 7 + (4 + c_custkey % 6) * 29) % 13 AS DOUBLE) AS sm_id,
+        |  CAST(power(2.0, c_custkey % 3) AS DOUBLE) AS sm_const
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin,
+    "q58_fdsnws_urls" ->
+      """WITH p AS (
+        |  SELECT p_partkey,
+        |    'dc' || CAST(p_partkey % 97 AS VARCHAR) || '.example.org' AS host,
+        |    p_partkey % 5 AS v
+        |  FROM part WHERE p_partkey % 10 = 0)
+        |SELECT p_partkey,
+        |  CASE v WHEN 0 THEN host || '/fdsnws/dataselect/1/query'
+        |         WHEN 1 THEN 'https://' || host || '/fdsnws/station/1'
+        |         WHEN 2 THEN 'http://' || host || '/fdsnws/dataselect/1/'
+        |         WHEN 3 THEN 'http://' || host || '/path/fdsnws/event/1/query'
+        |         ELSE host || '/fdsnws/bogus/1/query' END AS raw,
+        |  CASE WHEN v = 4 THEN NULL
+        |       WHEN v = 1 THEN 'https://' || host || '/fdsnws/station/1/query'
+        |       WHEN v = 3 THEN 'http://' || host || '/path/fdsnws/station/1/query'
+        |       ELSE 'http://' || host || '/fdsnws/station/1/query' END AS station_url,
+        |  CASE WHEN v = 4 THEN NULL
+        |       WHEN v = 1 THEN 'https://' || host || '/fdsnws/dataselect/1/queryauth'
+        |       WHEN v = 3 THEN 'http://' || host || '/path/fdsnws/dataselect/1/queryauth'
+        |       ELSE 'http://' || host || '/fdsnws/dataselect/1/queryauth' END AS queryauth_url,
+        |  v <> 4 AS ok
+        |FROM p
+        |ORDER BY p_partkey""".stripMargin
   )
 }

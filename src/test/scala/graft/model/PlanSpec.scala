@@ -47,4 +47,22 @@ class PlanSpec extends SparkSpec {
     assert(exchanges.nonEmpty)
     assert(!exchanges.exists(_.toLowerCase.contains("array")), p.take(2000))
   }
+
+  test("DSL orderby under limit runs per-partition top-N, not a global sort") {
+    val p = plan("q53_dsl_orderby")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    // no rangepartitioning exchange: top-N must not materialize a total sort
+    assert(!p.contains("Exchange rangepartitioning"), p.take(800))
+  }
+
+  test("per-station stats pivot is a single shuffle") {
+    val p = SparkEntry.queries("q50_station_stats")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // one hash aggregation pair over one exchange on the row key; the pivot
+    // values were collected once driver-side (tiny code taxonomy), so no
+    // second aggregation shuffle appears
+    val exchanges = p.linesIterator
+      .count(_.trim.startsWith("Exchange hashpartitioning"))
+    assert(exchanges <= 2, s"$exchanges shuffles:\n${p.take(2000)}")
+  }
 }
