@@ -28,8 +28,16 @@ object Main {
         System.err.println(msg)
         System.err.println(
           "usage: graft.Main (download|process|summary|log|config|stats) " +
-            "-c <config.yaml> [-o key=value ...]")
+            "-c <config.yaml> [-o key=value ...]\n" +
+            "       graft.Main ttcreator [-o model=ak135|model.csv] " +
+            "[-o output=grid.npz] [-o tol=5] [-o maxdepth=700] [-o maxdist=180]")
         sys.exit(2)
+    }
+    // grid building is driver-side numeric work (the reference ships it as
+    // its own console script, `traveltimes/ttcreator.py`) — no Spark, no config
+    if (cmd == "ttcreator") {
+      println(ttcreator(overrides))
+      return
     }
     val cfgText = new String(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(cfgPath)), "UTF-8")
@@ -69,7 +77,40 @@ object Main {
   }
 
   private val Subcommands =
-    Set("download", "process", "summary", "log", "config", "stats")
+    Set("download", "process", "summary", "log", "config", "stats", "ttcreator")
+
+  /** `s2s utils ttcreator` equivalent (`traveltimes/ttcreator.py`): build an
+    * adaptively-refined travel-time grid from the bundled ak135 model or a
+    * user CSV velocity model (`depth_km,v_km_s` lines), write it as npz.
+    * Returns the summary line (printed by `main`, assertable in tests).
+    */
+  private[graft] def ttcreator(opts: Map[String, String]): String = {
+    import graft.sources.{Layered1D, TtCreator}
+    val model = opts.getOrElse("model", "ak135")
+    val tol = opts.get("tol").map(_.toDouble).getOrElse(5.0)
+    val maxDepth = opts.get("maxdepth").map(_.toDouble).getOrElse(700.0)
+    val maxDist = opts.get("maxdist").map(_.toDouble).getOrElse(180.0)
+    val (name, tracer) =
+      if (model == "ak135") ("ak135", Layered1D.Ak135P)
+      else {
+        // a velocity-model file: one "depth_km,v_km_s" pair per line
+        val knots = scala.io.Source.fromFile(model).getLines()
+          .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+          .map { l =>
+            val Array(d, v) = l.split(",", 2)
+            (d.trim.toDouble, v.trim.toDouble)
+          }.toSeq
+        require(knots.size >= 2, s"velocity model $model needs >= 2 knots")
+        val base = new java.io.File(model).getName.stripSuffix(".csv")
+        (base, Layered1D(knots))
+      }
+    val out = opts.getOrElse("output", s"./${name}_ttp_${tol}.npz")
+    val table = TtCreator.buildGrid((d, x) => tracer.travelTime(d, x), name,
+      maxSourceDepthKm = maxDepth, maxDistDeg = maxDist, tolSec = tol)
+    TtCreator.writeNpz(table, out)
+    s"wrote $out: ${table.sourceDepthsKm.length} depths x " +
+      s"${table.distancesDeg.length} distances (model $name, tol ${tol}s)"
+  }
 
   private def parseArgs(args: Array[String])
       : Either[String, (String, String, Map[String, String])] = {
@@ -89,7 +130,8 @@ object Main {
         case other => return Left(s"unknown argument '$other'")
       }
     }
-    if (cfg == null) Left("missing -c <config.yaml>") else Right((args(0), cfg, overrides.toMap))
+    if (cfg == null && args(0) != "ttcreator") Left("missing -c <config.yaml>")
+    else Right((args(0), cfg, overrides.toMap))
   }
 
   private val iso = java.time.format.DateTimeFormatter.ISO_LOCAL_DATE_TIME

@@ -215,6 +215,23 @@ class MainSpec extends SparkSpec {
     assert(segs.count() == 9)
   }
 
+  test("ttcreator subcommand builds an npz grid from a CSV velocity model") {
+    val model = Files.createTempFile("vel_model", ".csv")
+    // constant 8 km/s, a couple of knots; plumbing test, not physics
+    Files.writeString(model,
+      "# depth_km,v_km_s\n0,8.0\n50,8.0\n100,8.0\n200,8.0\n")
+    val out = Files.createTempFile("graft_tt_cli", ".npz").toString
+    val msg = Main.ttcreator(Map(
+      "model" -> model.toString, "output" -> out,
+      "tol" -> "5", "maxdepth" -> "100", "maxdist" -> "30"))
+    assert(msg.startsWith(s"wrote $out"), msg)
+    val table = graft.sources.TravelTimes.load(out)
+    assert(table.sourceDepthBoundKm == 100.0)
+    val t = table.minTravelTime(10.0, 20.0)
+    // ~constant-velocity chord time: 20 deg ≈ 2*R*sin(10°)/8 ≈ 276 s
+    assert(t.isFinite && t > 200 && t < 350, s"t=$t")
+  }
+
   test("unparseable ws URL skips the token exchange — the token never leaves") {
     // a URL Fdsnws can't parse must NOT receive the token POST (the method()
     // fallback would be the data endpoint itself); expect open-data fallback
