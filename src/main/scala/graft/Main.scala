@@ -453,6 +453,7 @@ object Main {
     * compute per-segment features, append with resume.
     */
   def process(spark: SparkSession, cfg: DownloadConfig): (Long, Long) = {
+    if (cfg.continuous) return processContinuous(spark, cfg)
     import spark.implicits._
     // segments_selection: the reference's process-config DSL filter
     // (`process/main.py:369-439`); defaults to the downloaded-with-data set
@@ -470,5 +471,43 @@ object Main {
     val res = (ok.count(), feats.filter(col("skip_reason").isNotNull).count())
     feats.unpersist()
     res
+  }
+
+  /** `continuous: true` — the streaming form of `process`: drain every
+    * segment file not yet covered by the checkpoint through the SAME
+    * [[graft.process.Features]] kernel (exactly-once parquet appends;
+    * the checkpoint replaces the batch path's `resumeFilter` anti-join).
+    * `Trigger.AvailableNow` means one CLI invocation = one catch-up; a
+    * scheduler re-invoking it gets incremental, never-duplicated work.
+    */
+  private def processContinuous(spark: SparkSession,
+                                cfg: DownloadConfig): (Long, Long) = {
+    import graft.streaming.SegmentStream
+    val featDir = s"${cfg.outdir}/features"
+    def countFeatures(): Long =
+      try spark.read.parquet(featDir).count()
+      catch { case _: org.apache.spark.sql.AnalysisException => 0L }
+    val before = countFeatures()
+    val src = SegmentStream.readStream(spark, s"${cfg.outdir}/segments")
+    // segments_selection applies unchanged: the DSL compiles to a stateless
+    // streaming filter, same semantics as the batch path
+    val selected =
+      if (cfg.segmentsSelection.nonEmpty)
+        graft.dsl.Selection.filter(src, cfg.segmentsSelection)
+          .filter(col("data").isNotNull)
+      else SegmentStream.processable(src)
+    val q = graft.process.Features.compute(selected)
+      .filter(col("skip_reason").isNull).drop("skip_reason")
+      .writeStream
+      .format("parquet")
+      .option("path", featDir)
+      .option("checkpointLocation", s"${cfg.outdir}/_checkpoints/features")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val appended = countFeatures() - before
+    val read = q.recentProgress.map(_.numInputRows).sum
+    (appended, math.max(0L, read - appended))
   }
 }

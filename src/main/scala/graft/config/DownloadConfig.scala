@@ -36,7 +36,8 @@ final case class DownloadConfig(
     eidaToken: Option[String],
     segmentsSelection: Map[String, String],
     eventsExtraParams: Map[String, String],
-    inventory: Boolean)
+    inventory: Boolean,
+    continuous: Boolean)
 
 object DownloadConfig {
 
@@ -47,7 +48,7 @@ object DownloadConfig {
     "retry_mseed_err", "retry_client_err", "retry_server_err",
     "retry_timespan_err", "max_concurrent_downloads", "timeout",
     "restricted_data", "eida_token", "events_extra_params",
-    "segments_selection", "inventory")
+    "segments_selection", "inventory", "continuous")
 
   /** Parse + validate; Left = every problem found (not just the first). */
   def from(raw: Map[String, Any]): Either[Seq[String], DownloadConfig] = {
@@ -218,7 +219,8 @@ object DownloadConfig {
           m.asInstanceOf[Map[String, Any]].map { case (k, v) => k -> String.valueOf(v) }
         case _ => Map.empty
       },
-      inventory = bool("inventory", default = false))
+      inventory = bool("inventory", default = false),
+      continuous = bool("continuous", default = false))
 
     if (datesOk && !cfg.starttime.before(cfg.endtime))
       errs += "starttime must be before endtime"

@@ -81,6 +81,53 @@ class MainSpec extends SparkSpec {
     assert(n2 == 0) // append resume: nothing left to do
   }
 
+  test("process continuous: checkpointed catch-up processes only new campaign files") {
+    import org.apache.spark.sql.functions.col
+    val outdir = Files.createTempDirectory("graft_cli_cont").toString
+    val yaml =
+      s"""outdir: '$outdir'
+         |starttime: 2011-01-01T00:00:00
+         |endtime: 2011-02-01T00:00:00
+         |events_url: 'http://evsvc/fdsnws/event/1/query'
+         |data_url: 'http://dc/fdsnws/dataselect/1/query'
+         |search_radius:
+         |  radius: 25.0
+         |timespan: [1.0, 5.0]
+         |continuous: true
+         |""".stripMargin
+    val cfgPath = Files.createTempFile("graft_cfg_cont", ".yaml")
+    Files.writeString(cfgPath, yaml)
+    val cfg = DownloadConfig.load(cfgPath.toString).toOption.get
+    assert(cfg.continuous)
+
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2020-03-01 00:00:00")
+    val segCols = Seq("seg_id", "datacenter_id", "data_seed_id",
+      "download_code", "data", "sample_rate", "maxgap_ratio", "start_time",
+      "end_time", "queryauth", "download_id")
+    def campaign(ids: Range, brokenId: Long = -1L) = ids.map { i =>
+      val payload =
+        if (i == brokenId) Array.fill[Byte](48)(0x7f)
+        else graft.sources.MiniSeed.encodeInt32("GE", s"S$i", "", "HHZ", 20.0,
+          t0, Array.tabulate(120)(j => (i * 13 + j) % 97))
+      (i.toLong, 1L, s"GE.S$i..HHZ", 200L, payload, 20.0, 0.0, t0,
+        new java.sql.Timestamp(t0.getTime + 6000), false, 1L)
+    }.toDF(segCols: _*)
+
+    campaign(1 to 5).write.parquet(s"$outdir/segments")
+    assert(Main.process(spark, cfg) == ((5L, 0L)))
+    // nothing new → the checkpoint yields an empty catch-up, no duplicates
+    assert(Main.process(spark, cfg) == ((0L, 0L)))
+    // a second campaign appends 4 files, one with a corrupt payload: only
+    // the new files are read, the bad one becomes a skip (not a crash)
+    campaign(6 to 9, brokenId = 8L).write.mode("append")
+      .parquet(s"$outdir/segments")
+    assert(Main.process(spark, cfg) == ((3L, 1L)))
+    val ids = spark.read.parquet(s"$outdir/features")
+      .select(col("seg_id")).as[Long].collect().toSeq.sorted
+    assert(ids == Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 9L))
+  }
+
   test("station-service failure falls back to the previous run's channels table") {
     val outdir = Files.createTempDirectory("graft_cli_fb").toString
     val yaml =
