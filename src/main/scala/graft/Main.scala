@@ -403,20 +403,21 @@ object Main {
     val maxR = r.fixed.getOrElse(math.max(r.minRadius, r.maxRadius))
     val evSide = events.select(col("event_id"), col("time"), col("magnitude"),
       col("latitude").as("ev_lat"), col("longitude").as("ev_lon"))
-    // One row per channel IDENTITY, not per epoch: the station query is not
-    // time-bounded, so a channel with N epochs arrives N times and would
-    // yield N candidate rows sharing one seg_id (the reference dedups in
-    // `download/modules/channels.py` via drop_duplicates). Latest epoch wins;
-    // the lexicographic struct max is deterministic even on start_time ties.
+    // One row per channel IDENTITY - not per epoch, and not per datacenter:
+    // the station query is not time-bounded (N epochs arrive N times), and
+    // the failed-DC fallback union can surface the same channel under two
+    // datacenters; either duplicate would yield candidate rows SHARING one
+    // seg_id, breaking the unique-id invariant downstream (the reference
+    // dedups in `download/modules/channels.py:242-284`). Latest epoch wins,
+    // then url - the lexicographic struct max is fully deterministic.
     val stSide = channels.select(col("network"), col("station"), col("location"),
       col("channel"), col("dataselect_url"),
       col("latitude"), col("longitude"), col("start_time"))
-      .groupBy(col("network"), col("station"), col("location"),
-        col("channel"), col("dataselect_url"))
-      .agg(max(struct(col("start_time"), col("latitude"), col("longitude")))
-        .as("__epoch"))
+      .groupBy(col("network"), col("station"), col("location"), col("channel"))
+      .agg(max(struct(col("start_time"), col("dataselect_url"),
+        col("latitude"), col("longitude"))).as("__epoch"))
       .select(col("network"), col("station"), col("location"), col("channel"),
-        col("dataselect_url"),
+        col("__epoch.dataselect_url").as("dataselect_url"),
         col("__epoch.latitude").as("st_lat"), col("__epoch.longitude").as("st_lon"))
     val radiusCol = r.fixed.map(lit).getOrElse(
       Geo.magDepSearchRadius(col("magnitude"), r.minMag, r.maxMag,

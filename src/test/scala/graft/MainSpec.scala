@@ -423,14 +423,16 @@ class MainSpec extends SparkSpec {
     val t0 = java.sql.Timestamp.valueOf("2011-01-15 00:00:00")
     val events = Seq(("e1", t0, 3.0, 10.0, 20.0), ("e2", t0, 4.0, 11.0, 21.0))
       .toDF("event_id", "time", "magnitude", "latitude", "longitude")
-    // GE.APE..BHZ has TWO epochs (the station query is not time-bounded):
-    // the identity must collapse to one candidate row per event, with the
-    // latest epoch's coordinates winning
+    // GE.APE..BHZ has TWO epochs (the station query is not time-bounded)
+    // AND appears at a second datacenter (fallback-union shape): the
+    // identity must collapse to ONE candidate row per event - duplicate
+    // epochs or datacenters would make seg_id non-unique downstream
     val e1 = java.sql.Timestamp.valueOf("2001-01-01 00:00:00")
     val e2 = java.sql.Timestamp.valueOf("2009-06-01 00:00:00")
     val channels = Seq(
       ("GE", "APE", "", "BHZ", 10.1, 20.1, "http://dc/fdsnws/dataselect/1/query", e1),
       ("GE", "APE", "", "BHZ", 10.2, 20.2, "http://dc/fdsnws/dataselect/1/query", e2),
+      ("GE", "APE", "", "BHZ", 10.2, 20.2, "http://dc2/fdsnws/dataselect/1/query", e2),
       ("GE", "ISP", "00", "BHN", 11.1, 21.1, "http://dc/fdsnws/dataselect/1/query", e1))
       .toDF("network", "station", "location", "channel",
         "latitude", "longitude", "dataselect_url", "start_time")
