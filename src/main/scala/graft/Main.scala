@@ -283,6 +283,32 @@ object Main {
     val candidates = buildCandidates(events, filtered, cfg)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+    // 6.5 resume + retry plan (`segments.py:163-196`): fetch only the
+    // candidates that are NEW (no prior row) or whose prior download code
+    // matches the retry_* policy — a re-run campaign must neither re-fetch
+    // every segment (the whole-campaign refetch is the scale-killer) nor
+    // leave failures permanently dead
+    val prior =
+      try Some(spark.read.parquet(s"${cfg.outdir}/segments"))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    val (toFetch, nRetried) = prior match {
+      case None => (candidates, 0L)
+      case Some(p) =>
+        val priorSlim = p.select(col("seg_id"), col("download_code"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val retryIds = priorSlim.filter(DownloadFlow.retryMask(
+          col("download_code"), cfg.retrySegNotFound, cfg.retryUrlErr,
+          cfg.retryMseedErr, cfg.retryClientErr, cfg.retryServerErr,
+          cfg.retryTimespanErr)).select("seg_id")
+        val newOnes = candidates
+          .join(priorSlim.select("seg_id"), Seq("seg_id"), "left_anti")
+        val retries = candidates.join(retryIds, Seq("seg_id"), "left_semi")
+        val n = retries.count()
+        priorSlim.unpersist()
+        if (n > 0) log.info(s"retrying $n previously-failed segment(s)")
+        (newOnes.unionByName(retries), n)
+    }
+
     // 7. grouped dataselect POSTs with the backoff ladder; per-datacenter
     //    access via EIDA token exchange, static user:pass, or open
     //    (`DcDataselectManager`, `segments.py:609-737`)
@@ -291,7 +317,7 @@ object Main {
     val access = graft.net.DcAuth.resolve(urlByDc, cfg.eidaToken,
       cfg.restrictedData, transport, timeoutMs, log.warn)
     val run = Fetch.downloadSegments(
-      Fetch.requestGroups(candidates,
+      Fetch.requestGroups(toFetch,
         authFor = dc => access.get(dc).flatMap(_.creds))
         // credentialed datacenters switch to their queryauth endpoint
         .map(g => access.get(g.dcId).map(a => g.copy(url = a.url)).getOrElse(g)),
@@ -312,8 +338,26 @@ object Main {
       .withColumn("queryauth",
         col("datacenter_id").isin(restrictedDcIds.toSeq: _*))
       .withColumn("download_id", lit(runId))
-    Writers.appendParquetQuarantined(segDf, s"${cfg.outdir}/segments", "seg_id",
-      Quarantine.notNull(Seq("seg_id", "data_seed_id")))
+    // retried rows must REPLACE their failed predecessors (the reference's
+    // db upsert); pure appends stay on the cheap append path. At cluster
+    // scale the merge is a partitioned rewrite — the same trade SyncTable
+    // documents; a row-level-upsert table format removes it entirely.
+    val segChecks = Quarantine.notNull(Seq("seg_id", "data_seed_id"))
+    if (nRetried == 0 || prior.isEmpty)
+      Writers.appendParquetQuarantined(segDf, s"${cfg.outdir}/segments",
+        "seg_id", segChecks)
+    else {
+      val s = Quarantine.split(segDf, segChecks)
+      val cols = prior.get.schema.fieldNames.map(col).toSeq
+      val merged = prior.get
+        .join(s.ok.select("seg_id"), Seq("seg_id"), "left_anti")
+        .select(cols: _*)
+        .unionByName(s.ok.select(cols: _*))
+      Writers.overwriteParquetVia(merged, s"${cfg.outdir}/segments")
+      if (s.rejected.limit(1).count() > 0)
+        s.rejected.write.mode("append")
+          .parquet(s"${cfg.outdir}/segments_rejected")
+    }
     Writers.overwriteParquetVia(events, s"${cfg.outdir}/events")
     // via-temp: on a fallback run the channels plan READS outdir/channels
     Writers.overwriteParquetVia(channels, s"${cfg.outdir}/channels")

@@ -382,18 +382,28 @@ class MainSpec extends SparkSpec {
     assert(cfgs.contains("run: 'one'") && cfgs.contains("run: 'two'"))
     assert(DownloadRecords.logs(spark, outdir).contains("[Log file end]"))
     // stats: hand-computed matrix. Run 1 wrote 9 segments (7×200, 1×-2
-    // mseed error, 1×null seg-not-found, no gappy ones); run 2 found the
-    // same candidates already present (stable surrogate seg_ids + append
-    // resume) so it contributes no row.
+    // mseed error, 1×null seg-not-found). Run 2 resumes: 8 candidates are
+    // already done (stable surrogate seg_ids), the null seg-not-found one
+    // matches the default retry policy, is re-attempted, succeeds, and its
+    // failed row is UPSERTED under run 2 — so run 1 keeps 8 rows (7×200 +
+    // 1×-2) and run 2 owns the retried segment's 200.
     val stats = DownloadRecords.stats(spark, outdir)
     val dataRow = stats.linesIterator.find(_.contains("dataselect")).toSeq
-    assert(stats.linesIterator.size == 3, stats) // header + 1 data row + TOTAL
+    assert(stats.linesIterator.size == 4, stats) // header + 2 runs + TOTAL
     val run1 = stats.linesIterator.drop(1).next()
     assert(run1.trim.startsWith("1"), stats)
-    assert(run1.split("\\s+").takeRight(4).toSeq == Seq("7", "1", "1", "9"), stats)
-    assert(stats.linesIterator.toSeq.last.split("\\s+").takeRight(4).toSeq ==
-      Seq("7", "1", "1", "9"), stats)
+    assert(run1.split("\\s+").takeRight(3).toSeq == Seq("7", "1", "8"), stats)
+    val run2 = stats.linesIterator.drop(2).next()
+    assert(run2.trim.startsWith("2"), stats)
+    assert(run2.split("\\s+").takeRight(3).toSeq == Seq("1", "0", "1"), stats)
+    assert(stats.linesIterator.toSeq.last.split("\\s+").takeRight(3).toSeq ==
+      Seq("8", "1", "9"), stats)
     assert(dataRow.nonEmpty)
+    // the segments table upserted, never duplicated: 9 unique seg_ids
+    val segsAfter = spark.read.parquet(s"$outdir/segments")
+    assert(segsAfter.count() == 9)
+    assert(segsAfter.select("seg_id").distinct().count() == 9)
+    assert(segsAfter.filter($"download_code".isNull).count() == 0)
     // an aborted campaign still leaves a queryable trace with the error
     val tpFail = new FixtureTransport("dlrec_fail", Map.empty)
     intercept[RuntimeException] { Main.download(spark, cfg, tpFail, "run: 'three'") }
