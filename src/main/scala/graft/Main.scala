@@ -294,18 +294,36 @@ object Main {
     val (toFetch, nRetried) = prior match {
       case None => (candidates, 0L)
       case Some(p) =>
-        val priorSlim = p.select(col("seg_id"), col("download_code"))
+        val hasBounds = p.schema.fieldNames.contains("request_start")
+        val slimCols = Seq(col("seg_id"), col("download_code")) ++
+          (if (hasBounds) Seq(col("request_start").as("old_request_start"),
+            col("request_end").as("old_request_end"))
+          else Nil)
+        val priorSlim = p.select(slimCols: _*)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val retryIds = priorSlim.filter(DownloadFlow.retryMask(
           col("download_code"), cfg.retrySegNotFound, cfg.retryUrlErr,
           cfg.retryMseedErr, cfg.retryClientErr, cfg.retryServerErr,
           cfg.retryTimespanErr)).select("seg_id")
+        // a changed timespan config moves the requested window: those
+        // segments hold the WRONG data and must re-download regardless of
+        // their code (`segments.py:163-196` request_timebounds mismatch)
+        val changedIds =
+          if (hasBounds)
+            candidates.join(priorSlim, Seq("seg_id"))
+              .filter(DownloadFlow.timeboundsChanged(
+                col("old_request_start"), col("old_request_end"),
+                col("request_start"), col("request_end")))
+              .select("seg_id")
+          else priorSlim.select("seg_id").limit(0)
         val newOnes = candidates
           .join(priorSlim.select("seg_id"), Seq("seg_id"), "left_anti")
-        val retries = candidates.join(retryIds, Seq("seg_id"), "left_semi")
+        val retries = candidates.join(
+          retryIds.unionByName(changedIds).distinct(), Seq("seg_id"), "left_semi")
         val n = retries.count()
         priorSlim.unpersist()
-        if (n > 0) log.info(s"retrying $n previously-failed segment(s)")
+        if (n > 0) log.info(s"retrying $n segment(s) (failed or requested " +
+          "window changed)")
         (newOnes.unionByName(retries), n)
     }
 
@@ -329,6 +347,8 @@ object Main {
     val restrictedDcIds = access.collect {
       case (dc, a) if a.queryauth => dc
     }.toSet
+    // request_start/request_end ride along (equi-join on the id both sides
+    // share) so a later campaign can detect a changed requested window
     val segDf = run.results.toDF().select(
       col("segId").as("seg_id"), col("dcId").as("datacenter_id"),
       col("seedId").as("data_seed_id"), col("code").as("download_code"),
@@ -338,6 +358,8 @@ object Main {
       .withColumn("queryauth",
         col("datacenter_id").isin(restrictedDcIds.toSeq: _*))
       .withColumn("download_id", lit(runId))
+      .join(candidates.select(col("seg_id"), col("request_start"),
+        col("request_end")), Seq("seg_id"), "left")
     // retried rows must REPLACE their failed predecessors (the reference's
     // db upsert); pure appends stay on the cheap append path. At cluster
     // scale the merge is a partitioned rewrite — the same trade SyncTable

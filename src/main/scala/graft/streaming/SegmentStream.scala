@@ -37,7 +37,9 @@ object SegmentStream {
     StructField("start_time", TimestampType),
     StructField("end_time", TimestampType),
     StructField("queryauth", BooleanType),
-    StructField("download_id", LongType)))
+    StructField("download_id", LongType),
+    StructField("request_start", TimestampType),
+    StructField("request_end", TimestampType)))
 
   /** Streaming read of `outdir/segments`; `maxFilesPerTrigger` bounds the
     * catch-up micro-batch size when the stream starts over a backlog.

@@ -104,14 +104,15 @@ class MainSpec extends SparkSpec {
     val t0 = java.sql.Timestamp.valueOf("2020-03-01 00:00:00")
     val segCols = Seq("seg_id", "datacenter_id", "data_seed_id",
       "download_code", "data", "sample_rate", "maxgap_ratio", "start_time",
-      "end_time", "queryauth", "download_id")
+      "end_time", "queryauth", "download_id", "request_start", "request_end")
     def campaign(ids: Range, brokenId: Long = -1L) = ids.map { i =>
       val payload =
         if (i == brokenId) Array.fill[Byte](48)(0x7f)
         else graft.sources.MiniSeed.encodeInt32("GE", s"S$i", "", "HHZ", 20.0,
           t0, Array.tabulate(120)(j => (i * 13 + j) % 97))
       (i.toLong, 1L, s"GE.S$i..HHZ", 200L, payload, 20.0, 0.0, t0,
-        new java.sql.Timestamp(t0.getTime + 6000), false, 1L)
+        new java.sql.Timestamp(t0.getTime + 6000), false, 1L,
+        t0, new java.sql.Timestamp(t0.getTime + 60000))
     }.toDF(segCols: _*)
 
     campaign(1 to 5).write.parquet(s"$outdir/segments")
@@ -404,12 +405,22 @@ class MainSpec extends SparkSpec {
     assert(segsAfter.count() == 9)
     assert(segsAfter.select("seg_id").distinct().count() == 9)
     assert(segsAfter.filter($"download_code".isNull).count() == 0)
+    // a changed timespan moves every requested window: run 3 must refetch
+    // ALL segments (they hold the wrong data now) and upsert them under
+    // its own id — still 9 unique rows, all owned by run 3
+    val cfgWider = cfg.copy(timespan = (2.0, 5.0))
+    val report3 = Main.download(spark, cfgWider, tp, "run: 'wider'")
+    assert(report3.nSegments == 9, report3)
+    val segs3 = spark.read.parquet(s"$outdir/segments")
+    assert(segs3.count() == 9)
+    assert(segs3.select("seg_id").distinct().count() == 9)
+    assert(segs3.filter($"download_id" === 3L).count() == 9)
     // an aborted campaign still leaves a queryable trace with the error
     val tpFail = new FixtureTransport("dlrec_fail", Map.empty)
-    intercept[RuntimeException] { Main.download(spark, cfg, tpFail, "run: 'three'") }
+    intercept[RuntimeException] { Main.download(spark, cfg, tpFail, "run: 'four'") }
     val after = spark.read.parquet(s"$outdir/downloads")
-    assert(after.count() == 3)
-    val failRow = after.filter($"id" === 3L)
+    assert(after.count() == 4)
+    val failRow = after.filter($"id" === 4L)
     assert(failRow.select("log").as[String].collect().head
       .contains("[ERROR] download aborted"))
     assert(failRow.select("errors").as[Long].collect().head == 1L)

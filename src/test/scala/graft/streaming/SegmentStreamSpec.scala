@@ -19,18 +19,20 @@ class SegmentStreamSpec extends SparkSpec {
 
   private def segRow(id: Long, code: Long, fs: Double,
                      broken: Boolean = false): (Long, Long, String, Long,
-      Array[Byte], Double, Double, Timestamp, Timestamp, Boolean, Long) = {
+      Array[Byte], Double, Double, Timestamp, Timestamp, Boolean, Long,
+      Timestamp, Timestamp) = {
     val samples = Array.tabulate(200)(i => ((id * 31 + i * 7) % 211 - 105).toInt)
     val payload =
       if (broken) Array.fill[Byte](64)(0x5a)
       else MiniSeed.encodeInt32("GE", s"S$id", "", "HHZ", fs, t0, samples)
     (id, 1L, s"GE.S$id..HHZ", code, payload, fs, 0.0, t0,
-      new Timestamp(t0.getTime + (200 * 1000 / fs).toLong), false, 1L)
+      new Timestamp(t0.getTime + (200 * 1000 / fs).toLong), false, 1L,
+      t0, new Timestamp(t0.getTime + 60000))
   }
 
   private val cols = Seq("seg_id", "datacenter_id", "data_seed_id",
     "download_code", "data", "sample_rate", "maxgap_ratio", "start_time",
-    "end_time", "queryauth", "download_id")
+    "end_time", "queryauth", "download_id", "request_start", "request_end")
 
   test("streaming features == batch features over the same segments") {
     val dir = java.nio.file.Files.createTempDirectory("segstream").toString
