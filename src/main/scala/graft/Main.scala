@@ -468,6 +468,7 @@ object Main {
     val r = cfg.searchRadius
     val maxR = r.fixed.getOrElse(math.max(r.minRadius, r.maxRadius))
     val evSide = events.select(col("event_id"), col("time"), col("magnitude"),
+      col("depth_km"),
       col("latitude").as("ev_lat"), col("longitude").as("ev_lon"))
     // One row per channel IDENTITY - not per epoch, and not per datacenter:
     // the station query is not time-bounded (N epochs arrive N times), and
@@ -492,11 +493,25 @@ object Main {
       col("ev_lat"), col("ev_lon"), col("st_lat"), col("st_lon"),
       maxRadiusDeg = maxR, distCol = "dist_deg")
       .filter(col("dist_deg") <= radiusCol)
-    // request timebounds around the arrival (= event time; plug a
-    // travel-time grid via DownloadFlow.withArrivalTime when configured)
+    // request timebounds around the P arrival: event time + min travel
+    // time(depth, distance) through the configured grid (one driver-side
+    // load, broadcast to executors, zero per-row I/O —
+    // `stationsearch.py:118-144`); without a grid the event time stands in.
+    // Candidates outside the grid (no arrival) are dropped like the
+    // reference's NaT filtering.
+    val arrived = cfg.travelTimes match {
+      case Some(path) =>
+        val bc = events.sparkSession.sparkContext
+          .broadcast(graft.sources.TravelTimes.load(path))
+        DownloadFlow.withArrivalTime(joined, bc,
+          col("time").cast("timestamp"), col("depth_km"), col("dist_deg"))
+          .filter(col("arrival_time").isNotNull)
+      case None =>
+        joined.withColumn("arrival_time", col("time").cast("timestamp"))
+    }
     val (reqStart, reqEnd) = DownloadFlow.requestTimebounds(
-      col("time").cast("timestamp"), -cfg.timespan._1, cfg.timespan._2)
-    joined
+      col("arrival_time"), -cfg.timespan._1, cfg.timespan._2)
+    arrived
       .withColumn("request_start", reqStart)
       .withColumn("request_end", reqEnd)
       .withColumn("seg_id",

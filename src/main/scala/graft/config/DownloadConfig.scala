@@ -37,7 +37,8 @@ final case class DownloadConfig(
     segmentsSelection: Map[String, String],
     eventsExtraParams: Map[String, String],
     inventory: Boolean,
-    continuous: Boolean)
+    continuous: Boolean,
+    travelTimes: Option[String])
 
 object DownloadConfig {
 
@@ -48,7 +49,7 @@ object DownloadConfig {
     "retry_mseed_err", "retry_client_err", "retry_server_err",
     "retry_timespan_err", "max_concurrent_downloads", "timeout",
     "restricted_data", "eida_token", "events_extra_params",
-    "segments_selection", "inventory", "continuous")
+    "segments_selection", "inventory", "continuous", "traveltimes")
 
   /** Parse + validate; Left = every problem found (not just the first). */
   def from(raw: Map[String, Any]): Either[Seq[String], DownloadConfig] = {
@@ -220,7 +221,17 @@ object DownloadConfig {
         case _ => Map.empty
       },
       inventory = bool("inventory", default = false),
-      continuous = bool("continuous", default = false))
+      continuous = bool("continuous", default = false),
+      travelTimes = raw.get("traveltimes") match {
+        case Some(s: String) if s.nonEmpty =>
+          if (!java.nio.file.Files.isRegularFile(java.nio.file.Paths.get(s)))
+            err(s"traveltimes: grid file not found: $s (build one with " +
+              "the ttcreator subcommand)", None)
+          else Some(s)
+        case Some(other) =>
+          err(s"traveltimes: expected a .npz grid path, got '$other'", None)
+        case None => None
+      })
 
     if (datesOk && !cfg.starttime.before(cfg.endtime))
       errs += "starttime must be before endtime"

@@ -442,8 +442,8 @@ class MainSpec extends SparkSpec {
     Files.writeString(cfgPath, yaml)
     val cfg = DownloadConfig.load(cfgPath.toString).toOption.get
     val t0 = java.sql.Timestamp.valueOf("2011-01-15 00:00:00")
-    val events = Seq(("e1", t0, 3.0, 10.0, 20.0), ("e2", t0, 4.0, 11.0, 21.0))
-      .toDF("event_id", "time", "magnitude", "latitude", "longitude")
+    val events = Seq(("e1", t0, 3.0, 10.0, 20.0, 12.5), ("e2", t0, 4.0, 11.0, 21.0, 33.0))
+      .toDF("event_id", "time", "magnitude", "latitude", "longitude", "depth_km")
     // GE.APE..BHZ has TWO epochs (the station query is not time-bounded)
     // AND appears at a second datacenter (fallback-union shape): the
     // identity must collapse to ONE candidate row per event - duplicate
@@ -471,6 +471,56 @@ class MainSpec extends SparkSpec {
     val again = Main.buildCandidates(events, channels, cfg)
       .select("seg_id").as[Long].collect()
     assert(ids.sorted.toSeq == again.sorted.toSeq)
+  }
+
+  test("traveltimes grid shifts request windows to the P arrival") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // ttcreator-built grid of a known analytic model → download config →
+    // request_start must equal event time + travel time (rounded to 1 s)
+    def tt(d: Double, x: Double): Double =
+      math.sqrt(x * 111.0 * x * 111.0 + d * d) / 8.0
+    val grid = graft.sources.TtCreator.buildGrid(tt, "synth",
+      maxSourceDepthKm = 100.0, maxDistDeg = 90.0, tolSec = 0.05)
+    val npz = Files.createTempFile("graft_tt_main", ".npz").toString
+    graft.sources.TtCreator.writeNpz(grid, npz)
+    val yaml =
+      s"""outdir: '/tmp/x'
+         |starttime: 2011-01-01T00:00:00
+         |endtime: 2011-02-01T00:00:00
+         |events_url: 'http://ev/fdsnws/event/1/query'
+         |data_url: 'http://dc/fdsnws/dataselect/1/query'
+         |search_radius:
+         |  radius: 25.0
+         |timespan: [1.0, 5.0]
+         |traveltimes: '$npz'
+         |""".stripMargin
+    val cfgPath = Files.createTempFile("graft_cfg_tt", ".yaml")
+    Files.writeString(cfgPath, yaml)
+    val cfg = DownloadConfig.load(cfgPath.toString).toOption.get
+    assert(cfg.travelTimes.contains(npz))
+    val t0 = java.sql.Timestamp.valueOf("2011-01-15 00:00:00")
+    val events = Seq(("e1", t0, 3.0, 10.0, 20.0, 40.0))
+      .toDF("event_id", "time", "magnitude", "latitude", "longitude", "depth_km")
+    val e1 = java.sql.Timestamp.valueOf("2009-06-01 00:00:00")
+    val channels = Seq(
+      ("GE", "APE", "", "BHZ", 15.0, 25.0, "http://dc/fdsnws/dataselect/1/query", e1))
+      .toDF("network", "station", "location", "channel",
+        "latitude", "longitude", "dataselect_url", "start_time")
+    val row = Main.buildCandidates(events, channels, cfg)
+      .select("request_start").as[java.sql.Timestamp].collect().head
+    // same computation by hand through the loaded grid (distance via the
+    // same Column expression the join uses, so the doubles match bitwise)
+    val loaded = graft.sources.TravelTimes.load(npz)
+    val dist = Seq((10.0, 20.0, 15.0, 25.0)).toDF("a", "b", "c", "d")
+      .select(graft.functions.Geo.locations2Degrees(
+        col("a"), col("b"), col("c"), col("d")))
+      .as[Double].collect().head
+    val arrivalMicros = t0.getTime * 1000L +
+      math.round(loaded.minTravelTime(40.0, dist) * 1e6)
+    val expectStart = math.round((arrivalMicros - 60e6) / 1e6) // -1 min, to s
+    assert(row.getTime / 1000 == expectStart,
+      s"got $row expected epoch-sec $expectStart")
   }
 
   test("invalid config reports every error instead of the first") {
