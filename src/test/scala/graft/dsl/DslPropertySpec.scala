@@ -1,0 +1,172 @@
+package graft.dsl
+
+import graft.SparkSpec
+import graft.functions.Wildcards
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property-based parity tests (SURVEY §5: "ScalaCheck for DSL
+  * parser/type-coercion round-trips"): the compiled Column semantics are
+  * replayed by an independent plain-Scala evaluator over an exhaustive
+  * value domain, so every generated expression is checked against first
+  * principles rather than against the compiler itself.
+  */
+class DslPropertySpec extends SparkSpec {
+
+  private def check(name: String, prop: Prop, n: Int = 60): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), prop)
+    assert(res.passed, s"$name failed: ${res.status}")
+  }
+
+  // exhaustive integer domain, one row per value (null row included)
+  private lazy val intDf: DataFrame = {
+    import spark.implicits._
+    val d = ((-12 to 12).map(Option(_)) :+ (None: Option[Int]))
+      .zipWithIndex.map { case (v, i) => (i, v) }
+      .toDF("id", "v").cache()
+    d.count()
+    d
+  }
+  private lazy val intDomain: Seq[(Int, Option[Int])] =
+    ((-12 to 12).map(Option(_)) :+ (None: Option[Int])).zipWithIndex.map(_.swap)
+
+  private def sparkIds(expr: String): Set[Int] =
+    intDf.filter(Selection.compileOne(intDf, "v", expr))
+      .select("id").collect().map(_.getInt(0)).toSet
+
+  test("relational operators match a first-principles evaluator") {
+    val genOp = Gen.oneOf("", "=", "==", "!=", "<", "<=", ">", ">=")
+    val genT = Gen.choose(-10, 10)
+    check("relational", Prop.forAll(genOp, genT) { (op, t) =>
+      def holds(v: Int): Boolean = op match {
+        case "" | "=" | "==" => v == t
+        case "!=" => v != t
+        case "<" => v < t
+        case "<=" => v <= t
+        case ">" => v > t
+        case ">=" => v >= t
+      }
+      val expect = intDomain.collect {
+        case (id, Some(v)) if holds(v) => id
+      }.toSet
+      sparkIds(s"$op $t") == expect
+    })
+  }
+
+  test("multi-value = / != compile to IN / NOT IN with reference null rules") {
+    val genVals = Gen.nonEmptyListOf(Gen.choose(-6, 6))
+    val genNullTok = Gen.oneOf(true, false)
+    val genNeg = Gen.oneOf(true, false)
+    check("in-list", Prop.forAll(genVals, genNullTok, genNeg) { (vs, withNull, neg) =>
+      val toks = vs.map(_.toString) ++ (if (withNull) Seq("null") else Nil)
+      val expr = (if (neg) "!= " else "= ") + toks.mkString(" ")
+      val expect = intDomain.collect {
+        case (id, vOpt) if {
+          if (neg) vOpt.exists(v => !vs.contains(v)) // null never passes !=
+          else vOpt.exists(vs.contains) || (withNull && vOpt.isEmpty)
+        } => id
+      }.toSet
+      sparkIds(expr) == expect
+    })
+  }
+
+  test("interval brackets match open/closed endpoint semantics") {
+    val genLo = Gen.choose(-10, 2)
+    val genHi = Gen.choose(-2, 10)
+    val genBr = Gen.oneOf(("[", "]"), ("(", ")"), ("[", ")"), ("(", "]"),
+      ("]", "["), ("]", "]"), ("[", "["))
+    check("interval", Prop.forAll(genLo, genHi, genBr) { (lo, hi, br) =>
+      val (l, r) = br
+      val loOpen = l != "["
+      val hiOpen = r != "]"
+      val expect = intDomain.collect {
+        case (id, Some(v))
+          if v >= lo && v <= hi &&
+            (!loOpen || v != lo) && (!hiOpen || v != hi) => id
+      }.toSet
+      sparkIds(s"$l$lo, $hi$r") == expect
+    })
+  }
+
+  test("shlex tokenizer round-trips quoted and bare tokens") {
+    val bare = Gen.nonEmptyListOf(
+      Gen.oneOf(('a' to 'z') ++ ('0' to '9') ++ Seq('-', '.', '_')))
+      .map(_.mkString)
+    val quoted = Gen.nonEmptyListOf(
+      Gen.oneOf(('a' to 'z') ++ Seq(' ', '\t', '-', '.'))).map(_.mkString)
+    val genToks = Gen.nonEmptyListOf(Gen.oneOf(
+      bare.map(t => (t, t)),                    // bare form
+      quoted.map(t => ("'" + t + "'", t)),      // single-quoted form
+      quoted.map(t => ("\"" + t + "\"", t))))   // double-quoted form
+    check("shlex", Prop.forAll(genToks) { toks =>
+      Selection.shlexSplit(toks.map(_._1).mkString(" ")) == toks.map(_._2)
+    })
+  }
+
+  test("ISO timestamp parse round-trips the formatted value") {
+    val genLdt = for {
+      day <- Gen.choose(0, 365 * 40)
+      sec <- Gen.choose(0, 86399)
+    } yield java.time.LocalDate.ofEpochDay(day + 7305) // from 1990-01-01
+      .atStartOfDay().plusSeconds(sec)
+    check("iso-ts", Prop.forAll(genLdt) { ldt =>
+      val viaT = Selection.parseIsoTimestamp(
+        ldt.format(java.time.format.DateTimeFormatter.ISO_LOCAL_DATE_TIME))
+      val viaSpace = Selection.parseIsoTimestamp(
+        ldt.format(java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss")))
+      viaT == java.sql.Timestamp.valueOf(ldt) && viaSpace == viaT
+    })
+  }
+
+  test("typed literal parse round-trips rendered values") {
+    val genLong = Gen.choose(Long.MinValue / 2, Long.MaxValue / 2)
+    val genDouble = Gen.choose(-1e9, 1e9)
+    check("coerce-long", Prop.forAll(genLong) { v =>
+      Selection.parseValue(org.apache.spark.sql.types.LongType, v.toString) == v
+    })
+    check("coerce-double", Prop.forAll(genDouble) { v =>
+      Selection.parseValue(org.apache.spark.sql.types.DoubleType, v.toString) == v
+    })
+  }
+
+  // --- NSLC wildcard compiler vs fnmatch-style regex ------------------------
+
+  private lazy val strDomain: Seq[(Int, String)] = {
+    val alpha = Seq("", "A", "B", "AB", "BA", "AAB", "ABA", "BB", "A.B", "A[B")
+    val more = for (a <- Seq("A", "B"); b <- Seq("A", "B"); c <- Seq("A", "B"))
+      yield a + b + c
+    (alpha ++ more).distinct.zipWithIndex.map(_.swap)
+  }
+  private lazy val strDf: DataFrame = {
+    import spark.implicits._
+    val d = strDomain.toDF("id", "s").cache(); d.count(); d
+  }
+
+  private def fnmatch(pattern: String, s: String): Boolean =
+    java.util.regex.Pattern.compile("^" + Wildcards.wild2re(pattern) + "$")
+      .matcher(s).matches()
+
+  test("NSLC pattern lists match fnmatch semantics (OR pos, AND neg)") {
+    val genPat = Gen.nonEmptyListOf(
+      Gen.oneOf(Seq('A', 'B', '?', '*', '.', '['))).map(_.mkString)
+      .suchThat(_.nonEmpty)
+    val genEntry = for {
+      p <- genPat
+      neg <- Gen.oneOf(true, false)
+    } yield (if (neg) "!" else "") + p
+    val genPats = Gen.choose(1, 3).flatMap(n => Gen.listOfN(n, genEntry))
+    check("nslc", Prop.forAll(genPats) { pats =>
+      val (negs, poss) = pats.partition(_.startsWith("!"))
+      val expect = strDomain.collect {
+        case (id, s)
+          if (poss.isEmpty || poss.exists(fnmatch(_, s))) &&
+            negs.forall(p => !fnmatch(p.tail, s)) => id
+      }.toSet
+      val got = strDf.filter(Wildcards.nslcFilter(col("s"), pats))
+        .select("id").collect().map(_.getInt(0)).toSet
+      got == expect
+    }, n = 40)
+  }
+}
