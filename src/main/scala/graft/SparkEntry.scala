@@ -1286,6 +1286,55 @@ object SparkEntry {
           }
         }.toDF("p_partkey", "raw", "station_url", "queryauth_url", "ok")
         .orderBy(col("p_partkey"))
+    }),
+
+    // §2.4 writer reject isolation (`pdsql.py:522-563,715-795`): declared
+    // constraints split poisoned rows into a quarantine with the FIRST
+    // violated check's name; clean rows continue. Poison planted by key
+    // (%7 → null bal, %11 → uncastable code; %77 exercises precedence)
+    "q59_quarantine" -> ((s, dir) => {
+      import graft.operators.Quarantine
+      val incoming = t(s, dir, "customer").select(
+        col("c_custkey").as("id"),
+        when(col("c_custkey") % 7 === 0, lit(null).cast("double"))
+          .otherwise(col("c_acctbal")).as("bal"),
+        when(col("c_custkey") % 11 === 0, concat(lit("x"), col("c_custkey")))
+          .otherwise(col("c_nationkey").cast("string")).as("code"))
+      val sp = Quarantine.split(incoming,
+        Quarantine.notNull(Seq("bal")) :+ Quarantine.castable("code", "int"))
+      sp.ok.select(col("id"), lit("clean").as("status"))
+        .unionByName(sp.rejected.select(col("id"),
+          col(Quarantine.ReasonCol).as("status")))
+        .orderBy(col("id"))
+    }),
+
+    // §2.8 analyze_coda (`coda.py:80-165`): bandpass → envelope → STA/LTA
+    // noise gate → ratio-over-noise gate → log-linear decay fit. Planted
+    // per event key: %500==0 gets a 6 Hz burst with exp(-t/20) decay over
+    // a 0.001-amplitude floor (detected, negative slope); the others get
+    // the bare floor (ratio gate rejects). The oracle replays the planted
+    // outcome, which the kernel must reproduce through all four gates.
+    "q60_coda" -> ((s, dir) => {
+      import s.implicits._
+      import graft.dsp.{Advanced, Trace}
+      t(s, dir, "events").filter(col("event_id") % 250 === 0)
+        .select(col("event_id")).as[Long]
+        .map { id =>
+          val fs = 50.0
+          val hasCoda = id % 500 == 0
+          val data = Array.tabulate(6000) { i =>
+            val tt = i / fs
+            val carrier = math.sin(2 * math.Pi * 6.0 * tt)
+            val burst =
+              if (hasCoda && tt >= 30) math.exp(-(tt - 30) / 20.0) else 0.0
+            (0.001 + burst) * carrier
+          }
+          val tr = Trace(data, fs,
+            java.sql.Timestamp.valueOf("2020-01-01 00:00:00"))
+          val res = Advanced.analyzeCoda(tr)
+          (id, res.isDefined, res.map(_.slope < 0))
+        }.toDF("event_id", "coda_detected", "slope_negative")
+        .orderBy(col("event_id"))
     })
   )
 
@@ -2073,6 +2122,20 @@ object SparkEntry {
         |       ELSE 'http://' || host || '/fdsnws/dataselect/1/queryauth' END AS queryauth_url,
         |  v <> 4 AS ok
         |FROM p
-        |ORDER BY p_partkey""".stripMargin
+        |ORDER BY p_partkey""".stripMargin,
+    "q59_quarantine" ->
+      """SELECT c_custkey AS id,
+        |  CASE WHEN c_custkey % 7 = 0 THEN 'bal is null'
+        |       WHEN c_custkey % 11 = 0 THEN 'code not castable to int'
+        |       ELSE 'clean' END AS status
+        |FROM customer
+        |ORDER BY id""".stripMargin,
+    "q60_coda" ->
+      """SELECT event_id,
+        |  event_id % 500 = 0 AS coda_detected,
+        |  CASE WHEN event_id % 500 = 0 THEN TRUE ELSE NULL END AS slope_negative
+        |FROM events
+        |WHERE event_id % 250 = 0
+        |ORDER BY event_id""".stripMargin
   )
 }
