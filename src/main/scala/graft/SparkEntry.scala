@@ -1335,6 +1335,42 @@ object SparkEntry {
           (id, res.isDefined, res.map(_.slope < 0))
         }.toDF("event_id", "coda_detected", "slope_negative")
         .orderBy(col("event_id"))
+    }),
+
+    // §2.8 get_multievent_sg (`paramtable.py:384-444`): second-event
+    // detection = contiguous |SG''(cumulative)| >= threshold groups.
+    // Planted cumulative-energy shapes keyed on id: pure linear (an exact
+    // degree-1 polynomial, so the SG fit's 2nd derivative is identically
+    // 0 -> no groups), one step onset, or two; each near-instant step
+    // yields one group spanning [onset-2, onset+1] at window 5 / order 2,
+    // all replayed by the oracle in closed form.
+    "q61_multievent" -> ((s, dir) => {
+      import s.implicits._
+      import graft.dsp.Advanced
+      t(s, dir, "customer").filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey")).as[Long]
+        .map { id =>
+          val onset1 = 80 + (id % 7).toInt * 10
+          val onset2 = onset1 + 150 + (id % 5).toInt * 10
+          val onsets = (id % 3) match {
+            case 0 => Seq.empty[Int]
+            case 1 => Seq(onset1)
+            case _ => Seq(onset1, onset2)
+          }
+          val cum =
+            if (onsets.isEmpty) Array.tabulate(500)(i => i / 499.0)
+            else {
+              val h = 1.0 / onsets.length
+              Array.tabulate(500)(i => onsets.count(_ <= i) * h)
+            }
+          val (ng, groups) = Advanced.multiEvent(cum, sgWindow = 5, sgOrder = 2)
+          def g(k: Int): (Option[Int], Option[Int]) =
+            groups.lift(k).map(p => (Some(p._1), Some(p._2)))
+              .getOrElse((None, None))
+          (id, ng, g(0)._1, g(0)._2, g(1)._1, g(1)._2)
+        }.toDF("c_custkey", "n_groups", "g1_start", "g1_end",
+          "g2_start", "g2_end")
+        .orderBy(col("c_custkey"))
     })
   )
 
@@ -2136,6 +2172,21 @@ object SparkEntry {
         |  CASE WHEN event_id % 500 = 0 THEN TRUE ELSE NULL END AS slope_negative
         |FROM events
         |WHERE event_id % 250 = 0
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+    "q61_multievent" ->
+      """WITH k AS (
+        |  SELECT c_custkey,
+        |    CAST(80 + (c_custkey % 7) * 10 AS INT) AS o1,
+        |    CAST(230 + (c_custkey % 7) * 10 + (c_custkey % 5) * 10 AS INT) AS o2,
+        |    c_custkey % 3 AS v
+        |  FROM customer WHERE c_custkey % 10 = 0)
+        |SELECT c_custkey,
+        |  CAST(v AS INT) AS n_groups,
+        |  CASE WHEN v >= 1 THEN o1 - 2 ELSE NULL END AS g1_start,
+        |  CASE WHEN v >= 1 THEN o1 + 1 ELSE NULL END AS g1_end,
+        |  CASE WHEN v = 2 THEN o2 - 2 ELSE NULL END AS g2_start,
+        |  CASE WHEN v = 2 THEN o2 + 1 ELSE NULL END AS g2_end
+        |FROM k
+        |ORDER BY c_custkey""".stripMargin
   )
 }
