@@ -1371,6 +1371,28 @@ object SparkEntry {
         }.toDF("c_custkey", "n_groups", "g1_start", "g1_end",
           "g2_start", "g2_end")
         .orderBy(col("c_custkey"))
+    }),
+
+    // §2.8 mysmooth envelope undersampling (`coda.py:19-49`): window =
+    // cycles/fm seconds, hop = half window. Constant energy equal to a
+    // power of two survives the window mean bit-exactly, dt = 1/64 s makes
+    // every window-center time exactly representable, so the window count,
+    // smoothed values, and first/last center times are all closed-form.
+    "q62_envelope" -> ((s, dir) => {
+      import s.implicits._
+      import graft.dsp.Advanced
+      t(s, dir, "supplier").select(col("s_suppkey")).as[Long]
+        .map { id =>
+          val dt = 0.015625 // 1/64 s, exactly representable
+          val fm = if (id % 2 == 0) 5.0 else 2.5 // half = 64 or 128 samples
+          val c = math.pow(2.0, (id % 3).toDouble)
+          val n = 300 + (id % 4).toInt * 37
+          val (sm, tm) = Advanced.envelopeSmooth(
+            Array.fill(n)(c), dt, fm, cycles = 10)
+          (id, sm.length, sm.head, sm.last, tm.head, tm.last)
+        }.toDF("s_suppkey", "n_windows", "sm_first", "sm_last",
+          "tm_first", "tm_last")
+        .orderBy(col("s_suppkey"))
     })
   )
 
@@ -2187,6 +2209,20 @@ object SparkEntry {
         |  CASE WHEN v = 2 THEN o2 - 2 ELSE NULL END AS g2_start,
         |  CASE WHEN v = 2 THEN o2 + 1 ELSE NULL END AS g2_end
         |FROM k
-        |ORDER BY c_custkey""".stripMargin
+        |ORDER BY c_custkey""".stripMargin,
+    "q62_envelope" ->
+      """WITH k AS (
+        |  SELECT s_suppkey,
+        |    CASE WHEN s_suppkey % 2 = 0 THEN 64 ELSE 128 END AS half,
+        |    power(2.0, CAST(s_suppkey % 3 AS DOUBLE)) AS c,
+        |    300 + (s_suppkey % 4) * 37 AS n
+        |  FROM supplier),
+        |w AS (SELECT *, CAST(ceil(CAST(n - half AS DOUBLE) / half) AS INT)
+        |        AS n_windows FROM k)
+        |SELECT s_suppkey, n_windows, c AS sm_first, c AS sm_last,
+        |  half * CAST(0.015625 AS DOUBLE) AS tm_first,
+        |  n_windows * half * CAST(0.015625 AS DOUBLE) AS tm_last
+        |FROM w
+        |ORDER BY s_suppkey""".stripMargin
   )
 }
