@@ -1393,6 +1393,68 @@ object SparkEntry {
         }.toDF("s_suppkey", "n_windows", "sm_first", "sm_last",
           "tm_first", "tm_last")
         .orderBy(col("s_suppkey"))
+    }),
+
+    // §2.8 Butterworth bandpass + filtfilt (`Filters.scala`, ObsPy
+    // semantics): planted sinusoids keyed per id — 6 Hz inside the 4-8 Hz
+    // band must pass near-unity (steady-state RMS ratio > 0.5), 0.2 / 30 Hz
+    // must be crushed (< 0.5, measured ~0.01); zero-phase filtering is the
+    // only variant whose output stays phase-aligned with the input
+    // (corr > 0.999). A wrong filter design, gain, or filtfilt
+    // implementation flips at least one planted boolean.
+    "q63_bandpass" -> ((s, dir) => {
+      import s.implicits._
+      import graft.dsp.Filters
+      t(s, dir, "part").filter(col("p_partkey") % 25 === 0)
+        .select(col("p_partkey")).as[Long]
+        .map { id =>
+          val fs = 100.0
+          val f = (id % 3) match {
+            case 0 => 6.0; case 1 => 0.2; case _ => 30.0
+          }
+          val zp = id % 2 == 0
+          val x = Array.tabulate(2000)(i => math.sin(2 * math.Pi * f * i / fs))
+          val y = Filters.bandpass(x, 4, 8, fs, corners = 2, zerophase = zp)
+          def rms(v: Array[Double]) =
+            math.sqrt(v.slice(500, 1500).map(d => d * d).sum / 1000)
+          val xs = x.slice(500, 1500); val ys = y.slice(500, 1500)
+          val mx = xs.sum / 1000; val my = ys.sum / 1000
+          var sxy = 0.0; var sxx = 0.0; var syy = 0.0
+          var i = 0
+          while (i < 1000) {
+            sxy += (xs(i) - mx) * (ys(i) - my)
+            sxx += (xs(i) - mx) * (xs(i) - mx)
+            syy += (ys(i) - my) * (ys(i) - my)
+            i += 1
+          }
+          val corr = sxy / math.sqrt(sxx * syy)
+          (id, rms(y) / rms(x) > 0.5, corr > 0.999)
+        }.toDF("p_partkey", "kept", "aligned")
+        .orderBy(col("p_partkey"))
+    }),
+
+    // §2.8 response spectrum (`ndarrays.py:597-648`, Newmark-beta and
+    // Nigam-Jennings recurrences keyed per id): a 2 Hz sinusoid drives a
+    // 5%-damped SDOF — the T=0.5 s resonant oscillator must amplify
+    // PSA/PGA ~ 1/(2 zeta) = 10x (> 5), the stiff T=0.1 s one must track
+    // the ground (0.5..2), and resonance must dominate. Both recurrences
+    // must reproduce the physics for the planted booleans to hold.
+    "q64_respspec" -> ((s, dir) => {
+      import s.implicits._
+      import graft.dsp.RespSpectrum
+      t(s, dir, "nation").select(col("n_nationkey")).as[Long]
+        .map { id =>
+          val method = if (id % 2 == 0) "newmarkbeta" else "nigamjennings"
+          val acc = Array.tabulate(2000)(i =>
+            math.sin(2 * math.Pi * 2.0 * i / 100.0))
+          val r = RespSpectrum.respspec(method, acc, 0.01,
+            Array(0.5, 0.1), damping = 0.05)
+          (id, method, r.psa(0) / r.pga > 5.0,
+            r.psa(1) / r.pga > 0.5 && r.psa(1) / r.pga < 2.0,
+            r.psa(0) > r.psa(1))
+        }.toDF("n_nationkey", "method", "resonant_amplified",
+          "stiff_tracks_ground", "resonance_dominates")
+        .orderBy(col("n_nationkey"))
     })
   )
 
@@ -2223,6 +2285,22 @@ object SparkEntry {
         |  half * CAST(0.015625 AS DOUBLE) AS tm_first,
         |  n_windows * half * CAST(0.015625 AS DOUBLE) AS tm_last
         |FROM w
-        |ORDER BY s_suppkey""".stripMargin
+        |ORDER BY s_suppkey""".stripMargin,
+    "q63_bandpass" ->
+      """SELECT p_partkey,
+        |  p_partkey % 3 = 0 AS kept,
+        |  p_partkey % 2 = 0 AS aligned
+        |FROM part
+        |WHERE p_partkey % 25 = 0
+        |ORDER BY p_partkey""".stripMargin,
+    "q64_respspec" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        |  CASE WHEN n_nationkey % 2 = 0
+        |       THEN 'newmarkbeta' ELSE 'nigamjennings' END AS method,
+        |  TRUE AS resonant_amplified,
+        |  TRUE AS stiff_tracks_ground,
+        |  TRUE AS resonance_dominates
+        |FROM nation
+        |ORDER BY n_nationkey""".stripMargin
   )
 }
