@@ -3,10 +3,10 @@ package graft
 import graft.dsl.Selection
 import graft.functions.{Derived, Geo}
 import graft.multimodal.Multimodal
-import graft.operators.{Dedup, DownloadStats, MergeUpdate, StationSearch, SyncTable}
+import graft.operators.{Dedup, DownloadStats, MergeUpdate, Sampling, StationSearch, SyncTable}
 import graft.sim.Cosine
 import graft.tables.Tables
-import graft.textops.{MinHashLSH, SimHash, TextFunctions}
+import graft.textops.{Decontaminate, DedupGraph, MinHashLSH, SimHash, TextFunctions}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1455,6 +1455,42 @@ object SparkEntry {
         }.toDF("n_nationkey", "method", "resonant_amplified",
           "stiff_tracks_ground", "resonance_dominates")
         .orderBy(col("n_nationkey"))
+    }),
+
+    // near-dup CLUSTER resolution: the q19 pair graph (exact 3-gram
+    // Jaccard >= 0.6) closed under transitivity via large-star/small-star
+    // connected components — component id = smallest doc_id, the canonical
+    // survivor a dedup pipeline keeps. Oracle recomputes reachability with
+    // a recursive CTE.
+    "q65_dup_components" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.wordShingleHashesFast(col("text"), 3).as("sh"))
+      val pairs = MinHashLSH.jaccardPairsPrefix(docs, "doc_id", "sh", 0.6)
+      DedupGraph.connectedComponents(pairs, "id1", "id2")
+        .select(col("node").as("doc_id"), col("component"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // deterministic stratified sampling: exactly 40 docs per language,
+    // ranked by md5(doc_id) — reproducible across engines/runs/appends
+    // (no RNG), so the oracle replays the identical selection
+    "q66_stratified_sample" -> ((s, dir) => {
+      Sampling.stratifiedQuota(t(s, dir, "documents"), "lang", "doc_id", 40)
+        .select(col("doc_id"), col("lang"), col("rn"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // test-set decontamination: corpus docs sharing any 32-char n-gram
+    // with the benchmark slice (doc_id % 10 == 0) and how many distinct
+    // grams leak — the exact-substring eval-leak check run before training
+    "q67_decontaminate" -> ((s, dir) => {
+      val all = t(s, dir, "documents")
+      Decontaminate.overlap(
+        all.filter(col("doc_id") % 10 =!= 0),
+        all.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", 32)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -2301,6 +2337,50 @@ object SparkEntry {
         |  TRUE AS stiff_tracks_ground,
         |  TRUE AS resonance_dominates
         |FROM nation
-        |ORDER BY n_nationkey""".stripMargin
+        |ORDER BY n_nationkey""".stripMargin,
+    "q65_dup_components" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(string_split_regex(trim(text), '\s+')) - 1, 1)),
+        |    i -> string_split_regex(trim(text), '\s+')[i] || ' ' ||
+        |         string_split_regex(trim(text), '\s+')[i+1] || ' ' ||
+        |         string_split_regex(trim(text), '\s+')[i+2])) AS sh
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6),
+        |bidir AS (SELECT id1 AS a, id2 AS b FROM pairs
+        |          UNION ALL SELECT id2, id1 FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT a, a FROM bidir
+        |  UNION
+        |  SELECT b.b, reach.r FROM reach JOIN bidir b ON b.a = reach.node)
+        |SELECT node AS doc_id, min(r) AS component
+        |FROM reach GROUP BY node
+        |ORDER BY doc_id""".stripMargin,
+    "q66_stratified_sample" ->
+      """SELECT doc_id, lang, rn FROM (
+        |  SELECT doc_id, lang, CAST(row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rn
+        |  FROM documents)
+        |WHERE rn <= 40
+        |ORDER BY doc_id""".stripMargin,
+    "q67_decontaminate" ->
+      """WITH bench AS (
+        |  SELECT DISTINCT unnest(list_transform(
+        |    range(1, greatest(length(text) - 31, 0) + 1),
+        |    i -> substr(text, CAST(i AS INTEGER), 32))) AS g
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |cand AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(1, greatest(length(text) - 31, 0) + 1),
+        |    i -> substr(text, CAST(i AS INTEGER), 32))) AS g
+        |  FROM documents WHERE doc_id % 10 <> 0)
+        |SELECT c.doc_id, count(DISTINCT c.g) AS n_shared
+        |FROM cand c JOIN bench b ON c.g = b.g
+        |GROUP BY c.doc_id
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic, RNG-free sampling for training-data curation.
+  *
+  * Every sampler keys off `md5(id)` instead of a random number source, so a
+  * sample is (a) reproducible bit-for-bit across runs, engines and
+  * partitionings — re-running a 100 TB curation job yields the same corpus,
+  * (b) stable under appends — adding new rows never flips the keep/drop
+  * decision of an existing row (the property `Dataset.sample` does NOT
+  * have), and (c) auditable in plain SQL by any engine with an md5 function.
+  */
+object Sampling {
+
+  /** Hash key a sampler orders/thresholds by: lowercase hex md5 of the id's
+    * decimal string form — identical in Spark and any SQL engine.
+    */
+  def hashKey(idCol: Column): Column = md5(idCol.cast("string"))
+
+  /** Keep ~`num/65536` of the rows: those whose md5 hex key is below the
+    * 4-hex-digit bound. A pure per-row filter — no shuffle, no state; scans
+    * prune nothing but the operator itself is embarrassingly parallel at
+    * any scale.
+    */
+  def deterministicFraction(df: DataFrame, idCol: String, num: Int): DataFrame = {
+    require(num >= 0 && num <= 65536, "num is a fraction in 65536ths")
+    df.filter(hashKey(col(idCol)) < lit(f"$num%04x"))
+  }
+
+  /** Exactly `quota` rows per stratum (fewer iff the stratum is smaller):
+    * rows hash-ranked within each stratum, ties broken by id. One shuffle
+    * on the stratum key; the per-stratum sort is the cost — see
+    * [[stratifiedQuotaPrefiltered]] for the form that survives strata of
+    * billions of rows.
+    */
+  def stratifiedQuota(df: DataFrame, strataCol: String, idCol: String,
+                      quota: Int): DataFrame = {
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(hashKey(col(idCol)), col(idCol))
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= quota)
+  }
+
+  /** [[stratifiedQuota]] with a hash-threshold prefilter: counts each
+    * stratum (one cheap agg), keeps only rows whose hash key falls in the
+    * smallest 4-hex-digit band expected to hold ≥ `margin × quota` rows,
+    * THEN ranks. The expensive per-stratum sort sees ~`margin × quota`
+    * rows instead of the whole stratum, so a 10^9-row stratum with
+    * quota 10^4 sorts 4×10^4 rows, not 10^9.
+    *
+    * md5 is uniform, so the band holds < quota rows only with
+    * exp(-Θ(quota)) probability at `margin` ≥ 2 (Chernoff); the method
+    * re-ranks WITHOUT the prefilter for any stratum the band left short,
+    * so the result is always identical to [[stratifiedQuota]].
+    */
+  def stratifiedQuotaPrefiltered(df: DataFrame, strataCol: String,
+                                 idCol: String, quota: Int,
+                                 margin: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    val counts = df.groupBy(col(strataCol)).count().collect()
+      .map(r => (r.get(0), r.getLong(1))).toMap
+    val bounds = counts.map { case (k, n) =>
+      val frac = math.min(1.0, margin.toDouble * quota / math.max(n, 1L))
+      (k, f"${math.min(65536L, math.ceil(frac * 65536).toLong)}%04x")
+    }
+    val boundCol = bounds.foldLeft(lit("~")) { case (acc, (k, b)) =>
+      when(col(strataCol) === lit(k), lit(b)).otherwise(acc)
+    } // "~" sorts after every hex digit → unknown stratum = keep all
+    val pre = df.filter(hashKey(col(idCol)) < boundCol)
+    val ranked = stratifiedQuota(pre, strataCol, idCol, quota)
+    // exactness guard: any stratum the band under-filled is re-ranked
+    // unfiltered (counts are known, so "under-filled" is a driver check)
+    val short = bounds.keys.filterNot(k => bounds(k) == "10000").filter { k =>
+      val n = counts(k)
+      val got = ranked.filter(col(strataCol) === lit(k)).count()
+      got < math.min(quota.toLong, n)
+    }.toSeq
+    if (short.isEmpty) ranked
+    else {
+      val shortDf = stratifiedQuota(
+        df.filter(col(strataCol).isin(short: _*)), strataCol, idCol, quota)
+      ranked.filter(!col(strataCol).isin(short: _*)).unionByName(shortDf)
+    }
+  }
+}

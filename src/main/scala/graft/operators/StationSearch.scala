@@ -65,7 +65,11 @@ object StationSearch {
     require(maxRadiusDeg > 0, "maxRadiusDeg must be positive")
     val r = lit(maxRadiusDeg)
     val dist = Geo.locations2Degrees(latL, lonL, latR, lonR)
-    var pred: Column = dist <= radiusPred.getOrElse(r)
+    // cheap rejection BEFORE the trig: great-circle degrees >= |Δlat|
+    // always, so |Δlat| > r can never pass. The band join's slack is 2r
+    // (band width = r), so this one subtraction halves the pairs that
+    // reach the Vincenty evaluation; `&&` short-circuits in codegen.
+    var pred: Column = abs(latL - latR) <= r && dist <= radiusPred.getOrElse(r)
     minRadius.foreach(mr => pred = pred && dist >= mr)
     extraPred.foreach(p => pred = pred && p)
     val leftB = left.withColumn("__band",

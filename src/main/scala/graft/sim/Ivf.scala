@@ -113,14 +113,25 @@ object Ivf {
 
   /** Approximate top-k: probe the query's `nProbe` nearest cells, exact
     * cosine re-rank within them. Output: (qId, rank, id, cos).
+    *
+    * The slim (id, vec) projection is persisted for the duration of the
+    * call: training scans the corpus `nIters` times and the final assign
+    * once more, so without the cache every Lloyd step re-runs the source
+    * scan. MEMORY_AND_DISK spills instead of OOMing when the projection
+    * outgrows executor memory; for corpora where even spill is unwanted,
+    * train/assign remain callable separately without any caching.
     */
   def topK(corpus: DataFrame, queries: DataFrame, k: Int,
            idCol: String, vecCol: String, qIdCol: String, qVecCol: String,
            nCells: Int = 16, nProbe: Int = 2, nIters: Int = 3): DataFrame = {
-    val centroids = train(corpus, idCol, vecCol, nCells, nIters)
-    val indexed = assign(corpus, vecCol, centroids)
-    probeTopK(indexed, centroids, queries, k, idCol, vecCol, qIdCol, qVecCol,
-      nProbe)
+    val slim = corpus.select(col(idCol), col(vecCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val centroids = train(slim, idCol, vecCol, nCells, nIters)
+      val indexed = assign(slim, vecCol, centroids)
+      probeTopK(indexed, centroids, queries, k, idCol, vecCol, qIdCol,
+        qVecCol, nProbe).localCheckpoint(eager = true)
+    } finally slim.unpersist()
   }
 
   private def probeTopK(indexed: DataFrame,

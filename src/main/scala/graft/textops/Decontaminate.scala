@@ -1,0 +1,60 @@
+package graft.textops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Test-set decontamination: flag corpus documents that share any long
+  * character n-gram with a benchmark/eval set — the exact-substring-overlap
+  * check every serious training-data pipeline runs before training, so eval
+  * questions don't leak into the corpus.
+  *
+  * Shape at scale: explode both sides to (id, n-gram), `distinct` the
+  * benchmark side (small — eval sets are thousands of documents), then an
+  * equality join n-gram↔n-gram. The join key is the raw n-gram string in
+  * [[overlap]] (auditable, collision-free) or its xxhash64 in
+  * [[overlapHashed]] — 8-byte shuffle keys instead of n-byte strings, the
+  * form to use when the corpus side is 100 TB and the benchmark side still
+  * broadcasts.
+  */
+object Decontaminate {
+
+  /** One row per (id, distinct position) character n-gram. Documents
+    * shorter than `n` produce no rows (nothing to match exactly).
+    */
+  def charNgrams(docs: DataFrame, idCol: String, textCol: String,
+                 n: Int): DataFrame =
+    docs.filter(length(col(textCol)) >= n)
+      .select(col(idCol),
+        explode(expr(
+          s"transform(sequence(1, length($textCol) - ${n - 1})," +
+            s" i -> substring($textCol, i, $n))")).as("g"))
+
+  /** Corpus documents sharing ≥1 char-`n`-gram with the benchmark set:
+    * `(idCol, n_shared)` where n_shared counts the DISTINCT shared grams.
+    */
+  def overlap(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+              textCol: String, n: Int): DataFrame = {
+    val bench = charNgrams(benchmark, idCol, textCol, n)
+      .select(col("g")).distinct()
+    charNgrams(corpus, idCol, textCol, n)
+      .join(broadcast(bench), "g")
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("g")).as("n_shared"))
+  }
+
+  /** [[overlap]] joining on xxhash64(g): shuffle/broadcast payload shrinks
+    * to 8 bytes per gram. A false flag needs a 64-bit collision against the
+    * benchmark gram set — at 10^9 distinct benchmark grams the per-gram
+    * odds are ~5·10^-11; acceptable for a drop-list, not for an audit.
+    */
+  def overlapHashed(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+                    textCol: String, n: Int): DataFrame = {
+    val bench = charNgrams(benchmark, idCol, textCol, n)
+      .select(xxhash64(col("g")).as("gh")).distinct()
+    charNgrams(corpus, idCol, textCol, n)
+      .select(col(idCol), xxhash64(col("g")).as("gh"))
+      .join(broadcast(bench), "gh")
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("gh")).as("n_shared"))
+  }
+}

@@ -1,0 +1,104 @@
+package graft.textops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Near-duplicate cluster resolution: connected components over a pair list.
+  *
+  * Pairwise near-dup detection (MinHash LSH, SimHash, exact n-gram Jaccard —
+  * [[MinHashLSH]]) emits EDGES; a training-data pipeline needs CLUSTERS, so
+  * that one canonical document per component survives and every transitive
+  * duplicate (A~B, B~C but A!~C) is still dropped. This operator closes that
+  * gap: edge list in, `(id, component)` out, component = smallest member id.
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al., "Connected
+  * Components in MapReduce and Beyond", SoCC'14) — converges in O(log n)
+  * rounds on any graph shape. Both steps are expressed as join + aggregate
+  * only; per-node neighbor lists are NEVER collected (no `collect_set`), so a
+  * hub node with 10^6 duplicates costs a wide groupBy, not an executor-OOM
+  * array. This is the formulation that holds at 100 TB, unlike min-label
+  * propagation whose round count is the component diameter.
+  *
+  * Each round persists its edge set and unpersists the previous one;
+  * convergence = the canonical (min,max) edge multiset stops changing,
+  * checked with a commutative hash aggregate (one tiny action per round).
+  */
+object DedupGraph {
+
+  /** Connected components of the undirected graph given by `(aCol, bCol)`
+    * rows. Output: one row per node that appears in any edge —
+    * `(node, component)` with `component` = min id in the node's component.
+    *
+    * `maxIter` is a safety valve; large/small-star needs ~log2(n) rounds
+    * (a 10^12-node graph converges in ~40).
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 50): DataFrame = {
+    // canonical undirected form, self-loops dropped
+    var edges = pairs
+      .select(greatest(col(aCol), col(bCol)).as("u"),
+        least(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var signature = edgeSignature(edges)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      // large-star: connect every neighbor LARGER than u to u's minimum.
+      // m(u) = min(u, min N(u)) over the bidirectional edge list; each
+      // (u, v > u) re-attaches as (v, m(u)).
+      val bidir = edges.select(col("u"), col("v"))
+        .unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+      val minNbr = bidir.groupBy("u")
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val large = bidir.join(minNbr, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+      // small-star: on the (u = larger, v = smaller) orientation, attach u
+      // and all its smaller neighbors to the smallest of them.
+      val minSmall = large.groupBy("u").agg(min(col("v")).as("m"))
+      val withM = large.join(minSmall, "u")
+      // localCheckpoint (not bare persist): each round's plan must start
+      // from a materialized table, or Catalyst re-analyzes a tree that
+      // grows by two joins per round — planning time, not data, becomes
+      // the bottleneck after a few dozen rounds
+      val next = withM.select(col("v").as("u"), col("m").as("v"))
+        .unionAll(withM.select(col("u"), col("m").as("v")))
+        .select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint(eager = true)
+      val nextSig = edgeSignature(next)
+      converged = nextSig == signature
+      edges.unpersist()
+      edges = next
+      signature = nextSig
+      it += 1
+    }
+    // At the fixpoint every edge is (member, root). Roots themselves appear
+    // only on the right side; emit them as their own component so every
+    // graph node gets exactly one output row.
+    val members = edges.select(col("u").as("node"), col("v").as("component"))
+    val roots = edges.select(col("v").as("node")).distinct()
+      .join(members.select(col("node")), Seq("node"), "left_anti")
+      .withColumn("component", col("node"))
+    val out = members.unionByName(roots)
+    edges.unpersist()
+    out
+  }
+
+  /** Order-insensitive fingerprint of the canonical edge set:
+    * (count, xor of per-edge hashes) — commutative, overflow-free, and
+    * collision-safe enough for a convergence check that only ever compares
+    * consecutive rounds of a monotone contraction.
+    */
+  private def edgeSignature(edges: DataFrame): (Long, Long) = {
+    val r = edges.agg(count(lit(1)).as("n"),
+      expr("bit_xor(xxhash64(u, v))").as("h")).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+}

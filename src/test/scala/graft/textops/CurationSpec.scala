@@ -1,0 +1,135 @@
+package graft.textops
+
+import graft.SparkSpec
+import graft.operators.Sampling
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators: near-dup connected components,
+  * deterministic sampling, test-set decontamination.
+  */
+class CurationSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // ---- DedupGraph ---------------------------------------------------------
+
+  /** Reference components by union-find on the driver. */
+  private def ufComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  private def ccOf(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    DedupGraph.connectedComponents(edges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+
+  test("connected components: chain, clique, singleton-edge, self-loop") {
+    val edges = Seq[(Long, Long)](
+      (1, 2), (2, 3), (3, 4), (4, 5),       // chain → all 1
+      (10, 11), (11, 12), (10, 12),         // clique → all 10
+      (20, 21),                             // pair
+      (30, 30))                             // self-loop only → dropped
+    val got = ccOf(edges)
+    assert(got == Map(2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 1L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    assert(!got.contains(30L)) // a self-loop is not a duplicate relation
+  }
+
+  test("connected components match union-find on a random graph") {
+    val rnd = new scala.util.Random(7)
+    // 400 nodes, 300 random edges → mix of chains, trees, cycles, isolates
+    val edges = Seq.fill(300)((rnd.nextInt(400).toLong, rnd.nextInt(400).toLong))
+      .filter(e => e._1 != e._2)
+    val want = ufComponents(edges)
+    val got = ccOf(edges)
+    assert(got == want)
+  }
+
+  test("connected components: long path exercises multiple rounds") {
+    // a 200-node path has diameter 199; large/small-star must still
+    // converge (in O(log n) rounds, not 199) and label every node with 0
+    val edges = (0L until 199L).map(i => (i, i + 1))
+    val got = ccOf(edges)
+    assert(got.size == 200 && got.values.forall(_ == 0L))
+  }
+
+  test("connected components on an empty edge list") {
+    assert(ccOf(Seq.empty).isEmpty)
+  }
+
+  // ---- Sampling -----------------------------------------------------------
+
+  private val corpus = (0L until 1000L).map(i =>
+    (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "fr"))
+    .toDF("id", "lang")
+
+  test("deterministic fraction: stable under appends, close to nominal") {
+    val half = Sampling.deterministicFraction(corpus, "id", 32768)
+      .select("id").as[Long].collect().toSet
+    assert(math.abs(half.size - 500) < 80) // md5 is uniform
+    // append stability: the same rows survive when sampled from a superset
+    val more = (0L until 2000L).map(i => (i, "x")).toDF("id", "lang")
+    val fromMore = Sampling.deterministicFraction(more, "id", 32768)
+      .filter(col("id") < 1000).select("id").as[Long].collect().toSet
+    assert(fromMore == half)
+  }
+
+  test("stratified quota: exact quota per stratum, deterministic") {
+    val got = Sampling.stratifiedQuota(corpus, "lang", "id", 25)
+    val counts = got.groupBy("lang").count().as[(String, Long)]
+      .collect().toMap
+    assert(counts == Map("en" -> 25L, "de" -> 25L, "fr" -> 25L))
+    val again = Sampling.stratifiedQuota(corpus, "lang", "id", 25)
+      .select("id").as[Long].collect().toSet
+    assert(again == got.select("id").as[Long].collect().toSet)
+  }
+
+  test("stratified quota honors strata smaller than the quota") {
+    val tiny = corpus.filter(col("id") < 5) // en:2 de:2 fr:1
+    val got = Sampling.stratifiedQuota(tiny, "lang", "id", 25)
+    assert(got.count() == 5)
+  }
+
+  test("prefiltered stratified quota equals the exact form") {
+    val want = Sampling.stratifiedQuota(corpus, "lang", "id", 30)
+      .select("id", "lang", "rn").as[(Long, String, Int)].collect().toSet
+    val got = Sampling.stratifiedQuotaPrefiltered(corpus, "lang", "id", 30)
+      .select("id", "lang", "rn").as[(Long, String, Int)].collect().toSet
+    assert(got == want)
+  }
+
+  // ---- Decontaminate ------------------------------------------------------
+
+  test("decontamination flags exact substring overlap only") {
+    val bench = Seq((1L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, "prefix text the quick brown fox jumps over the lazy dog and more"),
+      (11L, "completely different content with no overlap whatsoever here"),
+      (12L, "short"),
+      (13L, "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG TONIGHT")) // case-sensitive: no match
+      .toDF("doc_id", "text")
+    val got = Decontaminate.overlap(corpus, bench, "doc_id", "text", 32)
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet == Set(10L))
+    assert(got(10L) > 0)
+    val hashed = Decontaminate.overlapHashed(corpus, bench, "doc_id", "text", 32)
+      .as[(Long, Long)].collect().toMap
+    assert(hashed == got)
+  }
+
+  test("charNgrams emits every position and skips short docs") {
+    val df = Seq((1L, "abcdef"), (2L, "abc")).toDF("doc_id", "text")
+    val grams = Decontaminate.charNgrams(df, "doc_id", "text", 4)
+      .as[(Long, String)].collect().toSet
+    assert(grams == Set((1L, "abcd"), (1L, "bcde"), (1L, "cdef")))
+  }
+}
