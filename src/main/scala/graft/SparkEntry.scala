@@ -1491,6 +1491,33 @@ object SparkEntry {
         all.filter(col("doc_id") % 10 === 0),
         "doc_id", "text", 32)
         .orderBy(col("doc_id"))
+    }),
+
+    // Gopher-style hard quality gate: named violation rules, keep iff none
+    // fire, comma-joined reasons for auditability. Pure codegen'd per-row
+    // math — the form that filters a 100 TB corpus without a shuffle.
+    "q68_quality_rules" -> ((s, dir) => {
+      val stops = Seq("the", "a", "and", "of", "to")
+      val (keep, reasons) =
+        TextFunctions.qualityRules(col("text"), stops)
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n_tokens"),
+          keep.as("keep"), reasons.as("reasons"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // deterministic shard export manifest: md5-keyed shard label (16
+    // shards), append-stable so incremental exports only touch shards
+    // that received rows; manifest = per-shard counts + payload size
+    "q69_shard_manifest" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("shard", Sampling.shardKey(col("doc_id")))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("n_chars"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy(col("shard"))
     })
   )
 
@@ -2381,6 +2408,46 @@ object SparkEntry {
         |SELECT c.doc_id, count(DISTINCT c.g) AS n_shared
         |FROM cand c JOIN bench b ON c.g = b.g
         |GROUP BY c.doc_id
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    "q68_quality_rules" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN trim(text) = '' THEN []
+        |         ELSE string_split_regex(trim(text), '\s+') END AS t,
+        |    CASE WHEN trim(text) = '' THEN []
+        |         ELSE string_split_regex(lower(trim(text)), '\s+') END AS tl
+        |  FROM documents),
+        |feat AS (
+        |  SELECT doc_id, len(t) AS n_tokens,
+        |    CAST(list_aggregate(list_transform(t, x -> len(x)), 'sum')
+        |      AS DOUBLE) / len(t) AS avg_len,
+        |    CAST(length(text) - length(regexp_replace(text,
+        |      '[!"#$%&''()*+,\-./:;<=>?@\[\]^_`{|}~]', '', 'g')) AS DOUBLE)
+        |      / length(text) AS punct_ratio,
+        |    len(list_filter(tl, x -> x IN ('the','a','and','of','to')))
+        |      AS stop_hits,
+        |    CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS repetition
+        |  FROM toks)
+        |SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+        |  reasons = '' AS keep, reasons
+        |FROM (
+        |  SELECT doc_id, n_tokens, concat_ws(',',
+        |    CASE WHEN n_tokens < 30 THEN 'too_few_words' END,
+        |    CASE WHEN n_tokens > 50000 THEN 'too_many_words' END,
+        |    CASE WHEN avg_len < 2.0 OR avg_len > 12.0
+        |         THEN 'mean_word_len_out' END,
+        |    CASE WHEN punct_ratio > 0.2 THEN 'high_punct' END,
+        |    CASE WHEN stop_hits < 2 THEN 'no_stopwords' END,
+        |    CASE WHEN repetition < 0.3 THEN 'repetitive' END) AS reasons
+        |  FROM feat)
+        |ORDER BY doc_id""".stripMargin,
+    "q69_shard_manifest" ->
+      """SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+        |  count(*) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents
+        |GROUP BY shard
+        |ORDER BY shard""".stripMargin
   )
 }

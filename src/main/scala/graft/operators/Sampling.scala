@@ -30,6 +30,25 @@ object Sampling {
     df.filter(hashKey(col(idCol)) < lit(f"$num%04x"))
   }
 
+  /** Deterministic shard label for training-data export: the first
+    * `hexDigits` characters of the md5 key → 16^hexDigits shards. Like
+    * every sampler here it is RNG-free and append-stable: a row's shard
+    * never changes when the corpus grows, so incremental export jobs only
+    * rewrite shards that actually received rows.
+    */
+  def shardKey(idCol: Column, hexDigits: Int = 1): Column =
+    substring(hashKey(idCol), 1, hexDigits)
+
+  /** Write the corpus as one parquet directory per shard
+    * (`.partitionBy(shard)`), the layout a 100 TB export wants: writers
+    * scale with partitions, and a reader of shard `k` prunes everything
+    * else at the storage layer.
+    */
+  def exportShards(df: DataFrame, idCol: String, path: String,
+                   hexDigits: Int = 1): Unit =
+    df.withColumn("shard", shardKey(col(idCol), hexDigits))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+
   /** Exactly `quota` rows per stratum (fewer iff the stratum is smaller):
     * rows hash-ranked within each stratum, ties broken by id. One shuffle
     * on the stratum key; the per-stratum sort is the cost — see

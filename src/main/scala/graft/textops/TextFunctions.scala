@@ -68,6 +68,37 @@ object TextFunctions {
     round((lenScore + punctScore + stopScore) / 3.0, 6)
   }
 
+  /** Gopher-style composite quality RULES (Rae et al. 2021 §A1.1 family):
+    * each named rule is a violation predicate; a document is kept iff no
+    * rule fires. Unlike [[qualityScore]] (a soft score), this is the
+    * hard-filter form curation pipelines actually gate on, and the named
+    * reasons make every drop auditable.
+    *
+    * Returns (keep: Boolean, reasons: String) columns — reasons is the
+    * comma-joined list of fired rules in fixed rule order, empty when kept.
+    * Pure per-row Column math: no shuffle, fully codegen'd, embarrassingly
+    * parallel at any corpus size.
+    */
+  def qualityRules(text: Column, stopwords: Seq[String]): (Column, Column) = {
+    val nTok = tokenCount(text)
+    val avgLen = avgTokenLen(text)
+    val stopHits = {
+      val t = tokens(lower(text))
+      size(filter(t, w => w.isin(stopwords.map(lit): _*)))
+    }
+    val repetition = distinctTokenCount(text).cast("double") / nTok
+    val rules: Seq[(String, Column)] = Seq(
+      "too_few_words" -> (nTok < 30),
+      "too_many_words" -> (nTok > 50000),
+      "mean_word_len_out" -> (avgLen < 2.0 || avgLen > 12.0),
+      "high_punct" -> (punctRatio(text) > 0.2),
+      "no_stopwords" -> (stopHits < 2),
+      "repetitive" -> (repetition < 0.3))
+    val reasons = concat_ws(",",
+      rules.map { case (n, c) => when(coalesce(c, lit(false)), lit(n)) }: _*)
+    (reasons === "", reasons)
+  }
+
   /** Lowercase + collapse whitespace: the canonical form for exact-dup
     * fingerprinting.
     */

@@ -126,6 +126,40 @@ class CurationSpec extends SparkSpec {
     assert(hashed == got)
   }
 
+  test("quality rules: each rule fires on its pathology, clean doc kept") {
+    val stops = Seq("the", "a", "and", "of", "to")
+    val clean = ("the quick brown fox jumps over a lazy dog and then " * 5) +
+      "keeps running through the forest of tall green trees to the river"
+    val docs = Seq(
+      (1L, clean),
+      (2L, "too short"),                                   // too_few_words (+no_stopwords)
+      (3L, ("the of " * 40).trim),                         // repetitive
+      (4L, (0 until 60).map(i => s"tok$i").mkString(" "))) // no_stopwords only
+      .toDF("doc_id", "text")
+    val (keep, reasons) = TextFunctions.qualityRules(col("text"), stops)
+    val got = docs.select(col("doc_id"), keep.as("k"), reasons.as("r"))
+      .as[(Long, Boolean, String)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(got(1L) == (true, ""))
+    assert(!got(2L)._1 && got(2L)._2.contains("too_few_words"))
+    assert(!got(3L)._1 && got(3L)._2.contains("repetitive"))
+    assert(!got(4L)._1 && got(4L)._2 == "no_stopwords")
+  }
+
+  test("shard export: append-stable assignment, partition-pruned layout") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    Sampling.exportShards(corpus, "id", dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 1000)
+    // every row's shard is the md5 prefix of its own id — append-stable
+    val bad = back.filter(
+      col("shard") =!= Sampling.shardKey(col("id"))).count()
+    assert(bad == 0)
+    // layout: one directory per shard → a shard read scans only its files
+    val shardDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("shard=")).map(_.getName).toSet
+    assert(shardDirs.size == 16)
+  }
+
   test("charNgrams emits every position and skips short docs") {
     val df = Seq((1L, "abcdef"), (2L, "abc")).toDF("doc_id", "text")
     val grams = Decontaminate.charNgrams(df, "doc_id", "text", 4)
