@@ -1,0 +1,42 @@
+package graft.streaming
+
+import graft.textops.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming form of the corpus-curation layer: the batch dedup / quality
+  * operators re-expressed over Structured Streaming so a live ingest
+  * pipeline and a backfill share one set of semantics.
+  *
+  * Scale notes: exact dedup keys the state store by the 8-byte fingerprint,
+  * not the document, and `dropDuplicatesWithinWatermark` evicts state once
+  * the watermark passes — unbounded streams hold bounded state, sized by
+  * (dup-arrival horizon × ingest rate), not by history. The quality gate is
+  * stateless and costs nothing beyond the batch expression.
+  */
+object CorpusStream {
+
+  /** Exact-duplicate suppression on a streaming corpus: first arrival of a
+    * normalized-text fingerprint wins; any duplicate arriving within
+    * `watermark` of its original is dropped. `tsCol` is the event-time
+    * column the watermark is tracked on.
+    *
+    * The fingerprint travels with the row (as `fp`) so a downstream audit
+    * can join survivors back to their dropped duplicates.
+    */
+  def dedupStream(docs: DataFrame, textCol: String, tsCol: String,
+                  watermark: String): DataFrame =
+    docs.withColumn("fp", TextFunctions.fingerprint64(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("fp")
+
+  /** Stateless streaming quality gate: keep rows passing every
+    * [[TextFunctions.qualityRules]] rule; `reasons` kept on the dropped
+    * side would be a second sink — here survivors flow on unchanged.
+    */
+  def qualityFilter(docs: DataFrame, textCol: String,
+                    stopwords: Seq[String]): DataFrame = {
+    val (keep, _) = TextFunctions.qualityRules(col(textCol), stopwords)
+    docs.filter(keep)
+  }
+}

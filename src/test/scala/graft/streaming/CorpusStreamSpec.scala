@@ -1,0 +1,70 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.textops.TextFunctions
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import java.sql.Timestamp
+
+/** Top-level: nested case classes trip the state encoder's outer-scope
+  * instantiation (same constraint as [[SessionState]]).
+  */
+final case class Doc(doc_id: Long, ts: Timestamp, text: String)
+
+/** Streaming corpus curation: batch ≡ stream for exact dedup and the
+  * quality gate.
+  */
+class CorpusStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  test("streaming exact dedup keeps the first arrival per fingerprint") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      Doc(1L, t("2020-01-01 10:00:00"), "alpha beta gamma"),
+      Doc(2L, t("2020-01-01 10:00:30"), "delta epsilon zeta"),
+      Doc(3L, t("2020-01-01 10:01:00"), "alpha  beta\tgamma"), // normalized dup of 1
+      Doc(4L, t("2020-01-01 10:01:30"), "eta theta iota"),
+      Doc(5L, t("2020-01-01 10:02:00"), "delta epsilon zeta")) // dup of 2
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Doc]
+    source.addData(docs: _*)
+    val q = CorpusStream.dedupStream(source.toDF(), "text", "ts", "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_stream")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.sql("SELECT doc_id FROM dedup_stream")
+      .as[Long].collect().toSet
+    assert(got == Set(1L, 2L, 4L))
+    // batch ≡ stream: same survivors as the batch fingerprint dedup
+    val batch = docs.toDF()
+      .withColumn("fp", TextFunctions.fingerprint64(col("text")))
+      .orderBy("ts").dropDuplicates("fp")
+      .select("doc_id").as[Long].collect().toSet
+    assert(batch == got)
+  }
+
+  test("streaming quality gate is the batch filter applied per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val stops = Seq("the", "a", "and", "of", "to")
+    val longText = ("the quick brown fox jumps over a lazy dog and then " * 5) +
+      "keeps running through the forest of tall green trees to the river"
+    val docs = Seq(
+      Doc(1L, t("2020-01-01 10:00:00"), longText),
+      Doc(2L, t("2020-01-01 10:00:30"), "too short"))
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Doc]
+    source.addData(docs: _*)
+    val q = CorpusStream.qualityFilter(source.toDF(), "text", stops)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("quality_stream")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.sql("SELECT doc_id FROM quality_stream")
+      .as[Long].collect().toSet
+    assert(got == Set(1L))
+  }
+}
