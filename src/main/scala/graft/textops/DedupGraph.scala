@@ -32,9 +32,17 @@ object DedupGraph {
     *
     * `maxIter` is a safety valve; large/small-star needs ~log2(n) rounds
     * (a 10^12-node graph converges in ~40).
+    *
+    * `driverFinish`: once the (contracting) edge set has at most this many
+    * edges, the remainder is solved with union-find on the driver — every
+    * distributed CC run ends with a long tail of near-empty rounds whose
+    * cost is pure job overhead, and the edge count is already known each
+    * round from the convergence check, so the hand-off is free. Only taken
+    * for long-typed ids (driver min must mean what Spark's min means).
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 50): DataFrame = {
+                          maxIter: Int = 50,
+                          driverFinish: Long = 100000L): DataFrame = {
     // canonical undirected form, self-loops dropped
     var edges = pairs
       .select(greatest(col(aCol), col(bCol)).as("u"),
@@ -42,7 +50,14 @@ object DedupGraph {
       .filter(col("u") =!= col("v"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val longIds = edges.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
     var signature = edgeSignature(edges)
+    if (longIds && signature._1 <= driverFinish) {
+      val out = driverComponents(edges)
+      edges.unpersist()
+      return out
+    }
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
@@ -78,6 +93,8 @@ object DedupGraph {
       edges = next
       signature = nextSig
       it += 1
+      if (!converged && longIds && signature._1 <= driverFinish)
+        return driverComponents(edges)
     }
     // At the fixpoint every edge is (member, root). Roots themselves appear
     // only on the right side; emit them as their own component so every
@@ -89,6 +106,25 @@ object DedupGraph {
     val out = members.unionByName(roots)
     edges.unpersist()
     out
+  }
+
+  /** Driver-side union-find finish (path-halving, min-id roots) — exact
+    * same output contract as the distributed rounds.
+    */
+  private def driverComponents(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val es = edges.as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.toSeq.map(k => (k, find(k))).toDF("node", "component")
   }
 
   /** Order-insensitive fingerprint of the canonical edge set:

@@ -27,8 +27,11 @@ class CurationSpec extends SparkSpec {
     parent.keys.map(k => k -> find(k)).toMap
   }
 
+  // driverFinish = 0 forces the distributed large/small-star rounds —
+  // the path under test; the driver-finish shortcut gets its own test
   private def ccOf(edges: Seq[(Long, Long)]): Map[Long, Long] =
-    DedupGraph.connectedComponents(edges.toDF("a", "b"), "a", "b")
+    DedupGraph.connectedComponents(edges.toDF("a", "b"), "a", "b",
+      driverFinish = 0L)
       .as[(Long, Long)].collect().toMap
 
   test("connected components: chain, clique, singleton-edge, self-loop") {
@@ -63,6 +66,15 @@ class CurationSpec extends SparkSpec {
 
   test("connected components on an empty edge list") {
     assert(ccOf(Seq.empty).isEmpty)
+  }
+
+  test("driver-finish shortcut equals the distributed rounds") {
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(250)((rnd.nextInt(300).toLong, rnd.nextInt(300).toLong))
+      .filter(e => e._1 != e._2)
+    val viaDriver = DedupGraph.connectedComponents(
+      edges.toDF("a", "b"), "a", "b").as[(Long, Long)].collect().toMap
+    assert(viaDriver == ccOf(edges))
   }
 
   // ---- Sampling -----------------------------------------------------------
