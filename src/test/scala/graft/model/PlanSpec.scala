@@ -55,6 +55,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange rangepartitioning"), p.take(800))
   }
 
+  test("decontamination joins the corpus against a BROADCAST gram set") {
+    // the benchmark side is small by construction (eval sets); the corpus
+    // side must probe it without shuffling its exploded n-grams
+    val p = SparkEntry.queries("q67_decontaminate")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
+
+  test("quality gate is shuffle-free per-row math") {
+    val p = SparkEntry.queries("q68_quality_rules")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // only the final orderBy may exchange; the rules themselves are a
+    // project over the scan
+    assert(!p.contains("Exchange hashpartitioning"), p.take(1200))
+  }
+
+  test("shard manifest is one partial+final aggregation over one shuffle") {
+    val p = SparkEntry.queries("q69_shard_manifest")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val exchanges = p.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"$exchanges shuffles:\n${p.take(1200)}")
+  }
+
   test("per-station stats pivot is a single shuffle") {
     val p = SparkEntry.queries("q50_station_stats")(spark, dir)
       .queryExecution.executedPlan.toString
@@ -62,7 +87,7 @@ class PlanSpec extends SparkSpec {
     // values were collected once driver-side (tiny code taxonomy), so no
     // second aggregation shuffle appears
     val exchanges = p.linesIterator
-      .count(_.trim.startsWith("Exchange hashpartitioning"))
+      .count(_.contains("Exchange hashpartitioning"))
     assert(exchanges <= 2, s"$exchanges shuffles:\n${p.take(2000)}")
   }
 }
