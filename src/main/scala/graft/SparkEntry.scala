@@ -1506,6 +1506,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // int8 embedding quantization facts: per-vector scale, quantized
+    // component sum and saturation count — the 4x-compression storage
+    // path for vector search; floor-form rounding makes every value
+    // engine-exact (oracle recomputes the identical integers)
+    "q70_quantize" -> ((s, dir) => {
+      import graft.sim.Quantize
+      val qvec = col("__qvec")
+      t(s, dir, "embeddings")
+        .transform(Quantize.quantizeCorpus(_, "embedding"))
+        .select(col("vec_id"),
+          round(col("__qscale"), 6).as("scale"),
+          aggregate(qvec, lit(0L), (acc, q) => acc + q.cast("long"))
+            .as("q_sum"),
+          size(filter(qvec, q => abs(q.cast("int")) === 127)).as("n_sat"))
+        .orderBy(col("vec_id"))
+    }),
+
     // deterministic shard export manifest: md5-keyed shard label (16
     // shards), append-stable so incremental exports only touch shards
     // that received rows; manifest = per-shard counts + payload size
@@ -2441,6 +2458,24 @@ object SparkEntry {
         |    CASE WHEN repetition < 0.3 THEN 'repetitive' END) AS reasons
         |  FROM feat)
         |ORDER BY doc_id""".stripMargin,
+    "q70_quantize" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale,
+        |    embedding FROM embeddings),
+        |qq AS (
+        |  SELECT vec_id, scale,
+        |    CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0)
+        |         ELSE list_transform(embedding, x ->
+        |           CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INTEGER))
+        |    END AS qv
+        |  FROM q)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        |  CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
+        |  CAST(len(list_filter(qv, x -> abs(x) = 127)) AS INTEGER) AS n_sat
+        |FROM qq
+        |ORDER BY vec_id""".stripMargin,
     "q69_shard_manifest" ->
       """SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
         |  count(*) AS n_docs,

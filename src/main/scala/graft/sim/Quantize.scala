@@ -1,0 +1,85 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Symmetric per-vector int8 scalar quantization for embedding columns —
+  * the standard 4× memory/IO reduction for vector search at corpus scale:
+  * store int8 + one float scale per vector, search with a cheap quantized
+  * prefilter, exactly re-rank only the survivors against the float vectors.
+  *
+  * Quantization: `scale = max(|x|)/127`, `q_i = floor(x_i/scale + 0.5)`
+  * (round-half-up, spelled as floor so every engine computes the identical
+  * value — `round()` half-handling differs across engines; zero vectors
+  * quantize to all-zero with scale 0). All arithmetic is DOUBLE inside
+  * codegen'd higher-order functions — deterministic, no UDF.
+  */
+object Quantize {
+
+  /** Per-vector quantization scale: `max(|x|)/127`. */
+  def scaleOf(vec: Column): Column =
+    aggregate(vec, lit(0.0),
+      (acc, x) => greatest(acc, abs(x.cast("double")))) / 127.0
+
+  /** int8 components as an array (stored as byte; the array encodes
+    * compactly in parquet and dictionary-encodes across rows).
+    */
+  def quantize(vec: Column, scale: Column): Column =
+    when(scale === 0.0, transform(vec, _ => lit(0).cast("byte")))
+      .otherwise(transform(vec,
+        x => floor(x.cast("double") / scale + 0.5).cast("byte")))
+
+  /** Reconstruction: `q_i * scale` — error per component ≤ scale/2. */
+  def dequantize(qvec: Column, scale: Column): Column =
+    transform(qvec, q => q.cast("double") * scale)
+
+  /** Add (`__qscale`, `__qvec`) columns to a corpus. */
+  def quantizeCorpus(df: DataFrame, vecCol: String): DataFrame = {
+    val s = scaleOf(col(vecCol))
+    df.withColumn("__qscale", s)
+      .withColumn("__qvec", quantize(col(vecCol), col("__qscale")))
+  }
+
+  /** Cosine between a quantized corpus vector and a float query — the
+    * per-vector scales cancel in the cosine, so this needs no dequantize
+    * multiply: cos(q·s, y) = cos(q, y) whenever s > 0.
+    */
+  def quantizedCosine(qvec: Column, query: Column): Column = {
+    val qd = transform(qvec, _.cast("double"))
+    Cosine.dot(qd, Cosine.asDouble(query)) /
+      (Cosine.norm(qd) * Cosine.norm(Cosine.asDouble(query)))
+  }
+
+  /** Two-stage top-k: rank all corpus vectors by QUANTIZED cosine, keep
+    * `rerank ≥ k` best per query, then exactly re-rank those float-side.
+    * At 100 TB the first stage reads the int8 column only (¼ the bytes,
+    * same scan parallelism); the second touches `rerank × queries` float
+    * vectors — a semi-join–sized exact pass.
+    *
+    * Output: (qId, rank, id, cos) like [[Cosine.bruteForceTopK]]; with a
+    * sufficient `rerank` margin the result is identical to exact search
+    * (the quantized cosine differs from the true cosine by O(1/127)).
+    */
+  def topKQuantized(corpus: DataFrame, queries: DataFrame, k: Int,
+                    idCol: String, vecCol: String,
+                    qIdCol: String, qVecCol: String,
+                    rerank: Int = 32): DataFrame = {
+    require(rerank >= k, "rerank candidates must cover k")
+    val quant = quantizeCorpus(corpus, vecCol)
+    val coarse = quant.join(broadcast(queries), col(qIdCol) =!= col(idCol))
+      .withColumn("__qcos", quantizedCosine(col("__qvec"), col(qVecCol)))
+    val wCoarse = Window.partitionBy(col(qIdCol))
+      .orderBy(col("__qcos").desc, col(idCol))
+    val survivors = coarse
+      .withColumn("__crank", row_number().over(wCoarse))
+      .filter(col("__crank") <= rerank)
+    val exact = survivors
+      .withColumn("cos", round(Cosine.cosineF(col(vecCol), col(qVecCol)), 6))
+    val w = Window.partitionBy(col(qIdCol))
+      .orderBy(col("cos").desc, col(idCol))
+    exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qIdCol), col("rank"), col(idCol), col("cos"))
+  }
+}

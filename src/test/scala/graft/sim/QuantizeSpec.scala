@@ -1,0 +1,49 @@
+package graft.sim
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class QuantizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecsDF(vs: Seq[(Long, Seq[Float])]) =
+    vs.toDF("vec_id", "embedding")
+
+  test("quantize: extremes hit ±127, zero vector stays zero, roundtrip bound") {
+    val df = vecsDF(Seq(
+      (1L, Seq(1.0f, -1.0f, 0.5f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f))))
+      .transform(Quantize.quantizeCorpus(_, "embedding"))
+    val rows = df.select(col("vec_id"), col("__qscale"), col("__qvec"))
+      .as[(Long, Double, Seq[Byte])].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    val (s1, q1) = rows(1L)
+    assert(q1 == Seq[Byte](127, -127, 64, 0))
+    assert(math.abs(s1 - 1.0 / 127.0) < 1e-12)
+    val (s2, q2) = rows(2L)
+    assert(s2 == 0.0 && q2 == Seq[Byte](0, 0, 0, 0))
+    // reconstruction error bound: |q*s - x| <= s/2 per component
+    val err = df.filter(col("vec_id") === 1L)
+      .select(aggregate(
+        zip_with(Quantize.dequantize(col("__qvec"), col("__qscale")),
+          transform(col("embedding"), _.cast("double")),
+          (a, b) => abs(a - b)),
+        lit(0.0), (acc, e) => greatest(acc, e)))
+      .as[Double].head()
+    assert(err <= s1 / 2 + 1e-12)
+  }
+
+  test("two-stage quantized top-k matches exact brute force on real vectors") {
+    val emb = graft.tables.Tables.load(spark, "/root/testdata/sf0.001",
+      "embeddings").select(col("vec_id"), col("embedding"))
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val exact = Cosine.bruteForceTopK(emb, queries, 5,
+      "vec_id", "embedding", "q_id", "q_emb")
+      .select("q_id", "rank", "vec_id").as[(Long, Int, Long)].collect().toSet
+    val quant = Quantize.topKQuantized(emb, queries, 5,
+      "vec_id", "embedding", "q_id", "q_emb", rerank = 32)
+      .select("q_id", "rank", "vec_id").as[(Long, Int, Long)].collect().toSet
+    assert(quant == exact)
+  }
+}
