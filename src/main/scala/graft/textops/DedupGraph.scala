@@ -96,6 +96,11 @@ object DedupGraph {
       if (!converged && longIds && signature._1 <= driverFinish)
         return driverComponents(edges)
     }
+    // an un-converged exit would silently return UNDER-MERGED components
+    // (edges not yet star-shaped read as roots) — refuse instead
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds " +
+        s"(${signature._1} edges remain); raise maxIter")
     // At the fixpoint every edge is (member, root). Roots themselves appear
     // only on the right side; emit them as their own component so every
     // graph node gets exactly one output row.
