@@ -50,6 +50,63 @@ case class CosineSimilarityFloat(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native codegen cosine between an int8-quantized vector
+  * (`array<tinyint>`, per-vector scale cancels — see
+  * [[graft.sim.Quantize]]) and a float query vector. Same
+  * double-precision left-to-right arithmetic as the higher-order-function
+  * form, so swapping it in changes nothing but speed.
+  */
+case class CosineSimilarityInt8(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(ByteType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (array<tinyint>, array<float>), got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_similarity_int8"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CosineSimilarityInt8.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.CosineSimilarityInt8.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarityInt8 =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineSimilarityInt8 {
+
+  /** Shared by interpreted eval and generated code. */
+  def compute(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getByte(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  def apply(a: Column, b: Column): Column =
+    Bridge.column(CosineSimilarityInt8(
+      Bridge.expression(a), Bridge.expression(b)))
+}
+
 object CosineSimilarityFloat {
 
   /** Shared by interpreted eval and generated code. */

@@ -43,13 +43,13 @@ object Quantize {
 
   /** Cosine between a quantized corpus vector and a float query — the
     * per-vector scales cancel in the cosine, so this needs no dequantize
-    * multiply: cos(q·s, y) = cos(q, y) whenever s > 0.
+    * multiply: cos(q·s, y) = cos(q, y) whenever s > 0. Native codegen
+    * expression ([[graft.functions.CosineSimilarityInt8]]): the coarse
+    * stage is an all-pairs loop, exactly where interpreted higher-order
+    * functions dominate the profile.
     */
-  def quantizedCosine(qvec: Column, query: Column): Column = {
-    val qd = transform(qvec, _.cast("double"))
-    Cosine.dot(qd, Cosine.asDouble(query)) /
-      (Cosine.norm(qd) * Cosine.norm(Cosine.asDouble(query)))
-  }
+  def quantizedCosine(qvec: Column, query: Column): Column =
+    graft.functions.CosineSimilarityInt8(qvec, query)
 
   /** Two-stage top-k: rank all corpus vectors by QUANTIZED cosine, keep
     * `rerank ≥ k` best per query, then exactly re-rank those float-side.
