@@ -39,6 +39,10 @@ object Main {
       println(ttcreator(overrides))
       return
     }
+    if (cmd == "init") {
+      println(init(overrides.getOrElse("outdir", ".")))
+      return
+    }
     val cfgText = new String(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(cfgPath)), "UTF-8")
     val raw = graft.config.YamlLite.parse(cfgText)
@@ -73,11 +77,87 @@ object Main {
       case "log" => println(DownloadRecords.logs(spark, cfg.outdir))
       case "config" => println(DownloadRecords.configs(spark, cfg.outdir))
       case "stats" => println(DownloadRecords.stats(spark, cfg.outdir))
+      // `s2s db drop -did id[,id...]` (`cli.py:737-768`)
+      case "drop" =>
+        val ids = overrides.getOrElse("download_id", "")
+          .split(",").filter(_.nonEmpty).map(_.trim.toLong).toSeq
+        if (ids.isEmpty) { System.err.println(
+          "drop needs -o download_id=<id>[,<id>...]"); sys.exit(2) }
+        graft.operators.DbManagement.dropDownloads(spark, cfg.outdir, ids)
+          .toSeq.sortBy(_._1).foreach {
+            case (id, -1L) => println(s"Download id=$id: FAILED (no such id)")
+            case (id, n) => println(
+              s"Download id=$id: DELETED ($n associated segments deleted)")
+          }
+      // `s2s db classlabel --add/--rename/--delete` (`cli.py:772-788`);
+      // flags ride -o: add=label:desc[,..] rename=old:new[:desc][,..]
+      // delete=label[,..]
+      case "classlabel" =>
+        def pairs(key: String) = overrides.getOrElse(key, "")
+          .split(",").filter(_.nonEmpty).toSeq
+        val adds = pairs("add").map { p =>
+          val Array(l, d @ _*) = p.split(":", 2): @unchecked
+          l -> d.headOption.getOrElse("")
+        }.toMap
+        val renames = pairs("rename").map { p =>
+          p.split(":", 3) match {
+            case Array(o, n) => o -> (n, "")
+            case Array(o, n, d) => o -> (n, d)
+            case _ => System.err.println(s"bad rename '$p'"); sys.exit(2)
+          }
+        }.toMap
+        graft.operators.DbManagement.classlabels(spark, cfg.outdir,
+          adds, renames, pairs("delete"))
+          .foreach { case (id, l, d) => println(s"$id  $l  $d") }
     } finally spark.stop()
   }
 
+  /** `s2s init <outdir>`: write a documented, runnable example download
+    * config (`cli.py:294-350` — the reference copies its resource
+    * templates; the YAML here is this engine's validated surface).
+    */
+  private[graft] def init(outdir: String): String = {
+    val dir = java.nio.file.Paths.get(outdir)
+    java.nio.file.Files.createDirectories(dir)
+    val example =
+      s"""# graft download configuration (validated by graft.config.DownloadConfig)
+         |# Run: graft.Main download -c download.yaml
+         |outdir: '${outdir.replace("'", "''")}/data'
+         |starttime: 2011-01-01T00:00:00
+         |endtime: 2011-01-08T00:00:00
+         |# FDSN event service (text format) + EIDA routing service
+         |events_url: 'http://service.iris.edu/fdsnws/event/1/query'
+         |data_url: 'http://www.orfeus-eu.org/eidaws/routing/1/query'
+         |# magnitude-dependent search radius (deg): ramp between the two
+         |# magnitudes, clamped to [radius_min, radius_max]
+         |search_radius:
+         |  minmag: 3.0
+         |  maxmag: 7.0
+         |  minmag_radius: 5.0
+         |  maxmag_radius: 30.0
+         |# request window around the predicted P arrival, minutes
+         |timespan: [1.0, 5.0]
+         |min_sample_rate: 60
+         |inventory: false
+         |# retry policy on re-runs (the reference's retry_* flags)
+         |retry_url_err: true
+         |retry_mseed_err: false
+         |retry_client_err: false
+         |retry_server_err: true
+         |retry_timespan_err: true
+         |# segment selection for `process` (the selection-expression DSL)
+         |segments_selection:
+         |  has_valid_data: 'true'
+         |  maxgap_numsamples: '[-0.5, 0.5]'
+         |""".stripMargin
+    val p = dir.resolve("download.yaml")
+    java.nio.file.Files.writeString(p, example)
+    s"wrote ${p.toAbsolutePath}"
+  }
+
   private val Subcommands =
-    Set("download", "process", "summary", "log", "config", "stats", "ttcreator")
+    Set("download", "process", "summary", "log", "config", "stats",
+      "ttcreator", "init", "drop", "classlabel")
 
   /** `s2s utils ttcreator` equivalent (`traveltimes/ttcreator.py`): build an
     * adaptively-refined travel-time grid from the bundled ak135 model or a
@@ -130,7 +210,8 @@ object Main {
         case other => return Left(s"unknown argument '$other'")
       }
     }
-    if (cfg == null && args(0) != "ttcreator") Left("missing -c <config.yaml>")
+    if (cfg == null && args(0) != "ttcreator" && args(0) != "init")
+      Left("missing -c <config.yaml>")
     else Right((args(0), cfg, overrides.toMap))
   }
 

@@ -1,0 +1,108 @@
+package graft.operators
+
+import graft.model.Schemas
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** `s2s db` management commands over the parquet store
+  * (`stream2segment/download/db/management.py` via `cli.py:737-788`):
+  * dropping download campaigns with their segments, and class-label
+  * add/rename/delete with labelling cascade.
+  *
+  * All rewrites go through [[Writers.overwriteParquetVia]] (temp-dir +
+  * rename), so a drop is a distributed anti-filter rewrite — never a
+  * driver-side row walk — and self-reads are safe.
+  */
+object DbManagement {
+
+  private def tableOpt(spark: SparkSession, outdir: String,
+                       name: String): Option[DataFrame] =
+    try Some(spark.read.parquet(s"$outdir/$name"))
+    catch { case _: org.apache.spark.sql.AnalysisException => None }
+
+  /** Drop download executions and their segments (the reference's FK
+    * cascade Download→Segment). Returns per-id deleted-segment counts;
+    * ids with no download row report -1 (the reference prints FAILED).
+    */
+  def dropDownloads(spark: SparkSession, outdir: String,
+                    ids: Seq[Long]): Map[Long, Long] = {
+    if (ids.isEmpty) return Map.empty
+    val dls = tableOpt(spark, outdir, "downloads")
+    val existing: Set[Long] = dls match {
+      case None => Set.empty
+      case Some(d) => d.select(col("id")).where(col("id").isin(ids: _*))
+        .distinct().collect().map(_.getLong(0)).toSet
+    }
+    val segCounts: Map[Long, Long] = tableOpt(spark, outdir, "segments") match {
+      case None => Map.empty
+      case Some(segs) if segs.columns.contains("download_id") =>
+        val counts = segs.filter(col("download_id").isin(existing.toSeq: _*))
+          .groupBy(col("download_id")).count()
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        Writers.overwriteParquetVia(
+          segs.filter(!col("download_id").isin(existing.toSeq: _*)),
+          s"$outdir/segments")
+        counts
+      case _ => Map.empty
+    }
+    dls.foreach { d =>
+      Writers.overwriteParquetVia(
+        d.filter(!col("id").isin(existing.toSeq: _*)), s"$outdir/downloads")
+    }
+    ids.map(id =>
+      id -> (if (existing(id)) segCounts.getOrElse(id, 0L) else -1L)).toMap
+  }
+
+  /** Class-label management (`cli.py:772-788`): `add` = (label →
+    * description) pairs, `rename` = old → (new label, new description; ""
+    * keeps the old description), `delete` = labels whose class AND every
+    * labelling pointing at it are removed. Applied add → rename → delete
+    * (delete matches post-rename labels and wins a same-call conflict).
+    * Returns the resulting classes table content, sorted by id.
+    */
+  def classlabels(spark: SparkSession, outdir: String,
+                  add: Map[String, String] = Map.empty,
+                  rename: Map[String, (String, String)] = Map.empty,
+                  delete: Seq[String] = Seq.empty): Seq[(Long, String, String)] = {
+    import spark.implicits._
+    val classes = tableOpt(spark, outdir, "classes").getOrElse(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], Schemas.classes))
+
+    // 1. add — UNIQUE(label): labels already present are left untouched
+    val existingLabels = classes.select(col("label"))
+      .collect().map(_.getString(0)).toSet
+    val maxId = classes.agg(coalesce(max(col("id")), lit(0L)))
+      .head().getLong(0)
+    val fresh = add.toSeq.sortBy(_._1)
+      .filterNot { case (l, _) => existingLabels(l) }
+      .zipWithIndex
+      .map { case ((l, d), i) => (maxId + 1 + i, l, d) }
+    val added = classes.unionByName(fresh.toDF("id", "label", "description"))
+
+    // 2. rename (ids stable; "" keeps the old description)
+    val renamed = rename.foldLeft(added) {
+      case (df, (oldL, (newL, newD))) =>
+        val desc = if (newD.isEmpty) df("description")
+          else when(col("label") === oldL, lit(newD)).otherwise(col("description"))
+        df.withColumn("description", desc)
+          .withColumn("label",
+            when(col("label") === oldL, lit(newL)).otherwise(col("label")))
+    }
+
+    // 3. delete + labelling cascade
+    val deleted = renamed.filter(col("label").isin(delete: _*))
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    Writers.overwriteParquetVia(
+      renamed.filter(!col("label").isin(delete: _*)), s"$outdir/classes")
+    if (deleted.nonEmpty) tableOpt(spark, outdir, "class_labellings")
+      .foreach { lab =>
+        Writers.overwriteParquetVia(
+          lab.filter(!col("class_id").isin(deleted.toSeq: _*)),
+          s"$outdir/class_labellings")
+      }
+
+    spark.read.parquet(s"$outdir/classes")
+      .orderBy(col("id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+  }
+}

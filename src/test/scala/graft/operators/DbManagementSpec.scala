@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DbManagementSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp() =
+    java.nio.file.Files.createTempDirectory("graft_dbm").toString
+
+  test("drop deletes the campaign row and its segments, reports counts") {
+    val out = tmp()
+    Seq((1L, "run1"), (2L, "run2")).toDF("id", "log")
+      .write.parquet(s"$out/downloads")
+    Seq((10L, 1L), (11L, 1L), (12L, 2L)).toDF("seg_id", "download_id")
+      .write.parquet(s"$out/segments")
+    val got = DbManagement.dropDownloads(spark, out, Seq(1L, 99L))
+    assert(got == Map(1L -> 2L, 99L -> -1L))
+    assert(spark.read.parquet(s"$out/downloads")
+      .select("id").as[Long].collect().toSeq == Seq(2L))
+    assert(spark.read.parquet(s"$out/segments")
+      .select("seg_id").as[Long].collect().toSeq == Seq(12L))
+  }
+
+  test("classlabel add / rename (desc kept on \"\") / delete cascades") {
+    val out = tmp()
+    val r1 = DbManagement.classlabels(spark, out,
+      add = Map("LowS2N" -> "low snr", "Quake" -> "real event"))
+    assert(r1.map(t => (t._2, t._3)).toSet ==
+      Set(("LowS2N", "low snr"), ("Quake", "real event")))
+    val quakeId = r1.find(_._2 == "Quake").get._1
+    Seq((1L, 100L, quakeId), (2L, 101L, r1.find(_._2 == "LowS2N").get._1))
+      .toDF("id", "segment_id", "class_id")
+      .write.parquet(s"$out/class_labellings")
+    // rename keeps description when the new one is ""
+    val r2 = DbManagement.classlabels(spark, out,
+      rename = Map("LowS2N" -> ("NoisySegment", "")))
+    assert(r2.map(t => (t._2, t._3)).toSet ==
+      Set(("NoisySegment", "low snr"), ("Quake", "real event")))
+    // delete cascades into labellings; add reuses no existing label
+    val r3 = DbManagement.classlabels(spark, out,
+      add = Map("Quake" -> "dup ignored"), delete = Seq("Quake"))
+    assert(r3.map(_._2) == Seq("NoisySegment"))
+    assert(spark.read.parquet(s"$out/class_labellings")
+      .select("class_id").as[Long].collect().toSet != Set(quakeId))
+    assert(spark.read.parquet(s"$out/class_labellings").count() == 1)
+  }
+
+  test("init writes a config the validator accepts") {
+    val out = tmp()
+    val msg = graft.Main.init(out)
+    assert(msg.startsWith("wrote "))
+    val text = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(out, "download.yaml"))
+    val parsed = graft.config.DownloadConfig.from(
+      graft.config.YamlLite.parse(text))
+    assert(parsed.isRight, parsed)
+  }
+}
