@@ -1506,6 +1506,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // tokenizer-vocabulary building: corpus-wide token document-frequency
+    // + total term-frequency, top 100 by df — the vocab/IDF statistics a
+    // training pipeline derives before tokenizer fitting. One explode +
+    // one shuffle on the token key; map-side partial aggregation does the
+    // heavy lifting at corpus scale.
+    "q71_vocab" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextFunctions.tokens(lower(col("text"))))
+          .as("token"))
+      toks.groupBy(col("token"))
+        .agg(countDistinct(col("doc_id")).as("df"),
+          count(lit(1)).as("tf"))
+        .orderBy(col("df").desc, col("token"))
+        .limit(100)
+    }),
+
     // int8 embedding quantization facts: per-vector scale, quantized
     // component sum and saturation count — the 4x-compression storage
     // path for vector search; floor-form rounding makes every value
@@ -2458,6 +2474,16 @@ object SparkEntry {
         |    CASE WHEN repetition < 0.3 THEN 'repetitive' END) AS reasons
         |  FROM feat)
         |ORDER BY doc_id""".stripMargin,
+    "q71_vocab" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+'))
+        |    AS token
+        |  FROM documents WHERE trim(text) != '')
+        |SELECT token, count(DISTINCT doc_id) AS df, count(*) AS tf
+        |FROM toks
+        |GROUP BY token
+        |ORDER BY df DESC, token
+        |LIMIT 100""".stripMargin,
     "q70_quantize" ->
       """WITH q AS (
         |  SELECT vec_id,

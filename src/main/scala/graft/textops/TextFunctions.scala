@@ -99,6 +99,24 @@ object TextFunctions {
     (reasons === "", reasons)
   }
 
+  /** PII redaction for corpus publication: emails and phone-like number
+    * runs replaced with typed placeholders. Patterns are RE2-compatible
+    * (character classes + bounded repetition only — no backtracking
+    * constructs), so any engine applies the identical rule; per-row,
+    * shuffle-free, codegen'd.
+    */
+  private val EmailPat = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  private val PhonePat = "[+(]?[0-9][0-9 ()\\-]{7,}[0-9]"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailPat, "<EMAIL>"),
+      PhonePat, "<PHONE>")
+
+  /** Match counts per document (for redaction audits). */
+  def piiCounts(text: Column): (Column, Column) =
+    (size(regexp_extract_all(text, lit(EmailPat), lit(0))),
+      size(regexp_extract_all(text, lit(PhonePat), lit(0))))
+
   /** Lowercase + collapse whitespace: the canonical form for exact-dup
     * fingerprinting.
     */

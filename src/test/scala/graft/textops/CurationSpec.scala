@@ -172,6 +172,24 @@ class CurationSpec extends SparkSpec {
     assert(shardDirs.size == 16)
   }
 
+  test("PII redaction: emails and phones replaced, counts match, text else untouched") {
+    val docs = Seq(
+      (1L, "contact jane.doe+x@example.co.uk or +44 20 7946 0958 today"),
+      (2L, "no pii here, just words and 42"),
+      (3L, "a@b.io and c.d@e-f.org; call (555) 867-5309 x2"))
+      .toDF("doc_id", "text")
+    val (ne, np) = TextFunctions.piiCounts(col("text"))
+    val got = docs.select(col("doc_id"),
+      TextFunctions.redactPii(col("text")).as("red"),
+      ne.as("n_emails"), np.as("n_phones"))
+      .as[(Long, String, Int, Int)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    assert(got(1L) == ("contact <EMAIL> or <PHONE> today", 1, 1))
+    assert(got(2L) == ("no pii here, just words and 42", 0, 0))
+    assert(got(3L)._1 == "<EMAIL> and <EMAIL>; call <PHONE> x2")
+    assert(got(3L)._2 == 2 && got(3L)._3 == 1)
+  }
+
   test("charNgrams emits every position and skips short docs") {
     val df = Seq((1L, "abcdef"), (2L, "abc")).toDF("doc_id", "text")
     val grams = Decontaminate.charNgrams(df, "doc_id", "text", 4)
