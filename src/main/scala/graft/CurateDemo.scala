@@ -1,0 +1,87 @@
+package graft
+
+import graft.operators.Sampling
+import graft.textops.{Decontaminate, DedupGraph, MinHashLSH, TextFunctions}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data curation over the `documents` table — the
+  * full pipeline every stage of which ships as an oracle-checked operator
+  * (q65–q69), composed the way a 100 TB corpus job would run it:
+  *
+  *   quality gate → PII redaction → exact dedup → near-dup clusters
+  *   (keep component minimum) → eval-set decontamination → stratified
+  *   sample → sharded export
+  *
+  * Prints one JSON line of per-stage surviving counts. Every stage is a
+  * DataFrame transform — no driver loops, no RNG; re-running reproduces
+  * the byte-identical corpus.
+  */
+object CurateDemo {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
+    val out = if (args.length > 1) args(1)
+      else java.nio.file.Files.createTempDirectory("graft_curated").toString
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val stops = Seq("the", "a", "and", "of", "to")
+      val docs = tables.Tables.load(spark, sfDir, "documents")
+      val n0 = docs.count()
+
+      // 1. hard quality gate + PII scrub
+      val (keep, _) = TextFunctions.qualityRules(col("text"), stops)
+      val clean = docs.filter(keep)
+        .withColumn("text", TextFunctions.redactPii(col("text")))
+      val n1 = clean.count()
+
+      // 2. exact dedup on the normalized fingerprint (first id wins)
+      val exact = clean
+        .withColumn("fp", TextFunctions.fingerprint64(col("text")))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("fp")).orderBy(col("doc_id"))))
+        .filter(col("rn") === 1).drop("fp", "rn")
+      val n2 = exact.count()
+
+      // 3. near-dup clusters: Jaccard >= 0.6 pairs → components → keep min
+      val sh = exact.select(col("doc_id"),
+        TextFunctions.wordShingleHashesFast(col("text"), 3).as("sh"))
+      val pairs = MinHashLSH.jaccardPairsPrefix(sh, "doc_id", "sh", 0.6)
+      val comps = DedupGraph.connectedComponents(pairs, "id1", "id2")
+      val dupLosers = comps.filter(col("node") =!= col("component"))
+        .select(col("node").as("doc_id"))
+      val nearDeduped = exact.join(dupLosers, Seq("doc_id"), "left_anti")
+      val n3 = nearDeduped.count()
+
+      // 4. decontamination vs the held-out slice (doc_id % 10 == 0)
+      val contaminated = Decontaminate.overlap(
+        nearDeduped.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", 32).select(col("doc_id"))
+      val decon = nearDeduped.filter(col("doc_id") % 10 =!= 0)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+      val n4 = decon.count()
+
+      // 5. per-language stratified sample, then sharded export
+      val sample = Sampling.stratifiedQuota(decon, "lang", "doc_id", 40)
+        .drop("rn")
+      val n5 = sample.count()
+      Sampling.exportShards(sample, "doc_id", s"$out/corpus")
+      val shards = spark.read.parquet(s"$out/corpus")
+        .select(countDistinct(col("shard"))).head().getLong(0)
+
+      println(s"""{"input":$n0,"quality":$n1,"exact_dedup":$n2,""" +
+        s""""near_dedup":$n3,"decontaminated":$n4,"sampled":$n5,""" +
+        s""""shards":$shards,"out":"$out/corpus"}""")
+    } finally spark.stop()
+  }
+}
