@@ -90,11 +90,12 @@ object Sampling {
     val pre = df.filter(hashKey(col(idCol)) < boundCol)
     val ranked = stratifiedQuota(pre, strataCol, idCol, quota)
     // exactness guard: any stratum the band under-filled is re-ranked
-    // unfiltered (counts are known, so "under-filled" is a driver check)
+    // unfiltered. ONE aggregation over the ranked result (not a count job
+    // per stratum — strata can number in the thousands).
+    val got = ranked.groupBy(col(strataCol)).count().collect()
+      .map(r => (r.get(0), r.getLong(1))).toMap
     val short = bounds.keys.filterNot(k => bounds(k) == "10000").filter { k =>
-      val n = counts(k)
-      val got = ranked.filter(col(strataCol) === lit(k)).count()
-      got < math.min(quota.toLong, n)
+      got.getOrElse(k, 0L) < math.min(quota.toLong, counts(k))
     }.toSeq
     if (short.isEmpty) ranked
     else {
