@@ -74,4 +74,46 @@ class EquivalenceSpec extends SparkSpec {
     assert(exact.subsetOf(lsh) && lsh.subsetOf(exact))
     assert(exact.size >= 10) // the planted clone pairs are in there
   }
+
+  test("distributed connected components equal union-find on random graphs") {
+    val edgeGen: Gen[(Long, Long)] = for {
+      a <- Gen.choose(0L, 120L); b <- Gen.choose(0L, 120L) if a != b
+    } yield (a, b)
+    for (trial <- 0 until 3) {
+      val edges = sample(edgeGen, 150, seed = 7000L * (trial + 1))
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = parent.keys.map(k => k -> find(k)).toMap
+      val got = DedupGraph.connectedComponents(
+        edges.toDF("a", "b"), "a", "b", driverFinish = 0L)
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, s"trial $trial")
+    }
+  }
+
+  test("quantized cosine stays within the int8 resolution of exact cosine") {
+    import graft.sim.{Cosine, Quantize}
+    val vecGen: Gen[Seq[Float]] =
+      Gen.listOfN(32, Gen.choose(-4.0, 4.0).map(_.toFloat)).map(_.toSeq)
+    val vecs = sample(vecGen, 40, seed = 31L)
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val df = vecs.toDF("id", "vec")
+      .transform(Quantize.quantizeCorpus(_, "vec"))
+      .crossJoin(vecs.toDF("qid", "qvec").limit(4))
+      .select(
+        Cosine.cosineF(col("vec"), col("qvec")).as("exact"),
+        Quantize.quantizedCosine(col("__qvec"), col("qvec")).as("approx"))
+    val maxErr = df.select(max(abs(col("exact") - col("approx"))))
+      .as[Double].head()
+    // per-component quantization error <= scale/2 = max|x|/254; over unit-
+    // normalized cosines the deviation stays well under 2/127
+    assert(maxErr < 2.0 / 127.0, s"max quantized-cosine error $maxErr")
+  }
 }
