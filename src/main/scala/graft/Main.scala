@@ -105,7 +105,7 @@ object Main {
             case Array(o, n, d) => o -> (n, d)
             case _ => System.err.println(s"bad rename '$p'"); sys.exit(2)
           }
-        }.toMap
+        }
         graft.operators.DbManagement.classlabels(spark, cfg.outdir,
           adds, renames, pairs("delete"))
           .foreach { case (id, l, d) => println(s"$id  $l  $d") }

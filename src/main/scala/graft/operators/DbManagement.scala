@@ -54,15 +54,17 @@ object DbManagement {
   }
 
   /** Class-label management (`cli.py:772-788`): `add` = (label →
-    * description) pairs, `rename` = old → (new label, new description; ""
-    * keeps the old description), `delete` = labels whose class AND every
-    * labelling pointing at it are removed. Applied add → rename → delete
-    * (delete matches post-rename labels and wins a same-call conflict).
-    * Returns the resulting classes table content, sorted by id.
+    * description) pairs, `rename` = (old, new label, new description; ""
+    * keeps the old description) applied IN SEQUENCE (so a chained
+    * A→B, B→C in one call behaves like two calls), `delete` = labels
+    * whose class AND every labelling pointing at it are removed. Applied
+    * add → rename → delete (delete matches post-rename labels and wins a
+    * same-call conflict). Returns the resulting classes table, sorted by
+    * id.
     */
   def classlabels(spark: SparkSession, outdir: String,
                   add: Map[String, String] = Map.empty,
-                  rename: Map[String, (String, String)] = Map.empty,
+                  rename: Seq[(String, (String, String))] = Seq.empty,
                   delete: Seq[String] = Seq.empty): Seq[(Long, String, String)] = {
     import spark.implicits._
     val classes = tableOpt(spark, outdir, "classes").getOrElse(

@@ -35,7 +35,7 @@ class DbManagementSpec extends SparkSpec {
       .write.parquet(s"$out/class_labellings")
     // rename keeps description when the new one is ""
     val r2 = DbManagement.classlabels(spark, out,
-      rename = Map("LowS2N" -> ("NoisySegment", "")))
+      rename = Seq("LowS2N" -> ("NoisySegment", "")))
     assert(r2.map(t => (t._2, t._3)).toSet ==
       Set(("NoisySegment", "low snr"), ("Quake", "real event")))
     // delete cascades into labellings; add reuses no existing label
