@@ -1506,6 +1506,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // corpus mixture re-balancing: deterministic down-sampling toward a
+    // target language mixture (en 40%, de/fr/zh 20% of a 200-doc budget;
+    // es dropped) — quotas from weights, hash-ranked selection, strata
+    // smaller than their quota keep everything
+    "q72_mixture" -> ((s, dir) => {
+      Sampling.mixture(t(s, dir, "documents"), "lang", "doc_id",
+        Map("en" -> 0.4, "de" -> 0.2, "fr" -> 0.2, "zh" -> 0.2), 200L)
+        .select(col("doc_id"), col("lang"), col("rn"))
+        .orderBy(col("doc_id"))
+    }),
+
     // tokenizer-vocabulary building: corpus-wide token document-frequency
     // + total term-frequency, top 100 by df — the vocab/IDF statistics a
     // training pipeline derives before tokenizer fitting. One explode +
@@ -2484,6 +2495,16 @@ object SparkEntry {
         |GROUP BY token
         |ORDER BY df DESC, token
         |LIMIT 100""".stripMargin,
+    "q72_mixture" ->
+      """SELECT doc_id, lang, rn FROM (
+        |  SELECT doc_id, lang, CAST(row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rn
+        |  FROM documents WHERE lang IN ('en', 'de', 'fr', 'zh'))
+        |WHERE rn <= CASE lang WHEN 'en' THEN 80
+        |                      WHEN 'de' THEN 40
+        |                      WHEN 'fr' THEN 40
+        |                      WHEN 'zh' THEN 40 ELSE 0 END
+        |ORDER BY doc_id""".stripMargin,
     "q70_quantize" ->
       """WITH q AS (
         |  SELECT vec_id,

@@ -62,6 +62,27 @@ object Sampling {
     df.withColumn("rn", row_number().over(w)).filter(col("rn") <= quota)
   }
 
+  /** Corpus mixture re-balancing: per-stratum quotas from target WEIGHTS
+    * (quota_s = floor(weight_s × total)), so an over-represented source is
+    * down-sampled toward the target mixture deterministically. Strata
+    * absent from `weights` are dropped — the mixture definition is the
+    * whole corpus recipe. Same hash-ranked selection as
+    * [[stratifiedQuota]]: reproducible and append-stable.
+    */
+  def mixture(df: DataFrame, strataCol: String, idCol: String,
+              weights: Map[String, Double], total: Long): DataFrame = {
+    require(weights.values.forall(_ >= 0), "weights must be non-negative")
+    val quota = weights.map { case (k, w) => (k, math.floor(w * total).toLong) }
+    val quotaCol = quota.foldLeft(lit(0L)) { case (acc, (k, q)) =>
+      when(col(strataCol) === lit(k), lit(q)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(hashKey(col(idCol)), col(idCol))
+    df.filter(col(strataCol).isin(weights.keys.toSeq: _*))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= quotaCol)
+  }
+
   /** [[stratifiedQuota]] with a hash-threshold prefilter: counts each
     * stratum (one cheap agg), keeps only rows whose hash key falls in the
     * smallest 4-hex-digit band expected to hold ≥ `margin × quota` rows,

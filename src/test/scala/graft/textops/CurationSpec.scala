@@ -110,6 +110,28 @@ class CurationSpec extends SparkSpec {
     assert(got.count() == 5)
   }
 
+  test("mixture: weighted quotas, short strata keep all, others dropped") {
+    val got = Sampling.mixture(corpus, "lang", "id",
+      Map("en" -> 0.5, "de" -> 0.1), 100L)
+    val counts = got.groupBy("lang").count().as[(String, Long)]
+      .collect().toMap
+    assert(counts == Map("en" -> 50L, "de" -> 10L)) // fr absent → dropped
+    // a stratum smaller than its quota survives whole
+    val tiny = Sampling.mixture(corpus.filter(col("id") < 9), "lang", "id",
+      Map("en" -> 1.0), 100L)
+    assert(tiny.count() == 3) // en ids 0,3,6
+  }
+
+  test("connected components at 20k edges match union-find (distributed path)") {
+    val rnd = new scala.util.Random(23)
+    val edges = Seq.fill(20000)(
+      (rnd.nextInt(30000).toLong, rnd.nextInt(30000).toLong))
+      .filter(e => e._1 != e._2)
+    val want = ufComponents(edges)
+    val got = ccOf(edges) // driverFinish = 0 → full large/small-star rounds
+    assert(got == want)
+  }
+
   test("prefiltered stratified quota equals the exact form") {
     val want = Sampling.stratifiedQuota(corpus, "lang", "id", 30)
       .select("id", "lang", "rn").as[(Long, String, Int)].collect().toSet
