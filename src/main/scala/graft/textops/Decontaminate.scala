@@ -14,7 +14,8 @@ import org.apache.spark.sql.functions._
   * [[overlap]] (auditable, collision-free) or its xxhash64 in
   * [[overlapHashed]] — 8-byte shuffle keys instead of n-byte strings, the
   * form to use when the corpus side is 100 TB and the benchmark side still
-  * broadcasts.
+  * broadcasts. When the gram set outgrows executor memory, pass
+  * `broadcastBench = false` and let the planner shuffle both sides.
   */
 object Decontaminate {
 
@@ -33,11 +34,13 @@ object Decontaminate {
     * `(idCol, n_shared)` where n_shared counts the DISTINCT shared grams.
     */
   def overlap(corpus: DataFrame, benchmark: DataFrame, idCol: String,
-              textCol: String, n: Int): DataFrame = {
+              textCol: String, n: Int,
+              broadcastBench: Boolean = true): DataFrame = {
     val bench = charNgrams(benchmark, idCol, textCol, n)
       .select(col("g")).distinct()
+    val benchSide = if (broadcastBench) broadcast(bench) else bench
     charNgrams(corpus, idCol, textCol, n)
-      .join(broadcast(bench), "g")
+      .join(benchSide, "g")
       .groupBy(col(idCol))
       .agg(countDistinct(col("g")).as("n_shared"))
   }
@@ -48,12 +51,14 @@ object Decontaminate {
     * odds are ~5·10^-11; acceptable for a drop-list, not for an audit.
     */
   def overlapHashed(corpus: DataFrame, benchmark: DataFrame, idCol: String,
-                    textCol: String, n: Int): DataFrame = {
+                    textCol: String, n: Int,
+                    broadcastBench: Boolean = true): DataFrame = {
     val bench = charNgrams(benchmark, idCol, textCol, n)
       .select(xxhash64(col("g")).as("gh")).distinct()
+    val benchSide = if (broadcastBench) broadcast(bench) else bench
     charNgrams(corpus, idCol, textCol, n)
       .select(col(idCol), xxhash64(col("g")).as("gh"))
-      .join(broadcast(bench), "gh")
+      .join(benchSide, "gh")
       .groupBy(col(idCol))
       .agg(countDistinct(col("gh")).as("n_shared"))
   }
