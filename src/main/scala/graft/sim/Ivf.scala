@@ -182,16 +182,71 @@ object Ivf {
   def topKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
                   queries: DataFrame, k: Int, idCol: String, vecCol: String,
                   qIdCol: String, qVecCol: String, nProbe: Int = 2): DataFrame = {
-    val centroids = spark.read.parquet(s"$path/centroids")
+    val centroids = readCentroids(spark, path)
+    val indexed = probedVectors(spark, path, queries, centroids, qVecCol, nProbe)
+    probeTopK(indexed, centroids, queries, k, idCol, vecCol, qIdCol, qVecCol,
+      nProbe)
+  }
+
+  private def readCentroids(spark: org.apache.spark.sql.SparkSession,
+                            path: String): Array[(Int, Array[Float])] =
+    spark.read.parquet(s"$path/centroids")
       .select(col("cell"), col("centroid")).collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
+
+  private def probedVectors(spark: org.apache.spark.sql.SparkSession,
+                            path: String, queries: DataFrame,
+                            centroids: Array[(Int, Array[Float])],
+                            qVecCol: String, nProbe: Int): DataFrame = {
     val probeCells = queries
       .select(explode(cellExpr(col(qVecCol), centroids, nProbe)).as("__cell"))
       .distinct().collect().map(_.getInt(0))
-    val indexed = spark.read.parquet(s"$path/vectors")
+    spark.read.parquet(s"$path/vectors")
       .filter(col("__cell").isin(probeCells.toSeq: _*))
-    probeTopK(indexed, centroids, queries, k, idCol, vecCol, qIdCol, qVecCol,
-      nProbe)
+  }
+
+  // ---- IVF-SQ8: quantized persisted index --------------------------------
+
+  /** [[writeIndex]] storing int8-quantized vectors (FAISS's IVF+SQ8
+    * layout): the cell-partitioned table holds `__qvec` (int8) + `__qscale`
+    * instead of the float vectors, so a probe reads ~¼ the bytes per cell.
+    * Exact re-ranking data is gone by design — searches re-rank on the
+    * QUANTIZED cosine (scales cancel; error O(1/127), see
+    * [[Quantize.quantizedCosine]]).
+    */
+  def writeIndexQuantized(corpus: DataFrame, idCol: String, vecCol: String,
+                          path: String, nCells: Int = 16,
+                          nIters: Int = 3): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = train(corpus, idCol, vecCol, nCells, nIters)
+    Quantize.quantizeCorpus(assign(corpus, vecCol, centroids), vecCol)
+      .drop(vecCol)
+      .write.mode("overwrite").partitionBy("__cell")
+      .parquet(s"$path/vectors")
+    centroids.toSeq.map { case (c, v) => (c, v.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Probe a quantized index: same static partition pruning as
+    * [[topKIndexed]], ranking on the codegen int8 cosine. Output:
+    * (qId, rank, id, cos) with cos = quantized cosine rounded to 6 dp.
+    */
+  def topKIndexedQuantized(spark: org.apache.spark.sql.SparkSession,
+                           path: String, queries: DataFrame, k: Int,
+                           idCol: String, qIdCol: String, qVecCol: String,
+                           nProbe: Int = 2): DataFrame = {
+    val centroids = readCentroids(spark, path)
+    val indexed = probedVectors(spark, path, queries, centroids, qVecCol, nProbe)
+    val joined = indexed.join(broadcast(queries), col(qIdCol) =!= col(idCol))
+      .withColumn("cos",
+        round(Quantize.quantizedCosine(col("__qvec"), col(qVecCol)), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qIdCol)).orderBy(col("cos").desc, col(idCol))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qIdCol), col("rank"), col(idCol), col("cos"))
   }
 }

@@ -47,5 +47,24 @@ class IvfIndexSpec extends SparkSpec {
     val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
     assert(pf.contains("__cell"), p.take(2000))
     assert(pf.contains("IN") || pf.contains("isnotnull"), pf)
+
+    // IVF-SQ8: the quantized index stores int8 (+scale), no float vectors,
+    // and still recovers every clone first; scores carry the int8-vs-float
+    // quantization error (~1e-5), which is the SQ8 contract
+    val qdir = java.nio.file.Files.createTempDirectory("graft_ivfq").toString
+    Ivf.writeIndexQuantized(corpus, "vec_id", "embedding", qdir,
+      nCells = 8, nIters = 2)
+    val stored = spark.read.parquet(s"$qdir/vectors")
+    assert(stored.columns.contains("__qvec") &&
+      stored.columns.contains("__qscale") &&
+      !stored.columns.contains("embedding"))
+    val qres = Ivf.topKIndexedQuantized(spark, qdir, queries, k = 5,
+      idCol = "vec_id", qIdCol = "q_id", qVecCol = "q_emb", nProbe = 2)
+    val qgot = qres.collect().map(r =>
+      (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(qgot.length == 25)
+    assert(qgot.forall { case (q, id, cos) =>
+      cos >= 0.99999 && id >= 1000L + q * 5 && id < 1000L + q * 5 + 5
+    }, qgot.mkString(", "))
   }
 }
