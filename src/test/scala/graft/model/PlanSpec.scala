@@ -80,6 +80,26 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 1, s"$exchanges shuffles:\n${p.take(1200)}")
   }
 
+  test("stratified sample and mixture rank in one stratum shuffle") {
+    for (q <- Seq("q66_stratified_sample", "q72_mixture")) {
+      val p = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.executedPlan.toString
+      val exchanges = p.linesIterator
+        .count(_.contains("Exchange hashpartitioning"))
+      assert(exchanges == 1, s"$q: $exchanges shuffles:\n${p.take(1200)}")
+    }
+  }
+
+  test("vocab stats build with at most the distinct-agg two-phase shuffle") {
+    val p = SparkEntry.queries("q71_vocab")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val exchanges = p.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    // count(DISTINCT doc_id) plans as partial-distinct + final: two
+    // exchanges max; anything beyond means the explode re-shuffled
+    assert(exchanges <= 2, s"$exchanges shuffles:\n${p.take(1200)}")
+  }
+
   test("per-station stats pivot is a single shuffle") {
     val p = SparkEntry.queries("q50_station_stats")(spark, dir)
       .queryExecution.executedPlan.toString
