@@ -72,15 +72,19 @@ object Sampling {
   def mixture(df: DataFrame, strataCol: String, idCol: String,
               weights: Map[String, Double], total: Long): DataFrame = {
     require(weights.values.forall(_ >= 0), "weights must be non-negative")
-    val quota = weights.map { case (k, w) => (k, math.floor(w * total).toLong) }
-    val quotaCol = quota.foldLeft(lit(0L)) { case (acc, (k, q)) =>
-      when(col(strataCol) === lit(k), lit(q)).otherwise(acc)
-    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    // quotas ride a broadcast join, not a when-chain: a recipe with
+    // thousands of sources must not become a thousands-deep expression tree
+    val quotaDf = weights.toSeq
+      .map { case (k, w) => (k, math.floor(w * total).toLong) }
+      .toDF(strataCol, "__quota")
     val w = Window.partitionBy(col(strataCol))
       .orderBy(hashKey(col(idCol)), col(idCol))
-    df.filter(col(strataCol).isin(weights.keys.toSeq: _*))
+    df.join(broadcast(quotaDf), strataCol) // inner: strata off-recipe drop
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= quotaCol)
+      .filter(col("rn") <= col("__quota"))
+      .drop("__quota")
   }
 
   /** [[stratifiedQuota]] with a hash-threshold prefilter: counts each
@@ -99,16 +103,27 @@ object Sampling {
                                  idCol: String, quota: Int,
                                  margin: Int = 4): DataFrame = {
     val spark = df.sparkSession
+    import spark.implicits._
     val counts = df.groupBy(col(strataCol)).count().collect()
       .map(r => (r.get(0), r.getLong(1))).toMap
     val bounds = counts.map { case (k, n) =>
       val frac = math.min(1.0, margin.toDouble * quota / math.max(n, 1L))
       (k, f"${math.min(65536L, math.ceil(frac * 65536).toLong)}%04x")
     }
-    val boundCol = bounds.foldLeft(lit("~")) { case (acc, (k, b)) =>
-      when(col(strataCol) === lit(k), lit(b)).otherwise(acc)
-    } // "~" sorts after every hex digit → unknown stratum = keep all
-    val pre = df.filter(hashKey(col(idCol)) < boundCol)
+    // bounds ride a broadcast join (strata cardinality is driver-sized by
+    // assumption; a when-chain would build an expression tree as deep as
+    // the stratum count); rows built with the stratum's own type so the
+    // join needs no cast
+    val boundsDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        bounds.toSeq.map { case (k, b) => org.apache.spark.sql.Row(k, b) }),
+      org.apache.spark.sql.types.StructType(Seq(
+        df.schema(strataCol).copy(name = strataCol),
+        org.apache.spark.sql.types.StructField("__bound",
+          org.apache.spark.sql.types.StringType))))
+    val pre = df.join(broadcast(boundsDf), strataCol)
+      .filter(hashKey(col(idCol)) < col("__bound"))
+      .drop("__bound")
     val ranked = stratifiedQuota(pre, strataCol, idCol, quota)
     // exactness guard: any stratum the band under-filled is re-ranked
     // unfiltered. ONE aggregation over the ranked result (not a count job
