@@ -84,7 +84,12 @@ case class CosineSimilarityInt8(left: Expression, right: Expression)
 
 object CosineSimilarityInt8 {
 
-  /** Shared by interpreted eval and generated code. */
+  /** Shared by interpreted eval and generated code. Zero-norm inputs
+    * (all-zero vectors — scale-0 quantizations) return 0.0, not NaN: in a
+    * descending rank NaN sorts ABOVE every real cosine, so a single zero
+    * vector would otherwise displace genuine neighbors from every
+    * query's top-k.
+    */
   def compute(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0
@@ -99,7 +104,8 @@ object CosineSimilarityInt8 {
       nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   def apply(a: Column, b: Column): Column =

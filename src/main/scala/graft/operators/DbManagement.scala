@@ -33,19 +33,24 @@ object DbManagement {
       case Some(d) => d.select(col("id")).where(col("id").isin(ids: _*))
         .distinct().collect().map(_.getLong(0)).toSet
     }
-    val segCounts: Map[Long, Long] = tableOpt(spark, outdir, "segments") match {
-      case None => Map.empty
-      case Some(segs) if segs.columns.contains("download_id") =>
-        val counts = segs.filter(col("download_id").isin(existing.toSeq: _*))
-          .groupBy(col("download_id")).count()
-          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-        Writers.overwriteParquetVia(
-          segs.filter(!col("download_id").isin(existing.toSeq: _*)),
-          s"$outdir/segments")
-        counts
-      case _ => Map.empty
-    }
-    dls.foreach { d =>
+    // nothing matched → touch nothing: a no-op filter would still rewrite
+    // every byte of the (potentially huge) segments table and expose it to
+    // the delete/rename window for zero benefit
+    val segCounts: Map[Long, Long] =
+      if (existing.isEmpty) Map.empty
+      else tableOpt(spark, outdir, "segments") match {
+        case None => Map.empty
+        case Some(segs) if segs.columns.contains("download_id") =>
+          val counts = segs.filter(col("download_id").isin(existing.toSeq: _*))
+            .groupBy(col("download_id")).count()
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          Writers.overwriteParquetVia(
+            segs.filter(!col("download_id").isin(existing.toSeq: _*)),
+            s"$outdir/segments")
+          counts
+        case _ => Map.empty
+      }
+    if (existing.nonEmpty) dls.foreach { d =>
       Writers.overwriteParquetVia(
         d.filter(!col("id").isin(existing.toSeq: _*)), s"$outdir/downloads")
     }
@@ -81,9 +86,17 @@ object DbManagement {
       .map { case ((l, d), i) => (maxId + 1 + i, l, d) }
     val added = classes.unionByName(fresh.toDF("id", "label", "description"))
 
-    // 2. rename (ids stable; "" keeps the old description)
+    // 2. rename (ids stable; "" keeps the old description). A rename onto
+    // a label that would still exist violates UNIQUE(label) — refuse like
+    // the reference's DB constraint would, instead of silently creating
+    // two classes that a later delete would BOTH cascade away.
     val renamed = rename.foldLeft(added) {
       case (df, (oldL, (newL, newD))) =>
+        if (newL != oldL) {
+          val clash = df.filter(col("label") === newL).limit(1).count() > 0
+          require(!clash,
+            s"cannot rename '$oldL' to '$newL': label already exists")
+        }
         val desc = if (newD.isEmpty) df("description")
           else when(col("label") === oldL, lit(newD)).otherwise(col("description"))
         df.withColumn("description", desc)

@@ -27,7 +27,10 @@ object Sampling {
     */
   def deterministicFraction(df: DataFrame, idCol: String, num: Int): DataFrame = {
     require(num >= 0 && num <= 65536, "num is a fraction in 65536ths")
-    df.filter(hashKey(col(idCol)) < lit(f"$num%04x"))
+    // num = 65536 must be the identity: its 5-char bound "10000" would
+    // lexicographically keep only hashes starting with '0' (~1/16!)
+    if (num >= 65536) df
+    else df.filter(hashKey(col(idCol)) < lit(f"$num%04x"))
   }
 
   /** Deterministic shard label for training-data export: the first
@@ -106,9 +109,14 @@ object Sampling {
     import spark.implicits._
     val counts = df.groupBy(col(strataCol)).count().collect()
       .map(r => (r.get(0), r.getLong(1))).toMap
+    // keep-all sentinel is "g" (sorts after every hex digit) — the naive
+    // "10000" 5-char bound would LOSE ~15/16 of any stratum smaller than
+    // margin×quota (lexicographic compare, not numeric)
+    val KeepAll = "g"
     val bounds = counts.map { case (k, n) =>
-      val frac = math.min(1.0, margin.toDouble * quota / math.max(n, 1L))
-      (k, f"${math.min(65536L, math.ceil(frac * 65536).toLong)}%04x")
+      val b = math.ceil(math.min(1.0,
+        margin.toDouble * quota / math.max(n, 1L)) * 65536).toLong
+      (k, if (b >= 65536L) KeepAll else f"$b%04x")
     }
     // bounds ride a broadcast join (strata cardinality is driver-sized by
     // assumption; a when-chain would build an expression tree as deep as
@@ -121,23 +129,33 @@ object Sampling {
         df.schema(strataCol).copy(name = strataCol),
         org.apache.spark.sql.types.StructField("__bound",
           org.apache.spark.sql.types.StringType))))
-    val pre = df.join(broadcast(boundsDf), strataCol)
+    // null-safe join: a NULL stratum is a stratum too (stratifiedQuota
+    // windows it like any other); a plain equi-join would silently drop it
+    val pre = df.join(
+        broadcast(boundsDf.withColumnRenamed(strataCol, "__stratum")),
+        col(strataCol) <=> col("__stratum"))
       .filter(hashKey(col(idCol)) < col("__bound"))
-      .drop("__bound")
+      .drop("__bound", "__stratum")
     val ranked = stratifiedQuota(pre, strataCol, idCol, quota)
     // exactness guard: any stratum the band under-filled is re-ranked
     // unfiltered. ONE aggregation over the ranked result (not a count job
     // per stratum — strata can number in the thousands).
     val got = ranked.groupBy(col(strataCol)).count().collect()
       .map(r => (r.get(0), r.getLong(1))).toMap
-    val short = bounds.keys.filterNot(k => bounds(k) == "10000").filter { k =>
+    val short = bounds.keys.filterNot(k => bounds(k) == KeepAll).filter { k =>
       got.getOrElse(k, 0L) < math.min(quota.toLong, counts(k))
     }.toSeq
+    // null-safe membership (isNull / <=> never return NULL, so the
+    // negation keeps NULL-strata rows instead of filtering them away)
+    def inShort: Column = short
+      .map(v => if (v == null) col(strataCol).isNull
+                else col(strataCol) <=> lit(v))
+      .reduce(_ || _)
     if (short.isEmpty) ranked
     else {
       val shortDf = stratifiedQuota(
-        df.filter(col(strataCol).isin(short: _*)), strataCol, idCol, quota)
-      ranked.filter(!col(strataCol).isin(short: _*)).unionByName(shortDf)
+        df.filter(inShort), strataCol, idCol, quota)
+      ranked.filter(!inShort).unionByName(shortDf)
     }
   }
 }

@@ -23,12 +23,17 @@ object Decontaminate {
     * shorter than `n` produce no rows (nothing to match exactly).
     */
   def charNgrams(docs: DataFrame, idCol: String, textCol: String,
-                 n: Int): DataFrame =
+                 n: Int): DataFrame = {
+    require(n >= 1, "n-gram length must be >= 1")
+    // backtick-quote the column for the SQL fragment so names with
+    // dashes/spaces resolve as identifiers, not expressions
+    val c = s"`${textCol.replace("`", "``")}`"
     docs.filter(length(col(textCol)) >= n)
       .select(col(idCol),
         explode(expr(
-          s"transform(sequence(1, length($textCol) - ${n - 1})," +
-            s" i -> substring($textCol, i, $n))")).as("g"))
+          s"transform(sequence(1, length($c) - ${n - 1})," +
+            s" i -> substring($c, i, $n))")).as("g"))
+  }
 
   /** Corpus documents sharing ≥1 char-`n`-gram with the benchmark set:
     * `(idCol, n_shared)` where n_shared counts the DISTINCT shared grams.

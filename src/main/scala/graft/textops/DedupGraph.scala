@@ -113,8 +113,10 @@ object DedupGraph {
     out
   }
 
-  /** Driver-side union-find finish (path-halving, min-id roots) — exact
-    * same output contract as the distributed rounds.
+  /** Driver-side union-find finish (iterative find + full path
+    * compression, min-id roots) — exact same output contract as the
+    * distributed rounds. find() is a loop, NOT recursion: a parent chain
+    * can be as long as `driverFinish` edges, far past any JVM stack.
     */
   private def driverComponents(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
@@ -122,8 +124,11 @@ object DedupGraph {
     val es = edges.as[(Long, Long)].collect()
     val parent = scala.collection.mutable.Map[Long, Long]()
     def find(x: Long): Long = {
-      val p = parent.getOrElseUpdate(x, x)
-      if (p == x) x else { val r = find(p); parent(x) = r; r }
+      var r = x
+      while (parent.getOrElseUpdate(r, r) != r) r = parent(r)
+      var c = x
+      while (c != r) { val n = parent(c); parent(c) = r; c = n }
+      r
     }
     es.foreach { case (a, b) =>
       val (ra, rb) = (find(a), find(b))

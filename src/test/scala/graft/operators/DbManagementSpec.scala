@@ -47,6 +47,31 @@ class DbManagementSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/class_labellings").count() == 1)
   }
 
+  test("rename onto an existing label refuses (UNIQUE(label))") {
+    val out = tmp()
+    DbManagement.classlabels(spark, out,
+      add = Map("A" -> "first", "B" -> "second"))
+    val e = intercept[IllegalArgumentException] {
+      DbManagement.classlabels(spark, out, rename = Seq("A" -> ("B", "")))
+    }
+    assert(e.getMessage.contains("already exists"))
+    // table unchanged
+    assert(spark.read.parquet(s"$out/classes").count() == 2)
+  }
+
+  test("drop with only unknown ids rewrites nothing") {
+    val out = tmp()
+    Seq((1L, "run1")).toDF("id", "log").write.parquet(s"$out/downloads")
+    Seq((10L, 1L)).toDF("seg_id", "download_id")
+      .write.parquet(s"$out/segments")
+    val before = new java.io.File(s"$out/segments").listFiles()
+      .map(f => f.getName -> f.lastModified).toMap
+    assert(DbManagement.dropDownloads(spark, out, Seq(99L)) == Map(99L -> -1L))
+    val after = new java.io.File(s"$out/segments").listFiles()
+      .map(f => f.getName -> f.lastModified).toMap
+    assert(after == before) // same files, untouched — no rewrite happened
+  }
+
   test("init writes a config the validator accepts") {
     val out = tmp()
     val msg = graft.Main.init(out)

@@ -33,6 +33,22 @@ class QuantizeSpec extends SparkSpec {
     assert(err <= s1 / 2 + 1e-12)
   }
 
+  test("zero vectors rank last (cos 0), never NaN-first") {
+    val vs = Seq(
+      (1L, Seq(1.0f, 0.5f, 0.25f, 0.0f)),
+      (2L, Seq(0.9f, 0.55f, 0.2f, 0.05f)),
+      (3L, Seq(0.0f, 0.0f, 0.0f, 0.0f)), // zero vector: scale 0
+      (4L, Seq(-1.0f, 0.5f, -0.25f, 0.0f)))
+    val corpus = vecsDF(vs)
+    val queries = vecsDF(vs.take(1))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val got = Quantize.topKQuantized(corpus, queries, 3,
+      "vec_id", "embedding", "q_id", "q_emb", rerank = 3)
+      .select("rank", "vec_id").as[(Int, Long)].collect().toMap
+    assert(got(1) == 2L)  // true nearest first, not the NaN zero vector
+    assert(got(3) == 3L || got(3) == 4L) // zero vector at/near the bottom
+  }
+
   test("two-stage quantized top-k matches exact brute force on real vectors") {
     val emb = graft.tables.Tables.load(spark, "/root/testdata/sf0.001",
       "embeddings").select(col("vec_id"), col("embedding"))

@@ -132,6 +132,35 @@ class CurationSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("fraction 65536/65536 is the identity") {
+    assert(Sampling.deterministicFraction(corpus, "id", 65536).count() == 1000)
+  }
+
+  test("prefiltered quota is exact on strata smaller than margin*quota") {
+    // frac >= 1 → keep-all sentinel; the lexicographic "10000" bound would
+    // silently keep only md5 hashes starting with '0' (~1/16 of the rows)
+    val want = Sampling.stratifiedQuota(corpus, "lang", "id", 200)
+      .select("id").as[Long].collect().toSet
+    val got = Sampling.stratifiedQuotaPrefiltered(corpus, "lang", "id", 200)
+      .select("id").as[Long].collect().toSet
+    assert(got == want && got.size == 600) // 200 per stratum of 333ish
+  }
+
+  test("prefiltered quota keeps NULL strata like the exact form") {
+    val withNulls = corpus.withColumn("lang",
+      when(col("id") % 4 === 0, lit(null).cast("string"))
+        .otherwise(col("lang")))
+    val want = Sampling.stratifiedQuota(withNulls, "lang", "id", 30)
+      .select("id").as[Long].collect().toSet
+    val got = Sampling.stratifiedQuotaPrefiltered(withNulls, "lang", "id", 30)
+      .select("id").as[Long].collect().toSet
+    assert(got == want)
+    // the NULL stratum contributed its quota
+    val nullRows = Sampling.stratifiedQuotaPrefiltered(
+      withNulls, "lang", "id", 30).filter(col("lang").isNull).count()
+    assert(nullRows == 30)
+  }
+
   test("prefiltered stratified quota equals the exact form") {
     val want = Sampling.stratifiedQuota(corpus, "lang", "id", 30)
       .select("id", "lang", "rn").as[(Long, String, Int)].collect().toSet
