@@ -62,10 +62,15 @@ object CurateDemo {
       val nearDeduped = exact.join(dupLosers, Seq("doc_id"), "left_anti")
       val n3 = nearDeduped.count()
 
-      // 4. decontamination vs the held-out slice (doc_id % 10 == 0)
+      // 4. decontamination vs the held-out slice (doc_id % 10 == 0).
+      // The benchmark side gets the SAME redaction as the corpus did in
+      // step 1: a shared n-gram spanning a redacted email would otherwise
+      // differ between the two sides and the leak would go undetected.
+      val benchSlice = docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("text", TextFunctions.redactPii(col("text")))
       val contaminated = Decontaminate.overlap(
         nearDeduped.filter(col("doc_id") % 10 =!= 0),
-        docs.filter(col("doc_id") % 10 === 0),
+        benchSlice,
         "doc_id", "text", 32).select(col("doc_id"))
       val decon = nearDeduped.filter(col("doc_id") % 10 =!= 0)
         .join(contaminated, Seq("doc_id"), "left_anti")

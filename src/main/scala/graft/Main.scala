@@ -27,8 +27,9 @@ object Main {
       case Left(msg) =>
         System.err.println(msg)
         System.err.println(
-          "usage: graft.Main (download|process|summary|log|config|stats) " +
-            "-c <config.yaml> [-o key=value ...]\n" +
+          "usage: graft.Main (download|process|summary|log|config|stats|" +
+            "drop|classlabel) -c <config.yaml> [-o key=value ...]\n" +
+            "       graft.Main init [-o outdir=DIR]\n" +
             "       graft.Main ttcreator [-o model=ak135|model.csv] " +
             "[-o output=grid.npz] [-o tol=5] [-o maxdepth=700] [-o maxdist=180]")
         sys.exit(2)
@@ -79,10 +80,11 @@ object Main {
       case "stats" => println(DownloadRecords.stats(spark, cfg.outdir))
       // `s2s db drop -did id[,id...]` (`cli.py:737-768`)
       case "drop" =>
-        val ids = overrides.getOrElse("download_id", "")
-          .split(",").filter(_.nonEmpty).map(_.trim.toLong).toSeq
-        if (ids.isEmpty) { System.err.println(
-          "drop needs -o download_id=<id>[,<id>...]"); sys.exit(2) }
+        val rawIds = overrides.getOrElse("download_id", "")
+          .split(",").filter(_.nonEmpty).map(_.trim).toSeq
+        val ids = rawIds.flatMap(_.toLongOption)
+        if (ids.isEmpty || ids.size != rawIds.size) { System.err.println(
+          "drop needs -o download_id=<id>[,<id>...] (numeric ids)"); sys.exit(2) }
         graft.operators.DbManagement.dropDownloads(spark, cfg.outdir, ids)
           .toSeq.sortBy(_._1).foreach {
             case (id, -1L) => println(s"Download id=$id: FAILED (no such id)")
@@ -498,12 +500,21 @@ object Main {
         }
       val blobs = Fetch.fetchInventories(reqs, transport,
         cfg.maxConcurrentDownloads, timeoutMs)
-      Writers.overwriteParquetVia(
-        blobs.toDF("inv_key", "inventory_xml")
-          .join(stations.select(col("inv_key"), col("net").as("network"),
-            col("sta").as("station")), "inv_key")
-          .select(col("network"), col("station"), col("inventory_xml")),
-        s"${cfg.outdir}/inventories")
+      val freshInv = blobs.toDF("inv_key", "inventory_xml")
+        .join(stations.select(col("inv_key"), col("net").as("network"),
+          col("sta").as("station")), "inv_key")
+        .select(col("network"), col("station"), col("inventory_xml"))
+      // MERGE with prior runs (fresh row wins per station): a resume that
+      // refetches two segments must not wipe the other 98 stations'
+      // inventories — this was the one sink that overwrote instead of
+      // merging like segments/channels/data_centers do
+      val invAll =
+        try freshInv.unionByName(spark.read
+            .parquet(s"${cfg.outdir}/inventories")
+            .join(freshInv.select(col("network"), col("station")),
+              Seq("network", "station"), "left_anti"))
+        catch { case _: org.apache.spark.sql.AnalysisException => freshInv }
+      Writers.overwriteParquetVia(invAll, s"${cfg.outdir}/inventories")
       stations.unpersist()
       ()
     }
@@ -659,18 +670,37 @@ object Main {
         graft.dsl.Selection.filter(src, cfg.segmentsSelection)
           .filter(col("data").isNotNull)
       else SegmentStream.processable(src)
-    val q = graft.process.Features.compute(selected)
-      .filter(col("skip_reason").isNull).drop("skip_reason")
-      .writeStream
-      .format("parquet")
-      .option("path", featDir)
-      .option("checkpointLocation", s"${cfg.outdir}/_checkpoints/features")
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val appended = countFeatures() - before
-    val read = q.recentProgress.map(_.numInputRows).sum
-    (appended, math.max(0L, read - appended))
+    // skip accounting via observe() + listener: recentProgress is a CAPPED
+    // ring buffer (long catch-ups undercount) and numInputRows includes
+    // selection-filtered rows that were never "skipped" in the batch
+    // path's sense — the observed metric counts exactly the kernel's
+    // skip_reason rows, every batch
+    val skipped = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        val m = e.progress.observedMetrics.get("gate")
+        if (m != null) skipped.addAndGet(m.getAs[Long]("skips"))
+      }
+    }
+    spark.streams.addListener(listener)
+    try {
+      val q = graft.process.Features.compute(selected)
+        .observe("gate",
+          count(when(col("skip_reason").isNotNull, 1)).as("skips"))
+        .filter(col("skip_reason").isNull).drop("skip_reason")
+        .writeStream
+        .format("parquet")
+        .option("path", featDir)
+        .option("checkpointLocation", s"${cfg.outdir}/_checkpoints/features")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val appended = countFeatures() - before
+      (appended, skipped.get)
+    } finally spark.streams.removeListener(listener)
   }
 }

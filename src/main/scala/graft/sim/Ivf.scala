@@ -163,13 +163,19 @@ object Ivf {
                  path: String, nCells: Int = 16, nIters: Int = 3): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val centroids = train(corpus, idCol, vecCol, nCells, nIters)
-    assign(corpus, vecCol, centroids)
-      .write.mode("overwrite").partitionBy("__cell")
-      .parquet(s"$path/vectors")
-    centroids.toSeq.map { case (c, v) => (c, v.toSeq) }
-      .toDF("cell", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    // persist the slim projection: training scans it nIters+1 times and
+    // the final assign once more (same rationale as topK)
+    val slim = corpus.select(col(idCol), col(vecCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val centroids = train(slim, idCol, vecCol, nCells, nIters)
+      assign(slim, vecCol, centroids)
+        .write.mode("overwrite").partitionBy("__cell")
+        .parquet(s"$path/vectors")
+      centroids.toSeq.map { case (c, v) => (c, v.toSeq) }
+        .toDF("cell", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    } finally slim.unpersist()
   }
 
   /** Probe a stored index: loads the (k × dim) centroids to the driver,
@@ -220,14 +226,18 @@ object Ivf {
                           nIters: Int = 3): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val centroids = train(corpus, idCol, vecCol, nCells, nIters)
-    Quantize.quantizeCorpus(assign(corpus, vecCol, centroids), vecCol)
-      .drop(vecCol)
-      .write.mode("overwrite").partitionBy("__cell")
-      .parquet(s"$path/vectors")
-    centroids.toSeq.map { case (c, v) => (c, v.toSeq) }
-      .toDF("cell", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    val slim = corpus.select(col(idCol), col(vecCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val centroids = train(slim, idCol, vecCol, nCells, nIters)
+      Quantize.quantizeCorpus(assign(slim, vecCol, centroids), vecCol)
+        .drop(vecCol)
+        .write.mode("overwrite").partitionBy("__cell")
+        .parquet(s"$path/vectors")
+      centroids.toSeq.map { case (c, v) => (c, v.toSeq) }
+        .toDF("cell", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    } finally slim.unpersist()
   }
 
   /** Probe a quantized index: same static partition pruning as
@@ -240,7 +250,14 @@ object Ivf {
                            nProbe: Int = 2): DataFrame = {
     val centroids = readCentroids(spark, path)
     val indexed = probedVectors(spark, path, queries, centroids, qVecCol, nProbe)
-    val joined = indexed.join(broadcast(queries), col(qIdCol) =!= col(idCol))
+    // each query joins ITS OWN probe cells (equality on __cell, like
+    // probeTopK) — joining the union of all queries' cells would rank a
+    // query against cells it never probed AND degrade to a nested-loop
+    // join over |queries| × |all probed vectors|
+    val probed = queries.withColumn("__cell",
+      explode(cellExpr(col(qVecCol), centroids, nProbe)))
+    val joined = indexed.join(broadcast(probed), Seq("__cell"))
+      .filter(col(qIdCol) =!= col(idCol))
       .withColumn("cos",
         round(Quantize.quantizedCosine(col("__qvec"), col(qVecCol)), 6))
     val w = org.apache.spark.sql.expressions.Window

@@ -80,18 +80,25 @@ object TextFunctions {
     * parallel at any corpus size.
     */
   def qualityRules(text: Column, stopwords: Seq[String]): (Column, Column) = {
-    val nTok = tokenCount(text)
-    val avgLen = avgTokenLen(text)
+    // NULL text must fail the gate, not sail through it: every rule
+    // predicate on NULL evaluates to NULL, which coalesce() below would
+    // read as "not fired" — normalize to "" so too_few_words fires
+    val txt = coalesce(text, lit(""))
+    val nTok = tokenCount(txt)
+    val avgLen = avgTokenLen(txt)
     val stopHits = {
-      val t = tokens(lower(text))
+      val t = tokens(lower(txt))
       size(filter(t, w => w.isin(stopwords.map(lit): _*)))
     }
-    val repetition = distinctTokenCount(text).cast("double") / nTok
+    // 0-token docs: dividing would throw under ANSI; define repetition as
+    // 1.0 (nothing repeats) — too_few_words already fails the gate
+    val repetition = when(nTok === 0, lit(1.0))
+      .otherwise(distinctTokenCount(txt).cast("double") / nTok)
     val rules: Seq[(String, Column)] = Seq(
       "too_few_words" -> (nTok < 30),
       "too_many_words" -> (nTok > 50000),
       "mean_word_len_out" -> (avgLen < 2.0 || avgLen > 12.0),
-      "high_punct" -> (punctRatio(text) > 0.2),
+      "high_punct" -> (punctRatio(txt) > 0.2),
       "no_stopwords" -> (stopHits < 2),
       "repetitive" -> (repetition < 0.3))
     val reasons = concat_ws(",",
@@ -201,13 +208,16 @@ object TextFunctions {
 
   /** Rolling position-sensitive hash fingerprint over tokens — a cheap
     * content signature robust to surrounding-whitespace noise; pure Column
-    * math: h = Σ xxhash64(token_i, i) (wrap-around addition).
+    * math: h = XOR_i xxhash64(token_i, i). Position sensitivity comes from
+    * hashing the index WITH the token; the combiner is XOR because Long
+    * addition overflow-THROWS under Spark's default ANSI mode (XOR is
+    * total, commutative and overflow-free).
     */
   def rollingTokenHash(text: Column): Column = {
     val t = tokens(text)
     when(size(t) === 0, lit(0L)).otherwise(aggregate(
       zip_with(t, sequence(lit(0), greatest(size(t) - 1, lit(0))),
         (tok, i) => xxhash64(tok, i)),
-      lit(0L), (acc, x) => acc + x))
+      lit(0L), (acc, x) => acc.bitwiseXOR(x)))
   }
 }

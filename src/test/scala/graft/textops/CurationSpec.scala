@@ -206,6 +206,11 @@ class CurationSpec extends SparkSpec {
     assert(!got(2L)._1 && got(2L)._2.contains("too_few_words"))
     assert(!got(3L)._1 && got(3L)._2.contains("repetitive"))
     assert(!got(4L)._1 && got(4L)._2 == "no_stopwords")
+    // NULL text fails the gate (it must not sail through on NULL rules)
+    val nullDoc = Seq((9L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val gotNull = nullDoc.select(col("doc_id"), keep.as("k"), reasons.as("r"))
+      .as[(Long, Boolean, String)].collect().head
+    assert(!gotNull._2 && gotNull._3.contains("too_few_words"))
   }
 
   test("shard export: append-stable assignment, partition-pruned layout") {
