@@ -405,8 +405,11 @@ object SparkEntry {
         .select((col("vec_id") + 10000L).as("vec_id"),
           transform(col("embedding"), x => (x * lit(2.0f)).cast("float"))
             .as("embedding"))
+      // cap sized to the corpus: with 8-bit signatures a grown embeddings
+      // table would overflow the default 10k-bucket cap and silently drop
+      // planted pairs the exact oracle still returns
       Cosine.nearDupPairsLsh(emb.unionByName(clones), "vec_id", "embedding",
-        threshold = 0.9, nBits = 8)
+        threshold = 0.9, nBits = 8, maxBucketSize = Int.MaxValue)
         .orderBy(col("id1"), col("id2"))
     }),
 
@@ -861,7 +864,8 @@ object SparkEntry {
     "q42_append_resume" -> ((s, dir) => {
       import graft.operators.Writers
       val out = new java.io.File(
-        s"/tmp/graft_q42_${Integer.toHexString(dir.hashCode)}")
+        s"/tmp/graft_q42_${Integer.toHexString(dir.hashCode)}_" +
+          ProcessHandle.current().pid())
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles.foreach(rm)
         f.delete(); ()
@@ -1038,7 +1042,9 @@ object SparkEntry {
         .select(col("event_id")).as[Long]
         .map { id =>
           val k = 2 + (id % 13).toInt // exact DFT bin: no spectral leakage
-          val amp = 1e-6 * (1 + (id % 5))
+          // amp from id/100: the %100 prefilter would pin id%5 ≡ 0 and
+          // collapse the planted amplitude diversity to one constant
+          val amp = 1e-6 * (1 + (id / 100) % 5)
           val counts = Array.tabulate(n)(i =>
             amp * gain * math.sin(2 * math.Pi * k * i / n))
           val resp = ChannelResponse("GE", s"T$id", "", "HHZ",
@@ -1228,7 +1234,9 @@ object SparkEntry {
       t(s, dir, "events").filter(col("event_id") % 200 === 0)
         .select(col("event_id")).as[Long]
         .map { id =>
-          val m = 30 + (id % 20).toInt
+          // m from id/200: the %200 prefilter would pin id%20 ≡ 0 and the
+          // partial-window-overlap cases (m in 46..49) would never occur
+          val m = 30 + ((id / 200) % 20).toInt
           val b = (2 + id % 3).toDouble
           val x = Array.tabulate(100)(i => if (i < m) 1.0 else b)
           val r = Advanced.classicStaLta(x, nsta = 5, nlta = 20)
@@ -1273,7 +1281,10 @@ object SparkEntry {
         .select(col("p_partkey")).as[Long]
         .map { id =>
           val host = s"dc${id % 97}.example.org"
-          val raw = (id % 5) match {
+          // variant from id/10: the %10 prefilter would make id%5 ≡ 0 and
+          // leave four of the five URL spellings (incl. the rejection
+          // path) dead
+          val raw = ((id / 10) % 5) match {
             case 0 => s"$host/fdsnws/dataselect/1/query"
             case 1 => s"https://$host/fdsnws/station/1"
             case 2 => s"http://$host/fdsnws/dataselect/1/"
@@ -2194,7 +2205,7 @@ object SparkEntry {
     "q48_response_wa" ->
       """WITH ev AS (
         |  SELECT event_id,
-        |    1e-6 * (1 + event_id % 5) AS amp,
+        |    1e-6 * (1 + (event_id // 100) % 5) AS amp,
         |    2 * pi() * ((2 + event_id % 13) * 64.0 / 256) AS w
         |  FROM events WHERE event_id % 100 = 0)
         |SELECT event_id,
@@ -2307,7 +2318,7 @@ object SparkEntry {
     "q56_stalta" ->
       """WITH e AS (
         |  SELECT event_id,
-        |    30 + event_id % 20 AS m,
+        |    30 + (event_id // 200) % 20 AS m,
         |    CAST(2 + event_id % 3 AS DOUBLE) AS b
         |  FROM events WHERE event_id % 200 = 0),
         | c AS (
@@ -2331,7 +2342,7 @@ object SparkEntry {
       """WITH p AS (
         |  SELECT p_partkey,
         |    'dc' || CAST(p_partkey % 97 AS VARCHAR) || '.example.org' AS host,
-        |    p_partkey % 5 AS v
+        |    (p_partkey // 10) % 5 AS v
         |  FROM part WHERE p_partkey % 10 = 0)
         |SELECT p_partkey,
         |  CASE v WHEN 0 THEN host || '/fdsnws/dataselect/1/query'
