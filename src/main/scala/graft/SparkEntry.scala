@@ -524,7 +524,9 @@ object SparkEntry {
         .select(col("event_id")).as[Long]
         .map { id =>
           val samples = Array.tabulate(300)(j => ((id * 31 + j * 7) % 1000 - 500).toInt)
-          val bytes = MiniSeed.encodeInt32("GR", "S" + (id % 100), "", "BHZ",
+          // station from id/100: the %100 prefilter pinned id%100 ≡ 0 and
+          // every record carried the same "S0" header field
+          val bytes = MiniSeed.encodeInt32("GR", "S" + ((id / 100) % 100), "", "BHZ",
             50.0, t0, samples)
           val r = MiniSeed.unpack(bytes).valuesIterator.next()
           val decoded = MiniSeed.decodeSamples(r.data)
@@ -1362,7 +1364,9 @@ object SparkEntry {
         .select(col("c_custkey")).as[Long]
         .map { id =>
           val onset1 = 80 + (id % 7).toInt * 10
-          val onset2 = onset1 + 150 + (id % 5).toInt * 10
+          // gap from id/10: the %10 prefilter pinned id%5 ≡ 0, making the
+          // two-event spacing a constant
+          val onset2 = onset1 + 150 + ((id / 10) % 5).toInt * 10
           val onsets = (id % 3) match {
             case 0 => Seq.empty[Int]
             case 1 => Seq(onset1)
@@ -2379,7 +2383,7 @@ object SparkEntry {
       """WITH k AS (
         |  SELECT c_custkey,
         |    CAST(80 + (c_custkey % 7) * 10 AS INT) AS o1,
-        |    CAST(230 + (c_custkey % 7) * 10 + (c_custkey % 5) * 10 AS INT) AS o2,
+        |    CAST(230 + (c_custkey % 7) * 10 + ((c_custkey // 10) % 5) * 10 AS INT) AS o2,
         |    c_custkey % 3 AS v
         |  FROM customer WHERE c_custkey % 10 = 0)
         |SELECT c_custkey,
