@@ -95,7 +95,11 @@ object Fetch {
   private val isoFmt = java.time.format.DateTimeFormatter.ISO_LOCAL_DATE_TIME
 
   private def iso(t: Timestamp): String =
-    t.toLocalDateTime.format(isoFmt)
+    // explicit UTC: toLocalDateTime uses the JVM default zone, which would
+    // shift every requested time window on a non-UTC host (FDSN servers
+    // read naive timestamps as UTC)
+    java.time.LocalDateTime.ofInstant(t.toInstant, java.time.ZoneOffset.UTC)
+      .format(isoFmt)
 
   /** FDSN dataselect `format=post` body: one `net sta loc cha start end`
     * line per segment, empty location as `--`.
@@ -147,6 +151,11 @@ object Fetch {
                                 workers: Int): Seq[SegResult] = {
     def seedId(s: SegRef) = s"${s.net}.${s.sta}.${s.loc}.${s.cha}"
     res match {
+      // NOTE on empty-200 bodies: they fall to the group branch below and
+      // store the HTTP code (200) with empty data per segment — exactly the
+      // reference's `data == b''` else-branch (`segments.py:365-391`,
+      // defaultvalues_nodata), NOT seg-not-found. Only segments missing
+      // from a NON-empty multiplexed response get the null code.
       case FetchResult(Some(bytes), None, Some(code)) if bytes.nonEmpty =>
         val resdict = MiniSeed.unpack(bytes, Some(r.start), Some(r.end))
         r.segs.map { s =>

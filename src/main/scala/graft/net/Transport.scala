@@ -69,7 +69,11 @@ final class HttpTransport(blockSize: Int = 1024 * 1024) extends Transport {
         FetchResult(None, Some(s"HTTP $code"), Some(code))
       else FetchResult(Some(bytes), None, Some(code))
     } catch {
-      case e: java.io.IOException =>
+      // every failure becomes an error Response (URISyntaxException from a
+      // malformed routing-service URL, IllegalArgument from a bad port, …)
+      // — one bad row must not fail the task and re-fire the partition's
+      // HTTP requests on retry
+      case e: Exception =>
         FetchResult(None, Some(Option(e.getMessage).getOrElse(e.getClass.getName)), None)
     } finally {
       if (conn != null) conn.disconnect()

@@ -46,7 +46,12 @@ object DownloadFlow {
 
   /** Requested time bounds from the arrival time (`segments.py:198-227`):
     * `[arrival + minusMinutes, arrival + plusMinutes]`, rounded to whole
-    * seconds (pandas `.dt.round('s')` = half-up on the millisecond).
+    * seconds. KNOWN DEVIATION: exactly-half seconds round half-up here
+    * (Spark `round`) but half-to-EVEN in the reference (pandas
+    * `.dt.round('s')` is banker's rounding) — a bound landing on .500 s
+    * can differ by one second from a reference-populated store, making
+    * `timeboundsChanged` re-fetch that segment once. Kept half-up because
+    * the DuckDB oracle rounds the same way (engine-exact comparisons).
     */
   def requestTimebounds(arrival: Column, startOffsetMin: Double,
                         endOffsetMin: Double): (Column, Column) = {

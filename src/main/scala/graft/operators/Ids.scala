@@ -22,9 +22,10 @@ import org.apache.spark.sql.functions._
   * boundaries fall, so the result is deterministic for any unique `ord`
   * (ties are nondeterministic — exactly as in the single-window form).
   *
-  * Cost: the input is computed twice (count pass + numbering pass) — callers
-  * feeding an expensive upstream should persist it first. Both passes are
-  * fully parallel.
+  * Cost: the ranged input is materialized once (localCheckpoint) so the
+  * count pass and the numbering pass read identical partitions — range
+  * boundaries are SAMPLED per execution, so un-materialized passes could
+  * disagree at the margins. Both passes are fully parallel.
   */
 object Ids {
 
@@ -35,9 +36,15 @@ object Ids {
                  start: Long): DataFrame = {
     require(ord.nonEmpty, "contiguous id assignment needs an ordering")
     val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    // localCheckpoint: the count pass and the numbering pass MUST see the
+    // same partition contents, but repartitionByRange re-samples its range
+    // boundaries on every physical execution (seed derives from the RDD
+    // id) — without materialization a boundary row can switch partitions
+    // between the passes and two rows end up sharing an id
     val ranged = df.drop(idCol)
       .repartitionByRange(n, ord: _*)
       .withColumn(PidCol, spark_partition_id())
+      .localCheckpoint(true)
     val counts = ranged.groupBy(PidCol).count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     val offsets = (0 until n).scanLeft(0L)((acc, p) => acc + counts.getOrElse(p, 0L))

@@ -52,7 +52,13 @@ object SyncTable {
            idCol: String = "id", keep: Dedup.Keep = Dedup.KeepFirst,
            order: Seq[Column] = Nil, surrogateIds: Boolean = false,
            persistIntermediate: Boolean = true): SyncResult = {
-    val ord = if (order.nonEmpty) order else matchCols.map(col)
+    // default tie-break: ALL columns, not just the match columns — match
+    // columns are constant within a dedup group, so ordering by them alone
+    // would make the KeepFirst/KeepLast survivor depend on shuffle arrival
+    // order instead of data
+    val ord =
+      if (order.nonEmpty) order
+      else df.drop(idCol).columns.toSeq.map(col)
     val deduped = Dedup(df.drop(idCol), matchCols, keep, ord)
     val resolvedPlan = MergeUpdate.resolveId(deduped, target, matchCols, idCol)
     // the dedup+resolve join feeds the update slice, the id-assignment
@@ -66,9 +72,19 @@ object SyncTable {
     val updates = resolved.filter(col(idCol).isNotNull)
     val missing = resolved.filter(col(idCol).isNull)
     val inserts =
-      if (surrogateIds)
-        missing.withColumn(idCol, xxhash64(matchCols.map(col): _*))
-      else {
+      if (surrogateIds) {
+        val withIds = missing.withColumn(idCol, xxhash64(matchCols.map(col): _*))
+        // collision audit: distinct natural keys hashing to one 64-bit id
+        // would break the unique-id invariant SILENTLY (merged()'s
+        // anti-join and resume filters key on it) — make it loud
+        val audit = withIds.agg(count(lit(1)).as("n"),
+          countDistinct(col(idCol)).as("nd")).head()
+        require(audit.getLong(0) == audit.getLong(1),
+          s"surrogate id collision: ${audit.getLong(0)} inserts map to " +
+            s"${audit.getLong(1)} distinct ids — use sequential ids or " +
+            "widen the key")
+        withIds
+      } else {
         val maxId: Long = target.agg(coalesce(max(col(idCol)), lit(0L))).head().getLong(0)
         Ids.contiguous(missing, matchCols.map(col), idCol, maxId + 1L)
       }

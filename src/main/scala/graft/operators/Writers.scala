@@ -17,7 +17,9 @@ import org.apache.spark.sql.functions._
 object Writers {
 
   /** Ids already present in an existing output (empty frame if none). */
-  def alreadyDone(spark: SparkSession, path: String, idCol: String): DataFrame = {
+  def alreadyDone(spark: SparkSession, path: String, idCol: String,
+                  idType: org.apache.spark.sql.types.DataType =
+                    org.apache.spark.sql.types.LongType): DataFrame = {
     val exists =
       try {
         val p = new org.apache.hadoop.fs.Path(path)
@@ -26,20 +28,23 @@ object Writers {
     if (!exists)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField(idCol,
-            org.apache.spark.sql.types.LongType))))
+          org.apache.spark.sql.types.StructField(idCol, idType))))
     else {
       val reader = spark.read
       val df = if (path.endsWith(".csv") || path.endsWith("_csv"))
         reader.option("header", "true").csv(path)
       else reader.parquet(path)
-      df.select(col(idCol).cast("long"))
+      // cast to the CALLER's id type (CSV reads everything as string): a
+      // hard-coded long cast broke resume for string ids — and under ANSI
+      // a failed cast throws rather than nulls
+      df.select(col(idCol).cast(idType))
     }
   }
 
   /** Drop rows whose id is already in the output (append resume). */
   def resumeFilter(df: DataFrame, path: String, idCol: String): DataFrame =
-    df.join(alreadyDone(df.sparkSession, path, idCol), Seq(idCol), "left_anti")
+    df.join(alreadyDone(df.sparkSession, path, idCol,
+      df.schema(idCol).dataType), Seq(idCol), "left_anti")
 
   /** Append-write parquet with resume (idempotent re-runs). */
   def appendParquet(df: DataFrame, path: String, idCol: String): Unit =
@@ -62,7 +67,11 @@ object Writers {
     val t = new org.apache.hadoop.fs.Path(tmp)
     val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
-    fs.rename(t, p)
+    // rename returns false instead of throwing on some filesystems; the
+    // live table is already deleted at this point, so a silent false
+    // would lose the dataset with the only copy stranded at the temp path
+    require(fs.rename(t, p),
+      s"rename $tmp -> $path failed; data preserved at $tmp")
     ()
   }
 
@@ -77,14 +86,26 @@ object Writers {
     val s = Quarantine.split(df, checks)
     val clean = resumeFilter(s.ok, path, idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persist the reject side (it fed two scans: count + write). The
+    // RETURNED count is the rejects seen in THIS input — the DbManager
+    // per-run report — but the quarantine sink only receives rows not
+    // already there (resume filter on id), so a crashed-and-rerun job
+    // doesn't duplicate its quarantine. NULL-id rows can't be resume-keyed
+    // and may still duplicate across reruns; the reason column keeps them
+    // auditable.
+    val rejected = s.rejected
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       clean.write.mode(SaveMode.Append).parquet(path)
-      val nRejected = s.rejected.count()
+      val nRejected = rejected.count()
       if (nRejected > 0)
-        s.rejected.write.mode(SaveMode.Append).parquet(path + "_rejected")
+        resumeFilter(rejected.filter(col(idCol).isNotNull),
+            path + "_rejected", idCol)
+          .unionByName(rejected.filter(col(idCol).isNull))
+          .write.mode(SaveMode.Append).parquet(path + "_rejected")
       (clean.count(), nRejected)
     } finally {
-      clean.unpersist(); ()
+      clean.unpersist(); rejected.unpersist(); ()
     }
   }
 }
