@@ -443,6 +443,15 @@ object Main {
       .withColumn("download_id", lit(runId))
       .join(candidates.select(col("seg_id"), col("request_start"),
         col("request_end")), Seq("seg_id"), "left")
+    // drift guard: the streaming reader declares a FIXED schema and the
+    // parquet file-stream source silently null-fills columns it can't
+    // find — a rename here would break `continuous: true` with no error
+    graft.streaming.SegmentStream.segmentsSchema.fields.foreach { f =>
+      require(segDf.schema.fields.exists(a =>
+        a.name == f.name && a.dataType == f.dataType),
+        s"segments schema drift: streaming reader expects " +
+          s"${f.name}: ${f.dataType.simpleString}")
+    }
     // retried rows must REPLACE their failed predecessors (the reference's
     // db upsert); pure appends stay on the cheap append path. At cluster
     // scale the merge is a partitioned rewrite — the same trade SyncTable
@@ -632,11 +641,14 @@ object Main {
     // segments_selection: the reference's process-config DSL filter
     // (`process/main.py:369-439`); defaults to the downloaded-with-data set
     val base = spark.read.parquet(s"${cfg.outdir}/segments")
+    // hasData = non-null AND non-empty: a 200-with-empty-body segment has
+    // a zero-length payload that would reach the decoder and die on it
     val segs =
       if (cfg.segmentsSelection.nonEmpty)
         graft.dsl.Selection.filter(base, cfg.segmentsSelection)
-          .filter(col("data").isNotNull)
-      else base.filter(col("download_code") === 200 && col("data").isNotNull)
+          .filter(graft.functions.Derived.hasData(col("data")))
+      else base.filter(col("download_code") === 200 &&
+        graft.functions.Derived.hasData(col("data")))
     val resumed = Writers.resumeFilter(segs, s"${cfg.outdir}/features", "seg_id")
     val feats = graft.process.Features.compute(resumed)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -662,19 +674,10 @@ object Main {
       try spark.read.parquet(featDir).count()
       catch { case _: org.apache.spark.sql.AnalysisException => 0L }
     val before = countFeatures()
-    val src = SegmentStream.readStream(spark, s"${cfg.outdir}/segments")
-    // segments_selection applies unchanged: the DSL compiles to a stateless
-    // streaming filter, same semantics as the batch path
-    val selected =
-      if (cfg.segmentsSelection.nonEmpty)
-        graft.dsl.Selection.filter(src, cfg.segmentsSelection)
-          .filter(col("data").isNotNull)
-      else SegmentStream.processable(src)
-    // skip accounting via observe() + listener: recentProgress is a CAPPED
-    // ring buffer (long catch-ups undercount) and numInputRows includes
-    // selection-filtered rows that were never "skipped" in the batch
-    // path's sense — the observed metric counts exactly the kernel's
-    // skip_reason rows, every batch
+    // skip accounting via the stream's observed `gate.skips` metric + a
+    // listener: recentProgress is a CAPPED ring buffer (long catch-ups
+    // undercount) and numInputRows includes selection-filtered rows that
+    // were never "skipped" in the batch path's sense
     val skipped = new java.util.concurrent.atomic.AtomicLong
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
       import org.apache.spark.sql.streaming.StreamingQueryListener._
@@ -687,17 +690,11 @@ object Main {
     }
     spark.streams.addListener(listener)
     try {
-      val q = graft.process.Features.compute(selected)
-        .observe("gate",
-          count(when(col("skip_reason").isNotNull, 1)).as("skips"))
-        .filter(col("skip_reason").isNull).drop("skip_reason")
-        .writeStream
-        .format("parquet")
-        .option("path", featDir)
-        .option("checkpointLocation", s"${cfg.outdir}/_checkpoints/features")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
+      // one continuous pipeline: the CLI delegates to SegmentStream.start
+      // (selection hook + observed skip metric) instead of rebuilding it
+      val q = SegmentStream.start(spark, s"${cfg.outdir}/segments", featDir,
+        s"${cfg.outdir}/_checkpoints/features",
+        selection = cfg.segmentsSelection)
       q.awaitTermination()
       val appended = countFeatures() - before
       (appended, skipped.get)

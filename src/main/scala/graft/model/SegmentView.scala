@@ -63,7 +63,11 @@ object SegmentView {
       case Some(cl) =>
         val counts = cl.groupBy(col("segment_id").as("__cl_segment_id"))
           .agg(count(lit(1)).as("classlabels_count"))
-        v.join(broadcast(counts), v("id") === counts("__cl_segment_id"), "left")
+        // NO broadcast hint: counts is keyed by segment_id, so its size
+        // scales with the labelled SEGMENT set, not a dimension — a
+        // programmatically-labelled corpus would blow the broadcast limit.
+        // AQE still broadcasts it when it is actually small.
+        v.join(counts, v("id") === counts("__cl_segment_id"), "left")
           .withColumn("classlabels_count", coalesce(col("classlabels_count"), lit(0L)))
           .drop("__cl_segment_id")
       case None => v.withColumn("classlabels_count", lit(0L))

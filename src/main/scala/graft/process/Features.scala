@@ -34,7 +34,11 @@ object Features {
           val mean = graft.dsp.Traces.meanslice(trace, nptMin = 1)
           (id, samples.length, pga, pgv, mean, null.asInstanceOf[String])
         } catch {
-          case e: Exception => (id, 0, 0.0, 0.0, 0.0, e.getMessage)
+          case e: Exception =>
+            // a null getMessage (bare NPE …) must not read as "no skip":
+            // downstream keeps rows where skip_reason IS NULL
+            (id, 0, 0.0, 0.0, 0.0,
+              Option(e.getMessage).getOrElse(e.getClass.getName))
         }
       }.toDF("seg_id", "n_samp", "pga", "pgv", "mean", "skip_reason")
   }

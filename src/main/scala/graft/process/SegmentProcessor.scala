@@ -66,8 +66,17 @@ object SegmentProcessor {
 
     var selected = Selection.filter(view, selection)
     alreadyDone.foreach { done =>
+      // resume key by NAME (segment_id as written by this engine, else the
+      // caller's idCol) — positional columns.head silently resumed against
+      // whatever happened to be first
+      val doneId =
+        if (done.columns.contains("segment_id")) "segment_id"
+        else if (done.columns.contains(idCol)) idCol
+        else throw new IllegalArgumentException(
+          s"alreadyDone has neither 'segment_id' nor '$idCol': " +
+            done.columns.mkString(", "))
       selected = selected.join(
-        done.select(col(done.columns.head).as(idCol)), Seq(idCol), "left_anti")
+        done.select(col(doneId).as(idCol)), Seq(idCol), "left_anti")
     }
     val partitions = selected.sparkSession.sessionState.conf.numShufflePartitions
     val arranged =
@@ -77,10 +86,13 @@ object SegmentProcessor {
         .sortWithinPartitions(col(stationCol), col(idCol))
 
     val idIdx = arranged.schema.fieldIndex(idCol)
+    // user fields become NULLABLE regardless of the declared schema: a
+    // skip row carries nulls there, and a non-nullable field would turn
+    // the skip-not-abort contract into an encoder crash on the first Left
     val resultSchema = new StructType(
       (Seq(org.apache.spark.sql.types.StructField("segment_id",
         org.apache.spark.sql.types.LongType, nullable = false)) ++
-        outSchema.fields :+
+        outSchema.fields.map(_.copy(nullable = true)) :+
         org.apache.spark.sql.types.StructField("__skip",
           org.apache.spark.sql.types.StringType, nullable = true)).toArray)
 
@@ -94,13 +106,21 @@ object SegmentProcessor {
         f(SegmentCtx(row, cache)) match {
           case Right(values) => Row.fromSeq(segId +: values :+ null)
           case Left(reason) =>
-            Row.fromSeq(segId +: Seq.fill[Any](outSchema.length)(null) :+ reason)
+            // Left(null) is still a skip — a null sentinel would pass the
+            // __skip.isNull success filter as an all-null "feature" row
+            val why = if (reason == null) "skipped (no reason given)" else reason
+            Row.fromSeq(segId +: Seq.fill[Any](outSchema.length)(null) :+ why)
         }
       }
     }
 
-    val ok = mapped.filter(col("__skip").isNull).drop("__skip")
-    val skipped = mapped.filter(col("__skip").isNotNull)
+    // both outputs read the SAME evaluation of f: unpersisted, each
+    // consumer would re-run the whole decode+featureJob pass, and a
+    // non-deterministic f could classify one segment differently per pass
+    val evaluated = mapped
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ok = evaluated.filter(col("__skip").isNull).drop("__skip")
+    val skipped = evaluated.filter(col("__skip").isNotNull)
       .select(col("segment_id"), col("__skip").as("reason"))
     (ok, skipped)
   }
@@ -205,7 +225,16 @@ object SegmentProcessor {
       */
     def defaultPlots(id: Long,
                      preprocessed: Boolean = false): Map[String, Either[String, PlotTrace]] = {
-      val lbl = name(id)
+      // name() throws on a missing/duplicate id — wrap it so a stale GUI
+      // request yields per-plot Lefts, never a page failure (the class
+      // doc's error-isolation contract)
+      val lbl =
+        try name(id)
+        catch { case e: Exception =>
+          val why = Option(e.getMessage).getOrElse(e.getClass.getName)
+          return Map("trace" -> Left(why), "spectra" -> Left(why),
+            "cumulative" -> Left(why))
+        }
       Map(
         "trace" -> eval(id, preprocessed)(t =>
           PlotTrace(t.startTime.getTime.toDouble, 1000.0 / t.fs, t.data, lbl)),

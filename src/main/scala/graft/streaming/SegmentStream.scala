@@ -55,7 +55,8 @@ object SegmentStream {
     * and non-empty payload.
     */
   def processable(segments: DataFrame): DataFrame =
-    segments.filter(col("download_code") === 200 && col("data").isNotNull)
+    segments.filter(col("download_code") === 200 &&
+      graft.functions.Derived.hasData(col("data")))
 
   /** segments stream → features stream via the shared batch kernel; decode
     * failures stay in the stream as `skip_reason` rows (filter downstream).
@@ -66,11 +67,26 @@ object SegmentStream {
   /** Start the continuous job: parquet sink + checkpoint = exactly-once.
     * `Trigger.AvailableNow` drains the current backlog then stops (a
     * catch-up run); pass a processing-time trigger for a live tail.
+    *
+    * `selection`: the segments_selection DSL applied as a stateless
+    * streaming filter (empty → the default processable slice). Every run
+    * publishes an observed metric `gate.skips` (kernel skip_reason rows
+    * per micro-batch) so callers can account for skips precisely via a
+    * StreamingQueryListener — this is THE continuous pipeline; the CLI
+    * path delegates here rather than rebuilding it.
     */
   def start(spark: SparkSession, segmentsDir: String, featuresDir: String,
             checkpointDir: String,
-            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
-    features(readStream(spark, segmentsDir))
+            trigger: Trigger = Trigger.AvailableNow(),
+            selection: Map[String, String] = Map.empty): StreamingQuery = {
+    val src = readStream(spark, segmentsDir)
+    val selected =
+      if (selection.nonEmpty) graft.dsl.Selection.filter(src, selection)
+        .filter(graft.functions.Derived.hasData(col("data")))
+      else processable(src)
+    Features.compute(selected)
+      .observe("gate",
+        count(when(col("skip_reason").isNotNull, 1)).as("skips"))
       .filter(col("skip_reason").isNull).drop("skip_reason")
       .writeStream
       .format("parquet")
@@ -79,4 +95,5 @@ object SegmentStream {
       .outputMode("append")
       .trigger(trigger)
       .start()
+  }
 }
