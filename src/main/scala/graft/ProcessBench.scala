@@ -143,14 +143,16 @@ object ProcessBench {
     // harness policy as graft.Bench)
     def pass(): (Long, Long, Double) = {
       val t0 = System.nanoTime()
-      val (out, skipped) = SegmentProcessor.run(view, selection,
+      val result = SegmentProcessor.run(view, selection,
         outSchema = featureSchema, f = featureJob)
+      val out = result.ok
       out.persist()
       val nOut = out.count()
       val sec = (System.nanoTime() - t0) / 1e9
-      val nSkip = skipped.count()
+      val nSkip = result.skipped.count()
       out.show(5, truncate = false)
       out.unpersist()
+      result.release()
       (nOut, nSkip, sec)
     }
     pass()

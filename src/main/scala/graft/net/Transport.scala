@@ -72,8 +72,12 @@ final class HttpTransport(blockSize: Int = 1024 * 1024) extends Transport {
       // every failure becomes an error Response (URISyntaxException from a
       // malformed routing-service URL, IllegalArgument from a bad port, …)
       // — one bad row must not fail the task and re-fire the partition's
-      // HTTP requests on retry
-      case e: Exception =>
+      // HTTP requests on retry. InterruptedException is NOT swallowed:
+      // a Spark task-kill must propagate, not turn into an error row.
+      case e: InterruptedException =>
+        Thread.currentThread().interrupt()
+        throw e
+      case scala.util.control.NonFatal(e) =>
         FetchResult(None, Some(Option(e.getMessage).getOrElse(e.getClass.getName)), None)
     } finally {
       if (conn != null) conn.disconnect()

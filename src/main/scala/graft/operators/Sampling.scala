@@ -65,23 +65,44 @@ object Sampling {
     df.withColumn("rn", row_number().over(w)).filter(col("rn") <= quota)
   }
 
-  /** Corpus mixture re-balancing: per-stratum quotas from target WEIGHTS
-    * (quota_s = floor(weight_s × total)), so an over-represented source is
-    * down-sampled toward the target mixture deterministically. Strata
-    * absent from `weights` are dropped — the mixture definition is the
-    * whole corpus recipe. Same hash-ranked selection as
-    * [[stratifiedQuota]]: reproducible and append-stable.
+  /** Corpus mixture re-balancing: per-stratum quotas from target WEIGHTS,
+    * so an over-represented source is down-sampled toward the target
+    * mixture deterministically. Strata absent from `weights` are dropped —
+    * the mixture definition is the whole corpus recipe. Same hash-ranked
+    * selection as [[stratifiedQuota]]: reproducible and append-stable.
+    *
+    * Quotas use the largest-remainder method: floors of `weight × total`,
+    * then the rounding remainder distributed (+1 each) to the strata with
+    * the largest fractional parts, ties broken by key — so the quotas sum
+    * to exactly `round(weights.sum × total)` instead of undershooting by
+    * up to one row per stratum (three 1/3 weights at total=100 yield
+    * 34+33+33, not 33×3). A stratum smaller than its quota still
+    * contributes only what it has; weights must sum to ≤ 1 (oversampling
+    * has no deterministic-without-replacement meaning here).
     */
   def mixture(df: DataFrame, strataCol: String, idCol: String,
               weights: Map[String, Double], total: Long): DataFrame = {
     require(weights.values.forall(_ >= 0), "weights must be non-negative")
+    require(weights.values.sum <= 1.0 + 1e-9,
+      s"weights must sum to <= 1 (got ${weights.values.sum}); " +
+        "a sum over 1 would silently oversample")
     val spark = df.sparkSession
     import spark.implicits._
+    // largest-remainder apportionment (driver-side: |weights| strata)
+    val raw = weights.toSeq.sortBy(_._1)
+      .map { case (k, w) => (k, w * total) }
+    val floors = raw.map { case (k, r) => (k, math.floor(r).toLong) }
+    val remainder =
+      math.round(raw.map(_._2).sum) - floors.map(_._2).sum
+    val bump = raw.map { case (k, r) => (k, r - math.floor(r)) }
+      .sortBy { case (k, frac) => (-frac, k) }
+      .take(remainder.toInt.max(0)).map(_._1).toSet
+    val quotas = floors.map { case (k, q) =>
+      (k, if (bump(k)) q + 1 else q)
+    }
     // quotas ride a broadcast join, not a when-chain: a recipe with
     // thousands of sources must not become a thousands-deep expression tree
-    val quotaDf = weights.toSeq
-      .map { case (k, w) => (k, math.floor(w * total).toLong) }
-      .toDF(strataCol, "__quota")
+    val quotaDf = quotas.toDF(strataCol, "__quota")
     val w = Window.partitionBy(col(strataCol))
       .orderBy(hashKey(col(idCol)), col(idCol))
     df.join(broadcast(quotaDf), strataCol) // inner: strata off-recipe drop

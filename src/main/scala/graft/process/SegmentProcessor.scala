@@ -40,6 +40,14 @@ object SegmentProcessor {
 
   final case class SkipReason(segmentId: Long, reason: String)
 
+  /** Output of [[run]]: the feature rows, the skip log, and a `release()`
+    * hook that unpersists the shared evaluation of `f`. Call it once both
+    * outputs are materialized (written / collected) — without it, repeated
+    * `run` calls in a long-lived session accumulate MEMORY_AND_DISK blocks.
+    */
+  final case class ProcessResult(ok: DataFrame, skipped: DataFrame,
+                                 release: () => Unit)
+
   /** Run `f` over every selected segment.
     *
     * @param view       prejoined segment view (`graft.model.SegmentView`)
@@ -62,7 +70,7 @@ object SegmentProcessor {
           alreadyDone: Option[DataFrame] = None,
           idCol: String = "id", stationCol: String = "station_id",
           clustered: Boolean = false)
-         (implicit spark: SparkSession): (DataFrame, DataFrame) = {
+         (implicit spark: SparkSession): ProcessResult = {
 
     var selected = Selection.filter(view, selection)
     alreadyDone.foreach { done =>
@@ -122,7 +130,7 @@ object SegmentProcessor {
     val ok = evaluated.filter(col("__skip").isNull).drop("__skip")
     val skipped = evaluated.filter(col("__skip").isNotNull)
       .select(col("segment_id"), col("__skip").as("reason"))
-    (ok, skipped)
+    ProcessResult(ok, skipped, () => { evaluated.unpersist(); () })
   }
 
   /** One plot-ready trace (`core.py:456-473` `stream2plotly`): `x0Ms` start

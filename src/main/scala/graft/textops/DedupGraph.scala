@@ -93,8 +93,13 @@ object DedupGraph {
       edges = next
       signature = nextSig
       it += 1
-      if (!converged && longIds && signature._1 <= driverFinish)
-        return driverComponents(edges)
+      if (!converged && longIds && signature._1 <= driverFinish) {
+        // driverComponents collects the edges, so the checkpoint blocks can
+        // be released immediately (the initial-persist hand-off does too)
+        val out = driverComponents(edges)
+        edges.unpersist()
+        return out
+      }
     }
     // an un-converged exit would silently return UNDER-MERGED components
     // (edges not yet star-shaped read as roots) — refuse instead

@@ -80,6 +80,11 @@ object TextFunctions {
     * parallel at any corpus size.
     */
   def qualityRules(text: Column, stopwords: Seq[String]): (Column, Column) = {
+    // an empty stopword list would make isin() vacuously false and the
+    // no_stopwords rule fire on EVERY document — the gate would silently
+    // drop the whole corpus. Fail loudly at plan-build time instead.
+    require(stopwords.nonEmpty,
+      "qualityRules: stopwords must be non-empty (an empty list would fail every document)")
     // NULL text must fail the gate, not sail through it: every rule
     // predicate on NULL evaluates to NULL, which coalesce() below would
     // read as "not fired" — normalize to "" so too_few_words fires

@@ -122,6 +122,22 @@ class CurationSpec extends SparkSpec {
     assert(tiny.count() == 3) // en ids 0,3,6
   }
 
+  test("mixture: largest-remainder quotas sum to the requested total") {
+    // three 1/3 weights at total=100: naive floors give 33+33+33=99; the
+    // largest-remainder bump hands the leftover row to the smallest key
+    val got = Sampling.mixture(corpus, "lang", "id",
+      Map("en" -> (1.0 / 3), "de" -> (1.0 / 3), "fr" -> (1.0 / 3)), 100L)
+    val counts = got.groupBy("lang").count().as[(String, Long)]
+      .collect().toMap
+    assert(counts.values.sum == 100L)
+    assert(counts == Map("de" -> 34L, "en" -> 33L, "fr" -> 33L))
+    // weights over 1 refuse loudly instead of silently oversampling
+    intercept[IllegalArgumentException] {
+      Sampling.mixture(corpus, "lang", "id",
+        Map("en" -> 0.8, "de" -> 0.8), 100L)
+    }
+  }
+
   test("connected components at 20k edges match union-find (distributed path)") {
     val rnd = new scala.util.Random(23)
     val edges = Seq.fill(20000)(
@@ -211,6 +227,10 @@ class CurationSpec extends SparkSpec {
     val gotNull = nullDoc.select(col("doc_id"), keep.as("k"), reasons.as("r"))
       .as[(Long, Boolean, String)].collect().head
     assert(!gotNull._2 && gotNull._3.contains("too_few_words"))
+    // empty stopword list would fail EVERY document (vacuous isin) — refuse
+    intercept[IllegalArgumentException] {
+      TextFunctions.qualityRules(col("text"), Seq.empty)
+    }
   }
 
   test("shard export: append-stable assignment, partition-pruned layout") {
