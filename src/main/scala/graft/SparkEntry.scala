@@ -3,10 +3,10 @@ package graft
 import graft.dsl.Selection
 import graft.functions.{Derived, Geo}
 import graft.multimodal.Multimodal
-import graft.operators.{Dedup, DownloadStats, MergeUpdate, Sampling, StationSearch, SyncTable}
+import graft.operators.{Dedup, DownloadStats, MergeUpdate, Packing, Sampling, StationSearch, SyncTable}
 import graft.sim.Cosine
 import graft.tables.Tables
-import graft.textops.{Decontaminate, DedupGraph, MinHashLSH, SimHash, TextFunctions}
+import graft.textops.{Decontaminate, DedupGraph, MinHashLSH, SimHash, SpanDedup, TextFunctions, UnigramLM}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1577,6 +1577,67 @@ object SparkEntry {
           min(col("doc_id")).as("min_id"),
           max(col("doc_id")).as("max_id"))
         .orderBy(col("shard"))
+    }),
+
+    // cross-document duplicate-span detection (Lee et al. 2022 exact
+    // substring dedup, token-window form): per-doc count/fraction of
+    // 20-token windows that also occur in another document. Spans ride as
+    // 8-byte xxhash64 keys — two hash-key shuffles, no span strings moved;
+    // the oracle recomputes with literal span strings (hash-collision-free
+    // at these scales by construction)
+    "q73_dup_spans" -> ((s, dir) => {
+      SpanDedup.duplicateSpanStats(
+        t(s, dir, "documents"), "doc_id", "text", n = 20)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Gopher-style intra-document repetition signals (Rae et al. 2021
+    // §A1.1): duplicate-token fraction and most-frequent-bigram coverage.
+    // Pure per-row HOF math (sort + run-length fold) — a scan stage, no
+    // explode/shuffle; the oracle recomputes via unnest + group-by
+    "q74_repetition" -> ((s, dir) => {
+      val (dupFrac, topFrac) = TextFunctions.repetitionStats(col("text"))
+      t(s, dir, "documents")
+        .filter(TextFunctions.tokenCount(col("text")) >= 2)
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"),
+          dupFrac.as("dup_token_frac"),
+          topFrac.as("top_bigram_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // perplexity-style quality scoring with a corpus-trained unigram LM
+    // (CCNet shape): train = one token-key agg, score = broadcast vocab
+    // join + one doc-key agg with map-side partials
+    "q75_unigram_lm" -> ((s, dir) => {
+      UnigramLM.score(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // GPT-style sequence packing: documents laid end-to-end in id order,
+    // cut every 128 tokens; manifest = per-chunk doc span + token counts.
+    // The global running offset uses the Ids.contiguous two-pass range
+    // scheme — never a single-partition window
+    "q76_pack_manifest" -> ((s, dir) => {
+      Packing.packManifest(
+        t(s, dir, "documents"), "doc_id", "text", chunkTokens = 128)
+        .orderBy(col("chunk_id"))
+    }),
+
+    // SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings
+    // (cosine assignment — scale-invariant, so the planted 2x copies land
+    // in their original's cell bit-exactly), pairs compared within a cell
+    // only, drop = has a smaller-id near-dup. Oracle = exact all-pairs
+    // over the same constructed corpus
+    "q77_semdedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val clones = emb.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 10000L).as("vec_id"),
+          transform(col("embedding"), x => (x * lit(2.0f)).cast("float"))
+            .as("embedding"))
+      graft.sim.SemDeDup.duplicates(emb.unionByName(clones),
+        "vec_id", "embedding", threshold = 0.9, k = 8, nIters = 2)
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -2545,6 +2606,93 @@ object SparkEntry {
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM documents
         |GROUP BY shard
-        |ORDER BY shard""".stripMargin
+        |ORDER BY shard""".stripMargin,
+    "q73_dup_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents WHERE trim(text) != ''),
+        |starts AS (
+        |  SELECT doc_id, t, unnest(range(1, len(t) - 18)) AS i
+        |  FROM toks WHERE len(t) >= 20),
+        |spans AS (
+        |  SELECT doc_id, array_to_string(list_slice(t, i, i + 19), ' ') AS span
+        |  FROM starts),
+        |cnt AS (
+        |  SELECT span, count(DISTINCT doc_id) AS nd FROM spans GROUP BY span)
+        |SELECT s.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_spans,
+        |  CAST(sum(CASE WHEN c.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_spans,
+        |  round(CAST(sum(CASE WHEN c.nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS dup_frac
+        |FROM spans s JOIN cnt c USING (span)
+        |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin,
+    "q74_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents WHERE trim(text) != ''),
+        |base AS (
+        |  SELECT doc_id, len(t) AS n_tokens,
+        |    round(1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6)
+        |      AS dup_token_frac
+        |  FROM toks WHERE len(t) >= 2),
+        |bg AS (
+        |  SELECT doc_id, t[i] || ' ' || t[i+1] AS b FROM (
+        |    SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        |    FROM toks WHERE len(t) >= 2)),
+        |mx AS (
+        |  SELECT doc_id, max(c) AS m FROM (
+        |    SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b)
+        |  GROUP BY doc_id)
+        |SELECT base.doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+        |  dup_token_frac,
+        |  round(CAST(m AS DOUBLE) * 2.0 / n_tokens, 6) AS top_bigram_frac
+        |FROM base JOIN mx USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "q75_unigram_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        |  FROM documents WHERE trim(text) != ''),
+        |vocab AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+        |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM vocab)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  round(avg(ln(CAST(cnt AS DOUBLE) / total)), 6) AS avg_logprob
+        |FROM toks JOIN vocab USING (token) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q76_pack_manifest" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT)
+        |      AS n
+        |  FROM documents WHERE trim(text) != ''),
+        |offs AS (
+        |  SELECT doc_id, n,
+        |    CAST(sum(n) OVER (ORDER BY doc_id) - n AS BIGINT) AS off
+        |  FROM toks WHERE n > 0),
+        |chunks AS (
+        |  SELECT doc_id, n, off,
+        |    unnest(range(off // 128, (off + n - 1) // 128 + 1)) AS c
+        |  FROM offs)
+        |SELECT c AS chunk_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(least((c + 1) * 128, off + n) - greatest(c * 128, off))
+        |    AS BIGINT) AS n_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM chunks GROUP BY c ORDER BY chunk_id""".stripMargin,
+    "q77_semdedup" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000,
+        |    list_transform(embedding, x -> CAST(x * 2 AS REAL))
+        |  FROM embeddings WHERE vec_id % 25 = 0)
+        |SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of
+        |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(
+        |    list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+        |    list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6) >= 0.9
+        |GROUP BY b.vec_id
+        |ORDER BY vec_id""".stripMargin
   )
 }

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-example packing: lay every document's tokens end-to-end in
+  * document-id order and cut the stream every `chunkTokens` tokens — the
+  * "concat-and-chunk" batching GPT-style pipelines run between curation
+  * and tokenized-shard export. The manifest says, for each fixed-length
+  * training example, which documents it spans and how many tokens each
+  * contributed — the metadata a loader needs for attention-mask resets at
+  * document boundaries.
+  *
+  * The global running offset is the classic distributed-scan trap: a
+  * `sum().over(Window.orderBy(id))` funnels the corpus through ONE
+  * partition. This operator uses the same two-pass range scheme as
+  * [[Ids.contiguous]]: range-partition by id (parallel sampled sort),
+  * per-partition token totals → driver prefix-sum (numPartitions longs,
+  * not rows), then each partition numbers its own rows. Both passes are
+  * fully parallel; the only driver state is one long per partition.
+  *
+  * A document spanning multiple chunks emits one row per chunk it touches
+  * (`sequence` + explode), so the expansion is `totalTokens/chunkTokens`
+  * rows corpus-wide — the output size of the packing itself.
+  */
+object Packing {
+
+  private val PidCol = "__pack_pid"
+
+  /** Per-chunk manifest: `(chunk_id, n_docs, n_tokens, first_doc,
+    * last_doc)`, chunk ids 0-based, every chunk holding exactly
+    * `chunkTokens` tokens except possibly the last. Zero-token documents
+    * contribute nothing (they occupy no stream positions).
+    */
+  def packManifest(docs: DataFrame, idCol: String, textCol: String,
+                   chunkTokens: Int): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1 (got $chunkTokens)")
+    val spark = docs.sparkSession
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    val counted = docs
+      .select(col(idCol),
+        graft.textops.TextFunctions.tokenCount(col(textCol)).cast("long").as("__n"))
+      .filter(col("__n") > 0)
+    // materialize the ranged layout once: the totals pass and the offset
+    // pass must see identical partition contents (range boundaries are
+    // re-sampled per execution — same reasoning as Ids.contiguous)
+    val ranged = counted
+      .repartitionByRange(nPart, col(idCol))
+      .withColumn(PidCol, spark_partition_id())
+      .localCheckpoint(true)
+    val totals = ranged.groupBy(col(PidCol)).agg(sum(col("__n")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until nPart)
+      .scanLeft(0L)((acc, p) => acc + totals.getOrElse(p, 0L))
+    val partOffset = element_at(
+      array(offsets.take(nPart).map(lit): _*), col(PidCol) + 1)
+    val w = Window.partitionBy(col(PidCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withOff = ranged
+      .withColumn("__off", partOffset + coalesce(sum(col("__n")).over(w), lit(0L)))
+      .drop(PidCol)
+    // integer `div`, not floating `/`: offsets reach corpus token count,
+    // and a double quotient near a chunk boundary could round across it
+    val first = expr(s"__off div $chunkTokens")
+    val last = expr(s"(__off + __n - 1) div $chunkTokens")
+    val c = col("chunk_id")
+    withOff
+      .select(col(idCol), col("__n"), col("__off"),
+        explode(sequence(first, last)).as("chunk_id"))
+      .withColumn("__tok",
+        least((c + 1) * chunkTokens, col("__off") + col("__n"))
+          - greatest(c * chunkTokens, col("__off")))
+      .groupBy(c)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__tok")).as("n_tokens"),
+        min(col(idCol)).as("first_doc"),
+        max(col(idCol)).as("last_doc"))
+  }
+}

@@ -1,0 +1,64 @@
+package graft.sim
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Semantic deduplication via embedding clustering — SemDeDup (Abbas et
+  * al. 2023): k-means-cluster the embeddings, compare pairs only WITHIN a
+  * cluster, and drop every vector that has a near-duplicate (cosine >=
+  * threshold) with a smaller id. Clustering turns the quadratic all-pairs
+  * comparison into k independent `(N/k)²` problems — the trick that makes
+  * semantic dedup tractable at web-corpus scale (k ~ sqrt(N) keeps total
+  * work ~ N^1.5).
+  *
+  * Reuses [[Ivf]]'s k-means (typed-Aggregator shuffles of k×dim buffers,
+  * O(k) fold assignment). Assignment is by COSINE, which is
+  * scale-invariant: a vector and any positive multiple of it land in the
+  * same cell bit-exactly, so exact duplicates and rescaled copies are
+  * always co-clustered — the recall a dedup pass must not lose.
+  *
+  * `maxCellSize` is the same skew cap as
+  * [[Cosine.nearDupPairsLsh]]/[[graft.textops.MinHashLSH]]: a degenerate
+  * cell (e.g. a mega-cluster of zero vectors) would expand quadratically
+  * in the self-join; oversized cells are dropped whole, trading recall on
+  * pathological clusters for a bounded candidate count.
+  */
+object SemDeDup {
+
+  /** `(vec_id, dup_of)` for every vector that has a same-cluster
+    * near-duplicate with a smaller id; `dup_of` = the smallest such id
+    * (the cluster representative it would be deduplicated against).
+    */
+  def duplicates(corpus: DataFrame, idCol: String, vecCol: String,
+                 threshold: Double, k: Int = 16, nIters: Int = 2,
+                 maxCellSize: Int = 100000): DataFrame = {
+    val centroids = Ivf.train(corpus, idCol, vecCol, k, nIters)
+    val assigned = Ivf.assign(corpus, vecCol, centroids)
+    val okCells = assigned.groupBy(col("__cell"))
+      .agg(count(lit(1)).as("__sz"))
+      .filter(col("__sz") > 1 && col("__sz") <= maxCellSize)
+      .select(col("__cell"))
+    val capped = assigned.join(okCells, Seq("__cell"))
+    val a = capped.select(col("__cell"), col(idCol).as("__id1"),
+      col(vecCol).as("__v1"))
+    val b = capped.select(col("__cell"), col(idCol).as("__id2"),
+      col(vecCol).as("__v2"))
+    a.join(b, Seq("__cell"))
+      .filter(col("__id1") < col("__id2"))
+      .filter(round(Cosine.cosineF(col("__v1"), col("__v2")), 6)
+        >= threshold)
+      .groupBy(col("__id2").as(idCol))
+      .agg(min(col("__id1")).as("dup_of"))
+  }
+
+  /** The deduplicated corpus: every vector [[duplicates]] flags is
+    * removed (left-anti on the id).
+    */
+  def survivors(corpus: DataFrame, idCol: String, vecCol: String,
+                threshold: Double, k: Int = 16, nIters: Int = 2,
+                maxCellSize: Int = 100000): DataFrame =
+    corpus.join(
+      duplicates(corpus, idCol, vecCol, threshold, k, nIters, maxCellSize)
+        .select(col(idCol)),
+      Seq(idCol), "left_anti")
+}

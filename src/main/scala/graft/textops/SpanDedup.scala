@@ -1,0 +1,83 @@
+package graft.textops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Cross-document duplicate-span detection — the token-window form of
+  * exact substring deduplication (Lee et al. 2022, "Deduplicating Training
+  * Data Makes Language Models Better": duplicated 50-token spans are
+  * memorized verbatim; the cure is finding every span that occurs in more
+  * than one document and either dropping or trimming it).
+  *
+  * Shape: each document emits its overlapping `n`-token windows as 8-byte
+  * xxhash64 keys (per-row HOF — slice + concat_ws + hash inside codegen, no
+  * span STRINGS ever leave the row), the corpus-wide occurrence count is one
+  * aggregation on the hash key, and per-document statistics come from
+  * joining the counts back. Two shuffles total, both on an 8-byte key whose
+  * cardinality is bounded by the corpus token count — the suffix-array the
+  * reference approach builds is replaced by plain hash aggregation, which is
+  * what distributes.
+  *
+  * Windows, not suffixes: a span duplicated for L >= n tokens is flagged at
+  * every offset (the same guarantee the suffix-array query gives for
+  * length-n matches), at 1/n-th the index size of character suffixes.
+  */
+object SpanDedup {
+
+  /** `(doc, pos, spanHash)` rows: every overlapping `n`-token window of
+    * every document with >= n tokens. `pos` is the 0-based token offset.
+    */
+  def spanHashes(docs: DataFrame, idCol: String, textCol: String,
+                 n: Int): DataFrame = {
+    require(n >= 2, s"span window must be >= 2 tokens (got $n)")
+    val toks = TextFunctions.tokens(lower(col(textCol)))
+    docs
+      .select(col(idCol), toks.as("__t"))
+      .filter(size(col("__t")) >= n)
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), size(col("__t")) - n),
+          i => xxhash64(concat_ws(" ", slice(col("__t"), i + 1, lit(n)))))))
+      .withColumnRenamed("pos", "span_pos")
+      .withColumnRenamed("col", "span_hash")
+  }
+
+  /** Per-document duplicate-span statistics: of the `n_spans` overlapping
+    * `n`-token windows, how many (`n_dup_spans`, fraction `dup_frac`) also
+    * occur in at least one OTHER document. Documents shorter than `n`
+    * tokens emit no row (they have no window).
+    *
+    * The count side aggregates DISTINCT source documents per span hash, so
+    * a span repeated ten times inside one document is not "duplicated" —
+    * only cross-document recurrence counts, which is the signal that marks
+    * boilerplate and mirror content.
+    */
+  def duplicateSpanStats(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int): DataFrame = {
+    val spans = spanHashes(docs, idCol, textCol, n)
+    val counts = spans.groupBy(col("span_hash"))
+      .agg(countDistinct(col(idCol)).as("__ndocs"))
+    val dup = (col("__ndocs") > 1).cast("int")
+    spans.join(counts, Seq("span_hash"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(dup).as("n_dup_spans"))
+      .withColumn("dup_frac",
+        round(col("n_dup_spans").cast("double") / col("n_spans"), 6))
+  }
+
+  /** The positions to cut: `(doc, span_pos)` of every window whose hash
+    * occurs in more than one document — the input a span-trimming rewrite
+    * consumes. Same plan as [[duplicateSpanStats]] minus the final
+    * aggregation.
+    */
+  def duplicateSpanPositions(docs: DataFrame, idCol: String, textCol: String,
+                             n: Int): DataFrame = {
+    val spans = spanHashes(docs, idCol, textCol, n)
+    val dupHashes = spans.groupBy(col("span_hash"))
+      .agg(countDistinct(col(idCol)).as("__ndocs"))
+      .filter(col("__ndocs") > 1)
+      .select(col("span_hash"))
+    spans.join(dupHashes, Seq("span_hash"))
+      .select(col(idCol), col("span_pos"))
+  }
+}

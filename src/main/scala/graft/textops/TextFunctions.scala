@@ -111,6 +111,55 @@ object TextFunctions {
     (reasons === "", reasons)
   }
 
+  /** Overlapping token bigrams as strings ("tok1 tok2"); < 2 tokens →
+    * empty array.
+    */
+  def bigrams(text: Column): Column = {
+    val t = tokens(lower(text))
+    when(size(t) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(t) - 2),
+        i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2))))
+  }
+
+  /** Occurrence count of the document's MOST FREQUENT bigram — the Gopher
+    * repetition signal (Rae et al. 2021 §A1.1: "fraction of characters in
+    * the most common n-gram"; here measured in tokens). Computed per row
+    * with sort + run-length fold, so a 100 TB corpus maps through it as a
+    * pure scan: no explode, no shuffle, no per-document group-by.
+    */
+  def topBigramCount(text: Column): Column = {
+    val sorted = sort_array(bigrams(text))
+    // fold state (prev bigram, current run, best run): equal neighbors in
+    // the sorted array extend the run; the max run IS the mode's count
+    aggregate(sorted,
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"),
+          acc.getField("run") + 1).otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+  }
+
+  /** Per-document repetition statistics (the Gopher §A1.1 family, token
+    * units): `dup_token_frac` = fraction of tokens that are repeats of an
+    * earlier token, `top_bigram_frac` = fraction of tokens covered by
+    * occurrences of the most frequent bigram. Both in [0,1], rounded 6 dp;
+    * documents need >= 2 tokens for the bigram signal (callers gate on
+    * that, or on [[tokenCount]]).
+    */
+  def repetitionStats(text: Column): (Column, Column) = {
+    val nTok = tokenCount(text)
+    // both signals case-fold (same normalization the dedup family uses):
+    // "The the the" is a repetition
+    val dupFrac = when(nTok === 0, lit(0.0)).otherwise(
+      round(lit(1.0) - distinctTokenCount(lower(text)).cast("double") / nTok, 6))
+    val topFrac = when(nTok < 2, lit(0.0)).otherwise(
+      round(topBigramCount(text).cast("double") * 2.0 / nTok, 6))
+    (dupFrac, topFrac)
+  }
+
   /** PII redaction for corpus publication: emails and phone-like number
     * runs replaced with typed placeholders. Patterns are RE2-compatible
     * (character classes + bounded repetition only — no backtracking

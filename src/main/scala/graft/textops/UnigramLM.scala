@@ -1,0 +1,61 @@
+package graft.textops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Language-model quality scoring with a corpus-trained unigram LM — the
+  * distributable core of perplexity filtering (CCNet / Wenzek et al. 2020
+  * score documents with a KenLM n-gram model; the unigram order keeps the
+  * "model" a broadcastable token→probability table while preserving the
+  * pipeline shape: train on a reference corpus, score every document,
+  * gate on the score).
+  *
+  * Plan shape at 100 TB:
+  *   - train: one token-key aggregation (map-side partial counts, the same
+  *     shuffle as a word-count);
+  *   - score: explode tokens → BROADCAST hash join against the vocabulary
+  *     (a vocabulary is MB-scale even for TB-scale corpora — Heaps' law) →
+  *     one group-by on the document id with partial aggregation.
+  *   No driver collection anywhere; the corpus total rides a 1-row
+  *   cross-joined aggregate, not a `.head()`.
+  */
+object UnigramLM {
+
+  /** Token → (count, log-probability) table. `logp = ln(count / total)`,
+    * unsmoothed: every token of the training corpus has positive count by
+    * construction, and scoring a DIFFERENT corpus goes through
+    * [[scoreAgainst]]'s OOV floor.
+    */
+  def train(docs: DataFrame, textCol: String): DataFrame = {
+    val toks = docs.select(
+      explode(TextFunctions.tokens(lower(col(textCol)))).as("token"))
+    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).cast("double").as("__total"))
+    vocab.crossJoin(broadcast(total))
+      .withColumn("logp", log(col("cnt").cast("double") / col("__total")))
+      .drop("__total")
+  }
+
+  /** Score `docs` with a vocabulary from [[train]]: per-document token
+    * count and mean token log-probability (higher = more typical of the
+    * training corpus; curation gates drop the tail). Tokens absent from
+    * the vocabulary score `oovLogp` (CCNet's unknown-word penalty).
+    * Documents with no tokens emit no row.
+    */
+  def scoreAgainst(docs: DataFrame, vocab: DataFrame, idCol: String,
+                   textCol: String, oovLogp: Double = -20.0): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(TextFunctions.tokens(lower(col(textCol)))).as("token"))
+    toks.join(broadcast(vocab.select(col("token"), col("logp"))),
+        Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(coalesce(col("logp"), lit(oovLogp))), 6).as("avg_logprob"))
+  }
+
+  /** Train-on-self scoring: the one-corpus form (every token is in-vocab,
+    * so the OOV floor never fires).
+    */
+  def score(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    scoreAgainst(docs, train(docs, textCol), idCol, textCol)
+}

@@ -1,0 +1,164 @@
+package graft.textops
+
+import graft.SparkSpec
+import graft.operators.Packing
+import graft.sim.SemDeDup
+import org.apache.spark.sql.functions._
+
+/** Round-6 training-pipeline operators: duplicate-span detection,
+  * repetition statistics, unigram-LM scoring, sequence packing, SemDeDup.
+  */
+class PipelineOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // ---- SpanDedup ----------------------------------------------------------
+
+  private val shared = (1 to 6).map(i => s"w$i").mkString(" ") // 6 tokens
+
+  test("duplicate spans: only cross-document recurrence counts") {
+    val docs = Seq(
+      (1L, s"a b c $shared x y z"),       // shares the 6-token run with doc 2
+      (2L, s"p q $shared r s t u"),
+      (3L, "n1 n2 n3 n4 n5 n6 n7 n8 n9"), // unique content
+      (4L, s"$shared $shared")            // internal repeat, no other doc
+    ).toDF("doc_id", "text")
+    val got = SpanDedup.duplicateSpanStats(docs, "doc_id", "text", n = 6)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect()
+    val byId = got.map(r => r._1 -> r).toMap
+    // doc 1: 12 tokens → 7 windows; exactly one (the shared run) also in doc 2
+    assert(byId(1L)._2 == 7 && byId(1L)._3 == 1)
+    // doc 3: nothing shared
+    assert(byId(3L)._3 == 0)
+    // doc 4 repeats the run internally — but count is DISTINCT docs, and
+    // docs 1,2,4 all contain it, so its windows matching the run are dup
+    assert(byId(4L)._3 >= 2)
+    // fraction = dup/total, rounded
+    assert(byId(1L)._4 == math.round(1.0 / 7 * 1e6) / 1e6)
+  }
+
+  test("duplicate span positions point at the shared window") {
+    val docs = Seq(
+      (1L, s"a b c $shared x y z"),
+      (2L, s"$shared p q r s t")
+    ).toDF("doc_id", "text")
+    val pos = SpanDedup.duplicateSpanPositions(docs, "doc_id", "text", n = 6)
+      .as[(Long, Int)].collect().toSet
+    // doc 1 has the run at token offset 3; doc 2 at offset 0
+    assert(pos == Set((1L, 3), (2L, 0)))
+  }
+
+  test("documents shorter than the window emit no span row") {
+    val docs = Seq((1L, "a b c"), (2L, "a b c d e f g")).toDF("doc_id", "text")
+    val got = SpanDedup.duplicateSpanStats(docs, "doc_id", "text", n = 6)
+    assert(got.select("doc_id").as[Long].collect().toSet == Set(2L))
+  }
+
+  // ---- repetitionStats ----------------------------------------------------
+
+  test("repetition stats: hand-computed fractions") {
+    val (dupFrac, topFrac) = TextFunctions.repetitionStats(col("text"))
+    val docs = Seq(
+      (1L, "a b a b a"),        // 5 tokens, 2 distinct; top bigram "a b" ×2
+      (2L, "x y z w"),          // no repetition; every bigram count 1
+      (3L, "The the THE")       // case-folds to one token
+    ).toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"), dupFrac.as("d"), topFrac.as("t"))
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // doc 1: 5 tokens, 2 distinct → 0.6; bigrams a·b ×2 of 4 → 2·2/5 = 0.8
+    assert(got(1L) == ((0.6, 0.8)))
+    assert(got(2L) == ((0.0, 0.5)))     // top bigram count 1 → 2/4
+    assert(got(3L)._1 == math.round((1.0 - 1.0 / 3) * 1e6) / 1e6)
+  }
+
+  // ---- UnigramLM ----------------------------------------------------------
+
+  test("unigram LM: self-scored corpus matches hand-computed logprobs") {
+    // corpus tokens: a a a b  → p(a)=3/4, p(b)=1/4
+    val docs = Seq((1L, "a a a"), (2L, "b")).toDF("doc_id", "text")
+    val got = UnigramLM.score(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L)._1 == 3L)
+    assert(got(1L)._2 == math.round(math.log(3.0 / 4) * 1e6) / 1e6)
+    assert(got(2L)._2 == math.round(math.log(1.0 / 4) * 1e6) / 1e6)
+  }
+
+  test("unigram LM: OOV tokens score the floor against a foreign vocab") {
+    val trainDocs = Seq((1L, "a b")).toDF("doc_id", "text")
+    val vocab = UnigramLM.train(trainDocs, "text")
+    val got = UnigramLM.scoreAgainst(
+      Seq((9L, "a zzz")).toDF("doc_id", "text"), vocab,
+      "doc_id", "text", oovLogp = -20.0)
+      .as[(Long, Long, Double)].collect().head
+    // avg(ln(1/2), -20)
+    assert(got._3 == math.round((math.log(0.5) - 20.0) / 2 * 1e6) / 1e6)
+  }
+
+  // ---- Packing ------------------------------------------------------------
+
+  test("pack manifest: exact chunk layout, boundary documents span chunks") {
+    // doc tokens: 1→3, 2→4, 3→6, 4→2; chunk size 5
+    // stream: [d1:0-2][d2:3-6][d3:7-12][d4:13-14]
+    // chunk0 = d1(3) + d2(2); chunk1 = d2(2) + d3(3); chunk2 = d3(3)+d4(2)
+    val docs = Seq(
+      (1L, "a b c"), (2L, "d e f g"), (3L, "h i j k l m"), (4L, "n o")
+    ).toDF("doc_id", "text")
+    val got = Packing.packManifest(docs, "doc_id", "text", chunkTokens = 5)
+      .orderBy("chunk_id")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.toSeq == Seq(
+      (0L, 2L, 5L, 1L, 2L),
+      (1L, 2L, 5L, 2L, 3L),
+      (2L, 2L, 5L, 3L, 4L)))
+  }
+
+  test("pack manifest conserves tokens and fills every chunk but the last") {
+    val docs = (0L until 100L)
+      .map(i => (i, ("tok " * (1 + (i % 13).toInt)).trim))
+      .toDF("doc_id", "text")
+    val total = docs.select(
+      sum(TextFunctions.tokenCount(col("text")))).as[Long].head()
+    val chunks = Packing.packManifest(docs, "doc_id", "text", 32)
+      .orderBy("chunk_id")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(chunks.map(_._3).sum == total)
+    assert(chunks.dropRight(1).forall(_._3 == 32L))
+    assert(chunks.map(_._1).toSeq == chunks.indices.map(_.toLong))
+    // zero-token documents occupy no stream positions
+    val withEmpty = docs.union(Seq((999L, "")).toDF("doc_id", "text"))
+    val again = Packing.packManifest(withEmpty, "doc_id", "text", 32)
+      .orderBy("chunk_id")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(again.toSeq == chunks.toSeq)
+  }
+
+  // ---- SemDeDup -----------------------------------------------------------
+
+  test("semdedup: scaled copies are caught, survivors keep the original") {
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 60L).map(i =>
+      (i, Array.fill(8)(rnd.nextGaussian().toFloat).toSeq))
+    val copies = base.filter(_._1 % 10 == 0).map { case (i, v) =>
+      (i + 1000L, v.map(x => x * 4.0f)) // ×4: exact in float, cosine 1
+    }
+    val corpus = (base ++ copies).toDF("vec_id", "embedding")
+    val dups = SemDeDup.duplicates(corpus, "vec_id", "embedding",
+      threshold = 0.95, k = 4, nIters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(dups == copies.map(c => c._1 -> (c._1 - 1000L)).toMap)
+    val kept = SemDeDup.survivors(corpus, "vec_id", "embedding",
+      threshold = 0.95, k = 4, nIters = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == base.map(_._1).toSet)
+  }
+
+  test("semdedup: oversized cells are dropped whole (skew cap)") {
+    // 50 identical vectors all land in one cell → cap 10 drops the cell
+    val corpus = (0L until 50L).map(i => (i, Seq(1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val dups = SemDeDup.duplicates(corpus, "vec_id", "embedding",
+      threshold = 0.9, k = 2, nIters = 1, maxCellSize = 10)
+    assert(dups.count() == 0)
+  }
+}
