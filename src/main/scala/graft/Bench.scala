@@ -10,12 +10,21 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // dev knob: SPARK_GRAFT_ONLY=q08,q44 times just the named queries
+    // (prefix match) — iteration aid, the driver never sets it
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val selected = only match {
+      case Some(ps) => SparkEntry.queries.filter {
+        case (name, _) => ps.exists(name.startsWith) }
+      case None => SparkEntry.queries
+    }
     // two full passes, report each query's MINIMUM: the first pass doubles
     // as JIT/codegen warm-up (per-query deltas across rounds used to be
     // dominated by which query absorbed JVM warm-up — 6x phantom
     // regressions on unchanged code), and the min debiases transient
     // machine-load spikes that make identical code vary 3-4x run-to-run
-    def pass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
+    def pass(): Map[String, Double] = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9

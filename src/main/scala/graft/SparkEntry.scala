@@ -24,6 +24,19 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(spark, dir, name)
 
+  /** [[t]] + a round-robin spread across the session's cores. The sf-scale
+    * parquet files are single-row-group, so a scan is ONE task; a query
+    * whose first stage does heavy per-row compute (n-gram explosion,
+    * vector math, trig probes, DSP kernels) would pin that work to a
+    * single core while the rest idle. A real 100 TB table arrives in
+    * thousands of splits, so this shuffle (row count × slim schema, a few
+    * MB here) is a local-bench equalizer, not part of any operator's
+    * contract — operators themselves never repartition their input.
+    */
+  private def tSpread(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+      .repartition(spark.sparkContext.defaultParallelism)
+
   /** q45's dataselect responder (top-level so task serialization never
     * drags query-local state along): one 40-sample INT32 record per
     * requested line, every 23rd station omitted, every 29th answered with
@@ -145,15 +158,20 @@ object SparkEntry {
     // §2.3 spatial theta-join (merge_events_stations): great-circle radius
     // join on synthesized coordinates, broadcast small side, codegen'd trig
     "q08_theta_geo_join" -> ((s, dir) => {
+      // spread the probe side: the single-split parquet would pin the whole
+      // trig probe to one core (see q44)
       val cust = t(s, dir, "customer")
+        .repartition(s.sparkContext.defaultParallelism)
         .withColumn("lat", (col("c_custkey") % 120 - 60).cast("double") + 0.5)
         .withColumn("lon", (col("c_custkey") * 7 % 360 - 180).cast("double") + 0.5)
       val supp = t(s, dir, "supplier")
         .withColumn("slat", (col("s_suppkey") % 100 - 50).cast("double") + 0.25)
         .withColumn("slon", (col("s_suppkey") * 13 % 360 - 180).cast("double") + 0.25)
+      // 3° bands under the 15° radius: ~36 populated join keys, |Δlat|
+      // prefilter <18° instead of <30°
       StationSearch.bandedRadiusJoin(cust, supp,
         col("lat"), col("lon"), col("slat"), col("slon"),
-        maxRadiusDeg = 15.0, distCol = "dist_deg")
+        maxRadiusDeg = 15.0, distCol = "dist_deg", bandWidthDeg = 3.0)
         .select(col("c_custkey"), col("s_suppkey"),
           round(col("dist_deg"), 4).as("dist_deg"),
           round(Geo.deg2km(col("dist_deg")), 2).as("dist_km"))
@@ -264,7 +282,7 @@ object SparkEntry {
     // stopword ratio — all codegen'd higher-order functions
     "q18_text_stats" -> ((s, dir) => {
       val stops = Seq("the", "a", "and", "of", "to")
-      t(s, dir, "documents").select(
+      tSpread(s, dir, "documents").select(
         col("doc_id"),
         TextFunctions.tokenCount(col("text")).as("n_tokens"),
         TextFunctions.distinctTokenCount(col("text")).as("n_distinct"),
@@ -276,7 +294,7 @@ object SparkEntry {
 
     // exact n-gram Jaccard near-dup pairs via inverted shingle index
     "q19_jaccard_pairs" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = tSpread(s, dir, "documents")
         .select(col("doc_id"), TextFunctions.wordShingleHashesFast(col("text"), 3).as("sh"))
       MinHashLSH.jaccardPairsPrefix(docs, "doc_id", "sh", 0.6)
         .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
@@ -286,7 +304,7 @@ object SparkEntry {
     // document fingerprinting: xxhash64 of normalized text; distinct
     // fingerprints == distinct normalized payloads
     "q20_fingerprint" -> ((s, dir) => {
-      t(s, dir, "documents")
+      tSpread(s, dir, "documents")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           countDistinct(TextFunctions.fingerprint64(col("text"))).as("n_unique"))
@@ -295,7 +313,7 @@ object SparkEntry {
 
     // ANN baseline: brute-force cosine top-5 for 3 query vectors
     "q21_knn_cosine" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
+      val emb = tSpread(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 3)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       Cosine.bruteForceTopK(emb, queries, 5,
@@ -309,7 +327,7 @@ object SparkEntry {
     // oracle = the exact all-pairs Jaccard (LSH recall at j>=0.6 is
     // 1-(1-0.6^2)^32 > 0.999993 per pair)
     "q22_minhash_lsh" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = tSpread(s, dir, "documents")
         .select(col("doc_id"), TextFunctions.wordShingleHashesFast(col("text"), 3).as("sh"))
       MinHashLSH.nearDupPairs(docs, "doc_id", "sh", 0.6)
         .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard"))
@@ -339,7 +357,7 @@ object SparkEntry {
     // argmax (ties to the lexicographically larger code, 0 hits → "und")
     // directly in SQL on the same documents
     "q24_langid" -> ((s, dir) => {
-      t(s, dir, "documents")
+      tSpread(s, dir, "documents")
         .select(col("doc_id"), TextFunctions.langId(col("text")).as("pred_lang"))
         .orderBy(col("doc_id"))
     }),
@@ -363,7 +381,7 @@ object SparkEntry {
     // byte-order or chunk walk breaks the hash
     "q25_multimodal_features" -> ((s, dir) => {
       import s.implicits._
-      val media = t(s, dir, "documents")
+      val media = tSpread(s, dir, "documents")
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .map { case (id, text) =>
           val kind = (id % 3) match {
@@ -400,7 +418,7 @@ object SparkEntry {
     // oracle is the exact all-pairs join over the same constructed corpus.
     // The quadratic exact form stays test-only (CosineSpec).
     "q27_cosine_dedup" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val emb = tSpread(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val clones = emb.filter(col("vec_id") % 25 === 0)
         .select((col("vec_id") + 10000L).as("vec_id"),
           transform(col("embedding"), x => (x * lit(2.0f)).cast("float"))
@@ -420,7 +438,7 @@ object SparkEntry {
     // finds each clone with certainty and the exact top-5 is closed-form
     // for the SQL oracle.
     "q28_ann_lsh" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val emb = tSpread(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val qset = emb.filter(col("vec_id") < 50)
       val clones = Seq(2.0f, 4.0f, 8.0f, 16.0f, 32.0f).zipWithIndex
         .map { case (a, j) =>
@@ -672,7 +690,7 @@ object SparkEntry {
     // and the top-5 (= the 5 clones at cos 1.0) is closed-form for the
     // oracle regardless of where Lloyd converged.
     "q36_ann_ivf" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val emb = tSpread(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val qset = emb.filter(col("vec_id") < 20)
       val clones = Seq(2.0f, 4.0f, 8.0f, 16.0f, 32.0f).zipWithIndex
         .map { case (a, j) =>
@@ -1002,7 +1020,11 @@ object SparkEntry {
     // join: per-event radius from the clamped magnitude ramp, stations kept
     // within it (`stationsearch.py:206-244` + the q08 join geometry)
     "q44_mag_radius" -> ((s, dir) => {
+      // the sf-scale customer parquet is one split — without a spread the
+      // entire trig probe runs on ONE core while 31 idle (a local-bench
+      // artifact; a 100 TB scan arrives already partitioned)
       val ev = t(s, dir, "customer")
+        .repartition(s.sparkContext.defaultParallelism)
         .withColumn("lat", (col("c_custkey") % 120 - 60).cast("double") + 0.5)
         .withColumn("lon", (col("c_custkey") * 7 % 360 - 180).cast("double") + 0.5)
         .withColumn("mag", (col("c_custkey") % 80).cast("double") / 10.0)
@@ -1011,9 +1033,11 @@ object SparkEntry {
       val st = t(s, dir, "supplier")
         .withColumn("slat", (col("s_suppkey") % 100 - 50).cast("double") + 0.25)
         .withColumn("slon", (col("s_suppkey") * 13 % 360 - 180).cast("double") + 0.25)
+      // 5° bands under a 30° max radius: ~36 populated join keys instead
+      // of ~6, and the |Δlat| prefilter tightens from <60° to <35°
       StationSearch.bandedRadiusJoin(ev, st,
         col("lat"), col("lon"), col("slat"), col("slon"),
-        maxRadiusDeg = 30.0, distCol = "dist_deg")
+        maxRadiusDeg = 30.0, distCol = "dist_deg", bandWidthDeg = 5.0)
         .filter(col("dist_deg") <= col("radius"))
         .select(col("c_custkey"), col("s_suppkey"),
           round(col("radius"), 4).as("radius_deg"),
@@ -1478,7 +1502,7 @@ object SparkEntry {
     // survivor a dedup pipeline keeps. Oracle recomputes reachability with
     // a recursive CTE.
     "q65_dup_components" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      val docs = tSpread(s, dir, "documents")
         .select(col("doc_id"),
           TextFunctions.wordShingleHashesFast(col("text"), 3).as("sh"))
       val pairs = MinHashLSH.jaccardPairsPrefix(docs, "doc_id", "sh", 0.6)
@@ -1500,7 +1524,7 @@ object SparkEntry {
     // with the benchmark slice (doc_id % 10 == 0) and how many distinct
     // grams leak — the exact-substring eval-leak check run before training
     "q67_decontaminate" -> ((s, dir) => {
-      val all = t(s, dir, "documents")
+      val all = tSpread(s, dir, "documents")
       Decontaminate.overlap(
         all.filter(col("doc_id") % 10 =!= 0),
         all.filter(col("doc_id") % 10 === 0),
@@ -1515,7 +1539,7 @@ object SparkEntry {
       val stops = Seq("the", "a", "and", "of", "to")
       val (keep, reasons) =
         TextFunctions.qualityRules(col("text"), stops)
-      t(s, dir, "documents")
+      tSpread(s, dir, "documents")
         .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n_tokens"),
           keep.as("keep"), reasons.as("reasons"))
         .orderBy(col("doc_id"))
@@ -1538,7 +1562,7 @@ object SparkEntry {
     // one shuffle on the token key; map-side partial aggregation does the
     // heavy lifting at corpus scale.
     "q71_vocab" -> ((s, dir) => {
-      val toks = t(s, dir, "documents")
+      val toks = tSpread(s, dir, "documents")
         .select(col("doc_id"), explode(TextFunctions.tokens(lower(col("text"))))
           .as("token"))
       toks.groupBy(col("token"))
@@ -1555,7 +1579,7 @@ object SparkEntry {
     "q70_quantize" -> ((s, dir) => {
       import graft.sim.Quantize
       val qvec = col("__qvec")
-      t(s, dir, "embeddings")
+      tSpread(s, dir, "embeddings")
         .transform(Quantize.quantizeCorpus(_, "embedding"))
         .select(col("vec_id"),
           round(col("__qscale"), 6).as("scale"),
@@ -1587,7 +1611,7 @@ object SparkEntry {
     // at these scales by construction)
     "q73_dup_spans" -> ((s, dir) => {
       SpanDedup.duplicateSpanStats(
-        t(s, dir, "documents"), "doc_id", "text", n = 20)
+        tSpread(s, dir, "documents"), "doc_id", "text", n = 20)
         .orderBy(col("doc_id"))
     }),
 
@@ -1597,7 +1621,7 @@ object SparkEntry {
     // explode/shuffle; the oracle recomputes via unnest + group-by
     "q74_repetition" -> ((s, dir) => {
       val (dupFrac, topFrac) = TextFunctions.repetitionStats(col("text"))
-      t(s, dir, "documents")
+      tSpread(s, dir, "documents")
         .filter(TextFunctions.tokenCount(col("text")) >= 2)
         .select(col("doc_id"),
           TextFunctions.tokenCount(col("text")).as("n_tokens"),
@@ -1610,7 +1634,7 @@ object SparkEntry {
     // (CCNet shape): train = one token-key agg, score = broadcast vocab
     // join + one doc-key agg with map-side partials
     "q75_unigram_lm" -> ((s, dir) => {
-      UnigramLM.score(t(s, dir, "documents"), "doc_id", "text")
+      UnigramLM.score(tSpread(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))
     }),
 
@@ -1630,7 +1654,7 @@ object SparkEntry {
     // only, drop = has a smaller-id near-dup. Oracle = exact all-pairs
     // over the same constructed corpus
     "q77_semdedup" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val emb = tSpread(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val clones = emb.filter(col("vec_id") % 25 === 0)
         .select((col("vec_id") + 10000L).as("vec_id"),
           transform(col("embedding"), x => (x * lit(2.0f)).cast("float"))

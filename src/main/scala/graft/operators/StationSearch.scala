@@ -52,30 +52,43 @@ object StationSearch {
     * stays correct at the poles, where small great-circle distances span
     * huge longitude differences.
     *
-    * `maxRadiusDeg` must be a constant here (it fixes the band width); a
+    * `maxRadiusDeg` must be a constant here (it bounds the band probing); a
     * magnitude-dependent radius goes in `radiusPred` as an exact filter with
     * `maxRadiusDeg` = its upper bound.
+    *
+    * `bandWidthDeg` (default = `maxRadiusDeg`) decouples the band GRID from
+    * the radius. Completeness only needs every band overlapping
+    * `[lat−r, lat+r]` probed, which holds for ANY width; narrower bands buy
+    * two things at once: (a) the equi-join key cardinality grows from
+    * ~180/r to ~180/w, so the shuffle spreads over the cluster instead of
+    * funneling a 30°-radius search into ~6 keys, and (b) the band
+    * prefilter tightens from |Δlat| < r+w... to < r+w, so fewer pairs reach
+    * the trig predicate (slack w instead of r). Cost: each left row
+    * explodes to ~2r/w+1 band probes — keep w >= r/20 or so.
     */
   def bandedRadiusJoin(left: DataFrame, right: DataFrame,
                        latL: Column, lonL: Column, latR: Column, lonR: Column,
                        maxRadiusDeg: Double, minRadius: Option[Column] = None,
                        distCol: String = "dist_deg",
                        extraPred: Option[Column] = None,
-                       radiusPred: Option[Column] = None): DataFrame = {
+                       radiusPred: Option[Column] = None,
+                       bandWidthDeg: Double = 0.0): DataFrame = {
     require(maxRadiusDeg > 0, "maxRadiusDeg must be positive")
+    val wDeg = if (bandWidthDeg > 0) bandWidthDeg else maxRadiusDeg
     val r = lit(maxRadiusDeg)
+    val w = lit(wDeg)
     val dist = Geo.locations2Degrees(latL, lonL, latR, lonR)
     // cheap rejection BEFORE the trig: great-circle degrees >= |Δlat|
-    // always, so |Δlat| > r can never pass. The band join's slack is 2r
-    // (band width = r), so this one subtraction halves the pairs that
-    // reach the Vincenty evaluation; `&&` short-circuits in codegen.
+    // always, so |Δlat| > r can never pass. The band join admits pairs up
+    // to |Δlat| < r + w, so this one subtraction prunes the band slack
+    // before the Vincenty evaluation; `&&` short-circuits in codegen.
     var pred: Column = abs(latL - latR) <= r && dist <= radiusPred.getOrElse(r)
     minRadius.foreach(mr => pred = pred && dist >= mr)
     extraPred.foreach(p => pred = pred && p)
     val leftB = left.withColumn("__band",
-      explode(sequence(floor((latL - r) / r).cast("int"),
-        floor((latL + r) / r).cast("int"))))
-    val rightB = right.withColumn("__band", floor(latR / r).cast("int"))
+      explode(sequence(floor((latL - r) / w).cast("int"),
+        floor((latL + r) / w).cast("int"))))
+    val rightB = right.withColumn("__band", floor(latR / w).cast("int"))
     leftB.join(rightB, leftB("__band") === rightB("__band") && pred, "inner")
       .drop("__band")
       .withColumn(distCol, dist)

@@ -100,6 +100,38 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 2, s"$exchanges shuffles:\n${p.take(1200)}")
   }
 
+  test("duplicate-span detection shuffles 8-byte hashes, never span text") {
+    val p = SparkEntry.queries("q73_dup_spans")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val exchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty)
+    // span strings/token arrays must be hashed before any exchange
+    assert(!exchanges.exists(_.toLowerCase.contains("array")), p.take(2000))
+  }
+
+  test("pack manifest never funnels through a single partition") {
+    val p = SparkEntry.queries("q76_pack_manifest")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the global offset comes from the two-pass range scheme; an
+    // Exchange SinglePartition would mean a global window snuck back in
+    assert(!p.contains("Exchange SinglePartition"), p.take(1500))
+  }
+
+  test("unigram LM scores via a broadcast vocabulary join") {
+    val p = SparkEntry.queries("q75_unigram_lm")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
+
+  test("semdedup compares pairs through a cell equi-join, never all-pairs") {
+    val p = SparkEntry.queries("q77_semdedup")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
   test("per-station stats pivot is a single shuffle") {
     val p = SparkEntry.queries("q50_station_stats")(spark, dir)
       .queryExecution.executedPlan.toString

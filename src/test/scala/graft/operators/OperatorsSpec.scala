@@ -162,6 +162,13 @@ class OperatorsSpec extends SparkSpec {
       $"lat", $"lon", $"rlat", $"rlon", maxRadiusDeg = 12.0))
     assert(banded == plain)
     assert(plain.nonEmpty)
+    // band width is a pure performance knob: any width returns the same set
+    for (w <- Seq(1.0, 2.5, 5.0, 24.0)) {
+      val narrow = pairs(StationSearch.bandedRadiusJoin(left, right,
+        $"lat", $"lon", $"rlat", $"rlon", maxRadiusDeg = 12.0,
+        bandWidthDeg = w))
+      assert(narrow == plain, s"bandWidthDeg=$w")
+    }
   }
 
   // --- Wildcards ------------------------------------------------------------
