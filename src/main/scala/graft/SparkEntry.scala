@@ -1648,6 +1648,16 @@ object SparkEntry {
         .orderBy(col("chunk_id"))
     }),
 
+    // span-trim accounting: per doc, tokens covered by cross-document
+    // duplicated 20-token windows (interval-union fold over positions, no
+    // n-times explode) and what survives the cut — the before/after size
+    // report of an exact-substring dedup pass
+    "q78_span_trim" -> ((s, dir) => {
+      SpanDedup.trimStats(tSpread(s, dir, "documents"), "doc_id", "text",
+        n = 20)
+        .orderBy(col("doc_id"))
+    }),
+
     // SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings
     // (cosine assignment — scale-invariant, so the planted 2x copies land
     // in their original's cell bit-exactly), pairs compared within a cell
@@ -2704,6 +2714,32 @@ object SparkEntry {
         |    AS BIGINT) AS n_tokens,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM chunks GROUP BY c ORDER BY chunk_id""".stripMargin,
+    "q78_span_trim" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents WHERE trim(text) != ''),
+        |starts AS (
+        |  SELECT doc_id, t, unnest(range(1, len(t) - 18)) AS i
+        |  FROM toks WHERE len(t) >= 20),
+        |spans AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    array_to_string(list_slice(t, i, i + 19), ' ') AS span
+        |  FROM starts),
+        |cnt AS (
+        |  SELECT span, count(DISTINCT doc_id) AS nd FROM spans GROUP BY span),
+        |dup AS (
+        |  SELECT doc_id, pos FROM spans JOIN cnt USING (span) WHERE nd > 1),
+        |cov AS (
+        |  SELECT doc_id, count(DISTINCT o) AS n_covered FROM (
+        |    SELECT doc_id, unnest(range(pos, pos + 20)) AS o FROM dup)
+        |  GROUP BY doc_id),
+        |docs AS (
+        |  SELECT doc_id, len(t) AS n_tokens FROM toks WHERE len(t) >= 20)
+        |SELECT d.doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+        |  CAST(coalesce(n_covered, 0) AS BIGINT) AS n_covered,
+        |  CAST(n_tokens - coalesce(n_covered, 0) AS BIGINT) AS n_kept
+        |FROM docs d LEFT JOIN cov USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q77_semdedup" ->
       """WITH corpus AS (
         |  SELECT vec_id, embedding FROM embeddings

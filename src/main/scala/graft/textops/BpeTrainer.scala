@@ -1,0 +1,123 @@
+package graft.textops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer training (Sennrich et al. 2016) — the
+  * algorithm behind GPT/Llama-family vocabularies, distributed.
+  *
+  * Shape at corpus scale: the CORPUS is touched exactly once (one
+  * word-count shuffle); every merge iteration then runs over the DISTINCT
+  * WORD table, whose size is the vocabulary (Heaps' law: ~10^6 rows for a
+  * TB-scale corpus), not the corpus. Each iteration is one pair-count
+  * aggregation weighted by word frequency + one per-row HOF rewrite of
+  * the symbol arrays, with a `localCheckpoint` so Catalyst re-plans a
+  * flat scan instead of an iteration-deep expression tree (the same
+  * flattening [[DedupGraph]] uses for its rounds).
+  *
+  * Tie-break: highest corpus-weighted pair count, then lexicographic
+  * pair string — fully deterministic, so two runs (or two engines)
+  * produce identical merge tables.
+  */
+object BpeTrainer {
+
+  /** End-of-word marker (attached to a word's last symbol, the standard
+    * Sennrich formulation: "est" mid-word and "est</w>" word-final are
+    * distinct merge targets).
+    */
+  val EndMark = "</w>"
+
+  final case class Merge(left: String, right: String, count: Long)
+
+  /** A word as its initial symbol array: one symbol per character, the
+    * last carrying [[EndMark]]. `sequence` would count DOWN for an empty
+    * stem (sequence(1,0) = [1,0]), so the one-char case is guarded.
+    */
+  private def charSyms(w: Column): Column = {
+    val stemLen = length(w) - 1
+    val stemChars = when(stemLen <= 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), stemLen),
+        i => w.substr(i, lit(1))))
+    concat(stemChars, array(concat(substring(w, -1, 1), lit(EndMark))))
+  }
+
+  /** Word → corpus frequency → initial symbol array. */
+  private def wordTable(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode(TextFunctions.tokens(lower(col(textCol)))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(col("freq"), charSyms(col("w")).as("syms"))
+
+  /** Adjacent symbol pairs of one row's array, as "left right" strings
+    * (symbols never contain spaces: words are whitespace tokens and
+    * merges only concatenate).
+    */
+  private def pairCol(syms: Column): Column =
+    when(size(syms) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(syms) - 2),
+        i => concat_ws(" ", element_at(syms, i + 1), element_at(syms, i + 2))))
+
+  /** One left-to-right pass replacing adjacent (a, b) with ab — the merge
+    * application as a pure HOF fold rebuilding the array (no UDF).
+    * Greedy like the reference implementation: after "a a" merges, the
+    * word [a, a, a] becomes [aa, a]. `try_element_at` (not element_at)
+    * on the running array: ANSI mode would throw on the empty state.
+    */
+  private[textops] def applyMerge(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, x) => {
+        val last = try_element_at(acc, lit(-1))
+        when(last === a && x === b,
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(x)))
+      })
+
+  /** Learn `nMerges` merges. Returns them in application order, each with
+    * its corpus-weighted pair count at selection time. Stops early when
+    * no pair occurs at least twice.
+    */
+  def train(docs: DataFrame, textCol: String, nMerges: Int): Seq[Merge] = {
+    require(nMerges >= 1, "nMerges must be >= 1")
+    var words = wordTable(docs, textCol).localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var it = 0
+    var exhausted = false
+    while (it < nMerges && !exhausted) {
+      val top = words
+        .select(col("freq"), explode(pairCol(col("syms"))).as("p"))
+        .groupBy(col("p")).agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("p"))
+        .limit(1)
+        .collect()
+      top.headOption.map(r => (r.getString(0), r.getLong(1))) match {
+        case Some((pair, n)) if n >= 2 =>
+          val Array(a, b) = pair.split(" ", 2)
+          merges += Merge(a, b, n)
+          val next = words
+            .withColumn("syms", applyMerge(col("syms"), a, b))
+            .localCheckpoint(true)
+          words.unpersist()
+          words = next
+        case _ => exhausted = true
+      }
+      it += 1
+    }
+    words.unpersist()
+    merges.toSeq
+  }
+
+  /** Tokenize text with a learned merge table: whitespace words → char
+    * symbols → every merge applied in training order → flattened subword
+    * stream. Per-row, no shuffle; the merge table compiles into the
+    * expression tree, so keep it to the few hundred merges an expression
+    * pipeline tolerates and use a vocab longest-match encoder beyond
+    * that.
+    */
+  def encode(text: Column, merges: Seq[Merge]): Column = {
+    val syms = transform(TextFunctions.tokens(lower(text)), w => charSyms(w))
+    val merged = merges.foldLeft(syms) { (acc, m) =>
+      transform(acc, ws => applyMerge(ws, m.left, m.right))
+    }
+    flatten(merged)
+  }
+}

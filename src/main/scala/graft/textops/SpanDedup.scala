@@ -80,4 +80,40 @@ object SpanDedup {
     spans.join(dupHashes, Seq("span_hash"))
       .select(col(idCol), col("span_pos"))
   }
+
+  /** What a span-trimming rewrite would cut: per document (with >= n
+    * tokens), the token count, how many tokens are COVERED by at least one
+    * cross-document duplicated window, and how many survive the cut —
+    * the size accounting Lee et al. report before/after dedup.
+    *
+    * Overlapping windows are unioned per document with a sorted
+    * interval-merge fold over the collected positions (positions per doc
+    * are bounded by the doc's token count), NOT by exploding each window
+    * to its n member offsets — the n× row multiplication is the
+    * difference between shuffling the corpus and shuffling it 20 times.
+    */
+  def trimStats(docs: DataFrame, idCol: String, textCol: String,
+                n: Int): DataFrame = {
+    val dupPos = duplicateSpanPositions(docs, idCol, textCol, n)
+    // interval-union fold: positions ascend; each window [p, p+n) adds
+    // n new tokens if disjoint from the running end, else the overhang
+    val fold = aggregate(sort_array(collect_list(col("span_pos"))),
+      struct(lit(0L).as("cov"), lit(-1L).as("end")),
+      (acc, p) => {
+        val pL = p.cast("long")
+        val add = when(pL >= acc.getField("end"), lit(n.toLong))
+          .otherwise(pL + n - acc.getField("end"))
+        struct((acc.getField("cov") + add).as("cov"),
+          greatest(acc.getField("end"), pL + n).as("end"))
+      },
+      acc => acc.getField("cov"))
+    val covered = dupPos.groupBy(col(idCol)).agg(fold.as("n_covered"))
+    docs
+      .select(col(idCol),
+        TextFunctions.tokenCount(col(textCol)).as("n_tokens"))
+      .filter(col("n_tokens") >= n)
+      .join(covered, Seq(idCol), "left")
+      .withColumn("n_covered", coalesce(col("n_covered"), lit(0L)))
+      .withColumn("n_kept", col("n_tokens").cast("long") - col("n_covered"))
+  }
 }

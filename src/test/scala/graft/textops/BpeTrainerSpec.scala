@@ -1,0 +1,97 @@
+package graft.textops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class BpeTrainerSpec extends SparkSpec {
+
+  import spark.implicits._
+  import BpeTrainer.Merge
+
+  /** Driver-side reference BPE (Sennrich alg. 1) with the same
+    * formulation: char symbols, EndMark on the last char, greedy
+    * left-to-right merge application, (count desc, pair lex asc)
+    * selection.
+    */
+  private def referenceBpe(wordFreq: Map[String, Long],
+                           nMerges: Int): Seq[Merge] = {
+    var words: Map[Vector[String], Long] = wordFreq.map { case (w, f) =>
+      val syms = w.dropRight(1).map(_.toString).toVector :+
+        (w.last.toString + BpeTrainer.EndMark)
+      syms -> f
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var done = false
+    while (out.size < nMerges && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (syms, f) =>
+        syms.sliding(2).foreach {
+          case Vector(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + f
+          case _ =>
+        }
+      }
+      val best = counts.toSeq
+        .sortBy { case ((a, b), n) => (-n, s"$a $b") }.headOption
+      best match {
+        case Some(((a, b), n)) if n >= 2 =>
+          out += Merge(a, b, n)
+          words = words.groupMapReduce {
+            case (syms, _) =>
+              val merged = scala.collection.mutable.ArrayBuffer.empty[String]
+              syms.foreach { x =>
+                if (merged.nonEmpty && merged.last == a && x == b)
+                  merged(merged.size - 1) = a + b
+                else merged += x
+              }
+              merged.toVector
+          }(_._2)(_ + _)
+        case _ => done = true
+      }
+    }
+    out.toSeq
+  }
+
+  test("classic corpus: merge order and counts") {
+    // low x5, lower x2, newest x6, widest x3 (Sennrich's running example)
+    val docs = Seq(
+      ("low " * 5).trim, ("lower " * 2).trim,
+      ("newest " * 6).trim, ("widest " * 3).trim
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val merges = BpeTrainer.train(docs, "text", nMerges = 4)
+    assert(merges == Seq(
+      Merge("e", "s", 9), Merge("es", "t</w>", 9),
+      Merge("l", "o", 7), Merge("e", "w", 6)))
+  }
+
+  test("distributed training matches the reference implementation") {
+    val rnd = new scala.util.Random(11)
+    val alphabet = "abcd"
+    val wordFreq = (0 until 40).map { _ =>
+      val len = 1 + rnd.nextInt(6)
+      (0 until len).map(_ => alphabet(rnd.nextInt(4))).mkString
+    }.groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+    val text = wordFreq.flatMap { case (w, f) =>
+      Seq.fill(f.toInt)(w) }.mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val want = referenceBpe(wordFreq, 10)
+    val got = BpeTrainer.train(docs, "text", nMerges = 10)
+    assert(got == want)
+  }
+
+  test("encode applies merges greedily and flattens to a subword stream") {
+    val merges = Seq(
+      Merge("e", "s", 9), Merge("es", "t</w>", 9),
+      Merge("l", "o", 7), Merge("e", "w", 6))
+    val got = Seq((1L, "lowest newest"))
+      .toDF("doc_id", "text")
+      .select(BpeTrainer.encode(col("text"), merges))
+      .as[Seq[String]].head()
+    assert(got == Seq("lo", "w", "est</w>", "n", "ew", "est</w>"))
+  }
+
+  test("training stops when no pair repeats") {
+    val docs = Seq((1L, "ab cd")).toDF("doc_id", "text")
+    val merges = BpeTrainer.train(docs, "text", nMerges = 5)
+    assert(merges.isEmpty) // every pair occurs once
+  }
+}

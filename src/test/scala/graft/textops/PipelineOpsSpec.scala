@@ -55,6 +55,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.select("doc_id").as[Long].collect().toSet == Set(2L))
   }
 
+  test("trim stats: overlapping dup windows union, not double-count") {
+    // docA's dup windows [0,6) and [3,9) overlap → covered 9 of 10, kept 1
+    val docA = (1 to 10).map(i => s"x$i").mkString(" ")
+    val docs = Seq(
+      (1L, docA),
+      (2L, (1 to 6).map(i => s"x$i").mkString(" ")),  // = docA window 0
+      (3L, (4 to 9).map(i => s"x$i").mkString(" "))   // = docA window 3
+    ).toDF("doc_id", "text")
+    val got = SpanDedup.trimStats(docs, "doc_id", "text", n = 6)
+      .orderBy("doc_id")
+      .as[(Long, Int, Long, Long)].collect()
+    assert(got.toSeq == Seq(
+      (1L, 10, 9L, 1L),
+      (2L, 6, 6L, 0L),
+      (3L, 6, 6L, 0L)))
+  }
+
+  test("trim stats: doc with no duplicated window keeps everything") {
+    val docs = Seq(
+      (1L, (1 to 8).map(i => s"a$i").mkString(" ")),
+      (2L, (1 to 8).map(i => s"b$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = SpanDedup.trimStats(docs, "doc_id", "text", n = 6)
+      .as[(Long, Int, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 8, 0L, 8L)))
+    assert(got(2L) == ((2L, 8, 0L, 8L)))
+  }
+
   // ---- repetitionStats ----------------------------------------------------
 
   test("repetition stats: hand-computed fractions") {
