@@ -690,7 +690,10 @@ object SparkEntry {
     // and the top-5 (= the 5 clones at cos 1.0) is closed-form for the
     // oracle regardless of where Lloyd converged.
     "q36_ann_ivf" -> ((s, dir) => {
-      val emb = tSpread(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      // plain read, no spread: IVF training is ~8 tiny jobs over a
+      // vector table this small - 32-way scheduling overhead costs more
+      // than the single-core scan (measured 1.2s vs 1.7s)
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val qset = emb.filter(col("vec_id") < 20)
       val clones = Seq(2.0f, 4.0f, 8.0f, 16.0f, 32.0f).zipWithIndex
         .map { case (a, j) =>

@@ -161,6 +161,64 @@ class PipelineOpsSpec extends SparkSpec {
     assert(again.toSeq == chunks.toSeq)
   }
 
+  test("pack manifest matches a brute-force reference on a random corpus") {
+    val rnd = new scala.util.Random(3)
+    val docs = (0L until 200L).map(i => (i, ("w " * rnd.nextInt(40)).trim))
+    val C = 17
+    // reference: concatenate in id order, cut every C tokens
+    val lens = docs.map { case (id, t) =>
+      (id, if (t.isEmpty) 0 else t.split("\\s+").length) }
+      .filter(_._2 > 0)
+    val offsets = lens.scanLeft(0L)((acc, d) => acc + d._2).dropRight(1)
+    val want = lens.zip(offsets).flatMap { case ((id, n), off) =>
+      (off / C to (off + n - 1) / C).map { c =>
+        val tok = math.min((c + 1) * C, off + n) - math.max(c * C, off)
+        (c, id, tok)
+      }
+    }.groupBy(_._1).map { case (c, rows) =>
+      (c, rows.size.toLong, rows.map(_._3).sum,
+        rows.map(_._2).min, rows.map(_._2).max)
+    }.toSeq.sortBy(_._1)
+    val got = Packing.packManifest(
+      docs.toDF("doc_id", "text"), "doc_id", "text", C)
+      .orderBy("chunk_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == want)
+  }
+
+  test("trim stats match brute-force covered sets on a random corpus") {
+    val rnd = new scala.util.Random(5)
+    val vocab = Vector("a", "b", "c")
+    val docs = (0L until 60L).map(i =>
+      (i, (0 until 8 + rnd.nextInt(8)).map(_ => vocab(rnd.nextInt(3)))
+        .mkString(" ")))
+    val n = 4
+    // brute force: window strings, cross-doc counts, per-doc covered set
+    val windows = docs.flatMap { case (id, t) =>
+      val toks = t.split("\\s+").toSeq
+      if (toks.size < n) Seq.empty
+      else toks.sliding(n).zipWithIndex.map { case (w, p) =>
+        (id, p, w.mkString(" ")) }.toSeq
+    }
+    val nd = windows.groupBy(_._3).map { case (w, ws) =>
+      w -> ws.map(_._1).distinct.size }
+    val want = docs.flatMap { case (id, t) =>
+      val total = t.split("\\s+").length
+      if (total < n) None
+      else {
+        val covered = windows
+          .filter(w => w._1 == id && nd(w._3) > 1)
+          .flatMap(w => w._2 until w._2 + n).distinct.size
+        Some((id, total, covered.toLong, (total - covered).toLong))
+      }
+    }.sortBy(_._1)
+    val got = SpanDedup.trimStats(docs.toDF("doc_id", "text"),
+      "doc_id", "text", n)
+      .orderBy("doc_id")
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    assert(got == want)
+  }
+
   // ---- SemDeDup -----------------------------------------------------------
 
   test("semdedup: scaled copies are caught, survivors keep the original") {
