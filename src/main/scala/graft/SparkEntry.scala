@@ -6,7 +6,7 @@ import graft.multimodal.Multimodal
 import graft.operators.{Dedup, DownloadStats, MergeUpdate, Packing, Sampling, StationSearch, SyncTable}
 import graft.sim.Cosine
 import graft.tables.Tables
-import graft.textops.{Decontaminate, DedupGraph, MinHashLSH, SimHash, SpanDedup, TextFunctions, UnigramLM}
+import graft.textops.{BpeTrainer, Decontaminate, DedupGraph, MinHashLSH, SimHash, SpanDedup, TextFunctions, UnigramLM}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1651,6 +1651,15 @@ object SparkEntry {
         .orderBy(col("chunk_id"))
     }),
 
+    // the BPE trainer's first-iteration statistics: corpus-weighted
+    // adjacent symbol-pair counts over the initial char table, top 50 —
+    // the aggregation every merge selection ranks, oracle-anchored
+    "q79_bpe_pairs" -> ((s, dir) => {
+      BpeTrainer.pairStats(tSpread(s, dir, "documents"), "text")
+        .orderBy(col("n").desc, col("pair"))
+        .limit(50)
+    }),
+
     // span-trim accounting: per doc, tokens covered by cross-document
     // duplicated 20-token windows (interval-union fold over positions, no
     // n-times explode) and what survives the cut — the before/after size
@@ -2717,6 +2726,25 @@ object SparkEntry {
         |    AS BIGINT) AS n_tokens,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM chunks GROUP BY c ORDER BY chunk_id""".stripMargin,
+    "q79_bpe_pairs" ->
+      """WITH words AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+        |    SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        |    FROM documents WHERE trim(text) != '')
+        |  GROUP BY w),
+        |syms AS (
+        |  SELECT w, freq,
+        |    list_transform(range(1, CAST(length(w) AS BIGINT)),
+        |      i -> substr(w, CAST(i AS INTEGER), 1))
+        |    || [substr(w, -1, 1) || '</w>'] AS s
+        |  FROM words),
+        |pairs AS (
+        |  SELECT freq, s[i] || ' ' || s[i+1] AS p FROM (
+        |    SELECT freq, s, unnest(range(1, len(s))) AS i FROM syms))
+        |SELECT p AS pair, CAST(sum(freq) AS BIGINT) AS n
+        |FROM pairs GROUP BY p
+        |ORDER BY n DESC, pair
+        |LIMIT 50""".stripMargin,
     "q78_span_trim" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t

@@ -72,6 +72,16 @@ object BpeTrainer {
           .otherwise(concat(acc, array(x)))
       })
 
+  /** Corpus-weighted adjacent-pair counts over the INITIAL symbol table —
+    * the aggregation one training iteration ranks (exposed so the merge
+    * statistics are auditable in plain SQL; [[train]]'s first selected
+    * merge is this table's (n desc, pair asc) head).
+    */
+  def pairStats(docs: DataFrame, textCol: String): DataFrame =
+    wordTable(docs, textCol)
+      .select(col("freq"), explode(pairCol(col("syms"))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
+
   /** Learn `nMerges` merges. Returns them in application order, each with
     * its corpus-weighted pair count at selection time. Stops early when
     * no pair occurs at least twice.

@@ -89,6 +89,16 @@ class BpeTrainerSpec extends SparkSpec {
     assert(got == Seq("lo", "w", "est</w>", "n", "ew", "est</w>"))
   }
 
+  test("pairStats head is train's first merge") {
+    val docs = Seq((1L, ("low " * 5).trim), (2L, ("newest " * 6).trim))
+      .toDF("doc_id", "text")
+    val top = BpeTrainer.pairStats(docs, "text")
+      .orderBy(col("n").desc, col("pair")).limit(1)
+      .as[(String, Long)].head()
+    val first = BpeTrainer.train(docs, "text", nMerges = 1).head
+    assert(top == ((s"${first.left} ${first.right}", first.count)))
+  }
+
   test("training stops when no pair repeats") {
     val docs = Seq((1L, "ab cd")).toDF("doc_id", "text")
     val merges = BpeTrainer.train(docs, "text", nMerges = 5)
