@@ -1,17 +1,19 @@
 package graft
 
-import graft.operators.Sampling
-import graft.textops.{Decontaminate, DedupGraph, MinHashLSH, TextFunctions}
+import graft.operators.{Packing, Sampling}
+import graft.textops.{BpeTrainer, Decontaminate, DedupGraph, MinHashLSH,
+  SpanDedup, TextFunctions, UnigramLM}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** End-to-end training-data curation over the `documents` table — the
   * full pipeline every stage of which ships as an oracle-checked operator
-  * (q65–q69), composed the way a 100 TB corpus job would run it:
+  * (q65–q69, q73–q79), composed the way a 100 TB corpus job would run it:
   *
   *   quality gate → PII redaction → exact dedup → near-dup clusters
-  *   (keep component minimum) → eval-set decontamination → stratified
-  *   sample → sharded export
+  *   (keep component minimum) → duplicate-span trim accounting →
+  *   unigram-LM tail cut → eval-set decontamination → stratified sample →
+  *   sharded export → BPE merge table + packing manifest
   *
   * Prints one JSON line of per-stage surviving counts. Every stage is a
   * DataFrame transform — no driver loops, no RNG; re-running reproduces
@@ -62,6 +64,21 @@ object CurateDemo {
       val nearDeduped = exact.join(dupLosers, Seq("doc_id"), "left_anti")
       val n3 = nearDeduped.count()
 
+      // 3b. duplicate-span accounting on the exact-deduped corpus (what a
+      // span-trim pass would cut; on the NEAR-deduped corpus this is 0 —
+      // the cluster step already removed every cross-doc duplicate, a
+      // useful agreement check between the two dedup views) and a
+      // unigram-LM typicality tail cut: drop the bottom 2% by mean token
+      // log-probability (CCNet keeps the head)
+      val spanCut = SpanDedup.trimStats(exact, "doc_id", "text", 20)
+        .agg(sum(col("n_covered"))).head().getLong(0)
+      val scored = UnigramLM.score(nearDeduped, "doc_id", "text")
+      val cut = scored.stat.approxQuantile("avg_logprob", Array(0.02), 0.001)(0)
+      val typical = nearDeduped.join(
+        scored.filter(col("avg_logprob") >= cut).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      val n3b = typical.count()
+
       // 4. decontamination vs the held-out slice (doc_id % 10 == 0).
       // The benchmark side gets the SAME redaction as the corpus did in
       // step 1: a shared n-gram spanning a redacted email would otherwise
@@ -69,10 +86,10 @@ object CurateDemo {
       val benchSlice = docs.filter(col("doc_id") % 10 === 0)
         .withColumn("text", TextFunctions.redactPii(col("text")))
       val contaminated = Decontaminate.overlap(
-        nearDeduped.filter(col("doc_id") % 10 =!= 0),
+        typical.filter(col("doc_id") % 10 =!= 0),
         benchSlice,
         "doc_id", "text", 32).select(col("doc_id"))
-      val decon = nearDeduped.filter(col("doc_id") % 10 =!= 0)
+      val decon = typical.filter(col("doc_id") % 10 =!= 0)
         .join(contaminated, Seq("doc_id"), "left_anti")
       val n4 = decon.count()
 
@@ -84,9 +101,17 @@ object CurateDemo {
       val shards = spark.read.parquet(s"$out/corpus")
         .select(countDistinct(col("shard"))).head().getLong(0)
 
+      // 6. tokenizer + batch layout over the final corpus: a small BPE
+      // merge table (vocab-sized iterations) and the 128-token packing
+      // manifest a loader would stream
+      val merges = BpeTrainer.train(sample, "text", nMerges = 8)
+      val chunks = Packing.packManifest(sample, "doc_id", "text", 128).count()
+
       println(s"""{"input":$n0,"quality":$n1,"exact_dedup":$n2,""" +
-        s""""near_dedup":$n3,"decontaminated":$n4,"sampled":$n5,""" +
-        s""""shards":$shards,"out":"$out/corpus"}""")
+        s""""near_dedup":$n3,"span_tokens_cuttable":$spanCut,""" +
+        s""""lm_typical":$n3b,"decontaminated":$n4,"sampled":$n5,""" +
+        s""""shards":$shards,"bpe_merges":${merges.size},""" +
+        s""""pack_chunks":$chunks,"out":"$out/corpus"}""")
     } finally spark.stop()
   }
 }
