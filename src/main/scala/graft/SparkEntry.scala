@@ -1676,7 +1676,9 @@ object SparkEntry {
     // only, drop = has a smaller-id near-dup. Oracle = exact all-pairs
     // over the same constructed corpus
     "q77_semdedup" -> ((s, dir) => {
-      val emb = tSpread(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      // plain read like q36: k-means training is many tiny jobs, where
+      // the 32-way spread costs more in scheduling than it buys
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val clones = emb.filter(col("vec_id") % 25 === 0)
         .select((col("vec_id") + 10000L).as("vec_id"),
           transform(col("embedding"), x => (x * lit(2.0f)).cast("float"))
