@@ -53,14 +53,24 @@ object SpanDedup {
     */
   def duplicateSpanStats(docs: DataFrame, idCol: String, textCol: String,
                          n: Int): DataFrame = {
-    val spans = spanHashes(docs, idCol, textCol, n)
-    val counts = spans.groupBy(col("span_hash"))
-      .agg(countDistinct(col(idCol)).as("__ndocs"))
-    val dup = (col("__ndocs") > 1).cast("int")
-    spans.join(counts, Seq("span_hash"))
+    // pre-aggregate to one row per (span_hash, doc), then take the
+    // distinct-doc count as an unordered window over the span key: ONE
+    // lineage, so the corpus is scanned and hashed exactly once (the
+    // naive spans→countDistinct + spans→join form re-hashes it twice —
+    // column pruning makes the two branches differ, so ReuseExchange
+    // can't dedup them). The window gathers one span's rows like the
+    // join would; its partition count is the doc count of that span.
+    val perDoc = spanHashes(docs, idCol, textCol, n)
+      .groupBy(col("span_hash"), col(idCol))
+      .agg(count(lit(1)).as("__occ"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("span_hash"))
+    perDoc
+      .withColumn("__ndocs", count(lit(1)).over(w))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_spans"),
-        sum(dup).as("n_dup_spans"))
+      .agg(sum(col("__occ")).as("n_spans"),
+        sum(when(col("__ndocs") > 1, col("__occ")).otherwise(lit(0L)))
+          .as("n_dup_spans"))
       .withColumn("dup_frac",
         round(col("n_dup_spans").cast("double") / col("n_spans"), 6))
   }
@@ -72,13 +82,19 @@ object SpanDedup {
     */
   def duplicateSpanPositions(docs: DataFrame, idCol: String, textCol: String,
                              n: Int): DataFrame = {
-    val spans = spanHashes(docs, idCol, textCol, n)
-    val dupHashes = spans.groupBy(col("span_hash"))
-      .agg(countDistinct(col(idCol)).as("__ndocs"))
+    // same one-lineage shape as [[duplicateSpanStats]]: (span_hash, doc)
+    // pre-aggregation carrying the positions (collect_list bounded by one
+    // doc's occurrence count of one span), window doc-count on the span
+    // key, filter, re-explode — the corpus is hashed once
+    val perDoc = spanHashes(docs, idCol, textCol, n)
+      .groupBy(col("span_hash"), col(idCol))
+      .agg(collect_list(col("span_pos")).as("__pos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("span_hash"))
+    perDoc
+      .withColumn("__ndocs", count(lit(1)).over(w))
       .filter(col("__ndocs") > 1)
-      .select(col("span_hash"))
-    spans.join(dupHashes, Seq("span_hash"))
-      .select(col(idCol), col("span_pos"))
+      .select(col(idCol), explode(col("__pos")).as("span_pos"))
   }
 
   /** What a span-trimming rewrite would cut: per document (with >= n
