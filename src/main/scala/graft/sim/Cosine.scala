@@ -87,10 +87,15 @@ object Cosine {
                       threshold: Double, nBits: Int = 8,
                       maxBucketSize: Int = 10000): DataFrame = {
     val sig = corpus.withColumn("__sig", hyperplaneSig(asDouble(col(vecCol)), nBits))
-    val okSigs = sig.groupBy(col("__sig")).agg(count(lit(1)).as("__n"))
+    // bucket-size cap as an unordered WINDOW on the signature, not a
+    // count-aggregate joined back: the aggregate branch and the join
+    // branch would each re-fold the nBits×dim signature per row (column
+    // pruning defeats ReuseExchange), where the window keeps one lineage
+    // and shuffles on the same 8-byte key the pair join uses anyway
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__sig"))
+    val capped = sig.withColumn("__n", count(lit(1)).over(w))
       .filter(col("__n") > 1 && col("__n") <= maxBucketSize)
-      .select(col("__sig"))
-    val capped = sig.join(okSigs, Seq("__sig"))
+      .drop("__n")
     val a = capped.select(col(idCol).as("id1"), col(vecCol).as("__v1"), col("__sig"))
     val b = capped.select(col(idCol).as("id2"), col(vecCol).as("__v2"), col("__sig"))
     a.join(b, Seq("__sig")).filter(col("id1") < col("id2"))

@@ -34,11 +34,13 @@ object SemDeDup {
                  maxCellSize: Int = 100000): DataFrame = {
     val centroids = Ivf.train(corpus, idCol, vecCol, k, nIters)
     val assigned = Ivf.assign(corpus, vecCol, centroids)
-    val okCells = assigned.groupBy(col("__cell"))
-      .agg(count(lit(1)).as("__sz"))
+    // cell cap as an unordered window (one lineage): a count-aggregate
+    // joined back would re-run the O(k)-cosine assignment on both
+    // branches — same reasoning as Cosine.nearDupPairsLsh
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__cell"))
+    val capped = assigned.withColumn("__sz", count(lit(1)).over(w))
       .filter(col("__sz") > 1 && col("__sz") <= maxCellSize)
-      .select(col("__cell"))
-    val capped = assigned.join(okCells, Seq("__cell"))
+      .drop("__sz")
     val a = capped.select(col("__cell"), col(idCol).as("__id1"),
       col(vecCol).as("__v1"))
     val b = capped.select(col("__cell"), col(idCol).as("__id2"),
