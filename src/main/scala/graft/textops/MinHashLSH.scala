@@ -133,9 +133,17 @@ object MinHashLSH {
   def jaccardPairsPrefix(df: DataFrame, idCol: String, shinglesCol: String,
                          threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0,1]")
+    // materialize the slim (id, shingles, n) projection ONCE: six
+    // downstream lineages read it (df-frequency, both prefix join sides,
+    // both verification posting sides), and without the checkpoint each
+    // re-runs the source scan AND the shingle kernel — measured 6 full
+    // scans per call. Eager local materialization of the projection is
+    // the cost of one extra pass over data this operator reads six times;
+    // blocks release when the result's RDD is collected/GC'd.
     val base = df.select(col(idCol), col(shinglesCol))
       .withColumn("__nsh", size(col(shinglesCol)))
       .filter(col("__nsh") > 0)
+      .localCheckpoint(true)
     val postings = base.select(col(idCol), col("__nsh"),
       explode(col(shinglesCol)).as("__sh"))
     val dfreq = postings.groupBy(col("__sh")).agg(count(lit(1)).as("__df"))
@@ -143,6 +151,9 @@ object MinHashLSH {
     // __rn = the shingle's 1-based position in the record under the global
     // (df, shingle) total order — kept past the prefix cut because the
     // positional filter below needs it
+    // (the prefix index feeds both self-join sides too, but measured:
+    // checkpointing it costs more than the recompute it saves — the
+    // rebuild from the materialized base is cheap and pipelines)
     val prefix = postings.join(dfreq, "__sh")
       .withColumn("__rn", row_number().over(
         org.apache.spark.sql.expressions.Window
@@ -169,7 +180,7 @@ object MinHashLSH {
             ceil(lit(tt) * (col("a.__nsh") + col("b.__nsh"))))
       .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"))
       .distinct()
-    verifyByCounts(cands, df, idCol, shinglesCol, threshold)
+    verifyByCounts(cands, base, idCol, shinglesCol, threshold)
   }
 
   /** Exact all-pairs Jaccard >= threshold via an inverted shingle index
