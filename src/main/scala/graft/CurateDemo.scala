@@ -65,18 +65,22 @@ object CurateDemo {
       val n3 = nearDeduped.count()
 
       // 3b. duplicate-span accounting on the exact-deduped corpus (what a
-      // span-trim pass would cut; on the NEAR-deduped corpus this is 0 —
-      // the cluster step already removed every cross-doc duplicate, a
-      // useful agreement check between the two dedup views) and a
-      // unigram-LM typicality tail cut: drop the bottom 2% by mean token
-      // log-probability (CCNet keeps the head)
+      // span-trim pass would cut; on THIS corpus's near-deduped form it
+      // happens to be 0 because the planted duplicates are whole-document
+      // copies — long documents sharing only a short boilerplate span
+      // would survive near-dedup and still show up here) and a unigram-LM
+      // typicality tail cut: drop the bottom 2% by mean token
+      // log-probability (CCNet keeps the head). Both aggregates guard
+      // their empty-input forms (no doc >= 20 tokens; empty score set).
       val spanCut = SpanDedup.trimStats(exact, "doc_id", "text", 20)
-        .agg(sum(col("n_covered"))).head().getLong(0)
+        .agg(coalesce(sum(col("n_covered")), lit(0L))).head().getLong(0)
       val scored = UnigramLM.score(nearDeduped, "doc_id", "text")
-      val cut = scored.stat.approxQuantile("avg_logprob", Array(0.02), 0.001)(0)
-      val typical = nearDeduped.join(
-        scored.filter(col("avg_logprob") >= cut).select(col("doc_id")),
-        Seq("doc_id"), "left_semi")
+      val q02 = scored.stat.approxQuantile("avg_logprob", Array(0.02), 0.001)
+      val typical =
+        if (q02.isEmpty) nearDeduped
+        else nearDeduped.join(
+          scored.filter(col("avg_logprob") >= q02(0)).select(col("doc_id")),
+          Seq("doc_id"), "left_semi")
       val n3b = typical.count()
 
       // 4. decontamination vs the held-out slice (doc_id % 10 == 0).

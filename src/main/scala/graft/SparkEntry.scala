@@ -2694,7 +2694,8 @@ object SparkEntry {
         |  GROUP BY doc_id)
         |SELECT base.doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
         |  dup_token_frac,
-        |  round(CAST(m AS DOUBLE) * 2.0 / n_tokens, 6) AS top_bigram_frac
+        |  round(least(1.0, CAST(m AS DOUBLE) * 2.0 / n_tokens), 6)
+        |    AS top_bigram_frac
         |FROM base JOIN mx USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
     "q75_unigram_lm" ->

@@ -62,9 +62,9 @@ object StationSearch {
     * two things at once: (a) the equi-join key cardinality grows from
     * ~180/r to ~180/w, so the shuffle spreads over the cluster instead of
     * funneling a 30°-radius search into ~6 keys, and (b) the band
-    * prefilter tightens from |Δlat| < r+w... to < r+w, so fewer pairs reach
-    * the trig predicate (slack w instead of r). Cost: each left row
-    * explodes to ~2r/w+1 band probes — keep w >= r/20 or so.
+    * prefilter tightens from |Δlat| < 2r (band width = r) to < r+w, so
+    * fewer pairs reach the trig predicate (slack w instead of r). Cost:
+    * each left row explodes to ~2r/w+1 band probes — keep w >= r/20 or so.
     */
   def bandedRadiusJoin(left: DataFrame, right: DataFrame,
                        latL: Column, lonL: Column, latR: Column, lonR: Column,

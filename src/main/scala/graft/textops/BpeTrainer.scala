@@ -88,6 +88,12 @@ object BpeTrainer {
     */
   def train(docs: DataFrame, textCol: String, nMerges: Int): Seq[Merge] = {
     require(nMerges >= 1, "nMerges must be >= 1")
+    // releasing a round = freeing its localCheckpoint RDD via the Bridge:
+    // Dataset.unpersist() only clears CacheManager entries and does NOT
+    // drop checkpoint blocks, so a vocab-sized table would otherwise leak
+    // once per merge for the whole training run
+    def release(df: DataFrame): Unit =
+      org.apache.spark.sql.graftops.Bridge.releaseLocalCheckpoint(df)
     var words = wordTable(docs, textCol).localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var it = 0
@@ -106,13 +112,13 @@ object BpeTrainer {
           val next = words
             .withColumn("syms", applyMerge(col("syms"), a, b))
             .localCheckpoint(true)
-          words.unpersist()
+          release(words)
           words = next
         case _ => exhausted = true
       }
       it += 1
     }
-    words.unpersist()
+    release(words)
     merges.toSeq
   }
 

@@ -26,6 +26,18 @@ import org.apache.spark.storage.StorageLevel
   */
 object DedupGraph {
 
+  /** Free one round's edge set: `unpersist()` covers the initial
+    * `.persist()` round, and the Bridge call covers the checkpointed
+    * rounds — `Dataset.unpersist()` alone does NOT release a
+    * `localCheckpoint`'s materialized RDD (it only clears CacheManager
+    * entries), so without it every round would leak its edge copy until
+    * driver GC.
+    */
+  private def release(df: DataFrame): Unit = {
+    df.unpersist()
+    org.apache.spark.sql.graftops.Bridge.releaseLocalCheckpoint(df)
+  }
+
   /** Connected components of the undirected graph given by `(aCol, bCol)`
     * rows. Output: one row per node that appears in any edge —
     * `(node, component)` with `component` = min id in the node's component.
@@ -55,7 +67,7 @@ object DedupGraph {
     var signature = edgeSignature(edges)
     if (longIds && signature._1 <= driverFinish) {
       val out = driverComponents(edges)
-      edges.unpersist()
+      release(edges)
       return out
     }
     var converged = false
@@ -89,15 +101,15 @@ object DedupGraph {
         .localCheckpoint(eager = true)
       val nextSig = edgeSignature(next)
       converged = nextSig == signature
-      edges.unpersist()
+      release(edges)
       edges = next
       signature = nextSig
       it += 1
       if (!converged && longIds && signature._1 <= driverFinish) {
-        // driverComponents collects the edges, so the checkpoint blocks can
+        // driverComponents collects the edges, so the round's blocks can
         // be released immediately (the initial-persist hand-off does too)
         val out = driverComponents(edges)
-        edges.unpersist()
+        release(edges)
         return out
       }
     }
@@ -114,6 +126,9 @@ object DedupGraph {
       .join(members.select(col("node")), Seq("node"), "left_anti")
       .withColumn("component", col("node"))
     val out = members.unionByName(roots)
+    // NOT release(): `out` is lazy and still reads the final round's
+    // checkpointed edges; only the CacheManager entry can go now. The
+    // checkpoint blocks free when the consumer's RDD is GC'd.
     edges.unpersist()
     out
   }

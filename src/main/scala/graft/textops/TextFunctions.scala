@@ -145,7 +145,10 @@ object TextFunctions {
   /** Per-document repetition statistics (the Gopher §A1.1 family, token
     * units): `dup_token_frac` = fraction of tokens that are repeats of an
     * earlier token, `top_bigram_frac` = fraction of tokens covered by
-    * occurrences of the most frequent bigram. Both in [0,1], rounded 6 dp;
+    * occurrences of the most frequent bigram, CAPPED at 1.0 — occurrences
+    * overlap ("a a a" has "a a" twice over three tokens), so the raw
+    * 2·count/n ratio can exceed 1 exactly on the hyper-repetitive
+    * documents the signal exists to flag. Both in [0,1], rounded 6 dp;
     * documents need >= 2 tokens for the bigram signal (callers gate on
     * that, or on [[tokenCount]]).
     */
@@ -156,7 +159,8 @@ object TextFunctions {
     val dupFrac = when(nTok === 0, lit(0.0)).otherwise(
       round(lit(1.0) - distinctTokenCount(lower(text)).cast("double") / nTok, 6))
     val topFrac = when(nTok < 2, lit(0.0)).otherwise(
-      round(topBigramCount(text).cast("double") * 2.0 / nTok, 6))
+      round(least(lit(1.0),
+        topBigramCount(text).cast("double") * 2.0 / nTok), 6))
     (dupFrac, topFrac)
   }
 

@@ -12,4 +12,26 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Release the storage blocks behind a `localCheckpoint()`ed Dataset.
+    *
+    * `Dataset.unpersist()` only clears CacheManager entries — a local
+    * checkpoint's materialized RDD is NOT in the CacheManager, so
+    * unpersisting the Dataset frees nothing (verified on Spark 4.1.2) and
+    * iterative operators (connected components, BPE merges) would
+    * accumulate one dead checkpointed copy per round until driver GC lets
+    * the ContextCleaner catch up. This walks the analyzed plan to the
+    * `LogicalRDD` the checkpoint produced and unpersists that RDD
+    * directly.
+    *
+    * Deliberately matches ONLY a root-level `LogicalRDD` — the df must BE
+    * the checkpoint, not merely derive from one. Walking the whole tree
+    * would free upstream checkpoints other consumers still read.
+    */
+  def releaseLocalCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

@@ -96,6 +96,12 @@ class PipelineOpsSpec extends SparkSpec {
       .as[(Long, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
     // doc 1: 5 tokens, 2 distinct → 0.6; bigrams a·b ×2 of 4 → 2·2/5 = 0.8
     assert(got(1L) == ((0.6, 0.8)))
+    // overlapping occurrences cap at 1.0: "z z z" has "z z" twice over
+    // three tokens — the raw ratio 4/3 must clamp, not leak past 1
+    val capped = Seq((9L, "z z z")).toDF("doc_id", "text")
+      .select(dupFrac.as("d"), topFrac.as("t"))
+      .as[(Double, Double)].collect().head
+    assert(capped._2 == 1.0)
     assert(got(2L) == ((0.0, 0.5)))     // top bigram count 1 → 2/4
     assert(got(3L)._1 == math.round((1.0 - 1.0 / 3) * 1e6) / 1e6)
   }
