@@ -27,6 +27,11 @@ object Bridge {
     * Deliberately matches ONLY a root-level `LogicalRDD` — the df must BE
     * the checkpoint, not merely derive from one. Walking the whole tree
     * would free upstream checkpoints other consumers still read.
+    *
+    * DESTRUCTIVE: a local checkpoint truncates lineage, so the released
+    * data cannot be recomputed — any later read of `df` (or a frame
+    * derived from it) fails with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND. Only
+    * release a round that is DEAD (pinned by `CheckpointReleaseSpec`).
     */
   def releaseLocalCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
     df.queryExecution.analyzed match {

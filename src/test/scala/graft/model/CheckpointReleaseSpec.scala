@@ -1,0 +1,50 @@
+package graft.model
+
+import graft.SparkSpec
+import org.apache.spark.sql.graftops.Bridge
+
+/** Pins the storage contract [[Bridge.releaseLocalCheckpoint]] exists
+  * for: `Dataset.unpersist()` does NOT free localCheckpoint blocks (it
+  * only clears CacheManager entries), the Bridge release does, and the
+  * release is root-only — a derived frame can never free an upstream
+  * checkpoint other consumers still read.
+  */
+class CheckpointReleaseSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def persistedRddIds: Set[Int] =
+    spark.sparkContext.getPersistentRDDs.keySet.toSet
+
+  test("unpersist() leaves checkpoint blocks; Bridge release frees them") {
+    val before = persistedRddIds
+    val cp = (1 to 100).toDF("x").localCheckpoint(true)
+    val added = persistedRddIds -- before
+    assert(added.nonEmpty, "localCheckpoint should persist an RDD")
+    cp.unpersist()
+    assert((persistedRddIds -- before) == added,
+      "Dataset.unpersist must NOT have freed the checkpoint (the " +
+        "premise of Bridge.releaseLocalCheckpoint — if this fails, " +
+        "Spark changed semantics and the Bridge may be removable)")
+    Bridge.releaseLocalCheckpoint(cp)
+    assert((persistedRddIds -- before).isEmpty,
+      "Bridge release should free the checkpointed RDD")
+    // and the release is DESTRUCTIVE: a local checkpoint truncates
+    // lineage, so the freed data cannot recompute — reading after
+    // release must fail, which is why operators only release DEAD
+    // rounds (never a frame their output still reads)
+    intercept[org.apache.spark.SparkException] { cp.count() }
+  }
+
+  test("release is root-only: a derived frame frees nothing upstream") {
+    val before = persistedRddIds
+    val cp = (1 to 50).toDF("x").localCheckpoint(true)
+    val added = persistedRddIds -- before
+    val derived = cp.filter(org.apache.spark.sql.functions.col("x") > 10)
+    Bridge.releaseLocalCheckpoint(derived)
+    assert((persistedRddIds -- before) == added,
+      "deriving from a checkpoint must not free it")
+    Bridge.releaseLocalCheckpoint(cp)
+    assert((persistedRddIds -- before).isEmpty)
+  }
+}
