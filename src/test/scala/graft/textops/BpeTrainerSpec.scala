@@ -99,6 +99,39 @@ class BpeTrainerSpec extends SparkSpec {
     assert(top == ((s"${first.left} ${first.right}", first.count)))
   }
 
+  /** Reference greedy merge application for one word's symbols. */
+  private def refApply(syms: Vector[String], a: String,
+                       b: String): Vector[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    syms.foreach { x =>
+      if (out.nonEmpty && out.last == a && x == b)
+        out(out.size - 1) = a + b
+      else out += x
+    }
+    out.toVector
+  }
+
+  test("encode matches the reference on random words and merge tables") {
+    val rnd = new scala.util.Random(29)
+    val alphabet = "abc"
+    val words = (0 until 30).map { _ =>
+      (0 until 1 + rnd.nextInt(7)).map(_ => alphabet(rnd.nextInt(3))).mkString
+    }
+    // learn real merges from the words themselves, then encode new text
+    val trainDocs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val merges = BpeTrainer.train(trainDocs, "text", nMerges = 6)
+    val text = (0 until 20).map(_ => words(rnd.nextInt(words.size))).mkString(" ")
+    val want = text.split(" ").toSeq.flatMap { w =>
+      val init = w.dropRight(1).map(_.toString).toVector :+
+        (w.last.toString + BpeTrainer.EndMark)
+      merges.foldLeft(init)((acc, m) => refApply(acc, m.left, m.right))
+    }
+    val got = Seq((1L, text)).toDF("doc_id", "text")
+      .select(BpeTrainer.encode(col("text"), merges))
+      .as[Seq[String]].head()
+    assert(got == want)
+  }
+
   test("training stops when no pair repeats") {
     val docs = Seq((1L, "ab cd")).toDF("doc_id", "text")
     val merges = BpeTrainer.train(docs, "text", nMerges = 5)
