@@ -436,7 +436,7 @@ object Main {
       col("segId").as("seg_id"), col("dcId").as("datacenter_id"),
       col("seedId").as("data_seed_id"), col("code").as("download_code"),
       col("data"), col("sampleRate").as("sample_rate"),
-      col("maxGap").as("maxgap_ratio"),
+      col("maxGap").as("maxgap_numsamples"),
       col("startTime").as("start_time"), col("endTime").as("end_time"))
       .withColumn("queryauth",
         col("datacenter_id").isin(restrictedDcIds.toSeq: _*))

@@ -75,6 +75,14 @@ object DbManagement {
     val classes = tableOpt(spark, outdir, "classes").getOrElse(
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], Schemas.classes))
 
+    // pure listing (no add/rename/delete): touch nothing — a no-op call
+    // must not rewrite the table (delete-then-rename crash window) nor
+    // materialize an empty classes directory (same guard dropDownloads
+    // applies when nothing matched)
+    if (add.isEmpty && rename.isEmpty && delete.isEmpty)
+      return classes.orderBy(col("id"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+
     // 1. add — UNIQUE(label): labels already present are left untouched
     val existingLabels = classes.select(col("label"))
       .collect().map(_.getString(0)).toSet

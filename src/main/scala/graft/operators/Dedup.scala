@@ -28,12 +28,17 @@ object Dedup {
       case KeepNone =>
         // aggregate + semi-join instead of a count window: WindowExec
         // buffers each key group in memory, the aggregate streams (partial
-        // map-side combine) — same shuffle count, skew-safe
+        // map-side combine) — same shuffle count, skew-safe.
+        // NULL-SAFE join keys: groupBy groups null keys together (so a
+        // lone null-keyed row IS a single), but a plain equi-semi-join
+        // would never match it back (null != null) and silently drop it —
+        // pandas keep=False treats NaN keys as equal, so must we
         val singles = df.groupBy(keys.map(col): _*)
           .agg(count(lit(1)).as("__cnt"))
           .filter(col("__cnt") === 1)
-          .select(keys.map(col): _*)
-        df.join(singles, keys, "left_semi")
+          .select(keys.map(c => col(c).as("__k_" + c)): _*)
+        val cond = keys.map(c => col(c) <=> col("__k_" + c)).reduce(_ && _)
+        df.join(singles, cond, "left_semi")
       case KeepFirst | KeepLast =>
         require(order.nonEmpty, "KeepFirst/KeepLast need an ordering")
         val ord = if (keep == KeepFirst) order else order.map(_.desc)
@@ -55,7 +60,11 @@ object Dedup {
     val tagged = df.withColumn("__ndc",
       size(collect_set(col(claimCol)).over(part)))
     ConflictSplit(
-      ok = tagged.filter(col("__ndc") === 1).drop("__ndc"),
+      // <= 1, not === 1: collect_set ignores nulls, so a group whose claim
+      // column is ENTIRELY null counts 0 distinct claimants — it has no
+      // conflict (nothing claims it twice) and must stay in `ok`, not
+      // vanish from both splits
+      ok = tagged.filter(col("__ndc") <= 1).drop("__ndc"),
       conflicts = tagged.filter(col("__ndc") > 1).drop("__ndc"))
   }
 

@@ -127,7 +127,7 @@ object DownloadRecords {
     }
     val pivoted = DownloadStats.pivot(withUrl,
       Seq("download_id", "dataselect_url"),
-      codeCol = "download_code", maxgapCol = "maxgap_ratio")
+      codeCol = "download_code", maxgapCol = "maxgap_numsamples")
       .na.fill(0L) // incl. the "null"-code column, which pivot leaves nullable
       .orderBy(col("download_id"), col("dataselect_url"))
     DownloadStats.render(pivoted, Seq("download_id", "dataselect_url"))

@@ -79,13 +79,17 @@ object DownloadStats {
     val codeCols = cols.drop(rowKeys.length)
     val rows = pivoted.collect()
     val header = cols :+ "TOTAL"
+    // null-safe cell read: the "null" code column (SegNotFound) is not
+    // covered by pivot's na.fill, so a row group with no null-code
+    // segments carries a SQL NULL cell — read it as 0, don't NPE
+    def cell(r: org.apache.spark.sql.Row, i: Int): Long =
+      if (r.isNullAt(rowKeys.length + i)) 0L else r.getLong(rowKeys.length + i)
     val body = rows.map { r =>
       val keys = rowKeys.indices.map(i => String.valueOf(r.get(i)))
-      val counts = codeCols.indices.map(i => r.getLong(rowKeys.length + i))
+      val counts = codeCols.indices.map(i => cell(r, i))
       (keys ++ counts.map(_.toString)) :+ counts.sum.toString
     }
-    val totals = codeCols.indices.map(i =>
-      rows.map(_.getLong(rowKeys.length + i)).sum)
+    val totals = codeCols.indices.map(i => rows.map(cell(_, i)).sum)
     val totalRow = (Seq("TOTAL") ++ Seq.fill(rowKeys.length - 1)("") ++
       totals.map(_.toString)) :+ totals.sum.toString
     val all = Seq(header.toSeq) ++ body.map(_.toSeq) :+ totalRow
@@ -95,7 +99,9 @@ object DownloadStats {
     }.mkString("  ")).mkString("\n")
   }
 
-  private def rankInt(i: Long): Double =
+  // private[operators] (not private): OperatorsSpec pins that this
+  // driver-side rank and the Column-form codeRank never diverge
+  private[operators] def rankInt(i: Long): Double =
     if (i == -2000) 0.5
     else if (i >= 200 && i < 300) i / 1000.0
     else if (i == -200) 0.6

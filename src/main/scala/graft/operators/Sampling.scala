@@ -157,7 +157,12 @@ object Sampling {
         col(strataCol) <=> col("__stratum"))
       .filter(hashKey(col(idCol)) < col("__bound"))
       .drop("__bound", "__stratum")
+    // materialize the ranked result once: it is ~margin×quota rows per
+    // stratum by construction (small — the whole point of the prefilter),
+    // and BOTH the under-fill guard and the returned frame read it; an
+    // un-materialized plan would pay the prefilter+rank twice
     val ranked = stratifiedQuota(pre, strataCol, idCol, quota)
+      .localCheckpoint(true)
     // exactness guard: any stratum the band under-filled is re-ranked
     // unfiltered. ONE aggregation over the ranked result (not a count job
     // per stratum — strata can number in the thousands).

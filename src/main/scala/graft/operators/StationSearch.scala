@@ -53,8 +53,9 @@ object StationSearch {
     * huge longitude differences.
     *
     * `maxRadiusDeg` must be a constant here (it bounds the band probing); a
-    * magnitude-dependent radius goes in `radiusPred` as an exact filter with
-    * `maxRadiusDeg` = its upper bound.
+    * magnitude-dependent radius goes in `perRowRadius` — a Column whose
+    * VALUE (degrees) replaces the constant on the `dist <=` side of the
+    * predicate — with `maxRadiusDeg` = its upper bound.
     *
     * `bandWidthDeg` (default = `maxRadiusDeg`) decouples the band GRID from
     * the radius. Completeness only needs every band overlapping
@@ -71,7 +72,7 @@ object StationSearch {
                        maxRadiusDeg: Double, minRadius: Option[Column] = None,
                        distCol: String = "dist_deg",
                        extraPred: Option[Column] = None,
-                       radiusPred: Option[Column] = None,
+                       perRowRadius: Option[Column] = None,
                        bandWidthDeg: Double = 0.0): DataFrame = {
     require(maxRadiusDeg > 0, "maxRadiusDeg must be positive")
     val wDeg = if (bandWidthDeg > 0) bandWidthDeg else maxRadiusDeg
@@ -82,7 +83,7 @@ object StationSearch {
     // always, so |Δlat| > r can never pass. The band join admits pairs up
     // to |Δlat| < r + w, so this one subtraction prunes the band slack
     // before the Vincenty evaluation; `&&` short-circuits in codegen.
-    var pred: Column = abs(latL - latR) <= r && dist <= radiusPred.getOrElse(r)
+    var pred: Column = abs(latL - latR) <= r && dist <= perRowRadius.getOrElse(r)
     minRadius.foreach(mr => pred = pred && dist >= mr)
     extraPred.foreach(p => pred = pred && p)
     val leftB = left.withColumn("__band",

@@ -83,6 +83,16 @@ object SyncTable {
           s"surrogate id collision: ${audit.getLong(0)} inserts map to " +
             s"${audit.getLong(1)} distinct ids — use sequential ids or " +
             "widen the key")
+        // ...and against the TARGET's existing ids too: a table that was
+        // ever synced with sequential ids (or different key columns) can
+        // hold an id that equals an insert's hash — internally-distinct
+        // inserts would still duplicate an existing row's id in merged()
+        val clash = withIds
+          .join(target.select(col(idCol)), Seq(idCol), "left_semi").count()
+        require(clash == 0L,
+          s"surrogate id collision with $clash existing target id(s) — " +
+            "the target was synced with a different id scheme; use " +
+            "sequential ids or migrate the table")
         withIds
       } else {
         val maxId: Long = target.agg(coalesce(max(col(idCol)), lit(0L))).head().getLong(0)

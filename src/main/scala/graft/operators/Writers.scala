@@ -16,10 +16,19 @@ import org.apache.spark.sql.functions._
   */
 object Writers {
 
-  /** Ids already present in an existing output (empty frame if none). */
+  /** Ids already present in an existing output (empty frame if none).
+    *
+    * `format` ("parquet" | "csv") says how to read the existing output.
+    * `None` falls back to path-suffix inference — only safe for ad-hoc
+    * callers whose paths follow the `.csv`/`_csv` convention; the append
+    * writers below always pass the format they themselves write, so an
+    * `appendCsv` to a suffix-less directory resumes correctly instead of
+    * parquet-reading CSV part files.
+    */
   def alreadyDone(spark: SparkSession, path: String, idCol: String,
                   idType: org.apache.spark.sql.types.DataType =
-                    org.apache.spark.sql.types.LongType): DataFrame = {
+                    org.apache.spark.sql.types.LongType,
+                  format: Option[String] = None): DataFrame = {
     val exists =
       try {
         val p = new org.apache.hadoop.fs.Path(path)
@@ -30,10 +39,12 @@ object Writers {
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField(idCol, idType))))
     else {
+      val fmt = format.getOrElse(
+        if (path.endsWith(".csv") || path.endsWith("_csv")) "csv" else "parquet")
       val reader = spark.read
-      val df = if (path.endsWith(".csv") || path.endsWith("_csv"))
-        reader.option("header", "true").csv(path)
-      else reader.parquet(path)
+      val df =
+        if (fmt == "csv") reader.option("header", "true").csv(path)
+        else reader.parquet(path)
       // cast to the CALLER's id type (CSV reads everything as string): a
       // hard-coded long cast broke resume for string ids — and under ANSI
       // a failed cast throws rather than nulls
@@ -42,17 +53,19 @@ object Writers {
   }
 
   /** Drop rows whose id is already in the output (append resume). */
-  def resumeFilter(df: DataFrame, path: String, idCol: String): DataFrame =
+  def resumeFilter(df: DataFrame, path: String, idCol: String,
+                   format: Option[String] = None): DataFrame =
     df.join(alreadyDone(df.sparkSession, path, idCol,
-      df.schema(idCol).dataType), Seq(idCol), "left_anti")
+      df.schema(idCol).dataType, format), Seq(idCol), "left_anti")
 
   /** Append-write parquet with resume (idempotent re-runs). */
   def appendParquet(df: DataFrame, path: String, idCol: String): Unit =
-    resumeFilter(df, path, idCol).write.mode(SaveMode.Append).parquet(path)
+    resumeFilter(df, path, idCol, Some("parquet"))
+      .write.mode(SaveMode.Append).parquet(path)
 
   /** Append-write CSV (header, one directory of part files) with resume. */
   def appendCsv(df: DataFrame, path: String, idCol: String): Unit =
-    resumeFilter(df, path, idCol).write.mode(SaveMode.Append)
+    resumeFilter(df, path, idCol, Some("csv")).write.mode(SaveMode.Append)
       .option("header", "true").csv(path)
 
   /** Overwrite `path` even when `df`'s lineage READS from `path` (Spark
@@ -84,7 +97,7 @@ object Writers {
   def appendParquetQuarantined(df: DataFrame, path: String, idCol: String,
                                checks: Seq[(String, org.apache.spark.sql.Column)]): (Long, Long) = {
     val s = Quarantine.split(df, checks)
-    val clean = resumeFilter(s.ok, path, idCol)
+    val clean = resumeFilter(s.ok, path, idCol, Some("parquet"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // persist the reject side (it fed two scans: count + write). The
     // RETURNED count is the rejects seen in THIS input — the DbManager
@@ -100,7 +113,7 @@ object Writers {
       val nRejected = rejected.count()
       if (nRejected > 0)
         resumeFilter(rejected.filter(col(idCol).isNotNull),
-            path + "_rejected", idCol)
+            path + "_rejected", idCol, Some("parquet"))
           .unionByName(rejected.filter(col(idCol).isNull))
           .write.mode(SaveMode.Append).parquet(path + "_rejected")
       (clean.count(), nRejected)

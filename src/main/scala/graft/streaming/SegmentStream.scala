@@ -33,7 +33,7 @@ object SegmentStream {
     StructField("download_code", LongType),
     StructField("data", BinaryType),
     StructField("sample_rate", DoubleType),
-    StructField("maxgap_ratio", DoubleType),
+    StructField("maxgap_numsamples", DoubleType),
     StructField("start_time", TimestampType),
     StructField("end_time", TimestampType),
     StructField("queryauth", BooleanType),

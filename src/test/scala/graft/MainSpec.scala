@@ -103,7 +103,7 @@ class MainSpec extends SparkSpec {
     import spark.implicits._
     val t0 = java.sql.Timestamp.valueOf("2020-03-01 00:00:00")
     val segCols = Seq("seg_id", "datacenter_id", "data_seed_id",
-      "download_code", "data", "sample_rate", "maxgap_ratio", "start_time",
+      "download_code", "data", "sample_rate", "maxgap_numsamples", "start_time",
       "end_time", "queryauth", "download_id", "request_start", "request_end")
     def campaign(ids: Range, brokenId: Long = -1L) = ids.map { i =>
       val payload =

@@ -54,6 +54,20 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Seq("only"))
   }
 
+  test("dedup keep none: null keys behave like pandas NaN keys") {
+    // a LONE null-keyed row is a single and must survive (a plain
+    // equi-semi-join would drop it: null != null); two null-keyed rows
+    // are duplicates of each other and both go
+    val lone = Seq((Option.empty[String], "lonely"), (Some("k"), "a"))
+      .toDF("k", "tag")
+    assert(Dedup(lone, Seq("k"), Dedup.KeepNone, Nil)
+      .select("tag").as[String].collect().toSet == Set("lonely", "a"))
+    val dupNull = Seq((Option.empty[String], "n1"),
+      (Option.empty[String], "n2"), (Some("k"), "a")).toDF("k", "tag")
+    assert(Dedup(dupNull, Seq("k"), Dedup.KeepNone, Nil)
+      .select("tag").as[String].collect().toSeq == Seq("a"))
+  }
+
   test("conflict split by claim count + authority resolution") {
     val ch = Seq(
       ("N1", "S1", 1L), ("N1", "S1", 2L), // conflicting claim
@@ -65,6 +79,18 @@ class OperatorsSpec extends SparkSpec {
     val resolved = Dedup.resolveWithAuthority(
       split.conflicts, authority, Seq("net", "sta"), "dc")
     assert(resolved.select("dc").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("conflict split keeps groups whose claim column is all null") {
+    // collect_set ignores nulls → 0 distinct claimants; such a group has
+    // no conflict and must land in ok, not vanish from both splits
+    val ch = Seq(
+      ("N1", "S1", Some(1L)), ("N1", "S1", Some(2L)),
+      ("N3", "S3", Option.empty[Long]), ("N3", "S3", Option.empty[Long]))
+      .toDF("net", "sta", "dc")
+    val split = Dedup.splitConflicts(ch, Seq("net", "sta"), "dc")
+    assert(split.ok.count() == 2 && split.conflicts.count() == 2)
+    assert(split.ok.select("net").as[String].collect().toSet == Set("N3"))
   }
 
   // --- SyncTable ------------------------------------------------------------
@@ -169,6 +195,25 @@ class OperatorsSpec extends SparkSpec {
         bandWidthDeg = w))
       assert(narrow == plain, s"bandWidthDeg=$w")
     }
+  }
+
+  test("codeRank Column form and driver rankInt agree across the taxonomy") {
+    // two implementations of the reference code ordering exist (a codegen
+    // Column for in-plan sorts, a driver function for the pivot column
+    // order) — a taxonomy tweak applied to one must not silently diverge
+    // the other
+    val codes: Seq[java.lang.Long] = Seq(-2000L, -204L, -200L, -2L, -1L,
+      200L, 204L, 299L, 399L, 404L, 499L, 500L, 599L, 7L, 10000L)
+      .map(java.lang.Long.valueOf)
+    val fromColumn = codes.toDF("c")
+      .select(DownloadStats.codeRank(col("c")))
+      .as[Double].collect().toSeq
+    val fromDriver = codes.map(c => DownloadStats.rankInt(c))
+    assert(fromColumn == fromDriver)
+    // the null rank too
+    val nullRank = Seq[java.lang.Long](null).toDF("c")
+      .select(DownloadStats.codeRank(col("c"))).as[Double].head()
+    assert(nullRank == 99.9)
   }
 
   // --- Wildcards ------------------------------------------------------------

@@ -31,7 +31,7 @@ class SegmentStreamSpec extends SparkSpec {
   }
 
   private val cols = Seq("seg_id", "datacenter_id", "data_seed_id",
-    "download_code", "data", "sample_rate", "maxgap_ratio", "start_time",
+    "download_code", "data", "sample_rate", "maxgap_numsamples", "start_time",
     "end_time", "queryauth", "download_id", "request_start", "request_end")
 
   test("streaming features == batch features over the same segments") {
