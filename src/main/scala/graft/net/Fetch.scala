@@ -157,7 +157,24 @@ object Fetch {
       // defaultvalues_nodata), NOT seg-not-found. Only segments missing
       // from a NON-empty multiplexed response get the null code.
       case FetchResult(Some(bytes), None, Some(code)) if bytes.nonEmpty =>
-        val resdict = MiniSeed.unpack(bytes, Some(r.start), Some(r.end))
+        // a malformed 200 body (plaintext 'no data', truncated record,
+        // bogus blockette-1000 length) throws MSeedException — that is a
+        // PER-GROUP data problem, not a task failure: map every segment
+        // of the group to MseedErr like the reference's `except
+        // MSeedError` (`segments.py:499-503`). Letting it propagate
+        // would fail the task and re-fire the partition's HTTP requests
+        // on retry, which the transport layer must never allow.
+        val unpacked =
+          try Some(MiniSeed.unpack(bytes, Some(r.start), Some(r.end)))
+          catch { case _: MiniSeed.MSeedException => None }
+        if (unpacked.isEmpty) {
+          r.segs.map { s =>
+            SegResult(s.segId, r.dcId, seedId(s),
+              Some(graft.operators.DownloadFlow.Codes.MseedErr), null,
+              None, None, None, None, retryable = false)
+          }
+        } else {
+        val resdict = unpacked.get
         r.segs.map { s =>
           val id = seedId(s)
           resdict.get(id) match {
@@ -179,6 +196,7 @@ object Fetch {
                 Some(u.sampleRate), Some(u.maxGapOverlapRatio),
                 Option(u.startTime), Option(u.endTime), retryable = false)
           }
+        }
         }
       case other =>
         // error, empty body, or no-HTTP failure: every segment of the group

@@ -46,28 +46,52 @@ final class HttpTransport(blockSize: Int = 1024 * 1024) extends Transport {
 
   override def fetch(url: String, body: Option[String], timeoutMs: Int,
                      headers: Map[String, String]): FetchResult = {
+    // HttpURLConnection refuses to auto-follow CROSS-PROTOCOL redirects
+    // (http→https 301, which real FDSN datacenters answer on http URLs) —
+    // without a manual hop the redirect page's HTML would be "parsed" as
+    // miniSEED and every segment recorded seg-not-found forever. Follow
+    // up to 5 hops ourselves, re-sending the POST body each time (FDSN
+    // redirects are 301/302/307/308 to the same service over https).
+    var target = url
+    var hops = 0
     var conn: java.net.HttpURLConnection = null
     try {
-      conn = new java.net.URI(url).toURL.openConnection()
-        .asInstanceOf[java.net.HttpURLConnection]
-      conn.setConnectTimeout(timeoutMs)
-      conn.setReadTimeout(timeoutMs)
-      headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
-      body.foreach { b =>
-        conn.setRequestMethod("POST")
-        conn.setDoOutput(true)
-        val os = conn.getOutputStream
-        try os.write(b.getBytes("UTF-8")) finally os.close()
+      while (true) {
+        conn = new java.net.URI(target).toURL.openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        // ALL redirects are handled manually: the built-in follower can't
+        // cross protocols AND downgrades a redirected POST to a bodyless
+        // GET (302 semantics) — dataselect POSTs must re-send their
+        // channel list to the new location
+        conn.setInstanceFollowRedirects(false)
+        conn.setConnectTimeout(timeoutMs)
+        conn.setReadTimeout(timeoutMs)
+        headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+        body.foreach { b =>
+          conn.setRequestMethod("POST")
+          conn.setDoOutput(true)
+          val os = conn.getOutputStream
+          try os.write(b.getBytes("UTF-8")) finally os.close()
+        }
+        val code = conn.getResponseCode
+        val loc = Option(conn.getHeaderField("Location"))
+        if (code >= 300 && code < 400 && loc.nonEmpty && hops < 5) {
+          target = new java.net.URI(target).resolve(loc.get).toString
+          hops += 1
+          conn.disconnect()
+        } else {
+          val stream =
+            if (code >= 400) conn.getErrorStream else conn.getInputStream
+          val bytes =
+            if (stream == null) Array.empty[Byte]
+            else
+              try readAll(stream) finally stream.close()
+          return (
+            if (code >= 400) FetchResult(None, Some(s"HTTP $code"), Some(code))
+            else FetchResult(Some(bytes), None, Some(code)))
+        }
       }
-      val code = conn.getResponseCode
-      val stream = if (code >= 400) conn.getErrorStream else conn.getInputStream
-      val bytes =
-        if (stream == null) Array.empty[Byte]
-        else
-          try readAll(stream) finally stream.close()
-      if (code >= 400)
-        FetchResult(None, Some(s"HTTP $code"), Some(code))
-      else FetchResult(Some(bytes), None, Some(code))
+      throw new IllegalStateException("unreachable")
     } catch {
       // every failure becomes an error Response (URISyntaxException from a
       // malformed routing-service URL, IllegalArgument from a bad port, …)
@@ -84,13 +108,8 @@ final class HttpTransport(blockSize: Int = 1024 * 1024) extends Transport {
     }
   }
 
-  private def readAll(in: java.io.InputStream): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream()
-    val buf = new Array[Byte](blockSize)
-    var n = in.read(buf)
-    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-    out.toByteArray
-  }
+  private def readAll(in: java.io.InputStream): Array[Byte] =
+    in.readAllBytes() // JDK 9+; one shared semantic for every drain site
 }
 
 /** Deterministic in-memory transport for tests: url → scripted response.

@@ -48,7 +48,13 @@ object FdsnText {
       .schema(rawSchema(eventCols.size)).csv(path), eventCols)
 
   def parseChannels(spark: SparkSession, path: String): DataFrame =
+    // nullValue sentinel: Spark's CSV reader turns unquoted empty fields
+    // into nulls by default, and a blank LOCATION (the majority of real
+    // channels: `IU|ANMO||BHZ|...`) would then be na.drop'd as a missing
+    // required column. An unmatchable sentinel keeps "" as the real value
+    // it is — same behavior as the line-splitting path.
     parse(spark, spark.read.option("sep", "|").option("comment", "#")
+      .option("nullValue", "")
       .schema(rawSchema(channelCols.size)).csv(path), channelCols)
 
   /** Parse an in-memory response body (one string per line) — the unit-test

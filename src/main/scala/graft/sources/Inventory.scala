@@ -50,19 +50,22 @@ object Inventory {
     else bytes
   }
 
-  private def readAll(in: java.io.InputStream): Array[Byte] = {
-    val bos = new java.io.ByteArrayOutputStream()
-    val buf = new Array[Byte](8192)
-    var n = in.read(buf)
-    while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
-    bos.toByteArray
-  }
+  private def readAll(in: java.io.InputStream): Array[Byte] =
+    in.readAllBytes() // JDK 9+; one shared semantic for every drain site
 
   /** Parse (possibly compressed) StationXML into per-channel responses. */
   def parse(bytes: Array[Byte]): Seq[ChannelResponse] = {
     val xml = decompress(bytes)
     val dbf = DocumentBuilderFactory.newInstance()
     dbf.setNamespaceAware(false)
+    // the XML comes from a REMOTE datacenter: disable DOCTYPE/entity
+    // resolution, or a malicious inventory could read local files via
+    // external entities (XXE) or OOM the executor with an entity bomb
+    dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    dbf.setFeature("http://xml.org/sax/features/external-general-entities", false)
+    dbf.setFeature("http://xml.org/sax/features/external-parameter-entities", false)
+    dbf.setXIncludeAware(false)
+    dbf.setExpandEntityReferences(false)
     val doc = dbf.newDocumentBuilder().parse(new ByteArrayInputStream(xml))
     val out = mutable.ArrayBuffer.empty[ChannelResponse]
 

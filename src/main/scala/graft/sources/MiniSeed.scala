@@ -71,7 +71,11 @@ object MiniSeed {
     while (rec < nRec) {
       val first = rec * perRec
       val n = math.min(perRec, samples.length - first)
-      val ldt = t0.toLocalDateTime.plusNanos(math.round(first / fs * 1e9))
+      // mirror of parseRecord's UTC read: interpret t0 as an instant and
+      // write its UTC wall clock into the header, whatever the JVM zone
+      val ldt = java.time.LocalDateTime
+        .ofInstant(t0.toInstant, java.time.ZoneOffset.UTC)
+        .plusNanos(math.round(first / fs * 1e9))
       out.put(pad(f"${rec + 1}%06d", 6)).put('D'.toByte).put(' '.toByte)
       out.put(pad(sta, 5)).put(pad(loc, 2)).put(pad(cha, 3)).put(pad(net, 2))
       out.putShort(ldt.getYear.toShort)
@@ -200,10 +204,17 @@ object MiniSeed {
       val (month, day) = dayOfYearToDate(btYear, btDoy)
       val ldt = LocalDateTime.of(btYear, month, day, btHour, btMin, btSec)
         .plusNanos((btTms * 100L + micros) * 1000L)
-      begin = Timestamp.valueOf(ldt)
+      // the SEED header clock is UTC: build the instant at UTC, not
+      // Timestamp.valueOf's JVM default zone — on a non-UTC host the
+      // default-zone read shifts every record by the UTC offset and the
+      // request-window bounds check then discards ALL data as
+      // out-of-timespan
+      def utcTs(l: LocalDateTime): Timestamp =
+        Timestamp.from(l.toInstant(java.time.ZoneOffset.UTC))
+      begin = utcTs(ldt)
       end =
         if (nsamp != 0 && fsamp != 0)
-          Timestamp.valueOf(ldt.plusNanos(math.round(1e9 * (nsamp - 1) / fsamp)))
+          utcTs(ldt.plusNanos(math.round(1e9 * (nsamp - 1) / fsamp)))
         else begin
     } catch {
       case e: Exception => if (error == null) error = s"invalid time: ${e.getMessage}"
@@ -279,7 +290,16 @@ object MiniSeed {
             if (math.abs(gap) > math.abs(maxGap)) maxGap = gap
             i += 1
           }
-          val bytes = sorted.iterator.map(_.raw).reduce(_ ++ _)
+          // single allocation + arraycopy: a `reduce(_ ++ _)` recopies the
+          // accumulated prefix per record — O(n²) bytes for a day-long
+          // window (~17k records ≈ 76 GB copied) on the executor hot path
+          val total = sorted.iterator.map(_.raw.length).sum
+          val bytes = new Array[Byte](total)
+          var off = 0
+          sorted.foreach { rec =>
+            System.arraycopy(rec.raw, 0, bytes, off, rec.raw.length)
+            off += rec.raw.length
+          }
           done(id) = UnpackResult("", bytes, fsamp, maxGap,
             sorted.head.beginTime, sorted.last.endTime,
             outOfBounds.contains(id))

@@ -69,10 +69,13 @@ object TravelTimes {
     val entries = readNpz(Files.newInputStream(Paths.get(path)))
     val depths = toDoubles(entries("sourcedepths.npy"))
     val dists = toDoubles(entries("distances.npy"))
-    val ttFlat = entries("traveltimes.npy")
+    // decode the flat payload ONCE: Npy.floats is a def that rebuilds the
+    // whole array from bytes — indexing through it inside the tabulate
+    // would re-decode the full grid per cell (O(cells²))
+    val flat = entries("traveltimes.npy").floats
     val grid = Array.tabulate(depths.length) { d =>
       Array.tabulate(dists.length) { x =>
-        ttFlat.floats(d * dists.length + x)
+        flat(d * dists.length + x)
       }
     }
     val bound = toDoubles(entries("sourcedepth_bounds_km" + ".npy"))(1)
@@ -122,13 +125,8 @@ object TravelTimes {
     out.toMap
   }
 
-  private def readAll(in: InputStream): Array[Byte] = {
-    val bos = new ByteArrayOutputStream()
-    val buf = new Array[Byte](8192)
-    var n = in.read(buf)
-    while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
-    bos.toByteArray
-  }
+  private def readAll(in: InputStream): Array[Byte] =
+    in.readAllBytes() // JDK 9+; one shared semantic for every drain site
 
   /** Parse the npy v1.0/2.0 header (magic, header dict) + payload. */
   def parseNpy(bytes: Array[Byte]): Npy = {

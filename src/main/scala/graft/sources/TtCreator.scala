@@ -190,6 +190,13 @@ final case class Layered1D(knots: Seq[(Double, Double)], radiusKm: Double = 6371
                       v0: Double, v1: Double): Option[(Double, Double)] = {
     val h = z1 - z0
     if (h <= 0) return Some((0.0, 0.0))
+    if (p <= 0) {
+      // vertical ray: no horizontal offset; dt = ∫dz/v through the layer
+      val dt =
+        if (math.abs(v1 - v0) < 1e-12 * v0) h / v0
+        else h * math.log(v1 / v0) / (v1 - v0)
+      return Some((0.0, dt))
+    }
     if (p * v0 >= 1.0) return None // turned above this segment
     val b = (v1 - v0) / h
     val eta0 = math.sqrt(math.max(0.0, 1.0 - p * p * v0 * v0))
@@ -240,6 +247,11 @@ final case class Layered1D(knots: Seq[(Double, Double)], radiusKm: Double = 6371
   def travelTime(depthKm: Double, distDeg: Double, nRays: Int = 2000): Double = {
     val zSrc = flatDepth(math.max(0.0, depthKm))
     val xTarget = math.toRadians(distDeg) * radiusKm
+    // distance 0, surface source: the arrival is the source itself. The
+    // branch sampler can't bracket x = 0 here (downgoing rays never land
+    // at 0, and there is no upgoing leg), and the NaN it returned poisoned
+    // buildGrid's refinement and the stored grid's first column.
+    if (xTarget == 0.0 && depthKm <= 0.0) return 0.0
     val vSrc = vAtFlat(zSrc)
     val vSurf = vf(0)
     val pMax = 1.0 / math.max(vSrc, vSurf) // must leave source AND surface
@@ -254,10 +266,13 @@ final case class Layered1D(knots: Seq[(Double, Double)], radiusKm: Double = 6371
     var prevUp: (Double, Double) = null
     var i = 0
     while (i < nRays) {
-      // quadratic spacing concentrates samples near p_max (steep branches)
+      // quadratic spacing concentrates samples near p_max (steep branches);
+      // the final sample is p = 0 (the vertical ray), closing the upgoing
+      // branch at exactly x = 0 so distance-0 receivers over a buried
+      // source bracket instead of returning NaN
       val f = i.toDouble / (nRays - 1)
       val p = pMax * (1.0 - f * f) * 0.999999
-      if (p > 0) {
+      if (p >= 0) {
         val (xs, ts, _) = integrate(p, zSrc) // surface → source leg
         val (xturn, tturn, turned) = integrate(p, Double.MaxValue)
         if (turned && xturn.isFinite) {

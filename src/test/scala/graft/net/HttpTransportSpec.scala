@@ -23,6 +23,23 @@ class HttpTransportSpec extends AnyFunSuite {
         ex.close()
       }
     })
+    server.createContext("/moved", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        // relative Location: the client must resolve it against the
+        // request URI and re-send (incl. the POST body) — the manual-hop
+        // path that also covers http→https datacenter redirects
+        ex.getResponseHeaders.set("Location", "/ok")
+        ex.sendResponseHeaders(302, -1L)
+        ex.close()
+      }
+    })
+    server.createContext("/loop", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        ex.getResponseHeaders.set("Location", "/loop")
+        ex.sendResponseHeaders(301, -1L)
+        ex.close()
+      }
+    })
     server.createContext("/missing", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
         val resp = "not here".getBytes("UTF-8")
@@ -51,6 +68,21 @@ class HttpTransportSpec extends AnyFunSuite {
       assert(r.code.contains(200))
       val got = new String(r.data.get, "UTF-8")
       assert(got.startsWith("POST:GE S1 -- BHZ a b:Basic "))
+    }
+  }
+
+  test("redirects are followed, re-sending the POST body") {
+    withServer { (base, tp) =>
+      val r = tp.fetch(s"$base/moved", Some("payload"))
+      assert(r.code.contains(200), r)
+      assert(new String(r.data.get, "UTF-8") == "POST:payload:-")
+    }
+  }
+
+  test("a redirect loop stops after bounded hops instead of spinning") {
+    withServer { (base, tp) =>
+      val r = tp.fetch(s"$base/loop")
+      assert(r.code.exists(c => c >= 300 && c < 400))
     }
   }
 

@@ -25,6 +25,20 @@ class TtCreatorSpec extends AnyFunSuite {
     assert(errs.max <= tol, s"max interp error ${errs.max}")
   }
 
+  test("distance 0 is finite: vertical ray for buried sources, 0 at surface") {
+    val m = Layered1D.Ak135P
+    assert(m.travelTime(0.0, 0.0) == 0.0)
+    // buried source straight up: t ≈ ∫dz/v; 35 km through the ak135 crust
+    // (5.8 km/s to 20 km, 6.5 km/s to 35 km) ≈ 5.75 s — sanity band, and
+    // above all FINITE (a NaN here used to poison the whole stored grid's
+    // first column and freeze buildGrid's distance refinement)
+    val t35 = m.travelTime(35.0, 0.0)
+    assert(t35.isFinite && t35 > 5.0 && t35 < 7.0, t35)
+    // nearby distances interpolate smoothly from the vertical endpoint
+    val tNear = m.travelTime(35.0, 0.05)
+    assert(tNear.isFinite && tNear >= t35 - 1e-9 && tNear < t35 + 2.0)
+  }
+
   test("npz write → TravelTimes.load round-trip preserves the table") {
     val table = TtCreator.buildGrid(synthTT, "synth700",
       maxSourceDepthKm = 700.0, maxDistDeg = 180.0, tolSec = 2.0)
