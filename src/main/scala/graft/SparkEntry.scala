@@ -1291,8 +1291,11 @@ object SparkEntry {
             else (j % 5).toDouble
           }
           val sm = Spectra.triangsmooth(spec, alpha = 0.2)
-          val i1 = 4 + (id % 6).toInt  // halfWidth 0 → identity
-          val i2 = 20 + (id % 10).toInt // halfWidth 2, window inside [10,40)
+          // reference window geometry: n = rint(i·α); n < 2 → untouched.
+          // i1 ∈ [2,7]: rint(0.4..1.4) ≤ 1 → identity; i2 ∈ [20,29]:
+          // n = rint(4..5.8) ≤ 6, window ⊂ the constant band [10,40)
+          val i1 = 2 + (id % 6).toInt
+          val i2 = 20 + (id % 10).toInt
           (id, sm(i1), sm(i2))
         }.toDF("c_custkey", "sm_id", "sm_const")
         .orderBy(col("c_custkey"))
@@ -2030,13 +2033,16 @@ object SparkEntry {
         |      ROWS UNBOUNDED PRECEDING) AS psum,
         |    sum(x * x) OVER (PARTITION BY event_id ORDER BY j
         |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    first_value(x * x) OVER (PARTITION BY event_id ORDER BY j)
+        |      AS c0,
         |    sum(x * x) OVER (PARTITION BY event_id) AS total
         |  FROM lagged),
         |feats AS (
         |  SELECT event_id,
         |    max(abs(x)) AS pga,
         |    max(abs(psum / 128.0)) AS pgv,
-        |    min(CASE WHEN cum / total >= 0.95 THEN j END) / 64.0 AS t95_sec,
+        |    min(CASE WHEN (cum - c0) / (total - c0) >= 0.95 THEN j END)
+        |      / 64.0 AS t95_sec,
         |    sum(CASE WHEN j >= 128 AND j < 256 THEN x * x ELSE 0 END) AS ssq_s,
         |    sum(CASE WHEN j >= 128 AND j < 256 THEN x ELSE 0 END) AS s1_s,
         |    sum(CASE WHEN j >= 128 AND j < 256
@@ -2447,7 +2453,7 @@ object SparkEntry {
         |ORDER BY event_id""".stripMargin,
     "q57_triangsmooth" ->
       """SELECT c_custkey,
-        |  CAST((c_custkey * 7 + (4 + c_custkey % 6) * 29) % 13 AS DOUBLE) AS sm_id,
+        |  CAST((c_custkey * 7 + (2 + c_custkey % 6) * 29) % 13 AS DOUBLE) AS sm_id,
         |  CAST(power(2.0, c_custkey % 3) AS DOUBLE) AS sm_const
         |FROM customer
         |ORDER BY c_custkey""".stripMargin,

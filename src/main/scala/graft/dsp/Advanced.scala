@@ -38,13 +38,19 @@ object Advanced {
       while (j <= order) { s += x(j) * a(i)(j); j += 1 }
       s * factorial * math.pow(rate, deriv)
     }
-    // mirror-pad the signal (template: firstvals/lastvals reflection)
+    // mirror-pad the signal (template: firstvals/lastvals reflection);
+    // mirror indices CLAMP into range so an input shorter than half a
+    // window degrades to edge-value padding instead of throwing (the
+    // un-clamped reads y(half−i)/y(n−2−i) went out of bounds for
+    // n <= windowSize/2 and aborted the processing job)
     val n = y.length
     val padded = new Array[Double](n + 2 * half)
     var i = 0
     while (i < half) {
-      padded(i) = y(0) - math.abs(y(half - i) - y(0))
-      padded(n + half + i) = y(n - 1) + math.abs(y(n - 2 - i) - y(n - 1))
+      val lo = math.min(math.max(half - i, 0), n - 1)
+      val hi = math.min(math.max(n - 2 - i, 0), n - 1)
+      padded(i) = y(0) - math.abs(y(lo) - y(0))
+      padded(n + half + i) = y(n - 1) + math.abs(y(hi) - y(n - 1))
       i += 1
     }
     System.arraycopy(y, 0, padded, half, n)
@@ -162,8 +168,13 @@ object Advanced {
                   noiseLevel: Double = 16, lwSec: Double = 50,
                   noiseDurationSec: Double = 5, subwdwSec: Double = 5,
                   subwdwRecSec: Double = 2.5): Option[CodaResult] = {
+    // low-rate channels can't host the 4-8 Hz band (design requires
+    // highHz < fs/2); the reference wraps its bandpass in try/except
+    // ValueError and returns None — a skip, not a job abort
+    val filtered =
+      try Filters.bandpass(trace.data, 4, 8, trace.fs, corners = 2)
+      catch { case _: IllegalArgumentException => return None }
     if (trace.data.length * trace.dt <= 100) return None
-    val filtered = Filters.bandpass(trace.data, 4, 8, trace.fs, corners = 2)
     val mean = filtered.sum / filtered.length
     val demeaned = filtered.map(_ - mean)
     val energy = demeaned.map(v => v * v)
@@ -198,7 +209,14 @@ object Advanced {
         start += hop
       }
     }
-    if (!ratios.exists(_ > noiseLevel)) return None
+    // reference gate (`coda.py:122-125`): the above-threshold windows must
+    // form ONE contiguous group that extends to the LAST ratio window — a
+    // lone burst right after the envelope max with quiet after is not a
+    // coda (the old any-window-above check emitted false detections there)
+    val ok = ratios.indices.filter(i => ratios(i) > noiseLevel)
+    if (ok.isEmpty) return None
+    val contiguous = ok.zip(ok.tail).forall { case (a, b) => b == a + 1 }
+    if (!(contiguous && ok.last == ratios.length - 1)) return None
 
     val coda = sm.slice(imax, imax + codaLen).map(v => math.log10(math.max(v, 1e-300)))
     val nMax = coda.length / wdw
@@ -246,8 +264,18 @@ object Advanced {
   def multiEvent(cumNorm: Array[Double], threshold: Double = 0.05,
                  sgWindow: Int = 31, sgOrder: Int = 4): (Int, Seq[(Int, Int)]) = {
     if (cumNorm.length < sgWindow) return (0, Nil)
-    val d2 = savitzkyGolay(cumNorm, sgWindow, sgOrder, deriv = 2)
-    val hits = d2.indices.filter(i => math.abs(d2(i)) >= threshold)
+    // |d2| NORMALIZED by its global max before thresholding — the
+    // reference's thresholds are "in percent" of the strongest kink
+    // (`paramtable.py:402-424`); the raw second derivative is ~1e-5 for
+    // realistic cumulatives, so an unnormalized 0.05 gate never fired
+    val d2 = savitzkyGolay(cumNorm, sgWindow, sgOrder, deriv = 2).map(math.abs)
+    val max = d2.max
+    // normalization floor: a kink-free cumulative (linear ramp) has d2 =
+    // rounding noise (~1e-16); normalizing noise by its own max would
+    // manufacture hundreds of phantom groups. Any real energy step in a
+    // [0,1]-normalized cumulative has |d2| orders of magnitude above 1e-12.
+    if (!(max > 1e-12)) return (0, Nil)
+    val hits = d2.indices.filter(i => d2(i) / max >= threshold)
     if (hits.isEmpty) return (0, Nil)
     val groups = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
     var first = hits.head

@@ -76,13 +76,27 @@ object Filters {
     val denom = bpPoles.foldLeft(C(1, 0))((acc, p) => acc * (C(fs2, 0) - p))
     val digitalGain = analogGain * (numer / denom).re
 
-    // pair conjugate poles (sorted by |p| desc = closest to unit circle
-    // first) with one (z=1, z=-1) zero pair each → SOS
-    val upper = zPoles.filter(_.im >= 0).sortBy(p => -(p.re * p.re + p.im * p.im))
-    val sos = upper.map { p =>
+    // SOS pairing. Complex poles pair with their conjugates; REAL poles
+    // (an odd-order prototype's real pole maps to TWO DISTINCT real bp
+    // poles when the band is wide, bw/2 > w0) pair with each other — the
+    // old `filter(im >= 0)` kept/conjugated whichever real pole's tiny
+    // numerical im happened to be positive, squaring one and dropping the
+    // other (badly wrong odd-order wide-band filters). Classification is
+    // by relative |im| (prototype rounding leaves ~1e-16 ims on real
+    // poles); even orders have no real poles, so their path — and every
+    // oracle pinned to it — is bit-identical.
+    def mag2(p: C): Double = p.re * p.re + p.im * p.im
+    val (realPoles, cplxPoles) = zPoles.partition(p =>
+      math.abs(p.im) <= 1e-8 * (1.0 + math.abs(p.re)))
+    val cplxSos = cplxPoles.filter(_.im > 0).sortBy(p => -mag2(p)).map { p =>
       // (1 - z^-1)(1 + z^-1) = 1 - z^-2 ; poles: 1 - 2Re(p)z^-1 + |p|² z^-2
-      Sos(1.0, 0.0, -1.0, -2.0 * p.re, p.re * p.re + p.im * p.im)
-    }.toArray
+      Sos(1.0, 0.0, -1.0, -2.0 * p.re, mag2(p))
+    }
+    val realSos = realPoles.map(_.re).sorted.reverse.grouped(2).map {
+      case Seq(r1, r2) => Sos(1.0, 0.0, -1.0, -(r1 + r2), r1 * r2)
+      case Seq(r1) => Sos(1.0, 0.0, -1.0, -r1, 0.0) // odd count: degenerate
+    }.toSeq
+    val sos = (cplxSos ++ realSos).toArray
     (sos, digitalGain)
   }
 

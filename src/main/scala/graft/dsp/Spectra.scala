@@ -30,56 +30,64 @@ object Spectra {
   def freqs(n: Int, df: Double): Array[Double] =
     Array.tabulate(n)(i => i * df)
 
-  /** Signal-to-noise ratio on power spectra (`ndarrays.py:94-167`):
-    * forms: "fft" (inputs are complex spectra), "amp" (amplitude spectra),
-    * "pow" (power spectra), anything else = time-domain signals.
-    * Optional band [fminIndex, fmaxIndex] via frequency bounds; `inDb`
-    * returns 10·log10. Square-root-of-N normalization compensates for
-    * different window lengths (the reference divides each power sum by its
-    * signal length before the ratio).
+  /** Signal-to-noise ratio (`ndarrays.py:94-167`), reference-exact:
+    * forms: "fft"/"dft" (inputs are complex spectra), "amp" (amplitude
+    * spectra), "pow" (power spectra), anything else = time-domain signals
+    * whose `delta*` are SAMPLING PERIODS (converted to frequency
+    * resolutions via [[dfreq]]); for the spectral forms `delta*` ARE the
+    * frequency resolutions in Hz, used directly for band trimming. Each
+    * band's power sum is normalized by the TRIMMED length (the mean band
+    * power), and the non-dB return is the SQUARE ROOT of the power ratio
+    * — an amplitude SNR, which is why the dB form multiplies by 10, not
+    * 20.
     */
   def snr(signal: Array[Double], noise: Array[Double],
           signalsForm: String = "", fminHz: Double = Double.NaN,
           fmaxHz: Double = Double.NaN, deltaSignal: Double = 1.0,
           deltaNoise: Double = 1.0, inDb: Boolean = false): Double = {
-    val (sigPow, sigN, dfS) = toPow(signal, signalsForm, deltaSignal)
-    val (noiPow, noiN, dfN) = toPow(noise, signalsForm, deltaNoise)
+    val (sigPow, dfS) = toPow(signal, signalsForm, deltaSignal)
+    val (noiPow, dfN) = toPow(noise, signalsForm, deltaNoise)
 
-    def bandSum(pow: Array[Double], df: Double): Double = {
+    // mean power over the trimmed band (`trim` + sum/len, ndarrays:146-156)
+    def bandMean(pow: Array[Double], df: Double): Double = {
       var lo = 0
       var hi = pow.length - 1
       if (!fminHz.isNaN) lo = math.max(0, math.ceil(fminHz / df - 1e-12).toInt)
       if (!fmaxHz.isNaN) hi = math.min(pow.length - 1, math.floor(fmaxHz / df + 1e-12).toInt)
+      if (hi < lo) return Double.NaN
       var s = 0.0
       var i = lo
       while (i <= hi) { s += pow(i); i += 1 }
-      s
+      s / (hi - lo + 1)
     }
 
-    val s = bandSum(sigPow, dfS) / sigN
-    val n = bandSum(noiPow, dfN) / noiN
-    if (n == 0.0) return Double.NaN
+    val s = bandMean(sigPow, dfS)
+    val n = bandMean(noiPow, dfN)
+    if (n == 0.0 || s.isNaN || n.isNaN) return Double.NaN
     val ratio = s / n
-    if (inDb) 10.0 * math.log10(ratio) else ratio
+    if (inDb) {
+      if (ratio == 0.0) Double.NegativeInfinity
+      else if (ratio < 0) Double.NaN
+      else 10.0 * math.log10(ratio)
+    } else math.sqrt(ratio)
   }
 
-  /** → (power spectrum, original length for normalization, df). */
-  private def toPow(x: Array[Double], form: String, delta: Double): (Array[Double], Int, Double) =
-    form match {
-      case "fft" =>
-        val p = Fft.abs(x).map(a => a * a)
-        val n = (x.length / 2 - 1) * 2 // conservative original length
-        (p, math.max(n, 1), dfreq(math.max(n, 1), delta))
-      case "amp" => (x.map(a => a * a), math.max((x.length - 1) * 2, 1),
-        dfreq(math.max((x.length - 1) * 2, 1), delta))
-      case "pow" => (x, math.max((x.length - 1) * 2, 1),
-        dfreq(math.max((x.length - 1) * 2, 1), delta))
-      case _ =>
-        (powspec(x), math.max(x.length, 1), dfreq(math.max(x.length, 1), delta))
+  /** → (power spectrum, frequency resolution). For spectral forms the
+    * caller's delta IS the resolution; for time series it converts.
+    */
+  private def toPow(x: Array[Double], form: String, delta: Double): (Array[Double], Double) =
+    form.toLowerCase match {
+      case "fft" | "dft" => (Fft.abs(x).map(a => a * a), delta)
+      case "amp" => (x.map(a => a * a), delta)
+      case "pow" => (x, delta)
+      case _ => (powspec(x), dfreq(math.max(x.length, 1), delta))
     }
 
-  /** Normalized cumulative energy Σx²/total (`ndarrays.py:220-238`,
-    * `cumsumsq`).
+  /** Cumulative energy Σx², normalized to [0,1] the reference's way
+    * (`ndarrays.py:220-238`): `(ret − ret[0]) / (ret[−1] − ret[0])` — the
+    * FIRST element maps to exactly 0, so a heavy first sample can't push
+    * the start of the cumulative past a low quantile (plain `/total`
+    * would start at x0²/total and skew every early quantile pick).
     */
   def cumsumsq(signal: Array[Double], normalize: Boolean = true): Array[Double] = {
     val out = new Array[Double](signal.length)
@@ -90,9 +98,13 @@ object Spectra {
       out(i) = acc
       i += 1
     }
-    if (normalize && acc > 0) {
-      i = 0
-      while (i < out.length) { out(i) /= acc; i += 1 }
+    if (normalize && out.length > 0) {
+      val min = out(0)
+      val max = out(out.length - 1)
+      if (max != min) {
+        i = 0
+        while (i < out.length) { out(i) = (out(i) - min) / (max - min); i += 1 }
+      }
     }
     out
   }
@@ -107,28 +119,33 @@ object Spectra {
   }
 
   /** Frequency-dependent triangular smoothing (`ndarrays.py:241-302`,
-    * `triangsmooth`): smooth spectrum[i] with a triangular window whose
-    * half-width is `alpha · freq_i` in frequency bins; vectorized matlab
-    * port in the reference, direct loop here (runs inside a UDF).
+    * `triangsmooth`), reference-exact: point i is averaged with the
+    * triangular window `w_k = n − |k|, k ∈ (−n, n)` where
+    * `n = rint(i · alpha)` (numpy round = half-to-even), normalized by
+    * `n²` (= Σw). Past `maxIdx = (len−1)/(alpha+1)` the window shrinks to
+    * fit the right edge (`n = len−1−i`); windows of length < 2 leave the
+    * point untouched, and if even the largest window is < 2 the spectrum
+    * is returned unsmoothed (the reference's early return).
     */
   def triangsmooth(spectrum: Array[Double], alpha: Double): Array[Double] = {
-    val n = spectrum.length
+    val len = spectrum.length
     val out = spectrum.clone()
+    if (len == 0) return out
+    val maxIdx = ((len - 1) / (alpha + 1)).toInt
+    if (math.rint(maxIdx * alpha) < 2) return out
     var i = 0
-    while (i < n) {
-      val halfWidth = (alpha * i / 2.0).toInt
-      if (halfWidth >= 1) {
-        var num = 0.0
-        var den = 0.0
-        var j = math.max(0, i - halfWidth)
-        val jMax = math.min(n - 1, i + halfWidth)
-        while (j <= jMax) {
-          val w = 1.0 - math.abs(j - i).toDouble / (halfWidth + 1)
-          num += w * spectrum(j)
-          den += w
-          j += 1
+    while (i < len) {
+      val w =
+        if (i <= maxIdx) math.rint(i * alpha).toInt
+        else len - 1 - i
+      if (w >= 2) {
+        var s = 0.0
+        var k = -(w - 1)
+        while (k <= w - 1) {
+          s += (w - math.abs(k)) * spectrum(i + k)
+          k += 1
         }
-        out(i) = num / den
+        out(i) = s / (w.toDouble * w)
       }
       i += 1
     }

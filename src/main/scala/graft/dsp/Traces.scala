@@ -28,18 +28,23 @@ final case class Trace(data: Array[Double], fs: Double, startTime: Timestamp) {
 
 object Traces {
 
-  /** Reference `bandpass` (`traces.py:50-101`): linear detrend → cosine
-    * taper → zero-pad to 1.5·corners/freqMin seconds (Convers & Brady 1992)
-    * → Butterworth band-pass (optionally zero-phase), fmax clipped to
-    * 0.9·Nyquist.
+  /** Reference `bandpass` (`traces.py:50-101`): MEAN removal (the
+    * reference subtracts `nanmean`, not a linear trend) → cosine taper
+    * with ObsPy `max_percentage=taperP` (5% of the trace per SIDE at the
+    * 0.05 default — [[Filters.cosineTaper]]'s `p` is the total tapered
+    * fraction, so it receives `2·taperP`) → zero-pad to
+    * 1.5·corners/freqMin seconds (Convers & Brady 1992) → Butterworth
+    * band-pass (optionally zero-phase), fmax clipped to 0.9·Nyquist.
     */
   def bandpass(trace: Trace, freqMin: Double, freqMax: Double,
                corners: Int = 4, taperP: Double = 0.05,
                zerophase: Boolean = true): Trace = {
     val nyquist = trace.fs / 2.0
     val fMax = math.min(freqMax, 0.9 * nyquist)
-    val detrended = Filters.detrendLinear(trace.data)
-    val tapered = Filters.applyTaper(detrended, taperP)
+    val mean =
+      if (trace.data.isEmpty) 0.0 else trace.data.sum / trace.data.length
+    val demeaned = trace.data.map(_ - mean)
+    val tapered = Filters.applyTaper(demeaned, 2.0 * taperP)
     val padSec = 1.5 * corners / freqMin
     val padSamples = math.ceil(padSec * trace.fs).toInt
     val padded = tapered ++ new Array[Double](padSamples)

@@ -57,12 +57,15 @@ class DspSpec extends AnyFunSuite {
     val rnd = new scala.util.Random(42)
     val sig = Array.tabulate(256)(i => 5.0 * math.sin(2 * math.Pi * 10 * i / fs))
     val noi = Array.fill(256)(rnd.nextGaussian() * 0.5)
+    // non-dB snr is the AMPLITUDE ratio (sqrt of the power ratio,
+    // ndarrays.py:167) — the dB form therefore relates as 20·log10
     val s = Spectra.snr(sig, noi, deltaSignal = 1 / fs, deltaNoise = 1 / fs)
-    assert(s > 10.0)
+    assert(s > 3.0)
     val inv = Spectra.snr(noi, sig, deltaSignal = 1 / fs, deltaNoise = 1 / fs)
-    assert(inv < 0.1)
+    assert(inv < 1.0 / 3.0)
+    assertClose(s * inv, 1.0, 1e-9)
     val db = Spectra.snr(sig, noi, inDb = true, deltaSignal = 1 / fs, deltaNoise = 1 / fs)
-    assertClose(db, 10 * math.log10(s), 1e-9)
+    assertClose(db, 20 * math.log10(s), 1e-9)
   }
 
   test("cumsumsq normalized ends at 1; quantile index is monotone") {
@@ -94,6 +97,22 @@ class DspSpec extends AnyFunSuite {
     assert(math.abs(gainAt(7.0) - 1.0) < 0.05, s"passband gain ${gainAt(7.0)}")
     assert(gainAt(0.2) < 0.02, s"low stopband ${gainAt(0.2)}")
     assert(gainAt(45.0) < 0.02, s"high stopband ${gainAt(45.0)}")
+  }
+
+  test("odd-order wide-band bandpass: corner gains ~ -3dB, passband ~unity") {
+    // order 3 with a wide band maps the prototype's REAL pole to two
+    // distinct real z-poles — the old conjugate-only pairing squared one
+    // and dropped the other (|H(0.5Hz)| was 0.04 instead of 0.707)
+    val fs = 100.0
+    val n = 4000
+    def tone(f: Double) = Array.tabulate(n)(i => math.sin(2 * math.Pi * f * i / fs))
+    def gainAt(f: Double): Double =
+      steadyAmp(Filters.bandpass(tone(f), 0.5, 20.0, fs, corners = 3), n / 2)
+    assert(math.abs(gainAt(0.5) - math.sqrt(0.5)) < 0.05, s"low corner ${gainAt(0.5)}")
+    assert(math.abs(gainAt(20.0) - math.sqrt(0.5)) < 0.05, s"high corner ${gainAt(20.0)}")
+    assert(math.abs(gainAt(5.0) - 1.0) < 0.05, s"passband ${gainAt(5.0)}")
+    assert(gainAt(0.05) < 0.05, s"low stop ${gainAt(0.05)}")
+    assert(gainAt(45.0) < 0.05, s"high stop ${gainAt(45.0)}")
   }
 
   test("zero-phase filtering preserves the phase of a passband tone") {

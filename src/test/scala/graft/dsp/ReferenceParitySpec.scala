@@ -1,0 +1,72 @@
+package graft.dsp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden parity against the REFERENCE implementations (values computed by
+  * running `stream2segment/process/funclib/ndarrays.py` directly on the
+  * same inputs): triangsmooth window geometry, cumsumsq normalization and
+  * the snr amplitude/trim/delta semantics — the three kernels whose round-6
+  * review found systematic deviations.
+  */
+class ReferenceParitySpec extends AnyFunSuite {
+
+  private def close(a: Double, b: Double, tol: Double = 1e-9): Boolean =
+    math.abs(a - b) <= tol * math.max(1.0, math.abs(b))
+
+  test("triangsmooth matches the reference on a pseudo-random spectrum") {
+    val spec = Array.tabulate(80)(i => ((i * 37 + 11) % 101) / 10.0)
+    val want = Array(
+      1.1, 4.8, 8.5, 2.1, 5.8, 9.5, 5.625, 4.2749999999999995, 2.925, 4.1,
+      5.2749999999999995, 4.766666666666666, 5.1, 5.433333333333334, 5.55625,
+      6.1, 6.0125, 5.293750000000001, 5.20625, 4.74, 4.803999999999999,
+      4.868, 4.7861111111111105, 4.838888888888889, 4.891666666666667,
+      4.663888888888889, 4.436111111111111, 4.328571428571428,
+      4.318367346938776, 4.514285714285714, 4.6296875, 4.7,
+      4.770312500000001, 4.840625, 4.910937499999999, 4.9111111111111105,
+      4.87037037037037, 4.829629629629629, 4.845, 4.909000000000001, 4.973,
+      4.936, 5.000000000000001, 5.027272727272727, 5.054545454545455,
+      5.081818181818182, 5.140972222222222, 5.123611111111112,
+      5.176388888888889, 5.159027777777777, 5.2118055555555545,
+      5.250887573964497, 5.245562130177515, 5.3, 5.341326530612244,
+      5.331122448979592, 5.320918367346939, 5.310714285714285,
+      5.248979591836735, 5.190222222222222, 5.119555555555556,
+      5.093777777777778, 5.104296875000001, 5.095703125, 5.106222222222223,
+      5.074489795918367, 4.991715976331361, 4.916666666666666,
+      4.79090909090909, 4.809, 4.85679012345679, 4.8296874999999995, 4.9,
+      5.2333333333333325, 5.432, 5.9, 6.2333333333333325, 5.725, 6.9, 0.5)
+    val got = Spectra.triangsmooth(spec, 0.25)
+    assert(got.length == want.length)
+    got.indices.foreach { i =>
+      assert(close(got(i), want(i)), s"bin $i: ${got(i)} vs ${want(i)}")
+    }
+  }
+
+  test("cumsumsq normalization matches the reference (min-max, not /total)") {
+    val x = Array(3.0, 1.0, -2.0, 0.5, 4.0)
+    val want = Array(0.0, 0.047058823529411764, 0.23529411764705882,
+      0.24705882352941178, 1.0)
+    val got = Spectra.cumsumsq(x)
+    got.indices.foreach(i => assert(close(got(i), want(i)), s"$i"))
+  }
+
+  test("snr matches the reference: amplitude form, band trim, spectral deltas") {
+    val fs = 50.0
+    val sig = Array.tabulate(64)(i => math.sin(2 * math.Pi * 5 * i / fs) * 2.0)
+    val noi = Array.tabulate(64)(i => math.cos(2 * math.Pi * 11 * i / fs) * 0.7)
+    val v1 = Spectra.snr(sig, noi, deltaSignal = 1 / fs, deltaNoise = 1 / fs)
+    assert(close(v1, 2.8615029031321297), v1)
+    val v2 = Spectra.snr(sig, noi, fminHz = 3.0, fmaxHz = 7.0,
+      deltaSignal = 1 / fs, deltaNoise = 1 / fs)
+    assert(close(v2, 88.77275628969413), v2)
+    val v3 = Spectra.snr(sig, noi, inDb = true,
+      deltaSignal = 1 / fs, deltaNoise = 1 / fs)
+    assert(close(v3, 9.131883817144837), v3)
+    // spectral ('amp') form: deltas ARE frequency resolutions in Hz
+    val df = 1.0 / (64 * (1 / fs))
+    val ampS = Spectra.ampspec(sig)
+    val ampN = Spectra.ampspec(noi)
+    val v4 = Spectra.snr(ampS, ampN, signalsForm = "amp",
+      fminHz = 3.0, fmaxHz = 7.0, deltaSignal = df, deltaNoise = df)
+    assert(close(v4, 88.77275628969413), v4)
+  }
+}
