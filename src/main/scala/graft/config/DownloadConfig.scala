@@ -86,12 +86,20 @@ object DownloadConfig {
     var datesOk = true
     def date(key: String): Timestamp = req(key) match {
       case null => datesOk = false; new Timestamp(0)
+      // all instants at UTC (request windows are formatted as UTC wall
+      // clocks for FDSN servers): Timestamp.valueOf / LocalDate.now in
+      // the JVM default zone would shift the whole campaign window on a
+      // non-UTC host, and flip "0 = today" near local midnight
       case l: java.lang.Long =>
-        Timestamp.valueOf(java.time.LocalDate.now().minusDays(l).atStartOfDay())
+        Timestamp.from(java.time.LocalDate.now(java.time.ZoneOffset.UTC)
+          .minusDays(l).atStartOfDay().toInstant(java.time.ZoneOffset.UTC))
       case s: String =>
-        try
-          if (s.length == 10) Timestamp.valueOf(LocalDateTime.parse(s + "T00:00:00"))
-          else Timestamp.valueOf(LocalDateTime.parse(s))
+        try {
+          val ldt =
+            if (s.length == 10) LocalDateTime.parse(s + "T00:00:00")
+            else LocalDateTime.parse(s)
+          Timestamp.from(ldt.toInstant(java.time.ZoneOffset.UTC))
+        }
         catch {
           case _: Exception =>
             datesOk = false
@@ -139,7 +147,14 @@ object DownloadConfig {
     }
 
     def nslc(key: String): Seq[String] = raw.get(key) match {
-      case Some(s: Seq[_]) => s.map(_.toString)
+      case Some(s: Seq[_]) => s.map {
+        // unquoted numeric SEED codes: YAML integer-parses `00` to 0 and
+        // the bare toString would emit "0" — an equality filter that
+        // matches NOTHING. Location codes are exactly two chars, so
+        // zero-pad numeric locations; other keys keep plain rendering.
+        case n: Long if key == "location" && n >= 0 && n <= 99 => f"$n%02d"
+        case v => v.toString
+      }
       case Some(s: String) if s.nonEmpty => s.split(",").toSeq.map(_.trim)
       case Some(null) | None => Seq("*")
       case Some(other) => err(s"$key: expected list or comma string, got '$other'", Seq("*"))
@@ -210,15 +225,21 @@ object DownloadConfig {
       maxConcurrentDownloads = maxConc, timeoutSec = timeout,
       restrictedData = restricted,
       eidaToken = eidaToken,
+      // wrong-typed values REPORT, like every other parameter — the old
+      // catch-all Map.empty silently disabled the selection/params
       segmentsSelection = raw.get("segments_selection") match {
         case Some(m: Map[_, _]) =>
           m.asInstanceOf[Map[String, Any]].map { case (k, v) => k -> String.valueOf(v) }
-        case _ => Map.empty
+        case None | Some(null) => Map.empty
+        case Some(other) =>
+          err(s"segments_selection: expected mapping, got '$other'", Map.empty)
       },
       eventsExtraParams = raw.get("events_extra_params") match {
         case Some(m: Map[_, _]) =>
           m.asInstanceOf[Map[String, Any]].map { case (k, v) => k -> String.valueOf(v) }
-        case _ => Map.empty
+        case None | Some(null) => Map.empty
+        case Some(other) =>
+          err(s"events_extra_params: expected mapping, got '$other'", Map.empty)
       },
       inventory = bool("inventory", default = false),
       continuous = bool("continuous", default = false),

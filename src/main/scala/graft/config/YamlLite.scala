@@ -39,7 +39,12 @@ object YamlLite {
       l.charAt(i) match {
         case '\'' if !inD => inS = !inS
         case '"' if !inS => inD = !inD
-        case '#' if !inS && !inD => return l.substring(0, i)
+        // YAML comment rule: '#' opens a comment only at line start or
+        // when preceded by whitespace — a '#' inside an unquoted scalar
+        // (URL fragment, token) is part of the value
+        case '#' if !inS && !inD &&
+            (i == 0 || l.charAt(i - 1) == ' ' || l.charAt(i - 1) == '\t') =>
+          return l.substring(0, i)
         case _ =>
       }
       i += 1

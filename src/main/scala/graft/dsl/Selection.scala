@@ -94,7 +94,20 @@ object Selection {
         val last = expr.last
         require(last == ']' || last == ')' || last == '[',
           s"interval expression must end with ']', ')' or '[': $expr")
-        val inner = expr.substring(1, expr.length - 1).replace(",", " ")
+        // comma separates the endpoints only OUTSIDE quotes: a quoted
+        // string endpoint may itself contain commas
+        val raw = expr.substring(1, expr.length - 1)
+        val inner = {
+          val sb = new StringBuilder
+          var inQ = false; var q = ' '
+          raw.foreach { ch =>
+            if (inQ) { if (ch == q) inQ = false; sb += ch }
+            else if (ch == '\'' || ch == '"') { inQ = true; q = ch; sb += ch }
+            else if (ch == ',') sb += ' '
+            else sb += ch
+          }
+          sb.toString
+        }
         val loOpen = c != '['
         val hiOpen = last != ']'
         (Interval(loOpen, hiOpen), inner)
@@ -146,12 +159,19 @@ object Selection {
     DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"),
     DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
 
+  // selection literals are UTC wall clocks (data timestamps are UTC
+  // instants and the session timezone is UTC): build instants at UTC,
+  // never via Timestamp.valueOf's JVM default zone — on a non-UTC host
+  // that would shift every time-bounded selection by the host offset
+  private def utcTs(l: LocalDateTime): Timestamp =
+    Timestamp.from(l.toInstant(java.time.ZoneOffset.UTC))
+
   private[dsl] def parseIsoTimestamp(tok: String): Timestamp = {
     if (tok.length == 10) // date-only
-      return Timestamp.valueOf(LocalDate.parse(tok).atStartOfDay())
+      return utcTs(LocalDate.parse(tok).atStartOfDay())
     isoFormats.view
       .flatMap { f =>
-        try Some(Timestamp.valueOf(LocalDateTime.parse(tok, f)))
+        try Some(utcTs(LocalDateTime.parse(tok, f)))
         catch { case _: Exception => None }
       }
       .headOption

@@ -28,10 +28,15 @@ object Derived {
               loc: Column, cha: Column, t: Column): Column = {
     val ts = t.cast("timestamp")
     val doy = lpad(dayofyear(ts).cast("string"), 3, "0")
+    // NULL location must render as the EMPTY dotted field, not collapse
+    // (concat_ws skips nulls -> a different NSLC's name); NULL channel
+    // would null concat(cha, ".D") and silently drop a directory level
+    val locNz = coalesce(loc, lit(""))
+    val chaNz = coalesce(cha, lit(""))
     concat_ws("/", root, eventId.cast("string"), year(ts).cast("string"),
-      net, sta, when(loc === "", lit(null)).otherwise(loc),
-      concat(cha, lit(".D")),
-      concat_ws(".", net, sta, loc, cha, lit("D"),
+      net, sta, when(locNz === "", lit(null)).otherwise(locNz),
+      concat(chaNz, lit(".D")),
+      concat_ws(".", net, sta, locNz, chaNz, lit("D"),
         year(ts).cast("string"), doy))
   }
 

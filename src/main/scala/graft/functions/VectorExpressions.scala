@@ -130,7 +130,11 @@ object CosineSimilarityFloat {
       nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    // zero-norm guard like the Int8 twin: 0/0 = NaN would rank ABOVE
+    // every real cosine in a descending top-k sort, so one zero vector
+    // in the corpus would displace a genuine neighbor from every query
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   def apply(a: Column, b: Column): Column =

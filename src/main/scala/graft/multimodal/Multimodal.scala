@@ -91,14 +91,25 @@ object Multimodal {
         var i = 2
         while (i + 9 < b.length) {
           if (u8(b, i) != 0xff) return None // lost marker sync
-          val marker = u8(b, i + 1)
+          // JPEG allows any number of 0xFF FILL bytes before the marker
+          // id — some encoders emit them; without the skip the scanner
+          // read 0xFF as a "marker", mis-applied segment-length math and
+          // desynced on valid images
+          var j = i + 1
+          while (j < b.length - 1 && u8(b, j) == 0xff) j += 1
+          val marker = u8(b, j)
+          if (j + 8 >= b.length) return None
           // SOF0..SOF15 except DHT(C4)/JPG(C8)/DAC(CC) carry the frame dims
           if (marker >= 0xc0 && marker <= 0xcf &&
             marker != 0xc4 && marker != 0xc8 && marker != 0xcc)
-            return Some(ImageDims("jpeg", be16(b, i + 7), be16(b, i + 5)))
-          else if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd9 && marker != 0xd8))
-            i += 2 // standalone markers
-          else i += 2 + be16(b, i + 2) // segment with 2-byte length
+            return Some(ImageDims("jpeg", be16(b, j + 6), be16(b, j + 4)))
+          else if (marker >= 0xd0 && marker <= 0xd9 || marker == 0x01)
+            i = j + 1 // standalone markers (RSTn, SOI, EOI, TEM)
+          else {
+            val segLen = be16(b, j + 1)
+            if (segLen < 2) return None // malformed length, don't spin
+            i = j + 1 + segLen
+          }
         }
         None
       } else if (b.length >= 10 && (new String(b, 0, 6, "US-ASCII") == "GIF87a" ||
@@ -120,6 +131,11 @@ object Multimodal {
       while (i + 8 <= b.length) {
         val cid = new String(b, i, 4, "US-ASCII")
         val len = le32(b, i + 4)
+        // the 32-bit chunk length is attacker-controlled: a negative value
+        // (>= 2^31) would leave `i` unchanged (infinite loop on one bad
+        // row), and a huge positive one overflows the index — a chunk
+        // cannot exceed the payload, so both are malformed
+        if (len < 0 || len > b.length) return None
         if (cid == "fmt " && i + 8 + 16 <= b.length) {
           fmtOk = le16(b, i + 8) == 1 // PCM
           ch = le16(b, i + 10)

@@ -32,7 +32,10 @@ object Cosine {
     * to the Column form (left-to-right accumulation, cast-then-multiply), so
     * results are bit-equal, but orders of magnitude faster in all-pairs
     * joins (no per-call array deserialization, stays in whole-stage
-    * codegen). See [[graft.functions.CosineSimilarityFloat]].
+    * codegen). One deliberate divergence: a zero-norm input returns 0
+    * where the Column form's 0/0 yields NaN — NaN sorts ABOVE every real
+    * cosine in a descending top-k. See
+    * [[graft.functions.CosineSimilarityFloat]].
     */
   def cosineF(a: Column, b: Column): Column =
     graft.functions.CosineSimilarityFloat(a, b)

@@ -61,6 +61,26 @@ class ConfigSpec extends AnyFunSuite {
     assert(errs.exists(_.contains("minmag must be <= maxmag")), errs)
   }
 
+  test("yaml: '#' inside an unquoted scalar is NOT a comment") {
+    val m = YamlLite.parse(
+      "events_url: http://host/fdsnws/event/1/query#frag\n")
+    assert(m("events_url") == "http://host/fdsnws/event/1/query#frag")
+  }
+
+  test("config: numeric location codes keep their two-char form") {
+    // unquoted `location: [00, 10]` integer-parses to 0 and 10; the
+    // filter must still match the real '00'/'10' codes
+    val cfg = DownloadConfig.from(
+      base + ("location" -> Seq(0L, 10L))).toOption.get
+    assert(cfg.location == Seq("00", "10"))
+  }
+
+  test("config: wrong-typed segments_selection reports, not silently empty") {
+    val Left(errs) = DownloadConfig.from(
+      base + ("segments_selection" -> "maxgap < 0.5")): @unchecked
+    assert(errs.exists(_.contains("segments_selection")), errs)
+  }
+
   test("config: integer dates are day offsets; start must precede end") {
     val cfg = DownloadConfig.from(base +
       ("starttime" -> 1L) + ("endtime" -> 0L)).toOption.get

@@ -64,4 +64,26 @@ class CodecsSpec extends AnyFunSuite {
     wav(20) = 3 // format tag != 1 (PCM)
     assert(Codecs.decodeWavPcm(wav).isEmpty)
   }
+
+  test("malformed wav chunk lengths return None instead of spinning") {
+    // negative length (0xFFFFFFF8): would leave the cursor unmoved — an
+    // infinite loop on one bad row before the guard
+    val neg = Codecs.wavBytes(8000, Array[Short](1, 2))
+    val bb = java.nio.ByteBuffer.wrap(neg).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(16, 0xFFFFFFF8) // fmt chunk length
+    assert(Codecs.decodeWavPcm(neg).isEmpty)
+    // huge positive length: would overflow the cursor into negatives
+    val big = Codecs.wavBytes(8000, Array[Short](1, 2))
+    java.nio.ByteBuffer.wrap(big).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(16, 0x7FFFFFF0)
+    assert(Codecs.decodeWavPcm(big).isEmpty)
+  }
+
+  test("jpeg fill bytes before a marker keep dimension sync") {
+    val base = Codecs.jpegBytes(320, 200)
+    // inject two 0xFF fill bytes between SOI and the SOF0 marker
+    val padded = base.take(2) ++ Array[Byte](-1, -1) ++ base.drop(2)
+    assert(Codecs.imageDimensions(padded).contains(
+      Codecs.ImageDims("jpeg", 320, 200)))
+  }
 }

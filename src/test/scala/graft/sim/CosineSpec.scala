@@ -109,6 +109,17 @@ class CosineSpec extends SparkSpec {
     assert(ivf == exact)
   }
 
+  test("zero-norm vectors score 0, never NaN (NaN would top every top-k)") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(0.0f, 0.0f), Seq(1.0f, 2.0f)),
+      (Seq(1.0f, 2.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
+    val got = df.select(Cosine.cosineF(org.apache.spark.sql.functions.col("a"),
+      org.apache.spark.sql.functions.col("b"))).as[Double].collect()
+    assert(got(0) == 0.0 && !got(0).isNaN)
+    assert(math.abs(got(1) - 1.0) < 1e-12)
+  }
+
   test("cosine_similarity_float registers as a SQL function") {
     graft.plans.GraftExtensions.register(spark)
     val got = spark.sql(
