@@ -147,6 +147,8 @@ object Main {
          |retry_client_err: false
          |retry_server_err: true
          |retry_timespan_err: true
+         |# retry segments whose window was only PARTIALLY covered (-200)
+         |retry_timespan_warn: false
          |# segment selection for `process` (the selection-expression DSL)
          |segments_selection:
          |  has_valid_data: 'true'
@@ -268,15 +270,24 @@ object Main {
     // Gutenberg-Richter magnitude midpoint, then by time halving
     // (`events.py:193-244`), exactly-once over the (time, magnitude) space
     import graft.sources.EventPaging
+    // UTC wall clocks in the query string: toLocalDateTime reads the JVM
+    // default zone and would shift the campaign window on a non-UTC host
+    // (Fetch.iso fixes the same thing for dataselect requests)
+    def evIso(t: java.sql.Timestamp): String =
+      java.time.LocalDateTime.ofInstant(t.toInstant,
+        java.time.ZoneOffset.UTC).format(iso)
     def evUrl(r: EventPaging.EventRequest): String =
       cfg.eventsUrl +
-        s"?format=text&starttime=${r.start.toLocalDateTime.format(iso)}" +
-        s"&endtime=${r.end.toLocalDateTime.format(iso)}" +
+        s"?format=text&starttime=${evIso(r.start)}" +
+        s"&endtime=${evIso(r.end)}" +
         s"&minmagnitude=${r.minMag}&maxmagnitude=${r.maxMag}" +
         cfg.eventsExtraParams.toSeq.sortBy(_._1)
           .map { case (k, v) => s"&$k=$v" }.mkString
     val (bodies, failedReqs) = EventPaging.fetchAll[String](
-      EventPaging.EventRequest(cfg.starttime, cfg.endtime, 0.0, 10.0),
+      // [-10, 12] covers every catalog magnitude incl. negative micro-event
+      // MLs — [0, 10] silently excluded them server-side (the reference
+      // only bounds magnitude when a 413 forces a split)
+      EventPaging.EventRequest(cfg.starttime, cfg.endtime, -10.0, 12.0),
       r => {
         val res = transport.fetch(evUrl(r), None, timeoutMs)
         res.code match {
@@ -306,10 +317,18 @@ object Main {
     // 2. datacenters: EIDA routing service or a single fdsnws base
     //    (`download/modules/datacenters.py`)
     val routingIdx =
-      if (cfg.dataUrl.contains("/routing/"))
-        Some(RoutingService.parse(new String(transport.fetch(
-          cfg.dataUrl, None, timeoutMs).data.getOrElse(Array.empty), "UTF-8")))
-      else None
+      if (cfg.dataUrl.contains("/routing/")) {
+        // a routing outage must ABORT like a failed event fetch: parsing
+        // an empty body would yield zero datacenters, a "successful"
+        // zero-segment campaign, and an overwrite of the previous run's
+        // channels table with an empty one
+        val res = transport.fetch(cfg.dataUrl, None, timeoutMs)
+        if (!res.isSuccess || res.data.isEmpty)
+          throw new RuntimeException(
+            s"routing service fetch failed: ${res.error.getOrElse("")} " +
+              s"(code ${res.code.getOrElse("none")})")
+        Some(RoutingService.parse(new String(res.data.get, "UTF-8")))
+      } else None
     val stationUrls: Seq[String] = routingIdx match {
       case Some(idx) => idx.rules.keys.toSeq.sorted
         .map(_.replace("/dataselect/", "/station/"))
@@ -387,7 +406,7 @@ object Main {
         val retryIds = priorSlim.filter(DownloadFlow.retryMask(
           col("download_code"), cfg.retrySegNotFound, cfg.retryUrlErr,
           cfg.retryMseedErr, cfg.retryClientErr, cfg.retryServerErr,
-          cfg.retryTimespanErr)).select("seg_id")
+          cfg.retryTimespanErr, cfg.retryTimespanWarn)).select("seg_id")
         // a changed timespan config moves the requested window: those
         // segments hold the WRONG data and must re-download regardless of
         // their code (`segments.py:163-196` request_timebounds mismatch)
@@ -443,6 +462,10 @@ object Main {
       .withColumn("download_id", lit(runId))
       .join(candidates.select(col("seg_id"), col("request_start"),
         col("request_end")), Seq("seg_id"), "left")
+      // four consumers (quarantine split + write, code stats, report):
+      // without the persist each re-runs the results×candidates join over
+      // the binary payload column
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // drift guard: the streaming reader declares a FIXED schema and the
     // parquet file-stream source silently null-fills columns it can't
     // find — a rename here would break `continuous: true` with no error
@@ -462,15 +485,43 @@ object Main {
         "seg_id", segChecks)
     else {
       val s = Quarantine.split(segDf, segChecks)
-      val cols = prior.get.schema.fieldNames.map(col).toSeq
-      val merged = prior.get
+      // merge on the NEW schema: a legacy store (no request bounds) is
+      // UPGRADED with null columns — projecting new rows down to the old
+      // schema silently dropped request_start/request_end/queryauth and
+      // dodged the drift guard above, which validated segDf but not the
+      // frame actually written
+      val priorUp = segDf.schema.fields
+        .filterNot(f => prior.get.schema.fieldNames.contains(f.name))
+        .foldLeft(prior.get)((d, f) =>
+          d.withColumn(f.name, lit(null).cast(f.dataType)))
+      val cols = segDf.schema.fieldNames.map(col).toSeq
+      val merged = priorUp
         .join(s.ok.select("seg_id"), Seq("seg_id"), "left_anti")
         .select(cols: _*)
         .unionByName(s.ok.select(cols: _*))
       Writers.overwriteParquetVia(merged, s"${cfg.outdir}/segments")
+      // quarantine appends get the same resume dedup the append path
+      // applies (appendParquetQuarantined) — a crashed-and-rerun retry
+      // campaign must not double its reject rows
       if (s.rejected.limit(1).count() > 0)
-        s.rejected.write.mode("append")
+        Writers.resumeFilter(s.rejected.filter(col("seg_id").isNotNull),
+            s"${cfg.outdir}/segments_rejected", "seg_id", Some("parquet"))
+          .unionByName(s.rejected.filter(col("seg_id").isNull))
+          .write.mode("append")
           .parquet(s"${cfg.outdir}/segments_rejected")
+      // re-downloaded segments may carry NEW data: their previously
+      // computed features are stale, and batch resume (anti-join on
+      // seg_id) would keep them forever — drop them so the next process
+      // run recomputes. NOTE: `continuous: true` tracks FILES, so a
+      // merge rewrite makes the checkpoint re-emit old rows; retry
+      // campaigns should pair with the batch process path.
+      try {
+        val feats = spark.read.parquet(s"${cfg.outdir}/features")
+        Writers.overwriteParquetVia(
+          feats.join(s.ok.select(col("seg_id")).distinct(),
+            Seq("seg_id"), "left_anti"),
+          s"${cfg.outdir}/features")
+      } catch { case _: org.apache.spark.sql.AnalysisException => () }
     }
     Writers.overwriteParquetVia(events, s"${cfg.outdir}/events")
     // via-temp: on a fallback run the channels plan READS outdir/channels
@@ -494,7 +545,11 @@ object Main {
       // stations-with-data stay a Dataset end-to-end: the request key is a
       // hash of the station identity and the fetched blobs join back on it —
       // no driver collect, no broadcast index map, station-count-scalable
-      val okSegIds = run.results.filter(_.code.contains(200L))
+      // any segment that SAVED data needs its station's response —
+      // TimespanWarn (-200) rows carry data too; code-200-only skipped
+      // them and their waveforms could never be response-corrected
+      val okSegIds = run.results
+        .filter(r => r.data != null && r.data.nonEmpty)
         .map(_.segId).toDF("seg_id")
       val stations = candidates.join(okSegIds, "seg_id")
         .select(col("net"), col("sta"), col("dataselect_url")).distinct()
@@ -542,12 +597,14 @@ object Main {
       log.warn(s"seg_id hash collision: $nCandidates candidates map to " +
         s"$nSegIds distinct ids; colliding candidates resume-filter as " +
         "already downloaded — narrow the campaign or widen the id")
+    // nSegments = Σ code counts (the groupBy covers every row) — no
+    // fourth scan of the segment payloads
     val report = DownloadReport(events.count(), filtered.count(),
-      nCandidates, segDf.count(), codeCounts)
+      nCandidates, codeCounts.values.sum, codeCounts)
     log.info(s"events: ${report.nEvents}; channels: ${report.nChannels}; " +
       s"candidates: ${report.nCandidates} (${run.attempts} download attempt(s))")
     run.unpersist(); events.unpersist(); filtered.unpersist()
-    candidates.unpersist(); chanResponses.unpersist()
+    candidates.unpersist(); chanResponses.unpersist(); segDf.unpersist()
     report
   }
 
@@ -696,6 +753,16 @@ object Main {
         s"${cfg.outdir}/_checkpoints/features",
         selection = cfg.segmentsSelection)
       q.awaitTermination()
+      // the listener bus is ASYNC: the final micro-batch's progress event
+      // may still be in flight when awaitTermination returns — wait for
+      // the skip counter to go quiet before reading it
+      var last = -1L
+      var spins = 0
+      while (skipped.get != last && spins < 20) {
+        last = skipped.get
+        Thread.sleep(100)
+        spins += 1
+      }
       val appended = countFeatures() - before
       (appended, skipped.get)
     } finally spark.streams.removeListener(listener)

@@ -30,6 +30,7 @@ final case class DownloadConfig(
     retrySegNotFound: Boolean, retryUrlErr: Boolean, retryMseedErr: Boolean,
     retryClientErr: Boolean, retryServerErr: Boolean,
     retryTimespanErr: Boolean,
+    retryTimespanWarn: Boolean,
     maxConcurrentDownloads: Int,
     timeoutSec: Int,
     restrictedData: Map[String, (String, String)],
@@ -47,7 +48,8 @@ object DownloadConfig {
     "search_radius", "timespan", "network", "station", "location", "channel",
     "min_sample_rate", "retry_seg_not_found", "retry_url_err",
     "retry_mseed_err", "retry_client_err", "retry_server_err",
-    "retry_timespan_err", "max_concurrent_downloads", "timeout",
+    "retry_timespan_err", "retry_timespan_warn",
+    "max_concurrent_downloads", "timeout",
     "restricted_data", "eida_token", "events_extra_params",
     "segments_selection", "inventory", "continuous", "traveltimes")
 
@@ -222,6 +224,7 @@ object DownloadConfig {
       retryClientErr = bool("retry_client_err", default = false),
       retryServerErr = bool("retry_server_err", default = false),
       retryTimespanErr = bool("retry_timespan_err", default = false),
+      retryTimespanWarn = bool("retry_timespan_warn", default = false),
       maxConcurrentDownloads = maxConc, timeoutSec = timeout,
       restrictedData = restricted,
       eidaToken = eidaToken,

@@ -35,7 +35,7 @@ class MainSpec extends SparkSpec {
 
     val eventsUrl = "http://evsvc/fdsnws/event/1/query" +
       "?format=text&starttime=2011-01-01T00:00:00&endtime=2011-02-01T00:00:00" +
-      "&minmagnitude=0.0&maxmagnitude=10.0"
+      "&minmagnitude=-10.0&maxmagnitude=12.0"
     val stationUrl = "http://geofon.gfz-potsdam.de/fdsnws/station/1/query" +
       "?level=channel&format=text"
     val dataselectUrl = "http://geofon.gfz-potsdam.de/fdsnws/dataselect/1/query"
@@ -146,7 +146,7 @@ class MainSpec extends SparkSpec {
     val cfg = DownloadConfig.load(cfgPath.toString).toOption.get
     val eventsUrl413 = "http://evsvc/fdsnws/event/1/query" +
       "?format=text&starttime=2011-01-01T00:00:00&endtime=2011-02-01T00:00:00" +
-      "&minmagnitude=0.0&maxmagnitude=10.0"
+      "&minmagnitude=-10.0&maxmagnitude=12.0"
     val stationUrl = "http://geofon.gfz-potsdam.de/fdsnws/station/1/query" +
       "?level=channel&format=text"
     val dataselectUrl = "http://geofon.gfz-potsdam.de/fdsnws/dataselect/1/query"
@@ -196,9 +196,9 @@ class MainSpec extends SparkSpec {
                          headers: Map[String, String]): FetchResult =
         if (url.startsWith("http://evsvc/")) {
           evHits.incrementAndGet()
-          if (url.contains("minmagnitude=0.0&maxmagnitude=10.0"))
+          if (url.contains("minmagnitude=-10.0&maxmagnitude=12.0"))
             FetchResult(None, Some("HTTP 413"), Some(413))
-          else if (url.contains("minmagnitude=0.0"))
+          else if (url.contains("minmagnitude=-10.0"))
             FetchResult(Some(evBytes), None, Some(200))
           else FetchResult(Some(Array.empty), None, Some(200))
         } else inner.fetch(url, body, timeoutMs, headers)
@@ -229,7 +229,7 @@ class MainSpec extends SparkSpec {
     assert(cfg.eidaToken.contains("TOKEN123"))
     val eventsUrl = "http://evsvc/fdsnws/event/1/query" +
       "?format=text&starttime=2011-01-01T00:00:00&endtime=2011-02-01T00:00:00" +
-      "&minmagnitude=0.0&maxmagnitude=10.0"
+      "&minmagnitude=-10.0&maxmagnitude=12.0"
     val stationUrl = "http://geofon.gfz-potsdam.de/fdsnws/station/1/query" +
       "?level=channel&format=text"
     // token POSTs go to the https auth endpoint; data to queryauth with the
@@ -320,7 +320,7 @@ class MainSpec extends SparkSpec {
     val cfg = DownloadConfig.load(cfgPath.toString).toOption.get
     val eventsUrl = "http://evsvc/fdsnws/event/1/query" +
       "?format=text&starttime=2011-01-01T00:00:00&endtime=2011-02-01T00:00:00" +
-      "&minmagnitude=0.0&maxmagnitude=10.0"
+      "&minmagnitude=-10.0&maxmagnitude=12.0"
     val stationUrl = "http://geofon.gfz-potsdam.de/fdsnws/station/1/query" +
       "?level=channel&format=text"
     val dataselectUrl = "http://geofon.gfz-potsdam.de/fdsnws/dataselect/1/query"
@@ -360,7 +360,7 @@ class MainSpec extends SparkSpec {
     val cfg = DownloadConfig.load(cfgPath.toString).toOption.get
     val eventsUrl = "http://evsvc/fdsnws/event/1/query" +
       "?format=text&starttime=2011-01-01T00:00:00&endtime=2011-02-01T00:00:00" +
-      "&minmagnitude=0.0&maxmagnitude=10.0"
+      "&minmagnitude=-10.0&maxmagnitude=12.0"
     val stationUrl = "http://geofon.gfz-potsdam.de/fdsnws/station/1/query" +
       "?level=channel&format=text"
     val dataselectUrl = "http://geofon.gfz-potsdam.de/fdsnws/dataselect/1/query"
