@@ -74,12 +74,11 @@ object Quantize {
     val survivors = coarse
       .withColumn("__crank", row_number().over(wCoarse))
       .filter(col("__crank") <= rerank)
-    // nanvl: a zero-norm vector's 0/0 cosine is NaN, which sorts ABOVE
-    // every real value in a descending rank — define it as 0 instead so
-    // zero vectors can never displace genuine neighbors
+    // no nanvl needed: cosineF guards zero norms itself and returns 0
+    // (a NaN would sort above every real value in a descending rank)
     val exact = survivors
       .withColumn("cos",
-        round(nanvl(Cosine.cosineF(col(vecCol), col(qVecCol)), lit(0.0)), 6))
+        round(Cosine.cosineF(col(vecCol), col(qVecCol)), 6))
     val w = Window.partitionBy(col(qIdCol))
       .orderBy(col("cos").desc, col(idCol))
     exact.withColumn("rank", row_number().over(w))

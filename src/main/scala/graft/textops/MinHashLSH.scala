@@ -69,10 +69,14 @@ object MinHashLSH {
       .agg(sort_array(collect_list(col(idCol))).as("__ids"),
         count(lit(1)).as("__n"))
       .filter(col("__n") > 1 && col("__n") <= maxBucketSize)
-      .select(explode(flatten(transform(col("__ids"), x =>
-        transform(filter(col("__ids"), y => y > x),
-          y => struct(x.as("id1"), y.as("id2")))))).as("__p"))
-      .select(col("__p.id1").as("id1"), col("__p.id2").as("id2"))
+      // TWO-STAGE expansion: explode id1 first, then each (list, id1) row
+      // streams its partners out. The one-shot flatten(transform(...))
+      // form materialized the bucket's ENTIRE n²/2 pair array as a single
+      // row value (~50M structs at the default cap — executor OOM);
+      // two generators keep peak memory at one id list per row.
+      .select(col("__ids"), explode(col("__ids")).as("id1"))
+      .select(col("id1"),
+        explode(filter(col("__ids"), y => y > col("id1"))).as("id2"))
       .distinct()
   }
 
@@ -115,8 +119,9 @@ object MinHashLSH {
     */
   def nearDupPairs(df: DataFrame, idCol: String, shinglesCol: String,
                    threshold: Double, k: Int = 63, bands: Int = 21,
-                   rows: Int = 3): DataFrame = {
-    val cands = candidatePairs(df, idCol, shinglesCol, k, bands, rows)
+                   rows: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
+    val cands = candidatePairs(df, idCol, shinglesCol, k, bands, rows,
+      maxBucketSize)
     verifyByCounts(cands, df, idCol, shinglesCol, threshold)
   }
 

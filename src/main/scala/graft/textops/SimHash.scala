@@ -47,29 +47,49 @@ object SimHash {
 
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** 16-bit chunk blocks of a simhash column, chunk index salted in. */
+  /** 16-bit chunk blocks of a simhash column, chunk index salted in.
+    * Masked with bitwiseAND, NOT `% 65536`: Spark's `%` follows the
+    * DIVIDEND's sign, so a negative simhash (top bit set) produced a
+    * different chunk-0 value than a positive one with identical low 16
+    * bits — silently breaking the pigeonhole recall guarantee for any
+    * pair straddling the sign bit.
+    */
   def chunks(sim: Column): Column =
     array((0 until 4).map { i =>
       struct(lit(i).as("i"),
-        (shiftrightunsigned(sim, i * 16) % 65536).as("v"))
+        shiftrightunsigned(sim, i * 16).bitwiseAND(lit(0xffffL)).as("v"))
     }: _*)
 
   /** Near-dup pairs (id1 < id2) with Hamming distance <= maxHamming.
     * Recall is exact for maxHamming <= 3 (pigeonhole over 4 chunks);
     * larger thresholds may miss pairs with no equal chunk.
+    *
+    * `maxChunkBucket` is the same skew cap as the MinHash/cosine
+    * siblings: a constant-signature mega-cluster (e.g. empty documents,
+    * which all fold to simhash 0) would otherwise self-join
+    * quadratically; oversized chunk buckets are dropped whole (window
+    * count on the join key — one lineage, no re-derivation), singleton
+    * buckets pruned (they can't form a pair).
     */
   def nearDupPairs(df: DataFrame, idCol: String, textToks: Column,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3,
+                   maxChunkBucket: Int = 100000): DataFrame = {
     val sims = df.select(col(idCol), simhashUdf(textToks).as("__sim"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__chunk"))
     val blocked = sims.select(col(idCol), col("__sim"),
       explode(chunks(col("__sim"))).as("__chunk"))
+      .withColumn("__n", count(lit(1)).over(w))
+      .filter(col("__n") > 1 && col("__n") <= maxChunkBucket)
+      .drop("__n")
     blocked.as("a")
       .join(blocked.as("b"),
         col("a.__chunk") === col("b.__chunk") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"),
         hamming(col("a.__sim"), col("b.__sim")).as("hamming"))
-      .distinct()
+      // filter BEFORE distinct: far pairs sharing one chunk would ride
+      // the dedup shuffle only to be discarded after it
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

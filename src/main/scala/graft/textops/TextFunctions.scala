@@ -11,14 +11,14 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokens; empty/blank text → empty array (split would yield
-    * a single empty-string token).
+  /** Whitespace tokens; empty/blank text → empty array. Split then drop
+    * empty fragments — `trim()` only strips ASCII SPACES, so a trailing
+    * tab/newline used to survive it and `split` emitted a phantom ""
+    * token (skewing every count/shingle and the fingerprint family on
+    * line-terminated corpora).
     */
-  def tokens(text: Column): Column = {
-    val tr = trim(text)
-    when(length(tr) === 0, array().cast("array<string>"))
-      .otherwise(split(tr, "\\s+"))
-  }
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
 
   /** BPE-ish subword-boundary tokens: splits on whitespace AND at
     * letter/digit/punctuation boundaries (a cheap stand-in for a real BPE
@@ -186,7 +186,11 @@ object TextFunctions {
     * fingerprinting.
     */
   def normalized(text: Column): Column =
-    lower(regexp_replace(trim(text), "\\s+", " "))
+    // strip ALL whitespace at both ends (trim() is spaces-only — a
+    // trailing newline left "hello world " != "hello world" and split
+    // the fingerprint of otherwise-identical documents), then collapse
+    lower(regexp_replace(
+      regexp_replace(text, "^\\s+|\\s+$", ""), "\\s+", " "))
 
   /** 64-bit document fingerprint = xxhash64 of the normalized text.
     * Exact-dedup then is a plain hash groupBy — one shuffle of 8-byte keys

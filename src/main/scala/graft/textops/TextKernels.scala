@@ -21,17 +21,6 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextKernels {
 
-  /** Spark-compatible trim: strips ASCII spaces only (Column `trim`
-    * semantics, NOT Java `String.trim` which strips all chars <= 0x20).
-    */
-  private def sparkTrim(s: String): String = {
-    var b = 0
-    var e = s.length
-    while (b < e && s.charAt(b) == ' ') b += 1
-    while (e > b && s.charAt(e - 1) == ' ') e -= 1
-    if (b == 0 && e == s.length) s else s.substring(b, e)
-  }
-
   /** xxhash64 of a string's UTF-8 bytes, seed 42 — equals Column
     * `xxhash64(stringCol)`.
     */
@@ -43,10 +32,10 @@ object TextKernels {
     */
   def shingleHashes(text: String, n: Int): Array[Long] = {
     if (text == null) return null
-    val tr = sparkTrim(text)
-    if (tr.isEmpty) return Array.emptyLongArray
-    // limit -1 matches Spark `split` (keeps trailing empty strings)
-    val toks = tr.split("\\s+", -1)
+    // mirror TextFunctions.tokens exactly: split on \s+ and DROP empty
+    // fragments (the r6 whitespace fix — a leading/trailing tab or
+    // newline must not create a phantom "" token)
+    val toks = text.split("\\s+", -1).filter(_.nonEmpty)
     if (toks.length < n) return Array.emptyLongArray
     val seen = new java.util.LinkedHashSet[java.lang.Long](toks.length * 2)
     val sb = new java.lang.StringBuilder(64)

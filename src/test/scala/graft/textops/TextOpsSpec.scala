@@ -44,6 +44,27 @@ class TextOpsSpec extends SparkSpec {
     assert(fps(0) == fps(1) && fps(0) != fps(2))
   }
 
+  test("tabs/newlines at the edges create no phantom tokens or fingerprints") {
+    // Spark trim() strips ASCII spaces only — a trailing newline used to
+    // survive it, split emitted a "" token and the fingerprint diverged
+    val df = Seq("hello world\n", "\thello world", "hello world")
+      .toDF("text")
+    val counts = df.select(TextFunctions.tokenCount($"text")).as[Int].collect()
+    assert(counts.toSeq == Seq(2, 2, 2))
+    val fps = df.select(TextFunctions.fingerprint64($"text")).as[Long].collect()
+    assert(fps.toSet.size == 1)
+  }
+
+  test("simhash chunks straddle the sign bit (pigeonhole recall holds)") {
+    // identical low 16 bits must produce identical chunk-0 values whether
+    // the simhash is positive or negative — `% 65536` followed the
+    // dividend's sign and broke the <=3-Hamming recall guarantee
+    val df = Seq(0x000000000000FFFFL, 0x800000010001FFFFL).toDF("sim")
+    val c0 = df.select(org.apache.spark.sql.functions.element_at(
+      SimHash.chunks($"sim"), 1).getField("v")).as[Long].collect()
+    assert(c0(0) == c0(1) && c0(0) == 0xFFFFL)
+  }
+
   test("word shingles: distinct n-grams, short docs empty") {
     val sh = docs.select(TextFunctions.wordShingles($"text", 3).as("sh"))
       .select(size($"sh")).as[Int].collect()
