@@ -6,7 +6,7 @@ import graft.multimodal.Multimodal
 import graft.operators.{Dedup, DownloadStats, MergeUpdate, Packing, Sampling, StationSearch, SyncTable}
 import graft.sim.Cosine
 import graft.tables.Tables
-import graft.textops.{BpeTrainer, Decontaminate, DedupGraph, MinHashLSH, SimHash, SpanDedup, TextFunctions, UnigramLM}
+import graft.textops.{BpeTrainer, Decontaminate, DedupGraph, MinHashLSH, SimHash, SpanDedup, TextFunctions, TfIdf, UnigramLM}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1528,10 +1528,14 @@ object SparkEntry {
 
     // test-set decontamination: corpus docs sharing any 32-char n-gram
     // with the benchmark slice (doc_id % 10 == 0) and how many distinct
-    // grams leak — the exact-substring eval-leak check run before training
+    // grams leak — the exact-substring eval-leak check run before training.
+    // Hashed-key form (the 100 TB shape: 8-byte join keys, per-doc distinct
+    // folded into the scan projection); equality with the raw-string form
+    // is pinned by CurationSpec, and a false flag would need a 64-bit
+    // collision against the benchmark gram set
     "q67_decontaminate" -> ((s, dir) => {
       val all = tSpread(s, dir, "documents")
-      Decontaminate.overlap(
+      Decontaminate.overlapHashed(
         all.filter(col("doc_id") % 10 =!= 0),
         all.filter(col("doc_id") % 10 === 0),
         "doc_id", "text", 32)
@@ -1689,6 +1693,46 @@ object SparkEntry {
       graft.sim.SemDeDup.duplicates(emb.unionByName(clones),
         "vec_id", "embedding", threshold = 0.9, k = 8, nIters = 2)
         .orderBy(col("vec_id"))
+    }),
+
+    // per-document TF-IDF keyword extraction (smooth idf, sklearn form):
+    // top-3 most-distinctive tokens per doc — topic-balance / triage
+    // statistic. One explode, two map-side-combined counts, a broadcast
+    // vocab join and a per-doc window; scores rounded BEFORE ranking so
+    // the rank order is reproducible at the exposed precision
+    "q80_tfidf_keywords" -> ((s, dir) => {
+      TfIdf.topKeywords(tSpread(s, dir, "documents"), "doc_id", "text", 3)
+        .orderBy(col("doc_id"), col("rk"))
+    }),
+
+    // canonical-survivor selection: near-dup clusters (q65's transitive
+    // closure over exact-Jaccard >= 0.6 pairs) resolved by QUALITY — each
+    // cluster keeps its best-quality member (argmax qualityScore, ties to
+    // the smaller id), the RefinedWeb/FineWeb post-clustering step that
+    // picks WHICH near-duplicate survives rather than blindly keeping the
+    // smallest id
+    "q81_dedup_survivor" -> ((s, dir) => {
+      val stops = Seq("the", "a", "and", "of", "to")
+      val docs = tSpread(s, dir, "documents")
+      val sh = docs.select(col("doc_id"),
+        TextFunctions.wordShingleHashesFast(col("text"), 3).as("sh"))
+      val pairs = MinHashLSH.jaccardPairsPrefix(sh, "doc_id", "sh", 0.6)
+      val comp = DedupGraph.connectedComponents(pairs, "id1", "id2")
+      val quality = docs.select(col("doc_id"),
+        TextFunctions.qualityScore(col("text"), stops).as("quality"))
+      DedupGraph.survivorsByQuality(comp, quality, "doc_id", "quality")
+        .orderBy(col("doc_id"))
+    }),
+
+    // temperature-scaled mixture (mBERT/XLM-R α-smoothing): target weights
+    // ∝ count^0.5 normalized — low-resource languages up-weighted relative
+    // to their natural share, quotas by largest remainder, md5-ranked
+    // deterministic selection
+    "q82_temperature_mix" -> ((s, dir) => {
+      Sampling.temperatureMixture(t(s, dir, "documents"), "lang", "doc_id",
+        alpha = 0.5, total = 300L)
+        .select(col("doc_id"), col("lang"), col("rn"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -2793,6 +2837,93 @@ object SparkEntry {
         |    list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
         |    list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6) >= 0.9
         |GROUP BY b.vec_id
-        |ORDER BY vec_id""".stripMargin
+        |ORDER BY vec_id""".stripMargin,
+
+    "q80_tfidf_keywords" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)),
+        |    '\s+')) AS token
+        |  FROM documents WHERE trim(text) != ''),
+        |tf AS (
+        |  SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, token,
+        |    round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
+        |  FROM tf JOIN df USING (token) CROSS JOIN n)
+        |SELECT doc_id, rk, token, tfidf FROM (
+        |  SELECT doc_id, token, tfidf, CAST(row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY tfidf DESC, token) AS INTEGER) AS rk
+        |  FROM scored)
+        |WHERE rk <= 3
+        |ORDER BY doc_id, rk""".stripMargin,
+
+    "q81_dedup_survivor" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(string_split_regex(trim(text), '\s+')) - 1, 1)),
+        |    i -> string_split_regex(trim(text), '\s+')[i] || ' ' ||
+        |         string_split_regex(trim(text), '\s+')[i+1] || ' ' ||
+        |         string_split_regex(trim(text), '\s+')[i+2])) AS sh
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6),
+        |bidir AS (SELECT id1 AS a, id2 AS b FROM pairs
+        |          UNION ALL SELECT id2, id1 FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT a, a FROM bidir
+        |  UNION
+        |  SELECT b.b, reach.r FROM reach JOIN bidir b ON b.a = reach.node),
+        |comp AS (
+        |  SELECT node AS doc_id, min(r) AS component
+        |  FROM reach GROUP BY node),
+        |qual AS (
+        |  SELECT doc_id, round((
+        |    least(len(CASE WHEN trim(text) = '' THEN []
+        |      ELSE string_split_regex(trim(text), '\s+') END) / 100.0, 1.0) +
+        |    (1.0 - least(CAST(length(text) - length(regexp_replace(text,
+        |      '[!"#$%&''()*+,\-./:;<=>?@\[\]^_`{|}~]', '', 'g')) AS DOUBLE)
+        |      / length(text) * 5.0, 1.0)) +
+        |    least(CAST(len(list_filter(
+        |      CASE WHEN trim(text) = '' THEN []
+        |        ELSE string_split_regex(lower(trim(text)), '\s+') END,
+        |      x -> x IN ('the','a','and','of','to'))) AS DOUBLE) /
+        |      len(CASE WHEN trim(text) = '' THEN []
+        |        ELSE string_split_regex(lower(trim(text)), '\s+') END)
+        |      * 5.0, 1.0)
+        |  ) / 3.0, 6) AS quality
+        |  FROM documents)
+        |SELECT c.doc_id, c.component, q.quality,
+        |  row_number() OVER (PARTITION BY c.component
+        |    ORDER BY q.quality DESC, c.doc_id) = 1 AS kept,
+        |  CAST(count(*) OVER (PARTITION BY c.component) AS INTEGER)
+        |    AS n_members
+        |FROM comp c JOIN qual q USING (doc_id)
+        |ORDER BY c.doc_id""".stripMargin,
+
+    "q82_temperature_mix" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |w AS (SELECT lang, pow(n, 0.5) AS pw FROM c),
+        |raw AS (
+        |  SELECT lang, pw / (SELECT sum(pw) FROM w) * 300 AS r FROM w),
+        |q AS (
+        |  SELECT lang, CAST(floor(r) + CASE WHEN
+        |    row_number() OVER (ORDER BY r - floor(r) DESC, lang) <=
+        |      CAST(round((SELECT sum(r) FROM raw)) AS BIGINT) -
+        |      (SELECT CAST(sum(floor(r)) AS BIGINT) FROM raw)
+        |    THEN 1 ELSE 0 END AS BIGINT) AS quota
+        |  FROM raw),
+        |ranked AS (
+        |  SELECT doc_id, lang, CAST(row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rn
+        |  FROM documents)
+        |SELECT r.doc_id, r.lang, r.rn
+        |FROM ranked r JOIN q USING (lang)
+        |WHERE r.rn <= q.quota
+        |ORDER BY r.doc_id""".stripMargin
   )
 }

@@ -111,6 +111,31 @@ object Sampling {
       .drop("__quota")
   }
 
+  /** Temperature-scaled multilingual/multi-source mixture (the mBERT /
+    * XLM-R exponential-smoothing recipe): target weights ∝ countᵅ
+    * normalized, so α = 1 keeps the corpus' natural proportions and α → 0
+    * flattens toward uniform — low-resource strata are up-weighted
+    * RELATIVE to their natural share without ever oversampling (selection
+    * stays deterministic and without-replacement). Weights derive from the
+    * data itself: one stratum-count aggregation (driver-sized — strata are
+    * languages/sources, not rows), then the [[mixture]] largest-remainder
+    * quota + md5-ranked selection.
+    */
+  def temperatureMixture(df: DataFrame, strataCol: String, idCol: String,
+                         alpha: Double, total: Long): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
+    val counts = df.groupBy(col(strataCol)).count().collect()
+      .map(r => (String.valueOf(r.get(0)), r.getLong(1))).toSeq
+    // key-sorted BEFORE the float sum: collect() order varies run-to-run
+    // and float addition is order-sensitive — the weights must be exactly
+    // reproducible for the oracle
+    val pw = counts.sortBy(_._1)
+      .map { case (k, n) => (k, math.pow(n.toDouble, alpha)) }
+    val z = pw.map(_._2).sum
+    val weights = pw.map { case (k, w) => (k, w / z) }.toMap
+    mixture(df, strataCol, idCol, weights, total)
+  }
+
   /** [[stratifiedQuota]] with a hash-threshold prefilter: counts each
     * stratum (one cheap agg), keeps only rows whose hash key falls in the
     * smallest 4-hex-digit band expected to hold ≥ `margin × quota` rows,

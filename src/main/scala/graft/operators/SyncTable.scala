@@ -74,25 +74,27 @@ object SyncTable {
     val inserts =
       if (surrogateIds) {
         val withIds = missing.withColumn(idCol, xxhash64(matchCols.map(col): _*))
-        // collision audit: distinct natural keys hashing to one 64-bit id
-        // would break the unique-id invariant SILENTLY (merged()'s
-        // anti-join and resume filters key on it) — make it loud
-        val audit = withIds.agg(count(lit(1)).as("n"),
-          countDistinct(col(idCol)).as("nd")).head()
+        // collision audit, ONE job for both invariants: (a) distinct
+        // natural keys hashing to one 64-bit id, and (b) a hash equal to an
+        // id the target already holds (tables once synced with sequential
+        // ids or other key columns) — either would break the unique-id
+        // invariant SILENTLY (merged()'s anti-join and resume filters key
+        // on it), so make both loud. The target-id probe rides the same
+        // pass as a left join (target ids are unique by the sync
+        // invariant, so the join never duplicates an insert row).
+        val audit = withIds
+          .join(target.select(col(idCol).as("__tid")),
+            col(idCol) === col("__tid"), "left")
+          .agg(count(lit(1)).as("n"), countDistinct(col(idCol)).as("nd"),
+            count(col("__tid")).as("clash")).head()
         require(audit.getLong(0) == audit.getLong(1),
           s"surrogate id collision: ${audit.getLong(0)} inserts map to " +
             s"${audit.getLong(1)} distinct ids — use sequential ids or " +
             "widen the key")
-        // ...and against the TARGET's existing ids too: a table that was
-        // ever synced with sequential ids (or different key columns) can
-        // hold an id that equals an insert's hash — internally-distinct
-        // inserts would still duplicate an existing row's id in merged()
-        val clash = withIds
-          .join(target.select(col(idCol)), Seq(idCol), "left_semi").count()
-        require(clash == 0L,
-          s"surrogate id collision with $clash existing target id(s) — " +
-            "the target was synced with a different id scheme; use " +
-            "sequential ids or migrate the table")
+        require(audit.getLong(2) == 0L,
+          s"surrogate id collision with ${audit.getLong(2)} existing " +
+            "target id(s) — the target was synced with a different id " +
+            "scheme; use sequential ids or migrate the table")
         withIds
       } else {
         val maxId: Long = target.agg(coalesce(max(col(idCol)), lit(0L))).head().getLong(0)

@@ -54,17 +54,31 @@ object Decontaminate {
     * to 8 bytes per gram. A false flag needs a 64-bit collision against the
     * benchmark gram set — at 10^9 distinct benchmark grams the per-gram
     * odds are ~5·10^-11; acceptable for a drop-list, not for an audit.
+    *
+    * The grams are hashed AND deduplicated inside one codegen'd per-row
+    * expression (`array_distinct ∘ transform`) before the explode, so (a)
+    * no gram string ever leaves the projection, and (b) each doc's grams
+    * reach the join already unique — the post-join count is a plain
+    * map-side-combined `count(*)`, not the two-phase `countDistinct` the
+    * raw-string form pays.
     */
   def overlapHashed(corpus: DataFrame, benchmark: DataFrame, idCol: String,
                     textCol: String, n: Int,
                     broadcastBench: Boolean = true): DataFrame = {
-    val bench = charNgrams(benchmark, idCol, textCol, n)
-      .select(xxhash64(col("g")).as("gh")).distinct()
+    require(n >= 1, "n-gram length must be >= 1")
+    val c = s"`${textCol.replace("`", "``")}`"
+    def hashedGrams(df: DataFrame): DataFrame =
+      df.filter(length(col(textCol)) >= n)
+        .select(col(idCol), expr(
+          s"array_distinct(transform(sequence(1, length($c) - ${n - 1})," +
+            s" i -> xxhash64(substring($c, i, $n))))").as("ghs"))
+    val bench = hashedGrams(benchmark)
+      .select(explode(col("ghs")).as("gh")).distinct()
     val benchSide = if (broadcastBench) broadcast(bench) else bench
-    charNgrams(corpus, idCol, textCol, n)
-      .select(col(idCol), xxhash64(col("g")).as("gh"))
+    hashedGrams(corpus)
+      .select(col(idCol), explode(col("ghs")).as("gh"))
       .join(benchSide, "gh")
       .groupBy(col(idCol))
-      .agg(countDistinct(col("gh")).as("n_shared"))
+      .agg(count(lit(1)).as("n_shared"))
   }
 }

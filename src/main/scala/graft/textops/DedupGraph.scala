@@ -157,6 +157,33 @@ object DedupGraph {
     parent.keys.toSeq.map(k => (k, find(k))).toDF("node", "component")
   }
 
+  /** Canonical-survivor selection over near-dup clusters: each component
+    * keeps its best-scoring member (argmax `scoreCol`, ties to the smaller
+    * id) — the post-clustering resolution step that decides WHICH
+    * near-duplicate survives, by quality rather than by accident of id
+    * order. Input: [[connectedComponents]] output + a `(idCol, scoreCol)`
+    * score table; output one row per clustered doc:
+    * `(idCol, component, scoreCol, kept, n_members)`.
+    *
+    * Scale shape: one equi-join on the doc id and two window functions over
+    * the component key. Component sizes are bounded by the near-dup cluster
+    * size (pathological hub components are already capped upstream by the
+    * pair generators' bucket caps), so the window never sees unbounded
+    * fan-in.
+    */
+  def survivorsByQuality(components: DataFrame, scores: DataFrame,
+                         idCol: String, scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = components.join(scores,
+        components("node") === scores(idCol))
+      .select(scores(idCol), col("component"), col(scoreCol))
+    val wq = Window.partitionBy(col("component"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    m.withColumn("kept", row_number().over(wq) === 1)
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy(col("component"))).cast("int"))
+  }
+
   /** Order-insensitive fingerprint of the canonical edge set:
     * (count, xor of per-edge hashes) — commutative, overflow-free, and
     * collision-safe enough for a convergence check that only ever compares

