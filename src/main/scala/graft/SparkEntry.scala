@@ -1733,6 +1733,24 @@ object SparkEntry {
         alpha = 0.5, total = 300L)
         .select(col("doc_id"), col("lang"), col("rn"))
         .orderBy(col("doc_id"))
+    }),
+
+    // PII redaction for corpus publication: emails/phone runs → typed
+    // placeholders, with per-doc match counts for the redaction audit.
+    // PII is PLANTED deterministically from doc_id (the corpus itself is
+    // synthetic word soup), and the patterns are RE2-compatible by
+    // construction, so the oracle applies the byte-identical rules.
+    // Shuffle-free per-row codegen — the form that scrubs 100 TB as a
+    // pure scan stage
+    "q83_pii_scrub" -> ((s, dir) => {
+      val aug = concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@mail.example.org"),
+        lit(" or call +41 22 3"), col("doc_id") % 10, lit("5 67 89"))
+      val (nEmails, nPhones) = TextFunctions.piiCounts(aug)
+      tSpread(s, dir, "documents")
+        .select(col("doc_id"), nEmails.as("n_emails"), nPhones.as("n_phones"),
+          TextFunctions.redactPii(aug).as("redacted"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -2924,6 +2942,25 @@ object SparkEntry {
         |SELECT r.doc_id, r.lang, r.rn
         |FROM ranked r JOIN q USING (lang)
         |WHERE r.rn <= q.quota
-        |ORDER BY r.doc_id""".stripMargin
+        |ORDER BY r.doc_id""".stripMargin,
+
+    "q83_pii_scrub" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text || ' contact user' ||
+        |    CAST(doc_id AS VARCHAR) || '@mail.example.org' ||
+        |    ' or call +41 22 3' || CAST(doc_id % 10 AS VARCHAR) ||
+        |    '5 67 89' AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS INTEGER)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(t,
+        |    '[+(]?[0-9][0-9 ()\-]{7,}[0-9]')) AS INTEGER) AS n_phones,
+        |  regexp_replace(regexp_replace(t,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |    '[+(]?[0-9][0-9 ()\-]{7,}[0-9]', '<PHONE>', 'g') AS redacted
+        |FROM aug
+        |ORDER BY doc_id""".stripMargin
   )
 }
