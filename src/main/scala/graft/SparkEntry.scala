@@ -1705,18 +1705,20 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("rk"))
     }),
 
-    // canonical-survivor selection: near-dup clusters (q65's transitive
-    // closure over exact-Jaccard >= 0.6 pairs) resolved by QUALITY — each
-    // cluster keeps its best-quality member (argmax qualityScore, ties to
-    // the smaller id), the RefinedWeb/FineWeb post-clustering step that
-    // picks WHICH near-duplicate survives rather than blindly keeping the
-    // smallest id
+    // canonical-survivor selection: near-dup clusters (transitive closure
+    // over exact-Jaccard >= 0.6 pairs) resolved by QUALITY — each cluster
+    // keeps its best-quality member (argmax qualityScore, ties to the
+    // smaller id), the RefinedWeb/FineWeb post-clustering step that picks
+    // WHICH near-duplicate survives rather than blindly keeping the
+    // smallest id. Pairs ride the LSH generator (the 100 TB path; q19/q65
+    // exercise the exact-prefix form) — its verified pair set equals the
+    // exact one here, which q22's exact all-pairs oracle pins green
     "q81_dedup_survivor" -> ((s, dir) => {
       val stops = Seq("the", "a", "and", "of", "to")
       val docs = tSpread(s, dir, "documents")
       val sh = docs.select(col("doc_id"),
         TextFunctions.wordShingleHashesFast(col("text"), 3).as("sh"))
-      val pairs = MinHashLSH.jaccardPairsPrefix(sh, "doc_id", "sh", 0.6)
+      val pairs = MinHashLSH.nearDupPairs(sh, "doc_id", "sh", 0.6)
       val comp = DedupGraph.connectedComponents(pairs, "id1", "id2")
       val quality = docs.select(col("doc_id"),
         TextFunctions.qualityScore(col("text"), stops).as("quality"))

@@ -55,23 +55,30 @@ object Decontaminate {
     * benchmark gram set — at 10^9 distinct benchmark grams the per-gram
     * odds are ~5·10^-11; acceptable for a drop-list, not for an audit.
     *
-    * The grams are hashed AND deduplicated inside one codegen'd per-row
-    * expression (`array_distinct ∘ transform`) before the explode, so (a)
-    * no gram string ever leaves the projection, and (b) each doc's grams
-    * reach the join already unique — the post-join count is a plain
-    * map-side-combined `count(*)`, not the two-phase `countDistinct` the
-    * raw-string form pays.
+    * The grams are hashed AND deduplicated inside one JVM kernel pass
+    * ([[TextKernels.charGramHashes]]) before the explode, so (a) no gram
+    * string ever leaves the projection, and (b) each doc's grams reach the
+    * join already unique — the post-join count is a plain map-side-combined
+    * `count(*)`, not the two-phase `countDistinct` the raw-string form
+    * pays. (The equivalent `array_distinct ∘ transform ∘ xxhash64` Column
+    * form evaluates its lambda interpreted — HOF lambdas never reach
+    * codegen — and measured ~2× slower than the raw-string join.)
     */
   def overlapHashed(corpus: DataFrame, benchmark: DataFrame, idCol: String,
                     textCol: String, n: Int,
                     broadcastBench: Boolean = true): DataFrame = {
     require(n >= 1, "n-gram length must be >= 1")
-    val c = s"`${textCol.replace("`", "``")}`"
+    // asNondeterministic is a PLAN-SHAPE fence, not a semantic marker (the
+    // kernel is pure): left deterministic, InferFiltersFromGenerate clones
+    // the call into inferred `size(UDF(..)) > 0 AND isnotnull(UDF(..))`
+    // scan filters and the kernel runs 3× per row — measured 2.5× slower
+    // than this form. explode() already skips null/empty arrays, so the
+    // inferred filters prune nothing the Generate doesn't.
+    val gramsUdf = udf((s: String) => TextKernels.charGramHashes(s, n))
+      .asNondeterministic()
     def hashedGrams(df: DataFrame): DataFrame =
       df.filter(length(col(textCol)) >= n)
-        .select(col(idCol), expr(
-          s"array_distinct(transform(sequence(1, length($c) - ${n - 1})," +
-            s" i -> xxhash64(substring($c, i, $n))))").as("ghs"))
+        .select(col(idCol), gramsUdf(col(textCol)).as("ghs"))
     val bench = hashedGrams(benchmark)
       .select(explode(col("ghs")).as("gh")).distinct()
     val benchSide = if (broadcastBench) broadcast(bench) else bench

@@ -37,8 +37,12 @@ object MinHashLSH {
     * array exactly once (see [[TextKernels]]).
     */
   def bandBucketsFast(shingles: Column, k: Int, bands: Int, rows: Int): Column =
+    // asNondeterministic: plan-shape fence (the kernel is pure) — without
+    // it the minhash+banding kernel is cloned into explode's inferred
+    // size/isnotnull filters and runs 3× per row (see
+    // TextFunctions.wordShingleHashesFast)
     udf((sh: Array[Long]) => TextKernels.bandBuckets(sh, k, bands, rows))
-      .apply(shingles)
+      .asNondeterministic().apply(shingles)
 
   /** Candidate id pairs (id1 < id2) sharing at least one LSH bucket.
     *
@@ -58,9 +62,14 @@ object MinHashLSH {
         bandBucketsFast(col(shinglesCol), k, bands, rows)
       case _ => bandBuckets(signature(col(shinglesCol), k), bands, rows)
     }
+    // buckets are PROJECTED before the explode: Generate rejects a
+    // nondeterministic child outright, and even for the deterministic
+    // Column form the barrier keeps the bucket computation out of the
+    // explode's inferred size/isnotnull filters (one evaluation per row)
     val banded = df
       .filter(size(col(shinglesCol)) > 0)
-      .select(col(idCol), explode(buckets).as("__bucket"))
+      .select(col(idCol), buckets.as("__bkts"))
+      .select(col(idCol), explode(col("__bkts")).as("__bucket"))
     // one shuffle: group ids per bucket, expand sorted in-bucket pairs with
     // higher-order functions (no self-join, no window). Buckets above
     // maxBucketSize (boilerplate shingles) are dropped whole — a hard bound

@@ -42,6 +42,13 @@ object SimHash {
 
   /** UDF wrapper (the bit-vote loop has no higher-order-function
     * equivalent that stays readable; the UDF is per-row, no state).
+    * Deliberately DETERMINISTIC, unlike the shingle kernels' plan-shape
+    * fence: nearDupPairs self-joins the blocked frame, and a
+    * nondeterministic UDF de-canonicalizes the two sides so the shuffle
+    * loses ReusedExchange — measured 2.6× slower than eating the ~2×
+    * per-row re-evaluation (the hash is cheap; the shingle kernels are
+    * not self-joined below their checkpoint, so their trade goes the
+    * other way).
     */
   val simhashUdf = udf(simhash64 _)
 

@@ -231,7 +231,14 @@ object TextFunctions {
     */
   def wordShingleHashesFast(text: Column, n: Int): Column = {
     require(n >= 1)
-    udf((s: String) => TextKernels.shingleHashes(s, n)).apply(text)
+    // asNondeterministic is a PLAN-SHAPE fence, not a semantic marker (the
+    // kernel is pure): left deterministic, CollapseProject inlines the call
+    // into every downstream consumer (size() filters, explode's inferred
+    // `size(..) > 0 AND isnotnull(..)` scan filters, nested band/minhash
+    // lambdas) and the tokenize+hash kernel runs 2-4× per row. The fence
+    // pins it to its own Project, evaluated exactly once.
+    udf((s: String) => TextKernels.shingleHashes(s, n))
+      .asNondeterministic().apply(text)
   }
 
   /** Character n-gram shingles (distinct) over the normalized text. */

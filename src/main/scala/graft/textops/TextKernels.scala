@@ -58,6 +58,31 @@ object TextKernels {
     out
   }
 
+  /** Distinct character n-gram hashes, first-occurrence order — equals
+    * `array_distinct(transform(sequence(1, length(t)-n+1),
+    * i -> xxhash64(substring(t, i, n))))` bit-exactly (SQL substring
+    * semantics: code points, not UTF-16 units). One JVM pass per row; the
+    * Column-HOF form evaluates its lambda interpreted (xxhash64 inside a
+    * `transform` never reaches codegen) and measured ~2× slower.
+    */
+  def charGramHashes(text: String, n: Int): Array[Long] = {
+    if (text == null) return null
+    val u = UTF8String.fromString(text)
+    val len = u.numChars()
+    if (len < n) return Array.emptyLongArray
+    val seen = new java.util.LinkedHashSet[java.lang.Long](len * 2)
+    var i = 1
+    while (i <= len - n + 1) {
+      seen.add(XXH64.hashUTF8String(u.substringSQL(i, n), 42L))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    out
+  }
+
   /** k-permutation minhash signature — equals `MinHashLSH.signature`:
     * sig(i) = min over shingles s of xxhash64(s, i) where the Column form's
     * two-child hash chains seeds as hashInt(i, hashLong(s, 42)).
