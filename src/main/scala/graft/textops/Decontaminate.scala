@@ -88,4 +88,43 @@ object Decontaminate {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shared"))
   }
+
+  /** [[overlapHashed]] with a Bloom-filter prefilter — the shape for when
+    * even the benchmark gram set is too large to broadcast as a join table
+    * (a 10^9-gram eval suite is ~8 GB of longs as a hash relation but
+    * ~1.2 GB as a 1% Bloom filter): build the filter over the benchmark
+    * grams in one pass, broadcast it, and drop the overwhelming majority
+    * of corpus grams BEFORE they reach the verification join's shuffle.
+    * The surviving candidates (shared grams + ~fpp false positives) are
+    * then EXACTLY verified against the real gram set, so the output is
+    * identical to [[overlapHashed]] — the filter only prunes shuffle
+    * volume, it never decides membership.
+    *
+    * `expectedGrams` sizes the filter (overestimating costs memory,
+    * underestimating raises the effective fpp); the verification join is
+    * left unhinted so AQE picks broadcast vs shuffle from the real
+    * candidate volume.
+    */
+  def overlapBloom(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+                   textCol: String, n: Int,
+                   expectedGrams: Long = 10000000L,
+                   fpp: Double = 0.01): DataFrame = {
+    require(n >= 1, "n-gram length must be >= 1")
+    val gramsUdf = udf((s: String) => TextKernels.charGramHashes(s, n))
+      .asNondeterministic() // plan-shape fence, see overlapHashed
+    def hashedGrams(df: DataFrame): DataFrame =
+      df.filter(length(col(textCol)) >= n)
+        .select(col(idCol), gramsUdf(col(textCol)).as("ghs"))
+    val benchGrams = hashedGrams(benchmark)
+      .select(explode(col("ghs")).as("gh"))
+    val bloom = benchGrams.stat.bloomFilter("gh", expectedGrams, fpp)
+    val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((gh: Long) => bc.value.mightContainLong(gh))
+    hashedGrams(corpus)
+      .select(col(idCol), explode(col("ghs")).as("gh"))
+      .filter(mightContain(col("gh")))
+      .join(benchGrams.distinct(), "gh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+  }
 }

@@ -203,6 +203,14 @@ class CurationSpec extends SparkSpec {
     val hashed = Decontaminate.overlapHashed(corpus, bench, "doc_id", "text", 32)
       .as[(Long, Long)].collect().toMap
     assert(hashed == got)
+    // the Bloom prefilter only prunes shuffle volume — the exact verify
+    // join must make its output identical to the unfiltered forms, and an
+    // aggressively undersized filter (high effective fpp) must still be
+    // exact, just slower
+    val bloomed = Decontaminate.overlapBloom(corpus, bench, "doc_id", "text",
+      32, expectedGrams = 8L, fpp = 0.5)
+      .as[(Long, Long)].collect().toMap
+    assert(bloomed == got)
   }
 
   test("quality rules: each rule fires on its pathology, clean doc kept") {
