@@ -6,7 +6,7 @@ import graft.multimodal.Multimodal
 import graft.operators.{Dedup, DownloadStats, MergeUpdate, Packing, Sampling, StationSearch, SyncTable}
 import graft.sim.Cosine
 import graft.tables.Tables
-import graft.textops.{BpeTrainer, Decontaminate, DedupGraph, MinHashLSH, SimHash, SpanDedup, TextFunctions, TfIdf, UnigramLM}
+import graft.textops.{BpeTrainer, CorpusStats, Decontaminate, DedupGraph, MinHashLSH, SimHash, SpanDedup, TextFunctions, TfIdf, UnigramLM}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1737,6 +1737,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // dataset-card statistics: per-language size/length distribution
+    // (docs, chars, token percentiles) — the release table every corpus
+    // ships and every mixture/packing decision reads. Exact-percentile
+    // form here (oracle-anchored; quantile_cont shares Spark percentile's
+    // linear interpolation); CorpusStats.approx is the sketch-based
+    // bounded-memory form for 100 TB, equality-band-tested in the spec
+    "q84_corpus_stats" -> ((s, dir) => {
+      CorpusStats.exact(tSpread(s, dir, "documents"), "text", "lang")
+        .orderBy(col("lang"))
+    }),
+
     // PII redaction for corpus publication: emails/phone runs → typed
     // placeholders, with per-doc match counts for the redaction audit.
     // PII is PLANTED deterministically from doc_id (the corpus itself is
@@ -2945,6 +2956,22 @@ object SparkEntry {
         |FROM ranked r JOIN q USING (lang)
         |WHERE r.rn <= q.quota
         |ORDER BY r.doc_id""".stripMargin,
+
+    "q84_corpus_stats" ->
+      """WITH t AS (
+        |  SELECT lang, length(text) AS chars,
+        |    len(CASE WHEN trim(text) = '' THEN []
+        |        ELSE string_split_regex(trim(text), '\s+') END) AS toks
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(chars) AS BIGINT) AS n_chars,
+        |  round(avg(toks), 4) AS mean_tokens,
+        |  round(quantile_cont(toks, 0.5), 4) AS p50_tokens,
+        |  round(quantile_cont(toks, 0.9), 4) AS p90_tokens,
+        |  CAST(max(toks) AS INTEGER) AS max_tokens
+        |FROM t
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
 
     "q83_pii_scrub" ->
       """WITH aug AS (

@@ -1,0 +1,48 @@
+package graft.textops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Dataset-card statistics: the per-stratum size/length distribution table
+  * every corpus release ships (docs, chars, token-count percentiles) and
+  * every mixture/packing decision upstream reads.
+  *
+  * Two forms with one schema:
+  *  - [[exact]] — true percentiles via Spark's `percentile` aggregate. The
+  *    aggregation buffers each group's values, so it is the
+  *    bench-scale/oracle-anchored form (and fine up to ~10^8 rows per
+  *    stratum); strata counts are language×source-sized, never row-sized.
+  *  - [[approx]] — `approx_percentile` (GK sketch, bounded memory, one
+  *    pass): the 100 TB form. Percentile error ≤ `accuracy`⁻¹ relative
+  *    rank; all non-percentile columns are identical to [[exact]].
+  */
+object CorpusStats {
+
+  private def base(df: DataFrame, textCol: String, strataCol: String) =
+    df.select(col(strataCol),
+      length(col(textCol)).as("__chars"),
+      TextFunctions.tokenCount(col(textCol)).as("__toks"))
+
+  def exact(df: DataFrame, textCol: String, strataCol: String): DataFrame =
+    base(df, textCol, strataCol)
+      .groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__chars")).as("n_chars"),
+        round(avg(col("__toks")), 4).as("mean_tokens"),
+        round(expr("percentile(__toks, 0.5)"), 4).as("p50_tokens"),
+        round(expr("percentile(__toks, 0.9)"), 4).as("p90_tokens"),
+        max(col("__toks")).as("max_tokens"))
+
+  def approx(df: DataFrame, textCol: String, strataCol: String,
+             accuracy: Int = 10000): DataFrame =
+    base(df, textCol, strataCol)
+      .groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__chars")).as("n_chars"),
+        round(avg(col("__toks")), 4).as("mean_tokens"),
+        round(expr(s"approx_percentile(__toks, 0.5, $accuracy)")
+          .cast("double"), 4).as("p50_tokens"),
+        round(expr(s"approx_percentile(__toks, 0.9, $accuracy)")
+          .cast("double"), 4).as("p90_tokens"),
+        max(col("__toks")).as("max_tokens"))
+}

@@ -64,6 +64,34 @@ class Round7OpsSpec extends SparkSpec {
     assert(got.length == 5)                          // one row per member
   }
 
+  // ---- CorpusStats --------------------------------------------------------
+
+  test("corpus stats: exact percentiles on a closed-form distribution, " +
+    "approx within sketch tolerance") {
+    // stratum a: token counts 1..100 (p50 = 50.5, p90 = 90.1 under linear
+    // interpolation); stratum b: constant 7 tokens
+    val docs = ((1 to 100).map(i => ("a", (1 to i).map(_ => "w").mkString(" "))) ++
+      (1 to 10).map(_ => ("b", "w w w w w w w"))).toDF("lang", "text")
+    val ex = CorpusStats.exact(docs, "text", "lang")
+      .orderBy("lang").collect()
+    val a = ex(0)
+    assert(a.getAs[Long]("n_docs") == 100L)
+    assert(a.getAs[Double]("p50_tokens") == 50.5)
+    assert(a.getAs[Double]("p90_tokens") == 90.1)
+    assert(a.getAs[Int]("max_tokens") == 100)
+    val b = ex(1)
+    assert(b.getAs[Double]("p50_tokens") == 7.0 &&
+      b.getAs[Double]("p90_tokens") == 7.0)
+    // approx: same schema, percentile within 2 ranks at this accuracy,
+    // every non-percentile column identical
+    val ap = CorpusStats.approx(docs, "text", "lang")
+      .orderBy("lang").collect()
+    assert(math.abs(ap(0).getAs[Double]("p50_tokens") - 50.5) <= 2.0)
+    assert(math.abs(ap(0).getAs[Double]("p90_tokens") - 90.1) <= 2.0)
+    assert(ap(0).getAs[Long]("n_chars") == a.getAs[Long]("n_chars"))
+    assert(ap(1).getAs[Double]("p50_tokens") == 7.0)
+  }
+
   // ---- temperatureMixture -------------------------------------------------
 
   private def mkDocs(nA: Int, nB: Int) =
