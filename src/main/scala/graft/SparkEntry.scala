@@ -1737,6 +1737,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // product quantization (Jégou et al. 2011), the IVF-PQ compression
+    // stage: 64-dim float vectors → 4 centroid indices (4 subspaces × 16
+    // codes). Codebook = init-only training (the 16 smallest-id vectors'
+    // subvectors — deterministic and SQL-replayable; Lloyd iterations are
+    // spec-tested via the monotone reconstruction-error contract). Encode
+    // is a per-row kernel over the broadcast codebook; codes are exact
+    // ints, so the hash compare is byte-stable
+    "q85_pq_codes" -> ((s, dir) => {
+      import graft.sim.Pq
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val cb = Pq.train(emb, "vec_id", "embedding", m = 4, k = 16, nIters = 0)
+      Pq.encode(tSpread(s, dir, "embeddings"), "embedding", cb)
+        .select(col("vec_id"),
+          element_at(col("__pqcodes"), 1).as("c0"),
+          element_at(col("__pqcodes"), 2).as("c1"),
+          element_at(col("__pqcodes"), 3).as("c2"),
+          element_at(col("__pqcodes"), 4).as("c3"))
+        .orderBy(col("vec_id"))
+    }),
+
     // dataset-card statistics: per-language size/length distribution
     // (docs, chars, token percentiles) — the release table every corpus
     // ships and every mixture/packing decision reads. Exact-percentile
@@ -2956,6 +2976,38 @@ object SparkEntry {
         |FROM ranked r JOIN q USING (lang)
         |WHERE r.rn <= q.quota
         |ORDER BY r.doc_id""".stripMargin,
+
+    "q85_pq_codes" ->
+      """WITH cb AS (
+        |  SELECT vec_id AS j,
+        |    list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e
+        |  FROM embeddings WHERE vec_id < 16),
+        |v AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |sub AS (SELECT unnest(range(0, 4)) AS s),
+        |d AS (
+        |  SELECT v.vec_id, sub.s, cb.j,
+        |    list_sum(list_transform(range(1, 17), i ->
+        |      (v.e[CAST(sub.s * 16 + i AS INTEGER)] -
+        |       cb.e[CAST(sub.s * 16 + i AS INTEGER)]) *
+        |      (v.e[CAST(sub.s * 16 + i AS INTEGER)] -
+        |       cb.e[CAST(sub.s * 16 + i AS INTEGER)]))) AS dist2
+        |  FROM v CROSS JOIN sub CROSS JOIN cb),
+        |best AS (
+        |  SELECT vec_id, s, j,
+        |    row_number() OVER (PARTITION BY vec_id, s
+        |      ORDER BY dist2, j) AS rn
+        |  FROM d)
+        |SELECT vec_id,
+        |  CAST(max(CASE WHEN s = 0 THEN j END) AS INTEGER) AS c0,
+        |  CAST(max(CASE WHEN s = 1 THEN j END) AS INTEGER) AS c1,
+        |  CAST(max(CASE WHEN s = 2 THEN j END) AS INTEGER) AS c2,
+        |  CAST(max(CASE WHEN s = 3 THEN j END) AS INTEGER) AS c3
+        |FROM best WHERE rn = 1
+        |GROUP BY vec_id
+        |ORDER BY vec_id""".stripMargin,
 
     "q84_corpus_stats" ->
       """WITH t AS (

@@ -1,0 +1,221 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou et al. 2011) — the compression stage of the
+  * IVF-PQ layout that web-scale vector search actually deploys: each vector
+  * splits into `m` subvectors, each subvector is replaced by the index of
+  * its nearest per-subspace centroid, so a d-float vector stores as `m`
+  * small ints (d·4 bytes → m bytes at k ≤ 256) and approximate distances
+  * come from codebook lookups instead of float reads.
+  *
+  * Division of labor with the siblings here: [[Quantize]] is the 4×
+  * scalar-quantization path (per-vector scale, exact re-rank), [[Ivf]] is
+  * the partition-pruning path (cells, probes); Pq is the 64×-class
+  * compression that rides INSIDE IVF cells at the largest scales. Training
+  * is k-means per subspace with the same deterministic first-k-by-id init
+  * as [[Ivf.train]] — `nIters = 0` makes the codebook a pure id-ordered
+  * selection any SQL engine can replay (the oracle-anchored form);
+  * iterations run the classic Lloyd update, one typed-Aggregator shuffle of
+  * `m·k×dsub` buffers per pass, never a per-dimension row explosion.
+  *
+  * Scale shape: encode is a per-row kernel over a broadcast codebook
+  * (m·k·dsub doubles — KBs); ADC search reads the m-byte codes column only
+  * (the float column never leaves storage) and reconstructs distances from
+  * the same broadcast codebook. Train on a sample at 100 TB — codebook
+  * quality saturates long before corpus size.
+  */
+object Pq {
+
+  /** Per-subspace codebooks: `centroids(s)(j)` is subspace `s`'s j-th
+    * centroid (`dsub` doubles). Codes are centroid indices, ties resolved
+    * to the smaller index everywhere.
+    */
+  final case class Codebooks(m: Int, dsub: Int,
+                             centroids: Array[Array[Array[Double]]]) {
+    def k: Int = centroids(0).length
+  }
+
+  private def nearestCode(cb: Array[Array[Array[Double]]], s: Int,
+                          v: Seq[Float], dsub: Int): Int = {
+    val cs = cb(s)
+    var best = 0
+    var bestD = Double.MaxValue
+    var j = 0
+    while (j < cs.length) {
+      val c = cs(j)
+      var d = 0.0
+      var i = 0
+      while (i < dsub) {
+        val diff = v(s * dsub + i).toDouble - c(i)
+        d += diff * diff
+        i += 1
+      }
+      // strict <: the FIRST (smallest-index) centroid wins ties — the
+      // total order the oracle's (dist, index) ranking replays
+      if (d < bestD) { bestD = d; best = j }
+      j += 1
+    }
+    best
+  }
+
+  private def encodeVec(cb: Array[Array[Array[Double]]], dsub: Int,
+                        v: Seq[Float]): Seq[Int] =
+    if (v == null) null
+    else (0 until cb.length).map(s => nearestCode(cb, s, v, dsub))
+
+  /** (subspace, code) running elementwise sum for the Lloyd update — same
+    * one-shuffle shape as [[Ivf]]'s VecMean: map-side partial sums, a
+    * shuffle of `m·k` × dsub buffers, corpus-size-independent payload.
+    * Public (not private) like Ivf.CellSum: the Encoder's generated code
+    * accesses the accessors reflectively and Janino rejects private
+    * members.
+    */
+  final case class SubSum(var sum: Array[Double], var n: Long)
+
+  private class SubMean
+      extends Aggregator[((Int, Int), Seq[Double]), SubSum, Seq[Double]] {
+    def zero: SubSum = SubSum(null, 0L)
+    def reduce(b: SubSum, a: ((Int, Int), Seq[Double])): SubSum = {
+      val v = a._2
+      if (b.sum == null) b.sum = new Array[Double](v.length)
+      var i = 0
+      while (i < v.length) { b.sum(i) += v(i); i += 1 }
+      b.n += 1
+      b
+    }
+    def merge(x: SubSum, y: SubSum): SubSum =
+      if (x.sum == null) y
+      else if (y.sum == null) x
+      else {
+        var i = 0
+        while (i < x.sum.length) { x.sum(i) += y.sum(i); i += 1 }
+        x.n += y.n
+        x
+      }
+    def finish(b: SubSum): Seq[Double] =
+      if (b.sum == null) Seq.empty else b.sum.toSeq.map(_ / b.n)
+    def bufferEncoder: Encoder[SubSum] = Encoders.product[SubSum]
+    def outputEncoder: Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** Train per-subspace codebooks. Init = the `k` corpus vectors with the
+    * smallest ids, split into subvectors (deterministic, SQL-replayable);
+    * each Lloyd iteration reassigns every subvector and re-means the
+    * codebook (empty codes keep their previous centroid, like [[Ivf]]).
+    */
+  def train(corpus: DataFrame, idCol: String, vecCol: String,
+            m: Int, k: Int, nIters: Int = 0): Codebooks = {
+    require(m >= 1 && k >= 1 && nIters >= 0)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val first = corpus.orderBy(col(idCol)).limit(k)
+      .select(col(vecCol)).collect().map(_.getSeq[Float](0))
+    require(first.length == k, s"corpus has fewer than $k vectors")
+    val dim = first.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val dsub = dim / m
+    var cb: Array[Array[Array[Double]]] = Array.tabulate(m, k) { (s, j) =>
+      Array.tabulate(dsub)(i => first(j)(s * dsub + i).toDouble)
+    }
+    val meanAgg = new SubMean().toColumn
+    var it = 0
+    while (it < nIters) {
+      val frozen = cb
+      val means = corpus.select(col(vecCol)).as[Seq[Float]]
+        .flatMap { v =>
+          (0 until m).map { s =>
+            ((s, nearestCode(frozen, s, v, dsub)),
+              (0 until dsub).map(i => v(s * dsub + i).toDouble))
+          }
+        }
+        .groupByKey(_._1)
+        .agg(meanAgg)
+        .collect()
+        .toMap
+      cb = Array.tabulate(m, k) { (s, j) =>
+        means.get((s, j)).filter(_.nonEmpty).map(_.toArray)
+          .getOrElse(frozen(s)(j))
+      }
+      it += 1
+    }
+    Codebooks(m, dsub, cb)
+  }
+
+  /** Add `__pqcodes` (array of `m` centroid indices) to a corpus. The
+    * kernel UDF carries the broadcast-sized codebook in its closure;
+    * asNondeterministic is the usual plan-shape fence (pure kernel).
+    */
+  def encode(df: DataFrame, vecCol: String, cb: Codebooks): DataFrame = {
+    val c = cb.centroids
+    val dsub = cb.dsub
+    val enc = udf((v: Seq[Float]) => encodeVec(c, dsub, v))
+      .asNondeterministic()
+    df.withColumn("__pqcodes", enc(col(vecCol)))
+  }
+
+  /** Squared-L2 between a float vector and a code's reconstruction —
+    * asymmetric distance (ADC): sum over subspaces of
+    * ||query_s − centroid(code_s)||². Reads only the codes column.
+    */
+  private def adcDist(cb: Array[Array[Array[Double]]], dsub: Int,
+                      codes: Seq[Int], q: Seq[Float]): Double = {
+    var d = 0.0
+    var s = 0
+    while (s < cb.length) {
+      val c = cb(s)(codes(s))
+      var i = 0
+      while (i < dsub) {
+        val diff = q(s * dsub + i).toDouble - c(i)
+        d += diff * diff
+        i += 1
+      }
+      s += 1
+    }
+    d
+  }
+
+  /** Approximate top-k by ADC over a PQ-encoded corpus: per query, rank by
+    * codebook-reconstructed squared-L2 ascending (ties to the smaller id).
+    * `corpus` must carry `__pqcodes` (from [[encode]]); only that column
+    * and the id are read — at scale the scan never touches the float
+    * vectors. Output: (qIdCol, rank, idCol, dist2).
+    */
+  def adcTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              idCol: String, qIdCol: String, qVecCol: String,
+              cb: Codebooks): DataFrame = {
+    val c = cb.centroids
+    val dsub = cb.dsub
+    val dist = udf((codes: Seq[Int], q: Seq[Float]) =>
+      adcDist(c, dsub, codes, q)).asNondeterministic()
+    val joined = corpus.select(col(idCol), col("__pqcodes"))
+      .join(broadcast(queries), col(qIdCol) =!= col(idCol))
+      .select(col(qIdCol), col(idCol),
+        dist(col("__pqcodes"), col(qVecCol)).as("__d"))
+    val w = Window.partitionBy(col(qIdCol))
+      .orderBy(col("__d"), col(idCol))
+    joined.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qIdCol), col("rank"), col(idCol),
+        round(col("__d"), 6).as("dist2"))
+  }
+
+  /** Mean squared reconstruction error over the corpus — the training
+    * diagnostic (Lloyd iterations must not increase it).
+    */
+  def meanReconstructionError(df: DataFrame, vecCol: String,
+                              cb: Codebooks): Double = {
+    val c = cb.centroids
+    val dsub = cb.dsub
+    val err = udf((v: Seq[Float]) =>
+      adcDist(c, dsub, encodeVec(c, dsub, v), v)).asNondeterministic()
+    // the nondeterministic kernel must sit in a Project, not inside the
+    // aggregate's argument (AGGREGATE_FUNCTION_WITH_NONDETERMINISTIC_
+    // EXPRESSION) — project the per-row error, then average the column
+    df.select(err(col(vecCol)).as("__e"))
+      .agg(avg(col("__e"))).head().getDouble(0)
+  }
+}

@@ -92,6 +92,76 @@ class Round7OpsSpec extends SparkSpec {
     assert(ap(1).getAs[Double]("p50_tokens") == 7.0)
   }
 
+  // ---- Product quantization ----------------------------------------------
+
+  private def syntheticVecs(n: Int, dim: Int) =
+    (0 until n).map { id =>
+      (id.toLong, (0 until dim).map(i =>
+        (math.sin(id * 31 + i * 7) * 10).toFloat))
+    }.toDF("vec_id", "embedding")
+
+  test("pq: encode picks the true nearest subspace centroid") {
+    import graft.sim.Pq
+    val vecs = syntheticVecs(40, 8)
+    val cb = Pq.train(vecs, "vec_id", "embedding", m = 2, k = 4, nIters = 0)
+    // codebook = first 4 vectors split in halves
+    assert(cb.m == 2 && cb.dsub == 4 && cb.k == 4)
+    val codes = Pq.encode(vecs, "embedding", cb)
+      .select("vec_id", "__pqcodes")
+      .as[(Long, Seq[Int])].collect().toMap
+    // a codebook member encodes to itself in every subspace
+    (0 until 4).foreach(j => assert(codes(j.toLong) == Seq(j, j)))
+    // brute-force check on one non-member vector
+    val v = vecs.filter(col("vec_id") === 17).select("embedding")
+      .as[Seq[Float]].head()
+    val expect = (0 until 2).map { s =>
+      (0 until 4).minBy { j =>
+        (0 until 4).map { i =>
+          val d = v(s * 4 + i).toDouble - cb.centroids(s)(j)(i); d * d
+        }.sum
+      }
+    }
+    assert(codes(17L) == expect)
+  }
+
+  test("pq: Lloyd iterations never increase reconstruction error") {
+    import graft.sim.Pq
+    val vecs = syntheticVecs(60, 8)
+    val errs = (0 to 3).map { iters =>
+      val cb = Pq.train(vecs, "vec_id", "embedding", m = 2, k = 4, iters)
+      Pq.meanReconstructionError(vecs, "embedding", cb)
+    }
+    errs.sliding(2).foreach { case Seq(a, b) => assert(b <= a + 1e-9) }
+    assert(errs.last < errs.head) // and it actually improves on this data
+  }
+
+  test("pq: ADC search finds planted exact duplicates at rank 1") {
+    import graft.sim.Pq
+    val base = syntheticVecs(50, 8)
+    val clones = base.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 1000L).as("vec_id"), col("embedding"))
+    val corpus = base.unionByName(clones)
+    val cb = Pq.train(corpus, "vec_id", "embedding", m = 2, k = 8, nIters = 2)
+    val encoded = Pq.encode(corpus, "embedding", cb)
+    val queries = base.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val top1 = Pq.adcTopK(encoded, queries, 1, "vec_id", "q_id", "q_emb", cb)
+      .select("q_id", "vec_id", "dist2")
+      .as[(Long, Long, Double)].collect()
+    // an exact duplicate shares all codes -> ADC distance == the query's
+    // own reconstruction distance; nothing can beat it except another
+    // code-identical vector, and dist2 to the clone equals dist2 to self
+    top1.foreach { case (q, hit, _) =>
+      assert(hit == q + 1000L || {
+        val qCodes = encoded.filter(col("vec_id") === q)
+          .select("__pqcodes").as[Seq[Int]].head()
+        val hCodes = encoded.filter(col("vec_id") === hit)
+          .select("__pqcodes").as[Seq[Int]].head()
+        qCodes == hCodes
+      })
+    }
+  }
+
   // ---- temperatureMixture -------------------------------------------------
 
   private def mkDocs(nA: Int, nB: Int) =
