@@ -1,8 +1,9 @@
 package graft.streaming
 
-import graft.textops.TextFunctions
-import org.apache.spark.sql.DataFrame
+import graft.textops.{TextFunctions, TextKernels}
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming form of the corpus-curation layer: the batch dedup / quality
   * operators re-expressed over Structured Streaming so a live ingest
@@ -38,5 +39,110 @@ object CorpusStream {
                     stopwords: Seq[String]): DataFrame = {
     val (keep, _) = TextFunctions.qualityRules(col(textCol), stopwords)
     docs.filter(keep)
+  }
+
+  /** One (bucket, document) posting flowing into the keyed state. */
+  final case class BucketPost(bucket: Long, doc_id: Long,
+                              sig: Seq[Long], ts: java.sql.Timestamp)
+
+  /** A document remembered inside one bucket's state. */
+  final case class SeenDoc(doc_id: Long, sig: Seq[Long], ts_ms: Long)
+
+  final case class BucketState(seen: Seq[SeenDoc])
+
+  /** An emitted near-dup hit; `est_jaccard` is the minhash-agreement
+    * estimate (fraction of equal signature positions), not an exact
+    * verification.
+    */
+  final case class NearDupHit(id1: Long, id2: Long, est_jaccard: Double)
+
+  /** Streaming MinHash-LSH near-duplicate detection — the stateful
+    * counterpart of [[graft.textops.MinHashLSH.nearDupPairs]] for live
+    * ingest: each arriving document posts into its `bands` LSH buckets;
+    * per-bucket keyed state ([[org.apache.spark.sql.KeyValueGroupedDataset
+    * .flatMapGroupsWithState]]) remembers the documents seen in that
+    * bucket, and a new arrival emits a [[NearDupHit]] against every stored
+    * document whose signature agreement reaches `threshold`.
+    *
+    * Semantics/scale notes:
+    *  - state is keyed by the 8-byte bucket id; an entry stores only
+    *    (id, k-long signature, ts) — never text. `maxBucketState` caps a
+    *    boilerplate bucket (the same skew guard as the batch operator);
+    *    beyond the cap new arrivals still COMPARE against the stored
+    *    prefix but are not stored.
+    *  - eviction is watermark-driven (EventTimeTimeout): a bucket idle
+    *    past `horizonMs` drops its whole state, so unbounded streams hold
+    *    state sized by dup-arrival horizon × ingest rate. The watermark is
+    *    declared HERE (on the carried-through event-time column) — a
+    *    caller-side watermark would die in the internal projection.
+    *  - emission uses the minhash ESTIMATE (unbiased, σ = √(J(1−J)/k));
+    *    a pair sharing several buckets emits once per shared bucket —
+    *    exact-verify + dedup downstream (a batch join against the corpus)
+    *    when the use case needs certainty, same as the batch LSH path.
+    *  - within a micro-batch, arrivals are processed in (ts, id) order so
+    *    replays are deterministic.
+    */
+  def nearDupStream(docs: DataFrame, idCol: String, textCol: String,
+                    tsCol: String, threshold: Double,
+                    k: Int = 63, bands: Int = 21, rows: Int = 3,
+                    maxBucketState: Int = 1000,
+                    horizonMs: Long = 600000L,
+                    watermarkDelay: String = "10 minutes"): Dataset[NearDupHit] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // signature (for agreement) and band buckets (for keying) derive from
+    // ONE shingle pass — the kernel returns both as a struct
+    // (bandBuckets takes the raw shingle hashes, not the signature)
+    val prep = udf((s: String) => {
+      val sh = TextKernels.shingleHashes(s, 3)
+      if (sh == null || sh.isEmpty) null
+      else (TextKernels.minhashSignature(sh, k).toSeq,
+        TextKernels.bandBuckets(sh, k, bands, rows).toSeq)
+    }).asNondeterministic() // plan-shape fence, kernels are pure
+    val posts = docs
+      .withColumn("__p", prep(col(textCol)))
+      .filter(col("__p").isNotNull)
+      .select(col(idCol).as("doc_id"), col("__p._1").as("sig"),
+        col(tsCol).cast("timestamp").as("ts"),
+        explode(col("__p._2")).as("bucket"))
+      .withWatermark("ts", watermarkDelay)
+      .as[BucketPost]
+
+    def agree(a: Seq[Long], b: Seq[Long]): Double = {
+      var n = 0
+      var i = 0
+      while (i < k) { if (a(i) == b(i)) n += 1; i += 1 }
+      n.toDouble / k
+    }
+
+    def fn(bucket: Long, it: Iterator[BucketPost],
+           state: GroupState[BucketState]): Iterator[NearDupHit] = {
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+      var seen = state.getOption.map(_.seen).getOrElse(Seq.empty)
+      val arr = it.toSeq.sortBy(p => (p.ts.getTime, p.doc_id))
+      val out = Seq.newBuilder[NearDupHit]
+      arr.foreach { p =>
+        seen.foreach { s =>
+          if (s.doc_id != p.doc_id) {
+            val est = agree(p.sig, s.sig)
+            if (est >= threshold)
+              out += NearDupHit(math.min(p.doc_id, s.doc_id),
+                math.max(p.doc_id, s.doc_id),
+                math.round(est * 1e6) / 1e6)
+          }
+        }
+        if (seen.length < maxBucketState)
+          seen = seen :+ SeenDoc(p.doc_id, p.sig, p.ts.getTime)
+      }
+      state.update(BucketState(seen))
+      val newest = (seen.map(_.ts_ms) ++ arr.map(_.ts.getTime)).max
+      state.setTimeoutTimestamp(
+        math.max(newest + horizonMs, state.getCurrentWatermarkMs() + 1L))
+      out.result().iterator
+    }
+
+    posts.groupByKey(_.bucket)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
   }
 }

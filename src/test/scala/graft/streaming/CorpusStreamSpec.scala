@@ -67,4 +67,73 @@ class CorpusStreamSpec extends SparkSpec {
       .as[Long].collect().toSet
     assert(got == Set(1L))
   }
+
+  test("streaming near-dup: cross-micro-batch pairs via keyed bucket state, " +
+    "batch LSH parity") {
+    implicit val sqlCtx = spark.sqlContext
+    def words(seed: Long, n: Int) =
+      (0 until n).map(i => "w" + ((seed * 7919L + i * 104729L) % 100000L))
+        .mkString(" ")
+    val a = words(1, 40)
+    val b = words(2, 40)
+    val batch1 = Seq(
+      Doc(10L, t("2020-01-01 10:00:00"), a),
+      Doc(11L, t("2020-01-01 10:00:10"), a),  // dup of 10, same batch
+      Doc(20L, t("2020-01-01 10:00:20"), b))  // unrelated
+    val batch2 = Seq(
+      Doc(12L, t("2020-01-01 10:01:00"), a),  // dup of 10/11, NEXT batch
+      Doc(21L, t("2020-01-01 10:01:10"), words(3, 40)))
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Doc]
+    val stream = CorpusStream.nearDupStream(source.toDF(),
+      "doc_id", "text", "ts", threshold = 0.9)
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("neardup_stream")
+      .start() // default trigger: AvailableNow would snapshot offsets at
+               // start and terminate before the post-start addData arrives
+    source.addData(batch1: _*)
+    q.processAllAvailable()
+    source.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.sql("SELECT id1, id2 FROM neardup_stream")
+      .as[(Long, Long)].collect().toSet
+    // identical text -> identical signature -> every shared bucket fires;
+    // the cross-batch pairs (10,12) and (11,12) prove state persistence
+    assert(pairs == Set((10L, 11L), (10L, 12L), (11L, 12L)))
+    val est = spark.sql("SELECT DISTINCT est_jaccard FROM neardup_stream")
+      .as[Double].collect().toSeq
+    assert(est == Seq(1.0))
+    // batch ≡ stream: the batch LSH operator on the full corpus finds the
+    // same pair set (exact-verified there; estimate == 1 for exact dups)
+    val all = (batch1 ++ batch2).toDF()
+    val sh = all.select(col("doc_id"),
+      TextFunctions.wordShingleHashesFast(col("text"), 3).as("sh"))
+    val batchPairs = graft.textops.MinHashLSH
+      .nearDupPairs(sh, "doc_id", "sh", 0.9)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(batchPairs == pairs)
+  }
+
+  test("streaming near-dup: bucket state cap still compares, stops storing") {
+    implicit val sqlCtx = spark.sqlContext
+    val text = (0 until 30).map(i => "x" + i).mkString(" ")
+    val docs = (0 until 5).map(i =>
+      Doc(100L + i, t(s"2020-01-01 10:00:0$i"), text))
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Doc]
+    val stream = CorpusStream.nearDupStream(source.toDF(),
+      "doc_id", "text", "ts", threshold = 0.9, maxBucketState = 2)
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("neardup_capped")
+      .start() // default trigger (see above)
+    source.addData(docs: _*)
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.sql("SELECT DISTINCT id1, id2 FROM neardup_capped")
+      .as[(Long, Long)].collect().toSet
+    // with cap 2 only docs 100 and 101 are stored; every later arrival
+    // pairs against exactly those two — no (102,103) etc. pairs exist
+    val expected = (for (late <- 102L to 104L; s <- Seq(100L, 101L))
+      yield (s, late)).toSet + ((100L, 101L))
+    assert(pairs == expected)
+  }
 }
