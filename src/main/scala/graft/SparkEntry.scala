@@ -1757,6 +1757,28 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // PQ asymmetric-distance (ADC) search: top-5 per query by
+    // codebook-reconstructed squared-L2, read from the CODES column only —
+    // the query path of the IVF-PQ layout. Ranking compares the distance
+    // rounded to 4 dp (then the id): vectors sharing all codes reconstruct
+    // identically and must tie deterministically, and a last-ulp summation
+    // difference (the oracle sums per-subspace totals, the kernel one
+    // 64-term chain) must not reorder the replay
+    "q86_pq_adc" -> ((s, dir) => {
+      import graft.sim.Pq
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val cb = Pq.train(emb, "vec_id", "embedding", m = 4, k = 16, nIters = 0)
+      val encoded = Pq.encode(
+        tSpread(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+        "embedding", cb)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      Pq.adcTopK(encoded, queries, 5, "vec_id", "q_id", "q_emb", cb,
+        roundDp = 4)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+
     // dataset-card statistics: per-language size/length distribution
     // (docs, chars, token percentiles) — the release table every corpus
     // ships and every mixture/packing decision reads. Exact-percentile
@@ -2976,6 +2998,47 @@ object SparkEntry {
         |FROM ranked r JOIN q USING (lang)
         |WHERE r.rn <= q.quota
         |ORDER BY r.doc_id""".stripMargin,
+
+    "q86_pq_adc" ->
+      """WITH cb AS (
+        |  SELECT vec_id AS j,
+        |    list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e
+        |  FROM embeddings WHERE vec_id < 16),
+        |v AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |sub AS (SELECT unnest(range(0, 4)) AS s),
+        |d AS (
+        |  SELECT v.vec_id, sub.s, cb.j,
+        |    list_sum(list_transform(range(1, 17), i ->
+        |      (v.e[CAST(sub.s * 16 + i AS INTEGER)] -
+        |       cb.e[CAST(sub.s * 16 + i AS INTEGER)]) *
+        |      (v.e[CAST(sub.s * 16 + i AS INTEGER)] -
+        |       cb.e[CAST(sub.s * 16 + i AS INTEGER)]))) AS dist2
+        |  FROM v CROSS JOIN sub CROSS JOIN cb),
+        |best AS (
+        |  SELECT vec_id, s, j FROM (
+        |    SELECT vec_id, s, j, row_number() OVER (PARTITION BY vec_id, s
+        |      ORDER BY dist2, j) AS rn FROM d)
+        |  WHERE rn = 1),
+        |q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < 5),
+        |adc AS (
+        |  SELECT q.q_id, b.vec_id,
+        |    round(sum(list_sum(list_transform(range(1, 17), i ->
+        |      (q.qe[CAST(b.s * 16 + i AS INTEGER)] -
+        |       cb.e[CAST(b.s * 16 + i AS INTEGER)]) *
+        |      (q.qe[CAST(b.s * 16 + i AS INTEGER)] -
+        |       cb.e[CAST(b.s * 16 + i AS INTEGER)])))), 4) AS dist2
+        |  FROM best b JOIN cb ON cb.j = b.j CROSS JOIN q
+        |  WHERE b.vec_id <> q.q_id
+        |  GROUP BY q.q_id, b.vec_id)
+        |SELECT q_id, rnk, vec_id, dist2 FROM (
+        |  SELECT q_id, vec_id, dist2, CAST(row_number() OVER (
+        |    PARTITION BY q_id ORDER BY dist2, vec_id) AS INTEGER) AS rnk
+        |  FROM adc)
+        |WHERE rnk <= 5
+        |ORDER BY q_id, rnk""".stripMargin,
 
     "q85_pq_codes" ->
       """WITH cb AS (

@@ -183,10 +183,16 @@ object Pq {
     * `corpus` must carry `__pqcodes` (from [[encode]]); only that column
     * and the id are read — at scale the scan never touches the float
     * vectors. Output: (qIdCol, rank, idCol, dist2).
+    *
+    * Ranking compares the distance ROUNDED to `roundDp` (then the id):
+    * ranking at the exposed precision makes the order total and
+    * engine-reproducible — vectors sharing all codes reconstruct
+    * identically and must tie deterministically, and a last-ulp summation
+    * difference must not reorder a cross-engine replay.
     */
   def adcTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               idCol: String, qIdCol: String, qVecCol: String,
-              cb: Codebooks): DataFrame = {
+              cb: Codebooks, roundDp: Int = 6): DataFrame = {
     val c = cb.centroids
     val dsub = cb.dsub
     val dist = udf((codes: Seq[Int], q: Seq[Float]) =>
@@ -194,13 +200,12 @@ object Pq {
     val joined = corpus.select(col(idCol), col("__pqcodes"))
       .join(broadcast(queries), col(qIdCol) =!= col(idCol))
       .select(col(qIdCol), col(idCol),
-        dist(col("__pqcodes"), col(qVecCol)).as("__d"))
+        round(dist(col("__pqcodes"), col(qVecCol)), roundDp).as("__d"))
     val w = Window.partitionBy(col(qIdCol))
       .orderBy(col("__d"), col(idCol))
     joined.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col(qIdCol), col("rank"), col(idCol),
-        round(col("__d"), 6).as("dist2"))
+      .select(col(qIdCol), col("rank"), col(idCol), col("__d").as("dist2"))
   }
 
   /** Mean squared reconstruction error over the corpus — the training
