@@ -723,20 +723,38 @@ object SparkEntry {
         col("o_orderkey").as("id"),
         (-log10((col("o_orderkey") % 9999 + 1).cast("double") / 10000.0)).as("mag"),
         col("o_orderdate").cast("timestamp").as("time"))
-      // cache only for the planner's count() probes, released before the
-      // final plan is handed back (which recomputes the cheap projection)
-      val probe = ev.cache()
-      val cap = math.max(2000L, probe.count() / 4)
-      def tooLarge(r: EventPaging.EventRequest): Boolean =
-        probe.filter(col("mag") >= r.minMag && col("mag") < r.maxMag &&
-          col("time") >= lit(r.start) && col("time") < lit(r.end)).count() > cap
+      // the planner probes a driver-side (milli-mag × day) count sketch:
+      // ONE aggregation job for the whole split tree instead of a count
+      // job per probe, and the sketch is bounded by bucket cardinality,
+      // never corpus size — the planning shape that survives 100 TB (the
+      // runnable CLI path probes the real HTTP service instead; this is
+      // the engine-side analog). Boundary buckets count FULLY, so the
+      // probe is an upper bound: the planner can only split more eagerly
+      // than exact counts would, and the exactly-once coverage below is
+      // independent of the split tree.
+      val cap = math.max(2000L, ev.count() / 4)
+      val DayMs = 86400000L
+      val sketch = ev.select(floor(col("mag") * 1000).as("mb"),
+          floor(unix_millis(col("time")) / DayMs).as("db"))
+        .groupBy("mb", "db").count().collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      def tooLarge(r: EventPaging.EventRequest): Boolean = {
+        val m0 = r.minMag * 1000.0
+        val m1 = r.maxMag * 1000.0
+        var n = 0L
+        sketch.foreach { case (mb, db, c) =>
+          if (mb + 1 > m0 && mb < m1 &&
+            (db + 1) * DayMs > r.start.getTime && db * DayMs < r.end.getTime)
+            n += c
+        }
+        n > cap
+      }
       val init = EventPaging.EventRequest(
         java.sql.Timestamp.valueOf("1990-01-01 00:00:00"),
         java.sql.Timestamp.valueOf("2005-01-01 00:00:00"), 0.0, 10.0)
       val (requests, failed) = EventPaging.fetchAll[EventPaging.EventRequest](
         init, r => if (tooLarge(r)) Left(true) else Right(r))
       require(failed.isEmpty, s"paging left ${failed.size} unsatisfied requests")
-      probe.unpersist()
       // exactly-once coverage check stays intact: a row matching two request
       // ranges joins twice and duplicates against the oracle. One broadcast
       // range join instead of a request-deep union tree — plan depth is
