@@ -747,7 +747,15 @@ object SparkEntry {
             (db + 1) * DayMs > r.start.getTime && db * DayMs < r.end.getTime)
             n += c
         }
-        n > cap
+        if (n <= cap) false
+        else if (r.end.getTime - r.start.getTime >= 2 * DayMs) true
+        // sub-2-day request: below the sketch's day resolution the upper
+        // bound can never shrink (a single-day hotspot would burn every
+        // split level and abort) — fall back to an exact count for this
+        // rare tail only, with the same half-open range semantics
+        else ev.filter(col("mag") >= r.minMag && col("mag") < r.maxMag &&
+          col("time") >= lit(r.start) && col("time") < lit(r.end))
+          .count() > cap
       }
       val init = EventPaging.EventRequest(
         java.sql.Timestamp.valueOf("1990-01-01 00:00:00"),

@@ -124,7 +124,14 @@ object Sampling {
   def temperatureMixture(df: DataFrame, strataCol: String, idCol: String,
                          alpha: Double, total: Long): DataFrame = {
     require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
+    // NULL strata are excluded from the recipe entirely: stringifying the
+    // null key would allocate it quota that mixture()'s equi-join can
+    // never fill (NULL never equals a join key) — the phantom weight would
+    // scale every real stratum down and silently undershoot `total`.
+    // NULL-stratum rows drop with the off-recipe join, like any stratum
+    // outside the weights.
     val counts = df.groupBy(col(strataCol)).count().collect()
+      .filter(!_.isNullAt(0))
       .map(r => (String.valueOf(r.get(0)), r.getLong(1))).toSeq
     // key-sorted BEFORE the float sum: collect() order varies run-to-run
     // and float addition is order-sensitive — the weights must be exactly

@@ -31,10 +31,15 @@ object Pq {
 
   /** Per-subspace codebooks: `centroids(s)(j)` is subspace `s`'s j-th
     * centroid (`dsub` doubles). Codes are centroid indices, ties resolved
-    * to the smaller index everywhere.
+    * to the smaller index everywhere. `m`/`dsub`/`k` are DERIVED from the
+    * array shape — no redundant scalar fields a hand-built instance could
+    * set inconsistently with the data they index.
     */
-  final case class Codebooks(m: Int, dsub: Int,
-                             centroids: Array[Array[Array[Double]]]) {
+  final case class Codebooks(centroids: Array[Array[Array[Double]]]) {
+    require(centroids.nonEmpty && centroids(0).nonEmpty &&
+      centroids(0)(0).nonEmpty, "codebooks must be non-empty")
+    def m: Int = centroids.length
+    def dsub: Int = centroids(0)(0).length
     def k: Int = centroids(0).length
   }
 
@@ -142,7 +147,7 @@ object Pq {
       }
       it += 1
     }
-    Codebooks(m, dsub, cb)
+    Codebooks(cb)
   }
 
   /** Add `__pqcodes` (array of `m` centroid indices) to a corpus. The

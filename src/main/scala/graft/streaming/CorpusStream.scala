@@ -88,16 +88,21 @@ object CorpusStream {
                     maxBucketState: Int = 1000,
                     horizonMs: Long = 600000L,
                     watermarkDelay: String = "10 minutes"): Dataset[NearDupHit] = {
+    require(bands * rows <= k,
+      s"bands*rows (${bands * rows}) must be <= k ($k)") // fail at build,
+    // not as a per-task ArrayIndexOutOfBounds inside the kernel
     val spark = docs.sparkSession
     import spark.implicits._
     // signature (for agreement) and band buckets (for keying) derive from
-    // ONE shingle pass — the kernel returns both as a struct
-    // (bandBuckets takes the raw shingle hashes, not the signature)
+    // ONE signature computation — buckets slice the signature we already
+    // have (bandBuckets from raw shingles would recompute it)
     val prep = udf((s: String) => {
       val sh = TextKernels.shingleHashes(s, 3)
       if (sh == null || sh.isEmpty) null
-      else (TextKernels.minhashSignature(sh, k).toSeq,
-        TextKernels.bandBuckets(sh, k, bands, rows).toSeq)
+      else {
+        val sig = TextKernels.minhashSignature(sh, k)
+        (sig.toSeq, TextKernels.bandBucketsFromSig(sig, bands, rows).toSeq)
+      }
     }).asNondeterministic() // plan-shape fence, kernels are pure
     val posts = docs
       .withColumn("__p", prep(col(textCol)))

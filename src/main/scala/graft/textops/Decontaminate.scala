@@ -115,15 +115,20 @@ object Decontaminate {
     def hashedGrams(df: DataFrame): DataFrame =
       df.filter(length(col(textCol)) >= n)
         .select(col(idCol), gramsUdf(col(textCol)).as("ghs"))
+    // ONE benchmark pass: the distinct gram set is persisted (evictable
+    // MEMORY_AND_DISK — it is exactly what the verification join shuffles
+    // anyway), the Bloom build reads it, and the join reuses the same
+    // blocks instead of re-running the scan + kernel + explode + distinct
     val benchGrams = hashedGrams(benchmark)
-      .select(explode(col("ghs")).as("gh"))
+      .select(explode(col("ghs")).as("gh")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bloom = benchGrams.stat.bloomFilter("gh", expectedGrams, fpp)
     val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
     val mightContain = udf((gh: Long) => bc.value.mightContainLong(gh))
     hashedGrams(corpus)
       .select(col(idCol), explode(col("ghs")).as("gh"))
       .filter(mightContain(col("gh")))
-      .join(benchGrams.distinct(), "gh")
+      .join(benchGrams, "gh")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shared"))
   }

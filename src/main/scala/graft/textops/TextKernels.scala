@@ -110,7 +110,14 @@ object TextKernels {
     */
   def bandBuckets(shingles: Array[Long], k: Int, bands: Int, rows: Int): Array[Long] = {
     if (shingles == null) return null
-    val sig = minhashSignature(shingles, k)
+    bandBucketsFromSig(minhashSignature(shingles, k), bands, rows)
+  }
+
+  /** [[bandBuckets]] from an ALREADY-computed signature — for callers that
+    * need both the signature and the buckets (streaming near-dup state):
+    * one k×|shingles| hashing pass instead of two.
+    */
+  def bandBucketsFromSig(sig: Array[Long], bands: Int, rows: Int): Array[Long] = {
     val out = new Array[Long](bands)
     var j = 0
     while (j < bands) {

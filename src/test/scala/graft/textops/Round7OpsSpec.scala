@@ -193,6 +193,18 @@ class Round7OpsSpec extends SparkSpec {
     assert(half.values.sum == 20L && nat.values.sum == 20L)
   }
 
+  test("temperature mixture: NULL strata are off-recipe — no phantom " +
+    "quota, real strata fill the full budget") {
+    val docs = ((1 to 60).map(i => (i.toLong, "a")) ++
+      (1 to 40).map(i => ((1000 + i).toLong, null.asInstanceOf[String])))
+      .toDF("id", "lang")
+    val got = Sampling.temperatureMixture(docs, "lang", "id", 0.5, 30L)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    // a stringified null key would have claimed ~40% of the budget and
+    // then dropped at the join — the full 30 must land on stratum a
+    assert(got == Map("a" -> 30L))
+  }
+
   test("temperature mixture is deterministic and append-stable") {
     val docs = mkDocs(50, 20)
     val a = Sampling.temperatureMixture(docs, "lang", "id", 0.5, 15L)
