@@ -1,8 +1,8 @@
 package graft
 
 import graft.operators.{Packing, Sampling}
-import graft.textops.{BpeTrainer, Decontaminate, DedupGraph, MinHashLSH,
-  SpanDedup, TextFunctions, UnigramLM}
+import graft.textops.{BpeTrainer, CorpusStats, Decontaminate, DedupGraph,
+  MinHashLSH, SpanDedup, TextFunctions, UnigramLM}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -11,9 +11,11 @@ import org.apache.spark.sql.functions._
   * (q65–q69, q73–q79), composed the way a 100 TB corpus job would run it:
   *
   *   quality gate → PII redaction → exact dedup → near-dup clusters
-  *   (keep component minimum) → duplicate-span trim accounting →
-  *   unigram-LM tail cut → eval-set decontamination → stratified sample →
-  *   sharded export → BPE merge table + packing manifest
+  *   (keep each cluster's BEST-QUALITY member) → duplicate-span trim
+  *   accounting → unigram-LM tail cut → eval-set decontamination
+  *   (hashed-gram join) → temperature-scaled language mixture →
+  *   sharded export + dataset-card stats → BPE merge table + packing
+  *   manifest
   *
   * Prints one JSON line of per-stage surviving counts. Every stage is a
   * DataFrame transform — no driver loops, no RNG; re-running reproduces
@@ -54,13 +56,18 @@ object CurateDemo {
         .filter(col("rn") === 1).drop("fp", "rn")
       val n2 = exact.count()
 
-      // 3. near-dup clusters: Jaccard >= 0.6 pairs → components → keep min
+      // 3. near-dup clusters: Jaccard >= 0.6 pairs → components → keep
+      // each cluster's best-QUALITY member (not the accidental smallest
+      // id): the q81 canonical-survivor resolution
       val sh = exact.select(col("doc_id"),
         TextFunctions.wordShingleHashesFast(col("text"), 3).as("sh"))
       val pairs = MinHashLSH.jaccardPairsPrefix(sh, "doc_id", "sh", 0.6)
       val comps = DedupGraph.connectedComponents(pairs, "id1", "id2")
-      val dupLosers = comps.filter(col("node") =!= col("component"))
-        .select(col("node").as("doc_id"))
+      val quality = exact.select(col("doc_id"),
+        TextFunctions.qualityScore(col("text"), stops).as("q"))
+      val dupLosers = DedupGraph.survivorsByQuality(comps, quality,
+          "doc_id", "q")
+        .filter(!col("kept")).select(col("doc_id"))
       val nearDeduped = exact.join(dupLosers, Seq("doc_id"), "left_anti")
       val n3 = nearDeduped.count()
 
@@ -89,7 +96,9 @@ object CurateDemo {
       // differ between the two sides and the leak would go undetected.
       val benchSlice = docs.filter(col("doc_id") % 10 === 0)
         .withColumn("text", TextFunctions.redactPii(col("text")))
-      val contaminated = Decontaminate.overlap(
+      // hashed-gram join (the 100 TB shape; overlapBloom when even the
+      // benchmark gram set outgrows a broadcast)
+      val contaminated = Decontaminate.overlapHashed(
         typical.filter(col("doc_id") % 10 =!= 0),
         benchSlice,
         "doc_id", "text", 32).select(col("doc_id"))
@@ -97,13 +106,17 @@ object CurateDemo {
         .join(contaminated, Seq("doc_id"), "left_anti")
       val n4 = decon.count()
 
-      // 5. per-language stratified sample, then sharded export
-      val sample = Sampling.stratifiedQuota(decon, "lang", "doc_id", 40)
+      // 5. temperature-scaled language mixture (α = 0.5 up-weights
+      // low-resource languages relative to their natural share), then
+      // sharded export + the dataset-card stats table a release ships
+      val sample = Sampling.temperatureMixture(decon, "lang", "doc_id",
+          alpha = 0.5, total = 200L)
         .drop("rn")
       val n5 = sample.count()
       Sampling.exportShards(sample, "doc_id", s"$out/corpus")
       val shards = spark.read.parquet(s"$out/corpus")
         .select(countDistinct(col("shard"))).head().getLong(0)
+      val cardLangs = CorpusStats.approx(sample, "text", "lang").count()
 
       // 6. tokenizer + batch layout over the final corpus: a small BPE
       // merge table (vocab-sized iterations) and the 128-token packing
@@ -114,7 +127,8 @@ object CurateDemo {
       println(s"""{"input":$n0,"quality":$n1,"exact_dedup":$n2,""" +
         s""""near_dedup":$n3,"span_tokens_cuttable":$spanCut,""" +
         s""""lm_typical":$n3b,"decontaminated":$n4,"sampled":$n5,""" +
-        s""""shards":$shards,"bpe_merges":${merges.size},""" +
+        s""""shards":$shards,"card_langs":$cardLangs,""" +
+        s""""bpe_merges":${merges.size},""" +
         s""""pack_chunks":$chunks,"out":"$out/corpus"}""")
     } finally spark.stop()
   }
