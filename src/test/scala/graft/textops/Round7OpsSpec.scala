@@ -46,6 +46,37 @@ class Round7OpsSpec extends SparkSpec {
     assert(got.head._3 == "apple")
   }
 
+  test("tf-idf keywords: randomized parity with a driver reference " +
+    "implementation") {
+    val rnd = new scala.util.Random(4242)
+    val vocab = Vector("apple", "banana", "cherry", "date", "elder", "fig")
+    val docs = (1L to 30L).map { id =>
+      (id, (0 until (3 + rnd.nextInt(12)))
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val k = 3
+    val got = TfIdf.topKeywords(docs.toDF("doc_id", "text"),
+        "doc_id", "text", k)
+      .as[(Long, Int, String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(r => (r._3, r._4)).toSeq)
+      .toMap
+    // reference: plain Scala maps
+    val n = docs.size
+    val tf = docs.map { case (id, t) =>
+      id -> t.split("\\s+").filter(_.nonEmpty).groupBy(identity)
+        .view.mapValues(_.length).toMap
+    }.toMap
+    val dfreq = tf.values.flatMap(_.keys).groupBy(identity)
+      .view.mapValues(_.size).toMap
+    docs.foreach { case (id, _) =>
+      val want = tf(id).toSeq.map { case (tok, f) =>
+        (tok, math.round(f * (math.log((n + 1.0) / (dfreq(tok) + 1.0)) + 1.0)
+          * 1e6) / 1e6)
+      }.sortBy { case (tok, s) => (-s, tok) }.take(k)
+      assert(got(id) == want, s"doc $id")
+    }
+  }
+
   // ---- survivorsByQuality -------------------------------------------------
 
   test("survivor selection: argmax quality per component, ties to min id") {
@@ -203,6 +234,35 @@ class Round7OpsSpec extends SparkSpec {
     // a stringified null key would have claimed ~40% of the budget and
     // then dropped at the join — the full 30 must land on stratum a
     assert(got == Map("a" -> 30L))
+  }
+
+  test("temperature mixture: randomized quota parity with a driver " +
+    "largest-remainder reference") {
+    val rnd = new scala.util.Random(77)
+    for (trial <- 1 to 5) {
+      val strata = ('a' to ('a' + 2 + rnd.nextInt(4)).toChar).map(_.toString)
+      val counts = strata.map(s => s -> (5 + rnd.nextInt(200))).toMap
+      val total = 20L + rnd.nextInt(100)
+      val alpha = rnd.nextDouble()
+      val docs = counts.toSeq.flatMap { case (s, n) =>
+        (1 to n).map(i => ((s.hashCode.toLong << 20) + i, s))
+      }.toDF("id", "lang")
+      val got = Sampling.temperatureMixture(docs, "lang", "id", alpha, total)
+        .groupBy("lang").count().as[(String, Long)].collect().toMap
+      // reference largest-remainder quotas (same key-sorted float order)
+      val pw = counts.toSeq.sortBy(_._1)
+        .map { case (s, n) => (s, math.pow(n.toDouble, alpha)) }
+      val z = pw.map(_._2).sum
+      val raw = pw.map { case (s, w) => (s, w / z * total) }
+      val floors = raw.map { case (s, r) => (s, math.floor(r).toLong) }
+      val rem = (math.round(raw.map(_._2).sum) - floors.map(_._2).sum).toInt
+      val bump = raw.map { case (s, r) => (s, r - math.floor(r)) }
+        .sortBy { case (s, f) => (-f, s) }.take(rem.max(0)).map(_._1).toSet
+      val want = floors.map { case (s, q) =>
+        (s, math.min(if (bump(s)) q + 1 else q, counts(s).toLong))
+      }.filter(_._2 > 0).toMap
+      assert(got == want, s"trial $trial (alpha=$alpha total=$total)")
+    }
   }
 
   test("temperature mixture is deterministic and append-stable") {
