@@ -1783,6 +1783,16 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // CCNet head/middle/tail bucketing (Wenzek et al. 2020): typicality
+    // thirds by unigram-LM mean log-probability. No global window — two
+    // exact-percentile cut points broadcast into a per-row case; the
+    // decision compares the score at its exposed 6-dp rounding so any
+    // engine replays it
+    "q87_ccnet_buckets" -> ((s, dir) => {
+      UnigramLM.ccnetBuckets(tSpread(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // PQ asymmetric-distance (ADC) search: top-5 per query by
     // codebook-reconstructed squared-L2, read from the CODES column only —
     // the query path of the IVF-PQ layout. Ranking compares the distance
@@ -3024,6 +3034,29 @@ object SparkEntry {
         |FROM ranked r JOIN q USING (lang)
         |WHERE r.rn <= q.quota
         |ORDER BY r.doc_id""".stripMargin,
+
+    "q87_ccnet_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        |  FROM documents WHERE trim(text) != ''),
+        |vocab AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+        |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM vocab),
+        |scored AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    round(avg(ln(CAST(cnt AS DOUBLE) / total)), 6) AS avg_logprob
+        |  FROM toks JOIN vocab USING (token) CROSS JOIN tot
+        |  GROUP BY doc_id),
+        |th AS (
+        |  SELECT quantile_cont(avg_logprob, 0.6666666666666666) AS t_head,
+        |         quantile_cont(avg_logprob, 0.3333333333333333) AS t_mid
+        |  FROM scored)
+        |SELECT doc_id, n_tokens, avg_logprob,
+        |  CASE WHEN avg_logprob >= t_head THEN 'head'
+        |       WHEN avg_logprob >= t_mid THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM scored CROSS JOIN th
+        |ORDER BY doc_id""".stripMargin,
 
     "q86_pq_adc" ->
       """WITH cb AS (

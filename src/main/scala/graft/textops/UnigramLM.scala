@@ -58,4 +58,31 @@ object UnigramLM {
     */
   def score(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     scoreAgainst(docs, train(docs, textCol), idCol, textCol)
+
+  /** CCNet-style head/middle/tail bucketing (Wenzek et al. 2020): the
+    * corpus splits into typicality thirds by mean token log-probability —
+    * curation keeps the head, inspects the middle, drops the tail.
+    *
+    * Scale shape: NO global window (an `ntile` over everything would be a
+    * single-partition sort) — the two cut points come from one exact
+    * percentile aggregation (two scalars, broadcast), and the bucket is a
+    * per-row comparison. Thresholds compare against the score at its
+    * exposed 6-dp rounding, so the decision replays identically in any
+    * engine. Ties AT a threshold go to the higher bucket (>=).
+    */
+  def ccnetBuckets(docs: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    // materialized once: the threshold aggregation and the bucket
+    // projection both read it (same shared-lineage rationale as TfIdf)
+    val scored = score(docs, idCol, textCol).localCheckpoint(true)
+    val th = scored.agg(
+      expr("percentile(avg_logprob, 0.6666666666666666)").as("__t_head"),
+      expr("percentile(avg_logprob, 0.3333333333333333)").as("__t_mid"))
+    scored.crossJoin(broadcast(th))
+      .withColumn("bucket",
+        when(col("avg_logprob") >= col("__t_head"), lit("head"))
+          .when(col("avg_logprob") >= col("__t_mid"), lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col(idCol), col("n_tokens"), col("avg_logprob"), col("bucket"))
+  }
 }

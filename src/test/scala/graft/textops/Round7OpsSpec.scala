@@ -123,6 +123,26 @@ class Round7OpsSpec extends SparkSpec {
     assert(ap(1).getAs[Double]("p50_tokens") == 7.0)
   }
 
+  // ---- CCNet buckets ------------------------------------------------------
+
+  test("ccnet buckets: typicality thirds with threshold ties to the " +
+    "higher bucket") {
+    // 9 docs with clearly separated typicality: three use only the most
+    // common token, three mix, three use rare tokens
+    val common = "the the the the the"
+    val mixed = "the rare1 the rare2 the"
+    def rare(i: Int) = s"zz$i yy$i xx$i ww$i vv$i"
+    val docs = (
+      (1 to 3).map(i => (i.toLong, common)) ++
+      (4 to 6).map(i => (i.toLong, mixed)) ++
+      (7 to 9).map(i => (i.toLong, rare(i)))).toDF("doc_id", "text")
+    val got = UnigramLM.ccnetBuckets(docs, "doc_id", "text")
+      .select("doc_id", "bucket").as[(Long, String)].collect().toMap
+    assert((1L to 3L).forall(got(_) == "head"))
+    assert((4L to 6L).forall(got(_) == "middle"))
+    assert((7L to 9L).forall(got(_) == "tail"))
+  }
+
   // ---- Product quantization ----------------------------------------------
 
   private def syntheticVecs(n: Int, dim: Int) =
