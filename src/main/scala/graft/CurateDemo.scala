@@ -8,7 +8,8 @@ import org.apache.spark.sql.functions._
 
 /** End-to-end training-data curation over the `documents` table — the
   * full pipeline every stage of which ships as an oracle-checked operator
-  * (q65–q69, q73–q79), composed the way a 100 TB corpus job would run it:
+  * (q65–q69, q73–q79, q81–q84), composed the way a 100 TB corpus job
+  * would run it:
   *
   *   quality gate → PII redaction → exact dedup → near-dup clusters
   *   (keep each cluster's BEST-QUALITY member) → duplicate-span trim
@@ -63,8 +64,14 @@ object CurateDemo {
         TextFunctions.wordShingleHashesFast(col("text"), 3).as("sh"))
       val pairs = MinHashLSH.jaccardPairsPrefix(sh, "doc_id", "sh", 0.6)
       val comps = DedupGraph.connectedComponents(pairs, "id1", "id2")
-      val quality = exact.select(col("doc_id"),
-        TextFunctions.qualityScore(col("text"), stops).as("q"))
+      // score ONLY cluster members: survivorsByQuality consumes nothing
+      // else, and at scale dup clusters are a small fraction of the corpus
+      // — scoring everything would be full-corpus wasted compute
+      val quality = exact
+        .join(comps.select(col("node").as("doc_id")), Seq("doc_id"),
+          "left_semi")
+        .select(col("doc_id"),
+          TextFunctions.qualityScore(col("text"), stops).as("q"))
       val dupLosers = DedupGraph.survivorsByQuality(comps, quality,
           "doc_id", "q")
         .filter(!col("kept")).select(col("doc_id"))

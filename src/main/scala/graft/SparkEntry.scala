@@ -3048,8 +3048,10 @@ object SparkEntry {
         |  FROM toks JOIN vocab USING (token) CROSS JOIN tot
         |  GROUP BY doc_id),
         |th AS (
-        |  SELECT quantile_cont(avg_logprob, 0.6666666666666666) AS t_head,
-        |         quantile_cont(avg_logprob, 0.3333333333333333) AS t_mid
+        |  SELECT round(quantile_cont(avg_logprob, 0.6666666666666666), 6)
+        |           AS t_head,
+        |         round(quantile_cont(avg_logprob, 0.3333333333333333), 6)
+        |           AS t_mid
         |  FROM scored)
         |SELECT doc_id, n_tokens, avg_logprob,
         |  CASE WHEN avg_logprob >= t_head THEN 'head'

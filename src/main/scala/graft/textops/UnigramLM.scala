@@ -75,9 +75,17 @@ object UnigramLM {
     // materialized once: the threshold aggregation and the bucket
     // projection both read it (same shared-lineage rationale as TfIdf)
     val scored = score(docs, idCol, textCol).localCheckpoint(true)
+    // thresholds ROUNDED to the score's own 6-dp precision: an
+    // interpolated percentile is engine-arithmetic (lo*(1-f)+hi*f vs
+    // lo+(hi-lo)*f differ in ULPs), and when the interpolation position
+    // lands sub-ULP from an integer the unrounded threshold can straddle a
+    // data value differently per engine — rounding both sides to the
+    // exposed precision makes the >= decision replay exactly
     val th = scored.agg(
-      expr("percentile(avg_logprob, 0.6666666666666666)").as("__t_head"),
-      expr("percentile(avg_logprob, 0.3333333333333333)").as("__t_mid"))
+      round(expr("percentile(avg_logprob, 0.6666666666666666)"), 6)
+        .as("__t_head"),
+      round(expr("percentile(avg_logprob, 0.3333333333333333)"), 6)
+        .as("__t_mid"))
     scored.crossJoin(broadcast(th))
       .withColumn("bucket",
         when(col("avg_logprob") >= col("__t_head"), lit("head"))
