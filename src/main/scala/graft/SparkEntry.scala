@@ -1783,6 +1783,19 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // source-level leakage matrix: distinct 32-char-gram overlap counts
+    // per (corpus source, benchmark source) pair — the audit table a
+    // leakage investigation presents (which feed contaminated which eval
+    // suite), over the same hashed-gram machinery as q67
+    "q88_leakage_matrix" -> ((s, dir) => {
+      val all = tSpread(s, dir, "documents")
+      Decontaminate.leakageMatrix(
+        all.filter(col("doc_id") % 10 =!= 0),
+        all.filter(col("doc_id") % 10 === 0),
+        "source", "text", 32)
+        .orderBy(col("corpus_source"), col("bench_source"))
+    }),
+
     // CCNet head/middle/tail bucketing (Wenzek et al. 2020): typicality
     // thirds by unigram-LM mean log-probability. No global window — two
     // exact-percentile cut points broadcast into a per-row case; the
@@ -3034,6 +3047,25 @@ object SparkEntry {
         |FROM ranked r JOIN q USING (lang)
         |WHERE r.rn <= q.quota
         |ORDER BY r.doc_id""".stripMargin,
+
+    "q88_leakage_matrix" ->
+      """WITH cg AS (
+        |  SELECT DISTINCT source AS corpus_source,
+        |    unnest(list_transform(
+        |      range(1, greatest(length(text) - 31, 0) + 1),
+        |      i -> substr(text, CAST(i AS INTEGER), 32))) AS g
+        |  FROM documents WHERE doc_id % 10 <> 0),
+        |bg AS (
+        |  SELECT DISTINCT source AS bench_source,
+        |    unnest(list_transform(
+        |      range(1, greatest(length(text) - 31, 0) + 1),
+        |      i -> substr(text, CAST(i AS INTEGER), 32))) AS g
+        |  FROM documents WHERE doc_id % 10 = 0)
+        |SELECT corpus_source, bench_source,
+        |  count(*) AS n_shared_grams
+        |FROM cg JOIN bg USING (g)
+        |GROUP BY corpus_source, bench_source
+        |ORDER BY corpus_source, bench_source""".stripMargin,
 
     "q87_ccnet_buckets" ->
       """WITH toks AS (

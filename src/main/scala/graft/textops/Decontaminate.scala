@@ -89,6 +89,32 @@ object Decontaminate {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Source-level leakage matrix — the audit report behind [[overlap]]:
+    * for every (corpus source, benchmark source) pair, how many DISTINCT
+    * char-n-grams they share. This is the table a leakage investigation
+    * presents (which vendor feed contaminated which eval suite), not a
+    * per-document drop list.
+    *
+    * Shape: per-side grams dedup to (source, gram-hash) — one shuffle per
+    * side on 8-byte-pair keys — then an equi-join on the hash and a
+    * map-side-combined count per source pair (the join output is already
+    * unique per (corpus source, bench source, gram)).
+    */
+  def leakageMatrix(corpus: DataFrame, benchmark: DataFrame, srcCol: String,
+                    textCol: String, n: Int): DataFrame = {
+    require(n >= 1, "n-gram length must be >= 1")
+    val gramsUdf = udf((s: String) => TextKernels.charGramHashes(s, n))
+      .asNondeterministic() // plan-shape fence, see overlapHashed
+    def sourceGrams(df: DataFrame, as: String): DataFrame =
+      df.filter(length(col(textCol)) >= n)
+        .select(col(srcCol).as(as), explode(gramsUdf(col(textCol))).as("gh"))
+        .dropDuplicates(as, "gh")
+    sourceGrams(corpus, "corpus_source")
+      .join(sourceGrams(benchmark, "bench_source"), "gh")
+      .groupBy(col("corpus_source"), col("bench_source"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
   /** [[overlapHashed]] with a Bloom-filter prefilter — the shape for when
     * even the benchmark gram set is too large to broadcast as a join table
     * (a 10^9-gram eval suite is ~8 GB of longs as a hash relation but

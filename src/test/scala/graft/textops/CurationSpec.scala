@@ -213,6 +213,32 @@ class CurationSpec extends SparkSpec {
     assert(bloomed == got)
   }
 
+  test("leakage matrix: distinct shared grams per source pair only") {
+    val shared = "the quick brown fox jumps over the lazy dog tonight ok"
+    val bench = Seq(("evalA", shared), ("evalB", "no overlap here at all " +
+      "with anything else whatsoever in this text"))
+      .toDF("source", "text")
+    val corpus = Seq(
+      ("web", s"prefix $shared suffix"),
+      ("web", s"another doc also containing $shared twice $shared"),
+      ("books", "entirely disjoint content with no common runs present"))
+      .toDF("source", "text")
+    val got = Decontaminate.leakageMatrix(corpus, bench, "source", "text", 32)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // only (web, evalA) share grams; duplicated grams across web docs and
+    // within a doc count once
+    assert(got.keySet == Set(("web", "evalA")))
+    val wantDistinct = {
+      def grams(s: String) =
+        (0 to s.length - 32).map(i => s.substring(i, i + 32)).toSet
+      (grams(s"prefix $shared suffix") ++
+        grams(s"another doc also containing $shared twice $shared"))
+        .intersect(grams(shared)).size
+    }
+    assert(got(("web", "evalA")) == wantDistinct.toLong)
+  }
+
   test("quality rules: each rule fires on its pathology, clean doc kept") {
     val stops = Seq("the", "a", "and", "of", "to")
     val clean = ("the quick brown fox jumps over a lazy dog and then " * 5) +
