@@ -1855,6 +1855,49 @@ object SparkEntry {
         .select(col("doc_id"), nEmails.as("n_emails"), nPhones.as("n_phones"),
           TextFunctions.redactPii(aug).as("redacted"))
         .orderBy(col("doc_id"))
+    }),
+
+    // composed IVF-PQ search (the deployed FAISS layout, Jégou et al.
+    // 2011): PQ codes persisted per coarse cell (parquet PARTITIONED BY
+    // __cell), probe = each query's 2 nearest cells by ROUNDED cosine
+    // (rank at the exposed 6-dp precision so any engine replays the cell
+    // choice), ADC ranks ONLY within probed cells via the bounded TopK
+    // aggregation — the scan reads id + 4-int codes of 2/8 cells and
+    // never touches a float vector. All training is init-only (IVF
+    // centroids = the 8 smallest-id vectors, PQ codebook = the 16
+    // smallest-id subvectors), so index build + probe + ADC replay in SQL
+    "q89_ivfpq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val idx = java.nio.file.Files.createTempDirectory("graft_q89").toString
+      graft.sim.Ivf.writeIndexPq(emb, "vec_id", "embedding", idx,
+        nCells = 8, nIters = 0, m = 4, pqK = 16, pqIters = 0,
+        residual = false, roundDp = 6)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      graft.sim.Ivf.topKIndexedPq(s, idx, queries, 5, "vec_id", "q_id",
+        "q_emb", nProbe = 2, adcRoundDp = 4)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+
+    // residual-encoded IVF-PQ (the actual FAISS IVFPQ): codes quantize
+    // `vec − centroid(cell)` so the codebook spends its budget on in-cell
+    // structure, and the query subtracts its probed cell's centroid before
+    // ADC. The residual is computed double-then-float (the one order every
+    // engine reproduces bit-exactly), so the oracle replays it with
+    // CAST(CAST(... AS REAL) AS DOUBLE)
+    "q91_ivfpq_residual" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val idx = java.nio.file.Files.createTempDirectory("graft_q91").toString
+      graft.sim.Ivf.writeIndexPq(emb, "vec_id", "embedding", idx,
+        nCells = 8, nIters = 0, m = 4, pqK = 16, pqIters = 0,
+        residual = true, roundDp = 6)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      graft.sim.Ivf.topKIndexedPq(s, idx, queries, 5, "vec_id", "q_id",
+        "q_emb", nProbe = 2, adcRoundDp = 4)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("q_id"), col("rnk"))
     })
   )
 
@@ -3198,6 +3241,134 @@ object SparkEntry {
         |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
         |    '[+(]?[0-9][0-9 ()\-]{7,}[0-9]', '<PHONE>', 'g') AS redacted
         |FROM aug
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "q89_ivfpq" ->
+      """WITH v AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |cent AS (SELECT vec_id AS cell, e FROM v WHERE vec_id < 8),
+        |cs AS (
+        |  SELECT v.vec_id, cent.cell,
+        |    round(list_cosine_similarity(v.e, cent.e), 6) AS cos
+        |  FROM v CROSS JOIN cent),
+        |asg AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cos DESC, cell) AS rn FROM cs)
+        |  WHERE rn = 1),
+        |probe AS (
+        |  SELECT vec_id AS q_id, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cos DESC, cell) AS rn FROM cs WHERE vec_id < 5)
+        |  WHERE rn <= 2),
+        |cb AS (SELECT vec_id AS j, e FROM v WHERE vec_id < 16),
+        |sub AS (SELECT unnest(range(0, 4)) AS s),
+        |d AS (
+        |  SELECT v.vec_id, sub.s, cb.j,
+        |    list_sum(list_transform(range(1, 17), i ->
+        |      (v.e[CAST(sub.s * 16 + i AS INTEGER)] -
+        |       cb.e[CAST(sub.s * 16 + i AS INTEGER)]) *
+        |      (v.e[CAST(sub.s * 16 + i AS INTEGER)] -
+        |       cb.e[CAST(sub.s * 16 + i AS INTEGER)]))) AS dist2
+        |  FROM v CROSS JOIN sub CROSS JOIN cb),
+        |best AS (
+        |  SELECT vec_id, s, j FROM (
+        |    SELECT vec_id, s, j, row_number() OVER (PARTITION BY vec_id, s
+        |      ORDER BY dist2, j) AS rn FROM d)
+        |  WHERE rn = 1),
+        |q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < 5),
+        |cand AS (
+        |  SELECT p.q_id, a.vec_id
+        |  FROM probe p JOIN asg a ON a.cell = p.cell
+        |  WHERE a.vec_id <> p.q_id),
+        |adc AS (
+        |  SELECT c.q_id, c.vec_id,
+        |    round(sum(list_sum(list_transform(range(1, 17), i ->
+        |      (q.qe[CAST(b.s * 16 + i AS INTEGER)] -
+        |       cb.e[CAST(b.s * 16 + i AS INTEGER)]) *
+        |      (q.qe[CAST(b.s * 16 + i AS INTEGER)] -
+        |       cb.e[CAST(b.s * 16 + i AS INTEGER)])))), 4) AS dist2
+        |  FROM cand c JOIN best b ON b.vec_id = c.vec_id
+        |  JOIN cb ON cb.j = b.j JOIN q ON q.q_id = c.q_id
+        |  GROUP BY c.q_id, c.vec_id)
+        |SELECT q_id, rnk, vec_id, dist2 FROM (
+        |  SELECT q_id, vec_id, dist2, CAST(row_number() OVER (
+        |    PARTITION BY q_id ORDER BY dist2, vec_id) AS INTEGER) AS rnk
+        |  FROM adc)
+        |WHERE rnk <= 5
+        |ORDER BY q_id, rnk""".stripMargin,
+
+    "q91_ivfpq_residual" ->
+      """WITH v AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |cent AS (SELECT vec_id AS cell, e FROM v WHERE vec_id < 8),
+        |cs AS (
+        |  SELECT v.vec_id, cent.cell,
+        |    round(list_cosine_similarity(v.e, cent.e), 6) AS cos
+        |  FROM v CROSS JOIN cent),
+        |asg AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cos DESC, cell) AS rn FROM cs)
+        |  WHERE rn = 1),
+        |probe AS (
+        |  SELECT vec_id AS q_id, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cos DESC, cell) AS rn FROM cs WHERE vec_id < 5)
+        |  WHERE rn <= 2),
+        |res AS (
+        |  SELECT a.vec_id, a.cell,
+        |    list_transform(range(1, 65), i -> CAST(CAST(
+        |      v.e[CAST(i AS INTEGER)] - c.e[CAST(i AS INTEGER)]
+        |      AS REAL) AS DOUBLE)) AS re
+        |  FROM asg a JOIN v ON v.vec_id = a.vec_id
+        |  JOIN cent c ON c.cell = a.cell),
+        |cbr AS (SELECT vec_id AS j, re FROM res WHERE vec_id < 16),
+        |sub AS (SELECT unnest(range(0, 4)) AS s),
+        |d AS (
+        |  SELECT r.vec_id, sub.s, cbr.j,
+        |    list_sum(list_transform(range(1, 17), i ->
+        |      (r.re[CAST(sub.s * 16 + i AS INTEGER)] -
+        |       cbr.re[CAST(sub.s * 16 + i AS INTEGER)]) *
+        |      (r.re[CAST(sub.s * 16 + i AS INTEGER)] -
+        |       cbr.re[CAST(sub.s * 16 + i AS INTEGER)]))) AS dist2
+        |  FROM res r CROSS JOIN sub CROSS JOIN cbr),
+        |best AS (
+        |  SELECT vec_id, s, j FROM (
+        |    SELECT vec_id, s, j, row_number() OVER (PARTITION BY vec_id, s
+        |      ORDER BY dist2, j) AS rn FROM d)
+        |  WHERE rn = 1),
+        |qres AS (
+        |  SELECT p.q_id, p.cell,
+        |    list_transform(range(1, 65), i -> CAST(CAST(
+        |      v.e[CAST(i AS INTEGER)] - c.e[CAST(i AS INTEGER)]
+        |      AS REAL) AS DOUBLE)) AS qe
+        |  FROM probe p JOIN v ON v.vec_id = p.q_id
+        |  JOIN cent c ON c.cell = p.cell),
+        |cand AS (
+        |  SELECT p.q_id, a.vec_id, a.cell
+        |  FROM probe p JOIN asg a ON a.cell = p.cell
+        |  WHERE a.vec_id <> p.q_id),
+        |adc AS (
+        |  SELECT c.q_id, c.vec_id,
+        |    round(sum(list_sum(list_transform(range(1, 17), i ->
+        |      (qr.qe[CAST(b.s * 16 + i AS INTEGER)] -
+        |       cbr.re[CAST(b.s * 16 + i AS INTEGER)]) *
+        |      (qr.qe[CAST(b.s * 16 + i AS INTEGER)] -
+        |       cbr.re[CAST(b.s * 16 + i AS INTEGER)])))), 4) AS dist2
+        |  FROM cand c JOIN best b ON b.vec_id = c.vec_id
+        |  JOIN cbr ON cbr.j = b.j
+        |  JOIN qres qr ON qr.q_id = c.q_id AND qr.cell = c.cell
+        |  GROUP BY c.q_id, c.vec_id)
+        |SELECT q_id, rnk, vec_id, dist2 FROM (
+        |  SELECT q_id, vec_id, dist2, CAST(row_number() OVER (
+        |    PARTITION BY q_id ORDER BY dist2, vec_id) AS INTEGER) AS rnk
+        |  FROM adc)
+        |WHERE rnk <= 5
+        |ORDER BY q_id, rnk""".stripMargin
   )
 }

@@ -84,27 +84,35 @@ object Ivf {
     centroids
   }
 
-  private def scoredArray(vec: Column,
-                          centroids: Array[(Int, Array[Float])]): Column =
+  /** Per-centroid (negcos, cell) score structs. `roundDp >= 0` rounds the
+    * cosine BEFORE negating/ranking — the cross-engine-replayable mode an
+    * oracle-checked assignment uses (rank at the exposed precision, ties to
+    * the smaller cell); negative keeps the exact double (the default: more
+    * resolution, nothing external replays it).
+    */
+  private def scoredArray(vec: Column, centroids: Array[(Int, Array[Float])],
+                          roundDp: Int = -1): Column =
     array(centroids.map { case (cell, cv) =>
-      struct((-Cosine.cosineF(vec,
-        typedlit(cv))).as("negcos"), lit(cell).as("cell"))
+      val cos = Cosine.cosineF(vec, typedlit(cv))
+      val r = if (roundDp >= 0) round(cos, roundDp) else cos
+      struct((-r).as("negcos"), lit(cell).as("cell"))
     }.toIndexedSeq: _*)
 
   /** Nearest-`n` centroid cell ids (probe list; n small, sort is fine). */
   private def cellExpr(vec: Column, centroids: Array[(Int, Array[Float])],
-                       n: Int): Column =
+                       n: Int, roundDp: Int = -1): Column =
     // struct(cos DESC, cell ASC) ordering via array_sort on (-cos, cell)
-    slice(transform(array_sort(scoredArray(vec, centroids)),
+    slice(transform(array_sort(scoredArray(vec, centroids, roundDp)),
       s => s.getField("cell")), 1, n)
 
   def assign(corpus: DataFrame, vecCol: String,
-             centroids: Array[(Int, Array[Float])]): DataFrame = {
+             centroids: Array[(Int, Array[Float])],
+             roundDp: Int = -1): DataFrame = {
     // the per-row assign is argmin, not top-n: an O(k) fold instead of the
     // O(k log k) struct sort — centroids are in ascending-cell order and
     // the strict `<` keeps the first on ties, matching the sort's
     // (negcos, cell) tie-break
-    val best = aggregate(scoredArray(col(vecCol), centroids),
+    val best = aggregate(scoredArray(col(vecCol), centroids, roundDp),
       struct(lit(Double.MaxValue).as("negcos"), lit(-1).as("cell")),
       (acc, s) => when(s.getField("negcos") < acc.getField("negcos"), s)
         .otherwise(acc))
@@ -265,5 +273,149 @@ object Ivf {
     joined.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(qIdCol), col("rank"), col(idCol), col("cos"))
+  }
+
+  // ---- IVF-PQ: cell-pruned ADC over PQ codes -----------------------------
+
+  /** Element-wise `vec − centroid(cell)` as a float array — the residual
+    * the FAISS IVFPQ layout quantizes (Jégou et al. 2011 §IV): residuals
+    * cluster around zero per cell, so a shared codebook spends its codes on
+    * the in-cell structure instead of the cell offset. The subtraction runs
+    * in double then rounds to float, the one order every engine reproduces
+    * bit-exactly (IEEE round-to-nearest).
+    */
+  private def residualExpr(vec: Column, cellCol: Column,
+                           centroids: Array[(Int, Array[Float])]): Column = {
+    val byCell = typedlit(centroids.sortBy(_._1).map(_._2.toSeq).toSeq)
+    zip_with(vec, element_at(byCell, cellCol + 1),
+      (x, y) => (x.cast("double") - y.cast("double")).cast("float"))
+  }
+
+  /** Train-once/store-forever IVF-PQ index: the corpus is coarse-quantized
+    * into `nCells` cells ([[train]]/[[assign]]) and each vector stored ONLY
+    * as its `m`-byte PQ code, parquet-partitioned by cell — the layout
+    * where a probe reads `nProbe/nCells` of an `m`-bytes-per-vector corpus
+    * (vs the full float table: a ~`4·dim/m · nCells/nProbe`× I/O cut).
+    * With `residual = true` codes encode `vec − centroid(cell)` (the FAISS
+    * IVFPQ form — better recall at the same code budget); the PQ codebook
+    * is trained on the same (residual) vectors it encodes.
+    *
+    * `roundDp >= 0` makes cell assignment/probing rank on the rounded
+    * cosine — the SQL-replayable mode the correctness oracle uses.
+    * Returns the trained codebooks (also persisted at `path/codebooks`).
+    */
+  def writeIndexPq(corpus: DataFrame, idCol: String, vecCol: String,
+                   path: String, nCells: Int = 16, nIters: Int = 3,
+                   m: Int = 8, pqK: Int = 256, pqIters: Int = 0,
+                   residual: Boolean = false,
+                   roundDp: Int = -1): Pq.Codebooks = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val slim = corpus.select(col(idCol), col(vecCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val centroids = train(slim, idCol, vecCol, nCells, nIters)
+      val assigned = assign(slim, vecCol, centroids, roundDp)
+      val toEncode =
+        if (residual)
+          assigned.withColumn(vecCol,
+            residualExpr(col(vecCol), col("__cell"), centroids))
+        else assigned
+      // codebook trained on exactly what it will encode (residuals when
+      // residual=true); one extra scan of the persisted slim projection
+      val cb = Pq.train(toEncode, idCol, vecCol, m, pqK, pqIters)
+      Pq.encode(toEncode, vecCol, cb)
+        .select(col(idCol), col("__pqcodes"), col("__cell"))
+        .write.mode("overwrite").partitionBy("__cell")
+        .parquet(s"$path/codes")
+      centroids.toSeq.map { case (c, v) => (c, v.toSeq) }
+        .toDF("cell", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+      val cbRows = for (s <- 0 until cb.m; j <- 0 until cb.k)
+        yield (s, j, cb.centroids(s)(j).toSeq)
+      cbRows.toDF("s", "j", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+      Seq((residual, roundDp)).toDF("residual", "round_dp")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+      cb
+    } finally slim.unpersist()
+  }
+
+  /** Probe an IVF-PQ index: the composed search the file layout above
+    * exists for — cells are pruned STATICALLY (same `isin` guarantee as
+    * [[topKIndexed]]: I/O ∝ probed cells, and the scan reads only the
+    * id + m-byte codes; there is no float column in the table at all),
+    * then ADC ranks within each query's own probed cells via the bounded
+    * [[TopK]] aggregation (never a corpus-fan-in window). Distances
+    * reconstruct against the query (minus its probed cell's centroid when
+    * the index is residual-encoded). Output: (qIdCol, rank, idCol, dist2)
+    * with dist2 rounded to `adcRoundDp`.
+    */
+  def topKIndexedPq(spark: org.apache.spark.sql.SparkSession, path: String,
+                    queries: DataFrame, k: Int, idCol: String,
+                    qIdCol: String, qVecCol: String, nProbe: Int = 2,
+                    adcRoundDp: Int = 6): DataFrame = {
+    val centroids = readCentroids(spark, path)
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val residual = meta.getBoolean(0)
+    val roundDp = meta.getInt(1)
+    val cbArr = {
+      val rows = spark.read.parquet(s"$path/codebooks")
+        .select(col("s"), col("j"), col("centroid")).collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray))
+        .toMap
+      val m = rows.keys.map(_._1).max + 1
+      val kk = rows.keys.map(_._2).max + 1
+      Array.tabulate(m, kk)((s, j) => rows((s, j)))
+    }
+    val dsub = cbArr(0)(0).length
+    val byCell = centroids.sortBy(_._1).map(_._2)
+    val probed = queries.withColumn("__cell",
+      explode(cellExpr(col(qVecCol), centroids, nProbe, roundDp)))
+    val probeCells = probed.select(col("__cell")).distinct()
+      .collect().map(_.getInt(0))
+    val codes = spark.read.parquet(s"$path/codes")
+      .filter(col("__cell").isin(probeCells.toSeq: _*))
+    val idType = codes.schema(idCol).dataType
+    // ADC kernel: subtract the PROBED cell's centroid from the query when
+    // the index stores residuals — each candidate's cell is the join key,
+    // so the right centroid is always the row's own
+    val dist = udf((cs: Seq[Int], q: Seq[Float], cell: Int) =>
+      if (cs == null || q == null) null
+      else {
+        val qv: Seq[Float] =
+          if (!residual) q
+          else {
+            val cv = byCell(cell)
+            val arr = new Array[Float](q.length)
+            var i = 0
+            while (i < arr.length) {
+              arr(i) = (q(i).toDouble - cv(i).toDouble).toFloat
+              i += 1
+            }
+            arr.toSeq
+          }
+        var d = 0.0
+        var s = 0
+        while (s < cbArr.length) {
+          val c = cbArr(s)(cs(s))
+          var i = 0
+          while (i < dsub) {
+            val diff = qv(s * dsub + i).toDouble - c(i)
+            d += diff * diff
+            i += 1
+          }
+          s += 1
+        }
+        java.lang.Double.valueOf(d)
+      }).asNondeterministic() // plan-shape fence, kernel is pure
+    val scored = codes.filter(col("__pqcodes").isNotNull)
+      .join(broadcast(probed), Seq("__cell"))
+      .filter(col(qIdCol) =!= col(idCol))
+      .select(col(qIdCol), col(idCol).cast("long").as("__id"),
+        round(dist(col("__pqcodes"), col(qVecCol), col("__cell")),
+          adcRoundDp).as("__d"))
+      .filter(col("__d").isNotNull)
+    Pq.rankTopK(scored, k, qIdCol, idCol, idType, "dist2")
   }
 }

@@ -1,7 +1,7 @@
 package graft.sim
 
 import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
-import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 /** Product quantization (Jégou et al. 2011) — the compression stage of the
@@ -187,31 +187,56 @@ object Pq {
     * codebook-reconstructed squared-L2 ascending (ties to the smaller id).
     * `corpus` must carry `__pqcodes` (from [[encode]]); only that column
     * and the id are read — at scale the scan never touches the float
-    * vectors. Output: (qIdCol, rank, idCol, dist2).
+    * vectors. Rows whose codes are null ([[encode]] of a null vector) are
+    * not searchable and are skipped. Output: (qIdCol, rank, idCol, dist2).
+    *
+    * This is the exhaustive (brute-force / oracle) form — the distance
+    * pass still touches every encoded row per query; [[Ivf.topKIndexedPq]]
+    * is the cell-pruned composition for corpora where that is too much.
+    * Even here the top-k is AGGREGATION-shaped ([[TopK]]): a bounded
+    * per-query buffer with map-side partial combine, never a window that
+    * sorts all N candidates of a query in one partition.
     *
     * Ranking compares the distance ROUNDED to `roundDp` (then the id):
     * ranking at the exposed precision makes the order total and
     * engine-reproducible — vectors sharing all codes reconstruct
     * identically and must tie deterministically, and a last-ulp summation
     * difference must not reorder a cross-engine replay.
+    *
+    * `idCol` must be integral (it rides the fixed-width top-k buffer as a
+    * long and is cast back to its original type on output).
     */
   def adcTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               idCol: String, qIdCol: String, qVecCol: String,
               cb: Codebooks, roundDp: Int = 6): DataFrame = {
+    val idType = corpus.schema(idCol).dataType
     val c = cb.centroids
     val dsub = cb.dsub
     val dist = udf((codes: Seq[Int], q: Seq[Float]) =>
-      adcDist(c, dsub, codes, q)).asNondeterministic()
-    val joined = corpus.select(col(idCol), col("__pqcodes"))
+      if (codes == null || q == null) null
+      else java.lang.Double.valueOf(adcDist(c, dsub, codes, q)))
+      .asNondeterministic()
+    val scored = corpus.select(col(idCol), col("__pqcodes"))
+      .filter(col("__pqcodes").isNotNull)
       .join(broadcast(queries), col(qIdCol) =!= col(idCol))
-      .select(col(qIdCol), col(idCol),
+      .select(col(qIdCol), col(idCol).cast("long").as("__id"),
         round(dist(col("__pqcodes"), col(qVecCol)), roundDp).as("__d"))
-    val w = Window.partitionBy(col(qIdCol))
-      .orderBy(col("__d"), col(idCol))
-    joined.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(qIdCol), col("rank"), col(idCol), col("__d").as("dist2"))
+      .filter(col("__d").isNotNull)
+    rankTopK(scored, k, qIdCol, idCol, idType, "dist2")
   }
+
+  /** Shared finish of an aggregation-shaped search: (qId, __id, __d) →
+    * (qId, rank, id, distCol) via the bounded [[TopK]] buffer + posexplode.
+    */
+  private[sim] def rankTopK(scored: DataFrame, k: Int, qIdCol: String,
+                            idCol: String,
+                            idType: org.apache.spark.sql.types.DataType,
+                            distName: String): DataFrame =
+    scored.groupBy(col(qIdCol))
+      .agg(TopK.topK(k)(col("__d"), col("__id")).as("__top"))
+      .select(col(qIdCol), posexplode(col("__top")))
+      .select(col(qIdCol), (col("pos") + 1).cast("int").as("rank"),
+        col("col._2").cast(idType).as(idCol), col("col._1").as(distName))
 
   /** Mean squared reconstruction error over the corpus — the training
     * diagnostic (Lloyd iterations must not increase it).

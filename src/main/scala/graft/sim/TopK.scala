@@ -1,0 +1,74 @@
+package graft.sim
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.{Aggregator, UserDefinedFunction}
+import org.apache.spark.sql.functions.udaf
+
+/** Bounded per-group top-k as an AGGREGATION, not a window: the
+  * `TakeOrderedAndProject`-style fixed-size buffer that keeps only the `k`
+  * best (distance ASC, id ASC) candidates seen so far. A
+  * `row_number().over(partitionBy(query))` ranking materializes and sorts
+  * every candidate of a query inside one window partition — for a search
+  * that fans a query against N corpus rows that is an N-row sort per query.
+  * This aggregator's state never exceeds `k` entries, partial aggregation
+  * combines map-side (each task ships at most `k` candidates per query to
+  * the shuffle), and the merge is k-vs-k.
+  */
+private[sim] object TopK {
+
+  /** Fixed-capacity buffer; `n` is the live prefix length of the arrays. */
+  final case class TopKBuf(var ds: Array[Double], var ids: Array[Long],
+                           var n: Int)
+
+  /** `(a)` strictly worse than `(b)` under (dist ASC, id ASC). */
+  @inline private def worse(d1: Double, i1: Long,
+                            d2: Double, i2: Long): Boolean =
+    d1 > d2 || (d1 == d2 && i1 > i2)
+
+  private class TopKAgg(k: Int)
+      extends Aggregator[(Double, Long), TopKBuf, Seq[(Double, Long)]] {
+    def zero: TopKBuf = TopKBuf(new Array[Double](k), new Array[Long](k), 0)
+
+    private def insert(b: TopKBuf, d: Double, id: Long): TopKBuf = {
+      if (b.n < k) { b.ds(b.n) = d; b.ids(b.n) = id; b.n += 1 }
+      else {
+        // O(k) replace-the-worst: k is a search depth (tens), not a corpus
+        // dimension — a heap would save nothing measurable at these sizes
+        var w = 0
+        var i = 1
+        while (i < b.n) {
+          if (worse(b.ds(i), b.ids(i), b.ds(w), b.ids(w))) w = i
+          i += 1
+        }
+        if (worse(b.ds(w), b.ids(w), d, id)) { b.ds(w) = d; b.ids(w) = id }
+      }
+      b
+    }
+
+    def reduce(b: TopKBuf, a: (Double, Long)): TopKBuf =
+      insert(b, a._1, a._2)
+
+    def merge(x: TopKBuf, y: TopKBuf): TopKBuf = {
+      var i = 0
+      while (i < y.n) { insert(x, y.ds(i), y.ids(i)); i += 1 }
+      x
+    }
+
+    def finish(b: TopKBuf): Seq[(Double, Long)] =
+      (0 until b.n).map(i => (b.ds(i), b.ids(i)))
+        .sortBy(identity) // (dist ASC, id ASC) — the exposed rank order
+    def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+    def outputEncoder: Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** Untyped column form: `topK(k)(distCol, idCol)` → sorted
+    * `array<struct<_1: dist, _2: id>>` of the group's best `k`. Inputs must
+    * be non-null DOUBLE and BIGINT (cast/filter upstream).
+    */
+  def topK(k: Int): UserDefinedFunction = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    udaf(new TopKAgg(k),
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
+  }
+}

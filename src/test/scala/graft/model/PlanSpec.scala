@@ -142,4 +142,26 @@ class PlanSpec extends SparkSpec {
       .count(_.contains("Exchange hashpartitioning"))
     assert(exchanges <= 2, s"$exchanges shuffles:\n${p.take(2000)}")
   }
+
+  test("IVF-PQ probe prunes cell partitions and scans codes, never floats") {
+    val p = SparkEntry.queries("q89_ivfpq")(spark, dir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    // the index scan is statically pruned to the probed cells
+    val pf = p.linesIterator.find(_.contains("PartitionFilters"))
+      .getOrElse("")
+    assert(pf.contains("__cell") && pf.contains(" IN ("), p.take(3000))
+    // the pruned scan reads id + codes only — the index table holds no
+    // float column at all, so no scan of it can ever touch one
+    assert(p.contains("ReadSchema: struct<vec_id:bigint,__pqcodes:array<int>>"),
+      p.take(3000))
+    // top-k is aggregation-shaped: no window operator in the search path
+    assert(!p.contains("Window"), p.take(3000))
+  }
+
+  test("PQ brute-force ADC top-k aggregates, never a corpus-fan-in window") {
+    val p = SparkEntry.queries("q86_pq_adc")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p.take(2000))
+  }
 }

@@ -1,0 +1,139 @@
+package graft.sim
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Composed IVF-PQ index: PQ codes stored per coarse cell, searched with
+  * cell pruning + in-cell ADC — the deployed FAISS IVFPQ layout.
+  */
+class IvfPqSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 12 well-separated cluster centers in 8-d, 16 members each with small
+  // deterministic jitter — clustered data, so residual encoding has
+  // something to win on
+  private def clustered: Seq[(Long, Seq[Float])] = {
+    val centers = (0 until 12).map { t =>
+      Array.tabulate(8)(d => math.cos(t * 2.1 + d * 0.7).toFloat * 4f)
+    }
+    for {
+      t <- 0 until 12
+      j <- 0 until 16
+    } yield {
+      val id = (t * 16 + j).toLong
+      val v = Array.tabulate(8)(d =>
+        centers(t)(d) + (((id * 101 + d * 37) % 17) - 8).toFloat / 40f)
+      (id, v.toSeq)
+    }
+  }
+
+  test("probing every cell reproduces the exhaustive ADC search exactly") {
+    val base = clustered
+    val dups = base.take(5).map { case (i, v) => (1000L + i, v) }
+    val corpus = (base ++ dups).toDF("vec_id", "embedding")
+    val queries = base.take(5).toDF("q_id", "q_emb")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    val cb = Ivf.writeIndexPq(corpus, "vec_id", "embedding", dir,
+      nCells = 8, nIters = 2, m = 4, pqK = 16, pqIters = 1)
+
+    // nProbe = nCells → the candidate set is the whole corpus, so the
+    // composed path must equal the brute-force ADC form bit-for-bit
+    val composed = Ivf.topKIndexedPq(spark, dir, queries, k = 5,
+      idCol = "vec_id", qIdCol = "q_id", qVecCol = "q_emb",
+      nProbe = 8, adcRoundDp = 4)
+    val brute = Pq.adcTopK(Pq.encode(corpus, "embedding", cb),
+      queries, 5, "vec_id", "q_id", "q_emb", cb, roundDp = 4)
+    val c = composed.orderBy("q_id", "rank").collect().map(_.toSeq)
+    val b = brute.orderBy("q_id", "rank").collect().map(_.toSeq)
+    assert(c.length == 25 && c.toSeq == b.toSeq,
+      s"composed=${c.take(5).mkString(";")} brute=${b.take(5).mkString(";")}")
+  }
+
+  test("narrow probe prunes partitions, finds planted duplicates, no window") {
+    val base = clustered
+    val dups = base.take(5).map { case (i, v) => (1000L + i, v) }
+    val corpus = (base ++ dups).toDF("vec_id", "embedding")
+    val queries = base.take(5).toDF("q_id", "q_emb")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    Ivf.writeIndexPq(corpus, "vec_id", "embedding", dir,
+      nCells = 8, nIters = 2, m = 4, pqK = 16, pqIters = 1)
+
+    // stored table holds ONLY id + codes (+ the cell partition column) —
+    // no float vectors anywhere in the index's scan path
+    val stored = spark.read.parquet(s"$dir/codes")
+    assert(stored.columns.sorted.toSeq == Seq("__cell", "__pqcodes", "vec_id"))
+
+    val res = Ivf.topKIndexedPq(spark, dir, queries, k = 5,
+      idCol = "vec_id", qIdCol = "q_id", qVecCol = "q_emb",
+      nProbe = 2, adcRoundDp = 4)
+
+    // an exact duplicate shares its query's cell (identical vector →
+    // identical centroid cosines → same cell = the first probe) and
+    // reconstructs identically → nothing beats it except a code-identical
+    // vector; it must be in the top-5
+    val got = res.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    (0 until 5).foreach { i =>
+      assert(got.contains((i.toLong, 1000L + i)),
+        s"query $i missing its planted duplicate in ${got.filter(_._1 == i)}")
+    }
+
+    val p = res.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("__cell"), p.take(2000))
+    // top-k is aggregation-shaped: no window operator anywhere
+    assert(!p.contains("Window"), p.take(3000))
+  }
+
+  test("residual encoding cuts reconstruction error on clustered data") {
+    val corpus = clustered.toDF("vec_id", "embedding")
+    val dirP = java.nio.file.Files.createTempDirectory("graft_pq_plain").toString
+    val dirR = java.nio.file.Files.createTempDirectory("graft_pq_res").toString
+    val cbPlain = Ivf.writeIndexPq(corpus, "vec_id", "embedding", dirP,
+      nCells = 8, nIters = 2, m = 4, pqK = 16, pqIters = 1, residual = false)
+    Ivf.writeIndexPq(corpus, "vec_id", "embedding", dirR,
+      nCells = 8, nIters = 2, m = 4, pqK = 16, pqIters = 1, residual = true)
+
+    val errPlain = Pq.meanReconstructionError(corpus, "embedding", cbPlain)
+    // residual error must be measured on the residual vectors the index
+    // actually encodes: reconstruct them via the stored codebooks
+    val cbR = {
+      val rows = spark.read.parquet(s"$dirR/codebooks")
+        .collect().map(r => ((r.getInt(0), r.getInt(1)),
+          r.getSeq[Double](2).toArray)).toMap
+      Pq.Codebooks(Array.tabulate(4, 16)((s, j) => rows((s, j))))
+    }
+    val cents = spark.read.parquet(s"$dirR/centroids")
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1).map(_._2)
+    val residuals = spark.read.parquet(s"$dirR/codes").drop("__pqcodes")
+      .join(corpus, "vec_id")
+      .map { r =>
+        val cell = r.getAs[Int]("__cell")
+        val v = r.getSeq[Float](r.fieldIndex("embedding")).toIndexedSeq
+        (r.getAs[Long]("vec_id"),
+          v.indices.map(i => (v(i).toDouble - cents(cell)(i).toDouble).toFloat))
+      }.toDF("vec_id", "embedding")
+    val errRes = Pq.meanReconstructionError(residuals, "embedding", cbR)
+    assert(errRes < errPlain,
+      s"residual MSE $errRes should beat plain $errPlain on clustered data")
+
+    // and the residual-mode search still finds each query's true cluster:
+    // top-1 neighbor shares the query's cell
+    val queries = clustered.take(3).toDF("q_id", "q_emb")
+    val res = Ivf.topKIndexedPq(spark, dirR, queries, k = 3,
+      idCol = "vec_id", qIdCol = "q_id", qVecCol = "q_emb",
+      nProbe = 2, adcRoundDp = 4)
+    assert(res.count() == 9)
+    val cellOf = spark.read.parquet(s"$dirR/codes")
+      .select("vec_id", "__cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    res.filter(col("rank") === 1).collect().foreach { r =>
+      assert(cellOf(r.getLong(2)) == cellOf(r.getLong(0)),
+        s"top-1 of ${r.getLong(0)} left its cluster cell")
+    }
+  }
+}
