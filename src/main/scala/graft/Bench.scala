@@ -36,10 +36,25 @@ object Bench {
     val first = pass()
     val second = pass()
     val results = first.map { case (k, v) => k -> math.min(v, second(k)) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def r3(v: Double): String = f"$v%.3f"
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The harness keeps only the last ~2000 chars of stdout; a JSON line
+    // carrying all ~90 per-query timings (~3.5 KB) gets its head truncated
+    // and never parses. So: the FULL map goes to a repo file, and stdout
+    // gets one compact line — headline total plus the slowest queries —
+    // printed LAST so it survives the tail cut.
+    val full = results.toSeq.sortBy(-_._2)
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val fullLine =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$full,"sf":"$sfDir"}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_full.json"), fullLine + "\n")
+    catch { case _: Throwable => () }
+    val slowest = results.toSeq.sortBy(-_._2).take(15)
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$slowest,"full":"bench_full.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -80,10 +80,12 @@ object SyncTable {
         // ids or other key columns) — either would break the unique-id
         // invariant SILENTLY (merged()'s anti-join and resume filters key
         // on it), so make both loud. The target-id probe rides the same
-        // pass as a left join (target ids are unique by the sync
-        // invariant, so the join never duplicates an insert row).
+        // pass as a left join; the probe side is DEDUPLICATED first so a
+        // target that itself violates the unique-id invariant can't
+        // fan-out the join and turn the (a) check into a misleading
+        // "inserts map to fewer distinct ids" failure.
         val audit = withIds
-          .join(target.select(col(idCol).as("__tid")),
+          .join(target.select(col(idCol).as("__tid")).dropDuplicates("__tid"),
             col(idCol) === col("__tid"), "left")
           .agg(count(lit(1)).as("n"), countDistinct(col(idCol)).as("nd"),
             count(col("__tid")).as("clash")).head()

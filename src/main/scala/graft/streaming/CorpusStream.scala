@@ -75,10 +75,14 @@ object CorpusStream {
     *    state sized by dup-arrival horizon × ingest rate. The watermark is
     *    declared HERE (on the carried-through event-time column) — a
     *    caller-side watermark would die in the internal projection.
-    *  - emission uses the minhash ESTIMATE (unbiased, σ = √(J(1−J)/k));
-    *    a pair sharing several buckets emits once per shared bucket —
-    *    exact-verify + dedup downstream (a batch join against the corpus)
-    *    when the use case needs certainty, same as the batch LSH path.
+    *  - emission uses the minhash ESTIMATE (unbiased, σ = √(J(1−J)/k)).
+    *    THE OUTPUT IS A CANDIDATE STREAM, NOT A PAIR SET: a pair sharing
+    *    several buckets emits once per shared bucket (buckets are
+    *    independent state keys and cannot coordinate), so any consumer
+    *    that counts pairs MUST `dropDuplicates("id1", "id2")` (and
+    *    exact-verify via a batch join against the corpus when it needs
+    *    certainty — same as the batch LSH path). Within one bucket
+    *    invocation the same (id1,id2) is emitted at most once.
     *  - within a micro-batch, arrivals are processed in (ts, id) order so
     *    replays are deterministic.
     */
@@ -126,13 +130,19 @@ object CorpusStream {
       var seen = state.getOption.map(_.seen).getOrElse(Seq.empty)
       val arr = it.toSeq.sortBy(p => (p.ts.getTime, p.doc_id))
       val out = Seq.newBuilder[NearDupHit]
+      // per-invocation pair dedup (bounded by this call's emission count):
+      // a doc id re-arriving in the same batch would otherwise emit its
+      // pairs twice from ONE bucket — cross-bucket duplicates remain the
+      // consumer's dropDuplicates (see scaladoc)
+      val emitted = scala.collection.mutable.HashSet.empty[(Long, Long)]
       arr.foreach { p =>
         seen.foreach { s =>
           if (s.doc_id != p.doc_id) {
             val est = agree(p.sig, s.sig)
-            if (est >= threshold)
-              out += NearDupHit(math.min(p.doc_id, s.doc_id),
-                math.max(p.doc_id, s.doc_id),
+            val key = (math.min(p.doc_id, s.doc_id),
+              math.max(p.doc_id, s.doc_id))
+            if (est >= threshold && emitted.add(key))
+              out += NearDupHit(key._1, key._2,
                 math.round(est * 1e6) / 1e6)
           }
         }

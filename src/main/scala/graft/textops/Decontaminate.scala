@@ -130,11 +130,26 @@ object Decontaminate {
     * underestimating raises the effective fpp); the verification join is
     * left unhinted so AQE picks broadcast vs shuffle from the real
     * candidate volume.
+    *
+    * Cache lifetime: the persisted bench-gram blocks back the RETURNED
+    * (lazy) plan, so this method cannot unpersist them itself — they stay
+    * cached (evictable MEMORY_AND_DISK, so never a hard leak) until the
+    * session ends. A caller that consumes the result within one scope
+    * should use [[overlapBloomScoped]], which unpersists on exit.
     */
   def overlapBloom(corpus: DataFrame, benchmark: DataFrame, idCol: String,
                    textCol: String, n: Int,
                    expectedGrams: Long = 10000000L,
-                   fpp: Double = 0.01): DataFrame = {
+                   fpp: Double = 0.01): DataFrame =
+    overlapBloomWithHandle(corpus, benchmark, idCol, textCol, n,
+      expectedGrams, fpp)._1
+
+  /** [[overlapBloom]] plus the persisted bench-gram handle, so the caller
+    * can `unpersist` once done with the (lazy) result. */
+  private def overlapBloomWithHandle(
+      corpus: DataFrame, benchmark: DataFrame, idCol: String,
+      textCol: String, n: Int, expectedGrams: Long,
+      fpp: Double): (DataFrame, DataFrame) = {
     require(n >= 1, "n-gram length must be >= 1")
     val gramsUdf = udf((s: String) => TextKernels.charGramHashes(s, n))
       .asNondeterministic() // plan-shape fence, see overlapHashed
@@ -151,11 +166,27 @@ object Decontaminate {
     val bloom = benchGrams.stat.bloomFilter("gh", expectedGrams, fpp)
     val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
     val mightContain = udf((gh: Long) => bc.value.mightContainLong(gh))
-    hashedGrams(corpus)
+    val result = hashedGrams(corpus)
       .select(col(idCol), explode(col("ghs")).as("gh"))
       .filter(mightContain(col("gh")))
       .join(benchGrams, "gh")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shared"))
+    (result, benchGrams)
+  }
+
+  /** [[overlapBloom]] with owned cache lifetime: runs `use` on the overlap
+    * result and unpersists the bench-gram blocks on exit (success or
+    * failure). The result plan is only valid inside `use` — materialize
+    * (collect/write) before returning anything derived from it.
+    */
+  def overlapBloomScoped[A](corpus: DataFrame, benchmark: DataFrame,
+                            idCol: String, textCol: String, n: Int,
+                            expectedGrams: Long = 10000000L,
+                            fpp: Double = 0.01)(use: DataFrame => A): A = {
+    val (result, benchGrams) = overlapBloomWithHandle(corpus, benchmark,
+      idCol, textCol, n, expectedGrams, fpp)
+    try use(result)
+    finally benchGrams.unpersist(blocking = false)
   }
 }

@@ -165,6 +165,12 @@ object DedupGraph {
     * score table; output one row per clustered doc:
     * `(idCol, component, scoreCol, kept, n_members)`.
     *
+    * `scores` must cover EVERY clustered id with a non-null score: a
+    * member the score table misses could be the true best, so instead of
+    * silently dropping it (mislabeling `kept`, undercounting `n_members`)
+    * the plan raises on the first uncovered member when the result is
+    * acted on (left join + `raise_error` — no extra audit job).
+    *
     * Scale shape: one equi-join on the doc id and two window functions over
     * the component key. Component sizes are bounded by the near-dup cluster
     * size (pathological hub components are already capped upstream by the
@@ -175,8 +181,11 @@ object DedupGraph {
                          idCol: String, scoreCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val m = components.join(scores,
-        components("node") === scores(idCol))
-      .select(scores(idCol), col("component"), col(scoreCol))
+        components("node") === scores(idCol), "left")
+      .select(components("node").as(idCol), col("component"),
+        coalesce(col(scoreCol), raise_error(concat(
+          lit("survivorsByQuality: no score for clustered id "),
+          components("node")))).as(scoreCol))
     val wq = Window.partitionBy(col("component"))
       .orderBy(col(scoreCol).desc, col(idCol))
     m.withColumn("kept", row_number().over(wq) === 1)
