@@ -1898,6 +1898,29 @@ object SparkEntry {
         "q_emb", nProbe = 2, adcRoundDp = 4)
         .withColumnRenamed("rank", "rnk")
         .orderBy(col("q_id"), col("rnk"))
+    }),
+
+    // DSIR importance resampling (Xie et al. 2023): target = the src0
+    // slice (stand-in for a curated high-quality corpus), raw = the whole
+    // pool; keep the 50 docs whose word-unigram log-likelihood ratio most
+    // favors the target. Two word-count aggs + one vocab join + one
+    // per-doc sum — the 100 TB side is touched once, by a map-side
+    // combinable count. Ranking at the exposed 4-dp precision.
+    "q90_dsir" -> ((s, dir) => {
+      val docs = tSpread(s, dir, "documents")
+      graft.textops.Dsir.resampleTopK(docs,
+        docs.filter(col("source") === "src0"), "doc_id", "text", 50)
+    }),
+
+    // UniMax budget allocation (Chung et al. 2023): per-language token
+    // budget at maxEpochs=1 and budget=80% of total tokens — every
+    // low-resource language is capped at one epoch and the head language
+    // absorbs the remaining budget (the waterfill threshold actually
+    // fires). One shuffle (language key), then driver-sized windows.
+    "q92_unimax" -> ((s, dir) => {
+      graft.operators.Sampling.unimaxAllocationFrac(
+        t(s, dir, "documents"), "lang", col("n_chars"),
+        maxEpochs = 1.0, frac = 0.8)
     })
   )
 
@@ -3369,6 +3392,66 @@ object SparkEntry {
         |    PARTITION BY q_id ORDER BY dist2, vec_id) AS INTEGER) AS rnk
         |  FROM adc)
         |WHERE rnk <= 5
-        |ORDER BY q_id, rnk""".stripMargin
+        |ORDER BY q_id, rnk""".stripMargin,
+
+    "q90_dsir" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+'))
+        |    AS w
+        |  FROM documents WHERE trim(text) != ''),
+        |tgt AS (
+        |  SELECT t.w, count(*) AS ct FROM toks t
+        |  JOIN documents d ON d.doc_id = t.doc_id
+        |  WHERE d.source = 'src0' GROUP BY t.w),
+        |rawc AS (SELECT w, count(*) AS cr FROM toks GROUP BY w),
+        |joint AS (
+        |  SELECT r.w, coalesce(t.ct, 0) AS ct, r.cr
+        |  FROM rawc r LEFT JOIN tgt t ON t.w = r.w),
+        |tot AS (
+        |  SELECT CAST(sum(ct) AS DOUBLE) AS nt, CAST(sum(cr) AS DOUBLE) AS nr,
+        |    CAST(count(*) AS DOUBLE) AS v
+        |  FROM joint),
+        |lr AS (
+        |  SELECT w, ln((ct + 1.0) / (nt + v)) - ln((cr + 1.0) / (nr + v)) AS lr
+        |  FROM joint, tot),
+        |wts AS (
+        |  SELECT t.doc_id, round(sum(l.lr), 4) AS weight
+        |  FROM toks t JOIN lr l ON l.w = t.w GROUP BY t.doc_id)
+        |SELECT d.doc_id, coalesce(w.weight, 0.0) AS weight
+        |FROM documents d LEFT JOIN wts w ON w.doc_id = d.doc_id
+        |ORDER BY weight DESC, d.doc_id
+        |LIMIT 50""".stripMargin,
+
+    "q92_unimax" ->
+      """WITH s AS (
+        |  SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT)
+        |    AS tokens
+        |  FROM documents WHERE lang IS NOT NULL GROUP BY lang),
+        |w AS (
+        |  SELECT lang, n_docs, tokens,
+        |    CAST(tokens AS DOUBLE) * 1.0 AS capacity,
+        |    CAST(row_number() OVER
+        |      (ORDER BY CAST(tokens AS DOUBLE) * 1.0, lang) AS INTEGER) AS i,
+        |    sum(CAST(tokens AS DOUBLE) * 1.0) OVER
+        |      (ORDER BY CAST(tokens AS DOUBLE) * 1.0, lang
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - CAST(tokens AS DOUBLE) * 1.0 AS prefix,
+        |    count(*) OVER () AS n,
+        |    0.8 * sum(CAST(tokens AS DOUBLE)) OVER () AS budget
+        |  FROM s),
+        |sh AS (SELECT *, (budget - prefix) / (n - i + 1) AS share FROM w),
+        |th AS (SELECT *, min(CASE WHEN capacity >= share THEN i END) OVER ()
+        |         AS t FROM sh),
+        |lv AS (SELECT *, max(CASE WHEN i = t THEN share END) OVER ()
+        |         AS level FROM th),
+        |a AS (
+        |  SELECT lang, n_docs, tokens, capacity,
+        |    round(CASE WHEN t IS NULL OR i < t THEN capacity ELSE level END, 4)
+        |      AS alloc
+        |  FROM lv)
+        |SELECT lang, n_docs, tokens, capacity, alloc,
+        |  round(alloc / CAST(tokens AS DOUBLE), 6) AS epochs
+        |FROM a
+        |ORDER BY lang""".stripMargin
   )
 }

@@ -216,4 +216,88 @@ object Sampling {
       ranked.filter(!inShort).unionByName(shortDf)
     }
   }
+
+  /** UniMax budget allocation (Chung et al., ICLR 2023): split a total
+    * token budget across strata (languages) as EQUALLY as possible,
+    * except no stratum may repeat its data more than `maxEpochs` times —
+    * a stratum whose equal share exceeds `tokens × maxEpochs` is capped
+    * there and its unused share flows to the remaining strata
+    * (waterfilling). The temperature-mixture alternative
+    * ([[temperatureMixture]]) over-samples low-resource strata by a
+    * power law with no repeat bound; UniMax replaces the knob with an
+    * explicit epoch cap.
+    *
+    * Closed form under an ascending capacity sort (capacity, then
+    * stratum key — a total order, so every engine replays it): the
+    * waterfill level is reached at the FIRST stratum `t` whose capacity
+    * covers its running equal share
+    * `share_i = (budget − Σ_{j<i} cap_j) / (n − i + 1)`; strata before
+    * `t` are capacity-capped, strata from `t` on all receive `share_t`.
+    * If even the last stratum is capped the budget exceeds total corpus
+    * capacity and every stratum just gets its capacity (the result then
+    * under-spends the budget — callers wanting loudness can check
+    * `sum(alloc) < budget`).
+    *
+    * Scale shape: ONE aggregation keyed by the stratum (map-side
+    * combine does the 100 TB work) reduces the input to a
+    * strata-cardinality table — languages, not rows — and the window
+    * passes below run on that driver-sized table, where a
+    * single-partition window is the correct plan, not a bottleneck.
+    *
+    * Output, one row per non-null stratum ordered by the stratum key:
+    * `(strataCol, n_docs, tokens, capacity, alloc, epochs)` with `alloc`
+    * rounded to 4 dp and `epochs = alloc/tokens` to 6 dp (ranking and
+    * downstream quotas key off the exposed precision).
+    *
+    * `budget` is an absolute token count; [[unimaxAllocationFrac]]
+    * derives it from the data as a fraction of total tokens (keeping the
+    * whole computation engine-replayable with no pre-computed literal).
+    */
+  def unimaxAllocation(df: DataFrame, strataCol: String, sizeCol: Column,
+                       maxEpochs: Double, budget: Double): DataFrame =
+    unimaxCore(df, strataCol, sizeCol, maxEpochs, lit(budget))
+
+  /** [[unimaxAllocation]] with `budget = frac × total tokens` computed
+    * inside the plan. */
+  def unimaxAllocationFrac(df: DataFrame, strataCol: String,
+                           sizeCol: Column, maxEpochs: Double,
+                           frac: Double): DataFrame =
+    unimaxCore(df, strataCol, sizeCol, maxEpochs,
+      lit(frac) * col("__total"))
+
+  private def unimaxCore(df: DataFrame, strataCol: String, sizeCol: Column,
+                         maxEpochs: Double, budgetCol: Column): DataFrame = {
+    require(maxEpochs > 0.0, s"maxEpochs must be > 0, got $maxEpochs")
+    // NULL strata are off-recipe, as in temperatureMixture
+    val counts = df.filter(col(strataCol).isNotNull)
+      .groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_docs"), sum(sizeCol).as("tokens"))
+      .withColumn("capacity", col("tokens").cast("double") * lit(maxEpochs))
+    // the strata table is driver-sized: whole-table windows are deliberate
+    val ord = Window.orderBy(col("capacity"), col(strataCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(lit(0))
+    val staged = counts
+      .withColumn("__total", sum(col("tokens").cast("double")).over(all))
+      .withColumn("__n", count(lit(1)).over(all))
+      .withColumn("__i", row_number().over(
+        Window.orderBy(col("capacity"), col(strataCol))))
+      .withColumn("__prefix", sum(col("capacity")).over(ord) - col("capacity"))
+      .withColumn("__budget", budgetCol)
+      .withColumn("__share",
+        (col("__budget") - col("__prefix")) / (col("__n") - col("__i") + 1))
+      .withColumn("__t",
+        min(when(col("capacity") >= col("__share"), col("__i"))).over(all))
+      .withColumn("__level",
+        max(when(col("__i") === col("__t"), col("__share"))).over(all))
+    staged
+      .withColumn("alloc", round(
+        when(col("__t").isNull || col("__i") < col("__t"), col("capacity"))
+          .otherwise(col("__level")), 4))
+      .withColumn("epochs",
+        round(col("alloc") / col("tokens").cast("double"), 6))
+      .select(col(strataCol), col("n_docs"), col("tokens"),
+        col("capacity"), col("alloc"), col("epochs"))
+      .orderBy(col(strataCol))
+  }
 }

@@ -1,0 +1,143 @@
+package graft.textops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data Selection via Importance Resampling (Xie et al., NeurIPS 2023):
+  * score every raw-pool document by how much more likely it is under a
+  * TARGET distribution (a small high-quality corpus) than under the RAW
+  * distribution (the pool itself), then keep the highest-weight documents.
+  * The distributions are bag-of-words unigram models, so the whole
+  * selection is counting + a log-ratio lookup — no trained model in the
+  * loop, which is exactly what makes the method run at corpus scale.
+  *
+  * Per-document importance weight (add-`smoothing` estimates over the
+  * JOINT vocabulary V = words(target) ∪ words(raw)):
+  *
+  *   w(doc) = Σ_{word ∈ doc} ln p_target(word) − ln p_raw(word)
+  *   p_X(w) = (count_X(w) + s) / (N_X + s·|V|)
+  *
+  * Scale shape: two word-count aggregations (map-side combine carries the
+  * 100 TB side; the target side is small by definition), a full outer
+  * join on the word key to build the log-ratio table, then one join of
+  * corpus word occurrences against that table + a per-doc sum. The
+  * log-ratio table is vocabulary-sized; when even that outgrows a
+  * broadcast, [[logRatiosHashed]] folds it to a FIXED 2^b-bucket table
+  * that always broadcasts (the form the paper itself uses — hashed
+  * n-gram features), trading exact per-word ratios for bounded memory.
+  */
+object Dsir {
+
+  /** One row per (id, word occurrence): lowercased whitespace tokens —
+    * the same tokenization every other text operator here uses. */
+  private def occurrences(df: DataFrame, idCol: String,
+                          textCol: String): DataFrame =
+    df.select(col(idCol),
+      explode(TextFunctions.tokens(lower(col(textCol)))).as("w"))
+
+  /** Word → log-likelihood-ratio table `(w, lr)` over the joint
+    * vocabulary. `lr > 0` means the word is evidence FOR the target
+    * distribution. Smoothing gives unseen-on-one-side words a finite,
+    * engine-reproducible ratio.
+    */
+  def logRatios(target: DataFrame, raw: DataFrame, textCol: String,
+                smoothing: Double = 1.0): DataFrame = {
+    require(smoothing > 0.0, s"smoothing must be > 0, got $smoothing")
+    def wordCounts(df: DataFrame, as: String): DataFrame =
+      df.select(explode(TextFunctions.tokens(lower(col(textCol)))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as(as))
+    val joint = wordCounts(target, "ct")
+      .join(wordCounts(raw, "cr"), Seq("w"), "full")
+      .na.fill(0L, Seq("ct", "cr"))
+    // totals ride a 1-row broadcast nested-loop join — vocab is NOT
+    // driver-sized, so no collect; the ratio stays one lazy plan
+    val totals = joint.agg(
+      sum(col("ct")).cast("double").as("nt"),
+      sum(col("cr")).cast("double").as("nr"),
+      count(lit(1)).cast("double").as("v"))
+    val s = lit(smoothing)
+    joint.crossJoin(broadcast(totals))
+      .select(col("w"),
+        (log((col("ct") + s) / (col("nt") + s * col("v"))) -
+          log((col("cr") + s) / (col("nr") + s * col("v")))).as("lr"))
+  }
+
+  /** Per-document importance weight `(idCol, weight)` of every `raw`
+    * document, rounded to `roundDp` (ranking and thresholds key off the
+    * exposed precision, so cross-engine replays order identically).
+    * Documents with no tokens (empty/whitespace text) carry weight 0 —
+    * no evidence either way.
+    */
+  def importanceWeights(raw: DataFrame, target: DataFrame, idCol: String,
+                        textCol: String, smoothing: Double = 1.0,
+                        roundDp: Int = 4): DataFrame = {
+    val lr = logRatios(target, raw, textCol, smoothing)
+    val sums = occurrences(raw, idCol, textCol)
+      .join(lr, "w")
+      .groupBy(col(idCol))
+      .agg(sum(col("lr")).as("__sum"))
+    raw.select(col(idCol)).join(sums, Seq(idCol), "left")
+      .select(col(idCol),
+        round(coalesce(col("__sum"), lit(0.0)), roundDp).as("weight"))
+  }
+
+  /** DSIR selection: the `k` raw documents with the highest importance
+    * weight (ties to the smaller id — total order). A plain top-k, so
+    * Spark plans TakeOrdered: per-partition heaps, never a global sort.
+    */
+  def resampleTopK(raw: DataFrame, target: DataFrame, idCol: String,
+                   textCol: String, k: Int,
+                   smoothing: Double = 1.0): DataFrame =
+    importanceWeights(raw, target, idCol, textCol, smoothing)
+      .orderBy(col("weight").desc, col(idCol))
+      .limit(k)
+
+  /** Hashed-feature log-ratio table `(bucket, lr)` with `2^bits` buckets
+    * (xxhash64 of the word, folded): the fixed-size form that ALWAYS
+    * broadcasts no matter the vocabulary — the 100 TB path. Collisions
+    * merge word counts (the paper's hashed n-gram generative model does
+    * the same); weights differ from [[logRatios]] only where buckets
+    * collide. Not SQL-oracle-able (the bucket hash is engine-specific),
+    * so parity with the exact form is spec-tested on planted data.
+    */
+  def logRatiosHashed(target: DataFrame, raw: DataFrame, textCol: String,
+                      bits: Int = 20,
+                      smoothing: Double = 1.0): DataFrame = {
+    require(bits >= 1 && bits <= 30, s"bits must be in [1,30], got $bits")
+    val b = 1 << bits
+    def bucketCounts(df: DataFrame, as: String): DataFrame =
+      df.select(explode(TextFunctions.tokens(lower(col(textCol)))).as("w"))
+        .select(pmod(xxhash64(col("w")), lit(b.toLong)).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as(as))
+    val joint = bucketCounts(target, "ct")
+      .join(bucketCounts(raw, "cr"), Seq("bucket"), "full")
+      .na.fill(0L, Seq("ct", "cr"))
+    val totals = joint.agg(
+      sum(col("ct")).cast("double").as("nt"),
+      sum(col("cr")).cast("double").as("nr"),
+      count(lit(1)).cast("double").as("v"))
+    val s = lit(smoothing)
+    joint.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        (log((col("ct") + s) / (col("nt") + s * col("v"))) -
+          log((col("cr") + s) / (col("nr") + s * col("v")))).as("lr"))
+  }
+
+  /** [[importanceWeights]] over hashed buckets — corpus occurrences hash
+    * to their bucket and join the (broadcastable) hashed ratio table. */
+  def importanceWeightsHashed(raw: DataFrame, target: DataFrame,
+                              idCol: String, textCol: String,
+                              bits: Int = 20, smoothing: Double = 1.0,
+                              roundDp: Int = 4): DataFrame = {
+    val b = 1L << bits
+    val lr = logRatiosHashed(target, raw, textCol, bits, smoothing)
+    val sums = occurrences(raw, idCol, textCol)
+      .select(col(idCol), pmod(xxhash64(col("w")), lit(b)).as("bucket"))
+      .join(broadcast(lr), "bucket")
+      .groupBy(col(idCol))
+      .agg(sum(col("lr")).as("__sum"))
+    raw.select(col(idCol)).join(sums, Seq(idCol), "left")
+      .select(col(idCol),
+        round(coalesce(col("__sum"), lit(0.0)), roundDp).as("weight"))
+  }
+}

@@ -1,0 +1,123 @@
+package graft.textops
+
+import graft.SparkSpec
+import graft.operators.Sampling
+import org.apache.spark.sql.functions._
+
+/** Round-9 curation operators: DSIR importance resampling and UniMax
+  * per-stratum budget allocation.
+  */
+class Round9OpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // ---- Dsir ---------------------------------------------------------------
+
+  private val targetDocs = Seq(
+    (100L, "cat cat feline whiskers"),
+    (101L, "cat purrs feline")
+  ).toDF("doc_id", "text")
+
+  private val rawDocs = Seq(
+    (1L, "cat feline whiskers purrs"), // target-like
+    (2L, "stock market futures trading"), // off-target
+    (3L, "cat stock"), // mixed
+    (4L, "   ") // no tokens -> weight 0
+  ).toDF("doc_id", "text")
+
+  test("dsir: log-ratio sign follows which side owns the word") {
+    val lr = Dsir.logRatios(targetDocs, rawDocs, "text")
+      .as[(String, Double)].collect().toMap
+    assert(lr("cat") > 0) // 3 target hits vs 2 raw hits over fewer tokens
+    assert(lr("stock") < 0) // raw-only word
+    assert(lr.contains("whiskers") && lr.contains("trading"))
+    // joint vocabulary: union of both sides
+    val vocab = (targetDocs.union(rawDocs))
+      .select(explode(TextFunctions.tokens(lower(col("text"))))).distinct()
+    assert(lr.size == vocab.count())
+  }
+
+  test("dsir: hand-computed weight for a one-word document") {
+    // doc "cat stock": weight = lr(cat) + lr(stock) with add-1 smoothing
+    // over joint vocab V; nt/nr = total tokens per side
+    val lr = Dsir.logRatios(targetDocs, rawDocs, "text")
+      .as[(String, Double)].collect().toMap
+    val got = Dsir.importanceWeights(rawDocs, targetDocs, "doc_id", "text")
+      .as[(Long, Double)].collect().toMap
+    val expected = math.round((lr("cat") + lr("stock")) * 1e4) / 1e4
+    assert(got(3L) == expected)
+    assert(got(4L) == 0.0) // token-less doc: no evidence either way
+  }
+
+  test("dsir: target-like documents outrank off-target ones") {
+    val top = Dsir.resampleTopK(rawDocs, targetDocs, "doc_id", "text", 2)
+      .as[(Long, Double)].collect().map(_._1).toSeq
+    assert(top.head == 1L) // pure target vocabulary
+    assert(!top.contains(2L)) // pure off-target vocabulary ranks last
+  }
+
+  test("dsir: hashed-feature weights match exact weights sans collisions") {
+    // ~10 distinct words into 2^20 buckets: collision-free for THIS fixed
+    // vocabulary (xxhash64 is deterministic — this is a regression pin,
+    // not a probabilistic claim), so hashed == exact everywhere
+    val exact = Dsir.importanceWeights(rawDocs, targetDocs, "doc_id", "text")
+      .as[(Long, Double)].collect().toMap
+    val hashed = Dsir.importanceWeightsHashed(
+      rawDocs, targetDocs, "doc_id", "text", bits = 20)
+      .as[(Long, Double)].collect().toMap
+    assert(hashed == exact)
+  }
+
+  test("dsir: forced single-bucket collisions still yield finite weights") {
+    val hashed = Dsir.importanceWeightsHashed(
+      rawDocs, targetDocs, "doc_id", "text", bits = 1)
+      .as[(Long, Double)].collect().toMap
+    assert(hashed.size == 4 && hashed.values.forall(w => !w.isNaN))
+  }
+
+  // ---- UniMax -------------------------------------------------------------
+
+  private def strata(rows: (String, Long)*) =
+    rows.toDF("lang", "n_tok")
+
+  test("unimax: waterfill caps small strata, head absorbs the remainder") {
+    // capacities at maxEpochs=2: a=200, b=600, c=2000; budget 1500:
+    // a capped (share 500), b capped (share 650), c gets 700
+    val df = strata(("a", 100L), ("b", 300L), ("c", 1000L))
+    val got = Sampling.unimaxAllocation(df, "lang", col("n_tok"),
+      maxEpochs = 2.0, budget = 1500.0)
+      .select("lang", "alloc", "epochs")
+      .as[(String, Double, Double)].collect().toSeq
+    assert(got == Seq(("a", 200.0, 2.0), ("b", 600.0, 2.0),
+      ("c", 700.0, 0.7)))
+  }
+
+  test("unimax: budget beyond total capacity caps everything") {
+    val df = strata(("a", 100L), ("b", 300L))
+    val got = Sampling.unimaxAllocation(df, "lang", col("n_tok"),
+      maxEpochs = 2.0, budget = 5000.0)
+      .select("lang", "alloc").as[(String, Double)].collect().toSeq
+    assert(got == Seq(("a", 200.0), ("b", 600.0)))
+    // under-spend is visible to the caller, not silently rescaled
+    assert(got.map(_._2).sum < 5000.0)
+  }
+
+  test("unimax: small budget splits equally below every cap") {
+    val df = strata(("a", 100L), ("b", 300L), ("c", 1000L))
+    val got = Sampling.unimaxAllocation(df, "lang", col("n_tok"),
+      maxEpochs = 2.0, budget = 300.0)
+      .select("lang", "alloc").as[(String, Double)].collect().toSeq
+    assert(got == Seq(("a", 100.0), ("b", 100.0), ("c", 100.0)))
+  }
+
+  test("unimax: null strata are off-recipe; frac path matches absolute") {
+    val df = strata(("a", 100L), ("b", 300L))
+      .union(Seq((null.asInstanceOf[String], 999L)).toDF("lang", "n_tok"))
+    val abs = Sampling.unimaxAllocation(df, "lang", col("n_tok"),
+      maxEpochs = 1.0, budget = 0.5 * 400.0).collect().toSeq
+    val frac = Sampling.unimaxAllocationFrac(df, "lang", col("n_tok"),
+      maxEpochs = 1.0, frac = 0.5).collect().toSeq
+    assert(abs == frac)
+    assert(abs.map(_.getString(0)).toSet == Set("a", "b")) // null dropped
+  }
+}
