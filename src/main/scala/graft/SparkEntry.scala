@@ -6,7 +6,7 @@ import graft.multimodal.Multimodal
 import graft.operators.{Dedup, DownloadStats, MergeUpdate, Packing, Sampling, StationSearch, SyncTable}
 import graft.sim.Cosine
 import graft.tables.Tables
-import graft.textops.{BpeTrainer, CorpusStats, Decontaminate, DedupGraph, MinHashLSH, SimHash, SpanDedup, TextFunctions, TfIdf, UnigramLM}
+import graft.textops.{BigramLM, BpeTrainer, CorpusStats, Decontaminate, DedupGraph, MinHashLSH, SimHash, SpanDedup, TextFunctions, TfIdf, UnigramLM}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1921,6 +1921,18 @@ object SparkEntry {
       graft.operators.Sampling.unimaxAllocationFrac(
         t(s, dir, "documents"), "lang", col("n_chars"),
         maxEpochs = 1.0, frac = 0.8)
+    }),
+
+    // bigram stupid-backoff LM scoring (Brants 2007; the higher-order step
+    // of CCNet's KenLM scorer): train-on-self with the bigram table pruned
+    // at minCount=2, backoff alpha=0.4. Pair formation is a scan-stage
+    // index HOF (no shuffle to see the predecessor); train adds ONE
+    // (prev,token)-key shuffle over the unigram word-count; score is two
+    // broadcast left joins + a doc-key agg
+    "q93_bigram_lm" -> ((s, dir) => {
+      BigramLM.score(tSpread(s, dir, "documents"), "doc_id", "text",
+          minCount = 2, alpha = 0.4)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -3452,6 +3464,42 @@ object SparkEntry {
         |SELECT lang, n_docs, tokens, capacity, alloc,
         |  round(alloc / CAST(tokens AS DOUBLE), 6) AS epochs
         |FROM a
-        |ORDER BY lang""".stripMargin
+        |ORDER BY lang""".stripMargin,
+
+    "q93_bigram_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents WHERE trim(text) != ''),
+        |pairs AS (
+        |  SELECT doc_id,
+        |    CASE WHEN i = 1 THEN NULL ELSE t[i-1] END AS prev,
+        |    t[i] AS token
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
+        |        FROM toks)),
+        |uni AS (SELECT token, count(*) AS cnt FROM pairs GROUP BY token),
+        |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM uni),
+        |bgall AS (
+        |  SELECT prev, token, count(*) AS cnt FROM pairs
+        |  WHERE prev IS NOT NULL GROUP BY prev, token),
+        |ctx AS (SELECT prev, CAST(sum(cnt) AS DOUBLE) AS ctx_cnt
+        |        FROM bgall GROUP BY prev),
+        |bg AS (
+        |  SELECT b.prev, b.token, ln(CAST(b.cnt AS DOUBLE) / c.ctx_cnt)
+        |    AS blp
+        |  FROM bgall b JOIN ctx c USING (prev) WHERE b.cnt >= 2),
+        |scored AS (
+        |  SELECT p.doc_id,
+        |    CASE WHEN p.prev IS NULL
+        |           THEN ln(CAST(u.cnt AS DOUBLE) / tot.total)
+        |         WHEN bg.blp IS NOT NULL THEN bg.blp
+        |         ELSE ln(0.4) + ln(CAST(u.cnt AS DOUBLE) / tot.total)
+        |    END AS lp
+        |  FROM pairs p
+        |  JOIN uni u ON u.token = p.token
+        |  LEFT JOIN bg ON bg.prev = p.prev AND bg.token = p.token
+        |  CROSS JOIN tot)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  round(avg(lp), 6) AS avg_logprob
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

@@ -127,7 +127,11 @@ object CorpusStream {
     def fn(bucket: Long, it: Iterator[BucketPost],
            state: GroupState[BucketState]): Iterator[NearDupHit] = {
       if (state.hasTimedOut) { state.remove(); return Iterator.empty }
-      var seen = state.getOption.map(_.seen).getOrElse(Seq.empty)
+      // amortized-O(1) append: the immutable state Seq is re-materialized
+      // into a buffer once per invocation (a `Seq :+` inside the arrival
+      // loop would be O(cap²) per bucket per batch at maxBucketState)
+      val seen = scala.collection.mutable.ArrayBuffer.empty[SeenDoc]
+      state.getOption.foreach(seen ++= _.seen)
       val arr = it.toSeq.sortBy(p => (p.ts.getTime, p.doc_id))
       val out = Seq.newBuilder[NearDupHit]
       // per-invocation pair dedup (bounded by this call's emission count):
@@ -147,9 +151,9 @@ object CorpusStream {
           }
         }
         if (seen.length < maxBucketState)
-          seen = seen :+ SeenDoc(p.doc_id, p.sig, p.ts.getTime)
+          seen += SeenDoc(p.doc_id, p.sig, p.ts.getTime)
       }
-      state.update(BucketState(seen))
+      state.update(BucketState(seen.toSeq))
       val newest = (seen.map(_.ts_ms) ++ arr.map(_.ts.getTime)).max
       state.setTimeoutTimestamp(
         math.max(newest + horizonMs, state.getCurrentWatermarkMs() + 1L))

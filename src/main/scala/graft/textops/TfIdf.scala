@@ -30,9 +30,16 @@ object TfIdf {
     * the rank order itself is stable at the precision the result exposes.
     *
     * Output: (id, rk ∈ 1..k, token, tfidf).
+    *
+    * `broadcastVocab`: when true (default) the document-frequency table
+    * rides a broadcast hash join — right for the Heaps'-law common case of
+    * an MB-scale vocabulary. A 100 TB web crawl's RAW token set (URLs,
+    * hex hashes, typos) can exceed executor memory; pass false and the
+    * same plan runs the df join as a shuffle join chosen by AQE instead
+    * of being pinned by the hint. Results are identical either way.
     */
   def topKeywords(df: DataFrame, idCol: String, textCol: String,
-                  k: Int): DataFrame = {
+                  k: Int, broadcastVocab: Boolean = true): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val toks = df.select(col(idCol),
       explode(TextFunctions.tokens(lower(col(textCol)))).as("token"))
@@ -44,9 +51,10 @@ object TfIdf {
     val tf = toks.groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf"))
       .localCheckpoint(true)
-    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val dfreq0 = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val dfreq = if (broadcastVocab) broadcast(dfreq0) else dfreq0
     val nDocs = df.select(count(lit(1)).as("n_docs"))
-    val scored = tf.join(broadcast(dfreq), "token")
+    val scored = tf.join(dfreq, "token")
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf", round(col("tf") *
         (log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)),

@@ -41,12 +41,19 @@ object UnigramLM {
     * training corpus; curation gates drop the tail). Tokens absent from
     * the vocabulary score `oovLogp` (CCNet's unknown-word penalty).
     * Documents with no tokens emit no row.
+    *
+    * `broadcastVocab`: true (default) pins the vocabulary join to a
+    * broadcast — the Heaps'-law common case. For a raw web-crawl token set
+    * that outgrows executor memory pass false: same plan, AQE-chosen
+    * shuffle join, identical results.
     */
   def scoreAgainst(docs: DataFrame, vocab: DataFrame, idCol: String,
-                   textCol: String, oovLogp: Double = -20.0): DataFrame = {
+                   textCol: String, oovLogp: Double = -20.0,
+                   broadcastVocab: Boolean = true): DataFrame = {
     val toks = docs.select(col(idCol),
       explode(TextFunctions.tokens(lower(col(textCol)))).as("token"))
-    toks.join(broadcast(vocab.select(col("token"), col("logp"))),
+    val v0 = vocab.select(col("token"), col("logp"))
+    toks.join(if (broadcastVocab) broadcast(v0) else v0,
         Seq("token"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),
@@ -56,8 +63,10 @@ object UnigramLM {
   /** Train-on-self scoring: the one-corpus form (every token is in-vocab,
     * so the OOV floor never fires).
     */
-  def score(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    scoreAgainst(docs, train(docs, textCol), idCol, textCol)
+  def score(docs: DataFrame, idCol: String, textCol: String,
+            broadcastVocab: Boolean = true): DataFrame =
+    scoreAgainst(docs, train(docs, textCol), idCol, textCol,
+      broadcastVocab = broadcastVocab)
 
   /** CCNet-style head/middle/tail bucketing (Wenzek et al. 2020): the
     * corpus splits into typicality thirds by mean token log-probability —
@@ -71,22 +80,55 @@ object UnigramLM {
     * engine. Ties AT a threshold go to the higher bucket (>=).
     */
   def ccnetBuckets(docs: DataFrame, idCol: String,
-                   textCol: String): DataFrame = {
-    // materialized once: the threshold aggregation and the bucket
-    // projection both read it (same shared-lineage rationale as TfIdf)
-    val scored = score(docs, idCol, textCol).localCheckpoint(true)
+                   textCol: String): DataFrame =
     // thresholds ROUNDED to the score's own 6-dp precision: an
     // interpolated percentile is engine-arithmetic (lo*(1-f)+hi*f vs
     // lo+(hi-lo)*f differ in ULPs), and when the interpolation position
     // lands sub-ULP from an integer the unrounded threshold can straddle a
     // data value differently per engine — rounding both sides to the
-    // exposed precision makes the >= decision replay exactly
-    val th = scored.agg(
+    // exposed precision makes the >= decision replay exactly.
+    // NOTE the exact `percentile` buffers every score in ONE aggregation
+    // buffer — fine to ~10⁸ docs, a memory cliff past that; use
+    // [[ccnetBucketsApprox]] at corpus scale (same schema, same shape).
+    bucketize(docs, idCol, textCol, scored => scored.agg(
       round(expr("percentile(avg_logprob, 0.6666666666666666)"), 6)
         .as("__t_head"),
       round(expr("percentile(avg_logprob, 0.3333333333333333)"), 6)
-        .as("__t_mid"))
-    scored.crossJoin(broadcast(th))
+        .as("__t_mid")))
+
+  /** [[ccnetBuckets]] with GK-sketch thresholds (`approx_percentile`):
+    * the aggregation buffer is sketch-sized (O(accuracy), not O(rows)), so
+    * the cut points cost a bounded-memory scan at any corpus size.
+    * `accuracy` is Spark's 1/ε knob (default 10⁴ ⇒ ≤0.01 % rank error).
+    * Bucket ASSIGNMENT is the same >= comparison at the same 6-dp
+    * rounding. The one systematic difference from [[ccnetBuckets]]: the
+    * sketch cuts at an actual data value (rank select) where the exact
+    * `percentile` interpolates between ranks — when the sketch holds every
+    * value AND the interpolation position 1 + p(n-1) lands on an integer
+    * rank, the two agree row for row (spec-pinned). Schema is identical
+    * to the exact form.
+    */
+  def ccnetBucketsApprox(docs: DataFrame, idCol: String, textCol: String,
+                         accuracy: Int = 10000): DataFrame = {
+    require(accuracy >= 1, s"accuracy must be >= 1, got $accuracy")
+    bucketize(docs, idCol, textCol, scored => scored.agg(
+      round(expr(s"approx_percentile(avg_logprob, 0.6666666666666666, $accuracy)"), 6)
+        .as("__t_head"),
+      round(expr(s"approx_percentile(avg_logprob, 0.3333333333333333, $accuracy)"), 6)
+        .as("__t_mid")))
+  }
+
+  /** Shared bucket shape: score once, derive the two cut points with
+    * `thresholds` (a 1-row aggregate, broadcast), assign per row. NO
+    * global window — an `ntile` over everything would be a
+    * single-partition sort.
+    */
+  private def bucketize(docs: DataFrame, idCol: String, textCol: String,
+                        thresholds: DataFrame => DataFrame): DataFrame = {
+    // materialized once: the threshold aggregation and the bucket
+    // projection both read it (same shared-lineage rationale as TfIdf)
+    val scored = score(docs, idCol, textCol).localCheckpoint(true)
+    scored.crossJoin(broadcast(thresholds(scored)))
       .withColumn("bucket",
         when(col("avg_logprob") >= col("__t_head"), lit("head"))
           .when(col("avg_logprob") >= col("__t_mid"), lit("middle"))

@@ -1,0 +1,121 @@
+package graft.textops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Round-8 curation operators: bigram stupid-backoff LM, the
+  * broadcast-escape flags on the vocabulary joins, and the sketch-threshold
+  * CCNet bucket variant.
+  */
+class Round8OpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // ---- BigramLM -----------------------------------------------------------
+
+  // Spark's round(col, 6) is BigDecimal HALF_UP (math.round floors
+  // negative halves the other way)
+  private def r6(x: Double): Double =
+    BigDecimal.valueOf(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+
+  // corpus: doc1 "a b a b", doc2 "a b c"
+  // unigrams: a:3 b:3 c:1, total 7
+  // bigrams: (a,b):3 (b,a):1 (b,c):1; ctx totals a:3 b:2
+  // minCount=2 keeps only (a,b) with logp ln(3/3)=0
+  private def lmDocs = Seq((1L, "a b a b"), (2L, "a b c"))
+    .toDF("doc_id", "text")
+
+  test("bigram train: count-pruned table keeps unpruned context totals") {
+    val bg = BigramLM.train(lmDocs, "text", minCount = 2)
+      .as[(String, String, Long, Double, Double)].collect()
+    assert(bg.toSeq == Seq(("a", "b", 3L, 3.0, 0.0)))
+    // unpruned form retains all three, with (b,*) mass out of ctx 2
+    val all = BigramLM.train(lmDocs, "text", minCount = 1)
+      .orderBy("prev", "token")
+      .as[(String, String, Long, Double, Double)].collect()
+    assert(all.map(r => (r._1, r._2, r._3, r._4)).toSeq ==
+      Seq(("a", "b", 3L, 3.0), ("b", "a", 1L, 2.0), ("b", "c", 1L, 2.0)))
+    assert(math.abs(all(1)._5 - math.log(0.5)) < 1e-12)
+  }
+
+  test("bigram score: stupid backoff hand check") {
+    val uni = math.log(3.0 / 7) // ln p(a) = ln p(b)
+    val bo = math.log(0.4)
+    val d1 = (uni + 0.0 + (bo + uni) + 0.0) / 4 // a | (a,b) | backoff a | (a,b)
+    val d2 = (uni + 0.0 + (bo + math.log(1.0 / 7))) / 3
+    val got = BigramLM.score(lmDocs, "doc_id", "text", minCount = 2)
+      .orderBy("doc_id").as[(Long, Long, Double)].collect()
+    assert(got.toSeq == Seq((1L, 4L, r6(d1)), (2L, 3L, r6(d2))))
+  }
+
+  test("bigram scoreAgainst: OOV token takes the floor, also when backing " +
+    "off through a known context") {
+    val uniT = UnigramLM.train(lmDocs, "text")
+    val bgT = BigramLM.train(lmDocs, "text", minCount = 2)
+    // "a zz": 'a' in-vocab first token; 'zz' OOV with context 'a' →
+    // backoff through (a,zz) absent, unigram absent → ln(0.4) + floor
+    val got = BigramLM.scoreAgainst(Seq((9L, "a zz")).toDF("doc_id", "text"),
+        uniT, bgT, "doc_id", "text", oovLogp = -20.0)
+      .as[(Long, Long, Double)].head()
+    val want = (math.log(3.0 / 7) + (math.log(0.4) - 20.0)) / 2
+    assert(got._1 == 9L && got._2 == 2L && got._3 == r6(want))
+  }
+
+  test("bigram score: broadcastVocab=false is bit-identical") {
+    val a = BigramLM.score(lmDocs, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val b = BigramLM.score(lmDocs, "doc_id", "text", broadcastVocab = false)
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("bigram score: single-token docs score pure unigram, empty docs " +
+    "emit nothing") {
+    val docs = Seq((1L, "a"), (2L, "  "), (3L, "a b")).toDF("doc_id", "text")
+    val got = BigramLM.score(docs, "doc_id", "text", minCount = 1)
+      .orderBy("doc_id").as[(Long, Long, Double)].collect()
+    assert(got.map(_._1).toSeq == Seq(1L, 3L))
+    // doc1: ln p(a) = ln(2/3); doc3: (ln(2/3) + ln(1/1)) / 2
+    assert(got(0)._3 == r6(math.log(2.0 / 3)))
+    assert(got(1)._3 == r6(math.log(2.0 / 3) / 2))
+  }
+
+  // ---- broadcast-escape flags --------------------------------------------
+
+  test("unigram score and tf-idf keywords: broadcastVocab=false parity") {
+    val docs = Seq(
+      (1L, "apple apple banana"), (2L, "banana cherry"),
+      (3L, "cherry date date date")).toDF("doc_id", "text")
+    val u1 = UnigramLM.score(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val u2 = UnigramLM.score(docs, "doc_id", "text", broadcastVocab = false)
+      .orderBy("doc_id").collect().toSeq
+    assert(u1 == u2)
+    val k1 = TfIdf.topKeywords(docs, "doc_id", "text", 3)
+      .orderBy("doc_id", "rk").collect().toSeq
+    val k2 = TfIdf.topKeywords(docs, "doc_id", "text", 3,
+        broadcastVocab = false)
+      .orderBy("doc_id", "rk").collect().toSeq
+    assert(k1 == k2)
+  }
+
+  // ---- ccnetBucketsApprox -------------------------------------------------
+
+  test("ccnet approx buckets match exact when the sketch is exact") {
+    // 10 distinct scores << accuracy → the GK sketch holds every value
+    // exactly; and with n-1 divisible by 3 the exact form's interpolation
+    // positions (1 + p(n-1)) land ON data ranks 4 and 7, so both forms
+    // cut at the same data values (interpolation vs rank-select is the
+    // one legitimate divergence between the two)
+    val docs = (1 to 10).map { i =>
+      (i.toLong, ("w" + i + " ") * i + "common")
+    }.toDF("doc_id", "text")
+    val exact = UnigramLM.ccnetBuckets(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val approx = UnigramLM.ccnetBucketsApprox(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(approx == exact)
+    assert(exact.map(_.getString(3)).toSet == Set("head", "middle", "tail"))
+  }
+}
