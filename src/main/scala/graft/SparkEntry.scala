@@ -6,7 +6,7 @@ import graft.multimodal.Multimodal
 import graft.operators.{Dedup, DownloadStats, MergeUpdate, Packing, Sampling, StationSearch, SyncTable}
 import graft.sim.Cosine
 import graft.tables.Tables
-import graft.textops.{BigramLM, BpeTrainer, CorpusStats, Decontaminate, DedupGraph, MinHashLSH, SimHash, SpanDedup, TextFunctions, TfIdf, UnigramLM}
+import graft.textops.{BigramLM, Bm25, BpeTrainer, CorpusStats, Decontaminate, DedupGraph, MinHashLSH, NaiveBayes, SimHash, SpanDedup, TextFunctions, TfIdf, UnigramLM}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1933,6 +1933,32 @@ object SparkEntry {
       BigramLM.score(tSpread(s, dir, "documents"), "doc_id", "text",
           minCount = 2, alpha = 0.4)
         .orderBy(col("doc_id"))
+    }),
+
+    // BM25 ranked retrieval (Robertson-Zaragoza; Lucene k1/b form): the
+    // lexical search layer for retrieval-based decontamination and
+    // seed-set expansion. Queries = the first five documents' own text
+    // against the full corpus, top-10. Postings = the word-count
+    // shuffle; the query set broadcasts against them; top-k is the
+    // bounded TopK aggregation, never a per-query window sort
+    "q94_bm25" -> ((s, dir) => {
+      val docs = tSpread(s, dir, "documents")
+      Bm25.search(docs,
+          docs.filter(col("doc_id") < 5)
+            .select(col("doc_id").as("q_id"), col("text").as("qtext")),
+          "doc_id", "text", "q_id", "qtext", k = 10)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // multinomial Naive Bayes lang classifier trained on the corpus's own
+    // labels (the closed-form DCLM/fastText-style classifier gate):
+    // train = two count aggregations, classify = broadcast model join +
+    // doc-key argmax, scores rounded before the argmax so the prediction
+    // replays engine-exactly
+    "q95_nb_lang" -> ((s, dir) => {
+      NaiveBayes.selfClassify(tSpread(s, dir, "documents"), "doc_id",
+          "lang", "text")
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -3500,6 +3526,89 @@ object SparkEntry {
         |  CROSS JOIN tot)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
         |  round(avg(lp), 6) AS avg_logprob
-        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q94_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)),
+        |    '\s+')) AS token
+        |  FROM documents WHERE trim(text) != ''),
+        |postings AS (
+        |  SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM toks GROUP BY doc_id, token),
+        |dl AS (
+        |  SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl
+        |  FROM postings GROUP BY doc_id),
+        |stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_corpus, avg(dl) AS avgdl
+        |  FROM dl),
+        |df AS (
+        |  SELECT token, CAST(count(*) AS DOUBLE) AS df
+        |  FROM postings GROUP BY token),
+        |qtoks AS (
+        |  SELECT DISTINCT doc_id AS q_id, token FROM toks
+        |  WHERE doc_id < 5),
+        |scored AS (
+        |  SELECT q.q_id, p.doc_id,
+        |    round(sum(ln(1.0 + (s.n_corpus - f.df + 0.5) / (f.df + 0.5))
+        |      * p.tf * 2.2
+        |      / (p.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))), 6) AS score
+        |  FROM postings p
+        |  JOIN qtoks q ON q.token = p.token
+        |  JOIN df f ON f.token = p.token
+        |  JOIN dl d ON d.doc_id = p.doc_id
+        |  CROSS JOIN stats s
+        |  GROUP BY q.q_id, p.doc_id),
+        |ranked AS (
+        |  SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id
+        |      ORDER BY score DESC, doc_id) AS INTEGER) AS rank,
+        |    doc_id, score
+        |  FROM scored)
+        |SELECT q_id, rank, doc_id, score FROM ranked
+        |WHERE rank <= 10
+        |ORDER BY q_id, rank""".stripMargin,
+
+    "q95_nb_lang" ->
+      """WITH labeled AS (
+        |  SELECT doc_id, text, lang FROM documents WHERE lang IS NOT NULL),
+        |toks AS (
+        |  SELECT doc_id, lang, unnest(string_split_regex(lower(trim(text)),
+        |    '\s+')) AS token
+        |  FROM labeled WHERE trim(text) != ''),
+        |cnt AS (
+        |  SELECT lang AS label, token, CAST(count(*) AS DOUBLE) AS cnt
+        |  FROM toks GROUP BY lang, token),
+        |v AS (SELECT CAST(count(DISTINCT token) AS DOUBLE) AS v FROM cnt),
+        |totals AS (
+        |  SELECT label, sum(cnt) AS total FROM cnt GROUP BY label),
+        |loglik AS (
+        |  SELECT c.label, c.token, ln((c.cnt + 1.0) / (t.total + v.v))
+        |    AS loglik
+        |  FROM cnt c JOIN totals t USING (label) CROSS JOIN v),
+        |classes AS (
+        |  SELECT n.label,
+        |    ln(n.n_docs / (SELECT CAST(count(*) AS DOUBLE) FROM labeled))
+        |      AS prior,
+        |    ln(1.0 / (t.total + v.v)) AS dflt
+        |  FROM (SELECT lang AS label, CAST(count(*) AS DOUBLE) AS n_docs
+        |        FROM labeled GROUP BY lang) n
+        |  JOIN totals t USING (label) CROSS JOIN v),
+        |dtoks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)),
+        |    '\s+')) AS token
+        |  FROM documents WHERE trim(text) != ''),
+        |per_class AS (
+        |  SELECT d.doc_id, c.label,
+        |    round(any_value(c.prior)
+        |      + sum(coalesce(l.loglik, c.dflt)), 6) AS score
+        |  FROM dtoks d
+        |  CROSS JOIN classes c
+        |  LEFT JOIN loglik l ON l.token = d.token AND l.label = c.label
+        |  GROUP BY d.doc_id, c.label)
+        |SELECT doc_id, m.label AS pred, m.score AS score FROM (
+        |  SELECT doc_id,
+        |    max(struct_pack(score := score, label := label)) AS m
+        |  FROM per_class GROUP BY doc_id)
+        |ORDER BY doc_id""".stripMargin
   )
 }

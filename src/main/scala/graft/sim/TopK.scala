@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions.udaf
   * combines map-side (each task ships at most `k` candidates per query to
   * the shuffle), and the merge is k-vs-k.
   */
-private[sim] object TopK {
+private[graft] object TopK {
 
   /** Fixed-capacity buffer; `n` is the live prefix length of the arrays. */
   final case class TopKBuf(var ds: Array[Double], var ids: Array[Long],

@@ -1,0 +1,91 @@
+package graft.textops
+
+import graft.sim.TopK
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Okapi BM25 ranked retrieval (Robertson & Zaragoza 2009, the Lucene
+  * `k1`/`b` parameterization with the non-negative idf) — the lexical
+  * search layer a curation stack uses for retrieval-based
+  * decontamination, seed-set expansion, and nearest-neighbor text audits
+  * alongside the embedding-space paths in [[graft.sim.Ivf]].
+  *
+  * Scoring, per query q and document d over q's DISTINCT tokens:
+  *   idf(t)  = ln(1 + (N − df + 0.5) / (df + 0.5))
+  *   s(q,d)  = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+  * where N counts documents with at least one token, dl is d's token
+  * count and avgdl the corpus mean. Scores are ROUNDED to 6 dp before
+  * ranking (ties then break to the smaller doc id) so the rank order is
+  * total and replays identically in any engine.
+  *
+  * Plan shape at 100 TB:
+  *   - postings (doc, token, tf) and doc lengths: the word-count shuffle
+  *     plus one doc-keyed rollup — both map-side-combined;
+  *   - the query set joins the postings on token with the SMALL side
+  *     broadcast (`broadcastQueries`, default true: a query batch is
+  *     human-sized) — the corpus-sized postings never reshuffle for it;
+  *   - per-(query, doc) scores: one 16-byte-key aggregation;
+  *   - top-k: the bounded [[graft.sim.TopK]] buffer (map-side combine,
+  *     k-vs-k merges) — NEVER a window that sorts every candidate of a
+  *     query in one partition.
+  *   - df/idf stats ride the token-keyed postings aggregate; the 1-row
+  *     corpus stats (N, avgdl) broadcast as a cross join.
+  */
+object Bm25 {
+
+  /** Top-k BM25 retrieval of `docs` for each row of `queries`.
+    * Output: (qIdCol, rank ∈ 1..k, idCol, score), rank by
+    * (score DESC, doc id ASC) at 6-dp rounding. Documents and queries
+    * with no tokens match nothing / retrieve nothing. `idCol` must be
+    * integral (it rides the fixed-width top-k buffer as a long).
+    */
+  def search(docs: DataFrame, queries: DataFrame, idCol: String,
+             textCol: String, qIdCol: String, qTextCol: String, k: Int,
+             k1: Double = 1.2, b: Double = 0.75,
+             broadcastQueries: Boolean = true): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(k1 >= 0 && b >= 0 && b <= 1, s"bad BM25 params k1=$k1 b=$b")
+    val idType = docs.schema(idCol).dataType
+
+    val postings = docs.select(col(idCol),
+        explode(TextFunctions.tokens(lower(col(textCol)))).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    // doc length = Σ tf, doc-keyed rollup of the postings themselves
+    val dl = postings.groupBy(col(idCol))
+      .agg(sum(col("tf")).cast("double").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_corpus"),
+      avg(col("dl")).as("avgdl"))
+    val df = postings.groupBy(col("token"))
+      .agg(count(lit(1)).cast("double").as("df"))
+
+    val qtoks0 = queries.select(col(qIdCol),
+        explode(TextFunctions.tokens(lower(col(qTextCol)))).as("token"))
+      .distinct()
+    val qtoks = if (broadcastQueries) broadcast(qtoks0) else qtoks0
+
+    val matched = postings.join(qtoks, "token")
+      .join(df, "token")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf",
+        log(lit(1.0) + (col("n_corpus") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))))
+      .withColumn("__w", col("__idf") * col("tf") * lit(k1 + 1.0) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) +
+          lit(b) * col("dl") / col("avgdl"))))
+    // negated rounded score: TopK's (dist ASC, id ASC) order IS
+    // (score DESC, id ASC) on the negation, and negating an already
+    // 6-dp-rounded double is exact
+    val scored = matched.groupBy(col(qIdCol), col(idCol))
+      .agg(sum(col("__w")).as("__s"))
+      .select(col(qIdCol), col(idCol).cast("long").as("__id"),
+        negate(round(col("__s"), 6)).as("__d"))
+    scored.groupBy(col(qIdCol))
+      .agg(TopK.topK(k)(col("__d"), col("__id")).as("__top"))
+      .select(col(qIdCol), posexplode(col("__top")))
+      .select(col(qIdCol), (col("pos") + 1).cast("int").as("rank"),
+        col("col._2").cast(idType).as(idCol),
+        negate(col("col._1")).as("score"))
+  }
+}

@@ -1,0 +1,106 @@
+package graft.textops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Multinomial Naive Bayes text classifier with Laplace smoothing — the
+  * closed-form stand-in for the fastText-style linear classifiers that
+  * gate web corpora in DCLM / FineWeb-Edu-style pipelines (train on
+  * labeled seed sets, score everything, keep the predicted-positive
+  * slice). NB's decision function is the same bag-of-words linear form
+  * those classifiers learn by SGD, but its weights are exact count
+  * ratios — so training is two aggregations, the model is a pair of
+  * joinable tables instead of an opaque binary, and every score is
+  * SQL-replayable.
+  *
+  * Model tables:
+  *   - `tokenLogLik(label, token, loglik)`:
+  *       ln((cnt(label, token) + α) / (total(label) + α·V))
+  *   - `classStats(label, prior, dflt)`: ln(n_docs(label)/N) and the
+  *     unseen-token likelihood ln(α / (total(label) + α·V))
+  * with V = corpus-wide distinct token count (so a token unseen in ONE
+  * class back-offs to that class's `dflt`, the standard Laplace form).
+  *
+  * Plan shape at 100 TB: train = the (label, token) word-count shuffle
+  * plus a label-keyed rollup (both map-side-combined; the class table is
+  * rows-per-label). Classify = explode tokens, cross-join the
+  * broadcast class table (fan-out = #classes, a handful), one broadcast
+  * left join against the token table (`broadcastModel = false` hands the
+  * join to AQE for vocabularies that outgrow executor memory), then a
+  * (doc, label)-key aggregation and a doc-key argmax — no windows, no
+  * driver collection.
+  */
+object NaiveBayes {
+
+  /** Trained model as two DataFrames (see object doc). */
+  final case class Model(tokenLogLik: DataFrame, classStats: DataFrame)
+
+  /** Train on `docs` rows whose `labelCol` is non-null. Priors count
+    * every labeled doc (including token-less ones); likelihoods see only
+    * tokens. `smoothing` is Laplace's α.
+    */
+  def train(docs: DataFrame, labelCol: String, textCol: String,
+            smoothing: Double = 1.0): Model = {
+    require(smoothing > 0, s"smoothing must be > 0, got $smoothing")
+    val labeled = docs.filter(col(labelCol).isNotNull)
+    val toks = labeled.select(col(labelCol).as("label"),
+      explode(TextFunctions.tokens(lower(col(textCol)))).as("token"))
+    val cnt = toks.groupBy(col("label"), col("token"))
+      .agg(count(lit(1)).cast("double").as("cnt"))
+    val vocabSize = cnt.select(col("token")).distinct()
+      .agg(count(lit(1)).cast("double").as("v"))
+    val totals = cnt.groupBy(col("label"))
+      .agg(sum(col("cnt")).as("total"))
+      .crossJoin(broadcast(vocabSize))
+    val loglik = cnt.join(totals, "label")
+      .select(col("label"), col("token"),
+        log((col("cnt") + lit(smoothing)) /
+          (col("total") + lit(smoothing) * col("v"))).as("loglik"))
+    val nDocs = labeled.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).cast("double").as("n_docs"))
+    val nTotal = nDocs.agg(sum(col("n_docs")).as("n_total"))
+    val classes = nDocs.crossJoin(broadcast(nTotal))
+      .join(totals, "label")
+      .select(col("label"), log(col("n_docs") / col("n_total")).as("prior"),
+        log(lit(smoothing) / (col("total") + lit(smoothing) * col("v")))
+          .as("dflt"))
+    Model(loglik, classes)
+  }
+
+  /** Predict a label per document: argmax over classes of
+    * prior + Σ_tokens loglik (unseen tokens take the class `dflt`).
+    * Scores compare ROUNDED to 6 dp; ties break to the
+    * lexicographically LARGEST label (the struct-max order both Spark
+    * and SQL engines share). Output: (idCol, pred, score) — one row per
+    * document with at least one token.
+    */
+  def classify(docs: DataFrame, model: Model, idCol: String,
+               textCol: String,
+               broadcastModel: Boolean = true): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(TextFunctions.tokens(lower(col(textCol)))).as("token"))
+    val tl0 = model.tokenLogLik
+    val tl = if (broadcastModel) broadcast(tl0) else tl0
+    val perClass = toks
+      .crossJoin(broadcast(model.classStats))
+      .join(tl, Seq("token", "label"), "left")
+      .groupBy(col(idCol), col("label"))
+      .agg(first(col("prior")).as("prior"),
+        sum(coalesce(col("loglik"), col("dflt"))).as("ll"))
+      .select(col(idCol), col("label"),
+        round(col("prior") + col("ll"), 6).as("score"))
+    perClass.groupBy(col(idCol))
+      .agg(max(struct(col("score"), col("label"))).as("__best"))
+      .select(col(idCol), col("__best.label").as("pred"),
+        col("__best.score").as("score"))
+  }
+
+  /** Train-on-self convenience: label, train, classify the same corpus
+    * (the self-consistency / label-audit form).
+    */
+  def selfClassify(docs: DataFrame, idCol: String, labelCol: String,
+                   textCol: String, smoothing: Double = 1.0,
+                   broadcastModel: Boolean = true): DataFrame =
+    classify(docs, train(docs, labelCol, textCol, smoothing), idCol,
+      textCol, broadcastModel = broadcastModel)
+}

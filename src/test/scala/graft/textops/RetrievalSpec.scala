@@ -1,0 +1,109 @@
+package graft.textops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** BM25 ranked retrieval and the Naive Bayes classifier gate. */
+class RetrievalSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def r6(x: Double): Double =
+    BigDecimal.valueOf(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+
+  // ---- BM25 ---------------------------------------------------------------
+
+  // corpus: d1 "a b" (dl 2), d2 "a a b" (dl 3), d3 "c" (dl 1)
+  // N=3, avgdl=2, df(a)=2, df(b)=2, df(c)=1
+  private def corpus = Seq((1L, "a b"), (2L, "a a b"), (3L, "c"))
+    .toDF("doc_id", "text")
+
+  private def idf(df: Double) = math.log(1.0 + (3.0 - df + 0.5) / (df + 0.5))
+  private def w(tf: Double, df: Double, dl: Double,
+                k1: Double = 1.2, b: Double = 0.75) =
+    idf(df) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / 2.0))
+
+  test("bm25: hand-checked scores, rank by score desc then id") {
+    val queries = Seq((10L, "a"), (11L, "a c")).toDF("q_id", "qtext")
+    val got = Bm25.search(corpus, queries, "doc_id", "text", "q_id",
+        "qtext", k = 3)
+      .orderBy("q_id", "rank")
+      .as[(Long, Int, Long, Double)].collect()
+    val s1a = r6(w(1, 2, 2)) // d1 for "a"
+    val s2a = r6(w(2, 2, 3)) // d2 for "a" (higher tf, longer doc)
+    val s3c = r6(w(1, 1, 1)) // d3 for "c" (rare term, short doc)
+    assert(s2a > s1a)
+    assert(got.toSeq == Seq(
+      (10L, 1, 2L, s2a), (10L, 2, 1L, s1a),
+      (11L, 1, 3L, s3c), (11L, 2, 2L, s2a), (11L, 3, 1L, s1a)))
+  }
+
+  test("bm25: duplicate query tokens count once; k truncates; empty " +
+    "query retrieves nothing") {
+    val queries = Seq((1L, "a a a"), (2L, "  ")).toDF("q_id", "qtext")
+    val got = Bm25.search(corpus, queries, "doc_id", "text", "q_id",
+        "qtext", k = 1)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(got.toSeq == Seq((1L, 1, 2L, r6(w(2, 2, 3)))))
+  }
+
+  test("bm25: broadcastQueries=false is bit-identical") {
+    val queries = Seq((10L, "a b c")).toDF("q_id", "qtext")
+    val a = Bm25.search(corpus, queries, "doc_id", "text", "q_id",
+      "qtext", 3).orderBy("rank").collect().toSeq
+    val b = Bm25.search(corpus, queries, "doc_id", "text", "q_id",
+        "qtext", 3, broadcastQueries = false)
+      .orderBy("rank").collect().toSeq
+    assert(a == b)
+  }
+
+  // ---- NaiveBayes ---------------------------------------------------------
+
+  // train: x={1:"a", 2:"a b"}, y={3:"c"}; V=3, totals x=3 y=1
+  private def labeled = Seq((1L, "a", "x"), (2L, "a b", "x"),
+    (3L, "c", "y")).toDF("doc_id", "text", "lab")
+
+  test("naive bayes: hand-checked laplace posteriors") {
+    val m = NaiveBayes.train(labeled, "lab", "text")
+    val got = NaiveBayes.classify(
+        Seq((10L, "a b"), (11L, "c")).toDF("doc_id", "text"),
+        m, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String, Double)].collect()
+    // "a b"|x: ln(2/3) + ln(3/6) + ln(2/6); |y: ln(1/3) + 2*ln(1/4)
+    val abx = r6(math.log(2.0 / 3) + math.log(3.0 / 6) + math.log(2.0 / 6))
+    // "c"|y: ln(1/3) + ln(2/4)
+    val cy = r6(math.log(1.0 / 3) + math.log(2.0 / 4))
+    assert(got.toSeq == Seq((10L, "x", abx), (11L, "y", cy)))
+  }
+
+  test("naive bayes: unseen-everywhere token takes both classes' dflt " +
+    "and ties break to the larger label") {
+    val sym = Seq((1L, "a", "x"), (2L, "b", "y")).toDF("doc_id", "text", "lab")
+    val got = NaiveBayes.selfClassify(
+        sym.unionByName(Seq((9L, "a b", null.asInstanceOf[String]))
+          .toDF("doc_id", "text", "lab")),
+        "doc_id", "lab", "text")
+      .filter(col("doc_id") === 9L).as[(Long, String, Double)].head()
+    // symmetric corpus: score_x("a b") == score_y("a b") → pred y
+    assert(got._2 == "y")
+  }
+
+  test("naive bayes: broadcastModel=false parity; empty docs emit " +
+    "nothing; priors count token-less docs") {
+    val docs = labeled.unionByName(
+      Seq((4L, "   ", "y")).toDF("doc_id", "text", "lab"))
+    val a = NaiveBayes.selfClassify(docs, "doc_id", "lab", "text")
+      .orderBy("doc_id").collect().toSeq
+    val b = NaiveBayes.selfClassify(docs, "doc_id", "lab", "text",
+        broadcastModel = false)
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+    assert(a.map(_.getLong(0)) == Seq(1L, 2L, 3L)) // doc 4 token-less
+    // prior(y) now ln(2/4): doc 4 counts toward the prior
+    val m = NaiveBayes.train(docs, "lab", "text")
+    val pri = m.classStats.filter(col("label") === "y")
+      .select("prior").as[Double].head()
+    assert(math.abs(pri - math.log(2.0 / 4)) < 1e-12)
+  }
+}
