@@ -164,4 +164,44 @@ class PlanSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!p.contains("Window"), p.take(2000))
   }
+
+  test("bigram LM scores through broadcast model joins, no window, no " +
+    "cartesian pair formation") {
+    val p = SparkEntry.queries("q93_bigram_lm")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // (prev, token) pairs come from a scan-stage HOF — a self-join or
+    // window to see the predecessor would show up here
+    assert(!p.contains("Window"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("bm25 joins the postings against BROADCAST query tokens and " +
+    "aggregates top-k, never a per-query window or ranking sort") {
+    // the bare search (the contract query adds an output orderBy, whose
+    // range exchange is presentation, not ranking)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = graft.textops.Bm25.search(docs,
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") < 5)
+          .selectExpr("doc_id AS q_id", "text AS qtext"),
+        "doc_id", "text", "q_id", "qtext", k = 10)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+    // the corpus-sized postings must never range-shuffle for ranking
+    assert(!p.contains("Exchange rangepartitioning"), p.take(2000))
+  }
+
+  test("naive bayes classifies through a broadcast model join and a " +
+    "map-side-combined doc-key argmax, no window") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = graft.textops.NaiveBayes.selfClassify(docs, "doc_id", "lang",
+        "text")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+    // the per-doc argmax combines map-side (partial struct-max), so each
+    // task ships one row per (doc, class) at most
+    assert(p.contains("partial_max(struct(score"), p.take(2000))
+  }
 }
