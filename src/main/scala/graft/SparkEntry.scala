@@ -1959,6 +1959,30 @@ object SparkEntry {
       NaiveBayes.selfClassify(tSpread(s, dir, "documents"), "doc_id",
           "lang", "text")
         .orderBy(col("doc_id"))
+    }),
+
+    // OPQ rotation (Ge 2013 / the FAISS OPQMatrix): deterministic
+    // random-orthogonal seed + Procrustes alternation. Rows-only contract
+    // (training is iterative linear algebra, not SQL): report plain-PQ vs
+    // OPQ mean reconstruction error on the same m/k budget — the rotation
+    // must not lose to the unrotated baseline it generalizes
+    "q96_opq" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val m = 8
+      val k = 16
+      val pqCb = graft.sim.Pq.train(emb, "vec_id", "embedding", m, k,
+        nIters = 1)
+      val pqMse = graft.sim.Pq.meanReconstructionError(emb, "embedding", pqCb)
+      val opq = graft.sim.Pq.trainOpq(emb, "vec_id", "embedding", m, k,
+        nIters = 1, opqIters = 2)
+      val opqMse = graft.sim.Pq.meanReconstructionError(
+        graft.sim.Pq.rotate(emb, "embedding", opq.rotation), "embedding",
+        opq.codebooks)
+      Seq(("pq", math.rint(pqMse * 1e4) / 1e4),
+        ("opq", math.rint(opqMse * 1e4) / 1e4),
+        ("opq_wins", if (opqMse <= pqMse) 1.0 else 0.0))
+        .toDF("variant", "value")
     })
   )
 

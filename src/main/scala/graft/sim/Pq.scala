@@ -238,6 +238,213 @@ object Pq {
       .select(col(qIdCol), (col("pos") + 1).cast("int").as("rank"),
         col("col._2").cast(idType).as(idCol), col("col._1").as(distName))
 
+  // ---- OPQ: optimized product quantization (Ge et al. 2013) ------------
+
+  /** OPQ model: an orthogonal `rotation` R applied before [[Codebooks]] —
+    * the FAISS `OPQMatrix` layout, where PQ quantizes R·x instead of x so
+    * the subspace split cuts across the data's own axes instead of the
+    * storage order. Compose by preprocessing: [[rotate]] the corpus (and
+    * every query) once, then every PQ / IVF-PQ path works unchanged.
+    */
+  final case class Opq(rotation: Array[Array[Double]], codebooks: Codebooks)
+
+  /** Replace `vecCol` with its rotation R·x (double-precision product,
+    * rounded to float once — the order every engine replays). The d×d
+    * matrix rides the kernel closure (d ≤ a few hundred → KBs).
+    */
+  def rotate(df: DataFrame, vecCol: String,
+             rotation: Array[Array[Double]]): DataFrame = {
+    val r = rotation
+    val rot = udf((v: Seq[Float]) =>
+      if (v == null) null
+      else {
+        val out = new Array[Float](r.length)
+        var i = 0
+        while (i < r.length) {
+          val row = r(i)
+          var s = 0.0
+          var j = 0
+          while (j < row.length) { s += row(j) * v(j); j += 1 }
+          out(i) = s.toFloat
+          i += 1
+        }
+        out.toSeq
+      }).asNondeterministic() // plan-shape fence, kernel is pure
+    df.withColumn(vecCol, rot(col(vecCol)))
+  }
+
+  private def reconstructVec(cb: Array[Array[Array[Double]]], dsub: Int,
+                             codes: Seq[Int]): Array[Double] = {
+    val out = new Array[Double](cb.length * dsub)
+    var s = 0
+    while (s < cb.length) {
+      val c = cb(s)(codes(s))
+      var i = 0
+      while (i < dsub) { out(s * dsub + i) = c(i); i += 1 }
+      s += 1
+    }
+    out
+  }
+
+  /** Gauss-Jordan inverse of a small square matrix (driver-side; partial
+    * pivoting). Returns null when singular at working precision.
+    */
+  private def matInverse(a: Array[Array[Double]]): Array[Array[Double]] = {
+    val n = a.length
+    val m = Array.tabulate(n)(i => a(i).clone() ++
+      Array.tabulate(n)(j => if (i == j) 1.0 else 0.0))
+    var col = 0
+    while (col < n) {
+      var piv = col
+      var i = col + 1
+      while (i < n) {
+        if (math.abs(m(i)(col)) > math.abs(m(piv)(col))) piv = i
+        i += 1
+      }
+      if (math.abs(m(piv)(col)) < 1e-300) return null
+      val t = m(col); m(col) = m(piv); m(piv) = t
+      val d = m(col)(col)
+      var j = 0
+      while (j < 2 * n) { m(col)(j) /= d; j += 1 }
+      i = 0
+      while (i < n) {
+        if (i != col) {
+          val f = m(i)(col)
+          if (f != 0.0) {
+            var j2 = 0
+            while (j2 < 2 * n) { m(i)(j2) -= f * m(col)(j2); j2 += 1 }
+          }
+        }
+        i += 1
+      }
+      col += 1
+    }
+    Array.tabulate(n)(i => m(i).slice(n, 2 * n))
+  }
+
+  /** Orthogonal polar factor of a nonsingular square matrix by the Newton
+    * iteration X ← (X + X⁻ᵀ)/2 (Higham 1986) — for M = Σ x̂xᵀ this IS the
+    * orthogonal-Procrustes solution argmin_{RᵀR=I} ‖RX − X̂‖_F that the
+    * OPQ update needs, without a full SVD. Quadratic convergence;
+    * returns null if M is singular (degenerate data — caller keeps the
+    * previous rotation).
+    */
+  private[sim] def polarOrthogonal(mIn: Array[Array[Double]])
+      : Array[Array[Double]] = {
+    val n = mIn.length
+    // scale to unit Frobenius norm: Newton's basin is all nonsingular
+    // matrices but convergence speed degrades on badly scaled input
+    val fro = math.sqrt(mIn.map(_.map(x => x * x).sum).sum)
+    if (fro == 0.0 || fro.isNaN) return null
+    var x = mIn.map(_.map(_ / fro))
+    var it = 0
+    while (it < 100) {
+      val inv = matInverse(x)
+      if (inv == null) return null
+      // X ← (X + (X⁻¹)ᵀ) / 2
+      val next = Array.tabulate(n, n)((i, j) => 0.5 * (x(i)(j) + inv(j)(i)))
+      var diff = 0.0
+      var i = 0
+      while (i < n) {
+        var j = 0
+        while (j < n) {
+          val d = next(i)(j) - x(i)(j)
+          diff += d * d
+          j += 1
+        }
+        i += 1
+      }
+      x = next
+      if (diff < 1e-30) return x
+      it += 1
+    }
+    x
+  }
+
+  /** Deterministic pseudo-random orthogonal matrix: the polar factor of a
+    * fixed sinusoid-filled matrix. OPQ's alternation CANNOT start from the
+    * identity: with Lloyd-consistent codebooks Σ x̂xᵀ is symmetric PSD
+    * (x̂ is each cell's conditional mean), whose polar factor is I — the
+    * identity is a fixed point, which is why FAISS seeds OPQ with a
+    * random rotation. A fixed seed keeps training reproducible.
+    */
+  private def seedRotation(dim: Int): Array[Array[Double]] = {
+    val g = Array.tabulate(dim, dim)((i, j) =>
+      math.sin((i * dim + j) * 12.9898 + 78.233))
+    val r = polarOrthogonal(g)
+    if (r != null) r
+    else Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+  }
+
+  /** Train an OPQ rotation + codebooks (Ge et al. 2013, non-parametric
+    * alternation): seed R with a deterministic random rotation (see
+    * [[seedRotation]] — identity is a fixed point), then repeat
+    * `opqIters` times — PQ-train on the rotated corpus, reconstruct,
+    * solve the Procrustes update R = polar(Σ x̂xᵀ) — and train the
+    * returned codebooks against the final rotation. `opqIters = 0`
+    * returns the identity rotation (plain PQ in the same shape).
+    *
+    * Scale shape: the rotation/codebook state is driver-held and
+    * KB-sized; each iteration costs one PQ training pass plus ONE
+    * map-side-combined d×d accumulation over the corpus (the `x̂xᵀ`
+    * sums reduce pairwise per partition — corpus rows never collect).
+    * Train on a sample at 100 TB, like [[train]].
+    */
+  def trainOpq(corpus: DataFrame, idCol: String, vecCol: String,
+               m: Int, k: Int, nIters: Int = 0, opqIters: Int = 3): Opq = {
+    require(opqIters >= 0, s"opqIters must be >= 0, got $opqIters")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val slim = corpus.select(col(idCol), col(vecCol))
+    val dim = slim.select(col(vecCol)).limit(1).as[Seq[Float]].head().length
+    var rot =
+      if (opqIters == 0)
+        Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+      else seedRotation(dim)
+    var it = 0
+    while (it < opqIters) {
+      val cb = train(rotate(slim, vecCol, rot), idCol, vecCol, m, k, nIters)
+      val c = cb.centroids
+      val dsub = cb.dsub
+      val frozen = rot
+      // M = Σ x̂ xᵀ, flattened row-major; pairwise partition reduce
+      val mFlat = slim.select(col(vecCol)).as[Seq[Float]]
+        .map { v =>
+          val rx = new Array[Float](dim)
+          var i = 0
+          while (i < dim) {
+            val row = frozen(i)
+            var s = 0.0
+            var j = 0
+            while (j < dim) { s += row(j) * v(j); j += 1 }
+            rx(i) = s.toFloat
+            i += 1
+          }
+          val xhat = reconstructVec(c, dsub,
+            encodeVec(c, dsub, rx.toSeq))
+          val out = new Array[Double](dim * dim)
+          i = 0
+          while (i < dim) {
+            val xi = xhat(i)
+            var j = 0
+            while (j < dim) { out(i * dim + j) = xi * v(j); j += 1 }
+            i += 1
+          }
+          out
+        }
+        .reduce { (a, b) =>
+          var i = 0
+          while (i < a.length) { a(i) += b(i); i += 1 }
+          a
+        }
+      val mMat = Array.tabulate(dim, dim)((i, j) => mFlat(i * dim + j))
+      val r = polarOrthogonal(mMat)
+      if (r != null) rot = r
+      it += 1
+    }
+    Opq(rot, train(rotate(slim, vecCol, rot), idCol, vecCol, m, k, nIters))
+  }
+
   /** Mean squared reconstruction error over the corpus — the training
     * diagnostic (Lloyd iterations must not increase it).
     */

@@ -1,0 +1,135 @@
+package graft.sim
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** OPQ rotation training: orthogonality, the Procrustes fixed point, the
+  * decorrelation win over plain PQ, and search-path composition.
+  */
+class OpqSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def matmulT(a: Array[Array[Double]]): Array[Array[Double]] = {
+    val n = a.length
+    Array.tabulate(n, n)((i, j) =>
+      (0 until n).map(k => a(k)(i) * a(k)(j)).sum) // AᵀA
+  }
+
+  test("polar factor of a rotation-times-PSD matrix recovers the rotation") {
+    val th = 0.7
+    val r = Array(Array(math.cos(th), -math.sin(th)),
+      Array(math.sin(th), math.cos(th)))
+    val psd = Array(Array(3.0, 1.0), Array(1.0, 2.0))
+    val m = Array.tabulate(2, 2)((i, j) =>
+      (0 until 2).map(k => r(i)(k) * psd(k)(j)).sum)
+    val got = Pq.polarOrthogonal(m)
+    for (i <- 0 until 2; j <- 0 until 2)
+      assert(math.abs(got(i)(j) - r(i)(j)) < 1e-10,
+        s"($i,$j): ${got(i)(j)} vs ${r(i)(j)}")
+  }
+
+  // deterministic pseudo-random stream (no Math.random in specs either —
+  // keeps the expected values frozen)
+  private def noise(i: Int, salt: Int): Double =
+    math.sin(i * 12.9898 + salt * 78.233) * 0.5
+
+  test("trainOpq returns an orthogonal rotation; identity at opqIters=0") {
+    val vecs = (0 until 64).map { i =>
+      (i.toLong, Seq(noise(i, 1), noise(i, 2), noise(i, 3), noise(i, 4))
+        .map(_.toFloat))
+    }.toDF("id", "vec")
+    val opq = Pq.trainOpq(vecs, "id", "vec", m = 2, k = 4, opqIters = 2)
+    val rtr = matmulT(opq.rotation)
+    for (i <- 0 until 4; j <- 0 until 4)
+      assert(math.abs(rtr(i)(j) - (if (i == j) 1.0 else 0.0)) < 1e-8,
+        s"RᵀR($i,$j) = ${rtr(i)(j)}")
+    val id = Pq.trainOpq(vecs, "id", "vec", m = 2, k = 4, opqIters = 0)
+    for (i <- 0 until 4; j <- 0 until 4)
+      assert(id.rotation(i)(j) == (if (i == j) 1.0 else 0.0))
+  }
+
+  test("opq beats plain PQ on cross-subspace-correlated data") {
+    // two latent factors MIXED across the subspace split [0,1]|[2,3]: the
+    // data lies in a tilted 2-D plane of R⁴, so plain PQ spends both
+    // subspaces' codebooks on correlated 2-D spreads, while a rotation
+    // can concentrate the plane into ONE subspace (the other quantizes
+    // near-constants at ~zero error) — the canonical OPQ win (Ge 2013 §1)
+    val vecs = (0 until 128).map { i =>
+      val z1 = noise(i, 11) * 4
+      val z2 = noise(i, 22) * 4
+      (i.toLong, Seq(
+        z1 + z2 + noise(i, 31) * 0.05, z1 - z2 + noise(i, 32) * 0.05,
+        z1 + 2 * z2 + noise(i, 33) * 0.05, 2 * z1 - z2 + noise(i, 34) * 0.05)
+        .map(_.toFloat))
+    }.toDF("id", "vec")
+    val m = 2
+    val k = 8
+    val pqCb = Pq.train(vecs, "id", "vec", m, k, nIters = 3)
+    val pqErr = Pq.meanReconstructionError(vecs, "vec", pqCb)
+    val opq = Pq.trainOpq(vecs, "id", "vec", m, k, nIters = 3, opqIters = 4)
+    val opqErr = Pq.meanReconstructionError(
+      Pq.rotate(vecs, "vec", opq.rotation), "vec", opq.codebooks)
+    assert(opqErr < pqErr * 0.9,
+      s"opq $opqErr not better than pq $pqErr")
+  }
+
+  test("rotation preserves exact-duplicate recall through the ADC search") {
+    val base = (0 until 40).map { i =>
+      (i.toLong, (0 until 8).map(d => noise(i * 8 + d, 5).toFloat))
+    }
+    // plant exact duplicates of ids 0..4 at 100..104
+    val corpus = (base ++ (0 until 5).map(i =>
+      ((100 + i).toLong, base(i)._2))).toDF("id", "vec")
+    val opq = Pq.trainOpq(corpus, "id", "vec", m = 4, k = 16,
+      nIters = 2, opqIters = 2)
+    val rotated = Pq.rotate(corpus, "vec", opq.rotation)
+    val encoded = Pq.encode(rotated, "vec", opq.codebooks)
+    val queries = rotated.filter(col("id") < 5)
+      .select(col("id").as("qid"), col("vec").as("qvec"))
+    val got = Pq.adcTopK(encoded, queries, k = 5, "id", "qid", "qvec",
+        opq.codebooks)
+      .select("qid", "id", "dist2").as[(Long, Long, Double)].collect()
+      .groupBy(_._1)
+    // the planted duplicate shares every code, so its ADC distance ties
+    // the minimum (other corpus vectors may share the codes too and
+    // out-rank it on id — that's the documented tie order)
+    for (q <- 0 until 5) {
+      val rows = got(q.toLong)
+      val minD = rows.map(_._3).min
+      val dup = rows.find(_._2 == 100L + q)
+      assert(dup.nonEmpty && dup.get._3 == minD,
+        s"query $q: dup ${dup} vs min $minD in ${rows.toSeq}")
+    }
+  }
+
+  test("opq composes with the IVF-PQ index as pure preprocessing") {
+    // rotate corpus AND queries once, then the cell-pruned index path is
+    // unchanged — the FAISS OPQMatrix-before-IVFPQ layout
+    val centers = (0 until 6).map { t =>
+      Array.tabulate(8)(d => math.cos(t * 2.1 + d * 0.7) * 4)
+    }
+    val corpus = (for (t <- 0 until 6; j <- 0 until 12) yield {
+      val id = (t * 12 + j).toLong
+      (id, Array.tabulate(8)(d =>
+        (centers(t)(d) + (((id * 101 + d * 37) % 17) - 8) / 40.0).toFloat)
+        .toSeq)
+    }).toDF("vec_id", "embedding")
+    val opq = Pq.trainOpq(corpus, "vec_id", "embedding", m = 4, k = 8,
+      nIters = 1, opqIters = 2)
+    val rotated = Pq.rotate(corpus, "embedding", opq.rotation)
+    val queries = rotated.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_opqivf").toString
+    val cb = Ivf.writeIndexPq(rotated, "vec_id", "embedding", dir,
+      nCells = 4, nIters = 2, m = 4, pqK = 8, pqIters = 1)
+    val composed = Ivf.topKIndexedPq(spark, dir, queries, k = 3,
+      idCol = "vec_id", qIdCol = "q_id", qVecCol = "q_emb",
+      nProbe = 4, adcRoundDp = 4)
+    val brute = Pq.adcTopK(Pq.encode(rotated, "embedding", cb),
+      queries, 3, "vec_id", "q_id", "q_emb", cb, roundDp = 4)
+    assert(composed.orderBy("q_id", "rank").collect().toSeq ==
+      brute.orderBy("q_id", "rank").collect().toSeq)
+  }
+}
