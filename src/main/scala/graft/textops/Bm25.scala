@@ -47,10 +47,14 @@ object Bm25 {
     require(k1 >= 0 && b >= 0 && b <= 1, s"bad BM25 params k1=$k1 b=$b")
     val idType = docs.schema(idCol).dataType
 
+    // materialized once: dl, df, and the scoring join all read the
+    // postings — without the checkpoint each consumer re-explodes the
+    // corpus (the shared-lineage lesson measured on TfIdf)
     val postings = docs.select(col(idCol),
         explode(TextFunctions.tokens(lower(col(textCol)))).as("token"))
       .groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     // doc length = Σ tf, doc-keyed rollup of the postings themselves
     val dl = postings.groupBy(col(idCol))
       .agg(sum(col("tf")).cast("double").as("dl"))

@@ -45,8 +45,12 @@ object NaiveBayes {
     val labeled = docs.filter(col(labelCol).isNotNull)
     val toks = labeled.select(col(labelCol).as("label"),
       explode(TextFunctions.tokens(lower(col(textCol)))).as("token"))
+    // materialized once: vocabulary size, per-class totals, and the
+    // likelihood projection all read the counts — without the checkpoint
+    // each consumer re-explodes the corpus
     val cnt = toks.groupBy(col("label"), col("token"))
       .agg(count(lit(1)).cast("double").as("cnt"))
+      .localCheckpoint(true)
     val vocabSize = cnt.select(col("token")).distinct()
       .agg(count(lit(1)).cast("double").as("v"))
     val totals = cnt.groupBy(col("label"))

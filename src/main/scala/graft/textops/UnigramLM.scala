@@ -29,7 +29,11 @@ object UnigramLM {
   def train(docs: DataFrame, textCol: String): DataFrame = {
     val toks = docs.select(
       explode(TextFunctions.tokens(lower(col(textCol)))).as("token"))
+    // materialized once: the corpus-total aggregate and the logp
+    // projection both read the vocabulary — without the checkpoint each
+    // consumer re-explodes the corpus
     val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
     val total = vocab.agg(sum(col("cnt")).cast("double").as("__total"))
     vocab.crossJoin(broadcast(total))
       .withColumn("logp", log(col("cnt").cast("double") / col("__total")))
