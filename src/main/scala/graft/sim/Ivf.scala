@@ -177,7 +177,13 @@ object Ivf {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val centroids = train(slim, idCol, vecCol, nCells, nIters)
+      // cluster by cell BEFORE the partitioned write: without it every
+      // upstream task writes a file into every cell directory it touches
+      // (tasks × cells tiny files at cluster scale); after the shuffle
+      // each cell's rows are contiguous, so the layout is ~1 file per
+      // cell and probed reads stay sequential
       assign(slim, vecCol, centroids)
+        .repartition(col("__cell"))
         .write.mode("overwrite").partitionBy("__cell")
         .parquet(s"$path/vectors")
       centroids.toSeq.map { case (c, v) => (c, v.toSeq) }
@@ -238,8 +244,10 @@ object Ivf {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val centroids = train(slim, idCol, vecCol, nCells, nIters)
+      // cell-clustered write — same tiny-files rationale as [[writeIndex]]
       Quantize.quantizeCorpus(assign(slim, vecCol, centroids), vecCol)
         .drop(vecCol)
+        .repartition(col("__cell"))
         .write.mode("overwrite").partitionBy("__cell")
         .parquet(s"$path/vectors")
       centroids.toSeq.map { case (c, v) => (c, v.toSeq) }
@@ -324,8 +332,10 @@ object Ivf {
       // codebook trained on exactly what it will encode (residuals when
       // residual=true); one extra scan of the persisted slim projection
       val cb = Pq.train(toEncode, idCol, vecCol, m, pqK, pqIters)
+      // cell-clustered write — same tiny-files rationale as [[writeIndex]]
       Pq.encode(toEncode, vecCol, cb)
         .select(col(idCol), col("__pqcodes"), col("__cell"))
+        .repartition(col("__cell"))
         .write.mode("overwrite").partitionBy("__cell")
         .parquet(s"$path/codes")
       centroids.toSeq.map { case (c, v) => (c, v.toSeq) }
