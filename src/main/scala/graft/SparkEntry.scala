@@ -1989,6 +1989,17 @@ object SparkEntry {
         ("opq", math.rint(opqMse * 1e4) / 1e4),
         ("opq_wins", if (opqMse <= pqMse) 1.0 else 0.0))
         .toDF("variant", "value")
+    }),
+
+    // heavy-hitter tokens via the builtin approx_top_k sketch
+    // (DataSketches frequent-items): ONE ungrouped aggregation with
+    // sketch-sized state and map-side merges — no token-key shuffle.
+    // Oracle-able because the corpus vocabulary fits maxItemsTracked
+    // (sketch exact ⇒ counts equal the word count), and the output
+    // re-sorts at (est_count DESC, token) rather than trusting the
+    // sketch's hash-internal tie order
+    "q97_top_tokens" -> ((s, dir) => {
+      CorpusStats.topTokensApprox(tSpread(s, dir, "documents"), "text", 50)
     })
   )
 
@@ -3639,6 +3650,16 @@ object SparkEntry {
         |  SELECT doc_id,
         |    max(struct_pack(score := score, label := label)) AS m
         |  FROM per_class GROUP BY doc_id)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "q97_top_tokens" ->
+      """SELECT token, CAST(count(*) AS BIGINT) AS est_count
+        |FROM (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))
+        |    AS token
+        |  FROM documents WHERE trim(text) != '')
+        |GROUP BY token
+        |ORDER BY est_count DESC, token
+        |LIMIT 50""".stripMargin
   )
 }

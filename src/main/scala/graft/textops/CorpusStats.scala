@@ -45,4 +45,41 @@ object CorpusStats {
         round(expr(s"approx_percentile(__toks, 0.9, $accuracy)")
           .cast("double"), 4).as("p90_tokens"),
         max(col("__toks")).as("max_tokens"))
+
+  private def tokens(df: DataFrame, textCol: String) =
+    df.select(
+      explode(TextFunctions.tokens(lower(col(textCol)))).as("token"))
+
+  /** Heavy-hitter tokens, sketch form: Spark's `approx_top_k`
+    * (DataSketches frequent-items) in ONE ungrouped aggregation — the
+    * state is sketch-sized (`maxItemsTracked` entries) and merges
+    * map-side, so the corpus-wide top-k costs a single pass with NO
+    * token-key shuffle (the exact form shuffles the whole vocabulary).
+    * Estimates are exact whenever the corpus's distinct-token count fits
+    * `maxItemsTracked` (the spec-pinned regime); beyond that counts are
+    * under-estimates within the sketch's documented error. Output
+    * (token, est_count), re-sorted deterministically by
+    * (est_count DESC, token) — the sketch's own tie order is
+    * hash-internal and not reproducible across engines.
+    */
+  def topTokensApprox(df: DataFrame, textCol: String, k: Int,
+                      maxItemsTracked: Int = 100000): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    tokens(df, textCol)
+      .agg(expr(s"approx_top_k(token, $k, $maxItemsTracked)").as("__top"))
+      .select(explode(col("__top")).as("t"))
+      .select(col("t.item").as("token"), col("t.count").as("est_count"))
+      .orderBy(col("est_count").desc, col("token"))
+  }
+
+  /** Heavy-hitter tokens, exact form: the full token-key word count plus
+    * a TakeOrdered top-k (per-partition heaps). Same schema as
+    * [[topTokensApprox]]. */
+  def topTokensExact(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    tokens(df, textCol)
+      .groupBy(col("token")).agg(count(lit(1)).as("est_count"))
+      .orderBy(col("est_count").desc, col("token"))
+      .limit(k)
+  }
 }

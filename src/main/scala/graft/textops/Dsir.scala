@@ -46,9 +46,13 @@ object Dsir {
     def wordCounts(df: DataFrame, as: String): DataFrame =
       df.select(explode(TextFunctions.tokens(lower(col(textCol)))).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as(as))
+    // materialized once: the totals aggregate and the ratio projection
+    // both read the joint table — without the checkpoint both word-count
+    // aggregations and the outer join run twice
     val joint = wordCounts(target, "ct")
       .join(wordCounts(raw, "cr"), Seq("w"), "full")
       .na.fill(0L, Seq("ct", "cr"))
+      .localCheckpoint(true)
     // totals ride a 1-row broadcast nested-loop join — vocab is NOT
     // driver-sized, so no collect; the ratio stays one lazy plan
     val totals = joint.agg(

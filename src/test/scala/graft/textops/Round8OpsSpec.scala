@@ -100,6 +100,29 @@ class Round8OpsSpec extends SparkSpec {
     assert(k1 == k2)
   }
 
+  // ---- heavy-hitter tokens ------------------------------------------------
+
+  test("approx top tokens equals exact in the sketch-exact regime") {
+    // zipfy: token w_i appears (20-i) times per doc row i
+    val docs = (1 to 15).map { i =>
+      (i.toLong, (("w%02d".format(i) + " ") * (20 - i)).trim)
+    }.toDF("doc_id", "text")
+    val exact = CorpusStats.topTokensExact(docs, "text", 10)
+      .collect().toSeq
+    val approx = CorpusStats.topTokensApprox(docs, "text", 10)
+      .collect().toSeq
+    assert(approx == exact)
+    assert(exact.head.getString(0) == "w01" && exact.head.getLong(1) == 19L)
+    assert(exact.size == 10)
+  }
+
+  test("approx top tokens: k past the vocabulary returns every token") {
+    val docs = Seq((1L, "a a b c")).toDF("doc_id", "text")
+    val got = CorpusStats.topTokensApprox(docs, "text", 50)
+      .as[(String, Long)].collect()
+    assert(got.toSeq == Seq(("a", 2L), ("b", 1L), ("c", 1L)))
+  }
+
   // ---- ccnetBucketsApprox -------------------------------------------------
 
   test("ccnet approx buckets match exact when the sketch is exact") {
