@@ -41,6 +41,56 @@ object CorpusStream {
     docs.filter(keep)
   }
 
+  /** Stateless streaming decontamination gate — the live counterpart of
+    * [[graft.textops.Decontaminate.overlapBloom]]: a Bloom filter is
+    * built ONCE over the (static) benchmark's distinct char-n-gram
+    * hashes and broadcast; each arriving document counts its own
+    * distinct gram hashes against it ([[graft.textops.TextKernels
+    * .charGramHashes]] dedups per doc, so the count matches the batch
+    * `n_shared` semantics) and flows on only while the count stays
+    * ≤ `maxSharedGrams`. The gram set lives INSIDE each row, so this is
+    * a stateless projection + filter: no state store, no watermark, and
+    * the per-executor memory is one Bloom filter regardless of stream
+    * length.
+    *
+    * Unlike the batch form there is no exact-verification join (that
+    * would be a per-micro-batch shuffle against the full gram table), so
+    * Bloom false positives INFLATE counts by ~fpp·|grams(doc)| — the
+    * gate can only get stricter, never leak a contaminated document the
+    * batch form would catch. Survivors keep their columns plus
+    * `n_flagged_grams` for audit.
+    */
+  def contaminationGate(docs: DataFrame, textCol: String,
+                        benchmark: DataFrame, benchTextCol: String,
+                        n: Int, maxSharedGrams: Long = 0L,
+                        expectedGrams: Long = 10000000L,
+                        fpp: Double = 0.01): DataFrame = {
+    require(n >= 1, "n-gram length must be >= 1")
+    val gramsUdf = udf((s: String) =>
+      graft.textops.TextKernels.charGramHashes(s, n)).asNondeterministic()
+    val benchGrams = benchmark
+      .filter(length(col(benchTextCol)) >= n)
+      .select(gramsUdf(col(benchTextCol)).as("ghs"))
+      .select(explode(col("ghs")).as("gh")).distinct()
+    val bloom = benchGrams.stat.bloomFilter("gh", expectedGrams, fpp)
+    val bc = docs.sparkSession.sparkContext.broadcast(bloom)
+    val hits = udf((s: String) => {
+      val ghs = graft.textops.TextKernels.charGramHashes(s, n)
+      if (ghs == null) 0L
+      else {
+        var c = 0L
+        var i = 0
+        while (i < ghs.length) {
+          if (bc.value.mightContainLong(ghs(i))) c += 1
+          i += 1
+        }
+        c
+      }
+    }).asNondeterministic()
+    docs.withColumn("n_flagged_grams", hits(col(textCol)))
+      .filter(col("n_flagged_grams") <= maxSharedGrams)
+  }
+
   /** One (bucket, document) posting flowing into the keyed state. */
   final case class BucketPost(bucket: Long, doc_id: Long,
                               sig: Seq[Long], ts: java.sql.Timestamp)

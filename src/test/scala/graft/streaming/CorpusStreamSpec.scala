@@ -136,4 +136,49 @@ class CorpusStreamSpec extends SparkSpec {
       yield (s, late)).toSet + ((100L, 101L))
     assert(pairs == expected)
   }
+
+  test("streaming contamination gate: batch ≡ stream, counts match the " +
+    "exact verification join") {
+    implicit val sqlCtx = spark.sqlContext
+    val passage = "the quick brown fox jumps over the lazy dog tonight"
+    val bench = Seq((1L, passage)).toDF("bid", "btext")
+    val docs = Seq(
+      Doc(1L, t("2020-01-01 10:00:00"),
+        s"some preface then $passage and a conclusion"), // contaminated
+      Doc(2L, t("2020-01-01 10:00:30"),
+        "an entirely unrelated document about mountain weather patterns"),
+      Doc(3L, t("2020-01-01 10:01:00"), "short")) // under the gram length
+    val gate = (df: org.apache.spark.sql.DataFrame) =>
+      CorpusStream.contaminationGate(df, "text", bench, "btext", n = 20,
+        maxSharedGrams = 0L, expectedGrams = 1000L, fpp = 0.001)
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Doc]
+    source.addData(docs: _*)
+    val q = gate(source.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("contamination_gate")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.sql(
+        "SELECT doc_id, n_flagged_grams FROM contamination_gate")
+      .as[(Long, Long)].collect().toSet
+    // doc 1 carries the benchmark passage → dropped; 2 and 3 are clean
+    assert(got == Set((2L, 0L), (3L, 0L)))
+    // batch ≡ stream: the same gate over the same rows as a batch frame
+    val batch = gate(docs.toDF())
+      .select("doc_id", "n_flagged_grams").as[(Long, Long)].collect().toSet
+    assert(batch == got)
+    // the Bloom count of the DROPPED doc matches the exact-join overlap
+    // (tiny gram set + fpp 0.001 → no false positives on this fixture)
+    val exact = graft.textops.Decontaminate.overlapHashed(
+        docs.toDF(), bench.select(col("bid").as("doc_id"),
+          col("btext").as("text")), "doc_id", "text", n = 20)
+      .filter(col("doc_id") === 1L).select("n_shared").as[Long].head()
+    val bloomCount = CorpusStream.contaminationGate(docs.toDF(), "text",
+        bench, "btext", n = 20, maxSharedGrams = Long.MaxValue,
+        expectedGrams = 1000L, fpp = 0.001)
+      .filter(col("doc_id") === 1L)
+      .select("n_flagged_grams").as[Long].head()
+    assert(bloomCount == exact && exact >= 32L)
+  }
 }
