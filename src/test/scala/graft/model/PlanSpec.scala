@@ -192,6 +192,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange rangepartitioning"), p.take(2000))
   }
 
+  test("approx top tokens never shuffles on the token key") {
+    // the sketch aggregates ungrouped: map-side sketch per partition,
+    // one merge — a hashpartitioning exchange would mean the exact
+    // word-count shape snuck back in
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = graft.textops.CorpusStats.topTokensApprox(docs, "text", 50)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("approx_top_k"), p.take(1500))
+    assert(!p.contains("Exchange hashpartitioning"), p.take(1500))
+  }
+
   test("naive bayes classifies through a broadcast model join and a " +
     "map-side-combined doc-key argmax, no window") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
