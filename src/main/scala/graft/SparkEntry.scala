@@ -1995,9 +1995,12 @@ object SparkEntry {
     // (DataSketches frequent-items): ONE ungrouped aggregation with
     // sketch-sized state and map-side merges — no token-key shuffle.
     // Oracle-able because the corpus vocabulary fits maxItemsTracked
-    // (sketch exact ⇒ counts equal the word count), and the output
-    // re-sorts at (est_count DESC, token) rather than trusting the
-    // sketch's hash-internal tie order
+    // (sketch exact ⇒ counts equal the word count) AND k=50 exceeds the
+    // vocabulary, so no count tie can straddle the k boundary (top-k
+    // MEMBERSHIP at a boundary tie would follow the sketch's internal
+    // order — see the operator's caveat); the output re-sorts at
+    // (est_count DESC, token) rather than trusting the sketch's
+    // hash-internal tie order
     "q97_top_tokens" -> ((s, dir) => {
       CorpusStats.topTokensApprox(tSpread(s, dir, "documents"), "text", 50)
     })

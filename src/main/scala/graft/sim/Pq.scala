@@ -326,8 +326,11 @@ object Pq {
     * iteration X ← (X + X⁻ᵀ)/2 (Higham 1986) — for M = Σ x̂xᵀ this IS the
     * orthogonal-Procrustes solution argmin_{RᵀR=I} ‖RX − X̂‖_F that the
     * OPQ update needs, without a full SVD. Quadratic convergence;
-    * returns null if M is singular (degenerate data — caller keeps the
-    * previous rotation).
+    * returns null if M is singular at working precision OR the iterate
+    * fails the final ‖XᵀX − I‖∞ < 1e-8 orthogonality check (numerically
+    * near-singular input that slips past the pivot threshold) — a
+    * non-orthogonal "rotation" would silently distort every distance
+    * downstream, so the caller must keep its previous rotation instead.
     */
   private[sim] def polarOrthogonal(mIn: Array[Array[Double]])
       : Array[Array[Double]] = {
@@ -338,7 +341,8 @@ object Pq {
     if (fro == 0.0 || fro.isNaN) return null
     var x = mIn.map(_.map(_ / fro))
     var it = 0
-    while (it < 100) {
+    var converged = false
+    while (it < 100 && !converged) {
       val inv = matInverse(x)
       if (inv == null) return null
       // X ← (X + (X⁻¹)ᵀ) / 2
@@ -355,10 +359,26 @@ object Pq {
         i += 1
       }
       x = next
-      if (diff < 1e-30) return x
+      converged = diff < 1e-30
       it += 1
     }
-    x
+    // verify, don't trust: 100 iterations without contraction (or a
+    // "converged" fixed point of a degenerate input) must not leak out
+    var err = 0.0
+    var i = 0
+    while (i < n) {
+      var j = 0
+      while (j < n) {
+        var s = 0.0
+        var k = 0
+        while (k < n) { s += x(k)(i) * x(k)(j); k += 1 }
+        val e = math.abs(s - (if (i == j) 1.0 else 0.0))
+        if (e > err) err = e
+        j += 1
+      }
+      i += 1
+    }
+    if (err < 1e-8) x else null
   }
 
   /** Deterministic pseudo-random orthogonal matrix: the polar factor of a
@@ -372,8 +392,12 @@ object Pq {
     val g = Array.tabulate(dim, dim)((i, j) =>
       math.sin((i * dim + j) * 12.9898 + 78.233))
     val r = polarOrthogonal(g)
-    if (r != null) r
-    else Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+    // a fixed sinusoid matrix is nonsingular at every dim we ship; if it
+    // ever fails, fall back LOUDLY — a silent identity seed would pin
+    // the alternation at its documented fixed point (OPQ quietly off)
+    require(r != null,
+      s"seedRotation: polar factor failed at dim=$dim — cannot seed OPQ")
+    r
   }
 
   /** Train an OPQ rotation + codebooks (Ge et al. 2013, non-parametric
@@ -395,54 +419,70 @@ object Pq {
     require(opqIters >= 0, s"opqIters must be >= 0, got $opqIters")
     val spark = corpus.sparkSession
     import spark.implicits._
+    // persisted once: every OPQ iteration re-reads the slim projection
+    // several times (PQ train's init collect + Lloyd passes, the M pass)
     val slim = corpus.select(col(idCol), col(vecCol))
-    val dim = slim.select(col(vecCol)).limit(1).as[Seq[Float]].head().length
-    var rot =
-      if (opqIters == 0)
-        Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
-      else seedRotation(dim)
-    var it = 0
-    while (it < opqIters) {
-      val cb = train(rotate(slim, vecCol, rot), idCol, vecCol, m, k, nIters)
-      val c = cb.centroids
-      val dsub = cb.dsub
-      val frozen = rot
-      // M = Σ x̂ xᵀ, flattened row-major; pairwise partition reduce
-      val mFlat = slim.select(col(vecCol)).as[Seq[Float]]
-        .map { v =>
-          val rx = new Array[Float](dim)
-          var i = 0
-          while (i < dim) {
-            val row = frozen(i)
-            var s = 0.0
-            var j = 0
-            while (j < dim) { s += row(j) * v(j); j += 1 }
-            rx(i) = s.toFloat
-            i += 1
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dim =
+        slim.select(col(vecCol)).limit(1).as[Seq[Float]].head().length
+      var rot =
+        if (opqIters == 0)
+          Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+        else seedRotation(dim)
+      var it = 0
+      while (it < opqIters) {
+        val cb = train(rotate(slim, vecCol, rot), idCol, vecCol, m, k,
+          nIters)
+        val c = cb.centroids
+        val dsub = cb.dsub
+        val frozen = rot
+        // M = Σ x̂ xᵀ, flattened row-major: ONE dim² accumulator per
+        // PARTITION (a per-row dim² array would be megabytes of
+        // allocation per vector at embedding dims), then a pairwise
+        // reduce of partition sums
+        val mFlat = slim.select(col(vecCol)).as[Seq[Float]]
+          .mapPartitions { vecs =>
+            val acc = new Array[Double](dim * dim)
+            val rx = new Array[Float](dim)
+            var any = false
+            while (vecs.hasNext) {
+              val v = vecs.next()
+              any = true
+              var i = 0
+              while (i < dim) {
+                val row = frozen(i)
+                var s = 0.0
+                var j = 0
+                while (j < dim) { s += row(j) * v(j); j += 1 }
+                rx(i) = s.toFloat
+                i += 1
+              }
+              val xhat = reconstructVec(c, dsub,
+                encodeVec(c, dsub, rx.toSeq))
+              i = 0
+              while (i < dim) {
+                val xi = xhat(i)
+                var j = 0
+                while (j < dim) { acc(i * dim + j) += xi * v(j); j += 1 }
+                i += 1
+              }
+            }
+            if (any) Iterator.single(acc) else Iterator.empty
           }
-          val xhat = reconstructVec(c, dsub,
-            encodeVec(c, dsub, rx.toSeq))
-          val out = new Array[Double](dim * dim)
-          i = 0
-          while (i < dim) {
-            val xi = xhat(i)
-            var j = 0
-            while (j < dim) { out(i * dim + j) = xi * v(j); j += 1 }
-            i += 1
+          .reduce { (a, b) =>
+            var i = 0
+            while (i < a.length) { a(i) += b(i); i += 1 }
+            a
           }
-          out
-        }
-        .reduce { (a, b) =>
-          var i = 0
-          while (i < a.length) { a(i) += b(i); i += 1 }
-          a
-        }
-      val mMat = Array.tabulate(dim, dim)((i, j) => mFlat(i * dim + j))
-      val r = polarOrthogonal(mMat)
-      if (r != null) rot = r
-      it += 1
-    }
-    Opq(rot, train(rotate(slim, vecCol, rot), idCol, vecCol, m, k, nIters))
+        val mMat = Array.tabulate(dim, dim)((i, j) => mFlat(i * dim + j))
+        val r = polarOrthogonal(mMat)
+        if (r != null) rot = r
+        it += 1
+      }
+      Opq(rot, train(rotate(slim, vecCol, rot), idCol, vecCol, m, k,
+        nIters))
+    } finally slim.unpersist(blocking = false)
   }
 
   /** Mean squared reconstruction error over the corpus — the training

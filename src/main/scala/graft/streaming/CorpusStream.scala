@@ -57,14 +57,20 @@ object CorpusStream {
     * would be a per-micro-batch shuffle against the full gram table), so
     * Bloom false positives INFLATE counts by ~fpp·|grams(doc)| — the
     * gate can only get stricter, never leak a contaminated document the
-    * batch form would catch. Survivors keep their columns plus
-    * `n_flagged_grams` for audit.
+    * batch form would catch. BECAUSE of that one-sidedness `fpp` must be
+    * chosen ≪ 1/|grams(doc)|, not the batch prefilter's casual 1%: at
+    * fpp=0.01 a clean 2000-gram document expects ~20 false hits and a
+    * `maxSharedGrams = 0` gate would drop essentially every clean
+    * document. The 1e-7 default keeps the expected false-hit count ~1e-4
+    * per 1000-gram doc at the cost of a larger filter (~4.2 bytes/gram
+    * vs 1.2 — still ~42 MB per 10⁷ grams). Survivors keep their columns
+    * plus `n_flagged_grams` for audit.
     */
   def contaminationGate(docs: DataFrame, textCol: String,
                         benchmark: DataFrame, benchTextCol: String,
                         n: Int, maxSharedGrams: Long = 0L,
                         expectedGrams: Long = 10000000L,
-                        fpp: Double = 0.01): DataFrame = {
+                        fpp: Double = 1e-7): DataFrame = {
     require(n >= 1, "n-gram length must be >= 1")
     val gramsUdf = udf((s: String) =>
       graft.textops.TextKernels.charGramHashes(s, n)).asNondeterministic()

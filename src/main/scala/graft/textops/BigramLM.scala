@@ -90,7 +90,15 @@ object BigramLM {
   def scoreAgainst(docs: DataFrame, unigrams: DataFrame,
                    bigrams: DataFrame, idCol: String, textCol: String,
                    alpha: Double = 0.4, oovLogp: Double = -20.0,
-                   broadcastVocab: Boolean = true): DataFrame = {
+                   broadcastVocab: Boolean = true): DataFrame =
+    scorePairs(pairs(docs, idCol, textCol), unigrams, bigrams, idCol,
+      alpha, oovLogp, broadcastVocab)
+
+  /** Scoring core over a prepared pair table (see [[pairs]]). */
+  private def scorePairs(pr: DataFrame, unigrams: DataFrame,
+                         bigrams: DataFrame, idCol: String, alpha: Double,
+                         oovLogp: Double,
+                         broadcastVocab: Boolean): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
     val uni0 = unigrams.select(col("token"), col("logp").as("__ulp"))
     val bg0 = bigrams.select(col("prev"), col("token"),
@@ -98,8 +106,7 @@ object BigramLM {
     val uni = if (broadcastVocab) broadcast(uni0) else uni0
     val bg = if (broadcastVocab) broadcast(bg0) else bg0
     val uniScore = coalesce(col("__ulp"), lit(oovLogp))
-    pairs(docs, idCol, textCol)
-      .join(uni, Seq("token"), "left")
+    pr.join(uni, Seq("token"), "left")
       .join(bg, Seq("prev", "token"), "left")
       .withColumn("__lp",
         when(col("prev").isNull, uniScore)
@@ -111,12 +118,38 @@ object BigramLM {
   }
 
   /** Train-on-self scoring (the one-corpus form; the unigram OOV floor
-    * never fires, backoff still does for pruned/unseen bigrams).
+    * never fires, backoff still does for pruned/unseen bigrams). FUSED:
+    * one checkpointed pair table feeds the unigram counts, the bigram
+    * counts, AND the scoring join — the composable
+    * `scoreAgainst(train(..))` form would tokenize the corpus three
+    * times for identical results (same count arithmetic, spec-pinned).
     */
   def score(docs: DataFrame, idCol: String, textCol: String,
             minCount: Long = 2, alpha: Double = 0.4,
-            broadcastVocab: Boolean = true): DataFrame =
-    scoreAgainst(docs, UnigramLM.train(docs, textCol),
-      train(docs, textCol, minCount), idCol, textCol, alpha = alpha,
-      broadcastVocab = broadcastVocab)
+            broadcastVocab: Boolean = true): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val pr = pairs(docs, idCol, textCol).localCheckpoint(true)
+    // unigram model, UnigramLM.train's exact arithmetic over the same
+    // token stream (pairs enumerate every token exactly once)
+    val vocab = pr.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val total = vocab.agg(sum(col("cnt")).cast("double").as("__total"))
+    val uni = vocab.crossJoin(broadcast(total))
+      .select(col("token"),
+        log(col("cnt").cast("double") / col("__total")).as("logp"))
+    // bigram table, train's exact arithmetic; checkpointed for its two
+    // consumers (context rollup + pruned join)
+    val bg = pr.filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val ctx = bg.groupBy(col("prev"))
+      .agg(sum(col("cnt")).cast("double").as("ctx_cnt"))
+    val bgTable = bg.filter(col("cnt") >= minCount)
+      .join(ctx, "prev")
+      .select(col("prev"), col("token"),
+        log(col("cnt").cast("double") / col("ctx_cnt")).as("logp"))
+    scorePairs(pr, uni, bgTable, idCol, alpha, oovLogp = -20.0,
+      broadcastVocab)
+  }
 }

@@ -50,10 +50,7 @@ object Bm25 {
     // materialized once: dl, df, and the scoring join all read the
     // postings — without the checkpoint each consumer re-explodes the
     // corpus (the shared-lineage lesson measured on TfIdf)
-    val postings = docs.select(col(idCol),
-        explode(TextFunctions.tokens(lower(col(textCol)))).as("token"))
-      .groupBy(col(idCol), col("token"))
-      .agg(count(lit(1)).as("tf"))
+    val postings = TextFunctions.termCounts(docs, idCol, textCol)
       .localCheckpoint(true)
     // doc length = Σ tf, doc-keyed rollup of the postings themselves
     val dl = postings.groupBy(col(idCol))

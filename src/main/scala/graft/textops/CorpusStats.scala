@@ -60,7 +60,13 @@ object CorpusStats {
     * under-estimates within the sketch's documented error. Output
     * (token, est_count), re-sorted deterministically by
     * (est_count DESC, token) — the sketch's own tie order is
-    * hash-internal and not reproducible across engines.
+    * hash-internal and not reproducible across engines. CAVEAT the
+    * re-sort cannot fix: top-k MEMBERSHIP when a count tie straddles the
+    * k boundary also follows the sketch's internal order (even with
+    * exact counts, WHICH of the tied tokens made the k cut is
+    * arbitrary) — for reproducible output choose k ≥ the distinct-token
+    * count (the q97 oracle's regime) or a k that cuts at a strict count
+    * gap; [[topTokensExact]] has no such edge.
     */
   def topTokensApprox(df: DataFrame, textCol: String, k: Int,
                       maxItemsTracked: Int = 100000): DataFrame = {

@@ -63,8 +63,14 @@ object NaiveBayes {
     val nDocs = labeled.groupBy(col(labelCol).as("label"))
       .agg(count(lit(1)).cast("double").as("n_docs"))
     val nTotal = nDocs.agg(sum(col("n_docs")).as("n_total"))
+    // LEFT join + zero fill: a class whose labeled docs are all
+    // token-less has no row in `totals`, but its prior mass must survive
+    // (an inner join would silently erase the class from the model); its
+    // every-token likelihood is the zero-total Laplace floor ln(1/V)
     val classes = nDocs.crossJoin(broadcast(nTotal))
-      .join(totals, "label")
+      .join(totals.drop("v"), Seq("label"), "left")
+      .na.fill(0.0, Seq("total"))
+      .crossJoin(broadcast(vocabSize))
       .select(col("label"), log(col("n_docs") / col("n_total")).as("prior"),
         log(lit(smoothing) / (col("total") + lit(smoothing) * col("v")))
           .as("dflt"))

@@ -20,6 +20,20 @@ object TextFunctions {
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => length(t) > 0)
 
+  /** The (idCol, token, tf) term-count table every bag-of-words operator
+    * starts from (TfIdf's tf table, Bm25's postings; the per-label and
+    * adjacent-pair variants derive the same way): lowercased [[tokens]],
+    * one explode, one map-side-combined count. Kept in ONE place so a
+    * tokenization fix can never leave sibling operators silently
+    * disagreeing. Callers that read the result more than once should
+    * `localCheckpoint` it (see TfIdf's measured rationale).
+    */
+  def termCounts(df: org.apache.spark.sql.DataFrame, idCol: String,
+                 textCol: String): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol), explode(tokens(lower(col(textCol)))).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+
   /** BPE-ish subword-boundary tokens: splits on whitespace AND at
     * letter/digit/punctuation boundaries (a cheap stand-in for a real BPE
     * vocab, stable + deterministic).

@@ -41,15 +41,12 @@ object TfIdf {
   def topKeywords(df: DataFrame, idCol: String, textCol: String,
                   k: Int, broadcastVocab: Boolean = true): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val toks = df.select(col(idCol),
-      explode(TextFunctions.tokens(lower(col(textCol)))).as("token"))
     // materialize the (doc, token, tf) table ONCE: both the document-
     // frequency aggregation and the scored join read it, and without the
     // checkpoint each runs its own scan+explode+count subtree (measured:
     // zero ReusedExchange — repartitioned scans never canonicalize equal,
     // so AQE stage reuse does not rescue the shared lineage)
-    val tf = toks.groupBy(col(idCol), col("token"))
-      .agg(count(lit(1)).as("tf"))
+    val tf = TextFunctions.termCounts(df, idCol, textCol)
       .localCheckpoint(true)
     val dfreq0 = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val dfreq = if (broadcastVocab) broadcast(dfreq0) else dfreq0

@@ -29,6 +29,14 @@ class OpqSpec extends SparkSpec {
         s"($i,$j): ${got(i)(j)} vs ${r(i)(j)}")
   }
 
+  test("polar factor refuses singular and non-contracting input") {
+    // exactly rank-1: no orthogonal polar factor exists
+    assert(Pq.polarOrthogonal(
+      Array(Array(1.0, 1.0), Array(1.0, 1.0))) == null)
+    assert(Pq.polarOrthogonal(
+      Array(Array(0.0, 0.0), Array(0.0, 0.0))) == null)
+  }
+
   // deterministic pseudo-random stream (no Math.random in specs either —
   // keeps the expected values frozen)
   private def noise(i: Int, salt: Int): Double =

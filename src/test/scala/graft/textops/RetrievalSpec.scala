@@ -89,6 +89,21 @@ class RetrievalSpec extends SparkSpec {
     assert(got._2 == "y")
   }
 
+  test("naive bayes: a fully token-less class keeps its prior mass") {
+    // x has 2 docs, both whitespace-only; y has 1 doc "a" — an inner
+    // join on the token totals would erase x from the model entirely
+    val docs = Seq((1L, " ", "x"), (2L, "\t", "x"), (3L, "a", "y"))
+      .toDF("doc_id", "text", "lab")
+    val m = NaiveBayes.train(docs, "lab", "text")
+    assert(m.classStats.count() == 2)
+    val got = NaiveBayes.classify(Seq((9L, "a")).toDF("doc_id", "text"),
+      m, "doc_id", "text").as[(Long, String, Double)].head()
+    // x: ln(2/3) + ln(1/(0 + 1·1)) = ln(2/3); y: ln(1/3) + ln(2/2)
+    // — the 2:1 prior carries x past y's perfect token likelihood
+    assert(got._2 == "x" &&
+      got._3 == r6(math.log(2.0 / 3)))
+  }
+
   test("naive bayes: broadcastModel=false parity; empty docs emit " +
     "nothing; priors count token-less docs") {
     val docs = labeled.unionByName(

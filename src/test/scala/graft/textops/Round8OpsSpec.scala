@@ -62,6 +62,16 @@ class Round8OpsSpec extends SparkSpec {
     assert(got._1 == 9L && got._2 == 2L && got._3 == r6(want))
   }
 
+  test("bigram fused score equals the composable scoreAgainst(train) form") {
+    val composed = BigramLM.scoreAgainst(lmDocs,
+        UnigramLM.train(lmDocs, "text"),
+        BigramLM.train(lmDocs, "text", minCount = 2), "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val fused = BigramLM.score(lmDocs, "doc_id", "text", minCount = 2)
+      .orderBy("doc_id").collect().toSeq
+    assert(fused == composed)
+  }
+
   test("bigram score: broadcastVocab=false is bit-identical") {
     val a = BigramLM.score(lmDocs, "doc_id", "text")
       .orderBy("doc_id").collect().toSeq
