@@ -311,15 +311,27 @@ object Ivf {
     * `roundDp >= 0` makes cell assignment/probing rank on the rounded
     * cosine — the SQL-replayable mode the correctness oracle uses.
     * Returns the trained codebooks (also persisted at `path/codebooks`).
+    *
+    * `rotation` (an orthogonal matrix from [[Pq.trainOpq]]) makes the
+    * index SELF-CONTAINED OPQ: the corpus rotates before the coarse
+    * train, the rotation persists at `path/rotation`, and
+    * [[topKIndexedPq]] applies it to incoming queries automatically —
+    * the FAISS layout, where the OPQMatrix serializes with the index
+    * instead of being carried out-of-band by every caller.
     */
   def writeIndexPq(corpus: DataFrame, idCol: String, vecCol: String,
                    path: String, nCells: Int = 16, nIters: Int = 3,
                    m: Int = 8, pqK: Int = 256, pqIters: Int = 0,
                    residual: Boolean = false,
-                   roundDp: Int = -1): Pq.Codebooks = {
+                   roundDp: Int = -1,
+                   rotation: Array[Array[Double]] = null): Pq.Codebooks = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val slim = corpus.select(col(idCol), col(vecCol))
+    val source =
+      if (rotation == null) corpus.select(col(idCol), col(vecCol))
+      else Pq.rotate(corpus.select(col(idCol), col(vecCol)), vecCol,
+        rotation)
+    val slim = source
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val centroids = train(slim, idCol, vecCol, nCells, nIters)
@@ -345,8 +357,13 @@ object Ivf {
         yield (s, j, cb.centroids(s)(j).toSeq)
       cbRows.toDF("s", "j", "centroid")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
-      Seq((residual, roundDp)).toDF("residual", "round_dp")
+      Seq((residual, roundDp, rotation != null))
+        .toDF("residual", "round_dp", "rotated")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+      if (rotation != null)
+        rotation.zipWithIndex.map { case (row, i) => (i, row.toSeq) }
+          .toSeq.toDF("i", "row")
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/rotation")
       cb
     } finally slim.unpersist()
   }
@@ -366,9 +383,24 @@ object Ivf {
                     qIdCol: String, qVecCol: String, nProbe: Int = 2,
                     adcRoundDp: Int = 6): DataFrame = {
     val centroids = readCentroids(spark, path)
-    val meta = spark.read.parquet(s"$path/meta").head()
-    val residual = meta.getBoolean(0)
-    val roundDp = meta.getInt(1)
+    val metaDf = spark.read.parquet(s"$path/meta")
+    val meta = metaDf.head()
+    val residual = meta.getAs[Boolean]("residual")
+    val roundDp = meta.getAs[Int]("round_dp")
+    // pre-rotation indexes have no `rotated` column — read by name so
+    // both layouts open
+    val rotated = metaDf.columns.contains("rotated") &&
+      meta.getAs[Boolean]("rotated")
+    val queriesAligned =
+      if (!rotated) queries
+      else {
+        // the index's own OPQ rotation applies to incoming queries here
+        // — callers never carry the matrix out-of-band
+        val rot = spark.read.parquet(s"$path/rotation").collect()
+          .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+          .sortBy(_._1).map(_._2)
+        Pq.rotate(queries, qVecCol, rot)
+      }
     val cbArr = {
       val rows = spark.read.parquet(s"$path/codebooks")
         .select(col("s"), col("j"), col("centroid")).collect()
@@ -380,7 +412,7 @@ object Ivf {
     }
     val dsub = cbArr(0)(0).length
     val byCell = centroids.sortBy(_._1).map(_._2)
-    val probed = queries.withColumn("__cell",
+    val probed = queriesAligned.withColumn("__cell",
       explode(cellExpr(col(qVecCol), centroids, nProbe, roundDp)))
     val probeCells = probed.select(col("__cell")).distinct()
       .collect().map(_.getInt(0))

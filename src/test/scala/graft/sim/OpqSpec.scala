@@ -111,9 +111,10 @@ class OpqSpec extends SparkSpec {
     }
   }
 
-  test("opq composes with the IVF-PQ index as pure preprocessing") {
-    // rotate corpus AND queries once, then the cell-pruned index path is
-    // unchanged — the FAISS OPQMatrix-before-IVFPQ layout
+  test("opq composes with the IVF-PQ index, rotation stored IN the index") {
+    // writeIndexPq(rotation = R) rotates the corpus itself, persists R
+    // at path/rotation, and topKIndexedPq rotates incoming UNrotated
+    // queries automatically — the self-contained FAISS OPQMatrix layout
     val centers = (0 until 6).map { t =>
       Array.tabulate(8)(d => math.cos(t * 2.1 + d * 0.7) * 4)
     }
@@ -125,18 +126,24 @@ class OpqSpec extends SparkSpec {
     }).toDF("vec_id", "embedding")
     val opq = Pq.trainOpq(corpus, "vec_id", "embedding", m = 4, k = 8,
       nIters = 1, opqIters = 2)
-    val rotated = Pq.rotate(corpus, "embedding", opq.rotation)
-    val queries = rotated.filter(col("vec_id") < 3)
+    // queries stay in the ORIGINAL space — the index owns the rotation
+    val queries = corpus.filter(col("vec_id") < 3)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
 
     val dir = java.nio.file.Files.createTempDirectory("graft_opqivf").toString
-    val cb = Ivf.writeIndexPq(rotated, "vec_id", "embedding", dir,
-      nCells = 4, nIters = 2, m = 4, pqK = 8, pqIters = 1)
+    val cb = Ivf.writeIndexPq(corpus, "vec_id", "embedding", dir,
+      nCells = 4, nIters = 2, m = 4, pqK = 8, pqIters = 1,
+      rotation = opq.rotation)
     val composed = Ivf.topKIndexedPq(spark, dir, queries, k = 3,
       idCol = "vec_id", qIdCol = "q_id", qVecCol = "q_emb",
       nProbe = 4, adcRoundDp = 4)
+    // reference: manual preprocessing — rotate both sides by hand, then
+    // the plain brute-force ADC over the rotated space
+    val rotated = Pq.rotate(corpus, "embedding", opq.rotation)
+    val rotatedQ = rotated.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val brute = Pq.adcTopK(Pq.encode(rotated, "embedding", cb),
-      queries, 3, "vec_id", "q_id", "q_emb", cb, roundDp = 4)
+      rotatedQ, 3, "vec_id", "q_id", "q_emb", cb, roundDp = 4)
     assert(composed.orderBy("q_id", "rank").collect().toSeq ==
       brute.orderBy("q_id", "rank").collect().toSeq)
   }
