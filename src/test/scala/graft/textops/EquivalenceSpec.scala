@@ -116,4 +116,84 @@ class EquivalenceSpec extends SparkSpec {
     // normalized cosines the deviation stays well under 2/127
     assert(maxErr < 2.0 / 127.0, s"max quantized-cosine error $maxErr")
   }
+
+  private def r6(x: Double): Double =
+    BigDecimal.valueOf(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+
+  test("bm25 equals a driver-side reference on random corpora") {
+    for (trial <- 0 until 2) {
+      val texts = sample(docGen, 40, seed = 555L * (trial + 1))
+      val corpus = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val queries = corpus.take(4).map { case (i, t) => (100L + i, t) }
+      val got = Bm25.search(corpus.toDF("doc_id", "text"),
+          queries.toDF("q_id", "qtext"), "doc_id", "text", "q_id",
+          "qtext", k = 5)
+        .collect().map(r =>
+          (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      // reference: plain Scala BM25 with the same rounding + tie rule
+      val toks = corpus.map { case (i, t) =>
+        i -> t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq }.toMap
+      val dl = toks.map { case (i, ts) => i -> ts.length.toDouble }
+      val n = dl.size.toDouble
+      val avgdl = dl.values.sum / n
+      val dfm = toks.values.flatMap(_.distinct).groupBy(identity)
+        .map { case (w, o) => w -> o.size.toDouble }
+      val want = (for {
+        (qid, qt) <- queries
+        scored = toks.keys.toSeq.flatMap { d =>
+          val s = qt.toLowerCase.split("\\s+").filter(_.nonEmpty)
+            .distinct.flatMap { w =>
+              val tf = toks(d).count(_ == w).toDouble
+              if (tf == 0) None
+              else Some(math.log(1.0 + (n - dfm(w) + 0.5) / (dfm(w) + 0.5)) *
+                tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl(d) / avgdl)))
+            }.sum
+          if (s == 0.0) None else Some((d, r6(s)))
+        }.sortBy { case (d, s) => (-s, d) }.take(5)
+        ((d, s), rk) <- scored.zipWithIndex
+      } yield (qid, rk + 1, d, s)).toSet
+      assert(got == want, s"trial $trial")
+    }
+  }
+
+  test("naive bayes classify equals a driver-side reference on random " +
+    "labeled corpora") {
+    val labGen = Gen.oneOf("x", "y", "z")
+    for (trial <- 0 until 2) {
+      val texts = sample(docGen, 30, seed = 999L * (trial + 1))
+      val labs = sample(labGen, 30, seed = 333L * (trial + 1))
+      val rows = texts.zip(labs).zipWithIndex.map { case ((t, l), i) =>
+        (i.toLong, t, l) }
+      val got = NaiveBayes.selfClassify(rows.toDF("doc_id", "text", "lab"),
+          "doc_id", "lab", "text")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+        .toSet
+      // reference: plain Scala multinomial NB, same rounding + tie rule
+      val toks = rows.map { case (i, t, _) =>
+        i -> t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq }.toMap
+      val byLab = rows.groupBy(_._3)
+      val vocabV = rows.flatMap(r => toks(r._1)).distinct.size.toDouble
+      val nAll = rows.size.toDouble
+      val cnt = rows.groupBy(_._3).map { case (l, rs) =>
+        l -> rs.flatMap(r => toks(r._1)).groupBy(identity)
+          .map { case (w, o) => w -> o.size.toDouble } }
+      val total = cnt.map { case (l, m) => l -> m.values.sum }
+      val want = (for ((i, _, _) <- rows if toks(i).nonEmpty) yield {
+        val scored = byLab.keys.toSeq.map { l =>
+          val prior = math.log(byLab(l).size / nAll)
+          val s = toks(i).map { w =>
+            val c = cnt(l).getOrElse(w, 0.0)
+            math.log((c + 1.0) / (total(l) + vocabV))
+          }.sum
+          (l, r6(prior + s))
+        }
+        // struct-max order: score first, then LARGER label on ties
+        val best = scored.maxBy { case (l, s) => (s, l) }
+        (i, best._1, best._2)
+      }).toSet
+      assert(got == want, s"trial $trial")
+    }
+  }
 }
