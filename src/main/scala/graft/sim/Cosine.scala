@@ -1,7 +1,6 @@
 package graft.sim
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Embedding similarity search over `ArrayType(FloatType)` columns.
@@ -43,18 +42,21 @@ object Cosine {
   /** Brute-force top-k neighbors for each query vector.
     * Output: (qId, rank, id, cos). `queries` must be broadcast-sized.
     * Ranking is on the rounded cosine (6 dp) with the neighbor id as
-    * tie-break, so results are stable across summation orders.
+    * tie-break, so results are stable across summation orders. Top-k is
+    * the bounded [[TopK]] aggregation (map-side combine, ≤ k rows per
+    * query per task reach the shuffle) — never a per-query window, which
+    * would sort |corpus| rows per query in one partition. `idCol` must be
+    * integral (rides the fixed-width top-k buffer as a long).
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String, vecCol: String,
                      qIdCol: String, qVecCol: String): DataFrame = {
-    val joined = corpus.join(broadcast(queries), col(qIdCol) =!= col(idCol))
-      .withColumn("cos", round(cosineF(col(vecCol), col(qVecCol)), 6))
-    val w = Window.partitionBy(col(qIdCol))
-      .orderBy(col("cos").desc, col(idCol))
-    joined.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(qIdCol), col("rank"), col(idCol), col("cos"))
+    val idType = corpus.schema(idCol).dataType
+    val scored = corpus.join(broadcast(queries), col(qIdCol) =!= col(idCol))
+      .select(col(qIdCol), col(idCol).cast("long").as("__id"),
+        (-round(cosineF(col(vecCol), col(qVecCol)), 6)).as("__d"))
+      .filter(col("__d").isNotNull)
+    Pq.rankTopKDesc(scored, k, qIdCol, idCol, idType, "cos")
   }
 
   /** Exact embedding-cosine near-duplicate pairs (id1 < id2, cosine >=
@@ -133,16 +135,14 @@ object Cosine {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               idCol: String, vecCol: String,
               qIdCol: String, qVecCol: String, nBits: Int = 12): DataFrame = {
+    val idType = corpus.schema(idCol).dataType
     val c = corpus.withColumn("__sig", hyperplaneSig(asDouble(col(vecCol)), nBits))
     val q = queries.withColumn("__qsig", hyperplaneSig(asDouble(col(qVecCol)), nBits))
-    val joined = c.join(broadcast(q),
+    val scored = c.join(broadcast(q),
       col("__sig") === col("__qsig") && col(qIdCol) =!= col(idCol))
-      .drop("__sig", "__qsig")
-      .withColumn("cos", round(cosineF(col(vecCol), col(qVecCol)), 6))
-    val w = Window.partitionBy(col(qIdCol))
-      .orderBy(col("cos").desc, col(idCol))
-    joined.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(qIdCol), col("rank"), col(idCol), col("cos"))
+      .select(col(qIdCol), col(idCol).cast("long").as("__id"),
+        (-round(cosineF(col(vecCol), col(qVecCol)), 6)).as("__d"))
+      .filter(col("__d").isNotNull)
+    Pq.rankTopKDesc(scored, k, qIdCol, idCol, idType, "cos")
   }
 }

@@ -1,7 +1,7 @@
 package graft.sim
 
 import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
-import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 /** IVF (inverted-file) approximate nearest-neighbor search: a coarse
@@ -142,21 +142,29 @@ object Ivf {
     } finally slim.unpersist()
   }
 
+  /** Rank each query's probed candidates via the bounded [[TopK]]
+    * aggregation (map-side combine, state ≤ k per query) — NEVER a
+    * per-query `row_number` window, which would sort every candidate a
+    * query probes (≈ nProbe/nCells of the corpus) inside one window
+    * partition. The cosine is rounded to 6 dp, then negated into the
+    * ascending top-k buffer and negated back on output (double negation is
+    * exact, so exposed values match the window form bit-for-bit).
+    * `idCol` must be integral (rides the fixed-width buffer as a long).
+    */
   private def probeTopK(indexed: DataFrame,
                         centroids: Array[(Int, Array[Float])],
                         queries: DataFrame, k: Int, idCol: String,
                         vecCol: String, qIdCol: String, qVecCol: String,
                         nProbe: Int): DataFrame = {
+    val idType = indexed.schema(idCol).dataType
     val probed = queries.withColumn("__cell",
       explode(cellExpr(col(qVecCol), centroids, nProbe)))
-    val joined = indexed.join(broadcast(probed), Seq("__cell"))
+    val scored = indexed.join(broadcast(probed), Seq("__cell"))
       .filter(col(qIdCol) =!= col(idCol))
-      .withColumn("cos", round(Cosine.cosineF(col(vecCol), col(qVecCol)), 6))
-    val w = Window.partitionBy(col(qIdCol))
-      .orderBy(col("cos").desc, col(idCol))
-    joined.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(qIdCol), col("rank"), col(idCol), col("cos"))
+      .select(col(qIdCol), col(idCol).cast("long").as("__id"),
+        (-round(Cosine.cosineF(col(vecCol), col(qVecCol)), 6)).as("__d"))
+      .filter(col("__d").isNotNull)
+    Pq.rankTopKDesc(scored, k, qIdCol, idCol, idType, "cos")
   }
 
   // ---- persisted index ---------------------------------------------------
@@ -257,8 +265,10 @@ object Ivf {
   }
 
   /** Probe a quantized index: same static partition pruning as
-    * [[topKIndexed]], ranking on the codegen int8 cosine. Output:
-    * (qId, rank, id, cos) with cos = quantized cosine rounded to 6 dp.
+    * [[topKIndexed]], ranking on the codegen int8 cosine via the bounded
+    * [[TopK]] aggregation (same negate-round shape as [[probeTopK]] — no
+    * per-query window sort). Output: (qId, rank, id, cos) with cos =
+    * quantized cosine rounded to 6 dp.
     */
   def topKIndexedQuantized(spark: org.apache.spark.sql.SparkSession,
                            path: String, queries: DataFrame, k: Int,
@@ -266,21 +276,20 @@ object Ivf {
                            nProbe: Int = 2): DataFrame = {
     val centroids = readCentroids(spark, path)
     val indexed = probedVectors(spark, path, queries, centroids, qVecCol, nProbe)
+    val idType = indexed.schema(idCol).dataType
     // each query joins ITS OWN probe cells (equality on __cell, like
     // probeTopK) — joining the union of all queries' cells would rank a
     // query against cells it never probed AND degrade to a nested-loop
     // join over |queries| × |all probed vectors|
     val probed = queries.withColumn("__cell",
       explode(cellExpr(col(qVecCol), centroids, nProbe)))
-    val joined = indexed.join(broadcast(probed), Seq("__cell"))
+    val scored = indexed.join(broadcast(probed), Seq("__cell"))
       .filter(col(qIdCol) =!= col(idCol))
-      .withColumn("cos",
-        round(Quantize.quantizedCosine(col("__qvec"), col(qVecCol)), 6))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(qIdCol)).orderBy(col("cos").desc, col(idCol))
-    joined.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(qIdCol), col("rank"), col(idCol), col("cos"))
+      .select(col(qIdCol), col(idCol).cast("long").as("__id"),
+        (-round(Quantize.quantizedCosine(col("__qvec"), col(qVecCol)), 6))
+          .as("__d"))
+      .filter(col("__d").isNotNull)
+    Pq.rankTopKDesc(scored, k, qIdCol, idCol, idType, "cos")
   }
 
   // ---- IVF-PQ: cell-pruned ADC over PQ codes -----------------------------

@@ -238,6 +238,19 @@ object Pq {
       .select(col(qIdCol), (col("pos") + 1).cast("int").as("rank"),
         col("col._2").cast(idType).as(idCol), col("col._1").as(distName))
 
+  /** [[rankTopK]] for DESCENDING scores (cosine search): `scored` carries
+    * the NEGATED score in `__d` (so the ascending bounded buffer ranks
+    * (score DESC, id ASC)); the output column `scoreName` is negated back.
+    * Double negation is exact — exposed values match a window-ranked
+    * `score DESC` form bit-for-bit, including signed zeros.
+    */
+  private[sim] def rankTopKDesc(scored: DataFrame, k: Int, qIdCol: String,
+                                idCol: String,
+                                idType: org.apache.spark.sql.types.DataType,
+                                scoreName: String): DataFrame =
+    rankTopK(scored, k, qIdCol, idCol, idType, "__neg")
+      .withColumn(scoreName, -col("__neg")).drop("__neg")
+
   // ---- OPQ: optimized product quantization (Ge et al. 2013) ------------
 
   /** OPQ model: an orthogonal `rotation` R applied before [[Codebooks]] —

@@ -1,7 +1,6 @@
 package graft.sim
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Symmetric per-vector int8 scalar quantization for embedding columns —
@@ -54,35 +53,44 @@ object Quantize {
   /** Two-stage top-k: rank all corpus vectors by QUANTIZED cosine, keep
     * `rerank ≥ k` best per query, then exactly re-rank those float-side.
     * At 100 TB the first stage reads the int8 column only (¼ the bytes,
-    * same scan parallelism); the second touches `rerank × queries` float
-    * vectors — a semi-join–sized exact pass.
+    * same scan parallelism) and ranks through the bounded [[TopK]]
+    * aggregation (map-side combine — never a per-query window sorting
+    * |corpus| rows in one partition); the second touches `rerank ×
+    * queries` float vectors — a broadcast-semi-join–sized exact pass.
     *
     * Output: (qId, rank, id, cos) like [[Cosine.bruteForceTopK]]; with a
     * sufficient `rerank` margin the result is identical to exact search
     * (the quantized cosine differs from the true cosine by O(1/127)).
+    * `idCol` must be integral (rides the fixed-width top-k buffer).
     */
   def topKQuantized(corpus: DataFrame, queries: DataFrame, k: Int,
                     idCol: String, vecCol: String,
                     qIdCol: String, qVecCol: String,
                     rerank: Int = 32): DataFrame = {
     require(rerank >= k, "rerank candidates must cover k")
+    val idType = corpus.schema(idCol).dataType
     val quant = quantizeCorpus(corpus, vecCol)
-    val coarse = quant.join(broadcast(queries), col(qIdCol) =!= col(idCol))
-      .withColumn("__qcos", quantizedCosine(col("__qvec"), col(qVecCol)))
-    val wCoarse = Window.partitionBy(col(qIdCol))
-      .orderBy(col("__qcos").desc, col(idCol))
-    val survivors = coarse
-      .withColumn("__crank", row_number().over(wCoarse))
-      .filter(col("__crank") <= rerank)
+    // coarse stage reads/ships int8 codes only; the unrounded quantized
+    // cosine keeps the same (qcos DESC, id ASC) order the window form used
+    val coarseScored = quant
+      .join(broadcast(queries), col(qIdCol) =!= col(idCol))
+      .select(col(qIdCol), col(idCol).cast("long").as("__id"),
+        (-quantizedCosine(col("__qvec"), col(qVecCol))).as("__d"))
+      .filter(col("__d").isNotNull)
+    val survivors = Pq
+      .rankTopKDesc(coarseScored, rerank, qIdCol, idCol, idType, "__qcos")
+      .select(col(qIdCol), col(idCol))
+    // exact pass: the float column is scanned once, filtered to the
+    // surviving (query, candidate) pairs by a BROADCAST join (survivors ≤
+    // |queries| × rerank — driver-small by the broadcast-queries contract)
     // no nanvl needed: cosineF guards zero norms itself and returns 0
     // (a NaN would sort above every real value in a descending rank)
-    val exact = survivors
-      .withColumn("cos",
-        round(Cosine.cosineF(col(vecCol), col(qVecCol)), 6))
-    val w = Window.partitionBy(col(qIdCol))
-      .orderBy(col("cos").desc, col(idCol))
-    exact.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(qIdCol), col("rank"), col(idCol), col("cos"))
+    val exactScored = corpus.select(col(idCol), col(vecCol))
+      .join(broadcast(survivors), Seq(idCol))
+      .join(broadcast(queries), Seq(qIdCol))
+      .select(col(qIdCol), col(idCol).cast("long").as("__id"),
+        (-round(Cosine.cosineF(col(vecCol), col(qVecCol)), 6)).as("__d"))
+      .filter(col("__d").isNotNull)
+    Pq.rankTopKDesc(exactScored, k, qIdCol, idCol, idType, "cos")
   }
 }

@@ -165,6 +165,36 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p.take(2000))
   }
 
+  test("every ANN search path ranks via bounded top-k aggregation — " +
+    "no per-query window sort anywhere") {
+    // contract queries covering bruteForceTopK (q21), lshTopK (q28) and
+    // the IVF probe (q36)
+    for (q <- Seq("q21_knn_cosine", "q28_ann_lsh", "q36_ann_ivf")) {
+      val p = SparkEntry.queries(q)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("Window"), s"$q:\n${p.take(2000)}")
+    }
+    // the two-stage SQ8 search (coarse int8 rank + float re-rank): both
+    // stages must aggregate, and the exact pass must broadcast-filter
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val queries = emb
+      .filter(org.apache.spark.sql.functions.col("vec_id") < 3)
+      .selectExpr("vec_id AS q_id", "embedding AS q_emb")
+    val pq = graft.sim.Quantize.topKQuantized(emb, queries, 5,
+        "vec_id", "embedding", "q_id", "q_emb")
+      .queryExecution.executedPlan.toString
+    assert(!pq.contains("Window"), pq.take(2000))
+    // the quantized persisted-index probe
+    val tmp = java.nio.file.Files
+      .createTempDirectory("plan_sq8_").toString
+    graft.sim.Ivf.writeIndexQuantized(emb, "vec_id", "embedding", tmp,
+      nCells = 4, nIters = 1)
+    val pi = graft.sim.Ivf.topKIndexedQuantized(spark, tmp, queries, 5,
+        "vec_id", "q_id", "q_emb")
+      .queryExecution.executedPlan.toString
+    assert(!pi.contains("Window"), pi.take(2000))
+  }
+
   test("bigram LM scores through broadcast model joins, no window, no " +
     "cartesian pair formation") {
     val p = SparkEntry.queries("q93_bigram_lm")(spark, dir)
