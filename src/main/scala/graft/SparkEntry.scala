@@ -6,7 +6,7 @@ import graft.multimodal.Multimodal
 import graft.operators.{Dedup, DownloadStats, MergeUpdate, Packing, Sampling, StationSearch, SyncTable}
 import graft.sim.Cosine
 import graft.tables.Tables
-import graft.textops.{BigramLM, Bm25, BpeTrainer, CorpusStats, Decontaminate, DedupGraph, MinHashLSH, NaiveBayes, SimHash, SpanDedup, TextFunctions, TfIdf, UnigramLM}
+import graft.textops.{BigramLM, Bm25, BpeTrainer, CorpusStats, Decontaminate, DedupGraph, MinHashLSH, NaiveBayes, SimHash, SpanDedup, TextFunctions, TfIdf, TrigramLM, UnigramLM}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -2003,6 +2003,18 @@ object SparkEntry {
     // hash-internal tie order
     "q97_top_tokens" -> ((s, dir) => {
       CorpusStats.topTokensApprox(tSpread(s, dir, "documents"), "text", 50)
+    }),
+
+    // trigram stupid-backoff LM (Brants 2007; the order-3 rung of the
+    // CCNet perplexity ladder): train-on-self with trigram AND bigram
+    // tables pruned at minCount=2, backoff alpha=0.4 multiplying per
+    // level (3→2→1→OOV). Triple formation is a scan-stage index HOF;
+    // train adds one (u,v,w)-key shuffle + one (u,v) rollup over q93's
+    // bigram train; score is three broadcast left joins + a doc-key agg
+    "q98_trigram_lm" -> ((s, dir) => {
+      TrigramLM.score(tSpread(s, dir, "documents"), "doc_id", "text",
+          minCount = 2, alpha = 0.4)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -3663,6 +3675,59 @@ object SparkEntry {
         |  FROM documents WHERE trim(text) != '')
         |GROUP BY token
         |ORDER BY est_count DESC, token
-        |LIMIT 50""".stripMargin
+        |LIMIT 50""".stripMargin,
+
+    "q98_trigram_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents WHERE trim(text) != ''),
+        |trip AS (
+        |  SELECT doc_id,
+        |    CASE WHEN i <= 2 THEN NULL ELSE t[i-2] END AS prev2,
+        |    CASE WHEN i = 1 THEN NULL ELSE t[i-1] END AS prev,
+        |    t[i] AS token
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
+        |        FROM toks)),
+        |uni AS (SELECT token, count(*) AS cnt FROM trip GROUP BY token),
+        |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM uni),
+        |bgall AS (
+        |  SELECT prev, token, count(*) AS cnt FROM trip
+        |  WHERE prev IS NOT NULL GROUP BY prev, token),
+        |bctx AS (SELECT prev, CAST(sum(cnt) AS DOUBLE) AS ctx_cnt
+        |         FROM bgall GROUP BY prev),
+        |bg AS (
+        |  SELECT b.prev, b.token, ln(CAST(b.cnt AS DOUBLE) / c.ctx_cnt)
+        |    AS blp
+        |  FROM bgall b JOIN bctx c USING (prev) WHERE b.cnt >= 2),
+        |tgall AS (
+        |  SELECT prev2, prev, token, count(*) AS cnt FROM trip
+        |  WHERE prev2 IS NOT NULL GROUP BY prev2, prev, token),
+        |tctx AS (SELECT prev2, prev, CAST(sum(cnt) AS DOUBLE) AS ctx_cnt
+        |         FROM tgall GROUP BY prev2, prev),
+        |tg AS (
+        |  SELECT g.prev2, g.prev, g.token,
+        |    ln(CAST(g.cnt AS DOUBLE) / c.ctx_cnt) AS tlp
+        |  FROM tgall g JOIN tctx c ON c.prev2 = g.prev2 AND c.prev = g.prev
+        |  WHERE g.cnt >= 2),
+        |scored AS (
+        |  SELECT p.doc_id,
+        |    CASE WHEN p.prev IS NULL
+        |           THEN ln(CAST(u.cnt AS DOUBLE) / tot.total)
+        |         WHEN p.prev2 IS NULL
+        |           THEN coalesce(bg.blp,
+        |             ln(0.4) + ln(CAST(u.cnt AS DOUBLE) / tot.total))
+        |         WHEN tg.tlp IS NOT NULL THEN tg.tlp
+        |         ELSE ln(0.4) + coalesce(bg.blp,
+        |           ln(0.4) + ln(CAST(u.cnt AS DOUBLE) / tot.total))
+        |    END AS lp
+        |  FROM trip p
+        |  JOIN uni u ON u.token = p.token
+        |  LEFT JOIN bg ON bg.prev = p.prev AND bg.token = p.token
+        |  LEFT JOIN tg ON tg.prev2 = p.prev2 AND tg.prev = p.prev
+        |    AND tg.token = p.token
+        |  CROSS JOIN tot)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  round(avg(lp), 6) AS avg_logprob
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

@@ -64,8 +64,11 @@ object BigramLM {
     // materialized once: the context rollup and the pruned join both
     // read the bigram counts — without the checkpoint each consumer
     // re-explodes the corpus into pairs
-    val bg = pairs(docs.selectExpr("monotonically_increasing_id() AS __id",
-        s"$textCol"), "__id", textCol)
+    // training never reads the doc id — a constant satisfies the pair
+    // schema without splicing textCol into a selectExpr string (which
+    // breaks for names needing backticks)
+    val bg = pairs(docs.select(lit(0L).as("__id"), col(textCol)),
+        "__id", textCol)
       .filter(col("prev").isNotNull)
       .groupBy(col("prev"), col("token"))
       .agg(count(lit(1)).as("cnt"))

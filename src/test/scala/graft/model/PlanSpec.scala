@@ -206,6 +206,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("trigram LM scores through broadcast model joins, no window, no " +
+    "cartesian pair formation") {
+    val p = SparkEntry.queries("q98_trigram_lm")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // (prev2, prev, token) triples come from a scan-stage HOF — a
+    // self-join or window to see the predecessors would show up here
+    assert(!p.contains("Window"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
   test("bm25 joins the postings against BROADCAST query tokens and " +
     "aggregates top-k, never a per-query window or ranking sort") {
     // the bare search (the contract query adds an output orderBy, whose

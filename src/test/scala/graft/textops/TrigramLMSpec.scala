@@ -1,0 +1,103 @@
+package graft.textops
+
+import graft.SparkSpec
+
+/** Trigram stupid-backoff LM: hand-computed tables and scores, the
+  * 3→2→1→OOV backoff ladder, fused-vs-composed parity, and the
+  * broadcast-escape flag.
+  */
+class TrigramLMSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def r6(x: Double): Double =
+    BigDecimal.valueOf(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+
+  // corpus: doc1 "a b a b a", doc2 "a b c"
+  // unigrams a:4 b:3 c:1, total 8
+  // bigrams (a,b):3 (b,a):2 (b,c):1; ctx totals a:3 b:3
+  // trigrams (a,b,a):2 (b,a,b):1 (a,b,c):1; ctx totals (a,b):3 (b,a):1
+  // minCount=2 keeps bigrams (a,b) [ln 1] and (b,a) [ln 2/3], trigram
+  // (a,b,a) [ln 2/3]
+  private def lmDocs = Seq((1L, "a b a b a"), (2L, "a b c"))
+    .toDF("doc_id", "text")
+
+  private val lnHalf = math.log(0.5)
+  private val ln23 = math.log(2.0 / 3)
+  private val lnA = math.log(0.4)
+
+  test("trigram train: count-pruned table keeps unpruned context totals") {
+    val tg = TrigramLM.train(lmDocs, "text", minCount = 2)
+      .as[(String, String, String, Long, Double, Double)].collect()
+    assert(tg.toSeq.map(r => (r._1, r._2, r._3, r._4, r._5)) ==
+      Seq(("a", "b", "a", 2L, 3.0)))
+    assert(math.abs(tg.head._6 - ln23) < 1e-12)
+    // unpruned form retains all three with their shared (a,b) ctx of 3
+    val all = TrigramLM.train(lmDocs, "text", minCount = 1)
+      .orderBy("prev2", "prev", "token")
+      .as[(String, String, String, Long, Double, Double)].collect()
+    assert(all.map(r => (r._1, r._2, r._3, r._4, r._5)).toSeq ==
+      Seq(("a", "b", "a", 2L, 3.0), ("a", "b", "c", 1L, 3.0),
+        ("b", "a", "b", 1L, 1.0)))
+  }
+
+  test("trigram score: stupid backoff ladder hand check") {
+    // doc1 a b a b a: uni(a) | bg(a,b)=0 | tg(a,b,a) | pruned (b,a,b) →
+    //   α·bg(a,b)=α·1... i.e. ln α + 0 | tg(a,b,a)
+    val d1 = (lnHalf + 0.0 + ln23 + (lnA + 0.0) + ln23) / 5
+    // doc2 a b c: uni(a) | bg(a,b)=0 | (a,b,c) pruned → ln α + bgChain(b,c)
+    //   where (b,c) pruned too → ln α + uni(c) = ln α + ln(1/8)
+    val d2 = (lnHalf + 0.0 + (lnA + lnA + math.log(1.0 / 8))) / 3
+    val got = TrigramLM.score(lmDocs, "doc_id", "text", minCount = 2)
+      .orderBy("doc_id").as[(Long, Long, Double)].collect()
+    assert(got.toSeq == Seq((1L, 5L, r6(d1)), (2L, 3L, r6(d2))))
+  }
+
+  test("trigram scoreAgainst: OOV floor rides the full ladder") {
+    val uniT = UnigramLM.train(lmDocs, "text")
+    val bgT = BigramLM.train(lmDocs, "text", minCount = 2)
+    val tgT = TrigramLM.train(lmDocs, "text", minCount = 2)
+    // "a b zz": a first-token unigram; (a,b) kept bigram; zz OOV at
+    // pos 2 → trigram absent, bigram absent, unigram absent →
+    // ln α (3→2) + ln α (2→1) + floor
+    val got = TrigramLM.scoreAgainst(
+        Seq((9L, "a b zz")).toDF("doc_id", "text"),
+        uniT, bgT, tgT, "doc_id", "text", oovLogp = -20.0)
+      .as[(Long, Long, Double)].head()
+    val want = (lnHalf + 0.0 + (lnA + lnA - 20.0)) / 3
+    assert(got._1 == 9L && got._2 == 3L && got._3 == r6(want))
+  }
+
+  test("trigram fused score equals the composable scoreAgainst(train) form") {
+    val composed = TrigramLM.scoreAgainst(lmDocs,
+        UnigramLM.train(lmDocs, "text"),
+        BigramLM.train(lmDocs, "text", minCount = 2),
+        TrigramLM.train(lmDocs, "text", minCount = 2), "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val fused = TrigramLM.score(lmDocs, "doc_id", "text", minCount = 2)
+      .orderBy("doc_id").collect().toSeq
+    assert(fused == composed)
+  }
+
+  test("trigram score: broadcastVocab=false is bit-identical") {
+    val a = TrigramLM.score(lmDocs, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val b = TrigramLM.score(lmDocs, "doc_id", "text",
+        broadcastVocab = false)
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("docs of ≤ 2 tokens never reach the trigram level: scores equal " +
+    "the bigram model's") {
+    val docs = Seq((1L, "a"), (2L, "  "), (3L, "a b"), (4L, "b a"))
+      .toDF("doc_id", "text")
+    val tri = TrigramLM.score(docs, "doc_id", "text", minCount = 1)
+      .orderBy("doc_id").collect().toSeq
+    val bi = BigramLM.score(docs, "doc_id", "text", minCount = 1)
+      .orderBy("doc_id").collect().toSeq
+    assert(tri == bi)
+    assert(tri.map(_.getLong(0)) == Seq(1L, 3L, 4L)) // empty doc dropped
+  }
+}
