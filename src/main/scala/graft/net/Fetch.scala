@@ -247,14 +247,30 @@ object Fetch {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       cached += results
       attempts += 1
+      // the retry set stays DISTRIBUTED: a flaky datacenter on a 10⁷-
+      // segment campaign makes every segment retryable — collecting the
+      // ids to a driver Set would scale with the failures, not the work
       val retryIds = results.filter(col("retryable"))
-        .select(col("segId")).distinct().as[Long].collect().toSet
+        .select(col("segId")).distinct()
       acc = acc.unionByName(results.filter(!col("retryable")))
       if (retryIds.isEmpty) done = true
       else {
-        val idSet = spark.sparkContext.broadcast(retryIds)
-        pending = pending
-          .filter(r => r.segs.exists(s => idSet.value.contains(s.segId)))
+        // requests holding ≥1 retryable segment, resolved by exploding
+        // the group's segIds and LEFT-SEMI joining back on the request's
+        // natural key (the requestGroups grouping key) — two joins of
+        // id-sized rows, no driver round-trip
+        // (no persist: the ladder is ≤ 3 passes and pending's lineage
+        // bottoms out in the persisted per-pass results, never in HTTP)
+        val pendingDf = pending.toDF()
+        val groupKey = Seq("url", "dcId", "start", "end")
+        val keptKeys = pendingDf
+          .select(col("url"), col("dcId"), col("start"), col("end"),
+            explode(col("segs.segId")).as("segId"))
+          .join(retryIds, Seq("segId"), "left_semi")
+          .select(groupKey.map(col): _*).distinct()
+        pending = pendingDf
+          .join(keptKeys, groupKey, "left_semi")
+          .as[SegRequest]
           // one partition per datacenter so the reduced pool is a real
           // per-datacenter bound, not per-task
           .groupByKey(_.dcId).flatMapGroups((_, it) => it)
