@@ -1961,34 +1961,36 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    // OPQ rotation (Ge 2013 / the FAISS OPQMatrix): deterministic
-    // random-orthogonal seed + Procrustes alternation. Rows-only contract
-    // (training is iterative linear algebra, not SQL): report plain-PQ vs
-    // OPQ mean reconstruction error on the same m/k budget — the rotation
-    // must not lose to the unrotated baseline it generalizes
-    "q96_opq" -> ((s, dir) => {
-      import s.implicits._
-      // sf-capped slice: OPQ training is a diagnostic whose quality
-      // saturates on a sample (the Pq scaladoc's 100 TB advice applied
-      // to the contract query itself); both variants share the budget so
-      // the comparison stays apples-to-apples
+    // OPQ rotated-encode replay (the SQL-checkable half of the OPQ
+    // pipeline — Ge 2013 / the FAISS OPQMatrix applied at encode time):
+    // a FIXED exact orthogonal rotation (the coordinate-reversal
+    // permutation, whose matrix product in Pq.rotate is value-exact in
+    // float and replays in SQL as a list reversal) composed with an
+    // nIters=0 (id-ordered) codebook trained on the rotated corpus;
+    // encode = per-subspace argmin — exactly q85's replay over R·x.
+    // The NON-replayable half (Procrustes training and the opq-vs-pq
+    // reconstruction-error win) is spec-gated in OpqSpec, including on
+    // this same embeddings fixture, so the contract stays 100% oracled.
+    "q96_opq_encode" -> ((s, dir) => {
+      import graft.sim.Pq
+      val dim = 64 // embeddings fixture dim; rotate() asserts it
+      val rot = Array.tabulate(dim, dim)((i, j) =>
+        if (j == dim - 1 - i) 1.0 else 0.0)
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
-        .filter(col("vec_id") < 1000)
-      val m = 8
-      val k = 16
-      val pqCb = graft.sim.Pq.train(emb, "vec_id", "embedding", m, k,
+      val rotated = Pq.rotate(emb, "embedding", rot)
+      val cb = Pq.train(rotated, "vec_id", "embedding", m = 4, k = 16,
         nIters = 0)
-      val pqMse = graft.sim.Pq.meanReconstructionError(emb, "embedding", pqCb)
-      val opq = graft.sim.Pq.trainOpq(emb, "vec_id", "embedding", m, k,
-        nIters = 0, opqIters = 2)
-      val opqMse = graft.sim.Pq.meanReconstructionError(
-        graft.sim.Pq.rotate(emb, "embedding", opq.rotation), "embedding",
-        opq.codebooks)
-      Seq(("pq", math.rint(pqMse * 1e4) / 1e4),
-        ("opq", math.rint(opqMse * 1e4) / 1e4),
-        ("opq_wins", if (opqMse <= pqMse) 1.0 else 0.0))
-        .toDF("variant", "value")
+      Pq.encode(
+          Pq.rotate(tSpread(s, dir, "embeddings")
+            .select(col("vec_id"), col("embedding")), "embedding", rot),
+          "embedding", cb)
+        .select(col("vec_id"),
+          element_at(col("__pqcodes"), 1).as("c0"),
+          element_at(col("__pqcodes"), 2).as("c1"),
+          element_at(col("__pqcodes"), 3).as("c2"),
+          element_at(col("__pqcodes"), 4).as("c3"))
+        .orderBy(col("vec_id"))
     }),
 
     // heavy-hitter tokens via the builtin approx_top_k sketch
@@ -3645,10 +3647,10 @@ object SparkEntry {
         |  SELECT n.label,
         |    ln(n.n_docs / (SELECT CAST(count(*) AS DOUBLE) FROM labeled))
         |      AS prior,
-        |    ln(1.0 / (t.total + v.v)) AS dflt
+        |    ln(1.0 / (coalesce(t.total, 0) + v.v)) AS dflt
         |  FROM (SELECT lang AS label, CAST(count(*) AS DOUBLE) AS n_docs
         |        FROM labeled GROUP BY lang) n
-        |  JOIN totals t USING (label) CROSS JOIN v),
+        |  LEFT JOIN totals t USING (label) CROSS JOIN v),
         |dtoks AS (
         |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)),
         |    '\s+')) AS token
@@ -3666,6 +3668,40 @@ object SparkEntry {
         |    max(struct_pack(score := score, label := label)) AS m
         |  FROM per_class GROUP BY doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    "q96_opq_encode" ->
+      """WITH cb AS (
+        |  SELECT vec_id AS j,
+        |    list_reverse(list_transform(embedding,
+        |      v -> CAST(v AS DOUBLE))) AS e
+        |  FROM embeddings WHERE vec_id < 16),
+        |v AS (
+        |  SELECT vec_id,
+        |    list_reverse(list_transform(embedding,
+        |      v -> CAST(v AS DOUBLE))) AS e
+        |  FROM embeddings),
+        |sub AS (SELECT unnest(range(0, 4)) AS s),
+        |d AS (
+        |  SELECT v.vec_id, sub.s, cb.j,
+        |    list_sum(list_transform(range(1, 17), i ->
+        |      (v.e[CAST(sub.s * 16 + i AS INTEGER)] -
+        |       cb.e[CAST(sub.s * 16 + i AS INTEGER)]) *
+        |      (v.e[CAST(sub.s * 16 + i AS INTEGER)] -
+        |       cb.e[CAST(sub.s * 16 + i AS INTEGER)]))) AS dist2
+        |  FROM v CROSS JOIN sub CROSS JOIN cb),
+        |best AS (
+        |  SELECT vec_id, s, j,
+        |    row_number() OVER (PARTITION BY vec_id, s
+        |      ORDER BY dist2, j) AS rn
+        |  FROM d)
+        |SELECT vec_id,
+        |  CAST(max(CASE WHEN s = 0 THEN j END) AS INTEGER) AS c0,
+        |  CAST(max(CASE WHEN s = 1 THEN j END) AS INTEGER) AS c1,
+        |  CAST(max(CASE WHEN s = 2 THEN j END) AS INTEGER) AS c2,
+        |  CAST(max(CASE WHEN s = 3 THEN j END) AS INTEGER) AS c3
+        |FROM best WHERE rn = 1
+        |GROUP BY vec_id
+        |ORDER BY vec_id""".stripMargin,
 
     "q97_top_tokens" ->
       """SELECT token, CAST(count(*) AS BIGINT) AS est_count

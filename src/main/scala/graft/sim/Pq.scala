@@ -268,16 +268,24 @@ object Pq {
   def rotate(df: DataFrame, vecCol: String,
              rotation: Array[Array[Double]]): DataFrame = {
     val r = rotation
+    val dim = r.length
+    require(dim > 0 && r.forall(_.length == dim),
+      s"rotation must be a non-empty square d×d matrix, got rows of " +
+        s"lengths ${r.map(_.length).distinct.mkString(",")} × $dim")
     val rot = udf((v: Seq[Float]) =>
       if (v == null) null
       else {
-        val out = new Array[Float](r.length)
+        // fail loudly on a dimension mismatch — a silent truncation (or
+        // out-of-bounds read) would corrupt every downstream distance
+        require(v.length == dim,
+          s"rotate: vector dim ${v.length} != rotation dim $dim")
+        val out = new Array[Float](dim)
         var i = 0
-        while (i < r.length) {
+        while (i < dim) {
           val row = r(i)
           var s = 0.0
           var j = 0
-          while (j < row.length) { s += row(j) * v(j); j += 1 }
+          while (j < dim) { s += row(j) * v(j); j += 1 }
           out(i) = s.toFloat
           i += 1
         }
@@ -435,10 +443,14 @@ object Pq {
     // persisted once: every OPQ iteration re-reads the slim projection
     // several times (PQ train's init collect + Lloyd passes, the M pass)
     val slim = corpus.select(col(idCol), col(vecCol))
+      .filter(col(vecCol).isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val dim =
-        slim.select(col(vecCol)).limit(1).as[Seq[Float]].head().length
+      val firstVec =
+        slim.select(col(vecCol)).limit(1).as[Seq[Float]].collect()
+      require(firstVec.nonEmpty,
+        "trainOpq: corpus has no non-null vectors")
+      val dim = firstVec.head.length
       var rot =
         if (opqIters == 0)
           Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
@@ -461,6 +473,9 @@ object Pq {
             var any = false
             while (vecs.hasNext) {
               val v = vecs.next()
+              // mixed-dimension corpora must fail, not corrupt distances
+              require(v.length == dim,
+                s"trainOpq: vector dim ${v.length} != probed dim $dim")
               any = true
               var i = 0
               while (i < dim) {

@@ -82,6 +82,53 @@ class OpqSpec extends SparkSpec {
       s"opq $opqErr not better than pq $pqErr")
   }
 
+  test("opq does not lose to plain PQ on the embeddings fixture (the " +
+    "q96 diagnostic, spec-gated since the contract query became the " +
+    "oracle-able rotated-encode replay)") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") < 1000)
+    val m = 8
+    val k = 16
+    val pqCb = Pq.train(emb, "vec_id", "embedding", m, k, nIters = 0)
+    val pqMse = Pq.meanReconstructionError(emb, "embedding", pqCb)
+    val opq = Pq.trainOpq(emb, "vec_id", "embedding", m, k,
+      nIters = 0, opqIters = 2)
+    val opqMse = Pq.meanReconstructionError(
+      Pq.rotate(emb, "embedding", opq.rotation), "embedding",
+      opq.codebooks)
+    assert(opqMse <= pqMse, s"opq $opqMse lost to pq $pqMse")
+  }
+
+  test("trainOpq fails loudly on an empty corpus and on mixed dims; " +
+    "rotate rejects dimension mismatches") {
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("id", "vec")
+    val e1 = intercept[IllegalArgumentException] {
+      Pq.trainOpq(empty, "id", "vec", m = 2, k = 2, opqIters = 1)
+    }
+    assert(e1.getMessage.contains("no non-null vectors"))
+    // all-null vectors count as empty too
+    val nulls = Seq((1L, null: Seq[Float])).toDF("id", "vec")
+    val e2 = intercept[IllegalArgumentException] {
+      Pq.trainOpq(nulls, "id", "vec", m = 2, k = 2, opqIters = 1)
+    }
+    assert(e2.getMessage.contains("no non-null vectors"))
+    // rotate: non-square matrix rejected at plan time
+    val vecs = Seq((1L, Seq(1f, 2f))).toDF("id", "vec")
+    intercept[IllegalArgumentException] {
+      Pq.rotate(vecs, "vec", Array(Array(1.0, 0.0)))
+    }
+    // rotate: vector/rotation dim mismatch fails in the kernel instead
+    // of silently truncating
+    val bad = Seq((1L, Seq(1f, 2f, 3f))).toDF("id", "vec")
+    val e3 = intercept[org.apache.spark.SparkException] {
+      Pq.rotate(bad, "vec",
+        Array(Array(1.0, 0.0), Array(0.0, 1.0))).collect()
+    }
+    assert(e3.getMessage != null)
+  }
+
   test("rotation preserves exact-duplicate recall through the ADC search") {
     val base = (0 until 40).map { i =>
       (i.toLong, (0 until 8).map(d => noise(i * 8 + d, 5).toFloat))
