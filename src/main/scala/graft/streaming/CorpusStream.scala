@@ -69,7 +69,7 @@ object CorpusStream {
   def contaminationGate(docs: DataFrame, textCol: String,
                         benchmark: DataFrame, benchTextCol: String,
                         n: Int, maxSharedGrams: Long = 0L,
-                        expectedGrams: Long = 10000000L,
+                        expectedGrams: Long = 0L,
                         fpp: Double = 1e-7): DataFrame = {
     require(n >= 1, "n-gram length must be >= 1")
     val gramsUdf = udf((s: String) =>
@@ -78,7 +78,19 @@ object CorpusStream {
       .filter(length(col(benchTextCol)) >= n)
       .select(gramsUdf(col(benchTextCol)).as("ghs"))
       .select(explode(col("ghs")).as("gh")).distinct()
-    val bloom = benchGrams.stat.bloomFilter("gh", expectedGrams, fpp)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // size the filter from the ACTUAL distinct-gram count (one count job
+    // over the persisted frame the bloom build scans anyway): an
+    // undersized filter silently degrades fpp, and with maxSharedGrams=0
+    // that over-drops clean documents with no signal. `expectedGrams`
+    // remains as an optional floor for callers pre-sizing growth
+    // headroom (0 = fully derived).
+    val bloom =
+      try {
+        val actual = benchGrams.count()
+        benchGrams.stat.bloomFilter("gh",
+          math.max(math.max(actual, expectedGrams), 1L), fpp)
+      } finally { benchGrams.unpersist(blocking = false); () }
     val bc = docs.sparkSession.sparkContext.broadcast(bloom)
     val hits = udf((s: String) => {
       val ghs = graft.textops.TextKernels.charGramHashes(s, n)
