@@ -54,7 +54,15 @@ object Bench {
     val slowest = results.toSeq.sortBy(-_._2).take(15)
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$slowest,"full":"bench_full.json","sf":"$sfDir"}""")
+    // scaling exponents from the last ScaleSmoke run (1× vs 10× data),
+    // embedded so the round artifact carries them; absent file → omitted
+    val scale10 =
+      try {
+        val s = java.nio.file.Files.readString(
+          java.nio.file.Paths.get("SCALE_r09.json")).trim
+        if (s.startsWith("{")) s""","scale10":$s""" else ""
+      } catch { case _: Throwable => "" }
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$slowest,"full":"bench_full.json"$scale10,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

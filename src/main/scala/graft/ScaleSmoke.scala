@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling smoke for the superlinear-risk contract queries: time each at
+  * 1× (the given SF dir) and at `factor`× (a derived corpus), and report
+  * per-query scaling exponents `ln(t_Nx / t_1x) / ln(N)` — the empirical
+  * check that nothing in the dedup/ANN stack degrades worse than
+  * ~O(n log n) when the data grows 10-fold.
+  *
+  * The scaled corpus models "more data at the same density", not "the
+  * same data repeated": each extra copy is made DISJOINT from the others
+  * so cross-copy duplicate pairs/clusters don't explode quadratically in
+  * the replication factor (which would measure the synthetic corpus's
+  * degeneracy, not the operator's scaling):
+  *   - documents: every token gets a per-copy prefix — within-copy
+  *     duplicate structure is preserved exactly (prefixing is injective
+  *     per copy), across copies the vocabularies are disjoint;
+  *   - embeddings: each copy applies a per-copy deterministic ±1 sign
+  *     pattern (a diagonal orthogonal matrix) — within-copy geometry is
+  *     isometric to the original, across copies vectors decorrelate.
+  *
+  * Writes one JSON object to the output file (default `SCALE_r09.json`):
+  * `{"factor":10,"queries":{"q19…":{"t1":…,"tN":…,"exponent":…},…}}`.
+  */
+object ScaleSmoke {
+
+  private val ScaleQueries = Seq(
+    "q19_jaccard_pairs", "q65_dup_components", "q77_semdedup",
+    "q88_leakage_matrix", "q89_ivfpq")
+
+  /** Id offset between copies — far above any base id, and a multiple of
+    * 10 so `doc_id % 10`-style splits partition every copy identically.
+    */
+  private val CopyOffset = 10000000L
+
+  private def scaledDocuments(spark: SparkSession, baseDir: String,
+                              factor: Int): DataFrame = {
+    val base = graft.tables.Tables.load(spark, baseDir, "documents")
+    (0 until factor).map { c =>
+      if (c == 0) base
+      else base
+        .withColumn("doc_id", col("doc_id") + lit(c * CopyOffset))
+        .withColumn("text", array_join(
+          expr(s"transform(split(text, '\\\\s+'), x -> concat('z$c', x))"),
+          " "))
+        .withColumn("n_chars", length(col("text")))
+    }.reduce(_ unionByName _)
+  }
+
+  private def scaledEmbeddings(spark: SparkSession, baseDir: String,
+                               factor: Int): DataFrame = {
+    val base = graft.tables.Tables.load(spark, baseDir, "embeddings")
+    (0 until factor).map { c =>
+      if (c == 0) base
+      else base
+        .withColumn("vec_id", col("vec_id") + lit(c * CopyOffset))
+        .withColumn("embedding", expr(
+          s"transform(embedding, (x, i) -> " +
+            s"IF(pmod(hash($c, i), 2) = 0, x, -x))"))
+    }.reduce(_ unionByName _)
+  }
+
+  private def buildScaled(spark: SparkSession, baseDir: String,
+                          factor: Int): String = {
+    val dir = s"/tmp/graft_scale${factor}x"
+    val marker = java.nio.file.Paths.get(dir, "_BUILT")
+    if (!java.nio.file.Files.exists(marker)) {
+      scaledDocuments(spark, baseDir, factor)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      scaledEmbeddings(spark, baseDir, factor)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      java.nio.file.Files.createFile(marker)
+    }
+    dir
+  }
+
+  private def time(spark: SparkSession, name: String, dir: String): Double = {
+    val fn = SparkEntry.queries(name)
+    // min of two runs: the first doubles as JIT warm-up (Bench rationale)
+    val ts = (0 until 2).map { _ =>
+      val t0 = System.nanoTime()
+      fn(spark, dir).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.sharedState.cacheManager.clearCache()
+      dt
+    }
+    ts.min
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = if (args.length > 1) args(1).toInt else 10
+    val outFile = if (args.length > 2) args(2) else "SCALE_r09.json"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val scaledDir = buildScaled(spark, baseDir, factor)
+    def r3(v: Double): String = f"$v%.3f"
+    val rows = ScaleQueries.map { q =>
+      val t1 = time(spark, q, baseDir)
+      val tN = time(spark, q, scaledDir)
+      val exp = math.log(tN / t1) / math.log(factor.toDouble)
+      println(s"$q: 1x=${r3(t1)}s ${factor}x=${r3(tN)}s exponent=${r3(exp)}")
+      s""""$q":{"t1":${r3(t1)},"t$factor":${r3(tN)},"exponent":${r3(exp)}}"""
+    }
+    val json =
+      s"""{"factor":$factor,"base":"$baseDir","queries":{${rows.mkString(",")}}}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
+      json + "\n")
+    println(json)
+    spark.stop()
+  }
+}
