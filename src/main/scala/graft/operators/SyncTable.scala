@@ -21,6 +21,12 @@ import org.apache.spark.sql.functions._
   * For 100 TB pipelines prefer `surrogateIds = true`, which derives the id
   * as `xxhash64(natural key)` — fully parallel, no max(id) action, no
   * second pass, stable across re-runs.
+  *
+  * Storage: [[merged]] yields the new table CONTENTS; how they land on
+  * disk is a [[SyncTarget.Target]] choice — plain overwrite
+  * ([[SyncTarget.ParquetOverwrite]]) or the crash-atomic, multi-writer
+  * versioned commit protocol ([[SyncTarget.VersionedParquet]], whose
+  * `upsert` wraps this whole pipeline in optimistic concurrency).
   */
 object SyncTable {
 

@@ -1,0 +1,193 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.lit
+
+/** Storage backends for the sync/upsert pipeline — the abstraction that
+  * gives [[SyncTable]] the reference RDBMS's transactional guarantee
+  * (`stream2segment/io/db/pdsql.py:214-348` runs inside a DB session: a
+  * crashed `syncdf` never leaves a half-written table, and two concurrent
+  * campaigns serialize instead of clobbering).
+  *
+  * Two backends, one [[SyncTarget.Target]] interface:
+  *
+  *  - [[SyncTarget.ParquetOverwrite]] — the plain layout (one parquet
+  *    dir, replaced via temp-write + swap). Simple and compact, but the
+  *    delete→rename window means a crash at exactly the wrong moment
+  *    leaves the table ABSENT (recoverable by hand from the temp dir).
+  *    Fine for single-writer batch campaigns that can re-run.
+  *  - [[SyncTarget.VersionedParquet]] — the Delta-log commit protocol
+  *    over plain parquet: snapshots are immutable uuid-named directories,
+  *    and version N commits by CREATE-EXCLUSIVE of a marker file
+  *    `_commits/v(N)` whose content names the snapshot directory. The
+  *    exclusive create is the compare-and-swap: exactly one writer wins
+  *    each version, a loser re-reads the new head and re-merges
+  *    (optimistic concurrency — the `MERGE INTO` safety contract), and a
+  *    crash at any point leaves at worst an orphaned data directory
+  *    (swept by `vacuum`), never a partial table: markers are written
+  *    only after their snapshot is fully on disk.
+  *
+  * At 100 TB the snapshot rewrite costs the same as the overwrite
+  * backend (merged contents must be written either way); the versioned
+  * layout makes the commit POINT an O(1) metadata operation.
+  */
+object SyncTarget {
+
+  /** A table a sync pipeline can read and atomically replace. */
+  trait Target {
+    /** Committed snapshot, or None when the table doesn't exist yet. */
+    def read(spark: SparkSession): Option[DataFrame]
+
+    /** Publish `contents` as the new committed table. Implementations
+      * define their atomicity (see class docs).
+      */
+    def commit(contents: DataFrame): Unit
+  }
+
+  /** Today's layout: `path` is one parquet directory, replaced through
+    * [[Writers.overwriteParquetVia]] (temp write + delete + rename).
+    */
+  final case class ParquetOverwrite(path: String) extends Target {
+    def read(spark: SparkSession): Option[DataFrame] = {
+      val p = new Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) Some(spark.read.parquet(path)) else None
+    }
+    def commit(contents: DataFrame): Unit =
+      Writers.overwriteParquetVia(contents, path)
+  }
+
+  /** Versioned-snapshot layout:
+    * {{{
+    * path/_versions/<uuid>/part-*.parquet   // immutable snapshots
+    * path/_commits/v12                      // content: "<uuid>"
+    * }}}
+    * Committed head = the highest `v(N)` marker with readable content;
+    * a marker that exists but is still content-less (its writer is inside
+    * the create→write→close microseconds, or crashed there) is treated
+    * as uncommitted and its version number simply stays consumed.
+    */
+  final case class VersionedParquet(path: String) extends Target {
+
+    private def fs(spark: SparkSession): FileSystem =
+      new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    private def commitsDir = new Path(path, "_commits")
+    private def versionsDir = new Path(path, "_versions")
+
+    private def markerContent(f: FileSystem, p: Path): String = {
+      val in = f.open(p)
+      try scala.io.Source.fromInputStream(in).mkString.trim
+      finally in.close()
+    }
+
+    /** All marker version numbers present (committed or not). */
+    private def allMarkers(f: FileSystem): Seq[Long] =
+      if (!f.exists(commitsDir)) Seq.empty
+      else f.listStatus(commitsDir).toSeq
+        .map(_.getPath.getName)
+        .collect { case n if n.startsWith("v") => n.drop(1).toLong }
+
+    /** (version, snapshot dir) of the committed head, if any. */
+    def head(spark: SparkSession): Option[(Long, String)] = {
+      val f = fs(spark)
+      allMarkers(f).sorted.reverse.iterator
+        .map(v => v -> markerContent(f, new Path(commitsDir, s"v$v")))
+        .collectFirst { case (v, c) if c.nonEmpty => (v, c) }
+    }
+
+    def headVersion(spark: SparkSession): Long =
+      head(spark).map(_._1).getOrElse(0L)
+
+    def read(spark: SparkSession): Option[DataFrame] =
+      head(spark).map { case (_, uuid) =>
+        spark.read.parquet(new Path(versionsDir, uuid).toString)
+      }
+
+    /** Write `contents` to a fresh uuid snapshot dir (fully, before any
+      * marker exists).
+      */
+    private def writeSnapshot(contents: DataFrame): String = {
+      val uuid = java.util.UUID.randomUUID().toString
+      contents.write.mode(SaveMode.Overwrite)
+        .parquet(new Path(versionsDir, uuid).toString)
+      uuid
+    }
+
+    /** CAS: try to commit `uuid` as version `v`. The create-exclusive on
+      * the marker admits exactly one winner per version.
+      */
+    private def tryCommit(f: FileSystem, v: Long, uuid: String): Boolean =
+      try {
+        val out = f.create(new Path(commitsDir, s"v$v"), false)
+        try out.write(uuid.getBytes("UTF-8")) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+
+    /** Blind replace (no read-modify-write cycle to protect): writes the
+      * snapshot, then takes the first free version number. Serializable
+      * upserts go through [[upsert]] instead.
+      */
+    def commit(contents: DataFrame): Unit = {
+      val spark = contents.sparkSession
+      val f = fs(spark)
+      val uuid = writeSnapshot(contents)
+      var v = (allMarkers(f) :+ 0L).max + 1
+      while (!tryCommit(f, v, uuid)) v += 1
+    }
+
+    /** The transactional upsert: read the committed snapshot, run
+      * [[SyncTable.sync]] + [[SyncTable.merged]] against it, write the
+      * new snapshot, and CAS-commit at the next version number — retrying
+      * the ENTIRE merge against the fresh head when another writer
+      * commits first (optimistic concurrency, like `MERGE INTO`). A lost
+      * race deletes its orphaned snapshot before retrying.
+      * Returns the winning attempt's [[SyncTable.SyncMetrics]].
+      */
+    def upsert(df: DataFrame, matchCols: Seq[String], idCol: String = "id",
+               keep: Dedup.Keep = Dedup.KeepFirst,
+               order: Seq[Column] = Nil, surrogateIds: Boolean = false,
+               maxRetries: Int = 5): SyncTable.SyncMetrics = {
+      val spark = df.sparkSession
+      val f = fs(spark)
+      var attempt = 0
+      while (attempt < maxRetries) {
+        val base = (allMarkers(f) :+ 0L).max
+        val target = read(spark).getOrElse {
+          val withId =
+            if (df.columns.contains(idCol)) df
+            else df.withColumn(idCol, lit(null).cast("bigint"))
+          withId.filter(lit(false))
+        }
+        val res = SyncTable.sync(df, target, matchCols, idCol, keep, order,
+          surrogateIds)
+        val m = SyncTable.metrics(df, res)
+        val uuid = writeSnapshot(SyncTable.merged(target, res, idCol))
+        res.unpersist()
+        if (tryCommit(f, base + 1, uuid)) return m
+        // lost the race: drop the orphan, re-merge against the new head
+        f.delete(new Path(versionsDir, uuid), true)
+        attempt += 1
+      }
+      throw new IllegalStateException(
+        s"upsert into $path lost $maxRetries optimistic-concurrency races")
+    }
+
+    /** Remove snapshot dirs no marker references (crash/lost-race debris)
+      * and keep everything any marker names — committed history stays
+      * readable until its markers are removed.
+      */
+    def vacuum(spark: SparkSession): Unit = {
+      val f = fs(spark)
+      val referenced = allMarkers(f)
+        .map(v => markerContent(f, new Path(commitsDir, s"v$v")))
+        .filter(_.nonEmpty).toSet
+      if (f.exists(versionsDir)) f.listStatus(versionsDir).foreach { st =>
+        if (!referenced.contains(st.getPath.getName)) {
+          f.delete(st.getPath, true); ()
+        }
+      }
+    }
+  }
+}

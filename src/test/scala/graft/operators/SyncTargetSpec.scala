@@ -1,0 +1,130 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The storage backends behind the sync pipeline: overwrite-vs-versioned
+  * parity, the versioned backend's crash-atomicity (orphans invisible,
+  * empty markers skipped), optimistic-concurrency upserts, and vacuum.
+  */
+class SyncTargetSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/table"
+
+  private def targetDf = Seq((1L, "a", 1.0), (2L, "b", 2.0))
+    .toDF("id", "name", "v")
+
+  private def incoming = Seq(("a", 10.0), ("c", 3.0))
+    .toDF("name", "v")
+
+  test("both backends read back exactly what they committed") {
+    for (t <- Seq[SyncTarget.Target](
+      SyncTarget.ParquetOverwrite(tmp("sync_po_")),
+      SyncTarget.VersionedParquet(tmp("sync_vp_")))) {
+      assert(t.read(spark).isEmpty)
+      t.commit(targetDf)
+      val got = t.read(spark).get.orderBy("id")
+        .as[(Long, String, Double)].collect().toSeq
+      assert(got == Seq((1L, "a", 1.0), (2L, "b", 2.0)))
+      // a second commit replaces, never appends
+      t.commit(targetDf.filter(col("id") === 1L))
+      assert(t.read(spark).get.count() == 1L)
+    }
+  }
+
+  test("versioned upsert matches the in-memory sync+merged semantics " +
+    "(the q10/q52 pipeline) on both a fresh and an existing table") {
+    val vt = SyncTarget.VersionedParquet(tmp("sync_up_"))
+    // fresh table: everything inserts with sequential ids from 1
+    val m1 = vt.upsert(incoming, Seq("name"), order = Seq(col("v")))
+    assert((m1.inserted, m1.updated) == (2L, 0L))
+    // existing table: replay the OperatorsSpec scenario through the disk
+    // backend and compare against the in-memory merged() result
+    val vt2 = SyncTarget.VersionedParquet(tmp("sync_up2_"))
+    vt2.commit(targetDf)
+    val m2 = vt2.upsert(incoming, Seq("name"), order = Seq(col("v")))
+    assert((m2.inserted, m2.updated) == (1L, 1L))
+    val res = SyncTable.sync(incoming, targetDf, Seq("name"),
+      order = Seq(col("v")))
+    val want = SyncTable.merged(targetDf, res)
+      .orderBy("id").as[(Long, String, Double)].collect().toSeq
+    res.unpersist()
+    val got = vt2.read(spark).get
+      .orderBy("id").as[(Long, String, Double)].collect().toSeq
+    assert(got == want)
+    assert(got == Seq((1L, "a", 10.0), (2L, "b", 2.0), (3L, "c", 3.0)))
+  }
+
+  test("a snapshot directory without a commit marker is invisible and " +
+    "vacuum sweeps it") {
+    val path = tmp("sync_crash_")
+    val vt = SyncTarget.VersionedParquet(path)
+    vt.commit(targetDf)
+    val v1 = vt.read(spark).get.count()
+    // simulate a writer that crashed after writing data, before the
+    // marker: a full parquet dir under _versions with no commit entry
+    targetDf.write.parquet(s"$path/_versions/orphan-uuid")
+    assert(vt.read(spark).get.count() == v1) // head unchanged
+    vt.vacuum(spark)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$path/_versions/orphan-uuid")))
+    assert(vt.read(spark).get.count() == v1) // committed head survives
+  }
+
+  test("an empty commit marker (crash inside the commit point) is " +
+    "skipped; later writers move past its consumed version") {
+    val path = tmp("sync_empty_")
+    val vt = SyncTarget.VersionedParquet(path)
+    vt.commit(targetDf) // v1
+    // crashed writer: marker v2 exists with no content
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$path/_commits"))
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$path/_commits/v2"))
+    assert(vt.headVersion(spark) == 1L)
+    assert(vt.read(spark).get.count() == 2L)
+    // the next upsert claims v3, not v2
+    val m = vt.upsert(incoming, Seq("name"), order = Seq(col("v")))
+    assert((m.inserted, m.updated) == (1L, 1L))
+    assert(vt.headVersion(spark) == 3L)
+    assert(vt.read(spark).get.count() == 3L)
+  }
+
+  test("upsert re-merges against a head committed after its base read " +
+    "(the optimistic-concurrency retry) — sequential form") {
+    val path = tmp("sync_occ_")
+    val vt = SyncTarget.VersionedParquet(path)
+    vt.commit(targetDf) // v1
+    // another writer lands first
+    vt.upsert(Seq(("d", 4.0)).toDF("name", "v"), Seq("name")) // v2
+    // our upsert bases on v2 and must see d AND add c
+    vt.upsert(Seq(("c", 3.0)).toDF("name", "v"), Seq("name")) // v3
+    val names = vt.read(spark).get.select("name").as[String]
+      .collect().toSet
+    assert(names == Set("a", "b", "c", "d"))
+    assert(vt.headVersion(spark) == 3L)
+    // ids stay unique across the serialized upserts
+    val ids = vt.read(spark).get.select("id").as[Long].collect().toSeq
+    assert(ids.distinct.size == ids.size)
+  }
+
+  test("quarantined sync composes with the versioned backend: clean rows " +
+    "commit, rejects never enter the table") {
+    val path = tmp("sync_q_")
+    val vt = SyncTarget.VersionedParquet(path)
+    vt.commit(targetDf)
+    val dirty = Seq((null.asInstanceOf[String], 7.0), ("c", 3.0))
+      .toDF("name", "v")
+    val (res, rejected) = SyncTable.syncQuarantined(dirty,
+      vt.read(spark).get, Seq("name"))
+    vt.commit(SyncTable.merged(vt.read(spark).get, res))
+    res.unpersist()
+    assert(rejected.count() == 1L)
+    val names = vt.read(spark).get.select("name").as[String]
+      .collect().toSet
+    assert(names == Set("a", "b", "c"))
+  }
+}
