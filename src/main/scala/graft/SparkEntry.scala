@@ -6,7 +6,7 @@ import graft.multimodal.Multimodal
 import graft.operators.{Dedup, DownloadStats, MergeUpdate, Packing, Sampling, StationSearch, SyncTable}
 import graft.sim.Cosine
 import graft.tables.Tables
-import graft.textops.{BigramLM, Bm25, BpeTrainer, CorpusStats, Decontaminate, DedupGraph, MinHashLSH, NaiveBayes, SimHash, SpanDedup, TextFunctions, TfIdf, TrigramLM, UnigramLM}
+import graft.textops.{BigramLM, Bm25, BpeTrainer, CorpusStats, Decontaminate, DedupGraph, MinHashLSH, NaiveBayes, NgramLM, NgramQuant, SimHash, SpanDedup, TextFunctions, TfIdf, TrigramLM, UnigramLM}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -2017,6 +2017,41 @@ object SparkEntry {
       TrigramLM.score(tSpread(s, dir, "documents"), "doc_id", "text",
           minCount = 2, alpha = 0.4)
         .orderBy(col("doc_id"))
+    }),
+
+    // KenLM-style 8-bit quantized trigram scoring (Heafield 2011, the
+    // `-q 8` trie option): the three n-gram tables carry 1-byte codes
+    // instead of doubles across the scoring joins — the ~4× broadcast
+    // footprint cut for web-crawl vocabularies — decoded post-join with
+    // an O(1) element_at on the codebook literal. The contract form uses
+    // the equal-width fit (SQL-replayable bit-for-bit: codebook, encode
+    // midpoint counts and decode are all IEEE double arithmetic the
+    // oracle recomputes); production curation defaults to KenLM's
+    // equal-population binning (NgramQuantSpec covers rank agreement)
+    "q99_quant_lm" -> ((s, dir) => {
+      val docs = tSpread(s, dir, "documents")
+      val uniT = UnigramLM.train(docs, "text")
+      val bgT = BigramLM.train(docs, "text", minCount = 2)
+      val tgT = TrigramLM.train(docs, "text", minCount = 2)
+      TrigramLM.scoreAgainstQuantized(docs,
+          NgramQuant.quantize(uniT, uniform = true),
+          NgramQuant.quantize(bgT, uniform = true),
+          NgramQuant.quantize(tgT, uniform = true),
+          "doc_id", "text", alpha = 0.4)
+        .orderBy(col("doc_id"))
+    }),
+
+    // order-5 stupid-backoff LM — the exact CCNet configuration (Wenzek
+    // 2020 scores with a 5-gram KenLM): five count-pruned tables off ONE
+    // checkpointed tuple scan, 5→4→3→2→1→OOV ladder with α per level
+    // skipped, position-gated so a token at pos p uses at most the
+    // (p+1)-gram level. Tuple formation is a scan-stage index HOF; each
+    // level is one gram-key agg + context rollup; scoring is five
+    // broadcast-escapable left joins + a doc-key agg
+    "q100_ngram_lm" -> ((s, dir) => {
+      NgramLM.score(tSpread(s, dir, "documents"), "doc_id", "text",
+          order = 5, minCount = 2, alpha = 0.4)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -3761,6 +3796,186 @@ object SparkEntry {
         |  LEFT JOIN bg ON bg.prev = p.prev AND bg.token = p.token
         |  LEFT JOIN tg ON tg.prev2 = p.prev2 AND tg.prev = p.prev
         |    AND tg.token = p.token
+        |  CROSS JOIN tot)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  round(avg(lp), 6) AS avg_logprob
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q99 replays q98's trigram train PLUS the 8-bit equal-width
+    // quantization: per table, r = round(logp, 6); 256 centroids
+    // cs_i = lo + (i+0.5)·w with w = (hi-lo)/256; code = #{midpoints ≤ r}
+    // where midpoints are consecutive-centroid means; score with the
+    // DECODED centroids through the same backoff ladder. Every quantity
+    // is the same IEEE double expression the Scala side computes, so the
+    // codes (the only discontinuous step) agree bit-for-bit.
+    "q99_quant_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents WHERE trim(text) != ''),
+        |trip AS (
+        |  SELECT doc_id,
+        |    CASE WHEN i <= 2 THEN NULL ELSE t[i-2] END AS prev2,
+        |    CASE WHEN i = 1 THEN NULL ELSE t[i-1] END AS prev,
+        |    t[i] AS token
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
+        |        FROM toks)),
+        |uni AS (SELECT token, count(*) AS cnt FROM trip GROUP BY token),
+        |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM uni),
+        |unil AS (SELECT token,
+        |    round(ln(CAST(cnt AS DOUBLE) / total), 6) AS r
+        |  FROM uni CROSS JOIN tot),
+        |uqm AS (SELECT cs, list_transform(range(1, 256),
+        |      j -> (cs[j] + cs[j + 1]) / 2) AS mids
+        |  FROM (SELECT list_transform(range(0, 256),
+        |          i -> lo + (i + 0.5) * w) AS cs
+        |        FROM (SELECT min(r) AS lo, (max(r) - min(r)) / 256 AS w
+        |              FROM unil))),
+        |unid AS (SELECT token,
+        |    cs[len(list_filter(mids, m -> r >= m)) + 1] AS ulp
+        |  FROM unil CROSS JOIN uqm),
+        |bgall AS (
+        |  SELECT prev, token, count(*) AS cnt FROM trip
+        |  WHERE prev IS NOT NULL GROUP BY prev, token),
+        |bctx AS (SELECT prev, CAST(sum(cnt) AS DOUBLE) AS ctx_cnt
+        |         FROM bgall GROUP BY prev),
+        |bgl AS (SELECT b.prev, b.token,
+        |    round(ln(CAST(b.cnt AS DOUBLE) / c.ctx_cnt), 6) AS r
+        |  FROM bgall b JOIN bctx c USING (prev) WHERE b.cnt >= 2),
+        |bqm AS (SELECT cs, list_transform(range(1, 256),
+        |      j -> (cs[j] + cs[j + 1]) / 2) AS mids
+        |  FROM (SELECT list_transform(range(0, 256),
+        |          i -> lo + (i + 0.5) * w) AS cs
+        |        FROM (SELECT min(r) AS lo, (max(r) - min(r)) / 256 AS w
+        |              FROM bgl))),
+        |bgd AS (SELECT prev, token,
+        |    cs[len(list_filter(mids, m -> r >= m)) + 1] AS blp
+        |  FROM bgl CROSS JOIN bqm),
+        |tgall AS (
+        |  SELECT prev2, prev, token, count(*) AS cnt FROM trip
+        |  WHERE prev2 IS NOT NULL GROUP BY prev2, prev, token),
+        |tctx AS (SELECT prev2, prev, CAST(sum(cnt) AS DOUBLE) AS ctx_cnt
+        |         FROM tgall GROUP BY prev2, prev),
+        |tgl AS (SELECT g.prev2, g.prev, g.token,
+        |    round(ln(CAST(g.cnt AS DOUBLE) / c.ctx_cnt), 6) AS r
+        |  FROM tgall g JOIN tctx c ON c.prev2 = g.prev2 AND c.prev = g.prev
+        |  WHERE g.cnt >= 2),
+        |tqm AS (SELECT cs, list_transform(range(1, 256),
+        |      j -> (cs[j] + cs[j + 1]) / 2) AS mids
+        |  FROM (SELECT list_transform(range(0, 256),
+        |          i -> lo + (i + 0.5) * w) AS cs
+        |        FROM (SELECT min(r) AS lo, (max(r) - min(r)) / 256 AS w
+        |              FROM tgl))),
+        |tgd AS (SELECT prev2, prev, token,
+        |    cs[len(list_filter(mids, m -> r >= m)) + 1] AS tlp
+        |  FROM tgl CROSS JOIN tqm),
+        |scored AS (
+        |  SELECT p.doc_id,
+        |    CASE WHEN p.prev IS NULL THEN coalesce(u.ulp, -20.0)
+        |         WHEN p.prev2 IS NULL
+        |           THEN coalesce(b.blp,
+        |             ln(0.4) + coalesce(u.ulp, -20.0))
+        |         WHEN t2.tlp IS NOT NULL THEN t2.tlp
+        |         ELSE ln(0.4) + coalesce(b.blp,
+        |           ln(0.4) + coalesce(u.ulp, -20.0))
+        |    END AS lp
+        |  FROM trip p
+        |  LEFT JOIN unid u ON u.token = p.token
+        |  LEFT JOIN bgd b ON b.prev = p.prev AND b.token = p.token
+        |  LEFT JOIN tgd t2 ON t2.prev2 = p.prev2 AND t2.prev = p.prev
+        |    AND t2.token = p.token)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  round(avg(lp), 6) AS avg_logprob
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q100 extends q98's replay to the full 5-gram CCNet ladder: two more
+    // pruned levels, nested coalesce chains (hit ? logp : ln α + lower),
+    // and null-context gates picking the deepest level a position can use
+    "q100_ngram_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents WHERE trim(text) != ''),
+        |tup AS (
+        |  SELECT doc_id,
+        |    CASE WHEN i <= 4 THEN NULL ELSE t[i-4] END AS prev4,
+        |    CASE WHEN i <= 3 THEN NULL ELSE t[i-3] END AS prev3,
+        |    CASE WHEN i <= 2 THEN NULL ELSE t[i-2] END AS prev2,
+        |    CASE WHEN i = 1 THEN NULL ELSE t[i-1] END AS prev,
+        |    t[i] AS token
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
+        |        FROM toks)),
+        |uni AS (SELECT token, count(*) AS cnt FROM tup GROUP BY token),
+        |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM uni),
+        |bgall AS (
+        |  SELECT prev, token, count(*) AS cnt FROM tup
+        |  WHERE prev IS NOT NULL GROUP BY prev, token),
+        |bctx AS (SELECT prev, CAST(sum(cnt) AS DOUBLE) AS ctx_cnt
+        |         FROM bgall GROUP BY prev),
+        |bg AS (
+        |  SELECT b.prev, b.token, ln(CAST(b.cnt AS DOUBLE) / c.ctx_cnt)
+        |    AS blp
+        |  FROM bgall b JOIN bctx c USING (prev) WHERE b.cnt >= 2),
+        |tgall AS (
+        |  SELECT prev2, prev, token, count(*) AS cnt FROM tup
+        |  WHERE prev2 IS NOT NULL GROUP BY prev2, prev, token),
+        |tctx AS (SELECT prev2, prev, CAST(sum(cnt) AS DOUBLE) AS ctx_cnt
+        |         FROM tgall GROUP BY prev2, prev),
+        |tg AS (
+        |  SELECT g.prev2, g.prev, g.token,
+        |    ln(CAST(g.cnt AS DOUBLE) / c.ctx_cnt) AS tlp
+        |  FROM tgall g JOIN tctx c ON c.prev2 = g.prev2 AND c.prev = g.prev
+        |  WHERE g.cnt >= 2),
+        |q4all AS (
+        |  SELECT prev3, prev2, prev, token, count(*) AS cnt FROM tup
+        |  WHERE prev3 IS NOT NULL GROUP BY prev3, prev2, prev, token),
+        |q4ctx AS (SELECT prev3, prev2, prev,
+        |    CAST(sum(cnt) AS DOUBLE) AS ctx_cnt
+        |  FROM q4all GROUP BY prev3, prev2, prev),
+        |q4 AS (
+        |  SELECT g.prev3, g.prev2, g.prev, g.token,
+        |    ln(CAST(g.cnt AS DOUBLE) / c.ctx_cnt) AS qlp
+        |  FROM q4all g JOIN q4ctx c ON c.prev3 = g.prev3
+        |    AND c.prev2 = g.prev2 AND c.prev = g.prev
+        |  WHERE g.cnt >= 2),
+        |q5all AS (
+        |  SELECT prev4, prev3, prev2, prev, token, count(*) AS cnt
+        |  FROM tup WHERE prev4 IS NOT NULL
+        |  GROUP BY prev4, prev3, prev2, prev, token),
+        |q5ctx AS (SELECT prev4, prev3, prev2, prev,
+        |    CAST(sum(cnt) AS DOUBLE) AS ctx_cnt
+        |  FROM q5all GROUP BY prev4, prev3, prev2, prev),
+        |q5 AS (
+        |  SELECT g.prev4, g.prev3, g.prev2, g.prev, g.token,
+        |    ln(CAST(g.cnt AS DOUBLE) / c.ctx_cnt) AS plp
+        |  FROM q5all g JOIN q5ctx c ON c.prev4 = g.prev4
+        |    AND c.prev3 = g.prev3 AND c.prev2 = g.prev2 AND c.prev = g.prev
+        |  WHERE g.cnt >= 2),
+        |scored AS (
+        |  SELECT p.doc_id,
+        |    CASE WHEN p.prev IS NULL
+        |           THEN ln(CAST(u.cnt AS DOUBLE) / tot.total)
+        |         WHEN p.prev2 IS NULL THEN coalesce(bg.blp,
+        |           ln(0.4) + ln(CAST(u.cnt AS DOUBLE) / tot.total))
+        |         WHEN p.prev3 IS NULL THEN coalesce(tg.tlp,
+        |           ln(0.4) + coalesce(bg.blp,
+        |             ln(0.4) + ln(CAST(u.cnt AS DOUBLE) / tot.total)))
+        |         WHEN p.prev4 IS NULL THEN coalesce(q4.qlp,
+        |           ln(0.4) + coalesce(tg.tlp,
+        |             ln(0.4) + coalesce(bg.blp,
+        |               ln(0.4) + ln(CAST(u.cnt AS DOUBLE) / tot.total))))
+        |         ELSE coalesce(q5.plp,
+        |           ln(0.4) + coalesce(q4.qlp,
+        |             ln(0.4) + coalesce(tg.tlp,
+        |               ln(0.4) + coalesce(bg.blp,
+        |                 ln(0.4) + ln(CAST(u.cnt AS DOUBLE) / tot.total)))))
+        |    END AS lp
+        |  FROM tup p
+        |  JOIN uni u ON u.token = p.token
+        |  LEFT JOIN bg ON bg.prev = p.prev AND bg.token = p.token
+        |  LEFT JOIN tg ON tg.prev2 = p.prev2 AND tg.prev = p.prev
+        |    AND tg.token = p.token
+        |  LEFT JOIN q4 ON q4.prev3 = p.prev3 AND q4.prev2 = p.prev2
+        |    AND q4.prev = p.prev AND q4.token = p.token
+        |  LEFT JOIN q5 ON q5.prev4 = p.prev4 AND q5.prev3 = p.prev3
+        |    AND q5.prev2 = p.prev2 AND q5.prev = p.prev
+        |    AND q5.token = p.token
         |  CROSS JOIN tot)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
         |  round(avg(lp), 6) AS avg_logprob

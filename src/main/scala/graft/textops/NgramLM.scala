@@ -1,0 +1,172 @@
+package graft.textops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Order-N stupid-backoff language model (Brants et al. 2007) — the full
+  * CCNet-grade perplexity gate: Wenzek et al. 2020 score web crawls with
+  * a 5-gram KenLM, and this generalizes the [[BigramLM]]/[[TrigramLM]]
+  * ladder to any order so `order = 5` reproduces that configuration with
+  * the same join-shaped, broadcast-escapable plan at every level.
+  *
+  * Model = one count-pruned table per order 1..N (unigram unpruned),
+  * each keyed by its (context…, token) tuple with `logp = ln(cnt/ctx)`
+  * against the UNpruned context total — pruned-ARPA-file semantics: kept
+  * n-grams score with true MLE mass, pruned ones back off.
+  *
+  * Scoring rule for the token at position `pos` (0-based): the deepest
+  * usable level is `L = min(pos + 1, N)` (a token two words in can see
+  * at most two context words). `chain(1) = unigram logp, OOV → floor`;
+  * `chain(k) = table-k hit ? its logp : ln(α) + chain(k-1)` — the
+  * N→…→1→OOV ladder multiplying α once per level skipped, exactly
+  * [[TrigramLM]]'s rule at N = 3. Stupid backoff does not renormalize:
+  * scores are relative quality signals, which is all a curation gate
+  * ranks with.
+  *
+  * Plan shape at 100 TB:
+  *   - tuple formation (token + its N-1 predecessors) is ONE scan-stage
+  *     index HOF — no window or self-join sees the context;
+  *   - train = N keyed aggregations + N-1 context rollups over one
+  *     checkpointed tuple table; shuffle keys are n-gram tuples, never
+  *     documents;
+  *   - score = N left joins (broadcast by default; `broadcastVocab =
+  *     false` lets AQE plan shuffle joins for web-scale vocabularies)
+  *     + one doc-key aggregation. The chain is a pure column expression.
+  */
+object NgramLM {
+
+  /** Context column names, nearest predecessor first: prev, prev2, …
+    * prev{N-1} (prev = one back). Matches [[BigramLM]]/[[TrigramLM]]
+    * naming at orders 2-3.
+    */
+  private[textops] def ctxCols(order: Int): Seq[String] =
+    (1 until order).map(k => if (k == 1) "prev" else s"prev$k")
+
+  /** (doc, pos, prev{N-1}…prev, token) tuples via a scan-stage index
+    * HOF; `prev{k}` is null at pos < k. Documents with no tokens
+    * contribute nothing.
+    */
+  private[textops] def tuples(docs: DataFrame, idCol: String,
+                              textCol: String, order: Int): DataFrame = {
+    val ctxExprs = (1 until order).map { k =>
+      val name = if (k == 1) "prev" else s"prev$k"
+      s"IF(i < $k, CAST(NULL AS STRING), __a[i-$k]) AS $name"
+    }
+    val struct = (Seq("i AS pos") ++ ctxExprs :+ "x AS token")
+      .mkString("transform(__a, (x, i) -> struct(", ", ", "))")
+    val fields = Seq("pos") ++ ctxCols(order) :+ "token"
+    docs.select(col(idCol),
+        TextFunctions.tokens(lower(col(textCol))).as("__a"))
+      .filter(size(col("__a")) > 0)
+      .select(col(idCol), explode(expr(struct)).as("__t"))
+      .select(col(idCol) +: fields.map(f => col(s"__t.$f").as(f)): _*)
+  }
+
+  /** Count-pruned table for one order `k` ≥ 2 out of a tuple table:
+    * (prev{k-1}…prev, token, cnt, ctx_cnt, logp). Unigram (k = 1) has
+    * (token, cnt, logp) against the corpus total, unpruned — the floor
+    * of the ladder never prunes, matching [[UnigramLM.train]].
+    */
+  private def levelTable(tp: DataFrame, k: Int, minCount: Long): DataFrame =
+    if (k == 1) {
+      val vocab = tp.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true)
+      val total = vocab.agg(sum(col("cnt")).cast("double").as("__total"))
+      vocab.crossJoin(broadcast(total))
+        .select(col("token"), col("cnt"),
+          log(col("cnt").cast("double") / col("__total")).as("logp"))
+    } else {
+      val ctx = ctxCols(k) // prev … prev{k-1}
+      val deep = ctx.last
+      // materialized once: the context rollup and the pruned join both
+      // read these counts
+      val grams = tp.filter(col(deep).isNotNull)
+        .groupBy((ctx :+ "token").map(col): _*)
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true)
+      val totals = grams.groupBy(ctx.map(col): _*)
+        .agg(sum(col("cnt")).cast("double").as("ctx_cnt"))
+      grams.filter(col("cnt") >= minCount)
+        .join(totals, ctx)
+        .withColumn("logp",
+          log(col("cnt").cast("double") / col("ctx_cnt")))
+        .select((ctx :+ "token" :+ "cnt" :+ "ctx_cnt" :+ "logp")
+          .map(col): _*)
+    }
+
+  /** Train all order-1..N tables on one corpus pass. Index 0 is the
+    * unigram table, index k-1 the order-k table.
+    */
+  def train(docs: DataFrame, textCol: String, order: Int,
+            minCount: Long = 2): Seq[DataFrame] = {
+    require(order >= 2 && order <= 8, s"order must be in [2,8], got $order")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val tp = tuples(docs.select(lit(0L).as("__id"), col(textCol)), "__id",
+      textCol, order).localCheckpoint(true)
+    (1 to order).map(k => levelTable(tp, k, minCount))
+  }
+
+  /** Score `docs` against `tables` from [[train]] (or the matching
+    * [[UnigramLM]]/[[BigramLM]]/[[TrigramLM]] train outputs). Output:
+    * (idCol, n_tokens, avg_logprob), avg rounded to 6 dp.
+    */
+  def scoreAgainst(docs: DataFrame, tables: Seq[DataFrame], idCol: String,
+                   textCol: String, alpha: Double = 0.4,
+                   oovLogp: Double = -20.0,
+                   broadcastVocab: Boolean = true): DataFrame = {
+    val order = tables.length
+    require(order >= 2 && order <= 8,
+      s"need 2..8 tables (one per order), got $order")
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    val tp = tuples(docs, idCol, textCol, order)
+    scoreTuples(tp, tables, idCol, alpha, oovLogp, broadcastVocab)
+  }
+
+  private def scoreTuples(tp: DataFrame, tables: Seq[DataFrame],
+                          idCol: String, alpha: Double, oovLogp: Double,
+                          broadcastVocab: Boolean): DataFrame = {
+    val order = tables.length
+    val lnA = lit(math.log(alpha))
+    // one left join per level; level k's logp lands in __lp{k}
+    val joined = tables.zipWithIndex.foldLeft(tp) {
+      case (acc, (table, i)) =>
+        val k = i + 1
+        val keys = (if (k == 1) Nil else ctxCols(k)) :+ "token"
+        val slim0 = table.select(
+          (keys.map(col) :+ col("logp").as(s"__lp$k")): _*)
+        val slim = if (broadcastVocab) broadcast(slim0) else slim0
+        acc.join(slim, keys, "left")
+    }
+    // chain(k): deepest-first fallback ladder as ONE column expression
+    val chain1 = coalesce(col("__lp1"), lit(oovLogp))
+    val chains: Seq[Column] = (2 to order).scanLeft(chain1) {
+      (lower, k) =>
+        when(col(s"__lp$k").isNotNull, col(s"__lp$k"))
+          .otherwise(lnA + lower)
+    }
+    // position gates: the deepest level a token at pos can use is
+    // min(pos+1, order) — pos 0 scores chain(1), pos 1 chain(2), …
+    val lp = (0 until order - 1).foldLeft(chains(order - 1)) {
+      (deeper, p) => when(col("pos") === p, chains(p)).otherwise(deeper)
+    }
+    joined.withColumn("__lp", lp)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(col("__lp")), 6).as("avg_logprob"))
+  }
+
+  /** Train-on-self scoring: one checkpointed tuple table feeds every
+    * level's counts AND the scoring joins (the composable
+    * `scoreAgainst(train(..), ..)` form would tokenize the corpus
+    * order + 1 times for identical results).
+    */
+  def score(docs: DataFrame, idCol: String, textCol: String, order: Int,
+            minCount: Long = 2, alpha: Double = 0.4,
+            broadcastVocab: Boolean = true): DataFrame = {
+    require(order >= 2 && order <= 8, s"order must be in [2,8], got $order")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val tp = tuples(docs, idCol, textCol, order).localCheckpoint(true)
+    val tables = (1 to order).map(k => levelTable(tp, k, minCount))
+    scoreTuples(tp, tables, idCol, alpha, oovLogp = -20.0, broadcastVocab)
+  }
+}

@@ -1,0 +1,138 @@
+package graft.textops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** KenLM-style probability quantization for n-gram tables (Heafield 2011,
+  * "KenLM: Faster and Smaller Language Model Queries" §3 — the `-q 8`
+  * trie option). Log-probabilities are mapped to small integer codes
+  * against a per-table codebook so the broadcast/join tables that a
+  * CCNet-grade perplexity gate ships to every executor carry 1-byte codes
+  * instead of 8-byte doubles. Scoring stays join-shaped: the codes ride
+  * the (token-keyed) joins and are decoded AFTER the join with an O(1)
+  * `element_at` on a 2^bits-element array literal — the decode never
+  * touches the shuffle or the broadcast.
+  *
+  * Two codebook fits:
+  *   - [[fitBinning]] — KenLM's actual method: equal-population bins
+  *     (sort the values, split into 2^bits runs, each bin's code value is
+  *     the run's centre). Approximated here with one
+  *     `percentile_approx` pass so the fit is a single aggregation, no
+  *     global sort.
+  *   - [[fitUniform]] — equal-width bins over [min, max]. Slightly worse
+  *     quantization error on skewed distributions but exactly replayable
+  *     in plain SQL (the contract query's oracle recomputes it in
+  *     DuckDB bit-for-bit), which the percentile sketch is not.
+  *
+  * Both operate on the value rounded to `roundDp` decimals first: n-gram
+  * log-probs are `ln(cnt/ctx)` and engines' `ln` may differ in the last
+  * ulp; rounding makes fit and encode deterministic across engines while
+  * changing scores by < 1e-6 — far below the quantization error itself.
+  *
+  * Plan shape at 100 TB: fit = one aggregate over the (vocabulary-sized)
+  * table; encode = one scan with a 2^bits-1-element HOF per row, train
+  * side only; decode = per-token `element_at` on an array literal inside
+  * whole-stage codegen. No extra shuffle anywhere.
+  */
+object NgramQuant {
+
+  /** A quantized n-gram table: `table` has the source columns with the
+    * value column replaced by `<valueCol>_q` (tinyint, code biased by
+    * -128 so 0..255 fits Spark's signed byte), plus the codebook to
+    * decode with.
+    */
+  final case class Quantized(table: DataFrame, valueCol: String,
+                             codebook: Array[Double]) {
+    /** Decoded value column for a post-join code column (null-safe:
+      * a null code — e.g. from a left join miss — decodes to null).
+      */
+    def decode(code: Column): Column = NgramQuant.decode(code, codebook)
+    /** Max |decoded - original| over the table (diagnostic). */
+    def maxError(original: DataFrame, keyCols: Seq[String]): Double = {
+      val dec = table.select(keyCols.map(col) :+
+        decode(col(s"${valueCol}_q")).as("__dec"): _*)
+      original.join(dec, keyCols)
+        .agg(max(abs(col(valueCol) - col("__dec"))))
+        .head().getDouble(0)
+    }
+  }
+
+  private def roundedCol(valueCol: String, roundDp: Int): Column =
+    if (roundDp >= 0) round(col(valueCol), roundDp) else col(valueCol)
+
+  /** Equal-width codebook: 2^bits centroids at `lo + (i + 0.5) * w`,
+    * `w = (hi - lo) / 2^bits` over the rounded value range. Degenerate
+    * single-value tables yield a constant codebook (every code decodes
+    * to that value).
+    */
+  def fitUniform(table: DataFrame, valueCol: String, bits: Int = 8,
+                 roundDp: Int = 6): Array[Double] = {
+    require(bits >= 1 && bits <= 8, s"bits must be in [1,8], got $bits")
+    val n = 1 << bits
+    val r = table.agg(min(roundedCol(valueCol, roundDp)).as("lo"),
+      max(roundedCol(valueCol, roundDp)).as("hi")).head()
+    require(!r.isNullAt(0), s"fitUniform: no non-null $valueCol values")
+    val lo = r.getDouble(0)
+    val w = (r.getDouble(1) - lo) / n
+    Array.tabulate(n)(i => lo + (i + 0.5) * w)
+  }
+
+  /** Equal-population codebook (KenLM's binning): centroid i is the
+    * (i + 0.5)/2^bits quantile of the rounded value distribution, from
+    * one `percentile_approx` sketch pass. Centroids are non-decreasing;
+    * heavy value ties produce duplicate centroids (harmless — the
+    * nearest-centroid encode just never emits the dominated codes).
+    */
+  def fitBinning(table: DataFrame, valueCol: String, bits: Int = 8,
+                 roundDp: Int = 6, accuracy: Int = 10000): Array[Double] = {
+    require(bits >= 1 && bits <= 8, s"bits must be in [1,8], got $bits")
+    val n = 1 << bits
+    val qs = Array.tabulate(n)(i => (i + 0.5) / n)
+    val row = table
+      .agg(percentile_approx(roundedCol(valueCol, roundDp),
+        typedLit(qs), lit(accuracy)).as("cs"))
+      .head()
+    require(!row.isNullAt(0), s"fitBinning: no non-null $valueCol values")
+    row.getSeq[Double](0).toArray
+  }
+
+  /** Encode `valueCol` against a sorted codebook: code = number of bin
+    * midpoints ≤ rounded value (equivalently nearest-centroid with
+    * ties-up), stored as `<valueCol>_q` tinyint biased by -128. The
+    * midpoint count is a codegen'd HOF over a 2^bits-1 array literal —
+    * train-side only, vocabulary-sized input.
+    */
+  def encode(table: DataFrame, valueCol: String, codebook: Array[Double],
+             roundDp: Int = 6): DataFrame = {
+    require(codebook.nonEmpty && codebook.length <= 256,
+      s"codebook must have 1..256 centroids, got ${codebook.length}")
+    val mids = codebook.sliding(2).map(p => (p(0) + p(1)) / 2).toArray
+    val v = roundedCol(valueCol, roundDp)
+    val code =
+      if (mids.isEmpty) lit(0)
+      else size(filter(typedLit(mids), m => v >= m))
+    table.withColumn(s"${valueCol}_q", (code - lit(128)).cast("tinyint"))
+      .drop(valueCol)
+  }
+
+  /** Decoded value for a (possibly null) biased code column: O(1)
+    * `element_at` on the codebook literal. The null guard is explicit —
+    * `element_at` on a primitive-array literal does not propagate a null
+    * index — so a left-join miss decodes to null and the backoff ladder
+    * sees it exactly like a float-table miss.
+    */
+  def decode(code: Column, codebook: Array[Double]): Column =
+    when(code.isNotNull,
+      element_at(typedLit(codebook), code.cast("int") + lit(129)))
+
+  /** Fit + encode in one call. `uniform = false` (default) uses KenLM's
+    * equal-population binning; `true` the SQL-replayable equal-width fit.
+    */
+  def quantize(table: DataFrame, valueCol: String = "logp", bits: Int = 8,
+               uniform: Boolean = false, roundDp: Int = 6): Quantized = {
+    val cb =
+      if (uniform) fitUniform(table, valueCol, bits, roundDp)
+      else fitBinning(table, valueCol, bits, roundDp)
+    Quantized(encode(table, valueCol, cb, roundDp), valueCol, cb)
+  }
+}

@@ -94,6 +94,53 @@ object TrigramLM {
     scoreTriples(triples(docs, idCol, textCol), unigrams, bigrams,
       trigrams, idCol, alpha, oovLogp, broadcastVocab)
 
+  /** [[scoreAgainst]] over [[NgramQuant]]-quantized tables (KenLM's
+    * `-q 8` mode): the three joins ship (tokens, 1-byte code) instead of
+    * (tokens, double) — the broadcast footprint cut that makes a
+    * web-crawl-vocabulary perplexity gate fit executor memory — and the
+    * codes decode AFTER each join with an O(1) `element_at` on the
+    * codebook literal, inside whole-stage codegen. Backoff ladder,
+    * OOV floor and output schema are identical to the float path;
+    * scores differ only by the per-table quantization error.
+    */
+  def scoreAgainstQuantized(docs: DataFrame, uniQ: NgramQuant.Quantized,
+                            bgQ: NgramQuant.Quantized,
+                            tgQ: NgramQuant.Quantized, idCol: String,
+                            textCol: String, alpha: Double = 0.4,
+                            oovLogp: Double = -20.0,
+                            broadcastVocab: Boolean = true): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    val tr = triples(docs, idCol, textCol)
+    val uni0 = uniQ.table.select(col("token"),
+      col(s"${uniQ.valueCol}_q").as("__ulpq"))
+    val bg0 = bgQ.table.select(col("prev"), col("token"),
+      col(s"${bgQ.valueCol}_q").as("__blpq"))
+    val tg0 = tgQ.table.select(col("prev2"), col("prev"), col("token"),
+      col(s"${tgQ.valueCol}_q").as("__tlpq"))
+    val uni = if (broadcastVocab) broadcast(uni0) else uni0
+    val bg = if (broadcastVocab) broadcast(bg0) else bg0
+    val tg = if (broadcastVocab) broadcast(tg0) else tg0
+    val lnA = lit(math.log(alpha))
+    // element_at on a null code is null, so the decoded columns miss
+    // exactly when the join missed — the float path's ladder transfers
+    val uniScore = coalesce(uniQ.decode(col("__ulpq")), lit(oovLogp))
+    val blp = bgQ.decode(col("__blpq"))
+    val bgChain: Column =
+      when(blp.isNotNull, blp).otherwise(lnA + uniScore)
+    val tlp = tgQ.decode(col("__tlpq"))
+    tr.join(uni, Seq("token"), "left")
+      .join(bg, Seq("prev", "token"), "left")
+      .join(tg, Seq("prev2", "prev", "token"), "left")
+      .withColumn("__lp",
+        when(col("prev").isNull, uniScore)
+          .when(col("prev2").isNull, bgChain)
+          .when(tlp.isNotNull, tlp)
+          .otherwise(lnA + bgChain))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(col("__lp")), 6).as("avg_logprob"))
+  }
+
   /** Scoring core over a prepared triple table (see [[triples]]). */
   private def scoreTriples(tr: DataFrame, unigrams: DataFrame,
                            bigrams: DataFrame, trigrams: DataFrame,

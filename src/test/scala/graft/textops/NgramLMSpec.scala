@@ -1,0 +1,143 @@
+package graft.textops
+
+import graft.SparkSpec
+import graft.tables.Tables
+import org.apache.spark.sql.functions._
+
+/** Order-N stupid backoff: exact agreement with the dedicated bigram and
+  * trigram models at orders 2-3, a hand-computed order-4 ladder, the
+  * deepest-level position gates, and the broadcast-escape flag.
+  */
+class NgramLMSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def r6(x: Double): Double =
+    BigDecimal.valueOf(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+
+  private def lmDocs = Seq((1L, "a b a b a"), (2L, "a b c"))
+    .toDF("doc_id", "text")
+
+  test("order 2 reproduces BigramLM exactly") {
+    for (mc <- Seq(1L, 2L)) {
+      val n = NgramLM.score(lmDocs, "doc_id", "text", order = 2,
+        minCount = mc).orderBy("doc_id").collect().toSeq
+      val b = BigramLM.score(lmDocs, "doc_id", "text", minCount = mc)
+        .orderBy("doc_id").collect().toSeq
+      assert(n == b, s"minCount=$mc")
+    }
+  }
+
+  test("order 3 reproduces TrigramLM exactly (fixture corpus + docs)") {
+    val fixture = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    for (docs <- Seq(lmDocs, fixture)) {
+      val n = NgramLM.score(docs, "doc_id", "text", order = 3)
+        .orderBy("doc_id").collect().toSeq
+      val t = TrigramLM.score(docs, "doc_id", "text")
+        .orderBy("doc_id").collect().toSeq
+      assert(n == t)
+    }
+  }
+
+  test("order 4 ladder hand check") {
+    // corpus "a b a b a" / "a b c"; minCount=1 so every seen gram is
+    // kept. 4-grams: (a,b,a,b):1 ctx(a,b,a):1; (b,a,b,a):1 ctx(b,a,b):1
+    // all logp 0. Trigram (a,b,a):2/3... see TrigramLMSpec for 1..3.
+    val lnHalf = math.log(0.5)
+    val ln23 = math.log(2.0 / 3)
+    // doc1 a b a b a:
+    //  pos0: uni(a) = ln(4/8)
+    //  pos1: bg(a,b) = ln(3/3) = 0
+    //  pos2: tg(a,b,a) = ln(2/3)
+    //  pos3: 4g(a,b,a,b) = ln(1/1) = 0
+    //  pos4: 4g(b,a,b,a) = 0
+    val d1 = (lnHalf + 0.0 + ln23 + 0.0 + 0.0) / 5
+    // doc2 a b c: pos0 uni(a); pos1 bg(a,b)=0; pos2 tg(a,b,c) = ln(1/3)
+    val d2 = (lnHalf + 0.0 + math.log(1.0 / 3)) / 3
+    val got = NgramLM.score(lmDocs, "doc_id", "text", order = 4,
+        minCount = 1)
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 5L, r6(d1)), (2L, 3L, r6(d2))))
+  }
+
+  test("order 4 with pruning: missing deep grams ride the full ladder") {
+    // minCount=2 prunes ALL 4-grams (each seen once) and the singleton
+    // bigrams/trigrams — every pos≥3 token backs off 4→3
+    val lnHalf = math.log(0.5)
+    val ln23 = math.log(2.0 / 3)
+    val lnA = math.log(0.4)
+    // doc1 a b a b a: pos0 uni(a); pos1 bg(a,b)=0; pos2 tg(a,b,a)=ln 2/3;
+    //  pos3 (a,b,a,b) pruned → α + tg(b,a,b) pruned → α + bg(a,b)=0
+    //  pos4 (b,a,b,a) pruned → α + tg(a,b,a) = α + ln 2/3
+    val d1 = (lnHalf + 0.0 + ln23 + (lnA + lnA + 0.0) + (lnA + ln23)) / 5
+    // doc2 a b c: pos0 uni(a); pos1 bg(a,b)=0;
+    //  pos2 tg(a,b,c) pruned → α + bg(b,c) pruned → α + uni(c)=ln(1/8)
+    val d2 = (lnHalf + 0.0 + (lnA + lnA + math.log(1.0 / 8))) / 3
+    val got = NgramLM.score(lmDocs, "doc_id", "text", order = 4,
+        minCount = 2)
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 5L, r6(d1)), (2L, 3L, r6(d2))))
+  }
+
+  test("order 5 on short docs: positions cap the usable level, so " +
+    "scores equal the order-4 model when no doc has a 5th token") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "b a"))
+      .toDF("doc_id", "text")
+    val o5 = NgramLM.score(docs, "doc_id", "text", order = 5,
+      minCount = 1).orderBy("doc_id").collect().toSeq
+    val o4 = NgramLM.score(docs, "doc_id", "text", order = 4,
+      minCount = 1).orderBy("doc_id").collect().toSeq
+    assert(o5 == o4)
+  }
+
+  test("scoreAgainst composes with the dedicated lower-order trains " +
+    "and applies the OOV floor") {
+    val tables = Seq(UnigramLM.train(lmDocs, "text"),
+      BigramLM.train(lmDocs, "text", minCount = 2),
+      TrigramLM.train(lmDocs, "text", minCount = 2))
+    val composed = NgramLM.scoreAgainst(lmDocs, tables, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val fused = NgramLM.score(lmDocs, "doc_id", "text", order = 3)
+      .orderBy("doc_id").collect().toSeq
+    assert(composed == fused)
+    // all-OOV doc: pos0 floor, pos1 α+floor, pos2 α+α+floor
+    val lnA = math.log(0.4)
+    val got = NgramLM.scoreAgainst(Seq((9L, "zz zz zz"))
+        .toDF("doc_id", "text"), tables, "doc_id", "text")
+      .as[(Long, Long, Double)].head()
+    val want = (-20.0 + (lnA - 20.0) + (lnA + lnA - 20.0)) / 3
+    assert(got._1 == 9L && got._2 == 3L && got._3 == r6(want))
+  }
+
+  test("train exposes one pruned table per order with context totals") {
+    val tables = NgramLM.train(lmDocs, "text", order = 4, minCount = 1)
+    assert(tables.length == 4)
+    assert(tables(0).columns.toSeq == Seq("token", "cnt", "logp"))
+    assert(tables(3).columns.toSeq ==
+      Seq("prev", "prev2", "prev3", "token", "cnt", "ctx_cnt", "logp"))
+    val g4 = tables(3).orderBy("prev3", "prev2", "prev", "token")
+      .as[(String, String, String, String, Long, Double, Double)]
+      .collect().toSeq
+    assert(g4.map(r => (r._1, r._2, r._3, r._4, r._5, r._6)) ==
+      Seq(("a", "b", "a", "b", 1L, 1.0), ("b", "a", "b", "a", 1L, 1.0)))
+  }
+
+  test("broadcastVocab=false is bit-identical") {
+    val a = NgramLM.score(lmDocs, "doc_id", "text", order = 4)
+      .orderBy("doc_id").collect().toSeq
+    val b = NgramLM.score(lmDocs, "doc_id", "text", order = 4,
+      broadcastVocab = false).orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("order bounds are enforced") {
+    intercept[IllegalArgumentException] {
+      NgramLM.score(lmDocs, "doc_id", "text", order = 1)
+    }
+    intercept[IllegalArgumentException] {
+      NgramLM.score(lmDocs, "doc_id", "text", order = 9)
+    }
+  }
+}

@@ -1,0 +1,147 @@
+package graft.textops
+
+import graft.SparkSpec
+import graft.tables.Tables
+import org.apache.spark.sql.functions._
+
+/** KenLM-style log-prob quantization: codebook fits, encode/decode error
+  * bounds, null propagation through join misses, and rank agreement of
+  * quantized vs float trigram scoring on the documents fixture.
+  */
+class NgramQuantSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def valuesDf(vs: Seq[Double]) = vs.zipWithIndex
+    .map { case (v, i) => (i.toLong, v) }.toDF("k", "logp")
+
+  test("fitUniform: 2^bits ascending centroids at bin centres") {
+    val cb = NgramQuant.fitUniform(valuesDf(Seq(-8.0, -4.0, 0.0)), "logp",
+      bits = 3)
+    assert(cb.length == 8)
+    val w = 8.0 / 8
+    cb.zipWithIndex.foreach { case (c, i) =>
+      assert(math.abs(c - (-8.0 + (i + 0.5) * w)) < 1e-12)
+    }
+    assert(cb.sliding(2).forall(p => p(0) < p(1)))
+  }
+
+  test("uniform encode/decode: error bounded by half a bin width") {
+    val rnd = new scala.util.Random(7)
+    val vs = Seq.fill(500)(-25.0 + 25.0 * rnd.nextDouble())
+    val df = valuesDf(vs)
+    val cb = NgramQuant.fitUniform(df, "logp", bits = 8)
+    val q = NgramQuant.Quantized(NgramQuant.encode(df, "logp", cb),
+      "logp", cb)
+    val w = (cb(1) - cb(0)) // uniform bin width
+    val err = q.maxError(df.withColumn("logp", round(col("logp"), 6)),
+      Seq("k"))
+    assert(err <= w / 2 + 1e-9, s"max error $err > half bin width ${w / 2}")
+    // codes use the full tinyint range convention
+    val codes = q.table.select(col("logp_q").cast("int")).as[Int].collect()
+    assert(codes.forall(c => c >= -128 && c <= 127))
+  }
+
+  test("binning fit: equal-population codebook spreads codes over a " +
+    "skewed distribution where uniform bins collapse") {
+    val rnd = new scala.util.Random(11)
+    // log-prob-shaped skew: dense mass near -2, long sparse tail to -20
+    val vs = Seq.fill(2000)(-math.exp(rnd.nextGaussian() * 0.8 + 0.7))
+    val df = valuesDf(vs).localCheckpoint(true)
+    def codeUse(cb: Array[Double]): Array[Long] =
+      NgramQuant.encode(df, "logp", cb)
+        .groupBy("logp_q").count().as[(Byte, Long)].collect().map(_._2)
+    val uniUse = codeUse(NgramQuant.fitUniform(df, "logp", bits = 6))
+    val binUse = codeUse(NgramQuant.fitBinning(df, "logp", bits = 6))
+    // binning adapts to density: (a) far better code utilization than
+    // the equal-width grid, whose codes pile onto the dense mass …
+    assert(binUse.length > uniUse.length,
+      s"binning used ${binUse.length} codes, uniform ${uniUse.length}")
+    assert(binUse.length >= 48) // of 64
+    // … and (b) near-equal bin populations (the defining property)
+    val ideal = 2000.0 / 64
+    assert(binUse.max <= 4 * ideal,
+      s"max bin population ${binUse.max} vs ideal $ideal")
+    // encode is order-preserving regardless of fit: rank of the decoded
+    // value never inverts the rank of the input
+    val cb = NgramQuant.fitBinning(df, "logp", bits = 6)
+    val pairs = NgramQuant.encode(df, "logp", cb)
+      .join(df.withColumnRenamed("logp", "orig"), "k")
+      .orderBy("orig").select(col("logp_q").cast("int")).as[Int].collect()
+    assert(pairs.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+  }
+
+  test("degenerate single-value table: every code decodes to the value") {
+    val df = valuesDf(Seq(-3.5, -3.5, -3.5))
+    for (uniform <- Seq(true, false)) {
+      val q = NgramQuant.quantize(df, "logp", bits = 8, uniform = uniform)
+      val dec = q.table.select(q.decode(col("logp_q")).as[Double]).collect()
+      assert(dec.forall(d => math.abs(d + 3.5) < 1e-9))
+    }
+  }
+
+  test("decode of a null code (join miss) is null — OOV floor fires") {
+    val docs = Seq((1L, "a b a b a"), (2L, "a b c")).toDF("doc_id", "text")
+    val uniQ = NgramQuant.quantize(UnigramLM.train(docs, "text"))
+    val bgQ = NgramQuant.quantize(BigramLM.train(docs, "text", 1))
+    val tgQ = NgramQuant.quantize(TrigramLM.train(docs, "text", 1))
+    val got = TrigramLM.scoreAgainstQuantized(
+        Seq((9L, "zz zz zz")).toDF("doc_id", "text"),
+        uniQ, bgQ, tgQ, "doc_id", "text", oovLogp = -20.0)
+      .as[(Long, Long, Double)].head()
+    // all-OOV doc: pos0 floor; pos1 α+floor; pos2 α+α+floor
+    val lnA = math.log(0.4)
+    val want = (-20.0 + (lnA - 20.0) + (lnA + lnA - 20.0)) / 3
+    assert(got._1 == 9L && got._2 == 3L)
+    assert(math.abs(got._3 - want) < 1e-6)
+  }
+
+  test("quantized trigram scoring: rank agreement with the float path " +
+    "on the documents fixture") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text")).localCheckpoint(true)
+    val uniT = UnigramLM.train(docs, "text").localCheckpoint(true)
+    val bgT = BigramLM.train(docs, "text", minCount = 2)
+      .localCheckpoint(true)
+    val tgT = TrigramLM.train(docs, "text", minCount = 2)
+      .localCheckpoint(true)
+    val floatScores = TrigramLM.scoreAgainst(docs, uniT, bgT, tgT,
+        "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val qScores = TrigramLM.scoreAgainstQuantized(docs,
+        NgramQuant.quantize(uniT), NgramQuant.quantize(bgT),
+        NgramQuant.quantize(tgT), "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(qScores.keySet == floatScores.keySet)
+    assert(qScores.forall { case (k, (n, _)) => floatScores(k)._1 == n })
+    // Spearman rank correlation of the doc ordering (the quantity a
+    // percentile-cut curation gate consumes)
+    def ranks(m: Map[Long, (Long, Double)]): Map[Long, Double] = {
+      val sorted = m.toSeq.sortBy(t => (t._2._2, t._1)).map(_._1)
+        .zipWithIndex
+      sorted.map { case (k, i) => k -> i.toDouble }.toMap
+    }
+    val rf = ranks(floatScores); val rq = ranks(qScores)
+    val n = rf.size.toDouble
+    val d2 = rf.keys.map(k => math.pow(rf(k) - rq(k), 2)).sum
+    val rho = 1 - 6 * d2 / (n * (n * n - 1))
+    assert(rho > 0.99, s"Spearman rho $rho <= 0.99 over ${n.toInt} docs")
+    // per-doc score drift bounded by the worst-table quantization step
+    val maxDiff = floatScores.keys
+      .map(k => math.abs(floatScores(k)._2 - qScores(k)._2)).max
+    assert(maxDiff < 0.5, s"max |float - quantized| score diff $maxDiff")
+  }
+
+  test("quantize rejects empty tables and bad bit widths") {
+    val empty = valuesDf(Nil)
+    intercept[IllegalArgumentException] {
+      NgramQuant.fitUniform(empty, "logp")
+    }
+    intercept[IllegalArgumentException] {
+      NgramQuant.fitBinning(empty, "logp")
+    }
+    intercept[IllegalArgumentException] {
+      NgramQuant.fitUniform(valuesDf(Seq(1.0)), "logp", bits = 9)
+    }
+  }
+}
