@@ -2026,8 +2026,15 @@ object SparkEntry {
     // an O(1) element_at on the codebook literal. The contract form uses
     // the equal-width fit (SQL-replayable bit-for-bit: codebook, encode
     // midpoint counts and decode are all IEEE double arithmetic the
-    // oracle recomputes); production curation defaults to KenLM's
-    // equal-population binning (NgramQuantSpec covers rank agreement)
+    // oracle recomputes). Boundary-collision assumption: bit-exact codes
+    // hinge on Spark's round(x,6) (BigDecimal HALF_UP) and DuckDB's
+    // round agreeing, and on both engines' ln agreeing at 6-dp rounding
+    // boundaries — a 1-ulp ln divergence AT a bin midpoint would flip a
+    // code and shift that gram's score by a full bin width.
+    // NgramQuantSpec pins the encode against driver-computed expected
+    // codes to catch engine drift early; production curation defaults to
+    // KenLM's equal-population binning (NgramQuantSpec covers rank
+    // agreement)
     "q99_quant_lm" -> ((s, dir) => {
       val docs = tSpread(s, dir, "documents")
       val uniT = UnigramLM.train(docs, "text")
@@ -2051,6 +2058,27 @@ object SparkEntry {
     "q100_ngram_lm" -> ((s, dir) => {
       NgramLM.score(tSpread(s, dir, "documents"), "doc_id", "text",
           order = 5, minCount = 2, alpha = 0.4)
+        .orderBy(col("doc_id"))
+    }),
+
+    // 8-bit quantized order-5 LM — q99's KenLM `-q 8` treatment at the
+    // order a production CCNet gate actually ships (Wenzek 2020 score
+    // with a 5-gram KenLM; Heafield 2011 quantize at whatever order the
+    // model has): all five tables off ONE tuple scan, each carrying
+    // 1-byte codes across its scoring join, decoded post-join via
+    // element_at on the codebook literal. Equal-width fit for the same
+    // reason as q99 — codebook, midpoint-count encode and decode are
+    // IEEE double arithmetic the oracle replays bit-for-bit (codes are
+    // the only discontinuous step and hinge on Spark round(x,6) and
+    // DuckDB round agreeing at bin boundaries — see q99's note);
+    // production curation defaults to equal-population binning
+    // (NgramQuantSpec covers rank agreement at order 5)
+    "q101_quant5_lm" -> ((s, dir) => {
+      val docs = tSpread(s, dir, "documents")
+      val tables = NgramLM.train(docs, "text", order = 5, minCount = 2)
+      NgramLM.scoreAgainstQuantized(docs,
+          tables.map(t => NgramQuant.quantize(t, uniform = true)),
+          "doc_id", "text", alpha = 0.4)
         .orderBy(col("doc_id"))
     })
   )
@@ -3977,6 +4005,146 @@ object SparkEntry {
         |    AND q5.prev2 = p.prev2 AND q5.prev = p.prev
         |    AND q5.token = p.token
         |  CROSS JOIN tot)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  round(avg(lp), 6) AS avg_logprob
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q101 composes q100's 5-level train with q99's per-table 8-bit
+    // equal-width quantization: per level, r = round(logp, 6); 256
+    // centroids cs_i = lo + (i+0.5)·w, w = (hi-lo)/256; code =
+    // #{consecutive-centroid midpoints ≤ r}; score the DECODED centroids
+    // through the 5→4→3→2→1→OOV ladder. Same bit-exactness argument as
+    // q99 at every level.
+    "q101_quant5_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents WHERE trim(text) != ''),
+        |tup AS (
+        |  SELECT doc_id,
+        |    CASE WHEN i <= 4 THEN NULL ELSE t[i-4] END AS prev4,
+        |    CASE WHEN i <= 3 THEN NULL ELSE t[i-3] END AS prev3,
+        |    CASE WHEN i <= 2 THEN NULL ELSE t[i-2] END AS prev2,
+        |    CASE WHEN i = 1 THEN NULL ELSE t[i-1] END AS prev,
+        |    t[i] AS token
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
+        |        FROM toks)),
+        |uni AS (SELECT token, count(*) AS cnt FROM tup GROUP BY token),
+        |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM uni),
+        |unil AS (SELECT token,
+        |    round(ln(CAST(cnt AS DOUBLE) / total), 6) AS r
+        |  FROM uni CROSS JOIN tot),
+        |uqm AS (SELECT cs, list_transform(range(1, 256),
+        |      j -> (cs[j] + cs[j + 1]) / 2) AS mids
+        |  FROM (SELECT list_transform(range(0, 256),
+        |          i -> lo + (i + 0.5) * w) AS cs
+        |        FROM (SELECT min(r) AS lo, (max(r) - min(r)) / 256 AS w
+        |              FROM unil))),
+        |unid AS (SELECT token,
+        |    cs[len(list_filter(mids, m -> r >= m)) + 1] AS ulp
+        |  FROM unil CROSS JOIN uqm),
+        |bgall AS (
+        |  SELECT prev, token, count(*) AS cnt FROM tup
+        |  WHERE prev IS NOT NULL GROUP BY prev, token),
+        |bctx AS (SELECT prev, CAST(sum(cnt) AS DOUBLE) AS ctx_cnt
+        |         FROM bgall GROUP BY prev),
+        |bgl AS (SELECT b.prev, b.token,
+        |    round(ln(CAST(b.cnt AS DOUBLE) / c.ctx_cnt), 6) AS r
+        |  FROM bgall b JOIN bctx c USING (prev) WHERE b.cnt >= 2),
+        |bqm AS (SELECT cs, list_transform(range(1, 256),
+        |      j -> (cs[j] + cs[j + 1]) / 2) AS mids
+        |  FROM (SELECT list_transform(range(0, 256),
+        |          i -> lo + (i + 0.5) * w) AS cs
+        |        FROM (SELECT min(r) AS lo, (max(r) - min(r)) / 256 AS w
+        |              FROM bgl))),
+        |bgd AS (SELECT prev, token,
+        |    cs[len(list_filter(mids, m -> r >= m)) + 1] AS blp
+        |  FROM bgl CROSS JOIN bqm),
+        |tgall AS (
+        |  SELECT prev2, prev, token, count(*) AS cnt FROM tup
+        |  WHERE prev2 IS NOT NULL GROUP BY prev2, prev, token),
+        |tctx AS (SELECT prev2, prev, CAST(sum(cnt) AS DOUBLE) AS ctx_cnt
+        |         FROM tgall GROUP BY prev2, prev),
+        |tgl AS (SELECT g.prev2, g.prev, g.token,
+        |    round(ln(CAST(g.cnt AS DOUBLE) / c.ctx_cnt), 6) AS r
+        |  FROM tgall g JOIN tctx c ON c.prev2 = g.prev2 AND c.prev = g.prev
+        |  WHERE g.cnt >= 2),
+        |tqm AS (SELECT cs, list_transform(range(1, 256),
+        |      j -> (cs[j] + cs[j + 1]) / 2) AS mids
+        |  FROM (SELECT list_transform(range(0, 256),
+        |          i -> lo + (i + 0.5) * w) AS cs
+        |        FROM (SELECT min(r) AS lo, (max(r) - min(r)) / 256 AS w
+        |              FROM tgl))),
+        |tgd AS (SELECT prev2, prev, token,
+        |    cs[len(list_filter(mids, m -> r >= m)) + 1] AS tlp
+        |  FROM tgl CROSS JOIN tqm),
+        |q4all AS (
+        |  SELECT prev3, prev2, prev, token, count(*) AS cnt FROM tup
+        |  WHERE prev3 IS NOT NULL GROUP BY prev3, prev2, prev, token),
+        |q4ctx AS (SELECT prev3, prev2, prev,
+        |    CAST(sum(cnt) AS DOUBLE) AS ctx_cnt
+        |  FROM q4all GROUP BY prev3, prev2, prev),
+        |q4l AS (SELECT g.prev3, g.prev2, g.prev, g.token,
+        |    round(ln(CAST(g.cnt AS DOUBLE) / c.ctx_cnt), 6) AS r
+        |  FROM q4all g JOIN q4ctx c ON c.prev3 = g.prev3
+        |    AND c.prev2 = g.prev2 AND c.prev = g.prev
+        |  WHERE g.cnt >= 2),
+        |q4qm AS (SELECT cs, list_transform(range(1, 256),
+        |      j -> (cs[j] + cs[j + 1]) / 2) AS mids
+        |  FROM (SELECT list_transform(range(0, 256),
+        |          i -> lo + (i + 0.5) * w) AS cs
+        |        FROM (SELECT min(r) AS lo, (max(r) - min(r)) / 256 AS w
+        |              FROM q4l))),
+        |q4d AS (SELECT prev3, prev2, prev, token,
+        |    cs[len(list_filter(mids, m -> r >= m)) + 1] AS qlp
+        |  FROM q4l CROSS JOIN q4qm),
+        |q5all AS (
+        |  SELECT prev4, prev3, prev2, prev, token, count(*) AS cnt
+        |  FROM tup WHERE prev4 IS NOT NULL
+        |  GROUP BY prev4, prev3, prev2, prev, token),
+        |q5ctx AS (SELECT prev4, prev3, prev2, prev,
+        |    CAST(sum(cnt) AS DOUBLE) AS ctx_cnt
+        |  FROM q5all GROUP BY prev4, prev3, prev2, prev),
+        |q5l AS (SELECT g.prev4, g.prev3, g.prev2, g.prev, g.token,
+        |    round(ln(CAST(g.cnt AS DOUBLE) / c.ctx_cnt), 6) AS r
+        |  FROM q5all g JOIN q5ctx c ON c.prev4 = g.prev4
+        |    AND c.prev3 = g.prev3 AND c.prev2 = g.prev2 AND c.prev = g.prev
+        |  WHERE g.cnt >= 2),
+        |q5qm AS (SELECT cs, list_transform(range(1, 256),
+        |      j -> (cs[j] + cs[j + 1]) / 2) AS mids
+        |  FROM (SELECT list_transform(range(0, 256),
+        |          i -> lo + (i + 0.5) * w) AS cs
+        |        FROM (SELECT min(r) AS lo, (max(r) - min(r)) / 256 AS w
+        |              FROM q5l))),
+        |q5d AS (SELECT prev4, prev3, prev2, prev, token,
+        |    cs[len(list_filter(mids, m -> r >= m)) + 1] AS plp
+        |  FROM q5l CROSS JOIN q5qm),
+        |scored AS (
+        |  SELECT p.doc_id,
+        |    CASE WHEN p.prev IS NULL THEN coalesce(u.ulp, -20.0)
+        |         WHEN p.prev2 IS NULL THEN coalesce(b.blp,
+        |           ln(0.4) + coalesce(u.ulp, -20.0))
+        |         WHEN p.prev3 IS NULL THEN coalesce(t2.tlp,
+        |           ln(0.4) + coalesce(b.blp,
+        |             ln(0.4) + coalesce(u.ulp, -20.0)))
+        |         WHEN p.prev4 IS NULL THEN coalesce(g4.qlp,
+        |           ln(0.4) + coalesce(t2.tlp,
+        |             ln(0.4) + coalesce(b.blp,
+        |               ln(0.4) + coalesce(u.ulp, -20.0))))
+        |         ELSE coalesce(g5.plp,
+        |           ln(0.4) + coalesce(g4.qlp,
+        |             ln(0.4) + coalesce(t2.tlp,
+        |               ln(0.4) + coalesce(b.blp,
+        |                 ln(0.4) + coalesce(u.ulp, -20.0)))))
+        |    END AS lp
+        |  FROM tup p
+        |  LEFT JOIN unid u ON u.token = p.token
+        |  LEFT JOIN bgd b ON b.prev = p.prev AND b.token = p.token
+        |  LEFT JOIN tgd t2 ON t2.prev2 = p.prev2 AND t2.prev = p.prev
+        |    AND t2.token = p.token
+        |  LEFT JOIN q4d g4 ON g4.prev3 = p.prev3 AND g4.prev2 = p.prev2
+        |    AND g4.prev = p.prev AND g4.token = p.token
+        |  LEFT JOIN q5d g5 ON g5.prev4 = p.prev4 AND g5.prev3 = p.prev3
+        |    AND g5.prev2 = p.prev2 AND g5.prev = p.prev
+        |    AND g5.token = p.token)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
         |  round(avg(lp), 6) AS avg_logprob
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin

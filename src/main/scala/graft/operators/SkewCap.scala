@@ -1,0 +1,150 @@
+package graft.operators
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.internal.Logging
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.functions.udf
+import org.apache.spark.sql.util.QueryExecutionListener
+import org.apache.spark.util.{DoubleAccumulator, LongAccumulator}
+
+/** Observability for hard skew caps ("no silent caps").
+  *
+  * [[graft.textops.MinHashLSH.candidatePairs]],
+  * [[graft.sim.Cosine.nearDupPairsLsh]] and [[graft.sim.SemDeDup]] all
+  * bound their quadratic in-bucket pair expansion by dropping oversized
+  * buckets/cells whole — the right scale trade-off, but on a real corpus
+  * a boilerplate mega-cluster would silently vanish from recall. This
+  * helper makes every such drop measurable: each cap site filters
+  * through a recording predicate that feeds per-operator Spark
+  * accumulators (rows dropped, buckets dropped), and the first non-zero
+  * reading per JVM is surfaced via [[dropped]] and a log warning.
+  *
+  * Why a UDF predicate and not `Dataset.observe`: `CollectMetrics` is
+  * silently dropped from the physical plan by AQE re-optimization on
+  * this Spark version (verified: the node is present in the optimized
+  * logical plan and absent from the executed `AdaptiveSparkPlanExec`),
+  * so observed metrics never surface for any plan with an exchange —
+  * which is every capped operator here. Accumulators survive AQE. The
+  * predicate is a boolean-on-long UDF applied AFTER the bucket-count
+  * shuffle — per bucket row in MinHashLSH, per member row (one join
+  * branch only, to count once) in the LSH/SemDeDup shapes — so it never
+  * touches the scan-stage hot path, and no builtin can write an
+  * accumulator.
+  *
+  * Semantics: counters are CUMULATIVE across query executions in the
+  * JVM; a re-run of the same DataFrame counts its drops again (they
+  * really were dropped again). Accumulator updates from retried or
+  * speculative tasks may over-count — readings are exact in the common
+  * case and a lower-bound-accurate diagnostic under task retries, which
+  * is the right trade-off for drop telemetry.
+  */
+object SkewCap extends Logging {
+
+  final case class Dropped(rows: Long, buckets: Long)
+
+  private final case class Counters(rows: LongAccumulator,
+                                    buckets: DoubleAccumulator,
+                                    ctxId: Int)
+
+  private val counters = new ConcurrentHashMap[String, Counters]()
+  private val lastLogged = new ConcurrentHashMap[String, Dropped]()
+
+  private def counter(op: String): Counters = {
+    // never CREATE a context here — cap sites run while a session is
+    // live, and an implicit masterless create would be a config bug
+    val spark = SparkSession.active
+    val sc = spark.sparkContext
+    ensureListener(spark)
+    counters.compute(op, (_, existing) => {
+      // re-register after a context restart (accumulators die with it)
+      if (existing != null && existing.ctxId == sc.hashCode()) existing
+      else {
+        val r = new LongAccumulator
+        val b = new DoubleAccumulator
+        sc.register(r, s"graft_skew_cap:$op:rows_dropped")
+        sc.register(b, s"graft_skew_cap:$op:buckets_dropped")
+        Counters(r, b, sc.hashCode())
+      }
+    })
+  }
+
+  // after each successful query, log any NEW drops since the last log —
+  // the runtime "how much vanished" report; the named accumulators are
+  // also visible per-stage in the Spark UI
+  private object Listener extends QueryExecutionListener {
+    override def onSuccess(funcName: String, qe: QueryExecution,
+                           durationNs: Long): Unit =
+      counters.forEach { (op, c) =>
+        val cur = Dropped(c.rows.value, math.round(c.buckets.value))
+        val prev = lastLogged.getOrDefault(op, Dropped(0L, 0L))
+        if (cur.rows > prev.rows || cur.buckets > prev.buckets) {
+          lastLogged.put(op, cur)
+          logWarning(s"$op skew cap dropped ${cur.rows - prev.rows} rows " +
+            s"in ${cur.buckets - prev.buckets} oversized buckets this " +
+            "query — recall on those mega-clusters is lost; raise the " +
+            "cap or pre-split the key if they matter")
+        }
+      }
+    override def onFailure(funcName: String, qe: QueryExecution,
+                           exception: Exception): Unit = ()
+  }
+
+  private val registeredSessions =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
+  private def ensureListener(spark: SparkSession): Unit =
+    if (registeredSessions.putIfAbsent(spark, java.lang.Boolean.TRUE) == null)
+      spark.listenerManager.register(Listener)
+
+  /** Rows/buckets dropped by `op`'s skew cap so far in this JVM (on a
+    * cluster: as reported back to the driver — call from the driver).
+    * Zero if no capped operator has been planned yet.
+    */
+  def dropped(op: String): Dropped =
+    Option(counters.get(op))
+      .map(c => Dropped(c.rows.value, math.round(c.buckets.value)))
+      .getOrElse(Dropped(0L, 0L))
+
+  /** Reset `op`'s counters (test isolation / per-campaign readings). */
+  def reset(op: String): Unit = {
+    Option(counters.get(op)).foreach { c =>
+      c.rows.reset(); c.buckets.reset()
+    }
+    lastLogged.remove(op)
+  }
+
+  /** Keep-predicate for a one-row-per-bucket shape (`n` = bucket size):
+    * false for buckets over `cap`, recording the whole bucket's `n` rows
+    * and 1 bucket. Marked nondeterministic so the optimizer neither
+    * clones nor reorders the recording.
+    */
+  def keepBucket(op: String, cap: Long): Column => Column = {
+    val c = counter(op)
+    val f = udf { n: Long =>
+      val keep = n <= cap
+      if (!keep) { c.rows.add(n); c.buckets.add(1.0) }
+      keep
+    }.asNondeterministic()
+    n => f(n)
+  }
+
+  /** Keep-predicate for a row-per-member shape with the bucket size `n`
+    * attached to every member: false for members of buckets over `cap`,
+    * recording 1 row and 1/n bucket per member (a dropped bucket's
+    * members sum to exactly 1). Apply on ONE lineage only when the
+    * capped frame feeds both sides of a self-join, or buckets count
+    * double.
+    */
+  def keepMember(op: String, cap: Long): Column => Column = {
+    val c = counter(op)
+    val f = udf { n: Long =>
+      val keep = n <= cap
+      if (!keep) { c.rows.add(1L); c.buckets.add(1.0 / n) }
+      keep
+    }.asNondeterministic()
+    n => f(n)
+  }
+}

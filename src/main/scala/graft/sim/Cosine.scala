@@ -85,22 +85,26 @@ object Cosine {
     * signature) would otherwise expand quadratically in the self-join.
     * Oversized buckets are dropped whole, trading recall on mega-clusters
     * for a bounded candidate count; singleton buckets are pruned too (they
-    * cannot form a pair). The cap filter groups on the same `__sig` key the
-    * join shuffles on, so the signature exchange is reused, not doubled.
+    * cannot form a pair). The cap is decided on a slim (sig, count)
+    * aggregate — at most 2^nBits rows — broadcast-semi-joined into both
+    * pair sides: the aggregate map-combines to nearly nothing before its
+    * shuffle, no full-row exchange or window sort precedes the pair join,
+    * and the drops are NOT silent — the aggregate's one-row-per-bucket
+    * shape runs SkewCap's recording predicate exactly once per bucket
+    * (logged post-query, queryable via SkewCap.dropped("cosine_lsh")),
+    * and it executes before any downstream emptiness can prune it.
     */
   def nearDupPairsLsh(corpus: DataFrame, idCol: String, vecCol: String,
                       threshold: Double, nBits: Int = 8,
                       maxBucketSize: Int = 10000): DataFrame = {
     val sig = corpus.withColumn("__sig", hyperplaneSig(asDouble(col(vecCol)), nBits))
-    // bucket-size cap as an unordered WINDOW on the signature, not a
-    // count-aggregate joined back: the aggregate branch and the join
-    // branch would each re-fold the nBits×dim signature per row (column
-    // pruning defeats ReuseExchange), where the window keeps one lineage
-    // and shuffles on the same 8-byte key the pair join uses anyway
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__sig"))
-    val capped = sig.withColumn("__n", count(lit(1)).over(w))
-      .filter(col("__n") > 1 && col("__n") <= maxBucketSize)
-      .drop("__n")
+    val keptSigs = sig.groupBy(col("__sig"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1)
+      .filter(graft.operators.SkewCap
+        .keepBucket("cosine_lsh", maxBucketSize)(col("__n")))
+      .select(col("__sig"))
+    val capped = sig.join(broadcast(keptSigs), Seq("__sig"), "left_semi")
     val a = capped.select(col(idCol).as("id1"), col(vecCol).as("__v1"), col("__sig"))
     val b = capped.select(col(idCol).as("id2"), col(vecCol).as("__v2"), col("__sig"))
     a.join(b, Seq("__sig")).filter(col("id1") < col("id2"))

@@ -34,13 +34,21 @@ object SemDeDup {
                  maxCellSize: Int = 100000): DataFrame = {
     val centroids = Ivf.train(corpus, idCol, vecCol, k, nIters)
     val assigned = Ivf.assign(corpus, vecCol, centroids)
-    // cell cap as an unordered window (one lineage): a count-aggregate
-    // joined back would re-run the O(k)-cosine assignment on both
-    // branches — same reasoning as Cosine.nearDupPairsLsh
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__cell"))
-    val capped = assigned.withColumn("__sz", count(lit(1)).over(w))
-      .filter(col("__sz") > 1 && col("__sz") <= maxCellSize)
-      .drop("__sz")
+    // cell cap decided on a slim (cell, count) aggregate — at most k
+    // rows — broadcast-semi-joined into both pair sides. One extra O(k)
+    // assignment pass for the aggregate branch, but no full-row window
+    // shuffle before the pair join, and drops are NOT silent: the
+    // one-row-per-cell shape runs SkewCap's recording predicate exactly
+    // once per cell (logged post-query, queryable via
+    // SkewCap.dropped("semdedup")), and it executes before any
+    // downstream emptiness can prune it.
+    val keptCells = assigned.groupBy(col("__cell"))
+      .agg(count(lit(1)).as("__sz"))
+      .filter(col("__sz") > 1)
+      .filter(graft.operators.SkewCap
+        .keepBucket("semdedup", maxCellSize)(col("__sz")))
+      .select(col("__cell"))
+    val capped = assigned.join(broadcast(keptCells), Seq("__cell"), "left_semi")
     val a = capped.select(col("__cell"), col(idCol).as("__id1"),
       col(vecCol).as("__v1"))
     val b = capped.select(col("__cell"), col(idCol).as("__id2"),

@@ -5,53 +5,22 @@ import org.apache.spark.sql.functions._
 
 /** Bigram language model with stupid backoff (Brants et al. 2007, "Large
   * Language Models in Machine Translation") — the higher-order step from
-  * [[UnigramLM]] toward CCNet's KenLM scorer (Wenzek et al. 2020). The
-  * model stays join-shaped: two broadcastable tables (a count-pruned
-  * bigram table and the unigram vocabulary) instead of a monolithic
-  * native-format LM binary, so scoring distributes exactly like the
-  * unigram path with one extra left join.
+  * [[UnigramLM]] toward CCNet's KenLM scorer (Wenzek et al. 2020).
   *
+  * Thin order-2 delegate of [[NgramLM]]: one implementation of the
+  * tuple scan, pruned-table train and backoff ladder lives there; this
+  * object keeps the two-table public surface (a count-pruned bigram
+  * table over a unigram vocabulary) that lower-order callers use.
   * Scoring rule per token w with left context v:
   *   - first token of a document (no context): unigram score ln(c(w)/T);
   *   - bigram (v,w) in the pruned table:       ln(c(v,w) / c(v·));
   *   - otherwise (backoff):                    ln(α) + unigram score;
   *   - w out of vocabulary entirely:           `oovLogp` floor (plus
   *     ln(α) when backing off through a context).
-  * Stupid backoff deliberately does not renormalize — scores are
-  * relative quality signals, not probabilities, which is all a
-  * perplexity-style curation gate needs (the published result is that at
-  * web scale this matches Kneser-Ney's *ranking* at a fraction of the
-  * training cost).
-  *
-  * Plan shape at 100 TB:
-  *   - pair formation is a scan-stage HOF (`transform` with the index
-  *     lambda over the token array) — no window, no self-join, no
-  *     shuffle to see each token's predecessor;
-  *   - train: one (prev,token)-key aggregation (map-side partials) plus
-  *     one prev-key rollup for context totals — "one extra shuffle" over
-  *     the unigram word-count;
-  *   - count pruning (`minCount`) bounds the bigram table: contexts keep
-  *     their UNpruned totals, so kept bigrams score with true MLE mass
-  *     and pruned ones fall back, exactly like KenLM's pruned ARPA files;
-  *   - score: two broadcast left joins (flag-escapable like
-  *     [[UnigramLM.scoreAgainst]]) + one doc-key aggregation.
+  * See [[NgramLM]] for the 100 TB plan-shape notes (scan-stage pair
+  * formation, gram-key shuffles, broadcast-escapable scoring joins).
   */
 object BigramLM {
-
-  /** (doc, pos, prev, token) tuples via a scan-stage index HOF; `prev` is
-    * null at pos 0. Documents with no tokens contribute nothing.
-    */
-  private def pairs(docs: DataFrame, idCol: String,
-                    textCol: String): DataFrame =
-    docs.select(col(idCol),
-        TextFunctions.tokens(lower(col(textCol))).as("__a"))
-      .filter(size(col("__a")) > 0)
-      .select(col(idCol), explode(expr(
-        "transform(__a, (x, i) -> struct(i AS pos, " +
-          "IF(i = 0, CAST(NULL AS STRING), __a[i-1]) AS prev, " +
-          "x AS token))")).as("__t"))
-      .select(col(idCol), col("__t.pos").as("pos"),
-        col("__t.prev").as("prev"), col("__t.token").as("token"))
 
   /** Count-pruned bigram table: (prev, token, cnt, ctx_cnt, logp) with
     * `logp = ln(cnt / ctx_cnt)`. `ctx_cnt` is the context's total
@@ -61,25 +30,11 @@ object BigramLM {
   def train(docs: DataFrame, textCol: String,
             minCount: Long = 2): DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
-    // materialized once: the context rollup and the pruned join both
-    // read the bigram counts — without the checkpoint each consumer
-    // re-explodes the corpus into pairs
-    // training never reads the doc id — a constant satisfies the pair
-    // schema without splicing textCol into a selectExpr string (which
-    // breaks for names needing backticks)
-    val bg = pairs(docs.select(lit(0L).as("__id"), col(textCol)),
-        "__id", textCol)
-      .filter(col("prev").isNotNull)
-      .groupBy(col("prev"), col("token"))
-      .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true)
-    val ctx = bg.groupBy(col("prev"))
-      .agg(sum(col("cnt")).cast("double").as("ctx_cnt"))
-    bg.filter(col("cnt") >= minCount)
-      .join(ctx, "prev")
-      .withColumn("logp", log(col("cnt").cast("double") / col("ctx_cnt")))
-      .select(col("prev"), col("token"), col("cnt"), col("ctx_cnt"),
-        col("logp"))
+    // training never reads the doc id — a constant satisfies the tuple
+    // schema without splicing textCol into a selectExpr string
+    val tp = NgramLM.tuples(
+      docs.select(lit(0L).as("__id"), col(textCol)), "__id", textCol, 2)
+    NgramLM.levelTable(tp, 2, minCount)
   }
 
   /** Score `docs` against a trained bigram table + unigram vocabulary
@@ -94,65 +49,17 @@ object BigramLM {
                    bigrams: DataFrame, idCol: String, textCol: String,
                    alpha: Double = 0.4, oovLogp: Double = -20.0,
                    broadcastVocab: Boolean = true): DataFrame =
-    scorePairs(pairs(docs, idCol, textCol), unigrams, bigrams, idCol,
+    NgramLM.scoreAgainst(docs, Seq(unigrams, bigrams), idCol, textCol,
       alpha, oovLogp, broadcastVocab)
 
-  /** Scoring core over a prepared pair table (see [[pairs]]). */
-  private def scorePairs(pr: DataFrame, unigrams: DataFrame,
-                         bigrams: DataFrame, idCol: String, alpha: Double,
-                         oovLogp: Double,
-                         broadcastVocab: Boolean): DataFrame = {
-    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
-    val uni0 = unigrams.select(col("token"), col("logp").as("__ulp"))
-    val bg0 = bigrams.select(col("prev"), col("token"),
-      col("logp").as("__blp"))
-    val uni = if (broadcastVocab) broadcast(uni0) else uni0
-    val bg = if (broadcastVocab) broadcast(bg0) else bg0
-    val uniScore = coalesce(col("__ulp"), lit(oovLogp))
-    pr.join(uni, Seq("token"), "left")
-      .join(bg, Seq("prev", "token"), "left")
-      .withColumn("__lp",
-        when(col("prev").isNull, uniScore)
-          .when(col("__blp").isNotNull, col("__blp"))
-          .otherwise(lit(math.log(alpha)) + uniScore))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tokens"),
-        round(avg(col("__lp")), 6).as("avg_logprob"))
-  }
-
   /** Train-on-self scoring (the one-corpus form; the unigram OOV floor
-    * never fires, backoff still does for pruned/unseen bigrams). FUSED:
-    * one checkpointed pair table feeds the unigram counts, the bigram
-    * counts, AND the scoring join — the composable
-    * `scoreAgainst(train(..))` form would tokenize the corpus three
-    * times for identical results (same count arithmetic, spec-pinned).
+    * never fires, backoff still does for pruned/unseen bigrams). FUSED
+    * via [[NgramLM.score]]: one checkpointed pair table feeds the
+    * unigram counts, the bigram counts, AND the scoring join.
     */
   def score(docs: DataFrame, idCol: String, textCol: String,
             minCount: Long = 2, alpha: Double = 0.4,
-            broadcastVocab: Boolean = true): DataFrame = {
-    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
-    val pr = pairs(docs, idCol, textCol).localCheckpoint(true)
-    // unigram model, UnigramLM.train's exact arithmetic over the same
-    // token stream (pairs enumerate every token exactly once)
-    val vocab = pr.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true)
-    val total = vocab.agg(sum(col("cnt")).cast("double").as("__total"))
-    val uni = vocab.crossJoin(broadcast(total))
-      .select(col("token"),
-        log(col("cnt").cast("double") / col("__total")).as("logp"))
-    // bigram table, train's exact arithmetic; checkpointed for its two
-    // consumers (context rollup + pruned join)
-    val bg = pr.filter(col("prev").isNotNull)
-      .groupBy(col("prev"), col("token"))
-      .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true)
-    val ctx = bg.groupBy(col("prev"))
-      .agg(sum(col("cnt")).cast("double").as("ctx_cnt"))
-    val bgTable = bg.filter(col("cnt") >= minCount)
-      .join(ctx, "prev")
-      .select(col("prev"), col("token"),
-        log(col("cnt").cast("double") / col("ctx_cnt")).as("logp"))
-    scorePairs(pr, uni, bgTable, idCol, alpha, oovLogp = -20.0,
+            broadcastVocab: Boolean = true): DataFrame =
+    NgramLM.score(docs, idCol, textCol, order = 2, minCount, alpha,
       broadcastVocab)
-  }
 }

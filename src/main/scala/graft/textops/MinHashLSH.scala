@@ -73,11 +73,17 @@ object MinHashLSH {
     // one shuffle: group ids per bucket, expand sorted in-bucket pairs with
     // higher-order functions (no self-join, no window). Buckets above
     // maxBucketSize (boilerplate shingles) are dropped whole — a hard bound
-    // on the quadratic expansion, trading recall on mega-clusters.
+    // on the quadratic expansion, trading recall on mega-clusters. The
+    // drops are NOT silent: the cap filter is SkewCap's recording
+    // predicate (runs on the per-BUCKET rows, never the scan stage),
+    // feeding rows/buckets-dropped accumulators that are logged after
+    // each query and queryable via SkewCap.dropped("minhash_lsh").
     banded.groupBy(col("__bucket"))
       .agg(sort_array(collect_list(col(idCol))).as("__ids"),
         count(lit(1)).as("__n"))
-      .filter(col("__n") > 1 && col("__n") <= maxBucketSize)
+      .filter(col("__n") > 1)
+      .filter(graft.operators.SkewCap
+        .keepBucket("minhash_lsh", maxBucketSize)(col("__n")))
       // TWO-STAGE expansion: explode id1 first, then each (list, id1) row
       // streams its partners out. The one-shot flatten(transform(...))
       // form materialized the bucket's ENTIRE n²/2 pair array as a single

@@ -5,9 +5,11 @@ import org.apache.spark.sql.functions._
 
 /** Order-N stupid-backoff language model (Brants et al. 2007) — the full
   * CCNet-grade perplexity gate: Wenzek et al. 2020 score web crawls with
-  * a 5-gram KenLM, and this generalizes the [[BigramLM]]/[[TrigramLM]]
-  * ladder to any order so `order = 5` reproduces that configuration with
-  * the same join-shaped, broadcast-escapable plan at every level.
+  * a 5-gram KenLM, and this generalizes the backoff ladder to any order
+  * so `order = 5` reproduces that configuration with the same
+  * join-shaped, broadcast-escapable plan at every level. [[BigramLM]] and
+  * [[TrigramLM]] are thin order-2/3 delegates of this object — one
+  * implementation of the chain logic, three public surfaces.
   *
   * Model = one count-pruned table per order 1..N (unigram unpruned),
   * each keyed by its (context…, token) tuple with `logp = ln(cnt/ctx)`
@@ -18,10 +20,17 @@ import org.apache.spark.sql.functions._
   * usable level is `L = min(pos + 1, N)` (a token two words in can see
   * at most two context words). `chain(1) = unigram logp, OOV → floor`;
   * `chain(k) = table-k hit ? its logp : ln(α) + chain(k-1)` — the
-  * N→…→1→OOV ladder multiplying α once per level skipped, exactly
-  * [[TrigramLM]]'s rule at N = 3. Stupid backoff does not renormalize:
-  * scores are relative quality signals, which is all a curation gate
-  * ranks with.
+  * N→…→1→OOV ladder multiplying α once per level skipped. Stupid
+  * backoff does not renormalize: scores are relative quality signals,
+  * which is all a curation gate ranks with.
+  *
+  * [[scoreAgainstQuantized]] is the same ladder over
+  * [[NgramQuant]]-quantized tables (KenLM's `-q 8` trie option,
+  * Heafield 2011 §3): every join ships (keys, 1-byte code) instead of
+  * (keys, double) — the ~4× broadcast-footprint cut that fits a
+  * web-crawl-vocabulary model in executor memory — and codes decode
+  * AFTER each join with an O(1) `element_at` on the codebook literal
+  * inside whole-stage codegen.
   *
   * Plan shape at 100 TB:
   *   - tuple formation (token + its N-1 predecessors) is ONE scan-stage
@@ -41,6 +50,37 @@ object NgramLM {
     */
   private[textops] def ctxCols(order: Int): Seq[String] =
     (1 until order).map(k => if (k == 1) "prev" else s"prev$k")
+
+  /** The context column an order-(k+1) table would add on top of an
+    * order-k one — its presence in a table passed as level k means the
+    * caller put the tables in the wrong order.
+    */
+  private def deeperCtxCol(k: Int): String =
+    if (k == 1) "prev" else s"prev$k"
+
+  /** Fail loudly when a table passed as level `k` does not carry exactly
+    * that level's key shape: it must have every ctx column of order k
+    * plus `token` and `valueCol`, and must NOT have the next-deeper ctx
+    * column. Without this, a trigram table in the bigram slot would
+    * "work": the slim select succeeds and the left join then matches
+    * multiple rows per (prev, token) key, silently inflating n_tokens
+    * and corrupting every score.
+    */
+  private def validateLevel(table: DataFrame, k: Int,
+                            valueCol: String): Unit = {
+    val cols = table.columns.toSeq
+    val need = ctxCols(k) :+ "token" :+ valueCol
+    val missing = need.filterNot(cols.contains)
+    require(missing.isEmpty,
+      s"order-$k table is missing column(s) ${missing.mkString(", ")} " +
+        s"(has ${cols.mkString(", ")}) — are the tables ordered " +
+        "unigram-first?")
+    val deeper = deeperCtxCol(k)
+    require(!cols.contains(deeper),
+      s"order-$k table has deeper context column '$deeper' (columns " +
+        s"${cols.mkString(", ")}) — is an order-${k + 1} table in the " +
+        s"order-$k slot?")
+  }
 
   /** (doc, pos, prev{N-1}…prev, token) tuples via a scan-stage index
     * HOF; `prev{k}` is null at pos < k. Documents with no tokens
@@ -67,7 +107,8 @@ object NgramLM {
     * (token, cnt, logp) against the corpus total, unpruned — the floor
     * of the ladder never prunes, matching [[UnigramLM.train]].
     */
-  private def levelTable(tp: DataFrame, k: Int, minCount: Long): DataFrame =
+  private[textops] def levelTable(tp: DataFrame, k: Int,
+                                  minCount: Long): DataFrame =
     if (k == 1) {
       val vocab = tp.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
         .localCheckpoint(true)
@@ -107,8 +148,9 @@ object NgramLM {
   }
 
   /** Score `docs` against `tables` from [[train]] (or the matching
-    * [[UnigramLM]]/[[BigramLM]]/[[TrigramLM]] train outputs). Output:
-    * (idCol, n_tokens, avg_logprob), avg rounded to 6 dp.
+    * [[UnigramLM]]/[[BigramLM]]/[[TrigramLM]] train outputs), ordered
+    * unigram-first; each table's key shape is validated against its
+    * slot. Output: (idCol, n_tokens, avg_logprob), avg rounded to 6 dp.
     */
   def scoreAgainst(docs: DataFrame, tables: Seq[DataFrame], idCol: String,
                    textCol: String, alpha: Double = 0.4,
@@ -118,31 +160,84 @@ object NgramLM {
     require(order >= 2 && order <= 8,
       s"need 2..8 tables (one per order), got $order")
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    tables.zipWithIndex.foreach { case (t, i) =>
+      validateLevel(t, i + 1, "logp")
+    }
     val tp = tuples(docs, idCol, textCol, order)
     scoreTuples(tp, tables, idCol, alpha, oovLogp, broadcastVocab)
+  }
+
+  /** [[scoreAgainst]] over [[NgramQuant]]-quantized tables, one per
+    * order 1..N unigram-first — the KenLM `-q 8` configuration at its
+    * actual order (a production CCNet gate ships the 5-gram model
+    * quantized). The N joins carry 1-byte codes; each decodes post-join
+    * via `element_at` on its codebook literal. `element_at` of a null
+    * code is null, so decoded columns miss exactly when the join missed
+    * and the float path's ladder transfers unchanged; scores differ from
+    * [[scoreAgainst]] only by the per-table quantization error.
+    */
+  def scoreAgainstQuantized(docs: DataFrame,
+                            quants: Seq[NgramQuant.Quantized],
+                            idCol: String, textCol: String,
+                            alpha: Double = 0.4, oovLogp: Double = -20.0,
+                            broadcastVocab: Boolean = true): DataFrame = {
+    val order = quants.length
+    require(order >= 2 && order <= 8,
+      s"need 2..8 quantized tables (one per order), got $order")
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    quants.zipWithIndex.foreach { case (q, i) =>
+      validateLevel(q.table, i + 1, s"${q.valueCol}_q")
+    }
+    val tp = tuples(docs, idCol, textCol, order)
+    val slims = quants.zipWithIndex.map { case (q, i) =>
+      val k = i + 1
+      val keys = (if (k == 1) Nil else ctxCols(k)) :+ "token"
+      q.table.select(
+        (keys.map(col) :+ col(s"${q.valueCol}_q").as(s"__q$k")): _*)
+    }
+    val values = quants.zipWithIndex.map { case (q, i) =>
+      q.decode(col(s"__q${i + 1}"))
+    }
+    ladder(tp, slims, values, idCol, alpha, oovLogp, broadcastVocab)
   }
 
   private def scoreTuples(tp: DataFrame, tables: Seq[DataFrame],
                           idCol: String, alpha: Double, oovLogp: Double,
                           broadcastVocab: Boolean): DataFrame = {
-    val order = tables.length
+    val slims = tables.zipWithIndex.map { case (table, i) =>
+      val k = i + 1
+      val keys = (if (k == 1) Nil else ctxCols(k)) :+ "token"
+      table.select((keys.map(col) :+ col("logp").as(s"__lp$k")): _*)
+    }
+    val values = tables.indices.map(i => col(s"__lp${i + 1}"))
+    ladder(tp, slims, values, idCol, alpha, oovLogp, broadcastVocab)
+  }
+
+  /** Shared scoring core: join each level's slim table on its key shape,
+    * fold the backoff chain bottom-up, gate by position, aggregate per
+    * document. `values(k-1)` is level k's post-join log-prob column
+    * (raw for float tables, decoded for quantized ones) — null iff the
+    * level missed.
+    */
+  private def ladder(tp: DataFrame, slims: Seq[DataFrame],
+                     values: Seq[Column], idCol: String, alpha: Double,
+                     oovLogp: Double,
+                     broadcastVocab: Boolean): DataFrame = {
+    val order = slims.length
     val lnA = lit(math.log(alpha))
-    // one left join per level; level k's logp lands in __lp{k}
-    val joined = tables.zipWithIndex.foldLeft(tp) {
-      case (acc, (table, i)) =>
+    val joined = slims.zipWithIndex.foldLeft(tp) {
+      case (acc, (slim0, i)) =>
         val k = i + 1
         val keys = (if (k == 1) Nil else ctxCols(k)) :+ "token"
-        val slim0 = table.select(
-          (keys.map(col) :+ col("logp").as(s"__lp$k")): _*)
         val slim = if (broadcastVocab) broadcast(slim0) else slim0
         acc.join(slim, keys, "left")
     }
     // chain(k): deepest-first fallback ladder as ONE column expression
-    val chain1 = coalesce(col("__lp1"), lit(oovLogp))
+    val chain1 = coalesce(values.head, lit(oovLogp))
     val chains: Seq[Column] = (2 to order).scanLeft(chain1) {
       (lower, k) =>
-        when(col(s"__lp$k").isNotNull, col(s"__lp$k"))
-          .otherwise(lnA + lower)
+        val v = values(k - 1)
+        when(v.isNotNull, v).otherwise(lnA + lower)
     }
     // position gates: the deepest level a token at pos can use is
     // min(pos+1, order) — pos 0 scores chain(1), pos 1 chain(2), …

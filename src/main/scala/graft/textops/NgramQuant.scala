@@ -106,11 +106,19 @@ object NgramQuant {
              roundDp: Int = 6): DataFrame = {
     require(codebook.nonEmpty && codebook.length <= 256,
       s"codebook must have 1..256 centroids, got ${codebook.length}")
-    val mids = codebook.sliding(2).map(p => (p(0) + p(1)) / 2).toArray
+    // sliding(2) on a 1-element array yields one short window, not zero
+    val mids =
+      if (codebook.length < 2) Array.empty[Double]
+      else codebook.sliding(2).map(p => (p(0) + p(1)) / 2).toArray
     val v = roundedCol(valueCol, roundDp)
+    // null-gated: `v >= m` is null for a null value, the filter lambda
+    // drops every midpoint and size() would be 0 — silently mapping a
+    // null log-prob to the lowest centroid. A null value must produce a
+    // null code so decode propagates the null instead of inventing a
+    // valid-looking score.
     val code =
-      if (mids.isEmpty) lit(0)
-      else size(filter(typedLit(mids), m => v >= m))
+      if (mids.isEmpty) when(v.isNotNull, lit(0))
+      else when(v.isNotNull, size(filter(typedLit(mids), m => v >= m)))
     table.withColumn(s"${valueCol}_q", (code - lit(128)).cast("tinyint"))
       .drop(valueCol)
   }

@@ -1,60 +1,26 @@
 package graft.textops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Trigram language model with stupid backoff (Brants et al. 2007) — the
-  * order-3 step of the CCNet-style perplexity gate (Wenzek et al. 2020
-  * scores with a 5-gram KenLM; the backoff chain and the pruned-table
-  * layout are identical at every order, this adds the next level over
-  * [[BigramLM]]). The model stays join-shaped: three broadcastable
-  * count-pruned tables (trigram, bigram, unigram) instead of a native LM
-  * binary, so scoring distributes exactly like the lower orders with one
-  * extra broadcast-escapable left join.
+  * order-3 rung of the CCNet-style perplexity gate (Wenzek et al. 2020).
   *
-  * Scoring rule per token w with contexts u (two back) and v (one back):
+  * Thin order-3 delegate of [[NgramLM]]: one implementation of the
+  * tuple scan, pruned-table train and 3→2→1→OOV ladder lives there;
+  * this object keeps the three-table public surface. Scoring rule per
+  * token w with contexts u (two back) and v (one back):
   *   - pos 0 (no context):          unigram score ln(c(w)/T), OOV → floor;
   *   - pos 1 (context v only):      bigram chain — ln(c(v,w)/c(v·)) when
   *                                  the pruned table holds (v,w), else
   *                                  ln(α) + unigram score;
   *   - pos ≥ 2, (u,v,w) in table:   ln(c(u,v,w) / c(u,v,·));
   *   - pos ≥ 2 otherwise:           ln(α) + bigram chain (which itself
-  *                                  backs off again — the 3→2→1→OOV
-  *                                  ladder, multiplying α per level).
-  * Stupid backoff does not renormalize — scores are relative quality
-  * signals, which is all a perplexity-style curation gate needs.
-  *
-  * Plan shape at 100 TB:
-  *   - triple formation is a scan-stage index HOF (no window/self-join to
-  *     see the two predecessors);
-  *   - train adds ONE (u,v,w)-key aggregation and one (u,v)-key rollup
-  *     over the bigram train — shuffle keys are still tokens, never text;
-  *   - count pruning (`minCount`) bounds the trigram table exactly like
-  *     KenLM's pruned ARPA files: contexts keep UNpruned totals so kept
-  *     trigrams score with true MLE mass and pruned ones fall back;
-  *   - score: three left joins (broadcast by default, AQE-planned when
-  *     `broadcastVocab = false` for web-scale vocabularies) + one
-  *     doc-key aggregation.
+  *                                  backs off again, multiplying α per
+  *                                  level).
+  * See [[NgramLM]] for the 100 TB plan-shape notes.
   */
 object TrigramLM {
-
-  /** (doc, pos, prev2, prev, token) tuples via a scan-stage index HOF;
-    * `prev2` is null at pos 0-1, `prev` at pos 0. Documents with no
-    * tokens contribute nothing.
-    */
-  private def triples(docs: DataFrame, idCol: String,
-                      textCol: String): DataFrame =
-    docs.select(col(idCol),
-        TextFunctions.tokens(lower(col(textCol))).as("__a"))
-      .filter(size(col("__a")) > 0)
-      .select(col(idCol), explode(expr(
-        "transform(__a, (x, i) -> struct(i AS pos, " +
-          "IF(i < 2, CAST(NULL AS STRING), __a[i-2]) AS prev2, " +
-          "IF(i = 0, CAST(NULL AS STRING), __a[i-1]) AS prev, " +
-          "x AS token))")).as("__t"))
-      .select(col(idCol), col("__t.pos").as("pos"),
-        col("__t.prev2").as("prev2"), col("__t.prev").as("prev"),
-        col("__t.token").as("token"))
 
   /** Count-pruned trigram table: (prev2, prev, token, cnt, ctx_cnt, logp)
     * with `logp = ln(cnt / ctx_cnt)`; `ctx_cnt` = the (u,v) context's
@@ -63,20 +29,11 @@ object TrigramLM {
   def train(docs: DataFrame, textCol: String,
             minCount: Long = 2): DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
-    // materialized once: the context rollup and the pruned join both read
-    // the trigram counts — without the checkpoint each consumer
-    // re-explodes the corpus into triples
-    val tg = triples(docs.select(lit(0L).as("__id"), col(textCol)),
-        "__id", textCol)
-      .filter(col("prev2").isNotNull)
-      .groupBy(col("prev2"), col("prev"), col("token"))
-      .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true)
-    val ctx = tg.groupBy(col("prev2"), col("prev"))
-      .agg(sum(col("cnt")).cast("double").as("ctx_cnt"))
-    tg.filter(col("cnt") >= minCount)
-      .join(ctx, Seq("prev2", "prev"))
-      .withColumn("logp", log(col("cnt").cast("double") / col("ctx_cnt")))
+    val tp = NgramLM.tuples(
+      docs.select(lit(0L).as("__id"), col(textCol)), "__id", textCol, 3)
+    // re-order to this object's historical (deepest-context-first)
+    // column layout; NgramLM.levelTable emits nearest-context-first
+    NgramLM.levelTable(tp, 3, minCount)
       .select(col("prev2"), col("prev"), col("token"), col("cnt"),
         col("ctx_cnt"), col("logp"))
   }
@@ -91,8 +48,8 @@ object TrigramLM {
                    textCol: String, alpha: Double = 0.4,
                    oovLogp: Double = -20.0,
                    broadcastVocab: Boolean = true): DataFrame =
-    scoreTriples(triples(docs, idCol, textCol), unigrams, bigrams,
-      trigrams, idCol, alpha, oovLogp, broadcastVocab)
+    NgramLM.scoreAgainst(docs, Seq(unigrams, bigrams, trigrams), idCol,
+      textCol, alpha, oovLogp, broadcastVocab)
 
   /** [[scoreAgainst]] over [[NgramQuant]]-quantized tables (KenLM's
     * `-q 8` mode): the three joins ship (tokens, 1-byte code) instead of
@@ -101,122 +58,25 @@ object TrigramLM {
     * codes decode AFTER each join with an O(1) `element_at` on the
     * codebook literal, inside whole-stage codegen. Backoff ladder,
     * OOV floor and output schema are identical to the float path;
-    * scores differ only by the per-table quantization error.
+    * scores differ only by the per-table quantization error. Delegates
+    * to [[NgramLM.scoreAgainstQuantized]] at order 3.
     */
   def scoreAgainstQuantized(docs: DataFrame, uniQ: NgramQuant.Quantized,
                             bgQ: NgramQuant.Quantized,
                             tgQ: NgramQuant.Quantized, idCol: String,
                             textCol: String, alpha: Double = 0.4,
                             oovLogp: Double = -20.0,
-                            broadcastVocab: Boolean = true): DataFrame = {
-    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
-    val tr = triples(docs, idCol, textCol)
-    val uni0 = uniQ.table.select(col("token"),
-      col(s"${uniQ.valueCol}_q").as("__ulpq"))
-    val bg0 = bgQ.table.select(col("prev"), col("token"),
-      col(s"${bgQ.valueCol}_q").as("__blpq"))
-    val tg0 = tgQ.table.select(col("prev2"), col("prev"), col("token"),
-      col(s"${tgQ.valueCol}_q").as("__tlpq"))
-    val uni = if (broadcastVocab) broadcast(uni0) else uni0
-    val bg = if (broadcastVocab) broadcast(bg0) else bg0
-    val tg = if (broadcastVocab) broadcast(tg0) else tg0
-    val lnA = lit(math.log(alpha))
-    // element_at on a null code is null, so the decoded columns miss
-    // exactly when the join missed — the float path's ladder transfers
-    val uniScore = coalesce(uniQ.decode(col("__ulpq")), lit(oovLogp))
-    val blp = bgQ.decode(col("__blpq"))
-    val bgChain: Column =
-      when(blp.isNotNull, blp).otherwise(lnA + uniScore)
-    val tlp = tgQ.decode(col("__tlpq"))
-    tr.join(uni, Seq("token"), "left")
-      .join(bg, Seq("prev", "token"), "left")
-      .join(tg, Seq("prev2", "prev", "token"), "left")
-      .withColumn("__lp",
-        when(col("prev").isNull, uniScore)
-          .when(col("prev2").isNull, bgChain)
-          .when(tlp.isNotNull, tlp)
-          .otherwise(lnA + bgChain))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tokens"),
-        round(avg(col("__lp")), 6).as("avg_logprob"))
-  }
+                            broadcastVocab: Boolean = true): DataFrame =
+    NgramLM.scoreAgainstQuantized(docs, Seq(uniQ, bgQ, tgQ), idCol,
+      textCol, alpha, oovLogp, broadcastVocab)
 
-  /** Scoring core over a prepared triple table (see [[triples]]). */
-  private def scoreTriples(tr: DataFrame, unigrams: DataFrame,
-                           bigrams: DataFrame, trigrams: DataFrame,
-                           idCol: String, alpha: Double, oovLogp: Double,
-                           broadcastVocab: Boolean): DataFrame = {
-    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
-    val uni0 = unigrams.select(col("token"), col("logp").as("__ulp"))
-    val bg0 = bigrams.select(col("prev"), col("token"),
-      col("logp").as("__blp"))
-    val tg0 = trigrams.select(col("prev2"), col("prev"), col("token"),
-      col("logp").as("__tlp"))
-    val uni = if (broadcastVocab) broadcast(uni0) else uni0
-    val bg = if (broadcastVocab) broadcast(bg0) else bg0
-    val tg = if (broadcastVocab) broadcast(tg0) else tg0
-    val lnA = lit(math.log(alpha))
-    val uniScore = coalesce(col("__ulp"), lit(oovLogp))
-    // the order-2 rung of the ladder, reused by pos-1 tokens directly and
-    // by pos-≥2 tokens behind one more α
-    val bgChain: Column =
-      when(col("__blp").isNotNull, col("__blp"))
-        .otherwise(lnA + uniScore)
-    tr.join(uni, Seq("token"), "left")
-      .join(bg, Seq("prev", "token"), "left")
-      .join(tg, Seq("prev2", "prev", "token"), "left")
-      .withColumn("__lp",
-        when(col("prev").isNull, uniScore)
-          .when(col("prev2").isNull, bgChain)
-          .when(col("__tlp").isNotNull, col("__tlp"))
-          .otherwise(lnA + bgChain))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tokens"),
-        round(avg(col("__lp")), 6).as("avg_logprob"))
-  }
-
-  /** Train-on-self scoring (the one-corpus form). FUSED: one checkpointed
-    * triple table feeds the unigram, bigram AND trigram counts plus the
-    * scoring join — the composable `scoreAgainst(train(..), ..)` form
-    * would tokenize the corpus four times for identical results.
+  /** Train-on-self scoring (the one-corpus form). FUSED via
+    * [[NgramLM.score]]: one checkpointed triple table feeds the unigram,
+    * bigram AND trigram counts plus the scoring join.
     */
   def score(docs: DataFrame, idCol: String, textCol: String,
             minCount: Long = 2, alpha: Double = 0.4,
-            broadcastVocab: Boolean = true): DataFrame = {
-    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
-    val tr = triples(docs, idCol, textCol).localCheckpoint(true)
-    // unigram model, UnigramLM.train's exact arithmetic over the same
-    // token stream (triples enumerate every token exactly once)
-    val vocab = tr.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true)
-    val total = vocab.agg(sum(col("cnt")).cast("double").as("__total"))
-    val uni = vocab.crossJoin(broadcast(total))
-      .select(col("token"),
-        log(col("cnt").cast("double") / col("__total")).as("logp"))
-    // bigram table, BigramLM.train's exact arithmetic; checkpointed for
-    // its two consumers (context rollup + pruned join)
-    val bg = tr.filter(col("prev").isNotNull)
-      .groupBy(col("prev"), col("token"))
-      .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true)
-    val bgCtx = bg.groupBy(col("prev"))
-      .agg(sum(col("cnt")).cast("double").as("ctx_cnt"))
-    val bgTable = bg.filter(col("cnt") >= minCount)
-      .join(bgCtx, "prev")
-      .select(col("prev"), col("token"),
-        log(col("cnt").cast("double") / col("ctx_cnt")).as("logp"))
-    // trigram table, train's exact arithmetic
-    val tg = tr.filter(col("prev2").isNotNull)
-      .groupBy(col("prev2"), col("prev"), col("token"))
-      .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true)
-    val tgCtx = tg.groupBy(col("prev2"), col("prev"))
-      .agg(sum(col("cnt")).cast("double").as("ctx_cnt"))
-    val tgTable = tg.filter(col("cnt") >= minCount)
-      .join(tgCtx, Seq("prev2", "prev"))
-      .select(col("prev2"), col("prev"), col("token"),
-        log(col("cnt").cast("double") / col("ctx_cnt")).as("logp"))
-    scoreTriples(tr, uni, bgTable, tgTable, idCol, alpha,
-      oovLogp = -20.0, broadcastVocab)
-  }
+            broadcastVocab: Boolean = true): DataFrame =
+    NgramLM.score(docs, idCol, textCol, order = 3, minCount, alpha,
+      broadcastVocab)
 }

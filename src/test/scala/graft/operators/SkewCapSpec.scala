@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sim.{Cosine, SemDeDup}
+import graft.textops.{MinHashLSH, TextFunctions}
+
+/** Skew-cap observability: planting a mega-bucket/cell must increment
+  * the per-operator drop counters ("no silent caps"), and uncapped runs
+  * must leave them at zero. The SkewCap listener fires asynchronously
+  * after each action, so assertions poll.
+  */
+class SkewCapSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def eventually(timeoutMs: Long = 20000L)(cond: => Boolean): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (!cond && System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    assert(cond, "condition not met within timeout")
+  }
+
+  test("minhash LSH cap: dropped buckets and rows are counted") {
+    SkewCap.reset("minhash_lsh")
+    // 5 clones of one doc: identical shingles → the SAME bucket in every
+    // one of the 21 bands → 21 buckets of size 5, all over a cap of 3
+    val docs = (0 until 5).map(i => (i.toLong, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TextFunctions.wordShingleHashesFast(col("text"), 2).as("sh"))
+    val pairs = MinHashLSH.candidatePairs(docs, "doc_id", "sh",
+      maxBucketSize = 3).count()
+    assert(pairs == 0, "every bucket was over the cap — no candidates")
+    eventually() {
+      SkewCap.dropped("minhash_lsh") == SkewCap.Dropped(rows = 105, buckets = 21)
+    }
+    // uncapped: same corpus, roomy cap — no drops recorded
+    SkewCap.reset("minhash_lsh")
+    val full = MinHashLSH.candidatePairs(docs, "doc_id", "sh",
+      maxBucketSize = 100).count()
+    assert(full == 10) // C(5,2)
+    Thread.sleep(300) // let any (wrong) async increment land
+    assert(SkewCap.dropped("minhash_lsh") == SkewCap.Dropped(0, 0))
+  }
+
+  test("cosine LSH cap: row-per-member shape counts each bucket once") {
+    SkewCap.reset("cosine_lsh")
+    // 6 identical vectors fold to one signature bucket of size 6
+    val vecs = (0 until 6).map(i => (i.toLong, Seq(1.0f, 2.0f, 3.0f, 4.0f)))
+      .toDF("id", "vec")
+    val n = Cosine.nearDupPairsLsh(vecs, "id", "vec", threshold = 0.9,
+      maxBucketSize = 4).count()
+    assert(n == 0)
+    eventually() {
+      SkewCap.dropped("cosine_lsh") == SkewCap.Dropped(rows = 6, buckets = 1)
+    }
+  }
+
+  test("semdedup cell cap: oversized cell counted, in-cap run clean") {
+    SkewCap.reset("semdedup")
+    val vecs = (0 until 8).map(i => (i.toLong, Seq(1.0f, 0.0f, 0.0f)))
+      .toDF("id", "vec")
+    val dups = SemDeDup.duplicates(vecs, "id", "vec", threshold = 0.99,
+      k = 1, nIters = 1, maxCellSize = 5).count()
+    assert(dups == 0)
+    eventually() {
+      SkewCap.dropped("semdedup") == SkewCap.Dropped(rows = 8, buckets = 1)
+    }
+    SkewCap.reset("semdedup")
+    val dups2 = SemDeDup.duplicates(vecs, "id", "vec", threshold = 0.99,
+      k = 1, nIters = 1, maxCellSize = 100).count()
+    assert(dups2 == 7) // all dup of id 0
+    Thread.sleep(300)
+    assert(SkewCap.dropped("semdedup") == SkewCap.Dropped(0, 0))
+  }
+}

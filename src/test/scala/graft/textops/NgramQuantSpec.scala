@@ -15,6 +15,11 @@ class NgramQuantSpec extends SparkSpec {
   private def valuesDf(vs: Seq[Double]) = vs.zipWithIndex
     .map { case (v, i) => (i.toLong, v) }.toDF("k", "logp")
 
+  /** Spark round(x, 6)'s exact arithmetic (BigDecimal HALF_UP). */
+  private def r6(x: Double): Double =
+    BigDecimal.valueOf(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+
   test("fitUniform: 2^bits ascending centroids at bin centres") {
     val cb = NgramQuant.fitUniform(valuesDf(Seq(-8.0, -4.0, 0.0)), "logp",
       bits = 3)
@@ -130,6 +135,104 @@ class NgramQuantSpec extends SparkSpec {
     val maxDiff = floatScores.keys
       .map(k => math.abs(floatScores(k)._2 - qScores(k)._2)).max
     assert(maxDiff < 0.5, s"max |float - quantized| score diff $maxDiff")
+  }
+
+  test("encode maps null values to null codes, never to centroid 0") {
+    val df = Seq((1L, Some(-2.0)), (2L, None), (3L, Some(-7.5)))
+      .toDF("k", "logp")
+    val cb = NgramQuant.fitUniform(df, "logp", bits = 4)
+    val got = NgramQuant.encode(df, "logp", cb)
+      .select(col("k"), col("logp_q").cast("int"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    assert(got(2L).isEmpty, s"null value must encode to null, got ${got(2L)}")
+    assert(got(1L).nonEmpty && got(3L).nonEmpty)
+    // and a null code decodes to null (not a valid-looking score)
+    val dec = NgramQuant.encode(df, "logp", cb)
+      .select(NgramQuant.decode(col("logp_q"), cb).as("d"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(dec.count(_.isEmpty) == 1)
+    // degenerate single-centroid codebook: same null behavior
+    val one = NgramQuant.encode(df, "logp", Array(-3.0))
+      .select(col("logp_q").cast("int")).collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
+    assert(one.count(_.isEmpty) == 1)
+  }
+
+  test("uniform encode matches driver-computed codes exactly (engine " +
+    "drift canary for the q99/q101 bit-exactness assumption)") {
+    // the oracle SQL replays round→fit→midpoint-count in DuckDB; this
+    // pins the Spark side of that arithmetic against plain-JVM doubles
+    // so an engine change in round()/ln() surfaces here first
+    val rnd = new scala.util.Random(42)
+    val vs = Seq.fill(300)(-18.0 + 16.0 * rnd.nextDouble())
+    val df = valuesDf(vs)
+    val cb = NgramQuant.fitUniform(df, "logp", bits = 8)
+    // driver-side replay of the exact formula
+    val r6s = vs.map(r6)
+    val lo = r6s.min
+    val w = (r6s.max - lo) / 256
+    val wantCb = Array.tabulate(256)(i => lo + (i + 0.5) * w)
+    assert(cb.toSeq == wantCb.toSeq, "codebook drift")
+    val mids = wantCb.sliding(2).map(p => (p(0) + p(1)) / 2).toArray
+    val want = vs.zipWithIndex
+      .map { case (v, i) => i.toLong -> (mids.count(r6(v) >= _) - 128) }
+      .toMap
+    val got = NgramQuant.encode(df, "logp", cb)
+      .select(col("k"), col("logp_q").cast("int"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == want, "code drift vs driver-computed expectation")
+  }
+
+  test("order-5 quantized scoring: rank agreement with the float path " +
+    "on the documents fixture") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text")).localCheckpoint(true)
+    val tables = NgramLM.train(docs, "text", order = 5, minCount = 2)
+      .map(_.localCheckpoint(true))
+    val floatScores = NgramLM.scoreAgainst(docs, tables, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val qScores = NgramLM.scoreAgainstQuantized(docs,
+        tables.map(t => NgramQuant.quantize(t)), "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(qScores.keySet == floatScores.keySet)
+    assert(qScores.forall { case (k, (n, _)) => floatScores(k)._1 == n })
+    def ranks(m: Map[Long, (Long, Double)]): Map[Long, Double] = {
+      val sorted = m.toSeq.sortBy(t => (t._2._2, t._1)).map(_._1)
+        .zipWithIndex
+      sorted.map { case (k, i) => k -> i.toDouble }.toMap
+    }
+    val rf = ranks(floatScores); val rq = ranks(qScores)
+    val n = rf.size.toDouble
+    val d2 = rf.keys.map(k => math.pow(rf(k) - rq(k), 2)).sum
+    val rho = 1 - 6 * d2 / (n * (n * n - 1))
+    assert(rho > 0.99, s"Spearman rho $rho <= 0.99 over ${n.toInt} docs")
+    val maxDiff = floatScores.keys
+      .map(k => math.abs(floatScores(k)._2 - qScores(k)._2)).max
+    assert(maxDiff < 0.5, s"max |float - quantized| score diff $maxDiff")
+  }
+
+  test("mis-ordered tables fail loudly instead of corrupting scores") {
+    val docs = Seq((1L, "a b a b a"), (2L, "a b c")).toDF("doc_id", "text")
+    val Seq(uniT, bgT, tgT) = NgramLM.train(docs, "text", order = 3, 1)
+    // trigram table in the bigram slot: the slim select would succeed
+    // and the join would match multiple rows per key — must throw
+    val e1 = intercept[IllegalArgumentException] {
+      NgramLM.scoreAgainst(docs, Seq(uniT, tgT, bgT), "doc_id", "text")
+    }
+    assert(e1.getMessage.contains("prev2"))
+    // bigram table in the unigram slot
+    intercept[IllegalArgumentException] {
+      NgramLM.scoreAgainst(docs, Seq(bgT, bgT, tgT), "doc_id", "text")
+    }
+    // same guard on the quantized path
+    val qs = Seq(uniT, bgT, tgT).map(t => NgramQuant.quantize(t))
+    intercept[IllegalArgumentException] {
+      NgramLM.scoreAgainstQuantized(docs, Seq(qs(0), qs(2), qs(1)),
+        "doc_id", "text")
+    }
   }
 
   test("quantize rejects empty tables and bad bit widths") {
