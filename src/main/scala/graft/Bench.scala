@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.jdk.CollectionConverters._
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -38,6 +39,19 @@ object Bench {
     val results = first.map { case (k, v) => k -> math.min(v, second(k)) }
     def r3(v: Double): String = f"$v%.3f"
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // the paramtable processing-engine throughput, regression-guarded
+    // against the reference's headline 0.024 s/segment every round (2×
+    // gate); skipped under SPARK_GRAFT_ONLY (dev iteration aid)
+    val procJson =
+      if (only.isDefined) ""
+      else {
+        val nSeg = sys.env.getOrElse("SPARK_GRAFT_NSEG", "2000").toInt
+        val (pOut, _, pSec) = ProcessBench.measure(spark, nSeg)
+        spark.sharedState.cacheManager.clearCache()
+        val sPerSeg = pSec / math.max(pOut, 1L)
+        val baseline = 0.024
+        f""","process_throughput":{"segments":$pOut,"sec":${r3(pSec)},"s_per_segment":$sPerSeg%.6f,"baseline_s_per_segment":$baseline%.3f,"pass_2x":${sPerSeg <= 2 * baseline}}"""
+      }
     // The harness keeps only the last ~2000 chars of stdout; a JSON line
     // carrying all ~90 per-query timings (~3.5 KB) gets its head truncated
     // and never parses. So: the FULL map goes to a repo file, and stdout
@@ -47,22 +61,29 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$full,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$full$procJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_full.json"), fullLine + "\n")
     catch { case _: Throwable => () }
     val slowest = results.toSeq.sortBy(-_._2).take(15)
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    // scaling exponents from the last ScaleSmoke run (1× vs 10× data),
-    // embedded so the round artifact carries them; absent file → omitted
+    // scaling exponents from the latest ScaleSmoke run (1× vs 10× data),
+    // embedded so the round artifact carries them; no file → omitted
     val scale10 =
       try {
-        val s = java.nio.file.Files.readString(
-          java.nio.file.Paths.get("SCALE_r09.json")).trim
-        if (s.startsWith("{")) s""","scale10":$s""" else ""
+        val latest = java.nio.file.Files.list(java.nio.file.Paths.get("."))
+          .iterator().asScala
+          .map(_.getFileName.toString)
+          .filter(n => n.startsWith("SCALE_r") && n.endsWith(".json"))
+          .toSeq.sorted.lastOption
+        latest.map { f =>
+          val s = java.nio.file.Files.readString(
+            java.nio.file.Paths.get(f)).trim
+          if (s.startsWith("{")) s""","scale10":$s""" else ""
+        }.getOrElse("")
       } catch { case _: Throwable => "" }
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$slowest,"full":"bench_full.json"$scale10,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$slowest,"full":"bench_full.json"$procJson$scale10,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -117,6 +117,45 @@ object ProcessBench {
       row.getDouble(idx("event_magnitude"))))
   }
 
+  /** Build the synthetic store and run the paramtable feature job twice,
+    * returning the faster pass as (segments out, skipped, seconds): the
+    * first pass doubles as JIT/codegen warm-up and the min debiases
+    * transient machine-load spikes (same harness policy as
+    * [[graft.Bench]], which embeds this measurement in the round
+    * artifact so the one BASELINE throughput number — the reference's
+    * 0.024 s/segment, `stream2segment/process/main.py:607-609` — is
+    * regression-guarded every round, not just beaten once).
+    */
+  def measure(spark0: SparkSession, n: Int,
+              show: Boolean = false): (Long, Long, Double) = {
+    implicit val spark: SparkSession = spark0
+    val store = buildStore(spark, n)
+    val view = SegmentView.build(store("segments"), store("events"),
+      store("channels"), store("stations"), store("data_centers"))
+    val selection = Map(
+      "has_valid_data" -> "true",
+      "event.magnitude" -> ">=5",
+      "channel.channel" -> "HH?".replace("?", "Z"), // exact set for demo
+      "maxgap_numsamples" -> "(-0.5, 0.5)")
+    def pass(): (Long, Long, Double) = {
+      val t0 = System.nanoTime()
+      val result = SegmentProcessor.run(view, selection,
+        outSchema = featureSchema, f = featureJob)
+      val out = result.ok
+      out.persist()
+      val nOut = out.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val nSkip = result.skipped.count()
+      if (show) out.show(5, truncate = false)
+      out.unpersist()
+      result.release()
+      (nOut, nSkip, sec)
+    }
+    val a = pass()
+    val b = pass()
+    if (b._3 <= a._3) b else a
+  }
+
   def main(args: Array[String]): Unit = {
     val n = sys.env.getOrElse("SPARK_GRAFT_NSEG", "2000").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -128,35 +167,7 @@ object ProcessBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-
-    val store = buildStore(spark, n)
-    val view = SegmentView.build(store("segments"), store("events"),
-      store("channels"), store("stations"), store("data_centers"))
-
-    val selection = Map(
-      "has_valid_data" -> "true",
-      "event.magnitude" -> ">=5",
-      "channel.channel" -> "HH?".replace("?", "Z"), // exact set for demo
-      "maxgap_numsamples" -> "(-0.5, 0.5)")
-    // two timed passes, keep the faster: the first doubles as JIT/codegen
-    // warm-up and the min debiases transient machine-load spikes (same
-    // harness policy as graft.Bench)
-    def pass(): (Long, Long, Double) = {
-      val t0 = System.nanoTime()
-      val result = SegmentProcessor.run(view, selection,
-        outSchema = featureSchema, f = featureJob)
-      val out = result.ok
-      out.persist()
-      val nOut = out.count()
-      val sec = (System.nanoTime() - t0) / 1e9
-      val nSkip = result.skipped.count()
-      out.show(5, truncate = false)
-      out.unpersist()
-      result.release()
-      (nOut, nSkip, sec)
-    }
-    pass()
-    val (nOut, nSkip, sec) = pass()
+    val (nOut, nSkip, sec) = measure(spark, n, show = true)
     println(f"""{"metric":"process_throughput","segments":$nOut,"skipped":$nSkip,"sec":$sec%.3f,"seg_per_sec":${nOut / sec}%.1f}""")
     spark.stop()
   }

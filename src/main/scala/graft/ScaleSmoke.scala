@@ -21,14 +21,22 @@ import org.apache.spark.sql.functions._
   *     pattern (a diagonal orthogonal matrix) — within-copy geometry is
   *     isometric to the original, across copies vectors decorrelate.
   *
-  * Writes one JSON object to the output file (default `SCALE_r09.json`):
-  * `{"factor":10,"queries":{"q19…":{"t1":…,"tN":…,"exponent":…},…}}`.
+  * Writes one JSON object to the output file (default `SCALE_r10.json`):
+  * `{"factor":10,"queries":{"q19…":{"t1":…,"tN":…,"exponent":…},…},
+  * "quant_rank_agreement":{…}}` — the latter a Spearman ρ>0.99 gate that
+  * the KenLM-true equal-population quantizer preserves document ranking
+  * on the scaled corpus, not just on the unit fixture.
   */
 object ScaleSmoke {
 
   private val ScaleQueries = Seq(
     "q19_jaccard_pairs", "q65_dup_components", "q77_semdedup",
-    "q88_leakage_matrix", "q89_ivfpq")
+    "q88_leakage_matrix", "q89_ivfpq",
+    // the LM/retrieval stack — the most expensive contract queries;
+    // their 100 TB story should rest on measured exponents, not only on
+    // plan-shape assertions
+    "q93_bigram_lm", "q94_bm25", "q95_nb_lang", "q98_trigram_lm",
+    "q99_quant_lm", "q100_ngram_lm", "q101_quant5_lm")
 
   /** Id offset between copies — far above any base id, and a multiple of
     * 10 so `doc_id % 10`-style splits partition every copy identically.
@@ -91,10 +99,48 @@ object ScaleSmoke {
     ts.min
   }
 
+  /** Rank-agreement gate for the equal-population (KenLM-true) quantizer
+    * at smoke scale: train the 5-gram CCNet configuration on the scaled
+    * corpus, score it float and 8-bit-binning-quantized, and return the
+    * Spearman correlation between the two per-document rankings. A
+    * curation gate keeps/drops by rank, so rank agreement — not absolute
+    * score error — is the property that must survive quantization as the
+    * corpus (and with it the log-prob distribution's tails) grows.
+    * NgramQuantSpec pins the same property at fixture scale.
+    *
+    * The rank windows are single-partition — fine for a diagnostic
+    * harness at smoke row counts (the production scoring path has no
+    * window; see NgramLM's plan notes). Ties in either score column are
+    * broken by doc_id in BOTH windows, so genuinely-tied groups order
+    * identically and the statistic is deterministic.
+    */
+  private def quantRankAgreement(spark: SparkSession, dir: String): Double = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.textops.{NgramLM, NgramQuant}
+    val docs = graft.tables.Tables.load(spark, dir, "documents")
+    val tables = NgramLM.train(docs, "text", order = 5, minCount = 2)
+      .map(_.localCheckpoint(true))
+    val fl = NgramLM.scoreAgainst(docs, tables, "doc_id", "text")
+      .select(col("doc_id"), col("avg_logprob").as("s_f"))
+    val qz = NgramLM.scoreAgainstQuantized(docs,
+        tables.map(t => NgramQuant.quantize(t)), "doc_id", "text")
+      .select(col("doc_id"), col("avg_logprob").as("s_q"))
+    val ranked = fl.join(qz, "doc_id")
+      .withColumn("r_f",
+        rank().over(Window.orderBy(col("s_f"), col("doc_id"))))
+      .withColumn("r_q",
+        rank().over(Window.orderBy(col("s_q"), col("doc_id"))))
+    val rho = ranked
+      .agg(corr(col("r_f").cast("double"), col("r_q").cast("double")))
+      .head().getDouble(0)
+    spark.sharedState.cacheManager.clearCache()
+    rho
+  }
+
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = if (args.length > 1) args(1).toInt else 10
-    val outFile = if (args.length > 2) args(2) else "SCALE_r09.json"
+    val outFile = if (args.length > 2) args(2) else "SCALE_r10.json"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -111,8 +157,13 @@ object ScaleSmoke {
       println(s"$q: 1x=${r3(t1)}s ${factor}x=${r3(tN)}s exponent=${r3(exp)}")
       s""""$q":{"t1":${r3(t1)},"t$factor":${r3(tN)},"exponent":${r3(exp)}}"""
     }
+    val rho = quantRankAgreement(spark, scaledDir)
+    val rhoPass = rho > 0.99
+    println(f"quant rank agreement (order 5, binning, ${factor}x): " +
+      f"spearman=$rho%.6f pass(>0.99)=$rhoPass")
     val json =
-      s"""{"factor":$factor,"base":"$baseDir","queries":{${rows.mkString(",")}}}"""
+      s"""{"factor":$factor,"base":"$baseDir","queries":{${rows.mkString(",")}},""" +
+        f""""quant_rank_agreement":{"order":5,"fit":"binning","spearman":$rho%.6f,"pass":$rhoPass}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
       json + "\n")
     println(json)

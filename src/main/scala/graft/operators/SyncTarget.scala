@@ -117,13 +117,34 @@ object SyncTarget {
 
     /** CAS: try to commit `uuid` as version `v`. The create-exclusive on
       * the marker admits exactly one winner per version.
+      *
+      * On HDFS the namenode makes `create(p, overwrite = false)` atomic;
+      * Hadoop's LOCAL filesystems implement it as check-then-create, so
+      * two racing writers can both "succeed" and one writer's snapshot is
+      * silently clobbered (found by the multi-writer stress spec). Local
+      * paths therefore go through java.nio's `CREATE_NEW` (a true O_EXCL
+      * open) — the same per-filesystem split Delta Lake's LogStore makes.
       */
-    private def tryCommit(f: FileSystem, v: Long, uuid: String): Boolean =
-      try {
-        val out = f.create(new Path(commitsDir, s"v$v"), false)
-        try out.write(uuid.getBytes("UTF-8")) finally out.close()
-        true
-      } catch { case _: java.io.IOException => false }
+    private def tryCommit(f: FileSystem, v: Long, uuid: String): Boolean = {
+      val p = new Path(commitsDir, s"v$v")
+      f match {
+        case _: org.apache.hadoop.fs.LocalFileSystem |
+             _: org.apache.hadoop.fs.RawLocalFileSystem =>
+          try {
+            val local = java.nio.file.Paths.get(p.toUri.getPath)
+            java.nio.file.Files.createDirectories(local.getParent)
+            java.nio.file.Files.write(local, uuid.getBytes("UTF-8"),
+              java.nio.file.StandardOpenOption.CREATE_NEW)
+            true
+          } catch { case _: java.io.IOException => false }
+        case _ =>
+          try {
+            val out = f.create(p, false)
+            try out.write(uuid.getBytes("UTF-8")) finally out.close()
+            true
+          } catch { case _: java.io.IOException => false }
+      }
+    }
 
     /** Blind replace (no read-modify-write cycle to protect): writes the
       * snapshot, then takes the first free version number. Serializable
@@ -176,15 +197,28 @@ object SyncTarget {
 
     /** Remove snapshot dirs no marker references (crash/lost-race debris)
       * and keep everything any marker names — committed history stays
-      * readable until its markers are removed.
+      * readable until its markers are removed, so a vacuum running beside
+      * concurrent readers never takes a committed snapshot away.
+      *
+      * `retentionMs` guards the write→commit gap against concurrent
+      * WRITERS (the Delta-style retention rule): an in-flight [[upsert]]
+      * has its snapshot fully on disk before its marker exists, and an
+      * unreferenced-but-brand-new dir is indistinguishable from crash
+      * debris. Only dirs whose last modification is older than the
+      * retention are swept; pass 0 (the default) for single-writer
+      * cleanup of known-dead debris, and a value exceeding the slowest
+      * writer's snapshot-write time when vacuuming a live multi-writer
+      * table.
       */
-    def vacuum(spark: SparkSession): Unit = {
+    def vacuum(spark: SparkSession, retentionMs: Long = 0L): Unit = {
       val f = fs(spark)
       val referenced = allMarkers(f)
         .map(v => markerContent(f, new Path(commitsDir, s"v$v")))
         .filter(_.nonEmpty).toSet
+      val cutoff = System.currentTimeMillis() - retentionMs
       if (f.exists(versionsDir)) f.listStatus(versionsDir).foreach { st =>
-        if (!referenced.contains(st.getPath.getName)) {
+        if (!referenced.contains(st.getPath.getName) &&
+          st.getModificationTime <= cutoff) {
           f.delete(st.getPath, true); ()
         }
       }

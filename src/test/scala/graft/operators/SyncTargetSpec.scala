@@ -111,6 +111,71 @@ class SyncTargetSpec extends SparkSpec {
     assert(ids.distinct.size == ids.size)
   }
 
+  test("multi-writer stress: 8 racing upserts all land, the version head " +
+    "is linear, and vacuum beside live writers/readers never touches a " +
+    "committed snapshot") {
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val path = tmp("sync_stress_")
+    val vt = SyncTarget.VersionedParquet(path)
+    vt.commit(targetDf) // v1: rows a, b
+    val nWriters = 8
+    val pool = Executors.newFixedThreadPool(nWriters + 2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      @volatile var writing = true
+      // every writer upserts one distinct row; each CAS round admits at
+      // least one winner, so maxRetries = nWriters guarantees completion
+      val writers = (0 until nWriters).map { i =>
+        Future(vt.upsert(Seq((s"w$i", i.toDouble)).toDF("name", "v"),
+          Seq("name"), order = Seq(col("v")), maxRetries = nWriters + 2))
+      }
+      // a reader and a retention-guarded vacuum race the writers: the
+      // reader must always see a committed snapshot (never a partial or
+      // vanished table), the vacuum must never break one
+      val reader = Future {
+        var reads = 0
+        while (writing) {
+          val c = vt.read(spark).get.count()
+          assert(c >= 2L, s"reader saw a broken head ($c rows)")
+          reads += 1
+        }
+        reads
+      }
+      val vacuumer = Future {
+        while (writing) vt.vacuum(spark, retentionMs = 3600000L)
+      }
+      val ms = Await.result(Future.sequence(writers), 300.seconds)
+      writing = false
+      assert(Await.result(reader, 60.seconds) > 0)
+      Await.result(vacuumer, 60.seconds)
+      // every writer inserted exactly its row, none clobbered another
+      assert(ms.forall(m => m.inserted == 1L && m.updated == 0L))
+      // head is linear: markers are exactly v1..v(n+1), all committed
+      val markers = new java.io.File(s"$path/_commits").listFiles()
+        .map(_.getName).toSeq.filter(_.matches("v\\d+")).sorted
+      assert(markers.toSet == (1 to nWriters + 1).map(v => s"v$v").toSet)
+      assert(vt.headVersion(spark) == nWriters + 1L)
+      // all rows survive with unique ids
+      val rows = vt.read(spark).get.orderBy("id")
+        .as[(Long, String, Double)].collect().toSeq
+      assert(rows.map(_._2).toSet ==
+        Set("a", "b") ++ (0 until nWriters).map(i => s"w$i"))
+      assert(rows.map(_._1).distinct.size == rows.size)
+      // post-stress immediate vacuum: lost-race orphans go, every
+      // marker-named snapshot (the full committed history) stays readable
+      vt.vacuum(spark)
+      val kept = new java.io.File(s"$path/_versions").listFiles()
+        .map(_.getName).toSet
+      val named = markers.map { m =>
+        scala.io.Source.fromFile(s"$path/_commits/$m").mkString.trim
+      }.toSet
+      assert(named.subsetOf(kept))
+      assert(vt.read(spark).get.count() == rows.size.toLong)
+    } finally pool.shutdown()
+  }
+
   test("quarantined sync composes with the versioned backend: clean rows " +
     "commit, rejects never enter the table") {
     val path = tmp("sync_q_")
