@@ -2073,12 +2073,13 @@ object SparkEntry {
     // DuckDB round agreeing at bin boundaries — see q99's note);
     // production curation defaults to equal-population binning
     // (NgramQuantSpec covers rank agreement at order 5)
+    // FUSED train-on-self form: one checkpointed tuple scan feeds all
+    // five level tables AND the quantized scoring joins (the composed
+    // train + scoreAgainstQuantized form — same results, demoed in
+    // EquivalenceSpec — tokenizes the corpus twice)
     "q101_quant5_lm" -> ((s, dir) => {
-      val docs = tSpread(s, dir, "documents")
-      val tables = NgramLM.train(docs, "text", order = 5, minCount = 2)
-      NgramLM.scoreAgainstQuantized(docs,
-          tables.map(t => NgramQuant.quantize(t, uniform = true)),
-          "doc_id", "text", alpha = 0.4)
+      NgramLM.scoreQuantized(tSpread(s, dir, "documents"), "doc_id",
+          "text", order = 5, minCount = 2, alpha = 0.4, uniform = true)
         .orderBy(col("doc_id"))
     })
   )

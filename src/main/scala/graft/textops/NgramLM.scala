@@ -135,6 +135,23 @@ object NgramLM {
           .map(col): _*)
     }
 
+  /** Run the per-level thunks concurrently: each level's count
+    * aggregation eagerly materializes (localCheckpoint inside
+    * [[levelTable]]) and each codebook fit is its own driver-blocking
+    * action, so building N levels sequentially serializes ~2N Spark
+    * jobs whose per-job overhead dominates small inputs. The levels are
+    * independent reads of one checkpointed tuple table; submitting them
+    * from N threads lets the scheduler overlap them (results unchanged —
+    * the FAIR/FIFO pool just sees N concurrent jobs).
+    */
+  private def levelsConcurrently[T](thunks: Seq[() => T]): Seq[T] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    Await.result(Future.sequence(thunks.map(f => Future(f()))),
+      Duration.Inf)
+  }
+
   /** Train all order-1..N tables on one corpus pass. Index 0 is the
     * unigram table, index k-1 the order-k table.
     */
@@ -144,7 +161,8 @@ object NgramLM {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
     val tp = tuples(docs.select(lit(0L).as("__id"), col(textCol)), "__id",
       textCol, order).localCheckpoint(true)
-    (1 to order).map(k => levelTable(tp, k, minCount))
+    levelsConcurrently((1 to order).map(k =>
+      () => levelTable(tp, k, minCount)))
   }
 
   /** Score `docs` against `tables` from [[train]] (or the matching
@@ -189,6 +207,12 @@ object NgramLM {
       validateLevel(q.table, i + 1, s"${q.valueCol}_q")
     }
     val tp = tuples(docs, idCol, textCol, order)
+    quantLadder(tp, quants, idCol, alpha, oovLogp, broadcastVocab)
+  }
+
+  private def quantLadder(tp: DataFrame, quants: Seq[NgramQuant.Quantized],
+                          idCol: String, alpha: Double, oovLogp: Double,
+                          broadcastVocab: Boolean): DataFrame = {
     val slims = quants.zipWithIndex.map { case (q, i) =>
       val k = i + 1
       val keys = (if (k == 1) Nil else ctxCols(k)) :+ "token"
@@ -199,6 +223,29 @@ object NgramLM {
       q.decode(col(s"__q${i + 1}"))
     }
     ladder(tp, slims, values, idCol, alpha, oovLogp, broadcastVocab)
+  }
+
+  /** Train-on-self QUANTIZED scoring — [[score]]'s fusion applied to the
+    * KenLM `-q 8` path: ONE checkpointed tuple scan feeds every level's
+    * counts AND the quantized scoring joins, where the composable
+    * `scoreAgainstQuantized(train(..).map(quantize), ..)` form tokenizes
+    * the corpus twice and recomputes each level table once per codebook
+    * fit. Each level table is checkpointed before its fit so the fit
+    * aggregation and the scoring join read the same materialization.
+    * Results are identical to the composed form (same tables, same
+    * codebooks, same ladder).
+    */
+  def scoreQuantized(docs: DataFrame, idCol: String, textCol: String,
+                     order: Int, minCount: Long = 2, alpha: Double = 0.4,
+                     bits: Int = 8, uniform: Boolean = false,
+                     broadcastVocab: Boolean = true): DataFrame = {
+    require(order >= 2 && order <= 8, s"order must be in [2,8], got $order")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val tp = tuples(docs, idCol, textCol, order).localCheckpoint(true)
+    val quants = levelsConcurrently((1 to order).map(k =>
+      () => NgramQuant.quantize(levelTable(tp, k, minCount), "logp", bits,
+        uniform)))
+    quantLadder(tp, quants, idCol, alpha, oovLogp = -20.0, broadcastVocab)
   }
 
   private def scoreTuples(tp: DataFrame, tables: Seq[DataFrame],
@@ -261,7 +308,8 @@ object NgramLM {
     require(order >= 2 && order <= 8, s"order must be in [2,8], got $order")
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
     val tp = tuples(docs, idCol, textCol, order).localCheckpoint(true)
-    val tables = (1 to order).map(k => levelTable(tp, k, minCount))
+    val tables = levelsConcurrently((1 to order).map(k =>
+      () => levelTable(tp, k, minCount)))
     scoreTuples(tp, tables, idCol, alpha, oovLogp = -20.0, broadcastVocab)
   }
 }

@@ -63,7 +63,12 @@ object NgramQuant {
   /** Equal-width codebook: 2^bits centroids at `lo + (i + 0.5) * w`,
     * `w = (hi - lo) / 2^bits` over the rounded value range. Degenerate
     * single-value tables yield a constant codebook (every code decodes
-    * to that value).
+    * to that value). A table with NO non-null values — e.g. a level
+    * pruned to emptiness, which a heavily-pruned high-order model
+    * legitimately produces — yields the one-centroid sentinel codebook:
+    * no row ever encodes against it (encode is null-gated and the table
+    * is empty), so every scoring join misses and the backoff ladder
+    * behaves exactly as with the empty float table.
     */
   def fitUniform(table: DataFrame, valueCol: String, bits: Int = 8,
                  roundDp: Int = 6): Array[Double] = {
@@ -71,7 +76,7 @@ object NgramQuant {
     val n = 1 << bits
     val r = table.agg(min(roundedCol(valueCol, roundDp)).as("lo"),
       max(roundedCol(valueCol, roundDp)).as("hi")).head()
-    require(!r.isNullAt(0), s"fitUniform: no non-null $valueCol values")
+    if (r.isNullAt(0)) return Array(0.0)
     val lo = r.getDouble(0)
     val w = (r.getDouble(1) - lo) / n
     Array.tabulate(n)(i => lo + (i + 0.5) * w)
@@ -92,7 +97,9 @@ object NgramQuant {
       .agg(percentile_approx(roundedCol(valueCol, roundDp),
         typedLit(qs), lit(accuracy)).as("cs"))
       .head()
-    require(!row.isNullAt(0), s"fitBinning: no non-null $valueCol values")
+    // no non-null values (an empty pruned level): the one-centroid
+    // sentinel — see fitUniform's note
+    if (row.isNullAt(0)) return Array(0.0)
     row.getSeq[Double](0).toArray
   }
 

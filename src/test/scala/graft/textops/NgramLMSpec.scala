@@ -111,6 +111,21 @@ class NgramLMSpec extends SparkSpec {
     assert(got._1 == 9L && got._2 == 3L && got._3 == r6(want))
   }
 
+  test("scoreQuantized (fused, one tuple scan) equals the composed " +
+    "train+quantize+scoreAgainstQuantized form for both codebook fits") {
+    for (uniform <- Seq(true, false)) {
+      val tables = NgramLM.train(lmDocs, "text", order = 4, minCount = 2)
+      val composed = NgramLM.scoreAgainstQuantized(lmDocs,
+          tables.map(t => NgramQuant.quantize(t, uniform = uniform)),
+          "doc_id", "text")
+        .orderBy("doc_id").collect().toSeq
+      val fused = NgramLM.scoreQuantized(lmDocs, "doc_id", "text",
+          order = 4, minCount = 2, uniform = uniform)
+        .orderBy("doc_id").collect().toSeq
+      assert(fused == composed, s"uniform=$uniform")
+    }
+  }
+
   test("train exposes one pruned table per order with context totals") {
     val tables = NgramLM.train(lmDocs, "text", order = 4, minCount = 1)
     assert(tables.length == 4)

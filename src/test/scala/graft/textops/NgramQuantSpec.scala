@@ -235,14 +235,15 @@ class NgramQuantSpec extends SparkSpec {
     }
   }
 
-  test("quantize rejects empty tables and bad bit widths") {
+  test("quantize degrades to the sentinel codebook on empty tables (a " +
+    "level pruned to emptiness must score like the empty float table) " +
+    "and rejects bad bit widths") {
     val empty = valuesDf(Nil)
-    intercept[IllegalArgumentException] {
-      NgramQuant.fitUniform(empty, "logp")
-    }
-    intercept[IllegalArgumentException] {
-      NgramQuant.fitBinning(empty, "logp")
-    }
+    assert(NgramQuant.fitUniform(empty, "logp").toSeq == Seq(0.0))
+    assert(NgramQuant.fitBinning(empty, "logp").toSeq == Seq(0.0))
+    // the quantized empty table joins like the float empty table: zero
+    // rows, so every lookup misses and the ladder backs off
+    assert(NgramQuant.quantize(empty).table.count() == 0L)
     intercept[IllegalArgumentException] {
       NgramQuant.fitUniform(valuesDf(Seq(1.0)), "logp", bits = 9)
     }
