@@ -6,7 +6,7 @@ import graft.multimodal.Multimodal
 import graft.operators.{Dedup, DownloadStats, MergeUpdate, Packing, Sampling, StationSearch, SyncTable}
 import graft.sim.Cosine
 import graft.tables.Tables
-import graft.textops.{BigramLM, Bm25, BpeTrainer, CorpusStats, Decontaminate, DedupGraph, MinHashLSH, NaiveBayes, NgramLM, NgramQuant, SimHash, SpanDedup, TextFunctions, TfIdf, TrigramLM, UnigramLM}
+import graft.textops.{BigramLM, Bm25, BpeTrainer, CorpusStats, CurationPipeline, Decontaminate, DedupGraph, MinHashLSH, NaiveBayes, NgramLM, NgramQuant, SimHash, SpanDedup, TextFunctions, TfIdf, TrigramLM, UnigramLM}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -2081,6 +2081,24 @@ object SparkEntry {
       NgramLM.scoreQuantized(tSpread(s, dir, "documents"), "doc_id",
           "text", order = 5, minCount = 2, alpha = 0.4, uniform = true)
         .orderBy(col("doc_id"))
+    }),
+
+    // end-to-end CCNet-arrangement curation pipeline (lang gate →
+    // quality gate → exact dedup → perplexity bucket over the kept set)
+    // as ONE auditable decision table. The fixture corpus has no exact
+    // duplicates, so the input plants them with the q27 pattern: every
+    // 25th document re-enters under a shifted id; a planted copy whose
+    // original survives the scan gates must drop as 'duplicate' (keeper
+    // = min id = the original)
+    "q102_curation" -> ((s, dir) => {
+      val docs = tSpread(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val corpus = docs.unionByName(
+        docs.filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      CurationPipeline.run(corpus, "doc_id", "text",
+          keepLangs = Set("en", "de", "fr"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -4148,6 +4166,107 @@ object SparkEntry {
         |    AND g5.token = p.token)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
         |  round(avg(lp), 6) AS avg_logprob
-        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q102 replays the four-stage pipeline by gluing the q24 (langid),
+    // q68 (quality), q20 (fingerprint-dedup, via the normalized text as
+    // the group key — injective on the fixture like q20's oracle) and
+    // q87 (CCNet buckets, trained on the KEPT docs only) fragments in
+    // the same stage order, over the same planted-duplicate corpus.
+    "q102_curation" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents
+        |  WHERE doc_id % 25 = 0),
+        |toks AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN trim(text) = '' THEN []
+        |         ELSE string_split_regex(trim(text), '\s+') END AS t,
+        |    CASE WHEN trim(lower(text)) = '' THEN []
+        |         ELSE string_split_regex(trim(lower(text)), '\s+') END AS tl
+        |  FROM corpus),
+        |lng AS (
+        |  SELECT doc_id,
+        |    CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_it) = 0 THEN 'und'
+        |         WHEN s_it = greatest(s_de, s_en, s_es, s_fr, s_it) THEN 'it'
+        |         WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_it) THEN 'fr'
+        |         WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_it) THEN 'es'
+        |         WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_it) THEN 'en'
+        |         ELSE 'de' END AS lang
+        |  FROM (
+        |    SELECT doc_id,
+        |      len(list_filter(tl, x -> x IN ('der','die','das','und','ist','nicht','ein','zu','mit','von'))) AS s_de,
+        |      len(list_filter(tl, x -> x IN ('the','a','and','of','to','in','is','that','it','for'))) AS s_en,
+        |      len(list_filter(tl, x -> x IN ('el','los','las','y','es','una','de','que','no','por'))) AS s_es,
+        |      len(list_filter(tl, x -> x IN ('le','la','les','et','est','une','des','du','dans','pour'))) AS s_fr,
+        |      len(list_filter(tl, x -> x IN ('il','lo','gli','e','che','di','non','per','con','sono'))) AS s_it
+        |    FROM toks)),
+        |qual AS (
+        |  SELECT doc_id, n_tokens, reasons = '' AS qok FROM (
+        |    SELECT doc_id, n_tokens, concat_ws(',',
+        |      CASE WHEN n_tokens < 30 THEN 'too_few_words' END,
+        |      CASE WHEN n_tokens > 50000 THEN 'too_many_words' END,
+        |      CASE WHEN avg_len < 2.0 OR avg_len > 12.0
+        |           THEN 'mean_word_len_out' END,
+        |      CASE WHEN punct_ratio > 0.2 THEN 'high_punct' END,
+        |      CASE WHEN stop_hits < 2 THEN 'no_stopwords' END,
+        |      CASE WHEN repetition < 0.3 THEN 'repetitive' END) AS reasons
+        |    FROM (
+        |      SELECT doc_id, len(t) AS n_tokens,
+        |        CAST(list_aggregate(list_transform(t, x -> len(x)), 'sum')
+        |          AS DOUBLE) / len(t) AS avg_len,
+        |        CAST(length(text) - length(regexp_replace(text,
+        |          '[!"#$%&''()*+,\-./:;<=>?@\[\]^_`{|}~]', '', 'g')) AS DOUBLE)
+        |          / length(text) AS punct_ratio,
+        |        len(list_filter(tl, x -> x IN ('the','a','and','of','to')))
+        |          AS stop_hits,
+        |        CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS repetition
+        |      FROM toks))),
+        |base AS (
+        |  SELECT c.doc_id, lng.lang, qual.n_tokens, qual.qok,
+        |    lower(regexp_replace(regexp_replace(c.text,
+        |      '^\s+|\s+$', '', 'g'), '\s+', ' ', 'g')) AS fp
+        |  FROM corpus c
+        |  JOIN lng ON lng.doc_id = c.doc_id
+        |  JOIN qual ON qual.doc_id = c.doc_id),
+        |surv AS (
+        |  SELECT doc_id, fp FROM base
+        |  WHERE lang IN ('en', 'de', 'fr') AND qok),
+        |keeper AS (SELECT fp, min(doc_id) AS kid FROM surv GROUP BY fp),
+        |dup AS (
+        |  SELECT s.doc_id, s.doc_id != k.kid AS is_dup
+        |  FROM surv s JOIN keeper k USING (fp)),
+        |kept AS (SELECT doc_id FROM dup WHERE NOT is_dup),
+        |ktoks AS (
+        |  SELECT doc_id, unnest(tl) AS token
+        |  FROM toks JOIN kept USING (doc_id) WHERE len(tl) > 0),
+        |vocab AS (SELECT token, count(*) AS cnt FROM ktoks GROUP BY token),
+        |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM vocab),
+        |scored AS (
+        |  SELECT doc_id,
+        |    round(avg(ln(CAST(cnt AS DOUBLE) / total)), 6) AS avg_logprob
+        |  FROM ktoks JOIN vocab USING (token) CROSS JOIN tot
+        |  GROUP BY doc_id),
+        |th AS (
+        |  SELECT round(quantile_cont(avg_logprob, 0.6666666666666666), 6)
+        |           AS t_head,
+        |         round(quantile_cont(avg_logprob, 0.3333333333333333), 6)
+        |           AS t_mid
+        |  FROM scored)
+        |SELECT b.doc_id, b.lang, CAST(b.n_tokens AS INTEGER) AS n_tokens,
+        |  CASE WHEN b.lang NOT IN ('en', 'de', 'fr') THEN 'language'
+        |       WHEN NOT b.qok THEN 'quality'
+        |       WHEN d.is_dup THEN 'duplicate' END AS drop_reason,
+        |  s.avg_logprob,
+        |  CASE WHEN s.avg_logprob IS NULL THEN NULL
+        |       WHEN s.avg_logprob >= t_head THEN 'head'
+        |       WHEN s.avg_logprob >= t_mid THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM base b
+        |LEFT JOIN dup d ON d.doc_id = b.doc_id
+        |LEFT JOIN scored s ON s.doc_id = b.doc_id
+        |CROSS JOIN th
+        |ORDER BY b.doc_id""".stripMargin
   )
 }

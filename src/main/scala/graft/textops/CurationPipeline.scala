@@ -1,0 +1,92 @@
+package graft.textops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus-curation pipeline — the composed job a pretraining
+  * data team actually runs, built from this library's stage primitives in
+  * the CCNet arrangement (Wenzek et al. 2020 §3: language ID → filtering
+  * → deduplication → LM perplexity bucketing; the rule set itself follows
+  * C4/Gopher-style heuristics):
+  *
+  *   1. language gate — [[TextFunctions.langId]]; documents whose
+  *      predicted language is outside `keepLangs` drop with reason
+  *      `language`;
+  *   2. quality gate — [[TextFunctions.qualityRules]] (token count, mean
+  *      word length, punctuation ratio, stopword presence, repetition);
+  *      failures drop with reason `quality`;
+  *   3. exact dedup — [[TextFunctions.fingerprint64]] over the surviving
+  *      documents; within a fingerprint group the smallest id survives,
+  *      the rest drop with reason `duplicate` (dedup AFTER the cheap
+  *      scans: no point shuffling fingerprints of rows a scan-stage
+  *      predicate already rejected);
+  *   4. perplexity bucketing — [[UnigramLM.ccnetBuckets]] trained on the
+  *      KEPT documents only (CCNet computes its head/middle/tail cut
+  *      points over the corpus being scored, so filtered-out docs must
+  *      not shift the thresholds).
+  *
+  * One row per INPUT document — an auditable decision table, not just
+  * the surviving subset: (id, lang, n_tokens, drop_reason, avg_logprob,
+  * bucket) where `drop_reason` is null for kept documents (which carry
+  * their bucket) and names the FIRST failing stage otherwise (later
+  * stages are left null — a dropped document is never scored).
+  *
+  * Plan shape at 100 TB: stages 1–2 are pure scan-stage column
+  * expressions (one pass, whole-stage codegen, no shuffle); stage 3 is
+  * one groupBy + one join keyed on the 8-byte fingerprint — the exact
+  * dedup shape — over the filtered survivors only; stage 4 adds the
+  * unigram-LM token-key aggregation and a broadcast threshold join (see
+  * [[UnigramLM]]; swap in `ccnetBucketsApprox` past ~10⁸ docs). The
+  * final assembly is two id-keyed left joins of slim (id, flag/bucket)
+  * tables back onto the scan.
+  */
+object CurationPipeline {
+
+  /** Run the four-stage pipeline. Output columns: (idCol, lang,
+    * n_tokens, drop_reason, avg_logprob, bucket).
+    */
+  def run(docs: DataFrame, idCol: String, textCol: String,
+          keepLangs: Set[String],
+          stopwords: Seq[String] = Seq("the", "a", "and", "of", "to"))
+      : DataFrame = {
+    require(keepLangs.nonEmpty, "keepLangs must not be empty")
+    val (qKeep, _) = TextFunctions.qualityRules(col(textCol), stopwords)
+    // null text must not sail through the gates: [[TextFunctions.langId]]
+    // over null input picks an arbitrary language (null scores propagate
+    // through its argmax), and a null quality verdict passes every
+    // `when`. Null text classifies as 'und' and fails quality.
+    val base = docs.select(col(idCol), col(textCol),
+      when(col(textCol).isNull, lit("und"))
+        .otherwise(TextFunctions.langId(col(textCol))).as("lang"),
+      TextFunctions.tokenCount(col(textCol)).as("n_tokens"),
+      coalesce(qKeep, lit(false)).as("__qok"),
+      TextFunctions.fingerprint64(col(textCol)).as("__fp"))
+    val langOk = col("lang").isInCollection(keepLangs)
+
+    // stage-3 inputs: only docs past the scan gates reach the shuffle
+    val survivors = base.filter(langOk && col("__qok"))
+      .select(col(idCol), col(textCol), col("__fp"))
+    val keepers = survivors.groupBy(col("__fp"))
+      .agg(min(col(idCol)).as("__keeper"))
+    val withDup = survivors.join(keepers, "__fp")
+      .select(col(idCol), col(textCol),
+        (col(idCol) =!= col("__keeper")).as("__dup"))
+
+    // stage 4 trains on the kept set only
+    val buckets = UnigramLM.ccnetBuckets(
+        withDup.filter(!col("__dup")).select(col(idCol), col(textCol)),
+        idCol, textCol)
+      .select(col(idCol), col("avg_logprob"), col("bucket"))
+
+    base.join(withDup.select(col(idCol), col("__dup")), Seq(idCol), "left")
+      .join(buckets, Seq(idCol), "left")
+      .select(col(idCol), col("lang"), col("n_tokens"),
+        // first failing stage; null __dup (doc never reached stage 3)
+        // falls through like false
+        when(!langOk, lit("language"))
+          .when(!col("__qok"), lit("quality"))
+          .when(col("__dup"), lit("duplicate"))
+          .as("drop_reason"),
+        col("avg_logprob"), col("bucket"))
+  }
+}

@@ -256,4 +256,21 @@ class PlanSpec extends SparkSpec {
     // task ships one row per (doc, class) at most
     assert(p.contains("partial_max(struct(score"), p.take(2000))
   }
+
+  test("curation pipeline: no window, no cartesian product, and the " +
+    "dedup/bucket state that shuffles is slim (never the text column)") {
+    val p = SparkEntry.queries("q102_curation")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the CCNet thresholds arrive as a broadcast 1-row join, and the
+    // exchanges carry ids/fingerprints/tokens — the document text itself
+    // must never be a shuffle key
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p.take(2000))
+    val keyed = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(keyed.nonEmpty)
+    assert(!keyed.exists(_.contains("text#")), keyed.mkString("\n"))
+  }
 }

@@ -1,0 +1,89 @@
+package graft.textops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The composed four-stage curation pipeline: stage precedence, dedup
+  * survivor choice, threshold provenance (kept docs only) and null
+  * safety.
+  */
+class CurationPipelineSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // 40 tokens: 5 English stopwords (langId → en, stop_hits = 5), 5
+  // fillers, 30 seed-unique words (repetition ratio 1.0, no punctuation,
+  // word lengths in [2,12]) — passes every quality rule
+  private def goodText(seed: Int): String =
+    ("the a and of to cat dog house tree river".split(" ") ++
+      (0 until 30).map(i => s"w${seed}x$i")).mkString(" ")
+
+  private val deText =
+    "der die das und ist nicht ein zu mit von " * 4 // German stopwords x40
+
+  private def run(df: org.apache.spark.sql.DataFrame) =
+    CurationPipeline.run(df, "doc_id", "text",
+      keepLangs = Set("en"))
+
+  test("each document lands in exactly one outcome; the first failing " +
+    "stage names the reason") {
+    val docs = Seq(
+      (1L, goodText(1)),                    // kept
+      (2L, goodText(2)),                    // kept
+      (3L, deText),                         // language (de not kept)
+      (4L, "short text the a"),             // en but too few words
+      (5L, goodText(1)),                    // exact dup of 1 → duplicate
+      (6L, null.asInstanceOf[String]),      // null text → und → language
+      (7L, "x y z q w e r t u i " * 5)      // no stopwords AND und → language first
+    ).toDF("doc_id", "text")
+    val out = run(docs).orderBy("doc_id")
+      .select("doc_id", "lang", "drop_reason")
+      .as[(Long, String, Option[String])].collect().toSeq
+    assert(out.map(r => r._1 -> r._3).toMap == Map(
+      1L -> None, 2L -> None, 3L -> Some("language"),
+      4L -> Some("quality"), 5L -> Some("duplicate"),
+      6L -> Some("language"), 7L -> Some("language")))
+    assert(out.find(_._1 == 6L).get._2 == "und")
+    // one row per input document, kept rows carry a bucket, dropped none
+    val full = run(docs).collect()
+    assert(full.length == 7)
+    assert(full.count(r => r.getAs[String]("bucket") != null) == 2)
+  }
+
+  test("within a fingerprint group the smallest id survives regardless " +
+    "of row order") {
+    val docs = Seq((30L, goodText(3)), (10L, goodText(3)), (20L, goodText(3)),
+      (40L, goodText(4))).toDF("doc_id", "text")
+    val out = run(docs).select("doc_id", "drop_reason")
+      .as[(Long, Option[String])].collect().toMap
+    assert(out == Map(10L -> None, 20L -> Some("duplicate"),
+      30L -> Some("duplicate"), 40L -> None))
+  }
+
+  test("buckets equal ccnetBuckets trained on exactly the kept set — " +
+    "dropped docs must not shift the thresholds") {
+    val docs = (1L to 12L).map(i => (i, goodText(i.toInt)))
+      .toDF("doc_id", "text")
+      .unionByName(Seq((98L, deText), (99L, "tiny the a"))
+        .toDF("doc_id", "text"))
+    val out = run(docs)
+    val kept = out.filter(col("drop_reason").isNull)
+      .select("doc_id", "avg_logprob", "bucket")
+      .as[(Long, Double, String)].collect().toSet
+    val direct = UnigramLM.ccnetBuckets(
+        docs.filter(col("doc_id") <= 12L), "doc_id", "text")
+      .select("doc_id", "avg_logprob", "bucket")
+      .as[(Long, Double, String)].collect().toSet
+    assert(kept == direct)
+  }
+
+  test("dedup shuffles only the survivors: a duplicate pair that fails " +
+    "quality is reported as quality, not duplicate") {
+    val docs = Seq((1L, "dup dup the a"), (2L, "dup dup the a"),
+      (3L, goodText(5))).toDF("doc_id", "text")
+    val out = run(docs).select("doc_id", "drop_reason")
+      .as[(Long, Option[String])].collect().toMap
+    assert(out == Map(1L -> Some("quality"), 2L -> Some("quality"),
+      3L -> None))
+  }
+}
