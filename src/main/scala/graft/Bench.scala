@@ -68,22 +68,26 @@ object Bench {
     val slowest = results.toSeq.sortBy(-_._2).take(15)
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    // scaling exponents from the latest ScaleSmoke run (1× vs 10× data),
-    // embedded so the round artifact carries them; no file → omitted
-    val scale10 =
+    // scaling exponents from the latest ScaleSmoke runs (1× vs 10×, and
+    // the 100× sweep when present), embedded so the round artifact
+    // carries them; no file → omitted
+    def scaleJson(key: String, pick: String => Boolean): String =
       try {
         val latest = java.nio.file.Files.list(java.nio.file.Paths.get("."))
           .iterator().asScala
           .map(_.getFileName.toString)
-          .filter(n => n.startsWith("SCALE_r") && n.endsWith(".json"))
+          .filter(n => n.startsWith("SCALE_r") && n.endsWith(".json") &&
+            pick(n))
           .toSeq.sorted.lastOption
         latest.map { f =>
           val s = java.nio.file.Files.readString(
             java.nio.file.Paths.get(f)).trim
-          if (s.startsWith("{")) s""","scale10":$s""" else ""
+          if (s.startsWith("{")) s""","$key":$s""" else ""
         }.getOrElse("")
       } catch { case _: Throwable => "" }
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$slowest,"full":"bench_full.json"$procJson$scale10,"sf":"$sfDir"}""")
+    val scale10 = scaleJson("scale10", !_.contains("_100x"))
+    val scale100 = scaleJson("scale100", _.contains("_100x"))
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$slowest,"full":"bench_full.json"$procJson$scale10$scale100,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -36,7 +36,10 @@ object ScaleSmoke {
     // their 100 TB story should rest on measured exponents, not only on
     // plan-shape assertions
     "q93_bigram_lm", "q94_bm25", "q95_nb_lang", "q98_trigram_lm",
-    "q99_quant_lm", "q100_ngram_lm", "q101_quant5_lm")
+    "q99_quant_lm", "q100_ngram_lm", "q101_quant5_lm",
+    // the composed curation pipeline: scan gates + fingerprint dedup +
+    // kept-set LM in one job
+    "q102_curation")
 
   /** Id offset between copies — far above any base id, and a multiple of
     * 10 so `doc_id % 10`-style splits partition every copy identically.

@@ -109,6 +109,83 @@ object CorpusStream {
       .filter(col("n_flagged_grams") <= maxSharedGrams)
   }
 
+  /** Streaming curation gate — the live-ingest counterpart of
+    * [[graft.textops.CurationPipeline.runWithModel]] (the PRODUCTION
+    * CCNet configuration): language and quality gates are the same
+    * stateless column expressions; exact dedup is the watermarked
+    * fingerprint state of [[dedupStream]] (first ARRIVAL wins — the only
+    * causal choice a stream can make, where the batch pipeline keeps the
+    * smallest id); the perplexity stage scores against a PRE-TRAINED
+    * unigram table at FIXED head/middle thresholds. A stream cannot take
+    * a corpus percentile, and a deployed gate should not want to — CCNet
+    * fits the LM and its cut points offline and ships them to every
+    * scorer.
+    *
+    * The vocabulary is collected and broadcast once at plan-build time
+    * (the same ship-the-model-to-the-scorers shape as KenLM binaries;
+    * `maxVocab` guards the driver — a Heaps'-law vocabulary fits, a raw
+    * crawl token set should be count-pruned first). Scoring is then a
+    * stateless per-row kernel: no shuffle, no state store beyond the
+    * dedup fingerprints. Survivors flow on with (lang, n_tokens,
+    * avg_logprob, bucket) appended; dropped rows produce nothing (a
+    * decision audit for drops would be a second sink, as with
+    * [[qualityFilter]]).
+    */
+  def curationGate(docs: DataFrame, textCol: String, tsCol: String,
+                   watermark: String, keepLangs: Set[String],
+                   unigrams: DataFrame, tHead: Double, tMid: Double,
+                   stopwords: Seq[String] =
+                     Seq("the", "a", "and", "of", "to"),
+                   oovLogp: Double = -20.0,
+                   maxVocab: Long = 50000000L): DataFrame = {
+    require(keepLangs.nonEmpty, "keepLangs must not be empty")
+    require(tHead >= tMid, s"tHead ($tHead) must be >= tMid ($tMid)")
+    val (qKeep, _) = TextFunctions.qualityRules(col(textCol), stopwords)
+    val gated = docs
+      .withColumn("lang", when(col(textCol).isNull, lit("und"))
+        .otherwise(TextFunctions.langId(col(textCol))))
+      .filter(col("lang").isInCollection(keepLangs) &&
+        coalesce(qKeep, lit(false)))
+    val deduped = dedupStream(gated, textCol, tsCol, watermark)
+
+    val vocabRows = unigrams.select(col("token"), col("logp"))
+    val n = vocabRows.count()
+    require(n <= maxVocab,
+      s"unigram vocabulary ($n rows) exceeds maxVocab ($maxVocab) — " +
+        "count-prune the table before shipping it to a streaming gate")
+    val m = new java.util.HashMap[String, java.lang.Double](
+      math.max(16, n.toInt * 2))
+    vocabRows.collect().foreach(r => m.put(r.getString(0), r.getDouble(1)))
+    val bc = docs.sparkSession.sparkContext.broadcast(m)
+    // per-row scoring kernel: same tokenization (lowercased, \s+ split,
+    // empties dropped) and the same HALF_UP 6-dp rounding as
+    // UnigramLM.scoreAgainst's round(avg, 6) — math.round would differ on
+    // negative half-boundaries (toward +inf vs away from zero)
+    val scoreUdf = udf((s: String) => {
+      val toks = s.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (toks.isEmpty) null
+      else {
+        var sum = 0.0
+        toks.foreach { t =>
+          val v = bc.value.get(t)
+          sum += (if (v ne null) v.doubleValue() else oovLogp)
+        }
+        val avg = BigDecimal(sum / toks.length)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (toks.length, avg)
+      }
+    }).asNondeterministic() // plan-shape fence, kernel is pure
+    deduped.withColumn("__s", scoreUdf(col(textCol)))
+      .filter(col("__s").isNotNull)
+      .withColumn("n_tokens", col("__s._1"))
+      .withColumn("avg_logprob", col("__s._2"))
+      .withColumn("bucket",
+        when(col("avg_logprob") >= tHead, lit("head"))
+          .when(col("avg_logprob") >= tMid, lit("middle"))
+          .otherwise(lit("tail")))
+      .drop("__s")
+  }
+
   /** One (bucket, document) posting flowing into the keyed state. */
   final case class BucketPost(bucket: Long, doc_id: Long,
                               sig: Seq[Long], ts: java.sql.Timestamp)

@@ -42,13 +42,51 @@ import org.apache.spark.sql.functions._
   */
 object CurationPipeline {
 
-  /** Run the four-stage pipeline. Output columns: (idCol, lang,
-    * n_tokens, drop_reason, avg_logprob, bucket).
+  /** Run the four-stage pipeline with CORPUS-FIT thresholds (stage 4
+    * trains on the kept set and cuts at its own tertiles — the CCNet
+    * research configuration). Output columns: (idCol, lang, n_tokens,
+    * drop_reason, avg_logprob, bucket).
     */
   def run(docs: DataFrame, idCol: String, textCol: String,
           keepLangs: Set[String],
           stopwords: Seq[String] = Seq("the", "a", "and", "of", "to"))
-      : DataFrame = {
+      : DataFrame =
+    pipeline(docs, idCol, textCol, keepLangs, stopwords,
+      kept => UnigramLM.ccnetBuckets(kept, idCol, textCol)
+        .select(col(idCol), col("avg_logprob"), col("bucket")))
+
+  /** The PRODUCTION form: stage 4 scores against a PRE-TRAINED unigram
+    * table and cuts at FIXED thresholds — how a deployed CCNet gate
+    * actually runs (the LM and its head/middle cut points are fit once
+    * on a reference corpus; re-fitting percentiles per input partition
+    * would make keep/drop decisions depend on what they were batched
+    * with). Same output schema as [[run]]; bucket assignment is the same
+    * `>=` comparison at the score's 6-dp rounding, ties to the higher
+    * bucket. [[graft.streaming.CorpusStream.curationGate]] is the
+    * streaming counterpart of exactly this configuration.
+    */
+  def runWithModel(docs: DataFrame, idCol: String, textCol: String,
+                   keepLangs: Set[String], unigrams: DataFrame,
+                   tHead: Double, tMid: Double,
+                   stopwords: Seq[String] = Seq("the", "a", "and", "of", "to"),
+                   oovLogp: Double = -20.0): DataFrame = {
+    require(tHead >= tMid, s"tHead ($tHead) must be >= tMid ($tMid)")
+    pipeline(docs, idCol, textCol, keepLangs, stopwords,
+      kept => UnigramLM.scoreAgainst(kept, unigrams, idCol, textCol,
+          oovLogp)
+        .withColumn("bucket",
+          when(col("avg_logprob") >= tHead, lit("head"))
+            .when(col("avg_logprob") >= tMid, lit("middle"))
+            .otherwise(lit("tail")))
+        .select(col(idCol), col("avg_logprob"), col("bucket")))
+  }
+
+  /** Shared stage 1–3 plumbing; `bucketer` maps the kept (id, text) set
+    * to (id, avg_logprob, bucket).
+    */
+  private def pipeline(docs: DataFrame, idCol: String, textCol: String,
+                       keepLangs: Set[String], stopwords: Seq[String],
+                       bucketer: DataFrame => DataFrame): DataFrame = {
     require(keepLangs.nonEmpty, "keepLangs must not be empty")
     val (qKeep, _) = TextFunctions.qualityRules(col(textCol), stopwords)
     // null text must not sail through the gates: [[TextFunctions.langId]]
@@ -63,22 +101,27 @@ object CurationPipeline {
       TextFunctions.fingerprint64(col(textCol)).as("__fp"))
     val langOk = col("lang").isInCollection(keepLangs)
 
-    // stage-3 inputs: only docs past the scan gates reach the shuffle
+    // stage-3 inputs: only docs past the scan gates reach the shuffle.
+    // The dedup VERDICT is checkpointed as a slim (id, flag) table — ids
+    // only, tiny at any corpus size — because three downstream actions
+    // (the LM stage's internal materializations and the final assembly)
+    // would otherwise each re-run the fingerprint shuffle join; corpus
+    // text itself is never materialized, only re-scanned (the unavoidable
+    // read).
     val survivors = base.filter(langOk && col("__qok"))
-      .select(col(idCol), col(textCol), col("__fp"))
+      .select(col(idCol), col("__fp"))
     val keepers = survivors.groupBy(col("__fp"))
       .agg(min(col(idCol)).as("__keeper"))
-    val withDup = survivors.join(keepers, "__fp")
-      .select(col(idCol), col(textCol),
-        (col(idCol) =!= col("__keeper")).as("__dup"))
+    val dupFlags = survivors.join(keepers, "__fp")
+      .select(col(idCol), (col(idCol) =!= col("__keeper")).as("__dup"))
+      .localCheckpoint(true)
 
-    // stage 4 trains on the kept set only
-    val buckets = UnigramLM.ccnetBuckets(
-        withDup.filter(!col("__dup")).select(col(idCol), col(textCol)),
-        idCol, textCol)
-      .select(col(idCol), col("avg_logprob"), col("bucket"))
+    // stage 4 sees the kept set only (scan + slim id join)
+    val buckets = bucketer(
+      base.join(dupFlags.filter(!col("__dup")).select(col(idCol)), Seq(idCol))
+        .select(col(idCol), col(textCol)))
 
-    base.join(withDup.select(col(idCol), col("__dup")), Seq(idCol), "left")
+    base.join(dupFlags, Seq(idCol), "left")
       .join(buckets, Seq(idCol), "left")
       .select(col(idCol), col("lang"), col("n_tokens"),
         // first failing stage; null __dup (doc never reached stage 3)

@@ -181,4 +181,56 @@ class CorpusStreamSpec extends SparkSpec {
       .select("n_flagged_grams").as[Long].head()
     assert(bloomCount == exact && exact >= 32L)
   }
+
+  test("streaming curation gate: batch ≡ stream against runWithModel, " +
+    "cross-micro-batch dedup state, fixed-threshold buckets") {
+    implicit val sqlCtx = spark.sqlContext
+    def good(seed: Int) =
+      ("the a and of to cat dog house tree river".split(" ") ++
+        (0 until 30).map(i => s"w${seed}x$i")).mkString(" ")
+    val unigrams = graft.textops.UnigramLM.train(
+      Seq(Tuple1(good(1))).toDF("text"), "text")
+    val batch1 = Seq(
+      Doc(1L, t("2020-01-01 10:00:00"), good(1)),   // kept, in-vocab
+      Doc(2L, t("2020-01-01 10:00:10"),
+        good(1).replace("w1x", "oov")),             // kept, OOV-heavy
+      Doc(3L, t("2020-01-01 10:00:20"),
+        "der die das und ist nicht ein zu mit von " * 4), // language
+      Doc(4L, t("2020-01-01 10:00:30"), "too short the a")) // quality
+    val batch2 = Seq(
+      Doc(5L, t("2020-01-01 10:01:00"), good(1)))   // dup of 1, NEXT batch
+    val gate = (df: org.apache.spark.sql.DataFrame) =>
+      CorpusStream.curationGate(df, "text", "ts", "10 minutes",
+        keepLangs = Set("en"), unigrams = unigrams,
+        tHead = -4.0, tMid = -10.0)
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Doc]
+    val q = gate(source.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("curation_gate")
+      .start() // default trigger: dedup state must span the two batches
+    source.addData(batch1: _*)
+    q.processAllAvailable()
+    source.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql(
+        "SELECT doc_id, lang, n_tokens, avg_logprob, bucket " +
+          "FROM curation_gate")
+      .as[(Long, String, Int, Double, String)].collect().toSet
+    // survivors: 1 (head, all in-vocab) and 2 (tail, 30 tokens at the
+    // OOV floor); 5's fingerprint is already in state from batch 1
+    assert(got.map(_._1) == Set(1L, 2L))
+    assert(got.map(r => r._1 -> r._5).toMap ==
+      Map(1L -> "head", 2L -> "tail"))
+    // batch ≡ stream: the kept rows of the batch production pipeline on
+    // the same corpus (first arrival == min id here) match exactly
+    val batch = graft.textops.CurationPipeline.runWithModel(
+        (batch1 ++ batch2).toDF(), "doc_id", "text",
+        keepLangs = Set("en"), unigrams = unigrams,
+        tHead = -4.0, tMid = -10.0)
+      .filter(col("drop_reason").isNull)
+      .select("doc_id", "lang", "n_tokens", "avg_logprob", "bucket")
+      .as[(Long, String, Int, Double, String)].collect().toSet
+    assert(batch == got)
+  }
 }

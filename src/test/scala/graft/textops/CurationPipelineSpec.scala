@@ -77,6 +77,38 @@ class CurationPipelineSpec extends SparkSpec {
     assert(kept == direct)
   }
 
+  test("runWithModel: same gates, but scores come from the shipped " +
+    "unigram table and buckets from the fixed thresholds") {
+    val docs = Seq(
+      (1L, goodText(1)),                    // in-vocab → high score
+      (2L, goodText(1).replace("w1x", "oov")), // 30 OOV tokens → low score
+      (3L, deText),                         // language drop
+      (4L, goodText(1))                     // duplicate of 1
+    ).toDF("doc_id", "text")
+    val unigrams = UnigramLM.train(
+      Seq(Tuple1(goodText(1))).toDF("text"), "text")
+    val out = CurationPipeline.runWithModel(docs, "doc_id", "text",
+        keepLangs = Set("en"), unigrams = unigrams,
+        tHead = -4.0, tMid = -10.0)
+      .select("doc_id", "drop_reason", "avg_logprob", "bucket")
+      .as[(Long, Option[String], Option[Double], Option[String])]
+      .collect().toSeq.sortBy(_._1)
+    assert(out.map(r => r._1 -> r._2).toMap == Map(
+      1L -> None, 2L -> None, 3L -> Some("language"),
+      4L -> Some("duplicate")))
+    // doc 1: every token in-vocab, uniform 40-token corpus → avg = ln(1/40)
+    val want1 = BigDecimal(math.log(1.0 / 40))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.find(_._1 == 1L).get._3.contains(want1))
+    assert(out.find(_._1 == 1L).get._4.contains("head"))
+    // doc 2: 10 in-vocab + 30 OOV at the -20 floor → middle of the fixed
+    // cuts is impossible, lands in tail
+    val want2 = BigDecimal((10 * math.log(1.0 / 40) + 30 * -20.0) / 40)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.find(_._1 == 2L).get._3.contains(want2))
+    assert(out.find(_._1 == 2L).get._4.contains("tail"))
+  }
+
   test("dedup shuffles only the survivors: a duplicate pair that fails " +
     "quality is reported as quality, not duplicate") {
     val docs = Seq((1L, "dup dup the a"), (2L, "dup dup the a"),
