@@ -39,7 +39,10 @@ object ScaleSmoke {
     "q99_quant_lm", "q100_ngram_lm", "q101_quant5_lm",
     // the composed curation pipeline: scan gates + fingerprint dedup +
     // kept-set LM in one job
-    "q102_curation")
+    "q102_curation",
+    // SemDeDup with the corpus-derived cell count — the configuration
+    // whose exponent must stay ~linear where q77's pinned k cannot
+    "q103_semdedup_auto")
 
   /** Id offset between copies — far above any base id, and a multiple of
     * 10 so `doc_id % 10`-style splits partition every copy identically.
@@ -153,7 +156,14 @@ object ScaleSmoke {
     spark.sparkContext.setLogLevel("WARN")
     val scaledDir = buildScaled(spark, baseDir, factor)
     def r3(v: Double): String = f"$v%.3f"
-    val rows = ScaleQueries.map { q =>
+    // dev/resume knob (the Bench SPARK_GRAFT_ONLY convention): time just
+    // the named queries (prefix match) — lets a killed long sweep resume
+    // without re-measuring finished queries. The driver never sets it.
+    val selected = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .map(ps => ScaleQueries.filter(q => ps.exists(q.startsWith)))
+      .getOrElse(ScaleQueries)
+    val rows = selected.map { q =>
       val t1 = time(spark, q, baseDir)
       val tN = time(spark, q, scaledDir)
       val exp = math.log(tN / t1) / math.log(factor.toDouble)

@@ -2099,6 +2099,24 @@ object SparkEntry {
       CurationPipeline.run(corpus, "doc_id", "text",
           keepLangs = Set("en", "de", "fr"))
         .orderBy(col("doc_id"))
+    }),
+
+    // q77's SemDeDup at the SCALE configuration: k = 0 derives the cell
+    // count from the corpus size (cells of bounded target size → total
+    // comparison work linear in N, where q77's pinned k degrades as
+    // N²/k — measured exponent 1.12 at 100×). No SQL oracle: the derived
+    // k makes the k-means replay data-dependent; the driver records the
+    // rows-only check, PipelineOpsSpec pins auto ≡ explicit under the
+    // floor, and the scaling smoke carries the exponent evidence
+    "q103_semdedup_auto" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val clones = emb.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 10000L).as("vec_id"),
+          transform(col("embedding"), x => (x * lit(2.0f)).cast("float"))
+            .as("embedding"))
+      graft.sim.SemDeDup.duplicates(emb.unionByName(clones),
+          "vec_id", "embedding", threshold = 0.9, nIters = 2)
+        .orderBy(col("vec_id"))
     })
   )
 

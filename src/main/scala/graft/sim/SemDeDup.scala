@@ -8,8 +8,10 @@ import org.apache.spark.sql.functions._
   * cluster, and drop every vector that has a near-duplicate (cosine >=
   * threshold) with a smaller id. Clustering turns the quadratic all-pairs
   * comparison into k independent `(N/k)²` problems — the trick that makes
-  * semantic dedup tractable at web-corpus scale (k ~ sqrt(N) keeps total
-  * work ~ N^1.5).
+  * semantic dedup tractable at web-corpus scale. The cell count must GROW
+  * with the corpus ([[autoCells]], the `k = 0` default): any fixed k
+  * degrades as `N²/k`, while cells of bounded target size keep total
+  * comparison work linear in N.
   *
   * Reuses [[Ivf]]'s k-means (typed-Aggregator shuffles of k×dim buffers,
   * O(k) fold assignment). Assignment is by COSINE, which is
@@ -25,14 +27,40 @@ import org.apache.spark.sql.functions._
   */
 object SemDeDup {
 
+  /** Cell count for `k = 0` (auto): `ceil(n / targetCellSize)`, floored
+    * at 16. With cells of BOUNDED expected size the in-cell self-join
+    * does `n × targetCellSize` comparisons — linear in the corpus — where
+    * any FIXED k degrades as `n²/k` (the 100× scaling smoke measured
+    * exponent 1.12 for fixed k = 16; the SemDeDup paper's ~n/2000
+    * clusters on LAION embody the same rule). Costs one count job before
+    * training.
+    *
+    * The OTHER term: centroid assignment is `n × k = n²/targetCellSize`,
+    * which overtakes the pair work once k exceeds targetCellSize — i.e.
+    * past n ≈ targetCellSize² ≈ 16M vectors at the default. Beyond that a
+    * flat k-means sweep is the wrong tool regardless of k (SemDeDup at
+    * that scale runs GPU/hierarchical k-means); a two-level assignment
+    * (coarse cells, then fine within) would restore n^1.5 — out of scope
+    * until a corpus actually crosses it.
+    */
+  def autoCells(n: Long, targetCellSize: Int = 4096): Int =
+    math.max(16L, (n + targetCellSize - 1) / targetCellSize)
+      .min(Int.MaxValue).toInt
+
   /** `(vec_id, dup_of)` for every vector that has a same-cluster
     * near-duplicate with a smaller id; `dup_of` = the smallest such id
     * (the cluster representative it would be deduplicated against).
+    *
+    * `k = 0` (the scale default) derives the cell count from the corpus
+    * size via [[autoCells]]; an explicit k pins the clustering (the
+    * oracle-replay configuration).
     */
   def duplicates(corpus: DataFrame, idCol: String, vecCol: String,
-                 threshold: Double, k: Int = 16, nIters: Int = 2,
+                 threshold: Double, k: Int = 0, nIters: Int = 2,
                  maxCellSize: Int = 100000): DataFrame = {
-    val centroids = Ivf.train(corpus, idCol, vecCol, k, nIters)
+    require(k >= 0, s"k must be >= 0 (0 = auto), got $k")
+    val k0 = if (k > 0) k else autoCells(corpus.count())
+    val centroids = Ivf.train(corpus, idCol, vecCol, k0, nIters)
     val assigned = Ivf.assign(corpus, vecCol, centroids)
     // cell cap decided on a slim (cell, count) aggregate — at most k
     // rows — broadcast-semi-joined into both pair sides. One extra O(k)
@@ -65,7 +93,7 @@ object SemDeDup {
     * removed (left-anti on the id).
     */
   def survivors(corpus: DataFrame, idCol: String, vecCol: String,
-                threshold: Double, k: Int = 16, nIters: Int = 2,
+                threshold: Double, k: Int = 0, nIters: Int = 2,
                 maxCellSize: Int = 100000): DataFrame =
     corpus.join(
       duplicates(corpus, idCol, vecCol, threshold, k, nIters, maxCellSize)

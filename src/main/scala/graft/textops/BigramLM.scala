@@ -48,7 +48,7 @@ object BigramLM {
   def scoreAgainst(docs: DataFrame, unigrams: DataFrame,
                    bigrams: DataFrame, idCol: String, textCol: String,
                    alpha: Double = 0.4, oovLogp: Double = -20.0,
-                   broadcastVocab: Boolean = true): DataFrame =
+                   broadcastVocab: Boolean = false): DataFrame =
     NgramLM.scoreAgainst(docs, Seq(unigrams, bigrams), idCol, textCol,
       alpha, oovLogp, broadcastVocab)
 
@@ -59,7 +59,7 @@ object BigramLM {
     */
   def score(docs: DataFrame, idCol: String, textCol: String,
             minCount: Long = 2, alpha: Double = 0.4,
-            broadcastVocab: Boolean = true): DataFrame =
+            broadcastVocab: Boolean = false): DataFrame =
     NgramLM.score(docs, idCol, textCol, order = 2, minCount, alpha,
       broadcastVocab)
 }

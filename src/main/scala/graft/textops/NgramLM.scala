@@ -38,9 +38,13 @@ import org.apache.spark.sql.functions._
   *   - train = N keyed aggregations + N-1 context rollups over one
   *     checkpointed tuple table; shuffle keys are n-gram tuples, never
   *     documents;
-  *   - score = N left joins (broadcast by default; `broadcastVocab =
-  *     false` lets AQE plan shuffle joins for web-scale vocabularies)
-  *     + one doc-key aggregation. The chain is a pure column expression.
+  *   - score = N left joins + one doc-key aggregation; the chain is a
+  *     pure column expression. By default AQE picks each join's strategy
+  *     from the level table's RUNTIME size (small tables still broadcast,
+  *     a web-crawl 5-gram table shuffle-joins — the 100× smoke measured
+  *     force-broadcast at exponent 1.0 vs AQE-planned well under it);
+  *     `broadcastVocab = true` pins every level to a broadcast for
+  *     callers that know their model fits.
   */
 object NgramLM {
 
@@ -173,7 +177,7 @@ object NgramLM {
   def scoreAgainst(docs: DataFrame, tables: Seq[DataFrame], idCol: String,
                    textCol: String, alpha: Double = 0.4,
                    oovLogp: Double = -20.0,
-                   broadcastVocab: Boolean = true): DataFrame = {
+                   broadcastVocab: Boolean = false): DataFrame = {
     val order = tables.length
     require(order >= 2 && order <= 8,
       s"need 2..8 tables (one per order), got $order")
@@ -198,7 +202,7 @@ object NgramLM {
                             quants: Seq[NgramQuant.Quantized],
                             idCol: String, textCol: String,
                             alpha: Double = 0.4, oovLogp: Double = -20.0,
-                            broadcastVocab: Boolean = true): DataFrame = {
+                            broadcastVocab: Boolean = false): DataFrame = {
     val order = quants.length
     require(order >= 2 && order <= 8,
       s"need 2..8 quantized tables (one per order), got $order")
@@ -238,7 +242,7 @@ object NgramLM {
   def scoreQuantized(docs: DataFrame, idCol: String, textCol: String,
                      order: Int, minCount: Long = 2, alpha: Double = 0.4,
                      bits: Int = 8, uniform: Boolean = false,
-                     broadcastVocab: Boolean = true): DataFrame = {
+                     broadcastVocab: Boolean = false): DataFrame = {
     require(order >= 2 && order <= 8, s"order must be in [2,8], got $order")
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
     val tp = tuples(docs, idCol, textCol, order).localCheckpoint(true)
@@ -304,7 +308,7 @@ object NgramLM {
     */
   def score(docs: DataFrame, idCol: String, textCol: String, order: Int,
             minCount: Long = 2, alpha: Double = 0.4,
-            broadcastVocab: Boolean = true): DataFrame = {
+            broadcastVocab: Boolean = false): DataFrame = {
     require(order >= 2 && order <= 8, s"order must be in [2,8], got $order")
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
     val tp = tuples(docs, idCol, textCol, order).localCheckpoint(true)

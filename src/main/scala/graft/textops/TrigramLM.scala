@@ -47,7 +47,7 @@ object TrigramLM {
                    bigrams: DataFrame, trigrams: DataFrame, idCol: String,
                    textCol: String, alpha: Double = 0.4,
                    oovLogp: Double = -20.0,
-                   broadcastVocab: Boolean = true): DataFrame =
+                   broadcastVocab: Boolean = false): DataFrame =
     NgramLM.scoreAgainst(docs, Seq(unigrams, bigrams, trigrams), idCol,
       textCol, alpha, oovLogp, broadcastVocab)
 
@@ -66,7 +66,7 @@ object TrigramLM {
                             tgQ: NgramQuant.Quantized, idCol: String,
                             textCol: String, alpha: Double = 0.4,
                             oovLogp: Double = -20.0,
-                            broadcastVocab: Boolean = true): DataFrame =
+                            broadcastVocab: Boolean = false): DataFrame =
     NgramLM.scoreAgainstQuantized(docs, Seq(uniQ, bgQ, tgQ), idCol,
       textCol, alpha, oovLogp, broadcastVocab)
 
@@ -76,7 +76,7 @@ object TrigramLM {
     */
   def score(docs: DataFrame, idCol: String, textCol: String,
             minCount: Long = 2, alpha: Double = 0.4,
-            broadcastVocab: Boolean = true): DataFrame =
+            broadcastVocab: Boolean = false): DataFrame =
     NgramLM.score(docs, idCol, textCol, order = 3, minCount, alpha,
       broadcastVocab)
 }

@@ -243,6 +243,25 @@ class PipelineOpsSpec extends SparkSpec {
       threshold = 0.95, k = 4, nIters = 2)
       .select("vec_id").as[Long].collect().toSet
     assert(kept == base.map(_._1).toSet)
+    // auto cell count (k = 0): below 16 × targetCellSize the floor holds,
+    // so auto must equal the explicit k = 16 run bit for bit
+    assert(SemDeDup.autoCells(corpus.count()) == 16)
+    val auto = SemDeDup.duplicates(corpus, "vec_id", "embedding",
+      threshold = 0.95, nIters = 2)
+      .as[(Long, Long)].collect().toMap
+    val explicit16 = SemDeDup.duplicates(corpus, "vec_id", "embedding",
+      threshold = 0.95, k = 16, nIters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(auto == explicit16)
+  }
+
+  test("semdedup autoCells grows linearly with the corpus above the floor") {
+    assert(SemDeDup.autoCells(100L) == 16)
+    assert(SemDeDup.autoCells(16L * 4096L) == 16)
+    assert(SemDeDup.autoCells(16L * 4096L + 1L) == 17)
+    assert(SemDeDup.autoCells(4096L * 1000L) == 1000)
+    assert(SemDeDup.autoCells(1000L, targetCellSize = 100) == 16)
+    assert(SemDeDup.autoCells(10000L, targetCellSize = 100) == 100)
   }
 
   test("semdedup: oversized cells are dropped whole (skew cap)") {
