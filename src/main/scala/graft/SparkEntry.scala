@@ -2117,8 +2117,71 @@ object SparkEntry {
       graft.sim.SemDeDup.duplicates(emb.unionByName(clones),
           "vec_id", "embedding", threshold = 0.9, nIters = 2)
         .orderBy(col("vec_id"))
+    }),
+
+    // BPE tokenizer APPLICATION (the missing half next to q79's trainer
+    // statistics): whitespace words → char symbols → each merge applied
+    // greedily left-to-right in order → flattened positional subword
+    // stream. Per-row column expressions, no shuffle, no UDF. The
+    // contract form uses a FIXED merge table (the q96/q99 pattern: the
+    // SQL-checkable configuration — DuckDB replays the greedy fold with
+    // list_reduce bit-for-bit); TRAINED merges are reference-parity
+    // spec-gated in BpeTrainerSpec.
+    "q104_bpe_encode" -> ((s, dir) => {
+      tSpread(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(BpeTrainer.encode(col("text"), BpeFixedMerges)))
+        .withColumnRenamed("col", "subword")
+        .orderBy(col("doc_id"), col("pos"))
     })
   )
+
+  /** q104's fixed merge table: common English patterns, applied in
+    * order (later merges build on earlier ones: t+h → th, th+e</w> →
+    * the</w>).
+    */
+  private val BpeFixedMerges: Seq[BpeTrainer.Merge] =
+    Seq("t" -> "h", "th" -> "e</w>", "i" -> "n", "a" -> "n",
+      "an" -> "d</w>", "o" -> "n")
+      .map { case (a, b) => BpeTrainer.Merge(a, b, 0L) }
+
+  /** DuckDB replay of [[BpeTrainer.encode]] under [[BpeFixedMerges]]:
+    * char symbols via string subscripts, each merge one `list_reduce`
+    * greedy fold over singleton lists (the seed = the first symbol, so
+    * the fold starts at symbol two exactly like the batch kernel's
+    * empty-accumulator fold).
+    */
+  private def bpeEncodeOracle: String = {
+    val syms = "list_append(list_transform(range(1, len(w)), " +
+      "i -> w[i]), w[-1] || '</w>')"
+    val merged = BpeFixedMerges.foldLeft(syms) { (inner, m) =>
+      val ab = m.left + m.right
+      s"""list_reduce(list_transform($inner, s -> [s]), (acc, x) ->
+         |      CASE WHEN acc[-1] = '${m.left}' AND x[1] = '${m.right}'
+         |           THEN list_concat(acc[1:len(acc)-1], ['$ab'])
+         |           ELSE list_concat(acc, x) END)""".stripMargin
+    }
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    CASE WHEN trim(lower(text)) = '' THEN []
+       |         ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+       |  FROM documents),
+       |words AS (
+       |  SELECT doc_id, wi, t[wi] AS w FROM (
+       |    SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS wi
+       |    FROM toks WHERE len(t) > 0)),
+       |enc AS (SELECT doc_id, wi, $merged AS sw FROM words),
+       |flat AS (
+       |  SELECT doc_id, wi, si, sw[si] AS subword FROM (
+       |    SELECT doc_id, wi, sw, unnest(range(1, len(sw) + 1)) AS si
+       |    FROM enc))
+       |SELECT doc_id,
+       |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wi, si) - 1
+       |    AS INTEGER) AS pos,
+       |  subword
+       |FROM flat
+       |ORDER BY doc_id, pos""".stripMargin
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -4285,6 +4348,8 @@ object SparkEntry {
         |LEFT JOIN dup d ON d.doc_id = b.doc_id
         |LEFT JOIN scored s ON s.doc_id = b.doc_id
         |CROSS JOIN th
-        |ORDER BY b.doc_id""".stripMargin
+        |ORDER BY b.doc_id""".stripMargin,
+
+    "q104_bpe_encode" -> bpeEncodeOracle
   )
 }
