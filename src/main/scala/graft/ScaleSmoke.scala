@@ -41,8 +41,9 @@ object ScaleSmoke {
     // kept-set LM in one job
     "q102_curation",
     // SemDeDup with the corpus-derived cell count — the configuration
-    // whose exponent must stay ~linear where q77's pinned k cannot
-    "q103_semdedup_auto")
+    // whose exponent must stay ~linear where q77's pinned k cannot —
+    // and its inverted-multi-index form for past the flat crossover
+    "q103_semdedup_auto", "q105_semdedup_imi")
 
   /** Id offset between copies — far above any base id, and a multiple of
     * 10 so `doc_id % 10`-style splits partition every copy identically.

@@ -2119,6 +2119,24 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // SemDeDup over the inverted-multi-index partition (Babenko 2012):
+    // two sqrt-sized half-vector cosine codebooks give the flat auto
+    // configuration's effective cell count at n × 2·sqrt(k) assignment
+    // cost — the sweep for corpora past the flat path's ~16M-vector
+    // crossover. Rows-only like q103 (two trained codebooks are not
+    // SQL-replayable); PipelineOpsSpec pins the scale-invariant
+    // co-clustering and planted-copy recall
+    "q105_semdedup_imi" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val clones = emb.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 10000L).as("vec_id"),
+          transform(col("embedding"), x => (x * lit(2.0f)).cast("float"))
+            .as("embedding"))
+      graft.sim.SemDeDup.duplicatesImi(emb.unionByName(clones),
+          "vec_id", "embedding", threshold = 0.9, nIters = 2)
+        .orderBy(col("vec_id"))
+    }),
+
     // BPE tokenizer APPLICATION (the missing half next to q79's trainer
     // statistics): whitespace words → char symbols → each merge applied
     // greedily left-to-right in order → flattened positional subword

@@ -38,10 +38,9 @@ object SemDeDup {
     * The OTHER term: centroid assignment is `n × k = n²/targetCellSize`,
     * which overtakes the pair work once k exceeds targetCellSize — i.e.
     * past n ≈ targetCellSize² ≈ 16M vectors at the default. Beyond that a
-    * flat k-means sweep is the wrong tool regardless of k (SemDeDup at
-    * that scale runs GPU/hierarchical k-means); a two-level assignment
-    * (coarse cells, then fine within) would restore n^1.5 — out of scope
-    * until a corpus actually crosses it.
+    * FLAT sweep is the wrong tool regardless of k: switch to
+    * [[duplicatesImi]], whose two sqrt-sized half-vector codebooks reach
+    * the same effective cell count at `n × 2·sqrt(k)` assignment cost.
     */
   def autoCells(n: Long, targetCellSize: Int = 4096): Int =
     math.max(16L, (n + targetCellSize - 1) / targetCellSize)
@@ -61,15 +60,65 @@ object SemDeDup {
     require(k >= 0, s"k must be >= 0 (0 = auto), got $k")
     val k0 = if (k > 0) k else autoCells(corpus.count())
     val centroids = Ivf.train(corpus, idCol, vecCol, k0, nIters)
-    val assigned = Ivf.assign(corpus, vecCol, centroids)
-    // cell cap decided on a slim (cell, count) aggregate — at most k
-    // rows — broadcast-semi-joined into both pair sides. One extra O(k)
-    // assignment pass for the aggregate branch, but no full-row window
-    // shuffle before the pair join, and drops are NOT silent: the
-    // one-row-per-cell shape runs SkewCap's recording predicate exactly
-    // once per cell (logged post-query, queryable via
-    // SkewCap.dropped("semdedup")), and it executes before any
-    // downstream emptiness can prune it.
+    pairDups(Ivf.assign(corpus, vecCol, centroids), idCol, vecCol,
+      threshold, maxCellSize)
+  }
+
+  /** Inverted-multi-index cell assignment (Babenko & Lempitsky 2012):
+    * one cosine codebook of `kSub` centroids per vector HALF; a vector's
+    * cell is the pair of its halves' assignments, giving up to kSub²
+    * effective cells for an n × 2·kSub assignment cost — the sweep that
+    * stays sub-quadratic past [[autoCells]]'s ~targetCellSize² crossover
+    * where a flat codebook's n × k assignment term takes over. Cosine is
+    * scale-invariant per half, so a vector and any positive multiple
+    * assign to the SAME cell exactly — the recall invariant the flat path
+    * guarantees carries over unchanged. Emits `__cell` = c1 × kSub + c2.
+    */
+  def imiAssign(corpus: DataFrame, idCol: String, vecCol: String,
+                kSub: Int, nIters: Int = 2): DataFrame = {
+    require(kSub >= 2, s"kSub must be >= 2, got $kSub")
+    val d = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(d >= 2, s"need at least 2 dims for IMI halves, got $d")
+    val half = d / 2
+    val lo = slice(col(vecCol), 1, half)
+    val hi = slice(col(vecCol), half + 1, d - half)
+    val cb1 = Ivf.train(
+      corpus.select(col(idCol), lo.as("__v")), idCol, "__v", kSub, nIters)
+    val cb2 = Ivf.train(
+      corpus.select(col(idCol), hi.as("__v")), idCol, "__v", kSub, nIters)
+    val a1 = Ivf.assign(corpus.withColumn("__vlo", lo), "__vlo", cb1)
+      .withColumnRenamed("__cell", "__c1")
+    Ivf.assign(a1.withColumn("__vhi", hi), "__vhi", cb2)
+      .withColumn("__cell", col("__c1") * kSub + col("__cell"))
+      .drop("__vlo", "__vhi", "__c1")
+  }
+
+  /** [[duplicates]] over the [[imiAssign]] partition — the configuration
+    * for corpora past the flat sweep's crossover (~16M vectors at the
+    * default target cell size): kSub = ceil(sqrt(autoCells(n))) per
+    * half, so the effective cell count matches the flat auto
+    * configuration while each codebook stays sqrt-sized.
+    */
+  def duplicatesImi(corpus: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, targetCellSize: Int = 4096,
+                    nIters: Int = 2,
+                    maxCellSize: Int = 100000): DataFrame = {
+    val kTotal = autoCells(corpus.count(), targetCellSize)
+    val kSub = math.max(4, math.ceil(math.sqrt(kTotal.toDouble)).toInt)
+    pairDups(imiAssign(corpus, idCol, vecCol, kSub, nIters), idCol,
+      vecCol, threshold, maxCellSize)
+  }
+
+  /** Shared in-cell pair stage over any `__cell` assignment. The cell
+    * cap is decided on a slim (cell, count) aggregate broadcast-
+    * semi-joined into both pair sides: no full-row window shuffle before
+    * the pair join, and drops are NOT silent — the one-row-per-cell
+    * shape runs SkewCap's recording predicate exactly once per cell
+    * (logged post-query, queryable via `SkewCap.dropped("semdedup")`),
+    * and it executes before any downstream emptiness can prune it.
+    */
+  private def pairDups(assigned: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double, maxCellSize: Int): DataFrame = {
     val keptCells = assigned.groupBy(col("__cell"))
       .agg(count(lit(1)).as("__sz"))
       .filter(col("__sz") > 1)

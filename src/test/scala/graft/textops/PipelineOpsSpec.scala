@@ -255,6 +255,38 @@ class PipelineOpsSpec extends SparkSpec {
     assert(auto == explicit16)
   }
 
+  test("semdedup IMI: scaled copies land in the same product cell and " +
+    "are caught; cells stay within [0, kSub^2)") {
+    val rnd = new scala.util.Random(11)
+    val base = (0L until 80L).map(i =>
+      (i, Array.fill(8)(rnd.nextGaussian().toFloat).toSeq))
+    val copies = base.filter(_._1 % 10 == 0).map { case (i, v) =>
+      (i + 1000L, v.map(x => x * 4.0f)) // power-of-two: exact in float
+    }
+    val corpus = (base ++ copies).toDF("vec_id", "embedding")
+    // per-half cosine is scale-invariant: copy and original must share
+    // the product cell exactly
+    val cells = SemDeDup.imiAssign(corpus, "vec_id", "embedding",
+        kSub = 4, nIters = 2)
+      .select(col("vec_id"), col("__cell"))
+      .as[(Long, Int)].collect().toMap
+    copies.foreach { case (cid, _) =>
+      assert(cells(cid) == cells(cid - 1000L), s"copy $cid split cell")
+    }
+    assert(cells.values.forall(c => c >= 0 && c < 16))
+    assert(cells.values.toSet.size > 1) // the product partition splits
+    val dups = SemDeDup.duplicatesImi(corpus, "vec_id", "embedding",
+        threshold = 0.95, targetCellSize = 4, nIters = 2)
+      .as[(Long, Long)].collect().toMap
+    // every planted copy is found against its original; random base
+    // vectors in 8-d at cosine >= 0.95 may add a rare true near-pair,
+    // so assert containment + that only planted ids are flagged as dups
+    copies.foreach { case (cid, _) => assert(dups.get(cid).contains(cid - 1000L)) }
+    assert(SemDeDup.survivors(corpus, "vec_id", "embedding",
+        threshold = 0.95, k = 4, nIters = 2)
+      .select("vec_id").as[Long].collect().toSet == base.map(_._1).toSet)
+  }
+
   test("semdedup autoCells grows linearly with the corpus above the floor") {
     assert(SemDeDup.autoCells(100L) == 16)
     assert(SemDeDup.autoCells(16L * 4096L) == 16)
