@@ -43,7 +43,10 @@ object ScaleSmoke {
     // SemDeDup with the corpus-derived cell count — the configuration
     // whose exponent must stay ~linear where q77's pinned k cannot —
     // and its inverted-multi-index form for past the flat crossover
-    "q103_semdedup_auto", "q105_semdedup_imi")
+    "q103_semdedup_auto", "q105_semdedup_imi",
+    // the span-dedup / packing family: window-hash gram shuffles and the
+    // two-pass range-offset manifest
+    "q73_dup_spans", "q76_pack_manifest", "q78_span_trim")
 
   /** Id offset between copies — far above any base id, and a multiple of
     * 10 so `doc_id % 10`-style splits partition every copy identically.
