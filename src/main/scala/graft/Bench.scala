@@ -42,15 +42,20 @@ object Bench {
     // the paramtable processing-engine throughput, regression-guarded
     // against the reference's headline 0.024 s/segment every round (2×
     // gate); skipped under SPARK_GRAFT_ONLY (dev iteration aid)
+    // guarded like the per-query passes: a proc-bench failure must not
+    // discard the two full benchmark passes already measured above
     val procJson =
       if (only.isDefined) ""
-      else {
+      else try {
         val nSeg = sys.env.getOrElse("SPARK_GRAFT_NSEG", "2000").toInt
         val (pOut, _, pSec) = ProcessBench.measure(spark, nSeg)
         spark.sharedState.cacheManager.clearCache()
         val sPerSeg = pSec / math.max(pOut, 1L)
         val baseline = 0.024
         f""","process_throughput":{"segments":$pOut,"sec":${r3(pSec)},"s_per_segment":$sPerSeg%.6f,"baseline_s_per_segment":$baseline%.3f,"pass_2x":${sPerSeg <= 2 * baseline}}"""
+      } catch {
+        case e: Throwable =>
+          s""","process_throughput":{"error":"${e.getClass.getSimpleName}"}"""
       }
     // The harness keeps only the last ~2000 chars of stdout; a JSON line
     // carrying all ~90 per-query timings (~3.5 KB) gets its head truncated

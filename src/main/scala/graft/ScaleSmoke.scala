@@ -167,13 +167,38 @@ object ScaleSmoke {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .map(ps => ScaleQueries.filter(q => ps.exists(q.startsWith)))
       .getOrElse(ScaleQueries)
-    val rows = selected.map { q =>
+    val measured = selected.map { q =>
       val t1 = time(spark, q, baseDir)
       val tN = time(spark, q, scaledDir)
       val exp = math.log(tN / t1) / math.log(factor.toDouble)
       println(s"$q: 1x=${r3(t1)}s ${factor}x=${r3(tN)}s exponent=${r3(exp)}")
-      s""""$q":{"t1":${r3(t1)},"t$factor":${r3(tN)},"exponent":${r3(exp)}}"""
+      q -> s"""{"t1":${r3(t1)},"t$factor":${r3(tN)},"exponent":${r3(exp)}}"""
     }
+    // a filtered (resume) run must MERGE into the existing artifact, not
+    // clobber it: overwriting would drop the finished queries' exponents
+    // the resume exists to preserve, and Bench would then embed a
+    // partial file as the round's scaling evidence
+    val prior: Seq[(String, String)] =
+      if (selected == ScaleQueries) Seq.empty
+      else try {
+        import org.json4s._
+        import org.json4s.jackson.JsonMethods
+        val f = java.nio.file.Paths.get(outFile)
+        if (!java.nio.file.Files.exists(f)) Seq.empty
+        else JsonMethods.parse(java.nio.file.Files.readString(f)) match {
+          case obj: JObject
+            if (obj \ "factor") == JInt(BigInt(factor)) =>
+            (obj \ "queries") match {
+              case JObject(fields) => fields.collect {
+                case (q, v) if !selected.contains(q) =>
+                  q -> JsonMethods.compact(JsonMethods.render(v))
+              }
+              case _ => Seq.empty
+            }
+          case _ => Seq.empty // other factor or unparseable: start fresh
+        }
+      } catch { case _: Throwable => Seq.empty }
+    val rows = (prior ++ measured).map { case (q, v) => s""""$q":$v""" }
     val rho = quantRankAgreement(spark, scaledDir)
     val rhoPass = rho > 0.99
     println(f"quant rank agreement (order 5, binning, ${factor}x): " +

@@ -7,7 +7,7 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.functions.udf
 import org.apache.spark.sql.util.QueryExecutionListener
-import org.apache.spark.util.{DoubleAccumulator, LongAccumulator}
+import org.apache.spark.util.LongAccumulator
 
 /** Observability for hard skew caps ("no silent caps").
   *
@@ -28,8 +28,9 @@ import org.apache.spark.util.{DoubleAccumulator, LongAccumulator}
   * so observed metrics never surface for any plan with an exchange —
   * which is every capped operator here. Accumulators survive AQE. The
   * predicate is a boolean-on-long UDF applied AFTER the bucket-count
-  * shuffle — per bucket row in MinHashLSH, per member row (one join
-  * branch only, to count once) in the LSH/SemDeDup shapes — so it never
+  * shuffle, always on a ONE-ROW-PER-BUCKET aggregate (all three cap
+  * sites filter a slim (bucket, count) frame that is then semi-joined
+  * into the pair sides), so it runs exactly once per bucket, never
   * touches the scan-stage hot path, and no builtin can write an
   * accumulator.
   *
@@ -45,7 +46,7 @@ object SkewCap extends Logging {
   final case class Dropped(rows: Long, buckets: Long)
 
   private final case class Counters(rows: LongAccumulator,
-                                    buckets: DoubleAccumulator,
+                                    buckets: LongAccumulator,
                                     ctxId: Int)
 
   private val counters = new ConcurrentHashMap[String, Counters]()
@@ -62,7 +63,7 @@ object SkewCap extends Logging {
       if (existing != null && existing.ctxId == sc.hashCode()) existing
       else {
         val r = new LongAccumulator
-        val b = new DoubleAccumulator
+        val b = new LongAccumulator
         sc.register(r, s"graft_skew_cap:$op:rows_dropped")
         sc.register(b, s"graft_skew_cap:$op:buckets_dropped")
         Counters(r, b, sc.hashCode())
@@ -77,7 +78,7 @@ object SkewCap extends Logging {
     override def onSuccess(funcName: String, qe: QueryExecution,
                            durationNs: Long): Unit =
       counters.forEach { (op, c) =>
-        val cur = Dropped(c.rows.value, math.round(c.buckets.value))
+        val cur = Dropped(c.rows.value, c.buckets.value)
         val prev = lastLogged.getOrDefault(op, Dropped(0L, 0L))
         if (cur.rows > prev.rows || cur.buckets > prev.buckets) {
           lastLogged.put(op, cur)
@@ -105,7 +106,7 @@ object SkewCap extends Logging {
     */
   def dropped(op: String): Dropped =
     Option(counters.get(op))
-      .map(c => Dropped(c.rows.value, math.round(c.buckets.value)))
+      .map(c => Dropped(c.rows.value, c.buckets.value))
       .getOrElse(Dropped(0L, 0L))
 
   /** Reset `op`'s counters (test isolation / per-campaign readings). */
@@ -125,26 +126,10 @@ object SkewCap extends Logging {
     val c = counter(op)
     val f = udf { n: Long =>
       val keep = n <= cap
-      if (!keep) { c.rows.add(n); c.buckets.add(1.0) }
+      if (!keep) { c.rows.add(n); c.buckets.add(1L) }
       keep
     }.asNondeterministic()
     n => f(n)
   }
 
-  /** Keep-predicate for a row-per-member shape with the bucket size `n`
-    * attached to every member: false for members of buckets over `cap`,
-    * recording 1 row and 1/n bucket per member (a dropped bucket's
-    * members sum to exactly 1). Apply on ONE lineage only when the
-    * capped frame feeds both sides of a self-join, or buckets count
-    * double.
-    */
-  def keepMember(op: String, cap: Long): Column => Column = {
-    val c = counter(op)
-    val f = udf { n: Long =>
-      val keep = n <= cap
-      if (!keep) { c.rows.add(1L); c.buckets.add(1.0 / n) }
-      keep
-    }.asNondeterministic()
-    n => f(n)
-  }
 }

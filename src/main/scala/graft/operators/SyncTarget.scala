@@ -115,34 +115,51 @@ object SyncTarget {
       uuid
     }
 
-    /** CAS: try to commit `uuid` as version `v`. The create-exclusive on
-      * the marker admits exactly one winner per version.
-      *
-      * On HDFS the namenode makes `create(p, overwrite = false)` atomic;
-      * Hadoop's LOCAL filesystems implement it as check-then-create, so
-      * two racing writers can both "succeed" and one writer's snapshot is
-      * silently clobbered (found by the multi-writer stress spec). Local
-      * paths therefore go through java.nio's `CREATE_NEW` (a true O_EXCL
-      * open) — the same per-filesystem split Delta Lake's LogStore makes.
+    /** CAS: try to commit `uuid` as version `v`. The marker must become
+      * visible ATOMICALLY WITH its content — a create-then-write
+      * sequence leaves a window where the marker exists empty, and a
+      * concurrent upsert then sees version v consumed (`allMarkers`)
+      * while reading head v-1: it merges without v's rows and commits
+      * v+1, silently dropping the in-flight writer's acknowledged data.
+      * So the content goes to a dot-prefixed temp file (invisible to
+      * `allMarkers`) and publication is a single atomic namespace
+      * operation that FAILS if the marker already exists:
+      *   - local filesystems: a hard link (`Files.createLink` is atomic
+      *     and throws on an existing target; plain rename would silently
+      *     overwrite a racing winner);
+      *   - HDFS-like filesystems: `rename`, which the namenode makes
+      *     atomic and which returns false onto an existing destination.
+      * The same per-filesystem split Delta Lake's LogStore makes.
       */
     private def tryCommit(f: FileSystem, v: Long, uuid: String): Boolean = {
       val p = new Path(commitsDir, s"v$v")
+      val tmpName = s".tmp-v$v-$uuid"
       f match {
         case _: org.apache.hadoop.fs.LocalFileSystem |
              _: org.apache.hadoop.fs.RawLocalFileSystem =>
+          val marker = java.nio.file.Paths.get(p.toUri.getPath)
+          val tmp = marker.resolveSibling(tmpName)
           try {
-            val local = java.nio.file.Paths.get(p.toUri.getPath)
-            java.nio.file.Files.createDirectories(local.getParent)
-            java.nio.file.Files.write(local, uuid.getBytes("UTF-8"),
-              java.nio.file.StandardOpenOption.CREATE_NEW)
+            java.nio.file.Files.createDirectories(marker.getParent)
+            java.nio.file.Files.write(tmp, uuid.getBytes("UTF-8"))
+            java.nio.file.Files.createLink(marker, tmp)
             true
-          } catch { case _: java.io.IOException => false }
+          } catch { case _: java.io.IOException => false
+          } finally {
+            try { java.nio.file.Files.deleteIfExists(tmp); () }
+            catch { case _: java.io.IOException => () }
+          }
         case _ =>
+          val tmp = new Path(commitsDir, tmpName)
           try {
-            val out = f.create(p, false)
+            val out = f.create(tmp, true)
             try out.write(uuid.getBytes("UTF-8")) finally out.close()
-            true
-          } catch { case _: java.io.IOException => false }
+            f.rename(tmp, p)
+          } catch { case _: java.io.IOException => false
+          } finally {
+            try { f.delete(tmp, false); () }
+            catch { case _: java.io.IOException => () }
+          }
       }
     }
 

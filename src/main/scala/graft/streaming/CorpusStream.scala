@@ -148,21 +148,30 @@ object CorpusStream {
         coalesce(qKeep, lit(false)))
     val deduped = dedupStream(gated, textCol, tsCol, watermark)
 
-    val vocabRows = unigrams.select(col("token"), col("logp"))
-    val n = vocabRows.count()
-    require(n <= maxVocab,
-      s"unigram vocabulary ($n rows) exceeds maxVocab ($maxVocab) — " +
-        "count-prune the table before shipping it to a streaming gate")
+    // one action: the guard rides the collect itself via limit(cap + 1)
+    // — a separate count() would execute the vocabulary lineage twice at
+    // plan-build time, and an unguarded collect of an over-limit table
+    // would flatten the driver before the check could fire
+    val cap = math.min(maxVocab, (Int.MaxValue - 1).toLong).toInt
+    val rows = unigrams.select(col("token"), col("logp"))
+      .limit(cap + 1).collect()
+    require(rows.length <= cap,
+      s"unigram vocabulary exceeds maxVocab ($maxVocab) — count-prune " +
+        "the table before shipping it to a streaming gate")
     val m = new java.util.HashMap[String, java.lang.Double](
-      math.max(16, n.toInt * 2))
-    vocabRows.collect().foreach(r => m.put(r.getString(0), r.getDouble(1)))
+      math.max(16, rows.length * 2))
+    rows.foreach(r => m.put(r.getString(0), r.getDouble(1)))
     val bc = docs.sparkSession.sparkContext.broadcast(m)
     // per-row scoring kernel: same tokenization (lowercased, \s+ split,
     // empties dropped) and the same HALF_UP 6-dp rounding as
     // UnigramLM.scoreAgainst's round(avg, 6) — math.round would differ on
-    // negative half-boundaries (toward +inf vs away from zero)
+    // negative half-boundaries (toward +inf vs away from zero). Locale
+    // ROOT: Spark's lower() is locale-independent, and the default-locale
+    // toLowerCase would split batch/stream parity on tr/az-locale hosts
+    // (dotless-ı for "I").
     val scoreUdf = udf((s: String) => {
-      val toks = s.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val toks = s.trim.toLowerCase(java.util.Locale.ROOT)
+        .split("\\s+").filter(_.nonEmpty)
       if (toks.isEmpty) null
       else {
         var sum = 0.0

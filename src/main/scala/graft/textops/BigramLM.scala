@@ -41,9 +41,10 @@ object BigramLM {
     * ([[UnigramLM.train]] output). Output: (idCol, n_tokens,
     * avg_logprob) — one row per non-empty document, avg rounded to 6 dp.
     *
-    * `broadcastVocab`: true (default) pins both model joins to
-    * broadcasts; false leaves join selection to AQE for raw token sets
-    * that outgrow executor memory. Identical results either way.
+    * `broadcastVocab`: false (default) leaves join selection to AQE,
+    * which broadcasts small model tables at runtime and shuffle-joins
+    * ones that outgrow executor memory; true pins both model joins to
+    * broadcasts. Identical results either way.
     */
   def scoreAgainst(docs: DataFrame, unigrams: DataFrame,
                    bigrams: DataFrame, idCol: String, textCol: String,

@@ -233,11 +233,12 @@ object NgramLM {
     * KenLM `-q 8` path: ONE checkpointed tuple scan feeds every level's
     * counts AND the quantized scoring joins, where the composable
     * `scoreAgainstQuantized(train(..).map(quantize), ..)` form tokenizes
-    * the corpus twice and recomputes each level table once per codebook
-    * fit. Each level table is checkpointed before its fit so the fit
-    * aggregation and the scoring join read the same materialization.
-    * Results are identical to the composed form (same tables, same
-    * codebooks, same ladder).
+    * the corpus twice. Each level's gram COUNTS are checkpointed (inside
+    * [[levelTable]]); the vocabulary-sized rollup+prune join above them
+    * deliberately recomputes for the fit aggregate and again in the
+    * final query — cheaper than an extra eager materialization barrier
+    * per level. Results are identical to the composed form (same tables,
+    * same codebooks, same ladder).
     */
   def scoreQuantized(docs: DataFrame, idCol: String, textCol: String,
                      order: Int, minCount: Long = 2, alpha: Double = 0.4,

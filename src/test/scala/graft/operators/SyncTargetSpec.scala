@@ -153,9 +153,17 @@ class SyncTargetSpec extends SparkSpec {
       // every writer inserted exactly its row, none clobbered another
       assert(ms.forall(m => m.inserted == 1L && m.updated == 0L))
       // head is linear: markers are exactly v1..v(n+1), all committed
-      val markers = new java.io.File(s"$path/_commits").listFiles()
-        .map(_.getName).toSeq.filter(_.matches("v\\d+")).sorted
+      val commitFiles = new java.io.File(s"$path/_commits").listFiles()
+        .map(_.getName).toSeq
+      val markers = commitFiles.filter(_.matches("v\\d+")).sorted
       assert(markers.toSet == (1 to nWriters + 1).map(v => s"v$v").toSet)
+      // the atomic-publication protocol leaves no temp files behind, and
+      // every visible marker carries content (none was ever empty-visible)
+      assert(!commitFiles.exists(_.startsWith(".tmp-")), commitFiles)
+      markers.foreach { m =>
+        assert(scala.io.Source.fromFile(s"$path/_commits/$m")
+          .mkString.trim.nonEmpty, s"$m is empty")
+      }
       assert(vt.headVersion(spark) == nWriters + 1L)
       // all rows survive with unique ids
       val rows = vt.read(spark).get.orderBy("id")
