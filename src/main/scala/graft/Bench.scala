@@ -30,14 +30,41 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       // sweep persisted intermediates so no query's cache leaks into the
-      // next measurement (untimed — hygiene, not work)
+      // next measurement, and collect garbage OUTSIDE the timed window:
+      // without the explicit gc the full 105-query run accumulates heap
+      // debris (broadcasts, shuffle bookkeeping) and late queries absorb
+      // its collection cost — measured up to 2x on the same query late
+      // vs early in a run (untimed — hygiene, not work)
       spark.sharedState.cacheManager.clearCache()
+      System.gc()
       name -> dt
     }
     val first = pass()
     val second = pass()
     val results = first.map { case (k, v) => k -> math.min(v, second(k)) }
     def r3(v: Double): String = f"$v%.3f"
+    // single-thread CPU calibration: a fixed integer-mix loop whose
+    // wall time depends only on how fast this machine runs ONE core
+    // today. Round-over-round query-time comparisons divide by this —
+    // the r10→r11 investigation found the shared host itself drifting
+    // 1.6x between measurement windows (the same r9 binary re-run on
+    // the same data reproduced the "regression" with zero code change;
+    // see PERF_NOTES.md), so absolute seconds without a machine
+    // denominator misattribute host drift to plan changes.
+    val calib = {
+      def spin(): Double = {
+        val t0 = System.nanoTime()
+        var x = 0x9e3779b97f4a7c15L
+        var i = 0
+        while (i < 200000000) {
+          x ^= x >>> 33; x *= 0xff51afd7ed558ccdL; x ^= x >>> 29
+          i += 1
+        }
+        if (x == 42L) println("") // keep the loop observable
+        (System.nanoTime() - t0) / 1e9
+      }
+      spin(); math.min(spin(), spin()) // warm-up, then min of two
+    }
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // the paramtable processing-engine throughput, regression-guarded
     // against the reference's headline 0.024 s/segment every round (2×
@@ -66,7 +93,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$full$procJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$full$procJson,"machine_calib_sec":${r3(calib)},"perf_notes":"PERF_NOTES.md","sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_full.json"), fullLine + "\n")
     catch { case _: Throwable => () }
@@ -78,12 +105,21 @@ object Bench {
     // carries them; no file → omitted
     def scaleJson(key: String, pick: String => Boolean): String =
       try {
-        val latest = java.nio.file.Files.list(java.nio.file.Paths.get("."))
-          .iterator().asScala
-          .map(_.getFileName.toString)
+        // stream closed in finally (directory-handle hygiene); latest =
+        // highest PARSED round number, not lexicographic order (where an
+        // unpadded "SCALE_r9.json" would shadow "SCALE_r10.json" forever)
+        val stream = java.nio.file.Files.list(java.nio.file.Paths.get("."))
+        val names =
+          try stream.iterator().asScala.map(_.getFileName.toString).toSeq
+          finally stream.close()
+        val latest = names
           .filter(n => n.startsWith("SCALE_r") && n.endsWith(".json") &&
             pick(n))
-          .toSeq.sorted.lastOption
+          .flatMap { n =>
+            "SCALE_r(\\d+)".r.findFirstMatchIn(n)
+              .map(m => (m.group(1).toInt, n))
+          }
+          .sortBy(_._1).map(_._2).lastOption
         latest.map { f =>
           val s = java.nio.file.Files.readString(
             java.nio.file.Paths.get(f)).trim
@@ -92,7 +128,7 @@ object Bench {
       } catch { case _: Throwable => "" }
     val scale10 = scaleJson("scale10", !_.contains("_100x"))
     val scale100 = scaleJson("scale100", _.contains("_100x"))
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$slowest,"full":"bench_full.json"$procJson$scale10$scale100,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$slowest,"full":"bench_full.json"$procJson$scale10$scale100,"machine_calib_sec":${r3(calib)},"perf_notes":"PERF_NOTES.md","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -38,8 +38,13 @@ object ScaleSmoke {
     "q93_bigram_lm", "q94_bm25", "q95_nb_lang", "q98_trigram_lm",
     "q99_quant_lm", "q100_ngram_lm", "q101_quant5_lm",
     // the composed curation pipeline: scan gates + fingerprint dedup +
-    // kept-set LM in one job
-    "q102_curation",
+    // kept-set LM in one job — and its fuzzy-dedup form (adds the
+    // MinHash-LSH candidate shuffle + connected components + quality
+    // survivor selection)
+    "q102_curation", "q106_curation_fuzzy",
+    // BPE encode: the per-token hot path of any tokenizer deployment —
+    // per-row greedy-fold HOFs whose cost must stay linear in tokens
+    "q104_bpe_encode",
     // SemDeDup with the corpus-derived cell count — the configuration
     // whose exponent must stay ~linear where q77's pinned k cannot —
     // and its inverted-multi-index form for past the flat crossover
@@ -150,7 +155,7 @@ object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = if (args.length > 1) args(1).toInt else 10
-    val outFile = if (args.length > 2) args(2) else "SCALE_r10.json"
+    val outFile = if (args.length > 2) args(2) else "SCALE_r11.json"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -2104,10 +2104,18 @@ object SparkEntry {
     // q77's SemDeDup at the SCALE configuration: k = 0 derives the cell
     // count from the corpus size (cells of bounded target size → total
     // comparison work linear in N, where q77's pinned k degrades as
-    // N²/k — measured exponent 1.12 at 100×). No SQL oracle: the derived
-    // k makes the k-means replay data-dependent; the driver records the
-    // rows-only check, PipelineOpsSpec pins auto ≡ explicit under the
-    // floor, and the scaling smoke carries the exponent evidence
+    // N²/k — measured exponent 1.12 at 100×). Oracle = q77's exact
+    // all-pairs, VALID FOR THE TRAINED CLUSTERING because recall is
+    // structural, not statistical: a clone and its original assign to
+    // the same cell bit-exactly under ANY centroid set (cosine of x and
+    // 2·x is bit-identical — scaling by a power of two shifts exponents
+    // only), the fixture's sole >= 0.9 pairs are the planted clones
+    // (verified in DuckDB), and within-cell search can only ever find a
+    // SUBSET of all-pairs. So within-cell == all-pairs here for every
+    // k/nIters, and the oracle pins the production path itself — no
+    // pinned-codebook split needed. PipelineOpsSpec additionally pins
+    // auto ≡ explicit under the floor; the scaling smoke carries the
+    // exponent evidence
     "q103_semdedup_auto" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val clones = emb.filter(col("vec_id") % 25 === 0)
@@ -2123,9 +2131,12 @@ object SparkEntry {
     // two sqrt-sized half-vector cosine codebooks give the flat auto
     // configuration's effective cell count at n × 2·sqrt(k) assignment
     // cost — the sweep for corpora past the flat path's ~16M-vector
-    // crossover. Rows-only like q103 (two trained codebooks are not
-    // SQL-replayable); PipelineOpsSpec pins the scale-invariant
-    // co-clustering and planted-copy recall
+    // crossover. Oracle = the same exact all-pairs as q103/q77: the
+    // recall argument carries over unchanged because cosine is
+    // scale-invariant PER HALF (x*2 scales both halves), so a clone's
+    // two half-assignments — and hence its product cell — equal its
+    // original's bit-exactly under any trained codebooks. PipelineOpsSpec
+    // additionally pins product-cell invariance and planted-copy recall
     "q105_semdedup_imi" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val clones = emb.filter(col("vec_id") % 25 === 0)
@@ -2151,6 +2162,34 @@ object SparkEntry {
           posexplode(BpeTrainer.encode(col("text"), BpeFixedMerges)))
         .withColumnRenamed("col", "subword")
         .orderBy(col("doc_id"), col("pos"))
+    }),
+
+    // q102's curation pipeline with the FUZZY-dedup stage inserted (the
+    // FineWeb/RefinedWeb arrangement): exact-dedup survivors are MinHash
+    // LSH'd, exact-Jaccard verified at 0.6, transitively clustered, and
+    // each cluster keeps its best-QUALITY member — losers drop as
+    // 'near_duplicate'. The corpus plants BOTH duplicate kinds: every
+    // 25th doc re-enters verbatim at +100000 (must drop 'duplicate'),
+    // and every (25k+7)th re-enters at +200000 with a 5-token tail
+    // appended — not byte-identical, but sharing ~85% of its trigram
+    // shingles, so it must be CAUGHT BY THE FUZZY STAGE despite passing
+    // exact dedup. Oracle = exact all-pairs Jaccard over the gate
+    // survivors + recursive-CTE components (the q22+q81 replay pattern —
+    // valid because LSH recall on this fixture is deterministic-total,
+    // which q22's own oracle pins)
+    "q106_curation_fuzzy" -> ((s, dir) => {
+      val docs = tSpread(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val corpus = docs
+        .unionByName(docs.filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+        .unionByName(docs.filter(col("doc_id") % 25 === 7)
+          .select((col("doc_id") + 200000L).as("doc_id"),
+            concat(col("text"), lit(" the quick brown fox jumps"))
+              .as("text")))
+      CurationPipeline.runFuzzy(corpus, "doc_id", "text",
+          keepLangs = Set("en", "de", "fr"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -4368,6 +4407,180 @@ object SparkEntry {
         |CROSS JOIN th
         |ORDER BY b.doc_id""".stripMargin,
 
-    "q104_bpe_encode" -> bpeEncodeOracle
+    "q104_bpe_encode" -> bpeEncodeOracle,
+
+    "q106_curation_fuzzy" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents
+        |  WHERE doc_id % 25 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000, text || ' the quick brown fox jumps'
+        |  FROM documents WHERE doc_id % 25 = 7),
+        |toks AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN trim(text) = '' THEN []
+        |         ELSE string_split_regex(trim(text), '\s+') END AS t,
+        |    CASE WHEN trim(lower(text)) = '' THEN []
+        |         ELSE string_split_regex(trim(lower(text)), '\s+') END AS tl
+        |  FROM corpus),
+        |lng AS (
+        |  SELECT doc_id,
+        |    CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_it) = 0 THEN 'und'
+        |         WHEN s_it = greatest(s_de, s_en, s_es, s_fr, s_it) THEN 'it'
+        |         WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_it) THEN 'fr'
+        |         WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_it) THEN 'es'
+        |         WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_it) THEN 'en'
+        |         ELSE 'de' END AS lang
+        |  FROM (
+        |    SELECT doc_id,
+        |      len(list_filter(tl, x -> x IN ('der','die','das','und','ist','nicht','ein','zu','mit','von'))) AS s_de,
+        |      len(list_filter(tl, x -> x IN ('the','a','and','of','to','in','is','that','it','for'))) AS s_en,
+        |      len(list_filter(tl, x -> x IN ('el','los','las','y','es','una','de','que','no','por'))) AS s_es,
+        |      len(list_filter(tl, x -> x IN ('le','la','les','et','est','une','des','du','dans','pour'))) AS s_fr,
+        |      len(list_filter(tl, x -> x IN ('il','lo','gli','e','che','di','non','per','con','sono'))) AS s_it
+        |    FROM toks)),
+        |qual AS (
+        |  SELECT doc_id, n_tokens, reasons = '' AS qok FROM (
+        |    SELECT doc_id, n_tokens, concat_ws(',',
+        |      CASE WHEN n_tokens < 30 THEN 'too_few_words' END,
+        |      CASE WHEN n_tokens > 50000 THEN 'too_many_words' END,
+        |      CASE WHEN avg_len < 2.0 OR avg_len > 12.0
+        |           THEN 'mean_word_len_out' END,
+        |      CASE WHEN punct_ratio > 0.2 THEN 'high_punct' END,
+        |      CASE WHEN stop_hits < 2 THEN 'no_stopwords' END,
+        |      CASE WHEN repetition < 0.3 THEN 'repetitive' END) AS reasons
+        |    FROM (
+        |      SELECT doc_id, len(t) AS n_tokens,
+        |        CAST(list_aggregate(list_transform(t, x -> len(x)), 'sum')
+        |          AS DOUBLE) / len(t) AS avg_len,
+        |        CAST(length(text) - length(regexp_replace(text,
+        |          '[!"#$%&''()*+,\-./:;<=>?@\[\]^_`{|}~]', '', 'g')) AS DOUBLE)
+        |          / length(text) AS punct_ratio,
+        |        len(list_filter(tl, x -> x IN ('the','a','and','of','to')))
+        |          AS stop_hits,
+        |        CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS repetition
+        |      FROM toks))),
+        |base AS (
+        |  SELECT c.doc_id, lng.lang, qual.n_tokens, qual.qok,
+        |    lower(regexp_replace(regexp_replace(c.text,
+        |      '^\s+|\s+$', '', 'g'), '\s+', ' ', 'g')) AS fp
+        |  FROM corpus c
+        |  JOIN lng ON lng.doc_id = c.doc_id
+        |  JOIN qual ON qual.doc_id = c.doc_id),
+        |surv AS (
+        |  SELECT doc_id, fp FROM base
+        |  WHERE lang IN ('en', 'de', 'fr') AND qok),
+        |keeper AS (SELECT fp, min(doc_id) AS kid FROM surv GROUP BY fp),
+        |dup AS (
+        |  SELECT s.doc_id, s.doc_id != k.kid AS is_dup
+        |  FROM surv s JOIN keeper k USING (fp)),
+        |kept AS (SELECT doc_id FROM dup WHERE NOT is_dup),
+        |shk AS (
+        |  SELECT k.doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(string_split_regex(trim(c.text), '\s+')) - 1, 1)),
+        |    i -> string_split_regex(trim(c.text), '\s+')[i] || ' ' ||
+        |         string_split_regex(trim(c.text), '\s+')[i+1] || ' ' ||
+        |         string_split_regex(trim(c.text), '\s+')[i+2])) AS sh
+        |  FROM kept k JOIN corpus c ON c.doc_id = k.doc_id),
+        |npairs AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM shk a JOIN shk b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6),
+        |bidir AS (SELECT id1 AS a, id2 AS b FROM npairs
+        |          UNION ALL SELECT id2, id1 FROM npairs),
+        |reach(node, r) AS (
+        |  SELECT a, a FROM bidir
+        |  UNION
+        |  SELECT b.b, reach.r FROM reach JOIN bidir b ON b.a = reach.node),
+        |comp AS (
+        |  SELECT node AS doc_id, min(r) AS component
+        |  FROM reach GROUP BY node),
+        |nq AS (
+        |  SELECT k.doc_id, round((
+        |    least(len(CASE WHEN trim(c.text) = '' THEN []
+        |      ELSE string_split_regex(trim(c.text), '\s+') END) / 100.0, 1.0) +
+        |    (1.0 - least(CAST(length(c.text) - length(regexp_replace(c.text,
+        |      '[!"#$%&''()*+,\-./:;<=>?@\[\]^_`{|}~]', '', 'g')) AS DOUBLE)
+        |      / length(c.text) * 5.0, 1.0)) +
+        |    least(CAST(len(list_filter(
+        |      CASE WHEN trim(c.text) = '' THEN []
+        |        ELSE string_split_regex(lower(trim(c.text)), '\s+') END,
+        |      x -> x IN ('the','a','and','of','to'))) AS DOUBLE) /
+        |      len(CASE WHEN trim(c.text) = '' THEN []
+        |        ELSE string_split_regex(lower(trim(c.text)), '\s+') END)
+        |      * 5.0, 1.0)
+        |  ) / 3.0, 6) AS quality
+        |  FROM kept k JOIN corpus c ON c.doc_id = k.doc_id),
+        |near AS (
+        |  SELECT c2.doc_id,
+        |    NOT (row_number() OVER (PARTITION BY c2.component
+        |      ORDER BY q.quality DESC, c2.doc_id) = 1) AS is_near
+        |  FROM comp c2 JOIN nq q USING (doc_id)),
+        |kept2 AS (
+        |  SELECT doc_id FROM kept
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM near WHERE is_near)),
+        |ktoks AS (
+        |  SELECT doc_id, unnest(tl) AS token
+        |  FROM toks JOIN kept2 USING (doc_id) WHERE len(tl) > 0),
+        |vocab AS (SELECT token, count(*) AS cnt FROM ktoks GROUP BY token),
+        |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM vocab),
+        |scored AS (
+        |  SELECT doc_id,
+        |    round(avg(ln(CAST(cnt AS DOUBLE) / total)), 6) AS avg_logprob
+        |  FROM ktoks JOIN vocab USING (token) CROSS JOIN tot
+        |  GROUP BY doc_id),
+        |th AS (
+        |  SELECT round(quantile_cont(avg_logprob, 0.6666666666666666), 6)
+        |           AS t_head,
+        |         round(quantile_cont(avg_logprob, 0.3333333333333333), 6)
+        |           AS t_mid
+        |  FROM scored)
+        |SELECT b.doc_id, b.lang, CAST(b.n_tokens AS INTEGER) AS n_tokens,
+        |  CASE WHEN b.lang NOT IN ('en', 'de', 'fr') THEN 'language'
+        |       WHEN NOT b.qok THEN 'quality'
+        |       WHEN d.is_dup THEN 'duplicate'
+        |       WHEN nn.is_near THEN 'near_duplicate' END AS drop_reason,
+        |  s.avg_logprob,
+        |  CASE WHEN s.avg_logprob IS NULL THEN NULL
+        |       WHEN s.avg_logprob >= t_head THEN 'head'
+        |       WHEN s.avg_logprob >= t_mid THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM base b
+        |LEFT JOIN dup d ON d.doc_id = b.doc_id
+        |LEFT JOIN near nn ON nn.doc_id = b.doc_id
+        |LEFT JOIN scored s ON s.doc_id = b.doc_id
+        |CROSS JOIN th
+        |ORDER BY b.doc_id""".stripMargin,
+
+    // q103/q105 share q77's exact all-pairs oracle: recall of the
+    // within-cell search is structural on this fixture (see the query
+    // comments — clone/original co-clustering is bit-exact under any
+    // trained centroids because cosine is scale-invariant, and the only
+    // >= 0.9 pairs are the planted clones), so the trained auto-k and
+    // IMI configurations replay against the same SQL as the pinned-k
+    // form.
+    "q103_semdedup_auto" -> semDedupAllPairsOracle,
+    "q105_semdedup_imi" -> semDedupAllPairsOracle
   )
+
+  /** Exact all-pairs cosine >= 0.9 over the planted-clone corpus — the
+    * shared oracle of q77/q103/q105 (and the text of q77's entry above).
+    */
+  private def semDedupAllPairsOracle: String =
+    """WITH corpus AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 10000,
+      |    list_transform(embedding, x -> CAST(x * 2 AS REAL))
+      |  FROM embeddings WHERE vec_id % 25 = 0)
+      |SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of
+      |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+      |WHERE round(list_cosine_similarity(
+      |    list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+      |    list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6) >= 0.9
+      |GROUP BY b.vec_id
+      |ORDER BY vec_id""".stripMargin
 }

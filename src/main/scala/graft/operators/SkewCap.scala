@@ -1,6 +1,7 @@
 package graft.operators
 
 import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.internal.Logging
 import org.apache.spark.sql.{Column, SparkSession}
@@ -34,41 +35,53 @@ import org.apache.spark.util.LongAccumulator
   * touches the scan-stage hot path, and no builtin can write an
   * accumulator.
   *
-  * Semantics: counters are CUMULATIVE across query executions in the
-  * JVM; a re-run of the same DataFrame counts its drops again (they
-  * really were dropped again). Accumulator updates from retried or
-  * speculative tasks may over-count — readings are exact in the common
-  * case and a lower-bound-accurate diagnostic under task retries, which
-  * is the right trade-off for drop telemetry.
+  * Attribution: every [[keepBucket]] CALL gets its OWN accumulator pair
+  * (keyed `op@seq`), so readings are per-plan-build, not only
+  * JVM-cumulative — two sequential capped queries in one session report
+  * independently via [[droppedLastRun]]/[[perRun]], while [[dropped]]
+  * keeps the cumulative total across all of an operator's runs. A
+  * DataFrame built once and executed twice accumulates both executions
+  * into its one instance (they really were dropped twice); per-execution
+  * splits inside one plan instance are not tracked. Accumulator updates
+  * from retried or speculative tasks may over-count — readings are exact
+  * in the common case and a lower-bound-accurate diagnostic under task
+  * retries, which is the right trade-off for drop telemetry. A plan
+  * built before a SparkContext restart stops recording after the
+  * restart (its accumulators died with the context) — rebuild the plan.
   */
 object SkewCap extends Logging {
 
   final case class Dropped(rows: Long, buckets: Long)
 
-  private final case class Counters(rows: LongAccumulator,
-                                    buckets: LongAccumulator,
-                                    ctxId: Int)
+  private final case class Counters(op: String, seq: Long,
+                                    rows: LongAccumulator,
+                                    buckets: LongAccumulator)
 
+  // key = s"$op@$seq" — one entry per keepBucket call (plan build)
   private val counters = new ConcurrentHashMap[String, Counters]()
   private val lastLogged = new ConcurrentHashMap[String, Dropped]()
+  private val seq = new AtomicLong(0L)
 
-  private def counter(op: String): Counters = {
+  private def newCounter(op: String): Counters = {
     // never CREATE a context here — cap sites run while a session is
     // live, and an implicit masterless create would be a config bug
     val spark = SparkSession.active
     val sc = spark.sparkContext
     ensureListener(spark)
-    counters.compute(op, (_, existing) => {
-      // re-register after a context restart (accumulators die with it)
-      if (existing != null && existing.ctxId == sc.hashCode()) existing
-      else {
-        val r = new LongAccumulator
-        val b = new LongAccumulator
-        sc.register(r, s"graft_skew_cap:$op:rows_dropped")
-        sc.register(b, s"graft_skew_cap:$op:buckets_dropped")
-        Counters(r, b, sc.hashCode())
-      }
-    })
+    val s = seq.incrementAndGet()
+    val r = new LongAccumulator
+    val b = new LongAccumulator
+    sc.register(r, s"graft_skew_cap:$op@$s:rows_dropped")
+    sc.register(b, s"graft_skew_cap:$op@$s:buckets_dropped")
+    val c = Counters(op, s, r, b)
+    counters.put(s"$op@$s", c)
+    c
+  }
+
+  private def instances(op: String): Seq[Counters] = {
+    val b = Seq.newBuilder[Counters]
+    counters.forEach { (_, c) => if (c.op == op) b += c }
+    b.result().sortBy(_.seq)
   }
 
   // after each successful query, log any NEW drops since the last log —
@@ -77,15 +90,15 @@ object SkewCap extends Logging {
   private object Listener extends QueryExecutionListener {
     override def onSuccess(funcName: String, qe: QueryExecution,
                            durationNs: Long): Unit =
-      counters.forEach { (op, c) =>
+      counters.forEach { (key, c) =>
         val cur = Dropped(c.rows.value, c.buckets.value)
-        val prev = lastLogged.getOrDefault(op, Dropped(0L, 0L))
+        val prev = lastLogged.getOrDefault(key, Dropped(0L, 0L))
         if (cur.rows > prev.rows || cur.buckets > prev.buckets) {
-          lastLogged.put(op, cur)
-          logWarning(s"$op skew cap dropped ${cur.rows - prev.rows} rows " +
-            s"in ${cur.buckets - prev.buckets} oversized buckets this " +
-            "query — recall on those mega-clusters is lost; raise the " +
-            "cap or pre-split the key if they matter")
+          lastLogged.put(key, cur)
+          logWarning(s"${c.op} skew cap dropped ${cur.rows - prev.rows} " +
+            s"rows in ${cur.buckets - prev.buckets} oversized buckets " +
+            "this query — recall on those mega-clusters is lost; raise " +
+            "the cap or pre-split the key if they matter")
         }
       }
     override def onFailure(funcName: String, qe: QueryExecution,
@@ -100,30 +113,50 @@ object SkewCap extends Logging {
     if (registeredSessions.putIfAbsent(spark, java.lang.Boolean.TRUE) == null)
       spark.listenerManager.register(Listener)
 
-  /** Rows/buckets dropped by `op`'s skew cap so far in this JVM (on a
-    * cluster: as reported back to the driver — call from the driver).
-    * Zero if no capped operator has been planned yet.
+  /** Rows/buckets dropped by `op`'s skew cap so far in this JVM, summed
+    * over every run (on a cluster: as reported back to the driver — call
+    * from the driver). Zero if no capped operator has been planned yet.
     */
   def dropped(op: String): Dropped =
-    Option(counters.get(op))
-      .map(c => Dropped(c.rows.value, c.buckets.value))
-      .getOrElse(Dropped(0L, 0L))
-
-  /** Reset `op`'s counters (test isolation / per-campaign readings). */
-  def reset(op: String): Unit = {
-    Option(counters.get(op)).foreach { c =>
-      c.rows.reset(); c.buckets.reset()
+    instances(op).foldLeft(Dropped(0L, 0L)) { (acc, c) =>
+      Dropped(acc.rows + c.rows.value, acc.buckets + c.buckets.value)
     }
-    lastLogged.remove(op)
+
+  /** Per-run readings for `op`, one per capped plan built (creation
+    * order) — the attributable form of [[dropped]].
+    */
+  def perRun(op: String): Seq[Dropped] =
+    instances(op).map(c => Dropped(c.rows.value, c.buckets.value))
+
+  /** The most recently BUILT capped plan's reading for `op` — "what did
+    * the query I just ran drop", independent of any earlier runs in the
+    * session. Zero if none built yet.
+    */
+  def droppedLastRun(op: String): Dropped =
+    perRun(op).lastOption.getOrElse(Dropped(0L, 0L))
+
+  /** Forget `op`'s counters entirely (test isolation / per-campaign
+    * readings): cumulative, per-run and logged state all restart at
+    * zero. Plans already built keep recording into their (now
+    * unregistered) instances, which no longer surface in readings.
+    */
+  def reset(op: String): Unit = {
+    val keys = Seq.newBuilder[String]
+    counters.forEach { (key, c) => if (c.op == op) keys += key }
+    keys.result().foreach { k =>
+      counters.remove(k)
+      lastLogged.remove(k)
+    }
   }
 
   /** Keep-predicate for a one-row-per-bucket shape (`n` = bucket size):
     * false for buckets over `cap`, recording the whole bucket's `n` rows
     * and 1 bucket. Marked nondeterministic so the optimizer neither
-    * clones nor reorders the recording.
+    * clones nor reorders the recording. Each call allocates its own
+    * counter instance — see the attribution note in the class docs.
     */
   def keepBucket(op: String, cap: Long): Column => Column = {
-    val c = counter(op)
+    val c = newCounter(op)
     val f = udf { n: Long =>
       val keep = n <= cap
       if (!keep) { c.rows.add(n); c.buckets.add(1L) }

@@ -53,12 +53,21 @@ object SemDeDup {
     * `k = 0` (the scale default) derives the cell count from the corpus
     * size via [[autoCells]]; an explicit k pins the clustering (the
     * oracle-replay configuration).
+    *
+    * `n` (> 0) is a caller-supplied corpus row count for the `k = 0`
+    * path: upstream pipelines almost always already know it, and
+    * supplying it removes the one driver-blocking `count()` job whose
+    * only output is an integer — at 100 TB that job is a full corpus
+    * scan before training can start. `n = 0` counts.
     */
   def duplicates(corpus: DataFrame, idCol: String, vecCol: String,
                  threshold: Double, k: Int = 0, nIters: Int = 2,
-                 maxCellSize: Int = 100000): DataFrame = {
+                 maxCellSize: Int = 100000, n: Long = 0L): DataFrame = {
     require(k >= 0, s"k must be >= 0 (0 = auto), got $k")
-    val k0 = if (k > 0) k else autoCells(corpus.count())
+    require(n >= 0, s"n must be >= 0 (0 = derive via count), got $n")
+    val k0 =
+      if (k > 0) k
+      else autoCells(if (n > 0) n else corpus.count())
     val centroids = Ivf.train(corpus, idCol, vecCol, k0, nIters)
     pairDups(Ivf.assign(corpus, vecCol, centroids), idCol, vecCol,
       threshold, maxCellSize)
@@ -75,9 +84,21 @@ object SemDeDup {
     * guarantees carries over unchanged. Emits `__cell` = c1 × kSub + c2.
     */
   def imiAssign(corpus: DataFrame, idCol: String, vecCol: String,
-                kSub: Int, nIters: Int = 2): DataFrame = {
+                kSub: Int, nIters: Int = 2, dim: Int = 0): DataFrame = {
     require(kSub >= 2, s"kSub must be >= 2, got $kSub")
-    val d = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dim >= 0, s"dim must be >= 0 (0 = probe), got $dim")
+    // `dim` (> 0) skips the probe job entirely (the caller — or the
+    // embedding table's contract — knows the dimension); dim = 0 probes
+    // ONE row, guarded so an empty corpus reports what is wrong instead
+    // of a bare NoSuchElementException from head()
+    val d =
+      if (dim > 0) dim
+      else {
+        val probe = corpus.select(size(col(vecCol))).head(1)
+        require(probe.nonEmpty,
+          s"imiAssign: corpus is empty — nothing to assign ($idCol/$vecCol)")
+        probe(0).getInt(0)
+      }
     require(d >= 2, s"need at least 2 dims for IMI halves, got $d")
     val half = d / 2
     val lo = slice(col(vecCol), 1, half)
@@ -102,10 +123,14 @@ object SemDeDup {
   def duplicatesImi(corpus: DataFrame, idCol: String, vecCol: String,
                     threshold: Double, targetCellSize: Int = 4096,
                     nIters: Int = 2,
-                    maxCellSize: Int = 100000): DataFrame = {
-    val kTotal = autoCells(corpus.count(), targetCellSize)
+                    maxCellSize: Int = 100000, n: Long = 0L,
+                    dim: Int = 0): DataFrame = {
+    require(n >= 0, s"n must be >= 0 (0 = derive via count), got $n")
+    // as in [[duplicates]]: a supplied `n` (and `dim`) makes this path
+    // run with ZERO pre-training driver-blocking corpus actions
+    val kTotal = autoCells(if (n > 0) n else corpus.count(), targetCellSize)
     val kSub = math.max(4, math.ceil(math.sqrt(kTotal.toDouble)).toInt)
-    pairDups(imiAssign(corpus, idCol, vecCol, kSub, nIters), idCol,
+    pairDups(imiAssign(corpus, idCol, vecCol, kSub, nIters, dim), idCol,
       vecCol, threshold, maxCellSize)
   }
 
@@ -143,9 +168,9 @@ object SemDeDup {
     */
   def survivors(corpus: DataFrame, idCol: String, vecCol: String,
                 threshold: Double, k: Int = 0, nIters: Int = 2,
-                maxCellSize: Int = 100000): DataFrame =
+                maxCellSize: Int = 100000, n: Long = 0L): DataFrame =
     corpus.join(
-      duplicates(corpus, idCol, vecCol, threshold, k, nIters, maxCellSize)
+      duplicates(corpus, idCol, vecCol, threshold, k, nIters, maxCellSize, n)
         .select(col(idCol)),
       Seq(idCol), "left_anti")
 }

@@ -146,7 +146,10 @@ object CorpusStream {
         .otherwise(TextFunctions.langId(col(textCol))))
       .filter(col("lang").isInCollection(keepLangs) &&
         coalesce(qKeep, lit(false)))
-    val deduped = dedupStream(gated, textCol, tsCol, watermark)
+    // dedupStream's audit column stays internal here: the gate's
+    // contract is the batch runWithModel decision-table schema (input
+    // columns + lang, n_tokens, avg_logprob, bucket), which has no fp
+    val deduped = dedupStream(gated, textCol, tsCol, watermark).drop("fp")
 
     // one action: the guard rides the collect itself via limit(cap + 1)
     // — a separate count() would execute the vocabulary lineage twice at

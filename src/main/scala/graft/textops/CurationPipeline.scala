@@ -55,6 +55,37 @@ object CurationPipeline {
       kept => UnigramLM.ccnetBuckets(kept, idCol, textCol)
         .select(col(idCol), col("avg_logprob"), col("bucket")))
 
+  /** [[run]] plus a FUZZY-dedup stage between exact dedup and the LM —
+    * the FineWeb/RefinedWeb arrangement a 2026 pretraining-data team
+    * actually runs (Penedo et al. 2023/2024 both insert MinHash near-dup
+    * after the heuristic gates): documents surviving the exact stage are
+    * shingled, LSH-bucketed and exact-Jaccard-verified
+    * ([[MinHashLSH.nearDupPairs]]), near-dup clusters are closed
+    * transitively ([[DedupGraph.connectedComponents]]), and each cluster
+    * keeps its BEST-QUALITY member ([[DedupGraph.survivorsByQuality]] on
+    * [[TextFunctions.qualityScore]]) — the rest drop with reason
+    * `near_duplicate`. Stage 4 then fits its thresholds on the fuzzy-kept
+    * set only, preserving the CCNet rule that filtered-out documents must
+    * not shift the cut points.
+    *
+    * Plan shape at 100 TB: the added work is the [[MinHashLSH]] banded
+    * candidate shuffle (docs × bands slim rows, capped buckets), the
+    * O(log n) large/small-star rounds over the (tiny) near-dup edge set,
+    * and one more slim (id, flag) verdict join — the text is still only
+    * ever re-scanned, never shuffled. The near-dup verdict is
+    * checkpointed like the exact one: three downstream consumers must
+    * not re-run the LSH pipeline.
+    */
+  def runFuzzy(docs: DataFrame, idCol: String, textCol: String,
+               keepLangs: Set[String],
+               stopwords: Seq[String] = Seq("the", "a", "and", "of", "to"),
+               shingleN: Int = 3, jaccardThreshold: Double = 0.6)
+      : DataFrame =
+    pipeline(docs, idCol, textCol, keepLangs, stopwords,
+      kept => UnigramLM.ccnetBuckets(kept, idCol, textCol)
+        .select(col(idCol), col("avg_logprob"), col("bucket")),
+      fuzzy = Some((shingleN, jaccardThreshold)))
+
   /** The PRODUCTION form: stage 4 scores against a PRE-TRAINED unigram
     * table and cuts at FIXED thresholds — how a deployed CCNet gate
     * actually runs (the LM and its head/middle cut points are fit once
@@ -81,12 +112,42 @@ object CurationPipeline {
         .select(col(idCol), col("avg_logprob"), col("bucket")))
   }
 
+  /** The PRODUCTION fuzzy form: [[runFuzzy]]'s stages with
+    * [[runWithModel]]'s stage 4 — near-dup clustering plus scoring
+    * against a pre-trained unigram table at fixed thresholds. The
+    * deployed FineWeb-style gate: dedup decisions are corpus-relative by
+    * nature (a duplicate IS relative to the batch), but quality
+    * thresholds must not be.
+    */
+  def runFuzzyWithModel(docs: DataFrame, idCol: String, textCol: String,
+                        keepLangs: Set[String], unigrams: DataFrame,
+                        tHead: Double, tMid: Double,
+                        stopwords: Seq[String] =
+                          Seq("the", "a", "and", "of", "to"),
+                        oovLogp: Double = -20.0,
+                        shingleN: Int = 3, jaccardThreshold: Double = 0.6)
+      : DataFrame = {
+    require(tHead >= tMid, s"tHead ($tHead) must be >= tMid ($tMid)")
+    pipeline(docs, idCol, textCol, keepLangs, stopwords,
+      kept => UnigramLM.scoreAgainst(kept, unigrams, idCol, textCol,
+          oovLogp)
+        .withColumn("bucket",
+          when(col("avg_logprob") >= tHead, lit("head"))
+            .when(col("avg_logprob") >= tMid, lit("middle"))
+            .otherwise(lit("tail")))
+        .select(col(idCol), col("avg_logprob"), col("bucket")),
+      fuzzy = Some((shingleN, jaccardThreshold)))
+  }
+
   /** Shared stage 1–3 plumbing; `bucketer` maps the kept (id, text) set
-    * to (id, avg_logprob, bucket).
+    * to (id, avg_logprob, bucket); `fuzzy` = Some((shingleN, threshold))
+    * inserts the near-duplicate stage between exact dedup and the
+    * bucketer.
     */
   private def pipeline(docs: DataFrame, idCol: String, textCol: String,
                        keepLangs: Set[String], stopwords: Seq[String],
-                       bucketer: DataFrame => DataFrame): DataFrame = {
+                       bucketer: DataFrame => DataFrame,
+                       fuzzy: Option[(Int, Double)] = None): DataFrame = {
     require(keepLangs.nonEmpty, "keepLangs must not be empty")
     val (qKeep, _) = TextFunctions.qualityRules(col(textCol), stopwords)
     // null text must not sail through the gates: [[TextFunctions.langId]]
@@ -116,19 +177,52 @@ object CurationPipeline {
       .select(col(idCol), (col(idCol) =!= col("__keeper")).as("__dup"))
       .localCheckpoint(true)
 
-    // stage 4 sees the kept set only (scan + slim id join)
-    val buckets = bucketer(
-      base.join(dupFlags.filter(!col("__dup")).select(col(idCol)), Seq(idCol))
-        .select(col(idCol), col(textCol)))
+    // optional fuzzy stage over the exact-kept set: LSH-verified
+    // near-dup pairs → transitive clusters → per-cluster best-quality
+    // survivor. Only CLUSTERED documents appear in the verdict — an
+    // unclustered doc has no row and falls through the left join as
+    // "not a near-duplicate". Checkpointed slim: (id, flag) only.
+    val nearFlags = fuzzy.map { case (shingleN, threshold) =>
+      val keptDocs = base
+        .join(dupFlags.filter(!col("__dup")).select(col(idCol)), Seq(idCol))
+        .select(col(idCol), col(textCol))
+      val sh = keptDocs.select(col(idCol),
+        TextFunctions.wordShingleHashesFast(col(textCol), shingleN)
+          .as("__sh"))
+      val pairs = MinHashLSH.nearDupPairs(sh, idCol, "__sh", threshold)
+      val comp = DedupGraph.connectedComponents(pairs, "id1", "id2")
+      val quality = keptDocs.select(col(idCol),
+        TextFunctions.qualityScore(col(textCol), stopwords).as("__q"))
+      DedupGraph.survivorsByQuality(comp, quality, idCol, "__q")
+        .select(col(idCol), (!col("kept")).as("__near"))
+        .localCheckpoint(true)
+    }
 
-    base.join(dupFlags, Seq(idCol), "left")
+    // stage 4+ sees the kept set only (scan + slim id join(s))
+    val keptIds = nearFlags match {
+      case None => dupFlags.filter(!col("__dup")).select(col(idCol))
+      case Some(nf) =>
+        dupFlags.filter(!col("__dup")).select(col(idCol))
+          .join(nf.filter(col("__near")).select(col(idCol)),
+            Seq(idCol), "left_anti")
+    }
+    val buckets = bucketer(
+      base.join(keptIds, Seq(idCol)).select(col(idCol), col(textCol)))
+
+    val joined = base.join(dupFlags, Seq(idCol), "left")
+    val withNear = nearFlags match {
+      case None => joined.withColumn("__near", lit(false))
+      case Some(nf) => joined.join(nf, Seq(idCol), "left")
+    }
+    withNear
       .join(buckets, Seq(idCol), "left")
       .select(col(idCol), col("lang"), col("n_tokens"),
-        // first failing stage; null __dup (doc never reached stage 3)
-        // falls through like false
+        // first failing stage; null __dup/__near (doc never reached the
+        // stage) falls through like false
         when(!langOk, lit("language"))
           .when(!col("__qok"), lit("quality"))
           .when(col("__dup"), lit("duplicate"))
+          .when(col("__near"), lit("near_duplicate"))
           .as("drop_reason"),
         col("avg_logprob"), col("bucket"))
   }

@@ -44,6 +44,37 @@ class SkewCapSpec extends SparkSpec {
     assert(SkewCap.dropped("minhash_lsh") == SkewCap.Dropped(0, 0))
   }
 
+  test("per-run attribution: sequential capped queries report independently") {
+    SkewCap.reset("minhash_lsh")
+    def corpus(nClones: Int) =
+      (0 until nClones).map(i => (i.toLong, "alpha beta gamma delta epsilon"))
+        .toDF("doc_id", "text")
+        .select(col("doc_id"),
+          TextFunctions.wordShingleHashesFast(col("text"), 2).as("sh"))
+    // run 1: 5 clones → 21 buckets × 5 rows dropped
+    MinHashLSH.candidatePairs(corpus(5), "doc_id", "sh",
+      maxBucketSize = 3).count()
+    eventually() {
+      SkewCap.droppedLastRun("minhash_lsh") ==
+        SkewCap.Dropped(rows = 105, buckets = 21)
+    }
+    // run 2: 4 clones → 21 buckets × 4 rows — its OWN reading, not a
+    // cumulative continuation of run 1's
+    MinHashLSH.candidatePairs(corpus(4), "doc_id", "sh",
+      maxBucketSize = 3).count()
+    eventually() {
+      SkewCap.perRun("minhash_lsh") == Seq(
+        SkewCap.Dropped(rows = 105, buckets = 21),
+        SkewCap.Dropped(rows = 84, buckets = 21))
+    }
+    assert(SkewCap.droppedLastRun("minhash_lsh") ==
+      SkewCap.Dropped(rows = 84, buckets = 21))
+    // the cumulative total is preserved alongside the per-run split
+    assert(SkewCap.dropped("minhash_lsh") ==
+      SkewCap.Dropped(rows = 189, buckets = 42))
+    SkewCap.reset("minhash_lsh")
+  }
+
   test("cosine LSH cap: row-per-member shape counts each bucket once") {
     SkewCap.reset("cosine_lsh")
     // 6 identical vectors fold to one signature bucket of size 6

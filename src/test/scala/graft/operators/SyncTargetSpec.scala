@@ -184,6 +184,78 @@ class SyncTargetSpec extends SparkSpec {
     } finally pool.shutdown()
   }
 
+  test("vacuum with ACTIVE retention races live writers: pre-aged crash " +
+    "debris is swept mid-run, no committed snapshot is ever removed, no " +
+    "acknowledged row is lost") {
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val path = tmp("sync_vac_")
+    val vt = SyncTarget.VersionedParquet(path)
+    vt.commit(targetDf) // v1: rows a, b
+    // plant crash debris: an unreferenced snapshot dir aged past any
+    // retention we use — the thing vacuum exists to sweep
+    val debris = new java.io.File(s"$path/_versions/orphan-crash-debris")
+    assert(debris.mkdirs())
+    java.nio.file.Files.write(
+      debris.toPath.resolve("part-00000.parquet"), Array[Byte](1, 2, 3))
+    java.nio.file.Files.setLastModifiedTime(debris.toPath,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 600000L))
+    val nWriters = 6
+    val pool = Executors.newFixedThreadPool(nWriters + 1)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      @volatile var writing = true
+      // retention 2s: ACTIVE during the run (unlike the 1h-retention
+      // stress above, this one can and does sweep while writers are
+      // mid-flight), yet safely above any tiny-DF snapshot-write time —
+      // the documented "exceeds the slowest writer" contract
+      val vacuumer = Future {
+        var sweeps = 0
+        while (writing) { vt.vacuum(spark, retentionMs = 2000L); sweeps += 1 }
+        sweeps
+      }
+      // each writer lands TWO sequential upserts to widen the window in
+      // which its second snapshot write races the vacuum loop
+      val writers = (0 until nWriters).map { i =>
+        Future {
+          val m1 = vt.upsert(Seq((s"w${i}a", i.toDouble)).toDF("name", "v"),
+            Seq("name"), maxRetries = 4 * nWriters)
+          val m2 = vt.upsert(Seq((s"w${i}b", i.toDouble)).toDF("name", "v"),
+            Seq("name"), maxRetries = 4 * nWriters)
+          (m1, m2)
+        }
+      }
+      val ms = Await.result(Future.sequence(writers), 300.seconds)
+      writing = false
+      val sweeps = Await.result(vacuumer, 60.seconds)
+      assert(sweeps > 0)
+      // every one of the 12 upserts was acknowledged as one insert…
+      assert(ms.forall { case (m1, m2) =>
+        m1.inserted == 1L && m2.inserted == 1L })
+      // …and every acknowledged row is in the committed head — the
+      // vacuum never took an in-flight or committed snapshot with it
+      val names = vt.read(spark).get.select("name").as[String]
+        .collect().toSet
+      val expected = Set("a", "b") ++
+        (0 until nWriters).flatMap(i => Seq(s"w${i}a", s"w${i}b"))
+      assert(names == expected)
+      // the aged debris was swept; every marker-referenced snapshot dir
+      // still exists (committed history remains readable)
+      assert(!debris.exists())
+      val markers = new java.io.File(s"$path/_commits").listFiles()
+        .map(_.getName).filter(_.matches("v\\d+")).toSeq
+      markers.foreach { m =>
+        val uuid = scala.io.Source.fromFile(s"$path/_commits/$m")
+          .mkString.trim
+        if (uuid.nonEmpty)
+          assert(new java.io.File(s"$path/_versions/$uuid").isDirectory,
+            s"committed snapshot $uuid (marker $m) was vacuumed away")
+      }
+    } finally pool.shutdown()
+  }
+
   test("quarantined sync composes with the versioned backend: clean rows " +
     "commit, rejects never enter the table") {
     val path = tmp("sync_q_")

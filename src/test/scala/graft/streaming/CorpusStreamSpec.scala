@@ -204,7 +204,14 @@ class CorpusStreamSpec extends SparkSpec {
         keepLangs = Set("en"), unigrams = unigrams,
         tHead = -4.0, tMid = -10.0)
     val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Doc]
-    val q = gate(source.toDF())
+    val gated = gate(source.toDF())
+    // the gate's output schema IS the batch decision-table contract:
+    // input columns + (lang, n_tokens, avg_logprob, bucket) — no
+    // internal dedup fingerprint leaking through
+    assert(gated.columns.toSeq ==
+      Seq("doc_id", "ts", "text", "lang", "n_tokens", "avg_logprob",
+        "bucket"))
+    val q = gated
       .writeStream.outputMode("append")
       .format("memory").queryName("curation_gate")
       .start() // default trigger: dedup state must span the two batches

@@ -50,6 +50,79 @@ class CurationPipelineSpec extends SparkSpec {
     assert(full.count(r => r.getAs[String]("bucket") != null) == 2)
   }
 
+  // stopword-rich tails: raise BOTH the length and stopword-ratio terms
+  // of qualityScore, so a longer variant outranks its shorter original
+  private val tail1 = " the of and to a plus more words now then"
+  private val tail2 = " the of and to a extra second longer tail here"
+
+  test("runFuzzy: near-dups cluster transitively, the best-QUALITY " +
+    "member survives (not the smallest id), exact dup keeps precedence") {
+    val docs = Seq(
+      (1L, goodText(1)),                      // near-dup of 2, lower quality
+      (2L, goodText(1) + tail1),              // longer + stopword-richer → survivor
+      (3L, goodText(3)),                      // exact-dup group with 4
+      (4L, goodText(3)),                      // duplicate (exact beats fuzzy)
+      (5L, goodText(5)),                      // 3-chain: 5 ~ 6 ~ 7
+      (6L, goodText(5) + tail1),
+      (7L, goodText(5) + tail1 + tail2),      // longest → cluster survivor
+      (8L, goodText(8))                       // unclustered, kept
+    ).toDF("doc_id", "text")
+    val out = CurationPipeline.runFuzzy(docs, "doc_id", "text",
+        keepLangs = Set("en"))
+      .select("doc_id", "drop_reason")
+      .as[(Long, Option[String])].collect().toMap
+    assert(out == Map(
+      1L -> Some("near_duplicate"), 2L -> None,
+      3L -> None, 4L -> Some("duplicate"),
+      5L -> Some("near_duplicate"), 6L -> Some("near_duplicate"),
+      7L -> None, 8L -> None))
+    // kept rows carry buckets; near-dup losers are never scored
+    val full = CurationPipeline.runFuzzy(docs, "doc_id", "text",
+      keepLangs = Set("en")).collect()
+    assert(full.count(_.getAs[String]("bucket") != null) == 4)
+    assert(full.filter(r => r.getAs[String]("drop_reason") != null)
+      .forall(_.getAs[String]("bucket") == null))
+  }
+
+  test("runFuzzyWithModel: fuzzy dedup verdicts with fixed-threshold " +
+    "buckets — near-dup losers unscored, survivors bucketed like " +
+    "runWithModel") {
+    val docs = Seq(
+      (1L, goodText(1)),                 // near-dup loser
+      (2L, goodText(1) + tail1),         // cluster survivor
+      (3L, goodText(3))                  // untouched keeper
+    ).toDF("doc_id", "text")
+    val unigrams = UnigramLM.train(
+      Seq(Tuple1(goodText(1))).toDF("text"), "text")
+    val out = CurationPipeline.runFuzzyWithModel(docs, "doc_id", "text",
+        keepLangs = Set("en"), unigrams = unigrams,
+        tHead = -4.0, tMid = -10.0)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getAs[String]("drop_reason")).toSeq ==
+      Seq("near_duplicate", null, null))
+    // survivors score against the SHIPPED table (not a corpus re-fit):
+    // same rows as runWithModel on the already-deduped corpus
+    val expect = CurationPipeline.runWithModel(
+        docs.filter(col("doc_id") =!= 1L), "doc_id", "text",
+        keepLangs = Set("en"), unigrams = unigrams,
+        tHead = -4.0, tMid = -10.0)
+      .orderBy("doc_id").collect()
+    assert(out.filter(_.getAs[String]("drop_reason") == null).toSeq ==
+      expect.filter(_.getAs[String]("drop_reason") == null).toSeq)
+  }
+
+  test("runFuzzy without near-duplicates reduces to run: same decision " +
+    "table") {
+    val docs = Seq(
+      (1L, goodText(1)), (2L, goodText(2)), (3L, deText),
+      (4L, "short text the a"), (5L, goodText(1))).toDF("doc_id", "text")
+    val a = CurationPipeline.run(docs, "doc_id", "text", Set("en"))
+      .orderBy("doc_id").collect().toSeq
+    val b = CurationPipeline.runFuzzy(docs, "doc_id", "text", Set("en"))
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+
   test("within a fingerprint group the smallest id survives regardless " +
     "of row order") {
     val docs = Seq((30L, goodText(3)), (10L, goodText(3)), (20L, goodText(3)),

@@ -296,6 +296,77 @@ class PipelineOpsSpec extends SparkSpec {
     assert(SemDeDup.autoCells(10000L, targetCellSize = 100) == 100)
   }
 
+  test("semdedup pre-jobs: a supplied corpus size (and IMI dim) removes " +
+    "the count()/probe driver actions; empty corpus reports clearly") {
+    // jobs are counted per JOB GROUP (thread-local, inherited by every
+    // job the block submits), so async listener events from other tests
+    // in the suite cannot pollute the reading; poll until the group's
+    // job list stops growing (the status store is event-bus-fed)
+    var groupSeq = 0
+    def jobsDuring(body: => Unit): Int = {
+      groupSeq += 1
+      val tag = s"semdedup-prejob-spec-$groupSeq"
+      spark.sparkContext.setJobGroup(tag, tag)
+      try body finally spark.sparkContext.clearJobGroup()
+      val st = spark.sparkContext.statusTracker
+      var prev = -1
+      var cur = st.getJobIdsForGroup(tag).length
+      while (cur != prev) {
+        Thread.sleep(300)
+        prev = cur
+        cur = st.getJobIdsForGroup(tag).length
+      }
+      cur
+    }
+    val rnd = new scala.util.Random(3)
+    val corpus = (0L until 40L).map(i =>
+        (i, Array.fill(8)(rnd.nextGaussian().toFloat).toSeq))
+      .toDF("vec_id", "embedding").localCheckpoint(true)
+    // the primitives' own job costs, measured not hardcoded (AQE decides
+    // how many jobs a count()/head() takes)
+    val jCount = jobsDuring { corpus.count(); () }
+    val jProbe = jobsDuring {
+      corpus.select(size(col("embedding"))).head(1); ()
+    }
+    assert(jCount > 0 && jProbe > 0)
+    // flat path: k = 0 with n supplied builds with the SAME driver jobs
+    // as an explicit-k call (which never counts); without n, exactly the
+    // count's jobs more
+    val jExplicit = jobsDuring {
+      SemDeDup.duplicates(corpus, "vec_id", "embedding", 0.95,
+        k = 16, nIters = 1); ()
+    }
+    val jAutoN = jobsDuring {
+      SemDeDup.duplicates(corpus, "vec_id", "embedding", 0.95,
+        nIters = 1, n = 40L); ()
+    }
+    val jAuto = jobsDuring {
+      SemDeDup.duplicates(corpus, "vec_id", "embedding", 0.95,
+        nIters = 1); ()
+    }
+    assert(jAutoN == jExplicit, s"supplied n still ran extra jobs " +
+      s"($jAutoN vs explicit-k $jExplicit)")
+    assert(jAuto == jAutoN + jCount)
+    // IMI path: n + dim remove both the count and the head() dim probe
+    val jImiFull = jobsDuring {
+      SemDeDup.duplicatesImi(corpus, "vec_id", "embedding", 0.95,
+        targetCellSize = 4, nIters = 1, n = 40L, dim = 8); ()
+    }
+    val jImi = jobsDuring {
+      SemDeDup.duplicatesImi(corpus, "vec_id", "embedding", 0.95,
+        targetCellSize = 4, nIters = 1); ()
+    }
+    assert(jImi == jImiFull + jCount + jProbe,
+      s"expected count+probe extra jobs ($jImi vs fully-supplied " +
+        s"$jImiFull + $jCount + $jProbe)")
+    // empty corpus: a clear require message, not a bare NoSuchElement
+    val err = intercept[IllegalArgumentException] {
+      SemDeDup.imiAssign(corpus.filter(col("vec_id") < 0L),
+        "vec_id", "embedding", kSub = 4)
+    }
+    assert(err.getMessage.contains("empty"))
+  }
+
   test("semdedup: oversized cells are dropped whole (skew cap)") {
     // 50 identical vectors all land in one cell → cap 10 drops the cell
     val corpus = (0L until 50L).map(i => (i, Seq(1.0f, 0.0f, 0.0f)))
