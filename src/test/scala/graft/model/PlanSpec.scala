@@ -273,4 +273,34 @@ class PlanSpec extends SparkSpec {
     assert(keyed.nonEmpty)
     assert(!keyed.exists(_.contains("text#")), keyed.mkString("\n"))
   }
+
+  test("fuzzy curation: no cartesian product, the text column is never " +
+    "a shuffle key, and survivor windows ride the component key") {
+    // building the frame runs the connected-components rounds (eager by
+    // design); the final plan is what ships the verdicts downstream
+    val p = SparkEntry.queries("q106_curation_fuzzy")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    val keyed = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(keyed.nonEmpty)
+    assert(!keyed.exists(_.contains("text#")), keyed.mkString("\n"))
+    // the final plan carries NO windows: the survivor verdict is a
+    // checkpointed slim (id, flag) table, so its internal windows ran
+    // once inside the verdict build, not per downstream consumer
+    assert(!p.contains("Window"), p.take(2000))
+    // those internal windows must partition by the near-dup component —
+    // an unpartitioned window would funnel the corpus into one task;
+    // asserted on the stage primitive the pipeline composes
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val comp = Seq((1L, 1L), (2L, 1L), (3L, 3L)).toDF("node", "component")
+    val scores = Seq((1L, 0.5), (2L, 0.9), (3L, 0.7)).toDF("doc_id", "q")
+    val sp = graft.textops.DedupGraph
+      .survivorsByQuality(comp, scores, "doc_id", "q")
+      .queryExecution.executedPlan.toString
+    val windows = sp.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.nonEmpty, sp.take(2000))
+    assert(windows.forall(_.contains("component#")), windows.mkString("\n"))
+  }
 }
