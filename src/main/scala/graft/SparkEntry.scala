@@ -2190,6 +2190,23 @@ object SparkEntry {
       CurationPipeline.runFuzzy(corpus, "doc_id", "text",
           keepLangs = Set("en", "de", "fr"))
         .orderBy(col("doc_id"))
+    }),
+
+    // the curation AUDIT REPORT — the one-page summary a data team ships
+    // with every curation pass: per outcome (each drop reason +
+    // kept_<bucket>) the document count, surviving token volume, and
+    // corpus share. One groupBy over a handful of keys + a broadcast
+    // one-row total join; runs over q102's decision table
+    "q107_curation_report" -> ((s, dir) => {
+      val docs = tSpread(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val corpus = docs.unionByName(
+        docs.filter(col("doc_id") % 25 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      CurationPipeline.report(
+          CurationPipeline.run(corpus, "doc_id", "text",
+            keepLangs = Set("en", "de", "fr")))
+        .orderBy(col("outcome"))
     })
   )
 
@@ -4312,100 +4329,48 @@ object SparkEntry {
     // q87 (CCNet buckets, trained on the KEPT docs only) fragments in
     // the same stage order, over the same planted-duplicate corpus.
     "q102_curation" ->
-      """WITH corpus AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 100000, text FROM documents
-        |  WHERE doc_id % 25 = 0),
-        |toks AS (
-        |  SELECT doc_id, text,
-        |    CASE WHEN trim(text) = '' THEN []
-        |         ELSE string_split_regex(trim(text), '\s+') END AS t,
-        |    CASE WHEN trim(lower(text)) = '' THEN []
-        |         ELSE string_split_regex(trim(lower(text)), '\s+') END AS tl
-        |  FROM corpus),
-        |lng AS (
-        |  SELECT doc_id,
-        |    CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_it) = 0 THEN 'und'
-        |         WHEN s_it = greatest(s_de, s_en, s_es, s_fr, s_it) THEN 'it'
-        |         WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_it) THEN 'fr'
-        |         WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_it) THEN 'es'
-        |         WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_it) THEN 'en'
-        |         ELSE 'de' END AS lang
-        |  FROM (
-        |    SELECT doc_id,
-        |      len(list_filter(tl, x -> x IN ('der','die','das','und','ist','nicht','ein','zu','mit','von'))) AS s_de,
-        |      len(list_filter(tl, x -> x IN ('the','a','and','of','to','in','is','that','it','for'))) AS s_en,
-        |      len(list_filter(tl, x -> x IN ('el','los','las','y','es','una','de','que','no','por'))) AS s_es,
-        |      len(list_filter(tl, x -> x IN ('le','la','les','et','est','une','des','du','dans','pour'))) AS s_fr,
-        |      len(list_filter(tl, x -> x IN ('il','lo','gli','e','che','di','non','per','con','sono'))) AS s_it
-        |    FROM toks)),
-        |qual AS (
-        |  SELECT doc_id, n_tokens, reasons = '' AS qok FROM (
-        |    SELECT doc_id, n_tokens, concat_ws(',',
-        |      CASE WHEN n_tokens < 30 THEN 'too_few_words' END,
-        |      CASE WHEN n_tokens > 50000 THEN 'too_many_words' END,
-        |      CASE WHEN avg_len < 2.0 OR avg_len > 12.0
-        |           THEN 'mean_word_len_out' END,
-        |      CASE WHEN punct_ratio > 0.2 THEN 'high_punct' END,
-        |      CASE WHEN stop_hits < 2 THEN 'no_stopwords' END,
-        |      CASE WHEN repetition < 0.3 THEN 'repetitive' END) AS reasons
-        |    FROM (
-        |      SELECT doc_id, len(t) AS n_tokens,
-        |        CAST(list_aggregate(list_transform(t, x -> len(x)), 'sum')
-        |          AS DOUBLE) / len(t) AS avg_len,
-        |        CAST(length(text) - length(regexp_replace(text,
-        |          '[!"#$%&''()*+,\-./:;<=>?@\[\]^_`{|}~]', '', 'g')) AS DOUBLE)
-        |          / length(text) AS punct_ratio,
-        |        len(list_filter(tl, x -> x IN ('the','a','and','of','to')))
-        |          AS stop_hits,
-        |        CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS repetition
-        |      FROM toks))),
-        |base AS (
-        |  SELECT c.doc_id, lng.lang, qual.n_tokens, qual.qok,
-        |    lower(regexp_replace(regexp_replace(c.text,
-        |      '^\s+|\s+$', '', 'g'), '\s+', ' ', 'g')) AS fp
-        |  FROM corpus c
-        |  JOIN lng ON lng.doc_id = c.doc_id
-        |  JOIN qual ON qual.doc_id = c.doc_id),
-        |surv AS (
-        |  SELECT doc_id, fp FROM base
-        |  WHERE lang IN ('en', 'de', 'fr') AND qok),
-        |keeper AS (SELECT fp, min(doc_id) AS kid FROM surv GROUP BY fp),
-        |dup AS (
-        |  SELECT s.doc_id, s.doc_id != k.kid AS is_dup
-        |  FROM surv s JOIN keeper k USING (fp)),
-        |kept AS (SELECT doc_id FROM dup WHERE NOT is_dup),
-        |ktoks AS (
-        |  SELECT doc_id, unnest(tl) AS token
-        |  FROM toks JOIN kept USING (doc_id) WHERE len(tl) > 0),
-        |vocab AS (SELECT token, count(*) AS cnt FROM ktoks GROUP BY token),
-        |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM vocab),
-        |scored AS (
-        |  SELECT doc_id,
-        |    round(avg(ln(CAST(cnt AS DOUBLE) / total)), 6) AS avg_logprob
-        |  FROM ktoks JOIN vocab USING (token) CROSS JOIN tot
-        |  GROUP BY doc_id),
-        |th AS (
-        |  SELECT round(quantile_cont(avg_logprob, 0.6666666666666666), 6)
-        |           AS t_head,
-        |         round(quantile_cont(avg_logprob, 0.3333333333333333), 6)
-        |           AS t_mid
-        |  FROM scored)
-        |SELECT b.doc_id, b.lang, CAST(b.n_tokens AS INTEGER) AS n_tokens,
-        |  CASE WHEN b.lang NOT IN ('en', 'de', 'fr') THEN 'language'
-        |       WHEN NOT b.qok THEN 'quality'
-        |       WHEN d.is_dup THEN 'duplicate' END AS drop_reason,
-        |  s.avg_logprob,
-        |  CASE WHEN s.avg_logprob IS NULL THEN NULL
-        |       WHEN s.avg_logprob >= t_head THEN 'head'
-        |       WHEN s.avg_logprob >= t_mid THEN 'middle'
-        |       ELSE 'tail' END AS bucket
-        |FROM base b
-        |LEFT JOIN dup d ON d.doc_id = b.doc_id
-        |LEFT JOIN scored s ON s.doc_id = b.doc_id
-        |CROSS JOIN th
-        |ORDER BY b.doc_id""".stripMargin,
+      (oracleQ102UpToFinalSelect + """
+          |SELECT b.doc_id, b.lang, CAST(b.n_tokens AS INTEGER) AS n_tokens,
+          |  CASE WHEN b.lang NOT IN ('en', 'de', 'fr') THEN 'language'
+          |       WHEN NOT b.qok THEN 'quality'
+          |       WHEN d.is_dup THEN 'duplicate' END AS drop_reason,
+          |  s.avg_logprob,
+          |  CASE WHEN s.avg_logprob IS NULL THEN NULL
+          |       WHEN s.avg_logprob >= t_head THEN 'head'
+          |       WHEN s.avg_logprob >= t_mid THEN 'middle'
+          |       ELSE 'tail' END AS bucket
+          |FROM base b
+          |LEFT JOIN dup d ON d.doc_id = b.doc_id
+          |LEFT JOIN scored s ON s.doc_id = b.doc_id
+          |CROSS JOIN th
+          |ORDER BY b.doc_id""".stripMargin),
+
+    // q102's replay re-aggregated per outcome — the decision CTEs are
+    // identical text (same corpus, gates, dedup, thresholds); only the
+    // final projection differs
+    "q107_curation_report" ->
+      (oracleQ102UpToFinalSelect +
+        """,
+          |decisions AS (
+          |  SELECT b.doc_id, b.n_tokens,
+          |    CASE WHEN b.lang NOT IN ('en', 'de', 'fr') THEN 'language'
+          |         WHEN NOT b.qok THEN 'quality'
+          |         WHEN d.is_dup THEN 'duplicate'
+          |         ELSE 'kept_' ||
+          |           CASE WHEN s.avg_logprob >= t_head THEN 'head'
+          |                WHEN s.avg_logprob >= t_mid THEN 'middle'
+          |                ELSE 'tail' END END AS outcome
+          |  FROM base b
+          |  LEFT JOIN dup d ON d.doc_id = b.doc_id
+          |  LEFT JOIN scored s ON s.doc_id = b.doc_id
+          |  CROSS JOIN th),
+          |tot2 AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM decisions)
+          |SELECT outcome, count(*) AS n_docs,
+          |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+          |  round(CAST(count(*) AS DOUBLE) / total, 6) AS share
+          |FROM decisions CROSS JOIN tot2
+          |GROUP BY outcome, total
+          |ORDER BY outcome""".stripMargin),
 
     "q104_bpe_encode" -> bpeEncodeOracle,
 
@@ -4565,6 +4530,92 @@ object SparkEntry {
     "q103_semdedup_auto" -> semDedupAllPairsOracle,
     "q105_semdedup_imi" -> semDedupAllPairsOracle
   )
+
+  /** q102's oracle WITH-chain through the threshold CTE (`th`) — the
+    * shared replay prefix of q102 (per-doc decision table) and q107
+    * (per-outcome aggregation).
+    */
+  private def oracleQ102UpToFinalSelect: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text FROM documents
+      |  WHERE doc_id % 25 = 0),
+      |toks AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN trim(text) = '' THEN []
+      |         ELSE string_split_regex(trim(text), '\s+') END AS t,
+      |    CASE WHEN trim(lower(text)) = '' THEN []
+      |         ELSE string_split_regex(trim(lower(text)), '\s+') END AS tl
+      |  FROM corpus),
+      |lng AS (
+      |  SELECT doc_id,
+      |    CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_it) = 0 THEN 'und'
+      |         WHEN s_it = greatest(s_de, s_en, s_es, s_fr, s_it) THEN 'it'
+      |         WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_it) THEN 'fr'
+      |         WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_it) THEN 'es'
+      |         WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_it) THEN 'en'
+      |         ELSE 'de' END AS lang
+      |  FROM (
+      |    SELECT doc_id,
+      |      len(list_filter(tl, x -> x IN ('der','die','das','und','ist','nicht','ein','zu','mit','von'))) AS s_de,
+      |      len(list_filter(tl, x -> x IN ('the','a','and','of','to','in','is','that','it','for'))) AS s_en,
+      |      len(list_filter(tl, x -> x IN ('el','los','las','y','es','una','de','que','no','por'))) AS s_es,
+      |      len(list_filter(tl, x -> x IN ('le','la','les','et','est','une','des','du','dans','pour'))) AS s_fr,
+      |      len(list_filter(tl, x -> x IN ('il','lo','gli','e','che','di','non','per','con','sono'))) AS s_it
+      |    FROM toks)),
+      |qual AS (
+      |  SELECT doc_id, n_tokens, reasons = '' AS qok FROM (
+      |    SELECT doc_id, n_tokens, concat_ws(',',
+      |      CASE WHEN n_tokens < 30 THEN 'too_few_words' END,
+      |      CASE WHEN n_tokens > 50000 THEN 'too_many_words' END,
+      |      CASE WHEN avg_len < 2.0 OR avg_len > 12.0
+      |           THEN 'mean_word_len_out' END,
+      |      CASE WHEN punct_ratio > 0.2 THEN 'high_punct' END,
+      |      CASE WHEN stop_hits < 2 THEN 'no_stopwords' END,
+      |      CASE WHEN repetition < 0.3 THEN 'repetitive' END) AS reasons
+      |    FROM (
+      |      SELECT doc_id, len(t) AS n_tokens,
+      |        CAST(list_aggregate(list_transform(t, x -> len(x)), 'sum')
+      |          AS DOUBLE) / len(t) AS avg_len,
+      |        CAST(length(text) - length(regexp_replace(text,
+      |          '[!"#$%&''()*+,\-./:;<=>?@\[\]^_`{|}~]', '', 'g')) AS DOUBLE)
+      |          / length(text) AS punct_ratio,
+      |        len(list_filter(tl, x -> x IN ('the','a','and','of','to')))
+      |          AS stop_hits,
+      |        CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS repetition
+      |      FROM toks))),
+      |base AS (
+      |  SELECT c.doc_id, lng.lang, qual.n_tokens, qual.qok,
+      |    lower(regexp_replace(regexp_replace(c.text,
+      |      '^\s+|\s+$', '', 'g'), '\s+', ' ', 'g')) AS fp
+      |  FROM corpus c
+      |  JOIN lng ON lng.doc_id = c.doc_id
+      |  JOIN qual ON qual.doc_id = c.doc_id),
+      |surv AS (
+      |  SELECT doc_id, fp FROM base
+      |  WHERE lang IN ('en', 'de', 'fr') AND qok),
+      |keeper AS (SELECT fp, min(doc_id) AS kid FROM surv GROUP BY fp),
+      |dup AS (
+      |  SELECT s.doc_id, s.doc_id != k.kid AS is_dup
+      |  FROM surv s JOIN keeper k USING (fp)),
+      |kept AS (SELECT doc_id FROM dup WHERE NOT is_dup),
+      |ktoks AS (
+      |  SELECT doc_id, unnest(tl) AS token
+      |  FROM toks JOIN kept USING (doc_id) WHERE len(tl) > 0),
+      |vocab AS (SELECT token, count(*) AS cnt FROM ktoks GROUP BY token),
+      |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM vocab),
+      |scored AS (
+      |  SELECT doc_id,
+      |    round(avg(ln(CAST(cnt AS DOUBLE) / total)), 6) AS avg_logprob
+      |  FROM ktoks JOIN vocab USING (token) CROSS JOIN tot
+      |  GROUP BY doc_id),
+      |th AS (
+      |  SELECT round(quantile_cont(avg_logprob, 0.6666666666666666), 6)
+      |           AS t_head,
+      |         round(quantile_cont(avg_logprob, 0.3333333333333333), 6)
+      |           AS t_mid
+      |  FROM scored)""".stripMargin
 
   /** Exact all-pairs cosine >= 0.9 over the planted-clone corpus — the
     * shared oracle of q77/q103/q105 (and the text of q77's entry above).

@@ -200,6 +200,30 @@ object Ivf {
     } finally slim.unpersist()
   }
 
+  /** Append NEW vectors to a stored [[writeIndex]] index WITHOUT
+    * retraining: assign them with the SAVED centroids and append
+    * cell-clustered files into the partitioned vector table. This is the
+    * maintenance path a live index needs — at 100 TB a full rebuild
+    * re-scans the whole corpus for what is usually a sub-percent delta,
+    * while an append costs one scan OF THE DELTA plus its shuffle into
+    * cell order. Centroids stay frozen by design (the same call FAISS's
+    * `add()` makes: lists drift only if the data distribution does);
+    * when drift accumulates, [[writeIndex]] re-trains and rewrites.
+    * Readers are unaffected mid-append up to parquet's add-files
+    * visibility; a crashed append leaves at worst extra unreferenced
+    * part files in cell directories, never a corrupt committed file.
+    */
+  def appendToIndex(newVectors: DataFrame, idCol: String, vecCol: String,
+                    path: String): Unit = {
+    val spark = newVectors.sparkSession
+    val centroids = readCentroids(spark, path)
+    // cell-clustered append — same tiny-files rationale as [[writeIndex]]
+    assign(newVectors.select(col(idCol), col(vecCol)), vecCol, centroids)
+      .repartition(col("__cell"))
+      .write.mode("append").partitionBy("__cell")
+      .parquet(s"$path/vectors")
+  }
+
   /** Probe a stored index: loads the (k × dim) centroids to the driver,
     * computes the union of every query's probe cells (one driver-sized
     * action) and filters the partitioned vector table on `__cell` with a
@@ -262,6 +286,54 @@ object Ivf {
         .toDF("cell", "centroid")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     } finally slim.unpersist()
+  }
+
+  /** [[appendToIndex]] for the SQ8 layout: quantize the delta, assign it
+    * with the saved centroids, append cell-clustered. Same frozen-
+    * centroid contract and crash behaviour as the float form.
+    */
+  def appendToIndexQuantized(newVectors: DataFrame, idCol: String,
+                             vecCol: String, path: String): Unit = {
+    val spark = newVectors.sparkSession
+    val centroids = readCentroids(spark, path)
+    Quantize.quantizeCorpus(
+        assign(newVectors.select(col(idCol), col(vecCol)), vecCol,
+          centroids), vecCol)
+      .drop(vecCol)
+      .repartition(col("__cell"))
+      .write.mode("append").partitionBy("__cell")
+      .parquet(s"$path/vectors")
+  }
+
+  /** Rewrite the vector table of a stored index cell-clustered —
+    * ~1 file per cell — leaving centroids (and therefore every probe
+    * result) untouched. Repeated [[appendToIndex]] calls each add a file
+    * per touched cell; after many small deltas a probe's I/O becomes
+    * seek-bound on file count rather than size, and compaction restores
+    * the fresh-index layout at the cost of one read+write of the table
+    * (the delta history, NOT the original corpus). Works on both the
+    * float and SQ8 layouts (the stored schema is rewritten verbatim).
+    *
+    * Not crash-atomic: the rewrite goes through a temp dir and swaps via
+    * delete + rename ([[graft.operators.Writers.overwriteParquetVia]]'s
+    * trade-off) — run it in the maintenance window an index rebuild
+    * would have needed anyway, or layer the table on a
+    * [[graft.operators.SyncTarget.VersionedParquet]] for live swaps.
+    */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+                   path: String): Unit = {
+    val vectors = spark.read.parquet(s"$path/vectors")
+      .repartition(col("__cell"))
+    val tmp = s"$path/vectors_compacting"
+    vectors.write.mode("overwrite").partitionBy("__cell").parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(s"$path/vectors")
+    fs.delete(live, true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), live))
+      throw new java.io.IOException(
+        s"compactIndex: rename $tmp -> $live failed; the compacted table " +
+          "is intact at the temp path")
   }
 
   /** Probe a quantized index: same static partition pruning as

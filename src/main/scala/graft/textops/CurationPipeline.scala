@@ -139,6 +139,31 @@ object CurationPipeline {
       fuzzy = Some((shingleN, jaccardThreshold)))
   }
 
+  /** Audit report over a curation decision table (the output of
+    * [[run]]/[[runFuzzy]]/[[runWithModel]]/[[runFuzzyWithModel]]): one
+    * row per OUTCOME — each drop reason, plus `kept_<bucket>` for
+    * survivors — with document count, token volume, and corpus share.
+    * The report every curation pass ships to its operators: what
+    * fraction fell to each gate, and how many training tokens survive.
+    *
+    * Plan shape: one groupBy over a handful of outcome keys plus a
+    * broadcast one-row total join for the share — no window, nothing
+    * funnels through a single partition.
+    */
+  def report(decisions: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val outcome = coalesce(col("drop_reason"),
+      concat(lit("kept_"), col("bucket"))).as("outcome")
+    val totals = decisions.agg(count(lit(1)).as("__total"))
+    decisions.select(outcome, col("n_tokens"))
+      .groupBy(col("outcome"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("n_tokens"))
+      .join(broadcast(totals))
+      .select(col("outcome"), col("n_docs"), col("n_tokens"),
+        round(col("n_docs").cast("double") / col("__total"), 6)
+          .as("share"))
+  }
+
   /** Shared stage 1–3 plumbing; `bucketer` maps the kept (id, text) set
     * to (id, avg_logprob, bucket); `fuzzy` = Some((shingleN, threshold))
     * inserts the near-duplicate stage between exact dedup and the

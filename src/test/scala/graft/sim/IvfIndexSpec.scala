@@ -67,4 +67,83 @@ class IvfIndexSpec extends SparkSpec {
       cos >= 0.99999 && id >= 1000L + q * 5 && id < 1000L + q * 5 + 5
     }, qgot.mkString(", "))
   }
+
+  test("append maintains a stored index without retraining: post-append " +
+    "probes equal a same-centroid rebuild over the union") {
+    val base = (0L until 100L).map { i =>
+      (i, Array.tabulate(8)(d => (((i * 101 + d * 37) % 256) - 128).toFloat / 32f).toSeq)
+    }
+    val corpus = base.toDF("vec_id", "embedding")
+    // the delta: power-of-two clones of 3 base vectors, at HIGHER ids —
+    // so the union's id-ordered nIters=0 init picks the same centroids
+    // as the base index, making the rebuilt index bit-comparable
+    val delta = base.take(3).zipWithIndex.map { case ((i, v), j) =>
+      (2000L + j, v.map(_ * 8f))
+    }
+    val queries = base.take(3).toDF("q_id", "q_emb")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString
+    Ivf.writeIndex(corpus, "vec_id", "embedding", dir, nCells = 8, nIters = 0)
+    // before the append, no query finds its planted clone
+    val before = Ivf.topKIndexed(spark, dir, queries, k = 1,
+      idCol = "vec_id", vecCol = "embedding",
+      qIdCol = "q_id", qVecCol = "q_emb", nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(before.values.forall(_ < 2000L))
+
+    Ivf.appendToIndex(delta.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dir)
+    // after: each query's nearest neighbour IS its appended clone
+    // (cosine 1.0 — scale-invariant assignment put it in the query's
+    // own probe cell)
+    val after = Ivf.topKIndexed(spark, dir, queries, k = 1,
+      idCol = "vec_id", vecCol = "embedding",
+      qIdCol = "q_id", qVecCol = "q_emb", nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(after.forall { case (q, id, cos) => id == 2000L + q && cos == 1.0 },
+      after.mkString(", "))
+
+    // appended index ≡ full rebuild with the same centroids: the frozen
+    // centroids are the ONLY state, so append must be indistinguishable
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_ivf_reb").toString
+    Ivf.writeIndex((base ++ delta).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dir2, nCells = 8, nIters = 0)
+    def all(d: String) = Ivf.topKIndexed(spark, d, queries, k = 10,
+        idCol = "vec_id", vecCol = "embedding",
+        qIdCol = "q_id", qVecCol = "q_emb", nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(all(dir) == all(dir2))
+
+    // compaction restores ~1 file per cell after the append added its
+    // own files, and probe results are bit-identical before/after
+    def dataFiles(d: String) = {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(d, "vectors"))
+      try walk.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toList
+      finally walk.close()
+    }
+    val pre = all(dir)
+    val nBefore = dataFiles(dir).size
+    Ivf.compactIndex(spark, dir)
+    val nAfter = dataFiles(dir).size
+    assert(nAfter < nBefore, s"$nBefore -> $nAfter")
+    val cells = dataFiles(dir).map(_.getParent.getFileName.toString).toSet
+    assert(nAfter == cells.size, "expected one file per cell")
+    assert(all(dir) == pre)
+
+    // quantized layout: same append contract (planted clone recovered)
+    val qdir = java.nio.file.Files.createTempDirectory("graft_ivfq_app").toString
+    Ivf.writeIndexQuantized(corpus, "vec_id", "embedding", qdir,
+      nCells = 8, nIters = 0)
+    Ivf.appendToIndexQuantized(delta.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", qdir)
+    val qafter = Ivf.topKIndexedQuantized(spark, qdir, queries, k = 1,
+        idCol = "vec_id", qIdCol = "q_id", qVecCol = "q_emb", nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(qafter.forall { case (q, id, cos) =>
+      id == 2000L + q && cos >= 0.99999 }, qafter.mkString(", "))
+  }
 }
