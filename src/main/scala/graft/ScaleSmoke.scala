@@ -36,15 +36,16 @@ object ScaleSmoke {
     // their 100 TB story should rest on measured exponents, not only on
     // plan-shape assertions
     "q93_bigram_lm", "q94_bm25", "q95_nb_lang", "q98_trigram_lm",
-    "q99_quant_lm", "q100_ngram_lm", "q101_quant5_lm",
+    "q99_quant_lm", "q100_ngram_lm", "q101_quant5_lm", "q109_kneser_ney",
     // the composed curation pipeline: scan gates + fingerprint dedup +
     // kept-set LM in one job — and its fuzzy-dedup form (adds the
     // MinHash-LSH candidate shuffle + connected components + quality
     // survivor selection)
-    "q102_curation", "q106_curation_fuzzy",
-    // BPE encode: the per-token hot path of any tokenizer deployment —
-    // per-row greedy-fold HOFs whose cost must stay linear in tokens
-    "q104_bpe_encode",
+    "q102_curation", "q106_curation_fuzzy", "q107_curation_report",
+    // BPE encode/decode: the per-token hot path of any tokenizer
+    // deployment — per-row greedy-fold HOFs whose cost must stay linear
+    // in tokens
+    "q104_bpe_encode", "q108_bpe_roundtrip",
     // SemDeDup with the corpus-derived cell count — the configuration
     // whose exponent must stay ~linear where q77's pinned k cannot —
     // and its inverted-multi-index form for past the flat crossover

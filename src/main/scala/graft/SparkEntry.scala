@@ -6,7 +6,7 @@ import graft.multimodal.Multimodal
 import graft.operators.{Dedup, DownloadStats, MergeUpdate, Packing, Sampling, StationSearch, SyncTable}
 import graft.sim.Cosine
 import graft.tables.Tables
-import graft.textops.{BigramLM, Bm25, BpeTrainer, CorpusStats, CurationPipeline, Decontaminate, DedupGraph, MinHashLSH, NaiveBayes, NgramLM, NgramQuant, SimHash, SpanDedup, TextFunctions, TfIdf, TrigramLM, UnigramLM}
+import graft.textops.{BigramLM, Bm25, BpeTrainer, CorpusStats, CurationPipeline, Decontaminate, DedupGraph, KneserNeyLM, MinHashLSH, NaiveBayes, NgramLM, NgramQuant, SimHash, SpanDedup, TextFunctions, TfIdf, TrigramLM, UnigramLM}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -2207,6 +2207,31 @@ object SparkEntry {
           CurationPipeline.run(corpus, "doc_id", "text",
             keepLangs = Set("en", "de", "fr")))
         .orderBy(col("outcome"))
+    }),
+
+    // BPE round-trip: decode(encode(text)) must reproduce the
+    // whitespace-normalized lowercased input for ANY merge table (merges
+    // regroup the character stream, never change it) — the contract a
+    // tokenizer deployment verifies before shipping. The oracle is
+    // closed-form on the INPUT text, independent of the merges
+    "q108_bpe_roundtrip" -> ((s, dir) => {
+      tSpread(s, dir, "documents")
+        .select(col("doc_id"),
+          BpeTrainer.decode(BpeTrainer.encode(col("text"), BpeFixedMerges))
+            .as("decoded"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // interpolated Kneser–Ney bigram LM (Kneser & Ney 1995; Chen &
+    // Goodman 1999) — the KenLM-default estimator next to the ladder's
+    // stupid backoff: absolute discounting with the continuation-count
+    // backoff distribution, D fit from the bigram count-of-counts. Self-
+    // scored (the perplexity-report configuration, like q93); every term
+    // — D, the discounted ratio, Pcont — is exact double arithmetic the
+    // oracle replays bit-for-bit
+    "q109_kneser_ney" -> ((s, dir) => {
+      KneserNeyLM.score(tSpread(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -4373,6 +4398,61 @@ object SparkEntry {
           |ORDER BY outcome""".stripMargin),
 
     "q104_bpe_encode" -> bpeEncodeOracle,
+
+    "q108_bpe_roundtrip" ->
+      """SELECT doc_id,
+        |  CASE WHEN text IS NULL THEN NULL
+        |       WHEN trim(lower(text)) = '' THEN ''
+        |       ELSE array_to_string(
+        |         string_split_regex(trim(lower(text)), '\s+'), ' ') END
+        |    AS decoded
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q109_kneser_ney" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents WHERE trim(text) != ''),
+        |pairs AS (
+        |  SELECT doc_id, t[i-1] AS prev, t[i] AS token
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
+        |        FROM toks)
+        |  WHERE i > 1),
+        |big AS (
+        |  SELECT prev, token, count(*) AS cnt FROM pairs
+        |  GROUP BY prev, token),
+        |cc AS (
+        |  SELECT count(*) AS types,
+        |    sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS n1,
+        |    sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS n2
+        |  FROM big),
+        |disc AS (
+        |  SELECT CASE WHEN n1 = 0 THEN 0.5
+        |              ELSE CAST(n1 AS DOUBLE) / (n1 + 2.0 * n2) END AS d,
+        |    CAST(types AS DOUBLE) AS types
+        |  FROM cc),
+        |ctx AS (
+        |  SELECT prev, CAST(sum(cnt) AS DOUBLE) AS ctx_cnt,
+        |    count(*) AS n1f
+        |  FROM big GROUP BY prev),
+        |cont AS (
+        |  SELECT token, CAST(count(*) AS DOUBLE) / types AS pcont
+        |  FROM big CROSS JOIN disc GROUP BY token, types),
+        |scored AS (
+        |  SELECT p.doc_id,
+        |    CASE WHEN c.ctx_cnt IS NOT NULL THEN
+        |      (greatest(coalesce(CAST(b.cnt AS DOUBLE), 0.0) - disc.d, 0.0)
+        |        + disc.d * c.n1f * coalesce(k.pcont, 0.0)) / c.ctx_cnt
+        |    ELSE k.pcont END AS prob
+        |  FROM pairs p
+        |  LEFT JOIN big b ON b.prev = p.prev AND b.token = p.token
+        |  LEFT JOIN ctx c ON c.prev = p.prev
+        |  LEFT JOIN cont k ON k.token = p.token
+        |  CROSS JOIN disc)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(avg(CASE WHEN prob IS NOT NULL AND prob > 0
+        |                 THEN ln(prob) ELSE -20.0 END), 6) AS avg_logprob
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q106_curation_fuzzy" ->
       """WITH RECURSIVE corpus AS (

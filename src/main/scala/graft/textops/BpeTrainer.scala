@@ -136,4 +136,19 @@ object BpeTrainer {
     }
     flatten(merged)
   }
+
+  /** Invert [[encode]]: a subword stream back to text — concatenate the
+    * subwords and turn each [[EndMark]] into a word boundary. Because
+    * merges only REGROUP the character stream (they never change it),
+    * `decode(encode(t, merges))` equals the whitespace-normalized
+    * lowercased input for ANY merge table — the round-trip contract a
+    * tokenizer deployment checks before shipping. Per-row column
+    * expressions, no shuffle, no UDF.
+    *
+    * Caveat (the classic Sennrich end-of-word ambiguity): input text
+    * whose characters literally spell `</w>` decodes that span as a word
+    * boundary; production tokenizers escape such bytes before encoding.
+    */
+  def decode(subwords: Column): Column =
+    trim(replace(array_join(subwords, ""), lit(EndMark), lit(" ")))
 }

@@ -1,0 +1,110 @@
+package graft.textops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Interpolated Kneser–Ney bigram LM (Kneser & Ney 1995; Chen & Goodman
+  * 1999 eq. 19) — the estimator family KenLM ships as its default, here
+  * at order 2 with the single Ney discount estimated from the bigram
+  * count-of-counts:
+  *
+  * {{{
+  *   D        = n1 / (n1 + 2·n2)
+  *   P(w|v)   = ( max(c(v,w) − D, 0) + D·N1+(v·)·Pcont(w) ) / c(v·)
+  *   Pcont(w) = N1+(·w) / N1+(··)
+  * }}}
+  *
+  * where `N1+(v·)` counts distinct continuation TYPES after context v,
+  * `N1+(·w)` distinct contexts preceding w, and `N1+(··)` all distinct
+  * bigram types. The continuation distribution is what distinguishes KN
+  * from every count-ratio backoff: a word's backoff mass reflects how
+  * many contexts it completes, not how often it occurs ("Francisco" is
+  * frequent but only ever follows "San" — KN backs off to it weakly).
+  *
+  * Scoring (the [[BigramLM]] position convention, bigram rows only):
+  * per position, ln P(w|v) when the context is seen; ln Pcont(w) when
+  * the context is unseen (the continuation unigram IS the KN backoff
+  * distribution); `oovLogp` when the word was never seen as a
+  * continuation (P = 0). Output: (idCol, n_bigrams, avg_logprob),
+  * average rounded to 6 dp. Documents with fewer than two tokens have
+  * no bigram position and produce no row.
+  *
+  * Scale shape: training is three map-side-combinable aggregations off
+  * one tuple scan (bigram counts; per-context totals + continuation
+  * fan-out; per-word context fan-in) plus ONE tiny driver action for the
+  * count-of-counts discount. Scoring joins are AQE-planned on gram keys
+  * (the r10 lesson: model tables grow with the corpus — forcing
+  * broadcast measured exponent 1.0 at 100×); nothing shuffles document
+  * text.
+  */
+object KneserNeyLM {
+
+  /** Trained model: `bigrams` (prev, token, cnt), `contexts`
+    * (prev, ctx_cnt, n1plus_fwd), `cont` (token, pcont), and the Ney
+    * discount. All three tables are materialized slim aggregates.
+    */
+  final case class Model(bigrams: DataFrame, contexts: DataFrame,
+                         cont: DataFrame, discount: Double)
+
+  /** Fit on `docs(textCol)`: one tokenize pass, three aggregations, one
+    * tiny count-of-counts action for D.
+    */
+  def train(docs: DataFrame, textCol: String): Model = {
+    val tp = NgramLM.tuples(docs.select(lit(0L).as("__id"), col(textCol)),
+      "__id", textCol, 2)
+    val bi = tp.filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    // n1/n2/type-count in ONE action over the (already tiny) type table
+    val r = bi.agg(
+      count(lit(1)).as("types"),
+      sum(when(col("cnt") === 1L, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("cnt") === 2L, 1L).otherwise(0L)).as("n2")).head()
+    val (types, n1, n2) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    require(types > 0, "KneserNeyLM.train: corpus has no bigram")
+    // n1 = 0 (every type repeats) → no evidence for a discount; 0.5 is
+    // the conventional fallback (Chen & Goodman's D bounds are [0, 1])
+    val d = if (n1 == 0L) 0.5 else n1.toDouble / (n1 + 2.0 * n2)
+    val contexts = bi.groupBy(col("prev"))
+      .agg(sum(col("cnt")).cast("double").as("ctx_cnt"),
+        count(lit(1)).as("n1plus_fwd"))
+    val cont = bi.groupBy(col("token"))
+      .agg((count(lit(1)).cast("double") / lit(types.toDouble))
+        .as("pcont"))
+    Model(bi, contexts, cont, d)
+  }
+
+  /** Score `docs` against a trained [[Model]]. */
+  def scoreAgainst(docs: DataFrame, model: Model, idCol: String,
+                   textCol: String, oovLogp: Double = -20.0): DataFrame = {
+    val tp = NgramLM.tuples(docs, idCol, textCol, 2)
+      .filter(col("prev").isNotNull)
+    val joined = tp
+      .join(model.bigrams, Seq("prev", "token"), "left")
+      .join(model.contexts, Seq("prev"), "left")
+      .join(model.cont, Seq("token"), "left")
+    val dLit = lit(model.discount)
+    val p = when(col("ctx_cnt").isNotNull,
+        (greatest(coalesce(col("cnt").cast("double"), lit(0.0)) - dLit,
+          lit(0.0)) +
+          dLit * col("n1plus_fwd") * coalesce(col("pcont"), lit(0.0))) /
+          col("ctx_cnt"))
+      .otherwise(col("pcont"))
+    joined
+      .withColumn("__lp",
+        when(p.isNotNull && p > 0.0, log(p)).otherwise(lit(oovLogp)))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("__lp")), 6).as("avg_logprob"))
+  }
+
+  /** Self-scored convenience: [[train]] on `docs`, then [[scoreAgainst]]
+    * the same corpus (the perplexity-report configuration; a deployed
+    * gate trains once and ships the model like [[CurationPipeline
+    * .runWithModel]]).
+    */
+  def score(docs: DataFrame, idCol: String, textCol: String,
+            oovLogp: Double = -20.0): DataFrame =
+    scoreAgainst(docs, train(docs, textCol), idCol, textCol, oovLogp)
+}

@@ -89,6 +89,30 @@ class BpeTrainerSpec extends SparkSpec {
     assert(got == Seq("lo", "w", "est</w>", "n", "ew", "est</w>"))
   }
 
+  test("decode inverts encode for any merge table — trained, fixed, " +
+    "and empty") {
+    val docs = Seq(
+      (1L, "The Lowest  newest\tlowest rates"),
+      (2L, "  padded   text  "),
+      (3L, ""),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val trained = BpeTrainer.train(
+      Seq((1L, ("low lowest newest " * 4).trim)).toDF("doc_id", "text"),
+      "text", nMerges = 6)
+    for (merges <- Seq(trained,
+        Seq(Merge("e", "s", 9), Merge("es", "t</w>", 9)), Seq.empty)) {
+      val got = docs.select(col("doc_id"),
+          BpeTrainer.decode(BpeTrainer.encode(col("text"), merges))
+            .as("d"))
+        .as[(Long, Option[String])].collect().toMap
+      assert(got == Map(
+        1L -> Some("the lowest newest lowest rates"),
+        2L -> Some("padded text"),
+        3L -> Some(""),
+        4L -> None), s"merges=$merges")
+    }
+  }
+
   test("pairStats head is train's first merge") {
     val docs = Seq((1L, ("low " * 5).trim), (2L, ("newest " * 6).trim))
       .toDF("doc_id", "text")

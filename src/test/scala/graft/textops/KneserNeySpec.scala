@@ -1,0 +1,67 @@
+package graft.textops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Interpolated Kneser–Ney bigram LM against hand-computed values on a
+  * corpus small enough to run the estimator by hand.
+  */
+class KneserNeySpec extends SparkSpec {
+  import spark.implicits._
+
+  // corpus "a b a b a c": bigrams (a,b)×2, (b,a)×2, (a,c)×1
+  //   count-of-counts: n1 = 1, n2 = 2 → D = 1/(1+4) = 0.2
+  //   contexts: a → (ctx 3, N1+ fwd 2); b → (ctx 2, N1+ fwd 1)
+  //   types = 3; Pcont: b = 1/3 (only 'a' precedes), a = 1/3, c = 1/3
+  private val corpus = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
+
+  private val pBgivenA = (math.max(2 - 0.2, 0) + 0.2 * 2 * (1.0 / 3)) / 3
+  private val pAgivenB = (math.max(2 - 0.2, 0) + 0.2 * 1 * (1.0 / 3)) / 2
+  private val pCgivenA = (math.max(1 - 0.2, 0) + 0.2 * 2 * (1.0 / 3)) / 3
+
+  test("train: discount, context stats and continuation distribution " +
+    "match the hand computation") {
+    val m = KneserNeyLM.train(corpus, "text")
+    assert(m.discount == 0.2)
+    val ctx = m.contexts.collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(ctx == Map("a" -> ((3.0, 2L)), "b" -> ((2.0, 1L))))
+    val cont = m.cont.collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(cont == Map("a" -> 1.0 / 3, "b" -> 1.0 / 3, "c" -> 1.0 / 3))
+  }
+
+  test("KN probabilities sum to one per seen context") {
+    // the interpolation's defining invariant: discounted mass exactly
+    // re-enters through Pcont, so Σ_w P(w|v) = 1 over the full vocab
+    assert(math.abs(
+      (pBgivenA + pCgivenA + (0 + 0.2 * 2 * (1.0 / 3)) / 3) - 1.0) < 1e-12)
+  }
+
+  test("self-scored document averages the hand-computed position logs") {
+    val got = KneserNeyLM.score(corpus, "doc_id", "text").head()
+    assert(got.getLong(1) == 5L) // positions: b|a a|b b|a a|b c|a
+    val want = BigDecimal(
+      (2 * math.log(pBgivenA) + 2 * math.log(pAgivenB) +
+        math.log(pCgivenA)) / 5)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.getDouble(2) == want)
+  }
+
+  test("unseen context backs off to the continuation unigram; a word " +
+    "never seen as continuation floors at oovLogp") {
+    val m = KneserNeyLM.train(corpus, "text")
+    val docs = Seq((10L, "z b"), (11L, "z q"), (12L, "a")).toDF("doc_id", "text")
+    val got = KneserNeyLM.scoreAgainst(docs, m, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // "z b": context z unseen → ln Pcont(b) = ln(1/3)
+    assert(got(10L) == ((1L,
+      BigDecimal(math.log(1.0 / 3))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    // "z q": q never a continuation → oov floor
+    assert(got(11L) == ((1L, -20.0)))
+    // single-token doc: no bigram position, no output row
+    assert(!got.contains(12L))
+  }
+}
