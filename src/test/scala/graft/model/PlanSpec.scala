@@ -274,6 +274,19 @@ class PlanSpec extends SparkSpec {
     assert(!keyed.exists(_.contains("text#")), keyed.mkString("\n"))
   }
 
+  test("kneser-ney scores through gram-key joins: no window, no " +
+    "cartesian product, text never a shuffle key") {
+    // building the frame runs the (tiny) count-of-counts discount
+    // action; the scoring plan is what must stay gram-keyed
+    val p = plan("q109_kneser_ney")
+    assert(!p.contains("Window"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    val keyed = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(keyed.nonEmpty)
+    assert(!keyed.exists(_.contains("text#")), keyed.mkString("\n"))
+  }
+
   test("fuzzy curation: no cartesian product, the text column is never " +
     "a shuffle key, and survivor windows ride the component key") {
     // building the frame runs the connected-components rounds (eager by

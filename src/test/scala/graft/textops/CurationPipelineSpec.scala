@@ -111,6 +111,32 @@ class CurationPipelineSpec extends SparkSpec {
       expect.filter(_.getAs[String]("drop_reason") == null).toSeq)
   }
 
+  test("report: per-outcome counts, token volume and shares — also over " +
+    "a fuzzy decision table") {
+    val docs = Seq(
+      (1L, goodText(1)),              // near-dup loser
+      (2L, goodText(1) + tail1),      // survivor
+      (3L, deText),                   // language
+      (4L, goodText(4)),              // kept
+      (5L, goodText(4))               // exact duplicate of 4
+    ).toDF("doc_id", "text")
+    val rep = CurationPipeline.report(
+        CurationPipeline.runFuzzy(docs, "doc_id", "text", Set("en")))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(3)))).toMap
+    assert(rep.keySet.contains("near_duplicate"))
+    assert(rep("near_duplicate")._1 == 1L && rep("language")._1 == 1L &&
+      rep("duplicate")._1 == 1L)
+    assert(rep.values.map(_._1).sum == 5L)
+    assert(math.abs(rep.values.map(_._2).sum - 1.0) < 1e-9)
+    // token volume: the near-dup loser's 40 tokens are counted under its
+    // outcome, not lost
+    val toks = CurationPipeline.report(
+        CurationPipeline.runFuzzy(docs, "doc_id", "text", Set("en")))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(toks("near_duplicate") == 40L)
+  }
+
   test("runFuzzy without near-duplicates reduces to run: same decision " +
     "table") {
     val docs = Seq(
