@@ -61,6 +61,22 @@ object SkewCap extends Logging {
   private val counters = new ConcurrentHashMap[String, Counters]()
   private val lastLogged = new ConcurrentHashMap[String, Dropped]()
   private val seq = new AtomicLong(0L)
+  // folded totals of RETIRED instances (see maxLiveInstances), so the
+  // cumulative [[dropped]] reading survives the retention bound
+  private val retired = new ConcurrentHashMap[String, Dropped]()
+
+  /** Live per-run instances retained per operator. A long-lived driver
+    * (a streaming service re-planning a capped operator per batch) would
+    * otherwise grow the registry without bound — one accumulator pair
+    * per plan build, forever. Beyond the bound the OLDEST instance is
+    * retired: its reading folds into the op's cumulative total and it
+    * leaves [[perRun]]. Drops recorded by a retired instance's still-
+    * running plan after retirement are not observed — bounded telemetry
+    * loss on plans thousands of builds old, never a wrong cumulative
+    * direction (readings are already lower-bound diagnostics).
+    * Mutable only for the retention spec.
+    */
+  private[operators] var maxLiveInstances = 1024
 
   private def newCounter(op: String): Counters = {
     // never CREATE a context here — cap sites run while a session is
@@ -75,6 +91,17 @@ object SkewCap extends Logging {
     sc.register(b, s"graft_skew_cap:$op@$s:buckets_dropped")
     val c = Counters(op, s, r, b)
     counters.put(s"$op@$s", c)
+    val live = instances(op)
+    if (live.size > maxLiveInstances) live.take(live.size - maxLiveInstances)
+      .foreach { old =>
+        val key = s"${old.op}@${old.seq}"
+        if (counters.remove(key, old)) {
+          retired.merge(op, Dropped(old.rows.value, old.buckets.value),
+            (a, b2) => Dropped(a.rows + b2.rows, a.buckets + b2.buckets))
+          lastLogged.remove(key)
+          ()
+        }
+      }
     c
   }
 
@@ -118,7 +145,8 @@ object SkewCap extends Logging {
     * from the driver). Zero if no capped operator has been planned yet.
     */
   def dropped(op: String): Dropped =
-    instances(op).foldLeft(Dropped(0L, 0L)) { (acc, c) =>
+    instances(op).foldLeft(
+      retired.getOrDefault(op, Dropped(0L, 0L))) { (acc, c) =>
       Dropped(acc.rows + c.rows.value, acc.buckets + c.buckets.value)
     }
 
@@ -147,6 +175,8 @@ object SkewCap extends Logging {
       counters.remove(k)
       lastLogged.remove(k)
     }
+    retired.remove(op)
+    ()
   }
 
   /** Keep-predicate for a one-row-per-bucket shape (`n` = bucket size):

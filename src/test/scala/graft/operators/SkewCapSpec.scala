@@ -75,6 +75,34 @@ class SkewCapSpec extends SparkSpec {
     SkewCap.reset("minhash_lsh")
   }
 
+  test("instance retention: past the live bound old runs fold into the " +
+    "cumulative total and leave perRun") {
+    SkewCap.reset("minhash_lsh")
+    val docs = (0 until 4).map(i => (i.toLong, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TextFunctions.wordShingleHashesFast(col("text"), 2).as("sh"))
+    val saved = SkewCap.maxLiveInstances
+    try {
+      SkewCap.maxLiveInstances = 2
+      // three capped runs: the first retires when the third is built
+      (1 to 3).foreach { _ =>
+        MinHashLSH.candidatePairs(docs, "doc_id", "sh",
+          maxBucketSize = 2).count()
+      }
+      eventually() {
+        SkewCap.dropped("minhash_lsh").buckets == 63 // 3 runs × 21 bands
+      }
+      assert(SkewCap.perRun("minhash_lsh").size == 2)
+      // cumulative keeps the retired run's drops
+      assert(SkewCap.dropped("minhash_lsh") ==
+        SkewCap.Dropped(rows = 252, buckets = 63))
+    } finally {
+      SkewCap.maxLiveInstances = saved
+      SkewCap.reset("minhash_lsh")
+    }
+  }
+
   test("cosine LSH cap: row-per-member shape counts each bucket once") {
     SkewCap.reset("cosine_lsh")
     // 6 identical vectors fold to one signature bucket of size 6
