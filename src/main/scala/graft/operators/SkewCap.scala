@@ -62,8 +62,14 @@ object SkewCap extends Logging {
   private val lastLogged = new ConcurrentHashMap[String, Dropped]()
   private val seq = new AtomicLong(0L)
   // folded totals of RETIRED instances (see maxLiveInstances), so the
-  // cumulative [[dropped]] reading survives the retention bound
+  // cumulative [[dropped]] reading survives the retention bound.
+  // Retirement (fold + remove) and cumulative reads take `retireLock`:
+  // without it a reader could snapshot an instance AND see its value
+  // already folded into `retired` — an over-count, the one direction
+  // the lower-bound contract forbids. Accumulator updates themselves
+  // never take the lock; contention is telemetry-read-only.
   private val retired = new ConcurrentHashMap[String, Dropped]()
+  private val retireLock = new Object
 
   /** Live per-run instances retained per operator. A long-lived driver
     * (a streaming service re-planning a capped operator per batch) would
@@ -91,17 +97,19 @@ object SkewCap extends Logging {
     sc.register(b, s"graft_skew_cap:$op@$s:buckets_dropped")
     val c = Counters(op, s, r, b)
     counters.put(s"$op@$s", c)
-    val live = instances(op)
-    if (live.size > maxLiveInstances) live.take(live.size - maxLiveInstances)
-      .foreach { old =>
-        val key = s"${old.op}@${old.seq}"
-        if (counters.remove(key, old)) {
-          retired.merge(op, Dropped(old.rows.value, old.buckets.value),
-            (a, b2) => Dropped(a.rows + b2.rows, a.buckets + b2.buckets))
-          lastLogged.remove(key)
-          ()
+    retireLock.synchronized {
+      val live = instances(op)
+      if (live.size > maxLiveInstances)
+        live.take(live.size - maxLiveInstances).foreach { old =>
+          val key = s"${old.op}@${old.seq}"
+          if (counters.remove(key, old)) {
+            retired.merge(op, Dropped(old.rows.value, old.buckets.value),
+              (a, b2) => Dropped(a.rows + b2.rows, a.buckets + b2.buckets))
+            lastLogged.remove(key)
+            ()
+          }
         }
-      }
+    }
     c
   }
 
@@ -144,11 +152,12 @@ object SkewCap extends Logging {
     * over every run (on a cluster: as reported back to the driver — call
     * from the driver). Zero if no capped operator has been planned yet.
     */
-  def dropped(op: String): Dropped =
+  def dropped(op: String): Dropped = retireLock.synchronized {
     instances(op).foldLeft(
       retired.getOrDefault(op, Dropped(0L, 0L))) { (acc, c) =>
       Dropped(acc.rows + c.rows.value, acc.buckets + c.buckets.value)
     }
+  }
 
   /** Per-run readings for `op`, one per capped plan built (creation
     * order) — the attributable form of [[dropped]].
@@ -168,7 +177,7 @@ object SkewCap extends Logging {
     * zero. Plans already built keep recording into their (now
     * unregistered) instances, which no longer surface in readings.
     */
-  def reset(op: String): Unit = {
+  def reset(op: String): Unit = retireLock.synchronized {
     val keys = Seq.newBuilder[String]
     counters.forEach { (key, c) => if (c.op == op) keys += key }
     keys.result().foreach { k =>

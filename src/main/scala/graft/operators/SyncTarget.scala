@@ -69,11 +69,11 @@ object SyncTarget {
     * as uncommitted and its version number simply stays consumed.
     *
     * Supported backends (the commit CAS needs an atomic fail-if-exists
-    * namespace operation): local filesystems (hard link; falls back to
-    * rename where links are unsupported), and the HDFS family
-    * (`hdfs`/`viewfs`/`webhdfs` — namenode-atomic rename). Object
-    * stores (s3a, gs, abfs, …) are REFUSED at commit time rather than
-    * silently racy — see `tryCommit`.
+    * namespace operation): local filesystems WITH hard-link support,
+    * and the HDFS family (`hdfs`/`viewfs`/`webhdfs` — namenode-atomic
+    * rename). Everything else — object stores (s3a, gs, abfs, …) and
+    * link-less local mounts (some NFS/FUSE) — is REFUSED at commit time
+    * rather than silently racy — see `tryCommit`.
     */
   final case class VersionedParquet(path: String) extends Target {
 
@@ -132,21 +132,27 @@ object SyncTarget {
       * `allMarkers`) and publication is a single atomic namespace
       * operation that FAILS if the marker already exists:
       *   - local filesystems: a hard link (`Files.createLink` is atomic
-      *     and throws on an existing target; plain rename would silently
-      *     overwrite a racing winner). Filesystems mounted locally but
-      *     without hard-link support (some NFS/FUSE) throw
-      *     `UnsupportedOperationException` — caught, and the commit
-      *     falls back to the rename path below;
+      *     and throws `FileAlreadyExistsException` on an existing
+      *     target — the lost-race signal; plain rename(2) would
+      *     silently overwrite a racing winner). A mount without
+      *     hard-link support (some NFS/FUSE) has NO local atomic
+      *     fail-if-exists primitive — rename replaces, and an O_EXCL
+      *     create reopens the empty-marker window — so the commit is
+      *     REFUSED loudly rather than downgraded to a racy protocol.
+      *     Any other I/O error propagates: treating it as "lost the
+      *     race" would spin the version counter forever on a mount
+      *     that can never link;
       *   - HDFS-family filesystems (`hdfs`, `viewfs`, `webhdfs`):
       *     `rename`, which the namenode makes atomic and which returns
       *     false onto an existing destination;
-      *   - ANY OTHER SCHEME (s3a, gs, abfs, …): REFUSED with
+      *   - ANY OTHER SCHEME (s3a, gs, abfs, file-scheme wrappers that
+      *     are not the local FS classes, …): REFUSED with
       *     `UnsupportedOperationException`. Object-store rename is
       *     copy+delete with a non-atomic existing-destination check, so
       *     two racing writers could both "win" a version and one
       *     acknowledged commit would silently vanish — the exact race
-      *     the other two branches exist to prevent. Supporting such
-      *     stores needs a real CAS primitive (S3 conditional PUT, a
+      *     the other branches exist to prevent. Supporting such stores
+      *     needs a real CAS primitive (S3 conditional PUT, a
       *     DynamoDB/extern log à la Delta's S3DynamoDBLogStore) — fail
       *     loudly rather than corrupt quietly.
       * The same per-filesystem split Delta Lake's LogStore makes; the
@@ -155,44 +161,38 @@ object SyncTarget {
     private def tryCommit(f: FileSystem, v: Long, uuid: String): Boolean = {
       val p = new Path(commitsDir, s"v$v")
       val tmpName = s".tmp-v$v-$uuid"
-      def renameCommit(): Boolean = {
-        val tmp = new Path(commitsDir, tmpName)
-        try {
-          val out = f.create(tmp, true)
-          try out.write(uuid.getBytes("UTF-8")) finally out.close()
-          f.rename(tmp, p)
-        } catch { case _: java.io.IOException => false
-        } finally {
-          try { f.delete(tmp, false); () }
-          catch { case _: java.io.IOException => () }
-        }
-      }
       f match {
         case _: org.apache.hadoop.fs.LocalFileSystem |
              _: org.apache.hadoop.fs.RawLocalFileSystem =>
           val marker = java.nio.file.Paths.get(p.toUri.getPath)
           val tmp = marker.resolveSibling(tmpName)
-          val linked =
-            try {
-              java.nio.file.Files.createDirectories(marker.getParent)
-              java.nio.file.Files.write(tmp, uuid.getBytes("UTF-8"))
-              java.nio.file.Files.createLink(marker, tmp)
-              Some(true)
-            } catch {
-              case _: java.io.IOException => Some(false)
-              // hard links unsupported on this mount: not a lost race —
-              // retry this commit through the rename branch (weaker:
-              // Hadoop's local rename checks the destination
-              // non-atomically, but it is the best primitive left)
-              case _: UnsupportedOperationException => None
-            } finally {
-              try { java.nio.file.Files.deleteIfExists(tmp); () }
-              catch { case _: java.io.IOException => () }
-            }
-          linked.getOrElse(renameCommit())
+          try {
+            java.nio.file.Files.createDirectories(marker.getParent)
+            java.nio.file.Files.write(tmp, uuid.getBytes("UTF-8"))
+            java.nio.file.Files.createLink(marker, tmp)
+            true
+          } catch {
+            // the one benign outcome: another writer owns this version
+            case _: java.nio.file.FileAlreadyExistsException => false
+            // no hard links on this mount (UOE from the provider, or
+            // EPERM/EOPNOTSUPP surfacing as a FileSystemException whose
+            // file is OUR link target): no safe local CAS exists —
+            // refuse, don't spin or downgrade
+            case e @ (_: UnsupportedOperationException |
+                      _: java.nio.file.FileSystemException) =>
+              throw new UnsupportedOperationException(
+                s"VersionedParquet commit needs hard links for its " +
+                  s"atomic marker publication and $path's filesystem " +
+                  "refused one; this mount cannot host a multi-writer " +
+                  "versioned table (local rename silently replaces, " +
+                  "so it is NOT a safe fallback)", e)
+          } finally {
+            try { java.nio.file.Files.deleteIfExists(tmp); () }
+            catch { case _: java.io.IOException => () }
+          }
         case _ =>
           val scheme = Option(f.getUri).map(_.getScheme).getOrElse("")
-          if (!Set("hdfs", "viewfs", "webhdfs", "file").contains(scheme))
+          if (!Set("hdfs", "viewfs", "webhdfs").contains(scheme))
             throw new UnsupportedOperationException(
               s"VersionedParquet commit requires an atomic " +
                 s"fail-if-exists rename; filesystem scheme '$scheme' " +
@@ -200,7 +200,16 @@ object SyncTarget {
                 "copy+delete with a racy existence check). Supported: " +
                 "local, hdfs, viewfs, webhdfs. Use a log-store-backed " +
                 "target for object stores.")
-          renameCommit()
+          val tmp = new Path(commitsDir, tmpName)
+          try {
+            val out = f.create(tmp, true)
+            try out.write(uuid.getBytes("UTF-8")) finally out.close()
+            f.rename(tmp, p)
+          } catch { case _: java.io.IOException => false
+          } finally {
+            try { f.delete(tmp, false); () }
+            catch { case _: java.io.IOException => () }
+          }
       }
     }
 

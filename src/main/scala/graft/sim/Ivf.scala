@@ -217,11 +217,41 @@ object Ivf {
                     path: String): Unit = {
     val spark = newVectors.sparkSession
     val centroids = readCentroids(spark, path)
+    // fail fast on a column-name or dimension mismatch: parquet append
+    // would happily land mixed-schema files whose columns read back as
+    // nulls — silent recall loss on the whole delta, discovered only at
+    // probe time far from the append that caused it
+    requireAppendCompatible(spark, path, Seq(idCol, vecCol, "__cell"),
+      centroids, newVectors, vecCol)
     // cell-clustered append — same tiny-files rationale as [[writeIndex]]
     assign(newVectors.select(col(idCol), col(vecCol)), vecCol, centroids)
       .repartition(col("__cell"))
       .write.mode("append").partitionBy("__cell")
       .parquet(s"$path/vectors")
+  }
+
+  /** Append-time guard shared by both layouts: the stored table's
+    * columns must be exactly what this append will write, and the
+    * delta's vector dimension must match the trained centroids (one
+    * head(1) probe of the delta — negligible next to the append).
+    */
+  private def requireAppendCompatible(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      expectedCols: Seq[String], centroids: Array[(Int, Array[Float])],
+      newVectors: DataFrame, vecCol: String): Unit = {
+    val stored = spark.read.parquet(s"$path/vectors").schema.fieldNames
+    require(stored.toSeq.sorted == expectedCols.sorted,
+      s"appendToIndex: stored index at $path has columns " +
+        s"${stored.mkString("(", ", ", ")")} but this append writes " +
+        s"${expectedCols.mkString("(", ", ", ")")} — pass the idCol/" +
+        "vecCol the index was written with")
+    val probe = newVectors.select(size(col(vecCol))).head(1)
+    require(probe.nonEmpty, "appendToIndex: delta is empty")
+    val d = probe(0).getInt(0)
+    val cd = centroids.headOption.map(_._2.length).getOrElse(0)
+    require(d == cd,
+      s"appendToIndex: delta vectors have $d dims but the index was " +
+        s"trained on $cd — a mixed-dimension table would score garbage")
   }
 
   /** Probe a stored index: loads the (k × dim) centroids to the driver,
@@ -296,6 +326,9 @@ object Ivf {
                              vecCol: String, path: String): Unit = {
     val spark = newVectors.sparkSession
     val centroids = readCentroids(spark, path)
+    requireAppendCompatible(spark, path,
+      Seq(idCol, "__qvec", "__qscale", "__cell"), centroids, newVectors,
+      vecCol)
     Quantize.quantizeCorpus(
         assign(newVectors.select(col(idCol), col(vecCol)), vecCol,
           centroids), vecCol)
@@ -329,7 +362,15 @@ object Ivf {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val live = new org.apache.hadoop.fs.Path(s"$path/vectors")
-    fs.delete(live, true)
+    // a failed delete MUST abort: renaming onto a still-existing dir
+    // would nest the compacted copy INSIDE the old table (Hadoop local
+    // rename copies into an existing destination) — a silently corrupt
+    // double table instead of a loud stop
+    if (!fs.delete(live, true) && fs.exists(live))
+      throw new java.io.IOException(
+        s"compactIndex: could not remove $live; aborting before the " +
+          "swap — the live table is untouched and the compacted copy " +
+          s"is at $tmp")
     if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), live))
       throw new java.io.IOException(
         s"compactIndex: rename $tmp -> $live failed; the compacted table " +

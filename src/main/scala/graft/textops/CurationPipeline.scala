@@ -146,18 +146,23 @@ object CurationPipeline {
     * The report every curation pass ships to its operators: what
     * fraction fell to each gate, and how many training tokens survive.
     *
-    * Plan shape: one groupBy over a handful of outcome keys plus a
-    * broadcast one-row total join for the share — no window, nothing
-    * funnels through a single partition.
+    * Plan shape: ONE pass over the decision table — the per-outcome
+    * groupBy — materialized (it is a handful of rows), with the share
+    * denominator derived from the grouped counts themselves. Computing
+    * the total as a second `decisions.agg(count)` would re-run the
+    * entire curation lineage (scan + gates + LM joins) for one integer.
+    * No window, nothing funnels through a single partition.
     */
-  def report(decisions: DataFrame, idCol: String = "doc_id"): DataFrame = {
+  def report(decisions: DataFrame): DataFrame = {
     val outcome = coalesce(col("drop_reason"),
       concat(lit("kept_"), col("bucket"))).as("outcome")
-    val totals = decisions.agg(count(lit(1)).as("__total"))
-    decisions.select(outcome, col("n_tokens"))
+    val counts = decisions.select(outcome, col("n_tokens"))
       .groupBy(col("outcome"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens").cast("long")).as("n_tokens"))
+      .localCheckpoint(true)
+    val totals = counts.agg(sum(col("n_docs")).as("__total"))
+    counts
       .join(broadcast(totals))
       .select(col("outcome"), col("n_docs"), col("n_tokens"),
         round(col("n_docs").cast("double") / col("__total"), 6)
