@@ -2174,9 +2174,14 @@ object SparkEntry {
     // appended — not byte-identical, but sharing ~85% of its trigram
     // shingles, so it must be CAUGHT BY THE FUZZY STAGE despite passing
     // exact dedup. Oracle = exact all-pairs Jaccard over the gate
-    // survivors + recursive-CTE components (the q22+q81 replay pattern —
-    // valid because LSH recall on this fixture is deterministic-total,
-    // which q22's own oracle pins)
+    // survivors + recursive-CTE components (the q22+q81 replay pattern).
+    // The contract runs the AUDIT configuration (exactPairs = true →
+    // jaccardPairsPrefix, provably the same pair set as all-pairs), so
+    // oracle equivalence is STRUCTURAL — not contingent on LSH banding
+    // recalling every fixture pair, which a regenerated corpus with a
+    // pair at J just above the threshold could break (~0.6% miss at
+    // j=0.6 under 21×3 banding). The LSH arrangement itself stays
+    // covered by q19/q22's oracles and CurationPipelineSpec.
     "q106_curation_fuzzy" -> ((s, dir) => {
       val docs = tSpread(s, dir, "documents")
         .select(col("doc_id"), col("text"))
@@ -2188,7 +2193,7 @@ object SparkEntry {
             concat(col("text"), lit(" the quick brown fox jumps"))
               .as("text")))
       CurationPipeline.runFuzzy(corpus, "doc_id", "text",
-          keepLangs = Set("en", "de", "fr"))
+          keepLangs = Set("en", "de", "fr"), exactPairs = true)
         .orderBy(col("doc_id"))
     }),
 

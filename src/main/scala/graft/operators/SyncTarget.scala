@@ -113,11 +113,15 @@ object SyncTarget {
       }
 
     /** Write `contents` to a fresh uuid snapshot dir (fully, before any
-      * marker exists).
+      * marker exists), optionally hive-partitioned — partition layout is
+      * a physical property of the snapshot (readers' partition pruning
+      * works per snapshot), invisible to the commit protocol.
       */
-    private def writeSnapshot(contents: DataFrame): String = {
+    private def writeSnapshot(contents: DataFrame,
+                              partitionCols: Seq[String] = Nil): String = {
       val uuid = java.util.UUID.randomUUID().toString
-      contents.write.mode(SaveMode.Overwrite)
+      val w = contents.write.mode(SaveMode.Overwrite)
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
         .parquet(new Path(versionsDir, uuid).toString)
       uuid
     }
@@ -167,25 +171,31 @@ object SyncTarget {
           val marker = java.nio.file.Paths.get(p.toUri.getPath)
           val tmp = marker.resolveSibling(tmpName)
           try {
+            // Ordinary I/O failures here (disk full, permissions, a
+            // vanished parent) propagate as their own IOException — only
+            // the createLink below may be re-diagnosed as "no hard-link
+            // support".
             java.nio.file.Files.createDirectories(marker.getParent)
             java.nio.file.Files.write(tmp, uuid.getBytes("UTF-8"))
-            java.nio.file.Files.createLink(marker, tmp)
-            true
-          } catch {
-            // the one benign outcome: another writer owns this version
-            case _: java.nio.file.FileAlreadyExistsException => false
-            // no hard links on this mount (UOE from the provider, or
-            // EPERM/EOPNOTSUPP surfacing as a FileSystemException whose
-            // file is OUR link target): no safe local CAS exists —
-            // refuse, don't spin or downgrade
-            case e @ (_: UnsupportedOperationException |
-                      _: java.nio.file.FileSystemException) =>
-              throw new UnsupportedOperationException(
-                s"VersionedParquet commit needs hard links for its " +
-                  s"atomic marker publication and $path's filesystem " +
-                  "refused one; this mount cannot host a multi-writer " +
-                  "versioned table (local rename silently replaces, " +
-                  "so it is NOT a safe fallback)", e)
+            try {
+              java.nio.file.Files.createLink(marker, tmp)
+              true
+            } catch {
+              // the one benign outcome: another writer owns this version
+              case _: java.nio.file.FileAlreadyExistsException => false
+              // no hard links on this mount (UOE from the provider, or
+              // EPERM/EOPNOTSUPP surfacing as a FileSystemException whose
+              // file is OUR link target): no safe local CAS exists —
+              // refuse, don't spin or downgrade
+              case e @ (_: UnsupportedOperationException |
+                        _: java.nio.file.FileSystemException) =>
+                throw new UnsupportedOperationException(
+                  s"VersionedParquet commit needs hard links for its " +
+                    s"atomic marker publication and $path's filesystem " +
+                    "refused one; this mount cannot host a multi-writer " +
+                    "versioned table (local rename silently replaces, " +
+                    "so it is NOT a safe fallback)", e)
+            }
           } finally {
             try { java.nio.file.Files.deleteIfExists(tmp); () }
             catch { case _: java.io.IOException => () }
@@ -217,13 +227,31 @@ object SyncTarget {
       * snapshot, then takes the first free version number. Serializable
       * upserts go through [[upsert]] instead.
       */
-    def commit(contents: DataFrame): Unit = {
+    def commit(contents: DataFrame): Unit =
+      commitPartitioned(contents, Nil)
+
+    /** [[commit]] with a hive-partitioned snapshot layout — for tables
+      * whose readers prune on a partition column (e.g. an IVF index's
+      * `__cell`-clustered vector table, [[graft.sim.Ivf.compactIndexVersioned]]).
+      * Same blind-replace CAS semantics.
+      */
+    def commitPartitioned(contents: DataFrame,
+                          partitionCols: Seq[String]): Unit = {
       val spark = contents.sparkSession
       val f = fs(spark)
-      val uuid = writeSnapshot(contents)
+      val uuid = writeSnapshot(contents, partitionCols)
       var v = (allMarkers(f) :+ 0L).max + 1
       while (!tryCommit(f, v, uuid)) v += 1
     }
+
+    /** Path of the committed head snapshot dir, if any — for readers
+      * that need the PHYSICAL location (e.g. to append alongside it or
+      * feed a path-based scan) rather than a DataFrame.
+      */
+    def headSnapshotPath(spark: SparkSession): Option[String] =
+      head(spark).map { case (_, uuid) =>
+        new Path(versionsDir, uuid).toString
+      }
 
     /** The transactional upsert: read the committed snapshot, run
       * [[SyncTable.sync]] + [[SyncTable.merged]] against it, write the

@@ -169,6 +169,38 @@ object Ivf {
 
   // ---- persisted index ---------------------------------------------------
 
+  /** Physical location of an index's vector table. Two layouts coexist:
+    * the plain dir `$path/vectors` ([[writeIndex]]'s layout), and — once
+    * [[compactIndexVersioned]] has run — a
+    * [[graft.operators.SyncTarget.VersionedParquet]] at `$path/vectors_v`
+    * whose committed head snapshot holds the table (still
+    * `__cell`-partitioned, so probe-time partition pruning is
+    * unchanged). The versioned head wins when present; every read and
+    * append resolves through here so the two layouts cannot be mixed.
+    */
+  private[graft] def vectorsLocation(
+      spark: org.apache.spark.sql.SparkSession, path: String): String =
+    versionedVectors(path).headSnapshotPath(spark)
+      .getOrElse(s"$path/vectors")
+
+  private def versionedVectors(path: String) =
+    graft.operators.SyncTarget.VersionedParquet(s"$path/vectors_v")
+
+  /** A full rebuild supersedes any versioned compaction history: drop
+    * `$path/vectors_v` so [[vectorsLocation]] resolves to the freshly
+    * written plain dir, never a stale pre-rebuild snapshot.
+    */
+  private def dropVersionedLayout(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vdir = new org.apache.hadoop.fs.Path(s"$path/vectors_v")
+    if (fs.exists(vdir) && !fs.delete(vdir, true))
+      throw new java.io.IOException(
+        s"writeIndex: could not remove the superseded versioned vector " +
+          s"table at $vdir — leaving it would shadow the rebuilt index")
+  }
+
   /** Train once, store forever: the assigned corpus written as parquet
     * PARTITIONED BY the cell id (so a probe scans only its `nProbe` cells'
     * files — storage-level partition pruning, the whole point of IVF at
@@ -197,6 +229,7 @@ object Ivf {
       centroids.toSeq.map { case (c, v) => (c, v.toSeq) }
         .toDF("cell", "centroid")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+      dropVersionedLayout(spark, path)
     } finally slim.unpersist()
   }
 
@@ -223,35 +256,46 @@ object Ivf {
     // probe time far from the append that caused it
     requireAppendCompatible(spark, path, Seq(idCol, vecCol, "__cell"),
       centroids, newVectors, vecCol)
-    // cell-clustered append — same tiny-files rationale as [[writeIndex]]
+    // cell-clustered append — same tiny-files rationale as [[writeIndex]].
+    // Under the versioned layout this lands in the committed head
+    // snapshot dir: a deliberate relaxation of snapshot immutability
+    // with exactly the plain layout's add-files visibility semantics
     assign(newVectors.select(col(idCol), col(vecCol)), vecCol, centroids)
       .repartition(col("__cell"))
       .write.mode("append").partitionBy("__cell")
-      .parquet(s"$path/vectors")
+      .parquet(vectorsLocation(spark, path))
   }
 
   /** Append-time guard shared by both layouts: the stored table's
-    * columns must be exactly what this append will write, and the
-    * delta's vector dimension must match the trained centroids (one
-    * head(1) probe of the delta — negligible next to the append).
+    * columns must be exactly what this append will write, and EVERY
+    * delta row's vector dimension must match the trained centroids (one
+    * min/max aggregate over the delta — the delta is fully scanned for
+    * the append anyway, so this is nearly free; a head(1) probe would
+    * let a mixed-dimension delta past the first row land in the index
+    * and score garbage at probe time).
     */
   private def requireAppendCompatible(
       spark: org.apache.spark.sql.SparkSession, path: String,
       expectedCols: Seq[String], centroids: Array[(Int, Array[Float])],
       newVectors: DataFrame, vecCol: String): Unit = {
-    val stored = spark.read.parquet(s"$path/vectors").schema.fieldNames
+    val stored =
+      spark.read.parquet(vectorsLocation(spark, path)).schema.fieldNames
     require(stored.toSeq.sorted == expectedCols.sorted,
       s"appendToIndex: stored index at $path has columns " +
         s"${stored.mkString("(", ", ", ")")} but this append writes " +
         s"${expectedCols.mkString("(", ", ", ")")} — pass the idCol/" +
         "vecCol the index was written with")
-    val probe = newVectors.select(size(col(vecCol))).head(1)
-    require(probe.nonEmpty, "appendToIndex: delta is empty")
-    val d = probe(0).getInt(0)
+    // coalesce(-1) so a NULL vector reads as dimension -1 (min/max skip
+    // nulls, which would otherwise hide it)
+    val dim = coalesce(size(col(vecCol)), lit(-1))
+    val probe = newVectors.agg(count(lit(1)), min(dim), max(dim)).head()
+    require(probe.getLong(0) > 0L, "appendToIndex: delta is empty")
+    val (dMin, dMax) = (probe.getInt(1), probe.getInt(2))
     val cd = centroids.headOption.map(_._2.length).getOrElse(0)
-    require(d == cd,
-      s"appendToIndex: delta vectors have $d dims but the index was " +
-        s"trained on $cd — a mixed-dimension table would score garbage")
+    require(dMin == cd && dMax == cd,
+      s"appendToIndex: delta vector dims span [$dMin, $dMax] but the " +
+        s"index was trained on $cd (−1 = null vector) — a " +
+        "mixed-dimension table would score garbage")
   }
 
   /** Probe a stored index: loads the (k × dim) centroids to the driver,
@@ -284,7 +328,7 @@ object Ivf {
     val probeCells = queries
       .select(explode(cellExpr(col(qVecCol), centroids, nProbe)).as("__cell"))
       .distinct().collect().map(_.getInt(0))
-    spark.read.parquet(s"$path/vectors")
+    spark.read.parquet(vectorsLocation(spark, path))
       .filter(col("__cell").isin(probeCells.toSeq: _*))
   }
 
@@ -315,6 +359,7 @@ object Ivf {
       centroids.toSeq.map { case (c, v) => (c, v.toSeq) }
         .toDF("cell", "centroid")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+      dropVersionedLayout(spark, path)
     } finally slim.unpersist()
   }
 
@@ -335,7 +380,7 @@ object Ivf {
       .drop(vecCol)
       .repartition(col("__cell"))
       .write.mode("append").partitionBy("__cell")
-      .parquet(s"$path/vectors")
+      .parquet(vectorsLocation(spark, path))
   }
 
   /** Rewrite the vector table of a stored index cell-clustered —
@@ -347,14 +392,25 @@ object Ivf {
     * (the delta history, NOT the original corpus). Works on both the
     * float and SQ8 layouts (the stored schema is rewritten verbatim).
     *
-    * Not crash-atomic: the rewrite goes through a temp dir and swaps via
-    * delete + rename ([[graft.operators.Writers.overwriteParquetVia]]'s
-    * trade-off) — run it in the maintenance window an index rebuild
-    * would have needed anyway, or layer the table on a
-    * [[graft.operators.SyncTarget.VersionedParquet]] for live swaps.
+    * Not crash-atomic, but never copy-less: the rewrite goes through a
+    * temp dir, then the live table is renamed ASIDE (`vectors_old`), the
+    * compacted copy renamed into place, and the aside copy deleted last.
+    * A crash at any step leaves a complete table on disk (live, aside,
+    * or temp) — recovery is a single rename, never a re-scan — and the
+    * window with NO `vectors` dir shrinks to the one rename between
+    * steps. A concurrent probe in that single-rename window can still
+    * fail; for truly live swaps layer the table on a
+    * [[graft.operators.SyncTarget.VersionedParquet]]
+    * ([[compactIndexVersioned]]) or run in the maintenance window an
+    * index rebuild would have needed anyway.
     */
   def compactIndex(spark: org.apache.spark.sql.SparkSession,
                    path: String): Unit = {
+    require(versionedVectors(path).headSnapshotPath(spark).isEmpty,
+      s"compactIndex: the index at $path is on the versioned layout " +
+        "(a compactIndexVersioned has run) — use compactIndexVersioned, " +
+        "which swaps atomically; the plain rename swap would strand the " +
+        "committed snapshot")
     val vectors = spark.read.parquet(s"$path/vectors")
       .repartition(col("__cell"))
     val tmp = s"$path/vectors_compacting"
@@ -362,19 +418,62 @@ object Ivf {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val live = new org.apache.hadoop.fs.Path(s"$path/vectors")
-    // a failed delete MUST abort: renaming onto a still-existing dir
-    // would nest the compacted copy INSIDE the old table (Hadoop local
-    // rename copies into an existing destination) — a silently corrupt
-    // double table instead of a loud stop
-    if (!fs.delete(live, true) && fs.exists(live))
+    val aside = new org.apache.hadoop.fs.Path(s"$path/vectors_old")
+    // leftover aside dir from a prior crashed compact: remove it so the
+    // rename below cannot nest into it (Hadoop local rename copies INTO
+    // an existing destination — a silently corrupt double table)
+    if (fs.exists(aside) && !fs.delete(aside, true))
       throw new java.io.IOException(
-        s"compactIndex: could not remove $live; aborting before the " +
-          "swap — the live table is untouched and the compacted copy " +
-          s"is at $tmp")
+        s"compactIndex: stale $aside from a prior run could not be " +
+          s"removed; aborting — the live table is untouched and the " +
+          s"compacted copy is at $tmp")
+    if (!fs.rename(live, aside))
+      throw new java.io.IOException(
+        s"compactIndex: rename $live -> $aside failed; aborting — the " +
+          s"live table is untouched and the compacted copy is at $tmp")
     if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), live))
       throw new java.io.IOException(
-        s"compactIndex: rename $tmp -> $live failed; the compacted table " +
-          "is intact at the temp path")
+        s"compactIndex: rename $tmp -> $live failed; the compacted " +
+          s"table is intact at $tmp and the previous table at $aside " +
+          "(rename it back to recover)")
+    if (!fs.delete(aside, true))
+      throw new java.io.IOException(
+        s"compactIndex: swap succeeded but the previous table at " +
+          s"$aside could not be deleted; remove it manually (the live " +
+          "table is already the compacted copy)")
+  }
+
+  /** Crash-atomic [[compactIndex]]: the compacted table is written as a
+    * fresh snapshot of a
+    * [[graft.operators.SyncTarget.VersionedParquet]] at
+    * `$path/vectors_v` and published with its CAS marker commit, so
+    * there is NO window without a live table — a compactor killed
+    * between the snapshot write and the commit leaves readers on the
+    * previous committed snapshot (or, on first migration, the plain
+    * `vectors` dir), and the orphan snapshot is [[SyncTarget.VersionedParquet.vacuum]]
+    * debris. The first call migrates the plain layout: after its commit
+    * the plain dir is deleted (a reader that resolved the location
+    * before migration may fail once; every later compaction swaps
+    * atomically under it). Superseded snapshots stay on disk until their
+    * `_commits/v*` markers are pruned + vacuumed — the price of the
+    * versioned contract. [[appendToIndex]]/probes resolve the committed
+    * head via [[vectorsLocation]] automatically; [[writeIndex]] rebuilds
+    * drop the versioned history.
+    */
+  def compactIndexVersioned(spark: org.apache.spark.sql.SparkSession,
+                            path: String): Unit = {
+    val src = vectorsLocation(spark, path)
+    val compacted = spark.read.parquet(src).repartition(col("__cell"))
+    versionedVectors(path).commitPartitioned(compacted, Seq("__cell"))
+    if (src == s"$path/vectors") {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.delete(new org.apache.hadoop.fs.Path(src), true))
+        throw new java.io.IOException(
+          s"compactIndexVersioned: migrated to the versioned layout but " +
+            s"the plain dir $src could not be deleted; remove it " +
+            "manually (reads already resolve the committed snapshot)")
+    }
   }
 
   /** Probe a quantized index: same static partition pruning as

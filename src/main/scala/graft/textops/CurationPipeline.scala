@@ -75,16 +75,27 @@ object CurationPipeline {
     * ever re-scanned, never shuffled. The near-dup verdict is
     * checkpointed like the exact one: three downstream consumers must
     * not re-run the LSH pipeline.
+    *
+    * `exactPairs = true` swaps the LSH candidate generation for
+    * [[MinHashLSH.jaccardPairsPrefix]] (prefix-filtered exact all-pairs,
+    * provably the same result set as a full Jaccard cross-check): the
+    * audit configuration, where the near-dup verdict must be EXACTLY
+    * "every pair with J >= t" rather than "LSH-recalled pairs" —
+    * oracle-comparable structurally instead of up to LSH recall. The
+    * default stays LSH: at corpus scale the banded shuffle is the shape
+    * that holds up, and its ~(1−j³)²¹ miss rate at the threshold is the
+    * documented trade.
     */
   def runFuzzy(docs: DataFrame, idCol: String, textCol: String,
                keepLangs: Set[String],
                stopwords: Seq[String] = Seq("the", "a", "and", "of", "to"),
-               shingleN: Int = 3, jaccardThreshold: Double = 0.6)
+               shingleN: Int = 3, jaccardThreshold: Double = 0.6,
+               exactPairs: Boolean = false)
       : DataFrame =
     pipeline(docs, idCol, textCol, keepLangs, stopwords,
       kept => UnigramLM.ccnetBuckets(kept, idCol, textCol)
         .select(col(idCol), col("avg_logprob"), col("bucket")),
-      fuzzy = Some((shingleN, jaccardThreshold)))
+      fuzzy = Some(FuzzyCfg(shingleN, jaccardThreshold, exactPairs)))
 
   /** The PRODUCTION form: stage 4 scores against a PRE-TRAINED unigram
     * table and cuts at FIXED thresholds — how a deployed CCNet gate
@@ -125,7 +136,8 @@ object CurationPipeline {
                         stopwords: Seq[String] =
                           Seq("the", "a", "and", "of", "to"),
                         oovLogp: Double = -20.0,
-                        shingleN: Int = 3, jaccardThreshold: Double = 0.6)
+                        shingleN: Int = 3, jaccardThreshold: Double = 0.6,
+                        exactPairs: Boolean = false)
       : DataFrame = {
     require(tHead >= tMid, s"tHead ($tHead) must be >= tMid ($tMid)")
     pipeline(docs, idCol, textCol, keepLangs, stopwords,
@@ -136,7 +148,7 @@ object CurationPipeline {
             .when(col("avg_logprob") >= tMid, lit("middle"))
             .otherwise(lit("tail")))
         .select(col(idCol), col("avg_logprob"), col("bucket")),
-      fuzzy = Some((shingleN, jaccardThreshold)))
+      fuzzy = Some(FuzzyCfg(shingleN, jaccardThreshold, exactPairs)))
   }
 
   /** Audit report over a curation decision table (the output of
@@ -169,15 +181,21 @@ object CurationPipeline {
           .as("share"))
   }
 
+  /** Fuzzy-stage knobs: shingle order, the Jaccard keep threshold, and
+    * whether candidate pairs come from LSH (the scale default) or the
+    * exact prefix-filtered all-pairs join (the audit configuration).
+    */
+  private final case class FuzzyCfg(shingleN: Int, threshold: Double,
+                                    exactPairs: Boolean)
+
   /** Shared stage 1–3 plumbing; `bucketer` maps the kept (id, text) set
-    * to (id, avg_logprob, bucket); `fuzzy` = Some((shingleN, threshold))
-    * inserts the near-duplicate stage between exact dedup and the
-    * bucketer.
+    * to (id, avg_logprob, bucket); `fuzzy` inserts the near-duplicate
+    * stage between exact dedup and the bucketer.
     */
   private def pipeline(docs: DataFrame, idCol: String, textCol: String,
                        keepLangs: Set[String], stopwords: Seq[String],
                        bucketer: DataFrame => DataFrame,
-                       fuzzy: Option[(Int, Double)] = None): DataFrame = {
+                       fuzzy: Option[FuzzyCfg] = None): DataFrame = {
     require(keepLangs.nonEmpty, "keepLangs must not be empty")
     val (qKeep, _) = TextFunctions.qualityRules(col(textCol), stopwords)
     // null text must not sail through the gates: [[TextFunctions.langId]]
@@ -207,22 +225,32 @@ object CurationPipeline {
       .select(col(idCol), (col(idCol) =!= col("__keeper")).as("__dup"))
       .localCheckpoint(true)
 
-    // optional fuzzy stage over the exact-kept set: LSH-verified
-    // near-dup pairs → transitive clusters → per-cluster best-quality
-    // survivor. Only CLUSTERED documents appear in the verdict — an
-    // unclustered doc has no row and falls through the left join as
-    // "not a near-duplicate". Checkpointed slim: (id, flag) only.
-    val nearFlags = fuzzy.map { case (shingleN, threshold) =>
-      val keptDocs = base
+    // optional fuzzy stage over the exact-kept set: verified near-dup
+    // pairs → transitive clusters → per-cluster best-quality survivor.
+    // Only CLUSTERED documents appear in the verdict — an unclustered
+    // doc has no row and falls through the left join as "not a
+    // near-duplicate". Checkpointed slim: (id, flag) only.
+    val nearFlags = fuzzy.map { case FuzzyCfg(shingleN, threshold, exact) =>
+      // ONE scan of the kept text computes BOTH per-doc derivations the
+      // stage needs — shingle hashes (pair finding) and the quality
+      // score (survivor choice) — materialized as a slim (id, hashes,
+      // score) table so the two consumers don't each re-run the base
+      // scan with its langId/quality/fingerprint kernels. The hash
+      // arrays are ~8 bytes/token, smaller than the text they derive
+      // from (the same trade jaccardPairsPrefix makes internally).
+      val keptFused = base
         .join(dupFlags.filter(!col("__dup")).select(col(idCol)), Seq(idCol))
-        .select(col(idCol), col(textCol))
-      val sh = keptDocs.select(col(idCol),
-        TextFunctions.wordShingleHashesFast(col(textCol), shingleN)
-          .as("__sh"))
-      val pairs = MinHashLSH.nearDupPairs(sh, idCol, "__sh", threshold)
+        .select(col(idCol),
+          TextFunctions.wordShingleHashesFast(col(textCol), shingleN)
+            .as("__sh"),
+          TextFunctions.qualityScore(col(textCol), stopwords).as("__q"))
+        .localCheckpoint(true)
+      val sh = keptFused.select(col(idCol), col("__sh"))
+      val pairs =
+        if (exact) MinHashLSH.jaccardPairsPrefix(sh, idCol, "__sh", threshold)
+        else MinHashLSH.nearDupPairs(sh, idCol, "__sh", threshold)
       val comp = DedupGraph.connectedComponents(pairs, "id1", "id2")
-      val quality = keptDocs.select(col(idCol),
-        TextFunctions.qualityScore(col(textCol), stopwords).as("__q"))
+      val quality = keptFused.select(col(idCol), col("__q"))
       DedupGraph.survivorsByQuality(comp, quality, idCol, "__q")
         .select(col(idCol), (!col("kept")).as("__near"))
         .localCheckpoint(true)

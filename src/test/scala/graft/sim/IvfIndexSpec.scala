@@ -146,4 +146,113 @@ class IvfIndexSpec extends SparkSpec {
     assert(qafter.forall { case (q, id, cos) =>
       id == 2000L + q && cos >= 0.99999 }, qafter.mkString(", "))
   }
+
+  test("append refuses a delta whose dimension mismatch is PAST the first " +
+    "row (whole-delta guard), and a null vector in the delta") {
+    val base = (0L until 50L).map { i =>
+      (i, Array.tabulate(8)(d => (((i * 101 + d * 37) % 256) - 128).toFloat / 32f).toSeq)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_dim").toString
+    Ivf.writeIndex(base.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      dir, nCells = 4, nIters = 0)
+    // first row has the right dim; the second is 7-dimensional — a
+    // head(1) probe would wave this delta through
+    val mixed = Seq(
+      (900L, Seq.tabulate(8)(_.toFloat)),
+      (901L, Seq.tabulate(7)(_.toFloat)))
+    val e = intercept[IllegalArgumentException] {
+      Ivf.appendToIndex(mixed.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", dir)
+    }
+    assert(e.getMessage.contains("dims span [7, 8]"), e.getMessage)
+    val withNull = Seq(
+      (902L, Some(Seq.tabulate(8)(_.toFloat))),
+      (903L, Option.empty[Seq[Float]]))
+    val e2 = intercept[IllegalArgumentException] {
+      Ivf.appendToIndex(withNull.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", dir)
+    }
+    assert(e2.getMessage.contains("null vector"), e2.getMessage)
+    // neither rejected delta touched the stored table
+    assert(spark.read.parquet(s"$dir/vectors")
+      .filter(col("vec_id") >= 900L).count() == 0L)
+  }
+
+  test("compactIndexVersioned swaps atomically: a compactor crashed " +
+    "between snapshot write and commit leaves readers on the committed " +
+    "snapshot, and appends/rebuilds compose with the versioned layout") {
+    val base = (0L until 100L).map { i =>
+      (i, Array.tabulate(8)(d => (((i * 101 + d * 37) % 256) - 128).toFloat / 32f).toSeq)
+    }
+    val delta = base.take(3).zipWithIndex.map { case ((i, v), j) =>
+      (2000L + j, v.map(_ * 8f))
+    }
+    val queries = base.take(3).toDF("q_id", "q_emb")
+    def all(d: String) = Ivf.topKIndexed(spark, d, queries, k = 10,
+        idCol = "vec_id", vecCol = "embedding",
+        qIdCol = "q_id", qVecCol = "q_emb", nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_vc").toString
+    Ivf.writeIndex(base.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      dir, nCells = 8, nIters = 0)
+    Ivf.appendToIndex(delta.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dir)
+    val pre = all(dir)
+
+    // first versioned compaction migrates the plain layout
+    Ivf.compactIndexVersioned(spark, dir)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/vectors")),
+      "plain dir should be retired after migration")
+    assert(all(dir) == pre, "probe results must survive the migration")
+
+    // the plain compactor refuses the versioned layout
+    val e = intercept[IllegalArgumentException](Ivf.compactIndex(spark, dir))
+    assert(e.getMessage.contains("compactIndexVersioned"), e.getMessage)
+
+    // CRASH SIMULATION: a compactor killed between its snapshot write
+    // and the marker commit leaves exactly an orphan dir in _versions
+    // with no marker. Readers must stay on the committed head.
+    val vp = graft.operators.SyncTarget.VersionedParquet(s"$dir/vectors_v")
+    val committed = vp.headSnapshotPath(spark).get
+    val orphan = s"$dir/vectors_v/_versions/orphan-from-crashed-compactor"
+    spark.read.parquet(committed).limit(5)
+      .write.parquet(orphan)
+    assert(vp.headSnapshotPath(spark).contains(committed),
+      "an uncommitted snapshot must not become the head")
+    assert(all(dir) == pre,
+      "probes must read the committed snapshot, not the orphan")
+
+    // recovery: vacuum sweeps the orphan; the next compaction commits a
+    // fresh snapshot and probes still agree
+    vp.vacuum(spark)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(orphan)))
+    Ivf.compactIndexVersioned(spark, dir)
+    assert(vp.headSnapshotPath(spark).exists(_ != committed),
+      "recompaction must advance the committed head")
+    assert(all(dir) == pre)
+
+    // appends resolve into the committed snapshot dir
+    val delta2 = base.slice(3, 6).zipWithIndex.map { case ((i, v), j) =>
+      (3000L + j, v.map(_ * 4f))
+    }
+    Ivf.appendToIndex(delta2.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dir)
+    val q2 = base.slice(3, 6).toDF("q_id", "q_emb")
+    val hits = Ivf.topKIndexed(spark, dir, q2, k = 1,
+        idCol = "vec_id", vecCol = "embedding",
+        qIdCol = "q_id", qVecCol = "q_emb", nProbe = 2)
+      .collect().map(r => (r.getLong(0) - 3L, r.getLong(2)))
+    assert(hits.forall { case (j, id) => id == 3000L + j }, hits.mkString(", "))
+
+    // a full rebuild supersedes the versioned history: the plain layout
+    // returns and resolution follows it
+    Ivf.writeIndex(base.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      dir, nCells = 8, nIters = 0)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/vectors_v")))
+    assert(Ivf.vectorsLocation(spark, dir) == s"$dir/vectors")
+  }
 }
