@@ -1,6 +1,6 @@
 package graft.textops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Interpolated Kneser–Ney bigram LM (Kneser & Ney 1995; Chen & Goodman
@@ -107,4 +107,233 @@ object KneserNeyLM {
   def score(docs: DataFrame, idCol: String, textCol: String,
             oovLogp: Double = -20.0): DataFrame =
     scoreAgainst(docs, train(docs, textCol), idCol, textCol, oovLogp)
+
+  // ---- modified Kneser–Ney at order N --------------------------------------
+  //
+  // Chen & Goodman 1999 §3 — the estimator KenLM actually ships by
+  // default (`lmplz` at order 5). Differences from the bigram form above:
+  //
+  //  - THREE discounts per order, fit from that order's count-of-counts:
+  //      Y   = n1 / (n1 + 2·n2)
+  //      D1  = 1 − 2·Y·n2/n1      (applied to count-1 grams)
+  //      D2  = 2 − 3·Y·n3/n2      (count-2)
+  //      D3+ = 3 − 4·Y·n4/n3      (count ≥ 3)
+  //    (a slot whose denominator count-of-count is zero falls back to
+  //    0.5 — deterministic and replayable where KenLM aborts outright);
+  //  - every level BELOW the top uses CONTINUATION counts — the number
+  //    of distinct one-word left-extensions, i.e. the (k+1)-gram TYPE
+  //    count — both as the gram count and in the level's denominators;
+  //  - full interpolation down to the uniform distribution 1/|V|:
+  //      P_k(w|h) = (c_k(h,w) − D_k(c))₊ / Σ_w c_k(h,w) + γ_k(h)·P_(k−1)(w|h')
+  //      γ_k(h)   = (D1·N1(h·) + D2·N2(h·) + D3+·N3+(h·)) / Σ_w c_k(h,w)
+  //      P_0      = 1 / |V|
+  //    so every token — including one never seen at all — gets genuine
+  //    probability mass (γ₁·(1/V) at the floor); an unseen CONTEXT at
+  //    level k backs off with weight 1 (its distribution is undefined,
+  //    all mass passes down).
+  //
+  // Scoring follows the [[NgramLM]] position convention: the token at
+  // position `pos` is scored at level min(pos+1, N) — every token
+  // scores, position 0 on the continuation unigram. Output
+  // (idCol, n_tokens, avg_logprob), average of ln P rounded to 6 dp.
+  //
+  // Scale shape: training = one checkpointed tuple scan feeding one
+  // keyed type-count aggregation per level (the top level's raw counts;
+  // below it `countDistinct` left-extension rollups — the top-1 level
+  // derives from the top table instead, one tiny rollup), one
+  // count-of-counts driver action per level (a handful of longs), and
+  // per-context stat rollups that stay DataFrames. Levels build
+  // concurrently (the r9 LM-levels lesson). Scoring = 2N−1 AQE-planned
+  // gram-key joins (counts + context stats per level; model tables grow
+  // with the corpus, so no forced broadcast) and one doc-key
+  // aggregation; document text is never a shuffle key.
+
+  /** Per-order modified-KN discounts (D1 for count 1, D2 for count 2,
+    * D3 for count ≥ 3).
+    */
+  final case class Discounts(d1: Double, d2: Double, d3: Double)
+
+  /** Trained order-N modified-KN model. `counts(k-1)` is level k's gram
+    * table — (token, cnt) at k = 1, (prev…prev{k−1}, token, cnt) above —
+    * where cnt is the raw count at k = N and the continuation (type)
+    * count below. `ctxStats(k-2)` (k ≥ 2) holds per-context
+    * (__total, __m1, __m2, __m3p). Level 1's denominators are the driver
+    * scalars `uniTotal` (Σ continuation counts = bigram type count) and
+    * `uniGamma` (γ₁ of the empty context); `vocab` = |V| distinct
+    * observed tokens.
+    */
+  final case class ModelN(order: Int, counts: Seq[DataFrame],
+                          ctxStats: Seq[DataFrame],
+                          discounts: Seq[Discounts],
+                          uniTotal: Double, uniGamma: Double, vocab: Long)
+
+  private def fitDiscounts(n1: Long, n2: Long, n3: Long, n4: Long)
+      : Discounts = {
+    val y = if (n1 == 0L) 0.5 else n1.toDouble / (n1 + 2.0 * n2)
+    Discounts(
+      if (n1 == 0L) 0.5 else 1.0 - 2.0 * y * n2 / n1,
+      if (n2 == 0L) 0.5 else 2.0 - 3.0 * y * n3 / n2,
+      if (n3 == 0L) 0.5 else 3.0 - 4.0 * y * n4 / n3)
+  }
+
+  /** Fit on `docs(textCol)` at `order` ∈ [2, 8]. */
+  def trainModified(docs: DataFrame, textCol: String, order: Int): ModelN = {
+    require(order >= 2 && order <= 8, s"order must be in [2,8], got $order")
+    val tp = NgramLM.tuples(docs.select(lit(0L).as("__id"), col(textCol)),
+      "__id", textCol, order).localCheckpoint(true)
+    trainFromTuples(tp, order)
+  }
+
+  private def trainFromTuples(tp: DataFrame, order: Int): ModelN = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val ctxN = NgramLM.ctxCols(order)
+
+    // top level: raw N-gram type counts (checkpointed — feeds the level
+    // N−1 rollup, the count-of-counts fit, the per-context stats and the
+    // scoring join)
+    val topF = Future {
+      tp.filter(col(ctxN.last).isNotNull)
+        .groupBy((ctxN :+ "token").map(col): _*)
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true)
+    }
+    // level N−1: each row of the top table is one distinct (N)-gram
+    // type, so grouping it one context column shorter counts distinct
+    // left-extensions — the continuation count — without re-scanning tp
+    val countsF: Seq[Future[DataFrame]] = (1 until order).map { k =>
+      if (k == order - 1)
+        topF.map { top =>
+          val keys = if (k == 1) Seq("token")
+                     else NgramLM.ctxCols(k) :+ "token"
+          top.groupBy(keys.map(col): _*).agg(count(lit(1)).as("cnt"))
+            .localCheckpoint(true)
+        }
+      else Future {
+        // levels 1..N−2: distinct left-extensions straight off the tuple
+        // scan — one aggregation, no intermediate (k+1)-gram table
+        val ext = NgramLM.ctxCols(k + 1).last
+        val keys = if (k == 1) Seq("token") else NgramLM.ctxCols(k) :+ "token"
+        tp.filter(col(ext).isNotNull)
+          .groupBy(keys.map(col): _*)
+          .agg(countDistinct(col(ext)).as("cnt"))
+          .localCheckpoint(true)
+      }
+    } :+ topF
+
+    // one tiny count-of-counts action per level; level 1's action also
+    // carries its total and the empty-context γ inputs (N1/N2/N3+ of the
+    // empty context ARE the whole-table counts-of-counts)
+    final case class Fit(d: Discounts, n1: Long, n2: Long, n3p: Long,
+                         total: Long)
+    val fitF = countsF.map(_.map { c =>
+      val r = c.agg(
+        sum(when(col("cnt") === 1L, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("cnt") === 2L, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("cnt") === 3L, 1L).otherwise(0L)).as("n3"),
+        sum(when(col("cnt") === 4L, 1L).otherwise(0L)).as("n4"),
+        sum(when(col("cnt") >= 3L, 1L).otherwise(0L)).as("n3p"),
+        coalesce(sum(col("cnt")), lit(0L)).as("total")).head()
+      def n(i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
+      Fit(fitDiscounts(n(0), n(1), n(2), n(3)), n(0), n(1), n(4), n(5))
+    })
+    val vocabF = Future(tp.agg(countDistinct(col("token"))).head().getLong(0))
+
+    val counts = Await.result(Future.sequence(countsF), Duration.Inf)
+    val fits = Await.result(Future.sequence(fitF), Duration.Inf)
+    val vocab = Await.result(vocabF, Duration.Inf)
+    val f1 = fits.head
+    require(f1.total > 0,
+      "KneserNeyLM.trainModified: corpus has no bigram")
+    val total1 = f1.total.toDouble
+    val uniGamma =
+      (f1.d.d1 * f1.n1 + f1.d.d2 * f1.n2 + f1.d.d3 * f1.n3p) / total1
+
+    val ctxStats = (2 to order).map { k =>
+      val ctx = NgramLM.ctxCols(k)
+      counts(k - 1).groupBy(ctx.map(col): _*)
+        .agg(sum(col("cnt")).cast("double").as("__total"),
+          sum(when(col("cnt") === 1L, 1L).otherwise(0L)).as("__m1"),
+          sum(when(col("cnt") === 2L, 1L).otherwise(0L)).as("__m2"),
+          sum(when(col("cnt") >= 3L, 1L).otherwise(0L)).as("__m3p"))
+    }
+    ModelN(order, counts, ctxStats, fits.map(_.d), total1, uniGamma, vocab)
+  }
+
+  /** Score `docs` against a trained [[ModelN]]. `oovLogp` floors the
+    * (vanishingly rare) P = 0 case — full interpolation gives even a
+    * never-seen token γ₁·(1/|V|), so the floor only fires when a
+    * degenerate fit zeroes a γ.
+    */
+  def scoreAgainstModified(docs: DataFrame, model: ModelN, idCol: String,
+                           textCol: String, oovLogp: Double = -20.0)
+      : DataFrame =
+    scoreTuplesModified(NgramLM.tuples(docs, idCol, textCol, model.order),
+      model, idCol, oovLogp)
+
+  private def scoreTuplesModified(tp: DataFrame, model: ModelN,
+                                  idCol: String, oovLogp: Double)
+      : DataFrame = {
+    val order = model.order
+    // join each level's gram counts on its key shape, and its context
+    // stats on the context alone (level 1's are driver scalars)
+    val joined0 = model.counts.zipWithIndex.foldLeft(tp) {
+      case (acc, (c, i)) =>
+        val k = i + 1
+        val keys = (if (k == 1) Nil else NgramLM.ctxCols(k)) :+ "token"
+        acc.join(c.select((keys.map(col) :+
+          col("cnt").as(s"__c$k")): _*), keys, "left")
+    }
+    val joined = model.ctxStats.zipWithIndex.foldLeft(joined0) {
+      case (acc, (s, i)) =>
+        val k = i + 2
+        val ctx = NgramLM.ctxCols(k)
+        acc.join(s.select((ctx.map(col) :+ col("__total").as(s"__t$k") :+
+          col("__m1").as(s"__m1_$k") :+ col("__m2").as(s"__m2_$k") :+
+          col("__m3p").as(s"__m3p_$k")): _*), ctx, "left")
+    }
+
+    def dOf(c: Column, d: Discounts): Column =
+      when(c === 1L, lit(d.d1)).when(c === 2L, lit(d.d2)).otherwise(lit(d.d3))
+    def discounted(c: Column, d: Discounts): Column =
+      when(c.isNull, lit(0.0))
+        .otherwise(greatest(c.cast("double") - dOf(c, d), lit(0.0)))
+
+    // interpolation chain bottom-up, as one column expression per level
+    val p1 = discounted(col("__c1"), model.discounts.head) /
+      lit(model.uniTotal) +
+      lit(model.uniGamma) * lit(1.0 / model.vocab)
+    val chains: Seq[Column] = (2 to order).scanLeft(p1) { (lower, k) =>
+      val d = model.discounts(k - 1)
+      val gamma = (lit(d.d1) * col(s"__m1_$k") + lit(d.d2) * col(s"__m2_$k") +
+        lit(d.d3) * col(s"__m3p_$k")) / col(s"__t$k")
+      when(col(s"__t$k").isNotNull,
+        discounted(col(s"__c$k"), d) / col(s"__t$k") + gamma * lower)
+        .otherwise(lower)
+    }
+    // position gate: the deepest level usable at pos is min(pos+1, N)
+    val p = (0 until order - 1).foldLeft(chains(order - 1)) {
+      (deeper, pos) =>
+        when(col("pos") === pos, chains(pos)).otherwise(deeper)
+    }
+    joined
+      .withColumn("__lp", when(p > 0.0, log(p)).otherwise(lit(oovLogp)))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(col("__lp")), 6).as("avg_logprob"))
+  }
+
+  /** Train-on-self modified-KN scoring: ONE checkpointed tuple scan
+    * feeds every level's counts AND the scoring joins (the composable
+    * `scoreAgainstModified(trainModified(..), ..)` form tokenizes the
+    * corpus twice for identical results).
+    */
+  def scoreModified(docs: DataFrame, idCol: String, textCol: String,
+                    order: Int, oovLogp: Double = -20.0): DataFrame = {
+    require(order >= 2 && order <= 8, s"order must be in [2,8], got $order")
+    val tp = NgramLM.tuples(docs, idCol, textCol, order)
+      .localCheckpoint(true)
+    scoreTuplesModified(tp, trainFromTuples(tp, order), idCol, oovLogp)
+  }
 }

@@ -1,0 +1,138 @@
+package graft.textops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Modified Kneser–Ney at order N against a full hand computation of the
+  * Chen & Goodman 1999 §3 estimator on a corpus small enough to run by
+  * hand at order 3 (the generic machinery is order-agnostic; q110
+  * oracle-checks order 4 on the documents table).
+  *
+  * Corpus: one document "a b a b a c a b", tokens [a b a b a c a b].
+  *
+  * TOP LEVEL (order 3, raw trigram type counts; trigram = prev2 prev tok):
+  *   aba:2, bab:1, bac:1, aca:1, cab:1           (types 5)
+  *   count-of-counts n1=4 n2=1 n3=0 n4=0
+  *   Y = 4/6 = 2/3;  D1 = 1 − 2·(2/3)·1/4 = 2/3;  D2 = 2 − 0 = 2;
+  *   D3+ = 0.5 (n3 = 0 fallback)
+  *   per-context (prev2,prev): (a,b) total 2 m2=1 | (b,a) total 2 m1=2
+  *     | (a,c) total 1 m1=1 | (c,a) total 1 m1=1
+  *
+  * LEVEL 2 (continuation counts = distinct prev2 per (prev, token),
+  * i.e. trigram TYPES grouped one shorter):
+  *   (b,a):1 (from aba)  (a,b):2 (bab, cab)  (a,c):1  (c,a):1
+  *   n1=3 n2=1 → Y = 0.6; D1 = 1 − 2·0.6/3 = 0.6; D2 = 2; D3+ = 0.5
+  *   per-context: a → total 3 m1=1 m2=1 | b → total 1 m1=1
+  *     | c → total 1 m1=1
+  *
+  * LEVEL 1 (continuation counts = distinct prev per token; bigram types
+  * (a,b),(b,a),(a,c),(c,a) → total1 = 4):
+  *   a:2  b:1  c:1
+  *   n1=2 n2=1 → Y = 0.5; D1 = 0.5; D2 = 2; D3+ = 0.5
+  *   γ₁ = (0.5·2 + 2·1 + 0.5·0)/4 = 0.75;  |V| = 3, P0 = 1/3
+  *   P1(a) = (2−2)₊/4 + 0.75/3 = 0.25
+  *   P1(b) = (1−0.5)/4 + 0.25  = 0.375
+  *   P1(c) = 0.375             (Σ over V = 1 exactly)
+  *
+  * LEVEL 2 probabilities (γ₂(v) = (0.6·m1 + 2·m2 + 0.5·m3p)/total):
+  *   γ₂(a) = 2.6/3;  P2(b|a) = 0 + (2.6/3)·0.375 = 0.325
+  *                   P2(c|a) = 0.4/3 + (2.6/3)·0.375 = 1.375/3
+  *   γ₂(b) = 0.6;    P2(a|b) = 0.4 + 0.6·0.25 = 0.55
+  *   γ₂(c) = 0.6;    P2(a|c) = 0.55
+  *
+  * LEVEL 3 probabilities (γ₃ = ((2/3)·m1 + 2·m2 + 0.5·m3p)/total):
+  *   (a,b): γ₃ = 1;    P3(a|a,b) = (2−2)₊/2 + 1·P2(a|b) = 0.55
+  *   (b,a): γ₃ = 2/3;  P3(b|b,a) = (1/3)/2 + (2/3)·0.325   = 23/60
+  *                     P3(c|b,a) = (1/3)/2 + (2/3)·(1.375/3)
+  *   (a,c): γ₃ = 2/3;  P3(a|a,c) = 1/3 + (2/3)·0.55 = 0.7
+  *   (c,a): γ₃ = 2/3;  P3(b|c,a) = 1/3 + (2/3)·0.325 = 0.55
+  */
+class KneserNeyModifiedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq((1L, "a b a b a c a b")).toDF("doc_id", "text")
+
+  // hand values (constructed with the estimator's own operation order)
+  private val p1a = 0.25
+  private val p1b = 0.375
+  private val p2bGa = (2.6 / 3) * 0.375
+  private val p2cGa = 0.4 / 3 + (2.6 / 3) * 0.375
+  private val p2aGb = 0.4 + 0.6 * 0.25
+  private val p3aGab = p2aGb // γ₃(a,b) = 1, discounted term 0
+  private val p3bGba = (1.0 / 3) / 2 + (2.0 / 3) * p2bGa
+  private val p3cGba = (1.0 / 3) / 2 + (2.0 / 3) * p2cGa
+  private val p3aGac = 1.0 / 3 + (2.0 / 3) * 0.55
+  private val p3bGca = 1.0 / 3 + (2.0 / 3) * p2bGa
+
+  test("trainModified: per-level discounts, level-1 scalars and vocab " +
+    "match the hand computation") {
+    val m = KneserNeyLM.trainModified(corpus, "text", order = 3)
+    assert(m.order == 3 && m.vocab == 3L)
+    assert(m.uniTotal == 4.0)
+    assert(m.uniGamma == 0.75)
+    val Seq(l1, l2, l3) = m.discounts
+    assert(l1 == KneserNeyLM.Discounts(0.5, 2.0, 0.5))
+    assert(l2 == KneserNeyLM.Discounts(1.0 - 2.0 * 0.6 / 3, 2.0, 0.5))
+    // 2/3 via the estimator's own operation order (1 − 2·Y·n2/n1 with
+    // Y = 4/6): one ulp off from the literal 2.0/3
+    assert(l3 == KneserNeyLM.Discounts(1.0 - 2.0 * (4.0 / 6.0) * 1 / 4,
+      2.0, 0.5))
+    // level-2 continuation counts are trigram-TYPE based, not occurrence
+    val c2 = m.counts(1).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(c2 == Map(("a", "b") -> 2L, ("b", "a") -> 1L,
+      ("c", "a") -> 1L, ("a", "c") -> 1L))
+    // level-1 continuation counts
+    val c1 = m.counts(0).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(c1 == Map("a" -> 2L, "b" -> 1L, "c" -> 1L))
+  }
+
+  test("interpolation sums to one: level 1 over the vocabulary, and " +
+    "levels 2-3 per seen context") {
+    // level 1 over V = {a,b,c}
+    assert(math.abs(p1a + 2 * p1b - 1.0) < 1e-12)
+    // level 2, context a: b, c seen; a unseen (pure backoff)
+    val p2aGa = (2.6 / 3) * p1a
+    assert(math.abs(p2bGa + p2cGa + p2aGa - 1.0) < 1e-12)
+    // level 3, context (b,a): b, c seen; a unseen
+    val p2aGa3 = (2.0 / 3) * (2.6 / 3) * p1a
+    assert(math.abs(p3bGba + p3cGba + p2aGa3 - 1.0) < 1e-12)
+  }
+
+  test("self-scored document averages the hand-computed position logs " +
+    "(pos 0 level 1, pos 1 level 2, pos >= 2 level 3)") {
+    val got = KneserNeyLM.scoreModified(corpus, "doc_id", "text", order = 3)
+      .head()
+    assert(got.getLong(1) == 8L)
+    val lps = Seq(p1a, p2bGa, p3aGab, p3bGba, p3aGab, p3cGba, p3aGac,
+      p3bGca).map(math.log)
+    val want = BigDecimal(lps.sum / 8)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.getDouble(2) == want, s"got ${got.getDouble(2)}, want $want")
+  }
+
+  test("scoreModified equals scoreAgainstModified(trainModified(..)) and " +
+    "unseen contexts/tokens interpolate instead of flooring") {
+    val m = KneserNeyLM.trainModified(corpus, "text", order = 3)
+    val docs = Seq((10L, "z z b"), (11L, "q"), (12L, "a b a")).toDF("doc_id", "text")
+    val viaModel = KneserNeyLM.scoreAgainstModified(docs, m, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    // "z z b": every context unseen → all three positions fall through
+    // to level 1; z is OOV but still gets γ₁/|V| = 0.25, NOT the floor
+    val wantZzb = BigDecimal(
+      (math.log(0.25) + math.log(0.25) + math.log(p1b)) / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(viaModel(10L) == ((3L, wantZzb)))
+    // single OOV token: P = γ₁·(1/V) = 0.25 — modified KN has no zero
+    assert(viaModel(11L) == ((1L,
+      BigDecimal(math.log(0.25))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    // "a b a" replays the corpus prefix
+    val wantAba = BigDecimal(
+      (math.log(p1a) + math.log(p2bGa) + math.log(p3aGab)) / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(viaModel(12L) == ((3L, wantAba)))
+  }
+}
