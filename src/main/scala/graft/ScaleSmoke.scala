@@ -37,11 +37,13 @@ object ScaleSmoke {
     // plan-shape assertions
     "q93_bigram_lm", "q94_bm25", "q95_nb_lang", "q98_trigram_lm",
     "q99_quant_lm", "q100_ngram_lm", "q101_quant5_lm", "q109_kneser_ney",
+    "q110_kneser_ney_mod",
     // the composed curation pipeline: scan gates + fingerprint dedup +
     // kept-set LM in one job — and its fuzzy-dedup form (adds the
     // MinHash-LSH candidate shuffle + connected components + quality
-    // survivor selection)
+    // survivor selection) plus the exact-pair audit configuration
     "q102_curation", "q106_curation_fuzzy", "q107_curation_report",
+    "q111_curation_fuzzy_audit",
     // BPE encode/decode: the per-token hot path of any tokenizer
     // deployment — per-row greedy-fold HOFs whose cost must stay linear
     // in tokens
@@ -53,6 +55,18 @@ object ScaleSmoke {
     // the span-dedup / packing family: window-hash gram shuffles and the
     // two-pass range-offset manifest
     "q73_dup_spans", "q76_pack_manifest", "q78_span_trim")
+
+  /** Measured at 10× only. Both are deliberately NOT the scale path —
+    * q77 is the pinned-k SemDeDup negative control (its 100× exponent
+    * was measured twice: 1.23 in rounds 10 AND 11 — PERF_NOTES.md item
+    * 5 — and re-proving the known number cost ~415 s per sweep), q111
+    * the exact-all-pairs audit form of q106 whose prefix join
+    * deliberately trades scale for oracle-structural pair recall. Their
+    * superlinear burden is exactly why the defaults are q103/q105 and
+    * q106; the 10× point keeps the control evidence fresh without
+    * re-paying the quadratic tail each round.
+    */
+  private val TenXOnly = Set("q77_semdedup", "q111_curation_fuzzy_audit")
 
   /** Id offset between copies — far above any base id, and a multiple of
     * 10 so `doc_id % 10`-style splits partition every copy identically.
@@ -169,10 +183,17 @@ object ScaleSmoke {
     // dev/resume knob (the Bench SPARK_GRAFT_ONLY convention): time just
     // the named queries (prefix match) — lets a killed long sweep resume
     // without re-measuring finished queries. The driver never sets it.
+    val eligible =
+      if (factor < 100) ScaleQueries
+      else {
+        println(s"skipping at ${factor}x (10x-only controls, see " +
+          s"PERF_NOTES.md): ${TenXOnly.mkString(", ")}")
+        ScaleQueries.filterNot(TenXOnly)
+      }
     val selected = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-      .map(ps => ScaleQueries.filter(q => ps.exists(q.startsWith)))
-      .getOrElse(ScaleQueries)
+      .map(ps => eligible.filter(q => ps.exists(q.startsWith)))
+      .getOrElse(eligible)
     val measured = selected.map { q =>
       val t1 = time(spark, q, baseDir)
       val tN = time(spark, q, scaledDir)
@@ -185,7 +206,7 @@ object ScaleSmoke {
     // the resume exists to preserve, and Bench would then embed a
     // partial file as the round's scaling evidence
     val prior: Seq[(String, String)] =
-      if (selected == ScaleQueries) Seq.empty
+      if (selected == eligible) Seq.empty
       else try {
         import org.json4s._
         import org.json4s.jackson.JsonMethods

@@ -37,6 +37,22 @@ object SparkEntry {
     Tables.load(spark, dir, name)
       .repartition(spark.sparkContext.defaultParallelism)
 
+  /** q106/q111's planted-duplicate corpus: every 25th doc re-enters
+    * verbatim at +100000 (exact duplicate), every (25k+7)th at +200000
+    * with a 5-token tail (near duplicate, ~85% shared trigram shingles).
+    */
+  private def q106Corpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = tSpread(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    docs
+      .unionByName(docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      .unionByName(docs.filter(col("doc_id") % 25 === 7)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          concat(col("text"), lit(" the quick brown fox jumps"))
+            .as("text")))
+  }
+
   /** q45's dataselect responder (top-level so task serialization never
     * drags query-local state along): one 40-sample INT32 record per
     * requested line, every 23rd station omitted, every 29th answered with
@@ -2175,24 +2191,31 @@ object SparkEntry {
     // shingles, so it must be CAUGHT BY THE FUZZY STAGE despite passing
     // exact dedup. Oracle = exact all-pairs Jaccard over the gate
     // survivors + recursive-CTE components (the q22+q81 replay pattern).
-    // The contract runs the AUDIT configuration (exactPairs = true →
-    // jaccardPairsPrefix, provably the same pair set as all-pairs), so
-    // oracle equivalence is STRUCTURAL — not contingent on LSH banding
-    // recalling every fixture pair, which a regenerated corpus with a
-    // pair at J just above the threshold could break (~0.6% miss at
-    // j=0.6 under 21×3 banding). The LSH arrangement itself stays
-    // covered by q19/q22's oracles and CurationPipelineSpec.
+    // This entry runs the SCALE configuration (MinHash-LSH candidates,
+    // the shape the 10×/100× sweeps measure); its oracle agreement
+    // additionally demonstrates total LSH recall on this fixture (every
+    // planted pair shares ~85% of its shingles — miss probability
+    // (1−j³)²¹ ≈ 3·10⁻⁵ per pair). A regenerated fixture with a pair
+    // BARELY above the 0.6 threshold could legitimately diverge here
+    // with no engine bug (~0.6% LSH miss at j = 0.6); q111 runs the
+    // SAME pipeline with the exact prefix-filtered pair finder against
+    // the same oracle, so the structural anchor does not depend on
+    // banding recall at all
     "q106_curation_fuzzy" -> ((s, dir) => {
-      val docs = tSpread(s, dir, "documents")
-        .select(col("doc_id"), col("text"))
-      val corpus = docs
-        .unionByName(docs.filter(col("doc_id") % 25 === 0)
-          .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
-        .unionByName(docs.filter(col("doc_id") % 25 === 7)
-          .select((col("doc_id") + 200000L).as("doc_id"),
-            concat(col("text"), lit(" the quick brown fox jumps"))
-              .as("text")))
-      CurationPipeline.runFuzzy(corpus, "doc_id", "text",
+      CurationPipeline.runFuzzy(q106Corpus(s, dir), "doc_id", "text",
+          keepLangs = Set("en", "de", "fr"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // the AUDIT configuration of q106's pipeline: identical stages, but
+    // near-dup candidates come from jaccardPairsPrefix (prefix-filtered
+    // exact all-pairs — provably the same pair set as a full Jaccard
+    // cross-check), so the exact-all-pairs oracle matches STRUCTURALLY,
+    // independent of LSH banding recall. The configuration a data team
+    // runs when certifying a release batch; q106 is what they run at
+    // corpus scale
+    "q111_curation_fuzzy_audit" -> ((s, dir) => {
+      CurationPipeline.runFuzzy(q106Corpus(s, dir), "doc_id", "text",
           keepLangs = Set("en", "de", "fr"), exactPairs = true)
         .orderBy(col("doc_id"))
     }),
@@ -4661,7 +4684,36 @@ object SparkEntry {
         |    AS avg_logprob
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-    "q106_curation_fuzzy" ->
+    "q106_curation_fuzzy" -> q106FuzzyOracle,
+
+    // identical replay: the audit configuration's exact prefix-filtered
+    // pair finder produces by construction the same pair set as this
+    // oracle's all-pairs Jaccard — the equivalence is structural, where
+    // q106's LSH form relies on total banding recall on this fixture
+    "q111_curation_fuzzy_audit" -> q106FuzzyOracle,
+
+
+    // q103/q105 share q77's exact all-pairs oracle: recall of the
+    // within-cell search is structural on this fixture (see the query
+    // comments — clone/original co-clustering is bit-exact under any
+    // trained centroids because cosine is scale-invariant, and the only
+    // >= 0.9 pairs are the planted clones), so the trained auto-k and
+    // IMI configurations replay against the same SQL as the pinned-k
+    // form.
+    "q103_semdedup_auto" -> semDedupAllPairsOracle,
+    "q105_semdedup_imi" -> semDedupAllPairsOracle
+  )
+
+  /** q102's oracle WITH-chain through the threshold CTE (`th`) — the
+    * shared replay prefix of q102 (per-doc decision table) and q107
+    * (per-outcome aggregation).
+    */
+  /** Shared q106/q111 replay: exact all-pairs Jaccard over the gate
+    * survivors + recursive-CTE components + SQL quality argmax over
+    * the planted-duplicate corpus (both configurations must produce
+    * this exact decision table).
+    */
+  private def q106FuzzyOracle: String =
       """WITH RECURSIVE corpus AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
@@ -4805,23 +4857,8 @@ object SparkEntry {
         |LEFT JOIN near nn ON nn.doc_id = b.doc_id
         |LEFT JOIN scored s ON s.doc_id = b.doc_id
         |CROSS JOIN th
-        |ORDER BY b.doc_id""".stripMargin,
+        |ORDER BY b.doc_id""".stripMargin
 
-    // q103/q105 share q77's exact all-pairs oracle: recall of the
-    // within-cell search is structural on this fixture (see the query
-    // comments — clone/original co-clustering is bit-exact under any
-    // trained centroids because cosine is scale-invariant, and the only
-    // >= 0.9 pairs are the planted clones), so the trained auto-k and
-    // IMI configurations replay against the same SQL as the pinned-k
-    // form.
-    "q103_semdedup_auto" -> semDedupAllPairsOracle,
-    "q105_semdedup_imi" -> semDedupAllPairsOracle
-  )
-
-  /** q102's oracle WITH-chain through the threshold CTE (`th`) — the
-    * shared replay prefix of q102 (per-doc decision table) and q107
-    * (per-outcome aggregation).
-    */
   private def oracleQ102UpToFinalSelect: String =
     """WITH corpus AS (
       |  SELECT doc_id, text FROM documents
