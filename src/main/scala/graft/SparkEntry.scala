@@ -2273,8 +2273,61 @@ object SparkEntry {
       KneserNeyLM.scoreModified(tSpread(s, dir, "documents"), "doc_id",
           "text", order = 4)
         .orderBy(col("doc_id"))
+    }),
+
+    // image perceptual-hash near-dup dedup — the multimodal counterpart
+    // of q23's SimHash, through the REAL pixel pipeline: supplier keys
+    // plant COMPLETE grayscale PNGs (zlib-deflated IDAT, chunk CRCs);
+    // group k%20 members share a base pixel pattern but each member's
+    // pixels are rotated WITHIN every 4×4 aHash cell (byte-distinct
+    // payloads, cell sums untouched → identical fingerprint — the
+    // perceptual, not byte-level, identity). The engine must decode the
+    // PNGs (inflate + RFC 2083 filter reconstruction), aHash them, and
+    // pair through the banded Hamming join; the oracle is the q23
+    // closed form — all within-group pairs at hamming 0. Cross-group
+    // base patterns are deterministic (group id only, SF-independent)
+    // with pairwise fingerprint distance far above 3 bits, pinned by
+    // ImageHashSpec's brute-force comparison
+    "q112_image_phash" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "supplier").select(col("s_suppkey")).as[Long]
+        .map(k => (k, q112Png(k)))
+        .toDF("id", "payload")
+      val fps = multimodal.ImageHash.fingerprints(media, "id", "payload")
+      multimodal.ImageHash.nearDupPairs(fps, "id", maxHamming = 3)
+        .orderBy(col("id1"), col("id2"))
     })
   )
+
+  /** q112's planted PNG for supplier key `k`: deterministic 32×32 group
+    * base (g = k % 20) with the member's within-cell pixel rotation.
+    */
+  private[graft] def q112Png(k: Long): Array[Byte] = {
+    val g = k % 20
+    var s = g * 1000003L + 7L
+    val base = Array.fill(32 * 32) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      ((s >>> 33) & 0xff).toByte
+    }
+    val rot = base.clone()
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        var j = 0
+        while (j < 16) {
+          val src = (r * 4 + j / 4) * 32 + (c * 4 + j % 4)
+          val jj = (j + (k / 20).toInt) % 16
+          val dst = (r * 4 + jj / 4) * 32 + (c * 4 + jj % 4)
+          rot(dst) = base(src)
+          j += 1
+        }
+        c += 1
+      }
+      r += 1
+    }
+    multimodal.Multimodal.Codecs.pngGrayBytes(32, 32, rot)
+  }
 
   /** q104's fixed merge table: common English patterns, applied in
     * order (later merges build on earlier ones: t+h → th, th+e</w> →
@@ -4691,6 +4744,19 @@ object SparkEntry {
     // oracle's all-pairs Jaccard — the equivalence is structural, where
     // q106's LSH form relies on total banding recall on this fixture
     "q111_curation_fuzzy_audit" -> q106FuzzyOracle,
+
+    // closed-form like q23: in-group images are within-cell rotations
+    // of one base (identical aHash by construction → hamming 0);
+    // cross-group fingerprints are > 3 bits apart (deterministic,
+    // SF-independent, pinned in ImageHashSpec) — so the pair set IS the
+    // within-group id arithmetic
+    "q112_image_phash" ->
+      """SELECT a.s_suppkey AS id1, b.s_suppkey AS id2,
+        |  CAST(0 AS INTEGER) AS hamming
+        |FROM supplier a JOIN supplier b
+        |  ON a.s_suppkey < b.s_suppkey
+        | AND a.s_suppkey % 20 = b.s_suppkey % 20
+        |ORDER BY id1, id2""".stripMargin,
 
 
     // q103/q105 share q77's exact all-pairs oracle: recall of the

@@ -1,0 +1,185 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Perceptual-hash near-duplicate detection for the image modality — the
+  * multimodal counterpart of [[graft.textops.SimHash]]: each image folds
+  * to one 64-bit fingerprint whose Hamming distance tracks VISUAL
+  * similarity (re-encodes, small edits and noise move few bits; distinct
+  * images are ~32 bits apart), and near-dups are found with the same
+  * banded equality-join shape as every other dedup operator here.
+  *
+  * Hashes (both public algorithms, deterministic INTEGER arithmetic —
+  * no float resampling, so a fingerprint is reproducible bit-for-bit on
+  * any JVM):
+  *  - aHash: grayscale → 8×8 block means → bit = cell mean > global
+  *    mean, compared exactly via cross-multiplied Long sums;
+  *  - dHash: grayscale → 9×8 block means → bit = cell < right
+  *    neighbour (horizontal gradient), same exact comparison.
+  *
+  * Pixels come from the REAL container decode
+  * ([[Multimodal.Codecs.decodePngGray]] — zlib inflate + RFC 2083
+  * filter reconstruction); payloads that don't decode (wrong container,
+  * truncated stream, unsupported colour type) simply produce no
+  * fingerprint row and therefore never pair.
+  *
+  * Scale shape: fingerprinting is one scan-stage pass (payload bytes
+  * never shuffle — 100 TB of images reduce to 8 bytes/row before the
+  * first exchange); candidate generation shuffles `rows × bands` slim
+  * (band, fp) tuples and pairs only inside equal-band buckets
+  * (pigeonhole: Hamming ≤ d over b > d disjoint bit-bands forces one
+  * equal band, so recall is EXACT for maxHamming < bands); pathological
+  * buckets (constant-background corpora) are dropped whole under a
+  * [[graft.operators.SkewCap]] cap — bounded, observable, never a
+  * silent quadratic.
+  */
+object ImageHash {
+
+  /** Exact block-mean threshold hash. Cell (r,c) covers pixel rows
+    * [r·h/g, (r+1)·h/g) — integer bounds, every pixel in exactly one
+    * cell. `cellSum/cellN > total/N` is evaluated as
+    * `cellSum·N > total·cellN` in Long arithmetic (no division, no
+    * rounding; strict >, so a uniform image hashes to 0).
+    */
+  def aHash64(gray: Array[Int], w: Int, h: Int): Long = {
+    require(w >= 8 && h >= 8, s"aHash needs >= 8x8 pixels, got ${w}x$h")
+    val sums = new Array[Long](64)
+    val counts = new Array[Long](64)
+    var total = 0L
+    var y = 0
+    while (y < h) {
+      val r = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val cell = r * 8 + x * 8 / w
+        sums(cell) += gray(y * w + x)
+        counts(cell) += 1
+        total += gray(y * w + x)
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    var out = 0L
+    var i = 0
+    while (i < 64) {
+      if (sums(i) * n > total * counts(i)) out |= (1L << i)
+      i += 1
+    }
+    out
+  }
+
+  /** Exact horizontal-gradient hash over a 9×8 block-mean grid: bit
+    * (r,c) set iff cell (r,c) mean < cell (r,c+1) mean (strict, via
+    * cross-multiplied Long sums).
+    */
+  def dHash64(gray: Array[Int], w: Int, h: Int): Long = {
+    require(w >= 9 && h >= 8, s"dHash needs >= 9x8 pixels, got ${w}x$h")
+    val sums = Array.ofDim[Long](8, 9)
+    val counts = Array.ofDim[Long](8, 9)
+    var y = 0
+    while (y < h) {
+      val r = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val c = x * 9 / w
+        sums(r)(c) += gray(y * w + x)
+        counts(r)(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var out = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (sums(r)(c) * counts(r)(c + 1) < sums(r)(c + 1) * counts(r)(c))
+          out |= (1L << (r * 8 + c))
+        c += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** (id, fp) fingerprints for every payload that decodes as an image
+    * with pixels. One scan-stage pass; the binary column never reaches
+    * a shuffle. DETERMINISTIC udf on purpose — [[nearDupPairs]]'s
+    * banded frame is self-joined downstream, and a nondeterministic
+    * kernel would de-canonicalize the two sides (the SimHash lesson:
+    * losing ReusedExchange measured 2.6× slower than the ~2× per-row
+    * re-evaluation risk).
+    */
+  def fingerprints(media: DataFrame, idCol: String, payloadCol: String,
+                   method: String = "ahash"): DataFrame = {
+    require(method == "ahash" || method == "dhash",
+      s"method must be ahash|dhash, got $method")
+    val kernel = udf { payload: Array[Byte] =>
+      Multimodal.Codecs.decodePngGray(payload).flatMap { p =>
+        method match {
+          case "ahash" if p.width >= 8 && p.height >= 8 =>
+            Some(aHash64(p.gray, p.width, p.height))
+          case "dhash" if p.width >= 9 && p.height >= 8 =>
+            Some(dHash64(p.gray, p.width, p.height))
+          case _ => None
+        }
+      }
+    }
+    media.select(col(idCol), kernel(col(payloadCol)).as("fp"))
+      .filter(col("fp").isNotNull)
+  }
+
+  /** Disjoint bit-bands of a fingerprint column, band index salted in
+    * (masked with bitwiseAND, not `%` — the SimHash sign-bit lesson).
+    */
+  private def bandStructs(fp: Column, bands: Int): Column = {
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    array((0 until bands).map { i =>
+      struct(lit(i).as("i"),
+        shiftrightunsigned(fp, i * width).bitwiseAND(lit(mask)).as("v"))
+    }: _*)
+  }
+
+  /** Near-dup image pairs (id1 < id2) with Hamming(fp1, fp2) <=
+    * maxHamming, from a [[fingerprints]] table. Recall is exact while
+    * `maxHamming < bands` (pigeonhole over disjoint bands); the default
+    * 4×16-bit banding matches SimHash's ≤ 3-bit regime — raise `bands`
+    * to 8 for a looser visual threshold (≤ 7 bits) at the cost of a
+    * denser candidate shuffle. Over-`maxBucketSize` band buckets
+    * (constant-background mega-clusters) are dropped whole under the
+    * `"image_phash"` [[graft.operators.SkewCap]] counter — the same
+    * observable cap as the MinHash/cosine siblings. Output:
+    * (id1, id2, hamming).
+    */
+  def nearDupPairs(fps: DataFrame, idCol: String,
+                   maxHamming: Int = 3, bands: Int = 4,
+                   maxBucketSize: Int = 100000): DataFrame = {
+    require(Set(2, 4, 8, 16).contains(bands), s"bands must divide 64: $bands")
+    require(maxHamming >= 0 && maxHamming < bands,
+      s"pigeonhole recall needs maxHamming < bands ($maxHamming/$bands)")
+    val banded = fps
+      .select(col(idCol), col("fp"),
+        explode(bandStructs(col("fp"), bands)).as("__band"))
+    // one shuffle: (band, [members]) buckets, capped, then the MinHash
+    // two-stage pair expansion (no self-join, no window; peak memory one
+    // bucket's member list per row)
+    banded.groupBy(col("__band"))
+      .agg(sort_array(collect_list(struct(col(idCol).as("id"),
+        col("fp")))).as("__m"), count(lit(1)).as("__n"))
+      .filter(col("__n") > 1)
+      .filter(graft.operators.SkewCap
+        .keepBucket("image_phash", maxBucketSize)(col("__n")))
+      .select(col("__m"), explode(col("__m")).as("a"))
+      .select(col("a"),
+        explode(expr("filter(__m, x -> x.id > a.id)")).as("b"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming"))
+      // filter BEFORE distinct (the SimHash ordering): far pairs sharing
+      // one band must not ride the dedup shuffle
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+}

@@ -163,6 +163,154 @@ object Multimodal {
     // ---- planting-side writers (tests + oracle queries build payloads
     //      with these, then decode through the parsers above) ----
 
+    /** A COMPLETE grayscale PNG (RFC 2083: colour type 0, bit depth 8,
+      * no interlace) carrying real pixel data: IHDR + one zlib-deflated
+      * IDAT of filter-0 scanlines + IEND, all chunk CRCs computed. Any
+      * standards-compliant viewer decodes it; [[decodePngGray]] round-
+      * trips it. The planting side of the perceptual-hash pipeline.
+      */
+    def pngGrayBytes(width: Int, height: Int, gray: Array[Byte]): Array[Byte] = {
+      require(gray.length == width * height,
+        s"pixel buffer ${gray.length} != $width*$height")
+      // filter byte 0 (None) prefixes every scanline
+      val raw = new Array[Byte]((width + 1) * height)
+      var y = 0
+      while (y < height) {
+        System.arraycopy(gray, y * width, raw, y * (width + 1) + 1, width)
+        y += 1
+      }
+      val deflater = new java.util.zip.Deflater()
+      deflater.setInput(raw); deflater.finish()
+      val buf = new Array[Byte](raw.length + 128)
+      val outBytes = new java.io.ByteArrayOutputStream()
+      while (!deflater.finished())
+        outBytes.write(buf, 0, deflater.deflate(buf))
+      deflater.end()
+      val idat = outBytes.toByteArray
+      def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+        val out = java.nio.ByteBuffer.allocate(12 + data.length)
+          .order(java.nio.ByteOrder.BIG_ENDIAN)
+        out.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+        val crc = new java.util.zip.CRC32()
+        crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+        out.putInt(crc.getValue.toInt)
+        out.array()
+      }
+      val ihdr = java.nio.ByteBuffer.allocate(13)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+        .putInt(width).putInt(height)
+        .put(8.toByte).put(0.toByte) // bit depth 8, colour type 0 (gray)
+        .put(0.toByte).put(0.toByte).put(0.toByte) // deflate/adaptive/none
+        .array()
+      PngSig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", idat) ++
+        chunk("IEND", Array.empty)
+    }
+
+    final case class PngPixels(width: Int, height: Int, gray: Array[Int])
+
+    /** REAL PNG pixel decode (RFC 2083 §§4.1.3, 6): walks the chunk
+      * list, concatenates IDAT data, inflates with the JDK zlib, undoes
+      * the per-scanline adaptive filters (None/Sub/Up/Average/Paeth —
+      * the reference reconstruction algorithm from the spec), and folds
+      * to 8-bit grayscale. Scope: bit depth 8, colour types 0 (gray),
+      * 2 (RGB) and 6 (RGBA — alpha ignored for luma), non-interlaced —
+      * what a training-corpus normalizer standardizes on anyway. RGB
+      * folds with the integer ITU-R 601 luma (77R + 150G + 29B) >> 8,
+      * deterministic across JVMs. None on anything else.
+      */
+    def decodePngGray(b: Array[Byte]): Option[PngPixels] = {
+      if (b == null || b.length < 45 || !b.take(8).sameElements(PngSig))
+        return None
+      var i = 8
+      var w = 0; var h = 0; var depth = -1; var color = -1; var interlace = -1
+      val idat = new java.io.ByteArrayOutputStream()
+      var sawEnd = false
+      while (!sawEnd && i + 12 <= b.length) {
+        val len = be32(b, i)
+        if (len < 0 || i + 12 + len > b.length) return None
+        new String(b, i + 4, 4, "US-ASCII") match {
+          case "IHDR" if len >= 13 =>
+            w = be32(b, i + 8); h = be32(b, i + 12)
+            depth = u8(b, i + 16); color = u8(b, i + 17)
+            interlace = u8(b, i + 20)
+          case "IDAT" => idat.write(b, i + 8, len)
+          case "IEND" => sawEnd = true
+          case _ => () // ancillary chunks skipped
+        }
+        i += 12 + len
+      }
+      val bpp = color match {
+        case 0 => 1
+        case 2 => 3
+        case 6 => 4
+        case _ => return None
+      }
+      if (w <= 0 || h <= 0 || depth != 8 || interlace != 0 ||
+        idat.size() == 0) return None
+      // inflate the filtered scanline stream
+      val stride = w * bpp
+      val raw = new Array[Byte]((stride + 1) * h)
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(idat.toByteArray)
+      var off = 0
+      try {
+        while (off < raw.length && !inf.finished()) {
+          val n = inf.inflate(raw, off, raw.length - off)
+          if (n == 0 && inf.needsInput()) return None // truncated stream
+          off += n
+        }
+      } catch {
+        case _: java.util.zip.DataFormatException => return None
+      } finally inf.end()
+      if (off < raw.length) return None
+      // undo the adaptive filters (RFC 2083 §6.6 reconstruction); prior =
+      // reconstructed previous scanline, cur reconstructs in place
+      val px = new Array[Int](w * h)
+      val prior = new Array[Int](stride)
+      val cur = new Array[Int](stride)
+      def paeth(a: Int, bb: Int, c: Int): Int = {
+        val p = a + bb - c
+        val pa = math.abs(p - a); val pb = math.abs(p - bb)
+        val pc = math.abs(p - c)
+        if (pa <= pb && pa <= pc) a else if (pb <= pc) bb else c
+      }
+      var y = 0
+      while (y < h) {
+        val base = y * (stride + 1)
+        val filter = u8(raw, base)
+        if (filter > 4) return None
+        var x = 0
+        while (x < stride) {
+          val rawv = u8(raw, base + 1 + x)
+          val left = if (x >= bpp) cur(x - bpp) else 0
+          val up = prior(x)
+          val ul = if (x >= bpp) prior(x - bpp) else 0
+          cur(x) = (filter match {
+            case 0 => rawv
+            case 1 => rawv + left
+            case 2 => rawv + up
+            case 3 => rawv + ((left + up) >> 1)
+            case 4 => rawv + paeth(left, up, ul)
+          }) & 0xff
+          x += 1
+        }
+        x = 0
+        while (x < w) {
+          px(y * w + x) = color match {
+            case 0 => cur(x)
+            case 2 => (77 * cur(3 * x) + 150 * cur(3 * x + 1) +
+              29 * cur(3 * x + 2)) >> 8
+            case _ => (77 * cur(4 * x) + 150 * cur(4 * x + 1) +
+              29 * cur(4 * x + 2)) >> 8
+          }
+          x += 1
+        }
+        System.arraycopy(cur, 0, prior, 0, stride)
+        y += 1
+      }
+      Some(PngPixels(w, h, px))
+    }
+
     /** Minimal valid-enough PNG: signature + IHDR (CRC not computed — the
       * dimension parser doesn't verify it, as most samplers don't).
       */

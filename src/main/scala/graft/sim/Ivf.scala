@@ -476,6 +476,85 @@ object Ivf {
     }
   }
 
+  /** Health summary of a stored index — the numbers that tell an
+    * operator WHEN the frozen-centroid append contract has drifted far
+    * enough to warrant a [[writeIndex]] rebuild, measured from ONE scan
+    * of the INDEX (never the original corpus).
+    *
+    * `fillSkew` = largest cell / mean non-empty cell: probe latency is
+    * bounded by the largest probed cell, so skew is wasted probe I/O.
+    * `meanQuantErr` = mean(1 − cos(vector, its cell's centroid)): how
+    * well the frozen centroids still represent what the cells hold —
+    * appends from a shifted distribution land in their nearest-but-far
+    * centroid and push this up.
+    *
+    * Rebuild guidance (the documented threshold, asserted-in-spirit by
+    * IvfIndexSpec): re-train when `meanQuantErr` exceeds ~2× its
+    * post-build reading or `fillSkew` exceeds ~4 — below that, appends
+    * are FAISS-`add()` healthy; above it, probes pay for cells the
+    * quantizer no longer explains and the rebuild's one corpus scan
+    * starts winning back probe latency.
+    */
+  final case class IndexStats(nVectors: Long, nCells: Int,
+                              nonEmptyCells: Int, minCell: Long,
+                              maxCell: Long, meanCell: Double,
+                              fillSkew: Double, meanQuantErr: Double)
+
+  /** Per-cell view backing [[indexStats]]: (cell, n, mean_err) — one
+    * row per NON-EMPTY cell, so it stays a DataFrame (a 100 TB index
+    * has corpus/4096 cells; only the [[indexStats]] summary collects).
+    * Works on both the float and SQ8 layouts (the int8 cosine's scales
+    * cancel, so no dequantize pass).
+    */
+  def indexStatsPerCell(spark: org.apache.spark.sql.SparkSession,
+                        path: String): DataFrame =
+    perCellRaw(spark, path)
+      .select(col("__cell").as("cell"), col("n"),
+        (col("err_sum") / col("n")).as("mean_err"))
+
+  private def perCellRaw(spark: org.apache.spark.sql.SparkSession,
+                         path: String): DataFrame = {
+    import spark.implicits._
+    val centroids = readCentroids(spark, path)
+    val cdf = broadcast(centroids.toSeq.map { case (c, v) => (c, v.toSeq) }
+      .toDF("__cell", "__centroid"))
+    val vecs = spark.read.parquet(vectorsLocation(spark, path))
+    val err =
+      if (vecs.columns.contains("__qvec"))
+        lit(1.0) - Quantize.quantizedCosine(col("__qvec"), col("__centroid"))
+      else {
+        val vecCol = vecs.schema.fields.find(f =>
+          f.name != "__cell" &&
+            f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+          .getOrElse(throw new IllegalArgumentException(
+            s"indexStats: no vector column in ${vecs.columns.mkString(",")}"))
+          .name
+        lit(1.0) - Cosine.cosineF(col(vecCol), col("__centroid"))
+      }
+    vecs.join(cdf, "__cell")
+      .groupBy(col("__cell"))
+      .agg(count(lit(1)).as("n"), sum(err).as("err_sum"))
+  }
+
+  /** Driver summary of [[indexStatsPerCell]] (k rows aggregated — tiny).
+    * See [[IndexStats]] for the rebuild thresholds.
+    */
+  def indexStats(spark: org.apache.spark.sql.SparkSession,
+                 path: String): IndexStats = {
+    val nCells = readCentroids(spark, path).length
+    val r = perCellRaw(spark, path)
+      .agg(coalesce(sum(col("n")), lit(0L)),
+        count(lit(1)),
+        coalesce(min(col("n")), lit(0L)),
+        coalesce(max(col("n")), lit(0L)),
+        coalesce(sum(col("err_sum")), lit(0.0))).head()
+    val (nVec, nonEmpty) = (r.getLong(0), r.getLong(1).toInt)
+    val meanCell = if (nonEmpty == 0) 0.0 else nVec.toDouble / nonEmpty
+    IndexStats(nVec, nCells, nonEmpty, r.getLong(2), r.getLong(3), meanCell,
+      if (meanCell == 0.0) 0.0 else r.getLong(3) / meanCell,
+      if (nVec == 0L) 0.0 else r.getDouble(4) / nVec)
+  }
+
   /** Probe a quantized index: same static partition pruning as
     * [[topKIndexed]], ranking on the codegen int8 cosine via the bounded
     * [[TopK]] aggregation (same negate-round shape as [[probeTopK]] — no

@@ -1,0 +1,217 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Perceptual image hashing end-to-end: real PNG encode → real decode
+  * (zlib inflate + RFC 2083 filter reconstruction) → exact integer
+  * aHash/dHash → banded Hamming-bucket pairing.
+  */
+class ImageHashSpec extends SparkSpec {
+  import spark.implicits._
+  import Multimodal.Codecs
+
+  private def lcgPixels(seed: Long, n: Int): Array[Byte] = {
+    var s = seed
+    Array.fill(n) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      ((s >>> 33) & 0xff).toByte
+    }
+  }
+
+  test("PNG grayscale round-trip: encode with real zlib/CRC, decode " +
+    "returns the exact pixels") {
+    val px = lcgPixels(7L, 32 * 32)
+    val png = Codecs.pngGrayBytes(32, 32, px)
+    // the container parser also recognizes it
+    assert(Codecs.imageDimensions(png).contains(
+      Codecs.ImageDims("png", 32, 32)))
+    val dec = Codecs.decodePngGray(png).get
+    assert(dec.width == 32 && dec.height == 32)
+    assert(dec.gray.toSeq == px.map(_ & 0xff).toSeq)
+    // truncation INTO the pixel stream refuses instead of looping or
+    // throwing (losing only the IEND tail still decodes — the full
+    // IDAT is present, and samplers are lenient about trailers)
+    assert(Codecs.decodePngGray(png.take(png.length - 40)).isEmpty)
+    assert(Codecs.decodePngGray(null).isEmpty)
+  }
+
+  test("decode undoes all five adaptive filters and folds RGB/RGBA to " +
+    "the integer 601 luma") {
+    // forward-filter known pixels (the encoder side of RFC 2083 §6.6,
+    // written here independently) with every filter type, one per row,
+    // then require the decoder to reconstruct the originals
+    def forwardFilter(px: Array[Int], w: Int, h: Int, bpp: Int,
+                      filterOf: Int => Int): Array[Byte] = {
+      val stride = w * bpp
+      val out = new Array[Byte]((stride + 1) * h)
+      def paeth(a: Int, b: Int, c: Int): Int = {
+        val p = a + b - c
+        val pa = math.abs(p - a); val pb = math.abs(p - b)
+        val pc = math.abs(p - c)
+        if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+      }
+      for (y <- 0 until h) {
+        val f = filterOf(y)
+        out(y * (stride + 1)) = f.toByte
+        for (x <- 0 until stride) {
+          val v = px(y * stride + x)
+          val left = if (x >= bpp) px(y * stride + x - bpp) else 0
+          val up = if (y > 0) px((y - 1) * stride + x) else 0
+          val ul = if (y > 0 && x >= bpp) px((y - 1) * stride + x - bpp) else 0
+          val enc = f match {
+            case 0 => v
+            case 1 => v - left
+            case 2 => v - up
+            case 3 => v - ((left + up) >> 1)
+            case 4 => v - paeth(left, up, ul)
+          }
+          out(y * (stride + 1) + 1 + x) = (enc & 0xff).toByte
+        }
+      }
+      out
+    }
+    def wrap(raw: Array[Byte], w: Int, h: Int, colorType: Int): Array[Byte] = {
+      val deflater = new java.util.zip.Deflater()
+      deflater.setInput(raw); deflater.finish()
+      val buf = new Array[Byte](raw.length + 128)
+      val bos = new java.io.ByteArrayOutputStream()
+      while (!deflater.finished()) bos.write(buf, 0, deflater.deflate(buf))
+      deflater.end()
+      def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+        val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+          .order(java.nio.ByteOrder.BIG_ENDIAN)
+        bb.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+        val crc = new java.util.zip.CRC32()
+        crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+        bb.putInt(crc.getValue.toInt).array()
+      }
+      val ihdr = java.nio.ByteBuffer.allocate(13)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+        .putInt(w).putInt(h).put(8.toByte).put(colorType.toByte)
+        .put(0.toByte).put(0.toByte).put(0.toByte).array()
+      Codecs.pngBytes(1, 1).take(8) ++ chunk("IHDR", ihdr) ++
+        chunk("IDAT", bos.toByteArray) ++ chunk("IEND", Array.empty)
+    }
+    // grayscale 6x5, rows use filters 0..4
+    val gpx = lcgPixels(11L, 30).map(_ & 0xff)
+    val gray = wrap(forwardFilter(gpx, 6, 5, 1, y => y), 6, 5, 0)
+    assert(Codecs.decodePngGray(gray).get.gray.toSeq == gpx.toSeq)
+    // RGB 4x5 with paeth everywhere; expect integer 601 luma
+    val cpx = lcgPixels(13L, 4 * 5 * 3).map(_ & 0xff)
+    val rgb = wrap(forwardFilter(cpx, 4, 5, 3, _ => 4), 4, 5, 2)
+    val want = (0 until 20).map(i =>
+      (77 * cpx(3 * i) + 150 * cpx(3 * i + 1) + 29 * cpx(3 * i + 2)) >> 8)
+    assert(Codecs.decodePngGray(rgb).get.gray.toSeq == want)
+    // RGBA: alpha ignored
+    val apx = lcgPixels(17L, 4 * 5 * 4).map(_ & 0xff)
+    val rgba = wrap(forwardFilter(apx, 4, 5, 4, y => (y * 2) % 5), 4, 5, 6)
+    val wantA = (0 until 20).map(i =>
+      (77 * apx(4 * i) + 150 * apx(4 * i + 1) + 29 * apx(4 * i + 2)) >> 8)
+    assert(Codecs.decodePngGray(rgba).get.gray.toSeq == wantA)
+  }
+
+  test("aHash: uniform image hashes to 0, half-bright hashes the bright " +
+    "half, constant brightness shift is invariant, within-cell " +
+    "permutation is invariant") {
+    val uni = Array.fill(32 * 32)(100)
+    assert(ImageHash.aHash64(uni, 32, 32) == 0L)
+    // left half 200, right half 50: cells 0-3 of each row bright
+    val half = Array.tabulate(32 * 32)(i => if (i % 32 < 16) 200 else 50)
+    val hh = ImageHash.aHash64(half, 32, 32)
+    val wantBits = (0 until 64).filter(c => c % 8 < 4)
+      .map(c => 1L << c).reduce(_ | _)
+    assert(hh == wantBits)
+    // +25 everywhere: (s+c·n)/n vs (S+c·N)/N — the comparison is
+    // translation-invariant
+    val noisy = lcgPixels(23L, 32 * 32).map(_ & 0xff)
+    val shifted = noisy.map(v => math.min(v + 25, 255))
+    if (noisy.forall(_ <= 230))
+      assert(ImageHash.aHash64(noisy, 32, 32) ==
+        ImageHash.aHash64(shifted, 32, 32))
+    // rotate pixels within each 4x4 aHash cell: sums unchanged → hash
+    // identical though the byte payload differs
+    val rot = noisy.clone()
+    for (r <- 0 until 8; c <- 0 until 8) {
+      val idx = for (dy <- 0 until 4; dx <- 0 until 4)
+        yield (r * 4 + dy) * 32 + (c * 4 + dx)
+      val vals = idx.map(noisy)
+      idx.zipWithIndex.foreach { case (p, j) =>
+        rot(p) = vals((j + 5) % 16)
+      }
+    }
+    assert(!rot.sameElements(noisy))
+    assert(ImageHash.aHash64(noisy, 32, 32) == ImageHash.aHash64(rot, 32, 32))
+  }
+
+  test("dHash: horizontal gradient sets every bit, reverse gradient none") {
+    val inc = Array.tabulate(36 * 32)((i: Int) => (i % 36) * 7)
+    assert(ImageHash.dHash64(inc, 36, 32) == -1L)
+    val dec = Array.tabulate(36 * 32)((i: Int) => 255 - (i % 36) * 7)
+    assert(ImageHash.dHash64(dec, 36, 32) == 0L)
+  }
+
+  test("nearDupPairs: exact recall at <= 3 bits vs brute force, " +
+    "perceptual (not byte) identity through the real PNG pipeline, " +
+    "oversized buckets observable via SkewCap") {
+    // 6 groups of 4: members are within-cell rotations of the group
+    // base (hamming 0 to each other, byte-distinct payloads)
+    val media = (0L until 24L).map { k =>
+      val g = k % 6
+      val base = lcgPixels(g * 1000003L + 7L, 32 * 32)
+      val rot = base.clone()
+      for (r <- 0 until 8; c <- 0 until 8) {
+        val idx = for (dy <- 0 until 4; dx <- 0 until 4)
+          yield (r * 4 + dy) * 32 + (c * 4 + dx)
+        val vals = idx.map(base)
+        idx.zipWithIndex.foreach { case (p, j) =>
+          rot(p) = vals((j + (k / 6).toInt) % 16)
+        }
+      }
+      (k, Codecs.pngGrayBytes(32, 32, rot))
+    }.toDF("id", "payload")
+    val fps = ImageHash.fingerprints(media, "id", "payload")
+      .localCheckpoint(true)
+    val fpMap = fps.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fpMap.size == 24)
+    // payloads are byte-distinct within a group, hashes identical
+    assert((0L until 6L).forall(g =>
+      (g until 24L by 6L).map(fpMap).toSet.size == 1))
+    val got = ImageHash.nearDupPairs(fps, "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = (for {
+      i <- 0L until 24L; j <- (i + 1) until 24L
+      d = java.lang.Long.bitCount(fpMap(i) ^ fpMap(j))
+      if d <= 3
+    } yield (i, j, d)).toSet
+    assert(got == brute)
+    assert(got.size == 6 * 6) // C(4,2) per group
+    assert(got.forall(_._3 == 0))
+    // a tiny cap drops every bucket — zero pairs, drops recorded
+    val before = graft.operators.SkewCap.dropped("image_phash")
+    assert(ImageHash.nearDupPairs(fps, "id", maxBucketSize = 1)
+      .count() == 0L)
+    val after = graft.operators.SkewCap.dropped("image_phash")
+    assert(after.buckets > before.buckets && after.rows > before.rows)
+  }
+
+  test("q112 oracle validity: the 20 planted group fingerprints are " +
+    "pairwise > 3 bits apart (no spurious cross-group pair at any SF), " +
+    "members are byte-distinct with identical hashes") {
+    // group patterns depend on the group id only, so this pins the
+    // closed-form oracle for EVERY scale factor at once
+    def fpOf(k: Long): Long = {
+      val p = Codecs.decodePngGray(graft.SparkEntry.q112Png(k)).get
+      ImageHash.aHash64(p.gray, p.width, p.height)
+    }
+    val groups = (0L until 20L).map(fpOf)
+    val minDist = (for {
+      i <- 0 until 20; j <- (i + 1) until 20
+    } yield java.lang.Long.bitCount(groups(i) ^ groups(j))).min
+    assert(minDist > 3, s"closest group pair at $minDist bits")
+    // rotation members: same hash, different bytes
+    assert(fpOf(1L) == fpOf(21L) && fpOf(1L) == fpOf(41L))
+    assert(!graft.SparkEntry.q112Png(1L)
+      .sameElements(graft.SparkEntry.q112Png(21L)))
+  }
+}

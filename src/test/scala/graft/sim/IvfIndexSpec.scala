@@ -178,6 +178,60 @@ class IvfIndexSpec extends SparkSpec {
       .filter(col("vec_id") >= 900L).count() == 0L)
   }
 
+  test("indexStats: a distribution-shifted append raises quantization " +
+    "error and fill skew — the measured rebuild signal for the " +
+    "frozen-centroid contract") {
+    // tight clusters around 4 orthogonal-ish directions → good centroids
+    val base = (0L until 80L).flatMap { i =>
+      val c = (i % 4).toInt
+      Seq((i, Seq.tabulate(8)(d =>
+        (if (d == c * 2) 10f else 0f) + ((i * 7 + d) % 5) * 0.1f)))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_st").toString
+    Ivf.writeIndex(base.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      dir, nCells = 4, nIters = 3)
+    val healthy = Ivf.indexStats(spark, dir)
+    assert(healthy.nVectors == 80L && healthy.nCells == 4)
+    assert(healthy.nonEmptyCells == 4 &&
+      healthy.minCell > 0L && healthy.maxCell <= 25L)
+    assert(healthy.meanQuantErr < 0.01, s"healthy err ${healthy.meanQuantErr}")
+    assert(healthy.fillSkew < 1.5, s"healthy skew ${healthy.fillSkew}")
+    // per-cell view agrees with the summary
+    val perCell = Ivf.indexStatsPerCell(spark, dir).collect()
+    assert(perCell.map(_.getLong(1)).sum == 80L)
+    assert(perCell.length == healthy.nonEmptyCells)
+
+    // the shifted delta: vectors pointing where NO centroid does — they
+    // still land in a nearest cell (the frozen-centroid contract), far
+    // from its centroid, and all in the same few cells
+    val shifted = (0L until 40L).map { i =>
+      (5000L + i, Seq.tabulate(8)(d =>
+        (if (d == 7) -10f else 0f) + ((i * 3 + d) % 5) * 0.1f))
+    }
+    Ivf.appendToIndex(shifted.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dir)
+    val drifted = Ivf.indexStats(spark, dir)
+    assert(drifted.nVectors == 120L)
+    assert(drifted.meanQuantErr > 2 * healthy.meanQuantErr,
+      s"append must raise quant err: ${healthy.meanQuantErr} -> " +
+        s"${drifted.meanQuantErr}")
+    assert(drifted.fillSkew > healthy.fillSkew,
+      s"append must raise fill skew: ${healthy.fillSkew} -> " +
+        s"${drifted.fillSkew}")
+    // …and a rebuild restores health (the documented response)
+    val all = (base ++ shifted).toDF("vec_id", "embedding")
+    Ivf.writeIndex(all, "vec_id", "embedding", dir, nCells = 5, nIters = 3)
+    val rebuilt = Ivf.indexStats(spark, dir)
+    assert(rebuilt.meanQuantErr < drifted.meanQuantErr)
+
+    // quantized layout: same one-scan stats off the int8 codes
+    val qdir = java.nio.file.Files.createTempDirectory("graft_ivf_stq").toString
+    Ivf.writeIndexQuantized(base.toDF("vec_id", "embedding"), "vec_id",
+      "embedding", qdir, nCells = 4, nIters = 3)
+    val qstats = Ivf.indexStats(spark, qdir)
+    assert(qstats.nVectors == 80L && qstats.meanQuantErr < 0.01)
+  }
+
   test("compactIndexVersioned swaps atomically: a compactor crashed " +
     "between snapshot write and commit leaves readers on the committed " +
     "snapshot, and appends/rebuilds compose with the versioned layout") {
