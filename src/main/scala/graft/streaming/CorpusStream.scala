@@ -198,6 +198,175 @@ object CorpusStream {
       .drop("__s")
   }
 
+  /** One posting of [[fuzzyCurationGate]]'s keyed state: the doc's LSH
+    * bucket, its minhash signature, and the already-computed curation
+    * scalars riding along (a few dozen bytes — the TEXT never enters
+    * the stateful shuffle).
+    */
+  final case class FuzzyPost(bucket: Long, doc_id: Long, sig: Seq[Long],
+                             ts: java.sql.Timestamp, lang: String,
+                             n_tokens: Int, avg_logprob: Double,
+                             lm_bucket: String)
+
+  /** Per-(bucket × arrival) verdict emitted by the fuzzy gate's state. */
+  final case class FuzzyVerdict(doc_id: Long, ts: java.sql.Timestamp,
+                                matched: Boolean, lang: String,
+                                n_tokens: Int, avg_logprob: Double,
+                                lm_bucket: String)
+
+  /** Streaming fuzzy-curation gate — the live counterpart of
+    * [[graft.textops.CurationPipeline.runFuzzyWithModel]]: language +
+    * quality gates (stateless), exact dedup ([[dedupStream]]'s
+    * watermarked fingerprint state, first arrival wins), MinHash-LSH
+    * NEAR-dup suppression (this operator — [[nearDupStream]]'s banded
+    * per-bucket state composed into the gate), and scoring against the
+    * pre-trained unigram table at fixed thresholds. Emits survivors as
+    * (doc_id, ts, text, lang, n_tokens, avg_logprob, bucket).
+    *
+    * Semantics vs the batch pipeline — each a forced causal choice:
+    *  - survivor = FIRST ARRIVAL (batch keeps the best-QUALITY cluster
+    *    member; a stream cannot retract an already-emitted survivor);
+    *  - LOSERS ARE STILL STORED in bucket state, so a chain A~B~C drops
+    *    B and C even when C only resembles B — the streaming image of
+    *    the batch pipeline's transitive clusters;
+    *  - near-dup = minhash signature agreement ≥ `simThreshold` (the
+    *    unbiased Jaccard estimate, σ = √(J(1−J)/k)) — the batch exact
+    *    verification would be a per-micro-batch join against all stored
+    *    text, which bucket state deliberately never holds;
+    *  - a survivor emits only once the event-time watermark passes its
+    *    `windowDuration` window: "not a near-duplicate" is only FINAL
+    *    once everything that could have matched it has been seen, and
+    *    the batch pipeline gets that for free by seeing the whole
+    *    corpus. Latency ≈ watermark delay + window.
+    *
+    * Plan shape: three chained stateful operators (fingerprint dedup →
+    * per-bucket flatMapGroupsWithState → per-doc window aggregation),
+    * all keyed on 8-byte values; the curation scalars are computed
+    * BEFORE banding so the band explosion carries ~40 bytes × bands per
+    * doc, never the text. Documents with no shingles (sub-`shingleN`
+    * token count) cannot near-match and bypass the banded state
+    * entirely via a stateless union branch.
+    */
+  def fuzzyCurationGate(docs: DataFrame, idCol: String, textCol: String,
+                        tsCol: String, watermark: String,
+                        keepLangs: Set[String], unigrams: DataFrame,
+                        tHead: Double, tMid: Double,
+                        stopwords: Seq[String] =
+                          Seq("the", "a", "and", "of", "to"),
+                        oovLogp: Double = -20.0,
+                        maxVocab: Long = 50000000L,
+                        simThreshold: Double = 0.6, k: Int = 63,
+                        bands: Int = 21, rows: Int = 3,
+                        maxBucketState: Int = 1000,
+                        horizonMs: Long = 600000L,
+                        windowDuration: String = "1 minute"): DataFrame = {
+    require(bands * rows <= k,
+      s"bands*rows (${bands * rows}) must be <= k ($k)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // Spark's global-watermark heuristic flags ANY stateful operator
+    // downstream of flatMapGroupsWithState, because FMGWS *could* emit
+    // rows older than watermark+delay. This gate's kernel echoes each
+    // input's event time unchanged and its verdicts are consumed by the
+    // window aggregation in the SAME micro-batch they are emitted
+    // (watermarks only advance between batches), so no emitted row is
+    // ever late downstream — the documented Spark remedy for exactly
+    // this false-positive pattern is the opt-out conf. Require it
+    // EXPLICITLY rather than flipping a session-wide safety check
+    // behind the caller's back.
+    require(spark.conf.getOption(
+        "spark.sql.streaming.statefulOperator.checkCorrectness.enabled")
+      .contains("false"),
+      "fuzzyCurationGate chains a per-doc window aggregation after its " +
+        "banded flatMapGroupsWithState state. The kernel passes event " +
+        "times through unchanged and verdicts are aggregated in the " +
+        "micro-batch that emits them, so the chain cannot produce late " +
+        "rows — but Spark's conservative checker cannot see that. Set " +
+        "spark.sql.streaming.statefulOperator.checkCorrectness.enabled" +
+        "=false for the session running this gate.")
+    // stages 1-4 of curationGate verbatim: gates, exact dedup, scoring —
+    // all computed before the banded explosion so state posts stay slim
+    val scored = curationGate(docs, textCol, tsCol, watermark, keepLangs,
+      unigrams, tHead, tMid, stopwords, oovLogp, maxVocab)
+
+    val prep = udf((s: String) => {
+      val sh = TextKernels.shingleHashes(s, 3)
+      if (sh == null || sh.isEmpty) null
+      else {
+        val sig = TextKernels.minhashSignature(sh, k)
+        (sig.toSeq, TextKernels.bandBucketsFromSig(sig, bands, rows).toSeq)
+      }
+    }).asNondeterministic() // plan-shape fence, kernels are pure
+    val prepped = scored.withColumn("__p", prep(col(textCol)))
+    val outCols = Seq(col(idCol).as("doc_id"),
+      col(tsCol).cast("timestamp").as("ts"), col("lang"),
+      col("n_tokens"), col("avg_logprob"), col("bucket"))
+
+    // the event-time watermark declared inside curationGate's dedup
+    // stage rides the aliased column through these stateless
+    // projections (no cast, no re-declaration — a second withWatermark
+    // on the same lineage is a disallowed redefinition once multiple
+    // stateful operators are in play)
+    val posts = prepped.filter(col("__p").isNotNull)
+      .select(col(idCol).as("doc_id"), col("__p._1").as("sig"),
+        col(tsCol).as("ts"), col("lang"),
+        col("n_tokens"), col("avg_logprob"),
+        col("bucket").as("lm_bucket"),
+        explode(col("__p._2")).as("bucket"))
+      .as[FuzzyPost]
+
+    def agree(a: Seq[Long], b: Seq[Long]): Double = {
+      var n = 0
+      var i = 0
+      while (i < k) { if (a(i) == b(i)) n += 1; i += 1 }
+      n.toDouble / k
+    }
+    def fn(bucket: Long, it: Iterator[FuzzyPost],
+           state: GroupState[BucketState]): Iterator[FuzzyVerdict] = {
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+      val seen = scala.collection.mutable.ArrayBuffer.empty[SeenDoc]
+      state.getOption.foreach(seen ++= _.seen)
+      val arr = it.toSeq.sortBy(p => (p.ts.getTime, p.doc_id))
+      val out = Seq.newBuilder[FuzzyVerdict]
+      arr.foreach { p =>
+        val hit = seen.exists(s =>
+          s.doc_id != p.doc_id && agree(p.sig, s.sig) >= simThreshold)
+        out += FuzzyVerdict(p.doc_id, p.ts, hit, p.lang, p.n_tokens,
+          p.avg_logprob, p.lm_bucket)
+        // losers are stored too: the arrival after them in a chain must
+        // still match SOMETHING stored (batch transitivity)
+        if (seen.length < maxBucketState)
+          seen += SeenDoc(p.doc_id, p.sig, p.ts.getTime)
+      }
+      state.update(BucketState(seen.toSeq))
+      val newest = (seen.map(_.ts_ms) ++ arr.map(_.ts.getTime)).max
+      state.setTimeoutTimestamp(
+        math.max(newest + horizonMs, state.getCurrentWatermarkMs() + 1L))
+      out.result().iterator
+    }
+    // per-doc OR over the bands' verdicts: the window aggregation's
+    // append-mode finality IS the gate's finality (see scaladoc); the
+    // watermark is re-declared because the FMGWS output is new data to
+    // the planner
+    val survivors = posts.groupByKey(_.bucket)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+      .toDF()
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDuration), col("doc_id"))
+      .agg(max(col("matched")).as("__near"), first(col("ts")).as("ts"),
+        first(col("lang")).as("lang"),
+        first(col("n_tokens")).as("n_tokens"),
+        first(col("avg_logprob")).as("avg_logprob"),
+        first(col("lm_bucket")).as("bucket"))
+      .filter(!col("__near"))
+      .select(col("doc_id"), col("ts"), col("lang"), col("n_tokens"),
+        col("avg_logprob"), col("bucket"))
+    // shingle-less docs can't near-match anything: bypass the state
+    survivors.unionByName(
+      prepped.filter(col("__p").isNull).select(outCols: _*))
+  }
+
   /** One (bucket, document) posting flowing into the keyed state. */
   final case class BucketPost(bucket: Long, doc_id: Long,
                               sig: Seq[Long], ts: java.sql.Timestamp)

@@ -240,4 +240,82 @@ class CorpusStreamSpec extends SparkSpec {
       .as[(Long, String, Int, Double, String)].collect().toSet
     assert(batch == got)
   }
+
+  test("streaming FUZZY curation gate: batch ≡ stream against " +
+    "runFuzzyWithModel — near-dup cluster drops to its first arrival, " +
+    "survivors emit only after the watermark closes their window") {
+    implicit val sqlCtx = spark.sqlContext
+    // stopword-rich tails raise the batch qualityScore, so arrival order
+    // (best first) aligns the stream's first-arrival survivor with the
+    // batch pipeline's best-quality survivor — the one semantic the two
+    // runtimes can share (see fuzzyCurationGate's scaladoc)
+    def good(seed: Int) =
+      ("the a and of to cat dog house tree river".split(" ") ++
+        (0 until 30).map(i => s"w${seed}x$i")).mkString(" ")
+    val tail1 = " the of and to a plus more words now then"
+    val tail2 = " the of and to a extra second longer tail here"
+    val unigrams = graft.textops.UnigramLM.train(
+      Seq(Tuple1(good(1))).toDF("text"), "text")
+    val docs = Seq(
+      Doc(7L, t("2020-01-01 10:00:00"), good(5) + tail1 + tail2), // cluster survivor (first + best quality)
+      Doc(5L, t("2020-01-01 10:00:05"), good(5) + tail1),         // near-dup loser
+      Doc(6L, t("2020-01-01 10:00:10"), good(5)),                 // near-dup loser (chains through 5)
+      Doc(3L, t("2020-01-01 10:00:20"), good(3)),                 // exact-dup survivor
+      Doc(4L, t("2020-01-01 10:00:25"), good(3)),                 // exact duplicate
+      Doc(8L, t("2020-01-01 10:00:30"), good(8)),                 // unclustered keeper
+      Doc(9L, t("2020-01-01 10:00:40"),
+        "der die das und ist nicht ein zu mit von " * 4),         // language
+      Doc(10L, t("2020-01-01 10:00:50"), "too short the a"))      // quality
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Doc]
+    // the gate refuses to build without the documented checker opt-out
+    val refused = intercept[IllegalArgumentException] {
+      CorpusStream.fuzzyCurationGate(source.toDF(), "doc_id",
+        "text", "ts", "10 minutes", keepLangs = Set("en"),
+        unigrams = unigrams, tHead = -4.0, tMid = -10.0)
+    }
+    assert(refused.getMessage.contains("checkCorrectness"))
+    val checkConf =
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    spark.conf.set(checkConf, "false")
+    try {
+    val gated = CorpusStream.fuzzyCurationGate(source.toDF(), "doc_id",
+      "text", "ts", "10 minutes", keepLangs = Set("en"),
+      unigrams = unigrams, tHead = -4.0, tMid = -10.0)
+    val q = gated.writeStream.outputMode("append")
+      .format("memory").queryName("fuzzy_gate")
+      .start() // default trigger: state must span micro-batches
+    source.addData(docs: _*)
+    q.processAllAvailable()
+    // nothing is final yet: every survivor's window is still open
+    assert(spark.sql("SELECT * FROM fuzzy_gate").count() == 0L)
+    // a far-future clean doc advances the watermark past every window
+    source.addData(Doc(99L, t("2020-01-01 10:30:00"), good(9)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql(
+        "SELECT doc_id, lang, n_tokens, avg_logprob, bucket " +
+          "FROM fuzzy_gate")
+      .as[(Long, String, Int, Double, String)].collect().toSet
+    // the advancer's own window never closed — it must not have emitted
+    assert(!got.map(_._1).contains(99L))
+    assert(got.map(_._1) == Set(7L, 3L, 8L))
+    // batch ≡ stream: runFuzzyWithModel's kept rows on the same corpus
+    val batch = graft.textops.CurationPipeline.runFuzzyWithModel(
+        docs.toDF(), "doc_id", "text", keepLangs = Set("en"),
+        unigrams = unigrams, tHead = -4.0, tMid = -10.0)
+      .filter(col("drop_reason").isNull)
+      .select("doc_id", "lang", "n_tokens", "avg_logprob", "bucket")
+      .as[(Long, String, Int, Double, String)].collect().toSet
+    assert(batch == got)
+    // and the batch pipeline names the streamed drops the same way
+    val reasons = graft.textops.CurationPipeline.runFuzzyWithModel(
+        docs.toDF(), "doc_id", "text", keepLangs = Set("en"),
+        unigrams = unigrams, tHead = -4.0, tMid = -10.0)
+      .select("doc_id", "drop_reason")
+      .as[(Long, Option[String])].collect().toMap
+    assert(reasons(5L).contains("near_duplicate") &&
+      reasons(6L).contains("near_duplicate") &&
+      reasons(4L).contains("duplicate"))
+    } finally spark.conf.unset(checkConf)
+  }
 }
