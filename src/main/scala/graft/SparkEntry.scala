@@ -4770,10 +4770,6 @@ object SparkEntry {
     "q105_semdedup_imi" -> semDedupAllPairsOracle
   )
 
-  /** q102's oracle WITH-chain through the threshold CTE (`th`) — the
-    * shared replay prefix of q102 (per-doc decision table) and q107
-    * (per-outcome aggregation).
-    */
   /** Shared q106/q111 replay: exact all-pairs Jaccard over the gate
     * survivors + recursive-CTE components + SQL quality argmax over
     * the planted-duplicate corpus (both configurations must produce
@@ -4925,6 +4921,10 @@ object SparkEntry {
         |CROSS JOIN th
         |ORDER BY b.doc_id""".stripMargin
 
+  /** q102's oracle WITH-chain through the threshold CTE (`th`) — the
+    * shared replay prefix of q102 (per-doc decision table) and q107
+    * (per-outcome aggregation).
+    */
   private def oracleQ102UpToFinalSelect: String =
     """WITH corpus AS (
       |  SELECT doc_id, text FROM documents

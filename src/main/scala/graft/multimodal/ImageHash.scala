@@ -44,6 +44,11 @@ object ImageHash {
     */
   def aHash64(gray: Array[Int], w: Int, h: Int): Long = {
     require(w >= 8 && h >= 8, s"aHash needs >= 8x8 pixels, got ${w}x$h")
+    // the exactness claim needs sums(i)*n to stay inside Long:
+    // worst-case 255·N·N ≤ 2^63 bounds N at ~1.9e8 px; decodePngGray
+    // caps payloads at 2^26 px, this guards direct callers
+    require(w.toLong * h <= (1L << 27),
+      s"aHash exact arithmetic bounds images at 2^27 px, got ${w}x$h")
     val sums = new Array[Long](64)
     val counts = new Array[Long](64)
     var total = 0L
@@ -76,6 +81,8 @@ object ImageHash {
     */
   def dHash64(gray: Array[Int], w: Int, h: Int): Long = {
     require(w >= 9 && h >= 8, s"dHash needs >= 9x8 pixels, got ${w}x$h")
+    require(w.toLong * h <= (1L << 27),
+      s"dHash exact arithmetic bounds images at 2^27 px, got ${w}x$h")
     val sums = Array.ofDim[Long](8, 9)
     val counts = Array.ofDim[Long](8, 9)
     var y = 0
@@ -163,15 +170,24 @@ object ImageHash {
     val banded = fps
       .select(col(idCol), col("fp"),
         explode(bandStructs(col("fp"), bands)).as("__band"))
-    // one shuffle: (band, [members]) buckets, capped, then the MinHash
-    // two-stage pair expansion (no self-join, no window; peak memory one
-    // bucket's member list per row)
-    banded.groupBy(col("__band"))
-      .agg(sort_array(collect_list(struct(col(idCol).as("id"),
-        col("fp")))).as("__m"), count(lit(1)).as("__n"))
+    // bucket sizes FIRST (count-only buffers — tiny), the cap verdict on
+    // the counts, and only then the member-list aggregation over rows a
+    // semi-join has already restricted to surviving buckets: collecting
+    // members before capping would materialize a pathological bucket's
+    // ENTIRE multi-GB list in one non-spillable aggregation row exactly
+    // on the constant-background corpora the cap exists for. Costs one
+    // extra shuffle of the slim (id, fp, band) rows; every shuffled row
+    // stays ≤ 24 bytes.
+    val okBuckets = banded.groupBy(col("__band"))
+      .agg(count(lit(1)).as("__n"))
       .filter(col("__n") > 1)
       .filter(graft.operators.SkewCap
         .keepBucket("image_phash", maxBucketSize)(col("__n")))
+      .select(col("__band"))
+    banded.join(okBuckets, Seq("__band"), "left_semi")
+      .groupBy(col("__band"))
+      .agg(sort_array(collect_list(struct(col(idCol).as("id"),
+        col("fp")))).as("__m"))
       .select(col("__m"), explode(col("__m")).as("a"))
       .select(col("a"),
         explode(expr("filter(__m, x -> x.id > a.id)")).as("b"))

@@ -245,8 +245,15 @@ object Multimodal {
         case 6 => 4
         case _ => return None
       }
-      if (w <= 0 || h <= 0 || depth != 8 || interlace != 0 ||
-        idat.size() == 0) return None
+      // IHDR dimensions are ATTACKER-CONTROLLED: unchecked, a ~100-byte
+      // payload declaring 46341×46341 overflows (stride+1)*h into a
+      // NegativeArraySizeException (an uncaught task failure, not the
+      // contract's None), and slightly smaller dims force multi-GB
+      // allocations from untrusted bytes. 2^26 px (64 MP) is far above
+      // any training image and keeps every buffer and every aHash
+      // cross-multiplication comfortably inside Long.
+      if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26) ||
+        depth != 8 || interlace != 0 || idat.size() == 0) return None
       // inflate the filtered scanline stream
       val stride = w * bpp
       val raw = new Array[Byte]((stride + 1) * h)
@@ -256,7 +263,11 @@ object Multimodal {
       try {
         while (off < raw.length && !inf.finished()) {
           val n = inf.inflate(raw, off, raw.length - off)
-          if (n == 0 && inf.needsInput()) return None // truncated stream
+          // ANY zero-progress state is malformed for a PNG zlib stream:
+          // needsInput = truncated, needsDictionary (FDICT, illegal in
+          // PNG) would otherwise return 0 forever — an executor hang on
+          // one crafted row
+          if (n == 0 && !inf.finished()) return None
           off += n
         }
       } catch {

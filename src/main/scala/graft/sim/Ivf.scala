@@ -508,14 +508,14 @@ object Ivf {
     */
   def indexStatsPerCell(spark: org.apache.spark.sql.SparkSession,
                         path: String): DataFrame =
-    perCellRaw(spark, path)
+    perCellRaw(spark, path, readCentroids(spark, path))
       .select(col("__cell").as("cell"), col("n"),
         (col("err_sum") / col("n")).as("mean_err"))
 
   private def perCellRaw(spark: org.apache.spark.sql.SparkSession,
-                         path: String): DataFrame = {
+                         path: String,
+                         centroids: Array[(Int, Array[Float])]): DataFrame = {
     import spark.implicits._
-    val centroids = readCentroids(spark, path)
     val cdf = broadcast(centroids.toSeq.map { case (c, v) => (c, v.toSeq) }
       .toDF("__cell", "__centroid"))
     val vecs = spark.read.parquet(vectorsLocation(spark, path))
@@ -541,8 +541,9 @@ object Ivf {
     */
   def indexStats(spark: org.apache.spark.sql.SparkSession,
                  path: String): IndexStats = {
-    val nCells = readCentroids(spark, path).length
-    val r = perCellRaw(spark, path)
+    val centroids = readCentroids(spark, path)
+    val nCells = centroids.length
+    val r = perCellRaw(spark, path, centroids)
       .agg(coalesce(sum(col("n")), lit(0L)),
         count(lit(1)),
         coalesce(min(col("n")), lit(0L)),

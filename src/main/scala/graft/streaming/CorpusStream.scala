@@ -221,7 +221,9 @@ object CorpusStream {
     * NEAR-dup suppression (this operator — [[nearDupStream]]'s banded
     * per-bucket state composed into the gate), and scoring against the
     * pre-trained unigram table at fixed thresholds. Emits survivors as
-    * (doc_id, ts, text, lang, n_tokens, avg_logprob, bucket).
+    * (doc_id, ts, lang, n_tokens, avg_logprob, bucket) — the TEXT never
+    * enters the stateful shuffles and is not re-emitted; a corpus sink
+    * joins survivors back to its source on `doc_id`.
     *
     * Semantics vs the batch pipeline — each a forced causal choice:
     *  - survivor = FIRST ARRIVAL (batch keeps the best-QUALITY cluster
@@ -243,9 +245,7 @@ object CorpusStream {
     * per-bucket flatMapGroupsWithState → per-doc window aggregation),
     * all keyed on 8-byte values; the curation scalars are computed
     * BEFORE banding so the band explosion carries ~40 bytes × bands per
-    * doc, never the text. Documents with no shingles (sub-`shingleN`
-    * token count) cannot near-match and bypass the banded state
-    * entirely via a stateless union branch.
+    * doc, never the text.
     */
   def fuzzyCurationGate(docs: DataFrame, idCol: String, textCol: String,
                         tsCol: String, watermark: String,
@@ -297,10 +297,13 @@ object CorpusStream {
         (sig.toSeq, TextKernels.bandBucketsFromSig(sig, bands, rows).toSeq)
       }
     }).asNondeterministic() // plan-shape fence, kernels are pure
+    // every doc reaching prep passed the quality gate, whose
+    // too_few_words floor (30 tokens) guarantees ≥ 28 trigram shingles
+    // — the null-prep filter below is a can't-happen guard, NOT a lossy
+    // path needing a bypass branch (a union bypass would clone the
+    // whole gated/deduped subtree including a second dedup state store
+    // per micro-batch, for rows that cannot exist)
     val prepped = scored.withColumn("__p", prep(col(textCol)))
-    val outCols = Seq(col(idCol).as("doc_id"),
-      col(tsCol).cast("timestamp").as("ts"), col("lang"),
-      col("n_tokens"), col("avg_logprob"), col("bucket"))
 
     // the event-time watermark declared inside curationGate's dedup
     // stage rides the aliased column through these stateless
@@ -348,7 +351,7 @@ object CorpusStream {
     // append-mode finality IS the gate's finality (see scaladoc); the
     // watermark is re-declared because the FMGWS output is new data to
     // the planner
-    val survivors = posts.groupByKey(_.bucket)
+    posts.groupByKey(_.bucket)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(fn)
       .toDF()
@@ -362,9 +365,6 @@ object CorpusStream {
       .filter(!col("__near"))
       .select(col("doc_id"), col("ts"), col("lang"), col("n_tokens"),
         col("avg_logprob"), col("bucket"))
-    // shingle-less docs can't near-match anything: bypass the state
-    survivors.unionByName(
-      prepped.filter(col("__p").isNull).select(outCols: _*))
   }
 
   /** One (bucket, document) posting flowing into the keyed state. */

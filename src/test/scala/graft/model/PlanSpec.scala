@@ -316,4 +316,33 @@ class PlanSpec extends SparkSpec {
     assert(windows.nonEmpty, sp.take(2000))
     assert(windows.forall(_.contains("component#")), windows.mkString("\n"))
   }
+
+  test("modified kneser-ney at order N: no window, no cartesian " +
+    "product, every exchange keyed on gram tuples — never text") {
+    // building the frame runs the per-level count-of-counts fits (tiny
+    // driver actions by design); the scoring plan is the contract
+    val p = plan("q110_kneser_ney_mod")
+    assert(!p.contains("Window"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    val keyed = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(keyed.nonEmpty)
+    assert(!keyed.exists(_.contains("text#")), keyed.mkString("\n"))
+  }
+
+  test("image phash: the binary payload never enters an exchange — " +
+    "fingerprinting reduces each image to 8 bytes before the first " +
+    "shuffle; pairing has no window and no cartesian product") {
+    val p = SparkEntry.queries("q112_image_phash")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("payload#")),
+      exchanges.mkString("\n"))
+    // the band-bucket shuffle carries no binary column at all
+    assert(!exchanges.exists(_.toLowerCase.contains("binary")),
+      exchanges.mkString("\n"))
+  }
 }
