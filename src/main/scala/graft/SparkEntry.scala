@@ -2296,6 +2296,53 @@ object SparkEntry {
       val fps = multimodal.ImageHash.fingerprints(media, "id", "payload")
       multimodal.ImageHash.nearDupPairs(fps, "id", maxHamming = 3)
         .orderBy(col("id1"), col("id2"))
+    }),
+
+    // acoustic-fingerprint near-dup dedup — q112's audio sibling
+    // through the REAL RIFF/PCM pipeline: supplier keys plant COMPLETE
+    // 16-bit WAVs; group k%20 members share a base waveform but each
+    // member is uniformly gain-scaled (×1..×31, byte-distinct payloads,
+    // no clipping) — every window energy scales by g², so the
+    // envelope-gradient hash is IDENTICAL by exact integer arithmetic
+    // (the acoustic, not byte-level, identity: loudness normalization
+    // for free). The engine must decode the WAVs (chunk walk + PCM
+    // reassembly), envHash them, and pair through the banded Hamming
+    // join; the oracle is the q23/q112 closed form — all within-group
+    // pairs at hamming 0. Cross-group base waveforms are deterministic
+    // (group id only, SF-independent) with pairwise fingerprint
+    // distance far above 3 bits, pinned by AudioHashSpec's brute-force
+    // comparison
+    "q113_audio_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "supplier").select(col("s_suppkey")).as[Long]
+        .map(k => (k, q113Wav(k)))
+        .toDF("id", "payload")
+      val fps = multimodal.AudioHash.fingerprints(media, "id", "payload")
+      multimodal.AudioHash.nearDupPairs(fps, "id", maxHamming = 3)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
+    // video demux + frame sampling — the third modality through a REAL
+    // container walk: supplier keys plant COMPLETE RIFF/AVI payloads
+    // (hdrl/avih + movi frame chunks, word-aligned, truthful headers)
+    // with (k%7 + 1) frames of deterministic per-frame sizes. The
+    // engine must demux the chunk index (one scan-stage pass — payload
+    // bytes never shuffle, frames reduce to ~32-byte rows) and
+    // aggregate the per-video frame stats a multimodal ingest shards
+    // on; the oracle replays the frame-count and size arithmetic in
+    // closed form
+    "q114_video_demux" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "supplier").select(col("s_suppkey")).as[Long]
+        .map(k => (k, q114Avi(k)))
+        .toDF("id", "payload")
+      multimodal.Multimodal.videoFrames(media, "id", "payload")
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("n_frames"),
+          count(when(col("frame_idx") % 2 === 0, 1)).as("sampled_frames"),
+          sum(col("len")).as("total_bytes"),
+          max(col("len")).as("max_frame_bytes"))
+        .orderBy(col("id"))
     })
   )
 
@@ -2327,6 +2374,42 @@ object SparkEntry {
       r += 1
     }
     multimodal.Multimodal.Codecs.pngGrayBytes(32, 32, rot)
+  }
+
+  /** q113's planted WAV for supplier key `k`: deterministic 650-sample
+    * group base waveform (g = k % 20) at the member's uniform gain
+    * ×((k/20) % 31 + 1). Base samples sit in [0, 1000), so the largest
+    * scaled sample is 999·31 = 30969 < 2^15 — the integer gain never
+    * clips and the envelope-hash invariance is exact. 650 = 65·10
+    * samples means every member windows identically (L = 10, no
+    * remainder).
+    */
+  private[graft] def q113Wav(k: Long): Array[Byte] = {
+    val g = k % 20
+    val gain = ((k / 20) % 31 + 1).toInt
+    var s = g * 2654435761L + 11L
+    val pcm = Array.fill(65 * 10) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      (((s >>> 40) % 1000).toInt * gain).toShort
+    }
+    multimodal.Multimodal.Codecs.wavBytes(8000, pcm)
+  }
+
+  /** q114's planted AVI for supplier key `k`: (k%7 + 1) frames, frame
+    * `i` carrying 100 + ((k·31 + i·17) % 50) deterministic bytes — the
+    * closed-form arithmetic the oracle replays.
+    */
+  private[graft] def q114Avi(k: Long): Array[Byte] = {
+    val n = (k % 7 + 1).toInt
+    val frames = (0 until n).map { i =>
+      val len = (100 + ((k * 31 + i * 17) % 50)).toInt
+      var s = k * 1000003L + i * 7919L + 13L
+      Array.fill(len) {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        ((s >>> 33) & 0xff).toByte
+      }
+    }
+    multimodal.Multimodal.Codecs.aviBytes(320, 240, 33333, frames)
   }
 
   /** q104's fixed merge table: common English patterns, applied in
@@ -4757,6 +4840,35 @@ object SparkEntry {
         |  ON a.s_suppkey < b.s_suppkey
         | AND a.s_suppkey % 20 = b.s_suppkey % 20
         |ORDER BY id1, id2""".stripMargin,
+
+    // same closed form for the audio sibling: in-group clips are
+    // gain-scaled copies of one base waveform (identical envelope hash
+    // by exact g²-scaling → hamming 0); cross-group fingerprints are
+    // > 3 bits apart (deterministic, SF-independent, pinned in
+    // AudioHashSpec) — so the pair set IS the within-group id
+    // arithmetic
+    "q113_audio_fingerprint" ->
+      """SELECT a.s_suppkey AS id1, b.s_suppkey AS id2,
+        |  CAST(0 AS INTEGER) AS hamming
+        |FROM supplier a JOIN supplier b
+        |  ON a.s_suppkey < b.s_suppkey
+        | AND a.s_suppkey % 20 = b.s_suppkey % 20
+        |ORDER BY id1, id2""".stripMargin,
+
+    // closed-form replay of the planted AVI arithmetic: the demux must
+    // recover exactly (k%7 + 1) frames with the generator's per-frame
+    // sizes; frame-sampling keeps the even indices
+    "q114_video_demux" ->
+      """WITH f AS (
+        |  SELECT s_suppkey AS id, r.i AS i,
+        |    100 + ((s_suppkey * 31 + r.i * 17) % 50) AS len
+        |  FROM supplier JOIN range(0, 7) r(i) ON r.i <= s_suppkey % 7
+        |)
+        |SELECT id, COUNT(*) AS n_frames,
+        |  COUNT(*) FILTER (WHERE i % 2 = 0) AS sampled_frames,
+        |  CAST(SUM(len) AS BIGINT) AS total_bytes,
+        |  CAST(MAX(len) AS BIGINT) AS max_frame_bytes
+        |FROM f GROUP BY id ORDER BY id""".stripMargin,
 
 
     // q103/q105 share q77's exact all-pairs oracle: recall of the

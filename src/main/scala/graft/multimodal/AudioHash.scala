@@ -1,0 +1,146 @@
+package graft.multimodal
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Acoustic-fingerprint near-duplicate detection for the audio
+  * modality — the audio counterpart of [[ImageHash]]: each clip folds
+  * to one 64-bit fingerprint whose Hamming distance tracks the SHAPE of
+  * the clip's energy envelope (re-encodes, level changes and light
+  * noise move few bits; unrelated clips are ~32 bits apart), and
+  * near-dups are found with the same banded equality-join machinery
+  * ([[BandedHamming]]) as the image and SimHash siblings.
+  *
+  * Hashes (deterministic INTEGER arithmetic over the decoded PCM — no
+  * floats, so a fingerprint is reproducible bit-for-bit on any JVM;
+  * both are the sign-of-difference scheme the published
+  * Haitsma–Kalker/Philips audio fingerprint (ISMIR 2002) applies to
+  * spectral bands, here applied to the time-domain energy envelope so
+  * exactness survives — an FFT would reintroduce float rounding):
+  *  - env: the clip's samples split into 65 equal-length windows
+  *    (integer truncation, trailing remainder ignored), per-window
+  *    energy E(i) = Σ s², bit i = E(i) > E(i+1) — the energy-envelope
+  *    gradient, [[ImageHash.dHash64]]'s shape in time;
+  *  - flux: 66 windows, bit i = (E(i+2)−E(i+1)) > (E(i+1)−E(i)) — the
+  *    sign of the envelope's second difference (the H–K bit rule with
+  *    the band axis collapsed), invariant to any monotone-linear
+  *    energy drift on top of gain.
+  *
+  * Both are EXACTLY invariant under uniform gain (s → g·s without
+  * clipping scales every E(i) by g², preserving >, =, < — the integer
+  * analogue of loudness normalization), under trailing-remainder edits
+  * (< 65 appended samples leave every window untouched), and
+  * channel-agnostic (energy is summed over the interleaved stream, so
+  * mono and its L=R stereo dub differ only by the uniform factor 2 when
+  * window boundaries align).
+  *
+  * PCM comes from the REAL container decode
+  * ([[Multimodal.Codecs.decodeWavPcm]] — RIFF chunk walk, 8/16-bit
+  * PCM); payloads that don't decode, or decode to fewer samples than
+  * one window per bucket needs, produce no fingerprint row and never
+  * pair.
+  *
+  * Scale shape: identical to the image modality — fingerprinting is one
+  * scan-stage pass (payload bytes never shuffle; 100 TB of audio
+  * reduces to 8 bytes/row before the first exchange), pairing shuffles
+  * `rows × bands` slim tuples with exact pigeonhole recall below
+  * `bands` bits and the `"audio_fp"` [[graft.operators.SkewCap]] cap on
+  * pathological buckets (silence-heavy corpora hash alike the way
+  * constant-background images do).
+  */
+object AudioHash {
+
+  /** Samples bound for exact Long arithmetic AND a decode-bomb guard
+    * (2^26 samples = 128 MiB of 16-bit PCM ≈ 23 min at 48 kHz): a
+    * window sum is ≤ (2^26)·(2^15)² = 2^56, and window-sum differences
+    * stay within ±2^57 — far inside Long.
+    */
+  val MaxSamples: Int = 1 << 26
+
+  private def windowEnergies(pcm: Array[Short], nWin: Int): Array[Long] = {
+    val win = pcm.length / nWin
+    require(win >= 1, s"need >= $nWin samples, got ${pcm.length}")
+    require(pcm.length <= MaxSamples,
+      s"exact arithmetic bounds clips at 2^26 samples, got ${pcm.length}")
+    val e = new Array[Long](nWin)
+    var i = 0
+    while (i < nWin) {
+      var j = i * win
+      val end = j + win
+      var s = 0L
+      while (j < end) {
+        val v = pcm(j).toLong
+        s += v * v
+        j += 1
+      }
+      e(i) = s
+      i += 1
+    }
+    e
+  }
+
+  /** Exact energy-envelope gradient hash: 65 equal windows, bit i set
+    * iff E(i) > E(i+1) (strict, so constant-energy clips — silence —
+    * hash to 0).
+    */
+  def envHash64(pcm: Array[Short]): Long = {
+    val e = windowEnergies(pcm, 65)
+    var out = 0L
+    var i = 0
+    while (i < 64) {
+      if (e(i) > e(i + 1)) out |= (1L << i)
+      i += 1
+    }
+    out
+  }
+
+  /** Exact envelope second-difference hash: 66 equal windows, bit i set
+    * iff E(i+2) − E(i+1) > E(i+1) − E(i) (strict; linear ramps — and
+    * silence — hash to 0).
+    */
+  def fluxHash64(pcm: Array[Short]): Long = {
+    val e = windowEnergies(pcm, 66)
+    var out = 0L
+    var i = 0
+    while (i < 64) {
+      if (e(i + 2) - e(i + 1) > e(i + 1) - e(i)) out |= (1L << i)
+      i += 1
+    }
+    out
+  }
+
+  /** (id, fp) fingerprints for every payload that decodes as PCM audio
+    * long enough to window. One scan-stage pass; the binary column
+    * never reaches a shuffle. DETERMINISTIC udf on purpose — the
+    * banded frame is self-joined downstream, and a nondeterministic
+    * kernel would de-canonicalize the two sides (the SimHash lesson:
+    * losing ReusedExchange measured 2.6× slower than the ~2× per-row
+    * re-evaluation risk).
+    */
+  def fingerprints(media: DataFrame, idCol: String, payloadCol: String,
+                   method: String = "env"): DataFrame = {
+    require(method == "env" || method == "flux",
+      s"method must be env|flux, got $method")
+    val minWin = if (method == "env") 65 else 66
+    val kernel = udf { payload: Array[Byte] =>
+      Multimodal.Codecs.decodeWavPcm(payload).flatMap { w =>
+        if (w.pcm.length < minWin || w.pcm.length > MaxSamples) None
+        else if (method == "env") Some(envHash64(w.pcm))
+        else Some(fluxHash64(w.pcm))
+      }
+    }
+    media.select(col(idCol), kernel(col(payloadCol)).as("fp"))
+      .filter(col("fp").isNotNull)
+  }
+
+  /** Near-dup audio pairs (id1 < id2) with Hamming(fp1, fp2) <=
+    * maxHamming from a [[fingerprints]] table — [[BandedHamming.pairs]]
+    * under the `"audio_fp"` SkewCap counter; recall exact while
+    * `maxHamming < bands`. Output: (id1, id2, hamming).
+    */
+  def nearDupPairs(fps: DataFrame, idCol: String,
+                   maxHamming: Int = 3, bands: Int = 4,
+                   maxBucketSize: Int = 100000): DataFrame =
+    BandedHamming.pairs(fps, idCol, maxHamming, bands, maxBucketSize,
+      "audio_fp")
+}

@@ -1,0 +1,74 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The shared banded Hamming-bucket pairing core behind every 64-bit
+  * perceptual-fingerprint dedup ([[ImageHash]] for the image modality,
+  * [[AudioHash]] for audio): split each fingerprint into `bands`
+  * disjoint bit-bands, bucket by (band index, band value), and pair
+  * only inside equal buckets. Pigeonhole gives EXACT recall while
+  * `maxHamming < bands` — a pair within Hamming d over b > d disjoint
+  * bands must agree on at least one whole band.
+  *
+  * Scale shape: the candidate shuffle carries `rows × bands` slim
+  * (band, fp, id) tuples (≤ 24 bytes each — payload bytes never reach
+  * this operator; fingerprinting already reduced them to 8 bytes/row in
+  * the scan stage). Pathological buckets — constant-background images,
+  * silence-heavy audio — are dropped WHOLE under a named
+  * [[graft.operators.SkewCap]] counter: bounded and observable, never a
+  * silent quadratic. Bucket sizes are counted FIRST (count-only
+  * buffers), the cap verdict is taken on the counts, and only then are
+  * member lists aggregated over rows a semi-join has already restricted
+  * to surviving buckets — collecting members before capping would
+  * materialize a pathological bucket's entire multi-GB list in one
+  * non-spillable aggregation row exactly on the corpora the cap exists
+  * for.
+  */
+private[multimodal] object BandedHamming {
+
+  /** Disjoint bit-bands of a fingerprint column, band index salted in
+    * (masked with bitwiseAND, not `%` — the SimHash sign-bit lesson).
+    */
+  private def bandStructs(fp: Column, bands: Int): Column = {
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    array((0 until bands).map { i =>
+      struct(lit(i).as("i"),
+        shiftrightunsigned(fp, i * width).bitwiseAND(lit(mask)).as("v"))
+    }: _*)
+  }
+
+  /** Near-dup pairs (id1 < id2, Hamming <= maxHamming) from an
+    * (idCol, fp) fingerprint table; `op` names the SkewCap counter the
+    * caller's modality owns. Output: (id1, id2, hamming).
+    */
+  def pairs(fps: DataFrame, idCol: String, maxHamming: Int, bands: Int,
+            maxBucketSize: Int, op: String): DataFrame = {
+    require(Set(2, 4, 8, 16).contains(bands), s"bands must divide 64: $bands")
+    require(maxHamming >= 0 && maxHamming < bands,
+      s"pigeonhole recall needs maxHamming < bands ($maxHamming/$bands)")
+    val banded = fps
+      .select(col(idCol), col("fp"),
+        explode(bandStructs(col("fp"), bands)).as("__band"))
+    val okBuckets = banded.groupBy(col("__band"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1)
+      .filter(graft.operators.SkewCap
+        .keepBucket(op, maxBucketSize)(col("__n")))
+      .select(col("__band"))
+    banded.join(okBuckets, Seq("__band"), "left_semi")
+      .groupBy(col("__band"))
+      .agg(sort_array(collect_list(struct(col(idCol).as("id"),
+        col("fp")))).as("__m"))
+      .select(col("__m"), explode(col("__m")).as("a"))
+      .select(col("a"),
+        explode(expr("filter(__m, x -> x.id > a.id)")).as("b"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming"))
+      // filter BEFORE distinct (the SimHash ordering): far pairs sharing
+      // one band must not ride the dedup shuffle
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+}

@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Perceptual-hash near-duplicate detection for the image modality — the
@@ -138,18 +138,6 @@ object ImageHash {
       .filter(col("fp").isNotNull)
   }
 
-  /** Disjoint bit-bands of a fingerprint column, band index salted in
-    * (masked with bitwiseAND, not `%` — the SimHash sign-bit lesson).
-    */
-  private def bandStructs(fp: Column, bands: Int): Column = {
-    val width = 64 / bands
-    val mask = if (width == 64) -1L else (1L << width) - 1L
-    array((0 until bands).map { i =>
-      struct(lit(i).as("i"),
-        shiftrightunsigned(fp, i * width).bitwiseAND(lit(mask)).as("v"))
-    }: _*)
-  }
-
   /** Near-dup image pairs (id1 < id2) with Hamming(fp1, fp2) <=
     * maxHamming, from a [[fingerprints]] table. Recall is exact while
     * `maxHamming < bands` (pigeonhole over disjoint bands); the default
@@ -159,43 +147,12 @@ object ImageHash {
     * (constant-background mega-clusters) are dropped whole under the
     * `"image_phash"` [[graft.operators.SkewCap]] counter — the same
     * observable cap as the MinHash/cosine siblings. Output:
-    * (id1, id2, hamming).
+    * (id1, id2, hamming). Pairing machinery shared with the audio
+    * modality: [[BandedHamming.pairs]].
     */
   def nearDupPairs(fps: DataFrame, idCol: String,
                    maxHamming: Int = 3, bands: Int = 4,
-                   maxBucketSize: Int = 100000): DataFrame = {
-    require(Set(2, 4, 8, 16).contains(bands), s"bands must divide 64: $bands")
-    require(maxHamming >= 0 && maxHamming < bands,
-      s"pigeonhole recall needs maxHamming < bands ($maxHamming/$bands)")
-    val banded = fps
-      .select(col(idCol), col("fp"),
-        explode(bandStructs(col("fp"), bands)).as("__band"))
-    // bucket sizes FIRST (count-only buffers — tiny), the cap verdict on
-    // the counts, and only then the member-list aggregation over rows a
-    // semi-join has already restricted to surviving buckets: collecting
-    // members before capping would materialize a pathological bucket's
-    // ENTIRE multi-GB list in one non-spillable aggregation row exactly
-    // on the constant-background corpora the cap exists for. Costs one
-    // extra shuffle of the slim (id, fp, band) rows; every shuffled row
-    // stays ≤ 24 bytes.
-    val okBuckets = banded.groupBy(col("__band"))
-      .agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > 1)
-      .filter(graft.operators.SkewCap
-        .keepBucket("image_phash", maxBucketSize)(col("__n")))
-      .select(col("__band"))
-    banded.join(okBuckets, Seq("__band"), "left_semi")
-      .groupBy(col("__band"))
-      .agg(sort_array(collect_list(struct(col(idCol).as("id"),
-        col("fp")))).as("__m"))
-      .select(col("__m"), explode(col("__m")).as("a"))
-      .select(col("a"),
-        explode(expr("filter(__m, x -> x.id > a.id)")).as("b"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"),
-        bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming"))
-      // filter BEFORE distinct (the SimHash ordering): far pairs sharing
-      // one band must not ride the dedup shuffle
-      .filter(col("hamming") <= maxHamming)
-      .distinct()
-  }
+                   maxBucketSize: Int = 100000): DataFrame =
+    BandedHamming.pairs(fps, idCol, maxHamming, bands, maxBucketSize,
+      "image_phash")
 }

@@ -9,11 +9,12 @@ import org.apache.spark.sql.types._
   * for decode / feature-extract / resize / frame-sample.
   *
   * `Codecs` implements the container formats from their public specs:
-  * PNG/JPEG/GIF header dimension parsing and RIFF/WAVE PCM decode (plus the
-  * matching minimal writers for planting test payloads). Pixel/DCT decode
-  * and video demux stay deterministic stand-ins — those belong to a batch
-  * media library behind the same per-partition seam. The Spark-side
-  * contract (schema, partitioning, batch shape) is real:
+  * PNG/JPEG/GIF header dimension parsing, RIFF/WAVE PCM decode and
+  * RIFF/AVI frame demux (plus the matching minimal writers for planting
+  * test payloads). Pixel/DCT decode stays a deterministic stand-in —
+  * that belongs to a batch media library behind the same per-partition
+  * seam. The Spark-side contract (schema, partitioning, batch shape) is
+  * real:
   *  - media rows flow as `Dataset[MediaRow]` (binary + metadata struct);
   *  - transforms run via `mapPartitions`, amortizing per-batch codec setup
   *    exactly like an Arrow-batch UDF would — one codec instance per
@@ -52,11 +53,11 @@ object Multimodal {
     * PNG (RFC 2083 §3: 8-byte signature, IHDR first chunk, big-endian
     * dims), JPEG (ISO/IEC 10918 SOFn segment carries precision, height,
     * width), GIF (87a/89a logical screen descriptor, little-endian dims)
-    * and RIFF/WAVE canonical PCM (fmt + data chunks, little-endian).
-    * Deep decode (DEFLATE pixel data, DCT) stays out of scope — a training
-    * pipeline shards on dimensions/duration and hands pixel decode to a
-    * batch library; frame extraction for video remains a deterministic
-    * stand-in ([[Codecs.frameOffsets]]).
+    * and RIFF/WAVE canonical PCM (fmt + data chunks, little-endian),
+    * plus RIFF/AVI frame demux ([[decodeAviFrames]]) and full PNG pixel
+    * decode ([[decodePngGray]]). DCT decode stays out of scope: a
+    * training pipeline shards on dimensions/duration and hands JPEG
+    * pixel decode to a batch library.
     */
   object Codecs {
 
@@ -157,6 +158,78 @@ object Multimodal {
       }
       if (fmtOk && pcm != null && (bits == 8 || bits == 16))
         Some(WavAudio(sr, ch, bits, pcm))
+      else None
+    }
+
+    /** One demuxed video frame: byte extent of the chunk payload inside
+      * the container, and whether the chunk id marks an uncompressed
+      * (keyframe-by-convention, `..db`) frame vs a compressed delta
+      * (`..dc`).
+      */
+    final case class AviFrameRef(index: Int, offset: Long, length: Int,
+                                 keyframe: Boolean)
+    final case class AviVideo(width: Int, height: Int, totalFrames: Int,
+                              microSecPerFrame: Int,
+                              frames: Array[AviFrameRef])
+
+    /** RIFF/AVI demux (the video analogue of [[decodeWavPcm]], from the
+      * public AVI RIFF form: `RIFF('AVI ' LIST('hdrl' avih …)
+      * LIST('movi' ##db/##dc …))`). Walks the top-level chunk list in
+      * any order, reads the main header (`avih`: frame period, declared
+      * frame count, dims) and indexes every video frame chunk in the
+      * `movi` list — id `NNdb`/`NNdc` with decimal stream digits — as a
+      * byte extent. Frame BYTES stay opaque (pixel/DCT decode belongs
+      * to a batch media library behind this seam); the demux itself —
+      * what a pipeline shards, samples and checksums on — is real.
+      * Chunk lengths are attacker-controlled: negative or
+      * beyond-payload lengths refuse the whole payload (same contract
+      * as the WAV walker), so a malformed row can't loop or overrun.
+      */
+    def decodeAviFrames(b: Array[Byte]): Option[AviVideo] = {
+      if (b == null || b.length < 12 ||
+        new String(b, 0, 4, "US-ASCII") != "RIFF" ||
+        new String(b, 8, 4, "US-ASCII") != "AVI ") return None
+      var width = 0; var height = 0; var total = 0; var uspf = 0
+      var sawAvih = false; var sawMovi = false
+      val frames = scala.collection.mutable.ArrayBuffer.empty[AviFrameRef]
+      def isDigit(c: Byte): Boolean = c >= '0' && c <= '9'
+      var i = 12
+      while (i + 8 <= b.length) {
+        val cid = new String(b, i, 4, "US-ASCII")
+        val len = le32(b, i + 4)
+        // a declared extent past the real payload means truncation or a
+        // crafted length — refuse whole rather than demux partial frames
+        if (len < 0 || i + 8 + len > b.length) return None
+        if (cid == "LIST" && len >= 4) {
+          val listType = new String(b, i + 8, 4, "US-ASCII")
+          val listEnd = i + 8 + len
+          var j = i + 12
+          while (j + 8 <= listEnd) {
+            val sid = new String(b, j, 4, "US-ASCII")
+            val slen = le32(b, j + 4)
+            if (slen < 0 || j + 8 + slen > listEnd) return None
+            if (listType == "hdrl" && sid == "avih" &&
+              j + 8 + 40 <= listEnd) {
+              uspf = le32(b, j + 8)
+              total = le32(b, j + 8 + 16)
+              width = le32(b, j + 8 + 32)
+              height = le32(b, j + 8 + 36)
+              sawAvih = true
+            } else if (listType == "movi" && sid.length == 4 &&
+              isDigit(b(j)) && isDigit(b(j + 1)) && b(j + 2) == 'd' &&
+              (b(j + 3) == 'b' || b(j + 3) == 'c') &&
+              j + 8 + slen <= listEnd) {
+              frames += AviFrameRef(frames.length, (j + 8).toLong, slen,
+                keyframe = b(j + 3) == 'b')
+            }
+            j += 8 + slen + (slen & 1)
+          }
+          if (listType == "movi") sawMovi = true
+        }
+        i += 8 + len + (len & 1)
+      }
+      if (sawAvih && sawMovi)
+        Some(AviVideo(width, height, total, uspf, frames.toArray))
       else None
     }
 
@@ -377,12 +450,45 @@ object Multimodal {
       Array.tabulate(maxBytes)(i => payload((i * step).toInt))
     }
 
-    /** "Frame-sample": split payload into nFrames equal slices, return the
-      * first byte offset of each (a stand-in for video keyframe indices).
+    /** "Frame-sample" over an UNRECOGNIZED container: split payload into
+      * nFrames equal slices, return the first byte offset of each (the
+      * fallback where [[decodeAviFrames]] has no real chunk index).
       */
     def frameOffsets(payload: Array[Byte], nFrames: Int): Array[Long] = {
       if (payload == null || payload.isEmpty) return Array.empty
       Array.tabulate(nFrames)(i => (i.toLong * payload.length) / nFrames)
+    }
+
+    /** Minimal structurally-valid AVI for planting test payloads: one
+      * video stream, frame 0 as an uncompressed `00db` keyframe, the
+      * rest `00dc`, word-aligned chunks, truthful avih totals —
+      * [[decodeAviFrames]] round-trips it exactly.
+      */
+    def aviBytes(width: Int, height: Int, microSecPerFrame: Int,
+                 frames: Seq[Array[Byte]]): Array[Byte] = {
+      val hdrlLen = 4 + 8 + 56 // "hdrl" + avih chunk
+      val moviLen = 4 + frames.map(f => 8 + f.length + (f.length & 1)).sum
+      val riffLen = 4 + (8 + hdrlLen) + (8 + moviLen)
+      val out = java.nio.ByteBuffer.allocate(8 + riffLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes("US-ASCII")).putInt(riffLen)
+      out.put("AVI ".getBytes("US-ASCII"))
+      out.put("LIST".getBytes("US-ASCII")).putInt(hdrlLen)
+      out.put("hdrl".getBytes("US-ASCII"))
+      out.put("avih".getBytes("US-ASCII")).putInt(56)
+      out.putInt(microSecPerFrame).putInt(0).putInt(0).putInt(0)
+      out.putInt(frames.length).putInt(0).putInt(1)
+      out.putInt(frames.map(_.length).maxOption.getOrElse(0))
+      out.putInt(width).putInt(height)
+      out.putInt(0).putInt(0).putInt(0).putInt(0) // dwReserved[4]
+      out.put("LIST".getBytes("US-ASCII")).putInt(moviLen)
+      out.put("movi".getBytes("US-ASCII"))
+      frames.zipWithIndex.foreach { case (f, i) =>
+        out.put((if (i == 0) "00db" else "00dc").getBytes("US-ASCII"))
+        out.putInt(f.length).put(f)
+        if ((f.length & 1) == 1) out.put(0.toByte)
+      }
+      out.array()
     }
 
     def checksum(payload: Array[Byte]): Long = {
@@ -413,6 +519,51 @@ object Multimodal {
           Codecs.decodeFeatures(r.payload, nBins))
       }
     }
+  }
+
+  /** One demuxed-and-checksummed frame row from [[videoFrames]]. */
+  final case class VideoFrameRow(frameIdx: Int, offset: Long, len: Long,
+                                 keyframe: Boolean, crc32: Long)
+
+  /** Per-frame demux table over a video payload column: one row per
+    * frame chunk with its byte extent, keyframe flag and CRC-32 — the
+    * facts a training pipeline shards, dedups and frame-samples on.
+    * One scan-stage pass (DETERMINISTIC udf + explode — the payload
+    * bytes are consumed where they are read and never shuffle; a
+    * downstream `groupBy(id)` aggregates ~32-byte frame rows).
+    * Payloads that don't demux ([[Codecs.decodeAviFrames]] = None)
+    * produce no rows. Output: (id, frame_idx, offset, len, keyframe,
+    * crc32).
+    */
+  def videoFrames(media: DataFrame, idCol: String,
+                  payloadCol: String): DataFrame = {
+    val kernel = udf { payload: Array[Byte] =>
+      Codecs.decodeAviFrames(payload) match {
+        case None => Seq.empty[VideoFrameRow]
+        case Some(v) => v.frames.toSeq.map { f =>
+          val crc = new java.util.zip.CRC32()
+          crc.update(payload, f.offset.toInt, f.length)
+          VideoFrameRow(f.index, f.offset, f.length.toLong, f.keyframe,
+            crc.getValue)
+        }
+      }
+    }
+    media
+      .select(col(idCol), explode(kernel(col(payloadCol))).as("__f"))
+      .select(col(idCol), col("__f.frameIdx").as("frame_idx"),
+        col("__f.offset").as("offset"), col("__f.len").as("len"),
+        col("__f.keyframe").as("keyframe"), col("__f.crc32").as("crc32"))
+  }
+
+  /** Every-`every`-th frame of each video (frame 0 always kept) — the
+    * frame-sampling step of a multimodal ingest, as a filter over the
+    * real demux index.
+    */
+  def sampleFrames(media: DataFrame, idCol: String, payloadCol: String,
+                   every: Int): DataFrame = {
+    require(every >= 1, s"every must be >= 1, got $every")
+    videoFrames(media, idCol, payloadCol)
+      .filter(col("frame_idx") % every === 0)
   }
 
   /** Size-balanced repartitioning for heavy-tailed payloads: hash of id,

@@ -345,4 +345,18 @@ class PlanSpec extends SparkSpec {
     assert(!exchanges.exists(_.toLowerCase.contains("binary")),
       exchanges.mkString("\n"))
   }
+
+  test("audio fingerprint: the WAV payload never enters an exchange — " +
+    "same scan-stage reduction and banded pairing contract as q112") {
+    val p = SparkEntry.queries("q113_audio_fingerprint")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("payload#")),
+      exchanges.mkString("\n"))
+    assert(!exchanges.exists(_.toLowerCase.contains("binary")),
+      exchanges.mkString("\n"))
+  }
 }

@@ -1,0 +1,141 @@
+package graft.multimodal
+
+import graft.SparkSpec
+
+/** Acoustic fingerprinting end-to-end: real WAV encode → real RIFF/PCM
+  * decode → exact integer envelope hashes → banded Hamming-bucket
+  * pairing (the audio counterpart of [[ImageHashSpec]]).
+  */
+class AudioHashSpec extends SparkSpec {
+  import spark.implicits._
+  import Multimodal.Codecs
+
+  /** Deterministic base waveform, samples in [0, 1000) so ×31 gain
+    * never clips int16.
+    */
+  private def lcgPcm(seed: Long, n: Int, gain: Int = 1): Array[Short] = {
+    var s = seed
+    Array.fill(n) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      (((s >>> 40) % 1000).toInt * gain).toShort
+    }
+  }
+
+  test("envHash: silence hashes to 0, rising envelope to 0, falling " +
+    "envelope to -1, window semantics hand-checked at L=2") {
+    assert(AudioHash.envHash64(Array.fill[Short](130)(0)) == 0L)
+    // window i (L=2) holds samples {2i, 2i+1}: amplitude i → energy
+    // 2i², strictly rising → no bit; reversed → every bit
+    val rising = Array.tabulate[Short](130)(j => (j / 2).toShort)
+    assert(AudioHash.envHash64(rising) == 0L)
+    assert(AudioHash.envHash64(rising.reverse) == -1L)
+    // one spike in window 3 only: the rising edge (E2 > E3 is false)
+    // sets nothing, the falling edge (E3 > E4) sets exactly bit 3
+    val spike = new Array[Short](130)
+    spike(6) = 100 // sample 6 → window 3
+    assert(AudioHash.envHash64(spike) == (1L << 3))
+  }
+
+  test("envHash: exact gain invariance, trailing-remainder invariance, " +
+    "mono→interleaved-dub invariance") {
+    val base = lcgPcm(42L, 65 * 10)
+    val h = AudioHash.envHash64(base)
+    for (g <- Seq(2, 7, 31))
+      assert(AudioHash.envHash64(base.map(v => (v * g).toShort)) == h,
+        s"gain x$g moved the hash")
+    // < 65 appended samples never reach a window (L unchanged)
+    assert(AudioHash.envHash64(base ++ Array.fill[Short](64)(32000)) == h)
+    // L=R stereo dub: windows stay aligned (2n = 65·2L), every energy
+    // doubles uniformly
+    assert(AudioHash.envHash64(base.flatMap(v => Array(v, v))) == h)
+  }
+
+  test("fluxHash: silence and linear-energy ramps hash to 0, convex " +
+    "envelope to -1, gain-invariant") {
+    assert(AudioHash.fluxHash64(Array.fill[Short](66)(0)) == 0L)
+    // L=1, samples = amplitude i: E(i) = i², second difference
+    // (2i+3) > (2i+1) everywhere → all bits
+    val convex = Array.tabulate[Short](66)(i => i.toShort)
+    assert(AudioHash.fluxHash64(convex) == -1L)
+    // the linear-energy case integer samples can actually realize is
+    // slope 0 (E(i) = i·c needs non-integer √(ic) samples otherwise);
+    // the general additive-drift invariance is the scaladoc's analytic
+    // argument — both difference sides shift by the same constant
+    val flat = Array.fill[Short](66)(500)
+    assert(AudioHash.fluxHash64(flat) == 0L)
+    val base = lcgPcm(7L, 66 * 4)
+    for (g <- Seq(3, 11))
+      assert(AudioHash.fluxHash64(base.map(v => (v * g).toShort)) ==
+        AudioHash.fluxHash64(base), s"gain x$g moved the flux hash")
+  }
+
+  test("fingerprints: undecodable, truncated and too-short payloads " +
+    "produce no row; both methods fingerprint a real WAV") {
+    val ok = Codecs.wavBytes(8000, lcgPcm(1L, 650))
+    val short = Codecs.wavBytes(8000, lcgPcm(1L, 64))
+    val garbage = Array.fill[Byte](200)(0x5a)
+    val media = Seq(
+      (1L, ok), (2L, short), (3L, garbage), (4L, null)
+    ).toDF("id", "payload")
+    for (m <- Seq("env", "flux")) {
+      val fps = AudioHash.fingerprints(media, "id", "payload", m)
+        .collect()
+      assert(fps.map(_.getLong(0)).toSeq == Seq(1L), s"method $m")
+    }
+    intercept[IllegalArgumentException] {
+      AudioHash.fingerprints(media, "id", "payload", "spectral")
+    }
+  }
+
+  test("nearDupPairs: exact recall at <= 3 bits vs brute force, " +
+    "acoustic (not byte) identity through the real WAV pipeline, " +
+    "oversized buckets observable via the audio_fp SkewCap") {
+    // 6 groups of 4: members are gain-scaled copies of the group base
+    // (hamming 0 to each other, byte-distinct payloads)
+    val media = (0L until 24L).map { k =>
+      val pcm = lcgPcm((k % 6) * 1000003L + 5L, 650, (k / 6).toInt + 1)
+      (k, Codecs.wavBytes(8000, pcm))
+    }.toDF("id", "payload")
+    val fps = AudioHash.fingerprints(media, "id", "payload")
+      .localCheckpoint(true)
+    val fpMap = fps.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fpMap.size == 24)
+    assert((0L until 6L).forall(g =>
+      (g until 24L by 6L).map(fpMap).toSet.size == 1))
+    val got = AudioHash.nearDupPairs(fps, "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = (for {
+      i <- 0L until 24L; j <- (i + 1) until 24L
+      d = java.lang.Long.bitCount(fpMap(i) ^ fpMap(j))
+      if d <= 3
+    } yield (i, j, d)).toSet
+    assert(got == brute)
+    assert(got.size == 6 * 6) // C(4,2) per group
+    assert(got.forall(_._3 == 0))
+    val before = graft.operators.SkewCap.dropped("audio_fp")
+    assert(AudioHash.nearDupPairs(fps, "id", maxBucketSize = 1)
+      .count() == 0L)
+    val after = graft.operators.SkewCap.dropped("audio_fp")
+    assert(after.buckets > before.buckets && after.rows > before.rows)
+  }
+
+  test("q113 oracle validity: the 20 planted group fingerprints are " +
+    "pairwise > 3 bits apart (no spurious cross-group pair at any SF), " +
+    "members are byte-distinct with identical hashes") {
+    // group waveforms depend on the group id only, so this pins the
+    // closed-form oracle for EVERY scale factor at once
+    def fpOf(k: Long): Long = {
+      val w = Codecs.decodeWavPcm(graft.SparkEntry.q113Wav(k)).get
+      AudioHash.envHash64(w.pcm)
+    }
+    val groups = (0L until 20L).map(fpOf)
+    val minDist = (for {
+      i <- 0 until 20; j <- (i + 1) until 20
+    } yield java.lang.Long.bitCount(groups(i) ^ groups(j))).min
+    assert(minDist > 3, s"closest group pair at $minDist bits")
+    // gain-scaled members: same hash, different bytes
+    assert(fpOf(1L) == fpOf(21L) && fpOf(1L) == fpOf(41L))
+    assert(!graft.SparkEntry.q113Wav(1L)
+      .sameElements(graft.SparkEntry.q113Wav(21L)))
+  }
+}

@@ -1,0 +1,108 @@
+package graft.multimodal
+
+import graft.SparkSpec
+
+/** RIFF/AVI frame demux end-to-end: real container write → real chunk
+  * walk → per-frame byte extents/CRCs → frame sampling (the video
+  * counterpart of the WAV and PNG codec specs).
+  */
+class VideoDemuxSpec extends SparkSpec {
+  import spark.implicits._
+  import Multimodal.Codecs
+
+  private def lcgBytes(seed: Long, n: Int): Array[Byte] = {
+    var s = seed
+    Array.fill(n) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      ((s >>> 33) & 0xff).toByte
+    }
+  }
+
+  test("AVI round-trip: header fields, frame extents, keyframe flags " +
+    "and word alignment are exact") {
+    // odd AND even frame lengths so the pad path is exercised
+    val frames = Seq(lcgBytes(1L, 101), lcgBytes(2L, 64), lcgBytes(3L, 33))
+    val avi = Codecs.aviBytes(320, 240, 33333, frames)
+    val v = Codecs.decodeAviFrames(avi).get
+    assert(v.width == 320 && v.height == 240)
+    assert(v.totalFrames == 3 && v.microSecPerFrame == 33333)
+    assert(v.frames.length == 3)
+    assert(v.frames.map(_.index).toSeq == Seq(0, 1, 2))
+    assert(v.frames.map(_.length).toSeq == Seq(101, 64, 33))
+    // frame 0 is the 00db keyframe, the rest 00dc deltas
+    assert(v.frames.map(_.keyframe).toSeq == Seq(true, false, false))
+    // offsets point at the EXACT planted bytes
+    v.frames.zip(frames).foreach { case (f, orig) =>
+      val got = java.util.Arrays.copyOfRange(avi, f.offset.toInt,
+        f.offset.toInt + f.length)
+      assert(got.sameElements(orig), s"frame ${f.index}")
+    }
+    // an empty movi still demuxes (zero frames, header intact)
+    val empty = Codecs.decodeAviFrames(
+      Codecs.aviBytes(16, 16, 40000, Seq.empty)).get
+    assert(empty.totalFrames == 0 && empty.frames.isEmpty)
+  }
+
+  test("malformed payloads refuse instead of looping or overrunning: " +
+    "truncation, negative chunk length, wrong RIFF form, garbage") {
+    val avi = Codecs.aviBytes(320, 240, 33333,
+      Seq(lcgBytes(1L, 80), lcgBytes(2L, 80)))
+    // truncation INTO the movi list drops the payload whole
+    assert(Codecs.decodeAviFrames(avi.take(avi.length - 50)).isEmpty)
+    // a negative top-level chunk length (crafted) refuses
+    val neg = avi.clone()
+    neg(16) = 0xff.toByte; neg(17) = 0xff.toByte
+    neg(18) = 0xff.toByte; neg(19) = 0xff.toByte
+    assert(Codecs.decodeAviFrames(neg).isEmpty)
+    // a WAV is RIFF but not AVI; garbage is not RIFF; null is null
+    assert(Codecs.decodeAviFrames(
+      Codecs.wavBytes(8000, Array.fill[Short](100)(5))).isEmpty)
+    assert(Codecs.decodeAviFrames(Array.fill[Byte](64)(0x41)).isEmpty)
+    assert(Codecs.decodeAviFrames(null).isEmpty)
+  }
+
+  test("videoFrames: one row per frame with independent CRC parity; " +
+    "undecodable payloads produce no rows; sampleFrames keeps every " +
+    "Nth index") {
+    val perKey = Map(
+      1L -> Seq(lcgBytes(11L, 120), lcgBytes(12L, 55), lcgBytes(13L, 77),
+        lcgBytes(14L, 60)),
+      2L -> Seq(lcgBytes(21L, 90)),
+      3L -> Seq.empty[Array[Byte]])
+    val media = (perKey.toSeq.map { case (id, fs) =>
+      (id, Codecs.aviBytes(64, 64, 33333, fs))
+    } :+ (9L, Array.fill[Byte](100)(0x7f.toByte)))
+      .toDF("id", "payload")
+    val rows = Multimodal.videoFrames(media, "id", "payload")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(3), r.getBoolean(4), r.getLong(5))).toMap
+    assert(rows.size == 5) // 4 + 1 + 0 frames, garbage id 9 absent
+    perKey.foreach { case (id, fs) =>
+      fs.zipWithIndex.foreach { case (f, i) =>
+        val crc = new java.util.zip.CRC32()
+        crc.update(f)
+        assert(rows((id, i)) == ((f.length.toLong, i == 0, crc.getValue)),
+          s"id=$id frame=$i")
+      }
+    }
+    val sampled = Multimodal.sampleFrames(media, "id", "payload", 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(sampled == Set((1L, 0), (1L, 2), (2L, 0)))
+    intercept[IllegalArgumentException] {
+      Multimodal.sampleFrames(media, "id", "payload", 0)
+    }
+  }
+
+  test("q114 fixture arithmetic: the planted AVI demuxes to exactly " +
+    "the closed-form frame counts and sizes the oracle replays") {
+    for (k <- Seq(1L, 7L, 13L, 100L)) {
+      val v = Codecs.decodeAviFrames(graft.SparkEntry.q114Avi(k)).get
+      assert(v.frames.length == (k % 7 + 1).toInt, s"k=$k")
+      v.frames.foreach { f =>
+        assert(f.length == (100 + ((k * 31 + f.index * 17) % 50)).toInt,
+          s"k=$k frame=${f.index}")
+      }
+    }
+  }
+}
