@@ -2336,7 +2336,10 @@ object SparkEntry {
       val media = t(s, dir, "supplier").select(col("s_suppkey")).as[Long]
         .map(k => (k, q114Avi(k)))
         .toDF("id", "payload")
-      multimodal.Multimodal.videoFrames(media, "id", "payload")
+      // withCrc=false: the aggregation reads only the chunk index, so
+      // the scan stage skips the full-payload hash pass
+      multimodal.Multimodal.videoFrames(media, "id", "payload",
+          withCrc = false)
         .groupBy(col("id"))
         .agg(count(lit(1)).as("n_frames"),
           count(when(col("frame_idx") % 2 === 0, 1)).as("sampled_frames"),

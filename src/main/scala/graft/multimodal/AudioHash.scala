@@ -28,11 +28,14 @@ import org.apache.spark.sql.functions._
   *
   * Both are EXACTLY invariant under uniform gain (s → g·s without
   * clipping scales every E(i) by g², preserving >, =, < — the integer
-  * analogue of loudness normalization), under trailing-remainder edits
-  * (< 65 appended samples leave every window untouched), and
-  * channel-agnostic (energy is summed over the interleaved stream, so
-  * mono and its L=R stereo dub differ only by the uniform factor 2 when
-  * window boundaries align).
+  * analogue of loudness normalization), under trailing edits that keep
+  * the integer window length ⌊n/W⌋ unchanged — i.e. appending
+  * m < W − (n mod W) samples (W = 65 or 66 windows) lands entirely in
+  * the ignored remainder; a longer append re-divides the clip and may
+  * move bits, which is the fingerprint tracking a genuinely different
+  * envelope, not noise — and channel-agnostic (energy is summed over
+  * the interleaved stream, so mono and its L=R stereo dub differ only
+  * by the uniform factor 2 when window boundaries align).
   *
   * PCM comes from the REAL container decode
   * ([[Multimodal.Codecs.decodeWavPcm]] — RIFF chunk walk, 8/16-bit

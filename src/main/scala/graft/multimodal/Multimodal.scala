@@ -178,53 +178,80 @@ object Multimodal {
       * any order, reads the main header (`avih`: frame period, declared
       * frame count, dims) and indexes every video frame chunk in the
       * `movi` list — id `NNdb`/`NNdc` with decimal stream digits — as a
-      * byte extent. Frame BYTES stay opaque (pixel/DCT decode belongs
-      * to a batch media library behind this seam); the demux itself —
-      * what a pipeline shards, samples and checksums on — is real.
-      * Chunk lengths are attacker-controlled: negative or
-      * beyond-payload lengths refuse the whole payload (same contract
-      * as the WAV walker), so a malformed row can't loop or overrun.
+      * byte extent. Interleaved AVIs group frame chunks inside
+      * `LIST('rec ')` children of movi (the VfW muxer's record form);
+      * the walk descends exactly one level into those, per the public
+      * form (rec lists don't nest). Frame BYTES stay opaque (pixel/DCT
+      * decode belongs to a batch media library behind this seam); the
+      * demux itself — what a pipeline shards, samples and checksums
+      * on — is real. Chunk lengths are attacker-controlled: negative
+      * or beyond-extent lengths refuse the whole payload (same
+      * contract as the WAV walker), and every bounds check compares
+      * against the REMAINING extent — never `pos + len`, which wraps
+      * negative for lengths near 2^31 and would let a crafted chunk
+      * through to an out-of-bounds read.
       */
     def decodeAviFrames(b: Array[Byte]): Option[AviVideo] = {
       if (b == null || b.length < 12 ||
         new String(b, 0, 4, "US-ASCII") != "RIFF" ||
         new String(b, 8, 4, "US-ASCII") != "AVI ") return None
       var width = 0; var height = 0; var total = 0; var uspf = 0
-      var sawAvih = false; var sawMovi = false
+      var sawAvih = false; var sawMovi = false; var bad = false
       val frames = scala.collection.mutable.ArrayBuffer.empty[AviFrameRef]
       def isDigit(c: Byte): Boolean = c >= '0' && c <= '9'
+      // overflow-safe extent check: pos+8 <= end always holds where this
+      // is called, so the subtraction can't go negative while `len`
+      // stays a raw attacker value on the safe side of the comparison
+      def fits(pos: Int, len: Int, end: Int): Boolean =
+        len >= 0 && len <= end - (pos + 8)
+      // index the frame chunks of one movi extent, descending once into
+      // LIST('rec ') groups
+      def walkFrames(start: Int, end: Int, depth: Int): Unit = {
+        var j = start
+        while (j + 8 <= end && !bad) {
+          val slen = le32(b, j + 4)
+          if (!fits(j, slen, end)) { bad = true; return }
+          if (depth == 0 && slen >= 4 &&
+            new String(b, j, 4, "US-ASCII") == "LIST" &&
+            new String(b, j + 8, 4, "US-ASCII") == "rec ")
+            walkFrames(j + 12, j + 8 + slen, depth + 1)
+          else if (isDigit(b(j)) && isDigit(b(j + 1)) && b(j + 2) == 'd' &&
+            (b(j + 3) == 'b' || b(j + 3) == 'c'))
+            frames += AviFrameRef(frames.length, (j + 8).toLong, slen,
+              keyframe = b(j + 3) == 'b')
+          j += 8 + slen + (slen & 1)
+        }
+      }
       var i = 12
       while (i + 8 <= b.length) {
         val cid = new String(b, i, 4, "US-ASCII")
         val len = le32(b, i + 4)
-        // a declared extent past the real payload means truncation or a
-        // crafted length — refuse whole rather than demux partial frames
-        if (len < 0 || i + 8 + len > b.length) return None
+        if (!fits(i, len, b.length)) return None
         if (cid == "LIST" && len >= 4) {
           val listType = new String(b, i + 8, 4, "US-ASCII")
           val listEnd = i + 8 + len
-          var j = i + 12
-          while (j + 8 <= listEnd) {
-            val sid = new String(b, j, 4, "US-ASCII")
-            val slen = le32(b, j + 4)
-            if (slen < 0 || j + 8 + slen > listEnd) return None
-            if (listType == "hdrl" && sid == "avih" &&
-              j + 8 + 40 <= listEnd) {
-              uspf = le32(b, j + 8)
-              total = le32(b, j + 8 + 16)
-              width = le32(b, j + 8 + 32)
-              height = le32(b, j + 8 + 36)
-              sawAvih = true
-            } else if (listType == "movi" && sid.length == 4 &&
-              isDigit(b(j)) && isDigit(b(j + 1)) && b(j + 2) == 'd' &&
-              (b(j + 3) == 'b' || b(j + 3) == 'c') &&
-              j + 8 + slen <= listEnd) {
-              frames += AviFrameRef(frames.length, (j + 8).toLong, slen,
-                keyframe = b(j + 3) == 'b')
+          if (listType == "hdrl") {
+            var j = i + 12
+            while (j + 8 <= listEnd) {
+              val sid = new String(b, j, 4, "US-ASCII")
+              val slen = le32(b, j + 4)
+              if (!fits(j, slen, listEnd)) return None
+              // the header must DECLARE its 40 field bytes — a shorter
+              // avih would silently read the next chunk's bytes as dims
+              if (sid == "avih" && slen >= 40) {
+                uspf = le32(b, j + 8)
+                total = le32(b, j + 8 + 16)
+                width = le32(b, j + 8 + 32)
+                height = le32(b, j + 8 + 36)
+                sawAvih = true
+              }
+              j += 8 + slen + (slen & 1)
             }
-            j += 8 + slen + (slen & 1)
+          } else if (listType == "movi") {
+            walkFrames(i + 12, listEnd, 0)
+            if (bad) return None
+            sawMovi = true
           }
-          if (listType == "movi") sawMovi = true
         }
         i += 8 + len + (len & 1)
       }
@@ -526,43 +553,64 @@ object Multimodal {
                                  keyframe: Boolean, crc32: Long)
 
   /** Per-frame demux table over a video payload column: one row per
-    * frame chunk with its byte extent, keyframe flag and CRC-32 — the
-    * facts a training pipeline shards, dedups and frame-samples on.
-    * One scan-stage pass (DETERMINISTIC udf + explode — the payload
-    * bytes are consumed where they are read and never shuffle; a
-    * downstream `groupBy(id)` aggregates ~32-byte frame rows).
+    * frame chunk with its byte extent, keyframe flag and — when
+    * `withCrc` — a CRC-32 of the frame bytes (the dedup/integrity
+    * fact). `withCrc = false` drops the crc32 column AND the hash pass
+    * over the payload: counting/sampling consumers read only the chunk
+    * index, and Catalyst can't prune work inside a udf, so the skip
+    * must be explicit (for real multi-GB videos the checksum pass is
+    * the dominant scan-stage cost).
+    * One scan-stage pass either way (DETERMINISTIC udf + explode — the
+    * payload bytes are consumed where they are read and never shuffle;
+    * a downstream `groupBy(id)` aggregates ~32-byte frame rows).
     * Payloads that don't demux ([[Codecs.decodeAviFrames]] = None)
-    * produce no rows. Output: (id, frame_idx, offset, len, keyframe,
-    * crc32).
+    * produce no rows. Output: (id, frame_idx, offset, len, keyframe
+    * [, crc32]).
     */
-  def videoFrames(media: DataFrame, idCol: String,
-                  payloadCol: String): DataFrame = {
-    val kernel = udf { payload: Array[Byte] =>
-      Codecs.decodeAviFrames(payload) match {
-        case None => Seq.empty[VideoFrameRow]
-        case Some(v) => v.frames.toSeq.map { f =>
-          val crc = new java.util.zip.CRC32()
-          crc.update(payload, f.offset.toInt, f.length)
-          VideoFrameRow(f.index, f.offset, f.length.toLong, f.keyframe,
-            crc.getValue)
+  def videoFrames(media: DataFrame, idCol: String, payloadCol: String,
+                  withCrc: Boolean = true): DataFrame = {
+    val base =
+      if (withCrc) {
+        val kernel = udf { payload: Array[Byte] =>
+          Codecs.decodeAviFrames(payload) match {
+            case None => Seq.empty[VideoFrameRow]
+            case Some(v) => v.frames.toSeq.map { f =>
+              val crc = new java.util.zip.CRC32()
+              crc.update(payload, f.offset.toInt, f.length)
+              VideoFrameRow(f.index, f.offset, f.length.toLong, f.keyframe,
+                crc.getValue)
+            }
+          }
         }
+        media.select(col(idCol), explode(kernel(col(payloadCol))).as("__f"))
+      } else {
+        val kernel = udf { payload: Array[Byte] =>
+          Codecs.decodeAviFrames(payload) match {
+            case None => Seq.empty[(Int, Long, Long, Boolean)]
+            case Some(v) => v.frames.toSeq.map(f =>
+              (f.index, f.offset, f.length.toLong, f.keyframe))
+          }
+        }
+        media.select(col(idCol), explode(kernel(col(payloadCol))).as("__t"))
+          .select(col(idCol), struct(col("__t._1").as("frameIdx"),
+            col("__t._2").as("offset"), col("__t._3").as("len"),
+            col("__t._4").as("keyframe")).as("__f"))
       }
-    }
-    media
-      .select(col(idCol), explode(kernel(col(payloadCol))).as("__f"))
-      .select(col(idCol), col("__f.frameIdx").as("frame_idx"),
-        col("__f.offset").as("offset"), col("__f.len").as("len"),
-        col("__f.keyframe").as("keyframe"), col("__f.crc32").as("crc32"))
+    val cols = Seq(col(idCol), col("__f.frameIdx").as("frame_idx"),
+      col("__f.offset").as("offset"), col("__f.len").as("len"),
+      col("__f.keyframe").as("keyframe")) ++
+      (if (withCrc) Seq(col("__f.crc32").as("crc32")) else Nil)
+    base.select(cols: _*)
   }
 
   /** Every-`every`-th frame of each video (frame 0 always kept) — the
     * frame-sampling step of a multimodal ingest, as a filter over the
-    * real demux index.
+    * real demux index. Index-only: skips the CRC pass.
     */
   def sampleFrames(media: DataFrame, idCol: String, payloadCol: String,
                    every: Int): DataFrame = {
     require(every >= 1, s"every must be >= 1, got $every")
-    videoFrames(media, idCol, payloadCol)
+    videoFrames(media, idCol, payloadCol, withCrc = false)
       .filter(col("frame_idx") % every === 0)
   }
 

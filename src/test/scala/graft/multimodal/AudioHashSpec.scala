@@ -50,6 +50,23 @@ class AudioHashSpec extends SparkSpec {
     assert(AudioHash.envHash64(base.flatMap(v => Array(v, v))) == h)
   }
 
+  test("envHash tail invariance holds at the documented boundary for " +
+    "non-multiple-of-65 lengths: appends stay invariant exactly while " +
+    "⌊n/65⌋ is unchanged") {
+    // n = 650 + 37: window length 10, remainder 37 — the scaladoc's
+    // condition says appends of m < 65 − 37 = 28 samples land entirely
+    // in the ignored remainder
+    val base = lcgPcm(9L, 65 * 10 + 37)
+    val h = AudioHash.envHash64(base)
+    for (m <- Seq(1, 13, 27))
+      assert(AudioHash.envHash64(base ++ Array.fill[Short](m)(32000)) == h,
+        s"append of $m samples (within the remainder) moved the hash")
+    // at m = 28 the clip re-divides (⌊715/65⌋ = 11): the hash MAY move —
+    // and with a loud tail it does here, pinning that the documented
+    // boundary is tight rather than conservative
+    assert(AudioHash.envHash64(base ++ Array.fill[Short](28)(32000)) != h)
+  }
+
   test("fluxHash: silence and linear-energy ramps hash to 0, convex " +
     "envelope to -1, gain-invariant") {
     assert(AudioHash.fluxHash64(Array.fill[Short](66)(0)) == 0L)

@@ -94,6 +94,106 @@ class VideoDemuxSpec extends SparkSpec {
     }
   }
 
+  test("crafted near-2^31 chunk lengths refuse instead of wrapping the " +
+    "bounds check negative (top-level and inner)") {
+    val avi = Codecs.aviBytes(64, 64, 33333,
+      Seq(lcgBytes(1L, 80), lcgBytes(2L, 80)))
+    def setLen(b: Array[Byte], at: Int, v: Int): Array[Byte] = {
+      val c = b.clone()
+      c(at) = (v & 0xff).toByte; c(at + 1) = ((v >> 8) & 0xff).toByte
+      c(at + 2) = ((v >> 16) & 0xff).toByte; c(at + 3) = (v >>> 24).toByte
+      c
+    }
+    // top-level hdrl LIST length → 0x7FFFFFF0: i + 8 + len wraps
+    // negative, so a naive `> b.length` check would accept it
+    assert(Codecs.decodeAviFrames(setLen(avi, 16, 0x7FFFFFF0)).isEmpty)
+    // inner frame chunk length inside movi → same overflow window; a
+    // bypass would index a ~2 GB frame and crash the CRC pass
+    val frame0 = avi.indexOfSlice("00db".getBytes("US-ASCII"))
+    assert(frame0 > 0)
+    assert(Codecs.decodeAviFrames(setLen(avi, frame0 + 4, 0x7FFFFFF0)).isEmpty)
+  }
+
+  test("interleaved AVIs with LIST('rec ') frame groups inside movi " +
+    "demux to the grouped + trailing frames in order") {
+    val rec = Seq(lcgBytes(31L, 40), lcgBytes(32L, 25))
+    val tail = Seq(lcgBytes(33L, 60))
+    def chunk(out: java.nio.ByteBuffer, id: String, f: Array[Byte]): Unit = {
+      out.put(id.getBytes("US-ASCII")).putInt(f.length).put(f)
+      if ((f.length & 1) == 1) out.put(0.toByte)
+    }
+    val recLen = 4 + rec.map(f => 8 + f.length + (f.length & 1)).sum
+    val moviLen = 4 + (8 + recLen) +
+      tail.map(f => 8 + f.length + (f.length & 1)).sum
+    val hdrlLen = 4 + 8 + 56
+    val riffLen = 4 + (8 + hdrlLen) + (8 + moviLen)
+    val out = java.nio.ByteBuffer.allocate(8 + riffLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(riffLen)
+    out.put("AVI ".getBytes("US-ASCII"))
+    out.put("LIST".getBytes("US-ASCII")).putInt(hdrlLen)
+    out.put("hdrl".getBytes("US-ASCII"))
+    out.put("avih".getBytes("US-ASCII")).putInt(56)
+    out.putInt(33333).putInt(0).putInt(0).putInt(0)
+    out.putInt(3).putInt(0).putInt(1).putInt(0)
+    out.putInt(64).putInt(64)
+    out.putInt(0).putInt(0).putInt(0).putInt(0)
+    out.put("LIST".getBytes("US-ASCII")).putInt(moviLen)
+    out.put("movi".getBytes("US-ASCII"))
+    out.put("LIST".getBytes("US-ASCII")).putInt(recLen)
+    out.put("rec ".getBytes("US-ASCII"))
+    chunk(out, "00db", rec(0)); chunk(out, "00dc", rec(1))
+    chunk(out, "00dc", tail(0))
+    val v = Codecs.decodeAviFrames(out.array()).get
+    assert(v.frames.length == 3)
+    assert(v.frames.map(_.length).toSeq == Seq(40, 25, 60))
+    assert(v.frames.map(_.keyframe).toSeq == Seq(true, false, false))
+    val all = rec ++ tail
+    v.frames.zip(all).foreach { case (f, orig) =>
+      val got = java.util.Arrays.copyOfRange(out.array(), f.offset.toInt,
+        f.offset.toInt + f.length)
+      assert(got.sameElements(orig), s"frame ${f.index}")
+    }
+  }
+
+  test("an avih declaring fewer than its 40 field bytes is not a " +
+    "header: the decode refuses rather than reading the next chunk's " +
+    "bytes as dims") {
+    // hdrl = short avih (8 payload bytes) + a JUNK chunk whose bytes a
+    // buggy reader would interpret as the remaining header fields
+    val hdrlLen = 4 + (8 + 8) + (8 + 40)
+    val moviLen = 4 + (8 + 10)
+    val riffLen = 4 + (8 + hdrlLen) + (8 + moviLen)
+    val out = java.nio.ByteBuffer.allocate(8 + riffLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(riffLen)
+    out.put("AVI ".getBytes("US-ASCII"))
+    out.put("LIST".getBytes("US-ASCII")).putInt(hdrlLen)
+    out.put("hdrl".getBytes("US-ASCII"))
+    out.put("avih".getBytes("US-ASCII")).putInt(8)
+    out.putInt(33333).putInt(0)
+    out.put("JUNK".getBytes("US-ASCII")).putInt(40)
+    out.put(Array.fill[Byte](40)(0x5a))
+    out.put("LIST".getBytes("US-ASCII")).putInt(moviLen)
+    out.put("movi".getBytes("US-ASCII"))
+    out.put("00db".getBytes("US-ASCII")).putInt(10)
+    out.put(lcgBytes(5L, 10))
+    assert(Codecs.decodeAviFrames(out.array()).isEmpty)
+  }
+
+  test("videoFrames withCrc=false drops the crc32 column (and the " +
+    "payload hash pass) but keeps the identical chunk index") {
+    val media = Seq((1L, Codecs.aviBytes(64, 64, 33333,
+      Seq(lcgBytes(41L, 30), lcgBytes(42L, 45))))).toDF("id", "payload")
+    val lean = Multimodal.videoFrames(media, "id", "payload",
+      withCrc = false)
+    assert(lean.columns.toSeq ==
+      Seq("id", "frame_idx", "offset", "len", "keyframe"))
+    val full = Multimodal.videoFrames(media, "id", "payload")
+      .drop("crc32").collect().map(_.toSeq).toSet
+    assert(lean.collect().map(_.toSeq).toSet == full)
+  }
+
   test("q114 fixture arithmetic: the planted AVI demuxes to exactly " +
     "the closed-form frame counts and sizes the oracle replays") {
     for (k <- Seq(1L, 7L, 13L, 100L)) {
