@@ -54,7 +54,12 @@ object ScaleSmoke {
     "q103_semdedup_auto", "q105_semdedup_imi",
     // the span-dedup / packing family: window-hash gram shuffles and the
     // two-pass range-offset manifest
-    "q73_dup_spans", "q76_pack_manifest", "q78_span_trim")
+    "q73_dup_spans", "q76_pack_manifest", "q78_span_trim",
+    // the multimodal dedup/demux family: real codec scan stages
+    // (PNG inflate+filter, WAV PCM, AVI chunk walk) + the banded
+    // Hamming candidate join — the per-copy key blocks keep duplicate
+    // groups disjoint across copies (see scaledSupplier)
+    "q112_image_phash", "q113_audio_fingerprint", "q114_video_demux")
 
   /** Measured at 10× only. Both are deliberately NOT the scale path —
     * q77 is the pinned-k SemDeDup negative control (its 100× exponent
@@ -100,6 +105,25 @@ object ScaleSmoke {
     }.reduce(_ unionByName _)
   }
 
+  /** The multimodal queries plant payloads off supplier KEYS, so "more
+    * data" = more keys. Copy offsets are multiples of both 20 (the
+    * duplicate-group modulus — within-copy group structure preserved
+    * exactly) and 1M (the generators' block span — every copy's keys
+    * land in their own block, so base images/waveforms differ per copy
+    * and near-dup pairs grow linearly in the factor, not
+    * quadratically). Only the key column is written: the planted
+    * queries read nothing else.
+    */
+  private def scaledSupplier(spark: SparkSession, baseDir: String,
+                             factor: Int): DataFrame = {
+    val base = graft.tables.Tables.load(spark, baseDir, "supplier")
+      .select(col("s_suppkey"))
+    (0 until factor).map { c =>
+      if (c == 0) base
+      else base.withColumn("s_suppkey", col("s_suppkey") + lit(c * CopyOffset))
+    }.reduce(_ unionByName _)
+  }
+
   private def buildScaled(spark: SparkSession, baseDir: String,
                           factor: Int): String = {
     val dir = s"/tmp/graft_scale${factor}x"
@@ -112,6 +136,15 @@ object ScaleSmoke {
         .repartition(spark.sparkContext.defaultParallelism)
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
       java.nio.file.Files.createFile(marker)
+    }
+    // separate marker: supplier replication arrived after docs/embeddings
+    // dirs may already exist on a warm host
+    val supMarker = java.nio.file.Paths.get(dir, "_BUILT_SUPPLIER")
+    if (!java.nio.file.Files.exists(supMarker)) {
+      scaledSupplier(spark, baseDir, factor)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+      java.nio.file.Files.createFile(supMarker)
     }
     dir
   }

@@ -2351,10 +2351,16 @@ object SparkEntry {
 
   /** q112's planted PNG for supplier key `k`: deterministic 32×32 group
     * base (g = k % 20) with the member's within-cell pixel rotation.
+    * The base seed also folds in the key's 1M-block (`k / 1000000`) so
+    * ScaleSmoke's disjoint-copy replication (copy offsets of 10M) gets
+    * genuinely distinct duplicate groups per copy instead of cross-copy
+    * near-dups that would explode pairs quadratically in the factor; at
+    * every test SF all keys sit in block 0, where the seed reduces to
+    * the original `g`-only form the oracle and specs pin.
     */
   private[graft] def q112Png(k: Long): Array[Byte] = {
     val g = k % 20
-    var s = g * 1000003L + 7L
+    var s = ((k / 1000000L) * 7993L + g) * 1000003L + 7L
     val base = Array.fill(32 * 32) {
       s = s * 6364136223846793005L + 1442695040888963407L
       ((s >>> 33) & 0xff).toByte
@@ -2390,7 +2396,9 @@ object SparkEntry {
   private[graft] def q113Wav(k: Long): Array[Byte] = {
     val g = k % 20
     val gain = ((k / 20) % 31 + 1).toInt
-    var s = g * 2654435761L + 11L
+    // block term: see q112Png — copy-disjoint groups under ScaleSmoke
+    // replication, identity at test SFs (all keys in block 0)
+    var s = ((k / 1000000L) * 7993L + g) * 2654435761L + 11L
     val pcm = Array.fill(65 * 10) {
       s = s * 6364136223846793005L + 1442695040888963407L
       (((s >>> 40) % 1000).toInt * gain).toShort
@@ -4835,13 +4843,15 @@ object SparkEntry {
     // of one base (identical aHash by construction → hamming 0);
     // cross-group fingerprints are > 3 bits apart (deterministic,
     // SF-independent, pinned in ImageHashSpec) — so the pair set IS the
-    // within-group id arithmetic
+    // within-group id arithmetic (the 1M-block term mirrors the
+    // generator's copy-disjointness seed; constant 0 at every test SF)
     "q112_image_phash" ->
       """SELECT a.s_suppkey AS id1, b.s_suppkey AS id2,
         |  CAST(0 AS INTEGER) AS hamming
         |FROM supplier a JOIN supplier b
         |  ON a.s_suppkey < b.s_suppkey
         | AND a.s_suppkey % 20 = b.s_suppkey % 20
+        | AND a.s_suppkey // 1000000 = b.s_suppkey // 1000000
         |ORDER BY id1, id2""".stripMargin,
 
     // same closed form for the audio sibling: in-group clips are
@@ -4849,13 +4859,14 @@ object SparkEntry {
     // by exact g²-scaling → hamming 0); cross-group fingerprints are
     // > 3 bits apart (deterministic, SF-independent, pinned in
     // AudioHashSpec) — so the pair set IS the within-group id
-    // arithmetic
+    // arithmetic (block term: see q112)
     "q113_audio_fingerprint" ->
       """SELECT a.s_suppkey AS id1, b.s_suppkey AS id2,
         |  CAST(0 AS INTEGER) AS hamming
         |FROM supplier a JOIN supplier b
         |  ON a.s_suppkey < b.s_suppkey
         | AND a.s_suppkey % 20 = b.s_suppkey % 20
+        | AND a.s_suppkey // 1000000 = b.s_suppkey // 1000000
         |ORDER BY id1, id2""".stripMargin,
 
     // closed-form replay of the planted AVI arithmetic: the demux must

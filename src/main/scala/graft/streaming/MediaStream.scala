@@ -1,0 +1,153 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.multimodal.{AudioHash, ImageHash, Multimodal}
+
+/** Streaming near-duplicate gates for the BINARY modalities — the live
+  * counterpart of [[graft.multimodal.ImageHash.nearDupPairs]] /
+  * [[graft.multimodal.AudioHash.nearDupPairs]], the way
+  * [[CorpusStream.nearDupStream]] is the live counterpart of the batch
+  * MinHash-LSH operator. An ingest feed of images or audio clips is
+  * fingerprinted in the scan stage (payload bytes are consumed where
+  * they are read and never enter the stateful shuffle — state holds
+  * 8-byte fingerprints, so 100 TB/day of media costs state sized by
+  * `ingest rate × horizon × 24 bytes`), posted into its disjoint
+  * Hamming bit-bands, and compared against per-bucket keyed state.
+  *
+  * Where the text stream emits a minhash agreement ESTIMATE, these
+  * emit the EXACT Hamming distance — two 64-bit fingerprints are fully
+  * present at comparison time, so there is nothing to estimate. Recall
+  * matches the batch operator's pigeonhole contract: a pair within
+  * `maxHamming < bands` bits must agree on at least one whole band and
+  * therefore meets in at least one bucket (provided both arrive within
+  * the eviction horizon).
+  */
+object MediaStream {
+
+  /** One (bucket, media) posting: the fingerprint rides every band
+    * posting so the comparison is local to the bucket's state.
+    */
+  final case class FpPost(bucket: Long, media_id: Long, fp: Long,
+                          ts: java.sql.Timestamp)
+
+  /** A fingerprint remembered inside one bucket's state. */
+  final case class SeenFp(media_id: Long, fp: Long, ts_ms: Long)
+
+  final case class FpBucketState(seen: Seq[SeenFp])
+
+  /** An emitted near-dup hit with its EXACT Hamming distance. */
+  final case class MediaDupHit(id1: Long, id2: Long, hamming: Int)
+
+  /** Streaming fingerprint near-dup detection over a binary payload
+    * column. `modality` picks the scan-stage kernel:
+    *  - `"image"`: [[Multimodal.Codecs.decodePngGray]] →
+    *    [[ImageHash.aHash64]] (≥ 8×8 px);
+    *  - `"audio"`: [[Multimodal.Codecs.decodeWavPcm]] →
+    *    [[AudioHash.envHash64]] (≥ 65 samples, ≤ 2^26).
+    * Payloads that don't decode produce no posting and never pair —
+    * the same refusal contract as the batch fingerprints.
+    *
+    * Semantics/scale notes (shared with [[CorpusStream.nearDupStream]]):
+    *  - state is keyed by the (band index, band bits) bucket id; an
+    *    entry stores only (id, fp, ts) — never payload bytes.
+    *    `maxBucketState` caps a pathological bucket (constant-background
+    *    images, silence-heavy audio — the corpora the batch SkewCap
+    *    exists for); beyond the cap new arrivals still COMPARE against
+    *    the stored prefix but are not stored.
+    *  - eviction is watermark-driven (EventTimeTimeout): a bucket idle
+    *    past `horizonMs` drops its whole state. The watermark is
+    *    declared HERE, on the carried-through event-time column.
+    *  - THE OUTPUT IS A CANDIDATE STREAM, NOT A PAIR SET: a pair within
+    *    Hamming d agrees on ≥ bands − d bands and emits once per shared
+    *    bucket; consumers that count pairs MUST
+    *    `dropDuplicates("id1", "id2")` — the batch≡stream spec does.
+    *  - within a micro-batch, arrivals are processed in (ts, id) order
+    *    so replays are deterministic.
+    */
+  def fingerprintDedupStream(media: DataFrame, idCol: String,
+                             payloadCol: String, tsCol: String,
+                             modality: String,
+                             maxHamming: Int = 3, bands: Int = 4,
+                             maxBucketState: Int = 10000,
+                             horizonMs: Long = 600000L,
+                             watermarkDelay: String = "10 minutes"): Dataset[MediaDupHit] = {
+    require(modality == "image" || modality == "audio",
+      s"modality must be image|audio, got $modality")
+    require(Set(2, 4, 8, 16).contains(bands), s"bands must divide 64: $bands")
+    require(maxHamming >= 0 && maxHamming < bands,
+      s"pigeonhole recall needs maxHamming < bands ($maxHamming/$bands)")
+    val spark = media.sparkSession
+    import spark.implicits._
+    val fpKernel = udf { payload: Array[Byte] =>
+      if (modality == "image")
+        Multimodal.Codecs.decodePngGray(payload).flatMap { p =>
+          if (p.width >= 8 && p.height >= 8)
+            Some(ImageHash.aHash64(p.gray, p.width, p.height))
+          else None
+        }
+      else
+        Multimodal.Codecs.decodeWavPcm(payload).flatMap { w =>
+          if (w.pcm.length >= 65 && w.pcm.length <= AudioHash.MaxSamples)
+            Some(AudioHash.envHash64(w.pcm))
+          else None
+        }
+    }.asNondeterministic() // plan-shape fence (kernel is pure): without
+    // it CollapseProject inlines the decode into the carried fp column
+    // AND each of the `bands` bucket expressions — one decode per row
+    // becomes bands+1
+    // disjoint bit-bands of the fingerprint, band index folded into the
+    // bucket key ABOVE the value bits (band width ≤ 32 for bands ≥ 2,
+    // so `(i << 34) | v` never collides across bands)
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    val buckets = array((0 until bands).map { i =>
+      shiftrightunsigned(col("fp"), i * width).bitwiseAND(lit(mask))
+        .bitwiseOR(lit(i.toLong << 34))
+    }: _*)
+    val posts = media
+      .withColumn("fp", fpKernel(col(payloadCol)))
+      .filter(col("fp").isNotNull)
+      .select(col(idCol).as("media_id"), col("fp"),
+        col(tsCol).cast("timestamp").as("ts"),
+        explode(buckets).as("bucket"))
+      .withWatermark("ts", watermarkDelay)
+      .as[FpPost]
+
+    def fn(bucket: Long, it: Iterator[FpPost],
+           state: GroupState[FpBucketState]): Iterator[MediaDupHit] = {
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+      val seen = scala.collection.mutable.ArrayBuffer.empty[SeenFp]
+      state.getOption.foreach(seen ++= _.seen)
+      val arr = it.toSeq.sortBy(p => (p.ts.getTime, p.media_id))
+      val out = Seq.newBuilder[MediaDupHit]
+      // per-invocation pair dedup: a media id re-arriving in the same
+      // batch must not emit its pairs twice from ONE bucket
+      val emitted = scala.collection.mutable.HashSet.empty[(Long, Long)]
+      arr.foreach { p =>
+        seen.foreach { s =>
+          if (s.media_id != p.media_id) {
+            val d = java.lang.Long.bitCount(p.fp ^ s.fp)
+            val key = (math.min(p.media_id, s.media_id),
+              math.max(p.media_id, s.media_id))
+            if (d <= maxHamming && emitted.add(key))
+              out += MediaDupHit(key._1, key._2, d)
+          }
+        }
+        if (seen.length < maxBucketState)
+          seen += SeenFp(p.media_id, p.fp, p.ts.getTime)
+      }
+      state.update(FpBucketState(seen.toSeq))
+      val newest = (seen.map(_.ts_ms) ++ arr.map(_.ts.getTime)).max
+      state.setTimeoutTimestamp(
+        math.max(newest + horizonMs, state.getCurrentWatermarkMs() + 1L))
+      out.result().iterator
+    }
+
+    posts.groupByKey(_.bucket)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+}

@@ -359,4 +359,19 @@ class PlanSpec extends SparkSpec {
     assert(!exchanges.exists(_.toLowerCase.contains("binary")),
       exchanges.mkString("\n"))
   }
+
+  test("video demux: the AVI payload never enters an exchange — the " +
+    "chunk index reduces to slim frame rows in the scan stage before " +
+    "the per-video aggregation") {
+    val p = SparkEntry.queries("q114_video_demux")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("payload#")),
+      exchanges.mkString("\n"))
+    assert(!exchanges.exists(_.toLowerCase.contains("binary")),
+      exchanges.mkString("\n"))
+  }
 }

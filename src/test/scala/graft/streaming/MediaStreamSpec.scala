@@ -1,0 +1,138 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.multimodal.{AudioHash, ImageHash}
+
+import java.sql.Timestamp
+
+/** Top-level: nested case classes trip the state encoder's outer-scope
+  * instantiation (same constraint as the text-stream spec's Doc).
+  */
+final case class MediaDoc(id: Long, ts: Timestamp, payload: Array[Byte])
+
+/** Streaming media near-dup gates: batch ≡ stream for the image and
+  * audio fingerprint dedups, cross-micro-batch state, cap semantics.
+  */
+class MediaStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  test("streaming image near-dup: cross-micro-batch pairs via keyed " +
+    "bucket state, exact hamming, batch pair parity, undecodable rows " +
+    "never pair") {
+    implicit val sqlCtx = spark.sqlContext
+    // q112's planted geometry: ids sharing k % 20 are within-cell
+    // rotations of one base image (identical aHash); garbage id 99
+    // doesn't decode
+    val batch1 = Seq(
+      MediaDoc(1L, t("2020-01-01 10:00:00"), graft.SparkEntry.q112Png(1L)),
+      MediaDoc(21L, t("2020-01-01 10:00:10"), graft.SparkEntry.q112Png(21L)),
+      MediaDoc(2L, t("2020-01-01 10:00:20"), graft.SparkEntry.q112Png(2L)),
+      MediaDoc(99L, t("2020-01-01 10:00:30"), Array.fill[Byte](64)(0x41)))
+    val batch2 = Seq(
+      MediaDoc(41L, t("2020-01-01 10:01:00"), graft.SparkEntry.q112Png(41L)),
+      MediaDoc(22L, t("2020-01-01 10:01:10"), graft.SparkEntry.q112Png(22L)))
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[MediaDoc]
+    val stream = MediaStream.fingerprintDedupStream(source.toDF(),
+      "id", "payload", "ts", modality = "image")
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("image_dedup_stream")
+      .start() // default trigger: AvailableNow would snapshot offsets at
+               // start and terminate before the post-start addData arrives
+    source.addData(batch1: _*)
+    q.processAllAvailable()
+    source.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+    // candidate stream → pair set is the consumer's dropDuplicates
+    val pairs = spark.sql(
+      "SELECT DISTINCT id1, id2, hamming FROM image_dedup_stream")
+      .as[(Long, Long, Int)].collect().toSet
+    // cross-batch pairs (1,41), (21,41), (2,22) prove state persistence;
+    // identical fingerprints → exact hamming 0
+    assert(pairs == Set((1L, 21L, 0), (1L, 41L, 0), (21L, 41L, 0),
+      (2L, 22L, 0)))
+    // batch ≡ stream: the batch banded operator on the full corpus
+    val all = (batch1 ++ batch2).toDF()
+    val batchPairs = ImageHash.nearDupPairs(
+      ImageHash.fingerprints(all, "id", "payload"), "id", maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(batchPairs == pairs)
+  }
+
+  test("streaming audio near-dup: gain-scaled clips pair across " +
+    "micro-batches through the real WAV decode, batch parity") {
+    implicit val sqlCtx = spark.sqlContext
+    // q113's planted geometry: ids sharing k % 20 are gain-scaled copies
+    // of one base waveform (identical envHash)
+    val batch1 = Seq(
+      MediaDoc(3L, t("2020-01-01 10:00:00"), graft.SparkEntry.q113Wav(3L)),
+      MediaDoc(4L, t("2020-01-01 10:00:10"), graft.SparkEntry.q113Wav(4L)))
+    val batch2 = Seq(
+      MediaDoc(23L, t("2020-01-01 10:01:00"), graft.SparkEntry.q113Wav(23L)))
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[MediaDoc]
+    val stream = MediaStream.fingerprintDedupStream(source.toDF(),
+      "id", "payload", "ts", modality = "audio")
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("audio_dedup_stream")
+      .start()
+    source.addData(batch1: _*)
+    q.processAllAvailable()
+    source.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.sql(
+      "SELECT DISTINCT id1, id2, hamming FROM audio_dedup_stream")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs == Set((3L, 23L, 0)))
+    val all = (batch1 ++ batch2).toDF()
+    val batchPairs = AudioHash.nearDupPairs(
+      AudioHash.fingerprints(all, "id", "payload"), "id", maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(batchPairs == pairs)
+  }
+
+  test("streaming media near-dup: bucket state cap still compares, " +
+    "stops storing") {
+    implicit val sqlCtx = spark.sqlContext
+    // five byte-identical images: every bucket sees the same five
+    // arrivals; with cap 2 only the first two are stored
+    val docs = (0 until 5).map(i =>
+      MediaDoc(100L + i, t(s"2020-01-01 10:00:0$i"),
+        graft.SparkEntry.q112Png(7L)))
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[MediaDoc]
+    val stream = MediaStream.fingerprintDedupStream(source.toDF(),
+      "id", "payload", "ts", modality = "image", maxBucketState = 2)
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("media_dedup_capped")
+      .start()
+    source.addData(docs: _*)
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.sql(
+      "SELECT DISTINCT id1, id2 FROM media_dedup_capped")
+      .as[(Long, Long)].collect().toSet
+    val expected = (for (late <- 102L to 104L; s <- Seq(100L, 101L))
+      yield (s, late)).toSet + ((100L, 101L))
+    assert(pairs == expected)
+  }
+
+  test("build-time contract: bad modality, non-dividing bands and " +
+    "maxHamming >= bands fail fast") {
+    implicit val sqlCtx = spark.sqlContext
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[MediaDoc]
+    intercept[IllegalArgumentException] {
+      MediaStream.fingerprintDedupStream(source.toDF(),
+        "id", "payload", "ts", modality = "video")
+    }
+    intercept[IllegalArgumentException] {
+      MediaStream.fingerprintDedupStream(source.toDF(),
+        "id", "payload", "ts", modality = "image", bands = 5)
+    }
+    intercept[IllegalArgumentException] {
+      MediaStream.fingerprintDedupStream(source.toDF(),
+        "id", "payload", "ts", modality = "image", maxHamming = 4)
+    }
+  }
+}
