@@ -2346,6 +2346,44 @@ object SparkEntry {
           sum(col("len")).as("total_bytes"),
           max(col("len")).as("max_frame_bytes"))
         .orderBy(col("id"))
+    }),
+
+    // exact pixel-domain thumbnailing — the resize step of a multimodal
+    // ingest through the REAL decode: supplier keys plant 32×32 PNGs
+    // whose pixel (y, x) is the plane x + y + (k % 190) (all values
+    // < 256, no wrap); the 8×8 box-mean over 4×4 blocks is EXACT
+    // integer arithmetic (block sum 16·(4r + 4c + 3 + base) divides by
+    // 16), so the oracle replays the whole decode→resize in closed
+    // form: v = base + 4r + 4c + 3
+    "q115_image_resize" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "supplier").select(col("s_suppkey")).as[Long]
+        .map(k => (k, q115Png(k)))
+        .toDF("id", "payload")
+      multimodal.Multimodal.resizeImages(media, "id", "payload", 8, 8)
+        .select(col("id"), posexplode(col("px")).as(Seq("pos", "pv")))
+        .select(col("id"), expr("pos div 8").cast("long").as("r"),
+          (col("pos") % 8).cast("long").as("c"),
+          col("pv").cast("long").as("v"))
+        .orderBy(col("id"), col("r"), col("c"))
+    }),
+
+    // exact block-mean audio decimation — the resample step before a
+    // fingerprint/feature stage: supplier keys plant 640-sample WAVs
+    // with pcm(j) = j + (k % 50); decimating by 8 gives
+    // floor((Σ j + 8·base) / 8) = 8i + base + 3 exactly — the oracle
+    // replays decode→downsample in closed form
+    "q116_audio_downsample" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "supplier").select(col("s_suppkey")).as[Long]
+        .map(k => (k, q116Wav(k)))
+        .toDF("id", "payload")
+      multimodal.Multimodal.downsampleAudio(media, "id", "payload", 8)
+        .select(col("id"), col("sample_rate").cast("long").as("sample_rate"),
+          posexplode(col("pcm")).as(Seq("i", "pv")))
+        .select(col("id"), col("sample_rate"), col("i").cast("long").as("i"),
+          col("pv").cast("long").as("v"))
+        .orderBy(col("id"), col("i"))
     })
   )
 
@@ -2421,6 +2459,27 @@ object SparkEntry {
       }
     }
     multimodal.Multimodal.Codecs.aviBytes(320, 240, 33333, frames)
+  }
+
+  /** q115's planted PNG for supplier key `k`: the 32×32 gradient plane
+    * pixel(y, x) = x + y + (k % 190) — every value ≤ 62 + 189 < 256,
+    * so the closed-form block means never wrap.
+    */
+  private[graft] def q115Png(k: Long): Array[Byte] = {
+    val base = (k % 190).toInt
+    val gray = Array.tabulate(32 * 32)(i =>
+      ((i % 32) + (i / 32) + base).toByte)
+    multimodal.Multimodal.Codecs.pngGrayBytes(32, 32, gray)
+  }
+
+  /** q116's planted WAV for supplier key `k`: 640 samples of the ramp
+    * pcm(j) = j + (k % 50) at 8 kHz — block means under factor-8
+    * decimation are the closed form 8i + (k % 50) + 3.
+    */
+  private[graft] def q116Wav(k: Long): Array[Byte] = {
+    val base = (k % 50).toInt
+    val pcm = Array.tabulate[Short](640)(j => (j + base).toShort)
+    multimodal.Multimodal.Codecs.wavBytes(8000, pcm)
   }
 
   /** q104's fixed merge table: common English patterns, applied in
@@ -4883,6 +4942,24 @@ object SparkEntry {
         |  CAST(SUM(len) AS BIGINT) AS total_bytes,
         |  CAST(MAX(len) AS BIGINT) AS max_frame_bytes
         |FROM f GROUP BY id ORDER BY id""".stripMargin,
+
+    // closed-form replay of the whole decode→box-mean-resize: the
+    // planted gradient plane's 4×4 block sums divide exactly by 16, so
+    // output pixel (r, c) of image k is (k % 190) + 4r + 4c + 3
+    "q115_image_resize" ->
+      """SELECT s_suppkey AS id, rr.r AS r, cc.c AS c,
+        |  (s_suppkey % 190) + 4 * rr.r + 4 * cc.c + 3 AS v
+        |FROM supplier, range(0, 8) rr(r), range(0, 8) cc(c)
+        |ORDER BY id, r, c""".stripMargin,
+
+    // closed-form replay of decode→block-mean decimation: output
+    // sample i of clip k is floor(mean(ramp block)) = 8i + (k % 50) + 3
+    // at the divided rate 8000 / 8
+    "q116_audio_downsample" ->
+      """SELECT s_suppkey AS id, CAST(1000 AS BIGINT) AS sample_rate,
+        |  r.i AS i, 8 * r.i + (s_suppkey % 50) + 3 AS v
+        |FROM supplier, range(0, 80) r(i)
+        |ORDER BY id, i""".stripMargin,
 
 
     // q103/q105 share q77's exact all-pairs oracle: recall of the

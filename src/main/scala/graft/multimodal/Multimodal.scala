@@ -470,11 +470,79 @@ object Multimodal {
       hist.map(_ / total)
     }
 
-    /** "Resize": deterministic subsample of the payload to <= maxBytes. */
+    /** "Resize" over an UNRECOGNIZED container: deterministic subsample
+      * of the raw payload to <= maxBytes (the fallback where
+      * [[resizeGrayPixels]] has no decoded pixels to work on — the
+      * [[frameOffsets]] arrangement).
+      */
     def resize(payload: Array[Byte], maxBytes: Int): Array[Byte] = {
       if (payload == null || payload.length <= maxBytes) return payload
       val step = payload.length.toDouble / maxBytes
       Array.tabulate(maxBytes)(i => payload((i * step).toInt))
+    }
+
+    /** Exact box-mean DOWNSAMPLE of decoded grayscale pixels — the real
+      * thumbnail/normalize step of a multimodal ingest, over the real
+      * pixel decode. Output pixel (r, c) averages the input box
+      * `{(y, x) : y·outH/h = r, x·outW/w = c}` (integer-floor cell
+      * mapping — the same partition [[ImageHash.aHash64]] uses for its
+      * 8×8 grid, so every input pixel lands in exactly one output
+      * cell and cells differ in size by at most one row/column when
+      * dims don't divide). Sums ride Longs and the mean is
+      * floor(sum/count) — deterministic integer arithmetic,
+      * bit-reproducible on any JVM, no float resampling kernel.
+      * Downsample only (`outW <= w`, `outH <= h`): upscaling would
+      * leave empty cells, and a training pipeline shrinks to a model's
+      * input resolution, it does not invent pixels.
+      */
+    def resizeGrayPixels(gray: Array[Int], w: Int, h: Int,
+                         outW: Int, outH: Int): Array[Int] = {
+      require(outW >= 1 && outH >= 1 && outW <= w && outH <= h,
+        s"box-mean resize needs 1 <= out <= in, got ${w}x$h -> ${outW}x$outH")
+      require(w.toLong * h <= (1L << 27),
+        s"exact arithmetic bounds images at 2^27 px, got ${w}x$h")
+      val sums = new Array[Long](outW * outH)
+      val counts = new Array[Long](outW * outH)
+      var y = 0
+      while (y < h) {
+        val r = y.toLong * outH / h
+        var x = 0
+        while (x < w) {
+          val cell = (r * outW + x.toLong * outW / w).toInt
+          sums(cell) += gray(y * w + x)
+          counts(cell) += 1
+          x += 1
+        }
+        y += 1
+      }
+      Array.tabulate(outW * outH)(i => (sums(i) / counts(i)).toInt)
+    }
+
+    /** Exact block-mean DOWNSAMPLE of PCM audio by an integer factor
+      * (sample-rate reduction for a fingerprint/feature stage): output
+      * sample i = floor(mean(pcm[i·factor .. i·factor + factor))) in
+      * Long arithmetic; a trailing partial block is dropped (the
+      * windowing convention of [[AudioHash]]). This is decimation with
+      * a box pre-filter — deterministic and exact, where a proper
+      * polyphase low-pass belongs to a batch DSP library behind this
+      * seam ([[graft.dsp]] has the real filters for the seismic path).
+      */
+    def downsamplePcm(pcm: Array[Short], factor: Int): Array[Short] = {
+      require(factor >= 1, s"factor must be >= 1, got $factor")
+      val n = pcm.length / factor
+      val out = new Array[Short](n)
+      var i = 0
+      while (i < n) {
+        var s = 0L
+        var j = i * factor
+        val end = j + factor
+        while (j < end) { s += pcm(j); j += 1 }
+        // Java/Scala Long division truncates toward zero; flooring keeps
+        // the mean monotone for negative sums too
+        out(i) = Math.floorDiv(s, factor.toLong).toShort
+        i += 1
+      }
+      out
     }
 
     /** "Frame-sample" over an UNRECOGNIZED container: split payload into
@@ -612,6 +680,56 @@ object Multimodal {
     require(every >= 1, s"every must be >= 1, got $every")
     videoFrames(media, idCol, payloadCol, withCrc = false)
       .filter(col("frame_idx") % every === 0)
+  }
+
+  /** Per-image thumbnail table over a binary payload column: real pixel
+    * decode → [[Codecs.resizeGrayPixels]] exact box-mean downsample.
+    * One scan-stage pass (payload bytes consumed where read, never
+    * shuffled; each image reduces to `outW·outH` small ints).
+    * Payloads that don't decode, or are smaller than the target, are
+    * refused (no rows) — a pipeline's undersized images go to a
+    * different bucket than silently-upscaled ones. Output:
+    * (id, w, h, px) with `px` the row-major resized pixels.
+    */
+  def resizeImages(media: DataFrame, idCol: String, payloadCol: String,
+                   outW: Int, outH: Int): DataFrame = {
+    require(outW >= 1 && outH >= 1, s"target must be >= 1x1, got ${outW}x$outH")
+    val kernel = udf { payload: Array[Byte] =>
+      Codecs.decodePngGray(payload).flatMap { p =>
+        if (p.width >= outW && p.height >= outH)
+          Some((p.width, p.height,
+            Codecs.resizeGrayPixels(p.gray, p.width, p.height, outW, outH)
+              .toSeq))
+        else None
+      }
+    }
+    media.select(col(idCol), kernel(col(payloadCol)).as("__r"))
+      .filter(col("__r").isNotNull)
+      .select(col(idCol), col("__r._1").as("w"), col("__r._2").as("h"),
+        col("__r._3").as("px"))
+  }
+
+  /** Per-clip downsampled-PCM table over a binary payload column: real
+    * RIFF/WAV decode → [[Codecs.downsamplePcm]] exact block-mean
+    * decimation by `factor`. One scan-stage pass; clips shorter than
+    * one block are refused (no rows). Output: (id, sample_rate, pcm)
+    * with `sample_rate` already divided by `factor`.
+    */
+  def downsampleAudio(media: DataFrame, idCol: String, payloadCol: String,
+                      factor: Int): DataFrame = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val kernel = udf { payload: Array[Byte] =>
+      Codecs.decodeWavPcm(payload).flatMap { w =>
+        if (w.pcm.length >= factor)
+          Some((w.sampleRateHz / factor,
+            Codecs.downsamplePcm(w.pcm, factor).map(_.toInt).toSeq))
+        else None
+      }
+    }
+    media.select(col(idCol), kernel(col(payloadCol)).as("__d"))
+      .filter(col("__d").isNotNull)
+      .select(col(idCol), col("__d._1").as("sample_rate"),
+        col("__d._2").as("pcm"))
   }
 
   /** Size-balanced repartitioning for heavy-tailed payloads: hash of id,
