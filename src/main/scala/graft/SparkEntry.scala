@@ -2290,7 +2290,7 @@ object SparkEntry {
     // ImageHashSpec's brute-force comparison
     "q112_image_phash" -> ((s, dir) => {
       import s.implicits._
-      val media = t(s, dir, "supplier").select(col("s_suppkey")).as[Long]
+      val media = tSpread(s, dir, "supplier").select(col("s_suppkey")).as[Long]
         .map(k => (k, q112Png(k)))
         .toDF("id", "payload")
       val fps = multimodal.ImageHash.fingerprints(media, "id", "payload")
@@ -2314,7 +2314,7 @@ object SparkEntry {
     // comparison
     "q113_audio_fingerprint" -> ((s, dir) => {
       import s.implicits._
-      val media = t(s, dir, "supplier").select(col("s_suppkey")).as[Long]
+      val media = tSpread(s, dir, "supplier").select(col("s_suppkey")).as[Long]
         .map(k => (k, q113Wav(k)))
         .toDF("id", "payload")
       val fps = multimodal.AudioHash.fingerprints(media, "id", "payload")
@@ -2333,7 +2333,7 @@ object SparkEntry {
     // closed form
     "q114_video_demux" -> ((s, dir) => {
       import s.implicits._
-      val media = t(s, dir, "supplier").select(col("s_suppkey")).as[Long]
+      val media = tSpread(s, dir, "supplier").select(col("s_suppkey")).as[Long]
         .map(k => (k, q114Avi(k)))
         .toDF("id", "payload")
       // withCrc=false: the aggregation reads only the chunk index, so
@@ -2357,7 +2357,7 @@ object SparkEntry {
     // form: v = base + 4r + 4c + 3
     "q115_image_resize" -> ((s, dir) => {
       import s.implicits._
-      val media = t(s, dir, "supplier").select(col("s_suppkey")).as[Long]
+      val media = tSpread(s, dir, "supplier").select(col("s_suppkey")).as[Long]
         .map(k => (k, q115Png(k)))
         .toDF("id", "payload")
       multimodal.Multimodal.resizeImages(media, "id", "payload", 8, 8)
@@ -2375,7 +2375,7 @@ object SparkEntry {
     // replays decode→downsample in closed form
     "q116_audio_downsample" -> ((s, dir) => {
       import s.implicits._
-      val media = t(s, dir, "supplier").select(col("s_suppkey")).as[Long]
+      val media = tSpread(s, dir, "supplier").select(col("s_suppkey")).as[Long]
         .map(k => (k, q116Wav(k)))
         .toDF("id", "payload")
       multimodal.Multimodal.downsampleAudio(media, "id", "payload", 8)

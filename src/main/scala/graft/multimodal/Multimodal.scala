@@ -448,15 +448,19 @@ object Multimodal {
     }
 
     /** Canonical 16-bit mono PCM WAV. */
-    def wavBytes(sampleRateHz: Int, pcm: Array[Short]): Array[Byte] = {
+    def wavBytes(sampleRateHz: Int, pcm: Array[Short],
+                 channels: Int = 1): Array[Byte] = {
+      require(channels >= 1 && pcm.length % channels == 0,
+        s"interleaved pcm length ${pcm.length} not a multiple of $channels")
       val dataLen = pcm.length * 2
       val out = java.nio.ByteBuffer.allocate(44 + dataLen)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
       out.put("WAVE".getBytes("US-ASCII"))
       out.put("fmt ".getBytes("US-ASCII")).putInt(16)
-      out.putShort(1).putShort(1).putInt(sampleRateHz)
-      out.putInt(sampleRateHz * 2).putShort(2).putShort(16)
+      out.putShort(1).putShort(channels.toShort).putInt(sampleRateHz)
+      out.putInt(sampleRateHz * 2 * channels)
+      out.putShort((2 * channels).toShort).putShort(16)
       out.put("data".getBytes("US-ASCII")).putInt(dataLen)
       pcm.foreach(out.putShort)
       out.array()
@@ -515,31 +519,46 @@ object Multimodal {
         }
         y += 1
       }
-      Array.tabulate(outW * outH)(i => (sums(i) / counts(i)).toInt)
+      // floorDiv, not truncation: the doc promises floor(sum/count) and
+      // zero-centered callers would silently round toward zero otherwise
+      Array.tabulate(outW * outH)(i =>
+        Math.floorDiv(sums(i), counts(i)).toInt)
     }
 
     /** Exact block-mean DOWNSAMPLE of PCM audio by an integer factor
       * (sample-rate reduction for a fingerprint/feature stage): output
-      * sample i = floor(mean(pcm[i·factor .. i·factor + factor))) in
-      * Long arithmetic; a trailing partial block is dropped (the
-      * windowing convention of [[AudioHash]]). This is decimation with
-      * a box pre-filter — deterministic and exact, where a proper
+      * FRAME i, channel c = floor(mean of that channel's samples in
+      * frames [i·factor, (i+1)·factor)) in Long arithmetic; channels
+      * are decimated INDEPENDENTLY and the output keeps the interleaved
+      * layout (block-meaning across interleaved channel frames would
+      * cross-mix L/R into garbage — a stereo clip with L = −R would
+      * decimate to silence). A trailing partial frame block is dropped
+      * (the windowing convention of [[AudioHash]]). This is decimation
+      * with a box pre-filter — deterministic and exact, where a proper
       * polyphase low-pass belongs to a batch DSP library behind this
       * seam ([[graft.dsp]] has the real filters for the seismic path).
       */
-    def downsamplePcm(pcm: Array[Short], factor: Int): Array[Short] = {
+    def downsamplePcm(pcm: Array[Short], factor: Int,
+                      channels: Int = 1): Array[Short] = {
       require(factor >= 1, s"factor must be >= 1, got $factor")
-      val n = pcm.length / factor
-      val out = new Array[Short](n)
+      require(channels >= 1, s"channels must be >= 1, got $channels")
+      val frames = pcm.length / channels
+      val n = frames / factor
+      val out = new Array[Short](n * channels)
       var i = 0
       while (i < n) {
-        var s = 0L
-        var j = i * factor
-        val end = j + factor
-        while (j < end) { s += pcm(j); j += 1 }
-        // Java/Scala Long division truncates toward zero; flooring keeps
-        // the mean monotone for negative sums too
-        out(i) = Math.floorDiv(s, factor.toLong).toShort
+        var c = 0
+        while (c < channels) {
+          var s = 0L
+          var b = 0
+          while (b < factor) {
+            s += pcm((i * factor + b) * channels + c)
+            b += 1
+          }
+          // floorDiv: truncation would round negative means toward zero
+          out(i * channels + c) = Math.floorDiv(s, factor.toLong).toShort
+          c += 1
+        }
         i += 1
       }
       out
@@ -702,7 +721,9 @@ object Multimodal {
               .toSeq))
         else None
       }
-    }
+    }.asNondeterministic() // plan-shape fence (kernel is pure): a
+    // deterministic udf gets substituted into the isNotNull filter below
+    // the project, paying the decode+resize twice per row
     media.select(col(idCol), kernel(col(payloadCol)).as("__r"))
       .filter(col("__r").isNotNull)
       .select(col(idCol), col("__r._1").as("w"), col("__r._2").as("h"),
@@ -710,26 +731,29 @@ object Multimodal {
   }
 
   /** Per-clip downsampled-PCM table over a binary payload column: real
-    * RIFF/WAV decode → [[Codecs.downsamplePcm]] exact block-mean
-    * decimation by `factor`. One scan-stage pass; clips shorter than
-    * one block are refused (no rows). Output: (id, sample_rate, pcm)
-    * with `sample_rate` already divided by `factor`.
+    * RIFF/WAV decode → [[Codecs.downsamplePcm]] exact per-channel
+    * block-mean decimation by `factor` (stereo stays stereo — channels
+    * are never cross-mixed). One scan-stage pass; clips shorter than
+    * one frame block are refused (no rows). Output:
+    * (id, sample_rate, channels, pcm) with `sample_rate` already
+    * divided by `factor` and `pcm` in the input's interleaved layout.
     */
   def downsampleAudio(media: DataFrame, idCol: String, payloadCol: String,
                       factor: Int): DataFrame = {
     require(factor >= 1, s"factor must be >= 1, got $factor")
     val kernel = udf { payload: Array[Byte] =>
       Codecs.decodeWavPcm(payload).flatMap { w =>
-        if (w.pcm.length >= factor)
-          Some((w.sampleRateHz / factor,
-            Codecs.downsamplePcm(w.pcm, factor).map(_.toInt).toSeq))
+        val ch = math.max(w.channels, 1)
+        if (w.pcm.length / ch >= factor)
+          Some((w.sampleRateHz / factor, ch,
+            Codecs.downsamplePcm(w.pcm, factor, ch).map(_.toInt).toSeq))
         else None
       }
-    }
+    }.asNondeterministic() // plan-shape fence — see resizeImages
     media.select(col(idCol), kernel(col(payloadCol)).as("__d"))
       .filter(col("__d").isNotNull)
       .select(col(idCol), col("__d._1").as("sample_rate"),
-        col("__d._2").as("pcm"))
+        col("__d._2").as("channels"), col("__d._3").as("pcm"))
   }
 
   /** Size-balanced repartitioning for heavy-tailed payloads: hash of id,

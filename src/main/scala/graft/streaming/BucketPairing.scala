@@ -1,0 +1,54 @@
+package graft.streaming
+
+/** The shared per-bucket compare→emit→store discipline behind the
+  * streaming dedup states ([[CorpusStream.nearDupStream]]'s minhash
+  * buckets, [[MediaStream.fingerprintDedupStream]]'s Hamming bands):
+  * each arrival is compared against every stored entry, a qualifying
+  * pair emits at most once per invocation, and arrivals are stored
+  * while the bucket is below its cap (past it they still COMPARE but
+  * are not stored — the skew guard). Keeping the loop in one place
+  * keeps the cap/emit semantics from silently diverging between the
+  * text and media modalities, the way [[graft.multimodal.BandedHamming]]
+  * centralizes the batch side.
+  */
+private[streaming] object BucketPairing {
+
+  /** One keyed-state invocation. `arrivals` must already be in the
+    * caller's deterministic replay order. `hit(p, s)` returns the emit
+    * for a qualifying pair (None below threshold); emission is deduped
+    * on the unordered (id, id) pair within this invocation. Returns
+    * (emitted hits in arrival order, updated stored entries).
+    */
+  def compareAndStore[P, S, H](arrivals: Seq[P], prior: Seq[S], cap: Int)(
+      arrivalId: P => Long, storedId: S => Long, toStored: P => S,
+      hit: (P, S) => Option[H]): (Seq[H], Seq[S]) = {
+    // amortized-O(1) append: the immutable state Seq is re-materialized
+    // into a buffer once per invocation (a `Seq :+` inside the arrival
+    // loop would be O(cap²) per bucket per batch at the cap)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[S]
+    seen ++= prior
+    val out = Seq.newBuilder[H]
+    val emitted = scala.collection.mutable.HashSet.empty[(Long, Long)]
+    arrivals.foreach { p =>
+      seen.foreach { s =>
+        if (storedId(s) != arrivalId(p)) {
+          hit(p, s).foreach { h =>
+            val key = (math.min(arrivalId(p), storedId(s)),
+              math.max(arrivalId(p), storedId(s)))
+            if (emitted.add(key)) out += h
+          }
+        }
+      }
+      if (seen.length < cap) seen += toStored(p)
+    }
+    (out.result(), seen.toSeq)
+  }
+
+  /** Watermark-safe eviction timestamp: the bucket dies `horizonMs`
+    * after its newest entry, but never at-or-before the current
+    * watermark (Spark requires a strictly-future event-time timeout).
+    */
+  def evictionTimeout(newestMs: Long, horizonMs: Long,
+                      watermarkMs: Long): Long =
+    math.max(newestMs + horizonMs, watermarkMs + 1L)
+}

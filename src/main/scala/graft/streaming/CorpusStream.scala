@@ -453,37 +453,27 @@ object CorpusStream {
     def fn(bucket: Long, it: Iterator[BucketPost],
            state: GroupState[BucketState]): Iterator[NearDupHit] = {
       if (state.hasTimedOut) { state.remove(); return Iterator.empty }
-      // amortized-O(1) append: the immutable state Seq is re-materialized
-      // into a buffer once per invocation (a `Seq :+` inside the arrival
-      // loop would be O(cap²) per bucket per batch at maxBucketState)
-      val seen = scala.collection.mutable.ArrayBuffer.empty[SeenDoc]
-      state.getOption.foreach(seen ++= _.seen)
       val arr = it.toSeq.sortBy(p => (p.ts.getTime, p.doc_id))
-      val out = Seq.newBuilder[NearDupHit]
-      // per-invocation pair dedup (bounded by this call's emission count):
-      // a doc id re-arriving in the same batch would otherwise emit its
-      // pairs twice from ONE bucket — cross-bucket duplicates remain the
-      // consumer's dropDuplicates (see scaladoc)
-      val emitted = scala.collection.mutable.HashSet.empty[(Long, Long)]
-      arr.foreach { p =>
-        seen.foreach { s =>
-          if (s.doc_id != p.doc_id) {
-            val est = agree(p.sig, s.sig)
-            val key = (math.min(p.doc_id, s.doc_id),
-              math.max(p.doc_id, s.doc_id))
-            if (est >= threshold && emitted.add(key))
-              out += NearDupHit(key._1, key._2,
-                math.round(est * 1e6) / 1e6)
-          }
-        }
-        if (seen.length < maxBucketState)
-          seen += SeenDoc(p.doc_id, p.sig, p.ts.getTime)
-      }
-      state.update(BucketState(seen.toSeq))
-      val newest = (seen.map(_.ts_ms) ++ arr.map(_.ts.getTime)).max
-      state.setTimeoutTimestamp(
-        math.max(newest + horizonMs, state.getCurrentWatermarkMs() + 1L))
-      out.result().iterator
+      // compare→emit-once-per-pair→store-below-cap: the shared
+      // [[BucketPairing]] discipline (cross-bucket duplicates remain the
+      // consumer's dropDuplicates — see scaladoc)
+      val (hits, stored) = BucketPairing.compareAndStore(
+        arr, state.getOption.map(_.seen).getOrElse(Seq.empty),
+        maxBucketState)(
+        _.doc_id, _.doc_id,
+        p => SeenDoc(p.doc_id, p.sig, p.ts.getTime),
+        (p, s) => {
+          val est = agree(p.sig, s.sig)
+          if (est >= threshold)
+            Some(NearDupHit(math.min(p.doc_id, s.doc_id),
+              math.max(p.doc_id, s.doc_id), math.round(est * 1e6) / 1e6))
+          else None
+        })
+      state.update(BucketState(stored))
+      val newest = (stored.map(_.ts_ms) ++ arr.map(_.ts.getTime)).max
+      state.setTimeoutTimestamp(BucketPairing.evictionTimeout(
+        newest, horizonMs, state.getCurrentWatermarkMs()))
+      hits.iterator
     }
 
     posts.groupByKey(_.bucket)

@@ -119,31 +119,24 @@ object MediaStream {
     def fn(bucket: Long, it: Iterator[FpPost],
            state: GroupState[FpBucketState]): Iterator[MediaDupHit] = {
       if (state.hasTimedOut) { state.remove(); return Iterator.empty }
-      val seen = scala.collection.mutable.ArrayBuffer.empty[SeenFp]
-      state.getOption.foreach(seen ++= _.seen)
       val arr = it.toSeq.sortBy(p => (p.ts.getTime, p.media_id))
-      val out = Seq.newBuilder[MediaDupHit]
-      // per-invocation pair dedup: a media id re-arriving in the same
-      // batch must not emit its pairs twice from ONE bucket
-      val emitted = scala.collection.mutable.HashSet.empty[(Long, Long)]
-      arr.foreach { p =>
-        seen.foreach { s =>
-          if (s.media_id != p.media_id) {
-            val d = java.lang.Long.bitCount(p.fp ^ s.fp)
-            val key = (math.min(p.media_id, s.media_id),
-              math.max(p.media_id, s.media_id))
-            if (d <= maxHamming && emitted.add(key))
-              out += MediaDupHit(key._1, key._2, d)
-          }
-        }
-        if (seen.length < maxBucketState)
-          seen += SeenFp(p.media_id, p.fp, p.ts.getTime)
-      }
-      state.update(FpBucketState(seen.toSeq))
-      val newest = (seen.map(_.ts_ms) ++ arr.map(_.ts.getTime)).max
-      state.setTimeoutTimestamp(
-        math.max(newest + horizonMs, state.getCurrentWatermarkMs() + 1L))
-      out.result().iterator
+      val (hits, stored) = BucketPairing.compareAndStore(
+        arr, state.getOption.map(_.seen).getOrElse(Seq.empty),
+        maxBucketState)(
+        _.media_id, _.media_id,
+        p => SeenFp(p.media_id, p.fp, p.ts.getTime),
+        (p, s) => {
+          val d = java.lang.Long.bitCount(p.fp ^ s.fp)
+          if (d <= maxHamming)
+            Some(MediaDupHit(math.min(p.media_id, s.media_id),
+              math.max(p.media_id, s.media_id), d))
+          else None
+        })
+      state.update(FpBucketState(stored))
+      val newest = (stored.map(_.ts_ms) ++ arr.map(_.ts.getTime)).max
+      state.setTimeoutTimestamp(BucketPairing.evictionTimeout(
+        newest, horizonMs, state.getCurrentWatermarkMs()))
+      hits.iterator
     }
 
     posts.groupByKey(_.bucket)

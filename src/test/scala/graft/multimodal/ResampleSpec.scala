@@ -55,6 +55,11 @@ class ResampleSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Codecs.downsamplePcm(pcm, 0)
     }
+    // stereo: channels decimate INDEPENDENTLY in interleaved layout — a
+    // clip with L = −R must NOT decimate to silence (the cross-mix bug)
+    val stereo = Array[Short](100, -100, 200, -200, 300, -300, 400, -400)
+    assert(Codecs.downsamplePcm(stereo, 2, channels = 2).toSeq ==
+      Seq[Short](150, -150, 350, -350))
   }
 
   test("resizeImages / downsampleAudio: one row per decodable payload, " +
@@ -79,16 +84,27 @@ class ResampleSpec extends SparkSpec {
 
     val wav = Codecs.wavBytes(8000, Array.tabulate[Short](64)(_.toShort))
     val shortWav = Codecs.wavBytes(8000, Array[Short](1, 2, 3))
-    val audio = Seq((1L, wav), (2L, shortWav), (3L, Array.fill[Byte](16)(1)))
+    // stereo plant with L = −R through the real container: the decode
+    // reports 2 channels and the operator must decimate them apart
+    val stereoWav = Codecs.wavBytes(8000,
+      Array.tabulate[Short](32)(i =>
+        (if (i % 2 == 0) 1000 else -1000).toShort), channels = 2)
+    val audio = Seq((1L, wav), (2L, shortWav),
+      (3L, Array.fill[Byte](16)(1)), (4L, stereoWav))
       .toDF("id", "payload")
     val d = Multimodal.downsampleAudio(audio, "id", "payload", 4)
       .collect().map(x => x.getLong(0) ->
-        ((x.getInt(1), x.getSeq[Int](2)))).toMap
+        ((x.getInt(1), x.getInt(2), x.getSeq[Int](3)))).toMap
     // 3-sample clip < one factor-4 block and garbage both refused
-    assert(d.keySet == Set(1L))
-    val (sr, pcmOut) = d(1L)
-    assert(sr == 2000 && pcmOut.length == 16)
+    assert(d.keySet == Set(1L, 4L))
+    val (sr, ch, pcmOut) = d(1L)
+    assert(sr == 2000 && ch == 1 && pcmOut.length == 16)
     // ramp blocks: mean of {4i..4i+3} floors to 4i+1
     assert(pcmOut.zipWithIndex.forall { case (v, i) => v == 4 * i + 1 })
+    val (sr2, ch2, stOut) = d(4L)
+    assert(sr2 == 2000 && ch2 == 2)
+    // 16 frames / factor 4 = 4 frames, interleaved ±1000 preserved
+    assert(stOut == Seq(1000, -1000, 1000, -1000, 1000, -1000,
+      1000, -1000))
   }
 }
