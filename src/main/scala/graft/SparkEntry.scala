@@ -2349,16 +2349,18 @@ object SparkEntry {
     }),
 
     // exact pixel-domain thumbnailing — the resize step of a multimodal
-    // ingest through the REAL decode: supplier keys plant 32×32 PNGs
-    // whose pixel (y, x) is the plane x + y + (k % 190) (all values
-    // < 256, no wrap); the 8×8 box-mean over 4×4 blocks is EXACT
-    // integer arithmetic (block sum 16·(4r + 4c + 3 + base) divides by
-    // 16), so the oracle replays the whole decode→resize in closed
-    // form: v = base + 4r + 4c + 3
+    // ingest through the REAL decodes: supplier keys plant 32×32
+    // images (even keys PNG, odd keys GIF — same pixels, two real
+    // container decodes) whose pixel (y, x) is the plane
+    // x + y + (k % 190) (all values < 256, no wrap); the 8×8 box-mean
+    // over 4×4 blocks is EXACT integer arithmetic (block sum
+    // 16·(4r + 4c + 3 + base) divides by 16), so ONE oracle replays
+    // decode→resize for both containers in closed form:
+    // v = base + 4r + 4c + 3
     "q115_image_resize" -> ((s, dir) => {
       import s.implicits._
       val media = tSpread(s, dir, "supplier").select(col("s_suppkey")).as[Long]
-        .map(k => (k, q115Png(k)))
+        .map(k => (k, q115Img(k)))
         .toDF("id", "payload")
       multimodal.Multimodal.resizeImages(media, "id", "payload", 8, 8)
         .select(col("id"), posexplode(col("px")).as(Seq("pos", "pv")))
@@ -2461,15 +2463,18 @@ object SparkEntry {
     multimodal.Multimodal.Codecs.aviBytes(320, 240, 33333, frames)
   }
 
-  /** q115's planted PNG for supplier key `k`: the 32×32 gradient plane
-    * pixel(y, x) = x + y + (k % 190) — every value ≤ 62 + 189 < 256,
-    * so the closed-form block means never wrap.
+  /** q115's planted image for supplier key `k`: the 32×32 gradient
+    * plane pixel(y, x) = x + y + (k % 190) — every value ≤ 62 + 189
+    * < 256, so the closed-form block means never wrap. Even keys ship
+    * as PNG, odd keys as GIF: the SAME pixels through two REAL
+    * container decodes (zlib+filters vs LZW+palette), one oracle.
     */
-  private[graft] def q115Png(k: Long): Array[Byte] = {
+  private[graft] def q115Img(k: Long): Array[Byte] = {
     val base = (k % 190).toInt
     val gray = Array.tabulate(32 * 32)(i =>
       ((i % 32) + (i / 32) + base).toByte)
-    multimodal.Multimodal.Codecs.pngGrayBytes(32, 32, gray)
+    if (k % 2 == 0) multimodal.Multimodal.Codecs.pngGrayBytes(32, 32, gray)
+    else multimodal.Multimodal.Codecs.gifGrayBytes(32, 32, gray)
   }
 
   /** q116's planted WAV for supplier key `k`: 640 samples of the ramp

@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   *    neighbour (horizontal gradient), same exact comparison.
   *
   * Pixels come from the REAL container decode
-  * ([[Multimodal.Codecs.decodePngGray]] — zlib inflate + RFC 2083
+  * ([[Multimodal.Codecs.decodeImageGray]] — PNG zlib inflate + RFC 2083
   * filter reconstruction); payloads that don't decode (wrong container,
   * truncated stream, unsupported colour type) simply produce no
   * fingerprint row and therefore never pair.
@@ -124,7 +124,7 @@ object ImageHash {
     require(method == "ahash" || method == "dhash",
       s"method must be ahash|dhash, got $method")
     val kernel = udf { payload: Array[Byte] =>
-      Multimodal.Codecs.decodePngGray(payload).flatMap { p =>
+      Multimodal.Codecs.decodeImageGray(payload).flatMap { p =>
         method match {
           case "ahash" if p.width >= 8 && p.height >= 8 =>
             Some(aHash64(p.gray, p.width, p.height))

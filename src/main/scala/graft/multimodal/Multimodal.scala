@@ -9,12 +9,12 @@ import org.apache.spark.sql.types._
   * for decode / feature-extract / resize / frame-sample.
   *
   * `Codecs` implements the container formats from their public specs:
-  * PNG/JPEG/GIF header dimension parsing, RIFF/WAVE PCM decode and
-  * RIFF/AVI frame demux (plus the matching minimal writers for planting
-  * test payloads). Pixel/DCT decode stays a deterministic stand-in —
-  * that belongs to a batch media library behind the same per-partition
-  * seam. The Spark-side contract (schema, partitioning, batch shape) is
-  * real:
+  * PNG/JPEG/GIF header dimension parsing, FULL PNG and GIF pixel
+  * decodes (zlib+filters, LZW), RIFF/WAVE PCM decode and RIFF/AVI
+  * frame demux (plus the matching writers for planting test payloads).
+  * Only JPEG's DCT entropy decode stays behind the seam — that belongs
+  * to a batch media library at the same per-partition boundary. The
+  * Spark-side contract (schema, partitioning, batch shape) is real:
   *  - media rows flow as `Dataset[MediaRow]` (binary + metadata struct);
   *  - transforms run via `mapPartitions`, amortizing per-batch codec setup
   *    exactly like an Arrow-batch UDF would — one codec instance per
@@ -54,10 +54,11 @@ object Multimodal {
     * dims), JPEG (ISO/IEC 10918 SOFn segment carries precision, height,
     * width), GIF (87a/89a logical screen descriptor, little-endian dims)
     * and RIFF/WAVE canonical PCM (fmt + data chunks, little-endian),
-    * plus RIFF/AVI frame demux ([[decodeAviFrames]]) and full PNG pixel
-    * decode ([[decodePngGray]]). DCT decode stays out of scope: a
-    * training pipeline shards on dimensions/duration and hands JPEG
-    * pixel decode to a batch library.
+    * plus RIFF/AVI frame demux ([[decodeAviFrames]]) and full pixel
+    * decodes for PNG ([[decodePngGray]]) and GIF ([[decodeGifGray]],
+    * complete LZW). JPEG DCT decode stays out of scope: a training
+    * pipeline shards on dimensions/duration and hands JPEG pixel
+    * decode to a batch library.
     */
   object Codecs {
 
@@ -306,7 +307,66 @@ object Multimodal {
         chunk("IEND", Array.empty)
     }
 
-    final case class PngPixels(width: Int, height: Int, gray: Array[Int])
+    /** A COMPLETE grayscale GIF89a carrying real pixel data: 256-entry
+      * gray ramp palette (r=g=b=v, so the 601 luma fold recovers v
+      * EXACTLY), one non-interlaced image, LZW stream in the
+      * fixed-width form — a clear code before every root code keeps the
+      * dictionary empty and the width at 9 bits, which is valid
+      * (inefficient) LZW any compliant decoder accepts.
+      * [[decodeGifGray]] round-trips it; the GIF counterpart of
+      * [[pngGrayBytes]] for planting mixed-container corpora.
+      */
+    def gifGrayBytes(width: Int, height: Int, gray: Array[Byte]): Array[Byte] = {
+      require(gray.length == width * height,
+        s"pixel buffer ${gray.length} != $width*$height")
+      val bits = new java.io.ByteArrayOutputStream()
+      var acc = 0
+      var nbits = 0
+      def put(code: Int): Unit = { // 9-bit codes, LSB-first
+        acc |= code << nbits
+        nbits += 9
+        while (nbits >= 8) { bits.write(acc & 0xff); acc >>= 8; nbits -= 8 }
+      }
+      put(256) // initial clear
+      var i = 0
+      while (i < gray.length) {
+        put(gray(i) & 0xff)
+        i += 1
+        if (i < gray.length) put(256) // keep the dictionary cleared
+      }
+      put(257) // end of information
+      if (nbits > 0) bits.write(acc & 0xff)
+      val lzw = bits.toByteArray
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("GIF89a".getBytes("US-ASCII"))
+      out.write(width & 0xff); out.write((width >> 8) & 0xff)
+      out.write(height & 0xff); out.write((height >> 8) & 0xff)
+      out.write(0xf7) // GCT present, 8-bit colour, 256 entries
+      out.write(0); out.write(0) // background index, aspect
+      var v = 0
+      while (v < 256) { out.write(v); out.write(v); out.write(v); v += 1 }
+      out.write(0x2c)
+      out.write(0); out.write(0); out.write(0); out.write(0) // left, top
+      out.write(width & 0xff); out.write((width >> 8) & 0xff)
+      out.write(height & 0xff); out.write((height >> 8) & 0xff)
+      out.write(0) // no local table, not interlaced
+      out.write(8) // LZW minimum code size
+      var off = 0
+      while (off < lzw.length) {
+        val n = math.min(255, lzw.length - off)
+        out.write(n)
+        out.write(lzw, off, n)
+        off += n
+      }
+      out.write(0) // block terminator
+      out.write(0x3b) // trailer
+      out.toByteArray
+    }
+
+    /** Decoded grayscale pixels, whatever container they came from
+      * ([[decodePngGray]], [[decodeGifGray]], [[decodeImageGray]]).
+      */
+    final case class GrayImage(width: Int, height: Int, gray: Array[Int])
 
     /** REAL PNG pixel decode (RFC 2083 §§4.1.3, 6): walks the chunk
       * list, concatenates IDAT data, inflates with the JDK zlib, undoes
@@ -318,7 +378,7 @@ object Multimodal {
       * folds with the integer ITU-R 601 luma (77R + 150G + 29B) >> 8,
       * deterministic across JVMs. None on anything else.
       */
-    def decodePngGray(b: Array[Byte]): Option[PngPixels] = {
+    def decodePngGray(b: Array[Byte]): Option[GrayImage] = {
       if (b == null || b.length < 45 || !b.take(8).sameElements(PngSig))
         return None
       var i = 8
@@ -419,8 +479,204 @@ object Multimodal {
         System.arraycopy(cur, 0, prior, 0, stride)
         y += 1
       }
-      Some(PngPixels(w, h, px))
+      Some(GrayImage(w, h, px))
     }
+
+    /** REAL GIF pixel decode (the public GIF87a/89a specification):
+      * logical screen descriptor → global color table, extension blocks
+      * skipped by their sub-block chain, then the FIRST image
+      * descriptor's LZW-compressed index stream decoded with the full
+      * variable-width dictionary algorithm (clear/EOI codes, 12-bit
+      * cap, KwKwK case) and the palette folded to the same integer
+      * ITU-R 601 luma as the PNG path. Local color tables and the
+      * 4-pass interlace row order are handled; animated GIFs decode
+      * their first frame (the thumbnail/fingerprint convention).
+      * Lengths, dimensions and codes are attacker-controlled: the
+      * 2^26-px cap, sub-block bounds, out-of-dictionary codes and
+      * out-of-palette indices all refuse the payload whole rather than
+      * loop, overrun, or decode garbage.
+      */
+    def decodeGifGray(b: Array[Byte]): Option[GrayImage] = {
+      if (b == null || b.length < 14) return None
+      val sig = new String(b, 0, 6, "US-ASCII")
+      if (sig != "GIF87a" && sig != "GIF89a") return None
+      def palette(pos: Int, size: Int): Option[Array[Int]] =
+        if (pos < 0 || pos + 3 * size > b.length) None
+        else Some(Array.tabulate(size)(j =>
+          (77 * u8(b, pos + 3 * j) + 150 * u8(b, pos + 3 * j + 1) +
+            29 * u8(b, pos + 3 * j + 2)) >> 8))
+      val lsdPacked = u8(b, 10)
+      var gct: Array[Int] = null
+      var i = 13
+      if ((lsdPacked & 0x80) != 0) {
+        val size = 2 << (lsdPacked & 7)
+        gct = palette(13, size).getOrElse(return None)
+        i += 3 * size
+      }
+      while (i < b.length) {
+        u8(b, i) match {
+          case 0x21 => // extension: introducer + label, then sub-blocks
+            i += 2
+            var n = -1
+            while (n != 0) {
+              if (i >= b.length) return None
+              n = u8(b, i)
+              i += 1 + n
+            }
+          case 0x2c =>
+            if (i + 10 > b.length) return None
+            val w = le16(b, i + 5)
+            val h = le16(b, i + 7)
+            val idPacked = u8(b, i + 9)
+            i += 10
+            var pal = gct
+            if ((idPacked & 0x80) != 0) {
+              val size = 2 << (idPacked & 7)
+              pal = palette(i, size).getOrElse(return None)
+              i += 3 * size
+            }
+            if (pal == null || w <= 0 || h <= 0 ||
+              w.toLong * h > (1L << 26) || i >= b.length) return None
+            val minCode = u8(b, i)
+            i += 1
+            // concatenate the data sub-blocks
+            val data = new java.io.ByteArrayOutputStream()
+            var n = -1
+            while (n != 0) {
+              if (i >= b.length) return None
+              n = u8(b, i)
+              if (i + 1 + n > b.length) return None
+              data.write(b, i + 1, n)
+              i += 1 + n
+            }
+            val idx = lzwDecode(data.toByteArray, minCode, w * h)
+              .getOrElse(return None)
+            val px = new Array[Int](w * h)
+            var j = 0
+            while (j < px.length) {
+              if (idx(j) >= pal.length) return None // out-of-palette
+              px(j) = pal(idx(j))
+              j += 1
+            }
+            return Some(GrayImage(w, h,
+              if ((idPacked & 0x40) != 0) deinterlace(px, w, h) else px))
+          case _ => return None // trailer before any image, or garbage
+        }
+      }
+      None
+    }
+
+    /** GIF 4-pass interlace: decoded row r came from pass rows
+      * 0,8,16… / 4,12… / 2,6… / 1,3,5… — scatter back to raster order.
+      */
+    private def deinterlace(px: Array[Int], w: Int, h: Int): Array[Int] = {
+      val out = new Array[Int](px.length)
+      var src = 0
+      for ((start, step) <- Seq((0, 8), (4, 8), (2, 4), (1, 2))) {
+        var row = start
+        while (row < h) {
+          System.arraycopy(px, src * w, out, row * w, w)
+          src += 1
+          row += step
+        }
+      }
+      out
+    }
+
+    /** GIF-flavor LZW decode of exactly `n` palette indices: LSB-first
+      * variable-width codes starting at `minCode + 1` bits, clear code
+      * `2^minCode`, EOI after it, dictionary capped at 4096 entries
+      * (prefix-chain representation). Returns None on truncation, a
+      * code beyond the dictionary, or a stream that disagrees with `n`
+      * — never loops or overruns on crafted input.
+      */
+    private def lzwDecode(data: Array[Byte], minCode: Int,
+                          n: Int): Option[Array[Int]] = {
+      if (minCode < 2 || minCode > 8) return None
+      val clear = 1 << minCode
+      val eoi = clear + 1
+      val prefix = new Array[Int](4096)
+      val suffix = new Array[Int](4096)
+      val stack = new Array[Int](4097)
+      var dictSize = eoi + 1
+      var width = minCode + 1
+      var prev = -1
+      var prevFirst = 0
+      val out = new Array[Int](n)
+      var outPos = 0
+      var bitPos = 0L
+      val totalBits = data.length.toLong * 8
+      def readCode(): Int = {
+        if (bitPos + width > totalBits) -1
+        else {
+          var v = 0
+          var k = 0
+          while (k < width) {
+            val p = bitPos + k
+            v |= ((data((p >> 3).toInt) >> (p & 7).toInt) & 1) << k
+            k += 1
+          }
+          bitPos += width
+          v
+        }
+      }
+      while (outPos < n) {
+        val code = readCode()
+        if (code < 0) return None // truncated before all pixels arrived
+        if (code == clear) {
+          dictSize = eoi + 1; width = minCode + 1; prev = -1
+        } else if (code == eoi) {
+          return None // EOI before all pixels arrived
+        } else if (prev == -1) {
+          if (code >= clear) return None // first code must be a root
+          out(outPos) = code
+          outPos += 1
+          prev = code
+          prevFirst = code
+        } else {
+          // expansion pushed reversed (suffix-first); sp = its length
+          var sp = 0
+          if (code < dictSize) {
+            var c = code
+            while (c > eoi) { stack(sp) = suffix(c); sp += 1; c = prefix(c) }
+            stack(sp) = c
+            sp += 1
+          } else if (code == dictSize && dictSize < 4096) {
+            // KwKwK: expansion(prev) + first(prev)
+            stack(0) = prevFirst
+            sp = 1
+            var c = prev
+            while (c > eoi) { stack(sp) = suffix(c); sp += 1; c = prefix(c) }
+            stack(sp) = c
+            sp += 1
+          } else return None // beyond the dictionary: malformed
+          val first = stack(sp - 1)
+          if (outPos + sp > n) return None // more pixels than declared
+          while (sp > 0) {
+            sp -= 1
+            out(outPos) = stack(sp)
+            outPos += 1
+          }
+          if (dictSize < 4096) {
+            prefix(dictSize) = prev
+            suffix(dictSize) = first
+            dictSize += 1
+            if (dictSize == (1 << width) && width < 12) width += 1
+          }
+          prev = code
+          prevFirst = first
+        }
+      }
+      Some(out) // trailing EOI/terminator is the container's business
+    }
+
+    /** Container-agnostic grayscale decode: PNG, then GIF (the two
+      * containers with REAL pixel decodes — JPEG/others refuse). The
+      * entry point the fingerprint/resize operators use, so an image
+      * corpus mixing containers flows through one seam.
+      */
+    def decodeImageGray(b: Array[Byte]): Option[GrayImage] =
+      decodePngGray(b).orElse(decodeGifGray(b))
 
     /** Minimal valid-enough PNG: signature + IHDR (CRC not computed — the
       * dimension parser doesn't verify it, as most samplers don't).
@@ -714,7 +970,7 @@ object Multimodal {
                    outW: Int, outH: Int): DataFrame = {
     require(outW >= 1 && outH >= 1, s"target must be >= 1x1, got ${outW}x$outH")
     val kernel = udf { payload: Array[Byte] =>
-      Codecs.decodePngGray(payload).flatMap { p =>
+      Codecs.decodeImageGray(payload).flatMap { p =>
         if (p.width >= outW && p.height >= outH)
           Some((p.width, p.height,
             Codecs.resizeGrayPixels(p.gray, p.width, p.height, outW, outH)

@@ -43,7 +43,7 @@ object MediaStream {
 
   /** Streaming fingerprint near-dup detection over a binary payload
     * column. `modality` picks the scan-stage kernel:
-    *  - `"image"`: [[Multimodal.Codecs.decodePngGray]] →
+    *  - `"image"`: [[Multimodal.Codecs.decodeImageGray]] →
     *    [[ImageHash.aHash64]] (≥ 8×8 px);
     *  - `"audio"`: [[Multimodal.Codecs.decodeWavPcm]] →
     *    [[AudioHash.envHash64]] (≥ 65 samples, ≤ 2^26).
@@ -83,7 +83,7 @@ object MediaStream {
     import spark.implicits._
     val fpKernel = udf { payload: Array[Byte] =>
       if (modality == "image")
-        Multimodal.Codecs.decodePngGray(payload).flatMap { p =>
+        Multimodal.Codecs.decodeImageGray(payload).flatMap { p =>
           if (p.width >= 8 && p.height >= 8)
             Some(ImageHash.aHash64(p.gray, p.width, p.height))
           else None

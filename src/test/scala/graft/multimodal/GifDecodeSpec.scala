@@ -1,0 +1,106 @@
+package graft.multimodal
+
+import graft.SparkSpec
+
+/** Real GIF pixel decode: LZW (including genuine dictionary growth and
+  * the KwKwK case), interlace, palettes, refusals, and the
+  * container-agnostic decodeImageGray seam the fingerprint/resize
+  * operators ride.
+  */
+class GifDecodeSpec extends SparkSpec {
+  import Multimodal.Codecs
+
+  private def gradient(w: Int, h: Int): Array[Byte] =
+    Array.tabulate(w * h)(i => ((i % w) + (i / w)).toByte)
+
+  test("GIF round-trip: gifGrayBytes → decodeGifGray recovers every " +
+    "pixel exactly (gray ramp palette folds to identity luma)") {
+    val px = gradient(32, 32)
+    val v = Codecs.decodeGifGray(Codecs.gifGrayBytes(32, 32, px)).get
+    assert(v.width == 32 && v.height == 32)
+    assert(v.gray.toSeq == px.map(_ & 0xff).toSeq)
+    // non-square, odd dims (sub-block boundary crossings)
+    val px2 = gradient(41, 13)
+    val v2 = Codecs.decodeGifGray(Codecs.gifGrayBytes(41, 13, px2)).get
+    assert(v2.gray.toSeq == px2.map(_ & 0xff).toSeq)
+  }
+
+  test("real LZW: a hand-built stream with dictionary growth and the " +
+    "KwKwK case decodes correctly (the cleared-dict writer never " +
+    "exercises this path)") {
+    // 2×2 image, all pixels 0, 4-entry palette, minCode 2:
+    // proper LZW encode of [0,0,0,0] is CLEAR(4), 0, 6, 0, EOI(5) —
+    // code 6 arrives BEFORE entry 6 exists (KwKwK) and expands to
+    // expansion(prev=0)+first(prev)=[0,0]. 3-bit codes LSB-first:
+    // 100 000 110 000 101 → bytes 0x84, 0x51
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    out.write(2); out.write(0); out.write(2); out.write(0) // 2×2 screen
+    out.write(0x80 | 0x01) // GCT, 4 entries
+    out.write(0); out.write(0)
+    for (v <- Seq(10, 20, 30, 40)) { // palette: gray 10/20/30/40
+      out.write(v); out.write(v); out.write(v)
+    }
+    out.write(0x2c)
+    out.write(0); out.write(0); out.write(0); out.write(0)
+    out.write(2); out.write(0); out.write(2); out.write(0)
+    out.write(0) // no LCT, not interlaced
+    out.write(2) // LZW min code size
+    out.write(2); out.write(0x84); out.write(0x51) // one 2-byte sub-block
+    out.write(0); out.write(0x3b)
+    val v = Codecs.decodeGifGray(out.toByteArray).get
+    assert(v.width == 2 && v.height == 2)
+    // every pixel is palette entry 0 = gray 10 (luma of (10,10,10))
+    assert(v.gray.toSeq == Seq(10, 10, 10, 10))
+  }
+
+  test("interlaced images scatter decoded pass rows back to raster " +
+    "order") {
+    val w = 4; val h = 8
+    val raster = gradient(w, h)
+    // rows in 4-pass interlace order: 0 / 4 / 2,6 / 1,3,5,7
+    val passOrder = Seq(0, 4, 2, 6, 1, 3, 5, 7)
+    val permuted = new Array[Byte](w * h)
+    passOrder.zipWithIndex.foreach { case (row, src) =>
+      System.arraycopy(raster, row * w, permuted, src * w, w)
+    }
+    val b = Codecs.gifGrayBytes(w, h, permuted)
+    // image descriptor packed byte: 6 (sig) + 7 (LSD) + 768 (GCT) +
+    // 1 (0x2c) + 8 (left/top/w/h) = index 790 — set the interlace bit
+    assert(b(781) == 0x2c.toByte)
+    b(790) = (b(790) | 0x40).toByte
+    val v = Codecs.decodeGifGray(b).get
+    assert(v.gray.toSeq == raster.map(_ & 0xff).toSeq)
+  }
+
+  test("refusals: truncation, trailer-before-image, oversized dims, " +
+    "bad first code, non-GIF payloads") {
+    val good = Codecs.gifGrayBytes(16, 16, gradient(16, 16))
+    assert(Codecs.decodeGifGray(good.take(good.length / 2)).isEmpty)
+    assert(Codecs.decodeGifGray(good.take(790)).isEmpty)
+    // trailer immediately after the screen descriptor + GCT
+    val noImage = good.take(781) ++ Array(0x3b.toByte)
+    assert(Codecs.decodeGifGray(noImage).isEmpty)
+    // a declared 65535×65535 screen/image would be 4 Gpx — the 2^26 cap
+    // refuses before allocating
+    val big = good.clone()
+    big(786) = 0xff.toByte; big(787) = 0xff.toByte // image w = 65535
+    big(788) = 0xff.toByte; big(789) = 0xff.toByte // image h = 65535
+    assert(Codecs.decodeGifGray(big).isEmpty)
+    assert(Codecs.decodeGifGray(null).isEmpty)
+    assert(Codecs.decodeGifGray("GIF89a".getBytes("US-ASCII")).isEmpty)
+    assert(Codecs.decodeGifGray(
+      Codecs.pngGrayBytes(8, 8, Array.fill[Byte](64)(1))).isEmpty)
+  }
+
+  test("decodeImageGray seam: PNG and GIF payloads carrying the SAME " +
+    "pixels produce identical gray buffers and identical aHash " +
+    "fingerprints through either container") {
+    val px = gradient(32, 32)
+    val fromPng = Codecs.decodeImageGray(Codecs.pngGrayBytes(32, 32, px)).get
+    val fromGif = Codecs.decodeImageGray(Codecs.gifGrayBytes(32, 32, px)).get
+    assert(fromPng.gray.toSeq == fromGif.gray.toSeq)
+    assert(ImageHash.aHash64(fromPng.gray, 32, 32) ==
+      ImageHash.aHash64(fromGif.gray, 32, 32))
+  }
+}
