@@ -59,7 +59,8 @@ object ScaleSmoke {
     // (PNG inflate+filter, WAV PCM, AVI chunk walk) + the banded
     // Hamming candidate join — the per-copy key blocks keep duplicate
     // groups disjoint across copies (see scaledSupplier)
-    "q112_image_phash", "q113_audio_fingerprint", "q114_video_demux")
+    "q112_image_phash", "q113_audio_fingerprint", "q114_video_demux",
+    "q117_video_phash")
 
   /** Measured at 10× only. Both are deliberately NOT the scale path —
     * q77 is the pinned-k SemDeDup negative control (its 100× exponent

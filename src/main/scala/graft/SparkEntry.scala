@@ -2386,6 +2386,28 @@ object SparkEntry {
         .select(col("id"), col("sample_rate"), col("i").cast("long").as("i"),
           col("pv").cast("long").as("v"))
         .orderBy(col("id"), col("i"))
+    }),
+
+    // video perceptual near-dup dedup — the fingerprint family's third
+    // modality through the REAL demux: supplier keys plant complete
+    // AVIs of raw 16×16 gray frames; group k%20 members share base
+    // frames but each member permutes pixels within the 2×2 aHash
+    // cells (byte-distinct payloads, identical per-frame hashes by
+    // exact cell-sum invariance). The engine demuxes, samples every
+    // 2nd frame, aHashes each sampled raster, and pairs videos whose
+    // ALIGNED frame hashes agree (frame_idx in the bucket key —
+    // temporal alignment, not bag-of-frames); the oracle is the
+    // q112/q113 closed form with the sampled-frame count
+    // ceil((g%5 + 2)/2) as matched_frames and full agreement
+    "q117_video_phash" -> ((s, dir) => {
+      import s.implicits._
+      val media = tSpread(s, dir, "supplier").select(col("s_suppkey")).as[Long]
+        .map(k => (k, q117Avi(k)))
+        .toDF("id", "payload")
+      val fps = multimodal.VideoHash.frameFingerprints(media, "id", "payload",
+        sampleEvery = 2)
+      multimodal.VideoHash.nearDupPairs(fps, "id", maxHamming = 3)
+        .orderBy(col("id1"), col("id2"))
     })
   )
 
@@ -2485,6 +2507,49 @@ object SparkEntry {
     val base = (k % 50).toInt
     val pcm = Array.tabulate[Short](640)(j => (j + base).toShort)
     multimodal.Multimodal.Codecs.wavBytes(8000, pcm)
+  }
+
+  /** q117's planted AVI for supplier key `k`: a group-determined
+    * (g%5 + 2)-frame clip of 16×16 RAW gray rasters (chunk length ==
+    * w·h — the uncompressed-frame convention [[multimodal.VideoHash]]
+    * hashes). All members of group g = k % 20 share the same base
+    * frames; each member permutes pixels WITHIN the 2×2 aHash cells
+    * (rotation (k/20) % 4 — a bijection per cell), so cell sums and
+    * therefore every per-frame aHash are IDENTICAL within the group
+    * while payloads stay byte-distinct: the video analogue of q112's
+    * within-cell rotation. Block term: see q112Png — copy-disjoint
+    * groups under ScaleSmoke replication, identity at test SFs.
+    */
+  private[graft] def q117Avi(k: Long): Array[Byte] = {
+    val g = k % 20
+    val n = (g % 5 + 2).toInt
+    val rotBy = ((k / 20) % 4).toInt
+    var s = ((k / 1000000L) * 7993L + g) * 1000003L + 31L
+    val frames = (0 until n).map { _ =>
+      val base = Array.fill(16 * 16) {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        ((s >>> 33) & 0xff).toByte
+      }
+      val rot = base.clone()
+      var r = 0
+      while (r < 8) {
+        var c = 0
+        while (c < 8) {
+          var j = 0
+          while (j < 4) {
+            val src = (r * 2 + j / 2) * 16 + (c * 2 + j % 2)
+            val jj = (j + rotBy) % 4
+            val dst = (r * 2 + jj / 2) * 16 + (c * 2 + jj % 2)
+            rot(dst) = base(src)
+            j += 1
+          }
+          c += 1
+        }
+        r += 1
+      }
+      rot
+    }
+    multimodal.Multimodal.Codecs.aviBytes(16, 16, 33333, frames)
   }
 
   /** q104's fixed merge table: common English patterns, applied in
@@ -4965,6 +5030,24 @@ object SparkEntry {
         |  r.i AS i, 8 * r.i + (s_suppkey % 50) + 3 AS v
         |FROM supplier, range(0, 80) r(i)
         |ORDER BY id, i""".stripMargin,
+
+    // closed form like q112/q113 lifted to the frame level: in-group
+    // videos carry identical per-frame aHashes by construction (cell-
+    // sum-preserving pixel permutations), so every sampled frame slot
+    // matches at hamming 0 — matched_frames is the sampled count
+    // ceil(n/2) of the group's n = g%5 + 2 frames and agreement is
+    // exactly 1.0; cross-group aligned-frame fingerprints are > 3 bits
+    // apart (deterministic, SF-independent, pinned in VideoHashSpec)
+    "q117_video_phash" ->
+      """SELECT a.s_suppkey AS id1, b.s_suppkey AS id2,
+        |  CAST(((a.s_suppkey % 20) % 5 + 3) // 2 AS BIGINT)
+        |    AS matched_frames,
+        |  CAST(1.0 AS DOUBLE) AS agreement
+        |FROM supplier a JOIN supplier b
+        |  ON a.s_suppkey < b.s_suppkey
+        | AND a.s_suppkey % 20 = b.s_suppkey % 20
+        | AND a.s_suppkey // 1000000 = b.s_suppkey // 1000000
+        |ORDER BY id1, id2""".stripMargin,
 
 
     // q103/q105 share q77's exact all-pairs oracle: recall of the

@@ -44,28 +44,46 @@ private[multimodal] object BandedHamming {
     * caller's modality owns. Output: (id1, id2, hamming).
     */
   def pairs(fps: DataFrame, idCol: String, maxHamming: Int, bands: Int,
-            maxBucketSize: Int, op: String): DataFrame = {
+            maxBucketSize: Int, op: String): DataFrame =
+    alignedPairs(fps, idCol, Nil, maxHamming, bands, maxBucketSize, op)
+
+  /** [[pairs]] generalized with alignment key columns folded into the
+    * bucket key: rows pair only when they agree on every `alignCols`
+    * value AND share a band — the temporal-alignment form the video
+    * modality needs (fingerprint = one hash PER FRAME; only
+    * same-frame-index hashes are comparable). The alignment key rides
+    * the bucket shuffle, so a corpus of F-frame videos buckets into
+    * F-fold smaller, better-spread cells than flattening frames into
+    * one id space would give. Each (alignCols, id) must carry at most
+    * one fp row. Output: (alignCols..., id1, id2, hamming), distinct
+    * per alignment cell.
+    */
+  def alignedPairs(fps: DataFrame, idCol: String, alignCols: Seq[String],
+                   maxHamming: Int, bands: Int, maxBucketSize: Int,
+                   op: String): DataFrame = {
     require(Set(2, 4, 8, 16).contains(bands), s"bands must divide 64: $bands")
     require(maxHamming >= 0 && maxHamming < bands,
       s"pigeonhole recall needs maxHamming < bands ($maxHamming/$bands)")
+    val aligns = alignCols.map(col)
+    val bucketKey = aligns :+ col("__band")
     val banded = fps
-      .select(col(idCol), col("fp"),
-        explode(bandStructs(col("fp"), bands)).as("__band"))
-    val okBuckets = banded.groupBy(col("__band"))
+      .select(aligns ++ Seq(col(idCol), col("fp"),
+        explode(bandStructs(col("fp"), bands)).as("__band")): _*)
+    val okBuckets = banded.groupBy(bucketKey: _*)
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") > 1)
       .filter(graft.operators.SkewCap
         .keepBucket(op, maxBucketSize)(col("__n")))
-      .select(col("__band"))
-    banded.join(okBuckets, Seq("__band"), "left_semi")
-      .groupBy(col("__band"))
+      .select(bucketKey: _*)
+    banded.join(okBuckets, alignCols :+ "__band", "left_semi")
+      .groupBy(bucketKey: _*)
       .agg(sort_array(collect_list(struct(col(idCol).as("id"),
         col("fp")))).as("__m"))
-      .select(col("__m"), explode(col("__m")).as("a"))
-      .select(col("a"),
-        explode(expr("filter(__m, x -> x.id > a.id)")).as("b"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"),
-        bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming"))
+      .select(aligns ++ Seq(col("__m"), explode(col("__m")).as("a")): _*)
+      .select(aligns ++ Seq(col("a"),
+        explode(expr("filter(__m, x -> x.id > a.id)")).as("b")): _*)
+      .select(aligns ++ Seq(col("a.id").as("id1"), col("b.id").as("id2"),
+        bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming")): _*)
       // filter BEFORE distinct (the SimHash ordering): far pairs sharing
       // one band must not ride the dedup shuffle
       .filter(col("hamming") <= maxHamming)

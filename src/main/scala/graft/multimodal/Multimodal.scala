@@ -317,6 +317,12 @@ object Multimodal {
       * [[pngGrayBytes]] for planting mixed-container corpora.
       */
     def gifGrayBytes(width: Int, height: Int, gray: Array[Byte]): Array[Byte] = {
+      // GIF dims are 16-bit fields — silent `& 0xff` truncation would
+      // plant a "valid" container with the wrong geometry; and a plant
+      // past the decoder's pixel cap could never round-trip
+      require(width >= 1 && width <= 0xffff && height >= 1 &&
+        height <= 0xffff && width.toLong * height <= (1L << 26),
+        s"GIF dims must be 1..65535 and <= 2^26 px, got ${width}x$height")
       require(gray.length == width * height,
         s"pixel buffer ${gray.length} != $width*$height")
       val bits = new java.io.ByteArrayOutputStream()
@@ -490,7 +496,9 @@ object Multimodal {
       * cap, KwKwK case) and the palette folded to the same integer
       * ITU-R 601 luma as the PNG path. Local color tables and the
       * 4-pass interlace row order are handled; animated GIFs decode
-      * their first frame (the thumbnail/fingerprint convention).
+      * their first frame, composited onto the logical screen at the
+      * descriptor's offset (so the result's dims always agree with
+      * [[imageDimensions]], even for optimized sub-region frames).
       * Lengths, dimensions and codes are attacker-controlled: the
       * 2^26-px cap, sub-block bounds, out-of-dictionary codes and
       * out-of-palette indices all refuse the payload whole rather than
@@ -525,6 +533,8 @@ object Multimodal {
             }
           case 0x2c =>
             if (i + 10 > b.length) return None
+            val left = le16(b, i + 1)
+            val top = le16(b, i + 3)
             val w = le16(b, i + 5)
             val h = le16(b, i + 7)
             val idPacked = u8(b, i + 9)
@@ -535,8 +545,18 @@ object Multimodal {
               pal = palette(i, size).getOrElse(return None)
               i += 3 * size
             }
-            if (pal == null || w <= 0 || h <= 0 ||
-              w.toLong * h > (1L << 26) || i >= b.length) return None
+            // the decoded image is the LOGICAL SCREEN with the first
+            // frame composited at its (left, top) offset over the
+            // background colour — what a renderer shows for frame 1,
+            // and the same dims [[imageDimensions]] reports for this
+            // payload (an optimized GIF's first descriptor can be a
+            // sub-region; returning just the crop would make the two
+            // operators disagree about one row)
+            val sw = le16(b, 6)
+            val sh = le16(b, 8)
+            if (pal == null || w <= 0 || h <= 0 || sw <= 0 || sh <= 0 ||
+              sw.toLong * sh > (1L << 26) ||
+              left + w > sw || top + h > sh || i >= b.length) return None
             val minCode = u8(b, i)
             i += 1
             // concatenate the data sub-blocks
@@ -551,15 +571,27 @@ object Multimodal {
             }
             val idx = lzwDecode(data.toByteArray, minCode, w * h)
               .getOrElse(return None)
-            val px = new Array[Int](w * h)
+            val frame = new Array[Int](w * h)
             var j = 0
-            while (j < px.length) {
+            while (j < frame.length) {
               if (idx(j) >= pal.length) return None // out-of-palette
-              px(j) = pal(idx(j))
+              frame(j) = pal(idx(j))
               j += 1
             }
-            return Some(GrayImage(w, h,
-              if ((idPacked & 0x40) != 0) deinterlace(px, w, h) else px))
+            val ordered =
+              if ((idPacked & 0x40) != 0) deinterlace(frame, w, h) else frame
+            if (left == 0 && top == 0 && w == sw && h == sh)
+              return Some(GrayImage(sw, sh, ordered)) // the common form
+            val bgIdx = u8(b, 11)
+            val bg = if (gct != null && bgIdx < gct.length) gct(bgIdx) else 0
+            val canvas = Array.fill(sw * sh)(bg)
+            var row = 0
+            while (row < h) {
+              System.arraycopy(ordered, row * w,
+                canvas, (top + row) * sw + left, w)
+              row += 1
+            }
+            return Some(GrayImage(sw, sh, canvas))
           case _ => return None // trailer before any image, or garbage
         }
       }
@@ -604,21 +636,23 @@ object Multimodal {
       var prevFirst = 0
       val out = new Array[Int](n)
       var outPos = 0
-      var bitPos = 0L
-      val totalBits = data.length.toLong * 8
+      // byte-wise LSB-first bit accumulator (each data byte loaded once;
+      // a per-bit loop here costs ~8 ops per stream bit on the per-row
+      // decode hot path)
+      var acc = 0L
+      var accBits = 0
+      var bytePos = 0
       def readCode(): Int = {
-        if (bitPos + width > totalBits) -1
-        else {
-          var v = 0
-          var k = 0
-          while (k < width) {
-            val p = bitPos + k
-            v |= ((data((p >> 3).toInt) >> (p & 7).toInt) & 1) << k
-            k += 1
-          }
-          bitPos += width
-          v
+        while (accBits < width) {
+          if (bytePos >= data.length) return -1
+          acc |= (data(bytePos) & 0xffL) << accBits
+          accBits += 8
+          bytePos += 1
         }
+        val v = (acc & ((1L << width) - 1)).toInt
+        acc >>>= width
+        accBits -= width
+        v
       }
       while (outPos < n) {
         val code = readCode()

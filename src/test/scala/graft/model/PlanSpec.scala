@@ -374,4 +374,19 @@ class PlanSpec extends SparkSpec {
     assert(!exchanges.exists(_.toLowerCase.contains("binary")),
       exchanges.mkString("\n"))
   }
+
+  test("video phash: the AVI payload never enters an exchange — " +
+    "frames reduce to (frame_idx, fp) in the scan stage, the aligned " +
+    "band shuffle and agreement joins carry only slim keys") {
+    val p = SparkEntry.queries("q117_video_phash")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("payload#")),
+      exchanges.mkString("\n"))
+    assert(!exchanges.exists(_.toLowerCase.contains("binary")),
+      exchanges.mkString("\n"))
+  }
 }

@@ -13,6 +13,81 @@ class GifDecodeSpec extends SparkSpec {
   private def gradient(w: Int, h: Int): Array[Byte] =
     Array.tabulate(w * h)(i => ((i % w) + (i / w)).toByte)
 
+  /** A REAL (compressing) GIF-LZW encoder, kept in the test so the
+    * suite exercises the decoder's dictionary growth, width
+    * transitions, 12-bit cap and frozen-dict regime — paths the
+    * production cleared-dict writer never produces. Width rule: the
+    * decoder runs one dictionary entry behind the encoder, so the
+    * encoder bumps when its post-add size is 2^width + 1.
+    */
+  private def lzwEncode(idx: Array[Int], minCode: Int): Array[Byte] = {
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val out = new java.io.ByteArrayOutputStream()
+    var acc = 0L
+    var nbits = 0
+    var width = minCode + 1
+    def put(code: Int): Unit = {
+      acc |= code.toLong << nbits
+      nbits += width
+      while (nbits >= 8) { out.write((acc & 0xff).toInt); acc >>>= 8; nbits -= 8 }
+    }
+    val dict = scala.collection.mutable.HashMap.empty[(Int, Int), Int]
+    var dictSize = eoi + 1
+    put(clear)
+    var w = idx(0)
+    var i = 1
+    while (i < idx.length) {
+      val c = idx(i)
+      dict.get((w, c)) match {
+        case Some(code) => w = code
+        case None =>
+          put(w)
+          if (dictSize < 4096) {
+            dict((w, c)) = dictSize
+            dictSize += 1
+            if (dictSize == (1 << width) + 1 && width < 12) width += 1
+          }
+          w = c
+      }
+      i += 1
+    }
+    put(w)
+    put(eoi)
+    if (nbits > 0) out.write((acc & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** The production container assembly around an arbitrary LZW stream
+    * (mirrors gifGrayBytes' framing; lets tests plant real-encoder
+    * streams and sub-region descriptors).
+    */
+  private def gifContainer(screenW: Int, screenH: Int, bg: Int,
+                           left: Int, top: Int, w: Int, h: Int,
+                           minCode: Int, lzw: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"))
+    out.write(screenW & 0xff); out.write((screenW >> 8) & 0xff)
+    out.write(screenH & 0xff); out.write((screenH >> 8) & 0xff)
+    out.write(0xf7); out.write(bg); out.write(0)
+    var v = 0
+    while (v < 256) { out.write(v); out.write(v); out.write(v); v += 1 }
+    out.write(0x2c)
+    out.write(left & 0xff); out.write((left >> 8) & 0xff)
+    out.write(top & 0xff); out.write((top >> 8) & 0xff)
+    out.write(w & 0xff); out.write((w >> 8) & 0xff)
+    out.write(h & 0xff); out.write((h >> 8) & 0xff)
+    out.write(0)
+    out.write(minCode)
+    var off = 0
+    while (off < lzw.length) {
+      val n = math.min(255, lzw.length - off)
+      out.write(n); out.write(lzw, off, n); off += n
+    }
+    out.write(0); out.write(0x3b)
+    out.toByteArray
+  }
+
   test("GIF round-trip: gifGrayBytes → decodeGifGray recovers every " +
     "pixel exactly (gray ramp palette folds to identity luma)") {
     val px = gradient(32, 32)
@@ -54,6 +129,67 @@ class GifDecodeSpec extends SparkSpec {
     assert(v.gray.toSeq == Seq(10, 10, 10, 10))
   }
 
+  test("compressing-encoder round-trip: dictionary growth through the " +
+    "9→10→11→12-bit width transitions and the frozen-dict regime past " +
+    "4096 entries decode exactly") {
+    // 15,600 pseudo-random 256-symbol pixels: a real LZW encode emits
+    // ~10k codes, crossing every width boundary and the 4096 cap
+    var s = 0x9e3779b97f4a7c15L
+    val px = Array.fill(120 * 130) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      ((s >>> 33) & 0xff).toByte
+    }
+    val lzw = lzwEncode(px.map(_ & 0xff), 8)
+    val b = gifContainer(120, 130, 0, 0, 0, 120, 130, 8, lzw)
+    val v = Codecs.decodeGifGray(b).get
+    assert(v.width == 120 && v.height == 130)
+    assert(v.gray.toSeq == px.map(_ & 0xff).toSeq)
+    // and it genuinely compressed (the dict was used): the cleared-dict
+    // writer spends ~2.25 bytes/px, a real encode of this data must
+    // beat 1.5 bytes/px
+    assert(lzw.length < px.length * 3 / 2, s"lzw ${lzw.length}")
+    // a smooth image (long runs) exercises deep prefix-chain expansion
+    val runs = Array.tabulate(64 * 64)(i => (i / 256).toByte)
+    val rv = Codecs.decodeGifGray(gifContainer(64, 64, 0, 0, 0, 64, 64, 8,
+      lzwEncode(runs.map(_ & 0xff), 8))).get
+    assert(rv.gray.toSeq == runs.map(_ & 0xff).toSeq)
+  }
+
+  test("a first frame smaller than the logical screen composites at " +
+    "its (left, top) offset over the background colour — dims agree " +
+    "with imageDimensions") {
+    // screen 10×6 with background palette index 5 (gray 5); 4×2 frame
+    // of value 200 at offset (3, 2)
+    val frame = Array.fill[Byte](8)(200.toByte)
+    val lzw = {
+      val out = new java.io.ByteArrayOutputStream()
+      var acc = 0L; var nbits = 0
+      def put(code: Int): Unit = {
+        acc |= code.toLong << nbits; nbits += 9
+        while (nbits >= 8) { out.write((acc & 0xff).toInt); acc >>>= 8; nbits -= 8 }
+      }
+      put(256)
+      frame.indices.foreach { i =>
+        put(frame(i) & 0xff); if (i < frame.length - 1) put(256)
+      }
+      put(257)
+      if (nbits > 0) out.write((acc & 0xff).toInt)
+      out.toByteArray
+    }
+    val b = gifContainer(10, 6, 5, 3, 2, 4, 2, 8, lzw)
+    assert(Codecs.imageDimensions(b).get ==
+      Codecs.ImageDims("gif", 10, 6))
+    val v = Codecs.decodeGifGray(b).get
+    assert(v.width == 10 && v.height == 6)
+    for (y <- 0 until 6; x <- 0 until 10) {
+      val expect = if (y >= 2 && y < 4 && x >= 3 && x < 7) 200 else 5
+      assert(v.gray(y * 10 + x) == expect, s"($x,$y)")
+    }
+    // a frame extending past the screen is malformed, not clipped
+    assert(Codecs.decodeGifGray(
+      gifContainer(10, 6, 5, 8, 2, 4, 2, 8, lzw)).isEmpty)
+  }
+
   test("interlaced images scatter decoded pass rows back to raster " +
     "order") {
     val w = 4; val h = 8
@@ -91,6 +227,20 @@ class GifDecodeSpec extends SparkSpec {
     assert(Codecs.decodeGifGray("GIF89a".getBytes("US-ASCII")).isEmpty)
     assert(Codecs.decodeGifGray(
       Codecs.pngGrayBytes(8, 8, Array.fill[Byte](64)(1))).isEmpty)
+    // first code after clear must be a root: codes [CLEAR(4), 6] at
+    // 3 bits LSB-first → 0x34 — a dictionary code with nothing to
+    // expand from
+    assert(Codecs.decodeGifGray(gifContainer(2, 2, 0, 0, 0, 2, 2, 2,
+      Array(0x34.toByte, 0x00.toByte))).isEmpty)
+    // the planting writer refuses dims its 16-bit fields would truncate
+    // or its decoder would refuse, instead of planting silently-wrong
+    // containers
+    intercept[IllegalArgumentException] {
+      Codecs.gifGrayBytes(65537, 1, new Array[Byte](65537))
+    }
+    intercept[IllegalArgumentException] {
+      Codecs.gifGrayBytes(1 << 14, 1 << 14, new Array[Byte](1 << 28))
+    }
   }
 
   test("decodeImageGray seam: PNG and GIF payloads carrying the SAME " +

@@ -1,0 +1,142 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Video perceptual near-dup end-to-end: real AVI demux → raw-raster
+  * frame aHash → temporally-aligned banded Hamming matching →
+  * agreement-thresholded video pairs.
+  */
+class VideoHashSpec extends SparkSpec {
+  import spark.implicits._
+  import Multimodal.Codecs
+
+  private def lcgPixels(seed: Long, n: Int): Array[Byte] = {
+    var s = seed
+    Array.fill(n) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      ((s >>> 33) & 0xff).toByte
+    }
+  }
+
+  private def avi(frames: Array[Byte]*): Array[Byte] =
+    Codecs.aviBytes(16, 16, 33333, frames)
+
+  private def hashOf(raster: Array[Byte]): Long =
+    ImageHash.aHash64(raster.map(_ & 0xff), 16, 16)
+
+  test("frameFingerprints: hashes exactly the raw-raster frames, " +
+    "skips non-raster chunks, samples every Nth index, refuses " +
+    "undersized dims and non-AVI payloads") {
+    val f0 = lcgPixels(1L, 256)
+    val f1 = lcgPixels(2L, 256)
+    val f2 = lcgPixels(3L, 256)
+    val compressed = lcgPixels(4L, 100) // len != w*h: not a raster
+    val media = Seq(
+      (0L, avi(f0, f1, f2)),
+      (1L, avi(f0, compressed, f2)),
+      // 4x4 frames can't carry an aHash — whole video refused
+      (2L, Codecs.aviBytes(4, 4, 33333, Seq(lcgPixels(5L, 16)))),
+      (3L, Codecs.wavBytes(8000, Array.tabulate[Short](100)(_.toShort)))
+    ).toDF("id", "payload")
+    val all = VideoHash.frameFingerprints(media, "id", "payload")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(all == Set(
+      (0L, 0, hashOf(f0)), (0L, 1, hashOf(f1)), (0L, 2, hashOf(f2)),
+      (1L, 0, hashOf(f0)), (1L, 2, hashOf(f2))))
+    val sampled = VideoHash.frameFingerprints(media, "id", "payload",
+      sampleEvery = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(sampled == all.filter(_._2 % 2 == 0))
+  }
+
+  test("nearDupPairs: full-agreement groups pair, partial overlap " +
+    "respects minAgree, containment is penalized by the greatest() " +
+    "denominator, SkewCap drops are observable") {
+    val base = (0 until 4).map(i => lcgPixels(100L + i, 256))
+    // 3 near-dup members: pixels permuted within the 2x2 aHash cells
+    // (cell sums preserved -> identical hashes, distinct bytes)
+    def rotate(px: Array[Byte], by: Int): Array[Byte] = {
+      val out = px.clone()
+      for (r <- 0 until 8; c <- 0 until 8) {
+        val idx = for (dy <- 0 until 2; dx <- 0 until 2)
+          yield (r * 2 + dy) * 16 + (c * 2 + dx)
+        val vals = idx.map(px)
+        idx.zipWithIndex.foreach { case (p, j) =>
+          out(p) = vals((j + by) % 4)
+        }
+      }
+      out
+    }
+    val other = (0 until 4).map(i => lcgPixels(900L + i, 256))
+    val media = Seq(
+      (0L, avi(base: _*)),
+      (1L, avi(base.map(rotate(_, 1)): _*)),
+      (2L, avi(base.map(rotate(_, 2)): _*)),
+      // shares slots 0-1 with the group, differs on 2-3: agreement 0.5
+      (3L, avi(base(0), base(1), other(2), other(3))),
+      // the group's 2-frame prefix: containment, agreement 2/4
+      (4L, avi(base(0), base(1))),
+      // unrelated
+      (5L, avi(other: _*))
+    ).toDF("id", "payload")
+    val fps = VideoHash.frameFingerprints(media, "id", "payload")
+      .localCheckpoint(true)
+    val strict = VideoHash.nearDupPairs(fps, "id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(strict == Set((0L, 1L, 4L, 1.0), (0L, 2L, 4L, 1.0),
+      (1L, 2L, 4L, 1.0)))
+    val loose = VideoHash.nearDupPairs(fps, "id", minAgree = 0.4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    // the half-overlap and the prefix clip surface at 0.4, against
+    // every full member; 3 and 4 also share their slots 0-1, and 3's
+    // tail slots 2-3 are video 5's frames
+    assert(loose == strict ++ Set(
+      (0L, 3L, 2L, 0.5), (1L, 3L, 2L, 0.5), (2L, 3L, 2L, 0.5),
+      (0L, 4L, 2L, 0.5), (1L, 4L, 2L, 0.5), (2L, 4L, 2L, 0.5),
+      (3L, 4L, 2L, 0.5), (3L, 5L, 2L, 0.5)))
+    val before = graft.operators.SkewCap.dropped("video_phash")
+    assert(VideoHash.nearDupPairs(fps, "id", maxBucketSize = 1)
+      .count() == 0L)
+    val after = graft.operators.SkewCap.dropped("video_phash")
+    assert(after.buckets > before.buckets && after.rows > before.rows)
+  }
+
+  test("q117 oracle validity: cross-group aligned-frame fingerprints " +
+    "are > 3 bits apart at every sampled slot (no spurious pair at " +
+    "any SF), members byte-distinct with identical per-frame hashes") {
+    // frame hashes depend on the group id only, so this pins the
+    // closed-form oracle for every scale factor at once
+    def framesOf(k: Long): Seq[(Int, Long)] = {
+      val payload = graft.SparkEntry.q117Avi(k)
+      val v = Codecs.decodeAviFrames(payload).get
+      assert(v.width == 16 && v.height == 16)
+      v.frames.filter(_.index % 2 == 0).map { f =>
+        assert(f.length == 256)
+        val gray = new Array[Int](256)
+        var j = 0
+        while (j < 256) { gray(j) = payload(f.offset.toInt + j) & 0xff; j += 1 }
+        (f.index, ImageHash.aHash64(gray, 16, 16))
+      }
+    }
+    val groups = (0L until 20L).map(g => g -> framesOf(g).toMap).toMap
+    // group g has ceil((g%5 + 2)/2) sampled frames — the oracle's
+    // matched_frames closed form
+    (0L until 20L).foreach { g =>
+      assert(groups(g).size == ((g % 5 + 3) / 2).toInt, s"group $g")
+    }
+    val minDist = (for {
+      g1 <- 0L until 20L; g2 <- (g1 + 1) until 20L
+      slot <- groups(g1).keySet intersect groups(g2).keySet
+    } yield java.lang.Long.bitCount(groups(g1)(slot) ^ groups(g2)(slot))).min
+    assert(minDist > 3, s"closest aligned cross-group slot at $minDist bits")
+    // rotation members: same hashes at every slot, different bytes
+    assert(framesOf(1L) == framesOf(21L) && framesOf(1L) == framesOf(41L))
+    assert(!graft.SparkEntry.q117Avi(1L)
+      .sameElements(graft.SparkEntry.q117Avi(21L)))
+  }
+}
