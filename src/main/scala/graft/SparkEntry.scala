@@ -2408,6 +2408,29 @@ object SparkEntry {
         sampleEvery = 2)
       multimodal.VideoHash.nearDupPairs(fps, "id", maxHamming = 3)
         .orderBy(col("id1"), col("id2"))
+    }),
+
+    // image near-dup dedup through the REAL baseline JPEG decode —
+    // q112's geometry carried by the lossy container: supplier keys
+    // plant COMPLETE JPEGs (Huffman entropy coding, FDCT+quantize) of
+    // 64×64 per-8×8-block-constant EVEN-valued pixels, so every block's
+    // spectrum is DC-only and 8·(v−128) divides exactly by every
+    // member's quant step — the decode is bit-exact despite the lossy
+    // codec. Group k%20 members share the block pattern but differ in
+    // quant step (1/2/4/8/16 — different DQT AND different coefficients),
+    // restart-marker cadence, and container form (even groups
+    // single-component grayscale, odd groups interleaved YCbCr 4:2:0) —
+    // the engine must Huffman-decode, dequantize and IDCT each variant
+    // to the SAME pixels (aHash cells = JPEG blocks at 64×64), pair at
+    // hamming 0, and the oracle is the q112 closed form
+    "q118_image_phash_jpeg" -> ((s, dir) => {
+      import s.implicits._
+      val media = tSpread(s, dir, "supplier").select(col("s_suppkey")).as[Long]
+        .map(k => (k, q118Jpeg(k)))
+        .toDF("id", "payload")
+      val fps = multimodal.ImageHash.fingerprints(media, "id", "payload")
+      multimodal.ImageHash.nearDupPairs(fps, "id", maxHamming = 3)
+        .orderBy(col("id1"), col("id2"))
     })
   )
 
@@ -2550,6 +2573,37 @@ object SparkEntry {
       rot
     }
     multimodal.Multimodal.Codecs.aviBytes(16, 16, 33333, frames)
+  }
+
+  /** q118's planted JPEG for supplier key `k`: 64×64 pixels constant
+    * within each 8×8 block (64 blocks = exactly the aHash cell grid),
+    * values even so the DC-only spectra quantize exactly under every
+    * step used. Group g = k % 20 fixes the block pattern; member
+    * m = k / 20 picks quant 2^(m%5) and, for grayscale groups, a
+    * restart cadence — far members can repeat a (form, quant, cadence)
+    * combination and land byte-identical, which is just an exact
+    * duplicate riding the same near-dup pipeline. Block term: see
+    * q112Png — copy-disjoint groups under ScaleSmoke replication,
+    * identity at test SFs.
+    */
+  private[graft] def q118Jpeg(k: Long): Array[Byte] = {
+    val g = k % 20
+    val m = (k / 20).toInt
+    var s = ((k / 1000000L) * 7993L + g) * 1000003L + 47L
+    val blockVals = Array.fill(64) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      ((s >>> 33) & 0xfe).toInt // even: exact under quant 1..16
+    }
+    val px = Array.tabulate(64 * 64) { i =>
+      val bx = (i % 64) / 8; val by = i / 64 / 8
+      blockVals(by * 8 + bx).toByte
+    }
+    val quant = 1 << (m % 5)
+    if (g % 2 == 0)
+      multimodal.Jpeg.jpegGrayBytes(64, 64, px, quant,
+        restartInterval = Array(0, 2, 3, 5)((m / 5) % 4))
+    else
+      multimodal.Jpeg.jpegYccBytes(64, 64, px, quant)
   }
 
   /** q104's fixed merge table: common English patterns, applied in
@@ -5049,6 +5103,22 @@ object SparkEntry {
         | AND a.s_suppkey // 1000000 = b.s_suppkey // 1000000
         |ORDER BY id1, id2""".stripMargin,
 
+
+    // the q112 closed form through the JPEG pipeline: in-group images
+    // decode to identical pixels BY EXACT ARITHMETIC (DC-only spectra,
+    // dividing quant steps — see q118Jpeg) whatever the member's quant/
+    // restart/component form, so all within-group pairs sit at hamming
+    // 0; cross-group block patterns hash > 3 bits apart (deterministic,
+    // SF-independent, pinned in JpegDecodeSpec/ImageHashSpec style by
+    // the q118 geometry pin)
+    "q118_image_phash_jpeg" ->
+      """SELECT a.s_suppkey AS id1, b.s_suppkey AS id2,
+        |  CAST(0 AS INTEGER) AS hamming
+        |FROM supplier a JOIN supplier b
+        |  ON a.s_suppkey < b.s_suppkey
+        | AND a.s_suppkey % 20 = b.s_suppkey % 20
+        | AND a.s_suppkey // 1000000 = b.s_suppkey // 1000000
+        |ORDER BY id1, id2""".stripMargin,
 
     // q103/q105 share q77's exact all-pairs oracle: recall of the
     // within-cell search is structural on this fixture (see the query

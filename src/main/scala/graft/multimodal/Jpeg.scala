@@ -1,0 +1,657 @@
+package graft.multimodal
+
+import graft.multimodal.Multimodal.Codecs.GrayImage
+
+/** REAL baseline JPEG pixel decode (ITU-T T.81 / ISO/IEC 10918-1) — the
+  * last image container behind the [[Multimodal.Codecs.decodeImageGray]]
+  * seam. Scope is the profile a training-corpus normalizer actually
+  * meets: baseline sequential DCT (SOF0), 8-bit precision, Huffman
+  * entropy coding, one interleaved scan, 1–4 components with any
+  * sampling factors as long as the FIRST component (luma) has the
+  * maximum factors (every JFIF/EXIF camera and library file — Y is
+  * never subsampled against chroma). Grayscale output is the Y plane:
+  * in YCbCr that IS the ITU-R 601 luma the PNG/GIF paths fold to, so a
+  * corpus mixing containers fingerprints consistently. Progressive
+  * (SOF2), arithmetic coding, hierarchical and 12-bit frames refuse —
+  * None, never garbage.
+  *
+  * Non-luma components are entropy-DECODED (the bitstream interleaves
+  * them, so their Huffman symbols must be consumed to stay aligned) but
+  * skip dequantize/IDCT — the gray fold never needs chroma, and the
+  * skipped work is two thirds of a 4:4:4 decode.
+  *
+  * Determinism: the DCT basis is built with `StrictMath` (bit-exact
+  * fdlibm on every JVM) and evaluated in IEEE doubles (strict since
+  * Java 17), with one final `Math.round` per pixel — a payload decodes
+  * to the same pixels on every executor, which the banded fingerprint
+  * joins rely on ([[ImageHash]]'s determinism contract).
+  *
+  * Every length, dimension, table id and Huffman code is
+  * attacker-controlled: the shared 2^26-px cap, segment bounds checks,
+  * canonical-code validation, coefficient-index bounds and the
+  * zero-progress bit-reader contract all refuse the payload whole
+  * rather than loop, overrun, or decode a neighbour's bytes.
+  *
+  * The planting writers ([[jpegGrayBytes]], [[jpegYccBytes]]) are the
+  * test/oracle side: a complete baseline encoder (level shift → FDCT →
+  * quantize → canonical-Huffman entropy coding with byte stuffing and
+  * optional restart markers) so specs and oracle queries can plant
+  * payloads whose decode is CLOSED FORM — a constant 8×8 block has a
+  * DC-only spectrum (F(0,0) = 8·(v−128), all AC zero), so any quant
+  * step dividing 8·(v−128) exactly round-trips the block bit-for-bit,
+  * independent of IDCT rounding (the inverse of a DC-only block is
+  * exactly F(0,0)/8 + 128 at every pixel).
+  */
+object Jpeg {
+
+  /** Refusal signal — caught at the [[decodeJpegGray]] boundary only. */
+  private final class Malformed extends RuntimeException(null, null, false, false)
+  private def malformed: Nothing = throw new Malformed
+
+  private def u8(b: Array[Byte], i: Int): Int =
+    if (i < 0 || i >= b.length) malformed else b(i) & 0xff
+  private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+
+  /** Natural (row-major) position of each zigzag index (T.81 Figure 5). */
+  private val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** ct(u)(x) = C(u)·cos((2x+1)uπ/16) — the 1-D DCT-II basis, built with
+    * StrictMath so the table (and therefore every decode) is bit-exact
+    * across JVMs.
+    */
+  private val Cos: Array[Array[Double]] = Array.tabulate(8, 8) { (u, x) =>
+    val c = if (u == 0) 1.0 / StrictMath.sqrt(2.0) else 1.0
+    c * StrictMath.cos((2 * x + 1) * u * StrictMath.PI / 16.0)
+  }
+
+  // ---------------------------------------------------------------- decode
+
+  private final case class Component(id: Int, h: Int, v: Int, tq: Int,
+                                     var td: Int = 0, var ta: Int = 0)
+
+  /** Canonical Huffman table (T.81 Annex C): per-length min/max codes and
+    * a pointer into the value list.
+    */
+  private final class HuffTable(counts: Array[Int], vals: Array[Int]) {
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17)
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0; var l = 1
+      while (l <= 16) {
+        valPtr(l) = k
+        minCode(l) = code
+        code += counts(l - 1); k += counts(l - 1)
+        maxCode(l) = code - 1
+        // canonical validity: the code space of length l must not overflow
+        if (code > (1 << l)) malformed
+        code <<= 1
+        l += 1
+      }
+      if (k != vals.length) malformed
+    }
+    def decode(r: BitReader): Int = {
+      var code = 0; var l = 1
+      while (l <= 16) {
+        code = (code << 1) | r.readBit()
+        if (counts(l - 1) > 0 && code <= maxCode(l))
+          return vals(valPtr(l) + code - minCode(l))
+        l += 1
+      }
+      malformed
+    }
+  }
+
+  /** MSB-first bit reader over the entropy-coded segment with 0xFF00
+    * unstuffing. Any non-stuffing marker (or the end of the payload)
+    * while bits are still needed is malformed — a truncated scan can't
+    * silently decode as black.
+    */
+  private final class BitReader(b: Array[Byte], var pos: Int) {
+    private var cur = 0
+    private var nbits = 0
+    def readBit(): Int = {
+      if (nbits == 0) {
+        val v = u8(b, pos); pos += 1
+        if (v == 0xff) {
+          if (u8(b, pos) != 0x00) malformed // a real marker mid-block
+          pos += 1
+        }
+        cur = v; nbits = 8
+      }
+      nbits -= 1
+      (cur >> nbits) & 1
+    }
+    def receive(s: Int): Int = {
+      var v = 0; var i = 0
+      while (i < s) { v = (v << 1) | readBit(); i += 1 }
+      v
+    }
+    /** Byte-align and consume the expected RSTn marker (T.81 §B.2.1.2). */
+    def expectRestart(n: Int): Unit = {
+      nbits = 0
+      if (u8(b, pos) != 0xff || u8(b, pos + 1) != 0xd0 + n) malformed
+      pos += 2
+    }
+  }
+
+  /** T.81 Table F.2 sign extension: a RECEIVE'd magnitude of SSSS bits to
+    * the signed coefficient value.
+    */
+  private def extend(v: Int, s: Int): Int =
+    if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  /** Baseline JPEG → grayscale (the Y plane). None on anything outside
+    * the documented profile or on any malformed structure.
+    */
+  def decodeJpegGray(b: Array[Byte]): Option[GrayImage] = {
+    if (b == null || b.length < 4 ||
+      (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+    try Some(decode(b))
+    catch { case _: Malformed => None }
+  }
+
+  private def decode(b: Array[Byte]): GrayImage = {
+    // quant tables stored in ZIGZAG order as read (coefficients index
+    // them by zigzag position, T.81 §A.3.4)
+    val qtab = new Array[Array[Int]](4)
+    val dcTab = new Array[HuffTable](4)
+    val acTab = new Array[HuffTable](4)
+    var comps: Array[Component] = null
+    var w = 0; var h = 0
+    var restartInterval = 0
+
+    var i = 2
+    while (true) {
+      if (u8(b, i) != 0xff) malformed
+      var j = i + 1
+      while (u8(b, j) == 0xff) j += 1 // fill bytes before the marker
+      val m = u8(b, j)
+      i = j + 1
+      m match {
+        case 0xd8 => malformed // a second SOI
+        case 0xd9 => malformed // EOI before any scan
+        case 0x01 => () // TEM, standalone
+        case x if x >= 0xd0 && x <= 0xd7 => malformed // RST outside a scan
+        case 0xdb => // DQT — possibly several tables in one segment
+          val len = be16(b, i); val end = i + len
+          var p = i + 2
+          while (p < end) {
+            val pq = u8(b, p) >> 4; val tq = u8(b, p) & 15
+            if (pq > 1 || tq > 3) malformed
+            p += 1
+            val t = new Array[Int](64)
+            var k = 0
+            while (k < 64) {
+              t(k) = if (pq == 1) be16(b, p + 2 * k) else u8(b, p + k)
+              if (t(k) == 0) malformed // zero step would divide-by-zero encoders and hides data
+              k += 1
+            }
+            qtab(tq) = t
+            p += (if (pq == 1) 128 else 64)
+          }
+          if (p != end) malformed
+          i = end
+        case 0xc4 => // DHT — possibly several tables
+          val len = be16(b, i); val end = i + len
+          var p = i + 2
+          while (p < end) {
+            val tc = u8(b, p) >> 4; val th = u8(b, p) & 15
+            if (tc > 1 || th > 3) malformed
+            p += 1
+            val counts = Array.tabulate(16)(l => u8(b, p + l))
+            p += 16
+            val total = counts.sum
+            if (total > 256) malformed
+            val vals = Array.tabulate(total)(k => u8(b, p + k))
+            p += total
+            val t = new HuffTable(counts, vals)
+            if (tc == 0) dcTab(th) = t else acTab(th) = t
+          }
+          if (p != end) malformed
+          i = end
+        case 0xc0 => // SOF0: baseline sequential DCT
+          if (comps != null) malformed
+          val len = be16(b, i)
+          if (u8(b, i + 2) != 8) malformed // precision
+          h = be16(b, i + 3); w = be16(b, i + 5)
+          // dims are attacker-controlled: same 2^26-px (64 MP) cap as the
+          // PNG/GIF decodes — bounds every buffer, and keeps ImageHash's
+          // cross-multiplied Longs exact
+          if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26)) malformed
+          val nf = u8(b, i + 7)
+          if (nf < 1 || nf > 4 || len != 8 + 3 * nf) malformed
+          comps = Array.tabulate(nf) { c =>
+            val p = i + 8 + 3 * c
+            val hv = u8(b, p + 1)
+            val ch = hv >> 4; val cv = hv & 15
+            if (ch < 1 || ch > 4 || cv < 1 || cv > 4 || u8(b, p + 2) > 3)
+              malformed
+            Component(u8(b, p), ch, cv, u8(b, p + 2))
+          }
+          i += len
+        case x if (x >= 0xc1 && x <= 0xcf) && x != 0xc4 && x != 0xc8 &&
+          x != 0xcc =>
+          malformed // progressive/extended/lossless/hierarchical SOFn
+        case 0xcc => malformed // DAC: arithmetic coding unsupported
+        case 0xdd => // DRI
+          if (be16(b, i) != 4) malformed
+          restartInterval = be16(b, i + 2)
+          i += 4
+        case 0xda => // SOS — decode the single interleaved scan and finish
+          if (comps == null) malformed
+          val len = be16(b, i)
+          val ns = u8(b, i + 2)
+          // baseline profile here: one interleaved scan covering the frame
+          if (ns != comps.length || len != 6 + 2 * ns) malformed
+          var c = 0
+          while (c < ns) {
+            val cs = u8(b, i + 3 + 2 * c)
+            val comp = comps.find(_.id == cs).getOrElse(malformed)
+            comp.td = u8(b, i + 4 + 2 * c) >> 4
+            comp.ta = u8(b, i + 4 + 2 * c) & 15
+            if (comp.td > 3 || comp.ta > 3) malformed
+            c += 1
+          }
+          // spectral selection / successive approximation must be the
+          // baseline values
+          if (u8(b, i + 3 + 2 * ns) != 0 || u8(b, i + 4 + 2 * ns) != 63 ||
+            u8(b, i + 5 + 2 * ns) != 0) malformed
+          return decodeScan(b, i + len, comps, w, h, qtab, dcTab, acTab,
+            restartInterval)
+        case _ => // APPn, COM, DNL, anything else with a length: skip
+          i += be16(b, i)
+      }
+    }
+    malformed // unreachable
+  }
+
+  private def decodeScan(b: Array[Byte], scanStart: Int,
+                         comps: Array[Component], w: Int, h: Int,
+                         qtab: Array[Array[Int]],
+                         dcTab: Array[HuffTable], acTab: Array[HuffTable],
+                         restartInterval: Int): GrayImage = {
+    val hmax = comps.map(_.h).max
+    val vmax = comps.map(_.v).max
+    val luma = comps(0)
+    // gray = the Y plane at full resolution; a frame whose FIRST component
+    // is subsampled has no full-res luma to fold — outside the profile
+    if (luma.h != hmax || luma.v != vmax) malformed
+    val lq = qtab(luma.tq)
+    if (lq == null) malformed
+    comps.foreach { c =>
+      if (dcTab(c.td) == null || acTab(c.ta) == null) malformed
+    }
+    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+    val gray = new Array[Int](w * h)
+    val dcPred = new Array[Int](comps.length)
+    val coef = new Array[Int](64)
+    val tmp = new Array[Double](64)
+    val r = new BitReader(b, scanStart)
+    var mcu = 0
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          r.expectRestart((mcu / restartInterval - 1) % 8)
+          java.util.Arrays.fill(dcPred, 0)
+        }
+        var ci = 0
+        while (ci < comps.length) {
+          val comp = comps(ci)
+          val dt = dcTab(comp.td); val at = acTab(comp.ta)
+          var by = 0
+          while (by < comp.v) {
+            var bx = 0
+            while (bx < comp.h) {
+              if (ci == 0) {
+                decodeBlock(r, dt, at, lq, dcPred, ci, coef)
+                idctInto(coef, tmp, gray, w, h,
+                  (mx * comp.h + bx) * 8, (my * comp.v + by) * 8)
+              } else {
+                // chroma: consume the symbols, skip dequant + IDCT
+                skipBlock(r, dt, at, dcPred, ci)
+              }
+              bx += 1
+            }
+            by += 1
+          }
+          ci += 1
+        }
+        mcu += 1
+        mx += 1
+      }
+      my += 1
+    }
+    GrayImage(w, h, gray)
+  }
+
+  /** Decode one 8×8 block: DC diff + AC run-lengths (T.81 §F.2.2),
+    * dequantized into natural order.
+    */
+  private def decodeBlock(r: BitReader, dt: HuffTable, at: HuffTable,
+                          q: Array[Int], dcPred: Array[Int], ci: Int,
+                          coef: Array[Int]): Unit = {
+    java.util.Arrays.fill(coef, 0)
+    val t = dt.decode(r)
+    if (t > 11) malformed // 8-bit baseline DC categories are 0..11
+    dcPred(ci) += extend(r.receive(t), t)
+    coef(0) = dcPred(ci) * q(0)
+    var k = 1
+    while (k < 64) {
+      val rs = at.decode(r)
+      val run = rs >> 4; val s = rs & 15
+      if (s == 0) {
+        if (run == 15) k += 16 // ZRL
+        else k = 64 // EOB
+      } else {
+        k += run
+        if (k > 63) malformed
+        coef(Zigzag(k)) = extend(r.receive(s), s) * q(k)
+        k += 1
+      }
+    }
+  }
+
+  /** Consume one non-luma block's symbols without reconstructing it —
+    * the DC predictor still advances (later blocks difference against
+    * it).
+    */
+  private def skipBlock(r: BitReader, dt: HuffTable, at: HuffTable,
+                        dcPred: Array[Int], ci: Int): Unit = {
+    val t = dt.decode(r)
+    if (t > 11) malformed
+    dcPred(ci) += extend(r.receive(t), t)
+    var k = 1
+    while (k < 64) {
+      val rs = at.decode(r)
+      val run = rs >> 4; val s = rs & 15
+      if (s == 0) { if (run == 15) k += 16 else k = 64 }
+      else {
+        k += run
+        if (k > 63) malformed
+        r.receive(s)
+        k += 1
+      }
+    }
+  }
+
+  /** Separable 2-D inverse DCT of one dequantized block into the gray
+    * plane at (ox, oy), clipped to the image (edge MCUs overhang).
+    * Natural order is row-frequency-major (nat = u·8 + v, u vertical):
+    * f(y,x) = ¼ Σu Σv C(u)C(v) F(u,v) cos((2y+1)uπ/16) cos((2x+1)vπ/16),
+    * rounded once and clamped.
+    */
+  private def idctInto(coef: Array[Int], tmp: Array[Double],
+                       gray: Array[Int], w: Int, h: Int,
+                       ox: Int, oy: Int): Unit = {
+    // first stage reduces the column frequency: tmp(u, x) = Σv F(u,v)·ct(v)(x)
+    var u = 0
+    while (u < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var v = 0
+        while (v < 8) { s += coef(u * 8 + v) * Cos(v)(x); v += 1 }
+        tmp(u * 8 + x) = s
+        x += 1
+      }
+      u += 1
+    }
+    val ymax = math.min(8, h - oy)
+    val xmax = math.min(8, w - ox)
+    var y = 0
+    while (y < ymax) {
+      var x = 0
+      while (x < xmax) {
+        var s = 0.0
+        var uu = 0
+        while (uu < 8) { s += Cos(uu)(y) * tmp(uu * 8 + x); uu += 1 }
+        val p = Math.round(s / 4.0).toInt + 128
+        gray((oy + y) * w + (ox + x)) =
+          if (p < 0) 0 else if (p > 255) 255 else p
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  // ---------------------------------------------------------------- encode
+  // Planting-side writer (tests + oracle queries), mirroring
+  // pngGrayBytes/gifGrayBytes: a complete baseline encoder. Entropy
+  // coding uses canonical tables of OUR choosing (DHT ships in the file,
+  // so any valid table is a conforming JPEG): DC categories 0..11 at 4
+  // bits, every AC run/size byte 0..255 at 9 bits — trivially canonical,
+  // and exercising the decoder's table builder on non-Annex-K shapes.
+
+  private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+    private var cur = 0
+    private var nbits = 0
+    def put(v: Int, bits: Int): Unit = {
+      var i = bits - 1
+      while (i >= 0) {
+        cur = (cur << 1) | ((v >> i) & 1)
+        nbits += 1
+        if (nbits == 8) {
+          out.write(cur)
+          if (cur == 0xff) out.write(0x00) // byte stuffing (T.81 §B.1.1.5)
+          cur = 0; nbits = 0
+        }
+        i -= 1
+      }
+    }
+    /** Pad the final partial byte with 1-bits (§B.1.1.5). */
+    def flush(): Unit = if (nbits > 0) put((1 << (8 - nbits)) - 1, 8 - nbits)
+  }
+
+  private def categoryOf(v: Int): Int = {
+    var a = math.abs(v); var s = 0
+    while (a != 0) { a >>= 1; s += 1 }
+    s
+  }
+
+  /** Encode one quantized block (given its component's running DC
+    * predictor) with the flat tables: DC category as 4 bits, AC RS byte
+    * as 9 bits, then the magnitude bits (T.81 §F.1.2).
+    */
+  private def encodeBlock(bw: BitWriter, qcoef: Array[Int],
+                          dcPred: Array[Int], ci: Int): Unit = {
+    val diff = qcoef(0) - dcPred(ci)
+    dcPred(ci) = qcoef(0)
+    val s = categoryOf(diff)
+    bw.put(s, 4)
+    if (s > 0) bw.put(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+    var k = 1
+    var run = 0
+    while (k < 64) {
+      val v = qcoef(k) // zigzag order
+      if (v == 0) run += 1
+      else {
+        while (run > 15) { bw.put(0xf0, 9); run -= 16 } // ZRL
+        val as = categoryOf(v)
+        bw.put((run << 4) | as, 9)
+        bw.put(if (v >= 0) v else v + (1 << as) - 1, as)
+        run = 0
+      }
+      k += 1
+    }
+    if (run > 0) bw.put(0x00, 9) // EOB
+  }
+
+  /** Forward DCT + quantize one 8×8 block of the gray plane (origin
+    * ox, oy; caller guarantees it's inside) into zigzag-ordered
+    * quantized coefficients.
+    */
+  private def fdctQuant(gray: Array[Byte], w: Int, ox: Int, oy: Int,
+                        quant: Int, out: Array[Int]): Unit = {
+    val tmp = new Array[Double](64)
+    // rows: tmp(u, y) = Σx ct(u)(x)·f(x, y)
+    var u = 0
+    while (u < 8) {
+      var y = 0
+      while (y < 8) {
+        var s = 0.0
+        var x = 0
+        while (x < 8) {
+          s += Cos(u)(x) * ((gray((oy + y) * w + (ox + x)) & 0xff) - 128)
+          x += 1
+        }
+        tmp(u * 8 + y) = s
+        y += 1
+      }
+      u += 1
+    }
+    var k = 0
+    while (k < 64) {
+      val nat = Zigzag(k)
+      val uu = nat / 8; val vv = nat % 8
+      // F(u,v) = ¼ Σy ct(v... note: nat = u*8+v with u the ROW (vertical)
+      // frequency; tmp is indexed (horizontal freq, y)
+      var s = 0.0
+      var y = 0
+      while (y < 8) { s += Cos(uu)(y) * tmp(vv * 8 + y); y += 1 }
+      out(k) = Math.round(s / 4.0 / quant).toInt
+      k += 1
+    }
+  }
+
+  private def segment(out: java.io.ByteArrayOutputStream, marker: Int,
+                      body: Array[Byte]): Unit = {
+    out.write(0xff); out.write(marker)
+    val len = body.length + 2
+    out.write(len >> 8); out.write(len & 0xff)
+    out.write(body, 0, body.length)
+  }
+
+  private def dqtBody(quant: Int): Array[Byte] =
+    (Array(0x00) ++ Array.fill(64)(quant)).map(_.toByte)
+
+  private def dhtBodies: Array[Array[Byte]] = {
+    // DC class 0 id 0: 12 codes of length 4 (symbols = categories 0..11)
+    val dc = Array(0x00) ++
+      Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0) ++
+      (0 to 11)
+    // AC class 1 id 0: run/size bytes 0x00–0xFE at length 9 (code = the
+    // byte itself), 0xFF alone at length 10 — a DHT length count is one
+    // byte so a single length can't hold all 256, and 0xFF (run 15,
+    // size 15) is not a legal baseline symbol, so the encoder never
+    // emits the 10-bit code
+    val ac = Array(0x10) ++
+      Array(0, 0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0) ++
+      (0 to 255)
+    Array(dc.map(_.toByte), ac.map(v => (v & 0xff).toByte))
+  }
+
+  /** Complete single-component (grayscale) baseline JPEG of `gray`
+    * (row-major, w·h bytes), quantized with a uniform step `quant`.
+    * Dimensions must be multiples of 8 (planting writer — real corpora
+    * arrive encoded). `restartInterval` > 0 emits DRI + RSTn markers
+    * every that-many MCUs.
+    */
+  def jpegGrayBytes(width: Int, height: Int, gray: Array[Byte],
+                    quant: Int = 8, restartInterval: Int = 0): Array[Byte] = {
+    require(width > 0 && height > 0 && width % 8 == 0 && height % 8 == 0,
+      s"planting writer needs multiple-of-8 dims, got ${width}x$height")
+    require(gray.length == width * height, "gray length != w*h")
+    require(quant >= 1 && quant <= 255, s"quant step 1..255, got $quant")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0xff); out.write(0xd8) // SOI
+    segment(out, 0xdb, dqtBody(quant))
+    segment(out, 0xc0, Array(8, height >> 8, height & 0xff, width >> 8,
+      width & 0xff, 1, 1, 0x11, 0).map(v => (v & 0xff).toByte))
+    val Array(dc, ac) = dhtBodies
+    segment(out, 0xc4, dc)
+    segment(out, 0xc4, ac)
+    if (restartInterval > 0)
+      segment(out, 0xdd,
+        Array((restartInterval >> 8).toByte, (restartInterval & 0xff).toByte))
+    segment(out, 0xda, Array(1, 1, 0x00, 0, 63, 0).map(_.toByte))
+    val bw = new BitWriter(out)
+    val qcoef = new Array[Int](64)
+    val dcPred = new Array[Int](1)
+    var mcu = 0
+    var by = 0
+    while (by < height / 8) {
+      var bx = 0
+      while (bx < width / 8) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          bw.flush()
+          out.write(0xff); out.write(0xd0 + (mcu / restartInterval - 1) % 8)
+          dcPred(0) = 0
+        }
+        fdctQuant(gray, width, bx * 8, by * 8, quant, qcoef)
+        encodeBlock(bw, qcoef, dcPred, 0)
+        mcu += 1
+        bx += 1
+      }
+      by += 1
+    }
+    bw.flush()
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Complete three-component YCbCr 4:2:0 baseline JPEG whose Y plane is
+    * `grayY` and whose chroma is neutral (Cb = Cr = 128 — all-zero
+    * spectra, so chroma blocks cost two symbols each). Dimensions must
+    * be multiples of 16 (one full 4:2:0 MCU). Exercises the decoder's
+    * real MCU walk: interleaved components, per-component sampling
+    * factors and DC predictors, chroma skip.
+    */
+  def jpegYccBytes(width: Int, height: Int, grayY: Array[Byte],
+                   quant: Int = 8): Array[Byte] = {
+    require(width > 0 && height > 0 && width % 16 == 0 && height % 16 == 0,
+      s"4:2:0 planting writer needs multiple-of-16 dims, got ${width}x$height")
+    require(grayY.length == width * height, "gray length != w*h")
+    require(quant >= 1 && quant <= 255, s"quant step 1..255, got $quant")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0xff); out.write(0xd8)
+    segment(out, 0xdb, dqtBody(quant))
+    segment(out, 0xc0, Array(8, height >> 8, height & 0xff, width >> 8,
+      width & 0xff, 3,
+      1, 0x22, 0, // Y: 2x2 sampling, qtable 0
+      2, 0x11, 0, // Cb
+      3, 0x11, 0 // Cr
+    ).map(v => (v & 0xff).toByte))
+    val Array(dc, ac) = dhtBodies
+    segment(out, 0xc4, dc)
+    segment(out, 0xc4, ac)
+    segment(out, 0xda,
+      Array(3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0).map(_.toByte))
+    val bw = new BitWriter(out)
+    val qcoef = new Array[Int](64)
+    val dcPred = new Array[Int](3)
+    var my = 0
+    while (my < height / 16) {
+      var mx = 0
+      while (mx < width / 16) {
+        var by = 0
+        while (by < 2) {
+          var bx = 0
+          while (bx < 2) {
+            fdctQuant(grayY, width, (mx * 2 + bx) * 8, (my * 2 + by) * 8,
+              quant, qcoef)
+            encodeBlock(bw, qcoef, dcPred, 0)
+            bx += 1
+          }
+          by += 1
+        }
+        // neutral chroma: quantized spectrum identically zero
+        java.util.Arrays.fill(qcoef, 0)
+        encodeBlock(bw, qcoef, dcPred, 1)
+        encodeBlock(bw, qcoef, dcPred, 2)
+        mx += 1
+      }
+      my += 1
+    }
+    bw.flush()
+    out.write(0xff); out.write(0xd9)
+    out.toByteArray
+  }
+}

@@ -9,11 +9,10 @@ import org.apache.spark.sql.types._
   * for decode / feature-extract / resize / frame-sample.
   *
   * `Codecs` implements the container formats from their public specs:
-  * PNG/JPEG/GIF header dimension parsing, FULL PNG and GIF pixel
-  * decodes (zlib+filters, LZW), RIFF/WAVE PCM decode and RIFF/AVI
-  * frame demux (plus the matching writers for planting test payloads).
-  * Only JPEG's DCT entropy decode stays behind the seam — that belongs
-  * to a batch media library at the same per-partition boundary. The
+  * PNG/JPEG/GIF header dimension parsing, FULL PNG, GIF and baseline
+  * JPEG pixel decodes (zlib+filters, LZW, Huffman+IDCT — the JPEG path
+  * lives in [[Jpeg]]), RIFF/WAVE PCM decode and RIFF/AVI frame demux
+  * (plus the matching writers for planting test payloads). The
   * Spark-side contract (schema, partitioning, batch shape) is real:
   *  - media rows flow as `Dataset[MediaRow]` (binary + metadata struct);
   *  - transforms run via `mapPartitions`, amortizing per-batch codec setup
@@ -55,10 +54,9 @@ object Multimodal {
     * width), GIF (87a/89a logical screen descriptor, little-endian dims)
     * and RIFF/WAVE canonical PCM (fmt + data chunks, little-endian),
     * plus RIFF/AVI frame demux ([[decodeAviFrames]]) and full pixel
-    * decodes for PNG ([[decodePngGray]]) and GIF ([[decodeGifGray]],
-    * complete LZW). JPEG DCT decode stays out of scope: a training
-    * pipeline shards on dimensions/duration and hands JPEG pixel
-    * decode to a batch library.
+    * decodes for PNG ([[decodePngGray]]), GIF ([[decodeGifGray]],
+    * complete LZW) and baseline JPEG ([[Jpeg.decodeJpegGray]] — Huffman
+    * entropy decode, dequantize, exact-basis IDCT).
     */
   object Codecs {
 
@@ -704,13 +702,15 @@ object Multimodal {
       Some(out) // trailing EOI/terminator is the container's business
     }
 
-    /** Container-agnostic grayscale decode: PNG, then GIF (the two
-      * containers with REAL pixel decodes — JPEG/others refuse). The
-      * entry point the fingerprint/resize operators use, so an image
-      * corpus mixing containers flows through one seam.
+    /** Container-agnostic grayscale decode: PNG, then GIF, then baseline
+      * JPEG ([[Jpeg.decodeJpegGray]] — the DCT/Huffman path lives in its
+      * own file) — all three REAL pixel decodes; other containers
+      * refuse. The entry point the fingerprint/resize operators use, so
+      * an image corpus mixing containers flows through one seam.
       */
     def decodeImageGray(b: Array[Byte]): Option[GrayImage] =
       decodePngGray(b).orElse(decodeGifGray(b))
+        .orElse(Jpeg.decodeJpegGray(b))
 
     /** Minimal valid-enough PNG: signature + IHDR (CRC not computed — the
       * dimension parser doesn't verify it, as most samplers don't).

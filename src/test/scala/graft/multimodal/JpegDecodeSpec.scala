@@ -1,0 +1,222 @@
+package graft.multimodal
+
+import graft.SparkSpec
+
+/** Baseline JPEG pixel decode: closed-form exact round trips (DC-only
+  * spectra under dividing quant steps), encode↔decode tolerance on
+  * arbitrary pixels, the interleaved 4:2:0 MCU walk, byte stuffing,
+  * restart markers, refusals, and the container-agnostic seam +
+  * fingerprint parity the dedup operators ride.
+  */
+class JpegDecodeSpec extends SparkSpec {
+  import Multimodal.Codecs
+
+  /** Deterministic bytes (the generators' LCG). */
+  private def prng(seed: Long, n: Int): Array[Byte] = {
+    var s = seed
+    Array.fill(n) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      ((s >>> 33) & 0xff).toByte
+    }
+  }
+
+  /** w×h pixels constant within each 8×8 block; `even` forces the
+    * level-shifted value even (8·(v−128) divisible by 16 → exact under
+    * quant 1/2/4/8/16).
+    */
+  private def blockConstant(w: Int, h: Int, seed: Long,
+                            even: Boolean): Array[Byte] = {
+    val bw = w / 8
+    val vals = prng(seed, bw * (h / 8)).map { b =>
+      if (even) (b & 0xfe) else (b & 0xff)
+    }
+    Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      vals((y / 8) * bw + (x / 8)).toByte
+    }
+  }
+
+  private def grayOf(b: Array[Byte]): Codecs.GrayImage =
+    Jpeg.decodeJpegGray(b).getOrElse(fail("payload did not decode"))
+
+  test("constant 8x8 blocks round-trip EXACTLY at quant 8 (DC-only spectrum)") {
+    val px = blockConstant(32, 32, seed = 7L, even = false)
+    val img = grayOf(Jpeg.jpegGrayBytes(32, 32, px, quant = 8))
+    assert(img.width == 32 && img.height == 32)
+    assert(img.gray.sameElements(px.map(_ & 0xff)))
+  }
+
+  test("even-valued constant blocks round-trip exactly at every dividing quant step") {
+    val px = blockConstant(32, 32, seed = 11L, even = true)
+    for (q <- Seq(1, 2, 4, 8, 16)) {
+      val img = grayOf(Jpeg.jpegGrayBytes(32, 32, px, quant = q))
+      assert(img.gray.sameElements(px.map(_ & 0xff)), s"quant $q")
+    }
+  }
+
+  test("distinct quant steps give byte-distinct payloads with identical pixels") {
+    val px = blockConstant(32, 32, seed = 13L, even = true)
+    val payloads = Seq(1, 2, 4, 8, 16).map(q =>
+      Jpeg.jpegGrayBytes(32, 32, px, quant = q))
+    for (Seq(a, b) <- payloads.combinations(2))
+      assert(!a.sameElements(b))
+    val pixels = payloads.map(p => grayOf(p).gray.toSeq)
+    assert(pixels.distinct.size == 1)
+  }
+
+  test("arbitrary pixels round-trip within the quantization bound at quant 1") {
+    val px = prng(17L, 24 * 24)
+    val img = grayOf(Jpeg.jpegGrayBytes(24, 24, px, quant = 1))
+    val maxErr = img.gray.zip(px.map(_ & 0xff)).map {
+      case (a, b) => math.abs(a - b)
+    }.max
+    assert(maxErr <= 2, s"max pixel error $maxErr")
+  }
+
+  test("YCbCr 4:2:0 decodes its Y plane identically to the grayscale encode") {
+    // exact case: per-block constants
+    val pxE = blockConstant(32, 32, seed = 19L, even = false)
+    assert(grayOf(Jpeg.jpegYccBytes(32, 32, pxE)).gray
+      .sameElements(grayOf(Jpeg.jpegGrayBytes(32, 32, pxE)).gray))
+    // general case: same FDCT/quant per block, different MCU interleave
+    // and DC prediction order must still reconstruct the same plane
+    val pxR = prng(23L, 32 * 32)
+    assert(grayOf(Jpeg.jpegYccBytes(32, 32, pxR, quant = 1)).gray
+      .sameElements(grayOf(Jpeg.jpegGrayBytes(32, 32, pxR, quant = 1)).gray))
+  }
+
+  test("scan data contains genuine byte stuffing and still decodes") {
+    // search deterministic seeds for a payload whose entropy segment
+    // carries a stuffed 0xFF00; the spec pins that stuffing occurs in
+    // practice and survives the round trip (headers never contain
+    // FF 00 here: no segment length byte pair is 0xFF00)
+    def payloadHasStuffing(p: Array[Byte]): Boolean =
+      p.indices.dropRight(1).exists(i =>
+        (p(i) & 0xff) == 0xff && p(i + 1) == 0x00)
+    val hit = (1 to 200).view.map { seed =>
+      val px = blockConstant(32, 32, seed = seed.toLong, even = true)
+      (px, Jpeg.jpegGrayBytes(32, 32, px, quant = 1))
+    }.find(t => payloadHasStuffing(t._2))
+    assert(hit.isDefined, "no seed produced a stuffed byte in 200 tries")
+    val (px, payload) = hit.get
+    assert(grayOf(payload).gray.sameElements(px.map(_ & 0xff)))
+  }
+
+  test("restart markers: DRI honored, DC predictors reset, parity with plain encode") {
+    val px = blockConstant(32, 32, seed = 29L, even = true)
+    val plain = Jpeg.jpegGrayBytes(32, 32, px, quant = 2)
+    val rst = Jpeg.jpegGrayBytes(32, 32, px, quant = 2, restartInterval = 3)
+    assert(!plain.sameElements(rst))
+    // RST0 (FF D0) must appear in the restart payload
+    assert(rst.indices.dropRight(1).exists(i =>
+      (rst(i) & 0xff) == 0xff && (rst(i + 1) & 0xff) == 0xd0))
+    assert(grayOf(rst).gray.sameElements(grayOf(plain).gray))
+  }
+
+  test("a wrong restart marker index refuses the payload") {
+    val px = blockConstant(32, 32, seed = 29L, even = true)
+    val rst = Jpeg.jpegGrayBytes(32, 32, px, quant = 2, restartInterval = 3)
+    val i = rst.indices.dropRight(1).indexWhere(i =>
+      (rst(i) & 0xff) == 0xff && (rst(i + 1) & 0xff) == 0xd0)
+    assert(i > 0)
+    val bad = rst.clone()
+    bad(i + 1) = 0xd5.toByte // expected RST0, found RST5
+    assert(Jpeg.decodeJpegGray(bad).isEmpty)
+  }
+
+  test("refusals: progressive, truncation, 12-bit precision, dim cap, header-only") {
+    val px = blockConstant(16, 16, seed = 31L, even = false)
+    val ok = Jpeg.jpegGrayBytes(16, 16, px)
+    assert(Jpeg.decodeJpegGray(ok).isDefined)
+
+    // progressive: flip SOF0 (FF C0) to SOF2 (FF C2)
+    val sof = ok.indices.dropRight(1).indexWhere(i =>
+      (ok(i) & 0xff) == 0xff && (ok(i + 1) & 0xff) == 0xc0)
+    val prog = ok.clone(); prog(sof + 1) = 0xc2.toByte
+    assert(Jpeg.decodeJpegGray(prog).isEmpty)
+
+    // 12-bit precision (first SOF byte after the length)
+    val p12 = ok.clone(); p12(sof + 4) = 12.toByte
+    assert(Jpeg.decodeJpegGray(p12).isEmpty)
+
+    // truncated scans at several depths — cuts deep enough to remove
+    // entropy bits the MCUs still need (a missing EOI alone is
+    // tolerated, like the PNG decoder with IEND: the decode is complete
+    // after the last MCU)
+    for (cut <- Seq(4, 6, 20, ok.length / 2))
+      assert(Jpeg.decodeJpegGray(ok.dropRight(cut)).isEmpty, s"cut $cut")
+    assert(Jpeg.decodeJpegGray(ok.dropRight(1)).isDefined) // EOI half-gone
+
+    // header-only (the dimension-probe writer carries no tables/scan)
+    assert(Jpeg.decodeJpegGray(Codecs.jpegBytes(16, 16)).isEmpty)
+
+    // dimension cap: 2^26 px — 8192×8193 declared in a header-only
+    // frame must refuse at SOF before any allocation
+    assert(Jpeg.decodeJpegGray(Codecs.jpegBytes(8192, 8193)).isEmpty)
+
+    // not a JPEG at all
+    assert(Jpeg.decodeJpegGray(null).isEmpty)
+    assert(Jpeg.decodeJpegGray(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("imageDimensions agrees with the pixel decode on real payloads") {
+    val px = blockConstant(24, 16, seed = 37L, even = false)
+    val p = Jpeg.jpegGrayBytes(24, 16, px)
+    val dims = Codecs.imageDimensions(p)
+    assert(dims.contains(Codecs.ImageDims("jpeg", 24, 16)))
+    val img = grayOf(p)
+    assert(img.width == 24 && img.height == 16)
+  }
+
+  test("decodeImageGray seam: PNG, GIF and JPEG of the same pixels agree bit-for-bit") {
+    val px = blockConstant(32, 32, seed = 41L, even = true)
+    val png = Codecs.decodeImageGray(Codecs.pngGrayBytes(32, 32, px)).get
+    val gif = Codecs.decodeImageGray(Codecs.gifGrayBytes(32, 32, px)).get
+    val jpg = Codecs.decodeImageGray(Jpeg.jpegGrayBytes(32, 32, px, quant = 4)).get
+    assert(png.gray.sameElements(gif.gray))
+    assert(png.gray.sameElements(jpg.gray))
+    // and therefore one fingerprint across containers
+    val fps = Seq(png, gif, jpg).map(i =>
+      ImageHash.aHash64(i.gray, i.width, i.height))
+    assert(fps.distinct.size == 1)
+  }
+
+  test("q118 geometry pin: within-group JPEGs hash identically, cross-group " +
+    "fingerprints are > 3 bits apart") {
+    // two members per group covering both container forms and several
+    // quant/restart combos (members 0 and 7 → quants 1 and 4,
+    // restart cadences 0 and 3 for gray groups)
+    def hashOf(k: Long): Long = {
+      val img = grayOf(graft.SparkEntry.q118Jpeg(k))
+      ImageHash.aHash64(img.gray, img.width, img.height)
+    }
+    val groups = (0 until 20).map { g =>
+      val h0 = hashOf(g.toLong)
+      assert(hashOf(g + 140L) == h0, s"group $g member drift") // m = 7
+      assert(hashOf(g + 60L) == h0, s"group $g member drift") // m = 3
+      h0
+    }
+    for (a <- 0 until 20; b <- (a + 1) until 20) {
+      val d = java.lang.Long.bitCount(groups(a) ^ groups(b))
+      assert(d > 3, s"groups $a,$b only $d bits apart")
+    }
+    // members are byte-distinct across quant steps even when pixels agree
+    assert(!graft.SparkEntry.q118Jpeg(2L).sameElements(
+      graft.SparkEntry.q118Jpeg(22L)))
+  }
+
+  test("ImageHash.fingerprints pairs JPEG payloads through the real pipeline") {
+    import spark.implicits._
+    val px = blockConstant(32, 32, seed = 43L, even = true)
+    val rows = Seq(
+      (1L, Jpeg.jpegGrayBytes(32, 32, px, quant = 2)),
+      (2L, Jpeg.jpegGrayBytes(32, 32, px, quant = 8)),
+      (3L, Codecs.pngGrayBytes(32, 32, px)),
+      (4L, Array[Byte](9, 9, 9)) // undecodable: must not pair
+    ).toDF("id", "payload")
+    val fps = ImageHash.fingerprints(rows, "id", "payload")
+    val pairs = ImageHash.nearDupPairs(fps, "id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+}

@@ -134,17 +134,23 @@ class SyncTargetSpec extends SparkSpec {
       // a reader and a retention-guarded vacuum race the writers: the
       // reader must always see a committed snapshot (never a partial or
       // vanished table), the vacuum must never break one
+      // the reader/vacuum loops are throttled: unthrottled they fire
+      // thousands of driver jobs in the race window, which under heavy
+      // host load has starved the local executor into fatal-error
+      // territory — the race being tested needs concurrency, not a
+      // job-submission flood
       val reader = Future {
         var reads = 0
         while (writing) {
           val c = vt.read(spark).get.count()
           assert(c >= 2L, s"reader saw a broken head ($c rows)")
           reads += 1
+          Thread.sleep(20)
         }
         reads
       }
       val vacuumer = Future {
-        while (writing) vt.vacuum(spark, retentionMs = 3600000L)
+        while (writing) { vt.vacuum(spark, retentionMs = 3600000L); Thread.sleep(50) }
       }
       val ms = Await.result(Future.sequence(writers), 300.seconds)
       writing = false
@@ -207,13 +213,20 @@ class SyncTargetSpec extends SparkSpec {
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
       @volatile var writing = true
-      // retention 2s: ACTIVE during the run (unlike the 1h-retention
+      // retention 8s: ACTIVE during the run (unlike the 1h-retention
       // stress above, this one can and does sweep while writers are
-      // mid-flight), yet safely above any tiny-DF snapshot-write time —
-      // the documented "exceeds the slowest writer" contract
+      // mid-flight — the pre-aged debris is 600s old), yet safely above
+      // any tiny-DF snapshot-write time — the documented "exceeds the
+      // slowest writer" contract. 2s proved too tight on this shared
+      // host: a snapshot write stalled past it under load and the sweep
+      // took a mid-write snapshot, i.e. the test itself violated the
+      // contract it documents. Throttled like the stress test above.
       val vacuumer = Future {
         var sweeps = 0
-        while (writing) { vt.vacuum(spark, retentionMs = 2000L); sweeps += 1 }
+        while (writing) {
+          vt.vacuum(spark, retentionMs = 8000L); sweeps += 1
+          Thread.sleep(50)
+        }
         sweeps
       }
       // each writer lands TWO sequential upserts to widen the window in
