@@ -48,6 +48,10 @@ object ScaleSmoke {
     // deployment — per-row greedy-fold HOFs whose cost must stay linear
     // in tokens
     "q104_bpe_encode", "q108_bpe_roundtrip",
+    // Unigram-LM Viterbi encode: the OTHER tokenizer family's per-token
+    // hot path — broadcast model, per-row lattice DP, no shuffle; the
+    // exponent evidences the scan stage parallelizes flat like BPE's
+    "q119_unigram_encode",
     // SemDeDup with the corpus-derived cell count — the configuration
     // whose exponent must stay ~linear where q77's pinned k cannot —
     // and its inverted-multi-index form for past the flat crossover

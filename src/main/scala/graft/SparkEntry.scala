@@ -2431,6 +2431,45 @@ object SparkEntry {
       val fps = multimodal.ImageHash.fingerprints(media, "id", "payload")
       multimodal.ImageHash.nearDupPairs(fps, "id", maxHamming = 3)
         .orderBy(col("id1"), col("id2"))
+    }),
+
+    // Unigram-LM (SentencePiece) Viterbi encode — the other major
+    // tokenizer family next to BPE (q104), through the REAL lattice DP:
+    // doc keys plant texts over a disjoint-bigram construction ("ab"
+    // runs + "c" runs — 'a' only ever precedes 'b', so "ab" occurrences
+    // can't overlap and the Viterbi decision is closed-form: the fused
+    // piece wins every occurrence since ln p(ab) ≫ 2·ln p(char)). The
+    // engine segments each word with the log-space max-plus DP under a
+    // fixed dyadic model and counts pieces; the oracle replays the
+    // planted occurrence arithmetic
+    "q119_unigram_encode" -> ((s, dir) => {
+      import s.implicits._
+      val docs = tSpread(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map(k => (k, q119Text(k)))
+        .toDF("doc_id", "text")
+      textops.UnigramTokenizer.encode(docs, "doc_id", "text", q119Model)
+        .select(col("doc_id").as("id"), explode(col("pieces")).as("piece"))
+        .groupBy(col("id"), col("piece")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("id"), col("piece"))
+    }),
+
+    // Unigram-LM EM E-step — the forward/backward expected piece counts
+    // one training iteration aggregates (Kudo 2018 §3.1), SQL-replayed:
+    // doc keys plant a four-word-type corpus ("xy"/"xz"/"xyz"/"zz"
+    // repeated k%3+1 times) under a fixed power-of-two model, so every
+    // lattice posterior is a ratio of EXACT dyadic doubles and the
+    // oracle states them as literal arithmetic weighted by the same
+    // frequency sums. Exercises two-path, three-path, forced-single and
+    // repeated-piece lattices through the production kernel
+    "q120_unigram_em" -> ((s, dir) => {
+      import s.implicits._
+      val docs = tSpread(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map(k => (k, q120Text(k)))
+        .toDF("doc_id", "text")
+      val words = textops.UnigramTokenizer.wordTable(docs, "text")
+      textops.UnigramTokenizer.emExpectedCounts(words, q120Model)
+        .select(col("piece"), round(col("expected"), 6).as("expected"))
+        .orderBy(col("piece"))
     })
   )
 
@@ -2604,6 +2643,40 @@ object SparkEntry {
         restartInterval = Array(0, 2, 3, 5)((m / 5) % 4))
     else
       multimodal.Jpeg.jpegYccBytes(64, 64, px, quant)
+  }
+
+  /** q119's fixed Unigram model: dyadic probabilities; the fused "ab"
+    * outranks its two-single split by 2^15, so Viterbi takes it at every
+    * (non-overlappable) occurrence — the closed form the oracle replays.
+    */
+  private[graft] val q119Model = textops.UnigramTokenizer.Model(Map(
+    "a" -> math.pow(2, -10), "b" -> math.pow(2, -10),
+    "c" -> math.pow(2, -10), "ab" -> math.pow(2, -5)))
+
+  /** q119's planted text for doc key `k`: (k%5 + 1) words, word j =
+    * "ab"·((k+j)%3) ++ "c"·((k+2j)%2 + 1) — every word non-empty, every
+    * "ab" occurrence disjoint by construction (a only precedes b).
+    */
+  private[graft] def q119Text(k: Long): String =
+    (0 to (k % 5).toInt).map { j =>
+      "ab" * ((k + j) % 3).toInt + "c" * ((k + 2 * j) % 2 + 1).toInt
+    }.mkString(" ")
+
+  /** q120's fixed model: exact powers of two so every forward/backward
+    * product and sum below ~2^-1074 headroom is EXACT in doubles and the
+    * posterior ratios replay as literal SQL arithmetic.
+    */
+  private[graft] val q120Model = textops.UnigramTokenizer.Model(Map(
+    "x" -> 0.25, "y" -> 0.125, "z" -> 0.0625,
+    "xy" -> 0.25, "yz" -> 0.125))
+
+  /** q120's planted text for doc key `k`: word type k%4 of
+    * ("xy", "xz", "xyz", "zz"), repeated (k%3 + 1) times — two-path,
+    * forced-single-path, three-path, and repeated-piece lattices.
+    */
+  private[graft] def q120Text(k: Long): String = {
+    val w = Seq("xy", "xz", "xyz", "zz")((k % 4).toInt)
+    Array.fill((k % 3 + 1).toInt)(w).mkString(" ")
   }
 
   /** q104's fixed merge table: common English patterns, applied in
@@ -5119,6 +5192,60 @@ object SparkEntry {
         | AND a.s_suppkey % 20 = b.s_suppkey % 20
         | AND a.s_suppkey // 1000000 = b.s_suppkey // 1000000
         |ORDER BY id1, id2""".stripMargin,
+
+    // closed-form replay of the planted Viterbi arithmetic: the fused
+    // "ab" piece wins every occurrence (ln p(ab) − 2·ln p(char) =
+    // 15·ln 2, no FP ambiguity), occurrences are disjoint by the
+    // a-only-precedes-b construction, and "c" runs segment as singles —
+    // so the per-doc piece counts ARE the generator's occurrence sums
+    "q119_unigram_encode" ->
+      """WITH f AS (
+        |  SELECT doc_id AS id, r.j AS j,
+        |    (doc_id + r.j) % 3 AS nab,
+        |    (doc_id + 2 * r.j) % 2 + 1 AS nc
+        |  FROM documents JOIN range(0, 5) r(j) ON r.j <= doc_id % 5
+        |), u AS (
+        |  SELECT id, 'ab' AS piece, CAST(SUM(nab) AS BIGINT) AS cnt
+        |  FROM f GROUP BY id
+        |  UNION ALL
+        |  SELECT id, 'c' AS piece, CAST(SUM(nc) AS BIGINT) AS cnt
+        |  FROM f GROUP BY id
+        |)
+        |SELECT id, piece, cnt FROM u WHERE cnt > 0
+        |ORDER BY id, piece""".stripMargin,
+
+    // the E-step posteriors as literal dyadic arithmetic: every planted
+    // word type's forward/backward products are exact powers-of-two
+    // sums, so each occurrence posterior is ONE correctly-rounded
+    // division of exact doubles — identical in any engine — and the
+    // frequency weighting replays the generator's k%4 / k%3+1 sums
+    // (rounded at 6 dp against summation-order ulps)
+    "q120_unigram_em" ->
+      """WITH d AS (
+        |  SELECT doc_id % 4 AS typ, CAST(doc_id % 3 + 1 AS DOUBLE) AS t
+        |  FROM documents
+        |), fr AS (
+        |  SELECT
+        |    COALESCE(SUM(t) FILTER (WHERE typ = 0), 0) AS f0,
+        |    COALESCE(SUM(t) FILTER (WHERE typ = 1), 0) AS f1,
+        |    COALESCE(SUM(t) FILTER (WHERE typ = 2), 0) AS f2,
+        |    COALESCE(SUM(t) FILTER (WHERE typ = 3), 0) AS f3
+        |  FROM d
+        |), e AS (
+        |  SELECT 'x' AS piece,
+        |    f0 * (0.03125 / 0.28125) + f1
+        |      + f2 * (0.033203125 / 0.048828125) AS expected FROM fr
+        |  UNION ALL SELECT 'xy',
+        |    f0 * (0.25 / 0.28125) + f2 * (0.015625 / 0.048828125) FROM fr
+        |  UNION ALL SELECT 'y',
+        |    f0 * (0.03125 / 0.28125)
+        |      + f2 * (0.001953125 / 0.048828125) FROM fr
+        |  UNION ALL SELECT 'yz', f2 * (0.03125 / 0.048828125) FROM fr
+        |  UNION ALL SELECT 'z',
+        |    f1 + f2 * (0.017578125 / 0.048828125) + f3 * 2 FROM fr
+        |)
+        |SELECT piece, ROUND(expected, 6) AS expected FROM e
+        |WHERE expected > 0 ORDER BY piece""".stripMargin,
 
     // q103/q105 share q77's exact all-pairs oracle: recall of the
     // within-cell search is structural on this fixture (see the query

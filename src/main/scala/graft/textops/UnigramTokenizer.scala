@@ -1,0 +1,414 @@
+package graft.textops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM subword tokenizer (Kudo 2018 — the SentencePiece default
+  * and the other major tokenizer family next to [[BpeTrainer]]'s BPE):
+  * every piece carries an independent probability, a word's
+  * segmentation likelihood is the product of its pieces, training is EM
+  * over the segmentation lattice, and encoding is the Viterbi best
+  * path.
+  *
+  * Shape at corpus scale (the same arrangement as the BPE trainer): the
+  * CORPUS is touched exactly once — one word-count shuffle builds the
+  * distinct-word table (Heaps' law: ~10^6 rows for a TB-scale corpus,
+  * whatever the corpus size). Every EM iteration is then ONE scan of
+  * that word table with the model as a broadcast map (vocab-sized —
+  * tens of thousands of entries), emitting slim (piece, expectedCount)
+  * tuples into a map-side-combined sum; the M-step normalization and
+  * pruning are driver arithmetic on the vocab-sized result, the same
+  * bounded model-state pattern as the k-means centroids and BPE merge
+  * table. Encoding is scan-stage only: broadcast model, per-row DP, no
+  * shuffle.
+  *
+  * Numerics: the per-word forward/backward runs in plain probability
+  * doubles — IEEE ops, so short-lattice posteriors are bit-reproducible
+  * and SQL-replayable (the q120 oracle) — and falls back to a log-space
+  * log-sum-exp pass for the rare word whose inside score underflows
+  * (α(n) subnormal: ~hundred-piece words under a floor-probability
+  * vocab). Viterbi is always log-space max-plus: no sums, deterministic,
+  * never underflows.
+  */
+object UnigramTokenizer {
+
+  /** The trained artifact: piece → probability (sums to 1 over the
+    * vocab). Log probabilities are derived once at broadcast time.
+    */
+  final case class Model(probs: Map[String, Double]) {
+    require(probs.nonEmpty, "empty vocabulary")
+    lazy val logps: Map[String, Double] =
+      probs.map { case (k, v) => k -> math.log(v) }
+    lazy val maxLen: Int = probs.keysIterator.map(_.length).max
+    def toDF(spark: SparkSession): DataFrame = {
+      import spark.implicits._
+      probs.toSeq.sortBy(_._1).toDF("piece", "prob")
+    }
+  }
+
+  /** Unknown-character penalty: a character absent from the vocabulary
+    * encodes as itself at this log-probability (the byte-fallback role
+    * in SentencePiece), so encoding is total without the model having
+    * seen every codepoint.
+    */
+  val UnkLogp: Double = -20.0
+
+  /** (w, freq): distinct lowercased whitespace words with corpus
+    * frequencies — [[TextFunctions.tokens]], the one shared
+    * tokenization seam.
+    */
+  def wordTable(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode(TextFunctions.tokens(lower(col(textCol)))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+
+  /** Seed vocabulary: every substring of every distinct word up to
+    * `maxPieceLen`, scored by corpus frequency × length (the standard
+    * frequent-substring seeding), top `seedSize` kept — plus ALL single
+    * characters unconditionally (they make every word reachable, and
+    * pruning never drops them). One explode of the word table (never
+    * the corpus), one piece-keyed count. Initial probabilities are the
+    * normalized scores.
+    */
+  def seedVocab(words: DataFrame, seedSize: Int,
+                maxPieceLen: Int = 8): Model = {
+    val subs = words.select(
+      explode(flatten(transform(
+        sequence(lit(1), least(length(col("w")), lit(maxPieceLen))),
+        l => transform(sequence(lit(1), length(col("w")) - l + 1),
+          s => col("w").substr(s, l))))).as("piece"),
+      col("freq"))
+    val scored = subs.groupBy(col("piece"))
+      .agg(sum(col("freq") * length(col("piece"))).as("score"))
+    val top = scored.orderBy(col("score").desc, col("piece"))
+      .limit(seedSize)
+    val singles = scored.filter(length(col("piece")) === 1)
+    val seed = top.unionByName(singles).distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    val total = seed.values.sum
+    Model(seed.map { case (k, v) => k -> v / total })
+  }
+
+  /** One word's expected piece counts under the current model — the
+    * E-step kernel. Forward α(i) = Σ_j α(j)·p(w[j..i)), backward
+    * symmetric; the posterior of piece occurrence (j, i) is
+    * α(j)·p·β(i)/α(n). Probability-domain doubles with a log-space
+    * fallback on underflow. Empty iterator when the word is unreachable
+    * under the vocab (can't happen after [[seedVocab]] — singles are
+    * kept — but total for library callers with hand-built models).
+    */
+  private[textops] def expectedCounts(
+      w: String, probs: Map[String, Double],
+      maxLen: Int): Iterator[(String, Double)] = {
+    val n = w.length
+    val alpha = new Array[Double](n + 1)
+    alpha(0) = 1.0
+    var i = 1
+    while (i <= n) {
+      var s = 0.0
+      var j = math.max(0, i - maxLen)
+      while (j < i) {
+        if (alpha(j) > 0) {
+          val p = probs.getOrElse(w.substring(j, i), 0.0)
+          if (p > 0) s += alpha(j) * p
+        }
+        j += 1
+      }
+      alpha(i) = s
+      i += 1
+    }
+    // a sub-normal (or fully underflowed) inside score is EITHER an
+    // unreachable word or a long lattice of tiny probs — the log kernel
+    // distinguishes them (empty iff truly unreachable)
+    if (alpha(n) < java.lang.Double.MIN_NORMAL)
+      return expectedCountsLog(w, probs, maxLen)
+    val beta = new Array[Double](n + 1)
+    beta(n) = 1.0
+    i = n - 1
+    while (i >= 0) {
+      var s = 0.0
+      var k = math.min(n, i + maxLen)
+      while (k > i) {
+        if (beta(k) > 0) {
+          val p = probs.getOrElse(w.substring(i, k), 0.0)
+          if (p > 0) s += p * beta(k)
+        }
+        k -= 1
+      }
+      beta(i) = s
+      i -= 1
+    }
+    val z = alpha(n)
+    val out = scala.collection.mutable.HashMap.empty[String, Double]
+    var j = 0
+    while (j < n) {
+      if (alpha(j) > 0) {
+        var k2 = j + 1
+        val kmax = math.min(n, j + maxLen)
+        while (k2 <= kmax) {
+          val sub = w.substring(j, k2)
+          val p = probs.getOrElse(sub, 0.0)
+          if (p > 0 && beta(k2) > 0) {
+            val post = alpha(j) * p * beta(k2) / z
+            out.updateWith(sub) {
+              case Some(c) => Some(c + post)
+              case None => Some(post)
+            }
+          }
+          k2 += 1
+        }
+      }
+      j += 1
+    }
+    out.iterator
+  }
+
+  /** Log-space E-step for words whose inside score underflows plain
+    * doubles: same lattice, log-sum-exp accumulation.
+    */
+  private[textops] def expectedCountsLog(
+      w: String, probs: Map[String, Double],
+      maxLen: Int): Iterator[(String, Double)] = {
+    val NegInf = Double.NegativeInfinity
+    def lse(a: Double, b: Double): Double =
+      if (a == NegInf) b else if (b == NegInf) a
+      else if (a > b) a + math.log1p(math.exp(b - a))
+      else b + math.log1p(math.exp(a - b))
+    val n = w.length
+    val logp = scala.collection.mutable.HashMap.empty[(Int, Int), Double]
+    var j0 = 0
+    while (j0 < n) {
+      var k0 = j0 + 1
+      val kmax = math.min(n, j0 + maxLen)
+      while (k0 <= kmax) {
+        val p = probs.getOrElse(w.substring(j0, k0), 0.0)
+        if (p > 0) logp((j0, k0)) = math.log(p)
+        k0 += 1
+      }
+      j0 += 1
+    }
+    val la = Array.fill(n + 1)(NegInf); la(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      var j = math.max(0, i - maxLen)
+      while (j < i) {
+        logp.get((j, i)).foreach(lp => la(i) = lse(la(i), la(j) + lp))
+        j += 1
+      }
+      i += 1
+    }
+    if (la(n) == NegInf) return Iterator.empty
+    val lb = Array.fill(n + 1)(NegInf); lb(n) = 0.0
+    i = n - 1
+    while (i >= 0) {
+      var k = math.min(n, i + maxLen)
+      while (k > i) {
+        logp.get((i, k)).foreach(lp => lb(i) = lse(lb(i), lp + lb(k)))
+        k -= 1
+      }
+      i -= 1
+    }
+    val out = scala.collection.mutable.HashMap.empty[String, Double]
+    logp.foreach { case ((j, k), lp) =>
+      if (la(j) != NegInf && lb(k) != NegInf) {
+        val post = math.exp(la(j) + lp + lb(k) - la(n))
+        out.updateWith(w.substring(j, k)) {
+          case Some(c) => Some(c + post)
+          case None => Some(post)
+        }
+      }
+    }
+    out.iterator
+  }
+
+  /** One E-step over the distinct-word table: (piece, expected) —
+    * frequency-weighted posterior piece counts under `model`. ONE scan
+    * of the word table with the model broadcast; output is vocab-sized.
+    * Exposed (rather than folded into [[train]]) so the posterior
+    * arithmetic is independently checkable — the q120 oracle replays it
+    * in SQL.
+    */
+  def emExpectedCounts(words: DataFrame, model: Model): DataFrame = {
+    val spark = words.sparkSession
+    val bc = spark.sparkContext.broadcast((model.probs, model.maxLen))
+    import spark.implicits._
+    words.select(col("w"), col("freq"))
+      .as[(String, Long)]
+      .flatMap { case (w, freq) =>
+        val (probs, maxLen) = bc.value
+        expectedCounts(w, probs, maxLen)
+          .map { case (piece, c) => (piece, c * freq) }
+      }
+      .toDF("piece", "expected")
+      .groupBy(col("piece")).agg(sum(col("expected")).as("expected"))
+  }
+
+  /** Marginal corpus log-likelihood Σ_w freq·ln Σ_paths Π p(piece) — the
+    * EM objective (each [[emExpectedCounts]]+normalize round is
+    * guaranteed not to decrease it; the spec pins that property).
+    * Unreachable words contribute nothing (they carry no lattice mass).
+    * One scan, one scalar.
+    */
+  def corpusLogLikelihood(words: DataFrame, model: Model): Double = {
+    val spark = words.sparkSession
+    val bc = spark.sparkContext.broadcast((model.probs, model.maxLen))
+    import spark.implicits._
+    words.select(col("w"), col("freq")).as[(String, Long)]
+      .map { case (w, freq) =>
+        val (probs, maxLen) = bc.value
+        val n = w.length
+        val alpha = new Array[Double](n + 1)
+        alpha(0) = 1.0
+        var i = 1
+        while (i <= n) {
+          var s = 0.0
+          var j = math.max(0, i - maxLen)
+          while (j < i) {
+            if (alpha(j) > 0) {
+              val p = probs.getOrElse(w.substring(j, i), 0.0)
+              if (p > 0) s += alpha(j) * p
+            }
+            j += 1
+          }
+          alpha(i) = s
+          i += 1
+        }
+        if (alpha(n) > 0) freq * math.log(alpha(n)) else 0.0
+      }
+      .toDF("ll").agg(sum(col("ll"))).head().getDouble(0)
+  }
+
+  /** Full training: seed → (EM × `emIters`, prune to `pruneKeep` of the
+    * non-single pieces by expected count) until the vocab fits
+    * `vocabSize`, then a final EM pass. Single-character pieces are
+    * never pruned (totality). Each round's driver state is the
+    * vocab-sized count table — the corpus is only ever touched by the
+    * one [[wordTable]] shuffle the caller did.
+    */
+  def train(docs: DataFrame, textCol: String, vocabSize: Int,
+            maxPieceLen: Int = 8, emIters: Int = 2,
+            seedSize: Int = 0, pruneKeep: Double = 0.75): Model = {
+    require(vocabSize > 0 && pruneKeep > 0 && pruneKeep < 1)
+    val words = wordTable(docs, textCol).localCheckpoint()
+    val seed = if (seedSize > 0) seedSize else 4 * vocabSize
+    var model = seedVocab(words, seed, maxPieceLen)
+    // M-step with a FLOOR on single-character pieces: a dominated
+    // single's posterior mass decays multiplicatively in path length
+    // (super-exponentially across rounds) and underflows to exact 0,
+    // silently dropping the piece and with it word reachability — the
+    // reason SentencePiece pins required characters at a minimal score.
+    // Multi-char pieces whose mass hits 0 DO drop (implicit pruning).
+    def emRound(): Map[String, Double] = {
+      val counts = emExpectedCounts(words, model)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val floor = counts.values.sum * 1e-12
+      val floored = model.probs.keysIterator.filter(_.length == 1)
+        .foldLeft(counts)((m, s) =>
+          if (m.getOrElse(s, 0.0) >= floor) m else m.updated(s, floor))
+      val total = floored.values.sum
+      floored.map { case (k, v) => k -> v / total }
+    }
+    var guard = 0
+    while (model.probs.size > vocabSize && guard < 100) {
+      var it = 0
+      while (it < emIters) { model = Model(emRound()); it += 1 }
+      // prune the weakest multi-char pieces; singles always survive
+      val (singles, multi) = model.probs.partition(_._1.length == 1)
+      val keepN = math.max(vocabSize - singles.size,
+        (multi.size * pruneKeep).toInt)
+      val kept = multi.toSeq.sortBy { case (k, v) => (-v, k) }.take(keepN)
+      val merged = singles ++ kept
+      val total = merged.values.sum
+      model = Model(merged.map { case (k, v) => k -> v / total })
+      guard += 1
+    }
+    var it = 0
+    while (it < emIters) { model = Model(emRound()); it += 1 }
+    model
+  }
+
+  /** Viterbi best segmentation of one word: log-space max-plus DP, ties
+    * broken toward the LONGER final piece (deterministic). Characters
+    * outside the vocab segment as themselves at [[UnkLogp]].
+    */
+  private[textops] def viterbi(w: String, logps: Map[String, Double],
+                               maxLen: Int): Array[String] = {
+    val n = w.length
+    val best = Array.fill(n + 1)(Double.NegativeInfinity)
+    val back = new Array[Int](n + 1)
+    best(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      // j ascending = longest candidate first; strict > keeps it on ties
+      var j = math.max(0, i - maxLen)
+      while (j < i) {
+        if (best(j) != Double.NegativeInfinity) {
+          val sub = w.substring(j, i)
+          val lp = logps.get(sub) match {
+            case Some(v) => v
+            case None => if (i - j == 1) UnkLogp else Double.NegativeInfinity
+          }
+          if (lp != Double.NegativeInfinity && best(j) + lp > best(i)) {
+            best(i) = best(j) + lp
+            back(i) = j
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    // total by construction (single chars fall back to UnkLogp)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var k = n
+    while (k > 0) { out += w.substring(back(k), k); k = back(k) }
+    out.reverseIterator.toArray
+  }
+
+  /** Encode: (id, pieces) — every document's Viterbi segmentation,
+    * words independently, pieces concatenated in order. Scan-stage
+    * only: broadcast model, per-row DP, the text column never reaches a
+    * shuffle.
+    */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+             model: Model): DataFrame = {
+    val spark = docs.sparkSession
+    val bc = spark.sparkContext.broadcast((model.logps, model.maxLen))
+    val kernel = udf { text: String =>
+      if (text == null) Array.empty[String]
+      else {
+        val (logps, maxLen) = bc.value
+        text.toLowerCase.split("\\s+").iterator.filter(_.nonEmpty)
+          .flatMap(w => viterbi(w, logps, maxLen)).toArray
+      }
+    }
+    docs.select(col(idCol), kernel(col(textCol)).as("pieces"))
+  }
+
+  /** Encode statistics: (id, n_pieces, logprob) — the per-document
+    * Viterbi piece count and total log-probability (unknown singles at
+    * [[UnkLogp]]), the quality/length signal a tokenizer-aware curation
+    * stage filters on. Same scan-stage shape as [[encode]].
+    */
+  def encodeStats(docs: DataFrame, idCol: String, textCol: String,
+                  model: Model): DataFrame = {
+    val spark = docs.sparkSession
+    val bc = spark.sparkContext.broadcast((model.logps, model.maxLen))
+    val kernel = udf { text: String =>
+      val (logps, maxLen) = bc.value
+      var n = 0
+      var lp = 0.0
+      if (text != null)
+        text.toLowerCase.split("\\s+").iterator.filter(_.nonEmpty)
+          .foreach { w =>
+            viterbi(w, logps, maxLen).foreach { piece =>
+              n += 1
+              lp += logps.getOrElse(piece, UnkLogp)
+            }
+          }
+      (n, lp)
+    }
+    docs.select(col(idCol), kernel(col(textCol)).as("s"))
+      .select(col(idCol), col("s._1").as("n_pieces"),
+        col("s._2").as("logprob"))
+  }
+}

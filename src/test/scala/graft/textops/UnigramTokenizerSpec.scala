@@ -1,0 +1,153 @@
+package graft.textops
+
+import graft.SparkSpec
+import UnigramTokenizer._
+
+/** Unigram-LM tokenizer: hand-computed forward/backward posteriors
+  * (the E-step the q120 oracle replays), Viterbi semantics and
+  * tie-breaks, seeding totality, EM's likelihood-monotonicity
+  * guarantee, and the scan-stage DataFrame ops.
+  */
+class UnigramTokenizerSpec extends SparkSpec {
+  import spark.implicits._
+
+  // powers of two: every product/sum below is exact in doubles, so the
+  // hand arithmetic is equality, not tolerance
+  private val m = Model(Map(
+    "a" -> 0.25, "b" -> 0.125, "c" -> 0.0625, "ab" -> 0.25))
+
+  test("expectedCounts: hand-computed two-path lattice posteriors") {
+    // word "ab": paths [ab] (p=0.25) and [a][b] (p=0.03125);
+    // Z = 0.28125, post(ab) = 8/9, post(a) = post(b) = 1/9
+    val got = expectedCounts("ab", m.probs, m.maxLen).toMap
+    assert(got.keySet == Set("ab", "a", "b"))
+    assert(math.abs(got("ab") - 8.0 / 9) < 1e-15)
+    assert(math.abs(got("a") - 1.0 / 9) < 1e-15)
+    assert(math.abs(got("b") - 1.0 / 9) < 1e-15)
+    // and the exact IEEE form the q120 oracle replays
+    assert(got("ab") == 0.25 / (0.25 * 0.125 + 0.25))
+    // single path: posterior mass 1
+    val c = expectedCounts("c", m.probs, m.maxLen).toMap
+    assert(c == Map("c" -> 1.0))
+    // unreachable word (no 'z'): empty — no partial mass invented
+    assert(expectedCounts("az", m.probs, m.maxLen).isEmpty)
+  }
+
+  test("expectedCounts: three-position lattice sums to the word length in expectation") {
+    // "aab": every segmentation covers 3 chars; expected piece count
+    // weighted by piece length must total exactly 3
+    val got = expectedCounts("aab", m.probs, m.maxLen).toMap
+    val mass = got.map { case (p, e) => p.length * e }.sum
+    assert(math.abs(mass - 3.0) < 1e-12)
+  }
+
+  test("log-space fallback agrees with the probability-domain path") {
+    // the same lattice through both kernels must give the same posteriors
+    for (w <- Seq("ab", "aab", "abcab")) {
+      val direct = expectedCounts(w, m.probs, m.maxLen).toMap
+      val viaLog = expectedCountsLog(w, m.probs, m.maxLen).toMap
+      assert(direct.keySet == viaLog.keySet, w)
+      direct.foreach { case (k, v) =>
+        assert(math.abs(v - viaLog(k)) < 1e-12, s"$w/$k: $v vs ${viaLog(k)}")
+      }
+    }
+    // and the dispatcher genuinely reaches it: a single-path lattice
+    // whose inside score is subnormal (1e-90^4 = 1e-360) still yields
+    // the exact posterior mass
+    val tiny = Map("a" -> 1e-90, "b" -> 1e-90)
+    val got = expectedCounts("abab", tiny, 1).toMap
+    assert(math.abs(got("a") - 2.0) < 1e-9)
+    assert(math.abs(got("b") - 2.0) < 1e-9)
+  }
+
+  test("viterbi: best path, deterministic tie-break toward the longer piece") {
+    // clear win for the fused piece
+    assert(viterbi("ab", m.logps, m.maxLen).sameElements(Array("ab")))
+    // exact tie (hand logps): longer piece wins
+    val tie = Map("a" -> -1.0, "b" -> -1.0, "ab" -> -2.0)
+    assert(viterbi("ab", tie, 2).sameElements(Array("ab")))
+    // strictly better split wins over the longer piece
+    val split = Map("a" -> -1.0, "b" -> -1.0, "ab" -> -2.0000001)
+    assert(viterbi("ab", split, 2).sameElements(Array("a", "b")))
+    // unknown characters segment as themselves at UnkLogp
+    assert(viterbi("axb", m.logps, m.maxLen)
+      .sameElements(Array("a", "x", "b")))
+  }
+
+  test("seedVocab keeps every single character and respects the size budget") {
+    val words = Seq(("zq zq zq xy", 1L)).toDF("text", "dummy")
+    val wt = wordTable(words, "text")
+    val seeded = seedVocab(wt, seedSize = 3, maxPieceLen = 4)
+    // budget-limited multi-char pieces, but ALL singles survive
+    assert(Set("z", "q", "x", "y").subsetOf(seeded.probs.keySet))
+    assert(math.abs(seeded.probs.values.sum - 1.0) < 1e-12)
+    // the dominant substring is among the top seeds
+    assert(seeded.probs.contains("zq"))
+  }
+
+  test("emExpectedCounts: frequency weighting over the word table") {
+    val docs = Seq((1L, "ab ab c")).toDF("doc_id", "text")
+    val words = wordTable(docs, "text")
+    val got = emExpectedCounts(words, m)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got("ab") - 16.0 / 9) < 1e-12)
+    assert(math.abs(got("a") - 2.0 / 9) < 1e-12)
+    assert(math.abs(got("b") - 2.0 / 9) < 1e-12)
+    assert(math.abs(got("c") - 1.0) < 1e-12)
+  }
+
+  test("EM never decreases the marginal corpus log-likelihood (5 rounds)") {
+    val docs = Seq(
+      (1L, "the theme there then the"),
+      (2L, "other mother theory the them"),
+      (3L, "ethos lethe the thesis")).toDF("doc_id", "text")
+    val words = wordTable(docs, "text").localCheckpoint()
+    var model = seedVocab(words, seedSize = 40, maxPieceLen = 4)
+    var ll = corpusLogLikelihood(words, model)
+    for (round <- 1 to 5) {
+      val counts = emExpectedCounts(words, model)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val total = counts.values.sum
+      model = Model(counts.map { case (k, v) => k -> v / total })
+      val next = corpusLogLikelihood(words, model)
+      assert(next >= ll - 1e-9, s"round $round: $ll -> $next")
+      ll = next
+    }
+  }
+
+  test("train: vocab budget honored, singles kept, probs normalized, " +
+    "the dominant substring survives pruning") {
+    val docs = Seq(
+      (1L, "international internal internet intern"),
+      (2L, "internal international intern internet"),
+      (3L, "interval internal international")).toDF("doc_id", "text")
+    val singles = docs.select("text").as[String].collect()
+      .flatMap(_.replace(" ", "")).toSet
+    val model = train(docs, "text", vocabSize = singles.size + 6,
+      maxPieceLen = 6, emIters = 2)
+    assert(model.probs.size <= singles.size + 6)
+    assert(singles.map(_.toString).subsetOf(model.probs.keySet))
+    assert(math.abs(model.probs.values.sum - 1.0) < 1e-9)
+    // "intern" (or a long prefix of it) carries enough mass to survive
+    assert(model.probs.keysIterator.exists(p => p.length >= 4 &&
+      "international".contains(p)), model.probs.keys.toSeq.sorted.toString)
+  }
+
+  test("encode and encodeStats: scan-stage DataFrame ops with hand outputs") {
+    val docs = Seq((1L, "ab c"), (2L, "AB ab"), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val enc = encode(docs, "doc_id", "text", m)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(enc(1L) == Seq("ab", "c"))
+    assert(enc(2L) == Seq("ab", "ab")) // lowercased
+    assert(enc(3L) == Seq.empty)
+    val stats = encodeStats(docs, "doc_id", "text", m)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toList
+      .sortBy(_._1)
+    assert(stats(0)._2 == 2)
+    assert(math.abs(stats(0)._3 -
+      (math.log(0.25) + math.log(0.0625))) < 1e-12)
+    assert(stats(1)._2 == 2)
+    assert(stats(2)._2 == 0 && stats(2)._3 == 0.0)
+  }
+}
