@@ -52,6 +52,10 @@ object ScaleSmoke {
     // hot path — broadcast model, per-row lattice DP, no shuffle; the
     // exponent evidences the scan stage parallelizes flat like BPE's
     "q119_unigram_encode",
+    // semantic decontamination: one corpus scan against a FIXED
+    // broadcast eval set (pinned to the base id block) — the deployment
+    // shape where the corpus grows and the benchmark doesn't
+    "q121_semantic_decontam",
     // SemDeDup with the corpus-derived cell count — the configuration
     // whose exponent must stay ~linear where q77's pinned k cannot —
     // and its inverted-multi-index form for past the flat crossover

@@ -2470,6 +2470,34 @@ object SparkEntry {
       textops.UnigramTokenizer.emExpectedCounts(words, q120Model)
         .select(col("piece"), round(col("expected"), 6).as("expected"))
         .orderBy(col("piece"))
+    }),
+
+    // semantic decontamination — the embedding-space member of the
+    // decontamination family (q67/q88 are the n-gram forms): every 25th
+    // corpus vector re-enters as an eval-set item scaled ×1.5 (cosine is
+    // scale-invariant, the paraphrase stand-in q77 uses), and the engine
+    // must flag each corpus doc within 0.9 rounded cosine of ANY eval
+    // vector with its match count, best cosine and best eval id (cosine
+    // ties to the smaller id). Corpus side is one codegen scan against
+    // the broadcast eval vectors; the oracle replays the exact all-pairs
+    // cosine in SQL — no planted-geometry assumption, real near-matches
+    // in the embeddings table count too
+    "q121_semantic_decontam" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      // eval set pinned to the base id block (constant at every test SF;
+      // under ScaleSmoke replication the BENCHMARK stays fixed while the
+      // corpus grows — the real deployment shape, so the sweep measures
+      // the corpus scan, not an artificial quadratically-growing eval)
+      val bench = emb
+        .filter(col("vec_id") % 25 === 0 && col("vec_id") < 10000000L)
+        .select(expr("vec_id div 25").as("eval_id"),
+          transform(col("embedding"), x => (x * lit(1.5f)).cast("float"))
+            .as("evec"))
+      graft.sim.SemanticDecontam.contaminated(emb, "vec_id", "embedding",
+          bench, "eval_id", "evec", threshold = 0.9)
+        .select(col("vec_id").as("id"), col("n_matches"), col("max_cos"),
+          col("eval_id"))
+        .orderBy(col("id"))
     })
   )
 
@@ -5246,6 +5274,35 @@ object SparkEntry {
         |)
         |SELECT piece, ROUND(expected, 6) AS expected FROM e
         |WHERE expected > 0 ORDER BY piece""".stripMargin,
+
+    // exact all-pairs replay like q77's: DuckDB recomputes every
+    // corpus×eval cosine (rounded 6 dp — the engine thresholds and ranks
+    // on the same rounding), then the per-doc match count, max, and the
+    // min-eval-id tie-break the engine's max(struct) encodes
+    "q121_semantic_decontam" ->
+      """WITH bench AS (
+        |  SELECT vec_id // 25 AS eval_id,
+        |    list_transform(embedding, x -> CAST(x * 1.5 AS REAL)) AS bvec
+        |  FROM embeddings WHERE vec_id % 25 = 0 AND vec_id < 10000000
+        |), f AS (
+        |  SELECT c.vec_id AS id, b.eval_id AS eval_id,
+        |    round(list_cosine_similarity(
+        |      list_transform(c.embedding, x -> CAST(x AS DOUBLE)),
+        |      list_transform(b.bvec, x -> CAST(x AS DOUBLE))), 6) AS cos
+        |  FROM embeddings c, bench b
+        |  WHERE round(list_cosine_similarity(
+        |      list_transform(c.embedding, x -> CAST(x AS DOUBLE)),
+        |      list_transform(b.bvec, x -> CAST(x AS DOUBLE))), 6) >= 0.9
+        |), mx AS (
+        |  SELECT id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+        |    MAX(cos) AS max_cos
+        |  FROM f GROUP BY id
+        |)
+        |SELECT mx.id AS id, mx.n_matches, mx.max_cos,
+        |  MIN(f.eval_id) AS eval_id
+        |FROM mx JOIN f ON f.id = mx.id AND f.cos = mx.max_cos
+        |GROUP BY mx.id, mx.n_matches, mx.max_cos
+        |ORDER BY mx.id""".stripMargin,
 
     // q103/q105 share q77's exact all-pairs oracle: recall of the
     // within-cell search is structural on this fixture (see the query

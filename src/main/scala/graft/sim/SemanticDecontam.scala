@@ -1,0 +1,71 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Semantic (embedding-space) decontamination — the cosine member of the
+  * decontamination family ([[graft.textops.Decontaminate]] covers the
+  * n-gram forms): flag training documents whose embedding lies within
+  * `threshold` cosine of ANY benchmark/eval-set embedding, the leakage
+  * n-gram overlap can't see (paraphrases, translations, re-toknized
+  * copies).
+  *
+  * Shape at corpus scale: eval sets are broadcast-sized by nature
+  * (10³–10⁵ rows — they're benchmarks), so the corpus side is ONE
+  * codegen scan against the broadcast eval vectors
+  * (BroadcastNestedLoopJoin over [[Cosine.cosineF]], a native
+  * whole-stage-codegen expression): corpus embeddings never shuffle;
+  * only the MATCHED rows (rare by construction) reach the best-match
+  * aggregation. For an eval set too large to broadcast, prefilter
+  * candidates with a shared IVF index ([[Ivf.topKIndexed]] on the eval
+  * vectors) and verify exactly — same two-stage arrangement as the
+  * quantized search path.
+  *
+  * Cosines are rounded (`roundDp`, default 6) BEFORE thresholding and
+  * ranking, so verdicts are reproducible across summation orders and
+  * replayable in plain SQL.
+  */
+object SemanticDecontam {
+
+  private def cosR(a: Column, b: Column, roundDp: Int): Column =
+    round(Cosine.cosineF(a, b), roundDp)
+
+  /** Contaminated corpus docs with their match evidence:
+    * (idCol, n_matches, max_cos, benchIdCol) — how many eval vectors
+    * matched, the best (rounded) cosine, and the best-matching eval id
+    * (ties at equal cosine break to the SMALLER eval id,
+    * deterministic). Docs with no match produce no row.
+    */
+  def contaminated(corpus: DataFrame, idCol: String, vecCol: String,
+                   bench: DataFrame, benchIdCol: String,
+                   benchVecCol: String, threshold: Double,
+                   roundDp: Int = 6): DataFrame = {
+    val b = broadcast(bench.select(col(benchIdCol).cast("long").as("__eid"),
+      col(benchVecCol).as("__bvec")))
+    val scored = corpus.select(col(idCol), col(vecCol).as("__v"))
+      .crossJoin(b)
+      .select(col(idCol), col("__eid"),
+        cosR(col("__v"), col("__bvec"), roundDp).as("__cos"))
+      .filter(col("__cos") >= threshold)
+    scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_matches"),
+        max(struct(col("__cos").as("c"), (-col("__eid")).as("n")))
+          .as("__best"))
+      .select(col(idCol), col("n_matches"),
+        col("__best.c").as("max_cos"),
+        (-col("__best.n")).as(benchIdCol))
+  }
+
+  /** The clean corpus: every row whose embedding is NOT within
+    * `threshold` of any eval vector — a broadcast nested-loop anti-join,
+    * so the corpus passes through in one scan stage with its full
+    * schema.
+    */
+  def gate(corpus: DataFrame, vecCol: String,
+           bench: DataFrame, benchVecCol: String, threshold: Double,
+           roundDp: Int = 6): DataFrame = {
+    val b = broadcast(bench.select(col(benchVecCol).as("__bvec")))
+    corpus.join(b,
+      cosR(col(vecCol), col("__bvec"), roundDp) >= threshold, "left_anti")
+  }
+}

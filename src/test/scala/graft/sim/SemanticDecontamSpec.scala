@@ -1,0 +1,72 @@
+package graft.sim
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Semantic decontamination: hand-built geometries (exact matches,
+  * paraphrase-scaled matches, orthogonal non-matches, boundary cosines,
+  * tie-breaks), the gate's complement contract, and the broadcast
+  * nested-loop plan shape the scale story depends on.
+  */
+class SemanticDecontamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f)), // = eval 10 direction
+    (2L, Array(0.0f, 1.0f, 0.0f)), // = eval 11 AND eval 12 direction (tie)
+    (3L, Array(0.0f, 0.0f, 1.0f)), // matches nothing
+    (4L, Array(1.0f, 1.0f, 0.0f)), // cos 1/sqrt(2) ≈ 0.7071 to evals 10..12
+    (5L, Array(0.0f, 0.0f, 0.0f)) // zero norm: cosineF = 0, never matches
+  ).toDF("vec_id", "embedding")
+
+  private def bench = Seq(
+    (10L, Array(2.0f, 0.0f, 0.0f)), // scaled copy of direction 1
+    (11L, Array(0.0f, 3.0f, 0.0f)),
+    (12L, Array(0.0f, 5.0f, 0.0f)) // same DIRECTION as 11 → exact tie on 2
+  ).toDF("eval_id", "evec")
+
+  test("contaminated: matches, counts, best cosine, min-id tie-break") {
+    val got = SemanticDecontam.contaminated(corpus, "vec_id", "embedding",
+        bench, "eval_id", "evec", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).sortBy(_._1)
+    assert(got.length == 2)
+    assert(got(0) == ((1L, 1L, 1.0, 10L)))
+    // doc 2 matches evals 11 and 12 at cosine exactly 1.0 → count 2,
+    // tie broken to the SMALLER eval id
+    assert(got(1) == ((2L, 2L, 1.0, 11L)))
+  }
+
+  test("threshold boundary: a cosine exactly AT the rounded threshold matches") {
+    // cos(doc 4, eval 10) = 1/sqrt(2) → rounded 0.707107
+    val got = SemanticDecontam.contaminated(corpus, "vec_id", "embedding",
+        bench, "eval_id", "evec", threshold = 0.707107)
+      .collect().map(r => r.getLong(0)).sorted
+    assert(got.toSeq == Seq(1L, 2L, 4L))
+    // just above the rounded value: doc 4 drops out
+    val tighter = SemanticDecontam.contaminated(corpus, "vec_id",
+        "embedding", bench, "eval_id", "evec", threshold = 0.7071075)
+      .collect().map(r => r.getLong(0)).sorted
+    assert(tighter.toSeq == Seq(1L, 2L))
+  }
+
+  test("gate is the exact complement of contaminated, schema preserved") {
+    val flagged = SemanticDecontam.contaminated(corpus, "vec_id",
+        "embedding", bench, "eval_id", "evec", threshold = 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    val clean = SemanticDecontam.gate(corpus, "embedding",
+      bench, "evec", threshold = 0.9)
+    assert(clean.columns.toSeq == Seq("vec_id", "embedding"))
+    val cleanIds = clean.select("vec_id").as[Long].collect().toSet
+    assert(cleanIds == Set(1L, 2L, 3L, 4L, 5L) -- flagged)
+    // the zero-norm row is clean by the documented cosineF contract
+    assert(cleanIds.contains(5L))
+  }
+
+  test("plan shape: eval side broadcast, corpus never shuffled before the match filter") {
+    val plan = SemanticDecontam.gate(corpus, "embedding",
+      bench, "evec", threshold = 0.9).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+}
