@@ -131,9 +131,15 @@ object Jpeg {
       while (i < s) { v = (v << 1) | readBit(); i += 1 }
       v
     }
-    /** Byte-align and consume the expected RSTn marker (T.81 §B.2.1.2). */
+    /** Byte-align and consume the expected RSTn marker (T.81 §B.2.1.2).
+      * The segment's final byte may be a STUFFED 0xFF00 the decode never
+      * consumed (the mandated 1-bit padding can complete an all-ones
+      * byte), so stuffing pairs before the marker are skipped — the same
+      * tolerance every production decoder applies when resynchronizing.
+      */
     def expectRestart(n: Int): Unit = {
       nbits = 0
+      while (u8(b, pos) == 0xff && u8(b, pos + 1) == 0x00) pos += 2
       if (u8(b, pos) != 0xff || u8(b, pos + 1) != 0xd0 + n) malformed
       pos += 2
     }
@@ -391,6 +397,30 @@ object Jpeg {
   private def idctInto(coef: Array[Int], tmp: Array[Double],
                        gray: Array[Int], w: Int, h: Int,
                        ox: Int, oy: Int): Unit = {
+    // DC-only fast path (the standard decoder special case — flat image
+    // regions, and every EOB-after-DC block): the general path's sums
+    // collapse to the same two products for every pixel because
+    // Cos(0)(x) is constant, so this is bit-identical, 64 loads instead
+    // of 1024 multiply-adds
+    var k = 1
+    while (k < 64 && coef(k) == 0) k += 1
+    if (k == 64) {
+      val c0 = Cos(0)(0)
+      val p0 = Math.round(c0 * (coef(0) * c0) / 4.0).toInt + 128
+      val pv = if (p0 < 0) 0 else if (p0 > 255) 255 else p0
+      val ymax = math.min(8, h - oy)
+      val xmax = math.min(8, w - ox)
+      var y = 0
+      while (y < ymax) {
+        var x = 0
+        while (x < xmax) {
+          gray((oy + y) * w + (ox + x)) = pv
+          x += 1
+        }
+        y += 1
+      }
+      return
+    }
     // first stage reduces the column frequency: tmp(u, x) = Σv F(u,v)·ct(v)(x)
     var u = 0
     while (u < 8) {

@@ -113,6 +113,28 @@ class JpegDecodeSpec extends SparkSpec {
     assert(grayOf(rst).gray.sameElements(grayOf(plain).gray))
   }
 
+  test("an all-ones padded byte (stuffed FF00) before a restart marker still decodes") {
+    // the mandated 1-bit padding can complete the segment's final byte
+    // to 0xFF, which the encoder stuffs; the decoder may never consume
+    // that byte and must skip the stuffing pair when resynchronizing on
+    // RSTn — search deterministic seeds for a payload exhibiting it
+    def hasStuffedBeforeRst(p: Array[Byte]): Boolean =
+      p.indices.dropRight(3).exists(i =>
+        (p(i) & 0xff) == 0xff && p(i + 1) == 0x00 &&
+          (p(i + 2) & 0xff) == 0xff &&
+          ((p(i + 3) & 0xff) & 0xf8) == 0xd0)
+    val hit = (1 to 500).view.map { seed =>
+      val px = prng(seed.toLong * 31 + 5, 32 * 32)
+      (px, Jpeg.jpegGrayBytes(32, 32, px, quant = 1, restartInterval = 1))
+    }.find(t => hasStuffedBeforeRst(t._2))
+    assert(hit.isDefined, "no seed produced FF00 before an RST in 500 tries")
+    val (px, payload) = hit.get
+    val img = grayOf(payload)
+    // parity with the restart-free encode of the same pixels
+    assert(img.gray.sameElements(
+      grayOf(Jpeg.jpegGrayBytes(32, 32, px, quant = 1)).gray))
+  }
+
   test("a wrong restart marker index refuses the payload") {
     val px = blockConstant(32, 32, seed = 29L, even = true)
     val rst = Jpeg.jpegGrayBytes(32, 32, px, quant = 2, restartInterval = 3)
