@@ -38,6 +38,9 @@ object ScaleSmoke {
     "q93_bigram_lm", "q94_bm25", "q95_nb_lang", "q98_trigram_lm",
     "q99_quant_lm", "q100_ngram_lm", "q101_quant5_lm", "q109_kneser_ney",
     "q110_kneser_ney_mod",
+    // the compiled (ARPA) form: train + compile + longest-match scoring
+    // — the deployment-shape twin whose exponent must track q110's
+    "q122_kneser_ney_arpa",
     // the composed curation pipeline: scan gates + fingerprint dedup +
     // kept-set LM in one job — and its fuzzy-dedup form (adds the
     // MinHash-LSH candidate shuffle + connected components + quality

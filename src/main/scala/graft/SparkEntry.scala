@@ -2275,6 +2275,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // the COMPILED (ARPA/binary) form of q110's estimator — the model
+    // KenLM actually ships to scorers: per-gram stored interpolated
+    // probabilities + per-context backoff weights, scored longest-match
+    // × accumulated backoffs. Bit-identical to the direct interpolated
+    // scorer by construction (each stored p*ₖ is the same expression
+    // tree over the same operands the chain evaluates per row; the
+    // score-time fold multiplies in the chain's own nesting order —
+    // pinned by KneserNeyArpaSpec), so it replays against q110's oracle
+    // — the q106/q111 two-paths-one-oracle arrangement
+    "q122_kneser_ney_arpa" -> ((s, dir) => {
+      KneserNeyLM.scoreArpa(tSpread(s, dir, "documents"), "doc_id",
+          "text", order = 4)
+        .orderBy(col("doc_id"))
+    }),
+
     // image perceptual-hash near-dup dedup — the multimodal counterpart
     // of q23's SimHash, through the REAL pixel pipeline: supplier keys
     // plant COMPLETE grayscale PNGs (zlib-deflated IDAT, chunk CRCs);
@@ -4931,189 +4946,12 @@ object SparkEntry {
     // per-context (total, N1, N2, N3+) — then the interpolation chain
     // staged bottom-up (sc1..sc4) and the null-context position gate,
     // all in the exact double operation order of the Spark expressions
-    "q110_kneser_ney_mod" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
-        |  FROM documents WHERE trim(text) != ''),
-        |tup AS (
-        |  SELECT doc_id,
-        |    CASE WHEN i > 1 THEN t[i-1] END AS prev,
-        |    CASE WHEN i > 2 THEN t[i-2] END AS prev2,
-        |    CASE WHEN i > 3 THEN t[i-3] END AS prev3,
-        |    t[i] AS token
-        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
-        |        FROM toks)),
-        |c4 AS (
-        |  SELECT prev3, prev2, prev, token, count(*) AS cnt FROM tup
-        |  WHERE prev3 IS NOT NULL GROUP BY prev3, prev2, prev, token),
-        |c3 AS (
-        |  SELECT prev2, prev, token, count(*) AS cnt FROM c4
-        |  GROUP BY prev2, prev, token),
-        |c2 AS (
-        |  SELECT prev, token, count(DISTINCT prev2) AS cnt FROM tup
-        |  WHERE prev2 IS NOT NULL GROUP BY prev, token),
-        |c1 AS (
-        |  SELECT token, count(DISTINCT prev) AS cnt FROM tup
-        |  WHERE prev IS NOT NULL GROUP BY token),
-        |voc AS (SELECT count(DISTINCT token) AS v FROM tup),
-        |cc1 AS (
-        |  SELECT coalesce(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END), 0) AS n1,
-        |    coalesce(sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END), 0) AS n2,
-        |    coalesce(sum(CASE WHEN cnt = 3 THEN 1 ELSE 0 END), 0) AS n3,
-        |    coalesce(sum(CASE WHEN cnt = 4 THEN 1 ELSE 0 END), 0) AS n4,
-        |    coalesce(sum(CASE WHEN cnt >= 3 THEN 1 ELSE 0 END), 0) AS n3p,
-        |    coalesce(sum(cnt), 0) AS total
-        |  FROM c1),
-        |cc2 AS (
-        |  SELECT coalesce(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END), 0) AS n1,
-        |    coalesce(sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END), 0) AS n2,
-        |    coalesce(sum(CASE WHEN cnt = 3 THEN 1 ELSE 0 END), 0) AS n3,
-        |    coalesce(sum(CASE WHEN cnt = 4 THEN 1 ELSE 0 END), 0) AS n4
-        |  FROM c2),
-        |cc3 AS (
-        |  SELECT coalesce(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END), 0) AS n1,
-        |    coalesce(sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END), 0) AS n2,
-        |    coalesce(sum(CASE WHEN cnt = 3 THEN 1 ELSE 0 END), 0) AS n3,
-        |    coalesce(sum(CASE WHEN cnt = 4 THEN 1 ELSE 0 END), 0) AS n4
-        |  FROM c3),
-        |cc4 AS (
-        |  SELECT coalesce(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END), 0) AS n1,
-        |    coalesce(sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END), 0) AS n2,
-        |    coalesce(sum(CASE WHEN cnt = 3 THEN 1 ELSE 0 END), 0) AS n3,
-        |    coalesce(sum(CASE WHEN cnt = 4 THEN 1 ELSE 0 END), 0) AS n4
-        |  FROM c4),
-        |g1 AS (
-        |  SELECT
-        |    (d1 * n1 + d2 * n2 + d3 * n3p) / CAST(total AS DOUBLE) AS gamma1,
-        |    CAST(total AS DOUBLE) AS total1, d1 AS d1_1, d2 AS d2_1,
-        |    d3 AS d3_1
-        |  FROM (SELECT
-        |      CASE WHEN n1 = 0 THEN 0.5
-        |           ELSE 1.0 - 2.0 * y * n2 / n1 END AS d1,
-        |      CASE WHEN n2 = 0 THEN 0.5
-        |           ELSE 2.0 - 3.0 * y * n3 / n2 END AS d2,
-        |      CASE WHEN n3 = 0 THEN 0.5
-        |           ELSE 3.0 - 4.0 * y * n4 / n3 END AS d3,
-        |      n1, n2, n3p, total
-        |    FROM (SELECT *, CASE WHEN n1 = 0 THEN 0.5
-        |            ELSE CAST(n1 AS DOUBLE) / (n1 + 2.0 * n2) END AS y
-        |          FROM cc1))),
-        |d2l AS (
-        |  SELECT CASE WHEN n1 = 0 THEN 0.5
-        |           ELSE 1.0 - 2.0 * y * n2 / n1 END AS d1_2,
-        |    CASE WHEN n2 = 0 THEN 0.5
-        |         ELSE 2.0 - 3.0 * y * n3 / n2 END AS d2_2,
-        |    CASE WHEN n3 = 0 THEN 0.5
-        |         ELSE 3.0 - 4.0 * y * n4 / n3 END AS d3_2
-        |  FROM (SELECT *, CASE WHEN n1 = 0 THEN 0.5
-        |          ELSE CAST(n1 AS DOUBLE) / (n1 + 2.0 * n2) END AS y
-        |        FROM cc2)),
-        |d3l AS (
-        |  SELECT CASE WHEN n1 = 0 THEN 0.5
-        |           ELSE 1.0 - 2.0 * y * n2 / n1 END AS d1_3,
-        |    CASE WHEN n2 = 0 THEN 0.5
-        |         ELSE 2.0 - 3.0 * y * n3 / n2 END AS d2_3,
-        |    CASE WHEN n3 = 0 THEN 0.5
-        |         ELSE 3.0 - 4.0 * y * n4 / n3 END AS d3_3
-        |  FROM (SELECT *, CASE WHEN n1 = 0 THEN 0.5
-        |          ELSE CAST(n1 AS DOUBLE) / (n1 + 2.0 * n2) END AS y
-        |        FROM cc3)),
-        |d4l AS (
-        |  SELECT CASE WHEN n1 = 0 THEN 0.5
-        |           ELSE 1.0 - 2.0 * y * n2 / n1 END AS d1_4,
-        |    CASE WHEN n2 = 0 THEN 0.5
-        |         ELSE 2.0 - 3.0 * y * n3 / n2 END AS d2_4,
-        |    CASE WHEN n3 = 0 THEN 0.5
-        |         ELSE 3.0 - 4.0 * y * n4 / n3 END AS d3_4
-        |  FROM (SELECT *, CASE WHEN n1 = 0 THEN 0.5
-        |          ELSE CAST(n1 AS DOUBLE) / (n1 + 2.0 * n2) END AS y
-        |        FROM cc4)),
-        |s2 AS (
-        |  SELECT prev, CAST(sum(cnt) AS DOUBLE) AS t2,
-        |    sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS m1_2,
-        |    sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS m2_2,
-        |    sum(CASE WHEN cnt >= 3 THEN 1 ELSE 0 END) AS m3_2
-        |  FROM c2 GROUP BY prev),
-        |s3 AS (
-        |  SELECT prev2, prev, CAST(sum(cnt) AS DOUBLE) AS t3,
-        |    sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS m1_3,
-        |    sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS m2_3,
-        |    sum(CASE WHEN cnt >= 3 THEN 1 ELSE 0 END) AS m3_3
-        |  FROM c3 GROUP BY prev2, prev),
-        |s4 AS (
-        |  SELECT prev3, prev2, prev, CAST(sum(cnt) AS DOUBLE) AS t4,
-        |    sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS m1_4,
-        |    sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS m2_4,
-        |    sum(CASE WHEN cnt >= 3 THEN 1 ELSE 0 END) AS m3_4
-        |  FROM c4 GROUP BY prev3, prev2, prev),
-        |j AS (
-        |  SELECT p.doc_id, p.prev, p.prev2, p.prev3,
-        |    c1.cnt AS k1, c2.cnt AS k2, c3.cnt AS k3, c4.cnt AS k4,
-        |    s2.t2, s2.m1_2, s2.m2_2, s2.m3_2,
-        |    s3.t3, s3.m1_3, s3.m2_3, s3.m3_3,
-        |    s4.t4, s4.m1_4, s4.m2_4, s4.m3_4,
-        |    g1.gamma1, g1.total1, g1.d1_1, g1.d2_1, g1.d3_1,
-        |    d2l.d1_2, d2l.d2_2, d2l.d3_2,
-        |    d3l.d1_3, d3l.d2_3, d3l.d3_3,
-        |    d4l.d1_4, d4l.d2_4, d4l.d3_4, voc.v
-        |  FROM tup p
-        |  LEFT JOIN c1 ON c1.token = p.token
-        |  LEFT JOIN c2 ON c2.prev = p.prev AND c2.token = p.token
-        |  LEFT JOIN c3 ON c3.prev2 = p.prev2 AND c3.prev = p.prev
-        |    AND c3.token = p.token
-        |  LEFT JOIN c4 ON c4.prev3 = p.prev3 AND c4.prev2 = p.prev2
-        |    AND c4.prev = p.prev AND c4.token = p.token
-        |  LEFT JOIN s2 ON s2.prev = p.prev
-        |  LEFT JOIN s3 ON s3.prev2 = p.prev2 AND s3.prev = p.prev
-        |  LEFT JOIN s4 ON s4.prev3 = p.prev3 AND s4.prev2 = p.prev2
-        |    AND s4.prev = p.prev
-        |  CROSS JOIN g1 CROSS JOIN d2l CROSS JOIN d3l CROSS JOIN d4l
-        |  CROSS JOIN voc),
-        |sc1 AS (SELECT *,
-        |  (CASE WHEN k1 IS NULL THEN 0.0
-        |        ELSE greatest(CAST(k1 AS DOUBLE) -
-        |          CASE WHEN k1 = 1 THEN d1_1 WHEN k1 = 2 THEN d2_1
-        |               ELSE d3_1 END, 0.0) END) / total1
-        |    + gamma1 * (1.0 / v) AS p1
-        |  FROM j),
-        |sc2 AS (SELECT *,
-        |  CASE WHEN t2 IS NOT NULL THEN
-        |    (CASE WHEN k2 IS NULL THEN 0.0
-        |          ELSE greatest(CAST(k2 AS DOUBLE) -
-        |            CASE WHEN k2 = 1 THEN d1_2 WHEN k2 = 2 THEN d2_2
-        |                 ELSE d3_2 END, 0.0) END) / t2
-        |      + ((d1_2 * m1_2 + d2_2 * m2_2 + d3_2 * m3_2) / t2) * p1
-        |  ELSE p1 END AS p2
-        |  FROM sc1),
-        |sc3 AS (SELECT *,
-        |  CASE WHEN t3 IS NOT NULL THEN
-        |    (CASE WHEN k3 IS NULL THEN 0.0
-        |          ELSE greatest(CAST(k3 AS DOUBLE) -
-        |            CASE WHEN k3 = 1 THEN d1_3 WHEN k3 = 2 THEN d2_3
-        |                 ELSE d3_3 END, 0.0) END) / t3
-        |      + ((d1_3 * m1_3 + d2_3 * m2_3 + d3_3 * m3_3) / t3) * p2
-        |  ELSE p2 END AS p3
-        |  FROM sc2),
-        |sc4 AS (SELECT *,
-        |  CASE WHEN t4 IS NOT NULL THEN
-        |    (CASE WHEN k4 IS NULL THEN 0.0
-        |          ELSE greatest(CAST(k4 AS DOUBLE) -
-        |            CASE WHEN k4 = 1 THEN d1_4 WHEN k4 = 2 THEN d2_4
-        |                 ELSE d3_4 END, 0.0) END) / t4
-        |      + ((d1_4 * m1_4 + d2_4 * m2_4 + d3_4 * m3_4) / t4) * p3
-        |  ELSE p3 END AS p4
-        |  FROM sc3),
-        |scored AS (
-        |  SELECT doc_id,
-        |    CASE WHEN prev IS NULL THEN p1
-        |         WHEN prev2 IS NULL THEN p2
-        |         WHEN prev3 IS NULL THEN p3
-        |         ELSE p4 END AS p
-        |  FROM sc4)
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-        |  round(avg(CASE WHEN p > 0 THEN ln(p) ELSE -20.0 END), 6)
-        |    AS avg_logprob
-        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q110_kneser_ney_mod" -> modKnOrder4Oracle,
+
+    // the compiled (ARPA) form scores bit-identically to the direct
+    // estimator — the q106/q111 two-paths-one-oracle arrangement; see
+    // modKnOrder4Oracle
+    "q122_kneser_ney_arpa" -> modKnOrder4Oracle,
 
     "q106_curation_fuzzy" -> q106FuzzyOracle,
 
@@ -5314,6 +5152,198 @@ object SparkEntry {
     "q103_semdedup_auto" -> semDedupAllPairsOracle,
     "q105_semdedup_imi" -> semDedupAllPairsOracle
   )
+
+  /** Shared q110/q122 replay: the full order-4 modified-KN
+    * estimator in exact double operation order. q122 scores through
+    * the COMPILED (ARPA) model, which is bit-identical to the direct
+    * interpolated scorer by construction (each stored p*k is the
+    * same expression tree over the same operands; the score-time
+    * backoff fold multiplies in the chain's own nesting order —
+    * pinned by KneserNeyArpaSpec), so both replay against this SQL.
+    */
+  private def modKnOrder4Oracle: String =
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents WHERE trim(text) != ''),
+        |tup AS (
+        |  SELECT doc_id,
+        |    CASE WHEN i > 1 THEN t[i-1] END AS prev,
+        |    CASE WHEN i > 2 THEN t[i-2] END AS prev2,
+        |    CASE WHEN i > 3 THEN t[i-3] END AS prev3,
+        |    t[i] AS token
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
+        |        FROM toks)),
+        |c4 AS (
+        |  SELECT prev3, prev2, prev, token, count(*) AS cnt FROM tup
+        |  WHERE prev3 IS NOT NULL GROUP BY prev3, prev2, prev, token),
+        |c3 AS (
+        |  SELECT prev2, prev, token, count(*) AS cnt FROM c4
+        |  GROUP BY prev2, prev, token),
+        |c2 AS (
+        |  SELECT prev, token, count(DISTINCT prev2) AS cnt FROM tup
+        |  WHERE prev2 IS NOT NULL GROUP BY prev, token),
+        |c1 AS (
+        |  SELECT token, count(DISTINCT prev) AS cnt FROM tup
+        |  WHERE prev IS NOT NULL GROUP BY token),
+        |voc AS (SELECT count(DISTINCT token) AS v FROM tup),
+        |cc1 AS (
+        |  SELECT coalesce(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END), 0) AS n1,
+        |    coalesce(sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END), 0) AS n2,
+        |    coalesce(sum(CASE WHEN cnt = 3 THEN 1 ELSE 0 END), 0) AS n3,
+        |    coalesce(sum(CASE WHEN cnt = 4 THEN 1 ELSE 0 END), 0) AS n4,
+        |    coalesce(sum(CASE WHEN cnt >= 3 THEN 1 ELSE 0 END), 0) AS n3p,
+        |    coalesce(sum(cnt), 0) AS total
+        |  FROM c1),
+        |cc2 AS (
+        |  SELECT coalesce(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END), 0) AS n1,
+        |    coalesce(sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END), 0) AS n2,
+        |    coalesce(sum(CASE WHEN cnt = 3 THEN 1 ELSE 0 END), 0) AS n3,
+        |    coalesce(sum(CASE WHEN cnt = 4 THEN 1 ELSE 0 END), 0) AS n4
+        |  FROM c2),
+        |cc3 AS (
+        |  SELECT coalesce(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END), 0) AS n1,
+        |    coalesce(sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END), 0) AS n2,
+        |    coalesce(sum(CASE WHEN cnt = 3 THEN 1 ELSE 0 END), 0) AS n3,
+        |    coalesce(sum(CASE WHEN cnt = 4 THEN 1 ELSE 0 END), 0) AS n4
+        |  FROM c3),
+        |cc4 AS (
+        |  SELECT coalesce(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END), 0) AS n1,
+        |    coalesce(sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END), 0) AS n2,
+        |    coalesce(sum(CASE WHEN cnt = 3 THEN 1 ELSE 0 END), 0) AS n3,
+        |    coalesce(sum(CASE WHEN cnt = 4 THEN 1 ELSE 0 END), 0) AS n4
+        |  FROM c4),
+        |g1 AS (
+        |  SELECT
+        |    (d1 * n1 + d2 * n2 + d3 * n3p) / CAST(total AS DOUBLE) AS gamma1,
+        |    CAST(total AS DOUBLE) AS total1, d1 AS d1_1, d2 AS d2_1,
+        |    d3 AS d3_1
+        |  FROM (SELECT
+        |      CASE WHEN n1 = 0 THEN 0.5
+        |           ELSE 1.0 - 2.0 * y * n2 / n1 END AS d1,
+        |      CASE WHEN n2 = 0 THEN 0.5
+        |           ELSE 2.0 - 3.0 * y * n3 / n2 END AS d2,
+        |      CASE WHEN n3 = 0 THEN 0.5
+        |           ELSE 3.0 - 4.0 * y * n4 / n3 END AS d3,
+        |      n1, n2, n3p, total
+        |    FROM (SELECT *, CASE WHEN n1 = 0 THEN 0.5
+        |            ELSE CAST(n1 AS DOUBLE) / (n1 + 2.0 * n2) END AS y
+        |          FROM cc1))),
+        |d2l AS (
+        |  SELECT CASE WHEN n1 = 0 THEN 0.5
+        |           ELSE 1.0 - 2.0 * y * n2 / n1 END AS d1_2,
+        |    CASE WHEN n2 = 0 THEN 0.5
+        |         ELSE 2.0 - 3.0 * y * n3 / n2 END AS d2_2,
+        |    CASE WHEN n3 = 0 THEN 0.5
+        |         ELSE 3.0 - 4.0 * y * n4 / n3 END AS d3_2
+        |  FROM (SELECT *, CASE WHEN n1 = 0 THEN 0.5
+        |          ELSE CAST(n1 AS DOUBLE) / (n1 + 2.0 * n2) END AS y
+        |        FROM cc2)),
+        |d3l AS (
+        |  SELECT CASE WHEN n1 = 0 THEN 0.5
+        |           ELSE 1.0 - 2.0 * y * n2 / n1 END AS d1_3,
+        |    CASE WHEN n2 = 0 THEN 0.5
+        |         ELSE 2.0 - 3.0 * y * n3 / n2 END AS d2_3,
+        |    CASE WHEN n3 = 0 THEN 0.5
+        |         ELSE 3.0 - 4.0 * y * n4 / n3 END AS d3_3
+        |  FROM (SELECT *, CASE WHEN n1 = 0 THEN 0.5
+        |          ELSE CAST(n1 AS DOUBLE) / (n1 + 2.0 * n2) END AS y
+        |        FROM cc3)),
+        |d4l AS (
+        |  SELECT CASE WHEN n1 = 0 THEN 0.5
+        |           ELSE 1.0 - 2.0 * y * n2 / n1 END AS d1_4,
+        |    CASE WHEN n2 = 0 THEN 0.5
+        |         ELSE 2.0 - 3.0 * y * n3 / n2 END AS d2_4,
+        |    CASE WHEN n3 = 0 THEN 0.5
+        |         ELSE 3.0 - 4.0 * y * n4 / n3 END AS d3_4
+        |  FROM (SELECT *, CASE WHEN n1 = 0 THEN 0.5
+        |          ELSE CAST(n1 AS DOUBLE) / (n1 + 2.0 * n2) END AS y
+        |        FROM cc4)),
+        |s2 AS (
+        |  SELECT prev, CAST(sum(cnt) AS DOUBLE) AS t2,
+        |    sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS m1_2,
+        |    sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS m2_2,
+        |    sum(CASE WHEN cnt >= 3 THEN 1 ELSE 0 END) AS m3_2
+        |  FROM c2 GROUP BY prev),
+        |s3 AS (
+        |  SELECT prev2, prev, CAST(sum(cnt) AS DOUBLE) AS t3,
+        |    sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS m1_3,
+        |    sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS m2_3,
+        |    sum(CASE WHEN cnt >= 3 THEN 1 ELSE 0 END) AS m3_3
+        |  FROM c3 GROUP BY prev2, prev),
+        |s4 AS (
+        |  SELECT prev3, prev2, prev, CAST(sum(cnt) AS DOUBLE) AS t4,
+        |    sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS m1_4,
+        |    sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS m2_4,
+        |    sum(CASE WHEN cnt >= 3 THEN 1 ELSE 0 END) AS m3_4
+        |  FROM c4 GROUP BY prev3, prev2, prev),
+        |j AS (
+        |  SELECT p.doc_id, p.prev, p.prev2, p.prev3,
+        |    c1.cnt AS k1, c2.cnt AS k2, c3.cnt AS k3, c4.cnt AS k4,
+        |    s2.t2, s2.m1_2, s2.m2_2, s2.m3_2,
+        |    s3.t3, s3.m1_3, s3.m2_3, s3.m3_3,
+        |    s4.t4, s4.m1_4, s4.m2_4, s4.m3_4,
+        |    g1.gamma1, g1.total1, g1.d1_1, g1.d2_1, g1.d3_1,
+        |    d2l.d1_2, d2l.d2_2, d2l.d3_2,
+        |    d3l.d1_3, d3l.d2_3, d3l.d3_3,
+        |    d4l.d1_4, d4l.d2_4, d4l.d3_4, voc.v
+        |  FROM tup p
+        |  LEFT JOIN c1 ON c1.token = p.token
+        |  LEFT JOIN c2 ON c2.prev = p.prev AND c2.token = p.token
+        |  LEFT JOIN c3 ON c3.prev2 = p.prev2 AND c3.prev = p.prev
+        |    AND c3.token = p.token
+        |  LEFT JOIN c4 ON c4.prev3 = p.prev3 AND c4.prev2 = p.prev2
+        |    AND c4.prev = p.prev AND c4.token = p.token
+        |  LEFT JOIN s2 ON s2.prev = p.prev
+        |  LEFT JOIN s3 ON s3.prev2 = p.prev2 AND s3.prev = p.prev
+        |  LEFT JOIN s4 ON s4.prev3 = p.prev3 AND s4.prev2 = p.prev2
+        |    AND s4.prev = p.prev
+        |  CROSS JOIN g1 CROSS JOIN d2l CROSS JOIN d3l CROSS JOIN d4l
+        |  CROSS JOIN voc),
+        |sc1 AS (SELECT *,
+        |  (CASE WHEN k1 IS NULL THEN 0.0
+        |        ELSE greatest(CAST(k1 AS DOUBLE) -
+        |          CASE WHEN k1 = 1 THEN d1_1 WHEN k1 = 2 THEN d2_1
+        |               ELSE d3_1 END, 0.0) END) / total1
+        |    + gamma1 * (1.0 / v) AS p1
+        |  FROM j),
+        |sc2 AS (SELECT *,
+        |  CASE WHEN t2 IS NOT NULL THEN
+        |    (CASE WHEN k2 IS NULL THEN 0.0
+        |          ELSE greatest(CAST(k2 AS DOUBLE) -
+        |            CASE WHEN k2 = 1 THEN d1_2 WHEN k2 = 2 THEN d2_2
+        |                 ELSE d3_2 END, 0.0) END) / t2
+        |      + ((d1_2 * m1_2 + d2_2 * m2_2 + d3_2 * m3_2) / t2) * p1
+        |  ELSE p1 END AS p2
+        |  FROM sc1),
+        |sc3 AS (SELECT *,
+        |  CASE WHEN t3 IS NOT NULL THEN
+        |    (CASE WHEN k3 IS NULL THEN 0.0
+        |          ELSE greatest(CAST(k3 AS DOUBLE) -
+        |            CASE WHEN k3 = 1 THEN d1_3 WHEN k3 = 2 THEN d2_3
+        |                 ELSE d3_3 END, 0.0) END) / t3
+        |      + ((d1_3 * m1_3 + d2_3 * m2_3 + d3_3 * m3_3) / t3) * p2
+        |  ELSE p2 END AS p3
+        |  FROM sc2),
+        |sc4 AS (SELECT *,
+        |  CASE WHEN t4 IS NOT NULL THEN
+        |    (CASE WHEN k4 IS NULL THEN 0.0
+        |          ELSE greatest(CAST(k4 AS DOUBLE) -
+        |            CASE WHEN k4 = 1 THEN d1_4 WHEN k4 = 2 THEN d2_4
+        |                 ELSE d3_4 END, 0.0) END) / t4
+        |      + ((d1_4 * m1_4 + d2_4 * m2_4 + d3_4 * m3_4) / t4) * p3
+        |  ELSE p3 END AS p4
+        |  FROM sc3),
+        |scored AS (
+        |  SELECT doc_id,
+        |    CASE WHEN prev IS NULL THEN p1
+        |         WHEN prev2 IS NULL THEN p2
+        |         WHEN prev3 IS NULL THEN p3
+        |         ELSE p4 END AS p
+        |  FROM sc4)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  round(avg(CASE WHEN p > 0 THEN ln(p) ELSE -20.0 END), 6)
+        |    AS avg_logprob
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Shared q106/q111 replay: exact all-pairs Jaccard over the gate
     * survivors + recursive-CTE components + SQL quality argmax over

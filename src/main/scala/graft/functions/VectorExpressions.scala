@@ -137,6 +137,29 @@ object CosineSimilarityFloat {
     else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Plain-array twin of [[compute]] — the IDENTICAL arithmetic
+    * (left-to-right double accumulation, zero-norm → 0.0) for kernels
+    * that already hold deserialized vectors (the streaming gate), so
+    * batch and stream verdicts can never diverge by a rounding path.
+    */
+  def computeArrays(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a(i).toDouble
+      val y = b(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   def apply(a: Column, b: Column): Column =
     Bridge.column(CosineSimilarityFloat(
       Bridge.expression(a), Bridge.expression(b)))

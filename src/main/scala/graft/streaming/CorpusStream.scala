@@ -109,6 +109,49 @@ object CorpusStream {
       .filter(col("n_flagged_grams") <= maxSharedGrams)
   }
 
+  /** Stateless streaming SEMANTIC decontamination gate — the live
+    * counterpart of [[graft.sim.SemanticDecontam.gate]], as
+    * [[contaminationGate]] is of the n-gram form: the (static) eval
+    * set's embeddings are collected once (eval sets are broadcast-sized
+    * by nature — the batch operator's own contract) and broadcast; each
+    * arriving row's vector is compared against all of them with EXACTLY
+    * the batch arithmetic ([[graft.functions.CosineSimilarityFloat
+    * .computeArrays]] — the same left-to-right kernel the codegen
+    * expression runs — with the max rounded through the same `round`
+    * expression; rounding is monotone, so max-then-round ≡ the batch's
+    * round-each-then-threshold), and flows on only while no eval vector
+    * reaches `threshold`. Stateless projection + filter: no state store,
+    * no watermark (Structured Streaming has no stream-static anti-join,
+    * which is why the broadcast is explicit rather than a join).
+    * Survivors keep their columns plus `max_eval_cos` for audit.
+    */
+  def semanticGate(docs: DataFrame, vecCol: String,
+                   bench: DataFrame, benchVecCol: String,
+                   threshold: Double, roundDp: Int = 6): DataFrame = {
+    val evals = bench.select(col(benchVecCol)).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(evals.nonEmpty, "semanticGate needs a non-empty eval set")
+    val bc = docs.sparkSession.sparkContext.broadcast(evals)
+    val maxCos = udf { v: Seq[Float] =>
+      if (v == null) 0.0
+      else {
+        val arr = v.toArray
+        var best = Double.NegativeInfinity
+        val es = bc.value
+        var i = 0
+        while (i < es.length) {
+          val c = graft.functions.CosineSimilarityFloat
+            .computeArrays(arr, es(i))
+          if (c > best) best = c
+          i += 1
+        }
+        best
+      }
+    }
+    docs.withColumn("max_eval_cos", round(maxCos(col(vecCol)), roundDp))
+      .filter(col("max_eval_cos") < threshold)
+  }
+
   /** Streaming curation gate — the live-ingest counterpart of
     * [[graft.textops.CurationPipeline.runWithModel]] (the PRODUCTION
     * CCNet configuration): language and quality gates are the same

@@ -336,4 +336,185 @@ object KneserNeyLM {
       .localCheckpoint(true)
     scoreTuplesModified(tp, trainFromTuples(tp, order), idCol, oovLogp)
   }
+
+  // ------------------------------------------------------------------ ARPA
+
+  /** The COMPILED modified-KN model — the ARPA/binary form KenLM
+    * actually ships to scorers: per level a (gram → p*) table with the
+    * full interpolation FOLDED INTO the stored probability, and per
+    * context a backoff weight γ, so scoring is longest-match ×
+    * accumulated backoffs instead of re-deriving the chain from counts
+    * at every query. `unkP` is the interpolated floor every unseen
+    * token receives (γ₁/|V|).
+    *
+    * Deployment shape: the count/stat tables stay at the trainer; what
+    * ships is one slim double per gram and per context — exactly the
+    * artifact a curation-gate fleet loads. Scoring against it is
+    * BIT-IDENTICAL to [[scoreAgainstModified]] (not merely close): each
+    * stored p*ₖ is built by the same expression tree over the same
+    * operands the direct scorer evaluates per row, and the score-time
+    * backoff fold multiplies in the same right-to-left order the
+    * interpolation chain nests — pinned by KneserNeyArpaSpec and shared
+    * with q110's oracle by q122.
+    */
+  final case class ArpaN(order: Int, probs: Seq[DataFrame],
+                         backoffs: Seq[DataFrame], unkP: Double)
+
+  /** Fold a trained [[ModelN]] into its [[ArpaN]] form: level 1 closes
+    * the interpolation with the uniform floor; level k joins its counts
+    * with its context stats and the ALREADY-COMPILED level k−1 on the
+    * gram's (k−1)-token tail (present by construction: a seen k-gram
+    * witnesses a left extension of its tail). One gram-keyed join per
+    * level, AQE-planned like the scoring chain.
+    */
+  def compile(model: ModelN): ArpaN = {
+    def dOf(c: Column, d: Discounts): Column =
+      when(c === 1L, lit(d.d1)).when(c === 2L, lit(d.d2)).otherwise(lit(d.d3))
+    def discounted(c: Column, d: Discounts): Column =
+      greatest(c.cast("double") - dOf(c, d), lit(0.0))
+    val d1 = model.discounts.head
+    val p1 = model.counts.head.select(col("token"),
+      (discounted(col("cnt"), d1) / lit(model.uniTotal) +
+        lit(model.uniGamma) * lit(1.0 / model.vocab)).as("p"))
+    val gammaExpr: Int => Column = k => {
+      val d = model.discounts(k - 1)
+      (lit(d.d1) * col("__m1") + lit(d.d2) * col("__m2") +
+        lit(d.d3) * col("__m3p")) / col("__total")
+    }
+    val probs = (2 to model.order).foldLeft(Seq(p1)) { (acc, k) =>
+      val d = model.discounts(k - 1)
+      val ctx = NgramLM.ctxCols(k)
+      val tailKeys = NgramLM.ctxCols(k - 1) :+ "token"
+      val pk = model.counts(k - 1)
+        .join(model.ctxStats(k - 2), ctx)
+        .join(acc.last.select((tailKeys.map(col) :+
+          col("p").as("__plo")): _*), tailKeys)
+        .select((ctx.map(col) :+ col("token") :+
+          (discounted(col("cnt"), d) / col("__total") +
+            gammaExpr(k) * col("__plo")).as("p")): _*)
+      acc :+ pk
+    }
+    val backoffs = (2 to model.order).map { k =>
+      val ctx = NgramLM.ctxCols(k)
+      model.ctxStats(k - 2)
+        .select((ctx.map(col) :+ gammaExpr(k).as("g")): _*)
+    }
+    ArpaN(model.order, probs, backoffs,
+      model.uniGamma * (1.0 / model.vocab))
+  }
+
+  /** Score `docs` against a compiled [[ArpaN]]: join each level's
+    * stored probabilities on its gram key and each backoff table on its
+    * context, then one fold per token — longest matched level's p*,
+    * multiplied by the backoff weight of every longer context on the
+    * way down (absent context ⇒ weight 1). Bit-identical to the direct
+    * interpolated scorer (see [[ArpaN]]).
+    */
+  def scoreAgainstArpa(docs: DataFrame, arpa: ArpaN, idCol: String,
+                       textCol: String, oovLogp: Double = -20.0)
+      : DataFrame = {
+    val tp = NgramLM.tuples(docs, idCol, textCol, arpa.order)
+    val joinedP = arpa.probs.zipWithIndex.foldLeft(tp) {
+      case (acc, (t, i)) =>
+        val k = i + 1
+        val keys = (if (k == 1) Nil else NgramLM.ctxCols(k)) :+ "token"
+        acc.join(t.select((keys.map(col) :+ col("p").as(s"__p$k")): _*),
+          keys, "left")
+    }
+    val joined = arpa.backoffs.zipWithIndex.foldLeft(joinedP) {
+      case (acc, (t, i)) =>
+        val k = i + 2
+        val ctx = NgramLM.ctxCols(k)
+        acc.join(t.select((ctx.map(col) :+ col("g").as(s"__g$k")): _*),
+          ctx, "left")
+    }
+    val p = (2 to arpa.order).foldLeft(
+      coalesce(col("__p1"), lit(arpa.unkP))) { (lower, k) =>
+      coalesce(col(s"__p$k"),
+        coalesce(col(s"__g$k"), lit(1.0)) * lower)
+    }
+    joined
+      .withColumn("__lp", when(p > 0.0, log(p)).otherwise(lit(oovLogp)))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(col("__lp")), 6).as("avg_logprob"))
+  }
+
+  /** Train-on-self compiled-model scoring (q122): ONE checkpointed
+    * tuple scan feeds the level counts, the compile joins AND the
+    * scoring joins — the ARPA twin of [[scoreModified]], same output
+    * bit-for-bit.
+    */
+  def scoreArpa(docs: DataFrame, idCol: String, textCol: String,
+                order: Int, oovLogp: Double = -20.0): DataFrame = {
+    require(order >= 2 && order <= 8, s"order must be in [2,8], got $order")
+    val tp = NgramLM.tuples(docs, idCol, textCol, order)
+      .localCheckpoint(true)
+    val arpa = compile(trainFromTuples(tp, order))
+    scoreAgainstArpa(docs, arpa, idCol, textCol, oovLogp)
+  }
+
+  /** KenLM's `-q`: the compiled model with every stored log-probability
+    * and log-backoff replaced by a `bits`-bit code against per-table
+    * binning codebooks ([[NgramQuant.fitBinning]] — equal-population
+    * bins, the KenLM default). 1-byte codes ride the scoring joins;
+    * decode happens post-join in codegen. Backoff weights ≤ 0 (possible
+    * only under degenerate discount fits where the direct scorer is
+    * already in `oovLogp` territory) are floored to 1e-10 before the
+    * log so the codebook stays finite.
+    */
+  final case class ArpaQuantized(order: Int,
+                                 probs: Seq[NgramQuant.Quantized],
+                                 backoffs: Seq[NgramQuant.Quantized],
+                                 unkLp: Double)
+
+  def quantizeArpa(arpa: ArpaN, bits: Int = 8): ArpaQuantized = {
+    val probs = arpa.probs.map { t =>
+      NgramQuant.quantize(t.withColumn("lp", log(col("p"))).drop("p"),
+        "lp", bits)
+    }
+    val backoffs = arpa.backoffs.map { t =>
+      NgramQuant.quantize(
+        t.withColumn("lb", log(greatest(col("g"), lit(1e-10)))).drop("g"),
+        "lb", bits)
+    }
+    ArpaQuantized(arpa.order, probs, backoffs, math.log(arpa.unkP))
+  }
+
+  /** Score against the quantized compiled model — log domain (matched
+    * level's decoded log-p plus each longer context's decoded
+    * log-backoff, absent context ⇒ 0), the same fold shape as the exact
+    * ARPA scorer. Codes decode AFTER the joins, in codegen.
+    */
+  def scoreAgainstArpaQuantized(docs: DataFrame, q: ArpaQuantized,
+                                idCol: String, textCol: String)
+      : DataFrame = {
+    val tp = NgramLM.tuples(docs, idCol, textCol, q.order)
+    val joinedP = q.probs.zipWithIndex.foldLeft(tp) {
+      case (acc, (t, i)) =>
+        val k = i + 1
+        val keys = (if (k == 1) Nil else NgramLM.ctxCols(k)) :+ "token"
+        acc.join(t.table.select((keys.map(col) :+
+          col(s"${t.valueCol}_q").as(s"__pc$k")): _*), keys, "left")
+    }
+    val joined = q.backoffs.zipWithIndex.foldLeft(joinedP) {
+      case (acc, (t, i)) =>
+        val k = i + 2
+        val ctx = NgramLM.ctxCols(k)
+        acc.join(t.table.select((ctx.map(col) :+
+          col(s"${t.valueCol}_q").as(s"__gc$k")): _*), ctx, "left")
+    }
+    val lp = (2 to q.order).foldLeft(
+      coalesce(q.probs.head.decode(col("__pc1")), lit(q.unkLp))) {
+      (lower, k) =>
+        coalesce(q.probs(k - 1).decode(col(s"__pc$k")),
+          coalesce(q.backoffs(k - 2).decode(col(s"__gc$k")), lit(0.0)) +
+            lower)
+    }
+    joined
+      .withColumn("__lp", lp)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(col("__lp")), 6).as("avg_logprob"))
+  }
 }

@@ -12,6 +12,8 @@ import java.sql.Timestamp
   */
 final case class Doc(doc_id: Long, ts: Timestamp, text: String)
 
+final case class VDoc(vec_id: Long, embedding: Array[Float])
+
 /** Streaming corpus curation: batch ≡ stream for exact dedup and the
   * quality gate.
   */
@@ -180,6 +182,44 @@ class CorpusStreamSpec extends SparkSpec {
       .filter(col("doc_id") === 1L)
       .select("n_flagged_grams").as[Long].head()
     assert(bloomCount == exact && exact >= 32L)
+  }
+
+  test("streaming SEMANTIC decontamination gate: batch ≡ stream against " +
+    "SemanticDecontam.gate, audit cosine matches") {
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq(
+      (10L, Array(2.0f, 0.0f, 0.0f)),
+      (11L, Array(0.0f, 3.0f, 0.0f))).toDF("eval_id", "evec")
+    val docs = Seq(
+      VDoc(1L, Array(1.0f, 0.0f, 0.0f)), // cos 1.0 to eval 10 → dropped
+      VDoc(2L, Array(0.0f, -1.0f, 0.0f)), // cos -1.0 → clean
+      VDoc(3L, Array(1.0f, 1.0f, 0.0f)), // cos ~0.7071 → clean at 0.9
+      VDoc(4L, Array(0.0f, 0.0f, 0.0f))) // zero norm → clean by contract
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[VDoc]
+    source.addData(docs: _*)
+    val q = CorpusStream.semanticGate(source.toDF(), "embedding",
+        bench, "evec", threshold = 0.9)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("semantic_gate")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val got = spark.sql("SELECT vec_id, max_eval_cos FROM semantic_gate")
+      .as[(Long, Double)].collect().toMap
+    assert(got.keySet == Set(2L, 3L, 4L))
+    assert(got(3L) == 0.707107) // the batch rounding, exactly
+    assert(got(4L) == 0.0)
+    // batch ≡ stream: the survivor set matches the batch gate's
+    val batchClean = graft.sim.SemanticDecontam.gate(docs.toDF(),
+        "embedding", bench, "evec", threshold = 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    assert(batchClean == got.keySet)
+    // and the audit cosine matches the batch contaminated() evidence on
+    // the dropped doc (same kernel, same rounding)
+    val dropped = graft.sim.SemanticDecontam.contaminated(docs.toDF(),
+        "vec_id", "embedding", bench, "eval_id", "evec", threshold = 0.9)
+      .select("vec_id", "max_cos").as[(Long, Double)].collect().toMap
+    assert(dropped == Map(1L -> 1.0))
   }
 
   test("streaming curation gate: batch ≡ stream against runWithModel, " +

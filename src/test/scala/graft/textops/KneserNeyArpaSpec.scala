@@ -1,0 +1,136 @@
+package graft.textops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Compiled (ARPA-form) modified Kneser–Ney: the stored-probability /
+  * backoff tables must reproduce the direct interpolated scorer
+  * BIT-FOR-BIT (the q122 ≡ q110 contract), hand-checked table entries,
+  * the longest-match/backoff/unk paths, and the quantized (-q 8) form's
+  * rank fidelity.
+  */
+class KneserNeyArpaSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "the cat sat on the mat"),
+    (2L, "the cat ate the fish"),
+    (3L, "a dog sat on a log"),
+    (4L, "the dog ate the bone and the cat slept"),
+    (5L, "cats and dogs and cats and dogs again")).toDF("doc_id", "text")
+
+  test("scoreArpa is bit-identical to scoreModified (orders 2, 3, 4)") {
+    for (order <- Seq(2, 3, 4)) {
+      val direct = KneserNeyLM.scoreModified(corpus, "doc_id", "text", order)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1)
+      val arpa = KneserNeyLM.scoreArpa(corpus, "doc_id", "text", order)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1)
+      assert(direct.sameElements(arpa), s"order $order")
+    }
+  }
+
+  test("compiled tables: level-1 prob and backoff weights match the hand arithmetic") {
+    val model = KneserNeyLM.trainModified(corpus, "text", order = 2)
+    val arpa = KneserNeyLM.compile(model)
+    // level-1 stored p*("the"): continuation count of "the" over bigram
+    // type total, discounted, plus the uniform closure — replicate the
+    // estimator's own numbers rather than hardcoding corpus arithmetic
+    val c1 = model.counts.head.filter(col("token") === "the")
+      .select("cnt").as[Long].head()
+    val d = model.discounts.head
+    val dc = math.max(c1.toDouble -
+      (if (c1 == 1L) d.d1 else if (c1 == 2L) d.d2 else d.d3), 0.0)
+    val expected = dc / model.uniTotal +
+      model.uniGamma * (1.0 / model.vocab)
+    val stored = arpa.probs.head.filter(col("token") === "the")
+      .select("p").as[Double].head()
+    assert(stored == expected)
+    // backoff of context "the": γ₂ from its stats row
+    val st = model.ctxStats.head.filter(col("prev") === "the")
+      .select("__total", "__m1", "__m2", "__m3p").head()
+    val d2 = model.discounts(1)
+    val g = (d2.d1 * st.getLong(1) + d2.d2 * st.getLong(2) +
+      d2.d3 * st.getLong(3)) / st.getDouble(0)
+    val storedG = arpa.backoffs.head.filter(col("prev") === "the")
+      .select("g").as[Double].head()
+    assert(storedG == g)
+    assert(arpa.unkP == model.uniGamma * (1.0 / model.vocab))
+  }
+
+  test("scoring paths: longest match, backoff-through-seen-context, unseen token") {
+    val model = KneserNeyLM.trainModified(corpus, "text", order = 2)
+    val arpa = KneserNeyLM.compile(model)
+    def score1(text: String): Double =
+      KneserNeyLM.scoreAgainstArpa(Seq((1L, text)).toDF("doc_id", "text"),
+          arpa, "doc_id", "text")
+        .select("avg_logprob").as[Double].head()
+    // "the cat" is a seen bigram: its score uses the stored level-2 p*
+    val pTheCat = arpa.probs(1).filter(col("prev") === "the" &&
+      col("token") === "cat").select("p").as[Double].head()
+    val pThe = arpa.probs.head.filter(col("token") === "the")
+      .select("p").as[Double].head()
+    val expect = BigDecimal(
+      (math.log(pThe) + math.log(pTheCat)) / 2.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(score1("the cat") == expect)
+    // "the log": unseen bigram, seen context → γ(the)·p*(log)
+    val g = arpa.backoffs.head.filter(col("prev") === "the")
+      .select("g").as[Double].head()
+    val pLog = arpa.probs.head.filter(col("token") === "log")
+      .select("p").as[Double].head()
+    val expectBo = BigDecimal(
+      (math.log(pThe) + math.log(g * pLog)) / 2.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(score1("the log") == expectBo)
+    // unseen token: the interpolated unk floor at level 1, backed off
+    // through the seen context with its γ
+    val expectUnk = BigDecimal(
+      (math.log(pThe) + math.log(g * arpa.unkP)) / 2.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(score1("the zebra") == expectUnk)
+  }
+
+  test("quantized ARPA (-q 8): ranking tracks the exact compiled model") {
+    val docs = (1L to 40L).map { i =>
+      val words = Seq("the", "cat", "dog", "sat", "ate", "mat", "log",
+        "fish", "bone", "and")
+      // genuinely distinct texts (varying length + a quadratic mix):
+      // a linear formula would repeat with period 10 and the resulting
+      // rank ties make Spearman meaningless
+      (i, (0 until (8 + (i % 7)).toInt).map(j =>
+        words(((i * i * 7 + j * j * 13 + i * j + j) % words.size).toInt))
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val model = KneserNeyLM.trainModified(docs, "text", order = 3)
+    val arpa = KneserNeyLM.compile(model)
+    val exact = KneserNeyLM.scoreAgainstArpa(docs, arpa, "doc_id", "text")
+      .select(col("doc_id"), col("avg_logprob").as("e"))
+    val quant = KneserNeyLM.scoreAgainstArpaQuantized(docs,
+        KneserNeyLM.quantizeArpa(arpa), "doc_id", "text")
+      .select(col("doc_id"), col("avg_logprob").as("q"))
+    val both = exact.join(quant, "doc_id")
+      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    // Spearman over the two rankings
+    def ranks(v: Array[Double]): Array[Double] = {
+      val idx = v.zipWithIndex.sortBy(_._1).map(_._2)
+      val out = new Array[Double](v.length)
+      idx.zipWithIndex.foreach { case (orig, r) => out(orig) = r.toDouble }
+      out
+    }
+    val (es, qs) = (both.map(_._1), both.map(_._2))
+    val (re, rq) = (ranks(es), ranks(qs))
+    val n = re.length.toDouble
+    val meanE = re.sum / n; val meanQ = rq.sum / n
+    val cov = re.zip(rq).map { case (a, b) => (a - meanE) * (b - meanQ) }.sum
+    val se = math.sqrt(re.map(a => (a - meanE) * (a - meanE)).sum)
+    val sq = math.sqrt(rq.map(b => (b - meanQ) * (b - meanQ)).sum)
+    // absolute fidelity first (a systematic decode error shows here
+    // before any tie-driven rank noise)
+    val maxDiff = both.map { case (a, b) => math.abs(a - b) }.max
+    assert(maxDiff < 0.3, s"max |exact - quant| = $maxDiff")
+    val rho = cov / (se * sq)
+    assert(rho > 0.99, s"spearman $rho")
+  }
+}
