@@ -57,8 +57,10 @@ object ScaleSmoke {
     "q119_unigram_encode",
     // semantic decontamination: one corpus scan against a FIXED
     // broadcast eval set (pinned to the base id block) — the deployment
-    // shape where the corpus grows and the benchmark doesn't
-    "q121_semantic_decontam",
+    // shape where the corpus grows and the benchmark doesn't — and its
+    // giant-eval via-index form (cell-keyed join instead of the
+    // broadcast nested loop)
+    "q121_semantic_decontam", "q123_semantic_decontam_ivf",
     // SemDeDup with the corpus-derived cell count — the configuration
     // whose exponent must stay ~linear where q77's pinned k cannot —
     // and its inverted-multi-index form for past the flat crossover

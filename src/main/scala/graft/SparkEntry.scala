@@ -2513,6 +2513,31 @@ object SparkEntry {
         .select(col("vec_id").as("id"), col("n_matches"), col("max_cos"),
           col("eval_id"))
         .orderBy(col("id"))
+    }),
+
+    // the giant-eval-set configuration of q121: eval embeddings
+    // k-means-clustered (cosine assignment), each corpus row compared
+    // only inside its probed cells — a cell-keyed equality join instead
+    // of the broadcast nested loop. Finds exactly q121's matches here:
+    // scaled clones co-locate with their originals under ANY trained
+    // centroids (scale-invariant cosine, shared probe/assign tie-break),
+    // and q121's exact path certifies the fixture holds no other >= 0.9
+    // pair an un-probed cell could hide — so both configurations replay
+    // the same exact all-pairs oracle (the q103/q105 arrangement)
+    "q123_semantic_decontam_ivf" -> ((s, dir) => {
+      // plain read like q77/q36: k-means training is many tiny jobs
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val bench = emb
+        .filter(col("vec_id") % 25 === 0 && col("vec_id") < 10000000L)
+        .select(expr("vec_id div 25").as("eval_id"),
+          transform(col("embedding"), x => (x * lit(1.5f)).cast("float"))
+            .as("evec"))
+      graft.sim.SemanticDecontam.contaminatedViaIndex(emb, "vec_id",
+          "embedding", bench, "eval_id", "evec", threshold = 0.9,
+          k = 8, nProbe = 2)
+        .select(col("vec_id").as("id"), col("n_matches"), col("max_cos"),
+          col("eval_id"))
+        .orderBy(col("id"))
     })
   )
 
@@ -5117,30 +5142,16 @@ object SparkEntry {
     // corpus×eval cosine (rounded 6 dp — the engine thresholds and ranks
     // on the same rounding), then the per-doc match count, max, and the
     // min-eval-id tie-break the engine's max(struct) encodes
-    "q121_semantic_decontam" ->
-      """WITH bench AS (
-        |  SELECT vec_id // 25 AS eval_id,
-        |    list_transform(embedding, x -> CAST(x * 1.5 AS REAL)) AS bvec
-        |  FROM embeddings WHERE vec_id % 25 = 0 AND vec_id < 10000000
-        |), f AS (
-        |  SELECT c.vec_id AS id, b.eval_id AS eval_id,
-        |    round(list_cosine_similarity(
-        |      list_transform(c.embedding, x -> CAST(x AS DOUBLE)),
-        |      list_transform(b.bvec, x -> CAST(x AS DOUBLE))), 6) AS cos
-        |  FROM embeddings c, bench b
-        |  WHERE round(list_cosine_similarity(
-        |      list_transform(c.embedding, x -> CAST(x AS DOUBLE)),
-        |      list_transform(b.bvec, x -> CAST(x AS DOUBLE))), 6) >= 0.9
-        |), mx AS (
-        |  SELECT id, CAST(COUNT(*) AS BIGINT) AS n_matches,
-        |    MAX(cos) AS max_cos
-        |  FROM f GROUP BY id
-        |)
-        |SELECT mx.id AS id, mx.n_matches, mx.max_cos,
-        |  MIN(f.eval_id) AS eval_id
-        |FROM mx JOIN f ON f.id = mx.id AND f.cos = mx.max_cos
-        |GROUP BY mx.id, mx.n_matches, mx.max_cos
-        |ORDER BY mx.id""".stripMargin,
+    "q121_semantic_decontam" -> semanticDecontamOracle,
+
+    // the via-index form finds exactly the same matches on this fixture:
+    // the planted eval vectors are scaled copies, so cosine
+    // scale-invariance co-locates each with its original under ANY
+    // trained centroids (the q103/q105 argument) and the probe visits
+    // that cell; q121's exact path proves the fixture has no OTHER
+    // >= 0.9 pair an un-probed cell could hide — so the exact all-pairs
+    // replay applies to the indexed configuration too
+    "q123_semantic_decontam_ivf" -> semanticDecontamOracle,
 
     // q103/q105 share q77's exact all-pairs oracle: recall of the
     // within-cell search is structural on this fixture (see the query
@@ -5152,6 +5163,36 @@ object SparkEntry {
     "q103_semdedup_auto" -> semDedupAllPairsOracle,
     "q105_semdedup_imi" -> semDedupAllPairsOracle
   )
+
+  /** Shared q121/q123 replay: exact all-pairs cosine (rounded 6 dp, the
+    * engine's own threshold/rank rounding) between the corpus and the
+    * block-0 planted eval set, with the per-doc count/max/min-id-tie
+    * evidence both configurations must reproduce.
+    */
+  private def semanticDecontamOracle: String =
+    """WITH bench AS (
+      |  SELECT vec_id // 25 AS eval_id,
+      |    list_transform(embedding, x -> CAST(x * 1.5 AS REAL)) AS bvec
+      |  FROM embeddings WHERE vec_id % 25 = 0 AND vec_id < 10000000
+      |), f AS (
+      |  SELECT c.vec_id AS id, b.eval_id AS eval_id,
+      |    round(list_cosine_similarity(
+      |      list_transform(c.embedding, x -> CAST(x AS DOUBLE)),
+      |      list_transform(b.bvec, x -> CAST(x AS DOUBLE))), 6) AS cos
+      |  FROM embeddings c, bench b
+      |  WHERE round(list_cosine_similarity(
+      |      list_transform(c.embedding, x -> CAST(x AS DOUBLE)),
+      |      list_transform(b.bvec, x -> CAST(x AS DOUBLE))), 6) >= 0.9
+      |), mx AS (
+      |  SELECT id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+      |    MAX(cos) AS max_cos
+      |  FROM f GROUP BY id
+      |)
+      |SELECT mx.id AS id, mx.n_matches, mx.max_cos,
+      |  MIN(f.eval_id) AS eval_id
+      |FROM mx JOIN f ON f.id = mx.id AND f.cos = mx.max_cos
+      |GROUP BY mx.id, mx.n_matches, mx.max_cos
+      |ORDER BY mx.id""".stripMargin
 
   /** Shared q110/q122 replay: the full order-4 modified-KN
     * estimator in exact double operation order. q122 scores through

@@ -105,6 +105,23 @@ object Ivf {
     slice(transform(array_sort(scoredArray(vec, centroids, roundDp)),
       s => s.getField("cell")), 1, n)
 
+  /** One row per (input row × probed cell): `__cell` column holds each of
+    * the vector's `nProbe` nearest centroid cells (cosine, ties to the
+    * smaller cell — the same ordering [[assign]]'s argmin fold applies,
+    * so a probe list of length 1 visits exactly the assigned cell).
+    * The query-side half of a cell-keyed search when the QUERIES are the
+    * big side ([[graft.sim.SemanticDecontam.contaminatedViaIndex]]) —
+    * [[topK]]/[[topKIndexed]] cover the broadcast-queries arrangement.
+    */
+  def probe(df: DataFrame, vecCol: String,
+            centroids: Array[(Int, Array[Float])],
+            nProbe: Int, roundDp: Int = -1): DataFrame = {
+    require(nProbe >= 1 && nProbe <= centroids.length,
+      s"nProbe must be in [1, ${centroids.length}], got $nProbe")
+    df.withColumn("__cell",
+      explode(cellExpr(col(vecCol), centroids, nProbe, roundDp)))
+  }
+
   def assign(corpus: DataFrame, vecCol: String,
              centroids: Array[(Int, Array[Float])],
              roundDp: Int = -1): DataFrame = {

@@ -47,6 +47,49 @@ object SemanticDecontam {
       .select(col(idCol), col("__eid"),
         cosR(col("__v"), col("__bvec"), roundDp).as("__cos"))
       .filter(col("__cos") >= threshold)
+    bestMatch(scored, idCol, benchIdCol)
+  }
+
+  /** The giant-eval-set path (the broadcast form's documented scale
+    * alternative, now first-class): when the benchmark outgrows a
+    * broadcast, k-means-cluster the EVAL embeddings (cosine assignment —
+    * scale-invariant) and compare each corpus row only against the eval
+    * vectors of its `nProbe` nearest cells: a cell-keyed equality join —
+    * ONE shuffle of slim (id, vec, cell) corpus rows against the
+    * cell-partitioned eval table — instead of corpus × eval nested-loop
+    * work. Output contract identical to [[contaminated]]. Recall: a
+    * match whose eval vector lies outside the probed cells is missed
+    * (standard IVF recall — raise `nProbe`); EXACT for identical/scaled
+    * copies under ANY trained centroids, because cosine scale-invariance
+    * co-locates a clone with its original and probe/assign share one
+    * tie-break (the SemDeDup trained-clustering argument q103/q105
+    * ride).
+    */
+  def contaminatedViaIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                           bench: DataFrame, benchIdCol: String,
+                           benchVecCol: String, threshold: Double,
+                           k: Int, nProbe: Int = 1, nIters: Int = 2,
+                           roundDp: Int = 6): DataFrame = {
+    val centroids = Ivf.train(bench, benchIdCol, benchVecCol, k, nIters)
+    val evalCells = Ivf.assign(bench, benchVecCol, centroids)
+      .select(col("__cell"), col(benchIdCol).cast("long").as("__eid"),
+        col(benchVecCol).as("__bvec"))
+    val scored = Ivf.probe(corpus.select(col(idCol), col(vecCol).as("__v")),
+        "__v", centroids, nProbe)
+      .join(evalCells, "__cell") // an eval vector lives in ONE cell and
+      // probe cells are distinct, so each (corpus, eval) pair scores
+      // at most once — no dedup needed before the aggregation
+      .select(col(idCol), col("__eid"),
+        cosR(col("__v"), col("__bvec"), roundDp).as("__cos"))
+      .filter(col("__cos") >= threshold)
+    bestMatch(scored, idCol, benchIdCol)
+  }
+
+  /** Shared match-evidence aggregation over a (idCol, __eid, __cos)
+    * candidate table: count, max cosine, min-eval-id tie-break.
+    */
+  private def bestMatch(scored: DataFrame, idCol: String,
+                        benchIdCol: String): DataFrame =
     scored.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_matches"),
         max(struct(col("__cos").as("c"), (-col("__eid")).as("n")))
@@ -54,7 +97,6 @@ object SemanticDecontam {
       .select(col(idCol), col("n_matches"),
         col("__best.c").as("max_cos"),
         (-col("__best.n")).as(benchIdCol))
-  }
 
   /** The clean corpus: every row whose embedding is NOT within
     * `threshold` of any eval vector — a broadcast nested-loop anti-join,

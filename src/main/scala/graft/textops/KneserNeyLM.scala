@@ -412,8 +412,12 @@ object KneserNeyLM {
     */
   def scoreAgainstArpa(docs: DataFrame, arpa: ArpaN, idCol: String,
                        textCol: String, oovLogp: Double = -20.0)
-      : DataFrame = {
-    val tp = NgramLM.tuples(docs, idCol, textCol, arpa.order)
+      : DataFrame =
+    scoreTuplesArpa(NgramLM.tuples(docs, idCol, textCol, arpa.order),
+      arpa, idCol, oovLogp)
+
+  private def scoreTuplesArpa(tp: DataFrame, arpa: ArpaN, idCol: String,
+                              oovLogp: Double): DataFrame = {
     val joinedP = arpa.probs.zipWithIndex.foldLeft(tp) {
       case (acc, (t, i)) =>
         val k = i + 1
@@ -451,7 +455,7 @@ object KneserNeyLM {
     val tp = NgramLM.tuples(docs, idCol, textCol, order)
       .localCheckpoint(true)
     val arpa = compile(trainFromTuples(tp, order))
-    scoreAgainstArpa(docs, arpa, idCol, textCol, oovLogp)
+    scoreTuplesArpa(tp, arpa, idCol, oovLogp)
   }
 
   /** KenLM's `-q`: the compiled model with every stored log-probability

@@ -63,6 +63,56 @@ class SemanticDecontamSpec extends SparkSpec {
     assert(cleanIds.contains(5L))
   }
 
+  test("via-index: full probe equals the broadcast form on arbitrary geometry") {
+    // nProbe = k probes every cell → every (corpus, eval) pair is
+    // scored, so the indexed path must equal the exact one bit-for-bit
+    // whatever the trained centroids did
+    val rnd = new scala.util.Random(7)
+    val bigCorpus = (1L to 60L).map(i =>
+      (i, Array.fill(4)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val bigBench = (100L to 115L).map(i =>
+      (i, Array.fill(4)(rnd.nextFloat() * 2 - 1))).toDF("eval_id", "evec")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSet
+    val exact = rows(SemanticDecontam.contaminated(bigCorpus, "vec_id",
+      "embedding", bigBench, "eval_id", "evec", threshold = 0.8))
+    val full = rows(SemanticDecontam.contaminatedViaIndex(bigCorpus,
+      "vec_id", "embedding", bigBench, "eval_id", "evec", threshold = 0.8,
+      k = 4, nProbe = 4))
+    assert(exact.nonEmpty) // the geometry plants enough mass to match
+    assert(full == exact)
+    // nProbe = 1 can only MISS matches (never invent them): flagged ids
+    // are a subset, and the surviving evidence is dominated by the
+    // exact evidence (fewer candidates → count and best cosine can only
+    // shrink)
+    val one = rows(SemanticDecontam.contaminatedViaIndex(bigCorpus,
+      "vec_id", "embedding", bigBench, "eval_id", "evec", threshold = 0.8,
+      k = 4, nProbe = 1))
+    val exactById = exact.map(r => r._1 -> r).toMap
+    one.foreach { case (id, n, mc, _) =>
+      val e = exactById.getOrElse(id, fail(s"invented match for $id"))
+      assert(n <= e._2 && mc <= e._3, s"$id evidence exceeds exact")
+    }
+  }
+
+  test("via-index: planted scaled clones are found at nProbe = 1 under any " +
+    "trained centroids (the scale-invariance co-location argument)") {
+    val rnd = new scala.util.Random(11)
+    val base = (1L to 40L).map(i =>
+      (i, Array.fill(6)(rnd.nextFloat() * 2 - 1)))
+    val corpusDf = base.toDF("vec_id", "embedding")
+    val benchDf = base.filter(_._1 % 5 == 0)
+      .map { case (i, v) => (i / 5, v.map(x => x * 2.0f)) }
+      .toDF("eval_id", "evec")
+    val got = SemanticDecontam.contaminatedViaIndex(corpusDf, "vec_id",
+        "embedding", benchDf, "eval_id", "evec", threshold = 0.999,
+        k = 4, nProbe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(got == base.map(_._1).filter(_ % 5 == 0)
+      .map(i => (i, i / 5)).toSet)
+  }
+
   test("plan shape: eval side broadcast, corpus never shuffled before the match filter") {
     val plan = SemanticDecontam.gate(corpus, "embedding",
       bench, "evec", threshold = 0.9).queryExecution.executedPlan.toString
