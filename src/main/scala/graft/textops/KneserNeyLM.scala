@@ -373,9 +373,13 @@ object KneserNeyLM {
     def discounted(c: Column, d: Discounts): Column =
       greatest(c.cast("double") - dOf(c, d), lit(0.0))
     val d1 = model.discounts.head
+    // each compiled level is eagerly checkpointed: level k's lineage
+    // otherwise re-runs every lower level's join chain at every use —
+    // compile happens once, the tables are the shipped artifact
     val p1 = model.counts.head.select(col("token"),
       (discounted(col("cnt"), d1) / lit(model.uniTotal) +
         lit(model.uniGamma) * lit(1.0 / model.vocab)).as("p"))
+      .localCheckpoint(true)
     val gammaExpr: Int => Column = k => {
       val d = model.discounts(k - 1)
       (lit(d.d1) * col("__m1") + lit(d.d2) * col("__m2") +
@@ -392,6 +396,7 @@ object KneserNeyLM {
         .select((ctx.map(col) :+ col("token") :+
           (discounted(col("cnt"), d) / col("__total") +
             gammaExpr(k) * col("__plo")).as("p")): _*)
+        .localCheckpoint(true)
       acc :+ pk
     }
     val backoffs = (2 to model.order).map { k =>

@@ -181,6 +181,29 @@ class JpegDecodeSpec extends SparkSpec {
     assert(Jpeg.decodeJpegGray(Array[Byte](1, 2, 3)).isEmpty)
   }
 
+  test("16-bit DQT (Pq=1) decodes identically to the 8-bit form") {
+    val px = blockConstant(16, 16, seed = 47L, even = true)
+    val p8 = Jpeg.jpegGrayBytes(16, 16, px, quant = 4)
+    // locate the 8-bit DQT segment (FF DB, len 67, Pq/Tq byte, 64 steps)
+    val dqt = p8.indices.dropRight(1).indexWhere(i =>
+      (p8(i) & 0xff) == 0xff && (p8(i + 1) & 0xff) == 0xdb)
+    assert(dqt >= 0)
+    val len8 = ((p8(dqt + 2) & 0xff) << 8) | (p8(dqt + 3) & 0xff)
+    assert(len8 == 2 + 1 + 64)
+    val steps = (0 until 64).map(k => p8(dqt + 5 + k) & 0xff)
+    // rebuild the same table in 16-bit form
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(p8, 0, dqt) // everything before the DQT
+    out.write(0xff); out.write(0xdb)
+    val len16 = 2 + 1 + 128
+    out.write(len16 >> 8); out.write(len16 & 0xff)
+    out.write(0x10) // Pq=1, Tq=0
+    steps.foreach { s => out.write(s >> 8); out.write(s & 0xff) }
+    out.write(p8, dqt + 2 + len8, p8.length - dqt - 2 - len8)
+    val p16 = out.toByteArray
+    assert(grayOf(p16).gray.sameElements(grayOf(p8).gray))
+  }
+
   test("imageDimensions agrees with the pixel decode on real payloads") {
     val px = blockConstant(24, 16, seed = 37L, even = false)
     val p = Jpeg.jpegGrayBytes(24, 16, px)
