@@ -389,4 +389,64 @@ class PlanSpec extends SparkSpec {
     assert(!exchanges.exists(_.toLowerCase.contains("binary")),
       exchanges.mkString("\n"))
   }
+
+  test("JPEG phash: the JPEG payload never enters an exchange — " +
+    "Huffman+IDCT decode reduces each image to 8 bytes in the scan " +
+    "stage, same banded pairing contract as q112") {
+    val p = SparkEntry.queries("q118_image_phash_jpeg")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("payload#")),
+      exchanges.mkString("\n"))
+    assert(!exchanges.exists(_.toLowerCase.contains("binary")),
+      exchanges.mkString("\n"))
+  }
+
+  test("unigram encode: the text column never enters an exchange — the " +
+    "Viterbi kernel runs in the scan stage against the broadcast model " +
+    "and only slim (id, piece) rows reach the count shuffle") {
+    val p = SparkEntry.queries("q119_unigram_encode")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p.take(2000))
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("text#")), exchanges.mkString("\n"))
+    assert(!exchanges.exists(_.contains("pieces#")),
+      exchanges.mkString("\n"))
+  }
+
+  test("semantic decontam: eval side broadcast-nested-loop, corpus " +
+    "embeddings reach no hash shuffle before the match filter") {
+    val p = SparkEntry.queries("q121_semantic_decontam")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+    // the only hash exchanges aggregate the (rare) matched slim rows or
+    // order the output — never the embedding column
+    val exchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(!exchanges.exists(_.contains("embedding#")),
+      exchanges.mkString("\n"))
+  }
+
+  test("via-index semantic decontam: a cell-keyed equi-join, no nested " +
+    "loop and no cartesian product over the corpus") {
+    val p = SparkEntry.queries("q123_semantic_decontam_ivf")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("__cell"), p.take(1500))
+  }
+
+  test("compiled-KN scoring joins carry gram keys and slim doubles, " +
+    "never the text column") {
+    val p = SparkEntry.queries("q122_kneser_ney_arpa")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("text#")), exchanges.mkString("\n"))
+  }
 }
