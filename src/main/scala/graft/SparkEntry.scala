@@ -2538,8 +2538,41 @@ object SparkEntry {
         .select(col("vec_id").as("id"), col("n_matches"), col("max_cos"),
           col("eval_id"))
         .orderBy(col("id"))
+    }),
+
+    // Unicode text normalization — the canonicalization step BEFORE any
+    // fingerprint/dedup stage: doc keys plant text mixing composed é
+    // (U+00E9), its decomposed twin (e + U+0301), an NFC-preserved
+    // ligature (U+FB01), mixed case and raw tab/newline whitespace; the
+    // engine canonicalizes through the native NormalizeUnicode codegen
+    // expression (NFC) then case/whitespace-folds, and the oracle
+    // replays the identical chain with DuckDB's utf8proc nfc_normalize
+    // — two independent UAX #15 implementations must agree byte-for-byte
+    "q124_text_normalize" -> ((s, dir) => {
+      import s.implicits._
+      val docs = tSpread(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map(k => (k, q124Text(k)))
+        .toDF("doc_id", "text")
+      docs.select(col("doc_id").as("id"),
+          textops.TextFunctions.normalizedUnicode(col("text")).as("norm"))
+        .orderBy(col("id"))
     })
   )
+
+  /** q124's planted text for doc key `k`: composed/decomposed/plain "é"
+    * variants by k%3 (the NFC fold the operator exists for — variants 0
+    * and 1 normalize to the SAME string), an NFC-preserved ﬁ ligature on
+    * k%5, mixed case, and leading/internal/trailing tab-newline junk.
+    */
+  private[graft] def q124Text(k: Long): String = {
+    val evar = (k % 3) match {
+      case 0 => "\u00e9" // composed e-acute
+      case 1 => "e\u0301" // decomposed: e + combining acute
+      case _ => "e"
+    }
+    val lig = if (k % 5 == 0) "\ufb01" else "fi" // fi ligature: NFC keeps it
+    s"  CaF$evar  Du\tJour $lig N${k % 7}  \n"
+  }
 
   /** q112's planted PNG for supplier key `k`: deterministic 32×32 group
     * base (g = k % 20) with the member's within-cell pixel rotation.
@@ -5152,6 +5185,22 @@ object SparkEntry {
     // >= 0.9 pair an un-probed cell could hide — so the exact all-pairs
     // replay applies to the indexed configuration too
     "q123_semantic_decontam_ivf" -> semanticDecontamOracle,
+
+    // the identical normalization chain through DuckDB's independent
+    // UAX #15 implementation (utf8proc nfc_normalize) — composed and
+    // decomposed accents fold to one byte sequence, the ligature and
+    // already-NFC text pass through, whitespace/case fold after
+    "q124_text_normalize" ->
+      """SELECT doc_id AS id,
+        |  lower(regexp_replace(regexp_replace(nfc_normalize(
+        |    '  CaF' ||
+        |    CASE doc_id % 3 WHEN 0 THEN chr(233)
+        |      WHEN 1 THEN 'e' || chr(769) ELSE 'e' END ||
+        |    '  Du' || chr(9) || 'Jour ' ||
+        |    CASE WHEN doc_id % 5 = 0 THEN chr(64257) ELSE 'fi' END ||
+        |    ' N' || CAST(doc_id % 7 AS VARCHAR) || '  ' || chr(10)
+        |  ), '^\s+|\s+$', '', 'g'), '\s+', ' ', 'g')) AS norm
+        |FROM documents ORDER BY id""".stripMargin,
 
     // q103/q105 share q77's exact all-pairs oracle: recall of the
     // within-cell search is structural on this fixture (see the query

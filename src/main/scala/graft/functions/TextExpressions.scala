@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftops.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression for Unicode normalization (UAX #15) over
+  * string columns — NFC/NFD/NFKC/NFKD via `java.text.Normalizer` (the
+  * JDK's Unicode-standard implementation, the same algorithm DuckDB's
+  * utf8proc-backed `nfc_normalize` runs, so oracle comparisons hold
+  * exactly).
+  *
+  * Why it exists: [[graft.textops.TextFunctions.normalized]] collapses
+  * case and whitespace, but a composed "é" (U+00E9) and its decomposed
+  * twin ("e" + U+0301) are DIFFERENT bytes — identical-looking documents
+  * fingerprint apart and silently survive exact dedup. Canonicalizing to
+  * NFC before fingerprinting closes that gap; NFKC additionally folds
+  * compatibility forms (ligatures, full-width letters) where a corpus
+  * mixes them.
+  *
+  * Why not a UDF: same rationale as [[CosineSimilarityFloat]] — this
+  * runs on every document in scan-stage curation paths; the expression
+  * participates in whole-stage codegen via a static kernel call, no
+  * per-row closure dispatch.
+  */
+case class NormalizeUnicode(child: Expression, form: String)
+  extends UnaryExpression {
+
+  require(NormalizeUnicode.Forms.contains(form),
+    s"form must be one of ${NormalizeUnicode.Forms.keys.mkString("/")}, " +
+      s"got $form")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string input, got ${other.simpleString}")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "normalize_unicode"
+
+  override def nullSafeEval(s: Any): Any =
+    NormalizeUnicode.compute(s.asInstanceOf[UTF8String], form)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"""${ev.value} = graft.functions.NormalizeUnicode.compute($s, "$form");""")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): NormalizeUnicode = copy(child = newChild)
+}
+
+object NormalizeUnicode {
+
+  private[functions] val Forms: Map[String, java.text.Normalizer.Form] =
+    java.text.Normalizer.Form.values().map(f => f.name -> f).toMap
+
+  /** Shared by interpreted eval and generated code. Already-normalized
+    * strings (the overwhelming majority of real text) short-circuit on
+    * the quick check without re-encoding.
+    */
+  def compute(s: UTF8String, form: String): UTF8String = {
+    val f = Forms(form)
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, f)) s
+    else UTF8String.fromString(java.text.Normalizer.normalize(str, f))
+  }
+
+  def apply(c: Column, form: String): Column =
+    Bridge.column(NormalizeUnicode(Bridge.expression(c), form))
+}

@@ -185,6 +185,7 @@ object Jpeg {
         case x if x >= 0xd0 && x <= 0xd7 => malformed // RST outside a scan
         case 0xdb => // DQT — possibly several tables in one segment
           val len = be16(b, i); val end = i + len
+          if (len < 2) malformed // a 0/1 length would never advance `i`
           var p = i + 2
           while (p < end) {
             val pq = u8(b, p) >> 4; val tq = u8(b, p) & 15
@@ -204,6 +205,7 @@ object Jpeg {
           i = end
         case 0xc4 => // DHT — possibly several tables
           val len = be16(b, i); val end = i + len
+          if (len < 2) malformed
           var p = i + 2
           while (p < end) {
             val tc = u8(b, p) >> 4; val th = u8(b, p) & 15
@@ -270,7 +272,11 @@ object Jpeg {
           return decodeScan(b, i + len, comps, w, h, qtab, dcTab, acTab,
             restartInterval)
         case _ => // APPn, COM, DNL, anything else with a length: skip
-          i += be16(b, i)
+          val len = be16(b, i)
+          // a corrupted 0/1 length would never advance `i`: an executor
+          // hang on one crafted row, not a refusal
+          if (len < 2) malformed
+          i += len
       }
     }
     malformed // unreachable

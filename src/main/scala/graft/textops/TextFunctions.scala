@@ -206,9 +206,22 @@ object TextFunctions {
     lower(regexp_replace(
       regexp_replace(text, "^\\s+|\\s+$", ""), "\\s+", " "))
 
+  /** [[normalized]] with Unicode canonicalization FIRST (UAX #15 via the
+    * native [[graft.functions.NormalizeUnicode]] codegen expression):
+    * a composed "é" and its decomposed twin are different bytes, so
+    * identical-looking documents otherwise fingerprint apart and
+    * silently survive exact dedup. `form` NFC by default; NFKC folds
+    * compatibility forms (ligatures, full-width letters) too.
+    */
+  def normalizedUnicode(text: Column, form: String = "NFC"): Column =
+    lower(regexp_replace(
+      regexp_replace(graft.functions.NormalizeUnicode(text, form),
+        "^\\s+|\\s+$", ""), "\\s+", " "))
+
   /** 64-bit document fingerprint = xxhash64 of the normalized text.
     * Exact-dedup then is a plain hash groupBy — one shuffle of 8-byte keys
-    * instead of full documents.
+    * instead of full documents. Corpora mixing composed/decomposed
+    * Unicode should fingerprint [[normalizedUnicode]] instead.
     */
   def fingerprint64(text: Column): Column = xxhash64(normalized(text))
 

@@ -181,6 +181,38 @@ class JpegDecodeSpec extends SparkSpec {
     assert(Jpeg.decodeJpegGray(Array[Byte](1, 2, 3)).isEmpty)
   }
 
+  test("corruption fuzz: every single-byte corruption decodes or refuses — " +
+    "never throws, never hangs (lengths, markers, tables, scan bits are " +
+    "all attacker-controlled)") {
+    val px = blockConstant(32, 32, seed = 53L, even = true)
+    val base = Jpeg.jpegGrayBytes(32, 32, px, quant = 2, restartInterval = 3)
+    var s = 12345L
+    def next(mod: Int): Int = {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      ((s >>> 33) % mod).toInt
+    }
+    // 500 random single-byte corruptions across the whole payload
+    (1 to 500).foreach { _ =>
+      val b = base.clone()
+      b(next(base.length)) = (next(256) & 0xff).toByte
+      Jpeg.decodeJpegGray(b) // Option either way
+    }
+    // every SEGMENT-LENGTH byte zeroed (the would-be infinite-skip case)
+    base.indices.dropRight(1).foreach { i =>
+      if ((base(i) & 0xff) == 0xff && (base(i + 1) & 0xff) >= 0xc0) {
+        val b = base.clone()
+        if (i + 3 < b.length) { b(i + 2) = 0; b(i + 3) = 0 }
+        Jpeg.decodeJpegGray(b)
+      }
+    }
+    // random garbage behind a valid SOI
+    (1 to 200).foreach { _ =>
+      val g = prng(s + next(1 << 20), 4 + next(300))
+      g(0) = 0xff.toByte; g(1) = 0xd8.toByte
+      Jpeg.decodeJpegGray(g)
+    }
+  }
+
   test("16-bit DQT (Pq=1) decodes identically to the 8-bit form") {
     val px = blockConstant(16, 16, seed = 47L, even = true)
     val p8 = Jpeg.jpegGrayBytes(16, 16, px, quant = 4)

@@ -1,0 +1,82 @@
+package graft.textops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Unicode normalization: the NormalizeUnicode expression's UAX #15
+  * semantics, the normalizedUnicode chain, and the dedup payoff —
+  * composed/decomposed twins fingerprint together. All non-ASCII
+  * content is written as \\u escapes so the composed/decomposed
+  * distinction survives any editor or tooling round trip.
+  */
+class NormalizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Composed = "\u00e9" // é as one code point
+  private val Decomposed = "e\u0301" // e + combining acute
+  private val FiLigature = "\ufb01"
+
+  private def norm(s: String, form: String = "NFC"): String =
+    Seq(Tuple1(s)).toDF("t")
+      .select(graft.functions.NormalizeUnicode(col("t"), form).as("n"))
+      .as[String].head()
+
+  test("NFC folds decomposed accents to composed, preserves NFC text and ligatures") {
+    assert(norm(Decomposed) == Composed)
+    assert(norm(s"Caf$Decomposed du jour") == s"Caf$Composed du jour")
+    // already-NFC input passes through (the short-circuit path)
+    assert(norm(s"Caf$Composed") == s"Caf$Composed")
+    assert(norm("plain ascii 123") == "plain ascii 123")
+    // NFC is canonical-only: the fi ligature survives…
+    assert(norm(s"${FiLigature}n") == s"${FiLigature}n")
+    // …and NFKC folds it (compatibility)
+    assert(norm(s"${FiLigature}n", "NFKC") == "fin")
+    // nulls propagate
+    val n = Seq(Tuple1(null.asInstanceOf[String])).toDF("t")
+      .select(graft.functions.NormalizeUnicode(col("t"), "NFC").as("n"))
+      .collect().head
+    assert(n.isNullAt(0))
+  }
+
+  test("invalid form refuses at construction") {
+    intercept[IllegalArgumentException] {
+      graft.functions.NormalizeUnicode(lit("x"), "NFX")
+    }
+  }
+
+  test("normalizedUnicode: NFC then whitespace/case folding, matching the documented chain") {
+    val got = Seq((1L, s"  CaF$Decomposed  Du\tJour  \n"))
+      .toDF("doc_id", "text")
+      .select(TextFunctions.normalizedUnicode(col("text")).as("n"))
+      .as[String].head()
+    assert(got == s"caf$Composed du jour")
+  }
+
+  test("the dedup payoff: composed and decomposed twins share one fingerprint, " +
+    "which plain normalized() misses") {
+    val docs = Seq(
+      (1L, s"Caf$Composed du jour"),
+      (2L, s"Caf$Decomposed du jour"), // the same visible text
+      (3L, "Cafe du jour") // genuinely different
+    ).toDF("doc_id", "text")
+    val uni = docs.select(
+        xxhash64(TextFunctions.normalizedUnicode(col("text"))).as("fp"))
+      .as[Long].collect()
+    assert(uni(0) == uni(1)) // twins collapse
+    assert(uni(0) != uni(2))
+    val plain = docs.select(TextFunctions.fingerprint64(col("text")))
+      .as[Long].collect()
+    assert(plain(0) != plain(1)) // the gap normalizedUnicode closes
+  }
+
+  test("codegen and interpreted paths agree with the JDK reference") {
+    val strs = Seq(Decomposed, s"Caf$Composed", FiLigature, "",
+      s"mixed $Composed and $Decomposed", "åb") // a + ring, then b
+    strs.foreach { s =>
+      val viaExpr = norm(s)
+      val viaJdk = java.text.Normalizer.normalize(s,
+        java.text.Normalizer.Form.NFC)
+      assert(viaExpr == viaJdk, s"'$s'")
+    }
+  }
+}
