@@ -1,0 +1,91 @@
+package graft.multimodal
+
+import graft.SparkSpec
+
+/** Corruption fuzz across every container decoder: random single-byte
+  * flips on VALID payloads, zeroed length fields, and random garbage
+  * behind a valid magic must all decode or refuse — never throw an
+  * uncaught exception, never hang (the JPEG fuzz found exactly such a
+  * hang: a 0-length segment skip that never advanced). One deterministic
+  * PRNG so a failure reproduces.
+  */
+class CodecFuzzSpec extends SparkSpec {
+  import Multimodal.Codecs
+
+  private var s = 98765L
+  private def next(mod: Int): Int = {
+    s = s * 6364136223846793005L + 1442695040888963407L
+    ((s >>> 33) % mod).toInt
+  }
+  private def bytes(n: Int): Array[Byte] = Array.fill(n) {
+    s = s * 6364136223846793005L + 1442695040888963407L
+    ((s >>> 33) & 0xff).toByte
+  }
+
+  private def fuzz(base: Array[Byte], magicLen: Int,
+                   decode: Array[Byte] => Any): Unit = {
+    (1 to 400).foreach { _ =>
+      val b = base.clone()
+      b(next(base.length)) = (next(256) & 0xff).toByte
+      decode(b)
+    }
+    // zero out every 4-byte window (catches length/count fields wherever
+    // they sit, including multi-byte sizes)
+    var i = 0
+    while (i + 4 <= base.length) {
+      val b = base.clone()
+      b(i) = 0; b(i + 1) = 0; b(i + 2) = 0; b(i + 3) = 0
+      decode(b)
+      i += 7 // stride keeps the sweep cheap while covering every offset class
+    }
+    // random garbage behind the valid magic
+    (1 to 150).foreach { _ =>
+      val g = bytes(magicLen + 4 + next(300))
+      System.arraycopy(base, 0, g, 0, magicLen)
+      decode(g)
+    }
+    // truncations at every depth class
+    (1 until 20).foreach { k =>
+      decode(base.take(base.length * k / 20))
+    }
+  }
+
+  test("PNG pixel decode never throws or hangs under corruption") {
+    val px = bytes(32 * 32)
+    fuzz(Codecs.pngGrayBytes(32, 32, px), 8, Codecs.decodePngGray)
+  }
+
+  test("GIF pixel decode never throws or hangs under corruption") {
+    val px = bytes(32 * 32)
+    fuzz(Codecs.gifGrayBytes(32, 32, px), 6, Codecs.decodeGifGray)
+  }
+
+  test("WAV PCM decode never throws or hangs under corruption") {
+    val pcm = Array.tabulate[Short](600)(j => (j * 13 % 1000).toShort)
+    fuzz(Codecs.wavBytes(8000, pcm), 12, Codecs.decodeWavPcm)
+  }
+
+  test("AVI frame demux never throws or hangs under corruption") {
+    val frames = (0 until 4).map(i => bytes(80 + i * 7))
+    fuzz(Codecs.aviBytes(32, 24, 33333, frames), 12, Codecs.decodeAviFrames)
+  }
+
+  test("the container-agnostic seam never throws on cross-container confusion") {
+    // a payload of one container fed through the whole seam (which
+    // tries PNG, GIF, then JPEG) and vice versa
+    val px = bytes(32 * 32)
+    val all = Seq(
+      Codecs.pngGrayBytes(32, 32, px),
+      Codecs.gifGrayBytes(32, 32, px),
+      Jpeg.jpegGrayBytes(32, 32, px, quant = 1),
+      Codecs.wavBytes(8000, Array.tabulate[Short](100)(_.toShort)))
+    all.foreach { p =>
+      Codecs.decodeImageGray(p)
+      (1 to 100).foreach { _ =>
+        val b = p.clone()
+        b(next(p.length)) = (next(256) & 0xff).toByte
+        Codecs.decodeImageGray(b)
+      }
+    }
+  }
+}
