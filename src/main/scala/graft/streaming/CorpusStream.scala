@@ -128,7 +128,11 @@ object CorpusStream {
   def semanticGate(docs: DataFrame, vecCol: String,
                    bench: DataFrame, benchVecCol: String,
                    threshold: Double, roundDp: Int = 6): DataFrame = {
-    val evals = bench.select(col(benchVecCol)).collect()
+    // null eval vectors carry no similarity signal: dropped here rather
+    // than NPE-ing the collect (the batch form's cosine is null-gated
+    // the same way)
+    val evals = bench.select(col(benchVecCol))
+      .filter(col(benchVecCol).isNotNull).collect()
       .map(_.getSeq[Float](0).toArray)
     require(evals.nonEmpty, "semanticGate needs a non-empty eval set")
     val bc = docs.sparkSession.sparkContext.broadcast(evals)
