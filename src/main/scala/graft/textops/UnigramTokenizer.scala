@@ -46,6 +46,22 @@ object UnigramTokenizer {
     }
   }
 
+  object Model {
+    /** Load a persisted (piece, prob) table — [[Model.toDF]]'s inverse,
+      * so a trained vocabulary ships as parquet and scorer fleets
+      * rebuild the broadcast map without retraining. Fails loudly on
+      * duplicate pieces (a corrupted or doubly-written table would
+      * otherwise silently keep an arbitrary row).
+      */
+    def fromDF(df: DataFrame): Model = {
+      val rows = df.select(col("piece"), col("prob").cast("double"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1))
+      require(rows.map(_._1).distinct.length == rows.length,
+        "model table carries duplicate pieces")
+      Model(rows.toMap)
+    }
+  }
+
   /** Unknown-character penalty: a character absent from the vocabulary
     * encodes as itself at this log-probability (the byte-fallback role
     * in SentencePiece), so encoding is total without the model having

@@ -133,6 +133,14 @@ class UnigramTokenizerSpec extends SparkSpec {
       "international".contains(p)), model.probs.keys.toSeq.sorted.toString)
   }
 
+  test("model round-trips through its DataFrame form; duplicates refuse") {
+    val back = Model.fromDF(m.toDF(spark))
+    assert(back.probs == m.probs)
+    assert(back.maxLen == m.maxLen)
+    val dup = m.toDF(spark).unionByName(m.toDF(spark).limit(1))
+    intercept[IllegalArgumentException] { Model.fromDF(dup) }
+  }
+
   test("encode and encodeStats: scan-stage DataFrame ops with hand outputs") {
     val docs = Seq((1L, "ab c"), (2L, "AB ab"), (3L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")
