@@ -259,7 +259,13 @@ object Jpeg {
           var c = 0
           while (c < ns) {
             val cs = u8(b, i + 3 + 2 * c)
-            val comp = comps.find(_.id == cs).getOrElse(malformed)
+            // the MCU walk iterates components in FRAME order while the
+            // entropy stream interleaves in SCAN order — the profile here
+            // requires the two to agree (every real encoder emits them in
+            // frame order); a reordered SOS would silently decode the luma
+            // plane from the wrong symbols, so refuse instead
+            if (cs != comps(c).id) malformed
+            val comp = comps(c)
             comp.td = u8(b, i + 4 + 2 * c) >> 4
             comp.ta = u8(b, i + 4 + 2 * c) & 15
             if (comp.td > 3 || comp.ta > 3) malformed
@@ -298,8 +304,14 @@ object Jpeg {
     comps.foreach { c =>
       if (dcTab(c.td) == null || acTab(c.ta) == null) malformed
     }
-    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
-    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+    // T.81 §A.2.3: a ONE-component scan is non-interleaved — one data
+    // unit per MCU at ceil(w/8)×ceil(h/8), regardless of the declared
+    // sampling factors (they only matter against other components). A
+    // grayscale frame declaring 2×2 factors previously walked
+    // interleaved-MCU geometry and scrambled block order.
+    val single = comps.length == 1
+    val mcusX = if (single) (w + 7) / 8 else (w + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = if (single) (h + 7) / 8 else (h + 8 * vmax - 1) / (8 * vmax)
     val gray = new Array[Int](w * h)
     val dcPred = new Array[Int](comps.length)
     val coef = new Array[Int](64)
@@ -314,27 +326,33 @@ object Jpeg {
           r.expectRestart((mcu / restartInterval - 1) % 8)
           java.util.Arrays.fill(dcPred, 0)
         }
-        var ci = 0
-        while (ci < comps.length) {
-          val comp = comps(ci)
-          val dt = dcTab(comp.td); val at = acTab(comp.ta)
-          var by = 0
-          while (by < comp.v) {
-            var bx = 0
-            while (bx < comp.h) {
-              if (ci == 0) {
-                decodeBlock(r, dt, at, lq, dcPred, ci, coef)
-                idctInto(coef, tmp, gray, w, h,
-                  (mx * comp.h + bx) * 8, (my * comp.v + by) * 8)
-              } else {
-                // chroma: consume the symbols, skip dequant + IDCT
-                skipBlock(r, dt, at, dcPred, ci)
+        if (single) {
+          // non-interleaved: one luma data unit per MCU
+          decodeBlock(r, dcTab(luma.td), acTab(luma.ta), lq, dcPred, 0, coef)
+          idctInto(coef, tmp, gray, w, h, mx * 8, my * 8)
+        } else {
+          var ci = 0
+          while (ci < comps.length) {
+            val comp = comps(ci)
+            val dt = dcTab(comp.td); val at = acTab(comp.ta)
+            var by = 0
+            while (by < comp.v) {
+              var bx = 0
+              while (bx < comp.h) {
+                if (ci == 0) {
+                  decodeBlock(r, dt, at, lq, dcPred, ci, coef)
+                  idctInto(coef, tmp, gray, w, h,
+                    (mx * comp.h + bx) * 8, (my * comp.v + by) * 8)
+                } else {
+                  // chroma: consume the symbols, skip dequant + IDCT
+                  skipBlock(r, dt, at, dcPred, ci)
+                }
+                bx += 1
               }
-              bx += 1
+              by += 1
             }
-            by += 1
+            ci += 1
           }
-          ci += 1
         }
         mcu += 1
         mx += 1
@@ -354,6 +372,10 @@ object Jpeg {
     val t = dt.decode(r)
     if (t > 11) malformed // 8-bit baseline DC categories are 0..11
     dcPred(ci) += extend(r.receive(t), t)
+    // a valid 8-bit-sample DC never leaves the 11-bit category range; a
+    // crafted stream accumulating ±2047 per block for ~2^20 blocks would
+    // otherwise wrap Int into garbage coefficients instead of refusing
+    if (dcPred(ci) < -2048 || dcPred(ci) > 2047) malformed
     coef(0) = dcPred(ci) * q(0)
     var k = 1
     while (k < 64) {
@@ -363,6 +385,7 @@ object Jpeg {
         if (run == 15) k += 16 // ZRL
         else k = 64 // EOB
       } else {
+        if (s > 10) malformed // 8-bit baseline AC categories are 1..10
         k += run
         if (k > 63) malformed
         coef(Zigzag(k)) = extend(r.receive(s), s) * q(k)
@@ -380,12 +403,14 @@ object Jpeg {
     val t = dt.decode(r)
     if (t > 11) malformed
     dcPred(ci) += extend(r.receive(t), t)
+    if (dcPred(ci) < -2048 || dcPred(ci) > 2047) malformed // see decodeBlock
     var k = 1
     while (k < 64) {
       val rs = at.decode(r)
       val run = rs >> 4; val s = rs & 15
       if (s == 0) { if (run == 15) k += 16 else k = 64 }
       else {
+        if (s > 10) malformed
         k += run
         if (k > 63) malformed
         r.receive(s)

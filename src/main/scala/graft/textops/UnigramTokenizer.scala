@@ -54,10 +54,18 @@ object UnigramTokenizer {
       * otherwise silently keep an arbitrary row).
       */
     def fromDF(df: DataFrame): Model = {
-      val rows = df.select(col("piece"), col("prob").cast("double"))
-        .collect().map(r => r.getString(0) -> r.getDouble(1))
+      val raw = df.select(col("piece"), col("prob").cast("double")).collect()
+      // fail loudly on null/zero/negative/non-finite probabilities too —
+      // they would otherwise load silently and surface as -Inf/NaN
+      // log-probs the E-step and Viterbi kernels skip without a trace
+      require(raw.forall(r => !r.isNullAt(0) && !r.isNullAt(1)),
+        "model table carries null piece or prob")
+      val rows = raw.map(r => r.getString(0) -> r.getDouble(1))
       require(rows.map(_._1).distinct.length == rows.length,
         "model table carries duplicate pieces")
+      require(rows.forall { case (_, p) =>
+        p > 0 && java.lang.Double.isFinite(p) },
+        "model table carries a non-positive or non-finite prob")
       Model(rows.toMap)
     }
   }

@@ -282,6 +282,81 @@ class JpegDecodeSpec extends SparkSpec {
       graft.SparkEntry.q118Jpeg(22L)))
   }
 
+  test("an SOS listing components out of frame order refuses (the MCU walk " +
+    "iterates frame order; reordered symbols would decode garbage luma)") {
+    val px = blockConstant(32, 32, seed = 59L, even = true)
+    val ycc = Jpeg.jpegYccBytes(32, 32, px)
+    assert(Jpeg.decodeJpegGray(ycc).isDefined)
+    // SOS body here is: ns=3, (id,tabs)×3, Ss, Se, Ah/Al — swap the Cb
+    // and Cr entries (ids 2 and 3) so the scan order no longer matches
+    // the frame order
+    val sos = ycc.indices.dropRight(1).indexWhere(i =>
+      (ycc(i) & 0xff) == 0xff && (ycc(i + 1) & 0xff) == 0xda)
+    assert(sos > 0)
+    val bad = ycc.clone()
+    val cb = sos + 2 + 2 + 1 + 2 // first byte of the Cb (id, tabs) pair
+    bad(cb) = ycc(cb + 2); bad(cb + 1) = ycc(cb + 3)
+    bad(cb + 2) = ycc(cb); bad(cb + 3) = ycc(cb + 1)
+    assert(Jpeg.decodeJpegGray(bad).isEmpty)
+  }
+
+  test("a single-component frame with 2x2 sampling factors decodes " +
+    "non-interleaved (T.81 A.2.3) — identical pixels to the 1x1 form") {
+    val px = blockConstant(32, 32, seed = 61L, even = true)
+    val p = Jpeg.jpegGrayBytes(32, 32, px, quant = 2)
+    val sof = p.indices.dropRight(1).indexWhere(i =>
+      (p(i) & 0xff) == 0xff && (p(i + 1) & 0xff) == 0xc0)
+    assert(sof > 0)
+    // SOF0 body: len(2) precision(1) h(2) w(2) nf(1) then (id, hv, tq);
+    // flip the hv byte from 0x11 to 0x22 — a non-interleaved scan has
+    // one data unit per MCU either way, so the pixels must not change
+    val hvIdx = sof + 2 + 2 + 1 + 4 + 1 + 1
+    assert((p(hvIdx) & 0xff) == 0x11)
+    val p22 = p.clone(); p22(hvIdx) = 0x22.toByte
+    val img = Jpeg.decodeJpegGray(p22)
+    assert(img.isDefined, "2x2-sampled grayscale must decode, not refuse")
+    assert(img.get.gray.sameElements(grayOf(p).gray))
+  }
+
+  /** Header of a valid gray JPEG up to and including the SOS segment. */
+  private def headerUpToScan(w: Int, h: Int): Array[Byte] = {
+    val p = Jpeg.jpegGrayBytes(w, h, Array.fill(w * h)(100.toByte))
+    val sos = p.indices.dropRight(1).indexWhere(i =>
+      (p(i) & 0xff) == 0xff && (p(i + 1) & 0xff) == 0xda)
+    val len = ((p(sos + 2) & 0xff) << 8) | (p(sos + 3) & 0xff)
+    p.take(sos + 2 + len)
+  }
+
+  /** Pack MSB-first bits (given as a 0/1 string) into bytes, 1-padded. */
+  private def packBits(bits: String): Array[Byte] = {
+    val padded = bits + "1" * ((8 - bits.length % 8) % 8)
+    padded.grouped(8).map(g => Integer.parseInt(g, 2).toByte).toArray
+  }
+
+  test("a crafted stream accumulating DC past the 11-bit range refuses " +
+    "(no Int wrap into garbage coefficients)") {
+    // flat tables: DC category = 4 bits (the category itself), EOB = 9
+    // zero bits. Three blocks each adding +2047: refused at block 2
+    // (dcPred 4094 > 2047)
+    val blockBits = "1011" + "1" * 11 + "0" * 9
+    val crafted = headerUpToScan(24, 8) ++ packBits(blockBits * 3) ++
+      Array(0xff.toByte, 0xd9.toByte)
+    assert(Jpeg.decodeJpegGray(crafted).isEmpty)
+    // one such block alone is VALID (category 11 diff of +2047 is legal)
+    val one = headerUpToScan(8, 8) ++ packBits(blockBits) ++
+      Array(0xff.toByte, 0xd9.toByte)
+    assert(Jpeg.decodeJpegGray(one).isDefined)
+  }
+
+  test("an AC coefficient of size > 10 refuses (8-bit baseline caps AC at 10)") {
+    // DC category 0, then AC RS byte 0x0B (run 0, size 11) at the flat
+    // table's 9-bit code
+    val bits = "0000" + "000001011"
+    val crafted = headerUpToScan(8, 8) ++ packBits(bits) ++
+      Array(0xff.toByte, 0xd9.toByte)
+    assert(Jpeg.decodeJpegGray(crafted).isEmpty)
+  }
+
   test("ImageHash.fingerprints pairs JPEG payloads through the real pipeline") {
     import spark.implicits._
     val px = blockConstant(32, 32, seed = 43L, even = true)

@@ -141,6 +141,21 @@ class UnigramTokenizerSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Model.fromDF(dup) }
   }
 
+  test("fromDF refuses zero, negative, NaN, infinite and null probabilities " +
+    "(they would load as -Inf/NaN log-probs the kernels silently skip)") {
+    import spark.implicits._
+    for (bad <- Seq(0.0, -0.5, Double.NaN, Double.PositiveInfinity)) {
+      val df = Seq(("a", 0.5), ("b", bad)).toDF("piece", "prob")
+      intercept[IllegalArgumentException] { Model.fromDF(df) }
+    }
+    val nullProb = Seq(("a", Some(0.5)), ("b", None))
+      .toDF("piece", "prob")
+    intercept[IllegalArgumentException] { Model.fromDF(nullProb) }
+    val nullPiece = Seq((Some("a"), 0.5), (None, 0.5))
+      .toDF("piece", "prob")
+    intercept[IllegalArgumentException] { Model.fromDF(nullPiece) }
+  }
+
   test("encode and encodeStats: scan-stage DataFrame ops with hand outputs") {
     val docs = Seq((1L, "ab c"), (2L, "AB ab"), (3L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")
