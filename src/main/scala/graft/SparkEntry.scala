@@ -2556,6 +2556,37 @@ object SparkEntry {
       docs.select(col("doc_id").as("id"),
           textops.TextFunctions.normalizedUnicode(col("text")).as("norm"))
         .orderBy(col("id"))
+    }),
+
+    // HTML → text extraction — the curation pipeline's ingestion front
+    // door (crawled corpora start at HTML, not a text column): each
+    // document's text is wrapped in a full page with real chrome — nav
+    // links, header h1, a majority-link menu div, script/style raw-text
+    // (carrying decoy <p> markup), entity references, a footer — plus
+    // the content in two <p> blocks with presentation whitespace. The
+    // engine must strip the chrome (structural containers + link
+    // density), skip raw-text elements, decode entities, collapse
+    // whitespace and join the surviving blocks; the oracle replays the
+    // closed-form expectation from the raw columns (title 'Doc N', the
+    // page lang attribute, text || '\n' || the second paragraph)
+    "q125_html_extract" -> ((s, dir) => {
+      val pages = tSpread(s, dir, "documents").select(col("doc_id"), concat(
+        lit("<!DOCTYPE html>\n<html lang=\""), col("lang"),
+        lit("\"><head><title>Doc "), col("doc_id").cast("string"),
+        lit("</title>\n<style>p { color: red } /* <p>decoy</p> */</style>" +
+          "<script>var s = \"<p>decoy</p>\";</script></head>\n<body>" +
+          "<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a> " +
+          "<a href=\"/b\">More</a></nav>" +
+          "<header><h1>Site &amp; Chrome</h1></header>" +
+          "<div id=\"menu\"><a href=\"/x\">x1</a> <a href=\"/y\">y2</a></div>" +
+          "<article>\n<p>  "), col("text"),
+        lit("  </p>\n<p>end of document "), col("doc_id").cast("string"),
+        lit(" &amp; beyond.</p>\n</article>" +
+          "<footer>&copy; 2026 example</footer></body></html>")
+      ).as("html"))
+      textops.HtmlExtract.extractDocs(pages, "doc_id", "html")
+        .select(col("doc_id"), col("title"), col("lang"), col("text"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -5210,7 +5241,20 @@ object SparkEntry {
     // IMI configurations replay against the same SQL as the pinned-k
     // form.
     "q103_semdedup_auto" -> semDedupAllPairsOracle,
-    "q105_semdedup_imi" -> semDedupAllPairsOracle
+    "q105_semdedup_imi" -> semDedupAllPairsOracle,
+
+    // closed-form replay of the planted page: chrome blocks (nav,
+    // header h1, link-only menu, footer) are constant-dropped by the
+    // extractor's structural/link-density rules, so the surviving text
+    // is exactly the document text plus the second paragraph with its
+    // &amp; decoded; title and lang come from the planted <title> /
+    // <html lang> verbatim
+    "q125_html_extract" ->
+      """SELECT doc_id,
+        |  'Doc ' || CAST(doc_id AS VARCHAR) AS title, lang,
+        |  text || chr(10) || 'end of document ' ||
+        |    CAST(doc_id AS VARCHAR) || ' & beyond.' AS text
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 
   /** Shared q121/q123 replay: exact all-pairs cosine (rounded 6 dp, the

@@ -1,0 +1,413 @@
+package graft.textops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** HTML → text extraction: the ingestion front door of the curation
+  * pipeline. Every real pretraining corpus starts at crawled HTML
+  * (CCNet / FineWeb begin from WET or WARC records), while
+  * [[CurationPipeline]] starts at a `text` column — this operator
+  * bridges the two with a single scan-stage per-row kernel: tag
+  * tokenization, raw-text element skipping (script/style), comment and
+  * doctype removal, character-reference decoding, block segmentation on
+  * block-level elements, and a boilerplate pass in the
+  * Readability/trafilatura shape (structural containers dropped whole;
+  * remaining blocks dropped on link density — the fraction of a block's
+  * characters that sit inside anchors).
+  *
+  * The reference pipeline has no crawl ingestion (stream2segment's
+  * sources are FDSN web services, `stream2segment/download/modules/
+  * events.py:1`); this is extension surface for the LLM-data brief.
+  *
+  * DESIGN FOR 100 TB: extraction is a pure per-row kernel behind a
+  * deterministic UDF — it runs in the scan stage, the HTML payload
+  * never reaches a shuffle, and downstream operators see only the slim
+  * (title, lang, text) projection. Malformed input DEGRADES, never
+  * throws: un-HTML-ish bytes come back as one text block, truncated
+  * markup extracts what is complete, and the kernel is total on any
+  * String (fuzz-pinned in HtmlExtractSpec). A crawl shard with a few
+  * billion broken pages must not kill a stage.
+  *
+  * Determinism: pure string arithmetic, no locale-dependent calls
+  * (ASCII-only case folding for tag/entity names), so a page extracts
+  * to the same text on every executor — the dedup operators downstream
+  * rely on that.
+  */
+object HtmlExtract {
+
+  /** One extracted page. `title`/`lang` are null when absent; `text` is
+    * kept content blocks joined with '\n' (empty string when nothing
+    * survives); block counts expose the boilerplate decision for
+    * quality diagnostics.
+    */
+  final case class Extracted(title: String, lang: String, text: String,
+                             blocksKept: Int, blocksDropped: Int)
+
+  /** Elements whose content is raw text up to the matching close tag
+    * (HTML5 §13.2.5.1 script/RCDATA states — a '<' inside them is NOT
+    * markup), all of which a text extraction drops whole.
+    */
+  private val RawText = Set("script", "style", "noscript", "template",
+    "textarea")
+
+  /** Block-level elements: opening OR closing one ends the current text
+    * block. Everything not listed (a, b, i, em, span, code, …, and any
+    * unknown tag) is inline — its text flows into the enclosing block.
+    */
+  private val BlockTags = Set(
+    "p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "li", "ul", "ol",
+    "br", "hr", "tr", "td", "th", "table", "thead", "tbody", "caption",
+    "section", "article", "header", "footer", "nav", "aside", "main",
+    "blockquote", "pre", "form", "figure", "figcaption", "dl", "dt",
+    "dd", "body", "html", "head", "title")
+
+  /** Structural boilerplate containers: every block that opens while
+    * inside one is chrome, regardless of its text (the Readability
+    * "strip by role" rule).
+    */
+  private val Structural = Set("nav", "header", "footer", "aside", "form")
+
+  /** Named character references a crawl actually meets (the HTML5 core
+    * set; unknown names stay literal — degrade, don't guess). nbsp maps
+    * to a plain space so whitespace collapsing treats it uniformly.
+    */
+  private val Entities: Map[String, String] = Map(
+    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"",
+    "apos" -> "'", "nbsp" -> " ", "copy" -> "©", "reg" -> "®",
+    "trade" -> "™", "mdash" -> "—", "ndash" -> "–",
+    "hellip" -> "…", "lsquo" -> "‘", "rsquo" -> "’",
+    "ldquo" -> "“", "rdquo" -> "”", "middot" -> "·",
+    "bull" -> "•", "deg" -> "°", "plusmn" -> "±",
+    "times" -> "×", "divide" -> "÷", "frac12" -> "½",
+    "sect" -> "§", "para" -> "¶", "laquo" -> "«",
+    "raquo" -> "»", "euro" -> "€", "pound" -> "£",
+    "yen" -> "¥", "cent" -> "¢", "shy" -> "")
+
+  private def isAsciiLetter(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+
+  /** ASCII-only lowercase (tag/attr names are ASCII per the spec; a
+    * locale-sensitive toLowerCase would break under e.g. tr_TR 'I').
+    */
+  private def lowerAscii(s: String): String = {
+    val a = s.toCharArray
+    var i = 0
+    while (i < a.length) {
+      val c = a(i)
+      if (c >= 'A' && c <= 'Z') a(i) = (c + 32).toChar
+      i += 1
+    }
+    new String(a)
+  }
+
+  /** Decode character references in a raw text run, appending to `out`.
+    * Unterminated or unknown references append literally — crawled text
+    * is full of bare '&'.
+    */
+  private def appendDecoded(out: StringBuilder, s: String, from: Int,
+                            until: Int): Unit = {
+    var i = from
+    while (i < until) {
+      val c = s.charAt(i)
+      if (c != '&') { out.append(c); i += 1 }
+      else {
+        // longest plausible reference: &#x10FFFF; — bound the scan
+        val semi = s.indexOf(';', i + 1)
+        if (semi < 0 || semi > i + 10 || semi >= until) {
+          out.append('&'); i += 1
+        } else {
+          val body = s.substring(i + 1, semi)
+          val decoded: Option[String] =
+            if (body.startsWith("#x") || body.startsWith("#X")) {
+              try {
+                val cp = Integer.parseInt(body.substring(2), 16)
+                if (Character.isValidCodePoint(cp) && cp > 0)
+                  Some(new String(Character.toChars(cp)))
+                else None
+              } catch { case _: NumberFormatException => None }
+            } else if (body.startsWith("#")) {
+              try {
+                val cp = Integer.parseInt(body.substring(1))
+                if (Character.isValidCodePoint(cp) && cp > 0)
+                  Some(new String(Character.toChars(cp)))
+                else None
+              } catch { case _: NumberFormatException => None }
+            } else Entities.get(lowerAscii(body))
+          decoded match {
+            case Some(d) => out.append(d); i = semi + 1
+            case None => out.append('&'); i += 1
+          }
+        }
+      }
+    }
+  }
+
+  /** Collapse whitespace runs to single spaces and trim — the one
+    * normalization every extractor applies (HTML source whitespace is
+    * presentation, not content). U+00A0 counts as whitespace here
+    * (named nbsp already decodes to ' ', this catches numeric &#160;).
+    */
+  private def collapseWs(s: String): String = {
+    val out = new StringBuilder(s.length)
+    var pendingSpace = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isWhitespace(c) || c == '\u00A0') {
+        if (out.nonEmpty) pendingSpace = true
+      } else {
+        if (pendingSpace) { out.append(' '); pendingSpace = false }
+        out.append(c)
+      }
+      i += 1
+    }
+    out.toString
+  }
+
+  /** One parsed tag: name (lowercased), whether it closes, and the raw
+    * attribute span [attrFrom, attrUntil) for lazy attribute reads.
+    */
+  private final class Tag(val name: String, val closing: Boolean,
+                          val attrFrom: Int, val attrUntil: Int,
+                          val end: Int)
+
+  /** Parse the tag starting at `i` (s(i) == '<', followed by a letter
+    * or '/'). Attribute values may contain '>' inside quotes — the scan
+    * honors quoting. Returns null when the tag never terminates
+    * (truncated page): the caller treats the rest as text-free.
+    */
+  private def parseTag(s: String, i: Int): Tag = {
+    var p = i + 1
+    val closing = p < s.length && s.charAt(p) == '/'
+    if (closing) p += 1
+    val nameStart = p
+    while (p < s.length && (isAsciiLetter(s.charAt(p)) ||
+      (s.charAt(p) >= '0' && s.charAt(p) <= '9'))) p += 1
+    if (p == nameStart) return null // "<>" or "< " — not a tag
+    val name = lowerAscii(s.substring(nameStart, p))
+    val attrFrom = p
+    // scan to the closing '>', skipping quoted attribute values
+    while (p < s.length) {
+      val c = s.charAt(p)
+      if (c == '"' || c == '\'') {
+        val q = s.indexOf(c, p + 1)
+        if (q < 0) return null // unterminated quote: truncated page
+        p = q + 1
+      } else if (c == '>') {
+        return new Tag(name, closing, attrFrom, p, p + 1)
+      } else p += 1
+    }
+    null
+  }
+
+  /** Read one attribute's value from a tag's raw attribute span (null
+    * when absent). Quoted or unquoted forms, ASCII-case-insensitive
+    * name match, first occurrence wins.
+    */
+  private def attrValue(s: String, from: Int, until: Int,
+                        attr: String): String = {
+    var p = from
+    while (p < until) {
+      // skip whitespace and stray '/'
+      while (p < until && (Character.isWhitespace(s.charAt(p)) ||
+        s.charAt(p) == '/')) p += 1
+      val nameStart = p
+      while (p < until && s.charAt(p) != '=' && s.charAt(p) != '>' &&
+        !Character.isWhitespace(s.charAt(p))) p += 1
+      if (p == nameStart) return null
+      val name = lowerAscii(s.substring(nameStart, p))
+      while (p < until && Character.isWhitespace(s.charAt(p))) p += 1
+      var value: String = ""
+      if (p < until && s.charAt(p) == '=') {
+        p += 1
+        while (p < until && Character.isWhitespace(s.charAt(p))) p += 1
+        if (p < until && (s.charAt(p) == '"' || s.charAt(p) == '\'')) {
+          val q = s.charAt(p)
+          val close = s.indexOf(q, p + 1)
+          val stop = if (close < 0 || close > until) until else close
+          value = s.substring(p + 1, stop)
+          p = stop + 1
+        } else {
+          val valStart = p
+          while (p < until && !Character.isWhitespace(s.charAt(p))) p += 1
+          value = s.substring(valStart, p)
+        }
+      }
+      if (name == attr) return value
+    }
+    null
+  }
+
+  /** Case-insensitive indexOf of the ASCII-lowercase `needle` in `s`
+    * starting at `from` (the raw-text close-tag search).
+    */
+  private def indexOfIgnoreCase(s: String, needle: String, from: Int): Int = {
+    val n = needle.length
+    var i = math.max(from, 0)
+    val last = s.length - n
+    while (i <= last) {
+      var j = 0
+      var ok = true
+      while (ok && j < n) {
+        var c = s.charAt(i + j)
+        if (c >= 'A' && c <= 'Z') c = (c + 32).toChar
+        if (c != needle.charAt(j)) ok = false
+        j += 1
+      }
+      if (ok) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Extract one page. Total on any String (null included): malformed
+    * or truncated markup degrades to whatever is complete; input with
+    * no markup at all comes back as a single kept block.
+    */
+  def extract(html: String): Extracted = {
+    if (html == null) return Extracted(null, null, null, 0, 0)
+    val s = html
+    val n = s.length
+
+    var title: String = null
+    var lang: String = null
+    val kept = new scala.collection.mutable.ArrayBuffer[String]()
+    var dropped = 0
+
+    // current block accumulator + its link-character count
+    val block = new StringBuilder
+    var blockLinkChars = 0
+    var blockStructural = false // opened while inside a structural container
+
+    var structuralDepth = 0 // nav/header/footer/aside/form nesting
+    var aDepth = 0
+    var inTitle = false
+    val titleBuf = new StringBuilder
+
+    def closeBlock(): Unit = {
+      val text = collapseWs(block.toString)
+      val links = blockLinkChars
+      block.clear()
+      blockLinkChars = 0
+      if (text.nonEmpty) {
+        // boilerplate: structural chrome, or majority-link blocks
+        if (blockStructural || links * 2 > text.length) dropped += 1
+        else kept += text
+      }
+      blockStructural = structuralDepth > 0
+    }
+
+    var i = 0
+    while (i < n) {
+      val lt = s.indexOf('<', i)
+      val textEnd = if (lt < 0) n else lt
+      if (textEnd > i) {
+        // a raw text run
+        if (inTitle) appendDecoded(titleBuf, s, i, textEnd)
+        else {
+          val before = block.length
+          appendDecoded(block, s, i, textEnd)
+          if (aDepth > 0) {
+            // count non-whitespace link chars (whitespace collapses out)
+            var k = before
+            while (k < block.length) {
+              if (!Character.isWhitespace(block.charAt(k)) &&
+                block.charAt(k) != '\u00A0') blockLinkChars += 1
+              k += 1
+            }
+          }
+        }
+      }
+      if (lt < 0) i = n
+      else if (lt + 1 >= n) i = n // trailing lone '<'
+      else {
+        val c1 = s.charAt(lt + 1)
+        if (c1 == '!') {
+          if (s.startsWith("<!--", lt)) {
+            val end = s.indexOf("-->", lt + 4)
+            i = if (end < 0) n else end + 3
+          } else if (s.startsWith("<![CDATA[", lt)) {
+            val end = s.indexOf("]]>", lt + 9)
+            i = if (end < 0) n else end + 3
+          } else {
+            val end = s.indexOf('>', lt + 1) // doctype etc.
+            i = if (end < 0) n else end + 1
+          }
+        } else if (c1 == '?') {
+          val end = s.indexOf('>', lt + 1) // processing instruction
+          i = if (end < 0) n else end + 1
+        } else if (isAsciiLetter(c1) || c1 == '/') {
+          val tag = parseTag(s, lt)
+          if (tag == null) i = n // truncated tag: nothing more to read
+          else {
+            i = tag.end
+            val name = tag.name
+            val selfClosed = tag.attrUntil > tag.attrFrom &&
+              s.charAt(tag.attrUntil - 1) == '/'
+            if (!tag.closing && RawText.contains(name) && !selfClosed) {
+              // skip raw content to the matching close tag
+              val close = indexOfIgnoreCase(s, "</" + name, i)
+              if (close < 0) i = n
+              else {
+                val gt = s.indexOf('>', close)
+                i = if (gt < 0) n else gt + 1
+              }
+            } else if (name == "title") {
+              if (!tag.closing) { inTitle = true; titleBuf.clear() }
+              else {
+                inTitle = false
+                val t = collapseWs(titleBuf.toString)
+                if (title == null && t.nonEmpty) title = t
+              }
+            } else {
+              if (name == "html" && !tag.closing && lang == null) {
+                val v = attrValue(s, tag.attrFrom, tag.attrUntil, "lang")
+                if (v != null && v.nonEmpty) lang = v
+              }
+              if (name == "a") {
+                if (tag.closing) { if (aDepth > 0) aDepth -= 1 }
+                else if (!selfClosed) aDepth += 1
+              }
+              if (BlockTags.contains(name)) {
+                closeBlock()
+                if (Structural.contains(name)) {
+                  if (tag.closing) {
+                    if (structuralDepth > 0) structuralDepth -= 1
+                    blockStructural = structuralDepth > 0
+                  } else if (!selfClosed) {
+                    structuralDepth += 1
+                    blockStructural = true
+                  }
+                }
+              }
+            }
+          }
+        } else {
+          // '<' followed by neither letter, '/', '!' nor '?': literal text
+          block.append('<')
+          if (aDepth > 0) blockLinkChars += 1
+          i = lt + 1
+        }
+      }
+    }
+    closeBlock()
+    Extracted(title, lang, kept.mkString("\n"), kept.length, dropped)
+  }
+
+  /** Scan-stage extraction over a DataFrame: (id, title, lang, text,
+    * blocks_kept, blocks_dropped), one kernel call per row, the HTML
+    * column projected away before anything can shuffle it. Rows whose
+    * html is null keep a null text (the caller decides whether a fetch
+    * failure is a drop or a retry).
+    */
+  def extractDocs(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val kernel = udf { html: String =>
+      val e = extract(html)
+      (e.title, e.lang, e.text, e.blocksKept, e.blocksDropped)
+    }
+    df.select(col(idCol), kernel(col(htmlCol)).as("e"))
+      .select(col(idCol), col("e._1").as("title"), col("e._2").as("lang"),
+        col("e._3").as("text"), col("e._4").as("blocks_kept"),
+        col("e._5").as("blocks_dropped"))
+  }
+}

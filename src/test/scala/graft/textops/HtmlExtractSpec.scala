@@ -1,0 +1,190 @@
+package graft.textops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** HTML → text extraction: hand-built pages against exact expected
+  * output, the boilerplate rules (structural containers, link density),
+  * character references, raw-text elements, degrade-not-throw fuzzing,
+  * the DataFrame wrapper, and composition with the curation pipeline.
+  */
+class HtmlExtractSpec extends SparkSpec {
+  import HtmlExtract._
+
+  test("full page: title, lang, chrome stripped, content blocks joined") {
+    val html =
+      """<!DOCTYPE html>
+        |<html lang="en"><head><title>  My  Page </title>
+        |<style>p { color: red; } /* <p>not text</p> */</style>
+        |<script>var s = "<div>also not text</div>";</script>
+        |</head><body>
+        |<nav><a href="/">Home</a> <a href="/a">About</a></nav>
+        |<header><h1>Site Chrome</h1></header>
+        |<article>
+        |<p>First   paragraph
+        |   spans lines.</p>
+        |<p>Second paragraph.</p>
+        |</article>
+        |<footer>&copy; 2026 example</footer>
+        |</body></html>""".stripMargin
+    val e = extract(html)
+    assert(e.title == "My Page")
+    assert(e.lang == "en")
+    assert(e.text == "First paragraph spans lines.\nSecond paragraph.")
+    assert(e.blocksKept == 2)
+    assert(e.blocksDropped == 3) // nav, h1-in-header, footer
+  }
+
+  test("character references: named, decimal, hex, unknown, unterminated") {
+    val e = extract("<p>a &amp; b &lt;c&gt; &#65;&#x42; &nbsp;x &bogus; &amp no-semi</p>")
+    assert(e.text == "a & b <c> AB x &bogus; &amp no-semi")
+  }
+
+  test("raw-text elements swallow markup-looking content; CDATA and comments skipped") {
+    val e = extract(
+      "<p>before</p><script>if (a < b && c > d) { x = \"</p>\"; }</script>" +
+        "<!-- a <p>comment</p> --><![CDATA[ <p>cdata</p> ]]><p>after</p>")
+    assert(e.text == "before\nafter")
+  }
+
+  test("link density: majority-link blocks drop, text-dominant blocks keep") {
+    // menu-like: 4 link chars vs 'x1 y2' collapsed length 5 → 8 > 5 drops
+    val menu = extract("<div><a href='/x'>x1</a> <a href='/y'>y2</a></div>")
+    assert(menu.text == "" && menu.blocksDropped == 1)
+    // a paragraph citing one link among real prose keeps
+    val prose = extract(
+      "<p>plenty of ordinary running prose around <a href='/r'>a link</a> here</p>")
+    assert(prose.text == "plenty of ordinary running prose around a link here")
+    assert(prose.blocksDropped == 0)
+  }
+
+  test("structural containers drop nested blocks wholly; depth tracked") {
+    val e = extract(
+      "<nav><div><p>deep menu text that is long enough to pass density</p></div></nav>" +
+        "<p>content</p>")
+    assert(e.text == "content")
+    assert(e.blocksDropped == 1)
+    // an unbalanced extra close never underflows
+    val e2 = extract("</nav></footer><p>still fine</p>")
+    assert(e2.text == "still fine")
+  }
+
+  test("degrade: no markup at all is one kept block; null is null") {
+    val plain = extract("just a plain string, no tags")
+    assert(plain.text == "just a plain string, no tags")
+    assert(plain.blocksKept == 1)
+    val n = extract(null)
+    assert(n.text == null && n.title == null && n.lang == null)
+    assert(extract("").text == "")
+  }
+
+  test("lone '<' and non-tag angle brackets stay literal text") {
+    val e = extract("<p>3 < 5 and 7 > 2</p>")
+    assert(e.text == "3 < 5 and 7 > 2")
+    val trailing = extract("<p>end <")
+    assert(trailing.text == "end")
+  }
+
+  test("attributes: quoted '>' does not end the tag; lang from first <html>") {
+    val e = extract("<html lang=\"de\"><p title=\"a>b\">text here</p></html>")
+    assert(e.lang == "de")
+    assert(e.text == "text here")
+    // unquoted lang, second html ignored
+    val e2 = extract("<html lang=fr><p>x y z</p></html><html lang=en></html>")
+    assert(e2.lang == "fr")
+  }
+
+  test("title: first non-empty wins; title text never leaks into body") {
+    val e = extract("<title>One</title><title>Two</title><p>body text</p>")
+    assert(e.title == "One")
+    assert(e.text == "body text")
+  }
+
+  test("fuzz: random corruptions, truncations and garbage never throw") {
+    val base =
+      """<html lang="en"><head><title>T</title><style>a{b:c}</style>
+        |<script>s("<p>")</script></head><body><nav><a href=/>h</a></nav>
+        |<article><p>alpha beta gamma delta</p><p>epsilon zeta</p></article>
+        |<footer>&copy; f</footer></body></html>""".stripMargin
+    var s = 99L
+    def next(mod: Int): Int = {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      (((s >>> 33) % mod).toInt + mod) % mod
+    }
+    // every truncation point
+    (0 to base.length).foreach { cut =>
+      val e = extract(base.substring(0, cut))
+      assert(e != null)
+    }
+    // 500 random single-char corruptions
+    (1 to 500).foreach { _ =>
+      val a = base.toCharArray
+      a(next(base.length)) = next(127).toChar
+      assert(extract(new String(a)) != null)
+    }
+    // random garbage with markup-ish characters
+    (1 to 200).foreach { _ =>
+      val g = Array.fill(next(300) + 1)("<>&;\"'/=abc ".charAt(next(12)))
+      assert(extract(new String(g)) != null)
+    }
+    // pathological: unterminated quote, unterminated comment, huge entity
+    assert(extract("<p a=\"never closed").text == "")
+    assert(extract("<!-- never closed <p>x</p>").text == "")
+    assert(extract("<p>&#xZZZZ; &#99999999999;</p>").text ==
+      "&#xZZZZ; &#99999999999;")
+  }
+
+  test("extractDocs: scan-stage DataFrame wrapper with null rows") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "<html lang='es'><title>Uno</title><p>hola mundo aqui</p></html>"),
+      (2L, null.asInstanceOf[String]),
+      (3L, "plain text only")
+    ).toDF("id", "html")
+    val got = extractDocs(df, "id", "html")
+      .orderBy("id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    assert(got(0) == ((1L, "Uno", "es", "hola mundo aqui")))
+    assert(got(1) == ((2L, null, null, null)))
+    assert(got(2) == ((3L, null, null, "plain text only")))
+    // no exchange anywhere before the orderBy: extraction is scan-stage
+    val plan = extractDocs(df, "id", "html").queryExecution
+      .executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("composition: extracted text feeds the curation pipeline end-to-end") {
+    import spark.implicits._
+    def page(id: Long, body: String, lang: String = "en") =
+      (id, s"""<html lang="$lang"><head><title>Doc $id</title>
+              |<script>var x = 1;</script></head><body>
+              |<nav><a href="/">home</a> <a href="/x">next</a></nav>
+              |<article><p>$body</p></article>
+              |<footer>site footer</footer></body></html>""".stripMargin)
+    val prose = "the quick brown fox jumps over the lazy dog and keeps " +
+      "running through the field of tall grass toward the river where " +
+      "it finally rests under a shady willow tree beside the quiet water " +
+      "until evening comes"
+    val pages = Seq(
+      page(1L, prose),
+      page(2L, prose), // exact duplicate after extraction
+      page(3L, "assorted different words appear here now and again with " +
+        "more of the usual variety to pass the quality gates easily " +
+        "because this sentence keeps adding distinct ordinary tokens " +
+        "well beyond the minimum threshold of thirty"),
+      page(4L, "this text is far too short")   // quality drop
+    ).toDF("id", "html")
+    val text = HtmlExtract.extractDocs(pages, "id", "html")
+    val decisions = CurationPipeline.run(text, "id", "text",
+      keepLangs = Set("en"))
+      .orderBy("id")
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(3)) // id -> drop_reason
+      .toMap
+    assert(decisions(1L) == null) // kept (smallest id in dup group)
+    assert(decisions(2L) == "duplicate")
+    assert(decisions(3L) == null)
+    assert(decisions(4L) == "quality")
+  }
+}
