@@ -2314,8 +2314,11 @@ object SparkEntry {
     }),
 
     // acoustic-fingerprint near-dup dedup — q112's audio sibling
-    // through the REAL RIFF/PCM pipeline: supplier keys plant COMPLETE
-    // 16-bit WAVs; group k%20 members share a base waveform but each
+    // through the REAL container pipeline: supplier keys plant COMPLETE
+    // 16-bit payloads in MIXED containers (even keys RIFF/WAVE, odd
+    // keys FLAC — real LPC/fixed prediction + Rice residuals, CRC and
+    // MD5 verified; lossless, so both containers decode to identical
+    // PCM); group k%20 members share a base waveform but each
     // member is uniformly gain-scaled (×1..×31, byte-distinct payloads,
     // no clipping) — every window energy scales by g², so the
     // envelope-gradient hash is IDENTICAL by exact integer arithmetic
@@ -2386,7 +2389,9 @@ object SparkEntry {
     }),
 
     // exact block-mean audio decimation — the resample step before a
-    // fingerprint/feature stage: supplier keys plant 640-sample WAVs
+    // fingerprint/feature stage: supplier keys plant 640-sample clips
+    // in MIXED containers (even keys WAV, odd keys FLAC — the q115
+    // pattern, one oracle across containers)
     // with pcm(j) = j + (k % 50); decimating by 8 gives
     // floor((Σ j + 8·base) / 8) = 8i + base + 3 exactly — the oracle
     // replays decode→downsample in closed form
@@ -2659,7 +2664,14 @@ object SparkEntry {
       s = s * 6364136223846793005L + 1442695040888963407L
       (((s >>> 40) % 1000).toInt * gain).toShort
     }
-    multimodal.Multimodal.Codecs.wavBytes(8000, pcm)
+    // mixed-container corpus (the q115 pattern): even keys RIFF/WAVE,
+    // odd keys FLAC (lossless → identical PCM → identical fingerprint,
+    // so the oracle's within-group arithmetic is container-blind); the
+    // FLAC subframe family also varies by key so fixed/LPC paths both
+    // appear in the corpus
+    if (k % 2 == 0) multimodal.Multimodal.Codecs.wavBytes(8000, pcm)
+    else multimodal.Flac.flacBytes(8000, pcm,
+      subframe = if (k % 4 == 1) "auto" else "lpc")
   }
 
   /** q114's planted AVI for supplier key `k`: (k%7 + 1) frames, frame
@@ -2700,7 +2712,10 @@ object SparkEntry {
   private[graft] def q116Wav(k: Long): Array[Byte] = {
     val base = (k % 50).toInt
     val pcm = Array.tabulate[Short](640)(j => (j + base).toShort)
-    multimodal.Multimodal.Codecs.wavBytes(8000, pcm)
+    // mixed containers like q115: even keys WAV, odd keys FLAC — the
+    // lossless decode feeds the same closed-form block means
+    if (k % 2 == 0) multimodal.Multimodal.Codecs.wavBytes(8000, pcm)
+    else multimodal.Flac.flacBytes(8000, pcm)
   }
 
   /** q117's planted AVI for supplier key `k`: a group-determined

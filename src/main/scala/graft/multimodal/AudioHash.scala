@@ -38,9 +38,10 @@ import org.apache.spark.sql.functions._
   * by the uniform factor 2 when window boundaries align).
   *
   * PCM comes from the REAL container decode
-  * ([[Multimodal.Codecs.decodeWavPcm]] — RIFF chunk walk, 8/16-bit
-  * PCM); payloads that don't decode, or decode to fewer samples than
-  * one window per bucket needs, produce no fingerprint row and never
+  * ([[Multimodal.Codecs.decodeAudioPcm]] — RIFF chunk walk for WAV,
+  * LPC + Rice for FLAC, both to the same normalized 16-bit PCM);
+  * payloads that don't decode, or decode to fewer samples than one
+  * window per bucket needs, produce no fingerprint row and never
   * pair.
   *
   * Scale shape: identical to the image modality — fingerprinting is one
@@ -126,7 +127,7 @@ object AudioHash {
       s"method must be env|flux, got $method")
     val minWin = if (method == "env") 65 else 66
     val kernel = udf { payload: Array[Byte] =>
-      Multimodal.Codecs.decodeWavPcm(payload).flatMap { w =>
+      Multimodal.Codecs.decodeAudioPcm(payload).flatMap { w =>
         if (w.pcm.length < minWin || w.pcm.length > MaxSamples) None
         else if (method == "env") Some(envHash64(w.pcm))
         else Some(fluxHash64(w.pcm))

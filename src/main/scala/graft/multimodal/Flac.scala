@@ -1,0 +1,730 @@
+package graft.multimodal
+
+import graft.multimodal.Multimodal.Codecs.WavAudio
+
+/** REAL FLAC decode (the public xiph.org format spec / RFC 9639) — the
+  * compressed-audio container behind the
+  * [[Multimodal.Codecs.decodeAudioPcm]] seam. Real audio corpora don't
+  * ship WAV; FLAC is the lossless one, so the engine's exact-integer
+  * contract survives it: LPC/fixed prediction and Rice residual coding
+  * are pure integer arithmetic, and a payload decodes to bit-identical
+  * PCM on every executor — which the gain-invariant fingerprint joins
+  * ([[AudioHash]]) and the closed-form resample oracles rely on.
+  *
+  * Scope is the subset a training-corpus ingest meets: 8/16-bit
+  * samples, 1–8 channels, constant/verbatim/fixed/LPC subframes, both
+  * Rice methods with escape partitions, wasted bits, and all four
+  * stereo decorrelation modes (independent, left/side, right/side,
+  * mid/side). 12/20/24/32-bit streams refuse whole (the PCM contract
+  * downstream is 16-bit Shorts, like the WAV path).
+  *
+  * Integrity is verified, not assumed: the frame-header CRC-8, the
+  * whole-frame CRC-16 and (when present) the STREAMINFO MD5 of the
+  * decoded PCM must all match — a corrupted payload refuses rather
+  * than fingerprinting garbage. Every length, order and Rice parameter
+  * is attacker-controlled: the shared 2^26-sample cap, subframe bound
+  * checks and the end-of-payload bit-reader contract refuse instead of
+  * looping, overrunning, or allocating unboundedly.
+  *
+  * The planting writer ([[flacBytes]]) is the test/oracle side: a
+  * complete conforming encoder (fixed-predictor search or forced
+  * constant/verbatim/LPC subframes, Rice parameter search with escape
+  * fallback, UTF-8 frame numbers, real CRCs and MD5) so specs and
+  * oracle queries can plant payloads whose decode is exactly the
+  * source PCM — losslessness makes every FLAC oracle closed-form.
+  */
+object Flac {
+
+  /** Refusal signal — caught at the [[decodeFlacPcm]] boundary only. */
+  private final class Malformed extends RuntimeException(null, null, false, false)
+  private def malformed: Nothing = throw new Malformed
+
+  /** Decoded-sample cap, the audio twin of the image decoders' 2^26-px
+    * cap: bounds every buffer a crafted STREAMINFO/frame chain could
+    * request.
+    */
+  private val MaxSamples = 1L << 26
+
+  // --------------------------------------------------------------- CRCs
+
+  /** CRC-8, polynomial x^8+x^2+x+1 (0x07), init 0 — frame headers. */
+  private def crc8(b: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= (b(i) & 0xff)
+      var k = 0
+      while (k < 8) {
+        crc = if ((crc & 0x80) != 0) ((crc << 1) ^ 0x07) & 0xff else (crc << 1) & 0xff
+        k += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  /** CRC-16, polynomial x^16+x^15+x^2+1 (0x8005), init 0 — whole frames. */
+  private def crc16(b: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= (b(i) & 0xff) << 8
+      var k = 0
+      while (k < 8) {
+        crc = if ((crc & 0x8000) != 0) ((crc << 1) ^ 0x8005) & 0xffff
+        else (crc << 1) & 0xffff
+        k += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  // ---------------------------------------------------------- bit reader
+
+  /** MSB-first bit reader; any read past the payload refuses (a
+    * truncated stream can't silently decode as silence, and a garbage
+    * unary run terminates at the payload end instead of spinning).
+    */
+  private final class BitReader(val b: Array[Byte]) {
+    var bytePos = 0
+    private var bitPos = 0 // 0..7, next bit = (b(bytePos) >> (7 - bitPos)) & 1
+
+    def readBit(): Int = {
+      if (bytePos >= b.length) malformed
+      val v = (b(bytePos) >> (7 - bitPos)) & 1
+      bitPos += 1
+      if (bitPos == 8) { bitPos = 0; bytePos += 1 }
+      v
+    }
+    def readBits(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) { v = (v << 1) | readBit(); i += 1 }
+      v
+    }
+    def readBitsLong(n: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < n) { v = (v << 1) | readBit(); i += 1 }
+      v
+    }
+    /** Two's-complement signed value of n bits (n >= 1). */
+    def readSigned(n: Int): Int = {
+      val v = readBits(n)
+      if ((v & (1 << (n - 1))) != 0) v - (1 << n) else v
+    }
+    /** Unary: count of 0-bits before the terminating 1. */
+    def readUnary(): Int = {
+      var q = 0
+      while (readBit() == 0) q += 1
+      q
+    }
+    def aligned: Boolean = bitPos == 0
+    def alignToByte(): Unit = if (bitPos != 0) { bitPos = 0; bytePos += 1 }
+    def atEnd: Boolean = bytePos >= b.length
+  }
+
+  // ------------------------------------------------------------- decode
+
+  private final case class StreamInfo(sampleRate: Int, channels: Int,
+                                      bps: Int, totalSamples: Long,
+                                      md5: Array[Byte])
+
+  /** FLAC → interleaved 16-bit PCM in the [[WavAudio]] shape the WAV
+    * path produces (8-bit samples scale by << 8, same as the RIFF
+    * decode). None on anything outside the documented profile or on
+    * any integrity failure.
+    */
+  def decodeFlacPcm(b: Array[Byte]): Option[WavAudio] = {
+    if (b == null || b.length < 42 ||
+      b(0) != 'f' || b(1) != 'L' || b(2) != 'a' || b(3) != 'C') return None
+    try Some(decode(b))
+    catch { case _: Malformed => None }
+  }
+
+  private def decode(b: Array[Byte]): WavAudio = {
+    // ---- metadata blocks: STREAMINFO first (spec-mandated), rest skipped
+    var i = 4
+    var info: StreamInfo = null
+    var last = false
+    var first = true
+    while (!last) {
+      if (i + 4 > b.length) malformed
+      val h = b(i) & 0xff
+      last = (h & 0x80) != 0
+      val btype = h & 0x7f
+      val len = ((b(i + 1) & 0xff) << 16) | ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+      i += 4
+      if (i + len > b.length) malformed
+      if (first) {
+        if (btype != 0 || len != 34) malformed // STREAMINFO must lead
+        val r = new BitReader(java.util.Arrays.copyOfRange(b, i, i + 34))
+        val minB = r.readBits(16); val maxB = r.readBits(16)
+        r.readBits(24); r.readBits(24) // min/max frame size (informational)
+        val sr = r.readBits(20)
+        val ch = r.readBits(3) + 1
+        val bps = r.readBits(5) + 1
+        val total = r.readBitsLong(36)
+        val md5 = java.util.Arrays.copyOfRange(b, i + 18, i + 34)
+        if (minB < 16 && minB != 0) malformed
+        if (maxB != 0 && maxB < minB) malformed
+        if (sr == 0 || ch < 1 || ch > 8) malformed
+        if (bps != 8 && bps != 16) malformed // the Short-PCM profile
+        if (total > MaxSamples) malformed
+        info = StreamInfo(sr, ch, bps, total, md5)
+        first = false
+      } else if (btype == 127) malformed // invalid block type
+      i += len
+    }
+    if (info == null) malformed
+
+    val out = new java.io.ByteArrayOutputStream() // little-endian PCM for MD5
+    val pcm = new scala.collection.mutable.ArrayBuffer[Short](
+      math.min(if (info.totalSamples > 0) info.totalSamples * info.channels
+      else 1L << 12, 1L << 20).toInt)
+
+    val r = new BitReader(b)
+    r.bytePos = i
+    var decoded = 0L
+    while (!r.atEnd) {
+      decoded += decodeFrame(r, info, pcm, out)
+      if (decoded > MaxSamples) malformed
+    }
+    if (decoded == 0) malformed // header-only stream: nothing decoded
+    if (info.totalSamples > 0 && decoded != info.totalSamples) malformed
+
+    // STREAMINFO MD5 is over the raw little-endian PCM; all-zero = unset
+    if (info.md5.exists(_ != 0)) {
+      val got = java.security.MessageDigest.getInstance("MD5")
+        .digest(out.toByteArray)
+      if (!java.util.Arrays.equals(got, info.md5)) malformed
+    }
+
+    // normalize like the WAV path: 8-bit scales into the Short range
+    val samples = pcm.toArray
+    if (info.bps == 8) {
+      var k = 0
+      while (k < samples.length) {
+        samples(k) = (samples(k) << 8).toShort
+        k += 1
+      }
+    }
+    WavAudio(info.sampleRate, info.channels, info.bps, samples)
+  }
+
+  /** Decode one frame (reader is byte-aligned at its sync code);
+    * returns the inter-channel sample count.
+    */
+  private def decodeFrame(r: BitReader, info: StreamInfo,
+                          pcm: scala.collection.mutable.ArrayBuffer[Short],
+                          md5Out: java.io.ByteArrayOutputStream): Int = {
+    if (!r.aligned) malformed
+    val frameStart = r.bytePos
+    if (r.readBits(14) != 0x3ffe) malformed // sync
+    if (r.readBit() != 0) malformed // reserved
+    r.readBit() // blocking strategy (fixed/variable both fine)
+    val bsCode = r.readBits(4)
+    val srCode = r.readBits(4)
+    val chAssign = r.readBits(4)
+    val ssCode = r.readBits(3)
+    if (r.readBit() != 0) malformed // reserved
+
+    // coded frame/sample number: UTF-8-like, 1..7 bytes
+    val first = r.readBits(8)
+    val extra =
+      if ((first & 0x80) == 0) 0
+      else if ((first & 0xe0) == 0xc0) 1
+      else if ((first & 0xf0) == 0xe0) 2
+      else if ((first & 0xf8) == 0xf0) 3
+      else if ((first & 0xfc) == 0xf8) 4
+      else if ((first & 0xfe) == 0xfc) 5
+      else if (first == 0xfe) 6
+      else malformed
+    var k = 0
+    while (k < extra) {
+      if ((r.readBits(8) & 0xc0) != 0x80) malformed // continuation byte
+      k += 1
+    }
+
+    val blockSize = bsCode match {
+      case 0 => malformed // reserved
+      case 1 => 192
+      case n if n >= 2 && n <= 5 => 576 << (n - 2)
+      case 6 => r.readBits(8) + 1
+      case 7 => r.readBits(16) + 1
+      case n => 256 << (n - 8)
+    }
+    srCode match {
+      case 0 => () // from STREAMINFO
+      case n if n >= 1 && n <= 11 => () // the fixed table; stream rate wins
+      case 12 => r.readBits(8)
+      case 13 | 14 => r.readBits(16)
+      case _ => malformed
+    }
+    val bps = ssCode match {
+      case 0 => info.bps
+      case 1 => 8
+      case 4 => 16
+      case 2 | 5 | 6 | 7 => malformed // 12/20/24/32: outside the profile
+      case _ => malformed // reserved
+    }
+    if (bps != info.bps) malformed
+
+    val nCh = if (chAssign <= 7) chAssign + 1 else 2
+    if (chAssign > 10) malformed // reserved assignments
+    if (nCh != info.channels) malformed
+
+    // header CRC-8 covers sync through the last header byte
+    if (!r.aligned) malformed // header fields are byte-multiple by spec
+    val headerEnd = r.bytePos
+    if (r.readBits(8) != crc8(r.b, frameStart, headerEnd)) malformed
+
+    // ---- subframes
+    val chans = new Array[Array[Int]](nCh)
+    var c = 0
+    while (c < nCh) {
+      // side channels carry one extra bit
+      val extraBit = chAssign match {
+        case 8 => if (c == 1) 1 else 0 // left/side
+        case 9 => if (c == 0) 1 else 0 // right/side (side first)
+        case 10 => if (c == 1) 1 else 0 // mid/side
+        case _ => 0
+      }
+      chans(c) = decodeSubframe(r, blockSize, bps + extraBit)
+      c += 1
+    }
+
+    // frame CRC-16 covers everything from sync through subframe padding
+    r.alignToByte()
+    val bodyEnd = r.bytePos
+    if (r.readBits(16) != crc16(r.b, frameStart, bodyEnd)) malformed
+
+    // ---- stereo decorrelation (exact integer, per spec)
+    val (left, right) = chAssign match {
+      case 8 => // left/side: side = left - right
+        val l = chans(0); val s = chans(1)
+        (l, Array.tabulate(blockSize)(j => l(j) - s(j)))
+      case 9 => // right/side: side first
+        val s = chans(0); val rr = chans(1)
+        (Array.tabulate(blockSize)(j => rr(j) + s(j)), rr)
+      case 10 => // mid/side
+        val m = chans(0); val s = chans(1)
+        val l = new Array[Int](blockSize)
+        val rr = new Array[Int](blockSize)
+        var j = 0
+        while (j < blockSize) {
+          val mid2 = (m(j) << 1) | (s(j) & 1)
+          l(j) = (mid2 + s(j)) >> 1
+          rr(j) = (mid2 - s(j)) >> 1
+          j += 1
+        }
+        (l, rr)
+      case _ => (null, null)
+    }
+
+    // interleave; every sample must fit its declared width
+    val lim = 1 << (bps - 1)
+    def push(v: Int): Unit = {
+      if (v < -lim || v >= lim) malformed
+      pcm += v.toShort
+      md5Out.write(v & 0xff)
+      if (bps == 16) md5Out.write((v >> 8) & 0xff)
+    }
+    var j = 0
+    while (j < blockSize) {
+      if (chAssign <= 7) {
+        var cc = 0
+        while (cc < nCh) { push(chans(cc)(j)); cc += 1 }
+      } else {
+        push(left(j)); push(right(j))
+      }
+      j += 1
+    }
+    blockSize
+  }
+
+  private def decodeSubframe(r: BitReader, n: Int, bps: Int): Array[Int] = {
+    if (r.readBit() != 0) malformed // padding
+    val stype = r.readBits(6)
+    val wasted = if (r.readBit() == 1) r.readUnary() + 1 else 0
+    val eff = bps - wasted
+    if (eff <= 0) malformed
+    val out: Array[Int] =
+      if (stype == 0) { // constant
+        val v = r.readSigned(eff)
+        Array.fill(n)(v)
+      } else if (stype == 1) { // verbatim
+        Array.fill(n)(r.readSigned(eff))
+      } else if (stype >= 8 && stype <= 12) { // fixed, order 0..4
+        val order = stype - 8
+        if (order > n) malformed
+        val x = new Array[Int](n)
+        var i = 0
+        while (i < order) { x(i) = r.readSigned(eff); i += 1 }
+        val e = decodeResiduals(r, n, order)
+        while (i < n) {
+          // exact fixed-predictor reconstruction (RFC 9639 §9.2.1);
+          // Long accumulation — order-4 terms can exceed Int briefly
+          val p: Long = order match {
+            case 0 => 0L
+            case 1 => x(i - 1).toLong
+            case 2 => 2L * x(i - 1) - x(i - 2)
+            case 3 => 3L * x(i - 1) - 3L * x(i - 2) + x(i - 3)
+            case _ => 4L * x(i - 1) - 6L * x(i - 2) + 4L * x(i - 3) - x(i - 4)
+          }
+          val v = p + e(i - order)
+          if (v < Int.MinValue || v > Int.MaxValue) malformed
+          x(i) = v.toInt
+          i += 1
+        }
+        x
+      } else if (stype >= 32) { // LPC, order 1..32
+        val order = stype - 31
+        if (order > n) malformed
+        val x = new Array[Int](n)
+        var i = 0
+        while (i < order) { x(i) = r.readSigned(eff); i += 1 }
+        val precM1 = r.readBits(4)
+        if (precM1 == 15) malformed // invalid per spec
+        val prec = precM1 + 1
+        val shift = r.readSigned(5)
+        if (shift < 0) malformed // negative shift reserved
+        val coef = Array.fill(order)(r.readSigned(prec))
+        val e = decodeResiduals(r, n, order)
+        while (i < n) {
+          var acc = 0L
+          var j = 0
+          while (j < order) { acc += coef(j).toLong * x(i - 1 - j); j += 1 }
+          val v = (acc >> shift) + e(i - order)
+          if (v < Int.MinValue || v > Int.MaxValue) malformed
+          x(i) = v.toInt
+          i += 1
+        }
+        x
+      } else malformed // reserved types
+    if (wasted > 0) {
+      var i = 0
+      while (i < out.length) { out(i) = out(i) << wasted; i += 1 }
+    }
+    out
+  }
+
+  /** Rice-coded residual section: method (4- or 5-bit parameters),
+    * 2^po partitions, escape partitions as raw fixed-width values.
+    */
+  private def decodeResiduals(r: BitReader, blockSize: Int,
+                              order: Int): Array[Int] = {
+    val method = r.readBits(2)
+    if (method > 1) malformed
+    val pBits = if (method == 0) 4 else 5
+    val escape = if (method == 0) 0xf else 0x1f
+    val po = r.readBits(4)
+    val parts = 1 << po
+    if (blockSize % parts != 0) malformed
+    val perPart = blockSize >> po
+    if (perPart <= order && po == 0) malformed
+    if (perPart < order && po > 0) malformed
+    val out = new Array[Int](blockSize - order)
+    var idx = 0
+    var p = 0
+    while (p < parts) {
+      val count = if (p == 0) perPart - order else perPart
+      if (count < 0) malformed
+      val param = r.readBits(pBits)
+      if (param == escape) {
+        val raw = r.readBits(5)
+        var k = 0
+        while (k < count) {
+          out(idx) = if (raw == 0) 0 else r.readSigned(raw)
+          idx += 1; k += 1
+        }
+      } else {
+        var k = 0
+        while (k < count) {
+          val q = r.readUnary()
+          if (q > (1 << 20)) malformed // garbage unary: refuse early
+          val rem = r.readBits(param)
+          val u = (q.toLong << param) | rem
+          // zigzag: even → u/2, odd → -(u/2) - 1
+          val v = if ((u & 1L) == 0L) (u >>> 1) else -(u >>> 1) - 1
+          if (v < Int.MinValue || v > Int.MaxValue) malformed
+          out(idx) = v.toInt
+          idx += 1; k += 1
+        }
+      }
+      p += 1
+    }
+    out
+  }
+
+  // ------------------------------------------------------------- encode
+  // Planting-side writer (tests + oracle queries), mirroring
+  // jpegGrayBytes/wavBytes: a complete conforming encoder whose decode
+  // is exactly the source PCM.
+
+  private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+    private var cur = 0
+    private var nbits = 0
+    def put(v: Long, bits: Int): Unit = {
+      var i = bits - 1
+      while (i >= 0) {
+        cur = (cur << 1) | ((v >> i) & 1L).toInt
+        nbits += 1
+        if (nbits == 8) { out.write(cur); cur = 0; nbits = 0 }
+        i -= 1
+      }
+    }
+    def putSigned(v: Int, bits: Int): Unit = put(v.toLong & ((1L << bits) - 1), bits)
+    def putUnary(q: Int): Unit = { var i = 0; while (i < q) { put(0, 1); i += 1 }; put(1, 1) }
+    def alignZero(): Unit = if (nbits > 0) put(0, 8 - nbits)
+  }
+
+  /** UTF-8-style coded number (frame index). */
+  private def putUtf8(bw: BitWriter, v: Long): Unit = {
+    if (v < 0x80) bw.put(v, 8)
+    else if (v < 0x800) {
+      bw.put(0xc0 | (v >> 6), 8); bw.put(0x80 | (v & 0x3f), 8)
+    } else if (v < 0x10000) {
+      bw.put(0xe0 | (v >> 12), 8); bw.put(0x80 | ((v >> 6) & 0x3f), 8)
+      bw.put(0x80 | (v & 0x3f), 8)
+    } else {
+      bw.put(0xf0 | (v >> 18), 8); bw.put(0x80 | ((v >> 12) & 0x3f), 8)
+      bw.put(0x80 | ((v >> 6) & 0x3f), 8); bw.put(0x80 | (v & 0x3f), 8)
+    }
+  }
+
+  /** Rice length of one residual at parameter p (escape handled by the
+    * caller's search).
+    */
+  private def zig(v: Int): Long = if (v >= 0) v.toLong << 1 else (-(v.toLong) << 1) - 1
+
+  /** Encode one channel's residual section: partition order 0, best
+    * 4-bit Rice parameter by exhaustive length search, raw escape when
+    * that beats Rice (huge residuals).
+    */
+  private def writeResiduals(bw: BitWriter, e: Array[Int]): Unit = {
+    var bestP = 0
+    var bestLen = Long.MaxValue
+    var p = 0
+    while (p <= 14) {
+      var len = 0L
+      var i = 0
+      while (i < e.length && len < bestLen) {
+        len += (zig(e(i)) >>> p) + 1 + p
+        i += 1
+      }
+      if (len < bestLen) { bestLen = len; bestP = p }
+      p += 1
+    }
+    val maxAbsBits = {
+      var mx = 0
+      e.foreach { v =>
+        val need = 33 - java.lang.Integer.numberOfLeadingZeros(math.abs(v))
+        if (need > mx) mx = need
+      }
+      math.min(math.max(mx, 1), 31)
+    }
+    bw.put(0, 2) // method 0: 4-bit parameters
+    bw.put(0, 4) // partition order 0
+    if (maxAbsBits <= 31 && e.length.toLong * maxAbsBits + 5 < bestLen) {
+      bw.put(0xf, 4) // escape
+      bw.put(maxAbsBits, 5)
+      e.foreach(v => bw.putSigned(v, maxAbsBits))
+    } else {
+      bw.put(bestP, 4)
+      e.foreach { v =>
+        val u = zig(v)
+        bw.putUnary((u >>> bestP).toInt)
+        bw.put(u & ((1L << bestP) - 1), bestP)
+      }
+    }
+  }
+
+  /** Encode one subframe. `force` picks the subframe family for test
+    * coverage; "auto" searches fixed orders 0..4 (constant when the
+    * block is flat). Wasted bits are detected and used whenever every
+    * sample shares trailing zeros — exercising the decoder's shift-back
+    * path on real streams.
+    */
+  private def writeSubframe(bw: BitWriter, x0: Array[Int], bps0: Int,
+                            force: String): Unit = {
+    bw.put(0, 1) // padding
+    val tz = x0.foldLeft(32)((m, v) =>
+      if (v == 0) m else math.min(m, java.lang.Integer.numberOfTrailingZeros(v)))
+    val wasted = if (tz >= 32) 0 else math.min(tz, bps0 - 1)
+    val x = if (wasted == 0) x0 else x0.map(_ >> wasted)
+    val bps = bps0 - wasted
+    def writeWastedFlag(): Unit =
+      if (wasted == 0) bw.put(0, 1)
+      else { bw.put(1, 1); bw.putUnary(wasted - 1) }
+    val flat = x.forall(_ == x(0))
+    if (force == "verbatim") {
+      bw.put(1, 6); writeWastedFlag()
+      x.foreach(v => bw.putSigned(v, bps))
+    } else if (flat && force == "auto") {
+      bw.put(0, 6); writeWastedFlag()
+      bw.putSigned(x(0), bps)
+    } else if (force == "lpc" && x.length > 2) {
+      // order-2 LPC, shift 5, coefficients ~ linear extrapolation
+      // (63·x[i-1] − 31·x[i-2]) >> 5 — any quantized coefficients make a
+      // conforming stream; residuals keep it exact
+      val order = 2; val shift = 5
+      val coef = Array(63, -31)
+      bw.put(32 + order - 1, 6); writeWastedFlag()
+      var i = 0
+      while (i < order) { bw.putSigned(x(i), bps); i += 1 }
+      bw.put(12 - 1, 4) // precision 12
+      bw.putSigned(shift, 5)
+      coef.foreach(c => bw.putSigned(c, 12))
+      val e = new Array[Int](x.length - order)
+      i = order
+      while (i < x.length) {
+        val p = (coef(0).toLong * x(i - 1) + coef(1).toLong * x(i - 2)) >> shift
+        e(i - order) = (x(i) - p).toInt
+        i += 1
+      }
+      writeResiduals(bw, e)
+    } else {
+      // fixed predictor: search order 0..4 by total |residual|
+      val maxOrder = math.min(4, x.length - 1)
+      var bestOrder = 0
+      var bestCost = Long.MaxValue
+      var bestE: Array[Int] = null
+      var o = 0
+      while (o <= maxOrder) {
+        val e = new Array[Int](x.length - o)
+        var i = o
+        var cost = 0L
+        var ok = true
+        while (i < x.length && ok) {
+          val p: Long = o match {
+            case 0 => 0L
+            case 1 => x(i - 1).toLong
+            case 2 => 2L * x(i - 1) - x(i - 2)
+            case 3 => 3L * x(i - 1) - 3L * x(i - 2) + x(i - 3)
+            case _ => 4L * x(i - 1) - 6L * x(i - 2) + 4L * x(i - 3) - x(i - 4)
+          }
+          val d = x(i) - p
+          if (d < Int.MinValue || d > Int.MaxValue) ok = false
+          else { e(i - o) = d.toInt; cost += math.abs(d) }
+          i += 1
+        }
+        if (ok && cost < bestCost) { bestCost = cost; bestOrder = o; bestE = e }
+        o += 1
+      }
+      bw.put(8 + bestOrder, 6); writeWastedFlag()
+      var i = 0
+      while (i < bestOrder) { bw.putSigned(x(i), bps); i += 1 }
+      writeResiduals(bw, bestE)
+    }
+  }
+
+  /** Complete FLAC of interleaved PCM. `bits` 8 or 16 (8-bit samples
+    * must fit signed bytes). `stereoMode` exercises the decorrelation
+    * paths: independent | left-side | right-side | mid-side (stereo
+    * only). `subframe` forces a family: auto | verbatim | lpc.
+    */
+  def flacBytes(sampleRateHz: Int, pcm: Array[Short], channels: Int = 1,
+                bits: Int = 16, blockSize: Int = 1024,
+                stereoMode: String = "independent",
+                subframe: String = "auto"): Array[Byte] = {
+    require(channels >= 1 && channels <= 8, s"channels 1..8, got $channels")
+    require(pcm.length % channels == 0 && pcm.nonEmpty,
+      s"interleaved pcm length ${pcm.length} not a multiple of $channels")
+    require(bits == 8 || bits == 16, s"bits 8|16, got $bits")
+    require(blockSize >= 16 && blockSize <= 65535, s"blockSize 16..65535")
+    require(stereoMode == "independent" || channels == 2,
+      "stereo modes need exactly 2 channels")
+    require(Set("independent", "left-side", "right-side", "mid-side")
+      .contains(stereoMode), s"unknown stereoMode $stereoMode")
+    require(Set("auto", "verbatim", "lpc").contains(subframe))
+    if (bits == 8) require(pcm.forall(v => v >= -128 && v <= 127),
+      "8-bit samples must fit signed bytes")
+    require(sampleRateHz > 0 && sampleRateHz < (1 << 20), "bad sample rate")
+
+    val nSamples = pcm.length / channels
+    // MD5 of the raw little-endian PCM (what the decoder re-verifies)
+    val md5 = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      pcm.foreach { v =>
+        d.update((v & 0xff).toByte)
+        if (bits == 16) d.update(((v >> 8) & 0xff).toByte)
+      }
+      d.digest()
+    }
+
+    val out = new java.io.ByteArrayOutputStream()
+    out.write('f'); out.write('L'); out.write('a'); out.write('C')
+    // STREAMINFO, last metadata block
+    val si = new java.io.ByteArrayOutputStream()
+    val sw = new BitWriter(si)
+    sw.put(blockSize, 16); sw.put(blockSize, 16)
+    sw.put(0, 24); sw.put(0, 24) // frame sizes unknown
+    sw.put(sampleRateHz, 20)
+    sw.put(channels - 1, 3)
+    sw.put(bits - 1, 5)
+    sw.put(nSamples.toLong, 36)
+    md5.foreach(m => sw.put(m & 0xff, 8))
+    val siB = si.toByteArray
+    out.write(0x80); out.write(0); out.write(0); out.write(siB.length)
+    out.write(siB, 0, siB.length)
+
+    var frameIdx = 0L
+    var pos = 0
+    while (pos < nSamples) {
+      val n = math.min(blockSize, nSamples - pos)
+      val fb = new java.io.ByteArrayOutputStream()
+      val bw = new BitWriter(fb)
+      bw.put(0x3ffe, 14); bw.put(0, 1); bw.put(0, 1) // sync, reserved, fixed
+      bw.put(7, 4) // block size: 16-bit value-1 at header end
+      bw.put(0, 4) // sample rate: from STREAMINFO
+      val chAssign = stereoMode match {
+        case "independent" => channels - 1
+        case "left-side" => 8
+        case "right-side" => 9
+        case "mid-side" => 10
+      }
+      bw.put(chAssign, 4)
+      bw.put(if (bits == 16) 4 else 1, 3) // sample size
+      bw.put(0, 1)
+      putUtf8(bw, frameIdx)
+      bw.put(n - 1, 16)
+      val headerB = fb.toByteArray // header fields are byte-multiple
+      bw.put(crc8(headerB, 0, headerB.length), 8)
+
+      // channel planes for this block
+      val planes: Array[Array[Int]] =
+        if (chAssign <= 7)
+          Array.tabulate(channels)(c =>
+            Array.tabulate(n)(j => pcm((pos + j) * channels + c).toInt))
+        else {
+          val l = Array.tabulate(n)(j => pcm((pos + j) * 2).toInt)
+          val rr = Array.tabulate(n)(j => pcm((pos + j) * 2 + 1).toInt)
+          val side = Array.tabulate(n)(j => l(j) - rr(j))
+          chAssign match {
+            case 8 => Array(l, side)
+            case 9 => Array(side, rr)
+            case _ => Array(Array.tabulate(n)(j => (l(j) + rr(j)) >> 1), side)
+          }
+        }
+      var c = 0
+      while (c < planes.length) {
+        val extraBit = chAssign match {
+          case 8 => if (c == 1) 1 else 0
+          case 9 => if (c == 0) 1 else 0
+          case 10 => if (c == 1) 1 else 0
+          case _ => 0
+        }
+        writeSubframe(bw, planes(c), bits + extraBit, subframe)
+        c += 1
+      }
+      bw.alignZero()
+      val bodyB = fb.toByteArray
+      bw.put(crc16(bodyB, 0, bodyB.length), 16)
+      val frameB = fb.toByteArray
+      out.write(frameB, 0, frameB.length)
+      pos += n
+      frameIdx += 1
+    }
+    out.toByteArray
+  }
+}

@@ -712,6 +712,17 @@ object Multimodal {
       decodePngGray(b).orElse(decodeGifGray(b))
         .orElse(Jpeg.decodeJpegGray(b))
 
+    /** Container-agnostic PCM decode: RIFF/WAVE, then FLAC
+      * ([[Flac.decodeFlacPcm]] — LPC/Rice lives in its own file) — the
+      * audio twin of [[decodeImageGray]] and the entry point the
+      * fingerprint/resample operators use, so an audio corpus mixing
+      * containers flows through one seam. Both decoders produce the
+      * same normalized [[WavAudio]] (8-bit scales by << 8), so the
+      * SAME recording fingerprints identically from either container.
+      */
+    def decodeAudioPcm(b: Array[Byte]): Option[WavAudio] =
+      decodeWavPcm(b).orElse(Flac.decodeFlacPcm(b))
+
     /** Minimal valid-enough PNG: signature + IHDR (CRC not computed — the
       * dimension parser doesn't verify it, as most samplers don't).
       */
@@ -912,7 +923,7 @@ object Multimodal {
       // per-partition setup happens here (codec init in a real deployment)
       rows.map { r =>
         val dims = Codecs.imageDimensions(r.payload)
-        val wav = if (dims.isEmpty) Codecs.decodeWavPcm(r.payload) else None
+        val wav = if (dims.isEmpty) Codecs.decodeAudioPcm(r.payload) else None
         MediaFeatures(r.id, r.meta.kind,
           if (r.payload == null) 0L else r.payload.length.toLong,
           Codecs.checksum(r.payload),
@@ -1032,7 +1043,7 @@ object Multimodal {
                       factor: Int): DataFrame = {
     require(factor >= 1, s"factor must be >= 1, got $factor")
     val kernel = udf { payload: Array[Byte] =>
-      Codecs.decodeWavPcm(payload).flatMap { w =>
+      Codecs.decodeAudioPcm(payload).flatMap { w =>
         val ch = math.max(w.channels, 1)
         if (w.pcm.length / ch >= factor)
           Some((w.sampleRateHz / factor, ch,

@@ -142,7 +142,8 @@ class AudioHashSpec extends SparkSpec {
     // group waveforms depend on the group id only, so this pins the
     // closed-form oracle for EVERY scale factor at once
     def fpOf(k: Long): Long = {
-      val w = Codecs.decodeWavPcm(graft.SparkEntry.q113Wav(k)).get
+      // the seam decode: odd keys now plant FLAC (mixed-container corpus)
+      val w = Codecs.decodeAudioPcm(graft.SparkEntry.q113Wav(k)).get
       AudioHash.envHash64(w.pcm)
     }
     val groups = (0L until 20L).map(fpOf)

@@ -78,13 +78,17 @@ class CodecFuzzSpec extends SparkSpec {
       Codecs.pngGrayBytes(32, 32, px),
       Codecs.gifGrayBytes(32, 32, px),
       Jpeg.jpegGrayBytes(32, 32, px, quant = 1),
-      Codecs.wavBytes(8000, Array.tabulate[Short](100)(_.toShort)))
+      Codecs.wavBytes(8000, Array.tabulate[Short](100)(_.toShort)),
+      Flac.flacBytes(8000, Array.tabulate[Short](100)(_.toShort)))
     all.foreach { p =>
+      // both seams: images through the audio decode and vice versa
       Codecs.decodeImageGray(p)
+      Codecs.decodeAudioPcm(p)
       (1 to 100).foreach { _ =>
         val b = p.clone()
         b(next(p.length)) = (next(256) & 0xff).toByte
         Codecs.decodeImageGray(b)
+        Codecs.decodeAudioPcm(b)
       }
     }
   }

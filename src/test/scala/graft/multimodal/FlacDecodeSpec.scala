@@ -1,0 +1,229 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import graft.multimodal.Multimodal.Codecs
+
+/** FLAC decode: lossless round trips across every subframe family,
+  * stereo decorrelation mode and bit depth; multi-frame streams;
+  * wasted-bit streams; integrity refusals (CRC-8/CRC-16/MD5);
+  * corruption fuzzing; and the container-agnostic audio seam +
+  * fingerprint parity with WAV that the dedup operators ride.
+  */
+class FlacDecodeSpec extends SparkSpec {
+
+  private def prng(seed: Long, n: Int, amp: Int = 1 << 12): Array[Short] = {
+    var s = seed
+    Array.fill(n) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      (((s >>> 33) % (2 * amp + 1)) - amp).toShort
+    }
+  }
+
+  /** A smooth-ish waveform (ramps + steps) where fixed predictors win. */
+  private def smooth(seed: Long, n: Int): Array[Short] = {
+    val r = prng(seed, n, 8)
+    val out = new Array[Short](n)
+    var acc = 0
+    var i = 0
+    while (i < n) {
+      acc = math.max(-30000, math.min(30000, acc + r(i)))
+      out(i) = acc.toShort
+      i += 1
+    }
+    out
+  }
+
+  private def decodeOf(b: Array[Byte]): Codecs.WavAudio =
+    Flac.decodeFlacPcm(b).getOrElse(fail("payload did not decode"))
+
+  test("mono 16-bit round-trips losslessly (auto: fixed predictors + Rice)") {
+    val pcm = smooth(7L, 3000)
+    val w = decodeOf(Flac.flacBytes(8000, pcm, blockSize = 1024))
+    assert(w.sampleRateHz == 8000 && w.channels == 1 && w.bitsPerSample == 16)
+    assert(w.pcm.sameElements(pcm))
+  }
+
+  test("every forced subframe family round-trips the same pcm") {
+    val pcm = smooth(11L, 1500)
+    for (f <- Seq("auto", "verbatim", "lpc")) {
+      val w = decodeOf(Flac.flacBytes(16000, pcm, subframe = f))
+      assert(w.pcm.sameElements(pcm), s"subframe $f")
+    }
+    // payloads genuinely differ across families
+    val payloads = Seq("auto", "verbatim", "lpc").map(f =>
+      Flac.flacBytes(16000, pcm, subframe = f))
+    for (Seq(a, b) <- payloads.combinations(2)) assert(!a.sameElements(b))
+  }
+
+  test("constant blocks use the constant subframe and round-trip") {
+    val pcm = Array.fill[Short](2048)(1234)
+    val b = Flac.flacBytes(8000, pcm, blockSize = 1024)
+    val w = decodeOf(b)
+    assert(w.pcm.sameElements(pcm))
+    // a constant encode is far smaller than verbatim
+    assert(b.length < Flac.flacBytes(8000, pcm, subframe = "verbatim").length / 4)
+  }
+
+  test("all four stereo modes reconstruct the identical interleaved pcm") {
+    val n = 2000
+    val l = smooth(13L, n)
+    val r = smooth(17L, n)
+    val inter = new Array[Short](2 * n)
+    (0 until n).foreach { i => inter(2 * i) = l(i); inter(2 * i + 1) = r(i) }
+    val decoded = Seq("independent", "left-side", "right-side", "mid-side")
+      .map { m =>
+        val w = decodeOf(Flac.flacBytes(44100, inter, channels = 2,
+          stereoMode = m))
+        assert(w.channels == 2 && w.pcm.sameElements(inter), s"mode $m")
+        Flac.flacBytes(44100, inter, channels = 2, stereoMode = m).toSeq
+      }
+    assert(decoded.distinct.size == 4) // byte-distinct containers
+  }
+
+  test("8-bit streams decode to the same << 8 normalization as 8-bit WAV") {
+    val small = prng(19L, 800, 100).map(v => math.max(-128, math.min(127, v.toInt)).toShort)
+    val flac = decodeOf(Flac.flacBytes(8000, small, bits = 8))
+    assert(flac.bitsPerSample == 8)
+    assert(flac.pcm.sameElements(small.map(v => (v << 8).toShort)))
+    // WAV parity on the same samples (8-bit WAV is unsigned, center 128)
+    val wavBytes = {
+      val unsigned = small.map(v => (v + 128).toByte)
+      val out = java.nio.ByteBuffer.allocate(44 + unsigned.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes("US-ASCII")).putInt(36 + unsigned.length)
+      out.put("WAVE".getBytes("US-ASCII"))
+      out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      out.putShort(1).putShort(1).putInt(8000).putInt(8000)
+      out.putShort(1).putShort(8)
+      out.put("data".getBytes("US-ASCII")).putInt(unsigned.length)
+      out.put(unsigned)
+      out.array()
+    }
+    val wav = Codecs.decodeWavPcm(wavBytes).get
+    assert(flac.pcm.sameElements(wav.pcm))
+  }
+
+  test("wasted bits: samples sharing trailing zeros round-trip and shrink") {
+    val pcm = smooth(23L, 2000).map(v => ((v >> 3) << 3).toShort) // 3 wasted
+    val b = Flac.flacBytes(8000, pcm)
+    assert(decodeOf(b).pcm.sameElements(pcm))
+  }
+
+  test("short last frame and single-sample tail round-trip") {
+    for (n <- Seq(1025, 1024 + 1, 2047, 17)) {
+      val pcm = smooth(n.toLong, n)
+      assert(decodeOf(Flac.flacBytes(8000, pcm, blockSize = 1024))
+        .pcm.sameElements(pcm), s"n $n")
+    }
+  }
+
+  test("high-entropy noise round-trips (escape/raw partitions reachable)") {
+    val pcm = prng(29L, 3000, 32000)
+    assert(decodeOf(Flac.flacBytes(48000, pcm)).pcm.sameElements(pcm))
+    assert(decodeOf(Flac.flacBytes(48000, pcm, subframe = "lpc"))
+      .pcm.sameElements(pcm))
+  }
+
+  test("integrity: flipping any single payload byte refuses or decodes the " +
+    "exact original — never garbage (CRC-8 + CRC-16 + MD5 triple check)") {
+    val pcm = smooth(31L, 600)
+    val base = Flac.flacBytes(8000, pcm, blockSize = 256)
+    var flips = 0
+    base.indices.foreach { i =>
+      val b = base.clone()
+      b(i) = (b(i) ^ 0x40).toByte
+      Flac.decodeFlacPcm(b) match {
+        case Some(w) =>
+          // only tolerable survivors: metadata bytes the decode ignores
+          // (frame-size fields, md5 can't be hit without failing) — the
+          // PCM must still be exact
+          assert(w.pcm.sameElements(pcm), s"byte $i decoded to wrong pcm")
+        case None => flips += 1
+      }
+    }
+    assert(flips > base.length / 2, s"only $flips/${base.length} refused")
+  }
+
+  test("refusals: magic, truncation at every boundary class, header-only, " +
+    "oversized declarations") {
+    val pcm = smooth(37L, 500)
+    val ok = Flac.flacBytes(8000, pcm, blockSize = 256)
+    assert(Flac.decodeFlacPcm(ok).isDefined)
+    assert(Flac.decodeFlacPcm(null).isEmpty)
+    assert(Flac.decodeFlacPcm(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Flac.decodeFlacPcm("fLaX".getBytes ++ ok.drop(4)).isEmpty)
+    for (cut <- Seq(4, 8, 20, 41, ok.length / 2, ok.length - 1))
+      assert(Flac.decodeFlacPcm(ok.take(cut)).isEmpty, s"cut $cut")
+    // header-only: STREAMINFO but zero frames
+    assert(Flac.decodeFlacPcm(ok.take(42)).isEmpty)
+    // 24-bit STREAMINFO refuses whole (outside the Short-PCM profile):
+    // bps-1 straddles bytes 16-17 of STREAMINFO (4 magic + 4 hdr + 12)
+    val b24 = ok.clone()
+    b24(20) = ((b24(20) & 0xfe) | 1).toByte // keep channel bits, bump bps
+    b24(21) = ((23 & 0xf) << 4 | (b24(21) & 0x0f)).toByte
+    assert(Flac.decodeFlacPcm(b24).isEmpty)
+  }
+
+  test("corruption fuzz: random mutations and garbage never throw or hang") {
+    val pcm = smooth(41L, 800)
+    val base = Flac.flacBytes(8000, pcm, blockSize = 256)
+    var s = 4242L
+    def next(mod: Int): Int = {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      ((s >>> 33) % mod).toInt
+    }
+    (1 to 500).foreach { _ =>
+      val b = base.clone()
+      b(next(base.length)) = (next(256) & 0xff).toByte
+      Flac.decodeFlacPcm(b) // Option either way
+    }
+    (1 to 300).foreach { _ =>
+      val g = new Array[Byte](4 + next(400))
+      (0 until g.length).foreach(i => g(i) = (next(256) & 0xff).toByte)
+      g(0) = 'f'; g(1) = 'L'; g(2) = 'a'; g(3) = 'C'
+      Flac.decodeFlacPcm(g)
+    }
+  }
+
+  test("decodeAudioPcm seam: WAV and FLAC of the same recording agree " +
+    "bit-for-bit and fingerprint identically") {
+    val pcm = smooth(43L, 4000)
+    val viaWav = Codecs.decodeAudioPcm(Codecs.wavBytes(8000, pcm)).get
+    val viaFlac = Codecs.decodeAudioPcm(Flac.flacBytes(8000, pcm)).get
+    assert(viaWav.pcm.sameElements(viaFlac.pcm))
+    assert(AudioHash.envHash64(viaWav.pcm) == AudioHash.envHash64(viaFlac.pcm))
+  }
+
+  test("AudioHash.fingerprints pairs the same audio across containers") {
+    import spark.implicits._
+    val pcm = smooth(47L, 4000)
+    val gain2 = pcm.map(v => (v * 2).toShort) // q113's gain invariance
+    val rows = Seq(
+      (1L, Codecs.wavBytes(8000, pcm)),
+      (2L, Flac.flacBytes(8000, pcm)),
+      (3L, Flac.flacBytes(8000, gain2, subframe = "lpc")),
+      (4L, Array[Byte](9, 9, 9)) // undecodable: must not pair
+    ).toDF("id", "payload")
+    val fps = AudioHash.fingerprints(rows, "id", "payload")
+    val pairs = AudioHash.nearDupPairs(fps, "id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("downsampleAudio decimates FLAC payloads like WAV payloads") {
+    import spark.implicits._
+    val pcm = Array.tabulate[Short](640)(j => (j + 7).toShort)
+    val rows = Seq(
+      (1L, Codecs.wavBytes(8000, pcm)),
+      (2L, Flac.flacBytes(8000, pcm))
+    ).toDF("id", "payload")
+    val got = Multimodal.downsampleAudio(rows, "id", "payload", 8)
+      .orderBy("id")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](3)))
+    assert(got.length == 2)
+    assert(got(0)._2 == 1000 && got(1)._2 == 1000)
+    assert(got(0)._3 == got(1)._3)
+    assert(got(0)._3.take(3) == Seq(10, 18, 26)) // 8i + 7 + 3
+  }
+}
