@@ -170,6 +170,15 @@ object Jpeg {
     var comps: Array[Component] = null
     var w = 0; var h = 0
     var restartInterval = 0
+    // progressive (SOF2) state: the luma coefficient accumulator scans
+    // build up (zigzag order, one 64-slot row per block of the PADDED
+    // interleaved grid), reconstructed at EOI
+    var progressive = false
+    var lumaCoef: Array[Int] = null
+    var gw = 0; var gh = 0 // padded luma block grid (MCU multiples)
+    var blocksW = 0; var blocksH = 0 // real luma block grid
+    var hmax = 0; var vmax = 0
+    var sawScan = false
 
     var i = 2
     while (true) {
@@ -180,7 +189,31 @@ object Jpeg {
       i = j + 1
       m match {
         case 0xd8 => malformed // a second SOI
-        case 0xd9 => malformed // EOI before any scan
+        case 0xd9 =>
+          // EOI: in progressive mode with at least one scan decoded this
+          // is the reconstruction point; anywhere else it's premature
+          if (!progressive || !sawScan) malformed
+          val lq = qtab(comps(0).tq)
+          if (lq == null) malformed
+          val gray = new Array[Int](w * h)
+          val nat = new Array[Int](64)
+          val tmp = new Array[Double](64)
+          var by = 0
+          while (by < blocksH) {
+            var bx = 0
+            while (bx < blocksW) {
+              val base = (by * gw + bx) * 64
+              var k = 0
+              while (k < 64) {
+                nat(Zigzag(k)) = lumaCoef(base + k) * lq(k)
+                k += 1
+              }
+              idctInto(nat, tmp, gray, w, h, bx * 8, by * 8)
+              bx += 1
+            }
+            by += 1
+          }
+          return GrayImage(w, h, gray)
         case 0x01 => () // TEM, standalone
         case x if x >= 0xd0 && x <= 0xd7 => malformed // RST outside a scan
         case 0xdb => // DQT — possibly several tables in one segment
@@ -222,8 +255,9 @@ object Jpeg {
           }
           if (p != end) malformed
           i = end
-        case 0xc0 => // SOF0: baseline sequential DCT
+        case 0xc0 | 0xc2 => // SOF0 baseline / SOF2 progressive DCT
           if (comps != null) malformed
+          progressive = m == 0xc2
           val len = be16(b, i)
           if (u8(b, i + 2) != 8) malformed // precision
           h = be16(b, i + 3); w = be16(b, i + 5)
@@ -241,42 +275,90 @@ object Jpeg {
               malformed
             Component(u8(b, p), ch, cv, u8(b, p + 2))
           }
+          if (progressive) {
+            hmax = comps.map(_.h).max; vmax = comps.map(_.v).max
+            // same profile as baseline: the FIRST component carries the
+            // maximum factors (full-resolution luma to fold to gray)
+            if (comps(0).h != hmax || comps(0).v != vmax) malformed
+            val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+            val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+            gw = if (comps.length == 1) (w + 7) / 8 else mcusX * comps(0).h
+            gh = if (comps.length == 1) (h + 7) / 8 else mcusY * comps(0).v
+            blocksW = (w + 7) / 8; blocksH = (h + 7) / 8
+            // padded grid stays within ~2x the pixel cap (64 coefs/block
+            // = 1 int per pixel, plus edge padding)
+            lumaCoef = new Array[Int](gw * gh * 64)
+          }
           i += len
-        case x if (x >= 0xc1 && x <= 0xcf) && x != 0xc4 && x != 0xc8 &&
-          x != 0xcc =>
-          malformed // progressive/extended/lossless/hierarchical SOFn
+        case x if (x >= 0xc1 && x <= 0xcf) && x != 0xc2 && x != 0xc4 &&
+          x != 0xc8 && x != 0xcc =>
+          malformed // extended/lossless/hierarchical SOFn
         case 0xcc => malformed // DAC: arithmetic coding unsupported
         case 0xdd => // DRI
           if (be16(b, i) != 4) malformed
           restartInterval = be16(b, i + 2)
           i += 4
-        case 0xda => // SOS — decode the single interleaved scan and finish
+        case 0xda => // SOS
           if (comps == null) malformed
           val len = be16(b, i)
           val ns = u8(b, i + 2)
-          // baseline profile here: one interleaved scan covering the frame
-          if (ns != comps.length || len != 6 + 2 * ns) malformed
-          var c = 0
-          while (c < ns) {
-            val cs = u8(b, i + 3 + 2 * c)
-            // the MCU walk iterates components in FRAME order while the
-            // entropy stream interleaves in SCAN order — the profile here
-            // requires the two to agree (every real encoder emits them in
-            // frame order); a reordered SOS would silently decode the luma
-            // plane from the wrong symbols, so refuse instead
-            if (cs != comps(c).id) malformed
-            val comp = comps(c)
-            comp.td = u8(b, i + 4 + 2 * c) >> 4
-            comp.ta = u8(b, i + 4 + 2 * c) & 15
-            if (comp.td > 3 || comp.ta > 3) malformed
-            c += 1
+          if (ns < 1 || len != 6 + 2 * ns) malformed
+          if (!progressive) {
+            // baseline profile: ONE interleaved scan covering the frame
+            if (ns != comps.length) malformed
+            var c = 0
+            while (c < ns) {
+              val cs = u8(b, i + 3 + 2 * c)
+              // the MCU walk iterates components in FRAME order while the
+              // entropy stream interleaves in SCAN order — the profile here
+              // requires the two to agree (every real encoder emits them in
+              // frame order); a reordered SOS would silently decode the luma
+              // plane from the wrong symbols, so refuse instead
+              if (cs != comps(c).id) malformed
+              val comp = comps(c)
+              comp.td = u8(b, i + 4 + 2 * c) >> 4
+              comp.ta = u8(b, i + 4 + 2 * c) & 15
+              if (comp.td > 3 || comp.ta > 3) malformed
+              c += 1
+            }
+            // spectral selection / successive approximation must be the
+            // baseline values
+            if (u8(b, i + 3 + 2 * ns) != 0 || u8(b, i + 4 + 2 * ns) != 63 ||
+              u8(b, i + 5 + 2 * ns) != 0) malformed
+            return decodeScan(b, i + len, comps, w, h, qtab, dcTab, acTab,
+              restartInterval)
+          } else {
+            // progressive: many scans, each a (band, approximation) slice
+            // (T.81 Annex G). Profile: DC scans interleave ALL components
+            // in frame order or cover one; AC scans are one component by
+            // spec. Non-luma AC scans are SKIPPED whole (their symbols
+            // never touch the gray fold and the next marker is findable
+            // without decoding).
+            val scanComps = Array.tabulate(ns) { c =>
+              val cs = u8(b, i + 3 + 2 * c)
+              val comp =
+                if (ns == comps.length) {
+                  if (cs != comps(c).id) malformed // frame order
+                  comps(c)
+                } else comps.find(_.id == cs).getOrElse(malformed)
+              comp.td = u8(b, i + 4 + 2 * c) >> 4
+              comp.ta = u8(b, i + 4 + 2 * c) & 15
+              if (comp.td > 3 || comp.ta > 3) malformed
+              comp
+            }
+            if (ns != 1 && ns != comps.length) malformed
+            val ss = u8(b, i + 3 + 2 * ns)
+            val se = u8(b, i + 4 + 2 * ns)
+            val aa = u8(b, i + 5 + 2 * ns)
+            val ah = aa >> 4; val al = aa & 15
+            if (ss == 0) { if (se != 0) malformed } // DC scan
+            else if (ss > 63 || se < ss || se > 63 || ns != 1) malformed
+            if (al > 13 || (ah != 0 && ah != al + 1)) malformed
+            sawScan = true
+            i = decodeProgressiveScan(b, i + len, comps, scanComps,
+              ss, se, ah, al, lumaCoef, gw, blocksW, blocksH,
+              hmax, vmax, w, h, dcTab, acTab, restartInterval)
           }
-          // spectral selection / successive approximation must be the
-          // baseline values
-          if (u8(b, i + 3 + 2 * ns) != 0 || u8(b, i + 4 + 2 * ns) != 63 ||
-            u8(b, i + 5 + 2 * ns) != 0) malformed
-          return decodeScan(b, i + len, comps, w, h, qtab, dcTab, acTab,
-            restartInterval)
         case _ => // APPn, COM, DNL, anything else with a length: skip
           val len = be16(b, i)
           // a corrupted 0/1 length would never advance `i`: an executor
@@ -360,6 +442,236 @@ object Jpeg {
       my += 1
     }
     GrayImage(w, h, gray)
+  }
+
+  /** Scan forward from `start` to the next REAL marker: stuffed 0xFF00
+    * pairs, fill bytes and in-scan RSTn markers are entropy payload.
+    * The skip path for scans whose symbols the gray fold never needs
+    * (non-luma AC scans) — finding the boundary needs no decode.
+    */
+  private def skipEntropy(b: Array[Byte], start: Int): Int = {
+    var p = start
+    while (p + 1 < b.length) {
+      if (u8(b, p) == 0xff) {
+        val nxt = u8(b, p + 1)
+        if (nxt == 0x00) p += 2 // stuffing
+        else if (nxt >= 0xd0 && nxt <= 0xd7) p += 2 // RST inside the scan
+        else if (nxt == 0xff) p += 1 // fill byte
+        else return p
+      } else p += 1
+    }
+    malformed // ran off the payload without a closing marker
+  }
+
+  /** Decode one progressive scan (T.81 Annex G) into the luma
+    * coefficient grid; returns the byte position of the next marker.
+    * Non-luma DC symbols are consumed (they share interleaved scans
+    * and their own single-component scans cost a predictor walk);
+    * non-luma AC scans skip whole via [[skipEntropy]].
+    */
+  private def decodeProgressiveScan(b: Array[Byte], scanStart: Int,
+                                    comps: Array[Component],
+                                    scanComps: Array[Component],
+                                    ss: Int, se: Int, ah: Int, al: Int,
+                                    lumaCoef: Array[Int], gw: Int,
+                                    blocksW: Int, blocksH: Int,
+                                    hmax: Int, vmax: Int, w: Int, h: Int,
+                                    dcTab: Array[HuffTable],
+                                    acTab: Array[HuffTable],
+                                    restartInterval: Int): Int = {
+    val luma = comps(0)
+    if (ss > 0 && (scanComps.length != 1 || (scanComps(0) ne luma)))
+      return skipEntropy(b, scanStart) // chroma AC: skip whole
+
+    val r = new BitReader(b, scanStart)
+    var eobrun = 0
+    val dcPred = new Array[Int](comps.length)
+
+    def maybeRestart(mcu: Int): Unit =
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        r.expectRestart((mcu / restartInterval - 1) % 8)
+        java.util.Arrays.fill(dcPred, 0)
+        eobrun = 0
+      }
+
+    /** One block's DC contribution. `idx` < 0 = discard (non-luma). */
+    def dcBlock(comp: Component, ci: Int, idx: Int): Unit = {
+      if (ah == 0) {
+        val dt = dcTab(comp.td)
+        if (dt == null) malformed
+        val t = dt.decode(r)
+        if (t > 11) malformed
+        dcPred(ci) += extend(r.receive(t), t)
+        if (dcPred(ci) < -2048 || dcPred(ci) > 2047) malformed
+        if (idx >= 0) lumaCoef(idx * 64) = dcPred(ci) << al
+      } else {
+        val bit = r.readBit()
+        if (idx >= 0 && bit == 1) lumaCoef(idx * 64) |= 1 << al
+      }
+    }
+
+    if (ss == 0) {
+      // ---- DC scan
+      if (scanComps.length > 1) {
+        // interleaved MCU walk over ALL frame components
+        val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+        val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+        var mcu = 0
+        var my = 0
+        while (my < mcusY) {
+          var mx = 0
+          while (mx < mcusX) {
+            maybeRestart(mcu)
+            var ci = 0
+            while (ci < comps.length) {
+              val comp = comps(ci)
+              var by = 0
+              while (by < comp.v) {
+                var bx = 0
+                while (bx < comp.h) {
+                  val idx =
+                    if (ci == 0) (my * comp.v + by) * gw + (mx * comp.h + bx)
+                    else -1
+                  dcBlock(comp, ci, idx)
+                  bx += 1
+                }
+                by += 1
+              }
+              ci += 1
+            }
+            mcu += 1
+            mx += 1
+          }
+          my += 1
+        }
+      } else {
+        // non-interleaved: one data unit per MCU over the component grid
+        val comp = scanComps(0)
+        val ci = comps.indexWhere(_ eq comp)
+        val isLuma = comp eq luma
+        val cw = (w * comp.h + hmax - 1) / hmax
+        val chh = (h * comp.v + vmax - 1) / vmax
+        val bw = (cw + 7) / 8; val bh = (chh + 7) / 8
+        var mcu = 0
+        var by = 0
+        while (by < bh) {
+          var bx = 0
+          while (bx < bw) {
+            maybeRestart(mcu)
+            dcBlock(comp, ci, if (isLuma) by * gw + bx else -1)
+            mcu += 1
+            bx += 1
+          }
+          by += 1
+        }
+      }
+    } else {
+      // ---- AC scan: luma only (others skipped above), non-interleaved
+      val at = acTab(luma.ta)
+      if (at == null) malformed
+      val p1 = 1 << al
+      val m1 = -1 << al
+      var mcu = 0
+      var by = 0
+      while (by < blocksH) {
+        var bx = 0
+        while (bx < blocksW) {
+          maybeRestart(mcu)
+          val base = (by * gw + bx) * 64
+          if (ah == 0) {
+            // first scan of this band (G.1.2.2): runs + EOB runs
+            if (eobrun > 0) eobrun -= 1
+            else {
+              var k = ss
+              var done = false
+              while (!done && k <= se) {
+                val rs = at.decode(r)
+                val run = rs >> 4; val s = rs & 15
+                if (s == 0) {
+                  if (run == 15) k += 16 // ZRL
+                  else {
+                    eobrun = (1 << run) - 1
+                    if (run > 0) eobrun += r.receive(run)
+                    done = true
+                  }
+                } else {
+                  if (s > 10) malformed
+                  k += run
+                  if (k > se) malformed
+                  lumaCoef(base + k) = extend(r.receive(s), s) << al
+                  k += 1
+                }
+              }
+            }
+          } else {
+            // refinement scan (G.1.2.3): newly-significant coefficients
+            // + correction bits for the already-significant history
+            var k = ss
+            if (eobrun == 0) {
+              var done = false
+              while (!done && k <= se) {
+                val rs = at.decode(r)
+                var run = rs >> 4; val s = rs & 15
+                var newval = 0
+                if (s == 0) {
+                  if (run != 15) {
+                    eobrun = (1 << run) - 1
+                    if (run > 0) eobrun += r.receive(run)
+                    done = true
+                  }
+                  // run == 15: ZRL — sixteen zero-history positions
+                } else {
+                  if (s != 1) malformed // refinement sends size-1 only
+                  newval = if (r.readBit() == 1) p1 else m1
+                }
+                if (!done) {
+                  // advance over history, applying correction bits
+                  var stop = false
+                  while (!stop && k <= se) {
+                    val c = lumaCoef(base + k)
+                    if (c != 0) {
+                      if (r.readBit() == 1 && (c & p1) == 0)
+                        lumaCoef(base + k) = c + (if (c >= 0) p1 else m1)
+                      k += 1
+                    } else {
+                      if (run == 0) stop = true
+                      else { run -= 1; k += 1 }
+                    }
+                  }
+                  if (newval != 0) {
+                    if (k > se) malformed
+                    lumaCoef(base + k) = newval
+                  }
+                  k += 1
+                }
+              }
+            }
+            if (eobrun > 0) {
+              // the EOB-covered tail still carries correction bits
+              while (k <= se) {
+                val c = lumaCoef(base + k)
+                if (c != 0) {
+                  if (r.readBit() == 1 && (c & p1) == 0)
+                    lumaCoef(base + k) = c + (if (c >= 0) p1 else m1)
+                }
+                k += 1
+              }
+              eobrun -= 1
+            }
+          }
+          mcu += 1
+          bx += 1
+        }
+        by += 1
+      }
+      if (eobrun != 0) malformed // claimed more blocks than the scan has
+    }
+
+    // next marker: the reader may sit before trailing stuffed padding
+    var p = r.pos
+    while (p + 1 < b.length && u8(b, p) == 0xff && u8(b, p + 1) == 0x00)
+      p += 2
+    p
   }
 
   /** Decode one 8×8 block: DC diff + AC run-lengths (T.81 §F.2.2),
