@@ -39,11 +39,28 @@ object Flac {
   private final class Malformed extends RuntimeException(null, null, false, false)
   private def malformed: Nothing = throw new Malformed
 
-  /** Decoded-sample cap, the audio twin of the image decoders' 2^26-px
-    * cap: bounds every buffer a crafted STREAMINFO/frame chain could
-    * request.
+  /** Decoded-PCM-value cap (samples × channels), the audio twin of the
+    * image decoders' 2^26-px cap: bounds every buffer a crafted
+    * STREAMINFO/frame chain could request. Counting values, not
+    * inter-channel samples, matters — an 8-channel stream of tiny
+    * constant subframes would otherwise expand a few-KiB payload 8×
+    * past the budget.
     */
   private val MaxSamples = 1L << 26
+
+  /** Unboxed growable Short buffer: ArrayBuffer[Short] boxes every
+    * element (~16 B/value); at the 2^26-value cap that is GiB-scale
+    * from a small payload, so grow a primitive array by doubling.
+    */
+  private final class ShortBuf(initial: Int) {
+    private[this] var a = new Array[Short](math.max(initial, 16))
+    private[this] var n = 0
+    def +=(v: Short): Unit = {
+      if (n == a.length) a = java.util.Arrays.copyOf(a, a.length << 1)
+      a(n) = v; n += 1
+    }
+    def toArray: Array[Short] = java.util.Arrays.copyOf(a, n)
+  }
 
   // --------------------------------------------------------------- CRCs
 
@@ -169,7 +186,7 @@ object Flac {
         if (maxB != 0 && maxB < minB) malformed
         if (sr == 0 || ch < 1 || ch > 8) malformed
         if (bps != 8 && bps != 16) malformed // the Short-PCM profile
-        if (total > MaxSamples) malformed
+        if (total * ch > MaxSamples) malformed
         info = StreamInfo(sr, ch, bps, total, md5)
         first = false
       } else if (btype == 127) malformed // invalid block type
@@ -177,8 +194,10 @@ object Flac {
     }
     if (info == null) malformed
 
-    val out = new java.io.ByteArrayOutputStream() // little-endian PCM for MD5
-    val pcm = new scala.collection.mutable.ArrayBuffer[Short](
+    // MD5 over the little-endian PCM is streamed per frame — buffering
+    // the full PCM a second time doubles the decode footprint for free
+    val md5acc = java.security.MessageDigest.getInstance("MD5")
+    val pcm = new ShortBuf(
       math.min(if (info.totalSamples > 0) info.totalSamples * info.channels
       else 1L << 12, 1L << 20).toInt)
 
@@ -186,17 +205,15 @@ object Flac {
     r.bytePos = i
     var decoded = 0L
     while (!r.atEnd) {
-      decoded += decodeFrame(r, info, pcm, out)
-      if (decoded > MaxSamples) malformed
+      decoded += decodeFrame(r, info, pcm, md5acc)
+      if (decoded * info.channels > MaxSamples) malformed
     }
     if (decoded == 0) malformed // header-only stream: nothing decoded
     if (info.totalSamples > 0 && decoded != info.totalSamples) malformed
 
     // STREAMINFO MD5 is over the raw little-endian PCM; all-zero = unset
     if (info.md5.exists(_ != 0)) {
-      val got = java.security.MessageDigest.getInstance("MD5")
-        .digest(out.toByteArray)
-      if (!java.util.Arrays.equals(got, info.md5)) malformed
+      if (!java.util.Arrays.equals(md5acc.digest(), info.md5)) malformed
     }
 
     // normalize like the WAV path: 8-bit scales into the Short range
@@ -215,8 +232,8 @@ object Flac {
     * returns the inter-channel sample count.
     */
   private def decodeFrame(r: BitReader, info: StreamInfo,
-                          pcm: scala.collection.mutable.ArrayBuffer[Short],
-                          md5Out: java.io.ByteArrayOutputStream): Int = {
+                          pcm: ShortBuf,
+                          md5: java.security.MessageDigest): Int = {
     if (!r.aligned) malformed
     val frameStart = r.bytePos
     if (r.readBits(14) != 0x3ffe) malformed // sync
@@ -321,13 +338,17 @@ object Flac {
       case _ => (null, null)
     }
 
-    // interleave; every sample must fit its declared width
+    // interleave; every sample must fit its declared width. The frame's
+    // PCM bytes stage in one bounded array (≤ 64Ki samples × 8 ch × 2 B)
+    // and hit the digest in a single update.
     val lim = 1 << (bps - 1)
+    val fb = new Array[Byte](blockSize * nCh * (if (bps == 16) 2 else 1))
+    var fi = 0
     def push(v: Int): Unit = {
       if (v < -lim || v >= lim) malformed
       pcm += v.toShort
-      md5Out.write(v & 0xff)
-      if (bps == 16) md5Out.write((v >> 8) & 0xff)
+      fb(fi) = (v & 0xff).toByte; fi += 1
+      if (bps == 16) { fb(fi) = ((v >> 8) & 0xff).toByte; fi += 1 }
     }
     var j = 0
     while (j < blockSize) {
@@ -339,6 +360,7 @@ object Flac {
       }
       j += 1
     }
+    md5.update(fb, 0, fi)
     blockSize
   }
 
@@ -421,8 +443,9 @@ object Flac {
     val parts = 1 << po
     if (blockSize % parts != 0) malformed
     val perPart = blockSize >> po
-    if (perPart <= order && po == 0) malformed
-    if (perPart < order && po > 0) malformed
+    // RFC 9639 §9.2.7: blockSize >> po must EXCEED the predictor order
+    // (an empty first partition is malformed, not merely degenerate)
+    if (perPart <= order) malformed
     val out = new Array[Int](blockSize - order)
     var idx = 0
     var p = 0
@@ -515,26 +538,31 @@ object Flac {
       if (len < bestLen) { bestLen = len; bestP = p }
       p += 1
     }
-    val maxAbsBits = {
-      var mx = 0
-      e.foreach { v =>
-        val need = 33 - java.lang.Integer.numberOfLeadingZeros(math.abs(v))
-        if (need > mx) mx = need
-      }
-      math.min(math.max(mx, 1), 31)
-    }
+    // signed width needed for the raw escape: v fits `k` signed bits iff
+    // zig(v) < 2^k — derived from zig (a Long) so Int.MinValue residuals
+    // don't trip math.abs overflow
+    val maxZig = e.foldLeft(0L)((m, v) => math.max(m, zig(v)))
+    val needBits = math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(maxZig))
+    val canEscape = needBits <= 31
+    // the sibling decoder refuses unary quotients above 2^20; when the
+    // length-optimal parameter would emit one, force the escape (or, if
+    // the residuals don't fit a 31-bit raw width, the max parameter 14 —
+    // zig of any Int >>> 14 is < 2^19, always under the cap)
+    val riceOverflow = (maxZig >>> bestP) > (1L << 20)
     bw.put(0, 2) // method 0: 4-bit parameters
     bw.put(0, 4) // partition order 0
-    if (maxAbsBits <= 31 && e.length.toLong * maxAbsBits + 5 < bestLen) {
+    if (canEscape &&
+        (riceOverflow || e.length.toLong * needBits + 5 < bestLen)) {
       bw.put(0xf, 4) // escape
-      bw.put(maxAbsBits, 5)
-      e.foreach(v => bw.putSigned(v, maxAbsBits))
+      bw.put(needBits, 5)
+      e.foreach(v => bw.putSigned(v, needBits))
     } else {
-      bw.put(bestP, 4)
+      val p = if (riceOverflow) 14 else bestP
+      bw.put(p, 4)
       e.foreach { v =>
         val u = zig(v)
-        bw.putUnary((u >>> bestP).toInt)
-        bw.put(u & ((1L << bestP) - 1), bestP)
+        bw.putUnary((u >>> p).toInt)
+        bw.put(u & ((1L << p) - 1), p)
       }
     }
   }

@@ -45,7 +45,8 @@ object MediaStream {
     * column. `modality` picks the scan-stage kernel:
     *  - `"image"`: [[Multimodal.Codecs.decodeImageGray]] →
     *    [[ImageHash.aHash64]] (≥ 8×8 px);
-    *  - `"audio"`: [[Multimodal.Codecs.decodeWavPcm]] →
+    *  - `"audio"`: [[Multimodal.Codecs.decodeAudioPcm]] (WAV or FLAC,
+    *    the same container-agnostic seam the batch fingerprints ride) →
     *    [[AudioHash.envHash64]] (≥ 65 samples, ≤ 2^26).
     * Payloads that don't decode produce no posting and never pair —
     * the same refusal contract as the batch fingerprints.
@@ -89,7 +90,7 @@ object MediaStream {
           else None
         }
       else
-        Multimodal.Codecs.decodeWavPcm(payload).flatMap { w =>
+        Multimodal.Codecs.decodeAudioPcm(payload).flatMap { w =>
           if (w.pcm.length >= 65 && w.pcm.length <= AudioHash.MaxSamples)
             Some(AudioHash.envHash64(w.pcm))
           else None

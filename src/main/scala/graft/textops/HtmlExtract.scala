@@ -86,6 +86,16 @@ object HtmlExtract {
   private def isAsciiLetter(c: Char): Boolean =
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
 
+  /** A numeric reference must name a Unicode SCALAR value: a surrogate
+    * code point (0xD800–0xDFFF) builds an ill-formed UTF-16 String that
+    * UTF-8 encoding (Parquet, shuffle) mangles to U+FFFD, breaking the
+    * byte-determinism the dedup operators rely on — refuse it so the
+    * literal-'&' path keeps the text well-formed.
+    */
+  private def isScalarCodePoint(cp: Int): Boolean =
+    cp > 0 && Character.isValidCodePoint(cp) &&
+      (cp < Character.MIN_SURROGATE || cp > Character.MAX_SURROGATE)
+
   /** ASCII-only lowercase (tag/attr names are ASCII per the spec; a
     * locale-sensitive toLowerCase would break under e.g. tr_TR 'I').
     */
@@ -121,14 +131,14 @@ object HtmlExtract {
             if (body.startsWith("#x") || body.startsWith("#X")) {
               try {
                 val cp = Integer.parseInt(body.substring(2), 16)
-                if (Character.isValidCodePoint(cp) && cp > 0)
+                if (isScalarCodePoint(cp))
                   Some(new String(Character.toChars(cp)))
                 else None
               } catch { case _: NumberFormatException => None }
             } else if (body.startsWith("#")) {
               try {
                 val cp = Integer.parseInt(body.substring(1))
-                if (Character.isValidCodePoint(cp) && cp > 0)
+                if (isScalarCodePoint(cp))
                   Some(new String(Character.toChars(cp)))
                 else None
               } catch { case _: NumberFormatException => None }
@@ -345,8 +355,15 @@ object HtmlExtract {
             val selfClosed = tag.attrUntil > tag.attrFrom &&
               s.charAt(tag.attrUntil - 1) == '/'
             if (!tag.closing && RawText.contains(name) && !selfClosed) {
-              // skip raw content to the matching close tag
-              val close = indexOfIgnoreCase(s, "</" + name, i)
+              // skip raw content to the matching close tag; a prefix hit
+              // alone is not a close tag — '</scripty>' must NOT end
+              // <script>, so the char after the name has to terminate it
+              val needle = "</" + name
+              var close = indexOfIgnoreCase(s, needle, i)
+              while (close >= 0 && close + needle.length < n && {
+                val after = s.charAt(close + needle.length)
+                after != '>' && after != '/' && !Character.isWhitespace(after)
+              }) close = indexOfIgnoreCase(s, needle, close + 1)
               if (close < 0) i = n
               else {
                 val gt = s.indexOf('>', close)
@@ -394,20 +411,25 @@ object HtmlExtract {
     Extracted(title, lang, kept.mkString("\n"), kept.length, dropped)
   }
 
-  /** Scan-stage extraction over a DataFrame: (id, title, lang, text,
-    * blocks_kept, blocks_dropped), one kernel call per row, the HTML
-    * column projected away before anything can shuffle it. Rows whose
-    * html is null keep a null text (the caller decides whether a fetch
-    * failure is a drop or a retry).
+  /** Scan-stage extraction over a DataFrame: (id, carry…, title, lang,
+    * text, blocks_kept, blocks_dropped), one kernel call per row, the
+    * HTML column projected away before anything can shuffle it. Rows
+    * whose html is null keep a null text (the caller decides whether a
+    * fetch failure is a drop or a retry). `carryCols` ride through
+    * unchanged (a crawl source's url/date/status), keeping the whole
+    * page→document step ONE projection — no join-back to recover them.
     */
-  def extractDocs(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+  def extractDocs(df: DataFrame, idCol: String, htmlCol: String,
+                  carryCols: Seq[String] = Nil): DataFrame = {
     val kernel = udf { html: String =>
       val e = extract(html)
       (e.title, e.lang, e.text, e.blocksKept, e.blocksDropped)
     }
-    df.select(col(idCol), kernel(col(htmlCol)).as("e"))
-      .select(col(idCol), col("e._1").as("title"), col("e._2").as("lang"),
-        col("e._3").as("text"), col("e._4").as("blocks_kept"),
-        col("e._5").as("blocks_dropped"))
+    val carried = carryCols.map(col)
+    df.select(col(idCol) +: carried :+ kernel(col(htmlCol)).as("e"): _*)
+      .select(col(idCol) +: carried :+ col("e._1").as("title") :+
+        col("e._2").as("lang") :+ col("e._3").as("text") :+
+        col("e._4").as("blocks_kept") :+
+        col("e._5").as("blocks_dropped"): _*)
   }
 }

@@ -164,6 +164,48 @@ class FlacDecodeSpec extends SparkSpec {
     assert(Flac.decodeFlacPcm(b24).isEmpty)
   }
 
+  test("decoded-value cap counts samples × channels: an 8-channel " +
+    "STREAMINFO declaring past the budget refuses at the header") {
+    // STREAMINFO's 36-bit total is the low bits of the big-endian 8-byte
+    // field at payload offset 18 (4 magic + 4 block hdr + 10)
+    def withTotal(src: Array[Byte], total: Long): Array[Byte] = {
+      val b = src.clone()
+      var v = 0L
+      for (k <- 0 until 8) v = (v << 8) | (b(18 + k) & 0xffL)
+      val nv = (v & ~((1L << 36) - 1)) | total
+      for (k <- 0 until 8) b(18 + 7 - k) = ((nv >>> (8 * k)) & 0xff).toByte
+      b
+    }
+    val pcm8 = prng(11L, 64 * 8) // 64 samples, 8 channels
+    val ok = Flac.flacBytes(8000, pcm8, channels = 8, blockSize = 64)
+    assert(Flac.decodeFlacPcm(ok).isDefined) // control
+    // total alone under 2^26, but ×8 channels would be 2^26 + 8 values:
+    // must refuse BEFORE buffering, not after decoding GiB of PCM
+    assert(Flac.decodeFlacPcm(withTotal(ok, (1L << 23) + 1)).isEmpty)
+    // mono twin: the pre-existing per-sample bound still holds
+    val mono = Flac.flacBytes(8000, prng(12L, 64), blockSize = 64)
+    assert(Flac.decodeFlacPcm(withTotal(mono, (1L << 26) + 1)).isEmpty)
+  }
+
+  test("extreme-amplitude waveforms round-trip: the encoder never emits " +
+    "a unary quotient past the decoder's refusal cap") {
+    // alternating full-scale samples maximize LPC/fixed residuals — the
+    // regime where a bad Rice parameter could exceed the 2^20 unary cap
+    val violent = Array.tabulate(2048)(i =>
+      (if (i % 2 == 0) 32767 else -32768).toShort)
+    for (sf <- Seq("auto", "lpc", "verbatim")) {
+      val b = Flac.flacBytes(8000, violent, blockSize = 1024, subframe = sf)
+      assert(decodeOf(b).pcm.sameElements(violent), s"subframe $sf")
+    }
+    // large-block noisy extremes, multi-frame
+    val wild = {
+      val r = prng(91L, 9000, 1 << 14)
+      Array.tabulate(9000)(i => (r(i) * (if (i % 3 == 0) 2 else 1)).toShort)
+    }
+    val b = Flac.flacBytes(8000, wild, blockSize = 4096)
+    assert(decodeOf(b).pcm.sameElements(wild))
+  }
+
   test("corruption fuzz: random mutations and garbage never throw or hang") {
     val pcm = smooth(41L, 800)
     val base = Flac.flacBytes(8000, pcm, blockSize = 256)

@@ -40,11 +40,33 @@ class HtmlExtractSpec extends SparkSpec {
     assert(e.text == "a & b <c> AB x &bogus; &amp no-semi")
   }
 
+  test("surrogate numeric references stay literal — extracted text is " +
+    "always well-formed UTF-16 (UTF-8 round-trip safe)") {
+    // 0xD800/0xDFFF are surrogates: decoding them would put a lone
+    // surrogate into the String, which Parquet/shuffle UTF-8 mangles
+    val e = extract("<p>x &#xD800; y &#xDFFF; z &#55296; w &#x10000;</p>")
+    assert(e.text == "x &#xD800; y &#xDFFF; z &#55296; w 𐀀")
+    val bytes = e.text.getBytes("UTF-8")
+    assert(new String(bytes, "UTF-8") == e.text) // byte-deterministic
+  }
+
   test("raw-text elements swallow markup-looking content; CDATA and comments skipped") {
     val e = extract(
       "<p>before</p><script>if (a < b && c > d) { x = \"</p>\"; }</script>" +
         "<!-- a <p>comment</p> --><![CDATA[ <p>cdata</p> ]]><p>after</p>")
     assert(e.text == "before\nafter")
+  }
+
+  test("raw-text close tag must be a word boundary: '</scripty>' does " +
+    "not end <script>, '</ script>' style variants do") {
+    // prefix-named close tags are content, not terminators
+    val e = extract("<p>a</p><script>x = '</scripty>'; leak();</script><p>b</p>")
+    assert(e.text == "a\nb")
+    // whitespace / slash / '>' after the name all terminate
+    assert(extract("<p>a</p><style>q</style ><p>b</p>").text == "a\nb")
+    assert(extract("<p>a</p><script>q</script\n><p>b</p>").text == "a\nb")
+    // unterminated raw text after a prefix-only hit degrades to EOF
+    assert(extract("<p>a</p><script>x</scripty> rest").text == "a")
   }
 
   test("link density: majority-link blocks drop, text-dominant blocks keep") {
