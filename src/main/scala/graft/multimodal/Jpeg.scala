@@ -11,9 +11,13 @@ import graft.multimodal.Multimodal.Codecs.GrayImage
   * maximum factors (every JFIF/EXIF camera and library file — Y is
   * never subsampled against chroma). Grayscale output is the Y plane:
   * in YCbCr that IS the ITU-R 601 luma the PNG/GIF paths fold to, so a
-  * corpus mixing containers fingerprints consistently. Progressive
-  * (SOF2), arithmetic coding, hierarchical and 12-bit frames refuse —
-  * None, never garbage.
+  * corpus mixing containers fingerprints consistently. Progressive DCT
+  * (SOF2, T.81 Annex G) decodes under the same profile: spectral
+  * selection + successive approximation scans accumulate the luma
+  * spectrum (chroma AC scans are skipped whole), reconstructed once at
+  * EOI — so a baseline and a progressive encode of the same quantized
+  * spectrum decode to IDENTICAL pixels. Arithmetic coding, hierarchical
+  * and 12-bit frames refuse — None, never garbage.
   *
   * Non-luma components are entropy-DECODED (the bitstream interleaves
   * them, so their Huffman symbols must be consumed to stay aligned) but
@@ -615,7 +619,11 @@ object Jpeg {
                 var newval = 0
                 if (s == 0) {
                   if (run != 15) {
-                    eobrun = (1 << run) - 1
+                    // G.1.2.3: an EOB run counts blocks INCLUDING this
+                    // one — its k..se tail still carries correction bits
+                    // (consumed below), unlike the first-scan convention
+                    // where the current block ends at the symbol
+                    eobrun = 1 << run
                     if (run > 0) eobrun += r.receive(run)
                     done = true
                   }
@@ -1024,6 +1032,271 @@ object Jpeg {
       my += 1
     }
     bw.flush()
+    out.write(0xff); out.write(0xd9)
+    out.toByteArray
+  }
+
+  // ------------------------------------------------- progressive encode
+  // Planting-side writer for the SOF2 path (T.81 Annex G), mirroring
+  // libjpeg's scan-script shape: spectral selection splits the zigzag
+  // band, successive approximation sends coefficients at reduced
+  // precision then refines bit-by-bit. The decode of a progressive
+  // planting is EXACTLY the decode of the baseline planting of the same
+  // pixels at the same quant step (both reconstruct the identical
+  // quantized spectrum), which is what the specs assert.
+
+  /** Per-scan entropy writer with the refinement bit-buffering T.81
+    * G.1.2.3 requires: correction bits for already-significant
+    * coefficients are held and emitted AFTER the next symbol (`br`),
+    * and bits belonging to blocks folded into an EOB run are held
+    * until the EOBn symbol flushes (`be`).
+    */
+  private final class ProgWriter(bw: BitWriter) {
+    var eobrun = 0
+    private val be = new scala.collection.mutable.ArrayBuffer[Int]()
+    val br = new scala.collection.mutable.ArrayBuffer[Int]()
+    def flushEob(): Unit = if (eobrun > 0) {
+      val r = 31 - java.lang.Integer.numberOfLeadingZeros(eobrun)
+      bw.put(r << 4, 9) // EOBn symbol
+      if (r > 0) bw.put(eobrun - (1 << r), r)
+      be.foreach(bit => bw.put(bit, 1))
+      be.clear(); eobrun = 0
+    }
+    def emitSymbolWithBr(rs: Int, signBit: Int = -1): Unit = {
+      flushEob()
+      bw.put(rs, 9)
+      if (signBit >= 0) bw.put(signBit, 1)
+      br.foreach(bit => bw.put(bit, 1))
+      br.clear()
+    }
+    def endBlockInEob(): Unit = {
+      eobrun += 1
+      be ++= br; br.clear()
+      if (eobrun == 32767) flushEob() // max expressible run (EOB14)
+    }
+  }
+
+  /** AC point transform (G.1.2.1): divide by 2^al rounding toward zero. */
+  private def ptAc(v: Int, al: Int): Int =
+    if (v >= 0) v >> al else -((-v) >> al)
+
+  /** One component's first AC scan over band ss..se at approximation al
+    * (G.1.2.2): run/size symbols + EOB runs across blocks.
+    */
+  private def acFirstScan(bw: BitWriter, blocks: Array[Array[Int]],
+                          ss: Int, se: Int, al: Int): Unit = {
+    val pw = new ProgWriter(bw)
+    blocks.foreach { qc =>
+      var r = 0
+      var k = ss
+      while (k <= se) {
+        val t = ptAc(qc(k), al)
+        if (t == 0) r += 1
+        else {
+          pw.flushEob()
+          while (r > 15) { bw.put(0xf0, 9); r -= 16 } // ZRL
+          val s = categoryOf(t)
+          bw.put((r << 4) | s, 9)
+          bw.put(if (t >= 0) t else t + (1 << s) - 1, s)
+          r = 0
+        }
+        k += 1
+      }
+      if (r > 0) pw.endBlockInEob()
+    }
+    pw.flushEob()
+  }
+
+  /** One component's AC refinement scan (ah = al + 1 → al, G.1.2.3):
+    * newly-significant coefficients as run/size-1 symbols, one
+    * correction bit per already-significant coefficient, buffered
+    * behind the next symbol or EOB flush.
+    */
+  private def acRefineScan(bw: BitWriter, blocks: Array[Array[Int]],
+                           ss: Int, se: Int, al: Int): Unit = {
+    val pw = new ProgWriter(bw)
+    blocks.foreach { qc =>
+      var r = 0
+      var k = ss
+      while (k <= se) {
+        val v = qc(k)
+        val t = math.abs(v) >> al
+        if (t == 0) r += 1
+        else {
+          // flush ZRLs at EVERY nonzero (history included) BEFORE
+          // buffering its bit: a ZRL's 16-zero span must not straddle a
+          // correction bit buffered after it, or the decoder's advance
+          // misaligns
+          while (r > 15) { pw.emitSymbolWithBr(0xf0); r -= 16 } // ZRL
+          if (t > 1) pw.br += (t & 1) // history: correction bit only
+          else { // newly significant at this precision
+            pw.emitSymbolWithBr((r << 4) | 1, if (v >= 0) 1 else 0)
+            r = 0
+          }
+        }
+        k += 1
+      }
+      if (r > 0 || pw.br.nonEmpty) pw.endBlockInEob()
+    }
+    pw.flushEob()
+  }
+
+  /** DC scans: first (diff-coded point-transformed values) and
+    * refinement (one raw bit per block). `grids` iterates blocks in the
+    * scan's walk order; each entry is (quantized zigzag coefs, component
+    * index) so interleaved multi-component DC scans share predictors.
+    */
+  private def dcFirstScan(bw: BitWriter, walk: Iterator[(Array[Int], Int)],
+                          nComps: Int, al: Int): Unit = {
+    val pred = new Array[Int](nComps)
+    walk.foreach { case (qc, ci) =>
+      val t = qc(0) >> al // DC point transform: arithmetic shift
+      val diff = t - pred(ci)
+      pred(ci) = t
+      val s = categoryOf(diff)
+      bw.put(s, 4)
+      if (s > 0) bw.put(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+    }
+  }
+
+  private def dcRefineScan(bw: BitWriter, walk: Iterator[(Array[Int], Int)],
+                           al: Int): Unit =
+    walk.foreach { case (qc, _) => bw.put((qc(0) >> al) & 1, 1) }
+
+  /** Complete single-component (grayscale) PROGRESSIVE JPEG of `gray`,
+    * quantized with uniform step `quant` — same pixels-in as
+    * [[jpegGrayBytes]], so the two decodes are pixel-identical.
+    * `spectralOnly` = the DC + one full-band AC script (no successive
+    * approximation); otherwise the six-scan script exercises every
+    * Annex-G decoder path: DC first at al=1, DC refinement, split-band
+    * AC first scans at al=1 (EOB runs, ZRL), and split-band AC
+    * refinement scans (correction bits, newly-significant placement,
+    * EOB-run correction tails).
+    */
+  def jpegProgressiveGrayBytes(width: Int, height: Int, gray: Array[Byte],
+                               quant: Int = 8,
+                               spectralOnly: Boolean = false): Array[Byte] = {
+    require(width > 0 && height > 0 && width % 8 == 0 && height % 8 == 0,
+      s"planting writer needs multiple-of-8 dims, got ${width}x$height")
+    require(gray.length == width * height, "gray length != w*h")
+    require(quant >= 1 && quant <= 255, s"quant step 1..255, got $quant")
+    val bwX = width / 8; val bhY = height / 8
+    val blocks = new Array[Array[Int]](bwX * bhY)
+    var bi = 0
+    var by = 0
+    while (by < bhY) {
+      var bx = 0
+      while (bx < bwX) {
+        val qc = new Array[Int](64)
+        fdctQuant(gray, width, bx * 8, by * 8, quant, qc)
+        blocks(bi) = qc; bi += 1
+        bx += 1
+      }
+      by += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0xff); out.write(0xd8) // SOI
+    segment(out, 0xdb, dqtBody(quant))
+    segment(out, 0xc2, Array(8, height >> 8, height & 0xff, width >> 8,
+      width & 0xff, 1, 1, 0x11, 0).map(v => (v & 0xff).toByte)) // SOF2
+    val Array(dc, ac) = dhtBodies
+    segment(out, 0xc4, dc)
+    segment(out, 0xc4, ac)
+    def sos(ss: Int, se: Int, ah: Int, al: Int)(body: BitWriter => Unit): Unit = {
+      segment(out, 0xda,
+        Array(1, 1, 0x00, ss, se, (ah << 4) | al).map(_.toByte))
+      val bw = new BitWriter(out)
+      body(bw)
+      bw.flush()
+    }
+    def dcWalk = blocks.iterator.map(qc => (qc, 0))
+    if (spectralOnly) {
+      sos(0, 0, 0, 0)(bw => dcFirstScan(bw, dcWalk, 1, 0))
+      sos(1, 63, 0, 0)(bw => acFirstScan(bw, blocks, 1, 63, 0))
+    } else {
+      sos(0, 0, 0, 1)(bw => dcFirstScan(bw, dcWalk, 1, 1))
+      sos(1, 5, 0, 1)(bw => acFirstScan(bw, blocks, 1, 5, 1))
+      sos(6, 63, 0, 1)(bw => acFirstScan(bw, blocks, 6, 63, 1))
+      sos(0, 0, 1, 0)(bw => dcRefineScan(bw, dcWalk, 0))
+      sos(1, 5, 1, 0)(bw => acRefineScan(bw, blocks, 1, 5, 0))
+      sos(6, 63, 1, 0)(bw => acRefineScan(bw, blocks, 6, 63, 0))
+    }
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Complete three-component YCbCr 4:2:0 PROGRESSIVE JPEG with neutral
+    * chroma — the multi-component twin of [[jpegProgressiveGrayBytes]],
+    * exercising the interleaved DC scan walk (per-MCU 2×2 luma + both
+    * chroma, separate predictors), the luma-only non-interleaved AC
+    * scans, and the chroma AC scans the decoder SKIPS whole via its
+    * entropy scanner.
+    */
+  def jpegProgressiveYccBytes(width: Int, height: Int, grayY: Array[Byte],
+                              quant: Int = 8): Array[Byte] = {
+    require(width > 0 && height > 0 && width % 16 == 0 && height % 16 == 0,
+      s"4:2:0 planting writer needs multiple-of-16 dims, got ${width}x$height")
+    require(grayY.length == width * height, "gray length != w*h")
+    require(quant >= 1 && quant <= 255, s"quant step 1..255, got $quant")
+    val mX = width / 16; val mY = height / 16
+    val gw = mX * 2 // luma block grid (dims %16 → padded == real)
+    // luma blocks in raster order (AC scans walk them non-interleaved)
+    val yBlocks = new Array[Array[Int]](gw * mY * 2)
+    var by = 0
+    while (by < mY * 2) {
+      var bx = 0
+      while (bx < gw) {
+        val qc = new Array[Int](64)
+        fdctQuant(grayY, width, bx * 8, by * 8, quant, qc)
+        yBlocks(by * gw + bx) = qc
+        bx += 1
+      }
+      by += 1
+    }
+    val zero = new Array[Int](64) // neutral chroma spectrum
+    val chromaBlocks = Array.fill(mX * mY)(zero)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0xff); out.write(0xd8)
+    segment(out, 0xdb, dqtBody(quant))
+    segment(out, 0xc2, Array(8, height >> 8, height & 0xff, width >> 8,
+      width & 0xff, 3,
+      1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0).map(v => (v & 0xff).toByte))
+    val Array(dc, ac) = dhtBodies
+    segment(out, 0xc4, dc)
+    segment(out, 0xc4, ac)
+    // interleaved DC walk: frame order within each MCU
+    def mcuDcWalk: Iterator[(Array[Int], Int)] =
+      (0 until mY).iterator.flatMap { my =>
+        (0 until mX).iterator.flatMap { mx =>
+          val luma = for (sy <- 0 until 2; sx <- 0 until 2)
+            yield (yBlocks((my * 2 + sy) * gw + (mx * 2 + sx)), 0)
+          luma.iterator ++ Iterator((zero, 1), (zero, 2))
+        }
+      }
+    def sos(hdr: Array[Int])(body: BitWriter => Unit): Unit = {
+      segment(out, 0xda, hdr.map(_.toByte))
+      val bw = new BitWriter(out)
+      body(bw)
+      bw.flush()
+    }
+    // DC first (interleaved, all three), then luma AC, chroma AC
+    // (skipped by the decoder), then the refinements
+    sos(Array(3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 1))(
+      bw => dcFirstScan(bw, mcuDcWalk, 3, 1))
+    sos(Array(1, 1, 0x00, 1, 63, 1))(
+      bw => acFirstScan(bw, yBlocks, 1, 63, 1))
+    sos(Array(1, 2, 0x00, 1, 63, 1))(
+      bw => acFirstScan(bw, chromaBlocks, 1, 63, 1))
+    sos(Array(1, 3, 0x00, 1, 63, 1))(
+      bw => acFirstScan(bw, chromaBlocks, 1, 63, 1))
+    sos(Array(3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0x10))(
+      bw => dcRefineScan(bw, mcuDcWalk, 0))
+    sos(Array(1, 1, 0x00, 1, 63, 0x10))(
+      bw => acRefineScan(bw, yBlocks, 1, 63, 0))
+    sos(Array(1, 2, 0x00, 1, 63, 0x10))(
+      bw => acRefineScan(bw, chromaBlocks, 1, 63, 0))
+    sos(Array(1, 3, 0x00, 1, 63, 0x10))(
+      bw => acRefineScan(bw, chromaBlocks, 1, 63, 0))
     out.write(0xff); out.write(0xd9)
     out.toByteArray
   }

@@ -70,6 +70,27 @@ class CodecFuzzSpec extends SparkSpec {
     fuzz(Codecs.aviBytes(32, 24, 33333, frames), 12, Codecs.decodeAviFrames)
   }
 
+  test("baseline JPEG pixel decode never throws or hangs under corruption") {
+    val px = bytes(32 * 32)
+    fuzz(Jpeg.jpegGrayBytes(32, 32, px, quant = 2), 2, Jpeg.decodeJpegGray)
+  }
+
+  test("progressive JPEG decode never throws or hangs under corruption " +
+    "(EOB runs, refinement bits, scan headers all attacker-controlled)") {
+    val px = bytes(32 * 32)
+    fuzz(Jpeg.jpegProgressiveGrayBytes(32, 32, px, quant = 2), 2,
+      Jpeg.decodeJpegGray)
+    fuzz(Jpeg.jpegProgressiveGrayBytes(32, 32, px, quant = 4,
+      spectralOnly = true), 2, Jpeg.decodeJpegGray)
+    fuzz(Jpeg.jpegProgressiveYccBytes(32, 32, px, quant = 2), 2,
+      Jpeg.decodeJpegGray)
+  }
+
+  test("FLAC PCM decode never throws or hangs under corruption") {
+    val pcm = Array.tabulate[Short](600)(j => (j * 13 % 1000).toShort)
+    fuzz(Flac.flacBytes(8000, pcm), 4, Flac.decodeFlacPcm)
+  }
+
   test("the container-agnostic seam never throws on cross-container confusion") {
     // a payload of one container fed through the whole seam (which
     // tries PNG, GIF, then JPEG) and vice versa

@@ -151,7 +151,8 @@ class JpegDecodeSpec extends SparkSpec {
     val ok = Jpeg.jpegGrayBytes(16, 16, px)
     assert(Jpeg.decodeJpegGray(ok).isDefined)
 
-    // progressive: flip SOF0 (FF C0) to SOF2 (FF C2)
+    // a BASELINE scan under a SOF2 frame is illegal Annex-G structure
+    // (a DC scan must have Se = 0): flipping the marker alone refuses
     val sof = ok.indices.dropRight(1).indexWhere(i =>
       (ok(i) & 0xff) == 0xff && (ok(i + 1) & 0xff) == 0xc0)
     val prog = ok.clone(); prog(sof + 1) = 0xc2.toByte
@@ -355,6 +356,140 @@ class JpegDecodeSpec extends SparkSpec {
     val crafted = headerUpToScan(8, 8) ++ packBits(bits) ++
       Array(0xff.toByte, 0xd9.toByte)
     assert(Jpeg.decodeJpegGray(crafted).isEmpty)
+  }
+
+  // ------------------------------------------------------- progressive
+
+  test("progressive six-scan decode == baseline decode, pixel for pixel " +
+    "(same quantized spectrum, arbitrary pixels)") {
+    for ((seed, w, h) <- Seq((61L, 32, 32), (67L, 8, 8), (71L, 48, 16))) {
+      val px = prng(seed, w * h)
+      for (q <- Seq(1, 2, 8)) {
+        val base = grayOf(Jpeg.jpegGrayBytes(w, h, px, quant = q))
+        val prog = grayOf(Jpeg.jpegProgressiveGrayBytes(w, h, px, quant = q))
+        assert(prog.width == w && prog.height == h)
+        assert(prog.gray.sameElements(base.gray), s"seed $seed quant $q")
+      }
+    }
+  }
+
+  test("spectral-selection-only progressive decode == baseline decode") {
+    val px = prng(73L, 32 * 32)
+    for (q <- Seq(1, 4, 16)) {
+      val base = grayOf(Jpeg.jpegGrayBytes(32, 32, px, quant = q))
+      val prog = grayOf(Jpeg.jpegProgressiveGrayBytes(32, 32, px, quant = q,
+        spectralOnly = true))
+      assert(prog.gray.sameElements(base.gray), s"quant $q")
+    }
+  }
+
+  test("progressive constant blocks round-trip EXACTLY (DC-only closed " +
+    "form survives successive approximation)") {
+    val px = blockConstant(32, 32, seed = 79L, even = true)
+    for (q <- Seq(1, 2, 4, 8, 16); so <- Seq(false, true)) {
+      val img = grayOf(Jpeg.jpegProgressiveGrayBytes(32, 32, px, quant = q,
+        spectralOnly = so))
+      assert(img.gray.sameElements(px.map(_ & 0xff)), s"quant $q so=$so")
+    }
+  }
+
+  test("progressive YCbCr 4:2:0 decode == baseline YCbCr decode " +
+    "(interleaved DC walk, chroma AC scans skipped)") {
+    val px = prng(83L, 32 * 32)
+    for (q <- Seq(1, 8)) {
+      val base = grayOf(Jpeg.jpegYccBytes(32, 32, px, quant = q))
+      val prog = grayOf(Jpeg.jpegProgressiveYccBytes(32, 32, px, quant = q))
+      assert(prog.gray.sameElements(base.gray), s"quant $q")
+    }
+    // and the luma plane agrees with the grayscale container forms
+    val c = blockConstant(32, 32, seed = 89L, even = true)
+    val exact = c.map(_ & 0xff)
+    assert(grayOf(Jpeg.jpegProgressiveYccBytes(32, 32, c, quant = 4))
+      .gray.sameElements(exact))
+  }
+
+  test("progressive structural refusals: premature EOI, missing scans, " +
+    "truncation at every depth class, illegal scan headers") {
+    val px = prng(97L, 16 * 16)
+    val ok = Jpeg.jpegProgressiveGrayBytes(16, 16, px, quant = 2)
+    assert(Jpeg.decodeJpegGray(ok).isDefined)
+    // truncations: inside headers, inside each scan, before EOI
+    for (cut <- Seq(4, 8, 20, ok.length / 4, ok.length / 2,
+      ok.length - 2, ok.length - 1))
+      assert(Jpeg.decodeJpegGray(ok.take(cut)).isEmpty, s"cut $cut")
+    // EOI with zero scans decoded: header prefix + EOI
+    val sosAt = ok.indices.dropRight(1).indexWhere(i =>
+      (ok(i) & 0xff) == 0xff && (ok(i + 1) & 0xff) == 0xda)
+    assert(Jpeg.decodeJpegGray(
+      ok.take(sosAt) ++ Array(0xff.toByte, 0xd9.toByte)).isEmpty)
+    // illegal Ss/Se/Ah/Al combinations refuse: patch the first SOS
+    // (single-component header: ss at +7, se at +8, ahal at +9)
+    def patched(ss: Int, se: Int, ahal: Int): Array[Byte] = {
+      val b = ok.clone()
+      b(sosAt + 7) = ss.toByte; b(sosAt + 8) = se.toByte
+      b(sosAt + 9) = ahal.toByte
+      b
+    }
+    assert(Jpeg.decodeJpegGray(patched(0, 63, 0x01)).isEmpty) // DC with Se>0
+    assert(Jpeg.decodeJpegGray(patched(1, 64, 0x01)).isEmpty) // Se > 63
+    assert(Jpeg.decodeJpegGray(patched(5, 1, 0x01)).isEmpty) // Se < Ss
+    assert(Jpeg.decodeJpegGray(patched(0, 0, 0x31)).isEmpty) // Ah != Al+1
+    assert(Jpeg.decodeJpegGray(patched(0, 0, 0x0e)).isEmpty) // Al > 13
+  }
+
+  test("progressive corruption fuzz: random mutations over the scan " +
+    "state machine (EOB runs, refinement bits) never throw or hang") {
+    val px = prng(101L, 32 * 32)
+    for (so <- Seq(false, true)) {
+      val base = Jpeg.jpegProgressiveGrayBytes(32, 32, px, quant = 2,
+        spectralOnly = so)
+      var s = if (so) 777L else 555L
+      def next(mod: Int): Int = {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        ((s >>> 33) % mod).toInt
+      }
+      (1 to 400).foreach { _ =>
+        val b = base.clone()
+        b(next(base.length)) = (next(256) & 0xff).toByte
+        Jpeg.decodeJpegGray(b) // Option either way
+      }
+      (1 to 100).foreach { _ =>
+        val b = base.clone()
+        val at = next(base.length - 8)
+        (0 until 1 + next(6)).foreach(j =>
+          b(at + j) = (next(256) & 0xff).toByte)
+        Jpeg.decodeJpegGray(b)
+      }
+    }
+    val ycc = Jpeg.jpegProgressiveYccBytes(32, 32, px, quant = 2)
+    var s = 999L
+    def next(mod: Int): Int = {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      ((s >>> 33) % mod).toInt
+    }
+    (1 to 300).foreach { _ =>
+      val b = ycc.clone()
+      b(next(ycc.length)) = (next(256) & 0xff).toByte
+      Jpeg.decodeJpegGray(b)
+    }
+  }
+
+  test("ImageHash pairs baseline and progressive encodes of the same " +
+    "pixels at hamming 0 (the q118 corpus shape)") {
+    import spark.implicits._
+    val px = blockConstant(64, 64, seed = 103L, even = true)
+    val rows = Seq(
+      (1L, Jpeg.jpegGrayBytes(64, 64, px, quant = 2)),
+      (2L, Jpeg.jpegProgressiveGrayBytes(64, 64, px, quant = 8)),
+      (3L, Jpeg.jpegProgressiveGrayBytes(64, 64, px, quant = 4,
+        spectralOnly = true)),
+      (4L, Jpeg.jpegProgressiveYccBytes(64, 64, px, quant = 16))
+    ).toDF("id", "payload")
+    val fps = ImageHash.fingerprints(rows, "id", "payload")
+    val pairs = ImageHash.nearDupPairs(fps, "id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)))
   }
 
   test("ImageHash.fingerprints pairs JPEG payloads through the real pipeline") {
