@@ -123,7 +123,12 @@ object Bench {
         latest.map { f =>
           val s = java.nio.file.Files.readString(
             java.nio.file.Paths.get(f)).trim
-          if (s.startsWith("{")) s""","$key":$s""" else ""
+          // label WHICH round's sweep is being embedded — a bench run
+          // that carries a stale sweep must say so, not pass it off as
+          // fresh (r13 verdict: the r12 block rode along unlabeled)
+          if (s.startsWith("{"))
+            s""","$key":$s,"${key}_source":"$f""""
+          else ""
         }.getOrElse("")
       } catch { case _: Throwable => "" }
     val scale10 = scaleJson("scale10", !_.contains("_100x"))

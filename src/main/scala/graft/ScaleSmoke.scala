@@ -77,7 +77,13 @@ object ScaleSmoke {
     // the exact resample pair: pure per-row decode→transform scans —
     // no pairing semantics, so replication needs no disjointness trick;
     // measured because a 100 TB media pipeline runs them on every row
-    "q115_image_resize", "q116_audio_downsample")
+    // (both now over MIXED WAV/FLAC corpora after the r13 re-planting)
+    "q115_image_resize", "q116_audio_downsample",
+    // the crawl-ingestion front door (r13/r14 additions): Unicode
+    // normalization, HTML→text extraction, and WARC record framing +
+    // HTTP split + extraction — all pure scan-stage kernels whose
+    // exponents evidence the per-row work parallelizes flat
+    "q124_text_normalize", "q125_html_extract", "q126_warc_extract")
 
   /** Measured at 10× only. Both are deliberately NOT the scale path —
     * q77 is the pinned-k SemDeDup negative control (its 100× exponent

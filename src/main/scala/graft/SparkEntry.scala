@@ -2592,8 +2592,113 @@ object SparkEntry {
       textops.HtmlExtract.extractDocs(pages, "doc_id", "html")
         .select(col("doc_id"), col("title"), col("lang"), col("text"))
         .orderBy(col("doc_id"))
+    }),
+
+    // WARC → text: the step BEFORE q125 — a crawl corpus arrives as
+    // WARC record streams, not an html column. Each doc plants a
+    // two-record WARC (warcinfo + content) exercising the real framing
+    // matrix: whole-payload gzip (k%2=1 — the per-record-member form
+    // real crawls ship), chunked HTTP transfer-encoding (k%3=0), WET
+    // conversion records instead of HTTP responses (k%7=0), and an
+    // appended MALFORMED record (k%5=0) that must quarantine + resync
+    // without costing the good record. The engine must inflate, frame,
+    // split HTTP, de-chunk, then extract — the oracle replays the
+    // closed form from the raw columns
+    "q126_warc_extract" -> ((s, dir) => {
+      import s.implicits._
+      val warcs = tSpread(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+        .as[(Long, String, String)]
+        .map { case (k, lang, text) => (k, q126Warc(k, lang, text)) }
+        .toDF("doc_id", "payload")
+      val pages = sources.Warc.htmlPages(warcs, "doc_id", "payload")
+      textops.HtmlExtract.extractDocs(pages, "doc_id", "html",
+          carryCols = Seq("url", "http_status"))
+        .select(col("doc_id"), col("url"), col("http_status"),
+          col("title"), col("lang"), col("text"))
+        .orderBy(col("doc_id"))
     })
   )
+
+  /** q126's planted WARC for doc key `k`: warcinfo record + one content
+    * record — an HTTP `response` carrying the q125-shaped page (chunked
+    * transfer-encoding when k%3=0), or a WET `conversion` record of the
+    * bare text when k%7=0 — plus a malformed record when k%5=0 (must
+    * quarantine + resync, not cost the good record), the whole payload
+    * gzipped when k%2=1. Closed form: the response pages extract like
+    * q125; the WET rows keep the raw text as one block.
+    */
+  private[graft] def q126Warc(k: Long, lang: String, text: String): Array[Byte] = {
+    val crlf = "\r\n"
+    val url = s"https://example.org/doc/$k"
+    def warcRec(headers: Seq[(String, String)], body: Array[Byte]): Array[Byte] = {
+      val h = new StringBuilder("WARC/1.0").append(crlf)
+      headers.foreach { case (n, v) => h.append(n).append(": ").append(v).append(crlf) }
+      h.append("Content-Length: ").append(body.length).append(crlf).append(crlf)
+      h.toString.getBytes("UTF-8") ++ body ++ (crlf + crlf).getBytes("UTF-8")
+    }
+    val info = warcRec(Seq(
+      "WARC-Type" -> "warcinfo",
+      "WARC-Date" -> "2026-01-15T00:00:00Z",
+      "Content-Type" -> "application/warc-fields"),
+      s"software: graft-crawler/1.0$crlf".getBytes("UTF-8"))
+    val content: Array[Byte] =
+      if (k % 7 == 0) { // WET conversion record: the body IS the text
+        warcRec(Seq(
+          "WARC-Type" -> "conversion",
+          "WARC-Target-URI" -> url,
+          "WARC-Date" -> "2026-01-15T00:00:00Z",
+          "Content-Type" -> "text/plain"),
+          s"$text\nend of document $k & beyond.".getBytes("UTF-8"))
+      } else {
+        val page = ("<!DOCTYPE html>\n<html lang=\"" + lang +
+          "\"><head><title>Doc " + k + "</title>\n" +
+          "<style>p { color: red } /* <p>decoy</p> */</style>" +
+          "<script>var s = \"<p>decoy</p>\";</script></head>\n<body>" +
+          "<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a> " +
+          "<a href=\"/b\">More</a></nav>" +
+          "<header><h1>Site &amp; Chrome</h1></header>" +
+          "<div id=\"menu\"><a href=\"/x\">x1</a> <a href=\"/y\">y2</a></div>" +
+          "<article>\n<p>  " + text + "  </p>\n<p>end of document " + k +
+          " &amp; beyond.</p>\n</article>" +
+          "<footer>&copy; 2026 example</footer></body></html>").getBytes("UTF-8")
+        val httpBody =
+          if (k % 3 == 0) { // chunked transfer-encoding, 64-byte chunks
+            val out = new java.io.ByteArrayOutputStream()
+            var i = 0
+            while (i < page.length) {
+              val n = math.min(64, page.length - i)
+              out.write(Integer.toHexString(n).getBytes("UTF-8"))
+              out.write(crlf.getBytes("UTF-8"))
+              out.write(page, i, n)
+              out.write(crlf.getBytes("UTF-8"))
+              i += n
+            }
+            out.write(s"0$crlf$crlf".getBytes("UTF-8"))
+            out.toByteArray
+          } else page
+        val http = ("HTTP/1.1 200 OK" + crlf +
+          "Content-Type: text/html; charset=utf-8" + crlf +
+          (if (k % 3 == 0) "Transfer-Encoding: chunked" + crlf else "") +
+          crlf).getBytes("UTF-8") ++ httpBody
+        warcRec(Seq(
+          "WARC-Type" -> "response",
+          "WARC-Target-URI" -> url,
+          "WARC-Date" -> "2026-01-15T00:00:00Z",
+          "Content-Type" -> "application/http; msgtype=response"), http)
+      }
+    val garbage =
+      if (k % 5 == 0)
+        s"WARC/1.0${crlf}this header line has no colon$crlf$crlf".getBytes("UTF-8")
+      else Array.emptyByteArray
+    val plain = info ++ content ++ garbage
+    if (k % 2 == 1) {
+      val out = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(out)
+      gz.write(plain); gz.close()
+      out.toByteArray
+    } else plain
+  }
 
   /** q124's planted text for doc key `k`: composed/decomposed/plain "é"
     * variants by k%3 (the NFC fold the operator exists for — variants 0
@@ -2765,12 +2870,18 @@ object SparkEntry {
     * within each 8×8 block (64 blocks = exactly the aHash cell grid),
     * values even so the DC-only spectra quantize exactly under every
     * step used. Group g = k % 20 fixes the block pattern; member
-    * m = k / 20 picks quant 2^(m%5) and, for grayscale groups, a
-    * restart cadence — far members can repeat a (form, quant, cadence)
-    * combination and land byte-identical, which is just an exact
-    * duplicate riding the same near-dup pipeline. Block term: see
-    * q112Png — copy-disjoint groups under ScaleSmoke replication,
-    * identity at test SFs.
+    * m = k / 20 picks the ENCODING FORM (m % 4 for grayscale groups:
+    * baseline, baseline+restarts, six-scan progressive, spectral-only
+    * progressive; m % 2 for YCbCr groups: baseline, progressive) and
+    * the quant step from the remaining bits — so the correctness gate
+    * at sf0.01 (m ≤ 4) already mixes baseline AND progressive members
+    * in the same groups. Baseline and progressive encodes of the same
+    * pixels reconstruct the IDENTICAL quantized spectrum, so the q112
+    * closed-form oracle is container-form-independent. Far members can
+    * repeat a (form, quant) combination and land byte-identical, which
+    * is just an exact duplicate riding the same near-dup pipeline.
+    * Block term: see q112Png — copy-disjoint groups under ScaleSmoke
+    * replication, identity at test SFs.
     */
   private[graft] def q118Jpeg(k: Long): Array[Byte] = {
     val g = k % 20
@@ -2784,12 +2895,21 @@ object SparkEntry {
       val bx = (i % 64) / 8; val by = i / 64 / 8
       blockVals(by * 8 + bx).toByte
     }
-    val quant = 1 << (m % 5)
-    if (g % 2 == 0)
-      multimodal.Jpeg.jpegGrayBytes(64, 64, px, quant,
-        restartInterval = Array(0, 2, 3, 5)((m / 5) % 4))
-    else
-      multimodal.Jpeg.jpegYccBytes(64, 64, px, quant)
+    if (g % 2 == 0) {
+      val quant = 1 << ((m / 4) % 5)
+      m % 4 match {
+        case 0 => multimodal.Jpeg.jpegGrayBytes(64, 64, px, quant)
+        case 1 => multimodal.Jpeg.jpegGrayBytes(64, 64, px, quant,
+          restartInterval = Array(2, 3, 5)((m / 20) % 3))
+        case 2 => multimodal.Jpeg.jpegProgressiveGrayBytes(64, 64, px, quant)
+        case _ => multimodal.Jpeg.jpegProgressiveGrayBytes(64, 64, px, quant,
+          spectralOnly = true)
+      }
+    } else {
+      val quant = 1 << ((m / 2) % 5)
+      if (m % 2 == 0) multimodal.Jpeg.jpegYccBytes(64, 64, px, quant)
+      else multimodal.Jpeg.jpegProgressiveYccBytes(64, 64, px, quant)
+    }
   }
 
   /** q119's fixed Unigram model: dyadic probabilities; the fused "ab"
@@ -5269,6 +5389,28 @@ object SparkEntry {
         |  'Doc ' || CAST(doc_id AS VARCHAR) AS title, lang,
         |  text || chr(10) || 'end of document ' ||
         |    CAST(doc_id AS VARCHAR) || ' & beyond.' AS text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // closed-form replay of the planted WARC matrix: response pages
+    // (k%7≠0) extract exactly like q125 (status 200, planted title/
+    // lang); WET conversion rows (k%7=0) carry the bare text as ONE
+    // block whose internal newline collapses to a space, with no HTML
+    // title/lang/status. Framing variants (gzip payload, chunked
+    // transfer, appended malformed record) change the BYTES, never the
+    // extraction — the quarantined record is filtered, not fatal
+    "q126_warc_extract" ->
+      """SELECT doc_id,
+        |  'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS url,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL
+        |       ELSE 200 END AS http_status,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL
+        |       ELSE 'Doc ' || CAST(doc_id AS VARCHAR) END AS title,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang,
+        |  CASE WHEN doc_id % 7 = 0
+        |       THEN text || ' end of document ' ||
+        |         CAST(doc_id AS VARCHAR) || ' & beyond.'
+        |       ELSE text || chr(10) || 'end of document ' ||
+        |         CAST(doc_id AS VARCHAR) || ' & beyond.' END AS text
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 

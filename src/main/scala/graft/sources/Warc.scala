@@ -1,0 +1,301 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** WARC/WET record reader (ISO 28500 / the WARC 1.0–1.1 format that
+  * crawl corpora like Common Crawl ship): the ingestion front door in
+  * front of [[graft.textops.HtmlExtract]] — a crawl corpus arrives as
+  * WARC record streams, not an `html` column.
+  *
+  * Scope (the profile a curation pipeline meets):
+  *  - record framing: `WARC/…` version line, CRLF headers, empty line,
+  *    `Content-Length` body, CRLF CRLF boundary (LF-only tolerated —
+  *    real-world WET writers vary);
+  *  - whole-payload gzip (including the per-record-member concatenation
+  *    real WARCs use — multi-member streams inflate as one);
+  *  - `response` records carrying `application/http`: the HTTP status
+  *    line and headers are split off, chunked transfer-encoding is
+  *    de-chunked, gzip/deflate content-encoding inflated, and the body
+  *    decoded as UTF-8 (invalid sequences to U+FFFD, deterministically);
+  *  - `conversion` records (WET): the body IS the text;
+  *  - `warcinfo`/`request`/`metadata` records: framed and typed, body
+  *    not decoded (they carry no corpus text).
+  *
+  * Error model — the MiniSeed pattern (`sources/MiniSeed.scala`):
+  * malformed records QUARANTINE as rows with a non-null `error` and a
+  * byte offset, then the parser RESYNCS to the next `WARC/` line
+  * boundary — one corrupt record never costs the rest of the file, and
+  * nothing throws on attacker-controlled bytes.
+  *
+  * Scale shape: one pure kernel call per payload row (scan-stage,
+  * codegen-compatible projection + generator explode); the payload
+  * bytes are projected away before anything can shuffle them — what
+  * survives is (type, uri, date, status, text). Every buffer a crafted
+  * length could request is capped ([[MaxInflated]] / [[MaxBody]]).
+  */
+object Warc {
+
+  /** Refusal signal for one RECORD — caught at the record boundary. */
+  private final class Malformed(val reason: String)
+    extends RuntimeException(reason, null, false, false)
+  private def malformed(reason: String): Nothing = throw new Malformed(reason)
+
+  /** Whole-payload inflation cap: the multimodal decoders' budget
+    * pattern — bounds what a tiny gzip bomb can expand to.
+    */
+  val MaxInflated: Int = 1 << 28 // 256 MiB
+
+  /** Per-record body cap (a Content-Length is attacker-controlled). */
+  val MaxBody: Int = 1 << 26 // 64 MiB
+
+  /** One parsed record (or one quarantined parse failure). */
+  final case class Rec(recIdx: Int, offset: Long, warcType: String,
+                       targetUri: String, warcDate: String,
+                       contentType: String, httpStatus: Option[Int],
+                       text: String, error: String)
+
+  private val Utf8 = java.nio.charset.StandardCharsets.UTF_8
+
+  /** Bounded multi-member gunzip (Java's stream handles member
+    * concatenation, which is how real WARCs are compressed per-record).
+    */
+  private def gunzipAll(b: Array[Byte]): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(b))
+    val out = new java.io.ByteArrayOutputStream(math.min(b.length * 4, 1 << 16))
+    val buf = new Array[Byte](8192)
+    var n = in.read(buf)
+    while (n > 0) {
+      if (out.size() + n > MaxInflated) malformed("inflated past cap")
+      out.write(buf, 0, n)
+      n = in.read(buf)
+    }
+    out.toByteArray
+  }
+
+  /** Find end of line from `i` (index of the terminator); returns
+    * (lineEnd, nextLineStart). Lines are CRLF per spec; LF tolerated.
+    */
+  private def lineEnd(b: Array[Byte], i: Int): (Int, Int) = {
+    var p = i
+    while (p < b.length && b(p) != '\n') p += 1
+    if (p >= b.length) (p, p)
+    else if (p > i && b(p - 1) == '\r') (p - 1, p + 1)
+    else (p, p + 1)
+  }
+
+  private def asciiLine(b: Array[Byte], from: Int, until: Int): String =
+    new String(b, from, until - from, Utf8)
+
+  /** Parse `Name: value` headers from `i` until the empty line; returns
+    * (lowercased-name → value, bodyStart). Continuation lines (leading
+    * space/tab) append to the previous value.
+    */
+  private def parseHeaders(b: Array[Byte], i0: Int): (Map[String, String], Int) = {
+    var i = i0
+    val m = scala.collection.mutable.LinkedHashMap[String, String]()
+    var last: String = null
+    var guard = 0
+    while (true) {
+      if (i >= b.length) malformed("headers ran off the payload")
+      guard += 1
+      if (guard > 512) malformed("unbounded header block")
+      val (e, next) = lineEnd(b, i)
+      if (e == i) return (m.toMap, next) // empty line: body follows
+      val line = asciiLine(b, i, e)
+      if ((line.charAt(0) == ' ' || line.charAt(0) == '\t') && last != null)
+        m(last) = m(last) + " " + line.trim
+      else {
+        val c = line.indexOf(':')
+        if (c <= 0) malformed(s"header without colon: ${line.take(40)}")
+        val name = line.substring(0, c).trim.toLowerCase(java.util.Locale.ROOT)
+        m(name) = line.substring(c + 1).trim
+        last = name
+      }
+      i = next
+    }
+    sys.error("unreachable")
+  }
+
+  /** De-chunk an HTTP/1.1 chunked transfer-encoded body. */
+  private def dechunk(b: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(math.min(b.length, 1 << 16))
+    var i = 0
+    var done = false
+    while (!done) {
+      val (e, next) = lineEnd(b, i)
+      if (e >= b.length) malformed("chunked body truncated")
+      val sizeLine = asciiLine(b, i, e)
+      val semi = sizeLine.indexOf(';') // chunk extensions: ignored
+      val hexStr = (if (semi >= 0) sizeLine.substring(0, semi) else sizeLine).trim
+      if (hexStr.isEmpty || hexStr.length > 7 ||
+        !hexStr.forall(c => Character.digit(c, 16) >= 0))
+        malformed(s"bad chunk size: ${hexStr.take(16)}")
+      val size = Integer.parseInt(hexStr, 16)
+      if (out.size() + size > MaxBody) malformed("dechunked past cap")
+      if (size == 0) done = true
+      else {
+        if (next + size > b.length) malformed("chunk truncated")
+        out.write(b, next, size)
+        i = next + size
+        // chunk data is followed by CRLF
+        val (e2, n2) = lineEnd(b, i)
+        if (e2 != i) malformed("chunk not CRLF-terminated")
+        i = n2
+      }
+    }
+    out.toByteArray
+  }
+
+  /** Split an `application/http` response block into (status, html
+    * bytes), applying transfer/content decodings.
+    */
+  private def parseHttp(b: Array[Byte]): (Int, Array[Byte]) = {
+    val (e, next) = lineEnd(b, 0)
+    val status = asciiLine(b, 0, e)
+    if (!status.startsWith("HTTP/")) malformed("not an HTTP response block")
+    val parts = status.split(" +", 3)
+    if (parts.length < 2 || parts(1).length != 3 ||
+      !parts(1).forall(_.isDigit)) malformed(s"bad status line: ${status.take(40)}")
+    val code = parts(1).toInt
+    val (headers, bodyStart) = parseHeaders(b, next)
+    var body = java.util.Arrays.copyOfRange(b, bodyStart, b.length)
+    if (headers.get("transfer-encoding").exists(
+      _.toLowerCase(java.util.Locale.ROOT).contains("chunked")))
+      body = dechunk(body)
+    headers.get("content-encoding")
+      .map(_.toLowerCase(java.util.Locale.ROOT).trim) match {
+      case Some("gzip") | Some("x-gzip") =>
+        body = gunzipAll(body)
+        if (body.length > MaxBody) malformed("content-encoding past cap")
+      case Some("deflate") =>
+        val inf = new java.util.zip.Inflater()
+        inf.setInput(body)
+        val out = new java.io.ByteArrayOutputStream(math.min(body.length * 4, 1 << 16))
+        val buf = new Array[Byte](8192)
+        try {
+          while (!inf.finished()) {
+            val n =
+              try inf.inflate(buf)
+              catch { case _: java.util.zip.DataFormatException =>
+                malformed("bad deflate body") }
+            if (n == 0 && !inf.finished()) malformed("deflate stalled")
+            if (out.size() + n > MaxBody) malformed("deflate past cap")
+            out.write(buf, 0, n)
+          }
+        } finally inf.end()
+        body = out.toByteArray
+      case Some("identity") | None => ()
+      case Some(other) => malformed(s"unsupported content-encoding $other")
+    }
+    (code, body)
+  }
+
+  /** Resync after a malformed record: the next `WARC/` at a line start. */
+  private def resync(b: Array[Byte], from: Int): Int = {
+    var i = math.max(from, 0)
+    while (i + 5 <= b.length) {
+      if (b(i) == 'W' && b(i + 1) == 'A' && b(i + 2) == 'R' &&
+        b(i + 3) == 'C' && b(i + 4) == '/' &&
+        (i == 0 || b(i - 1) == '\n')) return i
+      i += 1
+    }
+    b.length
+  }
+
+  /** Parse one WARC payload (plain or gzip) into records; pure and
+    * total — malformed records become `error` rows, never exceptions.
+    */
+  def parse(payload: Array[Byte]): Seq[Rec] = {
+    if (payload == null || payload.isEmpty) return Seq.empty
+    val b0 =
+      try {
+        if (payload.length >= 2 && (payload(0) & 0xff) == 0x1f &&
+          (payload(1) & 0xff) == 0x8b) gunzipAll(payload)
+        else payload
+      } catch {
+        case m: Malformed => return Seq(Rec(0, 0L, null, null, null, null,
+          None, null, m.reason))
+        case _: java.io.IOException => return Seq(Rec(0, 0L, null, null,
+          null, null, None, null, "corrupt gzip payload"))
+      }
+    val out = scala.collection.mutable.ArrayBuffer[Rec]()
+    var i = 0
+    var idx = 0
+    while (i < b0.length) {
+      // skip inter-record blank lines
+      while (i < b0.length && (b0(i) == '\r' || b0(i) == '\n')) i += 1
+      if (i < b0.length) {
+        val recStart = i
+        try {
+          val (e, next) = lineEnd(b0, i)
+          val version = asciiLine(b0, i, e)
+          if (!version.startsWith("WARC/")) malformed("missing WARC/ version")
+          val (h, bodyStart) = parseHeaders(b0, next)
+          val len = h.get("content-length") match {
+            case Some(s) if s.nonEmpty && s.length <= 9 && s.forall(_.isDigit) =>
+              s.toInt
+            case _ => malformed("missing/invalid Content-Length")
+          }
+          if (len > MaxBody) malformed("Content-Length past cap")
+          if (bodyStart + len > b0.length) malformed("body truncated")
+          val body = java.util.Arrays.copyOfRange(b0, bodyStart, bodyStart + len)
+          val wt = h.getOrElse("warc-type", malformed("missing WARC-Type"))
+            .toLowerCase(java.util.Locale.ROOT)
+          val uri = h.get("warc-target-uri")
+            .map(u => u.stripPrefix("<").stripSuffix(">")).orNull
+          val date = h.get("warc-date").orNull
+          val ct = h.get("content-type").orNull
+          val (status, text) = wt match {
+            case "response" if ct != null &&
+              ct.toLowerCase(java.util.Locale.ROOT)
+                .startsWith("application/http") =>
+              val (code, html) = parseHttp(body)
+              (Some(code), new String(html, Utf8))
+            case "conversion" => (None, new String(body, Utf8))
+            case _ => (None, null) // warcinfo/request/metadata: typed only
+          }
+          out += Rec(idx, recStart.toLong, wt, uri, date, ct, status, text, null)
+          i = bodyStart + len
+        } catch {
+          case m: Malformed =>
+            out += Rec(idx, recStart.toLong, null, null, null, null, None,
+              null, m.reason)
+            i = resync(b0, recStart + 5)
+        }
+        idx += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** All records of every payload row: `idCol` carried through, one
+    * output row per record INCLUDING quarantined failures (`error`
+    * non-null, everything else null) — the caller audits or drops.
+    * Scan-stage: parse kernel + explode; payload projected away.
+    */
+  def records(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val kernel = udf { payload: Array[Byte] => parse(payload) }
+    df.select(col(idCol), explode(kernel(col(payloadCol))).as("r"))
+      .select(col(idCol), col("r.recIdx").as("rec_idx"),
+        col("r.offset").as("offset"), col("r.warcType").as("warc_type"),
+        col("r.targetUri").as("url"), col("r.warcDate").as("warc_date"),
+        col("r.contentType").as("content_type"),
+        col("r.httpStatus").as("http_status"),
+        col("r.text").as("text"), col("r.error").as("error"))
+  }
+
+  /** The curation front door: just the content-bearing rows — HTTP
+    * `response` pages (status + html text) and WET `conversion` text —
+    * with failures and non-content record types filtered out. Feed the
+    * `html` column to [[graft.textops.HtmlExtract.extractDocs]].
+    */
+  def htmlPages(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
+    records(df, idCol, payloadCol)
+      .where(col("error").isNull &&
+        (col("warc_type") === "response" || col("warc_type") === "conversion") &&
+        col("text").isNotNull)
+      .select(col(idCol), col("rec_idx"), col("url"), col("warc_date"),
+        col("http_status"), col("text").as("html"))
+}

@@ -1,0 +1,252 @@
+package graft.sources
+
+import graft.SparkSpec
+
+/** WARC/WET record reader: framing round-trips across the real-world
+  * matrix (plain / whole-payload gzip / multi-member gzip, CRLF and
+  * LF-only writers, chunked + content-encoded HTTP, WET conversion
+  * records), the quarantine-and-resync error model, byte caps, and the
+  * crawl → extraction composition the curation pipeline rides.
+  */
+class WarcSpec extends SparkSpec {
+
+  private val crlf = "\r\n"
+
+  private def rec(wtype: String, uri: String, body: Array[Byte],
+                  contentType: String = "application/http; msgtype=response",
+                  eol: String = "\r\n"): Array[Byte] = {
+    val h = new StringBuilder("WARC/1.0").append(eol)
+    h.append("WARC-Type: ").append(wtype).append(eol)
+    if (uri != null) h.append("WARC-Target-URI: ").append(uri).append(eol)
+    h.append("WARC-Date: 2026-02-01T12:00:00Z").append(eol)
+    h.append("Content-Type: ").append(contentType).append(eol)
+    h.append("Content-Length: ").append(body.length).append(eol).append(eol)
+    h.toString.getBytes("UTF-8") ++ body ++ (eol + eol).getBytes("UTF-8")
+  }
+
+  private def httpResponse(html: String, extraHeaders: String = "",
+                           body: Array[Byte] = null): Array[Byte] =
+    (s"HTTP/1.1 200 OK${crlf}Content-Type: text/html$crlf$extraHeaders$crlf")
+      .getBytes("UTF-8") ++
+      (if (body != null) body else html.getBytes("UTF-8"))
+
+  private def gzip(b: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(out)
+    gz.write(b); gz.close()
+    out.toByteArray
+  }
+
+  test("plain response record: framing, uri, date, status, html body") {
+    val payload = rec("response", "https://x.org/a",
+      httpResponse("<p>hello world</p>"))
+    val rs = Warc.parse(payload)
+    assert(rs.length == 1)
+    val r = rs.head
+    assert(r.error == null && r.warcType == "response")
+    assert(r.targetUri == "https://x.org/a")
+    assert(r.warcDate == "2026-02-01T12:00:00Z")
+    assert(r.httpStatus.contains(200))
+    assert(r.text == "<p>hello world</p>")
+  }
+
+  test("multi-record stream in order; warcinfo/request typed but not decoded") {
+    val payload =
+      rec("warcinfo", null, s"software: test$crlf".getBytes("UTF-8"),
+        contentType = "application/warc-fields") ++
+        rec("request", "https://x.org/a",
+          s"GET /a HTTP/1.1${crlf}Host: x.org$crlf$crlf".getBytes("UTF-8"),
+          contentType = "application/http; msgtype=request") ++
+        rec("response", "https://x.org/a", httpResponse("<p>one</p>")) ++
+        rec("conversion", "https://x.org/b", "bare wet text".getBytes("UTF-8"),
+          contentType = "text/plain")
+    val rs = Warc.parse(payload)
+    assert(rs.map(_.warcType) == Seq("warcinfo", "request", "response",
+      "conversion"))
+    assert(rs.forall(_.error == null))
+    assert(rs(0).text == null && rs(1).text == null) // not content-bearing
+    assert(rs(2).text == "<p>one</p>" && rs(2).httpStatus.contains(200))
+    assert(rs(3).text == "bare wet text" && rs(3).httpStatus.isEmpty)
+    assert(rs.map(_.recIdx) == Seq(0, 1, 2, 3))
+  }
+
+  test("whole-payload gzip and per-record multi-member gzip both inflate") {
+    val r1 = rec("response", "https://x.org/1", httpResponse("<p>a</p>"))
+    val r2 = rec("response", "https://x.org/2", httpResponse("<p>b</p>"))
+    // one member over the whole stream
+    val whole = Warc.parse(gzip(r1 ++ r2))
+    assert(whole.map(_.text) == Seq("<p>a</p>", "<p>b</p>"))
+    // the real-crawl form: one gzip member PER record, concatenated
+    val members = Warc.parse(gzip(r1) ++ gzip(r2))
+    assert(members.map(_.text) == Seq("<p>a</p>", "<p>b</p>"))
+  }
+
+  test("LF-only framing (real-world WET writers) parses like CRLF") {
+    val payload = rec("conversion", "https://x.org/w",
+      "wet line one\nwet line two".getBytes("UTF-8"),
+      contentType = "text/plain", eol = "\n")
+    val rs = Warc.parse(payload)
+    assert(rs.length == 1 && rs.head.error == null)
+    assert(rs.head.text == "wet line one\nwet line two")
+  }
+
+  test("chunked transfer-encoding is de-chunked; gzip content-encoding inflates") {
+    val html = "<p>" + ("x" * 200) + "</p>"
+    val chunked = {
+      val out = new java.io.ByteArrayOutputStream()
+      val b = html.getBytes("UTF-8")
+      var i = 0
+      while (i < b.length) {
+        val n = math.min(77, b.length - i)
+        out.write(s"${Integer.toHexString(n)};ext=1$crlf".getBytes("UTF-8"))
+        out.write(b, i, n)
+        out.write(crlf.getBytes("UTF-8"))
+        i += n
+      }
+      out.write(s"0$crlf$crlf".getBytes("UTF-8"))
+      out.toByteArray
+    }
+    val p1 = rec("response", "https://x.org/c",
+      httpResponse(null, s"Transfer-Encoding: chunked$crlf", chunked))
+    assert(Warc.parse(p1).head.text == html)
+
+    val p2 = rec("response", "https://x.org/g",
+      httpResponse(null, s"Content-Encoding: gzip$crlf",
+        gzip(html.getBytes("UTF-8"))))
+    assert(Warc.parse(p2).head.text == html)
+
+    // deflate content-encoding
+    val deflated = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(html.getBytes("UTF-8")); d.finish()
+      val buf = new Array[Byte](4096)
+      val n = d.deflate(buf); d.end()
+      java.util.Arrays.copyOf(buf, n)
+    }
+    val p3 = rec("response", "https://x.org/d",
+      httpResponse(null, s"Content-Encoding: deflate$crlf", deflated))
+    assert(Warc.parse(p3).head.text == html)
+  }
+
+  test("quarantine + resync: a malformed record costs itself, never the rest") {
+    val good1 = rec("response", "https://x.org/1", httpResponse("<p>a</p>"))
+    val good2 = rec("response", "https://x.org/2", httpResponse("<p>b</p>"))
+    // colon-less header
+    val bad1 = s"WARC/1.0${crlf}not a header$crlf$crlf".getBytes("UTF-8")
+    // truncated body: Content-Length past the payload
+    val bad2 = (s"WARC/1.0${crlf}WARC-Type: response$crlf" +
+      s"Content-Length: 99999$crlf$crlf").getBytes("UTF-8")
+    for (payload <- Seq(good1 ++ bad1 ++ good2, bad1 ++ good1 ++ good2)) {
+      val rs = Warc.parse(payload)
+      assert(rs.count(_.error != null) == 1)
+      assert(rs.filter(_.error == null).map(_.text) ==
+        Seq("<p>a</p>", "<p>b</p>"))
+    }
+    // a truncated-body record at the END quarantines alone
+    val rs2 = Warc.parse(good1 ++ bad2)
+    assert(rs2.head.error == null && rs2(1).error != null)
+    // offsets point at the failing record
+    assert(rs2(1).offset == good1.length)
+  }
+
+  test("refusals stay rows, never exceptions: garbage, bombs, caps, empties") {
+    assert(Warc.parse(null).isEmpty)
+    assert(Warc.parse(Array.emptyByteArray).isEmpty)
+    // pure garbage: one quarantined row (or resync to nothing)
+    val g = Warc.parse("totally not a warc".getBytes("UTF-8"))
+    assert(g.forall(_.error != null))
+    // corrupt gzip magic
+    val z = gzip(rec("conversion", "u", "x".getBytes("UTF-8"),
+      contentType = "text/plain"))
+    z(z.length / 2) = (z(z.length / 2) ^ 0x55).toByte
+    val zr = Warc.parse(z)
+    assert(zr.forall(_.error != null)) // never throws
+    // Content-Length over the per-record cap
+    val big = (s"WARC/1.0${crlf}WARC-Type: response$crlf" +
+      s"Content-Length: ${Warc.MaxBody + 1}$crlf$crlf").getBytes("UTF-8")
+    assert(Warc.parse(big).head.error != null)
+    // random corruption fuzz over a valid payload
+    val base = rec("response", "https://x.org/f", httpResponse("<p>f</p>"))
+    var s = 31337L
+    def next(mod: Int): Int = {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      ((s >>> 33) % mod).toInt
+    }
+    (1 to 300).foreach { _ =>
+      val b = base.clone()
+      b(next(base.length)) = (next(256) & 0xff).toByte
+      Warc.parse(b) // rows either way
+    }
+    (1 to 300).foreach { _ =>
+      val b = gzip(base).clone()
+      b(next(b.length)) = (next(256) & 0xff).toByte
+      Warc.parse(b)
+    }
+  }
+
+  test("records()/htmlPages(): scan-stage DataFrame surface with the " +
+    "payload projected away") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, rec("response", "https://x.org/1", httpResponse("<p>keep me</p>"))),
+      (2L, gzip(rec("conversion", "https://x.org/2",
+        "wet text".getBytes("UTF-8"), contentType = "text/plain"))),
+      (3L, "garbage".getBytes("UTF-8")),
+      (4L, rec("warcinfo", null, "software: t\r\n".getBytes("UTF-8"),
+        contentType = "application/warc-fields"))
+    ).toDF("id", "payload")
+    val all = Warc.records(df, "id", "payload").collect()
+    assert(all.length == 4)
+    val pages = Warc.htmlPages(df, "id", "payload")
+      .collect().map(r => (r.getLong(0), r.getString(5))).toSet
+    assert(pages == Set((1L, "<p>keep me</p>"), (2L, "wet text")))
+    // plan shape: one generator over one projection, no Exchange before
+    // the records exist
+    val plan = Warc.records(df, "id", "payload").queryExecution
+      .executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+
+  test("crawl -> extraction composition: WARC bytes to curated text in " +
+    "one scan-stage pipeline (the q126 shape)") {
+    import graft.textops.HtmlExtract
+    import spark.implicits._
+    val html = "<html lang='en'><head><title>T1</title></head><body>" +
+      "<nav><a href='/'>Home</a> <a href='/a'>About</a></nav>" +
+      "<p>real content paragraph here</p></body></html>"
+    val df = Seq(
+      (10L, rec("response", "https://x.org/page", httpResponse(html)))
+    ).toDF("id", "payload")
+    val pages = Warc.htmlPages(df, "id", "payload")
+    val out = HtmlExtract.extractDocs(pages, "id", "html",
+      carryCols = Seq("url", "http_status")).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("url") == "https://x.org/page")
+    assert(r.getAs[Int]("http_status") == 200)
+    assert(r.getAs[String]("title") == "T1")
+    assert(r.getAs[String]("text") == "real content paragraph here")
+  }
+
+  test("q126 planted corpus parses to its closed form for every variant " +
+    "residue (gzip x chunked x WET x malformed-tail)") {
+    for (k <- 0L to 24L) {
+      val payload = graft.SparkEntry.q126Warc(k, "en", s"doc body $k")
+      val rs = Warc.parse(payload)
+      val good = rs.filter(_.error == null)
+      val quarantined = rs.filter(_.error != null)
+      assert(quarantined.length == (if (k % 5 == 0) 1 else 0), s"k=$k")
+      assert(good.head.warcType == "warcinfo", s"k=$k")
+      val content = good(1)
+      assert(content.targetUri == s"https://example.org/doc/$k", s"k=$k")
+      if (k % 7 == 0) {
+        assert(content.warcType == "conversion" && content.httpStatus.isEmpty)
+        assert(content.text == s"doc body $k\nend of document $k & beyond.")
+      } else {
+        assert(content.warcType == "response" &&
+          content.httpStatus.contains(200), s"k=$k")
+        assert(content.text.contains(s"<p>  doc body $k  </p>"), s"k=$k")
+      }
+    }
+  }
+}
