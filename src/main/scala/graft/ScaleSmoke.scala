@@ -39,8 +39,11 @@ object ScaleSmoke {
     "q99_quant_lm", "q100_ngram_lm", "q101_quant5_lm", "q109_kneser_ney",
     "q110_kneser_ney_mod",
     // the compiled (ARPA) form: train + compile + longest-match scoring
-    // — the deployment-shape twin whose exponent must track q110's
-    "q122_kneser_ney_arpa",
+    // — and its steady-state split, where the model compiles once from
+    // the FIXED base block and only scoring scales with the corpus (the
+    // deployment shape; q122's one-shot exponent folds the per-level
+    // compile joins into every leg and overstates steady-state cost)
+    "q122_kneser_ney_arpa", "q127_arpa_score_fixed",
     // the composed curation pipeline: scan gates + fingerprint dedup +
     // kept-set LM in one job — and its fuzzy-dedup form (adds the
     // MinHash-LSH candidate shuffle + connected components + quality

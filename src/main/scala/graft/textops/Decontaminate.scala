@@ -101,16 +101,36 @@ object Decontaminate {
     * unique per (corpus source, bench source, gram)).
     */
   def leakageMatrix(corpus: DataFrame, benchmark: DataFrame, srcCol: String,
-                    textCol: String, n: Int): DataFrame = {
+                    textCol: String, n: Int,
+                    expectedGrams: Long = 10000000L,
+                    fpp: Double = 0.01): DataFrame = {
     require(n >= 1, "n-gram length must be >= 1")
     val gramsUdf = udf((s: String) => TextKernels.charGramHashes(s, n))
       .asNondeterministic() // plan-shape fence, see overlapHashed
     def sourceGrams(df: DataFrame, as: String): DataFrame =
       df.filter(length(col(textCol)) >= n)
         .select(col(srcCol).as(as), explode(gramsUdf(col(textCol))).as("gh"))
-        .dropDuplicates(as, "gh")
+    // the benchmark side is the small one (a fixed eval suite in
+    // deployment); its per-source-distinct grams back BOTH the Bloom
+    // build and the verification join (evictable MEMORY_AND_DISK — the
+    // overlapBloom cache-lifetime contract: blocks stay until the
+    // session clears its cache)
+    val benchGrams = sourceGrams(benchmark, "bench_source")
+      .dropDuplicates("bench_source", "gh")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bloom = benchGrams.stat.bloomFilter("gh", expectedGrams, fpp)
+    val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((gh: Long) => bc.value.mightContainLong(gh))
+    // Bloom-prune the corpus grams BEFORE the per-source dedup: the
+    // dedup is a full shuffle of every exploded corpus gram otherwise —
+    // the dominant exchange of the whole job (corpus grams that can't
+    // be shared vastly outnumber shared ones). The filter only prunes;
+    // the join still verifies every survivor exactly, so the matrix is
+    // identical to the unfiltered form.
     sourceGrams(corpus, "corpus_source")
-      .join(sourceGrams(benchmark, "bench_source"), "gh")
+      .filter(mightContain(col("gh")))
+      .dropDuplicates("corpus_source", "gh")
+      .join(benchGrams, "gh")
       .groupBy(col("corpus_source"), col("bench_source"))
       .agg(count(lit(1)).as("n_shared_grams"))
   }
