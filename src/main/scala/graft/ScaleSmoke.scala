@@ -31,7 +31,7 @@ object ScaleSmoke {
 
   private val ScaleQueries = Seq(
     "q19_jaccard_pairs", "q65_dup_components", "q77_semdedup",
-    "q88_leakage_matrix", "q89_ivfpq",
+    "q88_leakage_matrix", "q128_leakage_fixed_bench", "q89_ivfpq",
     // the LM/retrieval stack — the most expensive contract queries;
     // their 100 TB story should rest on measured exponents, not only on
     // plan-shape assertions

@@ -1812,6 +1812,24 @@ object SparkEntry {
         .orderBy(col("corpus_source"), col("bench_source"))
     }),
 
+    // q88's DEPLOYMENT shape isolated (the q121/q127 fixed-benchmark
+    // pattern): the eval suite is pinned to the base id block —
+    // identity at every test SF, so q88's oracle replays verbatim —
+    // while the corpus grows. Under ScaleSmoke the scaled copies'
+    // vocabularies are disjoint from the fixed benchmark's, so the
+    // Bloom prune drops the non-shared corpus grams BEFORE the dedup
+    // exchange — the regime the prune exists for, which q88's
+    // grows-with-corpus benchmark can never show
+    "q128_leakage_fixed_bench" -> ((s, dir) => {
+      val all = tSpread(s, dir, "documents")
+      Decontaminate.leakageMatrix(
+        all.filter(col("doc_id") % 10 =!= 0),
+        all.filter(col("doc_id") % 10 === 0 &&
+          col("doc_id") < lit(10000000L)),
+        "source", "text", 32)
+        .orderBy(col("corpus_source"), col("bench_source"))
+    }),
+
     // CCNet head/middle/tail bucketing (Wenzek et al. 2020): typicality
     // thirds by unigram-LM mean log-probability. No global window — two
     // exact-percentile cut points broadcast into a per-row case; the
@@ -4201,6 +4219,27 @@ object SparkEntry {
         |ORDER BY r.doc_id""".stripMargin,
 
     "q88_leakage_matrix" ->
+      """WITH cg AS (
+        |  SELECT DISTINCT source AS corpus_source,
+        |    unnest(list_transform(
+        |      range(1, greatest(length(text) - 31, 0) + 1),
+        |      i -> substr(text, CAST(i AS INTEGER), 32))) AS g
+        |  FROM documents WHERE doc_id % 10 <> 0),
+        |bg AS (
+        |  SELECT DISTINCT source AS bench_source,
+        |    unnest(list_transform(
+        |      range(1, greatest(length(text) - 31, 0) + 1),
+        |      i -> substr(text, CAST(i AS INTEGER), 32))) AS g
+        |  FROM documents WHERE doc_id % 10 = 0)
+        |SELECT corpus_source, bench_source,
+        |  count(*) AS n_shared_grams
+        |FROM cg JOIN bg USING (g)
+        |GROUP BY corpus_source, bench_source
+        |ORDER BY corpus_source, bench_source""".stripMargin,
+
+    // the fixed-benchmark filter is identity at test SFs (every doc_id
+    // is in the base block), so q88's replay applies verbatim
+    "q128_leakage_fixed_bench" ->
       """WITH cg AS (
         |  SELECT DISTINCT source AS corpus_source,
         |    unnest(list_transform(

@@ -102,7 +102,7 @@ object Decontaminate {
     */
   def leakageMatrix(corpus: DataFrame, benchmark: DataFrame, srcCol: String,
                     textCol: String, n: Int,
-                    expectedGrams: Long = 10000000L,
+                    expectedGrams: Long = 0L,
                     fpp: Double = 0.01): DataFrame = {
     require(n >= 1, "n-gram length must be >= 1")
     val gramsUdf = udf((s: String) => TextKernels.charGramHashes(s, n))
@@ -110,30 +110,60 @@ object Decontaminate {
     def sourceGrams(df: DataFrame, as: String): DataFrame =
       df.filter(length(col(textCol)) >= n)
         .select(col(srcCol).as(as), explode(gramsUdf(col(textCol))).as("gh"))
-    // the benchmark side is the small one (a fixed eval suite in
-    // deployment); its per-source-distinct grams back BOTH the Bloom
-    // build and the verification join (evictable MEMORY_AND_DISK — the
-    // overlapBloom cache-lifetime contract: blocks stay until the
-    // session clears its cache)
-    val benchGrams = sourceGrams(benchmark, "bench_source")
+    // The Bloom prune pays when a BOUNDED eval suite faces a huge
+    // corpus — the deployment shape — and is pure overhead when the
+    // bench side grows with the corpus (the bitset build+broadcast
+    // scales with bench grams while pruning nothing new; measured +30%
+    // at a 100x sweep whose bench slice is 10% OF the scaled corpus).
+    // Gate on a CHEAP upper bound of the bench gram count — one
+    // aggregate over the bench docs' lengths, no explode, no persist —
+    // and size the filter by the same bound (overestimating only
+    // lowers the effective fpp; the gate caps the bitset at ~19 MB).
+    val estGrams: Long = {
+      val r = benchmark
+        .agg(sum(greatest(length(col(textCol)) - (n - 1), lit(0))))
+        .head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    val useBloom = expectedGrams > 0 || estGrams <= MaxBloomGrams
+    val benchDedup = sourceGrams(benchmark, "bench_source")
       .dropDuplicates("bench_source", "gh")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bloom = benchGrams.stat.bloomFilter("gh", expectedGrams, fpp)
-    val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
-    val mightContain = udf((gh: Long) => bc.value.mightContainLong(gh))
-    // Bloom-prune the corpus grams BEFORE the per-source dedup: the
-    // dedup is a full shuffle of every exploded corpus gram otherwise —
-    // the dominant exchange of the whole job (corpus grams that can't
-    // be shared vastly outnumber shared ones). The filter only prunes;
-    // the join still verifies every survivor exactly, so the matrix is
-    // identical to the unfiltered form.
-    sourceGrams(corpus, "corpus_source")
-      .filter(mightContain(col("gh")))
+    // persist only on the bloom path, where the gram set backs BOTH the
+    // filter build and the verification join (evictable MEMORY_AND_DISK
+    // — the overlapBloom cache-lifetime contract); the plain path reads
+    // it exactly once
+    val benchGrams =
+      if (useBloom)
+        benchDedup.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else benchDedup
+    val corpusGrams = sourceGrams(corpus, "corpus_source")
+    val pruned =
+      if (!useBloom) corpusGrams
+      else {
+        val sized = if (expectedGrams > 0) expectedGrams
+          else math.max(estGrams, 1000L)
+        val bloom = benchGrams.stat.bloomFilter("gh", sized, fpp)
+        val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
+        val mightContain = udf((gh: Long) => bc.value.mightContainLong(gh))
+        // Bloom-prune the corpus grams BEFORE the per-source dedup: the
+        // dedup otherwise shuffles every exploded corpus gram — the
+        // dominant exchange of the whole job when most grams can't be
+        // shared. The filter only prunes; the join still verifies every
+        // survivor exactly, so the matrix is identical either way.
+        corpusGrams.filter(mightContain(col("gh")))
+      }
+    pruned
       .dropDuplicates("corpus_source", "gh")
       .join(benchGrams, "gh")
       .groupBy(col("corpus_source"), col("bench_source"))
       .agg(count(lit(1)).as("n_shared_grams"))
   }
+
+  /** Bench-gram ceiling for the [[leakageMatrix]] Bloom prune: ~19 MB
+    * of bitset at fpp 0.01 — comfortably broadcastable; past it the
+    * build+broadcast costs more than the prune saves.
+    */
+  val MaxBloomGrams: Long = 16000000L
 
   /** [[overlapHashed]] with a Bloom-filter prefilter — the shape for when
     * even the benchmark gram set is too large to broadcast as a join table
