@@ -290,12 +290,23 @@ object Warc {
     * `response` pages (status + html text) and WET `conversion` text —
     * with failures and non-content record types filtered out. Feed the
     * `html` column to [[graft.textops.HtmlExtract.extractDocs]].
+    * `carryCols` ride through from the input (an event-time column for
+    * a streaming watermark, a shard path) — everything here is a
+    * stateless projection, so the same call works on a streaming frame.
     */
-  def htmlPages(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
-    records(df, idCol, payloadCol)
-      .where(col("error").isNull &&
-        (col("warc_type") === "response" || col("warc_type") === "conversion") &&
-        col("text").isNotNull)
-      .select(col(idCol), col("rec_idx"), col("url"), col("warc_date"),
-        col("http_status"), col("text").as("html"))
+  def htmlPages(df: DataFrame, idCol: String, payloadCol: String,
+                carryCols: Seq[String] = Nil): DataFrame = {
+    val kernel = udf { payload: Array[Byte] => parse(payload) }
+    df.select(col(idCol) +: carryCols.map(col) :+
+        explode(kernel(col(payloadCol))).as("r"): _*)
+      .where(col("r.error").isNull &&
+        (col("r.warcType") === "response" ||
+          col("r.warcType") === "conversion") &&
+        col("r.text").isNotNull)
+      .select(col(idCol) +: carryCols.map(col) :+
+        col("r.recIdx").as("rec_idx") :+ col("r.targetUri").as("url") :+
+        col("r.warcDate").as("warc_date") :+
+        col("r.httpStatus").as("http_status") :+
+        col("r.text").as("html"): _*)
+  }
 }

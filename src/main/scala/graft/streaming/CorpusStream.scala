@@ -17,6 +17,30 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object CorpusStream {
 
+  /** Streaming crawl ingestion — the live form of the WARC → text front
+    * door (`Warc.htmlPages` + `HtmlExtract.extractDocs`, the q126
+    * pipeline): WARC payload rows in, extracted documents out, with
+    * `carryCols` (the event-time column a downstream watermark needs, a
+    * shard path) riding through. Every step is a per-row kernel or a
+    * generator — STATELESS: no state store, no watermark here, so the
+    * same call serves backfill and live ingest with identical
+    * semantics, and the payload bytes never cross a micro-batch
+    * boundary. Compose the output with [[dedupStream]] /
+    * [[qualityFilter]] / [[contaminationGate]] / [[fuzzyCurationGate]]
+    * for end-to-end live crawl curation. Malformed records are dropped
+    * here (the stream keeps only content-bearing successes); run
+    * `Warc.records` on the same payload column for a quarantine audit
+    * sink.
+    */
+  def crawlIngest(warcs: DataFrame, idCol: String, payloadCol: String,
+                  carryCols: Seq[String] = Nil): DataFrame = {
+    val pages = graft.sources.Warc.htmlPages(warcs, idCol, payloadCol,
+      carryCols)
+    graft.textops.HtmlExtract.extractDocs(pages, idCol, "html",
+      carryCols = carryCols ++ Seq("rec_idx", "url", "warc_date",
+        "http_status"))
+  }
+
   /** Exact-duplicate suppression on a streaming corpus: first arrival of a
     * normalized-text fingerprint wins; any duplicate arriving within
     * `watermark` of its original is dropped. `tsCol` is the event-time

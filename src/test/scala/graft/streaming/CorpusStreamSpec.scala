@@ -14,6 +14,8 @@ final case class Doc(doc_id: Long, ts: Timestamp, text: String)
 
 final case class VDoc(vec_id: Long, embedding: Array[Float])
 
+final case class WarcRow(id: Long, ts: Timestamp, payload: Array[Byte])
+
 /** Streaming corpus curation: batch ≡ stream for exact dedup and the
   * quality gate.
   */
@@ -357,5 +359,71 @@ class CorpusStreamSpec extends SparkSpec {
       reasons(6L).contains("near_duplicate") &&
       reasons(4L).contains("duplicate"))
     } finally spark.conf.unset(checkConf)
+  }
+
+  test("streaming crawl ingestion: WARC bytes to extracted docs, batch " +
+    "≡ stream across micro-batches, garbage dropped, then composed " +
+    "with the exact-dedup gate end-to-end") {
+    implicit val sqlCtx = spark.sqlContext
+    def warcOf(k: Long, text: String): Array[Byte] =
+      graft.SparkEntry.q126Warc(k, "en", text)
+    val rows = Seq(
+      WarcRow(1L, t("2020-01-01 10:00:00"), warcOf(1L, "first real page body")),
+      WarcRow(2L, t("2020-01-01 10:00:30"), warcOf(2L, "second page body here")),
+      // 3 extracts to the SAME text as 1 (different key chrome? no —
+      // q126's page embeds the key in title/footer text, so use the
+      // same key's bytes under a new stream id to make a true dup)
+      WarcRow(3L, t("2020-01-01 10:01:00"), warcOf(1L, "first real page body")),
+      WarcRow(4L, t("2020-01-01 10:01:30"), "not a warc at all".getBytes("UTF-8")),
+      WarcRow(5L, t("2020-01-01 10:02:00"), warcOf(7L, "wet conversion body")))
+    // stream in two micro-batches
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[WarcRow]
+    val ingested = CorpusStream.crawlIngest(source.toDF(), "id", "payload",
+      carryCols = Seq("ts"))
+    val q = ingested.writeStream.outputMode("append")
+      .format("memory").queryName("crawl_ingest")
+      .start()
+    source.addData(rows.take(2): _*)
+    q.processAllAvailable()
+    source.addData(rows.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql(
+        "SELECT id, url, http_status, title, text FROM crawl_ingest")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.get(2)),
+        Option(r.getString(3)), r.getString(4))).toSet
+    // garbage row 4 produced nothing; WET row 5 has no status/title
+    assert(got.map(_._1) == Set(1L, 2L, 3L, 5L))
+    assert(got.collect { case (5L, _, st, ti, _) => (st, ti) }.head ==
+      ((None, None)))
+    assert(got.collect { case (1L, _, st, ti, _) => (st, ti) }.head ==
+      ((Some(200), Some("Doc 1"))))
+    // batch ≡ stream: the same call on the same rows as a batch frame
+    val batch = CorpusStream.crawlIngest(rows.toDF(), "id", "payload",
+        carryCols = Seq("ts"))
+      .select(col("id"), col("url"), col("http_status"), col("title"),
+        col("text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.get(2)),
+        Option(r.getString(3)), r.getString(4))).toSet
+    assert(batch == got)
+    // end-to-end live curation: ingestion composed with the stateful
+    // exact-dedup gate — row 3 (byte-identical page under a new id)
+    // must be suppressed as a duplicate of row 1's extraction
+    val source2 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[WarcRow]
+    val curated = CorpusStream.dedupStream(
+      CorpusStream.crawlIngest(source2.toDF(), "id", "payload",
+        carryCols = Seq("ts")),
+      "text", "ts", "10 minutes")
+    val q2 = curated.writeStream.outputMode("append")
+      .format("memory").queryName("crawl_curated")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    source2.addData(rows: _*)
+    q2.awaitTermination(60000)
+    val kept = spark.sql("SELECT id FROM crawl_curated")
+      .as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 5L))
   }
 }
