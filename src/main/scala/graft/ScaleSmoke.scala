@@ -83,10 +83,12 @@ object ScaleSmoke {
     // (both now over MIXED WAV/FLAC corpora after the r13 re-planting)
     "q115_image_resize", "q116_audio_downsample",
     // the crawl-ingestion front door (r13/r14 additions): Unicode
-    // normalization, HTML→text extraction, and WARC record framing +
-    // HTTP split + extraction — all pure scan-stage kernels whose
-    // exponents evidence the per-row work parallelizes flat
-    "q124_text_normalize", "q125_html_extract", "q126_warc_extract")
+    // normalization, HTML→text extraction, WARC record framing +
+    // HTTP split + extraction, and URL canonicalization — all pure
+    // scan-stage kernels whose exponents evidence the per-row work
+    // parallelizes flat
+    "q124_text_normalize", "q125_html_extract", "q126_warc_extract",
+    "q129_url_normalize")
 
   /** Measured at 10× only. Both are deliberately NOT the scale path —
     * q77 is the pinned-k SemDeDup negative control (its 100× exponent

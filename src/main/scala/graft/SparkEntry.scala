@@ -2652,8 +2652,40 @@ object SparkEntry {
         .select(col("doc_id"), col("url"), col("http_status"),
           col("title"), col("lang"), col("text"))
         .orderBy(col("doc_id"))
+    }),
+
+    // URL canonicalization — the step between the WARC front door and
+    // URL-level dedup: the SAME page crawled under scheme/host case,
+    // default ports, dot-segment paths, percent-encoding variants,
+    // shuffled query order and tracking decorations must key
+    // identically. Doc keys plant four messy variants that all
+    // canonicalize to one closed form (reserved percent-triplets stay
+    // encoded, uppercased; unreserved ones decode; tracking params
+    // drop; survivors sort) — the oracle replays the expected string
+    // from the key arithmetic
+    "q129_url_normalize" -> ((s, dir) => {
+      import s.implicits._
+      val urls = tSpread(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map(k => (k, q129Url(k)))
+        .toDF("doc_id", "url")
+      textops.UrlOps.withCanonicalUrl(urls, "url")
+        .select(col("doc_id"), col("url_norm"), col("url_host"))
+        .orderBy(col("doc_id"))
     })
   )
+
+  /** q129's planted messy URL for doc key `k`: variant k%4 exercises
+    * scheme/host case + default port + dot segment + fragment (1),
+    * dot-dot collapse + tracking param + reserved %-triplet casing (2),
+    * unreserved %-decoding (3), and the already-canonical form (0) —
+    * all canonicalizing to `https://example.com/p/k?q=k[&…]&z=1`.
+    */
+  private[graft] def q129Url(k: Long): String = (k % 4) match {
+    case 0 => s"https://example.com/p/$k?q=$k&z=1"
+    case 1 => s"HTTPS://EXAMPLE.com:443/p/./$k?z=1&utm_source=tr&q=$k#top"
+    case 2 => s"https://example.com/p/x/../$k?z=1&q=$k%2fv&utm_campaign=c"
+    case _ => s"https://example.com/%70/$k?q=$k&z=1"
+  }
 
   /** q126's planted WARC for doc key `k`: warcinfo record + one content
     * record — an HTTP `response` carrying the q125-shaped page (chunked
@@ -5470,6 +5502,20 @@ object SparkEntry {
         |         CAST(doc_id AS VARCHAR) || ' & beyond.'
         |       ELSE text || chr(10) || 'end of document ' ||
         |         CAST(doc_id AS VARCHAR) || ' & beyond.' END AS text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // closed-form replay of the planted canonicalization: every variant
+    // maps to the same canonical URL; variant 2 additionally keeps its
+    // reserved %-triplet encoded with uppercased hex
+    "q129_url_normalize" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 4 = 2
+        |    THEN 'https://example.com/p/' || CAST(doc_id AS VARCHAR) ||
+        |      '?q=' || CAST(doc_id AS VARCHAR) || '%2Fv&z=1'
+        |    ELSE 'https://example.com/p/' || CAST(doc_id AS VARCHAR) ||
+        |      '?q=' || CAST(doc_id AS VARCHAR) || '&z=1'
+        |  END AS url_norm,
+        |  'example.com' AS url_host
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 

@@ -1,0 +1,194 @@
+package graft.textops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Crawl-URL canonicalization (RFC 3986 §6 normalization plus the
+  * tracking-parameter strip every crawl-dedup pipeline applies): the
+  * step between the WARC front door ([[graft.sources.Warc.htmlPages]]
+  * emits a `url` column) and URL-level dedup/host statistics — the SAME
+  * page is crawled under scheme/host case variants, default ports,
+  * dot-segment paths, shuffled query strings and tracking decorations,
+  * and a byte-level dedup on the raw URL misses all of them.
+  *
+  * Normalization (deterministic, total — malformed input degrades to
+  * itself, never throws):
+  *  - scheme + host lowercased (userinfo, if any, kept verbatim);
+  *  - default ports stripped (http:80, https:443);
+  *  - fragment dropped;
+  *  - percent-decoding of UNRESERVED characters only (ALPHA / DIGIT /
+  *    `-._~`) — reserved characters stay encoded (decoding them would
+  *    change the URL's structure), remaining triplets uppercase their
+  *    hex (RFC 3986 §6.2.2.1); a malformed triplet stays literal;
+  *  - dot-segment removal in the path (§5.2.4); empty path → `/`;
+  *  - query parameters: tracking keys dropped ([[TrackingParams]] —
+  *    utm_*, gclid, fbclid, …), the rest SORTED by (key, value) for a
+  *    canonical order (crawl-dedup semantics: parameter order is
+  *    serving-side noise), empty query → no `?`.
+  *
+  * Scale shape: one pure per-row kernel in a scan-stage projection —
+  * no shuffle, no state; the canonical form is what downstream
+  * dedup/groupBy keys on.
+  */
+object UrlOps {
+
+  /** Dropped query keys: exact names plus the `utm_` prefix family. */
+  val TrackingParams: Set[String] = Set(
+    "gclid", "fbclid", "msclkid", "igshid", "mc_cid", "mc_eid",
+    "_ga", "ref_src", "spm")
+
+  private def isUnreserved(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      (c >= '0' && c <= '9') || c == '-' || c == '.' || c == '_' || c == '~'
+
+  private def hexVal(c: Char): Int = Character.digit(c, 16)
+
+  /** Decode unreserved percent-triplets, uppercase the hex of the rest;
+    * malformed triplets pass through literally.
+    */
+  private def pctNormalize(s: String): String = {
+    if (s.indexOf('%') < 0) return s
+    val out = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+        hexVal(s.charAt(i + 1)) >= 0 && hexVal(s.charAt(i + 2)) >= 0) {
+        val v = (hexVal(s.charAt(i + 1)) << 4) | hexVal(s.charAt(i + 2))
+        if (isUnreserved(v.toChar)) out.append(v.toChar)
+        else out.append('%')
+          .append(Character.toUpperCase(s.charAt(i + 1)))
+          .append(Character.toUpperCase(s.charAt(i + 2)))
+        i += 3
+      } else {
+        out.append(c)
+        i += 1
+      }
+    }
+    out.toString
+  }
+
+  /** RFC 3986 §5.2.4 remove_dot_segments. */
+  private def removeDotSegments(path: String): String = {
+    val out = new scala.collection.mutable.ArrayBuffer[String]()
+    // split preserving structure: segments BETWEEN '/'s
+    val segs = path.split("/", -1)
+    val absolute = path.startsWith("/")
+    segs.foreach {
+      case "." => ()
+      case ".." => if (out.nonEmpty && out.last != "..") out.remove(out.length - 1)
+        else if (!absolute) out += ".." // relative: can't pop past root
+      case s => out += s
+    }
+    val joined = out.mkString("/")
+    val lead = if (absolute && !joined.startsWith("/")) "/" + joined else joined
+    // a trailing "." / ".." segment leaves a directory reference: keep
+    // the trailing slash the algorithm implies
+    val trail = path.endsWith("/.") || path.endsWith("/..")
+    if (trail && !lead.endsWith("/")) lead + "/" else lead
+  }
+
+  /** Canonicalize one URL; null → null, non-http(s) or unparseable →
+    * trimmed input unchanged (degrade, never throw).
+    */
+  def normalize(url: String): String = {
+    if (url == null) return null
+    val u = url.trim
+    val schemeEnd = u.indexOf("://")
+    if (schemeEnd <= 0) return u
+    val scheme = u.substring(0, schemeEnd).toLowerCase(java.util.Locale.ROOT)
+    if (scheme != "http" && scheme != "https") return u
+    val rest = u.substring(schemeEnd + 3)
+    // authority ends at the first of / ? #
+    var aEnd = rest.length
+    var i = 0
+    while (i < rest.length && aEnd == rest.length) {
+      val c = rest.charAt(i)
+      if (c == '/' || c == '?' || c == '#') aEnd = i
+      i += 1
+    }
+    val authorityRaw = rest.substring(0, aEnd)
+    if (authorityRaw.isEmpty) return u
+    val at = authorityRaw.lastIndexOf('@')
+    val userinfo = if (at >= 0) authorityRaw.substring(0, at + 1) else ""
+    var hostPort = (if (at >= 0) authorityRaw.substring(at + 1)
+      else authorityRaw).toLowerCase(java.util.Locale.ROOT)
+    val defPort = if (scheme == "http") ":80" else ":443"
+    if (hostPort.endsWith(defPort))
+      hostPort = hostPort.substring(0, hostPort.length - defPort.length)
+    // split path / query / fragment
+    val tail = rest.substring(aEnd)
+    val hashAt = tail.indexOf('#')
+    val noFrag = if (hashAt >= 0) tail.substring(0, hashAt) else tail
+    val qAt = noFrag.indexOf('?')
+    val pathRaw = if (qAt >= 0) noFrag.substring(0, qAt) else noFrag
+    val queryRaw = if (qAt >= 0) noFrag.substring(qAt + 1) else null
+    val path = {
+      val p = removeDotSegments(pctNormalize(pathRaw))
+      if (p.isEmpty) "/" else p
+    }
+    val query =
+      if (queryRaw == null || queryRaw.isEmpty) ""
+      else {
+        val kept = queryRaw.split("&", -1).iterator
+          .filter(_.nonEmpty)
+          .map(pctNormalize)
+          .filter { p =>
+            val k = {
+              val eq = p.indexOf('=')
+              (if (eq >= 0) p.substring(0, eq) else p)
+                .toLowerCase(java.util.Locale.ROOT)
+            }
+            !k.startsWith("utm_") && !TrackingParams.contains(k)
+          }
+          .toSeq.sorted
+        if (kept.isEmpty) "" else "?" + kept.mkString("&")
+      }
+    scheme + "://" + userinfo + hostPort + path + query
+  }
+
+  /** The host of a normalized (or raw) URL; null/unparseable → null. */
+  def host(url: String): String = {
+    if (url == null) return null
+    val u = url.trim
+    val schemeEnd = u.indexOf("://")
+    if (schemeEnd <= 0) return null
+    val rest = u.substring(schemeEnd + 3)
+    var aEnd = rest.length
+    var i = 0
+    while (i < rest.length && aEnd == rest.length) {
+      val c = rest.charAt(i)
+      if (c == '/' || c == '?' || c == '#') aEnd = i
+      i += 1
+    }
+    val auth = rest.substring(0, aEnd)
+    if (auth.isEmpty) return null
+    val at = auth.lastIndexOf('@')
+    val hostPort = (if (at >= 0) auth.substring(at + 1) else auth)
+      .toLowerCase(java.util.Locale.ROOT)
+    val colon = hostPort.lastIndexOf(':')
+    // don't truncate IPv6 literals ([::1]:8080 has ':' inside brackets)
+    if (colon >= 0 && hostPort.lastIndexOf(']') < colon)
+      hostPort.substring(0, colon)
+    else hostPort
+  }
+
+  /** Column forms for scan-stage projections. */
+  def normalizeUrl(c: Column): Column = {
+    val k = udf { (s: String) => normalize(s) }
+    k(c)
+  }
+
+  def hostOf(c: Column): Column = {
+    val k = udf { (s: String) => host(s) }
+    k(c)
+  }
+
+  /** URL-level dedup key + host for a crawl frame: (canonical url,
+    * host) appended as columns — one projection, no shuffle; group or
+    * dropDuplicates on `url_norm` downstream.
+    */
+  def withCanonicalUrl(df: DataFrame, urlCol: String): DataFrame =
+    df.withColumn("url_norm", normalizeUrl(col(urlCol)))
+      .withColumn("url_host", hostOf(col("url_norm")))
+}

@@ -1,0 +1,108 @@
+package graft.textops
+
+import graft.SparkSpec
+
+/** URL canonicalization: RFC 3986 §6 normalization cases, the
+  * tracking-parameter strip, degrade-not-throw totality, and the
+  * crawl-dedup composition with the WARC front door.
+  */
+class UrlOpsSpec extends SparkSpec {
+  import UrlOps.normalize
+
+  test("scheme/host case, default ports, fragments") {
+    assert(normalize("HTTP://WWW.Example.COM/Path") ==
+      "http://www.example.com/Path") // path case is SIGNIFICANT
+    assert(normalize("http://example.com:80/a") == "http://example.com/a")
+    assert(normalize("https://example.com:443/a") == "https://example.com/a")
+    assert(normalize("http://example.com:8080/a") == "http://example.com:8080/a")
+    assert(normalize("https://example.com/a#frag") == "https://example.com/a")
+    assert(normalize("https://example.com#f") == "https://example.com/")
+    assert(normalize("https://example.com") == "https://example.com/")
+    // userinfo kept verbatim (case-significant), host still lowered
+    assert(normalize("https://User:Pw@Example.com/x") ==
+      "https://User:Pw@example.com/x")
+  }
+
+  test("percent-encoding: unreserved decodes, reserved stays uppercased, " +
+    "malformed passes through") {
+    assert(normalize("https://example.com/%70%41%7e") ==
+      "https://example.com/pA~")
+    assert(normalize("https://example.com/a%2fb") ==
+      "https://example.com/a%2Fb") // '/' reserved: encoded, hex uppered
+    assert(normalize("https://example.com/a%2") ==
+      "https://example.com/a%2") // malformed triplet: literal
+    assert(normalize("https://example.com/a%zz") ==
+      "https://example.com/a%zz")
+  }
+
+  test("dot-segment removal per RFC 3986 5.2.4") {
+    assert(normalize("https://e.com/a/./b") == "https://e.com/a/b")
+    assert(normalize("https://e.com/a/x/../b") == "https://e.com/a/b")
+    assert(normalize("https://e.com/../a") == "https://e.com/a")
+    assert(normalize("https://e.com/a/..") == "https://e.com/")
+    assert(normalize("https://e.com/a/b/.") == "https://e.com/a/b/")
+  }
+
+  test("query: tracking params drop, survivors sort, empties collapse") {
+    assert(normalize("https://e.com/p?b=2&a=1") == "https://e.com/p?a=1&b=2")
+    assert(normalize("https://e.com/p?utm_source=x&a=1&gclid=g&fbclid=f") ==
+      "https://e.com/p?a=1")
+    assert(normalize("https://e.com/p?utm_campaign=c") == "https://e.com/p")
+    assert(normalize("https://e.com/p?") == "https://e.com/p")
+    assert(normalize("https://e.com/p?a=1&&a=1") == "https://e.com/p?a=1&a=1")
+    // keys are matched case-insensitively for the strip
+    assert(normalize("https://e.com/p?UTM_SOURCE=x&a=1") == "https://e.com/p?a=1")
+  }
+
+  test("degrade, never throw: null, non-http, garbage, relative") {
+    assert(normalize(null) == null)
+    assert(normalize("ftp://example.com/a") == "ftp://example.com/a")
+    assert(normalize("not a url") == "not a url")
+    assert(normalize("/relative/path") == "/relative/path")
+    assert(normalize("  https://e.com/a  ") == "https://e.com/a")
+    // fuzz: random ascii never throws
+    var s = 777L
+    def next(mod: Int): Int = {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      ((s >>> 33) % mod).toInt
+    }
+    (1 to 500).foreach { _ =>
+      val g = new String(Array.fill(next(60) + 1)(
+        "abc:/?#%&=.~@[]! ".charAt(next(17))))
+      normalize(g) // any output, no throw
+    }
+  }
+
+  test("host(): port stripped, IPv6 literal ports handled, null degrade") {
+    assert(UrlOps.host("https://Example.com:8080/x") == "example.com")
+    assert(UrlOps.host("http://[::1]:8080/x") == "[::1]")
+    assert(UrlOps.host("http://[::1]/x") == "[::1]")
+    assert(UrlOps.host("garbage") == null)
+    assert(UrlOps.host(null) == null)
+  }
+
+  test("withCanonicalUrl: crawl variants key identically for URL-level " +
+    "dedup; q129's planted matrix pins the closed form") {
+    import spark.implicits._
+    val variants = (0L to 11L).map(k => (k, graft.SparkEntry.q129Url(k)))
+    val df = variants.toDF("id", "url")
+    val out = UrlOps.withCanonicalUrl(df, "url")
+      .select($"id", $"url_norm", $"url_host")
+      .collect()
+    out.foreach { r =>
+      val k = r.getLong(0)
+      val expQ = if (k % 4 == 2) s"?q=$k%2Fv&z=1" else s"?q=$k&z=1"
+      assert(r.getString(1) == s"https://example.com/p/$k$expQ", s"k=$k")
+      assert(r.getString(2) == "example.com")
+    }
+    // dedup on the canonical key collapses variants of the same page:
+    // strip the variant-specific %2Fv for the grouping demonstration
+    val collapsed = UrlOps.withCanonicalUrl(
+        Seq((1L, "https://E.com:443/a/./p?b=2&a=1#x"),
+          (2L, "https://e.com/a/p?a=1&b=2&utm_source=s"),
+          (3L, "https://e.com/other?x=1")).toDF("id", "url"), "url")
+      .dropDuplicates("url_norm")
+      .count()
+    assert(collapsed == 2)
+  }
+}
