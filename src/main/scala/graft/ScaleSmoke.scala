@@ -88,7 +88,7 @@ object ScaleSmoke {
     // scan-stage kernels whose exponents evidence the per-row work
     // parallelizes flat
     "q124_text_normalize", "q125_html_extract", "q126_warc_extract",
-    "q129_url_normalize")
+    "q129_url_normalize", "q130_host_stats")
 
   /** Measured at 10× only. Both are deliberately NOT the scale path —
     * q77 is the pinned-k SemDeDup negative control (its 100× exponent

@@ -2671,8 +2671,38 @@ object SparkEntry {
       textops.UrlOps.withCanonicalUrl(urls, "url")
         .select(col("doc_id"), col("url_norm"), col("url_host"))
         .orderBy(col("doc_id"))
+    }),
+
+    // host-level crawl statistics — the aggregate behind host-heuristic
+    // curation: doc keys plant URLs over 7 hosts with within-host
+    // duplicate URLs (path key k/21, so k, k+7, k+14 share a canonical
+    // URL whenever they share a host and a 21-block) and tracking-param
+    // noise the canonicalization must collapse BEFORE the distinct
+    // count; the oracle replays the host and URL-key arithmetic
+    "q130_host_stats" -> ((s, dir) => {
+      import s.implicits._
+      val urls = tSpread(s, dir, "documents").select(col("doc_id")).as[Long]
+        .map(k => (k, q130Url(k)))
+        .toDF("doc_id", "url")
+      textops.UrlOps.hostStats(urls, "url")
+        .orderBy(col("url_host"))
     })
   )
+
+  /** q130's planted URL for doc key `k`: host h(k%7).example.com, path
+    * key k/21 (so same-host keys 21-block-aligned share a canonical
+    * URL), and per-residue tracking/query noise that canonicalization
+    * strips — the distinct-URL count is closed-form.
+    */
+  private[graft] def q130Url(k: Long): String = {
+    val host = s"h${k % 7}.example.com"
+    val p = k / 21
+    (k % 3) match {
+      case 0 => s"https://$host/p/$p?a=1"
+      case 1 => s"HTTPS://$host:443/p/./$p?utm_source=x&a=1"
+      case _ => s"https://$host/q/../p/$p?a=1&gclid=g#f"
+    }
+  }
 
   /** q129's planted messy URL for doc key `k`: variant k%4 exercises
     * scheme/host case + default port + dot segment + fragment (1),
@@ -5516,7 +5546,19 @@ object SparkEntry {
         |      '?q=' || CAST(doc_id AS VARCHAR) || '&z=1'
         |  END AS url_norm,
         |  'example.com' AS url_host
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // closed-form replay of the planted host/url-key arithmetic: every
+    // query-noise variant canonicalizes to https://h{k%7}.example.com/
+    // p/{k/21}?a=1, so docs per host = the k%7 residue count and
+    // distinct URLs per host = the distinct 21-blocks in the residue
+    "q130_host_stats" ->
+      """SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+        |    AS url_host,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT doc_id // 21) AS BIGINT) AS n_urls
+        |FROM documents
+        |GROUP BY 1 ORDER BY url_host""".stripMargin
   )
 
   /** Shared q121/q123 replay: exact all-pairs cosine (rounded 6 dp, the

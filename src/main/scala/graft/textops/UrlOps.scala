@@ -191,4 +191,42 @@ object UrlOps {
   def withCanonicalUrl(df: DataFrame, urlCol: String): DataFrame =
     df.withColumn("url_norm", normalizeUrl(col(urlCol)))
       .withColumn("url_host", hostOf(col("url_norm")))
+
+  /** Host-level crawl statistics — the aggregate behind host-heuristic
+    * curation (a handful of hosts dominates any crawl; both spam farms
+    * and the one-document tail get dropped on host evidence, not
+    * per-document signals): docs per host and DISTINCT canonical URLs
+    * per host (the gap between the two is the within-host URL-duplicate
+    * mass). One canonicalization projection + one groupBy — the host
+    * table is tiny next to the corpus (10^7–10^8 rows at crawl scale vs
+    * 10^10 docs), so everything downstream of the agg is broadcastable.
+    */
+  def hostStats(df: DataFrame, urlCol: String): DataFrame =
+    withCanonicalUrl(df, urlCol)
+      .filter(col("url_host").isNotNull)
+      .groupBy(col("url_host"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("url_norm")).as("n_urls"))
+
+  /** Host-count gate: keep rows whose host carries between `minDocs`
+    * and `maxDocs` documents (0 = unbounded above). Two passes — the
+    * host aggregate, then a semi-join back — with the host table small
+    * enough that AQE picks a broadcast for the join at any corpus size
+    * where the gate makes sense. Rows with no parseable host are
+    * DROPPED (crawl curation: an unaddressable document has no
+    * provenance to keep).
+    */
+  def hostGate(df: DataFrame, urlCol: String,
+               minDocs: Long, maxDocs: Long = 0L): DataFrame = {
+    require(minDocs >= 0 && (maxDocs == 0L || maxDocs >= minDocs),
+      s"bad host-count bounds [$minDocs, $maxDocs]")
+    val withHost = withCanonicalUrl(df, urlCol)
+    val keepHosts = withHost.filter(col("url_host").isNotNull)
+      .groupBy(col("url_host"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minDocs &&
+        (if (maxDocs == 0L) lit(true) else col("__n") <= maxDocs))
+      .select(col("url_host"))
+    withHost.join(keepHosts, Seq("url_host"), "left_semi")
+  }
 }

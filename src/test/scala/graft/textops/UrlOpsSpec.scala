@@ -105,4 +105,35 @@ class UrlOpsSpec extends SparkSpec {
       .count()
     assert(collapsed == 2)
   }
+
+  test("hostStats counts docs and CANONICAL urls per host; hostGate " +
+    "keeps mid-size hosts and drops hostless rows") {
+    import spark.implicits._
+    val df = Seq(
+      // big.com: 4 docs, 2 canonical urls (tracking noise collapses)
+      (1L, "https://big.com/a?x=1"),
+      (2L, "https://BIG.com:443/a?x=1&utm_source=s"),
+      (3L, "https://big.com/b"),
+      (4L, "https://big.com/./b#frag"),
+      // solo.org: 1 doc
+      (5L, "https://solo.org/only"),
+      // mid.net: 2 docs
+      (6L, "https://mid.net/p"),
+      (7L, "https://mid.net/q"),
+      // unaddressable
+      (8L, "not a url")
+    ).toDF("id", "url")
+    val stats = UrlOps.hostStats(df, "url")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(stats == Set(("big.com", 4L, 2L), ("solo.org", 1L, 1L),
+      ("mid.net", 2L, 2L)))
+    // gate [2, 3]: big.com too big, solo too small, hostless dropped
+    val kept = UrlOps.hostGate(df, "url", minDocs = 2, maxDocs = 3)
+      .select($"id").as[Long].collect().toSet
+    assert(kept == Set(6L, 7L))
+    // lower bound only
+    val kept2 = UrlOps.hostGate(df, "url", minDocs = 2)
+      .select($"id").as[Long].collect().toSet
+    assert(kept2 == Set(1L, 2L, 3L, 4L, 6L, 7L))
+  }
 }
