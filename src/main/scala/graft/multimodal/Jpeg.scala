@@ -1084,9 +1084,11 @@ object Jpeg {
     * (G.1.2.2): run/size symbols + EOB runs across blocks.
     */
   private def acFirstScan(bw: BitWriter, blocks: Array[Array[Int]],
-                          ss: Int, se: Int, al: Int): Unit = {
+                          ss: Int, se: Int, al: Int,
+                          restart: (Int, ProgWriter) => Unit = null): Unit = {
     val pw = new ProgWriter(bw)
-    blocks.foreach { qc =>
+    blocks.zipWithIndex.foreach { case (qc, bi) =>
+      if (restart != null) restart(bi, pw)
       var r = 0
       var k = ss
       while (k <= se) {
@@ -1113,9 +1115,11 @@ object Jpeg {
     * behind the next symbol or EOB flush.
     */
   private def acRefineScan(bw: BitWriter, blocks: Array[Array[Int]],
-                           ss: Int, se: Int, al: Int): Unit = {
+                           ss: Int, se: Int, al: Int,
+                           restart: (Int, ProgWriter) => Unit = null): Unit = {
     val pw = new ProgWriter(bw)
-    blocks.foreach { qc =>
+    blocks.zipWithIndex.foreach { case (qc, bi) =>
+      if (restart != null) restart(bi, pw)
       var r = 0
       var k = ss
       while (k <= se) {
@@ -1147,21 +1151,38 @@ object Jpeg {
     * index) so interleaved multi-component DC scans share predictors.
     */
   private def dcFirstScan(bw: BitWriter, walk: Iterator[(Array[Int], Int)],
-                          nComps: Int, al: Int): Unit = {
+                          nComps: Int, al: Int,
+                          restartEvery: Int = 0,
+                          emitRst: Int => Unit = null): Unit = {
     val pred = new Array[Int](nComps)
+    var i = 0 // MCU index (restart callers are single-component: 1 block = 1 MCU)
     walk.foreach { case (qc, ci) =>
+      if (restartEvery > 0 && i > 0 && i % restartEvery == 0) {
+        emitRst((i / restartEvery - 1) % 8)
+        java.util.Arrays.fill(pred, 0) // predictors reset at a restart
+      }
       val t = qc(0) >> al // DC point transform: arithmetic shift
       val diff = t - pred(ci)
       pred(ci) = t
       val s = categoryOf(diff)
       bw.put(s, 4)
       if (s > 0) bw.put(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+      i += 1
     }
   }
 
   private def dcRefineScan(bw: BitWriter, walk: Iterator[(Array[Int], Int)],
-                           al: Int): Unit =
-    walk.foreach { case (qc, _) => bw.put((qc(0) >> al) & 1, 1) }
+                           al: Int,
+                           restartEvery: Int = 0,
+                           emitRst: Int => Unit = null): Unit = {
+    var i = 0
+    walk.foreach { case (qc, _) =>
+      if (restartEvery > 0 && i > 0 && i % restartEvery == 0)
+        emitRst((i / restartEvery - 1) % 8) // no predictor to reset
+      bw.put((qc(0) >> al) & 1, 1)
+      i += 1
+    }
+  }
 
   /** Complete single-component (grayscale) PROGRESSIVE JPEG of `gray`,
     * quantized with uniform step `quant` — same pixels-in as
@@ -1175,11 +1196,13 @@ object Jpeg {
     */
   def jpegProgressiveGrayBytes(width: Int, height: Int, gray: Array[Byte],
                                quant: Int = 8,
-                               spectralOnly: Boolean = false): Array[Byte] = {
+                               spectralOnly: Boolean = false,
+                               restartInterval: Int = 0): Array[Byte] = {
     require(width > 0 && height > 0 && width % 8 == 0 && height % 8 == 0,
       s"planting writer needs multiple-of-8 dims, got ${width}x$height")
     require(gray.length == width * height, "gray length != w*h")
     require(quant >= 1 && quant <= 255, s"quant step 1..255, got $quant")
+    require(restartInterval >= 0, "restartInterval must be >= 0")
     val bwX = width / 8; val bhY = height / 8
     val blocks = new Array[Array[Int]](bwX * bhY)
     var bi = 0
@@ -1202,6 +1225,9 @@ object Jpeg {
     val Array(dc, ac) = dhtBodies
     segment(out, 0xc4, dc)
     segment(out, 0xc4, ac)
+    val ri = restartInterval
+    if (ri > 0)
+      segment(out, 0xdd, Array((ri >> 8).toByte, (ri & 0xff).toByte))
     def sos(ss: Int, se: Int, ah: Int, al: Int)(body: BitWriter => Unit): Unit = {
       segment(out, 0xda,
         Array(1, 1, 0x00, ss, se, (ah << 4) | al).map(_.toByte))
@@ -1210,16 +1236,31 @@ object Jpeg {
       bw.flush()
     }
     def dcWalk = blocks.iterator.map(qc => (qc, 0))
+    // RSTn sits byte-aligned OUTSIDE the entropy stream; a pending EOB
+    // run cannot cross it (the decoder resets eobrun at the marker)
+    def rstEmit(bw: BitWriter)(n: Int): Unit = {
+      bw.flush()
+      out.write(0xff); out.write(0xd0 + n)
+    }
+    def acRst(bw: BitWriter): (Int, ProgWriter) => Unit =
+      if (ri == 0) null
+      else (bi, pw) => if (bi > 0 && bi % ri == 0) {
+        pw.flushEob()
+        rstEmit(bw)((bi / ri - 1) % 8)
+      }
     if (spectralOnly) {
-      sos(0, 0, 0, 0)(bw => dcFirstScan(bw, dcWalk, 1, 0))
-      sos(1, 63, 0, 0)(bw => acFirstScan(bw, blocks, 1, 63, 0))
+      sos(0, 0, 0, 0)(bw =>
+        dcFirstScan(bw, dcWalk, 1, 0, ri, rstEmit(bw)))
+      sos(1, 63, 0, 0)(bw => acFirstScan(bw, blocks, 1, 63, 0, acRst(bw)))
     } else {
-      sos(0, 0, 0, 1)(bw => dcFirstScan(bw, dcWalk, 1, 1))
-      sos(1, 5, 0, 1)(bw => acFirstScan(bw, blocks, 1, 5, 1))
-      sos(6, 63, 0, 1)(bw => acFirstScan(bw, blocks, 6, 63, 1))
-      sos(0, 0, 1, 0)(bw => dcRefineScan(bw, dcWalk, 0))
-      sos(1, 5, 1, 0)(bw => acRefineScan(bw, blocks, 1, 5, 0))
-      sos(6, 63, 1, 0)(bw => acRefineScan(bw, blocks, 6, 63, 0))
+      sos(0, 0, 0, 1)(bw =>
+        dcFirstScan(bw, dcWalk, 1, 1, ri, rstEmit(bw)))
+      sos(1, 5, 0, 1)(bw => acFirstScan(bw, blocks, 1, 5, 1, acRst(bw)))
+      sos(6, 63, 0, 1)(bw => acFirstScan(bw, blocks, 6, 63, 1, acRst(bw)))
+      sos(0, 0, 1, 0)(bw =>
+        dcRefineScan(bw, dcWalk, 0, ri, rstEmit(bw)))
+      sos(1, 5, 1, 0)(bw => acRefineScan(bw, blocks, 1, 5, 0, acRst(bw)))
+      sos(6, 63, 1, 0)(bw => acRefineScan(bw, blocks, 6, 63, 0, acRst(bw)))
     }
     out.write(0xff); out.write(0xd9) // EOI
     out.toByteArray

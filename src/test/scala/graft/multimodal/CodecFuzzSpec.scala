@@ -82,6 +82,8 @@ class CodecFuzzSpec extends SparkSpec {
       Jpeg.decodeJpegGray)
     fuzz(Jpeg.jpegProgressiveGrayBytes(32, 32, px, quant = 4,
       spectralOnly = true), 2, Jpeg.decodeJpegGray)
+    fuzz(Jpeg.jpegProgressiveGrayBytes(32, 32, px, quant = 2,
+      restartInterval = 3), 2, Jpeg.decodeJpegGray)
     fuzz(Jpeg.jpegProgressiveYccBytes(32, 32, px, quant = 2), 2,
       Jpeg.decodeJpegGray)
   }

@@ -408,6 +408,25 @@ class JpegDecodeSpec extends SparkSpec {
       .gray.sameElements(exact))
   }
 
+  test("progressive restart markers: round-trip at several cadences, " +
+    "predictors and EOB runs reset at each RSTn, wrong ordinal refuses") {
+    val px = prng(107L, 40 * 24)
+    val base = grayOf(Jpeg.jpegGrayBytes(40, 24, px, quant = 2))
+    for (ri <- Seq(1, 3, 7); so <- Seq(false, true)) {
+      val b = Jpeg.jpegProgressiveGrayBytes(40, 24, px, quant = 2,
+        spectralOnly = so, restartInterval = ri)
+      assert(grayOf(b).gray.sameElements(base.gray), s"ri=$ri so=$so")
+    }
+    // corrupt the FIRST restart ordinal (RST0 -> RST5): must refuse
+    val b = Jpeg.jpegProgressiveGrayBytes(40, 24, px, quant = 2,
+      restartInterval = 2)
+    val at = b.indices.dropRight(1).indexWhere(i =>
+      (b(i) & 0xff) == 0xff && (b(i + 1) & 0xff) == 0xd0)
+    assert(at > 0)
+    val bad = b.clone(); bad(at + 1) = 0xd5.toByte
+    assert(Jpeg.decodeJpegGray(bad).isEmpty)
+  }
+
   test("progressive structural refusals: premature EOI, missing scans, " +
     "truncation at every depth class, illegal scan headers") {
     val px = prng(97L, 16 * 16)
