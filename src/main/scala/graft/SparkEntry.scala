@@ -2998,7 +2998,8 @@ object SparkEntry {
         case 0 => multimodal.Jpeg.jpegGrayBytes(64, 64, px, quant)
         case 1 => multimodal.Jpeg.jpegGrayBytes(64, 64, px, quant,
           restartInterval = Array(2, 3, 5)((m / 20) % 3))
-        case 2 => multimodal.Jpeg.jpegProgressiveGrayBytes(64, 64, px, quant)
+        case 2 => multimodal.Jpeg.jpegProgressiveGrayBytes(64, 64, px, quant,
+          restartInterval = Array(0, 3)((m / 20) % 2)) // ri>0 past test SFs
         case _ => multimodal.Jpeg.jpegProgressiveGrayBytes(64, 64, px, quant,
           spectralOnly = true)
       }
