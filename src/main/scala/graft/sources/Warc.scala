@@ -1,7 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** WARC/WET record reader (ISO 28500 / the WARC 1.0–1.1 format that
   * crawl corpora like Common Crawl ship): the ingestion front door in
@@ -12,8 +13,9 @@ import org.apache.spark.sql.functions._
   *  - record framing: `WARC/…` version line, CRLF headers, empty line,
   *    `Content-Length` body, CRLF CRLF boundary (LF-only tolerated —
   *    real-world WET writers vary);
-  *  - whole-payload gzip (including the per-record-member concatenation
-  *    real WARCs use — multi-member streams inflate as one);
+  *  - gzip payloads, decoded MEMBER BY MEMBER (real WARCs are
+  *    compressed one gzip member per record and concatenated; a whole
+  *    multi-GiB file must never be inflated into one buffer);
   *  - `response` records carrying `application/http`: the HTTP status
   *    line and headers are split off, chunked transfer-encoding is
   *    de-chunked, gzip/deflate content-encoding inflated, and the body
@@ -26,13 +28,41 @@ import org.apache.spark.sql.functions._
   * malformed records QUARANTINE as rows with a non-null `error` and a
   * byte offset, then the parser RESYNCS to the next `WARC/` line
   * boundary — one corrupt record never costs the rest of the file, and
-  * nothing throws on attacker-controlled bytes.
+  * nothing throws on attacker-controlled bytes. Two refinements over a
+  * whole-buffer parser:
+  *  - a record whose WARC headers parsed but whose HTTP payload is
+  *    refused (unsupported content-encoding, bad chunking, …) keeps its
+  *    `warc_type`/`url`/`warc_date`/`content_type` on the error row, so
+  *    coverage loss is attributable per-host ([[quarantineStats]]);
+  *  - gzip-level corruption (a corrupt second member header, a
+  *    truncated member, trailing garbage after the last member, a CRC
+  *    mismatch) emits a VISIBLE error row at the failure offset —
+  *    records decoded before the corruption stand, nothing is silently
+  *    truncated.
   *
-  * Scale shape: one pure kernel call per payload row (scan-stage,
-  * codegen-compatible projection + generator explode); the payload
-  * bytes are projected away before anything can shuffle them — what
-  * survives is (type, uri, date, status, text). Every buffer a crafted
-  * length could request is capped ([[MaxInflated]] / [[MaxBody]]).
+  * Memory contract — per RECORD, never per FILE: the stream is decoded
+  * incrementally ([[parseStream]] returns a lazy iterator), each gzip
+  * member is inflated on its own, and the only caps are per-record
+  * ([[MaxBody]]) and per-member-verify ([[MemberBuffer]], below). A
+  * member that inflates within [[MemberBuffer]] is CRC/ISIZE-verified
+  * BEFORE its bytes are parsed (so a corrupt member yields only an
+  * error row, never records decoded from garbage); a larger member —
+  * only a writer that compressed a multi-GiB file as one member
+  * produces one — switches to pass-through streaming and its CRC is
+  * verified at the member end, where a mismatch appends an error row
+  * after the already-emitted records. There is no whole-file inflation
+  * cap: a ~1 GiB gzipped / multi-GiB inflated Common Crawl file parses
+  * record-by-record in bounded memory.
+  *
+  * Scale shape: [[recordsFromPaths]] is the real front door — one task
+  * per file path, records emitted as a lazily-consumed iterator, so
+  * neither the inflated file nor its record list ever materializes.
+  * [[records]]/[[htmlPages]] keep the binary-column form (one pure
+  * kernel call per payload row, scan-stage projection + explode; the
+  * payload bytes are projected away before anything can shuffle them) —
+  * there the per-payload record LIST materializes, bounded by the
+  * per-record caps, which fits the pre-split payloads that arrive as a
+  * binary column.
   */
 object Warc {
 
@@ -41,13 +71,23 @@ object Warc {
     extends RuntimeException(reason, null, false, false)
   private def malformed(reason: String): Nothing = throw new Malformed(reason)
 
-  /** Whole-payload inflation cap: the multimodal decoders' budget
-    * pattern — bounds what a tiny gzip bomb can expand to.
+  /** Refusal signal for the WHOLE remaining stream (gzip-level
+    * corruption): emits one error row at the failure offset and ends
+    * the iteration — compressed garbage cannot be resynced.
     */
-  val MaxInflated: Int = 1 << 28 // 256 MiB
+  private final class StreamCorrupt(val reason: String)
+    extends RuntimeException(reason, null, false, false)
 
   /** Per-record body cap (a Content-Length is attacker-controlled). */
   val MaxBody: Int = 1 << 26 // 64 MiB
+
+  /** Per-member verify-before-parse buffer: a gzip member that inflates
+    * within this bound is fully CRC-checked before its records are
+    * parsed; past it the member streams through with the CRC verified
+    * at its end. 2 × [[MaxBody]] so every per-record-member crawl file
+    * (the Common Crawl shape) gets the verified path.
+    */
+  val MemberBuffer: Int = MaxBody * 2 // 128 MiB
 
   /** One parsed record (or one quarantined parse failure). */
   final case class Rec(recIdx: Int, offset: Long, warcType: String,
@@ -57,26 +97,381 @@ object Warc {
 
   private val Utf8 = java.nio.charset.StandardCharsets.UTF_8
 
-  /** Bounded multi-member gunzip (Java's stream handles member
-    * concatenation, which is how real WARCs are compressed per-record).
+  // ---------------------------------------------------------------------
+  // Chunk layer: inflated byte chunks, pulled one at a time.
+  // ---------------------------------------------------------------------
+
+  /** Produces inflated chunks; `next()` returns null at clean EOF and
+    * throws [[StreamCorrupt]] on gzip-level corruption.
     */
-  private def gunzipAll(b: Array[Byte]): Array[Byte] = {
-    val in = new java.util.zip.GZIPInputStream(
-      new java.io.ByteArrayInputStream(b))
-    val out = new java.io.ByteArrayOutputStream(math.min(b.length * 4, 1 << 16))
-    val buf = new Array[Byte](8192)
-    var n = in.read(buf)
-    while (n > 0) {
-      if (out.size() + n > MaxInflated) malformed("inflated past cap")
-      out.write(buf, 0, n)
-      n = in.read(buf)
-    }
-    out.toByteArray
+  private trait ChunkSource { def next(): Array[Byte] }
+
+  private final class PlainChunks(b: Array[Byte]) extends ChunkSource {
+    private var done = false
+    def next(): Array[Byte] = if (done) null else { done = true; b }
   }
 
-  /** Find end of line from `i` (index of the terminator); returns
-    * (lineEnd, nextLineStart). Lines are CRLF per spec; LF tolerated.
+  private final class StreamChunks(in: java.io.InputStream)
+    extends ChunkSource {
+    def next(): Array[Byte] = {
+      val buf = new Array[Byte](1 << 16)
+      val n =
+        try in.read(buf)
+        catch { case e: java.io.IOException =>
+          throw new StreamCorrupt(
+            s"payload read failed: ${e.getClass.getSimpleName}") }
+      if (n < 0) null
+      else if (n == buf.length) buf
+      else java.util.Arrays.copyOf(buf, n)
+    }
+  }
+
+  /** Member-wise gunzip over a raw compressed stream. Each member's
+    * header is parsed by hand (RFC 1952: magic, CM=8, FEXTRA/FNAME/
+    * FCOMMENT/FHCRC flags) and its deflate body inflated with exact
+    * consumed-byte accounting, so a corrupt or truncated follow-up
+    * member — which `java.util.zip.GZIPInputStream` silently treats as
+    * end-of-stream — surfaces as [[StreamCorrupt]] instead of a silent
+    * prefix truncation. Members within [[MemberBuffer]] are buffered
+    * and CRC/ISIZE-verified before release; larger members stream
+    * through with the verification at member end.
     */
+  private final class GzipMemberChunks(raw: java.io.InputStream)
+    extends ChunkSource {
+
+    private val inBuf = new Array[Byte](1 << 16)
+    private var inPos = 0
+    private var inLim = 0
+    private val inf = new java.util.zip.Inflater(true)
+    private val crc = new java.util.zip.CRC32
+
+    private var memberOpen = false
+    private var memberOut = 0L
+    private var passThrough = false
+    private var held: scala.collection.mutable.ArrayBuffer[Array[Byte]] = null
+    private var heldSize = 0L
+    private val ready = new java.util.ArrayDeque[Array[Byte]]()
+    private var eof = false
+
+    private def corrupt(reason: String): Nothing = {
+      inf.end()
+      throw new StreamCorrupt(reason)
+    }
+
+    /** Bytes available in `inBuf`, refilling from `raw`; 0 at raw EOF.
+      * A storage-layer read failure surfaces as a visible error row,
+      * not a task-killing exception.
+      */
+    private def fill(): Int = {
+      if (inPos < inLim) return inLim - inPos
+      val n =
+        try raw.read(inBuf)
+        catch { case e: java.io.IOException =>
+          corrupt(s"payload read failed: ${e.getClass.getSimpleName}") }
+      inPos = 0
+      inLim = math.max(n, 0)
+      inLim
+    }
+
+    private def readRawByte(): Int =
+      if (fill() == 0) -1
+      else { val b = inBuf(inPos) & 0xff; inPos += 1; b }
+
+    private def readLe(n: Int, what: String): Long = {
+      var v = 0L
+      var i = 0
+      while (i < n) {
+        val b = readRawByte()
+        if (b < 0) corrupt(s"gzip $what truncated")
+        v |= b.toLong << (8 * i)
+        i += 1
+      }
+      v
+    }
+
+    /** RFC 1952 member header; positioned at the deflate body after. */
+    private def readMemberHeader(): Unit = {
+      val id1 = readRawByte(); val id2 = readRawByte()
+      if (id1 != 0x1f || id2 != 0x8b)
+        corrupt("corrupt gzip member header: bad magic")
+      val cm = readRawByte()
+      if (cm != 8) corrupt(s"corrupt gzip member header: method $cm")
+      val flg = readRawByte()
+      if (flg < 0) corrupt("gzip member header truncated")
+      if ((flg & 0xe0) != 0)
+        corrupt("corrupt gzip member header: reserved flags")
+      var i = 0 // MTIME(4) XFL OS
+      while (i < 6) { if (readRawByte() < 0) corrupt("gzip member header truncated"); i += 1 }
+      if ((flg & 4) != 0) { // FEXTRA
+        val xlen = readLe(2, "member header").toInt
+        var j = 0
+        while (j < xlen) { if (readRawByte() < 0) corrupt("gzip member header truncated"); j += 1 }
+      }
+      if ((flg & 8) != 0) { // FNAME: NUL-terminated
+        var b = readRawByte()
+        var guard = 0
+        while (b > 0) {
+          guard += 1
+          if (guard > (1 << 16)) corrupt("corrupt gzip member header: unbounded name")
+          b = readRawByte()
+        }
+        if (b < 0) corrupt("gzip member header truncated")
+      }
+      if ((flg & 16) != 0) { // FCOMMENT
+        var b = readRawByte()
+        var guard = 0
+        while (b > 0) {
+          guard += 1
+          if (guard > (1 << 16)) corrupt("corrupt gzip member header: unbounded comment")
+          b = readRawByte()
+        }
+        if (b < 0) corrupt("gzip member header truncated")
+      }
+      if ((flg & 2) != 0) { // FHCRC
+        if (readRawByte() < 0 || readRawByte() < 0)
+          corrupt("gzip member header truncated")
+      }
+    }
+
+    private def deliver(chunk: Array[Byte]): Unit =
+      if (passThrough) ready.add(chunk)
+      else {
+        held += chunk
+        heldSize += chunk.length
+        if (heldSize > MemberBuffer) { // verified path no longer bounded:
+          held.foreach(ready.add)     // release and verify at member end
+          held.clear()
+          passThrough = true
+        }
+      }
+
+    /** One step: open a member, inflate one chunk, or close a member. */
+    private def advance(): Unit = {
+      if (!memberOpen) {
+        if (fill() == 0) { eof = true; return }
+        readMemberHeader()
+        inf.reset()
+        crc.reset()
+        memberOut = 0L
+        passThrough = false
+        held = new scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+        heldSize = 0L
+        memberOpen = true
+        return
+      }
+      if (inf.needsInput()) {
+        if (fill() == 0) corrupt("gzip member truncated")
+        inf.setInput(inBuf, inPos, inLim - inPos)
+        inPos = inLim // reclaimed via getRemaining at member end
+      }
+      val out = new Array[Byte](1 << 16)
+      val n =
+        try inf.inflate(out)
+        catch {
+          case e: java.util.zip.DataFormatException =>
+            corrupt("corrupt gzip member data")
+        }
+      if (n > 0) {
+        crc.update(out, 0, n)
+        memberOut += n
+        deliver(if (n == out.length) out else java.util.Arrays.copyOf(out, n))
+      }
+      if (inf.finished()) {
+        inPos = inLim - inf.getRemaining // unconsumed input = trailer + next member
+        val want = crc.getValue
+        val gotCrc = readLe(4, "member trailer")
+        val gotIsize = readLe(4, "member trailer")
+        if (gotCrc != want)
+          corrupt(if (passThrough) "gzip member crc mismatch (after partial emit)"
+                  else "gzip member crc mismatch")
+        if (gotIsize != (memberOut & 0xffffffffL))
+          corrupt("gzip member length mismatch")
+        if (!passThrough) { held.foreach(ready.add); held.clear() }
+        memberOpen = false
+      } else if (n == 0 && inf.needsDictionary())
+        corrupt("gzip member needs preset dictionary")
+    }
+
+    private var failed: String = null
+
+    /** Corruption is deferred until the ready queue drains: the inflate
+      * step that finishes a member can both yield its final chunk and
+      * detect a bad trailer — the chunk's records must emit before the
+      * error row.
+      */
+    def next(): Array[Byte] = {
+      while (ready.isEmpty && !eof && failed == null) {
+        try advance()
+        catch { case sc: StreamCorrupt => failed = sc.getMessage }
+      }
+      if (!ready.isEmpty) ready.poll()
+      else if (failed != null) throw new StreamCorrupt(failed)
+      else { inf.end(); null }
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // Byte layer: offset-tracked reads with small pushback for resync.
+  // ---------------------------------------------------------------------
+
+  private final class ByteSource(chunks: ChunkSource) {
+    private var cur: Array[Byte] = Array.emptyByteArray
+    private var pos = 0
+    private var srcDone = false
+    // resync/peek pushback: at most 6 bytes ("WARC/" + 1 peeked)
+    private val pb = new Array[Int](8)
+    private var pbLen = 0
+    /** Absolute offset (inflated bytes) of the next byte to read. */
+    var offset: Long = 0L
+    /** Last byte consumed (resync's line-start test); -1 before any. */
+    var lastByte: Int = -1
+
+    private def pull(): Boolean = {
+      if (srcDone) return false
+      var c = chunks.next()
+      while (c != null && c.length == 0) c = chunks.next()
+      if (c == null) { srcDone = true; false }
+      else { cur = c; pos = 0; true }
+    }
+
+    def read(): Int = {
+      if (pbLen > 0) {
+        pbLen -= 1
+        val b = pb(pbLen)
+        offset += 1
+        lastByte = b
+        return b
+      }
+      if (pos >= cur.length && !pull()) return -1
+      val b = cur(pos) & 0xff
+      pos += 1
+      offset += 1
+      lastByte = b
+      b
+    }
+
+    def peek(): Int = {
+      if (pbLen > 0) return pb(pbLen - 1)
+      if (pos >= cur.length && !pull()) return -1
+      cur(pos) & 0xff
+    }
+
+    /** Push `bytes` back so the next reads return them in order. */
+    def pushBack(bytes: Array[Byte]): Unit = {
+      var i = bytes.length - 1
+      while (i >= 0) { pb(pbLen) = bytes(i) & 0xff; pbLen += 1; i -= 1 }
+      offset -= bytes.length
+    }
+
+    /** Read until LF (strip a trailing CR) as UTF-8; null at pure EOF;
+      * refuses a line past `max` bytes (header lines are bounded).
+      * At EOF mid-line the partial line is the line (buffer-parser
+      * parity).
+      */
+    def readLine(max: Int): String = {
+      if (peek() < 0) return null
+      val out = new java.io.ByteArrayOutputStream(64)
+      var c = read()
+      while (c >= 0 && c != '\n') {
+        out.write(c)
+        if (out.size > max) malformed("header line past cap")
+        c = read()
+      }
+      val b = out.toByteArray
+      val n = if (b.length > 0 && b(b.length - 1) == '\r') b.length - 1 else b.length
+      new String(b, 0, n, Utf8)
+    }
+
+    /** Exactly `n` bytes; Malformed("body truncated") at EOF. */
+    def readN(n: Int): Array[Byte] = {
+      val out = new Array[Byte](n)
+      var w = 0
+      while (w < n && pbLen > 0) { out(w) = pb(pbLen - 1).toByte; pbLen -= 1; w += 1 }
+      while (w < n) {
+        if (pos >= cur.length && !pull()) {
+          offset += w
+          if (w > 0) lastByte = out(w - 1) & 0xff
+          malformed("body truncated")
+        }
+        val take = math.min(n - w, cur.length - pos)
+        System.arraycopy(cur, pos, out, w, take)
+        pos += take
+        w += take
+      }
+      offset += n
+      if (n > 0) lastByte = out(n - 1) & 0xff
+      out
+    }
+
+    def skipNewlines(): Unit = {
+      var c = peek()
+      while (c == '\r' || c == '\n') { read(); c = peek() }
+    }
+
+    def atEof: Boolean = peek() < 0
+
+    private val WarcPat = "WARC/".getBytes(Utf8)
+
+    /** Consume until `WARC/` at a line start; leaves the source
+      * positioned AT the `W`. False when the stream ends first.
+      */
+    def resyncToWarc(): Boolean = {
+      var atLineStart = offset == 0L || lastByte == '\n'
+      var m = 0
+      while (true) {
+        val c = read()
+        if (c < 0) return false
+        if (m == 0) {
+          if (atLineStart && c == 'W') m = 1
+          else atLineStart = c == '\n'
+        } else if (c == (WarcPat(m) & 0xff)) {
+          m += 1
+          if (m == WarcPat.length) { pushBack(WarcPat); return true }
+        } else {
+          atLineStart = c == '\n'
+          m = 0
+        }
+      }
+      false // unreachable
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // Record layer.
+  // ---------------------------------------------------------------------
+
+  private val MaxHeaderLine = 1 << 15 // 32 KiB: HTTP-conventional bound
+
+  /** `Name: value` headers until the empty line (lowercased names;
+    * continuation lines append). Mirrors the buffer parser's refusals.
+    */
+  private def parseHeaders(src: ByteSource): Map[String, String] = {
+    val m = scala.collection.mutable.LinkedHashMap[String, String]()
+    var last: String = null
+    var guard = 0
+    while (true) {
+      guard += 1
+      if (guard > 512) malformed("unbounded header block")
+      val line = src.readLine(MaxHeaderLine)
+      if (line == null) malformed("headers ran off the payload")
+      if (line.isEmpty) return m.toMap
+      if ((line.charAt(0) == ' ' || line.charAt(0) == '\t') && last != null)
+        m(last) = m(last) + " " + line.trim
+      else {
+        val c = line.indexOf(':')
+        if (c <= 0) malformed(s"header without colon: ${line.take(40)}")
+        val name = line.substring(0, c).trim.toLowerCase(java.util.Locale.ROOT)
+        m(name) = line.substring(c + 1).trim
+        last = name
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  // -- HTTP body decodings (operate on one record's body array, which
+  //    is already bounded by MaxBody) --------------------------------
+
+  /** Find end of line from `i` in a body array; (lineEnd, nextStart). */
   private def lineEnd(b: Array[Byte], i: Int): (Int, Int) = {
     var p = i
     while (p < b.length && b(p) != '\n') p += 1
@@ -88,34 +483,24 @@ object Warc {
   private def asciiLine(b: Array[Byte], from: Int, until: Int): String =
     new String(b, from, until - from, Utf8)
 
-  /** Parse `Name: value` headers from `i` until the empty line; returns
-    * (lowercased-name → value, bodyStart). Continuation lines (leading
-    * space/tab) append to the previous value.
+  /** Bounded gunzip of an HTTP body (content-encoding: gzip) — rides
+    * the member machinery, so trailing garbage and CRC mismatches
+    * refuse instead of silently truncating.
     */
-  private def parseHeaders(b: Array[Byte], i0: Int): (Map[String, String], Int) = {
-    var i = i0
-    val m = scala.collection.mutable.LinkedHashMap[String, String]()
-    var last: String = null
-    var guard = 0
-    while (true) {
-      if (i >= b.length) malformed("headers ran off the payload")
-      guard += 1
-      if (guard > 512) malformed("unbounded header block")
-      val (e, next) = lineEnd(b, i)
-      if (e == i) return (m.toMap, next) // empty line: body follows
-      val line = asciiLine(b, i, e)
-      if ((line.charAt(0) == ' ' || line.charAt(0) == '\t') && last != null)
-        m(last) = m(last) + " " + line.trim
-      else {
-        val c = line.indexOf(':')
-        if (c <= 0) malformed(s"header without colon: ${line.take(40)}")
-        val name = line.substring(0, c).trim.toLowerCase(java.util.Locale.ROOT)
-        m(name) = line.substring(c + 1).trim
-        last = name
+  private def gunzipBody(b: Array[Byte]): Array[Byte] = {
+    val chunks = new GzipMemberChunks(new java.io.ByteArrayInputStream(b))
+    val out = new java.io.ByteArrayOutputStream(math.min(b.length * 4, 1 << 16))
+    try {
+      var c = chunks.next()
+      while (c != null) {
+        if (out.size() + c.length > MaxBody) malformed("content-encoding past cap")
+        out.write(c)
+        c = chunks.next()
       }
-      i = next
+    } catch {
+      case sc: StreamCorrupt => malformed(sc.reason)
     }
-    sys.error("unreachable")
+    out.toByteArray
   }
 
   /** De-chunk an HTTP/1.1 chunked transfer-encoded body. */
@@ -148,8 +533,21 @@ object Warc {
     out.toByteArray
   }
 
+  /** Bound + sanitize an attacker-controlled token for a refusal
+    * reason (quarantine reasons must have bounded cardinality).
+    */
+  private def sanitizeToken(s: String): String = {
+    val t = s.toLowerCase(java.util.Locale.ROOT)
+      .filter(c => (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') ||
+        c == '-' || c == '_').take(16)
+    if (t.isEmpty) "unknown" else t
+  }
+
   /** Split an `application/http` response block into (status, html
-    * bytes), applying transfer/content decodings.
+    * bytes), applying transfer/content decodings. `br` and any other
+    * unsupported content-encoding refuse with the encoding name IN the
+    * reason-class token (no colon), so [[quarantineStats]] counts
+    * coverage loss per encoding.
     */
   private def parseHttp(b: Array[Byte]): (Int, Array[Byte]) = {
     val (e, next) = lineEnd(b, 0)
@@ -159,16 +557,17 @@ object Warc {
     if (parts.length < 2 || parts(1).length != 3 ||
       !parts(1).forall(_.isDigit)) malformed(s"bad status line: ${status.take(40)}")
     val code = parts(1).toInt
-    val (headers, bodyStart) = parseHeaders(b, next)
-    var body = java.util.Arrays.copyOfRange(b, bodyStart, b.length)
+    val src = new ByteSource(new PlainChunks(b))
+    src.readN(next) // past the status line
+    val headers = parseHeaders(src)
+    var body = src.readN((b.length - src.offset).toInt)
     if (headers.get("transfer-encoding").exists(
       _.toLowerCase(java.util.Locale.ROOT).contains("chunked")))
       body = dechunk(body)
     headers.get("content-encoding")
       .map(_.toLowerCase(java.util.Locale.ROOT).trim) match {
       case Some("gzip") | Some("x-gzip") =>
-        body = gunzipAll(body)
-        if (body.length > MaxBody) malformed("content-encoding past cap")
+        body = gunzipBody(body)
       case Some("deflate") =>
         val inf = new java.util.zip.Inflater()
         inf.setInput(body)
@@ -187,92 +586,139 @@ object Warc {
         } finally inf.end()
         body = out.toByteArray
       case Some("identity") | None => ()
-      case Some(other) => malformed(s"unsupported content-encoding $other")
+      case Some(other) =>
+        malformed(s"unsupported content-encoding ${sanitizeToken(other)}")
     }
     (code, body)
   }
 
-  /** Resync after a malformed record: the next `WARC/` at a line start. */
-  private def resync(b: Array[Byte], from: Int): Int = {
-    var i = math.max(from, 0)
-    while (i + 5 <= b.length) {
-      if (b(i) == 'W' && b(i + 1) == 'A' && b(i + 2) == 'R' &&
-        b(i + 3) == 'C' && b(i + 4) == '/' &&
-        (i == 0 || b(i - 1) == '\n')) return i
-      i += 1
-    }
-    b.length
-  }
+  // ---------------------------------------------------------------------
+  // The record iterator.
+  // ---------------------------------------------------------------------
 
-  /** Parse one WARC payload (plain or gzip) into records; pure and
-    * total — malformed records become `error` rows, never exceptions.
-    */
-  def parse(payload: Array[Byte]): Seq[Rec] = {
-    if (payload == null || payload.isEmpty) return Seq.empty
-    val b0 =
-      try {
-        if (payload.length >= 2 && (payload(0) & 0xff) == 0x1f &&
-          (payload(1) & 0xff) == 0x8b) gunzipAll(payload)
-        else payload
-      } catch {
-        case m: Malformed => return Seq(Rec(0, 0L, null, null, null, null,
-          None, null, m.reason))
-        case _: java.io.IOException => return Seq(Rec(0, 0L, null, null,
-          null, null, None, null, "corrupt gzip payload"))
+  private final class RecIterator(src: ByteSource) extends Iterator[Rec] {
+    private var idx = 0
+    private val pending = new java.util.ArrayDeque[Rec]()
+    private var finished = false
+
+    private def parseOne(recStart: Long): Rec = {
+      val version = src.readLine(MaxHeaderLine)
+      if (version == null || !version.startsWith("WARC/"))
+        malformed("missing WARC/ version")
+      val h = parseHeaders(src)
+      val len = h.get("content-length") match {
+        case Some(s) if s.nonEmpty && s.length <= 9 && s.forall(_.isDigit) =>
+          s.toInt
+        case _ => malformed("missing/invalid Content-Length")
       }
-    val out = scala.collection.mutable.ArrayBuffer[Rec]()
-    var i = 0
-    var idx = 0
-    while (i < b0.length) {
-      // skip inter-record blank lines
-      while (i < b0.length && (b0(i) == '\r' || b0(i) == '\n')) i += 1
-      if (i < b0.length) {
-        val recStart = i
+      if (len > MaxBody) malformed("Content-Length past cap")
+      val wt = h.getOrElse("warc-type", malformed("missing WARC-Type"))
+        .toLowerCase(java.util.Locale.ROOT)
+      val body = src.readN(len)
+      val uri = h.get("warc-target-uri")
+        .map(u => u.stripPrefix("<").stripSuffix(">")).orNull
+      val date = h.get("warc-date").orNull
+      val ct = h.get("content-type").orNull
+      // WARC framing is sound from here: an HTTP-level refusal keeps
+      // the record's identity on the error row (coverage stays
+      // attributable) and needs NO resync — the body was consumed.
+      try {
+        val (status, text) = wt match {
+          case "response" if ct != null &&
+            ct.toLowerCase(java.util.Locale.ROOT)
+              .startsWith("application/http") =>
+            val (code, html) = parseHttp(body)
+            (Some(code), new String(html, Utf8))
+          case "conversion" => (None, new String(body, Utf8))
+          case _ => (None, null) // warcinfo/request/metadata: typed only
+        }
+        Rec(idx, recStart, wt, uri, date, ct, status, text, null)
+      } catch {
+        case m: Malformed =>
+          Rec(idx, recStart, wt, uri, date, ct, None, null, m.reason)
+      }
+    }
+
+    private def advance(): Unit = {
+      var recStart = -1L
+      try {
+        src.skipNewlines()
+        if (src.atEof) { finished = true; return }
+        recStart = src.offset
         try {
-          val (e, next) = lineEnd(b0, i)
-          val version = asciiLine(b0, i, e)
-          if (!version.startsWith("WARC/")) malformed("missing WARC/ version")
-          val (h, bodyStart) = parseHeaders(b0, next)
-          val len = h.get("content-length") match {
-            case Some(s) if s.nonEmpty && s.length <= 9 && s.forall(_.isDigit) =>
-              s.toInt
-            case _ => malformed("missing/invalid Content-Length")
-          }
-          if (len > MaxBody) malformed("Content-Length past cap")
-          if (bodyStart + len > b0.length) malformed("body truncated")
-          val body = java.util.Arrays.copyOfRange(b0, bodyStart, bodyStart + len)
-          val wt = h.getOrElse("warc-type", malformed("missing WARC-Type"))
-            .toLowerCase(java.util.Locale.ROOT)
-          val uri = h.get("warc-target-uri")
-            .map(u => u.stripPrefix("<").stripSuffix(">")).orNull
-          val date = h.get("warc-date").orNull
-          val ct = h.get("content-type").orNull
-          val (status, text) = wt match {
-            case "response" if ct != null &&
-              ct.toLowerCase(java.util.Locale.ROOT)
-                .startsWith("application/http") =>
-              val (code, html) = parseHttp(body)
-              (Some(code), new String(html, Utf8))
-            case "conversion" => (None, new String(body, Utf8))
-            case _ => (None, null) // warcinfo/request/metadata: typed only
-          }
-          out += Rec(idx, recStart.toLong, wt, uri, date, ct, status, text, null)
-          i = bodyStart + len
+          pending.add(parseOne(recStart))
+          idx += 1
         } catch {
           case m: Malformed =>
-            out += Rec(idx, recStart.toLong, null, null, null, null, None,
-              null, m.reason)
-            i = resync(b0, recStart + 5)
+            pending.add(Rec(idx, recStart, null, null, null, null, None,
+              null, m.reason))
+            idx += 1
+            src.resyncToWarc()
         }
-        idx += 1
+      } catch {
+        case sc: StreamCorrupt =>
+          pending.add(Rec(idx, if (recStart >= 0) recStart else src.offset,
+            null, null, null, null, None, null, sc.reason))
+          idx += 1
+          finished = true
       }
     }
-    out.toSeq
+
+    def hasNext: Boolean = {
+      while (pending.isEmpty && !finished) advance()
+      !pending.isEmpty
+    }
+    def next(): Rec = {
+      if (!hasNext) throw new NoSuchElementException
+      pending.poll()
+    }
   }
+
+  /** Lazily parse one WARC payload (plain or gzip, sniffed by magic)
+    * into records; total — malformed records become `error` rows,
+    * never exceptions. Memory: the current record (+ one buffered gzip
+    * member), never the inflated file.
+    */
+  def stream(payload: Array[Byte]): Iterator[Rec] = {
+    if (payload == null || payload.isEmpty) return Iterator.empty
+    val chunks: ChunkSource =
+      if (payload.length >= 2 && (payload(0) & 0xff) == 0x1f &&
+        (payload(1) & 0xff) == 0x8b)
+        new GzipMemberChunks(new java.io.ByteArrayInputStream(payload))
+      else new PlainChunks(payload)
+    new RecIterator(new ByteSource(chunks))
+  }
+
+  /** Lazily parse a WARC byte STREAM (a whole crawl file read straight
+    * from storage) into records; same contract as [[stream]]. The
+    * first two bytes are sniffed for the gzip magic.
+    */
+  def parseStream(in: java.io.InputStream): Iterator[Rec] = {
+    val pin = new java.io.PushbackInputStream(in, 2)
+    val b0 = pin.read()
+    if (b0 < 0) return Iterator.empty
+    val b1 = pin.read()
+    if (b1 >= 0) pin.unread(b1)
+    pin.unread(b0)
+    val chunks: ChunkSource =
+      if (b0 == 0x1f && b1 == 0x8b) new GzipMemberChunks(pin)
+      else new StreamChunks(pin)
+    new RecIterator(new ByteSource(chunks))
+  }
+
+  /** [[stream]], materialized — the kernel behind the binary-column
+    * DataFrame surface and the specs' entry point.
+    */
+  def parse(payload: Array[Byte]): Seq[Rec] = stream(payload).toSeq
+
+  // ---------------------------------------------------------------------
+  // DataFrame surfaces.
+  // ---------------------------------------------------------------------
 
   /** All records of every payload row: `idCol` carried through, one
     * output row per record INCLUDING quarantined failures (`error`
-    * non-null, everything else null) — the caller audits or drops.
+    * non-null; HTTP-level refusals keep the record identity fields) —
+    * the caller audits ([[quarantineStats]]) or drops.
     * Scan-stage: parse kernel + explode; payload projected away.
     */
   def records(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
@@ -284,6 +730,73 @@ object Warc {
         col("r.contentType").as("content_type"),
         col("r.httpStatus").as("http_status"),
         col("r.text").as("text"), col("r.error").as("error"))
+  }
+
+  private val RecSchema = StructType(Seq(
+    StructField("path", StringType, nullable = true),
+    StructField("rec_idx", IntegerType, nullable = false),
+    StructField("offset", LongType, nullable = false),
+    StructField("warc_type", StringType, nullable = true),
+    StructField("url", StringType, nullable = true),
+    StructField("warc_date", StringType, nullable = true),
+    StructField("content_type", StringType, nullable = true),
+    StructField("http_status", IntegerType, nullable = true),
+    StructField("text", StringType, nullable = true),
+    StructField("error", StringType, nullable = true)))
+
+  /** The real-file front door: a Dataset of storage paths → one task
+    * per file, each file opened through the Hadoop filesystem API and
+    * parsed as a LAZY record iterator — neither the inflated file nor
+    * its record list ever materializes, so a ~1 GiB gzipped Common
+    * Crawl file ingests in per-record memory. An unreadable file
+    * becomes one error row (its siblings are unaffected); parse-level
+    * quarantine follows the [[Rec]] error model. `repartition` the
+    * input first when the path list is skewed across tasks.
+    */
+  def recordsFromPaths(paths: Dataset[String]): DataFrame = {
+    val spark = paths.sparkSession
+    // Hadoop Configuration is Writable, not Serializable; ship it via
+    // the DeveloperApi wrapper so executor-side FileSystem resolution
+    // keeps the session's storage credentials/settings.
+    val bconf = spark.sparkContext.broadcast(
+      new org.apache.spark.SerializableWritable(
+        spark.sparkContext.hadoopConfiguration))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(RecSchema)
+    paths.mapPartitions { it =>
+      it.flatMap { p =>
+        val opened =
+          try {
+            val hp = new org.apache.hadoop.fs.Path(p)
+            val fs = hp.getFileSystem(bconf.value.value)
+            Right(fs.open(hp): java.io.InputStream)
+          } catch {
+            case e: java.io.IOException => Left(e.getClass.getSimpleName)
+          }
+        opened match {
+          case Left(err) =>
+            Iterator.single(Row(p, 0, 0L, null, null, null, null, null,
+              null, s"unreadable file: $err"))
+          case Right(in) =>
+            // closed when the iterator drains (flatMap consumes fully)
+            new Iterator[Row] {
+              private val recs = parseStream(in)
+              private var closed = false
+              def hasNext: Boolean = {
+                val h = recs.hasNext
+                if (!h && !closed) { closed = true; in.close() }
+                h
+              }
+              def next(): Row = {
+                val r = recs.next()
+                Row(p, r.recIdx, r.offset, r.warcType, r.targetUri,
+                  r.warcDate, r.contentType,
+                  r.httpStatus.map(Int.box).orNull, r.text, r.error)
+              }
+            }
+        }
+      }
+    }(enc)
   }
 
   /** The curation front door: just the content-bearing rows — HTTP
@@ -309,4 +822,21 @@ object Warc {
         col("r.httpStatus").as("http_status") :+
         col("r.text").as("html"): _*)
   }
+
+  /** Quarantine audit over a [[records]]/[[recordsFromPaths]] output:
+    * rows-lost-by-reason-class, so a crawl pipeline can SEE how much
+    * of the corpus the ingest dropped and why (the `br`
+    * content-encoding refusal shows up as its own class). The reason
+    * class is the text before the first `:` — dynamic detail
+    * (offending header text, chunk sizes) lives after the colon, while
+    * bounded discriminators (the content-encoding token) live inside
+    * the class. One map-side-combined groupBy on a low-cardinality
+    * key.
+    */
+  def quarantineStats(recs: DataFrame): DataFrame =
+    recs.where(col("error").isNotNull)
+      .groupBy(substring_index(col("error"), ":", 1).as("reason"))
+      .agg(count(lit(1)).as("n_records"),
+        count(col("url")).as("n_with_url"))
+      .orderBy(desc("n_records"))
 }

@@ -228,6 +228,175 @@ class WarcSpec extends SparkSpec {
     assert(r.getAs[String]("text") == "real content paragraph here")
   }
 
+  // -- streaming-ingest contract: per-record memory, never per-file ----
+
+  /** One response record with a `size`-byte body of repeating text. */
+  private def bigRec(i: Int, size: Int): Array[Byte] = {
+    val body = new Array[Byte](size)
+    val pat = s"record $i content ".getBytes("UTF-8")
+    var p = 0
+    while (p < size) { body(p) = pat(p % pat.length); p += 1 }
+    rec("response", s"https://x.org/big/$i", httpResponse(null, "", body))
+  }
+
+  test("a multi-member file far past any whole-file cap parses " +
+    "record-by-record (the Common Crawl shape)") {
+    // 34 members x 8 MiB bodies = ~272 MiB inflated — the old 256 MiB
+    // whole-payload cap would quarantine this file WHOLE; member-wise
+    // streaming parses every record.
+    val members = new java.io.ByteArrayOutputStream()
+    (0 until 34).foreach(i => members.write(gzip(bigRec(i, 8 << 20))))
+    val payload = members.toByteArray
+    assert(payload.length < (16 << 20)) // compressed input stays small
+    var n = 0
+    var textBytes = 0L
+    Warc.stream(payload).foreach { r => // iterator: nothing retained
+      assert(r.error == null, s"${r.error}")
+      n += 1
+      textBytes += r.text.length
+    }
+    assert(n == 34)
+    assert(textBytes == 34L * (8 << 20))
+  }
+
+  test("a single gzip member past MemberBuffer streams through " +
+    "(pass-through mode) and still parses every record") {
+    // one ~160 MiB member (a writer that compressed the whole file as
+    // one stream) exceeds the 128 MiB verify-before-parse buffer
+    val out = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(out)
+    (0 until 20).foreach(i => gz.write(bigRec(i, 8 << 20)))
+    gz.close()
+    val rs = Warc.stream(out.toByteArray).map(r => (r.error, r.targetUri))
+    val list = rs.toList // (error, uri) pairs only: bounded
+    assert(list.length == 20)
+    assert(list.forall(_._1 == null))
+    assert(list.map(_._2) == (0 until 20).map(i => s"https://x.org/big/$i"))
+  }
+
+  test("pass-through CRC mismatch appends a visible error row after " +
+    "the already-emitted records") {
+    val out = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(out)
+    (0 until 20).foreach(i => gz.write(bigRec(i, 8 << 20)))
+    gz.close()
+    val z = out.toByteArray
+    z(z.length - 6) = (z(z.length - 6) ^ 0x55).toByte // CRC32 trailer byte
+    val list = Warc.stream(z).map(r => (r.error, r.targetUri)).toList
+    assert(list.count(_._1 == null) == 20)
+    assert(list.last._1 != null &&
+      list.last._1.contains("crc mismatch"), list.last._1)
+  }
+
+  test("a corrupt or truncated follow-up member is a visible error row, " +
+    "never a silent prefix truncation") {
+    val r1 = rec("response", "https://x.org/1", httpResponse("<p>a</p>"))
+    val r2 = rec("response", "https://x.org/2", httpResponse("<p>b</p>"))
+    // trailing garbage where the next member header should be
+    val g1 = Warc.parse(gzip(r1) ++ "trailing garbage".getBytes("UTF-8"))
+    assert(g1.map(_.error == null) == Seq(true, false))
+    assert(g1.last.error.startsWith("corrupt gzip member header"))
+    // second member truncated mid-deflate
+    val m2 = gzip(r2)
+    val g2 = Warc.parse(gzip(r1) ++ m2.take(m2.length / 2))
+    assert(g2.head.error == null && g2.head.text == "<p>a</p>")
+    assert(g2.last.error != null)
+    // second member with a flipped CRC trailer byte: verified BEFORE
+    // parse, so no records decode from the corrupt member
+    val m2bad = m2.clone()
+    m2bad(m2bad.length - 6) = (m2bad(m2bad.length - 6) ^ 0x55).toByte
+    val g3 = Warc.parse(gzip(r1) ++ m2bad)
+    assert(g3.map(_.error == null) == Seq(true, false))
+    assert(g3.last.error == "gzip member crc mismatch")
+    // ... and a flipped ISIZE refuses too
+    val m2len = m2.clone()
+    m2len(m2len.length - 1) = (m2len(m2len.length - 1) ^ 0x55).toByte
+    val g4 = Warc.parse(gzip(r1) ++ m2len)
+    assert(g4.map(_.error == null) == Seq(true, false))
+    assert(g4.last.error == "gzip member length mismatch")
+  }
+
+  test("an over-cap RECORD quarantines alone; its siblings survive " +
+    "(per-record caps, no per-file cap)") {
+    val good1 = rec("response", "https://x.org/1", httpResponse("<p>a</p>"))
+    val good2 = rec("response", "https://x.org/2", httpResponse("<p>b</p>"))
+    val over = (s"WARC/1.0${crlf}WARC-Type: response$crlf" +
+      s"Content-Length: ${Warc.MaxBody + 1}$crlf$crlf").getBytes("UTF-8") ++
+      "tiny actual body\r\n\r\n".getBytes("UTF-8")
+    val rs = Warc.parse(good1 ++ over ++ good2)
+    assert(rs.count(_.error != null) == 1)
+    assert(rs.find(_.error != null).get.error == "Content-Length past cap")
+    assert(rs.filter(_.error == null).map(_.text) ==
+      Seq("<p>a</p>", "<p>b</p>"))
+  }
+
+  test("HTTP-level refusals keep the record identity; quarantineStats " +
+    "counts coverage loss by reason class (br shows up distinctly)") {
+    import spark.implicits._
+    val br = rec("response", "https://br.example.com/x",
+      httpResponse(null, s"Content-Encoding: br$crlf",
+        "compressed!".getBytes("UTF-8")))
+    val rs = Warc.parse(br)
+    assert(rs.length == 1)
+    val r = rs.head
+    assert(r.error == "unsupported content-encoding br")
+    // identity preserved: the loss is attributable per host
+    assert(r.warcType == "response" &&
+      r.targetUri == "https://br.example.com/x" &&
+      r.warcDate == "2026-02-01T12:00:00Z")
+    // a refusal with attacker-controlled encoding text stays bounded
+    val weird = rec("response", "https://x.org/w",
+      httpResponse(null, s"Content-Encoding: ${"A" * 4096}$crlf",
+        "z".getBytes("UTF-8")))
+    val rw = Warc.parse(weird).head
+    assert(rw.error.length <= 64, rw.error)
+    // the audit aggregate
+    val df = Seq(
+      (1L, br),
+      (2L, br),
+      (3L, rec("response", "https://x.org/ok", httpResponse("<p>k</p>"))),
+      (4L, s"WARC/1.0${crlf}no colon here$crlf$crlf".getBytes("UTF-8"))
+    ).toDF("id", "payload")
+    val stats = Warc.quarantineStats(Warc.records(df, "id", "payload"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(stats.toSet == Set(
+      ("unsupported content-encoding br", 2L, 2L),
+      ("header without colon", 1L, 0L)))
+  }
+
+  test("recordsFromPaths streams whole files from storage: records out, " +
+    "unreadable paths quarantined, siblings unaffected") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("warcspec").toFile
+    try {
+      val f1 = new java.io.File(dir, "a.warc.gz")
+      val f2 = new java.io.File(dir, "b.warc")
+      java.nio.file.Files.write(f1.toPath,
+        gzip(rec("response", "https://x.org/p1", httpResponse("<p>one</p>"))) ++
+          gzip(rec("conversion", "https://x.org/p2",
+            "wet two".getBytes("UTF-8"), contentType = "text/plain")))
+      java.nio.file.Files.write(f2.toPath,
+        rec("response", "https://x.org/p3", httpResponse("<p>three</p>")))
+      val missing = new java.io.File(dir, "nope.warc.gz").getAbsolutePath
+      val paths = Seq(f1.getAbsolutePath, f2.getAbsolutePath, missing).toDS()
+      val out = Warc.recordsFromPaths(paths).collect()
+      val byPath = out.groupBy(_.getString(0))
+      assert(byPath(f1.getAbsolutePath).map(_.getAs[String]("text")).toSet ==
+        Set("<p>one</p>", "wet two"))
+      assert(byPath(f2.getAbsolutePath).head.getAs[String]("text") ==
+        "<p>three</p>")
+      val err = byPath(missing).head
+      assert(err.getAs[String]("error").startsWith("unreadable file"))
+      assert(out.count(_.getAs[String]("error") != null) == 1)
+      // equivalence with the binary-column kernel on the same bytes
+      val viaParse = Warc.parse(java.nio.file.Files.readAllBytes(f1.toPath))
+      assert(viaParse.map(_.text).toSet == Set("<p>one</p>", "wet two"))
+    } finally {
+      dir.listFiles().foreach(_.delete())
+      dir.delete()
+    }
+  }
+
   test("q126 planted corpus parses to its closed form for every variant " +
     "residue (gzip x chunked x WET x malformed-tail)") {
     for (k <- 0L to 24L) {
