@@ -99,6 +99,17 @@ object Decontaminate {
     * side on 8-byte-pair keys — then an equi-join on the hash and a
     * map-side-combined count per source pair (the join output is already
     * unique per (corpus source, bench source, gram)).
+    *
+    * The call eagerly runs ONE cheap aggregate over the benchmark docs'
+    * lengths (`estGrams`, an upper bound on distinct bench grams — no
+    * explode, no persist) to decide whether a Bloom prune of the corpus
+    * grams pays; see [[bloomGate]] for the decision. `expectedGrams`
+    * (optional) is the caller's tighter estimate of the DISTINCT bench
+    * gram count — it can only shrink the filter relative to the bound,
+    * never force the Bloom path past [[MaxBloomGrams]]'s broadcast cap.
+    * `fpp` is the filter's false-positive rate; false positives cost
+    * only unpruned shuffle volume (the equi-join re-verifies exactly),
+    * never correctness.
     */
   def leakageMatrix(corpus: DataFrame, benchmark: DataFrame, srcCol: String,
                     textCol: String, n: Int,
@@ -125,7 +136,7 @@ object Decontaminate {
         .head()
       if (r.isNullAt(0)) 0L else r.getLong(0)
     }
-    val useBloom = expectedGrams > 0 || estGrams <= MaxBloomGrams
+    val (useBloom, bloomSize) = bloomGate(expectedGrams, estGrams)
     val benchDedup = sourceGrams(benchmark, "bench_source")
       .dropDuplicates("bench_source", "gh")
     // persist only on the bloom path, where the gram set backs BOTH the
@@ -140,9 +151,7 @@ object Decontaminate {
     val pruned =
       if (!useBloom) corpusGrams
       else {
-        val sized = if (expectedGrams > 0) expectedGrams
-          else math.max(estGrams, 1000L)
-        val bloom = benchGrams.stat.bloomFilter("gh", sized, fpp)
+        val bloom = benchGrams.stat.bloomFilter("gh", bloomSize, fpp)
         val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
         val mightContain = udf((gh: Long) => bc.value.mightContainLong(gh))
         // Bloom-prune the corpus grams BEFORE the per-source dedup: the
@@ -164,6 +173,21 @@ object Decontaminate {
     * build+broadcast costs more than the prune saves.
     */
   val MaxBloomGrams: Long = 16000000L
+
+  /** The [[leakageMatrix]] Bloom-prune decision: (engage?, filter
+    * size). A caller-supplied `expectedGrams` can only TIGHTEN the
+    * measured `estGrams` upper bound — `min` of the two gates and
+    * sizes the filter, so no hint can force an over-[[MaxBloomGrams]]
+    * broadcast (the cap the gate exists for), and an undersized hint
+    * merely raises the effective fpp (the join still verifies
+    * exactly).
+    */
+  private[textops] def bloomGate(expectedGrams: Long,
+                                 estGrams: Long): (Boolean, Long) = {
+    val bound =
+      if (expectedGrams > 0) math.min(expectedGrams, estGrams) else estGrams
+    (bound <= MaxBloomGrams, math.max(bound, 1000L))
+  }
 
   /** [[overlapHashed]] with a Bloom-filter prefilter — the shape for when
     * even the benchmark gram set is too large to broadcast as a join table

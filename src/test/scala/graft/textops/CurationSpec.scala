@@ -237,6 +237,34 @@ class CurationSpec extends SparkSpec {
         .intersect(grams(shared)).size
     }
     assert(got(("web", "evalA")) == wantDistinct.toLong)
+    // expectedGrams can only TIGHTEN the gate, never bypass the
+    // broadcast cap: an over-cap hint keeps the plain (no-Bloom) path
+    assert(Decontaminate.bloomGate(
+      expectedGrams = Decontaminate.MaxBloomGrams + 1,
+      estGrams = Decontaminate.MaxBloomGrams + 1) == (false,
+      Decontaminate.MaxBloomGrams + 1))
+    // a huge hint against a small measured bound still engages, sized
+    // by the bound (min of the two)
+    assert(Decontaminate.bloomGate(
+      expectedGrams = Decontaminate.MaxBloomGrams + 1,
+      estGrams = 5000L) == (true, 5000L))
+    // an undersized hint shrinks the filter (raising fpp, not breaking
+    // exactness) and the floor keeps the sizing sane
+    assert(Decontaminate.bloomGate(expectedGrams = 8L, estGrams = 5000L) ==
+      (true, 1000L))
+    assert(Decontaminate.bloomGate(expectedGrams = 0L, estGrams = 5000L) ==
+      (true, 5000L))
+    // ... and the matrix itself is identical on both gate outcomes
+    val forcedPlain = Decontaminate.leakageMatrix(corpus, bench, "source",
+      "text", 32, expectedGrams = Decontaminate.MaxBloomGrams + 1)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(forcedPlain == got)
+    val tinyHint = Decontaminate.leakageMatrix(corpus, bench, "source",
+      "text", 32, expectedGrams = 4L, fpp = 0.5)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(tinyHint == got)
   }
 
   test("quality rules: each rule fires on its pathology, clean doc kept") {
