@@ -44,6 +44,10 @@ object ScaleSmoke {
     // deployment shape; q122's one-shot exponent folds the per-level
     // compile joins into every leg and overstates steady-state cost)
     "q122_kneser_ney_arpa", "q127_arpa_score_fixed",
+    // the quantized 5-gram's steady-state split (same rationale):
+    // codebooks + tables fit once on the fixed base block, 1-byte-code
+    // scoring recurs — the exponent q101's fused fit+score overstates
+    "q131_quant5_score_fixed",
     // the composed curation pipeline: scan gates + fingerprint dedup +
     // kept-set LM in one job — and its fuzzy-dedup form (adds the
     // MinHash-LSH candidate shuffle + connected components + quality

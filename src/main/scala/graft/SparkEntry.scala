@@ -2686,6 +2686,28 @@ object SparkEntry {
         .toDF("doc_id", "url")
       textops.UrlOps.hostStats(urls, "url")
         .orderBy(col("url_host"))
+    }),
+
+    // q101's STEADY-STATE leg isolated (the q127/q128 fixed-base
+    // pattern): the five level tables AND their 8-bit codebooks fit
+    // ONCE on the base id block — identity at every test SF, so q101's
+    // oracle replays verbatim — and the corpus scores against the
+    // fixed quantized artifact. Under ScaleSmoke the fit legs stay
+    // constant-size while scoring scales, so the exponent measures the
+    // recurring 1-byte-code scoring joins alone (q101's fused form
+    // re-fits the codebooks inside every measurement and charges
+    // one-shot fit work to the steady-state number — the exact
+    // attribution defect q127 fixed for the ARPA ladder)
+    "q131_quant5_score_fixed" -> ((s, dir) => {
+      val docs = tSpread(s, dir, "documents")
+      val quants = NgramLM.train(
+          docs.where(col("doc_id") < lit(10000000L)), "text",
+          order = 5, minCount = 2)
+        .map(t => NgramQuant.quantize(t.localCheckpoint(true),
+          uniform = true))
+      NgramLM.scoreAgainstQuantized(docs, quants, "doc_id", "text",
+          alpha = 0.4)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -5043,140 +5065,13 @@ object SparkEntry {
     // #{consecutive-centroid midpoints ≤ r}; score the DECODED centroids
     // through the 5→4→3→2→1→OOV ladder. Same bit-exactness argument as
     // q99 at every level.
-    "q101_quant5_lm" ->
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
-        |  FROM documents WHERE trim(text) != ''),
-        |tup AS (
-        |  SELECT doc_id,
-        |    CASE WHEN i <= 4 THEN NULL ELSE t[i-4] END AS prev4,
-        |    CASE WHEN i <= 3 THEN NULL ELSE t[i-3] END AS prev3,
-        |    CASE WHEN i <= 2 THEN NULL ELSE t[i-2] END AS prev2,
-        |    CASE WHEN i = 1 THEN NULL ELSE t[i-1] END AS prev,
-        |    t[i] AS token
-        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
-        |        FROM toks)),
-        |uni AS (SELECT token, count(*) AS cnt FROM tup GROUP BY token),
-        |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM uni),
-        |unil AS (SELECT token,
-        |    round(ln(CAST(cnt AS DOUBLE) / total), 6) AS r
-        |  FROM uni CROSS JOIN tot),
-        |uqm AS (SELECT cs, list_transform(range(1, 256),
-        |      j -> (cs[j] + cs[j + 1]) / 2) AS mids
-        |  FROM (SELECT list_transform(range(0, 256),
-        |          i -> lo + (i + 0.5) * w) AS cs
-        |        FROM (SELECT min(r) AS lo, (max(r) - min(r)) / 256 AS w
-        |              FROM unil))),
-        |unid AS (SELECT token,
-        |    cs[len(list_filter(mids, m -> r >= m)) + 1] AS ulp
-        |  FROM unil CROSS JOIN uqm),
-        |bgall AS (
-        |  SELECT prev, token, count(*) AS cnt FROM tup
-        |  WHERE prev IS NOT NULL GROUP BY prev, token),
-        |bctx AS (SELECT prev, CAST(sum(cnt) AS DOUBLE) AS ctx_cnt
-        |         FROM bgall GROUP BY prev),
-        |bgl AS (SELECT b.prev, b.token,
-        |    round(ln(CAST(b.cnt AS DOUBLE) / c.ctx_cnt), 6) AS r
-        |  FROM bgall b JOIN bctx c USING (prev) WHERE b.cnt >= 2),
-        |bqm AS (SELECT cs, list_transform(range(1, 256),
-        |      j -> (cs[j] + cs[j + 1]) / 2) AS mids
-        |  FROM (SELECT list_transform(range(0, 256),
-        |          i -> lo + (i + 0.5) * w) AS cs
-        |        FROM (SELECT min(r) AS lo, (max(r) - min(r)) / 256 AS w
-        |              FROM bgl))),
-        |bgd AS (SELECT prev, token,
-        |    cs[len(list_filter(mids, m -> r >= m)) + 1] AS blp
-        |  FROM bgl CROSS JOIN bqm),
-        |tgall AS (
-        |  SELECT prev2, prev, token, count(*) AS cnt FROM tup
-        |  WHERE prev2 IS NOT NULL GROUP BY prev2, prev, token),
-        |tctx AS (SELECT prev2, prev, CAST(sum(cnt) AS DOUBLE) AS ctx_cnt
-        |         FROM tgall GROUP BY prev2, prev),
-        |tgl AS (SELECT g.prev2, g.prev, g.token,
-        |    round(ln(CAST(g.cnt AS DOUBLE) / c.ctx_cnt), 6) AS r
-        |  FROM tgall g JOIN tctx c ON c.prev2 = g.prev2 AND c.prev = g.prev
-        |  WHERE g.cnt >= 2),
-        |tqm AS (SELECT cs, list_transform(range(1, 256),
-        |      j -> (cs[j] + cs[j + 1]) / 2) AS mids
-        |  FROM (SELECT list_transform(range(0, 256),
-        |          i -> lo + (i + 0.5) * w) AS cs
-        |        FROM (SELECT min(r) AS lo, (max(r) - min(r)) / 256 AS w
-        |              FROM tgl))),
-        |tgd AS (SELECT prev2, prev, token,
-        |    cs[len(list_filter(mids, m -> r >= m)) + 1] AS tlp
-        |  FROM tgl CROSS JOIN tqm),
-        |q4all AS (
-        |  SELECT prev3, prev2, prev, token, count(*) AS cnt FROM tup
-        |  WHERE prev3 IS NOT NULL GROUP BY prev3, prev2, prev, token),
-        |q4ctx AS (SELECT prev3, prev2, prev,
-        |    CAST(sum(cnt) AS DOUBLE) AS ctx_cnt
-        |  FROM q4all GROUP BY prev3, prev2, prev),
-        |q4l AS (SELECT g.prev3, g.prev2, g.prev, g.token,
-        |    round(ln(CAST(g.cnt AS DOUBLE) / c.ctx_cnt), 6) AS r
-        |  FROM q4all g JOIN q4ctx c ON c.prev3 = g.prev3
-        |    AND c.prev2 = g.prev2 AND c.prev = g.prev
-        |  WHERE g.cnt >= 2),
-        |q4qm AS (SELECT cs, list_transform(range(1, 256),
-        |      j -> (cs[j] + cs[j + 1]) / 2) AS mids
-        |  FROM (SELECT list_transform(range(0, 256),
-        |          i -> lo + (i + 0.5) * w) AS cs
-        |        FROM (SELECT min(r) AS lo, (max(r) - min(r)) / 256 AS w
-        |              FROM q4l))),
-        |q4d AS (SELECT prev3, prev2, prev, token,
-        |    cs[len(list_filter(mids, m -> r >= m)) + 1] AS qlp
-        |  FROM q4l CROSS JOIN q4qm),
-        |q5all AS (
-        |  SELECT prev4, prev3, prev2, prev, token, count(*) AS cnt
-        |  FROM tup WHERE prev4 IS NOT NULL
-        |  GROUP BY prev4, prev3, prev2, prev, token),
-        |q5ctx AS (SELECT prev4, prev3, prev2, prev,
-        |    CAST(sum(cnt) AS DOUBLE) AS ctx_cnt
-        |  FROM q5all GROUP BY prev4, prev3, prev2, prev),
-        |q5l AS (SELECT g.prev4, g.prev3, g.prev2, g.prev, g.token,
-        |    round(ln(CAST(g.cnt AS DOUBLE) / c.ctx_cnt), 6) AS r
-        |  FROM q5all g JOIN q5ctx c ON c.prev4 = g.prev4
-        |    AND c.prev3 = g.prev3 AND c.prev2 = g.prev2 AND c.prev = g.prev
-        |  WHERE g.cnt >= 2),
-        |q5qm AS (SELECT cs, list_transform(range(1, 256),
-        |      j -> (cs[j] + cs[j + 1]) / 2) AS mids
-        |  FROM (SELECT list_transform(range(0, 256),
-        |          i -> lo + (i + 0.5) * w) AS cs
-        |        FROM (SELECT min(r) AS lo, (max(r) - min(r)) / 256 AS w
-        |              FROM q5l))),
-        |q5d AS (SELECT prev4, prev3, prev2, prev, token,
-        |    cs[len(list_filter(mids, m -> r >= m)) + 1] AS plp
-        |  FROM q5l CROSS JOIN q5qm),
-        |scored AS (
-        |  SELECT p.doc_id,
-        |    CASE WHEN p.prev IS NULL THEN coalesce(u.ulp, -20.0)
-        |         WHEN p.prev2 IS NULL THEN coalesce(b.blp,
-        |           ln(0.4) + coalesce(u.ulp, -20.0))
-        |         WHEN p.prev3 IS NULL THEN coalesce(t2.tlp,
-        |           ln(0.4) + coalesce(b.blp,
-        |             ln(0.4) + coalesce(u.ulp, -20.0)))
-        |         WHEN p.prev4 IS NULL THEN coalesce(g4.qlp,
-        |           ln(0.4) + coalesce(t2.tlp,
-        |             ln(0.4) + coalesce(b.blp,
-        |               ln(0.4) + coalesce(u.ulp, -20.0))))
-        |         ELSE coalesce(g5.plp,
-        |           ln(0.4) + coalesce(g4.qlp,
-        |             ln(0.4) + coalesce(t2.tlp,
-        |               ln(0.4) + coalesce(b.blp,
-        |                 ln(0.4) + coalesce(u.ulp, -20.0)))))
-        |    END AS lp
-        |  FROM tup p
-        |  LEFT JOIN unid u ON u.token = p.token
-        |  LEFT JOIN bgd b ON b.prev = p.prev AND b.token = p.token
-        |  LEFT JOIN tgd t2 ON t2.prev2 = p.prev2 AND t2.prev = p.prev
-        |    AND t2.token = p.token
-        |  LEFT JOIN q4d g4 ON g4.prev3 = p.prev3 AND g4.prev2 = p.prev2
-        |    AND g4.prev = p.prev AND g4.token = p.token
-        |  LEFT JOIN q5d g5 ON g5.prev4 = p.prev4 AND g5.prev3 = p.prev3
-        |    AND g5.prev2 = p.prev2 AND g5.prev = p.prev
-        |    AND g5.token = p.token)
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-        |  round(avg(lp), 6) AS avg_logprob
-        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q101_quant5_lm" -> quant5Oracle,
+
+    // q131 = the quantized ladder with fit and score SPLIT (the
+    // q127/q128 fixed-base pattern): tables + codebooks fit on the
+    // base id block only, which covers every doc at test SFs —
+    // identity, so q101's oracle replays verbatim
+    "q131_quant5_score_fixed" -> quant5Oracle,
 
     // q102 replays the four-stage pipeline by gluing the q24 (langid),
     // q68 (quality), q20 (fingerprint-dedup, via the normalized text as
@@ -5561,6 +5456,147 @@ object SparkEntry {
         |FROM documents
         |GROUP BY 1 ORDER BY url_host""".stripMargin
   )
+
+  /** Shared q101/q131 replay: equal-width 8-bit quantization per
+    * level (codebook, midpoint-count encode, centroid decode — IEEE
+    * double arithmetic DuckDB replays bit-for-bit) scored through the
+    * 5→4→3→2→1→OOV ladder. q131 fits the same tables and codebooks on
+    * the base id block only — the whole corpus at every test SF.
+    */
+  private def quant5Oracle: String =
+    """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents WHERE trim(text) != ''),
+        |tup AS (
+        |  SELECT doc_id,
+        |    CASE WHEN i <= 4 THEN NULL ELSE t[i-4] END AS prev4,
+        |    CASE WHEN i <= 3 THEN NULL ELSE t[i-3] END AS prev3,
+        |    CASE WHEN i <= 2 THEN NULL ELSE t[i-2] END AS prev2,
+        |    CASE WHEN i = 1 THEN NULL ELSE t[i-1] END AS prev,
+        |    t[i] AS token
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
+        |        FROM toks)),
+        |uni AS (SELECT token, count(*) AS cnt FROM tup GROUP BY token),
+        |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM uni),
+        |unil AS (SELECT token,
+        |    round(ln(CAST(cnt AS DOUBLE) / total), 6) AS r
+        |  FROM uni CROSS JOIN tot),
+        |uqm AS (SELECT cs, list_transform(range(1, 256),
+        |      j -> (cs[j] + cs[j + 1]) / 2) AS mids
+        |  FROM (SELECT list_transform(range(0, 256),
+        |          i -> lo + (i + 0.5) * w) AS cs
+        |        FROM (SELECT min(r) AS lo, (max(r) - min(r)) / 256 AS w
+        |              FROM unil))),
+        |unid AS (SELECT token,
+        |    cs[len(list_filter(mids, m -> r >= m)) + 1] AS ulp
+        |  FROM unil CROSS JOIN uqm),
+        |bgall AS (
+        |  SELECT prev, token, count(*) AS cnt FROM tup
+        |  WHERE prev IS NOT NULL GROUP BY prev, token),
+        |bctx AS (SELECT prev, CAST(sum(cnt) AS DOUBLE) AS ctx_cnt
+        |         FROM bgall GROUP BY prev),
+        |bgl AS (SELECT b.prev, b.token,
+        |    round(ln(CAST(b.cnt AS DOUBLE) / c.ctx_cnt), 6) AS r
+        |  FROM bgall b JOIN bctx c USING (prev) WHERE b.cnt >= 2),
+        |bqm AS (SELECT cs, list_transform(range(1, 256),
+        |      j -> (cs[j] + cs[j + 1]) / 2) AS mids
+        |  FROM (SELECT list_transform(range(0, 256),
+        |          i -> lo + (i + 0.5) * w) AS cs
+        |        FROM (SELECT min(r) AS lo, (max(r) - min(r)) / 256 AS w
+        |              FROM bgl))),
+        |bgd AS (SELECT prev, token,
+        |    cs[len(list_filter(mids, m -> r >= m)) + 1] AS blp
+        |  FROM bgl CROSS JOIN bqm),
+        |tgall AS (
+        |  SELECT prev2, prev, token, count(*) AS cnt FROM tup
+        |  WHERE prev2 IS NOT NULL GROUP BY prev2, prev, token),
+        |tctx AS (SELECT prev2, prev, CAST(sum(cnt) AS DOUBLE) AS ctx_cnt
+        |         FROM tgall GROUP BY prev2, prev),
+        |tgl AS (SELECT g.prev2, g.prev, g.token,
+        |    round(ln(CAST(g.cnt AS DOUBLE) / c.ctx_cnt), 6) AS r
+        |  FROM tgall g JOIN tctx c ON c.prev2 = g.prev2 AND c.prev = g.prev
+        |  WHERE g.cnt >= 2),
+        |tqm AS (SELECT cs, list_transform(range(1, 256),
+        |      j -> (cs[j] + cs[j + 1]) / 2) AS mids
+        |  FROM (SELECT list_transform(range(0, 256),
+        |          i -> lo + (i + 0.5) * w) AS cs
+        |        FROM (SELECT min(r) AS lo, (max(r) - min(r)) / 256 AS w
+        |              FROM tgl))),
+        |tgd AS (SELECT prev2, prev, token,
+        |    cs[len(list_filter(mids, m -> r >= m)) + 1] AS tlp
+        |  FROM tgl CROSS JOIN tqm),
+        |q4all AS (
+        |  SELECT prev3, prev2, prev, token, count(*) AS cnt FROM tup
+        |  WHERE prev3 IS NOT NULL GROUP BY prev3, prev2, prev, token),
+        |q4ctx AS (SELECT prev3, prev2, prev,
+        |    CAST(sum(cnt) AS DOUBLE) AS ctx_cnt
+        |  FROM q4all GROUP BY prev3, prev2, prev),
+        |q4l AS (SELECT g.prev3, g.prev2, g.prev, g.token,
+        |    round(ln(CAST(g.cnt AS DOUBLE) / c.ctx_cnt), 6) AS r
+        |  FROM q4all g JOIN q4ctx c ON c.prev3 = g.prev3
+        |    AND c.prev2 = g.prev2 AND c.prev = g.prev
+        |  WHERE g.cnt >= 2),
+        |q4qm AS (SELECT cs, list_transform(range(1, 256),
+        |      j -> (cs[j] + cs[j + 1]) / 2) AS mids
+        |  FROM (SELECT list_transform(range(0, 256),
+        |          i -> lo + (i + 0.5) * w) AS cs
+        |        FROM (SELECT min(r) AS lo, (max(r) - min(r)) / 256 AS w
+        |              FROM q4l))),
+        |q4d AS (SELECT prev3, prev2, prev, token,
+        |    cs[len(list_filter(mids, m -> r >= m)) + 1] AS qlp
+        |  FROM q4l CROSS JOIN q4qm),
+        |q5all AS (
+        |  SELECT prev4, prev3, prev2, prev, token, count(*) AS cnt
+        |  FROM tup WHERE prev4 IS NOT NULL
+        |  GROUP BY prev4, prev3, prev2, prev, token),
+        |q5ctx AS (SELECT prev4, prev3, prev2, prev,
+        |    CAST(sum(cnt) AS DOUBLE) AS ctx_cnt
+        |  FROM q5all GROUP BY prev4, prev3, prev2, prev),
+        |q5l AS (SELECT g.prev4, g.prev3, g.prev2, g.prev, g.token,
+        |    round(ln(CAST(g.cnt AS DOUBLE) / c.ctx_cnt), 6) AS r
+        |  FROM q5all g JOIN q5ctx c ON c.prev4 = g.prev4
+        |    AND c.prev3 = g.prev3 AND c.prev2 = g.prev2 AND c.prev = g.prev
+        |  WHERE g.cnt >= 2),
+        |q5qm AS (SELECT cs, list_transform(range(1, 256),
+        |      j -> (cs[j] + cs[j + 1]) / 2) AS mids
+        |  FROM (SELECT list_transform(range(0, 256),
+        |          i -> lo + (i + 0.5) * w) AS cs
+        |        FROM (SELECT min(r) AS lo, (max(r) - min(r)) / 256 AS w
+        |              FROM q5l))),
+        |q5d AS (SELECT prev4, prev3, prev2, prev, token,
+        |    cs[len(list_filter(mids, m -> r >= m)) + 1] AS plp
+        |  FROM q5l CROSS JOIN q5qm),
+        |scored AS (
+        |  SELECT p.doc_id,
+        |    CASE WHEN p.prev IS NULL THEN coalesce(u.ulp, -20.0)
+        |         WHEN p.prev2 IS NULL THEN coalesce(b.blp,
+        |           ln(0.4) + coalesce(u.ulp, -20.0))
+        |         WHEN p.prev3 IS NULL THEN coalesce(t2.tlp,
+        |           ln(0.4) + coalesce(b.blp,
+        |             ln(0.4) + coalesce(u.ulp, -20.0)))
+        |         WHEN p.prev4 IS NULL THEN coalesce(g4.qlp,
+        |           ln(0.4) + coalesce(t2.tlp,
+        |             ln(0.4) + coalesce(b.blp,
+        |               ln(0.4) + coalesce(u.ulp, -20.0))))
+        |         ELSE coalesce(g5.plp,
+        |           ln(0.4) + coalesce(g4.qlp,
+        |             ln(0.4) + coalesce(t2.tlp,
+        |               ln(0.4) + coalesce(b.blp,
+        |                 ln(0.4) + coalesce(u.ulp, -20.0)))))
+        |    END AS lp
+        |  FROM tup p
+        |  LEFT JOIN unid u ON u.token = p.token
+        |  LEFT JOIN bgd b ON b.prev = p.prev AND b.token = p.token
+        |  LEFT JOIN tgd t2 ON t2.prev2 = p.prev2 AND t2.prev = p.prev
+        |    AND t2.token = p.token
+        |  LEFT JOIN q4d g4 ON g4.prev3 = p.prev3 AND g4.prev2 = p.prev2
+        |    AND g4.prev = p.prev AND g4.token = p.token
+        |  LEFT JOIN q5d g5 ON g5.prev4 = p.prev4 AND g5.prev3 = p.prev3
+        |    AND g5.prev2 = p.prev2 AND g5.prev = p.prev
+        |    AND g5.token = p.token)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  round(avg(lp), 6) AS avg_logprob
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Shared q121/q123 replay: exact all-pairs cosine (rounded 6 dp, the
     * engine's own threshold/rank rounding) between the corpus and the
