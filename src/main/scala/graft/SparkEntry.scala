@@ -2708,8 +2708,37 @@ object SparkEntry {
       NgramLM.scoreAgainstQuantized(docs, quants, "doc_id", "text",
           alpha = 0.4)
         .orderBy(col("doc_id"))
+    }),
+
+    // URL-level dedup survivor — the step after q129's canonicalization:
+    // the SAME page crawled repeatedly (q130's planted variants: k,
+    // k+7, k+14 share a canonical URL whenever they share a host
+    // residue and a 21-block) keeps ONE member, preferred by status
+    // class (200 beats 301 beats none), then longest text, then min id.
+    // Statuses are planted so every full group holds one of each k%3
+    // residue (7 ≡ 1 mod 3) plus k%5=0 status-less rows — the oracle
+    // replays the rank/length/id window closed-form
+    "q132_url_survivors" -> ((s, dir) => {
+      import s.implicits._
+      val pages = tSpread(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (k, text) => (k, q130Url(k), q132Status(k), text) }
+        .toDF("doc_id", "url", "http_status", "text")
+      textops.UrlOps.urlSurvivors(pages, "url", "doc_id", "text",
+          "http_status")
+        .select(col("doc_id"), col("url_norm"), col("kept"),
+          col("n_members"))
+        .orderBy(col("doc_id"))
     })
   )
+
+  /** q132's planted HTTP status for doc key `k`: one 301 member per
+    * full canonical-URL group (k%3 — the group members k, k+7, k+14
+    * cover all three residues since 7 ≡ 1 mod 3), with every fifth doc
+    * status-less (a WET conversion row: ranked below any status).
+    */
+  private[graft] def q132Status(k: Long): Option[Int] =
+    if (k % 5 == 0) None else if (k % 3 == 0) Some(301) else Some(200)
 
   /** q130's planted URL for doc key `k`: host h(k%7).example.com, path
     * key k/21 (so same-host keys 21-block-aligned share a canonical
@@ -5454,7 +5483,34 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(count(DISTINCT doc_id // 21) AS BIGINT) AS n_urls
         |FROM documents
-        |GROUP BY 1 ORDER BY url_host""".stripMargin
+        |GROUP BY 1 ORDER BY url_host""".stripMargin,
+
+    // closed-form replay of the planted survivor window: canonical URL
+    // from the host/21-block arithmetic, status from the k%5/k%3
+    // residues, then the same (status class, text length desc, id)
+    // ranking the engine's window applies
+    "q132_url_survivors" ->
+      """WITH pages AS (
+        |  SELECT doc_id,
+        |    'https://h' || CAST(doc_id % 7 AS VARCHAR) ||
+        |      '.example.com/p/' || CAST(doc_id // 21 AS VARCHAR) ||
+        |      '?a=1' AS url_norm,
+        |    CASE WHEN doc_id % 5 = 0 THEN NULL
+        |         WHEN doc_id % 3 = 0 THEN 301 ELSE 200 END AS s,
+        |    text
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT doc_id, url_norm,
+        |    row_number() OVER (PARTITION BY url_norm ORDER BY
+        |      CASE WHEN s IS NULL THEN 3
+        |           WHEN s >= 200 AND s < 300 THEN 0
+        |           WHEN s >= 300 AND s < 400 THEN 1 ELSE 2 END,
+        |      length(text) DESC, doc_id) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY url_norm) AS INTEGER)
+        |      AS n_members
+        |  FROM pages)
+        |SELECT doc_id, url_norm, rn = 1 AS kept, n_members
+        |FROM ranked ORDER BY doc_id""".stripMargin
   )
 
   /** Shared q101/q131 replay: equal-width 8-bit quantization per

@@ -208,6 +208,46 @@ object UrlOps {
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("url_norm")).as("n_urls"))
 
+  /** URL-level dedup survivor selection — the crawl-side twin of
+    * [[DedupGraph.survivorsByQuality]]: the SAME page crawled more than
+    * once (re-crawls, tracking-decorated links, redirect duplicates)
+    * collapses onto its canonical URL, and ONE member survives —
+    * preferred by best HTTP status class (2xx, then 3xx, then 4xx/5xx,
+    * then status-less), then by LONGEST extracted text (the fullest
+    * crawl of the page), then by min id (deterministic). Output: the
+    * input columns plus `url_norm`/`url_host` and the audit pair
+    * `kept`/`n_members` (the survivorsByQuality shape — filter on
+    * `kept` for the deduped corpus, keep the rest for lineage).
+    *
+    * Rows whose URL doesn't canonicalize (null/unparseable) have no
+    * dedup key: each is its own singleton group (kept, n_members 1) —
+    * a synthetic per-row key keeps them out of one giant null
+    * partition, so no skew pile-up.
+    *
+    * Scale shape: one shuffle on the canonical-URL key (the window's
+    * partitioning — same exchange a groupBy-based survivor would pay);
+    * key cardinality ≈ distinct pages, group sizes = per-page re-crawl
+    * counts (bounded — a page is crawled a handful of times, so no
+    * skew salt needed where host-level keys would want one).
+    */
+  def urlSurvivors(df: DataFrame, urlCol: String, idCol: String,
+                   textCol: String, statusCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val statusRank = when(col(statusCol).isNull, 3)
+      .when(col(statusCol) >= 200 && col(statusCol) < 300, 0)
+      .when(col(statusCol) >= 300 && col(statusCol) < 400, 1)
+      .otherwise(2)
+    val groupKey = when(col("url_norm").isNull,
+      concat(lit(" :"), col(idCol).cast("string")))
+      .otherwise(col("url_norm"))
+    val w = Window.partitionBy(groupKey)
+      .orderBy(statusRank, length(col(textCol)).desc, col(idCol))
+    withCanonicalUrl(df, urlCol)
+      .withColumn("kept", row_number().over(w) === 1)
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy(groupKey)).cast("int"))
+  }
+
   /** Host-count gate: keep rows whose host carries between `minDocs`
     * and `maxDocs` documents (0 = unbounded above). Two passes — the
     * host aggregate, then a semi-join back — with the host table small

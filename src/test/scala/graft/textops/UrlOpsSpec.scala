@@ -136,4 +136,73 @@ class UrlOpsSpec extends SparkSpec {
       .select($"id").as[Long].collect().toSet
     assert(kept2 == Set(1L, 2L, 3L, 4L, 6L, 7L))
   }
+
+  test("urlSurvivors: status class, then longest text, then min id; " +
+    "null-URL rows stay singletons") {
+    import spark.implicits._
+    val df = Seq(
+      // one page, four crawls: 301 redirect, short 200, long 200
+      // (tracking-decorated), and a status-less WET row
+      (1L, "https://a.com/p?x=1", Some(301), "redirect stub"),
+      (2L, "https://A.com:443/p?x=1", Some(200), "short body"),
+      (3L, "https://a.com/./p?x=1&utm_source=s", Some(200),
+        "the much longer full crawl body of the page"),
+      (4L, "https://a.com/p?x=1#frag", None, "wet text"),
+      // another page, single crawl
+      (5L, "https://a.com/q", Some(200), "only crawl"),
+      // server errors only: best of the bad (min id on tie)
+      (6L, "https://a.com/r", Some(503), "err a"),
+      (7L, "https://a.com/r", Some(404), "err b"),
+      // unaddressable rows: no dedup key, each survives alone
+      (8L, null.asInstanceOf[String], Some(200), "no url"),
+      (9L, "also not a url at all", None, "still no key")
+    ).toDF("id", "url", "http_status", "text")
+    val out = UrlOps.urlSurvivors(df, "url", "id", "text", "http_status")
+      .select($"id", $"kept", $"n_members")
+      .as[(Long, Boolean, Int)].collect()
+      .map { case (i, k, n) => i -> ((k, n)) }.toMap
+    assert(out(3L) == (true, 4))  // longest 200 beats short 200/301/none
+    assert(out(1L) == (false, 4) && out(2L) == (false, 4) &&
+      out(4L) == (false, 4))
+    assert(out(5L) == (true, 1))
+    assert(out(6L) == (true, 2) && out(7L) == (false, 2)) // 4xx/5xx tie → min id
+    assert(out(8L) == (true, 1) && out(9L) == (true, 1))
+  }
+
+  test("crawl-ingest composition: WARC bytes -> canonical-URL survivor " +
+    "in one pipeline (re-crawled page collapses)") {
+    import graft.sources.Warc
+    import spark.implicits._
+    def warcOf(uri: String, html: String): Array[Byte] = {
+      val crlf = "\r\n"
+      val http = (s"HTTP/1.1 200 OK${crlf}Content-Type: text/html$crlf$crlf")
+        .getBytes("UTF-8") ++ html.getBytes("UTF-8")
+      val h = new StringBuilder("WARC/1.0").append(crlf)
+      h.append("WARC-Type: response").append(crlf)
+      h.append("WARC-Target-URI: ").append(uri).append(crlf)
+      h.append("WARC-Date: 2026-02-01T12:00:00Z").append(crlf)
+      h.append("Content-Type: application/http; msgtype=response").append(crlf)
+      h.append("Content-Length: ").append(http.length).append(crlf).append(crlf)
+      h.toString.getBytes("UTF-8") ++ http ++ (crlf + crlf).getBytes("UTF-8")
+    }
+    val warcs = Seq(
+      (1L, warcOf("https://x.org/page?utm_source=feed",
+        "<html><body><p>full body text of the page</p></body></html>")),
+      (2L, warcOf("https://X.org:443/page",
+        "<html><body><p>stub</p></body></html>")),
+      (3L, warcOf("https://x.org/other",
+        "<html><body><p>different page</p></body></html>"))
+    ).toDF("id", "payload")
+    val pages = Warc.htmlPages(warcs, "id", "payload")
+    val docs = graft.textops.HtmlExtract.extractDocs(pages, "id", "html",
+      carryCols = Seq("url", "http_status"))
+    val survivors = UrlOps.urlSurvivors(docs, "url", "id", "text",
+        "http_status")
+      .where($"kept")
+      .select($"id", $"url_norm")
+      .as[(Long, String)].collect().toMap
+    // the two crawls of /page collapse; the longer text wins
+    assert(survivors == Map(1L -> "https://x.org/page",
+      3L -> "https://x.org/other"))
+  }
 }
