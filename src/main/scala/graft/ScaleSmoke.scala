@@ -54,6 +54,11 @@ object ScaleSmoke {
     // survivor selection) plus the exact-pair audit configuration
     "q102_curation", "q106_curation_fuzzy", "q107_curation_report",
     "q111_curation_fuzzy_audit",
+    // the end-to-end crawl front door: WARC decode + HTML extraction +
+    // canonical-URL survivor window + host gate + curation stages in
+    // ONE job — the composition whose exponent the front-door kernels'
+    // individual numbers (q125/q126/q129) can't evidence
+    "q133_crawl_curation",
     // BPE encode/decode: the per-token hot path of any tokenizer
     // deployment — per-row greedy-fold HOFs whose cost must stay linear
     // in tokens

@@ -2729,8 +2729,80 @@ object SparkEntry {
         .select(col("doc_id"), col("url_norm"), col("kept"),
           col("n_members"))
         .orderBy(col("doc_id"))
+    }),
+
+    // the WHOLE crawl-curation front door as ONE job — q126's WARC
+    // framing matrix + q132's re-crawl collapse + q130's host gate +
+    // q102's curation stages, composed end to end: WARC bytes →
+    // HtmlExtract → canonical-URL survivor dedup → host-count gate →
+    // runWithModel (language/quality/exact-dedup gates + a unigram LM
+    // fit on the gated batch, FIXED bucket thresholds). Plants: every
+    // doc ships its q126 WARC under a per-residue host (k%100=7 docs on
+    // singleton hosts the gate drops); docs with k%4=1 ∧ k%7≠0 are
+    // re-crawled as a tracking-decorated short stub that must LOSE the
+    // survivor window (status tie, shorter text). The oracle replays
+    // the extraction closed form, the gate arithmetic, and the q102
+    // CTEs with the vocab fit on the gated corpus and the fixed
+    // thresholds. CrawlPipelineSpec asserts the payload/html columns
+    // never reach an Exchange
+    "q133_crawl_curation" -> ((s, dir) => {
+      import s.implicits._
+      val docs0 = tSpread(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+        .as[(Long, String, String)]
+      val mains = docs0.map { case (k, lang, text) =>
+        (k, q126Warc(k, lang, text, q133Url(k))) }
+      val stubs = docs0
+        .filter(t => t._1 % 4 == 1 && t._1 % 7 != 0)
+        .map { case (k, _, _) => (k + 1000000L, q133StubWarc(k)) }
+      val warcs = mains.union(stubs).toDF("crawl_id", "payload")
+      val pages = sources.Warc.htmlPages(warcs, "crawl_id", "payload")
+      val extracted = textops.HtmlExtract.extractDocs(pages, "crawl_id",
+          "html", carryCols = Seq("url", "http_status"))
+        .select(col("crawl_id"), col("url"), col("http_status"),
+          col("text"))
+      val surv = textops.UrlOps.urlSurvivors(extracted, "url", "crawl_id",
+          "text", "http_status")
+        .where(col("kept"))
+        .select(col("crawl_id").as("doc_id"), col("url"), col("text"))
+      val gated = textops.UrlOps.hostGate(surv, "url", minDocs = 2)
+        .select(col("doc_id"), col("text"))
+      val model = textops.UnigramLM.train(gated, "text")
+      CurationPipeline.runWithModel(gated, "doc_id", "text",
+          keepLangs = Set("en", "de", "fr"), unigrams = model,
+          tHead = -3.64, tMid = -3.68)
+        .orderBy(col("doc_id"))
     })
   )
+
+  /** q133's planted crawl URL for doc key `k`: per-residue hosts
+    * (h0..h9), except every (100k+7)th doc lands on its OWN host — a
+    * singleton the `minDocs = 2` host gate must drop.
+    */
+  private[graft] def q133Url(k: Long): String =
+    if (k % 100 == 7) s"https://lonely$k.example.org/doc/$k"
+    else s"https://h${k % 10}.example.org/doc/$k"
+
+  /** q133's re-crawl stub for doc key `k`: the SAME page (canonical URL
+    * equal after the tracking param strips) served as a short 200 page —
+    * loses the survivor window to the full crawl on text length. Only
+    * planted for response mains (k%7 != 0): a stub would outrank a
+    * status-less WET row and change the surviving text.
+    */
+  private[graft] def q133StubWarc(k: Long): Array[Byte] = {
+    val crlf = "\r\n"
+    val html = "<html><body><p>stub recrawl</p></body></html>"
+    val http = (s"HTTP/1.1 200 OK${crlf}Content-Type: text/html$crlf$crlf")
+      .getBytes("UTF-8") ++ html.getBytes("UTF-8")
+    val h = new StringBuilder("WARC/1.0").append(crlf)
+    h.append("WARC-Type: response").append(crlf)
+    h.append("WARC-Target-URI: ").append(q133Url(k))
+      .append("?utm_source=recrawl").append(crlf)
+    h.append("WARC-Date: 2026-01-16T00:00:00Z").append(crlf)
+    h.append("Content-Type: application/http; msgtype=response").append(crlf)
+    h.append("Content-Length: ").append(http.length).append(crlf).append(crlf)
+    h.toString.getBytes("UTF-8") ++ http ++ (crlf + crlf).getBytes("UTF-8")
+  }
 
   /** q132's planted HTTP status for doc key `k`: one 301 member per
     * full canonical-URL group (k%3 — the group members k, k+7, k+14
@@ -2776,9 +2848,11 @@ object SparkEntry {
     * gzipped when k%2=1. Closed form: the response pages extract like
     * q125; the WET rows keep the raw text as one block.
     */
-  private[graft] def q126Warc(k: Long, lang: String, text: String): Array[Byte] = {
+  private[graft] def q126Warc(k: Long, lang: String, text: String,
+                              urlOverride: String = null): Array[Byte] = {
     val crlf = "\r\n"
-    val url = s"https://example.org/doc/$k"
+    val url =
+      if (urlOverride != null) urlOverride else s"https://example.org/doc/$k"
     def warcRec(headers: Seq[(String, String)], body: Array[Byte]): Array[Byte] = {
       val h = new StringBuilder("WARC/1.0").append(crlf)
       headers.foreach { case (n, v) => h.append(n).append(": ").append(v).append(crlf) }
@@ -5510,8 +5584,116 @@ object SparkEntry {
         |      AS n_members
         |  FROM pages)
         |SELECT doc_id, url_norm, rn = 1 AS kept, n_members
-        |FROM ranked ORDER BY doc_id""".stripMargin
+        |FROM ranked ORDER BY doc_id""".stripMargin,
+
+    // end-to-end crawl-curation replay: the q126 extraction closed form
+    // (per-residue WET/response text), minus the host-gate drops
+    // (k%100=7 singleton hosts) — re-crawl stubs lose the survivor
+    // window by construction so they never reach the pipeline — then
+    // the q102 curation CTEs with the unigram vocab fit on the WHOLE
+    // gated batch (runWithModel's reference-corpus form) and fixed
+    // bucket thresholds
+    "q133_crawl_curation" -> q133Oracle
   )
+
+  /** q133's replay: q102's stage CTEs over the crawl-extracted corpus
+    * (q126 closed form), gated by the host arithmetic, scored against a
+    * vocab over the full gated batch at fixed thresholds.
+    */
+  private def q133Oracle: String =
+    """WITH corpus AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0
+      |         THEN text || ' end of document ' ||
+      |           CAST(doc_id AS VARCHAR) || ' & beyond.'
+      |         ELSE text || chr(10) || 'end of document ' ||
+      |           CAST(doc_id AS VARCHAR) || ' & beyond.' END AS text
+      |  FROM documents WHERE doc_id % 100 != 7),
+      |toks AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN trim(text) = '' THEN []
+      |         ELSE string_split_regex(trim(text), '\s+') END AS t,
+      |    CASE WHEN trim(lower(text)) = '' THEN []
+      |         ELSE string_split_regex(trim(lower(text)), '\s+') END AS tl
+      |  FROM corpus),
+      |lng AS (
+      |  SELECT doc_id,
+      |    CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_it) = 0 THEN 'und'
+      |         WHEN s_it = greatest(s_de, s_en, s_es, s_fr, s_it) THEN 'it'
+      |         WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_it) THEN 'fr'
+      |         WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_it) THEN 'es'
+      |         WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_it) THEN 'en'
+      |         ELSE 'de' END AS lang
+      |  FROM (
+      |    SELECT doc_id,
+      |      len(list_filter(tl, x -> x IN ('der','die','das','und','ist','nicht','ein','zu','mit','von'))) AS s_de,
+      |      len(list_filter(tl, x -> x IN ('the','a','and','of','to','in','is','that','it','for'))) AS s_en,
+      |      len(list_filter(tl, x -> x IN ('el','los','las','y','es','una','de','que','no','por'))) AS s_es,
+      |      len(list_filter(tl, x -> x IN ('le','la','les','et','est','une','des','du','dans','pour'))) AS s_fr,
+      |      len(list_filter(tl, x -> x IN ('il','lo','gli','e','che','di','non','per','con','sono'))) AS s_it
+      |    FROM toks)),
+      |qual AS (
+      |  SELECT doc_id, n_tokens, reasons = '' AS qok FROM (
+      |    SELECT doc_id, n_tokens, concat_ws(',',
+      |      CASE WHEN n_tokens < 30 THEN 'too_few_words' END,
+      |      CASE WHEN n_tokens > 50000 THEN 'too_many_words' END,
+      |      CASE WHEN avg_len < 2.0 OR avg_len > 12.0
+      |           THEN 'mean_word_len_out' END,
+      |      CASE WHEN punct_ratio > 0.2 THEN 'high_punct' END,
+      |      CASE WHEN stop_hits < 2 THEN 'no_stopwords' END,
+      |      CASE WHEN repetition < 0.3 THEN 'repetitive' END) AS reasons
+      |    FROM (
+      |      SELECT doc_id, len(t) AS n_tokens,
+      |        CAST(list_aggregate(list_transform(t, x -> len(x)), 'sum')
+      |          AS DOUBLE) / len(t) AS avg_len,
+      |        CAST(length(text) - length(regexp_replace(text,
+      |          '[!"#$%&''()*+,\-./:;<=>?@\[\]^_`{|}~]', '', 'g')) AS DOUBLE)
+      |          / length(text) AS punct_ratio,
+      |        len(list_filter(tl, x -> x IN ('the','a','and','of','to')))
+      |          AS stop_hits,
+      |        CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS repetition
+      |      FROM toks))),
+      |base AS (
+      |  SELECT c.doc_id, lng.lang, qual.n_tokens, qual.qok,
+      |    lower(regexp_replace(regexp_replace(c.text,
+      |      '^\s+|\s+$', '', 'g'), '\s+', ' ', 'g')) AS fp
+      |  FROM corpus c
+      |  JOIN lng ON lng.doc_id = c.doc_id
+      |  JOIN qual ON qual.doc_id = c.doc_id),
+      |surv AS (
+      |  SELECT doc_id, fp FROM base
+      |  WHERE lang IN ('en', 'de', 'fr') AND qok),
+      |keeper AS (SELECT fp, min(doc_id) AS kid FROM surv GROUP BY fp),
+      |dup AS (
+      |  SELECT s.doc_id, s.doc_id != k.kid AS is_dup
+      |  FROM surv s JOIN keeper k USING (fp)),
+      |kept AS (SELECT doc_id FROM dup WHERE NOT is_dup),
+      |atoks AS (
+      |  SELECT doc_id, unnest(tl) AS token
+      |  FROM toks WHERE len(tl) > 0),
+      |vocab AS (SELECT token, count(*) AS cnt FROM atoks GROUP BY token),
+      |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM vocab),
+      |scored AS (
+      |  SELECT doc_id,
+      |    round(avg(coalesce(ln(CAST(cnt AS DOUBLE) / total), -20.0)), 6)
+      |      AS avg_logprob
+      |  FROM (SELECT a.doc_id, a.token FROM atoks a
+      |        JOIN kept USING (doc_id)) kt
+      |  LEFT JOIN vocab USING (token) CROSS JOIN tot
+      |  GROUP BY doc_id)
+      |SELECT b.doc_id, b.lang, CAST(b.n_tokens AS INTEGER) AS n_tokens,
+      |  CASE WHEN b.lang NOT IN ('en', 'de', 'fr') THEN 'language'
+      |       WHEN NOT b.qok THEN 'quality'
+      |       WHEN d.is_dup THEN 'duplicate' END AS drop_reason,
+      |  s.avg_logprob,
+      |  CASE WHEN s.avg_logprob IS NULL THEN NULL
+      |       WHEN s.avg_logprob >= -3.64 THEN 'head'
+      |       WHEN s.avg_logprob >= -3.68 THEN 'middle'
+      |       ELSE 'tail' END AS bucket
+      |FROM base b
+      |LEFT JOIN dup d ON d.doc_id = b.doc_id
+      |LEFT JOIN scored s ON s.doc_id = b.doc_id
+      |ORDER BY b.doc_id""".stripMargin
 
   /** Shared q101/q131 replay: equal-width 8-bit quantization per
     * level (codebook, midpoint-count encode, centroid decode — IEEE

@@ -1,0 +1,52 @@
+package graft.textops
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+/** The composed crawl-curation front door (the q133 shape): WARC bytes →
+  * HtmlExtract → canonical-URL survivor dedup → host gate → curation
+  * pipeline — one job, with the plan contract that the crawl PAYLOAD
+  * (the WARC binary) and the raw `html` never reach an Exchange: both
+  * are consumed by scan-stage kernels and projected away before
+  * anything shuffles.
+  */
+class CrawlPipelineSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q133 end-to-end: host-gated docs only, stubs lose the survivor " +
+    "window, every surviving doc gets a decision row") {
+    import spark.implicits._
+    val out = graft.SparkEntry.queries("q133_crawl_curation")(spark, dir)
+      .collect()
+    val nDocs = graft.tables.Tables.load(spark, dir, "documents").count()
+    val nLonely = graft.tables.Tables.load(spark, dir, "documents")
+      .where(org.apache.spark.sql.functions.expr("doc_id % 100 = 7")).count()
+    // one decision row per gated doc; singleton-host docs dropped by the
+    // host gate, stub re-crawl ids (k + 1000000) never surface
+    assert(out.length == (nDocs - nLonely).toInt)
+    assert(out.forall(_.getLong(0) < 1000000L))
+    assert(!out.exists(r => r.getLong(0) % 100 == 7))
+    // decision-table invariants: kept rows carry a bucket, dropped rows
+    // carry a reason and no score
+    out.foreach { r =>
+      val reason = r.getAs[String]("drop_reason")
+      val bucket = r.getAs[String]("bucket")
+      if (reason == null) assert(bucket != null, s"row $r")
+      else assert(r.isNullAt(r.fieldIndex("avg_logprob")), s"row $r")
+    }
+  }
+
+  test("plan contract: payload and html columns never reach an Exchange") {
+    val df = graft.SparkEntry.queries("q133_crawl_curation")(spark, dir)
+    val exchanges = df.queryExecution.sparkPlan.collect {
+      case e: ShuffleExchangeExec => e
+    }
+    assert(exchanges.nonEmpty) // the survivor window + aggs do shuffle…
+    exchanges.foreach { e =>
+      val names = e.output.map(_.name.toLowerCase).toSet
+      assert(!names.contains("payload") && !names.contains("html"),
+        s"crawl bytes reached an exchange: ${e.output.map(_.name)}")
+    }
+  }
+}
