@@ -86,6 +86,8 @@ object ScaleSmoke {
     // groups disjoint across copies (see scaledSupplier)
     "q112_image_phash", "q113_audio_fingerprint", "q114_video_demux",
     "q117_video_phash", "q118_image_phash_jpeg",
+    // the MPEG frame-layer audit: pure per-row header walk, no pairing
+    "q134_mp3_audit",
     // the exact resample pair: pure per-row decode→transform scans —
     // no pairing semantics, so replication needs no disjointness trick;
     // measured because a 100 TB media pipeline runs them on every row

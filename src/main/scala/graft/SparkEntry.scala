@@ -2772,8 +2772,77 @@ object SparkEntry {
           keepLangs = Set("en", "de", "fr"), unigrams = model,
           tHead = -3.64, tMid = -3.68)
         .orderBy(col("doc_id"))
+    }),
+
+    // lossy-audio corpus audit — the MEASURABLE form of the documented
+    // MP3-PCM refusal (PERF_NOTES item 17): supplier keys plant
+    // COMPLETE MPEG-1 Layer III frame streams (real header math:
+    // per-residue bitrate/rate/mode, 144·br/sr frame lengths, CRC-16
+    // protection on k%11=0, ID3v2 prefixes on k%4=1, a truncated tail
+    // frame on k%9=0 that must quarantine without costing the stream).
+    // The engine walks the frames and reports per-payload health +
+    // stream parameters + duration; the oracle replays the header
+    // arithmetic closed-form
+    "q134_mp3_audit" -> ((s, dir) => {
+      import s.implicits._
+      val media = tSpread(s, dir, "supplier").select(col("s_suppkey"))
+        .as[Long]
+        .map(k => (k, q134Mp3(k)))
+        .toDF("id", "payload")
+      multimodal.Mp3.audioAudit(media, "id", "payload")
+        .orderBy(col("id"))
     })
   )
+
+  /** q134's planted MPEG-1 Layer III stream for supplier key `k`:
+    * (k%7)+1 frames at bitrate 128+32·(k%5-ish) (indexes 9..13), rate
+    * by k%3, mono on even keys, CRC-protected on k%11=0 (correct CRC
+    * over header bytes 2–3 + zeroed side info), an ID3v2 prefix of
+    * 40+(k%40) total bytes on k%4=1, and a truncated final frame on
+    * k%9=0.
+    */
+  private[graft] def q134Mp3(k: Long): Array[Byte] = {
+    val bitrates = Array(128, 160, 192, 224, 256) // V1 L3 indexes 9..13
+    val rates = Array(44100, 48000, 32000)
+    val brIdx = 9 + (k % 5).toInt
+    val br = bitrates((k % 5).toInt)
+    val srIdx = (k % 3).toInt
+    val rate = rates(srIdx)
+    val mono = k % 2 == 0
+    val withCrc = k % 11 == 0
+    val flen = 144 * br * 1000 / rate // padding 0
+    def header(): Array[Byte] = Array(
+      0xff.toByte,
+      (0xe0 | (3 << 3) | (1 << 1) | (if (withCrc) 0 else 1)).toByte,
+      ((brIdx << 4) | (srIdx << 2)).toByte,
+      (if (mono) 0xc0 else 0x00).toByte)
+    def frame(): Array[Byte] = {
+      val f = Array.fill[Byte](flen)((k % 251).toByte)
+      System.arraycopy(header(), 0, f, 0, 4)
+      if (withCrc) {
+        val si = if (mono) 17 else 32
+        java.util.Arrays.fill(f, 6, 6 + si, 0.toByte)
+        val tmp = new Array[Byte](2 + si)
+        tmp(0) = f(2); tmp(1) = f(3)
+        val c = multimodal.Mp3.crc16(tmp, 0, tmp.length)
+        f(4) = ((c >>> 8) & 0xff).toByte
+        f(5) = (c & 0xff).toByte
+      } else java.util.Arrays.fill(f, 4, math.min(flen, 44), 0.toByte)
+      f // zeroed early bytes: no accidental Xing magic under the fill
+    }
+    val n = (k % 7).toInt + 1
+    val id3 =
+      if (k % 4 == 1) {
+        val size = 30 + (k % 40).toInt
+        Array[Byte]('I', 'D', '3', 4, 0, 0, 0, 0,
+          ((size >> 7) & 0x7f).toByte, (size & 0x7f).toByte) ++
+          new Array[Byte](size)
+      } else Array.emptyByteArray
+    val trunc =
+      if (k % 9 == 0) header() ++ new Array[Byte](10)
+      else Array.emptyByteArray
+    id3 ++ Array.concat(Seq.fill(n)(frame()): _*) ++ trunc
+  }
 
   /** q133's planted crawl URL for doc key `k`: per-residue hosts
     * (h0..h9), except every (100k+7)th doc lands on its OWN host — a
@@ -5593,7 +5662,29 @@ object SparkEntry {
     // the q102 curation CTEs with the unigram vocab fit on the WHOLE
     // gated batch (runWithModel's reference-corpus form) and fixed
     // bucket thresholds
-    "q133_crawl_curation" -> q133Oracle
+    "q133_crawl_curation" -> q133Oracle,
+
+    // closed-form replay of the planted MPEG frame arithmetic: counts,
+    // stream parameters and duration all derive from the key residues
+    // (1152 samples/frame at the planted V1 L3 configuration)
+    "q134_mp3_audit" ->
+      """SELECT s_suppkey AS id,
+        |  CAST(s_suppkey % 7 + 1 AS INTEGER) AS n_frames,
+        |  CAST(CASE WHEN s_suppkey % 9 = 0 THEN 1 ELSE 0 END AS INTEGER)
+        |    AS n_bad_frames,
+        |  CASE CAST(s_suppkey % 3 AS INTEGER) WHEN 0 THEN 44100
+        |       WHEN 1 THEN 48000 ELSE 32000 END AS sample_rate,
+        |  CASE WHEN s_suppkey % 2 = 0 THEN 1 ELSE 2 END AS channels,
+        |  CASE CAST(s_suppkey % 5 AS INTEGER) WHEN 0 THEN 128
+        |       WHEN 1 THEN 160 WHEN 2 THEN 192 WHEN 3 THEN 224
+        |       ELSE 256 END AS bitrate_kbps,
+        |  FALSE AS vbr,
+        |  round((s_suppkey % 7 + 1) * 1152.0 * 1000 /
+        |    (CASE CAST(s_suppkey % 3 AS INTEGER) WHEN 0 THEN 44100
+        |          WHEN 1 THEN 48000 ELSE 32000 END), 3) AS duration_ms,
+        |  CAST(CASE WHEN s_suppkey % 4 = 1 THEN 40 + s_suppkey % 40
+        |       ELSE 0 END AS INTEGER) AS id3v2_bytes
+        |FROM supplier ORDER BY id""".stripMargin
   )
 
   /** q133's replay: q102's stage CTEs over the crawl-extracted corpus

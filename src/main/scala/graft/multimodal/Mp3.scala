@@ -1,0 +1,340 @@
+package graft.multimodal
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** MPEG audio (ISO/IEC 11172-3 + 13818-3: "MP3" files and their
+  * Layer I/II siblings) FRAME layer: sync, header fields, frame
+  * length, Layer III CRC verification, ID3v1/ID3v2 tag skipping, and
+  * Xing/Info VBR-header detection — the container walk that lets a
+  * crawl pipeline AUDIT a lossy-audio corpus (codec mix, duration,
+  * bitrate, corruption) even where PCM decode is out of scope.
+  *
+  * Scope is deliberately the frame layer, not PCM: everything here is
+  * header arithmetic the standard defines in closed form (bitrate and
+  * sample-rate tables, frame-length formulas, the CRC-16 polynomial),
+  * while a conforming Layer III PCM decode needs the spec's 32 Huffman
+  * tables, per-rate scalefactor bands and the 512-tap synthesis window
+  * VERBATIM — see `Multimodal.Codecs.decodeAudioPcm`'s documented
+  * refusal (PERF_NOTES item 17): approximated tables would decode real
+  * payloads to garbage while claiming coverage. The frame layer makes
+  * that refusal MEASURABLE instead of silent: a corpus audit reports
+  * how many rows are MP3, their duration and health, so coverage loss
+  * has a number.
+  *
+  * Error model — the WARC/MiniSeed pattern: a malformed frame
+  * quarantines as a row with a non-null `error`, the walker RESYNCS to
+  * the next 0xFFEx sync word, and nothing throws on
+  * attacker-controlled bytes.
+  *
+  * Scale shape: one pure kernel call per payload row (scan-stage
+  * projection + explode for frames, plain projection for the audit);
+  * payload bytes are projected away before anything shuffles.
+  */
+object Mp3 {
+
+  /** One frame (or one quarantined framing failure). */
+  final case class Frame(frameIdx: Int, offset: Long, version: String,
+                         layer: Int, bitrateKbps: Int, sampleRateHz: Int,
+                         channels: Int, frameBytes: Int, samples: Int,
+                         crcProtected: Boolean, crcOk: Option[Boolean],
+                         error: String)
+
+  /** Whole-payload audit summary (None = not an MPEG audio stream). */
+  final case class Audit(nFrames: Int, nBadFrames: Int, sampleRateHz: Int,
+                         channels: Int, bitrateKbps: Int, vbr: Boolean,
+                         durationMs: Double, id3v2Bytes: Int)
+
+  // bitrate tables, kbps (index 0 = free format, 15 = invalid) —
+  // ISO 11172-3 / 13818-3 §2.4.2.3
+  private val BrV1L1 = Array(0, 32, 64, 96, 128, 160, 192, 224, 256, 288,
+    320, 352, 384, 416, 448)
+  private val BrV1L2 = Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 160,
+    192, 224, 256, 320, 384)
+  private val BrV1L3 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+    160, 192, 224, 256, 320)
+  private val BrV2L1 = Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 144,
+    160, 176, 192, 224, 256)
+  private val BrV2L23 = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96,
+    112, 128, 144, 160)
+
+  private val SampleRates = Array(44100, 48000, 32000) // V1; V2 /2, V2.5 /4
+
+  /** CRC-16, polynomial x^16+x^15+x^2+1 (0x8005), init 0xFFFF, MSB
+    * first — the ISO 11172-3 §2.4.3.1 frame CRC.
+    */
+  private[graft] def crc16(bytes: Array[Byte], from: Int,
+                           until: Int): Int =
+    crcContinue(0xffff, bytes, from, until)
+
+  /** Layer III side-info length (bytes after header [+ CRC]) — what
+    * the frame CRC covers together with header bytes 2–3.
+    */
+  private def sideInfoLen(v1: Boolean, mono: Boolean): Int =
+    if (v1) { if (mono) 17 else 32 } else { if (mono) 9 else 17 }
+
+  /** ID3v2 tag length at `i` (0 if none): header + syncsafe size
+    * (+ footer when flagged).
+    */
+  private def id3v2Len(b: Array[Byte], i: Int): Int = {
+    if (i + 10 > b.length || b(i) != 'I' || b(i + 1) != 'D' ||
+      b(i + 2) != '3') return 0
+    // 4 syncsafe size bytes: high bit must be clear
+    var sz = 0
+    var j = 0
+    while (j < 4) {
+      val v = b(i + 6 + j) & 0xff
+      if ((v & 0x80) != 0) return 0 // malformed syncsafe: not a tag
+      sz = (sz << 7) | v
+      j += 1
+    }
+    val footer = if ((b(i + 5) & 0x10) != 0) 10 else 0
+    10 + sz + footer
+  }
+
+  private def isSync(b: Array[Byte], i: Int): Boolean =
+    i + 1 < b.length && (b(i) & 0xff) == 0xff && (b(i + 1) & 0xe0) == 0xe0
+
+  /** Parse the 4-byte header at `i`; Left(reason) on a reserved/invalid
+    * field combination.
+    */
+  private def parseHeader(b: Array[Byte], i: Int)
+      : Either[String, (String, Int, Int, Int, Int, Int, Boolean, Int)] = {
+    val h1 = b(i + 1) & 0xff
+    val h2 = b(i + 2) & 0xff
+    val h3 = b(i + 3) & 0xff
+    val version = (h1 >>> 3) & 3 match {
+      case 0 => "2.5"
+      case 1 => return Left("reserved MPEG version")
+      case 2 => "2"
+      case _ => "1"
+    }
+    val layer = (h1 >>> 1) & 3 match {
+      case 0 => return Left("reserved layer")
+      case 1 => 3
+      case 2 => 2
+      case _ => 1
+    }
+    val crcProtected = (h1 & 1) == 0
+    val brIdx = (h2 >>> 4) & 0xf
+    if (brIdx == 15) return Left("invalid bitrate index")
+    if (brIdx == 0) return Left("free-format bitrate") // length unknowable
+    val srIdx = (h2 >>> 2) & 3
+    if (srIdx == 3) return Left("reserved sample rate")
+    val padding = (h2 >>> 1) & 1
+    val mode = (h3 >>> 6) & 3
+    if ((h3 & 3) == 2) return Left("reserved emphasis")
+    val v1 = version == "1"
+    val bitrate = (if (v1) {
+      if (layer == 1) BrV1L1 else if (layer == 2) BrV1L2 else BrV1L3
+    } else {
+      if (layer == 1) BrV2L1 else BrV2L23
+    })(brIdx)
+    val sampleRate = SampleRates(srIdx) /
+      (if (v1) 1 else if (version == "2") 2 else 4)
+    val channels = if (mode == 3) 1 else 2
+    val frameBytes =
+      if (layer == 1) (12 * bitrate * 1000 / sampleRate + padding) * 4
+      else {
+        val coef = if (layer == 2 || v1) 144 else 72 // L3 V2/2.5 halves
+        coef * bitrate * 1000 / sampleRate + padding
+      }
+    val samples =
+      if (layer == 1) 384
+      else if (layer == 2) 1152
+      else if (v1) 1152
+      else 576
+    Right((version, layer, bitrate, sampleRate, channels, frameBytes,
+      crcProtected, samples))
+  }
+
+  /** Walk all frames of an MPEG audio payload (leading ID3v2 tags
+    * skipped, trailing ID3v1 tolerated); pure and total — malformed
+    * frames become `error` rows with a resync, never exceptions.
+    * Returns empty for payloads that don't start (post-tag) at a sync
+    * word: "not MPEG audio" is the caller's signal, distinct from "MPEG
+    * audio with bad frames".
+    */
+  def frames(payload: Array[Byte]): Seq[Frame] = {
+    if (payload == null || payload.length < 4) return Seq.empty
+    var i = 0
+    // leading ID3v2 tag(s)
+    var tag = id3v2Len(payload, i)
+    while (tag > 0 && i + tag < payload.length) {
+      i += tag
+      tag = id3v2Len(payload, i)
+    }
+    if (!isSync(payload, i)) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer[Frame]()
+    var idx = 0
+    while (i >= 0 && i + 4 <= payload.length) {
+      val rec: Either[String, Int] = parseHeader(payload, i) match {
+        case Left(reason) => Left(reason)
+        case Right((ver, layer, br, sr, ch, flen, prot, samp)) =>
+          if (flen < 4) Left("degenerate frame length")
+          else if (i + flen > payload.length) Left("frame truncated")
+          else {
+            val crcOk =
+              if (!prot) None
+              else if (layer == 3) {
+                // CRC covers header bytes 2-3 + the side info that
+                // FOLLOWS the 2 CRC bytes (ISO 11172-3 §2.4.3.1)
+                val si = sideInfoLen(ver == "1", ch == 1)
+                if (i + 6 + si > payload.length) Some(false)
+                else {
+                  val stored = ((payload(i + 4) & 0xff) << 8) |
+                    (payload(i + 5) & 0xff)
+                  val c1 = crc16(payload, i + 2, i + 4)
+                  val c2 = crcContinue(c1, payload, i + 6, i + 6 + si)
+                  Some(c2 == stored)
+                }
+              } else None // L1/L2 protected region differs; not validated
+            out += Frame(idx, i.toLong, ver, layer, br, sr, ch, flen,
+              samp, prot, crcOk, null)
+            Right(flen)
+          }
+      }
+      rec match {
+        case Right(flen) =>
+          idx += 1
+          i += flen
+          if (i + 4 <= payload.length && !isSync(payload, i)) {
+            // trailing ID3v1 ("TAG", 128 bytes) or an ID3v2 at the tail
+            // is stream end, not corruption
+            if (i + 3 <= payload.length && payload(i) == 'T' &&
+              payload(i + 1) == 'A' && payload(i + 2) == 'G' &&
+              payload.length - i == 128) i = payload.length
+            else if (id3v2Len(payload, i) > 0) i = payload.length
+            else {
+              out += Frame(idx, i.toLong, null, 0, 0, 0, 0, 0, 0,
+                crcProtected = false, None, "lost sync")
+              idx += 1
+              i = resync(payload, i + 1)
+            }
+          }
+        case Left(reason) =>
+          out += Frame(idx, i.toLong, null, 0, 0, 0, 0, 0, 0,
+            crcProtected = false, None, reason)
+          idx += 1
+          i = resync(payload, i + 1)
+      }
+    }
+    out.toSeq
+  }
+
+  private def crcContinue(init: Int, bytes: Array[Byte], from: Int,
+                          until: Int): Int = {
+    var crc = init
+    var i = from
+    while (i < until) {
+      val b = bytes(i) & 0xff
+      var bit = 7
+      while (bit >= 0) {
+        val inBit = (b >>> bit) & 1
+        val top = (crc >>> 15) & 1
+        crc = (crc << 1) & 0xffff
+        if ((top ^ inBit) == 1) crc ^= 0x8005
+        bit -= 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  private def resync(b: Array[Byte], from: Int): Int = {
+    var i = math.max(from, 0)
+    while (i + 1 < b.length) {
+      if (isSync(b, i)) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Summarize one payload: frame/corruption counts, stream parameters
+    * from the first good frame, VBR flag (bitrate varies across frames
+    * or a Xing/Info/VBRI header is present), duration from per-frame
+    * samples/rate. None when the payload isn't MPEG audio at all.
+    */
+  def audit(payload: Array[Byte]): Option[Audit] = {
+    val fs = frames(payload)
+    if (fs.isEmpty || !fs.exists(_.error == null)) return None
+    val good = fs.filter(_.error == null)
+    val bad = fs.length - good.length
+    val head = good.head
+    val rates = good.map(_.bitrateKbps).distinct
+    val xing = hasVbrHeader(payload, head)
+    val durMs = good.foldLeft(0.0)((a, f) =>
+      a + f.samples.toDouble * 1000.0 / f.sampleRateHz)
+    var id3 = 0
+    var t = id3v2Len(payload, 0)
+    while (t > 0 && id3 + t < payload.length) {
+      id3 += t
+      t = id3v2Len(payload, id3)
+    }
+    Some(Audit(good.length, bad, head.sampleRateHz, head.channels,
+      if (rates.length == 1) rates.head else 0,
+      rates.length > 1 || xing, durMs, id3))
+  }
+
+  /** Xing/Info (at the L3 side-info end of the first frame) or VBRI
+    * (at header + 36) magic in the first good frame.
+    */
+  private def hasVbrHeader(payload: Array[Byte], f: Frame): Boolean = {
+    def magicAt(off: Long, m: String): Boolean = {
+      val i = off.toInt
+      i + m.length <= payload.length &&
+        m.indices.forall(j => payload(i + j) == m.charAt(j).toByte)
+    }
+    if (f.layer != 3) return false
+    val crcBytes = if (f.crcProtected) 2 else 0
+    val si = sideInfoLen(f.version == "1", f.channels == 1)
+    val at = f.offset + 4 + crcBytes + si
+    magicAt(at, "Xing") || magicAt(at, "Info") ||
+      magicAt(f.offset + 36, "VBRI")
+  }
+
+  // ---------------------------------------------------------------------
+  // DataFrame surfaces.
+  // ---------------------------------------------------------------------
+
+  /** Per-frame table over a payload column — one row per frame
+    * INCLUDING quarantined framing failures; rows with no frames at all
+    * (not MPEG audio) emit nothing. Scan-stage kernel + explode;
+    * payload projected away.
+    */
+  def frameTable(df: DataFrame, idCol: String, payloadCol: String)
+      : DataFrame = {
+    val kernel = udf { b: Array[Byte] => frames(b) }
+    df.select(col(idCol), explode(kernel(col(payloadCol))).as("f"))
+      .select(col(idCol), col("f.frameIdx").as("frame_idx"),
+        col("f.offset").as("offset"), col("f.version").as("mpeg_version"),
+        col("f.layer").as("layer"), col("f.bitrateKbps").as("bitrate_kbps"),
+        col("f.sampleRateHz").as("sample_rate"),
+        col("f.channels").as("channels"),
+        col("f.frameBytes").as("frame_bytes"),
+        col("f.samples").as("samples"),
+        col("f.crcProtected").as("crc_protected"),
+        col("f.crcOk").as("crc_ok"), col("f.error").as("error"))
+  }
+
+  /** Per-payload audit table — the MiniSeed/WARC-style coverage audit
+    * for a lossy-audio corpus: one row per MPEG-audio payload with
+    * frame counts, health, stream parameters and duration (rounded to
+    * 3 dp ms); non-MPEG rows are dropped (audit them through the
+    * lossless decoders' seam). Scan-stage kernel, no shuffle.
+    */
+  def audioAudit(df: DataFrame, idCol: String, payloadCol: String)
+      : DataFrame = {
+    val kernel = udf { b: Array[Byte] => audit(b) }
+    df.select(col(idCol), kernel(col(payloadCol)).as("a"))
+      .where(col("a").isNotNull)
+      .select(col(idCol), col("a.nFrames").as("n_frames"),
+        col("a.nBadFrames").as("n_bad_frames"),
+        col("a.sampleRateHz").as("sample_rate"),
+        col("a.channels").as("channels"),
+        col("a.bitrateKbps").as("bitrate_kbps"),
+        col("a.vbr").as("vbr"),
+        round(col("a.durationMs"), 3).as("duration_ms"),
+        col("a.id3v2Bytes").as("id3v2_bytes"))
+  }
+}

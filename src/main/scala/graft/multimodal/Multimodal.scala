@@ -720,22 +720,26 @@ object Multimodal {
       * same normalized [[WavAudio]] (8-bit scales by << 8), so the
       * SAME recording fingerprints identically from either container.
       *
-      * DOCUMENTED GAP — lossy formats (MP3/Vorbis/AAC/Opus) REFUSE
+      * DOCUMENTED GAP — lossy formats (MP3/Vorbis/AAC/Opus) REFUSE PCM
       * here, deliberately. A web-crawl audio corpus is majority
       * lossy-compressed (podcast/music archives are MP3/AAC almost
       * exclusively; speech datasets ship FLAC/WAV), so on such corpora
       * the fingerprint family processes only the lossless minority and
       * every lossy payload is a VISIBLE refusal row (no fingerprint →
-      * never pairs), not silent garbage — a pipeline can count the
-      * coverage it lost. The refusal is honest scoping, not an
-      * oversight: a conforming MPEG-1 Layer III decode needs the
-      * spec's 32 Huffman code tables, the scalefactor-band tables per
-      * sample rate and the 512-tap synthesis window verbatim from
-      * ISO 11172-3 Annex B; an "MP3-shaped" decoder with approximated
-      * tables would decode REAL payloads to garbage while claiming
-      * coverage — strictly worse than refusing. The seam is the
-      * extension point: a conforming decoder drops in as one more
-      * `.orElse` and every operator above gains the format for free.
+      * never pairs), not silent garbage — and since round 15 the loss
+      * is MEASURABLE, not just visible: [[Mp3.audioAudit]] walks the
+      * full MPEG frame layer (header math, Layer III CRC, ID3, Xing)
+      * and reports per-payload codec mix / duration / health, so a
+      * pipeline quantifies exactly what the PCM refusal costs. The
+      * refusal itself is honest scoping, not an oversight: a conforming
+      * MPEG-1 Layer III decode needs the spec's 32 Huffman code tables,
+      * the scalefactor-band tables per sample rate and the 512-tap
+      * synthesis window verbatim from ISO 11172-3 Annex B; an
+      * "MP3-shaped" decoder with approximated tables would decode REAL
+      * payloads to garbage while claiming coverage — strictly worse
+      * than refusing. The seam is the extension point: a conforming
+      * decoder drops in as one more `.orElse` and every operator above
+      * gains the format for free.
       */
     def decodeAudioPcm(b: Array[Byte]): Option[WavAudio] =
       decodeWavPcm(b).orElse(Flac.decodeFlacPcm(b))

@@ -1,0 +1,208 @@
+package graft.multimodal
+
+import graft.SparkSpec
+
+/** MPEG audio frame layer: header math across versions/layers, CRC-16
+  * verification against the published parameterization, ID3 skipping,
+  * the quarantine-and-resync error model, VBR detection, and the
+  * DataFrame audit surface.
+  */
+class Mp3Spec extends SparkSpec {
+
+  /** Build one frame: header + optional CRC + zero side info + fill. */
+  private def frame(brIdx: Int, srIdx: Int, mono: Boolean,
+                    withCrc: Boolean = false, padding: Int = 0,
+                    version1: Boolean = true, layer: Int = 3,
+                    fill: Byte = 0x11): Array[Byte] = {
+    val verBits = if (version1) 3 else 2
+    val layerBits = layer match { case 1 => 3; case 2 => 2; case _ => 1 }
+    val b1 = 0xe0 | (verBits << 3) | (layerBits << 1) |
+      (if (withCrc) 0 else 1)
+    val b2 = (brIdx << 4) | (srIdx << 2) | (padding << 1)
+    val b3 = if (mono) 0xc0 else 0x00
+    val rates = Array(44100, 48000, 32000)
+    val rate = rates(srIdx) / (if (version1) 1 else 2)
+    val br = (if (version1) {
+      if (layer == 1) Array(0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448)
+      else if (layer == 2) Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384)
+      else Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+    } else {
+      if (layer == 1) Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256)
+      else Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+    })(brIdx)
+    val len =
+      if (layer == 1) (12 * br * 1000 / rate + padding) * 4
+      else {
+        val coef = if (layer == 2 || version1) 144 else 72
+        coef * br * 1000 / rate + padding
+      }
+    val f = Array.fill[Byte](len)(fill)
+    f(0) = 0xff.toByte; f(1) = b1.toByte; f(2) = b2.toByte; f(3) = b3.toByte
+    if (withCrc) {
+      val si = if (version1) { if (mono) 17 else 32 }
+        else { if (mono) 9 else 17 }
+      java.util.Arrays.fill(f, 6, 6 + si, 0.toByte)
+      val c = Mp3.crc16(f, 2, 4) // header bytes 2-3 …
+      val c2 = { // … continued over the side info (zeros here)
+        val tmp = new Array[Byte](2 + si)
+        tmp(0) = f(2); tmp(1) = f(3)
+        Mp3.crc16(tmp, 0, tmp.length)
+      }
+      f(4) = ((c2 >>> 8) & 0xff).toByte
+      f(5) = (c2 & 0xff).toByte
+      assert(c == Mp3.crc16(f, 2, 4)) // sanity: prefix property
+    }
+    f
+  }
+
+  test("CRC-16 implementation matches the published 0x8005 catalog " +
+    "values (CMS init 0xFFFF, BUYPASS init 0)") {
+    val v = "123456789".getBytes("US-ASCII")
+    assert(Mp3.crc16(v, 0, v.length) == 0xaee7)
+  }
+
+  test("CBR V1 L3 stream: classic 417-byte frames at 128k/44100, " +
+    "5 frames, clean audit") {
+    val payload = Array.concat(Seq.fill(5)(frame(brIdx = 9, srIdx = 0,
+      mono = false)): _*)
+    val fs = Mp3.frames(payload)
+    assert(fs.length == 5 && fs.forall(_.error == null))
+    assert(fs.forall(f => f.frameBytes == 417 && f.samples == 1152 &&
+      f.sampleRateHz == 44100 && f.bitrateKbps == 128 && f.channels == 2))
+    assert(fs.map(_.offset) == Seq(0L, 417L, 834L, 1251L, 1668L))
+    val a = Mp3.audit(payload).get
+    assert(a.nFrames == 5 && a.nBadFrames == 0 && !a.vbr &&
+      a.bitrateKbps == 128)
+    assert(math.abs(a.durationMs - 5 * 1152.0 * 1000 / 44100) < 1e-9)
+  }
+
+  test("padding, mono, other rates and versions change the length per " +
+    "the spec formulas") {
+    // 48000 divides evenly: 144*128000/48000 = 384
+    assert(Mp3.frames(frame(9, 1, mono = true)).head.frameBytes == 384)
+    assert(Mp3.frames(frame(9, 0, mono = true, padding = 1))
+      .head.frameBytes == 418)
+    // Layer I: slot = 4 bytes; (12*256000/44100 + 0)*4 = 69*4
+    val l1 = Mp3.frames(frame(8, 0, mono = false, layer = 1)).head
+    assert(l1.layer == 1 && l1.frameBytes == (12 * 256000 / 44100) * 4 &&
+      l1.samples == 384)
+    // Layer II at 192k/44100: 144*192000/44100 = 626
+    val l2 = Mp3.frames(frame(10, 0, mono = false, layer = 2)).head
+    assert(l2.layer == 2 && l2.frameBytes == 626 && l2.samples == 1152)
+    // MPEG-2 L3: half rate, coef 72, 576 samples
+    val v2 = Mp3.frames(frame(8, 0, mono = true, version1 = false)).head
+    assert(v2.version == "2" && v2.sampleRateHz == 22050 &&
+      v2.samples == 576 && v2.frameBytes == 72 * 64000 / 22050)
+  }
+
+  test("Layer III CRC verifies; a flipped side-info byte fails it") {
+    val good = frame(9, 0, mono = true, withCrc = true)
+    assert(Mp3.frames(good).head.crcOk.contains(true))
+    val bad = good.clone()
+    bad(10) = (bad(10) ^ 0x55).toByte // inside the 17-byte mono side info
+    assert(Mp3.frames(bad).head.crcOk.contains(false))
+    // unprotected frames report no verdict
+    assert(Mp3.frames(frame(9, 0, mono = true)).head.crcOk.isEmpty)
+  }
+
+  test("ID3v2 (syncsafe size) skips, ID3v1 tail tolerated, tag size " +
+    "reported") {
+    val f = frame(9, 0, mono = false)
+    val tagBody = new Array[Byte](200) // size 200 = syncsafe 0x00 0x00 0x01 0x48
+    val id3 = Array[Byte]('I', 'D', '3', 4, 0, 0, 0, 0,
+      ((200 >> 7) & 0x7f).toByte, (200 & 0x7f).toByte) ++ tagBody
+    val id3v1 = Array.fill[Byte](128)(0)
+    id3v1(0) = 'T'; id3v1(1) = 'A'; id3v1(2) = 'G'
+    val payload = id3 ++ f ++ f ++ id3v1
+    val fs = Mp3.frames(payload)
+    assert(fs.length == 2 && fs.forall(_.error == null))
+    assert(fs.head.offset == id3.length.toLong)
+    val a = Mp3.audit(payload).get
+    assert(a.nFrames == 2 && a.nBadFrames == 0 && a.id3v2Bytes == 210)
+  }
+
+  test("quarantine + resync: garbage between frames, reserved fields, " +
+    "free format, truncation — error rows, never exceptions") {
+    val f = frame(9, 0, mono = false)
+    // garbage between two frames: one 'lost sync' row, both frames kept
+    val g = Mp3.frames(f ++ "garbage!".getBytes ++ f)
+    assert(g.count(_.error == null) == 2 &&
+      g.count(_.error == "lost sync") == 1)
+    // free-format bitrate: header parses but length is unknowable
+    val free = f.clone(); free(2) = (free(2) & 0x0f).toByte
+    assert(Mp3.frames(free).head.error == "free-format bitrate")
+    // reserved sample rate
+    val rsr = f.clone(); rsr(2) = (rsr(2) | 0x0c).toByte
+    assert(Mp3.frames(rsr).head.error == "reserved sample rate")
+    // truncated final frame
+    val t = Mp3.frames(f ++ f.take(40))
+    assert(t.length == 2 && t.head.error == null &&
+      t.last.error == "frame truncated")
+    // not MPEG audio at all: empty, distinct from bad frames
+    assert(Mp3.frames("RIFF....WAVE".getBytes).isEmpty)
+    assert(Mp3.frames(null).isEmpty)
+    assert(Mp3.audit("fLaC0000".getBytes).isEmpty)
+  }
+
+  test("VBR: varying per-frame bitrates flag vbr with no single " +
+    "bitrate; a Xing header flags a CBR-looking stream") {
+    val mixed = frame(9, 0, mono = false) ++ frame(11, 0, mono = false)
+    val a = Mp3.audit(mixed).get
+    assert(a.vbr && a.bitrateKbps == 0 && a.nFrames == 2)
+    val xf = frame(9, 0, mono = true) // unprotected mono V1: si 17
+    val at = 4 + 17
+    xf(at) = 'X'; xf(at + 1) = 'i'; xf(at + 2) = 'n'; xf(at + 3) = 'g'
+    val ax = Mp3.audit(xf ++ frame(9, 0, mono = true)).get
+    assert(ax.vbr && ax.bitrateKbps == 128)
+  }
+
+  test("corruption fuzz: random byte flips over tagged CBR streams " +
+    "never throw") {
+    val base = Array[Byte]('I', 'D', '3', 3, 0, 0, 0, 0, 0, 20) ++
+      new Array[Byte](20) ++
+      Array.concat(Seq.fill(3)(frame(9, 0, mono = false,
+        withCrc = true)): _*)
+    var s = 98765L
+    def next(mod: Int): Int = {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      ((s >>> 33) % mod).toInt
+    }
+    (1 to 500).foreach { _ =>
+      val b = base.clone()
+      b(next(base.length)) = (next(256) & 0xff).toByte
+      Mp3.frames(b) // rows either way
+      Mp3.audit(b)
+    }
+  }
+
+  test("frameTable/audioAudit: scan-stage DataFrame surfaces, payload " +
+    "projected away, non-MPEG rows dropped from the audit") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array.concat(Seq.fill(4)(frame(9, 0, mono = false)): _*)),
+      (2L, frame(9, 1, mono = true) ++ "junk tail here".getBytes),
+      (3L, "not audio".getBytes)
+    ).toDF("id", "payload")
+    val ft = Mp3.frameTable(df, "id", "payload")
+    assert(!ft.queryExecution.executedPlan.toString.contains("Exchange"))
+    val byId = ft.collect().groupBy(_.getLong(0))
+    assert(byId(1L).length == 4 && byId(2L).length == 2)
+    assert(byId(2L).count(_.getAs[String]("error") != null) == 1)
+    assert(!byId.contains(3L))
+    val audits = Mp3.audioAudit(df, "id", "payload").collect()
+    assert(audits.map(_.getLong(0)).toSet == Set(1L, 2L))
+    val a1 = audits.find(_.getLong(0) == 1L).get
+    assert(a1.getAs[Int]("n_frames") == 4 &&
+      a1.getAs[Double]("duration_ms") ==
+        math.rint(4 * 1152.0 * 1000 / 44100 * 1000) / 1000)
+  }
+
+  test("the audio seam stays honest: lossless decoders don't claim MP3 " +
+    "payloads and the frame layer doesn't claim lossless ones") {
+    val mp3 = Array.concat(Seq.fill(2)(frame(9, 0, mono = true)): _*)
+    assert(Multimodal.Codecs.decodeAudioPcm(mp3).isEmpty) // visible refusal
+    val wav = Multimodal.Codecs.wavBytes(8000, Array[Short](1, 2, 3))
+    assert(Mp3.frames(wav).isEmpty)
+    assert(Multimodal.Codecs.decodeAudioPcm(wav).nonEmpty)
+  }
+}
