@@ -823,6 +823,22 @@ object Warc {
         col("r.text").as("html"): _*)
   }
 
+  /** [[htmlPages]] over the FILE front door: content-bearing rows of
+    * whole crawl files streamed from storage ([[recordsFromPaths]]) —
+    * point it at a directory listing of `.warc.gz` paths and feed the
+    * `html` column to [[graft.textops.HtmlExtract.extractDocs]]. Same
+    * per-record memory contract; the `path` column is the provenance
+    * id.
+    */
+  def htmlPagesFromPaths(paths: Dataset[String]): DataFrame =
+    recordsFromPaths(paths)
+      .where(col("error").isNull &&
+        (col("warc_type") === "response" ||
+          col("warc_type") === "conversion") &&
+        col("text").isNotNull)
+      .select(col("path"), col("rec_idx"), col("url"), col("warc_date"),
+        col("http_status"), col("text").as("html"))
+
   /** Quarantine audit over a [[records]]/[[recordsFromPaths]] output:
     * rows-lost-by-reason-class, so a crawl pipeline can SEE how much
     * of the corpus the ingest dropped and why (the `br`

@@ -391,6 +391,13 @@ class WarcSpec extends SparkSpec {
       // equivalence with the binary-column kernel on the same bytes
       val viaParse = Warc.parse(java.nio.file.Files.readAllBytes(f1.toPath))
       assert(viaParse.map(_.text).toSet == Set("<p>one</p>", "wet two"))
+      // the file front door reaches extraction: paths -> html pages
+      val pages = Warc.htmlPagesFromPaths(
+          Seq(f1.getAbsolutePath, f2.getAbsolutePath).toDS())
+        .collect()
+      assert(pages.length == 3)
+      assert(pages.map(_.getAs[String]("html")).toSet ==
+        Set("<p>one</p>", "wet two", "<p>three</p>"))
     } finally {
       dir.listFiles().foreach(_.delete())
       dir.delete()

@@ -16,6 +16,8 @@ final case class VDoc(vec_id: Long, embedding: Array[Float])
 
 final case class WarcRow(id: Long, ts: Timestamp, payload: Array[Byte])
 
+final case class UrlDoc(id: Long, ts: Timestamp, url: String, text: String)
+
 /** Streaming corpus curation: batch ≡ stream for exact dedup and the
   * quality gate.
   */
@@ -49,6 +51,50 @@ class CorpusStreamSpec extends SparkSpec {
       .orderBy("ts").dropDuplicates("fp")
       .select("doc_id").as[Long].collect().toSet
     assert(batch == got)
+  }
+
+  test("streaming URL-level dedup keeps the first crawl per canonical " +
+    "URL; unaddressable rows always flow; state spans micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      UrlDoc(1L, t("2020-01-01 10:00:00"), "https://a.com/p?x=1",
+        "the full first crawl of the page body"),
+      UrlDoc(2L, t("2020-01-01 10:00:30"), "https://a.com/q", "other"),
+      // re-crawls of row 1's page: case/port/tracking variants, shorter
+      // (so the batch best-member window agrees with first-arrival)
+      UrlDoc(3L, t("2020-01-01 10:01:00"),
+        "https://A.com:443/p?x=1&utm_source=s", "stub a"),
+      UrlDoc(4L, t("2020-01-01 10:05:00"), "https://a.com/./p?x=1#f",
+        "stub b"),
+      // unaddressable rows: no key, each flows through
+      UrlDoc(5L, t("2020-01-01 10:06:00"), null, "no url"),
+      UrlDoc(6L, t("2020-01-01 10:06:30"), "not a url", "still none"))
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[UrlDoc]
+    val q = CorpusStream.urlDedupStream(source.toDF(), "id", "url", "ts",
+        "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("url_dedup_stream")
+      .start()
+    source.addData(rows.take(3): _*)
+    q.processAllAvailable()
+    source.addData(rows.drop(3): _*) // row 4 dups across the batch seam
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT id, url_norm FROM url_dedup_stream")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(got.map(_._1) == Set(1L, 2L, 5L, 6L))
+    assert(got.contains((1L, Some("https://a.com/p?x=1"))))
+    // "not a url" degrades to itself (non-null norm) but has no host —
+    // it keys alone; the null URL stays null
+    assert(got.contains((5L, None)))
+    // first-arrival semantics match the batch survivor whenever the
+    // first crawl IS the best member (equal statuses, min id first)
+    import graft.textops.UrlOps
+    val batch = UrlOps.urlSurvivors(
+        rows.toDF().withColumn("http_status", lit(200)),
+        "url", "id", "text", "http_status")
+      .where(col("kept")).select(col("id")).as[Long].collect().toSet
+    assert(batch == got.map(_._1))
   }
 
   test("streaming quality gate is the batch filter applied per micro-batch") {
