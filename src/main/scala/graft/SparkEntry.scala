@@ -2791,8 +2791,57 @@ object SparkEntry {
         .toDF("id", "payload")
       multimodal.Mp3.audioAudit(media, "id", "payload")
         .orderBy(col("id"))
+    }),
+
+    // crawl-ingest coverage audit — the ORACLE form of the per-reason
+    // quarantine aggregate (the r14 ADVICE asked that corpus loss be
+    // measurable, not anecdotal): every doc ships its q126 WARC (whose
+    // k%5=0 colon-less record quarantines at the framing layer, all
+    // fields null), and k%6=2 docs additionally carry a brotli-encoded
+    // response record (well-framed, refused at the HTTP layer with the
+    // encoding token in the reason class and the record identity KEPT,
+    // so n_with_url counts it). The oracle replays both residue counts
+    "q135_crawl_audit" -> ((s, dir) => {
+      import s.implicits._
+      val warcs = tSpread(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+        .as[(Long, String, String)]
+        .map { case (k, lang, text) => (k, q135Warc(k, lang, text)) }
+        .toDF("doc_id", "payload")
+      sources.Warc.quarantineStats(
+          sources.Warc.records(warcs, "doc_id", "payload"))
+        .orderBy(col("reason"))
     })
   )
+
+  /** q135's payload for doc key `k`: the q126 stream plus, on k%6=2, a
+    * brotli-encoded response record — appended as its own gzip member
+    * when the base payload is gzipped (k%2=1), plain otherwise.
+    */
+  private[graft] def q135Warc(k: Long, lang: String,
+                              text: String): Array[Byte] = {
+    val base = q126Warc(k, lang, text)
+    if (k % 6 != 2) return base
+    val crlf = "\r\n"
+    val http = (s"HTTP/1.1 200 OK${crlf}Content-Type: text/html$crlf" +
+      s"Content-Encoding: br$crlf$crlf").getBytes("UTF-8") ++
+      s"opaque brotli bytes $k".getBytes("UTF-8")
+    val h = new StringBuilder("WARC/1.0").append(crlf)
+    h.append("WARC-Type: response").append(crlf)
+    h.append("WARC-Target-URI: https://br.example.org/doc/")
+      .append(k).append(crlf)
+    h.append("WARC-Date: 2026-01-15T00:00:00Z").append(crlf)
+    h.append("Content-Type: application/http; msgtype=response").append(crlf)
+    h.append("Content-Length: ").append(http.length).append(crlf).append(crlf)
+    val rec = h.toString.getBytes("UTF-8") ++ http ++
+      (crlf + crlf).getBytes("UTF-8")
+    if (k % 2 == 1) {
+      val out = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(out)
+      gz.write(rec); gz.close()
+      base ++ out.toByteArray // second gzip member
+    } else base ++ rec
+  }
 
   /** q134's planted MPEG-1 Layer III stream for supplier key `k`:
     * (k%7)+1 frames at bitrate 128+32·(k%5-ish) (indexes 9..13), rate
@@ -5684,7 +5733,29 @@ object SparkEntry {
         |          WHEN 1 THEN 48000 ELSE 32000 END), 3) AS duration_ms,
         |  CAST(CASE WHEN s_suppkey % 4 = 1 THEN 40 + s_suppkey % 40
         |       ELSE 0 END AS INTEGER) AS id3v2_bytes
-        |FROM supplier ORDER BY id""".stripMargin
+        |FROM supplier ORDER BY id""".stripMargin,
+
+    // the per-reason quarantine counts replay from the residues: one
+    // colon-less framing failure per k%5=0 payload (record identity
+    // lost) and one brotli HTTP refusal per k%6=2 payload (identity
+    // kept, so its url is countable)
+    "q135_crawl_audit" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+        |r AS (
+        |  SELECT 'header without colon' AS reason,
+        |    CAST(sum(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_records,
+        |    CAST(0 AS BIGINT) AS n_with_url
+        |  FROM d
+        |  UNION ALL
+        |  SELECT 'unsupported content-encoding br',
+        |    CAST(sum(CASE WHEN doc_id % 6 = 2 THEN 1 ELSE 0 END)
+        |      AS BIGINT),
+        |    CAST(sum(CASE WHEN doc_id % 6 = 2 THEN 1 ELSE 0 END)
+        |      AS BIGINT)
+        |  FROM d)
+        |SELECT reason, n_records, n_with_url FROM r
+        |WHERE n_records > 0 ORDER BY reason""".stripMargin
   )
 
   /** q133's replay: q102's stage CTEs over the crawl-extracted corpus

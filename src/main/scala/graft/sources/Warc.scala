@@ -846,12 +846,15 @@ object Warc {
     * class is the text before the first `:` — dynamic detail
     * (offending header text, chunk sizes) lives after the colon, while
     * bounded discriminators (the content-encoding token) live inside
-    * the class. One map-side-combined groupBy on a low-cardinality
-    * key.
+    * the class. `byCols` adds grouping columns (a host column from
+    * [[graft.textops.UrlOps.hostOf]] attributes the loss per host).
+    * One map-side-combined groupBy on a low-cardinality key.
     */
-  def quarantineStats(recs: DataFrame): DataFrame =
+  def quarantineStats(recs: DataFrame, byCols: Seq[String] = Nil)
+      : DataFrame =
     recs.where(col("error").isNotNull)
-      .groupBy(substring_index(col("error"), ":", 1).as("reason"))
+      .groupBy(byCols.map(col) :+
+        substring_index(col("error"), ":", 1).as("reason"): _*)
       .agg(count(lit(1)).as("n_records"),
         count(col("url")).as("n_with_url"))
       .orderBy(desc("n_records"))
