@@ -2847,8 +2847,9 @@ object SparkEntry {
     * (k%7)+1 frames at bitrate 128+32·(k%5-ish) (indexes 9..13), rate
     * by k%3, mono on even keys, CRC-protected on k%11=0 (correct CRC
     * over header bytes 2–3 + zeroed side info), an ID3v2 prefix of
-    * 40+(k%40) total bytes on k%4=1, and a truncated final frame on
-    * k%9=0.
+    * 40+(k%40) total bytes on k%4=1, a truncated final frame on
+    * k%9=0, and a Xing header declaring the true frame count in the
+    * first frame on k%8=3 (flags=1 + BE count at the side-info end).
     */
   private[graft] def q134Mp3(k: Long): Array[Byte] = {
     val bitrates = Array(128, 160, 192, 224, 256) // V1 L3 indexes 9..13
@@ -2860,12 +2861,13 @@ object SparkEntry {
     val mono = k % 2 == 0
     val withCrc = k % 11 == 0
     val flen = 144 * br * 1000 / rate // padding 0
+    val n = (k % 7).toInt + 1
     def header(): Array[Byte] = Array(
       0xff.toByte,
       (0xe0 | (3 << 3) | (1 << 1) | (if (withCrc) 0 else 1)).toByte,
       ((brIdx << 4) | (srIdx << 2)).toByte,
       (if (mono) 0xc0 else 0x00).toByte)
-    def frame(): Array[Byte] = {
+    def frame(first: Boolean): Array[Byte] = {
       val f = Array.fill[Byte](flen)((k % 251).toByte)
       System.arraycopy(header(), 0, f, 0, 4)
       if (withCrc) {
@@ -2877,9 +2879,17 @@ object SparkEntry {
         f(4) = ((c >>> 8) & 0xff).toByte
         f(5) = (c & 0xff).toByte
       } else java.util.Arrays.fill(f, 4, math.min(flen, 44), 0.toByte)
+      if (first && k % 8 == 3) { // Xing header: flags=1, declared = n
+        val at = 4 + (if (withCrc) 2 else 0) + (if (mono) 17 else 32)
+        f(at) = 'X'; f(at + 1) = 'i'; f(at + 2) = 'n'; f(at + 3) = 'g'
+        f(at + 4) = 0; f(at + 5) = 0; f(at + 6) = 0; f(at + 7) = 1
+        f(at + 8) = ((n >> 24) & 0xff).toByte
+        f(at + 9) = ((n >> 16) & 0xff).toByte
+        f(at + 10) = ((n >> 8) & 0xff).toByte
+        f(at + 11) = (n & 0xff).toByte
+      }
       f // zeroed early bytes: no accidental Xing magic under the fill
     }
-    val n = (k % 7).toInt + 1
     val id3 =
       if (k % 4 == 1) {
         val size = 30 + (k % 40).toInt
@@ -2890,7 +2900,8 @@ object SparkEntry {
     val trunc =
       if (k % 9 == 0) header() ++ new Array[Byte](10)
       else Array.emptyByteArray
-    id3 ++ Array.concat(Seq.fill(n)(frame()): _*) ++ trunc
+    id3 ++ Array.concat(
+      (0 until n).map(i => frame(first = i == 0)): _*) ++ trunc
   }
 
   /** q133's planted crawl URL for doc key `k`: per-residue hosts
@@ -5727,12 +5738,14 @@ object SparkEntry {
         |  CASE CAST(s_suppkey % 5 AS INTEGER) WHEN 0 THEN 128
         |       WHEN 1 THEN 160 WHEN 2 THEN 192 WHEN 3 THEN 224
         |       ELSE 256 END AS bitrate_kbps,
-        |  FALSE AS vbr,
+        |  s_suppkey % 8 = 3 AS vbr,
         |  round((s_suppkey % 7 + 1) * 1152.0 * 1000 /
         |    (CASE CAST(s_suppkey % 3 AS INTEGER) WHEN 0 THEN 44100
         |          WHEN 1 THEN 48000 ELSE 32000 END), 3) AS duration_ms,
         |  CAST(CASE WHEN s_suppkey % 4 = 1 THEN 40 + s_suppkey % 40
-        |       ELSE 0 END AS INTEGER) AS id3v2_bytes
+        |       ELSE 0 END AS INTEGER) AS id3v2_bytes,
+        |  CAST(CASE WHEN s_suppkey % 8 = 3 THEN s_suppkey % 7 + 1
+        |       END AS INTEGER) AS declared_frames
         |FROM supplier ORDER BY id""".stripMargin,
 
     // the per-reason quarantine counts replay from the residues: one

@@ -40,10 +40,15 @@ object Mp3 {
                          crcProtected: Boolean, crcOk: Option[Boolean],
                          error: String)
 
-  /** Whole-payload audit summary (None = not an MPEG audio stream). */
+  /** Whole-payload audit summary (None = not an MPEG audio stream).
+    * `declaredFrames` is the frame count a Xing/Info header claims
+    * (None without one) — comparing it against `nFrames` is the
+    * stock truncated-download check.
+    */
   final case class Audit(nFrames: Int, nBadFrames: Int, sampleRateHz: Int,
                          channels: Int, bitrateKbps: Int, vbr: Boolean,
-                         durationMs: Double, id3v2Bytes: Int)
+                         durationMs: Double, id3v2Bytes: Int,
+                         declaredFrames: Option[Int])
 
   // bitrate tables, kbps (index 0 = free format, 15 = invalid) —
   // ISO 11172-3 / 13818-3 §2.4.2.3
@@ -262,7 +267,7 @@ object Mp3 {
     val bad = fs.length - good.length
     val head = good.head
     val rates = good.map(_.bitrateKbps).distinct
-    val xing = hasVbrHeader(payload, head)
+    val (xing, declared) = vbrHeader(payload, head)
     val durMs = good.foldLeft(0.0)((a, f) =>
       a + f.samples.toDouble * 1000.0 / f.sampleRateHz)
     var id3 = 0
@@ -273,24 +278,36 @@ object Mp3 {
     }
     Some(Audit(good.length, bad, head.sampleRateHz, head.channels,
       if (rates.length == 1) rates.head else 0,
-      rates.length > 1 || xing, durMs, id3))
+      rates.length > 1 || xing, durMs, id3, declared))
   }
 
   /** Xing/Info (at the L3 side-info end of the first frame) or VBRI
-    * (at header + 36) magic in the first good frame.
+    * (at header + 36) magic in the first good frame; returns (header
+    * present, declared frame count when the header carries one —
+    * Xing/Info flag bit 1 → 4-byte BE count; VBRI at magic + 14).
     */
-  private def hasVbrHeader(payload: Array[Byte], f: Frame): Boolean = {
-    def magicAt(off: Long, m: String): Boolean = {
-      val i = off.toInt
-      i + m.length <= payload.length &&
+  private def vbrHeader(payload: Array[Byte],
+                        f: Frame): (Boolean, Option[Int]) = {
+    def magicAt(i: Int, m: String): Boolean =
+      i >= 0 && i + m.length <= payload.length &&
         m.indices.forall(j => payload(i + j) == m.charAt(j).toByte)
-    }
-    if (f.layer != 3) return false
+    def be32(i: Int): Option[Int] =
+      if (i < 0 || i + 4 > payload.length) None
+      else Some(((payload(i) & 0xff) << 24) | ((payload(i + 1) & 0xff) << 16) |
+        ((payload(i + 2) & 0xff) << 8) | (payload(i + 3) & 0xff))
+    if (f.layer != 3) return (false, None)
     val crcBytes = if (f.crcProtected) 2 else 0
     val si = sideInfoLen(f.version == "1", f.channels == 1)
-    val at = f.offset + 4 + crcBytes + si
-    magicAt(at, "Xing") || magicAt(at, "Info") ||
-      magicAt(f.offset + 36, "VBRI")
+    val at = (f.offset + 4 + crcBytes + si).toInt
+    if (magicAt(at, "Xing") || magicAt(at, "Info")) {
+      val declared = be32(at + 4) match {
+        case Some(flags) if (flags & 1) != 0 => be32(at + 8)
+        case _ => None
+      }
+      (true, declared)
+    } else if (magicAt((f.offset + 36).toInt, "VBRI"))
+      (true, be32((f.offset + 36 + 14).toInt))
+    else (false, None)
   }
 
   // ---------------------------------------------------------------------
@@ -335,6 +352,7 @@ object Mp3 {
         col("a.bitrateKbps").as("bitrate_kbps"),
         col("a.vbr").as("vbr"),
         round(col("a.durationMs"), 3).as("duration_ms"),
-        col("a.id3v2Bytes").as("id3v2_bytes"))
+        col("a.id3v2Bytes").as("id3v2_bytes"),
+        col("a.declaredFrames").as("declared_frames"))
   }
 }

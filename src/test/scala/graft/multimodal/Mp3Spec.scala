@@ -149,11 +149,22 @@ class Mp3Spec extends SparkSpec {
     val mixed = frame(9, 0, mono = false) ++ frame(11, 0, mono = false)
     val a = Mp3.audit(mixed).get
     assert(a.vbr && a.bitrateKbps == 0 && a.nFrames == 2)
+    assert(a.declaredFrames.isEmpty)
+    // Xing with the frames field: flags bit 1 -> 4-byte BE count
     val xf = frame(9, 0, mono = true) // unprotected mono V1: si 17
     val at = 4 + 17
     xf(at) = 'X'; xf(at + 1) = 'i'; xf(at + 2) = 'n'; xf(at + 3) = 'g'
+    xf(at + 4) = 0; xf(at + 5) = 0; xf(at + 6) = 0; xf(at + 7) = 1
+    xf(at + 8) = 0; xf(at + 9) = 0; xf(at + 10) = 0; xf(at + 11) = 7
     val ax = Mp3.audit(xf ++ frame(9, 0, mono = true)).get
     assert(ax.vbr && ax.bitrateKbps == 128)
+    assert(ax.declaredFrames.contains(7)) // vs nFrames 2: truncation check
+    // Info header without the frames flag: vbr-tagged, no declared count
+    val inf = frame(9, 0, mono = true)
+    inf(at) = 'I'; inf(at + 1) = 'n'; inf(at + 2) = 'f'; inf(at + 3) = 'o'
+    inf(at + 4) = 0; inf(at + 5) = 0; inf(at + 6) = 0; inf(at + 7) = 0
+    val ai = Mp3.audit(inf).get
+    assert(ai.vbr && ai.declaredFrames.isEmpty)
   }
 
   test("corruption fuzz: random byte flips over tagged CBR streams " +
