@@ -237,15 +237,20 @@ object UrlOps {
       .when(col(statusCol) >= 200 && col(statusCol) < 300, 0)
       .when(col(statusCol) >= 300 && col(statusCol) < 400, 1)
       .otherwise(2)
-    val groupKey = when(col("url_norm").isNull,
-      concat(lit(" :"), col(idCol).cast("string")))
-      .otherwise(col("url_norm"))
-    val w = Window.partitionBy(groupKey)
+    // the group key is MATERIALIZED as a column so both windows see
+    // one attribute: partitioning by the raw when/concat expression
+    // made the n_members window re-shuffle rows the ranking window had
+    // already clustered (distribution matching is attribute-level)
+    val w = Window.partitionBy(col("__gk"))
       .orderBy(statusRank, length(col(textCol)).desc, col(idCol))
     withCanonicalUrl(df, urlCol)
+      .withColumn("__gk", when(col("url_norm").isNull,
+        concat(lit("\u0000:"), col(idCol).cast("string")))
+        .otherwise(col("url_norm")))
       .withColumn("kept", row_number().over(w) === 1)
       .withColumn("n_members",
-        count(lit(1)).over(Window.partitionBy(groupKey)).cast("int"))
+        count(lit(1)).over(Window.partitionBy(col("__gk"))).cast("int"))
+      .drop("__gk")
   }
 
   /** Host-count gate: keep rows whose host carries between `minDocs`
