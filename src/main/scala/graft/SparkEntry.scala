@@ -2764,8 +2764,9 @@ object SparkEntry {
       val surv = textops.UrlOps.urlSurvivors(extracted, "url", "crawl_id",
           "text", "http_status")
         .where(col("kept"))
-        .select(col("crawl_id").as("doc_id"), col("url"), col("text"))
-      val gated = textops.UrlOps.hostGate(surv, "url", minDocs = 2)
+        .select(col("crawl_id").as("doc_id"), col("url_host"), col("text"))
+      val gated = textops.UrlOps
+        .hostGateOn(surv, "url_host", minDocs = 2) // host already derived
         .select(col("doc_id"), col("text"))
       val model = textops.UnigramLM.train(gated, "text")
       CurationPipeline.runWithModel(gated, "doc_id", "text",

@@ -262,16 +262,25 @@ object UrlOps {
     * provenance to keep).
     */
   def hostGate(df: DataFrame, urlCol: String,
-               minDocs: Long, maxDocs: Long = 0L): DataFrame = {
+               minDocs: Long, maxDocs: Long = 0L): DataFrame =
+    hostGateOn(withCanonicalUrl(df, urlCol), "url_host", minDocs, maxDocs)
+
+  /** [[hostGate]] over an ALREADY-derived host column — the form a
+    * pipeline that has run [[withCanonicalUrl]]/[[urlSurvivors]]
+    * upstream uses, so the canonicalization kernel isn't re-run per
+    * row just to gate (at crawl scale the second pass is real work).
+    * Rows with a null host are dropped (provenance-free).
+    */
+  def hostGateOn(df: DataFrame, hostCol: String,
+                 minDocs: Long, maxDocs: Long = 0L): DataFrame = {
     require(minDocs >= 0 && (maxDocs == 0L || maxDocs >= minDocs),
       s"bad host-count bounds [$minDocs, $maxDocs]")
-    val withHost = withCanonicalUrl(df, urlCol)
-    val keepHosts = withHost.filter(col("url_host").isNotNull)
-      .groupBy(col("url_host"))
+    val keepHosts = df.filter(col(hostCol).isNotNull)
+      .groupBy(col(hostCol))
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") >= minDocs &&
         (if (maxDocs == 0L) lit(true) else col("__n") <= maxDocs))
-      .select(col("url_host"))
-    withHost.join(keepHosts, Seq("url_host"), "left_semi")
+      .select(col(hostCol))
+    df.join(keepHosts, Seq(hostCol), "left_semi")
   }
 }

@@ -53,6 +53,51 @@ class CorpusStreamSpec extends SparkSpec {
     assert(batch == got)
   }
 
+  test("streaming quarantine audit sink: per-reason loss counts over a " +
+    "live WARC ingest (update mode), matching the batch aggregate") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.Warc
+    def brRec(k: Long): Array[Byte] = {
+      val crlf = "\r\n"
+      val http = (s"HTTP/1.1 200 OK${crlf}Content-Encoding: br$crlf$crlf")
+        .getBytes("UTF-8") ++ "x".getBytes("UTF-8")
+      (s"WARC/1.0${crlf}WARC-Type: response$crlf" +
+        s"WARC-Target-URI: https://h$k.org/p$crlf" +
+        s"Content-Type: application/http; msgtype=response$crlf" +
+        s"Content-Length: ${http.length}$crlf$crlf").getBytes("UTF-8") ++
+        http ++ (crlf + crlf).getBytes("UTF-8")
+    }
+    val bad = s"WARC/1.0\r\nno colon line\r\n\r\n".getBytes("UTF-8")
+    val rows = Seq(
+      WarcRow(1L, t("2020-01-01 10:00:00"), brRec(1L)),
+      WarcRow(2L, t("2020-01-01 10:00:30"), bad),
+      WarcRow(3L, t("2020-01-01 10:01:00"), brRec(3L) ++ bad))
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[WarcRow]
+    val q = Warc.quarantineStats(
+        Warc.records(source.toDF(), "id", "payload"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("quarantine_audit")
+      .start()
+    source.addData(rows.take(2): _*)
+    q.processAllAvailable()
+    source.addData(rows.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql(
+        "SELECT reason, n_records, n_with_url FROM quarantine_audit")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got == Set(
+      ("unsupported content-encoding br", 2L, 2L),
+      ("header without colon", 2L, 0L)))
+    // batch twin agrees
+    val batch = Warc.quarantineStats(
+        Warc.records(rows.toDF(), "id", "payload"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(batch == got)
+  }
+
   test("streaming URL-level dedup keeps the first crawl per canonical " +
     "URL; unaddressable rows always flow; state spans micro-batches") {
     implicit val sqlCtx = spark.sqlContext
