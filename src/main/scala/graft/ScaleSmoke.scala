@@ -99,7 +99,10 @@ object ScaleSmoke {
     // scan-stage kernels whose exponents evidence the per-row work
     // parallelizes flat
     "q124_text_normalize", "q125_html_extract", "q126_warc_extract",
-    "q129_url_normalize", "q130_host_stats")
+    "q129_url_normalize", "q130_host_stats",
+    // the URL-survivor window (one canonical-key shuffle) and the
+    // per-reason quarantine audit (scan + low-cardinality agg)
+    "q132_url_survivors", "q135_crawl_audit")
 
   /** Measured at 10× only. Both are deliberately NOT the scale path —
     * q77 is the pinned-k SemDeDup negative control (its 100× exponent
