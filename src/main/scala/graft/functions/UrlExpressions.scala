@@ -1,0 +1,95 @@
+package graft.functions
+
+import graft.textops.UrlOps
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftops.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression for crawl-URL canonicalization
+  * ([[UrlOps.normalize]] — RFC 3986 §6 + tracking-param strip).
+  *
+  * Why not a UDF: the same rationale as [[NormalizeUnicode]] — this is
+  * the per-row kernel of the crawl front door's scan stage (URL-level
+  * dedup keys, host stats, survivor windows all derive from it); as an
+  * expression it participates in whole-stage codegen via a static
+  * kernel call with no per-row closure dispatch or encoder conversion.
+  * Total like the kernel: null → null, unparseable → trimmed input.
+  */
+case class CanonicalizeUrl(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string input, got ${other.simpleString}")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "canonicalize_url"
+
+  override def nullSafeEval(s: Any): Any =
+    CanonicalizeUrl.compute(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.CanonicalizeUrl.compute($s);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): CanonicalizeUrl = copy(child = newChild)
+}
+
+object CanonicalizeUrl {
+  /** Shared by interpreted eval and generated code; never null for
+    * non-null input (the kernel degrades to the trimmed input).
+    */
+  def compute(s: UTF8String): UTF8String =
+    UTF8String.fromString(UrlOps.normalize(s.toString))
+
+  def apply(c: Column): Column =
+    Bridge.column(CanonicalizeUrl(Bridge.expression(c)))
+}
+
+/** Native Catalyst expression for host extraction ([[UrlOps.host]]).
+  * Unlike [[CanonicalizeUrl]] this is null-PRODUCING on non-null input
+  * (an unparseable URL has no host), so the generated code re-checks
+  * the kernel result for null.
+  */
+case class UrlHost(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string input, got ${other.simpleString}")
+  }
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "url_host"
+
+  override def nullSafeEval(s: Any): Any =
+    UrlHost.compute(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"""${ev.value} = graft.functions.UrlHost.compute($s);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+
+  override protected def withNewChildInternal(
+      newChild: Expression): UrlHost = copy(child = newChild)
+}
+
+object UrlHost {
+  /** Shared by interpreted eval and generated code; null when the URL
+    * has no parseable authority.
+    */
+  def compute(s: UTF8String): UTF8String = {
+    val h = UrlOps.host(s.toString)
+    if (h == null) null else UTF8String.fromString(h)
+  }
+
+  def apply(c: Column): Column =
+    Bridge.column(UrlHost(Bridge.expression(c)))
+}

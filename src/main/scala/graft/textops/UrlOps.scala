@@ -173,16 +173,17 @@ object UrlOps {
     else hostPort
   }
 
-  /** Column forms for scan-stage projections. */
-  def normalizeUrl(c: Column): Column = {
-    val k = udf { (s: String) => normalize(s) }
-    k(c)
-  }
+  /** Column forms for scan-stage projections — native Catalyst
+    * expressions ([[graft.functions.CanonicalizeUrl]]/
+    * [[graft.functions.UrlHost]]): the kernels stay here, the
+    * expressions call them statically inside whole-stage codegen, so
+    * the crawl scan stage pays no per-row UDF closure dispatch.
+    */
+  def normalizeUrl(c: Column): Column =
+    graft.functions.CanonicalizeUrl(c)
 
-  def hostOf(c: Column): Column = {
-    val k = udf { (s: String) => host(s) }
-    k(c)
-  }
+  def hostOf(c: Column): Column =
+    graft.functions.UrlHost(c)
 
   /** URL-level dedup key + host for a crawl frame: (canonical url,
     * host) appended as columns — one projection, no shuffle; group or

@@ -137,6 +137,32 @@ class UrlOpsSpec extends SparkSpec {
     assert(kept2 == Set(1L, 2L, 3L, 4L, 6L, 7L))
   }
 
+  test("native url expressions: codegen path agrees with the kernel, " +
+    "including null-producing hosts") {
+    import spark.implicits._
+    val urls = Seq(
+      "HTTPS://Ex.COM:443/a/../b?z=1&utm_source=s&a=%41",
+      "http://user@host.org:80/p",
+      "https://[::1]:8080/v6",
+      "not a url at all",
+      "ftp://other.scheme/x",
+      "   https://pad.me/x  ",
+      null)
+    // RDD-backed frame: a local Seq would be constant-folded into the
+    // plan (ConvertToLocalRelation), leaving no codegen stage to pin
+    val df = spark.sparkContext.parallelize(urls, 2).toDF("u")
+    val got = df
+      .select(UrlOps.normalizeUrl($"u").as("n"), UrlOps.hostOf($"u").as("h"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == urls.map(u => (UrlOps.normalize(u), UrlOps.host(u))).toSet)
+    // the expressions ride whole-stage codegen (no UDF fallback node)
+    val plan = df
+      .select(UrlOps.normalizeUrl($"u"), UrlOps.hostOf($"u"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [canonicalize_url"), plan.take(600))
+    assert(!plan.contains("UDF"), plan.take(600))
+  }
+
   test("urlSurvivors: status class, then longest text, then min id; " +
     "null-URL rows stay singletons") {
     import spark.implicits._
