@@ -18,8 +18,11 @@ import org.apache.spark.sql.types._
   *    multi-GiB file must never be inflated into one buffer);
   *  - `response` records carrying `application/http`: the HTTP status
   *    line and headers are split off, chunked transfer-encoding is
-  *    de-chunked, gzip/deflate content-encoding inflated, and the body
-  *    decoded as UTF-8 (invalid sequences to U+FFFD, deterministically);
+  *    de-chunked, gzip/deflate/zstd content-encoding inflated, and the
+  *    body decoded as UTF-8 (invalid sequences to U+FFFD,
+  *    deterministically); brotli refuses measurably ([[quarantineStats]]
+  *    — RFC 7932's 120 KiB static dictionary has no legitimate verbatim
+  *    source here, where zstd's decoder ships with Spark itself);
   *  - `conversion` records (WET): the body IS the text;
   *  - `warcinfo`/`request`/`metadata` records: framed and typed, body
   *    not decoded (they carry no corpus text).
@@ -584,6 +587,30 @@ object Warc {
             out.write(buf, 0, n)
           }
         } finally inf.end()
+        body = out.toByteArray
+      case Some("zstd") =>
+        // RFC 8878 — real on the modern web, and the decoder ships with
+        // Spark itself (zstd-jni backs shuffle compression), so unlike
+        // brotli there is no verbatim-dictionary gap to refuse over
+        val zin =
+          try new com.github.luben.zstd.ZstdInputStreamNoFinalizer(
+            new java.io.ByteArrayInputStream(body))
+          catch { case _: java.io.IOException => malformed("bad zstd body") }
+        val out = new java.io.ByteArrayOutputStream(
+          math.min(body.length * 4, 1 << 16))
+        try {
+          val buf = new Array[Byte](8192)
+          var n =
+            try zin.read(buf)
+            catch { case _: java.io.IOException => malformed("bad zstd body") }
+          while (n > 0) {
+            if (out.size() + n > MaxBody) malformed("zstd past cap")
+            out.write(buf, 0, n)
+            n =
+              try zin.read(buf)
+              catch { case _: java.io.IOException => malformed("bad zstd body") }
+          }
+        } finally zin.close()
         body = out.toByteArray
       case Some("identity") | None => ()
       case Some(other) =>

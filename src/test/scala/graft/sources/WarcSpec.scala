@@ -128,6 +128,41 @@ class WarcSpec extends SparkSpec {
     assert(Warc.parse(p3).head.text == html)
   }
 
+  test("zstd content-encoding decodes (the decoder ships with Spark); " +
+    "corrupt zstd keeps the record identity on the error row") {
+    val html = "<p>" + ("z" * 300) + "</p>"
+    val zstd = {
+      val out = new java.io.ByteArrayOutputStream()
+      val z = new com.github.luben.zstd.ZstdOutputStreamNoFinalizer(out)
+      z.write(html.getBytes("UTF-8")); z.close()
+      out.toByteArray
+    }
+    val p = rec("response", "https://x.org/z",
+      httpResponse(null, s"Content-Encoding: zstd$crlf", zstd))
+    val r = Warc.parse(p).head
+    assert(r.error == null && r.text == html)
+    // corrupt frame magic: visible refusal, identity kept (a mid-frame
+    // flip may decode silently — zstd frames carry no checksum by
+    // default, which is the container's contract, not this reader's)
+    val bad = zstd.clone()
+    bad(1) = (bad(1) ^ 0x55).toByte
+    val rb = Warc.parse(rec("response", "https://x.org/z",
+      httpResponse(null, s"Content-Encoding: zstd$crlf", bad))).head
+    assert(rb.error != null && rb.targetUri == "https://x.org/z")
+    // a zstd bomb trips the per-record cap, not the heap
+    val bomb = {
+      val out = new java.io.ByteArrayOutputStream()
+      val z = new com.github.luben.zstd.ZstdOutputStreamNoFinalizer(out)
+      val chunk = new Array[Byte](1 << 20)
+      (0 to 70).foreach(_ => z.write(chunk)) // ~71 MiB of zeros
+      z.close()
+      out.toByteArray
+    }
+    val rc = Warc.parse(rec("response", "https://x.org/bomb",
+      httpResponse(null, s"Content-Encoding: zstd$crlf", bomb))).head
+    assert(rc.error == "zstd past cap")
+  }
+
   test("quarantine + resync: a malformed record costs itself, never the rest") {
     val good1 = rec("response", "https://x.org/1", httpResponse("<p>a</p>"))
     val good2 = rec("response", "https://x.org/2", httpResponse("<p>b</p>"))
