@@ -2972,11 +2972,13 @@ object SparkEntry {
 
   /** q126's planted WARC for doc key `k`: warcinfo record + one content
     * record — an HTTP `response` carrying the q125-shaped page (chunked
-    * transfer-encoding when k%3=0), or a WET `conversion` record of the
-    * bare text when k%7=0 — plus a malformed record when k%5=0 (must
-    * quarantine + resync, not cost the good record), the whole payload
-    * gzipped when k%2=1. Closed form: the response pages extract like
-    * q125; the WET rows keep the raw text as one block.
+    * transfer-encoding when k%3=0; zstd content-encoding when k%11=3
+    * and not chunked), or a WET `conversion` record of the bare text
+    * when k%7=0 — plus a malformed record when k%5=0 (must quarantine +
+    * resync, not cost the good record), the whole payload gzipped when
+    * k%2=1. Closed form: the response pages extract like q125; the WET
+    * rows keep the raw text as one block. Encoding variants change the
+    * BYTES, never the extraction, so the oracle is residue-independent.
     */
   private[graft] def q126Warc(k: Long, lang: String, text: String,
                               urlOverride: String = null): Array[Byte] = {
@@ -3014,6 +3016,7 @@ object SparkEntry {
           "<article>\n<p>  " + text + "  </p>\n<p>end of document " + k +
           " &amp; beyond.</p>\n</article>" +
           "<footer>&copy; 2026 example</footer></body></html>").getBytes("UTF-8")
+        val zstdEnc = k % 3 != 0 && k % 11 == 3 // zstd content-encoding
         val httpBody =
           if (k % 3 == 0) { // chunked transfer-encoding, 64-byte chunks
             val out = new java.io.ByteArrayOutputStream()
@@ -3028,10 +3031,16 @@ object SparkEntry {
             }
             out.write(s"0$crlf$crlf".getBytes("UTF-8"))
             out.toByteArray
+          } else if (zstdEnc) {
+            val out = new java.io.ByteArrayOutputStream()
+            val z = new com.github.luben.zstd.ZstdOutputStreamNoFinalizer(out)
+            z.write(page); z.close()
+            out.toByteArray
           } else page
         val http = ("HTTP/1.1 200 OK" + crlf +
           "Content-Type: text/html; charset=utf-8" + crlf +
           (if (k % 3 == 0) "Transfer-Encoding: chunked" + crlf else "") +
+          (if (zstdEnc) "Content-Encoding: zstd" + crlf else "") +
           crlf).getBytes("UTF-8") ++ httpBody
         warcRec(Seq(
           "WARC-Type" -> "response",
