@@ -1,0 +1,113 @@
+package graft.textops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property-based invariants for the crawl front-door kernels — pure
+  * JVM functions, so these run without a SparkSession:
+  *
+  *  - URL canonicalization is IDEMPOTENT (a canonical form re-keyed
+  *    anywhere downstream must not drift) and TOTAL (never throws, and
+  *    its host agrees with hosting the original);
+  *  - WARC framing round-trips arbitrary record bodies (build → parse
+  *    recovers every record, plain and gzip-member forms);
+  *  - the MPEG frame walker is total over arbitrary bytes.
+  */
+class CrawlPropertySpec extends AnyFunSuite {
+
+  private def check(name: String, prop: Prop, n: Int = 200): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(n), prop)
+    assert(res.passed, s"$name failed: ${res.status}")
+  }
+
+  // URL-shaped strings: scheme/case/port/userinfo/dot-segment/percent/
+  // query/fragment variation PLUS raw garbage
+  private val genUrl: Gen[String] = {
+    val scheme = Gen.oneOf("http", "HTTP", "https", "HtTpS", "ftp", "")
+    val host = Gen.oneOf("Example.COM", "a.b.c", "x-y.org", "[::1]",
+      "h0.example.com", "")
+    val port = Gen.oneOf("", ":80", ":443", ":8080")
+    val user = Gen.oneOf("", "User:p@")
+    val seg = Gen.oneOf("a", "B", ".", "..", "p%41q", "%2F", "%zz", "é",
+      "doc", "")
+    val path = Gen.listOfN(3, seg).map(_.mkString("/", "/", ""))
+    val q = Gen.oneOf("", "?b=2&a=1", "?utm_source=x&a=1", "?A=%61",
+      "?gclid=g", "?x")
+    val frag = Gen.oneOf("", "#f", "#")
+    val structured = for {
+      s <- scheme; u <- user; h <- host; po <- port; pa <- path
+      qq <- q; fr <- frag
+    } yield s"$s://$u$h$po$pa$qq$fr"
+    Gen.frequency(
+      8 -> structured,
+      1 -> Gen.asciiPrintableStr,
+      1 -> Gen.oneOf("", "   ", "not a url", "a://", "://x"))
+  }
+
+  test("URL canonicalization is idempotent and total; host(normalize) " +
+    "= host") {
+    check("idempotent", Prop.forAll(genUrl) { u =>
+      val once = UrlOps.normalize(u)
+      val twice = UrlOps.normalize(once)
+      twice == once
+    })
+    check("host stable", Prop.forAll(genUrl) { u =>
+      // hosting the canonical form never disagrees with hosting the
+      // canonicalized original (both lowercase + strip default ports)
+      val viaNorm = UrlOps.host(UrlOps.normalize(u))
+      u == null || viaNorm == null ||
+        viaNorm == UrlOps.host(u.trim.toLowerCase(java.util.Locale.ROOT)) ||
+        viaNorm == UrlOps.host(u) // non-http(s) degrade path
+    })
+  }
+
+  test("WARC framing round-trips arbitrary bodies, plain and as gzip " +
+    "members") {
+    import graft.sources.Warc
+    val genBody = Gen.choose(0, 300).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue))
+        .map(_.toArray))
+    val genRecs = Gen.choose(1, 5).flatMap(n => Gen.listOfN(n, genBody))
+    def rec(i: Int, body: Array[Byte]): Array[Byte] = {
+      val h = (s"WARC/1.0\r\nWARC-Type: resource\r\n" +
+        s"WARC-Target-URI: https://x.org/$i\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n").getBytes("UTF-8")
+      h ++ body ++ "\r\n\r\n".getBytes("UTF-8")
+    }
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(out)
+      g.write(b); g.close()
+      out.toByteArray
+    }
+    check("plain", Prop.forAll(genRecs) { bodies =>
+      val payload = bodies.zipWithIndex
+        .map { case (b, i) => rec(i, b) }
+        .foldLeft(Array.emptyByteArray)(_ ++ _)
+      val rs = Warc.parse(payload)
+      rs.length == bodies.length && rs.forall(_.error == null) &&
+        rs.map(_.targetUri) ==
+          bodies.indices.map(i => s"https://x.org/$i")
+    })
+    check("gzip members", Prop.forAll(genRecs) { bodies =>
+      val payload = bodies.zipWithIndex
+        .map { case (b, i) => gz(rec(i, b)) }
+        .foldLeft(Array.emptyByteArray)(_ ++ _)
+      val rs = Warc.parse(payload)
+      rs.length == bodies.length && rs.forall(_.error == null)
+    }, n = 100)
+  }
+
+  test("the MPEG frame walker is total over arbitrary bytes") {
+    import graft.multimodal.Mp3
+    val genBytes = Gen.choose(0, 600).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue))
+        .map(_.toArray))
+    check("total", Prop.forAll(genBytes) { b =>
+      val fs = Mp3.frames(b) // never throws; rows or empty either way
+      Mp3.audit(b)
+      fs.forall(f => f.error != null || f.frameBytes >= 4)
+    })
+  }
+}
