@@ -323,6 +323,41 @@ class WarcSpec extends SparkSpec {
       list.last._1.contains("crc mismatch"), list.last._1)
   }
 
+  test("gzip members with FEXTRA/FNAME/FCOMMENT/FHCRC header fields " +
+    "(real writers emit them; GZIPOutputStream never does) decode") {
+    val r1 = rec("response", "https://x.org/hdr", httpResponse("<p>h</p>"))
+    // hand-built member: FLG = FHCRC|FEXTRA|FNAME|FCOMMENT (0x1e)
+    val deflated = {
+      val d = new java.util.zip.Deflater(
+        java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+      d.setInput(r1); d.finish()
+      val buf = new Array[Byte](r1.length + 64)
+      val n = d.deflate(buf); d.end()
+      java.util.Arrays.copyOf(buf, n)
+    }
+    val crc = new java.util.zip.CRC32
+    crc.update(r1)
+    val trailer = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(crc.getValue.toInt).putInt(r1.length).array()
+    val member = Array[Byte](0x1f.toByte, 0x8b.toByte, 8, 0x1e,
+      0, 0, 0, 0, 0, 3) ++ // MTIME/XFL/OS
+      Array[Byte](3, 0) ++ "xtr".getBytes("UTF-8") ++ // FEXTRA len 3
+      ("file.warc".getBytes("UTF-8") :+ 0.toByte) ++ // FNAME, NUL-ended
+      ("a comment".getBytes("UTF-8") :+ 0.toByte) ++ // FCOMMENT
+      Array[Byte](0x12, 0x34) ++                      // FHCRC (skipped)
+      deflated ++ trailer
+    // alone, and as the SECOND member after a plain-header one
+    val rs1 = Warc.parse(member)
+    assert(rs1.length == 1 && rs1.head.error == null &&
+      rs1.head.text == "<p>h</p>")
+    val rs2 = Warc.parse(
+      gzip(rec("response", "https://x.org/0", httpResponse("<p>0</p>"))) ++
+        member)
+    assert(rs2.length == 2 && rs2.forall(_.error == null))
+    assert(rs2.map(_.text) == Seq("<p>0</p>", "<p>h</p>"))
+  }
+
   test("a corrupt or truncated follow-up member is a visible error row, " +
     "never a silent prefix truncation") {
     val r1 = rec("response", "https://x.org/1", httpResponse("<p>a</p>"))
