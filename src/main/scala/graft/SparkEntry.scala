@@ -2798,10 +2798,11 @@ object SparkEntry {
     // quarantine aggregate (the r14 ADVICE asked that corpus loss be
     // measurable, not anecdotal): every doc ships its q126 WARC (whose
     // k%5=0 colon-less record quarantines at the framing layer, all
-    // fields null), and k%6=2 docs additionally carry a brotli-encoded
+    // fields null), and k%3=2 docs additionally carry a brotli-encoded
     // response record (well-framed, refused at the HTTP layer with the
     // encoding token in the reason class and the record identity KEPT,
-    // so n_with_url counts it). The oracle replays both residue counts
+    // so n_with_url counts it; odd keys append it as a SECOND gzip
+    // member). The oracle replays both residue counts
     "q135_crawl_audit" -> ((s, dir) => {
       import s.implicits._
       val warcs = tSpread(s, dir, "documents")
@@ -2815,14 +2816,16 @@ object SparkEntry {
     })
   )
 
-  /** q135's payload for doc key `k`: the q126 stream plus, on k%6=2, a
+  /** q135's payload for doc key `k`: the q126 stream plus, on k%3=2, a
     * brotli-encoded response record — appended as its own gzip member
-    * when the base payload is gzipped (k%2=1), plain otherwise.
+    * when the base payload is gzipped (k%2=1, e.g. k=5), plain
+    * otherwise (e.g. k=2); the residue intersects both parities so the
+    * multi-member append path is genuinely planted.
     */
   private[graft] def q135Warc(k: Long, lang: String,
                               text: String): Array[Byte] = {
     val base = q126Warc(k, lang, text)
-    if (k % 6 != 2) return base
+    if (k % 3 != 2) return base
     val crlf = "\r\n"
     val http = (s"HTTP/1.1 200 OK${crlf}Content-Type: text/html$crlf" +
       s"Content-Encoding: br$crlf$crlf").getBytes("UTF-8") ++
@@ -5760,7 +5763,7 @@ object SparkEntry {
 
     // the per-reason quarantine counts replay from the residues: one
     // colon-less framing failure per k%5=0 payload (record identity
-    // lost) and one brotli HTTP refusal per k%6=2 payload (identity
+    // lost) and one brotli HTTP refusal per k%3=2 payload (identity
     // kept, so its url is countable)
     "q135_crawl_audit" ->
       """WITH d AS (SELECT doc_id FROM documents),
@@ -5772,9 +5775,9 @@ object SparkEntry {
         |  FROM d
         |  UNION ALL
         |  SELECT 'unsupported content-encoding br',
-        |    CAST(sum(CASE WHEN doc_id % 6 = 2 THEN 1 ELSE 0 END)
+        |    CAST(sum(CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 0 END)
         |      AS BIGINT),
-        |    CAST(sum(CASE WHEN doc_id % 6 = 2 THEN 1 ELSE 0 END)
+        |    CAST(sum(CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 0 END)
         |      AS BIGINT)
         |  FROM d)
         |SELECT reason, n_records, n_with_url FROM r

@@ -257,8 +257,9 @@ object Mp3 {
 
   /** Summarize one payload: frame/corruption counts, stream parameters
     * from the first good frame, VBR flag (bitrate varies across frames
-    * or a Xing/Info/VBRI header is present), duration from per-frame
-    * samples/rate. None when the payload isn't MPEG audio at all.
+    * or a Xing/VBRI header is present — LAME's 'Info' marker declares
+    * CBR and contributes only the declared frame count), duration from
+    * per-frame samples/rate. None when the payload isn't MPEG audio.
     */
   def audit(payload: Array[Byte]): Option[Audit] = {
     val fs = frames(payload)
@@ -282,9 +283,12 @@ object Mp3 {
   }
 
   /** Xing/Info (at the L3 side-info end of the first frame) or VBRI
-    * (at header + 36) magic in the first good frame; returns (header
-    * present, declared frame count when the header carries one —
+    * (at header + 36) magic in the first good frame; returns (VBR
+    * signal, declared frame count when the header carries one —
     * Xing/Info flag bit 1 → 4-byte BE count; VBRI at magic + 14).
+    * 'Info' is LAME's marker for CBR streams: it contributes the
+    * declared frame count but is NOT a VBR signal — only 'Xing' and
+    * 'VBRI' are.
     */
   private def vbrHeader(payload: Array[Byte],
                         f: Frame): (Boolean, Option[Int]) = {
@@ -304,7 +308,7 @@ object Mp3 {
         case Some(flags) if (flags & 1) != 0 => be32(at + 8)
         case _ => None
       }
-      (true, declared)
+      (magicAt(at, "Xing"), declared)
     } else if (magicAt((f.offset + 36).toInt, "VBRI"))
       (true, be32((f.offset + 36 + 14).toInt))
     else (false, None)

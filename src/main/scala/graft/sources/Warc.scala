@@ -63,9 +63,10 @@ import org.apache.spark.sql.types._
   * [[records]]/[[htmlPages]] keep the binary-column form (one pure
   * kernel call per payload row, scan-stage projection + explode; the
   * payload bytes are projected away before anything can shuffle them) —
-  * there the per-payload record LIST materializes, bounded by the
-  * per-record caps, which fits the pre-split payloads that arrive as a
-  * binary column.
+  * there the per-payload record LIST materializes, so a cumulative
+  * inflation budget ([[MaxInflatedTotal]]) quarantines the tail of a
+  * many-member gzip bomb; that fits the pre-split payloads that arrive
+  * as a binary column.
   */
 object Warc {
 
@@ -91,6 +92,18 @@ object Warc {
     * (the Common Crawl shape) gets the verified path.
     */
   val MemberBuffer: Int = MaxBody * 2 // 128 MiB
+
+  /** Cumulative inflated-bytes cap for the MATERIALIZED binary-column
+    * path ([[parse]], and through it [[records]]/[[htmlPages]]): the
+    * per-record [[MaxBody]] bounds each record but not the record LIST
+    * one payload row materializes, so a small many-member gzip bomb
+    * (~1000:1 per member) could otherwise inflate gigabytes inside one
+    * task. Records decoded within the budget stand; the remainder is
+    * quarantined as one error row. The lazy paths ([[stream]],
+    * [[parseStream]], [[recordsFromPaths]]) are deliberately uncapped —
+    * there records are consumed one at a time and never aggregate.
+    */
+  val MaxInflatedTotal: Long = 1L << 28 // 256 MiB
 
   /** One parsed record (or one quarantined parse failure). */
   final case class Rec(recIdx: Int, offset: Long, warcType: String,
@@ -610,7 +623,13 @@ object Warc {
               try zin.read(buf)
               catch { case _: java.io.IOException => malformed("bad zstd body") }
           }
-        } finally zin.close()
+        } finally {
+          // close() can itself throw IOException on a truncated frame —
+          // swallowing it keeps the Malformed-only contract of parseOne
+          // (and avoids masking a Malformed thrown in the try block)
+          try zin.close()
+          catch { case _: java.io.IOException => () }
+        }
         body = out.toByteArray
       case Some("identity") | None => ()
       case Some(other) =>
@@ -708,13 +727,14 @@ object Warc {
     */
   def stream(payload: Array[Byte]): Iterator[Rec] = {
     if (payload == null || payload.isEmpty) return Iterator.empty
-    val chunks: ChunkSource =
-      if (payload.length >= 2 && (payload(0) & 0xff) == 0x1f &&
-        (payload(1) & 0xff) == 0x8b)
-        new GzipMemberChunks(new java.io.ByteArrayInputStream(payload))
-      else new PlainChunks(payload)
-    new RecIterator(new ByteSource(chunks))
+    new RecIterator(new ByteSource(chunkSourceFor(payload)))
   }
+
+  private def chunkSourceFor(payload: Array[Byte]): ChunkSource =
+    if (payload.length >= 2 && (payload(0) & 0xff) == 0x1f &&
+      (payload(1) & 0xff) == 0x8b)
+      new GzipMemberChunks(new java.io.ByteArrayInputStream(payload))
+    else new PlainChunks(payload)
 
   /** Lazily parse a WARC byte STREAM (a whole crawl file read straight
     * from storage) into records; same contract as [[stream]]. The
@@ -734,9 +754,28 @@ object Warc {
   }
 
   /** [[stream]], materialized — the kernel behind the binary-column
-    * DataFrame surface and the specs' entry point.
+    * DataFrame surface and the specs' entry point. Unlike the lazy
+    * paths this aggregates the record list in memory, so a cumulative
+    * [[MaxInflatedTotal]] budget applies: once the inflated byte count
+    * crosses it, one error row quarantines the remainder and parsing
+    * stops (records already decoded stand).
     */
-  def parse(payload: Array[Byte]): Seq[Rec] = stream(payload).toSeq
+  def parse(payload: Array[Byte]): Seq[Rec] = {
+    if (payload == null || payload.isEmpty) return Nil
+    val src = new ByteSource(chunkSourceFor(payload))
+    val it = new RecIterator(src)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Rec]
+    var capped = false
+    while (!capped && it.hasNext) {
+      out += it.next()
+      if (src.offset > MaxInflatedTotal) {
+        capped = true
+        out += Rec(out.last.recIdx + 1, src.offset, null, null, null, null,
+          None, null, "inflated total past cap")
+      }
+    }
+    out.toSeq
+  }
 
   // ---------------------------------------------------------------------
   // DataFrame surfaces.
@@ -805,13 +844,24 @@ object Warc {
             Iterator.single(Row(p, 0, 0L, null, null, null, null, null,
               null, s"unreadable file: $err"))
           case Right(in) =>
-            // closed when the iterator drains (flatMap consumes fully)
+            // closed when the iterator drains; a task-completion
+            // listener backstops early termination (a downstream
+            // limit/take, a task error mid-file) so the handle never
+            // leaks for the task's lifetime
             new Iterator[Row] {
               private val recs = parseStream(in)
               private var closed = false
+              private def closeOnce(): Unit =
+                if (!closed) {
+                  closed = true
+                  try in.close()
+                  catch { case _: java.io.IOException => () }
+                }
+              Option(org.apache.spark.TaskContext.get()).foreach(
+                _.addTaskCompletionListener[Unit](_ => closeOnce()))
               def hasNext: Boolean = {
                 val h = recs.hasNext
-                if (!h && !closed) { closed = true; in.close() }
+                if (!h) closeOnce()
                 h
               }
               def next(): Row = {

@@ -159,12 +159,21 @@ class Mp3Spec extends SparkSpec {
     val ax = Mp3.audit(xf ++ frame(9, 0, mono = true)).get
     assert(ax.vbr && ax.bitrateKbps == 128)
     assert(ax.declaredFrames.contains(7)) // vs nFrames 2: truncation check
-    // Info header without the frames flag: vbr-tagged, no declared count
+    // Info header: LAME's CBR marker — declared frame count usable,
+    // but NOT a VBR signal (the stream stays CBR-classified)
     val inf = frame(9, 0, mono = true)
     inf(at) = 'I'; inf(at + 1) = 'n'; inf(at + 2) = 'f'; inf(at + 3) = 'o'
-    inf(at + 4) = 0; inf(at + 5) = 0; inf(at + 6) = 0; inf(at + 7) = 0
+    inf(at + 4) = 0; inf(at + 5) = 0; inf(at + 6) = 0; inf(at + 7) = 1
+    inf(at + 8) = 0; inf(at + 9) = 0; inf(at + 10) = 0; inf(at + 11) = 1
     val ai = Mp3.audit(inf).get
-    assert(ai.vbr && ai.declaredFrames.isEmpty)
+    assert(!ai.vbr && ai.bitrateKbps == 128)
+    assert(ai.declaredFrames.contains(1))
+    // Info without the frames flag: still CBR, no declared count
+    val inf0 = frame(9, 0, mono = true)
+    inf0(at) = 'I'; inf0(at + 1) = 'n'; inf0(at + 2) = 'f'; inf0(at + 3) = 'o'
+    inf0(at + 4) = 0; inf0(at + 5) = 0; inf0(at + 6) = 0; inf0(at + 7) = 0
+    val ai0 = Mp3.audit(inf0).get
+    assert(!ai0.vbr && ai0.declaredFrames.isEmpty)
   }
 
   test("corruption fuzz: random byte flips over tagged CBR streams " +

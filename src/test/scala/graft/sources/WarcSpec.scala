@@ -468,10 +468,52 @@ class WarcSpec extends SparkSpec {
       assert(pages.length == 3)
       assert(pages.map(_.getAs[String]("html")).toSet ==
         Set("<p>one</p>", "wet two", "<p>three</p>"))
+      // early termination (a downstream limit) must not break the
+      // iterator — the task-completion listener closes the handle
+      assert(Warc.recordsFromPaths(Seq(f1.getAbsolutePath).toDS())
+        .limit(1).collect().length == 1)
     } finally {
       dir.listFiles().foreach(_.delete())
       dir.delete()
     }
+  }
+
+  test("parse() bounds CUMULATIVE inflation: a many-member bomb's tail " +
+    "quarantines as one error row; the lazy paths stay uncapped") {
+    // 6 members x ~60 MiB conversion records: per-record MaxBody (64
+    // MiB) passes each one, but the MATERIALIZED list would hold ~360
+    // MiB from a ~360 KiB compressed payload — the MaxInflatedTotal
+    // budget (256 MiB) stops after the record that crosses it
+    val body = new Array[Byte](60 << 20)
+    java.util.Arrays.fill(body, 'a'.toByte)
+    val member = gzip(rec("conversion", "https://x.org/big", body,
+      contentType = "text/plain"))
+    val payload = Array.concat(Seq.fill(6)(member): _*)
+    val rs = Warc.parse(payload)
+    assert(rs.length < 7) // never all 6 + implicit headroom
+    assert(rs.last.error == "inflated total past cap")
+    val good = rs.init
+    assert(good.forall(_.error == null) && good.nonEmpty)
+    assert(good.forall(_.text.length == body.length))
+    // the lazy path is per-record memory by construction: all 6 decode
+    var n = 0
+    val it = Warc.stream(payload)
+    while (it.hasNext) { assert(it.next().error == null); n += 1 }
+    assert(n == 6)
+  }
+
+  test("a TRUNCATED zstd frame refuses as a row (close() may throw " +
+    "IOException; the record contract still holds)") {
+    val zstd = {
+      val out = new java.io.ByteArrayOutputStream()
+      val z = new com.github.luben.zstd.ZstdOutputStreamNoFinalizer(out)
+      z.write(("y" * 5000).getBytes("UTF-8")); z.close()
+      out.toByteArray
+    }
+    val cut = java.util.Arrays.copyOf(zstd, zstd.length / 2)
+    val r = Warc.parse(rec("response", "https://x.org/cut",
+      httpResponse(null, s"Content-Encoding: zstd$crlf", cut))).head
+    assert(r.error != null && r.targetUri == "https://x.org/cut")
   }
 
   test("q126 planted corpus parses to its closed form for every variant " +
