@@ -104,17 +104,21 @@ object ScaleSmoke {
     // per-reason quarantine audit (scan + low-cardinality agg)
     "q132_url_survivors", "q135_crawl_audit")
 
-  /** Measured at 10× only. Both are deliberately NOT the scale path —
-    * q77 is the pinned-k SemDeDup negative control (its 100× exponent
-    * was measured twice: 1.23 in rounds 10 AND 11 — PERF_NOTES.md item
-    * 5 — and re-proving the known number cost ~415 s per sweep), q111
-    * the exact-all-pairs audit form of q106 whose prefix join
-    * deliberately trades scale for oracle-structural pair recall. Their
-    * superlinear burden is exactly why the defaults are q103/q105 and
-    * q106; the 10× point keeps the control evidence fresh without
-    * re-paying the quadratic tail each round.
+  /** Measured at 10× only. All three are deliberately NOT the scale
+    * path — q77 is the pinned-k SemDeDup negative control (its 100×
+    * exponent was measured twice: 1.23 in rounds 10 AND 11 —
+    * PERF_NOTES.md item 5 — and re-proving the known number cost
+    * ~415 s per sweep), q111 the exact-all-pairs audit form of q106
+    * whose prefix join deliberately trades scale for oracle-structural
+    * pair recall, and q19 the exact AllPairs jaccard certification form
+    * of the banded q22 (100× measured 0.83 in r14 AND r15 at ~2 min a
+    * sweep, repeatedly landing in drift brackets — PERF_NOTES 19/24).
+    * Their superlinear burden is exactly why the defaults are
+    * q103/q105, q106 and q22; the 10× point keeps the control evidence
+    * fresh without re-paying the quadratic tail each round.
     */
-  private val TenXOnly = Set("q77_semdedup", "q111_curation_fuzzy_audit")
+  private val TenXOnly = Set("q77_semdedup", "q111_curation_fuzzy_audit",
+    "q19_jaccard_pairs")
 
   /** Id offset between copies — far above any base id, and a multiple of
     * 10 so `doc_id % 10`-style splits partition every copy identically.
