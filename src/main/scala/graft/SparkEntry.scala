@@ -2613,7 +2613,15 @@ object SparkEntry {
       val pages = tSpread(s, dir, "documents").select(col("doc_id"), concat(
         lit("<!DOCTYPE html>\n<html lang=\""), col("lang"),
         lit("\"><head><title>Doc "), col("doc_id").cast("string"),
-        lit("</title>\n<style>p { color: red } /* <p>decoy</p> */</style>" +
+        lit("</title>\n"),
+        // robots directives: noindex planted on %6=4 (the curation gate
+        // must SEE it); a non-robots meta on %6=1 is the negative control
+        when(col("doc_id") % 6 === 4,
+          lit("<meta name=\"robots\" content=\"noindex\">"))
+          .when(col("doc_id") % 6 === 1,
+            lit("<meta name=\"description\" content=\"noindex decoy\">"))
+          .otherwise(lit("")),
+        lit("<style>p { color: red } /* <p>decoy</p> */</style>" +
           "<script>var s = \"<p>decoy</p>\";</script></head>\n<body>" +
           "<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a> " +
           "<a href=\"/b\">More</a></nav>" +
@@ -2625,7 +2633,8 @@ object SparkEntry {
           "<footer>&copy; 2026 example</footer></body></html>")
       ).as("html"))
       textops.HtmlExtract.extractDocs(pages, "doc_id", "html")
-        .select(col("doc_id"), col("title"), col("lang"), col("text"))
+        .select(col("doc_id"), col("title"), col("lang"), col("text"),
+          col("robots_noindex"))
         .orderBy(col("doc_id"))
     }),
 
@@ -5650,7 +5659,8 @@ object SparkEntry {
       """SELECT doc_id,
         |  'Doc ' || CAST(doc_id AS VARCHAR) AS title, lang,
         |  text || chr(10) || 'end of document ' ||
-        |    CAST(doc_id AS VARCHAR) || ' & beyond.' AS text
+        |    CAST(doc_id AS VARCHAR) || ' & beyond.' AS text,
+        |  doc_id % 6 = 4 AS robots_noindex
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // closed-form replay of the planted WARC matrix: response pages

@@ -38,10 +38,15 @@ object HtmlExtract {
   /** One extracted page. `title`/`lang` are null when absent; `text` is
     * kept content blocks joined with '\n' (empty string when nothing
     * survives); block counts expose the boilerplate decision for
-    * quality diagnostics.
+    * quality diagnostics. `robotsNoindex`/`robotsNofollow` surface the
+    * page's `<meta name="robots">` directives (the "none" token implies
+    * both) — a compliant crawl-curation pipeline must be ABLE to honor
+    * noindex, so it is captured here as a gate column rather than
+    * silently dropped with the rest of the head.
     */
   final case class Extracted(title: String, lang: String, text: String,
-                             blocksKept: Int, blocksDropped: Int)
+                             blocksKept: Int, blocksDropped: Int,
+                             robotsNoindex: Boolean, robotsNofollow: Boolean)
 
   /** Elements whose content is raw text up to the matching close tag
     * (HTML5 §13.2.5.1 script/RCDATA states — a '<' inside them is NOT
@@ -275,7 +280,8 @@ object HtmlExtract {
     * no markup at all comes back as a single kept block.
     */
   def extract(html: String): Extracted = {
-    if (html == null) return Extracted(null, null, null, 0, 0)
+    if (html == null) return Extracted(null, null, null, 0, 0,
+      robotsNoindex = false, robotsNofollow = false)
     val s = html
     val n = s.length
 
@@ -293,6 +299,8 @@ object HtmlExtract {
     var aDepth = 0
     var inTitle = false
     val titleBuf = new StringBuilder
+    var robotsNoindex = false
+    var robotsNofollow = false
 
     def closeBlock(): Unit = {
       val text = collapseWs(block.toString)
@@ -381,6 +389,22 @@ object HtmlExtract {
                 val v = attrValue(s, tag.attrFrom, tag.attrUntil, "lang")
                 if (v != null && v.nonEmpty) lang = v
               }
+              if (name == "meta" && !tag.closing) {
+                val mn = attrValue(s, tag.attrFrom, tag.attrUntil, "name")
+                if (mn != null && lowerAscii(mn.trim) == "robots") {
+                  val content =
+                    attrValue(s, tag.attrFrom, tag.attrUntil, "content")
+                  if (content != null) content.split(',').foreach { tok =>
+                    lowerAscii(tok.trim) match {
+                      case "noindex" => robotsNoindex = true
+                      case "nofollow" => robotsNofollow = true
+                      case "none" => // = noindex,nofollow per the spec
+                        robotsNoindex = true; robotsNofollow = true
+                      case _ => ()
+                    }
+                  }
+                }
+              }
               if (name == "a") {
                 if (tag.closing) { if (aDepth > 0) aDepth -= 1 }
                 else if (!selfClosed) aDepth += 1
@@ -408,7 +432,8 @@ object HtmlExtract {
       }
     }
     closeBlock()
-    Extracted(title, lang, kept.mkString("\n"), kept.length, dropped)
+    Extracted(title, lang, kept.mkString("\n"), kept.length, dropped,
+      robotsNoindex, robotsNofollow)
   }
 
   /** Scan-stage extraction over a DataFrame: (id, carry…, title, lang,
@@ -423,13 +448,16 @@ object HtmlExtract {
                   carryCols: Seq[String] = Nil): DataFrame = {
     val kernel = udf { html: String =>
       val e = extract(html)
-      (e.title, e.lang, e.text, e.blocksKept, e.blocksDropped)
+      (e.title, e.lang, e.text, e.blocksKept, e.blocksDropped,
+        e.robotsNoindex, e.robotsNofollow)
     }
     val carried = carryCols.map(col)
     df.select(col(idCol) +: carried :+ kernel(col(htmlCol)).as("e"): _*)
       .select(col(idCol) +: carried :+ col("e._1").as("title") :+
         col("e._2").as("lang") :+ col("e._3").as("text") :+
         col("e._4").as("blocks_kept") :+
-        col("e._5").as("blocks_dropped"): _*)
+        col("e._5").as("blocks_dropped") :+
+        col("e._6").as("robots_noindex") :+
+        col("e._7").as("robots_nofollow"): _*)
   }
 }

@@ -156,6 +156,36 @@ class HtmlExtractSpec extends SparkSpec {
       "&#xZZZZ; &#99999999999;")
   }
 
+  test("meta robots directives: noindex/nofollow/none captured as gate " +
+    "flags; non-robots metas and body text are negative controls") {
+    def page(head: String) =
+      s"<html><head><title>T</title>$head</head><body><p>content</p></body>"
+    val ni = extract(page("<meta name=\"robots\" content=\"noindex\">"))
+    assert(ni.robotsNoindex && !ni.robotsNofollow)
+    assert(ni.text == "content") // capture never perturbs extraction
+    val both = extract(page(
+      "<meta name=\"robots\" content=\" NoIndex , NOFOLLOW \">"))
+    assert(both.robotsNoindex && both.robotsNofollow) // case/space-proof
+    val none = extract(page("<meta name=\"robots\" content=\"none\">"))
+    assert(none.robotsNoindex && none.robotsNofollow) // none = both
+    val nf = extract(page("<meta name='robots' content='nofollow'>"))
+    assert(!nf.robotsNoindex && nf.robotsNofollow)
+    // negative controls: other meta names, robots value elsewhere,
+    // directive tokens as page text
+    assert(!extract(page(
+      "<meta name=\"description\" content=\"noindex\">")).robotsNoindex)
+    assert(!extract(page(
+      "<meta name=\"googlebot\" content=\"noindex\">")).robotsNoindex)
+    assert(!extract("<p>noindex, nofollow</p>").robotsNoindex)
+    // index,follow (the explicit allow) sets neither flag
+    val allow = extract(page(
+      "<meta name=\"robots\" content=\"index, follow\">"))
+    assert(!allow.robotsNoindex && !allow.robotsNofollow)
+    // absent meta: both false; null html: both false
+    assert(!extract(page("")).robotsNoindex)
+    assert(!extract(null).robotsNoindex)
+  }
+
   test("extractDocs: scan-stage DataFrame wrapper with null rows") {
     import spark.implicits._
     val df = Seq(
