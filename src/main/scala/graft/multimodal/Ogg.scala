@@ -1,0 +1,196 @@
+package graft.multimodal
+
+/** Ogg container walk (RFC 3533): page framing, CRC verification and
+  * packet reassembly across lacing/page boundaries — the transport under
+  * Vorbis ([[Vorbis]]), and the audit seam for any Ogg payload.
+  *
+  * The reference pipeline has no audio code at all (stream2segment's
+  * payloads are miniSEED waveforms, `stream2segment/download/modules/
+  * segments.py:1`); this is extension surface for the LLM-data brief's
+  * multimodal corpus operators.
+  *
+  * DESIGN FOR 100 TB: a pure per-payload kernel — one forward pass over
+  * the bytes, no allocation proportional to anything but the payload,
+  * total on attacker-controlled input (corruption becomes per-page
+  * error accounting, never an exception). Runs in the scan stage;
+  * payload bytes never reach a shuffle.
+  */
+object Ogg {
+
+  /** One reassembled logical packet. */
+  final case class Packet(data: Array[Byte], serial: Int, granule: Long,
+                          bos: Boolean, eos: Boolean)
+
+  /** Walk result: packets in stream order plus container health
+    * counters (the audit's raw material). `errors` counts pages whose
+    * framing or CRC failed (the walk resyncs to the next capture
+    * pattern — one bad page never costs the file).
+    */
+  final case class Walk(packets: Vector[Packet], nPages: Int,
+                        nBadPages: Int, serials: Set[Int],
+                        lastGranule: Long)
+
+  private val MaxPacket = 1 << 24 // 16 MiB: a lacing bomb cap
+
+  /** CRC-32 as Ogg uses it: polynomial 0x04c11db7, NOT reflected,
+    * initial value 0, no final xor (RFC 3533 appendix A) — distinct
+    * from zlib's reflected CRC-32.
+    */
+  private val CrcTable: Array[Int] = {
+    val t = new Array[Int](256)
+    var i = 0
+    while (i < 256) {
+      var r = i << 24
+      var j = 0
+      while (j < 8) {
+        r = if ((r & 0x80000000) != 0) (r << 1) ^ 0x04c11db7 else r << 1
+        j += 1
+      }
+      t(i) = r
+      i += 1
+    }
+    t
+  }
+
+  private[multimodal] def crc32(b: Array[Byte], from: Int, until: Int,
+                                zeroFrom: Int = -1, zeroLen: Int = 0): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      val v =
+        if (zeroFrom >= 0 && i >= zeroFrom && i < zeroFrom + zeroLen) 0
+        else b(i) & 0xff
+      crc = (crc << 8) ^ CrcTable(((crc >>> 24) ^ v) & 0xff)
+      i += 1
+    }
+    crc
+  }
+
+  private def le32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16) |
+      ((b(i + 3) & 0xff) << 24)
+
+  private def le64(b: Array[Byte], i: Int): Long =
+    (le32(b, i) & 0xffffffffL) | ((le32(b, i + 4) & 0xffffffffL) << 32)
+
+  /** True when the payload starts with an Ogg capture pattern. */
+  def isOgg(b: Array[Byte]): Boolean =
+    b != null && b.length >= 4 && b(0) == 'O' && b(1) == 'g' &&
+      b(2) == 'g' && b(3) == 'S'
+
+  /** Walk every page, verify CRCs, reassemble packets. Total: malformed
+    * or corrupt pages count in `nBadPages` and the walk resyncs at the
+    * next "OggS"; a packet left open by a bad page is dropped (its
+    * bytes are unattributable). Multiplexed files (several serials) are
+    * walked page-by-page; packet continuation state is per-serial.
+    */
+  def walk(b: Array[Byte]): Option[Walk] = {
+    if (!isOgg(b)) return None
+    val packets = Vector.newBuilder[Packet]
+    var nPages = 0
+    var nBad = 0
+    var serials = Set.empty[Int]
+    var lastGranule = -1L
+    // per-serial partial packet being assembled across pages
+    val partial = scala.collection.mutable.Map.empty[Int, java.io.ByteArrayOutputStream]
+    var i = 0
+    def resync(from: Int): Int = {
+      var p = from
+      while (p + 4 <= b.length) {
+        if (b(p) == 'O' && b(p + 1) == 'g' && b(p + 2) == 'g' &&
+          b(p + 3) == 'S') return p
+        p += 1
+      }
+      b.length
+    }
+    while (i + 27 <= b.length) {
+      if (!(b(i) == 'O' && b(i + 1) == 'g' && b(i + 2) == 'g' &&
+        b(i + 3) == 'S') || b(i + 4) != 0) {
+        nBad += 1; i = resync(i + 1)
+      } else {
+        val headerType = b(i + 5) & 0xff
+        val granule = le64(b, i + 6)
+        val serial = le32(b, i + 14)
+        val crc = le32(b, i + 22)
+        val nSegs = b(i + 26) & 0xff
+        val segBase = i + 27
+        if (segBase + nSegs > b.length) { nBad += 1; i = b.length }
+        else {
+          var bodyLen = 0
+          var s = 0
+          while (s < nSegs) { bodyLen += b(segBase + s) & 0xff; s += 1 }
+          val bodyBase = segBase + nSegs
+          if (bodyBase + bodyLen > b.length) { nBad += 1; i = b.length }
+          else {
+            val pageEnd = bodyBase + bodyLen
+            val computed = crc32(b, i, pageEnd, zeroFrom = i + 22, zeroLen = 4)
+            if (computed != crc) {
+              nBad += 1
+              partial.remove(serial) // continuation state is now garbage
+              i = resync(i + 1)
+            } else {
+              nPages += 1
+              serials += serial
+              if (granule >= 0) lastGranule = granule
+              val continued = (headerType & 1) != 0
+              val bos = (headerType & 2) != 0
+              val eos = (headerType & 4) != 0
+              var acc = partial.getOrElse(serial, null)
+              if (!continued && acc != null) {
+                // writer lied about continuation: drop the orphan
+                partial.remove(serial); acc = null; nBad += 1
+              }
+              if (continued && acc == null) {
+                // continuation of a packet we never saw (bad prior page
+                // or mid-stream start): skip up to the first boundary
+                acc = null
+              }
+              var off = bodyBase
+              var seg = 0
+              var skipping = continued && !partial.contains(serial)
+              while (seg < nSegs) {
+                val lace = b(segBase + seg) & 0xff
+                if (!skipping) {
+                  if (acc == null) acc = new java.io.ByteArrayOutputStream()
+                  if (acc.size() + lace <= MaxPacket)
+                    acc.write(b, off, lace)
+                  // past the cap: stop growing, the packet truncates —
+                  // the codec layer sees a short packet and refuses it
+                }
+                off += lace
+                if (lace < 255) {
+                  if (skipping) skipping = false
+                  else {
+                    packets += Packet(acc.toByteArray, serial, granule,
+                      bos, eos)
+                    acc = null
+                  }
+                }
+                seg += 1
+              }
+              if (acc != null) partial(serial) = acc
+              else partial.remove(serial)
+              i = pageEnd
+            }
+          }
+        }
+      }
+    }
+    Some(Walk(packets.result(), nPages, nBad, serials, lastGranule))
+  }
+
+  /** Codec sniff from a BOS packet's magic — the public first-packet
+    * signatures of the codecs an audio crawl actually meets.
+    */
+  def codecOf(bos: Array[Byte]): String = {
+    def at(s: String, off: Int): Boolean =
+      bos.length >= off + s.length &&
+        s.indices.forall(j => bos(off + j) == s.charAt(j).toByte)
+    if (bos.length >= 7 && (bos(0) & 0xff) == 1 && at("vorbis", 1)) "vorbis"
+    else if (at("OpusHead", 0)) "opus"
+    else if (bos.length >= 5 && (bos(0) & 0xff) == 0x7f && at("FLAC", 1)) "flac"
+    else if (bos.length >= 7 && (bos(0) & 0xff) == 0x80 && at("theora", 1))
+      "theora"
+    else "unknown"
+  }
+}

@@ -1,0 +1,1406 @@
+package graft.multimodal
+
+import graft.dsp.Fft
+
+/** Vorbis I decode over the Ogg transport ([[Ogg]]) — the lossy-audio
+  * codec whose PCM decode IS implementable in a zero-egress build: all
+  * codebooks, floor configurations and residue setups ship IN the
+  * stream's setup header (Vorbis I spec §4.2.4), so unlike MP3/AAC
+  * (whose ISO Huffman/scalefactor tables would have to be copied
+  * verbatim — the documented refusal, PERF_NOTES 17/22) there is no
+  * external verbatim-table gap, only implementation: bitpacking,
+  * codebook Huffman/VQ, floor1 curve synthesis, residue accumulation,
+  * channel coupling, inverse MDCT, lapped windowing.
+  *
+  * Scope and honesty notes:
+  *  - floor type 1, residue types 0/1/2, mapping type 0, channel
+  *    coupling: implemented per the public Vorbis I spec.
+  *  - floor type 0 (LSP, deprecated — real encoders stopped emitting it
+  *    before Vorbis 1.0) REFUSES with a typed reason rather than risk a
+  *    wrongly-recalled curve formula; the refusal is visible in
+  *    [[audit]] like every other gap in this repo.
+  *  - the floor1 inverse-dB table is generated as the exact geometric
+  *    ramp between its published endpoint values (1.0649863e-07 →
+  *    0.82788260 over 256 steps); entries agree with the spec's printed
+  *    values to float precision. Both [[vorbisBytes]] and the decoder
+  *    use THIS table, so planted round-trips are self-consistent by
+  *    construction.
+  *  - the inverse MDCT is computed via one N-point complex FFT
+  *    ([[graft.dsp.Fft.dft]]) from the identity
+  *    y[n] = Re{ e^{iπn/N} · Σ_k X''_k e^{i2πkn/N} } with
+  *    X''_k = X_k·e^{iπ(2k+1)(1/4 + 1/(2N))} — derived directly from
+  *    the spec's y[n] = Σ_k X[k]·cos(π/(2N)(2n+1+N/2)(2k+1)).
+  *
+  * [[vorbisBytes]] is the planting encoder: a restricted but fully
+  * VALID Vorbis stream (one mode, 256-sample blocks, flat floor1, a
+  * 4-pass dyadic residue ladder at 2^-4/2^-11/2^-18/2^-25 step sizes)
+  * whose worst-case spectral quantization error (≤ 2^-26 per
+  * coefficient, ×128 coefficients ×2 lapped frames ≈ 4e-6 normalized ≈
+  * 0.13 int16 steps) guarantees the decoded stream rounds back to the
+  * EXACT input samples — that is what lets the q113/q116 corpora gain
+  * Vorbis members under unchanged sample-exact oracles (the FLAC r13
+  * pattern applied to a lossy codec). Mono streams use residue type 1,
+  * stereo uses type 2 (the interleaved form real encoders emit), so
+  * both decode paths are exercised by planted corpora.
+  *
+  * DESIGN FOR 100 TB: pure per-payload kernel, scan-stage, total on
+  * attacker bytes (corruption → error/refusal rows, never exceptions);
+  * decode memory is bounded by payload size and the codebook caps.
+  *
+  * The reference has no audio code (its waveforms are miniSEED,
+  * `stream2segment/download/modules/segments.py:1`); extension surface
+  * for the LLM-data brief.
+  */
+object Vorbis {
+
+  private final class Refuse(val reason: String)
+    extends RuntimeException(reason, null, false, false)
+  private def refuse(reason: String): Nothing = throw new Refuse(reason)
+
+  // -------------------------------------------------------------------
+  // Bitpacking (Vorbis I spec §2): LSb-first within each byte.
+  // -------------------------------------------------------------------
+
+  private final class BitReader(b: Array[Byte]) {
+    private var bitPos = 0L
+    private val nBits = b.length.toLong * 8
+    var eop = false
+    def read(n: Int): Int = {
+      var v = 0L
+      var i = 0
+      while (i < n) {
+        if (bitPos >= nBits) { eop = true; return v.toInt }
+        val byte = b((bitPos >> 3).toInt) & 0xff
+        v |= ((byte >> (bitPos & 7).toInt) & 1).toLong << i
+        bitPos += 1
+        i += 1
+      }
+      v.toInt
+    }
+    def readBit(): Int = read(1)
+  }
+
+  private final class BitWriter {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var cur = 0
+    private var nCur = 0
+    def write(value: Long, n: Int): Unit = {
+      var i = 0
+      while (i < n) {
+        cur |= (((value >> i) & 1).toInt << nCur)
+        nCur += 1
+        if (nCur == 8) { out.write(cur); cur = 0; nCur = 0 }
+        i += 1
+      }
+    }
+    /** Huffman codewords stream MSb (root branch) first. */
+    def writeCodeword(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) { write((code >> i) & 1, 1); i -= 1 }
+    }
+    def bytes(): Array[Byte] = {
+      if (nCur > 0) { out.write(cur); cur = 0; nCur = 0 }
+      out.toByteArray
+    }
+  }
+
+  /** ilog per spec §9.2.1: bits needed (ilog(0)=0, ilog(7)=3). */
+  private def ilog(x: Int): Int = {
+    var v = x
+    var r = 0
+    while (v > 0) { r += 1; v >>= 1 }
+    r
+  }
+
+  /** float32_unpack (§9.2.2): 21-bit mantissa, biased base-2 exponent. */
+  private def float32Unpack(x: Int): Double = {
+    val mant = (x & 0x1fffff).toDouble
+    val sign = if ((x & 0x80000000) != 0) -mant else mant
+    val exp = (x & 0x7fe00000) >>> 21
+    sign * math.pow(2.0, exp - 788.0)
+  }
+
+  /** Inverse of [[float32Unpack]] for the dyadic constants the planting
+    * encoder uses (exact round-trip asserted).
+    */
+  private[multimodal] def float32Pack(v: Double): Int = {
+    if (v == 0.0) return 0
+    val sign = if (v < 0) 0x80000000 else 0
+    var mant = math.abs(v)
+    var exp = 788
+    while (mant < (1 << 20) && exp > 0) { mant *= 2; exp -= 1 }
+    while (mant >= (1 << 21)) { mant /= 2; exp += 1 }
+    val m = math.round(mant).toInt
+    require(float32Unpack(sign | (exp << 21) | m) == v,
+      s"not representable as a Vorbis float: $v")
+    sign | (exp << 21) | m
+  }
+
+  // -------------------------------------------------------------------
+  // Codebooks (§3).
+  // -------------------------------------------------------------------
+
+  private val MaxEntries = 1 << 22
+  private val MaxMults = 1 << 24
+
+  private final class Codebook(val dim: Int, val entries: Int,
+                               val lengths: Array[Int]) {
+    // decode trie over codeword bits in stream (root→leaf) order:
+    // node i has children at child(2i), child(2i+1); negative child
+    // encodes ~entry (leaf). 0 = unassigned.
+    private var child = new Array[Int](16)
+    private var nNodes = 1
+    var singleEntry: Int = -1
+
+    var lookupType = 0
+    var minimum = 0.0
+    var delta = 0.0
+    var seqP = false
+    var valueBits = 0
+    var mults: Array[Int] = null
+    var lookupValues = 0
+
+    private def newNode(): Int = {
+      if (2 * (nNodes + 1) > child.length)
+        child = java.util.Arrays.copyOf(child, child.length * 2)
+      nNodes += 1
+      nNodes - 1
+    }
+
+    private def insert(code: Long, len: Int, entry: Int): Unit = {
+      var node = 0
+      var i = len - 1
+      while (i >= 0) {
+        val bit = ((code >> i) & 1).toInt
+        val slot = 2 * node + bit
+        if (i == 0) {
+          if (child(slot) != 0) refuse("overspecified codebook (leaf)")
+          child(slot) = ~entry
+        } else {
+          if (child(slot) < 0) refuse("overspecified codebook (prefix)")
+          if (child(slot) == 0) {
+            // newNode() may swap `child` for a grown copy — resolve it
+            // BEFORE indexing, or the write lands in the stale array
+            val nn = newNode()
+            child(slot) = nn
+          }
+          node = child(slot)
+        }
+        i -= 1
+      }
+    }
+
+    /** Canonical Vorbis codeword assignment: entries in order, each
+      * takes the lowest available codeword of its length (§3.2.1). The
+      * classic one-free-subtree-per-depth bookkeeping, codes held
+      * left-justified in 32 bits.
+      */
+    def assignCodewords(): Unit = {
+      val used = lengths.count(_ > 0)
+      if (used == 0) refuse("codebook with no used entries")
+      if (used == 1) {
+        // spec special case: a single-entry codebook decodes by reading
+        // one bit (value ignored)
+        singleEntry = lengths.indexWhere(_ > 0)
+        return
+      }
+      val available = new Array[Long](33)
+      var first = true
+      var underspecified = false
+      var e = 0
+      while (e < entries) {
+        val len = lengths(e)
+        if (len > 0) {
+          if (first) {
+            insert(0L, len, e)
+            var d = 1
+            while (d <= len) { available(d) = 1L << (32 - d); d += 1 }
+            first = false
+          } else {
+            var z = len
+            while (z > 0 && available(z) == 0) z -= 1
+            if (z == 0) refuse("overspecified codebook (full)")
+            val res = available(z)
+            available(z) = 0
+            insert(res >>> (32 - len), len, e)
+            var y = z + 1
+            while (y <= len) {
+              available(y) = res | (1L << (32 - y))
+              y += 1
+            }
+          }
+        }
+        e += 1
+      }
+      var d = 1
+      while (d <= 32) { if (available(d) != 0) underspecified = true; d += 1 }
+      if (underspecified) refuse("underspecified codebook")
+    }
+
+    /** Scalar context: the entry number. */
+    def decodeScalar(br: BitReader): Int = {
+      if (singleEntry >= 0) { br.readBit(); return singleEntry }
+      var node = 0
+      var depth = 0
+      while (depth <= 32) {
+        val bit = br.readBit()
+        if (br.eop) refuse("eop inside codeword")
+        val slot = 2 * node + bit
+        val c = child(slot)
+        if (c < 0) return ~c
+        if (c == 0) refuse("invalid codeword") // complete trees: unreachable
+        node = c
+        depth += 1
+      }
+      refuse("codeword too long")
+    }
+
+    /** VQ context: the entry's lookup vector (§3.3). */
+    def decodeVector(br: BitReader, out: Array[Double]): Unit = {
+      val e = decodeScalar(br)
+      var last = 0.0
+      if (lookupType == 1) {
+        var indexDivisor = 1
+        var i = 0
+        while (i < dim) {
+          val off = (e / indexDivisor) % lookupValues
+          out(i) = mults(off) * delta + minimum + last
+          if (seqP) last = out(i)
+          indexDivisor *= lookupValues
+          i += 1
+        }
+      } else {
+        var i = 0
+        while (i < dim) {
+          out(i) = mults(e * dim + i) * delta + minimum + last
+          if (seqP) last = out(i)
+          i += 1
+        }
+      }
+    }
+  }
+
+  private def lookup1Values(entries: Int, dim: Int): Int = {
+    var v = 1
+    while (math.pow(v + 1, dim) <= entries) v += 1
+    v
+  }
+
+  private def parseCodebook(br: BitReader): Codebook = {
+    if (br.read(24) != 0x564342) refuse("bad codebook sync")
+    val dim = br.read(16)
+    val entries = br.read(24)
+    if (dim <= 0 || dim > 1024) refuse("codebook dim out of range")
+    if (entries <= 0 || entries > MaxEntries) refuse("codebook entries cap")
+    val lengths = new Array[Int](entries)
+    val ordered = br.readBit() == 1
+    if (!ordered) {
+      val sparse = br.readBit() == 1
+      var e = 0
+      while (e < entries) {
+        if (sparse) {
+          if (br.readBit() == 1) lengths(e) = br.read(5) + 1
+        } else lengths(e) = br.read(5) + 1
+        e += 1
+      }
+    } else {
+      var curLen = br.read(5) + 1
+      var e = 0
+      while (e < entries) {
+        val num = br.read(ilog(entries - e))
+        if (e + num > entries) refuse("ordered lengths overflow")
+        var j = 0
+        while (j < num) { lengths(e + j) = curLen; j += 1 }
+        e += num
+        curLen += 1
+        if (curLen > 32) refuse("codeword length > 32")
+      }
+    }
+    if (br.eop) refuse("eop in codebook lengths")
+    val cb = new Codebook(dim, entries, lengths)
+    cb.assignCodewords()
+    cb.lookupType = br.read(4)
+    if (cb.lookupType > 2) refuse("reserved codebook lookup type")
+    if (cb.lookupType > 0) {
+      cb.minimum = float32Unpack(br.read(32))
+      cb.delta = float32Unpack(br.read(32))
+      cb.valueBits = br.read(4) + 1
+      cb.seqP = br.readBit() == 1
+      cb.lookupValues =
+        if (cb.lookupType == 1) lookup1Values(entries, dim)
+        else entries * dim
+      if (cb.lookupValues > MaxMults) refuse("codebook lookup cap")
+      cb.mults = new Array[Int](cb.lookupValues)
+      var i = 0
+      while (i < cb.lookupValues) { cb.mults(i) = br.read(cb.valueBits); i += 1 }
+    }
+    if (br.eop) refuse("eop in codebook lookup")
+    cb
+  }
+
+  // -------------------------------------------------------------------
+  // Setup structures (§4.2.4, §6, §7, §8).
+  // -------------------------------------------------------------------
+
+  private final case class Floor1Cfg(partitionClasses: Array[Int],
+                                     classDims: Array[Int],
+                                     classSubs: Array[Int],
+                                     classMaster: Array[Int],
+                                     subBooks: Array[Array[Int]],
+                                     multiplier: Int,
+                                     xList: Array[Int])
+
+  private final case class ResidueCfg(rtype: Int, begin: Int, end: Int,
+                                      partSize: Int, classifications: Int,
+                                      classbook: Int, cascades: Array[Int],
+                                      books: Array[Array[Int]])
+
+  private final case class MappingCfg(submaps: Int, magnitudes: Array[Int],
+                                      angles: Array[Int], mux: Array[Int],
+                                      submapFloor: Array[Int],
+                                      submapResidue: Array[Int])
+
+  private final case class Mode(blockflag: Int, mapping: Int)
+
+  private final case class Setup(books: Array[Codebook],
+                                 floors: Array[Floor1Cfg],
+                                 residues: Array[ResidueCfg],
+                                 mappings: Array[MappingCfg],
+                                 modes: Array[Mode])
+
+  /** Identification header contents. */
+  final case class Ident(channels: Int, sampleRate: Int,
+                         blocksize0: Int, blocksize1: Int)
+
+  private def parseIdent(p: Array[Byte]): Ident = {
+    val br = new BitReader(p)
+    if (br.read(8) != 1) refuse("not an identification header")
+    if (br.read(24) != 0x726f76 || br.read(24) != 0x736962)
+      refuse("missing vorbis magic")
+    if (br.read(32) != 0) refuse("unsupported vorbis version")
+    val channels = br.read(8)
+    val rate = br.read(32)
+    br.read(32); br.read(32); br.read(32) // bitrate max/nominal/min
+    val bs0 = 1 << br.read(4)
+    val bs1 = 1 << br.read(4)
+    if (channels <= 0 || channels > 16) refuse("bad channel count")
+    if (rate <= 0) refuse("bad sample rate")
+    if (bs0 < 64 || bs1 > 8192 || bs0 > bs1) refuse("bad blocksizes")
+    if (br.readBit() != 1 || br.eop) refuse("bad ident framing")
+    Ident(channels, rate, bs0, bs1)
+  }
+
+  private def parseSetup(p: Array[Byte], channels: Int): Setup = {
+    val br = new BitReader(p)
+    if (br.read(8) != 5) refuse("not a setup header")
+    if (br.read(24) != 0x726f76 || br.read(24) != 0x736962)
+      refuse("missing vorbis magic")
+    val books = Array.fill(br.read(8) + 1)(parseCodebook(br))
+    // time transforms: placeholders, must read 0
+    val timeCount = br.read(6) + 1
+    var i = 0
+    while (i < timeCount) {
+      if (br.read(16) != 0) refuse("reserved time transform")
+      i += 1
+    }
+    val floors = Array.fill(br.read(6) + 1) {
+      br.read(16) match {
+        case 0 =>
+          // floor0 (LSP) is deprecated and un-emitted by real encoders;
+          // a wrongly-recalled curve formula would decode real payloads
+          // to garbage while claiming coverage — refuse visibly instead
+          refuse("floor0 unsupported")
+        case 1 =>
+          val partitions = br.read(5)
+          val partitionClasses = Array.fill(partitions)(br.read(4))
+          val maxClass = if (partitions == 0) -1 else partitionClasses.max
+          val classDims = new Array[Int](maxClass + 1)
+          val classSubs = new Array[Int](maxClass + 1)
+          val classMaster = new Array[Int](maxClass + 1)
+          val subBooks = new Array[Array[Int]](maxClass + 1)
+          var c = 0
+          while (c <= maxClass) {
+            classDims(c) = br.read(3) + 1
+            classSubs(c) = br.read(2)
+            if (classSubs(c) > 0) {
+              classMaster(c) = br.read(8)
+              if (classMaster(c) >= books.length) refuse("bad master book")
+            }
+            subBooks(c) = Array.fill(1 << classSubs(c)) {
+              val b = br.read(8) - 1
+              if (b >= books.length) refuse("bad subclass book")
+              b
+            }
+            c += 1
+          }
+          val multiplier = br.read(2) + 1
+          val rangeBits = br.read(4)
+          val xb = Array.newBuilder[Int]
+          xb += 0
+          xb += (1 << rangeBits)
+          var pt = 0
+          while (pt < partitions) {
+            var j = 0
+            while (j < classDims(partitionClasses(pt))) {
+              xb += br.read(rangeBits)
+              j += 1
+            }
+            pt += 1
+          }
+          val xList = xb.result()
+          if (xList.length > 65 || xList.distinct.length != xList.length)
+            refuse("bad floor1 X list")
+          Floor1Cfg(partitionClasses, classDims, classSubs, classMaster,
+            subBooks, multiplier, xList)
+        case _ => refuse("reserved floor type")
+      }
+    }
+    val residues = Array.fill(br.read(6) + 1) {
+      val rtype = br.read(16)
+      if (rtype > 2) refuse("reserved residue type")
+      val begin = br.read(24)
+      val end = br.read(24)
+      val partSize = br.read(24) + 1
+      val classifications = br.read(6) + 1
+      val classbook = br.read(8)
+      if (classbook >= books.length) refuse("bad residue classbook")
+      if (end < begin) refuse("residue end < begin")
+      val cascades = Array.fill(classifications) {
+        val low = br.read(3)
+        val high = if (br.readBit() == 1) br.read(5) else 0
+        high * 8 + low
+      }
+      val rbooks = cascades.map { cascade =>
+        Array.tabulate(8) { pass =>
+          if ((cascade & (1 << pass)) != 0) {
+            val b = br.read(8)
+            if (b >= books.length || books(b).lookupType == 0)
+              refuse("bad residue book")
+            b
+          } else -1
+        }
+      }
+      ResidueCfg(rtype, begin, end, partSize, classifications, classbook,
+        cascades, rbooks)
+    }
+    val mappings = Array.fill(br.read(6) + 1) {
+      if (br.read(16) != 0) refuse("reserved mapping type")
+      val submaps = if (br.readBit() == 1) br.read(4) + 1 else 1
+      var magnitudes = Array.emptyIntArray
+      var angles = Array.emptyIntArray
+      if (br.readBit() == 1) {
+        val steps = br.read(8) + 1
+        magnitudes = new Array[Int](steps)
+        angles = new Array[Int](steps)
+        var s = 0
+        while (s < steps) {
+          magnitudes(s) = br.read(ilog(channels - 1))
+          angles(s) = br.read(ilog(channels - 1))
+          if (magnitudes(s) == angles(s) || magnitudes(s) >= channels ||
+            angles(s) >= channels) refuse("bad coupling step")
+          s += 1
+        }
+      }
+      if (br.read(2) != 0) refuse("mapping reserved bits")
+      val mux =
+        if (submaps > 1) Array.fill(channels) {
+          val m = br.read(4)
+          if (m >= submaps) refuse("bad mapping mux")
+          m
+        }
+        else new Array[Int](channels)
+      val sFloor = new Array[Int](submaps)
+      val sResidue = new Array[Int](submaps)
+      var s = 0
+      while (s < submaps) {
+        br.read(8) // time config placeholder
+        sFloor(s) = br.read(8)
+        sResidue(s) = br.read(8)
+        if (sFloor(s) >= floors.length || sResidue(s) >= residues.length)
+          refuse("bad submap config")
+        s += 1
+      }
+      MappingCfg(submaps, magnitudes, angles, mux, sFloor, sResidue)
+    }
+    val modes = Array.fill(br.read(6) + 1) {
+      val blockflag = br.readBit()
+      if (br.read(16) != 0) refuse("reserved window type")
+      if (br.read(16) != 0) refuse("reserved transform type")
+      val mapping = br.read(8)
+      if (mapping >= mappings.length) refuse("bad mode mapping")
+      Mode(blockflag, mapping)
+    }
+    if (br.readBit() != 1 || br.eop) refuse("bad setup framing")
+    Setup(books, floors, residues, mappings, modes)
+  }
+
+  // -------------------------------------------------------------------
+  // Floor1 packet decode + curve synthesis (§7.2.3–7.2.4).
+  // -------------------------------------------------------------------
+
+  /** The floor1 inverse-dB amplitude table: the exact geometric ramp
+    * between the spec's published endpoints (see the object scaladoc).
+    */
+  private[multimodal] val InverseDb: Array[Double] = {
+    val lo = 1.0649863e-7
+    val hi = 0.82788260
+    val r = math.pow(hi / lo, 1.0 / 255.0)
+    Array.tabulate(256)(i => lo * math.pow(r, i))
+  }
+
+  private val FloorRanges = Array(256, 128, 86, 64)
+
+  private def renderPoint(x0: Int, y0: Int, x1: Int, y1: Int, x: Int): Int = {
+    val dy = y1 - y0
+    val adx = x1 - x0
+    val ady = math.abs(dy)
+    val off = (ady * (x - x0)) / adx
+    if (dy < 0) y0 - off else y0 + off
+  }
+
+  private def renderLine(x0: Int, y0: Int, x1: Int, y1: Int,
+                         out: Array[Int]): Unit = {
+    val dy = y1 - y0
+    val adx = x1 - x0
+    val base = dy / adx
+    val sy = if (dy < 0) base - 1 else base + 1
+    var ady = math.abs(dy) - math.abs(base) * adx
+    var x = x0
+    var y = y0
+    var err = 0
+    if (x < out.length) out(x) = y
+    x += 1
+    while (x < math.min(x1, out.length)) {
+      err += ady
+      if (err >= adx) { err -= adx; y += sy } else y += base
+      out(x) = y
+      x += 1
+    }
+  }
+
+  /** Decode one channel's floor1 into an amplitude curve of length n2,
+    * or null when the channel is unused this frame.
+    */
+  private def decodeFloor1(br: BitReader, cfg: Floor1Cfg,
+                           books: Array[Codebook], n2: Int): Array[Double] = {
+    if (br.readBit() != 1) return null
+    if (br.eop) return null
+    val range = FloorRanges(cfg.multiplier - 1)
+    val values = cfg.xList.length
+    val y = new Array[Int](values)
+    val yBits = ilog(range - 1)
+    y(0) = br.read(yBits)
+    y(1) = br.read(yBits)
+    var offset = 2
+    var p = 0
+    while (p < cfg.partitionClasses.length) {
+      val cls = cfg.partitionClasses(p)
+      val cdim = cfg.classDims(cls)
+      val cbits = cfg.classSubs(cls)
+      val csub = (1 << cbits) - 1
+      var cval = 0
+      if (cbits > 0) cval = books(cfg.classMaster(cls)).decodeScalar(br)
+      var j = 0
+      while (j < cdim) {
+        val book = cfg.subBooks(cls)(cval & csub)
+        cval >>= cbits
+        y(offset + j) = if (book >= 0) books(book).decodeScalar(br) else 0
+        j += 1
+      }
+      offset += cdim
+      p += 1
+    }
+    if (br.eop) return null
+    // amplitude synthesis: neighbor prediction + room arithmetic
+    val finalY = new Array[Int](values)
+    val step2 = new Array[Boolean](values)
+    finalY(0) = y(0); finalY(1) = y(1)
+    step2(0) = true; step2(1) = true
+    var i = 2
+    while (i < values) {
+      // neighbors among already-decoded points: max X below, min X above
+      var low = 0; var high = 1
+      var bestLowX = -1; var bestHighX = Int.MaxValue
+      var k = 0
+      while (k < i) {
+        val xk = cfg.xList(k)
+        if (xk < cfg.xList(i) && xk > bestLowX) { bestLowX = xk; low = k }
+        if (xk > cfg.xList(i) && xk < bestHighX) { bestHighX = xk; high = k }
+        k += 1
+      }
+      val predicted = renderPoint(cfg.xList(low), finalY(low),
+        cfg.xList(high), finalY(high), cfg.xList(i))
+      val v = y(i)
+      val highroom = range - predicted
+      val lowroom = predicted
+      val room = if (highroom < lowroom) highroom * 2 else lowroom * 2
+      if (v != 0) {
+        step2(low) = true; step2(high) = true; step2(i) = true
+        finalY(i) =
+          if (v >= room) {
+            if (highroom > lowroom) v - lowroom + predicted
+            else predicted - (v - highroom) - 1
+          } else if (v % 2 == 1) predicted - ((v + 1) / 2)
+          else predicted + v / 2
+      } else {
+        step2(i) = false
+        finalY(i) = predicted
+      }
+      if (finalY(i) < 0) finalY(i) = 0
+      if (finalY(i) >= range) finalY(i) = range - 1
+      i += 1
+    }
+    // curve synthesis: sort flagged points by X, render lines in the
+    // quantized-dB domain, then map through the inverse-dB table
+    val order = (0 until values).sortBy(cfg.xList)
+    val yRender = new Array[Int](n2)
+    var lx = 0
+    var ly = finalY(order.head) * cfg.multiplier
+    var idx = 1
+    while (idx < order.length) {
+      val j = order(idx)
+      if (step2(j)) {
+        val hx = cfg.xList(j)
+        val hy = finalY(j) * cfg.multiplier
+        if (lx < n2) renderLine(lx, ly, math.min(hx, n2), hy, yRender)
+        lx = hx; ly = hy
+      }
+      idx += 1
+    }
+    if (lx < n2) {
+      var x = lx
+      while (x < n2) { yRender(x) = ly; x += 1 }
+    }
+    val curve = new Array[Double](n2)
+    i = 0
+    while (i < n2) {
+      curve(i) = InverseDb(math.min(255, math.max(0, yRender(i))))
+      i += 1
+    }
+    curve
+  }
+
+  // -------------------------------------------------------------------
+  // Residue decode (§8.6).
+  // -------------------------------------------------------------------
+
+  /** Decode one residue into `vectors` (ch × n2 doubles, pre-zeroed).
+    * `doNotDecode` flags channels whose floor was unused. Types 0/1
+    * decode the channels in parallel; type 2 interleaves them into one
+    * vector first.
+    */
+  private def decodeResidue(br: BitReader, cfg: ResidueCfg,
+                            books: Array[Codebook],
+                            vectors: Array[Array[Double]],
+                            doNotDecode: Array[Boolean], n2: Int): Unit = {
+    val ch = vectors.length
+    if (cfg.rtype == 2) {
+      if (doNotDecode.forall(identity)) return
+      val inter = new Array[Double](ch * n2)
+      decodeResidueInner(br, cfg, books, Array(inter),
+        Array(false), ch * n2, format2 = true)
+      var i = 0
+      while (i < n2) {
+        var j = 0
+        while (j < ch) {
+          vectors(j)(i) = inter(i * ch + j)
+          j += 1
+        }
+        i += 1
+      }
+    } else decodeResidueInner(br, cfg, books, vectors, doNotDecode, n2,
+      format2 = false)
+  }
+
+  private def decodeResidueInner(br: BitReader, cfg: ResidueCfg,
+                                 books: Array[Codebook],
+                                 vectors: Array[Array[Double]],
+                                 doNotDecode: Array[Boolean], size: Int,
+                                 format2: Boolean): Unit = {
+    val ch = vectors.length
+    val begin = math.min(cfg.begin, size)
+    val end = math.min(cfg.end, size)
+    val nToRead = end - begin
+    if (nToRead <= 0) return
+    val partitionsToRead = nToRead / cfg.partSize
+    val classbook = books(cfg.classbook)
+    val classwords = classbook.dim
+    val classifications =
+      Array.ofDim[Int](ch, partitionsToRead + classwords)
+    val vqBuf = new Array[Double](1024)
+    var pass = 0
+    while (pass < 8) {
+      var partitionCount = 0
+      while (partitionCount < partitionsToRead) {
+        if (pass == 0) {
+          var j = 0
+          while (j < ch) {
+            if (!doNotDecode(j)) {
+              var temp = classbook.decodeScalar(br)
+              var i = classwords - 1
+              while (i >= 0) {
+                classifications(j)(partitionCount + i) =
+                  temp % cfg.classifications
+                temp /= cfg.classifications
+                i -= 1
+              }
+            }
+            j += 1
+          }
+        }
+        var i = 0
+        while (i < classwords && partitionCount < partitionsToRead) {
+          var j = 0
+          while (j < ch) {
+            if (!doNotDecode(j)) {
+              val vqClass = classifications(j)(partitionCount)
+              if (vqClass >= cfg.classifications)
+                refuse("bad residue classification")
+              val book = cfg.books(vqClass)(pass)
+              if (book >= 0) {
+                val cb = books(book)
+                val offset = begin + partitionCount * cfg.partSize
+                val v = vectors(j)
+                if (cfg.rtype == 0 && !format2) {
+                  // format 0: interleaved within the partition
+                  val step = cfg.partSize / cb.dim
+                  var s = 0
+                  while (s < step) {
+                    cb.decodeVector(br, vqBuf)
+                    var d = 0
+                    while (d < cb.dim) {
+                      v(offset + s + d * step) += vqBuf(d)
+                      d += 1
+                    }
+                    s += 1
+                  }
+                } else {
+                  // format 1 (and the format-2 inner loop): contiguous
+                  var s = 0
+                  while (s < cfg.partSize) {
+                    cb.decodeVector(br, vqBuf)
+                    var d = 0
+                    while (d < cb.dim && s < cfg.partSize) {
+                      v(offset + s) += vqBuf(d)
+                      d += 1
+                      s += 1
+                    }
+                  }
+                }
+                if (br.eop) return // end of packet: keep what decoded
+              }
+            }
+            j += 1
+          }
+          partitionCount += 1
+          i += 1
+        }
+      }
+      pass += 1
+    }
+  }
+
+  // -------------------------------------------------------------------
+  // Inverse MDCT + windows (§4.3.1, the object scaladoc derivation).
+  // -------------------------------------------------------------------
+
+  private[multimodal] def imdct(x: Array[Double], n: Int): Array[Double] = {
+    val m = n / 2
+    val z = new Array[Double](2 * n)
+    var k = 0
+    while (k < m) {
+      val ang = math.Pi * (2 * k + 1) * (0.25 + 0.5 / n)
+      val cr = math.cos(ang)
+      val ci = math.sin(ang)
+      z(2 * k) = x(k) * cr
+      z(2 * k + 1) = x(k) * ci
+      k += 1
+    }
+    val f = Fft.dft(z, inverse = true) // (1/N)·Σ z_k e^{+i2πkn/N}
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val ang = math.Pi * i / n
+      // y[n] = Re{ e^{iπn/N} · N·idft(z)[n] }
+      out(i) = (f(2 * i) * math.cos(ang) - f(2 * i + 1) * math.sin(ang)) * n
+      i += 1
+    }
+    out
+  }
+
+  /** Forward MDCT matching [[imdct]] (the planting encoder's analysis):
+    * X_k = (4/N)·Σ_n u_n·cos(π/(2N)(2n+1+N/2)(2k+1)).
+    */
+  private[multimodal] def mdct(u: Array[Double]): Array[Double] = {
+    val n = u.length
+    val z = new Array[Double](2 * n)
+    var i = 0
+    while (i < n) {
+      val ang = math.Pi * i / n
+      z(2 * i) = u(i) * math.cos(ang)
+      z(2 * i + 1) = u(i) * math.sin(ang)
+      i += 1
+    }
+    val f = Fft.dft(z, inverse = true)
+    val out = new Array[Double](n / 2)
+    var k = 0
+    while (k < n / 2) {
+      val ang = math.Pi * (2 * k + 1) * (0.25 + 0.5 / n)
+      // X_k = 4·Re{ e^{iθ_k} · idft(u')[k] }  (the ×N and /N cancel
+      // against the (4/N) normalization)
+      out(k) = 4.0 * (f(2 * k) * math.cos(ang) - f(2 * k + 1) * math.sin(ang))
+      k += 1
+    }
+    out
+  }
+
+  /** Vorbis window slope value (§4.3.1). */
+  private def slope(x: Double): Double = {
+    val s = math.sin(x * math.Pi / 2)
+    math.sin(math.Pi / 2 * s * s)
+  }
+
+  /** The window for a block of size n with the given lapping context
+    * (prev/next true = the neighboring block is long).
+    */
+  private def window(n: Int, bs0: Int, long: Boolean, prevLong: Boolean,
+                     nextLong: Boolean): Array[Double] = {
+    val w = new Array[Double](n)
+    val leftStart = if (long && !prevLong) n / 4 - bs0 / 4 else 0
+    val leftEnd = if (long && !prevLong) n / 4 + bs0 / 4 else n / 2
+    val leftN = if (long && !prevLong) bs0 / 2 else n / 2
+    val rightStart = if (long && !nextLong) n * 3 / 4 - bs0 / 4 else n / 2
+    val rightEnd = if (long && !nextLong) n * 3 / 4 + bs0 / 4 else n
+    val rightN = if (long && !nextLong) bs0 / 2 else n / 2
+    var i = leftStart
+    while (i < leftEnd) {
+      w(i) = slope((i - leftStart + 0.5) / leftN)
+      i += 1
+    }
+    i = leftEnd
+    while (i < rightStart) { w(i) = 1.0; i += 1 }
+    i = rightStart
+    while (i < rightEnd) {
+      val s = math.cos((i - rightStart + 0.5) / rightN * math.Pi / 2)
+      w(i) = math.sin(math.Pi / 2 * s * s)
+      i += 1
+    }
+    w
+  }
+
+  // -------------------------------------------------------------------
+  // Whole-stream decode.
+  // -------------------------------------------------------------------
+
+  /** Decode an Ogg/Vorbis payload to interleaved 16-bit PCM, trimmed to
+    * the stream's final granule. None when the payload is not
+    * Ogg/Vorbis or is undecodable (headers corrupt, floor0, ...).
+    */
+  def decodeOggPcm(b: Array[Byte]): Option[Multimodal.Codecs.WavAudio] = {
+    val walk = Ogg.walk(b).getOrElse(return None)
+    try {
+      val serial = walk.packets.find(p => p.bos &&
+        Ogg.codecOf(p.data) == "vorbis").map(_.serial).getOrElse(return None)
+      val ps = walk.packets.filter(_.serial == serial)
+      if (ps.length < 3) return None
+      val ident = parseIdent(ps(0).data)
+      val setup = parseSetup(ps(2).data, ident.channels)
+      val lastGranule = ps.reverseIterator
+        .find(_.granule >= 0).map(_.granule).getOrElse(-1L)
+      decodeAudio(ident, setup, ps.drop(3).map(_.data), lastGranule)
+    } catch {
+      case _: Refuse => None
+      case _: ArrayIndexOutOfBoundsException => None
+      case _: NegativeArraySizeException => None
+      case _: ArithmeticException => None
+    }
+  }
+
+  private def decodeAudio(ident: Ident, setup: Setup,
+                          packets: Seq[Array[Byte]], granule: Long)
+      : Option[Multimodal.Codecs.WavAudio] = {
+    val ch = ident.channels
+    val modeBits = ilog(setup.modes.length - 1)
+    // overlap-add timeline: consecutive window centers sit n_prev/4 +
+    // n_cur/4 apart, so the next frame STARTS at the previous right
+    // slope's center minus its own quarter: t' = t + 3n/4 − n'/4. The
+    // emitted stream runs from the FIRST window center (nothing laps
+    // against the first left half) to the LAST (the final right half
+    // has nothing to lap against).
+    var rightCenter = -1L // current frame's right-slope center (t + 3n/4)
+    var firstCenter = -1L
+    var lastCenter = -1L
+
+    // flat per-channel OLA buffers, grown as frames arrive
+    val ola = Array.fill(ch)(new Array[Double](0))
+    def grow(chI: Int, needed: Int): Array[Double] = {
+      var a = ola(chI)
+      if (a.length < needed) {
+        a = java.util.Arrays.copyOf(a, math.max(needed, a.length * 2 + 1024))
+        ola(chI) = a
+      }
+      a
+    }
+    val maxSamples = 1 << 23 // decode cap: ~3 min at 48 kHz, per channel
+
+    val it = packets.iterator
+    while (it.hasNext && (rightCenter < 0 || rightCenter < maxSamples)) {
+      val pk = it.next()
+      val br = new BitReader(pk)
+      if (br.readBit() == 0 && !br.eop) {
+        val modeNum = if (modeBits > 0) br.read(modeBits) else 0
+        if (modeNum < setup.modes.length) {
+          val mode = setup.modes(modeNum)
+          val long = mode.blockflag == 1
+          val n = if (long) ident.blocksize1 else ident.blocksize0
+          var prevFlag = false
+          var nextFlag = false
+          if (long) {
+            prevFlag = br.readBit() == 1
+            nextFlag = br.readBit() == 1
+          }
+          val mapping = setup.mappings(mode.mapping)
+          val n2 = n / 2
+          // floors
+          val floorsOut = new Array[Array[Double]](ch)
+          val noResidue = new Array[Boolean](ch)
+          var c = 0
+          while (c < ch) {
+            val fcfg = setup.floors(mapping.submapFloor(mapping.mux(c)))
+            floorsOut(c) = decodeFloor1(br, fcfg, setup.books, n2)
+            noResidue(c) = floorsOut(c) == null
+            c += 1
+          }
+          // coupling: a coupled pair decodes residue if EITHER is live
+          var s = 0
+          while (s < mapping.magnitudes.length) {
+            if (!noResidue(mapping.magnitudes(s)) ||
+              !noResidue(mapping.angles(s))) {
+              noResidue(mapping.magnitudes(s)) = false
+              noResidue(mapping.angles(s)) = false
+            }
+            s += 1
+          }
+          // residues per submap
+          val residueOut = Array.fill(ch)(new Array[Double](n2))
+          var sm = 0
+          while (sm < mapping.submaps) {
+            val chIdx = (0 until ch).filter(mapping.mux(_) == sm)
+            if (chIdx.nonEmpty) {
+              val rcfg = setup.residues(mapping.submapResidue(sm))
+              decodeResidue(br, rcfg, setup.books,
+                chIdx.map(residueOut(_)).toArray,
+                chIdx.map(noResidue(_)).toArray, n2)
+            }
+            sm += 1
+          }
+          // inverse coupling, in reverse step order
+          s = mapping.magnitudes.length - 1
+          while (s >= 0) {
+            val mv = residueOut(mapping.magnitudes(s))
+            val av = residueOut(mapping.angles(s))
+            var i = 0
+            while (i < n2) {
+              val m = mv(i); val a = av(i)
+              if (m > 0) {
+                if (a > 0) { mv(i) = m; av(i) = m - a }
+                else { av(i) = m; mv(i) = m + a }
+              } else {
+                if (a > 0) { mv(i) = m; av(i) = m + a }
+                else { av(i) = m; mv(i) = m - a }
+              }
+              i += 1
+            }
+            s -= 1
+          }
+          // spectrum = floor × residue → iMDCT → window → OLA
+          val prevLong = if (long) prevFlag else true
+          val nextLong = if (long) nextFlag else true
+          val w = window(n, ident.blocksize0, long, prevLong, nextLong)
+          val frameStart =
+            if (rightCenter < 0) 0L else rightCenter - n / 4
+          c = 0
+          while (c < ch) {
+            val spec = new Array[Double](n2)
+            if (floorsOut(c) != null) {
+              var i = 0
+              while (i < n2) {
+                spec(i) = floorsOut(c)(i) * residueOut(c)(i)
+                i += 1
+              }
+            }
+            val y = imdct(spec, n)
+            val a = grow(c, frameStart.toInt + n)
+            var i = 0
+            while (i < n) {
+              a(frameStart.toInt + i) += y(i) * w(i)
+              i += 1
+            }
+            c += 1
+          }
+          if (firstCenter < 0) firstCenter = frameStart + n / 2
+          lastCenter = frameStart + n / 2
+          rightCenter = frameStart + 3L * n / 4
+        }
+      }
+    }
+    if (firstCenter < 0) return None
+    // emitted region: [first window center, last window center)
+    val total = (lastCenter - firstCenter).toInt
+    if (total <= 0) return None
+    val keep =
+      if (granule >= 0 && granule < total) granule.toInt else total
+    val pcm = new Array[Short](keep * ch)
+    var c = 0
+    while (c < ch) {
+      val a = ola(c)
+      var i = 0
+      while (i < keep) {
+        val v = math.rint(a(firstCenter.toInt + i) * 32768.0)
+        pcm(i * ch + c) =
+          math.max(-32768, math.min(32767, v.toLong)).toShort
+        i += 1
+      }
+      c += 1
+    }
+    Some(Multimodal.Codecs.WavAudio(ident.sampleRate, ch, 16, pcm))
+  }
+
+  // -------------------------------------------------------------------
+  // Audit surface (the q134/Mp3 pattern for Ogg payloads).
+  // -------------------------------------------------------------------
+
+  /** Per-payload Ogg container + Vorbis stream audit. */
+  final case class OggAudit(codec: String, nPages: Int, nBadPages: Int,
+                            nPackets: Int, nStreams: Int, sampleRate: Int,
+                            channels: Int, blocksize0: Int, blocksize1: Int,
+                            nAudioPackets: Int, declaredSamples: Long,
+                            durationMs: Double, setupOk: Boolean,
+                            error: String)
+
+  /** Audit any Ogg payload: container health (pages, CRC failures,
+    * stream count), codec sniff, and for Vorbis the stream parameters,
+    * packet counts and granule-declared duration. None when the payload
+    * is not Ogg at all.
+    */
+  def audit(b: Array[Byte]): Option[OggAudit] = {
+    val walk = Ogg.walk(b).getOrElse(return None)
+    val bos = walk.packets.find(_.bos)
+    val codec = bos.map(p => Ogg.codecOf(p.data)).getOrElse("unknown")
+    if (codec != "vorbis")
+      return Some(OggAudit(codec, walk.nPages, walk.nBadPages,
+        walk.packets.length, walk.serials.size, 0, 0, 0, 0, 0, -1L, 0.0,
+        setupOk = false, error = s"non-vorbis codec: $codec"))
+    val serial = walk.packets.find(p => p.bos &&
+      Ogg.codecOf(p.data) == "vorbis").get.serial
+    val ps = walk.packets.filter(_.serial == serial)
+    try {
+      val ident = parseIdent(ps(0).data)
+      var setupErr: String = null
+      val setupOk =
+        if (ps.length >= 3) {
+          try { parseSetup(ps(2).data, ident.channels); true }
+          catch { case r: Refuse => setupErr = s"setup: ${r.reason}"; false }
+        } else { setupErr = "missing setup header"; false }
+      val granule = ps.reverseIterator
+        .find(_.granule >= 0).map(_.granule).getOrElse(-1L)
+      val durMs =
+        if (granule >= 0) granule.toDouble * 1000.0 / ident.sampleRate
+        else 0.0
+      Some(OggAudit("vorbis", walk.nPages, walk.nBadPages,
+        walk.packets.length, walk.serials.size, ident.sampleRate,
+        ident.channels, ident.blocksize0, ident.blocksize1,
+        math.max(0, ps.length - 3), granule, durMs, setupOk, setupErr))
+    } catch {
+      case r: Refuse =>
+        Some(OggAudit("vorbis", walk.nPages, walk.nBadPages,
+          walk.packets.length, walk.serials.size, 0, 0, 0, 0,
+          math.max(0, ps.length - 3), -1L, 0.0, setupOk = false,
+          error = r.reason))
+    }
+  }
+
+  // -------------------------------------------------------------------
+  // The planting encoder.
+  // -------------------------------------------------------------------
+
+  /** Residue quantization ladder: 4 passes of 256-entry scalar books
+    * with dyadic steps — every constant exactly representable both as a
+    * double and as a packed Vorbis float, so encoder arithmetic and
+    * decoder arithmetic see the SAME values.
+    */
+  private val PassDeltas = Array(
+    math.pow(2, -4), math.pow(2, -11), math.pow(2, -18), math.pow(2, -25))
+  private def passMin(pass: Int): Double =
+    if (pass == 0) -8.0 else -PassDeltas(pass - 1) / 2
+
+  private val PlantBlock = 256 // both blocksizes; hop = 128
+  private val PlantFloorY = 255 // flat floor at the table top
+
+  /** Encode 16-bit PCM as a valid mono/stereo Ogg/Vorbis stream that
+    * decodes back to EXACTLY the input samples (see the object
+    * scaladoc's error budget). `pcm` is channel-interleaved.
+    */
+  def vorbisBytes(sampleRateHz: Int, pcm: Array[Short],
+                  channels: Int = 1): Array[Byte] = {
+    require(channels == 1 || channels == 2, "plant encoder: mono or stereo")
+    require(pcm.length % channels == 0, "interleaved length mismatch")
+    val n = PlantBlock
+    val hop = n / 2
+    val s = pcm.length / channels
+    val nFrames = (s + hop - 1) / hop + 1
+    val padded = Array.ofDim[Double](channels, (nFrames + 1) * hop)
+    var i = 0
+    while (i < s) {
+      var c = 0
+      while (c < channels) {
+        padded(c)(hop + i) = pcm(i * channels + c) / 32768.0
+        c += 1
+      }
+      i += 1
+    }
+    val w = window(n, n, long = false, prevLong = true, nextLong = true)
+    val floorC = InverseDb(PlantFloorY)
+
+    val audioPackets = (0 until nFrames).map { f =>
+      val bw = new BitWriter
+      bw.write(0, 1) // audio packet
+      // 1 mode → zero mode bits; blockflag 0 → no window flags
+      var c = 0
+      while (c < channels) { // floors: nonzero, y0, y1
+        bw.write(1, 1)
+        bw.write(PlantFloorY, 8)
+        bw.write(PlantFloorY, 8)
+        c += 1
+      }
+      // residue targets: spectral coefficients / flat floor
+      val targets = Array.tabulate(channels) { ci =>
+        val u = new Array[Double](n)
+        var j = 0
+        while (j < n) {
+          u(j) = padded(ci)(f * hop + j) * w(j)
+          j += 1
+        }
+        mdct(u).map(_ / floorC)
+      }
+      // quantize through the pass ladder
+      val codes = Array.ofDim[Int](4, channels, hop)
+      var ci = 0
+      while (ci < channels) {
+        var k = 0
+        while (k < hop) {
+          var r = targets(ci)(k)
+          var p = 0
+          while (p < 4) {
+            val d = PassDeltas(p)
+            val mn = passMin(p)
+            var e = math.round((r - mn) / d).toInt
+            if (e < 0) e = 0
+            if (e > 255) e = 255
+            codes(p)(ci)(k) = e
+            r -= mn + d * e
+            p += 1
+          }
+          k += 1
+        }
+        ci += 1
+      }
+      // residue bitstream: type 1 for mono (per-channel vectors), type
+      // 2 for stereo (single interleaved vector) — the write loop shape
+      // is identical, over vectors of either ch×hop or 1×(ch·hop)
+      val interleaved = channels == 2
+      val nVec = if (interleaved) 1 else channels
+      val vecLen = if (interleaved) channels * hop else hop
+      def vecCode(pass: Int, v: Int, idx: Int): Int =
+        if (interleaved) codes(pass)(idx % channels)(idx / channels)
+        else codes(pass)(v)(idx)
+      val partSize = 4
+      val partitions = vecLen / partSize
+      val classwords = 2
+      var pass = 0
+      while (pass < 4) {
+        var pc = 0
+        while (pc < partitions) {
+          if (pass == 0) {
+            var v = 0
+            while (v < nVec) {
+              // classword: both partitions class 1 → entry 3, 2-bit code
+              bw.writeCodeword(3, 2)
+              v += 1
+            }
+          }
+          var iw = 0
+          while (iw < classwords && pc < partitions) {
+            var v = 0
+            while (v < nVec) {
+              var t = 0
+              while (t < partSize) {
+                bw.writeCodeword(vecCode(pass, v, pc * partSize + t), 8)
+                t += 1
+              }
+              v += 1
+            }
+            pc += 1
+            iw += 1
+          }
+        }
+        pass += 1
+      }
+      bw.bytes()
+    }
+
+    val ident = identPacket(sampleRateHz, channels)
+    val comment = commentPacket()
+    val setup = setupPacket(channels)
+    val serial = 0x67726166 // "graf"
+    val pages = Vector.newBuilder[Array[Byte]]
+    pages += oggPage(Seq(ident), serial, 0, 0L, bos = true, eos = false)
+    pages += oggPage(Seq(comment, setup), serial, 1, 0L, bos = false,
+      eos = false)
+    // audio pages: chunk packets so each page stays under 255 segments
+    var pageSeq = 2
+    var done = 0
+    val maxPerPage = 40
+    while (done < nFrames) {
+      val take = math.min(maxPerPage, nFrames - done)
+      val last = done + take == nFrames
+      val granule =
+        if (last) s.toLong
+        else math.max(0L, (done + take - 1).toLong * hop)
+      pages += oggPage(audioPackets.slice(done, done + take), serial,
+        pageSeq, granule, bos = false, eos = last)
+      pageSeq += 1
+      done += take
+    }
+    pages.result().reduce(_ ++ _)
+  }
+
+  private def identPacket(rate: Int, channels: Int): Array[Byte] = {
+    val bw = new BitWriter
+    bw.write(1, 8)
+    "vorbis".foreach(c => bw.write(c.toLong, 8))
+    bw.write(0, 32) // version
+    bw.write(channels, 8)
+    bw.write(rate.toLong & 0xffffffffL, 32)
+    bw.write(0, 32); bw.write(0, 32); bw.write(0, 32) // bitrates
+    bw.write(8, 4) // blocksize_0 = 2^8 = 256
+    bw.write(8, 4) // blocksize_1
+    bw.write(1, 1) // framing
+    bw.bytes()
+  }
+
+  private def commentPacket(): Array[Byte] = {
+    val bw = new BitWriter
+    bw.write(3, 8)
+    "vorbis".foreach(c => bw.write(c.toLong, 8))
+    val vendor = "graft-plant"
+    bw.write(vendor.length, 32)
+    vendor.foreach(c => bw.write(c.toLong, 8))
+    bw.write(0, 32) // no user comments
+    bw.write(1, 1)
+    bw.bytes()
+  }
+
+  private def setupPacket(channels: Int): Array[Byte] = {
+    val bw = new BitWriter
+    bw.write(5, 8)
+    "vorbis".foreach(c => bw.write(c.toLong, 8))
+    bw.write(4, 8) // 5 codebooks
+    // book 0: the classbook — dim 2, 4 entries, uniform 2-bit lengths
+    bw.write(0x564342, 24)
+    bw.write(2, 16)
+    bw.write(4, 24)
+    bw.write(0, 1) // not ordered
+    bw.write(0, 1) // not sparse
+    (0 until 4).foreach(_ => bw.write(1, 5)) // length 2 = write 1
+    bw.write(0, 4) // no lookup
+    // books 1..4: the pass ladder — dim 1, 256 entries, uniform 8-bit
+    // lengths, lookup type 1 with identity multiplicands
+    var p = 0
+    while (p < 4) {
+      bw.write(0x564342, 24)
+      bw.write(1, 16)
+      bw.write(256, 24)
+      bw.write(0, 1)
+      bw.write(0, 1)
+      (0 until 256).foreach(_ => bw.write(7, 5)) // length 8
+      bw.write(1, 4) // lookup type 1
+      bw.write(float32Pack(passMin(p)).toLong & 0xffffffffL, 32)
+      bw.write(float32Pack(PassDeltas(p)).toLong & 0xffffffffL, 32)
+      bw.write(7, 4) // value_bits 8
+      bw.write(0, 1) // sequence_p
+      (0 until 256).foreach(e => bw.write(e, 8)) // identity mults
+      p += 1
+    }
+    bw.write(0, 6); bw.write(0, 16) // one time transform, type 0
+    // one floor, type 1: zero partitions, multiplier 1, rangebits 7
+    bw.write(0, 6)
+    bw.write(1, 16)
+    bw.write(0, 5) // partitions
+    bw.write(0, 2) // multiplier - 1
+    bw.write(7, 4) // rangebits → X = [0, 128]
+    // one residue: type 1 (mono) / type 2 (stereo interleaved)
+    bw.write(0, 6)
+    bw.write(if (channels == 2) 2 else 1, 16)
+    bw.write(0, 24) // begin
+    bw.write(if (channels == 2) 256 else 128, 24) // end
+    bw.write(3, 24) // partition size - 1 → 4
+    bw.write(1, 6) // classifications - 1 → 2
+    bw.write(0, 8) // classbook
+    // class 0: cascade 0 (unused); class 1: cascade 15 (passes 0–3)
+    bw.write(0, 3); bw.write(0, 1)
+    bw.write(7, 3); bw.write(1, 1); bw.write(1, 5)
+    (1 to 4).foreach(b => bw.write(b, 8)) // class-1 pass books
+    // one mapping, type 0: 1 submap, no coupling
+    bw.write(0, 6)
+    bw.write(0, 16)
+    bw.write(0, 1) // submaps flag
+    bw.write(0, 1) // coupling flag
+    bw.write(0, 2) // reserved
+    bw.write(0, 8) // time placeholder
+    bw.write(0, 8) // floor 0
+    bw.write(0, 8) // residue 0
+    // one mode: short blocks, mapping 0
+    bw.write(0, 6)
+    bw.write(0, 1) // blockflag
+    bw.write(0, 16); bw.write(0, 16)
+    bw.write(0, 8)
+    bw.write(1, 1) // framing
+    bw.bytes()
+  }
+
+  /** One Ogg page over the given whole packets (each must END on this
+    * page — the plant encoder never spans pages).
+    */
+  private[multimodal] def oggPage(packets: Seq[Array[Byte]], serial: Int,
+                                  pageSeq: Int, granule: Long, bos: Boolean,
+                                  eos: Boolean): Array[Byte] = {
+    val laces = packets.flatMap { p =>
+      val full = p.length / 255
+      val rem = p.length % 255
+      Seq.fill(full)(255) :+ rem
+    }
+    require(laces.length <= 255, "too many segments for one page")
+    val bodyLen = packets.map(_.length).sum
+    val out = java.nio.ByteBuffer.allocate(27 + laces.length + bodyLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("OggS".getBytes("US-ASCII"))
+    out.put(0.toByte)
+    out.put(((if (bos) 2 else 0) | (if (eos) 4 else 0)).toByte)
+    out.putLong(granule)
+    out.putInt(serial)
+    out.putInt(pageSeq)
+    val crcPos = out.position()
+    out.putInt(0)
+    out.put(laces.length.toByte)
+    laces.foreach(l => out.put(l.toByte))
+    packets.foreach(p => out.put(p))
+    val arr = out.array()
+    val crc = Ogg.crc32(arr, 0, arr.length)
+    arr(crcPos) = (crc & 0xff).toByte
+    arr(crcPos + 1) = ((crc >> 8) & 0xff).toByte
+    arr(crcPos + 2) = ((crc >> 16) & 0xff).toByte
+    arr(crcPos + 3) = ((crc >> 24) & 0xff).toByte
+    arr
+  }
+}

@@ -1,0 +1,226 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Ogg/Vorbis: container walk + CRC, the FFT-based MDCT pair against
+  * the direct O(N²) spec formulas, bit-exact lossy round trips through
+  * the planting encoder (the codec claim that matters: decoded PCM
+  * rounds back to the EXACT input samples), granule trimming, typed
+  * refusals (floor0, non-Vorbis codecs) and corruption fuzz.
+  */
+class VorbisSpec extends AnyFunSuite {
+
+  private def lcg(seed: Long): () => Long = {
+    var s = seed
+    () => { s = s * 6364136223846793005L + 1442695040888963407L; s }
+  }
+
+  test("imdct/mdct match the direct spec formulas (O(N^2) cross-check)") {
+    val n = 64
+    val next = lcg(42)
+    val x = Array.fill(n / 2)(((next() >>> 40) % 1000).toInt / 500.0 - 1.0)
+    val direct = Array.tabulate(n) { i =>
+      var acc = 0.0
+      var k = 0
+      while (k < n / 2) {
+        acc += x(k) * math.cos(
+          math.Pi / (2 * n) * (2 * i + 1 + n / 2) * (2 * k + 1))
+        k += 1
+      }
+      acc
+    }
+    val fast = Vorbis.imdct(x, n)
+    (0 until n).foreach(i => assert(math.abs(fast(i) - direct(i)) < 1e-9,
+      s"imdct[$i]"))
+    // forward: X_k = (4/N) sum u_n cos(...)
+    val u = Array.fill(n)(((next() >>> 40) % 1000).toInt / 500.0 - 1.0)
+    val directF = Array.tabulate(n / 2) { k =>
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        acc += u(i) * math.cos(
+          math.Pi / (2 * n) * (2 * i + 1 + n / 2) * (2 * k + 1))
+        i += 1
+      }
+      acc * 4.0 / n
+    }
+    val fastF = Vorbis.mdct(u)
+    (0 until n / 2).foreach(k =>
+      assert(math.abs(fastF(k) - directF(k)) < 1e-9, s"mdct[$k]"))
+  }
+
+  test("mdct -> imdct with lapped Vorbis windows reconstructs exactly " +
+    "(the TDAC identity the codec rests on)") {
+    val n = 256
+    val hop = n / 2
+    val next = lcg(7)
+    val sig = Array.fill(4 * hop)(((next() >>> 40) % 2000).toInt / 1000.0 - 1.0)
+    val padded = new Array[Double](sig.length + 2 * hop)
+    System.arraycopy(sig, 0, padded, hop, sig.length)
+    val w = Array.tabulate(n) { i =>
+      val s = math.sin(math.Pi * (i + 0.5) / n)
+      math.sin(math.Pi / 2 * s * s)
+    }
+    val nFrames = padded.length / hop - 1
+    val ola = new Array[Double](padded.length)
+    (0 until nFrames).foreach { f =>
+      val u = Array.tabulate(n)(i => padded(f * hop + i) * w(i))
+      val y = Vorbis.imdct(Vorbis.mdct(u), n)
+      (0 until n).foreach(i => ola(f * hop + i) += y(i) * w(i))
+    }
+    // every sample covered by two frames reconstructs
+    (hop until (nFrames - 1) * hop).foreach { t =>
+      assert(math.abs(ola(t) - padded(t)) < 1e-10, s"t=$t")
+    }
+  }
+
+  test("float32 pack/unpack round-trips the encoder's dyadic constants") {
+    Seq(-8.0, math.pow(2, -4), math.pow(2, -11), math.pow(2, -18),
+      math.pow(2, -25), -math.pow(2, -5), 1.0, -0.5).foreach { v =>
+      assert(Vorbis.float32Pack(v) != 0 || v == 0.0)
+    }
+  }
+
+  test("BIT-EXACT round trip, mono (residue type 1): random, ramp and " +
+    "full-scale PCM decode back to the exact input samples") {
+    val next = lcg(13)
+    val cases = Seq(
+      Array.tabulate[Short](640)(j => (j + 37).toShort), // the q116 ramp
+      Array.fill[Short](650)(((next() >>> 40) % 1000 * 31).toShort), // q113ish
+      Array.tabulate[Short](333)(j =>
+        (((next() >>> 33) % 65536) - 32768).toShort), // full-scale noise
+      Array[Short](0, 32767, -32768, 1, -1), // extremes, tiny stream
+      Array.fill[Short](1)(12345)
+    )
+    cases.zipWithIndex.foreach { case (pcm, ci) =>
+      val ogg = Vorbis.vorbisBytes(8000, pcm)
+      val got = Vorbis.decodeOggPcm(ogg)
+      assert(got.isDefined, s"case $ci undecodable")
+      val w = got.get
+      assert(w.sampleRateHz == 8000 && w.channels == 1, s"case $ci params")
+      assert(w.pcm.length == pcm.length,
+        s"case $ci length ${w.pcm.length} != ${pcm.length}")
+      (pcm.indices).foreach(i =>
+        assert(w.pcm(i) == pcm(i), s"case $ci sample $i: ${w.pcm(i)} != ${pcm(i)}"))
+    }
+  }
+
+  test("BIT-EXACT round trip, stereo (residue type 2, interleaved)") {
+    val next = lcg(99)
+    val pcm = Array.tabulate[Short](2 * 500) { i =>
+      if (i % 2 == 0) (((next() >>> 33) % 60000) - 30000).toShort
+      else (i / 2 - 250).toShort
+    }
+    val ogg = Vorbis.vorbisBytes(44100, pcm, channels = 2)
+    val got = Vorbis.decodeOggPcm(ogg)
+    assert(got.isDefined)
+    val w = got.get
+    assert(w.channels == 2 && w.sampleRateHz == 44100)
+    assert(w.pcm.length == pcm.length)
+    pcm.indices.foreach(i => assert(w.pcm(i) == pcm(i), s"sample $i"))
+  }
+
+  test("granule trimming: sample counts that are not a hop multiple " +
+    "come back exact, never padded to the block grid") {
+    Seq(1, 127, 128, 129, 255, 650, 640).foreach { s =>
+      val pcm = Array.tabulate[Short](s)(j => (j % 251).toShort)
+      val w = Vorbis.decodeOggPcm(Vorbis.vorbisBytes(8000, pcm)).get
+      assert(w.pcm.length == s, s"s=$s got ${w.pcm.length}")
+      pcm.indices.foreach(i => assert(w.pcm(i) == pcm(i)))
+    }
+  }
+
+  test("decodeAudioPcm seam: the SAME samples from WAV, FLAC and Vorbis " +
+    "containers produce identical PCM") {
+    val pcm = Array.tabulate[Short](640)(j => (j + 11).toShort)
+    val viaWav = Multimodal.Codecs.decodeAudioPcm(
+      Multimodal.Codecs.wavBytes(8000, pcm)).get
+    val viaFlac = Multimodal.Codecs.decodeAudioPcm(
+      Flac.flacBytes(8000, pcm)).get
+    val viaOgg = Multimodal.Codecs.decodeAudioPcm(
+      Vorbis.vorbisBytes(8000, pcm)).get
+    assert(viaWav.pcm.sameElements(viaFlac.pcm))
+    assert(viaWav.pcm.sameElements(viaOgg.pcm))
+    assert(viaOgg.sampleRateHz == 8000 && viaOgg.channels == 1)
+  }
+
+  test("Ogg walk: page CRC failures are counted, the bad page costs " +
+    "only itself, and the walk resyncs") {
+    val pcm = Array.tabulate[Short](640)(j => j.toShort)
+    val ogg = Vorbis.vorbisBytes(8000, pcm)
+    val clean = Ogg.walk(ogg).get
+    assert(clean.nBadPages == 0 && clean.nPages >= 3)
+    assert(clean.serials == Set(0x67726166))
+    assert(clean.lastGranule == 640L)
+    // flip one byte inside the THIRD page's body (the audio page)
+    val hdr2end = {
+      // find the 3rd "OggS"
+      var count = 0; var i = 0; var pos = -1
+      while (i < ogg.length - 4 && pos < 0) {
+        if (ogg(i) == 'O' && ogg(i + 1) == 'g' && ogg(i + 2) == 'g' &&
+          ogg(i + 3) == 'S') { count += 1; if (count == 3) pos = i }
+        i += 1
+      }
+      pos
+    }
+    assert(hdr2end > 0)
+    val bad = ogg.clone()
+    bad(hdr2end + 40) = (bad(hdr2end + 40) ^ 0x5a).toByte
+    val walked = Ogg.walk(bad).get
+    assert(walked.nBadPages == 1)
+    assert(walked.nPages == clean.nPages - 1)
+    // headers intact: the payload still audits as vorbis
+    assert(Vorbis.audit(bad).get.codec == "vorbis")
+  }
+
+  test("audit: vorbis params + declared duration; non-vorbis Ogg codecs " +
+    "refuse with the codec named; floor0 refusal is typed") {
+    val pcm = Array.tabulate[Short](650)(j => j.toShort)
+    val a = Vorbis.audit(Vorbis.vorbisBytes(8000, pcm)).get
+    assert(a.codec == "vorbis" && a.setupOk && a.error == null)
+    assert(a.sampleRate == 8000 && a.channels == 1)
+    assert(a.blocksize0 == 256 && a.blocksize1 == 256)
+    assert(a.declaredSamples == 650L)
+    assert(math.abs(a.durationMs - 650.0 * 1000 / 8000) < 1e-9)
+    assert(a.nAudioPackets == (650 + 127) / 128 + 1)
+    // a fake Opus BOS page: typed refusal, container still audited
+    val opus = Vorbis.oggPage(Seq("OpusHead".getBytes("US-ASCII") ++
+      new Array[Byte](11)), 7, 0, 0L, bos = true, eos = true)
+    val oa = Vorbis.audit(opus).get
+    assert(oa.codec == "opus" && oa.error.contains("opus"))
+    // not Ogg at all
+    assert(Vorbis.audit("RIFF....WAVE".getBytes).isEmpty)
+    assert(Vorbis.decodeOggPcm("junk".getBytes).isEmpty)
+  }
+
+  test("corruption fuzz: random byte flips over a valid stream never " +
+    "throw from walk, audit or decode") {
+    val pcm = Array.tabulate[Short](400)(j => (j * 3 % 997).toShort)
+    val base = Vorbis.vorbisBytes(8000, pcm)
+    val next = lcg(31337)
+    (1 to 300).foreach { _ =>
+      val b = base.clone()
+      val at = ((next() >>> 33) % b.length).toInt
+      b(at) = ((next() >>> 33) & 0xff).toByte
+      Ogg.walk(b)
+      Vorbis.audit(b)
+      Vorbis.decodeOggPcm(b) // Some or None, never a throw
+    }
+    // truncations at every byte boundary class
+    (1 to 100).foreach { k =>
+      val cut = java.util.Arrays.copyOf(base, base.length * k / 101)
+      Ogg.walk(cut); Vorbis.audit(cut); Vorbis.decodeOggPcm(cut)
+    }
+  }
+
+  test("the inverse-dB table is the published geometric ramp") {
+    assert(math.abs(Vorbis.InverseDb(0) - 1.0649863e-7) < 1e-13)
+    assert(math.abs(Vorbis.InverseDb(255) - 0.82788260) < 1e-9)
+    // strictly increasing, constant ratio
+    val r = Vorbis.InverseDb(1) / Vorbis.InverseDb(0)
+    (1 until 256).foreach { i =>
+      val ri = Vorbis.InverseDb(i) / Vorbis.InverseDb(i - 1)
+      assert(math.abs(ri - r) < 1e-12)
+    }
+  }
+}
