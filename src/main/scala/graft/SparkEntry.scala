@@ -2822,8 +2822,51 @@ object SparkEntry {
       sources.Warc.quarantineStats(
           sources.Warc.records(warcs, "doc_id", "payload"))
         .orderBy(col("reason"))
+    }),
+
+    // Ogg/Vorbis corpus audit — the container/codec coverage audit for
+    // the r16 codec: supplier keys plant COMPLETE Ogg/Vorbis streams
+    // (real pages, CRCs, lacing; mono on even keys with residue type 1,
+    // stereo on odd with type 2; off-grid sample counts exercising the
+    // granule trim) and, on k%9=0, an Ogg/OPUS stream the decoder must
+    // refuse MEASURABLY (codec named, container still audited). The
+    // oracle replays page/packet/parameter arithmetic closed-form
+    "q136_vorbis_audit" -> ((s, dir) => {
+      import s.implicits._
+      val media = tSpread(s, dir, "supplier").select(col("s_suppkey"))
+        .as[Long]
+        .map(k => (k, q136Ogg(k)))
+        .toDF("id", "payload")
+      multimodal.Vorbis.oggAudit(media, "id", "payload")
+        .select(col("id"), col("codec"), col("n_pages"),
+          col("n_audio_packets"), col("sample_rate"), col("channels"),
+          col("blocksize0"), col("declared_samples"), col("setup_ok"))
+        .orderBy(col("id"))
     })
   )
+
+  /** q136's planted Ogg payload for supplier key `k`: a fake Opus BOS
+    * page on k%9=0 (the measurable refusal), else a complete Vorbis
+    * stream — rate by k%3, stereo on odd keys, 64·(k%7+1) + 3·(k%5)
+    * samples per channel (off the 128-sample hop grid, so the granule
+    * trim is load-bearing), deterministic full-scale PCM from the key.
+    */
+  private[graft] def q136Ogg(k: Long): Array[Byte] = {
+    if (k % 9 == 0)
+      return multimodal.Vorbis.oggPage(
+        Seq("OpusHead".getBytes("US-ASCII") ++ new Array[Byte](11)),
+        serial = 7, pageSeq = 0, granule = 0L, bos = true, eos = true)
+    val rates = Array(8000, 44100, 32000)
+    val rate = rates((k % 3).toInt)
+    val channels = 1 + (k % 2).toInt
+    val s = (64 * (k % 7 + 1) + 3 * (k % 5)).toInt
+    var seed = k * 1000003L + 17L
+    val pcm = Array.fill[Short](s * channels) {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % 60000) - 30000).toShort
+    }
+    multimodal.Vorbis.vorbisBytes(rate, pcm, channels)
+  }
 
   /** q135's payload for doc key `k`: the q126 stream plus, on k%3=2, a
     * brotli-encoded response record — appended as its own gzip member
@@ -3142,14 +3185,18 @@ object SparkEntry {
       s = s * 6364136223846793005L + 1442695040888963407L
       (((s >>> 40) % 1000).toInt * gain).toShort
     }
-    // mixed-container corpus (the q115 pattern): even keys RIFF/WAVE,
-    // odd keys FLAC (lossless → identical PCM → identical fingerprint,
-    // so the oracle's within-group arithmetic is container-blind); the
-    // FLAC subframe family also varies by key so fixed/LPC paths both
-    // appear in the corpus
+    // mixed-container corpus (the q115 pattern): even keys RIFF/WAVE;
+    // odd keys split FLAC auto (k%8=1) / FLAC lpc (k%8=5) / Ogg/Vorbis
+    // (k%8=3,7 — the r16 codec, whose planted streams round-trip
+    // BIT-EXACTLY, so the lossy container still yields identical PCM →
+    // identical fingerprint and the oracle's within-group arithmetic
+    // stays container-blind)
     if (k % 2 == 0) multimodal.Multimodal.Codecs.wavBytes(8000, pcm)
-    else multimodal.Flac.flacBytes(8000, pcm,
-      subframe = if (k % 4 == 1) "auto" else "lpc")
+    else if (k % 8 == 1) multimodal.Flac.flacBytes(8000, pcm,
+      subframe = "auto")
+    else if (k % 8 == 5) multimodal.Flac.flacBytes(8000, pcm,
+      subframe = "lpc")
+    else multimodal.Vorbis.vorbisBytes(8000, pcm)
   }
 
   /** q114's planted AVI for supplier key `k`: (k%7 + 1) frames, frame
@@ -3190,10 +3237,12 @@ object SparkEntry {
   private[graft] def q116Wav(k: Long): Array[Byte] = {
     val base = (k % 50).toInt
     val pcm = Array.tabulate[Short](640)(j => (j + base).toShort)
-    // mixed containers like q115: even keys WAV, odd keys FLAC — the
-    // lossless decode feeds the same closed-form block means
+    // mixed containers like q115: even keys WAV, k%4=1 FLAC, k%4=3
+    // Ogg/Vorbis — all three decodes feed the same closed-form block
+    // means (the Vorbis plant round-trips bit-exactly, r16)
     if (k % 2 == 0) multimodal.Multimodal.Codecs.wavBytes(8000, pcm)
-    else multimodal.Flac.flacBytes(8000, pcm)
+    else if (k % 4 == 1) multimodal.Flac.flacBytes(8000, pcm)
+    else multimodal.Vorbis.vorbisBytes(8000, pcm)
   }
 
   /** q117's planted AVI for supplier key `k`: a group-determined
@@ -5791,7 +5840,35 @@ object SparkEntry {
         |      AS BIGINT)
         |  FROM d)
         |SELECT reason, n_records, n_with_url FROM r
-        |WHERE n_records > 0 ORDER BY reason""".stripMargin
+        |WHERE n_records > 0 ORDER BY reason""".stripMargin,
+
+    // closed-form replay of the planted Ogg matrix: Vorbis streams
+    // always page as ident | comment+setup | one audio page (frame
+    // counts stay under the 40-packet page cap at these sizes), with
+    // ceil(S/128)+1 audio packets for S = 64·(k%7+1) + 3·(k%5) samples;
+    // the k%9=0 Opus plant audits as a refused single-page container
+    "q136_vorbis_audit" ->
+      """SELECT s_suppkey AS id,
+        |  CASE WHEN s_suppkey % 9 = 0 THEN 'opus' ELSE 'vorbis' END
+        |    AS codec,
+        |  CAST(CASE WHEN s_suppkey % 9 = 0 THEN 1 ELSE 3 END AS INTEGER)
+        |    AS n_pages,
+        |  CAST(CASE WHEN s_suppkey % 9 = 0 THEN 0
+        |       ELSE (64 * (s_suppkey % 7 + 1) + 3 * (s_suppkey % 5)
+        |             + 127) // 128 + 1 END AS INTEGER) AS n_audio_packets,
+        |  CAST(CASE WHEN s_suppkey % 9 = 0 THEN 0
+        |       WHEN s_suppkey % 3 = 0 THEN 8000
+        |       WHEN s_suppkey % 3 = 1 THEN 44100
+        |       ELSE 32000 END AS INTEGER) AS sample_rate,
+        |  CAST(CASE WHEN s_suppkey % 9 = 0 THEN 0
+        |       ELSE 1 + s_suppkey % 2 END AS INTEGER) AS channels,
+        |  CAST(CASE WHEN s_suppkey % 9 = 0 THEN 0 ELSE 256 END AS INTEGER)
+        |    AS blocksize0,
+        |  CAST(CASE WHEN s_suppkey % 9 = 0 THEN -1
+        |       ELSE 64 * (s_suppkey % 7 + 1) + 3 * (s_suppkey % 5)
+        |       END AS BIGINT) AS declared_samples,
+        |  s_suppkey % 9 <> 0 AS setup_ok
+        |FROM supplier ORDER BY id""".stripMargin
   )
 
   /** q133's replay: q102's stage CTEs over the crawl-extracted corpus

@@ -1120,6 +1120,31 @@ object Vorbis {
     }
   }
 
+  /** Per-payload Ogg audit table — the Mp3.audioAudit pattern for the
+    * Ogg family: one row per Ogg payload with container health, the
+    * sniffed codec (non-Vorbis codecs are MEASURABLE refusals, not
+    * silent drops), and for Vorbis the stream parameters + declared
+    * sample count. Non-Ogg rows are dropped (they belong to the other
+    * decoders' seams). Scan-stage kernel, payload projected away.
+    */
+  def oggAudit(df: org.apache.spark.sql.DataFrame, idCol: String,
+               payloadCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val kernel = udf { b: Array[Byte] => audit(b) }
+    df.select(col(idCol), kernel(col(payloadCol)).as("a"))
+      .where(col("a").isNotNull)
+      .select(col(idCol), col("a.codec").as("codec"),
+        col("a.nPages").as("n_pages"),
+        col("a.nBadPages").as("n_bad_pages"),
+        col("a.nAudioPackets").as("n_audio_packets"),
+        col("a.sampleRate").as("sample_rate"),
+        col("a.channels").as("channels"),
+        col("a.blocksize0").as("blocksize0"),
+        col("a.declaredSamples").as("declared_samples"),
+        col("a.setupOk").as("setup_ok"),
+        col("a.error").as("error"))
+  }
+
   // -------------------------------------------------------------------
   // The planting encoder.
   // -------------------------------------------------------------------
@@ -1372,9 +1397,9 @@ object Vorbis {
   /** One Ogg page over the given whole packets (each must END on this
     * page — the plant encoder never spans pages).
     */
-  private[multimodal] def oggPage(packets: Seq[Array[Byte]], serial: Int,
-                                  pageSeq: Int, granule: Long, bos: Boolean,
-                                  eos: Boolean): Array[Byte] = {
+  private[graft] def oggPage(packets: Seq[Array[Byte]], serial: Int,
+                             pageSeq: Int, granule: Long, bos: Boolean,
+                             eos: Boolean): Array[Byte] = {
     val laces = packets.flatMap { p =>
       val full = p.length / 255
       val rem = p.length % 255

@@ -45,9 +45,10 @@ object MediaStream {
     * column. `modality` picks the scan-stage kernel:
     *  - `"image"`: [[Multimodal.Codecs.decodeImageGray]] →
     *    [[ImageHash.aHash64]] (≥ 8×8 px);
-    *  - `"audio"`: [[Multimodal.Codecs.decodeAudioPcm]] (WAV or FLAC,
-    *    the same container-agnostic seam the batch fingerprints ride) →
-    *    [[AudioHash.envHash64]] (≥ 65 samples, ≤ 2^26).
+    *  - `"audio"`: [[Multimodal.Codecs.decodeAudioPcm]] (WAV, FLAC or
+    *    Ogg/Vorbis — the same container-agnostic seam the batch
+    *    fingerprints ride) → [[AudioHash.envHash64]] (≥ 65 samples,
+    *    ≤ 2^26).
     * Payloads that don't decode produce no posting and never pair —
     * the same refusal contract as the batch fingerprints.
     *
