@@ -28,7 +28,7 @@ object Main {
         System.err.println(msg)
         System.err.println(
           "usage: graft.Main (download|process|summary|log|config|stats|" +
-            "drop|classlabel) -c <config.yaml> [-o key=value ...]\n" +
+            "drop|classlabel|crawl) -c <config.yaml> [-o key=value ...]\n" +
             "       graft.Main init [-o outdir=DIR]\n" +
             "       graft.Main ttcreator [-o model=ak135|model.csv] " +
             "[-o output=grid.npz] [-o tol=5] [-o maxdepth=700] [-o maxdist=180]")
@@ -47,20 +47,28 @@ object Main {
     val cfgText = new String(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(cfgPath)), "UTF-8")
     val raw = graft.config.YamlLite.parse(cfgText)
-    val cfg = DownloadConfig.from(raw ++ overrides.map {
+    val merged = raw ++ overrides.map {
       case (k, v) => k -> graft.config.YamlLite.scalar(v, 0)
-    }) match {
+    }
+    // the crawl subcommand has its own (much smaller) config surface
+    if (cmd == "crawl") {
+      val ccfg = graft.config.CrawlConfig.from(merged) match {
+        case Right(c) => c
+        case Left(errors) =>
+          errors.foreach(e => System.err.println(s"config error: $e"))
+          sys.exit(2)
+      }
+      val spark = buildSpark()
+      try println(crawl(spark, ccfg).render) finally spark.stop()
+      return
+    }
+    val cfg = DownloadConfig.from(merged) match {
       case Right(c) => c
       case Left(errors) =>
         errors.foreach(e => System.err.println(s"config error: $e"))
         sys.exit(2)
     }
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
+    val spark = buildSpark()
     try cmd match {
       case "download" =>
         val report = download(spark, cfg, new HttpTransport(), cfgText)
@@ -159,9 +167,169 @@ object Main {
     s"wrote ${p.toAbsolutePath}"
   }
 
+  private def buildSpark(): SparkSession = SparkSession.builder()
+    .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+    .config("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  // ---------------------------------------------------------------------
+  // `crawl`: the operable crawl-curation front door.
+  // ---------------------------------------------------------------------
+
+  /** One row per crawl decision class, printed by `crawl`. */
+  final case class CrawlReport(nFiles: Int, nPages: Long, nKept: Long,
+                               dropped: Map[String, Long],
+                               buckets: Map[String, Long],
+                               quarantined: Long) {
+    def render: String = {
+      val d = dropped.toSeq.sortBy(_._1)
+        .map { case (r, n) => s"  dropped[$r] $n" }
+      val b = buckets.toSeq.sortBy(_._1)
+        .map { case (k, n) => s"  bucket[$k] $n" }
+      val head = s"files=$nFiles pages=$nPages kept=$nKept " +
+        s"quarantined_records=$quarantined"
+      (head +: (d ++ b)).mkString("\n")
+    }
+  }
+
+  /** Resolve the crawl input (file, directory or glob) to a sorted list
+    * of WARC paths through the Hadoop filesystem API — the same
+    * resolution `recordsFromPaths` uses per task, so anything listable
+    * here is readable there (S3/HDFS/local alike).
+    */
+  private[graft] def listWarcPaths(spark: SparkSession,
+                                   input: String): Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(input)
+    val fs = p.getFileSystem(conf)
+    val pattern =
+      if (fs.exists(p) && fs.getFileStatus(p).isDirectory)
+        new org.apache.hadoop.fs.Path(p, "*.warc*")
+      else p
+    val statuses = fs.globStatus(pattern)
+    if (statuses == null) Seq.empty
+    else statuses.filter(_.isFile).map(_.getPath.toString).sorted.toSeq
+  }
+
+  /** The crawl-curation DAG (`SparkEntry` q133's composition made
+    * operable): WARC files → [[graft.sources.Warc.htmlPagesFromPaths]]
+    * → [[graft.textops.HtmlExtract.extractDocs]] → robots-noindex gate
+    * → [[graft.textops.UrlOps.urlSurvivors]] → host-count gate →
+    * [[graft.textops.CurationPipeline.runWithModel]] (unigram LM
+    * trained on the gated batch, FIXED thresholds from config).
+    *
+    * Output is an AUDITABLE decision table: one row per extracted page
+    * in `outdir/decisions.parquet` — kept pages carry their CCNet
+    * bucket, dropped pages the FIRST gate that cut them
+    * (`robots_noindex`, `url_duplicate`, `host_gate`, then the
+    * curation pipeline's own `language`/`quality`/`duplicate`) — plus
+    * the per-reason ingest quarantine audit in
+    * `outdir/crawl_audit.parquet`.
+    *
+    * Scale notes: page ids are `xxhash64(path, rec_idx)` (deterministic,
+    * no driver-side numbering); the host gate is one count aggregate +
+    * one broadcast-sized join with the drops KEPT as decision rows
+    * (`UrlOps.hostGateOn` semantics, inlined because the operator
+    * returns only survivors); the audit is a second pass over the files
+    * (recomputing the scan beats persisting inflated crawl text — the
+    * decode is scan-stage CPU, the text is the expensive thing to hold).
+    */
+  private[graft] def crawl(spark: SparkSession,
+                           cfg: graft.config.CrawlConfig): CrawlReport = {
+    import spark.implicits._
+    import graft.textops.{CurationPipeline, HtmlExtract, UnigramLM, UrlOps}
+    val files = listWarcPaths(spark, cfg.input)
+    if (files.isEmpty) {
+      System.err.println(s"crawl: no .warc files under '${cfg.input}'")
+      return CrawlReport(0, 0, 0, Map.empty, Map.empty, 0)
+    }
+    var paths = files.toDS()
+    if (cfg.inputPartitions > 0) paths = paths.repartition(cfg.inputPartitions)
+
+    val pages = graft.sources.Warc.htmlPagesFromPaths(paths)
+    val docs = HtmlExtract.extractDocs(pages, "path", "html",
+        carryCols = Seq("rec_idx", "url", "http_status"))
+      .withColumn("doc_id", xxhash64(col("path"), col("rec_idx")))
+    val decisionCols = Seq("doc_id", "lang", "n_tokens", "drop_reason",
+      "avg_logprob", "bucket")
+    def droppedRows(df: DataFrame, reason: String): DataFrame =
+      df.select(col("doc_id"), lit(null).cast("string").as("lang"),
+        lit(null).cast("int").as("n_tokens"),
+        lit(reason).as("drop_reason"),
+        lit(null).cast("double").as("avg_logprob"),
+        lit(null).cast("string").as("bucket"))
+
+    val (live, noindexed) =
+      if (cfg.honorNoindex)
+        (docs.where(!col("robots_noindex")),
+          droppedRows(docs.where(col("robots_noindex")), "robots_noindex"))
+      else (docs, spark.emptyDataset[Long].toDF("doc_id")
+        .transform(droppedRows(_, "robots_noindex")).limit(0))
+
+    val surv = UrlOps.urlSurvivors(live, "url", "doc_id", "text",
+      "http_status")
+    val urlDropped = droppedRows(surv.where(!col("kept")), "url_duplicate")
+    val keptSurv = surv.where(col("kept"))
+      .select(col("doc_id"), col("url_host"), col("text"))
+
+    // host-count gate with the DROPS kept as decision rows — the
+    // hostGateOn aggregate+broadcast-join shape, inlined so the gated
+    // and dropped halves split off one joined frame
+    val (gated, hostDropped) =
+      if (cfg.minHostDocs <= 1 && cfg.maxHostDocs == 0L)
+        (keptSurv.select(col("doc_id"), col("text")),
+          keptSurv.limit(0).transform(d => droppedRows(d, "host_gate")))
+      else {
+        val counts = keptSurv.where(col("url_host").isNotNull)
+          .groupBy(col("url_host")).agg(count(lit(1)).as("__hn"))
+        val joined = keptSurv.join(counts, Seq("url_host"), "left")
+        val ok = col("url_host").isNotNull &&
+          col("__hn") >= cfg.minHostDocs &&
+          (if (cfg.maxHostDocs == 0L) lit(true)
+           else col("__hn") <= cfg.maxHostDocs)
+        (joined.where(ok).select(col("doc_id"), col("text")),
+          droppedRows(joined.where(!ok), "host_gate"))
+      }
+
+    val model = UnigramLM.train(gated, "text")
+    val curated = CurationPipeline.runWithModel(gated, "doc_id", "text",
+      keepLangs = cfg.keepLangs, unigrams = model,
+      tHead = cfg.tHead, tMid = cfg.tMid)
+
+    val decisions = curated.select(decisionCols.map(col): _*)
+      .unionByName(noindexed).unionByName(urlDropped)
+      .unionByName(hostDropped)
+    val decisionsPath = cfg.outdir + "/decisions.parquet"
+    decisions.write.mode("overwrite").parquet(decisionsPath)
+
+    // pass 2: the ingest quarantine audit (which records the curation
+    // never even saw, and why)
+    val audit = graft.sources.Warc.quarantineStats(
+      graft.sources.Warc.recordsFromPaths(paths))
+    audit.write.mode("overwrite").parquet(cfg.outdir + "/crawl_audit.parquet")
+
+    val written = spark.read.parquet(decisionsPath)
+    val byReason = written.groupBy(col("drop_reason"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => Option(r.getString(0)).getOrElse("__kept") -> r.getLong(1))
+      .toMap
+    val buckets = written.where(col("drop_reason").isNull)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val quarantined = spark.read
+      .parquet(cfg.outdir + "/crawl_audit.parquet")
+      .agg(coalesce(sum(col("n_records")), lit(0L))).collect()(0).getLong(0)
+    CrawlReport(files.length,
+      byReason.values.sum,
+      byReason.getOrElse("__kept", 0L),
+      byReason - "__kept", buckets, quarantined)
+  }
+
   private val Subcommands =
     Set("download", "process", "summary", "log", "config", "stats",
-      "ttcreator", "init", "drop", "classlabel")
+      "ttcreator", "init", "drop", "classlabel", "crawl")
 
   /** `s2s utils ttcreator` equivalent (`traveltimes/ttcreator.py`): build an
     * adaptively-refined travel-time grid from the bundled ak135 model or a

@@ -1,0 +1,109 @@
+package graft.config
+
+/** Validated configuration for the `crawl` subcommand — the operable
+  * front door over the crawl-curation composition the engine already
+  * proves as a query (`SparkEntry` q133): WARC files → HTML extraction
+  * → URL-survivor dedup → host gate → CCNet-style curation, with the
+  * ingest quarantine audit written beside the output.
+  *
+  * The reference's CLI surface is `stream2segment/cli.py:437-527`
+  * (validated YAML in, tables out); this command is its parity point
+  * for the LLM-data extension surface.
+  *
+  * @param input           a `.warc`/`.warc.gz` file, a directory (its
+  *                        `*.warc*` members are taken), or a glob
+  * @param outdir          output directory: `decisions.parquet` (one
+  *                        auditable row per extracted page) and
+  *                        `crawl_audit.parquet` (per-reason ingest
+  *                        quarantine counts) are written inside it
+  * @param keepLangs       language allow-list for the curation gate;
+  *                        empty = no language gate
+  * @param minHostDocs     host-count gate lower bound (0 = no gate)
+  * @param maxHostDocs     host-count gate upper bound (0 = unbounded)
+  * @param tHead,tMid      fixed CCNet perplexity cut points (the
+  *                        deployed-gate form: thresholds are fit once,
+  *                        not per input batch)
+  * @param honorNoindex    drop pages carrying `<meta name="robots"
+  *                        content="noindex">` (decision rows with
+  *                        reason `robots_noindex`), default true
+  * @param inputPartitions repartition the path list before the
+  *                        one-task-per-file ingest (0 = leave as-is);
+  *                        set ≈ cluster cores when file sizes are skewed
+  */
+final case class CrawlConfig(input: String, outdir: String,
+                             keepLangs: Set[String],
+                             minHostDocs: Long, maxHostDocs: Long,
+                             tHead: Double, tMid: Double,
+                             honorNoindex: Boolean, inputPartitions: Int)
+
+object CrawlConfig {
+
+  private val Known = Set("input", "outdir", "keep_langs",
+    "min_host_docs", "max_host_docs", "t_head", "t_mid",
+    "honor_noindex", "input_partitions")
+
+  /** Parse + validate; Left = every problem found (not just the first). */
+  def from(raw: Map[String, Any]): Either[Seq[String], CrawlConfig] = {
+    val errs = scala.collection.mutable.ArrayBuffer.empty[String]
+    def err[T](msg: String, fallback: T): T = { errs += msg; fallback }
+
+    val unknown = raw.keySet.diff(Known)
+    if (unknown.nonEmpty)
+      errs += s"unknown parameter(s): ${unknown.toSeq.sorted.mkString(", ")}"
+
+    def str(key: String): String = raw.get(key) match {
+      case Some(s: String) if s.nonEmpty => s
+      case Some(other) if other != null =>
+        err(s"$key: expected string, got '$other'", "")
+      case _ => err(s"missing parameter: $key", "")
+    }
+    def numOpt(key: String, default: Double): Double = raw.get(key) match {
+      case Some(d: java.lang.Double) => d
+      case Some(l: java.lang.Long) => l.toDouble
+      case Some(null) | None => default
+      case Some(other) => err(s"$key: expected number, got '$other'", default)
+    }
+    def longOpt(key: String, default: Long): Long = raw.get(key) match {
+      case Some(l: java.lang.Long) => l
+      case Some(null) | None => default
+      case Some(other) => err(s"$key: expected integer, got '$other'", default)
+    }
+    def boolOpt(key: String, default: Boolean): Boolean = raw.get(key) match {
+      case Some(b: java.lang.Boolean) => b
+      case Some(null) | None => default
+      case Some(other) => err(s"$key: expected boolean, got '$other'", default)
+    }
+
+    val input = str("input")
+    val outdir = str("outdir")
+    val keepLangs = raw.get("keep_langs") match {
+      case Some(s: Seq[_]) =>
+        s.flatMap {
+          case l: String if l.nonEmpty => Some(l)
+          case other => err(s"keep_langs: expected string, got '$other'",
+            None); None
+        }.toSet
+      case Some(null) | None => Set.empty[String]
+      case Some(other) =>
+        err(s"keep_langs: expected list, got '$other'", Set.empty[String])
+    }
+    val minHost = longOpt("min_host_docs", 0L)
+    val maxHost = longOpt("max_host_docs", 0L)
+    if (minHost < 0) errs += "min_host_docs: must be >= 0"
+    if (maxHost < 0) errs += "max_host_docs: must be >= 0 (0 = unbounded)"
+    if (maxHost != 0 && maxHost < minHost)
+      errs += "max_host_docs: must be 0 or >= min_host_docs"
+    // defaults = the repo's measured q102/q133 cut points
+    val tHead = numOpt("t_head", -3.64)
+    val tMid = numOpt("t_mid", -3.68)
+    if (tHead < tMid) errs += s"t_head ($tHead) must be >= t_mid ($tMid)"
+    val honorNoindex = boolOpt("honor_noindex", default = true)
+    val parts = longOpt("input_partitions", 0L)
+    if (parts < 0 || parts > Int.MaxValue)
+      errs += "input_partitions: must be a non-negative integer"
+
+    if (errs.nonEmpty) Left(errs.toSeq)
+    else Right(CrawlConfig(input, outdir, keepLangs, minHost, maxHost,
+      tHead, tMid, honorNoindex, parts.toInt))
+  }
+}

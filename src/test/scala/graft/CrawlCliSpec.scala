@@ -1,0 +1,154 @@
+package graft
+
+import java.nio.file.Files
+
+/** The `crawl` subcommand: config validation and the end-to-end DAG
+  * over fixture `.warc.gz` files — WARC ingest → extraction →
+  * robots-noindex gate → URL-survivor dedup → host gate → curation,
+  * with every gate's drops visible as decision rows and the ingest
+  * quarantine audit written beside the output.
+  */
+class CrawlCliSpec extends SparkSpec {
+
+  private val crlf = "\r\n"
+
+  private def rec(uri: String, html: String): Array[Byte] = {
+    val body = (s"HTTP/1.1 200 OK${crlf}Content-Type: text/html$crlf$crlf")
+      .getBytes("UTF-8") ++ html.getBytes("UTF-8")
+    val h = new StringBuilder("WARC/1.0").append(crlf)
+    h.append("WARC-Type: response").append(crlf)
+    h.append("WARC-Target-URI: ").append(uri).append(crlf)
+    h.append("WARC-Date: 2026-03-01T00:00:00Z").append(crlf)
+    h.append("Content-Type: application/http; msgtype=response").append(crlf)
+    h.append("Content-Length: ").append(body.length).append(crlf).append(crlf)
+    h.toString.getBytes("UTF-8") ++ body ++ (crlf + crlf).getBytes("UTF-8")
+  }
+
+  private def gzip(b: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(out)
+    gz.write(b); gz.close()
+    out.toByteArray
+  }
+
+  private def page(text: String, head: String = ""): String =
+    s"""<html lang="en"><head><title>T</title>$head</head><body>
+       |<article><p>$text</p></article></body></html>""".stripMargin
+
+  private val prose1 = "the quick brown fox jumps over the lazy dog and " +
+    "keeps running through the field of tall grass toward the river " +
+    "where it finally rests under a shady willow tree beside the quiet " +
+    "water until evening comes"
+  private val prose2 = "assorted different words appear here now and " +
+    "again with more of the usual variety to pass the quality gates " +
+    "easily because this sentence keeps adding distinct ordinary tokens " +
+    "well beyond the minimum threshold of thirty"
+
+  test("crawl config: defaults, validation, every error reported") {
+    import graft.config.CrawlConfig
+    val ok = CrawlConfig.from(Map(
+      "input" -> "/tmp/in", "outdir" -> "/tmp/out")).toOption.get
+    assert(ok.keepLangs.isEmpty && ok.minHostDocs == 0 && ok.maxHostDocs == 0)
+    assert(ok.tHead == -3.64 && ok.tMid == -3.68 && ok.honorNoindex)
+    val full = CrawlConfig.from(Map(
+      "input" -> "/tmp/in", "outdir" -> "/tmp/out",
+      "keep_langs" -> Seq("en", "de"),
+      "min_host_docs" -> java.lang.Long.valueOf(2L),
+      "max_host_docs" -> java.lang.Long.valueOf(100L),
+      "t_head" -> java.lang.Double.valueOf(-3.0),
+      "t_mid" -> java.lang.Double.valueOf(-3.5),
+      "honor_noindex" -> java.lang.Boolean.FALSE,
+      "input_partitions" -> java.lang.Long.valueOf(8L))).toOption.get
+    assert(full.keepLangs == Set("en", "de") && full.minHostDocs == 2)
+    assert(!full.honorNoindex && full.inputPartitions == 8)
+    // every problem reported, not just the first
+    val errs = CrawlConfig.from(Map(
+      "typo_key" -> "x",
+      "t_head" -> java.lang.Double.valueOf(-5.0),
+      "t_mid" -> java.lang.Double.valueOf(-3.0),
+      "max_host_docs" -> java.lang.Long.valueOf(1L),
+      "min_host_docs" -> java.lang.Long.valueOf(5L),
+      "keep_langs" -> "en")).left.toOption.get
+    assert(errs.exists(_.contains("unknown parameter")), errs)
+    assert(errs.exists(_.contains("missing parameter: input")), errs)
+    assert(errs.exists(_.contains("missing parameter: outdir")), errs)
+    assert(errs.exists(_.contains("t_head")), errs)
+    assert(errs.exists(_.contains("max_host_docs")), errs)
+    assert(errs.exists(_.contains("keep_langs")), errs)
+  }
+
+  test("crawl e2e over fixture .warc.gz files: every gate's drops are " +
+    "decision rows, kept pages carry buckets, quarantine audited") {
+    val dir = Files.createTempDirectory("graft_crawl_in").toFile
+    val outdir = Files.createTempDirectory("graft_crawl_out").toString
+    try {
+      // host a.example.org: two keepable pages, a URL-duplicate pair,
+      // a noindexed page, a quality drop, a language drop, and one
+      // malformed record the ingest must quarantine
+      val fileA =
+        gzip(rec("https://a.example.org/one", page(prose1))) ++
+          gzip(rec("https://A.example.org:443/one?utm_source=z",
+            page(prose1))) ++ // same canonical URL -> url_duplicate
+          gzip(rec("https://a.example.org/hidden", page(prose2,
+            head = "<meta name=\"robots\" content=\"noindex\">"))) ++
+          gzip(rec("https://a.example.org/two", page(prose2))) ++
+          gzip(rec("https://a.example.org/short",
+            page("this text is far too short"))) ++
+          gzip(rec("https://a.example.org/de",
+            page("der die das und ist nicht ein zu mit von " * 4))) ++
+          gzip((s"WARC/1.0${crlf}this line has no colon$crlf$crlf")
+            .getBytes("UTF-8"))
+      // host b.example.org: one page only -> host gate (min 2) drops it
+      val fileB = gzip(rec("https://b.example.org/solo", page(prose1)))
+      Files.write(new java.io.File(dir, "a.warc.gz").toPath, fileA)
+      Files.write(new java.io.File(dir, "b.warc.gz").toPath, fileB)
+
+      val cfg = graft.config.CrawlConfig.from(Map(
+        "input" -> dir.getAbsolutePath, "outdir" -> outdir,
+        "keep_langs" -> Seq("en"),
+        "min_host_docs" -> java.lang.Long.valueOf(2L))).toOption.get
+      val report = Main.crawl(spark, cfg)
+
+      assert(report.nFiles == 2)
+      assert(report.nPages == 7) // 6 on host a + 1 on host b
+      assert(report.dropped == Map(
+        "robots_noindex" -> 1L, "url_duplicate" -> 1L, "host_gate" -> 1L,
+        "language" -> 1L, "quality" -> 1L))
+      assert(report.nKept == 2) // /one (the dup survivor) and /two
+      assert(report.buckets.values.sum == 2)
+      assert(report.quarantined == 1)
+
+      // the written table is the audit trail: one row per page
+      val written = spark.read.parquet(outdir + "/decisions.parquet")
+      assert(written.count() == 7)
+      assert(written.where("drop_reason is null").count() == 2)
+      val audit = spark.read.parquet(outdir + "/crawl_audit.parquet")
+        .collect()
+      assert(audit.length == 1 &&
+        audit(0).getAs[String]("reason") == "header without colon")
+      // honor_noindex=false keeps the hidden page in the pipeline
+      val cfg2 = cfg.copy(honorNoindex = false,
+        outdir = outdir + "2", minHostDocs = 0)
+      val r2 = Main.crawl(spark, cfg2)
+      assert(!r2.dropped.contains("robots_noindex"))
+      // hidden and solo reach curation now — but they reuse prose1/
+      // prose2 verbatim, so the pipeline's exact-dedup stage catches
+      // them (different URL, same text = the classic mirror-site case)
+      assert(r2.dropped("duplicate") == 2)
+      assert(r2.nKept == 2)
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
+  test("crawl: empty input is a clean no-op report, not a crash") {
+    val dir = Files.createTempDirectory("graft_crawl_empty").toFile
+    try {
+      val cfg = graft.config.CrawlConfig.from(Map(
+        "input" -> dir.getAbsolutePath,
+        "outdir" -> (dir.getAbsolutePath + "/out"))).toOption.get
+      val r = Main.crawl(spark, cfg)
+      assert(r.nFiles == 0 && r.nPages == 0)
+    } finally dir.delete()
+  }
+}
