@@ -41,6 +41,37 @@ object CorpusStream {
         "http_status"))
   }
 
+  /** [[crawlIngest]] over a stream of FILE PATHS — the live twin of
+    * [[graft.sources.Warc.recordsFromPaths]]'s per-record-memory
+    * contract: each path row opens its file through the Hadoop
+    * filesystem API and parses a LAZY record iterator, so a live
+    * ingest of whole ~1 GiB crawl files never materializes a file (or
+    * its record list) in a micro-batch, where the payload-column form
+    * above necessarily holds one payload's bytes per row.
+    *
+    * Feed it `spark.readStream.text(manifestDir).as[String]` — a
+    * manifest directory that crawl-file paths get appended to as
+    * fetchers land them. The file source's checkpoint tracks processed
+    * manifest files, so a restart re-ingests nothing (exactly-once per
+    * path line). Everything here is stateless (mapPartitions + per-row
+    * kernels): the SAME call over a batch `Dataset[String]` of paths is
+    * the backfill, with identical semantics.
+    *
+    * Output: one row per content-bearing page — `doc_id`
+    * (xxhash64(path, rec_idx) — deterministic, restart-stable),
+    * `event_time` (the record's WARC-Date, the column a downstream
+    * [[dedupStream]]/[[urlDedupStream]] watermark wants), plus the
+    * extraction columns (path, rec_idx, url, warc_date, http_status,
+    * title, lang, text, blocks, robots flags).
+    */
+  def crawlIngestFromPaths(paths: Dataset[String]): DataFrame = {
+    val pages = graft.sources.Warc.htmlPagesFromPaths(paths)
+    graft.textops.HtmlExtract.extractDocs(pages, "path", "html",
+        carryCols = Seq("rec_idx", "url", "warc_date", "http_status"))
+      .withColumn("doc_id", xxhash64(col("path"), col("rec_idx")))
+      .withColumn("event_time", to_timestamp(col("warc_date")))
+  }
+
   /** Exact-duplicate suppression on a streaming corpus: first arrival of a
     * normalized-text fingerprint wins; any duplicate arriving within
     * `watermark` of its original is dropped. `tsCol` is the event-time

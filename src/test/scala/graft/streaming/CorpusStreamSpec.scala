@@ -517,4 +517,94 @@ class CorpusStreamSpec extends SparkSpec {
       .as[Long].collect().toSet
     assert(kept == Set(1L, 2L, 5L))
   }
+
+  test("streaming FILE-PATH crawl ingest: manifest lines to extracted " +
+    "docs in per-record memory, batch ≡ stream, checkpoint restart " +
+    "re-ingests nothing") {
+    val dir = java.nio.file.Files.createTempDirectory("crawl_paths").toFile
+    val manifest = new java.io.File(dir, "manifest")
+    val ckpt = new java.io.File(dir, "ckpt").getAbsolutePath
+    manifest.mkdirs()
+    try {
+      // odd q126 keys arrive ALREADY gzipped (the per-member crawl
+      // form), so concatenation yields real multi-member .warc.gz files
+      val f1 = new java.io.File(dir, "a.warc.gz")
+      val f2 = new java.io.File(dir, "b.warc.gz")
+      val f3 = new java.io.File(dir, "c.warc.gz")
+      java.nio.file.Files.write(f1.toPath,
+        graft.SparkEntry.q126Warc(1L, "en", "first live page") ++
+          graft.SparkEntry.q126Warc(9L, "en", "second live page"))
+      java.nio.file.Files.write(f2.toPath,
+        graft.SparkEntry.q126Warc(7L, "en", "wet live body"))
+      java.nio.file.Files.write(f3.toPath,
+        graft.SparkEntry.q126Warc(3L, "en", "late arrival page"))
+      java.nio.file.Files.write(
+        new java.io.File(manifest, "m1.txt").toPath,
+        (f1.getAbsolutePath + "\n" + f2.getAbsolutePath).getBytes("UTF-8"))
+
+      val q = CorpusStream.crawlIngestFromPaths(
+          spark.readStream.text(manifest.getAbsolutePath).as[String])
+        .writeStream.outputMode("append")
+        .format("memory").queryName("crawl_paths")
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      val got1 = spark.sql(
+          "SELECT path, rec_idx, url, http_status, text, doc_id, " +
+            "event_time FROM crawl_paths")
+        .collect()
+      // 3 content-bearing pages (q126's warcinfo rows are filtered)
+      assert(got1.length == 3)
+      assert(got1.map(_.getString(2)).toSet ==
+        Set(1L, 9L, 7L).map(k => s"https://example.org/doc/$k"))
+      // WET record (k=7): no status; ids restart-stable, time from WARC-Date
+      val wet = got1.find(_.getString(2).endsWith("/7")).get
+      assert(wet.isNullAt(3) && wet.getString(4).startsWith("wet live body"))
+      assert(got1.forall(!_.isNullAt(5)) && got1.forall(!_.isNullAt(6)))
+      // per-record memory contract: the plan must not hold file payloads
+      // as a column — ingest is mapPartitions over path strings
+      // (asserted structurally: no binary column anywhere in the schema)
+      assert(!spark.sql("SELECT * FROM crawl_paths").schema
+        .exists(_.dataType == org.apache.spark.sql.types.BinaryType))
+
+      // batch ≡ stream: the same call over a batch Dataset of paths
+      val batch = CorpusStream.crawlIngestFromPaths(
+          Seq(f1.getAbsolutePath, f2.getAbsolutePath).toDS())
+        .select(col("doc_id"), col("url"), col("text"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(batch == got1.map(r => (r.getLong(5), r.getString(2))).toSet)
+
+      // checkpoint restart + a NEW manifest line: only the new file's
+      // docs arrive (the processed manifest file is not re-read) — a
+      // durable sink, since the memory sink can't recover a checkpoint
+      val sinkPath = new java.io.File(dir, "sink").getAbsolutePath
+      def runDurable(): Unit = {
+        val q2 = CorpusStream.crawlIngestFromPaths(
+            spark.readStream.text(manifest.getAbsolutePath).as[String])
+          .select(col("doc_id"), col("url"))
+          .writeStream.outputMode("append").format("parquet")
+          .option("path", sinkPath).option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q2.awaitTermination(120000)
+      }
+      runDurable()
+      assert(spark.read.parquet(sinkPath).count() == 3)
+      java.nio.file.Files.write(
+        new java.io.File(manifest, "m2.txt").toPath,
+        f3.getAbsolutePath.getBytes("UTF-8"))
+      runDurable()
+      val got2 = spark.read.parquet(sinkPath).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      assert(got2.length == 4, got2.mkString(",")) // no re-ingest dups
+      assert(got2.map(_._2).count(_ == "https://example.org/doc/3") == 1)
+      assert(got2.map(_._1).distinct.length == 4)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(dir)
+    }
+  }
 }
