@@ -2842,8 +2842,49 @@ object SparkEntry {
           col("n_audio_packets"), col("sample_rate"), col("channels"),
           col("blocksize0"), col("declared_samples"), col("setup_ok"))
         .orderBy(col("id"))
+    }),
+
+    // CDX(J) fetch planning — the index-before-bytes step real crawl
+    // pipelines run: doc keys plant index lines (3 captures per page,
+    // digest-mirrored page pairs, a 301 residue the plan must skip, a
+    // malformed-line residue the parser must quarantine) and the
+    // operator must emit exactly one byte range per page-content —
+    // latest capture per SURT, one fetch per digest. The oracle replays
+    // the window arithmetic over the same residues
+    "q137_cdx_plan" -> ((s, dir) => {
+      import s.implicits._
+      val lines = tSpread(s, dir, "documents").select(col("doc_id"))
+        .as[Long]
+        .map(k => (k, q137Cdx(k)))
+        .toDF("doc_id", "line")
+      val entries = sources.CdxIndex.fromLines(lines, "doc_id", "line")
+      sources.CdxIndex.fetchPlan(entries)
+        .select(col("doc_id").as("id"), col("surt"), col("ts"),
+          col("digest"), col("filename"), col("offset"), col("length"),
+          col("n_captures"), col("n_mirrors"))
+        .orderBy(col("id"))
     })
   )
+
+  /** q137's planted CDXJ line for doc key `k`: page p = k/3 captured at
+    * three timestamps (cap = k%3); pages p and p^1 mirror each other's
+    * content (shared digest group dg = p − p%2); k%11=5 captures are
+    * 301 redirects (unfetchable), k%13=7 lines are malformed (the
+    * parser quarantines them — both residues shift which capture is
+    * "latest", so the quarantine is load-bearing for the oracle).
+    */
+  private[graft] def q137Cdx(k: Long): String = {
+    if (k % 13 == 7) return s"org,example)/broken $k not-json"
+    val p = k / 3
+    val cap = k % 3
+    val status = if (k % 11 == 5) 301 else 200
+    val dg = p - (p % 2)
+    s"""org,example)/p/$p 2026010100000$cap {"url": """ +
+      s""""https://example.org/p/$p", "mime": "text/html", """ +
+      s""""status": "$status", "digest": "sha1:D$dg", """ +
+      s""""length": "${100 + k % 50}", "offset": "${1000 * k}", """ +
+      s""""filename": "crawl/seg-${k % 4}.warc.gz"}"""
+  }
 
   /** q136's planted Ogg payload for supplier key `k`: a fake Opus BOS
     * page on k%9=0 (the measurable refusal), else a complete Vorbis
@@ -5868,7 +5909,39 @@ object SparkEntry {
         |       ELSE 64 * (s_suppkey % 7 + 1) + 3 * (s_suppkey % 5)
         |       END AS BIGINT) AS declared_samples,
         |  s_suppkey % 9 <> 0 AS setup_ok
-        |FROM supplier ORDER BY id""".stripMargin
+        |FROM supplier ORDER BY id""".stripMargin,
+
+    // closed-form replay of the fetch plan: fetchable captures (not
+    // malformed, not 301) ranked latest-per-page then deduped one-per-
+    // digest-group with the engine's (surt, offset) tie-break
+    "q137_cdx_plan" ->
+      """WITH e AS (
+        |  SELECT doc_id AS k, doc_id // 3 AS p, doc_id % 3 AS cap,
+        |    'org,example)/p/' || CAST(doc_id // 3 AS VARCHAR) AS surt,
+        |    (doc_id // 3) - ((doc_id // 3) % 2) AS dg
+        |  FROM documents
+        |  WHERE doc_id % 13 <> 7 AND doc_id % 11 <> 5),
+        |cc AS (
+        |  SELECT *, CAST(COUNT(*) OVER (PARTITION BY surt) AS INTEGER)
+        |    AS n_captures FROM e),
+        |latest AS (
+        |  SELECT *, row_number() OVER (PARTITION BY surt
+        |    ORDER BY cap DESC, k DESC) AS rn1 FROM cc),
+        |l2 AS (SELECT * FROM latest WHERE rn1 = 1),
+        |mm AS (
+        |  SELECT *, CAST(COUNT(*) OVER (PARTITION BY dg) AS INTEGER)
+        |    AS n_mirrors FROM l2),
+        |fin AS (
+        |  SELECT *, row_number() OVER (PARTITION BY dg
+        |    ORDER BY surt, 1000 * k) AS rn2 FROM mm)
+        |SELECT k AS id, surt,
+        |  '2026010100000' || CAST(cap AS VARCHAR) AS ts,
+        |  'sha1:D' || CAST(dg AS VARCHAR) AS digest,
+        |  'crawl/seg-' || CAST(k % 4 AS VARCHAR) || '.warc.gz' AS filename,
+        |  CAST(1000 * k AS BIGINT) AS offset,
+        |  CAST(100 + k % 50 AS BIGINT) AS length,
+        |  n_captures, n_mirrors
+        |FROM fin WHERE rn2 = 1 ORDER BY id""".stripMargin
   )
 
   /** q133's replay: q102's stage CTEs over the crawl-extracted corpus

@@ -1,0 +1,185 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** CDX(J) index source: line parse totality, SURT keying, the
+  * fetch-plan semantics (latest capture per page, one fetch per
+  * digest), and the composition that justifies the index — range-read
+  * the planned records out of real multi-member .warc.gz files.
+  */
+class CdxIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def line(surt: String, ts: String, url: String, status: Int,
+                   digest: String, off: Long, len: Long,
+                   file: String): String =
+    s"""$surt $ts {"url": "$url", "mime": "text/html", """ +
+      s""""status": "$status", "digest": "$digest", """ +
+      s""""length": "$len", "offset": "$off", "filename": "$file"}"""
+
+  test("parseLine: full CDXJ lines, missing fields, escapes, garbage — " +
+    "total, typed errors") {
+    val e = CdxIndex.parseLine(line("org,example)/a", "20260115093000",
+      "https://example.org/a", 200, "sha1:AB12", 5678, 1234,
+      "crawl-data/seg/file.warc.gz"))
+    assert(e.error == null && e.surt == "org,example)/a")
+    assert(e.ts == "20260115093000" && e.status.contains(200))
+    assert(e.digest == "sha1:AB12" && e.offset.contains(5678L) &&
+      e.length.contains(1234L))
+    assert(e.filename == "crawl-data/seg/file.warc.gz")
+    // missing optional fields: parsed with Nones, not refused
+    val sparse = CdxIndex.parseLine(
+      """org,example)/b 20260101000000 {"url": "https://example.org/b"}""")
+    assert(sparse.error == null && sparse.status.isEmpty &&
+      sparse.digest == null)
+    // escaped quote/backslash inside a value
+    val esc = CdxIndex.parseLine(
+      """org,example)/c 20260101000000 {"url": "https://e.org/\"x\\y"}""")
+    assert(esc.error == null && esc.url == "https://e.org/\"x\\y")
+    // garbage shapes: typed refusals, never throws
+    assert(CdxIndex.parseLine(null).error == "null line")
+    assert(CdxIndex.parseLine("").error == "empty line")
+    assert(CdxIndex.parseLine("justonefield").error != null)
+    assert(CdxIndex.parseLine("a b").error != null) // short ts, no json
+    assert(CdxIndex.parseLine("a 2026 {}").error == "bad timestamp")
+    assert(CdxIndex.parseLine("a 20260101000000 notjson").error != null)
+    assert(CdxIndex.parseLine(
+      """a 20260101000000 {"k": 12}""").error != null) // non-string value
+    assert(CdxIndex.parseLine(
+      "a 20260101000000 {}").error == null) // empty block is legal
+    // fuzz: random corruption of a valid line never throws
+    val base = line("org,example)/f", "20260101000000",
+      "https://example.org/f", 200, "sha1:F", 1, 2, "f.warc.gz")
+    var s = 4242L
+    def next(mod: Int): Int = {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      ((s >>> 33) % mod).toInt
+    }
+    (1 to 400).foreach { _ =>
+      val a = base.toCharArray
+      a(next(base.length)) = next(127).toChar
+      CdxIndex.parseLine(new String(a))
+    }
+  }
+
+  test("surtOf: host reversed on dots, scheme/port/case dropped, path " +
+    "lowercased, default path") {
+    assert(CdxIndex.surtOf("https://WWW.Example.ORG/Path/X?q=1") ==
+      "org,example,www)/path/x?q=1")
+    assert(CdxIndex.surtOf("http://a.b.co.uk:8080/") == "uk,co,b,a)/")
+    assert(CdxIndex.surtOf("https://example.org") == "org,example)/")
+    assert(CdxIndex.surtOf("example.org/x") == "org,example)/x")
+    assert(CdxIndex.surtOf(null) == null)
+    assert(CdxIndex.surtOf("https:///nohost") == null)
+  }
+
+  test("fetchPlan: latest capture per page, one fetch per digest, non-OK " +
+    "and malformed captures out, null digests stay per-row") {
+    val lines = Seq(
+      // page /a: three captures, latest (t3) wins
+      1L -> line("org,example)/a", "20260101000001",
+        "https://example.org/a", 200, "sha1:A", 100, 10, "f0"),
+      2L -> line("org,example)/a", "20260101000003",
+        "https://example.org/a", 200, "sha1:A", 300, 10, "f0"),
+      3L -> line("org,example)/a", "20260101000002",
+        "https://example.org/a", 200, "sha1:A", 200, 10, "f0"),
+      // page /b: same digest as /a's latest -> collapses onto /a
+      // (smaller surt wins)
+      4L -> line("org,example)/b", "20260101000005",
+        "https://example.org/b", 200, "sha1:A", 400, 10, "f1"),
+      // page /c: its own digest, kept
+      5L -> line("org,example)/c", "20260101000001",
+        "https://example.org/c", 200, "sha1:C", 500, 10, "f1"),
+      // page /d: latest is a redirect -> only the older 200 is fetchable
+      6L -> line("org,example)/d", "20260101000009",
+        "https://example.org/d", 301, "sha1:D9", 600, 10, "f1"),
+      7L -> line("org,example)/d", "20260101000001",
+        "https://example.org/d", 200, "sha1:D1", 700, 10, "f1"),
+      // pages /e, /f: no digest -> can't collapse, both stay
+      8L -> """org,example)/e 20260101000001 {"url": "u", "status": "200", "offset": "800", "length": "10", "filename": "f2"}""",
+      9L -> """org,example)/f 20260101000001 {"url": "u", "status": "200", "offset": "900", "length": "10", "filename": "f2"}""",
+      // malformed line: quarantined, never planned
+      10L -> "garbage"
+    ).toDF("id", "line")
+    val entries = CdxIndex.fromLines(lines, "id", "line")
+    assert(entries.where("error is not null").count() == 1)
+    val plan = CdxIndex.fetchPlan(entries).orderBy("id").collect()
+    assert(plan.map(_.getAs[Long]("id")).toSeq == Seq(2L, 5L, 7L, 8L, 9L))
+    val a = plan.head
+    assert(a.getAs[Long]("offset") == 300L) // the latest capture's range
+    assert(a.getAs[Int]("n_captures") == 3)
+    assert(a.getAs[Int]("n_mirrors") == 2) // /b collapsed onto it
+    // onlyOk=false keeps the redirect as /d's latest instead
+    val loose = CdxIndex.fetchPlan(entries, onlyOk = false)
+      .where(col("surt") === "org,example)/d").collect()
+    assert(loose.length == 1 && loose.head.getAs[Long]("id") == 6L)
+  }
+
+  test("composition: plan byte ranges out of the index, then range-read " +
+    "exactly those records from real multi-member .warc.gz files") {
+    val crlf = "\r\n"
+    def rec(uri: String, html: String): Array[Byte] = {
+      val body =
+        (s"HTTP/1.1 200 OK${crlf}Content-Type: text/html$crlf$crlf")
+          .getBytes("UTF-8") ++ html.getBytes("UTF-8")
+      val h = new StringBuilder("WARC/1.0").append(crlf)
+      h.append("WARC-Type: response").append(crlf)
+      h.append("WARC-Target-URI: ").append(uri).append(crlf)
+      h.append("WARC-Date: 2026-03-01T00:00:00Z").append(crlf)
+      h.append("Content-Type: application/http; msgtype=response")
+        .append(crlf)
+      h.append("Content-Length: ").append(body.length).append(crlf)
+        .append(crlf)
+      h.toString.getBytes("UTF-8") ++ body ++ (crlf + crlf).getBytes("UTF-8")
+    }
+    def gzip(b: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(out)
+      gz.write(b); gz.close()
+      out.toByteArray
+    }
+    val dir = java.nio.file.Files.createTempDirectory("cdx").toFile
+    try {
+      // build the file member-by-member, recording (offset, length) —
+      // exactly what a CDX indexer records at crawl-write time
+      val members = (0 until 5).map(i =>
+        gzip(rec(s"https://example.org/m/$i", s"<p>member $i body</p>")))
+      val f = new java.io.File(dir, "cc.warc.gz")
+      java.nio.file.Files.write(f.toPath, members.reduce(_ ++ _))
+      val offsets = members.scanLeft(0L)(_ + _.length)
+      // index lines for all 5; plan should keep 1 and 3 only (the rest
+      // share digests or fail status)
+      val lines = (0 until 5).map { i =>
+        val digest = if (i == 0 || i == 1) "sha1:SAME" else s"sha1:M$i"
+        val status = if (i == 4 || i == 2) 301 else 200
+        i.toLong -> line(s"org,example)/m/$i", "20260101000000",
+          s"https://example.org/m/$i", status, digest,
+          offsets(i), members(i).length.toLong, f.getAbsolutePath)
+      }.toDF("id", "line")
+      val plan = CdxIndex.fetchPlan(
+        CdxIndex.fromLines(lines, "id", "line"))
+      assert(plan.select("id").as[Long].collect().sorted.toSeq ==
+        Seq(0L, 3L))
+      val got = CdxIndex.fetchRecords(plan).orderBy("offset").collect()
+      assert(got.length == 2)
+      assert(got.map(_.getAs[String]("url")).toSeq ==
+        Seq("https://example.org/m/0", "https://example.org/m/3"))
+      assert(got.forall(_.getAs[String]("error") == null))
+      assert(got.forall(_.getAs[String]("text").contains("body")))
+      // the ranged reads equal the full-file parse of those records
+      val full = Warc.parse(java.nio.file.Files.readAllBytes(f.toPath))
+      assert(got.map(_.getAs[String]("text")).toSet ==
+        full.filter(r => Set("0", "3").exists(i =>
+          r.targetUri.endsWith(s"/m/$i"))).map(_.text).toSet)
+      // an unreadable range quarantines alone
+      val badPlan = Seq(("nope.warc.gz", 0L, 10L))
+        .toDF("filename", "offset", "length")
+      val bad = CdxIndex.fetchRecords(badPlan).collect()
+      assert(bad.length == 1 &&
+        bad.head.getAs[String]("error").startsWith("unreadable range"))
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+}
