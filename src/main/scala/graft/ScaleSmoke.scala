@@ -102,7 +102,12 @@ object ScaleSmoke {
     "q129_url_normalize", "q130_host_stats",
     // the URL-survivor window (one canonical-key shuffle) and the
     // per-reason quarantine audit (scan + low-cardinality agg)
-    "q132_url_survivors", "q135_crawl_audit")
+    "q132_url_survivors", "q135_crawl_audit",
+    // r16 additions: the Ogg/Vorbis container+codec audit (per-row page
+    // walk + header parse — the q134 class, plus real stream synthesis
+    // in the plant) and CDX fetch planning (two slim window shuffles
+    // over index-row tuples; the text/bytes never move)
+    "q136_vorbis_audit", "q137_cdx_plan")
 
   /** Measured at 10× only. All three are deliberately NOT the scale
     * path — q77 is the pinned-k SemDeDup negative control (its 100×
