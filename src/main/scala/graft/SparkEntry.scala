@@ -2906,7 +2906,10 @@ object SparkEntry {
       seed = seed * 6364136223846793005L + 1442695040888963407L
       (((seed >>> 33) % 60000) - 30000).toShort
     }
-    multimodal.Vorbis.vorbisBytes(rate, pcm, channels)
+    // stereo plants carry square-polar coupling — the form every real
+    // stereo Vorbis file uses, so the audited corpus is the real shape
+    multimodal.Vorbis.vorbisBytes(rate, pcm, channels,
+      couple = channels == 2)
   }
 
   /** q135's payload for doc key `k`: the q126 stream plus, on k%3=2, a

@@ -33,15 +33,17 @@ import graft.dsp.Fft
   *
   * [[vorbisBytes]] is the planting encoder: a restricted but fully
   * VALID Vorbis stream (one mode, 256-sample blocks, flat floor1, a
-  * 4-pass dyadic residue ladder at 2^-4/2^-11/2^-18/2^-25 step sizes)
-  * whose worst-case spectral quantization error (≤ 2^-26 per
-  * coefficient, ×128 coefficients ×2 lapped frames ≈ 4e-6 normalized ≈
-  * 0.13 int16 steps) guarantees the decoded stream rounds back to the
-  * EXACT input samples — that is what lets the q113/q116 corpora gain
-  * Vorbis members under unchanged sample-exact oracles (the FLAC r13
-  * pattern applied to a lossy codec). Mono streams use residue type 1,
-  * stereo uses type 2 (the interleaved form real encoders emit), so
-  * both decode paths are exercised by planted corpora.
+  * 5-pass dyadic residue ladder at 2^-3..2^-31 step sizes) whose
+  * worst-case spectral quantization error (≤ 2^-32 per coefficient,
+  * ×128 coefficients ×2 lapped frames ≈ 6e-8 normalized ≈ 0.002 int16
+  * steps) guarantees the decoded stream rounds back to the EXACT input
+  * samples — that is what lets the q113/q116 corpora gain Vorbis
+  * members under unchanged sample-exact oracles (the FLAC r13 pattern
+  * applied to a lossy codec). Mono streams use residue type 1, stereo
+  * type 2 (the interleaved form real encoders emit), optionally with
+  * SQUARE-POLAR channel coupling (`couple = true` — the mapping every
+  * real stereo file uses, still bit-exact via a decode-simulating case
+  * search), so all the decode paths are exercised by planted corpora.
   *
   * DESIGN FOR 100 TB: pure per-payload kernel, scan-stage, total on
   * attacker bytes (corruption → error/refusal rows, never exceptions);
@@ -1149,26 +1151,92 @@ object Vorbis {
   // The planting encoder.
   // -------------------------------------------------------------------
 
-  /** Residue quantization ladder: 4 passes of 256-entry scalar books
+  /** Residue quantization ladder: 5 passes of 256-entry scalar books
     * with dyadic steps — every constant exactly representable both as a
     * double and as a packed Vorbis float, so encoder arithmetic and
-    * decoder arithmetic see the SAME values.
+    * decoder arithmetic see the SAME values. Pass 0 spans ±16 (the
+    * coupled angle channel carries L−R, up to twice the per-channel
+    * coefficient bound); the final step 2^-31 leaves a residual
+    * ≤ 2^-32 per value — ≈0.002 int16 steps worst-case through the
+    * iMDCT/lap sum, far inside the rounding half-step.
     */
   private val PassDeltas = Array(
-    math.pow(2, -4), math.pow(2, -11), math.pow(2, -18), math.pow(2, -25))
+    math.pow(2, -3), math.pow(2, -10), math.pow(2, -17),
+    math.pow(2, -24), math.pow(2, -31))
   private def passMin(pass: Int): Double =
-    if (pass == 0) -8.0 else -PassDeltas(pass - 1) / 2
+    if (pass == 0) -16.0 else -PassDeltas(pass - 1) / 2
+
+  /** Quantize one value through the pass ladder: per-pass 8-bit codes
+    * plus the EXACT value the decoder will reconstruct.
+    */
+  private def quantLadder(x: Double): (Array[Int], Double) = {
+    val es = new Array[Int](PassDeltas.length)
+    var r = x
+    var v = 0.0
+    var p = 0
+    while (p < PassDeltas.length) {
+      val d = PassDeltas(p)
+      val mn = passMin(p)
+      var e = math.round((r - mn) / d).toInt
+      if (e < 0) e = 0
+      if (e > 255) e = 255
+      es(p) = e
+      val got = mn + d * e
+      v += got
+      r -= got
+      p += 1
+    }
+    (es, v)
+  }
+
+  /** The decoder's inverse square-polar coupling for one (magnitude,
+    * angle) pair — §4.3.5, duplicated here so the encoder can SIMULATE
+    * the decode when choosing a case.
+    */
+  private def coupleDecode(m: Double, a: Double): (Double, Double) =
+    if (m > 0) { if (a > 0) (m, m - a) else (m + a, m) }
+    else { if (a > 0) (m, m + a) else (m - a, m) }
+
+  /** Encode one (L, R) coefficient pair as quantized (magnitude, angle)
+    * codes: the four case inversions of [[coupleDecode]] are tried and
+    * the one whose SIMULATED decode lands closest wins — quantization
+    * can push M or A across a sign boundary into a different decode
+    * case, so correctness is checked against the real map, not the
+    * intended case's preconditions.
+    */
+  private def coupleEncode(l: Double, r: Double)
+      : (Array[Int], Array[Int]) = {
+    val candidates = Array((l, l - r), (r, l - r), (l, r - l), (r, r - l))
+    var best: (Array[Int], Array[Int]) = null
+    var bestErr = Double.MaxValue
+    var i = 0
+    while (i < candidates.length) {
+      val (m, a) = candidates(i)
+      val (mc, mv) = quantLadder(m)
+      val (ac, av) = quantLadder(a)
+      val (lv, rv) = coupleDecode(mv, av)
+      val err = math.max(math.abs(lv - l), math.abs(rv - r))
+      if (err < bestErr) { bestErr = err; best = (mc, ac) }
+      i += 1
+    }
+    require(bestErr < 1e-6, s"coupling encode failed: err $bestErr")
+    best
+  }
 
   private val PlantBlock = 256 // both blocksizes; hop = 128
   private val PlantFloorY = 255 // flat floor at the table top
 
   /** Encode 16-bit PCM as a valid mono/stereo Ogg/Vorbis stream that
     * decodes back to EXACTLY the input samples (see the object
-    * scaladoc's error budget). `pcm` is channel-interleaved.
+    * scaladoc's error budget). `pcm` is channel-interleaved. `couple`
+    * (stereo only) emits SQUARE-POLAR coupled streams — the
+    * magnitude/angle mapping every real stereo Vorbis file uses — via
+    * [[coupleEncode]]'s decode-simulating case search, still bit-exact.
     */
   def vorbisBytes(sampleRateHz: Int, pcm: Array[Short],
-                  channels: Int = 1): Array[Byte] = {
+                  channels: Int = 1, couple: Boolean = false): Array[Byte] = {
     require(channels == 1 || channels == 2, "plant encoder: mono or stereo")
+    require(!couple || channels == 2, "coupling wants stereo")
     require(pcm.length % channels == 0, "interleaved length mismatch")
     val n = PlantBlock
     val hop = n / 2
@@ -1208,27 +1276,36 @@ object Vorbis {
         }
         mdct(u).map(_ / floorC)
       }
-      // quantize through the pass ladder
-      val codes = Array.ofDim[Int](4, channels, hop)
-      var ci = 0
-      while (ci < channels) {
+      // quantize through the pass ladder — coupled stereo first maps
+      // (L, R) to (magnitude, angle) per coefficient
+      val codes = Array.ofDim[Int](PassDeltas.length, channels, hop)
+      if (couple) {
         var k = 0
         while (k < hop) {
-          var r = targets(ci)(k)
+          val (mc, ac) = coupleEncode(targets(0)(k), targets(1)(k))
           var p = 0
-          while (p < 4) {
-            val d = PassDeltas(p)
-            val mn = passMin(p)
-            var e = math.round((r - mn) / d).toInt
-            if (e < 0) e = 0
-            if (e > 255) e = 255
-            codes(p)(ci)(k) = e
-            r -= mn + d * e
+          while (p < PassDeltas.length) {
+            codes(p)(0)(k) = mc(p)
+            codes(p)(1)(k) = ac(p)
             p += 1
           }
           k += 1
         }
-        ci += 1
+      } else {
+        var ci = 0
+        while (ci < channels) {
+          var k = 0
+          while (k < hop) {
+            val (es, _) = quantLadder(targets(ci)(k))
+            var p = 0
+            while (p < PassDeltas.length) {
+              codes(p)(ci)(k) = es(p)
+              p += 1
+            }
+            k += 1
+          }
+          ci += 1
+        }
       }
       // residue bitstream: type 1 for mono (per-channel vectors), type
       // 2 for stereo (single interleaved vector) — the write loop shape
@@ -1243,7 +1320,7 @@ object Vorbis {
       val partitions = vecLen / partSize
       val classwords = 2
       var pass = 0
-      while (pass < 4) {
+      while (pass < PassDeltas.length) {
         var pc = 0
         while (pc < partitions) {
           if (pass == 0) {
@@ -1276,7 +1353,7 @@ object Vorbis {
 
     val ident = identPacket(sampleRateHz, channels)
     val comment = commentPacket()
-    val setup = setupPacket(channels)
+    val setup = setupPacket(channels, couple)
     val serial = 0x67726166 // "graf"
     val pages = Vector.newBuilder[Array[Byte]]
     pages += oggPage(Seq(ident), serial, 0, 0L, bos = true, eos = false)
@@ -1326,11 +1403,12 @@ object Vorbis {
     bw.bytes()
   }
 
-  private def setupPacket(channels: Int): Array[Byte] = {
+  private def setupPacket(channels: Int, couple: Boolean): Array[Byte] = {
+    val nPass = PassDeltas.length
     val bw = new BitWriter
     bw.write(5, 8)
     "vorbis".foreach(c => bw.write(c.toLong, 8))
-    bw.write(4, 8) // 5 codebooks
+    bw.write(nPass, 8) // classbook + one book per ladder pass
     // book 0: the classbook — dim 2, 4 entries, uniform 2-bit lengths
     bw.write(0x564342, 24)
     bw.write(2, 16)
@@ -1339,10 +1417,10 @@ object Vorbis {
     bw.write(0, 1) // not sparse
     (0 until 4).foreach(_ => bw.write(1, 5)) // length 2 = write 1
     bw.write(0, 4) // no lookup
-    // books 1..4: the pass ladder — dim 1, 256 entries, uniform 8-bit
-    // lengths, lookup type 1 with identity multiplicands
+    // books 1..nPass: the pass ladder — dim 1, 256 entries, uniform
+    // 8-bit lengths, lookup type 1 with identity multiplicands
     var p = 0
-    while (p < 4) {
+    while (p < nPass) {
       bw.write(0x564342, 24)
       bw.write(1, 16)
       bw.write(256, 24)
@@ -1372,15 +1450,21 @@ object Vorbis {
     bw.write(3, 24) // partition size - 1 → 4
     bw.write(1, 6) // classifications - 1 → 2
     bw.write(0, 8) // classbook
-    // class 0: cascade 0 (unused); class 1: cascade 15 (passes 0–3)
+    // class 0: cascade 0 (unused); class 1: one cascade bit per pass
+    val cascade = (1 << nPass) - 1
     bw.write(0, 3); bw.write(0, 1)
-    bw.write(7, 3); bw.write(1, 1); bw.write(1, 5)
-    (1 to 4).foreach(b => bw.write(b, 8)) // class-1 pass books
-    // one mapping, type 0: 1 submap, no coupling
+    bw.write(cascade & 7, 3); bw.write(1, 1); bw.write(cascade >> 3, 5)
+    (1 to nPass).foreach(b => bw.write(b, 8)) // class-1 pass books
+    // one mapping, type 0: 1 submap; square-polar coupling when asked
     bw.write(0, 6)
     bw.write(0, 16)
     bw.write(0, 1) // submaps flag
-    bw.write(0, 1) // coupling flag
+    if (couple) {
+      bw.write(1, 1) // coupling flag
+      bw.write(0, 8) // steps - 1
+      bw.write(0, 1) // magnitude = channel 0 (ilog(ch-1) = 1 bit)
+      bw.write(1, 1) // angle = channel 1
+    } else bw.write(0, 1)
     bw.write(0, 2) // reserved
     bw.write(0, 8) // time placeholder
     bw.write(0, 8) // floor 0

@@ -120,6 +120,37 @@ class VorbisSpec extends AnyFunSuite {
     pcm.indices.foreach(i => assert(w.pcm(i) == pcm(i), s"sample $i"))
   }
 
+  test("BIT-EXACT round trip, stereo with SQUARE-POLAR coupling — the " +
+    "mapping every real stereo Vorbis file uses") {
+    val next = lcg(777)
+    // exercise every decode case region: correlated (mid-heavy),
+    // anti-correlated, independent noise, silent-one-channel, extremes
+    val cases = Seq[Array[Short]](
+      Array.tabulate(2 * 400)(i => // near-identical L/R: A ≈ 0 boundary
+        ((i / 2 % 251) * 100 + (if (i % 2 == 0) 0 else (i / 2) % 3)).toShort),
+      Array.tabulate(2 * 400)(i => // anti-correlated: large |A|
+        (if (i % 2 == 0) ((next() >>> 33) % 30000).toShort
+         else (-((next() >>> 34) % 30000)).toShort)),
+      Array.tabulate(2 * 333)(_ => // independent full-scale noise
+        (((next() >>> 33) % 65536) - 32768).toShort),
+      Array.tabulate(2 * 200)(i => // one silent channel: M/A sign edges
+        (if (i % 2 == 1) 0 else ((next() >>> 33) % 60000 - 30000)).toShort),
+      Array[Short](32767, -32768, -32768, 32767, 0, 0, 1, -1)
+    )
+    cases.zipWithIndex.foreach { case (pcm, ci) =>
+      val ogg = Vorbis.vorbisBytes(8000, pcm, channels = 2, couple = true)
+      val w = Vorbis.decodeOggPcm(ogg)
+        .getOrElse(fail(s"case $ci undecodable"))
+      assert(w.channels == 2 && w.pcm.length == pcm.length, s"case $ci")
+      pcm.indices.foreach(i =>
+        assert(w.pcm(i) == pcm(i), s"case $ci sample $i"))
+      // and the coupled stream is genuinely different bytes from the
+      // uncoupled encoding of the same pcm (the path is real)
+      assert(!java.util.Arrays.equals(ogg,
+        Vorbis.vorbisBytes(8000, pcm, channels = 2)), s"case $ci")
+    }
+  }
+
   test("granule trimming: sample counts that are not a hop multiple " +
     "come back exact, never padded to the block grid") {
     Seq(1, 127, 128, 129, 255, 650, 640).foreach { s =>
