@@ -223,8 +223,9 @@ object Main {
     * Output is an AUDITABLE decision table: one row per extracted page
     * in `outdir/decisions.parquet` — kept pages carry their CCNet
     * bucket, dropped pages the FIRST gate that cut them
-    * (`robots_noindex`, `url_duplicate`, `host_gate`, then the
-    * curation pipeline's own `language`/`quality`/`duplicate`) — plus
+    * (`robots_noindex`, `robots_disallow` when `robots_user_agent` is
+    * set, `url_duplicate`, `host_gate`, then the curation pipeline's
+    * own `language`/`quality`/`duplicate`) — plus
     * the per-reason ingest quarantine audit in
     * `outdir/crawl_audit.parquet`.
     *
@@ -248,7 +249,19 @@ object Main {
     var paths = files.toDS()
     if (cfg.inputPartitions > 0) paths = paths.repartition(cfg.inputPartitions)
 
-    val pages = graft.sources.Warc.htmlPagesFromPaths(paths)
+    val pages0 = graft.sources.Warc.htmlPagesFromPaths(paths)
+    // robots gate build side: the crawl's own /robots.txt captures
+    // compile to a per-host policy table (tiny — broadcast join below),
+    // and the captures leave the document stream
+    val pqUdf = udf((u: String) => graft.textops.RobotsTxt.pathQueryOf(u))
+    val isRobots = col("url").isNotNull && pqUdf(col("url")) === "/robots.txt"
+    val (pages, policiesOpt) = cfg.robotsUserAgent match {
+      case Some(ua) =>
+        (pages0.where(!isRobots),
+          Some(graft.textops.RobotsTxt.policies(pages0.where(isRobots),
+            "url", "http_status", "html", ua)))
+      case None => (pages0, None)
+    }
     val docs = HtmlExtract.extractDocs(pages, "path", "html",
         carryCols = Seq("rec_idx", "url", "http_status"))
       .withColumn("doc_id", xxhash64(col("path"), col("rec_idx")))
@@ -261,12 +274,25 @@ object Main {
         lit(null).cast("double").as("avg_logprob"),
         lit(null).cast("string").as("bucket"))
 
-    val (live, noindexed) =
+    val (live0, noindexed) =
       if (cfg.honorNoindex)
         (docs.where(!col("robots_noindex")),
           droppedRows(docs.where(col("robots_noindex")), "robots_noindex"))
       else (docs, spark.emptyDataset[Long].toDF("doc_id")
         .transform(droppedRows(_, "robots_noindex")).limit(0))
+
+    // RFC 9309 gate: pages the host's captured policy disallows become
+    // decision rows; the verdict's join columns leave the live frame so
+    // urlSurvivors re-derives url_host on its own canonical form
+    val (live, robotsDropped) = policiesOpt match {
+      case Some(pol) =>
+        val v = graft.textops.RobotsTxt.verdict(live0, pol, "url")
+        (v.where(col("robots_allowed"))
+          .drop("robots_allowed", "robots_rule", "url_host"),
+          droppedRows(v.where(!col("robots_allowed")), "robots_disallow"))
+      case None =>
+        (live0, live0.limit(0).transform(droppedRows(_, "robots_disallow")))
+    }
 
     val surv = UrlOps.urlSurvivors(live, "url", "doc_id", "text",
       "http_status")
@@ -299,8 +325,8 @@ object Main {
       tHead = cfg.tHead, tMid = cfg.tMid)
 
     val decisions = curated.select(decisionCols.map(col): _*)
-      .unionByName(noindexed).unionByName(urlDropped)
-      .unionByName(hostDropped)
+      .unionByName(noindexed).unionByName(robotsDropped)
+      .unionByName(urlDropped).unionByName(hostDropped)
     val decisionsPath = cfg.outdir + "/decisions.parquet"
     decisions.write.mode("overwrite").parquet(decisionsPath)
 

@@ -2863,8 +2863,65 @@ object SparkEntry {
           col("digest"), col("filename"), col("offset"), col("length"),
           col("n_captures"), col("n_mirrors"))
         .orderBy(col("id"))
+    }),
+
+    // robots.txt curation gate (RFC 9309) — doc keys plant pages on 8
+    // hosts whose robots.txt captures span the protocol surface:
+    // prefix rules, a longest-match Allow override, a $-anchored
+    // wildcard, UA-specific and UA-prefix groups that beat '*', a 404
+    // (unrestricted), a 500 (complete disallow) and a host with no
+    // capture at all. The engine parses/compiles/matches for UA
+    // "graftbot"; the oracle replays the decisions closed-form
+    "q138_robots_gate" -> ((s, dir) => {
+      import s.implicits._
+      val keys = tSpread(s, dir, "documents").select(col("doc_id")).as[Long]
+      val pages = keys.map(k => (k, q138Url(k))).toDF("doc_id", "url")
+      val robots = keys.map(_ % 8).distinct()
+        .flatMap(r => q138Robots(r).map { case (st, body) =>
+          (s"https://h$r.example.org/robots.txt", st, body) })
+        .toDF("url", "status", "body")
+      val pol = textops.RobotsTxt.policies(robots, "url", "status", "body",
+        userAgent = "graftbot")
+      textops.RobotsTxt.verdict(pages, pol, "url")
+        .select(col("doc_id").as("id"), col("url_host"),
+          col("robots_allowed").as("allowed"), col("robots_rule"))
+        .orderBy(col("id"))
     })
   )
+
+  /** q138's planted page URL for doc key `k`: host by k%8 (matching the
+    * robots plant of [[q138Robots]]), path shape by k%5 — the residues
+    * are coprime, so every (host-policy, path-shape) pair occurs.
+    */
+  private[graft] def q138Url(k: Long): String = {
+    val host = s"h${k % 8}.example.org"
+    val path = (k % 5) match {
+      case 0 => "/"
+      case 1 => s"/private/p$k"
+      case 2 => s"/docs/pub/d$k"
+      case 3 => s"/files/f$k.php"
+      case _ => s"/docs/other/o$k"
+    }
+    s"https://$host$path"
+  }
+
+  /** q138's robots.txt capture for host residue `r`: (status, body), or
+    * None for the capture-less host (r=7).
+    */
+  private[graft] def q138Robots(r: Long): Option[(Int, String)] = r match {
+    case 0 => Some((404, ""))
+    case 1 => Some((200, "User-agent: *\nDisallow: /private/\n"))
+    case 2 => Some((200,
+      "User-agent: *\nDisallow: /docs/\nAllow: /docs/pub/\n"))
+    case 3 => Some((500, ""))
+    case 4 => Some((200, "User-agent: *\nDisallow: /*.php$\n"))
+    case 5 => Some((200,
+      "User-agent: graftbot\nDisallow: /\n\nUser-agent: *\nAllow: /\n"))
+    case 6 => Some((200,
+      "User-agent: graft\nDisallow: /private/\nDisallow: /docs/other/\n\n" +
+        "User-agent: *\nDisallow: /\n"))
+    case _ => None
+  }
 
   /** q137's planted CDXJ line for doc key `k`: page p = k/3 captured at
     * three timestamps (cap = k%3); pages p and p^1 mirror each other's
@@ -5944,7 +6001,35 @@ object SparkEntry {
         |  CAST(1000 * k AS BIGINT) AS offset,
         |  CAST(100 + k % 50 AS BIGINT) AS length,
         |  n_captures, n_mirrors
-        |FROM fin WHERE rn2 = 1 ORDER BY id""".stripMargin
+        |FROM fin WHERE rn2 = 1 ORDER BY id""".stripMargin,
+
+    // closed-form replay of the planted robots decisions: host policy by
+    // doc_id%8, path shape by doc_id%5 (404/no-capture → allowed, 500 →
+    // 'D/', the graftbot group beats '*' on h5, the 'graft' UA-prefix
+    // group beats '*' on h6, the Allow override out-lengths 'D/docs/')
+    "q138_robots_gate" ->
+      """SELECT doc_id AS id,
+        |  'h' || CAST(doc_id % 8 AS VARCHAR) || '.example.org' AS url_host,
+        |  CASE CAST(doc_id % 8 AS INTEGER)
+        |    WHEN 0 THEN TRUE
+        |    WHEN 1 THEN doc_id % 5 <> 1
+        |    WHEN 2 THEN doc_id % 5 <> 4
+        |    WHEN 3 THEN FALSE
+        |    WHEN 4 THEN doc_id % 5 <> 3
+        |    WHEN 5 THEN FALSE
+        |    WHEN 6 THEN doc_id % 5 <> 1 AND doc_id % 5 <> 4
+        |    ELSE TRUE END AS allowed,
+        |  CASE CAST(doc_id % 8 AS INTEGER)
+        |    WHEN 1 THEN CASE WHEN doc_id % 5 = 1 THEN 'D/private/' END
+        |    WHEN 2 THEN CASE WHEN doc_id % 5 = 2 THEN 'A/docs/pub/'
+        |                     WHEN doc_id % 5 = 4 THEN 'D/docs/' END
+        |    WHEN 3 THEN 'D/'
+        |    WHEN 4 THEN CASE WHEN doc_id % 5 = 3 THEN 'D/*.php$' END
+        |    WHEN 5 THEN 'D/'
+        |    WHEN 6 THEN CASE WHEN doc_id % 5 = 1 THEN 'D/private/'
+        |                     WHEN doc_id % 5 = 4 THEN 'D/docs/other/' END
+        |    ELSE NULL END AS robots_rule
+        |FROM documents ORDER BY id""".stripMargin
   )
 
   /** q133's replay: q102's stage CTEs over the crawl-extracted corpus

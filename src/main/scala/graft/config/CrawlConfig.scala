@@ -26,6 +26,13 @@ package graft.config
   * @param honorNoindex    drop pages carrying `<meta name="robots"
   *                        content="noindex">` (decision rows with
   *                        reason `robots_noindex`), default true
+  * @param robotsUserAgent when set, honor the crawl's own captured
+  *                        `/robots.txt` responses (RFC 9309) for this
+  *                        user agent: disallowed pages become decision
+  *                        rows with reason `robots_disallow`, and the
+  *                        robots captures themselves leave the document
+  *                        stream; unset = no robots gate (and captures
+  *                        flow through like any text response)
   * @param inputPartitions repartition the path list before the
   *                        one-task-per-file ingest (0 = leave as-is);
   *                        set ≈ cluster cores when file sizes are skewed
@@ -34,13 +41,15 @@ final case class CrawlConfig(input: String, outdir: String,
                              keepLangs: Set[String],
                              minHostDocs: Long, maxHostDocs: Long,
                              tHead: Double, tMid: Double,
-                             honorNoindex: Boolean, inputPartitions: Int)
+                             honorNoindex: Boolean,
+                             robotsUserAgent: Option[String],
+                             inputPartitions: Int)
 
 object CrawlConfig {
 
   private val Known = Set("input", "outdir", "keep_langs",
     "min_host_docs", "max_host_docs", "t_head", "t_mid",
-    "honor_noindex", "input_partitions")
+    "honor_noindex", "robots_user_agent", "input_partitions")
 
   /** Parse + validate; Left = every problem found (not just the first). */
   def from(raw: Map[String, Any]): Either[Seq[String], CrawlConfig] = {
@@ -98,12 +107,19 @@ object CrawlConfig {
     val tMid = numOpt("t_mid", -3.68)
     if (tHead < tMid) errs += s"t_head ($tHead) must be >= t_mid ($tMid)"
     val honorNoindex = boolOpt("honor_noindex", default = true)
+    val robotsUa = raw.get("robots_user_agent") match {
+      case Some(s: String) if s.nonEmpty => Some(s)
+      case Some(null) | None => None
+      case Some("") => None
+      case Some(other) =>
+        err(s"robots_user_agent: expected string, got '$other'", None)
+    }
     val parts = longOpt("input_partitions", 0L)
     if (parts < 0 || parts > Int.MaxValue)
       errs += "input_partitions: must be a non-negative integer"
 
     if (errs.nonEmpty) Left(errs.toSeq)
     else Right(CrawlConfig(input, outdir, keepLangs, minHost, maxHost,
-      tHead, tMid, honorNoindex, parts.toInt))
+      tHead, tMid, honorNoindex, robotsUa, parts.toInt))
   }
 }

@@ -1,0 +1,291 @@
+package graft.textops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Robots Exclusion Protocol (RFC 9309) curation gate — the crawl-
+  * politeness sibling of the `<meta name=robots>` noindex column
+  * ([[HtmlExtract]]): a training-data pipeline built on crawl archives
+  * must not keep pages the origin told crawlers not to fetch, and the
+  * evidence is IN the archive (crawlers capture `/robots.txt` responses
+  * as ordinary WARC records). This module turns those captures into a
+  * per-host policy table and gates page URLs against it.
+  *
+  * Reference scope: the reference (stream2segment) has no crawl code —
+  * this is extension surface for the LLM-data pipeline, next to
+  * [[UrlOps]] / [[graft.sources.Warc]].
+  *
+  * Parsing follows RFC 9309 §2.2 exactly where it speaks:
+  *  - groups = one or more consecutive `User-agent` lines followed by
+  *    rules; rules before any `User-agent` line are ignored; a
+  *    `User-agent` line after rules starts a new group (blank lines do
+  *    NOT delimit groups);
+  *  - group selection: the product token is matched case-insensitively
+  *    as a PREFIX of the crawler's user agent (`graft` matches
+  *    `graftbot`); the longest matching token wins, `*` only when no
+  *    named group matches; ALL groups tied at the winning length merge;
+  *  - rule matching: patterns match the URL's path-plus-query octets,
+  *    `*` is a wildcard, a trailing `$` anchors the end; the LONGEST
+  *    matching pattern decides, an `Allow` wins a length tie (§2.2.2);
+  *    no matching rule → allowed; an empty rule value is ignored;
+  *  - fetch semantics (§2.3.1): an unavailable robots.txt (4xx, or no
+  *    capture at all) means unrestricted; an unreachable one (5xx)
+  *    means complete disallow.
+  * Extensions every real deployment carries: `Sitemap:` lines
+  * (non-group, collected per host) and `Crawl-delay` (attached to the
+  * selected group).
+  *
+  * Scale shape: the policy table is per-HOST (10^7–10^8 rows at crawl
+  * scale vs 10^10 pages) and each compiled policy is a few short
+  * strings, so the page-side join broadcasts under AQE at any size
+  * where the gate makes sense; evaluation is then a pure per-row
+  * kernel over the already-derived path — one scan, no extra shuffle
+  * beyond the build-side aggregate.
+  */
+object RobotsTxt {
+
+  /** Compiled rule encoding: first char `'A'`(llow)/`'D'`(isallow), the
+    * rest the verbatim pattern. Rules are pre-sorted by (pattern octet
+    * length desc, Allow first) so evaluation is first-match-wins.
+    */
+  type Rule = String
+
+  /** RFC 9309 §2.2.2 pattern match against path-plus-query: `*` spans
+    * any octets, a trailing `$` anchors the end (elsewhere literal),
+    * and an un-anchored pattern matches any prefix. Iterative greedy
+    * wildcard match with single-star backtracking — O(|path|·stars).
+    */
+  private[textops] def patternMatches(pattern: String, path: String): Boolean = {
+    val anchored = pattern.endsWith("$")
+    val pat = if (anchored) pattern.substring(0, pattern.length - 1) else pattern
+    var pi = 0; var si = 0
+    var starPi = -1; var starSi = -1
+    while (si < path.length) {
+      if (pi < pat.length && pat.charAt(pi) == '*') {
+        starPi = pi; starSi = si; pi += 1
+      } else if (pi < pat.length && pat.charAt(pi) == path.charAt(si)) {
+        pi += 1; si += 1
+      } else if (starPi >= 0) {
+        starSi += 1; si = starSi; pi = starPi + 1
+      } else return false
+      if (pi == pat.length && !anchored) return true // prefix semantics
+    }
+    // path exhausted: remaining pattern must be all '*'s
+    while (pi < pat.length && pat.charAt(pi) == '*') pi += 1
+    pi == pat.length
+  }
+
+  /** A parsed robots.txt body, reduced to the crawler's view. */
+  final case class Policy(rules: Array[Rule], sitemaps: Array[String],
+                          crawlDelay: Option[Double])
+
+  private val Empty = Policy(Array.empty, Array.empty, None)
+
+  /** The complete-disallow policy (§2.3.1.4: unreachable robots.txt). */
+  private[textops] val DisallowAll = Array[Rule]("D/")
+
+  /** Parse a robots.txt body and select the rule group for `userAgent`
+    * per RFC 9309 §2.2.1. Total: any line that isn't a recognizable
+    * `field: value` is skipped; null → empty policy.
+    */
+  def compile(body: String, userAgent: String = "*"): Policy = {
+    if (body == null) return Empty
+    val ua = userAgent.toLowerCase(java.util.Locale.ROOT)
+    // groups under construction: (uaTokens, rules, crawlDelay)
+    val groups = scala.collection.mutable.ArrayBuffer
+      .empty[(scala.collection.mutable.ArrayBuffer[String],
+              scala.collection.mutable.ArrayBuffer[Rule],
+              Array[Option[Double]])]
+    val sitemaps = scala.collection.mutable.ArrayBuffer.empty[String]
+    var collectingUas = false // inside a run of consecutive UA lines
+    var first = true
+    body.split("\r\n|\n|\r", -1).foreach { raw =>
+      var line = raw
+      if (first) { // strip a UTF-8 BOM
+        if (line.nonEmpty && line.charAt(0) == '\uFEFF') line = line.substring(1)
+        first = false
+      }
+      val hash = line.indexOf('#')
+      if (hash >= 0) line = line.substring(0, hash)
+      line = line.trim
+      if (line.nonEmpty) {
+        val colon = line.indexOf(':')
+        if (colon > 0) {
+          val field = line.substring(0, colon).trim
+            .toLowerCase(java.util.Locale.ROOT)
+          val value = line.substring(colon + 1).trim
+          field match {
+            case "user-agent" =>
+              if (!collectingUas) {
+                groups += ((scala.collection.mutable.ArrayBuffer.empty,
+                  scala.collection.mutable.ArrayBuffer.empty,
+                  Array[Option[Double]](None)))
+                collectingUas = true
+              }
+              if (value.nonEmpty)
+                groups.last._1 += value.toLowerCase(java.util.Locale.ROOT)
+            case "allow" | "disallow" =>
+              collectingUas = false
+              if (groups.nonEmpty && value.nonEmpty)
+                groups.last._2 += (if (field == "allow") "A" else "D") + value
+            case "crawl-delay" =>
+              collectingUas = false
+              if (groups.nonEmpty)
+                try groups.last._3(0) = Some(value.toDouble)
+                catch { case _: NumberFormatException => () }
+            case "sitemap" =>
+              if (value.nonEmpty) sitemaps += value
+            case _ =>
+              // unknown fields end a UA run (they belong to the group
+              // body per §2.2.4's "other records" note) but are skipped
+              collectingUas = false
+          }
+        }
+      }
+    }
+    // group selection: longest UA token that prefixes `ua`; '*' only if
+    // no named token matches; every group tied at the winning length
+    // merges (RFC: combine groups with the same matching agent)
+    var bestLen = -1
+    groups.foreach { g =>
+      g._1.foreach { tok =>
+        if (tok != "*" && ua.startsWith(tok) && tok.length > bestLen)
+          bestLen = tok.length
+      }
+    }
+    val selected = groups.filter { g =>
+      if (bestLen >= 0)
+        g._1.exists(t => t != "*" && t.length == bestLen && ua.startsWith(t))
+      else g._1.contains("*")
+    }
+    if (selected.isEmpty) return Policy(Array.empty, sitemaps.toArray, None)
+    val rules = selected.iterator.flatMap(_._2).toArray
+      .sortBy(r => (-(r.length - 1), r.charAt(0))) // len desc, 'A' < 'D'
+    val delay = selected.iterator.flatMap(_._3(0)).toSeq.minOption
+    Policy(rules, sitemaps.toArray, delay)
+  }
+
+  /** First-match evaluation over a compiled (pre-sorted) rule list:
+    * no matching rule → allowed. Returns the matched rule, if any.
+    */
+  def matchedRule(rules: Seq[Rule], pathQuery: String): Option[Rule] =
+    rules.find(r => patternMatches(r.substring(1), pathQuery))
+
+  def isAllowed(rules: Seq[Rule], pathQuery: String): Boolean =
+    matchedRule(rules, pathQuery).forall(_.charAt(0) == 'A')
+
+  /** The path-plus-query octets robots patterns match against; null or
+    * authority-less input → "/" (the match target is never null).
+    */
+  def pathQueryOf(url: String): String = {
+    if (url == null) return "/"
+    val u = url.trim
+    val schemeEnd = u.indexOf("://")
+    if (schemeEnd <= 0) return "/"
+    val rest = u.substring(schemeEnd + 3)
+    var i = 0
+    while (i < rest.length && rest.charAt(i) != '/' && rest.charAt(i) != '?' &&
+      rest.charAt(i) != '#') i += 1
+    if (i == rest.length) return "/"
+    val tail = rest.substring(i)
+    val hashAt = tail.indexOf('#')
+    val noFrag = if (hashAt >= 0) tail.substring(0, hashAt) else tail
+    if (noFrag.isEmpty || noFrag.charAt(0) == '?') "/" + noFrag else noFrag
+  }
+
+  // ---------------------------------------------------------------------
+  // DataFrame surfaces.
+  // ---------------------------------------------------------------------
+
+  /** Per-host policy table from captured robots.txt responses: one row
+    * per host with the compiled rule list for `userAgent`, the declared
+    * sitemaps, the group crawl-delay, and the fetch disposition
+    * (`parsed` / `unavailable` / `unreachable`). `df` carries one row
+    * per capture (url, http_status, body); multiple captures of a host
+    * collapse by precedence 2xx > 5xx > other, then longest body —
+    * deterministic without an id column.
+    *
+    * Fetch semantics (RFC 9309 §2.3.1): 2xx → parse the body; 5xx →
+    * complete disallow; anything else (4xx, missing status) →
+    * unrestricted. Missing hosts simply have no row — the page-side
+    * join treats absence as unrestricted too.
+    */
+  def policies(df: DataFrame, urlCol: String, statusCol: String,
+               bodyCol: String, userAgent: String = "*"): DataFrame = {
+    val compileUdf = udf { (status: Integer, body: String) =>
+      val st = if (status == null) -1 else status.intValue()
+      if (st >= 200 && st < 300) {
+        val p = compile(if (body == null) "" else body, userAgent)
+        (p.rules, p.sitemaps, p.crawlDelay, "parsed")
+      } else if (st >= 500 && st < 600)
+        (DisallowAll, Array.empty[String], Option.empty[Double],
+          "unreachable")
+      else (Array.empty[Rule], Array.empty[String], Option.empty[Double],
+        "unavailable")
+    }
+    val rank = when(col(statusCol) >= 200 && col(statusCol) < 300, 0)
+      .when(col(statusCol) >= 500 && col(statusCol) < 600, 1)
+      .otherwise(2)
+    df.select(UrlOps.hostOf(col(urlCol)).as("url_host"),
+        col(statusCol).cast("int").as("__st"),
+        coalesce(col(bodyCol), lit("")).as("__body"),
+        rank.as("__rank"))
+      .where(col("url_host").isNotNull)
+      // lexicographic struct-min = (best precedence, longest body,
+      // then body text) — robots bodies are small and hosts few next
+      // to the corpus, so the extra struct bytes in this shuffle are
+      // noise
+      .groupBy(col("url_host"))
+      .agg(min(struct(col("__rank"),
+        (-length(col("__body"))).as("__negLen"), col("__body").as("body"),
+        coalesce(col("__st"), lit(-1)).as("st"))).as("__best"))
+      .select(col("url_host"), compileUdf(col("__best.st"),
+        col("__best.body")).as("__p"))
+      .select(col("url_host"), col("__p._1").as("rules"),
+        col("__p._2").as("sitemaps"), col("__p._3").as("crawl_delay"),
+        col("__p._4").as("robots_status"))
+  }
+
+  /** [[policies]] over a [[graft.sources.Warc.records]]-shaped frame:
+    * selects the `/robots.txt` response captures itself.
+    */
+  def policiesFromRecords(records: DataFrame,
+                          userAgent: String = "*"): DataFrame = {
+    val pq = udf { (u: String) => pathQueryOf(u) }
+    policies(
+      records.where(col("error").isNull && col("warc_type") === "response" &&
+        col("url").isNotNull && pq(col("url")) === "/robots.txt"),
+      "url", "http_status", "text", userAgent)
+  }
+
+  /** Page-side verdict: `df` plus `url_host`, `robots_allowed` and the
+    * matched `robots_rule` (null when no rule matched — including hosts
+    * with no policy row). One left join on host (the policy side is the
+    * small side — AQE broadcasts it) + a per-row match kernel.
+    */
+  def verdict(df: DataFrame, policiesDf: DataFrame,
+              urlCol: String): DataFrame = {
+    val verdictUdf = udf { (rules: Seq[String], url: String) =>
+      if (rules == null) (true, Option.empty[String])
+      else {
+        val m = matchedRule(rules, pathQueryOf(url))
+        (m.forall(_.charAt(0) == 'A'), m)
+      }
+    }
+    val withHost = if (df.columns.contains("url_host")) df
+      else df.withColumn("url_host", UrlOps.hostOf(col(urlCol)))
+    withHost
+      .join(policiesDf.select(col("url_host"), col("rules")),
+        Seq("url_host"), "left")
+      .withColumn("__v", verdictUdf(col("rules"), col(urlCol)))
+      .withColumn("robots_allowed", col("__v._1"))
+      .withColumn("robots_rule", col("__v._2"))
+      .drop("__v", "rules")
+  }
+
+  /** Keep only pages the host's policy allows. */
+  def gate(df: DataFrame, policiesDf: DataFrame, urlCol: String): DataFrame =
+    verdict(df, policiesDf, urlCol)
+      .where(col("robots_allowed"))
+      .drop("robots_allowed", "robots_rule")
+}

@@ -141,6 +141,37 @@ class CrawlCliSpec extends SparkSpec {
     }
   }
 
+  test("crawl with robots_user_agent: captured /robots.txt policies gate " +
+    "pages, the captures leave the document stream") {
+    val dir = Files.createTempDirectory("graft_crawl_robots").toFile
+    val outdir = Files.createTempDirectory("graft_crawl_robots_out").toString
+    try {
+      val warc =
+        gzip(rec("https://c.example.org/robots.txt",
+          "User-agent: *\nDisallow: /private/\n")) ++
+          gzip(rec("https://c.example.org/private/secret", page(prose1))) ++
+          gzip(rec("https://c.example.org/pub/open", page(prose2)))
+      Files.write(new java.io.File(dir, "c.warc.gz").toPath, warc)
+      val cfg = graft.config.CrawlConfig.from(Map(
+        "input" -> dir.getAbsolutePath, "outdir" -> outdir,
+        "keep_langs" -> Seq("en"),
+        "robots_user_agent" -> "graftbot")).toOption.get
+      assert(cfg.robotsUserAgent.contains("graftbot"))
+      val report = Main.crawl(spark, cfg)
+      // the robots capture is build-side input, NOT a page
+      assert(report.nPages == 2)
+      assert(report.dropped == Map("robots_disallow" -> 1L))
+      assert(report.nKept == 1)
+      // without the gate, all three text responses are pipeline pages
+      val off = Main.crawl(spark, cfg.copy(robotsUserAgent = None,
+        outdir = outdir + "2"))
+      assert(off.nPages == 3)
+      assert(!off.dropped.contains("robots_disallow"))
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
   test("crawl: empty input is a clean no-op report, not a crash") {
     val dir = Files.createTempDirectory("graft_crawl_empty").toFile
     try {

@@ -1,0 +1,204 @@
+package graft.textops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** RFC 9309 robots.txt: pattern matching, group selection, longest-match
+  * rule precedence, fetch-status semantics, and the per-host policy +
+  * page-gate DataFrame composition.
+  */
+class RobotsTxtSpec extends SparkSpec {
+  import RobotsTxt._
+
+  private def allowed(body: String, path: String, ua: String = "*"): Boolean =
+    isAllowed(compile(body, ua).rules.toSeq, path)
+
+  test("pattern matching: literals, *, trailing $, prefix semantics") {
+    assert(patternMatches("/private/", "/private/page"))
+    assert(!patternMatches("/private/", "/privateer")) // '/' is literal
+    assert(patternMatches("/private", "/privateer")) // prefix, no slash
+    assert(patternMatches("/*.php", "/files/f.php"))
+    assert(patternMatches("/*.php", "/f.php?x=1")) // prefix past match
+    assert(patternMatches("/*.php$", "/files/f.php"))
+    assert(!patternMatches("/*.php$", "/files/f.php?x=1")) // anchored
+    assert(patternMatches("/a*b*c", "/aXXbYYc-and-more"))
+    assert(!patternMatches("/a*b*c", "/aXXbYY"))
+    assert(patternMatches("/", "/anything"))
+    assert(patternMatches("/fish*$", "/fishheads"))
+    // '$' only special at the very end; elsewhere literal
+    assert(patternMatches("/a$b", "/a$b/c"))
+    // trailing stars still match an exhausted path
+    assert(patternMatches("/p*", "/p"))
+    assert(patternMatches("/p**$", "/p"))
+  }
+
+  test("longest match wins; allow beats disallow on a length tie") {
+    val body =
+      """User-agent: *
+        |Disallow: /docs/
+        |Allow: /docs/pub/
+        |""".stripMargin
+    assert(allowed(body, "/docs/pub/x"))
+    assert(!allowed(body, "/docs/private/x"))
+    assert(allowed(body, "/elsewhere"))
+    // equal length: Allow preferred (RFC 9309 2.2.2)
+    val tie = "User-agent: *\nDisallow: /page\nAllow: /page"
+    assert(allowed(tie, "/page"))
+  }
+
+  test("group selection: longest UA prefix wins over *, ties merge, " +
+    "case-insensitive") {
+    val body =
+      """User-agent: graftbot
+        |Disallow: /a/
+        |
+        |User-agent: graft
+        |Disallow: /b/
+        |
+        |User-agent: *
+        |Disallow: /
+        |""".stripMargin
+    // 'graftbot' (len 8) beats 'graft' (len 5) beats '*'
+    assert(!allowed(body, "/a/x", "GraftBot"))
+    assert(allowed(body, "/b/x", "graftbot")) // the 'graft' group lost
+    assert(!allowed(body, "/b/x", "graft-crawler")) // 'graft' wins here
+    assert(allowed(body, "/a/x", "graft-crawler"))
+    assert(!allowed(body, "/anything", "otherbot")) // falls to '*'
+    // two groups naming the SAME winning token combine their rules
+    val merged =
+      """User-agent: bot
+        |Disallow: /x/
+        |User-agent: other
+        |Disallow: /z/
+        |User-agent: bot
+        |Disallow: /y/
+        |""".stripMargin
+    assert(!allowed(merged, "/x/1", "bot"))
+    assert(!allowed(merged, "/y/1", "bot"))
+    assert(allowed(merged, "/z/1", "bot"))
+  }
+
+  test("parsing totality: comments, BOM, CR/CRLF, unknown fields, rules " +
+    "before any group, empty values, no applicable group") {
+    assert(allowed("# nothing here\n\n", "/x"))
+    assert(allowed("Disallow: /x\n", "/x")) // no group: ignored
+    assert(!allowed("﻿User-agent: *\r\nDisallow: /x\r", "/x"))
+    // a blank line does NOT end a group (RFC 9309: only a UA line after
+    // rules starts a new one)
+    assert(!allowed("User-agent: *\n\nDisallow: /x\n", "/x"))
+    // empty Disallow value = no rule (allow everything)
+    assert(allowed("User-agent: *\nDisallow:\n", "/x"))
+    // unknown fields are skipped but end the UA run
+    val unk = "User-agent: a\nFoo: bar\nUser-agent: *\nDisallow: /x\n"
+    assert(allowed(unk, "/x", "a")) // group 'a' has no rules
+    assert(!allowed(unk, "/x", "b")) // '*' group holds the disallow
+    // a named group exists but doesn't match and there is no '*': allow
+    assert(allowed("User-agent: bot\nDisallow: /\n", "/x", "other"))
+  }
+
+  test("crawl-delay and sitemaps are captured") {
+    val body =
+      """Sitemap: https://e.com/sm1.xml
+        |User-agent: *
+        |Crawl-delay: 2.5
+        |Disallow: /x/
+        |Sitemap: https://e.com/sm2.xml
+        |""".stripMargin
+    val p = compile(body, "anybot")
+    assert(p.crawlDelay.contains(2.5))
+    assert(p.sitemaps.toSeq == Seq("https://e.com/sm1.xml",
+      "https://e.com/sm2.xml"))
+    assert(compile("User-agent: *\nCrawl-delay: soon\n").crawlDelay.isEmpty)
+  }
+
+  test("pathQueryOf: path+query octets, '/' default, fragment dropped") {
+    assert(pathQueryOf("https://e.com/a/b?x=1") == "/a/b?x=1")
+    assert(pathQueryOf("https://e.com") == "/")
+    assert(pathQueryOf("https://e.com?q=1") == "/?q=1")
+    assert(pathQueryOf("https://e.com/a#f") == "/a")
+    assert(pathQueryOf("not a url") == "/")
+    assert(pathQueryOf(null) == "/")
+  }
+
+  test("policies: fetch-status precedence (2xx > 5xx > 4xx), per-host " +
+    "collapse, sitemap/crawl-delay columns") {
+    val df = spark.createDataFrame(Seq(
+      ("https://a.com/robots.txt", 200, "User-agent: *\nDisallow: /p/\n"),
+      ("https://a.com/robots.txt", 503, "ignored"),
+      ("https://b.com/robots.txt", 500, null.asInstanceOf[String]),
+      ("https://b.com/robots.txt", 404, ""),
+      ("https://c.com/robots.txt", 404, "")))
+      .toDF("url", "status", "body")
+    val pol = policies(df, "url", "status", "body", "graftbot")
+      .orderBy("url_host").collect()
+    assert(pol.map(_.getString(0)).toSeq == Seq("a.com", "b.com", "c.com"))
+    def rules(i: Int): Seq[String] =
+      pol(i).getAs[scala.collection.Seq[String]]("rules").toSeq
+    assert(rules(0) == Seq("D/p/"))
+    assert(pol(0).getString(4) == "parsed")
+    assert(rules(1) == Seq("D/")) // 5xx beats 4xx
+    assert(pol(1).getString(4) == "unreachable")
+    assert(rules(2).isEmpty)
+    assert(pol(2).getString(4) == "unavailable")
+  }
+
+  test("verdict + gate: host join, missing host allowed, matched rule " +
+    "surfaced") {
+    val pol = policies(spark.createDataFrame(Seq(
+      ("https://a.com/robots.txt", 200,
+        "User-agent: *\nDisallow: /docs/\nAllow: /docs/pub/\n"),
+      ("https://down.com/robots.txt", 500, "")))
+      .toDF("url", "status", "body"), "url", "status", "body")
+    val pages = spark.createDataFrame(Seq(
+      (1L, "https://a.com/docs/pub/x"),
+      (2L, "https://a.com/docs/secret"),
+      (3L, "https://a.com/other"),
+      (4L, "https://down.com/"),
+      (5L, "https://nopolicy.com/x")))
+      .toDF("id", "url")
+    val v = verdict(pages, pol, "url").orderBy("id").collect()
+    assert(v.map(r => r.getAs[Boolean]("robots_allowed")).toSeq ==
+      Seq(true, false, true, false, true))
+    assert(v(0).getAs[String]("robots_rule") == "A/docs/pub/")
+    assert(v(1).getAs[String]("robots_rule") == "D/docs/")
+    assert(v(2).getAs[String]("robots_rule") == null)
+    assert(v(3).getAs[String]("robots_rule") == "D/")
+    assert(v(4).getAs[String]("robots_rule") == null)
+    assert(gate(pages, pol, "url").count() == 3)
+  }
+
+  test("policiesFromRecords: picks /robots.txt responses out of a WARC " +
+    "records frame end to end") {
+    import spark.implicits._
+    val crlf = "\r\n"
+    def rec(uri: String, mime: String, body: String): Array[Byte] = {
+      val http = (s"HTTP/1.1 200 OK${crlf}Content-Type: $mime$crlf$crlf")
+        .getBytes("UTF-8") ++ body.getBytes("UTF-8")
+      val h = new StringBuilder("WARC/1.0").append(crlf)
+      h.append("WARC-Type: response").append(crlf)
+      h.append("WARC-Target-URI: ").append(uri).append(crlf)
+      h.append("WARC-Date: 2026-02-01T12:00:00Z").append(crlf)
+      h.append("Content-Type: application/http; msgtype=response")
+        .append(crlf)
+      h.append("Content-Length: ").append(http.length).append(crlf)
+        .append(crlf)
+      h.toString.getBytes("UTF-8") ++ http ++ (crlf + crlf).getBytes("UTF-8")
+    }
+    val robotsBody = "User-agent: *\nDisallow: /private/\n"
+    val payload =
+      rec("https://site.example.org/robots.txt", "text/plain", robotsBody) ++
+      rec("https://site.example.org/private/p1", "text/html",
+        "<html><body>secret</body></html>") ++
+      rec("https://site.example.org/pub/p2", "text/html",
+        "<html><body>open</body></html>")
+    val recs = graft.sources.Warc.records(
+      Seq((1L, payload)).toDF("id", "payload"), "id", "payload")
+    val pol = policiesFromRecords(recs)
+    assert(pol.count() == 1)
+    val pages = recs.where(col("error").isNull &&
+      col("warc_type") === "response" && !col("url").endsWith("robots.txt"))
+    val v = verdict(pages, pol, "url").orderBy("url").collect()
+    assert(v.map(_.getAs[Boolean]("robots_allowed")).toSeq ==
+      Seq(false, true))
+  }
+}
