@@ -182,14 +182,15 @@ object Main {
   final case class CrawlReport(nFiles: Int, nPages: Long, nKept: Long,
                                dropped: Map[String, Long],
                                buckets: Map[String, Long],
-                               quarantined: Long) {
+                               quarantined: Long, wetFiles: Int = 0) {
     def render: String = {
       val d = dropped.toSeq.sortBy(_._1)
         .map { case (r, n) => s"  dropped[$r] $n" }
       val b = buckets.toSeq.sortBy(_._1)
         .map { case (k, n) => s"  bucket[$k] $n" }
       val head = s"files=$nFiles pages=$nPages kept=$nKept " +
-        s"quarantined_records=$quarantined"
+        s"quarantined_records=$quarantined" +
+        (if (wetFiles > 0) s" wet_files=$wetFiles" else "")
       (head +: (d ++ b)).mkString("\n")
     }
   }
@@ -263,7 +264,7 @@ object Main {
       case None => (pages0, None)
     }
     val docs = HtmlExtract.extractDocs(pages, "path", "html",
-        carryCols = Seq("rec_idx", "url", "http_status"))
+        carryCols = Seq("rec_idx", "url", "warc_date", "http_status"))
       .withColumn("doc_id", xxhash64(col("path"), col("rec_idx")))
     val decisionCols = Seq("doc_id", "lang", "n_tokens", "drop_reason",
       "avg_logprob", "bucket")
@@ -298,7 +299,8 @@ object Main {
       "http_status")
     val urlDropped = droppedRows(surv.where(!col("kept")), "url_duplicate")
     val keptSurv = surv.where(col("kept"))
-      .select(col("doc_id"), col("url_host"), col("text"))
+      .select(col("doc_id"), col("url_host"), col("url"), col("warc_date"),
+        col("text"))
 
     // host-count gate with the DROPS kept as decision rows — the
     // hostGateOn aggregate+broadcast-join shape, inlined so the gated
@@ -330,6 +332,29 @@ object Main {
     val decisionsPath = cfg.outdir + "/decisions.parquet"
     decisions.write.mode("overwrite").parquet(decisionsPath)
 
+    // WET export of the kept set: the written decision table is the
+    // (slim) build side, the survivor scan recomputes — same trade as
+    // the audit pass below
+    val wetFiles = cfg.wetOutput match {
+      case Some(wdir) =>
+        val keptIds = spark.read.parquet(decisionsPath)
+          .where(col("drop_reason").isNull).select(col("doc_id"))
+        val n = graft.sources.WarcWriter.writeWetFiles(
+          keptSurv.join(keptIds, Seq("doc_id")),
+          "url", "warc_date", "text", wdir)
+        // the export's own CDX index: every later pass over the curated
+        // corpus range-reads instead of re-scanning
+        cfg.cdxOutput.foreach { cdir =>
+          val wetPaths = listWarcPaths(spark, wdir)
+          graft.sources.CdxIndex.indexFromPaths(wetPaths.toDS())
+            .where(col("error").isNull)
+            .select(col("line"))
+            .write.mode("overwrite").text(cdir)
+        }
+        n
+      case None => 0
+    }
+
     // pass 2: the ingest quarantine audit (which records the curation
     // never even saw, and why)
     val audit = graft.sources.Warc.quarantineStats(
@@ -350,7 +375,7 @@ object Main {
     CrawlReport(files.length,
       byReason.values.sum,
       byReason.getOrElse("__kept", 0L),
-      byReason - "__kept", buckets, quarantined)
+      byReason - "__kept", buckets, quarantined, wetFiles)
   }
 
   private val Subcommands =

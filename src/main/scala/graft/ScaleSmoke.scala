@@ -107,7 +107,12 @@ object ScaleSmoke {
     // walk + header parse — the q134 class, plus real stream synthesis
     // in the plant) and CDX fetch planning (two slim window shuffles
     // over index-row tuples; the text/bytes never move)
-    "q136_vorbis_audit", "q137_cdx_plan")
+    "q136_vorbis_audit", "q137_cdx_plan",
+    // the robots gate (host-keyed broadcast join + per-row match — the
+    // q121 class), the WET export round trip and the CDX indexer
+    // (per-row gzip deflate+inflate / member-walk+parse of planted
+    // payloads — the scan-flat q124/q126 class)
+    "q138_robots_gate", "q139_wet_roundtrip", "q140_cdx_index")
 
   /** Measured at 10× only. All three are deliberately NOT the scale
     * path — q77 is the pinned-k SemDeDup negative control (its 100×

@@ -2886,8 +2886,94 @@ object SparkEntry {
         .select(col("doc_id").as("id"), col("url_host"),
           col("robots_allowed").as("allowed"), col("robots_rule"))
         .orderBy(col("id"))
+    }),
+
+    // WET export round trip — every document leaves as a conversion
+    // record (its own gzip member, digest + deterministic id headers)
+    // and re-enters through the repo's own WARC reader byte-identical;
+    // the oracle replays the invariants closed-form
+    "q139_wet_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val docs = tSpread(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+      val members = docs.map { case (k, text) =>
+        (k, text, sources.WarcWriter.wetMember(
+          s"https://w.example.org/d/$k", "2026-01-15T00:00:00Z", text)) }
+        .toDF("doc_id", "orig", "payload")
+      val parsed = sources.Warc.records(members, "doc_id", "payload")
+        .where(col("warc_type") === "conversion")
+        .select(col("doc_id"), col("url"), col("warc_date"), col("text"))
+      parsed.join(members.select(col("doc_id"), col("orig")), Seq("doc_id"))
+        .select(col("doc_id").as("id"), col("url"), col("warc_date"),
+          (col("text") === coalesce(col("orig"), lit("")))
+            .as("round_trip"),
+          length(col("text")).as("n_chars"))
+        .orderBy(col("id"))
+    }),
+
+    // CDX indexer — the write half of the index lifecycle: doc keys
+    // plant WARC payloads (gzip member-per-record normally, plain
+    // concatenation on k%4=0 — both real layouts), the indexer emits
+    // one line per content record, and the engine PROVES each line by
+    // range-reading its own (offset, length) back through the parser;
+    // the oracle replays surt/ts/status arithmetic closed-form
+    "q140_cdx_index" -> ((s, dir) => {
+      import s.implicits._
+      tSpread(s, dir, "documents").select(col("doc_id")).as[Long]
+        .flatMap { k =>
+          val payload = q140Warc(k)
+          sources.CdxIndex.indexPayload(payload, s"f$k.warc.gz").map { ln =>
+            val e = sources.CdxIndex.parseLine(ln)
+            val ok = (e.offset, e.length) match {
+              case (Some(off), Some(len)) =>
+                val slice = java.util.Arrays.copyOfRange(payload,
+                  off.toInt, (off + len).toInt)
+                val rs = sources.Warc.parse(slice)
+                rs.nonEmpty && rs.head.error == null &&
+                  rs.head.targetUri == e.url
+              case _ => false
+            }
+            (k, e.surt, e.ts, e.status.getOrElse(-1), e.url, ok)
+          }
+        }
+        .toDF("id", "surt", "ts", "status", "url", "range_ok")
+        .orderBy(col("id"), col("url"))
     })
   )
+
+  /** q140's planted WARC payload for doc key `k`: k%3+1 response
+    * records (url `/p/k/j`, status 404 on j=2 else 200), one gzip
+    * member per record — except k%4=0, which plants the UNCOMPRESSED
+    * concatenation (the plain-WARC layout, indexed by record spans).
+    */
+  private[graft] def q140Warc(k: Long): Array[Byte] = {
+    val crlf = "\r\n"
+    def rec(j: Long): Array[Byte] = {
+      val status = if (j == 2) 404 else 200
+      val body = (s"HTTP/1.1 $status OK${crlf}Content-Type: text/html" +
+        s"$crlf$crlf").getBytes("UTF-8") ++
+        s"<p>doc $k rec $j</p>".getBytes("UTF-8")
+      val h = new StringBuilder("WARC/1.0").append(crlf)
+      h.append("WARC-Type: response").append(crlf)
+      h.append("WARC-Target-URI: https://cdx.example.org/p/")
+        .append(k).append('/').append(j).append(crlf)
+      h.append("WARC-Date: 2026-01-15T00:00:00Z").append(crlf)
+      h.append("Content-Type: application/http; msgtype=response")
+        .append(crlf)
+      h.append("Content-Length: ").append(body.length).append(crlf)
+        .append(crlf)
+      h.toString.getBytes("UTF-8") ++ body ++ (crlf + crlf).getBytes("UTF-8")
+    }
+    def gzip(b: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(out)
+      gz.write(b); gz.close()
+      out.toByteArray
+    }
+    val recs = (0L until (k % 3 + 1)).map(rec)
+    if (k % 4 == 0) recs.reduce(_ ++ _)
+    else recs.map(gzip).reduce(_ ++ _)
+  }
 
   /** q138's planted page URL for doc key `k`: host by k%8 (matching the
     * robots plant of [[q138Robots]]), path shape by k%5 — the residues
@@ -6029,7 +6115,34 @@ object SparkEntry {
         |    WHEN 6 THEN CASE WHEN doc_id % 5 = 1 THEN 'D/private/'
         |                     WHEN doc_id % 5 = 4 THEN 'D/docs/other/' END
         |    ELSE NULL END AS robots_rule
-        |FROM documents ORDER BY id""".stripMargin
+        |FROM documents ORDER BY id""".stripMargin,
+
+    // the WET round trip is an identity: parsed text == written text,
+    // framing fields are the planted constants
+    "q139_wet_roundtrip" ->
+      """SELECT doc_id AS id,
+        |  'https://w.example.org/d/' || CAST(doc_id AS VARCHAR) AS url,
+        |  '2026-01-15T00:00:00Z' AS warc_date,
+        |  TRUE AS round_trip,
+        |  CAST(length(coalesce(text, '')) AS INTEGER) AS n_chars
+        |FROM documents ORDER BY id""".stripMargin,
+
+    // the indexer's lines replay closed-form (k%3+1 records per key,
+    // 404 on the third); range_ok is TRUE by construction — the engine
+    // side PROVES it by re-parsing its own named ranges
+    "q140_cdx_index" ->
+      """SELECT doc_id AS id,
+        |  'org,example,cdx)/p/' || CAST(doc_id AS VARCHAR) || '/' ||
+        |    CAST(j AS VARCHAR) AS surt,
+        |  '20260115000000' AS ts,
+        |  CAST(CASE WHEN j = 2 THEN 404 ELSE 200 END AS INTEGER) AS status,
+        |  'https://cdx.example.org/p/' || CAST(doc_id AS VARCHAR) || '/' ||
+        |    CAST(j AS VARCHAR) AS url,
+        |  TRUE AS range_ok
+        |FROM documents
+        |CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS j) t
+        |WHERE j <= doc_id % 3
+        |ORDER BY id, url""".stripMargin
   )
 
   /** q133's replay: q102's stage CTEs over the crawl-extracted corpus

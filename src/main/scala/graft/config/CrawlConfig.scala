@@ -33,6 +33,16 @@ package graft.config
   *                        robots captures themselves leave the document
   *                        stream; unset = no robots gate (and captures
   *                        flow through like any text response)
+  * @param wetOutput       when set, the kept documents are ALSO exported
+  *                        as `.warc.wet.gz` shards (one conversion
+  *                        record per doc, one gzip member per record —
+  *                        re-ingestable by this engine's own reader)
+  *                        under this directory
+  * @param cdxOutput       when set (requires `wet_output`), the exported
+  *                        WET shards are indexed and the CDXJ lines
+  *                        written under this directory — the curated
+  *                        corpus ships with the range-read index that
+  *                        lets every later pass seek instead of re-scan
   * @param inputPartitions repartition the path list before the
   *                        one-task-per-file ingest (0 = leave as-is);
   *                        set ≈ cluster cores when file sizes are skewed
@@ -43,13 +53,16 @@ final case class CrawlConfig(input: String, outdir: String,
                              tHead: Double, tMid: Double,
                              honorNoindex: Boolean,
                              robotsUserAgent: Option[String],
+                             wetOutput: Option[String],
+                             cdxOutput: Option[String],
                              inputPartitions: Int)
 
 object CrawlConfig {
 
   private val Known = Set("input", "outdir", "keep_langs",
     "min_host_docs", "max_host_docs", "t_head", "t_mid",
-    "honor_noindex", "robots_user_agent", "input_partitions")
+    "honor_noindex", "robots_user_agent", "wet_output", "cdx_output",
+    "input_partitions")
 
   /** Parse + validate; Left = every problem found (not just the first). */
   def from(raw: Map[String, Any]): Either[Seq[String], CrawlConfig] = {
@@ -114,12 +127,29 @@ object CrawlConfig {
       case Some(other) =>
         err(s"robots_user_agent: expected string, got '$other'", None)
     }
+    val wetOut = raw.get("wet_output") match {
+      case Some(s: String) if s.nonEmpty => Some(s)
+      case Some(null) | None => None
+      case Some("") => None
+      case Some(other) =>
+        err(s"wet_output: expected string, got '$other'", None)
+    }
+    val cdxOut = raw.get("cdx_output") match {
+      case Some(s: String) if s.nonEmpty => Some(s)
+      case Some(null) | None => None
+      case Some("") => None
+      case Some(other) =>
+        err(s"cdx_output: expected string, got '$other'", None)
+    }
+    if (cdxOut.isDefined && wetOut.isEmpty)
+      errs += "cdx_output: requires wet_output (the index names byte " +
+        "ranges in the exported WET shards)"
     val parts = longOpt("input_partitions", 0L)
     if (parts < 0 || parts > Int.MaxValue)
       errs += "input_partitions: must be a non-negative integer"
 
     if (errs.nonEmpty) Left(errs.toSeq)
     else Right(CrawlConfig(input, outdir, keepLangs, minHost, maxHost,
-      tHead, tMid, honorNoindex, robotsUa, parts.toInt))
+      tHead, tMid, honorNoindex, robotsUa, wetOut, cdxOut, parts.toInt))
   }
 }

@@ -276,4 +276,225 @@ object CdxIndex {
         }
       }(enc)
   }
+
+  // ---------------------------------------------------------------------
+  // The indexer: WARC(.gz) bytes -> CDXJ lines with REAL byte ranges —
+  // the write half of the index lifecycle (parse/plan/fetch above read
+  // it). One line per content-bearing record; `offset`/`length` name the
+  // byte range `fetchRecords` can actually seek to: the record's gzip
+  // MEMBER in a member-per-record file, or the record's own byte span in
+  // an uncompressed stream.
+  // ---------------------------------------------------------------------
+
+  /** ISO WARC-Date -> the 14-digit CDX timestamp (digits, zero-padded). */
+  private[sources] def ts14(warcDate: String): String = {
+    val d = if (warcDate == null) "" else warcDate.filter(_.isDigit)
+    (d + "00000000000000").substring(0, 14)
+  }
+
+  private def jsonEsc(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length + 8)
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case c if c < ' ' => sb.append(' ') // CDXJ blocks are single-line
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  /** One CDXJ line in the shape [[parseLine]] reads back. */
+  private def cdxLine(url: String, warcDate: String, status: Option[Int],
+                      warcType: String, text: String, offset: Long,
+                      length: Long, filename: String): String = {
+    val digest = "sha1:" + WarcWriter.base32(
+      java.security.MessageDigest.getInstance("SHA-1")
+        .digest((if (text == null) "" else text).getBytes("UTF-8")))
+    val sb = new java.lang.StringBuilder(256)
+    sb.append(surtOf(url)).append(' ').append(ts14(warcDate)).append(' ')
+    sb.append("{\"url\": \"").append(jsonEsc(url)).append('"')
+    // conversion records carry no HTTP status: mark them by mime so a
+    // consumer knows to plan with onlyOk = false (WET indexes)
+    if (warcType == "conversion") sb.append(", \"mime\": \"warc/conversion\"")
+    status.foreach(st => sb.append(", \"status\": \"").append(st).append('"'))
+    sb.append(", \"digest\": \"").append(digest).append('"')
+    sb.append(", \"length\": \"").append(length).append('"')
+    sb.append(", \"offset\": \"").append(offset).append('"')
+    sb.append(", \"filename\": \"").append(jsonEsc(filename)).append("\"}")
+    sb.toString
+  }
+
+  private def isContent(r: Warc.Rec): Boolean =
+    r.error == null && r.targetUri != null &&
+      (r.warcType == "response" || r.warcType == "conversion")
+
+  /** Walk the gzip members of `in`, calling `f(start, length, inflated)`
+    * with each member's COMPRESSED byte range and inflated bytes
+    * (members inflating past `cap` are skipped, the walk continues).
+    * Returns None on clean EOF, Some(reason) where gzip-level corruption
+    * ended the walk — everything indexed before it stands.
+    */
+  private[sources] def walkGzipMembers(in: java.io.InputStream, cap: Int)
+      (f: (Long, Long, Array[Byte]) => Unit): Option[String] = {
+    val buf = new Array[Byte](1 << 16)
+    var lim = 0; var pos = 0
+    var base = 0L // absolute offset of buf(0)
+    def fill(): Int = {
+      if (pos < lim) return lim - pos
+      base += lim
+      val n = in.read(buf)
+      pos = 0; lim = math.max(n, 0)
+      lim
+    }
+    def rb(): Int = if (fill() == 0) -1 else { val b = buf(pos) & 0xff; pos += 1; b }
+    def le(n: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < n) {
+        val b = rb(); if (b < 0) return -1L
+        v |= b.toLong << (8 * i); i += 1
+      }
+      v
+    }
+    val inf = new java.util.zip.Inflater(true)
+    try {
+      while (true) {
+        if (fill() == 0) return None // clean EOF at a member boundary
+        val start = base + pos
+        // RFC 1952 header
+        if (rb() != 0x1f || rb() != 0x8b) return Some("bad gzip magic")
+        if (rb() != 8) return Some("bad gzip method")
+        val flg = rb()
+        if (flg < 0 || (flg & 0xe0) != 0) return Some("bad gzip flags")
+        var i = 0
+        while (i < 6) { if (rb() < 0) return Some("truncated gzip header"); i += 1 }
+        if ((flg & 4) != 0) {
+          val xlen = le(2); if (xlen < 0) return Some("truncated gzip header")
+          var j = 0L
+          while (j < xlen) { if (rb() < 0) return Some("truncated gzip header"); j += 1 }
+        }
+        var fi = 0
+        while (fi < 2) { // FNAME then FCOMMENT
+          if ((flg & (8 << fi)) != 0) {
+            var b = rb(); var guard = 0
+            while (b > 0) {
+              guard += 1
+              if (guard > (1 << 16)) return Some("unbounded gzip header field")
+              b = rb()
+            }
+            if (b < 0) return Some("truncated gzip header")
+          }
+          fi += 1
+        }
+        if ((flg & 2) != 0) { if (rb() < 0 || rb() < 0) return Some("truncated gzip header") }
+        // deflate body
+        inf.reset()
+        val out = new java.io.ByteArrayOutputStream(1 << 16)
+        val chunk = new Array[Byte](1 << 16)
+        var over = false
+        while (!inf.finished()) {
+          if (inf.needsInput()) {
+            if (fill() == 0) return Some("truncated gzip member")
+            inf.setInput(buf, pos, lim - pos)
+            pos = lim
+          }
+          val n =
+            try inf.inflate(chunk)
+            catch { case _: java.util.zip.DataFormatException =>
+              return Some("corrupt gzip member data") }
+          if (n > 0 && !over) {
+            if (out.size() + n > cap) over = true // skip over-cap member
+            else out.write(chunk, 0, n)
+          }
+          if (n == 0 && inf.needsDictionary())
+            return Some("gzip member needs preset dictionary")
+        }
+        pos = lim - inf.getRemaining
+        if (le(4) < 0 || le(4) < 0) return Some("truncated gzip trailer")
+        val end = base + pos
+        if (!over) f(start, end - start, out.toByteArray)
+      }
+      None
+    } finally inf.end()
+  }
+
+  /** CDXJ lines for one WARC payload: gzip payloads walk member by
+    * member (range = the member — the member-per-record layout real
+    * crawls and [[WarcWriter]] ship makes that one record); plain
+    * payloads use each record's own byte span. Total: gzip corruption
+    * ends the walk with the prior lines kept; nothing throws.
+    */
+  def indexPayload(payload: Array[Byte], filename: String): Seq[String] = {
+    if (payload == null || payload.length < 2) return Seq.empty
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    if ((payload(0) & 0xff) == 0x1f && (payload(1) & 0xff) == 0x8b) {
+      walkGzipMembers(new java.io.ByteArrayInputStream(payload),
+        Warc.MemberBuffer) { (start, len, inflated) =>
+        Warc.parse(inflated).foreach { r =>
+          if (isContent(r))
+            lines += cdxLine(r.targetUri, r.warcDate, r.httpStatus,
+              r.warcType, r.text, start, len, filename)
+        }
+      }
+    } else {
+      val recs = Warc.parse(payload)
+      recs.zipWithIndex.foreach { case (r, i) =>
+        if (isContent(r)) {
+          val end =
+            if (i + 1 < recs.length) recs(i + 1).offset else payload.length.toLong
+          lines += cdxLine(r.targetUri, r.warcDate, r.httpStatus,
+            r.warcType, r.text, r.offset, end - r.offset, filename)
+        }
+      }
+    }
+    lines.toSeq
+  }
+
+  /** The file form: one task per `.warc(.wet).gz` path, the member walk
+    * streamed (per-MEMBER memory — the indexer twin of
+    * [[Warc.recordsFromPaths]]). Emits (filename, line, error): one row
+    * per indexed record, plus one error row when a file is unreadable,
+    * not gzip, or its member chain ends in corruption (lines indexed
+    * before the corruption still stand).
+    */
+  def indexFromPaths(paths: org.apache.spark.sql.Dataset[String])
+      : DataFrame = {
+    val spark = paths.sparkSession
+    val bconf = spark.sparkContext.broadcast(
+      new org.apache.spark.SerializableWritable(
+        spark.sparkContext.hadoopConfiguration))
+    import spark.implicits._
+    paths.mapPartitions { it =>
+      it.flatMap { p =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+        try {
+          val hp = new org.apache.hadoop.fs.Path(p)
+          val fs = hp.getFileSystem(bconf.value.value)
+          val in = fs.open(hp)
+          try {
+            val head = new Array[Byte](2)
+            val n = in.read(head)
+            if (n < 2 || (head(0) & 0xff) != 0x1f || (head(1) & 0xff) != 0x8b)
+              out += ((p, null, "not a gzip warc file"))
+            else {
+              in.seek(0L)
+              val err = walkGzipMembers(in, Warc.MemberBuffer) {
+                (start, len, inflated) =>
+                  Warc.parse(inflated).foreach { r =>
+                    if (isContent(r))
+                      out += ((p, cdxLine(r.targetUri, r.warcDate,
+                        r.httpStatus, r.warcType, r.text, start, len, p),
+                        null))
+                  }
+              }
+              err.foreach(e => out += ((p, null, s"gzip corruption: $e")))
+            }
+          } finally in.close()
+        } catch {
+          case e: java.io.IOException =>
+            out += ((p, null, s"unreadable file: ${e.getClass.getSimpleName}"))
+        }
+        out.iterator
+      }
+    }.toDF("filename", "line", "error")
+  }
 }

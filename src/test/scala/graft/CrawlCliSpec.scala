@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.Files
+import org.apache.spark.sql.functions._
 
 /** The `crawl` subcommand: config validation and the end-to-end DAG
   * over fixture `.warc.gz` files — WARC ingest → extraction →
@@ -152,16 +153,46 @@ class CrawlCliSpec extends SparkSpec {
           gzip(rec("https://c.example.org/private/secret", page(prose1))) ++
           gzip(rec("https://c.example.org/pub/open", page(prose2)))
       Files.write(new java.io.File(dir, "c.warc.gz").toPath, warc)
+      val wetdir = outdir + "/wet"
+      val cdxdir = outdir + "/cdx"
+      // cdx_output without wet_output is a config error
+      assert(graft.config.CrawlConfig.from(Map(
+        "input" -> dir.getAbsolutePath, "outdir" -> outdir,
+        "cdx_output" -> cdxdir)).left.toOption.get
+        .exists(_.contains("requires wet_output")))
       val cfg = graft.config.CrawlConfig.from(Map(
         "input" -> dir.getAbsolutePath, "outdir" -> outdir,
         "keep_langs" -> Seq("en"),
-        "robots_user_agent" -> "graftbot")).toOption.get
+        "robots_user_agent" -> "graftbot",
+        "wet_output" -> wetdir,
+        "cdx_output" -> cdxdir)).toOption.get
       assert(cfg.robotsUserAgent.contains("graftbot"))
       val report = Main.crawl(spark, cfg)
       // the robots capture is build-side input, NOT a page
       assert(report.nPages == 2)
       assert(report.dropped == Map("robots_disallow" -> 1L))
       assert(report.nKept == 1)
+      // the kept set exported as WET re-ingests through the reader
+      assert(report.wetFiles >= 1)
+      import spark.implicits._
+      val wetPaths = new java.io.File(wetdir).listFiles()
+        .filter(_.getName.endsWith(".warc.wet.gz"))
+        .map(_.getAbsolutePath).toSeq
+      val back = graft.sources.Warc.recordsFromPaths(wetPaths.toDS())
+        .where("warc_type = 'conversion'").collect()
+      assert(back.length == 1)
+      assert(back.head.getAs[String]("url") == "https://c.example.org/pub/open")
+      assert(back.head.getAs[String]("text").contains("assorted different"))
+      // the shipped CDX index range-reads the kept record out of the
+      // WET shard it names
+      val cdxLines = spark.read.text(cdxdir).as[String]
+      // conversion records carry no HTTP status → plan with onlyOk=false
+      val fetched = graft.sources.CdxIndex.fetchRecords(
+        graft.sources.CdxIndex.fetchPlan(graft.sources.CdxIndex.fromLines(
+          cdxLines.withColumn("id", monotonically_increasing_id()).toDF(),
+          "id", "value"), onlyOk = false)).collect()
+      assert(fetched.length == 1 &&
+        fetched.head.getAs[String]("url") == "https://c.example.org/pub/open")
       // without the gate, all three text responses are pipeline pages
       val off = Main.crawl(spark, cfg.copy(robotsUserAgent = None,
         outdir = outdir + "2"))

@@ -182,4 +182,119 @@ class CdxIndexSpec extends SparkSpec {
       dir.listFiles().foreach(_.delete()); dir.delete()
     }
   }
+
+  test("indexPayload: gzip member-per-record payloads index with member " +
+    "ranges that range-read back; plain payloads use record spans") {
+    val crlf = "\r\n"
+    def rec(uri: String, html: String, status: Int = 200): Array[Byte] = {
+      val body = (s"HTTP/1.1 $status OK${crlf}Content-Type: text/html" +
+        s"$crlf$crlf").getBytes("UTF-8") ++ html.getBytes("UTF-8")
+      val h = new StringBuilder("WARC/1.0").append(crlf)
+      h.append("WARC-Type: response").append(crlf)
+      h.append("WARC-Target-URI: ").append(uri).append(crlf)
+      h.append("WARC-Date: 2026-01-15T00:00:00Z").append(crlf)
+      h.append("Content-Type: application/http; msgtype=response")
+        .append(crlf)
+      h.append("Content-Length: ").append(body.length).append(crlf)
+        .append(crlf)
+      h.toString.getBytes("UTF-8") ++ body ++ (crlf + crlf).getBytes("UTF-8")
+    }
+    def gzip(b: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(out)
+      gz.write(b); gz.close()
+      out.toByteArray
+    }
+    val recs = (0 until 3).map(i => rec(s"https://e.org/i/$i", s"<p>x$i</p>"))
+    // gzip member-per-record layout
+    val gz = recs.map(gzip).reduce(_ ++ _)
+    val gl = CdxIndex.indexPayload(gz, "f.warc.gz")
+    assert(gl.length == 3)
+    gl.zipWithIndex.foreach { case (ln, i) =>
+      val e = CdxIndex.parseLine(ln)
+      assert(e.error == null && e.url == s"https://e.org/i/$i")
+      assert(e.surt == s"org,e)/i/$i" && e.ts == "20260115000000")
+      assert(e.status.contains(200) && e.filename == "f.warc.gz")
+      // the named range parses back to exactly that record
+      val slice = java.util.Arrays.copyOfRange(gz,
+        e.offset.get.toInt, (e.offset.get + e.length.get).toInt)
+      val back = Warc.parse(slice)
+      assert(back.length == 1 && back.head.targetUri == e.url)
+    }
+    // the digest is the record text's sha1 (dedup-compatible: equal
+    // texts -> equal digests)
+    val dup = CdxIndex.indexPayload(
+      gzip(rec("https://e.org/a", "<p>same</p>")) ++
+        gzip(rec("https://e.org/b", "<p>same</p>")), "g.warc.gz")
+      .map(CdxIndex.parseLine)
+    assert(dup(0).digest == dup(1).digest)
+    // plain (uncompressed) payload: record byte spans
+    val plain = recs.reduce(_ ++ _)
+    val pl = CdxIndex.indexPayload(plain, "p.warc")
+    assert(pl.length == 3)
+    pl.foreach { ln =>
+      val e = CdxIndex.parseLine(ln)
+      val slice = java.util.Arrays.copyOfRange(plain,
+        e.offset.get.toInt, (e.offset.get + e.length.get).toInt)
+      val back = Warc.parse(slice)
+      assert(back.length == 1 && back.head.targetUri == e.url)
+    }
+    // corruption ends the walk, prior lines stand; non-content records
+    // (warcinfo) index nothing
+    val corrupt = gzip(recs(0)) ++ "garbage, not gzip".getBytes("UTF-8")
+    assert(CdxIndex.indexPayload(corrupt, "c.warc.gz").length == 1)
+    assert(CdxIndex.indexPayload(Array[Byte](), "e").isEmpty)
+  }
+
+  test("indexFromPaths composes with fetchPlan/fetchRecords: index real " +
+    "files, plan, range-read — the full index lifecycle on disk") {
+    val dir = java.nio.file.Files.createTempDirectory("cdx_ix").toFile
+    try {
+      val crlf = "\r\n"
+      def rec(uri: String, html: String): Array[Byte] = {
+        val body = (s"HTTP/1.1 200 OK${crlf}Content-Type: text/html" +
+          s"$crlf$crlf").getBytes("UTF-8") ++ html.getBytes("UTF-8")
+        val h = new StringBuilder("WARC/1.0").append(crlf)
+        h.append("WARC-Type: response").append(crlf)
+        h.append("WARC-Target-URI: ").append(uri).append(crlf)
+        h.append("WARC-Date: 2026-01-15T00:00:00Z").append(crlf)
+        h.append("Content-Type: application/http; msgtype=response")
+          .append(crlf)
+        h.append("Content-Length: ").append(body.length).append(crlf)
+          .append(crlf)
+        h.toString.getBytes("UTF-8") ++ body ++
+          (crlf + crlf).getBytes("UTF-8")
+      }
+      def gzip(b: Array[Byte]): Array[Byte] = {
+        val out = new java.io.ByteArrayOutputStream()
+        val gz = new java.util.zip.GZIPOutputStream(out)
+        gz.write(b); gz.close()
+        out.toByteArray
+      }
+      val fa = new java.io.File(dir, "a.warc.gz")
+      java.nio.file.Files.write(fa.toPath,
+        (0 until 4).map(i => gzip(rec(s"https://e.org/a/$i", s"<p>a$i</p>")))
+          .reduce(_ ++ _))
+      val fb = new java.io.File(dir, "b.warc.gz")
+      java.nio.file.Files.write(fb.toPath,
+        gzip(rec("https://e.org/b/0", "<p>b0</p>")))
+      val notGz = new java.io.File(dir, "n.warc")
+      java.nio.file.Files.write(notGz.toPath, rec("https://e.org/n", "x"))
+
+      val ix = CdxIndex.indexFromPaths(Seq(fa, fb, notGz)
+        .map(_.getAbsolutePath).toDS())
+      assert(ix.where("error is not null").count() == 1) // the plain file
+      val lines = ix.where("error is null")
+        .withColumn("id", monotonically_increasing_id())
+      assert(lines.count() == 5)
+      val plan = CdxIndex.fetchPlan(CdxIndex.fromLines(lines, "id", "line"))
+      assert(plan.count() == 5) // distinct digests, one capture each
+      val got = CdxIndex.fetchRecords(plan)
+      assert(got.count() == 5 && got.where("error is not null").count() == 0)
+      assert(got.select("url").as[String].collect().toSet ==
+        (0 until 4).map(i => s"https://e.org/a/$i").toSet + "https://e.org/b/0")
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
 }

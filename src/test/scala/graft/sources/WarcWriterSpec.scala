@@ -1,0 +1,99 @@
+package graft.sources
+
+import graft.SparkSpec
+import java.nio.file.Files
+
+/** WET writer: record framing the repo's own reader round-trips, RFC
+  * 4648 block digests, deterministic record ids, member-per-record
+  * layout, and the file sink ≡ re-ingest identity.
+  */
+class WarcWriterSpec extends SparkSpec {
+  import WarcWriter._
+
+  test("base32: RFC 4648 vectors (padding-free form)") {
+    def b32(s: String): String = base32(s.getBytes("US-ASCII"))
+    assert(b32("") == "")
+    assert(b32("f") == "MY")
+    assert(b32("fo") == "MZXQ")
+    assert(b32("foo") == "MZXW6")
+    assert(b32("foob") == "MZXW6YQ")
+    assert(b32("fooba") == "MZXW6YTB")
+    assert(b32("foobar") == "MZXW6YTBOI")
+  }
+
+  test("wetRecord parses back through the reader: type, uri, date, text; " +
+    "unicode bodies are byte-length-framed") {
+    val text = "héllo wörld — ünïcode • 日本語 text body"
+    val rec = wetRecord("https://e.org/a", "2026-02-01T00:00:00Z", text)
+    val rs = Warc.parse(rec)
+    assert(rs.length == 1 && rs.head.error == null)
+    assert(rs.head.warcType == "conversion")
+    assert(rs.head.targetUri == "https://e.org/a")
+    assert(rs.head.warcDate == "2026-02-01T00:00:00Z")
+    assert(rs.head.text == text)
+    // the digest header is the body's sha1 in base32
+    val head = new String(rec, "UTF-8")
+    val dig = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(text.getBytes("UTF-8"))
+    assert(head.contains("WARC-Block-Digest: sha1:" + base32(dig)))
+    assert(head.contains(s"Content-Length: ${text.getBytes("UTF-8").length}"))
+  }
+
+  test("record ids are deterministic, RFC 4122-shaped, and distinct " +
+    "across distinct content") {
+    val a1 = recordId("u", "d", "x".getBytes)
+    val a2 = recordId("u", "d", "x".getBytes)
+    val b = recordId("u", "d", "y".getBytes)
+    assert(a1 == a2 && a1 != b)
+    val uuid = a1.stripPrefix("urn:uuid:")
+    assert(uuid.matches(
+      "[0-9a-f]{8}-[0-9a-f]{4}-5[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}"))
+  }
+
+  test("totality: null text/uri/date export and parse back") {
+    val rs = Warc.parse(wetMember(null, null, null))
+    assert(rs.length == 1 && rs.head.error == null)
+    assert(rs.head.warcType == "conversion")
+    assert(rs.head.targetUri == null)
+    assert(rs.head.warcDate == "1970-01-01T00:00:00Z")
+    assert(rs.head.text == "")
+  }
+
+  test("member-per-record layout: concatenated wetMembers parse as a " +
+    "multi-member stream") {
+    val stream = wetMember("https://e.org/1", "2026-02-01T00:00:00Z", "one") ++
+      wetMember("https://e.org/2", "2026-02-01T00:00:00Z", "two") ++
+      wetMember("https://e.org/3", "2026-02-01T00:00:00Z", "three")
+    val rs = Warc.parse(stream)
+    assert(rs.forall(_.error == null))
+    assert(rs.map(_.text) == Seq("one", "two", "three"))
+  }
+
+  test("writeWetFiles: file sink re-ingests identically through " +
+    "recordsFromPaths, warcinfo leads each file") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_wet_out").toString
+    val docs = (1 to 57).map(i =>
+      (s"https://e.org/d/$i", "2026-02-01T00:00:00Z", s"document body $i"))
+      .toDF("uri", "date", "text").repartition(3)
+    val n = WarcWriter.writeWetFiles(docs, "uri", "date", "text", dir)
+    assert(n == 3)
+    // ignore the local-FS checksum sidecars (.part-*.crc)
+    val paths = new java.io.File(dir).listFiles()
+      .filter(!_.getName.startsWith("."))
+      .map(_.getAbsolutePath).sorted.toSeq
+    assert(paths.length == 3 && paths.forall(_.endsWith(".warc.wet.gz")))
+    val back = Warc.recordsFromPaths(paths.toDS())
+    val byType = back.groupBy("warc_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType("warcinfo") == 3 && byType("conversion") == 57)
+    assert(back.where("error is not null").count() == 0)
+    val texts = back.where("warc_type = 'conversion'")
+      .select("text").as[String].collect().toSet
+    assert(texts == (1 to 57).map(i => s"document body $i").toSet)
+    // idempotent re-run overwrites rather than appending
+    assert(WarcWriter.writeWetFiles(docs, "uri", "date", "text", dir) == 3)
+    assert(Warc.recordsFromPaths(paths.toDS())
+      .where("warc_type = 'conversion'").count() == 57)
+  }
+}
