@@ -262,6 +262,11 @@ object RobotsTxt {
     * matched `robots_rule` (null when no rule matched — including hosts
     * with no policy row). One left join on host (the policy side is the
     * small side — AQE broadcasts it) + a per-row match kernel.
+    *
+    * Stateless, and the join is stream-static (static policy side), so
+    * the SAME call gates a STREAMING page frame — live crawl ingest
+    * honors robots with batch-identical semantics (pinned by
+    * `CorpusStreamSpec`).
     */
   def verdict(df: DataFrame, policiesDf: DataFrame,
               urlCol: String): DataFrame = {

@@ -195,9 +195,22 @@ class CrawlCliSpec extends SparkSpec {
         fetched.head.getAs[String]("url") == "https://c.example.org/pub/open")
       // without the gate, all three text responses are pipeline pages
       val off = Main.crawl(spark, cfg.copy(robotsUserAgent = None,
-        outdir = outdir + "2"))
+        outdir = outdir + "2", wetOutput = None, cdxOutput = None))
       assert(off.nPages == 3)
       assert(!off.dropped.contains("robots_disallow"))
+      // gate ON over a crawl with NO robots captures: everything flows
+      // (absence = unrestricted, RFC 9309 unavailability semantics)
+      val dir2 = Files.createTempDirectory("graft_crawl_norobots").toFile
+      try {
+        Files.write(new java.io.File(dir2, "d.warc.gz").toPath,
+          gzip(rec("https://d.example.org/solo", page(prose1))))
+        val r3 = Main.crawl(spark, cfg.copy(
+          input = dir2.getAbsolutePath, outdir = outdir + "3",
+          wetOutput = None, cdxOutput = None))
+        assert(r3.nPages == 1 && !r3.dropped.contains("robots_disallow"))
+      } finally {
+        dir2.listFiles().foreach(_.delete()); dir2.delete()
+      }
     } finally {
       dir.listFiles().foreach(_.delete()); dir.delete()
     }

@@ -607,4 +607,37 @@ class CorpusStreamSpec extends SparkSpec {
       rm(dir)
     }
   }
+
+  test("streaming robots gate: RobotsTxt.verdict is stream-static safe — " +
+    "a static per-host policy frame gates a live page stream, batch ≡ " +
+    "stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.textops.RobotsTxt
+    val policies = RobotsTxt.policies(Seq(
+      ("https://a.com/robots.txt", 200,
+        "User-agent: *\nDisallow: /private/\n"),
+      ("https://down.com/robots.txt", 500, ""))
+      .toDF("url", "status", "body"), "url", "status", "body")
+    val rows = Seq(
+      UrlDoc(1L, t("2020-01-01 10:00:00"), "https://a.com/public/x", "p"),
+      UrlDoc(2L, t("2020-01-01 10:00:30"), "https://a.com/private/y", "q"),
+      UrlDoc(3L, t("2020-01-01 10:01:00"), "https://down.com/z", "r"),
+      UrlDoc(4L, t("2020-01-01 10:05:00"), "https://nopolicy.com/w", "s"))
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[UrlDoc]
+    val q = RobotsTxt.gate(source.toDF(), policies, "url")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("robots_stream")
+      .start()
+    source.addData(rows.take(2): _*)
+    q.processAllAvailable()
+    source.addData(rows.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT id FROM robots_stream")
+      .as[Long].collect().toSet
+    assert(got == Set(1L, 4L))
+    val batch = RobotsTxt.gate(rows.toDF(), policies, "url")
+      .select("id").as[Long].collect().toSet
+    assert(batch == got)
+  }
 }
