@@ -112,7 +112,9 @@ object ScaleSmoke {
     // q121 class), the WET export round trip and the CDX indexer
     // (per-row gzip deflate+inflate / member-walk+parse of planted
     // payloads — the scan-flat q124/q126 class)
-    "q138_robots_gate", "q139_wet_roundtrip", "q140_cdx_index")
+    "q138_robots_gate", "q139_wet_roundtrip", "q140_cdx_index",
+    // sitemap parse: per-row hardened DOM over per-host metadata files
+    "q141_sitemap")
 
   /** Measured at 10× only. All three are deliberately NOT the scale
     * path — q77 is the pinned-k SemDeDup negative control (its 100×

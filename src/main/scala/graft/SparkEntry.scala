@@ -2938,8 +2938,56 @@ object SparkEntry {
         }
         .toDF("id", "surt", "ts", "status", "url", "range_ok")
         .orderBy(col("id"), col("url"))
+    }),
+
+    // sitemap parse — the discovery-side crawl source: doc keys plant
+    // urlset documents (k%4+1 urls, lastmod/changefreq/priority on
+    // fixed residues), sitemapindex documents on k%5=4 (k%3+1
+    // children), gzipped payloads on odd keys and malformed XML on
+    // k%13=7 (typed error rows); the oracle replays the entry matrix
+    "q141_sitemap" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = tSpread(s, dir, "documents").select(col("doc_id"))
+        .as[Long]
+        .map(k => (k, q141Sitemap(k)))
+        .toDF("doc_id", "payload")
+      textops.Sitemaps.entries(payloads, "doc_id", "payload")
+        .select(col("doc_id").as("id"), col("kind"), col("loc"),
+          col("lastmod"), col("changefreq"), col("priority"), col("error"))
+        .orderBy(col("id"), col("loc"))
     })
   )
+
+  /** q141's planted sitemap payload for doc key `k`: sitemapindex with
+    * k%3+1 children on k%5=4, else urlset with k%4+1 urls (lastmod
+    * fixed, changefreq `daily` on the second url, priority 0.5 on the
+    * first); gzipped on odd keys, truncated XML on k%13=7.
+    */
+  private[graft] def q141Sitemap(k: Long): Array[Byte] = {
+    def gz(s: String): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(out)
+      g.write(s.getBytes("UTF-8")); g.close()
+      out.toByteArray
+    }
+    val xml =
+      if (k % 13 == 7) "<urlset><url><loc>https://broken"
+      else if (k % 5 == 4) {
+        val kids = (0L to k % 3).map(j =>
+          s"<sitemap><loc>https://s.example.org/sm/$k/$j.xml</loc></sitemap>")
+        s"<sitemapindex>${kids.mkString}</sitemapindex>"
+      } else {
+        val urls = (0L to k % 4).map { j =>
+          val extra = (if (j == 0) "<priority>0.5</priority>" else "") +
+            (if (j == 1) "<changefreq>daily</changefreq>" else "")
+          s"<url><loc>https://s${k % 7}.example.org/page/$k/$j</loc>" +
+            s"<lastmod>2026-01-10</lastmod>$extra</url>"
+        }
+        """<?xml version="1.0" encoding="UTF-8"?>""" +
+          s"<urlset>${urls.mkString}</urlset>"
+      }
+    if (k % 2 == 1) gz(xml) else xml.getBytes("UTF-8")
+  }
 
   /** q140's planted WARC payload for doc key `k`: k%3+1 response
     * records (url `/p/k/j`, status 404 on j=2 else 200), one gzip
@@ -6142,7 +6190,35 @@ object SparkEntry {
         |FROM documents
         |CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS j) t
         |WHERE j <= doc_id % 3
-        |ORDER BY id, url""".stripMargin
+        |ORDER BY id, url""".stripMargin,
+
+    // the sitemap entry matrix replays closed-form: index children on
+    // k%5=4, urlset rows otherwise, one error row per k%13=7 key
+    "q141_sitemap" ->
+      """WITH e AS (
+        |  SELECT doc_id AS k, j
+        |  FROM documents CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS j) t
+        |  WHERE doc_id % 13 <> 7 AND
+        |    ((doc_id % 5 = 4 AND j <= doc_id % 3) OR
+        |     (doc_id % 5 <> 4 AND j <= doc_id % 4)))
+        |SELECT k AS id,
+        |  CASE WHEN k % 5 = 4 THEN 'sitemap' ELSE 'url' END AS kind,
+        |  CASE WHEN k % 5 = 4 THEN 'https://s.example.org/sm/' ||
+        |      CAST(k AS VARCHAR) || '/' || CAST(j AS VARCHAR) || '.xml'
+        |    ELSE 'https://s' || CAST(k % 7 AS VARCHAR) ||
+        |      '.example.org/page/' || CAST(k AS VARCHAR) || '/' ||
+        |      CAST(j AS VARCHAR) END AS loc,
+        |  CASE WHEN k % 5 <> 4 THEN '2026-01-10' END AS lastmod,
+        |  CASE WHEN k % 5 <> 4 AND j = 1 THEN 'daily' END AS changefreq,
+        |  CAST(CASE WHEN k % 5 <> 4 AND j = 0 THEN 0.5 END AS DOUBLE)
+        |    AS priority,
+        |  CAST(NULL AS VARCHAR) AS error
+        |FROM e
+        |UNION ALL
+        |SELECT doc_id, NULL, NULL, NULL, NULL, CAST(NULL AS DOUBLE),
+        |  'malformed xml'
+        |FROM documents WHERE doc_id % 13 = 7
+        |ORDER BY id, loc""".stripMargin
   )
 
   /** q133's replay: q102's stage CTEs over the crawl-extracted corpus

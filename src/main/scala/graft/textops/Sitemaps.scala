@@ -1,0 +1,192 @@
+package graft.textops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sitemap protocol (sitemaps.org) source — the discovery-side
+  * complement of [[RobotsTxt]] (whose `Sitemap:` lines name these
+  * files): crawls capture `sitemap.xml`(.gz) responses like any other
+  * record, and parsing them gives the origin's OWN declaration of its
+  * URL inventory. The curation use is coverage accounting — which
+  * declared pages the crawl actually captured, per host — the signal
+  * that separates "we curated this site" from "we curated the third of
+  * it the frontier reached".
+  *
+  * Reference scope: the reference has no crawl code; extension surface
+  * beside [[RobotsTxt]]/[[UrlOps]].
+  *
+  * Parsing: DOM over the two document kinds the protocol defines —
+  * `<urlset>` of `<url>` entries (loc / lastmod / changefreq /
+  * priority) and `<sitemapindex>` of child `<sitemap><loc>` pointers —
+  * with XXE/entity-bomb hardening (crawl bytes are attacker-controlled)
+  * and a size cap standing in for the protocol's own 50 MiB limit.
+  * Total: malformed XML or an unknown root degrades to a typed error,
+  * never a throw. Gzipped payloads (`sitemap.xml.gz`) inflate first,
+  * cap-bounded.
+  *
+  * Scale shape: one pure per-payload kernel in a scan-stage
+  * projection + explode — sitemap files are per-host metadata (tiny
+  * next to the page corpus); the coverage join keys on canonical URL,
+  * one shuffle of slim (url, host) tuples.
+  */
+object Sitemaps {
+
+  /** Protocol limit stand-in: a sitemap is capped at 50 MiB decoded. */
+  val MaxBytes: Int = 50 << 20
+
+  /** One `<url>`/`<sitemap>` entry of a parsed sitemap document. */
+  final case class Entry(kind: String, loc: String, lastmod: String,
+                         changefreq: String, priority: Option[Double])
+
+  /** A parsed document: `kind` = `urlset` | `sitemapindex`, or an
+    * error. */
+  final case class Parsed(kind: String, entries: Seq[Entry], error: String)
+
+  private def fail(reason: String): Parsed = Parsed(null, Nil, reason)
+
+  private def gunzipCapped(b: Array[Byte]): Either[String, Array[Byte]] =
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(b))
+      val out = new java.io.ByteArrayOutputStream(math.min(b.length * 4,
+        1 << 20))
+      val buf = new Array[Byte](1 << 16)
+      var n = in.read(buf)
+      while (n > 0) {
+        if (out.size() + n > MaxBytes) return Left("sitemap too large")
+        out.write(buf, 0, n)
+        n = in.read(buf)
+      }
+      Right(out.toByteArray)
+    } catch {
+      case _: java.io.IOException => Left("corrupt gzip sitemap")
+    }
+
+  /** Parse one sitemap payload (plain or gzipped XML bytes). */
+  def parse(bytes: Array[Byte]): Parsed = {
+    if (bytes == null || bytes.length == 0) return fail("empty sitemap")
+    val xml =
+      if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f &&
+        (bytes(1) & 0xff) == 0x8b)
+        gunzipCapped(bytes) match {
+          case Left(e) => return fail(e)
+          case Right(x) => x
+        }
+      else if (bytes.length > MaxBytes) return fail("sitemap too large")
+      else bytes
+    val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    dbf.setNamespaceAware(false)
+    // crawl-captured bytes are attacker-controlled: no DOCTYPE, no
+    // external entities (XXE), no entity expansion (billion laughs)
+    dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl",
+      true)
+    dbf.setFeature("http://xml.org/sax/features/external-general-entities",
+      false)
+    dbf.setFeature("http://xml.org/sax/features/external-parameter-entities",
+      false)
+    dbf.setXIncludeAware(false)
+    dbf.setExpandEntityReferences(false)
+    val doc =
+      try dbf.newDocumentBuilder().parse(
+        new java.io.ByteArrayInputStream(xml))
+      catch {
+        case _: org.xml.sax.SAXException => return fail("malformed xml")
+        case _: java.io.IOException => return fail("malformed xml")
+      }
+    val root = doc.getDocumentElement
+    if (root == null) return fail("malformed xml")
+    // namespace-unaware parse: tolerate a prefixed root (ns:urlset)
+    def local(tag: String): String = {
+      val c = tag.indexOf(':'); if (c >= 0) tag.substring(c + 1) else tag
+    }
+    def childText(el: org.w3c.dom.Element, name: String): String = {
+      val kids = el.getChildNodes
+      var i = 0
+      while (i < kids.getLength) {
+        kids.item(i) match {
+          case e: org.w3c.dom.Element if local(e.getTagName) == name =>
+            val t = e.getTextContent
+            return if (t == null) null else t.trim
+          case _ =>
+        }
+        i += 1
+      }
+      null
+    }
+    def collect(entryTag: String, kind: String): Seq[Entry] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Entry]
+      val kids = root.getChildNodes
+      var i = 0
+      while (i < kids.getLength) {
+        kids.item(i) match {
+          case e: org.w3c.dom.Element if local(e.getTagName) == entryTag =>
+            val loc = childText(e, "loc")
+            if (loc != null && loc.nonEmpty) {
+              val pri = Option(childText(e, "priority")).flatMap(p =>
+                try Some(p.toDouble) catch {
+                  case _: NumberFormatException => None
+                })
+              out += Entry(kind, loc, childText(e, "lastmod"),
+                childText(e, "changefreq"), pri)
+            }
+          case _ =>
+        }
+        i += 1
+      }
+      out.toSeq
+    }
+    local(root.getTagName) match {
+      case "urlset" => Parsed("urlset", collect("url", "url"), null)
+      case "sitemapindex" =>
+        Parsed("sitemapindex", collect("sitemap", "sitemap"), null)
+      case other => fail(s"unknown sitemap root: $other")
+    }
+  }
+
+  /** DataFrame form: one row per entry of every payload row — `kind`
+    * (`url` for page declarations, `sitemap` for index children), loc /
+    * lastmod / changefreq / priority — plus one error row per payload
+    * that refused (`error` non-null), so coverage loss is auditable.
+    */
+  def entries(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val kernel = udf { (b: Array[Byte]) =>
+      val p = parse(b)
+      if (p.error != null)
+        Seq((null.asInstanceOf[String], null.asInstanceOf[String],
+          null.asInstanceOf[String], null.asInstanceOf[String],
+          Option.empty[Double], p.error))
+      else p.entries.map(e =>
+        (e.kind, e.loc, e.lastmod, e.changefreq, e.priority,
+          null.asInstanceOf[String]))
+    }
+    df.select(col(idCol), explode(kernel(col(payloadCol))).as("e"))
+      .select(col(idCol), col("e._1").as("kind"), col("e._2").as("loc"),
+        col("e._3").as("lastmod"), col("e._4").as("changefreq"),
+        col("e._5").as("priority"), col("e._6").as("error"))
+  }
+
+  /** Coverage accounting: per host, how many sitemap-DECLARED pages the
+    * crawl actually captured. Both sides canonicalize through
+    * [[UrlOps]] (declarations and captures vary in case/port/tracking
+    * noise); one left join on the canonical key, one host aggregate —
+    * slim tuples only.
+    */
+  def coverage(declared: DataFrame, locCol: String,
+               pages: DataFrame, urlCol: String): DataFrame = {
+    val d = declared.where(col(locCol).isNotNull)
+      .select(UrlOps.normalizeUrl(col(locCol)).as("__u"))
+      .withColumn("url_host", UrlOps.hostOf(col("__u")))
+      .where(col("url_host").isNotNull)
+      .distinct()
+    val captured = pages.where(col(urlCol).isNotNull)
+      .select(UrlOps.normalizeUrl(col(urlCol)).as("__u"))
+      .distinct()
+      .withColumn("__cap", lit(1))
+    d.join(captured, Seq("__u"), "left")
+      .groupBy(col("url_host"))
+      .agg(count(lit(1)).as("n_declared"),
+        count(col("__cap")).as("n_captured"))
+      .withColumn("coverage",
+        round(col("n_captured") / col("n_declared"), 4))
+  }
+}

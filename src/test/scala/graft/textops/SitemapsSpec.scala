@@ -1,0 +1,119 @@
+package graft.textops
+
+import graft.SparkSpec
+
+/** Sitemap protocol: urlset/sitemapindex parsing, field extraction,
+  * gzip payloads, XXE/entity hardening, totality, and the coverage
+  * join against crawl captures.
+  */
+class SitemapsSpec extends SparkSpec {
+  import Sitemaps._
+
+  private def gz(s: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(out)
+    g.write(s.getBytes("UTF-8")); g.close()
+    out.toByteArray
+  }
+
+  test("urlset: loc/lastmod/changefreq/priority per url; entries without " +
+    "loc skipped; prefixed tags tolerated") {
+    val xml =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |  <url><loc>https://e.org/a</loc><lastmod>2026-01-10</lastmod>
+        |    <changefreq>daily</changefreq><priority>0.8</priority></url>
+        |  <url><loc> https://e.org/b </loc></url>
+        |  <url><priority>0.1</priority></url>
+        |</urlset>""".stripMargin
+    val p = parse(xml.getBytes("UTF-8"))
+    assert(p.error == null && p.kind == "urlset")
+    assert(p.entries.map(_.loc) == Seq("https://e.org/a", "https://e.org/b"))
+    assert(p.entries.head.lastmod == "2026-01-10")
+    assert(p.entries.head.changefreq == "daily")
+    assert(p.entries.head.priority.contains(0.8))
+    assert(p.entries(1).priority.isEmpty && p.entries(1).lastmod == null)
+    // namespace-prefixed root and entries
+    val pre = parse(
+      ("""<sm:urlset xmlns:sm="http://www.sitemaps.org/schemas/sitemap/0.9">""" +
+        "<sm:url><sm:loc>https://e.org/p</sm:loc></sm:url></sm:urlset>")
+        .getBytes("UTF-8"))
+    assert(pre.error == null && pre.entries.map(_.loc) == Seq("https://e.org/p"))
+    // a non-numeric priority degrades to None, not an error
+    val badPri = parse(
+      ("<urlset><url><loc>https://e.org/x</loc>" +
+        "<priority>high</priority></url></urlset>").getBytes("UTF-8"))
+    assert(badPri.entries.head.priority.isEmpty)
+  }
+
+  test("sitemapindex: child sitemap pointers") {
+    val xml =
+      """<sitemapindex>
+        |  <sitemap><loc>https://e.org/sm/1.xml</loc></sitemap>
+        |  <sitemap><loc>https://e.org/sm/2.xml.gz</loc></sitemap>
+        |</sitemapindex>""".stripMargin
+    val p = parse(xml.getBytes("UTF-8"))
+    assert(p.error == null && p.kind == "sitemapindex")
+    assert(p.entries.map(_.kind).toSet == Set("sitemap"))
+    assert(p.entries.map(_.loc) ==
+      Seq("https://e.org/sm/1.xml", "https://e.org/sm/2.xml.gz"))
+  }
+
+  test("totality + hardening: malformed, empty, unknown root, DOCTYPE " +
+    "(XXE) refused, corrupt gzip refused — typed errors, no throws") {
+    assert(parse("<urlset><url>".getBytes("UTF-8")).error == "malformed xml")
+    assert(parse(Array[Byte]()).error == "empty sitemap")
+    assert(parse(null).error == "empty sitemap")
+    assert(parse("<rss></rss>".getBytes("UTF-8")).error
+      .startsWith("unknown sitemap root"))
+    // DOCTYPE is refused outright (attacker-controlled bytes)
+    val xxe = """<?xml version="1.0"?><!DOCTYPE u [<!ENTITY x SYSTEM
+      |"file:///etc/passwd">]><urlset><url><loc>&x;</loc></url></urlset>"""
+      .stripMargin
+    assert(parse(xxe.getBytes("UTF-8")).error == "malformed xml")
+    val corrupt = gz("<urlset></urlset>").take(10)
+    assert(parse(corrupt).error == "corrupt gzip sitemap")
+  }
+
+  test("gzipped sitemaps inflate before parsing") {
+    val p = parse(gz("<urlset><url><loc>https://e.org/z</loc></url></urlset>"))
+    assert(p.error == null && p.entries.map(_.loc) == Seq("https://e.org/z"))
+  }
+
+  test("entries DataFrame: explode + per-payload error rows") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, ("<urlset><url><loc>https://e.org/1</loc></url>" +
+        "<url><loc>https://e.org/2</loc></url></urlset>").getBytes("UTF-8")),
+      (2L, "not xml at all".getBytes("UTF-8")))
+      .toDF("id", "payload")
+    val got = entries(df, "id", "payload").orderBy("id", "loc").collect()
+    assert(got.length == 3)
+    assert(got(0).getAs[String]("loc") == "https://e.org/1")
+    assert(got(1).getAs[String]("loc") == "https://e.org/2")
+    assert(got(2).getAs[String]("error") == "malformed xml" &&
+      got(2).getAs[String]("loc") == null)
+  }
+
+  test("coverage: canonicalized declared-vs-captured per host") {
+    import spark.implicits._
+    val declared = Seq(
+      "https://A.com:443/p?x=1", // captured (as canonical variant)
+      "https://a.com/q",         // captured exactly
+      "https://a.com/missing",   // not captured
+      "https://b.com/only")      // host with zero captures
+      .toDF("loc")
+    val pages = Seq(
+      "https://a.com/p?x=1&utm_source=s",
+      "https://a.com/q",
+      "https://a.com/uncounted-extra") // captures not declared don't count
+      .toDF("url")
+    val cov = Sitemaps.coverage(declared, "loc", pages, "url")
+      .orderBy("url_host").collect()
+    assert(cov.length == 2)
+    assert(cov(0).getString(0) == "a.com" && cov(0).getLong(1) == 3 &&
+      cov(0).getLong(2) == 2 && cov(0).getDouble(3) == 0.6667)
+    assert(cov(1).getString(0) == "b.com" && cov(1).getLong(1) == 1 &&
+      cov(1).getLong(2) == 0 && cov(1).getDouble(3) == 0.0)
+  }
+}
