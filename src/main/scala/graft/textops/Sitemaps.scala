@@ -62,6 +62,29 @@ object Sitemaps {
       case _: java.io.IOException => Left("corrupt gzip sitemap")
     }
 
+  /** One hardened builder per task thread — factory + feature setup is
+    * NOT per-row work (a scan stage parses millions of payloads).
+    * DocumentBuilder is single-threaded; ThreadLocal + reset() is the
+    * supported reuse pattern.
+    */
+  private val builders = new ThreadLocal[javax.xml.parsers.DocumentBuilder] {
+    override def initialValue(): javax.xml.parsers.DocumentBuilder = {
+      val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      dbf.setNamespaceAware(false)
+      // crawl-captured bytes are attacker-controlled: no DOCTYPE, no
+      // external entities (XXE), no entity expansion (billion laughs)
+      dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl",
+        true)
+      dbf.setFeature("http://xml.org/sax/features/external-general-entities",
+        false)
+      dbf.setFeature(
+        "http://xml.org/sax/features/external-parameter-entities", false)
+      dbf.setXIncludeAware(false)
+      dbf.setExpandEntityReferences(false)
+      dbf.newDocumentBuilder()
+    }
+  }
+
   /** Parse one sitemap payload (plain or gzipped XML bytes). */
   def parse(bytes: Array[Byte]): Parsed = {
     if (bytes == null || bytes.length == 0) return fail("empty sitemap")
@@ -74,21 +97,10 @@ object Sitemaps {
         }
       else if (bytes.length > MaxBytes) return fail("sitemap too large")
       else bytes
-    val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
-    dbf.setNamespaceAware(false)
-    // crawl-captured bytes are attacker-controlled: no DOCTYPE, no
-    // external entities (XXE), no entity expansion (billion laughs)
-    dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl",
-      true)
-    dbf.setFeature("http://xml.org/sax/features/external-general-entities",
-      false)
-    dbf.setFeature("http://xml.org/sax/features/external-parameter-entities",
-      false)
-    dbf.setXIncludeAware(false)
-    dbf.setExpandEntityReferences(false)
+    val builder = builders.get()
+    builder.reset()
     val doc =
-      try dbf.newDocumentBuilder().parse(
-        new java.io.ByteArrayInputStream(xml))
+      try builder.parse(new java.io.ByteArrayInputStream(xml))
       catch {
         case _: org.xml.sax.SAXException => return fail("malformed xml")
         case _: java.io.IOException => return fail("malformed xml")
