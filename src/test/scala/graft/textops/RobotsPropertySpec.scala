@@ -1,0 +1,92 @@
+package graft.textops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property-based invariants for the RFC 9309 kernels — pure JVM
+  * functions, no SparkSession:
+  *
+  *  - the wildcard matcher agrees with an independent regex
+  *    translation on random pattern/path pairs;
+  *  - compile is TOTAL over adversarial text and the verdict is always
+  *    defined;
+  *  - rule order in the file never changes the verdict (precedence is
+  *    length/allow, not position);
+  *  - longest-match monotonicity: naming a path in an Allow at least
+  *    as long as every disallow re-allows it.
+  */
+class RobotsPropertySpec extends AnyFunSuite {
+  import RobotsTxt._
+
+  private def check(name: String, prop: Prop, n: Int = 300): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(n), prop)
+    assert(res.passed, s"$name failed: ${res.status}")
+  }
+
+  private val pathChars = Gen.oneOf(('a' to 'd') ++ Seq('/', '.', '?', 'x'))
+  private val patChars = Gen.oneOf(('a' to 'd') ++ Seq('/', '.', '*', 'x'))
+  private val genPath: Gen[String] = for {
+    n <- Gen.choose(0, 12)
+    cs <- Gen.listOfN(n, pathChars)
+  } yield "/" + cs.mkString
+  private val genPattern: Gen[String] = for {
+    n <- Gen.choose(0, 8)
+    cs <- Gen.listOfN(n, patChars)
+    anchor <- Gen.oneOf("", "$")
+  } yield "/" + cs.mkString + anchor
+
+  /** Reference semantics via regex: quote the literal runs, `*` → `.*`,
+    * a trailing `$` anchors, otherwise prefix match.
+    */
+  private def regexMatch(pattern: String, path: String): Boolean = {
+    val anchored = pattern.endsWith("$")
+    val body = if (anchored) pattern.dropRight(1) else pattern
+    val rx = body.split("\\*", -1)
+      .map(java.util.regex.Pattern.quote)
+      .mkString(".*")
+    val full = if (anchored) rx else rx + ".*"
+    path.matches(full)
+  }
+
+  test("patternMatches agrees with the regex translation") {
+    check("matcher ≡ regex", Prop.forAll(genPattern, genPath) {
+      (pat, path) => patternMatches(pat, path) == regexMatch(pat, path)
+    }, n = 1000)
+  }
+
+  test("compile is total on adversarial text; the verdict is defined") {
+    val junk = Gen.listOfN(200,
+      Gen.oneOf(Gen.alphaNumChar, Gen.oneOf(':', '\n', '\r', '#', ' ',
+        '*', '$', '\t', '﻿'))).map(_.mkString)
+    check("totality", Prop.forAll(junk, genPath) { (body, path) =>
+      val p = compile(body, "graftbot")
+      val v = isAllowed(p.rules.toSeq, path)
+      v || !v // reached without throwing, for any body/path
+    })
+  }
+
+  test("rule order in the body never changes the verdict") {
+    val genRule = for {
+      allow <- Gen.oneOf("Allow", "Disallow")
+      pat <- genPattern
+    } yield s"$allow: $pat"
+    val genRules = Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, genRule))
+    check("order invariance", Prop.forAll(genRules, genPath) {
+      (rules, path) =>
+        def verdict(rs: Seq[String]): Boolean = {
+          val body = ("User-agent: *" +: rs).mkString("\n")
+          isAllowed(compile(body, "anybot").rules.toSeq, path)
+        }
+        verdict(rules) == verdict(rules.reverse)
+    })
+  }
+
+  test("longest-match monotonicity: an exact Allow re-allows a path " +
+    "under Disallow: /") {
+    check("allow override", Prop.forAll(genPath) { path =>
+      val p = compile(s"User-agent: *\nDisallow: /\nAllow: $path\n", "bot")
+      isAllowed(p.rules.toSeq, path)
+    })
+  }
+}
