@@ -114,7 +114,10 @@ object ScaleSmoke {
     // payloads — the scan-flat q124/q126 class)
     "q138_robots_gate", "q139_wet_roundtrip", "q140_cdx_index",
     // sitemap parse: per-row hardened DOM over per-host metadata files
-    "q141_sitemap")
+    "q141_sitemap",
+    // EXIF audit: JPEG encode plant + marker/IFD walk — header bytes
+    // only, never the entropy-coded data (the q134 class for images)
+    "q142_exif_audit")
 
   /** Measured at 10× only. All three are deliberately NOT the scale
     * path — q77 is the pinned-k SemDeDup negative control (its 100×

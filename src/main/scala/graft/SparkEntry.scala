@@ -2955,8 +2955,43 @@ object SparkEntry {
         .select(col("doc_id").as("id"), col("kind"), col("loc"),
           col("lastmod"), col("changefreq"), col("priority"), col("error"))
         .orderBy(col("id"), col("loc"))
+    }),
+
+    // EXIF corpus audit — typed image metadata + the GPS-PII flag:
+    // supplier keys plant real JPEGs with spliced APP1 blocks
+    // (endianness by parity, orientation/make/width/GPS by residue, no
+    // EXIF on k%9=0, non-image bytes on k%13=7); the oracle replays the
+    // field matrix closed-form
+    "q142_exif_audit" -> ((s, dir) => {
+      import s.implicits._
+      val media = tSpread(s, dir, "supplier").select(col("s_suppkey"))
+        .as[Long]
+        .map(k => (k, q142Jpeg(k)))
+        .toDF("id", "payload")
+      multimodal.Exif.exifAudit(media, "id", "payload")
+        .select(col("id"), col("has_exif"), col("orientation"),
+          col("make"), col("datetime"), col("has_gps"),
+          col("exif_width"), col("error"))
+        .orderBy(col("id"))
     })
   )
+
+  /** q142's planted JPEG for supplier key `k`: a real 64×64 baseline
+    * image, APP1 EXIF spliced in (little-endian on even keys,
+    * big-endian on odd), orientation k%8+1, make by k%5, GPS IFD on
+    * k%6=0, Exif-sub-IFD width 64+16·(k%4); no EXIF on k%9=0, and
+    * non-image bytes on k%13=7 (the typed container refusal).
+    */
+  private[graft] def q142Jpeg(k: Long): Array[Byte] = {
+    if (k % 13 == 7) return s"not an image $k".getBytes("UTF-8")
+    val gray = Array.fill[Byte](64 * 64)(((k * 37) % 251).toByte)
+    val base = multimodal.Jpeg.jpegGrayBytes(64, 64, gray)
+    if (k % 9 == 0) base
+    else multimodal.Exif.withExif(base, multimodal.Exif.tiffBytes(
+      le = k % 2 == 0, orientation = Some((k % 8).toInt + 1),
+      make = s"Make${k % 5}", dateTime = "2026:01:15 00:00:00",
+      gps = k % 6 == 0, width = Some(64 + (k % 4).toInt * 16)))
+  }
 
   /** q141's planted sitemap payload for doc key `k`: sitemapindex with
     * k%3+1 children on k%5=4, else urlset with k%4+1 urls (lastmod
@@ -6218,7 +6253,24 @@ object SparkEntry {
         |SELECT doc_id, NULL, NULL, NULL, NULL, CAST(NULL AS DOUBLE),
         |  'malformed xml'
         |FROM documents WHERE doc_id % 13 = 7
-        |ORDER BY id, loc""".stripMargin
+        |ORDER BY id, loc""".stripMargin,
+
+    // the EXIF field matrix replays closed-form from the key residues
+    "q142_exif_audit" ->
+      """SELECT s_suppkey AS id,
+        |  s_suppkey % 13 <> 7 AND s_suppkey % 9 <> 0 AS has_exif,
+        |  CAST(CASE WHEN s_suppkey % 13 <> 7 AND s_suppkey % 9 <> 0
+        |    THEN s_suppkey % 8 + 1 END AS INTEGER) AS orientation,
+        |  CASE WHEN s_suppkey % 13 <> 7 AND s_suppkey % 9 <> 0
+        |    THEN 'Make' || CAST(s_suppkey % 5 AS VARCHAR) END AS make,
+        |  CASE WHEN s_suppkey % 13 <> 7 AND s_suppkey % 9 <> 0
+        |    THEN '2026:01:15 00:00:00' END AS datetime,
+        |  s_suppkey % 13 <> 7 AND s_suppkey % 9 <> 0 AND
+        |    s_suppkey % 6 = 0 AS has_gps,
+        |  CAST(CASE WHEN s_suppkey % 13 <> 7 AND s_suppkey % 9 <> 0
+        |    THEN 64 + (s_suppkey % 4) * 16 END AS BIGINT) AS exif_width,
+        |  CASE WHEN s_suppkey % 13 = 7 THEN 'not a jpeg' END AS error
+        |FROM supplier ORDER BY id""".stripMargin
   )
 
   /** q133's replay: q102's stage CTEs over the crawl-extracted corpus

@@ -1,0 +1,277 @@
+package graft.multimodal
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** EXIF metadata extraction (JPEG APP1 / TIFF 6.0 IFD walk) — the typed
+  * image-metadata surface a multimodal curation pipeline needs: the
+  * orientation every viewer honors (a dedup pipeline that ignores it
+  * hashes rotated re-uploads apart), capture provenance (make / model /
+  * software / datetime), and — the PII hook — whether the file carries
+  * a GPS IFD at all: location EXIF is personal data, and a scrub
+  * pipeline must be able to SEE it before deciding to strip or drop.
+  *
+  * Scope: the APP1 `Exif\0\0` payload per EXIF 2.x — TIFF header (II/MM
+  * byte order, magic 42), IFD0 entries (inline or offset values,
+  * bounds-checked), the Exif sub-IFD pointer for pixel dimensions, and
+  * the GPS IFD pointer's PRESENCE (the flag; coordinates themselves are
+  * deliberately not decoded — the pipeline's use is detect-and-scrub,
+  * not geolocate). Everything total: malformed bytes degrade to a typed
+  * error or absent fields, never a throw; IFD walks are entry-capped
+  * and offset-bounds-checked (attacker-controlled bytes).
+  *
+  * Scale shape: one pure per-payload kernel in a scan-stage projection
+  * — the walk touches only marker headers and one APP1 segment, never
+  * the entropy-coded image data, so auditing EXIF across an image
+  * corpus costs header bytes per row.
+  *
+  * Reference scope: the reference has no image code; extension surface
+  * beside [[Jpeg]] (same ITU-T T.81 marker framing).
+  */
+object Exif {
+
+  /** Extracted metadata; `error` non-null only when the container walk
+    * itself failed (not-a-JPEG, truncated markers). A JPEG WITHOUT an
+    * APP1 EXIF block is a success with `hasExif = false`.
+    */
+  final case class Info(hasExif: Boolean, orientation: Option[Int],
+                        make: String, model: String, software: String,
+                        dateTime: String, width: Option[Long],
+                        height: Option[Long], hasGps: Boolean,
+                        error: String)
+
+  private val NoExif = Info(hasExif = false, None, null, null, null, null,
+    None, None, hasGps = false, null)
+
+  private def fail(reason: String): Info =
+    Info(hasExif = false, None, null, null, null, null, None, None,
+      hasGps = false, reason)
+
+  /** Cap on IFD entry counts — real IFDs hold dozens; a forged count
+    * must not turn the walk into a scan of the whole payload.
+    */
+  private val MaxEntries = 512
+
+  /** Walk JPEG markers to the APP1 `Exif\0\0` segment; None = clean
+    * JPEG without EXIF, Left = container-level corruption.
+    */
+  private def findApp1(b: Array[Byte]): Either[String, Option[(Int, Int)]] = {
+    if (b == null || b.length < 4) return Left("not a jpeg")
+    if ((b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+      return Left("not a jpeg")
+    var i = 2
+    while (i + 3 < b.length) {
+      if ((b(i) & 0xff) != 0xff) return Left("bad marker framing")
+      var m = b(i + 1) & 0xff
+      // fill bytes: FF FF ... <marker>
+      while (m == 0xff && i + 2 < b.length) { i += 1; m = b(i + 1) & 0xff }
+      if (m == 0xd9 || m == 0xda) return Right(None) // EOI / SOS: no EXIF
+      if (m >= 0xd0 && m <= 0xd7) { i += 2 } // RSTn: no length
+      else {
+        if (i + 3 >= b.length) return Left("truncated segment")
+        val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+        if (len < 2 || i + 2 + len > b.length)
+          return Left("truncated segment")
+        if (m == 0xe1 && len >= 8 &&
+          b(i + 4) == 'E' && b(i + 5) == 'x' && b(i + 6) == 'i' &&
+          b(i + 7) == 'f' && b(i + 8) == 0 && b(i + 9) == 0)
+          return Right(Some((i + 10, len - 8))) // TIFF header offset, size
+        i += 2 + len
+      }
+    }
+    Right(None)
+  }
+
+  /** Parse the TIFF block at `off` (length `size`) of `b`. */
+  private def parseTiff(b: Array[Byte], off: Int, size: Int): Info = {
+    if (size < 8) return fail("truncated exif")
+    def u8(p: Int): Int = b(off + p) & 0xff
+    val le = u8(0) == 'I' && u8(1) == 'I'
+    val be = u8(0) == 'M' && u8(1) == 'M'
+    if (!le && !be) return fail("bad tiff byte order")
+    def u16(p: Int): Int =
+      if (p + 1 >= size) -1
+      else if (le) u8(p) | (u8(p + 1) << 8)
+      else (u8(p) << 8) | u8(p + 1)
+    def u32(p: Int): Long =
+      if (p + 3 >= size) -1L
+      else if (le) u8(p).toLong | (u8(p + 1).toLong << 8) |
+        (u8(p + 2).toLong << 16) | (u8(p + 3).toLong << 24)
+      else (u8(p).toLong << 24) | (u8(p + 1).toLong << 16) |
+        (u8(p + 2).toLong << 8) | u8(p + 3).toLong
+    if (u16(2) != 42) return fail("bad tiff magic")
+
+    var orientation: Option[Int] = None
+    var make: String = null; var model: String = null
+    var software: String = null; var dateTime: String = null
+    var width: Option[Long] = None; var height: Option[Long] = None
+    var hasGps = false
+    var exifIfd = -1L
+
+    def ascii(valOff: Int, count: Long): String = {
+      if (count <= 0 || count > (1L << 16)) return null
+      val n = count.toInt
+      val src =
+        if (n <= 4) valOff // inline
+        else {
+          val o = u32(valOff)
+          if (o < 0 || o + n > size) return null
+          o.toInt
+        }
+      if (src + n > size) return null
+      val raw = new String(b, off + src, n, "US-ASCII")
+      val nul = raw.indexOf('\u0000')
+      val s = (if (nul >= 0) raw.substring(0, nul) else raw).trim
+      if (s.isEmpty) null else s
+    }
+
+    def numeric(typ: Int, valOff: Int): Long =
+      typ match {
+        case 3 => u16(valOff).toLong // SHORT, inline
+        case 4 => u32(valOff) // LONG, inline
+        case _ => -1L
+      }
+
+    def walkIfd(ifdOff: Long, isIfd0: Boolean): Unit = {
+      if (ifdOff < 0 || ifdOff + 2 > size) return
+      val n = u16(ifdOff.toInt)
+      if (n < 0 || n > MaxEntries) return
+      var e = 0
+      while (e < n) {
+        val p = ifdOff.toInt + 2 + 12 * e
+        if (p + 12 > size) return
+        val tag = u16(p); val typ = u16(p + 2); val cnt = u32(p + 4)
+        val v = p + 8
+        tag match {
+          case 0x0112 if isIfd0 =>
+            val o = numeric(typ, v)
+            if (o >= 1 && o <= 8) orientation = Some(o.toInt)
+          case 0x010f if isIfd0 => make = ascii(v, cnt)
+          case 0x0110 if isIfd0 => model = ascii(v, cnt)
+          case 0x0131 if isIfd0 => software = ascii(v, cnt)
+          case 0x0132 if isIfd0 => dateTime = ascii(v, cnt)
+          case 0x8825 if isIfd0 => hasGps = true // GPS IFD pointer
+          case 0x8769 if isIfd0 => exifIfd = u32(v)
+          case 0xa002 if !isIfd0 => // PixelXDimension
+            val w = numeric(typ, v); if (w >= 0) width = Some(w)
+          case 0xa003 if !isIfd0 => // PixelYDimension
+            val h = numeric(typ, v); if (h >= 0) height = Some(h)
+          case _ =>
+        }
+        e += 1
+      }
+    }
+
+    walkIfd(u32(4), isIfd0 = true)
+    if (exifIfd >= 0) walkIfd(exifIfd, isIfd0 = false)
+    Info(hasExif = true, orientation, make, model, software, dateTime,
+      width, height, hasGps, error = null)
+  }
+
+  /** Extract EXIF metadata from one JPEG payload. Total. */
+  def parse(bytes: Array[Byte]): Info =
+    findApp1(bytes) match {
+      case Left(err) => fail(err)
+      case Right(None) => NoExif
+      case Right(Some((off, size))) => parseTiff(bytes, off, size)
+    }
+
+  /** DataFrame form: one audit row per payload — the corpus-wide EXIF
+    * coverage / orientation / GPS-PII table.
+    */
+  def exifAudit(df: DataFrame, idCol: String, payloadCol: String)
+      : DataFrame = {
+    val kernel = udf { (b: Array[Byte]) =>
+      val i = parse(b)
+      (i.hasExif, i.orientation, i.make, i.model, i.software, i.dateTime,
+        i.width, i.height, i.hasGps, i.error)
+    }
+    df.select(col(idCol), kernel(col(payloadCol)).as("e"))
+      .select(col(idCol), col("e._1").as("has_exif"),
+        col("e._2").as("orientation"), col("e._3").as("make"),
+        col("e._4").as("model"), col("e._5").as("software"),
+        col("e._6").as("datetime"), col("e._7").as("exif_width"),
+        col("e._8").as("exif_height"), col("e._9").as("has_gps"),
+        col("e._10").as("error"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Planting encoder (tests/oracles): build an APP1 EXIF segment and
+  // splice it into a JPEG after SOI.
+  // ---------------------------------------------------------------------
+
+  /** Build a TIFF block (chosen endianness) carrying the given fields —
+    * the planting twin of [[parseTiff]], values written through real
+    * IFD entries (strings out-of-line past 4 bytes, numerics inline).
+    */
+  private[graft] def tiffBytes(le: Boolean, orientation: Option[Int],
+                               make: String, dateTime: String,
+                               gps: Boolean, width: Option[Int]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(256)
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def w16(v: Int): Unit =
+      if (le) { w8(v); w8(v >> 8) } else { w8(v >> 8); w8(v) }
+    def w32(v: Long): Unit =
+      if (le) { w8(v.toInt); w8((v >> 8).toInt); w8((v >> 16).toInt)
+        w8((v >> 24).toInt) }
+      else { w8((v >> 24).toInt); w8((v >> 16).toInt); w8((v >> 8).toInt)
+        w8(v.toInt) }
+    // header
+    out.write(if (le) 'I' else 'M'); out.write(if (le) 'I' else 'M')
+    w16(42); w32(8)
+    // IFD0 entries
+    val entries = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Int, Long, Either[Long, Array[Byte]])]
+    orientation.foreach(o => entries += ((0x0112, 3, 1L, Left(o.toLong))))
+    if (make != null)
+      entries += ((0x010f, 2, (make.length + 1).toLong,
+        Right((make + "\u0000").getBytes("US-ASCII"))))
+    if (dateTime != null)
+      entries += ((0x0132, 2, (dateTime.length + 1).toLong,
+        Right((dateTime + "\u0000").getBytes("US-ASCII"))))
+    val exifSub = width.isDefined
+    if (exifSub) entries += ((0x8769, 4, 1L, Left(0L))) // patched below
+    if (gps) entries += ((0x8825, 4, 1L, Left(4096L)))
+    val sorted = entries.sortBy(_._1)
+    val n = sorted.length
+    w16(n)
+    val dataStart = 8 + 2 + 12 * n + 4
+    var dataOff = dataStart
+    val data = new java.io.ByteArrayOutputStream()
+    val exifIfdOff = // appended after the string data
+      dataStart + sorted.collect {
+        case (_, 2, _, Right(s)) if s.length > 4 => s.length
+      }.sum
+    sorted.foreach { case (tag, typ, cnt, v) =>
+      w16(tag); w16(typ); w32(cnt)
+      v match {
+        case Left(_) if tag == 0x8769 => w32(exifIfdOff.toLong)
+        case Left(num) if typ == 3 => w16(num.toInt); w16(0)
+        case Left(num) => w32(num)
+        case Right(s) if s.length <= 4 =>
+          s.foreach(c => w8(c)); (s.length until 4).foreach(_ => w8(0))
+        case Right(s) =>
+          w32(dataOff.toLong); data.write(s); dataOff += s.length
+      }
+    }
+    w32(0L) // next-IFD pointer
+    out.write(data.toByteArray)
+    if (exifSub) { // Exif sub-IFD: one PixelXDimension entry
+      w16(1)
+      w16(0xa002); w16(4); w32(1L); w32(width.get.toLong)
+      w32(0L)
+    }
+    out.toByteArray
+  }
+
+  /** Splice an EXIF APP1 after a JPEG's SOI. */
+  private[graft] def withExif(jpeg: Array[Byte],
+                              tiff: Array[Byte]): Array[Byte] = {
+    val payload = "Exif".getBytes("US-ASCII") ++
+      Array[Byte](0, 0) ++ tiff
+    val len = payload.length + 2
+    val seg = Array[Byte](0xff.toByte, 0xe1.toByte,
+      ((len >> 8) & 0xff).toByte, (len & 0xff).toByte) ++ payload
+    jpeg.take(2) ++ seg ++ jpeg.drop(2)
+  }
+}

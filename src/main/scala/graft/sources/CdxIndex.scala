@@ -207,7 +207,7 @@ object CdxIndex {
       .withColumn("__rn", row_number().over(perPage))
       .where(col("__rn") === 1).drop("__rn")
     val digestKey = coalesce(col("digest"),
-      concat(lit(" :"), col("surt")))
+      concat(lit("\u0000:"), col("surt")))
     val perDigest = Window.partitionBy(col("__dk"))
       .orderBy(col("surt"), col("offset"))
     latest.withColumn("__dk", digestKey)

@@ -1,0 +1,86 @@
+package graft.multimodal
+
+import graft.SparkSpec
+
+/** EXIF APP1 extraction: both endiannesses, inline + out-of-line
+  * values, the Exif sub-IFD, the GPS-PII flag, real-JPEG splicing,
+  * totality over corrupt bytes, and the audit DataFrame.
+  */
+class ExifSpec extends SparkSpec {
+  import Exif._
+
+  private def jpeg(k: Long = 1): Array[Byte] = {
+    val gray = Array.fill[Byte](64 * 64)(((k * 37) % 251).toByte)
+    Jpeg.jpegGrayBytes(64, 64, gray)
+  }
+
+  test("both endians: orientation, make (out-of-line ascii), datetime, " +
+    "GPS flag, Exif sub-IFD width") {
+    for (le <- Seq(true, false)) {
+      val tiff = tiffBytes(le, orientation = Some(6),
+        make = "CameraCorp", dateTime = "2026:01:15 00:00:00",
+        gps = true, width = Some(640))
+      val b = withExif(jpeg(), tiff)
+      val i = parse(b)
+      assert(i.error == null && i.hasExif, s"le=$le: ${i.error}")
+      assert(i.orientation.contains(6), s"le=$le")
+      assert(i.make == "CameraCorp", s"le=$le")
+      assert(i.dateTime == "2026:01:15 00:00:00", s"le=$le")
+      assert(i.hasGps, s"le=$le")
+      assert(i.width.contains(640L), s"le=$le")
+      assert(i.model == null && i.software == null)
+    }
+  }
+
+  test("a clean JPEG without EXIF is a success with hasExif=false; the " +
+    "spliced JPEG still DECODES (the APP1 doesn't break the image)") {
+    val plain = parse(jpeg())
+    assert(plain.error == null && !plain.hasExif && !plain.hasGps)
+    val spliced = withExif(jpeg(),
+      tiffBytes(le = true, Some(1), "M", null, gps = false, None))
+    assert(Jpeg.decodeJpegGray(spliced).isDefined)
+    // pixel-identical to the unspliced decode
+    assert(Jpeg.decodeJpegGray(spliced).get.gray.toSeq ==
+      Jpeg.decodeJpegGray(jpeg()).get.gray.toSeq)
+  }
+
+  test("totality: not-a-jpeg, truncated segments, corrupt tiff — typed " +
+    "errors, never throws") {
+    assert(parse(null).error == "not a jpeg")
+    assert(parse(Array[Byte](1, 2, 3)).error == "not a jpeg")
+    assert(parse("plain text".getBytes).error == "not a jpeg")
+    val b = withExif(jpeg(), tiffBytes(le = true, Some(1), "M", null,
+      gps = false, None))
+    // truncate inside the APP1 segment
+    assert(parse(b.take(12)).error != null)
+    // corrupt the TIFF byte-order mark (APP1 starts at offset 2)
+    val bad = b.clone(); bad(12) = 'Z'; bad(13) = 'Z'
+    assert(parse(bad).error == "bad tiff byte order")
+    // forged huge entry count: walks nothing, still total
+    val forged = b.clone()
+    // IFD0 count lives 8 bytes into the TIFF block (LE)
+    val tiffOff = 12
+    forged(tiffOff + 8) = 0xff.toByte; forged(tiffOff + 9) = 0xff.toByte
+    val fi = parse(forged)
+    assert(fi.error == null && fi.hasExif) // capped walk, no fields
+  }
+
+  test("exifAudit DataFrame: per-payload rows over a mixed corpus") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, withExif(jpeg(1), tiffBytes(le = true, Some(3), "A", null,
+        gps = true, Some(100)))),
+      (2L, jpeg(2)),
+      (3L, "junk".getBytes))
+      .toDF("id", "payload")
+    val got = exifAudit(rows, "id", "payload").orderBy("id").collect()
+    assert(got(0).getAs[Boolean]("has_exif") &&
+      got(0).getAs[Boolean]("has_gps") &&
+      got(0).getAs[Int]("orientation") == 3 &&
+      got(0).getAs[String]("make") == "A" &&
+      got(0).getAs[Long]("exif_width") == 100L)
+    assert(!got(1).getAs[Boolean]("has_exif") &&
+      got(1).getAs[String]("error") == null)
+    assert(got(2).getAs[String]("error") == "not a jpeg")
+  }
+}
