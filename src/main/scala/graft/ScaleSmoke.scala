@@ -117,7 +117,9 @@ object ScaleSmoke {
     "q141_sitemap",
     // EXIF audit: JPEG encode plant + marker/IFD walk — header bytes
     // only, never the entropy-coded data (the q134 class for images)
-    "q142_exif_audit")
+    "q142_exif_audit",
+    // ID3v2 audit: tag-byte walk at the payload head, audio untouched
+    "q143_id3_audit")
 
   /** Measured at 10× only. All three are deliberately NOT the scale
     * path — q77 is the pinned-k SemDeDup negative control (its 100×

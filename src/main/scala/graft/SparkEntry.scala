@@ -2973,8 +2973,50 @@ object SparkEntry {
           col("make"), col("datetime"), col("has_gps"),
           col("exif_width"), col("error"))
         .orderBy(col("id"))
+    }),
+
+    // ID3v2 corpus audit — the audio-metadata twin of q142: supplier
+    // keys plant tags (v2.3/v2.4 by parity, title encoding cycling all
+    // four declared encodings, genre/picture frames on residues, no
+    // tag on k%11=3, an unknown-version tag on k%13=7); the oracle
+    // replays the field matrix closed-form
+    "q143_id3_audit" -> ((s, dir) => {
+      import s.implicits._
+      val media = tSpread(s, dir, "supplier").select(col("s_suppkey"))
+        .as[Long]
+        .map(k => (k, q143Id3(k)))
+        .toDF("id", "payload")
+      multimodal.Id3.id3Audit(media, "id", "payload")
+        .select(col("id"), col("has_tag"), col("id3_version"),
+          col("title"), col("artist"), col("year"), col("genre"),
+          col("n_text_frames"), col("n_other_frames"), col("error"))
+        .orderBy(col("id"))
     })
   )
+
+  /** q143's planted audio payload for supplier key `k`: an ID3v2 tag
+    * (v2.4 on even keys, v2.3 on odd; title encoding cycles the four
+    * declared encodings by k%4; TDRC/TYER year, TCON genre on k%3=0, a
+    * skipped APIC on k%5=2) followed by non-tag bytes; no tag at all on
+    * k%11=3, an unknown-version header on k%13=7.
+    */
+  private[graft] def q143Id3(k: Long): Array[Byte] = {
+    if (k % 13 == 7)
+      return Array[Byte]('I', 'D', '3', 9, 0, 0, 0, 0, 0, 0) ++
+        s"junk $k".getBytes("UTF-8")
+    if (k % 11 == 3) return s"untagged audio $k".getBytes("UTF-8")
+    val v24 = k % 2 == 0
+    import multimodal.Id3.{tagBytes, textFrame}
+    val frames = scala.collection.mutable.ArrayBuffer(
+      textFrame("TIT2", (k % 4).toInt, s"Title${k % 6}", v24),
+      textFrame("TPE1", 3, s"Artist${k % 4}", v24),
+      textFrame(if (v24) "TDRC" else "TYER", 0, s"202${k % 10}", v24))
+    if (k % 3 == 0) frames += textFrame("TCON", 3, s"Genre${k % 7}", v24)
+    if (k % 5 == 2) frames += ("APIC".getBytes("US-ASCII") ++
+      Array[Byte](0, 0, 0, 5, 0, 0) ++ Array[Byte](1, 2, 3, 4, 5))
+    tagBytes(frames.toSeq, v24, padding = (k % 9).toInt) ++
+      s"audio bytes $k".getBytes("UTF-8")
+  }
 
   /** q142's planted JPEG for supplier key `k`: a real 64×64 baseline
     * image, APP1 EXIF spliced in (little-endian on even keys,
@@ -6270,7 +6312,28 @@ object SparkEntry {
         |  CAST(CASE WHEN s_suppkey % 13 <> 7 AND s_suppkey % 9 <> 0
         |    THEN 64 + (s_suppkey % 4) * 16 END AS BIGINT) AS exif_width,
         |  CASE WHEN s_suppkey % 13 = 7 THEN 'not a jpeg' END AS error
-        |FROM supplier ORDER BY id""".stripMargin
+        |FROM supplier ORDER BY id""".stripMargin,
+
+    // the ID3 field matrix replays closed-form from the key residues
+    "q143_id3_audit" ->
+      """WITH s AS (SELECT s_suppkey AS k,
+        |  s_suppkey % 13 <> 7 AND s_suppkey % 11 <> 3 AS ok
+        |  FROM supplier)
+        |SELECT k AS id, ok AS has_tag,
+        |  CAST(CASE WHEN ok THEN CASE WHEN k % 2 = 0 THEN 4 ELSE 3 END
+        |    END AS INTEGER) AS id3_version,
+        |  CASE WHEN ok THEN 'Title' || CAST(k % 6 AS VARCHAR) END AS title,
+        |  CASE WHEN ok THEN 'Artist' || CAST(k % 4 AS VARCHAR) END
+        |    AS artist,
+        |  CASE WHEN ok THEN '202' || CAST(k % 10 AS VARCHAR) END AS year,
+        |  CASE WHEN ok AND k % 3 = 0 THEN 'Genre' || CAST(k % 7 AS VARCHAR)
+        |    END AS genre,
+        |  CAST(CASE WHEN ok THEN 3 + CASE WHEN k % 3 = 0 THEN 1 ELSE 0 END
+        |    ELSE 0 END AS INTEGER) AS n_text_frames,
+        |  CAST(CASE WHEN ok AND k % 5 = 2 THEN 1 ELSE 0 END AS INTEGER)
+        |    AS n_other_frames,
+        |  CASE WHEN k % 13 = 7 THEN 'unknown id3v2.9' END AS error
+        |FROM s ORDER BY id""".stripMargin
   )
 
   /** q133's replay: q102's stage CTEs over the crawl-extracted corpus

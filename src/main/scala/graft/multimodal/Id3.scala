@@ -1,0 +1,229 @@
+package graft.multimodal
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** ID3v2 text-frame extraction (informal standard, id3.org — v2.3/v2.4)
+  * — the audio-metadata twin of [[Exif]]: [[Mp3]]'s frame walk SKIPS the
+  * leading tag ([[Mp3]] `id3v2Bytes` counts it); this module reads it.
+  * A curation pipeline uses the text frames for provenance/dedup
+  * signals (title + artist collisions across re-encodes that defeat
+  * byte-level dedup) and for rights triage (the commercial/copyright
+  * frames), all without touching the audio stream.
+  *
+  * Scope: the 10-byte header (version, flags, syncsafe size), v2.3
+  * (plain sizes) and v2.4 (syncsafe sizes) frame walks, the TEXT
+  * frames (`T***` incl. TIT2/TPE1/TALB/TDRC/TYER/TCON) in the four
+  * declared encodings (ISO-8859-1, UTF-16 w/ BOM, UTF-16BE, UTF-8),
+  * comment (COMM) text, and counts of everything else (pictures etc.
+  * are sized and skipped — their bytes never materialize). v2.2
+  * (3-byte frame ids) is refused typed, not mis-parsed. Totality:
+  * malformed tags degrade to a typed error, frame walks are
+  * bounds-checked, unsynchronisation (tag-level, v2.3) is reversed
+  * before the walk.
+  *
+  * Scale shape: one pure per-payload kernel reading only the tag bytes
+  * at the payload head — the audio stream is never walked (compose
+  * with [[Mp3.audioAudit]] when both are wanted).
+  */
+object Id3 {
+
+  /** Extracted tag fields; `error` non-null only when the tag itself is
+    * malformed. A payload with NO ID3v2 tag is a success with
+    * `hasTag = false`.
+    */
+  final case class Info(hasTag: Boolean, version: Option[Int],
+                        title: String, artist: String, album: String,
+                        year: String, genre: String, comment: String,
+                        nTextFrames: Int, nOtherFrames: Int,
+                        error: String)
+
+  private val NoTag = Info(hasTag = false, None, null, null, null, null,
+    null, null, 0, 0, null)
+
+  private def fail(reason: String): Info =
+    Info(hasTag = false, None, null, null, null, null, null, null, 0, 0,
+      reason)
+
+  private def syncsafe(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0x7f) << 21) | ((b(i + 1) & 0x7f) << 14) |
+      ((b(i + 2) & 0x7f) << 7) | (b(i + 3) & 0x7f)
+
+  /** Reverse tag-level unsynchronisation: FF 00 → FF. */
+  private def resync(b: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(b.length)
+    var i = 0
+    while (i < b.length) {
+      out.write(b(i))
+      if ((b(i) & 0xff) == 0xff && i + 1 < b.length && b(i + 1) == 0) i += 2
+      else i += 1
+    }
+    out.toByteArray
+  }
+
+  /** Decode a text-frame body: encoding byte + text (NUL-terminated or
+    * frame-bounded; multi-value v2.4 NULs join with `/`).
+    */
+  private def text(b: Array[Byte], off: Int, len: Int): String = {
+    if (len < 1) return null
+    val enc = b(off) & 0xff
+    val body = java.util.Arrays.copyOfRange(b, off + 1, off + len)
+    val raw = enc match {
+      case 0 => new String(body, "ISO-8859-1")
+      case 1 => // UTF-16 with BOM; a BOM-less body decodes LE (common)
+        if (body.length >= 2 && (body(0) & 0xff) == 0xfe &&
+          (body(1) & 0xff) == 0xff)
+          new String(body, 2, body.length - 2, "UTF-16BE")
+        else if (body.length >= 2 && (body(0) & 0xff) == 0xff &&
+          (body(1) & 0xff) == 0xfe)
+          new String(body, 2, body.length - 2, "UTF-16LE")
+        else new String(body, "UTF-16LE")
+      case 2 => new String(body, "UTF-16BE")
+      case 3 => new String(body, "UTF-8")
+      case _ => return null
+    }
+    // multi-value lists are NUL-separated (v2.4); trailing NULs drop
+    val parts = raw.split(0.toChar.toString).filter(_.nonEmpty).map(_.trim)
+    val s = parts.mkString("/")
+    if (s.isEmpty) null else s
+  }
+
+  /** COMM body: encoding + 3-char language + short-desc NUL + text. */
+  private def comm(b: Array[Byte], off: Int, len: Int): String = {
+    if (len < 5) return null
+    val enc = b(off) & 0xff
+    // skip language(3); find the descriptor terminator
+    val wide = enc == 1 || enc == 2
+    var i = off + 4
+    val end = off + len
+    if (wide) {
+      while (i + 1 < end && !(b(i) == 0 && b(i + 1) == 0)) i += 2
+      i += 2
+    } else {
+      while (i < end && b(i) != 0) i += 1
+      i += 1
+    }
+    if (i >= end) return null
+    // reuse the text decoder by synthesizing enc + body
+    val body = new Array[Byte](1 + end - i)
+    body(0) = enc.toByte
+    System.arraycopy(b, i, body, 1, end - i)
+    text(body, 0, body.length)
+  }
+
+  /** Parse the leading ID3v2 tag of an audio payload. Total. */
+  def parse(payload: Array[Byte]): Info = {
+    if (payload == null || payload.length < 10) return NoTag
+    val b = payload
+    if (!(b(0) == 'I' && b(1) == 'D' && b(2) == '3')) return NoTag
+    val ver = b(3) & 0xff
+    val flags = b(5) & 0xff
+    if ((b(6) | b(7) | b(8) | b(9)) < 0 ||
+      ((b(6) | b(7) | b(8) | b(9)) & 0x80) != 0)
+      return fail("bad syncsafe size")
+    val size = syncsafe(b, 6)
+    if (10 + size > b.length) return fail("truncated tag")
+    if (ver == 2) return fail("id3v2.2 not supported")
+    if (ver != 3 && ver != 4) return fail(s"unknown id3v2.$ver")
+    val v24 = ver == 4
+    var body = java.util.Arrays.copyOfRange(b, 10, 10 + size)
+    if ((flags & 0x80) != 0) body = resync(body) // tag-level unsync
+    var i = 0
+    if ((flags & 0x40) != 0) { // extended header: sized, skipped
+      if (body.length < 4) return fail("truncated extended header")
+      val ehLen =
+        if (v24) syncsafe(body, 0)
+        else ((body(0) & 0xff) << 24) | ((body(1) & 0xff) << 16) |
+          ((body(2) & 0xff) << 8) | (body(3) & 0xff)
+      i = (if (v24) ehLen else ehLen + 4).max(4)
+      if (i > body.length) return fail("truncated extended header")
+    }
+    var title: String = null; var artist: String = null
+    var album: String = null; var year: String = null
+    var genre: String = null; var comment: String = null
+    var nText = 0; var nOther = 0
+    while (i + 10 <= body.length) {
+      val id = new String(body, i, 4, "US-ASCII")
+      if (id(0) == 0) i = body.length // padding reached
+      else {
+        val len =
+          if (v24) {
+            if (((body(i + 4) | body(i + 5) | body(i + 6) | body(i + 7))
+              & 0x80) != 0) return fail("bad frame size")
+            syncsafe(body, i + 4)
+          } else ((body(i + 4) & 0xff) << 24) | ((body(i + 5) & 0xff) << 16) |
+            ((body(i + 6) & 0xff) << 8) | (body(i + 7) & 0xff)
+        if (len < 0 || i + 10 + len > body.length)
+          return fail("truncated frame")
+        if (id(0) == 'T' && id != "TXXX") {
+          nText += 1
+          val v = text(body, i + 10, len)
+          id match {
+            case "TIT2" => title = v
+            case "TPE1" => artist = v
+            case "TALB" => album = v
+            case "TDRC" | "TYER" => if (year == null) year = v
+            case "TCON" => genre = v
+            case _ =>
+          }
+        } else if (id == "COMM") {
+          nOther += 1
+          if (comment == null) comment = comm(body, i + 10, len)
+        } else nOther += 1
+        i += 10 + len
+      }
+    }
+    Info(hasTag = true, Some(ver), title, artist, album, year, genre,
+      comment, nText, nOther, error = null)
+  }
+
+  /** DataFrame form: the corpus-wide audio-metadata audit. */
+  def id3Audit(df: DataFrame, idCol: String, payloadCol: String)
+      : DataFrame = {
+    val kernel = udf { (b: Array[Byte]) =>
+      val i = parse(b)
+      (i.hasTag, i.version, i.title, i.artist, i.album, i.year, i.genre,
+        i.comment, i.nTextFrames, i.nOtherFrames, i.error)
+    }
+    df.select(col(idCol), kernel(col(payloadCol)).as("e"))
+      .select(col(idCol), col("e._1").as("has_tag"),
+        col("e._2").as("id3_version"), col("e._3").as("title"),
+        col("e._4").as("artist"), col("e._5").as("album"),
+        col("e._6").as("year"), col("e._7").as("genre"),
+        col("e._8").as("comment"), col("e._9").as("n_text_frames"),
+        col("e._10").as("n_other_frames"), col("e._11").as("error"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Planting encoder (tests/oracles).
+  // ---------------------------------------------------------------------
+
+  private def ss(v: Int): Array[Byte] =
+    Array(((v >> 21) & 0x7f).toByte, ((v >> 14) & 0x7f).toByte,
+      ((v >> 7) & 0x7f).toByte, (v & 0x7f).toByte)
+
+  /** One text frame (id, encoding, text) in v2.3 or v2.4 framing. */
+  private[graft] def textFrame(id: String, enc: Int, s: String,
+                               v24: Boolean): Array[Byte] = {
+    val body = enc match {
+      case 0 => Array(0.toByte) ++ s.getBytes("ISO-8859-1")
+      case 1 => Array(1.toByte, 0xff.toByte, 0xfe.toByte) ++
+        s.getBytes("UTF-16LE")
+      case 2 => Array(2.toByte) ++ s.getBytes("UTF-16BE")
+      case _ => Array(3.toByte) ++ s.getBytes("UTF-8")
+    }
+    val len = if (v24) ss(body.length)
+      else Array((body.length >> 24).toByte, (body.length >> 16).toByte,
+        (body.length >> 8).toByte, body.length.toByte)
+    id.getBytes("US-ASCII") ++ len ++ Array[Byte](0, 0) ++ body
+  }
+
+  /** A complete ID3v2 tag wrapping the given frames. */
+  private[graft] def tagBytes(frames: Seq[Array[Byte]], v24: Boolean,
+                              padding: Int = 0): Array[Byte] = {
+    val body = frames.foldLeft(Array.empty[Byte])(_ ++ _) ++
+      new Array[Byte](padding)
+    Array[Byte]('I', 'D', '3', if (v24) 4 else 3, 0, 0) ++
+      ss(body.length) ++ body
+  }
+}

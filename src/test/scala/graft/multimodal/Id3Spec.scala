@@ -1,0 +1,97 @@
+package graft.multimodal
+
+import graft.SparkSpec
+
+/** ID3v2 text frames: v2.3/v2.4 framing, all four text encodings,
+  * COMM bodies, padding, frame counting, totality over corrupt tags,
+  * composition with the Mp3 frame walk, and the audit DataFrame.
+  */
+class Id3Spec extends SparkSpec {
+  import Id3._
+
+  test("v2.3 and v2.4: title/artist/album/year/genre across all four " +
+    "encodings; non-text frames counted not decoded") {
+    for (v24 <- Seq(false, true)) {
+      val frames = Seq(
+        textFrame("TIT2", 0, "Latin Title", v24),
+        textFrame("TPE1", 1, "UTF16 Ärtist", v24),
+        textFrame("TALB", 2, "BE Albüm", v24),
+        textFrame(if (v24) "TDRC" else "TYER", 3, "2026", v24),
+        textFrame("TCON", 3, "Ambient", v24),
+        // a sized-and-skipped binary frame (fake picture)
+        "APIC".getBytes("US-ASCII") ++
+          (if (v24) Array[Byte](0, 0, 0, 5) else Array[Byte](0, 0, 0, 5)) ++
+          Array[Byte](0, 0) ++ Array[Byte](1, 2, 3, 4, 5))
+      val tag = tagBytes(frames, v24, padding = 16)
+      val i = parse(tag ++ Array[Byte](0x55, 0x55)) // trailing junk ok
+      assert(i.error == null && i.hasTag, s"v24=$v24: ${i.error}")
+      assert(i.version.contains(if (v24) 4 else 3))
+      assert(i.title == "Latin Title", s"v24=$v24")
+      assert(i.artist == "UTF16 Ärtist", s"v24=$v24")
+      assert(i.album == "BE Albüm", s"v24=$v24")
+      assert(i.year == "2026" && i.genre == "Ambient")
+      assert(i.nTextFrames == 5 && i.nOtherFrames == 1)
+    }
+  }
+
+  test("COMM: language + descriptor skipped, text decoded; multi-value " +
+    "NUL lists join with '/'") {
+    val commBody = Array(0.toByte) ++ "eng".getBytes("US-ASCII") ++
+      "desc".getBytes("ISO-8859-1") ++ Array(0.toByte) ++
+      "the comment".getBytes("ISO-8859-1")
+    val comm = "COMM".getBytes("US-ASCII") ++
+      Array[Byte](0, 0, 0, commBody.length.toByte, 0, 0) ++ commBody
+    val i = parse(tagBytes(Seq(comm), v24 = false))
+    assert(i.comment == "the comment" && i.nOtherFrames == 1)
+    // multi-value TPE1 (v2.4): NUL-separated values join with '/'
+    val multi = "a" + 0.toChar + "b"
+    val i2 = parse(tagBytes(Seq(textFrame("TPE1", 3, multi, v24 = true)),
+      v24 = true))
+    assert(i2.artist == "a/b")
+  }
+
+  test("totality: no tag, v2.2 refusal, truncation, bad syncsafe, " +
+    "forged frame size — typed, never throws") {
+    assert(!parse("no tag here".getBytes).hasTag)
+    assert(parse(null) == parse(Array[Byte]()))
+    val v22 = Array[Byte]('I', 'D', '3', 2, 0, 0, 0, 0, 0, 10) ++
+      new Array[Byte](10)
+    assert(parse(v22).error == "id3v2.2 not supported")
+    val tag = tagBytes(Seq(textFrame("TIT2", 0, "t", v24 = false)),
+      v24 = false)
+    assert(parse(tag.take(tag.length - 3)).error == "truncated tag")
+    val badSize = tag.clone(); badSize(6) = 0x80.toByte
+    assert(parse(badSize).error == "bad syncsafe size")
+    // forged frame length pointing past the tag
+    val forged = tag.clone(); forged(14) = 0x7f.toByte
+    assert(parse(forged).error == "truncated frame")
+  }
+
+  test("composes with the Mp3 walk: tag bytes = Mp3's id3v2Bytes, audio " +
+    "frames unaffected") {
+    val tag = tagBytes(Seq(textFrame("TIT2", 0, "Song", v24 = false)),
+      v24 = false)
+    val mp3 = tag ++ graft.SparkEntry.q134Mp3(1L)
+    val i = parse(mp3)
+    assert(i.title == "Song")
+    val audit = Mp3.audit(mp3)
+    assert(audit.exists(_.nFrames > 0))
+  }
+
+  test("id3Audit DataFrame over a mixed corpus") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, tagBytes(Seq(textFrame("TIT2", 3, "T1", v24 = true),
+        textFrame("TPE1", 3, "A1", v24 = true)), v24 = true)),
+      (2L, "untagged audio".getBytes),
+      (3L, Array[Byte]('I', 'D', '3', 9, 0, 0, 0, 0, 0, 0)))
+      .toDF("id", "payload")
+    val got = id3Audit(rows, "id", "payload").orderBy("id").collect()
+    assert(got(0).getAs[String]("title") == "T1" &&
+      got(0).getAs[String]("artist") == "A1" &&
+      got(0).getAs[Int]("id3_version") == 4)
+    assert(!got(1).getAs[Boolean]("has_tag") &&
+      got(1).getAs[String]("error") == null)
+    assert(got(2).getAs[String]("error") == "unknown id3v2.9")
+  }
+}
