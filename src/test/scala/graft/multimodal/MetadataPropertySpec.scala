@@ -1,0 +1,75 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property-based totality for the metadata-audit kernels: EXIF and
+  * ID3 walk attacker-controlled bytes, so parse() must be total over
+  * (a) arbitrary garbage and (b) BYTE-MUTATED valid structures — the
+  * adversarial shape fuzz that caught real bounds bugs in the codec
+  * suites.
+  */
+class MetadataPropertySpec extends AnyFunSuite {
+
+  private def check(name: String, prop: Prop, n: Int = 300): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(n), prop)
+    assert(res.passed, s"$name failed: ${res.status}")
+  }
+
+  private val genBytes: Gen[Array[Byte]] =
+    Gen.choose(0, 256).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-128, 127).map(_.toByte)).map(_.toArray))
+
+  private def mutate(b: Array[Byte]): Gen[Array[Byte]] = for {
+    n <- Gen.choose(1, 6)
+    idxs <- Gen.listOfN(n, Gen.choose(0, math.max(b.length - 1, 0)))
+    vals <- Gen.listOfN(n, Gen.choose(-128, 127).map(_.toByte))
+  } yield {
+    val out = b.clone()
+    idxs.zip(vals).foreach { case (i, v) => if (out.nonEmpty) out(i) = v }
+    out
+  }
+
+  private val validExif: Array[Byte] = {
+    val gray = Array.fill[Byte](16 * 16)(7)
+    Exif.withExif(Jpeg.jpegGrayBytes(16, 16, gray),
+      Exif.tiffBytes(le = true, Some(3), "Make", "2026:01:01 00:00:00",
+        gps = true, Some(16)))
+  }
+
+  private val validId3: Array[Byte] =
+    Id3.tagBytes(Seq(
+      Id3.textFrame("TIT2", 1, "Tïtle", v24 = true),
+      Id3.textFrame("TPE1", 3, "Artist", v24 = true)), v24 = true,
+      padding = 8)
+
+  test("Exif.parse is total over garbage and mutated valid JPEGs") {
+    check("garbage", Prop.forAll(genBytes) { b =>
+      Exif.parse(b) != null
+    })
+    check("mutations", Prop.forAll(mutate(validExif)) { b =>
+      Exif.parse(b) != null
+    }, n = 500)
+  }
+
+  test("Id3.parse is total over garbage and mutated valid tags") {
+    check("garbage", Prop.forAll(genBytes) { b =>
+      Id3.parse(b) != null
+    })
+    check("mutations", Prop.forAll(mutate(validId3)) { b =>
+      Id3.parse(b) != null
+    }, n = 500)
+  }
+
+  test("Sitemaps.parse is total over garbage and mutated valid XML") {
+    val valid = ("<urlset><url><loc>https://e.org/a</loc></url>" +
+      "</urlset>").getBytes("UTF-8")
+    check("garbage", Prop.forAll(genBytes) { b =>
+      graft.textops.Sitemaps.parse(b) != null
+    })
+    check("mutations", Prop.forAll(mutate(valid)) { b =>
+      graft.textops.Sitemaps.parse(b) != null
+    }, n = 500)
+  }
+}
