@@ -2991,8 +2991,81 @@ object SparkEntry {
           col("title"), col("artist"), col("year"), col("genre"),
           col("n_text_frames"), col("n_other_frames"), col("error"))
         .orderBy(col("id"))
+    }),
+
+    // PDF text extraction — the document-format twin of the HTML front
+    // door: part keys plant real PDFs (Flate on even keys, xref
+    // stream + ObjStm on k%5=1, Type0+ToUnicode second line on k%7=3,
+    // TJ kern-split otherwise, indirect /Length on k%9=4, WinAnsi é
+    // on k%4=2; non-PDF bytes on k%13=7, encrypted on k%11=5) and the
+    // oracle replays the per-page text closed-form
+    "q144_pdf_extract" -> ((s, dir) => {
+      import s.implicits._
+      val docs = tSpread(s, dir, "part").select(col("p_partkey"))
+        .as[Long]
+        .map(k => (k, q144Pdf(k)))
+        .toDF("id", "payload")
+      sources.Pdf.pdfExtract(docs, "id", "payload")
+        .select(col("id"), col("n_pages"), col("page"), col("text"),
+          col("lost_codes"), col("error"))
+        .orderBy(col("id"), col("page"))
+    }),
+
+    // PDF structural audit — the q142/q143 metadata-walk pattern:
+    // version/page/object arithmetic, encryption and xref-stream
+    // flags, info strings (UTF-16BE on k%6=2, withheld when
+    // encrypted); the oracle replays the writer's object-count
+    // formula closed-form
+    "q145_pdf_audit" -> ((s, dir) => {
+      import s.implicits._
+      val docs = tSpread(s, dir, "supplier").select(col("s_suppkey"))
+        .as[Long]
+        .map(k => (k, q145Pdf(k)))
+        .toDF("id", "payload")
+      sources.Pdf.pdfAudit(docs, "id", "payload")
+        .select(col("id"), col("is_pdf"), col("pdf_version"),
+          col("n_pages"), col("n_objects"), col("encrypted"),
+          col("xref_stream"), col("title"), col("producer"),
+          col("error"))
+        .orderBy(col("id"))
     })
   )
+
+  /** q144's planted document for part key `k`: a real PDF whose page
+    * texts replay closed-form (see the query comment for the residue
+    * matrix); non-PDF bytes on k%13=7, an encrypted one on k%11=5.
+    */
+  private[graft] def q144Pdf(k: Long): Array[Byte] = {
+    import sources.PdfWriter.{Plant, pdfBytes}
+    if (k % 13 == 7) return s"not a pdf $k".getBytes("UTF-8")
+    if (k % 11 == 5)
+      return pdfBytes(Plant(Seq(Seq("hidden")), encrypt = true))
+    val pages = (1 to (k % 3 + 1).toInt).map { p =>
+      Seq(s"Alpha $k page $p",
+        s"Beta ${(k * 7) % 100} tail $p" +
+          (if (k % 4 == 2) " é" else ""))
+    }
+    pdfBytes(Plant(pages, compress = k % 2 == 0, xrefStream = k % 5 == 1,
+      kernSplitSecondLine = true, type0SecondLine = k % 7 == 3,
+      lengthIndirect = k % 9 == 4))
+  }
+
+  /** q145's planted document for supplier key `k`: the full audit
+    * matrix — encrypted docs keep structural fields but withhold the
+    * info strings; object count follows the writer's layout formula
+    * 4 + 3·type0 + nPages·(2+lenIndirect) + encrypt + 2·xrefStream.
+    */
+  private[graft] def q145Pdf(k: Long): Array[Byte] = {
+    import sources.PdfWriter.{Plant, pdfBytes}
+    if (k % 13 == 7) return s"not a pdf $k".getBytes("UTF-8")
+    val pages = (1 to (k % 3 + 1).toInt).map(p =>
+      Seq(s"Alpha $k $p", s"Beta b $p"))
+    pdfBytes(Plant(pages, compress = k % 2 == 0, xrefStream = k % 5 == 1,
+      kernSplitSecondLine = true, type0SecondLine = k % 7 == 3,
+      lengthIndirect = k % 9 == 4, encrypt = k % 11 == 5,
+      title = Some(s"Doc $k"), producer = Some(s"graft ${k % 4}"),
+      utf16Title = k % 6 == 2))
+  }
 
   /** q143's planted audio payload for supplier key `k`: an ID3v2 tag
     * (v2.4 on even keys, v2.3 on odd; title encoding cycles the four
@@ -6333,7 +6406,57 @@ object SparkEntry {
         |  CAST(CASE WHEN ok AND k % 5 = 2 THEN 1 ELSE 0 END AS INTEGER)
         |    AS n_other_frames,
         |  CASE WHEN k % 13 = 7 THEN 'unknown id3v2.9' END AS error
-        |FROM s ORDER BY id""".stripMargin
+        |FROM s ORDER BY id""".stripMargin,
+
+    // per-page PDF text replays closed-form from the plant residues
+    "q144_pdf_extract" ->
+      """WITH base AS (SELECT p_partkey AS k FROM part),
+        |pg AS (
+        |  SELECT k, CAST(j + 1 AS INTEGER) AS page
+        |  FROM base CROSS JOIN range(0, 3) t(j)
+        |  WHERE k % 13 <> 7 AND k % 11 <> 5 AND j <= k % 3)
+        |SELECT k AS id, CAST(k % 3 + 1 AS INTEGER) AS n_pages, page,
+        |  'Alpha ' || CAST(k AS VARCHAR) || ' page ' ||
+        |    CAST(page AS VARCHAR) || chr(10) || 'Beta ' ||
+        |    CAST((k * 7) % 100 AS VARCHAR) || ' tail ' ||
+        |    CAST(page AS VARCHAR) ||
+        |    CASE WHEN k % 4 = 2 THEN ' é' ELSE '' END AS text,
+        |  CAST(0 AS BIGINT) AS lost_codes,
+        |  CAST(NULL AS VARCHAR) AS error
+        |FROM pg
+        |UNION ALL
+        |SELECT k, CAST(0 AS INTEGER), CAST(0 AS INTEGER),
+        |  CAST(NULL AS VARCHAR), CAST(0 AS BIGINT),
+        |  CASE WHEN k % 13 = 7 THEN 'not a pdf' ELSE 'encrypted' END
+        |FROM base WHERE k % 13 = 7 OR k % 11 = 5
+        |ORDER BY id, page""".stripMargin,
+
+    // the audit matrix replays the writer's object-count formula
+    "q145_pdf_audit" ->
+      """WITH s AS (SELECT s_suppkey AS k FROM supplier),
+        |ok AS (SELECT k, k % 11 = 5 AS enc, k % 5 = 1 AS xs,
+        |  k % 7 = 3 AS t0, k % 9 = 4 AS li,
+        |  CAST(k % 3 + 1 AS INTEGER) AS np
+        |  FROM s WHERE k % 13 <> 7)
+        |SELECT k AS id, TRUE AS is_pdf,
+        |  CASE WHEN xs THEN '1.5' ELSE '1.4' END AS pdf_version,
+        |  np AS n_pages,
+        |  CAST(4 + CASE WHEN t0 THEN 3 ELSE 0 END +
+        |    np * (2 + CASE WHEN li THEN 1 ELSE 0 END) +
+        |    CASE WHEN enc THEN 1 ELSE 0 END +
+        |    CASE WHEN xs THEN 2 ELSE 0 END AS INTEGER) AS n_objects,
+        |  enc AS encrypted, xs AS xref_stream,
+        |  CASE WHEN enc THEN NULL
+        |    ELSE 'Doc ' || CAST(k AS VARCHAR) END AS title,
+        |  CASE WHEN enc THEN NULL
+        |    ELSE 'graft ' || CAST(k % 4 AS VARCHAR) END AS producer,
+        |  CAST(NULL AS VARCHAR) AS error
+        |FROM ok
+        |UNION ALL
+        |SELECT k, FALSE, NULL, NULL, NULL, FALSE, FALSE, NULL, NULL,
+        |  'not a pdf'
+        |FROM s WHERE k % 13 = 7
+        |ORDER BY id""".stripMargin
   )
 
   /** q133's replay: q102's stage CTEs over the crawl-extracted corpus

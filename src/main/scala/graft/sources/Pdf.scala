@@ -1,0 +1,1869 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.Charset
+import java.util.zip.{DataFormatException, Deflater, Inflater}
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable
+
+/** PDF text extraction + metadata audit — the document-format twin of
+  * [[graft.textops.HtmlExtract]] for the crawl front door. Real crawl
+  * corpora carry `application/pdf` responses alongside HTML, and a
+  * training-data pipeline needs their text the same way it needs the
+  * HTML's. The reference has no PDF code (extension surface, like
+  * WARC/HTML: grep of `/root/reference` for "pdf" hits only matplotlib
+  * figure-export strings); everything here is implemented from the
+  * public ISO 32000-1 specification.
+  *
+  * Scope and honesty bar (the MP3/brotli refusal discipline):
+  *  - The COS layer is complete for text: literal/hex strings, names
+  *    with `#xx`, arrays, dicts, indirect refs, streams (direct or
+  *    indirect /Length, `endstream`-scan fallback), classic xref
+  *    tables with /Prev chains, xref STREAMS (/W, /Index, predictors)
+  *    with type-2 entries into object streams (/ObjStm), and a
+  *    whole-buffer object-scan reconstruction fallback when the xref
+  *    is corrupt.
+  *  - Stream filters: FlateDecode (zlib, raw-deflate retry),
+  *    LZWDecode (9→12-bit MSB codes, EarlyChange), ASCIIHexDecode,
+  *    ASCII85Decode, RunLengthDecode, each behind the per-stream
+  *    inflation cap [[MaxStreamInflated]]. PNG predictors 10–15 and
+  *    TIFF predictor 2 on the decompressed bytes. Image-only filters
+  *    (DCT/JPX/CCITT/JBIG2) never carry content streams and are
+  *    refused per-stream by name.
+  *  - Character decode: ToUnicode CMaps (bfchar/bfrange, both dst
+  *    forms, 1- and 2-byte codespaces) cover embedded and CID fonts;
+  *    /WinAnsiEncoding and /MacRomanEncoding decode through the JVM's
+  *    built-in `windows-1252` / `x-MacRoman` charsets (no verbatim
+  *    table to copy); /Differences glyph names resolve through the
+  *    ALGORITHMIC Adobe Glyph List rules (`uniXXXX`, `uXXXXXX`,
+  *    single-character names) plus the handful of self-describing
+  *    names (`space`, `zero`…`nine`, `period`, `comma`, `hyphen`).
+  *    Codes no rule covers become U+FFFD and are COUNTED
+  *    (`lost_codes`), not silently dropped.
+  *  - Encrypted documents (trailer /Encrypt) are refused with a
+  *    typed reason at the extract layer; the audit still reports the
+  *    structural fields (version, page count), which the standard
+  *    security handler leaves in plaintext, and withholds the string
+  *    fields (title/producer), which it does not.
+  *
+  * Text assembly is deterministic and documented: a text-showing
+  * operator appends decoded bytes; Td/TD with a vertical component,
+  * T*, `'`, `"` and a Tm that moves the baseline emit a newline; a
+  * horizontal-only Td emits a space; a TJ kern at or below
+  * −[[SpaceKern]] thousandths of an em emits a space. Pages are
+  * emitted as separate rows (`pdfExtract` explodes per page), which is
+  * also the 100 TB shape: the kernel is scan-stage per payload, rows
+  * stay slim, and nothing shuffles.
+  */
+object Pdf {
+
+  /** Per-stream inflation cap — the [[Warc.MaxBody]] discipline: a
+    * gzip/LZW bomb inside a stream trips a typed error, never an OOM.
+    */
+  val MaxStreamInflated: Int = 1 << 26 // 64 MiB
+
+  /** Cap on xref entries / reconstructed objects per document. */
+  val MaxObjects: Int = 1 << 20
+
+  /** Page-tree walk cap (cycle-guarded independently). */
+  val MaxPages: Int = 10000
+
+  /** Per-page extracted-text cap (chars); past it the page truncates
+    * and the document carries a typed note rather than ballooning.
+    */
+  val MaxPageText: Int = 1 << 22 // 4M chars
+
+  /** TJ kern (thousandths of an em, negative = rightward gap) at or
+    * below −SpaceKern renders as a word space. 200 is the
+    * conventional threshold (≈0.2 em).
+    */
+  val SpaceKern: Double = 200.0
+
+  private final class Malformed(val msg: String)
+      extends RuntimeException(msg, null, false, false)
+  private def fail(msg: String): Nothing = throw new Malformed(msg)
+
+  // -----------------------------------------------------------------
+  // COS object model
+  // -----------------------------------------------------------------
+
+  sealed trait Obj
+  final case class PNum(v: Double) extends Obj { def i: Long = v.toLong }
+  final case class PStr(bytes: Array[Byte]) extends Obj
+  final case class PName(s: String) extends Obj
+  final case class PBool(b: Boolean) extends Obj
+  case object PNull extends Obj
+  final case class PArr(items: Vector[Obj]) extends Obj
+  final case class PDict(m: Map[String, Obj]) extends Obj {
+    def get(k: String): Option[Obj] = m.get(k) match {
+      case Some(PNull) => None
+      case o           => o
+    }
+  }
+  final case class PRef(num: Int, gen: Int) extends Obj
+  final case class PStream(dict: PDict, raw: Array[Byte]) extends Obj
+
+  private def isWs(b: Int): Boolean =
+    b == ' ' || b == '\n' || b == '\r' || b == '\t' || b == 0 || b == 12
+  private def isDelim(b: Int): Boolean =
+    b == '(' || b == ')' || b == '<' || b == '>' || b == '[' || b == ']' ||
+      b == '{' || b == '}' || b == '/' || b == '%'
+  private def isRegular(b: Int): Boolean = b >= 0 && !isWs(b) && !isDelim(b)
+
+  // -----------------------------------------------------------------
+  // Lexing + object parsing over a byte buffer
+  // -----------------------------------------------------------------
+
+  /** Positioned parser over the raw file bytes. Total: every
+    * malformation raises [[Malformed]], which the API edge converts to
+    * an error row; nothing else escapes on attacker-controlled bytes
+    * (ArrayIndexOutOfBounds is prevented by explicit bounds checks).
+    */
+  private[graft] final class Parser(val buf: Array[Byte], var pos: Int = 0) {
+
+    def skipWs(): Unit = {
+      var go = true
+      while (go) {
+        while (pos < buf.length && isWs(buf(pos) & 0xff)) pos += 1
+        if (pos < buf.length && buf(pos) == '%') {
+          while (pos < buf.length && buf(pos) != '\n' && buf(pos) != '\r')
+            pos += 1
+        } else go = false
+      }
+    }
+
+    def peek: Int = if (pos < buf.length) buf(pos) & 0xff else -1
+
+    def atKeyword(kw: String): Boolean =
+      pos + kw.length <= buf.length &&
+        kw.indices.forall(i => buf(pos + i) == kw.charAt(i).toByte) &&
+        !isRegular(if (pos + kw.length < buf.length)
+          buf(pos + kw.length) & 0xff else -1)
+
+    /** Consume `kw` if present at pos (post-skipWs); true on success. */
+    def eatKeyword(kw: String): Boolean = {
+      skipWs()
+      if (atKeyword(kw)) { pos += kw.length; true } else false
+    }
+
+    def readToken(): String = {
+      skipWs()
+      val start = pos
+      while (pos < buf.length && isRegular(buf(pos) & 0xff)) pos += 1
+      if (pos == start) fail(s"expected token at $start")
+      new String(buf, start, pos - start, "ISO-8859-1")
+    }
+
+    def readName(): String = {
+      if (peek != '/') fail(s"expected name at $pos")
+      pos += 1
+      val sb = new StringBuilder
+      while (pos < buf.length && isRegular(buf(pos) & 0xff)) {
+        val c = buf(pos) & 0xff
+        if (c == '#' && pos + 2 < buf.length) {
+          val h = Character.digit(buf(pos + 1), 16)
+          val l = Character.digit(buf(pos + 2), 16)
+          if (h >= 0 && l >= 0) { sb.append(((h << 4) | l).toChar); pos += 3 }
+          else { sb.append(c.toChar); pos += 1 }
+        } else { sb.append(c.toChar); pos += 1 }
+      }
+      sb.result()
+    }
+
+    private def readLiteralString(): Array[Byte] = {
+      pos += 1 // '('
+      val out = new ByteArrayOutputStream()
+      var depth = 1
+      while (depth > 0) {
+        if (pos >= buf.length) fail("unterminated string")
+        val c = buf(pos) & 0xff; pos += 1
+        c match {
+          case '(' => depth += 1; out.write(c)
+          case ')' => depth -= 1; if (depth > 0) out.write(c)
+          case '\\' =>
+            if (pos >= buf.length) fail("unterminated escape")
+            val e = buf(pos) & 0xff; pos += 1
+            e match {
+              case 'n' => out.write('\n')
+              case 'r' => out.write('\r')
+              case 't' => out.write('\t')
+              case 'b' => out.write('\b')
+              case 'f' => out.write(12)
+              case '(' | ')' | '\\' => out.write(e)
+              case '\r' => // line continuation; swallow optional \n
+                if (pos < buf.length && buf(pos) == '\n') pos += 1
+              case '\n' => // line continuation
+              case d if d >= '0' && d <= '7' =>
+                var v = d - '0'; var n = 1
+                while (n < 3 && pos < buf.length &&
+                    buf(pos) >= '0' && buf(pos) <= '7') {
+                  v = (v << 3) | (buf(pos) - '0'); pos += 1; n += 1
+                }
+                out.write(v & 0xff)
+              case other => out.write(other) // spec: backslash ignored
+            }
+          case '\r' => // EOL inside string reads as \n
+            out.write('\n')
+            if (pos < buf.length && buf(pos) == '\n') pos += 1
+          case _ => out.write(c)
+        }
+        if (out.size() > MaxStreamInflated) fail("string past cap")
+      }
+      out.toByteArray
+    }
+
+    private def readHexString(): Array[Byte] = {
+      pos += 1 // '<'
+      val out = new ByteArrayOutputStream()
+      var hi = -1
+      var done = false
+      while (!done) {
+        if (pos >= buf.length) fail("unterminated hex string")
+        val c = buf(pos) & 0xff; pos += 1
+        if (c == '>') done = true
+        else if (!isWs(c)) {
+          val d = Character.digit(c, 16)
+          if (d < 0) fail(s"bad hex digit '${c.toChar}'")
+          if (hi < 0) hi = d
+          else { out.write((hi << 4) | d); hi = -1 }
+          if (out.size() > MaxStreamInflated) fail("hex string past cap")
+        }
+      }
+      if (hi >= 0) out.write(hi << 4) // odd final digit: low nibble 0
+      out.toByteArray
+    }
+
+    private def readNumber(): Double = {
+      val start = pos
+      if (peek == '+' || peek == '-') pos += 1
+      var digits = false
+      while (pos < buf.length && buf(pos) >= '0' && buf(pos) <= '9') {
+        pos += 1; digits = true
+      }
+      if (peek == '.') {
+        pos += 1
+        while (pos < buf.length && buf(pos) >= '0' && buf(pos) <= '9') {
+          pos += 1; digits = true
+        }
+      }
+      if (!digits) fail(s"expected number at $start")
+      new String(buf, start, pos - start, "ISO-8859-1").toDouble
+    }
+
+    /** Parse one object. `lengthOf` resolves an indirect /Length for
+      * streams (null ⇒ scan for `endstream`). `depth` guards nesting.
+      */
+    def parseObj(lengthOf: PRef => Option[Long], depth: Int = 0): Obj = {
+      if (depth > 64) fail("object nesting past cap")
+      skipWs()
+      peek match {
+        case -1  => fail("unexpected EOF")
+        case '/' => PName(readName())
+        case '(' => PStr(readLiteralString())
+        case '[' =>
+          pos += 1
+          val items = Vector.newBuilder[Obj]
+          var n = 0
+          skipWs()
+          while (peek != ']') {
+            items += parseObj(lengthOf, depth + 1)
+            n += 1
+            if (n > (1 << 20)) fail("array past cap")
+            skipWs()
+          }
+          pos += 1
+          PArr(items.result())
+        case '<' =>
+          if (pos + 1 < buf.length && buf(pos + 1) == '<') {
+            pos += 2
+            val m = Map.newBuilder[String, Obj]
+            skipWs()
+            var n = 0
+            while (!(peek == '>' && pos + 1 < buf.length &&
+                buf(pos + 1) == '>')) {
+              if (peek == -1) fail("unterminated dict")
+              val k = readName()
+              m += k -> parseObj(lengthOf, depth + 1)
+              n += 1
+              if (n > (1 << 16)) fail("dict past cap")
+              skipWs()
+            }
+            pos += 2
+            val dict = PDict(m.result())
+            maybeStream(dict, lengthOf)
+          } else PStr(readHexString())
+        case c if c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9') =>
+          val v = readNumber()
+          // `n g R` lookahead for indirect references
+          if (v >= 0 && v == v.floor) {
+            val save = pos
+            skipWs()
+            val c2 = peek
+            if (c2 >= '0' && c2 <= '9') {
+              try {
+                val g = readNumber()
+                if (g >= 0 && g == g.floor && eatKeyword("R"))
+                  return PRef(v.toInt, g.toInt)
+              } catch { case _: Malformed => }
+            }
+            pos = save
+          }
+          PNum(v)
+        case _ =>
+          val t = readToken()
+          t match {
+            case "true"  => PBool(true)
+            case "false" => PBool(false)
+            case "null"  => PNull
+            case other   => fail(s"unexpected keyword '$other'")
+          }
+      }
+    }
+
+    /** After a dict, capture a following `stream` body if present. */
+    private def maybeStream(dict: PDict,
+        lengthOf: PRef => Option[Long]): Obj = {
+      val save = pos
+      skipWs()
+      if (!atKeyword("stream")) { pos = save; return dict }
+      pos += "stream".length
+      // spec: keyword followed by CRLF or LF (no lone CR)
+      if (peek == '\r') pos += 1
+      if (peek == '\n') pos += 1
+      val start = pos
+      val len: Option[Long] = dict.get("Length").flatMap {
+        case PNum(n)  => Some(n.toLong)
+        case r: PRef  => lengthOf(r)
+        case _        => None
+      }
+      val end = len match {
+        case Some(n) if n >= 0 && start + n <= buf.length &&
+            endstreamFollows(start + n.toInt) =>
+          start + n.toInt
+        case _ => scanEndstream(start)
+      }
+      pos = end
+      skipWs()
+      if (atKeyword("endstream")) pos += "endstream".length
+      PStream(dict, java.util.Arrays.copyOfRange(buf, start, end))
+    }
+
+    private def endstreamFollows(at: Int): Boolean = {
+      var p = at
+      var skipped = 0
+      while (p < buf.length && isWs(buf(p) & 0xff) && skipped < 4) {
+        p += 1; skipped += 1
+      }
+      p + 9 <= buf.length && new String(buf, p, 9, "ISO-8859-1") == "endstream"
+    }
+
+    /** Fallback when /Length is missing/wrong: first `endstream`
+      * occurrence, trailing EOL trimmed.
+      */
+    private def scanEndstream(start: Int): Int = {
+      val pat = "endstream".getBytes("ISO-8859-1")
+      var p = start
+      while (p + pat.length <= buf.length) {
+        var i = 0
+        while (i < pat.length && buf(p + i) == pat(i)) i += 1
+        if (i == pat.length) {
+          var e = p
+          if (e > start && buf(e - 1) == '\n') e -= 1
+          if (e > start && buf(e - 1) == '\r') e -= 1
+          return e
+        }
+        p += 1
+      }
+      fail("missing endstream")
+    }
+  }
+
+  // -----------------------------------------------------------------
+  // Stream filters
+  // -----------------------------------------------------------------
+
+  private def inflate(data: Array[Byte], nowrap: Boolean): Array[Byte] = {
+    val inf = new Inflater(nowrap)
+    try {
+      inf.setInput(data)
+      val out = new ByteArrayOutputStream(math.min(data.length * 4, 1 << 16))
+      val chunk = new Array[Byte](8192)
+      var going = true
+      while (going) {
+        val n =
+          try inf.inflate(chunk)
+          catch { case _: DataFormatException => fail("flate corrupt") }
+        if (n > 0) {
+          out.write(chunk, 0, n)
+          if (out.size() > MaxStreamInflated) fail("flate past cap")
+        } else {
+          if (inf.needsDictionary()) fail("flate preset dictionary")
+          going = false // finished, or truncated input: keep what decoded
+        }
+      }
+      out.toByteArray
+    } finally inf.end()
+  }
+
+  private[graft] def flateDecode(data: Array[Byte]): Array[Byte] =
+    try inflate(data, nowrap = false)
+    catch {
+      case m: Malformed if m.msg == "flate corrupt" =>
+        inflate(data, nowrap = true) // headerless deflate, seen in the wild
+    }
+
+  /** PDF LZWDecode: MSB-first variable-width codes (9→12 bits),
+    * Clear=256, EOD=257, code width grows when the next assignable
+    * code reaches 2^w − EarlyChange (ISO 32000-1 §7.4.4).
+    */
+  private[graft] def lzwDecode(data: Array[Byte],
+      earlyChange: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val dict = new mutable.ArrayBuffer[Array[Byte]](4096)
+    def reset(): Unit = {
+      dict.clear()
+      var i = 0
+      while (i < 256) { dict += Array(i.toByte); i += 1 }
+      dict += null; dict += null // 256 clear, 257 EOD
+    }
+    reset()
+    var width = 9
+    var acc = 0L
+    var bits = 0
+    var prev: Array[Byte] = null
+    var i = 0
+    while (i <= data.length) {
+      if (i < data.length) { acc = (acc << 8) | (data(i) & 0xff); bits += 8 }
+      i += 1
+      var drained = i > data.length
+      while (!drained && bits >= width) {
+        val code = ((acc >>> (bits - width)) & ((1L << width) - 1)).toInt
+        bits -= width
+        if (code == 257) { drained = true; i = data.length + 1 }
+        else if (code == 256) { reset(); width = 9; prev = null }
+        else {
+          val entry: Array[Byte] =
+            if (code < dict.length && dict(code) != null) dict(code)
+            else if (code == dict.length && prev != null)
+              prev :+ prev(0)
+            else fail("lzw bad code")
+          out.write(entry, 0, entry.length)
+          if (out.size() > MaxStreamInflated) fail("lzw past cap")
+          if (prev != null && dict.length < 4096)
+            dict += (prev :+ entry(0))
+          prev = entry
+          if (dict.length + earlyChange - 1 >= (1 << width) && width < 12)
+            width += 1
+        }
+      }
+    }
+    out.toByteArray
+  }
+
+  private[graft] def asciiHexDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    var hi = -1
+    var i = 0
+    var done = false
+    while (i < data.length && !done) {
+      val c = data(i) & 0xff; i += 1
+      if (c == '>') done = true
+      else if (!isWs(c)) {
+        val d = Character.digit(c, 16)
+        if (d < 0) fail("asciihex bad digit")
+        if (hi < 0) hi = d else { out.write((hi << 4) | d); hi = -1 }
+      }
+    }
+    if (hi >= 0) out.write(hi << 4)
+    out.toByteArray
+  }
+
+  private[graft] def ascii85Decode(data: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val grp = new Array[Int](5)
+    var n = 0
+    var i = 0
+    // optional <~ prefix
+    if (data.length >= 2 && data(0) == '<' && data(1) == '~') i = 2
+    var done = false
+    while (i < data.length && !done) {
+      val c = data(i) & 0xff; i += 1
+      if (c == '~') done = true
+      else if (c == 'z' && n == 0) out.write(Array[Byte](0, 0, 0, 0))
+      else if (!isWs(c)) {
+        if (c < '!' || c > 'u') fail("ascii85 bad char")
+        grp(n) = c - '!'; n += 1
+        if (n == 5) {
+          var v = 0L
+          var j = 0
+          while (j < 5) { v = v * 85 + grp(j); j += 1 }
+          if (v > 0xffffffffL) fail("ascii85 overflow")
+          out.write((v >>> 24).toInt); out.write((v >>> 16).toInt & 0xff)
+          out.write((v >>> 8).toInt & 0xff); out.write(v.toInt & 0xff)
+          n = 0
+        }
+      }
+      if (out.size() > MaxStreamInflated) fail("ascii85 past cap")
+    }
+    if (n == 1) fail("ascii85 orphan digit")
+    if (n > 1) {
+      var j = n
+      while (j < 5) { grp(j) = 84; j += 1 }
+      var v = 0L
+      j = 0
+      while (j < 5) { v = v * 85 + grp(j); j += 1 }
+      val bytes = Array((v >>> 24).toByte, ((v >>> 16) & 0xff).toByte,
+        ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+      out.write(bytes, 0, n - 1)
+    }
+    out.toByteArray
+  }
+
+  private[graft] def runLengthDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    var i = 0
+    var done = false
+    while (i < data.length && !done) {
+      val l = data(i) & 0xff; i += 1
+      if (l == 128) done = true
+      else if (l < 128) {
+        if (i + l + 1 > data.length) fail("rle truncated literal")
+        out.write(data, i, l + 1); i += l + 1
+      } else {
+        if (i >= data.length) fail("rle truncated run")
+        val b = data(i); i += 1
+        var n = 257 - l
+        while (n > 0) { out.write(b); n -= 1 }
+      }
+      if (out.size() > MaxStreamInflated) fail("rle past cap")
+    }
+    out.toByteArray
+  }
+
+  /** Apply /Predictor to post-decompression bytes (ISO 32000-1
+    * Table 10): 2 = TIFF horizontal differencing (8-bit components),
+    * 10–15 = PNG per-row filters with a leading filter-type byte.
+    */
+  private[graft] def applyPredictor(data: Array[Byte], predictor: Int,
+      colors: Int, bpc: Int, columns: Int): Array[Byte] = {
+    if (predictor <= 1) return data
+    val bpp = math.max(1, colors * bpc / 8)
+    val rowLen = (columns * colors * bpc + 7) / 8
+    if (rowLen <= 0 || rowLen > MaxStreamInflated) fail("predictor row size")
+    if (predictor == 2) {
+      if (bpc != 8) fail("tiff predictor needs 8-bit components")
+      val out = data.clone()
+      var r = 0
+      while (r + rowLen <= out.length) {
+        var i = r + bpp
+        while (i < r + rowLen) {
+          out(i) = ((out(i) + out(i - bpp)) & 0xff).toByte
+          i += 1
+        }
+        r += rowLen
+      }
+      out
+    } else if (predictor >= 10 && predictor <= 15) {
+      val stride = rowLen + 1
+      val rows = data.length / stride
+      val out = new Array[Byte](rows * rowLen)
+      val prior = new Array[Byte](rowLen)
+      var r = 0
+      while (r < rows) {
+        val ft = data(r * stride) & 0xff
+        val src = r * stride + 1
+        val dst = r * rowLen
+        var i = 0
+        while (i < rowLen) {
+          val raw = data(src + i) & 0xff
+          val left = if (i >= bpp) out(dst + i - bpp) & 0xff else 0
+          val up = prior(i) & 0xff
+          val ul = if (i >= bpp) prior(i - bpp) & 0xff else 0
+          val v = ft match {
+            case 0 => raw
+            case 1 => raw + left
+            case 2 => raw + up
+            case 3 => raw + ((left + up) >> 1)
+            case 4 =>
+              val p = left + up - ul
+              val pa = math.abs(p - left)
+              val pb = math.abs(p - up)
+              val pc = math.abs(p - ul)
+              raw + (if (pa <= pb && pa <= pc) left
+                     else if (pb <= pc) up else ul)
+            case _ => fail(s"png filter type $ft")
+          }
+          out(dst + i) = (v & 0xff).toByte
+          i += 1
+        }
+        System.arraycopy(out, dst, prior, 0, rowLen)
+        r += 1
+      }
+      out
+    } else fail(s"predictor $predictor")
+  }
+
+  /** Decode a stream's raw bytes through its /Filter chain.
+    * `resolve` maps indirect refs (filters/parms may be indirect).
+    */
+  private[graft] def decodeStream(st: PStream,
+      resolve: Obj => Obj): Array[Byte] = {
+    def asList(o: Option[Obj]): Vector[Obj] = o.map(resolve) match {
+      case Some(PArr(items)) => items.map(resolve)
+      case Some(x)           => Vector(x)
+      case None              => Vector.empty
+    }
+    val filters = asList(st.dict.get("Filter"))
+    val parms = asList(st.dict.get("DecodeParms")
+      .orElse(st.dict.get("DP")))
+    var data = st.raw
+    var i = 0
+    while (i < filters.length) {
+      val parm = if (i < parms.length) parms(i) else PNull
+      val pd = parm match { case d: PDict => d; case _ => PDict(Map.empty) }
+      def pInt(k: String, dflt: Int): Int = pd.get(k).map(resolve) match {
+        case Some(PNum(n)) => n.toInt
+        case _             => dflt
+      }
+      filters(i) match {
+        case PName("FlateDecode") | PName("Fl") =>
+          data = applyPredictor(flateDecode(data), pInt("Predictor", 1),
+            pInt("Colors", 1), pInt("BitsPerComponent", 8),
+            pInt("Columns", 1))
+        case PName("LZWDecode") | PName("LZW") =>
+          data = applyPredictor(lzwDecode(data, pInt("EarlyChange", 1)),
+            pInt("Predictor", 1), pInt("Colors", 1),
+            pInt("BitsPerComponent", 8), pInt("Columns", 1))
+        case PName("ASCIIHexDecode") | PName("AHx") =>
+          data = asciiHexDecode(data)
+        case PName("ASCII85Decode") | PName("A85") =>
+          data = ascii85Decode(data)
+        case PName("RunLengthDecode") | PName("RL") =>
+          data = runLengthDecode(data)
+        case PName(other) => fail(s"unsupported filter $other")
+        case _            => fail("bad filter entry")
+      }
+      i += 1
+    }
+    data
+  }
+
+  // -----------------------------------------------------------------
+  // Document: xref (classic + stream + ObjStm), object resolution
+  // -----------------------------------------------------------------
+
+  private sealed trait XEntry
+  private final case class InFile(off: Long) extends XEntry
+  private final case class InObjStm(stm: Int, idx: Int) extends XEntry
+
+  private[graft] final class Doc(val buf: Array[Byte]) {
+    val version: String = {
+      val limit = math.min(buf.length, 1024)
+      val s = new String(buf, 0, limit, "ISO-8859-1")
+      val at = s.indexOf("%PDF-")
+      if (at < 0) fail("not a pdf")
+      val tail = s.substring(at + 5)
+      tail.takeWhile(c => c.isDigit || c == '.') match {
+        case "" => fail("not a pdf")
+        case v  => v
+      }
+    }
+
+    private val xref = mutable.Map.empty[Int, XEntry]
+    private var trailerDict: PDict = PDict(Map.empty)
+    var usedXrefStream: Boolean = false
+    var reconstructed: Boolean = false
+    private val objCache = mutable.Map.empty[Int, Obj]
+    private val objStmCache = mutable.Map.empty[Int, Map[Int, Obj]]
+    private var resolveDepth = 0
+
+    def trailer: PDict = trailerDict
+    def nObjects: Int = xref.size
+    def encrypted: Boolean = trailerDict.get("Encrypt").isDefined
+
+    private def startxrefOffset(): Long = {
+      val tail = math.min(buf.length, 2048)
+      val s = new String(buf, buf.length - tail, tail, "ISO-8859-1")
+      val at = s.lastIndexOf("startxref")
+      if (at < 0) fail("missing startxref")
+      val p = new Parser(s.substring(at + 9).getBytes("ISO-8859-1"))
+      p.parseObj(_ => None) match {
+        case PNum(n) if n >= 0 && n < buf.length => n.toLong
+        case _ => fail("bad startxref")
+      }
+    }
+
+    private def loadXref(): Unit = {
+      var next: Option[Long] = Some(startxrefOffset())
+      val seen = mutable.Set.empty[Long]
+      var sections = 0
+      while (next.isDefined) {
+        val off = next.get
+        if (!seen.add(off) || sections > 64) fail("xref chain cycle")
+        sections += 1
+        next = loadXrefSection(off)
+      }
+    }
+
+    /** Parse one xref section (table or stream); returns /Prev. */
+    private def loadXrefSection(off: Long): Option[Long] = {
+      val p = new Parser(buf, off.toInt)
+      p.skipWs()
+      if (p.atKeyword("xref")) {
+        p.pos += 4
+        var going = true
+        while (going) {
+          p.skipWs()
+          if (p.atKeyword("trailer")) { p.pos += 7; going = false }
+          else {
+            val start = p.parseObj(_ => None) match {
+              case PNum(n) if n >= 0 => n.toInt
+              case _                 => fail("xref subsection start")
+            }
+            val count = p.parseObj(_ => None) match {
+              case PNum(n) if n >= 0 && n <= MaxObjects => n.toInt
+              case _ => fail("xref subsection count")
+            }
+            var i = 0
+            while (i < count) {
+              val o = p.parseObj(_ => None) match {
+                case PNum(n) => n.toLong; case _ => fail("xref entry")
+              }
+              p.parseObj(_ => None) match {
+                case PNum(_) => ; case _ => fail("xref entry gen")
+              }
+              val kind = p.readToken()
+              val num = start + i
+              if (kind == "n") {
+                if (!xref.contains(num) && xref.size < MaxObjects)
+                  xref(num) = InFile(o)
+              } else if (kind != "f") fail("xref entry kind")
+              i += 1
+            }
+          }
+        }
+        val t = p.parseObj(r => lengthFromRef(r)) match {
+          case d: PDict => d
+          case _        => fail("bad trailer")
+        }
+        mergeTrailer(t)
+        // hybrid-reference file: /XRefStm points at an xref stream
+        t.get("XRefStm").foreach {
+          case PNum(x) if x >= 0 && x < buf.length =>
+            try loadXrefSection(x.toLong) catch { case _: Malformed => }
+          case _ =>
+        }
+        t.get("Prev") match {
+          case Some(PNum(x)) if x >= 0 && x < buf.length => Some(x.toLong)
+          case _ => None
+        }
+      } else {
+        // xref stream: `n g obj <<...>> stream ... endstream`
+        p.parseObj(_ => None) match {
+          case PNum(_) => ; case _ => fail("xref stream objnum")
+        }
+        p.parseObj(_ => None) match {
+          case PNum(_) => ; case _ => fail("xref stream gen")
+        }
+        if (!p.eatKeyword("obj")) fail("xref stream obj kw")
+        val st = p.parseObj(r => lengthFromRef(r)) match {
+          case s: PStream => s
+          case _          => fail("xref stream body")
+        }
+        usedXrefStream = true
+        val d = st.dict
+        val size = d.get("Size") match {
+          case Some(PNum(n)) if n >= 0 && n <= MaxObjects => n.toInt
+          case _ => fail("xref stream size")
+        }
+        val w = d.get("W") match {
+          case Some(PArr(ws)) if ws.length >= 3 =>
+            ws.take(3).map {
+              case PNum(n) if n >= 0 && n <= 8 => n.toInt
+              case _ => fail("xref stream W")
+            }
+          case _ => fail("xref stream W")
+        }
+        val index: Vector[(Int, Int)] = d.get("Index") match {
+          case Some(PArr(ix)) =>
+            ix.grouped(2).collect {
+              case Vector(PNum(a), PNum(b)) => (a.toInt, b.toInt)
+            }.toVector
+          case _ => Vector((0, size))
+        }
+        val data = decodeStream(st, identityResolve)
+        val rowLen = w.sum
+        if (rowLen == 0) fail("xref stream empty rows")
+        var pos = 0
+        def field(width: Int): Long = {
+          var v = 0L
+          var i = 0
+          while (i < width) { v = (v << 8) | (data(pos) & 0xff); pos += 1; i += 1 }
+          v
+        }
+        index.foreach { case (start, count) =>
+          var i = 0
+          while (i < count && pos + rowLen <= data.length) {
+            val t = if (w(0) == 0) 1L else field(w(0))
+            val f2 = field(w(1))
+            val f3 = field(w(2))
+            val num = start + i
+            if (!xref.contains(num) && xref.size < MaxObjects) {
+              t match {
+                case 1 => xref(num) = InFile(f2)
+                case 2 => xref(num) = InObjStm(f2.toInt, f3.toInt)
+                case _ => // type 0 free / unknown: skip
+              }
+            }
+            i += 1
+          }
+        }
+        mergeTrailer(d)
+        d.get("Prev") match {
+          case Some(PNum(x)) if x >= 0 && x < buf.length => Some(x.toLong)
+          case _ => None
+        }
+      }
+    }
+
+    private def mergeTrailer(t: PDict): Unit = {
+      // newest-first walk: first-seen keys win
+      val add = t.m.filter { case (k, _) => !trailerDict.m.contains(k) }
+      trailerDict = PDict(trailerDict.m ++ add)
+    }
+
+    /** /Length resolver usable during xref parse: reads the target
+      * object as a bare number at its recorded (or scanned) offset.
+      */
+    private def lengthFromRef(r: PRef): Option[Long] =
+      try {
+        resolve(r, 0) match {
+          case PNum(n) => Some(n.toLong)
+          case _       => None
+        }
+      } catch { case _: Malformed => None }
+
+    private val identityResolve: Obj => Obj = {
+      case r: PRef => try resolve(r, 0) catch { case _: Malformed => PNull }
+      case o       => o
+    }
+
+    /** Corrupt-xref fallback: scan the whole buffer for `N G obj`
+      * headers (the last occurrence of each object number wins — later
+      * in file means newer incremental update) and for a trailer dict;
+      * failing that, use the first /Type /Catalog object as /Root.
+      */
+    private def reconstruct(): Unit = {
+      reconstructed = true
+      xref.clear()
+      objCache.clear()
+      var i = 0
+      val n = buf.length
+      while (i + 3 < n) {
+        if (buf(i) == 'o' && buf(i + 1) == 'b' && buf(i + 2) == 'j' &&
+            !isRegular(if (i + 3 < n) buf(i + 3) & 0xff else -1)) {
+          // walk back: ws, gen digits, ws, num digits
+          var p = i - 1
+          while (p >= 0 && isWs(buf(p) & 0xff)) p -= 1
+          val genEnd = p
+          while (p >= 0 && buf(p) >= '0' && buf(p) <= '9') p -= 1
+          val genStart = p + 1
+          if (genEnd >= genStart && p >= 0 && isWs(buf(p) & 0xff)) {
+            while (p >= 0 && isWs(buf(p) & 0xff)) p -= 1
+            val numEnd = p
+            while (p >= 0 && buf(p) >= '0' && buf(p) <= '9') p -= 1
+            val numStart = p + 1
+            if (numEnd >= numStart && numEnd - numStart < 9) {
+              val num = new String(buf, numStart, numEnd - numStart + 1,
+                "ISO-8859-1").toInt
+              if (xref.size < MaxObjects || xref.contains(num))
+                xref(num) = InFile(numStart.toLong)
+            }
+          }
+        }
+        i += 1
+      }
+      if (xref.isEmpty) fail("no objects found")
+      // trailer: last `trailer << ... >>` in the file
+      val s = new String(buf, 0, buf.length, "ISO-8859-1")
+      var tAt = s.lastIndexOf("trailer")
+      var found = false
+      while (tAt >= 0 && !found) {
+        try {
+          val p = new Parser(buf, tAt + 7)
+          p.parseObj(r => lengthFromRef(r)) match {
+            case d: PDict if d.get("Root").isDefined =>
+              mergeTrailer(d); found = true
+            case _ =>
+          }
+        } catch { case _: Malformed => }
+        tAt = s.lastIndexOf("trailer", tAt - 1)
+      }
+      if (!found) {
+        // objStm-only files have no `trailer` keyword: find the catalog
+        val catalog = xref.keys.toSeq.sorted.iterator.map { num =>
+          num -> (try Some(obj(num)) catch { case _: Malformed => None })
+        }.collectFirst {
+          case (num, Some(d: PDict))
+              if d.get("Type").contains(PName("Catalog")) => num
+        }
+        catalog.foreach { num =>
+          mergeTrailer(PDict(Map("Root" -> PRef(num, 0),
+            "Size" -> PNum(xref.size.toDouble))))
+        }
+      }
+    }
+
+    /** Load object `num` (cached). */
+    def obj(num: Int): Obj = objCache.getOrElseUpdate(num, {
+      xref.get(num) match {
+        case None => PNull
+        case Some(InFile(off)) =>
+          if (off < 0 || off >= buf.length) fail(s"object $num offset")
+          val p = new Parser(buf, off.toInt)
+          val n = p.parseObj(_ => None) match {
+            case PNum(v) => v.toInt; case _ => fail("obj header num")
+          }
+          p.parseObj(_ => None) match {
+            case PNum(_) => ; case _ => fail("obj header gen")
+          }
+          if (!p.eatKeyword("obj")) fail("obj keyword")
+          if (n != num) fail(s"object $num header mismatch")
+          p.parseObj(r => lengthFromRef(r))
+        case Some(InObjStm(stm, idx)) =>
+          objStmObjects(stm).getOrElse(num, PNull)
+      }
+    })
+
+    /** Parse an /ObjStm: header of N (num, offset) pairs, then the
+      * objects themselves relative to /First.
+      */
+    private def objStmObjects(stmNum: Int): Map[Int, Obj] =
+      objStmCache.getOrElseUpdate(stmNum, {
+        obj(stmNum) match {
+          case st: PStream =>
+            val n = st.dict.get("N") match {
+              case Some(PNum(v)) if v >= 0 && v <= MaxObjects => v.toInt
+              case _ => fail("objstm N")
+            }
+            val first = st.dict.get("First") match {
+              case Some(PNum(v)) if v >= 0 => v.toInt
+              case _ => fail("objstm First")
+            }
+            val data = decodeStream(st, identityResolve)
+            val hp = new Parser(data)
+            val pairs = (0 until n).map { _ =>
+              val num = hp.parseObj(_ => None) match {
+                case PNum(v) => v.toInt; case _ => fail("objstm pair")
+              }
+              val off = hp.parseObj(_ => None) match {
+                case PNum(v) => v.toInt; case _ => fail("objstm pair")
+              }
+              (num, off)
+            }
+            pairs.map { case (num, off) =>
+              if (first + off < 0 || first + off >= data.length)
+                fail("objstm offset")
+              val op = new Parser(data, first + off)
+              num -> op.parseObj(_ => None)
+            }.toMap
+          case _ => fail(s"objstm $stmNum not a stream")
+        }
+      })
+
+    /** Follow reference chains (depth-capped). */
+    def resolve(o: Obj, depth: Int = 0): Obj = o match {
+      case PRef(num, _) =>
+        if (depth > 32) fail("reference cycle")
+        resolveDepth += 1
+        try resolve(obj(num), depth + 1)
+        finally resolveDepth -= 1
+      case other => other
+    }
+
+    def deref(o: Option[Obj]): Option[Obj] =
+      o.map(resolve(_)).filter(_ != PNull)
+
+    def dict(o: Option[Obj]): Option[PDict] = deref(o) match {
+      case Some(d: PDict)      => Some(d)
+      case Some(PStream(d, _)) => Some(d)
+      case _                   => None
+    }
+
+    def decoded(st: PStream): Array[Byte] = decodeStream(st, identityResolve)
+
+    // init last: every val above must be constructed before the xref walk
+    locally {
+      try loadXref()
+      catch { case _: Malformed => reconstruct() }
+      if (xref.isEmpty || trailerDict.get("Root").isEmpty) reconstruct()
+      if (trailerDict.get("Root").isEmpty) fail("no document catalog")
+    }
+  }
+
+  // -----------------------------------------------------------------
+  // Character decode: ToUnicode CMaps, base encodings, glyph names
+  // -----------------------------------------------------------------
+
+  private lazy val winAnsi: Charset = Charset.forName("windows-1252")
+  private lazy val macRoman: Charset = Charset.forName("x-MacRoman")
+
+  /** Algorithmic Adobe Glyph List resolution: `uniXXXX(XXXX)*`,
+    * `uXXXX`–`uXXXXXX`, single-character names, plus the
+    * self-describing handful. Anything else is unmapped (counted).
+    */
+  private[graft] def glyphToUnicode(name: String): Option[String] = {
+    if (name.length == 1) return Some(name)
+    if (name.startsWith("uni") && name.length >= 7 &&
+        (name.length - 3) % 4 == 0 &&
+        name.drop(3).forall(c => Character.digit(c, 16) >= 0)) {
+      val sb = new StringBuilder
+      name.drop(3).grouped(4).foreach { h =>
+        sb.append(Integer.parseInt(h, 16).toChar)
+      }
+      return Some(sb.result())
+    }
+    if (name.startsWith("u") && name.length >= 5 && name.length <= 7 &&
+        name.drop(1).forall(c => Character.digit(c, 16) >= 0)) {
+      val cp = Integer.parseInt(name.drop(1), 16)
+      if (Character.isValidCodePoint(cp))
+        return Some(new String(Character.toChars(cp)))
+    }
+    name match {
+      case "space"  => Some(" ")
+      case "period" => Some(".")
+      case "comma"  => Some(",")
+      case "hyphen" => Some("-")
+      case "colon"  => Some(":")
+      case "semicolon" => Some(";")
+      case "zero" => Some("0"); case "one" => Some("1")
+      case "two" => Some("2"); case "three" => Some("3")
+      case "four" => Some("4"); case "five" => Some("5")
+      case "six" => Some("6"); case "seven" => Some("7")
+      case "eight" => Some("8"); case "nine" => Some("9")
+      case _ => None
+    }
+  }
+
+  /** Parse a ToUnicode CMap: codespace ranges (for code byte length),
+    * bfchar and bfrange sections (both destination forms). Returns
+    * (code → string, observed code byte-lengths).
+    */
+  private[graft] def parseToUnicode(
+      data: Array[Byte]): (Map[Int, String], Set[Int]) = {
+    val p = new Parser(data)
+    val map = mutable.Map.empty[Int, String]
+    val lens = mutable.Set.empty[Int]
+    val ops = mutable.ArrayBuffer.empty[Obj]
+    var mode = 0 // 0 none, 1 codespace, 2 bfchar, 3 bfrange
+
+    def codeOf(b: Array[Byte]): Int = {
+      var v = 0
+      b.take(4).foreach(x => v = (v << 8) | (x & 0xff))
+      v
+    }
+    def utf16(b: Array[Byte]): String = new String(b, "UTF-16BE")
+
+    def flush(): Unit = {
+      mode match {
+        case 1 =>
+          ops.grouped(2).foreach {
+            case mutable.ArrayBuffer(PStr(lo), PStr(_)) =>
+              if (lo.length >= 1 && lo.length <= 4) lens += lo.length
+            case _ =>
+          }
+        case 2 =>
+          ops.grouped(2).foreach {
+            case mutable.ArrayBuffer(PStr(src), PStr(dst)) =>
+              lens += src.length
+              if (map.size < (1 << 17)) map(codeOf(src)) = utf16(dst)
+            case _ =>
+          }
+        case 3 =>
+          ops.grouped(3).foreach {
+            case mutable.ArrayBuffer(PStr(lo), PStr(hi), dst) =>
+              lens += lo.length
+              val l = codeOf(lo)
+              val h = math.min(codeOf(hi), l + 65535)
+              dst match {
+                case PStr(d0) =>
+                  var c = l
+                  while (c <= h && map.size < (1 << 17)) {
+                    val d = d0.clone()
+                    if (d.nonEmpty) {
+                      // increment the trailing UTF-16 code unit
+                      val lastUnit = ((d(d.length - 2) & 0xff) << 8 |
+                        (d(d.length - 1) & 0xff)) + (c - l)
+                      if (d.length >= 2) {
+                        d(d.length - 2) = ((lastUnit >> 8) & 0xff).toByte
+                        d(d.length - 1) = (lastUnit & 0xff).toByte
+                      }
+                    }
+                    map(c) = utf16(d)
+                    c += 1
+                  }
+                case PArr(items) =>
+                  var c = l
+                  var i = 0
+                  while (c <= h && i < items.length &&
+                      map.size < (1 << 17)) {
+                    items(i) match {
+                      case PStr(d) => map(c) = utf16(d)
+                      case _       =>
+                    }
+                    c += 1; i += 1
+                  }
+                case _ =>
+              }
+            case _ =>
+          }
+        case _ =>
+      }
+      ops.clear()
+    }
+
+    var going = true
+    while (going) {
+      p.skipWs()
+      val c = p.peek
+      if (c == -1) going = false
+      else if (c == '<' && p.pos + 1 < data.length &&
+          data(p.pos + 1) == '<') {
+        try { p.parseObj(_ => None) } catch { case _: Malformed => going = false }
+        () // CMap dicts (e.g. /CIDSystemInfo) carry no bf data
+      } else if (c == '<' || c == '[' || c == '/' || c == '(' ||
+          c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9')) {
+        try ops += p.parseObj(_ => None)
+        catch { case _: Malformed => going = false }
+        if (ops.length > (1 << 17)) fail("cmap operand flood")
+      } else {
+        val t =
+          try p.readToken() catch { case _: Malformed => going = false; "" }
+        t match {
+          case "begincodespacerange" => ops.clear(); mode = 1
+          case "endcodespacerange"   => flush(); mode = 0
+          case "beginbfchar"         => ops.clear(); mode = 2
+          case "endbfchar"           => flush(); mode = 0
+          case "beginbfrange"        => ops.clear(); mode = 3
+          case "endbfrange"          => flush(); mode = 0
+          case ""                    =>
+          case _                     => if (mode == 0) ops.clear()
+        }
+      }
+    }
+    (map.toMap, lens.toSet)
+  }
+
+  /** Per-font character decoder. `codeBytes` is the code unit width
+    * (1 for simple fonts, 2 for Type0/Identity); `toUni` wins when
+    * present; `base` maps single-byte codes for simple fonts.
+    */
+  private[graft] final class FontDec(val codeBytes: Int,
+      toUni: Map[Int, String], base: Int => Option[String]) {
+    /** Decode shown bytes into `out`; returns unmapped-code count. */
+    def decode(bytes: Array[Byte], out: java.lang.StringBuilder): Int = {
+      var lost = 0
+      var i = 0
+      while (i + codeBytes <= bytes.length) {
+        var code = 0
+        var j = 0
+        while (j < codeBytes) { code = (code << 8) | (bytes(i + j) & 0xff); j += 1 }
+        i += codeBytes
+        toUni.get(code).orElse(if (codeBytes == 1) base(code) else None) match {
+          case Some(s) if !s.contains('�') => out.append(s)
+          case _ => out.append('�'); lost += 1
+        }
+      }
+      lost + (bytes.length % codeBytes) // dangling partial code counts lost
+    }
+  }
+
+  private val asciiBase: Int => Option[String] =
+    c => if (c >= 32 && c <= 126) Some(c.toChar.toString) else None
+
+  private def charsetBase(cs: Charset): Int => Option[String] = { c =>
+    val s = new String(Array(c.toByte), cs)
+    if (s.length == 1 && s.charAt(0) != '�') Some(s) else None
+  }
+
+  private[graft] val DefaultFont = new FontDec(1, Map.empty, asciiBase)
+
+  private def fontDecoder(doc: Doc, fd: PDict): FontDec = {
+    val toUni: Map[Int, String] = doc.deref(fd.get("ToUnicode")) match {
+      case Some(st: PStream) =>
+        try parseToUnicode(doc.decoded(st))._1
+        catch { case _: Malformed => Map.empty }
+      case _ => Map.empty
+    }
+    val subtype = doc.deref(fd.get("Subtype"))
+    if (subtype.contains(PName("Type0")))
+      new FontDec(2, toUni, _ => None)
+    else {
+      val base: Int => Option[String] = doc.deref(fd.get("Encoding")) match {
+        case Some(PName("WinAnsiEncoding"))  => charsetBase(winAnsi)
+        case Some(PName("MacRomanEncoding")) => charsetBase(macRoman)
+        case Some(ed: PDict) =>
+          val under: Int => Option[String] =
+            doc.deref(ed.get("BaseEncoding")) match {
+              case Some(PName("WinAnsiEncoding"))  => charsetBase(winAnsi)
+              case Some(PName("MacRomanEncoding")) => charsetBase(macRoman)
+              case _                               => asciiBase
+            }
+          val diffs = mutable.Map.empty[Int, String]
+          doc.deref(ed.get("Differences")) match {
+            case Some(PArr(items)) =>
+              var code = 0
+              items.foreach {
+                case PNum(n)  => code = n.toInt
+                case PName(g) =>
+                  glyphToUnicode(g).foreach(s => diffs(code) = s)
+                  code += 1
+                case _ =>
+              }
+            case _ =>
+          }
+          c => diffs.get(c).orElse(under(c))
+        case _ => asciiBase // StandardEncoding ≡ ASCII on 32–126
+      }
+      new FontDec(1, toUni, base)
+    }
+  }
+
+  // -----------------------------------------------------------------
+  // Content-stream text interpreter
+  // -----------------------------------------------------------------
+
+  private final class Interp(doc: Doc) {
+    val sb = new java.lang.StringBuilder
+    var lost = 0
+    var truncated = false
+    private val fontCache = mutable.Map.empty[(Int, String), FontDec]
+
+    private def newline(): Unit =
+      if (sb.length > 0 && sb.charAt(sb.length - 1) != '\n') sb.append('\n')
+    private def space(): Unit =
+      if (sb.length > 0 && !Character.isWhitespace(sb.charAt(sb.length - 1)))
+        sb.append(' ')
+
+    def run(content: Array[Byte], resources: PDict, depth: Int): Unit = {
+      if (depth > 8) return
+      val fonts = doc.dict(resources.get("Font")).getOrElse(PDict(Map.empty))
+      val xobjs = doc.dict(resources.get("XObject"))
+        .getOrElse(PDict(Map.empty))
+      def fontOf(name: String): FontDec =
+        fontCache.getOrElseUpdate((depth, name), {
+          doc.dict(fonts.get(name)) match {
+            case Some(fd) =>
+              try fontDecoder(doc, fd) catch { case _: Malformed => DefaultFont }
+            case None => DefaultFont
+          }
+        })
+
+      val p = new Parser(content)
+      val ops = mutable.ArrayBuffer.empty[Obj]
+      var font: FontDec = DefaultFont
+      var lastY = Double.NaN
+      var shownInBlock = false
+
+      def show(o: Obj): Unit = o match {
+        case PStr(bytes) =>
+          if (sb.length < MaxPageText) {
+            lost += font.decode(bytes, sb)
+            if (sb.length >= MaxPageText) truncated = true
+          } else truncated = true
+          shownInBlock = true
+        case _ =>
+      }
+      def num(o: Obj): Double = o match { case PNum(v) => v; case _ => 0.0 }
+
+      var going = true
+      while (going) {
+        p.skipWs()
+        val c = p.peek
+        if (c == -1) going = false
+        else if (c == '/' || c == '(' || c == '<' || c == '[' ||
+            c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9')) {
+          try ops += p.parseObj(_ => None)
+          catch { case _: Malformed => going = false }
+          if (ops.length > 4096) ops.remove(0, ops.length - 64)
+        } else {
+          val t =
+            try p.readToken() catch { case _: Malformed => going = false; "" }
+          t match {
+            case "BT" => shownInBlock = false; lastY = Double.NaN; ops.clear()
+            case "ET" => ops.clear()
+            case "Tf" =>
+              if (ops.length >= 2) ops(ops.length - 2) match {
+                case PName(n) => font = fontOf(n)
+                case _        =>
+              }
+              ops.clear()
+            case "Td" | "TD" =>
+              if (ops.length >= 2) {
+                val ty = num(ops(ops.length - 1))
+                val tx = num(ops(ops.length - 2))
+                if (ty != 0) { if (shownInBlock) newline() }
+                else if (tx != 0 && shownInBlock) space()
+              }
+              ops.clear()
+            case "T*" => if (shownInBlock) newline(); ops.clear()
+            case "TL" | "Tc" | "Tw" | "Tz" | "Ts" | "Tr" => ops.clear()
+            case "Tm" =>
+              if (ops.length >= 6) {
+                val f = num(ops(ops.length - 1))
+                if (shownInBlock && !lastY.isNaN && f != lastY) newline()
+                lastY = f
+              }
+              ops.clear()
+            case "Tj" =>
+              if (ops.nonEmpty) show(ops.last)
+              ops.clear()
+            case "TJ" =>
+              if (ops.nonEmpty) ops.last match {
+                case PArr(items) =>
+                  items.foreach {
+                    case s: PStr             => show(s)
+                    case PNum(v) if v <= -SpaceKern => space()
+                    case _                   =>
+                  }
+                case _ =>
+              }
+              ops.clear()
+            case "'" =>
+              if (shownInBlock) newline()
+              if (ops.nonEmpty) show(ops.last)
+              ops.clear()
+            case "\"" =>
+              if (shownInBlock) newline()
+              if (ops.nonEmpty) show(ops.last)
+              ops.clear()
+            case "Do" =>
+              if (ops.nonEmpty) ops.last match {
+                case PName(n) =>
+                  doc.deref(xobjs.get(n)) match {
+                    case Some(st: PStream)
+                        if doc.deref(st.dict.get("Subtype"))
+                          .contains(PName("Form")) =>
+                      val res = doc.dict(st.dict.get("Resources"))
+                        .getOrElse(resources)
+                      try run(doc.decoded(st), res, depth + 1)
+                      catch { case _: Malformed => }
+                    case _ =>
+                  }
+                case _ =>
+              }
+              ops.clear()
+            case "BI" =>
+              // inline image: skip `<pairs> ID <binary> EI`
+              var inDict = true
+              while (inDict) {
+                p.skipWs()
+                if (p.peek == -1) { inDict = false; going = false }
+                else if (p.atKeyword("ID")) {
+                  p.pos += 2
+                  if (p.peek >= 0 && isWs(p.peek)) p.pos += 1
+                  var found = false
+                  while (!found && p.pos + 1 < content.length) {
+                    if (isWs(content(p.pos - 1) & 0xff) &&
+                        content(p.pos) == 'E' && content(p.pos + 1) == 'I' &&
+                        (p.pos + 2 >= content.length ||
+                          isWs(content(p.pos + 2) & 0xff) ||
+                          isDelim(content(p.pos + 2) & 0xff))) {
+                      p.pos += 2; found = true
+                    } else p.pos += 1
+                  }
+                  if (!found) going = false
+                  inDict = false
+                } else {
+                  try { p.parseObj(_ => None); () }
+                  catch { case _: Malformed => inDict = false; going = false }
+                }
+              }
+              ops.clear()
+            case "" =>
+            case _  => ops.clear() // any other operator: discard operands
+          }
+        }
+      }
+    }
+  }
+
+  // -----------------------------------------------------------------
+  // Page tree walk
+  // -----------------------------------------------------------------
+
+  private def collectPages(doc: Doc): Vector[PDict] = {
+    val cat = doc.dict(doc.trailer.get("Root")).getOrElse(fail("no catalog"))
+    val out = Vector.newBuilder[PDict]
+    var count = 0
+    val visited = mutable.Set.empty[(Int, Int)]
+
+    def walk(node: Obj, inhRes: Option[Obj], depth: Int): Unit = {
+      if (depth > 64 || count >= MaxPages) return
+      node match {
+        case r: PRef => if (!visited.add((r.num, r.gen))) return
+        case _       =>
+      }
+      doc.dict(Some(node)) match {
+        case Some(d) =>
+          val res = d.get("Resources").orElse(inhRes)
+          doc.deref(d.get("Type")) match {
+            case Some(PName("Page")) =>
+              val merged = res match {
+                case Some(r) => PDict(d.m + ("Resources" -> r))
+                case None    => d
+              }
+              out += merged
+              count += 1
+            case _ =>
+              doc.deref(d.get("Kids")) match {
+                case Some(PArr(kids)) =>
+                  kids.foreach(walk(_, res, depth + 1))
+                case _ =>
+              }
+          }
+        case None =>
+      }
+    }
+
+    walk(cat.get("Pages").getOrElse(fail("no page tree")), None, 0)
+    out.result()
+  }
+
+  private def pageContent(doc: Doc, page: PDict): Array[Byte] =
+    doc.deref(page.get("Contents")) match {
+      case Some(st: PStream) => doc.decoded(st)
+      case Some(PArr(parts)) =>
+        val out = new ByteArrayOutputStream()
+        parts.foreach { part =>
+          doc.deref(Some(part)) match {
+            case Some(st: PStream) =>
+              val d = doc.decoded(st)
+              out.write(d, 0, d.length)
+              out.write('\n')
+            case _ =>
+          }
+          if (out.size() > MaxStreamInflated) fail("contents past cap")
+        }
+        out.toByteArray
+      case _ => Array.emptyByteArray
+    }
+
+  // -----------------------------------------------------------------
+  // Public kernels
+  // -----------------------------------------------------------------
+
+  final case class Extracted(nPages: Int, pages: Vector[String],
+      lostCodes: Long, error: Option[String])
+
+  /** Extract per-page text. Total on arbitrary bytes; encrypted
+    * documents refuse with a typed reason (no decrypt attempt — the
+    * standard handler's string/stream material is ciphertext).
+    */
+  def extract(payload: Array[Byte]): Extracted =
+    try {
+      val doc = new Doc(payload)
+      if (doc.encrypted)
+        return Extracted(0, Vector.empty, 0, Some("encrypted"))
+      val pages = collectPages(doc)
+      var lost = 0L
+      val texts = pages.map { pg =>
+        val interp = new Interp(doc)
+        val res = doc.dict(pg.get("Resources")).getOrElse(PDict(Map.empty))
+        try interp.run(pageContent(doc, pg), res, 0)
+        catch { case _: Malformed => }
+        lost += interp.lost
+        interp.sb.toString
+      }
+      Extracted(pages.length, texts, lost, None)
+    } catch {
+      case m: Malformed => Extracted(0, Vector.empty, 0, Some(m.msg))
+      case _: Exception =>
+        Extracted(0, Vector.empty, 0, Some("parse failure"))
+    }
+
+  final case class AuditInfo(isPdf: Boolean, version: Option[String],
+      nPages: Option[Int], nObjects: Option[Int], encrypted: Boolean,
+      xrefStream: Boolean, reconstructed: Boolean, title: Option[String],
+      producer: Option[String], error: Option[String])
+
+  /** Decode a PDF text string: UTF-16BE with BOM, UTF-8 with BOM
+    * (PDF 2.0), else PDFDocEncoding read as Latin-1 (identical on the
+    * printable ASCII range; the 0x80–0x9F deviations are documented
+    * as approximated).
+    */
+  private[graft] def pdfTextString(b: Array[Byte]): String =
+    if (b.length >= 2 && (b(0) & 0xff) == 0xfe && (b(1) & 0xff) == 0xff)
+      new String(b, 2, b.length - 2, "UTF-16BE")
+    else if (b.length >= 3 && (b(0) & 0xff) == 0xef &&
+        (b(1) & 0xff) == 0xbb && (b(2) & 0xff) == 0xbf)
+      new String(b, 3, b.length - 3, "UTF-8")
+    else new String(b, "ISO-8859-1")
+
+  /** Structural metadata audit — the EXIF/ID3 pattern for PDFs:
+    * header walk + xref + page count, no content-stream decode. On
+    * encrypted documents the structural fields still report (the
+    * standard security handler leaves dicts in plaintext) but string
+    * fields (title/producer) are withheld — they are ciphertext.
+    */
+  def audit(payload: Array[Byte]): AuditInfo =
+    try {
+      val doc = new Doc(payload)
+      val nPages =
+        try Some(collectPages(doc).length) catch { case _: Malformed => None }
+      val (title, producer) =
+        if (doc.encrypted) (None, None)
+        else doc.dict(doc.trailer.get("Info")) match {
+          case Some(info) =>
+            def str(k: String): Option[String] =
+              doc.deref(info.get(k)) match {
+                case Some(PStr(b)) => Some(pdfTextString(b))
+                case _             => None
+              }
+            (str("Title"), str("Producer"))
+          case None => (None, None)
+        }
+      AuditInfo(isPdf = true, Some(doc.version), nPages,
+        Some(doc.nObjects), doc.encrypted, doc.usedXrefStream,
+        doc.reconstructed, title, producer, None)
+    } catch {
+      case m: Malformed =>
+        AuditInfo(isPdf = false, None, None, None, encrypted = false,
+          xrefStream = false, reconstructed = false, None, None,
+          Some(m.msg))
+      case _: Exception =>
+        AuditInfo(isPdf = false, None, None, None, encrypted = false,
+          xrefStream = false, reconstructed = false, None, None,
+          Some("parse failure"))
+    }
+
+  // -----------------------------------------------------------------
+  // DataFrame operators
+  // -----------------------------------------------------------------
+
+  private final case class ExtractRow(nPages: Int, pages: Seq[String],
+      lost: Long, error: Option[String])
+
+  /** Per-page text extraction over a binary payload column: one output
+    * row per page (`page` 1-based; 0 with a NULL text for documents
+    * that refuse). Scan-stage kernel — rows stay slim, nothing
+    * shuffles; at 100 TB the parallelism is the input partitioning.
+    */
+  def pdfExtract(df: DataFrame, idCol: String,
+      payloadCol: String): DataFrame = {
+    val kernel = udf { (b: Array[Byte]) =>
+      val e = extract(if (b == null) Array.emptyByteArray else b)
+      ExtractRow(e.nPages, e.pages, e.lostCodes, e.error)
+    }
+    df.select(col(idCol).as("id"), kernel(col(payloadCol)).as("p"))
+      .select(col("id"), col("p.nPages").as("n_pages"),
+        posexplode_outer(col("p.pages")).as(Seq("pos", "text")),
+        col("p.lost").as("lost_codes"), col("p.error").as("error"))
+      .select(col("id"), col("n_pages"),
+        (coalesce(col("pos"), lit(-1)) + 1).as("page"), col("text"),
+        col("lost_codes"), col("error"))
+  }
+
+  /** Structural corpus audit (the q142/q143 pattern): one row per
+    * payload with typed metadata + refusal reason.
+    */
+  def pdfAudit(df: DataFrame, idCol: String,
+      payloadCol: String): DataFrame = {
+    val kernel = udf { (b: Array[Byte]) =>
+      val a = audit(if (b == null) Array.emptyByteArray else b)
+      (a.isPdf, a.version, a.nPages, a.nObjects, a.encrypted,
+        a.xrefStream, a.reconstructed, a.title, a.producer, a.error)
+    }
+    df.select(col(idCol).as("id"), kernel(col(payloadCol)).as("a"))
+      .select(col("id"), col("a._1").as("is_pdf"),
+        col("a._2").as("pdf_version"), col("a._3").as("n_pages"),
+        col("a._4").as("n_objects"), col("a._5").as("encrypted"),
+        col("a._6").as("xref_stream"), col("a._7").as("reconstructed"),
+        col("a._8").as("title"), col("a._9").as("producer"),
+        col("a._10").as("error"))
+  }
+}
+
+/** Plant-side PDF writer (tests/oracles): builds real, spec-valid PDFs
+  * with a deterministic object layout so oracle SQL can replay the
+  * audit arithmetic closed-form — the encoder twin of [[Pdf]], the
+  * same pattern as `Exif.tiffBytes` / `Id3.tagBytes`.
+  *
+  * Object layout: 1 catalog, 2 page-tree root, 3 info, 4 /F1
+  * (WinAnsiEncoding); with `type0SecondLine` also 5 /F2 (Type0
+  * Identity-H), 6 descendant CIDFont, 7 ToUnicode CMap stream; then
+  * per page a page dict + content stream (+ an indirect /Length
+  * number object with `lengthIndirect`); then the optional /Encrypt
+  * dict; with `xrefStream` the dict-only objects ride an /ObjStm and
+  * the file closes with an xref STREAM (W [1 4 2], PNG Up predictor)
+  * instead of a classic table. In-use object count is therefore
+  * 4 + 3·type0 + nPages·(2+lengthIndirect) + encrypt + 2·xrefStream.
+  */
+private[graft] object PdfWriter {
+
+  final case class Plant(
+      pageLines: Seq[Seq[String]],
+      compress: Boolean = false,
+      xrefStream: Boolean = false,
+      kernSplitSecondLine: Boolean = false,
+      type0SecondLine: Boolean = false,
+      lengthIndirect: Boolean = false,
+      encrypt: Boolean = false,
+      title: Option[String] = None,
+      producer: Option[String] = None,
+      utf16Title: Boolean = false)
+
+  private val cp1252 = Charset.forName("windows-1252")
+
+  private def esc(s: String): Array[Byte] = {
+    val raw = s.getBytes(cp1252)
+    val out = new ByteArrayOutputStream(raw.length + 8)
+    raw.foreach { b =>
+      if (b == '\\' || b == '(' || b == ')') out.write('\\')
+      out.write(b)
+    }
+    out.toByteArray
+  }
+
+  private def hexStr(b: Array[Byte]): String =
+    b.map(x => f"${x & 0xff}%02X").mkString("<", "", ">")
+
+  private def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new Deflater(Deflater.DEFAULT_COMPRESSION, false)
+    try {
+      d.setInput(data); d.finish()
+      val out = new ByteArrayOutputStream(data.length / 2 + 64)
+      val chunk = new Array[Byte](8192)
+      while (!d.finished()) out.write(chunk, 0, d.deflate(chunk))
+      out.toByteArray
+    } finally d.end()
+  }
+
+  /** Serialize a content stream for one page's lines. `codes` is the
+    * DOCUMENT-global Type0 code assignment (built over every line the
+    * /F2 font shows, so multi-page documents share one ToUnicode map).
+    */
+  private def contentBytes(lines: Seq[String], kernSplit: Boolean,
+      type0: Boolean, codes: Map[Char, Int]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    def wb(b: Array[Byte]): Unit = out.write(b, 0, b.length)
+    w("BT\n/F1 12 Tf\n14 TL\n72 720 Td\n")
+    lines.zipWithIndex.foreach { case (line, i) =>
+      if (i > 0) w("T*\n")
+      if (i == 1 && type0) {
+        val hex = line.map(c => f"${codes(c)}%04X").mkString
+        w(s"/F2 12 Tf\n<$hex> Tj\n/F1 12 Tf\n")
+      } else if (i == 1 && kernSplit && line.contains(' ')) {
+        val at = line.indexOf(' ')
+        val pre = line.substring(0, at)
+        val post = line.substring(at + 1)
+        w("[("); wb(esc(pre)); w(") -250 ("); wb(esc(post)); w(")] TJ\n")
+      } else {
+        w("("); wb(esc(line)); w(") Tj\n")
+      }
+    }
+    w("ET\n")
+    out.toByteArray
+  }
+
+  /** Deterministic first-use code assignment for the Type0 plant. */
+  private def type0Codes(line: String): Map[Char, Int] = {
+    val m = mutable.LinkedHashMap.empty[Char, Int]
+    line.foreach(c => if (!m.contains(c)) m(c) = m.size + 1)
+    m.toMap
+  }
+
+  private def cmapBytes(codes: Map[Char, Int]): Array[Byte] = {
+    val sb = new StringBuilder
+    sb.append("/CIDInit /ProcSet findresource begin\n")
+    sb.append("12 dict begin\nbegincmap\n")
+    sb.append("/CMapName /GraftToUni def\n/CMapType 2 def\n")
+    sb.append("1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n")
+    val entries = codes.toSeq.sortBy(_._2)
+    sb.append(s"${entries.length} beginbfchar\n")
+    entries.foreach { case (c, code) =>
+      sb.append(f"<$code%04X> <${c.toInt}%04X>\n")
+    }
+    sb.append("endbfchar\nendcmap\nCMapName currentdict /CMap ")
+    sb.append("defineresource pop\nend\nend\n")
+    sb.toString.getBytes("ISO-8859-1")
+  }
+
+  def pdfBytes(p: Plant): Array[Byte] = {
+    val nPages = p.pageLines.length
+    val type0 = p.type0SecondLine
+    val type0CodeMap: Map[Char, Int] =
+      if (type0) type0Codes(p.pageLines.flatMap(_.lift(1)).mkString)
+      else Map.empty
+    val li = p.lengthIndirect
+    val pageBase = if (type0) 8 else 5
+    val perPage = if (li) 3 else 2
+    def pageObj(i: Int) = pageBase + i * perPage
+    def contObj(i: Int) = pageObj(i) + 1
+    def lenObj(i: Int) = pageObj(i) + 2
+    val afterPages = pageBase + nPages * perPage
+    val encObj = if (p.encrypt) Some(afterPages) else None
+    val objStmObj = if (p.xrefStream) afterPages + (if (p.encrypt) 1 else 0)
+      else -1
+    val xrefObj = objStmObj + 1
+    val totalObjs = afterPages - 1 + (if (p.encrypt) 1 else 0) +
+      (if (p.xrefStream) 2 else 0)
+
+    // ---- object bodies (dict-only objects serialize to strings) ----
+    val kidsRefs = (0 until nPages).map(i => s"${pageObj(i)} 0 R")
+      .mkString("[", " ", "]")
+    val catalog = "<< /Type /Catalog /Pages 2 0 R >>"
+    val pagesNode =
+      s"<< /Type /Pages /Kids $kidsRefs /Count $nPages >>"
+    def infoStr(v: String, utf16: Boolean): String =
+      if (utf16) {
+        val b = Array[Byte](0xfe.toByte, 0xff.toByte) ++
+          v.getBytes("UTF-16BE")
+        hexStr(b)
+      } else "(" + new String(esc(v), "ISO-8859-1") + ")"
+    val infoEntries = new StringBuilder("<<")
+    p.title.foreach(t =>
+      infoEntries.append(" /Title ").append(infoStr(t, p.utf16Title)))
+    p.producer.foreach(pr =>
+      infoEntries.append(" /Producer ").append(infoStr(pr, utf16 = false)))
+    infoEntries.append(" >>")
+    val info = infoEntries.toString
+    val f1 = "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+      "/Encoding /WinAnsiEncoding >>"
+    val f2 = s"<< /Type /Font /Subtype /Type0 /BaseFont /GraftCID " +
+      s"/Encoding /Identity-H /DescendantFonts [6 0 R] /ToUnicode 7 0 R >>"
+    val descendant = "<< /Type /Font /Subtype /CIDFontType2 /BaseFont " +
+      "/GraftCID /CIDSystemInfo << /Registry (Adobe) " +
+      "/Ordering (Identity) /Supplement 0 >> >>"
+    val fontRes = if (type0) "<< /F1 4 0 R /F2 5 0 R >>"
+      else "<< /F1 4 0 R >>"
+    def pageDict(i: Int): String =
+      s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        s"/Resources << /Font $fontRes >> /Contents ${contObj(i)} 0 R >>"
+    val encDict = "<< /Filter /Standard /V 1 /R 2 /O <" +
+      "01" * 32 + "> /U <" + "02" * 32 + "> /P -44 >>"
+
+    // ---- assemble ----
+    val out = new ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    def wb(b: Array[Byte]): Unit = out.write(b, 0, b.length)
+    val offsets = mutable.Map.empty[Int, Long] // file-level objects
+    val inObjStm = mutable.LinkedHashMap.empty[Int, String]
+
+    w(s"%PDF-${if (p.xrefStream) "1.5" else "1.4"}\n")
+    out.write(Array[Byte]('%', 0xe2.toByte, 0xe3.toByte, 0xcf.toByte,
+      0xd3.toByte, '\n'))
+
+    def putDict(num: Int, body: String): Unit =
+      if (p.xrefStream) inObjStm(num) = body
+      else {
+        offsets(num) = out.size().toLong
+        w(s"$num 0 obj\n$body\nendobj\n")
+      }
+    def putStream(num: Int, dictExtra: String, data: Array[Byte],
+        compress: Boolean, lengthRef: Option[Int]): Unit = {
+      offsets(num) = out.size().toLong
+      val payload = if (compress) deflate(data) else data
+      val filter = if (compress) " /Filter /FlateDecode" else ""
+      val lenPart = lengthRef match {
+        case Some(ln) => s"/Length $ln 0 R"
+        case None     => s"/Length ${payload.length}"
+      }
+      w(s"$num 0 obj\n<< $lenPart$filter$dictExtra >>\nstream\n")
+      wb(payload)
+      w("\nendstream\nendobj\n")
+      lengthRef.foreach { ln =>
+        offsets(ln) = out.size().toLong
+        w(s"$ln 0 obj\n${payload.length}\nendobj\n")
+      }
+    }
+
+    putDict(1, catalog)
+    putDict(2, pagesNode)
+    putDict(3, info)
+    putDict(4, f1)
+    if (type0) {
+      putDict(5, f2)
+      putDict(6, descendant)
+      putStream(7, "", cmapBytes(type0CodeMap), compress = false, None)
+    }
+    p.pageLines.zipWithIndex.foreach { case (lines, i) =>
+      putDict(pageObj(i), pageDict(i))
+      putStream(contObj(i), "",
+        contentBytes(lines, p.kernSplitSecondLine, type0, type0CodeMap),
+        p.compress, if (li) Some(lenObj(i)) else None)
+    }
+    encObj.foreach(n => putDict(n, encDict))
+
+    val trailerRefs = "/Root 1 0 R /Info 3 0 R" +
+      encObj.map(n => s" /Encrypt $n 0 R").getOrElse("")
+
+    if (!p.xrefStream) {
+      val xrefOff = out.size()
+      w(s"xref\n0 ${totalObjs + 1}\n")
+      w("0000000000 65535 f \n")
+      (1 to totalObjs).foreach { n =>
+        w(f"${offsets(n)}%010d 00000 n \n")
+      }
+      w(s"trailer\n<< /Size ${totalObjs + 1} $trailerRefs >>\n")
+      w(s"startxref\n$xrefOff\n%%EOF\n")
+    } else {
+      // object stream with the dict-only objects
+      val hdr = new StringBuilder
+      val body = new StringBuilder
+      inObjStm.foreach { case (num, s) =>
+        hdr.append(num).append(' ').append(body.length).append(' ')
+        body.append(s).append('\n')
+      }
+      val first = hdr.length
+      val stmData = (hdr.toString + body.toString).getBytes("ISO-8859-1")
+      putStream(objStmObj,
+        s" /Type /ObjStm /N ${inObjStm.size} /First $first",
+        stmData, p.compress, None)
+
+      // xref stream: W [1 4 2], PNG Up predictor, flate
+      val xrefOff = out.size()
+      offsets(xrefObj) = xrefOff.toLong
+      val rowLen = 7
+      val rows = new Array[Array[Byte]](totalObjs + 1)
+      def row(t: Int, a: Long, b: Int): Array[Byte] =
+        Array(t.toByte, ((a >> 24) & 0xff).toByte, ((a >> 16) & 0xff).toByte,
+          ((a >> 8) & 0xff).toByte, (a & 0xff).toByte,
+          ((b >> 8) & 0xff).toByte, (b & 0xff).toByte)
+      rows(0) = row(0, 0, 65535)
+      (1 to totalObjs).foreach { n =>
+        rows(n) =
+          if (inObjStm.contains(n)) {
+            val idx = inObjStm.keysIterator.indexOf(n)
+            row(2, objStmObj.toLong, idx)
+          } else row(1, offsets(n), 0)
+      }
+      // Up-predictor encode
+      val pred = new ByteArrayOutputStream()
+      var prior = new Array[Byte](rowLen)
+      rows.foreach { r =>
+        pred.write(2)
+        var i = 0
+        while (i < rowLen) {
+          pred.write((r(i) - prior(i)) & 0xff); i += 1
+        }
+        prior = r
+      }
+      val xdata = deflate(pred.toByteArray)
+      w(s"$xrefObj 0 obj\n<< /Type /XRef /Size ${totalObjs + 1} " +
+        s"/W [1 4 2] /Index [0 ${totalObjs + 1}] $trailerRefs " +
+        s"/Filter /FlateDecode " +
+        s"/DecodeParms << /Predictor 12 /Columns $rowLen >> " +
+        s"/Length ${xdata.length} >>\nstream\n")
+      wb(xdata)
+      w("\nendstream\nendobj\n")
+      w(s"startxref\n$xrefOff\n%%EOF\n")
+    }
+    out.toByteArray
+  }
+}
+
