@@ -263,9 +263,32 @@ object Main {
             "url", "http_status", "html", ua)))
       case None => (pages0, None)
     }
-    val docs = HtmlExtract.extractDocs(pages, "path", "html",
+    val htmlDocs = HtmlExtract.extractDocs(pages, "path", "html",
         carryCols = Seq("rec_idx", "url", "warc_date", "http_status"))
       .withColumn("doc_id", xxhash64(col("path"), col("rec_idx")))
+    // include_pdf: application/pdf responses enter through the binary
+    // media door + the PDF extractor and join the same decision stream
+    // (same doc_id scheme — rec_idx is disjoint across records of a
+    // file, so html and pdf rows never collide). PDFs carry no HTML
+    // robots meta; the RFC 9309 robots gate below still applies.
+    val docs =
+      if (!cfg.includePdf) htmlDocs
+      else {
+        val media = graft.sources.Warc.mediaFromPaths(paths,
+          Seq("application/pdf"))
+        val pdfDocs = graft.sources.Pdf.pdfDocs(media, "path", "payload",
+            carryCols = Seq("rec_idx", "url", "warc_date", "http_status"))
+          .where(col("error").isNull && col("text").isNotNull)
+          .select(col("id").as("path"), col("rec_idx"), col("url"),
+            col("warc_date"), col("http_status"),
+            lit(null).cast("string").as("title"),
+            lit(null).cast("string").as("lang"), col("text"),
+            lit(0).as("blocks_kept"), lit(0).as("blocks_dropped"),
+            lit(false).as("robots_noindex"),
+            lit(false).as("robots_nofollow"))
+          .withColumn("doc_id", xxhash64(col("path"), col("rec_idx")))
+        htmlDocs.unionByName(pdfDocs)
+      }
     val decisionCols = Seq("doc_id", "lang", "n_tokens", "drop_reason",
       "avg_logprob", "bucket")
     def droppedRows(df: DataFrame, reason: String): DataFrame =

@@ -3028,8 +3028,74 @@ object SparkEntry {
           col("xref_stream"), col("title"), col("producer"),
           col("error"))
         .orderBy(col("id"))
+    }),
+
+    // crawl → PDF composition: planted WARC payloads carry an html
+    // response + an application/pdf response (+ an octet-stream decoy
+    // on k%5=2 that must NOT pass the prefix filter); the binary media
+    // door retains the pdf bytes (gzip content-encoding on k%3=0,
+    // whole-payload gzip on k%2=1), pdfDocs assembles per-document
+    // text in the kernel, and the oracle replays it closed-form
+    // (corrupt pdf body on k%7=5 → typed refusal row)
+    "q146_crawl_pdf" -> ((s, dir) => {
+      import s.implicits._
+      val warcs = tSpread(s, dir, "documents").select(col("doc_id"))
+        .as[Long]
+        .map(k => (k, q146Warc(k)))
+        .toDF("id", "payload")
+      val media = sources.Warc.mediaRecords(warcs, "id", "payload",
+        Seq("application/pdf"))
+      sources.Pdf.pdfDocs(media, "id", "payload")
+        .select(col("id"), col("n_pages"), col("text"),
+          col("lost_codes"), col("error"))
+        .orderBy(col("id"))
     })
   )
+
+  /** q146's planted WARC for doc key `k`: an html response, an
+    * `application/pdf` response (the target), and on k%5=2 an
+    * `application/octet-stream` decoy; pdf body gzip content-encoded
+    * on k%3=0, the whole WARC payload gzipped on k%2=1, a corrupt
+    * (non-PDF) body behind the pdf content-type on k%7=5.
+    */
+  private[graft] def q146Warc(k: Long): Array[Byte] = {
+    import sources.PdfWriter.{Plant, pdfBytes}
+    val crlf = "\r\n"
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(out)
+      g.write(b); g.close()
+      out.toByteArray
+    }
+    def rec(uri: String, httpCt: String, body: Array[Byte],
+            gzBody: Boolean): Array[Byte] = {
+      val enc = if (gzBody) s"Content-Encoding: gzip$crlf" else ""
+      val payload = if (gzBody) gz(body) else body
+      val http = (s"HTTP/1.1 200 OK${crlf}Content-Type: $httpCt$crlf" +
+        enc + crlf).getBytes("UTF-8") ++ payload
+      (s"WARC/1.0${crlf}WARC-Type: response$crlf" +
+        s"WARC-Target-URI: $uri$crlf" +
+        s"WARC-Date: 2026-01-15T00:00:00Z$crlf" +
+        s"Content-Type: application/http; msgtype=response$crlf" +
+        s"Content-Length: ${http.length}$crlf$crlf").getBytes("UTF-8") ++
+        http ++ (crlf + crlf).getBytes("UTF-8")
+    }
+    val pdfBody: Array[Byte] =
+      if (k % 7 == 5) s"broken $k".getBytes("UTF-8")
+      else pdfBytes(Plant(
+        (1 to (k % 2 + 1).toInt).map(p =>
+          Seq(s"Pdf $k page $p", s"Tail ${(k * 3) % 50} $p")),
+        compress = k % 2 == 0))
+    var payload =
+      rec(s"https://h.example.org/p$k", "text/html",
+        s"<p>page $k</p>".getBytes("UTF-8"), gzBody = false) ++
+        rec(s"https://h.example.org/d$k.pdf", "application/pdf",
+          pdfBody, gzBody = k % 3 == 0)
+    if (k % 5 == 2)
+      payload = payload ++ rec(s"https://h.example.org/b$k",
+        "application/octet-stream", Array[Byte](9, 8, 7), gzBody = false)
+    if (k % 2 == 1) gz(payload) else payload
+  }
 
   /** q144's planted document for part key `k`: a real PDF whose page
     * texts replay closed-form (see the query comment for the residue
@@ -6456,7 +6522,24 @@ object SparkEntry {
         |SELECT k, FALSE, NULL, NULL, NULL, FALSE, FALSE, NULL, NULL,
         |  'not a pdf'
         |FROM s WHERE k % 13 = 7
-        |ORDER BY id""".stripMargin
+        |ORDER BY id""".stripMargin,
+
+    // the crawl→pdf composition replays closed-form: per-doc page
+    // texts joined by blank lines, refusal rows on k%7=5
+    "q146_crawl_pdf" ->
+      """SELECT doc_id AS id,
+        |  CAST(CASE WHEN doc_id % 7 = 5 THEN 0
+        |    ELSE doc_id % 2 + 1 END AS INTEGER) AS n_pages,
+        |  CASE WHEN doc_id % 7 = 5 THEN NULL
+        |    ELSE array_to_string(list_transform(
+        |      range(1, CAST(doc_id % 2 + 2 AS INTEGER)), p ->
+        |        'Pdf ' || CAST(doc_id AS VARCHAR) || ' page ' ||
+        |        CAST(p AS VARCHAR) || chr(10) || 'Tail ' ||
+        |        CAST((doc_id * 3) % 50 AS VARCHAR) || ' ' ||
+        |        CAST(p AS VARCHAR)), chr(10) || chr(10)) END AS text,
+        |  CAST(0 AS BIGINT) AS lost_codes,
+        |  CASE WHEN doc_id % 7 = 5 THEN 'not a pdf' END AS error
+        |FROM documents ORDER BY id""".stripMargin
   )
 
   /** q133's replay: q102's stage CTEs over the crawl-extracted corpus

@@ -55,14 +55,15 @@ final case class CrawlConfig(input: String, outdir: String,
                              robotsUserAgent: Option[String],
                              wetOutput: Option[String],
                              cdxOutput: Option[String],
-                             inputPartitions: Int)
+                             inputPartitions: Int,
+                             includePdf: Boolean = false)
 
 object CrawlConfig {
 
   private val Known = Set("input", "outdir", "keep_langs",
     "min_host_docs", "max_host_docs", "t_head", "t_mid",
     "honor_noindex", "robots_user_agent", "wet_output", "cdx_output",
-    "input_partitions")
+    "input_partitions", "include_pdf")
 
   /** Parse + validate; Left = every problem found (not just the first). */
   def from(raw: Map[String, Any]): Either[Seq[String], CrawlConfig] = {
@@ -148,8 +149,11 @@ object CrawlConfig {
     if (parts < 0 || parts > Int.MaxValue)
       errs += "input_partitions: must be a non-negative integer"
 
+    val includePdf = boolOpt("include_pdf", default = false)
+
     if (errs.nonEmpty) Left(errs.toSeq)
     else Right(CrawlConfig(input, outdir, keepLangs, minHost, maxHost,
-      tHead, tMid, honorNoindex, robotsUa, wetOut, cdxOut, parts.toInt))
+      tHead, tMid, honorNoindex, robotsUa, wetOut, cdxOut, parts.toInt,
+      includePdf))
   }
 }

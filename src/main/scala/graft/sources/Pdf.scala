@@ -1567,6 +1567,26 @@ object Pdf {
         col("lost_codes"), col("error"))
   }
 
+  /** One row per DOCUMENT with the page texts joined by blank lines —
+    * the curation-pipeline shape ([[pdfExtract]] is the per-page
+    * analytics shape). The page join happens inside the kernel, so a
+    * document's text assembles without an explode + groupBy shuffle.
+    */
+  def pdfDocs(df: DataFrame, idCol: String, payloadCol: String,
+      carryCols: Seq[String] = Nil): DataFrame = {
+    val kernel = udf { (b: Array[Byte]) =>
+      val e = extract(if (b == null) Array.emptyByteArray else b)
+      (e.nPages, if (e.error.isEmpty) e.pages.mkString("\n\n") else null,
+        e.lostCodes, e.error)
+    }
+    val carried = carryCols.map(col)
+    df.select(col(idCol).as("id") +: carried :+
+        kernel(col(payloadCol)).as("p"): _*)
+      .select(col("id") +: carried :+ col("p._1").as("n_pages") :+
+        col("p._2").as("text") :+ col("p._3").as("lost_codes") :+
+        col("p._4").as("error"): _*)
+  }
+
   /** Structural corpus audit (the q142/q143 pattern): one row per
     * payload with typed metadata + refusal reason.
     */

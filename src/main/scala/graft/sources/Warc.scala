@@ -109,7 +109,9 @@ object Warc {
   final case class Rec(recIdx: Int, offset: Long, warcType: String,
                        targetUri: String, warcDate: String,
                        contentType: String, httpStatus: Option[Int],
-                       text: String, error: String)
+                       text: String, error: String,
+                       httpContentType: String = null,
+                       bin: Array[Byte] = null)
 
   private val Utf8 = java.nio.charset.StandardCharsets.UTF_8
 
@@ -565,7 +567,7 @@ object Warc {
     * reason-class token (no colon), so [[quarantineStats]] counts
     * coverage loss per encoding.
     */
-  private def parseHttp(b: Array[Byte]): (Int, Array[Byte]) = {
+  private def parseHttp(b: Array[Byte]): (Int, Array[Byte], String) = {
     val (e, next) = lineEnd(b, 0)
     val status = asciiLine(b, 0, e)
     if (!status.startsWith("HTTP/")) malformed("not an HTTP response block")
@@ -635,14 +637,36 @@ object Warc {
       case Some(other) =>
         malformed(s"unsupported content-encoding ${sanitizeToken(other)}")
     }
-    (code, body)
+    (code, body, headers.get("content-type").orNull)
   }
+
+  /** Normalize a Content-Type header to its media type: parameters
+    * stripped, lowercased. */
+  private[graft] def mediaTypeOf(ct: String): String =
+    if (ct == null) null
+    else {
+      val semi = ct.indexOf(';')
+      (if (semi >= 0) ct.substring(0, semi) else ct)
+        .trim.toLowerCase(java.util.Locale.ROOT)
+    }
+
+  /** Media types whose bodies are text for the HTML front door; a
+    * null/absent Content-Type is assumed textual (the web's default).
+    * Everything else is a binary asset the media door retains raw.
+    */
+  private[graft] def isTextualMedia(mt: String): Boolean =
+    mt == null || mt.startsWith("text/") || mt.endsWith("+xml") ||
+      mt.endsWith("+json") || mt == "application/xml" ||
+      mt == "application/json" || mt.contains("javascript") ||
+      mt == "application/x-www-form-urlencoded"
+
 
   // ---------------------------------------------------------------------
   // The record iterator.
   // ---------------------------------------------------------------------
 
-  private final class RecIterator(src: ByteSource) extends Iterator[Rec] {
+  private final class RecIterator(src: ByteSource,
+      keepBinary: Boolean = false) extends Iterator[Rec] {
     private var idx = 0
     private val pending = new java.util.ArrayDeque[Rec]()
     private var finished = false
@@ -669,16 +693,26 @@ object Warc {
       // the record's identity on the error row (coverage stays
       // attributable) and needs NO resync — the body was consumed.
       try {
-        val (status, text) = wt match {
+        val (status, text, hct, bin) = wt match {
           case "response" if ct != null &&
             ct.toLowerCase(java.util.Locale.ROOT)
               .startsWith("application/http") =>
-            val (code, html) = parseHttp(body)
-            (Some(code), new String(html, Utf8))
-          case "conversion" => (None, new String(body, Utf8))
-          case _ => (None, null) // warcinfo/request/metadata: typed only
+            val (code, payload, hctRaw) = parseHttp(body)
+            // binary media bodies stay bytes ONLY when the caller asked
+            // (the media door); the default text path is unchanged
+            if (keepBinary && !isTextualMedia(mediaTypeOf(hctRaw)))
+              (Some(code), null: String, hctRaw, payload)
+            else
+              (Some(code), new String(payload, Utf8), hctRaw,
+                null: Array[Byte])
+          case "conversion" =>
+            (None, new String(body, Utf8), null: String,
+              null: Array[Byte])
+          case _ => // warcinfo/request/metadata: typed only
+            (None, null: String, null: String, null: Array[Byte])
         }
-        Rec(idx, recStart, wt, uri, date, ct, status, text, null)
+        Rec(idx, recStart, wt, uri, date, ct, status, text, null,
+          hct, bin)
       } catch {
         case m: Malformed =>
           Rec(idx, recStart, wt, uri, date, ct, None, null, m.reason)
@@ -725,9 +759,16 @@ object Warc {
     * never exceptions. Memory: the current record (+ one buffered gzip
     * member), never the inflated file.
     */
-  def stream(payload: Array[Byte]): Iterator[Rec] = {
+  def stream(payload: Array[Byte]): Iterator[Rec] =
+    stream(payload, keepBinary = false)
+
+  /** [[stream]] with binary-media retention: response bodies whose
+    * HTTP media type is not textual keep their raw bytes in
+    * [[Rec.bin]] (text stays null) — the kernel behind the media
+    * front doors. */
+  def stream(payload: Array[Byte], keepBinary: Boolean): Iterator[Rec] = {
     if (payload == null || payload.isEmpty) return Iterator.empty
-    new RecIterator(new ByteSource(chunkSourceFor(payload)))
+    new RecIterator(new ByteSource(chunkSourceFor(payload)), keepBinary)
   }
 
   private def chunkSourceFor(payload: Array[Byte]): ChunkSource =
@@ -740,7 +781,12 @@ object Warc {
     * from storage) into records; same contract as [[stream]]. The
     * first two bytes are sniffed for the gzip magic.
     */
-  def parseStream(in: java.io.InputStream): Iterator[Rec] = {
+  def parseStream(in: java.io.InputStream): Iterator[Rec] =
+    parseStream(in, keepBinary = false)
+
+  /** [[parseStream]] with binary-media retention (see [[stream]]). */
+  def parseStream(in: java.io.InputStream,
+      keepBinary: Boolean): Iterator[Rec] = {
     val pin = new java.io.PushbackInputStream(in, 2)
     val b0 = pin.read()
     if (b0 < 0) return Iterator.empty
@@ -750,7 +796,7 @@ object Warc {
     val chunks: ChunkSource =
       if (b0 == 0x1f && b1 == 0x8b) new GzipMemberChunks(pin)
       else new StreamChunks(pin)
-    new RecIterator(new ByteSource(chunks))
+    new RecIterator(new ByteSource(chunks), keepBinary)
   }
 
   /** [[stream]], materialized — the kernel behind the binary-column
@@ -760,10 +806,11 @@ object Warc {
     * crosses it, one error row quarantines the remainder and parsing
     * stops (records already decoded stand).
     */
-  def parse(payload: Array[Byte]): Seq[Rec] = {
+  def parse(payload: Array[Byte],
+            keepBinary: Boolean = false): Seq[Rec] = {
     if (payload == null || payload.isEmpty) return Nil
     val src = new ByteSource(chunkSourceFor(payload))
-    val it = new RecIterator(src)
+    val it = new RecIterator(src, keepBinary)
     val out = scala.collection.mutable.ArrayBuffer.empty[Rec]
     var capped = false
     while (!capped && it.hasNext) {
@@ -819,7 +866,13 @@ object Warc {
     * quarantine follows the [[Rec]] error model. `repartition` the
     * input first when the path list is skewed across tasks.
     */
-  def recordsFromPaths(paths: Dataset[String]): DataFrame = {
+  def recordsFromPaths(paths: Dataset[String]): DataFrame =
+    recordsFromPathsEx(paths).drop("http_media_type")
+
+  /** [[recordsFromPaths]] + the normalized HTTP media type (internal:
+    * the html door filters binary assets on it without widening the
+    * public record schema). */
+  private def recordsFromPathsEx(paths: Dataset[String]): DataFrame = {
     val spark = paths.sparkSession
     // Hadoop Configuration is Writable, not Serializable; ship it via
     // the DeveloperApi wrapper so executor-side FileSystem resolution
@@ -828,7 +881,8 @@ object Warc {
       new org.apache.spark.SerializableWritable(
         spark.sparkContext.hadoopConfiguration))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
-      .encoderFor(RecSchema)
+      .encoderFor(StructType(RecSchema.fields :+
+        StructField("http_media_type", StringType, nullable = true)))
     paths.mapPartitions { it =>
       it.flatMap { p =>
         val opened =
@@ -842,7 +896,7 @@ object Warc {
         opened match {
           case Left(err) =>
             Iterator.single(Row(p, 0, 0L, null, null, null, null, null,
-              null, s"unreadable file: $err"))
+              null, s"unreadable file: $err", null))
           case Right(in) =>
             // closed when the iterator drains; a task-completion
             // listener backstops early termination (a downstream
@@ -868,7 +922,8 @@ object Warc {
                 val r = recs.next()
                 Row(p, r.recIdx, r.offset, r.warcType, r.targetUri,
                   r.warcDate, r.contentType,
-                  r.httpStatus.map(Int.box).orNull, r.text, r.error)
+                  r.httpStatus.map(Int.box).orNull, r.text, r.error,
+                  mediaTypeOf(r.httpContentType))
               }
             }
         }
@@ -887,12 +942,14 @@ object Warc {
   def htmlPages(df: DataFrame, idCol: String, payloadCol: String,
                 carryCols: Seq[String] = Nil): DataFrame = {
     val kernel = udf { payload: Array[Byte] => parse(payload) }
+    val textual = udf { hct: String => isTextualMedia(mediaTypeOf(hct)) }
     df.select(col(idCol) +: carryCols.map(col) :+
         explode(kernel(col(payloadCol))).as("r"): _*)
       .where(col("r.error").isNull &&
         (col("r.warcType") === "response" ||
           col("r.warcType") === "conversion") &&
-        col("r.text").isNotNull)
+        col("r.text").isNotNull &&
+        textual(col("r.httpContentType")))
       .select(col(idCol) +: carryCols.map(col) :+
         col("r.recIdx").as("rec_idx") :+ col("r.targetUri").as("url") :+
         col("r.warcDate").as("warc_date") :+
@@ -907,14 +964,123 @@ object Warc {
     * per-record memory contract; the `path` column is the provenance
     * id.
     */
-  def htmlPagesFromPaths(paths: Dataset[String]): DataFrame =
-    recordsFromPaths(paths)
+  def htmlPagesFromPaths(paths: Dataset[String]): DataFrame = {
+    val textual = udf { mt: String => isTextualMedia(mt) }
+    recordsFromPathsEx(paths)
       .where(col("error").isNull &&
         (col("warc_type") === "response" ||
           col("warc_type") === "conversion") &&
-        col("text").isNotNull)
+        col("text").isNotNull &&
+        textual(col("http_media_type")))
       .select(col("path"), col("rec_idx"), col("url"), col("warc_date"),
         col("http_status"), col("text").as("html"))
+  }
+
+  /** Binary-media twin of [[htmlPages]]: HTTP `response` records whose
+    * media type is NOT textual, with the raw (transfer/content-decoded)
+    * body bytes retained — the crawl door for PDF/image/audio assets.
+    * `mediaPrefixes` filters by normalized media type prefix
+    * (e.g. `Seq("application/pdf")`); empty keeps every binary asset.
+    * Failures stay on [[records]]' quarantine rows — this door emits
+    * content rows only. Scan-stage kernel + explode; the WARC payload
+    * column is projected away and only matched bodies survive the
+    * in-kernel filter, so nothing binary rides an Exchange unasked.
+    */
+  def mediaRecords(df: DataFrame, idCol: String, payloadCol: String,
+                   mediaPrefixes: Seq[String] = Nil): DataFrame = {
+    val prefixes = mediaPrefixes.map(_.toLowerCase(java.util.Locale.ROOT))
+    val kernel = udf { payload: Array[Byte] =>
+      parse(payload, keepBinary = true).collect {
+        case r if r.error == null && r.warcType == "response" &&
+            r.bin != null && {
+              val mt = mediaTypeOf(r.httpContentType)
+              mt != null &&
+                (prefixes.isEmpty || prefixes.exists(mt.startsWith))
+            } =>
+          (r.recIdx, r.targetUri, r.warcDate,
+            r.httpStatus.getOrElse(-1), mediaTypeOf(r.httpContentType),
+            r.bin)
+      }
+    }
+    df.select(col(idCol), explode(kernel(col(payloadCol))).as("r"))
+      .select(col(idCol), col("r._1").as("rec_idx"),
+        col("r._2").as("url"), col("r._3").as("warc_date"),
+        col("r._4").as("http_status"), col("r._5").as("media_type"),
+        col("r._6").as("payload"))
+  }
+
+  private val MediaSchema = StructType(Seq(
+    StructField("path", StringType, nullable = true),
+    StructField("rec_idx", IntegerType, nullable = false),
+    StructField("offset", LongType, nullable = false),
+    StructField("url", StringType, nullable = true),
+    StructField("warc_date", StringType, nullable = true),
+    StructField("http_status", IntegerType, nullable = true),
+    StructField("media_type", StringType, nullable = true),
+    StructField("payload", BinaryType, nullable = true)))
+
+  /** [[mediaRecords]] over the FILE front door ([[recordsFromPaths]]'
+    * per-record-memory contract): binary-media rows of whole crawl
+    * files — the record walk holds one record at a time and unmatched
+    * records are dropped before they become rows.
+    */
+  def mediaFromPaths(paths: Dataset[String],
+                     mediaPrefixes: Seq[String] = Nil): DataFrame = {
+    val spark = paths.sparkSession
+    val prefixes = mediaPrefixes.map(_.toLowerCase(java.util.Locale.ROOT))
+    val bconf = spark.sparkContext.broadcast(
+      new org.apache.spark.SerializableWritable(
+        spark.sparkContext.hadoopConfiguration))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(MediaSchema)
+    paths.mapPartitions { it =>
+      it.flatMap { p =>
+        val opened =
+          try {
+            val hp = new org.apache.hadoop.fs.Path(p)
+            val fs = hp.getFileSystem(bconf.value.value)
+            Right(fs.open(hp): java.io.InputStream)
+          } catch {
+            case e: java.io.IOException => Left(e.getClass.getSimpleName)
+          }
+        opened match {
+          case Left(_) => Iterator.empty // audit via recordsFromPaths
+          case Right(in) =>
+            new Iterator[Row] {
+              private val recs = parseStream(in, keepBinary = true)
+                .filter { r =>
+                  r.error == null && r.warcType == "response" &&
+                    r.bin != null && {
+                      val mt = mediaTypeOf(r.httpContentType)
+                      mt != null && (prefixes.isEmpty ||
+                        prefixes.exists(mt.startsWith))
+                    }
+                }
+              private var closed = false
+              private def closeOnce(): Unit =
+                if (!closed) {
+                  closed = true
+                  try in.close()
+                  catch { case _: java.io.IOException => () }
+                }
+              Option(org.apache.spark.TaskContext.get()).foreach(
+                _.addTaskCompletionListener[Unit](_ => closeOnce()))
+              def hasNext: Boolean = {
+                val h = recs.hasNext
+                if (!h) closeOnce()
+                h
+              }
+              def next(): Row = {
+                val r = recs.next()
+                Row(p, r.recIdx, r.offset, r.targetUri, r.warcDate,
+                  r.httpStatus.map(Int.box).orNull,
+                  mediaTypeOf(r.httpContentType), r.bin)
+              }
+            }
+        }
+      }
+    }(enc)
+  }
 
   /** Quarantine audit over a [[records]]/[[recordsFromPaths]] output:
     * rows-lost-by-reason-class, so a crawl pipeline can SEE how much

@@ -41,6 +41,42 @@ object CorpusStream {
         "http_status"))
   }
 
+  /** Streaming PDF ingestion — the binary-media twin of
+    * [[crawlIngest]]: `application/pdf` responses leave the WARC
+    * stream through the binary media door
+    * ([[graft.sources.Warc.mediaRecords]]) and the PDF extractor
+    * assembles per-document text in the kernel
+    * ([[graft.sources.Pdf.pdfDocs]]). STATELESS like [[crawlIngest]]
+    * (kernels + a generator + a filter), so the same call serves
+    * backfill and live ingest; refusals (corrupt/encrypted documents)
+    * are dropped here — audit them with `Pdf.pdfAudit` on the same
+    * media frame.
+    */
+  def pdfIngest(warcs: DataFrame, idCol: String,
+                payloadCol: String): DataFrame = {
+    val media = graft.sources.Warc.mediaRecords(warcs, idCol, payloadCol,
+      Seq("application/pdf"))
+    graft.sources.Pdf.pdfDocs(media, idCol, "payload",
+        carryCols = Seq("rec_idx", "url", "warc_date", "http_status"))
+      .where(col("error").isNull && col("text").isNotNull)
+  }
+
+  /** [[pdfIngest]] over a stream of FILE PATHS (the
+    * [[crawlIngestFromPaths]] manifest pattern, same per-record-memory
+    * contract): `doc_id` = xxhash64(path, rec_idx) — the SAME scheme as
+    * the html ingest, and rec_idx is disjoint across a file's records,
+    * so html and pdf documents of one crawl file never collide.
+    */
+  def pdfIngestFromPaths(paths: Dataset[String]): DataFrame =
+    graft.sources.Pdf.pdfDocs(
+        graft.sources.Warc.mediaFromPaths(paths, Seq("application/pdf")),
+        "path", "payload",
+        carryCols = Seq("rec_idx", "url", "warc_date", "http_status"))
+      .where(col("error").isNull && col("text").isNotNull)
+      .withColumnRenamed("id", "path")
+      .withColumn("doc_id", xxhash64(col("path"), col("rec_idx")))
+      .withColumn("event_time", to_timestamp(col("warc_date")))
+
   /** [[crawlIngest]] over a stream of FILE PATHS — the live twin of
     * [[graft.sources.Warc.recordsFromPaths]]'s per-record-memory
     * contract: each path row opens its file through the Hadoop

@@ -216,6 +216,50 @@ class CrawlCliSpec extends SparkSpec {
     }
   }
 
+  test("include_pdf: application/pdf responses join the decision stream") {
+    val dir = Files.createTempDirectory("graft_crawl_pdf_in").toFile
+    val outdir = Files.createTempDirectory("graft_crawl_pdf_out").toString
+    try {
+      val ws = prose2.split(" ")
+      val pdfBytes = graft.sources.PdfWriter.pdfBytes(
+        graft.sources.PdfWriter.Plant(
+          Seq(Seq(ws.take(ws.length / 2).mkString(" "),
+            ws.drop(ws.length / 2).mkString(" "))), compress = true))
+      val pdfBody = (s"HTTP/1.1 200 OK${crlf}Content-Type: " +
+        s"application/pdf$crlf$crlf").getBytes("UTF-8") ++ pdfBytes
+      val h = new StringBuilder("WARC/1.0").append(crlf)
+      h.append("WARC-Type: response").append(crlf)
+      h.append("WARC-Target-URI: https://p.example.org/doc.pdf")
+        .append(crlf)
+      h.append("WARC-Date: 2026-03-01T00:00:00Z").append(crlf)
+      h.append("Content-Type: application/http; msgtype=response")
+        .append(crlf)
+      h.append("Content-Length: ").append(pdfBody.length).append(crlf)
+        .append(crlf)
+      val pdfRec = h.toString.getBytes("UTF-8") ++ pdfBody ++
+        (crlf + crlf).getBytes("UTF-8")
+      val warc = gzip(rec("https://p.example.org/html", page(prose1))) ++
+        gzip(pdfRec)
+      Files.write(new java.io.File(dir, "p.warc.gz").toPath, warc)
+
+      val base = Map[String, Any](
+        "input" -> dir.getAbsolutePath, "outdir" -> outdir,
+        "keep_langs" -> Seq("en"))
+      val on = graft.config.CrawlConfig.from(
+        base + ("include_pdf" -> java.lang.Boolean.TRUE)).toOption.get
+      val r = Main.crawl(spark, on)
+      assert(r.nPages == 2) // the html page AND the pdf document
+      assert(r.nKept == 2, r.dropped)
+
+      // without the flag the pdf never reaches the decision stream
+      val off = graft.config.CrawlConfig.from(base).toOption.get
+      val r2 = Main.crawl(spark, off.copy(outdir = outdir + "2"))
+      assert(r2.nPages == 1)
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
   test("crawl: empty input is a clean no-op report, not a crash") {
     val dir = Files.createTempDirectory("graft_crawl_empty").toFile
     try {

@@ -1,0 +1,146 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The binary-media crawl door: HTTP responses whose media type is not
+  * textual keep their raw bytes ([[Warc.mediaRecords]] /
+  * [[Warc.mediaFromPaths]]), while the default text path stays
+  * byte-for-byte what it was — and the retained payloads feed the PDF
+  * extractor end-to-end.
+  */
+class WarcMediaSpec extends SparkSpec {
+
+  private val crlf = "\r\n"
+
+  private def rec(wtype: String, uri: String, body: Array[Byte]): Array[Byte] = {
+    val h = new StringBuilder("WARC/1.0").append(crlf)
+    h.append("WARC-Type: ").append(wtype).append(crlf)
+    h.append("WARC-Target-URI: ").append(uri).append(crlf)
+    h.append("WARC-Date: 2026-02-01T12:00:00Z").append(crlf)
+    h.append("Content-Type: application/http; msgtype=response").append(crlf)
+    h.append("Content-Length: ").append(body.length).append(crlf).append(crlf)
+    h.toString.getBytes("UTF-8") ++ body ++ (crlf + crlf).getBytes("UTF-8")
+  }
+
+  private def httpBody(contentType: String, body: Array[Byte],
+                       extra: String = ""): Array[Byte] =
+    (s"HTTP/1.1 200 OK${crlf}Content-Type: $contentType$crlf$extra$crlf")
+      .getBytes("UTF-8") ++ body
+
+  private def gzip(b: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(out)
+    gz.write(b); gz.close()
+    out.toByteArray
+  }
+
+  private def pdf(lines: Seq[String]): Array[Byte] =
+    PdfWriter.pdfBytes(PdfWriter.Plant(Seq(lines), compress = true))
+
+  private def fixture(): Array[Byte] = {
+    val pdfBytes = pdf(Seq("Crawl doc line one", "And line two"))
+    rec("response", "https://x.org/page",
+      httpBody("text/html; charset=utf-8", "<p>hello</p>".getBytes("UTF-8"))) ++
+      rec("response", "https://x.org/doc.pdf",
+        httpBody("application/pdf", pdfBytes)) ++
+      rec("response", "https://x.org/blob",
+        httpBody("application/octet-stream", Array[Byte](0, 1, 2, 3, 4))) ++
+      rec("conversion", "https://x.org/wet", "plain text".getBytes("UTF-8"))
+  }
+
+  test("mediaTypeOf / isTextualMedia classify") {
+    assert(Warc.mediaTypeOf("Application/PDF; q=1") == "application/pdf")
+    assert(Warc.mediaTypeOf(null) == null)
+    assert(Warc.isTextualMedia(null))
+    assert(Warc.isTextualMedia("text/html"))
+    assert(Warc.isTextualMedia("application/xhtml+xml"))
+    assert(Warc.isTextualMedia("application/json"))
+    assert(!Warc.isTextualMedia("application/pdf"))
+    assert(!Warc.isTextualMedia("image/png"))
+    assert(!Warc.isTextualMedia("application/octet-stream"))
+  }
+
+  test("mediaRecords: only matching binary bodies, byte-identical") {
+    import spark.implicits._
+    val pdfBytes = pdf(Seq("Crawl doc line one", "And line two"))
+    val df = Seq((1L, fixture())).toDF("id", "payload")
+    val onlyPdf = Warc.mediaRecords(df, "id", "payload",
+      Seq("application/pdf")).collect()
+    assert(onlyPdf.length == 1)
+    assert(onlyPdf(0).getAs[String]("url") == "https://x.org/doc.pdf")
+    assert(onlyPdf(0).getAs[String]("media_type") == "application/pdf")
+    assert(onlyPdf(0).getAs[Array[Byte]]("payload").sameElements(pdfBytes))
+    // empty prefix list: every binary asset (pdf + blob), never text
+    val all = Warc.mediaRecords(df, "id", "payload").collect()
+    assert(all.map(_.getAs[String]("url")).sorted.toSeq ==
+      Seq("https://x.org/blob", "https://x.org/doc.pdf"))
+  }
+
+  test("default text path is unchanged by the media extension") {
+    val rs = Warc.parse(fixture())
+    assert(rs.forall(_.bin == null)) // no binary retention unasked
+    val byUrl = rs.filter(_.error == null).map(r => r.targetUri -> r).toMap
+    assert(byUrl("https://x.org/page").text == "<p>hello</p>")
+    assert(byUrl("https://x.org/page").httpContentType ==
+      "text/html; charset=utf-8")
+    // the pdf body still decodes to (mojibake) text on the default path
+    assert(byUrl("https://x.org/doc.pdf").text != null)
+    assert(byUrl("https://x.org/doc.pdf").httpContentType ==
+      "application/pdf")
+  }
+
+  test("content-encoding decodes before retention (gzip pdf body)") {
+    import spark.implicits._
+    val pdfBytes = pdf(Seq("Zipped body"))
+    val payload = rec("response", "https://x.org/z.pdf",
+      httpBody("application/pdf", gzip(pdfBytes),
+        extra = s"Content-Encoding: gzip$crlf"))
+    val df = Seq((1L, payload)).toDF("id", "payload")
+    val rows = Warc.mediaRecords(df, "id", "payload",
+      Seq("application/pdf")).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[Array[Byte]]("payload").sameElements(pdfBytes))
+  }
+
+  test("mediaFromPaths: file front door matches the binary-column door") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_media").toFile
+    try {
+      java.nio.file.Files.write(
+        new java.io.File(dir, "m.warc.gz").toPath, gzip(fixture()))
+      val paths = Seq(new java.io.File(dir, "m.warc.gz").getAbsolutePath)
+        .toDS()
+      val rows = Warc.mediaFromPaths(paths, Seq("application/pdf"))
+        .collect()
+      assert(rows.length == 1)
+      assert(rows(0).getAs[String]("media_type") == "application/pdf")
+      assert(rows(0).getAs[Int]("http_status") == 200)
+      val viaCol = Warc.mediaRecords(
+        Seq((1L, fixture())).toDF("id", "payload"), "id", "payload",
+        Seq("application/pdf")).collect()
+      assert(rows(0).getAs[Array[Byte]]("payload").sameElements(
+        viaCol(0).getAs[Array[Byte]]("payload")))
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
+  test("media door feeds the PDF extractor end-to-end") {
+    import spark.implicits._
+    val df = Seq((7L, fixture())).toDF("id", "payload")
+    val media = Warc.mediaRecords(df, "id", "payload",
+      Seq("application/pdf"))
+    val pages = Pdf.pdfExtract(media, "url", "payload")
+      .orderBy("page").collect()
+    assert(pages.length == 1)
+    assert(pages(0).getAs[String]("text") ==
+      "Crawl doc line one\nAnd line two")
+    val docs = Pdf.pdfDocs(media, "url", "payload",
+      carryCols = Seq("warc_date")).collect()
+    assert(docs.length == 1)
+    assert(docs(0).getAs[String]("text") ==
+      "Crawl doc line one\nAnd line two")
+    assert(docs(0).getAs[String]("warc_date") == "2026-02-01T12:00:00Z")
+  }
+}

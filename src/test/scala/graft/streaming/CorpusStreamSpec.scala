@@ -98,6 +98,55 @@ class CorpusStreamSpec extends SparkSpec {
     assert(batch == got)
   }
 
+  test("streaming PDF ingest: binary media door + extractor, stateless, " +
+    "batch \u2261 stream") {
+    implicit val sqlCtx = spark.sqlContext
+    // q146's plant: html + application/pdf (+ octet-stream decoy)
+    // records per key; k%7=5 is a corrupt pdf the ingest must drop
+    val rows = Seq(1L, 2L, 3L, 4L, 5L, 12L).map(k =>
+      WarcRow(k, t("2020-01-01 10:00:00"), graft.SparkEntry.q146Warc(k)))
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[WarcRow]
+    val q = CorpusStream.pdfIngest(source.toDF(), "id", "payload")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("pdf_ingest")
+      .start()
+    source.addData(rows.take(3): _*)
+    q.processAllAvailable()
+    source.addData(rows.drop(3): _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT id, n_pages, text FROM pdf_ingest")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .toSet
+    // k=5 and k=12 are corrupt (k%7=5) -> dropped; others extract
+    assert(got.map(_._1) == Set(1L, 2L, 3L, 4L))
+    assert(got.forall { case (k, np, text) =>
+      np == (k % 2 + 1).toInt && text.contains(s"Pdf $k page 1") })
+    // batch twin agrees row-for-row
+    val batch = CorpusStream.pdfIngest(rows.toDF(), "id", "payload")
+      .select("id", "n_pages", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .toSet
+    assert(batch == got)
+    // the file-path twin extracts the same documents (ids are
+    // path-based there; compare the extracted texts)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pdfstream")
+    try {
+      rows.foreach { r =>
+        java.nio.file.Files.write(
+          dir.resolve(s"w${r.id}.warc"), r.payload)
+      }
+      val paths = rows.map(r => dir.resolve(s"w${r.id}.warc").toString)
+        .toDS()
+      val viaFiles = CorpusStream.pdfIngestFromPaths(paths)
+        .select("text").as[String].collect().toSet
+      assert(viaFiles == got.map(_._3))
+    } finally {
+      dir.toFile.listFiles().foreach(_.delete())
+      java.nio.file.Files.delete(dir)
+    }
+  }
+
   test("streaming URL-level dedup keeps the first crawl per canonical " +
     "URL; unaddressable rows always flow; state spans micro-batches") {
     implicit val sqlCtx = spark.sqlContext
