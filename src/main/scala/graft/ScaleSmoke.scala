@@ -119,7 +119,13 @@ object ScaleSmoke {
     // only, never the entropy-coded data (the q134 class for images)
     "q142_exif_audit",
     // ID3v2 audit: tag-byte walk at the payload head, audio untouched
-    "q143_id3_audit")
+    "q143_id3_audit",
+    // r16 PDF front door: per-row COS parse + filter decode + text
+    // interpret over plants (the scan-flat q139/q140 codec class), the
+    // structural header-walk audit (the q142/q143 class), and the
+    // WARC→media-door→pdfDocs composition (per-row WARC walk + gzip +
+    // PDF decode, no shuffle anywhere)
+    "q144_pdf_extract", "q145_pdf_audit", "q146_crawl_pdf")
 
   /** Measured at 10× only. All three are deliberately NOT the scale
     * path — q77 is the pinned-k SemDeDup negative control (its 100×
@@ -188,6 +194,18 @@ object ScaleSmoke {
     }.reduce(_ unionByName _)
   }
 
+  /** q144 plants off part KEYS (the supplier pattern; only the key
+    * column is read). */
+  private def scaledPart(spark: SparkSession, baseDir: String,
+                         factor: Int): DataFrame = {
+    val base = graft.tables.Tables.load(spark, baseDir, "part")
+      .select(col("p_partkey"))
+    (0 until factor).map { c =>
+      if (c == 0) base
+      else base.withColumn("p_partkey", col("p_partkey") + lit(c * CopyOffset))
+    }.reduce(_ unionByName _)
+  }
+
   private def buildScaled(spark: SparkSession, baseDir: String,
                           factor: Int): String = {
     val dir = s"/tmp/graft_scale${factor}x"
@@ -209,6 +227,14 @@ object ScaleSmoke {
         .repartition(spark.sparkContext.defaultParallelism)
         .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
       java.nio.file.Files.createFile(supMarker)
+    }
+    // separate marker again: part replication arrived with q144 (r16)
+    val partMarker = java.nio.file.Paths.get(dir, "_BUILT_PART")
+    if (!java.nio.file.Files.exists(partMarker)) {
+      scaledPart(spark, baseDir, factor)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.mode("overwrite").parquet(s"$dir/part.parquet")
+      java.nio.file.Files.createFile(partMarker)
     }
     dir
   }

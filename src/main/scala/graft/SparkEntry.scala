@@ -3013,9 +3013,11 @@ object SparkEntry {
 
     // PDF structural audit — the q142/q143 metadata-walk pattern:
     // version/page/object arithmetic, encryption and xref-stream
-    // flags, info strings (UTF-16BE on k%6=2, withheld when
-    // encrypted); the oracle replays the writer's object-count
-    // formula closed-form
+    // flags, info strings (UTF-16BE on k%6=2). Encrypted docs (k%11=5,
+    // RC4/R3 on odd keys, AES-256/R6 on even) OPEN with the empty user
+    // password — strings decrypt; password-PROTECTED docs (k%10=9)
+    // refuse typed with strings withheld. The oracle replays the
+    // writer's object-count formula closed-form
     "q145_pdf_audit" -> ((s, dir) => {
       import s.implicits._
       val docs = tSpread(s, dir, "supplier").select(col("s_suppkey"))
@@ -3099,13 +3101,15 @@ object SparkEntry {
 
   /** q144's planted document for part key `k`: a real PDF whose page
     * texts replay closed-form (see the query comment for the residue
-    * matrix); non-PDF bytes on k%13=7, an encrypted one on k%11=5.
+    * matrix); non-PDF bytes on k%13=7, a password-protected one on
+    * k%11=5 (the open-encryption path is q145's).
     */
   private[graft] def q144Pdf(k: Long): Array[Byte] = {
     import sources.PdfWriter.{Plant, pdfBytes}
     if (k % 13 == 7) return s"not a pdf $k".getBytes("UTF-8")
     if (k % 11 == 5)
-      return pdfBytes(Plant(Seq(Seq("hidden")), encrypt = true))
+      return pdfBytes(Plant(Seq(Seq("hidden")), encrypt = true,
+        encryptAes = k % 2 == 0, userPassword = s"pw$k"))
     val pages = (1 to (k % 3 + 1).toInt).map { p =>
       Seq(s"Alpha $k page $p",
         s"Beta ${(k * 7) % 100} tail $p" +
@@ -3126,11 +3130,13 @@ object SparkEntry {
     if (k % 13 == 7) return s"not a pdf $k".getBytes("UTF-8")
     val pages = (1 to (k % 3 + 1).toInt).map(p =>
       Seq(s"Alpha $k $p", s"Beta b $p"))
+    val prot = k % 10 == 9 // password-protected: must refuse typed
     pdfBytes(Plant(pages, compress = k % 2 == 0, xrefStream = k % 5 == 1,
       kernSplitSecondLine = true, type0SecondLine = k % 7 == 3,
-      lengthIndirect = k % 9 == 4, encrypt = k % 11 == 5,
+      lengthIndirect = k % 9 == 4, encrypt = k % 11 == 5 || prot,
       title = Some(s"Doc $k"), producer = Some(s"graft ${k % 4}"),
-      utf16Title = k % 6 == 2))
+      utf16Title = k % 6 == 2, encryptAes = k % 2 == 0,
+      userPassword = if (prot) s"pw$k" else ""))
   }
 
   /** q143's planted audio payload for supplier key `k`: an ID3v2 tag
@@ -6493,14 +6499,16 @@ object SparkEntry {
         |UNION ALL
         |SELECT k, CAST(0 AS INTEGER), CAST(0 AS INTEGER),
         |  CAST(NULL AS VARCHAR), CAST(0 AS BIGINT),
-        |  CASE WHEN k % 13 = 7 THEN 'not a pdf' ELSE 'encrypted' END
+        |  CASE WHEN k % 13 = 7 THEN 'not a pdf'
+        |    ELSE 'password protected' END
         |FROM base WHERE k % 13 = 7 OR k % 11 = 5
         |ORDER BY id, page""".stripMargin,
 
     // the audit matrix replays the writer's object-count formula
     "q145_pdf_audit" ->
       """WITH s AS (SELECT s_suppkey AS k FROM supplier),
-        |ok AS (SELECT k, k % 11 = 5 AS enc, k % 5 = 1 AS xs,
+        |ok AS (SELECT k, k % 10 = 9 AS prot,
+        |  k % 11 = 5 OR k % 10 = 9 AS enc, k % 5 = 1 AS xs,
         |  k % 7 = 3 AS t0, k % 9 = 4 AS li,
         |  CAST(k % 3 + 1 AS INTEGER) AS np
         |  FROM s WHERE k % 13 <> 7)
@@ -6512,11 +6520,11 @@ object SparkEntry {
         |    CASE WHEN enc THEN 1 ELSE 0 END +
         |    CASE WHEN xs THEN 2 ELSE 0 END AS INTEGER) AS n_objects,
         |  enc AS encrypted, xs AS xref_stream,
-        |  CASE WHEN enc THEN NULL
+        |  CASE WHEN prot THEN NULL
         |    ELSE 'Doc ' || CAST(k AS VARCHAR) END AS title,
-        |  CASE WHEN enc THEN NULL
+        |  CASE WHEN prot THEN NULL
         |    ELSE 'graft ' || CAST(k % 4 AS VARCHAR) END AS producer,
-        |  CAST(NULL AS VARCHAR) AS error
+        |  CASE WHEN prot THEN 'password protected' END AS error
         |FROM ok
         |UNION ALL
         |SELECT k, FALSE, NULL, NULL, NULL, FALSE, FALSE, NULL, NULL,

@@ -676,6 +676,11 @@ object Pdf {
     private var trailerDict: PDict = PDict(Map.empty)
     var usedXrefStream: Boolean = false
     var reconstructed: Boolean = false
+    // decryption state (standard security handler); `cryptor` stays
+    // null while building so nothing is transformed prematurely
+    private var cryptor: (Array[Byte], Int) => Array[Byte] = null
+    private var cryptFail: String = null
+    private var encObjNum: Int = -1
     private val objCache = mutable.Map.empty[Int, Obj]
     private val objStmCache = mutable.Map.empty[Int, Map[Int, Obj]]
     private var resolveDepth = 0
@@ -683,6 +688,109 @@ object Pdf {
     def trailer: PDict = trailerDict
     def nObjects: Int = xref.size
     def encrypted: Boolean = trailerDict.get("Encrypt").isDefined
+
+    /** Some(reason) when the document is encrypted and CANNOT be
+      * decrypted (password-protected, or a scheme outside the RC4/
+      * AES-256 standard handler); None when open (decryptable with the
+      * empty user password) or not encrypted at all. */
+    def cryptError: Option[String] = Option(cryptFail)
+
+    /** Build the decryptor for the empty user password (ISO 32000
+      * standard security handler: V1/V2 RC4, V4 RC4/AES-128 crypt
+      * filters, V5/R5-R6 AES-256). Sets `cryptor` on success,
+      * `cryptFail` with a typed reason otherwise. */
+    private def buildCrypt(): Unit = {
+      import PdfCrypt._
+      encObjNum = trailerDict.get("Encrypt") match {
+        case Some(PRef(n, _)) => n
+        case _                => -1
+      }
+      val ed = dict(trailerDict.get("Encrypt")) match {
+        case Some(d) => d
+        case None    => cryptFail = "encrypted"; return
+      }
+      def num(k: String, dflt: Int): Int = deref(ed.get(k)) match {
+        case Some(PNum(n)) => n.toInt
+        case _             => dflt
+      }
+      def strBytes(k: String): Array[Byte] = deref(ed.get(k)) match {
+        case Some(PStr(b)) => b
+        case _             => Array.emptyByteArray
+      }
+      if (!deref(ed.get("Filter")).contains(PName("Standard"))) {
+        cryptFail = "encrypted" // non-standard security handler
+        return
+      }
+      val v = num("V", 0)
+      val r = num("R", 0)
+      val o = strBytes("O")
+      val u = strBytes("U")
+      val p = num("P", -1)
+      val id0: Array[Byte] = deref(trailerDict.get("ID")) match {
+        case Some(PArr(Seq(PStr(b), _*))) => b
+        case _                            => Array.emptyByteArray
+      }
+      val none = Array.emptyByteArray
+      (v, r) match {
+        case (1, _) | (2, _) =>
+          val keyLen = if (v == 1) 5 else math.max(5, num("Length", 40) / 8)
+          val key = fileKeyRc4(none, o, p, id0, keyLen, r)
+          if (!userMatches(key, r, id0, u)) cryptFail = "password protected"
+          else cryptor = (data, n) => rc4(objKey(key, n, 0, aes = false), data)
+        case (4, _) =>
+          val cfm = dict(ed.get("CF")).flatMap(cf => dict(cf.get("StdCF")))
+            .flatMap(std => deref(std.get("CFM"))) match {
+            case Some(PName(m)) => m
+            case _              => "V2"
+          }
+          val keyLen = math.max(5, num("Length", 128) / 8)
+          val key = fileKeyRc4(none, o, p, id0, keyLen, r)
+          if (!userMatches(key, r, id0, u)) cryptFail = "password protected"
+          else cfm match {
+            case "AESV2" =>
+              cryptor = (data, n) => aesDecrypt(objKey(key, n, 0,
+                aes = true), data)
+            case "V2" =>
+              cryptor = (data, n) => rc4(objKey(key, n, 0, aes = false),
+                data)
+            case _ => cryptFail = "encrypted" // unknown crypt filter
+          }
+        case (5, rr) if rr == 5 || rr == 6 =>
+          if (u.length < 48) { cryptFail = "encrypted"; return }
+          val vs = u.slice(32, 40)
+          val ks = u.slice(40, 48)
+          val ok =
+            if (rr == 6) java.util.Arrays.equals(hash2B(none, vs, none),
+              u.take(32))
+            else java.util.Arrays.equals(sha(256, none, vs), u.take(32))
+          if (!ok) { cryptFail = "password protected"; return }
+          val ik = if (rr == 6) hash2B(none, ks, none)
+            else sha(256, none, ks)
+          val ue = strBytes("UE")
+          if (ue.length != 32) { cryptFail = "encrypted"; return }
+          val fileKey = aesRaw(encrypt = false, ik,
+            new Array[Byte](16), ue)
+          cryptor = (data, _) => aesDecrypt(fileKey, data)
+        case _ => cryptFail = "encrypted" // unsupported V/R
+      }
+    }
+
+    /** Recursively decrypt the strings and stream bytes of a just-
+      * parsed file-level object (ObjStm residents are NOT re-decrypted
+      * — their container stream already was, per spec). */
+    private def decryptObj(o: Obj, num: Int, depth: Int = 0): Obj =
+      if (depth > 64) o
+      else o match {
+        case PStr(b) => PStr(cryptor(b, num))
+        case PArr(items) =>
+          PArr(items.map(decryptObj(_, num, depth + 1)))
+        case PDict(m) =>
+          PDict(m.map { case (k, vv) => k -> decryptObj(vv, num, depth + 1) })
+        case PStream(d, raw) =>
+          PStream(decryptObj(d, num, depth + 1).asInstanceOf[PDict],
+            cryptor(raw, num))
+        case other => other
+      }
 
     private def startxrefOffset(): Long = {
       val tail = math.min(buf.length, 2048)
@@ -932,7 +1040,10 @@ object Pdf {
           }
           if (!p.eatKeyword("obj")) fail("obj keyword")
           if (n != num) fail(s"object $num header mismatch")
-          p.parseObj(r => lengthFromRef(r))
+          val parsed = p.parseObj(r => lengthFromRef(r))
+          if (cryptor != null && num != encObjNum)
+            decryptObj(parsed, num)
+          else parsed
         case Some(InObjStm(stm, idx)) =>
           objStmObjects(stm).getOrElse(num, PNull)
       }
@@ -1001,6 +1112,22 @@ object Pdf {
       catch { case _: Malformed => reconstruct() }
       if (xref.isEmpty || trailerDict.get("Root").isEmpty) reconstruct()
       if (trailerDict.get("Root").isEmpty) fail("no document catalog")
+      if (encrypted) {
+        try buildCrypt()
+        catch {
+          case _: Malformed => cryptFail = "encrypted"
+          case _: java.security.GeneralSecurityException =>
+            cryptFail = "encrypted"
+        }
+        // objects materialized while building (the /Encrypt dict, any
+        // /Length targets) were cached undecrypted: drop them so the
+        // first real access re-parses through the decryptor
+        if (cryptor != null) {
+          objCache.keys.filterNot(_ == encObjNum).toSeq
+            .foreach(objCache.remove)
+          objStmCache.clear()
+        }
+      }
     }
   }
 
@@ -1459,15 +1586,17 @@ object Pdf {
   final case class Extracted(nPages: Int, pages: Vector[String],
       lostCodes: Long, error: Option[String])
 
-  /** Extract per-page text. Total on arbitrary bytes; encrypted
-    * documents refuse with a typed reason (no decrypt attempt — the
-    * standard handler's string/stream material is ciphertext).
+  /** Extract per-page text. Total on arbitrary bytes. Encrypted
+    * documents OPEN with the empty user password through the standard
+    * security handler (RC4 V1/V2, V4 crypt filters, AES-256 V5/R6 —
+    * [[PdfCrypt]]); a real password or a non-standard scheme refuses
+    * with a typed reason (`password protected` / `encrypted`).
     */
   def extract(payload: Array[Byte]): Extracted =
     try {
       val doc = new Doc(payload)
-      if (doc.encrypted)
-        return Extracted(0, Vector.empty, 0, Some("encrypted"))
+      doc.cryptError.foreach(reason =>
+        return Extracted(0, Vector.empty, 0, Some(reason)))
       val pages = collectPages(doc)
       var lost = 0L
       val texts = pages.map { pg =>
@@ -1504,10 +1633,11 @@ object Pdf {
     else new String(b, "ISO-8859-1")
 
   /** Structural metadata audit — the EXIF/ID3 pattern for PDFs:
-    * header walk + xref + page count, no content-stream decode. On
-    * encrypted documents the structural fields still report (the
-    * standard security handler leaves dicts in plaintext) but string
-    * fields (title/producer) are withheld — they are ciphertext.
+    * header walk + xref + page count, no content-stream decode.
+    * Encrypted-but-open documents (empty user password) decrypt their
+    * info strings like everything else; only documents that REFUSE
+    * (password-protected / unsupported scheme) keep the structural
+    * fields and withhold the string fields — those are ciphertext.
     */
   def audit(payload: Array[Byte]): AuditInfo =
     try {
@@ -1515,7 +1645,7 @@ object Pdf {
       val nPages =
         try Some(collectPages(doc).length) catch { case _: Malformed => None }
       val (title, producer) =
-        if (doc.encrypted) (None, None)
+        if (doc.cryptError.isDefined) (None, None)
         else doc.dict(doc.trailer.get("Info")) match {
           case Some(info) =>
             def str(k: String): Option[String] =
@@ -1528,7 +1658,7 @@ object Pdf {
         }
       AuditInfo(isPdf = true, Some(doc.version), nPages,
         Some(doc.nObjects), doc.encrypted, doc.usedXrefStream,
-        doc.reconstructed, title, producer, None)
+        doc.reconstructed, title, producer, doc.cryptError)
     } catch {
       case m: Malformed =>
         AuditInfo(isPdf = false, None, None, None, encrypted = false,
@@ -1607,6 +1737,191 @@ object Pdf {
   }
 }
 
+/** Standard-security-handler cryptography (ISO 32000-1 §7.6.3,
+  * ISO 32000-2 §7.6.4): the key-derivation, password-verification, and
+  * data algorithms for RC4 (V1/V2, R2/R3) and AES-256 (V5, R6)
+  * documents. Primitives come from the JVM (`java.security.MessageDigest`
+  * MD5/SHA-256/384/512, `javax.crypto` AES) — nothing verbatim beyond
+  * the spec's 32-byte padding constant (magic-number scale, like file
+  * magics and CRC polynomials elsewhere in this repo). RC4 itself is
+  * the public textbook KSA+PRGA.
+  */
+private[graft] object PdfCrypt {
+
+  /** The ISO 32000-1 §7.6.3.3 password padding constant. */
+  val Pad: Array[Byte] = Array(
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+    0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+    0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
+
+  def md5(parts: Array[Byte]*): Array[Byte] = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    parts.foreach(d.update)
+    d.digest()
+  }
+
+  def sha(bits: Int, parts: Array[Byte]*): Array[Byte] = {
+    val d = java.security.MessageDigest.getInstance(s"SHA-$bits")
+    parts.foreach(d.update)
+    d.digest()
+  }
+
+  /** RC4 (KSA + PRGA). */
+  def rc4(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val s = Array.tabulate(256)(_.toByte)
+    var j = 0
+    var i = 0
+    while (i < 256) {
+      j = (j + (s(i) & 0xff) + (key(i % key.length) & 0xff)) & 0xff
+      val t = s(i); s(i) = s(j); s(j) = t
+      i += 1
+    }
+    val out = new Array[Byte](data.length)
+    var x = 0
+    var y = 0
+    i = 0
+    while (i < data.length) {
+      x = (x + 1) & 0xff
+      y = (y + (s(x) & 0xff)) & 0xff
+      val t = s(x); s(x) = s(y); s(y) = t
+      out(i) = (data(i) ^ s(((s(x) & 0xff) + (s(y) & 0xff)) & 0xff)).toByte
+      i += 1
+    }
+    out
+  }
+
+  def padded(pwd: Array[Byte]): Array[Byte] =
+    (pwd.take(32) ++ Pad).take(32)
+
+  /** Algorithm 2: the RC4-family file key. `p` is the signed /P. */
+  def fileKeyRc4(pwd: Array[Byte], o: Array[Byte], p: Int,
+      id0: Array[Byte], keyLen: Int, r: Int): Array[Byte] = {
+    val pLe = Array(p, p >> 8, p >> 16, p >> 24).map(x => (x & 0xff).toByte)
+    var key = md5(padded(pwd), o, pLe, id0)
+    if (r >= 3) {
+      var i = 0
+      while (i < 50) { key = md5(key.take(keyLen)); i += 1 }
+    }
+    key.take(keyLen)
+  }
+
+  /** Algorithm 3: the /O entry (writer side; empty passwords give the
+    * fully-open document the reader accepts with no password). */
+  def ownerValue(ownerPwd: Array[Byte], userPwd: Array[Byte],
+      keyLen: Int, r: Int): Array[Byte] = {
+    var key = md5(padded(if (ownerPwd.nonEmpty) ownerPwd else userPwd))
+    if (r >= 3) {
+      var i = 0
+      while (i < 50) { key = md5(key); i += 1 }
+    }
+    val rc4key = key.take(keyLen)
+    var o = rc4(rc4key, padded(userPwd))
+    if (r >= 3) {
+      var i = 1
+      while (i <= 19) {
+        o = rc4(rc4key.map(b => (b ^ i).toByte), o)
+        i += 1
+      }
+    }
+    o
+  }
+
+  /** Algorithms 4/5: the /U entry for a given file key. */
+  def userValue(fileKey: Array[Byte], r: Int,
+      id0: Array[Byte]): Array[Byte] =
+    if (r == 2) rc4(fileKey, Pad)
+    else {
+      var u = rc4(fileKey, md5(Pad, id0))
+      var i = 1
+      while (i <= 19) {
+        u = rc4(fileKey.map(b => (b ^ i).toByte), u)
+        i += 1
+      }
+      u ++ new Array[Byte](16)
+    }
+
+  /** Algorithm 4/5 check: does `fileKey` open the document? */
+  def userMatches(fileKey: Array[Byte], r: Int, id0: Array[Byte],
+      u: Array[Byte]): Boolean = {
+    val expect = userValue(fileKey, r, id0)
+    val n = if (r == 2) 32 else 16
+    u.length >= n && java.util.Arrays.equals(expect.take(n), u.take(n))
+  }
+
+  /** Per-object key (R ≤ 4): MD5(fileKey ‖ num₃LE ‖ gen₂LE [‖ sAlT]). */
+  def objKey(fileKey: Array[Byte], num: Int, gen: Int,
+      aes: Boolean): Array[Byte] = {
+    val ext = Array(num, num >> 8, num >> 16, gen, gen >> 8)
+      .map(x => (x & 0xff).toByte)
+    val salt = if (aes) Array[Byte](0x73, 0x41, 0x6c, 0x54) // "sAlT"
+      else Array.emptyByteArray
+    md5(fileKey, ext, salt).take(math.min(fileKey.length + 5, 16))
+  }
+
+  private def aesCipher(mode: Int, key: Array[Byte],
+      iv: Array[Byte]): javax.crypto.Cipher = {
+    val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+    c.init(mode, new javax.crypto.spec.SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.IvParameterSpec(iv))
+    c
+  }
+
+  /** AES-CBC decrypt with the ISO layout (first 16 bytes = IV) and a
+    * tolerant manual PKCS#5 strip — attacker-controlled ciphertext
+    * must yield bytes, never a padding exception. */
+  def aesDecrypt(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    if (data.length < 32 || data.length % 16 != 0)
+      return Array.emptyByteArray
+    val out = aesCipher(javax.crypto.Cipher.DECRYPT_MODE, key,
+      data.take(16)).doFinal(data.drop(16))
+    val pad = if (out.isEmpty) 0 else out(out.length - 1) & 0xff
+    if (pad >= 1 && pad <= 16 && pad <= out.length)
+      out.dropRight(pad)
+    else out
+  }
+
+  /** AES-CBC encrypt with PKCS#5 padding, IV prepended (writer side;
+    * the IV is caller-supplied so plants stay deterministic). */
+  def aesEncrypt(key: Array[Byte], iv: Array[Byte],
+      data: Array[Byte]): Array[Byte] = {
+    val padLen = 16 - (data.length % 16)
+    val padded = data ++ Array.fill(padLen)(padLen.toByte)
+    iv ++ aesCipher(javax.crypto.Cipher.ENCRYPT_MODE, key, iv)
+      .doFinal(padded)
+  }
+
+  /** Raw AES-CBC with no padding/IV framing (the /UE unwrap). */
+  def aesRaw(encrypt: Boolean, key: Array[Byte], iv: Array[Byte],
+      data: Array[Byte]): Array[Byte] =
+    aesCipher(if (encrypt) javax.crypto.Cipher.ENCRYPT_MODE
+      else javax.crypto.Cipher.DECRYPT_MODE, key, iv).doFinal(data)
+
+  /** ISO 32000-2 Algorithm 2.B: the R6 password hash. */
+  def hash2B(pwd: Array[Byte], salt: Array[Byte],
+      udata: Array[Byte]): Array[Byte] = {
+    var k = sha(256, pwd, salt, udata)
+    var e = Array.emptyByteArray
+    var round = 0
+    var done = false
+    while (!done) {
+      val block = pwd ++ k ++ udata
+      val k1 = new Array[Byte](block.length * 64)
+      var i = 0
+      while (i < 64) {
+        System.arraycopy(block, 0, k1, i * block.length, block.length)
+        i += 1
+      }
+      e = aesRaw(encrypt = true, k.take(16), k.slice(16, 32), k1)
+      val mod = e.take(16).map(_ & 0xff).sum % 3
+      k = sha(if (mod == 0) 256 else if (mod == 1) 384 else 512, e)
+      round += 1
+      done = round >= 64 && (e(e.length - 1) & 0xff) <= round - 32
+    }
+    k.take(32)
+  }
+}
+
 /** Plant-side PDF writer (tests/oracles): builds real, spec-valid PDFs
   * with a deterministic object layout so oracle SQL can replay the
   * audit arithmetic closed-form — the encoder twin of [[Pdf]], the
@@ -1634,7 +1949,9 @@ private[graft] object PdfWriter {
       encrypt: Boolean = false,
       title: Option[String] = None,
       producer: Option[String] = None,
-      utf16Title: Boolean = false)
+      utf16Title: Boolean = false,
+      encryptAes: Boolean = false,
+      userPassword: String = "")
 
   private val cp1252 = Charset.forName("windows-1252")
 
@@ -1713,12 +2030,71 @@ private[graft] object PdfWriter {
     sb.toString.getBytes("ISO-8859-1")
   }
 
+  /** Real standard-handler encryption for plants: RC4/R3 by default,
+    * AES-256/R6 with `encryptAes`; a non-empty `userPassword` makes a
+    * document the empty-password reader must REFUSE. Deterministic
+    * throughout (ids, salts, IVs derive from the content) so planted
+    * bytes are stable across retries. */
+  private final class Encryptor(p: Plant, id0: Array[Byte]) {
+    import PdfCrypt._
+    private val pwd = p.userPassword.getBytes("ISO-8859-1")
+    private val permP = -44
+    val aes: Boolean = p.encryptAes
+    private var ivCtr = 0
+    private def nextIv(): Array[Byte] = {
+      ivCtr += 1
+      md5("iv".getBytes("ISO-8859-1"), id0,
+        BigInt(ivCtr).toByteArray).take(16)
+    }
+    // RC4 R3 material
+    private lazy val oEntry = ownerValue(Array.emptyByteArray, pwd, 16, 3)
+    private lazy val rc4Key = fileKeyRc4(pwd, oEntry, permP, id0, 16, 3)
+    private lazy val uEntry = userValue(rc4Key, 3, id0)
+    // AES-256 R6 material
+    private lazy val vs = md5(id0, Array[Byte](1)).take(8)
+    private lazy val ks = md5(id0, Array[Byte](2)).take(8)
+    private lazy val fileKey256 = md5(id0, Array[Byte](3)) ++
+      md5(id0, Array[Byte](4))
+    private lazy val u48 = hash2B(pwd, vs, Array.emptyByteArray) ++ vs ++ ks
+    private lazy val ue = aesRaw(encrypt = true,
+      hash2B(pwd, ks, Array.emptyByteArray), new Array[Byte](16),
+      fileKey256)
+
+    def encBytes(num: Int, data: Array[Byte]): Array[Byte] =
+      if (aes) aesEncrypt(fileKey256, nextIv(), data)
+      else rc4(objKey(rc4Key, num, 0, aes = false), data)
+
+    def dictBody: String =
+      if (aes)
+        "<< /Filter /Standard /V 5 /R 6 /Length 256 " +
+          s"/O <${hex(md5(id0, Array[Byte](5)) ++ md5(id0,
+            Array[Byte](6)) ++ md5(id0, Array[Byte](7)).take(16))}> " +
+          s"/U <${hex(u48)}> /OE <${hex(md5(id0,
+            Array[Byte](8)) ++ md5(id0, Array[Byte](9)))}> " +
+          s"/UE <${hex(ue)}> /P $permP " +
+          "/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> " +
+          "/StmF /StdCF /StrF /StdCF >>"
+      else
+        s"<< /Filter /Standard /V 2 /R 3 /Length 128 /O <${hex(oEntry)}> " +
+          s"/U <${hex(uEntry)}> /P $permP >>"
+
+    private def hex(b: Array[Byte]): String =
+      b.map(x => f"${x & 0xff}%02X").mkString
+  }
+
   def pdfBytes(p: Plant): Array[Byte] = {
     val nPages = p.pageLines.length
     val type0 = p.type0SecondLine
     val type0CodeMap: Map[Char, Int] =
       if (type0) type0Codes(p.pageLines.flatMap(_.lift(1)).mkString)
       else Map.empty
+    // deterministic document /ID (required by the RC4 key derivation)
+    val id0: Array[Byte] = PdfCrypt.md5(
+      (p.pageLines.flatten.mkString("|") + p.title.getOrElse("") +
+        p.producer.getOrElse("")).getBytes("UTF-8"))
+    val idHex = id0.map(x => f"${x & 0xff}%02X").mkString
+    val enc: Option[Encryptor] =
+      if (p.encrypt) Some(new Encryptor(p, id0)) else None
     val li = p.lengthIndirect
     val pageBase = if (type0) 8 else 5
     val perPage = if (li) 3 else 2
@@ -1739,12 +2115,26 @@ private[graft] object PdfWriter {
     val catalog = "<< /Type /Catalog /Pages 2 0 R >>"
     val pagesNode =
       s"<< /Type /Pages /Kids $kidsRefs /Count $nPages >>"
-    def infoStr(v: String, utf16: Boolean): String =
-      if (utf16) {
-        val b = Array[Byte](0xfe.toByte, 0xff.toByte) ++
+    // strings in file-level objects are encrypted per spec; ObjStm
+    // residents are not (their container stream is) — so the literal
+    // path applies whenever the object rides the ObjStm
+    val stringsRideObjStm = p.xrefStream
+    def hexOf(b: Array[Byte]): String =
+      b.map(x => f"${x & 0xff}%02X").mkString("<", "", ">")
+    def litStr(objNum: Int, raw: Array[Byte],
+               plain: => String): String = enc match {
+      case Some(e) if !stringsRideObjStm => hexOf(e.encBytes(objNum, raw))
+      case _                             => plain
+    }
+    def infoStr(v: String, utf16: Boolean): String = {
+      val raw: Array[Byte] =
+        if (utf16) Array[Byte](0xfe.toByte, 0xff.toByte) ++
           v.getBytes("UTF-16BE")
-        hexStr(b)
-      } else "(" + new String(esc(v), "ISO-8859-1") + ")"
+        else v.getBytes(cp1252)
+      litStr(3, raw,
+        if (utf16) hexStr(raw)
+        else "(" + new String(esc(v), "ISO-8859-1") + ")")
+    }
     val infoEntries = new StringBuilder("<<")
     p.title.foreach(t =>
       infoEntries.append(" /Title ").append(infoStr(t, p.utf16Title)))
@@ -1756,16 +2146,16 @@ private[graft] object PdfWriter {
       "/Encoding /WinAnsiEncoding >>"
     val f2 = s"<< /Type /Font /Subtype /Type0 /BaseFont /GraftCID " +
       s"/Encoding /Identity-H /DescendantFonts [6 0 R] /ToUnicode 7 0 R >>"
+    def cidStr(s: String): String =
+      litStr(6, s.getBytes("ISO-8859-1"), "(" + s + ")")
     val descendant = "<< /Type /Font /Subtype /CIDFontType2 /BaseFont " +
-      "/GraftCID /CIDSystemInfo << /Registry (Adobe) " +
-      "/Ordering (Identity) /Supplement 0 >> >>"
+      s"/GraftCID /CIDSystemInfo << /Registry ${cidStr("Adobe")} " +
+      s"/Ordering ${cidStr("Identity")} /Supplement 0 >> >>"
     val fontRes = if (type0) "<< /F1 4 0 R /F2 5 0 R >>"
       else "<< /F1 4 0 R >>"
     def pageDict(i: Int): String =
       s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
         s"/Resources << /Font $fontRes >> /Contents ${contObj(i)} 0 R >>"
-    val encDict = "<< /Filter /Standard /V 1 /R 2 /O <" +
-      "01" * 32 + "> /U <" + "02" * 32 + "> /P -44 >>"
 
     // ---- assemble ----
     val out = new ByteArrayOutputStream()
@@ -1787,7 +2177,12 @@ private[graft] object PdfWriter {
     def putStream(num: Int, dictExtra: String, data: Array[Byte],
         compress: Boolean, lengthRef: Option[Int]): Unit = {
       offsets(num) = out.size().toLong
-      val payload = if (compress) deflate(data) else data
+      // encryption is the OUTERMOST transform: Encrypt(Filter(data))
+      val filtered = if (compress) deflate(data) else data
+      val payload = enc match {
+        case Some(e) => e.encBytes(num, filtered)
+        case None    => filtered
+      }
       val filter = if (compress) " /Filter /FlateDecode" else ""
       val lenPart = lengthRef match {
         case Some(ln) => s"/Length $ln 0 R"
@@ -1817,10 +2212,16 @@ private[graft] object PdfWriter {
         contentBytes(lines, p.kernSplitSecondLine, type0, type0CodeMap),
         p.compress, if (li) Some(lenObj(i)) else None)
     }
-    encObj.foreach(n => putDict(n, encDict))
+    encObj.foreach { n =>
+      // the encryption dictionary is never itself encrypted and stays
+      // file-level (every key derives FROM it)
+      offsets(n) = out.size().toLong
+      w(s"$n 0 obj\n${enc.get.dictBody}\nendobj\n")
+    }
 
     val trailerRefs = "/Root 1 0 R /Info 3 0 R" +
-      encObj.map(n => s" /Encrypt $n 0 R").getOrElse("")
+      encObj.map(n => s" /Encrypt $n 0 R").getOrElse("") +
+      s" /ID [<$idHex> <$idHex>]"
 
     if (!p.xrefStream) {
       val xrefOff = out.size()
