@@ -271,23 +271,43 @@ object Main {
     // (same doc_id scheme — rec_idx is disjoint across records of a
     // file, so html and pdf rows never collide). PDFs carry no HTML
     // robots meta; the RFC 9309 robots gate below still applies.
-    val docs =
+    // align an extracted-document frame (pdf/docx/epub) to the
+    // HtmlExtract doc schema so it unions into the decision stream
+    def alignDocs(df: org.apache.spark.sql.DataFrame,
+                  titled: Boolean): org.apache.spark.sql.DataFrame =
+      df.where(col("error").isNull && col("text").isNotNull)
+        .select(col("id").as("path"), col("rec_idx"), col("url"),
+          col("warc_date"), col("http_status"),
+          (if (titled) col("title") else
+            lit(null).cast("string")).as("title"),
+          lit(null).cast("string").as("lang"), col("text"),
+          lit(0).as("blocks_kept"), lit(0).as("blocks_dropped"),
+          lit(false).as("robots_noindex"),
+          lit(false).as("robots_nofollow"))
+        .withColumn("doc_id", xxhash64(col("path"), col("rec_idx")))
+    val docCarry = Seq("rec_idx", "url", "warc_date", "http_status")
+    val withPdf =
       if (!cfg.includePdf) htmlDocs
+      else htmlDocs.unionByName(alignDocs(
+        graft.sources.Pdf.pdfDocs(
+          graft.sources.Warc.mediaFromPaths(paths,
+            Seq("application/pdf")),
+          "path", "payload", carryCols = docCarry), titled = false))
+    val docs =
+      if (!cfg.includeOffice) withPdf
       else {
-        val media = graft.sources.Warc.mediaFromPaths(paths,
-          Seq("application/pdf"))
-        val pdfDocs = graft.sources.Pdf.pdfDocs(media, "path", "payload",
-            carryCols = Seq("rec_idx", "url", "warc_date", "http_status"))
-          .where(col("error").isNull && col("text").isNotNull)
-          .select(col("id").as("path"), col("rec_idx"), col("url"),
-            col("warc_date"), col("http_status"),
-            lit(null).cast("string").as("title"),
-            lit(null).cast("string").as("lang"), col("text"),
-            lit(0).as("blocks_kept"), lit(0).as("blocks_dropped"),
-            lit(false).as("robots_noindex"),
-            lit(false).as("robots_nofollow"))
-          .withColumn("doc_id", xxhash64(col("path"), col("rec_idx")))
-        htmlDocs.unionByName(pdfDocs)
+        val docxMedia = graft.sources.Warc.mediaFromPaths(paths,
+          Seq("application/vnd.openxmlformats-officedocument" +
+            ".wordprocessingml.document"))
+        val epubMedia = graft.sources.Warc.mediaFromPaths(paths,
+          Seq("application/epub+zip"))
+        withPdf
+          .unionByName(alignDocs(graft.textops.OfficeText.docxDocs(
+            docxMedia, "path", "payload", carryCols = docCarry)
+            .drop("creator"), titled = true))
+          .unionByName(alignDocs(graft.textops.OfficeText.epubDocs(
+            epubMedia, "path", "payload", carryCols = docCarry),
+            titled = true))
       }
     val decisionCols = Seq("doc_id", "lang", "n_tokens", "drop_reason",
       "avg_logprob", "bucket")

@@ -3051,8 +3051,67 @@ object SparkEntry {
         .select(col("id"), col("n_pages"), col("text"),
           col("lost_codes"), col("error"))
         .orderBy(col("id"))
+    }),
+
+    // DOCX text extraction — the ECMA-376 wing of the document front
+    // door: doc keys plant REAL ZIP packages (data-descriptor layout)
+    // whose word/document.xml paragraphs (tab/br controls on the
+    // second paragraph) replay closed-form; non-zip bytes on k%13=7,
+    // a zip missing the document part on k%11=5
+    "q147_docx_extract" -> ((s, dir) => {
+      import s.implicits._
+      val docs = tSpread(s, dir, "documents").select(col("doc_id"))
+        .as[Long]
+        .map(k => (k, q147Docx(k)))
+        .toDF("id", "payload")
+      textops.OfficeText.docxDocs(docs, "id", "payload")
+        .select(col("id"), col("text"), col("n_paragraphs"),
+          col("title"), col("creator"), col("error"))
+        .orderBy(col("id"))
+    }),
+
+    // EPUB text extraction — OCF container → OPF spine → XHTML
+    // chapters through HtmlExtract; chapter count and title replay
+    // closed-form; non-zip on k%13=7, missing container on k%7=2
+    "q148_epub_extract" -> ((s, dir) => {
+      import s.implicits._
+      val docs = tSpread(s, dir, "supplier").select(col("s_suppkey"))
+        .as[Long]
+        .map(k => (k, q148Epub(k)))
+        .toDF("id", "payload")
+      textops.OfficeText.epubDocs(docs, "id", "payload")
+        .select(col("id"), col("text"), col("n_chapters"),
+          col("title"), col("error"))
+        .orderBy(col("id"))
     })
   )
+
+  /** q147's planted DOCX for doc key `k` (see the query comment). */
+  private[graft] def q147Docx(k: Long): Array[Byte] = {
+    import textops.OfficePlant
+    if (k % 13 == 7) return s"not a zip $k".getBytes("UTF-8")
+    if (k % 11 == 5)
+      return OfficePlant.zip(Seq(
+        ("other.txt", s"decoy $k".getBytes("UTF-8"), false)))
+    val paras = (1 to (k % 4 + 1).toInt).map { i =>
+      if (i == 2) s"Tab\there $k" else s"Docx $k para $i"
+    }
+    OfficePlant.docxBytes(paras,
+      title = if (k % 3 != 0) Some(s"T $k") else None,
+      creator = Some(s"C ${k % 5}"))
+  }
+
+  /** q148's planted EPUB for supplier key `k` (see the query comment). */
+  private[graft] def q148Epub(k: Long): Array[Byte] = {
+    import textops.OfficePlant
+    if (k % 13 == 7) return s"not a zip $k".getBytes("UTF-8")
+    if (k % 7 == 2)
+      return OfficePlant.zip(Seq(
+        ("mimetype", "application/epub+zip".getBytes("UTF-8"), true)))
+    val chapters = (1 to (k % 3 + 1).toInt).map(c =>
+      s"Chapter $k part $c")
+    OfficePlant.epubBytes(chapters, s"B $k")
+  }
 
   /** q146's planted WARC for doc key `k`: an html response, an
     * `application/pdf` response (the target), and on k%5=2 an
@@ -6547,7 +6606,46 @@ object SparkEntry {
         |        CAST(p AS VARCHAR)), chr(10) || chr(10)) END AS text,
         |  CAST(0 AS BIGINT) AS lost_codes,
         |  CASE WHEN doc_id % 7 = 5 THEN 'not a pdf' END AS error
-        |FROM documents ORDER BY id""".stripMargin
+        |FROM documents ORDER BY id""".stripMargin,
+
+    // the DOCX paragraph matrix replays closed-form from the residues
+    "q147_docx_extract" ->
+      """SELECT doc_id AS id,
+        |  CASE WHEN doc_id % 13 = 7 OR doc_id % 11 = 5 THEN NULL
+        |    ELSE array_to_string(list_transform(
+        |      range(1, CAST(doc_id % 4 + 2 AS INTEGER)), i ->
+        |        CASE WHEN i = 2 THEN 'Tab' || chr(9) || 'here ' ||
+        |            CAST(doc_id AS VARCHAR)
+        |          ELSE 'Docx ' || CAST(doc_id AS VARCHAR) || ' para ' ||
+        |            CAST(i AS VARCHAR) END), chr(10)) END AS text,
+        |  CAST(CASE WHEN doc_id % 13 = 7 OR doc_id % 11 = 5 THEN 0
+        |    ELSE doc_id % 4 + 1 END AS INTEGER) AS n_paragraphs,
+        |  CASE WHEN doc_id % 13 <> 7 AND doc_id % 11 <> 5 AND
+        |      doc_id % 3 <> 0
+        |    THEN 'T ' || CAST(doc_id AS VARCHAR) END AS title,
+        |  CASE WHEN doc_id % 13 <> 7 AND doc_id % 11 <> 5
+        |    THEN 'C ' || CAST(doc_id % 5 AS VARCHAR) END AS creator,
+        |  CASE WHEN doc_id % 13 = 7 THEN 'not a zip'
+        |    WHEN doc_id % 11 = 5
+        |    THEN 'zip entry missing: word/document.xml' END AS error
+        |FROM documents ORDER BY id""".stripMargin,
+
+    // the EPUB chapter matrix replays closed-form from the residues
+    "q148_epub_extract" ->
+      """SELECT s_suppkey AS id,
+        |  CASE WHEN s_suppkey % 13 = 7 OR s_suppkey % 7 = 2 THEN NULL
+        |    ELSE array_to_string(list_transform(
+        |      range(1, CAST(s_suppkey % 3 + 2 AS INTEGER)), c ->
+        |        'Chapter ' || CAST(s_suppkey AS VARCHAR) || ' part ' ||
+        |        CAST(c AS VARCHAR)), chr(10) || chr(10)) END AS text,
+        |  CAST(CASE WHEN s_suppkey % 13 = 7 OR s_suppkey % 7 = 2 THEN 0
+        |    ELSE s_suppkey % 3 + 1 END AS INTEGER) AS n_chapters,
+        |  CASE WHEN s_suppkey % 13 <> 7 AND s_suppkey % 7 <> 2
+        |    THEN 'B ' || CAST(s_suppkey AS VARCHAR) END AS title,
+        |  CASE WHEN s_suppkey % 13 = 7 THEN 'not a zip'
+        |    WHEN s_suppkey % 7 = 2
+        |    THEN 'zip entry missing: META-INF/container.xml' END AS error
+        |FROM supplier ORDER BY id""".stripMargin
   )
 
   /** q133's replay: q102's stage CTEs over the crawl-extracted corpus

@@ -56,14 +56,15 @@ final case class CrawlConfig(input: String, outdir: String,
                              wetOutput: Option[String],
                              cdxOutput: Option[String],
                              inputPartitions: Int,
-                             includePdf: Boolean = false)
+                             includePdf: Boolean = false,
+                             includeOffice: Boolean = false)
 
 object CrawlConfig {
 
   private val Known = Set("input", "outdir", "keep_langs",
     "min_host_docs", "max_host_docs", "t_head", "t_mid",
     "honor_noindex", "robots_user_agent", "wet_output", "cdx_output",
-    "input_partitions", "include_pdf")
+    "input_partitions", "include_pdf", "include_office")
 
   /** Parse + validate; Left = every problem found (not just the first). */
   def from(raw: Map[String, Any]): Either[Seq[String], CrawlConfig] = {
@@ -150,10 +151,11 @@ object CrawlConfig {
       errs += "input_partitions: must be a non-negative integer"
 
     val includePdf = boolOpt("include_pdf", default = false)
+    val includeOffice = boolOpt("include_office", default = false)
 
     if (errs.nonEmpty) Left(errs.toSeq)
     else Right(CrawlConfig(input, outdir, keepLangs, minHost, maxHost,
       tHead, tMid, honorNoindex, robotsUa, wetOut, cdxOut, parts.toInt,
-      includePdf))
+      includePdf, includeOffice))
   }
 }

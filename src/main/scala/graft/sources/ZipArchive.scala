@@ -1,0 +1,139 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+import java.util.zip.{DataFormatException, Inflater}
+
+/** Hardened ZIP container reader (APPNOTE.TXT / ISO 21320-1) for the
+  * office-document front door ([[graft.textops.OfficeText]]): DOCX,
+  * XLSX, EPUB and friends are ZIP packages, and crawl payloads are
+  * attacker-controlled bytes — so this walk is total (typed `Left`
+  * reasons, never exceptions), central-directory-driven (the CD sizes
+  * are authoritative; local headers are only used to locate data, so
+  * data-descriptor files written by streaming writers parse fine), and
+  * capped ([[MaxEntryBytes]] per inflated entry, [[MaxEntries]] per
+  * archive — a zip bomb trips a reason, not the heap).
+  *
+  * Scope: stored (method 0) and deflate (method 8) entries — the only
+  * methods the office formats use. ZIP64 archives and encrypted
+  * entries refuse typed (corpus documents beyond 4 GiB or with ZIP
+  * crypto are quarantine material, not decode targets). Deflate runs
+  * through the JDK `Inflater` in raw mode; nothing verbatim anywhere.
+  */
+object ZipArchive {
+
+  /** Per-entry inflated cap — the [[Warc.MaxBody]] discipline. */
+  val MaxEntryBytes: Int = 1 << 26 // 64 MiB
+
+  /** Central-directory entry cap. */
+  val MaxEntries: Int = 1 << 16
+
+  final case class Entry(name: String, method: Int, flags: Int,
+      compSize: Long, uncompSize: Long, localOffset: Long) {
+    def encrypted: Boolean = (flags & 0x1) != 0
+  }
+
+  private def u16(b: Array[Byte], at: Int): Int =
+    (b(at) & 0xff) | ((b(at + 1) & 0xff) << 8)
+  private def u32(b: Array[Byte], at: Int): Long =
+    (u16(b, at) | (u16(b, at + 2).toLong << 16)) & 0xffffffffL
+
+  /** Locate + walk the central directory. */
+  def entries(buf: Array[Byte]): Either[String, Vector[Entry]] = {
+    if (buf == null || buf.length < 22) return Left("not a zip")
+    // EOCD: scan back over the (≤64 KiB) comment for PK\x05\x06
+    val scanFrom = math.max(0, buf.length - 22 - 65536)
+    var eocd = -1
+    var i = buf.length - 22
+    while (i >= scanFrom && eocd < 0) {
+      if (buf(i) == 'P' && buf(i + 1) == 'K' && buf(i + 2) == 5 &&
+        buf(i + 3) == 6) eocd = i
+      i -= 1
+    }
+    if (eocd < 0) return Left("not a zip")
+    val count = u16(buf, eocd + 10)
+    val cdOff = u32(buf, eocd + 16)
+    if (cdOff == 0xffffffffL || count == 0xffff)
+      return Left("zip64 unsupported")
+    if (count > MaxEntries) return Left("zip entry count past cap")
+    if (cdOff >= buf.length) return Left("zip central directory offset")
+    val out = Vector.newBuilder[Entry]
+    var p = cdOff.toInt
+    var n = 0
+    while (n < count) {
+      if (p + 46 > buf.length) return Left("zip central directory truncated")
+      if (!(buf(p) == 'P' && buf(p + 1) == 'K' && buf(p + 2) == 1 &&
+        buf(p + 3) == 2)) return Left("zip central directory corrupt")
+      val flags = u16(buf, p + 8)
+      val method = u16(buf, p + 10)
+      val compSize = u32(buf, p + 20)
+      val uncompSize = u32(buf, p + 24)
+      val nameLen = u16(buf, p + 28)
+      val extraLen = u16(buf, p + 30)
+      val commentLen = u16(buf, p + 32)
+      val localOff = u32(buf, p + 42)
+      if (p + 46 + nameLen > buf.length)
+        return Left("zip central directory truncated")
+      val name = new String(buf, p + 46, nameLen, "UTF-8")
+      out += Entry(name, method, flags, compSize, uncompSize, localOff)
+      p += 46 + nameLen + extraLen + commentLen
+      n += 1
+    }
+    Right(out.result())
+  }
+
+  /** Read + decompress one entry (CD metadata is authoritative; the
+    * local header only locates the data start). */
+  def read(buf: Array[Byte], e: Entry): Either[String, Array[Byte]] = {
+    if (e.encrypted) return Left(s"zip entry encrypted: ${e.name}")
+    if (e.uncompSize > MaxEntryBytes || e.compSize > MaxEntryBytes)
+      return Left(s"zip entry past cap: ${e.name}")
+    val lo = e.localOffset
+    if (lo < 0 || lo + 30 > buf.length) return Left("zip local offset")
+    val p = lo.toInt
+    if (!(buf(p) == 'P' && buf(p + 1) == 'K' && buf(p + 2) == 3 &&
+      buf(p + 3) == 4)) return Left("zip local header corrupt")
+    val nameLen = u16(buf, p + 26)
+    val extraLen = u16(buf, p + 28)
+    val dataAt = p + 30 + nameLen + extraLen
+    if (dataAt + e.compSize > buf.length) return Left("zip data truncated")
+    val comp = java.util.Arrays.copyOfRange(buf, dataAt,
+      dataAt + e.compSize.toInt)
+    e.method match {
+      case 0 => Right(comp)
+      case 8 =>
+        val inf = new Inflater(true)
+        try {
+          inf.setInput(comp)
+          val out = new ByteArrayOutputStream(
+            math.min(e.uncompSize.toInt + 16, MaxEntryBytes))
+          val chunk = new Array[Byte](8192)
+          var going = true
+          while (going) {
+            val k =
+              try inf.inflate(chunk)
+              catch {
+                case _: DataFormatException =>
+                  return Left(s"zip entry corrupt: ${e.name}")
+              }
+            if (k > 0) {
+              out.write(chunk, 0, k)
+              if (out.size() > MaxEntryBytes)
+                return Left(s"zip entry past cap: ${e.name}")
+            } else going = false
+          }
+          Right(out.toByteArray)
+        } finally inf.end()
+      case m => Left(s"zip method $m unsupported: ${e.name}")
+    }
+  }
+
+  /** First entry with this exact name. */
+  def readByName(buf: Array[Byte],
+      name: String): Either[String, Array[Byte]] =
+    entries(buf).flatMap { es =>
+      es.find(_.name == name) match {
+        case Some(e) => read(buf, e)
+        case None    => Left(s"zip entry missing: $name")
+      }
+    }
+}

@@ -1,0 +1,338 @@
+package graft.textops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.w3c.dom.Element
+
+import graft.sources.ZipArchive
+
+/** DOCX and EPUB text extraction — the office wing of the document
+  * front door ([[graft.sources.Pdf]] is the PDF wing): both formats
+  * are ZIP packages ([[ZipArchive]], hardened/capped) around XML that
+  * parses through the same XXE-proof DOM discipline as [[Sitemaps]].
+  * Nothing verbatim: the package layouts are ECMA-376 / EPUB OCF
+  * public structure, deflate is the JDK's.
+  *
+  *  - DOCX: `word/document.xml` paragraphs in document order (`w:p`
+  *    cannot nest, so a flat element scan preserves order through
+  *    tables too); runs concatenate `w:t` text with `w:tab`→TAB and
+  *    `w:br`/`w:cr`→newline; paragraphs join with newlines. Title and
+  *    creator come from `docProps/core.xml` when present.
+  *  - EPUB: `META-INF/container.xml` → OPF rootfile → spine order →
+  *    XHTML chapters, each extracted through [[HtmlExtract]] (the
+  *    same chrome-stripping pipeline crawl pages get); chapters join
+  *    with blank lines. Title from the OPF `dc:title`.
+  *
+  * Both kernels are total: refusals (non-zip bytes, missing package
+  * parts, malformed XML, zip bombs) come back as typed error rows.
+  */
+object OfficeText {
+
+  // the Sitemaps hardening: no DOCTYPE, no external/expanded entities
+  private val builders =
+    new ThreadLocal[javax.xml.parsers.DocumentBuilder] {
+      override def initialValue(): javax.xml.parsers.DocumentBuilder = {
+        val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+        dbf.setNamespaceAware(false)
+        dbf.setFeature(
+          "http://apache.org/xml/features/disallow-doctype-decl", true)
+        dbf.setFeature(
+          "http://xml.org/sax/features/external-general-entities", false)
+        dbf.setFeature(
+          "http://xml.org/sax/features/external-parameter-entities", false)
+        dbf.setXIncludeAware(false)
+        dbf.setExpandEntityReferences(false)
+        dbf.newDocumentBuilder()
+      }
+    }
+
+  private def local(tag: String): String = {
+    val c = tag.lastIndexOf(':')
+    if (c >= 0) tag.substring(c + 1) else tag
+  }
+
+  private def dom(bytes: Array[Byte]): Either[String, Element] =
+    try {
+      val b = builders.get()
+      b.reset()
+      Right(b.parse(new java.io.ByteArrayInputStream(bytes))
+        .getDocumentElement)
+    } catch {
+      case _: org.xml.sax.SAXException => Left("malformed xml")
+      case _: java.io.IOException     => Left("malformed xml")
+    }
+
+  private def elementsByLocal(root: Element, name: String): Vector[Element] = {
+    val all = root.getElementsByTagName("*")
+    val out = Vector.newBuilder[Element]
+    var i = 0
+    while (i < all.getLength) {
+      all.item(i) match {
+        case e: Element if local(e.getTagName) == name => out += e
+        case _ =>
+      }
+      i += 1
+    }
+    out.result()
+  }
+
+  private def childTextByLocal(root: Element, name: String): Option[String] =
+    elementsByLocal(root, name).headOption
+      .flatMap(e => Option(e.getTextContent)).map(_.trim)
+      .filter(_.nonEmpty)
+
+  // -----------------------------------------------------------------
+  // DOCX
+  // -----------------------------------------------------------------
+
+  final case class Docx(text: String, nParagraphs: Int,
+      title: Option[String], creator: Option[String])
+
+  /** One paragraph's visible text: `w:t` runs + tab/break controls. */
+  private def paragraphText(p: Element): String = {
+    val sb = new java.lang.StringBuilder
+    def walk(e: Element): Unit = {
+      local(e.getTagName) match {
+        case "t"          => sb.append(Option(e.getTextContent).getOrElse(""))
+        case "tab"        => sb.append('\t')
+        case "br" | "cr"  => sb.append('\n')
+        case "pPr" | "rPr" | "instrText" => // properties/field code: skip
+        case _ =>
+          val kids = e.getChildNodes
+          var i = 0
+          while (i < kids.getLength) {
+            kids.item(i) match {
+              case c: Element => walk(c)
+              case _          =>
+            }
+            i += 1
+          }
+      }
+    }
+    walk(p)
+    sb.toString
+  }
+
+  def docx(payload: Array[Byte]): Either[String, Docx] =
+    ZipArchive.readByName(payload, "word/document.xml").flatMap { docXml =>
+      dom(docXml).map { root =>
+        val paras = elementsByLocal(root, "p").map(paragraphText)
+        val (title, creator) =
+          ZipArchive.readByName(payload, "docProps/core.xml")
+            .toOption.flatMap(b => dom(b).toOption) match {
+            case Some(core) =>
+              (childTextByLocal(core, "title"),
+                childTextByLocal(core, "creator"))
+            case None => (None, None)
+          }
+        Docx(paras.mkString("\n"), paras.length, title, creator)
+      }
+    }
+
+  // -----------------------------------------------------------------
+  // EPUB
+  // -----------------------------------------------------------------
+
+  final case class Epub(text: String, nChapters: Int,
+      title: Option[String])
+
+  /** Resolve an OPF-relative href against the OPF's directory. */
+  private def resolveHref(opfPath: String, href: String): String = {
+    val dir = opfPath.lastIndexOf('/') match {
+      case -1 => ""
+      case i  => opfPath.substring(0, i + 1)
+    }
+    val raw = dir + href
+    // normalize ./ and ../ segments
+    val segs = raw.split("/").foldLeft(Vector.empty[String]) {
+      case (acc, ".")               => acc
+      case (acc, "..")              => if (acc.nonEmpty) acc.init else acc
+      case (acc, s) if s.nonEmpty   => acc :+ s
+      case (acc, _)                 => acc
+    }
+    segs.mkString("/")
+  }
+
+  def epub(payload: Array[Byte]): Either[String, Epub] =
+    for {
+      container <- ZipArchive.readByName(payload,
+        "META-INF/container.xml")
+      cRoot <- dom(container)
+      opfPath <- elementsByLocal(cRoot, "rootfile").headOption
+        .flatMap(e => Option(e.getAttribute("full-path")))
+        .filter(_.nonEmpty)
+        .toRight("epub missing rootfile")
+      opfBytes <- ZipArchive.readByName(payload, opfPath)
+      opf <- dom(opfBytes)
+    } yield {
+      val items = elementsByLocal(opf, "item").map { it =>
+        it.getAttribute("id") ->
+          (it.getAttribute("href"), it.getAttribute("media-type"))
+      }.toMap
+      val chapterPaths = elementsByLocal(opf, "itemref")
+        .map(_.getAttribute("idref"))
+        .flatMap(items.get)
+        .collect { case (href, mt) if mt == "application/xhtml+xml" =>
+          resolveHref(opfPath, href)
+        }
+      val chapters = chapterPaths.flatMap { path =>
+        ZipArchive.readByName(payload, path).toOption.map { bytes =>
+          HtmlExtract.extract(new String(bytes, "UTF-8")).text
+        }
+      }
+      Epub(chapters.mkString("\n\n"), chapters.length,
+        childTextByLocal(opf, "title"))
+    }
+
+  // -----------------------------------------------------------------
+  // DataFrame operators (the pdfDocs pattern: per-document kernels,
+  // carry columns ride through, refusals are typed error rows)
+  // -----------------------------------------------------------------
+
+  def docxDocs(df: DataFrame, idCol: String, payloadCol: String,
+      carryCols: Seq[String] = Nil): DataFrame = {
+    val kernel = udf { (b: Array[Byte]) =>
+      docx(if (b == null) Array.emptyByteArray else b) match {
+        case Right(d) =>
+          (d.text, d.nParagraphs, d.title, d.creator, None: Option[String])
+        case Left(e) =>
+          (null: String, 0, None: Option[String], None: Option[String],
+            Some(e))
+      }
+    }
+    val carried = carryCols.map(col)
+    df.select(col(idCol).as("id") +: carried :+
+        kernel(col(payloadCol)).as("d"): _*)
+      .select(col("id") +: carried :+ col("d._1").as("text") :+
+        col("d._2").as("n_paragraphs") :+ col("d._3").as("title") :+
+        col("d._4").as("creator") :+ col("d._5").as("error"): _*)
+  }
+
+  def epubDocs(df: DataFrame, idCol: String, payloadCol: String,
+      carryCols: Seq[String] = Nil): DataFrame = {
+    val kernel = udf { (b: Array[Byte]) =>
+      epub(if (b == null) Array.emptyByteArray else b) match {
+        case Right(d) =>
+          (d.text, d.nChapters, d.title, None: Option[String])
+        case Left(e) =>
+          (null: String, 0, None: Option[String], Some(e))
+      }
+    }
+    val carried = carryCols.map(col)
+    df.select(col(idCol).as("id") +: carried :+
+        kernel(col(payloadCol)).as("d"): _*)
+      .select(col("id") +: carried :+ col("d._1").as("text") :+
+        col("d._2").as("n_chapters") :+ col("d._3").as("title") :+
+        col("d._4").as("error"): _*)
+  }
+}
+
+/** Plant-side writers (tests/oracles): REAL ZIP packages through the
+  * JDK's `ZipOutputStream` (data-descriptor layout — exercising the
+  * reader's CD-authoritative walk), minimal-but-valid ECMA-376 /
+  * EPUB OCF structure. The Exif/Id3/PdfWriter pattern.
+  */
+private[graft] object OfficePlant {
+
+  private def xmlEsc(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  /** (name, bytes, stored?) entries → zip bytes. */
+  def zip(entries: Seq[(String, Array[Byte], Boolean)]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    entries.foreach { case (name, data, stored) =>
+      val e = new java.util.zip.ZipEntry(name)
+      e.setTime(1735689600000L) // fixed: plants stay byte-stable
+      if (stored) {
+        e.setMethod(java.util.zip.ZipEntry.STORED)
+        e.setSize(data.length.toLong)
+        e.setCompressedSize(data.length.toLong)
+        val crc = new java.util.zip.CRC32()
+        crc.update(data)
+        e.setCrc(crc.getValue)
+      }
+      zos.putNextEntry(e)
+      zos.write(data)
+      zos.closeEntry()
+    }
+    zos.close()
+    bos.toByteArray
+  }
+
+  /** A real minimal DOCX: `\t` and `\n` inside a paragraph string
+    * plant as `w:tab`/`w:br`, so extraction reproduces the input. */
+  def docxBytes(paras: Seq[String], title: Option[String],
+      creator: Option[String]): Array[Byte] = {
+    val w = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+    def runs(s: String): String = {
+      val sb = new StringBuilder
+      val buf = new StringBuilder
+      def flush(): Unit = if (buf.nonEmpty) {
+        sb.append("<w:t xml:space=\"preserve\">")
+          .append(xmlEsc(buf.toString)).append("</w:t>")
+        buf.clear()
+      }
+      s.foreach {
+        case '\t' => flush(); sb.append("<w:tab/>")
+        case '\n' => flush(); sb.append("<w:br/>")
+        case c    => buf.append(c)
+      }
+      flush()
+      sb.toString
+    }
+    val body = paras.map(p => s"<w:p><w:r>${runs(p)}</w:r></w:p>")
+      .mkString
+    val doc = s"""<?xml version="1.0" encoding="UTF-8"?>""" +
+      s"""<w:document xmlns:w="$w"><w:body>$body</w:body></w:document>"""
+    val core = s"""<?xml version="1.0" encoding="UTF-8"?>""" +
+      "<cp:coreProperties " +
+      "xmlns:cp=\"http://schemas.openxmlformats.org/package/2006/" +
+      "metadata/core-properties\" " +
+      "xmlns:dc=\"http://purl.org/dc/elements/1.1/\">" +
+      title.map(t => s"<dc:title>${xmlEsc(t)}</dc:title>").getOrElse("") +
+      creator.map(c => s"<dc:creator>${xmlEsc(c)}</dc:creator>")
+        .getOrElse("") +
+      "</cp:coreProperties>"
+    val ct = """<?xml version="1.0"?><Types """ +
+      """xmlns="http://schemas.openxmlformats.org/package/2006/""" +
+      """content-types"><Default Extension="xml" """ +
+      """ContentType="application/xml"/></Types>"""
+    zip(Seq(
+      ("[Content_Types].xml", ct.getBytes("UTF-8"), false),
+      ("word/document.xml", doc.getBytes("UTF-8"), false),
+      ("docProps/core.xml", core.getBytes("UTF-8"), false)))
+  }
+
+  /** A real minimal EPUB: stored `mimetype` first (OCF), container →
+    * OPF → spine-ordered XHTML chapters. */
+  def epubBytes(chapters: Seq[String], title: String): Array[Byte] = {
+    val container = """<?xml version="1.0"?><container version="1.0" """ +
+      """xmlns="urn:oasis:names:tc:opendocument:xmlns:container">""" +
+      """<rootfiles><rootfile full-path="OEBPS/content.opf" """ +
+      """media-type="application/oebps-package+xml"/></rootfiles>""" +
+      """</container>"""
+    val manifest = chapters.indices.map(i =>
+      s"""<item id="ch$i" href="ch$i.xhtml" """ +
+        s"""media-type="application/xhtml+xml"/>""").mkString
+    val spine = chapters.indices.map(i =>
+      s"""<itemref idref="ch$i"/>""").mkString
+    val opf = s"""<?xml version="1.0"?><package version="3.0" """ +
+      """xmlns="http://www.idpf.org/2007/opf" """ +
+      """xmlns:dc="http://purl.org/dc/elements/1.1/">""" +
+      s"""<metadata><dc:title>${xmlEsc(title)}</dc:title></metadata>""" +
+      s"""<manifest>$manifest</manifest><spine>$spine</spine></package>"""
+    def chapterXhtml(text: String): String =
+      """<?xml version="1.0" encoding="UTF-8"?>""" +
+        """<html xmlns="http://www.w3.org/1999/xhtml"><head>""" +
+        """<title>c</title></head><body>""" +
+        s"""<p>${xmlEsc(text)}</p></body></html>"""
+    zip(Seq(
+      ("mimetype", "application/epub+zip".getBytes("UTF-8"), true),
+      ("META-INF/container.xml", container.getBytes("UTF-8"), false),
+      ("OEBPS/content.opf", opf.getBytes("UTF-8"), false)) ++
+      chapters.zipWithIndex.map { case (text, i) =>
+        (s"OEBPS/ch$i.xhtml", chapterXhtml(text).getBytes("UTF-8"), false)
+      })
+  }
+}

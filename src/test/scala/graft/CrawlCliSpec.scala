@@ -260,6 +260,60 @@ class CrawlCliSpec extends SparkSpec {
     }
   }
 
+  test("include_office: docx and epub responses join the decision stream") {
+    val dir = Files.createTempDirectory("graft_crawl_office_in").toFile
+    val outdir = Files.createTempDirectory("graft_crawl_office_out")
+      .toString
+    try {
+      def mediaRec(uri: String, mt: String,
+                   body: Array[Byte]): Array[Byte] = {
+        val http = (s"HTTP/1.1 200 OK${crlf}Content-Type: $mt$crlf$crlf")
+          .getBytes("UTF-8") ++ body
+        val h = new StringBuilder("WARC/1.0").append(crlf)
+        h.append("WARC-Type: response").append(crlf)
+        h.append("WARC-Target-URI: ").append(uri).append(crlf)
+        h.append("WARC-Date: 2026-03-01T00:00:00Z").append(crlf)
+        h.append("Content-Type: application/http; msgtype=response")
+          .append(crlf)
+        h.append("Content-Length: ").append(http.length).append(crlf)
+          .append(crlf)
+        h.toString.getBytes("UTF-8") ++ http ++
+          (crlf + crlf).getBytes("UTF-8")
+      }
+      val ws = prose2.split(" ")
+      val half = ws.length / 2
+      val docx = graft.textops.OfficePlant.docxBytes(
+        Seq(ws.take(half).mkString(" "), ws.drop(half).mkString(" ")),
+        Some("Doc"), None)
+      // distinct words-order so the exact-dedup gate does not collapse
+      // it onto the html page's prose
+      val epub = graft.textops.OfficePlant.epubBytes(
+        Seq(prose1.split(" ").reverse.mkString(" ")), "Book")
+      val warc =
+        gzip(rec("https://o.example.org/html", page(prose1))) ++
+          gzip(mediaRec("https://o.example.org/d.docx",
+            "application/vnd.openxmlformats-officedocument" +
+              ".wordprocessingml.document", docx)) ++
+          gzip(mediaRec("https://o.example.org/b.epub",
+            "application/epub+zip", epub))
+      Files.write(new java.io.File(dir, "o.warc.gz").toPath, warc)
+
+      val base = Map[String, Any](
+        "input" -> dir.getAbsolutePath, "outdir" -> outdir,
+        "keep_langs" -> Seq("en"))
+      val on = graft.config.CrawlConfig.from(
+        base + ("include_office" -> java.lang.Boolean.TRUE)).toOption.get
+      val r = Main.crawl(spark, on)
+      assert(r.nPages == 3) // html + docx + epub
+      assert(r.nKept == 3, r.dropped)
+      val off = graft.config.CrawlConfig.from(base).toOption.get
+      val r2 = Main.crawl(spark, off.copy(outdir = outdir + "2"))
+      assert(r2.nPages == 1)
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
   test("crawl: empty input is a clean no-op report, not a crash") {
     val dir = Files.createTempDirectory("graft_crawl_empty").toFile
     try {

@@ -1,0 +1,185 @@
+package graft.textops
+
+import graft.SparkSpec
+import graft.sources.ZipArchive
+import graft.textops.OfficePlant._
+
+/** The office-document front door: hardened ZIP walk (CD-authoritative,
+  * capped, typed refusals), DOCX paragraph extraction, EPUB
+  * spine-ordered chapter extraction, and totality fuzz.
+  */
+class OfficeTextSpec extends SparkSpec {
+
+  test("zip: stored + deflated entries round trip; CD drives the walk") {
+    val bytes = zip(Seq(
+      ("a.txt", "alpha".getBytes("UTF-8"), true),
+      ("dir/b.bin", Array.tabulate[Byte](4096)(i => (i % 251).toByte),
+        false)))
+    val es = ZipArchive.entries(bytes).toOption.get
+    assert(es.map(_.name) == Vector("a.txt", "dir/b.bin"))
+    assert(es(0).method == 0 && es(1).method == 8)
+    assert(new String(ZipArchive.read(bytes, es(0)).toOption.get) ==
+      "alpha")
+    assert(ZipArchive.read(bytes, es(1)).toOption.get.length == 4096)
+    assert(ZipArchive.readByName(bytes, "missing").swap.toOption.get
+      .startsWith("zip entry missing"))
+  }
+
+  test("zip refusals: garbage, truncation, encrypted flag, bomb cap") {
+    assert(ZipArchive.entries("not a zip".getBytes).swap.toOption.get ==
+      "not a zip")
+    assert(ZipArchive.entries(Array.emptyByteArray).swap.toOption.get ==
+      "not a zip")
+    val bytes = zip(Seq(("x", "data".getBytes, false)))
+    // truncate mid-central-directory
+    val cut = bytes.take(bytes.length - 10)
+    assert(ZipArchive.entries(cut).isLeft ||
+      ZipArchive.entries(cut).toOption.get.isEmpty)
+    // flip the GP encrypted bit in the CD copy of the entry
+    val enc = bytes.clone()
+    var i = enc.length - 4
+    var cd = -1
+    while (i >= 0 && cd < 0) {
+      if (enc(i) == 'P' && enc(i + 1) == 'K' && enc(i + 2) == 1 &&
+        enc(i + 3) == 2) cd = i
+      i -= 1
+    }
+    enc(cd + 8) = (enc(cd + 8) | 1).toByte
+    val e = ZipArchive.entries(enc).toOption.get.head
+    assert(ZipArchive.read(enc, e).swap.toOption.get
+      .startsWith("zip entry encrypted"))
+    // a >cap entry refuses by declared size before any inflation
+    val big = ZipArchive.Entry("big", 8, 0, ZipArchive.MaxEntryBytes + 1L,
+      ZipArchive.MaxEntryBytes + 1L, 0L)
+    assert(ZipArchive.read(bytes, big).swap.toOption.get
+      .startsWith("zip entry past cap"))
+  }
+
+  test("docx: paragraphs, tabs, breaks, spaces, core properties") {
+    val bytes = docxBytes(
+      Seq("First para with spaces", "Tab\there", "Line\nbreak"),
+      title = Some("My Doc"), creator = Some("someone"))
+    val d = OfficeText.docx(bytes).toOption.get
+    assert(d.text == "First para with spaces\nTab\there\nLine\nbreak")
+    assert(d.nParagraphs == 3)
+    assert(d.title.contains("My Doc"))
+    assert(d.creator.contains("someone"))
+  }
+
+  test("docx: table-cell paragraphs extract in document order") {
+    // hand-build a document.xml with a table between two paragraphs
+    val w = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+    val doc = s"""<?xml version="1.0"?><w:document xmlns:w="$w"><w:body>""" +
+      "<w:p><w:r><w:t>before</w:t></w:r></w:p>" +
+      "<w:tbl><w:tr><w:tc><w:p><w:r><w:t>cell one</w:t></w:r></w:p>" +
+      "</w:tc><w:tc><w:p><w:r><w:t>cell two</w:t></w:r></w:p></w:tc>" +
+      "</w:tr></w:tbl>" +
+      "<w:p><w:r><w:t>after</w:t></w:r></w:p>" +
+      "</w:body></w:document>"
+    val bytes = zip(Seq(("word/document.xml", doc.getBytes("UTF-8"),
+      false)))
+    val d = OfficeText.docx(bytes).toOption.get
+    assert(d.text == "before\ncell one\ncell two\nafter")
+    assert(d.nParagraphs == 4)
+  }
+
+  test("docx refusals: non-zip, missing part, malformed xml, doctype") {
+    assert(OfficeText.docx("nope".getBytes).swap.toOption.get ==
+      "not a zip")
+    val noDoc = zip(Seq(("other.xml", "<a/>".getBytes, false)))
+    assert(OfficeText.docx(noDoc).swap.toOption.get ==
+      "zip entry missing: word/document.xml")
+    val badXml = zip(Seq(("word/document.xml",
+      "<w:document><unclosed".getBytes, false)))
+    assert(OfficeText.docx(badXml).swap.toOption.get == "malformed xml")
+    // XXE hardening: any DOCTYPE refuses outright
+    val dt = zip(Seq(("word/document.xml",
+      ("<?xml version=\"1.0\"?><!DOCTYPE d [<!ENTITY x SYSTEM " +
+        "\"file:///etc/passwd\">]><d>&x;</d>").getBytes, false)))
+    assert(OfficeText.docx(dt).swap.toOption.get == "malformed xml")
+  }
+
+  test("epub: spine order, chapter extraction through HtmlExtract, title") {
+    val bytes = epubBytes(Seq("Chapter one text here",
+      "Chapter two text here", "Chapter three text here"), "My Book")
+    val e = OfficeText.epub(bytes).toOption.get
+    assert(e.nChapters == 3)
+    assert(e.title.contains("My Book"))
+    assert(e.text == "Chapter one text here\n\nChapter two text here" +
+      "\n\nChapter three text here")
+  }
+
+  test("epub refusals: missing container, missing opf") {
+    val noContainer = zip(Seq(("mimetype",
+      "application/epub+zip".getBytes, true)))
+    assert(OfficeText.epub(noContainer).swap.toOption.get ==
+      "zip entry missing: META-INF/container.xml")
+    val badRoot = zip(Seq(("META-INF/container.xml",
+      ("<?xml version=\"1.0\"?><container><rootfiles><rootfile " +
+        "full-path=\"missing.opf\"/></rootfiles></container>")
+        .getBytes, false)))
+    assert(OfficeText.epub(badRoot).swap.toOption.get ==
+      "zip entry missing: missing.opf")
+  }
+
+  test("totality fuzz: mutations, truncations, random bytes never throw") {
+    val rnd = new scala.util.Random(7)
+    val bases = Seq(
+      docxBytes(Seq("alpha beta", "gamma"), Some("t"), None),
+      epubBytes(Seq("one", "two"), "b"))
+    bases.foreach { base =>
+      (0 until 120).foreach { i =>
+        val b = base.clone()
+        (0 until 1 + i % 6).foreach { _ =>
+          b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+        }
+        OfficeText.docx(b); OfficeText.epub(b)
+      }
+      (0 until 40).foreach { _ =>
+        val cut = 1 + rnd.nextInt(base.length - 1)
+        OfficeText.docx(base.take(cut)); OfficeText.epub(base.take(cut))
+      }
+    }
+    (0 until 40).foreach { _ =>
+      val junk = Array.fill(rnd.nextInt(1024))(rnd.nextInt(256).toByte)
+      OfficeText.docx(junk); OfficeText.epub(junk)
+    }
+  }
+
+  test("DataFrame operators: typed rows; media door feeds docx e2e") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, docxBytes(Seq("hello world"), Some("T"), Some("C"))),
+      (2L, "junk".getBytes)).toDF("id", "payload")
+    val rows = OfficeText.docxDocs(df, "id", "payload")
+      .orderBy("id").collect()
+    assert(rows(0).getAs[String]("text") == "hello world")
+    assert(rows(0).getAs[Int]("n_paragraphs") == 1)
+    assert(rows(1).getAs[String]("error") == "not a zip")
+    val edf = Seq((1L, epubBytes(Seq("ch text"), "B"))).toDF("id", "payload")
+    val er = OfficeText.epubDocs(edf, "id", "payload").collect()
+    assert(er(0).getAs[String]("text") == "ch text")
+    assert(er(0).getAs[String]("title") == "B")
+
+    // through the WARC binary-media door: the docx media type is not
+    // textual, so the payload reaches the office kernel byte-identical
+    val crlf = "\r\n"
+    val docxPayload = docxBytes(Seq("from the crawl"), None, None)
+    val mt = "application/vnd.openxmlformats-officedocument" +
+      ".wordprocessingml.document"
+    val http = (s"HTTP/1.1 200 OK${crlf}Content-Type: $mt$crlf$crlf")
+      .getBytes("UTF-8") ++ docxPayload
+    val warc = (s"WARC/1.0${crlf}WARC-Type: response$crlf" +
+      s"WARC-Target-URI: https://x.org/d.docx$crlf" +
+      s"WARC-Date: 2026-02-01T12:00:00Z$crlf" +
+      s"Content-Type: application/http; msgtype=response$crlf" +
+      s"Content-Length: ${http.length}$crlf$crlf").getBytes("UTF-8") ++
+      http ++ (crlf + crlf).getBytes("UTF-8")
+    val media = graft.sources.Warc.mediaRecords(
+      Seq((9L, warc)).toDF("id", "payload"), "id", "payload",
+      Seq("application/vnd.openxmlformats"))
+    val got = OfficeText.docxDocs(media, "url", "payload").collect()
+    assert(got.length == 1)
+    assert(got(0).getAs[String]("text") == "from the crawl")
+  }
+}
