@@ -3083,8 +3083,39 @@ object SparkEntry {
         .select(col("id"), col("text"), col("n_chapters"),
           col("title"), col("error"))
         .orderBy(col("id"))
+    }),
+
+    // XLSX cell extraction — the tabular wing: planted workbooks put
+    // shared strings in even columns and inline strings in odd (both
+    // decode paths on every row), a second sheet on k%5=0; non-zip on
+    // k%13=7, a workbook with no worksheets on k%11=5
+    "q149_xlsx_extract" -> ((s, dir) => {
+      import s.implicits._
+      val docs = tSpread(s, dir, "part").select(col("p_partkey"))
+        .as[Long]
+        .map(k => (k, q149Xlsx(k)))
+        .toDF("id", "payload")
+      textops.OfficeText.xlsxDocs(docs, "id", "payload")
+        .select(col("id"), col("text"), col("n_sheets"),
+          col("n_rows"), col("error"))
+        .orderBy(col("id"))
     })
   )
+
+  /** q149's planted XLSX for part key `k` (see the query comment). */
+  private[graft] def q149Xlsx(k: Long): Array[Byte] = {
+    import textops.OfficePlant
+    if (k % 13 == 7) return s"not a zip $k".getBytes("UTF-8")
+    if (k % 11 == 5)
+      return OfficePlant.zip(Seq(
+        ("xl/workbook.xml", "<workbook/>".getBytes("UTF-8"), false)))
+    val sheet1 = (1 to (k % 3 + 1).toInt).map(r =>
+      (1 to (k % 2 + 2).toInt).map(c => s"v$k $r $c"))
+    val sheets =
+      if (k % 5 == 0) Seq(sheet1, Seq(Seq(s"s2 $k")))
+      else Seq(sheet1)
+    OfficePlant.xlsxBytes(sheets)
+  }
 
   /** q147's planted DOCX for doc key `k` (see the query comment). */
   private[graft] def q147Docx(k: Long): Array[Byte] = {
@@ -6645,7 +6676,33 @@ object SparkEntry {
         |  CASE WHEN s_suppkey % 13 = 7 THEN 'not a zip'
         |    WHEN s_suppkey % 7 = 2
         |    THEN 'zip entry missing: META-INF/container.xml' END AS error
-        |FROM supplier ORDER BY id""".stripMargin
+        |FROM supplier ORDER BY id""".stripMargin,
+
+    // the XLSX cell matrix replays closed-form from the residues
+    "q149_xlsx_extract" ->
+      """SELECT p_partkey AS id,
+        |  CASE WHEN p_partkey % 13 = 7 OR p_partkey % 11 = 5 THEN NULL
+        |    ELSE array_to_string(list_transform(
+        |      range(1, CAST(p_partkey % 3 + 2 AS INTEGER)), r ->
+        |        array_to_string(list_transform(
+        |          range(1, CAST(p_partkey % 2 + 3 AS INTEGER)), c ->
+        |            'v' || CAST(p_partkey AS VARCHAR) || ' ' ||
+        |            CAST(r AS VARCHAR) || ' ' || CAST(c AS VARCHAR)),
+        |          chr(9))), chr(10)) ||
+        |      CASE WHEN p_partkey % 5 = 0
+        |        THEN chr(10) || chr(10) || 's2 ' ||
+        |          CAST(p_partkey AS VARCHAR) ELSE '' END END AS text,
+        |  CAST(CASE WHEN p_partkey % 13 = 7 OR p_partkey % 11 = 5 THEN 0
+        |    WHEN p_partkey % 5 = 0 THEN 2 ELSE 1 END AS INTEGER)
+        |    AS n_sheets,
+        |  CAST(CASE WHEN p_partkey % 13 = 7 OR p_partkey % 11 = 5 THEN 0
+        |    ELSE p_partkey % 3 + 1 +
+        |      CASE WHEN p_partkey % 5 = 0 THEN 1 ELSE 0 END
+        |    END AS INTEGER) AS n_rows,
+        |  CASE WHEN p_partkey % 13 = 7 THEN 'not a zip'
+        |    WHEN p_partkey % 11 = 5
+        |    THEN 'xlsx has no worksheets' END AS error
+        |FROM part ORDER BY id""".stripMargin
   )
 
   /** q133's replay: q102's stage CTEs over the crawl-extracted corpus

@@ -185,9 +185,95 @@ object OfficeText {
     }
 
   // -----------------------------------------------------------------
+  // XLSX
+  // -----------------------------------------------------------------
+
+  final case class Xlsx(text: String, nSheets: Int, nRows: Int)
+
+  /** XLSX cell text in sheet order: shared strings (`t="s"` through
+    * `xl/sharedStrings.xml`), inline strings (`inlineStr`/`str`), and
+    * raw values; cells join with TAB, rows with newline, sheets with a
+    * blank line. Worksheets walk in `xl/worksheets/sheet*.xml` name
+    * order (the workbook's own numbering; cell A1-style addresses are
+    * not re-gapped — cell ORDER is the extraction contract).
+    */
+  def xlsx(payload: Array[Byte]): Either[String, Xlsx] =
+    ZipArchive.entries(payload).flatMap { es =>
+      val sheetNames = es.map(_.name)
+        .filter(n => n.startsWith("xl/worksheets/sheet") &&
+          n.endsWith(".xml"))
+        .sortBy { n =>
+          val digits = n.stripPrefix("xl/worksheets/sheet")
+            .stripSuffix(".xml")
+          if (digits.nonEmpty && digits.forall(_.isDigit) &&
+            digits.length <= 9) digits.toInt else Int.MaxValue
+        }
+      if (sheetNames.isEmpty) Left("xlsx has no worksheets")
+      else {
+        val shared: Vector[String] =
+          ZipArchive.readByName(payload, "xl/sharedStrings.xml")
+            .toOption.flatMap(b => dom(b).toOption) match {
+            case Some(root) =>
+              elementsByLocal(root, "si").map { si =>
+                elementsByLocal(si, "t")
+                  .map(t => Option(t.getTextContent).getOrElse(""))
+                  .mkString
+              }
+            case None => Vector.empty
+          }
+        val sheets = sheetNames.map { name =>
+          ZipArchive.readByName(payload, name).flatMap(dom).map { root =>
+            elementsByLocal(root, "row").map { row =>
+              elementsByLocal(row, "c").map { c =>
+                val t = c.getAttribute("t")
+                def v: String = childTextByLocal(c, "v").getOrElse("")
+                t match {
+                  case "s" =>
+                    val i = v
+                    if (i.nonEmpty && i.forall(_.isDigit) &&
+                      i.length <= 9 && i.toInt < shared.length)
+                      shared(i.toInt)
+                    else ""
+                  case "inlineStr" =>
+                    elementsByLocal(c, "is").headOption
+                      .map(is => elementsByLocal(is, "t")
+                        .map(tt => Option(tt.getTextContent)
+                          .getOrElse("")).mkString)
+                      .getOrElse("")
+                  case _ => v // "str", numbers, booleans: the raw value
+                }
+              }.mkString("\t")
+            }
+          }
+        }
+        sheets.collectFirst { case Left(e) => Left(e) }.getOrElse {
+          val rowsPerSheet = sheets.map(_.toOption.get)
+          Right(Xlsx(rowsPerSheet.map(_.mkString("\n")).mkString("\n\n"),
+            rowsPerSheet.length, rowsPerSheet.map(_.length).sum))
+        }
+      }
+    }
+
+  // -----------------------------------------------------------------
   // DataFrame operators (the pdfDocs pattern: per-document kernels,
   // carry columns ride through, refusals are typed error rows)
   // -----------------------------------------------------------------
+
+  def xlsxDocs(df: DataFrame, idCol: String, payloadCol: String,
+      carryCols: Seq[String] = Nil): DataFrame = {
+    val kernel = udf { (b: Array[Byte]) =>
+      xlsx(if (b == null) Array.emptyByteArray else b) match {
+        case Right(d) => (d.text, d.nSheets, d.nRows, None: Option[String])
+        case Left(e)  => (null: String, 0, 0, Some(e))
+      }
+    }
+    val carried = carryCols.map(col)
+    df.select(col(idCol).as("id") +: carried :+
+        kernel(col(payloadCol)).as("d"): _*)
+      .select(col("id") +: carried :+ col("d._1").as("text") :+
+        col("d._2").as("n_sheets") :+ col("d._3").as("n_rows") :+
+        col("d._4").as("error"): _*)
+  }
 
   def docxDocs(df: DataFrame, idCol: String, payloadCol: String,
       carryCols: Seq[String] = Nil): DataFrame = {
@@ -302,6 +388,42 @@ private[graft] object OfficePlant {
       ("[Content_Types].xml", ct.getBytes("UTF-8"), false),
       ("word/document.xml", doc.getBytes("UTF-8"), false),
       ("docProps/core.xml", core.getBytes("UTF-8"), false)))
+  }
+
+  /** A real minimal XLSX: `cells(sheet)(row)(col)`; even columns plant
+    * as shared strings, odd as inline strings — both decode paths on
+    * every plant. */
+  def xlsxBytes(sheets: Seq[Seq[Seq[String]]]): Array[Byte] = {
+    val ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    val sharedIdx = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    def sharedOf(s: String): Int =
+      sharedIdx.getOrElseUpdate(s, sharedIdx.size)
+    val sheetXmls = sheets.map { rows =>
+      val body = rows.map { cells =>
+        val cx = cells.zipWithIndex.map { case (v, i) =>
+          if (i % 2 == 0) s"""<c t="s"><v>${sharedOf(v)}</v></c>"""
+          else s"""<c t="inlineStr"><is><t xml:space="preserve">""" +
+            s"""${xmlEsc(v)}</t></is></c>"""
+        }.mkString
+        s"<row>$cx</row>"
+      }.mkString
+      s"""<?xml version="1.0"?><worksheet xmlns="$ns">""" +
+        s"""<sheetData>$body</sheetData></worksheet>"""
+    }
+    val sst = s"""<?xml version="1.0"?><sst xmlns="$ns">""" +
+      sharedIdx.keys.map(s =>
+        s"""<si><t xml:space="preserve">${xmlEsc(s)}</t></si>""")
+        .mkString + "</sst>"
+    val wb = s"""<?xml version="1.0"?><workbook xmlns="$ns"><sheets>""" +
+      sheets.indices.map(i =>
+        s"""<sheet name="S$i" sheetId="${i + 1}"/>""").mkString +
+      "</sheets></workbook>"
+    zip(Seq(
+      ("xl/workbook.xml", wb.getBytes("UTF-8"), false),
+      ("xl/sharedStrings.xml", sst.getBytes("UTF-8"), false)) ++
+      sheetXmls.zipWithIndex.map { case (xml, i) =>
+        (s"xl/worksheets/sheet${i + 1}.xml", xml.getBytes("UTF-8"), false)
+      })
   }
 
   /** A real minimal EPUB: stored `mimetype` first (OCF), container →

@@ -122,18 +122,43 @@ class OfficeTextSpec extends SparkSpec {
       "zip entry missing: missing.opf")
   }
 
+  test("xlsx: shared + inline strings, sheet/row/cell order, values") {
+    val bytes = xlsxBytes(Seq(
+      Seq(Seq("a one", "b one"), Seq("a two", "b two", "c two")),
+      Seq(Seq("x", "y"))))
+    val d = OfficeText.xlsx(bytes).toOption.get
+    assert(d.text == "a one\tb one\na two\tb two\tc two\n\nx\ty")
+    assert(d.nSheets == 2 && d.nRows == 3)
+    // hand-crafted numeric and formula-string cells
+    val ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    val sheet = s"""<?xml version="1.0"?><worksheet xmlns="$ns">""" +
+      """<sheetData><row><c><v>42</v></c>""" +
+      """<c t="str"><v>computed</v></c></row>""" +
+      """</sheetData></worksheet>"""
+    val nums = zip(Seq(("xl/worksheets/sheet1.xml",
+      sheet.getBytes("UTF-8"), false)))
+    assert(OfficeText.xlsx(nums).toOption.get.text == "42\tcomputed")
+    // refusal: a zip with no worksheets
+    val none = zip(Seq(("xl/workbook.xml", "<a/>".getBytes, false)))
+    assert(OfficeText.xlsx(none).swap.toOption.get ==
+      "xlsx has no worksheets")
+    assert(OfficeText.xlsx("junk".getBytes).swap.toOption.get ==
+      "not a zip")
+  }
+
   test("totality fuzz: mutations, truncations, random bytes never throw") {
     val rnd = new scala.util.Random(7)
     val bases = Seq(
       docxBytes(Seq("alpha beta", "gamma"), Some("t"), None),
-      epubBytes(Seq("one", "two"), "b"))
+      epubBytes(Seq("one", "two"), "b"),
+      xlsxBytes(Seq(Seq(Seq("p", "q"), Seq("r")))))
     bases.foreach { base =>
       (0 until 120).foreach { i =>
         val b = base.clone()
         (0 until 1 + i % 6).foreach { _ =>
           b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
         }
-        OfficeText.docx(b); OfficeText.epub(b)
+        OfficeText.docx(b); OfficeText.epub(b); OfficeText.xlsx(b)
       }
       (0 until 40).foreach { _ =>
         val cut = 1 + rnd.nextInt(base.length - 1)
