@@ -128,7 +128,10 @@ object ScaleSmoke {
     "q144_pdf_extract", "q145_pdf_audit", "q146_crawl_pdf",
     // r16 office wing: hardened ZIP walk + XML DOM per row (plants
     // REAL zip packages; the q139/q140 per-row codec class)
-    "q147_docx_extract", "q148_epub_extract", "q149_xlsx_extract")
+    "q147_docx_extract", "q148_epub_extract", "q149_xlsx_extract",
+    // the tar bundle + router capstone: ustar walk + per-member
+    // dispatch to the pdf/docx/html/text kernels, one scan
+    "q150_tar_route")
 
   /** Measured at 10× only. All three are deliberately NOT the scale
     * path — q77 is the pinned-k SemDeDup negative control (its 100×

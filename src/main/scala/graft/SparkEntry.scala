@@ -3099,8 +3099,48 @@ object SparkEntry {
         .select(col("id"), col("text"), col("n_sheets"),
           col("n_rows"), col("error"))
         .orderBy(col("id"))
+    }),
+
+    // tar bundle → routed extraction: planted .tar(.gz) bundles hold a
+    // txt + html member always, a pdf on k%3=0, a docx on k%4=1, and
+    // an unroutable .bin on k%5=2; the router dispatches each member
+    // to its extractor and the oracle replays every row closed-form
+    // (outer gzip on odd keys; non-tar payloads on k%13=7 contribute
+    // no rows — the walk sees a short non-header buffer)
+    "q150_tar_route" -> ((s, dir) => {
+      import s.implicits._
+      val tars = tSpread(s, dir, "documents").select(col("doc_id"))
+        .as[Long]
+        .map(k => (k, q150Tar(k)))
+        .toDF("id", "payload")
+      val entries = sources.TarArchive.entries(tars, "id", "payload")
+        .where(col("error").isNull)
+      textops.DocRoute.routedDocs(entries, "name", "payload")
+        .select(col("id"), col("entry_idx"), col("name"), col("kind"),
+          col("text"), col("doc_error"))
+        .orderBy(col("id"), col("entry_idx"))
     })
   )
+
+  /** q150's planted bundle for doc key `k` (see the query comment). */
+  private[graft] def q150Tar(k: Long): Array[Byte] = {
+    import sources.{PdfWriter, TarArchive}
+    import textops.OfficePlant
+    if (k % 13 == 7) return s"not a tar $k".getBytes("UTF-8")
+    val members = scala.collection.mutable.ArrayBuffer[
+      (String, Array[Byte])](
+      ("m0.txt", s"Text $k body".getBytes("UTF-8")),
+      ("m1.html",
+        s"<html><body><p>Html $k body</p></body></html>"
+          .getBytes("UTF-8")))
+    if (k % 3 == 0) members += (("m2.pdf", PdfWriter.pdfBytes(
+      PdfWriter.Plant(Seq(Seq(s"Pdf $k a", s"Pdf $k b")),
+        compress = true))))
+    if (k % 4 == 1) members += (("m3.docx",
+      OfficePlant.docxBytes(Seq(s"Docx $k p1"), None, None)))
+    if (k % 5 == 2) members += (("m4.bin", Array[Byte](1, 2, 3)))
+    TarArchive.plantTar(members.toSeq, gzipOuter = k % 2 == 1)
+  }
 
   /** q149's planted XLSX for part key `k` (see the query comment). */
   private[graft] def q149Xlsx(k: Long): Array[Byte] = {
@@ -6702,7 +6742,39 @@ object SparkEntry {
         |  CASE WHEN p_partkey % 13 = 7 THEN 'not a zip'
         |    WHEN p_partkey % 11 = 5
         |    THEN 'xlsx has no worksheets' END AS error
-        |FROM part ORDER BY id""".stripMargin
+        |FROM part ORDER BY id""".stripMargin,
+
+    // every routed member replays closed-form; entry indexes follow
+    // the plant's member-presence arithmetic
+    "q150_tar_route" ->
+      """WITH d AS (SELECT doc_id AS k FROM documents
+        |  WHERE doc_id % 13 <> 7),
+        |m AS (
+        |  SELECT k, 0 AS entry_idx, 'm0.txt' AS name, 'text' AS kind,
+        |    'Text ' || CAST(k AS VARCHAR) || ' body' AS text,
+        |    CAST(NULL AS VARCHAR) AS doc_error
+        |  FROM d
+        |  UNION ALL
+        |  SELECT k, 1, 'm1.html', 'html',
+        |    'Html ' || CAST(k AS VARCHAR) || ' body', NULL FROM d
+        |  UNION ALL
+        |  SELECT k, 2, 'm2.pdf', 'pdf',
+        |    'Pdf ' || CAST(k AS VARCHAR) || ' a' || chr(10) ||
+        |    'Pdf ' || CAST(k AS VARCHAR) || ' b', NULL
+        |  FROM d WHERE k % 3 = 0
+        |  UNION ALL
+        |  SELECT k, 2 + CASE WHEN k % 3 = 0 THEN 1 ELSE 0 END,
+        |    'm3.docx', 'docx', 'Docx ' || CAST(k AS VARCHAR) || ' p1',
+        |    NULL
+        |  FROM d WHERE k % 4 = 1
+        |  UNION ALL
+        |  SELECT k, 2 + CASE WHEN k % 3 = 0 THEN 1 ELSE 0 END +
+        |      CASE WHEN k % 4 = 1 THEN 1 ELSE 0 END,
+        |    'm4.bin', NULL, NULL, 'unsupported extension bin'
+        |  FROM d WHERE k % 5 = 2)
+        |SELECT k AS id, CAST(entry_idx AS INTEGER) AS entry_idx, name,
+        |  kind, text, doc_error
+        |FROM m ORDER BY id, entry_idx""".stripMargin
   )
 
   /** q133's replay: q102's stage CTEs over the crawl-extracted corpus

@@ -1,0 +1,365 @@
+package graft.sources
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, InputStream}
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.types._
+
+/** Hardened TAR (ustar / POSIX.1-1988 + GNU longname + pax skip)
+  * reader — the bundle front door for archive-shaped corpora (arXiv
+  * source dumps, dataset tarballs): a `.tar` / `.tar.gz` of documents
+  * walks as a LAZY entry iterator in per-entry memory, and each
+  * member routes to the matching extractor
+  * ([[graft.textops.DocRoute]]).
+  *
+  * The Warc discipline throughout: total on attacker bytes (typed
+  * error entries, never exceptions), checksum-verified headers with
+  * quarantine-and-stop on corruption (a desynced tar stream cannot be
+  * resynced — unlike WARC there is no record anchor to scan for),
+  * per-entry cap ([[MaxEntryBytes]]: an over-cap member becomes an
+  * error entry and its SIBLINGS still parse), and a cumulative cap on
+  * the materialized binary-column form only ([[MaxInflatedTotal]] —
+  * the lazy file door has no whole-archive cap, per-record memory is
+  * the contract).
+  */
+object TarArchive {
+
+  val MaxEntryBytes: Int = 1 << 26 // 64 MiB per member
+  val MaxEntries: Int = 1 << 16
+  val MaxInflatedTotal: Long = 1L << 28 // 256 MiB, parse() only
+
+  final case class TEntry(idx: Int, name: String, size: Long,
+      data: Array[Byte], error: String)
+
+  private def isZero(block: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < block.length) {
+      if (block(i) != 0) return false
+      i += 1
+    }
+    true
+  }
+
+  private def readFully(in: InputStream, n: Int): Array[Byte] = {
+    val buf = new Array[Byte](n)
+    var off = 0
+    while (off < n) {
+      val k = in.read(buf, off, n - off)
+      if (k < 0) return java.util.Arrays.copyOf(buf, off)
+      off += k
+    }
+    buf
+  }
+
+  private def octal(b: Array[Byte], at: Int, len: Int): Long = {
+    // base-256 (GNU) size: high bit of the first byte set
+    if ((b(at) & 0x80) != 0) {
+      var v = (b(at) & 0x7f).toLong
+      var i = at + 1
+      while (i < at + len) {
+        v = (v << 8) | (b(i) & 0xff)
+        i += 1
+      }
+      return v
+    }
+    var v = 0L
+    var i = at
+    var seen = false
+    while (i < at + len) {
+      val c = b(i) & 0xff
+      if (c >= '0' && c <= '7') { v = (v << 3) | (c - '0'); seen = true }
+      else if ((c == ' ' || c == 0) && !seen) () // leading padding
+      else if (c == ' ' || c == 0) i = at + len // terminator
+      i += 1
+    }
+    v
+  }
+
+  private def cstr(b: Array[Byte], at: Int, len: Int): String = {
+    var end = at
+    while (end < at + len && b(end) != 0) end += 1
+    new String(b, at, end - at, "UTF-8")
+  }
+
+  private def checksumOk(block: Array[Byte]): Boolean = {
+    var sum = 0L
+    var i = 0
+    while (i < 512) {
+      sum += (if (i >= 148 && i < 156) ' '.toInt else block(i) & 0xff)
+      i += 1
+    }
+    val declared = octal(block, 148, 8)
+    sum == declared
+  }
+
+  /** Lazy entry walk over a (plain, already-decompressed) tar stream.
+    * Total: header corruption yields one error entry and ends the walk
+    * (no resync anchor exists in tar); an over-cap member yields an
+    * error entry and the walk continues.
+    */
+  def stream(in: InputStream): Iterator[TEntry] = new Iterator[TEntry] {
+    private var idx = 0
+    private var done = false
+    private var pending: TEntry = null
+    private var longName: String = null
+
+    private def advance(): Unit = {
+      while (pending == null && !done) {
+        if (idx >= MaxEntries) {
+          pending = TEntry(idx, null, 0, null, "tar entry count past cap")
+          done = true
+          return
+        }
+        val block = readFully(in, 512)
+        if (block.length < 512) { done = true; return } // clean EOF
+        if (isZero(block)) { done = true; return } // end-of-archive
+        if (!checksumOk(block)) {
+          pending = TEntry(idx, null, 0, null, "tar header checksum")
+          done = true
+          return
+        }
+        val size = octal(block, 124, 12)
+        val typeflag = block(156)
+        val rawName = {
+          val prefix = cstr(block, 345, 155)
+          val base = cstr(block, 0, 100)
+          if (prefix.nonEmpty) prefix + "/" + base else base
+        }
+        val name = if (longName != null) { val n = longName; longName = null; n }
+          else rawName
+        val padded = ((size + 511) / 512) * 512
+        if (size < 0 || size > Int.MaxValue) {
+          pending = TEntry(idx, name, size, null, "tar entry size")
+          done = true
+          return
+        }
+        typeflag match {
+          case 'L' => // GNU long name: data block(s) hold the name
+            val data = readFully(in, padded.toInt)
+            longName = cstr(data, 0, math.min(size.toInt, data.length))
+          case '0' | 0 =>
+            if (size > MaxEntryBytes) {
+              // skip the content, keep the identity, siblings survive
+              var left = padded
+              val sink = new Array[Byte](1 << 16)
+              var eof = false
+              while (left > 0 && !eof) {
+                val k = in.read(sink, 0,
+                  math.min(left, sink.length.toLong).toInt)
+                if (k < 0) eof = true else left -= k
+              }
+              pending = TEntry(idx, name, size, null,
+                "tar entry past cap")
+              idx += 1
+            } else {
+              val data = readFully(in, padded.toInt)
+              if (data.length < size)
+                { pending = TEntry(idx, name, size, null,
+                    "tar entry truncated"); done = true }
+              else {
+                pending = TEntry(idx, name, size,
+                  java.util.Arrays.copyOf(data, size.toInt), null)
+                idx += 1
+              }
+            }
+          case _ => // dir/link/pax/global: skip the data blocks
+            val data = readFully(in, padded.toInt)
+            if (data.length < padded) done = true
+        }
+      }
+    }
+
+    def hasNext: Boolean = { advance(); pending != null }
+    def next(): TEntry = {
+      if (!hasNext) throw new NoSuchElementException
+      val e = pending; pending = null; e
+    }
+  }
+
+  /** Gzip-sniffing stream opener. */
+  private def open(in: InputStream): InputStream = {
+    val pin = new java.io.PushbackInputStream(in, 2)
+    val b0 = pin.read()
+    if (b0 < 0) return pin
+    val b1 = pin.read()
+    if (b1 >= 0) pin.unread(b1)
+    pin.unread(b0)
+    if (b0 == 0x1f && b1 == 0x8b) new java.util.zip.GZIPInputStream(pin)
+    else pin
+  }
+
+  /** Materialized binary-column form with the cumulative-inflation
+    * budget (the `Warc.parse` discipline). */
+  def parse(payload: Array[Byte]): Seq[TEntry] = {
+    if (payload == null || payload.isEmpty) return Nil
+    try {
+      val it = stream(open(new ByteArrayInputStream(payload)))
+      val out = scala.collection.mutable.ArrayBuffer.empty[TEntry]
+      var total = 0L
+      var capped = false
+      while (!capped && it.hasNext) {
+        val e = it.next()
+        out += e
+        if (e.data != null) total += e.data.length
+        if (total > MaxInflatedTotal) {
+          capped = true
+          out += TEntry(out.last.idx + 1, null, 0, null,
+            "tar inflated total past cap")
+        }
+      }
+      out.toSeq
+    } catch {
+      case _: java.io.IOException =>
+        Seq(TEntry(0, null, 0, null, "tar outer gzip corrupt"))
+    }
+  }
+
+  /** Binary-column DataFrame door (the `Warc.records` shape): one row
+    * per entry INCLUDING quarantine rows; scan-stage kernel + explode,
+    * the archive payload projected away. */
+  def entries(df: DataFrame, idCol: String,
+      payloadCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val kernel = udf { payload: Array[Byte] =>
+      parse(payload).map(e => (e.idx, e.name, e.size, e.data, e.error))
+    }
+    df.select(col(idCol), explode(kernel(col(payloadCol))).as("e"))
+      .select(col(idCol), col("e._1").as("entry_idx"),
+        col("e._2").as("name"), col("e._3").as("size"),
+        col("e._4").as("payload"), col("e._5").as("error"))
+  }
+
+  private val EntrySchema = StructType(Seq(
+    StructField("path", StringType, nullable = true),
+    StructField("entry_idx", IntegerType, nullable = false),
+    StructField("name", StringType, nullable = true),
+    StructField("size", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("error", StringType, nullable = true)))
+
+  // -----------------------------------------------------------------
+  // Plant-side writer (tests/oracles): real ustar bytes, checksum and
+  // padding correct, optional GNU longname and outer gzip.
+  // -----------------------------------------------------------------
+
+  private[graft] def plantHeader(name: String, size: Long,
+      typeflag: Byte): Array[Byte] = {
+    val b = new Array[Byte](512)
+    val nb = name.getBytes("UTF-8")
+    System.arraycopy(nb, 0, b, 0, math.min(100, nb.length))
+    def oct(v: Long, at: Int, len: Int): Unit = {
+      val s = java.lang.Long.toOctalString(v)
+      val padded = ("0" * math.max(0, len - 1 - s.length)) + s
+      val use = padded.takeRight(len - 1)
+      var i = 0
+      while (i < use.length) { b(at + i) = use.charAt(i).toByte; i += 1 }
+      b(at + len - 1) = 0
+    }
+    oct(0x1a4, 100, 8) // 0644
+    oct(0, 108, 8); oct(0, 116, 8)
+    oct(size, 124, 12)
+    oct(0, 136, 12)
+    b(156) = typeflag
+    val magic = "ustar 00".getBytes("ISO-8859-1")
+    System.arraycopy(magic, 0, b, 257, magic.length)
+    // checksum: field as spaces, then 6 octal digits NUL space
+    java.util.Arrays.fill(b, 148, 156, ' '.toByte)
+    var sum = 0L
+    var i = 0
+    while (i < 512) { sum += b(i) & 0xff; i += 1 }
+    val cs = java.lang.Long.toOctalString(sum)
+    val cp = ("0" * math.max(0, 6 - cs.length)) + cs
+    i = 0
+    while (i < 6) { b(148 + i) = cp.charAt(i).toByte; i += 1 }
+    b(154) = 0
+    b(155) = ' '.toByte
+    b
+  }
+
+  private[graft] def plantTar(entries: Seq[(String, Array[Byte])],
+      gzipOuter: Boolean): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    entries.foreach { case (name, data) =>
+      if (name.getBytes("UTF-8").length > 100) {
+        val nb = name.getBytes("UTF-8") :+ 0.toByte
+        out.write(plantHeader("././@LongLink", nb.length.toLong, 'L'))
+        out.write(nb)
+        out.write(new Array[Byte](((nb.length + 511) / 512) * 512 -
+          nb.length))
+      }
+      out.write(plantHeader(name, data.length.toLong, '0'))
+      out.write(data)
+      out.write(new Array[Byte](((data.length + 511) / 512) * 512 -
+        data.length))
+    }
+    out.write(new Array[Byte](1024)) // two zero blocks
+    val raw = out.toByteArray
+    if (!gzipOuter) raw
+    else {
+      val bos = new ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(raw); gz.close()
+      bos.toByteArray
+    }
+  }
+
+  /** The file front door ([[Warc.recordsFromPaths]] contract): one
+    * task per archive path, entries stream in per-entry memory — a
+    * multi-GiB `.tar.gz` corpus bundle never materializes. */
+  def entriesFromPaths(paths: Dataset[String]): DataFrame = {
+    val spark = paths.sparkSession
+    val bconf = spark.sparkContext.broadcast(
+      new org.apache.spark.SerializableWritable(
+        spark.sparkContext.hadoopConfiguration))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(EntrySchema)
+    paths.mapPartitions { it =>
+      it.flatMap { p =>
+        val opened =
+          try {
+            val hp = new org.apache.hadoop.fs.Path(p)
+            val fs = hp.getFileSystem(bconf.value.value)
+            Right(open(fs.open(hp)): InputStream)
+          } catch {
+            case e: java.io.IOException => Left(e.getClass.getSimpleName)
+          }
+        opened match {
+          case Left(err) =>
+            Iterator.single(Row(p, 0, null, 0L, null,
+              s"unreadable file: $err"))
+          case Right(in) =>
+            new Iterator[Row] {
+              private val entries =
+                try stream(in)
+                catch { case _: java.io.IOException => Iterator.empty }
+              private var closed = false
+              private def closeOnce(): Unit =
+                if (!closed) {
+                  closed = true
+                  try in.close()
+                  catch { case _: java.io.IOException => () }
+                }
+              Option(org.apache.spark.TaskContext.get()).foreach(
+                _.addTaskCompletionListener[Unit](_ => closeOnce()))
+              def hasNext: Boolean = {
+                val h =
+                  try entries.hasNext
+                  catch { case _: java.io.IOException => false }
+                if (!h) closeOnce()
+                h
+              }
+              def next(): Row = {
+                val e =
+                  try entries.next()
+                  catch {
+                    case _: java.io.IOException =>
+                      TEntry(0, null, 0, null, "tar outer gzip corrupt")
+                  }
+                Row(p, e.idx, e.name, e.size, e.data, e.error)
+              }
+            }
+        }
+      }
+    }(enc)
+  }
+}

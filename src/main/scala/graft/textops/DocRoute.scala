@@ -1,0 +1,84 @@
+package graft.textops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The document router — the capstone over the format front doors: a
+  * (name, payload) pair routes by filename extension to the matching
+  * extractor (PDF, DOCX, EPUB, XLSX, HTML through [[HtmlExtract]],
+  * plain text/markdown pass-through) and comes back as uniform
+  * (kind, text, error) rows. This is what a bundle corpus needs: a
+  * tar of mixed documents ([[graft.sources.TarArchive]]) becomes one
+  * text frame in a single scan — per-row kernels, no shuffle, typed
+  * refusals for formats nothing here decodes.
+  */
+object DocRoute {
+
+  /** Lowercased extension, empty when none. */
+  private[graft] def extOf(name: String): String = {
+    if (name == null) return ""
+    val base = name.substring(name.lastIndexOf('/') + 1)
+    val dot = base.lastIndexOf('.')
+    if (dot <= 0) "" else base.substring(dot + 1)
+      .toLowerCase(java.util.Locale.ROOT)
+  }
+
+  /** Route one document: Right(kind → text) or Left(typed refusal). */
+  def textOf(name: String,
+      payload: Array[Byte]): Either[String, (String, String)] = {
+    val p = if (payload == null) Array.emptyByteArray else payload
+    extOf(name) match {
+      case "pdf" =>
+        val e = graft.sources.Pdf.extract(p)
+        e.error match {
+          case Some(reason) => Left(reason)
+          case None         => Right(("pdf", e.pages.mkString("\n\n")))
+        }
+      case "docx" => OfficeText.docx(p).map(d => ("docx", d.text))
+      case "epub" => OfficeText.epub(p).map(d => ("epub", d.text))
+      case "xlsx" => OfficeText.xlsx(p).map(d => ("xlsx", d.text))
+      case "html" | "htm" | "xhtml" =>
+        Right(("html", HtmlExtract.extract(new String(p, "UTF-8")).text))
+      case "txt" | "md" | "text" =>
+        Right(("text", new String(p, "UTF-8")))
+      case "" => Left("no extension")
+      case other => Left(s"unsupported extension $other")
+    }
+  }
+
+  /** Uniform extraction over a (name, payload) frame: adds `kind`,
+    * `text`, `doc_error` (input rows that already carry an `error`
+    * pass it through untouched with NULL text). Scan-stage kernel —
+    * the 100 TB story is the input partitioning.
+    */
+  def routedDocs(df: DataFrame, nameCol: String,
+      payloadCol: String): DataFrame = {
+    val kernel = udf { (name: String, payload: Array[Byte]) =>
+      textOf(name, payload) match {
+        case Right((kind, text)) => (kind, text, None: Option[String])
+        case Left(reason)        => (null: String, null: String, Some(reason))
+      }
+    }
+    df.withColumn("__r", kernel(col(nameCol), col(payloadCol)))
+      .withColumn("kind", col("__r._1"))
+      .withColumn("text", col("__r._2"))
+      .withColumn("doc_error", col("__r._3"))
+      .drop("__r")
+  }
+
+  /** The bundle front door composed: archive paths → lazy tar walk →
+    * routed extraction. One row per member; tar-level quarantine rows
+    * keep their `error`, undecodable members get `doc_error`. */
+  def archiveDocsFromPaths(
+      paths: org.apache.spark.sql.Dataset[String]): DataFrame = {
+    val entries = graft.sources.TarArchive.entriesFromPaths(paths)
+    routedDocs(entries.where(col("error").isNull), "name", "payload")
+      .drop("payload")
+      .unionByName(entries.where(col("error").isNotNull)
+        .select(col("path"), col("entry_idx"), col("name"), col("size"),
+          col("error"))
+        .withColumn("kind", lit(null).cast("string"))
+        .withColumn("text", lit(null).cast("string"))
+        .withColumn("doc_error", lit(null).cast("string")))
+  }
+}

@@ -1,0 +1,153 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.sources.TarArchive._
+
+/** The tar bundle front door + the document router capstone: ustar
+  * walk (checksum quarantine, longnames, caps), outer gzip, the lazy
+  * file door, and mixed-bundle routing to every extractor.
+  */
+class TarArchiveSpec extends SparkSpec {
+
+  private def entriesOf(b: Array[Byte]): Seq[TEntry] = parse(b)
+
+  test("ustar round trip: names, sizes, contents, padding, outer gzip") {
+    Seq(false, true).foreach { gz =>
+      val bytes = plantTar(Seq(
+        ("a.txt", "alpha".getBytes("UTF-8")),
+        ("dir/b.txt", ("beta " * 200).getBytes("UTF-8"))), gzipOuter = gz)
+      val es = entriesOf(bytes)
+      assert(es.length == 2, s"gz=$gz")
+      assert(es(0).name == "a.txt" && es(0).error == null)
+      assert(new String(es(0).data, "UTF-8") == "alpha")
+      assert(es(1).name == "dir/b.txt")
+      assert(es(1).data.length == 1000)
+    }
+  }
+
+  test("GNU longname entries carry >100-char names") {
+    val long = "deep/" + ("x" * 120) + "/doc.txt"
+    val es = entriesOf(plantTar(Seq((long, "content".getBytes)),
+      gzipOuter = false))
+    assert(es.length == 1)
+    assert(es.head.name == long)
+    assert(new String(es.head.data) == "content")
+  }
+
+  test("checksum corruption quarantines and STOPS (no resync anchor)") {
+    val bytes = plantTar(Seq(
+      ("one.txt", "first".getBytes), ("two.txt", "second".getBytes)),
+      gzipOuter = false)
+    val corrupt = bytes.clone()
+    corrupt(1024 + 5) = 'X' // second header (after hdr+padded data)
+    val es = entriesOf(corrupt)
+    assert(es.length == 2)
+    assert(es(0).error == null && new String(es(0).data) == "first")
+    assert(es(1).error == "tar header checksum")
+  }
+
+  test("an over-cap member is an error entry; siblings survive") {
+    // forge the size field of a small member up past the cap by
+    // planting a header that DECLARES 65 MiB then truncates — the cap
+    // check happens before any read, then truncation ends the walk;
+    // sibling-first order proves per-entry isolation
+    val big = plantHeader("big.bin", (MaxEntryBytes + 1).toLong, '0')
+    val ok = plantTar(Seq(("ok.txt", "fine".getBytes)), gzipOuter = false)
+    // ok entries first, then the over-cap header with no data
+    val bytes = ok.dropRight(1024) ++ big ++ new Array[Byte](1024)
+    val es = entriesOf(bytes)
+    assert(es.exists(e => e.name == "ok.txt" && e.error == null))
+    assert(es.exists(e => e.name == "big.bin" &&
+      e.error == "tar entry past cap"))
+  }
+
+  test("truncated data and corrupt outer gzip are typed") {
+    val bytes = plantTar(Seq(("t.txt", ("z" * 600).getBytes)),
+      gzipOuter = false)
+    val es = entriesOf(bytes.take(700)) // header + partial data
+    assert(es.length == 1 && es.head.error == "tar entry truncated")
+    val gz = plantTar(Seq(("t.txt", "data".getBytes)), gzipOuter = true)
+    val bad = gz.clone()
+    bad(gz.length / 2) = (bad(gz.length / 2) ^ 0x55).toByte
+    // totality: any outcome is rows, never a throw
+    entriesOf(bad)
+  }
+
+  test("totality fuzz: mutations, truncations, random bytes never throw") {
+    val rnd = new scala.util.Random(11)
+    val base = plantTar(Seq(
+      ("a.txt", "alpha beta".getBytes),
+      ("b/c.txt", ("gamma " * 100).getBytes)), gzipOuter = true)
+    (0 until 150).foreach { i =>
+      val b = base.clone()
+      (0 until 1 + i % 6).foreach { _ =>
+        b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      }
+      parse(b)
+    }
+    (0 until 50).foreach { _ =>
+      parse(base.take(1 + rnd.nextInt(base.length - 1)))
+      parse(Array.fill(rnd.nextInt(2048))(rnd.nextInt(256).toByte))
+    }
+  }
+
+  test("entriesFromPaths: lazy file door, unreadable path quarantined") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tar").toFile
+    try {
+      java.nio.file.Files.write(
+        new java.io.File(dir, "b.tar.gz").toPath,
+        plantTar(Seq(("x.txt", "from file".getBytes)), gzipOuter = true))
+      val paths = Seq(
+        new java.io.File(dir, "b.tar.gz").getAbsolutePath,
+        new java.io.File(dir, "missing.tar").getAbsolutePath).toDS()
+      val rows = TarArchive.entriesFromPaths(paths).collect()
+      assert(rows.length == 2)
+      val ok = rows.find(_.getAs[String]("name") == "x.txt").get
+      assert(new String(ok.getAs[Array[Byte]]("payload")) == "from file")
+      assert(rows.exists(r => Option(r.getAs[String]("error"))
+        .exists(_.startsWith("unreadable file"))))
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
+  test("DocRoute: a mixed bundle routes every member to its extractor") {
+    import spark.implicits._
+    import graft.textops.{DocRoute, OfficePlant}
+    val pdf = PdfWriter.pdfBytes(PdfWriter.Plant(
+      Seq(Seq("Pdf line one", "And two")), compress = true))
+    val docx = OfficePlant.docxBytes(Seq("Docx para"), None, None)
+    val epub = OfficePlant.epubBytes(Seq("Epub chapter"), "B")
+    val xlsx = OfficePlant.xlsxBytes(Seq(Seq(Seq("cell a", "cell b"))))
+    val bundle = plantTar(Seq(
+      ("docs/readme.txt", "plain text body".getBytes("UTF-8")),
+      ("docs/page.html",
+        "<html><body><p>html body text</p></body></html>".getBytes),
+      ("docs/a.pdf", pdf),
+      ("docs/b.docx", docx),
+      ("docs/c.epub", epub),
+      ("docs/d.xlsx", xlsx),
+      ("docs/blob.bin", Array[Byte](1, 2, 3))), gzipOuter = true)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bundle")
+    try {
+      java.nio.file.Files.write(dir.resolve("x.tar.gz"), bundle)
+      val docs = DocRoute.archiveDocsFromPaths(
+        Seq(dir.resolve("x.tar.gz").toString).toDS()).collect()
+      val byName = docs.map(r => r.getAs[String]("name") -> r).toMap
+      def textOf(n: String) = byName(n).getAs[String]("text")
+      assert(textOf("docs/readme.txt") == "plain text body")
+      assert(textOf("docs/page.html") == "html body text")
+      assert(textOf("docs/a.pdf") == "Pdf line one\nAnd two")
+      assert(textOf("docs/b.docx") == "Docx para")
+      assert(textOf("docs/c.epub") == "Epub chapter")
+      assert(textOf("docs/d.xlsx") == "cell a\tcell b")
+      assert(byName("docs/blob.bin").getAs[String]("doc_error") ==
+        "unsupported extension bin")
+      assert(byName("docs/a.pdf").getAs[String]("kind") == "pdf")
+    } finally {
+      dir.toFile.listFiles().foreach(_.delete())
+      java.nio.file.Files.delete(dir)
+    }
+  }
+}
