@@ -299,12 +299,18 @@ object Main {
         val docxMedia = graft.sources.Warc.mediaFromPaths(paths,
           Seq("application/vnd.openxmlformats-officedocument" +
             ".wordprocessingml.document"))
+        val pptxMedia = graft.sources.Warc.mediaFromPaths(paths,
+          Seq("application/vnd.openxmlformats-officedocument" +
+            ".presentationml.presentation"))
         val epubMedia = graft.sources.Warc.mediaFromPaths(paths,
           Seq("application/epub+zip"))
         withPdf
           .unionByName(alignDocs(graft.textops.OfficeText.docxDocs(
             docxMedia, "path", "payload", carryCols = docCarry)
             .drop("creator"), titled = true))
+          .unionByName(alignDocs(graft.textops.OfficeText.pptxDocs(
+            pptxMedia, "path", "payload", carryCols = docCarry),
+            titled = true))
           .unionByName(alignDocs(graft.textops.OfficeText.epubDocs(
             epubMedia, "path", "payload", carryCols = docCarry),
             titled = true))

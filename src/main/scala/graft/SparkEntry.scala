@@ -3119,8 +3119,86 @@ object SparkEntry {
         .select(col("id"), col("entry_idx"), col("name"), col("kind"),
           col("text"), col("doc_error"))
         .orderBy(col("id"), col("entry_idx"))
+    }),
+
+    // character-encoding coverage audit — a real WARC corpus is 5-10%
+    // non-UTF-8 and a hard-UTF-8 read silently mangles every non-ASCII
+    // character on those pages. Supplier keys plant one page per WHATWG
+    // sniff class (k%6: unlabeled-ASCII validation, UTF-8 BOM,
+    // transport-labeled ISO-8859-1 (→ windows-1252 per the label
+    // quirk), meta-labeled Shift_JIS kana, BOM'd UTF-16LE, unlabeled
+    // windows-1252 fallback) and k%7=0 adds a MISLABELED page (header
+    // says utf-8, bytes are 1252) whose mojibake must be counted, not
+    // thrown. n_chars/cp_sum pin the DECODED text, not just the label;
+    // the oracle replays the class arithmetic closed-form
+    "q151_charset_audit" -> ((s, dir) => {
+      import s.implicits._
+      val warcs = tSpread(s, dir, "supplier").select(col("s_suppkey"))
+        .as[Long]
+        .map(k => (k, q151Warc(k)))
+        .toDF("id", "payload")
+      sources.Warc.charsetAudit(warcs, "id", "payload")
+        .orderBy(col("id"), col("rec_idx"))
+    }),
+
+    // PPTX slide-text extraction — the presentation wing of the office
+    // front door: doc keys plant REAL ZIP packages whose
+    // ppt/slides/slideN.xml paragraphs (an a:br control on slide 1)
+    // replay closed-form in numeric slide order; non-zip on k%13=7, a
+    // zip missing the presentation part on k%11=5
+    "q152_pptx_extract" -> ((s, dir) => {
+      import s.implicits._
+      val docs = tSpread(s, dir, "documents").select(col("doc_id"))
+        .as[Long]
+        .map(k => (k, q152Pptx(k)))
+        .toDF("id", "payload")
+      textops.OfficeText.pptxDocs(docs, "id", "payload")
+        .select(col("id"), col("text"), col("n_slides"), col("title"),
+          col("error"))
+        .orderBy(col("id"))
     })
   )
+
+  /** q151's planted multi-charset WARC for supplier key `k` (see the
+    * query comment): one page of sniff class k%6, plus a mislabeled
+    * page on k%7=0.
+    */
+  private[graft] def q151Warc(k: Long): Array[Byte] = {
+    val crlf = "\r\n"
+    def record(url: String, contentType: String,
+               body: Array[Byte]): Array[Byte] = {
+      val http = (s"HTTP/1.1 200 OK${crlf}Content-Type: $contentType" +
+        s"$crlf$crlf").getBytes("UTF-8") ++ body
+      val h = new StringBuilder("WARC/1.0").append(crlf)
+      h.append("WARC-Type: response").append(crlf)
+      h.append("WARC-Target-URI: ").append(url).append(crlf)
+      h.append("WARC-Date: 2026-02-01T00:00:00Z").append(crlf)
+      h.append("Content-Type: application/http; msgtype=response")
+        .append(crlf)
+      h.append("Content-Length: ").append(http.length)
+        .append(crlf).append(crlf)
+      h.toString.getBytes("UTF-8") ++ http ++ (crlf + crlf).getBytes("UTF-8")
+    }
+    val (ct, body) = (k % 6).toInt match {
+      case 0 => ("text/html", "plain ascii page".getBytes("UTF-8"))
+      case 1 => ("text/html",
+        Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
+          "bom utf8 é page".getBytes("UTF-8"))
+      case 2 => ("text/html; charset=ISO-8859-1",
+        "café £9 page".getBytes("windows-1252"))
+      case 3 => ("text/html",
+        "<meta charset=shift_jis>こんにちは".getBytes("Shift_JIS"))
+      case 4 => ("text/html",
+        Array[Byte](0xFF.toByte, 0xFE.toByte) ++
+          "utf16 page ü".getBytes("UTF-16LE"))
+      case _ => ("text/html", "naïve café".getBytes("windows-1252"))
+    }
+    val base = record(s"https://cs.example/$k", ct, body)
+    if (k % 7 != 0) base
+    else base ++ record(s"https://mis.example/$k",
+      "text/html; charset=utf-8",
+      "bad ".getBytes("UTF-8") ++ Array[Byte](0xE9.toByte))
+  }
 
   /** q150's planted bundle for doc key `k` (see the query comment). */
   private[graft] def q150Tar(k: Long): Array[Byte] = {
@@ -3155,6 +3233,24 @@ object SparkEntry {
       if (k % 5 == 0) Seq(sheet1, Seq(Seq(s"s2 $k")))
       else Seq(sheet1)
     OfficePlant.xlsxBytes(sheets)
+  }
+
+  /** q152's planted PPTX for doc key `k` (see the query comment):
+    * k%3+1 slides, slide i = ["Deck k slide i", "End i"], with slide
+    * 1's second paragraph carrying an a:br control instead.
+    */
+  private[graft] def q152Pptx(k: Long): Array[Byte] = {
+    import textops.OfficePlant
+    if (k % 13 == 7) return s"not a zip $k".getBytes("UTF-8")
+    if (k % 11 == 5)
+      return OfficePlant.zip(Seq(
+        ("other.txt", s"decoy $k".getBytes("UTF-8"), false)))
+    val slides = (1 to (k % 3 + 1).toInt).map { i =>
+      Seq(s"Deck $k slide $i",
+        if (i == 1) s"Br\nhere $k" else s"End $i")
+    }
+    OfficePlant.pptxBytes(slides,
+      title = if (k % 4 != 0) Some(s"P $k") else None)
   }
 
   /** q147's planted DOCX for doc key `k` (see the query comment). */
@@ -6774,7 +6870,67 @@ object SparkEntry {
         |  FROM d WHERE k % 5 = 2)
         |SELECT k AS id, CAST(entry_idx AS INTEGER) AS entry_idx, name,
         |  kind, text, doc_error
-        |FROM m ORDER BY id, entry_idx""".stripMargin
+        |FROM m ORDER BY id, entry_idx""".stripMargin,
+
+    // the planted sniff-class matrix replays closed-form: per-class
+    // charset/source plus the two decode probes (code-point count and
+    // sum of the class's constant decoded text), and the k%7=0
+    // mislabeled page contributes its counted U+FFFD (65533 in cp_sum)
+    "q151_charset_audit" ->
+      """WITH s AS (SELECT s_suppkey AS k FROM supplier),
+        |base AS (
+        |  SELECT k, 0 AS rec_idx,
+        |    'https://cs.example/' || CAST(k AS VARCHAR) AS url,
+        |    CASE CAST(k % 6 AS INTEGER)
+        |      WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-8'
+        |      WHEN 2 THEN 'windows-1252' WHEN 3 THEN 'shift_jis'
+        |      WHEN 4 THEN 'utf-16le' ELSE 'windows-1252' END AS charset,
+        |    CASE CAST(k % 6 AS INTEGER)
+        |      WHEN 0 THEN 'utf8' WHEN 1 THEN 'bom' WHEN 2 THEN 'http'
+        |      WHEN 3 THEN 'meta' WHEN 4 THEN 'bom' ELSE 'fallback' END
+        |      AS charset_src,
+        |    0 AS n_replacements,
+        |    CASE CAST(k % 6 AS INTEGER) WHEN 0 THEN 16 WHEN 1 THEN 15
+        |      WHEN 2 THEN 12 WHEN 3 THEN 29 WHEN 4 THEN 12 ELSE 10 END
+        |      AS n_chars,
+        |    CASE CAST(k % 6 AS INTEGER) WHEN 0 THEN 1530 WHEN 1 THEN 1451
+        |      WHEN 2 THEN 1228 WHEN 3 THEN 64332 WHEN 4 THEN 1167
+        |      ELSE 1228 END AS cp_sum
+        |  FROM s),
+        |mis AS (
+        |  SELECT k, 1, 'https://mis.example/' || CAST(k AS VARCHAR),
+        |    'utf-8', 'http', 1, 5, 65860 FROM s WHERE k % 7 = 0)
+        |SELECT k AS id, CAST(rec_idx AS INTEGER) AS rec_idx, url,
+        |  charset, charset_src,
+        |  CAST(n_replacements AS INTEGER) AS n_replacements,
+        |  CAST(n_chars AS INTEGER) AS n_chars,
+        |  CAST(cp_sum AS BIGINT) AS cp_sum
+        |FROM (SELECT * FROM base UNION ALL SELECT * FROM mis)
+        |ORDER BY id, rec_idx""".stripMargin,
+
+    // the planted deck replays closed-form: slide i = two paragraphs
+    // joined by newline (slide 1's second is the Br control), slides
+    // joined by a blank line
+    "q152_pptx_extract" ->
+      """SELECT doc_id AS id,
+        |  CASE WHEN doc_id % 13 = 7 OR doc_id % 11 = 5 THEN NULL
+        |    ELSE array_to_string(list_transform(
+        |      range(1, CAST(doc_id % 3 + 2 AS INTEGER)), i ->
+        |        'Deck ' || CAST(doc_id AS VARCHAR) || ' slide ' ||
+        |        CAST(i AS VARCHAR) || chr(10) ||
+        |        CASE WHEN i = 1 THEN 'Br' || chr(10) || 'here ' ||
+        |            CAST(doc_id AS VARCHAR)
+        |          ELSE 'End ' || CAST(i AS VARCHAR) END),
+        |      chr(10) || chr(10)) END AS text,
+        |  CAST(CASE WHEN doc_id % 13 = 7 OR doc_id % 11 = 5 THEN 0
+        |    ELSE doc_id % 3 + 1 END AS INTEGER) AS n_slides,
+        |  CASE WHEN doc_id % 13 <> 7 AND doc_id % 11 <> 5 AND
+        |      doc_id % 4 <> 0
+        |    THEN 'P ' || CAST(doc_id AS VARCHAR) END AS title,
+        |  CASE WHEN doc_id % 13 = 7 THEN 'not a zip'
+        |    WHEN doc_id % 11 = 5
+        |    THEN 'zip entry missing: ppt/presentation.xml' END AS error
+        |FROM documents ORDER BY id""".stripMargin
   )
 
   /** q133's replay: q102's stage CTEs over the crawl-extracted corpus

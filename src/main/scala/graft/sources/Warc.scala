@@ -105,13 +105,20 @@ object Warc {
     */
   val MaxInflatedTotal: Long = 1L << 28 // 256 MiB
 
-  /** One parsed record (or one quarantined parse failure). */
+  /** One parsed record (or one quarantined parse failure). For textual
+    * HTTP responses, `charset`/`charsetSrc`/`nRepl` record the
+    * WHATWG-sniffed encoding that produced `text`
+    * ([[graft.textops.Charsets]]); null/0 elsewhere.
+    */
   final case class Rec(recIdx: Int, offset: Long, warcType: String,
                        targetUri: String, warcDate: String,
                        contentType: String, httpStatus: Option[Int],
                        text: String, error: String,
                        httpContentType: String = null,
-                       bin: Array[Byte] = null)
+                       bin: Array[Byte] = null,
+                       charset: String = null,
+                       charsetSrc: String = null,
+                       nRepl: Int = 0)
 
   private val Utf8 = java.nio.charset.StandardCharsets.UTF_8
 
@@ -693,26 +700,35 @@ object Warc {
       // the record's identity on the error row (coverage stays
       // attributable) and needs NO resync — the body was consumed.
       try {
-        val (status, text, hct, bin) = wt match {
+        wt match {
           case "response" if ct != null &&
             ct.toLowerCase(java.util.Locale.ROOT)
               .startsWith("application/http") =>
             val (code, payload, hctRaw) = parseHttp(body)
             // binary media bodies stay bytes ONLY when the caller asked
-            // (the media door); the default text path is unchanged
-            if (keepBinary && !isTextualMedia(mediaTypeOf(hctRaw)))
-              (Some(code), null: String, hctRaw, payload)
+            // (the media door); textual bodies go through the WHATWG
+            // charset sniff (BOM > transport label > meta prescan >
+            // UTF-8 validation > windows-1252) — a real crawl is 5-10%
+            // non-UTF-8 and a hard-coded UTF-8 read mangles every
+            // non-ASCII character on those pages
+            if (isTextualMedia(mediaTypeOf(hctRaw))) {
+              val d = graft.textops.Charsets.decode(payload, hctRaw)
+              Rec(idx, recStart, wt, uri, date, ct, Some(code), d.text,
+                null, hctRaw, null, d.charset, d.source, d.nReplacements)
+            } else if (keepBinary)
+              Rec(idx, recStart, wt, uri, date, ct, Some(code), null,
+                null, hctRaw, payload)
             else
-              (Some(code), new String(payload, Utf8), hctRaw,
-                null: Array[Byte])
+              Rec(idx, recStart, wt, uri, date, ct, Some(code),
+                new String(payload, Utf8), null, hctRaw, null)
           case "conversion" =>
-            (None, new String(body, Utf8), null: String,
-              null: Array[Byte])
+            // WET conversion content is UTF-8 by the ISO 28500 usage
+            // convention; no transport header exists to sniff against
+            Rec(idx, recStart, wt, uri, date, ct, None,
+              new String(body, Utf8), null)
           case _ => // warcinfo/request/metadata: typed only
-            (None, null: String, null: String, null: Array[Byte])
+            Rec(idx, recStart, wt, uri, date, ct, None, null, null)
         }
-        Rec(idx, recStart, wt, uri, date, ct, status, text, null,
-          hct, bin)
       } catch {
         case m: Malformed =>
           Rec(idx, recStart, wt, uri, date, ct, None, null, m.reason)
@@ -867,7 +883,8 @@ object Warc {
     * input first when the path list is skewed across tasks.
     */
   def recordsFromPaths(paths: Dataset[String]): DataFrame =
-    recordsFromPathsEx(paths).drop("http_media_type")
+    recordsFromPathsEx(paths)
+      .drop("http_media_type", "charset", "charset_src")
 
   /** [[recordsFromPaths]] + the normalized HTTP media type (internal:
     * the html door filters binary assets on it without widening the
@@ -882,7 +899,9 @@ object Warc {
         spark.sparkContext.hadoopConfiguration))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(StructType(RecSchema.fields :+
-        StructField("http_media_type", StringType, nullable = true)))
+        StructField("http_media_type", StringType, nullable = true) :+
+        StructField("charset", StringType, nullable = true) :+
+        StructField("charset_src", StringType, nullable = true)))
     paths.mapPartitions { it =>
       it.flatMap { p =>
         val opened =
@@ -896,7 +915,7 @@ object Warc {
         opened match {
           case Left(err) =>
             Iterator.single(Row(p, 0, 0L, null, null, null, null, null,
-              null, s"unreadable file: $err", null))
+              null, s"unreadable file: $err", null, null, null))
           case Right(in) =>
             // closed when the iterator drains; a task-completion
             // listener backstops early termination (a downstream
@@ -923,7 +942,8 @@ object Warc {
                 Row(p, r.recIdx, r.offset, r.warcType, r.targetUri,
                   r.warcDate, r.contentType,
                   r.httpStatus.map(Int.box).orNull, r.text, r.error,
-                  mediaTypeOf(r.httpContentType))
+                  mediaTypeOf(r.httpContentType), r.charset,
+                  r.charsetSrc)
               }
             }
         }
@@ -954,6 +974,8 @@ object Warc {
         col("r.recIdx").as("rec_idx") :+ col("r.targetUri").as("url") :+
         col("r.warcDate").as("warc_date") :+
         col("r.httpStatus").as("http_status") :+
+        col("r.charset").as("charset") :+
+        col("r.charsetSrc").as("charset_src") :+
         col("r.text").as("html"): _*)
   }
 
@@ -973,7 +995,8 @@ object Warc {
         col("text").isNotNull &&
         textual(col("http_media_type")))
       .select(col("path"), col("rec_idx"), col("url"), col("warc_date"),
-        col("http_status"), col("text").as("html"))
+        col("http_status"), col("charset"), col("charset_src"),
+        col("text").as("html"))
   }
 
   /** Binary-media twin of [[htmlPages]]: HTTP `response` records whose
@@ -1007,6 +1030,43 @@ object Warc {
         col("r._2").as("url"), col("r._3").as("warc_date"),
         col("r._4").as("http_status"), col("r._5").as("media_type"),
         col("r._6").as("payload"))
+  }
+
+  /** Character-encoding coverage audit of the textual crawl surface:
+    * one row per textual HTTP `response` record with the sniffed
+    * charset, WHICH sniff step chose it (`bom`/`http`/`meta`/`utf8`/
+    * `fallback` — the distribution tells an operator how much of the
+    * corpus rides labels vs heuristics), the replacement count (real
+    * mojibake loss, measurable instead of silent), and two decode
+    * probes (char count + code-point sum) that pin the DECODED text,
+    * not just the label. Scan-stage kernel + explode; the payload
+    * never reaches an Exchange.
+    */
+  def charsetAudit(df: DataFrame, idCol: String,
+                   payloadCol: String): DataFrame = {
+    val kernel = udf { payload: Array[Byte] =>
+      parse(payload).collect {
+        case r if r.error == null && r.warcType == "response" &&
+            r.charset != null =>
+          val t = r.text
+          var cpSum = 0L
+          var nCp = 0
+          var i = 0
+          while (i < t.length) {
+            val cp = t.codePointAt(i)
+            cpSum += cp
+            nCp += 1
+            i += Character.charCount(cp)
+          }
+          (r.recIdx, r.targetUri, r.charset, r.charsetSrc, r.nRepl,
+            nCp, cpSum)
+      }
+    }
+    df.select(col(idCol), explode(kernel(col(payloadCol))).as("r"))
+      .select(col(idCol), col("r._1").as("rec_idx"),
+        col("r._2").as("url"), col("r._3").as("charset"),
+        col("r._4").as("charset_src"), col("r._5").as("n_replacements"),
+        col("r._6").as("n_chars"), col("r._7").as("cp_sum"))
   }
 
   private val MediaSchema = StructType(Seq(

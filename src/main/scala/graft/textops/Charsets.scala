@@ -1,0 +1,340 @@
+package graft.textops
+
+import java.nio.{ByteBuffer, CharBuffer}
+import java.nio.charset.{Charset, CharsetDecoder, CoderResult,
+  CodingErrorAction, StandardCharsets}
+
+/** WHATWG-style character-encoding sniffing and total (never-throwing)
+  * decoding for crawl payloads.
+  *
+  * The reference pipeline ingests only seismic metadata and so never
+  * faces this problem; the crawl front door does: a real WARC corpus is
+  * 5–10% non-UTF-8 (windows-1252 long tail, Shift_JIS/GBK/EUC-KR CJK
+  * pages, BOM'd UTF-16 exports), and decoding those as UTF-8 silently
+  * destroys every non-ASCII character before curation ever sees the
+  * text. The sniff order is the Encoding Standard's
+  * (https://encoding.spec.whatwg.org/): BOM beats everything, then the
+  * transport label (HTTP `Content-Type` charset parameter), then a
+  * bounded `<meta charset>` prescan of the first 1024 bytes, then
+  * strict UTF-8 validation, then the windows-1252 fallback — the
+  * WHATWG default for the web's legacy long tail.
+  *
+  * Label normalization follows the same standard, including its
+  * deliberate aliasing quirks: `iso-8859-1`/`latin1`/`us-ascii` label
+  * windows-1252 (the bytes on the real web always are), `iso-8859-9`
+  * labels windows-1254, `iso-8859-11` labels windows-874, a
+  * UTF-16 label on a `<meta>` tag means UTF-8 (the prescan itself read
+  * the tag as ASCII, so the label is self-refuting), and the
+  * `replacement` encoding (ISO-2022-KR/CN, HZ) decodes to a single
+  * U+FFFD — the standard's defense against byte-smuggling attacks on
+  * ASCII-incompatible encodings.
+  *
+  * Decoding is TOTAL: malformed sequences and unmappable bytes become
+  * U+FFFD and are counted, never thrown. The decode loop also repairs
+  * unpaired surrogates (a malformed-UTF-16 hazard) so the result is
+  * always a well-formed String — the same invariant the HTML entity
+  * decoder upholds ([[HtmlExtract]]).
+  */
+object Charsets {
+
+  /** A total decode: `text` is always well-formed, `charset` is the
+    * canonical WHATWG name actually used, `source` is which sniff step
+    * chose it (`bom` | `http` | `meta` | `utf8` | `fallback`), and
+    * `nReplacements` counts malformed/unmappable sequences replaced
+    * with U+FFFD.
+    */
+  final case class Decoded(text: String, charset: String, source: String,
+                           nReplacements: Int)
+
+  /** Sentinel canonical name for the WHATWG `replacement` encoding. */
+  private val ReplacementName = "replacement"
+
+  // -------------------------------------------------------------------
+  // WHATWG label table. Keys are lowercase labels, values canonical
+  // WHATWG encoding names; resolution to a JVM Charset is guarded by
+  // Charset.isSupported so a slim JRE degrades (label unrecognized →
+  // next sniff step) instead of throwing.
+  // -------------------------------------------------------------------
+
+  private def entry(canonical: String, labels: String*): Seq[(String, String)] =
+    (canonical +: labels).map(_ -> canonical)
+
+  private val labelTable: Map[String, String] = (
+    entry("utf-8", "utf8", "unicode-1-1-utf-8", "unicode11utf8",
+      "unicode20utf8", "x-unicode20utf8") ++
+    entry("windows-1252", "iso-8859-1", "iso8859-1", "iso88591",
+      "iso_8859-1", "iso_8859-1:1987", "latin1", "l1", "ascii",
+      "us-ascii", "ansi_x3.4-1968", "cp819", "ibm819", "cp1252",
+      "x-cp1252", "iso-ir-100", "csisolatin1") ++
+    entry("windows-1250", "cp1250", "x-cp1250") ++
+    entry("windows-1251", "cp1251", "x-cp1251") ++
+    entry("windows-1253", "cp1253", "x-cp1253") ++
+    entry("windows-1254", "cp1254", "x-cp1254", "iso-8859-9",
+      "iso8859-9", "iso88599", "latin5", "l5", "iso-ir-148",
+      "csisolatin5") ++
+    entry("windows-1255", "cp1255", "x-cp1255") ++
+    entry("windows-1256", "cp1256", "x-cp1256") ++
+    entry("windows-1257", "cp1257", "x-cp1257") ++
+    entry("windows-1258", "cp1258", "x-cp1258") ++
+    entry("windows-874", "dos-874", "iso-8859-11", "iso8859-11",
+      "iso885911", "tis-620") ++
+    entry("iso-8859-2", "iso8859-2", "iso88592", "latin2", "l2",
+      "iso-ir-101", "csisolatin2") ++
+    entry("iso-8859-3", "iso8859-3", "iso88593", "latin3", "l3",
+      "iso-ir-109", "csisolatin3") ++
+    entry("iso-8859-4", "iso8859-4", "iso88594", "latin4", "l4",
+      "iso-ir-110", "csisolatin4") ++
+    entry("iso-8859-5", "iso8859-5", "iso88595", "cyrillic",
+      "iso-ir-144", "csisolatincyrillic") ++
+    entry("iso-8859-6", "iso8859-6", "iso88596", "arabic", "iso-ir-127",
+      "csisolatinarabic", "asmo-708", "ecma-114") ++
+    entry("iso-8859-7", "iso8859-7", "iso88597", "greek", "greek8",
+      "iso-ir-126", "csisolatingreek", "ecma-118", "elot_928",
+      "sun_eu_greek") ++
+    entry("iso-8859-8", "iso8859-8", "iso88598", "hebrew", "iso-ir-138",
+      "csisolatinhebrew", "visual") ++
+    entry("iso-8859-13", "iso8859-13", "iso885913") ++
+    entry("iso-8859-15", "iso8859-15", "iso885915", "iso_8859-15",
+      "latin9", "l9", "csisolatin9") ++
+    entry("koi8-r", "koi", "koi8", "koi8_r", "cskoi8r") ++
+    entry("koi8-u", "koi8-ru") ++
+    entry("macintosh", "mac", "x-mac-roman", "csmacintosh") ++
+    entry("x-mac-cyrillic", "x-mac-ukrainian") ++
+    entry("ibm866", "866", "cp866", "csibm866") ++
+    entry("gbk", "gb2312", "gb_2312", "gb_2312-80", "chinese",
+      "csgb2312", "csiso58gb231280", "iso-ir-58", "x-gbk") ++
+    entry("gb18030") ++
+    entry("big5", "big5-hkscs", "cn-big5", "csbig5", "x-x-big5") ++
+    entry("euc-jp", "x-euc-jp", "cseucpkdfmtjapanese") ++
+    entry("iso-2022-jp", "csiso2022jp") ++
+    entry("shift_jis", "shift-jis", "sjis", "x-sjis", "ms932",
+      "ms_kanji", "windows-31j", "csshiftjis") ++
+    entry("euc-kr", "cseuckr", "korean", "ks_c_5601-1987",
+      "ks_c_5601-1989", "ksc5601", "ksc_5601", "iso-ir-149",
+      "windows-949", "csksc56011987") ++
+    entry("utf-16le", "utf-16", "unicodefeff", "csunicode",
+      "iso-10646-ucs-2", "ucs-2", "unicode") ++
+    entry("utf-16be", "unicodefffe") ++
+    entry(ReplacementName, "csiso2022kr", "hz-gb-2312", "iso-2022-cn",
+      "iso-2022-cn-ext", "iso-2022-kr") ++
+    entry("x-user-defined")
+  ).toMap
+
+  /** Canonical WHATWG name → JVM charset name where they differ. */
+  private val jvmName: Map[String, String] = Map(
+    "macintosh" -> "x-MacRoman",
+    "x-mac-cyrillic" -> "x-MacCyrillic",
+    // no JVM twin ships x-user-defined's PUA mapping; windows-1252 is
+    // the closest byte-preserving single-byte stand-in
+    "x-user-defined" -> "windows-1252")
+
+  /** Normalize a label per the WHATWG table: strip ASCII whitespace,
+    * lowercase, look up. `None` for unknown/unsupported labels (the
+    * caller falls through to the next sniff step).
+    */
+  def fromLabel(label: String): Option[String] = {
+    if (label == null) return None
+    val t = label.trim.toLowerCase(java.util.Locale.ROOT)
+    labelTable.get(t).filter { canonical =>
+      canonical == ReplacementName ||
+        Charset.isSupported(jvmName.getOrElse(canonical, canonical))
+    }
+  }
+
+  private def charsetOf(canonical: String): Charset =
+    Charset.forName(jvmName.getOrElse(canonical, canonical))
+
+  /** Extract the `charset` parameter from a Content-Type value
+    * (`text/html; charset="ISO-8859-1"` → `ISO-8859-1`), or null.
+    */
+  def charsetParam(contentType: String): String = {
+    if (contentType == null) return null
+    val lower = contentType.toLowerCase(java.util.Locale.ROOT)
+    var i = lower.indexOf("charset")
+    while (i >= 0) {
+      var j = i + "charset".length
+      while (j < lower.length && lower.charAt(j).isWhitespace) j += 1
+      if (j < lower.length && lower.charAt(j) == '=') {
+        j += 1
+        while (j < lower.length && lower.charAt(j).isWhitespace) j += 1
+        val quoted = j < lower.length &&
+          (lower.charAt(j) == '"' || lower.charAt(j) == '\'')
+        val quote = if (quoted) lower.charAt(j) else ' '
+        if (quoted) j += 1
+        val start = j
+        while (j < lower.length && {
+          val c = lower.charAt(j)
+          if (quoted) c != quote
+          else c != ';' && c != ' ' && c != '\t' && c != ','
+        }) j += 1
+        if (j > start) return contentType.substring(start, j)
+        return null
+      }
+      i = lower.indexOf("charset", i + 1)
+    }
+    null
+  }
+
+  /** Bounded `<meta charset>` prescan: the first `limit` bytes read as
+    * ASCII-superset, matching both `<meta charset=X>` and
+    * `<meta http-equiv=content-type content="...; charset=X">`.
+    * Returns the raw label or null. (A full WHATWG prescan also walks
+    * comments/tags; this regex form covers the forms emitted by real
+    * generators — a label inside a comment is pathological and at
+    * worst costs one mislabeled decode, same as a lying server.)
+    */
+  private val metaCharsetRe =
+    """(?is)<meta[^>]*?charset\s*=\s*["']?\s*([a-z0-9._:+-]+)""".r
+
+  def metaPrescan(b: Array[Byte], limit: Int = 1024): String = {
+    val n = math.min(b.length, limit)
+    val head = new String(b, 0, n, StandardCharsets.ISO_8859_1)
+    metaCharsetRe.findFirstMatchIn(head).map(_.group(1)).orNull
+  }
+
+  // -------------------------------------------------------------------
+  // The total decode loop.
+  // -------------------------------------------------------------------
+
+  /** Decode `b[from..)` with `cs`, replacing malformed/unmappable
+    * input with U+FFFD and counting the replacements. Never throws.
+    */
+  def decodeTotal(cs: Charset, b: Array[Byte], from: Int): (String, Int) = {
+    val in = ByteBuffer.wrap(b, from, b.length - from)
+    val dec: CharsetDecoder = cs.newDecoder()
+      .onMalformedInput(CodingErrorAction.REPORT)
+      .onUnmappableCharacter(CodingErrorAction.REPORT)
+    val cap = math.max(16,
+      (in.remaining().toDouble * dec.maxCharsPerByte()).toInt + 16)
+    var out = CharBuffer.allocate(cap)
+    var nRepl = 0
+    var done = false
+    while (!done) {
+      val r: CoderResult = dec.decode(in, out, true)
+      if (r.isUnderflow) {
+        val f = dec.flush(out)
+        if (f.isUnderflow) done = true
+        else if (f.isOverflow) out = grow(out)
+        else { // malformed tail state
+          nRepl += 1
+          if (!putRepl(out)) out = grow(out)
+          done = true
+        }
+      } else if (r.isOverflow) {
+        out = grow(out)
+      } else { // malformed or unmappable: skip r.length() bytes, emit FFFD
+        nRepl += 1
+        // WHATWG quirk: for an unpaired UTF-16 high surrogate followed
+        // by a valid unit, the JVM decoder reports the whole would-be
+        // pair (4 bytes) malformed; the Encoding Standard replaces only
+        // the lone surrogate and re-decodes the next unit
+        val skip =
+          if (r.length() == 4 && cs.name().startsWith("UTF-16")) 2
+          else r.length()
+        in.position(in.position() + skip)
+        if (!putRepl(out)) out = grow(out)
+        dec.reset()
+      }
+    }
+    out.flip()
+    // repair any unpaired surrogates a decoder let through (UTF-16
+    // inputs): Parquet/UTF-8 re-encoding would mangle them anyway —
+    // make the replacement explicit and counted
+    var i = 0
+    var needsRepair = false
+    while (i < out.limit() && !needsRepair) {
+      val c = out.get(i)
+      if (Character.isHighSurrogate(c)) {
+        if (i + 1 >= out.limit() || !Character.isLowSurrogate(out.get(i + 1)))
+          needsRepair = true
+        else i += 2
+      } else if (Character.isLowSurrogate(c)) needsRepair = true
+      else i += 1
+    }
+    if (!needsRepair) (out.toString, nRepl)
+    else {
+      val sb = new java.lang.StringBuilder(out.limit())
+      var j = 0
+      while (j < out.limit()) {
+        val c = out.get(j)
+        if (Character.isHighSurrogate(c) && j + 1 < out.limit() &&
+          Character.isLowSurrogate(out.get(j + 1))) {
+          sb.append(c).append(out.get(j + 1)); j += 2
+        } else if (Character.isSurrogate(c)) {
+          sb.append('�'); nRepl += 1; j += 1
+        } else { sb.append(c); j += 1 }
+      }
+      (sb.toString, nRepl)
+    }
+  }
+
+  private def putRepl(out: CharBuffer): Boolean =
+    if (out.remaining() >= 1) { out.put('�'); true } else false
+
+  private def grow(out: CharBuffer): CharBuffer = {
+    val bigger = CharBuffer.allocate(out.capacity() * 2)
+    out.flip(); bigger.put(out); bigger
+  }
+
+  // -------------------------------------------------------------------
+  // The sniff + decode front door.
+  // -------------------------------------------------------------------
+
+  private def strictUtf8(b: Array[Byte]): String = {
+    val dec = StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(CodingErrorAction.REPORT)
+      .onUnmappableCharacter(CodingErrorAction.REPORT)
+    try dec.decode(ByteBuffer.wrap(b)).toString
+    catch { case _: java.nio.charset.CharacterCodingException => null }
+  }
+
+  /** Sniff and decode a textual HTTP body. `httpContentType` is the raw
+    * `Content-Type` header value (or null). Total — never throws.
+    */
+  def decode(b: Array[Byte], httpContentType: String): Decoded = {
+    if (b == null) return Decoded(null, null, null, 0)
+    // 1. BOM beats everything (Encoding Standard "decode" step 1)
+    if (b.length >= 3 && b(0) == 0xEF.toByte && b(1) == 0xBB.toByte &&
+      b(2) == 0xBF.toByte) {
+      val (t, n) = decodeTotal(StandardCharsets.UTF_8, b, 3)
+      return Decoded(t, "utf-8", "bom", n)
+    }
+    if (b.length >= 2 && b(0) == 0xFF.toByte && b(1) == 0xFE.toByte) {
+      val (t, n) = decodeTotal(StandardCharsets.UTF_16LE, b, 2)
+      return Decoded(t, "utf-16le", "bom", n)
+    }
+    if (b.length >= 2 && b(0) == 0xFE.toByte && b(1) == 0xFF.toByte) {
+      val (t, n) = decodeTotal(StandardCharsets.UTF_16BE, b, 2)
+      return Decoded(t, "utf-16be", "bom", n)
+    }
+    // 2. transport label
+    fromLabel(charsetParam(httpContentType)) match {
+      case Some(ReplacementName) =>
+        return Decoded("�", ReplacementName, "http", 1)
+      case Some(canonical) =>
+        val (t, n) = decodeTotal(charsetOf(canonical), b, 0)
+        return Decoded(t, canonical, "http", n)
+      case None => ()
+    }
+    // 3. meta prescan (HTML spec: a UTF-16 meta label means UTF-8 —
+    // the tag itself was readable as ASCII, so the label is wrong)
+    fromLabel(metaPrescan(b)) match {
+      case Some(ReplacementName) =>
+        return Decoded("�", ReplacementName, "meta", 1)
+      case Some(canonical) =>
+        val fixed =
+          if (canonical.startsWith("utf-16")) "utf-8"
+          else if (canonical == "x-user-defined") "windows-1252"
+          else canonical
+        val (t, n) = decodeTotal(charsetOf(fixed), b, 0)
+        return Decoded(t, fixed, "meta", n)
+      case None => ()
+    }
+    // 4. strict UTF-8 validation
+    val asUtf8 = strictUtf8(b)
+    if (asUtf8 != null) return Decoded(asUtf8, "utf-8", "utf8", 0)
+    // 5. the legacy-web fallback
+    val (t, n) = decodeTotal(charsetOf("windows-1252"), b, 0)
+    Decoded(t, "windows-1252", "fallback", n)
+  }
+}

@@ -37,10 +37,14 @@ object DocRoute {
       case "docx" => OfficeText.docx(p).map(d => ("docx", d.text))
       case "epub" => OfficeText.epub(p).map(d => ("epub", d.text))
       case "xlsx" => OfficeText.xlsx(p).map(d => ("xlsx", d.text))
+      case "pptx" => OfficeText.pptx(p).map(d => ("pptx", d.text))
+      // files carry no transport header, so the charset sniff runs on
+      // BOM / meta prescan / UTF-8 validation / windows-1252 fallback
       case "html" | "htm" | "xhtml" =>
-        Right(("html", HtmlExtract.extract(new String(p, "UTF-8")).text))
+        Right(("html",
+          HtmlExtract.extract(Charsets.decode(p, null).text).text))
       case "txt" | "md" | "text" =>
-        Right(("text", new String(p, "UTF-8")))
+        Right(("text", Charsets.decode(p, null).text))
       case "" => Left("no extension")
       case other => Left(s"unsupported extension $other")
     }

@@ -177,7 +177,9 @@ object OfficeText {
         }
       val chapters = chapterPaths.flatMap { path =>
         ZipArchive.readByName(payload, path).toOption.map { bytes =>
-          HtmlExtract.extract(new String(bytes, "UTF-8")).text
+          // EPUB XHTML is UTF-8 by spec default, but real books carry
+          // BOMs and meta labels — sniff like any other page
+          HtmlExtract.extract(Charsets.decode(bytes, null).text).text
         }
       }
       Epub(chapters.mkString("\n\n"), chapters.length,
@@ -255,6 +257,52 @@ object OfficeText {
     }
 
   // -----------------------------------------------------------------
+  // PPTX
+  // -----------------------------------------------------------------
+
+  final case class Pptx(text: String, nSlides: Int, title: Option[String])
+
+  /** PPTX slide text in slide order: DrawingML `a:p` paragraphs within
+    * each `ppt/slides/slideN.xml` (numeric N order — the deck's own
+    * numbering), runs and breaks through the same namespace-blind
+    * paragraph walk DOCX uses (`a:t` text, `a:br` → newline, `a:rPr`/
+    * `a:pPr` properties skipped); paragraphs join with newline, slides
+    * with a blank line, title from `docProps/core.xml`. Speaker notes
+    * (`ppt/notesSlides/`) are deliberately not extracted — they are
+    * presenter-private text, not presented content. An empty deck
+    * (presentation part present, zero slides) extracts as empty text,
+    * not an error.
+    */
+  def pptx(payload: Array[Byte]): Either[String, Pptx] =
+    ZipArchive.entries(payload).flatMap { es =>
+      if (!es.exists(_.name == "ppt/presentation.xml"))
+        Left("zip entry missing: ppt/presentation.xml")
+      else {
+        val slideNames = es.map(_.name)
+          .filter(n => n.startsWith("ppt/slides/slide") &&
+            n.endsWith(".xml"))
+          .sortBy { n =>
+            val digits = n.stripPrefix("ppt/slides/slide")
+              .stripSuffix(".xml")
+            if (digits.nonEmpty && digits.forall(_.isDigit) &&
+              digits.length <= 9) digits.toInt else Int.MaxValue
+          }
+        val slides = slideNames.map { name =>
+          ZipArchive.readByName(payload, name).flatMap(dom).map { root =>
+            elementsByLocal(root, "p").map(paragraphText).mkString("\n")
+          }
+        }
+        slides.collectFirst { case Left(e) => Left(e) }.getOrElse {
+          val texts = slides.map(_.toOption.get)
+          val title = ZipArchive.readByName(payload, "docProps/core.xml")
+            .toOption.flatMap(b => dom(b).toOption)
+            .flatMap(core => childTextByLocal(core, "title"))
+          Right(Pptx(texts.mkString("\n\n"), texts.length, title))
+        }
+      }
+    }
+
+  // -----------------------------------------------------------------
   // DataFrame operators (the pdfDocs pattern: per-document kernels,
   // carry columns ride through, refusals are typed error rows)
   // -----------------------------------------------------------------
@@ -292,6 +340,24 @@ object OfficeText {
       .select(col("id") +: carried :+ col("d._1").as("text") :+
         col("d._2").as("n_paragraphs") :+ col("d._3").as("title") :+
         col("d._4").as("creator") :+ col("d._5").as("error"): _*)
+  }
+
+  def pptxDocs(df: DataFrame, idCol: String, payloadCol: String,
+      carryCols: Seq[String] = Nil): DataFrame = {
+    val kernel = udf { (b: Array[Byte]) =>
+      pptx(if (b == null) Array.emptyByteArray else b) match {
+        case Right(d) =>
+          (d.text, d.nSlides, d.title, None: Option[String])
+        case Left(e) =>
+          (null: String, 0, None: Option[String], Some(e))
+      }
+    }
+    val carried = carryCols.map(col)
+    df.select(col(idCol).as("id") +: carried :+
+        kernel(col(payloadCol)).as("d"): _*)
+      .select(col("id") +: carried :+ col("d._1").as("text") :+
+        col("d._2").as("n_slides") :+ col("d._3").as("title") :+
+        col("d._4").as("error"): _*)
   }
 
   def epubDocs(df: DataFrame, idCol: String, payloadCol: String,
@@ -424,6 +490,54 @@ private[graft] object OfficePlant {
       sheetXmls.zipWithIndex.map { case (xml, i) =>
         (s"xl/worksheets/sheet${i + 1}.xml", xml.getBytes("UTF-8"), false)
       })
+  }
+
+  /** A real minimal PPTX: `slides(i)` = that slide's paragraphs; `\n`
+    * inside a paragraph plants as `a:br`, so extraction reproduces the
+    * input. */
+  def pptxBytes(slides: Seq[Seq[String]],
+      title: Option[String]): Array[Byte] = {
+    val pNs =
+      "http://schemas.openxmlformats.org/presentationml/2006/main"
+    val aNs = "http://schemas.openxmlformats.org/drawingml/2006/main"
+    def para(s: String): String = {
+      val sb = new StringBuilder("<a:p>")
+      val buf = new StringBuilder
+      def flush(): Unit = if (buf.nonEmpty) {
+        sb.append("<a:r><a:rPr/><a:t xml:space=\"preserve\">")
+          .append(xmlEsc(buf.toString)).append("</a:t></a:r>")
+        buf.clear()
+      }
+      s.foreach {
+        case '\n' => flush(); sb.append("<a:br/>")
+        case c    => buf.append(c)
+      }
+      flush()
+      sb.append("</a:p>").toString
+    }
+    def slideXml(paras: Seq[String]): String =
+      s"""<?xml version="1.0"?><p:sld xmlns:p="$pNs" xmlns:a="$aNs">""" +
+        "<p:cSld><p:spTree><p:sp><p:txBody><a:bodyPr/>" +
+        paras.map(para).mkString +
+        "</p:txBody></p:sp></p:spTree></p:cSld></p:sld>"
+    val pres = s"""<?xml version="1.0"?><p:presentation """ +
+      s"""xmlns:p="$pNs"><p:sldIdLst>""" +
+      slides.indices.map(i =>
+        s"""<p:sldId id="${256 + i}"/>""").mkString +
+      "</p:sldIdLst></p:presentation>"
+    val core = s"""<?xml version="1.0" encoding="UTF-8"?>""" +
+      "<cp:coreProperties " +
+      "xmlns:cp=\"http://schemas.openxmlformats.org/package/2006/" +
+      "metadata/core-properties\" " +
+      "xmlns:dc=\"http://purl.org/dc/elements/1.1/\">" +
+      title.map(t => s"<dc:title>${xmlEsc(t)}</dc:title>").getOrElse("") +
+      "</cp:coreProperties>"
+    zip(Seq(
+      ("ppt/presentation.xml", pres.getBytes("UTF-8"), false)) ++
+      slides.zipWithIndex.map { case (paras, i) =>
+        (s"ppt/slides/slide${i + 1}.xml",
+          slideXml(paras).getBytes("UTF-8"), false)
+      } ++ Seq(("docProps/core.xml", core.getBytes("UTF-8"), false)))
   }
 
   /** A real minimal EPUB: stored `mimetype` first (OCF), container →

@@ -233,7 +233,8 @@ class WarcSpec extends SparkSpec {
     val all = Warc.records(df, "id", "payload").collect()
     assert(all.length == 4)
     val pages = Warc.htmlPages(df, "id", "payload")
-      .collect().map(r => (r.getLong(0), r.getString(5))).toSet
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[String]("html"))).toSet
     assert(pages == Set((1L, "<p>keep me</p>"), (2L, "wet text")))
     // plan shape: one generator over one projection, no Exchange before
     // the records exist

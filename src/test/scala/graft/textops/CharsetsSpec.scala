@@ -1,0 +1,209 @@
+package graft.textops
+
+import graft.SparkSpec
+
+/** WHATWG charset sniffing + total decode: label-table quirks, the
+  * sniff precedence ladder (BOM > HTTP > meta > UTF-8 validation >
+  * windows-1252), replacement counting, surrogate repair, and the
+  * WARC front-door integration (charset columns on [[graft.sources
+  * .Warc.htmlPages]], the [[graft.sources.Warc.charsetAudit]] door).
+  */
+class CharsetsSpec extends SparkSpec {
+
+  private def b(s: String, cs: String): Array[Byte] = s.getBytes(cs)
+
+  // ----------------------------------------------------------------- //
+  // Label normalization
+  // ----------------------------------------------------------------- //
+
+  test("WHATWG label quirks: legacy latin labels map to their windows " +
+    "supersets, case/whitespace-insensitively") {
+    assert(Charsets.fromLabel("ISO-8859-1").contains("windows-1252"))
+    assert(Charsets.fromLabel(" latin1 ").contains("windows-1252"))
+    assert(Charsets.fromLabel("US-ASCII").contains("windows-1252"))
+    assert(Charsets.fromLabel("iso-8859-9").contains("windows-1254"))
+    assert(Charsets.fromLabel("TIS-620").contains("windows-874"))
+    assert(Charsets.fromLabel("utf8").contains("utf-8"))
+    assert(Charsets.fromLabel("UTF-8").contains("utf-8"))
+    assert(Charsets.fromLabel("gb2312").contains("gbk"))
+    assert(Charsets.fromLabel("sjis").contains("shift_jis"))
+    assert(Charsets.fromLabel("no-such-charset").isEmpty)
+    assert(Charsets.fromLabel(null).isEmpty)
+    assert(Charsets.fromLabel("iso-2022-kr").contains("replacement"))
+  }
+
+  test("charsetParam: bare, quoted, spaced, absent, trailing params") {
+    assert(Charsets.charsetParam("text/html; charset=utf-8") == "utf-8")
+    assert(Charsets.charsetParam(
+      "text/html; charset=\"ISO-8859-1\"") == "ISO-8859-1")
+    assert(Charsets.charsetParam(
+      "text/html ; charset = Shift_JIS ; boundary=x") == "Shift_JIS")
+    assert(Charsets.charsetParam("text/html") == null)
+    assert(Charsets.charsetParam(null) == null)
+  }
+
+  test("metaPrescan: <meta charset>, http-equiv form, 1024-byte bound") {
+    assert(Charsets.metaPrescan(
+      b("<html><meta charset=windows-1251><body>", "ASCII")) ==
+      "windows-1251")
+    assert(Charsets.metaPrescan(
+      b("<meta http-equiv=\"Content-Type\" content=\"text/html; " +
+        "charset=EUC-KR\">", "ASCII")) == "euc-kr".toUpperCase.toLowerCase
+      || Charsets.metaPrescan(
+      b("<meta http-equiv=\"Content-Type\" content=\"text/html; " +
+        "charset=EUC-KR\">", "ASCII")) == "EUC-KR")
+    val late = (" " * 1500) + "<meta charset=koi8-r>"
+    assert(Charsets.metaPrescan(b(late, "ASCII")) == null)
+  }
+
+  // ----------------------------------------------------------------- //
+  // Sniff precedence
+  // ----------------------------------------------------------------- //
+
+  test("BOM beats the transport label") {
+    val body = Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
+      b("hé", "UTF-8")
+    val d = Charsets.decode(body, "text/html; charset=ISO-8859-1")
+    assert(d.charset == "utf-8" && d.source == "bom")
+    assert(d.text == "hé" && d.nReplacements == 0)
+  }
+
+  test("UTF-16 BOMs decode and strip") {
+    val le = Array[Byte](0xFF.toByte, 0xFE.toByte) ++ b("abü", "UTF-16LE")
+    val dle = Charsets.decode(le, null)
+    assert(dle.charset == "utf-16le" && dle.source == "bom" &&
+      dle.text == "abü")
+    val be = Array[Byte](0xFE.toByte, 0xFF.toByte) ++ b("abü", "UTF-16BE")
+    val dbe = Charsets.decode(be, null)
+    assert(dbe.charset == "utf-16be" && dbe.text == "abü")
+  }
+
+  test("transport label beats meta; meta beats validation") {
+    // http label wins over a contradicting meta tag
+    val body1252 = b("<meta charset=utf-8>café", "windows-1252")
+    val d1 = Charsets.decode(body1252, "text/html; charset=iso-8859-1")
+    assert(d1.charset == "windows-1252" && d1.source == "http" &&
+      d1.text.endsWith("café"))
+    // meta wins when transport is silent — Shift_JIS kana decode right
+    val sj = b("<meta charset=shift_jis>こん", "Shift_JIS")
+    val d2 = Charsets.decode(sj, "text/html")
+    assert(d2.charset == "shift_jis" && d2.source == "meta" &&
+      d2.text.endsWith("こん") && d2.nReplacements == 0)
+  }
+
+  test("a UTF-16 meta label is self-refuting and means UTF-8") {
+    val body = b("<meta charset=utf-16>ok é", "UTF-8")
+    val d = Charsets.decode(body, "text/html")
+    assert(d.charset == "utf-8" && d.source == "meta" && d.text.endsWith("é"))
+  }
+
+  test("unlabeled valid UTF-8 validates; unlabeled 1252 falls back") {
+    val d1 = Charsets.decode(b("café utf8", "UTF-8"), "text/html")
+    assert(d1.charset == "utf-8" && d1.source == "utf8" &&
+      d1.text == "café utf8")
+    val d2 = Charsets.decode(b("naïve café", "windows-1252"),
+      "text/html")
+    assert(d2.charset == "windows-1252" && d2.source == "fallback" &&
+      d2.text == "naïve café" && d2.nReplacements == 0)
+  }
+
+  test("the replacement encoding collapses to one U+FFFD (WHATWG " +
+    "byte-smuggling defense)") {
+    val d = Charsets.decode(b("whatever bytes", "ASCII"),
+      "text/html; charset=ISO-2022-KR")
+    assert(d.text == "�" && d.charset == "replacement" &&
+      d.nReplacements == 1)
+  }
+
+  // ----------------------------------------------------------------- //
+  // Totality: replacement counting, surrogate repair, fuzz
+  // ----------------------------------------------------------------- //
+
+  test("mislabeled utf-8 counts its mojibake instead of throwing") {
+    val body = b("bad ", "ASCII") ++ Array[Byte](0xE9.toByte)
+    val d = Charsets.decode(body, "text/html; charset=utf-8")
+    assert(d.charset == "utf-8" && d.source == "http")
+    assert(d.text == "bad �" && d.nReplacements == 1)
+  }
+
+  test("an unpaired surrogate from a UTF-16 body is repaired, not " +
+    "propagated into an ill-formed String") {
+    // lone high surrogate D800 little-endian, then 'a'
+    val body = Array[Byte](0xFF.toByte, 0xFE.toByte, 0x00, 0xD8.toByte,
+      0x61, 0x00)
+    val d = Charsets.decode(body, null)
+    assert(!d.text.exists(Character.isSurrogate))
+    assert(d.nReplacements >= 1)
+    assert(d.text.contains("a"))
+  }
+
+  test("decode is total over random bytes under every label") {
+    val rnd = new scala.util.Random(0x515)
+    val labels = Seq(null, "text/html; charset=utf-8",
+      "text/html; charset=shift_jis", "text/html; charset=gbk",
+      "text/html; charset=euc-kr", "text/html; charset=big5",
+      "text/html; charset=iso-2022-jp", "text/html; charset=utf-16")
+    for (_ <- 1 to 200) {
+      val n = rnd.nextInt(64)
+      val body = Array.fill(n)(rnd.nextInt(256).toByte)
+      val ct = labels(rnd.nextInt(labels.length))
+      val d = Charsets.decode(body, ct)
+      assert(d.text != null && !d.text.exists(Character.isSurrogate))
+    }
+  }
+
+  // ----------------------------------------------------------------- //
+  // WARC front-door integration
+  // ----------------------------------------------------------------- //
+
+  private def warcOf(body: Array[Byte], contentType: String): Array[Byte] = {
+    val http = (s"HTTP/1.1 200 OK\r\nContent-Type: $contentType\r\n\r\n")
+      .getBytes("UTF-8") ++ body
+    val h = new StringBuilder("WARC/1.0\r\n")
+    h.append("WARC-Type: response\r\n")
+    h.append("WARC-Target-URI: https://cs.example/p\r\n")
+    h.append("WARC-Date: 2026-02-01T12:00:00Z\r\n")
+    h.append("Content-Type: application/http; msgtype=response\r\n")
+    h.append("Content-Length: ").append(http.length).append("\r\n\r\n")
+    h.toString.getBytes("UTF-8") ++ http ++ "\r\n\r\n".getBytes("UTF-8")
+  }
+
+  test("htmlPages surfaces the sniffed charset; non-UTF-8 pages decode " +
+    "right through the front door") {
+    import spark.implicits._
+    val payload = warcOf(b("<p>café £9</p>", "windows-1252"),
+      "text/html; charset=iso-8859-1") ++
+      warcOf(b("<p>plain</p>", "UTF-8"), "text/html")
+    val df = Seq((1L, payload)).toDF("id", "payload")
+    val pages = graft.sources.Warc.htmlPages(df, "id", "payload")
+      .orderBy("rec_idx").collect()
+    assert(pages.length == 2)
+    assert(pages(0).getAs[String]("charset") == "windows-1252")
+    assert(pages(0).getAs[String]("charset_src") == "http")
+    assert(pages(0).getAs[String]("html") == "<p>café £9</p>")
+    assert(pages(1).getAs[String]("charset") == "utf-8")
+    assert(pages(1).getAs[String]("charset_src") == "utf8")
+  }
+
+  test("charsetAudit: per-record charset/source/replacements + decode " +
+    "probes") {
+    import spark.implicits._
+    val mislabeled = warcOf(b("bad ", "ASCII") ++ Array(0xE9.toByte),
+      "text/html; charset=utf-8")
+    val sjis = warcOf(
+      b("<meta charset=shift_jis>こんにちは",
+        "Shift_JIS"), "text/html")
+    val df = Seq((7L, mislabeled ++ sjis)).toDF("id", "payload")
+    val rows = graft.sources.Warc.charsetAudit(df, "id", "payload")
+      .orderBy("rec_idx").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[String]("charset") == "utf-8")
+    assert(rows(0).getAs[Int]("n_replacements") == 1)
+    assert(rows(0).getAs[Int]("n_chars") == 5)
+    assert(rows(0).getAs[Long]("cp_sum") == 65860L)
+    assert(rows(1).getAs[String]("charset") == "shift_jis")
+    assert(rows(1).getAs[String]("charset_src") == "meta")
+    assert(rows(1).getAs[Int]("n_chars") == 29)
+    assert(rows(1).getAs[Long]("cp_sum") == 64332L)
+  }
+}

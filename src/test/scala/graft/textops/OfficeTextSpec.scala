@@ -146,12 +146,45 @@ class OfficeTextSpec extends SparkSpec {
       "not a zip")
   }
 
+  test("pptx: slide text in numeric order, breaks, title, empty deck") {
+    val deck = pptxBytes(
+      Seq(Seq("slide one para", "line\nbreak"), Seq("slide two")),
+      Some("Deck T"))
+    val d = OfficeText.pptx(deck).toOption.get
+    assert(d.text == "slide one para\nline\nbreak\n\nslide two")
+    assert(d.nSlides == 2)
+    assert(d.title.contains("Deck T"))
+    // numeric slide order: slide10 sorts AFTER slide2, not before
+    val shuffled = {
+      val parts = (1 to 10).map(i => Seq(s"s$i"))
+      pptxBytes(parts, None)
+    }
+    val t10 = OfficeText.pptx(shuffled).toOption.get
+    assert(t10.text.split("\n\n").toSeq == (1 to 10).map(i => s"s$i"))
+    // empty deck: presentation part present, zero slides → empty, no error
+    val empty = OfficeText.pptx(pptxBytes(Nil, None)).toOption.get
+    assert(empty.text == "" && empty.nSlides == 0)
+  }
+
+  test("pptx refusals: non-zip, missing presentation part, bad slide xml") {
+    assert(OfficeText.pptx("junk".getBytes("UTF-8")).isLeft)
+    val noPres = zip(Seq(
+      ("other.xml", "<a/>".getBytes("UTF-8"), false)))
+    assert(OfficeText.pptx(noPres) ==
+      Left("zip entry missing: ppt/presentation.xml"))
+    val badSlide = zip(Seq(
+      ("ppt/presentation.xml", "<p/>".getBytes("UTF-8"), false),
+      ("ppt/slides/slide1.xml", "<unclosed".getBytes("UTF-8"), false)))
+    assert(OfficeText.pptx(badSlide).isLeft)
+  }
+
   test("totality fuzz: mutations, truncations, random bytes never throw") {
     val rnd = new scala.util.Random(7)
     val bases = Seq(
       docxBytes(Seq("alpha beta", "gamma"), Some("t"), None),
       epubBytes(Seq("one", "two"), "b"),
-      xlsxBytes(Seq(Seq(Seq("p", "q"), Seq("r")))))
+      xlsxBytes(Seq(Seq(Seq("p", "q"), Seq("r")))),
+      pptxBytes(Seq(Seq("slide a"), Seq("slide b")), Some("t")))
     bases.foreach { base =>
       (0 until 120).foreach { i =>
         val b = base.clone()
@@ -159,15 +192,17 @@ class OfficeTextSpec extends SparkSpec {
           b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
         }
         OfficeText.docx(b); OfficeText.epub(b); OfficeText.xlsx(b)
+        OfficeText.pptx(b)
       }
       (0 until 40).foreach { _ =>
         val cut = 1 + rnd.nextInt(base.length - 1)
         OfficeText.docx(base.take(cut)); OfficeText.epub(base.take(cut))
+        OfficeText.pptx(base.take(cut))
       }
     }
     (0 until 40).foreach { _ =>
       val junk = Array.fill(rnd.nextInt(1024))(rnd.nextInt(256).toByte)
-      OfficeText.docx(junk); OfficeText.epub(junk)
+      OfficeText.docx(junk); OfficeText.epub(junk); OfficeText.pptx(junk)
     }
   }
 
@@ -185,6 +220,17 @@ class OfficeTextSpec extends SparkSpec {
     val er = OfficeText.epubDocs(edf, "id", "payload").collect()
     assert(er(0).getAs[String]("text") == "ch text")
     assert(er(0).getAs[String]("title") == "B")
+    val pdf2 = Seq((1L, pptxBytes(Seq(Seq("deck text")), Some("P"))),
+      (2L, "junk".getBytes("UTF-8"))).toDF("id", "payload")
+    val pr = OfficeText.pptxDocs(pdf2, "id", "payload")
+      .orderBy("id").collect()
+    assert(pr(0).getAs[String]("text") == "deck text")
+    assert(pr(0).getAs[Int]("n_slides") == 1)
+    assert(pr(0).getAs[String]("title") == "P")
+    assert(pr(1).getAs[String]("error") == "not a zip")
+    // the extension router dispatches .pptx members
+    assert(DocRoute.textOf("deck.pptx",
+      pptxBytes(Seq(Seq("routed")), None)) == Right(("pptx", "routed")))
 
     // through the WARC binary-media door: the docx media type is not
     // textual, so the payload reaches the office kernel byte-identical
