@@ -3156,6 +3156,23 @@ object SparkEntry {
         .select(col("id"), col("text"), col("n_slides"), col("title"),
           col("error"))
         .orderBy(col("id"))
+    }),
+
+    // MP4/ISO-BMFF corpus audit — the container of the real video web
+    // (the AVI door covers legacy RIFF). Supplier keys plant COMPLETE
+    // ISO 14496-12 structure: both mvhd versions (64-bit on k%5=1),
+    // stco vs co64 (k%7=3), a largesize mdat (k%8=5), per-residue
+    // brands/codecs/dimensions, real sample tables whose sizes the
+    // mdat actually carries; junk bytes on k%9=0 must refuse typed.
+    // The oracle replays the header/table arithmetic closed-form
+    "q153_mp4_audit" -> ((s, dir) => {
+      import s.implicits._
+      val media = tSpread(s, dir, "supplier").select(col("s_suppkey"))
+        .as[Long]
+        .map(k => (k, q153Mp4(k)))
+        .toDF("id", "payload")
+      multimodal.Mp4.mp4Audit(media, "id", "payload")
+        .orderBy(col("id"))
     })
   )
 
@@ -3233,6 +3250,32 @@ object SparkEntry {
       if (k % 5 == 0) Seq(sheet1, Seq(Seq(s"s2 $k")))
       else Seq(sheet1)
     OfficePlant.xlsxBytes(sheets)
+  }
+
+  /** q153's planted MP4 for supplier key `k` (see the query comment). */
+  private[graft] def q153Mp4(k: Long): Array[Byte] = {
+    import multimodal.Mp4Plant
+    if (k % 9 == 0) return s"JUNKJUNK mp4 $k".getBytes("UTF-8")
+    val v1 = k % 5 == 1
+    val timescale = if (v1) 90000L else 1000L
+    val duration = if (v1) 9000L * (k % 7 + 1) else 1000L * (k % 7 + 1)
+    val vCodec = (k % 3).toInt match {
+      case 0 => "avc1"; case 1 => "mp4v"; case _ => "hvc1"
+    }
+    val nV = (k % 6 + 2).toInt
+    val vSizes = Array.tabulate(nV)(i => (100 + (k * 13 + i * 7) % 50).toInt)
+    val video = Mp4Plant.TrackPlant(1, "vide", vCodec,
+      320 + 16 * (k % 4).toInt, 240 + 8 * (k % 3).toInt, 600,
+      100L * nV, vSizes, 1 + (k % 2).toInt)
+    val tracks =
+      if (k % 4 == 2) Seq(video)
+      else Seq(video, Mp4Plant.TrackPlant(2, "soun", "mp4a", 0, 0,
+        48000, 1024L * (k % 5 + 1), Array.fill((k % 5 + 1).toInt)(64),
+        (k % 5 + 1).toInt))
+    Mp4Plant.mp4Bytes(
+      brand = if (k % 2 == 0) "isom" else "mp42",
+      timescale = timescale, duration = duration, mvhdV1 = v1,
+      tracks = tracks, co64 = k % 7 == 3, largeMdat = k % 8 == 5)
   }
 
   /** q152's planted PPTX for doc key `k` (see the query comment):
@@ -6930,7 +6973,47 @@ object SparkEntry {
         |  CASE WHEN doc_id % 13 = 7 THEN 'not a zip'
         |    WHEN doc_id % 11 = 5
         |    THEN 'zip entry missing: ppt/presentation.xml' END AS error
-        |FROM documents ORDER BY id""".stripMargin
+        |FROM documents ORDER BY id""".stripMargin,
+
+    // the planted ISO-BMFF matrix replays closed-form: brand/version
+    // residues, exact-double duration arithmetic (the plant divides
+    // evenly by construction), and the stsz sum via a range join
+    "q153_mp4_audit" ->
+      """WITH s AS (SELECT s_suppkey AS k FROM supplier),
+        |vb AS (
+        |  SELECT k, CAST(sum(100 + (k * 13 + r.i * 7) % 50) AS BIGINT)
+        |    AS video_bytes
+        |  FROM s JOIN range(0, 8) r(i) ON r.i < k % 6 + 2
+        |  GROUP BY k)
+        |SELECT s.k AS id,
+        |  CASE WHEN s.k % 9 = 0 THEN NULL
+        |    WHEN s.k % 2 = 0 THEN 'isom' ELSE 'mp42' END AS brand,
+        |  CAST(CASE WHEN s.k % 9 = 0 THEN 0
+        |    WHEN s.k % 5 = 1 THEN 90000 ELSE 1000 END AS BIGINT)
+        |    AS timescale,
+        |  CAST(CASE WHEN s.k % 9 = 0 THEN 0
+        |    WHEN s.k % 5 = 1 THEN 100 * (s.k % 7 + 1)
+        |    ELSE 1000 * (s.k % 7 + 1) END AS DOUBLE) AS duration_ms,
+        |  CAST(CASE WHEN s.k % 9 = 0 THEN 0
+        |    WHEN s.k % 4 = 2 THEN 1 ELSE 2 END AS INTEGER) AS n_tracks,
+        |  CASE WHEN s.k % 9 = 0 THEN NULL
+        |    WHEN s.k % 3 = 0 THEN 'avc1'
+        |    WHEN s.k % 3 = 1 THEN 'mp4v' ELSE 'hvc1' END AS video_codec,
+        |  CAST(CASE WHEN s.k % 9 = 0 THEN 0
+        |    ELSE 320 + 16 * (s.k % 4) END AS INTEGER) AS width,
+        |  CAST(CASE WHEN s.k % 9 = 0 THEN 0
+        |    ELSE 240 + 8 * (s.k % 3) END AS INTEGER) AS height,
+        |  CAST(CASE WHEN s.k % 9 = 0 THEN 0
+        |    ELSE s.k % 6 + 2 END AS INTEGER) AS n_video_samples,
+        |  CAST(CASE WHEN s.k % 9 = 0 THEN 0
+        |    ELSE vb.video_bytes END AS BIGINT) AS video_bytes,
+        |  CASE WHEN s.k % 9 = 0 OR s.k % 4 = 2 THEN NULL
+        |    ELSE 'mp4a' END AS audio_codec,
+        |  CAST(CASE WHEN s.k % 9 = 0 OR s.k % 4 = 2 THEN 0
+        |    ELSE s.k % 5 + 1 END AS INTEGER) AS n_audio_samples,
+        |  CASE WHEN s.k % 9 = 0 THEN 'bad box size (JUNK)' END AS error
+        |FROM s JOIN vb ON vb.k = s.k
+        |ORDER BY id""".stripMargin
   )
 
   /** q133's replay: q102's stage CTEs over the crawl-extracted corpus

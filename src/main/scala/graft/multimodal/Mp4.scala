@@ -1,0 +1,495 @@
+package graft.multimodal
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, explode, udf}
+
+/** ISO Base Media File Format (ISO/IEC 14496-12) structural reader —
+  * the container of the real video web (`.mp4`/`.m4a`/`.mov` share it),
+  * where the AVI door ([[Multimodal.Codecs.decodeAviFrames]]) covers
+  * the legacy RIFF shape.
+  *
+  * Scope mirrors [[Mp3]]'s frame-layer honesty bar: the CONTAINER is
+  * decoded completely (box walk, movie/track headers, the full sample
+  * tables — so sample counts, byte volumes, codecs, dimensions and
+  * durations are real, and [[samples]] resolves every sample to its
+  * exact byte range in `mdat`), while codec PAYLOAD decode (H.264/HEVC
+  * bitstreams) is out of scope for the same verbatim-table reasons
+  * documented in PERF_NOTES 17/22 — the audit makes the corpus
+  * composition measurable either way, which is what a curation
+  * pipeline needs first.
+  *
+  * Total over attacker-controlled bytes: every read is bounds-checked,
+  * box recursion is depth/count-capped, malformed structure becomes a
+  * typed `error` — never an exception or a hang.
+  */
+object Mp4 {
+
+  /** Per-payload structural audit. Counts are real (from the sample
+    * tables), `durationMs` is `mvhd` duration over its timescale.
+    */
+  final case class Audit(brand: String, timescale: Long, durationMs: Double,
+                         nTracks: Int, videoCodec: String, width: Int,
+                         height: Int, nVideoSamples: Int, videoBytes: Long,
+                         audioCodec: String, nAudioSamples: Int,
+                         error: String)
+
+  /** One resolved sample: exact byte range within the payload. */
+  final case class SampleRef(track: Int, sampleIdx: Int, offset: Long,
+                             length: Long)
+
+  private final case class Track(id: Int, handler: String, codec: String,
+                                 width: Int, height: Int,
+                                 timescale: Long, duration: Long,
+                                 sampleSizes: Array[Long],
+                                 chunkOffsets: Array[Long],
+                                 stsc: Array[(Long, Long)]) // (firstChunk, samplesPerChunk)
+
+  private final case class Movie(brand: String, timescale: Long,
+                                 duration: Long, tracks: Vector[Track])
+
+  private val MaxBoxes = 100000
+  private val MaxDepth = 16
+  private val MaxTableEntries = 1 << 20 // 1M samples/chunks per table
+
+  private final class Malformed(val reason: String)
+    extends RuntimeException(reason)
+  private def bad(reason: String): Nothing = throw new Malformed(reason)
+
+  private def u8(b: Array[Byte], i: Long): Int = b(i.toInt) & 0xff
+  private def u16(b: Array[Byte], i: Long): Int =
+    (u8(b, i) << 8) | u8(b, i + 1)
+  private def u32(b: Array[Byte], i: Long): Long =
+    ((u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) |
+      (u8(b, i + 2) << 8) | u8(b, i + 3)) & 0xffffffffL
+  private def u64(b: Array[Byte], i: Long): Long =
+    (u32(b, i) << 32) | u32(b, i + 4)
+  private def fourcc(b: Array[Byte], i: Long): String = {
+    val sb = new java.lang.StringBuilder(4)
+    var j = 0
+    while (j < 4) {
+      val c = u8(b, i + j)
+      sb.append(if (c >= 0x20 && c < 0x7f) c.toChar else '?')
+      j += 1
+    }
+    sb.toString
+  }
+
+  /** Walk the boxes of `b[from, until)`, calling `f(type, bodyFrom,
+    * bodyUntil)` per box. Total: malformed sizes throw [[Malformed]].
+    */
+  private def walkBoxes(b: Array[Byte], from: Long, until: Long,
+                        depth: Int, counter: Array[Int])
+                       (f: (String, Long, Long) => Unit): Unit = {
+    if (depth > MaxDepth) bad("box nesting past cap")
+    var p = from
+    while (p < until) {
+      counter(0) += 1
+      if (counter(0) > MaxBoxes) bad("box count past cap")
+      if (until - p < 8) bad("truncated box header")
+      var size = u32(b, p)
+      val typ = fourcc(b, p + 4)
+      var hdr = 8L
+      if (size == 1) {
+        if (until - p < 16) bad("truncated largesize")
+        size = u64(b, p + 8)
+        hdr = 16L
+      } else if (size == 0) size = until - p // to end of enclosing box
+      if (size < hdr || p + size > until) bad(s"bad box size ($typ)")
+      f(typ, p + hdr, p + size)
+      p += size
+    }
+  }
+
+  private def require2(cond: Boolean, reason: String): Unit =
+    if (!cond) bad(reason)
+
+  /** Full-structure parse. The only entry points are total wrappers. */
+  private def parseMovie(b: Array[Byte]): Movie = {
+    val counter = Array(0)
+    var brand: String = null
+    var mvTimescale = 0L
+    var mvDuration = 0L
+    val tracks = Vector.newBuilder[Track]
+
+    def parseTrak(from: Long, until: Long): Unit = {
+      var id = 0
+      var handler: String = null
+      var codec: String = null
+      var width = 0
+      var height = 0
+      var timescale = 0L
+      var duration = 0L
+      var sizes: Array[Long] = Array.emptyLongArray
+      var chunks: Array[Long] = Array.emptyLongArray
+      var stsc: Array[(Long, Long)] = Array.empty
+
+      def parseStbl(from: Long, until: Long): Unit =
+        walkBoxes(b, from, until, 5, counter) { (t, f, u) =>
+          t match {
+            case "stsd" =>
+              require2(u - f >= 16, "short stsd")
+              val n = u32(b, f + 4)
+              if (n >= 1) {
+                // first entry: u32 size + 4cc format
+                require2(u - f >= 16, "short stsd entry")
+                codec = fourcc(b, f + 12)
+              }
+            case "stsz" =>
+              require2(u - f >= 12, "short stsz")
+              val fixed = u32(b, f + 4)
+              val n = u32(b, f + 8)
+              require2(n <= MaxTableEntries, "stsz count past cap")
+              if (fixed != 0) sizes = Array.fill(n.toInt)(fixed)
+              else {
+                require2(u - f >= 12 + 4L * n, "truncated stsz")
+                sizes = Array.tabulate(n.toInt)(i => u32(b, f + 12 + 4L * i))
+              }
+            case "stco" =>
+              require2(u - f >= 8, "short stco")
+              val n = u32(b, f + 4)
+              require2(n <= MaxTableEntries, "stco count past cap")
+              require2(u - f >= 8 + 4L * n, "truncated stco")
+              chunks = Array.tabulate(n.toInt)(i => u32(b, f + 8 + 4L * i))
+            case "co64" =>
+              require2(u - f >= 8, "short co64")
+              val n = u32(b, f + 4)
+              require2(n <= MaxTableEntries, "co64 count past cap")
+              require2(u - f >= 8 + 8L * n, "truncated co64")
+              chunks = Array.tabulate(n.toInt)(i => u64(b, f + 8 + 8L * i))
+            case "stsc" =>
+              require2(u - f >= 8, "short stsc")
+              val n = u32(b, f + 4)
+              require2(n <= MaxTableEntries, "stsc count past cap")
+              require2(u - f >= 8 + 12L * n, "truncated stsc")
+              stsc = Array.tabulate(n.toInt) { i =>
+                (u32(b, f + 8 + 12L * i), u32(b, f + 12 + 12L * i))
+              }
+            case _ => () // stts/ctts/stss: timing/sync, not audited
+          }
+        }
+
+      walkBoxes(b, from, until, 3, counter) { (t, f, u) =>
+        t match {
+          case "tkhd" =>
+            require2(u - f >= 4, "short tkhd")
+            val v = u8(b, f)
+            val fixed = if (v == 1) 8L else 4L
+            // version+flags(4) ctime mtime track_ID(4) reserved(4)
+            // duration, reserved(8) layer(2) alt(2) vol(2) res(2)
+            // matrix(36) width(4) height(4)
+            val idOff = 4 + 2 * fixed
+            val whOff = idOff + 4 + 4 + fixed + 8 + 2 + 2 + 2 + 2 + 36
+            require2(u - f >= whOff + 8, "short tkhd body")
+            id = u32(b, f + idOff).toInt
+            width = (u32(b, f + whOff) >> 16).toInt
+            height = (u32(b, f + whOff + 4) >> 16).toInt
+          case "mdia" =>
+            walkBoxes(b, f, u, 4, counter) { (t2, f2, u2) =>
+              t2 match {
+                case "mdhd" =>
+                  require2(u2 - f2 >= 4, "short mdhd")
+                  val v = u8(b, f2)
+                  if (v == 1) {
+                    require2(u2 - f2 >= 32, "short mdhd v1")
+                    timescale = u32(b, f2 + 20)
+                    duration = u64(b, f2 + 24)
+                  } else {
+                    require2(u2 - f2 >= 24, "short mdhd v0")
+                    timescale = u32(b, f2 + 12)
+                    duration = u32(b, f2 + 16)
+                  }
+                case "hdlr" =>
+                  require2(u2 - f2 >= 12, "short hdlr")
+                  handler = fourcc(b, f2 + 8)
+                case "minf" =>
+                  walkBoxes(b, f2, u2, 5, counter) { (t3, f3, u3) =>
+                    if (t3 == "stbl") parseStbl(f3, u3)
+                  }
+                case _ => ()
+              }
+            }
+          case _ => ()
+        }
+      }
+      tracks += Track(id, handler, codec, width, height, timescale,
+        duration, sizes, chunks, stsc)
+    }
+
+    walkBoxes(b, 0L, b.length.toLong, 0, counter) { (t, f, u) =>
+      t match {
+        case "ftyp" =>
+          require2(u - f >= 8, "short ftyp")
+          brand = fourcc(b, f)
+        case "moov" =>
+          walkBoxes(b, f, u, 1, counter) { (t2, f2, u2) =>
+            t2 match {
+              case "mvhd" =>
+                require2(u2 - f2 >= 4, "short mvhd")
+                val v = u8(b, f2)
+                if (v == 1) {
+                  require2(u2 - f2 >= 32, "short mvhd v1")
+                  mvTimescale = u32(b, f2 + 20)
+                  mvDuration = u64(b, f2 + 24)
+                } else {
+                  require2(u2 - f2 >= 24, "short mvhd v0")
+                  mvTimescale = u32(b, f2 + 12)
+                  mvDuration = u32(b, f2 + 16)
+                }
+              case "trak" => parseTrak(f2, u2)
+              case _      => ()
+            }
+          }
+        case _ => () // mdat/free/skip: bytes, not structure
+      }
+    }
+    if (brand == null) bad("missing ftyp")
+    if (mvTimescale == 0) bad("missing or zero-timescale mvhd")
+    Movie(brand, mvTimescale, mvDuration, tracks.result())
+  }
+
+  /** Total audit of one payload. */
+  def audit(b: Array[Byte]): Audit =
+    try {
+      val payload = if (b == null) Array.emptyByteArray else b
+      val m = parseMovie(payload)
+      val video = m.tracks.find(_.handler == "vide")
+      val audio = m.tracks.find(_.handler == "soun")
+      Audit(m.brand, m.timescale,
+        if (m.timescale > 0) m.duration * 1000.0 / m.timescale else 0.0,
+        m.tracks.length,
+        video.map(_.codec).orNull,
+        video.map(_.width).getOrElse(0),
+        video.map(_.height).getOrElse(0),
+        video.map(_.sampleSizes.length).getOrElse(0),
+        video.map(_.sampleSizes.sum).getOrElse(0L),
+        audio.map(_.codec).orNull,
+        audio.map(_.sampleSizes.length).getOrElse(0),
+        null)
+    } catch {
+      case m: Malformed =>
+        Audit(null, 0L, 0.0, 0, null, 0, 0, 0, 0L, null, 0, m.reason)
+      case _: ArrayIndexOutOfBoundsException =>
+        Audit(null, 0L, 0.0, 0, null, 0, 0, 0, 0L, null, 0,
+          "out-of-bounds structure")
+    }
+
+  /** Resolve every sample of every track to its exact byte range:
+    * `stsc` runs assign samples to chunks, `stco`/`co64` place the
+    * chunks, `stsz` sizes accumulate within each chunk (ISO 14496-12
+    * §8.7). Ranges outside the payload are malformed.
+    */
+  def sampleRefs(b: Array[Byte]): Either[String, Vector[SampleRef]] =
+    try {
+      val m = parseMovie(if (b == null) Array.emptyByteArray else b)
+      val out = Vector.newBuilder[SampleRef]
+      m.tracks.foreach { tr =>
+        val nChunks = tr.chunkOffsets.length
+        var sample = 0
+        var ci = 0
+        while (ci < nChunks && sample < tr.sampleSizes.length) {
+          // samples-per-chunk for chunk ci+1 (1-based): the last stsc
+          // run whose firstChunk <= ci+1
+          var spc = 0L
+          var si = 0
+          while (si < tr.stsc.length && tr.stsc(si)._1 <= ci + 1) {
+            spc = tr.stsc(si)._2
+            si += 1
+          }
+          require2(spc >= 0 && spc <= MaxTableEntries, "bad stsc run")
+          var off = tr.chunkOffsets(ci)
+          var j = 0L
+          while (j < spc && sample < tr.sampleSizes.length) {
+            val len = tr.sampleSizes(sample)
+            require2(off >= 0 && len >= 0 && off + len <= b.length,
+              "sample range outside payload")
+            out += SampleRef(tr.id, sample, off, len)
+            off += len
+            sample += 1
+            j += 1
+          }
+          ci += 1
+        }
+      }
+      Right(out.result())
+    } catch {
+      case m: Malformed => Left(m.reason)
+      case _: ArrayIndexOutOfBoundsException => Left("out-of-bounds structure")
+    }
+
+  // -------------------------------------------------------------------
+  // DataFrame surfaces (the Mp3.audioAudit pattern: scan-stage kernel,
+  // payload projected away, typed error rows)
+  // -------------------------------------------------------------------
+
+  /** Per-payload structural audit frame. */
+  def mp4Audit(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val kernel = udf { b: Array[Byte] =>
+      val a = audit(b)
+      (a.brand, a.timescale, a.durationMs, a.nTracks, a.videoCodec,
+        a.width, a.height, a.nVideoSamples, a.videoBytes, a.audioCodec,
+        a.nAudioSamples, Option(a.error))
+    }
+    df.select(col(idCol).as("id"), kernel(col(payloadCol)).as("a"))
+      .select(col("id"), col("a._1").as("brand"),
+        col("a._2").as("timescale"), col("a._3").as("duration_ms"),
+        col("a._4").as("n_tracks"), col("a._5").as("video_codec"),
+        col("a._6").as("width"), col("a._7").as("height"),
+        col("a._8").as("n_video_samples"), col("a._9").as("video_bytes"),
+        col("a._10").as("audio_codec"), col("a._11").as("n_audio_samples"),
+        col("a._12").as("error"))
+  }
+
+  /** Per-sample byte-range frame (the MP4 twin of the AVI
+    * `videoFrames` demux): one row per resolved sample.
+    */
+  def mp4Samples(df: DataFrame, idCol: String,
+                 payloadCol: String): DataFrame = {
+    val kernel = udf { b: Array[Byte] =>
+      sampleRefs(b) match {
+        case Right(refs) =>
+          refs.map(r => (r.track, r.sampleIdx, r.offset, r.length))
+        case Left(_) => Vector.empty[(Int, Int, Long, Long)]
+      }
+    }
+    df.select(col(idCol).as("id"), explode(kernel(col(payloadCol))).as("s"))
+      .select(col("id"), col("s._1").as("track"),
+        col("s._2").as("sample_idx"), col("s._3").as("offset"),
+        col("s._4").as("len"))
+  }
+}
+
+/** Plant-side writer (tests/oracles): REAL ISO-BMFF structure — ftyp,
+  * mvhd (both versions), per-track tkhd/mdhd/hdlr/stsd/stts/stsz/
+  * stsc/stco-or-co64, and an mdat whose bytes the sample tables
+  * actually address (sample `i` of track `t` fills with
+  * `(t*31 + i*7) & 0xff`). The PdfWriter/OfficePlant pattern.
+  */
+private[graft] object Mp4Plant {
+
+  final case class TrackPlant(id: Int, handler: String, codec: String,
+                              width: Int, height: Int, timescale: Long,
+                              duration: Long, sampleSizes: Array[Int],
+                              firstChunkSamples: Int)
+
+  private def be16(v: Int): Array[Byte] =
+    Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def be32(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def be64(v: Long): Array[Byte] = be32(v >>> 32) ++ be32(v)
+
+  private def box(typ: String, parts: Array[Byte]*): Array[Byte] = {
+    val body = parts.foldLeft(Array.emptyByteArray)(_ ++ _)
+    be32(8L + body.length) ++ typ.getBytes("ASCII") ++ body
+  }
+  private def fullBox(typ: String, version: Int,
+                      parts: Array[Byte]*): Array[Byte] =
+    box(typ, Array[Byte]((version & 0xff).toByte, 0, 0, 0) +:
+      parts: _*)
+
+  def sampleByte(track: Int, sample: Int): Byte =
+    ((track * 31 + sample * 7) & 0xff).toByte
+
+  /** Whole file. `mvhdV1` exercises the 64-bit movie header; `co64`
+    * the 64-bit chunk-offset table; `largeMdat` the `size==1`
+    * largesize box-header path.
+    */
+  def mp4Bytes(brand: String, timescale: Long, duration: Long,
+               mvhdV1: Boolean, tracks: Seq[TrackPlant],
+               co64: Boolean = false,
+               largeMdat: Boolean = false): Array[Byte] = {
+    val ftyp = box("ftyp", brand.getBytes("ASCII"), be32(0),
+      "isom".getBytes("ASCII"))
+
+    // chunk layout: per track (declared order), first chunk =
+    // firstChunkSamples samples, second chunk = the rest (if any)
+    def chunksOf(t: TrackPlant): Seq[Array[Int]] = {
+      val n = t.sampleSizes.length
+      val f = math.min(t.firstChunkSamples, n)
+      if (n == 0) Seq.empty
+      else if (f >= n) Seq(t.sampleSizes)
+      else Seq(t.sampleSizes.take(f), t.sampleSizes.drop(f))
+    }
+
+    def trakBox(t: TrackPlant, offsets: Seq[Long]): Array[Byte] = {
+      val tkhd = fullBox("tkhd", 0, be32(0), be32(0), be32(t.id.toLong),
+        be32(0), be32(t.duration), be64(0), be16(0), be16(0), be16(0),
+        be16(0), Array.fill(36)(0.toByte),
+        be32(t.width.toLong << 16), be32(t.height.toLong << 16))
+      val mdhd = fullBox("mdhd", 0, be32(0), be32(0), be32(t.timescale),
+        be32(t.duration), be16(0x55c4), be16(0))
+      val hdlr = fullBox("hdlr", 0, be32(0),
+        t.handler.getBytes("ASCII"), be32(0), be32(0), be32(0),
+        Array(0.toByte))
+      val stsdEntry = be32(16L) ++ t.codec.getBytes("ASCII") ++
+        Array.fill(6)(0.toByte) ++ be16(1)
+      val stsd = fullBox("stsd", 0, be32(1), stsdEntry)
+      val n = t.sampleSizes.length
+      val stts = fullBox("stts", 0, be32(1), be32(n.toLong), be32(100))
+      val stsz = fullBox("stsz", 0, be32(0), be32(n.toLong),
+        t.sampleSizes.map(s => be32(s.toLong))
+          .foldLeft(Array.emptyByteArray)(_ ++ _))
+      val cks = chunksOf(t)
+      val stscEntries =
+        if (cks.isEmpty) Array.emptyByteArray
+        else if (cks.length == 1)
+          be32(1) ++ be32(cks(0).length.toLong) ++ be32(1)
+        else be32(1) ++ be32(cks(0).length.toLong) ++ be32(1) ++
+          be32(2) ++ be32(cks(1).length.toLong) ++ be32(1)
+      val stsc = fullBox("stsc", 0, be32(cks.length.toLong), stscEntries)
+      val stcoB =
+        if (co64) fullBox("co64", 0, be32(offsets.length.toLong),
+          offsets.map(be64).foldLeft(Array.emptyByteArray)(_ ++ _))
+        else fullBox("stco", 0, be32(offsets.length.toLong),
+          offsets.map(be32).foldLeft(Array.emptyByteArray)(_ ++ _))
+      val stbl = box("stbl", stsd, stts, stsz, stsc, stcoB)
+      val minf = box("minf", stbl)
+      val mdia = box("mdia", mdhd, hdlr, minf)
+      box("trak", tkhd, mdia)
+    }
+
+    val mvhd =
+      if (mvhdV1) fullBox("mvhd", 1, be64(0), be64(0), be32(timescale),
+        be64(duration), be32(0x00010000L), be16(0x0100), be16(0),
+        be64(0), Array.fill(36)(0.toByte), Array.fill(24)(0.toByte),
+        be32(tracks.length + 1L))
+      else fullBox("mvhd", 0, be32(0), be32(0), be32(timescale),
+        be32(duration), be32(0x00010000L), be16(0x0100), be16(0),
+        be64(0), Array.fill(36)(0.toByte), Array.fill(24)(0.toByte),
+        be32(tracks.length + 1L))
+
+    def moovOf(allOffsets: Seq[Seq[Long]]): Array[Byte] =
+      box("moov", mvhd +: tracks.zip(allOffsets).map {
+        case (t, off) => trakBox(t, off)
+      }: _*)
+
+    // two-pass: moov size is offset-value independent (fixed-width ints)
+    val zeroOffsets = tracks.map(t => chunksOf(t).map(_ => 0L))
+    val moovSize = moovOf(zeroOffsets).length
+    val mdatHdr = if (largeMdat) 16 else 8
+    val mdatBodyStart = ftyp.length + moovSize + mdatHdr
+
+    val mdatBody = new java.io.ByteArrayOutputStream()
+    val realOffsets = tracks.zipWithIndex.map { case (t, ti) =>
+      var sample = 0
+      chunksOf(t).map { chunk =>
+        val off = (mdatBodyStart + mdatBody.size()).toLong
+        chunk.foreach { len =>
+          val bytes = Array.fill(len)(sampleByte(ti, sample))
+          mdatBody.write(bytes)
+          sample += 1
+        }
+        off
+      }
+    }
+    val moov = moovOf(realOffsets)
+    val mdat =
+      if (largeMdat)
+        be32(1) ++ "mdat".getBytes("ASCII") ++
+          be64(16L + mdatBody.size()) ++ mdatBody.toByteArray
+      else
+        be32(8L + mdatBody.size()) ++ "mdat".getBytes("ASCII") ++
+          mdatBody.toByteArray
+    ftyp ++ moov ++ mdat
+  }
+}

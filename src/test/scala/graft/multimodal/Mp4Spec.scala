@@ -1,0 +1,137 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import graft.multimodal.Mp4Plant.TrackPlant
+
+/** ISO-BMFF structural reader: header-version matrix (mvhd v0/v1,
+  * stco/co64, largesize mdat), sample-table resolution down to exact
+  * mdat byte addressing, typed refusals, and totality fuzz.
+  */
+class Mp4Spec extends SparkSpec {
+
+  private def video(n: Int, split: Int = 2): TrackPlant =
+    TrackPlant(1, "vide", "avc1", 320, 240, 600, 3000,
+      Array.tabulate(n)(i => 100 + i * 3), split)
+
+  private def audio(n: Int): TrackPlant =
+    TrackPlant(2, "soun", "mp4a", 0, 0, 48000, 96000,
+      Array.fill(n)(64), n)
+
+  test("audit: brand, movie header both versions, tracks, codecs, " +
+    "dimensions, sample counts and byte volumes") {
+    for (v1 <- Seq(false, true); c64 <- Seq(false, true)) {
+      val b = Mp4Plant.mp4Bytes("isom", 1000, 2500, v1,
+        Seq(video(5), audio(3)), co64 = c64)
+      val a = Mp4.audit(b)
+      assert(a.error == null, s"v1=$v1 c64=$c64: ${a.error}")
+      assert(a.brand == "isom" && a.timescale == 1000)
+      assert(a.durationMs == 2500.0)
+      assert(a.nTracks == 2)
+      assert(a.videoCodec == "avc1" && a.width == 320 && a.height == 240)
+      assert(a.nVideoSamples == 5)
+      assert(a.videoBytes == (0 until 5).map(i => 100 + i * 3).sum)
+      assert(a.audioCodec == "mp4a" && a.nAudioSamples == 3)
+    }
+  }
+
+  test("largesize mdat box header parses") {
+    val b = Mp4Plant.mp4Bytes("mp42", 90000, 9000, mvhdV1 = false,
+      Seq(video(3)), largeMdat = true)
+    val a = Mp4.audit(b)
+    assert(a.error == null && a.brand == "mp42" && a.nVideoSamples == 3)
+    assert(a.durationMs == 100.0)
+  }
+
+  test("sampleRefs: stsc/stco/stsz resolve every sample to the exact " +
+    "mdat bytes that were written for it") {
+    val b = Mp4Plant.mp4Bytes("isom", 1000, 1000, mvhdV1 = false,
+      Seq(video(5, split = 2), audio(4)))
+    val refs = Mp4.sampleRefs(b).toOption.get
+    assert(refs.count(_.track == 1) == 5)
+    assert(refs.count(_.track == 2) == 4)
+    refs.foreach { r =>
+      val ti = if (r.track == 1) 0 else 1
+      val expected = Mp4Plant.sampleByte(ti, r.sampleIdx)
+      (r.offset until (r.offset + r.length)).foreach { off =>
+        assert(b(off.toInt) == expected,
+          s"track ${r.track} sample ${r.sampleIdx} at $off")
+      }
+    }
+    // the two-chunk split is real: sample 2 starts a new chunk, so its
+    // offset is NOT contiguous with sample 1's end (audio chunk sits
+    // between only if ordered so — just assert refs are in-payload and
+    // sizes match the plant)
+    val v = refs.filter(_.track == 1).sortBy(_.sampleIdx)
+    assert(v.map(_.length) == Vector(100L, 103L, 106L, 109L, 112L))
+  }
+
+  test("typed refusals: junk, missing ftyp, truncated header, bombs") {
+    assert(Mp4.audit("JUNKJUNK more bytes".getBytes("ASCII")).error ==
+      "bad box size (JUNK)")
+    // a bare moov with no ftyp
+    val noFtyp = {
+      val whole = Mp4Plant.mp4Bytes("isom", 1000, 1000, mvhdV1 = false,
+        Seq(video(2)))
+      // strip the leading ftyp box
+      val ftypLen = ((whole(0) & 0xff) << 24) | ((whole(1) & 0xff) << 16) |
+        ((whole(2) & 0xff) << 8) | (whole(3) & 0xff)
+      whole.drop(ftypLen)
+    }
+    assert(Mp4.audit(noFtyp).error == "missing ftyp")
+    assert(Mp4.audit(Array[Byte](0, 0, 0, 9)).error ==
+      "truncated box header")
+    assert(Mp4.audit(Array.emptyByteArray).error ==
+      "missing ftyp")
+    // stsz declaring 16M samples in a tiny box must refuse, not allocate
+    val bomb = {
+      val b = Mp4Plant.mp4Bytes("isom", 1000, 1000, mvhdV1 = false,
+        Seq(video(2)))
+      // find stsz and forge its sample count
+      val idx = b.indexOfSlice("stsz".getBytes("ASCII"))
+      val cnt = idx + 4 + 4 + 4 // vflags + fixed
+      b(cnt) = 0x7f.toByte; b(cnt + 1) = 0xff.toByte
+      b(cnt + 2) = 0xff.toByte; b(cnt + 3) = 0xff.toByte
+      b
+    }
+    val e = Mp4.audit(bomb).error
+    assert(e == "stsz count past cap" || e == "truncated stsz")
+  }
+
+  test("totality fuzz: mutations, truncations, random bytes never throw") {
+    val rnd = new scala.util.Random(0xB0C5)
+    val base = Mp4Plant.mp4Bytes("isom", 1000, 5000, mvhdV1 = true,
+      Seq(video(6), audio(4)), co64 = true)
+    (0 until 300).foreach { i =>
+      val b = base.clone()
+      (0 until 1 + i % 8).foreach { _ =>
+        b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      }
+      Mp4.audit(b); Mp4.sampleRefs(b)
+    }
+    (0 until 60).foreach { _ =>
+      val cut = 1 + rnd.nextInt(base.length - 1)
+      Mp4.audit(base.take(cut)); Mp4.sampleRefs(base.take(cut))
+    }
+    (0 until 60).foreach { _ =>
+      val junk = Array.fill(rnd.nextInt(512))(rnd.nextInt(256).toByte)
+      Mp4.audit(junk)
+    }
+  }
+
+  test("DataFrame surfaces: audit rows typed, samples explode, " +
+    "payload projected away before any exchange") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Mp4Plant.mp4Bytes("isom", 1000, 2000, mvhdV1 = false,
+        Seq(video(3), audio(2)))),
+      (2L, "JUNKJUNK".getBytes("ASCII"))
+    ).toDF("id", "payload")
+    val a = Mp4.mp4Audit(df, "id", "payload").orderBy("id").collect()
+    assert(a(0).getAs[String]("brand") == "isom")
+    assert(a(0).getAs[Int]("n_video_samples") == 3)
+    assert(a(0).getAs[String]("audio_codec") == "mp4a")
+    assert(a(1).getAs[String]("error") == "bad box size (JUNK)")
+    val s = Mp4.mp4Samples(df, "id", "payload").collect()
+    assert(s.length == 5) // 3 video + 2 audio, junk contributes none
+  }
+}
