@@ -3173,6 +3173,25 @@ object SparkEntry {
         .toDF("id", "payload")
       multimodal.Mp4.mp4Audit(media, "id", "payload")
         .orderBy(col("id"))
+    }),
+
+    // MP4 video near-dup — the q117 closed form through the ISO-BMFF
+    // container AND the real JPEG decode: in-group members carry
+    // IDENTICAL 64×64 block-constant frame sequences encoded at
+    // member-varying quant (exact decode by the q118 arithmetic), so
+    // aligned frames hash identically and every in-group pair matches
+    // at agreement 1.0; k%23=11 members are avc1 decoys the MJPEG
+    // bridge must yield nothing for
+    "q154_mp4_phash" -> ((s, dir) => {
+      import s.implicits._
+      val media = tSpread(s, dir, "supplier").select(col("s_suppkey"))
+        .as[Long]
+        .map(k => (k, q154Mp4(k)))
+        .toDF("id", "payload")
+      val fps = multimodal.VideoHash.mp4FrameFingerprints(media, "id",
+        "payload", sampleEvery = 2)
+      multimodal.VideoHash.nearDupPairs(fps, "id", maxHamming = 3)
+        .orderBy(col("id1"), col("id2"))
     })
   )
 
@@ -3276,6 +3295,37 @@ object SparkEntry {
       brand = if (k % 2 == 0) "isom" else "mp42",
       timescale = timescale, duration = duration, mvhdV1 = v1,
       tracks = tracks, co64 = k % 7 == 3, largeMdat = k % 8 == 5)
+  }
+
+  /** q154's planted MJPEG MP4 for supplier key `k`: group g=k%20 keys
+    * the frame content (per-band, the q117/q118 seed shape), members
+    * of a group differ only in the exactness-preserving JPEG quant;
+    * k%23=11 plants an avc1 decoy instead.
+    */
+  private[graft] def q154Mp4(k: Long): Array[Byte] = {
+    import multimodal.{Jpeg, Mp4Plant}
+    if (k % 23 == 11)
+      return Mp4Plant.mp4Bytes("isom", 1000, 1000, mvhdV1 = false,
+        Seq(Mp4Plant.TrackPlant(1, "vide", "avc1", 64, 64, 600, 100,
+          Array(80, 90), 1)))
+    val g = k % 20
+    val n = (g % 5 + 2).toInt
+    val quant = 1 << ((k / 20) % 5).toInt
+    var s = ((k / 1000000L) * 7993L + g) * 1000003L + 59L
+    val jpegs = (0 until n).map { _ =>
+      val blockVals = Array.fill(64) {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        ((s >>> 33) & 0xfe).toInt // even: exact under quant 1..16
+      }
+      val px = Array.tabulate(64 * 64) { i =>
+        val bx = (i % 64) / 8; val by = i / 64 / 8
+        blockVals(by * 8 + bx).toByte
+      }
+      Jpeg.jpegGrayBytes(64, 64, px, quant)
+    }
+    Mp4Plant.mp4Bytes("isom", 1000, 100L * n, mvhdV1 = false,
+      Seq(Mp4Plant.TrackPlant(1, "vide", "jpeg", 64, 64, 600,
+        100L * n, Array.emptyIntArray, 2, payloads = Some(jpegs))))
   }
 
   /** q152's planted PPTX for doc key `k` (see the query comment):
@@ -7013,7 +7063,22 @@ object SparkEntry {
         |    ELSE s.k % 5 + 1 END AS INTEGER) AS n_audio_samples,
         |  CASE WHEN s.k % 9 = 0 THEN 'bad box size (JUNK)' END AS error
         |FROM s JOIN vb ON vb.k = s.k
-        |ORDER BY id""".stripMargin
+        |ORDER BY id""".stripMargin,
+
+    // q117's closed form with the avc1 decoys excluded: in-group
+    // MJPEG members decode to identical frames (exact-quant JPEG), so
+    // every aligned sampled slot matches and agreement is 1.0
+    "q154_mp4_phash" ->
+      """SELECT a.s_suppkey AS id1, b.s_suppkey AS id2,
+        |  CAST(((a.s_suppkey % 20) % 5 + 3) // 2 AS BIGINT)
+        |    AS matched_frames,
+        |  CAST(1.0 AS DOUBLE) AS agreement
+        |FROM supplier a JOIN supplier b
+        |  ON a.s_suppkey < b.s_suppkey
+        | AND a.s_suppkey % 20 = b.s_suppkey % 20
+        | AND a.s_suppkey // 1000000 = b.s_suppkey // 1000000
+        | AND a.s_suppkey % 23 <> 11 AND b.s_suppkey % 23 <> 11
+        |ORDER BY id1, id2""".stripMargin
   )
 
   /** q133's replay: q102's stage CTEs over the crawl-extracted corpus

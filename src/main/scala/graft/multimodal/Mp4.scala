@@ -278,42 +278,70 @@ object Mp4 {
     * chunks, `stsz` sizes accumulate within each chunk (ISO 14496-12
     * §8.7). Ranges outside the payload are malformed.
     */
+  private def resolveTrack(b: Array[Byte], tr: Track,
+                           out: scala.collection.mutable.Builder[
+                             SampleRef, Vector[SampleRef]]): Unit = {
+    val nChunks = tr.chunkOffsets.length
+    var sample = 0
+    var ci = 0
+    while (ci < nChunks && sample < tr.sampleSizes.length) {
+      // samples-per-chunk for chunk ci+1 (1-based): the last stsc
+      // run whose firstChunk <= ci+1
+      var spc = 0L
+      var si = 0
+      while (si < tr.stsc.length && tr.stsc(si)._1 <= ci + 1) {
+        spc = tr.stsc(si)._2
+        si += 1
+      }
+      require2(spc >= 0 && spc <= MaxTableEntries, "bad stsc run")
+      var off = tr.chunkOffsets(ci)
+      var j = 0L
+      while (j < spc && sample < tr.sampleSizes.length) {
+        val len = tr.sampleSizes(sample)
+        require2(off >= 0 && len >= 0 && off + len <= b.length,
+          "sample range outside payload")
+        out += SampleRef(tr.id, sample, off, len)
+        off += len
+        sample += 1
+        j += 1
+      }
+      ci += 1
+    }
+  }
+
   def sampleRefs(b: Array[Byte]): Either[String, Vector[SampleRef]] =
     try {
       val m = parseMovie(if (b == null) Array.emptyByteArray else b)
       val out = Vector.newBuilder[SampleRef]
-      m.tracks.foreach { tr =>
-        val nChunks = tr.chunkOffsets.length
-        var sample = 0
-        var ci = 0
-        while (ci < nChunks && sample < tr.sampleSizes.length) {
-          // samples-per-chunk for chunk ci+1 (1-based): the last stsc
-          // run whose firstChunk <= ci+1
-          var spc = 0L
-          var si = 0
-          while (si < tr.stsc.length && tr.stsc(si)._1 <= ci + 1) {
-            spc = tr.stsc(si)._2
-            si += 1
-          }
-          require2(spc >= 0 && spc <= MaxTableEntries, "bad stsc run")
-          var off = tr.chunkOffsets(ci)
-          var j = 0L
-          while (j < spc && sample < tr.sampleSizes.length) {
-            val len = tr.sampleSizes(sample)
-            require2(off >= 0 && len >= 0 && off + len <= b.length,
-              "sample range outside payload")
-            out += SampleRef(tr.id, sample, off, len)
-            off += len
-            sample += 1
-            j += 1
-          }
-          ci += 1
-        }
-      }
+      m.tracks.foreach(tr => resolveTrack(b, tr, out))
       Right(out.result())
     } catch {
       case m: Malformed => Left(m.reason)
       case _: ArrayIndexOutOfBoundsException => Left("out-of-bounds structure")
+    }
+
+  /** MJPEG fourccs whose samples are standard JPEG images. */
+  private val MjpegCodecs = Set("jpeg", "mjpa")
+
+  /** The video track's sample ranges WHEN its codec is an MJPEG family
+    * member (each sample a standalone JPEG the baseline decoder can
+    * open) — the bridge from the ISO-BMFF container to the pixel-domain
+    * frame-fingerprint family. None for compressed-codec tracks
+    * (H.264/HEVC: structure audits, payloads refuse — PERF_NOTES 17)
+    * and for malformed structure.
+    */
+  def mjpegVideoSamples(b: Array[Byte]): Option[Vector[SampleRef]] =
+    try {
+      val m = parseMovie(if (b == null) Array.emptyByteArray else b)
+      m.tracks.find(t => t.handler == "vide" &&
+        t.codec != null && MjpegCodecs(t.codec)).map { tr =>
+        val out = Vector.newBuilder[SampleRef]
+        resolveTrack(b, tr, out)
+        out.result()
+      }
+    } catch {
+      case _: Malformed => None
+      case _: ArrayIndexOutOfBoundsException => None
     }
 
   // -------------------------------------------------------------------
@@ -366,10 +394,17 @@ object Mp4 {
   */
 private[graft] object Mp4Plant {
 
+  /** `payloads` carries REAL sample bytes into the mdat (MJPEG frames);
+    * when set, `sampleSizes` is derived from it.
+    */
   final case class TrackPlant(id: Int, handler: String, codec: String,
                               width: Int, height: Int, timescale: Long,
                               duration: Long, sampleSizes: Array[Int],
-                              firstChunkSamples: Int)
+                              firstChunkSamples: Int,
+                              payloads: Option[Seq[Array[Byte]]] = None) {
+    def sizes: Array[Int] =
+      payloads.map(_.map(_.length).toArray).getOrElse(sampleSizes)
+  }
 
   private def be16(v: Int): Array[Byte] =
     Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
@@ -404,11 +439,12 @@ private[graft] object Mp4Plant {
     // chunk layout: per track (declared order), first chunk =
     // firstChunkSamples samples, second chunk = the rest (if any)
     def chunksOf(t: TrackPlant): Seq[Array[Int]] = {
-      val n = t.sampleSizes.length
+      val sizes = t.sizes
+      val n = sizes.length
       val f = math.min(t.firstChunkSamples, n)
       if (n == 0) Seq.empty
-      else if (f >= n) Seq(t.sampleSizes)
-      else Seq(t.sampleSizes.take(f), t.sampleSizes.drop(f))
+      else if (f >= n) Seq(sizes)
+      else Seq(sizes.take(f), sizes.drop(f))
     }
 
     def trakBox(t: TrackPlant, offsets: Seq[Long]): Array[Byte] = {
@@ -424,10 +460,10 @@ private[graft] object Mp4Plant {
       val stsdEntry = be32(16L) ++ t.codec.getBytes("ASCII") ++
         Array.fill(6)(0.toByte) ++ be16(1)
       val stsd = fullBox("stsd", 0, be32(1), stsdEntry)
-      val n = t.sampleSizes.length
+      val n = t.sizes.length
       val stts = fullBox("stts", 0, be32(1), be32(n.toLong), be32(100))
       val stsz = fullBox("stsz", 0, be32(0), be32(n.toLong),
-        t.sampleSizes.map(s => be32(s.toLong))
+        t.sizes.map(s => be32(s.toLong))
           .foldLeft(Array.emptyByteArray)(_ ++ _))
       val cks = chunksOf(t)
       val stscEntries =
@@ -475,7 +511,10 @@ private[graft] object Mp4Plant {
       chunksOf(t).map { chunk =>
         val off = (mdatBodyStart + mdatBody.size()).toLong
         chunk.foreach { len =>
-          val bytes = Array.fill(len)(sampleByte(ti, sample))
+          val bytes = t.payloads match {
+            case Some(ps) => ps(sample)
+            case None     => Array.fill(len)(sampleByte(ti, sample))
+          }
           mdatBody.write(bytes)
           sample += 1
         }

@@ -76,6 +76,45 @@ object VideoHash {
         col("__f._2").as("fp"))
   }
 
+  /** [[frameFingerprints]] for ISO-BMFF payloads whose video track is
+    * MJPEG (each sample a standalone JPEG): the container resolves
+    * samples to byte ranges ([[Mp4.mjpegVideoSamples]]) and each
+    * sampled frame decodes through the REAL baseline/progressive JPEG
+    * path before hashing — so MP4 corpora join the same banded
+    * near-dup family AVI corpora ride ([[nearDupPairs]] consumes both
+    * interchangeably). Compressed-codec tracks (H.264/HEVC) and
+    * malformed payloads produce no rows; frame decode failures cost
+    * only their frame. Same deterministic-udf contract as the AVI
+    * kernel.
+    */
+  def mp4FrameFingerprints(media: DataFrame, idCol: String,
+                           payloadCol: String,
+                           sampleEvery: Int = 1): DataFrame = {
+    require(sampleEvery >= 1, s"sampleEvery must be >= 1, got $sampleEvery")
+    val kernel = udf { payload: Array[Byte] =>
+      Mp4.mjpegVideoSamples(payload) match {
+        case None => Seq.empty[(Int, Long)]
+        case Some(refs) =>
+          refs.iterator
+            .filter(r => r.sampleIdx % sampleEvery == 0 &&
+              r.length > 0 && r.length <= Int.MaxValue)
+            .flatMap { r =>
+              val bytes = java.util.Arrays.copyOfRange(payload,
+                r.offset.toInt, (r.offset + r.length).toInt)
+              Jpeg.decodeJpegGray(bytes)
+                .filter(g => g.width >= 8 && g.height >= 8 &&
+                  g.width.toLong * g.height <= (1L << 26))
+                .map(g => (r.sampleIdx,
+                  ImageHash.aHash64(g.gray, g.width, g.height)))
+            }
+            .toSeq
+      }
+    }
+    media.select(col(idCol), explode(kernel(col(payloadCol))).as("__f"))
+      .select(col(idCol), col("__f._1").as("frame_idx"),
+        col("__f._2").as("fp"))
+  }
+
   /** Near-dup video pairs from a [[frameFingerprints]] table: a pair
     * (id1 < id2) is emitted when the count of aligned frame slots
     * matching within `maxHamming` bits is at least `minAgree` of the

@@ -118,6 +118,40 @@ class Mp4Spec extends SparkSpec {
     }
   }
 
+  test("MJPEG bridge: mp4 samples decode through the real JPEG path " +
+    "into the frame-fingerprint family; compressed codecs yield none") {
+    import spark.implicits._
+    // three 64x64 block-constant frames, exact under quant (even vals)
+    val rnd = new scala.util.Random(0x4D50)
+    val frames = (0 until 3).map { _ =>
+      val blockVals = Array.fill(64)((rnd.nextInt(128) * 2))
+      Array.tabulate(64 * 64) { i =>
+        val bx = (i % 64) / 8; val by = i / 64 / 8
+        blockVals(by * 8 + bx).toByte
+      }
+    }
+    val jpegs = frames.map(px => Jpeg.jpegGrayBytes(64, 64, px, 2))
+    val mjpeg = Mp4Plant.mp4Bytes("isom", 1000, 3000, mvhdV1 = false,
+      Seq(Mp4Plant.TrackPlant(1, "vide", "jpeg", 64, 64, 600, 300,
+        Array.emptyIntArray, 2, payloads = Some(jpegs))))
+    val avc = Mp4Plant.mp4Bytes("isom", 1000, 3000, mvhdV1 = false,
+      Seq(Mp4Plant.TrackPlant(1, "vide", "avc1", 64, 64, 600, 300,
+        Array(50, 60), 2)))
+    val df = Seq((1L, mjpeg), (2L, avc)).toDF("id", "payload")
+    val fps = VideoHash.mp4FrameFingerprints(df, "id", "payload")
+      .orderBy("id", "frame_idx").collect()
+    assert(fps.length == 3 && fps.forall(_.getLong(0) == 1L))
+    fps.zipWithIndex.foreach { case (r, i) =>
+      val px = frames(i).map(_ & 0xff)
+      assert(r.getAs[Long]("fp") == ImageHash.aHash64(px, 64, 64),
+        s"frame $i hash mismatch — JPEG decode not exact")
+    }
+    // sampleEvery skips odd frames
+    val sampled = VideoHash.mp4FrameFingerprints(df, "id", "payload",
+      sampleEvery = 2).collect()
+    assert(sampled.map(_.getAs[Int]("frame_idx")).sorted.toSeq == Seq(0, 2))
+  }
+
   test("DataFrame surfaces: audit rows typed, samples explode, " +
     "payload projected away before any exchange") {
     import spark.implicits._
