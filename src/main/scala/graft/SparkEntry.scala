@@ -3192,6 +3192,23 @@ object SparkEntry {
         "payload", sampleEvery = 2)
       multimodal.VideoHash.nearDupPairs(fps, "id", maxHamming = 3)
         .orderBy(col("id1"), col("id2"))
+    }),
+
+    // JSONL document extraction — the shape published training corpora
+    // ship in: doc keys plant members of k%4+2 lines whose text/lang
+    // fields replay closed-form; line 0 is malformed on k%5=3 (typed
+    // error row, metadata null), line 1 drops its text field on k%7=2
+    // (null text, metadata KEPT, no error). UDF-free by construction
+    // (split + posexplode + get_json_object, spec-pinned plan)
+    "q155_jsonl_extract" -> ((s, dir) => {
+      import s.implicits._
+      val docs = tSpread(s, dir, "documents").select(col("doc_id"))
+        .as[Long]
+        .map(k => (k, q155Jsonl(k)))
+        .toDF("id", "jsonl")
+      textops.JsonlDocs.explodeJsonl(docs, "id", "jsonl",
+          fields = Seq("lang"))
+        .orderBy(col("id"), col("line_idx"))
     })
   )
 
@@ -3295,6 +3312,19 @@ object SparkEntry {
       brand = if (k % 2 == 0) "isom" else "mp42",
       timescale = timescale, duration = duration, mvhdV1 = v1,
       tracks = tracks, co64 = k % 7 == 3, largeMdat = k % 8 == 5)
+  }
+
+  /** q155's planted JSONL member for doc key `k` (see the query
+    * comment). */
+  private[graft] def q155Jsonl(k: Long): String = {
+    val langs = Array("en", "de", "fr")
+    val n = (k % 4 + 2).toInt
+    (0 until n).map { i =>
+      val lang = langs(((k + i) % 3).toInt)
+      if (k % 5 == 3 && i == 0) "{oops"
+      else if (k % 7 == 2 && i == 1) s"""{"lang": "$lang"}"""
+      else s"""{"text": "Doc $k line $i", "lang": "$lang"}"""
+    }.mkString("", "\n", "\n")
   }
 
   /** q154's planted MJPEG MP4 for supplier key `k`: group g=k%20 keys
@@ -7078,7 +7108,26 @@ object SparkEntry {
         | AND a.s_suppkey % 20 = b.s_suppkey % 20
         | AND a.s_suppkey // 1000000 = b.s_suppkey // 1000000
         | AND a.s_suppkey % 23 <> 11 AND b.s_suppkey % 23 <> 11
-        |ORDER BY id1, id2""".stripMargin
+        |ORDER BY id1, id2""".stripMargin,
+
+    // the planted line matrix replays closed-form (no JSON functions
+    // needed — the residues determine every field)
+    "q155_jsonl_extract" ->
+      """WITH d AS (SELECT doc_id AS k FROM documents),
+        |l AS (SELECT k, r.i AS line_idx FROM d
+        |      JOIN range(0, 6) r(i) ON r.i < k % 4 + 2)
+        |SELECT k AS id, CAST(line_idx AS INTEGER) AS line_idx,
+        |  CASE WHEN k % 5 = 3 AND line_idx = 0 THEN NULL
+        |    WHEN k % 7 = 2 AND line_idx = 1 THEN NULL
+        |    ELSE 'Doc ' || CAST(k AS VARCHAR) || ' line ' ||
+        |      CAST(line_idx AS VARCHAR) END AS text,
+        |  CASE WHEN k % 5 = 3 AND line_idx = 0 THEN NULL
+        |    ELSE CASE CAST((k + line_idx) % 3 AS INTEGER)
+        |      WHEN 0 THEN 'en' WHEN 1 THEN 'de' ELSE 'fr' END END
+        |    AS lang,
+        |  CASE WHEN k % 5 = 3 AND line_idx = 0
+        |    THEN 'malformed json' END AS error
+        |FROM l ORDER BY id, line_idx""".stripMargin
   )
 
   /** q133's replay: q102's stage CTEs over the crawl-extracted corpus

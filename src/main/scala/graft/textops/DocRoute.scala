@@ -45,6 +45,10 @@ object DocRoute {
           HtmlExtract.extract(Charsets.decode(p, null).text).text))
       case "txt" | "md" | "text" =>
         Right(("text", Charsets.decode(p, null).text))
+      // JSONL members surface as raw decoded text of kind "jsonl";
+      // JsonlDocs.explodeJsonl turns the column into per-line documents
+      case "jsonl" | "ndjson" | "json" =>
+        Right(("jsonl", Charsets.decode(p, null).text))
       case "" => Left("no extension")
       case other => Left(s"unsupported extension $other")
     }

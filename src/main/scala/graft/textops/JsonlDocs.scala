@@ -1,0 +1,46 @@
+package graft.textops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** JSONL (one JSON object per line) document extraction — the shape
+  * most published training corpora actually ship in (HF dataset dumps,
+  * CC derivatives, dolma-style bundles). A member/payload column of
+  * JSONL text explodes into one row per line with the text field and
+  * any requested metadata fields projected out.
+  *
+  * Deliberately UDF-free: `split` + `posexplode` +
+  * `get_json_object` are all codegen'd built-ins, so the whole
+  * extraction runs inside one WholeStageCodegen span and Catalyst is
+  * free to prune/push around it — at 100 TB the cost is the scan
+  * itself. Malformed lines become typed error rows (`get_json_object`
+  * is total — null on non-JSON); blank lines are skipped; a valid
+  * object missing the text field keeps its metadata with a null text
+  * (the caller's curation gates decide, same as the crawl door).
+  */
+object JsonlDocs {
+
+  /** Explode `jsonlCol` (STRING of newline-separated JSON objects) into
+    * documents: `(idCol, line_idx, text, <fields...>, error)`.
+    * `line_idx` is the line's position in the member (blank lines
+    * still count positions, so provenance offsets stay stable).
+    */
+  def explodeJsonl(df: DataFrame, idCol: String, jsonlCol: String,
+                   textField: String = "text",
+                   fields: Seq[String] = Nil): DataFrame = {
+    val line = col("__line")
+    val parsedOk = get_json_object(line, "$").isNotNull
+    // get_json_object is total (null on non-JSON and on missing paths),
+    // so field extraction needs no guard — only the error flag does
+    val fieldCols: Seq[Column] = fields.map { f =>
+      get_json_object(line, s"$$.$f").as(f)
+    }
+    df.select(col(idCol),
+        posexplode(split(col(jsonlCol), "\n")).as(Seq("line_idx", "__line")))
+      .where(length(trim(line)) > 0)
+      .select(col(idCol) +: col("line_idx") +:
+        get_json_object(line, s"$$.$textField").as("text") +:
+        fieldCols :+
+        when(!parsedOk, lit("malformed json")).as("error"): _*)
+  }
+}

@@ -1,0 +1,69 @@
+package graft.textops
+
+import graft.SparkSpec
+
+/** JSONL extraction: per-line docs with metadata fields, totality over
+  * malformed/blank/missing-field lines, provenance-stable line
+  * indexes, the codegen-only plan contract, and the archive-route
+  * composition.
+  */
+class JsonlDocsSpec extends SparkSpec {
+
+  test("explodeJsonl: text + metadata fields per line; blank lines " +
+    "skipped but positions stable; missing field is null not error") {
+    import spark.implicits._
+    val payload = Seq(
+      """{"text": "doc one", "lang": "en", "src": "a"}""",
+      "",
+      """{"text": "doc two", "lang": "de"}""",
+      """{"lang": "fr"}""",
+      """not json at all""").mkString("\n") + "\n"
+    val rows = JsonlDocs.explodeJsonl(
+        Seq((7L, payload)).toDF("id", "jsonl"), "id", "jsonl",
+        fields = Seq("lang", "src"))
+      .orderBy("line_idx").collect()
+    assert(rows.map(_.getAs[Int]("line_idx")).toSeq == Seq(0, 2, 3, 4))
+    assert(rows(0).getAs[String]("text") == "doc one")
+    assert(rows(0).getAs[String]("lang") == "en")
+    assert(rows(0).getAs[String]("src") == "a")
+    assert(rows(1).getAs[String]("text") == "doc two")
+    assert(rows(1).getAs[String]("src") == null)
+    assert(rows(2).getAs[String]("text") == null)
+    assert(rows(2).getAs[String]("lang") == "fr")
+    assert(rows(2).getAs[String]("error") == null)
+    assert(rows(3).getAs[String]("text") == null)
+    assert(rows(3).getAs[String]("error") == "malformed json")
+  }
+
+  test("escapes and unicode decode through the JSON layer") {
+    import spark.implicits._
+    val payload = """{"text": "a\tb é \"q\""}"""
+    val r = JsonlDocs.explodeJsonl(
+      Seq((1L, payload)).toDF("id", "jsonl"), "id", "jsonl").collect()
+    assert(r.head.getAs[String]("text") == "a\tb é \"q\"")
+  }
+
+  test("plan contract: built-ins only — one scan-stage span, no UDF, " +
+    "no Exchange") {
+    import spark.implicits._
+    val df = JsonlDocs.explodeJsonl(
+      Seq((1L, "{}")).toDF("id", "jsonl"), "id", "jsonl",
+      fields = Seq("lang"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+    assert(!plan.contains("BatchEval") && !plan.contains("ScalaUDF"),
+      s"unexpected UDF:\n$plan")
+  }
+
+  test("archive route: .jsonl members surface as kind jsonl and " +
+    "explode downstream") {
+    import spark.implicits._
+    val member = "{\"text\": \"from a bundle\"}\n{\"text\": \"second\"}\n"
+    assert(DocRoute.textOf("data.jsonl", member.getBytes("UTF-8")) ==
+      Right(("jsonl", member)))
+    val routed = Seq((1L, member)).toDF("id", "text")
+    val docs = JsonlDocs.explodeJsonl(routed, "id", "text").collect()
+    assert(docs.map(_.getAs[String]("text")).toSet ==
+      Set("from a bundle", "second"))
+  }
+}
