@@ -3655,10 +3655,18 @@ object SparkEntry {
     * trim is load-bearing), deterministic full-scale PCM from the key.
     */
   private[graft] def q136Ogg(k: Long): Array[Byte] = {
-    if (k % 9 == 0)
-      return multimodal.Vorbis.oggPage(
-        Seq("OpusHead".getBytes("US-ASCII") ++ new Array[Byte](11)),
-        serial = 7, pageSeq = 0, granule = 0L, bos = true, eos = true)
+    if (k % 9 == 0) {
+      // a REAL RFC 7845 identification header: version 1, per-parity
+      // channels, pre-skip 312, 48 kHz input rate; the eos granule
+      // declares 960 samples past the pre-skip
+      val ch = (1 + k % 2).toByte
+      val head = "OpusHead".getBytes("US-ASCII") ++
+        Array[Byte](1, ch, (312 & 0xff).toByte, (312 >> 8).toByte,
+          (48000 & 0xff).toByte, ((48000 >> 8) & 0xff).toByte,
+          ((48000 >> 16) & 0xff).toByte, 0, 0, 0, 0)
+      return multimodal.Vorbis.oggPage(Seq(head),
+        serial = 7, pageSeq = 0, granule = 1272L, bos = true, eos = true)
+    }
     val rates = Array(8000, 44100, 32000)
     val rate = rates((k % 3).toInt)
     val channels = 1 + (k % 2).toInt
@@ -6662,15 +6670,14 @@ object SparkEntry {
         |  CAST(CASE WHEN s_suppkey % 9 = 0 THEN 0
         |       ELSE (64 * (s_suppkey % 7 + 1) + 3 * (s_suppkey % 5)
         |             + 127) // 128 + 1 END AS INTEGER) AS n_audio_packets,
-        |  CAST(CASE WHEN s_suppkey % 9 = 0 THEN 0
+        |  CAST(CASE WHEN s_suppkey % 9 = 0 THEN 48000
         |       WHEN s_suppkey % 3 = 0 THEN 8000
         |       WHEN s_suppkey % 3 = 1 THEN 44100
         |       ELSE 32000 END AS INTEGER) AS sample_rate,
-        |  CAST(CASE WHEN s_suppkey % 9 = 0 THEN 0
-        |       ELSE 1 + s_suppkey % 2 END AS INTEGER) AS channels,
+        |  CAST(1 + s_suppkey % 2 AS INTEGER) AS channels,
         |  CAST(CASE WHEN s_suppkey % 9 = 0 THEN 0 ELSE 256 END AS INTEGER)
         |    AS blocksize0,
-        |  CAST(CASE WHEN s_suppkey % 9 = 0 THEN -1
+        |  CAST(CASE WHEN s_suppkey % 9 = 0 THEN 960
         |       ELSE 64 * (s_suppkey % 7 + 1) + 3 * (s_suppkey % 5)
         |       END AS BIGINT) AS declared_samples,
         |  s_suppkey % 9 <> 0 AS setup_ok

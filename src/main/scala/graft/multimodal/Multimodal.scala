@@ -115,6 +115,38 @@ object Multimodal {
       } else if (b.length >= 10 && (new String(b, 0, 6, "US-ASCII") == "GIF87a" ||
         new String(b, 0, 6, "US-ASCII") == "GIF89a"))
         Some(ImageDims("gif", le16(b, 6), le16(b, 8)))
+      else if (b.length >= 26 && b(0) == 'B' && b(1) == 'M' &&
+        le32(b, 14) >= 40) // BITMAPINFOHEADER+: signed LE dims
+        Some(ImageDims("bmp", le32(b, 18),
+          math.abs(le32(b, 22)))) // negative height = top-down rows
+      else if (b.length >= 16 &&
+        new String(b, 0, 4, "US-ASCII") == "RIFF" &&
+        new String(b, 8, 4, "US-ASCII") == "WEBP") {
+        // RFC 9649: first chunk names the profile; dims live in its
+        // first bytes (VP8 lossy frame header, VP8L packed 14-bit
+        // fields, VP8X 24-bit canvas)
+        val tag = new String(b, 12, 4, "US-ASCII")
+        val d = 20 // chunk data start
+        tag match {
+          case "VP8 " if b.length >= d + 10 &&
+              u8(b, d + 3) == 0x9d && u8(b, d + 4) == 0x01 &&
+              u8(b, d + 5) == 0x2a =>
+            Some(ImageDims("webp", le16(b, d + 6) & 0x3fff,
+              le16(b, d + 8) & 0x3fff))
+          case "VP8L" if b.length >= d + 5 && u8(b, d) == 0x2f =>
+            val w = 1 + (u8(b, d + 1) | ((u8(b, d + 2) & 0x3f) << 8))
+            val h = 1 + ((u8(b, d + 2) >> 6) | (u8(b, d + 3) << 2) |
+              ((u8(b, d + 4) & 0x0f) << 10))
+            Some(ImageDims("webp", w, h))
+          case "VP8X" if b.length >= d + 10 =>
+            val w = 1 + (u8(b, d + 4) | (u8(b, d + 5) << 8) |
+              (u8(b, d + 6) << 16))
+            val h = 1 + (u8(b, d + 7) | (u8(b, d + 8) << 8) |
+              (u8(b, d + 9) << 16))
+            Some(ImageDims("webp", w, h))
+          case _ => None
+        }
+      }
       else None
     }
 

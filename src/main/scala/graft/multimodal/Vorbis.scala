@@ -1089,6 +1089,29 @@ object Vorbis {
     val walk = Ogg.walk(b).getOrElse(return None)
     val bos = walk.packets.find(_.bos)
     val codec = bos.map(p => Ogg.codecOf(p.data)).getOrElse("unknown")
+    if (codec == "opus") {
+      // RFC 7845 identification header: the CONTAINER-level fields are
+      // in-stream and free to audit (channels, pre-skip, input rate;
+      // granules are always 48 kHz units) — only the SILK/CELT payload
+      // decode stays refused (PERF_NOTES 17/22)
+      val d = bos.get.data
+      val ok = d.length >= 19
+      val ch = if (ok) d(9) & 0xff else 0
+      val preskip = if (ok) (d(10) & 0xff) | ((d(11) & 0xff) << 8) else 0
+      val rate = if (ok) (d(12) & 0xff) | ((d(13) & 0xff) << 8) |
+        ((d(14) & 0xff) << 16) | ((d(15) & 0xff) << 24) else 0
+      val serialO = bos.get.serial
+      val psO = walk.packets.filter(_.serial == serialO)
+      val granule = psO.reverseIterator
+        .find(_.granule >= 0).map(_.granule).getOrElse(-1L)
+      val declared = if (granule >= 0) math.max(0L, granule - preskip)
+        else -1L
+      val durMs = if (declared >= 0) declared * 1000.0 / 48000.0 else 0.0
+      return Some(OggAudit(codec, walk.nPages, walk.nBadPages,
+        walk.packets.length, walk.serials.size, rate, ch, 0, 0,
+        math.max(0, psO.length - 2), declared, durMs,
+        setupOk = false, error = s"non-vorbis codec: $codec"))
+    }
     if (codec != "vorbis")
       return Some(OggAudit(codec, walk.nPages, walk.nBadPages,
         walk.packets.length, walk.serials.size, 0, 0, 0, 0, 0, -1L, 0.0,

@@ -176,15 +176,35 @@ object TarArchive {
     }
   }
 
-  /** Gzip-sniffing stream opener. */
+  /** Compression-sniffing stream opener: gzip, bzip2 and xz (both via
+    * commons-compress/xz, which ship with Spark) and zstd (zstd-jni,
+    * ditto) — the outer layers real dataset tarballs actually use
+    * (`.tar.gz`/`.tgz`, `.tar.bz2`, `.tar.xz`, `.tar.zst`). Unknown
+    * magic falls through to the plain-tar walk, whose checksum gate
+    * quarantines non-tar bytes.
+    */
   private def open(in: InputStream): InputStream = {
-    val pin = new java.io.PushbackInputStream(in, 2)
-    val b0 = pin.read()
-    if (b0 < 0) return pin
-    val b1 = pin.read()
-    if (b1 >= 0) pin.unread(b1)
-    pin.unread(b0)
-    if (b0 == 0x1f && b1 == 0x8b) new java.util.zip.GZIPInputStream(pin)
+    val pin = new java.io.PushbackInputStream(in, 8)
+    val head = new Array[Byte](6)
+    var n = 0
+    var eof = false
+    while (!eof && n < 6) {
+      val r = pin.read()
+      if (r < 0) eof = true else { head(n) = r.toByte; n += 1 }
+    }
+    if (n > 0) pin.unread(head, 0, n)
+    def m(i: Int): Int = head(i) & 0xff
+    if (n >= 2 && m(0) == 0x1f && m(1) == 0x8b)
+      new java.util.zip.GZIPInputStream(pin)
+    else if (n >= 3 && m(0) == 'B' && m(1) == 'Z' && m(2) == 'h')
+      new org.apache.commons.compress.compressors.bzip2
+        .BZip2CompressorInputStream(pin)
+    else if (n >= 6 && m(0) == 0xfd && m(1) == 0x37 && m(2) == 0x7a &&
+      m(3) == 0x58 && m(4) == 0x5a && m(5) == 0x00)
+      new org.tukaani.xz.XZInputStream(pin)
+    else if (n >= 4 && m(0) == 0x28 && m(1) == 0xb5 && m(2) == 0x2f &&
+      m(3) == 0xfd)
+      new com.github.luben.zstd.ZstdInputStreamNoFinalizer(pin)
     else pin
   }
 
@@ -210,7 +230,7 @@ object TarArchive {
       out.toSeq
     } catch {
       case _: java.io.IOException =>
-        Seq(TEntry(0, null, 0, null, "tar outer gzip corrupt"))
+        Seq(TEntry(0, null, 0, null, "tar outer compression corrupt"))
     }
   }
 
@@ -353,7 +373,7 @@ object TarArchive {
                   try entries.next()
                   catch {
                     case _: java.io.IOException =>
-                      TEntry(0, null, 0, null, "tar outer gzip corrupt")
+                      TEntry(0, null, 0, null, "tar outer compression corrupt")
                   }
                 Row(p, e.idx, e.name, e.size, e.data, e.error)
               }

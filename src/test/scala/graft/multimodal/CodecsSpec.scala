@@ -29,6 +29,59 @@ class CodecsSpec extends AnyFunSuite {
     assert(Codecs.imageDimensions(b).contains(Codecs.ImageDims("gif", 320, 64)))
   }
 
+  test("webp dimensions: VP8 lossy, VP8L packed, VP8X canvas (RFC 9649)") {
+    def riff(tag: String, data: Array[Byte]): Array[Byte] =
+      "RIFF".getBytes("US-ASCII") ++
+        Array.fill(4)(0.toByte) ++ // size: unchecked by the dim scan
+        "WEBP".getBytes("US-ASCII") ++ tag.getBytes("US-ASCII") ++
+        Array[Byte]((data.length & 0xff).toByte, 0, 0, 0) ++ data
+    // VP8: 3-byte frame tag, start code 9d 01 2a, 14-bit LE dims
+    val vp8 = riff("VP8 ", Array[Byte](0, 0, 0, 0x9d.toByte, 0x01, 0x2a,
+      (800 & 0xff).toByte, (800 >> 8).toByte,
+      (600 & 0xff).toByte, (600 >> 8).toByte))
+    assert(Codecs.imageDimensions(vp8)
+      .contains(Codecs.ImageDims("webp", 800, 600)))
+    // VP8L: 0x2f then width-1 (14 bits) | height-1 (14 bits) LSB-packed
+    val w = 1023; val h = 77
+    val bits = (w - 1).toLong | ((h - 1).toLong << 14)
+    val vp8l = riff("VP8L", Array[Byte](0x2f,
+      (bits & 0xff).toByte, ((bits >> 8) & 0xff).toByte,
+      ((bits >> 16) & 0xff).toByte, ((bits >> 24) & 0xff).toByte))
+    assert(Codecs.imageDimensions(vp8l)
+      .contains(Codecs.ImageDims("webp", 1023, 77)))
+    // VP8X: flags + reserved, then 24-bit LE canvas minus one
+    val vp8x = riff("VP8X", Array[Byte](0, 0, 0, 0,
+      (16383 & 0xff).toByte, ((16383 >> 8) & 0xff).toByte,
+      ((16383 >> 16) & 0xff).toByte,
+      (256 & 0xff).toByte, ((256 >> 8) & 0xff).toByte,
+      ((256 >> 16) & 0xff).toByte))
+    assert(Codecs.imageDimensions(vp8x)
+      .contains(Codecs.ImageDims("webp", 16384, 257)))
+    // bad start code refuses
+    val badVp8 = riff("VP8 ", Array[Byte](0, 0, 0, 0x11, 0x01, 0x2a,
+      1, 0, 1, 0))
+    assert(Codecs.imageDimensions(badVp8).isEmpty)
+  }
+
+  test("bmp dimensions: BITMAPINFOHEADER, top-down negative height") {
+    def bmp(w: Int, h: Int): Array[Byte] = {
+      val b = new Array[Byte](26)
+      b(0) = 'B'; b(1) = 'M'
+      b(14) = 40 // header size
+      var i = 0
+      while (i < 4) {
+        b(18 + i) = ((w >> (8 * i)) & 0xff).toByte
+        b(22 + i) = ((h >> (8 * i)) & 0xff).toByte
+        i += 1
+      }
+      b
+    }
+    assert(Codecs.imageDimensions(bmp(1920, 1080))
+      .contains(Codecs.ImageDims("bmp", 1920, 1080)))
+    assert(Codecs.imageDimensions(bmp(64, -48))
+      .contains(Codecs.ImageDims("bmp", 64, 48)))
+  }
+
   test("non-image bytes yield no dimensions") {
     assert(Codecs.imageDimensions("not an image at all".getBytes).isEmpty)
     assert(Codecs.imageDimensions(null).isEmpty)

@@ -214,11 +214,27 @@ class VorbisSpec extends AnyFunSuite {
     assert(a.declaredSamples == 650L)
     assert(math.abs(a.durationMs - 650.0 * 1000 / 8000) < 1e-9)
     assert(a.nAudioPackets == (650 + 127) / 128 + 1)
-    // a fake Opus BOS page: typed refusal, container still audited
-    val opus = Vorbis.oggPage(Seq("OpusHead".getBytes("US-ASCII") ++
-      new Array[Byte](11)), 7, 0, 0L, bos = true, eos = true)
+    // an Opus BOS page: the RFC 7845 header fields audit for real
+    // (channels, 48 kHz input rate, pre-skip-adjusted sample count)
+    // while the SILK/CELT payload stays a typed refusal
+    val opusHead = "OpusHead".getBytes("US-ASCII") ++
+      Array[Byte](1, 2, (312 & 0xff).toByte, (312 >> 8).toByte,
+        (48000 & 0xff).toByte, ((48000 >> 8) & 0xff).toByte,
+        ((48000 >> 16) & 0xff).toByte, 0, 0, 0, 0)
+    val opus = Vorbis.oggPage(Seq(opusHead), 7, 0, 1272L,
+      bos = true, eos = true)
     val oa = Vorbis.audit(opus).get
     assert(oa.codec == "opus" && oa.error.contains("opus"))
+    assert(oa.sampleRate == 48000 && oa.channels == 2)
+    assert(oa.declaredSamples == 960L)
+    assert(math.abs(oa.durationMs - 20.0) < 1e-9)
+    assert(!oa.setupOk)
+    // a truncated OpusHead refuses with zeroed fields, never throws
+    val shortOpus = Vorbis.oggPage(
+      Seq("OpusHead".getBytes("US-ASCII") ++ Array[Byte](1, 2)),
+      7, 0, 0L, bos = true, eos = true)
+    val so = Vorbis.audit(shortOpus).get
+    assert(so.codec == "opus" && so.channels == 0 && so.sampleRate == 0)
     // not Ogg at all
     assert(Vorbis.audit("RIFF....WAVE".getBytes).isEmpty)
     assert(Vorbis.decodeOggPcm("junk".getBytes).isEmpty)

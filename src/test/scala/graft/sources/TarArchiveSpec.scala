@@ -73,6 +73,43 @@ class TarArchiveSpec extends SparkSpec {
     entriesOf(bad)
   }
 
+  test("outer layers: bz2, xz and zstd sniff and round trip; corrupt " +
+    "layered bytes are typed rows, never throws") {
+    val raw = plantTar(Seq(("m.txt", "layered content".getBytes("UTF-8"))),
+      gzipOuter = false)
+    def bz2(b: Array[Byte]): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      val c = new org.apache.commons.compress.compressors.bzip2
+        .BZip2CompressorOutputStream(o)
+      c.write(b); c.close(); o.toByteArray
+    }
+    def xz(b: Array[Byte]): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      val c = new org.tukaani.xz.XZOutputStream(o,
+        new org.tukaani.xz.LZMA2Options())
+      c.write(b); c.close(); o.toByteArray
+    }
+    def zst(b: Array[Byte]): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      val c = new com.github.luben.zstd.ZstdOutputStreamNoFinalizer(o)
+      c.write(b); c.close(); o.toByteArray
+    }
+    Seq("bz2" -> bz2(raw), "xz" -> xz(raw), "zst" -> zst(raw)).foreach {
+      case (layer, comp) =>
+        val es = entriesOf(comp)
+        assert(es.length == 1, s"$layer: $es")
+        assert(es.head.name == "m.txt" &&
+          new String(es.head.data, "UTF-8") == "layered content", layer)
+        // flip a byte mid-stream: typed outcome, no throw
+        val bad = comp.clone()
+        bad(comp.length / 2) = (bad(comp.length / 2) ^ 0x55).toByte
+        entriesOf(bad)
+        // truncations too
+        entriesOf(comp.take(comp.length / 2))
+        entriesOf(comp.take(5))
+    }
+  }
+
   test("totality fuzz: mutations, truncations, random bytes never throw") {
     val rnd = new scala.util.Random(11)
     val base = plantTar(Seq(
