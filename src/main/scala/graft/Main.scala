@@ -28,7 +28,8 @@ object Main {
         System.err.println(msg)
         System.err.println(
           "usage: graft.Main (download|process|summary|log|config|stats|" +
-            "drop|classlabel|crawl) -c <config.yaml> [-o key=value ...]\n" +
+            "drop|classlabel|crawl|bundle) -c <config.yaml> " +
+            "[-o key=value ...]\n" +
             "       graft.Main init [-o outdir=DIR]\n" +
             "       graft.Main ttcreator [-o model=ak135|model.csv] " +
             "[-o output=grid.npz] [-o tol=5] [-o maxdepth=700] [-o maxdist=180]")
@@ -49,6 +50,17 @@ object Main {
     val raw = graft.config.YamlLite.parse(cfgText)
     val merged = raw ++ overrides.map {
       case (k, v) => k -> graft.config.YamlLite.scalar(v, 0)
+    }
+    if (cmd == "bundle") {
+      val bcfg = graft.config.BundleConfig.from(merged) match {
+        case Right(c) => c
+        case Left(errors) =>
+          errors.foreach(e => System.err.println(s"config error: $e"))
+          sys.exit(2)
+      }
+      val spark = buildSpark()
+      try println(bundle(spark, bcfg).render) finally spark.stop()
+      return
     }
     // the crawl subcommand has its own (much smaller) config surface
     if (cmd == "crawl") {
@@ -427,9 +439,124 @@ object Main {
       byReason - "__kept", buckets, quarantined, wetFiles)
   }
 
+  final case class BundleReport(nArchives: Int, nMembers: Long,
+                                nDocs: Long, nKept: Long,
+                                dropped: Map[String, Long],
+                                buckets: Map[String, Long],
+                                quarantined: Long) {
+    def render: String = {
+      val d = dropped.toSeq.sortBy(_._1)
+        .map { case (r, n) => s"  dropped[$r] $n" }
+      val b = buckets.toSeq.sortBy(_._1)
+        .map { case (k, n) => s"  bucket[$k] $n" }
+      val head = s"archives=$nArchives members=$nMembers docs=$nDocs " +
+        s"kept=$nKept quarantined_members=$quarantined"
+      (head +: (d ++ b)).mkString("\n")
+    }
+  }
+
+  private[graft] def listArchivePaths(spark: SparkSession,
+                                      input: String): Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(input)
+    val fs = p.getFileSystem(conf)
+    val pattern =
+      if (fs.exists(p) && fs.getFileStatus(p).isDirectory)
+        new org.apache.hadoop.fs.Path(p, "*.t*") // .tar .tar.gz .tgz .tar.bz2 .tar.xz .tar.zst
+      else p
+    val statuses = fs.globStatus(pattern)
+    if (statuses == null) Seq.empty
+    else statuses.filter(_.isFile).map(_.getPath.toString)
+      .filter(n => n.endsWith(".tar") || n.contains(".tar.") ||
+        n.endsWith(".tgz"))
+      .sorted.toSeq
+  }
+
+  /** The bundle-curation DAG (`SparkEntry` q150's routing made
+    * operable, the archive twin of [[crawl]]): tar bundles →
+    * [[graft.textops.DocRoute.archiveDocsFromPaths]] (lazy per-entry
+    * walk under every sniffed outer layer, extension-routed
+    * extraction) → JSONL members explode into per-line documents
+    * ([[graft.textops.JsonlDocs]]) → one unioned corpus through
+    * [[graft.textops.CurationPipeline.runWithModel]] at the config's
+    * fixed thresholds.
+    *
+    * Output mirrors crawl: `outdir/decisions.parquet` (one row per
+    * document — kept rows carry their bucket, dropped rows the gate)
+    * and `outdir/bundle_audit.parquet` (per-reason counts of members
+    * the extraction never yielded: tar-layer quarantine, unroutable
+    * extensions, extractor refusals, malformed JSONL lines).
+    *
+    * Ids are deterministic: member docs `xxhash64(path, entry_idx)`,
+    * JSONL line docs `xxhash64(xxhash64(path, entry_idx), line_idx)` —
+    * re-runs stable, no driver-side numbering.
+    */
+  private[graft] def bundle(spark: SparkSession,
+                            cfg: graft.config.BundleConfig): BundleReport = {
+    import spark.implicits._
+    import graft.textops.{CurationPipeline, DocRoute, JsonlDocs, UnigramLM}
+    val files = listArchivePaths(spark, cfg.input)
+    if (files.isEmpty) {
+      System.err.println(s"bundle: no tar archives under '${cfg.input}'")
+      return BundleReport(0, 0L, 0L, 0L, Map.empty, Map.empty, 0L)
+    }
+    var paths = files.toDS()
+    if (cfg.inputPartitions > 0) paths = paths.repartition(cfg.inputPartitions)
+
+    val routed = DocRoute.archiveDocsFromPaths(paths)
+    val good = routed.where(col("error").isNull &&
+      col("doc_error").isNull && col("text").isNotNull)
+    val direct = good.where(col("kind") =!= "jsonl")
+      .select(xxhash64(col("path"), col("entry_idx")).as("doc_id"),
+        col("text"))
+    val jsonlDocs = JsonlDocs.explodeJsonl(
+        good.where(col("kind") === "jsonl")
+          .select(xxhash64(col("path"), col("entry_idx")).as("mid"),
+            col("text").as("jsonl")),
+        "mid", "jsonl", textField = cfg.jsonlTextField)
+      .where(col("error").isNull && col("text").isNotNull)
+      .select(xxhash64(col("mid"), col("line_idx")).as("doc_id"),
+        col("text"))
+    val docs = direct.unionByName(jsonlDocs)
+
+    val model = UnigramLM.train(docs, "text")
+    val curated = CurationPipeline.runWithModel(docs, "doc_id", "text",
+      keepLangs = cfg.keepLangs, unigrams = model,
+      tHead = cfg.tHead, tMid = cfg.tMid)
+    val decisionsPath = cfg.outdir + "/decisions.parquet"
+    curated.select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("drop_reason"), col("avg_logprob"), col("bucket"))
+      .write.mode("overwrite").parquet(decisionsPath)
+
+    // pass 2: what the curation never saw, and why (the crawl_audit
+    // trade — recomputing the scan beats persisting inflated members)
+    val audit = routed
+      .select(coalesce(col("error"), col("doc_error")).as("reason"))
+      .where(col("reason").isNotNull)
+      .groupBy(col("reason")).agg(count(lit(1)).as("n_members"))
+    audit.write.mode("overwrite")
+      .parquet(cfg.outdir + "/bundle_audit.parquet")
+
+    val written = spark.read.parquet(decisionsPath)
+    val byReason = written.groupBy(col("drop_reason"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => Option(r.getString(0)).getOrElse("__kept") -> r.getLong(1))
+      .toMap
+    val buckets = written.where(col("drop_reason").isNull)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val quarantined = spark.read
+      .parquet(cfg.outdir + "/bundle_audit.parquet")
+      .agg(coalesce(sum(col("n_members")), lit(0L))).collect()(0).getLong(0)
+    val nMembers = routed.count()
+    BundleReport(files.length, nMembers, byReason.values.sum,
+      byReason.getOrElse("__kept", 0L), byReason - "__kept", buckets,
+      quarantined)
+  }
+
   private val Subcommands =
     Set("download", "process", "summary", "log", "config", "stats",
-      "ttcreator", "init", "drop", "classlabel", "crawl")
+      "ttcreator", "init", "drop", "classlabel", "crawl", "bundle")
 
   /** `s2s utils ttcreator` equivalent (`traveltimes/ttcreator.py`): build an
     * adaptively-refined travel-time grid from the bundled ak135 model or a

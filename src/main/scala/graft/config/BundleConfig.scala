@@ -1,0 +1,81 @@
+package graft.config
+
+/** Config surface of the `bundle` CLI subcommand (the archive-corpus
+  * twin of [[CrawlConfig]]): tar bundles → routed extraction → JSONL
+  * explode → curation decisions. Same validation discipline — every
+  * problem reported, not just the first.
+  */
+final case class BundleConfig(input: String, outdir: String,
+                              keepLangs: Set[String],
+                              tHead: Double, tMid: Double,
+                              jsonlTextField: String,
+                              inputPartitions: Int)
+
+object BundleConfig {
+
+  private val Known = Set("input", "outdir", "keep_langs",
+    "t_head", "t_mid", "jsonl_text_field", "input_partitions")
+
+  def from(raw: Map[String, Any]): Either[Seq[String], BundleConfig] = {
+    val errs = scala.collection.mutable.ArrayBuffer.empty[String]
+    def err[T](msg: String, fallback: T): T = { errs += msg; fallback }
+
+    val unknown = raw.keySet.diff(Known)
+    if (unknown.nonEmpty)
+      errs += s"unknown parameter(s): ${unknown.toSeq.sorted.mkString(", ")}"
+
+    def str(key: String): String = raw.get(key) match {
+      case Some(s: String) if s.nonEmpty => s
+      case Some(other) if other != null =>
+        err(s"$key: expected string, got '$other'", "")
+      case _ => err(s"missing parameter: $key", "")
+    }
+    def numOpt(key: String, default: Double): Double = raw.get(key) match {
+      case Some(d: java.lang.Double) => d
+      case Some(l: java.lang.Long) => l.toDouble
+      case Some(null) | None => default
+      case Some(other) => err(s"$key: expected number, got '$other'", default)
+    }
+    def longOpt(key: String, default: Long): Long = raw.get(key) match {
+      case Some(l: java.lang.Long) => l
+      case Some(null) | None => default
+      case Some(other) => err(s"$key: expected integer, got '$other'", default)
+    }
+
+    val input = str("input")
+    val outdir = str("outdir")
+    val keepLangs = raw.get("keep_langs") match {
+      case Some(s: Seq[_]) =>
+        s.flatMap {
+          case l: String if l.nonEmpty => Some(l)
+          case other => err(s"keep_langs: expected string, got '$other'",
+            None); None
+        }.toSet
+      case Some(null) | None => Set.empty[String]
+      case Some(other) =>
+        err(s"keep_langs: expected list, got '$other'", Set.empty[String])
+    }
+    // the curation pipeline requires a language gate — catching this at
+    // config time turns a mid-job crash into a validation error
+    if (keepLangs.isEmpty &&
+      !errs.exists(_.startsWith("keep_langs")))
+      errs += "missing parameter: keep_langs (the curation language gate)"
+    val tHead = numOpt("t_head", -3.64)
+    val tMid = numOpt("t_mid", -3.68)
+    if (tHead < tMid) errs += s"t_head ($tHead) must be >= t_mid ($tMid)"
+    val textField = raw.get("jsonl_text_field") match {
+      case Some(s: String) if s.nonEmpty &&
+        s.forall(c => c.isLetterOrDigit || c == '_') => s
+      case Some(null) | None => "text"
+      case Some(other) =>
+        err(s"jsonl_text_field: expected identifier, got '$other'", "text")
+    }
+    val parts = longOpt("input_partitions", 0L)
+    if (parts < 0 || parts > Int.MaxValue)
+      errs += "input_partitions: must be a non-negative integer"
+
+    if (errs.nonEmpty) Left(errs.toSeq)
+    else Right(BundleConfig(input, outdir, keepLangs, tHead, tMid,
+      textField, parts.toInt))
+  }
+}

@@ -111,6 +111,11 @@ object CrawlConfig {
       case Some(other) =>
         err(s"keep_langs: expected list, got '$other'", Set.empty[String])
     }
+    // the curation pipeline requires a language gate — catching this at
+    // config time turns a mid-job crash into a validation error
+    if (keepLangs.isEmpty &&
+      !errs.exists(_.startsWith("keep_langs")))
+      errs += "missing parameter: keep_langs (the curation language gate)"
     val minHost = longOpt("min_host_docs", 0L)
     val maxHost = longOpt("max_host_docs", 0L)
     if (minHost < 0) errs += "min_host_docs: must be >= 0"

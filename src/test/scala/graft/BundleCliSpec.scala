@@ -1,0 +1,117 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** The `bundle` subcommand: config validation and the end-to-end DAG
+  * over fixture tarballs — lazy archive walk → extension-routed
+  * extraction → JSONL per-line explode → curation, with every member
+  * the pipeline never saw accounted in the audit table.
+  */
+class BundleCliSpec extends SparkSpec {
+
+  private val prose1 = "the quick brown fox jumps over the lazy dog and " +
+    "keeps running through the field of tall grass toward the river " +
+    "where it finally rests under a shady willow tree beside the quiet " +
+    "water until evening comes"
+  private val prose2 = "assorted different words appear here now and " +
+    "again with more of the usual variety to pass the quality gates " +
+    "easily because this sentence keeps adding distinct ordinary tokens " +
+    "well beyond the minimum threshold of thirty"
+
+  test("bundle config: defaults, validation, every error reported") {
+    import graft.config.BundleConfig
+    val ok = BundleConfig.from(Map(
+      "input" -> "/tmp/in", "outdir" -> "/tmp/out",
+      "keep_langs" -> Seq("en"))).toOption.get
+    assert(ok.tHead == -3.64 && ok.tMid == -3.68)
+    assert(ok.jsonlTextField == "text" && ok.keepLangs == Set("en"))
+    val bad = BundleConfig.from(Map(
+      "outdir" -> "/tmp/out",
+      "t_head" -> java.lang.Double.valueOf(-5.0),
+      "t_mid" -> java.lang.Double.valueOf(-3.0),
+      "jsonl_text_field" -> "$bad-field",
+      "bogus" -> "x"))
+    val errs = bad.left.toOption.get
+    assert(errs.exists(_.contains("missing parameter: input")))
+    assert(errs.exists(_.contains("keep_langs")))
+    assert(errs.exists(_.contains("t_head")))
+    assert(errs.exists(_.contains("jsonl_text_field")))
+    assert(errs.exists(_.contains("unknown parameter")))
+  }
+
+  test("bundle e2e: tar members route, JSONL lines explode into docs, " +
+    "drops and quarantine are all accounted") {
+    import graft.sources.TarArchive
+    val dir = Files.createTempDirectory("bundle-in").toFile
+    val out = Files.createTempDirectory("bundle-out").toFile
+    val jsonl =
+      s"""{"text": "$prose1 one"}
+         |{"text": "$prose2 two"}
+         |{oops malformed line}
+         |{"lang": "en"}
+         |""".stripMargin
+    val tar1 = TarArchive.plantTar(Seq(
+      ("docs/a.txt", (prose1 + " alpha").getBytes("UTF-8")),
+      ("docs/b.html",
+        (s"<html lang='en'><body><p>$prose2 beta</p></body></html>")
+          .getBytes("UTF-8")),
+      ("data/c.jsonl", jsonl.getBytes("UTF-8")),
+      ("blob/d.bin", Array.fill(16)(7.toByte))), gzipOuter = true)
+    Files.write(new java.io.File(dir, "one.tar.gz").toPath, tar1)
+    // a second archive: xz outer layer proves the sniffed layers are
+    // CLI-reachable; short member should drop at curation, not vanish
+    val rawTar = TarArchive.plantTar(Seq(
+      ("e.txt", "too short".getBytes("UTF-8"))), gzipOuter = false)
+    val xzOut = new java.io.ByteArrayOutputStream()
+    val xz = new org.tukaani.xz.XZOutputStream(xzOut,
+      new org.tukaani.xz.LZMA2Options())
+    xz.write(rawTar); xz.close()
+    Files.write(new java.io.File(dir, "two.tar.xz").toPath,
+      xzOut.toByteArray)
+
+    val cfg = graft.config.BundleConfig.from(Map(
+      "input" -> dir.getAbsolutePath,
+      "outdir" -> out.getAbsolutePath,
+      "keep_langs" -> Seq("en"))).toOption.get
+    val report = Main.bundle(spark, cfg)
+    assert(report.nArchives == 2)
+    assert(report.nMembers == 5, report.toString)
+    // docs: a.txt, b.html, e.txt + the 2 text-bearing JSONL lines (the
+    // malformed line and the text-less object never become documents)
+    assert(report.nDocs == 5, report.toString)
+    // the two prose pairs survive curation; the 2-token e.txt cannot
+    assert(report.nKept == 4, report.toString)
+    assert(report.dropped.values.sum == 1, report.toString)
+
+    val decisions = spark.read.parquet(out.getAbsolutePath +
+      "/decisions.parquet")
+    assert(decisions.count() == report.nDocs)
+    // the malformed JSONL line and the unroutable .bin are AUDIT rows
+    val audit = spark.read.parquet(out.getAbsolutePath +
+      "/bundle_audit.parquet").collect()
+      .map(r => r.getAs[String]("reason") -> r.getAs[Long]("n_members"))
+      .toMap
+    assert(audit.contains("unsupported extension bin"), audit.toString)
+    assert(report.quarantined >= 1)
+
+    // deterministic ids: re-running writes the same doc_id set
+    val ids1 = decisions.select("doc_id").collect().map(_.getLong(0)).toSet
+    Main.bundle(spark, cfg)
+    val ids2 = spark.read.parquet(out.getAbsolutePath +
+      "/decisions.parquet").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+  }
+
+  test("bundle over an empty directory is a no-op report") {
+    val dir = Files.createTempDirectory("bundle-empty").toFile
+    val out = Files.createTempDirectory("bundle-empty-out").toFile
+    val cfg = graft.config.BundleConfig.from(Map(
+      "input" -> dir.getAbsolutePath,
+      "outdir" -> out.getAbsolutePath,
+      "keep_langs" -> Seq("en"))).toOption.get
+    val report = Main.bundle(spark, cfg)
+    assert(report.nArchives == 0 && report.nDocs == 0)
+  }
+}

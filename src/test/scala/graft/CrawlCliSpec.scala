@@ -48,9 +48,15 @@ class CrawlCliSpec extends SparkSpec {
   test("crawl config: defaults, validation, every error reported") {
     import graft.config.CrawlConfig
     val ok = CrawlConfig.from(Map(
-      "input" -> "/tmp/in", "outdir" -> "/tmp/out")).toOption.get
-    assert(ok.keepLangs.isEmpty && ok.minHostDocs == 0 && ok.maxHostDocs == 0)
+      "input" -> "/tmp/in", "outdir" -> "/tmp/out",
+      "keep_langs" -> Seq("en"))).toOption.get
+    assert(ok.keepLangs == Set("en") && ok.minHostDocs == 0 &&
+      ok.maxHostDocs == 0)
     assert(ok.tHead == -3.64 && ok.tMid == -3.68 && ok.honorNoindex)
+    // an absent language gate is a CONFIG error, not a mid-job crash
+    assert(CrawlConfig.from(Map(
+      "input" -> "/tmp/in", "outdir" -> "/tmp/out")).left.toOption.get
+      .exists(_.contains("keep_langs")))
     val full = CrawlConfig.from(Map(
       "input" -> "/tmp/in", "outdir" -> "/tmp/out",
       "keep_langs" -> Seq("en", "de"),
@@ -319,7 +325,8 @@ class CrawlCliSpec extends SparkSpec {
     try {
       val cfg = graft.config.CrawlConfig.from(Map(
         "input" -> dir.getAbsolutePath,
-        "outdir" -> (dir.getAbsolutePath + "/out"))).toOption.get
+        "outdir" -> (dir.getAbsolutePath + "/out"),
+        "keep_langs" -> Seq("en"))).toOption.get
       val r = Main.crawl(spark, cfg)
       assert(r.nFiles == 0 && r.nPages == 0)
     } finally dir.delete()
