@@ -46,7 +46,20 @@ object HtmlExtract {
     */
   final case class Extracted(title: String, lang: String, text: String,
                              blocksKept: Int, blocksDropped: Int,
-                             robotsNoindex: Boolean, robotsNofollow: Boolean)
+                             robotsNoindex: Boolean, robotsNofollow: Boolean,
+                             baseHref: String = null,
+                             links: Vector[Link] = Vector.empty)
+
+  /** One outgoing link: the raw (entity-decoded) `href`, the anchor's
+    * collapsed text, and whether its `rel` carries the `nofollow`
+    * token (RFC-style space-separated, ASCII-case-insensitive) — the
+    * per-link trust signal a link graph must be able to honor, same
+    * contract as the page-level robots columns. `href` is UNRESOLVED:
+    * [[graft.textops.UrlOps.resolve]] against the page URL (or the
+    * page's `<base href>`, captured as [[Extracted.baseHref]]) turns
+    * it absolute.
+    */
+  final case class Link(href: String, anchor: String, nofollow: Boolean)
 
   /** Elements whose content is raw text up to the matching close tag
     * (HTML5 §13.2.5.1 script/RCDATA states — a '<' inside them is NOT
@@ -155,6 +168,16 @@ object HtmlExtract {
         }
       }
     }
+  }
+
+  /** Decode character references in an attribute value (href values
+    * routinely carry `&amp;` between query parameters).
+    */
+  private def decodeRefs(s: String): String = {
+    if (s.indexOf('&') < 0) return s
+    val out = new StringBuilder(s.length)
+    appendDecoded(out, s, 0, s.length)
+    out.toString
   }
 
   /** Collapse whitespace runs to single spaces and trim — the one
@@ -301,6 +324,19 @@ object HtmlExtract {
     val titleBuf = new StringBuilder
     var robotsNoindex = false
     var robotsNofollow = false
+    var baseHref: String = null
+    val links = new scala.collection.mutable.ArrayBuffer[Link]()
+    var curHref: String = null
+    var curNofollow = false
+    val anchorBuf = new StringBuilder
+
+    def emitLink(): Unit = {
+      if (curHref != null)
+        links += Link(curHref, collapseWs(anchorBuf.toString), curNofollow)
+      curHref = null
+      curNofollow = false
+      anchorBuf.clear()
+    }
 
     def closeBlock(): Unit = {
       val text = collapseWs(block.toString)
@@ -325,6 +361,7 @@ object HtmlExtract {
         else {
           val before = block.length
           appendDecoded(block, s, i, textEnd)
+          if (aDepth > 0) anchorBuf.append(block.substring(before))
           if (aDepth > 0) {
             // count non-whitespace link chars (whitespace collapses out)
             var k = before
@@ -405,9 +442,30 @@ object HtmlExtract {
                   }
                 }
               }
+              if (name == "base" && !tag.closing && baseHref == null) {
+                val v = attrValue(s, tag.attrFrom, tag.attrUntil, "href")
+                if (v != null && v.trim.nonEmpty) baseHref = decodeRefs(v.trim)
+              }
               if (name == "a") {
-                if (tag.closing) { if (aDepth > 0) aDepth -= 1 }
-                else if (!selfClosed) aDepth += 1
+                if (tag.closing) {
+                  if (aDepth > 0) {
+                    aDepth -= 1
+                    if (aDepth == 0) emitLink()
+                  }
+                } else {
+                  // browsers implicitly close an open <a> when the next
+                  // one starts (nested anchors are invalid HTML)
+                  if (aDepth > 0) { emitLink(); aDepth = 0 }
+                  val href = attrValue(s, tag.attrFrom, tag.attrUntil, "href")
+                  curHref =
+                    if (href == null || href.trim.isEmpty) null
+                    else decodeRefs(href.trim)
+                  val rel = attrValue(s, tag.attrFrom, tag.attrUntil, "rel")
+                  curNofollow = rel != null && rel.split("\\s+")
+                    .exists(t => lowerAscii(t) == "nofollow")
+                  if (!selfClosed) aDepth += 1
+                  else emitLink() // <a href=… /> carries no anchor text
+                }
               }
               if (BlockTags.contains(name)) {
                 closeBlock()
@@ -432,8 +490,9 @@ object HtmlExtract {
       }
     }
     closeBlock()
+    emitLink() // an unterminated <a href> still carries its edge
     Extracted(title, lang, kept.mkString("\n"), kept.length, dropped,
-      robotsNoindex, robotsNofollow)
+      robotsNoindex, robotsNofollow, baseHref, links.toVector)
   }
 
   /** Scan-stage extraction over a DataFrame: (id, carry…, title, lang,

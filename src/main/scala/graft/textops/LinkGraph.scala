@@ -1,0 +1,189 @@
+package graft.textops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The link-graph wing of crawl curation: pages → resolved outgoing
+  * links → host-level edges → centrality (PageRank) and authority
+  * statistics. Host centrality is a first-class quality signal in real
+  * pretraining pipelines — Common Crawl publishes host/domain rank
+  * tables computed exactly this way, and crawl-quality work routinely
+  * gates or weights documents by the host's position in the web graph
+  * (spam farms sit in low-rank tails; link-bought PBNs show as dense
+  * low-diversity in-link clusters the [[hostAuthority]] columns
+  * expose).
+  *
+  * The reference pipeline has no web-graph surface (stream2segment's
+  * joins are seismic-domain, `stream2segment/download/modules/
+  * stations.py:1`); this is extension surface for the LLM-data brief,
+  * composing the existing front door ([[HtmlExtract]] link capture +
+  * [[UrlOps.resolve]]/[[UrlOps.normalize]]).
+  *
+  * DESIGN FOR 100 TB:
+  *  - [[pageLinks]] is a scan-stage kernel + one generator (explode) —
+  *    the HTML payload never reaches a shuffle; what shuffles is the
+  *    slim (src_host, link_url, anchor) projection.
+  *  - [[hostEdges]] collapses page-level links to the HOST graph
+  *    before any iterative work: the host graph is 10^7–10^8 nodes at
+  *    full-crawl scale (vs 10^10 pages), so every PageRank iteration
+  *    shuffles host-keyed rows, never page-keyed ones.
+  *  - [[pageRank]] keeps the contribution-fraction table cached and
+  *    hash-partitioned by `src`; each iteration is one join on that
+  *    key plus one host-keyed aggregate — both sides reuse the same
+  *    hash partitioning across iterations, so AQE plans no extra
+  *    exchange. The dangling-node mass is a single scalar aggregate
+  *    per iteration (one driver-side double, not a collect of rows).
+  */
+object LinkGraph {
+
+  /** Outgoing links per page, resolved and canonicalized: one row per
+    * followable link, columns (idCol, src_host, link_pos, href,
+    * link_url, link_host, anchor, nofollow). The kernel resolves each
+    * captured href against the page's effective base (`<base href>`
+    * when present — itself resolved against the page URL, RFC 3986
+    * §5.1.1 — else the page URL), canonicalizes with
+    * [[UrlOps.normalize]], and DROPS what cannot be an edge:
+    * non-http(s) schemes (mailto:, javascript:, data:), unresolvable
+    * hrefs, and links from pages whose own URL has no host (no
+    * provenance). `link_pos` is the link's index in the page's
+    * post-filter emission order — a deterministic per-page sequence.
+    *
+    * Page-level `<meta name=robots nofollow>` and per-link
+    * `rel=nofollow` both survive into the output (`nofollow` is their
+    * OR) rather than being silently dropped: a compliant graph build
+    * filters on it ([[hostEdges]] `followOnly`), an audit keeps it.
+    */
+  def pageLinks(df: DataFrame, idCol: String, urlCol: String,
+                htmlCol: String): DataFrame = {
+    val kernel = udf { (url: String, html: String) =>
+      val e = HtmlExtract.extract(html)
+      val srcNorm = UrlOps.normalize(url)
+      val srcHost = UrlOps.host(srcNorm)
+      if (srcHost == null) Seq.empty[(String, String, String, String, Boolean)]
+      else {
+        val base = if (e.baseHref == null) srcNorm
+          else {
+            val b = UrlOps.resolve(srcNorm, e.baseHref)
+            if (b == null) srcNorm else b
+          }
+        val pageNofollow = e.robotsNofollow
+        e.links.iterator.flatMap { l =>
+          val resolved = UrlOps.resolve(base, l.href)
+          if (resolved == null) None
+          else {
+            val norm = UrlOps.normalize(resolved)
+            val h = UrlOps.host(norm)
+            if (h == null) None
+            else Some((l.href, norm, h, l.anchor, l.nofollow || pageNofollow))
+          }
+        }.toSeq
+      }
+    }
+    df.select(col(idCol), UrlOps.hostOf(UrlOps.normalizeUrl(col(urlCol)))
+        .as("src_host"),
+        posexplode(kernel(col(urlCol), col(htmlCol))).as(Seq("link_pos", "l")))
+      .select(col(idCol), col("src_host"), col("link_pos"),
+        col("l._1").as("href"), col("l._2").as("link_url"),
+        col("l._3").as("link_host"), col("l._4").as("anchor"),
+        col("l._5").as("nofollow"))
+  }
+
+  /** Host-level edge aggregation over [[pageLinks]] output: one row
+    * per (src_host, dst_host) with `n_links` (total anchors) and
+    * `n_pages` (distinct linking pages). Intra-host edges are dropped
+    * (self-loops say nothing about inter-host authority and dominate
+    * raw counts — most links on any page are site navigation);
+    * `followOnly` additionally honors nofollow, the compliant-graph
+    * default.
+    */
+  def hostEdges(links: DataFrame, idCol: String,
+                followOnly: Boolean = true): DataFrame = {
+    val base = links.filter(col("src_host") =!= col("link_host"))
+    val followed = if (followOnly) base.filter(!col("nofollow")) else base
+    followed.groupBy(col("src_host"), col("link_host").as("dst_host"))
+      .agg(count(lit(1)).as("n_links"),
+        countDistinct(col(idCol)).as("n_pages"))
+  }
+
+  /** Weighted PageRank over a host edge list, fixed iteration count
+    * (the form whose result is exactly replayable — convergence-test
+    * loops are a deployment choice layered on top). Nodes are every
+    * host appearing as source or destination; rank mass starts
+    * uniform; each iteration applies
+    *
+    *   rank'(v) = (1−d)/n + d · ( Σ_{u→v} rank(u)·w(u→v)/outw(u)
+    *                              + danglingMass/n )
+    *
+    * with dangling (no-outlink) hosts redistributing their mass
+    * uniformly — the standard correction; without it rank mass leaks
+    * and the vector no longer sums to 1 (spec-pinned).
+    *
+    * Scale shape: the contribution-fraction table (edge count rows) is
+    * computed once and cached; per iteration there is ONE shuffle join
+    * (fractions × ranks on the source key) and ONE host-keyed
+    * aggregate, plus a scalar action for the dangling mass. Rank state
+    * is checkpoint-light: each iteration materializes a fresh
+    * host→rank table (n rows) and unpersists the previous one, so
+    * lineage stays one-iteration deep.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               weightCol: String = null, damping: Double = 0.85,
+               iterations: Int = 5): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(damping > 0.0 && damping < 1.0, s"damping must be in (0,1)")
+    val w: Column = if (weightCol == null) lit(1.0)
+      else col(weightCol).cast("double")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        w.as("w"))
+      .groupBy("src", "dst").agg(sum("w").as("w"))
+    val nodes = e.select(col("src").as("host"))
+      .union(e.select(col("dst"))).distinct().cache()
+    val n = nodes.count().toDouble
+    val outw = e.groupBy("src").agg(sum("w").as("outw"))
+    val frac = e.join(outw, "src")
+      .select(col("src"), col("dst"), (col("w") / col("outw")).as("frac"))
+      .cache()
+    frac.count() // materialize once; reused every iteration
+    val srcs = outw.select(col("src").as("host")).cache()
+    var ranks = nodes.select(col("host"), lit(1.0 / n).as("rank")).cache()
+    var it = 0
+    while (it < iterations) {
+      val dangling = ranks.join(srcs, Seq("host"), "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
+      val contrib = frac.join(ranks.withColumnRenamed("host", "src"), "src")
+        .groupBy(col("dst").as("host"))
+        .agg(sum(col("frac") * col("rank")).as("c"))
+      val next = nodes.join(contrib, Seq("host"), "left")
+        .select(col("host"),
+          (lit((1.0 - damping) / n) + lit(damping) *
+            (coalesce(col("c"), lit(0.0)) + lit(dangling / n))).as("rank"))
+        .cache()
+      next.count() // materialize before dropping the previous state
+      ranks.unpersist()
+      ranks = next
+      it += 1
+    }
+    nodes.unpersist()
+    srcs.unpersist()
+    val out = ranks
+    frac.unpersist()
+    out
+  }
+
+  /** Host authority statistics over [[pageLinks]] output — the audit
+    * table next to the rank vector: per destination host, total
+    * in-links, distinct linking hosts (link diversity: a PBN shows
+    * thousands of in-links from a handful of hosts), distinct linking
+    * pages, distinct non-empty anchor texts, and the nofollow share.
+    * One shuffle on the destination host.
+    */
+  def hostAuthority(links: DataFrame, idCol: String): DataFrame =
+    links.filter(col("src_host") =!= col("link_host"))
+      .groupBy(col("link_host").as("dst_host"))
+      .agg(count(lit(1)).as("in_links"),
+        countDistinct(col("src_host")).as("n_src_hosts"),
+        countDistinct(col(idCol)).as("n_src_pages"),
+        countDistinct(when(col("anchor") =!= "", col("anchor")))
+          .as("n_anchors"),
+        sum(when(col("nofollow"), 1L).otherwise(0L)).as("nofollow_links"))
+}

@@ -147,6 +147,105 @@ object UrlOps {
     scheme + "://" + userinfo + hostPort + path + query
   }
 
+  /** RFC 3986 §5.2 reference resolution: the absolute form of `ref`
+    * against the absolute http(s) base `base` — the kernel between a
+    * page's raw `<a href>` values and the link graph (crawled hrefs
+    * are mostly relative). Follows the §5.2.2 algorithm:
+    *
+    *  - `ref` already has a scheme → `ref` itself (path dot-segments
+    *    removed when it is http(s); other schemes — mailto:,
+    *    javascript:, data: — come back verbatim for the caller to
+    *    filter);
+    *  - network-path (`//host/…`) → base scheme + ref;
+    *  - absolute path (`/…`) → base scheme+authority + ref;
+    *  - empty or fragment-only → the base without its fragment (a
+    *    self-reference);
+    *  - query-only (`?…`) → base scheme+authority+path + ref query;
+    *  - relative path → merged with the base path (§5.2.3), then
+    *    dot-segments removed (§5.2.4).
+    *
+    * The result keeps `ref`'s fragment OFF (link-graph semantics: a
+    * fragment never reaches the server). Unresolvable inputs (null
+    * ref, or a base that is not absolute http(s)) → null — degrade,
+    * never throw. The output is NOT canonicalized; feed it through
+    * [[normalize]] for dedup keys.
+    */
+  def resolve(base: String, ref: String): String = {
+    if (ref == null) return null
+    val r = ref.trim
+    // ref with its own scheme: "scheme:" where scheme = ALPHA *(alnum+-.)
+    var sEnd = -1
+    var i = 0
+    var scanning = true
+    while (scanning && i < r.length) {
+      val c = r.charAt(i)
+      if (c == ':') { sEnd = i; scanning = false }
+      else if (i == 0 && !isAsciiAlpha(c)) scanning = false
+      else if (i > 0 && !isSchemeChar(c)) scanning = false
+      else i += 1
+    }
+    if (sEnd > 0) {
+      val scheme = r.substring(0, sEnd).toLowerCase(java.util.Locale.ROOT)
+      if (scheme != "http" && scheme != "https") return r // caller filters
+      return dropFragment(r)
+    }
+    // parse the base: must be absolute http(s)
+    if (base == null) return null
+    val bse = base.trim
+    val schemeEnd = bse.indexOf("://")
+    if (schemeEnd <= 0) return null
+    val bScheme = bse.substring(0, schemeEnd).toLowerCase(java.util.Locale.ROOT)
+    if (bScheme != "http" && bScheme != "https") return null
+    val bRest = bse.substring(schemeEnd + 3)
+    var aEnd = bRest.length
+    i = 0
+    while (i < bRest.length && aEnd == bRest.length) {
+      val c = bRest.charAt(i)
+      if (c == '/' || c == '?' || c == '#') aEnd = i
+      i += 1
+    }
+    val bAuth = bRest.substring(0, aEnd)
+    if (bAuth.isEmpty) return null
+    val bTail = dropFragment(bRest.substring(aEnd))
+    val bqAt = bTail.indexOf('?')
+    val bPath = if (bqAt >= 0) bTail.substring(0, bqAt) else bTail
+    val origin = bScheme + "://" + bAuth
+    if (r.isEmpty || r.charAt(0) == '#')
+      return origin + bTail // self-reference, fragment dropped
+    if (r.startsWith("//")) return dropFragment(bScheme + ":" + r)
+    val rNoFrag = dropFragment(r)
+    if (rNoFrag.isEmpty) return origin + bTail
+    if (rNoFrag.charAt(0) == '/') {
+      val qAt = rNoFrag.indexOf('?')
+      val p = if (qAt >= 0) rNoFrag.substring(0, qAt) else rNoFrag
+      val q = if (qAt >= 0) rNoFrag.substring(qAt) else ""
+      return origin + removeDotSegments(p) + q
+    }
+    if (rNoFrag.charAt(0) == '?') return origin + bPath + rNoFrag
+    // relative path: merge with the base path (§5.2.3 — everything up
+    // to and including the base path's last '/'; an authority with an
+    // empty path merges against "/")
+    val qAt = rNoFrag.indexOf('?')
+    val rPath = if (qAt >= 0) rNoFrag.substring(0, qAt) else rNoFrag
+    val rQuery = if (qAt >= 0) rNoFrag.substring(qAt) else ""
+    val slash = bPath.lastIndexOf('/')
+    val merged = if (bPath.isEmpty || slash < 0) "/" + rPath
+      else bPath.substring(0, slash + 1) + rPath
+    origin + removeDotSegments(merged) + rQuery
+  }
+
+  private def isAsciiAlpha(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+
+  private def isSchemeChar(c: Char): Boolean =
+    isAsciiAlpha(c) || (c >= '0' && c <= '9') ||
+      c == '+' || c == '-' || c == '.'
+
+  private def dropFragment(s: String): String = {
+    val h = s.indexOf('#')
+    if (h < 0) s else s.substring(0, h)
+  }
+
   /** The host of a normalized (or raw) URL; null/unparseable → null. */
   def host(url: String): String = {
     if (url == null) return null

@@ -1,0 +1,172 @@
+package graft.textops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Link-graph wing: RFC 3986 reference resolution, HTML link capture,
+  * page→host edge building, and fixed-iteration PageRank against
+  * hand-computed values (including the dangling-mass correction).
+  */
+class LinkGraphSpec extends SparkSpec {
+  import UrlOps.resolve
+
+  private val base = "https://ex.org/a/b/page.html?x=1"
+
+  test("resolve: RFC 3986 §5.4 normal cases") {
+    assert(resolve(base, "https://other.net/p") == "https://other.net/p")
+    assert(resolve(base, "//cdn.net/img") == "https://cdn.net/img")
+    assert(resolve(base, "/root/f") == "https://ex.org/root/f")
+    assert(resolve(base, "g") == "https://ex.org/a/b/g")
+    assert(resolve(base, "./g") == "https://ex.org/a/b/g")
+    assert(resolve(base, "../g") == "https://ex.org/a/g")
+    assert(resolve(base, "../../g") == "https://ex.org/g")
+    // can't pop past root (§5.4.2 abnormal)
+    assert(resolve(base, "../../../../g") == "https://ex.org/g")
+    assert(resolve(base, "g/h?y=2") == "https://ex.org/a/b/g/h?y=2")
+    assert(resolve(base, "?y=3") == "https://ex.org/a/b/page.html?y=3")
+    // empty / fragment-only → the base itself, fragment off
+    assert(resolve(base, "") == "https://ex.org/a/b/page.html?x=1")
+    assert(resolve(base, "#sec") == "https://ex.org/a/b/page.html?x=1")
+    assert(resolve(base, "g#sec") == "https://ex.org/a/b/g")
+    // trailing dot segments leave a directory reference
+    assert(resolve(base, "..") == "https://ex.org/a/")
+    assert(resolve(base, ".") == "https://ex.org/a/b/")
+  }
+
+  test("resolve: scheme'd refs, authority-less base path, degrade") {
+    // other schemes come back verbatim for the caller to filter
+    assert(resolve(base, "mailto:x@y.z") == "mailto:x@y.z")
+    assert(resolve(base, "javascript:void(0)") == "javascript:void(0)")
+    // absolute http(s) ref needs no base at all
+    assert(resolve(null, "https://a.b/c") == "https://a.b/c")
+    assert(resolve(null, "g") == null)
+    assert(resolve(base, null) == null)
+    assert(resolve("not a url", "g") == null)
+    assert(resolve("ftp://h/x", "g") == null)
+    // base with empty path: merge against "/"
+    assert(resolve("https://h.io", "g") == "https://h.io/g")
+    assert(resolve("https://h.io?q=1", "g") == "https://h.io/g")
+    // HTTP scheme'd ref keeps only its fragment off
+    assert(resolve(base, "HTTP://H.io/p#f") == "HTTP://H.io/p")
+  }
+
+  test("html link capture: hrefs, anchors, rel=nofollow, base href") {
+    val e = HtmlExtract.extract(
+      """<html><head><base href="/dir/"><title>t</title></head><body>
+        |<p><a href="x.html">First &amp; link</a>
+        |<a href="https://o.net/p?a=1&amp;b=2" rel="me nofollow">Out</a>
+        |<a href="#frag">self</a>
+        |<a>no href</a>
+        |<a href="y" /> tail
+        |<a href="z">unterminated</body></html>""".stripMargin)
+    assert(e.baseHref == "/dir/")
+    val ls = e.links
+    assert(ls.map(_.href) ==
+      Vector("x.html", "https://o.net/p?a=1&b=2", "#frag", "y", "z"))
+    assert(ls(0).anchor == "First & link")
+    assert(!ls(0).nofollow && ls(1).nofollow)
+    assert(ls(1).anchor == "Out")
+    assert(ls(3).anchor == "") // self-closed carries no text
+    assert(ls(4).anchor == "unterminated")
+  }
+
+  test("html link capture: implicit close on nested <a>, none on empty") {
+    val e = HtmlExtract.extract(
+      "<p><a href=\"one\">A<a href=\"two\">B</a></p>")
+    assert(e.links.map(l => (l.href, l.anchor)) ==
+      Vector(("one", "A"), ("two", "B")))
+    assert(HtmlExtract.extract("<p>plain</p>").links.isEmpty)
+    assert(HtmlExtract.extract(null).links.isEmpty)
+  }
+
+  test("pageLinks resolves against base href and drops non-edges") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "https://src.org/d/p.html",
+        """<base href="https://based.net/dir/"><a href="rel.html">r</a>
+          |<a href="mailto:a@b.c">m</a>
+          |<a href="/abs">a</a>""".stripMargin),
+      // page with no parseable URL: no provenance, no edges
+      (2L, "nope", "<a href=\"https://x.y/z\">t</a>"),
+      // page-level robots nofollow ORs into every link
+      (3L, "https://nf.org/p",
+        """<meta name="robots" content="nofollow"><a href="https://t.io/">x</a>""")
+    ).toDF("id", "url", "html")
+    val links = LinkGraph.pageLinks(df, "id", "url", "html")
+      .orderBy("id", "link_pos")
+      .collect()
+    assert(links.map(_.getLong(0)).toSeq == Seq(1L, 1L, 3L))
+    assert(links(0).getAs[String]("link_url") == "https://based.net/dir/rel.html")
+    assert(links(1).getAs[String]("link_url") == "https://based.net/abs")
+    assert(links(0).getAs[String]("src_host") == "src.org")
+    assert(links(2).getAs[Boolean]("nofollow"))
+  }
+
+  test("hostEdges drops self-loops and honors nofollow when asked") {
+    import spark.implicits._
+    val links = Seq(
+      (1L, "a.io", "b.io", false), (1L, "a.io", "b.io", false),
+      (2L, "a.io", "b.io", true), // nofollow
+      (3L, "a.io", "a.io", false), // self-loop
+      (4L, "b.io", "a.io", false)
+    ).toDF("id", "src_host", "link_host", "nofollow")
+      .withColumn("link_pos", lit(0)).withColumn("href", lit("h"))
+      .withColumn("link_url", lit("u")).withColumn("anchor", lit(""))
+    val strict = LinkGraph.hostEdges(links, "id").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(strict.toSet == Set(("a.io", "b.io", 2L, 1L), ("b.io", "a.io", 1L, 1L)))
+    val lax = LinkGraph.hostEdges(links, "id", followOnly = false).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(lax.toSet == Set(("a.io", "b.io", 3L, 2L), ("b.io", "a.io", 1L, 1L)))
+  }
+
+  test("pageRank matches hand-computed iterations with dangling mass") {
+    import spark.implicits._
+    // A → B, A → C, B → C; C dangling. n = 3, d = 0.85, 1 iteration.
+    // r0 = 1/3 each; dangling = r0(C) = 1/3.
+    // contrib(B) = r0(A)/2; contrib(C) = r0(A)/2 + r0(B)
+    // r1(A) = 0.05 + 0.85·(0 + (1/3)/3)          = 0.1444444…
+    // r1(B) = 0.05 + 0.85·(1/6 + 1/9)            = 0.2861111…
+    // r1(C) = 0.05 + 0.85·(1/6 + 1/3 + 1/9)      = 0.5694444…
+    val edges = Seq(("A", "B"), ("A", "C"), ("B", "C")).toDF("s", "d")
+    val r1 = LinkGraph.pageRank(edges, "s", "d", iterations = 1)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(r1("A") - (0.05 + 0.85 / 9)) < 1e-12)
+    assert(math.abs(r1("B") - (0.05 + 0.85 * (1.0 / 6 + 1.0 / 9))) < 1e-12)
+    assert(math.abs(r1("C") - (0.05 + 0.85 * (0.5 + 1.0 / 9))) < 1e-12)
+    assert(math.abs(r1.values.sum - 1.0) < 1e-9) // mass conserved
+    // more iterations keep conserving mass (the dangling correction)
+    val r5 = LinkGraph.pageRank(edges, "s", "d", iterations = 5)
+      .agg(sum("rank")).head().getDouble(0)
+    assert(math.abs(r5 - 1.0) < 1e-9)
+  }
+
+  test("pageRank weights split contributions proportionally") {
+    import spark.implicits._
+    // A → B (w 3), A → C (w 1): B gets 3/4 of A's damped mass.
+    // B, C dangling. 1 iteration, r0 = 1/3; dangling = 2/3.
+    val edges = Seq(("A", "B", 3.0), ("A", "C", 1.0)).toDF("s", "d", "w")
+    val r = LinkGraph.pageRank(edges, "s", "d", weightCol = "w",
+        iterations = 1)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    val dangPer = (2.0 / 3) / 3
+    assert(math.abs(r("B") - (0.05 + 0.85 * (0.25 + dangPer))) < 1e-12)
+    assert(math.abs(r("C") - (0.05 + 0.85 * (1.0 / 12 + dangPer))) < 1e-12)
+  }
+
+  test("hostAuthority aggregates diversity and nofollow share") {
+    import spark.implicits._
+    val links = Seq(
+      (1L, "a.io", "t.io", "click", false),
+      (2L, "a.io", "t.io", "click", true),
+      (3L, "b.io", "t.io", "", false),
+      (4L, "t.io", "t.io", "self", false) // self-loop excluded
+    ).toDF("id", "src_host", "link_host", "anchor", "nofollow")
+    val r = LinkGraph.hostAuthority(links, "id").collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert(row.getString(0) == "t.io" && row.getLong(1) == 3)
+    assert(row.getLong(2) == 2 && row.getLong(3) == 3)
+    assert(row.getLong(4) == 1 && row.getLong(5) == 1)
+  }
+}
