@@ -3209,8 +3209,261 @@ object SparkEntry {
       textops.JsonlDocs.explodeJsonl(docs, "id", "jsonl",
           fields = Seq("lang"))
         .orderBy(col("id"), col("line_idx"))
+    }),
+
+    // HTML link extraction + RFC 3986 reference resolution — the edge
+    // source of the link graph: each doc plants one page whose single
+    // <a href> exercises one resolution class (absolute, protocol-
+    // relative, path-absolute, ../ traversal, query-only, fragment-only
+    // self-reference, nofollow with an entity-encoded query that must
+    // re-sort, and a <base href> page whose mailto: link must DROP);
+    // the oracle replays the resolved+canonicalized URL closed-form
+    "q156_link_extract" -> ((s, dir) => {
+      import s.implicits._
+      val pages = tSpread(s, dir, "documents").select(col("doc_id"))
+        .as[Long]
+        .map(k => (k, q156Url(k), q156Html(k)))
+        .toDF("doc_id", "url", "html")
+      textops.LinkGraph.pageLinks(pages, "doc_id", "url", "html")
+        .select(col("doc_id"), col("link_pos"), col("src_host"),
+          col("link_url"), col("anchor"), col("nofollow"))
+        .orderBy(col("doc_id"), col("link_pos"))
+    }),
+
+    // Host-graph PageRank — the centrality signal behind host-level
+    // quality weighting (Common Crawl publishes host ranks computed
+    // this way): pages over 12 hosts plant a deterministic host graph
+    // (two followable links per page from hosts 0–9; hosts 10–11 are
+    // leaf pages, i.e. DANGLING nodes whose mass must redistribute),
+    // plus a self-loop nav link (k%2=0) hostEdges must drop and a
+    // rel=nofollow link (k%4=1) the compliant graph must not count.
+    // 5 fixed iterations at d=0.85; the oracle replays the edge
+    // arithmetic and unrolls the same 5 iterations in SQL
+    "q157_host_rank" -> ((s, dir) => {
+      import s.implicits._
+      val pages = tSpread(s, dir, "documents").select(col("doc_id"))
+        .as[Long]
+        .map(k => (k, q157Url(k), q157Html(k)))
+        .toDF("doc_id", "url", "html")
+      val links = textops.LinkGraph.pageLinks(pages, "doc_id", "url", "html")
+      val edges = textops.LinkGraph.hostEdges(links, "doc_id")
+      textops.LinkGraph.pageRank(edges, "src_host", "dst_host",
+          weightCol = "n_links", damping = 0.85, iterations = 5)
+        .select(col("host"), round(col("rank"), 6).as("rank"))
+        .orderBy(col("host"))
+    }),
+
+    // Host authority audit — the diversity table next to the rank
+    // vector (in-link counts mean nothing without distinct-source
+    // counts: a PBN has thousands of in-links from three hosts): same
+    // planted pages as q157, aggregated per DESTINATION host with
+    // nofollow links kept VISIBLE (counted in the nofollow_links
+    // column) and self-loops excluded; the oracle replays the link
+    // arithmetic including the planted anchor strings
+    "q158_host_authority" -> ((s, dir) => {
+      import s.implicits._
+      val pages = tSpread(s, dir, "documents").select(col("doc_id"))
+        .as[Long]
+        .map(k => (k, q157Url(k), q157Html(k)))
+        .toDF("doc_id", "url", "html")
+      val links = textops.LinkGraph.pageLinks(pages, "doc_id", "url", "html")
+      textops.LinkGraph.hostAuthority(links, "doc_id")
+        .orderBy(col("dst_host"))
+    }),
+
+    // ADTS/AAC corpus audit — the raw-stream sibling of q134 (MPEG
+    // audio) and q153 (MP4): doc keys plant ADTS streams whose header
+    // matrix (profile k%3, rate k%4, channels k%2+1, raw-data-blocks
+    // k%2+1, CRC flag k%7=0, MPEG-2 vs -4 on k%6) replays closed-form;
+    // k%5=0 appends a truncated frame the walker must quarantine
+    // without costing the good frames. PCM decode stays refused (the
+    // q134 verbatim-table argument) — the audit makes the loss
+    // measurable
+    "q159_adts_audit" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = tSpread(s, dir, "documents").select(col("doc_id"))
+        .as[Long]
+        .map(k => (k, q159Adts(k)))
+        .toDF("doc_id", "payload")
+      multimodal.Aac.audioAudit(payloads, "doc_id", "payload")
+        .orderBy(col("doc_id"))
+    }),
+
+    // RSS/Atom feed parsing — the freshness-side discovery channel
+    // beside q141's sitemaps: RSS on even keys (RFC 822 dates), Atom
+    // on odd (RFC 3339), k%3+1 items each with closed-form
+    // title/link/id/date; k%11=0 plants a non-XML payload that must
+    // come back as ONE typed error row. Both date grammars must land
+    // on the same epoch arithmetic
+    "q160_feed" -> ((s, dir) => {
+      import s.implicits._
+      val feeds = tSpread(s, dir, "documents").select(col("doc_id"))
+        .as[Long]
+        .map(k => (k, q160Feed(k)))
+        .toDF("doc_id", "payload")
+      textops.Feeds.items(feeds, "doc_id", "payload")
+        .orderBy(col("doc_id"), col("item_idx"))
     })
   )
+
+  /** q156's page URL: host class k%3, base path /a/b/ with a
+    * non-tracking query the self-reference cases must keep.
+    */
+  private[graft] def q156Url(k: Long): String =
+    s"https://ex${k % 3}.org/a/b/page$k.html?x=1"
+
+  /** q156's planted page: one resolution class per k%8 (see the query
+    * comment).
+    */
+  private[graft] def q156Html(k: Long): String = {
+    val body = (k % 8).toInt match {
+      case 0 => """<a href="https://other.example/p?q=2">Plain</a>"""
+      case 1 => """<a href="//cdn.example/img/i.png">CDN asset</a>"""
+      case 2 => """<a href="/root/file.html">Root &amp; file</a>"""
+      case 3 => """<a href="../up/./doc.html">Up doc</a>"""
+      case 4 => """<a href="?y=3">Query only</a>"""
+      case 5 => """<a href="#sec">Fragment</a>"""
+      case 6 =>
+        """<a href="https://t.example/p?b=2&amp;a=1" rel="nofollow">No follow</a>"""
+      case _ =>
+        """<base href="https://based.example/dir/">""" +
+          """<a href="mailto:x@y.z">mail</a><a href="rel.html">Based</a>"""
+    }
+    s"<html><body><p>$body</p></body></html>"
+  }
+
+  /** q157/q158's page URL: one page per doc on host k%12. */
+  private[graft] def q157Url(k: Long): String =
+    s"https://h${k % 12}.example/p/$k"
+
+  /** q157/q158's planted page: hosts 0–9 link to (r+1+k%5)%12 and
+    * (r+7)%12 (followable), plus a nofollow link to (r+3)%12 on k%4=1
+    * and a same-host nav link on k%2=0; hosts 10–11 are leaf pages
+    * (dangling in the host graph).
+    */
+  private[graft] def q157Html(k: Long): String = {
+    val r = (k % 12).toInt
+    if (r >= 10) "<html><body><p>leaf page</p></body></html>"
+    else {
+      val a = (r + 1 + (k % 5).toInt) % 12
+      val b = (r + 7) % 12
+      val c = (r + 3) % 12
+      val sb = new StringBuilder("<html><body><p>")
+      sb.append(s"""<a href="https://h$a.example/x">l1 h$a</a> """)
+      sb.append(s"""<a href="https://h$b.example/y">l2 h$b</a> """)
+      if (k % 4 == 1)
+        sb.append(s"""<a href="https://h$c.example/z" rel="nofollow">nf h$c</a> """)
+      if (k % 2 == 0) sb.append("""<a href="/self">self nav</a>""")
+      sb.append("</p></body></html>")
+      sb.toString
+    }
+  }
+
+  /** q157's oracle: the planted edge arithmetic + `iters` PageRank
+    * iterations unrolled as SQL CTEs (DuckDB replays exactly what
+    * [[graft.textops.LinkGraph.pageRank]] computes — uniform seed,
+    * damping 0.85, dangling mass redistributed uniformly).
+    */
+  private def q157OracleSql(iters: Int): String = {
+    val sb = new StringBuilder(
+      """WITH d AS (SELECT doc_id AS k, doc_id % 12 AS r FROM documents),
+        |raw AS (
+        |  SELECT r AS src, (r + 1 + k % 5) % 12 AS dst FROM d WHERE r < 10
+        |  UNION ALL
+        |  SELECT r, (r + 7) % 12 FROM d WHERE r < 10
+        |),
+        |edges AS (SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS w
+        |  FROM raw WHERE src <> dst GROUP BY 1, 2),
+        |outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY 1),
+        |frac AS (SELECT e.src, e.dst, e.w / o.ow AS f
+        |  FROM edges e JOIN outw o USING (src)),
+        |nodes AS (SELECT src AS h FROM edges UNION SELECT dst FROM edges),
+        |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+        |pr0 AS (SELECT h, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)
+        |""".stripMargin)
+    for (i <- 1 to iters) {
+      val p = s"pr${i - 1}"
+      sb.append(
+        s""", dg$i AS (SELECT COALESCE(SUM(rank), 0) AS dm FROM $p
+           |  WHERE h NOT IN (SELECT src FROM edges)),
+           |ct$i AS (SELECT f.dst AS h, SUM(f.f * p.rank) AS c
+           |  FROM frac f JOIN $p p ON f.src = p.h GROUP BY 1),
+           |pr$i AS (SELECT nd.h,
+           |  0.15 / (SELECT n FROM nn) + 0.85 * (COALESCE(c.c, 0) +
+           |    (SELECT dm FROM dg$i) / (SELECT n FROM nn)) AS rank
+           |  FROM nodes nd LEFT JOIN ct$i c ON nd.h = c.h)
+           |""".stripMargin)
+    }
+    sb.append(
+      s"""SELECT 'h' || CAST(h AS VARCHAR) || '.example' AS host,
+         |  ROUND(rank, 6) AS rank FROM pr$iters ORDER BY host""".stripMargin)
+    sb.toString
+  }
+
+  /** q159's planted ADTS stream for doc key `k` (see the query
+    * comment): k%4+2 frames of the header matrix, plus a truncated
+    * frame on k%5=0.
+    */
+  private[graft] def q159Adts(k: Long): Array[Byte] = {
+    val srIdx = Array(3, 4, 7, 11)((k % 4).toInt) // 48000/44100/22050/8000
+    val profile = (k % 3).toInt
+    val chanCfg = (k % 2).toInt + 1
+    val rdb = (k % 2).toInt // raw_data_blocks field: n-1
+    val crc = k % 7 == 0
+    val mpeg4 = k % 6 < 3
+    def frame(payloadLen: Int): Array[Byte] = {
+      val headerLen = if (crc) 9 else 7
+      val flen = headerLen + payloadLen
+      val b = new Array[Byte](flen)
+      b(0) = 0xff.toByte
+      b(1) = (0xf0 | (if (mpeg4) 0 else 8) | (if (crc) 0 else 1)).toByte
+      b(2) = ((profile << 6) | (srIdx << 2) | ((chanCfg >> 2) & 1)).toByte
+      b(3) = (((chanCfg & 3) << 6) | ((flen >> 11) & 3)).toByte
+      b(4) = ((flen >> 3) & 0xff).toByte
+      b(5) = (((flen & 7) << 5) | 0x1f).toByte
+      b(6) = ((0x3f << 2) | rdb).toByte
+      b
+    }
+    val good = (0 until (k % 4).toInt + 2).toArray
+      .flatMap(_ => frame((k % 6).toInt + 3))
+    if (k % 5 != 0) good
+    else good ++ frame(600).take(16) // declared length past payload end
+  }
+
+  /** q160's planted feed bytes for doc key `k` (see the query
+    * comment).
+    */
+  private[graft] def q160Feed(k: Long): Array[Byte] = {
+    if (k % 11 == 0) return s"not a feed $k".getBytes("UTF-8")
+    val n = (k % 3).toInt + 1
+    val sb = new StringBuilder
+    if (k % 2 == 0) {
+      sb.append("<?xml version=\"1.0\"?>\n<rss version=\"2.0\"><channel>")
+      sb.append(s"<title>Feed ${k % 5}</title>")
+      for (i <- 0 until n) {
+        val m = ((k + i) % 60).toInt
+        sb.append(s"<item><title>Item $k-$i</title>")
+        sb.append(s"<link>https://f${k % 5}.example/item/$k/$i</link>")
+        sb.append(s"<guid>urn:item:$k:$i</guid>")
+        sb.append(f"<pubDate>Mon, 02 Mar 2026 10:$m%02d:00 GMT</pubDate>")
+        sb.append("</item>")
+      }
+      sb.append("</channel></rss>")
+    } else {
+      sb.append("<feed xmlns=\"http://www.w3.org/2005/Atom\">")
+      sb.append(s"<title>Feed ${k % 5}</title>")
+      for (i <- 0 until n) {
+        val m = ((k + i) % 60).toInt
+        sb.append(s"<entry><title>Item $k-$i</title>")
+        sb.append(s"""<link rel="alternate" href="https://f${k % 5}.example/item/$k/$i"/>""")
+        sb.append(s"<id>urn:item:$k:$i</id>")
+        sb.append(f"<published>2026-03-02T10:$m%02d:00Z</published>")
+        sb.append("</entry>")
+      }
+      sb.append("</feed>")
+    }
+    sb.toString.getBytes("UTF-8")
+  }
 
   /** q151's planted multi-charset WARC for supplier key `k` (see the
     * query comment): one page of sniff class k%6, plus a mislabeled
@@ -7134,7 +7387,118 @@ object SparkEntry {
         |    AS lang,
         |  CASE WHEN k % 5 = 3 AND line_idx = 0
         |    THEN 'malformed json' END AS error
-        |FROM l ORDER BY id, line_idx""".stripMargin
+        |FROM l ORDER BY id, line_idx""".stripMargin,
+
+    // closed-form replay of the planted resolution matrix: one emitted
+    // link per doc (the k%8=7 mailto: link drops, leaving the
+    // base-href-resolved one at position 0); case 6's entity-decoded
+    // query re-sorts under canonicalization
+    "q156_link_extract" ->
+      """SELECT doc_id, 0 AS link_pos,
+        |  'ex' || CAST(doc_id % 3 AS VARCHAR) || '.org' AS src_host,
+        |  CASE CAST(doc_id % 8 AS INTEGER)
+        |    WHEN 0 THEN 'https://other.example/p?q=2'
+        |    WHEN 1 THEN 'https://cdn.example/img/i.png'
+        |    WHEN 2 THEN 'https://ex' || CAST(doc_id % 3 AS VARCHAR) ||
+        |      '.org/root/file.html'
+        |    WHEN 3 THEN 'https://ex' || CAST(doc_id % 3 AS VARCHAR) ||
+        |      '.org/a/up/doc.html'
+        |    WHEN 4 THEN 'https://ex' || CAST(doc_id % 3 AS VARCHAR) ||
+        |      '.org/a/b/page' || CAST(doc_id AS VARCHAR) || '.html?y=3'
+        |    WHEN 5 THEN 'https://ex' || CAST(doc_id % 3 AS VARCHAR) ||
+        |      '.org/a/b/page' || CAST(doc_id AS VARCHAR) || '.html?x=1'
+        |    WHEN 6 THEN 'https://t.example/p?a=1&b=2'
+        |    ELSE 'https://based.example/dir/rel.html' END AS link_url,
+        |  CASE CAST(doc_id % 8 AS INTEGER)
+        |    WHEN 0 THEN 'Plain' WHEN 1 THEN 'CDN asset'
+        |    WHEN 2 THEN 'Root & file' WHEN 3 THEN 'Up doc'
+        |    WHEN 4 THEN 'Query only' WHEN 5 THEN 'Fragment'
+        |    WHEN 6 THEN 'No follow' ELSE 'Based' END AS anchor,
+        |  doc_id % 8 = 6 AS nofollow
+        |FROM documents ORDER BY doc_id, link_pos""".stripMargin,
+
+    // the planted host-graph edges (self-loops and nofollow links never
+    // enter) + 5 PageRank iterations unrolled as CTEs
+    "q157_host_rank" -> q157OracleSql(5),
+
+    // per-destination authority audit over ALL planted links (nofollow
+    // kept visible, self-loops excluded)
+    "q158_host_authority" ->
+      """WITH d AS (SELECT doc_id AS k, doc_id % 12 AS r FROM documents),
+        |raw AS (
+        |  SELECT r AS src, (r + 1 + k % 5) % 12 AS dst,
+        |    'l1 h' || CAST((r + 1 + k % 5) % 12 AS VARCHAR) AS anchor,
+        |    FALSE AS nf, k FROM d WHERE r < 10
+        |  UNION ALL
+        |  SELECT r, (r + 7) % 12,
+        |    'l2 h' || CAST((r + 7) % 12 AS VARCHAR), FALSE, k
+        |  FROM d WHERE r < 10
+        |  UNION ALL
+        |  SELECT r, (r + 3) % 12,
+        |    'nf h' || CAST((r + 3) % 12 AS VARCHAR), TRUE, k
+        |  FROM d WHERE r < 10 AND k % 4 = 1
+        |)
+        |SELECT 'h' || CAST(dst AS VARCHAR) || '.example' AS dst_host,
+        |  COUNT(*) AS in_links,
+        |  COUNT(DISTINCT src) AS n_src_hosts,
+        |  COUNT(DISTINCT k) AS n_src_pages,
+        |  COUNT(DISTINCT CASE WHEN anchor <> '' THEN anchor END)
+        |    AS n_anchors,
+        |  SUM(CASE WHEN nf THEN 1 ELSE 0 END) AS nofollow_links
+        |FROM raw WHERE src <> dst GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // closed-form replay of the planted ADTS header matrix; the
+    // truncated frame on k%5=0 quarantines (n_bad_frames) without
+    // costing the good frames or the duration
+    "q159_adts_audit" ->
+      """SELECT doc_id,
+        |  CAST(doc_id % 4 + 2 AS INTEGER) AS n_frames,
+        |  CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS INTEGER)
+        |    AS n_bad_frames,
+        |  CAST(CASE CAST(doc_id % 4 AS INTEGER)
+        |    WHEN 0 THEN 48000 WHEN 1 THEN 44100
+        |    WHEN 2 THEN 22050 ELSE 8000 END AS INTEGER) AS sample_rate,
+        |  CAST(doc_id % 2 + 1 AS INTEGER) AS channels,
+        |  CASE CAST(doc_id % 3 AS INTEGER)
+        |    WHEN 0 THEN 'Main' WHEN 1 THEN 'LC' ELSE 'SSR' END AS profile,
+        |  doc_id % 6 < 3 AS mpeg4,
+        |  doc_id % 7 = 0 AS crc_present,
+        |  ROUND((doc_id % 4 + 2) * (doc_id % 2 + 1) * 1024.0 * 1000 /
+        |    (CASE CAST(doc_id % 4 AS INTEGER)
+        |      WHEN 0 THEN 48000 WHEN 1 THEN 44100
+        |      WHEN 2 THEN 22050 ELSE 8000 END), 3) AS duration_ms
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // closed-form replay of the planted feed matrix: k%3+1 items per
+    // parseable feed (RSS raw dates on even keys, Atom on odd, both
+    // landing on the same epoch), one typed error row on k%11=0
+    "q160_feed" ->
+      """WITH d AS (SELECT doc_id AS k FROM documents),
+        |items AS (
+        |  SELECT k, CAST(r.i AS INTEGER) AS item_idx, r.i AS i FROM d
+        |  JOIN range(0, 3) r(i) ON r.i < k % 3 + 1
+        |  WHERE k % 11 <> 0)
+        |SELECT k AS doc_id, item_idx,
+        |  CASE WHEN k % 2 = 0 THEN 'rss' ELSE 'atom' END AS kind,
+        |  'Feed ' || CAST(k % 5 AS VARCHAR) AS feed_title,
+        |  'Item ' || CAST(k AS VARCHAR) || '-' || CAST(i AS VARCHAR)
+        |    AS title,
+        |  'https://f' || CAST(k % 5 AS VARCHAR) || '.example/item/' ||
+        |    CAST(k AS VARCHAR) || '/' || CAST(i AS VARCHAR) AS link,
+        |  CASE WHEN k % 2 = 0
+        |    THEN 'Mon, 02 Mar 2026 10:' ||
+        |      lpad(CAST((k + i) % 60 AS VARCHAR), 2, '0') || ':00 GMT'
+        |    ELSE '2026-03-02T10:' ||
+        |      lpad(CAST((k + i) % 60 AS VARCHAR), 2, '0') || ':00Z'
+        |  END AS published,
+        |  epoch_ms(TIMESTAMP '2026-03-02 10:00:00') + ((k + i) % 60) * 60000
+        |    AS published_ms,
+        |  CAST(NULL AS VARCHAR) AS error
+        |FROM items
+        |UNION ALL
+        |SELECT k, 0, NULL, NULL, NULL, NULL, NULL, NULL, 'malformed xml'
+        |FROM d WHERE k % 11 = 0
+        |ORDER BY doc_id, item_idx""".stripMargin
   )
 
   /** q133's replay: q102's stage CTEs over the crawl-extracted corpus

@@ -1,0 +1,186 @@
+package graft.multimodal
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** ADTS (Audio Data Transport Stream, ISO/IEC 13818-7 §6.2 /
+  * 14496-3 §1.A.3) frame layer for raw `.aac` payloads: sync walk,
+  * header fields, frame length, CRC presence, and a per-payload corpus
+  * audit — the AAC sibling of [[Mp3]]'s MPEG-audio walk and the
+  * raw-stream twin of [[Mp4]]'s sample-table audit (AAC reaches a
+  * crawl both ways: bare ADTS streams and MP4/M4A containers).
+  *
+  * Scope is the transport layer, not PCM, for exactly the [[Mp3]]
+  * reason: every field here is closed-form header arithmetic the
+  * standard defines in prose (sampling-frequency table, 13-bit frame
+  * length, raw-data-block count), while a conforming AAC PCM decode
+  * needs the spec's Huffman codebooks, scalefactor tables and window
+  * coefficients VERBATIM — `Multimodal.Codecs.decodeAudioPcm`'s
+  * documented refusal (PERF_NOTES 17/22) applies unchanged. The audit
+  * makes the coverage loss measurable per corpus.
+  *
+  * Error model — the WARC/MiniSeed/Mp3 pattern: malformed frames
+  * quarantine as rows with a non-null `error`, the walker resyncs to
+  * the next 0xFFFx sync, and nothing throws on attacker-controlled
+  * bytes.
+  *
+  * Scale shape: one pure kernel call per payload row (scan-stage
+  * projection; explode only for the per-frame table); payload bytes
+  * are projected away before anything shuffles.
+  *
+  * The reference has no audio surface (stream2segment decodes seismic
+  * miniSEED, `stream2segment/download/modules/segments.py:1`); this is
+  * extension surface for the LLM-data brief.
+  */
+object Aac {
+
+  /** One ADTS frame (or one quarantined framing failure). */
+  final case class Frame(frameIdx: Int, offset: Long, mpeg4: Boolean,
+                         profile: String, sampleRateHz: Int, channels: Int,
+                         frameBytes: Int, rawDataBlocks: Int,
+                         crcPresent: Boolean, error: String)
+
+  /** Whole-payload audit (None = not an ADTS stream). Duration counts
+    * 1024 PCM samples per raw data block (the AAC frame size).
+    */
+  final case class Audit(nFrames: Int, nBadFrames: Int, sampleRateHz: Int,
+                         channels: Int, profile: String, mpeg4: Boolean,
+                         crcPresent: Boolean, durationMs: Double)
+
+  /** ISO 14496-3 §1.6.3.4 samplingFrequencyIndex table (13 entries;
+    * 13–14 reserved, 15 forbidden).
+    */
+  private val SampleRates = Array(96000, 88200, 64000, 48000, 44100,
+    32000, 24000, 22050, 16000, 12000, 11025, 8000, 7350)
+
+  private val Profiles = Array("Main", "LC", "SSR", "LTP")
+
+  private def isSync(b: Array[Byte], i: Int): Boolean =
+    i + 1 < b.length && (b(i) & 0xff) == 0xff && (b(i + 1) & 0xf6) == 0xf0
+
+  /** Parse the 7/9-byte header at `i` (sync already checked);
+    * Left(reason) on reserved/degenerate fields.
+    */
+  private def parseHeader(b: Array[Byte], i: Int)
+      : Either[String, (Boolean, String, Int, Int, Int, Int, Boolean)] = {
+    if (i + 7 > b.length) return Left("header truncated")
+    val h1 = b(i + 1) & 0xff
+    val h2 = b(i + 2) & 0xff
+    val h3 = b(i + 3) & 0xff
+    val h4 = b(i + 4) & 0xff
+    val h5 = b(i + 5) & 0xff
+    val mpeg4 = (h1 & 0x08) == 0 // ID bit: 0 = MPEG-4, 1 = MPEG-2
+    val crcPresent = (h1 & 1) == 0 // protection_absent inverted
+    val profile = (h2 >>> 6) & 3
+    val srIdx = (h2 >>> 2) & 0xf
+    if (srIdx >= 13) return Left("reserved sampling frequency index")
+    val chanCfg = ((h2 & 1) << 2) | ((h3 >>> 6) & 3)
+    if (chanCfg == 0) return Left("PCE-defined channel configuration")
+    val channels = if (chanCfg == 7) 8 else chanCfg
+    val frameLen = ((h3 & 3) << 11) | (h4 << 3) | ((h5 >>> 5) & 7)
+    val rdb = (b(i + 6) & 3) + 1
+    val headerLen = if (crcPresent) 9 else 7
+    if (frameLen < headerLen) return Left("degenerate frame length")
+    Right((mpeg4, Profiles(profile), SampleRates(srIdx), channels,
+      frameLen, rdb, crcPresent))
+  }
+
+  /** Walk all ADTS frames of a payload. Empty when the payload doesn't
+    * start at a sync word ("not ADTS" is the caller's signal, distinct
+    * from "ADTS with bad frames"). Malformed frames become error rows
+    * with a resync.
+    */
+  def frames(payload: Array[Byte]): Seq[Frame] = {
+    if (payload == null || payload.length < 7) return Seq.empty
+    if (!isSync(payload, 0)) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer[Frame]()
+    var i = 0
+    var idx = 0
+    while (i >= 0 && i + 7 <= payload.length) {
+      parseHeader(payload, i) match {
+        case Right((m4, prof, sr, ch, flen, rdb, crc)) =>
+          if (i + flen > payload.length) {
+            out += Frame(idx, i.toLong, m4, null, 0, 0, 0, 0,
+              crcPresent = false, "frame truncated")
+            idx += 1
+            i = resync(payload, i + 1)
+          } else {
+            out += Frame(idx, i.toLong, m4, prof, sr, ch, flen, rdb,
+              crc, null)
+            idx += 1
+            i += flen
+            if (i + 7 <= payload.length && !isSync(payload, i)) {
+              out += Frame(idx, i.toLong, mpeg4 = false, null, 0, 0, 0, 0,
+                crcPresent = false, "lost sync")
+              idx += 1
+              i = resync(payload, i + 1)
+            }
+          }
+        case Left(reason) =>
+          out += Frame(idx, i.toLong, mpeg4 = false, null, 0, 0, 0, 0,
+            crcPresent = false, reason)
+          idx += 1
+          i = resync(payload, i + 1)
+      }
+    }
+    out.toSeq
+  }
+
+  private def resync(b: Array[Byte], from: Int): Int = {
+    var i = math.max(from, 0)
+    while (i + 1 < b.length) {
+      if (isSync(b, i)) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Summarize one payload: frame/corruption counts, stream parameters
+    * from the first good frame, duration from per-frame raw-data-block
+    * counts (1024 samples each). None when the payload isn't ADTS.
+    */
+  def audit(payload: Array[Byte]): Option[Audit] = {
+    val fs = frames(payload)
+    if (fs.isEmpty || !fs.exists(_.error == null)) return None
+    val good = fs.filter(_.error == null)
+    val head = good.head
+    val durMs = good.foldLeft(0.0)((a, f) =>
+      a + f.rawDataBlocks * 1024.0 * 1000.0 / f.sampleRateHz)
+    Some(Audit(good.length, fs.length - good.length, head.sampleRateHz,
+      head.channels, head.profile, head.mpeg4, head.crcPresent, durMs))
+  }
+
+  /** Per-frame table over a payload column — one row per frame
+    * including quarantined failures; non-ADTS rows emit nothing.
+    */
+  def frameTable(df: DataFrame, idCol: String, payloadCol: String)
+      : DataFrame = {
+    val kernel = udf { b: Array[Byte] => frames(b) }
+    df.select(col(idCol), explode(kernel(col(payloadCol))).as("f"))
+      .select(col(idCol), col("f.frameIdx").as("frame_idx"),
+        col("f.offset").as("offset"), col("f.mpeg4").as("mpeg4"),
+        col("f.profile").as("profile"),
+        col("f.sampleRateHz").as("sample_rate"),
+        col("f.channels").as("channels"),
+        col("f.frameBytes").as("frame_bytes"),
+        col("f.rawDataBlocks").as("raw_data_blocks"),
+        col("f.crcPresent").as("crc_present"), col("f.error").as("error"))
+  }
+
+  /** Per-payload audit table — the coverage audit for an AAC corpus;
+    * non-ADTS rows are dropped. Scan-stage kernel, no shuffle.
+    */
+  def audioAudit(df: DataFrame, idCol: String, payloadCol: String)
+      : DataFrame = {
+    val kernel = udf { b: Array[Byte] => audit(b) }
+    df.select(col(idCol), kernel(col(payloadCol)).as("a"))
+      .where(col("a").isNotNull)
+      .select(col(idCol), col("a.nFrames").as("n_frames"),
+        col("a.nBadFrames").as("n_bad_frames"),
+        col("a.sampleRateHz").as("sample_rate"),
+        col("a.channels").as("channels"),
+        col("a.profile").as("profile"), col("a.mpeg4").as("mpeg4"),
+        col("a.crcPresent").as("crc_present"),
+        round(col("a.durationMs"), 3).as("duration_ms"))
+  }
+}

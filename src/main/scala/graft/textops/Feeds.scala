@@ -1,0 +1,252 @@
+package graft.textops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** RSS 2.0 / Atom 1.0 feed source — the third crawl-discovery channel
+  * beside [[Sitemaps]] and [[RobotsTxt]]: feeds are how sites declare
+  * their NEW content (sitemaps declare inventory, feeds declare
+  * freshness), and a crawl pipeline that ingests them gets both link
+  * discovery and a per-item publication timestamp — the recency signal
+  * corpus curation uses for temporal slicing and dedup tie-breaks.
+  *
+  * Reference scope: the reference has no crawl code; extension surface
+  * beside [[Sitemaps]].
+  *
+  * Parsing: hardened DOM (no DOCTYPE, no external entities — the
+  * [[Sitemaps]] XXE posture; crawl bytes are attacker-controlled) over
+  * the two formats' structures — `<rss><channel><item>` with
+  * title/link/guid/pubDate (RFC 822 dates), `<feed><entry>` with
+  * title/link@href/id/updated (RFC 3339 dates). Dates parse to epoch
+  * millis where well-formed and stay raw strings otherwise (degrade,
+  * never throw); unknown roots and malformed XML become typed error
+  * rows.
+  *
+  * Scale shape: one pure per-payload kernel in a scan-stage projection
+  * + explode — feed files are per-host metadata, tiny next to the page
+  * corpus; downstream joins key on [[UrlOps]]-canonical URLs.
+  */
+object Feeds {
+
+  /** Decoded payloads are capped like sitemaps (a feed this large is
+    * not a feed).
+    */
+  val MaxBytes: Int = 50 << 20
+
+  /** One feed item. `id` is RSS `<guid>` / Atom `<id>`; `published` is
+    * the raw date string (`pubDate` / `published` else `updated`);
+    * `publishedMs` its epoch-millis parse when well-formed.
+    */
+  final case class Item(title: String, link: String, id: String,
+                        published: String, publishedMs: Option[Long])
+
+  /** A parsed feed: `kind` = `rss` | `atom`, its channel/feed title,
+    * items, or a typed error.
+    */
+  final case class Parsed(kind: String, feedTitle: String,
+                          items: Seq[Item], error: String)
+
+  private def fail(reason: String): Parsed = Parsed(null, null, Nil, reason)
+
+  /** RFC 822/1123 date with OPTIONAL day-of-week and 2-or-4-digit year
+    * tolerance is what feeds actually ship; GMT/UT/offset forms all
+    * appear. Built once (formatters are immutable + thread-safe).
+    */
+  private val Rfc822 = {
+    import java.time.format.DateTimeFormatterBuilder
+    import java.time.temporal.ChronoField
+    new DateTimeFormatterBuilder()
+      .parseCaseInsensitive()
+      .optionalStart().appendPattern("EEE, ").optionalEnd()
+      .appendPattern("d MMM yyyy HH:mm")
+      .optionalStart().appendLiteral(':')
+      .appendValue(ChronoField.SECOND_OF_MINUTE, 2).optionalEnd()
+      .appendLiteral(' ')
+      .optionalStart().appendZoneText(java.time.format.TextStyle.SHORT)
+      .optionalEnd()
+      .optionalStart().appendOffset("+HHMM", "GMT").optionalEnd()
+      .toFormatter(java.util.Locale.ROOT)
+      .withZone(java.time.ZoneOffset.UTC)
+  }
+
+  /** Parse an RSS (RFC 822) or Atom (RFC 3339) date to epoch millis;
+    * None when malformed — the raw string still rides along.
+    */
+  private[graft] def parseDateMs(s: String): Option[Long] = {
+    if (s == null || s.isEmpty) return None
+    val t = s.trim
+    try Some(java.time.Instant.parse(t).toEpochMilli)
+    catch { case _: java.time.format.DateTimeParseException =>
+      try Some(java.time.ZonedDateTime.parse(t, Rfc822)
+        .toInstant.toEpochMilli)
+      catch { case _: java.time.format.DateTimeParseException => None }
+    }
+  }
+
+  private def gunzipCapped(b: Array[Byte]): Either[String, Array[Byte]] =
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(b))
+      val out = new java.io.ByteArrayOutputStream(math.min(b.length * 4,
+        1 << 20))
+      val buf = new Array[Byte](1 << 16)
+      var n = in.read(buf)
+      while (n > 0) {
+        if (out.size() + n > MaxBytes) return Left("feed too large")
+        out.write(buf, 0, n)
+        n = in.read(buf)
+      }
+      Right(out.toByteArray)
+    } catch {
+      case _: java.io.IOException => Left("corrupt gzip feed")
+    }
+
+  /** One hardened builder per task thread (the [[Sitemaps]] pattern —
+    * factory setup is not per-row work; reset() is the reuse contract).
+    */
+  private val builders = new ThreadLocal[javax.xml.parsers.DocumentBuilder] {
+    override def initialValue(): javax.xml.parsers.DocumentBuilder = {
+      val dbf = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      dbf.setNamespaceAware(false)
+      dbf.setFeature("http://apache.org/xml/features/disallow-doctype-decl",
+        true)
+      dbf.setFeature("http://xml.org/sax/features/external-general-entities",
+        false)
+      dbf.setFeature(
+        "http://xml.org/sax/features/external-parameter-entities", false)
+      dbf.setXIncludeAware(false)
+      dbf.setExpandEntityReferences(false)
+      dbf.newDocumentBuilder()
+    }
+  }
+
+  private def local(tag: String): String = {
+    val c = tag.indexOf(':')
+    if (c >= 0) tag.substring(c + 1) else tag
+  }
+
+  private def childElems(el: org.w3c.dom.Element,
+                         name: String): Seq[org.w3c.dom.Element] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[org.w3c.dom.Element]
+    val kids = el.getChildNodes
+    var i = 0
+    while (i < kids.getLength) {
+      kids.item(i) match {
+        case e: org.w3c.dom.Element if local(e.getTagName) == name => out += e
+        case _ =>
+      }
+      i += 1
+    }
+    out.toSeq
+  }
+
+  private def childText(el: org.w3c.dom.Element, name: String): String =
+    childElems(el, name).headOption.map { e =>
+      val t = e.getTextContent
+      if (t == null) null else t.trim
+    }.orNull
+
+  /** Parse one feed payload (plain or gzipped XML bytes). */
+  def parse(bytes: Array[Byte]): Parsed = {
+    if (bytes == null || bytes.length == 0) return fail("empty feed")
+    val xml =
+      if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f &&
+        (bytes(1) & 0xff) == 0x8b)
+        gunzipCapped(bytes) match {
+          case Left(e) => return fail(e)
+          case Right(x) => x
+        }
+      else if (bytes.length > MaxBytes) return fail("feed too large")
+      else bytes
+    val builder = builders.get()
+    builder.reset()
+    val doc =
+      try builder.parse(new java.io.ByteArrayInputStream(xml))
+      catch {
+        case _: org.xml.sax.SAXException => return fail("malformed xml")
+        case _: java.io.IOException => return fail("malformed xml")
+      }
+    val root = doc.getDocumentElement
+    if (root == null) return fail("malformed xml")
+    local(root.getTagName) match {
+      case "rss" =>
+        childElems(root, "channel").headOption match {
+          case None => fail("rss without channel")
+          case Some(ch) =>
+            val items = childElems(ch, "item").flatMap { it =>
+              val link = childText(it, "link")
+              val title = childText(it, "title")
+              val guid = childText(it, "guid")
+              if (link == null && title == null && guid == null) None
+              else {
+                val date = childText(it, "pubDate")
+                Some(Item(title, link, guid, date, parseDateMs(date)))
+              }
+            }
+            Parsed("rss", childText(ch, "title"), items, null)
+        }
+      case "feed" =>
+        val items = childElems(root, "entry").flatMap { en =>
+          // prefer rel="alternate" (or rel-less) links, the page pointer
+          val links = childElems(en, "link")
+          val link = links.find { l =>
+            val rel = l.getAttribute("rel")
+            rel == null || rel.isEmpty || rel == "alternate"
+          }.orElse(links.headOption)
+            .map(_.getAttribute("href")).filter(_.nonEmpty).orNull
+          val title = childText(en, "title")
+          val id = childText(en, "id")
+          if (link == null && title == null && id == null) None
+          else {
+            val date = {
+              val p = childText(en, "published")
+              if (p != null) p else childText(en, "updated")
+            }
+            Some(Item(title, link, id, date, parseDateMs(date)))
+          }
+        }
+        Parsed("atom", childText(root, "title"), items, null)
+      case other => fail(s"unknown feed root: $other")
+    }
+  }
+
+  /** DataFrame form: one row per item of every payload row — item_idx
+    * (the item's position, a deterministic per-payload order key),
+    * kind, feed_title, item title/link/id, raw published string and
+    * its epoch-millis parse — plus one error row per payload that
+    * refused (`error` non-null, item_idx 0), so discovery loss is
+    * auditable.
+    */
+  def items(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val kernel = udf { (b: Array[Byte]) =>
+      val p = parse(b)
+      if (p.error != null)
+        Seq((null.asInstanceOf[String], null.asInstanceOf[String],
+          null.asInstanceOf[String], null.asInstanceOf[String],
+          null.asInstanceOf[String], Option.empty[Long], p.error))
+      else p.items.map(it =>
+        (p.kind, p.feedTitle, it.title, it.link, it.published,
+          it.publishedMs, null.asInstanceOf[String]))
+    }
+    df.select(col(idCol),
+        posexplode(kernel(col(payloadCol))).as(Seq("item_idx", "e")))
+      .select(col(idCol), col("item_idx"), col("e._1").as("kind"),
+        col("e._2").as("feed_title"), col("e._3").as("title"),
+        col("e._4").as("link"), col("e._5").as("published"),
+        col("e._6").as("published_ms"), col("e._7").as("error"))
+  }
+
+  /** Discovery frontier: feed items not yet in the captured page set —
+    * the fetch list a feed-driven incremental crawl produces. Both
+    * sides canonicalize; one left-anti join on the canonical key.
+    */
+  def undiscovered(feedItems: DataFrame, linkCol: String,
+                   pages: DataFrame, urlCol: String): DataFrame = {
+    val captured = pages.where(col(urlCol).isNotNull)
+      .select(UrlOps.normalizeUrl(col(urlCol)).as("__u")).distinct()
+    feedItems.where(col(linkCol).isNotNull)
+      .withColumn("__u", UrlOps.normalizeUrl(col(linkCol)))
+      .join(captured, Seq("__u"), "left_anti")
+      .drop("__u")
+  }
+}

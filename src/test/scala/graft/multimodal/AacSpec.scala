@@ -1,0 +1,110 @@
+package graft.multimodal
+
+import graft.SparkSpec
+
+/** ADTS frame walk: header field decode, multi-frame streams,
+  * truncation/garbage quarantine with resync, audit math, and totality
+  * fuzz (the attacker-controlled-bytes contract).
+  */
+class AacSpec extends SparkSpec {
+
+  /** Build one ADTS frame: 7/9-byte header + zero payload. */
+  private def adtsFrame(profile: Int, srIdx: Int, chanCfg: Int,
+                        payloadLen: Int, rdb: Int = 0, crc: Boolean = false,
+                        mpeg4: Boolean = true): Array[Byte] = {
+    val headerLen = if (crc) 9 else 7
+    val flen = headerLen + payloadLen
+    val b = new Array[Byte](flen)
+    b(0) = 0xff.toByte
+    b(1) = (0xf0 | (if (mpeg4) 0 else 8) | (if (crc) 0 else 1)).toByte
+    b(2) = ((profile << 6) | (srIdx << 2) | ((chanCfg >> 2) & 1)).toByte
+    b(3) = (((chanCfg & 3) << 6) | ((flen >> 11) & 3)).toByte
+    b(4) = ((flen >> 3) & 0xff).toByte
+    b(5) = (((flen & 7) << 5) | 0x1f).toByte // buffer fullness high bits
+    b(6) = ((0x3f << 2) | rdb).toByte
+    b
+  }
+
+  test("single frame: profile, rate, channels, length, rdb") {
+    val fs = Aac.frames(adtsFrame(profile = 1, srIdx = 4, chanCfg = 2,
+      payloadLen = 11, rdb = 1))
+    assert(fs.length == 1)
+    val f = fs.head
+    assert(f.error == null && f.profile == "LC" && f.sampleRateHz == 44100)
+    assert(f.channels == 2 && f.frameBytes == 18 && f.rawDataBlocks == 2)
+    assert(f.mpeg4 && !f.crcPresent)
+  }
+
+  test("multi-frame stream walks every frame; MPEG-2 and CRC flags") {
+    val s = adtsFrame(0, 3, 1, 5) ++ adtsFrame(2, 7, 7, 8) ++
+      adtsFrame(1, 11, 2, 3, crc = true, mpeg4 = false)
+    val fs = Aac.frames(s)
+    assert(fs.length == 3 && fs.forall(_.error == null))
+    assert(fs.map(_.profile) == Seq("Main", "SSR", "LC"))
+    assert(fs.map(_.sampleRateHz) == Seq(48000, 22050, 8000))
+    assert(fs(1).channels == 8) // chanCfg 7 → 7.1
+    assert(!fs(2).mpeg4 && fs(2).crcPresent)
+    assert(fs(2).frameBytes == 12) // 9-byte CRC header + 3
+  }
+
+  test("truncated and reserved-field frames quarantine; walker resyncs") {
+    val good = adtsFrame(1, 4, 2, 6)
+    // a declared length running past the payload end
+    val trunc = adtsFrame(1, 4, 2, 200).take(20)
+    val fs = Aac.frames(good ++ trunc)
+    assert(fs.length == 2 && fs(0).error == null)
+    assert(fs(1).error == "frame truncated")
+    // reserved sampling index mid-stream, then a good frame to resync to
+    val bad = adtsFrame(1, 13, 2, 6)
+    val fs2 = Aac.frames(bad ++ good)
+    assert(fs2.head.error == "reserved sampling frequency index")
+    assert(fs2.exists(f => f.error == null && f.sampleRateHz == 44100))
+    // garbage between frames quarantines as lost sync
+    val fs3 = Aac.frames(good ++ "JUNKJUNKJUNK".getBytes ++ good)
+    assert(fs3.count(_.error == null) == 2)
+    assert(fs3.exists(_.error == "lost sync"))
+  }
+
+  test("non-ADTS payloads emit nothing; audit needs one good frame") {
+    assert(Aac.frames("RIFF not aac".getBytes).isEmpty)
+    assert(Aac.frames(null).isEmpty)
+    assert(Aac.frames(Array[Byte](0xff.toByte)).isEmpty)
+    assert(Aac.audit("plain".getBytes).isEmpty)
+  }
+
+  test("audit: counts, parameters from first good frame, duration") {
+    val s = adtsFrame(1, 4, 2, 6) ++ adtsFrame(1, 4, 2, 6, rdb = 1) ++
+      adtsFrame(1, 13, 2, 6) // reserved → bad
+    val a = Aac.audit(s).get
+    assert(a.nFrames == 2 && a.nBadFrames == 1)
+    assert(a.sampleRateHz == 44100 && a.channels == 2 && a.profile == "LC")
+    // 1 + 2 raw data blocks of 1024 samples at 44.1 kHz
+    assert(math.abs(a.durationMs - 3 * 1024.0 * 1000 / 44100) < 1e-9)
+  }
+
+  test("fuzz: arbitrary bytes never throw, frames() is total") {
+    val rnd = new scala.util.Random(42)
+    (0 until 300).foreach { n =>
+      val b = new Array[Byte](rnd.nextInt(64))
+      rnd.nextBytes(b)
+      Aac.frames(b)
+      Aac.audit(b)
+      // sync-prefixed fuzz exercises the parse path
+      val c = Array[Byte](0xff.toByte, 0xf1.toByte) ++ b
+      Aac.frames(c)
+      Aac.audit(c)
+    }
+  }
+
+  test("frameTable / audioAudit DataFrame surfaces") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, adtsFrame(1, 4, 2, 6) ++ adtsFrame(1, 4, 2, 6)),
+      (2L, "not audio".getBytes)
+    ).toDF("id", "payload")
+    val ft = Aac.frameTable(df, "id", "payload").collect()
+    assert(ft.length == 2 && ft.forall(_.getAs[Long]("id") == 1L))
+    val au = Aac.audioAudit(df, "id", "payload").collect()
+    assert(au.length == 1 && au.head.getAs[Int]("n_frames") == 2)
+  }
+}

@@ -1,0 +1,105 @@
+package graft.textops
+
+import graft.SparkSpec
+
+/** RSS/Atom feed parsing: structure, date parsing (RFC 822 + RFC
+  * 3339), hardening (XXE/doctype refusal), degrade-not-throw totality,
+  * and the discovery-frontier join.
+  */
+class FeedsSpec extends SparkSpec {
+
+  private val rss =
+    """<?xml version="1.0"?>
+      |<rss version="2.0"><channel>
+      |  <title>Example Blog</title>
+      |  <item><title>Post one</title>
+      |    <link>https://ex.org/p/1</link>
+      |    <guid>tag:1</guid>
+      |    <pubDate>Mon, 02 Mar 2026 10:05:00 GMT</pubDate></item>
+      |  <item><title>Post two</title>
+      |    <link>https://ex.org/p/2</link>
+      |    <pubDate>2 Mar 2026 11:00 +0200</pubDate></item>
+      |  <item><description>linkless decoration</description></item>
+      |</channel></rss>""".stripMargin.getBytes("UTF-8")
+
+  private val atom =
+    """<feed xmlns="http://www.w3.org/2005/Atom">
+      |  <title>Atom Feed</title>
+      |  <entry><title>E1</title>
+      |    <link rel="self" href="https://ex.org/feed"/>
+      |    <link rel="alternate" href="https://ex.org/e/1"/>
+      |    <id>urn:e1</id>
+      |    <published>2026-03-02T10:05:00Z</published></entry>
+      |  <entry><title>E2</title>
+      |    <link href="https://ex.org/e/2"/>
+      |    <updated>2026-03-02T12:00:00+01:00</updated></entry>
+      |</feed>""".stripMargin.getBytes("UTF-8")
+
+  test("rss: channel title, items, RFC 822 dates with offsets") {
+    val p = Feeds.parse(rss)
+    assert(p.error == null && p.kind == "rss" && p.feedTitle == "Example Blog")
+    assert(p.items.length == 2) // the link/title/guid-less item drops
+    assert(p.items(0).link == "https://ex.org/p/1" && p.items(0).id == "tag:1")
+    val base = java.time.Instant.parse("2026-03-02T10:05:00Z").toEpochMilli
+    assert(p.items(0).publishedMs.contains(base))
+    // +0200 offset, no seconds, no day-of-week
+    val two = java.time.Instant.parse("2026-03-02T09:00:00Z").toEpochMilli
+    assert(p.items(1).publishedMs.contains(two))
+  }
+
+  test("atom: alternate link preferred, published else updated") {
+    val p = Feeds.parse(atom)
+    assert(p.error == null && p.kind == "atom" && p.feedTitle == "Atom Feed")
+    assert(p.items.map(_.link) ==
+      Seq("https://ex.org/e/1", "https://ex.org/e/2"))
+    assert(p.items(0).publishedMs.contains(
+      java.time.Instant.parse("2026-03-02T10:05:00Z").toEpochMilli))
+    assert(p.items(1).publishedMs.contains(
+      java.time.Instant.parse("2026-03-02T11:00:00Z").toEpochMilli))
+  }
+
+  test("malformed dates stay raw with no epoch") {
+    assert(Feeds.parseDateMs("not a date").isEmpty)
+    assert(Feeds.parseDateMs(null).isEmpty)
+    assert(Feeds.parseDateMs("Mon, 02 Mar 2026 10:05:00 GMT").nonEmpty)
+    assert(Feeds.parseDateMs("2026-03-02T10:05:00Z").nonEmpty)
+  }
+
+  test("hardening and degrade: doctype refused, junk refused, gzip ok") {
+    assert(Feeds.parse(
+      "<!DOCTYPE r [<!ENTITY x SYSTEM \"file:///etc/passwd\">]><rss/>"
+        .getBytes).error == "malformed xml")
+    assert(Feeds.parse("not xml at all".getBytes).error == "malformed xml")
+    assert(Feeds.parse("<html><body/></html>".getBytes)
+      .error == "unknown feed root: html")
+    assert(Feeds.parse(Array.emptyByteArray).error == "empty feed")
+    assert(Feeds.parse(null).error == "empty feed")
+    assert(Feeds.parse("<rss version=\"2.0\"/>".getBytes)
+      .error == "rss without channel")
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(rss); gz.close()
+    assert(Feeds.parse(bos.toByteArray).items.length == 2)
+    // fuzz totality
+    val rnd = new scala.util.Random(7)
+    (0 until 100).foreach { _ =>
+      val b = new Array[Byte](rnd.nextInt(128))
+      rnd.nextBytes(b)
+      Feeds.parse(b)
+    }
+  }
+
+  test("items DataFrame + undiscovered frontier join") {
+    import spark.implicits._
+    val df = Seq((1L, rss), (2L, atom), (3L, "junk".getBytes))
+      .toDF("id", "payload")
+    val items = Feeds.items(df, "id", "payload")
+    assert(items.count() == 5) // 2 rss + 2 atom + 1 error row
+    assert(items.where($"error".isNotNull).count() == 1)
+    val pages = Seq("https://EX.org/p/1", "https://ex.org/e/2#frag")
+      .toDF("url")
+    val fresh = Feeds.undiscovered(items, "link", pages, "url")
+      .select("link").as[String].collect().toSet
+    assert(fresh == Set("https://ex.org/p/2", "https://ex.org/e/1"))
+  }
+}
