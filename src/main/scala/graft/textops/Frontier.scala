@@ -1,0 +1,135 @@
+package graft.textops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Crawl frontier planning — the operator that turns this repo's
+  * discovery channels into an actionable fetch list: candidates from
+  * sitemaps ([[Sitemaps]] locs), feeds ([[Feeds]] items) and extracted
+  * page links ([[LinkGraph.pageLinks]]) are canonicalized, deduped
+  * across channels by best priority, stripped of already-captured
+  * pages, gated by per-host robots policies ([[RobotsTxt]]), and cut
+  * to a per-host politeness budget with a deterministic fetch order.
+  * This is the planning step a real incremental crawl runs between
+  * "what we know exists" and "what we fetch next" — the frontier is
+  * where politeness (robots, budgets, crawl delays) is ENFORCED, not
+  * just recorded.
+  *
+  * Reference scope: the reference's download planner is the seismic
+  * twin of this operator (`stream2segment/download/modules/
+  * segments.py:1` plans station-day fetch lists minus what the DB
+  * already holds); the crawl form is extension surface.
+  *
+  * DESIGN FOR 100 TB:
+  *  - every join keys on slim canonical-URL / host tuples; candidate
+  *    payloads (page text, feed XML) never enter — callers pass the
+  *    already-extracted url columns;
+  *  - the captured-set anti-join and the robots join are the
+  *    [[UrlOps.hostGate]] shape (policy/host side small → AQE
+  *    broadcast);
+  *  - the per-host budget is a SALTED two-phase top-N: phase 1 takes
+  *    the budget within (host, salt-bucket) cells, bounding any single
+  *    window partition, phase 2 ranks the ≤ budget×buckets survivors
+  *    per host — a giant host with 10^8 candidate URLs costs
+  *    `buckets` bounded partitions instead of one skewed monster (the
+  *    plain row_number-per-host plan dies exactly there at crawl
+  *    scale).
+  */
+object Frontier {
+
+  /** Channel priorities: smaller fetches first. Sitemaps are the
+    * site's own inventory declaration, feeds its freshness signal,
+    * extracted links the open-web tail.
+    */
+  val SitemapPriority = 0
+  val FeedPriority = 1
+  val LinkPriority = 2
+
+  /** Union the three discovery channels into one (url, source,
+    * priority) candidate frame. Any channel may be null. Columns are
+    * read positionally from each channel's public shape:
+    * [[Sitemaps.entries]] `loc` (kind `url` only), [[Feeds.items]]
+    * `link`, [[LinkGraph.pageLinks]] `link_url` (nofollow rows are
+    * NOT candidates — a compliant frontier honors the publisher's
+    * no-endorsement signal at discovery time).
+    */
+  def fromChannels(sitemapEntries: DataFrame, feedItems: DataFrame,
+                   pageLinks: DataFrame): DataFrame = {
+    val parts = Seq(
+      Option(sitemapEntries).map(_.where(col("kind") === "url" &&
+          col("loc").isNotNull)
+        .select(col("loc").as("url"), lit("sitemap").as("source"),
+          lit(SitemapPriority).as("priority"))),
+      Option(feedItems).map(_.where(col("link").isNotNull &&
+          col("error").isNull)
+        .select(col("link").as("url"), lit("feed").as("source"),
+          lit(FeedPriority).as("priority"))),
+      Option(pageLinks).map(_.where(col("link_url").isNotNull &&
+          !col("nofollow"))
+        .select(col("link_url").as("url"), lit("link").as("source"),
+          lit(LinkPriority).as("priority")))
+    ).flatten
+    require(parts.nonEmpty, "at least one discovery channel required")
+    parts.reduce(_ unionByName _)
+  }
+
+  /** Plan the next fetch round. `candidates` needs (urlCol, source,
+    * priority); `captured` is the already-fetched page set;
+    * `policies` the [[RobotsTxt.policies]] table (null = no robots
+    * data, everything allowed). Output: one row per planned fetch —
+    * `url_host`, `url_norm`, `source`/`priority` (of the BEST channel
+    * that discovered it), `crawl_delay` (the host's declared pacing,
+    * null when unset), `fetch_order` (1-based within host, by
+    * (priority, url) — deterministic). At most `perHostBudget` rows
+    * per host.
+    */
+  def plan(candidates: DataFrame, urlCol: String,
+           captured: DataFrame, capturedUrlCol: String,
+           policies: DataFrame = null,
+           perHostBudget: Int = 1000,
+           saltBuckets: Int = 32): DataFrame = {
+    require(perHostBudget >= 1, s"perHostBudget must be >= 1")
+    require(saltBuckets >= 1, s"saltBuckets must be >= 1")
+    // canonicalize + cross-channel dedup: one row per canonical URL,
+    // keeping the best-priority discovering channel (struct-min)
+    val canon = UrlOps.withCanonicalUrl(candidates, urlCol)
+      .where(col("url_host").isNotNull)
+      // url_host is derived from url_norm, so grouping by both keeps
+      // one shuffle key's worth of distribution and no first()-style
+      // nondeterminism
+      .groupBy(col("url_norm"), col("url_host"))
+      .agg(min(struct(col("priority").as("priority"),
+          col("source").as("source"))).as("__b"))
+      .select(col("url_host"), col("url_norm"),
+        col("__b.source").as("source"), col("__b.priority").as("priority"))
+    // already captured → not a candidate
+    val fresh = canon.join(
+      captured.where(col(capturedUrlCol).isNotNull)
+        .select(UrlOps.normalizeUrl(col(capturedUrlCol)).as("url_norm"))
+        .distinct(),
+      Seq("url_norm"), "left_anti")
+    // robots gate + the host's declared pacing
+    val allowed =
+      if (policies == null) fresh.withColumn("crawl_delay",
+        lit(null).cast("double"))
+      else RobotsTxt.gate(fresh, policies, "url_norm")
+        .join(policies.select(col("url_host"), col("crawl_delay")),
+          Seq("url_host"), "left")
+    // salted two-phase per-host top-N (see the object doc)
+    val phase1 = allowed
+      .withColumn("__s", pmod(xxhash64(col("url_norm")), lit(saltBuckets)))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col("url_host"), col("__s"))
+          .orderBy(col("priority"), col("url_norm"))))
+      .where(col("__r") <= perHostBudget)
+      .drop("__s", "__r")
+    phase1
+      .withColumn("fetch_order", row_number().over(
+        Window.partitionBy(col("url_host"))
+          .orderBy(col("priority"), col("url_norm"))))
+      .where(col("fetch_order") <= perHostBudget)
+      .select(col("url_host"), col("url_norm"), col("source"),
+        col("priority"), col("crawl_delay"), col("fetch_order"))
+  }
+}

@@ -1,0 +1,97 @@
+package graft.textops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Frontier planning: channel union semantics, cross-channel dedup by
+  * priority, captured-set subtraction, robots gating with crawl-delay
+  * carry, and the salted per-host budget (order, cap, salt-invariance).
+  */
+class FrontierSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sitemapDf(locs: String*) =
+    locs.toSeq.toDF("loc").withColumn("kind", lit("url"))
+      .withColumn("lastmod", lit(null).cast("string"))
+
+  private def feedDf(links: String*) =
+    links.toSeq.toDF("link").withColumn("error", lit(null).cast("string"))
+
+  private def linksDf(rows: (String, Boolean)*) =
+    rows.toSeq.toDF("link_url", "nofollow")
+
+  test("fromChannels: priorities, nofollow and error rows excluded") {
+    val c = Frontier.fromChannels(
+      sitemapDf("https://a.io/s1"),
+      feedDf("https://a.io/f1"),
+      linksDf(("https://a.io/l1", false), ("https://a.io/l2", true)))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    assert(c.toSet == Set(
+      ("https://a.io/s1", "sitemap", 0),
+      ("https://a.io/f1", "feed", 1),
+      ("https://a.io/l1", "link", 2))) // the nofollow link is no candidate
+    // single-channel form works; all-null refuses
+    assert(Frontier.fromChannels(null, feedDf("https://a.io/f"), null)
+      .count() == 1)
+    intercept[IllegalArgumentException] {
+      Frontier.fromChannels(null, null, null)
+    }
+  }
+
+  test("plan: dedup keeps best priority, captured and robots drop") {
+    val candidates = Seq(
+      ("https://A.io/p?utm_source=x", "sitemap", 0), // canonicalizes
+      ("https://a.io/p", "link", 2),                 // same page, worse
+      ("https://a.io/old", "sitemap", 0),            // already captured
+      ("https://a.io/blocked/x", "feed", 1),         // robots disallow
+      ("https://b.io/q", "link", 2)                  // no policy row
+    ).toDF("url", "source", "priority")
+    val captured = Seq("https://a.io/old#frag").toDF("url")
+    val robots = Seq(
+      ("https://a.io/robots.txt", 200,
+        "User-agent: *\nDisallow: /blocked/\nCrawl-delay: 1.5"))
+      .toDF("url", "status", "body")
+    val policies = RobotsTxt.policies(robots, "url", "status", "body")
+    val out = Frontier.plan(candidates, "url", captured, "url", policies)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        Option(r.get(4)), r.getInt(5))).toSet
+    assert(out == Set(
+      ("a.io", "https://a.io/p", "sitemap", Some(1.5), 1),
+      ("b.io", "https://b.io/q", "link", None, 1)))
+  }
+
+  test("per-host budget: deterministic order, cap, salt-invariance") {
+    val candidates = (1 to 40).map(i =>
+      (f"https://big.io/p/$i%03d", "link", 2)) ++
+      Seq(("https://big.io/a-first", "sitemap", 0))
+    val df = candidates.toDF("url", "source", "priority")
+    val none = Seq.empty[String].toDF("url")
+    val p5 = Frontier.plan(df, "url", none, "url", null,
+      perHostBudget = 5, saltBuckets = 4)
+      .orderBy("fetch_order").collect()
+    assert(p5.length == 5)
+    // priority 0 first, then lexicographic URLs
+    assert(p5.head.getString(1) == "https://big.io/a-first")
+    assert(p5.map(_.getInt(5)).toSeq == (1 to 5))
+    assert(p5.map(_.getString(1)).drop(1).toSeq ==
+      (1 to 4).map(i => f"https://big.io/p/$i%03d"))
+    // the salted two-phase result is the same under any bucket count
+    val p1 = Frontier.plan(df, "url", none, "url", null,
+      perHostBudget = 5, saltBuckets = 1)
+      .orderBy("fetch_order").collect().map(_.getString(1)).toSeq
+    assert(p1 == p5.map(_.getString(1)).toSeq)
+  }
+
+  test("5xx robots policy empties the host; missing host unrestricted") {
+    val candidates = Seq(
+      ("https://down.io/x", "feed", 1),
+      ("https://free.io/y", "feed", 1)).toDF("url", "source", "priority")
+    val robots = Seq(("https://down.io/robots.txt", 500, ""))
+      .toDF("url", "status", "body")
+    val policies = RobotsTxt.policies(robots, "url", "status", "body")
+    val out = Frontier.plan(candidates, "url",
+      Seq.empty[String].toDF("url"), "url", policies)
+      .select("url_host").as[String].collect().toSet
+    assert(out == Set("free.io"))
+  }
+}
