@@ -170,6 +170,76 @@ object LinkGraph {
     out
   }
 
+  /** Connected components over the host graph — site-cluster
+    * detection: hosts that interlink form one component (mirror
+    * networks, multi-domain properties, and with `mutualOnly` the
+    * link-ring shape PBN/spam-farm analysis looks for — one-directional
+    * links are how the open web normally works, RECIPROCAL link
+    * structure at host scale is the anomaly worth clustering).
+    * Output: (host, component) with component = lexicographic-min
+    * member, one row per host that appears in a (surviving) edge.
+    *
+    * Reuses [[DedupGraph.connectedComponents]] (large/small-star, ~log
+    * rounds) — the host graph is the same order-of-magnitude node set
+    * the near-dup cluster graph is, so the operator's scale story
+    * carries over unchanged. `mutualOnly` keeps an edge only when its
+    * reverse also exists: one self-semi-join on the (slim) edge list
+    * before the CC rounds.
+    */
+  def hostComponents(edges: DataFrame,
+                     mutualOnly: Boolean = false): DataFrame = {
+    val e =
+      if (!mutualOnly) edges
+      else edges.join(
+        edges.select(col("dst_host").as("src_host"),
+          col("src_host").as("dst_host")),
+        Seq("src_host", "dst_host"), "left_semi")
+    DedupGraph.connectedComponents(e, "src_host", "dst_host")
+      .withColumnRenamed("node", "host")
+  }
+
+  /** Anchor-text pseudo-document per target URL — the retrieval-side
+    * use of the link graph (anchor text is how the web describes a
+    * page in OTHER sites' words; IR training data builds
+    * anchor-context documents exactly this way). Output per linked
+    * URL: `n_anchors` (total DISTINCT non-empty anchor texts) and
+    * `anchor_text` (the first `maxAnchors` distinct anchors in
+    * lexicographic order, space-joined — deterministic and bounded).
+    *
+    * Scale shape: a hot URL can carry millions of distinct anchors,
+    * so the cap is enforced BEFORE any per-URL collection: distinct
+    * (url, anchor) pairs → salted two-phase top-N (the [[Frontier]]
+    * budget pattern — phase 1 bounds every window partition at
+    * maxAnchors per (url, salt) cell) → only then collect ≤ maxAnchors
+    * rows per URL. The unbounded collect_set-per-group plan this
+    * replaces holds a hot URL's full anchor set in one aggregation
+    * buffer.
+    */
+  def anchorDocs(links: DataFrame, maxAnchors: Int = 64,
+                 saltBuckets: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxAnchors >= 1 && saltBuckets >= 1,
+      s"bad anchorDocs bounds ($maxAnchors, $saltBuckets)")
+    val dist = links
+      .filter(col("link_url").isNotNull && col("anchor") =!= "")
+      .select(col("link_url"), col("anchor")).distinct()
+    val capped = dist
+      .withColumn("__s", pmod(xxhash64(col("anchor")), lit(saltBuckets)))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col("link_url"), col("__s"))
+          .orderBy(col("anchor"))))
+      .where(col("__r") <= maxAnchors)
+      .withColumn("__r2", row_number().over(
+        Window.partitionBy(col("link_url")).orderBy(col("anchor"))))
+      .where(col("__r2") <= maxAnchors)
+      .groupBy(col("link_url"))
+      .agg(array_join(array_sort(collect_list(col("anchor"))), " ")
+        .as("anchor_text"))
+    dist.groupBy(col("link_url"))
+      .agg(count(lit(1)).as("n_anchors"))
+      .join(capped, Seq("link_url"))
+  }
+
   /** Host authority statistics over [[pageLinks]] output — the audit
     * table next to the rank vector: per destination host, total
     * in-links, distinct linking hosts (link diversity: a PBN shows

@@ -154,6 +154,72 @@ class LinkGraphSpec extends SparkSpec {
     assert(math.abs(r("C") - (0.05 + 0.85 * (1.0 / 12 + dangPer))) < 1e-12)
   }
 
+  test("plan contract: html never reaches an Exchange in the " +
+    "pageLinks→hostEdges chain (q157's shuffling prefix — the rank " +
+    "iterations read the cached slim edge tables, never pages)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import spark.implicits._
+    val pages = (1L to 50L).map(k =>
+        (k, graft.SparkEntry.q157Url(k), graft.SparkEntry.q157Html(k)))
+      .toDF("doc_id", "url", "html")
+    val edges = LinkGraph.hostEdges(
+      LinkGraph.pageLinks(pages, "doc_id", "url", "html"), "doc_id")
+    // sparkPlan predates EnsureRequirements (it shows only explicit
+    // repartitions); the aggregate's exchange appears in executedPlan,
+    // which AQE would wrap opaquely — disable it for the inspection
+    val exchanges = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      edges.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(exchanges.nonEmpty) // the host-edge aggregate does shuffle…
+    exchanges.foreach { e =>
+      val names = e.output.map(_.name.toLowerCase).toSet
+      assert(!names.contains("html") && !names.contains("payload"),
+        s"page bytes reached an exchange: ${e.output.map(_.name)}")
+    }
+  }
+
+  test("hostComponents: undirected vs mutual-only clustering") {
+    import spark.implicits._
+    // a.io ↔ b.io mutual; b.io → c.io one-way; d.io ↔ e.io mutual
+    val edges = Seq(
+      ("a.io", "b.io"), ("b.io", "a.io"), ("b.io", "c.io"),
+      ("d.io", "e.io"), ("e.io", "d.io")
+    ).toDF("src_host", "dst_host")
+      .withColumn("n_links", lit(1L)).withColumn("n_pages", lit(1L))
+    val all = LinkGraph.hostComponents(edges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(all == Map("a.io" -> "a.io", "b.io" -> "a.io", "c.io" -> "a.io",
+      "d.io" -> "d.io", "e.io" -> "d.io"))
+    val mutual = LinkGraph.hostComponents(edges, mutualOnly = true)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // the one-way spur to c.io drops; c.io leaves the graph entirely
+    assert(mutual == Map("a.io" -> "a.io", "b.io" -> "a.io",
+      "d.io" -> "d.io", "e.io" -> "d.io"))
+  }
+
+  test("anchorDocs: distinct count, lexicographic cap, empty anchors out") {
+    import spark.implicits._
+    val links = Seq(
+      ("https://t.io/a", "zeta"), ("https://t.io/a", "alpha"),
+      ("https://t.io/a", "alpha"), // duplicate anchor collapses
+      ("https://t.io/a", "mid"), ("https://t.io/a", ""),
+      ("https://t.io/b", "only")
+    ).toDF("link_url", "anchor")
+    val out = LinkGraph.anchorDocs(links, maxAnchors = 2, saltBuckets = 3)
+      .orderBy("link_url").collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(1) == 3 &&
+      out(0).getString(2) == "alpha mid") // capped at 2, sorted
+    assert(out(1).getLong(1) == 1 && out(1).getString(2) == "only")
+    // salt-invariance: one bucket gives the same result
+    val one = LinkGraph.anchorDocs(links, maxAnchors = 2, saltBuckets = 1)
+      .orderBy("link_url").collect().map(_.getString(2)).toSeq
+    assert(one == out.map(_.getString(2)).toSeq)
+  }
+
   test("hostAuthority aggregates diversity and nofollow share") {
     import spark.implicits._
     val links = Seq(
