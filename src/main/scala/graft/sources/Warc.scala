@@ -726,7 +726,14 @@ object Warc {
             // convention; no transport header exists to sniff against
             Rec(idx, recStart, wt, uri, date, ct, None,
               new String(body, Utf8), null)
-          case _ => // warcinfo/request/metadata: typed only
+          case "metadata" =>
+            // WAT metadata bodies are textual (JSON or warc-fields) —
+            // UTF-8 by the same ISO 28500 usage convention as
+            // conversion records; materializing them makes wat → link
+            // graph a plain projection over the generic record walk
+            Rec(idx, recStart, wt, uri, date, ct, None,
+              new String(body, Utf8), null)
+          case _ => // warcinfo/request: typed only
             Rec(idx, recStart, wt, uri, date, ct, None, null, null)
         }
       } catch {

@@ -142,6 +142,137 @@ object WarcWriter {
     u(uri, date, text)
   }
 
+  // -------------------------------------------------------------------
+  // WAT — the metadata/link sibling of the WET export. Common Crawl
+  // ships three artifacts per crawl segment (warc/wet/wat); with the
+  // reader, the WET writer and the CDX indexer already here, the WAT
+  // form completes the family: one `metadata` record per page whose
+  // JSON body carries the page's envelope (url, title, lang) and its
+  // OUTGOING LINKS — the input a link-graph build consumes without
+  // re-parsing HTML. The JSON shape is this engine's own (documented
+  // here, deterministic field order), not a byte-clone of CC's ClueWeb
+  // envelope; the LINK SEMANTICS match [[graft.textops.LinkGraph
+  // .pageLinks]] exactly (resolved, canonicalized, non-http dropped),
+  // so wat → link graph ≡ html → link graph (spec-pinned).
+  // -------------------------------------------------------------------
+
+  /** Escape one JSON string value (quote, backslash, control chars). */
+  private def jsonEsc(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length + 8)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      c match {
+        case '"' => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case x if x < 0x20 => sb.append(f"\\u${x.toInt}%04x")
+        case x => sb.append(x)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  private def jsonStr(s: String): String =
+    if (s == null) "null" else "\"" + jsonEsc(s) + "\""
+
+  /** The WAT JSON body for one page: envelope + resolved outgoing
+    * links (the [[graft.textops.LinkGraph.pageLinks]] semantics —
+    * resolved against the page's effective base, canonicalized,
+    * non-http(s)/unresolvable dropped). Deterministic: fixed field
+    * order, links in capture order.
+    */
+  def watJson(url: String, html: String): String = {
+    import graft.textops.{HtmlExtract, UrlOps}
+    val e = HtmlExtract.extract(html)
+    val srcNorm = UrlOps.normalize(url)
+    val base = if (e.baseHref == null) srcNorm
+      else {
+        val b = UrlOps.resolve(srcNorm, e.baseHref)
+        if (b == null) srcNorm else b
+      }
+    val links = e.links.iterator.flatMap { l =>
+      val resolved = UrlOps.resolve(base, l.href)
+      if (resolved == null) None
+      else {
+        val norm = UrlOps.normalize(resolved)
+        if (UrlOps.host(norm) == null) None
+        else Some(s"""{"url":${jsonStr(norm)},"text":${jsonStr(l.anchor)},""" +
+          s""""nofollow":${l.nofollow || e.robotsNofollow}}""")
+      }
+    }.mkString(",")
+    s"""{"url":${jsonStr(url)},"title":${jsonStr(e.title)},""" +
+      s""""lang":${jsonStr(e.lang)},"links":[$links]}"""
+  }
+
+  /** One uncompressed `metadata` record carrying a WAT JSON body. */
+  def watRecord(uri: String, date: String, json: String): Array[Byte] = {
+    val body = (if (json == null) "{}" else json).getBytes("UTF-8")
+    val d = if (date == null || date.isEmpty) "1970-01-01T00:00:00Z" else date
+    val h = new java.lang.StringBuilder(256)
+    h.append("WARC/1.0").append(Crlf)
+    h.append("WARC-Type: metadata").append(Crlf)
+    if (uri != null && uri.nonEmpty)
+      h.append("WARC-Target-URI: ").append(uri).append(Crlf)
+    h.append("WARC-Date: ").append(d).append(Crlf)
+    h.append("WARC-Record-ID: <").append(recordId(uri, d, body))
+      .append(">").append(Crlf)
+    h.append("WARC-Block-Digest: sha1:").append(base32(sha1(body)))
+      .append(Crlf)
+    h.append("Content-Type: application/json").append(Crlf)
+    h.append("Content-Length: ").append(body.length).append(Crlf)
+    h.append(Crlf)
+    h.toString.getBytes("UTF-8") ++ body ++ (Crlf + Crlf).getBytes("UTF-8")
+  }
+
+  /** One page's WAT record as its own gzip member. */
+  def watMember(uri: String, date: String, html: String): Array[Byte] =
+    gzipMember(watRecord(uri, date, watJson(uri, html)))
+
+  /** Column form (scan-stage kernel — HTML in, member bytes out). */
+  def watMemberCol(uri: Column, date: Column, html: Column): Column = {
+    val u = udf((a: String, b: String, c: String) => watMember(a, b, c))
+    u(uri, date, html)
+  }
+
+  /** The WAT file sink — [[writeWetFiles]]' twin over (url, date,
+    * html) rows: one `part-<partition>.warc.wat.gz` per non-empty
+    * partition, warcinfo + one metadata member per page, streamed
+    * per-record. Returns the number of files written.
+    */
+  def writeWatFiles(df: DataFrame, uriCol: String, dateCol: String,
+                    htmlCol: String, dir: String,
+                    infoDate: String = "1970-01-01T00:00:00Z"): Int = {
+    val spark = df.sparkSession
+    val bconf = spark.sparkContext.broadcast(
+      new org.apache.spark.SerializableWritable(
+        spark.sparkContext.hadoopConfiguration))
+    val slim = df.select(col(uriCol).cast("string"),
+      col(dateCol).cast("string"), col(htmlCol).cast("string"))
+    val written = spark.sparkContext.longAccumulator("wat_files")
+    slim.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      if (it.hasNext) {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val path = new org.apache.hadoop.fs.Path(
+          dir, f"part-$pid%05d.warc.wat.gz")
+        val fs = path.getFileSystem(bconf.value.value)
+        val out = fs.create(path, true)
+        try {
+          out.write(gzipMember(warcinfoRecord(infoDate)))
+          it.foreach { r =>
+            out.write(watMember(r.getString(0), r.getString(1),
+              r.getString(2)))
+          }
+        } finally out.close()
+        written.add(1L)
+      }
+    }
+    written.value.toInt
+  }
+
   /** The file sink: one `part-<partition>.warc.wet.gz` per non-empty
     * partition under `dir`, each file = a gzipped `warcinfo` member
     * followed by one gzip member per row, streamed record by record

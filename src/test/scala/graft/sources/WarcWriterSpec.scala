@@ -96,4 +96,72 @@ class WarcWriterSpec extends SparkSpec {
     assert(Warc.recordsFromPaths(paths.toDS())
       .where("warc_type = 'conversion'").count() == 57)
   }
+
+  test("watJson: envelope, escaping, and LinkGraph link semantics") {
+    val html =
+      """<html lang="en"><head><title>A "quoted" title</title></head>
+        |<body><p><a href="/x">first</a>
+        |<a href="mailto:a@b.c">mail</a>
+        |<a href="https://o.net/p" rel="nofollow">out</a></p></body></html>"""
+        .stripMargin
+    val j = watJson("https://s.org/pg?utm_source=t&a=1", html)
+    // deterministic field order, escaped title, canonicalized urls,
+    // mailto dropped, nofollow carried
+    assert(j == """{"url":"https://s.org/pg?utm_source=t&a=1",""" +
+      """"title":"A \"quoted\" title","lang":"en","links":[""" +
+      """{"url":"https://s.org/x","text":"first","nofollow":false},""" +
+      """{"url":"https://o.net/p","text":"out","nofollow":true}]}""")
+    // null-safe: no markup, no url
+    assert(watJson(null, null) ==
+      """{"url":null,"title":null,"lang":null,"links":[]}""")
+  }
+
+  test("watRecord parses back as a metadata record; member roundtrip") {
+    val json = watJson("https://e.org/a",
+      "<html><body><p><a href=\"b\">next</a></p></body></html>")
+    val rec = watRecord("https://e.org/a", "2026-03-02T00:00:00Z", json)
+    val rs = Warc.parse(rec)
+    assert(rs.length == 1 && rs.head.error == null)
+    assert(rs.head.warcType == "metadata")
+    assert(rs.head.targetUri == "https://e.org/a")
+    assert(rs.head.text == json)
+    val member = watMember("https://e.org/a", "2026-03-02T00:00:00Z",
+      "<html><body><p><a href=\"b\">next</a></p></body></html>")
+    val rs2 = Warc.parse(member)
+    assert(rs2.length == 1 && rs2.head.text == json)
+  }
+
+  test("writeWatFiles: sink re-ingests; wat links ≡ pageLinks over the " +
+    "same pages") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_wat_out").toString
+    val pages = (1 to 23).map { i =>
+      (s"https://h${i % 4}.example/p/$i", "2026-03-02T00:00:00Z",
+        s"""<html><body><p><a href="/n/${i + 1}">next $i</a>
+           |<a href="https://x.io/${i % 3}">x</a></p></body></html>"""
+          .stripMargin)
+    }.toDF("url", "date", "html").repartition(2)
+    val n = WarcWriter.writeWatFiles(pages, "url", "date", "html", dir)
+    assert(n == 2)
+    val paths = new java.io.File(dir).listFiles()
+      .filter(!_.getName.startsWith("."))
+      .map(_.getAbsolutePath).sorted.toSeq
+    assert(paths.forall(_.endsWith(".warc.wat.gz")))
+    val back = Warc.recordsFromPaths(paths.toDS())
+      .where("warc_type = 'metadata'")
+    assert(back.count() == 23 && back.where("error is not null").count() == 0)
+    // the WAT body's links equal the html link-graph build exactly
+    val fromWat = back.select(col("url"),
+        get_json_object(col("text"), "$.links[0].url").as("l0"),
+        get_json_object(col("text"), "$.links[1].url").as("l1"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSet
+    val fromHtml = graft.textops.LinkGraph
+      .pageLinks(pages.withColumn("id", col("url")), "id", "url", "html")
+      .groupBy(col("id")).pivot("link_pos", Seq(0, 1)).agg(first("link_url"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSet
+    assert(fromWat == fromHtml)
+  }
 }
