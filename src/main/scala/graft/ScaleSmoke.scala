@@ -131,7 +131,28 @@ object ScaleSmoke {
     "q147_docx_extract", "q148_epub_extract", "q149_xlsx_extract",
     // the tar bundle + router capstone: ustar walk + per-member
     // dispatch to the pdf/docx/html/text kernels, one scan
-    "q150_tar_route")
+    "q150_tar_route",
+    // the link-graph wing: q156 = scan-stage link extraction +
+    // resolution (the q125 class); q157 = host-graph PageRank, whose
+    // per-iteration join/agg state is HOST-keyed — node count grows
+    // with the host residue space, not the page count, so the exponent
+    // evidences the page→host collapse, the load-bearing scale
+    // decision; q158 = one host-keyed aggregate
+    "q156_link_extract", "q157_host_rank", "q158_host_authority",
+    // ADTS header walk (the q134 class) and feed DOM parse (the q141
+    // class) — both scan-flat per-row kernels
+    "q159_adts_audit", "q160_feed",
+    // frontier planning: slim-tuple joins + the salted two-phase
+    // per-host top-N — the exponent evidences the budget cut happens
+    // in bounded cells, not one monster window partition
+    "q161_frontier",
+    // host components (the reused CC operator over string host keys)
+    // and the capped anchor-doc build (the second two-phase top-N
+    // user) — both downstream of the same scan-stage link extraction
+    "q162_host_components", "q163_anchor_docs",
+    // WAT export round trip: per-row extract+json+gzip then member
+    // parse — the q139 WET class with the link kernel folded in
+    "q164_wat_roundtrip")
 
   /** Measured at 10× only. All three are deliberately NOT the scale
     * path — q77 is the pinned-k SemDeDup negative control (its 100×

@@ -3303,6 +3303,118 @@ object SparkEntry {
         .toDF("doc_id", "payload")
       textops.Feeds.items(feeds, "doc_id", "payload")
         .orderBy(col("doc_id"), col("item_idx"))
+    }),
+
+    // Frontier planning — the capstone over this round's discovery
+    // channels: sitemap/feed/link candidates over 6 hosts (the link
+    // channel replants sitemap URLs on k%3=0, which the cross-channel
+    // dedup must collapse to the sitemap priority; k%3=1 plants
+    // cross-host links, nofollow on k%5=0 — never candidates), minus
+    // the captured set (k%4=0), gated by per-host robots (s0 blocks
+    // /p/, s1 is 5xx = complete disallow, s2 allows with
+    // Crawl-delay 2, s3 is 404 = unrestricted, s4 blocks incoming /l/,
+    // s5 has no robots at all), cut to 7 fetches per host in
+    // (priority, url) order via the salted two-phase top-N. The oracle
+    // replays candidates, dedup, subtraction, the rule semantics and
+    // the per-host ranking closed-form
+    "q161_frontier" -> ((s, dir) => {
+      import s.implicits._
+      val base = tSpread(s, dir, "documents")
+        .select(col("doc_id").as("k"), (col("doc_id") % 6).as("j"))
+      def u(prefix: String, host: org.apache.spark.sql.Column) =
+        concat(lit("https://s"), host, lit(s".example/$prefix/"), col("k"))
+      val site = base.select(u("p", col("j")).as("loc"))
+        .withColumn("kind", lit("url"))
+      val feeds = base.filter(col("k") % 2 === 0)
+        .select(u("f", col("j")).as("link"))
+        .withColumn("error", lit(null).cast("string"))
+      val links = base.filter(col("k") % 3 === 0)
+        .select(u("p", col("j")).as("link_url"), lit(false).as("nofollow"))
+        .unionByName(base.filter(col("k") % 3 === 1)
+          .select(u("l", (col("k") + 1) % 6).as("link_url"),
+            (col("k") % 5 === 0).as("nofollow")))
+      val captured = base.filter(col("k") % 4 === 0)
+        .select(u("p", col("j")).as("url"))
+      val robots = Seq(
+        ("https://s0.example/robots.txt", 200, "User-agent: *\nDisallow: /p/"),
+        ("https://s1.example/robots.txt", 500, ""),
+        ("https://s2.example/robots.txt", 200,
+          "User-agent: *\nAllow: /\nCrawl-delay: 2"),
+        ("https://s3.example/robots.txt", 404, ""),
+        ("https://s4.example/robots.txt", 200, "User-agent: *\nDisallow: /l/")
+      ).toDF("url", "status", "body")
+      val policies = textops.RobotsTxt.policies(robots, "url", "status",
+        "body")
+      val cands = textops.Frontier.fromChannels(site, feeds, links)
+      textops.Frontier.plan(cands, "url", captured, "url", policies,
+          perHostBudget = 7, saltBuckets = 8)
+        .orderBy(col("url_host"), col("fetch_order"))
+    }),
+
+    // Host-graph connected components under the MUTUAL-link filter —
+    // the link-ring shape spam/PBN clustering looks for: 16 hosts in
+    // 4 residue rings (h → h+4 mod 16 always; the reverse h → h-4 only
+    // from EVEN hosts), so only the two even rings survive mutualOnly
+    // and cluster to their lexicographic-min host; odd hosts drop out
+    // entirely. Exercises pageLinks → hostEdges → the reused
+    // large/small-star CC over string keys
+    "q162_host_components" -> ((s, dir) => {
+      import s.implicits._
+      val pages = tSpread(s, dir, "documents").select(col("doc_id"))
+        .as[Long]
+        .map(k => (k, q162Url(k), q162Html(k)))
+        .toDF("doc_id", "url", "html")
+      val edges = textops.LinkGraph.hostEdges(
+        textops.LinkGraph.pageLinks(pages, "doc_id", "url", "html"),
+        "doc_id")
+      textops.LinkGraph.hostComponents(edges, mutualOnly = true)
+        .orderBy(col("host"))
+    }),
+
+    // Anchor-text pseudo-documents — the retrieval-side link-graph use
+    // (the web's description of a page in other sites' words): every
+    // doc links to /p/(k%10) with anchor a(k%7) and /q/(k%4) with
+    // anchor c(k%5); the /p/ targets accumulate 7 distinct anchors so
+    // the maxAnchors=5 cap BINDS, the /q/ targets exactly 5 so it
+    // doesn't — the oracle replays the distinct/rank/cap arithmetic
+    // from the same key math rather than hardcoding counts
+    "q163_anchor_docs" -> ((s, dir) => {
+      import s.implicits._
+      val pages = tSpread(s, dir, "documents").select(col("doc_id"))
+        .as[Long]
+        .map(k => (k, s"https://src${k % 3}.example/pg/$k", q163Html(k)))
+        .toDF("doc_id", "url", "html")
+      val links = textops.LinkGraph.pageLinks(pages, "doc_id", "url", "html")
+      textops.LinkGraph.anchorDocs(links, maxAnchors = 5, saltBuckets = 4)
+        .orderBy(col("link_url"))
+    }),
+
+    // WAT export round trip — the metadata/link sibling of q139's WET
+    // round trip, completing the Common Crawl artifact family
+    // (warc/wet/wat/cdx): each doc's q156 resolution-matrix page is
+    // exported as a gzip WAT member (metadata record, JSON body whose
+    // link semantics are EXACTLY pageLinks'), re-ingested through the
+    // generic record reader, and its JSON fields projected back — the
+    // oracle replays the q156 closed form through the envelope
+    // (title/lang null, one resolved link per page, the k%8=7 mailto
+    // still dropped at export time)
+    "q164_wat_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val members = tSpread(s, dir, "documents").select(col("doc_id"))
+        .as[Long]
+        .map(k => (k, sources.WarcWriter.watMember(q156Url(k),
+          "2026-03-02T00:00:00Z", q156Html(k))))
+        .toDF("doc_id", "payload")
+      sources.Warc.records(members, "doc_id", "payload")
+        .where(col("warc_type") === "metadata")
+        .select(col("doc_id"), col("url"), col("warc_date"),
+          get_json_object(col("text"), "$.title").as("title"),
+          get_json_object(col("text"), "$.links[0].url").as("link_url"),
+          get_json_object(col("text"), "$.links[0].text").as("anchor"),
+          get_json_object(col("text"), "$.links[0].nofollow")
+            .cast("boolean").as("nofollow"),
+          get_json_object(col("text"), "$.links[1].url").as("extra_link"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -3399,6 +3511,31 @@ object SparkEntry {
          |  ROUND(rank, 6) AS rank FROM pr$iters ORDER BY host""".stripMargin)
     sb.toString
   }
+
+  /** q162's page URL: one page per doc on host c(k%16), zero-padded so
+    * lexicographic min = numeric min.
+    */
+  private[graft] def q162Url(k: Long): String =
+    f"https://c${k % 16}%02d.example/p/$k"
+
+  /** q162's planted page: ring link to h+4 (mod 16) from every host;
+    * the REVERSE ring link (to h-4) only from even hosts — so only the
+    * even residue rings are mutual.
+    */
+  private[graft] def q162Html(k: Long): String = {
+    val h = (k % 16).toInt
+    val a = f"<a href=\"https://c${(h + 4) % 16}%02d.example/x\">fwd</a>"
+    val b = if (h % 2 == 0)
+      f"<a href=\"https://c${(h + 12) % 16}%02d.example/y\">rev</a>"
+    else ""
+    s"<html><body><p>$a $b</p></body></html>"
+  }
+
+  /** q163's planted page (see the query comment). */
+  private[graft] def q163Html(k: Long): String =
+    s"""<html><body><p><a href="https://t.example/p/${k % 10}">a${k % 7}</a>
+       |<a href="https://t.example/q/${k % 4}">c${k % 5}</a></p></body></html>"""
+      .stripMargin
 
   /** q159's planted ADTS stream for doc key `k` (see the query
     * comment): k%4+2 frames of the header matrix, plus a truncated
@@ -7498,7 +7635,113 @@ object SparkEntry {
         |UNION ALL
         |SELECT k, 0, NULL, NULL, NULL, NULL, NULL, NULL, 'malformed xml'
         |FROM d WHERE k % 11 = 0
-        |ORDER BY doc_id, item_idx""".stripMargin
+        |ORDER BY doc_id, item_idx""".stripMargin,
+
+    // closed-form replay of the planted frontier: channel union,
+    // cross-channel dedup by min priority, captured subtraction, the
+    // robots rule semantics per host, crawl-delay carry, and the
+    // per-host (priority, url) ranking cut at 7
+    "q161_frontier" ->
+      """WITH d AS (SELECT doc_id AS k, doc_id % 6 AS j FROM documents),
+        |cand AS (
+        |  SELECT j AS h, 'https://s' || CAST(j AS VARCHAR) ||
+        |    '.example/p/' || CAST(k AS VARCHAR) AS u, 0 AS p FROM d
+        |  UNION ALL
+        |  SELECT j, 'https://s' || CAST(j AS VARCHAR) || '.example/f/' ||
+        |    CAST(k AS VARCHAR), 1 FROM d WHERE k % 2 = 0
+        |  UNION ALL
+        |  SELECT j, 'https://s' || CAST(j AS VARCHAR) || '.example/p/' ||
+        |    CAST(k AS VARCHAR), 2 FROM d WHERE k % 3 = 0
+        |  UNION ALL
+        |  SELECT (j + 1) % 6, 'https://s' || CAST((j + 1) % 6 AS VARCHAR) ||
+        |    '.example/l/' || CAST(k AS VARCHAR), 2
+        |  FROM d WHERE k % 3 = 1 AND k % 5 <> 0
+        |),
+        |dedup AS (SELECT h, u, MIN(p) AS p FROM cand GROUP BY 1, 2),
+        |fresh AS (SELECT * FROM dedup WHERE u NOT IN (
+        |  SELECT 'https://s' || CAST(j AS VARCHAR) || '.example/p/' ||
+        |    CAST(k AS VARCHAR) FROM d WHERE k % 4 = 0)),
+        |allowed AS (SELECT * FROM fresh
+        |  WHERE h <> 1
+        |    AND NOT (h = 0 AND u LIKE '%.example/p/%')
+        |    AND NOT (h = 4 AND u LIKE '%.example/l/%')),
+        |ranked AS (SELECT
+        |  's' || CAST(h AS VARCHAR) || '.example' AS url_host,
+        |  u AS url_norm,
+        |  CASE p WHEN 0 THEN 'sitemap' WHEN 1 THEN 'feed'
+        |    ELSE 'link' END AS source,
+        |  CAST(p AS INTEGER) AS priority,
+        |  CASE WHEN h = 2 THEN CAST(2.0 AS DOUBLE) END AS crawl_delay,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY h ORDER BY p, u)
+        |    AS INTEGER) AS fetch_order
+        |  FROM allowed)
+        |SELECT * FROM ranked WHERE fetch_order <= 7
+        |ORDER BY url_host, fetch_order""".stripMargin,
+
+    // only the even residue rings are mutual; each clusters to its
+    // residue-class minimum (the zero-padded host names make
+    // lexicographic min = numeric min)
+    "q162_host_components" ->
+      """WITH h AS (SELECT DISTINCT CAST(doc_id % 16 AS INTEGER) AS h
+        |  FROM documents WHERE doc_id % 2 = 0)
+        |SELECT
+        |  'c' || lpad(CAST(h AS VARCHAR), 2, '0') || '.example' AS host,
+        |  'c' || lpad(CAST(h % 4 AS VARCHAR), 2, '0') || '.example'
+        |    AS component
+        |FROM h ORDER BY host""".stripMargin,
+
+    // replay the distinct-anchor arithmetic from the same key math:
+    // total distinct per target + the lexicographic first-5 cap
+    "q163_anchor_docs" ->
+      """WITH d AS (SELECT doc_id AS k FROM documents),
+        |links AS (
+        |  SELECT 'https://t.example/p/' || CAST(k % 10 AS VARCHAR) AS u,
+        |    'a' || CAST(k % 7 AS VARCHAR) AS anchor FROM d
+        |  UNION ALL
+        |  SELECT 'https://t.example/q/' || CAST(k % 4 AS VARCHAR),
+        |    'c' || CAST(k % 5 AS VARCHAR) FROM d
+        |),
+        |dist AS (SELECT DISTINCT u, anchor FROM links),
+        |ranked AS (SELECT u, anchor,
+        |  ROW_NUMBER() OVER (PARTITION BY u ORDER BY anchor) AS rn
+        |  FROM dist),
+        |caps AS (SELECT u, string_agg(anchor, ' ' ORDER BY anchor)
+        |    AS anchor_text
+        |  FROM ranked WHERE rn <= 5 GROUP BY u),
+        |tot AS (SELECT u, COUNT(*) AS n_anchors FROM dist GROUP BY u)
+        |SELECT t.u AS link_url, t.n_anchors, c.anchor_text
+        |FROM tot t JOIN caps c ON t.u = c.u
+        |ORDER BY link_url""".stripMargin,
+
+    // the q156 closed form replayed through the WAT envelope: raw page
+    // url, fixed date, null title, one resolved link, no second link
+    "q164_wat_roundtrip" ->
+      """SELECT doc_id,
+        |  'https://ex' || CAST(doc_id % 3 AS VARCHAR) || '.org/a/b/page' ||
+        |    CAST(doc_id AS VARCHAR) || '.html?x=1' AS url,
+        |  '2026-03-02T00:00:00Z' AS warc_date,
+        |  CAST(NULL AS VARCHAR) AS title,
+        |  CASE CAST(doc_id % 8 AS INTEGER)
+        |    WHEN 0 THEN 'https://other.example/p?q=2'
+        |    WHEN 1 THEN 'https://cdn.example/img/i.png'
+        |    WHEN 2 THEN 'https://ex' || CAST(doc_id % 3 AS VARCHAR) ||
+        |      '.org/root/file.html'
+        |    WHEN 3 THEN 'https://ex' || CAST(doc_id % 3 AS VARCHAR) ||
+        |      '.org/a/up/doc.html'
+        |    WHEN 4 THEN 'https://ex' || CAST(doc_id % 3 AS VARCHAR) ||
+        |      '.org/a/b/page' || CAST(doc_id AS VARCHAR) || '.html?y=3'
+        |    WHEN 5 THEN 'https://ex' || CAST(doc_id % 3 AS VARCHAR) ||
+        |      '.org/a/b/page' || CAST(doc_id AS VARCHAR) || '.html?x=1'
+        |    WHEN 6 THEN 'https://t.example/p?a=1&b=2'
+        |    ELSE 'https://based.example/dir/rel.html' END AS link_url,
+        |  CASE CAST(doc_id % 8 AS INTEGER)
+        |    WHEN 0 THEN 'Plain' WHEN 1 THEN 'CDN asset'
+        |    WHEN 2 THEN 'Root & file' WHEN 3 THEN 'Up doc'
+        |    WHEN 4 THEN 'Query only' WHEN 5 THEN 'Fragment'
+        |    WHEN 6 THEN 'No follow' ELSE 'Based' END AS anchor,
+        |  doc_id % 8 = 6 AS nofollow,
+        |  CAST(NULL AS VARCHAR) AS extra_link
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 
   /** q133's replay: q102's stage CTEs over the crawl-extracted corpus
