@@ -194,7 +194,8 @@ object Main {
   final case class CrawlReport(nFiles: Int, nPages: Long, nKept: Long,
                                dropped: Map[String, Long],
                                buckets: Map[String, Long],
-                               quarantined: Long, wetFiles: Int = 0) {
+                               quarantined: Long, wetFiles: Int = 0,
+                               watFiles: Int = 0, rankedHosts: Long = 0) {
     def render: String = {
       val d = dropped.toSeq.sortBy(_._1)
         .map { case (r, n) => s"  dropped[$r] $n" }
@@ -202,7 +203,9 @@ object Main {
         .map { case (k, n) => s"  bucket[$k] $n" }
       val head = s"files=$nFiles pages=$nPages kept=$nKept " +
         s"quarantined_records=$quarantined" +
-        (if (wetFiles > 0) s" wet_files=$wetFiles" else "")
+        (if (wetFiles > 0) s" wet_files=$wetFiles" else "") +
+        (if (watFiles > 0) s" wat_files=$watFiles" else "") +
+        (if (rankedHosts > 0) s" ranked_hosts=$rankedHosts" else "")
       (head +: (d ++ b)).mkString("\n")
     }
   }
@@ -275,6 +278,34 @@ object Main {
             "url", "http_status", "html", ua)))
       case None => (pages0, None)
     }
+
+    // WAT export accompanies the RAW crawl (the Common Crawl shape:
+    // wat describes what was fetched, curation decides what is kept),
+    // so it runs over every addressable extracted page pre-curation
+    val watFiles = cfg.watOutput match {
+      case Some(wdir) =>
+        graft.sources.WarcWriter.writeWatFiles(
+          pages.where(col("url").isNotNull),
+          "url", "warc_date", "html", wdir)
+      case None => 0
+    }
+    // host centrality from the crawl's own link graph: pages collapse
+    // to host-keyed edges before the iterations (LinkGraph's scale
+    // contract), and the rank vector lands beside the decision table
+    val rankedHosts = cfg.hostRankOutput match {
+      case Some(hdir) =>
+        val links = graft.textops.LinkGraph.pageLinks(
+          pages.withColumn("__lid", xxhash64(col("path"), col("rec_idx"))),
+          "__lid", "url", "html")
+        val ranks = graft.textops.LinkGraph.pageRank(
+          graft.textops.LinkGraph.hostEdges(links, "__lid"),
+          "src_host", "dst_host", weightCol = "n_links",
+          iterations = cfg.hostRankIterations)
+        ranks.write.mode("overwrite").parquet(hdir)
+        spark.read.parquet(hdir).count()
+      case None => 0L
+    }
+
     val htmlDocs = HtmlExtract.extractDocs(pages, "path", "html",
         carryCols = Seq("rec_idx", "url", "warc_date", "http_status"))
       .withColumn("doc_id", xxhash64(col("path"), col("rec_idx")))
@@ -436,7 +467,8 @@ object Main {
     CrawlReport(files.length,
       byReason.values.sum,
       byReason.getOrElse("__kept", 0L),
-      byReason - "__kept", buckets, quarantined, wetFiles)
+      byReason - "__kept", buckets, quarantined, wetFiles,
+      watFiles, rankedHosts)
   }
 
   final case class BundleReport(nArchives: Int, nMembers: Long,

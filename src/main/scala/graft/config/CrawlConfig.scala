@@ -43,6 +43,18 @@ package graft.config
   *                        written under this directory — the curated
   *                        corpus ships with the range-read index that
   *                        lets every later pass seek instead of re-scan
+  * @param watOutput       when set, EVERY extracted page (pre-curation —
+  *                        WAT accompanies the raw crawl, the way Common
+  *                        Crawl ships it) is exported as `.warc.wat.gz`
+  *                        shards: one metadata record per page whose
+  *                        JSON body carries the envelope and the page's
+  *                        resolved outgoing links
+  * @param hostRankOutput  when set, the crawl's own link graph is built
+  *                        (pageLinks → hostEdges) and the host PageRank
+  *                        vector written as parquet under this path —
+  *                        the centrality signal host-quality weighting
+  *                        consumes
+  * @param hostRankIterations fixed PageRank iteration count (default 5)
   * @param inputPartitions repartition the path list before the
   *                        one-task-per-file ingest (0 = leave as-is);
   *                        set ≈ cluster cores when file sizes are skewed
@@ -57,14 +69,18 @@ final case class CrawlConfig(input: String, outdir: String,
                              cdxOutput: Option[String],
                              inputPartitions: Int,
                              includePdf: Boolean = false,
-                             includeOffice: Boolean = false)
+                             includeOffice: Boolean = false,
+                             watOutput: Option[String] = None,
+                             hostRankOutput: Option[String] = None,
+                             hostRankIterations: Int = 5)
 
 object CrawlConfig {
 
   private val Known = Set("input", "outdir", "keep_langs",
     "min_host_docs", "max_host_docs", "t_head", "t_mid",
     "honor_noindex", "robots_user_agent", "wet_output", "cdx_output",
-    "input_partitions", "include_pdf", "include_office")
+    "input_partitions", "include_pdf", "include_office",
+    "wat_output", "host_rank_output", "host_rank_iterations")
 
   /** Parse + validate; Left = every problem found (not just the first). */
   def from(raw: Map[String, Any]): Either[Seq[String], CrawlConfig] = {
@@ -158,9 +174,29 @@ object CrawlConfig {
     val includePdf = boolOpt("include_pdf", default = false)
     val includeOffice = boolOpt("include_office", default = false)
 
+    val watOut = raw.get("wat_output") match {
+      case Some(s: String) if s.nonEmpty => Some(s)
+      case Some(null) | None => None
+      case Some("") => None
+      case Some(other) =>
+        err(s"wat_output: expected string, got '$other'", None)
+    }
+    val rankOut = raw.get("host_rank_output") match {
+      case Some(s: String) if s.nonEmpty => Some(s)
+      case Some(null) | None => None
+      case Some("") => None
+      case Some(other) =>
+        err(s"host_rank_output: expected string, got '$other'", None)
+    }
+    val rankIters = longOpt("host_rank_iterations", 5L)
+    if (rankIters < 1 || rankIters > 100)
+      errs += "host_rank_iterations: must be in [1, 100]"
+    if (rankOut.isEmpty && raw.contains("host_rank_iterations"))
+      errs += "host_rank_iterations: requires host_rank_output"
+
     if (errs.nonEmpty) Left(errs.toSeq)
     else Right(CrawlConfig(input, outdir, keepLangs, minHost, maxHost,
       tHead, tMid, honorNoindex, robotsUa, wetOut, cdxOut, parts.toInt,
-      includePdf, includeOffice))
+      includePdf, includeOffice, watOut, rankOut, rankIters.toInt))
   }
 }

@@ -320,6 +320,63 @@ class CrawlCliSpec extends SparkSpec {
     }
   }
 
+  test("wat_output + host_rank_output: WAT shards re-ingest, rank vector " +
+    "sums to one over the crawl's own link graph") {
+    val dir = Files.createTempDirectory("graft_crawl_wat_in").toFile
+    val outdir = Files.createTempDirectory("graft_crawl_wat_out").toString
+    try {
+      def linked(to: String, text: String): String =
+        s"""<html lang="en"><body><article><p>$text
+           |<a href="$to">over there</a></p></article></body></html>"""
+          .stripMargin
+      // a ring over three hosts so PageRank has edges and no dangling
+      val file =
+        gzip(rec("https://a.example.org/p", linked("https://b.example.org/p", prose1))) ++
+          gzip(rec("https://b.example.org/p", linked("https://c.example.org/p", prose2))) ++
+          gzip(rec("https://c.example.org/p", linked("https://a.example.org/p", prose1 + " extra")))
+      Files.write(new java.io.File(dir, "r.warc.gz").toPath, file)
+      val watDir = outdir + "/wat"
+      val rankDir = outdir + "/rank"
+      val cfg = graft.config.CrawlConfig.from(Map(
+        "input" -> dir.getAbsolutePath, "outdir" -> outdir,
+        "keep_langs" -> Seq("en"),
+        "wat_output" -> watDir, "host_rank_output" -> rankDir,
+        "host_rank_iterations" -> java.lang.Long.valueOf(3L)))
+        .toOption.get
+      val report = Main.crawl(spark, cfg)
+      assert(report.watFiles > 0 && report.rankedHosts == 3)
+      assert(report.render.contains("wat_files=") &&
+        report.render.contains("ranked_hosts=3"))
+      // the WAT shards re-ingest as metadata records whose link JSON
+      // matches the planted ring
+      import spark.implicits._
+      val watPaths = new java.io.File(watDir).listFiles()
+        .filter(!_.getName.startsWith("."))
+        .map(_.getAbsolutePath).toSeq
+      val back = graft.sources.Warc.recordsFromPaths(watPaths.toDS())
+        .where("warc_type = 'metadata'")
+      assert(back.count() == 3)
+      val edges = back.select(
+          get_json_object(col("text"), "$.links[0].url").as("l0"))
+        .as[String].collect().toSet
+      assert(edges == Set("https://a.example.org/p",
+        "https://b.example.org/p", "https://c.example.org/p"))
+      // the rank vector: symmetric 3-ring → uniform 1/3 each, mass 1
+      val ranks = spark.read.parquet(rankDir).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(ranks.keySet ==
+        Set("a.example.org", "b.example.org", "c.example.org"))
+      ranks.values.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-9))
+      // config validation: iterations without output is an error
+      assert(graft.config.CrawlConfig.from(Map(
+        "input" -> "x", "outdir" -> "y", "keep_langs" -> Seq("en"),
+        "host_rank_iterations" -> java.lang.Long.valueOf(3L)))
+        .left.exists(_.exists(_.contains("requires host_rank_output"))))
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
   test("crawl: empty input is a clean no-op report, not a crash") {
     val dir = Files.createTempDirectory("graft_crawl_empty").toFile
     try {
