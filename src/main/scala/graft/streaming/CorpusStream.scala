@@ -41,6 +41,24 @@ object CorpusStream {
         "http_status"))
   }
 
+  /** Streaming link extraction — the live form of the link-graph edge
+    * source ([[graft.textops.LinkGraph.pageLinks]] over the WARC html
+    * door): WARC payload rows in, resolved canonical links out, with
+    * `carryCols` riding through. STATELESS (kernels + a generator), so
+    * backfill ≡ live; feed the output to [[urlDedupStream]] for live
+    * frontier dedup, or sink it for a batch
+    * [[graft.textops.LinkGraph.pageRank]] build (rank iteration is a
+    * batch job by design — fixed-point iteration has no incremental
+    * streaming form worth pretending at).
+    */
+  def linkIngest(warcs: DataFrame, idCol: String, payloadCol: String,
+                 carryCols: Seq[String] = Nil): DataFrame = {
+    val pages = graft.sources.Warc.htmlPages(warcs, idCol, payloadCol,
+      carryCols)
+    graft.textops.LinkGraph.pageLinks(pages, idCol, "url", "html",
+      carryCols = carryCols :+ "warc_date")
+  }
+
   /** Streaming PDF ingestion — the binary-media twin of
     * [[crawlIngest]]: `application/pdf` responses leave the WARC
     * stream through the binary media door

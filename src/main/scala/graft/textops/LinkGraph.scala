@@ -54,7 +54,7 @@ object LinkGraph {
     * filters on it ([[hostEdges]] `followOnly`), an audit keeps it.
     */
   def pageLinks(df: DataFrame, idCol: String, urlCol: String,
-                htmlCol: String): DataFrame = {
+                htmlCol: String, carryCols: Seq[String] = Nil): DataFrame = {
     val kernel = udf { (url: String, html: String) =>
       val e = HtmlExtract.extract(html)
       val srcNorm = UrlOps.normalize(url)
@@ -79,13 +79,15 @@ object LinkGraph {
         }.toSeq
       }
     }
-    df.select(col(idCol), UrlOps.hostOf(UrlOps.normalizeUrl(col(urlCol)))
-        .as("src_host"),
-        posexplode(kernel(col(urlCol), col(htmlCol))).as(Seq("link_pos", "l")))
-      .select(col(idCol), col("src_host"), col("link_pos"),
-        col("l._1").as("href"), col("l._2").as("link_url"),
-        col("l._3").as("link_host"), col("l._4").as("anchor"),
-        col("l._5").as("nofollow"))
+    val carried = carryCols.map(col)
+    df.select(col(idCol) +: carried :+
+        UrlOps.hostOf(UrlOps.normalizeUrl(col(urlCol))).as("src_host") :+
+        posexplode(kernel(col(urlCol), col(htmlCol)))
+          .as(Seq("link_pos", "l")): _*)
+      .select(col(idCol) +: carried :+ col("src_host") :+
+        col("link_pos") :+ col("l._1").as("href") :+
+        col("l._2").as("link_url") :+ col("l._3").as("link_host") :+
+        col("l._4").as("anchor") :+ col("l._5").as("nofollow"): _*)
   }
 
   /** Host-level edge aggregation over [[pageLinks]] output: one row

@@ -42,7 +42,11 @@ object OfficeText {
           "http://xml.org/sax/features/external-parameter-entities", false)
         dbf.setXIncludeAware(false)
         dbf.setExpandEntityReferences(false)
-        dbf.newDocumentBuilder()
+        val b = dbf.newDocumentBuilder()
+        // silence the JDK default handler's stderr print on malformed
+        // payloads (the throw semantics are unchanged)
+        b.setErrorHandler(new org.xml.sax.helpers.DefaultHandler)
+        b
       }
     }
 

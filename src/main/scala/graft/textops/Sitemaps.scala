@@ -81,7 +81,12 @@ object Sitemaps {
         "http://xml.org/sax/features/external-parameter-entities", false)
       dbf.setXIncludeAware(false)
       dbf.setExpandEntityReferences(false)
-      dbf.newDocumentBuilder()
+      val b = dbf.newDocumentBuilder()
+      // the JDK's default error handler PRINTS "[Fatal Error] ..." to
+      // stderr before throwing — per-malformed-payload log spam at
+      // crawl scale. DefaultHandler keeps the throw, drops the print.
+      b.setErrorHandler(new org.xml.sax.helpers.DefaultHandler)
+      b
     }
   }
 

@@ -689,4 +689,50 @@ class CorpusStreamSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(batch == got)
   }
+
+  test("streaming link ingest: WARC bytes to resolved links, batch ≡ " +
+    "stream, stateless") {
+    implicit val sqlCtx = spark.sqlContext
+    def warcOf(k: Long): Array[Byte] =
+      graft.SparkEntry.q126Warc(k, "en",
+        s"""see <a href="/next/${k + 1}">next page</a> and
+           |<a href="https://x.example/${k % 3}">x</a>""".stripMargin)
+    val rows = Seq(
+      WarcRow(1L, t("2020-01-01 10:00:00"), warcOf(1L)),
+      WarcRow(2L, t("2020-01-01 10:00:30"), warcOf(2L)),
+      WarcRow(3L, t("2020-01-01 10:01:00"), "junk".getBytes("UTF-8")))
+    val source = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[WarcRow]
+    val links = CorpusStream.linkIngest(source.toDF(), "id", "payload",
+      carryCols = Seq("ts"))
+    val q = links.writeStream.outputMode("append")
+      .format("memory").queryName("link_ingest").start()
+    source.addData(rows.take(1): _*)
+    q.processAllAvailable()
+    source.addData(rows.drop(1): _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql(
+        "SELECT id, link_url, anchor, warc_date FROM link_ingest")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3))).toSet
+    // 5 chrome + 2 content links per real page (the q126 page plants
+    // nav/menu anchors), junk row contributes nothing, the event-time
+    // carry (warc_date) is present on every row
+    assert(got.map(_._1) == Set(1L, 2L))
+    assert(got.size == 14 && got.forall(_._4 != null))
+    assert(got.exists(r => r._1 == 1L &&
+      r._2 == "https://example.org/next/2" && r._3 == "next page"))
+    assert(got.exists(r => r._1 == 2L &&
+      r._2 == "https://x.example/2" && r._3 == "x"))
+    assert(got.exists(r => r._1 == 1L && r._2 == "https://example.org/"))
+    // batch ≡ stream: the same call over the same rows as a batch frame
+    val batch = CorpusStream.linkIngest(rows.toDF(), "id", "payload",
+        carryCols = Seq("ts"))
+      .select(col("id"), col("link_url"), col("anchor"), col("warc_date"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3))).toSet
+    assert(batch == got)
+  }
 }
