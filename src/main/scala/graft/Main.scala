@@ -62,6 +62,17 @@ object Main {
       try println(bundle(spark, bcfg).render) finally spark.stop()
       return
     }
+    if (cmd == "frontier") {
+      val fcfg = graft.config.FrontierConfig.from(merged) match {
+        case Right(c) => c
+        case Left(errors) =>
+          errors.foreach(e => System.err.println(s"config error: $e"))
+          sys.exit(2)
+      }
+      val spark = buildSpark()
+      try println(frontier(spark, fcfg).render) finally spark.stop()
+      return
+    }
     // the crawl subcommand has its own (much smaller) config surface
     if (cmd == "crawl") {
       val ccfg = graft.config.CrawlConfig.from(merged) match {
@@ -189,6 +200,78 @@ object Main {
   // ---------------------------------------------------------------------
   // `crawl`: the operable crawl-curation front door.
   // ---------------------------------------------------------------------
+
+  /** Printed by `frontier`: channel/candidate accounting + the plan. */
+  final case class FrontierReport(planned: Long, hosts: Long,
+                                  bySource: Map[String, Long]) {
+    def render: String = {
+      val s = bySource.toSeq.sortBy(_._1)
+        .map { case (k, n) => s"  source[$k] $n" }
+      (s"planned=$planned hosts=$hosts" +: s).mkString("\n")
+    }
+  }
+
+  /** The `frontier` subcommand — the operable form of
+    * [[graft.textops.Frontier]]: discovery channels (extracted links
+    * from a crawl, sitemap files, feed files) to a budgeted per-host
+    * fetch plan, minus the captured set, gated by the crawl's own
+    * captured robots when asked. Writes `fetch_plan.parquet` under
+    * `outdir`.
+    */
+  private[graft] def frontier(spark: SparkSession,
+                              cfg: graft.config.FrontierConfig)
+      : FrontierReport = {
+    import spark.implicits._
+    import graft.textops.{Feeds, Frontier, LinkGraph, RobotsTxt, Sitemaps}
+    // link channel + robots policies from the crawl itself
+    val (linksOpt, policiesOpt) = cfg.crawlInput match {
+      case Some(in) =>
+        val files = listWarcPaths(spark, in)
+        if (files.isEmpty) {
+          System.err.println(s"frontier: no .warc files under '$in'")
+          (None, None)
+        } else {
+          val pages0 = graft.sources.Warc.htmlPagesFromPaths(files.toDS())
+          val pqUdf = udf((u: String) => RobotsTxt.pathQueryOf(u))
+          val isRobots = col("url").isNotNull &&
+            pqUdf(col("url")) === "/robots.txt"
+          val pol = cfg.robotsUserAgent.map(ua =>
+            RobotsTxt.policies(pages0.where(isRobots), "url",
+              "http_status", "html", ua))
+          val links = LinkGraph.pageLinks(
+            pages0.where(!isRobots)
+              .withColumn("__lid", xxhash64(col("path"), col("rec_idx"))),
+            "__lid", "url", "html")
+          (Some(links), pol)
+        }
+      case None => (None, None)
+    }
+    // sitemap/feed channels: per-host metadata FILES (xml or xml.gz),
+    // one kernel parse per file through the binaryFile source
+    def filePayloads(path: String) =
+      spark.read.format("binaryFile").load(path)
+        .select(col("path").as("src"), col("content"))
+    val sitemapEntries = cfg.sitemapsInput.map(p =>
+      Sitemaps.entries(filePayloads(p), "src", "content"))
+    val feedItems = cfg.feedsInput.map(p =>
+      Feeds.items(filePayloads(p), "src", "content"))
+    val cands = Frontier.fromChannels(sitemapEntries.orNull,
+      feedItems.orNull, linksOpt.orNull)
+    val captured = cfg.captured.map(p =>
+        spark.read.parquet(p).select(col("url")))
+      .getOrElse(spark.range(0).select(lit(null).cast("string").as("url")))
+    val plan = Frontier.plan(cands, "url", captured, "url",
+      policiesOpt.orNull, perHostBudget = cfg.perHostBudget,
+      saltBuckets = cfg.saltBuckets)
+    val planPath = cfg.outdir + "/fetch_plan.parquet"
+    plan.write.mode("overwrite").parquet(planPath)
+    val written = spark.read.parquet(planPath)
+    val bySource = written.groupBy(col("source"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    FrontierReport(bySource.values.sum,
+      written.select(col("url_host")).distinct().count(), bySource)
+  }
 
   /** One row per crawl decision class, printed by `crawl`. */
   final case class CrawlReport(nFiles: Int, nPages: Long, nKept: Long,

@@ -1,0 +1,88 @@
+package graft.config
+
+/** Validated configuration for the `frontier` subcommand — the operable
+  * form of [[graft.textops.Frontier]]: discovery channels in, a
+  * budgeted per-host fetch plan out. The channels mirror how a real
+  * incremental crawl is fed:
+  *
+  * @param crawlInput    optional WARC file/dir/glob: pages contribute
+  *                      extracted links (the link channel), and —
+  *                      when `robots_user_agent` is set — the crawl's
+  *                      own `/robots.txt` captures compile the gate
+  * @param sitemapsInput optional dir/glob of sitemap XML(.gz) files
+  *                      (the sitemap channel)
+  * @param feedsInput    optional dir/glob of RSS/Atom XML(.gz) files
+  *                      (the feed channel)
+  * @param captured      optional parquet path with a `url` column —
+  *                      the already-fetched page set to subtract
+  * @param outdir        output directory: `fetch_plan.parquet`
+  * @param perHostBudget politeness budget per host (default 1000)
+  * @param saltBuckets   salt buckets of the two-phase top-N
+  * @param robotsUserAgent honor the crawl's captured robots for this
+  *                      UA (requires `crawl_input`)
+  */
+final case class FrontierConfig(crawlInput: Option[String],
+                                sitemapsInput: Option[String],
+                                feedsInput: Option[String],
+                                captured: Option[String],
+                                outdir: String,
+                                perHostBudget: Int,
+                                saltBuckets: Int,
+                                robotsUserAgent: Option[String])
+
+object FrontierConfig {
+
+  private val Known = Set("crawl_input", "sitemaps_input", "feeds_input",
+    "captured", "outdir", "per_host_budget", "salt_buckets",
+    "robots_user_agent")
+
+  /** Parse + validate; Left = every problem found. */
+  def from(raw: Map[String, Any]): Either[Seq[String], FrontierConfig] = {
+    val errs = scala.collection.mutable.ArrayBuffer.empty[String]
+    def err[T](msg: String, fallback: T): T = { errs += msg; fallback }
+
+    val unknown = raw.keySet.diff(Known)
+    if (unknown.nonEmpty)
+      errs += s"unknown parameter(s): ${unknown.toSeq.sorted.mkString(", ")}"
+
+    def strOpt(key: String): Option[String] = raw.get(key) match {
+      case Some(s: String) if s.nonEmpty => Some(s)
+      case Some(null) | None => None
+      case Some("") => None
+      case Some(other) => err(s"$key: expected string, got '$other'", None)
+    }
+    def longOpt(key: String, default: Long): Long = raw.get(key) match {
+      case Some(l: java.lang.Long) => l
+      case Some(null) | None => default
+      case Some(other) => err(s"$key: expected integer, got '$other'", default)
+    }
+
+    val outdir = raw.get("outdir") match {
+      case Some(s: String) if s.nonEmpty => s
+      case Some(other) if other != null =>
+        err(s"outdir: expected string, got '$other'", "")
+      case _ => err("missing parameter: outdir", "")
+    }
+    val crawl = strOpt("crawl_input")
+    val sitemaps = strOpt("sitemaps_input")
+    val feeds = strOpt("feeds_input")
+    val captured = strOpt("captured")
+    if (crawl.isEmpty && sitemaps.isEmpty && feeds.isEmpty)
+      errs += "at least one discovery channel required: crawl_input, " +
+        "sitemaps_input or feeds_input"
+    val budget = longOpt("per_host_budget", 1000L)
+    if (budget < 1 || budget > Int.MaxValue)
+      errs += "per_host_budget: must be a positive integer"
+    val salt = longOpt("salt_buckets", 32L)
+    if (salt < 1 || salt > 4096)
+      errs += "salt_buckets: must be in [1, 4096]"
+    val robotsUa = strOpt("robots_user_agent")
+    if (robotsUa.isDefined && crawl.isEmpty)
+      errs += "robots_user_agent: requires crawl_input (the robots " +
+        "captures come from the crawl itself)"
+
+    if (errs.nonEmpty) Left(errs.toSeq)
+    else Right(FrontierConfig(crawl, sitemaps, feeds, captured, outdir,
+      budget.toInt, salt.toInt, robotsUa))
+  }
+}

@@ -377,6 +377,92 @@ class CrawlCliSpec extends SparkSpec {
     }
   }
 
+  test("frontier e2e: crawl links + sitemap + feed channels, robots " +
+    "gate, captured subtraction, budgeted plan") {
+    val dir = Files.createTempDirectory("graft_frontier_in").toFile
+    val aux = Files.createTempDirectory("graft_frontier_aux").toFile
+    val outdir = Files.createTempDirectory("graft_frontier_out").toString
+    try {
+      def linked(hrefs: String*): String =
+        s"""<html lang="en"><body><p>${
+          hrefs.map(h => s"""<a href="$h">go</a>""").mkString(" ")
+        }</p></body></html>"""
+      def robotsRec(host: String, body: String): Array[Byte] = {
+        val b = (s"HTTP/1.1 200 OK${crlf}Content-Type: text/plain" +
+          s"$crlf$crlf$body").getBytes("UTF-8")
+        val h = new StringBuilder("WARC/1.0").append(crlf)
+        h.append("WARC-Type: response").append(crlf)
+        h.append("WARC-Target-URI: https://").append(host)
+          .append("/robots.txt").append(crlf)
+        h.append("WARC-Date: 2026-03-01T00:00:00Z").append(crlf)
+        h.append("Content-Type: application/http; msgtype=response")
+          .append(crlf)
+        h.append("Content-Length: ").append(b.length)
+          .append(crlf).append(crlf)
+        h.toString.getBytes("UTF-8") ++ b ++ (crlf + crlf).getBytes("UTF-8")
+      }
+      val warc =
+        gzip(rec("https://a.example.org/p",
+          linked("https://b.example.org/linked",
+            "https://a.example.org/blocked/x"))) ++
+          gzip(robotsRec("a.example.org",
+            "User-agent: *\nDisallow: /blocked/"))
+      Files.write(new java.io.File(dir, "c.warc.gz").toPath, warc)
+      // sitemap channel: one declared page (one already captured)
+      Files.write(new java.io.File(aux, "sitemap.xml").toPath,
+        ("<urlset><url><loc>https://a.example.org/s1</loc></url>" +
+          "<url><loc>https://a.example.org/old</loc></url></urlset>")
+          .getBytes("UTF-8"))
+      // feed channel: one item that DUPLICATES the sitemap page (the
+      // cross-channel dedup must keep the sitemap priority)
+      Files.write(new java.io.File(aux, "feed.xml").toPath,
+        ("<rss version=\"2.0\"><channel><title>F</title>" +
+          "<item><title>i</title><link>https://a.example.org/s1</link>" +
+          "</item><item><title>j</title>" +
+          "<link>https://c.example.org/f1</link></item></channel></rss>")
+          .getBytes("UTF-8"))
+      val capturedPath = outdir + "/captured.parquet"
+      locally {
+        import spark.implicits._
+        Seq("https://a.example.org/old").toDF("url")
+          .write.parquet(capturedPath)
+      }
+      val cfg = graft.config.FrontierConfig.from(Map(
+        "crawl_input" -> dir.getAbsolutePath,
+        "sitemaps_input" -> (aux.getAbsolutePath + "/sitemap.xml"),
+        "feeds_input" -> (aux.getAbsolutePath + "/feed.xml"),
+        "captured" -> capturedPath,
+        "outdir" -> outdir,
+        "per_host_budget" -> java.lang.Long.valueOf(10L),
+        "robots_user_agent" -> "graftbot")).toOption.get
+      val report = Main.frontier(spark, cfg)
+      val plan = spark.read.parquet(outdir + "/fetch_plan.parquet")
+        .collect()
+        .map(r => (r.getString(1), r.getString(2))).toMap
+      // /old captured-out, /blocked robots-out, /s1 deduped to sitemap,
+      // /p itself was fetched but NOT in captured -> it stays a page
+      // link candidate? no: /p is the SOURCE page; only its hrefs are
+      // candidates. Survivors:
+      assert(plan == Map(
+        "https://a.example.org/s1" -> "sitemap",
+        "https://b.example.org/linked" -> "link",
+        "https://c.example.org/f1" -> "feed"))
+      assert(report.planned == 3 && report.hosts == 3)
+      assert(report.bySource ==
+        Map("sitemap" -> 1L, "feed" -> 1L, "link" -> 1L))
+      assert(report.render.contains("planned=3 hosts=3"))
+      // validation: no channel at all, UA without crawl input
+      assert(graft.config.FrontierConfig.from(Map("outdir" -> "x"))
+        .left.exists(_.exists(_.contains("at least one discovery"))))
+      assert(graft.config.FrontierConfig.from(Map("outdir" -> "x",
+        "feeds_input" -> "y", "robots_user_agent" -> "bot"))
+        .left.exists(_.exists(_.contains("requires crawl_input"))))
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+      aux.listFiles().foreach(_.delete()); aux.delete()
+    }
+  }
+
   test("crawl: empty input is a clean no-op report, not a crash") {
     val dir = Files.createTempDirectory("graft_crawl_empty").toFile
     try {
