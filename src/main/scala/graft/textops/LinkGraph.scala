@@ -142,8 +142,16 @@ object LinkGraph {
       .union(e.select(col("dst"))).distinct().cache()
     val n = nodes.count().toDouble
     val outw = e.groupBy("src").agg(sum("w").as("outw"))
+    // the fraction table is cached PARTITIONED BY src: its build
+    // inherits hash(src, dst) from the edge aggregate, which does NOT
+    // satisfy the per-iteration join on src — without the explicit
+    // repartition every iteration would re-shuffle the (large) edge
+    // side; with it only the (small) rank vector moves per iteration
+    // (plan-verified: the cached scan feeds the join exchange-free
+    // once ranks outgrow the broadcast threshold)
     val frac = e.join(outw, "src")
       .select(col("src"), col("dst"), (col("w") / col("outw")).as("frac"))
+      .repartition(col("src"))
       .cache()
     frac.count() // materialize once; reused every iteration
     val srcs = outw.select(col("src").as("host")).cache()
