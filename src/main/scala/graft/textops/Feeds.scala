@@ -241,6 +241,39 @@ object Feeds {
         col("e._6").as("published_ms"), col("e._7").as("error"))
   }
 
+  /** Feed AUTODISCOVERY over crawled pages — how a crawler finds feeds
+    * in the first place: the RSS/Atom convention puts `<link
+    * rel="alternate" type="application/rss+xml|atom+xml" href=…>` in
+    * the page head ([[HtmlExtract]] captures them); this resolves each
+    * against the page's effective base and canonicalizes. Output: one
+    * row per discovered feed per page — (idCol, feed_pos, feed_url) —
+    * ready to union into a [[Frontier]] candidate set or fetch
+    * directly. Scan-stage kernel + posexplode; pages with no feed
+    * declarations emit nothing.
+    */
+  def discover(df: DataFrame, idCol: String, urlCol: String,
+               htmlCol: String): DataFrame = {
+    val kernel = udf { (url: String, html: String) =>
+      val e = HtmlExtract.extract(html)
+      val srcNorm = UrlOps.normalize(url)
+      val base = if (e.baseHref == null) srcNorm
+        else {
+          val b = UrlOps.resolve(srcNorm, e.baseHref)
+          if (b == null) srcNorm else b
+        }
+      e.feedHrefs.iterator.flatMap { h =>
+        val r = UrlOps.resolve(base, h)
+        if (r == null) None
+        else {
+          val n = UrlOps.normalize(r)
+          if (UrlOps.host(n) == null) None else Some(n)
+        }
+      }.toSeq.distinct
+    }
+    df.select(col(idCol), posexplode(kernel(col(urlCol), col(htmlCol)))
+      .as(Seq("feed_pos", "feed_url")))
+  }
+
   /** Discovery frontier: feed items not yet in the captured page set —
     * the fetch list a feed-driven incremental crawl produces. Both
     * sides canonicalize; one left-anti join on the canonical key.

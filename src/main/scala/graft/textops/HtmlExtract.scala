@@ -48,7 +48,8 @@ object HtmlExtract {
                              blocksKept: Int, blocksDropped: Int,
                              robotsNoindex: Boolean, robotsNofollow: Boolean,
                              baseHref: String = null,
-                             links: Vector[Link] = Vector.empty)
+                             links: Vector[Link] = Vector.empty,
+                             feedHrefs: Vector[String] = Vector.empty)
 
   /** One outgoing link: the raw (entity-decoded) `href`, the anchor's
     * collapsed text, and whether its `rel` carries the `nofollow`
@@ -325,6 +326,7 @@ object HtmlExtract {
     var robotsNoindex = false
     var robotsNofollow = false
     var baseHref: String = null
+    val feedHrefs = new scala.collection.mutable.ArrayBuffer[String]()
     val links = new scala.collection.mutable.ArrayBuffer[Link]()
     var curHref: String = null
     var curNofollow = false
@@ -442,6 +444,23 @@ object HtmlExtract {
                   }
                 }
               }
+              if (name == "link" && !tag.closing) {
+                // feed autodiscovery (the RSS/Atom convention): <link
+                // rel="alternate" type="application/rss+xml|atom+xml"
+                // href=…> in the head names the page's feed — the
+                // discovery channel [[graft.textops.Feeds]] consumes
+                val rel = attrValue(s, tag.attrFrom, tag.attrUntil, "rel")
+                val typ = attrValue(s, tag.attrFrom, tag.attrUntil, "type")
+                if (rel != null && typ != null &&
+                  rel.split("\\s+").exists(t => lowerAscii(t) == "alternate")) {
+                  val t = lowerAscii(typ.trim)
+                  if (t == "application/rss+xml" || t == "application/atom+xml") {
+                    val href = attrValue(s, tag.attrFrom, tag.attrUntil, "href")
+                    if (href != null && href.trim.nonEmpty)
+                      feedHrefs += decodeRefs(href.trim)
+                  }
+                }
+              }
               if (name == "base" && !tag.closing && baseHref == null) {
                 val v = attrValue(s, tag.attrFrom, tag.attrUntil, "href")
                 if (v != null && v.trim.nonEmpty) baseHref = decodeRefs(v.trim)
@@ -492,7 +511,8 @@ object HtmlExtract {
     closeBlock()
     emitLink() // an unterminated <a href> still carries its edge
     Extracted(title, lang, kept.mkString("\n"), kept.length, dropped,
-      robotsNoindex, robotsNofollow, baseHref, links.toVector)
+      robotsNoindex, robotsNofollow, baseHref, links.toVector,
+      feedHrefs.toVector)
   }
 
   /** Scan-stage extraction over a DataFrame: (id, carry…, title, lang,

@@ -89,6 +89,35 @@ class FeedsSpec extends SparkSpec {
     }
   }
 
+  test("discover: rel=alternate feed links resolve; decoys emit nothing") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "https://s.org/a/p.html",
+        """<head><link rel="alternate" type="application/rss+xml"
+          | href="../feed.xml"></head>""".stripMargin),
+      (2L, "https://s.org/b",
+        """<link rel="ALTERNATE" type="Application/Atom+XML"
+          | href="https://f.io/atom">
+          |<link rel="alternate" type="application/rss+xml"
+          | href="https://f.io/atom">""".stripMargin), // dup collapses
+      (3L, "https://s.org/c",
+        """<link rel="stylesheet" type="text/css" href="/s.css">
+          |<link rel="alternate" type="text/html" href="/alt">
+          |<a href="/x">not a link element</a>""".stripMargin),
+      (4L, "https://s.org/d",
+        """<base href="https://based.io/dir/">
+          |<link rel="alternate" type="application/rss+xml" href="f.xml">"""
+          .stripMargin)
+    ).toDF("id", "url", "html")
+    val out = Feeds.discover(df, "id", "url", "html")
+      .orderBy("id", "feed_pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(out.toSeq == Seq(
+      (1L, 0, "https://s.org/feed.xml"),
+      (2L, 0, "https://f.io/atom"),
+      (4L, 0, "https://based.io/dir/f.xml")))
+  }
+
   test("items DataFrame + undiscovered frontier join") {
     import spark.implicits._
     val df = Seq((1L, rss), (2L, atom), (3L, "junk".getBytes))
