@@ -118,7 +118,8 @@ object Warc {
                        bin: Array[Byte] = null,
                        charset: String = null,
                        charsetSrc: String = null,
-                       nRepl: Int = 0)
+                       nRepl: Int = 0,
+                       httpLocation: String = null)
 
   private val Utf8 = java.nio.charset.StandardCharsets.UTF_8
 
@@ -574,7 +575,8 @@ object Warc {
     * reason-class token (no colon), so [[quarantineStats]] counts
     * coverage loss per encoding.
     */
-  private def parseHttp(b: Array[Byte]): (Int, Array[Byte], String) = {
+  private def parseHttp(b: Array[Byte])
+      : (Int, Array[Byte], String, String) = {
     val (e, next) = lineEnd(b, 0)
     val status = asciiLine(b, 0, e)
     if (!status.startsWith("HTTP/")) malformed("not an HTTP response block")
@@ -644,7 +646,8 @@ object Warc {
       case Some(other) =>
         malformed(s"unsupported content-encoding ${sanitizeToken(other)}")
     }
-    (code, body, headers.get("content-type").orNull)
+    (code, body, headers.get("content-type").orNull,
+      headers.get("location").map(_.trim).filter(_.nonEmpty).orNull)
   }
 
   /** Normalize a Content-Type header to its media type: parameters
@@ -704,14 +707,14 @@ object Warc {
           case "response" if ct != null &&
             ct.toLowerCase(java.util.Locale.ROOT)
               .startsWith("application/http") =>
-            val (code, payload, hctRaw) = parseHttp(body)
+            val (code, payload, hctRaw, httpLoc) = parseHttp(body)
             // binary media bodies stay bytes ONLY when the caller asked
             // (the media door); textual bodies go through the WHATWG
             // charset sniff (BOM > transport label > meta prescan >
             // UTF-8 validation > windows-1252) — a real crawl is 5-10%
             // non-UTF-8 and a hard-coded UTF-8 read mangles every
             // non-ASCII character on those pages
-            if (isTextualMedia(mediaTypeOf(hctRaw))) {
+            val rec0 = if (isTextualMedia(mediaTypeOf(hctRaw))) {
               val d = graft.textops.Charsets.decode(payload, hctRaw)
               Rec(idx, recStart, wt, uri, date, ct, Some(code), d.text,
                 null, hctRaw, null, d.charset, d.source, d.nReplacements)
@@ -721,6 +724,10 @@ object Warc {
             else
               Rec(idx, recStart, wt, uri, date, ct, Some(code),
                 new String(payload, Utf8), null, hctRaw, null)
+            // the Location header is the redirect-alias edge source
+            // (3xx capture bodies are empty or boilerplate; the header
+            // IS the content) — threaded through for Redirects
+            if (httpLoc == null) rec0 else rec0.copy(httpLocation = httpLoc)
           case "conversion" =>
             // WET conversion content is UTF-8 by the ISO 28500 usage
             // convention; no transport header exists to sniff against
@@ -865,6 +872,7 @@ object Warc {
         col("r.targetUri").as("url"), col("r.warcDate").as("warc_date"),
         col("r.contentType").as("content_type"),
         col("r.httpStatus").as("http_status"),
+        col("r.httpLocation").as("http_location"),
         col("r.text").as("text"), col("r.error").as("error"))
   }
 
@@ -877,6 +885,7 @@ object Warc {
     StructField("warc_date", StringType, nullable = true),
     StructField("content_type", StringType, nullable = true),
     StructField("http_status", IntegerType, nullable = true),
+    StructField("http_location", StringType, nullable = true),
     StructField("text", StringType, nullable = true),
     StructField("error", StringType, nullable = true)))
 
@@ -922,7 +931,7 @@ object Warc {
         opened match {
           case Left(err) =>
             Iterator.single(Row(p, 0, 0L, null, null, null, null, null,
-              null, s"unreadable file: $err", null, null, null))
+              null, null, s"unreadable file: $err", null, null, null))
           case Right(in) =>
             // closed when the iterator drains; a task-completion
             // listener backstops early termination (a downstream
@@ -948,7 +957,8 @@ object Warc {
                 val r = recs.next()
                 Row(p, r.recIdx, r.offset, r.warcType, r.targetUri,
                   r.warcDate, r.contentType,
-                  r.httpStatus.map(Int.box).orNull, r.text, r.error,
+                  r.httpStatus.map(Int.box).orNull, r.httpLocation,
+                  r.text, r.error,
                   mediaTypeOf(r.httpContentType), r.charset,
                   r.charsetSrc)
               }

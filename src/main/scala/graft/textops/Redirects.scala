@@ -1,0 +1,102 @@
+package graft.textops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Redirect-alias collapse — the URL-identity step crawl dedup needs
+  * beyond canonicalization: the SAME page is reachable through 301/302
+  * hops (http→https upgrades, www flips, moved paths, shorteners), and
+  * a crawl that captured the redirect responses has the alias graph in
+  * hand. This operator turns captured 3xx records into (src → final)
+  * alias rows and rewrites page URLs through them, so URL-level dedup
+  * ([[UrlOps.urlSurvivors]]) and the captured-set subtraction
+  * ([[Frontier.plan]]) key on the destination identity.
+  *
+  * Reference scope: the reference follows redirects inside its HTTP
+  * client and never surfaces them (`stream2segment/download/url.py:1`);
+  * the alias-graph form is extension surface for the crawl wing.
+  *
+  * Semantics:
+  *  - [[edges]]: one alias edge per captured 3xx response with a
+  *    `Location` header — src = the canonical capture URL, dst = the
+  *    Location resolved against it (RFC 9110 §10.2.2 allows relative
+  *    Location) and canonicalized; self-edges and non-http targets
+  *    drop.
+  *  - [[resolveAliases]]: pointer-jumping closure — `rounds` doubling
+  *    iterations collapse chains up to 2^rounds hops (default 3 → 8
+  *    hops, beyond any sane redirect chain; browsers stop near 20 but
+  *    crawl policies cap far lower). Redirect CYCLES: a row whose
+  *    pointer returns to its own source drops (a loop resolves
+  *    nowhere — clients treat it as an error); members of odd-length
+  *    cycles can survive the fixed rounds still pointing INSIDE the
+  *    cycle, which stays consistent for dedup — every survivor keys
+  *    into the same page family, never out of it.
+  *  - [[applyAliases]]: rewrite a frame's canonical URLs through the
+  *    alias table (left join; unaliased rows keep their own URL).
+  *
+  * DESIGN FOR 100 TB: the alias table is redirect-captures-only — tiny
+  * next to the page corpus (most captures are 200s) — and every
+  * iteration is a self-join of that slim (src, dst) table; the final
+  * apply is one broadcast-friendly left join keyed on the canonical
+  * URL. Pointer jumping needs log2(maxHops) rounds, not maxHops.
+  */
+object Redirects {
+
+  /** Alias edges from a [[graft.sources.Warc.records]]-shaped frame
+    * (needs `url`, `http_status`, `http_location`). Output: (src_url,
+    * dst_url), both canonicalized, distinct.
+    */
+  def edges(records: DataFrame, urlCol: String = "url",
+            statusCol: String = "http_status",
+            locationCol: String = "http_location"): DataFrame = {
+    val resolveUdf = udf { (u: String, loc: String) =>
+      val r = UrlOps.resolve(u, loc)
+      if (r == null) null
+      else {
+        val n = UrlOps.normalize(r)
+        if (UrlOps.host(n) == null) null else n
+      }
+    }
+    records
+      .where(col(statusCol).isNotNull &&
+        col(statusCol) >= 300 && col(statusCol) < 400 &&
+        col(locationCol).isNotNull && col(urlCol).isNotNull)
+      .select(UrlOps.normalizeUrl(col(urlCol)).as("src_url"),
+        resolveUdf(col(urlCol), col(locationCol)).as("dst_url"))
+      .where(col("dst_url").isNotNull && col("src_url") =!= col("dst_url"))
+      .distinct()
+  }
+
+  /** Collapse chains by pointer jumping: after `rounds` iterations
+    * every chain of ≤ 2^rounds hops points at its final destination.
+    * Cycles drop (see the object doc). Output: (src_url, final_url).
+    */
+  def resolveAliases(edges: DataFrame, rounds: Int = 3): DataFrame = {
+    require(rounds >= 0 && rounds <= 10, s"rounds must be in [0,10]")
+    var a = edges.select(col("src_url"), col("dst_url"))
+    var i = 0
+    while (i < rounds) {
+      a = a.as("l")
+        .join(a.select(col("src_url").as("__s"), col("dst_url").as("__d"))
+          .as("r"), col("l.dst_url") === col("__s"), "left")
+        .select(col("l.src_url").as("src_url"),
+          coalesce(col("__d"), col("l.dst_url")).as("dst_url"))
+        .where(col("src_url") =!= col("dst_url")) // a cycle closed: drop
+      i += 1
+    }
+    a.select(col("src_url"), col("dst_url").as("final_url"))
+  }
+
+  /** Rewrite `urlCol` (already-canonical URLs) through the alias
+    * table: adds `resolved_url` = the alias target when one exists,
+    * else the row's own URL. One left join on the canonical key (the
+    * alias side is the small side — AQE broadcasts it).
+    */
+  def applyAliases(df: DataFrame, urlCol: String,
+                   aliases: DataFrame): DataFrame =
+    df.join(aliases.withColumnRenamed("src_url", urlCol),
+        Seq(urlCol), "left")
+      .withColumn("resolved_url",
+        coalesce(col("final_url"), col(urlCol)))
+      .drop("final_url")
+}

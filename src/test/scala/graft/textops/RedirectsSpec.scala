@@ -1,0 +1,98 @@
+package graft.textops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Redirect-alias collapse: edge extraction from 3xx captures
+  * (relative Location resolution, canonicalization, self/non-http
+  * drops), pointer-jumping chain closure, cycle handling, and the
+  * alias rewrite join — plus the WARC reader's Location capture.
+  */
+class RedirectsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def recRow(url: String, status: Integer,
+                     loc: String): (String, Integer, String) =
+    (url, status, loc)
+
+  test("edges: resolution, canonicalization, drops") {
+    val records = Seq(
+      recRow("http://A.org:80/a?utm_source=z", 301, "/b"), // relative loc
+      recRow("https://a.org/c", 302, "HTTPS://B.io/d#frag"), // canon + frag
+      recRow("https://a.org/self", 301, "https://a.org/self"), // self drop
+      recRow("https://a.org/mail", 301, "mailto:x@y.z"), // non-http drop
+      recRow("https://a.org/ok", 200, "https://ignored.io/"), // not 3xx
+      recRow("https://a.org/nul", 301, null) // no location
+    ).toDF("url", "http_status", "http_location")
+    val e = Redirects.edges(records).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(e == Set(
+      ("http://a.org/a", "http://a.org/b"),
+      ("https://a.org/c", "https://b.io/d")))
+  }
+
+  test("resolveAliases: chains collapse, cycles drop, rewrite joins") {
+    val edges = Seq(
+      ("u/1", "u/2"), ("u/2", "u/3"), ("u/3", "u/4"), ("u/4", "u/5"),
+      ("v/1", "v/2"),
+      ("c/1", "c/2"), ("c/2", "c/1") // 2-cycle
+    ).toDF("src_url", "dst_url")
+    val a = Redirects.resolveAliases(edges, rounds = 3).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(a == Map(
+      "u/1" -> "u/5", "u/2" -> "u/5", "u/3" -> "u/5", "u/4" -> "u/5",
+      "v/1" -> "v/2"))
+    val pages = Seq("u/1", "u/3", "w/9").toDF("url_norm")
+    val rewritten = Redirects.applyAliases(pages, "url_norm",
+        Redirects.resolveAliases(edges, rounds = 3))
+      .orderBy("url_norm")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rewritten.toSeq == Seq(
+      ("u/1", "u/5"), ("u/3", "u/5"), ("w/9", "w/9")))
+  }
+
+  test("chains into a cycle key into the cycle family; rounds cap") {
+    val edges = Seq(
+      ("x", "a"), ("a", "b"), ("b", "a")
+    ).toDF("src_url", "dst_url")
+    val a = Redirects.resolveAliases(edges, rounds = 3).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(a.keySet == Set("x") && Set("a", "b").contains(a("x")))
+    // rounds = 0 is the identity on the edge list
+    val id = Redirects.resolveAliases(edges, rounds = 0).count()
+    assert(id == 3)
+    intercept[IllegalArgumentException] {
+      Redirects.resolveAliases(edges, rounds = 11)
+    }
+  }
+
+  test("the WARC reader captures Location on 3xx responses") {
+    val crlf = "\r\n"
+    def rec(url: String, status: Int, loc: String,
+            body: String): Array[Byte] = {
+      val http = (s"HTTP/1.1 $status X${crlf}Content-Type: text/html" +
+        (if (loc != null) s"${crlf}Location: $loc" else "") +
+        s"$crlf$crlf$body").getBytes("UTF-8")
+      (s"WARC/1.0${crlf}WARC-Type: response$crlf" +
+        s"WARC-Target-URI: $url$crlf" +
+        s"WARC-Date: 2026-03-01T00:00:00Z$crlf" +
+        s"Content-Type: application/http; msgtype=response$crlf" +
+        s"Content-Length: ${http.length}$crlf$crlf").getBytes("UTF-8") ++
+        http ++ (crlf + crlf).getBytes("UTF-8")
+    }
+    val payload = rec("https://s.io/a", 301, "/b", "") ++
+      rec("https://s.io/b", 200, null, "<p>page</p>")
+    val rows = graft.sources.Warc
+      .records(Seq((1L, payload)).toDF("id", "payload"), "id", "payload")
+      .orderBy("rec_idx")
+      .select("url", "http_status", "http_location").collect()
+    assert(rows(0).getString(2) == "/b" && rows(0).getInt(1) == 301)
+    assert(rows(1).isNullAt(2))
+    // end to end: records → edges → aliases
+    val aliases = Redirects.resolveAliases(Redirects.edges(
+      graft.sources.Warc.records(
+        Seq((1L, payload)).toDF("id", "payload"), "id", "payload")))
+    val got = aliases.collect().map(r => (r.getString(0), r.getString(1)))
+    assert(got.toSeq == Seq(("https://s.io/a", "https://s.io/b")))
+  }
+}
