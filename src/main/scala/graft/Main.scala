@@ -470,7 +470,25 @@ object Main {
         (live0, live0.limit(0).transform(droppedRows(_, "robots_disallow")))
     }
 
-    val surv = UrlOps.urlSurvivors(live, "url", "doc_id", "text",
+    // redirect-alias rewrite (resolve_redirects): captured 3xx chains
+    // collapse, page URLs rewrite to their destination identity, so a
+    // redirect stub dedups onto the real page in the survivor window
+    // (status rank prefers the 2xx capture, text length breaks ties).
+    // The alias build reuses the same path list; the 3xx edge table is
+    // a sliver of the crawl, so the extra records pass is scan-bound.
+    val live1 =
+      if (!cfg.resolveRedirects) live
+      else {
+        val aliases = graft.textops.Redirects.resolveAliases(
+          graft.textops.Redirects.edges(
+            graft.sources.Warc.recordsFromPaths(paths)))
+        graft.textops.Redirects.applyAliases(
+            live.withColumn("__cu", UrlOps.normalizeUrl(col("url"))),
+            "__cu", aliases)
+          .withColumn("url", col("resolved_url"))
+          .drop("__cu", "resolved_url")
+      }
+    val surv = UrlOps.urlSurvivors(live1, "url", "doc_id", "text",
       "http_status")
     val urlDropped = droppedRows(surv.where(!col("kept")), "url_duplicate")
     val keptSurv = surv.where(col("kept"))

@@ -152,7 +152,13 @@ object ScaleSmoke {
     "q162_host_components", "q163_anchor_docs",
     // WAT export round trip: per-row extract+json+gzip then member
     // parse — the q139 WET class with the link kernel folded in
-    "q164_wat_roundtrip")
+    "q164_wat_roundtrip",
+    // feed autodiscovery: the q125 scan class (kernel + posexplode)
+    "q165_feed_discovery",
+    // redirect-alias collapse: per-row WARC walk then log-round
+    // self-joins of the SLIM 3xx edge table (redirects are a sliver of
+    // any crawl — the iteration state never scales with the corpus)
+    "q166_redirect_alias")
 
   /** Measured at 10× only. All three are deliberately NOT the scale
     * path — q77 is the pinned-k SemDeDup negative control (its 100×

@@ -3415,6 +3415,40 @@ object SparkEntry {
             .cast("boolean").as("nofollow"),
           get_json_object(col("text"), "$.links[1].url").as("extra_link"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Feed autodiscovery — how a crawler finds q160's feeds in the
+    // first place: <link rel=alternate type=rss/atom> declarations in
+    // the page head resolve against the page base and canonicalize;
+    // k%3=0 declares a relative RSS feed, k%3=1 an absolute Atom feed,
+    // k%3=2 plants only DECOYS (a stylesheet link and an alternate of
+    // type text/html) that must emit nothing
+    "q165_feed_discovery" -> ((s, dir) => {
+      import s.implicits._
+      val pages = tSpread(s, dir, "documents").select(col("doc_id"))
+        .as[Long]
+        .map(k => (k, s"https://d${k % 4}.example/p/$k", q165Html(k)))
+        .toDF("doc_id", "url", "html")
+      textops.Feeds.discover(pages, "doc_id", "url", "html")
+        .orderBy(col("doc_id"), col("feed_pos"))
+    }),
+
+    // Redirect-alias collapse — URL identity beyond canonicalization:
+    // planted WARCs carry 3xx captures with RELATIVE Location headers
+    // (k%3=0 a two-hop chain, k%3=1 one hop, k%3=2 no redirect at all,
+    // and a 301 loop pair on k%17=0 that must resolve to NOTHING);
+    // records → alias edges → pointer-jumping closure, the oracle
+    // replays the chain arithmetic closed-form
+    "q166_redirect_alias" -> ((s, dir) => {
+      import s.implicits._
+      val warcs = tSpread(s, dir, "documents").select(col("doc_id"))
+        .as[Long]
+        .map(k => (k, q166Warc(k)))
+        .toDF("doc_id", "payload")
+      val records = sources.Warc.records(warcs, "doc_id", "payload")
+      textops.Redirects.resolveAliases(textops.Redirects.edges(records),
+          rounds = 3)
+        .orderBy(col("src_url"))
     })
   )
 
@@ -3510,6 +3544,52 @@ object SparkEntry {
       s"""SELECT 'h' || CAST(h AS VARCHAR) || '.example' AS host,
          |  ROUND(rank, 6) AS rank FROM pr$iters ORDER BY host""".stripMargin)
     sb.toString
+  }
+
+  /** q166's planted WARC: redirect chains with relative Location
+    * headers on host h(k%7), final pages at /final/(k%10); a 301 loop
+    * pair on k%17=0 (see the query comment).
+    */
+  private[graft] def q166Warc(k: Long): Array[Byte] = {
+    val crlf = "\r\n"
+    def rec(url: String, status: Int, loc: String,
+            body: String): Array[Byte] = {
+      val http = (s"HTTP/1.1 $status X${crlf}Content-Type: text/html" +
+        (if (loc != null) s"${crlf}Location: $loc" else "") +
+        s"$crlf$crlf$body").getBytes("UTF-8")
+      (s"WARC/1.0${crlf}WARC-Type: response$crlf" +
+        s"WARC-Target-URI: $url$crlf" +
+        s"WARC-Date: 2026-03-01T00:00:00Z$crlf" +
+        s"Content-Type: application/http; msgtype=response$crlf" +
+        s"Content-Length: ${http.length}$crlf$crlf").getBytes("UTF-8") ++
+        http ++ (crlf + crlf).getBytes("UTF-8")
+    }
+    val host = s"https://h${k % 7}.example"
+    val fin = rec(s"$host/final/${k % 10}", 200, null, s"<p>page $k</p>")
+    val base = (k % 3).toInt match {
+      case 0 => rec(s"$host/r0/$k", 301, s"/r1/$k", "") ++
+        rec(s"$host/r1/$k", 302, s"/final/${k % 10}", "") ++ fin
+      case 1 => rec(s"$host/r0/$k", 301, s"/final/${k % 10}", "") ++ fin
+      case _ => fin
+    }
+    if (k % 17 != 0) base
+    else base ++ rec(s"$host/c0/$k", 301, s"/c1/$k", "") ++
+      rec(s"$host/c1/$k", 301, s"/c0/$k", "")
+  }
+
+  /** q165's planted page (see the query comment). */
+  private[graft] def q165Html(k: Long): String = {
+    val head = (k % 3).toInt match {
+      case 0 =>
+        """<link rel="alternate" type="application/rss+xml" href="/feed.xml">"""
+      case 1 =>
+        s"""<link rel="alternate" type="application/atom+xml" href="https://feeds.example/atom/${k % 5}">"""
+      case _ =>
+        """<link rel="stylesheet" type="text/css" href="/s.css">""" +
+          """<link rel="alternate" type="text/html" href="/alt.html">"""
+    }
+    s"<html><head><title>P$k</title>$head</head>" +
+      s"""<body><p>body <a href="/x">x</a></p></body></html>"""
   }
 
   /** q162's page URL: one page per doc on host c(k%16), zero-padded so
@@ -7741,7 +7821,36 @@ object SparkEntry {
         |    WHEN 6 THEN 'No follow' ELSE 'Based' END AS anchor,
         |  doc_id % 8 = 6 AS nofollow,
         |  CAST(NULL AS VARCHAR) AS extra_link
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the declared-feed matrix replayed closed-form; decoy pages
+    // (k%3=2) emit no row
+    "q165_feed_discovery" ->
+      """SELECT doc_id, 0 AS feed_pos,
+        |  CASE CAST(doc_id % 3 AS INTEGER)
+        |    WHEN 0 THEN 'https://d' || CAST(doc_id % 4 AS VARCHAR) ||
+        |      '.example/feed.xml'
+        |    ELSE 'https://feeds.example/atom/' ||
+        |      CAST(doc_id % 5 AS VARCHAR) END AS feed_url
+        |FROM documents WHERE doc_id % 3 <> 2
+        |ORDER BY doc_id, feed_pos""".stripMargin,
+
+    // the planted chain arithmetic: every redirect source resolves to
+    // its chain's final page; the k%17 loop pair contributes nothing
+    "q166_redirect_alias" ->
+      """WITH d AS (SELECT doc_id AS k, doc_id % 7 AS h, doc_id % 10 AS f
+        |  FROM documents),
+        |rows_ AS (
+        |  SELECT k, h, f, '/r0/' AS p FROM d WHERE k % 3 IN (0, 1)
+        |  UNION ALL
+        |  SELECT k, h, f, '/r1/' FROM d WHERE k % 3 = 0
+        |)
+        |SELECT
+        |  'https://h' || CAST(h AS VARCHAR) || '.example' || p ||
+        |    CAST(k AS VARCHAR) AS src_url,
+        |  'https://h' || CAST(h AS VARCHAR) || '.example/final/' ||
+        |    CAST(f AS VARCHAR) AS final_url
+        |FROM rows_ ORDER BY src_url""".stripMargin
   )
 
   /** q133's replay: q102's stage CTEs over the crawl-extracted corpus

@@ -55,6 +55,13 @@ package graft.config
   *                        the centrality signal host-quality weighting
   *                        consumes
   * @param hostRankIterations fixed PageRank iteration count (default 5)
+  * @param resolveRedirects when true, captured 3xx responses build a
+  *                        redirect-alias table (Location chains
+  *                        collapsed) and page URLs are rewritten
+  *                        through it BEFORE URL-survivor dedup — a
+  *                        redirect stub then collapses onto its
+  *                        destination page as `url_duplicate` instead
+  *                        of surviving as an empty-text document
   * @param inputPartitions repartition the path list before the
   *                        one-task-per-file ingest (0 = leave as-is);
   *                        set ≈ cluster cores when file sizes are skewed
@@ -72,7 +79,8 @@ final case class CrawlConfig(input: String, outdir: String,
                              includeOffice: Boolean = false,
                              watOutput: Option[String] = None,
                              hostRankOutput: Option[String] = None,
-                             hostRankIterations: Int = 5)
+                             hostRankIterations: Int = 5,
+                             resolveRedirects: Boolean = false)
 
 object CrawlConfig {
 
@@ -80,7 +88,8 @@ object CrawlConfig {
     "min_host_docs", "max_host_docs", "t_head", "t_mid",
     "honor_noindex", "robots_user_agent", "wet_output", "cdx_output",
     "input_partitions", "include_pdf", "include_office",
-    "wat_output", "host_rank_output", "host_rank_iterations")
+    "wat_output", "host_rank_output", "host_rank_iterations",
+    "resolve_redirects")
 
   /** Parse + validate; Left = every problem found (not just the first). */
   def from(raw: Map[String, Any]): Either[Seq[String], CrawlConfig] = {
@@ -193,10 +202,12 @@ object CrawlConfig {
       errs += "host_rank_iterations: must be in [1, 100]"
     if (rankOut.isEmpty && raw.contains("host_rank_iterations"))
       errs += "host_rank_iterations: requires host_rank_output"
+    val resolveRedirects = boolOpt("resolve_redirects", default = false)
 
     if (errs.nonEmpty) Left(errs.toSeq)
     else Right(CrawlConfig(input, outdir, keepLangs, minHost, maxHost,
       tHead, tMid, honorNoindex, robotsUa, wetOut, cdxOut, parts.toInt,
-      includePdf, includeOffice, watOut, rankOut, rankIters.toInt))
+      includePdf, includeOffice, watOut, rankOut, rankIters.toInt,
+      resolveRedirects))
   }
 }

@@ -463,6 +463,50 @@ class CrawlCliSpec extends SparkSpec {
     }
   }
 
+  test("resolve_redirects: a 301 stub collapses onto its destination " +
+    "as url_duplicate; off, it leaks to the quality gate") {
+    val dir = Files.createTempDirectory("graft_crawl_rd_in").toFile
+    val outdir = Files.createTempDirectory("graft_crawl_rd_out").toString
+    try {
+      def redirect(from: String, to: String): Array[Byte] = {
+        val http = (s"HTTP/1.1 301 Moved${crlf}Content-Type: text/html" +
+          s"${crlf}Location: $to$crlf$crlf").getBytes("UTF-8")
+        (s"WARC/1.0${crlf}WARC-Type: response$crlf" +
+          s"WARC-Target-URI: $from$crlf" +
+          s"WARC-Date: 2026-03-01T00:00:00Z$crlf" +
+          s"Content-Type: application/http; msgtype=response$crlf" +
+          s"Content-Length: ${http.length}$crlf$crlf").getBytes("UTF-8") ++
+          http ++ (crlf + crlf).getBytes("UTF-8")
+      }
+      val file =
+        gzip(redirect("https://a.example.org/old-home", "/new-home")) ++
+          gzip(rec("https://a.example.org/new-home", page(prose1))) ++
+          gzip(rec("https://a.example.org/other", page(prose2)))
+      Files.write(new java.io.File(dir, "r.warc.gz").toPath, file)
+      val base = Map[String, Any](
+        "input" -> dir.getAbsolutePath, "outdir" -> outdir,
+        "keep_langs" -> Seq("en"))
+      val on = graft.config.CrawlConfig.from(
+        base + ("resolve_redirects" -> java.lang.Boolean.TRUE)).toOption.get
+      val r1 = Main.crawl(spark, on)
+      assert(r1.dropped.get("url_duplicate").contains(1L))
+      assert(r1.nKept == 2) // the real /new-home page and /other
+      // without the flag the stub is its own URL: no url_duplicate,
+      // the empty-text stub survives URL dedup as its own URL and dies
+      // in the curation pipeline instead (whichever text gate fires
+      // first on an empty document — the point is it is NOT a
+      // url_duplicate and it is NOT kept)
+      val off = graft.config.CrawlConfig.from(base).toOption.get
+        .copy(outdir = outdir + "2")
+      val r2 = Main.crawl(spark, off)
+      assert(!r2.dropped.contains("url_duplicate"))
+      assert(r2.dropped.values.sum == 1)
+      assert(r2.nKept == 2)
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
   test("crawl: empty input is a clean no-op report, not a crash") {
     val dir = Files.createTempDirectory("graft_crawl_empty").toFile
     try {
