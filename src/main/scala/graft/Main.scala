@@ -260,9 +260,16 @@ object Main {
     val captured = cfg.captured.map(p =>
         spark.read.parquet(p).select(col("url")))
       .getOrElse(spark.range(0).select(lit(null).cast("string").as("url")))
+    val aliases =
+      if (!cfg.resolveRedirects) null
+      else cfg.crawlInput.map { in =>
+        graft.textops.Redirects.resolveAliases(graft.textops.Redirects
+          .edges(graft.sources.Warc.recordsFromPaths(
+            listWarcPaths(spark, in).toDS())))
+      }.orNull
     val plan = Frontier.plan(cands, "url", captured, "url",
       policiesOpt.orNull, perHostBudget = cfg.perHostBudget,
-      saltBuckets = cfg.saltBuckets)
+      saltBuckets = cfg.saltBuckets, aliases = aliases)
     val planPath = cfg.outdir + "/fetch_plan.parquet"
     plan.write.mode("overwrite").parquet(planPath)
     val written = spark.read.parquet(planPath)

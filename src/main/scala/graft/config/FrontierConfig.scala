@@ -20,6 +20,9 @@ package graft.config
   * @param saltBuckets   salt buckets of the two-phase top-N
   * @param robotsUserAgent honor the crawl's captured robots for this
   *                      UA (requires `crawl_input`)
+  * @param resolveRedirects build the 3xx alias table from the crawl's
+  *                      captures and plan candidates as their redirect
+  *                      DESTINATIONS (requires `crawl_input`)
   */
 final case class FrontierConfig(crawlInput: Option[String],
                                 sitemapsInput: Option[String],
@@ -28,13 +31,14 @@ final case class FrontierConfig(crawlInput: Option[String],
                                 outdir: String,
                                 perHostBudget: Int,
                                 saltBuckets: Int,
-                                robotsUserAgent: Option[String])
+                                robotsUserAgent: Option[String],
+                                resolveRedirects: Boolean)
 
 object FrontierConfig {
 
   private val Known = Set("crawl_input", "sitemaps_input", "feeds_input",
     "captured", "outdir", "per_host_budget", "salt_buckets",
-    "robots_user_agent")
+    "robots_user_agent", "resolve_redirects")
 
   /** Parse + validate; Left = every problem found. */
   def from(raw: Map[String, Any]): Either[Seq[String], FrontierConfig] = {
@@ -80,9 +84,18 @@ object FrontierConfig {
     if (robotsUa.isDefined && crawl.isEmpty)
       errs += "robots_user_agent: requires crawl_input (the robots " +
         "captures come from the crawl itself)"
+    val resolveRedirects = raw.get("resolve_redirects") match {
+      case Some(b: java.lang.Boolean) => b.booleanValue()
+      case Some(null) | None => false
+      case Some(other) =>
+        err(s"resolve_redirects: expected boolean, got '$other'", false)
+    }
+    if (resolveRedirects && crawl.isEmpty)
+      errs += "resolve_redirects: requires crawl_input (the 3xx " +
+        "captures come from the crawl itself)"
 
     if (errs.nonEmpty) Left(errs.toSeq)
     else Right(FrontierConfig(crawl, sitemaps, feeds, captured, outdir,
-      budget.toInt, salt.toInt, robotsUa))
+      budget.toInt, salt.toInt, robotsUa, resolveRedirects))
   }
 }

@@ -88,12 +88,25 @@ object Frontier {
            captured: DataFrame, capturedUrlCol: String,
            policies: DataFrame = null,
            perHostBudget: Int = 1000,
-           saltBuckets: Int = 32): DataFrame = {
+           saltBuckets: Int = 32,
+           aliases: DataFrame = null): DataFrame = {
     require(perHostBudget >= 1, s"perHostBudget must be >= 1")
     require(saltBuckets >= 1, s"saltBuckets must be >= 1")
-    // canonicalize + cross-channel dedup: one row per canonical URL,
-    // keeping the best-priority discovering channel (struct-min)
-    val canon = UrlOps.withCanonicalUrl(candidates, urlCol)
+    // redirect-alias rewrite first ([[Redirects.resolveAliases]] shape,
+    // optional): a candidate discovered under a 3xx source URL plans
+    // as its DESTINATION, so the captured-set subtraction and the
+    // cross-channel dedup both key on page identity — without it a
+    // frontier re-fetches /old forever because only /new is captured
+    val cand0 = UrlOps.withCanonicalUrl(candidates, urlCol)
+    val rewritten =
+      if (aliases == null) cand0
+      else Redirects.applyAliases(cand0, "url_norm", aliases)
+        .withColumn("url_norm", col("resolved_url"))
+        .withColumn("url_host", UrlOps.hostOf(col("url_norm")))
+        .drop("resolved_url")
+    // cross-channel dedup: one row per canonical URL, keeping the
+    // best-priority discovering channel (struct-min)
+    val canon = rewritten
       .where(col("url_host").isNotNull)
       // url_host is derived from url_norm, so grouping by both keeps
       // one shuffle key's worth of distribution and no first()-style

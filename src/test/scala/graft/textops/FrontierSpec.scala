@@ -82,6 +82,27 @@ class FrontierSpec extends SparkSpec {
     assert(p1 == p5.map(_.getString(1)).toSeq)
   }
 
+  test("aliases: candidates plan as their redirect destination and " +
+    "captured destinations subtract their sources") {
+    val candidates = Seq(
+      ("https://a.io/old", "link", 2),    // 301 → /new, already captured
+      ("https://a.io/moved", "sitemap", 0), // 301 → /target, fresh
+      ("https://a.io/plain", "feed", 1)
+    ).toDF("url", "source", "priority")
+    val aliases = Seq(
+      ("https://a.io/old", "https://a.io/new"),
+      ("https://a.io/moved", "https://a.io/target")
+    ).toDF("src_url", "final_url")
+    val captured = Seq("https://a.io/new").toDF("url")
+    val out = Frontier.plan(candidates, "url", captured, "url",
+        aliases = aliases)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSet
+    // /old rewrites to /new → subtracted; /moved plans AS /target
+    assert(out == Set(
+      ("https://a.io/target", "sitemap"),
+      ("https://a.io/plain", "feed")))
+  }
+
   test("5xx robots policy empties the host; missing host unrestricted") {
     val candidates = Seq(
       ("https://down.io/x", "feed", 1),
