@@ -94,8 +94,13 @@ object Bench {
       .mkString("{", ",", "}")
     val fullLine =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$full$procJson,"machine_calib_sec":${r3(calib)},"perf_notes":"PERF_NOTES.md","sf":"$sfDir"}"""
+    // a dev-scoped run (SPARK_GRAFT_ONLY) must NOT clobber the round's
+    // full lineage artifact — it goes to bench_dev.json instead (this
+    // trap has eaten bench_full.json twice this round)
+    val fullTarget =
+      if (only.isDefined) "bench_dev.json" else "bench_full.json"
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_full.json"), fullLine + "\n")
+      java.nio.file.Paths.get(fullTarget), fullLine + "\n")
     catch { case _: Throwable => () }
     val slowest = results.toSeq.sortBy(-_._2).take(15)
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }
