@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.config.DownloadConfig
@@ -235,9 +235,12 @@ object Main {
           val pqUdf = udf((u: String) => RobotsTxt.pathQueryOf(u))
           val isRobots = col("url").isNotNull &&
             pqUdf(col("url")) === "/robots.txt"
+          // policies come off the GENERIC record walk, not the html
+          // door — a robots body behind a binary Content-Type must
+          // still gate its host ([[robotsCaptures]])
           val pol = cfg.robotsUserAgent.map(ua =>
-            RobotsTxt.policies(pages0.where(isRobots), "url",
-              "http_status", "html", ua))
+            RobotsTxt.policies(robotsCaptures(spark, files.toDS()),
+              "url", "http_status", "html", ua))
           val links = LinkGraph.pageLinks(
             pages0.where(!isRobots)
               .withColumn("__lid", xxhash64(col("path"), col("rec_idx"))),
@@ -319,6 +322,27 @@ object Main {
     else statuses.filter(_.isFile).map(_.getPath.toString).sorted.toSeq
   }
 
+  /** `/robots.txt` captures from the GENERIC record walk — a robots
+    * body served with a binary Content-Type (`application/octet-stream`
+    * is not rare in the wild) must still reach the RFC 9309 gate; the
+    * html door's textual-media filter would silently degrade such a
+    * host to allow-all. The record parser UTF-8-decodes non-textual
+    * response bodies when binary retention isn't asked, so the policy
+    * text is present either way. This is an extra scan-stage pass over
+    * the files — the same trade as the crawl audit pass (recomputing a
+    * streamed scan beats persisting inflated crawl text).
+    */
+  private def robotsCaptures(spark: SparkSession,
+                             paths: Dataset[String]): DataFrame = {
+    val pqUdf = udf((u: String) =>
+      graft.textops.RobotsTxt.pathQueryOf(u))
+    graft.sources.Warc.recordsFromPaths(paths)
+      .where(col("error").isNull && col("warc_type") === "response" &&
+        col("text").isNotNull && col("url").isNotNull &&
+        pqUdf(col("url")) === "/robots.txt")
+      .select(col("url"), col("http_status"), col("text").as("html"))
+  }
+
   /** The crawl-curation DAG (`SparkEntry` q133's composition made
     * operable): WARC files → [[graft.sources.Warc.htmlPagesFromPaths]]
     * → [[graft.textops.HtmlExtract.extractDocs]] → robots-noindex gate
@@ -361,10 +385,13 @@ object Main {
     // and the captures leave the document stream
     val pqUdf = udf((u: String) => graft.textops.RobotsTxt.pathQueryOf(u))
     val isRobots = col("url").isNotNull && pqUdf(col("url")) === "/robots.txt"
+    // policies off the GENERIC record walk ([[robotsCaptures]]): a
+    // robots body behind a binary Content-Type still gates its host
     val (pages, policiesOpt) = cfg.robotsUserAgent match {
       case Some(ua) =>
         (pages0.where(!isRobots),
-          Some(graft.textops.RobotsTxt.policies(pages0.where(isRobots),
+          Some(graft.textops.RobotsTxt.policies(
+            robotsCaptures(spark, paths),
             "url", "http_status", "html", ua)))
       case None => (pages0, None)
     }
@@ -489,10 +516,16 @@ object Main {
         val aliases = graft.textops.Redirects.resolveAliases(
           graft.textops.Redirects.edges(
             graft.sources.Warc.recordsFromPaths(paths)))
+        // only ALIASED rows rewrite — an unaliased row keeps its raw
+        // url (resolved_url falls back to the canonicalized __cu, and
+        // substituting that would make output provenance depend on the
+        // dedup flag)
         graft.textops.Redirects.applyAliases(
             live.withColumn("__cu", UrlOps.normalizeUrl(col("url"))),
             "__cu", aliases)
-          .withColumn("url", col("resolved_url"))
+          .withColumn("url",
+            when(col("resolved_url") =!= col("__cu"), col("resolved_url"))
+              .otherwise(col("url")))
           .drop("__cu", "resolved_url")
       }
     val surv = UrlOps.urlSurvivors(live1, "url", "doc_id", "text",

@@ -3348,6 +3348,7 @@ object SparkEntry {
       val cands = textops.Frontier.fromChannels(site, feeds, links)
       textops.Frontier.plan(cands, "url", captured, "url", policies,
           perHostBudget = 7, saltBuckets = 8)
+        .drop("etag", "last_modified") // recrawl-only validators: all null here
         .orderBy(col("url_host"), col("fetch_order"))
     }),
 
@@ -7661,7 +7662,8 @@ object SparkEntry {
         |  COUNT(DISTINCT k) AS n_src_pages,
         |  COUNT(DISTINCT CASE WHEN anchor <> '' THEN anchor END)
         |    AS n_anchors,
-        |  SUM(CASE WHEN nf THEN 1 ELSE 0 END) AS nofollow_links
+        |  CAST(SUM(CASE WHEN nf THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS nofollow_links
         |FROM raw WHERE src <> dst GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // closed-form replay of the planted ADTS header matrix; the
@@ -7755,7 +7757,10 @@ object SparkEntry {
         |  CAST(ROW_NUMBER() OVER (PARTITION BY h ORDER BY p, u)
         |    AS INTEGER) AS fetch_order
         |  FROM allowed)
-        |SELECT * FROM ranked WHERE fetch_order <= 7
+        |SELECT *, CASE WHEN crawl_delay IS NOT NULL THEN
+        |    CAST((fetch_order - 1) * crawl_delay * 1000 AS BIGINT)
+        |  END AS not_before_ms
+        |FROM ranked WHERE fetch_order <= 7
         |ORDER BY url_host, fetch_order""".stripMargin,
 
     // only the even residue rings are mutual; each clusters to its

@@ -192,13 +192,21 @@ object Feeds {
         }
       case "feed" =>
         val items = childElems(root, "entry").flatMap { en =>
-          // prefer rel="alternate" (or rel-less) links, the page pointer
+          // prefer rel="alternate" (or rel-less) links, the page
+          // pointer (RFC 4287 §4.2.7.2 defaults rel to alternate); the
+          // fallback skips the rels that are NEVER the item's page —
+          // self (the feed itself), enclosure (media payload), hub
+          // (WebSub endpoint) — so an entry carrying only those emits
+          // a null link (kept via title/id) instead of leaking a
+          // non-page URL into frontier candidates and fetch lists
           val links = childElems(en, "link")
           val link = links.find { l =>
             val rel = l.getAttribute("rel")
             rel == null || rel.isEmpty || rel == "alternate"
-          }.orElse(links.headOption)
-            .map(_.getAttribute("href")).filter(_.nonEmpty).orNull
+          }.orElse(links.find { l =>
+            val rel = l.getAttribute("rel")
+            rel != "self" && rel != "enclosure" && rel != "hub"
+          }).map(_.getAttribute("href")).filter(_.nonEmpty).orNull
           val title = childText(en, "title")
           val id = childText(en, "id")
           if (link == null && title == null && id == null) None

@@ -69,15 +69,32 @@ object Redirects {
 
   /** Collapse chains by pointer jumping: after `rounds` iterations
     * every chain of ≤ 2^rounds hops points at its final destination.
-    * Cycles drop (see the object doc). Output: (src_url, final_url).
+    * Cycles drop (see the object doc). Output: (src_url, final_url),
+    * FUNCTIONAL — exactly one final_url per src_url.
+    *
+    * Multi-destination sources: a URL captured more than once with
+    * DIFFERENT 3xx Location targets (re-crawls over time, A/B
+    * redirects) is collapsed to ONE deterministic edge (min dst_url)
+    * BEFORE jumping — a non-functional graph would multiply rows each
+    * round and [[applyAliases]]' left join would then duplicate every
+    * joined input row (doc kept twice, report counts double-counted).
+    *
+    * Plan depth: each round references the previous round's frame
+    * twice, so an unmaterialized loop builds a plan with 2^rounds
+    * copies of the edge subplan — `localCheckpoint` per round keeps
+    * the plan linear in rounds (the alias table is
+    * corpus-independent-small, so the materialization is trivial; at
+    * rounds=0 nothing materializes).
     */
   def resolveAliases(edges: DataFrame, rounds: Int = 3): DataFrame = {
     require(rounds >= 0 && rounds <= 10, s"rounds must be in [0,10]")
-    var a = edges.select(col("src_url"), col("dst_url"))
+    var a = edges.groupBy(col("src_url"))
+      .agg(min(col("dst_url")).as("dst_url"))
     var i = 0
     while (i < rounds) {
-      a = a.as("l")
-        .join(a.select(col("src_url").as("__s"), col("dst_url").as("__d"))
+      val prev = a.localCheckpoint()
+      a = prev.as("l")
+        .join(prev.select(col("src_url").as("__s"), col("dst_url").as("__d"))
           .as("r"), col("l.dst_url") === col("__s"), "left")
         .select(col("l.src_url").as("src_url"),
           coalesce(col("__d"), col("l.dst_url")).as("dst_url"))

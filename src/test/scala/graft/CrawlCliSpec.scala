@@ -222,6 +222,43 @@ class CrawlCliSpec extends SparkSpec {
     }
   }
 
+  test("a robots.txt capture served as application/octet-stream still " +
+    "gates its host") {
+    // not rare in the wild: the robots body behind a binary
+    // Content-Type — the html door's textual filter must not silently
+    // degrade the host to allow-all
+    val dir = Files.createTempDirectory("graft_crawl_robots_bin").toFile
+    val outdir = Files
+      .createTempDirectory("graft_crawl_robots_bin_out").toString
+    try {
+      def binRobots(host: String, body: String): Array[Byte] = {
+        val b = (s"HTTP/1.1 200 OK${crlf}Content-Type: " +
+          s"application/octet-stream$crlf$crlf$body").getBytes("UTF-8")
+        (s"WARC/1.0${crlf}WARC-Type: response$crlf" +
+          s"WARC-Target-URI: https://$host/robots.txt$crlf" +
+          s"WARC-Date: 2026-03-01T00:00:00Z$crlf" +
+          s"Content-Type: application/http; msgtype=response$crlf" +
+          s"Content-Length: ${b.length}$crlf$crlf").getBytes("UTF-8") ++
+          b ++ (crlf + crlf).getBytes("UTF-8")
+      }
+      val warc =
+        gzip(binRobots("e.example.org",
+          "User-agent: *\nDisallow: /private/\n")) ++
+          gzip(rec("https://e.example.org/private/x", page(prose1))) ++
+          gzip(rec("https://e.example.org/pub", page(prose2)))
+      Files.write(new java.io.File(dir, "e.warc.gz").toPath, warc)
+      val cfg = graft.config.CrawlConfig.from(Map(
+        "input" -> dir.getAbsolutePath, "outdir" -> outdir,
+        "keep_langs" -> Seq("en"),
+        "robots_user_agent" -> "graftbot")).toOption.get
+      val r = Main.crawl(spark, cfg)
+      assert(r.dropped.get("robots_disallow").contains(1L), r.dropped)
+      assert(r.nKept == 1)
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
   test("include_pdf: application/pdf responses join the decision stream") {
     val dir = Files.createTempDirectory("graft_crawl_pdf_in").toFile
     val outdir = Files.createTempDirectory("graft_crawl_pdf_out").toString
@@ -478,19 +515,36 @@ class CrawlCliSpec extends SparkSpec {
           s"Content-Length: ${http.length}$crlf$crlf").getBytes("UTF-8") ++
           http ++ (crlf + crlf).getBytes("UTF-8")
       }
+      // /other is deliberately NON-canonical in raw form (uppercase
+      // host, tracking param) — the alias rewrite must not launder it
+      val rawOther = "https://A.example.org/other?utm_source=z"
       val file =
         gzip(redirect("https://a.example.org/old-home", "/new-home")) ++
           gzip(rec("https://a.example.org/new-home", page(prose1))) ++
-          gzip(rec("https://a.example.org/other", page(prose2)))
+          gzip(rec(rawOther, page(prose2)))
       Files.write(new java.io.File(dir, "r.warc.gz").toPath, file)
       val base = Map[String, Any](
         "input" -> dir.getAbsolutePath, "outdir" -> outdir,
         "keep_langs" -> Seq("en"))
       val on = graft.config.CrawlConfig.from(
-        base + ("resolve_redirects" -> java.lang.Boolean.TRUE)).toOption.get
+        base + ("resolve_redirects" -> java.lang.Boolean.TRUE,
+          "wet_output" -> (outdir + "/wet"))).toOption.get
       val r1 = Main.crawl(spark, on)
       assert(r1.dropped.get("url_duplicate").contains(1L))
       assert(r1.nKept == 2) // the real /new-home page and /other
+      // provenance is flag-independent: only ALIASED rows rewrite —
+      // the unaliased /other keeps its RAW url in the exported corpus
+      // (pre-fix, enabling the flag silently normalized every URL)
+      locally {
+        import spark.implicits._
+        val wetPaths = new java.io.File(outdir + "/wet").listFiles()
+          .filter(_.getName.endsWith(".warc.wet.gz"))
+          .map(_.getAbsolutePath).toSeq
+        val urls = graft.sources.Warc.recordsFromPaths(wetPaths.toDS())
+          .where("warc_type = 'conversion'")
+          .select("url").as[String].collect().toSet
+        assert(urls == Set("https://a.example.org/new-home", rawOther))
+      }
       // without the flag the stub is its own URL: no url_duplicate,
       // the empty-text stub survives URL dedup as its own URL and dies
       // in the curation pipeline instead (whichever text gate fires

@@ -58,6 +58,25 @@ class FeedsSpec extends SparkSpec {
       java.time.Instant.parse("2026-03-02T11:00:00Z").toEpochMilli))
   }
 
+  test("atom: self/enclosure/hub-only entries emit NO link; other rels " +
+    "still fall back") {
+    val feed =
+      """<feed xmlns="http://www.w3.org/2005/Atom"><title>F</title>
+        |  <entry><title>SelfOnly</title><id>urn:s</id>
+        |    <link rel="self" href="https://ex.org/feed"/>
+        |    <link rel="enclosure" href="https://ex.org/a.mp3"/>
+        |    <link rel="hub" href="https://hub.ex.org/"/></entry>
+        |  <entry><title>ViaOnly</title><id>urn:v</id>
+        |    <link rel="via" href="https://ex.org/via"/></entry>
+        |</feed>""".stripMargin.getBytes("UTF-8")
+    val p = Feeds.parse(feed)
+    assert(p.error == null && p.items.length == 2)
+    // the feed/media/hub URLs must never pose as the item's page link
+    // (they would enter frontier candidates and fetch lists)
+    assert(p.items(0).title == "SelfOnly" && p.items(0).link == null)
+    assert(p.items(1).link == "https://ex.org/via")
+  }
+
   test("malformed dates stay raw with no epoch") {
     assert(Feeds.parseDateMs("not a date").isEmpty)
     assert(Feeds.parseDateMs(null).isEmpty)

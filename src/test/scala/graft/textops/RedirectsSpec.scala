@@ -66,6 +66,43 @@ class RedirectsSpec extends SparkSpec {
     }
   }
 
+  test("multi-destination src collapses to ONE alias; apply never " +
+    "duplicates rows") {
+    // the same URL captured twice with DIFFERENT Location targets
+    // (re-crawls over time / A-B redirects): a non-functional graph
+    // would multiply rows per jumping round and duplicate every
+    // joined input row downstream
+    val edges = Seq(
+      ("m/1", "m/2"), ("m/1", "m/3"), // two captured targets for m/1
+      ("m/2", "m/4")
+    ).toDF("src_url", "dst_url")
+    val a = Redirects.resolveAliases(edges, rounds = 3)
+    val rows = a.collect().map(r => (r.getString(0), r.getString(1)))
+    // exactly one final per src — min(dst) is the deterministic pick,
+    // so m/1 → m/2 → m/4
+    assert(rows.map(_._1).distinct.length == rows.length)
+    assert(rows.toMap == Map("m/1" -> "m/4", "m/2" -> "m/4"))
+    // the rewrite join preserves input cardinality exactly
+    val pages = Seq("m/1", "m/1", "z/9").toDF("url_norm")
+    val rewritten = Redirects.applyAliases(pages, "url_norm", a)
+    assert(rewritten.count() == 3)
+    assert(rewritten.where(col("resolved_url") === "m/4").count() == 2)
+  }
+
+  test("10-round form: plan stays linear in rounds (materialized per " +
+    "round), long chains still collapse") {
+    // 20-hop chain; 2^10 >= 20 so every src points at the end
+    val chain = (0 until 20).map(i => (s"c/$i", s"c/${i + 1}"))
+    val a = Redirects.resolveAliases(
+      chain.toDF("src_url", "dst_url"), rounds = 10)
+    // per-round localCheckpoint keeps the final plan ONE join over two
+    // checkpoint scans — not 2^rounds copies of the edge subplan
+    val leaves = a.queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.length <= 2, s"plan has ${leaves.length} leaves")
+    val got = a.collect().map(r => (r.getString(0), r.getString(1)))
+    assert(got.length == 20 && got.forall(_._2 == "c/20"))
+  }
+
   test("the WARC reader captures Location on 3xx responses") {
     val crlf = "\r\n"
     def rec(url: String, status: Int, loc: String,
