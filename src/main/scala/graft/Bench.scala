@@ -2,6 +2,22 @@ package graft
 import org.apache.spark.sql.SparkSession
 import scala.jdk.CollectionConverters._
 object Bench {
+
+  /** Where the per-query map lands: the round lineage artifact
+    * (`bench_full.json`) only for an UNSCOPED run that is at least as
+    * wide as the existing artifact — a scoped run, or one that would
+    * silently shrink the lineage (fewer queries than last written),
+    * goes to `bench_dev.json`. `force` (SPARK_GRAFT_BENCH_FORCE=1)
+    * records a deliberate shrink.
+    */
+  private[graft] def lineageTarget(existingN: Option[Int], nQueries: Int,
+                                   devScoped: Boolean,
+                                   force: Boolean): String =
+    if (devScoped) "bench_dev.json"
+    else if (force) "bench_full.json"
+    else if (existingN.exists(_ > nQueries)) "bench_dev.json"
+    else "bench_full.json"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -96,9 +112,26 @@ object Bench {
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$full$procJson,"machine_calib_sec":${r3(calib)},"perf_notes":"PERF_NOTES.md","sf":"$sfDir"}"""
     // a dev-scoped run (SPARK_GRAFT_ONLY) must NOT clobber the round's
     // full lineage artifact — it goes to bench_dev.json instead (this
-    // trap has eaten bench_full.json twice this round)
-    val fullTarget =
-      if (only.isDefined) "bench_dev.json" else "bench_full.json"
+    // trap has eaten bench_full.json twice before the split landed);
+    // and even an unscoped run that would SHRINK the artifact (a
+    // partially-commented query map, a crashed registry) is diverted
+    // unless SPARK_GRAFT_BENCH_FORCE=1 says the shrink is deliberate
+    val existingN =
+      try {
+        val p = java.nio.file.Paths.get("bench_full.json")
+        if (!java.nio.file.Files.exists(p)) None
+        else "\"n_queries\":(\\d+)".r
+          .findFirstMatchIn(java.nio.file.Files.readString(p))
+          .map(_.group(1).toInt)
+      } catch { case _: Throwable => None }
+    val force = sys.env.get("SPARK_GRAFT_BENCH_FORCE").contains("1")
+    val fullTarget = lineageTarget(existingN, results.size,
+      devScoped = only.isDefined, force = force)
+    if (fullTarget != "bench_full.json" && only.isEmpty)
+      System.err.println(s"bench: refusing to shrink bench_full.json " +
+        s"(${existingN.getOrElse(0)} -> ${results.size} queries); " +
+        s"writing $fullTarget instead (set SPARK_GRAFT_BENCH_FORCE=1 " +
+        "to override)")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(fullTarget), fullLine + "\n")
     catch { case _: Throwable => () }

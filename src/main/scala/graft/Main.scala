@@ -260,9 +260,24 @@ object Main {
       Feeds.items(filePayloads(p), "src", "content"))
     val cands = Frontier.fromChannels(sitemapEntries.orNull,
       feedItems.orNull, linksOpt.orNull)
-    val captured = cfg.captured.map(p =>
-        spark.read.parquet(p).select(col("url")))
+    val capturedFull = cfg.captured.map(p => spark.read.parquet(p))
+    val captured = capturedFull.map(_.select(col("url")))
       .getOrElse(spark.range(0).select(lit(null).cast("string").as("url")))
+    // freshness channel: captured pages whose feed/sitemap signal
+    // postdates the capture re-enter the plan as `recrawl` rows with
+    // the latest capture's conditional-GET validators riding
+    val recrawlDf =
+      if (!cfg.recrawl) null
+      else capturedFull.map { full =>
+        require(full.columns.contains("warc_date"),
+          "recrawl: the captured parquet must carry a warc_date column")
+        def optCol(c: String) = if (full.columns.contains(c)) c else null
+        Frontier.staleCaptures(full, "url", "warc_date",
+          feedItems = feedItems.orNull,
+          sitemapEntries = sitemapEntries.orNull,
+          etagCol = optCol("etag"),
+          lastModifiedCol = optCol("last_modified"))
+      }.orNull
     val aliases =
       if (!cfg.resolveRedirects) null
       else cfg.crawlInput.map { in =>
@@ -272,7 +287,8 @@ object Main {
       }.orNull
     val plan = Frontier.plan(cands, "url", captured, "url",
       policiesOpt.orNull, perHostBudget = cfg.perHostBudget,
-      saltBuckets = cfg.saltBuckets, aliases = aliases)
+      saltBuckets = cfg.saltBuckets, aliases = aliases,
+      recrawl = recrawlDf)
     val planPath = cfg.outdir + "/fetch_plan.parquet"
     plan.write.mode("overwrite").parquet(planPath)
     val written = spark.read.parquet(planPath)
@@ -409,19 +425,21 @@ object Main {
     // host centrality from the crawl's own link graph: pages collapse
     // to host-keyed edges before the iterations (LinkGraph's scale
     // contract), and the rank vector lands beside the decision table
-    val rankedHosts = cfg.hostRankOutput match {
-      case Some(hdir) =>
-        val links = graft.textops.LinkGraph.pageLinks(
-          pages.withColumn("__lid", xxhash64(col("path"), col("rec_idx"))),
-          "__lid", "url", "html")
-        val ranks = graft.textops.LinkGraph.pageRank(
-          graft.textops.LinkGraph.hostEdges(links, "__lid"),
-          "src_host", "dst_host", weightCol = "n_links",
-          iterations = cfg.hostRankIterations)
-        ranks.write.mode("overwrite").parquet(hdir)
-        spark.read.parquet(hdir).count()
-      case None => 0L
+    val ranksOpt: Option[DataFrame] = cfg.hostRankOutput.map { hdir =>
+      val links = graft.textops.LinkGraph.pageLinks(
+        pages.withColumn("__lid", xxhash64(col("path"), col("rec_idx"))),
+        "__lid", "url", "html")
+      val ranks = graft.textops.LinkGraph.pageRank(
+        graft.textops.LinkGraph.hostEdges(links, "__lid"),
+        "src_host", "dst_host", weightCol = "n_links",
+        iterations = cfg.hostRankIterations)
+      ranks.write.mode("overwrite").parquet(hdir)
+      // the written vector is the frame downstream consumers (the
+      // host-rank gate below) read back — a slim scan, not a rerun of
+      // the link graph
+      spark.read.parquet(hdir)
     }
+    val rankedHosts = ranksOpt.map(_.count()).getOrElse(0L)
 
     val htmlDocs = HtmlExtract.extractDocs(pages, "path", "html",
         carryCols = Seq("rec_idx", "url", "warc_date", "http_status"))
@@ -538,9 +556,9 @@ object Main {
     // host-count gate with the DROPS kept as decision rows — the
     // hostGateOn aggregate+broadcast-join shape, inlined so the gated
     // and dropped halves split off one joined frame
-    val (gated, hostDropped) =
+    val (gatedByCount, hostDropped) =
       if (cfg.minHostDocs <= 1 && cfg.maxHostDocs == 0L)
-        (keptSurv.select(col("doc_id"), col("text")),
+        (keptSurv.select(col("doc_id"), col("url_host"), col("text")),
           keptSurv.limit(0).transform(d => droppedRows(d, "host_gate")))
       else {
         val counts = keptSurv.where(col("url_host").isNotNull)
@@ -550,9 +568,30 @@ object Main {
           col("__hn") >= cfg.minHostDocs &&
           (if (cfg.maxHostDocs == 0L) lit(true)
            else col("__hn") <= cfg.maxHostDocs)
-        (joined.where(ok).select(col("doc_id"), col("text")),
+        (joined.where(ok)
+          .select(col("doc_id"), col("url_host"), col("text")),
           droppedRows(joined.where(!ok), "host_gate"))
       }
+
+    // host-rank gate (the centrality twin of the count gate): documents
+    // whose host is outside the top fraction of the crawl's own rank
+    // vector — or absent from the link graph entirely — drop as
+    // decision rows. One exact host-table cut + one slim left join.
+    val (gated, rankDropped) = (cfg.hostRankKeepFraction, ranksOpt) match {
+      case (f, Some(ranks)) if f > 0 =>
+        val keepHosts = UrlOps
+          .hostRankKeepHosts(ranks, "host", "rank", f)
+          .withColumnRenamed("host", "url_host")
+          .withColumn("__rk", lit(true))
+        val j = gatedByCount.join(keepHosts, Seq("url_host"), "left")
+        (j.where(col("__rk").isNotNull)
+          .select(col("doc_id"), col("text")),
+          droppedRows(j.where(col("__rk").isNull), "host_rank"))
+      case _ =>
+        (gatedByCount.select(col("doc_id"), col("text")),
+          gatedByCount.limit(0)
+            .transform(d => droppedRows(d, "host_rank")))
+    }
 
     val model = UnigramLM.train(gated, "text")
     val curated = CurationPipeline.runWithModel(gated, "doc_id", "text",
@@ -562,6 +601,7 @@ object Main {
     val decisions = curated.select(decisionCols.map(col): _*)
       .unionByName(noindexed).unionByName(robotsDropped)
       .unionByName(urlDropped).unionByName(hostDropped)
+      .unionByName(rankDropped)
     val decisionsPath = cfg.outdir + "/decisions.parquet"
     decisions.write.mode("overwrite").parquet(decisionsPath)
 
@@ -586,6 +626,21 @@ object Main {
         }
         n
       case None => 0
+    }
+
+    // the capture index (url, warc_date, http_status, etag,
+    // last_modified): exactly the `captured` table the frontier's
+    // recrawl channel consumes — the crawl→frontier incremental loop
+    // closes through this file. Scan-stage pass over the records walk
+    // (same trade as the audit below).
+    cfg.capturesOutput.foreach { cdir =>
+      graft.sources.Warc.recordsFromPaths(paths)
+        .where(col("error").isNull && col("warc_type") === "response" &&
+          col("url").isNotNull)
+        .select(col("url"), col("warc_date"), col("http_status"),
+          col("http_etag").as("etag"),
+          col("http_last_modified").as("last_modified"))
+        .write.mode("overwrite").parquet(cdir)
     }
 
     // pass 2: the ingest quarantine audit (which records the curation

@@ -158,23 +158,28 @@ object ScaleSmoke {
     // redirect-alias collapse: per-row WARC walk then log-round
     // self-joins of the SLIM 3xx edge table (redirects are a sliver of
     // any crawl — the iteration state never scales with the corpus)
-    "q166_redirect_alias")
+    "q166_redirect_alias",
+    // r17 additions: recrawl planning (two slim url/ms aggregates + a
+    // broadcast-sized signal join feeding the q161 plan shape) and the
+    // host-rank gate (exact HOST-table cut via distributed sort +
+    // zipWithIndex, then one semi-join — the host table is
+    // corpus-independent-small, so the cut's cost must stay flat while
+    // the doc side scans linearly)
+    "q167_recrawl", "q168_host_rank_gate")
 
-  /** Measured at 10× only. All three are deliberately NOT the scale
-    * path — q77 is the pinned-k SemDeDup negative control (its 100×
-    * exponent was measured twice: 1.23 in rounds 10 AND 11 —
-    * PERF_NOTES.md item 5 — and re-proving the known number cost
-    * ~415 s per sweep), q111 the exact-all-pairs audit form of q106
-    * whose prefix join deliberately trades scale for oracle-structural
-    * pair recall, and q19 the exact AllPairs jaccard certification form
-    * of the banded q22 (100× measured 0.83 in r14 AND r15 at ~2 min a
-    * sweep, repeatedly landing in drift brackets — PERF_NOTES 19/24).
-    * Their superlinear burden is exactly why the defaults are
-    * q103/q105, q106 and q22; the 10× point keeps the control evidence
-    * fresh without re-paying the quadratic tail each round.
+  /** Deliberate 100×-sweep exclusions, each with its bound stated
+    * (PERF_NOTES items 5/8/19/57): q77's pinned-k SemDeDup control is
+    * analytically quadratic (fixed k ⇒ within-cell all-pairs grows as
+    * corpus²; measured twice at exponent 1.23, ~415 s per sweep);
+    * q111's exact-all-pairs audit is quadratic in duplicate-group
+    * size by construction (the documented trade for oracle-structural
+    * recall — not the configuration a corpus-scale run uses). Both
+    * stay measured at 10×. q19_jaccard_pairs returned to the 100×
+    * sweep in r17 — its prefix-filtered AllPairs measured 0.72–0.83
+    * there (r14 brackets, t100 ~110 s), affordable evidence the
+    * amortization regime holds.
     */
-  private val TenXOnly = Set("q77_semdedup", "q111_curation_fuzzy_audit",
-    "q19_jaccard_pairs")
+  private val TenXOnly = Set("q77_semdedup", "q111_curation_fuzzy_audit")
 
   /** Id offset between copies — far above any base id, and a multiple of
     * 10 so `doc_id % 10`-style splits partition every copy identically.

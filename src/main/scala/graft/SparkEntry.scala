@@ -3450,6 +3450,91 @@ object SparkEntry {
       textops.Redirects.resolveAliases(textops.Redirects.edges(records),
           rounds = 3)
         .orderBy(col("src_url"))
+    }),
+
+    // The re-crawl (freshness) channel end-to-end: even docs are
+    // captured pages on hosts r{k%10} at day 1+(k%3); k%8=4 adds a
+    // mid-day-1 re-capture (its validators ride when it is the
+    // latest), k%8=0 a day-5 re-capture (newest capture postdates all
+    // signals → fresh again). Feed items re-publish k%4=0 at day 2.5;
+    // sitemaps declare k%6=0 with a DATE-ONLY lastmod (day 4 for
+    // k%12=6, else stale-free Feb 1). Stale set = {k%8=4 ∧ k%3∈{0,1}}
+    // ∪ {k%12=6}, re-planned alongside fresh /n/ link candidates
+    // (k%7=0) — recrawl rows carry the LATEST capture's conditional-GET
+    // validators, fresh rows null ones; the oracle replays the
+    // latest-capture window, the max-signal aggregate and the
+    // priority-ordered fetch ranking closed-form
+    "q167_recrawl" -> ((s, dir) => {
+      import s.implicits._
+      val d = tSpread(s, dir, "documents").select(col("doc_id").as("k"))
+      val purl = concat(lit("https://r"), col("k") % 10,
+        lit(".example/p/"), col("k"))
+      val base = d.filter(col("k") % 2 === 0).select(
+        purl.as("url"),
+        concat(lit("2026-03-0"), col("k") % 3 + 1,
+          lit("T00:00:00Z")).as("warc_date"),
+        when(col("k") % 3 === 0,
+          concat(lit("W/\"e"), col("k"), lit("\""))).as("etag"),
+        when(col("k") % 5 === 0,
+          lit("Mon, 02 Mar 2026 10:00:00 GMT")).as("last_modified"))
+      val extra4 = d.filter(col("k") % 8 === 4).select(
+        purl.as("url"), lit("2026-03-01T12:00:00Z").as("warc_date"),
+        concat(lit("W/\"m"), col("k"), lit("\"")).as("etag"),
+        lit(null).cast("string").as("last_modified"))
+      val extra0 = d.filter(col("k") % 8 === 0).select(
+        purl.as("url"), lit("2026-03-05T00:00:00Z").as("warc_date"),
+        lit(null).cast("string").as("etag"),
+        lit(null).cast("string").as("last_modified"))
+      val captured = base.unionByName(extra4).unionByName(extra0)
+      val feeds = d.filter(col("k") % 4 === 0).select(purl.as("link"))
+        .withColumn("published_ms", lit(java.time.Instant
+          .parse("2026-03-02T12:00:00Z").toEpochMilli))
+        .withColumn("error", lit(null).cast("string"))
+      val site = d.filter(col("k") % 6 === 0).select(purl.as("loc"),
+          when(col("k") % 12 === 6, lit("2026-03-04"))
+            .otherwise(lit("2026-02-01")).as("lastmod"))
+        .withColumn("kind", lit("url"))
+      val recrawl = textops.Frontier.staleCaptures(captured, "url",
+        "warc_date", feeds, site, "etag", "last_modified")
+      val cands = d.filter(col("k") % 7 === 0).select(
+        concat(lit("https://r"), col("k") % 10, lit(".example/n/"),
+          col("k")).as("url"),
+        lit("link").as("source"), lit(2).as("priority"))
+      textops.Frontier.plan(cands, "url", captured, "url", null,
+          perHostBudget = 100000, recrawl = recrawl)
+        .orderBy(col("url_host"), col("fetch_order"))
+    }),
+
+    // Host-rank gate — the composition q157's rank vector feeds (the
+    // Common-Crawl-host-rank pattern: gate documents by their host's
+    // web-graph standing): the q157 planted graph ranks its 12 hosts,
+    // the gate keeps docs on the top ceil(0.25×12)=3 hosts by (rank,
+    // host) order, and k%13=0 docs sit on a host ABSENT from the graph
+    // (no link evidence) so they must drop. Ranks pass at the same
+    // 6-dp rounding both engines compare at; the oracle replays the
+    // rank iterations, the quantile cut and the doc join closed-form
+    "q168_host_rank_gate" -> ((s, dir) => {
+      import s.implicits._
+      val pages = tSpread(s, dir, "documents").select(col("doc_id"))
+        .as[Long]
+        .map(k => (k, q157Url(k), q157Html(k)))
+        .toDF("doc_id", "url", "html")
+      val links = textops.LinkGraph.pageLinks(pages, "doc_id", "url",
+        "html")
+      val ranks = textops.LinkGraph.pageRank(
+          textops.LinkGraph.hostEdges(links, "doc_id"),
+          "src_host", "dst_host", weightCol = "n_links",
+          damping = 0.85, iterations = 5)
+        .select(col("host"), round(col("rank"), 6).as("rank"))
+      val docs = tSpread(s, dir, "documents").select(
+        col("doc_id"),
+        when(col("doc_id") % 13 === 0, lit("z.example"))
+          .otherwise(concat(lit("h"), col("doc_id") % 12,
+            lit(".example"))).as("url_host"))
+      textops.UrlOps.hostRankGate(docs, "url_host", ranks, "host",
+          "rank", keepFraction = 0.25)
+        .select(col("doc_id"), col("url_host"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -3511,7 +3596,11 @@ object SparkEntry {
     * [[graft.textops.LinkGraph.pageRank]] computes — uniform seed,
     * damping 0.85, dangling mass redistributed uniformly).
     */
-  private def q157OracleSql(iters: Int): String = {
+  /** The shared PageRank-replay CTE chain of the q157/q168 oracles:
+    * planted edges → out-weight fractions → `iters` damped iterations
+    * with dangling-mass redistribution, ending at `pr<iters>`.
+    */
+  private def q157RankCtes(iters: Int): String = {
     val sb = new StringBuilder(
       """WITH d AS (SELECT doc_id AS k, doc_id % 12 AS r FROM documents),
         |raw AS (
@@ -3541,11 +3630,37 @@ object SparkEntry {
            |  FROM nodes nd LEFT JOIN ct$i c ON nd.h = c.h)
            |""".stripMargin)
     }
-    sb.append(
-      s"""SELECT 'h' || CAST(h AS VARCHAR) || '.example' AS host,
-         |  ROUND(rank, 6) AS rank FROM pr$iters ORDER BY host""".stripMargin)
     sb.toString
   }
+
+  private def q157OracleSql(iters: Int): String =
+    q157RankCtes(iters) +
+      s"""SELECT 'h' || CAST(h AS VARCHAR) || '.example' AS host,
+         |  ROUND(rank, 6) AS rank FROM pr$iters ORDER BY host""".stripMargin
+
+  /** q168's oracle: the q157 rank replay + the quantile cut (top
+    * ceil(f×n) hosts by (rounded rank DESC, host string)) + the doc
+    * join; k%13=0 docs sit on an UNRANKED host and must drop.
+    */
+  private def q168OracleSql(iters: Int, keepFraction: Double): String =
+    q157RankCtes(iters) +
+      s""", hosts AS (SELECT
+         |    'h' || CAST(h AS VARCHAR) || '.example' AS host,
+         |    ROUND(rank, 6) AS rank FROM pr$iters),
+         |cut AS (SELECT host FROM (
+         |    SELECT host,
+         |      ROW_NUMBER() OVER (ORDER BY rank DESC, host) AS rn,
+         |      COUNT(*) OVER () AS n FROM hosts)
+         |  WHERE rn <= GREATEST(1, CAST(CEIL($keepFraction * n)
+         |    AS BIGINT))),
+         |docs_ AS (SELECT k AS doc_id,
+         |    CASE WHEN k % 13 = 0 THEN 'z.example'
+         |      ELSE 'h' || CAST(k % 12 AS VARCHAR) || '.example'
+         |    END AS url_host
+         |  FROM d)
+         |SELECT doc_id, url_host FROM docs_
+         |WHERE url_host IN (SELECT host FROM cut)
+         |ORDER BY doc_id""".stripMargin
 
   /** q166's planted WARC: redirect chains with relative Location
     * headers on host h(k%7), final pages at /final/(k%10); a 301 loop
@@ -7855,7 +7970,73 @@ object SparkEntry {
         |    CAST(k AS VARCHAR) AS src_url,
         |  'https://h' || CAST(h AS VARCHAR) || '.example/final/' ||
         |    CAST(f AS VARCHAR) AS final_url
-        |FROM rows_ ORDER BY src_url""".stripMargin
+        |FROM rows_ ORDER BY src_url""".stripMargin,
+
+    // replay of the recrawl plant: latest capture per url (window),
+    // max freshness signal per url, stale = capture < signal, then the
+    // per-host priority ranking over stale ∪ fresh /n/ candidates
+    "q167_recrawl" ->
+      """WITH d AS (SELECT doc_id AS k FROM documents),
+        |cap AS (
+        |  SELECT 'r' || CAST(k % 10 AS VARCHAR) || '.example' AS h,
+        |    'https://r' || CAST(k % 10 AS VARCHAR) || '.example/p/' ||
+        |      CAST(k AS VARCHAR) AS u,
+        |    TIMESTAMP '2026-03-01 00:00:00' +
+        |      CAST(k % 3 AS INTEGER) * INTERVAL 1 DAY AS ts,
+        |    CASE WHEN k % 3 = 0
+        |      THEN 'W/"e' || CAST(k AS VARCHAR) || '"' END AS etag,
+        |    CASE WHEN k % 5 = 0
+        |      THEN 'Mon, 02 Mar 2026 10:00:00 GMT' END AS last_modified
+        |  FROM d WHERE k % 2 = 0
+        |  UNION ALL
+        |  SELECT 'r' || CAST(k % 10 AS VARCHAR) || '.example',
+        |    'https://r' || CAST(k % 10 AS VARCHAR) || '.example/p/' ||
+        |      CAST(k AS VARCHAR),
+        |    TIMESTAMP '2026-03-01 12:00:00',
+        |    'W/"m' || CAST(k AS VARCHAR) || '"', NULL
+        |  FROM d WHERE k % 8 = 4
+        |  UNION ALL
+        |  SELECT 'r' || CAST(k % 10 AS VARCHAR) || '.example',
+        |    'https://r' || CAST(k % 10 AS VARCHAR) || '.example/p/' ||
+        |      CAST(k AS VARCHAR),
+        |    TIMESTAMP '2026-03-05 00:00:00', NULL, NULL
+        |  FROM d WHERE k % 8 = 0
+        |),
+        |latest AS (SELECT h, u, ts, etag, last_modified FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY u ORDER BY ts DESC)
+        |    AS rn FROM cap) WHERE rn = 1),
+        |sig AS (SELECT u, MAX(sms) AS sms FROM (
+        |  SELECT 'https://r' || CAST(k % 10 AS VARCHAR) ||
+        |      '.example/p/' || CAST(k AS VARCHAR) AS u,
+        |    TIMESTAMP '2026-03-02 12:00:00' AS sms
+        |  FROM d WHERE k % 4 = 0
+        |  UNION ALL
+        |  SELECT 'https://r' || CAST(k % 10 AS VARCHAR) ||
+        |      '.example/p/' || CAST(k AS VARCHAR),
+        |    CASE WHEN k % 12 = 6 THEN TIMESTAMP '2026-03-04 00:00:00'
+        |      ELSE TIMESTAMP '2026-02-01 00:00:00' END
+        |  FROM d WHERE k % 6 = 0) GROUP BY u),
+        |all_rows AS (
+        |  SELECT l.h AS url_host, l.u AS url_norm,
+        |    'recrawl' AS source, 1 AS p, l.etag, l.last_modified
+        |  FROM latest l JOIN sig s ON l.u = s.u WHERE l.ts < s.sms
+        |  UNION ALL
+        |  SELECT 'r' || CAST(k % 10 AS VARCHAR) || '.example',
+        |    'https://r' || CAST(k % 10 AS VARCHAR) || '.example/n/' ||
+        |      CAST(k AS VARCHAR),
+        |    'link', 2, NULL, NULL
+        |  FROM d WHERE k % 7 = 0
+        |)
+        |SELECT url_host, url_norm, source,
+        |  CAST(p AS INTEGER) AS priority,
+        |  CAST(NULL AS DOUBLE) AS crawl_delay,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY url_host
+        |    ORDER BY p, url_norm) AS INTEGER) AS fetch_order,
+        |  CAST(NULL AS BIGINT) AS not_before_ms,
+        |  etag, last_modified
+        |FROM all_rows ORDER BY url_host, fetch_order""".stripMargin,
+
+    "q168_host_rank_gate" -> q168OracleSql(5, 0.25)
   )
 
   /** q133's replay: q102's stage CTEs over the crawl-extracted corpus

@@ -54,7 +54,22 @@ package graft.config
   *                        vector written as parquet under this path —
   *                        the centrality signal host-quality weighting
   *                        consumes
+  * @param capturesOutput  when set, the capture index is written as
+  *                        parquet under this path: one row per HTTP
+  *                        response record — (url, warc_date,
+  *                        http_status, etag, last_modified) — exactly
+  *                        the `captured` table the `frontier`
+  *                        subcommand's recrawl channel consumes (the
+  *                        crawl→frontier incremental loop closes
+  *                        through this file)
   * @param hostRankIterations fixed PageRank iteration count (default 5)
+  * @param hostRankKeepFraction when in (0, 1), documents whose host is
+  *                        OUTSIDE the top fraction of the crawl's own
+  *                        host-rank vector drop with reason
+  *                        `host_rank` (hosts absent from the link
+  *                        graph drop too — no link evidence is not top
+  *                        standing). Requires `host_rank_output` (the
+  *                        vector this gate consumes). 0 disables.
   * @param resolveRedirects when true, captured 3xx responses build a
   *                        redirect-alias table (Location chains
   *                        collapsed) and page URLs are rewritten
@@ -80,7 +95,9 @@ final case class CrawlConfig(input: String, outdir: String,
                              watOutput: Option[String] = None,
                              hostRankOutput: Option[String] = None,
                              hostRankIterations: Int = 5,
-                             resolveRedirects: Boolean = false)
+                             hostRankKeepFraction: Double = 0.0,
+                             resolveRedirects: Boolean = false,
+                             capturesOutput: Option[String] = None)
 
 object CrawlConfig {
 
@@ -89,7 +106,7 @@ object CrawlConfig {
     "honor_noindex", "robots_user_agent", "wet_output", "cdx_output",
     "input_partitions", "include_pdf", "include_office",
     "wat_output", "host_rank_output", "host_rank_iterations",
-    "resolve_redirects")
+    "host_rank_keep_fraction", "resolve_redirects", "captures_output")
 
   /** Parse + validate; Left = every problem found (not just the first). */
   def from(raw: Map[String, Any]): Either[Seq[String], CrawlConfig] = {
@@ -202,12 +219,25 @@ object CrawlConfig {
       errs += "host_rank_iterations: must be in [1, 100]"
     if (rankOut.isEmpty && raw.contains("host_rank_iterations"))
       errs += "host_rank_iterations: requires host_rank_output"
+    val rankKeep = numOpt("host_rank_keep_fraction", 0.0)
+    if (rankKeep < 0 || rankKeep >= 1)
+      errs += "host_rank_keep_fraction: must be in [0, 1) (0 disables)"
+    if (rankKeep > 0 && rankOut.isEmpty)
+      errs += "host_rank_keep_fraction: requires host_rank_output " +
+        "(the rank vector this gate consumes)"
     val resolveRedirects = boolOpt("resolve_redirects", default = false)
+    val capturesOut = raw.get("captures_output") match {
+      case Some(s: String) if s.nonEmpty => Some(s)
+      case Some(null) | None => None
+      case Some("") => None
+      case Some(other) =>
+        err(s"captures_output: expected string, got '$other'", None)
+    }
 
     if (errs.nonEmpty) Left(errs.toSeq)
     else Right(CrawlConfig(input, outdir, keepLangs, minHost, maxHost,
       tHead, tMid, honorNoindex, robotsUa, wetOut, cdxOut, parts.toInt,
       includePdf, includeOffice, watOut, rankOut, rankIters.toInt,
-      resolveRedirects))
+      rankKeep, resolveRedirects, capturesOut))
   }
 }

@@ -23,6 +23,14 @@ package graft.config
   * @param resolveRedirects build the 3xx alias table from the crawl's
   *                      captures and plan candidates as their redirect
   *                      DESTINATIONS (requires `crawl_input`)
+  * @param recrawl       re-plan captured pages whose feed/sitemap
+  *                      freshness signal postdates their capture; the
+  *                      `captured` parquet must then carry a
+  *                      `warc_date` column (plus optional `etag` /
+  *                      `last_modified` conditional-GET validators to
+  *                      ride on the plan rows). Requires `captured`
+  *                      and at least one of `feeds_input` /
+  *                      `sitemaps_input` (the freshness signals)
   */
 final case class FrontierConfig(crawlInput: Option[String],
                                 sitemapsInput: Option[String],
@@ -32,13 +40,14 @@ final case class FrontierConfig(crawlInput: Option[String],
                                 perHostBudget: Int,
                                 saltBuckets: Int,
                                 robotsUserAgent: Option[String],
-                                resolveRedirects: Boolean)
+                                resolveRedirects: Boolean,
+                                recrawl: Boolean)
 
 object FrontierConfig {
 
   private val Known = Set("crawl_input", "sitemaps_input", "feeds_input",
     "captured", "outdir", "per_host_budget", "salt_buckets",
-    "robots_user_agent", "resolve_redirects")
+    "robots_user_agent", "resolve_redirects", "recrawl")
 
   /** Parse + validate; Left = every problem found. */
   def from(raw: Map[String, Any]): Either[Seq[String], FrontierConfig] = {
@@ -93,9 +102,21 @@ object FrontierConfig {
     if (resolveRedirects && crawl.isEmpty)
       errs += "resolve_redirects: requires crawl_input (the 3xx " +
         "captures come from the crawl itself)"
+    val recrawl = raw.get("recrawl") match {
+      case Some(b: java.lang.Boolean) => b.booleanValue()
+      case Some(null) | None => false
+      case Some(other) =>
+        err(s"recrawl: expected boolean, got '$other'", false)
+    }
+    if (recrawl && captured.isEmpty)
+      errs += "recrawl: requires captured (the stale set is computed " +
+        "against the captured pages)"
+    if (recrawl && sitemaps.isEmpty && feeds.isEmpty)
+      errs += "recrawl: requires feeds_input or sitemaps_input (the " +
+        "freshness signals)"
 
     if (errs.nonEmpty) Left(errs.toSeq)
     else Right(FrontierConfig(crawl, sitemaps, feeds, captured, outdir,
-      budget.toInt, salt.toInt, robotsUa, resolveRedirects))
+      budget.toInt, salt.toInt, robotsUa, resolveRedirects, recrawl))
   }
 }

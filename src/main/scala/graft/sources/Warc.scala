@@ -119,7 +119,9 @@ object Warc {
                        charset: String = null,
                        charsetSrc: String = null,
                        nRepl: Int = 0,
-                       httpLocation: String = null)
+                       httpLocation: String = null,
+                       httpEtag: String = null,
+                       httpLastModified: String = null)
 
   private val Utf8 = java.nio.charset.StandardCharsets.UTF_8
 
@@ -576,7 +578,7 @@ object Warc {
     * coverage loss per encoding.
     */
   private def parseHttp(b: Array[Byte])
-      : (Int, Array[Byte], String, String) = {
+      : (Int, Array[Byte], String, String, String, String) = {
     val (e, next) = lineEnd(b, 0)
     val status = asciiLine(b, 0, e)
     if (!status.startsWith("HTTP/")) malformed("not an HTTP response block")
@@ -647,7 +649,12 @@ object Warc {
         malformed(s"unsupported content-encoding ${sanitizeToken(other)}")
     }
     (code, body, headers.get("content-type").orNull,
-      headers.get("location").map(_.trim).filter(_.nonEmpty).orNull)
+      headers.get("location").map(_.trim).filter(_.nonEmpty).orNull,
+      // conditional-GET validators (RFC 9110 §8.8): a re-crawl planner
+      // carries these so the fetcher can issue If-None-Match /
+      // If-Modified-Since instead of refetching unchanged bytes
+      headers.get("etag").map(_.trim).filter(_.nonEmpty).orNull,
+      headers.get("last-modified").map(_.trim).filter(_.nonEmpty).orNull)
   }
 
   /** Normalize a Content-Type header to its media type: parameters
@@ -707,7 +714,8 @@ object Warc {
           case "response" if ct != null &&
             ct.toLowerCase(java.util.Locale.ROOT)
               .startsWith("application/http") =>
-            val (code, payload, hctRaw, httpLoc) = parseHttp(body)
+            val (code, payload, hctRaw, httpLoc, httpEtag, httpLastMod) =
+              parseHttp(body)
             // binary media bodies stay bytes ONLY when the caller asked
             // (the media door); textual bodies go through the WHATWG
             // charset sniff (BOM > transport label > meta prescan >
@@ -727,7 +735,8 @@ object Warc {
             // the Location header is the redirect-alias edge source
             // (3xx capture bodies are empty or boilerplate; the header
             // IS the content) — threaded through for Redirects
-            if (httpLoc == null) rec0 else rec0.copy(httpLocation = httpLoc)
+            rec0.copy(httpLocation = httpLoc, httpEtag = httpEtag,
+              httpLastModified = httpLastMod)
           case "conversion" =>
             // WET conversion content is UTF-8 by the ISO 28500 usage
             // convention; no transport header exists to sniff against
@@ -873,7 +882,9 @@ object Warc {
         col("r.contentType").as("content_type"),
         col("r.httpStatus").as("http_status"),
         col("r.httpLocation").as("http_location"),
-        col("r.text").as("text"), col("r.error").as("error"))
+        col("r.text").as("text"), col("r.error").as("error"),
+        col("r.httpEtag").as("http_etag"),
+        col("r.httpLastModified").as("http_last_modified"))
   }
 
   private val RecSchema = StructType(Seq(
@@ -887,7 +898,9 @@ object Warc {
     StructField("http_status", IntegerType, nullable = true),
     StructField("http_location", StringType, nullable = true),
     StructField("text", StringType, nullable = true),
-    StructField("error", StringType, nullable = true)))
+    StructField("error", StringType, nullable = true),
+    StructField("http_etag", StringType, nullable = true),
+    StructField("http_last_modified", StringType, nullable = true)))
 
   /** The real-file front door: a Dataset of storage paths → one task
     * per file, each file opened through the Hadoop filesystem API and
@@ -931,7 +944,8 @@ object Warc {
         opened match {
           case Left(err) =>
             Iterator.single(Row(p, 0, 0L, null, null, null, null, null,
-              null, null, s"unreadable file: $err", null, null, null))
+              null, null, s"unreadable file: $err", null, null, null,
+              null, null))
           case Right(in) =>
             // closed when the iterator drains; a task-completion
             // listener backstops early termination (a downstream
@@ -958,7 +972,7 @@ object Warc {
                 Row(p, r.recIdx, r.offset, r.warcType, r.targetUri,
                   r.warcDate, r.contentType,
                   r.httpStatus.map(Int.box).orNull, r.httpLocation,
-                  r.text, r.error,
+                  r.text, r.error, r.httpEtag, r.httpLastModified,
                   mediaTypeOf(r.httpContentType), r.charset,
                   r.charsetSrc)
               }

@@ -40,11 +40,102 @@ object Frontier {
 
   /** Channel priorities: smaller fetches first. Sitemaps are the
     * site's own inventory declaration, feeds its freshness signal,
-    * extracted links the open-web tail.
+    * extracted links the open-web tail. Re-crawls of KNOWN-updated
+    * pages rank with the feed channel — the freshness signal that
+    * triggered them is the same one.
     */
   val SitemapPriority = 0
   val FeedPriority = 1
+  val RecrawlPriority = 1
   val LinkPriority = 2
+
+  /** Epoch-millis parse for the date shapes freshness signals carry:
+    * RFC 3339 instants (feed `published`, full sitemap `lastmod`),
+    * RFC 822 dates (RSS pubDate, HTTP Last-Modified) and the DATE-ONLY
+    * W3C form sitemaps commonly use (`2026-03-04` → midnight UTC).
+    * Null/unparseable → null (the row simply carries no signal).
+    */
+  private[textops] def dateMs(s: String): Option[Long] =
+    Feeds.parseDateMs(s).orElse {
+      if (s == null) None
+      else try Some(java.time.LocalDate.parse(s.trim)
+        .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli)
+      catch { case _: java.time.format.DateTimeParseException => None }
+    }
+
+  /** The re-crawl (freshness) channel: captured pages whose newest
+    * freshness signal POSTDATES their latest capture. The reference's
+    * planner treats retry of already-attempted items as first-class
+    * input (`stream2segment/download/modules/segments.py:163-196`
+    * retry masks rejoin the fetch list); this is the crawl twin — a
+    * feed item re-published or a sitemap `lastmod` bumped after the
+    * capture date means the captured bytes are stale, and subtracting
+    * ALL captured URLs ([[plan]]'s anti-join) would wrongly freeze
+    * them forever.
+    *
+    * `captured` needs (urlCol, dateCol) — a WARC-date string per
+    * capture; multiple captures of one URL collapse to the LATEST
+    * (deterministic: max (capture_ms, etag, last_modified) tuple).
+    * `etagCol`/`lastModifiedCol` (optional, null = absent) ride
+    * through from that latest capture as conditional-GET validators —
+    * the fetcher issues If-None-Match / If-Modified-Since instead of
+    * refetching unchanged bytes. Freshness signals come from
+    * [[Feeds.items]] (`link`, `published_ms`) and [[Sitemaps.entries]]
+    * (`loc`, `lastmod`); either may be null.
+    *
+    * Output: (url_host, url_norm, source='recrawl',
+    * priority=[[RecrawlPriority]], signal_ms, capture_ms, etag,
+    * last_modified) — feed straight into [[plan]]'s `recrawl` input.
+    *
+    * DESIGN FOR 100 TB: slim tuples only — (url_norm, ms) off each
+    * side; one aggregate per side and one inner join keyed on the
+    * canonical URL. The signal table is feed/sitemap-sized (small);
+    * AQE broadcasts it against the capture index.
+    */
+  def staleCaptures(captured: DataFrame, urlCol: String, dateCol: String,
+                    feedItems: DataFrame = null,
+                    sitemapEntries: DataFrame = null,
+                    etagCol: String = null,
+                    lastModifiedCol: String = null): DataFrame = {
+    require(feedItems != null || sitemapEntries != null,
+      "at least one freshness signal required: feedItems or sitemapEntries")
+    val msUdf = udf { s: String => dateMs(s).map(Long.box).orNull }
+    val caps = captured
+      .where(col(urlCol).isNotNull && col(dateCol).isNotNull)
+      .select(UrlOps.normalizeUrl(col(urlCol)).as("url_norm"),
+        msUdf(col(dateCol)).as("__cms"),
+        (if (etagCol == null) lit(null).cast("string")
+         else col(etagCol)).as("__et"),
+        (if (lastModifiedCol == null) lit(null).cast("string")
+         else col(lastModifiedCol)).as("__lm"))
+      .where(col("__cms").isNotNull)
+      .groupBy(col("url_norm"))
+      .agg(max(struct(col("__cms"), col("__et"), col("__lm"))).as("__c"))
+      .select(col("url_norm"), col("__c.__cms").as("capture_ms"),
+        col("__c.__et").as("etag"), col("__c.__lm").as("last_modified"))
+    val signalParts = Seq(
+      Option(feedItems).map(_.where(col("link").isNotNull &&
+          col("error").isNull && col("published_ms").isNotNull)
+        .select(UrlOps.normalizeUrl(col("link")).as("url_norm"),
+          col("published_ms").cast("long").as("__sms"))),
+      Option(sitemapEntries).map(_.where(col("kind") === "url" &&
+          col("loc").isNotNull)
+        .select(UrlOps.normalizeUrl(col("loc")).as("url_norm"),
+          msUdf(col("lastmod")).as("__sms")))
+    ).flatten
+    val signals = signalParts.reduce(_ unionByName _)
+      .where(col("__sms").isNotNull)
+      .groupBy(col("url_norm"))
+      .agg(max(col("__sms")).as("signal_ms"))
+    caps.join(signals, Seq("url_norm"))
+      .where(col("signal_ms") > col("capture_ms"))
+      .select(UrlOps.hostOf(col("url_norm")).as("url_host"),
+        col("url_norm"), lit("recrawl").as("source"),
+        lit(RecrawlPriority).as("priority"),
+        col("signal_ms"), col("capture_ms"),
+        col("etag"), col("last_modified"))
+      .where(col("url_host").isNotNull)
+  }
 
   /** Union the three discovery channels into one (url, source,
     * priority) candidate frame. Any channel may be null. Columns are
@@ -81,15 +172,28 @@ object Frontier {
     * `url_host`, `url_norm`, `source`/`priority` (of the BEST channel
     * that discovered it), `crawl_delay` (the host's declared pacing,
     * null when unset), `fetch_order` (1-based within host, by
-    * (priority, url) — deterministic). At most `perHostBudget` rows
-    * per host.
+    * (priority, url) — deterministic), `not_before_ms` (RFC 9309
+    * pacing made executable: (fetch_order − 1) × crawl_delay × 1000,
+    * the earliest offset from round start at which a compliant fetcher
+    * may issue this request; null when the host declares no delay),
+    * and `etag` / `last_modified` (conditional-GET validators,
+    * non-null only on re-crawl rows). At most `perHostBudget` rows per
+    * host.
+    *
+    * `recrawl` (optional): the [[staleCaptures]] output — captured
+    * pages whose freshness signal postdates the capture. These join
+    * AFTER the captured-set anti-join (they are by definition captured,
+    * so the anti-join would erase them), but BEFORE the robots gate
+    * and the budget — a re-crawl must honor the CURRENT policy and
+    * count against host politeness like any other fetch.
     */
   def plan(candidates: DataFrame, urlCol: String,
            captured: DataFrame, capturedUrlCol: String,
            policies: DataFrame = null,
            perHostBudget: Int = 1000,
            saltBuckets: Int = 32,
-           aliases: DataFrame = null): DataFrame = {
+           aliases: DataFrame = null,
+           recrawl: DataFrame = null): DataFrame = {
     require(perHostBudget >= 1, s"perHostBudget must be >= 1")
     require(saltBuckets >= 1, s"saltBuckets must be >= 1")
     // redirect-alias rewrite first ([[Redirects.resolveAliases]] shape,
@@ -122,11 +226,24 @@ object Frontier {
         .select(UrlOps.normalizeUrl(col(capturedUrlCol)).as("url_norm"))
         .distinct(),
       Seq("url_norm"), "left_anti")
+    // the re-crawl channel rejoins AFTER the anti-join: its rows are
+    // captured by definition and disjoint from `fresh` for the same
+    // reason, so the union introduces no duplicate url_norm
+    val combined =
+      if (recrawl == null)
+        fresh.withColumn("etag", lit(null).cast("string"))
+          .withColumn("last_modified", lit(null).cast("string"))
+      else fresh
+        .withColumn("etag", lit(null).cast("string"))
+        .withColumn("last_modified", lit(null).cast("string"))
+        .unionByName(recrawl.select(col("url_host"), col("url_norm"),
+          col("source"), col("priority").cast("int"),
+          col("etag"), col("last_modified")))
     // robots gate + the host's declared pacing
     val allowed =
-      if (policies == null) fresh.withColumn("crawl_delay",
+      if (policies == null) combined.withColumn("crawl_delay",
         lit(null).cast("double"))
-      else RobotsTxt.gate(fresh, policies, "url_norm")
+      else RobotsTxt.gate(combined, policies, "url_norm")
         .join(policies.select(col("url_host"), col("crawl_delay")),
           Seq("url_host"), "left")
     // salted two-phase per-host top-N (see the object doc)
@@ -143,6 +260,12 @@ object Frontier {
           .orderBy(col("priority"), col("url_norm"))))
       .where(col("fetch_order") <= perHostBudget)
       .select(col("url_host"), col("url_norm"), col("source"),
-        col("priority"), col("crawl_delay"), col("fetch_order"))
+        col("priority"), col("crawl_delay"), col("fetch_order"),
+        // politeness made executable: the earliest ms offset from
+        // round start a compliant fetcher may issue this request at
+        when(col("crawl_delay").isNotNull,
+          ((col("fetch_order") - 1) * col("crawl_delay") * 1000)
+            .cast("long")).as("not_before_ms"),
+        col("etag"), col("last_modified"))
   }
 }

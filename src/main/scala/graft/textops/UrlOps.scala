@@ -383,4 +383,63 @@ object UrlOps {
       .select(col(hostCol))
     df.join(keepHosts, Seq(hostCol), "left_semi")
   }
+
+  /** The hosts surviving a rank-quantile cut: the top
+    * `ceil(keepFraction × n)` of the `ranks` table ordered by
+    * (`rankCol` DESC, `rankHostCol`) — the deterministic host-name
+    * tiebreak makes equal-rank boundaries replayable. This is the
+    * build side of [[hostRankGate]], exposed so a pipeline that needs
+    * BOTH halves (kept docs and auditable drops) can left-join the
+    * host set once instead of running the gate twice.
+    *
+    * DESIGN FOR 100 TB: the cut needs an exact global order of the
+    * HOST table (corpus-independent-small — the Common Crawl host
+    * graph is ~10⁸ rows where the page corpus is 10¹¹⁺). A
+    * row_number window without partitioning would funnel it through
+    * ONE partition; instead the table is range-sort-partitioned
+    * (`orderBy`, a distributed sort) and positions come from
+    * `zipWithIndex` (one count job + one map — Spark's standard exact
+    * global-rank shape). No single-partition stage anywhere.
+    */
+  def hostRankKeepHosts(ranks: DataFrame, rankHostCol: String,
+                        rankCol: String,
+                        keepFraction: Double): DataFrame = {
+    require(keepFraction > 0 && keepFraction <= 1,
+      s"keepFraction must be in (0, 1], got $keepFraction")
+    val spark = ranks.sparkSession
+    import spark.implicits._
+    val slim = ranks
+      .where(col(rankHostCol).isNotNull && col(rankCol).isNotNull)
+      .select(col(rankHostCol).cast("string").as("host"),
+        col(rankCol).cast("double").as("rank"))
+    val n = slim.count()
+    if (n == 0) return slim.select(col("host"))
+    val k = math.max(1L, math.ceil(keepFraction * n).toLong)
+    slim.orderBy(col("rank").desc, col("host"))
+      .select(col("host")).as[String]
+      .rdd.zipWithIndex()
+      .filter(_._2 < k).map(_._1)
+      .toDF("host")
+  }
+
+  /** Host-rank gate — the centrality twin of [[hostGateOn]]: keep
+    * documents whose host sits in the top `keepFraction` of the
+    * link-graph rank vector ([[LinkGraph.pageRank]]'s (host, rank)
+    * shape). The Common-Crawl-host-rank pattern: a corpus pipeline
+    * weights or gates documents by their host's standing in the web
+    * graph, not just by per-host document counts. Documents on hosts
+    * ABSENT from the rank table drop too (no link evidence ≠ top
+    * standing) — pre-filter with an isNotNull host, as unparseable
+    * hosts are equally provenance-free here as in [[hostGateOn]].
+    *
+    * One exact host-table cut ([[hostRankKeepHosts]]) + one semi-join
+    * on the host key (the kept-host side is ≤ hosts-table-sized; AQE
+    * broadcasts it at any corpus size where a rank gate makes sense).
+    */
+  def hostRankGate(df: DataFrame, hostCol: String,
+                   ranks: DataFrame, rankHostCol: String,
+                   rankCol: String, keepFraction: Double): DataFrame =
+    df.join(hostRankKeepHosts(ranks, rankHostCol, rankCol, keepFraction)
+        .withColumnRenamed("host", hostCol),
+      Seq(hostCol), "left_semi")
 }

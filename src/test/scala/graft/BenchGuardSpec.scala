@@ -1,0 +1,32 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench lineage guard: `bench_full.json` is the round's perf
+  * artifact — dev-scoped runs and accidental shrinks (fewer queries
+  * than the artifact already records) must divert to
+  * `bench_dev.json`; only an explicit force records a shrink.
+  */
+class BenchGuardSpec extends AnyFunSuite {
+
+  test("lineage target: scoped and shrinking runs divert; full and " +
+    "forced runs write the artifact") {
+    // a dev-scoped run NEVER writes the lineage, whatever its width
+    assert(Bench.lineageTarget(Some(10), 200, devScoped = true,
+      force = false) == "bench_dev.json")
+    // first run of a round (no artifact yet): writes
+    assert(Bench.lineageTarget(None, 5, devScoped = false,
+      force = false) == "bench_full.json")
+    // as-wide or wider: writes (the normal per-round growth path)
+    assert(Bench.lineageTarget(Some(166), 166, devScoped = false,
+      force = false) == "bench_full.json")
+    assert(Bench.lineageTarget(Some(166), 168, devScoped = false,
+      force = false) == "bench_full.json")
+    // SHRINK without force: diverted — the trap that ate the artifact
+    assert(Bench.lineageTarget(Some(166), 120, devScoped = false,
+      force = false) == "bench_dev.json")
+    // deliberate shrink: forced through
+    assert(Bench.lineageTarget(Some(166), 120, devScoped = false,
+      force = true) == "bench_full.json")
+  }
+}

@@ -409,6 +409,25 @@ class CrawlCliSpec extends SparkSpec {
         "input" -> "x", "outdir" -> "y", "keep_langs" -> Seq("en"),
         "host_rank_iterations" -> java.lang.Long.valueOf(3L)))
         .left.exists(_.exists(_.contains("requires host_rank_output"))))
+      // host-rank gate: the 3-ring ranks uniformly (1/3 each), so the
+      // cut at keep_fraction=0.4 → ceil(0.4×3)=2 hosts by the host-name
+      // tiebreak (a, b in; c out) — c's doc drops as a decision row
+      val gatedCfg = cfg.copy(outdir = outdir + "_gate",
+        hostRankOutput = Some(rankDir + "_gate"),
+        hostRankKeepFraction = 0.4, watOutput = None)
+      val rg = Main.crawl(spark, gatedCfg)
+      assert(rg.dropped.get("host_rank").contains(1L), rg.dropped)
+      assert(rg.nKept == 2)
+      // validation: fraction without the rank vector, fraction >= 1
+      assert(graft.config.CrawlConfig.from(Map(
+        "input" -> "x", "outdir" -> "y", "keep_langs" -> Seq("en"),
+        "host_rank_keep_fraction" -> java.lang.Double.valueOf(0.5)))
+        .left.exists(_.exists(_.contains("requires host_rank_output"))))
+      assert(graft.config.CrawlConfig.from(Map(
+        "input" -> "x", "outdir" -> "y", "keep_langs" -> Seq("en"),
+        "host_rank_output" -> "r",
+        "host_rank_keep_fraction" -> java.lang.Double.valueOf(1.0)))
+        .left.exists(_.exists(_.contains("must be in [0, 1)"))))
     } finally {
       dir.listFiles().foreach(_.delete()); dir.delete()
     }
@@ -494,6 +513,127 @@ class CrawlCliSpec extends SparkSpec {
       assert(graft.config.FrontierConfig.from(Map("outdir" -> "x",
         "feeds_input" -> "y", "robots_user_agent" -> "bot"))
         .left.exists(_.exists(_.contains("requires crawl_input"))))
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+      aux.listFiles().foreach(_.delete()); aux.delete()
+    }
+  }
+
+  test("frontier recrawl: stale captures re-plan with conditional-GET " +
+    "validators; fresh captures stay subtracted") {
+    val aux = Files.createTempDirectory("graft_recrawl_aux").toFile
+    val outdir = Files.createTempDirectory("graft_recrawl_out").toString
+    try {
+      // feed: /stale re-published Mar 2 12:00; /fresh too — but /fresh
+      // was re-captured Mar 3, after the signal
+      Files.write(new java.io.File(aux, "feed.xml").toPath,
+        ("<rss version=\"2.0\"><channel><title>F</title>" +
+          "<item><title>s</title><link>https://a.example.org/stale</link>" +
+          "<pubDate>Mon, 02 Mar 2026 12:00:00 GMT</pubDate></item>" +
+          "<item><title>f</title><link>https://a.example.org/fresh</link>" +
+          "<pubDate>Mon, 02 Mar 2026 12:00:00 GMT</pubDate></item>" +
+          "<item><title>n</title><link>https://a.example.org/new</link>" +
+          "<pubDate>Mon, 02 Mar 2026 12:00:00 GMT</pubDate></item>" +
+          "</channel></rss>").getBytes("UTF-8"))
+      val capturedPath = outdir + "/captured.parquet"
+      locally {
+        import spark.implicits._
+        Seq(
+          ("https://a.example.org/stale", "2026-03-01T00:00:00Z",
+            "W/\"s1\"", "Sun, 01 Mar 2026 00:00:00 GMT"),
+          ("https://a.example.org/fresh", "2026-03-01T00:00:00Z",
+            "W/\"f1\"", null.asInstanceOf[String]),
+          ("https://a.example.org/fresh", "2026-03-03T00:00:00Z",
+            "W/\"f2\"", null)
+        ).toDF("url", "warc_date", "etag", "last_modified")
+          .write.parquet(capturedPath)
+      }
+      // recrawl without captured / without signals is a config error
+      assert(graft.config.FrontierConfig.from(Map("outdir" -> "x",
+        "feeds_input" -> "y", "recrawl" -> java.lang.Boolean.TRUE))
+        .left.exists(_.exists(_.contains("requires captured"))))
+      assert(graft.config.FrontierConfig.from(Map("outdir" -> "x",
+        "crawl_input" -> "z", "captured" -> "c",
+        "recrawl" -> java.lang.Boolean.TRUE))
+        .left.exists(_.exists(_.contains("freshness signals"))))
+      val cfg = graft.config.FrontierConfig.from(Map(
+        "feeds_input" -> (aux.getAbsolutePath + "/feed.xml"),
+        "captured" -> capturedPath,
+        "outdir" -> outdir,
+        "recrawl" -> java.lang.Boolean.TRUE)).toOption.get
+      val report = Main.frontier(spark, cfg)
+      // /new: never captured → feed channel; /stale: captured Mar 1 <
+      // published Mar 2 → recrawl with validators; /fresh: LATEST
+      // capture Mar 3 > signal → subtracted
+      assert(report.bySource == Map("feed" -> 1L, "recrawl" -> 1L))
+      val plan = spark.read.parquet(outdir + "/fetch_plan.parquet")
+        .orderBy("fetch_order").collect()
+      assert(plan.map(r => (r.getAs[String]("url_norm"),
+        r.getAs[String]("source"))).toSeq == Seq(
+        ("https://a.example.org/new", "feed"),
+        ("https://a.example.org/stale", "recrawl")))
+      assert(plan(1).getAs[String]("etag") == "W/\"s1\"" &&
+        plan(1).getAs[String]("last_modified") ==
+          "Sun, 01 Mar 2026 00:00:00 GMT")
+      assert(plan(0).getAs[String]("etag") == null)
+    } finally {
+      aux.listFiles().foreach(_.delete()); aux.delete()
+    }
+  }
+
+  test("captures_output closes the crawl->frontier loop: the written " +
+    "capture index feeds the recrawl channel directly") {
+    val dir = Files.createTempDirectory("graft_caploop_in").toFile
+    val aux = Files.createTempDirectory("graft_caploop_aux").toFile
+    val outdir = Files.createTempDirectory("graft_caploop_out").toString
+    try {
+      def recWithValidators(uri: String, html: String): Array[Byte] = {
+        val body = (s"HTTP/1.1 200 OK${crlf}Content-Type: text/html" +
+          s"${crlf}ETag: W/\"cap1\"$crlf$crlf").getBytes("UTF-8") ++
+          html.getBytes("UTF-8")
+        val h = new StringBuilder("WARC/1.0").append(crlf)
+        h.append("WARC-Type: response").append(crlf)
+        h.append("WARC-Target-URI: ").append(uri).append(crlf)
+        h.append("WARC-Date: 2026-03-01T00:00:00Z").append(crlf)
+        h.append("Content-Type: application/http; msgtype=response")
+          .append(crlf)
+        h.append("Content-Length: ").append(body.length)
+          .append(crlf).append(crlf)
+        h.toString.getBytes("UTF-8") ++ body ++
+          (crlf + crlf).getBytes("UTF-8")
+      }
+      Files.write(new java.io.File(dir, "c.warc.gz").toPath,
+        gzip(recWithValidators("https://l.example.org/page",
+          page(prose1))))
+      val capdir = outdir + "/captures"
+      val crawlCfg = graft.config.CrawlConfig.from(Map(
+        "input" -> dir.getAbsolutePath, "outdir" -> outdir,
+        "keep_langs" -> Seq("en"),
+        "captures_output" -> capdir)).toOption.get
+      Main.crawl(spark, crawlCfg)
+      val caps = spark.read.parquet(capdir).collect()
+      assert(caps.length == 1)
+      assert(caps(0).getAs[String]("url") == "https://l.example.org/page" &&
+        caps(0).getAs[String]("warc_date") == "2026-03-01T00:00:00Z" &&
+        caps(0).getAs[String]("etag") == "W/\"cap1\"" &&
+        caps(0).getAs[String]("last_modified") == null)
+      // the loop: a feed re-publishes the page AFTER the capture → the
+      // frontier re-plans it with the captured validator riding
+      Files.write(new java.io.File(aux, "feed.xml").toPath,
+        ("<rss version=\"2.0\"><channel><title>F</title>" +
+          "<item><title>p</title><link>https://l.example.org/page</link>" +
+          "<pubDate>Mon, 02 Mar 2026 12:00:00 GMT</pubDate></item>" +
+          "</channel></rss>").getBytes("UTF-8"))
+      val fCfg = graft.config.FrontierConfig.from(Map(
+        "feeds_input" -> (aux.getAbsolutePath + "/feed.xml"),
+        "captured" -> capdir, "outdir" -> (outdir + "/frontier"),
+        "recrawl" -> java.lang.Boolean.TRUE)).toOption.get
+      val report = Main.frontier(spark, fCfg)
+      assert(report.bySource == Map("recrawl" -> 1L))
+      val plan = spark.read
+        .parquet(outdir + "/frontier/fetch_plan.parquet").collect()
+      assert(plan.length == 1 &&
+        plan(0).getAs[String]("etag") == "W/\"cap1\"")
     } finally {
       dir.listFiles().foreach(_.delete()); dir.delete()
       aux.listFiles().foreach(_.delete()); aux.delete()

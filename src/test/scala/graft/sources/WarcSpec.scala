@@ -50,6 +50,36 @@ class WarcSpec extends SparkSpec {
     assert(r.text == "<p>hello world</p>")
   }
 
+  test("conditional-GET validators: ETag and Last-Modified captured on " +
+    "response records, null elsewhere") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val payload = rec("response", "https://x.org/a",
+      httpResponse("<p>v</p>", extraHeaders =
+        s"""ETag: W/"abc"${crlf}Last-Modified: Sun, 01 Mar 2026 00:00:00 GMT$crlf""")) ++
+      rec("response", "https://x.org/b", httpResponse("<p>w</p>"))
+    val rs = Warc.parse(payload)
+    assert(rs(0).httpEtag == "W/\"abc\"")
+    assert(rs(0).httpLastModified == "Sun, 01 Mar 2026 00:00:00 GMT")
+    assert(rs(1).httpEtag == null && rs(1).httpLastModified == null)
+    // both DataFrame doors expose the columns (the recrawl planner's
+    // feed)
+    val byDf = Warc.records(Seq((1L, payload)).toDF("id", "payload"),
+      "id", "payload").orderBy("rec_idx").collect()
+    assert(byDf(0).getAs[String]("http_etag") == "W/\"abc\"" &&
+      byDf(0).getAs[String]("http_last_modified") ==
+        "Sun, 01 Mar 2026 00:00:00 GMT")
+    val f = java.nio.file.Files.createTempFile("graft_etag", ".warc")
+    try {
+      java.nio.file.Files.write(f, payload)
+      val byPath = Warc.recordsFromPaths(Seq(f.toString).toDS())
+        .orderBy("rec_idx")
+        .select(col("http_etag"), col("http_last_modified")).collect()
+      assert(byPath(0).getString(0) == "W/\"abc\"" &&
+        byPath(1).isNullAt(0) && byPath(1).isNullAt(1))
+    } finally java.nio.file.Files.delete(f)
+  }
+
   test("multi-record stream in order; warcinfo/request typed but not decoded") {
     val payload =
       rec("warcinfo", null, s"software: test$crlf".getBytes("UTF-8"),

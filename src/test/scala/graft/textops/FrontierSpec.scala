@@ -103,6 +103,94 @@ class FrontierSpec extends SparkSpec {
       ("https://a.io/plain", "feed")))
   }
 
+  test("staleCaptures: newest signal vs LATEST capture; validators of " +
+    "that capture ride; date-only lastmod parses") {
+    val pubMs = java.time.Instant.parse("2026-03-02T12:00:00Z")
+      .toEpochMilli
+    val captured = Seq(
+      // stale via feed: captured Mar 1, published Mar 2 12:00
+      ("https://r.io/a", "2026-03-01T00:00:00Z", "W/\"a1\"",
+        null.asInstanceOf[String]),
+      // re-captured Mar 3 — the NEWEST capture postdates the signal,
+      // so the page is fresh again (the single-capture view would
+      // wrongly re-plan it)
+      ("https://r.io/b", "2026-03-01T00:00:00Z", "W/\"b1\"", null),
+      ("https://r.io/b", "2026-03-03T00:00:00Z", "W/\"b2\"", null),
+      // stale via DATE-ONLY sitemap lastmod (Mar 4 > Mar 2 capture);
+      // the second capture is the latest — ITS validators ride
+      ("https://r.io/c", "2026-03-01T00:00:00Z", null, null),
+      ("https://r.io/c", "2026-03-02T00:00:00Z", "W/\"c2\"",
+        "Mon, 02 Mar 2026 00:00:00 GMT"),
+      // captured, no freshness signal → never a recrawl candidate
+      ("https://r.io/d", "2026-03-01T00:00:00Z", null, null)
+    ).toDF("url", "warc_date", "etag", "last_modified")
+    val feeds = Seq("https://r.io/a", "https://r.io/b").toDF("link")
+      .withColumn("published_ms", lit(pubMs))
+      .withColumn("error", lit(null).cast("string"))
+    val sitemaps = Seq(("https://r.io/c", "2026-03-04"))
+      .toDF("loc", "lastmod").withColumn("kind", lit("url"))
+    val out = Frontier.staleCaptures(captured, "url", "warc_date",
+        feeds, sitemaps, "etag", "last_modified")
+      .orderBy("url_norm").collect()
+    assert(out.map(_.getString(1)).toSeq ==
+      Seq("https://r.io/a", "https://r.io/c"))
+    assert(out.forall(r => r.getString(0) == "r.io" &&
+      r.getString(2) == "recrawl" && r.getInt(3) == 1))
+    assert(out(0).getAs[String]("etag") == "W/\"a1\"")
+    assert(out(0).getAs[Long]("signal_ms") == pubMs)
+    assert(out(1).getAs[String]("etag") == "W/\"c2\"")
+    assert(out(1).getAs[String]("last_modified") ==
+      "Mon, 02 Mar 2026 00:00:00 GMT")
+    assert(out(1).getAs[Long]("signal_ms") ==
+      java.time.Instant.parse("2026-03-04T00:00:00Z").toEpochMilli)
+    // one signal channel may be absent; none at all refuses
+    assert(Frontier.staleCaptures(captured, "url", "warc_date",
+      feedItems = feeds).count() == 1)
+    intercept[IllegalArgumentException] {
+      Frontier.staleCaptures(captured, "url", "warc_date")
+    }
+  }
+
+  test("plan: recrawl rows bypass the captured anti-join, honor the " +
+    "CURRENT robots policy, and pace with everyone else") {
+    val candidates = Seq(
+      ("https://h.io/new1", "link", 2),
+      ("https://h.io/new2", "link", 2)).toDF("url", "source", "priority")
+    val captured = Seq("https://h.io/stale1", "https://h.io/blocked/s")
+      .toDF("url")
+    val recrawl = Seq(
+      ("h.io", "https://h.io/stale1", "recrawl", 1, 2000L, 1000L,
+        "W/\"s1\"", "Mon, 02 Mar 2026 00:00:00 GMT"),
+      // stale, but the CURRENT policy disallows it → robots gate wins
+      ("h.io", "https://h.io/blocked/s", "recrawl", 1, 2000L, 1000L,
+        null.asInstanceOf[String], null.asInstanceOf[String])
+    ).toDF("url_host", "url_norm", "source", "priority", "signal_ms",
+      "capture_ms", "etag", "last_modified")
+    val policies = RobotsTxt.policies(Seq(
+      ("https://h.io/robots.txt", 200,
+        "User-agent: *\nDisallow: /blocked/\nCrawl-delay: 2"))
+      .toDF("url", "status", "body"), "url", "status", "body")
+    val out = Frontier.plan(candidates, "url", captured, "url", policies,
+        recrawl = recrawl)
+      .orderBy("fetch_order").collect()
+    // recrawl first (priority 1 < link 2), blocked/s robots-dropped
+    assert(out.map(r => (r.getString(1), r.getString(2))).toSeq == Seq(
+      ("https://h.io/stale1", "recrawl"),
+      ("https://h.io/new1", "link"),
+      ("https://h.io/new2", "link")))
+    // pacing: (fetch_order − 1) × crawl_delay × 1000
+    assert(out.map(_.getAs[Long]("not_before_ms")).toSeq ==
+      Seq(0L, 2000L, 4000L))
+    // validators ride ONLY on the recrawl row
+    assert(out(0).getAs[String]("etag") == "W/\"s1\"")
+    assert(out(1).getAs[String]("etag") == null &&
+      out(2).getAs[String]("etag") == null)
+    // without a policy table not_before_ms is null (no declared pacing)
+    val free = Frontier.plan(candidates, "url",
+      Seq.empty[String].toDF("url"), "url")
+    assert(free.where(col("not_before_ms").isNotNull).count() == 0)
+  }
+
   test("5xx robots policy empties the host; missing host unrestricted") {
     val candidates = Seq(
       ("https://down.io/x", "feed", 1),

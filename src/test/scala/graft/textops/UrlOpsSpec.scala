@@ -195,6 +195,40 @@ class UrlOpsSpec extends SparkSpec {
     assert(out(8L) == (true, 1) && out(9L) == (true, 1))
   }
 
+  test("hostRankGate: exact top-fraction cut, (rank, host) tiebreak, " +
+    "unranked hosts drop") {
+    import spark.implicits._
+    val ranks = Seq(
+      ("hub.io", 0.40), ("mid.io", 0.25),
+      ("tied-a.io", 0.10), ("tied-b.io", 0.10), ("tail.io", 0.05)
+    ).toDF("host", "rank")
+    // k = ceil(0.5 × 5) = 3: hub, mid, then the TIE at 0.10 breaks by
+    // host name — tied-a in, tied-b out
+    val kept = UrlOps.hostRankKeepHosts(ranks, "host", "rank", 0.5)
+      .as[String].collect().toSet
+    assert(kept == Set("hub.io", "mid.io", "tied-a.io"))
+    // floor: keepFraction so small that k clamps to 1
+    assert(UrlOps.hostRankKeepHosts(ranks, "host", "rank", 0.01)
+      .as[String].collect().toSeq == Seq("hub.io"))
+    val docs = Seq(
+      (1L, "hub.io"), (2L, "tied-b.io"), (3L, "tied-a.io"),
+      (4L, "unranked.io"), (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "url_host")
+    val gated = UrlOps.hostRankGate(docs, "url_host", ranks, "host",
+      "rank", 0.5).select("doc_id").as[Long].collect().toSet
+    // unranked and null hosts drop: no link evidence is not standing
+    assert(gated == Set(1L, 3L))
+    // empty rank table gates everything out rather than throwing
+    assert(UrlOps.hostRankGate(docs, "url_host",
+      ranks.limit(0), "host", "rank", 0.5).count() == 0)
+    intercept[IllegalArgumentException] {
+      UrlOps.hostRankKeepHosts(ranks, "host", "rank", 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      UrlOps.hostRankKeepHosts(ranks, "host", "rank", 1.5)
+    }
+  }
+
   test("crawl-ingest composition: WARC bytes -> canonical-URL survivor " +
     "in one pipeline (re-crawled page collapses)") {
     import graft.sources.Warc
