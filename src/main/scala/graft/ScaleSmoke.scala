@@ -165,7 +165,11 @@ object ScaleSmoke {
     // zipWithIndex, then one semi-join — the host table is
     // corpus-independent-small, so the cut's cost must stay flat while
     // the doc side scans linearly)
-    "q167_recrawl", "q168_host_rank_gate")
+    "q167_recrawl", "q168_host_rank_gate",
+    // brotli decode through the WARC door: per-record CPU in the scan
+    // stage (one decoder instance per record, dictionary loaded once
+    // per JVM) — the exponent must track the WARC-parse class
+    "q169_brotli_decode")
 
   /** Deliberate 100×-sweep exclusions, each with its bound stated
     * (PERF_NOTES items 5/8/19/57): q77's pinned-k SemDeDup control is

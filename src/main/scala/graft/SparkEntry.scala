@@ -2807,11 +2807,12 @@ object SparkEntry {
     // quarantine aggregate (the r14 ADVICE asked that corpus loss be
     // measurable, not anecdotal): every doc ships its q126 WARC (whose
     // k%5=0 colon-less record quarantines at the framing layer, all
-    // fields null), and k%3=2 docs additionally carry a brotli-encoded
-    // response record (well-framed, refused at the HTTP layer with the
-    // encoding token in the reason class and the record identity KEPT,
-    // so n_with_url counts it; odd keys append it as a SECOND gzip
-    // member). The oracle replays both residue counts
+    // fields null), and k%3=2 docs additionally carry a MALFORMED
+    // brotli response record (reserved-WBITS first byte; well-framed,
+    // refused inside the r17 RFC 7932 decoder with the decoder's
+    // bounded reason and the record identity KEPT, so n_with_url
+    // counts it; odd keys append it as a SECOND gzip member). Valid
+    // brotli decode is q169's contract. The oracle replays both counts
     "q135_crawl_audit" -> ((s, dir) => {
       import s.implicits._
       val warcs = tSpread(s, dir, "documents")
@@ -3535,8 +3536,70 @@ object SparkEntry {
           "rank", keepFraction = 0.25)
         .select(col("doc_id"), col("url_host"))
         .orderBy(col("doc_id"))
+    }),
+
+    // brotli content-encoding decode (r17) — doc keys select one of 32
+    // REFERENCE-ENCODER-produced brotli bodies (qualities 0..11 ×
+    // windows 10..24 over closed-form plaintexts, shipped as a
+    // resource), wrapped as WARC/HTTP responses with
+    // `Content-Encoding: br`; the engine's own RFC 7932 decoder
+    // ([[sources.Brotli]]) inflates them inside the WARC door and the
+    // oracle replays the plaintext length/digest arithmetic closed-form
+    "q169_brotli_decode" -> ((s, dir) => {
+      import s.implicits._
+      val warcs = tSpread(s, dir, "documents").select(col("doc_id"))
+        .as[Long]
+        .map(k => (k, q169Warc(k)))
+        .toDF("doc_id", "payload")
+      sources.Warc.records(warcs, "doc_id", "payload")
+        .where(col("error").isNull)
+        .select(col("doc_id").as("id"),
+          length(col("text")).cast("long").as("n_chars"),
+          md5(encode(col("text"), "UTF-8")).as("text_md5"))
+        .orderBy(col("id"))
     })
   )
+
+  /** q169's 32 brotli bodies: reference-encoder output (qualities
+    * 0..11 × lgwin 10..24) over the closed-form plaintext
+    * `("brotli body " + i + " of the crawl corpus. ") * (40+i)` for
+    * body index i — the oracle recomputes the plaintext in SQL.
+    */
+  private[graft] lazy val q169Bodies: Array[Array[Byte]] = {
+    val in = getClass.getResourceAsStream("/graft/brotli/q169_bodies.b64")
+    require(in != null, "q169_bodies.b64 missing from classpath")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try src.getLines().filter(_.nonEmpty)
+      .map(java.util.Base64.getDecoder.decode).toArray
+    finally src.close()
+  }
+
+  /** q169's payload for doc key `k`: one response record whose HTTP
+    * body is brotli body k%32; gzip-membered on odd keys (both WARC
+    * layouts ride the same decode path).
+    */
+  private[graft] def q169Warc(k: Long): Array[Byte] = {
+    val crlf = "\r\n"
+    val blob = q169Bodies((k % 32).toInt)
+    val http = (s"HTTP/1.1 200 OK${crlf}Content-Type: text/plain; " +
+      s"charset=UTF-8${crlf}Content-Encoding: br$crlf$crlf")
+      .getBytes("UTF-8") ++ blob
+    val h = new StringBuilder("WARC/1.0").append(crlf)
+    h.append("WARC-Type: response").append(crlf)
+    h.append("WARC-Target-URI: https://br.example.org/ok/")
+      .append(k).append(crlf)
+    h.append("WARC-Date: 2026-02-01T00:00:00Z").append(crlf)
+    h.append("Content-Type: application/http; msgtype=response").append(crlf)
+    h.append("Content-Length: ").append(http.length).append(crlf).append(crlf)
+    val rec = h.toString.getBytes("UTF-8") ++ http ++
+      (crlf + crlf).getBytes("UTF-8")
+    if (k % 2 == 1) {
+      val out = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(out)
+      gz.write(rec); gz.close()
+      out.toByteArray
+    } else rec
+  }
 
   /** q156's page URL: host class k%3, base path /a/b/ with a
     * non-tracking query the self-reference cases must keep.
@@ -4269,7 +4332,7 @@ object SparkEntry {
   }
 
   /** q135's payload for doc key `k`: the q126 stream plus, on k%3=2, a
-    * brotli-encoded response record — appended as its own gzip member
+    * malformed-brotli response record — appended as its own gzip member
     * when the base payload is gzipped (k%2=1, e.g. k=5), plain
     * otherwise (e.g. k=2); the residue intersects both parities so the
     * multi-member append path is genuinely planted.
@@ -4281,7 +4344,9 @@ object SparkEntry {
     val crlf = "\r\n"
     val http = (s"HTTP/1.1 200 OK${crlf}Content-Type: text/html$crlf" +
       s"Content-Encoding: br$crlf$crlf").getBytes("UTF-8") ++
-      s"opaque brotli bytes $k".getBytes("UTF-8")
+      // 0x11 = the reserved WBITS header form: guaranteed-malformed
+      // brotli for EVERY key (now that valid brotli decodes, q169)
+      (Array(0x11.toByte) ++ s"opaque bytes $k".getBytes("UTF-8"))
     val h = new StringBuilder("WARC/1.0").append(crlf)
     h.append("WARC-Type: response").append(crlf)
     h.append("WARC-Target-URI: https://br.example.org/doc/")
@@ -7233,7 +7298,7 @@ object SparkEntry {
         |    CAST(0 AS BIGINT) AS n_with_url
         |  FROM d
         |  UNION ALL
-        |  SELECT 'unsupported content-encoding br',
+        |  SELECT 'bad brotli body',
         |    CAST(sum(CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 0 END)
         |      AS BIGINT),
         |    CAST(sum(CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 0 END)
@@ -8036,7 +8101,19 @@ object SparkEntry {
         |  etag, last_modified
         |FROM all_rows ORDER BY url_host, fetch_order""".stripMargin,
 
-    "q168_host_rank_gate" -> q168OracleSql(5, 0.25)
+    "q168_host_rank_gate" -> q168OracleSql(5, 0.25),
+
+    // closed-form replay of the q169 brotli plant: body k%32 decodes to
+    // the repeated sentence whose length/digest SQL recomputes directly
+    "q169_brotli_decode" ->
+      """SELECT doc_id AS id,
+        |  LENGTH(repeat('brotli body ' || (doc_id % 32) ||
+        |    ' of the crawl corpus. ',
+        |    CAST(40 + (doc_id % 32) AS INTEGER))) AS n_chars,
+        |  md5(repeat('brotli body ' || (doc_id % 32) ||
+        |    ' of the crawl corpus. ',
+        |    CAST(40 + (doc_id % 32) AS INTEGER))) AS text_md5
+        |FROM documents ORDER BY id""".stripMargin
   )
 
   /** q133's replay: q102's stage CTEs over the crawl-extracted corpus

@@ -18,11 +18,10 @@ import org.apache.spark.sql.types._
   *    multi-GiB file must never be inflated into one buffer);
   *  - `response` records carrying `application/http`: the HTTP status
   *    line and headers are split off, chunked transfer-encoding is
-  *    de-chunked, gzip/deflate/zstd content-encoding inflated, and the
-  *    body decoded as UTF-8 (invalid sequences to U+FFFD,
-  *    deterministically); brotli refuses measurably ([[quarantineStats]]
-  *    — RFC 7932's 120 KiB static dictionary has no legitimate verbatim
-  *    source here, where zstd's decoder ships with Spark itself);
+  *    de-chunked, gzip/deflate/zstd/brotli content-encoding inflated
+  *    ([[Brotli]] is the repo's own RFC 7932 decoder; malformed brotli
+  *    quarantines measurably via [[quarantineStats]]), and the body
+  *    decoded as UTF-8 (invalid sequences to U+FFFD, deterministically);
   *  - `conversion` records (WET): the body IS the text;
   *  - `warcinfo`/`request`/`metadata` records: framed and typed, body
   *    not decoded (they carry no corpus text).
@@ -644,6 +643,15 @@ object Warc {
           catch { case _: java.io.IOException => () }
         }
         body = out.toByteArray
+      case Some("br") =>
+        // RFC 7932 — the remaining big content-coding on the real web;
+        // decoded by the repo's own [[Brotli]] (same MaxBody bomb cap
+        // as the other codings; malformed streams quarantine with the
+        // decoder's bounded reason so loss stays attributable)
+        body =
+          try Brotli.decompress(body, MaxBody)
+          catch { case e: Brotli.Malformed =>
+            malformed(s"bad brotli body: ${e.reason}") }
       case Some("identity") | None => ()
       case Some(other) =>
         malformed(s"unsupported content-encoding ${sanitizeToken(other)}")

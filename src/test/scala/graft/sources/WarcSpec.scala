@@ -432,15 +432,15 @@ class WarcSpec extends SparkSpec {
   }
 
   test("HTTP-level refusals keep the record identity; quarantineStats " +
-    "counts coverage loss by reason class (br shows up distinctly)") {
+    "counts coverage loss by reason class (bad brotli shows up distinctly)") {
     import spark.implicits._
     val br = rec("response", "https://br.example.com/x",
       httpResponse(null, s"Content-Encoding: br$crlf",
-        "compressed!".getBytes("UTF-8")))
+        Array(0x11.toByte) ++ "junk".getBytes("UTF-8"))) // reserved WBITS
     val rs = Warc.parse(br)
     assert(rs.length == 1)
     val r = rs.head
-    assert(r.error == "unsupported content-encoding br")
+    assert(r.error == "bad brotli body: reserved WBITS value")
     // identity preserved: the loss is attributable per host
     assert(r.warcType == "response" &&
       r.targetUri == "https://br.example.com/x" &&
@@ -461,7 +461,7 @@ class WarcSpec extends SparkSpec {
     val stats = Warc.quarantineStats(Warc.records(df, "id", "payload"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(stats.toSet == Set(
-      ("unsupported content-encoding br", 2L, 2L),
+      ("bad brotli body", 2L, 2L),
       ("header without colon", 1L, 0L)))
   }
 

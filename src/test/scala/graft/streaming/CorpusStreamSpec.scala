@@ -60,7 +60,7 @@ class CorpusStreamSpec extends SparkSpec {
     def brRec(k: Long): Array[Byte] = {
       val crlf = "\r\n"
       val http = (s"HTTP/1.1 200 OK${crlf}Content-Encoding: br$crlf$crlf")
-        .getBytes("UTF-8") ++ "x".getBytes("UTF-8")
+        .getBytes("UTF-8") ++ Array(0x11.toByte) // reserved WBITS
       (s"WARC/1.0${crlf}WARC-Type: response$crlf" +
         s"WARC-Target-URI: https://h$k.org/p$crlf" +
         s"Content-Type: application/http; msgtype=response$crlf" +
@@ -88,7 +88,7 @@ class CorpusStreamSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       .toSet
     assert(got == Set(
-      ("unsupported content-encoding br", 2L, 2L),
+      ("bad brotli body", 2L, 2L),
       ("header without colon", 2L, 0L)))
     // batch twin agrees
     val batch = Warc.quarantineStats(
