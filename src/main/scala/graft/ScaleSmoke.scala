@@ -169,7 +169,9 @@ object ScaleSmoke {
     // brotli decode through the WARC door: per-record CPU in the scan
     // stage (one decoder instance per record, dictionary loaded once
     // per JVM) — the exponent must track the WARC-parse class
-    "q169_brotli_decode")
+    "q169_brotli_decode",
+    // outer-compressed document routing: per-row inflate+route kernel
+    "q170_docroute_compressed")
 
   /** Deliberate 100×-sweep exclusions, each with its bound stated
     * (PERF_NOTES items 5/8/19/57): q77's pinned-k SemDeDup control is

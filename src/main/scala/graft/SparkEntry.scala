@@ -3557,6 +3557,28 @@ object SparkEntry {
           length(col("text")).cast("long").as("n_chars"),
           md5(encode(col("text"), "UTF-8")).as("text_md5"))
         .orderBy(col("id"))
+    }),
+
+    // outer-compressed document routing (r17) — real dataset members
+    // ship as `*.jsonl.gz` / `*.txt.zst` / `*.md.xz` / `*.html.bz2` /
+    // `*.txt.br` (and occasionally double-wrapped): doc keys plant one
+    // member per k%8 class — four single layers over each JVM codec, a
+    // brotli layer over the q169 reference-encoder bodies, a gz+zst
+    // double layer, an unroutable inner extension, and a corrupt gzip —
+    // the router strips layers transparently (bounded, ≤2 deep) and
+    // the oracle replays every decoded text and refusal closed-form
+    "q170_docroute_compressed" -> ((s, dir) => {
+      import s.implicits._
+      val docs = tSpread(s, dir, "documents").select(col("doc_id"))
+        .as[Long]
+        .map { k => val (n, p) = q170Member(k); (k, n, p) }
+        .toDF("id", "name", "payload")
+      textops.DocRoute.routedDocs(docs, "name", "payload")
+        .select(col("id"), col("kind"),
+          length(col("text")).cast("long").as("n_chars"),
+          md5(encode(col("text"), "UTF-8")).as("text_md5"),
+          col("doc_error"))
+        .orderBy(col("id"))
     })
   )
 
@@ -3599,6 +3621,50 @@ object SparkEntry {
       gz.write(rec); gz.close()
       out.toByteArray
     } else rec
+  }
+
+  /** q170's planted member for doc key `k`: (name, payload) per k%8 —
+    * see the query comment. Texts are closed forms the oracle recomputes.
+    */
+  private[graft] def q170Member(k: Long): (String, Array[Byte]) = {
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(out)
+      g.write(b); g.close(); out.toByteArray
+    }
+    def zst(b: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val z = new com.github.luben.zstd.ZstdOutputStreamNoFinalizer(out)
+      z.write(b); z.close(); out.toByteArray
+    }
+    def xz(b: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val x = new org.tukaani.xz.XZOutputStream(out,
+        new org.tukaani.xz.LZMA2Options(1))
+      x.write(b); x.close(); out.toByteArray
+    }
+    def bz2(b: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val z = new org.apache.commons.compress.compressors.bzip2
+        .BZip2CompressorOutputStream(out)
+      z.write(b); z.close(); out.toByteArray
+    }
+    val jsonl = (s"""{"t":"doc $k line one"}""" + "\n" +
+      s"""{"t":"doc $k line two"}""").getBytes("UTF-8")
+    (k % 8).toInt match {
+      case 0 => (s"d$k.jsonl.gz", gz(jsonl))
+      case 1 => (s"d$k.txt.zst",
+        zst((s"plain text $k. " * (5 + (k % 3)).toInt).getBytes("UTF-8")))
+      case 2 => (s"d$k.md.xz",
+        xz(s"# doc $k\nbody $k".getBytes("UTF-8")))
+      case 3 => (s"d$k.html.bz2",
+        bz2(s"<html><body><p>Html $k body</p></body></html>"
+          .getBytes("UTF-8")))
+      case 4 => (s"d$k.txt.br", q169Bodies((k % 32).toInt))
+      case 5 => (s"d$k.jsonl.gz.zst", zst(gz(jsonl)))
+      case 6 => (s"d$k.bin.gz", gz(s"junk $k".getBytes("UTF-8")))
+      case _ => (s"d$k.txt.gz", s"not gzip $k".getBytes("UTF-8"))
+    }
   }
 
   /** q156's page URL: host class k%3, base path /a/b/ with a
@@ -8102,6 +8168,35 @@ object SparkEntry {
         |FROM all_rows ORDER BY url_host, fetch_order""".stripMargin,
 
     "q168_host_rank_gate" -> q168OracleSql(5, 0.25),
+
+    // closed-form replay of the q170 member matrix: each class's
+    // decoded text (or refusal) recomputes directly in SQL
+    "q170_docroute_compressed" ->
+      """WITH d AS (SELECT doc_id AS k FROM documents),
+        |t AS (
+        |  SELECT k,
+        |    CASE k % 8
+        |      WHEN 0 THEN '{"t":"doc ' || k || ' line one"}' ||
+        |        chr(10) || '{"t":"doc ' || k || ' line two"}'
+        |      WHEN 1 THEN repeat('plain text ' || k || '. ',
+        |        CAST(5 + k % 3 AS INTEGER))
+        |      WHEN 2 THEN '# doc ' || k || chr(10) || 'body ' || k
+        |      WHEN 3 THEN 'Html ' || k || ' body'
+        |      WHEN 4 THEN repeat('brotli body ' || (k % 32) ||
+        |        ' of the crawl corpus. ', CAST(40 + k % 32 AS INTEGER))
+        |      WHEN 5 THEN '{"t":"doc ' || k || ' line one"}' ||
+        |        chr(10) || '{"t":"doc ' || k || ' line two"}'
+        |      ELSE NULL END AS text,
+        |    CASE k % 8
+        |      WHEN 0 THEN 'jsonl' WHEN 1 THEN 'text' WHEN 2 THEN 'text'
+        |      WHEN 3 THEN 'html' WHEN 4 THEN 'text' WHEN 5 THEN 'jsonl'
+        |      ELSE NULL END AS kind,
+        |    CASE k % 8 WHEN 6 THEN 'unsupported extension bin'
+        |      WHEN 7 THEN 'bad gzip member' ELSE NULL END AS doc_error
+        |  FROM d)
+        |SELECT k AS id, kind, CAST(LENGTH(text) AS BIGINT) AS n_chars,
+        |  md5(text) AS text_md5, doc_error
+        |FROM t ORDER BY id""".stripMargin,
 
     // closed-form replay of the q169 brotli plant: body k%32 decodes to
     // the repeated sentence whose length/digest SQL recomputes directly

@@ -23,11 +23,88 @@ object DocRoute {
       .toLowerCase(java.util.Locale.ROOT)
   }
 
-  /** Route one document: Right(kind → text) or Left(typed refusal). */
+  /** Per-member inflation cap for outer-compressed documents — the
+    * [[graft.sources.Warc.MaxBody]] discipline (one member can never
+    * out-allocate an executor). */
+  val MaxDocInflate: Int = 1 << 26 // 64 MiB
+
+  /** Outer compression layers dataset members actually ship with
+    * (`docs.jsonl.gz`, `corpus.jsonl.zst`, `page.html.br`, …). gzip /
+    * bzip2 / xz / zstd ride the same libraries as the tar walker's
+    * outer layers; `br` is the repo's own RFC 7932 decoder
+    * ([[graft.sources.Brotli]]). */
+  private val OuterExts =
+    Set("gz", "gzip", "zst", "zstd", "xz", "bz2", "br")
+
+  /** Strip one outer-compression layer: inflate (bounded) and drop the
+    * suffix. Typed refusal on corrupt or oversized members. */
+  private def inflateOuter(ext: String,
+      p: Array[Byte]): Either[String, Array[Byte]] = {
+    def drain(in: java.io.InputStream,
+        what: String): Either[String, Array[Byte]] =
+      try {
+        val out = new java.io.ByteArrayOutputStream(
+          math.min(p.length.toLong * 4, 1L << 16).toInt)
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n > 0) {
+          if (out.size() + n > MaxDocInflate)
+            return Left(s"$what member past cap")
+          out.write(buf, 0, n)
+          n = in.read(buf)
+        }
+        Right(out.toByteArray)
+      } catch {
+        case _: java.io.IOException => Left(s"bad $what member")
+      } finally {
+        try in.close() catch { case _: java.io.IOException => () }
+      }
+    val bin = new java.io.ByteArrayInputStream(p)
+    ext match {
+      case "gz" | "gzip" =>
+        try drain(new java.util.zip.GZIPInputStream(bin), "gzip")
+        catch { case _: java.io.IOException => Left("bad gzip member") }
+      case "zst" | "zstd" =>
+        try drain(
+          new com.github.luben.zstd.ZstdInputStreamNoFinalizer(bin),
+          "zstd")
+        catch { case _: java.io.IOException => Left("bad zstd member") }
+      case "xz" =>
+        // XZFormatException (bad magic, thrown by the constructor)
+        // extends IOException, so one catch covers both
+        try drain(new org.tukaani.xz.XZInputStream(bin), "xz")
+        catch { case _: java.io.IOException => Left("bad xz member") }
+      case "bz2" =>
+        try drain(new org.apache.commons.compress.compressors.bzip2
+          .BZip2CompressorInputStream(bin), "bzip2")
+        catch { case _: java.io.IOException => Left("bad bzip2 member") }
+      case _ => // "br"
+        try Right(graft.sources.Brotli.decompress(p, MaxDocInflate))
+        catch { case e: graft.sources.Brotli.Malformed =>
+          Left(s"bad brotli member: ${e.reason}") }
+    }
+  }
+
+  /** Route one document: Right(kind → text) or Left(typed refusal).
+    * Outer compression strips transparently (at most two layers — a
+    * third is a decompression-loop smell, refused typed). */
   def textOf(name: String,
-      payload: Array[Byte]): Either[String, (String, String)] = {
+      payload: Array[Byte]): Either[String, (String, String)] =
+    textOf(name, payload, outerLeft = 2)
+
+  private def textOf(name: String, payload: Array[Byte],
+      outerLeft: Int): Either[String, (String, String)] = {
     val p = if (payload == null) Array.emptyByteArray else payload
-    extOf(name) match {
+    val ext = extOf(name)
+    if (OuterExts.contains(ext)) {
+      if (outerLeft == 0)
+        return Left("nested outer compression past depth 2")
+      return inflateOuter(ext, p).flatMap { inner =>
+        val stripped = name.substring(0, name.length - ext.length - 1)
+        textOf(stripped, inner, outerLeft - 1)
+      }
+    }
+    ext match {
       case "pdf" =>
         val e = graft.sources.Pdf.extract(p)
         e.error match {

@@ -1,0 +1,104 @@
+package graft.textops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Outer-compression stripping in the document router: real dataset
+  * members ship as `*.jsonl.gz` / `*.txt.zst` / `*.md.xz` /
+  * `*.html.bz2` / `*.txt.br` (and occasionally double-wrapped) — the
+  * router inflates bounded layers and re-routes the inner name, with
+  * typed refusals for corrupt layers, bombs, and silly nesting.
+  */
+class DocRouteSpec extends AnyFunSuite {
+
+  private def gz(b: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(out)
+    g.write(b); g.close(); out.toByteArray
+  }
+  private def zst(b: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val z = new com.github.luben.zstd.ZstdOutputStreamNoFinalizer(out)
+    z.write(b); z.close(); out.toByteArray
+  }
+  private def xz(b: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val x = new org.tukaani.xz.XZOutputStream(out,
+      new org.tukaani.xz.LZMA2Options(1))
+    x.write(b); x.close(); out.toByteArray
+  }
+  private def bz2(b: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val z = new org.apache.commons.compress.compressors.bzip2
+      .BZip2CompressorOutputStream(out)
+    z.write(b); z.close(); out.toByteArray
+  }
+  private def resource(name: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(s"/brotli/$name")
+    require(in != null, s"missing fixture $name")
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](1 << 16)
+      var n = in.read(buf)
+      while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    } finally in.close()
+  }
+
+  test("single outer layers strip and re-route: gz/zst/xz/bz2/br") {
+    val text = "hello outer layers"
+    assert(DocRoute.textOf("a.txt.gz", gz(text.getBytes("UTF-8"))) ==
+      Right(("text", text)))
+    assert(DocRoute.textOf("a.txt.zst", zst(text.getBytes("UTF-8"))) ==
+      Right(("text", text)))
+    assert(DocRoute.textOf("a.md.xz", xz(text.getBytes("UTF-8"))) ==
+      Right(("text", text)))
+    assert(DocRoute.textOf(
+      "a/b.jsonl.bz2", bz2(text.getBytes("UTF-8"))) ==
+      Right(("jsonl", text)))
+    // brotli: a reference-encoder fixture with known plaintext
+    val enc = resource("tiny_q5_w24.br")
+    val raw = new String(resource("tiny.raw"), "UTF-8")
+    assert(DocRoute.textOf("t.txt.br", enc) == Right(("text", raw)))
+  }
+
+  test("html routes after stripping, with extraction applied") {
+    val html = "<html><body><p>Inner page</p></body></html>"
+    val got = DocRoute.textOf("p.html.gz", gz(html.getBytes("UTF-8")))
+    assert(got == Right(("html", "Inner page")))
+  }
+
+  test("double layers strip in order; a third is refused typed") {
+    val text = "twice wrapped"
+    assert(DocRoute.textOf("a.txt.gz.zst",
+      zst(gz(text.getBytes("UTF-8")))) == Right(("text", text)))
+    assert(DocRoute.textOf("a.txt.gz.gz.gz",
+      gz(gz(gz(text.getBytes("UTF-8"))))) ==
+      Left("nested outer compression past depth 2"))
+  }
+
+  test("corrupt layers and bad inner routing refuse typed") {
+    assert(DocRoute.textOf("a.txt.gz", "not gzip".getBytes("UTF-8")) ==
+      Left("bad gzip member"))
+    assert(DocRoute.textOf("a.txt.zst", "junk".getBytes("UTF-8")) ==
+      Left("bad zstd member"))
+    assert(DocRoute.textOf("a.txt.xz", "junk".getBytes("UTF-8")) ==
+      Left("bad xz member"))
+    assert(DocRoute.textOf("a.txt.bz2", "junk".getBytes("UTF-8")) ==
+      Left("bad bzip2 member"))
+    assert(DocRoute.textOf("a.txt.br", Array[Byte](0x11)) ==
+      Left("bad brotli member: reserved WBITS value"))
+    // inner extension still unroutable after a clean strip
+    assert(DocRoute.textOf("a.bin.gz", gz("x".getBytes("UTF-8"))) ==
+      Left("unsupported extension bin"))
+    // stripping down to no extension stays typed
+    assert(DocRoute.textOf("bare.gz", gz("x".getBytes("UTF-8"))) ==
+      Left("no extension"))
+  }
+
+  test("a decompression bomb stops at the member cap, typed") {
+    val bomb = gz(new Array[Byte](DocRoute.MaxDocInflate + 1024))
+    assert(bomb.length < (1 << 20)) // tiny on the wire
+    assert(DocRoute.textOf("z.txt.gz", bomb) ==
+      Left("gzip member past cap"))
+  }
+}
