@@ -3579,6 +3579,28 @@ object SparkEntry {
           md5(encode(col("text"), "UTF-8")).as("text_md5"),
           col("doc_error"))
         .orderBy(col("id"))
+    }),
+
+    // Harmonic centrality over the host graph — the centrality the
+    // published Common Crawl host-rank tables actually use (harmonic,
+    // not PageRank): H(v) = Σ 1/d(u→v) over hosts u that reach v
+    // within 10 hops. Same planted pages as q157 (so the judge can
+    // read rank vs reach side by side on one graph); this is the
+    // EXACT audit form — the oracle replays it as a recursive
+    // shortest-distance CTE — with HyperBall (register-sketch balls,
+    // spec-pinned against this form) as the 100 TB path
+    "q171_harmonic" -> ((s, dir) => {
+      import s.implicits._
+      val pages = tSpread(s, dir, "documents").select(col("doc_id"))
+        .as[Long]
+        .map(k => (k, q157Url(k), q157Html(k)))
+        .toDF("doc_id", "url", "html")
+      val links = textops.LinkGraph.pageLinks(pages, "doc_id", "url", "html")
+      val edges = textops.LinkGraph.hostEdges(links, "doc_id")
+      textops.LinkGraph.harmonicCentrality(edges, "src_host", "dst_host",
+          maxDist = 10)
+        .select(col("host"), round(col("harmonic"), 6).as("harmonic"))
+        .orderBy(col("host"))
     })
   )
 
@@ -8208,7 +8230,39 @@ object SparkEntry {
         |  md5(repeat('brotli body ' || (doc_id % 32) ||
         |    ' of the crawl corpus. ',
         |    CAST(40 + (doc_id % 32) AS INTEGER))) AS text_md5
-        |FROM documents ORDER BY id""".stripMargin
+        |FROM documents ORDER BY id""".stripMargin,
+
+    // exact harmonic centrality replay: the q157 planted host edges +
+    // a recursive shortest-distance CTE (rows (u,v,d) dedup on the
+    // full triple, d capped at 10, u=v excluded — BFS min distance),
+    // then Σ 1/min_d per destination with unreached hosts at 0
+    "q171_harmonic" ->
+      """WITH RECURSIVE
+        |d AS (SELECT doc_id AS k, doc_id % 12 AS r FROM documents),
+        |raw AS (
+        |  SELECT r AS src, (r + 1 + k % 5) % 12 AS dst FROM d WHERE r < 10
+        |  UNION ALL
+        |  SELECT r, (r + 7) % 12 FROM d WHERE r < 10
+        |),
+        |edges AS (SELECT src, dst FROM raw WHERE src <> dst GROUP BY 1, 2),
+        |-- explicit DISTINCT: under WITH RECURSIVE, DuckDB gives a
+        |-- non-self-referencing UNION recursive-union semantics and
+        |-- skips the plain-UNION dedup
+        |nodes AS (SELECT DISTINCT h FROM (
+        |  SELECT src AS h FROM edges UNION ALL SELECT dst FROM edges)),
+        |reach(u, v, dd) AS (
+        |  SELECT src, dst, 1 FROM edges
+        |  UNION
+        |  SELECT r.u, e.dst, r.dd + 1 FROM reach r JOIN edges e
+        |    ON r.v = e.src
+        |  WHERE r.dd < 10 AND r.u <> e.dst
+        |),
+        |mind AS (SELECT u, v, MIN(dd) AS dd FROM reach GROUP BY 1, 2),
+        |hc AS (SELECT v, SUM(1.0 / dd) AS harmonic FROM mind GROUP BY 1)
+        |SELECT 'h' || CAST(n.h AS VARCHAR) || '.example' AS host,
+        |  ROUND(COALESCE(hc.harmonic, 0), 6) AS harmonic
+        |FROM nodes n LEFT JOIN hc ON n.h = hc.v
+        |ORDER BY host""".stripMargin
   )
 
   /** q133's replay: q102's stage CTEs over the crawl-extracted corpus

@@ -266,4 +266,74 @@ object LinkGraph {
         countDistinct(when(col("anchor") =!= "", col("anchor")))
           .as("n_anchors"),
         sum(when(col("nofollow"), 1L).otherwise(0L)).as("nofollow_links"))
+
+  /** EXACT harmonic centrality over the host graph, capped at
+    * `maxDist` hops: H(v) = Σ_{u ≠ v, d(u→v) ≤ maxDist} 1 / d(u→v).
+    * This is the centrality Common Crawl actually ranks hosts by
+    * (harmonic, not PageRank — see the host-rank tables' methodology),
+    * and it reads differently: PageRank measures endorsement flow,
+    * harmonic measures REACH — how much of the web sits within a few
+    * clicks of v. Spam farms rank high on interlinked PageRank but
+    * stay low-harmonic (few OUTSIDE hosts reach them at small
+    * distance). Output: (host, harmonic) for every node appearing in
+    * an edge; a host nothing reaches scores 0.0.
+    *
+    * This is the AUDIT configuration, exact by construction: the BFS
+    * state is the set of reachable (u, v) pairs, which on a
+    * well-connected graph approaches n² rows — the same deliberate
+    * exactness contract as the q19/q111 all-pairs audits. At full-web
+    * scale run [[HyperBall.harmonic]] instead (register-sketch balls,
+    * O(n·2^p) state, the Boldi–Vigna algorithm the published
+    * host-rank tables use); this form is its ground-truth twin for
+    * bounded subgraphs and spec verification.
+    *
+    * Shape per round: one join of the frontier against the (cached,
+    * src-partitioned) edge list, one anti-join against the known-pair
+    * set, one distinct — all on slim (u, v) pairs. Each round is
+    * `localCheckpoint`ed so the plan stays one round deep (the
+    * [[Redirects]] pointer-jumping discipline); the loop exits early
+    * the first round the frontier empties, so `maxDist` is a cap, not
+    * a cost.
+    */
+  def harmonicCentrality(edges: DataFrame, srcCol: String, dstCol: String,
+                         maxDist: Int = 10): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src") =!= col("dst")).distinct()
+      .repartition(col("src"))
+      .cache()
+    e.count() // materialize once; the frontier joins it every round
+    val nodes = e.select(col("src").as("host"))
+      .union(e.select(col("dst"))).distinct()
+    var known = e.select(col("src").as("u"), col("dst").as("v"))
+      .withColumn("d", lit(1)).localCheckpoint()
+    var frontier = known
+    var r = 1
+    var more = r < maxDist
+    while (more) {
+      val f = frontier.select(col("u"), col("v").as("m"))
+      val expanded = f.join(e, f("m") === e("src"))
+        .select(col("u"), col("dst").as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+        .join(known.select(col("u"), col("v")), Seq("u", "v"), "left_anti")
+        .withColumn("d", lit(r + 1))
+        .localCheckpoint()
+      if (expanded.isEmpty) more = false
+      else {
+        known = known.unionByName(expanded).localCheckpoint()
+        frontier = expanded
+        r += 1
+        more = r < maxDist
+      }
+    }
+    val sums = known.groupBy(col("v").as("host"))
+      .agg(sum(lit(1.0) / col("d")).as("harmonic"))
+    val out = nodes.join(sums, Seq("host"), "left")
+      .select(col("host"),
+        coalesce(col("harmonic"), lit(0.0)).as("harmonic"))
+      .localCheckpoint()
+    e.unpersist()
+    out
+  }
 }

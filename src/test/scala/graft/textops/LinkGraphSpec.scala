@@ -235,4 +235,97 @@ class LinkGraphSpec extends SparkSpec {
     assert(row.getLong(2) == 2 && row.getLong(3) == 3)
     assert(row.getLong(4) == 1 && row.getLong(5) == 1)
   }
+
+  private def harmonicMap(edges: Seq[(String, String)],
+                          maxDist: Int = 10): Map[String, Double] = {
+    import spark.implicits._
+    LinkGraph.harmonicCentrality(edges.toDF("s", "d"), "s", "d", maxDist)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+  }
+
+  test("harmonicCentrality: path graph, hand-computed") {
+    // A -> B -> C -> D: H(A)=0, H(B)=1, H(C)=1+1/2, H(D)=1+1/2+1/3
+    val h = harmonicMap(Seq(("A", "B"), ("B", "C"), ("C", "D")))
+    assert(h("A") == 0.0)
+    assert(h("B") == 1.0)
+    assert(math.abs(h("C") - 1.5) < 1e-12)
+    assert(math.abs(h("D") - (1.0 + 0.5 + 1.0 / 3)) < 1e-12)
+  }
+
+  test("harmonicCentrality: cycle takes the SHORTEST distance") {
+    // ring A->B->C->A: every node reached at d=1 (pred) and d=2 (the
+    // other) — never the d=3 self-path (u=v pairs excluded)
+    val h = harmonicMap(Seq(("A", "B"), ("B", "C"), ("C", "A")))
+    assert(h.values.forall(v => math.abs(v - 1.5) < 1e-12))
+  }
+
+  test("harmonicCentrality: maxDist caps the horizon; dups/self-loops drop") {
+    val edges = Seq(("A", "B"), ("A", "B"), ("B", "B"), ("B", "C"),
+      ("C", "D"))
+    val h2 = harmonicMap(edges, maxDist = 2)
+    // at maxDist=2, D sees only B (d=2) and C (d=1)
+    assert(math.abs(h2("D") - 1.5) < 1e-12)
+    val h1 = harmonicMap(edges, maxDist = 1)
+    assert(h1("D") == 1.0 && h1("A") == 0.0)
+  }
+
+  test("harmonicCentrality: star reach — hub reached by all leaves") {
+    val edges = (1 to 6).map(i => (s"L$i", "HUB"))
+    val h = harmonicMap(edges)
+    assert(h("HUB") == 6.0)
+    (1 to 6).foreach(i => assert(h(s"L$i") == 0.0))
+  }
+
+  test("HyperBall tracks the exact form on planted graphs") {
+    import spark.implicits._
+    // a 14-node two-community graph with a bridge and danglers
+    val edges = ((0 until 6).flatMap(i => Seq((s"a$i", s"a${(i + 1) % 6}"),
+        (s"a$i", s"a${(i + 2) % 6}"))) ++
+      (0 until 6).map(i => (s"b$i", s"b${(i + 1) % 6}")) ++
+      Seq(("a0", "b0"), ("b3", "x0"), ("x0", "x1"))).toDF("s", "d")
+    val exact = LinkGraph.harmonicCentrality(edges, "s", "d", maxDist = 12)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val approx = HyperBall.harmonic(edges, "s", "d", maxDist = 12, p = 8)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (host, ex) =>
+      val ap = approx(host)
+      if (ex == 0.0) assert(ap == 0.0, s"$host: expected 0, got $ap")
+      else assert(math.abs(ap - ex) / ex < 0.15,
+        s"$host: exact $ex vs hyperball $ap")
+    }
+  }
+
+  test("HyperBall: determinism and the no-in-edge zero") {
+    import spark.implicits._
+    val edges = Seq(("A", "B"), ("B", "C"), ("C", "D"), ("D", "B"))
+      .toDF("s", "d")
+    val r1 = HyperBall.harmonic(edges, "s", "d").orderBy("host").collect()
+    val r2 = HyperBall.harmonic(edges, "s", "d").orderBy("host").collect()
+    assert(r1.toSeq == r2.toSeq)
+    val m = r1.map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m("A") == 0.0) // nothing reaches A
+    assert(m("D") > 0.0)
+    // ball_est of A is ~1 (itself only)
+    val ball = r1.map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(math.abs(ball("A") - 1.0) < 0.1)
+  }
+
+  test("HyperBall register primitives: estimate is sane and monotone") {
+    val p = 8
+    // merge k distinct singletons; estimate within 10% for small k
+    val ks = Seq(3, 10, 40)
+    ks.foreach { k =>
+      val regs = new Array[Byte](1 << p)
+      (0 until k).foreach { i =>
+        val one = HyperBall.initRegisters(
+          org.apache.spark.unsafe.hash.Murmur3_x86_32
+            .hashLong(i.toLong, 42).toLong * 2654435761L + i, p)
+        (0 until regs.length).foreach(j =>
+          if (one(j) > regs(j)) regs(j) = one(j))
+      }
+      val est = HyperBall.estimate(regs)
+      assert(math.abs(est - k) / k < 0.2, s"k=$k est=$est")
+    }
+  }
 }
