@@ -3601,6 +3601,41 @@ object SparkEntry {
           maxDist = 10)
         .select(col("host"), round(col("harmonic"), 6).as("harmonic"))
         .orderBy(col("host"))
+    }),
+
+    // Paragraph-level dup statistics — the Dolma/CCNet granularity
+    // between doc fingerprints (q13/q20) and token spans (q73):
+    // planted docs share a header by k%7 class and a padded footer by
+    // k%5 class (trim must unify them); the k%4=1 in-doc header
+    // repeat counts as a cross-doc dup occurrence, the unique body
+    // never does
+    "q172_para_stats" -> ((s, dir) => {
+      import s.implicits._
+      val docs = tSpread(s, dir, "documents").select(col("doc_id"))
+        .as[Long]
+        .map(k => (k, q172Text(k)))
+        .toDF("doc_id", "text")
+      textops.ParagraphDedup.duplicateParagraphStats(docs, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Paragraph dedup REWRITE — first (doc, pos) occurrence of each
+    // trimmed paragraph survives, every other copy (cross-doc AND
+    // in-doc) drops, kept paragraphs re-join in original order: the
+    // deterministic, order-independent form of Dolma's sequential
+    // Bloom-filter paragraph pass. The oracle elects the same
+    // survivors by window rank over (doc, pos) and re-joins in SQL
+    "q173_para_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val docs = tSpread(s, dir, "documents").select(col("doc_id"))
+        .as[Long]
+        .map(k => (k, q172Text(k)))
+        .toDF("doc_id", "text")
+      textops.ParagraphDedup.dropDuplicateParagraphs(docs, "doc_id", "text")
+        .select(col("doc_id"),
+          md5(encode(col("text_clean"), "UTF-8")).as("clean_md5"),
+          col("n_kept"), col("n_dropped"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -3648,6 +3683,21 @@ object SparkEntry {
   /** q170's planted member for doc key `k`: (name, payload) per k%8 —
     * see the query comment. Texts are closed forms the oracle recomputes.
     */
+  /** q172/q173's planted multi-paragraph doc: a header shared by the
+    * k%7 class, a blank line on k%3=0, a unique body, an IN-DOC header
+    * repeat on k%4=1, and a space-padded footer shared by the k%5
+    * class — every paragraph replays closed-form in SQL.
+    */
+  private[graft] def q172Text(k: Long): String = {
+    val sb = new StringBuilder
+    sb.append(s"Shared header ${k % 7}\n")
+    if (k % 3 == 0) sb.append("\n")
+    sb.append(s"Unique body $k with words\n")
+    if (k % 4 == 1) sb.append(s"Shared header ${k % 7}\n")
+    sb.append(s"  Common footer ${k % 5}  ")
+    sb.toString
+  }
+
   private[graft] def q170Member(k: Long): (String, Array[Byte]) = {
     def gz(b: Array[Byte]): Array[Byte] = {
       val out = new java.io.ByteArrayOutputStream()
@@ -8262,8 +8312,60 @@ object SparkEntry {
         |SELECT 'h' || CAST(n.h AS VARCHAR) || '.example' AS host,
         |  ROUND(COALESCE(hc.harmonic, 0), 6) AS harmonic
         |FROM nodes n LEFT JOIN hc ON n.h = hc.v
-        |ORDER BY host""".stripMargin
+        |ORDER BY host""".stripMargin,
+
+    // paragraph replay: rebuild the planted text, split on chr(10)
+    // with raw positions (generate_subscripts), trim, drop blanks —
+    // then dup stats group by the paragraph STRING (the hash's
+    // identity on planted distinct texts)
+    "q172_para_stats" ->
+      (q172ParaCtes +
+        """pd AS (SELECT para, k, COUNT(*) AS occ FROM p GROUP BY 1, 2),
+          |pn AS (SELECT para, COUNT(*) AS ndocs FROM pd GROUP BY 1)
+          |SELECT k AS doc_id,
+          |  CAST(SUM(occ) AS BIGINT) AS n_paras,
+          |  CAST(SUM(CASE WHEN ndocs > 1 THEN occ ELSE 0 END) AS BIGINT)
+          |    AS n_dup_paras,
+          |  ROUND(SUM(CASE WHEN ndocs > 1 THEN occ ELSE 0 END) * 1.0 /
+          |    SUM(occ), 6) AS dup_frac
+          |FROM pd JOIN pn USING (para)
+          |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // survivor election replay: rank each paragraph's occurrences by
+    // (doc, pos); rank 1 keeps, the ordered string_agg re-joins —
+    // empty-after-dedup docs md5 the empty string, same as Spark
+    "q173_para_dedup" ->
+      (q172ParaCtes +
+        """rk AS (SELECT k, pos, para,
+          |  ROW_NUMBER() OVER (PARTITION BY para ORDER BY k, pos) AS r
+          |  FROM p)
+          |SELECT k AS doc_id,
+          |  md5(COALESCE(string_agg(CASE WHEN r = 1 THEN para END,
+          |    chr(10) ORDER BY pos), '')) AS clean_md5,
+          |  CAST(COUNT(*) FILTER (r = 1) AS BIGINT) AS n_kept,
+          |  CAST(COUNT(*) FILTER (r > 1) AS BIGINT) AS n_dropped
+          |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin)
   )
+
+  /** Shared q172/q173 oracle prefix: the planted multi-paragraph text
+    * ([[q172Text]] replayed in SQL) exploded to trimmed non-blank
+    * paragraphs with raw 0-based split positions.
+    */
+  private def q172ParaCtes: String =
+    """WITH d AS (SELECT doc_id AS k FROM documents),
+      |t AS (SELECT k,
+      |  'Shared header ' || (k % 7) || chr(10) ||
+      |  CASE WHEN k % 3 = 0 THEN chr(10) ELSE '' END ||
+      |  'Unique body ' || k || ' with words' || chr(10) ||
+      |  CASE WHEN k % 4 = 1
+      |    THEN 'Shared header ' || (k % 7) || chr(10) ELSE '' END ||
+      |  '  Common footer ' || (k % 5) || '  ' AS text FROM d),
+      |p0 AS (SELECT k, unnest(string_split(text, chr(10))) AS rawp,
+      |  generate_subscripts(string_split(text, chr(10)), 1) - 1 AS pos
+      |  FROM t),
+      |p AS (SELECT k, pos, trim(rawp) AS para FROM p0
+      |  WHERE trim(rawp) <> ''),
+      |""".stripMargin
 
   /** q133's replay: q102's stage CTEs over the crawl-extracted corpus
     * (q126 closed form), gated by the host arithmetic, scored against a

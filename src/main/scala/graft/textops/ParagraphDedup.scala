@@ -1,0 +1,101 @@
+package graft.textops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Paragraph-level deduplication — the granularity between whole-document
+  * fingerprints ([[TextFunctions]] exact dedup) and token-window spans
+  * ([[SpanDedup]]): real curation pipelines (Dolma's paragraph dedup,
+  * CCNet's per-paragraph hashes) dedup at the paragraph boundary because
+  * boilerplate recurs as whole rendered blocks — headers, footers, cookie
+  * banners, license blurbs — that span-level windows fragment and
+  * doc-level hashes miss entirely.
+  *
+  * A paragraph is a newline-delimited, trimmed, non-blank line block;
+  * identity is the trimmed text's xxhash64. The distributed form of
+  * Dolma's sequential Bloom-filter pass: "first occurrence wins" becomes
+  * the deterministic global rule keep iff (doc, pos) is the minimum
+  * occurrence of the paragraph's hash — order-independent, so the result
+  * does not depend on partitioning or arrival order (the Bloom pass's
+  * result depends on scan order; this one is replayable, which is what
+  * lets an oracle check it).
+  *
+  * DESIGN FOR 100 TB: paragraphs shuffle exactly twice — once keyed by
+  * the 8-byte hash (dup counting / survivor election; text rides along
+  * only because the survivor must re-emit it), once keyed by doc id
+  * (reassembly). No all-pairs anywhere; state per hash key is one
+  * (doc, pos) pair, and the per-doc reassembly buffer is the document
+  * itself — the same bound the scan stage already holds. The stats form
+  * ([[duplicateParagraphStats]]) never reassembles, so its second
+  * shuffle carries only (doc, flag) pairs.
+  */
+object ParagraphDedup {
+
+  /** `(idCol, para_pos, para)` — trimmed non-blank newline-delimited
+    * paragraphs; `para_pos` is the paragraph's 0-based index in the RAW
+    * line split (stable under blank-line removal, so positions replay
+    * closed-form).
+    */
+  def paragraphs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), posexplode(split(col(textCol), "\n")))
+      .select(col(idCol), col("pos").as("para_pos"),
+        trim(col("col")).as("para"))
+      .where(col("para") =!= "")
+
+  /** Per-document duplicate-paragraph statistics: `n_paras` trimmed
+    * non-blank paragraphs, of which `n_dup_paras` occur (by trimmed-text
+    * hash) in at least one OTHER document, and their ratio `dup_frac`.
+    * Same one-lineage window shape as [[SpanDedup.duplicateSpanStats]]:
+    * the corpus is split and hashed exactly once.
+    */
+  def duplicateParagraphStats(docs: DataFrame, idCol: String,
+                              textCol: String): DataFrame = {
+    val perDoc = paragraphs(docs, idCol, textCol)
+      .select(col(idCol), xxhash64(col("para")).as("h"))
+      .groupBy(col("h"), col(idCol))
+      .agg(count(lit(1)).as("__occ"))
+    val w = Window.partitionBy(col("h"))
+    perDoc
+      .withColumn("__ndocs", count(lit(1)).over(w))
+      .groupBy(col(idCol))
+      .agg(sum(col("__occ")).as("n_paras"),
+        sum(when(col("__ndocs") > 1, col("__occ")).otherwise(lit(0L)))
+          .as("n_dup_paras"))
+      .withColumn("dup_frac",
+        round(col("n_dup_paras").cast("double") / col("n_paras"), 6))
+  }
+
+  /** The corpus with duplicated paragraphs removed, first occurrence
+    * (minimum (doc, para_pos) over the paragraph's hash) surviving:
+    * per input document, `text_clean` (kept paragraphs re-joined with
+    * a single newline, in original order), `n_kept`, `n_dropped`.
+    * Documents whose every paragraph was a later duplicate come back
+    * with an EMPTY `text_clean` rather than vanishing — the caller
+    * decides whether an emptied doc is itself a drop (the curation
+    * pipelines gate on length downstream anyway).
+    */
+  def dropDuplicateParagraphs(docs: DataFrame, idCol: String,
+                              textCol: String): DataFrame = {
+    val pw = Window.partitionBy(col("h"))
+      .orderBy(col(idCol), col("para_pos"))
+    val kept = paragraphs(docs, idCol, textCol)
+      .withColumn("h", xxhash64(col("para")))
+      .withColumn("__rk", row_number().over(pw))
+      .withColumn("__keep", col("__rk") === 1)
+    kept
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("__keep"), struct(col("para_pos"), col("para"))))),
+            s => s.getField("para")),
+          "\n").as("text_clean"),
+        coalesce(sum(when(col("__keep"), 1L).otherwise(0L)), lit(0L))
+          .as("n_kept"),
+        coalesce(sum(when(!col("__keep"), 1L).otherwise(0L)), lit(0L))
+          .as("n_dropped"))
+  }
+}

@@ -1,0 +1,81 @@
+package graft.textops
+
+import graft.SparkSpec
+
+/** Paragraph-level dedup: split/trim semantics, cross-document stats,
+  * and the deterministic first-occurrence-wins rewrite.
+  */
+class ParagraphDedupSpec extends SparkSpec {
+
+  private val docs = Seq(
+    (1L, "Shared header\n\nUnique body one\nShared footer"),
+    (2L, "Shared header\nUnique body two\n  Shared footer  "),
+    (3L, "Only original text here"),
+    (4L, "Shared header\nShared header\nTail four")
+  )
+
+  test("paragraphs: newline split, trim, blank lines out, raw positions") {
+    import spark.implicits._
+    val p = ParagraphDedup.paragraphs(docs.toDF("id", "text"), "id", "text")
+      .orderBy("id", "para_pos").collect()
+    val d1 = p.filter(_.getLong(0) == 1L)
+    assert(d1.map(r => (r.getInt(1), r.getString(2))).toSeq ==
+      Seq((0, "Shared header"), (2, "Unique body one"), (3, "Shared footer")))
+    // trimming makes doc 2's padded footer identical to doc 1's
+    val d2 = p.filter(_.getLong(0) == 2L)
+    assert(d2.map(_.getString(2)).toSeq ==
+      Seq("Shared header", "Unique body two", "Shared footer"))
+  }
+
+  test("duplicateParagraphStats counts cross-document recurrence only") {
+    import spark.implicits._
+    val st = ParagraphDedup
+      .duplicateParagraphStats(docs.toDF("id", "text"), "id", "text")
+      .orderBy("id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(st(1L) == (3L, 2L)) // header + footer shared
+    assert(st(2L) == (3L, 2L))
+    assert(st(3L) == (1L, 0L)) // nothing shared
+    // doc 4 repeats the header twice IN-DOC; both occurrences count as
+    // cross-doc dups (docs 1/2 share the text), tail is unique
+    assert(st(4L) == (3L, 2L))
+  }
+
+  test("dropDuplicateParagraphs: first (doc, pos) occurrence wins") {
+    import spark.implicits._
+    val out = ParagraphDedup
+      .dropDuplicateParagraphs(docs.toDF("id", "text"), "id", "text")
+      .orderBy("id").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // doc 1 owns the canonical header AND footer
+    assert(out(1L) == ("Shared header\nUnique body one\nShared footer", 3L, 0L))
+    assert(out(2L) == ("Unique body two", 1L, 2L))
+    assert(out(3L) == ("Only original text here", 1L, 0L))
+    // doc 4: both header copies lose to doc 1's pos-0 occurrence
+    assert(out(4L) == ("Tail four", 1L, 2L))
+  }
+
+  test("dropDuplicateParagraphs: fully-duplicated doc empties, not vanishes") {
+    import spark.implicits._
+    val d = Seq((1L, "Same block"), (2L, "Same block\n Same block "))
+      .toDF("id", "text")
+    val out = ParagraphDedup.dropDuplicateParagraphs(d, "id", "text")
+      .orderBy("id").collect()
+    assert(out.length == 2)
+    assert(out(0).getString(1) == "Same block" && out(0).getLong(2) == 1L)
+    assert(out(1).getString(1) == "" && out(1).getLong(2) == 0L &&
+      out(1).getLong(3) == 2L)
+  }
+
+  test("determinism: result is partition-order independent") {
+    import spark.implicits._
+    val df = docs.toDF("id", "text")
+    val a = ParagraphDedup.dropDuplicateParagraphs(df, "id", "text")
+      .orderBy("id").collect().toSeq
+    val b = ParagraphDedup
+      .dropDuplicateParagraphs(df.repartition(7), "id", "text")
+      .orderBy("id").collect().toSeq
+    assert(a == b)
+  }
+}
