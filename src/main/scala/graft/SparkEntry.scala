@@ -3703,8 +3703,63 @@ object SparkEntry {
           md5(encode(textops.CodeOps.redactSecrets(col("text")), "UTF-8"))
             .as("red_md5"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Mojibake repair (the ftfy fix_encoding class) — planted docs
+    // cycle six damage classes: clean ASCII, single windows-1252
+    // mis-decodes of accented/punctuation text, a DOUBLE mis-decode,
+    // legitimately accented text that must NOT change (its cp1252
+    // re-encode is invalid UTF-8 — the conservatism guarantee), and a
+    // ligature/diaeresis form. The damage is planted by actually
+    // transcoding UTF-8 bytes through windows-1252 (the real failure
+    // mode), the repair runs as the native codegen expression, and the
+    // oracle replays every repaired string closed-form
+    "q177_mojibake" -> ((s, dir) => {
+      import s.implicits._
+      val docs = tSpread(s, dir, "documents").select(col("doc_id"))
+        .as[Long]
+        .map(k => (k, q177Text(k)))
+        .toDF("doc_id", "text")
+      docs.select(col("doc_id"),
+          functions.RepairMojibake(col("text")).as("fixed"),
+          (functions.RepairMojibake(col("text")) =!= col("text"))
+            .as("changed"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Token-window chunking over the REAL documents table (no plant) —
+    // the RAG-indexing/eval-window primitive: 64-token windows every
+    // 48 tokens, final window clamped to the tail; the oracle rebuilds
+    // the same start-index arithmetic with generate_series + list_slice
+    // over DuckDB's own tokenization
+    "q178_chunks" -> ((s, dir) => {
+      import s.implicits._
+      val docs = tSpread(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      textops.TextFunctions.tokenChunks(docs, "doc_id", "text",
+          window = 64, stride = 48)
+        .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
+          md5(encode(col("chunk_text"), "UTF-8")).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
     })
   )
+
+  /** UTF-8 bytes mis-decoded as windows-1252 — q177's damage planting
+    * (matches how the corruption occurs in the wild).
+    */
+  private[graft] def q177Moji(t: String): String =
+    new String(t.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.charset.Charset.forName("windows-1252"))
+
+  /** q177's planted text by k%6: see the query comment. */
+  private[graft] def q177Text(k: Long): String = (k % 6).toInt match {
+    case 0 => s"plain ascii doc $k"
+    case 1 => q177Moji(s"café número $k")
+    case 2 => q177Moji(s"it’s doc $k — fine")
+    case 3 => q177Moji(q177Moji(s"café $k"))
+    case 4 => s"déjà vu $k"
+    case _ => q177Moji(s"naïve $k œuvre")
+  }
 
   /** q174's planted path: eight extensions cycle (incl. an unroutable
     * one), replayed as a CASE in the oracle.
@@ -8634,7 +8689,43 @@ object SparkEntry {
         |    '\beyJ[A-Za-z0-9_-]{8,}\.[A-Za-z0-9_-]{8,}\.[A-Za-z0-9_-]{8,}\b',
         |      '<JWT>', 'g'),
         |    '\b[0-9]{13,19}\b', '<CARD>', 'g')) AS red_md5
-        |FROM m ORDER BY 1""".stripMargin
+        |FROM m ORDER BY 1""".stripMargin,
+
+    // repaired-string replay: classes 1/2/3/5 come back as the clean
+    // originals, 0 (ASCII) and 4 (legit accents — inversion yields
+    // invalid UTF-8) are unchanged by the conservatism guarantee
+    "q177_mojibake" ->
+      """WITH d AS (SELECT doc_id AS k FROM documents)
+        |SELECT k AS doc_id,
+        |  CASE (k % 6)
+        |   WHEN 0 THEN 'plain ascii doc ' || k
+        |   WHEN 1 THEN 'café número ' || k
+        |   WHEN 2 THEN 'it’s doc ' || k || ' — fine'
+        |   WHEN 3 THEN 'café ' || k
+        |   WHEN 4 THEN 'déjà vu ' || k
+        |   ELSE 'naïve ' || k || ' œuvre'
+        |  END AS fixed,
+        |  (k % 6) IN (1, 2, 3, 5) AS changed
+        |FROM d ORDER BY 1""".stripMargin,
+
+    // the same chunk-start arithmetic replayed: L = ceil((n-64)/48)
+    // when n > 64 else 0, windows as inclusive-end list_slice
+    "q178_chunks" ->
+      """WITH t AS (SELECT doc_id,
+        |  CASE WHEN trim(text) = '' THEN []
+        |       ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+        |idx AS (SELECT doc_id, toks, n, unnest(generate_series(0,
+        |  CASE WHEN n <= 64 THEN 0
+        |       ELSE CAST(ceil((n - 64) / 48.0) AS INT) END)) AS i
+        |  FROM n)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |  CAST(len(list_slice(toks, i * 48 + 1, i * 48 + 64)) AS BIGINT)
+        |    AS n_tokens,
+        |  md5(array_to_string(list_slice(toks, i * 48 + 1, i * 48 + 64),
+        |    ' ')) AS chunk_md5
+        |FROM idx ORDER BY 1, 2""".stripMargin
   )
 
   /** Shared q172/q173 oracle prefix: the planted multi-paragraph text

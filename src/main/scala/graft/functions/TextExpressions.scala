@@ -54,6 +54,57 @@ case class NormalizeUnicode(child: Expression, form: String)
       newChild: Expression): NormalizeUnicode = copy(child = newChild)
 }
 
+/** Native Catalyst expression for mojibake repair (the ftfy
+  * `fix_encoding` class): UTF-8 bytes mis-decoded as windows-1252
+  * upstream ("cafÃ©", "â€™") are inverted back through the
+  * [[graft.textops.Charsets.repairMojibake]] kernel — conservative by
+  * construction (only a total windows-1252 inversion that re-decodes as
+  * strict UTF-8 is accepted, so legitimately accented text passes
+  * through byte-identical).
+  *
+  * Why not a UDF: runs in the same scan-stage curation paths as
+  * [[NormalizeUnicode]]; pure-ASCII rows (the vast majority) short-cut
+  * on `numBytes == numChars` without leaving UTF8String.
+  */
+case class RepairMojibake(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string input, got ${other.simpleString}")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "repair_mojibake"
+
+  override def nullSafeEval(s: Any): Any =
+    RepairMojibake.compute(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.RepairMojibake.compute($s);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): RepairMojibake = copy(child = newChild)
+}
+
+object RepairMojibake {
+
+  /** Shared by interpreted eval and generated code. ASCII-only strings
+    * (numBytes == numChars) cannot be mojibake — returned as-is without
+    * materializing a java.lang.String.
+    */
+  def compute(s: UTF8String): UTF8String = {
+    if (s.numBytes == s.numChars) return s
+    val str = s.toString
+    val fixed = graft.textops.Charsets.repairMojibake(str)
+    if (fixed eq str) s else UTF8String.fromString(fixed)
+  }
+
+  def apply(c: Column): Column =
+    Bridge.column(RepairMojibake(Bridge.expression(c)))
+}
+
 object NormalizeUnicode {
 
   private[functions] val Forms: Map[String, java.text.Normalizer.Form] =

@@ -337,4 +337,79 @@ object Charsets {
     val (t, n) = decodeTotal(charsetOf("windows-1252"), b, 0)
     Decoded(t, "windows-1252", "fallback", n)
   }
+
+  // -------------------------------------------------------------------
+  // Mojibake repair (the ftfy `fix_encoding` class of damage): text
+  // whose UTF-8 bytes were decoded as windows-1252 somewhere upstream
+  // ("café" shipped as "cafÃ©", '’' as "â€™"). The repair inverts the
+  // wrong decode — map each char back to its windows-1252 byte, then
+  // strict-UTF-8 decode — and accepts ONLY when the inversion is total
+  // and the re-decode is strictly valid, which makes it conservative:
+  // legitimately accented text ("déjà vu") re-encodes to bytes that are
+  // NOT valid UTF-8 and passes through untouched. Two passes bound the
+  // common double-encoding case ("ÃƒÂ©").
+  // -------------------------------------------------------------------
+
+  /** char -> windows-1252 byte, built once from the decode direction so
+    * the inversion is exactly consistent with the JVM charset used
+    * everywhere else in this file.
+    */
+  private lazy val cp1252Inv: Array[Char] = {
+    // dense inverse over the BMP would be wasteful; chars <= 0xFF map
+    // near-identity and the 27 C1 remaps (€ ‚ ƒ … ™ œ Ÿ …) live above —
+    // a flat 0x2123-long array indexed by char covers U+0000..U+2122
+    // (™ is the highest windows-1252 target) with 0 = unmappable
+    val inv = new Array[Char](0x2123)
+    val cs = charsetOf("windows-1252")
+    var b = 0
+    while (b < 256) {
+      val s = new String(Array(b.toByte), cs)
+      val c = s.charAt(0)
+      if (c != '�' && c < inv.length && inv(c) == 0)
+        inv(c) = (b + 1).toChar // +1 so 0 stays the "absent" sentinel
+      b += 1
+    }
+    inv
+  }
+
+  /** One inversion pass; null when the string is not repairable this
+    * way (pure ASCII, a char with no windows-1252 byte, or a re-decode
+    * that is not strict UTF-8).
+    */
+  private def mojibakeOnce(s: String): String = {
+    val n = s.length
+    var hasHigh = false
+    val bytes = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c >= 0x80) hasHigh = true
+      if (c >= cp1252Inv.length) return null
+      val b = cp1252Inv(c)
+      if (b == 0) return null
+      bytes(i) = (b - 1).toByte
+      i += 1
+    }
+    if (!hasHigh) return null
+    val out = strictUtf8(bytes)
+    // any valid multi-byte sequence shrinks the string; equality would
+    // mean nothing was actually mis-decoded
+    if (out == null || out.length >= n) null else out
+  }
+
+  /** Repaired text, or the input unchanged when no confident repair
+    * exists. Total and null-safe; at most two inversion passes (single
+    * and double windows-1252 mis-decodes — the forms that occur in real
+    * crawls; deeper nestings repair partially and re-enter on the next
+    * pipeline pass).
+    */
+  def repairMojibake(s: String): String = {
+    if (s == null) return null
+    val once = mojibakeOnce(s)
+    if (once == null) s
+    else {
+      val twice = mojibakeOnce(once)
+      if (twice == null) once else twice
+    }
+  }
 }

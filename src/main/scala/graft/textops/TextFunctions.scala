@@ -316,4 +316,38 @@ object TextFunctions {
         (tok, i) => xxhash64(tok, i)),
       lit(0L), (acc, x) => acc.bitwiseXOR(x)))
   }
+
+  /** Overlapping token-window chunking — the RAG-indexing / eval-window
+    * primitive: document `textCol` splits into windows of `window`
+    * whitespace tokens starting every `stride` tokens. Chunk starts are
+    * `0, stride, 2·stride, …, L·stride` with
+    * `L = ceil((n − window) / stride)` when `n > window` else `0`, so
+    * the final window always reaches the document's tail and no start
+    * lies past it; documents with no tokens emit no rows. Output:
+    * (idCol, chunk_idx, n_tokens, chunk_text), exploded — everything is
+    * builtin higher-order functions (`sequence`/`posexplode`/`slice`),
+    * one WholeStageCodegen span, no shuffle; at 100 TB this is a pure
+    * scan-stage expansion whose output partitioning inherits the
+    * input's.
+    */
+  def tokenChunks(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String, window: Int,
+                  stride: Int): org.apache.spark.sql.DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    val toks = tokens(col(textCol))
+    val lastIdx = when(size(toks) <= window, lit(0))
+      .otherwise(ceil((size(toks) - window).cast("double") / stride)
+        .cast("int"))
+    df.select(col(idCol), toks.as("__toks"),
+        sequence(lit(0), lastIdx, lit(1)).as("__idx"))
+      .filter(size(col("__toks")) > 0)
+      .select(col(idCol), col("__toks"), posexplode(col("__idx")))
+      .select(col(idCol), col("pos").cast("long").as("chunk_idx"),
+        slice(col("__toks"), col("pos") * stride + 1, lit(window))
+          .as("__win"))
+      .select(col(idCol), col("chunk_idx"),
+        size(col("__win")).cast("long").as("n_tokens"),
+        array_join(col("__win"), " ").as("chunk_text"))
+  }
 }

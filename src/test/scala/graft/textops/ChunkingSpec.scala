@@ -1,0 +1,57 @@
+package graft.textops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Token-window chunking: start-index arithmetic, tail coverage, and
+  * degenerate inputs.
+  */
+class ChunkingSpec extends SparkSpec {
+
+  private def chunksOf(text: String, window: Int, stride: Int) = {
+    import spark.implicits._
+    TextFunctions.tokenChunks(Seq((1L, text)).toDF("id", "text"),
+        "id", "text", window, stride)
+      .orderBy("chunk_idx")
+      .select("chunk_idx", "n_tokens", "chunk_text")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+  }
+
+  test("short doc = one whole chunk; exact-window doc too") {
+    assert(chunksOf("a b c", 4, 2).toSeq == Seq((0L, 3L, "a b c")))
+    assert(chunksOf("a b c d", 4, 2).toSeq == Seq((0L, 4L, "a b c d")))
+  }
+
+  test("stride overlap and tail coverage") {
+    // 6 tokens, window 4, stride 2: L = ceil(2/2) = 1 -> starts 0, 2
+    assert(chunksOf("a b c d e f", 4, 2).toSeq == Seq(
+      (0L, 4L, "a b c d"), (1L, 4L, "c d e f")))
+    // 7 tokens: L = ceil(3/2) = 2 -> starts 0, 2, 4; tail chunk short
+    assert(chunksOf("a b c d e f g", 4, 2).toSeq == Seq(
+      (0L, 4L, "a b c d"), (1L, 4L, "c d e f"), (2L, 3L, "e f g")))
+  }
+
+  test("whitespace runs collapse; empty and blank docs emit nothing") {
+    assert(chunksOf("  a\t\tb \n c  ", 2, 1).toSeq == Seq(
+      (0L, 2L, "a b"), (1L, 2L, "b c")))
+    assert(chunksOf("", 4, 2).isEmpty)
+    assert(chunksOf("   \n\t ", 4, 2).isEmpty)
+  }
+
+  test("non-overlapping stride == window tiles exactly") {
+    assert(chunksOf("a b c d e f", 2, 2).toSeq == Seq(
+      (0L, 2L, "a b"), (1L, 2L, "c d"), (2L, 2L, "e f")))
+  }
+
+  test("invalid parameters rejected") {
+    import spark.implicits._
+    val df = Seq((1L, "x")).toDF("id", "text")
+    intercept[IllegalArgumentException] {
+      TextFunctions.tokenChunks(df, "id", "text", 4, 5)
+    }
+    intercept[IllegalArgumentException] {
+      TextFunctions.tokenChunks(df, "id", "text", 0, 0)
+    }
+  }
+}

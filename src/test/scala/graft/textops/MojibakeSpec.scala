@@ -1,0 +1,63 @@
+package graft.textops
+
+import graft.SparkSpec
+import graft.functions.RepairMojibake
+import org.apache.spark.sql.functions._
+import java.nio.charset.{Charset, StandardCharsets}
+
+/** Mojibake repair: the windows-1252 inversion kernel and its native
+  * expression — single and double mis-decodes repair, everything a
+  * confident inversion can't explain passes through untouched.
+  */
+class MojibakeSpec extends SparkSpec {
+
+  private val cp1252 = Charset.forName("windows-1252")
+
+  /** UTF-8 bytes mis-decoded as windows-1252 — how the damage happens. */
+  private def moji(t: String): String =
+    new String(t.getBytes(StandardCharsets.UTF_8), cp1252)
+
+  test("kernel repairs single windows-1252 mis-decodes") {
+    for (t <- Seq("café número 7", "naïve œuvre", "it’s fine — ok",
+      "Üben größer", "señor año", "€ 9,99")) {
+      assert(Charsets.repairMojibake(moji(t)) == t, s"for <$t>")
+    }
+  }
+
+  test("kernel repairs double mis-decodes in two passes") {
+    assert(Charsets.repairMojibake(moji(moji("café 3"))) == "café 3")
+    assert(Charsets.repairMojibake(moji(moji("it’s"))) == "it’s")
+  }
+
+  test("non-mojibake text is untouched (conservatism)") {
+    // pure ASCII short-circuits
+    assert(Charsets.repairMojibake("plain ascii") == "plain ascii")
+    // legit accents: cp1252 re-encode is NOT valid UTF-8
+    assert(Charsets.repairMojibake("déjà vu") == "déjà vu")
+    // chars with no windows-1252 byte (CJK, emoji-range) block inversion
+    assert(Charsets.repairMojibake("深度学习 café") == "深度学习 café")
+    assert(Charsets.repairMojibake(null) == null)
+    // a lone high char whose inversion is a bare continuation byte
+    assert(Charsets.repairMojibake("A©B") == "A©B")
+  }
+
+  test("repair is idempotent") {
+    val damaged = moji("garçon émis")
+    val fixed = Charsets.repairMojibake(damaged)
+    assert(fixed == "garçon émis")
+    assert(Charsets.repairMojibake(fixed) == fixed)
+  }
+
+  test("expression matches kernel and stays codegen-compatible") {
+    import spark.implicits._
+    val rows = Seq("plain", moji("café 1"), moji(moji("café 2")),
+      "déjà vu", null)
+    val got = rows.toDF("t").select(RepairMojibake(col("t")).as("f"))
+      .as[String].collect()
+    assert(got.toSeq == Seq("plain", "café 1", "café 2", "déjà vu", null))
+    // survives both codegen and interpreted paths under a filter too
+    val n = rows.toDF("t")
+      .filter(RepairMojibake(col("t")) =!= col("t")).count()
+    assert(n == 2)
+  }
+}
