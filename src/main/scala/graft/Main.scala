@@ -671,15 +671,22 @@ object Main {
                                 nDocs: Long, nKept: Long,
                                 dropped: Map[String, Long],
                                 buckets: Map[String, Long],
-                                quarantined: Long) {
+                                quarantined: Long,
+                                codeDocs: Long = 0L, codeKept: Long = 0L,
+                                codeDropped: Map[String, Long] =
+                                  Map.empty) {
     def render: String = {
       val d = dropped.toSeq.sortBy(_._1)
         .map { case (r, n) => s"  dropped[$r] $n" }
       val b = buckets.toSeq.sortBy(_._1)
         .map { case (k, n) => s"  bucket[$k] $n" }
+      val cd = codeDropped.toSeq.sortBy(_._1)
+        .map { case (r, n) => s"  code_dropped[$r] $n" }
       val head = s"archives=$nArchives members=$nMembers docs=$nDocs " +
-        s"kept=$nKept quarantined_members=$quarantined"
-      (head +: (d ++ b)).mkString("\n")
+        s"kept=$nKept quarantined_members=$quarantined" +
+        (if (codeDocs > 0 || codeKept > 0 || codeDropped.nonEmpty)
+          s" code_docs=$codeDocs code_kept=$codeKept" else "")
+      (head +: (d ++ b ++ cd)).mkString("\n")
     }
   }
 
@@ -734,7 +741,11 @@ object Main {
     val routed = DocRoute.archiveDocsFromPaths(paths)
     val good = routed.where(col("error").isNull &&
       col("doc_error").isNull && col("text").isNotNull)
-    val direct = good.where(col("kind") =!= "jsonl")
+    // source-code members branch to CodeOps curation (or a typed skip
+    // count) — they never enter the prose pipeline: a language gate +
+    // unigram perplexity tuned for prose would misjudge every file
+    val direct = good.where(col("kind") =!= "jsonl" &&
+        col("kind") =!= "code")
       .select(xxhash64(col("path"), col("entry_idx")).as("doc_id"),
         col("text"))
     val jsonlDocs = JsonlDocs.explodeJsonl(
@@ -777,9 +788,37 @@ object Main {
       .parquet(cfg.outdir + "/bundle_audit.parquet")
       .agg(coalesce(sum(col("n_members")), lit(0L))).collect()(0).getLong(0)
     val nMembers = routed.count()
+
+    // code branch: The-Stack-style license/quality/secret curation
+    // over kind == "code" members, decisions written beside the prose
+    // ones; with the branch off, code members surface as a typed count
+    // (never silently absorbed or dropped)
+    val codeMembers = good.where(col("kind") === "code")
+      .select(xxhash64(col("path"), col("entry_idx")).as("doc_id"),
+        col("name"), col("text"))
+    val (codeDocs, codeKept, codeDropped) =
+      if (cfg.includeCode) {
+        val codePath = cfg.outdir + "/code_decisions.parquet"
+        graft.textops.CodeOps.codeDecisions(codeMembers, "doc_id",
+            "name", "text", cfg.permissiveOnly, cfg.redactSecrets)
+          .write.mode("overwrite").parquet(codePath)
+        val byR = spark.read.parquet(codePath)
+          .groupBy(col("drop_reason")).agg(count(lit(1)).as("n"))
+          .collect()
+          .map(r => Option(r.getString(0)).getOrElse("__kept") ->
+            r.getLong(1))
+          .toMap
+        (byR.values.sum, byR.getOrElse("__kept", 0L), byR - "__kept")
+      } else {
+        val n = codeMembers.count()
+        (n, 0L,
+          if (n > 0) Map("code_member_skipped" -> n)
+          else Map.empty[String, Long])
+      }
+
     BundleReport(files.length, nMembers, byReason.values.sum,
       byReason.getOrElse("__kept", 0L), byReason - "__kept", buckets,
-      quarantined)
+      quarantined, codeDocs, codeKept, codeDropped)
   }
 
   private val Subcommands =

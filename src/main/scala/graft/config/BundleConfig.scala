@@ -9,12 +9,16 @@ final case class BundleConfig(input: String, outdir: String,
                               keepLangs: Set[String],
                               tHead: Double, tMid: Double,
                               jsonlTextField: String,
-                              inputPartitions: Int)
+                              inputPartitions: Int,
+                              includeCode: Boolean = false,
+                              permissiveOnly: Boolean = true,
+                              redactSecrets: Boolean = true)
 
 object BundleConfig {
 
   private val Known = Set("input", "outdir", "keep_langs",
-    "t_head", "t_mid", "jsonl_text_field", "input_partitions")
+    "t_head", "t_mid", "jsonl_text_field", "input_partitions",
+    "include_code", "permissive_only", "redact_secrets")
 
   def from(raw: Map[String, Any]): Either[Seq[String], BundleConfig] = {
     val errs = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -73,9 +77,24 @@ object BundleConfig {
     val parts = longOpt("input_partitions", 0L)
     if (parts < 0 || parts > Int.MaxValue)
       errs += "input_partitions: must be a non-negative integer"
+    def boolOpt(key: String, default: Boolean): Boolean =
+      raw.get(key) match {
+        case Some(b: java.lang.Boolean) => b
+        case Some(null) | None => default
+        case Some(other) =>
+          err(s"$key: expected true/false, got '$other'", default)
+      }
+    val includeCode = boolOpt("include_code", default = false)
+    val permissiveOnly = boolOpt("permissive_only", default = true)
+    val redactSecrets = boolOpt("redact_secrets", default = true)
+    // code-branch knobs without the branch itself are a config typo
+    if (!includeCode && !errs.exists(_.startsWith("include_code")) &&
+      (raw.contains("permissive_only") || raw.contains("redact_secrets")))
+      errs += "permissive_only/redact_secrets require include_code: true"
 
     if (errs.nonEmpty) Left(errs.toSeq)
     else Right(BundleConfig(input, outdir, keepLangs, tHead, tMid,
-      textField, parts.toInt))
+      textField, parts.toInt, includeCode, permissiveOnly,
+      redactSecrets))
   }
 }

@@ -112,8 +112,11 @@ object CodeOps {
     * — constant-folded by Catalyst, no lookup table to broadcast.
     */
   def codeLangOf(path: Column): Column = {
-    val base = lower(element_at(split(path, "/"), -1))
-    val ext = lower(regexp_extract(path, "\\.([A-Za-z0-9_]+)$", 1))
+    // outer-compression suffixes (the layers DocRoute strips before
+    // routing) don't change what language the member is
+    val p = regexp_replace(path, "(\\.(gz|gzip|zst|zstd|xz|bz2|br))+$", "")
+    val base = lower(element_at(split(p, "/"), -1))
+    val ext = lower(regexp_extract(p, "\\.([A-Za-z0-9_]+)$", 1))
     val m = map(ExtLang.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
     when(base === "makefile", lit("makefile"))
       .when(base === "dockerfile", lit("dockerfile"))
@@ -233,6 +236,44 @@ object CodeOps {
           .otherwise(d)),
       lit(0), (acc, x) => acc + x)
     sum % 10 === 0
+  }
+
+  // ----------------------------------------------------------------- //
+  // Decision composition (the bundle CLI's code branch)                //
+  // ----------------------------------------------------------------- //
+
+  /** Per-file curation decisions for a routed code corpus — the code
+    * twin of the prose `CurationPipeline` decision frame. Gate order is
+    * license FIRST (non-permissive provenance can't be trained on at
+    * all, whatever its quality — The Stack's own ordering), then the
+    * quality-reason ladder; drop reasons are typed
+    * (`license:<id|none>`, `code_quality:<reasons>`). Kept text ships
+    * secret-redacted by default. One scan, no shuffle — every column is
+    * a [[CodeOps]] builtin expression over (name, text).
+    */
+  def codeDecisions(df: org.apache.spark.sql.DataFrame, idCol: String,
+                    nameCol: String, textCol: String,
+                    permissiveOnly: Boolean = true,
+                    redact: Boolean = true): org.apache.spark.sql.DataFrame = {
+    val lic = licenseOf(col(textCol))
+    val base = df.select(col(idCol),
+      codeLangOf(col(nameCol)).as("code_lang"),
+      lic.as("license"),
+      isPermissive(lic).as("permissive"),
+      codeQualityReasons(col(textCol)).as("quality_reasons"),
+      (if (redact) redactSecrets(col(textCol)) else col(textCol))
+        .as("out_text"))
+    val licenseDrop = concat(lit("license:"),
+      coalesce(col("license"), lit("none")))
+    val qualityDrop = concat(lit("code_quality:"), col("quality_reasons"))
+    base.withColumn("drop_reason",
+      if (permissiveOnly)
+        when(!col("permissive"), licenseDrop)
+          .when(col("quality_reasons") =!= "", qualityDrop)
+          .otherwise(lit(null).cast("string"))
+      else
+        when(col("quality_reasons") =!= "", qualityDrop)
+          .otherwise(lit(null).cast("string")))
   }
 
   /** All typed secrets replaced with `<TYPE>` placeholders. Card runs

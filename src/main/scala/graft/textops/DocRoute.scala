@@ -36,6 +36,19 @@ object DocRoute {
   private val OuterExts =
     Set("gz", "gzip", "zst", "zstd", "xz", "bz2", "br")
 
+  /** Source-code extensions (The-Stack-style corpora ship these inside
+    * tar bundles): routed as kind `code` so pipelines can branch to
+    * [[CodeOps]] curation. Deliberately excludes everything the router
+    * already types (html/txt/md/jsonl family).
+    */
+  private[textops] val CodeExts = Set(
+    "py", "pyi", "js", "mjs", "cjs", "jsx", "ts", "tsx", "java", "scala",
+    "sc", "kt", "c", "h", "cc", "cpp", "cxx", "hpp", "hh", "go", "rs",
+    "rb", "php", "cs", "swift", "sh", "bash", "zsh", "pl", "pm", "lua",
+    "r", "jl", "hs", "ml", "ex", "exs", "erl", "clj", "sql", "css",
+    "yaml", "yml", "toml", "proto", "sol", "zig", "nim", "dart",
+    "groovy", "vb", "f90", "asm")
+
   /** Strip one outer-compression layer: inflate (bounded) and drop the
     * suffix. Typed refusal on corrupt or oversized members. */
   private def inflateOuter(ext: String,
@@ -122,6 +135,11 @@ object DocRoute {
           HtmlExtract.extract(Charsets.decode(p, null).text).text))
       case "txt" | "md" | "text" =>
         Right(("text", Charsets.decode(p, null).text))
+      // source-code members: decoded like text (same charset sniff) but
+      // surfaced as their own kind so downstream pipelines send them to
+      // the code-curation branch (CodeOps) instead of prose curation
+      case e if CodeExts.contains(e) =>
+        Right(("code", Charsets.decode(p, null).text))
       // JSONL members surface as raw decoded text of kind "jsonl";
       // JsonlDocs.explodeJsonl turns the column into per-line documents
       case "jsonl" | "ndjson" | "json" =>

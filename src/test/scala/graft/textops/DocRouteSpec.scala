@@ -95,6 +95,22 @@ class DocRouteSpec extends AnyFunSuite {
       Left("no extension"))
   }
 
+  test("source-code extensions route as kind code, through outer " +
+    "layers and the charset sniff") {
+    assert(DocRoute.textOf("src/main.py", "def f():\n    return 1"
+      .getBytes("UTF-8")) == Right(("code", "def f():\n    return 1")))
+    assert(DocRoute.textOf("lib.rs.gz", gz("fn main() {}".getBytes("UTF-8")))
+      == Right(("code", "fn main() {}")))
+    // non-UTF-8 code decodes through the windows-1252 fallback, total
+    val latin = Array[Byte]('/', '/', ' ', 0xE9.toByte)
+    assert(DocRoute.textOf("a.c", latin) == Right(("code", "// é")))
+    // already-typed kinds keep their routes (not swallowed by code)
+    assert(DocRoute.textOf("a.md", "# t".getBytes("UTF-8"))
+      == Right(("text", "# t")))
+    assert(DocRoute.textOf("a.json", "{}".getBytes("UTF-8")).toOption
+      .get._1 == "jsonl")
+  }
+
   test("a decompression bomb stops at the member cap, typed") {
     val bomb = gz(new Array[Byte](DocRoute.MaxDocInflate + 1024))
     assert(bomb.length < (1 << 20)) // tiny on the wire
