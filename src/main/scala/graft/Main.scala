@@ -493,6 +493,15 @@ object Main {
             epubMedia, "path", "payload", carryCols = docCarry),
             titled = true))
       }
+    // repair_mojibake: windows-1252 mis-decode damage (from pages the
+    // charset sniff could not save — wrong declared charsets upstream
+    // of the capture) inverts back to clean UTF-8 before curation sees
+    // the text; conservative by construction, so clean pages are
+    // byte-identical and the flag-off path is unchanged
+    val docsFixed =
+      if (!cfg.repairMojibake) docs
+      else docs.withColumn("text",
+        graft.functions.RepairMojibake(col("text")))
     val decisionCols = Seq("doc_id", "lang", "n_tokens", "drop_reason",
       "avg_logprob", "bucket")
     def droppedRows(df: DataFrame, reason: String): DataFrame =
@@ -504,9 +513,10 @@ object Main {
 
     val (live0, noindexed) =
       if (cfg.honorNoindex)
-        (docs.where(!col("robots_noindex")),
-          droppedRows(docs.where(col("robots_noindex")), "robots_noindex"))
-      else (docs, spark.emptyDataset[Long].toDF("doc_id")
+        (docsFixed.where(!col("robots_noindex")),
+          droppedRows(docsFixed.where(col("robots_noindex")),
+            "robots_noindex"))
+      else (docsFixed, spark.emptyDataset[Long].toDF("doc_id")
         .transform(droppedRows(_, "robots_noindex")).limit(0))
 
     // RFC 9309 gate: pages the host's captured policy disallows become

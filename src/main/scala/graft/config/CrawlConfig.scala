@@ -97,7 +97,8 @@ final case class CrawlConfig(input: String, outdir: String,
                              hostRankIterations: Int = 5,
                              hostRankKeepFraction: Double = 0.0,
                              resolveRedirects: Boolean = false,
-                             capturesOutput: Option[String] = None)
+                             capturesOutput: Option[String] = None,
+                             repairMojibake: Boolean = false)
 
 object CrawlConfig {
 
@@ -106,7 +107,8 @@ object CrawlConfig {
     "honor_noindex", "robots_user_agent", "wet_output", "cdx_output",
     "input_partitions", "include_pdf", "include_office",
     "wat_output", "host_rank_output", "host_rank_iterations",
-    "host_rank_keep_fraction", "resolve_redirects", "captures_output")
+    "host_rank_keep_fraction", "resolve_redirects", "captures_output",
+    "repair_mojibake")
 
   /** Parse + validate; Left = every problem found (not just the first). */
   def from(raw: Map[String, Any]): Either[Seq[String], CrawlConfig] = {
@@ -226,6 +228,7 @@ object CrawlConfig {
       errs += "host_rank_keep_fraction: requires host_rank_output " +
         "(the rank vector this gate consumes)"
     val resolveRedirects = boolOpt("resolve_redirects", default = false)
+    val repairMojibake = boolOpt("repair_mojibake", default = false)
     val capturesOut = raw.get("captures_output") match {
       case Some(s: String) if s.nonEmpty => Some(s)
       case Some(null) | None => None
@@ -238,6 +241,6 @@ object CrawlConfig {
     else Right(CrawlConfig(input, outdir, keepLangs, minHost, maxHost,
       tHead, tMid, honorNoindex, robotsUa, wetOut, cdxOut, parts.toInt,
       includePdf, includeOffice, watOut, rankOut, rankIters.toInt,
-      rankKeep, resolveRedirects, capturesOut))
+      rankKeep, resolveRedirects, capturesOut, repairMojibake))
   }
 }

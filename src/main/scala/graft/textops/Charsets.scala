@@ -397,19 +397,52 @@ object Charsets {
     if (out == null || out.length >= n) null else out
   }
 
-  /** Repaired text, or the input unchanged when no confident repair
-    * exists. Total and null-safe; at most two inversion passes (single
-    * and double windows-1252 mis-decodes — the forms that occur in real
-    * crawls; deeper nestings repair partially and re-enter on the next
-    * pipeline pass).
+  /** One whitespace-delimited segment through at most two inversion
+    * passes (single and double windows-1252 mis-decodes — the forms
+    * that occur in real crawls).
     */
-  def repairMojibake(s: String): String = {
-    if (s == null) return null
-    val once = mojibakeOnce(s)
-    if (once == null) s
+  private def repairSegment(seg: String): String = {
+    val once = mojibakeOnce(seg)
+    if (once == null) seg
     else {
       val twice = mojibakeOnce(once)
       if (twice == null) once else twice
     }
+  }
+
+  /** Repaired text, or the input unchanged where no confident repair
+    * exists. Total and null-safe. The repair is SEGMENT-wise (maximal
+    * runs between `Character.isWhitespace` boundaries, each
+    * all-or-nothing): upstream whitespace normalization routinely
+    * rewrites a mojibake NBSP (the second byte of every `à`-class
+    * sequence surfaces as U+00A0 under the cp1252 mis-decode) into a
+    * plain space, and a whole-string inversion would let that one
+    * destroyed sequence block repairing everything else in the
+    * document. NBSP itself is NOT a segment boundary
+    * (`isWhitespace(U+00A0)` is false), so intact multi-word damage
+    * still repairs across it.
+    */
+  def repairMojibake(s: String): String = {
+    if (s == null) return null
+    var hasHigh = false
+    var i = 0
+    while (i < s.length && !hasHigh) {
+      if (s.charAt(i) >= 0x80) hasHigh = true
+      i += 1
+    }
+    if (!hasHigh) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var start = 0
+    i = 0
+    while (i <= s.length) {
+      if (i == s.length || Character.isWhitespace(s.charAt(i))) {
+        if (start < i) sb.append(repairSegment(s.substring(start, i)))
+        if (i < s.length) sb.append(s.charAt(i))
+        start = i + 1
+      }
+      i += 1
+    }
+    val out = sb.toString
+    if (out == s) s else out
   }
 }

@@ -701,6 +701,59 @@ class CrawlCliSpec extends SparkSpec {
     }
   }
 
+  test("repair_mojibake: damaged pages leave the crawl repaired in the " +
+    "WET export; flag off preserves the bytes; clean pages identical") {
+    val cp1252 = java.nio.charset.Charset.forName("windows-1252")
+    def moji(t: String): String =
+      new String(t.getBytes("UTF-8"), cp1252)
+    val dir = Files.createTempDirectory("graft_moji_in").toFile
+    val outdir = Files.createTempDirectory("graft_moji_out").toString
+    try {
+      // the damage predates the capture (the page SERVED mojibake as
+      // valid UTF-8), so the charset sniff cannot help — only repair can
+      val damaged = prose1 + " " + moji("café déjà naïve")
+      val warc =
+        gzip(rec("https://m.example.org/bad", page(damaged))) ++
+          gzip(rec("https://m.example.org/good", page(prose2)))
+      Files.write(new java.io.File(dir, "m.warc.gz").toPath, warc)
+
+      def run(repair: Boolean): Map[String, String] = {
+        val wet = Files.createTempDirectory("graft_moji_wet").toString
+        val cfg = graft.config.CrawlConfig.from(Map(
+          "input" -> dir.getAbsolutePath,
+          "outdir" -> (outdir + (if (repair) "/on" else "/off")),
+          "keep_langs" -> Seq("en"), "wet_output" -> wet,
+          "repair_mojibake" -> java.lang.Boolean.valueOf(repair))
+        ).toOption.get
+        val report = Main.crawl(spark, cfg)
+        assert(report.nKept == 2, report.toString)
+        import spark.implicits._
+        graft.sources.Warc
+          .recordsFromPaths(Main.listWarcPaths(spark, wet).toDS())
+          .where(col("error").isNull)
+          .select(col("url"), col("text"))
+          .collect()
+          .map(r => r.getString(0) -> r.getString(1)).toMap
+      }
+      val off = run(repair = false)
+      val on = run(repair = true)
+      assert(off("https://m.example.org/bad").contains(moji("café")))
+      assert(!off("https://m.example.org/bad").contains("café"))
+      // segment-wise repair: café and naïve come back; déjà's trailing
+      // à lost its NBSP to the extractor's whitespace collapse — that
+      // segment is destroyed upstream and honestly stays damaged
+      assert(on("https://m.example.org/bad").contains("café"))
+      assert(on("https://m.example.org/bad").contains("naïve"))
+      assert(on("https://m.example.org/bad").contains("dÃ©jÃ"))
+      assert(!on("https://m.example.org/bad").contains(moji("café")))
+      // the clean page is byte-identical either way
+      assert(on("https://m.example.org/good") ==
+        off("https://m.example.org/good"))
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
   test("crawl: empty input is a clean no-op report, not a crash") {
     val dir = Files.createTempDirectory("graft_crawl_empty").toFile
     try {

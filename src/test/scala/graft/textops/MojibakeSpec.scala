@@ -41,6 +41,18 @@ class MojibakeSpec extends SparkSpec {
     assert(Charsets.repairMojibake("A©B") == "A©B")
   }
 
+  test("repair is segment-wise: one destroyed sequence doesn't block " +
+    "the rest of the document") {
+    // the real pipeline hazard: upstream whitespace collapse rewrote a
+    // mojibake NBSP (second byte of à) into a plain space — that
+    // segment is unrecoverable, its neighbors must still repair
+    val damaged = moji("café") + " dÃ©jÃ " + moji("naïve")
+    assert(Charsets.repairMojibake(damaged) == "café dÃ©jÃ naïve")
+    // intact NBSP inside the damage is NOT a boundary: multi-word
+    // damage crossing it repairs whole
+    assert(Charsets.repairMojibake(moji("déjà vu")) == "déjà vu")
+  }
+
   test("repair is idempotent") {
     val damaged = moji("garçon émis")
     val fixed = Charsets.repairMojibake(damaged)
