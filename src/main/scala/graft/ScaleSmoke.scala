@@ -171,7 +171,19 @@ object ScaleSmoke {
     // per JVM) — the exponent must track the WARC-parse class
     "q169_brotli_decode",
     // outer-compressed document routing: per-row inflate+route kernel
-    "q170_docroute_compressed")
+    "q170_docroute_compressed",
+    // late-r17 additions. q171: exact harmonic BFS over the planted
+    // host graph — hosts are corpus-independent (12), so the pair
+    // frontier must stay flat while the page scan scales. q172/q173:
+    // paragraph dedup's two-shuffle shape (hash-keyed stats, doc-keyed
+    // reassembly). q174/q176: the code-quality and secret-scan regex
+    // scans (q175's license scan is the same class as q174 — one
+    // representative suffices). q177: mojibake repair expression scan.
+    // q178: chunk expansion (output ~3x input tokens at 64/48).
+    // q179: DocRoute + decision composition kernel scan.
+    "q171_harmonic", "q172_para_stats", "q173_para_dedup",
+    "q174_code_quality", "q176_secret_scan", "q177_mojibake",
+    "q178_chunks", "q179_code_curation")
 
   /** Deliberate 100×-sweep exclusions, each with its bound stated
     * (PERF_NOTES items 5/8/19/57): q77's pinned-k SemDeDup control is

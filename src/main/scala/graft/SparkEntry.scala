@@ -3773,8 +3773,89 @@ object SparkEntry {
             lit(null).cast("string").as("out_md5"),
             col("doc_error")))
         .orderBy(col("doc_id"))
+    }),
+
+    // Chat/SFT corpus audit + template flatten — planted OpenAI-shape
+    // conversations cycle eight structural classes (valid 2-turn,
+    // system-prefixed, malformed JSON, empty, unknown role, empty
+    // content, late system, broken alternation); reasons, turn/token
+    // stats, and the <|role|> rendering all replay closed-form
+    "q180_chat_audit" -> ((s, dir) => {
+      import s.implicits._
+      val convs = tSpread(s, dir, "documents").select(col("doc_id"))
+        .as[Long]
+        .map(k => (k, q180Chat(k)))
+        .toDF("doc_id", "j")
+      val (nT, nA, nTok) = textops.ChatData.chatStats(col("j"))
+      convs.select(col("doc_id"),
+          textops.ChatData.chatReasons(col("j")).as("reasons"),
+          nT.as("n_turns"), nA.as("n_assistant"),
+          nTok.cast("long").as("n_tokens"),
+          md5(encode(textops.ChatData.flatten(col("j")), "UTF-8"))
+            .as("flat_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Unicode-script composition audit — the signal language-ID misses
+    // (mixed-script lookalike spam, per-script corpus mix): planted
+    // docs cycle eight script classes; the oracle RECOMPUTES every
+    // fraction/dominant/mixed value from the replayed text with
+    // DuckDB's own regex kernels over the identical BMP ranges
+    "q181_script_mix" -> ((s, dir) => {
+      import s.implicits._
+      val docs = tSpread(s, dir, "documents").select(col("doc_id"))
+        .as[Long]
+        .map(k => (k, q181Text(k)))
+        .toDF("doc_id", "text")
+      val fr = textops.TextFunctions.scriptFractions(col("text"))
+      docs.select(col("doc_id"),
+          textops.TextFunctions.dominantScript(col("text"))
+            .as("dominant"),
+          textops.TextFunctions.scriptMixed(col("text")).as("mixed"),
+          element_at(fr, "latin").as("latin_frac"),
+          element_at(fr, "cyrillic").as("cyrillic_frac"),
+          element_at(fr, "cjk").as("cjk_frac"))
+        .orderBy(col("doc_id"))
     })
   )
+
+  /** q181's planted text by k%8: one script class per doc (pure Latin /
+    * Cyrillic / Greek / Arabic / CJK, a Latin+Cyrillic lookalike mix, a
+    * no-letters row, a Latin+CJK spam tail).
+    */
+  private[graft] def q181Text(k: Long): String = (k % 8).toInt match {
+    case 0 => s"hello world number $k"
+    case 1 => s"привет мир документ $k"
+    case 2 => s"γεια σου κοσμε $k"
+    case 3 => s"مرحبا بالعالم $k"
+    case 4 => s"你好世界 こんにちは $k"
+    case 5 => s"click here пароль деньги now $k"
+    case 6 => s"12345 !!! ??? $k"
+    case _ => s"buy now 立即购买 cheap $k"
+  }
+
+  /** q180's planted conversation JSON by k%8 (OpenAI messages shape). */
+  private[graft] def q180Chat(k: Long): String = {
+    def c(turns: (String, String)*): String = {
+      val ms = turns.map { case (r, t) =>
+        s"""{"role": "$r", "content": "$t"}""" }.mkString(", ")
+      s"""{"messages": [$ms]}"""
+    }
+    (k % 8).toInt match {
+      case 0 => c("user" -> s"question $k please",
+        "assistant" -> s"answer $k here")
+      case 1 => c("system" -> "be concise", "user" -> s"question $k",
+        "assistant" -> s"reply $k")
+      case 2 => s"{oops $k"
+      case 3 => """{"messages": []}"""
+      case 4 => c("user" -> s"q $k", "oracle" -> s"a $k")
+      case 5 => c("user" -> "", "assistant" -> s"answer $k")
+      case 6 => c("user" -> s"q $k", "system" -> "late",
+        "assistant" -> s"a $k")
+      case _ => c("user" -> s"q $k", "user" -> s"again $k",
+        "assistant" -> s"a $k")
+    }
+  }
 
   /** q179's planted dataset member by k%10: permissive/copyleft/none
     * licenses, a gz outer layer, a quality violation, a secret, an
@@ -8840,7 +8921,119 @@ object SparkEntry {
         |  CASE WHEN c = 6 THEN NULL ELSE md5(out_text) END AS out_md5,
         |  CASE WHEN c = 6 THEN 'unsupported extension bin' END
         |    AS doc_error
-        |FROM t ORDER BY 1""".stripMargin
+        |FROM t ORDER BY 1""".stripMargin,
+
+    // structural-class replay: reasons/turn/token matrix per k%8, the
+    // <|role|> rendering rebuilt by concatenation and re-hashed
+    "q180_chat_audit" ->
+      """WITH d AS (SELECT doc_id AS k FROM documents)
+        |SELECT k AS doc_id,
+        |  CASE (k % 8) WHEN 0 THEN '' WHEN 1 THEN ''
+        |   WHEN 2 THEN 'malformed' WHEN 3 THEN 'empty'
+        |   WHEN 4 THEN 'unknown_role,no_assistant'
+        |   WHEN 5 THEN 'empty_content' WHEN 6 THEN 'system_not_first'
+        |   ELSE 'no_alternation' END AS reasons,
+        |  CAST(CASE (k % 8) WHEN 0 THEN 2 WHEN 1 THEN 3 WHEN 2 THEN -1
+        |   WHEN 3 THEN 0 WHEN 4 THEN 2 WHEN 5 THEN 2 WHEN 6 THEN 3
+        |   ELSE 3 END AS BIGINT) AS n_turns,
+        |  CAST(CASE (k % 8) WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 2 THEN -1
+        |   WHEN 3 THEN 0 WHEN 4 THEN 0 WHEN 5 THEN 1 WHEN 6 THEN 1
+        |   ELSE 1 END AS BIGINT) AS n_assistant,
+        |  CAST(CASE (k % 8) WHEN 0 THEN 6 WHEN 1 THEN 6 WHEN 2 THEN -1
+        |   WHEN 3 THEN 0 WHEN 4 THEN 4 WHEN 5 THEN 2 WHEN 6 THEN 5
+        |   ELSE 6 END AS BIGINT) AS n_tokens,
+        |  CASE (k % 8)
+        |   WHEN 0 THEN md5('<|user|>' || chr(10) || 'question ' || k ||
+        |     ' please' || chr(10) || '<|assistant|>' || chr(10) ||
+        |     'answer ' || k || ' here' || chr(10) || '<|end|>')
+        |   WHEN 1 THEN md5('<|system|>' || chr(10) || 'be concise' ||
+        |     chr(10) || '<|user|>' || chr(10) || 'question ' || k ||
+        |     chr(10) || '<|assistant|>' || chr(10) || 'reply ' || k ||
+        |     chr(10) || '<|end|>')
+        |   WHEN 4 THEN md5('<|user|>' || chr(10) || 'q ' || k ||
+        |     chr(10) || '<|oracle|>' || chr(10) || 'a ' || k ||
+        |     chr(10) || '<|end|>')
+        |   WHEN 5 THEN md5('<|user|>' || chr(10) || chr(10) ||
+        |     '<|assistant|>' || chr(10) || 'answer ' || k || chr(10) ||
+        |     '<|end|>')
+        |   WHEN 6 THEN md5('<|user|>' || chr(10) || 'q ' || k ||
+        |     chr(10) || '<|system|>' || chr(10) || 'late' || chr(10) ||
+        |     '<|assistant|>' || chr(10) || 'a ' || k || chr(10) ||
+        |     '<|end|>')
+        |   WHEN 7 THEN md5('<|user|>' || chr(10) || 'q ' || k ||
+        |     chr(10) || '<|user|>' || chr(10) || 'again ' || k ||
+        |     chr(10) || '<|assistant|>' || chr(10) || 'a ' || k ||
+        |     chr(10) || '<|end|>')
+        |  END AS flat_md5
+        |FROM d ORDER BY 1""".stripMargin,
+
+    // GENUINE recompute over the replayed text: the same eight BMP
+    // script ranges (\x{...} is RE2's spelling of Java's \uXXXX),
+    // plurality dominant with the same fixed tie order, >=10% two-way
+    // mixed flag
+    "q181_script_mix" ->
+      """WITH d AS (SELECT doc_id AS k FROM documents),
+        |t AS (SELECT k,
+        |  CASE (k % 8)
+        |   WHEN 0 THEN 'hello world number ' || k
+        |   WHEN 1 THEN 'привет мир документ ' || k
+        |   WHEN 2 THEN 'γεια σου κοσμε ' || k
+        |   WHEN 3 THEN 'مرحبا بالعالم ' || k
+        |   WHEN 4 THEN '你好世界 こんにちは ' || k
+        |   WHEN 5 THEN 'click here пароль деньги now ' || k
+        |   WHEN 6 THEN '12345 !!! ??? ' || k
+        |   ELSE 'buy now 立即购买 cheap ' || k
+        |  END AS text FROM d),
+        |m AS (SELECT k,
+        |  len(regexp_replace(text, '[^A-Za-z\x{00C0}-\x{024F}]', '', 'g'))
+        |    AS c_latin,
+        |  len(regexp_replace(text, '[^\x{0400}-\x{04FF}]', '', 'g'))
+        |    AS c_cyr,
+        |  len(regexp_replace(text, '[^\x{0370}-\x{03FF}]', '', 'g'))
+        |    AS c_greek,
+        |  len(regexp_replace(text, '[^\x{0600}-\x{06FF}]', '', 'g'))
+        |    AS c_arabic,
+        |  len(regexp_replace(text, '[^\x{0590}-\x{05FF}]', '', 'g'))
+        |    AS c_hebrew,
+        |  len(regexp_replace(text, '[^\x{0900}-\x{097F}]', '', 'g'))
+        |    AS c_deva,
+        |  len(regexp_replace(text,
+        |    '[^\x{3040}-\x{30FF}\x{4E00}-\x{9FFF}]', '', 'g')) AS c_cjk,
+        |  len(regexp_replace(text,
+        |    '[^\x{1100}-\x{11FF}\x{AC00}-\x{D7AF}]', '', 'g')) AS c_hang
+        |  FROM t),
+        |s AS (SELECT k, c_latin, c_cyr, c_greek, c_arabic, c_hebrew,
+        |  c_deva, c_cjk, c_hang,
+        |  (c_latin + c_cyr + c_greek + c_arabic + c_hebrew + c_deva +
+        |   c_cjk + c_hang) AS total,
+        |  greatest(c_latin, c_cyr, c_greek, c_arabic, c_hebrew, c_deva,
+        |   c_cjk, c_hang) AS top FROM m)
+        |SELECT k AS doc_id,
+        |  CASE WHEN top = 0 THEN 'none'
+        |   WHEN c_latin = top THEN 'latin'
+        |   WHEN c_cyr = top THEN 'cyrillic'
+        |   WHEN c_greek = top THEN 'greek'
+        |   WHEN c_arabic = top THEN 'arabic'
+        |   WHEN c_hebrew = top THEN 'hebrew'
+        |   WHEN c_deva = top THEN 'devanagari'
+        |   WHEN c_cjk = top THEN 'cjk' ELSE 'hangul' END AS dominant,
+        |  CASE WHEN total = 0 THEN false ELSE
+        |   ((CASE WHEN c_latin * 1.0 / total >= 0.10 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN c_cyr * 1.0 / total >= 0.10 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN c_greek * 1.0 / total >= 0.10 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN c_arabic * 1.0 / total >= 0.10 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN c_hebrew * 1.0 / total >= 0.10 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN c_deva * 1.0 / total >= 0.10 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN c_cjk * 1.0 / total >= 0.10 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN c_hang * 1.0 / total >= 0.10 THEN 1 ELSE 0 END))
+        |   >= 2 END AS mixed,
+        |  CASE WHEN total = 0 THEN 0.0
+        |   ELSE ROUND(c_latin * 1.0 / total, 6) END AS latin_frac,
+        |  CASE WHEN total = 0 THEN 0.0
+        |   ELSE ROUND(c_cyr * 1.0 / total, 6) END AS cyrillic_frac,
+        |  CASE WHEN total = 0 THEN 0.0
+        |   ELSE ROUND(c_cjk * 1.0 / total, 6) END AS cjk_frac
+        |FROM s ORDER BY 1""".stripMargin
   )
 
   /** Shared q172/q173 oracle prefix: the planted multi-paragraph text

@@ -1,0 +1,111 @@
+package graft.textops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Chat / SFT corpus preparation — the instruction-tuning wing of the
+  * training-data pipeline. Published SFT corpora overwhelmingly ship as
+  * JSONL in the OpenAI-messages shape (one conversation per line,
+  * `{"messages": [{"role": ..., "content": ...}, ...]}`; ShareGPT dumps
+  * differ only in field names); a pipeline needs to parse it, audit the
+  * turn structure, and flatten surviving conversations into trainable
+  * text under a deterministic template.
+  *
+  * Everything runs on Spark's native JSON expressions (`from_json` into
+  * a typed array-of-struct, `posexplode`, higher-order aggregates) —
+  * per-row, shuffle-free; the flatten is one projection. At 100 TB the
+  * cost is the JSON parse the corpus requires anyway, and only the
+  * audit's per-conversation decision columns (flags + short reasons)
+  * travel further than the scan unless the caller keeps the rendered
+  * text — which partitions like the input.
+  */
+object ChatData {
+
+  private val TurnType: DataType =
+    ArrayType(StructType(Seq(
+      StructField("role", StringType), StructField("content", StringType))))
+
+  /** Parse the `messages` array of one JSON conversation column into a
+    * typed `array<struct<role,content>>` (null on malformed JSON or a
+    * missing/mistyped field — `from_json` is total).
+    */
+  def messages(json: Column): Column =
+    from_json(get_json_object(json, "$.messages"), TurnType)
+
+  private val KnownRoles = Seq("system", "user", "assistant", "tool")
+
+  /** Per-conversation structural audit, the chat twin of the prose
+    * quality gate — comma-joined reasons, empty string = valid:
+    * `malformed` (unparseable line / missing messages), `empty` (no
+    * turns), `unknown_role`, `empty_content`, `system_not_first`,
+    * `no_alternation` (adjacent same-role user/assistant turns — the
+    * double-send artifact), `no_assistant` (nothing to train on).
+    */
+  def chatReasons(json: Column): Column = {
+    val m = messages(json)
+    val roles = transform(m, t => t.getField("role"))
+    // system turns are only legal as a prefix: index of the last system
+    // turn must be < index of the first non-system turn
+    val nonSysIdx = filter(
+      transform(roles, (r, i) => when(r =!= "system", i)), x => x.isNotNull)
+    val sysIdx = filter(
+      transform(roles, (r, i) => when(r === "system", i)), x => x.isNotNull)
+    val sysNotFirst = size(sysIdx) > 0 && size(nonSysIdx) > 0 &&
+      array_max(sysIdx) > array_min(nonSysIdx)
+    // adjacent equal roles among the non-system turns
+    val convRoles = filter(roles, r => r =!= "system")
+    val adjacentSame = size(filter(
+      zip_with(convRoles, slice(convRoles, lit(2),
+        greatest(size(convRoles) - 1, lit(0))), (a, b) => a === b),
+      x => x)) > 0
+    when(m.isNull, lit("malformed")).otherwise(concat_ws(",",
+      when(size(m) === 0, lit("empty")),
+      when(size(m) > 0 &&
+        size(filter(roles, r => r.isNull ||
+          !r.isin(KnownRoles.map(x => x: Any): _*))) > 0,
+        lit("unknown_role")),
+      when(size(filter(m, t => t.getField("content").isNull ||
+        length(t.getField("content")) === 0)) > 0, lit("empty_content")),
+      when(sysNotFirst, lit("system_not_first")),
+      when(adjacentSame, lit("no_alternation")),
+      when(size(m) > 0 && size(filter(roles, r => r === "assistant")) === 0,
+        lit("no_assistant"))))
+  }
+
+  /** One row per turn: (idCol, turn_idx, role, content). Malformed
+    * conversations emit no rows (they are the audit's business).
+    */
+  def turns(df: DataFrame, idCol: String, jsonCol: String): DataFrame =
+    df.select(col(idCol), posexplode(messages(col(jsonCol)))
+        .as(Seq("turn_idx", "__t")))
+      .select(col(idCol), col("turn_idx"),
+        col("__t.role").as("role"), col("__t.content").as("content"))
+
+  /** Flatten a conversation to trainable text under the ubiquitous
+    * `<|role|>` template: each turn renders as `<|role|>\ncontent` and
+    * turns join with single newlines, closing with `<|end|>`. One
+    * `aggregate` over the typed array — no explode/regroup shuffle.
+    */
+  def flatten(json: Column): Column = {
+    val m = messages(json)
+    when(m.isNotNull && size(m) > 0,
+      concat(array_join(transform(m, t => concat(lit("<|"),
+        t.getField("role"), lit("|>\n"), t.getField("content"))),
+        "\n"), lit("\n<|end|>")))
+  }
+
+  /** Conversation-level stats for mixture planning: turn count,
+    * assistant-turn count, and total whitespace-token count over all
+    * contents (the budget currency).
+    */
+  def chatStats(json: Column): (Column, Column, Column) = {
+    val m = messages(json)
+    val nTurns = coalesce(size(m), lit(-1)).cast("long")
+    val nAssistant = coalesce(size(filter(m,
+      t => t.getField("role") === "assistant")), lit(-1)).cast("long")
+    val nTokens = coalesce(aggregate(m, lit(0L), (acc, t) =>
+      acc + size(TextFunctions.tokens(t.getField("content")))), lit(-1))
+    (nTurns, nAssistant, nTokens)
+  }
+}

@@ -317,6 +317,67 @@ object TextFunctions {
       lit(0L), (acc, x) => acc.bitwiseXOR(x)))
   }
 
+  // ------------------------------------------------------------------
+  // Unicode-script composition — the curation signal language-ID alone
+  // misses: mixed-script text (Cyrillic lookalikes inside Latin words,
+  // CJK spam appended to English pages) is a classic laundering/spam
+  // pattern, and per-script corpus composition drives mixture planning.
+  // Ranges are BMP script blocks; chars outside every listed block
+  // (digits, punctuation, emoji) are neutral and dilute nothing.
+  // ------------------------------------------------------------------
+
+  private[textops] val ScriptRanges: Seq[(String, String)] = Seq(
+    "latin" -> "A-Za-z\\u00C0-\\u024F",
+    "cyrillic" -> "\\u0400-\\u04FF",
+    "greek" -> "\\u0370-\\u03FF",
+    "arabic" -> "\\u0600-\\u06FF",
+    "hebrew" -> "\\u0590-\\u05FF",
+    "devanagari" -> "\\u0900-\\u097F",
+    "cjk" -> "\\u3040-\\u30FF\\u4E00-\\u9FFF",
+    "hangul" -> "\\u1100-\\u11FF\\uAC00-\\uD7AF")
+
+  private def scriptCount(text: Column, ranges: String): Column =
+    length(regexp_replace(text, s"[^$ranges]", ""))
+
+  /** Per-script character fractions over the SCRIPT-letter total (not
+    * raw length — punctuation/digits are neutral), as a map column
+    * script -> fraction (6 dp). Text with no script letters at all maps
+    * every script to 0.
+    */
+  def scriptFractions(text: Column): Column = {
+    val total = ScriptRanges.map(r => scriptCount(text, r._2))
+      .reduce(_ + _)
+    map(ScriptRanges.flatMap { case (name, ranges) =>
+      Seq(lit(name), when(total === 0, lit(0.0)).otherwise(
+        round(scriptCount(text, ranges).cast("double") / total, 6)))
+    }: _*)
+  }
+
+  /** The script holding the plurality of script letters; ties break by
+    * the fixed range order (latin first); no script letters -> `none`.
+    */
+  def dominantScript(text: Column): Column = {
+    val counts = ScriptRanges.map { case (n, r) => n -> scriptCount(text, r) }
+    val top = counts.map(_._2).reduce((a, b) => greatest(a, b))
+    counts.foldRight(lit("none")) { case ((n, c), acc) =>
+      when(top > 0 && c === top, lit(n)).otherwise(acc)
+    }
+  }
+
+  /** Two or more scripts each above `minFrac` of the script letters —
+    * the mixed-script flag curation gates on.
+    */
+  def scriptMixed(text: Column, minFrac: Double = 0.10): Column = {
+    val total = ScriptRanges.map(r => scriptCount(text, r._2))
+      .reduce(_ + _)
+    val above = ScriptRanges.map { case (_, r) =>
+      when(total > 0 &&
+        scriptCount(text, r).cast("double") / total >= minFrac, 1)
+        .otherwise(0)
+    }.reduce(_ + _)
+    above >= 2
+  }
+
   /** Overlapping token-window chunking — the RAG-indexing / eval-window
     * primitive: document `textCol` splits into windows of `window`
     * whitespace tokens starting every `stride` tokens. Chunk starts are

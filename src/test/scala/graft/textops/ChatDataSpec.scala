@@ -1,0 +1,75 @@
+package graft.textops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Chat/SFT corpus prep: messages parse, structural audit reasons,
+  * turn explode, template flatten, and stats.
+  */
+class ChatDataSpec extends SparkSpec {
+
+  private def conv(turns: (String, String)*): String = {
+    val ms = turns.map { case (r, c) =>
+      s"""{"role": "$r", "content": "$c"}""" }.mkString(", ")
+    s"""{"messages": [$ms]}"""
+  }
+
+  private def reasonsOf(lines: Seq[String]): Seq[String] = {
+    import spark.implicits._
+    lines.toDF("j").select(ChatData.chatReasons(col("j"))).as[String]
+      .collect().toSeq
+  }
+
+  test("chatReasons: valid shapes pass, every defect is named") {
+    assert(reasonsOf(Seq(
+      conv("user" -> "hi", "assistant" -> "hello"),
+      conv("system" -> "be brief", "user" -> "hi", "assistant" -> "ok"),
+      // multi-round alternation is fine
+      conv("user" -> "a", "assistant" -> "b", "user" -> "c",
+        "assistant" -> "d"))) == Seq("", "", ""))
+    assert(reasonsOf(Seq("not json at all")) == Seq("malformed"))
+    assert(reasonsOf(Seq("""{"no_messages": 1}""")) == Seq("malformed"))
+    assert(reasonsOf(Seq("""{"messages": []}""")) == Seq("empty"))
+    assert(reasonsOf(Seq(conv("user" -> "q", "oracle" -> "a")))
+      == Seq("unknown_role,no_assistant"))
+    assert(reasonsOf(Seq(conv("user" -> "", "assistant" -> "a")))
+      == Seq("empty_content"))
+    assert(reasonsOf(Seq(conv("user" -> "q", "system" -> "late",
+      "assistant" -> "a"))) == Seq("system_not_first"))
+    assert(reasonsOf(Seq(conv("user" -> "q", "user" -> "again",
+      "assistant" -> "a"))) == Seq("no_alternation"))
+    assert(reasonsOf(Seq(conv("user" -> "q", "user" -> "")))
+      == Seq("empty_content,no_alternation,no_assistant"))
+  }
+
+  test("turns: one row per message, malformed lines emit nothing") {
+    import spark.implicits._
+    val df = Seq((1L, conv("user" -> "q1", "assistant" -> "a1")),
+      (2L, "broken {")).toDF("id", "j")
+    val t = ChatData.turns(df, "id", "j").orderBy("id", "turn_idx")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getString(3)))
+    assert(t.toSeq == Seq((1L, 0, "user", "q1"), (1L, 1, "assistant", "a1")))
+  }
+
+  test("flatten renders the <|role|> template deterministically") {
+    import spark.implicits._
+    val got = Seq(conv("system" -> "S", "user" -> "U", "assistant" -> "A"),
+      "junk").toDF("j").select(ChatData.flatten(col("j"))).as[String]
+      .collect()
+    assert(got(0) == "<|system|>\nS\n<|user|>\nU\n<|assistant|>\nA\n<|end|>")
+    assert(got(1) == null)
+  }
+
+  test("chatStats: turns, assistant turns, token budget") {
+    import spark.implicits._
+    val (a, b, c) = (ChatData.chatStats(col("j"))._1,
+      ChatData.chatStats(col("j"))._2, ChatData.chatStats(col("j"))._3)
+    val r = Seq(conv("user" -> "two words", "assistant" -> "three more words"),
+      "bad").toDF("j").select(a.as("t"), b.as("a"), c.as("n"))
+      .collect()
+    assert((r(0).getLong(0), r(0).getLong(1), r(0).getLong(2)) == (2L, 1L, 5L))
+    assert((r(1).getLong(0), r(1).getLong(1), r(1).getLong(2))
+      == (-1L, -1L, -1L))
+  }
+}

@@ -1,0 +1,54 @@
+package graft.textops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Unicode-script composition: fractions, plurality dominant with the
+  * fixed tie order, and the mixed-script gate.
+  */
+class ScriptMixSpec extends SparkSpec {
+
+  private def row(text: String): (String, Boolean, Map[String, Double]) = {
+    import spark.implicits._
+    val fr = TextFunctions.scriptFractions(col("t"))
+    val r = Seq(text).toDF("t").select(
+      TextFunctions.dominantScript(col("t")).as("d"),
+      TextFunctions.scriptMixed(col("t")).as("m"), fr.as("f")).head()
+    (r.getString(0), r.getBoolean(1), r.getMap[String, Double](2).toMap)
+  }
+
+  test("pure scripts: dominant right, not mixed, fraction 1.0") {
+    assert(row("hello world") == (("latin", false,
+      row("hello world")._3)) && row("hello world")._3("latin") == 1.0)
+    assert(row("привет мир")._1 == "cyrillic")
+    assert(row("你好世界")._1 == "cjk")
+    assert(row("こんにちは")._1 == "cjk") // kana counts as cjk block
+    assert(row("مرحبا")._1 == "arabic")
+    assert(row("안녕하세요")._1 == "hangul")
+    assert(!row("привет мир")._2)
+  }
+
+  test("digits and punctuation are neutral; no letters -> none") {
+    val (d, m, f) = row("123 !!! ???")
+    assert(d == "none" && !m && f.values.forall(_ == 0.0))
+    // neutrality: digits don't dilute the script fraction
+    assert(row("привет 99999 мир 12345")._3("cyrillic") == 1.0)
+  }
+
+  test("mixed-script text flags at the 10% threshold") {
+    val (d, m, f) = row("click here пароль деньги now")
+    assert(m, f.toString)
+    // 12 latin vs 12 cyrillic letters: exact tie, latin wins the order
+    assert(d == "latin")
+    assert(f("latin") == 0.5 && f("cyrillic") == 0.5)
+    // a single lookalike char under 10% does not flag
+    assert(!row("a long english sentence with one stray п character " +
+      "inside it keeps going")._2)
+  }
+
+  test("latin accents count as latin; tie breaks by range order") {
+    assert(row("café déjà vu")._1 == "latin")
+    // exactly equal counts: latin wins the fixed order
+    assert(row("ab пр")._1 == "latin")
+  }
+}
