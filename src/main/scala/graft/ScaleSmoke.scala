@@ -183,7 +183,15 @@ object ScaleSmoke {
     // q179: DocRoute + decision composition kernel scan.
     "q171_harmonic", "q172_para_stats", "q173_para_dedup",
     "q174_code_quality", "q176_secret_scan", "q177_mojibake",
-    "q178_chunks", "q179_code_curation")
+    "q178_chunks", "q179_code_curation",
+    // chat parse/audit (native JSON expression scan) and the
+    // script-composition regex scan
+    "q180_chat_audit", "q181_script_mix",
+    // winnowing: per-doc fingerprint kernel + the hash-equality pair
+    // join (banded like the MinHash finders; the <=2-doc cap bounds
+    // any bucket) — the join is where a super-linear surprise would
+    // hide, so it gets measured, not argued
+    "q182_winnowing")
 
   /** Deliberate 100×-sweep exclusions, each with its bound stated
     * (PERF_NOTES items 5/8/19/57): q77's pinned-k SemDeDup control is

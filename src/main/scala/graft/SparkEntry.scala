@@ -3816,8 +3816,37 @@ object SparkEntry {
           element_at(fr, "cyrillic").as("cyrillic_frac"),
           element_at(fr, "cjk").as("cjk_frac"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Winnowing fingerprints (Schleimer et al. 2003, the MOSS
+    // algorithm) — position-aware near-dup beside MinHash/SimHash:
+    // planted docs pair up on a distinctive plagiarized block per
+    // (6m, 6m+1); the md5-prefix gram hash lets the oracle replay the
+    // ENTIRE pipeline genuinely in SQL — k-gram hashes, window minima
+    // with rightmost ties, per-window dedupe, the <=2-doc stop-gram
+    // cap, the equality pair join, and containment
+    "q182_winnowing" -> ((s, dir) => {
+      import s.implicits._
+      val docs = tSpread(s, dir, "documents").select(col("doc_id"))
+        .as[Long]
+        .map(k => (k, q182Text(k)))
+        .toDF("doc_id", "text")
+      val fp = textops.Winnowing.fingerprintDf(docs, "doc_id", "text")
+      textops.Winnowing.sharedPairs(fp, "doc_id", maxHashDocs = 2)
+        .orderBy(col("id_a"), col("id_b"))
     })
   )
+
+  /** q182's planted text: docs (6m, 6m+1) share a pair-distinctive
+    * plagiarized block (the `zx{m}qv` sigil keeps its grams out of
+    * other docs), everyone else is solo filler.
+    */
+  private[graft] def q182Text(k: Long): String =
+    if (k % 6 <= 1)
+      s"intro $k zx${k / 2}qv shared plagiarized passage zx${k / 2}qv " +
+        s"run ${k * 3 % 11} end"
+    else
+      s"intro $k solo content ${k * 7 % 97} and ${k * 13 % 89} tail"
 
   /** q181's planted text by k%8: one script class per doc (pure Latin /
     * Cyrillic / Greek / Arabic / CJK, a Latin+Cyrillic lookalike mix, a
@@ -9033,7 +9062,56 @@ object SparkEntry {
         |   ELSE ROUND(c_cyr * 1.0 / total, 6) END AS cyrillic_frac,
         |  CASE WHEN total = 0 THEN 0.0
         |   ELSE ROUND(c_cjk * 1.0 / total, 6) END AS cjk_frac
-        |FROM s ORDER BY 1""".stripMargin
+        |FROM s ORDER BY 1""".stripMargin,
+
+    // GENUINE full-pipeline replay: md5-prefix gram hashes, sliding
+    // window minima with the rightmost tie rule (reversed-slice
+    // list_position), distinct selections, <=2-doc cap, pair join,
+    // containment over capped sizes — validated cell-for-cell against
+    // an independent reference implementation before wiring
+    "q182_winnowing" ->
+      """WITH d AS (SELECT doc_id AS k FROM documents),
+        |t AS (SELECT k, CASE WHEN (k % 6) IN (0, 1)
+        |  THEN 'intro ' || k || ' zx' || (k // 2) ||
+        |    'qv shared plagiarized passage zx' || (k // 2) ||
+        |    'qv run ' || (k * 3 % 11) || ' end'
+        |  ELSE 'intro ' || k || ' solo content ' || (k * 7 % 97) ||
+        |    ' and ' || (k * 13 % 89) || ' tail' END AS raw FROM d),
+        |norm AS (SELECT k,
+        |  lower(regexp_replace(trim(raw), '\s+', ' ', 'g')) AS s FROM t),
+        |g AS (SELECT k, s, len(s) - 5 + 1 AS n FROM norm
+        |  WHERE len(s) > 0),
+        |h AS (SELECT k, n,
+        |  CASE WHEN n <= 0
+        |   THEN [('0x' || substring(md5(s), 1, 8))::UBIGINT]
+        |   ELSE list_transform(generate_series(1, n), i ->
+        |     ('0x' || substring(md5(substring(s, i, 5)), 1, 8))::UBIGINT)
+        |  END AS hs FROM g),
+        |win AS (SELECT k, hs, greatest(n, 1) AS n,
+        |  CASE WHEN n >= 4 THEN n - 3 ELSE 1 END AS nw FROM h),
+        |sel AS (SELECT k, hs,
+        |  list_distinct(list_transform(generate_series(1, nw), i ->
+        |    i + (least(i + 3, n) - i + 1)
+        |      - list_position(
+        |          list_reverse(list_slice(hs, i, least(i + 3, n))),
+        |          list_min(list_slice(hs, i, least(i + 3, n))))
+        |  )) AS poss FROM win),
+        |fp AS (SELECT DISTINCT k, hs[pos] AS h32
+        |  FROM (SELECT k, hs, unnest(poss) AS pos FROM sel)),
+        |hd AS (SELECT h32, count(*) AS nd FROM fp GROUP BY 1),
+        |kept AS (SELECT k, h32 FROM fp JOIN hd USING (h32)
+        |  WHERE nd <= 2),
+        |sizes AS (SELECT k, count(*) AS n_fp FROM kept GROUP BY 1),
+        |pr AS (SELECT a.k AS id_a, b.k AS id_b,
+        |  CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM kept a JOIN kept b USING (h32) WHERE a.k < b.k
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, n_shared,
+        |  ROUND(n_shared * 1.0 / least(sa.n_fp, sb.n_fp), 6)
+        |    AS containment
+        |FROM pr JOIN sizes sa ON sa.k = id_a
+        |  JOIN sizes sb ON sb.k = id_b
+        |ORDER BY 1, 2""".stripMargin
   )
 
   /** Shared q172/q173 oracle prefix: the planted multi-paragraph text

@@ -1,0 +1,128 @@
+package graft.textops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Winnowing document fingerprints — Schleimer, Wilkerson & Aiken 2003
+  * ("Winnowing: Local Algorithms for Document Fingerprinting", the MOSS
+  * algorithm): hash every character k-gram of the normalized text, then
+  * in each window of `w` consecutive hashes keep the minimum (rightmost
+  * on ties). The guarantee: any shared substring of length >= k + w − 1
+  * yields at least one shared fingerprint, while per-doc storage is a
+  * ~2/(w+1) fraction of the grams. This is the third member of the
+  * near-dup family — position-aware where MinHash (set-level) and
+  * SimHash (vector-level) are not, which is why code-plagiarism and
+  * license-text matching use it.
+  *
+  * The gram hash is the first 32 bits of md5 — deliberately NOT
+  * xxhash64: winnowing's SELECTION depends on hash order, and a hash
+  * both engines compute lets the oracle replay the entire pipeline
+  * (grams → window minima → tie-breaks → containment join) genuinely
+  * in SQL. md5 over 5-byte grams is scan-stage CPU; at 100 TB the
+  * shuffle carries only (id, pos, hash32) fingerprint rows — a
+  * ~2/(w+1) fraction of the text's grams, text itself never moves.
+  *
+  * Scale shape of the pair finder: equality join on hash32 — banded by
+  * construction like the MinHash/SimHash finders, never all-pairs; a
+  * `maxHashDocs` cap drops ubiquitous grams (boilerplate stop-grams,
+  * the MOSS move) before they can square a bucket.
+  */
+object Winnowing {
+
+  /** First 32 bits of md5 of the gram's UTF-8 bytes, as an unsigned
+    * value in a Long — equals the oracle's
+    * `('0x' || substring(md5(g), 1, 8))::UBIGINT`.
+    */
+  def hash32(gram: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(gram.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+      ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+  }
+
+  /** The q20-family canonical form: trim, collapse whitespace, lower. */
+  private[textops] def normalize(text: String): String = {
+    if (text == null) return ""
+    text.trim.replaceAll("\\s+", " ").toLowerCase(java.util.Locale.ROOT)
+  }
+
+  /** Selected fingerprints of one document as (gram position, hash32),
+    * position-ascending. Single pass: sliding-window minimum via an
+    * ascending-minima deque where an incoming equal value evicts older
+    * ones — that makes the surviving front the RIGHTMOST minimum, the
+    * paper's tie rule. Texts shorter than k + w − 1 grams yield the
+    * minimum of whatever grams exist (one truncated window) — a short
+    * doc still fingerprints.
+    */
+  def fingerprints(text: String, k: Int = 5,
+                   w: Int = 4): Array[(Int, Long)] = {
+    require(k > 0 && w > 0, s"need k > 0 and w > 0, got k=$k w=$w")
+    val t = normalize(text)
+    val n = t.length - k + 1
+    if (n <= 0) {
+      if (t.isEmpty) return Array.empty
+      return Array((0, hash32(t))) // shorter than one gram: hash whole
+    }
+    val h = new Array[Long](n)
+    var i = 0
+    while (i < n) { h(i) = hash32(t.substring(i, i + k)); i += 1 }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    val deque = new java.util.ArrayDeque[Int]()
+    var lastSel = -1
+    i = 0
+    while (i < n) {
+      while (!deque.isEmpty && h(deque.peekLast()) >= h(i))
+        deque.pollLast()
+      deque.addLast(i)
+      val winStart = i - w + 1
+      while (deque.peekFirst() < winStart) deque.pollFirst()
+      // first full window ends at w-1; short texts get one window at n-1
+      if (i >= w - 1 || i == n - 1) {
+        val sel = deque.peekFirst()
+        if (sel != lastSel) { out += ((sel, h(sel))); lastSel = sel }
+      }
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** (idCol, pos, hash32) fingerprint table. */
+  def fingerprintDf(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 5, w: Int = 4): DataFrame = {
+    val kernel = udf { text: String => fingerprints(text, k, w) }
+    df.select(col(idCol), explode(kernel(col(textCol))).as("__fp"))
+      .select(col(idCol), col("__fp._1").as("pos"),
+        col("__fp._2").as("hash32"))
+  }
+
+  /** Candidate pairs sharing winnowing fingerprints: one equality join
+    * on hash32 (distinct per doc first — a hash selected at two
+    * positions counts once toward overlap), ubiquitous hashes capped
+    * out at `maxHashDocs` docs (stop-gram removal), containment =
+    * shared / min(|A|, |B|) over the CAPPED fingerprint sets (both
+    * sides of the ratio see the same vocabulary, so boilerplate
+    * removal can't push containment past 1).
+    */
+  def sharedPairs(fp: DataFrame, idCol: String,
+                  maxHashDocs: Int = 1000): DataFrame = {
+    val hashDocs = fp.select(col(idCol), col("hash32")).distinct()
+    val kept = hashDocs.withColumn("__nd",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("hash32"))))
+      .where(col("__nd") <= maxHashDocs).drop("__nd")
+    val sizes = kept.groupBy(col(idCol)).agg(count(lit(1)).as("n_fp"))
+    val a = kept.select(col(idCol).as("id_a"), col("hash32"))
+    val b = kept.select(col(idCol).as("id_b"), col("hash32"))
+    a.join(b, Seq("hash32"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col(idCol).as("id_a"), col("n_fp").as("n_a")),
+        Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("n_fp").as("n_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        round(col("n_shared").cast("double") /
+          least(col("n_a"), col("n_b")), 6).as("containment"))
+  }
+}

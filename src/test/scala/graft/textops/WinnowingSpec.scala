@@ -1,0 +1,87 @@
+package graft.textops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Winnowing fingerprints (Schleimer et al. 2003): selection rules,
+  * the shared-substring guarantee, and the banded pair finder.
+  */
+class WinnowingSpec extends SparkSpec {
+
+  test("hash32 equals the oracle's md5-prefix formula") {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest("abcde".getBytes("UTF-8"))
+    val hex = d.take(4).map(b => f"${b & 0xFF}%02x").mkString
+    assert(Winnowing.hash32("abcde") == java.lang.Long.parseLong(hex, 16))
+    // unsigned: the high bit must not sign-extend
+    assert((0 until 200).map(i => Winnowing.hash32(s"gram$i"))
+      .forall(h => h >= 0 && h <= 0xFFFFFFFFL))
+  }
+
+  test("selection: window minima, rightmost ties, dedupe, coverage") {
+    val fps = Winnowing.fingerprints("the winnowing algorithm", k = 5, w = 4)
+    val t = Winnowing.fingerprints("the winnowing algorithm", 5, 4)
+    assert(fps.toSeq == t.toSeq) // deterministic
+    val n = "the winnowing algorithm".length - 5 + 1
+    // every window [i, i+3] must contain a selected position
+    val poss = fps.map(_._1).toSet
+    for (i <- 0 to n - 4)
+      assert((i to i + 3).exists(poss.contains), s"window $i uncovered")
+    // positions strictly increasing, hashes match their gram
+    assert(fps.map(_._1).toSeq == fps.map(_._1).sorted.toSeq.distinct)
+    for ((p, h) <- fps)
+      assert(h == Winnowing.hash32(
+        "the winnowing algorithm".substring(p, p + 5)))
+  }
+
+  test("normalization + degenerate inputs") {
+    // case/whitespace-insensitive: identical fingerprints
+    assert(Winnowing.fingerprints("Hello  World").toSeq ==
+      Winnowing.fingerprints("hello world\n").toSeq)
+    assert(Winnowing.fingerprints("").isEmpty)
+    assert(Winnowing.fingerprints("   ").isEmpty)
+    // shorter than one gram: one whole-text fingerprint
+    assert(Winnowing.fingerprints("abc").toSeq ==
+      Seq((0, Winnowing.hash32("abc"))))
+    // exactly one gram
+    assert(Winnowing.fingerprints("abcde").toSeq ==
+      Seq((0, Winnowing.hash32("abcde"))))
+  }
+
+  test("guarantee: a shared substring of length >= k+w-1 shares a " +
+    "fingerprint") {
+    val block = "zqkvw shared block xjqzv"
+    for (seed <- 1 to 20) {
+      val a = s"left padding $seed $block more a-side text $seed"
+      val b = s"completely other ${seed * 7} prose $block tail b $seed"
+      val fa = Winnowing.fingerprints(a).map(_._2).toSet
+      val fb = Winnowing.fingerprints(b).map(_._2).toSet
+      assert(fa.intersect(fb).nonEmpty, s"seed $seed")
+    }
+  }
+
+  test("sharedPairs: pair-exclusive overlap found, stop-grams capped, " +
+    "containment bounded") {
+    import spark.implicits._
+    val common = "ubiquitous boilerplate header line"
+    val block = "zq7vb plagiarized passage zq7vb"
+    val docs = Seq(
+      (1L, s"$common alpha text one $block ending"),
+      (2L, s"$common beta words two $block coda"),
+      (3L, s"$common gamma prose three distinct"),
+      (4L, s"$common delta filler four separate")
+    ).toDF("id", "text")
+    val fp = Winnowing.fingerprintDf(docs, "id", "text")
+    // cap 2: the 4-doc boilerplate grams drop, the pair block survives
+    val pairs = Winnowing.sharedPairs(fp, "id", maxHashDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    val p12 = pairs.head
+    assert(p12._3 >= 1L && p12._4 > 0.0 && p12._4 <= 1.0)
+    // without the cap the boilerplate connects everybody
+    val all = Winnowing.sharedPairs(fp, "id", maxHashDocs = 1000)
+      .collect()
+    assert(all.length == 6) // C(4,2): every pair shares the header
+  }
+}
