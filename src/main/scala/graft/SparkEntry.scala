@@ -3834,8 +3834,67 @@ object SparkEntry {
       val fp = textops.Winnowing.fingerprintDf(docs, "doc_id", "text")
       textops.Winnowing.sharedPairs(fp, "doc_id", maxHashDocs = 2)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Sentence segmentation — planted docs cycle seven boundary
+    // classes (plain splits, Dr./initials/U.S./fig. abbreviation
+    // guards, number continuation, punctuation runs, lowercase
+    // non-openers, no terminal punctuation); counts and the joined
+    // sentence rendering replay closed-form
+    "q183_sentences" -> ((s, dir) => {
+      import s.implicits._
+      val docs = tSpread(s, dir, "documents").select(col("doc_id"))
+        .as[Long]
+        .map(k => (k, q183Text(k)))
+        .toDF("doc_id", "text")
+      val sents = textops.Sentences.sentenceDf(docs, "doc_id", "text")
+      sents.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_sentences"),
+          md5(encode(array_join(
+            sort_array(collect_list(struct(col("sent_idx"),
+              col("sentence")))).getField("sentence"), "|"), "UTF-8"))
+            .as("sents_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Sentence-aware chunk packing — greedy <=8-token accumulation
+    // that never splits a sentence; docs alternate a 4-sentence and a
+    // 5-sentence plant, chunk boundaries and token totals replay
+    // closed-form
+    "q184_sentence_chunks" -> ((s, dir) => {
+      import s.implicits._
+      val docs = tSpread(s, dir, "documents").select(col("doc_id"))
+        .as[Long]
+        .map(k => (k, q184Text(k)))
+        .toDF("doc_id", "text")
+      textops.Sentences.sentenceChunks(docs, "doc_id", "text",
+          maxTokens = 8)
+        .select(col("doc_id"), col("chunk_idx"), col("n_sentences"),
+          col("n_tokens"),
+          md5(encode(col("chunk_text"), "UTF-8")).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
     })
   )
+
+  /** q183's planted text by k%7 — one boundary-rule class per doc. */
+  private[graft] def q183Text(k: Long): String = (k % 7).toInt match {
+    case 0 => s"First thing $k. Second thing $k."
+    case 1 => s"Dr. Smith saw case $k. He left."
+    case 2 => s"Really?! Yes $k. Fine..."
+    case 3 => s"Pi is 3. 14 not $k pi."
+    case 4 => s"The U.S. Agency logged $k. Next."
+    case 5 => s"no punctuation tail $k"
+    case _ => s"it ran $k. and kept going. Then stopped."
+  }
+
+  /** q184's planted text: four fixed-token sentences, plus a fifth on
+    * odd keys — chunk packing at 8 tokens replays closed-form.
+    */
+  private[graft] def q184Text(k: Long): String = {
+    val base = s"Alpha $k one. Beta $k two three. Gamma $k four five " +
+      s"six. Delta $k end."
+    if (k % 2 == 1) base + s" Extra $k tail words here now." else base
+  }
 
   /** q182's planted text: docs (6m, 6m+1) share a pair-distinctive
     * plagiarized block (the `zx{m}qv` sigil keeps its grams out of
@@ -9111,7 +9170,47 @@ object SparkEntry {
         |    AS containment
         |FROM pr JOIN sizes sa ON sa.k = id_a
         |  JOIN sizes sb ON sb.k = id_b
-        |ORDER BY 1, 2""".stripMargin
+        |ORDER BY 1, 2""".stripMargin,
+
+    // boundary-class replay: the split sentences per k%7, re-joined
+    // with | and hashed
+    "q183_sentences" ->
+      """WITH d AS (SELECT doc_id AS k FROM documents)
+        |SELECT k AS doc_id,
+        |  CAST(CASE (k % 7) WHEN 0 THEN 2 WHEN 1 THEN 2 WHEN 2 THEN 3
+        |   WHEN 3 THEN 1 WHEN 4 THEN 2 WHEN 5 THEN 1 ELSE 2 END
+        |   AS BIGINT) AS n_sentences,
+        |  CASE (k % 7)
+        |   WHEN 0 THEN md5('First thing ' || k || '.|Second thing ' ||
+        |     k || '.')
+        |   WHEN 1 THEN md5('Dr. Smith saw case ' || k || '.|He left.')
+        |   WHEN 2 THEN md5('Really?!|Yes ' || k || '.|Fine...')
+        |   WHEN 3 THEN md5('Pi is 3. 14 not ' || k || ' pi.')
+        |   WHEN 4 THEN md5('The U.S. Agency logged ' || k || '.|Next.')
+        |   WHEN 5 THEN md5('no punctuation tail ' || k)
+        |   ELSE md5('it ran ' || k || '. and kept going.|Then stopped.')
+        |  END AS sents_md5
+        |FROM d ORDER BY 1""".stripMargin,
+
+    // packing replay: chunks (s1 s2 | s3 s4 [| s5]) at the 8-token cap
+    "q184_sentence_chunks" ->
+      """WITH d AS (SELECT doc_id AS k FROM documents),
+        |c AS (
+        | SELECT k, 0 AS chunk_idx, 2 AS ns, 7 AS nt,
+        |  'Alpha ' || k || ' one. Beta ' || k || ' two three.' AS txt
+        |  FROM d
+        | UNION ALL
+        | SELECT k, 1, 2, 8,
+        |  'Gamma ' || k || ' four five six. Delta ' || k || ' end.'
+        |  FROM d
+        | UNION ALL
+        | SELECT k, 2, 1, 6,
+        |  'Extra ' || k || ' tail words here now.'
+        |  FROM d WHERE k % 2 = 1)
+        |SELECT k AS doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  CAST(ns AS BIGINT) AS n_sentences,
+        |  CAST(nt AS BIGINT) AS n_tokens, md5(txt) AS chunk_md5
+        |FROM c ORDER BY 1, 2""".stripMargin
   )
 
   /** Shared q172/q173 oracle prefix: the planted multi-paragraph text

@@ -1,0 +1,70 @@
+package graft.textops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Sentence segmentation boundary rules and sentence-aware packing. */
+class SentencesSpec extends SparkSpec {
+
+  private def s(t: String): Seq[String] = Sentences.split(t).toSeq
+
+  test("plain boundaries: . ! ? and punctuation runs") {
+    assert(s("One here. Two there. Three ends") ==
+      Seq("One here.", "Two there.", "Three ends"))
+    assert(s("Really?! Yes. Fine...") == Seq("Really?!", "Yes.", "Fine..."))
+    assert(s("Wait... Then go.") == Seq("Wait...", "Then go."))
+  }
+
+  test("abbreviations, initials, acronyms, numbers do not split") {
+    assert(s("Dr. Smith arrived. He sat.") ==
+      Seq("Dr. Smith arrived.", "He sat."))
+    assert(s("J. R. R. Tolkien wrote it. True.") ==
+      Seq("J. R. R. Tolkien wrote it.", "True."))
+    assert(s("The U.S. Government agreed. Next item.") ==
+      Seq("The U.S. Government agreed.", "Next item."))
+    assert(s("Pi is 3. 14 is not pi.") == Seq("Pi is 3. 14 is not pi."))
+    assert(s("See fig. 4 for details. Then stop.") ==
+      Seq("See fig. 4 for details.", "Then stop."))
+    assert(s("Items, e.g. apples, are fine. Next.") ==
+      Seq("Items, e.g. apples, are fine.", "Next."))
+  }
+
+  test("boundary needs whitespace AND an opener") {
+    // lower-case continuation is not a sentence start
+    assert(s("it ran. and kept running. Then stopped.") ==
+      Seq("it ran. and kept running.", "Then stopped."))
+    // no whitespace after the dot: a domain/file name
+    assert(s("see example.com for more. Done.") ==
+      Seq("see example.com for more.", "Done."))
+  }
+
+  test("degenerate inputs") {
+    assert(s("") == Seq.empty)
+    assert(s("   ") == Seq.empty)
+    assert(s("no terminal punctuation at all") ==
+      Seq("no terminal punctuation at all"))
+    assert(Sentences.split(null).isEmpty)
+  }
+
+  test("sentenceChunks packs greedily, never splits a sentence") {
+    import spark.implicits._
+    val text = "Alpha one two. Beta three four five. Gamma six. " +
+      "Delta seven eight nine ten eleven."
+    val got = Sentences.sentenceChunks(
+        Seq((1L, text)).toDF("id", "text"), "id", "text", maxTokens = 7)
+      .orderBy("chunk_idx").collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getString(4)))
+    // chunk 0: 3 + 4 = 7 tokens; chunk 1: 2 alone (next would overflow);
+    // chunk 2: the 6-token sentence intact
+    assert(got.toSeq == Seq(
+      (2L, 7L, "Alpha one two. Beta three four five."),
+      (1L, 2L, "Gamma six."),
+      (1L, 6L, "Delta seven eight nine ten eleven.")))
+    // an over-long single sentence still lands in its own chunk
+    val long = Sentences.sentenceChunks(
+        Seq((1L, "one two three four five six seven eight."))
+          .toDF("id", "text"), "id", "text", maxTokens = 3)
+      .collect()
+    assert(long.length == 1 && long(0).getLong(3) == 8L)
+  }
+}
