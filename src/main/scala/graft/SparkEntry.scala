@@ -3873,6 +3873,21 @@ object SparkEntry {
           col("n_tokens"),
           md5(encode(col("chunk_text"), "UTF-8")).as("chunk_md5"))
         .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
+    // Binary (1-bit) vector search over the REAL embeddings table —
+    // sign-bit codes, Hamming prefilter (keep 10 per query), exact
+    // cosine re-rank to top-3; the oracle recomputes sign
+    // disagreements, the (hamming, id) cut, and the rerank genuinely
+    "q185_binary_search" -> ((s, dir) => {
+      val emb = tSpread(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      sim.Binary.topKBinary(emb, queries, 3,
+          idCol = "vec_id", vecCol = "embedding",
+          qIdCol = "q_id", qVecCol = "q_emb", rerank = 10)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("q_id"), col("rnk"))
     })
   )
 
@@ -9210,7 +9225,33 @@ object SparkEntry {
         |SELECT k AS doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
         |  CAST(ns AS BIGINT) AS n_sentences,
         |  CAST(nt AS BIGINT) AS n_tokens, md5(txt) AS chunk_md5
-        |FROM c ORDER BY 1, 2""".stripMargin
+        |FROM c ORDER BY 1, 2""".stripMargin,
+
+    // GENUINE two-stage replay: per-component sign disagreements are
+    // the Hamming distance of the packed codes (zeros pack as 0 on
+    // both sides), (hamming, id) row_number keeps 10, the kept set
+    // re-ranks by rounded exact cosine with the same id tie-break
+    "q185_binary_search" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+        |  FROM embeddings WHERE vec_id < 3),
+        |ham AS (SELECT q.q_id, e.vec_id, e.embedding, q.q_emb,
+        |  len(list_filter(list_transform(
+        |    generate_series(1, len(e.embedding)), i ->
+        |      (e.embedding[i] > 0) != (q.q_emb[i] > 0)), x -> x)) AS h
+        |  FROM embeddings e JOIN q ON e.vec_id != q.q_id),
+        |surv AS (SELECT q_id, vec_id, embedding, q_emb FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY h, vec_id) AS r FROM ham) WHERE r <= 10),
+        |ex AS (SELECT q_id, vec_id,
+        |  round(list_cosine_similarity(
+        |    list_transform(q_emb, x -> CAST(x AS DOUBLE)),
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE))), 6)
+        |    AS cos FROM surv)
+        |SELECT q_id, rnk, vec_id, cos FROM (
+        |  SELECT q_id, vec_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos DESC, vec_id) AS INTEGER) AS rnk FROM ex)
+        |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
   )
 
   /** Shared q172/q173 oracle prefix: the planted multi-paragraph text

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftops.Bridge
@@ -162,5 +162,101 @@ object CosineSimilarityFloat {
 
   def apply(a: Column, b: Column): Column =
     Bridge.column(CosineSimilarityFloat(
+      Bridge.expression(a), Bridge.expression(b)))
+}
+
+/** Native codegen sign-bit packing: `array<float>` → `array<bigint>`
+  * with bit `i % 64` of word `i / 64` set iff `x_i > 0` (strictly —
+  * zeros pack as 0, the convention the oracle replays). The 32×
+  * compression that makes binary vector search the cheapest coarse
+  * stage there is: a 1024-dim float vector becomes sixteen longs.
+  */
+case class PackSignBits(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "pack_sign_bits"
+
+  override def nullSafeEval(v: Any): Any =
+    PackSignBits.compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.PackSignBits.compute($v);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PackSignBits = copy(child = newChild)
+}
+
+object PackSignBits {
+
+  def compute(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    val words = new Array[Long]((n + 63) / 64)
+    var i = 0
+    while (i < n) {
+      if (v.getFloat(i) > 0f) words(i / 64) |= (1L << (i % 64))
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(words)
+  }
+
+  def apply(v: Column): Column =
+    Bridge.column(PackSignBits(Bridge.expression(v)))
+}
+
+/** Native codegen Hamming distance between two sign-bit codes
+  * (`array<bigint>` from [[PackSignBits]]): xor + popcount per word —
+  * the entire 1024-dim comparison is 16 ALU pairs, the cheapest
+  * distance a coarse stage can buy.
+  */
+case class HammingDistance(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects two array<bigint> inputs, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "hamming_distance"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HammingDistance.compute(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.HammingDistance.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HammingDistance =
+    copy(left = newLeft, right = newRight)
+}
+
+object HammingDistance {
+
+  def compute(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var d = 0
+    var i = 0
+    while (i < n) {
+      d += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i))
+      i += 1
+    }
+    d
+  }
+
+  def apply(a: Column, b: Column): Column =
+    Bridge.column(HammingDistance(
       Bridge.expression(a), Bridge.expression(b)))
 }

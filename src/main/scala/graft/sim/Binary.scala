@@ -1,0 +1,67 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Binary (1-bit) embedding quantization — the 32× end of the
+  * quantization family ([[Quantize]] int8 = 4×, [[Pq]] = configurable):
+  * each component keeps only its sign, vectors become `dim/64` longs,
+  * and candidate search ranks by Hamming distance (xor + popcount —
+  * the cheapest distance a coarse stage can buy). The standard
+  * production shape (FAISS `IndexBinaryFlat` + refine; the
+  * sentence-transformers "binary quantization" path): binary prefilter
+  * over ALL vectors, exact float re-rank over the few survivors.
+  *
+  * At 100 TB: the coarse stage reads 1/32 of the float bytes with the
+  * same scan parallelism and aggregates through the bounded [[TopK]]
+  * buffer (map-side combine, no per-query global window); the exact
+  * stage touches `rerank × queries` float vectors via broadcast
+  * semi-joins. Sign packing loses magnitude information — recall at
+  * fixed `rerank` trails int8, which is why the rerank margin defaults
+  * wider; both stages stay deterministic (ties to the smaller id).
+  */
+object Binary {
+
+  /** Sign-bit code column: bit i%64 of word i/64 set iff `x_i > 0`. */
+  def packBits(vec: Column): Column =
+    graft.functions.PackSignBits(vec)
+
+  /** Hamming distance between two packed codes. */
+  def hamming(a: Column, b: Column): Column =
+    graft.functions.HammingDistance(a, b)
+
+  /** Add a `__bits` packed-code column to a corpus. */
+  def packCorpus(df: DataFrame, vecCol: String): DataFrame =
+    df.withColumn("__bits", packBits(col(vecCol)))
+
+  /** Two-stage top-k: Hamming-rank all corpus codes per query (keep
+    * `rerank >= k`), then exactly re-rank the survivors by float
+    * cosine. Output (qIdCol, rank, idCol, cos) like the sibling
+    * searchers; ties at both stages break to the smaller id, so the
+    * result replays deterministically.
+    */
+  def topKBinary(corpus: DataFrame, queries: DataFrame, k: Int,
+                 idCol: String, vecCol: String,
+                 qIdCol: String, qVecCol: String,
+                 rerank: Int = 64): DataFrame = {
+    require(rerank >= k, "rerank candidates must cover k")
+    val idType = corpus.schema(idCol).dataType
+    val packed = packCorpus(corpus, vecCol)
+    val qPacked = queries.withColumn("__qbits", packBits(col(qVecCol)))
+    val coarse = packed
+      .join(broadcast(qPacked.select(col(qIdCol), col("__qbits"))),
+        col(qIdCol) =!= col(idCol))
+      .select(col(qIdCol), col(idCol).cast("long").as("__id"),
+        hamming(col("__bits"), col("__qbits")).cast("double").as("__d"))
+    val survivors = Pq
+      .rankTopK(coarse, rerank, qIdCol, idCol, idType, "__ham")
+      .select(col(qIdCol), col(idCol))
+    val exact = corpus.select(col(idCol), col(vecCol))
+      .join(broadcast(survivors), Seq(idCol))
+      .join(broadcast(queries.select(col(qIdCol), col(qVecCol))),
+        Seq(qIdCol))
+      .select(col(qIdCol), col(idCol).cast("long").as("__id"),
+        (-round(Cosine.cosineF(col(vecCol), col(qVecCol)), 6)).as("__d"))
+    Pq.rankTopKDesc(exact, k, qIdCol, idCol, idType, "cos")
+  }
+}

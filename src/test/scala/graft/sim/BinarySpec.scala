@@ -1,0 +1,72 @@
+package graft.sim
+
+import graft.SparkSpec
+import graft.functions.{HammingDistance, PackSignBits}
+import org.apache.spark.sql.functions._
+
+/** Binary quantization: sign packing, Hamming, and the two-stage
+  * search against brute force.
+  */
+class BinarySpec extends SparkSpec {
+
+  test("packBits: bit layout, zero convention, word boundaries") {
+    import spark.implicits._
+    // 70 dims so the code spans two words
+    val v = Array.tabulate(70)(i =>
+      if (i == 0 || i == 63 || i == 64 || i == 69) 1.0f
+      else if (i == 1) 0.0f else -1.0f)
+    val got = Seq(Tuple1(v)).toDF("v")
+      .select(PackSignBits(col("v"))).as[Array[Long]].head()
+    assert(got.length == 2)
+    assert(got(0) == ((1L << 0) | (1L << 63)))
+    assert(got(1) == ((1L << 0) | (1L << 5)))
+    // zeros pack as 0 (bit 1 unset despite x == 0)
+    assert((got(0) & 2L) == 0L)
+  }
+
+  test("hamming equals per-component sign disagreement") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(25)((Array.fill(130)(rnd.nextFloat() - 0.5f),
+      Array.fill(130)(rnd.nextFloat() - 0.5f)))
+    val got = pairs.toDF("a", "b")
+      .select(HammingDistance(PackSignBits(col("a")),
+        PackSignBits(col("b")))).as[Int].collect()
+    val want = pairs.map { case (a, b) =>
+      a.zip(b).count { case (x, y) => (x > 0f) != (y > 0f) } }
+    assert(got.toSeq == want)
+  }
+
+  test("topKBinary: exact re-rank recovers brute-force top-k when the " +
+    "rerank margin covers it; deterministic across runs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val corpus = (0L until 120L).map(i =>
+      (i, Array.fill(64)(rnd.nextFloat() - 0.5f))).toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    // full-width rerank: binary prefilter passes everything -> exact
+    val full = Binary.topKBinary(corpus, queries, 5, "vec_id",
+      "embedding", "q_id", "q_emb", rerank = 119)
+      .orderBy("q_id", "rank").collect()
+    val brute = Cosine.bruteForceTopK(corpus, queries, 5, "vec_id",
+      "embedding", "q_id", "q_emb")
+      .orderBy("q_id", "rank").collect()
+    assert(full.map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .toSeq == brute.map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .toSeq)
+    // narrow rerank still returns k well-formed, deterministic rows
+    val narrow1 = Binary.topKBinary(corpus, queries, 5, "vec_id",
+      "embedding", "q_id", "q_emb", rerank = 16)
+      .orderBy("q_id", "rank").collect()
+    val narrow2 = Binary.topKBinary(corpus, queries, 5, "vec_id",
+      "embedding", "q_id", "q_emb", rerank = 16)
+      .orderBy("q_id", "rank").collect()
+    assert(narrow1.map(_.toSeq).toSeq == narrow2.map(_.toSeq).toSeq)
+    assert(narrow1.length == 15) // 3 queries x k
+    intercept[IllegalArgumentException] {
+      Binary.topKBinary(corpus, queries, 5, "vec_id", "embedding",
+        "q_id", "q_emb", rerank = 3)
+    }
+  }
+}
