@@ -3888,6 +3888,27 @@ object SparkEntry {
           qIdCol = "q_id", qVecCol = "q_emb", rerank = 10)
         .withColumnRenamed("rank", "rnk")
         .orderBy(col("q_id"), col("rnk"))
+    }),
+
+    // Hard-negative mining for contrastive training — anchors against
+    // a corpus with PLANTED near-dups (every 20th vector re-enters at
+    // +100000): candidates at cos >= 0.95 are excluded (false
+    // negatives — semantic equals) and counted, the top-5 below the
+    // ceiling are the mined negatives; the oracle replays the planted
+    // union, the threshold cut, the exclusion count, and the ranking
+    "q186_hard_negatives" -> ((s, dir) => {
+      val emb = tSpread(s, dir, "embeddings")
+      val corpus = emb.unionByName(
+        emb.filter(col("vec_id") % 20 === 0)
+          .select((col("vec_id") + 100000L).as("vec_id"),
+            col("embedding"), col("label")))
+      val anchors = emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      sim.Mining.hardNegatives(corpus, anchors, 5,
+          idCol = "vec_id", vecCol = "embedding",
+          qIdCol = "q_id", qVecCol = "q_emb", dupThreshold = 0.95)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("q_id"), col("rnk"))
     })
   )
 
@@ -9251,7 +9272,34 @@ object SparkEntry {
         |  SELECT q_id, vec_id, cos,
         |    CAST(row_number() OVER (PARTITION BY q_id
         |      ORDER BY cos DESC, vec_id) AS INTEGER) AS rnk FROM ex)
-        |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+        |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
+
+    // planted near-dup union, rounded-cosine threshold cut, exclusion
+    // count, and (cos DESC, id) ranking — all replayed genuinely
+    "q186_hard_negatives" ->
+      """WITH e0 AS (SELECT vec_id, embedding FROM embeddings),
+        |e AS (SELECT vec_id, embedding FROM e0
+        |  UNION ALL
+        |  SELECT vec_id + 100000, embedding FROM e0
+        |  WHERE vec_id % 20 = 0),
+        |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM e0
+        |  WHERE vec_id < 3),
+        |sc AS (SELECT q.q_id, e.vec_id,
+        |  round(list_cosine_similarity(
+        |    list_transform(q.q_emb, x -> CAST(x AS DOUBLE)),
+        |    list_transform(e.embedding, x -> CAST(x AS DOUBLE))), 6)
+        |    AS cos
+        |  FROM e JOIN q ON e.vec_id != q.q_id),
+        |dup AS (SELECT q_id,
+        |  CAST(SUM(CASE WHEN cos >= 0.95 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dups_excluded FROM sc GROUP BY 1),
+        |neg AS (SELECT q_id, vec_id, cos,
+        |  CAST(row_number() OVER (PARTITION BY q_id
+        |    ORDER BY cos DESC, vec_id) AS INTEGER) AS rnk
+        |  FROM sc WHERE cos < 0.95)
+        |SELECT q_id, rnk, vec_id, cos, n_dups_excluded
+        |FROM neg JOIN dup USING (q_id)
+        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
   )
 
   /** Shared q172/q173 oracle prefix: the planted multi-paragraph text

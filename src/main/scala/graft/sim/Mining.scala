@@ -1,0 +1,50 @@
+package graft.sim
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Contrastive-pair mining for embedding-model training data — the
+  * op that turns a raw embedding corpus into (anchor, hard negative)
+  * pairs: for each anchor, the highest-cosine candidates BELOW a
+  * near-duplicate ceiling. Candidates above the ceiling are the
+  * anchor's near-dups (paraphrases, crawls of the same page) — using
+  * one as a "negative" would teach the model to push apart semantic
+  * equals, the classic false-negative failure of naive in-batch
+  * mining; they are counted per anchor instead so the exclusion is
+  * auditable.
+  *
+  * Scale shape: anchors broadcast against the corpus scan (the
+  * brute-force form — swap the candidate generator for [[Ivf]] probes
+  * past the flat crossover, exactly like the search family); ranking
+  * goes through the bounded [[TopK]] buffer, map-side combined, no
+  * global window. Deterministic: ties to the smaller id.
+  */
+object Mining {
+
+  /** Per anchor: top-`k` hard negatives (cos < `dupThreshold`, rounded
+    * to 6 dp before the cut so the threshold replays exactly) plus the
+    * anchor's excluded near-dup count. Output: (qIdCol, rank, idCol,
+    * cos, n_dups_excluded).
+    */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame, k: Int,
+                    idCol: String, vecCol: String,
+                    qIdCol: String, qVecCol: String,
+                    dupThreshold: Double = 0.95): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(dupThreshold > 0.0 && dupThreshold <= 1.0,
+      s"dupThreshold must be in (0, 1], got $dupThreshold")
+    val idType = corpus.schema(idCol).dataType
+    val scored = corpus
+      .join(broadcast(anchors.select(col(qIdCol), col(qVecCol))),
+        col(qIdCol) =!= col(idCol))
+      .select(col(qIdCol), col(idCol).cast("long").as("__id"),
+        round(Cosine.cosineF(col(vecCol), col(qVecCol)), 6).as("__cos"))
+    val dupCounts = scored.groupBy(col(qIdCol))
+      .agg(sum(when(col("__cos") >= dupThreshold, 1L).otherwise(0L))
+        .as("n_dups_excluded"))
+    val negatives = scored.where(col("__cos") < dupThreshold)
+      .select(col(qIdCol), col("__id"), (-col("__cos")).as("__d"))
+    Pq.rankTopKDesc(negatives, k, qIdCol, idCol, idType, "cos")
+      .join(broadcast(dupCounts), Seq(qIdCol))
+  }
+}

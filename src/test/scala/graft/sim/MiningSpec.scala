@@ -1,0 +1,38 @@
+package graft.sim
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Hard-negative mining: near-dup exclusion, counting, ranking. */
+class MiningSpec extends SparkSpec {
+
+  test("near-dups are excluded AND counted; negatives rank by cosine " +
+    "with id tie-break") {
+    import spark.implicits._
+    // anchor along +x; a near-dup copy; an antipode; two mid vectors
+    val corpus = Seq(
+      (0L, Array(1f, 0f, 0f)),
+      (1L, Array(0.999f, 0.01f, 0f)), // cos ~ 0.99995 -> excluded
+      (2L, Array(-1f, 0f, 0f)), // cos -1
+      (3L, Array(1f, 1f, 0f)), // cos ~ 0.7071
+      (4L, Array(1f, 2f, 0f)) // cos ~ 0.4472
+    ).toDF("vec_id", "embedding")
+    val anchors = corpus.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val got = Mining.hardNegatives(corpus, anchors, 3, "vec_id",
+        "embedding", "q_id", "q_emb", dupThreshold = 0.95)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1, 3L, 0.707107, 1L), (2, 4L, 0.447214, 1L), (3, 2L, -1.0, 1L)))
+    // raising the ceiling past the dup admits it as the top negative
+    val loose = Mining.hardNegatives(corpus, anchors, 1, "vec_id",
+        "embedding", "q_id", "q_emb", dupThreshold = 1.0)
+      .collect()
+    assert(loose(0).getLong(2) == 1L && loose(0).getLong(4) == 0L)
+    intercept[IllegalArgumentException] {
+      Mining.hardNegatives(corpus, anchors, 0, "vec_id", "embedding",
+        "q_id", "q_emb")
+    }
+  }
+}
