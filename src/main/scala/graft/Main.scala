@@ -426,9 +426,16 @@ object Main {
     // to host-keyed edges before the iterations (LinkGraph's scale
     // contract), and the rank vector lands beside the decision table
     val ranksOpt: Option[DataFrame] = cfg.hostRankOutput.map { hdir =>
+      // X-Robots-Tag nofollow demotes EVERY link of the page, the
+      // header twin of the <meta robots nofollow> flag the extraction
+      // kernel already folds in
       val links = graft.textops.LinkGraph.pageLinks(
-        pages.withColumn("__lid", xxhash64(col("path"), col("rec_idx"))),
-        "__lid", "url", "html")
+          pages.withColumn("__lid", xxhash64(col("path"), col("rec_idx"))),
+          "__lid", "url", "html", carryCols = Seq("http_x_robots"))
+        .withColumn("nofollow", col("nofollow") ||
+          graft.textops.RobotsTxt.headerDirective(col("http_x_robots"),
+            "nofollow"))
+        .drop("http_x_robots")
       val ranks = graft.textops.LinkGraph.pageRank(
         graft.textops.LinkGraph.hostEdges(links, "__lid"),
         "src_host", "dst_host", weightCol = "n_links",
@@ -442,7 +449,8 @@ object Main {
     val rankedHosts = ranksOpt.map(_.count()).getOrElse(0L)
 
     val htmlDocs = HtmlExtract.extractDocs(pages, "path", "html",
-        carryCols = Seq("rec_idx", "url", "warc_date", "http_status"))
+        carryCols = Seq("rec_idx", "url", "warc_date", "http_status",
+          "http_x_robots"))
       .withColumn("doc_id", xxhash64(col("path"), col("rec_idx")))
     // include_pdf: application/pdf responses enter through the binary
     // media door + the PDF extractor and join the same decision stream
@@ -455,7 +463,7 @@ object Main {
                   titled: Boolean): org.apache.spark.sql.DataFrame =
       df.where(col("error").isNull && col("text").isNotNull)
         .select(col("id").as("path"), col("rec_idx"), col("url"),
-          col("warc_date"), col("http_status"),
+          col("warc_date"), col("http_status"), col("http_x_robots"),
           (if (titled) col("title") else
             lit(null).cast("string")).as("title"),
           lit(null).cast("string").as("lang"), col("text"),
@@ -463,7 +471,8 @@ object Main {
           lit(false).as("robots_noindex"),
           lit(false).as("robots_nofollow"))
         .withColumn("doc_id", xxhash64(col("path"), col("rec_idx")))
-    val docCarry = Seq("rec_idx", "url", "warc_date", "http_status")
+    val docCarry = Seq("rec_idx", "url", "warc_date", "http_status",
+      "http_x_robots")
     val withPdf =
       if (!cfg.includePdf) htmlDocs
       else htmlDocs.unionByName(alignDocs(
@@ -493,14 +502,23 @@ object Main {
             epubMedia, "path", "payload", carryCols = docCarry),
             titled = true))
       }
+    // X-Robots-Tag is the noindex channel for documents that cannot
+    // carry <meta robots> (PDFs, office files) and a second channel
+    // for HTML; fold it into the same robots_noindex flag the
+    // honor_noindex gate reads so both channels behave identically
+    val docsHdr = docs.withColumn("robots_noindex",
+        col("robots_noindex") ||
+          graft.textops.RobotsTxt.headerNoindex(col("http_x_robots")))
+      .drop("http_x_robots")
+
     // repair_mojibake: windows-1252 mis-decode damage (from pages the
     // charset sniff could not save — wrong declared charsets upstream
     // of the capture) inverts back to clean UTF-8 before curation sees
     // the text; conservative by construction, so clean pages are
     // byte-identical and the flag-off path is unchanged
     val docsFixed =
-      if (!cfg.repairMojibake) docs
-      else docs.withColumn("text",
+      if (!cfg.repairMojibake) docsHdr
+      else docsHdr.withColumn("text",
         graft.functions.RepairMojibake(col("text")))
     val decisionCols = Seq("doc_id", "lang", "n_tokens", "drop_reason",
       "avg_logprob", "bucket")

@@ -191,7 +191,13 @@ object ScaleSmoke {
     // join (banded like the MinHash finders; the <=2-doc cap bounds
     // any bucket) — the join is where a super-linear surprise would
     // hide, so it gets measured, not argued
-    "q182_winnowing")
+    "q182_winnowing",
+    // sentence kernels (scan class), binary search + hard-negative
+    // mining (broadcast-anchor corpus scans through bounded TopK —
+    // anchors fixed, corpus scales, so the exponent must stay linear
+    // in the scan, flat in the rank state)
+    "q183_sentences", "q184_sentence_chunks", "q185_binary_search",
+    "q186_hard_negatives")
 
   /** Deliberate 100×-sweep exclusions, each with its bound stated
     * (PERF_NOTES items 5/8/19/57): q77's pinned-k SemDeDup control is

@@ -120,7 +120,8 @@ object Warc {
                        nRepl: Int = 0,
                        httpLocation: String = null,
                        httpEtag: String = null,
-                       httpLastModified: String = null)
+                       httpLastModified: String = null,
+                       httpXRobots: String = null)
 
   private val Utf8 = java.nio.charset.StandardCharsets.UTF_8
 
@@ -577,7 +578,7 @@ object Warc {
     * coverage loss per encoding.
     */
   private def parseHttp(b: Array[Byte])
-      : (Int, Array[Byte], String, String, String, String) = {
+      : (Int, Array[Byte], String, String, String, String, String) = {
     val (e, next) = lineEnd(b, 0)
     val status = asciiLine(b, 0, e)
     if (!status.startsWith("HTTP/")) malformed("not an HTTP response block")
@@ -662,7 +663,11 @@ object Warc {
       // carries these so the fetcher can issue If-None-Match /
       // If-Modified-Since instead of refetching unchanged bytes
       headers.get("etag").map(_.trim).filter(_.nonEmpty).orNull,
-      headers.get("last-modified").map(_.trim).filter(_.nonEmpty).orNull)
+      headers.get("last-modified").map(_.trim).filter(_.nonEmpty).orNull,
+      // X-Robots-Tag: the noindex channel for documents that can't
+      // carry <meta robots> (PDFs, office files, plain text) — the
+      // crawl's honor_noindex gate reads it beside the meta tag
+      headers.get("x-robots-tag").map(_.trim).filter(_.nonEmpty).orNull)
   }
 
   /** Normalize a Content-Type header to its media type: parameters
@@ -722,8 +727,8 @@ object Warc {
           case "response" if ct != null &&
             ct.toLowerCase(java.util.Locale.ROOT)
               .startsWith("application/http") =>
-            val (code, payload, hctRaw, httpLoc, httpEtag, httpLastMod) =
-              parseHttp(body)
+            val (code, payload, hctRaw, httpLoc, httpEtag, httpLastMod,
+              httpXRob) = parseHttp(body)
             // binary media bodies stay bytes ONLY when the caller asked
             // (the media door); textual bodies go through the WHATWG
             // charset sniff (BOM > transport label > meta prescan >
@@ -744,7 +749,7 @@ object Warc {
             // (3xx capture bodies are empty or boilerplate; the header
             // IS the content) — threaded through for Redirects
             rec0.copy(httpLocation = httpLoc, httpEtag = httpEtag,
-              httpLastModified = httpLastMod)
+              httpLastModified = httpLastMod, httpXRobots = httpXRob)
           case "conversion" =>
             // WET conversion content is UTF-8 by the ISO 28500 usage
             // convention; no transport header exists to sniff against
@@ -892,7 +897,8 @@ object Warc {
         col("r.httpLocation").as("http_location"),
         col("r.text").as("text"), col("r.error").as("error"),
         col("r.httpEtag").as("http_etag"),
-        col("r.httpLastModified").as("http_last_modified"))
+        col("r.httpLastModified").as("http_last_modified"),
+        col("r.httpXRobots").as("http_x_robots"))
   }
 
   private val RecSchema = StructType(Seq(
@@ -908,7 +914,8 @@ object Warc {
     StructField("text", StringType, nullable = true),
     StructField("error", StringType, nullable = true),
     StructField("http_etag", StringType, nullable = true),
-    StructField("http_last_modified", StringType, nullable = true)))
+    StructField("http_last_modified", StringType, nullable = true),
+    StructField("http_x_robots", StringType, nullable = true)))
 
   /** The real-file front door: a Dataset of storage paths → one task
     * per file, each file opened through the Hadoop filesystem API and
@@ -981,8 +988,8 @@ object Warc {
                   r.warcDate, r.contentType,
                   r.httpStatus.map(Int.box).orNull, r.httpLocation,
                   r.text, r.error, r.httpEtag, r.httpLastModified,
-                  mediaTypeOf(r.httpContentType), r.charset,
-                  r.charsetSrc)
+                  r.httpXRobots, mediaTypeOf(r.httpContentType),
+                  r.charset, r.charsetSrc)
               }
             }
         }
@@ -1015,6 +1022,7 @@ object Warc {
         col("r.httpStatus").as("http_status") :+
         col("r.charset").as("charset") :+
         col("r.charsetSrc").as("charset_src") :+
+        col("r.httpXRobots").as("http_x_robots") :+
         col("r.text").as("html"): _*)
   }
 
@@ -1035,7 +1043,7 @@ object Warc {
         textual(col("http_media_type")))
       .select(col("path"), col("rec_idx"), col("url"), col("warc_date"),
         col("http_status"), col("charset"), col("charset_src"),
-        col("text").as("html"))
+        col("http_x_robots"), col("text").as("html"))
   }
 
   /** Binary-media twin of [[htmlPages]]: HTTP `response` records whose
@@ -1061,14 +1069,14 @@ object Warc {
             } =>
           (r.recIdx, r.targetUri, r.warcDate,
             r.httpStatus.getOrElse(-1), mediaTypeOf(r.httpContentType),
-            r.bin)
+            r.httpXRobots, r.bin)
       }
     }
     df.select(col(idCol), explode(kernel(col(payloadCol))).as("r"))
       .select(col(idCol), col("r._1").as("rec_idx"),
         col("r._2").as("url"), col("r._3").as("warc_date"),
         col("r._4").as("http_status"), col("r._5").as("media_type"),
-        col("r._6").as("payload"))
+        col("r._6").as("http_x_robots"), col("r._7").as("payload"))
   }
 
   /** Character-encoding coverage audit of the textual crawl surface:
@@ -1116,6 +1124,7 @@ object Warc {
     StructField("warc_date", StringType, nullable = true),
     StructField("http_status", IntegerType, nullable = true),
     StructField("media_type", StringType, nullable = true),
+    StructField("http_x_robots", StringType, nullable = true),
     StructField("payload", BinaryType, nullable = true)))
 
   /** [[mediaRecords]] over the FILE front door ([[recordsFromPaths]]'
@@ -1173,7 +1182,7 @@ object Warc {
                 val r = recs.next()
                 Row(p, r.recIdx, r.offset, r.targetUri, r.warcDate,
                   r.httpStatus.map(Int.box).orNull,
-                  mediaTypeOf(r.httpContentType), r.bin)
+                  mediaTypeOf(r.httpContentType), r.httpXRobots, r.bin)
               }
             }
         }

@@ -289,6 +289,28 @@ object RobotsTxt {
   }
 
   /** Keep only pages the host's policy allows. */
+  /** X-Robots-Tag noindex test over the raw header value (RFC 9309's
+    * HTTP-header sibling, the Google/Bing-documented format): the
+    * comma-separated directive list contains a bare `noindex` or
+    * `none` (= noindex,nofollow). Deliberately conservative about
+    * scoped directives — `googlebot: noindex` trims to a token that
+    * does not equal `noindex`, so agent-scoped rules (and
+    * `unavailable_after: <date>`) never match; the unscoped forms are
+    * what real servers emit for the PDF/doc case this gate exists for.
+    * Null-safe, builtin-only.
+    */
+  def headerNoindex(value: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = headerDirective(value, "noindex")
+
+  /** Generic X-Robots-Tag directive test (same conservative unscoped
+    * rule): `none` implies both noindex and nofollow per the
+    * documented format.
+    */
+  def headerDirective(value: org.apache.spark.sql.Column,
+                      directive: String): org.apache.spark.sql.Column =
+    coalesce(exists(split(lower(value), ","),
+      d => trim(d) === directive || trim(d) === "none"), lit(false))
+
   def gate(df: DataFrame, policiesDf: DataFrame, urlCol: String): DataFrame =
     verdict(df, policiesDf, urlCol)
       .where(col("robots_allowed"))

@@ -303,6 +303,69 @@ class CrawlCliSpec extends SparkSpec {
     }
   }
 
+  test("X-Robots-Tag: header noindex drops HTML pages AND PDFs under " +
+    "honor_noindex; honor off keeps both") {
+    def recH(uri: String, html: String, extra: String): Array[Byte] = {
+      val body = (s"HTTP/1.1 200 OK${crlf}Content-Type: text/html" +
+        s"$crlf$extra$crlf").getBytes("UTF-8") ++ html.getBytes("UTF-8")
+      val h = new StringBuilder("WARC/1.0").append(crlf)
+      h.append("WARC-Type: response").append(crlf)
+      h.append("WARC-Target-URI: ").append(uri).append(crlf)
+      h.append("WARC-Date: 2026-03-01T00:00:00Z").append(crlf)
+      h.append("Content-Type: application/http; msgtype=response")
+        .append(crlf)
+      h.append("Content-Length: ").append(body.length).append(crlf)
+        .append(crlf)
+      h.toString.getBytes("UTF-8") ++ body ++ (crlf + crlf).getBytes("UTF-8")
+    }
+    val dir = Files.createTempDirectory("graft_xrobots_in").toFile
+    val outdir = Files.createTempDirectory("graft_xrobots_out").toString
+    try {
+      val pdfBytes = graft.sources.PdfWriter.pdfBytes(
+        graft.sources.PdfWriter.Plant(
+          Seq(Seq(prose1 + " pdf appendix section")), compress = true))
+      val pdfBody = (s"HTTP/1.1 200 OK${crlf}Content-Type: " +
+        s"application/pdf${crlf}X-Robots-Tag: noindex$crlf$crlf")
+        .getBytes("UTF-8") ++ pdfBytes
+      val h = new StringBuilder("WARC/1.0").append(crlf)
+      h.append("WARC-Type: response").append(crlf)
+      h.append("WARC-Target-URI: https://x.example.org/hidden.pdf")
+        .append(crlf)
+      h.append("WARC-Date: 2026-03-01T00:00:00Z").append(crlf)
+      h.append("Content-Type: application/http; msgtype=response")
+        .append(crlf)
+      h.append("Content-Length: ").append(pdfBody.length).append(crlf)
+        .append(crlf)
+      val pdfRec = h.toString.getBytes("UTF-8") ++ pdfBody ++
+        (crlf + crlf).getBytes("UTF-8")
+      val warc =
+        gzip(recH("https://x.example.org/hidden", page(prose1),
+          s"X-Robots-Tag: noindex$crlf")) ++
+          gzip(recH("https://x.example.org/open", page(prose2),
+            s"X-Robots-Tag: noarchive$crlf")) ++
+          gzip(pdfRec)
+      Files.write(new java.io.File(dir, "x.warc.gz").toPath, warc)
+
+      val base = Map[String, Any](
+        "input" -> dir.getAbsolutePath, "outdir" -> outdir,
+        "keep_langs" -> Seq("en"),
+        "include_pdf" -> java.lang.Boolean.TRUE)
+      val r = Main.crawl(spark,
+        graft.config.CrawlConfig.from(base).toOption.get)
+      // html-with-noindex-header and the pdf both drop; noarchive stays
+      assert(r.dropped.getOrElse("robots_noindex", 0L) == 2L, r.toString)
+      assert(r.nKept == 1, r.toString)
+
+      val off = graft.config.CrawlConfig.from(base +
+        ("honor_noindex" -> java.lang.Boolean.FALSE)).toOption.get
+      val r2 = Main.crawl(spark, off.copy(outdir = outdir + "2"))
+      assert(!r2.dropped.contains("robots_noindex"))
+      assert(r2.nKept == 3, r2.toString)
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
   test("include_office: docx and epub responses join the decision stream") {
     val dir = Files.createTempDirectory("graft_crawl_office_in").toFile
     val outdir = Files.createTempDirectory("graft_crawl_office_out")

@@ -201,4 +201,22 @@ class RobotsTxtSpec extends SparkSpec {
     assert(v.map(_.getAs[Boolean]("robots_allowed")).toSeq ==
       Seq(false, true))
   }
+
+  test("headerNoindex: bare noindex/none match, scoped and other " +
+    "directives don't, null-safe") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val vals = Seq("noindex", "NOINDEX, nofollow", "noarchive, none",
+      "nofollow", "googlebot: noindex", "unavailable_after: 1 Jul 2027",
+      "nosnippet,  noindex ", null)
+    val got = vals.toDF("v")
+      .select(RobotsTxt.headerNoindex(col("v"))).as[Boolean].collect()
+    assert(got.toSeq == Seq(true, true, true, false, false, false,
+      true, false))
+    // the generic form: nofollow channel, none implies both
+    val nf = Seq("nofollow", "none", "noindex", null).toDF("v")
+      .select(RobotsTxt.headerDirective(col("v"), "nofollow"))
+      .as[Boolean].collect()
+    assert(nf.toSeq == Seq(true, true, false, false))
+  }
 }
