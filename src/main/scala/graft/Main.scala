@@ -656,6 +656,16 @@ object Main {
       case None => 0
     }
 
+    // JSONL export of the kept set — the HF-dump/dolma shard shape,
+    // re-ingestable through the bundle front door; same slim
+    // decision-table build side as the WET export
+    cfg.jsonlOutput.foreach { jdir =>
+      val keptIds = spark.read.parquet(decisionsPath)
+        .where(col("drop_reason").isNull).select(col("doc_id"))
+      graft.textops.JsonlWriter.writeJsonlFiles(
+        keptSurv.join(keptIds, Seq("doc_id")), "doc_id", "text", jdir)
+    }
+
     // the capture index (url, warc_date, http_status, etag,
     // last_modified): exactly the `captured` table the frontier's
     // recrawl channel consumes — the crawl→frontier incremental loop

@@ -3909,6 +3909,32 @@ object SparkEntry {
           qIdCol = "q_id", qVecCol = "q_emb", dupThreshold = 0.95)
         .withColumnRenamed("rank", "rnk")
         .orderBy(col("q_id"), col("rnk"))
+    }),
+
+    // JSONL export round trip over the REAL documents text (the q139
+    // pattern applied to the corpus-dump format): each doc renders as
+    // a two-line JSONL member through the RFC 8259 writer, re-ingests
+    // through JsonlDocs, and must come back byte-identical — newlines,
+    // quotes, and unicode in real text all ride the escaping
+    "q187_jsonl_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val docs = tSpread(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+      val members = docs.map { case (k, text) =>
+        (k, text, textops.JsonlWriter.line(k, text) + "\n" +
+          textops.JsonlWriter.line(k + 1000000L, s"meta $k"))
+      }.toDF("doc_id", "orig", "jsonl")
+      val back = textops.JsonlDocs.explodeJsonl(members, "doc_id",
+          "jsonl", fields = Seq("id"))
+        .where(col("error").isNull)
+      back.join(members.select(col("doc_id"), col("orig")), Seq("doc_id"))
+        .select(col("doc_id"), col("line_idx").cast("long").as("line_idx"),
+          col("id").cast("long").as("jid"),
+          when(col("line_idx") === 0, col("text") === col("orig"))
+            .otherwise(col("text") ===
+              concat(lit("meta "), col("doc_id"))).as("round_trip"),
+          length(col("text")).cast("long").as("n_chars"))
+        .orderBy(col("doc_id"), col("line_idx"))
     })
   )
 
@@ -9299,7 +9325,20 @@ object SparkEntry {
         |  FROM sc WHERE cos < 0.95)
         |SELECT q_id, rnk, vec_id, cos, n_dups_excluded
         |FROM neg JOIN dup USING (q_id)
-        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+
+    // two rows per doc: the real text's length for line 0 (escaping
+    // must be lossless, so n_chars is the ORIGINAL length), the meta
+    // line closed-form for line 1; round_trip true everywhere
+    "q187_jsonl_roundtrip" ->
+      """SELECT doc_id, CAST(ln AS BIGINT) AS line_idx,
+        |  CAST(CASE WHEN ln = 0 THEN doc_id
+        |    ELSE doc_id + 1000000 END AS BIGINT) AS jid,
+        |  true AS round_trip,
+        |  CAST(CASE WHEN ln = 0 THEN len(text)
+        |    ELSE len('meta ' || doc_id) END AS BIGINT) AS n_chars
+        |FROM documents, (SELECT unnest([0, 1]) AS ln)
+        |ORDER BY doc_id, line_idx""".stripMargin
   )
 
   /** Shared q172/q173 oracle prefix: the planted multi-paragraph text

@@ -98,7 +98,8 @@ final case class CrawlConfig(input: String, outdir: String,
                              hostRankKeepFraction: Double = 0.0,
                              resolveRedirects: Boolean = false,
                              capturesOutput: Option[String] = None,
-                             repairMojibake: Boolean = false)
+                             repairMojibake: Boolean = false,
+                             jsonlOutput: Option[String] = None)
 
 object CrawlConfig {
 
@@ -108,7 +109,7 @@ object CrawlConfig {
     "input_partitions", "include_pdf", "include_office",
     "wat_output", "host_rank_output", "host_rank_iterations",
     "host_rank_keep_fraction", "resolve_redirects", "captures_output",
-    "repair_mojibake")
+    "repair_mojibake", "jsonl_output")
 
   /** Parse + validate; Left = every problem found (not just the first). */
   def from(raw: Map[String, Any]): Either[Seq[String], CrawlConfig] = {
@@ -229,6 +230,12 @@ object CrawlConfig {
         "(the rank vector this gate consumes)"
     val resolveRedirects = boolOpt("resolve_redirects", default = false)
     val repairMojibake = boolOpt("repair_mojibake", default = false)
+    val jsonlOut = raw.get("jsonl_output") match {
+      case Some(s: String) if s.nonEmpty => Some(s)
+      case Some(null) | None | Some("") => None
+      case Some(other) =>
+        err(s"jsonl_output: expected string, got '$other'", None)
+    }
     val capturesOut = raw.get("captures_output") match {
       case Some(s: String) if s.nonEmpty => Some(s)
       case Some(null) | None => None
@@ -241,6 +248,7 @@ object CrawlConfig {
     else Right(CrawlConfig(input, outdir, keepLangs, minHost, maxHost,
       tHead, tMid, honorNoindex, robotsUa, wetOut, cdxOut, parts.toInt,
       includePdf, includeOffice, watOut, rankOut, rankIters.toInt,
-      rankKeep, resolveRedirects, capturesOut, repairMojibake))
+      rankKeep, resolveRedirects, capturesOut, repairMojibake,
+      jsonlOut))
   }
 }

@@ -1,0 +1,103 @@
+package graft.textops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** JSONL corpus export — the write half of [[JsonlDocs]] and the shape
+  * published training corpora actually ship in (HF dumps, dolma-style
+  * bundles): one JSON object per line, gzip-membered shards. Together
+  * with the WET exporter this closes the bundle wing's symmetry: what
+  * the engine can ingest, it can emit, byte-replayable.
+  *
+  * Escaping is RFC 8259 exact (quote, backslash, the short escapes,
+  * `\u00XX` for remaining control chars; non-ASCII passes through as
+  * UTF-8 — the JSON default and what keeps shards diff-able), so a
+  * document containing newlines stays ONE line — the property the
+  * line-oriented reader depends on.
+  *
+  * File sink = the [[graft.sources.WarcWriter]] discipline: one
+  * `.jsonl.gz` per non-empty partition via foreachPartition through
+  * the Hadoop fs API, records streamed line by line (per-record
+  * memory), deterministic part names, count via accumulator.
+  */
+object JsonlWriter {
+
+  /** RFC 8259 string escape (without the surrounding quotes). */
+  def escape(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length + 8)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      c match {
+        case '"' => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case '\b' => sb.append("\\b")
+        case '\f' => sb.append("\\f")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case ctrl if ctrl < 0x20 => sb.append(f"\\u${ctrl.toInt}%04x")
+        case other => sb.append(other)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** One JSONL object line: `{"id": <id>, "text": "<escaped>"}` plus
+    * optional extra string fields (null values emit JSON null).
+    */
+  def line(id: Long, text: String,
+           extra: Seq[(String, String)] = Nil): String = {
+    val sb = new java.lang.StringBuilder(64 +
+      (if (text == null) 0 else text.length))
+    sb.append("{\"id\": ").append(id).append(", \"text\": ")
+    if (text == null) sb.append("null")
+    else sb.append('"').append(escape(text)).append('"')
+    for ((k, v) <- extra) {
+      sb.append(", \"").append(escape(k)).append("\": ")
+      if (v == null) sb.append("null")
+      else sb.append('"').append(escape(v)).append('"')
+    }
+    sb.append('}')
+    sb.toString
+  }
+
+  /** Write `(idCol, textCol)` as gzip JSONL shards under `dir` — one
+    * `part-NNNNN.jsonl.gz` per non-empty partition. Returns the shard
+    * count. Re-ingestable via [[JsonlDocs.explodeJsonl]] /
+    * [[graft.textops.DocRoute]] (`.jsonl.gz` routes through the outer
+    * strip).
+    */
+  def writeJsonlFiles(df: DataFrame, idCol: String, textCol: String,
+                      dir: String): Int = {
+    val spark = df.sparkSession
+    val bconf = spark.sparkContext.broadcast(
+      new org.apache.spark.SerializableWritable(
+        spark.sparkContext.hadoopConfiguration))
+    val slim = df.select(col(idCol).cast("long"),
+      col(textCol).cast("string"))
+    val written = spark.sparkContext.longAccumulator("jsonl_files")
+    slim.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      if (it.hasNext) {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val path = new org.apache.hadoop.fs.Path(
+          dir, f"part-$pid%05d.jsonl.gz")
+        val fs = path.getFileSystem(bconf.value.value)
+        val out = fs.create(path, true)
+        val gz = new java.util.zip.GZIPOutputStream(out)
+        try {
+          it.foreach { r =>
+            gz.write(line(r.getLong(0), r.getString(1))
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            gz.write('\n')
+          }
+        } finally {
+          gz.close()
+        }
+        written.add(1L)
+      }
+    }
+    written.value.toInt
+  }
+}

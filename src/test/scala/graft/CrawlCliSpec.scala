@@ -817,6 +817,42 @@ class CrawlCliSpec extends SparkSpec {
     }
   }
 
+  test("jsonl_output: kept docs export as gzip JSONL shards that " +
+    "re-ingest identically") {
+    val dir = Files.createTempDirectory("graft_jsonl_in").toFile
+    val outdir = Files.createTempDirectory("graft_jsonl_out").toString
+    val jdir = Files.createTempDirectory("graft_jsonl_shards").toString
+    try {
+      val warc = gzip(rec("https://j.example.org/a", page(prose1))) ++
+        gzip(rec("https://j.example.org/b", page(prose2)))
+      Files.write(new java.io.File(dir, "j.warc.gz").toPath, warc)
+      val cfg = graft.config.CrawlConfig.from(Map(
+        "input" -> dir.getAbsolutePath, "outdir" -> outdir,
+        "keep_langs" -> Seq("en"), "jsonl_output" -> jdir)).toOption.get
+      val r = Main.crawl(spark, cfg)
+      assert(r.nKept == 2)
+      import spark.implicits._
+      val members = new java.io.File(jdir).listFiles()
+        .filter(_.getName.endsWith(".jsonl.gz"))
+        .map(f => (f.getName, Files.readAllBytes(f.toPath))).toSeq
+        .toDF("name", "payload")
+      val back = graft.textops.JsonlDocs.explodeJsonl(
+          graft.textops.DocRoute.routedDocs(members, "name", "payload")
+            .select(col("name"), col("text").as("jsonl")),
+          "name", "jsonl", fields = Seq("id"))
+        .where(col("error").isNull)
+      assert(back.count() == 2)
+      // the exported ids are exactly the kept decision rows
+      val keptIds = spark.read.parquet(outdir + "/decisions.parquet")
+        .where("drop_reason is null").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(back.select(col("id").cast("long")).collect()
+        .map(_.getLong(0)).toSet == keptIds)
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
   test("crawl: empty input is a clean no-op report, not a crash") {
     val dir = Files.createTempDirectory("graft_crawl_empty").toFile
     try {

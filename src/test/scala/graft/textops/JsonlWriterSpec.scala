@@ -1,0 +1,73 @@
+package graft.textops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** JSONL export: RFC 8259 escaping, the one-doc-one-line invariant,
+  * and the file-sink round trip through the repo's own readers.
+  */
+class JsonlWriterSpec extends SparkSpec {
+
+  test("escape: every control path, unicode passthrough") {
+    assert(JsonlWriter.escape("""plain""") == "plain")
+    assert(JsonlWriter.escape("a\"b\\c") == "a\\\"b\\\\c")
+    assert(JsonlWriter.escape("l1\nl2\tt\r\b\f") ==
+      "l1\\nl2\\tt\\r\\b\\f")
+    assert(JsonlWriter.escape("x") == "\\u0001x\\u001f")
+    assert(JsonlWriter.escape("café 你好 😀") == "café 你好 😀")
+  }
+
+  test("line: well-formed JSON, nulls, extra fields") {
+    assert(JsonlWriter.line(7L, "hi") == """{"id": 7, "text": "hi"}""")
+    assert(JsonlWriter.line(7L, null) == """{"id": 7, "text": null}""")
+    assert(JsonlWriter.line(1L, "a", Seq("lang" -> "en", "u" -> null)) ==
+      """{"id": 1, "text": "a", "lang": "en", "u": null}""")
+  }
+
+  test("roundtrip: nasty text survives write -> JsonlDocs parse") {
+    import spark.implicits._
+    val texts = Seq(
+      (1L, "multi\nline\ntext with \"quotes\" and \\slashes\\"),
+      (2L, "tabs\tand\rcarriage plus unicode é你😀"),
+      (3L, "{\"looks\": \"like json\"}"),
+      (4L, ""))
+    val member = texts.map { case (k, t) => JsonlWriter.line(k, t) }
+      .mkString("\n")
+    val parsed = JsonlDocs.explodeJsonl(
+        Seq((0L, member)).toDF("mid", "jsonl"), "mid", "jsonl")
+      .where(col("error").isNull)
+      .select(col("line_idx"), col("text")).collect()
+      .map(r => (r.getInt(0), r.getString(1)))
+    // empty-string text parses as "" (present, not missing)
+    assert(parsed.toSeq == texts.zipWithIndex
+      .map { case ((_, t), i) => (i, t) })
+  }
+
+  test("file sink: shards write, re-ingest through DocRoute identical") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("jsonl-out").toString
+    val docs = (0L until 40L).map(k => (k, s"doc $k\nsecond line $k"))
+      .toDF("doc_id", "text").repartition(3)
+    val n = JsonlWriter.writeJsonlFiles(docs, "doc_id", "text", dir)
+    assert(n >= 1 && n <= 3)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".jsonl.gz")).sortBy(_.getName)
+    assert(files.length == n)
+    // route back through the bundle front door (outer gz strip + jsonl
+    // kind) and explode: identical (id, text) set
+    val members = files.map(f =>
+      (f.getName, Files.readAllBytes(f.toPath))).toSeq
+      .toDF("name", "payload")
+    val routed = DocRoute.routedDocs(members, "name", "payload")
+    assert(routed.where(col("doc_error").isNotNull).count() == 0)
+    val back = JsonlDocs.explodeJsonl(
+        routed.select(col("name"), col("text").as("jsonl")),
+        "name", "jsonl", fields = Seq("id"))
+      .where(col("error").isNull)
+      .select(col("id").cast("long"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(back == (0L until 40L)
+      .map(k => (k, s"doc $k\nsecond line $k")).toSet)
+  }
+}
