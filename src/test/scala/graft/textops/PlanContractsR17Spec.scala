@@ -1,0 +1,82 @@
+package graft.textops
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+/** Plan contracts for the round-17 operator families: what must NOT
+  * shuffle, and which scans must stay single-stage. The 100 TB claims
+  * in the Scaladocs are asserted here against the actual plans.
+  */
+class PlanContractsR17Spec extends SparkSpec {
+
+  private def exchanges(df: DataFrame) = {
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      df.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("code curation is a pure scan: zero exchanges end-to-end") {
+    import spark.implicits._
+    val files = (1L to 20L).map(k =>
+      (k, s"f$k.py", s"# SPDX-License-Identifier: MIT\nprint($k)"))
+      .toDF("id", "name", "text")
+    assert(exchanges(CodeOps.codeDecisions(files, "id", "name", "text"))
+      .isEmpty)
+  }
+
+  test("token chunking is a pure scan: zero exchanges, codegen spans") {
+    import spark.implicits._
+    val docs = (1L to 20L).map(k => (k, s"some words $k " * 30))
+      .toDF("id", "text")
+    val chunks = TextFunctions.tokenChunks(docs, "id", "text", 64, 48)
+    assert(exchanges(chunks).isEmpty)
+    // the whole expansion stays inside ONE codegen stage (the `*(1)`
+    // markers in the collapsed plan string)
+    val plan = chunks.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)") && !plan.contains("*(2)"),
+      plan.take(400))
+  }
+
+  test("mojibake repair and script audit add no exchange to a scan") {
+    import spark.implicits._
+    val docs = (1L to 20L).map(k => (k, s"café doc $k")).toDF("id", "text")
+    val out = docs.select(col("id"),
+      graft.functions.RepairMojibake(col("text")).as("fixed"),
+      TextFunctions.dominantScript(col("text")).as("ds"),
+      TextFunctions.scriptMixed(col("text")).as("mix"))
+    assert(exchanges(out).isEmpty)
+  }
+
+  test("winnowing pair finder: text never reaches an exchange — only " +
+    "(id, pos, hash32) fingerprint rows shuffle") {
+    import spark.implicits._
+    val docs = (1L to 30L).map(k => (k, s"document $k body text " * 5))
+      .toDF("id", "text")
+    val pairs = Winnowing.sharedPairs(
+      Winnowing.fingerprintDf(docs, "id", "text"), "id")
+    val ex = exchanges(pairs)
+    assert(ex.nonEmpty) // the hash-equality join must shuffle…
+    ex.foreach { e =>
+      val names = e.output.map(_.name.toLowerCase).toSet
+      assert(!names.contains("text"),
+        s"text reached an exchange: ${e.output.map(_.name)}")
+    }
+  }
+
+  test("chat parse/audit/flatten: zero exchanges") {
+    import spark.implicits._
+    val convs = (1L to 10L).map(k =>
+      (k, s"""{"messages": [{"role": "user", "content": "q $k"}, """ +
+        s"""{"role": "assistant", "content": "a $k"}]}"""))
+      .toDF("id", "j")
+    val out = convs.select(col("id"),
+      ChatData.chatReasons(col("j")).as("r"),
+      ChatData.flatten(col("j")).as("f"))
+    assert(exchanges(out).isEmpty)
+  }
+}
