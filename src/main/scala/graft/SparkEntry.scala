@@ -3935,6 +3935,32 @@ object SparkEntry {
               concat(lit("meta "), col("doc_id"))).as("round_trip"),
           length(col("text")).cast("long").as("n_chars"))
         .orderBy(col("doc_id"), col("line_idx"))
+    }),
+
+    // Incremental dedup — two epochs over the real corpus: epoch 1
+    // accepts the even docs (in-batch min-id election over normalized
+    // text), the snapshot advances, epoch 2 offers EVERYTHING plus
+    // planted exact duplicates at +200000 — survivors are exactly the
+    // texts the snapshot has never seen, smallest id first; the oracle
+    // replays both epochs with normalized text as the identity key
+    "q188_incremental_dedup" -> ((s, dir) => {
+      val docs = tSpread(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val batch1 = docs.filter(col("doc_id") % 2 === 0)
+      val empty = batch1
+        .select(textops.TextFunctions.fingerprint64(col("text")).as("fp"))
+        .limit(0)
+      val surv1 = textops.IncrementalDedup.dedupBatch(empty, batch1,
+        "doc_id", "text")
+      val snap1 = textops.IncrementalDedup.advanceSnapshot(empty, surv1)
+      val batch2 = docs.unionByName(
+        docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 200000L).as("doc_id"), col("text")))
+      textops.IncrementalDedup.dedupBatch(snap1, batch2, "doc_id", "text")
+        .select(col("doc_id"),
+          md5(encode(textops.TextFunctions.normalized(col("text")),
+            "UTF-8")).as("norm_md5"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -9338,7 +9364,23 @@ object SparkEntry {
         |  CAST(CASE WHEN ln = 0 THEN len(text)
         |    ELSE len('meta ' || doc_id) END AS BIGINT) AS n_chars
         |FROM documents, (SELECT unnest([0, 1]) AS ln)
-        |ORDER BY doc_id, line_idx""".stripMargin
+        |ORDER BY doc_id, line_idx""".stripMargin,
+
+    // both epochs replayed with normalized text as the dedup identity
+    // (the fingerprint's equivalence classes, engine-independently)
+    "q188_incremental_dedup" ->
+      """WITH norm AS (SELECT doc_id,
+        |  lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS nt
+        |  FROM documents),
+        |b1 AS (SELECT doc_id, nt FROM norm WHERE doc_id % 2 = 0),
+        |snap1 AS (SELECT DISTINCT nt FROM b1),
+        |b2 AS (SELECT doc_id, nt FROM norm
+        |  UNION ALL
+        |  SELECT doc_id + 200000, nt FROM norm WHERE doc_id % 5 = 0),
+        |e2 AS (SELECT nt, min(doc_id) AS doc_id FROM b2 GROUP BY 1)
+        |SELECT doc_id, md5(nt) AS norm_md5 FROM e2
+        |WHERE nt NOT IN (SELECT nt FROM snap1)
+        |ORDER BY doc_id""".stripMargin
   )
 
   /** Shared q172/q173 oracle prefix: the planted multi-paragraph text

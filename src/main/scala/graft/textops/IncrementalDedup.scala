@@ -1,0 +1,49 @@
+package graft.textops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental corpus dedup — the cron-job shape of exact dedup: each
+  * new batch dedups (a) against the accumulated FINGERPRINT SNAPSHOT
+  * of everything already accepted and (b) within itself, then the
+  * snapshot advances by exactly the survivors' fingerprints. The
+  * reference's download flow has the same incremental contract (only
+  * NOT-yet-downloaded segments enter a new run —
+  * `stream2segment/download/modules/segments.py`'s already-downloaded
+  * semi-join); here the identity is the text fingerprint instead of
+  * the segment key, and [[graft.streaming.CorpusStream]]'s watermarked
+  * dedup is the streaming twin of the same idea with bounded state.
+  *
+  * Scale shape: the snapshot is a SLIM (fingerprint) table — 8 bytes a
+  * document, parquet-friendly, shuffle-partitioned on the join key; a
+  * batch joins it once (anti-join, AQE picks broadcast while the
+  * snapshot is small) plus one within-batch min-id election. Text
+  * never rides either shuffle.
+  */
+object IncrementalDedup {
+
+  /** Survivors of `batch` against `snapshot` (a 1-column `fp` frame,
+    * possibly empty): in-batch duplicates elect the smallest id per
+    * fingerprint, snapshot hits drop entirely. Output: the batch's
+    * rows (all columns) for survivors, plus a `fp` column.
+    */
+  def dedupBatch(snapshot: DataFrame, batch: DataFrame, idCol: String,
+                 textCol: String): DataFrame = {
+    val withFp = batch.withColumn("fp",
+      TextFunctions.fingerprint64(col(textCol)))
+    val firstIds = withFp.groupBy(col("fp"))
+      .agg(min(col(idCol)).as("__keep_id"))
+    withFp
+      .join(firstIds, Seq("fp"))
+      .where(col(idCol) === col("__keep_id"))
+      .drop("__keep_id")
+      .join(snapshot.select(col("fp")), Seq("fp"), "left_anti")
+  }
+
+  /** The advanced snapshot: prior fingerprints plus the survivors'. */
+  def advanceSnapshot(snapshot: DataFrame,
+                      survivors: DataFrame): DataFrame =
+    snapshot.select(col("fp"))
+      .unionByName(survivors.select(col("fp")))
+      .distinct()
+}

@@ -1,0 +1,33 @@
+package graft.textops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Incremental dedup: in-batch election, snapshot anti-join, snapshot
+  * advance, idempotence.
+  */
+class IncrementalDedupSpec extends SparkSpec {
+
+  test("two-epoch flow: in-batch dups elect min id, snapshot hits " +
+    "drop, snapshot advances, re-offered batch is a no-op") {
+    import spark.implicits._
+    val b1 = Seq((2L, "alpha text"), (4L, "Alpha  text"), // same normalized
+      (6L, "beta text")).toDF("doc_id", "text")
+    val empty = b1.select(TextFunctions.fingerprint64(col("text"))
+      .as("fp")).limit(0)
+    val s1 = IncrementalDedup.dedupBatch(empty, b1, "doc_id", "text")
+    assert(s1.select("doc_id").as[Long].collect().toSet == Set(2L, 6L))
+    val snap1 = IncrementalDedup.advanceSnapshot(empty, s1)
+    assert(snap1.count() == 2)
+    // epoch 2: one snapshot hit, one in-batch dup pair, one fresh doc
+    val b2 = Seq((1L, "beta text"), (3L, "gamma text"),
+      (5L, "gamma  TEXT"), (7L, "delta text")).toDF("doc_id", "text")
+    val s2 = IncrementalDedup.dedupBatch(snap1, b2, "doc_id", "text")
+    assert(s2.select("doc_id").as[Long].collect().toSet == Set(3L, 7L))
+    val snap2 = IncrementalDedup.advanceSnapshot(snap1, s2)
+    assert(snap2.count() == 4)
+    // idempotence: re-offering an accepted batch yields nothing
+    assert(IncrementalDedup.dedupBatch(snap2, b2, "doc_id", "text")
+      .count() == 0)
+  }
+}
