@@ -805,6 +805,17 @@ object Main {
         col("drop_reason"), col("avg_logprob"), col("bucket"))
       .write.mode("overwrite").parquet(decisionsPath)
 
+    // JSONL export of the kept prose corpus (the curated docs leave in
+    // the same shape dataset bundles arrive in; kept CODE text lives in
+    // code_decisions.parquet with its redaction — a code export is the
+    // out_text column, deliberately not duplicated here)
+    cfg.jsonlOutput.foreach { jdir =>
+      val keptIds = spark.read.parquet(decisionsPath)
+        .where(col("drop_reason").isNull).select(col("doc_id"))
+      graft.textops.JsonlWriter.writeJsonlFiles(
+        docs.join(keptIds, Seq("doc_id")), "doc_id", "text", jdir)
+    }
+
     // pass 2: what the curation never saw, and why (the crawl_audit
     // trade — recomputing the scan beats persisting inflated members)
     val audit = routed

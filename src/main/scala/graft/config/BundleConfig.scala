@@ -12,13 +12,15 @@ final case class BundleConfig(input: String, outdir: String,
                               inputPartitions: Int,
                               includeCode: Boolean = false,
                               permissiveOnly: Boolean = true,
-                              redactSecrets: Boolean = true)
+                              redactSecrets: Boolean = true,
+                              jsonlOutput: Option[String] = None)
 
 object BundleConfig {
 
   private val Known = Set("input", "outdir", "keep_langs",
     "t_head", "t_mid", "jsonl_text_field", "input_partitions",
-    "include_code", "permissive_only", "redact_secrets")
+    "include_code", "permissive_only", "redact_secrets",
+    "jsonl_output")
 
   def from(raw: Map[String, Any]): Either[Seq[String], BundleConfig] = {
     val errs = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -87,6 +89,12 @@ object BundleConfig {
     val includeCode = boolOpt("include_code", default = false)
     val permissiveOnly = boolOpt("permissive_only", default = true)
     val redactSecrets = boolOpt("redact_secrets", default = true)
+    val jsonlOut = raw.get("jsonl_output") match {
+      case Some(s: String) if s.nonEmpty => Some(s)
+      case Some(null) | None | Some("") => None
+      case Some(other) =>
+        err(s"jsonl_output: expected string, got '$other'", None)
+    }
     // code-branch knobs without the branch itself are a config typo
     if (!includeCode && !errs.exists(_.startsWith("include_code")) &&
       (raw.contains("permissive_only") || raw.contains("redact_secrets")))
@@ -95,6 +103,6 @@ object BundleConfig {
     if (errs.nonEmpty) Left(errs.toSeq)
     else Right(BundleConfig(input, outdir, keepLangs, tHead, tMid,
       textField, parts.toInt, includeCode, permissiveOnly,
-      redactSecrets))
+      redactSecrets, jsonlOut))
   }
 }

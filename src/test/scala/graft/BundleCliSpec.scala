@@ -154,6 +154,35 @@ class BundleCliSpec extends SparkSpec {
       .exists(_.contains("require include_code")))
   }
 
+  test("bundle jsonl_output: kept prose docs export and re-ingest") {
+    import graft.sources.TarArchive
+    val dir = Files.createTempDirectory("bundle-jsonl-in").toFile
+    val out = Files.createTempDirectory("bundle-jsonl-out").toFile
+    val jdir = Files.createTempDirectory("bundle-jsonl-shards").toString
+    val tar = TarArchive.plantTar(Seq(
+      ("a.txt", (prose1 + " one").getBytes("UTF-8")),
+      ("b.txt", (prose2 + " two").getBytes("UTF-8")),
+      ("short.txt", "too short".getBytes("UTF-8"))), gzipOuter = true)
+    Files.write(new java.io.File(dir, "j.tar.gz").toPath, tar)
+    val cfg = graft.config.BundleConfig.from(Map(
+      "input" -> dir.getAbsolutePath, "outdir" -> out.getAbsolutePath,
+      "keep_langs" -> Seq("en"), "jsonl_output" -> jdir)).toOption.get
+    val r = Main.bundle(spark, cfg)
+    assert(r.nKept == 2, r.toString)
+    import spark.implicits._
+    val members = new java.io.File(jdir).listFiles()
+      .filter(_.getName.endsWith(".jsonl.gz"))
+      .map(f => (f.getName, Files.readAllBytes(f.toPath))).toSeq
+      .toDF("name", "payload")
+    val back = graft.textops.JsonlDocs.explodeJsonl(
+        graft.textops.DocRoute.routedDocs(members, "name", "payload")
+          .select(col("name"), col("text").as("jsonl")),
+        "name", "jsonl")
+      .where(col("error").isNull)
+      .select("text").as[String].collect().toSet
+    assert(back == Set(prose1 + " one", prose2 + " two"))
+  }
+
   test("bundle over an empty directory is a no-op report") {
     val dir = Files.createTempDirectory("bundle-empty").toFile
     val out = Files.createTempDirectory("bundle-empty-out").toFile
