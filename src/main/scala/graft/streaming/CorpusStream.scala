@@ -175,6 +175,20 @@ object CorpusStream {
     docs.filter(keep)
   }
 
+  /** Stateless streaming code-curation gate — the live twin of the
+    * bundle CLI's code branch: [[graft.textops.CodeOps.codeDecisions]]
+    * is a pure projection (license ladder, quality reasons, secret
+    * redaction — no aggregation, no state), so applying it to a
+    * streaming frame IS the batch semantics per micro-batch; batch ≡
+    * stream asserted in the spec. A live ingestion feed of repository
+    * pushes dedups/curates without replaying history.
+    */
+  def codeGate(docs: DataFrame, idCol: String, nameCol: String,
+               textCol: String, permissiveOnly: Boolean = true,
+               redact: Boolean = true): DataFrame =
+    graft.textops.CodeOps.codeDecisions(docs, idCol, nameCol, textCol,
+      permissiveOnly, redact)
+
   /** Stateless streaming decontamination gate — the live counterpart of
     * [[graft.textops.Decontaminate.overlapBloom]]: a Bloom filter is
     * built ONCE over the (static) benchmark's distinct char-n-gram
