@@ -197,7 +197,10 @@ object ScaleSmoke {
     // anchors fixed, corpus scales, so the exponent must stay linear
     // in the scan, flat in the rank state)
     "q183_sentences", "q184_sentence_chunks", "q185_binary_search",
-    "q186_hard_negatives")
+    "q186_hard_negatives",
+    // JSONL writer/parser roundtrip (scan class) and incremental dedup
+    // (fingerprint anti-join + min-id election — two slim shuffles)
+    "q187_jsonl_roundtrip", "q188_incremental_dedup")
 
   /** Deliberate 100×-sweep exclusions, each with its bound stated
     * (PERF_NOTES items 5/8/19/57): q77's pinned-k SemDeDup control is
