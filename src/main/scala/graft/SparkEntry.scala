@@ -3961,6 +3961,21 @@ object SparkEntry {
           md5(encode(textops.TextFunctions.normalized(col("text")),
             "UTF-8")).as("norm_md5"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Margin-based bitext mining (Artetxe-Schwenk 2019, the CCMatrix
+    // algorithm) over the real embeddings split by id parity: ratio
+    // margin normalizes cosine by each side's k-NN neighborhood
+    // density, acceptance needs mutual top-1 + threshold; the oracle
+    // replays BOTH direction rankings, both neighborhood averages, the
+    // margin arithmetic, and the mutuality join genuinely
+    "q189_bitext_mining" -> ((s, dir) => {
+      val emb = tSpread(s, dir, "embeddings")
+      val src = emb.filter(col("vec_id") % 2 === 0)
+      val tgt = emb.filter(col("vec_id") % 2 === 1)
+      sim.Bitext.minePairs(src, tgt, k = 4,
+          idCol = "vec_id", vecCol = "embedding", threshold = 1.06)
+        .orderBy(col("src_id"))
     })
   )
 
@@ -9380,7 +9395,47 @@ object SparkEntry {
         |e2 AS (SELECT nt, min(doc_id) AS doc_id FROM b2 GROUP BY 1)
         |SELECT doc_id, md5(nt) AS norm_md5 FROM e2
         |WHERE nt NOT IN (SELECT nt FROM snap1)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // full genuine replay: both direction rankings (rounded cosine,
+    // id tie-break), k=4 neighborhood averages, ratio margin, mutual
+    // top-1 intersection, threshold at the exposed precision
+    "q189_bitext_mining" ->
+      """WITH s AS (SELECT vec_id AS src_id, embedding AS sv
+        |  FROM embeddings WHERE vec_id % 2 = 0),
+        |t AS (SELECT vec_id AS tgt_id, embedding AS tv
+        |  FROM embeddings WHERE vec_id % 2 = 1),
+        |x AS (SELECT src_id, tgt_id,
+        |  round(list_cosine_similarity(
+        |    list_transform(sv, v -> CAST(v AS DOUBLE)),
+        |    list_transform(tv, v -> CAST(v AS DOUBLE))), 6) AS cos
+        |  FROM s, t),
+        |fwd AS (SELECT src_id, tgt_id, cos,
+        |  row_number() OVER (PARTITION BY src_id
+        |    ORDER BY cos DESC, tgt_id) AS r FROM x),
+        |bwd AS (SELECT src_id, tgt_id, cos,
+        |  row_number() OVER (PARTITION BY tgt_id
+        |    ORDER BY cos DESC, src_id) AS r FROM x),
+        |sa AS (SELECT src_id,
+        |  CAST(SUM(CAST(round(cos * 1e6) AS BIGINT)) AS BIGINT)
+        |    AS src_sum, CAST(COUNT(*) AS BIGINT) AS src_n
+        |  FROM fwd WHERE r <= 4 GROUP BY 1),
+        |ta AS (SELECT tgt_id,
+        |  CAST(SUM(CAST(round(cos * 1e6) AS BIGINT)) AS BIGINT)
+        |    AS tgt_sum, CAST(COUNT(*) AS BIGINT) AS tgt_n
+        |  FROM bwd WHERE r <= 4 GROUP BY 1),
+        |f1 AS (SELECT src_id, tgt_id, cos FROM fwd WHERE r = 1),
+        |b1 AS (SELECT tgt_id, src_id AS bwd_src_id FROM bwd WHERE r = 1)
+        |SELECT f1.src_id, f1.tgt_id, f1.cos,
+        |  round((CAST(round(f1.cos * 1e6) AS BIGINT) * 2.0 * src_n *
+        |    tgt_n) / (src_sum * tgt_n + tgt_sum * src_n), 6) AS margin,
+        |  (COALESCE(bwd_src_id = f1.src_id, false) AND
+        |   round((CAST(round(f1.cos * 1e6) AS BIGINT) * 2.0 * src_n *
+        |     tgt_n) / (src_sum * tgt_n + tgt_sum * src_n), 6) >= 1.06)
+        |    AS accepted
+        |FROM f1 JOIN sa USING (src_id) JOIN ta USING (tgt_id)
+        |  LEFT JOIN b1 USING (tgt_id)
+        |ORDER BY src_id""".stripMargin
   )
 
   /** Shared q172/q173 oracle prefix: the planted multi-paragraph text

@@ -1,0 +1,82 @@
+package graft.sim
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Margin-based bitext mining — Artetxe & Schwenk 2019, the algorithm
+  * behind the CCMatrix/CCAligned parallel corpora: a raw cosine
+  * threshold cannot separate translations from merely-related
+  * sentences because cosine scales vary by region of the embedding
+  * space, so candidates are scored by the RATIO margin
+  *
+  *   margin(x, y) = cos(x, y) / (0.5 · (avgNN_k(x) + avgNN_k(y)))
+  *
+  * where avgNN_k is the mean cosine of a vector's k nearest neighbors
+  * on the OTHER side — a local density normalizer. A pair is accepted
+  * when each side is the other's best candidate (mutual top-1) and the
+  * margin clears a threshold.
+  *
+  * Scale shape: two bounded-TopK passes (src→tgt, tgt→src — each the
+  * brute-force broadcast form here; swap [[Ivf]] probes in past the
+  * flat crossover exactly like the search family), two tiny avg-NN
+  * aggregates (k rows per id), one join to intersect directions. All
+  * scores round to 6 dp before comparison so thresholds replay
+  * engine-independently; ties to the smaller id everywhere.
+  */
+object Bitext {
+
+  /** Mutual-top-1 margin-scored pairs: (src id, tgt id, cos, margin,
+    * accepted). `k` is the avg-NN depth (the paper's 4). Candidates =
+    * each src's top-1 tgt; `accepted` additionally requires the tgt's
+    * top-1 src to be this src (mutuality) and margin >= `threshold`.
+    * The non-mutual and sub-threshold candidates stay in the output
+    * (flagged false) so mining yield is auditable.
+    */
+  def minePairs(src: DataFrame, tgt: DataFrame, k: Int,
+                idCol: String, vecCol: String,
+                threshold: Double = 1.06): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val s = src.select(col(idCol).as("src_id"), col(vecCol).as("src_vec"))
+    val t = tgt.select(col(idCol).as("tgt_id"), col(vecCol).as("tgt_vec"))
+    // src -> tgt neighborhoods (top k by rounded cosine, id tie-break)
+    val fwd = Cosine.bruteForceTopK(
+      t.select(col("tgt_id").as(idCol), col("tgt_vec").as(vecCol)),
+      s.select(col("src_id").as("q_id"), col("src_vec").as("q_vec")),
+      k, idCol, vecCol, "q_id", "q_vec")
+      .select(col("q_id").as("src_id"), col("rank"),
+        col(idCol).as("tgt_id"), col("cos"))
+    val bwd = Cosine.bruteForceTopK(
+      s.select(col("src_id").as(idCol), col("src_vec").as(vecCol)),
+      t.select(col("tgt_id").as("q_id"), col("tgt_vec").as("q_vec")),
+      k, idCol, vecCol, "q_id", "q_vec")
+      .select(col("q_id").as("tgt_id"), col("rank"),
+        col(idCol).as("src_id"), col("cos"))
+    // neighborhood sums in MICRO-COSINE integers: the margin must
+    // replay bit-identically in an independent engine, and averaging
+    // rounded doubles is last-ulp order-sensitive — summing exact
+    // round(cos*1e6) longs and dividing ONCE is not
+    val c6 = round(col("cos") * 1e6).cast("long")
+    val srcAvg = fwd.groupBy(col("src_id"))
+      .agg(sum(c6).as("src_sum"), count(lit(1)).as("src_n"))
+    val tgtAvg = bwd.groupBy(col("tgt_id"))
+      .agg(sum(c6).as("tgt_sum"), count(lit(1)).as("tgt_n"))
+    val fwd1 = fwd.where(col("rank") === 1)
+      .select(col("src_id"), col("tgt_id"), col("cos"))
+    val bwd1 = bwd.where(col("rank") === 1)
+      .select(col("tgt_id"), col("src_id").as("bwd_src_id"))
+    // margin = cos / (0.5·(srcSum/n + tgtSum/m)) with every operand an
+    // exact integer: 2·c6·n·m / (srcSum·m + tgtSum·n)
+    val margin = round(
+      (c6 * 2.0 * col("src_n") * col("tgt_n")) /
+        (col("src_sum") * col("tgt_n") + col("tgt_sum") * col("src_n")),
+      6)
+    fwd1
+      .join(broadcast(srcAvg), Seq("src_id"))
+      .join(broadcast(tgtAvg), Seq("tgt_id"))
+      .join(broadcast(bwd1), Seq("tgt_id"), "left")
+      .select(col("src_id"), col("tgt_id"), col("cos"),
+        margin.as("margin"),
+        (coalesce(col("bwd_src_id") === col("src_id"), lit(false)) &&
+          margin >= threshold).as("accepted"))
+  }
+}

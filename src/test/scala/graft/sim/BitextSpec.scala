@@ -1,0 +1,56 @@
+package graft.sim
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Margin-based bitext mining: neighborhood normalization, mutuality,
+  * threshold behavior.
+  */
+class BitextSpec extends SparkSpec {
+
+  test("mutual high-margin pairs accept; related-but-unmutual and " +
+    "sub-threshold candidates stay flagged false") {
+    import spark.implicits._
+    // src: two axes; tgt: a near-copy of each plus a diagonal distractor
+    val src = Seq((1L, Array(1f, 0f)), (2L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val tgt = Seq((11L, Array(0.9f, 0.1f)), (12L, Array(0.1f, 0.9f)),
+      (13L, Array(0.7f, 0.7f))).toDF("vec_id", "embedding")
+    val got = Bitext.minePairs(src, tgt, k = 2, "vec_id", "embedding",
+        threshold = 1.05)
+      .orderBy("src_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3),
+        r.getBoolean(4)))
+    // each src's top-1 is its translation; both mutual; margins > 1
+    assert(got.map(g => (g._1, g._2)).toSeq == Seq((1L, 11L), (2L, 12L)))
+    assert(got.forall(_._3 > 1.0))
+    assert(got.forall(_._4))
+    // margin replay for src 1: cos(s1,t1)=0.993884, avgNN_2(s1) =
+    // mean(0.993884, 0.707107); t1's top-2 among src = (s1, s2):
+    // avg = mean(0.993884, 0.110432)
+    val exp = BigDecimal(0.993884 /
+      (((0.993884 + 0.707107) / 2 + (0.993884 + 0.110432) / 2) / 2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(got(0)._3 - exp) < 2e-6, s"${got(0)._3} vs $exp")
+    // a high threshold rejects everything but keeps the rows auditable
+    val strict = Bitext.minePairs(src, tgt, k = 2, "vec_id",
+        "embedding", threshold = 2.0).collect()
+    assert(strict.length == 2 && strict.forall(!_.getBoolean(4)))
+  }
+
+  test("mutuality gate: a tgt whose best src is elsewhere never accepts") {
+    import spark.implicits._
+    // both srcs' nearest tgt is t1, but t1's best src is s1 — s2's
+    // candidate (still t1) must be flagged unaccepted
+    val src = Seq((1L, Array(1f, 0f)), (2L, Array(0.8f, 0.6f)))
+      .toDF("vec_id", "embedding")
+    val tgt = Seq((11L, Array(0.95f, 0.05f)), (12L, Array(-1f, 0.2f)))
+      .toDF("vec_id", "embedding")
+    val got = Bitext.minePairs(src, tgt, k = 2, "vec_id", "embedding",
+        threshold = 0.5)
+      .orderBy("src_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(4)))
+    assert(got.toSeq.map(g => (g._1, g._2)) == Seq((1L, 11L), (2L, 11L)))
+    assert(got(0)._3 && !got(1)._3)
+  }
+}
