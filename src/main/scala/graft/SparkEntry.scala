@@ -3976,8 +3976,37 @@ object SparkEntry {
       sim.Bitext.minePairs(src, tgt, k = 4,
           idCol = "vec_id", vecCol = "embedding", threshold = 1.06)
         .orderBy(col("src_id"))
+    }),
+
+    // Aho-Corasick blocklist gate (the C4 badwords shape) — planted
+    // docs cycle six phrase-placement classes against a fixed 3-phrase
+    // list (multi-word phrase, repeats, case variants, an embedded
+    // non-boundary occurrence that must NOT fire); the oracle replays
+    // every count genuinely with per-phrase \b regexes
+    "q190_blocklist" -> ((s, dir) => {
+      import s.implicits._
+      val auto = textops.Blocklist.compile(
+        Seq("alpha beta", "gamma", "zzyzx"))
+      val docs = tSpread(s, dir, "documents").select(col("doc_id"))
+        .as[Long]
+        .map(k => (k, q190Text(k)))
+        .toDF("doc_id", "text")
+      textops.Blocklist.matchCounts(docs, "doc_id", "text", auto)
+        .select(col("doc_id"), col("n_hits"),
+          col("n_patterns").cast("long").as("n_patterns"))
+        .orderBy(col("doc_id"))
     })
   )
+
+  /** q190's planted text by k%6 — phrase-placement classes. */
+  private[graft] def q190Text(k: Long): String = (k % 6).toInt match {
+    case 0 => s"plain doc $k with nothing"
+    case 1 => s"doc $k has alpha beta inside"
+    case 2 => s"gamma $k Gamma end gamma"
+    case 3 => s"megazzyzx$k is embedded zzyzxtail"
+    case 4 => s"alpha beta then gamma $k"
+    case _ => s"zzyzx $k zzyzx. alpha beta!"
+  }
 
   /** q183's planted text by k%7 — one boundary-rule class per doc. */
   private[graft] def q183Text(k: Long): String = (k % 7).toInt match {
@@ -9435,7 +9464,31 @@ object SparkEntry {
         |    AS accepted
         |FROM f1 JOIN sa USING (src_id) JOIN ta USING (tgt_id)
         |  LEFT JOIN b1 USING (tgt_id)
-        |ORDER BY src_id""".stripMargin
+        |ORDER BY src_id""".stripMargin,
+
+    // per-phrase \b-regex counts over the replayed lowercased text —
+    // the automaton's boundary semantics, genuinely recomputed
+    "q190_blocklist" ->
+      """WITH d AS (SELECT doc_id AS k FROM documents),
+        |t AS (SELECT k, lower(CASE (k % 6)
+        |   WHEN 0 THEN 'plain doc ' || k || ' with nothing'
+        |   WHEN 1 THEN 'doc ' || k || ' has alpha beta inside'
+        |   WHEN 2 THEN 'gamma ' || k || ' Gamma end gamma'
+        |   WHEN 3 THEN 'megazzyzx' || k || ' is embedded zzyzxtail'
+        |   WHEN 4 THEN 'alpha beta then gamma ' || k
+        |   ELSE 'zzyzx ' || k || ' zzyzx. alpha beta!'
+        |  END) AS text FROM d),
+        |m AS (SELECT k,
+        |  len(regexp_extract_all(text, '\balpha beta\b')) AS c1,
+        |  len(regexp_extract_all(text, '\bgamma\b')) AS c2,
+        |  len(regexp_extract_all(text, '\bzzyzx\b')) AS c3 FROM t)
+        |SELECT k AS doc_id,
+        |  CAST(c1 + c2 + c3 AS BIGINT) AS n_hits,
+        |  CAST((CASE WHEN c1 > 0 THEN 1 ELSE 0 END) +
+        |       (CASE WHEN c2 > 0 THEN 1 ELSE 0 END) +
+        |       (CASE WHEN c3 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_patterns
+        |FROM m ORDER BY 1""".stripMargin
   )
 
   /** Shared q172/q173 oracle prefix: the planted multi-paragraph text

@@ -1,0 +1,129 @@
+package graft.textops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Multi-phrase blocklist matching — the C4/Dolma "badwords" gate done
+  * right at corpus scale: real blocklists run to thousands of phrases,
+  * and scanning each document once per phrase (a regex alternation
+  * backtracks; a `contains` loop is O(patterns) passes) is the naive
+  * form that dies first. Aho–Corasick (1975) matches EVERY phrase in
+  * ONE pass over the text: a goto trie over the phrase set with
+  * BFS-built failure links; per character the automaton advances once
+  * and reports every phrase ending at that position via output links.
+  *
+  * Matching is case-insensitive and WORD-BOUNDED (a phrase counts only
+  * when its ends sit on non-letter/digit boundaries — "ass" must not
+  * fire inside "class", the classic C4 false-positive family).
+  * The compiled automaton is a plain serializable object shipped in
+  * the kernel closure (a 10k-phrase English blocklist is ~1 MB of
+  * trie) — per-row scan, no shuffle, no UDF registry.
+  */
+object Blocklist {
+
+  /** Compiled Aho–Corasick automaton (lowercased patterns). */
+  final class Automaton private[Blocklist] (
+      val patterns: Array[String],
+      gotoMap: Array[java.util.HashMap[Character, Integer]],
+      fail: Array[Int],
+      out: Array[List[Int]]) extends Serializable {
+
+    /** (total match count, distinct patterns hit) with word-boundary
+      * filtering; overlapping and nested matches all count.
+      */
+    def countMatches(text: String): (Long, Int) = {
+      if (text == null || text.isEmpty) return (0L, 0)
+      val t = text.toLowerCase(java.util.Locale.ROOT)
+      var state = 0
+      var hits = 0L
+      val seen = new java.util.BitSet(patterns.length)
+      var i = 0
+      while (i < t.length) {
+        val c = t.charAt(i)
+        var s = state
+        while (s != 0 && !gotoMap(s).containsKey(c)) s = fail(s)
+        val nxt = gotoMap(s).get(c)
+        state = if (nxt == null) 0 else nxt.intValue()
+        var o = out(state)
+        while (o.nonEmpty) {
+          val p = o.head
+          val start = i - patterns(p).length + 1
+          val okLeft = start == 0 || !Character.isLetterOrDigit(
+            t.charAt(start - 1))
+          val okRight = i == t.length - 1 || !Character.isLetterOrDigit(
+            t.charAt(i + 1))
+          if (okLeft && okRight) {
+            hits += 1
+            seen.set(p)
+          }
+          o = o.tail
+        }
+        i += 1
+      }
+      (hits, seen.cardinality())
+    }
+  }
+
+  /** Build the automaton (patterns lowercased, blanks dropped,
+    * duplicates collapsed).
+    */
+  def compile(patterns: Seq[String]): Automaton = {
+    val ps = patterns.filter(p => p != null && p.trim.nonEmpty)
+      .map(_.trim.toLowerCase(java.util.Locale.ROOT)).distinct.toArray
+    require(ps.nonEmpty, "blocklist must contain at least one phrase")
+    val gotoMap = scala.collection.mutable.ArrayBuffer(
+      new java.util.HashMap[Character, Integer]())
+    val outB = scala.collection.mutable.ArrayBuffer(List.empty[Int])
+    // phase 1: trie
+    for ((p, pi) <- ps.zipWithIndex) {
+      var state = 0
+      for (c <- p) {
+        val nxt = gotoMap(state).get(c)
+        if (nxt == null) {
+          gotoMap += new java.util.HashMap[Character, Integer]()
+          outB += List.empty[Int]
+          gotoMap(state).put(c, gotoMap.length - 1)
+          state = gotoMap.length - 1
+        } else state = nxt.intValue()
+      }
+      outB(state) = pi :: outB(state)
+    }
+    // phase 2: BFS failure links + output merging
+    val fail = new Array[Int](gotoMap.length)
+    val queue = new java.util.ArrayDeque[Int]()
+    gotoMap(0).forEach((_, s) => { fail(s) = 0; queue.add(s) })
+    while (!queue.isEmpty) {
+      val r = queue.poll()
+      gotoMap(r).forEach { (c, s) =>
+        queue.add(s)
+        var f = fail(r)
+        while (f != 0 && !gotoMap(f).containsKey(c)) f = fail(f)
+        val fn = gotoMap(f).get(c)
+        fail(s) = if (fn != null && fn != s) fn.intValue() else 0
+        outB(s) = outB(s) ++ outB(fail(s))
+      }
+    }
+    new Automaton(ps, gotoMap.toArray, fail, outB.toArray)
+  }
+
+  /** (idCol, n_hits, n_patterns) per document. */
+  def matchCounts(df: DataFrame, idCol: String, textCol: String,
+                  automaton: Automaton): DataFrame = {
+    val kernel = udf { text: String =>
+      val (h, p) = automaton.countMatches(text)
+      (h, p)
+    }
+    df.select(col(idCol), kernel(col(textCol)).as("__m"))
+      .select(col(idCol), col("__m._1").as("n_hits"),
+        col("__m._2").as("n_patterns"))
+  }
+
+  /** Keep documents with at most `maxHits` bounded-phrase hits — the
+    * C4 gate (C4 itself uses 0).
+    */
+  def gate(df: DataFrame, textCol: String, automaton: Automaton,
+           maxHits: Long = 0L): DataFrame = {
+    val kernel = udf { text: String => automaton.countMatches(text)._1 }
+    df.filter(kernel(col(textCol)) <= maxHits)
+  }
+}

@@ -1,0 +1,64 @@
+package graft.textops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Aho–Corasick blocklist: overlap/suffix semantics, word boundaries,
+  * case folding, the gate.
+  */
+class BlocklistSpec extends SparkSpec {
+
+  private def counts(text: String, pats: String*): (Long, Int) =
+    Blocklist.compile(pats).countMatches(text)
+
+  test("classic he/she/his/hers overlap — suffix outputs all fire") {
+    // "ushers" contains she, he, hers (word-bounded: none, it's inside
+    // a word); unbounded check via standalone words
+    assert(counts("ushers", "he", "she", "his", "hers") == (0L, 0))
+    assert(counts("she sells", "he", "she", "his", "hers") == (1L, 1))
+    // "hers she" -> hers, she; "he" inside both is not word-bounded
+    assert(counts("hers she", "he", "she", "his", "hers") == (2L, 2))
+  }
+
+  test("word boundaries: phrases never fire inside words") {
+    assert(counts("a classy glass class", "ass") == (0L, 0))
+    assert(counts("an ass appears", "ass") == (1L, 1))
+    assert(counts("pass the ass-word ass", "ass") == (2L, 1))
+    // multi-word phrase with boundaries on its OUTER ends only
+    assert(counts("no bad word here", "bad word") == (1L, 1))
+    assert(counts("embadwordy", "bad word") == (0L, 0))
+  }
+
+  test("case folding and repeat counting") {
+    assert(counts("BAD Bad bad", "bad") == (3L, 1))
+    assert(counts("Mixed CASE phrase", "case", "phrase") == (2L, 2))
+  }
+
+  test("degenerate inputs and compile validation") {
+    assert(counts("", "x") == (0L, 0))
+    assert(Blocklist.compile(Seq("x")).countMatches(null) == (0L, 0))
+    intercept[IllegalArgumentException] {
+      Blocklist.compile(Seq("", "  "))
+    }
+    // duplicates collapse: one pattern, counted once per occurrence
+    assert(Blocklist.compile(Seq("bad", "BAD", " bad "))
+      .countMatches("bad day") == (1L, 1))
+  }
+
+  test("matchCounts + gate over a frame") {
+    import spark.implicits._
+    val auto = Blocklist.compile(Seq("spam", "free money"))
+    val docs = Seq(
+      (1L, "clean prose entirely"),
+      (2L, "get free money and more Free Money now"),
+      (3L, "spam spam spam")).toDF("id", "text")
+    val got = Blocklist.matchCounts(docs, "id", "text", auto)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSeq == Seq((1L, 0L, 0), (2L, 2L, 1), (3L, 3L, 1)))
+    assert(Blocklist.gate(docs, "text", auto).select("id")
+      .as[Long].collect().toSeq == Seq(1L))
+    assert(Blocklist.gate(docs, "text", auto, maxHits = 2)
+      .count() == 2)
+  }
+}
