@@ -200,7 +200,14 @@ object ScaleSmoke {
     "q186_hard_negatives",
     // JSONL writer/parser roundtrip (scan class) and incremental dedup
     // (fingerprint anti-join + min-id election — two slim shuffles)
-    "q187_jsonl_roundtrip", "q188_incremental_dedup")
+    "q187_jsonl_roundtrip", "q188_incremental_dedup",
+    // Aho-Corasick blocklist: one automaton pass per row, scan class.
+    // q189_bitext_mining is DELIBERATELY not swept: its candidate
+    // stage is the brute-force all-pairs form (|src|x|tgt| cosines,
+    // quadratic by construction — the q19/q111 audit class; the IVF
+    // candidate generator is the scale path, exactly as for the
+    // search family), so a sweep would measure the known bound.
+    "q190_blocklist")
 
   /** Deliberate 100×-sweep exclusions, each with its bound stated
     * (PERF_NOTES items 5/8/19/57): q77's pinned-k SemDeDup control is

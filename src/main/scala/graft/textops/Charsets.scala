@@ -369,6 +369,15 @@ object Charsets {
         inv(c) = (b + 1).toChar // +1 so 0 stays the "absent" sentinel
       b += 1
     }
+    // the five bytes windows-1252 leaves undefined (0x81 8D 8F 90 9D):
+    // the JVM charset decodes them to U+FFFD, but WHATWG-conformant
+    // decoders (browsers — i.e. most of the pipelines that CAUSE
+    // mojibake) pass them through as the C1 controls, and ftfy's
+    // "sloppy-windows-1252" inverts exactly that. Mapping the controls
+    // back makes Á/Í/Ï/Ð/Ý-class damage (whose UTF-8 continuation
+    // byte lands on an undefined slot) repairable.
+    for (u <- Seq(0x81, 0x8D, 0x8F, 0x90, 0x9D))
+      if (inv(u) == 0) inv(u) = (u + 1).toChar
     inv
   }
 
