@@ -3995,8 +3995,38 @@ object SparkEntry {
         .select(col("doc_id"), col("n_hits"),
           col("n_patterns").cast("long").as("n_patterns"))
         .orderBy(col("doc_id"))
+    }),
+
+    // HTML table -> Markdown linearization — planted pages cycle five
+    // structural classes (th header, headerless, ragged incl. the
+    // wild-web unclosed-td form, caption+entities+pipe escaping, no
+    // table at all); every markdown rendering replays closed-form
+    "q191_html_tables" -> ((s, dir) => {
+      import s.implicits._
+      val docs = tSpread(s, dir, "documents").select(col("doc_id"))
+        .as[Long]
+        .map(k => (k, q191Html(k)))
+        .toDF("doc_id", "html")
+      textops.HtmlTables.tablesDf(docs, "doc_id", "html")
+        .select(col("doc_id"), col("table_idx").cast("long"),
+          col("caption"), col("n_rows").cast("long").as("n_rows"),
+          col("n_cols").cast("long").as("n_cols"),
+          md5(encode(col("markdown"), "UTF-8")).as("md_md5"))
+        .orderBy(col("doc_id"), col("table_idx"))
     })
   )
+
+  /** q191's planted page by k%5 — one table-shape class per doc. */
+  private[graft] def q191Html(k: Long): String = (k % 5).toInt match {
+    case 0 => s"<p>intro $k</p><table><tr><th>Name</th><th>N</th></tr>" +
+      s"<tr><td>row$k</td><td>$k</td></tr></table>"
+    case 1 => s"<table><tr><td>a$k</td><td>b$k</td></tr></table>"
+    case 2 => "<table><tr><th>A</th><th>B</th><th>C</th></tr>" +
+      s"<tr><td>$k</td></tr></table>"
+    case 3 => s"<table><caption>Cap $k</caption>" +
+      s"<tr><td>x &amp; y<td>p|q$k</table>"
+    case _ => s"<p>just prose $k</p>"
+  }
 
   /** q190's planted text by k%6 — phrase-placement classes. */
   private[graft] def q190Text(k: Long): String = (k % 6).toInt match {
@@ -9488,7 +9518,31 @@ object SparkEntry {
         |       (CASE WHEN c2 > 0 THEN 1 ELSE 0 END) +
         |       (CASE WHEN c3 > 0 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_patterns
-        |FROM m ORDER BY 1""".stripMargin
+        |FROM m ORDER BY 1""".stripMargin,
+
+    // markdown renderings replayed closed-form per structural class;
+    // class 4 (no table) contributes no row
+    "q191_html_tables" ->
+      """WITH d AS (SELECT doc_id AS k FROM documents WHERE doc_id % 5 < 4)
+        |SELECT k AS doc_id, CAST(0 AS BIGINT) AS table_idx,
+        |  CASE WHEN k % 5 = 3 THEN 'Cap ' || k ELSE '' END AS caption,
+        |  CAST(CASE (k % 5) WHEN 0 THEN 2 WHEN 1 THEN 1 WHEN 2 THEN 2
+        |    ELSE 1 END AS BIGINT) AS n_rows,
+        |  CAST(CASE (k % 5) WHEN 0 THEN 2 WHEN 1 THEN 2 WHEN 2 THEN 3
+        |    ELSE 2 END AS BIGINT) AS n_cols,
+        |  CASE (k % 5)
+        |   WHEN 0 THEN md5('| Name | N |' || chr(10) ||
+        |     '| --- | --- |' || chr(10) ||
+        |     '| row' || k || ' | ' || k || ' |')
+        |   WHEN 1 THEN md5('|  |  |' || chr(10) || '| --- | --- |' ||
+        |     chr(10) || '| a' || k || ' | b' || k || ' |')
+        |   WHEN 2 THEN md5('| A | B | C |' || chr(10) ||
+        |     '| --- | --- | --- |' || chr(10) ||
+        |     '| ' || k || ' |  |  |')
+        |   ELSE md5('|  |  |' || chr(10) || '| --- | --- |' ||
+        |     chr(10) || '| x & y | p\|q' || k || ' |')
+        |  END AS md_md5
+        |FROM d ORDER BY 1, 2""".stripMargin
   )
 
   /** Shared q172/q173 oracle prefix: the planted multi-paragraph text

@@ -1,0 +1,153 @@
+package graft.textops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** HTML table → Markdown linearization — the structure
+  * [[HtmlExtract]] deliberately flattens (its job is prose): data
+  * tables carry row/column meaning that plain cell-text concatenation
+  * destroys, and the modern pipelines that keep tables at all keep
+  * them as GitHub-style Markdown (row per line, `|`-separated, a
+  * `---` separator under the header row). One scan-stage kernel per
+  * row; same single-pass tag-walk discipline as the prose extractor
+  * (comments skipped, script/style raw text opaque, entities decoded
+  * on the restricted scalar set).
+  *
+  * Shape rules: header = the first row iff all its cells are `<th>`;
+  * rows pad/truncate to the FIRST row's width (ragged tables are the
+  * norm in the wild; a fixed width is what makes the Markdown valid);
+  * nested tables flatten into their outer cell's text; `|`/newlines
+  * inside cells escape/collapse so one row stays one line.
+  */
+object HtmlTables {
+
+  final case class Table(caption: String, nRows: Int, nCols: Int,
+                         markdown: String)
+
+  private def decodeEntities(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '&') {
+        val semi = s.indexOf(';', i + 1)
+        if (semi > i && semi - i <= 10) {
+          val body = s.substring(i + 1, semi)
+          val rep: String = body match {
+            case "amp" => "&"
+            case "lt" => "<"
+            case "gt" => ">"
+            case "quot" => "\""
+            case "apos" => "'"
+            case "nbsp" => " "
+            case b if b.startsWith("#x") || b.startsWith("#X") =>
+              try {
+                val cp = Integer.parseInt(b.substring(2), 16)
+                if (Character.isValidCodePoint(cp) && cp >= 0x20)
+                  new String(Character.toChars(cp))
+                else null
+              } catch { case _: NumberFormatException => null }
+            case b if b.startsWith("#") =>
+              try {
+                val cp = Integer.parseInt(b.substring(1))
+                if (Character.isValidCodePoint(cp) && cp >= 0x20)
+                  new String(Character.toChars(cp))
+                else null
+              } catch { case _: NumberFormatException => null }
+            case _ => null
+          }
+          if (rep != null) { sb.append(rep); i = semi + 1 }
+          else { sb.append(c); i += 1 }
+        } else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  private def cellText(raw: String): String =
+    decodeEntities(raw.replaceAll("<[^>]*>", " "))
+      .replaceAll("\\s+", " ").trim
+      .replace("|", "\\|")
+
+  /** All tables of one document, document order. Total: malformed
+    * markup yields whatever tables complete; none is fine.
+    */
+  def extract(html: String): Seq[Table] = {
+    if (html == null) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[Table]
+    val lower = html.toLowerCase(java.util.Locale.ROOT)
+    var from = 0
+    while (from < lower.length) {
+      val start = lower.indexOf("<table", from)
+      if (start < 0) return out.toSeq
+      // the matching close, skipping NESTED tables
+      var depth = 1
+      var i = lower.indexOf('>', start)
+      if (i < 0) return out.toSeq
+      var end = -1
+      while (end < 0 && i < lower.length) {
+        val no = lower.indexOf("<table", i)
+        val nc = lower.indexOf("</table", i)
+        if (nc < 0) { i = lower.length }
+        else if (no >= 0 && no < nc) { depth += 1; i = no + 6 }
+        else {
+          depth -= 1
+          if (depth == 0) end = nc else i = nc + 7
+        }
+      }
+      if (end < 0) return out.toSeq
+      val body = html.substring(lower.indexOf('>', start) + 1, end)
+      parseOne(body).foreach(out += _)
+      from = end + 7
+    }
+    out.toSeq
+  }
+
+  private val RowRe =
+    "(?is)<tr[^>]*>(.*?)(?:</tr>|(?=<tr[^>]*>)|$)".r
+  private val CellRe =
+    "(?is)<(td|th)[^>]*>(.*?)(?:</(?:td|th)>|(?=<t[dh][^>]*>)|(?=</tr)|$)".r
+  private val CaptionRe = "(?is)<caption[^>]*>(.*?)</caption>".r
+
+  private def parseOne(body: String): Option[Table] = {
+    val caption = CaptionRe.findFirstMatchIn(body)
+      .map(m => cellText(m.group(1))).getOrElse("")
+    val rows = RowRe.findAllMatchIn(body).map { rm =>
+      CellRe.findAllMatchIn(rm.group(1))
+        .map(cm => (cm.group(1), cellText(cm.group(2)))).toVector
+    }.filter(_.nonEmpty).toVector
+    if (rows.isEmpty) return None
+    val width = rows.head.length
+    def pad(r: Vector[(String, String)]): Vector[String] =
+      r.map(_._2).padTo(width, "").take(width)
+    val headerFirst = rows.head.forall(_._1 == "th")
+    val sb = new StringBuilder
+    def line(cells: Vector[String]): Unit =
+      sb.append(cells.mkString("| ", " | ", " |")).append('\n')
+    if (headerFirst) {
+      line(pad(rows.head))
+      line(Vector.fill(width)("---"))
+      rows.tail.foreach(r => line(pad(r)))
+    } else {
+      line(Vector.fill(width)(""))
+      line(Vector.fill(width)("---"))
+      rows.foreach(r => line(pad(r)))
+    }
+    Some(Table(caption, rows.length, width, sb.toString.stripSuffix("\n")))
+  }
+
+  /** (idCol, table_idx, caption, n_rows, n_cols, markdown) — one row
+    * per table, exploded; documents without tables emit nothing.
+    */
+  def tablesDf(df: DataFrame, idCol: String,
+               htmlCol: String): DataFrame = {
+    val kernel = udf { html: String =>
+      extract(html).map(t => (t.caption, t.nRows, t.nCols, t.markdown))
+    }
+    df.select(col(idCol), posexplode(kernel(col(htmlCol)))
+        .as(Seq("table_idx", "__t")))
+      .select(col(idCol), col("table_idx"),
+        col("__t._1").as("caption"), col("__t._2").as("n_rows"),
+        col("__t._3").as("n_cols"), col("__t._4").as("markdown"))
+  }
+}

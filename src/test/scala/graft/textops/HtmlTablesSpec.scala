@@ -1,0 +1,80 @@
+package graft.textops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** HTML table → Markdown: structure preservation, header detection,
+  * ragged rows, nesting, escaping, totality.
+  */
+class HtmlTablesSpec extends SparkSpec {
+
+  test("basic table with th header renders GitHub markdown") {
+    val html = "<table><tr><th>Name</th><th>Age</th></tr>" +
+      "<tr><td>Ann</td><td>31</td></tr>" +
+      "<tr><td>Bo</td><td>42</td></tr></table>"
+    val t = HtmlTables.extract(html)
+    assert(t.length == 1)
+    assert(t.head.nRows == 3 && t.head.nCols == 2)
+    assert(t.head.markdown ==
+      "| Name | Age |\n| --- | --- |\n| Ann | 31 |\n| Bo | 42 |")
+  }
+
+  test("no th header: empty header row keeps the markdown valid") {
+    val html = "<table><tr><td>a</td><td>b</td></tr></table>"
+    assert(HtmlTables.extract(html).head.markdown ==
+      "|  |  |\n| --- | --- |\n| a | b |")
+  }
+
+  test("ragged rows pad/truncate to the first row's width") {
+    val html = "<table><tr><th>A</th><th>B</th><th>C</th></tr>" +
+      "<tr><td>1</td></tr>" +
+      "<tr><td>x</td><td>y</td><td>z</td><td>extra</td></tr></table>"
+    val md = HtmlTables.extract(html).head.markdown
+    assert(md.contains("| 1 |  |  |"))
+    assert(md.contains("| x | y | z |") && !md.contains("extra"))
+  }
+
+  test("unclosed td/tr (the wild-web form), entities, pipe escaping, " +
+    "inline tags strip") {
+    val html = "<table><tr><td>a &amp; b<td>c|d" +
+      "<tr><td><b>bold</b> text<td>&#233;</table>"
+    val t = HtmlTables.extract(html).head
+    assert(t.nRows == 2 && t.nCols == 2)
+    assert(t.markdown.contains("| a & b | c\\|d |"))
+    assert(t.markdown.contains("| bold text | é |"))
+  }
+
+  test("caption captured; nested table flattens into the outer cell") {
+    val html = "<table><caption>Totals</caption>" +
+      "<tr><td>outer <table><tr><td>inner</td></tr></table></td>" +
+      "<td>v</td></tr></table>"
+    val ts = HtmlTables.extract(html)
+    assert(ts.length == 1)
+    assert(ts.head.caption == "Totals")
+    assert(ts.head.markdown.contains("outer"))
+    assert(ts.head.markdown.contains("inner"))
+  }
+
+  test("multiple tables in order; tableless and junk docs are empty") {
+    val html = "<p>x</p><table><tr><td>1</td></tr></table>middle" +
+      "<table><tr><td>2</td></tr></table>"
+    val ts = HtmlTables.extract(html)
+    assert(ts.map(_.markdown.linesIterator.toSeq.last).toSeq ==
+      Seq("| 1 |", "| 2 |"))
+    assert(HtmlTables.extract("<p>no tables</p>").isEmpty)
+    assert(HtmlTables.extract("<table><tr></tr></table>").isEmpty)
+    assert(HtmlTables.extract("<table>junk, never closed").isEmpty)
+    assert(HtmlTables.extract(null).isEmpty)
+  }
+
+  test("tablesDf explodes per table with indexes") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "<table><tr><th>h</th></tr><tr><td>v</td></tr></table>"),
+      (2L, "<p>none</p>")).toDF("id", "html")
+    val got = HtmlTables.tablesDf(df, "id", "html").collect()
+    assert(got.length == 1)
+    assert(got(0).getLong(0) == 1L && got(0).getInt(1) == 0)
+    assert(got(0).getInt(3) == 2 && got(0).getInt(4) == 1)
+  }
+}
