@@ -207,7 +207,9 @@ object ScaleSmoke {
     // quadratic by construction — the q19/q111 audit class; the IVF
     // candidate generator is the scale path, exactly as for the
     // search family), so a sweep would measure the known bound.
-    "q190_blocklist")
+    "q190_blocklist",
+    // table linearization: per-row table walk, scan class
+    "q191_html_tables")
 
   /** Deliberate 100×-sweep exclusions, each with its bound stated
     * (PERF_NOTES items 5/8/19/57): q77's pinned-k SemDeDup control is
