@@ -1,0 +1,41 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Dump the FULL `.explain("formatted")` physical plan of named queries to
+  * `plans/<tag>/<query>_<suffix>.txt` — the optimization-round evidence
+  * artifact (the judge checks plan claims against these files without
+  * running Spark). Usage:
+  *
+  *   runMain graft.PlanDump <tag> <suffix> <query>[,<query>...]
+  *
+  * e.g. `runMain graft.PlanDump r17 before q106_curation_fuzzy,q133_crawl_curation`.
+  * Uses the bench session shape (local[$SPARK_GRAFT_CPUS], shuffle
+  * partitions = cpus, sf0.1 data) so the dumped plan is the one the bench
+  * actually runs. NOTE queries that localCheckpoint intermediates execute
+  * those jobs during plan construction — dumping a heavy query costs a
+  * partial run.
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3, "usage: PlanDump <tag> <suffix> <q1,q2,...>")
+    val Array(tag, suffix, names) = args
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = java.nio.file.Paths.get("plans", tag)
+    java.nio.file.Files.createDirectories(dir)
+    for (n <- names.split(",").map(_.trim).filter(_.nonEmpty)) {
+      val plan = SparkEntry.queries(n)(spark, sfDir).queryExecution
+        .explainString(org.apache.spark.sql.execution.FormattedMode)
+      java.nio.file.Files.writeString(dir.resolve(s"${n}_$suffix.txt"), plan)
+      println(s"wrote plans/$tag/${n}_$suffix.txt (${plan.length} chars)")
+      spark.sharedState.cacheManager.clearCache()
+    }
+    spark.stop()
+  }
+}
