@@ -2774,9 +2774,16 @@ object SparkEntry {
           "text", "http_status")
         .where(col("kept"))
         .select(col("crawl_id").as("doc_id"), col("url_host"), col("text"))
+      // materialized ONCE: three consumers (the unigram train pass, the
+      // pipeline's gate scan, the scorer) each re-ran the entire WARC
+      // synth → parse → HTML extract → URL-survivor shuffle → host gate
+      // lineage without it (r17 opt round; guide §5 persist-when-reused —
+      // this is the in-query analogue of a crawl stack writing WET
+      // extracts once before curation reads them repeatedly)
       val gated = textops.UrlOps
         .hostGateOn(surv, "url_host", minDocs = 2) // host already derived
         .select(col("doc_id"), col("text"))
+        .localCheckpoint(true)
       val model = textops.UnigramLM.train(gated, "text")
       CurationPipeline.runWithModel(gated, "doc_id", "text",
           keepLangs = Set("en", "de", "fr"), unigrams = model,

@@ -202,12 +202,26 @@ object CurationPipeline {
     // over null input picks an arbitrary language (null scores propagate
     // through its argmax), and a null quality verdict passes every
     // `when`. Null text classifies as 'und' and fails quality.
-    val base = docs.select(col(idCol), col(textCol),
+    //
+    // The gate verdict is materialized as a SLIM table — (id, lang,
+    // n_tokens, __qok, __fp), ~40 bytes/doc at any corpus size — so the
+    // langId/quality/tokenCount/fingerprint kernels run over the text
+    // EXACTLY ONCE. Before this checkpoint the final assembly re-derived
+    // lang/n_tokens/__qok from a second full text scan (Catalyst prunes
+    // columns, not duplicated kernel passes across separate actions):
+    // langId alone is a per-character trigram profile over every
+    // document, paid twice (guide §1.2 "don't compute things you throw
+    // away", §8 "decide with small rows"). Text itself is still only
+    // re-scanned, never materialized — stages that need it (shingles,
+    // the LM) re-read `docs` joined against slim id sets.
+    val slim = docs.select(col(idCol),
       when(col(textCol).isNull, lit("und"))
         .otherwise(TextFunctions.langId(col(textCol))).as("lang"),
       TextFunctions.tokenCount(col(textCol)).as("n_tokens"),
       coalesce(qKeep, lit(false)).as("__qok"),
       TextFunctions.fingerprint64(col(textCol)).as("__fp"))
+      .localCheckpoint(true)
+    val text = docs.select(col(idCol), col(textCol))
     val langOk = col("lang").isInCollection(keepLangs)
 
     // stage-3 inputs: only docs past the scan gates reach the shuffle.
@@ -217,7 +231,7 @@ object CurationPipeline {
     // would otherwise each re-run the fingerprint shuffle join; corpus
     // text itself is never materialized, only re-scanned (the unavoidable
     // read).
-    val survivors = base.filter(langOk && col("__qok"))
+    val survivors = slim.filter(langOk && col("__qok"))
       .select(col(idCol), col("__fp"))
     val keepers = survivors.groupBy(col("__fp"))
       .agg(min(col(idCol)).as("__keeper"))
@@ -238,7 +252,7 @@ object CurationPipeline {
       // scan with its langId/quality/fingerprint kernels. The hash
       // arrays are ~8 bytes/token, smaller than the text they derive
       // from (the same trade jaccardPairsPrefix makes internally).
-      val keptFused = base
+      val keptFused = text
         .join(dupFlags.filter(!col("__dup")).select(col(idCol)), Seq(idCol))
         .select(col(idCol),
           TextFunctions.wordShingleHashesFast(col(textCol), shingleN)
@@ -265,9 +279,10 @@ object CurationPipeline {
             Seq(idCol), "left_anti")
     }
     val buckets = bucketer(
-      base.join(keptIds, Seq(idCol)).select(col(idCol), col(textCol)))
+      text.join(keptIds, Seq(idCol)).select(col(idCol), col(textCol)))
 
-    val joined = base.join(dupFlags, Seq(idCol), "left")
+    // final assembly: slim-table joins only — no text scan, no kernel
+    val joined = slim.join(dupFlags, Seq(idCol), "left")
     val withNear = nearFlags match {
       case None => joined.withColumn("__near", lit(false))
       case Some(nf) => joined.join(nf, Seq(idCol), "left")
