@@ -1,0 +1,82 @@
+package graft
+import org.apache.spark.scheduler._
+import org.apache.spark.sql.SparkSession
+import scala.collection.mutable
+
+/** Per-job wall-time profile of one query under the bench session shape:
+  * runs the named query twice (warm-up + measured, the bench discipline)
+  * and prints, for the measured run, each job's wall time, stage count,
+  * task count and the first line of its call site. Optimization-round
+  * diagnostic (guide §1/§7): tells WHICH job inside a multi-action
+  * operator (checkpoints, fit actions, iterations) owns the seconds.
+  */
+object ProfileRun {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: ProfileRun <query> [sfDir]")
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    final case class J(var start: Long = 0L, var end: Long = 0L,
+                       var nStages: Int = 0, var nTasks: Int = 0,
+                       var site: String = "")
+    val jobs = mutable.LinkedHashMap[Int, J]()
+    @volatile var record = false
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(e: SparkListenerJobStart): Unit =
+        if (record) {
+          val j = J(start = e.time, nStages = e.stageInfos.size,
+            nTasks = e.stageInfos.map(_.numTasks).sum,
+            site = Option(e.properties.getProperty("spark.job.description"))
+              .orElse(Option(e.properties.getProperty("callSite.short")))
+              .getOrElse("") + " | " +
+              e.stageInfos.map(_.name.takeWhile(_ != '(')).distinct
+                .mkString(","))
+          jobs.synchronized { jobs(e.jobId) = j }
+        }
+      override def onJobEnd(e: SparkListenerJobEnd): Unit =
+        jobs.synchronized { jobs.get(e.jobId).foreach(_.end = e.time) }
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
+        if (record) {
+          val si = e.stageInfo
+          val wall = (for {s <- si.submissionTime; c <- si.completionTime}
+            yield (c - s) / 1000.0).getOrElse(-1.0)
+          if (wall > 0.2) {
+            // first frame below the spark/scala machinery = the graft call
+            val frame = si.details.linesIterator
+              .find(l => l.contains("graft.") && !l.contains("ProfileRun"))
+              .getOrElse(si.details.linesIterator.take(2).mkString(" <- "))
+            println(f"  SLOW STAGE ${si.stageId}%3d ${wall}%6.3f s " +
+              f"tasks=${si.numTasks}%4d ${si.name.takeWhile(_ != '(')} @ " +
+              frame.trim)
+          }
+        }
+    })
+
+    val fn = SparkEntry.queries(name)
+    fn(spark, sfDir).count() // warm-up pass (JIT + codegen cache)
+    spark.sharedState.cacheManager.clearCache()
+    System.gc()
+    record = true
+    val t0 = System.nanoTime()
+    fn(spark, sfDir).count()
+    val dt = (System.nanoTime() - t0) / 1e9
+    record = false
+    Thread.sleep(300)
+    println(f"== $name measured pass: $dt%.3f s, ${jobs.size} jobs ==")
+    val js = jobs.synchronized { jobs.toSeq }
+    js.foreach { case (id, j) =>
+      println(f"job $id%3d  ${(j.end - j.start) / 1000.0}%7.3f s  " +
+        f"stages=${j.nStages}%2d tasks=${j.nTasks}%4d  ${j.site}")
+    }
+    val covered = js.map(j => (j._2.end - j._2.start) / 1000.0).sum
+    println(f"sum of job times: $covered%.3f s (gaps = driver/planning)")
+    spark.stop()
+  }
+}
