@@ -20,6 +20,12 @@ object ProfileRun {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.eventLog.enabled",
+        sys.env.contains("SPARK_GRAFT_EVLOG").toString)
+      .config("spark.eventLog.dir",
+        sys.env.getOrElse("SPARK_GRAFT_EVLOG", "/tmp/evlog"))
+      .config("spark.eventLog.compress", "false")
+      .config("spark.eventLog.rolling.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
