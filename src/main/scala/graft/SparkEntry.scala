@@ -41,16 +41,37 @@ object SparkEntry {
     * verbatim at +100000 (exact duplicate), every (25k+7)th at +200000
     * with a 5-token tail (near duplicate, ~85% shared trigram shingles).
     */
-  private def q106Corpus(s: SparkSession, dir: String): DataFrame = {
+  private def q106Corpus(s: SparkSession, dir: String): DataFrame =
+    plantedCorpus(s, dir,
+      Seq(100000L -> None,
+        200000L -> Some(" the quick brown fox jumps")))
+
+  /** The planted-duplicate union as ONE scan + generate instead of a
+    * union of per-branch scans (r17 opt round): the union form re-read
+    * the single-row-group documents parquet once per branch per
+    * consumer — a serial ~0.5 s text decode each time at sf0.1 (the
+    * file is one split; guide §2.4 "share one exchange", §6 input-split
+    * economics). Row multiset is IDENTICAL: every doc emits itself,
+    * plus (+offset) copies per planted branch — branch i plants on
+    * doc_id % 25 == (0, 7, …). `tail = None` plants a verbatim copy
+    * (exact duplicate), `Some(sfx)` appends the near-dup tail.
+    */
+  private def plantedCorpus(s: SparkSession, dir: String,
+      plants: Seq[(Long, Option[String])]): DataFrame = {
     val docs = tSpread(s, dir, "documents")
       .select(col("doc_id"), col("text"))
+    val branches = array(
+      struct(col("doc_id").as("doc_id"), col("text").as("text")) +:
+      plants.zipWithIndex.map { case ((off, tail), i) =>
+        val res = Seq(0L, 7L, 14L)(i)
+        when(col("doc_id") % 25 === res,
+          struct((col("doc_id") + off).as("doc_id"),
+            tail.map(t => concat(col("text"), lit(t)))
+              .getOrElse(col("text")).as("text")))
+      }: _*)
     docs
-      .unionByName(docs.filter(col("doc_id") % 25 === 0)
-        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
-      .unionByName(docs.filter(col("doc_id") % 25 === 7)
-        .select((col("doc_id") + 200000L).as("doc_id"),
-          concat(col("text"), lit(" the quick brown fox jumps"))
-            .as("text")))
+      .select(explode(filter(branches, r => r.isNotNull)).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
   }
 
   /** q45's dataselect responder (top-level so task serialization never
@@ -2125,11 +2146,7 @@ object SparkEntry {
     // original survives the scan gates must drop as 'duplicate' (keeper
     // = min id = the original)
     "q102_curation" -> ((s, dir) => {
-      val docs = tSpread(s, dir, "documents")
-        .select(col("doc_id"), col("text"))
-      val corpus = docs.unionByName(
-        docs.filter(col("doc_id") % 25 === 0)
-          .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      val corpus = plantedCorpus(s, dir, Seq(100000L -> None))
       CurationPipeline.run(corpus, "doc_id", "text",
           keepLangs = Set("en", "de", "fr"))
         .orderBy(col("doc_id"))
@@ -2244,11 +2261,7 @@ object SparkEntry {
     // corpus share. One groupBy over a handful of keys + a broadcast
     // one-row total join; runs over q102's decision table
     "q107_curation_report" -> ((s, dir) => {
-      val docs = tSpread(s, dir, "documents")
-        .select(col("doc_id"), col("text"))
-      val corpus = docs.unionByName(
-        docs.filter(col("doc_id") % 25 === 0)
-          .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      val corpus = plantedCorpus(s, dir, Seq(100000L -> None))
       CurationPipeline.report(
           CurationPipeline.run(corpus, "doc_id", "text",
             keepLangs = Set("en", "de", "fr")))
