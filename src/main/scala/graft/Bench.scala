@@ -18,6 +18,25 @@ object Bench {
     else if (existingN.exists(_ > nQueries)) "bench_dev.json"
     else "bench_full.json"
 
+  /** The bench's FINAL stdout line. The harness keeps only the last
+    * ~2000 chars of stdout, so this line must stay compact: headline
+    * total, query count, the slowest `topN` per-query timings, the
+    * process-throughput block and the machine calibration — and nothing
+    * else. The full per-query map and the embedded scale sweeps go to
+    * `bench_full.json` (r17 verdict item 1: the sweeps used to ride this
+    * line and pushed its head past the cut, so the driver's JSON parse
+    * failed every round since r14).
+    */
+  private[graft] def compactLine(total: Double, results: Map[String, Double],
+                                 procJson: String, calib: Double,
+                                 sfDir: String, topN: Int = 15): String = {
+    def r3(v: Double): String = f"$v%.3f"
+    val slowest = results.toSeq.sortBy(-_._2).take(topN)
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$slowest,"full":"bench_full.json"$procJson,"machine_calib_sec":${r3(calib)},"perf_notes":"PERF_NOTES.md","sf":"$sfDir"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -108,39 +127,13 @@ object Bench {
     val full = results.toSeq.sortBy(-_._2)
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val fullLine =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$full$procJson,"machine_calib_sec":${r3(calib)},"perf_notes":"PERF_NOTES.md","sf":"$sfDir"}"""
-    // a dev-scoped run (SPARK_GRAFT_ONLY) must NOT clobber the round's
-    // full lineage artifact — it goes to bench_dev.json instead (this
-    // trap has eaten bench_full.json twice before the split landed);
-    // and even an unscoped run that would SHRINK the artifact (a
-    // partially-commented query map, a crashed registry) is diverted
-    // unless SPARK_GRAFT_BENCH_FORCE=1 says the shrink is deliberate
-    val existingN =
-      try {
-        val p = java.nio.file.Paths.get("bench_full.json")
-        if (!java.nio.file.Files.exists(p)) None
-        else "\"n_queries\":(\\d+)".r
-          .findFirstMatchIn(java.nio.file.Files.readString(p))
-          .map(_.group(1).toInt)
-      } catch { case _: Throwable => None }
-    val force = sys.env.get("SPARK_GRAFT_BENCH_FORCE").contains("1")
-    val fullTarget = lineageTarget(existingN, results.size,
-      devScoped = only.isDefined, force = force)
-    if (fullTarget != "bench_full.json" && only.isEmpty)
-      System.err.println(s"bench: refusing to shrink bench_full.json " +
-        s"(${existingN.getOrElse(0)} -> ${results.size} queries); " +
-        s"writing $fullTarget instead (set SPARK_GRAFT_BENCH_FORCE=1 " +
-        "to override)")
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(fullTarget), fullLine + "\n")
-    catch { case _: Throwable => () }
-    val slowest = results.toSeq.sortBy(-_._2).take(15)
-      .map { case (k, v) => "\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
     // scaling exponents from the latest ScaleSmoke runs (1× vs 10×, and
-    // the 100× sweep when present), embedded so the round artifact
-    // carries them; no file → omitted
+    // the 100× sweep when present), embedded in the FULL artifact only;
+    // no file → omitted. They used to ride the stdout line too — ~13 KB
+    // of sweep JSON whose tail pushed the line's head past the harness's
+    // ~2000-char stdout cut, so the driver's JSON parse failed every
+    // round since r14 (r17 verdict item 1). The stdout line now carries
+    // only the compact summary and stays well under the cut.
     def scaleJson(key: String, pick: String => Boolean): String =
       try {
         // stream closed in finally (directory-handle hygiene); latest =
@@ -171,7 +164,37 @@ object Bench {
       } catch { case _: Throwable => "" }
     val scale10 = scaleJson("scale10", !_.contains("_100x"))
     val scale100 = scaleJson("scale100", _.contains("_100x"))
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$slowest,"full":"bench_full.json"$procJson$scale10$scale100,"machine_calib_sec":${r3(calib)},"perf_notes":"PERF_NOTES.md","sf":"$sfDir"}""")
+    val fullLine =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$full$procJson$scale10$scale100,"machine_calib_sec":${r3(calib)},"perf_notes":"PERF_NOTES.md","sf":"$sfDir"}"""
+    // a dev-scoped run (SPARK_GRAFT_ONLY) must NOT clobber the round's
+    // full lineage artifact — it goes to bench_dev.json instead (this
+    // trap has eaten bench_full.json twice before the split landed);
+    // and even an unscoped run that would SHRINK the artifact (a
+    // partially-commented query map, a crashed registry) is diverted
+    // unless SPARK_GRAFT_BENCH_FORCE=1 says the shrink is deliberate
+    val existingN =
+      try {
+        val p = java.nio.file.Paths.get("bench_full.json")
+        if (!java.nio.file.Files.exists(p)) None
+        else "\"n_queries\":(\\d+)".r
+          .findFirstMatchIn(java.nio.file.Files.readString(p))
+          .map(_.group(1).toInt)
+      } catch { case _: Throwable => None }
+    val force = sys.env.get("SPARK_GRAFT_BENCH_FORCE").contains("1")
+    val fullTarget = lineageTarget(existingN, results.size,
+      devScoped = only.isDefined, force = force)
+    if (fullTarget != "bench_full.json" && only.isEmpty)
+      System.err.println(s"bench: refusing to shrink bench_full.json " +
+        s"(${existingN.getOrElse(0)} -> ${results.size} queries); " +
+        s"writing $fullTarget instead (set SPARK_GRAFT_BENCH_FORCE=1 " +
+        "to override)")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(fullTarget), fullLine + "\n")
+    catch { case _: Throwable => () }
+    // the LAST stdout line, compact by contract (≤ ~1.5 KB): total +
+    // slowest-15 + proc throughput + calib. Scale sweeps live in
+    // bench_full.json only — see scaleJson above.
+    println(compactLine(total, results, procJson, calib, sfDir))
     spark.stop()
   }
 }

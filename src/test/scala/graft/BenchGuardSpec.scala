@@ -29,4 +29,28 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(Bench.lineageTarget(Some(166), 120, devScoped = false,
       force = true) == "bench_full.json")
   }
+
+  test("compact stdout line: parses as the driver contract and stays " +
+    "under the ~2000-char stdout tail at full query width") {
+    // 300 queries with realistically long names — wider than any round
+    // has shipped; the line must still fit because it carries only the
+    // slowest 15
+    val results = (1 to 300)
+      .map(i => f"q$i%03d_some_reasonably_long_query_name" -> i / 7.0)
+      .toMap
+    val proc = ""","process_throughput":{"segments":2000,"sec":1.884,""" +
+      """"s_per_segment":0.000942,"baseline_s_per_segment":0.024,""" +
+      """"pass_2x":true}"""
+    val line = Bench.compactLine(12345.678, results, proc, 0.456,
+      "/root/testdata/sf0.1")
+    assert(line.length < 1500, s"line too long: ${line.length}")
+    assert(line.startsWith("""{"metric":"total","value":"""))
+    assert(line.endsWith("}"))
+    // must carry exactly the slowest 15 and the full-file pointer
+    assert("\"q\\d+_".r.findAllIn(line).size == 15)
+    assert(line.contains(""""full":"bench_full.json""""))
+    assert(line.contains(""""n_queries":300"""))
+    // no embedded scale sweep blocks on stdout — ever
+    assert(!line.contains("\"scale10\"") && !line.contains("\"scale100\""))
+  }
 }
