@@ -133,50 +133,79 @@ object LinkGraph {
                iterations: Int = 5): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(damping > 0.0 && damping < 1.0, s"damping must be in (0,1)")
+    def release(df: DataFrame): Unit =
+      org.apache.spark.sql.graftops.Bridge.releaseLocalCheckpoint(df)
     val w: Column = if (weightCol == null) lit(1.0)
       else col(weightCol).cast("double")
+    // the edge aggregate is materialized ONCE and lineage-cut: three
+    // setup consumers (fractions, node set, out-weight flag) otherwise
+    // each re-run the upstream edge-building lineage, and — the r18
+    // lesson — every per-iteration frame would EMBED that lineage in its
+    // logical plan. `cache()` does not help there: after `unpersist()`
+    // the plan still carries the full subtree, so five iterations of
+    // cached frames compounded into a ~1.2 MB final plan (2180 Exchange
+    // nodes) whose per-action analysis/canonicalization dominated the
+    // whole query on a 12-host graph. localCheckpoint keeps every
+    // iteration's plan one LogicalRDD deep — constant-size forever.
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
         w.as("w"))
       .groupBy("src", "dst").agg(sum("w").as("w"))
-    val nodes = e.select(col("src").as("host"))
-      .union(e.select(col("dst"))).distinct().cache()
-    val n = nodes.count().toDouble
+      .localCheckpoint(true)
     val outw = e.groupBy("src").agg(sum("w").as("outw"))
-    // the fraction table is cached PARTITIONED BY src: its build
+    // nodes carry a STATIC dangling flag (no out-edges): the dangling
+    // mass was previously re-derived each iteration as a left-anti join
+    // against the source set — a join + exchange per iteration for a
+    // set membership that never changes. With the flag in the rank
+    // table, the per-iteration dangling mass is one scan-aggregate of
+    // the (already materialized) previous rank table.
+    val nodesF = e.select(col("src").as("host"))
+      .union(e.select(col("dst"))).distinct()
+      .join(outw.select(col("src").as("host"), lit(true).as("__hasout")),
+        Seq("host"), "left")
+      .select(col("host"), col("__hasout").isNull.as("__dang"))
+      .localCheckpoint(true)
+    val n = nodesF.count().toDouble
+    // the fraction table is materialized PARTITIONED BY src: its build
     // inherits hash(src, dst) from the edge aggregate, which does NOT
     // satisfy the per-iteration join on src — without the explicit
     // repartition every iteration would re-shuffle the (large) edge
     // side; with it only the (small) rank vector moves per iteration
-    // (plan-verified: the cached scan feeds the join exchange-free
+    // (localCheckpoint preserves the physical partitioning in its
+    // LogicalRDD, so the checkpointed scan feeds the join exchange-free
     // once ranks outgrow the broadcast threshold)
     val frac = e.join(outw, "src")
       .select(col("src"), col("dst"), (col("w") / col("outw")).as("frac"))
       .repartition(col("src"))
-      .cache()
-    frac.count() // materialize once; reused every iteration
-    val srcs = outw.select(col("src").as("host")).cache()
-    var ranks = nodes.select(col("host"), lit(1.0 / n).as("rank")).cache()
+      .localCheckpoint(true)
+    var ranks = nodesF
+      .select(col("host"), col("__dang"), lit(1.0 / n).as("rank"))
+      .localCheckpoint(true)
     var it = 0
     while (it < iterations) {
-      val dangling = ranks.join(srcs, Seq("host"), "left_anti")
-        .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
-      val contrib = frac.join(ranks.withColumnRenamed("host", "src"), "src")
+      val dangling = ranks
+        .agg(coalesce(sum(when(col("__dang"), col("rank"))), lit(0.0)))
+        .head().getDouble(0)
+      val contrib = frac
+        .join(ranks.select(col("host").as("src"), col("rank")), "src")
         .groupBy(col("dst").as("host"))
         .agg(sum(col("frac") * col("rank")).as("c"))
-      val next = nodes.join(contrib, Seq("host"), "left")
-        .select(col("host"),
+      val next = nodesF.join(contrib, Seq("host"), "left")
+        .select(col("host"), col("__dang"),
           (lit((1.0 - damping) / n) + lit(damping) *
             (coalesce(col("c"), lit(0.0)) + lit(dangling / n))).as("rank"))
-        .cache()
-      next.count() // materialize before dropping the previous state
-      ranks.unpersist()
+        .localCheckpoint(true) // eager: materialized before the release
+      release(ranks)
       ranks = next
       it += 1
     }
-    nodes.unpersist()
-    srcs.unpersist()
-    val out = ranks
-    frac.unpersist()
+    val out = ranks.select(col("host"), col("rank"))
+    // the result reads only the final rank checkpoint — the setup
+    // tables are dead (released eagerly rather than waiting for GC +
+    // ContextCleaner; the final checkpoint itself is GC-released, the
+    // house pattern)
+    release(e)
+    release(nodesF)
+    release(frac)
     out
   }
 
