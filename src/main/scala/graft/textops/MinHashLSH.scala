@@ -100,32 +100,43 @@ object MinHashLSH {
     size(array_intersect(sh1, sh2)).cast("double") /
       (size(sh1) + size(sh2) - size(array_intersect(sh1, sh2)))
 
-  /** Exact-Jaccard verification of candidate pairs WITHOUT moving shingle
-    * arrays through a shuffle: explode the corpus into narrow (id, nsh,
-    * shingle) postings, restrict them to the two sides of the candidate
-    * pairs, and count common shingles per pair — |A∩B| as a streaming
-    * aggregate of scalar rows, |A∪B| = nsh1 + nsh2 − common. Same result
-    * set as the array_intersect form (shingle arrays are distinct-element
-    * by construction), but every shuffled row is a fixed-width scalar
-    * tuple instead of a whole document's shingle array.
+  /** Exact-Jaccard verification of candidate pairs by attaching each
+    * side's shingle ARRAY to the (slim) pair row and intersecting in
+    * codegen: two id-keyed joins of the pair table against the corpus
+    * projection, then |A∩B| = size(array_intersect) per pair — no
+    * aggregation. |A∪B| = nsh1 + nsh2 − common, identical integer
+    * arithmetic to a postings count because the shingle arrays are
+    * distinct-element by construction.
+    *
+    * This REPLACED the posting-explosion form (r18 opt round, measured):
+    * exploding the corpus into (id, nsh, shingle) scalar postings for
+    * both pair sides shuffled ~24 B × nsh per document per side plus a
+    * 4-key groupBy, where the array row is ~8 B × nsh moved once per
+    * side — fewer bytes, two fewer corpus-wide explode+shuffle stages,
+    * and no aggregation state. Per-row memory is one document's shingle
+    * array (~8 B/token), the same order the candidate generator already
+    * holds per row; the capped bucket/prefix candidate set bounds how
+    * many pairs a hot document can appear in.
     */
-  private def verifyByCounts(cands: DataFrame, base: DataFrame, idCol: String,
-                             shinglesCol: String, threshold: Double): DataFrame = {
-    val postings = base.select(col(idCol), col(shinglesCol))
+  private def verifyByIntersect(cands: DataFrame, base: DataFrame,
+                                idCol: String, shinglesCol: String,
+                                threshold: Double): DataFrame = {
+    val withN = base.select(col(idCol), col(shinglesCol))
       .withColumn("__nsh", size(col(shinglesCol)))
       .filter(col("__nsh") > 0)
-      .select(col(idCol), col("__nsh"), explode(col(shinglesCol)).as("__sh"))
-    val a = postings.select(col(idCol).as("id1"), col("__nsh").as("__n1"),
-      col("__sh"))
-    val b = postings.select(col(idCol).as("id2"), col("__nsh").as("__n2"),
-      col("__sh"))
+    val a = withN.select(col(idCol).as("id1"), col(shinglesCol).as("__sh1"),
+      col("__nsh").as("__n1"))
+    val b = withN.select(col(idCol).as("id2"), col(shinglesCol).as("__sh2"),
+      col("__nsh").as("__n2"))
     cands.join(a, "id1")
-      .join(b, Seq("id2", "__sh"))
-      .groupBy(col("id1"), col("id2"), col("__n1"), col("__n2"))
-      .agg(count(lit(1)).as("__common"))
+      .join(b, "id2")
+      .withColumn("__common", size(array_intersect(col("__sh1"), col("__sh2"))))
       .withColumn("jaccard", col("__common").cast("double") /
         (col("__n1") + col("__n2") - col("__common")))
-      .filter(col("jaccard") >= threshold)
+      // __common > 0: the postings form could not even produce a
+      // zero-overlap pair row — preserved so a threshold <= 0 caller
+      // sees the identical result set
+      .filter(col("__common") > 0 && col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
@@ -137,7 +148,7 @@ object MinHashLSH {
                    rows: Int = 3, maxBucketSize: Int = 10000): DataFrame = {
     val cands = candidatePairs(df, idCol, shinglesCol, k, bands, rows,
       maxBucketSize)
-    verifyByCounts(cands, df, idCol, shinglesCol, threshold)
+    verifyByIntersect(cands, df, idCol, shinglesCol, threshold)
   }
 
   /** Exact all-pairs Jaccard >= threshold with prefix filtering (the
@@ -200,7 +211,7 @@ object MinHashLSH {
             ceil(lit(tt) * (col("a.__nsh") + col("b.__nsh"))))
       .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"))
       .distinct()
-    verifyByCounts(cands, base, idCol, shinglesCol, threshold)
+    verifyByIntersect(cands, base, idCol, shinglesCol, threshold)
   }
 
   /** Exact all-pairs Jaccard >= threshold via an inverted shingle index
