@@ -43,6 +43,19 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Spark's compiled-codegen cache holds 100 entries PER JVM
+      // (static conf); one composed query here carries 150-250 distinct
+      // WholeStageCodegen units, so under the default every shuffle-map
+      // task evicted and janino-RE-COMPILED its stage's source — a
+      // measured ~300 ms of CPU per task regardless of row count
+      // (r18 event-log attribution: q111 stage 102, 103 rows/task,
+      // 320 ms CPU/task; 95 s of CPU across one 5400-doc pass). The
+      // same thrash hits any executor JVM running these pipelines at
+      // cluster scale — not a local-mode artifact. Sized to hold a few
+      // queries' worth of units; entries are class references, evicted
+      // classes unload with their classloader on GC.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

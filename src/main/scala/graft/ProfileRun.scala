@@ -19,6 +19,9 @@ object ProfileRun {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // match Bench: codegen cache sized past the 100-entry default
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
       .config("spark.ui.enabled", "false")
       .config("spark.eventLog.enabled",
         sys.env.contains("SPARK_GRAFT_EVLOG").toString)
